@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * Spark 4 moved classic Column<->Expression bridging behind
+ * `private[sql]` (org.apache.spark.sql.classic.ExpressionUtils). This tiny
+ * shim lives inside the `org.apache.spark.sql` package namespace so library
+ * code can build Columns from custom Catalyst Expressions.
+ */
+object shim {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
+}
