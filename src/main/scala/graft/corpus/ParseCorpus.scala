@@ -1,0 +1,144 @@
+package graft.corpus
+
+import graft.model.{CorpusStats, Doc, TermEntry, TitleEntry}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Corpus → dictionary-encoded bag-of-words pipeline; Spark-native rebuild of
+ * the reference's three-MR-job ParseCorpus (reference:
+ * cc/mrlda/ParseCorpus.java:81-142 and SURVEY.md §3.1).
+ *
+ * The reference's job structure collapses to one declarative plan:
+ * tokenize+count (P1-P5) is cached once, the term and title indices are two
+ * small aggregates over it, and encoding (J1/J2/P7) is a broadcast join back.
+ * Catalyst supplies partial aggregation, predicate pushdown, and column
+ * pruning that the reference hand-wired with combiners and custom key types.
+ *
+ * Scale posture (100 TB): the only global sort is the dictionary ranking
+ * over the *aggregated* term table (size = |V|, not corpus size); it uses
+ * sort + zipWithIndex rather than the reference's single-reducer ranking
+ * (ParseCorpus.java:475-490) so no single task sees the whole vocabulary.
+ */
+object ParseCorpus {
+
+  /** Defaults mirror reference ParseCorpusOptions.java:36-39 (df band as
+    * fractions of the document count) and its whitespace tokenizer. */
+  case class Config(
+      minDfFraction: Double = 0.0,
+      maxDfFraction: Double = 1.0,
+      stopwords: Seq[String] = Seq.empty,
+      tokenSplitPattern: String = "\\s+",
+      lowercase: Boolean = false,
+      minTokenLength: Int = 1)
+
+  case class Result(
+      docs: Dataset[Doc],
+      terms: Dataset[TermEntry],
+      titles: Dataset[TitleEntry],
+      stats: CorpusStats)
+
+  /**
+   * Parse raw one-doc-per-line text: `title \t w1 w2 ...`
+   * (reference input format, README.md:38-43, ParseCorpus.java:174-179).
+   */
+  def fromRawLines(spark: SparkSession, path: String, cfg: Config = Config()): Result = {
+    import spark.implicits._
+    val lines = spark.read.text(path)
+      .select(split($"value", "\t", 2).as("parts"))
+      .filter(size($"parts") === 2) // reference throws on missing tab; we drop
+      .select($"parts" (0).as("title"), $"parts" (1).as("text"))
+    // titles ranked 1-based in sorted order (deterministic stand-in for the
+    // reference's merge-encounter order, ParseCorpus.java:698-710)
+    val withIds = rankByIndex(lines.select($"title"), Seq($"title".asc), "docId")
+      .join(lines, "title")
+    run(withIds.select($"docId", $"title", $"text"), cfg)
+  }
+
+  /** Parse a (docId, title, text) DataFrame (e.g. the `documents` table). */
+  def run(input: DataFrame, cfg: Config = Config()): Result = {
+    val spark = input.sparkSession
+    import spark.implicits._
+
+    val base = input.select($"docId".cast("long"), $"title", $"text")
+    val numDocsTotal = base.count()
+
+    // P1-P5: tokenize, optional lowercase, stopword filter, per-doc tf
+    val rawTok = base
+      .select($"docId",
+        explode(split(if (cfg.lowercase) lower($"text") else $"text",
+          cfg.tokenSplitPattern)).as("term"))
+      .filter(length($"term") >= cfg.minTokenLength)
+    val tokens = (if (cfg.stopwords.nonEmpty) {
+      val sw = cfg.stopwords.toDF("term")
+      rawTok.join(broadcast(sw), Seq("term"), "left_anti")
+    } else rawTok)
+      .groupBy($"docId", $"term").agg(count(lit(1)).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // A1: per-term document frequency / collection frequency
+    val termAgg = tokens.groupBy($"term")
+      .agg(count(lit(1)).as("df"), sum($"cnt").as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // P6: df band filter (fractions of corpus size, ParseCorpus.java:455-467)
+    val lo = cfg.minDfFraction * numDocsTotal
+    val hi = cfg.maxDfFraction * numDocsTotal
+    val banded = termAgg.filter($"df" >= lo && $"df" <= hi)
+    val lowDf = termAgg.filter($"df" < lo).count()
+    val highDf = termAgg.filter($"df" > hi).count()
+
+    // O1: dense 1-based ranking by (df desc, tf desc, term asc — the term
+    // tiebreak makes the dictionary deterministic where the reference
+    // depended on shuffle order)
+    val terms = rankByIndex(banded, Seq($"df".desc, $"tf".desc, $"term".asc), "termId")
+      .select($"termId".cast("int").as("termId"), $"term", $"df", $"tf")
+      .as[TermEntry]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val numTerms = terms.count()
+
+    // J1/P7: dictionary-encode; broadcast for any realistic vocabulary
+    // (50M-term dict ≈ a few hundred MB — beyond that drop the hint and let
+    // AQE pick a shuffle join)
+    val dict = terms.select($"termId", $"term")
+    val encoded = tokens
+      .join(if (numTerms <= 20_000_000) broadcast(dict) else dict, "term")
+      .groupBy($"docId")
+      .agg(
+        map_from_entries(array_sort(collect_list(struct($"termId", $"cnt".cast("int"))))).as("counts"),
+        sum($"cnt").as("numTokens"))
+      .select($"docId", $"counts", $"numTokens", lit(null).cast("array<double>").as("gammaRaw"))
+
+    val docs = encoded
+      .select($"docId", $"counts", $"numTokens",
+        $"gammaRaw".as("gamma"))
+      .as[Doc]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val encodedCount = docs.count()
+
+    val titles = base.select($"docId", $"title").as[TitleEntry]
+
+    tokens.unpersist()
+    Result(docs, terms, titles,
+      CorpusStats(encodedCount, numTerms, numDocsTotal - encodedCount, lowDf, highDf))
+  }
+
+  /**
+   * Dense 1-based ranking without a single-partition window: global sort
+   * (range-partitioned shuffle) + zipWithIndex. Deterministic given a
+   * total ordering.
+   */
+  private[graft] def rankByIndex(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+      idName: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(order: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(idName, org.apache.spark.sql.types.LongType, nullable = false) +:
+        sorted.schema.fields)
+    val rdd = sorted.rdd.zipWithIndex.map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq((idx + 1L) +: row.toSeq)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}

@@ -1,0 +1,186 @@
+package graft.lda
+
+import graft.functions.GammaFuncs.{digamma, logAdd, logGamma}
+import graft.model.Doc
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Dataset
+
+/**
+ * One row of E-step output. Two shapes share the schema (the Spark-native
+ * version of the reference's MultipleOutputs side-outputs,
+ * cc/mrlda/DocumentMapper.java:341-346):
+ *  - doc rows (`isDoc`): updated gamma + per-document log-likelihood;
+ *  - phi rows: partition-combined log-space phi sufficient statistics
+ *    keyed (topic 1..K, termId) — the reference's in-mapper combiner
+ *    (DocumentMapper.java:263-339) generalized to whole-partition combining.
+ */
+case class EStepRow(
+    isDoc: Boolean,
+    docId: Long,
+    gamma: Array[Double],
+    ll: Double,
+    topic: Int,
+    termId: Int,
+    logphi: Double)
+
+/**
+ * The per-document variational fixed point (reference semantics:
+ * cc/mrlda/DocumentMapper.java:180-260 and updatePhi :402-429; SURVEY.md
+ * §2.7). Runs as one `mapPartitions` over the encoded corpus with the model
+ * (alpha, E[log beta]) broadcast — the Spark equivalent of the reference's
+ * DistributedCache model shipping.
+ */
+object EStep {
+
+  /**
+   * @param beta termId -> E[log β_·w] over topics (0-based array). Empty on
+   *             the first iteration: unseen terms get the reference's random
+   *             init log(2·rand/V + rand) from a per-term seeded RNG so the
+   *             run is reproducible (reference used unseeded Math.random,
+   *             DocumentMapper.java:456 — divergence documented in SURVEY §7.5).
+   * @param learning when false (held-out inference, reference D5) phi rows
+   *                 are not emitted.
+   */
+  def run(
+      docs: Dataset[Doc],
+      alphaBc: Broadcast[Array[Double]],
+      betaBc: Broadcast[scala.collection.Map[Int, Array[Double]]],
+      numTerms: Int,
+      localIterations: Int = 100,
+      randomStartGamma: Boolean = false,
+      learning: Boolean = true,
+      seed: Long = 42L): Dataset[EStepRow] = {
+    import docs.sparkSession.implicits._
+
+    docs.mapPartitions { it =>
+      val alpha = alphaBc.value
+      val k = alpha.length
+      val beta = betaBc.value
+      // per-partition cache of random-init vectors for unseen terms
+      val betaFallback = new java.util.HashMap[Int, Array[Double]]()
+      def elogbeta(termId: Int): Array[Double] = {
+        val hit = beta.getOrElse(termId, null)
+        if (hit != null) hit
+        else {
+          var v = betaFallback.get(termId)
+          if (v == null) {
+            val rng = new java.util.Random(seed ^ (termId.toLong * 0x9E3779B97F4A7C15L))
+            v = Array.fill(k)(math.log(2.0 * rng.nextDouble() / numTerms + rng.nextDouble()))
+            betaFallback.put(termId, v)
+          }
+          v
+        }
+      }
+
+      // L_α = lnΓ(Σα) − Σ lnΓ(α_k), added once per document
+      // (reference DocumentMapper.java:121-126)
+      val alphaSum = alpha.sum
+      val likelihoodAlpha = logGamma(alphaSum) - alpha.map(logGamma).sum
+
+      // partition-level combiner: (topic, term) -> log-space phi sum
+      val phiAcc = new java.util.HashMap[Long, Double]()
+
+      val docRows = it.map { doc =>
+        val nnz = doc.counts.size
+        val termIds = new Array[Int](nnz)
+        val termCnt = new Array[Int](nnz)
+        var j = 0
+        doc.counts.foreach { case (t, c) => termIds(j) = t; termCnt(j) = c; j += 1 }
+
+        val gamma: Array[Double] =
+          doc.gamma match {
+            case Some(g) if g.length == k && !randomStartGamma => g.clone()
+            case _ => Array.tabulate(k)(i => alpha(i) + doc.numTokens.toDouble / k)
+          }
+        val updateLogGamma = new Array[Double](k)
+        val logPhi = Array.ofDim[Double](nnz, k)
+        var likelihoodPhi = 0.0
+
+        // fixed-sweep gamma/phi fixed point; do-while semantics replicate the
+        // reference's iteration count exactly (DocumentMapper.java:204-242)
+        var sweep = 1
+        var continue = true
+        while (continue) {
+          likelihoodPhi = 0.0
+          var i = 0
+          while (i < k) {
+            gamma(i) = digamma(gamma(i))
+            updateLogGamma(i) = math.log(alpha(i))
+            i += 1
+          }
+          var w = 0
+          while (w < nnz) {
+            val lb = elogbeta(termIds(w))
+            val lp = logPhi(w)
+            val c = termCnt(w)
+            // log-space phi update + normalize (reference updatePhi)
+            var norm = lb(0) + gamma(0)
+            lp(0) = norm
+            i = 1
+            while (i < k) {
+              lp(i) = lb(i) + gamma(i)
+              norm = logAdd(norm, lp(i))
+              i += 1
+            }
+            val logC = math.log(c.toDouble)
+            i = 0
+            while (i < k) {
+              lp(i) -= norm
+              likelihoodPhi += c * math.exp(lp(i)) * (lb(i) - lp(i))
+              lp(i) += logC
+              updateLogGamma(i) = logAdd(updateLogGamma(i), lp(i))
+              i += 1
+            }
+            w += 1
+          }
+          i = 0
+          while (i < k) { gamma(i) = math.exp(updateLogGamma(i)); i += 1 }
+          sweep += 1
+          continue = sweep < localIterations
+        }
+
+        // document log-likelihood L_α + L_γ + L_φ (DocumentMapper.java:244-254)
+        var sumGamma = 0.0
+        var likelihoodGamma = 0.0
+        var i = 0
+        while (i < k) { sumGamma += gamma(i); likelihoodGamma += logGamma(gamma(i)); i += 1 }
+        likelihoodGamma -= logGamma(sumGamma)
+        val docLL = likelihoodAlpha + likelihoodGamma + likelihoodPhi
+
+        // fold this document's phi (from the final sweep, already scaled by
+        // log(count)) into the partition combiner
+        if (learning) {
+          var w = 0
+          while (w < nnz) {
+            val lp = logPhi(w)
+            i = 0
+            while (i < k) {
+              val key = ((i + 1).toLong << 32) | (termIds(w).toLong & 0xFFFFFFFFL)
+              val prev = phiAcc.get(key)
+              phiAcc.put(key, if (prev == null) lp(i) else logAdd(prev, lp(i)))
+              i += 1
+            }
+            w += 1
+          }
+        }
+
+        EStepRow(isDoc = true, doc.docId, gamma, docLL, -1, -1, 0.0)
+      }
+
+      // phi rows emitted once the partition's documents are exhausted
+      val phiRows = new Iterator[EStepRow] {
+        private lazy val inner = {
+          val b = Vector.newBuilder[EStepRow]
+          phiAcc.forEach { (key, v) =>
+            b += EStepRow(isDoc = false, -1L, null, 0.0,
+              (key >>> 32).toInt, (key & 0xFFFFFFFFL).toInt, v)
+          }
+          b.result().iterator
+        }
+        def hasNext: Boolean = inner.hasNext
+        def next(): EStepRow = inner.next()
+      }
+      docRows ++ phiRows
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft.lda
+
+import graft.functions.LogSumExp.logsumexp
+import graft.functions.gfunctions.{digamma, log_add}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/**
+ * M-step: fold the E-step's log-space phi statistics into the new topic–word
+ * posterior λ and emit E[log β_kw] = ψ(λ_kw) − ψ(Σ_w λ_kw).
+ *
+ * Declarative rewrite of the reference's shuffle-sorted streaming reducer
+ * (cc/mrlda/TermReducer.java:134-238 with TermCombiner + TermPartitioner):
+ * the two-level groupBy replaces the custom partitioner + sort-order
+ * boundary detection, and Catalyst's partial aggregation replaces the
+ * combiner. Eta smoothing follows InformedPrior.java:172-177 /
+ * Settings.java:58: log(1000) for seeded (topic, term) pairs, log(0.001)
+ * for the rest when a prior is supplied, log(1e-12) otherwise.
+ */
+object MStep {
+
+  val DefaultLogEta: Double = math.log(1e-12)
+  val InformedLogEta: Double = math.log(1000.0).toFloat.toDouble
+  val UninformedLogEta: Double = math.log(0.001).toFloat.toDouble
+
+  /**
+   * @param phi   (topic, termId, logphi) partition-combined E-step rows
+   * @param prior optional informed prior (topic, termId) seed pairs
+   * @return      (topic, termId, elogbeta)
+   */
+  def run(phi: DataFrame, prior: Option[DataFrame] = None): DataFrame = {
+    val spark = phi.sparkSession
+    import spark.implicits._
+
+    // final log-space fold per (topic, term); Catalyst splits partial/final
+    val lambdaBase = phi
+      .groupBy($"topic", $"termId")
+      .agg(logsumexp($"logphi").as("lp"))
+
+    val withEta = prior match {
+      case Some(p) =>
+        lambdaBase.join(broadcast(p.select($"topic", $"termId", lit(true).as("seeded"))),
+            Seq("topic", "termId"), "left")
+          .withColumn("eta", when($"seeded", lit(InformedLogEta)).otherwise(lit(UninformedLogEta)))
+      case None =>
+        lambdaBase.withColumn("eta", lit(DefaultLogEta))
+    }
+    val lambda = withEta.withColumn("loglambda", log_add($"lp", $"eta"))
+
+    // per-topic normalizer ψ(Σ_w λ_kw), computed in log space then joined back
+    val norms = lambda.groupBy($"topic").agg(logsumexp($"loglambda").as("lognorm"))
+    lambda.join(broadcast(norms), "topic")
+      .select($"topic", $"termId",
+        (digamma(exp($"loglambda")) - digamma(exp($"lognorm"))).as("elogbeta"))
+  }
+
+  /** Alpha sufficient statistics ss_k = Σ_d ψ(γ_dk) − ψ(Σ_k γ_dk) from the
+    * E-step's gamma rows (reference computes this in-mapper,
+    * DocumentMapper.java:256-258; here it is a small declarative agg). */
+  def alphaSufficientStatistics(gammaDocs: DataFrame, numTopics: Int): Array[Double] = {
+    val spark = gammaDocs.sparkSession
+    import spark.implicits._
+    val rows = gammaDocs
+      .select(posexplode($"gamma").as(Seq("k", "g")),
+        aggregate($"gamma", lit(0.0), (acc, x) => acc + x).as("gsum"))
+      .groupBy($"k")
+      .agg(sum(digamma($"g") - digamma($"gsum")).as("ss"))
+      .collect()
+    val ss = new Array[Double](numTopics)
+    rows.foreach(r => ss(r.getAs[Int]("k")) = r.getAs[Double]("ss"))
+    ss
+  }
+}

@@ -1,0 +1,179 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for large-scale training-data curation.
+ *
+ * Design for 100 TB: everything is expressed as shuffle-on-key plans —
+ * exact dedup is one hash aggregate; near-dup goes shingle → MinHash
+ * signature (one pass, codegen'd) → LSH band explode → bucket join, so
+ * candidate generation never compares all pairs. SimHash uses the same
+ * banding trick over bit chunks.
+ */
+object Dedup {
+
+  /** Exact dedup on normalized content: keeps the smallest id per
+    * fingerprint group. One hash aggregate, no window needed. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact duplicate *groups* (only fingerprints with >1 doc). */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exactDedup(df, idCol, textCol).filter(col("dup_count") > 1)
+
+  /** word shingles: sliding n-grams over whitespace tokens */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.wsTokens(lower(text))
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /**
+   * MinHash signature as `numHashes` independent min-hashes; hash family is
+   * xxhash64 salted by the hash index — fully inside codegen, no UDF.
+   */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      h => array_min(transform(shingleCol, s => xxhash64(h, s))))
+
+  /**
+   * MinHash+LSH near-duplicate candidate pairs, verified with exact Jaccard
+   * over the shingle sets. Returns (id_a, id_b, jaccard) with id_a < id_b.
+   *
+   * bands×rowsPerBand = numHashes; a pair collides if any band matches.
+   */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      jaccardThreshold: Double = 0.7): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+
+    val sh = df.select(col(idCol).cast("long").as("id"),
+        shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size($"sh") > 0)
+      .withColumn("sig", minhashSignature($"sh", numHashes))
+
+    // band explode → bucket join on (band index, band hash)
+    val banded = sh.select($"id", $"sh",
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(concat_ws(",", slice($"sig", b * r + 1, r)))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
+    val pairs = banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" && $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"), $"a.sh".as("sh_a"), $"b.sh".as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    pairs
+      .withColumn("jaccard",
+        round(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b")), 4))
+      .filter($"jaccard" >= jaccardThreshold)
+      .select($"id_a", $"id_b", $"jaccard")
+  }
+
+  /**
+   * Exact n-gram Jaccard over all pairs, computed scalably: join documents
+   * on shared grams to count intersections (|A∩B|), derive the union from
+   * per-doc set sizes — never materializes the full pair matrix, only pairs
+   * that share at least one gram. Documents with fewer than n tokens have
+   * no grams and drop out (strict semantics, unlike `shingles`' fallback).
+   */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String, n: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = TextAnalysis.wsTokens(lower(col(textCol)))
+    val grams = df
+      .select(col(idCol).cast("long").as("id"), toks.as("toks"))
+      .filter(size($"toks") >= n)
+      .select($"id", explode(array_distinct(transform(sequence(lit(0), size($"toks") - n),
+        i => concat_ws(" ", slice($"toks", i + 1, lit(n)))))).as("g"))
+    val sizes = grams.groupBy($"id").agg(count(lit(1)).as("n"))
+    val inter = grams.as("a").join(grams.as("b"), $"a.g" === $"b.g" && $"a.id" < $"b.id")
+      .groupBy($"a.id".as("id_a"), $"b.id".as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select($"id".as("id_a"), $"n".as("na")), "id_a")
+      .join(sizes.select($"id".as("id_b"), $"n".as("nb")), "id_b")
+      .select($"id_a", $"id_b",
+        round($"c".cast("double") / ($"na" + $"nb" - $"c"), 4).as("jaccard"))
+      .filter($"jaccard" >= threshold)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sign of Σ±1 across
+    * token hashes. Expressed with functions only — bit positions unrolled
+    * at plan-build time: bit b = 1 if (#tokens with bit set) * 2 > #tokens. */
+  def simhash64(text: Column): Column = {
+    val toks = TextAnalysis.wsTokens(lower(text))
+    val hashes = transform(toks, t => xxhash64(t))
+    (0 until 64).map { b =>
+      when(size(filter(hashes, h => shiftright(h, b).bitwiseAND(lit(1L)) === 1L)) * 2
+        > size(hashes), lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
+  }
+
+  /** SimHash near-dup pairs: LSH over 4×16-bit chunks, verified by Hamming
+    * distance ≤ maxHamming. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df.select(col(idCol).cast("long").as("id"), simhash64(col(textCol)).as("sim"))
+    val banded = hashed.select($"id", $"sim",
+        posexplode(array((0 until 4).map(b =>
+          shiftright($"sim", b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val hamming = (a: Column, b: Column) => bit_count(a.bitwiseXOR(b))
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.chunk" === $"b.chunk" && $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+        hamming($"a.sim", $"b.sim").as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter($"hamming" <= maxHamming)
+  }
+
+  /** Embedding near-dup: random-hyperplane LSH buckets + exact cosine
+    * verification ≥ threshold. Hyperplanes are seeded and broadcast as
+    * literals so the plan is deterministic. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nPlanes: Int = 12, cosineThreshold: Double = 0.95,
+      seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rng = new java.util.Random(seed)
+    val planes: Seq[Seq[Double]] = Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+
+    val vecs = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val sigExpr = concat_ws("", planes.map { p =>
+      when(aggregate(zip_with($"v", typedLit(p), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x) > 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+    val sig = vecs.withColumn("bucket", sigExpr)
+
+    val dot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val norm = (a: Column) => sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+    sig.as("a").join(sig.as("b"), $"a.bucket" === $"b.bucket" && $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+        round(dot($"a.v", $"b.v") / (norm($"a.v") * norm($"b.v")), 6).as("cosine"))
+      .filter($"cosine" >= cosineThreshold)
+  }
+
+  /** Keep-one policy materialization: given the full frame and near-dup
+    * pairs, drop every id that appears as the larger member of a pair. */
+  def applyKeepSmallest(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+}

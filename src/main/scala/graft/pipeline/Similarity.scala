@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * Baseline: exact brute-force cosine top-k (broadcast the query set, scan
+ * the corpus once — embarrassingly parallel, no shuffle until the small
+ * per-query top-k agg). Scale path: random-hyperplane LSH bucketing so each
+ * query only scores its bucket(s) — same plan shape as Dedup.embeddingNearDups.
+ */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /**
+   * Exact top-k neighbors for each query vector. Queries should be small
+   * (broadcast); corpus is scanned once. Ties broken by corpus id so the
+   * result is deterministic.
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).cast("long").as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter($"corpus_id" =!= $"query_id")
+      .select($"query_id", $"corpus_id", round(cosine($"cv", $"qv"), 6).as("cosine"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"corpus_id".asc)
+    scored.withColumn("rnk", row_number().over(w)).filter($"rnk" <= k)
+      .select($"query_id", $"rnk", $"corpus_id", $"cosine")
+  }
+
+  /**
+   * LSH-bucketed approximate top-k: random-hyperplane signatures with
+   * `nTables` independent tables; candidates = bucket collisions in any
+   * table; exact rerank within candidates. Recall grows with tables/shorter
+   * signatures. This is the 100 TB path: each query scores only its
+   * candidate set, never the full corpus.
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, bitsPerTable: Int = 8,
+      nTables: Int = 4, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rng = new java.util.Random(seed)
+    val tables: Seq[Seq[Seq[Double]]] =
+      Seq.fill(nTables)(Seq.fill(bitsPerTable)(Seq.fill(dim)(rng.nextGaussian())))
+
+    def sigs(v: Column): Column = array(tables.zipWithIndex.map { case (planes, ti) =>
+      struct(lit(ti).as("table"),
+        concat_ws("", planes.map { p =>
+          when(dot(v, typedLit(p)) > 0, lit("1")).otherwise(lit("0"))
+        }: _*).as("bucket"))
+    }: _*)
+
+    val c = corpus.select(col(idCol).cast("long").as("corpus_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .select($"corpus_id", $"cv", explode(sigs($"cv")).as("sig"))
+      .select($"corpus_id", $"cv", $"sig.table".as("table"), $"sig.bucket".as("bucket"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .select($"query_id", $"qv", explode(sigs($"qv")).as("sig"))
+      .select($"query_id", $"qv", $"sig.table".as("table"), $"sig.bucket".as("bucket"))
+
+    val cand = c.join(broadcast(q), Seq("table", "bucket"))
+      .filter($"corpus_id" =!= $"query_id")
+      .select($"query_id", $"corpus_id", $"cv", $"qv")
+      .dropDuplicates("query_id", "corpus_id")
+
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"corpus_id".asc)
+    cand.select($"query_id", $"corpus_id", round(cosine($"cv", $"qv"), 6).as("cosine"))
+      .withColumn("rnk", row_number().over(w)).filter($"rnk" <= k)
+      .select($"query_id", $"rnk", $"corpus_id", $"cosine")
+  }
+}

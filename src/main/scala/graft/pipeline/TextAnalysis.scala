@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for a training-data pipeline: token counting,
+ * quality scoring, language ID, and document fingerprinting. All but the
+ * language heuristic are pure `functions._` compositions (codegen'd,
+ * pushdown-friendly); language ID ships small built-in stopword profiles.
+ */
+object TextAnalysis {
+
+  /** whitespace tokens */
+  def wsTokens(text: Column): Column = filter(split(text, " "), t => t =!= "")
+
+  /** BPE-ish subword proxy: alpha runs, digit runs, or single punctuation. */
+  val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column = size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  /** Quality features: length, token stats, punctuation/stopword ratios. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = wsTokens(text)
+    df.withColumn("n_chars_q", length(text))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("mean_token_len",
+        round(length(regexp_replace(text, " ", "")).cast("double") /
+          greatest(size(toks), lit(1)), 4))
+      .withColumn("punct_ratio",
+        round(size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double") /
+          greatest(length(text), lit(1)), 4))
+      .withColumn("stopword_ratio",
+        round(size(filter(toks, t => t.isin(EnStopwords: _*))).cast("double") /
+          greatest(size(toks), lit(1)), 4))
+  }
+
+  /** Composite quality score in [0,1] (heuristic band scoring). */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame =
+    qualityFeatures(df, textCol).withColumn("quality_score",
+      round(
+        when(col("n_tokens") >= 5 && col("n_tokens") <= 5000, lit(0.4)).otherwise(lit(0.0)) +
+          when(col("mean_token_len").between(2.0, 12.0), lit(0.3)).otherwise(lit(0.0)) +
+          when(col("punct_ratio") <= 0.2, lit(0.2)).otherwise(lit(0.0)) +
+          when(col("stopword_ratio") >= 0.01, lit(0.1)).otherwise(lit(0.0)), 2))
+
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as", "at", "by")
+
+  /** tiny per-language function-word profiles for the n-gram/stopword
+    * language heuristic (public common word lists) */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pour", "dans", "que", "pas"),
+    "es" -> Seq("el", "la", "los", "las", "es", "una", "para", "con", "por", "que"),
+    "zh" -> Seq.empty) // zh detected by CJK character ratio instead
+
+  /**
+   * Heuristic language ID: argmax over per-language function-word hit
+   * ratios; CJK char ratio shortcut for zh; "und" (undetermined) when no
+   * signal. Declarative: one score column per language, then greatest().
+   */
+  def languageId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = wsTokens(lower(col(textCol)))
+    val nToks = greatest(size(toks), lit(1)).cast("double")
+    val scored = LangProfiles.filter(_._2.nonEmpty).foldLeft(df) { case (acc, (lang, words)) =>
+      acc.withColumn(s"score_$lang",
+        size(filter(toks, t => t.isin(words: _*))).cast("double") / nToks)
+    }
+    val cjkRatio = size(regexp_extract_all(col(textCol), lit("[\\u4e00-\\u9fff]"), lit(0)))
+      .cast("double") / greatest(length(col(textCol)), lit(1))
+    val langs = LangProfiles.keys.filter(l => LangProfiles(l).nonEmpty).toSeq.sorted
+    val best = langs.foldLeft(
+      struct(lit(0.0).as("s"), lit("und").as("l"))) { (acc, lang) =>
+      when(col(s"score_$lang") > acc.getField("s"),
+        struct(col(s"score_$lang").as("s"), lit(lang).as("l"))).otherwise(acc)
+    }
+    scored
+      .withColumn("lang_pred",
+        when(cjkRatio > 0.25, lit("zh")).otherwise(best.getField("l")))
+      .drop(langs.map(l => s"score_$l"): _*)
+  }
+
+  /** Content fingerprint for exact/near-exact grouping: md5 of the
+    * whitespace-normalized lowercased text (portable across engines). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.corpus.ParseCorpus
+import graft.lda.{Display, Trainer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The LDA-pipeline capabilities as declared queries over the `documents`
+ * test table. Tokenize/df-tf/dictionary have exact DuckDB oracles; the
+ * trained-model queries are not SQL-expressible (driver records rows-only
+ * checks for them).
+ */
+object CorpusQueries {
+
+  private def docsDf(s: SparkSession, dir: String): DataFrame =
+    Registry.t(s, dir, "documents")
+      .selectExpr("doc_id as docId", "cast(doc_id as string) as title", "text")
+
+  /** deterministic small training run shared by the model queries */
+  private def model(s: SparkSession, dir: String) = {
+    val parsed = ParseCorpus.run(docsDf(s, dir))
+    val m = Trainer.train(parsed.docs, parsed.stats.numTerms.toInt,
+      Trainer.Config(numTopics = 5, maxIterations = 5, localIterations = 20, seed = 42L))
+    (parsed, m)
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "corpus_wordcount" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        docsDf(s, dir)
+          .select($"docId", explode(split($"text", " ")).as("token"))
+          .filter($"token" =!= "")
+          .groupBy($"token")
+          .agg(count(lit(1)).as("tf"), countDistinct($"docId").as("df"))
+          .orderBy($"token")
+      },
+      Some("""SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+             |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) u
+             |WHERE token <> '' GROUP BY token ORDER BY token""".stripMargin),
+      bench = true),
+
+    "corpus_dictionary" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val parsed = ParseCorpus.run(docsDf(s, dir))
+        parsed.terms.toDF()
+          .select($"termId".as("term_id"), $"term", $"df", $"tf")
+          .orderBy($"term_id")
+      },
+      Some("""SELECT CAST(row_number() OVER (ORDER BY df DESC, tf DESC, token ASC) AS INT) AS term_id,
+             |       token AS term, df, tf
+             |FROM (SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf
+             |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) u
+             |      WHERE token <> '' GROUP BY token)
+             |ORDER BY term_id""".stripMargin)),
+
+    "corpus_encoded_docs" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        // encoded corpus summary: per doc, vocabulary size and token count
+        val parsed = ParseCorpus.run(docsDf(s, dir))
+        parsed.docs.toDF()
+          .select($"docId".as("doc_id"), size($"counts").as("distinct_terms"),
+            $"numTokens".as("num_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, CAST(count(DISTINCT token) AS INT) AS distinct_terms,
+             |       count(*) AS num_tokens
+             |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) u
+             |WHERE token <> '' GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    "lda_top_terms" -> QueryDef(
+      (s, dir) => {
+        val (parsed, m) = model(s, dir)
+        Display.topTermsPerTopic(Display.betaToDF(s, m), parsed.terms, k = 10)
+      },
+      None, bench = true),
+
+    "lda_doc_topics" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val (parsed, m) = model(s, dir)
+        val (gamma, _) = Trainer.infer(parsed.docs, m, localIterations = 20)
+        Display.documentTopics(gamma).orderBy($"docId", $"topic")
+      },
+      None),
+
+    "lda_informed_prior" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val parsed = ParseCorpus.run(docsDf(s, dir))
+        val seeds = Seq((1, "spark"), (1, "data"), (2, "join"), (2, "query"))
+          .toDF("topic", "term")
+        graft.lda.InformedPrior.compile(seeds, parsed.terms).orderBy($"topic", $"termId")
+      },
+      None))
+}

