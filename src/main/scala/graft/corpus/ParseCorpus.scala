@@ -24,14 +24,38 @@ import org.apache.spark.storage.StorageLevel
 object ParseCorpus {
 
   /** Defaults mirror reference ParseCorpusOptions.java:36-39 (df band as
-    * fractions of the document count) and its whitespace tokenizer. */
+    * fractions of the document count) and its whitespace tokenizer.
+    *
+    * `analyzer` is the pluggable-tokenizer extension point (reference P3:
+    * a reflection-instantiated Lucene `Analyzer`, ParseCorpus.java:191-207 /
+    * option ParseCorpusOptions.java:147-151, e.g. SmartChineseAnalyzer for
+    * CJK text the whitespace split mangles). Any `String => Seq[String]` —
+    * shipped to executors as a serialized closure driving a flatMap UDF;
+    * when set it replaces the regex split + lowercase path entirely. */
   case class Config(
       minDfFraction: Double = 0.0,
       maxDfFraction: Double = 1.0,
       stopwords: Seq[String] = Seq.empty,
       tokenSplitPattern: String = "\\s+",
       lowercase: Boolean = false,
-      minTokenLength: Int = 1)
+      minTokenLength: Int = 1,
+      analyzer: Option[String => Seq[String]] = None)
+
+  /** Built-in analyzers (stand-ins for the reference's Lucene analyzers —
+    * Lucene is not on this classpath; the extension point is what P3 is). */
+  object Analyzers {
+    /** Unicode-aware word segmentation: letter/digit runs OR single CJK
+      * ideographs as tokens (the per-character segmentation is what Lucene's
+      * StandardAnalyzer does for CJK). */
+    val unicode: String => Seq[String] = { text =>
+      val m = java.util.regex.Pattern
+        .compile("[\\p{script=Han}\\p{script=Hiragana}\\p{script=Katakana}]|[\\p{L}\\p{N}]+")
+        .matcher(text)
+      val b = Seq.newBuilder[String]
+      while (m.find()) b += m.group().toLowerCase(java.util.Locale.ROOT)
+      b.result()
+    }
+  }
 
   case class Result(
       docs: Dataset[Doc],
@@ -49,10 +73,13 @@ object ParseCorpus {
       .select(split($"value", "\t", 2).as("parts"))
       .filter(size($"parts") === 2) // reference throws on missing tab; we drop
       .select($"parts" (0).as("title"), $"parts" (1).as("text"))
-    // titles ranked 1-based in sorted order (deterministic stand-in for the
-    // reference's merge-encounter order, ParseCorpus.java:698-710)
-    val withIds = rankByIndex(lines.select($"title"), Seq($"title".asc), "docId")
-      .join(lines, "title")
+    // docIds assigned 1-based over the full (title, text) rows — one id per
+    // LINE, so duplicate titles stay distinct documents (the reference
+    // assigns ids in merge-encounter order and tolerates duplicate titles,
+    // ParseCorpus.java:698-710; a join back on the non-unique title would
+    // conflate them). Sorted order is the deterministic stand-in for
+    // encounter order.
+    val withIds = rankByIndex(lines, Seq($"title".asc, $"text".asc), "docId")
     run(withIds.select($"docId", $"title", $"text"), cfg)
   }
 
@@ -64,11 +91,17 @@ object ParseCorpus {
     val base = input.select($"docId".cast("long"), $"title", $"text")
     val numDocsTotal = base.count()
 
-    // P1-P5: tokenize, optional lowercase, stopword filter, per-doc tf
-    val rawTok = base
-      .select($"docId",
-        explode(split(if (cfg.lowercase) lower($"text") else $"text",
-          cfg.tokenSplitPattern)).as("term"))
+    // P1-P5: tokenize (pluggable analyzer or regex split), optional
+    // lowercase, stopword filter, per-doc tf
+    val rawTok = (cfg.analyzer match {
+      case Some(an) =>
+        val tokenize = udf((text: String) => if (text == null) Seq.empty[String] else an(text))
+        base.select($"docId", explode(tokenize($"text")).as("term"))
+      case None =>
+        base.select($"docId",
+          explode(split(if (cfg.lowercase) lower($"text") else $"text",
+            cfg.tokenSplitPattern)).as("term"))
+    })
       .filter(length($"term") >= cfg.minTokenLength)
     val tokens = (if (cfg.stopwords.nonEmpty) {
       val sw = cfg.stopwords.toDF("term")

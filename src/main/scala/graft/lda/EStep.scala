@@ -33,6 +33,49 @@ case class EStepRow(
 object EStep {
 
   /**
+   * One term's log-space phi update inside a fixed-point sweep (reference
+   * updatePhi, cc/mrlda/DocumentMapper.java:402-429 — shared verbatim by the
+   * polylingual mapper, polylda/DocumentMapper.java:245-247): computes
+   * logφ_k = E[log β_kw] + ψ(γ_k), normalizes by log-sum-exp, accumulates the
+   * likelihood contribution c·φ_k·(E[log β_kw] − logφ_k), scales by log c and
+   * folds into the gamma accumulator. `dgamma` must already be ψ(γ);
+   * `lp` is the term's scratch/output phi row. Returns the likelihood term.
+   */
+  private[graft] def updatePhiTerm(k: Int, cnt: Int, lb: Array[Double],
+      dgamma: Array[Double], lp: Array[Double], updateLogGamma: Array[Double]): Double = {
+    var norm = lb(0) + dgamma(0)
+    lp(0) = norm
+    var i = 1
+    while (i < k) {
+      lp(i) = lb(i) + dgamma(i)
+      norm = logAdd(norm, lp(i))
+      i += 1
+    }
+    val logC = math.log(cnt.toDouble)
+    var likelihood = 0.0
+    i = 0
+    while (i < k) {
+      lp(i) -= norm
+      likelihood += cnt * math.exp(lp(i)) * (lb(i) - lp(i))
+      lp(i) += logC
+      updateLogGamma(i) = logAdd(updateLogGamma(i), lp(i))
+      i += 1
+    }
+    likelihood
+  }
+
+  /**
+   * Random E[log β] init for a term absent from the model: the reference's
+   * log(2·rand/V + rand) (DocumentMapper.java:446-463) from a per-term seeded
+   * RNG so runs are reproducible (the reference used unseeded Math.random —
+   * divergence documented in SURVEY §7.5).
+   */
+  private[graft] def randomElogBeta(k: Int, termId: Int, numTerms: Int, seed: Long): Array[Double] = {
+    val rng = new java.util.Random(seed ^ (termId.toLong * 0x9E3779B97F4A7C15L))
+    Array.fill(k)(math.log(2.0 * rng.nextDouble() / numTerms + rng.nextDouble()))
+  }
+
+  /**
    * @param beta termId -> E[log β_·w] over topics (0-based array). Empty on
    *             the first iteration: unseen terms get the reference's random
    *             init log(2·rand/V + rand) from a per-term seeded RNG so the
@@ -49,7 +92,8 @@ object EStep {
       localIterations: Int = 100,
       randomStartGamma: Boolean = false,
       learning: Boolean = true,
-      seed: Long = 42L): Dataset[EStepRow] = {
+      seed: Long = 42L,
+      phiFlushEntries: Int = 1 << 20): Dataset[EStepRow] = {
     import docs.sparkSession.implicits._
 
     docs.mapPartitions { it =>
@@ -64,8 +108,7 @@ object EStep {
         else {
           var v = betaFallback.get(termId)
           if (v == null) {
-            val rng = new java.util.Random(seed ^ (termId.toLong * 0x9E3779B97F4A7C15L))
-            v = Array.fill(k)(math.log(2.0 * rng.nextDouble() / numTerms + rng.nextDouble()))
+            v = randomElogBeta(k, termId, numTerms, seed)
             betaFallback.put(termId, v)
           }
           v
@@ -77,10 +120,27 @@ object EStep {
       val alphaSum = alpha.sum
       val likelihoodAlpha = logGamma(alphaSum) - alpha.map(logGamma).sum
 
-      // partition-level combiner: (topic, term) -> log-space phi sum
-      val phiAcc = new java.util.HashMap[Long, Double]()
+      // partition-level combiner: (topic, term) -> log-space phi sum.
+      // Flushed to output rows when it exceeds `phiFlushEntries` (the
+      // reference flushes its in-mapper combiner under memory pressure,
+      // DocumentMapper.java:263-313 + Settings.java:76); Catalyst's partial
+      // aggregation on the shuffle re-combines duplicates, so flushing only
+      // trades shuffle volume for bounded executor heap.
+      // boxed values: j.u.HashMap.get returns null for a missing key, and a
+      // primitive-Double-typed map would silently unbox that null to 0.0 —
+      // turning the first fold into logAdd(0, x) ≠ x
+      val phiAcc = new java.util.HashMap[Long, java.lang.Double]()
+      def drainPhi(): Vector[EStepRow] = {
+        val b = Vector.newBuilder[EStepRow]
+        phiAcc.forEach { (key, v) =>
+          b += EStepRow(isDoc = false, -1L, null, 0.0,
+            (key >>> 32).toInt, (key & 0xFFFFFFFFL).toInt, v.doubleValue())
+        }
+        phiAcc.clear()
+        b.result()
+      }
 
-      val docRows = it.map { doc =>
+      val docRows = it.flatMap { doc =>
         val nnz = doc.counts.size
         val termIds = new Array[Int](nnz)
         val termCnt = new Array[Int](nnz)
@@ -110,27 +170,8 @@ object EStep {
           }
           var w = 0
           while (w < nnz) {
-            val lb = elogbeta(termIds(w))
-            val lp = logPhi(w)
-            val c = termCnt(w)
-            // log-space phi update + normalize (reference updatePhi)
-            var norm = lb(0) + gamma(0)
-            lp(0) = norm
-            i = 1
-            while (i < k) {
-              lp(i) = lb(i) + gamma(i)
-              norm = logAdd(norm, lp(i))
-              i += 1
-            }
-            val logC = math.log(c.toDouble)
-            i = 0
-            while (i < k) {
-              lp(i) -= norm
-              likelihoodPhi += c * math.exp(lp(i)) * (lb(i) - lp(i))
-              lp(i) += logC
-              updateLogGamma(i) = logAdd(updateLogGamma(i), lp(i))
-              i += 1
-            }
+            likelihoodPhi += updatePhiTerm(k, termCnt(w), elogbeta(termIds(w)),
+              gamma, logPhi(w), updateLogGamma)
             w += 1
           }
           i = 0
@@ -157,26 +198,20 @@ object EStep {
             while (i < k) {
               val key = ((i + 1).toLong << 32) | (termIds(w).toLong & 0xFFFFFFFFL)
               val prev = phiAcc.get(key)
-              phiAcc.put(key, if (prev == null) lp(i) else logAdd(prev, lp(i)))
+              phiAcc.put(key, if (prev eq null) lp(i) else logAdd(prev.doubleValue(), lp(i)))
               i += 1
             }
             w += 1
           }
         }
 
-        EStepRow(isDoc = true, doc.docId, gamma, docLL, -1, -1, 0.0)
+        val row = EStepRow(isDoc = true, doc.docId, gamma, docLL, -1, -1, 0.0)
+        if (phiAcc.size > phiFlushEntries) row +: drainPhi() else Vector(row)
       }
 
-      // phi rows emitted once the partition's documents are exhausted
+      // remaining phi rows emitted once the partition's documents are exhausted
       val phiRows = new Iterator[EStepRow] {
-        private lazy val inner = {
-          val b = Vector.newBuilder[EStepRow]
-          phiAcc.forEach { (key, v) =>
-            b += EStepRow(isDoc = false, -1L, null, 0.0,
-              (key >>> 32).toInt, (key & 0xFFFFFFFFL).toInt, v)
-          }
-          b.result().iterator
-        }
+        private lazy val inner = drainPhi().iterator
         def hasNext: Boolean = inner.hasNext
         def next(): EStepRow = inner.next()
       }

@@ -1,0 +1,158 @@
+package graft.lda
+
+import graft.functions.GammaFuncs.{digamma, logAdd, logGamma}
+import graft.lda.EStep.{randomElogBeta, updatePhiTerm}
+import graft.model.Doc
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** One document with its terms' beta rows joined in (shuffle E-step input). */
+private[lda] case class TermBeta(termId: Int, cnt: Int, elogbeta: Option[Array[Double]])
+private[lda] case class DocWithBeta(
+    docId: Long, numTokens: Long, gamma: Option[Array[Double]], terms: Seq[TermBeta])
+
+/**
+ * Shuffle-join E-step: the scale path for models too large to broadcast
+ * (SURVEY.md §7.5 — at V=1M, K=100 the K×V beta is ~800 MB; the reference
+ * hits the same wall loading whole beta per mapper, DocumentMapper.java:116).
+ *
+ * Instead of shipping beta to every task, beta lives as a distributed
+ * `(termId, elogbeta array<double>)` table: the corpus is exploded to
+ * (doc, term) rows, shuffle-joined with beta on termId, regrouped per doc,
+ * and the identical fixed-point kernel (EStep.updatePhiTerm) runs per
+ * document. Each task holds only the beta rows its documents reference.
+ * Cost: two extra shuffles per iteration (join + regroup) — the classic
+ * broadcast-vs-shuffle tradeoff, selected by Trainer on model size.
+ */
+object EStepShuffle {
+
+  /** @param beta (termId INT, elogbeta ARRAY<DOUBLE> length K) */
+  def run(
+      docs: Dataset[Doc],
+      alphaBc: Broadcast[Array[Double]],
+      beta: DataFrame,
+      numTerms: Int,
+      localIterations: Int = 100,
+      randomStartGamma: Boolean = false,
+      learning: Boolean = true,
+      seed: Long = 42L,
+      phiFlushEntries: Int = 1 << 20): Dataset[EStepRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    val exploded = docs.toDF()
+      .select($"docId", $"numTokens", $"gamma", explode($"counts").as(Seq("termId", "cnt")))
+    // left join: unseen terms fall back to the seeded random init in the kernel
+    val grouped = exploded
+      .join(beta.select($"termId", $"elogbeta"), Seq("termId"), "left")
+      .groupBy($"docId", $"numTokens", $"gamma")
+      .agg(collect_list(struct($"termId", $"cnt", $"elogbeta")).as("terms"))
+      .as[DocWithBeta]
+
+    grouped.mapPartitions { it =>
+      val alpha = alphaBc.value
+      val k = alpha.length
+      val alphaSum = alpha.sum
+      val likelihoodAlpha = logGamma(alphaSum) - alpha.map(logGamma).sum
+      val betaFallback = new java.util.HashMap[Int, Array[Double]]()
+
+      // boxed values — see EStep: a primitive-typed map would unbox a
+      // missing key's null to 0.0 and corrupt the first logAdd fold
+      val phiAcc = new java.util.HashMap[Long, java.lang.Double]()
+      def drainPhi(): Vector[EStepRow] = {
+        val b = Vector.newBuilder[EStepRow]
+        phiAcc.forEach { (key, v) =>
+          b += EStepRow(isDoc = false, -1L, null, 0.0,
+            (key >>> 32).toInt, (key & 0xFFFFFFFFL).toInt, v.doubleValue())
+        }
+        phiAcc.clear()
+        b.result()
+      }
+
+      val docRows = it.flatMap { doc =>
+        val nnz = doc.terms.length
+        val termIds = new Array[Int](nnz)
+        val termCnt = new Array[Int](nnz)
+        val elogbeta = new Array[Array[Double]](nnz)
+        var j = 0
+        doc.terms.foreach { tb =>
+          termIds(j) = tb.termId
+          termCnt(j) = tb.cnt
+          elogbeta(j) = tb.elogbeta.getOrElse {
+            var v = betaFallback.get(tb.termId)
+            if (v == null) {
+              v = randomElogBeta(k, tb.termId, numTerms, seed)
+              betaFallback.put(tb.termId, v)
+            }
+            v
+          }
+          j += 1
+        }
+
+        val gamma: Array[Double] =
+          doc.gamma match {
+            case Some(g) if g.length == k && !randomStartGamma => g.clone()
+            case _ => Array.tabulate(k)(i => alpha(i) + doc.numTokens.toDouble / k)
+          }
+        val updateLogGamma = new Array[Double](k)
+        val logPhi = Array.ofDim[Double](nnz, k)
+        var likelihoodPhi = 0.0
+
+        var sweep = 1
+        var continue = true
+        while (continue) {
+          likelihoodPhi = 0.0
+          var i = 0
+          while (i < k) {
+            gamma(i) = digamma(gamma(i))
+            updateLogGamma(i) = math.log(alpha(i))
+            i += 1
+          }
+          var w = 0
+          while (w < nnz) {
+            likelihoodPhi += updatePhiTerm(k, termCnt(w), elogbeta(w),
+              gamma, logPhi(w), updateLogGamma)
+            w += 1
+          }
+          i = 0
+          while (i < k) { gamma(i) = math.exp(updateLogGamma(i)); i += 1 }
+          sweep += 1
+          continue = sweep < localIterations
+        }
+
+        var sumGamma = 0.0
+        var likelihoodGamma = 0.0
+        var i = 0
+        while (i < k) { sumGamma += gamma(i); likelihoodGamma += logGamma(gamma(i)); i += 1 }
+        likelihoodGamma -= logGamma(sumGamma)
+        val docLL = likelihoodAlpha + likelihoodGamma + likelihoodPhi
+
+        if (learning) {
+          var w = 0
+          while (w < nnz) {
+            val lp = logPhi(w)
+            i = 0
+            while (i < k) {
+              val key = ((i + 1).toLong << 32) | (termIds(w).toLong & 0xFFFFFFFFL)
+              val prev = phiAcc.get(key)
+              phiAcc.put(key, if (prev eq null) lp(i) else logAdd(prev.doubleValue(), lp(i)))
+              i += 1
+            }
+            w += 1
+          }
+        }
+
+        val row = EStepRow(isDoc = true, doc.docId, gamma, docLL, -1, -1, 0.0)
+        if (phiAcc.size > phiFlushEntries) row +: drainPhi() else Vector(row)
+      }
+
+      val phiRows = new Iterator[EStepRow] {
+        private lazy val inner = drainPhi().iterator
+        def hasNext: Boolean = inner.hasNext
+        def next(): EStepRow = inner.next()
+      }
+      docRows ++ phiRows
+    }
+  }
+}

@@ -1,0 +1,69 @@
+package graft.lda
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Per-iteration model snapshots (reference D4: `alpha-<i>` / `beta-<i>` /
+ * `gamma-<i>` files rotated by cc/mrlda/VariationalInference.java:346-379 and
+ * re-read on `-modelindex i` resume, :169-174). Parquet instead of
+ * SequenceFiles; doubles round-trip exactly, so a resumed run continues the
+ * same trajectory as an uninterrupted one.
+ *
+ * Layout under `dir`:
+ *   alpha-<i>/  (topic INT 1..K, alpha DOUBLE)
+ *   beta-<i>/   (topic INT 1..K, termId INT, elogbeta DOUBLE)
+ *   gamma-<i>/  (docId LONG, gamma ARRAY<DOUBLE>)
+ *   state-<i>.json  {"iteration":i,"llHistory":[...]}
+ */
+object LdaCheckpoint {
+
+  def saveAlpha(spark: SparkSession, dir: String, iter: Int, alpha: Array[Double]): Unit = {
+    import spark.implicits._
+    alpha.zipWithIndex.map { case (a, i) => (i + 1, a) }.toSeq
+      .toDF("topic", "alpha")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/alpha-$iter")
+  }
+
+  def saveBeta(betaRows: DataFrame, dir: String, iter: Int): Unit =
+    betaRows.select(col("topic"), col("termId"), col("elogbeta"))
+      .write.mode("overwrite").parquet(s"$dir/beta-$iter")
+
+  def saveGamma(gamma: DataFrame, dir: String, iter: Int): Unit =
+    gamma.select(col("docId"), col("gamma"))
+      .write.mode("overwrite").parquet(s"$dir/gamma-$iter")
+
+  def saveState(dir: String, iter: Int, llHistory: Seq[Double]): Unit = {
+    val json = s"""{"iteration":$iter,"llHistory":[${llHistory.mkString(",")}]}"""
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/state-$iter.json"), json)
+  }
+
+  def loadAlpha(spark: SparkSession, dir: String, iter: Int): Array[Double] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$dir/alpha-$iter")
+      .select($"topic", $"alpha").as[(Int, Double)].collect()
+    val k = rows.map(_._1).max
+    val a = new Array[Double](k)
+    rows.foreach { case (t, v) => a(t - 1) = v }
+    a
+  }
+
+  /** (topic, termId, elogbeta) rows — feed Trainer.betaRowsToMap or packBeta. */
+  def loadBeta(spark: SparkSession, dir: String, iter: Int): DataFrame =
+    spark.read.parquet(s"$dir/beta-$iter")
+
+  def loadGamma(spark: SparkSession, dir: String, iter: Int): DataFrame =
+    spark.read.parquet(s"$dir/gamma-$iter")
+
+  def loadLlHistory(dir: String, iter: Int): Seq[Double] = {
+    val path = java.nio.file.Paths.get(s"$dir/state-$iter.json")
+    if (!java.nio.file.Files.exists(path)) Seq.empty
+    else {
+      val json = java.nio.file.Files.readString(path)
+      val m = "\"llHistory\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+      m.map(_.group(1)).filter(_.nonEmpty)
+        .map(_.split(",").toSeq.map(_.toDouble)).getOrElse(Seq.empty)
+    }
+  }
+}

@@ -3,6 +3,7 @@ package graft.lda
 import graft.model.Doc
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Trained model state after an EM run (or one resumable snapshot of it). */
@@ -23,10 +24,16 @@ case class LdaModel(
  * iterations — the reference's dominant per-iteration fixed cost
  * (CONFIG_TIME counter) disappears.
  *
- * Scale posture: the E-step output is partition-combined before its single
- * shuffle; beta is collected once per iteration (K×V doubles) and broadcast —
- * the same memory wall the reference has per-mapper (DocumentMapper.java:116).
- * Convergence: |ΔLL/LL| ≤ 1e-6 or `maxIterations` (Settings.java:56,43).
+ * Scale posture: below `betaBroadcastMaxEntries` the K×V beta is collected
+ * and broadcast (the reference's DistributedCache path,
+ * DocumentMapper.java:116); above it the trainer switches to the shuffle-join
+ * E-step (EStepShuffle) where beta stays a distributed table end-to-end and
+ * nothing model-sized moves through the driver. With `checkpointDir` set,
+ * alpha/beta/gamma snapshot to parquet per `checkpointEvery` iterations
+ * (reference's alpha-i/beta-i/gamma-i rotation) and gamma re-reads from
+ * parquet — reliable lineage truncation; without it, `localCheckpoint`
+ * (fast, not fault-tolerant). Convergence: |ΔLL/LL| ≤ 1e-6 or
+ * `maxIterations` (Settings.java:56,43).
  */
 object Trainer {
 
@@ -37,49 +44,115 @@ object Trainer {
       convergence: Double = 1e-6,
       alphaInit: Double = 1e-3, // reference VariationalInference.java:160
       symmetricAlpha: Boolean = false,
+      /** Re-initialize gamma every iteration instead of warm-starting from
+        * the previous iteration's posterior (reference `-randomstart`, which
+        * suppresses the gamma side-output so every E-step starts fresh). */
       randomStartGamma: Boolean = false,
       updateAlpha: Boolean = true,
       seed: Long = 42L,
-      prior: Option[DataFrame] = None)
+      prior: Option[DataFrame] = None,
+      /** K×V threshold above which beta is NOT collected/broadcast and the
+        * shuffle-join E-step runs instead (SURVEY §7.5 scale path). */
+      betaBroadcastMaxEntries: Long = 4L << 20,
+      /** Snapshot alpha/beta/gamma to parquet under this dir (reference D4). */
+      checkpointDir: Option[String] = None,
+      checkpointEvery: Int = 1,
+      /** Resume from `(dir, iteration)` — the reference's `-modelindex`
+        * (VariationalInference.java:169-174). */
+      resumeFrom: Option[(String, Int)] = None)
+
+  /** (topic, termId, elogbeta) rows → termId -> per-topic array. */
+  private[lda] def betaRowsToMap(rows: Array[org.apache.spark.sql.Row], k: Int)
+      : scala.collection.Map[Int, Array[Double]] = {
+    val betaMap = new java.util.HashMap[Int, Array[Double]]()
+    rows.foreach { r =>
+      val t = r.getAs[Int]("topic") - 1
+      val w = r.getAs[Int]("termId")
+      var arr = betaMap.get(w)
+      if (arr == null) { arr = new Array[Double](k); betaMap.put(w, arr) }
+      arr(t) = r.getAs[Double]("elogbeta")
+    }
+    scala.jdk.CollectionConverters.MapHasAsScala(betaMap).asScala
+  }
+
+  /** (topic, termId, elogbeta) rows → (termId, elogbeta array<double>[K])
+    * table for the shuffle-join E-step. Every observed term carries all K
+    * topics (the E-step emits the full topic range per term), so the packed
+    * array is dense. */
+  private[lda] def packBeta(betaRows: DataFrame): DataFrame = {
+    val spark = betaRows.sparkSession
+    import spark.implicits._
+    betaRows.groupBy($"termId")
+      .agg(array_sort(collect_list(struct($"topic", $"elogbeta"))).as("te"))
+      .select($"termId", transform($"te", x => x.getField("elogbeta")).as("elogbeta"))
+  }
+
+  private def emptyBetaTable(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("termId", IntegerType, nullable = false),
+        StructField("elogbeta", ArrayType(DoubleType), nullable = true))))
 
   def train(docs: Dataset[Doc], numTerms: Int, cfg: Config): LdaModel = {
     val spark = docs.sparkSession
     import spark.implicits._
     val k = cfg.numTopics
+    val useShuffleEStep = k.toLong * numTerms.toLong > cfg.betaBroadcastMaxEntries
 
     var alpha = Array.fill(k)(cfg.alphaInit)
     var beta: scala.collection.Map[Int, Array[Double]] = Map.empty
-    var corpus = docs.persist(StorageLevel.MEMORY_AND_DISK)
-    val numDocs = corpus.count()
-
-    var lastLL = 0.0
+    var betaTable: DataFrame = emptyBetaTable(spark)
     var history = List.empty[Double]
-    var iter = 0
+    var startIter = 0
+
+    var corpus = docs.persist(StorageLevel.MEMORY_AND_DISK)
+
+    cfg.resumeFrom.foreach { case (dir, i) =>
+      alpha = LdaCheckpoint.loadAlpha(spark, dir, i)
+      val betaRows = LdaCheckpoint.loadBeta(spark, dir, i)
+      if (useShuffleEStep) betaTable = packBeta(betaRows).persist(StorageLevel.MEMORY_AND_DISK)
+      else beta = betaRowsToMap(betaRows.collect(), k)
+      val gammaDf = LdaCheckpoint.loadGamma(spark, dir, i)
+      corpus = gammaDf
+        .join(docs.toDF().drop("gamma"), "docId")
+        .select($"docId", $"counts", $"numTokens", $"gamma")
+        .as[Doc]
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      history = LdaCheckpoint.loadLlHistory(dir, i).reverse.toList
+      startIter = i
+    }
+
+    val numDocs = corpus.count()
+    var lastLL = history.headOption.getOrElse(0.0)
+    var iter = startIter
     var converged = false
 
     while (iter < cfg.maxIterations && !converged) {
       val alphaBc = spark.sparkContext.broadcast(alpha)
-      val betaBc = spark.sparkContext.broadcast(beta)
 
-      val estep = EStep.run(corpus, alphaBc, betaBc, numTerms,
-        localIterations = cfg.localIterations,
-        randomStartGamma = cfg.randomStartGamma && iter == 0,
-        learning = true, seed = cfg.seed)
+      val estep = (if (useShuffleEStep)
+        EStepShuffle.run(corpus, alphaBc, betaTable, numTerms,
+          localIterations = cfg.localIterations,
+          randomStartGamma = cfg.randomStartGamma,
+          learning = true, seed = cfg.seed)
+      else
+        EStep.run(corpus, alphaBc, spark.sparkContext.broadcast(beta), numTerms,
+          localIterations = cfg.localIterations,
+          randomStartGamma = cfg.randomStartGamma,
+          learning = true, seed = cfg.seed))
         .persist(StorageLevel.MEMORY_AND_DISK)
 
-      // M-step over the phi side; beta back to the driver for broadcast
-      val newBeta = MStep.run(
+      // M-step over the phi side
+      val betaRows = MStep.run(
         estep.filter(!$"isDoc").select($"topic", $"termId", $"logphi"), cfg.prior)
-        .collect()
-      val betaMap = new java.util.HashMap[Int, Array[Double]]()
-      newBeta.foreach { r =>
-        val t = r.getAs[Int]("topic") - 1
-        val w = r.getAs[Int]("termId")
-        var arr = betaMap.get(w)
-        if (arr == null) { arr = new Array[Double](k); betaMap.put(w, arr) }
-        arr(t) = r.getAs[Double]("elogbeta")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val prevBetaTable = betaTable
+      if (useShuffleEStep) {
+        betaTable = packBeta(betaRows).persist(StorageLevel.MEMORY_AND_DISK)
+        betaTable.count() // materialize before unpersisting the parent
+      } else {
+        beta = betaRowsToMap(betaRows.collect(), k)
       }
-      beta = scala.jdk.CollectionConverters.MapHasAsScala(betaMap).asScala
 
       // likelihood + alpha update from the doc side
       val docSide = estep.filter($"isDoc").toDF()
@@ -94,28 +167,67 @@ object Trainer {
           alpha = AlphaUpdate.updateVectorAlpha(k, numDocs.toInt, alpha, ss)
         }
       }
+      history = ll :: history
+
+      // checkpoint this iteration's model (1-based index: iteration i
+      // produces snapshot i+1, matching the reference's alpha-(i+1))
+      val snapIdx = iter + 1
+      val doCheckpoint = cfg.checkpointDir.isDefined &&
+        (snapIdx % cfg.checkpointEvery == 0 || snapIdx == cfg.maxIterations)
+      if (doCheckpoint) {
+        val dir = cfg.checkpointDir.get
+        LdaCheckpoint.saveAlpha(spark, dir, snapIdx, alpha)
+        LdaCheckpoint.saveBeta(betaRows, dir, snapIdx)
+        LdaCheckpoint.saveGamma(docSide.select($"docId", $"gamma"), dir, snapIdx)
+        LdaCheckpoint.saveState(dir, snapIdx, history.reverse)
+      }
 
       // rotate gamma into the corpus for the next iteration's warm start
       // (reference renames gamma dirs, VariationalInference.java:358-379);
-      // localCheckpoint truncates the growing EM lineage
-      val nextCorpus = docSide
-        .select($"docId", $"gamma")
-        .join(corpus.drop("gamma"), "docId")
-        .select($"docId", $"counts", $"numTokens", $"gamma")
-        .as[Doc]
-        .localCheckpoint()
+      // skipped entirely under randomStartGamma — the E-step would ignore
+      // the stored gamma anyway (reference gates the gamma side-output on
+      // !randomStartGamma). Parquet round-trip when checkpointing (reliable),
+      // localCheckpoint otherwise (fast).
+      if (!cfg.randomStartGamma) {
+        val nextCorpus =
+          if (doCheckpoint) {
+            LdaCheckpoint.loadGamma(spark, cfg.checkpointDir.get, snapIdx)
+              .join(corpus.drop("gamma"), "docId")
+              .select($"docId", $"counts", $"numTokens", $"gamma")
+              .as[Doc]
+              .persist(StorageLevel.MEMORY_AND_DISK)
+          } else {
+            docSide
+              .select($"docId", $"gamma")
+              .join(corpus.drop("gamma"), "docId")
+              .select($"docId", $"counts", $"numTokens", $"gamma")
+              .as[Doc]
+              .localCheckpoint()
+          }
+        nextCorpus.count()
+        corpus.unpersist()
+        corpus = nextCorpus
+      }
 
-      corpus.unpersist()
       estep.unpersist()
-      corpus = nextCorpus
+      betaRows.unpersist()
+      if (useShuffleEStep) prevBetaTable.unpersist()
 
-      history = ll :: history
-      if (iter > 0) {
+      if (iter > startIter || cfg.resumeFrom.isDefined) {
         val rel = math.abs((ll - lastLL) / lastLL)
         if (rel <= cfg.convergence) converged = true
       }
       lastLL = ll
       iter += 1
+    }
+
+    // in shuffle mode the model map is materialized once at the end (callers
+    // needing beta bigger than driver memory should read the checkpointed
+    // beta-<i> parquet instead)
+    if (useShuffleEStep) {
+      import spark.implicits._
+      val rows = betaTable.select($"termId", $"elogbeta").as[(Int, Seq[Double])].collect()
+      beta = rows.map { case (w, arr) => w -> arr.toArray }.toMap
     }
 
     LdaModel(k, numTerms, alpha, beta, lastLL, iter, history.reverse)

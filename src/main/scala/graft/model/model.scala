@@ -15,9 +15,26 @@ case class Doc(
     numTokens: Long,
     gamma: Option[Array[Double]] = None)
 
+/**
+ * Polylingual document (reference: cc/mrlda/polylda/Document.java:22-37):
+ * one bag of words per language keyed by 0-based language index (a missing
+ * language has no key — the reference's nullable per-slot HMapII[]), one
+ * shared topic posterior gamma across all languages (the tied-gamma model).
+ */
+case class PolyDoc(
+    docId: Long,
+    counts: Map[Int, Map[Int, Int]],
+    numTokens: Map[Int, Long],
+    totalTokens: Long,
+    gamma: Option[Array[Double]] = None)
+
 /** Dictionary row: ids dense and 1-based (0 reserved — reference README.md:284),
   * ordered by (df desc, tf desc, term asc). */
 case class TermEntry(termId: Int, term: String, df: Long, tf: Long)
+
+/** Per-language dictionary row: ids dense and 1-based *within each language*
+  * (reference: cc/mrlda/polylda/ParseCorpus.java:578-616). */
+case class PolyTermEntry(lang: Int, termId: Int, term: String, df: Long, tf: Long)
 
 /** Title-index row (reference: ParseCorpus.java:698-710). */
 case class TitleEntry(docId: Long, title: String)

@@ -38,6 +38,12 @@ object Dedup {
   /**
    * MinHash signature as `numHashes` independent min-hashes; hash family is
    * xxhash64 salted by the hash index — fully inside codegen, no UDF.
+   *
+   * NOTE: referencing this column N times in one projection/generator
+   * re-inlines (and re-computes) the whole signature N times — generator
+   * expressions get no subexpression elimination. `minhashNearDups` instead
+   * computes the signature as a min-aggregate over exploded shingles, which
+   * materializes it exactly once behind a (tiny, combiner-reduced) shuffle.
    */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
@@ -48,6 +54,12 @@ object Dedup {
    * over the shingle sets. Returns (id_a, id_b, jaccard) with id_a < id_b.
    *
    * bands×rowsPerBand = numHashes; a pair collides if any band matches.
+   *
+   * Shuffle discipline for 100 TB: the band-exploded self-join carries ONLY
+   * (id, band, bucket) — never the shingle sets — so the bands×corpus
+   * duplication shuffles a few dozen bytes per row. Shingle sets re-join
+   * once per side onto the *deduplicated candidate id-pairs* (a tiny
+   * fraction of the corpus) for exact verification.
    */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
@@ -57,24 +69,36 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
 
-    val sh = df.select(col(idCol).cast("long").as("id"),
+    val base = df.select(col(idCol).cast("long").as("id"),
         shingles(col(textCol), shingleSize).as("sh"))
       .filter(size($"sh") > 0)
-      .withColumn("sig", minhashSignature($"sh", numHashes))
 
-    // band explode → bucket join on (band index, band hash)
-    val banded = sh.select($"id", $"sh",
+    // signature via aggregation: each shingle hashed exactly numHashes times,
+    // partial min on the map side makes the shuffle one 32-long row per doc.
+    // (An inline signature column would be re-inlined — and re-computed —
+    // once per band by the generator below.)
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), $"s")).as(s"h$i"))
+    val sig = base.select($"id", explode($"sh").as("s"))
+      .groupBy($"id")
+      .agg(minCols.head, minCols.tail: _*)
+
+    // band explode → bucket join on (band index, band hash), ids only
+    val banded = sig
+      .select($"id",
         posexplode(array((0 until bands).map(b =>
-          xxhash64(concat_ws(",", slice($"sig", b * r + 1, r)))): _*)))
+          xxhash64((b * r until (b + 1) * r).map(i => col(s"h$i")): _*)): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
-    val pairs = banded.as("a").join(banded.as("b"),
+    val candIds = banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" && $"a.id" < $"b.id")
-      .select($"a.id".as("id_a"), $"b.id".as("id_b"), $"a.sh".as("sh_a"), $"b.sh".as("sh_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"))
+      .distinct()
 
-    pairs
+    candIds
+      .join(base.select($"id".as("id_a"), $"sh".as("sh_a")), "id_a")
+      .join(base.select($"id".as("id_b"), $"sh".as("sh_b")), "id_b")
       .withColumn("jaccard",
         round(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
           size(array_union($"sh_a", $"sh_b")), 4))
@@ -90,15 +114,24 @@ object Dedup {
    * no grams and drop out (strict semantics, unlike `shingles`' fallback).
    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, n: Int = 2,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxGramDf: Long = Long.MaxValue): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val toks = TextAnalysis.wsTokens(lower(col(textCol)))
-    val grams = df
+    val allGrams = df
       .select(col(idCol).cast("long").as("id"), toks.as("toks"))
       .filter(size($"toks") >= n)
       .select($"id", explode(array_distinct(transform(sequence(lit(0), size($"toks") - n),
         i => concat_ws(" ", slice($"toks", i + 1, lit(n)))))).as("g"))
+    // gram-frequency cap: hot grams ("of the") hit ~every document, turning
+    // the gram self-join quadratic on that key at scale. Dropping grams with
+    // df > maxGramDf from BOTH the intersection and the per-doc set sizes
+    // keeps the math exact over the remaining discriminative grams.
+    val grams =
+      if (maxGramDf == Long.MaxValue) allGrams
+      else allGrams.join(
+        allGrams.groupBy($"g").agg(count(lit(1)).as("gdf"))
+          .filter($"gdf" <= maxGramDf).select($"g"), "g")
     val sizes = grams.groupBy($"id").agg(count(lit(1)).as("n"))
     val inter = grams.as("a").join(grams.as("b"), $"a.g" === $"b.g" && $"a.id" < $"b.id")
       .groupBy($"a.id".as("id_a"), $"b.id".as("id_b"))
@@ -112,15 +145,22 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit, sign of Σ±1 across
-    * token hashes. Expressed with functions only — bit positions unrolled
-    * at plan-build time: bit b = 1 if (#tokens with bit set) * 2 > #tokens. */
+    * token hashes (bit b = 1 iff (#tokens with bit b set) * 2 > #tokens).
+    * Computed in ONE `aggregate` pass accumulating all 64 bit-counts per
+    * row, instead of 64 separate filter scans over the token-hash array. */
   def simhash64(text: Column): Column = {
     val toks = TextAnalysis.wsTokens(lower(text))
     val hashes = transform(toks, t => xxhash64(t))
-    (0 until 64).map { b =>
-      when(size(filter(hashes, h => shiftright(h, b).bitwiseAND(lit(1L)) === 1L)) * 2
-        > size(hashes), lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, c) => a.bitwiseOR(c))
+    val masks = typedLit(Array.tabulate(64)(b => 1L << b).toSeq)
+    val bitCounts = aggregate(hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc,
+        transform(masks, m => when(h.bitwiseAND(m) =!= 0L, lit(1)).otherwise(lit(0))),
+        (a, x) => a + x))
+    aggregate(
+      zip_with(bitCounts, masks,
+        (c, m) => when(c * 2 > size(hashes), m).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
   /** SimHash near-dup pairs: LSH over 4×16-bit chunks, verified by Hamming

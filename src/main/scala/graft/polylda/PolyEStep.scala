@@ -1,0 +1,181 @@
+package graft.polylda
+
+import graft.functions.GammaFuncs.{digamma, logAdd, logGamma}
+import graft.lda.EStep.{randomElogBeta, updatePhiTerm}
+import graft.model.PolyDoc
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Dataset
+
+/**
+ * One polylingual E-step output row; doc rows carry the tied gamma, phi rows
+ * are keyed (lang 0.., topic 1..K, termId) — the reference's TripleOfInts
+ * (polylda/DocumentMapper.java:290-296, which emits 1-based language; we keep
+ * the 0-based internal index and only surface 1-based ids at display time).
+ */
+case class PolyEStepRow(
+    isDoc: Boolean,
+    docId: Long,
+    gamma: Array[Double],
+    ll: Double,
+    lang: Int,
+    topic: Int,
+    termId: Int,
+    logphi: Double)
+
+/**
+ * Tied-gamma multilingual variational E-step (reference:
+ * cc/mrlda/polylda/DocumentMapper.java:185-305): one gamma per document,
+ * fixed-point sweeps iterate every language's terms against that language's
+ * beta matrix; per-(lang, topic, term) phi statistics feed the per-language
+ * M-step. The per-term math is the exact kernel shared with vanilla LDA
+ * (cc.mrlda.DocumentMapper.updatePhi is literally called from the polylda
+ * mapper at polylda/DocumentMapper.java:245-247).
+ */
+object PolyEStep {
+
+  /**
+   * @param betaBc per-language model: lang -> (termId -> E[log β] over topics).
+   * @param numTermsPerLang vocabulary size per language (drives the random
+   *                        init scale for unseen terms, per language like the
+   *                        reference's numberOfTerms[languageIndex]).
+   */
+  def run(
+      docs: Dataset[PolyDoc],
+      alphaBc: Broadcast[Array[Double]],
+      betaBc: Broadcast[Map[Int, scala.collection.Map[Int, Array[Double]]]],
+      numTermsPerLang: Map[Int, Int],
+      localIterations: Int = 100,
+      randomStartGamma: Boolean = false,
+      learning: Boolean = true,
+      seed: Long = 42L,
+      phiFlushEntries: Int = 1 << 20): Dataset[PolyEStepRow] = {
+    import docs.sparkSession.implicits._
+
+    docs.mapPartitions { it =>
+      val alpha = alphaBc.value
+      val k = alpha.length
+      val beta = betaBc.value
+      val betaFallback = new java.util.HashMap[Long, Array[Double]]()
+      def elogbeta(lang: Int, termId: Int): Array[Double] = {
+        val hit = beta.getOrElse(lang, scala.collection.Map.empty[Int, Array[Double]])
+          .getOrElse(termId, null)
+        if (hit != null) hit
+        else {
+          val key = (lang.toLong << 32) | (termId.toLong & 0xFFFFFFFFL)
+          var v = betaFallback.get(key)
+          if (v == null) {
+            v = randomElogBeta(k, termId, numTermsPerLang.getOrElse(lang, 1).max(1),
+              seed ^ (lang.toLong << 17))
+            betaFallback.put(key, v)
+          }
+          v
+        }
+      }
+
+      val alphaSum = alpha.sum
+      val likelihoodAlpha = logGamma(alphaSum) - alpha.map(logGamma).sum
+
+      // partition-level combiner keyed (lang, topic, term); flushed under
+      // size pressure like the vanilla E-step (the shuffle's partial agg
+      // re-combines duplicates)
+      // boxed values — see EStep: a primitive-typed map would unbox a
+      // missing key's null to 0.0 and corrupt the first logAdd fold
+      val phiAcc = new java.util.HashMap[(Int, Int, Int), java.lang.Double]()
+      def drainPhi(): Vector[PolyEStepRow] = {
+        val b = Vector.newBuilder[PolyEStepRow]
+        phiAcc.forEach { (key, v) =>
+          b += PolyEStepRow(isDoc = false, -1L, null, 0.0, key._1, key._2, key._3, v.doubleValue())
+        }
+        phiAcc.clear()
+        b.result()
+      }
+
+      val docRows = it.flatMap { doc =>
+        // flatten the language maps once per doc
+        val langs = doc.counts.keys.toArray.sorted
+        val langTermIds = langs.map(l => doc.counts(l).keys.toArray)
+        val langTermCnt = langs.indices.map { li =>
+          val l = langs(li); langTermIds(li).map(doc.counts(l))
+        }.toArray
+
+        val gamma: Array[Double] =
+          doc.gamma match {
+            case Some(g) if g.length == k && !randomStartGamma => g.clone()
+            case _ => Array.tabulate(k)(i => alpha(i) + doc.totalTokens.toDouble / k)
+          }
+        val updateLogGamma = new Array[Double](k)
+        val logPhi = langs.indices.map(li => Array.ofDim[Double](langTermIds(li).length, k)).toArray
+        var likelihoodPhi = 0.0
+
+        var sweep = 1
+        var continue = true
+        while (continue) {
+          likelihoodPhi = 0.0
+          var i = 0
+          while (i < k) {
+            gamma(i) = digamma(gamma(i))
+            updateLogGamma(i) = math.log(alpha(i))
+            i += 1
+          }
+          var li = 0
+          while (li < langs.length) {
+            val lang = langs(li)
+            val ids = langTermIds(li)
+            val cnts = langTermCnt(li)
+            val lps = logPhi(li)
+            var w = 0
+            while (w < ids.length) {
+              likelihoodPhi += updatePhiTerm(k, cnts(w), elogbeta(lang, ids(w)),
+                gamma, lps(w), updateLogGamma)
+              w += 1
+            }
+            li += 1
+          }
+          i = 0
+          while (i < k) { gamma(i) = math.exp(updateLogGamma(i)); i += 1 }
+          sweep += 1
+          continue = sweep < localIterations
+        }
+
+        var sumGamma = 0.0
+        var likelihoodGamma = 0.0
+        var i = 0
+        while (i < k) { sumGamma += gamma(i); likelihoodGamma += logGamma(gamma(i)); i += 1 }
+        likelihoodGamma -= logGamma(sumGamma)
+        val docLL = likelihoodAlpha + likelihoodGamma + likelihoodPhi
+
+        if (learning) {
+          var li = 0
+          while (li < langs.length) {
+            val lang = langs(li)
+            val ids = langTermIds(li)
+            val lps = logPhi(li)
+            var w = 0
+            while (w < ids.length) {
+              val lp = lps(w)
+              i = 0
+              while (i < k) {
+                val key = (lang, i + 1, ids(w))
+                val prev = phiAcc.get(key)
+                phiAcc.put(key, if (prev eq null) lp(i) else logAdd(prev.doubleValue(), lp(i)))
+                i += 1
+              }
+              w += 1
+            }
+            li += 1
+          }
+        }
+
+        val row = PolyEStepRow(isDoc = true, doc.docId, gamma, docLL, -1, -1, -1, 0.0)
+        if (phiAcc.size > phiFlushEntries) row +: drainPhi() else Vector(row)
+      }
+
+      val phiRows = new Iterator[PolyEStepRow] {
+        private lazy val inner = drainPhi().iterator
+        def hasNext: Boolean = inner.hasNext
+        def next(): PolyEStepRow = inner.next()
+      }
+      docRows ++ phiRows
+    }
+  }
+}

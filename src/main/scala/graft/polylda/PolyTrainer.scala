@@ -1,0 +1,176 @@
+package graft.polylda
+
+import graft.functions.LogSumExp.logsumexp
+import graft.functions.gfunctions.digamma
+import graft.lda.{AlphaUpdate, MStep}
+import graft.model.PolyDoc
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Trained polylingual model: shared alpha, one beta matrix per language
+  * (reference: cc/mrlda/polylda/VariationalInference.java:359-372 writes
+  * `beta_lang<l>-<i>` files). */
+case class PolyLdaModel(
+    numTopics: Int,
+    numTermsPerLang: Map[Int, Int],
+    alpha: Array[Double],
+    /** lang -> termId -> E[log β] over topics. */
+    beta: Map[Int, scala.collection.Map[Int, Array[Double]]],
+    logLikelihood: Double,
+    iterations: Int,
+    llHistory: Seq[Double])
+
+/**
+ * Polylingual EM driver (reference: cc/mrlda/polylda/VariationalInference.java
+ * :330-580). Differences from the vanilla Trainer are exactly the reference's:
+ * the M-step aggregates per (language, topic, term) with a per-(language,
+ * topic) normalizer and NO eta smoothing (polylda/TermReducer.java:84-119
+ * adds no prior), and alpha is initialized randomly (reference unseeded
+ * Math.random at polylda/VariationalInference.java:387 — here seeded for
+ * reproducibility). Alpha sufficient statistics use ψ(γ_dk) − ψ(Σγ_d) as in
+ * the vanilla mapper (the polylda mapper passes its log-space gamma
+ * accumulator to digamma at polylda/DocumentMapper.java:301 — a reference
+ * quirk we deliberately do not reproduce; divergence documented here).
+ */
+object PolyTrainer {
+
+  case class Config(
+      numTopics: Int,
+      maxIterations: Int = 30,
+      localIterations: Int = 100,
+      convergence: Double = 1e-6,
+      randomStartGamma: Boolean = false,
+      updateAlpha: Boolean = true,
+      seed: Long = 42L)
+
+  /** Per-(lang, topic, term) M-step: logsumexp fold + per-(lang, topic)
+    * normalizer in log space; E[log β] = ψ(λ) − ψ(Σ_w λ). Two-level groupBy
+    * replaces the reference's lang×topic partitioner + sorted streaming
+    * reducer (polylda/TermPartitioner.java:10-12, TermReducer.java:84-119). */
+  def mstep(phi: DataFrame): DataFrame = {
+    val spark = phi.sparkSession
+    import spark.implicits._
+    // The floor at -700 is the one numerical deviation from the reference's
+    // eta-free reducer: a topic whose phi mass for a term fully underflows
+    // would hit digamma(exp(-inf)) = -Inf and poison the next E-step with
+    // 0·(−Inf−(−Inf)) = NaN. exp(-700) is the smallest normal-range double
+    // whose digamma is still finite; values above the floor are untouched.
+    val lambda = phi
+      .groupBy($"lang", $"topic", $"termId")
+      .agg(greatest(logsumexp($"logphi"), lit(-700.0)).as("loglambda"))
+    val norms = lambda.groupBy($"lang", $"topic").agg(logsumexp($"loglambda").as("lognorm"))
+    lambda.join(broadcast(norms), Seq("lang", "topic"))
+      .select($"lang", $"topic", $"termId",
+        (digamma(exp($"loglambda")) - digamma(exp($"lognorm"))).as("elogbeta"))
+  }
+
+  def train(docs: Dataset[PolyDoc], numTermsPerLang: Map[Int, Int], cfg: Config): PolyLdaModel = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val k = cfg.numTopics
+
+    val rng = new java.util.Random(cfg.seed)
+    var alpha = Array.fill(k)(rng.nextDouble())
+    var beta: Map[Int, scala.collection.Map[Int, Array[Double]]] = Map.empty
+    var corpus = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    val numDocs = corpus.count()
+
+    var lastLL = 0.0
+    var history = List.empty[Double]
+    var iter = 0
+    var converged = false
+
+    while (iter < cfg.maxIterations && !converged) {
+      val alphaBc = spark.sparkContext.broadcast(alpha)
+      val betaBc = spark.sparkContext.broadcast(beta)
+
+      val estep = PolyEStep.run(corpus, alphaBc, betaBc, numTermsPerLang,
+        localIterations = cfg.localIterations,
+        randomStartGamma = cfg.randomStartGamma && iter == 0,
+        learning = true, seed = cfg.seed)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      val newBeta = mstep(
+        estep.filter(!$"isDoc").select($"lang", $"topic", $"termId", $"logphi"))
+        .collect()
+      val betaMaps = new java.util.HashMap[Int, java.util.HashMap[Int, Array[Double]]]()
+      newBeta.foreach { r =>
+        val l = r.getAs[Int]("lang")
+        val t = r.getAs[Int]("topic") - 1
+        val w = r.getAs[Int]("termId")
+        var langMap = betaMaps.get(l)
+        if (langMap == null) { langMap = new java.util.HashMap(); betaMaps.put(l, langMap) }
+        var arr = langMap.get(w)
+        if (arr == null) { arr = new Array[Double](k); langMap.put(w, arr) }
+        arr(t) = r.getAs[Double]("elogbeta")
+      }
+      beta = scala.jdk.CollectionConverters.MapHasAsScala(betaMaps).asScala.map {
+        case (l, m) => l.intValue() -> scala.jdk.CollectionConverters.MapHasAsScala(m).asScala
+          .map { case (a, b) => (a.intValue(), b) }
+      }.toMap
+
+      val docSide = estep.filter($"isDoc").toDF()
+      val ll = docSide.agg(sum($"ll")).as[Double].head()
+      if (cfg.updateAlpha) {
+        val ss = MStep.alphaSufficientStatistics(docSide, k)
+        alpha = AlphaUpdate.updateVectorAlpha(k, numDocs.toInt, alpha, ss)
+      }
+
+      val nextCorpus = docSide
+        .select($"docId", $"gamma")
+        .join(corpus.drop("gamma"), "docId")
+        .select($"docId", $"counts", $"numTokens", $"totalTokens", $"gamma")
+        .as[PolyDoc]
+        .localCheckpoint()
+
+      corpus.unpersist()
+      estep.unpersist()
+      corpus = nextCorpus
+
+      history = ll :: history
+      if (iter > 0 && math.abs((ll - lastLL) / lastLL) <= cfg.convergence) converged = true
+      lastLL = ll
+      iter += 1
+    }
+
+    PolyLdaModel(k, numTermsPerLang, alpha, beta, lastLL, iter, history.reverse)
+  }
+
+  /** Held-out inference with a frozen polylingual model (map-only,
+    * reference: training=false path of polylda/VariationalInference.java). */
+  def infer(docs: Dataset[PolyDoc], model: PolyLdaModel, localIterations: Int = 100,
+      seed: Long = 42L): (DataFrame, Double) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val out = PolyEStep.run(docs,
+      spark.sparkContext.broadcast(model.alpha),
+      spark.sparkContext.broadcast(model.beta),
+      model.numTermsPerLang, localIterations, randomStartGamma = false,
+      learning = false, seed = seed)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val gamma = out.filter($"isDoc").select($"docId", $"gamma")
+    val ll = out.filter($"isDoc").agg(sum($"ll")).as[Double].head()
+    (gamma, ll)
+  }
+
+  /** Top-k terms per (language, topic) — the polylingual DisplayTopic
+    * (reference surfaces 1-based language ids in file names; we surface the
+    * lang column). */
+  def topTermsPerTopic(spark: org.apache.spark.sql.SparkSession, model: PolyLdaModel,
+      terms: Dataset[graft.model.PolyTermEntry], k: Int): DataFrame = {
+    import spark.implicits._
+    val rows = model.beta.toSeq.flatMap { case (lang, termMap) =>
+      termMap.toSeq.flatMap { case (termId, arr) =>
+        arr.zipWithIndex.map { case (v, t) => (lang, t + 1, termId, v) }
+      }
+    }
+    val beta = rows.toDF("lang", "topic", "termId", "elogbeta")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang", $"topic").orderBy($"elogbeta".desc, $"termId".asc)
+    beta.join(terms.select($"lang", $"termId", $"term"), Seq("lang", "termId"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"lang", $"topic", $"rnk", $"term", round($"elogbeta", 6).as("score"))
+  }
+}

@@ -93,7 +93,17 @@ object CorpusQueries {
         val parsed = ParseCorpus.run(docsDf(s, dir))
         val seeds = Seq((1, "spark"), (1, "data"), (2, "join"), (2, "query"))
           .toDF("topic", "term")
-        graft.lda.InformedPrior.compile(seeds, parsed.terms).orderBy($"topic", $"termId")
+        graft.lda.InformedPrior.compile(seeds, parsed.terms)
+          .select($"topic", $"termId".as("term_id"))
+          .orderBy($"topic", $"term_id")
       },
-      None))
+      Some("""WITH dict AS (
+             |  SELECT CAST(row_number() OVER (ORDER BY df DESC, tf DESC, token ASC) AS INT) AS term_id,
+             |         token AS term
+             |  FROM (SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf
+             |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) u
+             |        WHERE token <> '' GROUP BY token)),
+             |seeds(topic, term) AS (VALUES (1, 'spark'), (1, 'data'), (2, 'join'), (2, 'query'))
+             |SELECT s.topic, d.term_id FROM seeds s JOIN dict d ON s.term = d.term
+             |ORDER BY topic, term_id""".stripMargin)))
 }

@@ -36,10 +36,13 @@ object PipelineQueries {
       },
       None, bench = true),
 
+    // gram-df cap 100 mirrored in the oracle: exact Jaccard over
+    // discriminative grams (hot grams would go quadratic at scale)
     "q_dedup_ngram_jaccard" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", n = 2, threshold = 0.5)
+        Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", n = 2,
+          threshold = 0.5, maxGramDf = 100L)
           .orderBy($"id_a", $"id_b")
       },
       Some("""WITH tok AS (
@@ -47,10 +50,14 @@ object PipelineQueries {
              |         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok,
              |         generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) AS i
              |  FROM documents),
-             |grams AS (
+             |allgrams AS (
              |  SELECT DISTINCT doc_id, g FROM (
              |    SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS g
              |    FROM tok) WHERE g IS NOT NULL),
+             |gdf AS (SELECT g, count(*) AS gcnt FROM allgrams GROUP BY g),
+             |grams AS (
+             |  SELECT allgrams.doc_id, allgrams.g FROM allgrams
+             |  JOIN gdf ON allgrams.g = gdf.g WHERE gdf.gcnt <= 100),
              |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
              |inter AS (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
@@ -72,14 +79,28 @@ object PipelineQueries {
       },
       None),
 
+    // planted near-duplicates make this check non-vacuous: vec_id < 20 get a
+    // ×2-scaled copy at id+100000 (scaling preserves every hyperplane sign →
+    // guaranteed same LSH bucket; cosine exactly 1.0). Random 64-d vectors
+    // can't reach cosine 0.9 (≈7σ), so the planted pairs are the full exact
+    // answer and the DuckDB oracle can verify the cosine stage.
     "q_dedup_embedding" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+        val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val planted = e.filter($"vec_id" < 20)
+          .select(($"vec_id" + 100000).as("vec_id"),
+            transform($"embedding", x => x * lit(2.0f)).as("embedding"))
+        Dedup.embeddingNearDups(e.unionByName(planted), "vec_id", "embedding",
           dim = 64, nPlanes = 10, cosineThreshold = 0.9)
           .orderBy($"id_a", $"id_b")
       },
-      None),
+      Some("""WITH v AS (
+             |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x
+             |  FROM embeddings WHERE vec_id < 20)
+             |SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
+             |       round(sum(x * (2*x)) / (sqrt(sum(x*x)) * sqrt(sum((2*x)*(2*x)))), 6) AS cosine
+             |FROM v GROUP BY vec_id ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- similarity search ----
     "q_ann_bruteforce" -> QueryDef(

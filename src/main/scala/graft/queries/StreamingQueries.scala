@@ -16,7 +16,12 @@ object StreamingQueries {
              |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
              |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
 
+    // the events table is one parquet file → one micro-batch → update-mode
+    // output holds exactly the final per-window aggregates, so the batch
+    // oracle applies
     "q_stream_user_windows" -> QueryDef(
       (s, dir) => EventsStream.userActivityWindows(s, dir),
-      None))
+      Some("""SELECT strftime(time_bucket(INTERVAL 30 MINUTE, ts), '%Y-%m-%d %H:%M') AS window_start,
+             |  user_id, count(*) AS events, round(sum(value), 2) AS value_sum
+             |FROM events GROUP BY 1, 2 ORDER BY window_start, user_id""".stripMargin)))
 }

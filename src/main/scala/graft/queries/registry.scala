@@ -27,5 +27,6 @@ object Registry {
   }
 
   lazy val all: Map[String, QueryDef] =
-    RelationalQueries.defs ++ CorpusQueries.defs ++ PipelineQueries.defs ++ StreamingQueries.defs
+    RelationalQueries.defs ++ CorpusQueries.defs ++ PipelineQueries.defs ++
+      StreamingQueries.defs ++ PolyldaQueries.defs
 }

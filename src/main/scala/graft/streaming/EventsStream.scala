@@ -22,6 +22,20 @@ object EventsStream {
    * (memory sink, complete mode). Output matches the equivalent batch
    * aggregation bit-for-bit, so it shares the batch DuckDB oracle.
    */
+  /** The file stream source requires a *directory* (its basePath), but the
+    * test tables are single parquet files — expose the events file through a
+    * per-call temp directory symlink. */
+  private def streamableEventsDir(dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(dir, "events.parquet")
+    val tmp = Files.createTempDirectory("graft_events_stream_")
+    tmp.toFile.deleteOnExit()
+    val link = tmp.resolve("events.parquet")
+    try Files.createSymbolicLink(link, src)
+    catch { case _: Exception => Files.copy(src, link) }
+    tmp.toString
+  }
+
   /** streaming read of the events file; ts arrives as TIMESTAMP(NANOS)
     * which Spark's parquet reader only accepts as long → convert to µs */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
@@ -29,7 +43,7 @@ object EventsStream {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     spark.readStream
       .schema(schema)
-      .parquet(s"$dir/events.parquet")
+      .parquet(streamableEventsDir(dir))
       .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
   }
 

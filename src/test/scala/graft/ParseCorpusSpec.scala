@@ -38,6 +38,34 @@ class ParseCorpusSpec extends SparkSpec {
     assert(r.terms.collect().map(_.term).toSet == Set("banana", "apple"))
   }
 
+  test("fromRawLines keeps duplicate-title lines as distinct documents") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_raw_")
+    val f = dir.resolve("corpus.txt")
+    java.nio.file.Files.writeString(f,
+      "Re: hello\tapple banana\nRe: hello\tcherry cherry\nother\tbanana\n")
+    val r = ParseCorpus.fromRawLines(spark, f.toString)
+    // three lines → three documents, despite two sharing a title
+    assert(r.stats.numDocs == 3)
+    val docs = r.docs.collect()
+    assert(docs.map(_.docId).toSet.size == 3)
+    assert(docs.map(_.numTokens).sorted.toSeq == Seq(1L, 2L, 2L))
+    assert(r.titles.collect().map(_.title).count(_ == "Re: hello") == 2)
+  }
+
+  test("pluggable analyzer segments CJK text the regex split mangles") {
+    // the default whitespace split sees ONE token; the unicode analyzer
+    // segments per ideograph (what Lucene's StandardAnalyzer does for CJK)
+    val df = Seq((1L, "t1", "我爱数据"), (2L, "t2", "数据 Spark")).toDF("docId", "title", "text")
+    val mangled = ParseCorpus.run(df)
+    assert(mangled.terms.collect().map(_.term).toSet == Set("我爱数据", "数据", "Spark"))
+    val r = ParseCorpus.run(df,
+      ParseCorpus.Config(analyzer = Some(ParseCorpus.Analyzers.unicode)))
+    assert(r.terms.collect().map(_.term).toSet == Set("我", "爱", "数", "据", "spark"))
+    val docs = r.docs.collect().map(d => d.docId -> d).toMap
+    assert(docs(1L).numTokens == 4) // four ideographs
+    assert(docs(2L).numTokens == 3) // 数 据 spark
+  }
+
   test("parses the documents test table end-to-end") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .selectExpr("doc_id as docId", "cast(doc_id as string) as title", "text")

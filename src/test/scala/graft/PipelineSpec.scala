@@ -1,0 +1,70 @@
+package graft
+
+import graft.pipeline.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Pipeline-operator validation beyond the driver's oracle checks:
+  * LSH recall against the exact baseline, and planted-duplicate recovery. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embeddings =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("ANN LSH recall@10 >= 0.8 against brute force") {
+    val q = embeddings.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(embeddings, q, "vec_id", "embedding", k = 10)
+      .select($"query_id", $"corpus_id")
+    // near-random embeddings have weak neighbor structure, so short
+    // signatures (wide buckets) + many tables are needed for high recall;
+    // real clustered embeddings get the same recall with far fewer candidates
+    val approx = Similarity.lshTopK(embeddings, q, "vec_id", "embedding",
+      k = 10, dim = 64, bitsPerTable = 3, nTables = 8)
+      .select($"query_id", $"corpus_id")
+    val hits = exact.intersect(approx).count().toDouble
+    val recall = hits / exact.count()
+    assert(recall >= 0.8, s"recall@10 = $recall")
+  }
+
+  test("embedding near-dup finds planted scaled duplicates and nothing else") {
+    val e = embeddings.select($"vec_id", $"embedding")
+    val planted = e.filter($"vec_id" < 10)
+      .select(($"vec_id" + 100000).as("vec_id"),
+        transform($"embedding", x => x * lit(2.0f)).as("embedding"))
+    val pairs = Dedup.embeddingNearDups(e.unionByName(planted), "vec_id", "embedding",
+      dim = 64, nPlanes = 10, cosineThreshold = 0.9).collect()
+    val expect = (0L until 10L).map(i => (i, i + 100000L)).toSet
+    assert(pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet == expect)
+    assert(pairs.forall(r => math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-6))
+  }
+
+  test("minhash near-dup finds planted near-duplicate texts") {
+    val base = (0 until 40).map { i =>
+      (i.toLong, (0 until 30).map(j => s"w${(i * 7 + j * 3) % 97}").mkString(" "))
+    }
+    // near-dup of doc 0: same text with one token changed
+    val nd = (100L, base.head._2.replaceFirst("w0", "wX"))
+    val df = (base :+ nd).toDF("id", "text")
+    val pairs = Dedup.minhashNearDups(df, "id", "text",
+      shingleSize = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.contains((0L, 100L)), s"planted pair missed: ${pairs.toSeq}")
+  }
+
+  test("ngram jaccard gram-df cap drops only hot grams") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"),
+      (3L, "zz yy alpha beta")).toDF("id", "text")
+    val uncapped = Dedup.ngramJaccard(df, "id", "text", n = 2, threshold = 0.1)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard"))).toSet
+    // "alpha beta" appears in all 3 docs; cap at 2 removes it everywhere
+    val capped = Dedup.ngramJaccard(df, "id", "text", n = 2, threshold = 0.1, maxGramDf = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard"))).toSet
+    assert(uncapped.exists { case (a, b, _) => (a, b) == (1L, 3L) })
+    // docs 1,3 shared only the hot gram → pair disappears under the cap
+    assert(!capped.exists { case (a, b, _) => (a, b) == (1L, 3L) })
+    // docs 1,2 still match on "beta gamma"
+    assert(capped.exists { case (a, b, _) => (a, b) == (1L, 2L) })
+  }
+}
