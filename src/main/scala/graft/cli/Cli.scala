@@ -1,0 +1,212 @@
+package graft.cli
+
+import graft.corpus.ParseCorpus
+import graft.lda.{Display, InformedPrior, LdaCheckpoint, Trainer}
+import graft.model.{Doc, TermEntry}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Command-line tools mirroring the reference's user surface — its entire API
+ * is six `hadoop jar` tools (reference README.md:38-101; options in
+ * ParseCorpusOptions.java:54-238 and VariationalInferenceOptions.java:55-273).
+ * Here each is a `spark-submit`-able main over parquet datasets:
+ *
+ *   graft.cli.ParseCorpusCli   --input raw.txt --output corpus/
+ *                              [--min-df 0.0] [--max-df 1.0] [--stopwords f]
+ *                              [--lowercase] [--analyzer unicode]
+ *                              [--languages L]        (polylingual corpus)
+ *   graft.cli.TrainCli         --corpus corpus/ --output model/ --topics K
+ *                              [--iterations 30] [--local-iterations 100]
+ *                              [--symmetric-alpha] [--random-start]
+ *                              [--model-index i]      (resume, reference -modelindex)
+ *                              [--informed-prior f]   [--seed 42]
+ *                              [--languages L]        (polylingual training)
+ *   graft.cli.InformedPriorCli --words f --corpus corpus/ --output prior/
+ *   graft.cli.DisplayTopicCli  --model model/ --index i --corpus corpus/ [--top 10]
+ *   graft.cli.DisplayDocumentCli --model model/ --index i
+ *
+ * Output layout matches the reference's per-iteration files: `model/alpha-i`,
+ * `model/beta-i`, `model/gamma-i` (parquet dirs instead of SequenceFiles).
+ */
+object Args {
+  /** tiny `--key value` / `--flag` parser */
+  def parse(argv: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < argv.length) {
+      val a = argv(i)
+      require(a.startsWith("--"), s"unexpected argument: $a")
+      if (i + 1 < argv.length && !argv(i + 1).startsWith("--")) {
+        m(a.drop(2)) = argv(i + 1); i += 2
+      } else { m(a.drop(2)) = "true"; i += 1 }
+    }
+    m.toMap
+  }
+
+  /** Runs `f` with a SparkSession; stops it afterwards only if this call
+    * created it (so the tools are embeddable in a host application or test
+    * harness without killing its session). */
+  def withSession[A](name: String)(f: SparkSession => A): A = {
+    val existing = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .filterNot(_.sparkContext.isStopped)
+    val s = existing.getOrElse {
+      val created = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+        .appName(name)
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+        .getOrCreate()
+      created.sparkContext.setLogLevel("WARN")
+      created
+    }
+    try f(s) finally if (existing.isEmpty) s.stop()
+  }
+}
+
+object ParseCorpusCli {
+  def main(argv: Array[String]): Unit = {
+    val a = Args.parse(argv)
+    Args.withSession("graft-parse-corpus") { spark =>
+    val input = a("input")
+    val output = a("output")
+    val langs = a.getOrElse("languages", "1").toInt
+    if (langs > 1) {
+      import graft.polylda.PolyParseCorpus
+      val r = PolyParseCorpus.fromRawLines(spark, input, PolyParseCorpus.Config(
+        numLanguages = langs,
+        minDfFraction = a.getOrElse("min-df", "0.0").toDouble,
+        maxDfFraction = a.getOrElse("max-df", "1.0").toDouble,
+        lowercase = a.contains("lowercase")))
+      r.docs.write.mode("overwrite").parquet(s"$output/document")
+      r.terms.write.mode("overwrite").parquet(s"$output/term")
+      println(s"[graft] polylingual corpus: ${r.docs.count()} docs, " +
+        s"terms per language: ${r.terms.groupBy("lang").count().collect().mkString(", ")}")
+    } else {
+      val analyzer = a.get("analyzer") match {
+        case Some("unicode") => Some(ParseCorpus.Analyzers.unicode)
+        case Some(other) => sys.error(s"unknown analyzer: $other (available: unicode)")
+        case None => None
+      }
+      val stop = a.get("stopwords").map(f =>
+        scala.io.Source.fromFile(f).getLines().map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+      val r = ParseCorpus.fromRawLines(spark, input, ParseCorpus.Config(
+        minDfFraction = a.getOrElse("min-df", "0.0").toDouble,
+        maxDfFraction = a.getOrElse("max-df", "1.0").toDouble,
+        stopwords = stop,
+        lowercase = a.contains("lowercase"),
+        analyzer = analyzer))
+      r.docs.write.mode("overwrite").parquet(s"$output/document")
+      r.terms.write.mode("overwrite").parquet(s"$output/term")
+      r.titles.write.mode("overwrite").parquet(s"$output/title")
+      println(s"[graft] corpus: ${r.stats}")
+    }
+    }
+  }
+}
+
+object TrainCli {
+  def main(argv: Array[String]): Unit = {
+    val a = Args.parse(argv)
+    Args.withSession("graft-train") { spark =>
+    import spark.implicits._
+    val corpusDir = a("corpus")
+    val output = a("output")
+    val langs = a.getOrElse("languages", "1").toInt
+    if (langs > 1) {
+      import graft.polylda.{PolyTrainer}
+      import graft.model.{PolyDoc, PolyTermEntry}
+      val docs = spark.read.parquet(s"$corpusDir/document").as[PolyDoc]
+      val terms = spark.read.parquet(s"$corpusDir/term").as[PolyTermEntry]
+      val numTerms = terms.groupBy($"lang").agg(max($"termId").as("v"))
+        .collect().map(r => r.getAs[Int]("lang") -> r.getAs[Int]("v")).toMap
+      val m = PolyTrainer.train(docs, numTerms, PolyTrainer.Config(
+        numTopics = a("topics").toInt,
+        maxIterations = a.getOrElse("iterations", "30").toInt,
+        localIterations = a.getOrElse("local-iterations", "100").toInt,
+        randomStartGamma = a.contains("random-start"),
+        seed = a.getOrElse("seed", "42").toLong))
+      // final snapshot: alpha + per-language beta rows
+      LdaCheckpoint.saveAlpha(spark, output, m.iterations, m.alpha)
+      m.beta.toSeq.flatMap { case (l, tm) =>
+        tm.toSeq.flatMap { case (w, arr) =>
+          arr.zipWithIndex.map { case (v, t) => (l, t + 1, w, v) } }
+      }.toDF("lang", "topic", "termId", "elogbeta")
+        .write.mode("overwrite").parquet(s"$output/beta-${m.iterations}")
+      println(s"[graft] polylingual model: ${m.iterations} iterations, LL=${m.logLikelihood}")
+    } else {
+      val docs = spark.read.parquet(s"$corpusDir/document").as[Doc]
+      val numTerms = spark.read.parquet(s"$corpusDir/term").agg(max($"termId")).as[Int].head()
+      val prior = a.get("informed-prior").map { f =>
+        val terms = spark.read.parquet(s"$corpusDir/term").as[TermEntry]
+        InformedPrior.compile(spark.read.parquet(f), terms)
+      }
+      val m = Trainer.train(docs, numTerms, Trainer.Config(
+        numTopics = a("topics").toInt,
+        maxIterations = a.getOrElse("iterations", "30").toInt,
+        localIterations = a.getOrElse("local-iterations", "100").toInt,
+        symmetricAlpha = a.contains("symmetric-alpha"),
+        randomStartGamma = a.contains("random-start"),
+        seed = a.getOrElse("seed", "42").toLong,
+        prior = prior,
+        checkpointDir = Some(output),
+        resumeFrom = a.get("model-index").map(i => (output, i.toInt))))
+      println(s"[graft] model: ${m.iterations} iterations, LL=${m.logLikelihood}, " +
+        s"llHistory=${m.llHistory.mkString(", ")}")
+    }
+    }
+  }
+}
+
+object InformedPriorCli {
+  /** words file: one line per topic, whitespace-separated seed words
+    * (reference InformedPrior.java:139-170 input format). */
+  def main(argv: Array[String]): Unit = {
+    val a = Args.parse(argv)
+    Args.withSession("graft-informed-prior") { spark =>
+    import spark.implicits._
+    val lines = scala.io.Source.fromFile(a("words")).getLines().toSeq
+    val seeds = lines.zipWithIndex.flatMap { case (line, i) =>
+      line.trim.split("\\s+").filter(_.nonEmpty).map(w => (i + 1, w))
+    }.toDF("topic", "term")
+    import graft.model.TermEntry
+    val terms = spark.read.parquet(s"${a("corpus")}/term").as[TermEntry]
+    InformedPrior.compile(seeds, terms)
+      .write.mode("overwrite").parquet(a("output"))
+    println(s"[graft] informed prior compiled for ${lines.length} topics")
+    }
+  }
+}
+
+object DisplayTopicCli {
+  def main(argv: Array[String]): Unit = {
+    val a = Args.parse(argv)
+    Args.withSession("graft-display-topic") { spark =>
+    import spark.implicits._
+    import graft.model.TermEntry
+    val beta = LdaCheckpoint.loadBeta(spark, a("model"), a("index").toInt)
+    val terms = spark.read.parquet(s"${a("corpus")}/term").as[TermEntry]
+    val top = Display.topTermsPerTopic(beta, terms, a.getOrElse("top", "10").toInt)
+    // reference DisplayTopic prints "term \t\t score" per topic (README.md:373)
+    top.orderBy($"topic", $"rank").collect().groupBy(_.getAs[Int]("topic")).toSeq.sortBy(_._1)
+      .foreach { case (topic, rows) =>
+        println(s"Topic $topic:")
+        rows.foreach(r => println(s"${r.getAs[String]("term")}\t\t${r.getAs[Double]("score")}"))
+      }
+    }
+  }
+}
+
+object DisplayDocumentCli {
+  def main(argv: Array[String]): Unit = {
+    val a = Args.parse(argv)
+    Args.withSession("graft-display-document") { spark =>
+    import spark.implicits._
+    val gamma = LdaCheckpoint.loadGamma(spark, a("model"), a("index").toInt)
+    Display.documentTopics(gamma.select($"docId", $"gamma"))
+      .orderBy($"docId", $"topic")
+      .show(a.getOrElse("rows", "100").toInt, truncate = false)
+    }
+  }
+}
