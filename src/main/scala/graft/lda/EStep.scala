@@ -21,7 +21,14 @@ case class EStepRow(
     ll: Double,
     topic: Int,
     termId: Int,
-    logphi: Double)
+    logphi: Double,
+    /** doc rows carry the full document (counts + token total) so the next
+      * iteration's corpus is a projection of the E-step output — no
+      * corpus-sized rotation join per iteration. Mirrors the reference's
+      * gamma side-output, which emits the whole Document
+      * (DocumentMapper.java:341-346). Null on phi rows. */
+    counts: Map[Int, Int] = null,
+    numTokens: Long = 0L)
 
 /**
  * The per-document variational fixed point (reference semantics:
@@ -205,7 +212,8 @@ object EStep {
           }
         }
 
-        val row = EStepRow(isDoc = true, doc.docId, gamma, docLL, -1, -1, 0.0)
+        val row = EStepRow(isDoc = true, doc.docId, gamma, docLL, -1, -1, 0.0,
+          doc.counts, doc.numTokens)
         if (phiAcc.size > phiFlushEntries) row +: drainPhi() else Vector(row)
       }
 

@@ -143,7 +143,8 @@ object EStepShuffle {
           }
         }
 
-        val row = EStepRow(isDoc = true, doc.docId, gamma, docLL, -1, -1, 0.0)
+        val row = EStepRow(isDoc = true, doc.docId, gamma, docLL, -1, -1, 0.0,
+          doc.terms.map(tb => tb.termId -> tb.cnt).toMap, doc.numTokens)
         if (phiAcc.size > phiFlushEntries) row +: drainPhi() else Vector(row)
       }
 

@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
  * Layout under `dir`:
  *   alpha-<i>/  (topic INT 1..K, alpha DOUBLE)
  *   beta-<i>/   (topic INT 1..K, termId INT, elogbeta DOUBLE)
- *   gamma-<i>/  (docId LONG, gamma ARRAY<DOUBLE>)
+ *   gamma-<i>/  the full gamma-annotated corpus
+ *               (docId LONG, counts MAP<INT,INT>, numTokens LONG,
+ *                gamma ARRAY<DOUBLE>) — like the reference, whose gamma
+ *               output dir IS the next iteration's document input
  *   state-<i>.json  {"iteration":i,"llHistory":[...]}
  */
 object LdaCheckpoint {
@@ -29,9 +32,10 @@ object LdaCheckpoint {
     betaRows.select(col("topic"), col("termId"), col("elogbeta"))
       .write.mode("overwrite").parquet(s"$dir/beta-$iter")
 
+  /** `gamma` should be the full gamma-annotated corpus (docId, counts,
+    * numTokens, gamma); written as-is. */
   def saveGamma(gamma: DataFrame, dir: String, iter: Int): Unit =
-    gamma.select(col("docId"), col("gamma"))
-      .write.mode("overwrite").parquet(s"$dir/gamma-$iter")
+    gamma.write.mode("overwrite").parquet(s"$dir/gamma-$iter")
 
   def saveState(dir: String, iter: Int, llHistory: Seq[Double]): Unit = {
     val json = s"""{"iteration":$iter,"llHistory":[${llHistory.mkString(",")}]}"""

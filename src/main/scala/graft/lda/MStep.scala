@@ -57,17 +57,29 @@ object MStep {
   /** Alpha sufficient statistics ss_k = Σ_d ψ(γ_dk) − ψ(Σ_k γ_dk) from the
     * E-step's gamma rows (reference computes this in-mapper,
     * DocumentMapper.java:256-258; here it is a small declarative agg). */
-  def alphaSufficientStatistics(gammaDocs: DataFrame, numTopics: Int): Array[Double] = {
+  def alphaSufficientStatistics(gammaDocs: DataFrame, numTopics: Int): Array[Double] =
+    llAndAlphaStats(gammaDocs, numTopics)._2
+
+  /** One job over the E-step doc side producing BOTH the corpus
+    * log-likelihood and the per-topic alpha sufficient statistics: the ll
+    * column rides the gamma explosion and is summed per topic slot (every
+    * doc contributes exactly once per k), so slot 0's sum is the corpus LL. */
+  def llAndAlphaStats(gammaDocs: DataFrame, numTopics: Int): (Double, Array[Double]) = {
     val spark = gammaDocs.sparkSession
     import spark.implicits._
     val rows = gammaDocs
-      .select(posexplode($"gamma").as(Seq("k", "g")),
+      .select($"ll", posexplode($"gamma").as(Seq("k", "g")),
         aggregate($"gamma", lit(0.0), (acc, x) => acc + x).as("gsum"))
       .groupBy($"k")
-      .agg(sum(digamma($"g") - digamma($"gsum")).as("ss"))
+      .agg(sum(digamma($"g") - digamma($"gsum")).as("ss"), sum($"ll").as("llsum"))
       .collect()
     val ss = new Array[Double](numTopics)
-    rows.foreach(r => ss(r.getAs[Int]("k")) = r.getAs[Double]("ss"))
-    ss
+    var ll = 0.0
+    rows.foreach { r =>
+      val k = r.getAs[Int]("k")
+      ss(k) = r.getAs[Double]("ss")
+      if (k == 0) ll = r.getAs[Double]("llsum")
+    }
+    (ll, ss)
   }
 }

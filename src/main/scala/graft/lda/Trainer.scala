@@ -112,9 +112,9 @@ object Trainer {
       val betaRows = LdaCheckpoint.loadBeta(spark, dir, i)
       if (useShuffleEStep) betaTable = packBeta(betaRows).persist(StorageLevel.MEMORY_AND_DISK)
       else beta = betaRowsToMap(betaRows.collect(), k)
-      val gammaDf = LdaCheckpoint.loadGamma(spark, dir, i)
-      corpus = gammaDf
-        .join(docs.toDF().drop("gamma"), "docId")
+      // gamma-<i> is the full gamma-annotated corpus — resume reads it
+      // directly (the reference resumes from the gamma-i document dir)
+      corpus = LdaCheckpoint.loadGamma(spark, dir, i)
         .select($"docId", $"counts", $"numTokens", $"gamma")
         .as[Doc]
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -154,16 +154,14 @@ object Trainer {
         beta = betaRowsToMap(betaRows.collect(), k)
       }
 
-      // likelihood + alpha update from the doc side
+      // likelihood + alpha sufficient statistics in ONE job over the doc side
       val docSide = estep.filter($"isDoc").toDF()
-      val ll = docSide.agg(sum($"ll")).as[Double].head()
+      val (ll, ss) = MStep.llAndAlphaStats(docSide, k)
       if (cfg.updateAlpha) {
         if (cfg.symmetricAlpha) {
-          val ssTotal = MStep.alphaSufficientStatistics(docSide, k).sum
-          val a = AlphaUpdate.updateScalarAlpha(k, numDocs.toInt, alpha(0), ssTotal)
+          val a = AlphaUpdate.updateScalarAlpha(k, numDocs.toInt, alpha(0), ss.sum)
           alpha = Array.fill(k)(a)
         } else {
-          val ss = MStep.alphaSufficientStatistics(docSide, k)
           alpha = AlphaUpdate.updateVectorAlpha(k, numDocs.toInt, alpha, ss)
         }
       }
@@ -174,37 +172,38 @@ object Trainer {
       val snapIdx = iter + 1
       val doCheckpoint = cfg.checkpointDir.isDefined &&
         (snapIdx % cfg.checkpointEvery == 0 || snapIdx == cfg.maxIterations)
+      // gamma-<i> holds the FULL gamma-annotated corpus — exactly the
+      // reference's layout, where the gamma output dir IS the next
+      // iteration's document input (VariationalInference.java:358-379)
       if (doCheckpoint) {
         val dir = cfg.checkpointDir.get
         LdaCheckpoint.saveAlpha(spark, dir, snapIdx, alpha)
         LdaCheckpoint.saveBeta(betaRows, dir, snapIdx)
-        LdaCheckpoint.saveGamma(docSide.select($"docId", $"gamma"), dir, snapIdx)
+        LdaCheckpoint.saveGamma(
+          docSide.select($"docId", $"counts", $"numTokens", $"gamma"), dir, snapIdx)
         LdaCheckpoint.saveState(dir, snapIdx, history.reverse)
       }
 
-      // rotate gamma into the corpus for the next iteration's warm start
-      // (reference renames gamma dirs, VariationalInference.java:358-379);
-      // skipped entirely under randomStartGamma — the E-step would ignore
-      // the stored gamma anyway (reference gates the gamma side-output on
-      // !randomStartGamma). Parquet round-trip when checkpointing (reliable),
+      // rotate gamma into the corpus for the next iteration's warm start:
+      // the doc side already carries the full document, so the next corpus
+      // is a projection of the E-step output — no per-iteration join.
+      // Skipped entirely under randomStartGamma (the E-step would ignore the
+      // stored gamma anyway; reference gates the side-output the same way).
+      // Parquet-backed when checkpointing (reliable lineage truncation),
       // localCheckpoint otherwise (fast).
       if (!cfg.randomStartGamma) {
         val nextCorpus =
           if (doCheckpoint) {
             LdaCheckpoint.loadGamma(spark, cfg.checkpointDir.get, snapIdx)
-              .join(corpus.drop("gamma"), "docId")
               .select($"docId", $"counts", $"numTokens", $"gamma")
               .as[Doc]
               .persist(StorageLevel.MEMORY_AND_DISK)
           } else {
             docSide
-              .select($"docId", $"gamma")
-              .join(corpus.drop("gamma"), "docId")
               .select($"docId", $"counts", $"numTokens", $"gamma")
               .as[Doc]
-              .localCheckpoint()
+              .localCheckpoint() // eager — materializes here, no extra action
           }
-        nextCorpus.count()
         corpus.unpersist()
         corpus = nextCorpus
       }

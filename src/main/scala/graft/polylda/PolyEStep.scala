@@ -20,7 +20,12 @@ case class PolyEStepRow(
     lang: Int,
     topic: Int,
     termId: Int,
-    logphi: Double)
+    logphi: Double,
+    /** doc rows carry the full document (like the reference's gamma side
+      * output) so next iteration's corpus needs no rotation join. */
+    counts: Map[Int, Map[Int, Int]] = null,
+    numTokens: Map[Int, Long] = null,
+    totalTokens: Long = 0L)
 
 /**
  * Tied-gamma multilingual variational E-step (reference:
@@ -166,7 +171,8 @@ object PolyEStep {
           }
         }
 
-        val row = PolyEStepRow(isDoc = true, doc.docId, gamma, docLL, -1, -1, -1, 0.0)
+        val row = PolyEStepRow(isDoc = true, doc.docId, gamma, docLL, -1, -1, -1, 0.0,
+          doc.counts, doc.numTokens, doc.totalTokens)
         if (phiAcc.size > phiFlushEntries) row +: drainPhi() else Vector(row)
       }
 

@@ -110,16 +110,15 @@ object PolyTrainer {
           .map { case (a, b) => (a.intValue(), b) }
       }.toMap
 
+      // likelihood + alpha sufficient statistics in one job
       val docSide = estep.filter($"isDoc").toDF()
-      val ll = docSide.agg(sum($"ll")).as[Double].head()
+      val (ll, ss) = MStep.llAndAlphaStats(docSide, k)
       if (cfg.updateAlpha) {
-        val ss = MStep.alphaSufficientStatistics(docSide, k)
         alpha = AlphaUpdate.updateVectorAlpha(k, numDocs.toInt, alpha, ss)
       }
 
+      // doc side carries the full document — next corpus is a projection
       val nextCorpus = docSide
-        .select($"docId", $"gamma")
-        .join(corpus.drop("gamma"), "docId")
         .select($"docId", $"counts", $"numTokens", $"totalTokens", $"gamma")
         .as[PolyDoc]
         .localCheckpoint()
