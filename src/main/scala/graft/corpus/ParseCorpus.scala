@@ -115,12 +115,20 @@ object ParseCorpus {
       .agg(count(lit(1)).as("df"), sum($"cnt").as("tf"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // P6: df band filter (fractions of corpus size, ParseCorpus.java:455-467)
+    // P6: df band filter (fractions of corpus size, ParseCorpus.java:455-467).
+    // With the default full-width band this is a no-op — skip the filter and
+    // the counter job entirely. Otherwise both band counters come from ONE
+    // aggregation pass instead of two filter+count jobs.
     val lo = cfg.minDfFraction * numDocsTotal
     val hi = cfg.maxDfFraction * numDocsTotal
-    val banded = termAgg.filter($"df" >= lo && $"df" <= hi)
-    val lowDf = termAgg.filter($"df" < lo).count()
-    val highDf = termAgg.filter($"df" > hi).count()
+    val banding = cfg.minDfFraction > 0.0 || cfg.maxDfFraction < 1.0
+    val banded = if (banding) termAgg.filter($"df" >= lo && $"df" <= hi) else termAgg
+    val (lowDf, highDf) = if (banding) {
+      val r = termAgg.agg(
+        sum(when($"df" < lo, 1L).otherwise(0L)).as("lo"),
+        sum(when($"df" > hi, 1L).otherwise(0L)).as("hi")).head()
+      (r.getAs[Long]("lo"), r.getAs[Long]("hi"))
+    } else (0L, 0L)
 
     // O1: dense 1-based ranking by (df desc, tf desc, term asc — the term
     // tiebreak makes the dictionary deterministic where the reference

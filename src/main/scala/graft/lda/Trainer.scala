@@ -142,10 +142,16 @@ object Trainer {
           learning = true, seed = cfg.seed))
         .persist(StorageLevel.MEMORY_AND_DISK)
 
-      // M-step over the phi side
+      // M-step over the phi side. betaRows is consumed once in broadcast
+      // mode (the collect) — only cache it when the shuffle path or a
+      // checkpoint will read it again.
+      val snapIdx = iter + 1
+      val doCheckpoint = cfg.checkpointDir.isDefined &&
+        (snapIdx % cfg.checkpointEvery == 0 || snapIdx == cfg.maxIterations)
       val betaRows = MStep.run(
         estep.filter(!$"isDoc").select($"topic", $"termId", $"logphi"), cfg.prior)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val cacheBetaRows = useShuffleEStep || doCheckpoint
+      if (cacheBetaRows) betaRows.persist(StorageLevel.MEMORY_AND_DISK)
       val prevBetaTable = betaTable
       if (useShuffleEStep) {
         betaTable = packBeta(betaRows).persist(StorageLevel.MEMORY_AND_DISK)
@@ -167,14 +173,11 @@ object Trainer {
       }
       history = ll :: history
 
-      // checkpoint this iteration's model (1-based index: iteration i
-      // produces snapshot i+1, matching the reference's alpha-(i+1))
-      val snapIdx = iter + 1
-      val doCheckpoint = cfg.checkpointDir.isDefined &&
-        (snapIdx % cfg.checkpointEvery == 0 || snapIdx == cfg.maxIterations)
       // gamma-<i> holds the FULL gamma-annotated corpus — exactly the
       // reference's layout, where the gamma output dir IS the next
-      // iteration's document input (VariationalInference.java:358-379)
+      // iteration's document input (VariationalInference.java:358-379).
+      // snapIdx/doCheckpoint computed above (1-based: iteration i produces
+      // snapshot i+1, matching the reference's alpha-(i+1)).
       if (doCheckpoint) {
         val dir = cfg.checkpointDir.get
         LdaCheckpoint.saveAlpha(spark, dir, snapIdx, alpha)
@@ -209,7 +212,7 @@ object Trainer {
       }
 
       estep.unpersist()
-      betaRows.unpersist()
+      if (cacheBetaRows) betaRows.unpersist()
       if (useShuffleEStep) prevBetaTable.unpersist()
 
       if (iter > startIter || cfg.resumeFrom.isDefined) {
