@@ -23,5 +23,27 @@ object StreamingQueries {
       (s, dir) => EventsStream.userActivityWindows(s, dir),
       Some("""SELECT strftime(time_bucket(INTERVAL 30 MINUTE, ts), '%Y-%m-%d %H:%M') AS window_start,
              |  user_id, count(*) AS events, round(sum(value), 2) AS value_sum
-             |FROM events GROUP BY 1, 2 ORDER BY window_start, user_id""".stripMargin)))
+             |FROM events GROUP BY 1, 2 ORDER BY window_start, user_id""".stripMargin)),
+
+    // gap-based sessionization via flatMapGroupsWithState (custom streaming
+    // state); single-micro-batch source ⇒ equals batch sessionization
+    "q_stream_sessionize" -> QueryDef(
+      (s, dir) => EventsStream.sessionize(s, dir, gapMinutes = 30),
+      Some("""WITH d AS (
+             |  SELECT user_id, ts, value,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (
+             |  SELECT user_id, ts, value,
+             |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |                          ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM d)
+             |SELECT user_id,
+             |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+             |       count(*) AS events, round(sum(value), 2) AS value_sum
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)))
 }

@@ -4,6 +4,17 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event for the sessionizer (ms epoch keeps the state tuple compact). */
+case class SessionEvent(user_id: Long, tsMs: Long, value: Double)
+
+/** Open-session state carried between micro-batches. */
+case class OpenSession(startMs: Long, endMs: Long, events: Long, valueSum: Double)
+
+case class SessionOut(
+    user_id: Long, session_start: String, session_end: String,
+    events: Long, value_sum: Double)
 
 /**
  * Structured Streaming surface over the `events` table: event-time windowed
@@ -15,6 +26,13 @@ import org.apache.spark.sql.functions._
 object EventsStream {
 
   private val counter = new AtomicInteger(0)
+
+  /** UTC "yyyy-MM-dd HH:mm:ss" from epoch ms; a static helper (not a
+    * captured formatter) so stateful-streaming closures stay serializable. */
+  private def formatMs(ms: Long): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ms))
 
   /**
    * Hourly tumbling-window counts/sums per event type, executed as a
@@ -64,6 +82,57 @@ object EventsStream {
     q.processAllAvailable()
     q.stop()
     spark.table(name).orderBy($"hour", $"event_type")
+  }
+
+  /**
+   * Gap-based sessionization with CUSTOM state (`flatMapGroupsWithState`):
+   * per user, events within `gapMinutes` of the previous one extend the
+   * current session; a larger gap closes it and opens a new one. The open
+   * session is kept in `GroupState` so it continues across micro-batches;
+   * every session (closed and still-open) is emitted each batch in update
+   * mode — on the single-micro-batch file source this equals the batch
+   * sessionization, so a SQL oracle applies.
+   */
+  def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    // value_sum emitted raw; rounded by the SQL round() below so the
+    // rounding mode matches the oracle's (half-up, not rint's half-even)
+    def fn(uid: Long, it: Iterator[SessionEvent], state: GroupState[OpenSession])
+        : Iterator[SessionOut] = {
+      val evs = it.toArray.sortBy(_.tsMs)
+      var closed = Vector.empty[OpenSession]
+      var cur: OpenSession = state.getOption.orNull
+      evs.foreach { e =>
+        if (cur == null) cur = OpenSession(e.tsMs, e.tsMs, 1, e.value)
+        else if (e.tsMs - cur.endMs > gapMs) {
+          closed :+= cur
+          cur = OpenSession(e.tsMs, e.tsMs, 1, e.value)
+        } else cur = OpenSession(cur.startMs, e.tsMs, cur.events + 1, cur.valueSum + e.value)
+      }
+      if (cur != null) { state.update(cur); closed :+= cur }
+      closed.iterator.map(s =>
+        SessionOut(uid, formatMs(s.startMs), formatMs(s.endMs), s.events, s.valueSum))
+    }
+
+    val name = s"graft_sessions_${counter.incrementAndGet()}"
+    val q = eventsStream(spark, dir)
+      .select($"user_id".cast("long").as("user_id"),
+        (unix_micros($"ts") / 1000L).cast("long").as("tsMs"),
+        $"value".cast("double").as("value"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+      .withColumn("value_sum", round($"value_sum", 2))
+      .orderBy($"user_id", $"session_start")
   }
 
   /**
