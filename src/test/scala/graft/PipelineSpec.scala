@@ -51,6 +51,23 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.contains((0L, 100L)), s"planted pair missed: ${pairs.toSeq}")
   }
 
+  test("language ID detects each built-in profile and falls back to und") {
+    import graft.pipeline.TextAnalysis
+    val samples = Seq(
+      (1L, "the cat sat on the mat and it was happy", "en"),
+      (2L, "der hund und die katze sind nicht auf dem tisch das ist gut", "de"),
+      (3L, "le chat est dans la maison et les enfants sont pour une promenade", "fr"),
+      (4L, "el perro y la casa es una maravilla para los amigos con el sol", "es"),
+      (5L, "我爱北京天安门 天安门上太阳升", "zh"),
+      (6L, "zzz qqq xxx yyy", "und"))
+    val df = samples.map(s => (s._1, s._2)).toDF("id", "text")
+    val got = TextAnalysis.languageId(df, "text")
+      .select($"id", $"lang_pred").as[(Long, String)].collect().toMap
+    samples.foreach { case (id, _, want) =>
+      assert(got(id) == want, s"doc $id: got ${got(id)}, want $want")
+    }
+  }
+
   test("ngram jaccard gram-df cap drops only hot grams") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),
