@@ -42,7 +42,38 @@ object PolyTrainer {
       convergence: Double = 1e-6,
       randomStartGamma: Boolean = false,
       updateAlpha: Boolean = true,
-      seed: Long = 42L)
+      seed: Long = 42L,
+      /** Snapshot alpha / per-language beta / gamma'd corpus per iteration
+        * (reference writes alpha-i, beta_lang<l>-i, gamma-i;
+        * polylda/VariationalInference.java:359-372). */
+      checkpointDir: Option[String] = None,
+      checkpointEvery: Int = 1,
+      /** Resume from `(dir, iteration)` — the polylda driver's resume path
+        * (polylda/VariationalInference.java:396-404). */
+      resumeFrom: Option[(String, Int)] = None)
+
+  /** (lang, topic, termId, elogbeta) rows → lang -> termId -> topic array. */
+  private def betaRowsToNestedMap(rows: Array[org.apache.spark.sql.Row], k: Int)
+      : Map[Int, scala.collection.Map[Int, Array[Double]]] = {
+    val betaMaps = new java.util.HashMap[Int, java.util.HashMap[Int, Array[Double]]]()
+    rows.foreach { r =>
+      val l = r.getAs[Int]("lang")
+      val t = r.getAs[Int]("topic") - 1
+      val w = r.getAs[Int]("termId")
+      var langMap = betaMaps.get(l)
+      if (langMap == null) { langMap = new java.util.HashMap(); betaMaps.put(l, langMap) }
+      var arr = langMap.get(w)
+      if (arr == null) { arr = new Array[Double](k); langMap.put(w, arr) }
+      arr(t) = r.getAs[Double]("elogbeta")
+    }
+    scala.jdk.CollectionConverters.MapHasAsScala(betaMaps).asScala.map {
+      case (l, m) =>
+        val langMap: scala.collection.Map[Int, Array[Double]] =
+          scala.jdk.CollectionConverters.MapHasAsScala(m).asScala
+            .map { case (a, b) => (a.intValue(), b) }
+        l.intValue() -> langMap
+    }.toMap
+  }
 
   /** Per-(lang, topic, term) M-step: logsumexp fold + per-(lang, topic)
     * normalizer in log space; E[log β] = ψ(λ) − ψ(Σ_w λ). Two-level groupBy
@@ -73,12 +104,24 @@ object PolyTrainer {
     val rng = new java.util.Random(cfg.seed)
     var alpha = Array.fill(k)(rng.nextDouble())
     var beta: Map[Int, scala.collection.Map[Int, Array[Double]]] = Map.empty
-    var corpus = docs.persist(StorageLevel.MEMORY_AND_DISK)
-    val numDocs = corpus.count()
-
-    var lastLL = 0.0
     var history = List.empty[Double]
-    var iter = 0
+    var startIter = 0
+    var corpus = docs.persist(StorageLevel.MEMORY_AND_DISK)
+
+    cfg.resumeFrom.foreach { case (dir, i) =>
+      alpha = graft.lda.LdaCheckpoint.loadAlpha(spark, dir, i)
+      beta = betaRowsToNestedMap(graft.lda.LdaCheckpoint.loadBeta(spark, dir, i).collect(), k)
+      corpus = graft.lda.LdaCheckpoint.loadGamma(spark, dir, i)
+        .select($"docId", $"counts", $"numTokens", $"totalTokens", $"gamma")
+        .as[PolyDoc]
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      history = graft.lda.LdaCheckpoint.loadLlHistory(dir, i).reverse.toList
+      startIter = i
+    }
+
+    val numDocs = corpus.count()
+    var lastLL = history.headOption.getOrElse(0.0)
+    var iter = startIter
     var converged = false
 
     while (iter < cfg.maxIterations && !converged) {
@@ -87,28 +130,17 @@ object PolyTrainer {
 
       val estep = PolyEStep.run(corpus, alphaBc, betaBc, numTermsPerLang,
         localIterations = cfg.localIterations,
-        randomStartGamma = cfg.randomStartGamma && iter == 0,
+        randomStartGamma = cfg.randomStartGamma,
         learning = true, seed = cfg.seed)
         .persist(StorageLevel.MEMORY_AND_DISK)
 
-      val newBeta = mstep(
+      val snapIdx = iter + 1
+      val doCheckpoint = cfg.checkpointDir.isDefined &&
+        (snapIdx % cfg.checkpointEvery == 0 || snapIdx == cfg.maxIterations)
+      val betaRows = mstep(
         estep.filter(!$"isDoc").select($"lang", $"topic", $"termId", $"logphi"))
-        .collect()
-      val betaMaps = new java.util.HashMap[Int, java.util.HashMap[Int, Array[Double]]]()
-      newBeta.foreach { r =>
-        val l = r.getAs[Int]("lang")
-        val t = r.getAs[Int]("topic") - 1
-        val w = r.getAs[Int]("termId")
-        var langMap = betaMaps.get(l)
-        if (langMap == null) { langMap = new java.util.HashMap(); betaMaps.put(l, langMap) }
-        var arr = langMap.get(w)
-        if (arr == null) { arr = new Array[Double](k); langMap.put(w, arr) }
-        arr(t) = r.getAs[Double]("elogbeta")
-      }
-      beta = scala.jdk.CollectionConverters.MapHasAsScala(betaMaps).asScala.map {
-        case (l, m) => l.intValue() -> scala.jdk.CollectionConverters.MapHasAsScala(m).asScala
-          .map { case (a, b) => (a.intValue(), b) }
-      }.toMap
+      if (doCheckpoint) betaRows.persist(StorageLevel.MEMORY_AND_DISK)
+      beta = betaRowsToNestedMap(betaRows.collect(), k)
 
       // likelihood + alpha sufficient statistics in one job
       val docSide = estep.filter($"isDoc").toDF()
@@ -116,19 +148,46 @@ object PolyTrainer {
       if (cfg.updateAlpha) {
         alpha = AlphaUpdate.updateVectorAlpha(k, numDocs.toInt, alpha, ss)
       }
+      history = ll :: history
+
+      // snapshots share the vanilla layout; beta-<i> keeps its lang column
+      // (the reference writes one beta_lang<l>-<i> file per language —
+      // here one partitionable table)
+      if (doCheckpoint) {
+        val dir = cfg.checkpointDir.get
+        graft.lda.LdaCheckpoint.saveAlpha(spark, dir, snapIdx, alpha)
+        betaRows.select($"lang", $"topic", $"termId", $"elogbeta")
+          .write.mode("overwrite").parquet(s"$dir/beta-$snapIdx")
+        graft.lda.LdaCheckpoint.saveGamma(
+          docSide.select($"docId", $"counts", $"numTokens", $"totalTokens", $"gamma"),
+          dir, snapIdx)
+        graft.lda.LdaCheckpoint.saveState(dir, snapIdx, history.reverse)
+      }
 
       // doc side carries the full document — next corpus is a projection
-      val nextCorpus = docSide
-        .select($"docId", $"counts", $"numTokens", $"totalTokens", $"gamma")
-        .as[PolyDoc]
-        .localCheckpoint()
+      if (!cfg.randomStartGamma) {
+        val nextCorpus =
+          if (doCheckpoint) {
+            graft.lda.LdaCheckpoint.loadGamma(spark, cfg.checkpointDir.get, snapIdx)
+              .select($"docId", $"counts", $"numTokens", $"totalTokens", $"gamma")
+              .as[PolyDoc]
+              .persist(StorageLevel.MEMORY_AND_DISK)
+          } else {
+            docSide
+              .select($"docId", $"counts", $"numTokens", $"totalTokens", $"gamma")
+              .as[PolyDoc]
+              .localCheckpoint()
+          }
+        corpus.unpersist()
+        corpus = nextCorpus
+      }
 
-      corpus.unpersist()
       estep.unpersist()
-      corpus = nextCorpus
+      if (doCheckpoint) betaRows.unpersist()
 
-      history = ll :: history
-      if (iter > 0 && math.abs((ll - lastLL) / lastLL) <= cfg.convergence) converged = true
+      if (iter > startIter || cfg.resumeFrom.isDefined) {
+        if (math.abs((ll - lastLL) / lastLL) <= cfg.convergence) converged = true
+      }
       lastLL = ll
       iter += 1
     }

@@ -27,6 +27,27 @@ object PipelineQueries {
              |      FROM documents) d
              |GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin)),
 
+    // keep-one policy materialized end-to-end: exact dup groups → drop every
+    // non-minimal member, return the surviving doc ids
+    "q_dedup_apply_exact" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val groups = Dedup.exactDedup(docs, "doc_id", "text")
+        val pairs = docs.select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+          .join(groups.select($"fp", $"keep_id"), "fp")
+          .filter($"doc_id" =!= $"keep_id")
+          .select($"keep_id".as("id_a"), $"doc_id".as("id_b"))
+        Dedup.applyKeepSmallest(docs, "doc_id", pairs)
+          .select($"doc_id").orderBy($"doc_id")
+      },
+      Some("""WITH fp AS (
+             |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+             |  FROM documents),
+             |keep AS (SELECT f, min(doc_id) AS k FROM fp GROUP BY f)
+             |SELECT doc_id FROM fp JOIN keep ON fp.f = keep.f
+             |WHERE doc_id = k ORDER BY doc_id""".stripMargin)),
+
     "q_dedup_minhash_lsh" -> QueryDef(
       (s, dir) => {
         import s.implicits._

@@ -99,6 +99,24 @@ class PolyldaSpec extends SparkSpec {
     assert(assign((0, 1)) != assign((0, 2)))
   }
 
+  test("polylingual train 2 + resume 2 ≡ train 4 straight") {
+    val r = PolyParseCorpus.run(corpus, PolyParseCorpus.Config(numLanguages = 2))
+    val numTerms = r.terms.collect().groupBy(_.lang).map { case (l, ts) => l -> ts.length }
+    val dir = java.nio.file.Files.createTempDirectory("graft_poly_ckpt_").toString
+    val base = PolyTrainer.Config(numTopics = 2, maxIterations = 4, localIterations = 15,
+      seed = 3L, convergence = 0.0)
+    val straight = PolyTrainer.train(r.docs, numTerms, base)
+    PolyTrainer.train(r.docs, numTerms,
+      base.copy(maxIterations = 2, checkpointDir = Some(dir)))
+    val resumed = PolyTrainer.train(r.docs, numTerms,
+      base.copy(resumeFrom = Some((dir, 2))))
+    assert(resumed.llHistory.length == straight.llHistory.length)
+    straight.llHistory.zip(resumed.llHistory).foreach { case (a, b) =>
+      assert(math.abs((a - b) / a) < 1e-8, s"LL drift after resume: $a vs $b") }
+    straight.alpha.zip(resumed.alpha).foreach { case (a, b) =>
+      assert(math.abs((a - b) / a) < 1e-6, s"alpha drift after resume: $a vs $b") }
+  }
+
   test("polylingual held-out inference: doc gamma leans to its cluster topic") {
     val r = PolyParseCorpus.run(corpus, PolyParseCorpus.Config(numLanguages = 2))
     val numTerms = r.terms.collect().groupBy(_.lang).map { case (l, ts) => l -> ts.length }
