@@ -126,14 +126,9 @@ object TrainCli {
         maxIterations = a.getOrElse("iterations", "30").toInt,
         localIterations = a.getOrElse("local-iterations", "100").toInt,
         randomStartGamma = a.contains("random-start"),
-        seed = a.getOrElse("seed", "42").toLong))
-      // final snapshot: alpha + per-language beta rows
-      LdaCheckpoint.saveAlpha(spark, output, m.iterations, m.alpha)
-      m.beta.toSeq.flatMap { case (l, tm) =>
-        tm.toSeq.flatMap { case (w, arr) =>
-          arr.zipWithIndex.map { case (v, t) => (l, t + 1, w, v) } }
-      }.toDF("lang", "topic", "termId", "elogbeta")
-        .write.mode("overwrite").parquet(s"$output/beta-${m.iterations}")
+        seed = a.getOrElse("seed", "42").toLong,
+        checkpointDir = Some(output),
+        resumeFrom = a.get("model-index").map(i => (output, i.toInt))))
       println(s"[graft] polylingual model: ${m.iterations} iterations, LL=${m.logLikelihood}")
     } else {
       val docs = spark.read.parquet(s"$corpusDir/document").as[Doc]
@@ -184,16 +179,30 @@ object DisplayTopicCli {
     val a = Args.parse(argv)
     Args.withSession("graft-display-topic") { spark =>
     import spark.implicits._
-    import graft.model.TermEntry
-    val beta = LdaCheckpoint.loadBeta(spark, a("model"), a("index").toInt)
-    val terms = spark.read.parquet(s"${a("corpus")}/term").as[TermEntry]
-    val top = Display.topTermsPerTopic(beta, terms, a.getOrElse("top", "10").toInt)
-    // reference DisplayTopic prints "term \t\t score" per topic (README.md:373)
-    top.orderBy($"topic", $"rank").collect().groupBy(_.getAs[Int]("topic")).toSeq.sortBy(_._1)
-      .foreach { case (topic, rows) =>
-        println(s"Topic $topic:")
-        rows.foreach(r => println(s"${r.getAs[String]("term")}\t\t${r.getAs[Double]("score")}"))
-      }
+    import graft.model.{PolyTermEntry, TermEntry}
+    val topK = a.getOrElse("top", "10").toInt
+    if (a.getOrElse("languages", "1").toInt > 1) {
+      val beta = LdaCheckpoint.loadBeta(spark, a("model"), a("index").toInt)
+      val terms = spark.read.parquet(s"${a("corpus")}/term").as[PolyTermEntry]
+      graft.polylda.PolyTrainer.topTermsFromRows(beta, terms, topK)
+        .orderBy($"lang", $"topic", $"rnk")
+        .collect().groupBy(r => (r.getAs[Int]("lang"), r.getAs[Int]("topic")))
+        .toSeq.sortBy(_._1)
+        .foreach { case ((lang, topic), rows) =>
+          println(s"Language $lang, Topic $topic:")
+          rows.foreach(r => println(s"${r.getAs[String]("term")}\t\t${r.getAs[Double]("score")}"))
+        }
+    } else {
+      val beta = LdaCheckpoint.loadBeta(spark, a("model"), a("index").toInt)
+      val terms = spark.read.parquet(s"${a("corpus")}/term").as[TermEntry]
+      val top = Display.topTermsPerTopic(beta, terms, topK)
+      // reference DisplayTopic prints "term \t\t score" per topic (README.md:373)
+      top.orderBy($"topic", $"rank").collect().groupBy(_.getAs[Int]("topic")).toSeq.sortBy(_._1)
+        .foreach { case (topic, rows) =>
+          println(s"Topic $topic:")
+          rows.foreach(r => println(s"${r.getAs[String]("term")}\t\t${r.getAs[Double]("score")}"))
+        }
+    }
     }
   }
 }

@@ -42,6 +42,72 @@ object Similarity {
   }
 
   /**
+   * IVF-style approximate top-k: a coarse k-means quantizer (Lloyd
+   * iterations, deterministic init by hashed id) partitions the corpus into
+   * `nCentroids` inverted lists; each query exactly reranks only the
+   * `nProbe` lists nearest to it. The scale path complement to `lshTopK`:
+   * centroids are model-sized (nCentroids × dim doubles, driver/broadcast),
+   * assignment and rerank are single corpus passes, and the probed fraction
+   * (`nProbe / nCentroids`) directly trades recall for compute.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      kmeansIterations: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).cast("long").as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+
+    // deterministic init: the nCentroids vectors with smallest hashed id
+    var centroids: Array[Array[Double]] = c
+      .orderBy(xxhash64($"corpus_id"))
+      .limit(nCentroids)
+      .select($"cv").as[Seq[Double]].collect().map(_.toArray)
+
+    def nearest(v: Seq[Double], cents: Array[Array[Double]], n: Int): Seq[Int] = {
+      val d = cents.zipWithIndex.map { case (ct, i) =>
+        var s = 0.0; var j = 0
+        while (j < ct.length) { val t = v(j) - ct(j); s += t * t; j += 1 }
+        (s, i)
+      }
+      d.sortBy(_._1).take(n).map(_._2).toSeq
+    }
+
+    // Lloyd iterations: distributed assignment, model-sized centroid update
+    for (_ <- 0 until kmeansIterations) {
+      val cents = centroids
+      val assignUdf = udf((v: Seq[Double]) => nearest(v, cents, 1).head)
+      val updated = c.withColumn("cid", assignUdf($"cv"))
+        .select($"cid", posexplode($"cv").as(Seq("i", "x")))
+        .groupBy($"cid", $"i").agg(avg($"x").as("m"))
+        .collect()
+      val byCid = updated.groupBy(_.getAs[Int]("cid"))
+      centroids = centroids.indices.map { cid =>
+        byCid.get(cid).map { rows =>
+          val arr = new Array[Double](centroids(cid).length)
+          rows.foreach(r => arr(r.getAs[Int]("i")) = r.getAs[Double]("m"))
+          arr
+        }.getOrElse(centroids(cid)) // empty list keeps its centroid
+      }.toArray
+    }
+
+    val cents = centroids
+    val assignUdf = udf((v: Seq[Double]) => nearest(v, cents, 1).head)
+    val probeUdf = udf((v: Seq[Double]) => nearest(v, cents, nProbe))
+    val assigned = c.withColumn("cid", assignUdf($"cv"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("cid", explode(probeUdf($"qv")))
+
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"corpus_id".asc)
+    assigned.join(broadcast(q), Seq("cid"))
+      .filter($"corpus_id" =!= $"query_id")
+      .select($"query_id", $"corpus_id", round(cosine($"cv", $"qv"), 6).as("cosine"))
+      .withColumn("rnk", row_number().over(w)).filter($"rnk" <= k)
+      .select($"query_id", $"rnk", $"corpus_id", $"cosine")
+  }
+
+  /**
    * LSH-bucketed approximate top-k: random-hyperplane signatures with
    * `nTables` independent tables; candidates = bucket collisions in any
    * table; exact rerank within candidates. Recall grows with tables/shorter

@@ -223,7 +223,15 @@ object PolyTrainer {
         arr.zipWithIndex.map { case (v, t) => (lang, t + 1, termId, v) }
       }
     }
-    val beta = rows.toDF("lang", "topic", "termId", "elogbeta")
+    topTermsFromRows(rows.toDF("lang", "topic", "termId", "elogbeta"), terms, k)
+  }
+
+  /** Same over (lang, topic, termId, elogbeta) rows — e.g. a checkpointed
+    * beta-<i> snapshot. */
+  def topTermsFromRows(beta: DataFrame,
+      terms: Dataset[graft.model.PolyTermEntry], k: Int): DataFrame = {
+    val spark = beta.sparkSession
+    import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"lang", $"topic").orderBy($"elogbeta".desc, $"termId".asc)
     beta.join(terms.select($"lang", $"termId", $"term"), Seq("lang", "termId"))

@@ -150,6 +150,16 @@ object PipelineQueries {
              |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin),
       bench = true),
 
+    "q_ann_ivf" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        Similarity.ivfTopK(e, e.filter($"vec_id" < 5), "vec_id", "embedding",
+          k = 10, nCentroids = 16, nProbe = 8, kmeansIterations = 3)
+          .orderBy($"query_id", $"rnk")
+      },
+      None),
+
     "q_ann_lsh" -> QueryDef(
       (s, dir) => {
         import s.implicits._

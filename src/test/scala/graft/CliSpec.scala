@@ -60,5 +60,7 @@ class CliSpec extends SparkSpec {
       "--languages", "2", "--seed", "3"))
     assert(spark.read.parquet(s"$modelDir/alpha-2").count() == 2)
     assert(spark.read.parquet(s"$modelDir/beta-2").groupBy("lang").count().count() == 2)
+    cli.DisplayTopicCli.main(Array("--model", modelDir, "--index", "2",
+      "--corpus", corpusDir, "--top", "2", "--languages", "2"))
   }
 }

@@ -51,6 +51,47 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.contains((0L, 100L)), s"planted pair missed: ${pairs.toSeq}")
   }
 
+  test("ANN IVF recall@10 >= 0.8 against brute force") {
+    val q = embeddings.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(embeddings, q, "vec_id", "embedding", k = 10)
+      .select($"query_id", $"corpus_id")
+    // near-random embeddings cluster weakly, so probe most lists; clustered
+    // real embeddings reach the same recall probing a small fraction
+    val approx = Similarity.ivfTopK(embeddings, q, "vec_id", "embedding",
+      k = 10, nCentroids = 16, nProbe = 12, kmeansIterations = 3)
+      .select($"query_id", $"corpus_id")
+    val recall = exact.intersect(approx).count().toDouble / exact.count()
+    assert(recall >= 0.8, s"recall@10 = $recall")
+  }
+
+  test("simhash near-dup finds a planted duplicate (hamming 0)") {
+    // simhash majority bits are sensitive to single-token edits on small
+    // docs (many ±1-margin bits), so the deterministic planted case is an
+    // exact duplicate — it still drives banding + Hamming verification
+    val base = (0 until 30).map { i =>
+      (i.toLong, (0 until 40).map(j => s"tok${(i * 13 + j * 7) % 211}").mkString(" "))
+    }
+    val nd = (200L, base.head._2)
+    val rows = Dedup.simhashNearDups((base :+ nd).toDF("id", "text"), "id", "text",
+      maxHamming = 3).collect()
+    val pairs = rows.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.contains((0L, 200L)), s"planted pair missed: ${pairs.toSeq}")
+    val planted = rows.find(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 200L).get
+    assert(planted.getAs[Int]("hamming") == 0)
+  }
+
+  test("saltedJoin is semantically identical to the plain join") {
+    import graft.pipeline.Skew
+    // heavily skewed fact side: 90% of rows share key 1
+    val facts = ((1 to 900).map(i => (1L, i)) ++ (1 to 100).map(i => (i.toLong % 7 + 2, i)))
+      .toDF("k", "v")
+    val dim = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c")).toDF("k", "name")
+    val plain = facts.join(dim, "k")
+    val salted = Skew.saltedJoin(facts, dim, "k", salts = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("language ID detects each built-in profile and falls back to und") {
     import graft.pipeline.TextAnalysis
     val samples = Seq(
