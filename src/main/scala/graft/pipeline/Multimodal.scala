@@ -76,6 +76,22 @@ object Multimodal {
     }.toDF("mediaId", "frame", "n_bytes", "features")
   }
 
+  /** Resize plumbing: payload transformed to the new dimensions' byte
+    * budget with metadata updated in the same pass (stub: proportional
+    * truncate/keep — a real impl calls the codec's scaler). Composes with
+    * extractFeatures/sampleFrames downstream. */
+  def resize(media: Dataset[MediaRow], newWidth: Int, newHeight: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val oldArea = math.max(1, m.width * m.height)
+      val targetLen = math.max(1,
+        (m.payload.length.toLong * (newWidth * newHeight) / oldArea).toInt)
+      m.copy(
+        payload = java.util.Arrays.copyOf(m.payload, targetLen),
+        width = newWidth, height = newHeight)
+    }
+  }
+
   /** Build a deterministic media table from any text table (test fixture:
     * payload = utf8 bytes). */
   def mediaFromText(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {

@@ -92,6 +92,18 @@ class PipelineSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("multimodal resize updates metadata, scales payload, and composes") {
+    import graft.pipeline.Multimodal
+    val docs = Seq((0L, "x" * 400), (1L, "y" * 100)).toDF("doc_id", "text")
+    val media = Multimodal.mediaFromText(docs, "doc_id", "text") // 64x64
+    val resized = Multimodal.resize(media, 32, 32).collect().map(m => m.mediaId -> m).toMap
+    assert(resized(0L).width == 32 && resized(0L).height == 32)
+    assert(resized(0L).payload.length == 100) // quarter the area → quarter the bytes
+    assert(resized(1L).payload.length == 25)
+    val feats = Multimodal.extractFeatures(Multimodal.resize(media, 32, 32)).collect()
+    assert(feats.length == 2 && feats.forall(_.features.length == Multimodal.FeatureDim))
+  }
+
   test("language ID detects each built-in profile and falls back to und") {
     import graft.pipeline.TextAnalysis
     val samples = Seq(
