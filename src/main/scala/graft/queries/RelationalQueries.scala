@@ -199,6 +199,46 @@ object RelationalQueries {
              |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
              |ORDER BY status, priority""".stripMargin)),
 
+    // cube (full grouping-set cross product)
+    "q_order_cube" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+          .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+            coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+            $"n", $"total")
+          .orderBy($"status", $"priority")
+      },
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |  coalesce(o_orderpriority, 'ALL') AS priority,
+             |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)),
+
+    // lag analytics: days between a customer's consecutive orders
+    "q_customer_order_gaps" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        t(s, dir, "orders")
+          .withColumn("prev_date", lag($"o_orderdate", 1).over(w))
+          .filter($"prev_date".isNotNull)
+          .select($"o_custkey", $"o_orderkey",
+            datediff($"o_orderdate", $"prev_date").as("gap_days"))
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(date_diff('day', CAST(prev_date AS DATE), CAST(o_orderdate AS DATE)) AS INT) AS gap_days
+             |FROM (
+             |  SELECT o_custkey, o_orderkey, o_orderdate,
+             |    lag(o_orderdate) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS prev_date
+             |  FROM orders)
+             |WHERE prev_date IS NOT NULL
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // set operations: customers active only in 1995 vs only in 1997
     "q_setop_active_customers" -> QueryDef(
       (s, dir) => {
