@@ -18,9 +18,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm the JVM/codegen once on the smallest SF so per-query times
-    // measure the plan, not first-call classloading
-    SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001").count()
+    // warm the JVM/codegen on the smallest SF — run every headline query
+    // once at sf0.001 so timed runs measure the plan, not first-call
+    // classloading/codegen of each query's distinct operator set
+    SparkEntry.benchQueries.foreach { name =>
+      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      catch { case e: Throwable => System.err.println(s"[bench] warm $name failed: $e") }
+    }
 
     val results = SparkEntry.benchQueries.map { name =>
       val t0 = System.nanoTime()
