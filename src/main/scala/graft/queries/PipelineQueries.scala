@@ -211,6 +211,8 @@ object PipelineQueries {
              |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS bpeish_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // the heuristic is pure ratio arithmetic — reproduced in SQL including
+    // the fold's tie-break (first language in sorted order wins ties)
     "q_lang_id" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -218,7 +220,28 @@ object PipelineQueries {
           .groupBy($"lang_pred").agg(count(lit(1)).as("n"))
           .orderBy($"lang_pred")
       },
-      None),
+      Some(s"""WITH scored AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS DOUBLE)
+             |      / greatest(length(text), 1) AS cjk,
+             |    ${TextAnalysis.LangProfiles.filter(_._2.nonEmpty).keys.toSeq.sorted.map { l =>
+                  val words = TextAnalysis.LangProfiles(l).map(w => s"'$w'").mkString("[", ", ", "]")
+                  s"""CAST(len(list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''),
+                     |      t -> list_contains($words, t))) AS DOUBLE)
+                     |      / greatest(len(list_filter(string_split(lower(text), ' '), x -> x <> '')), 1) AS s_$l""".stripMargin
+                }.mkString(",\n    ")}
+             |  FROM documents),
+             |pred AS (
+             |  SELECT doc_id,
+             |    CASE WHEN cjk > 0.25 THEN 'zh'
+             |         WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+             |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+             |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+             |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+             |         ELSE 'fr' END AS lang_pred
+             |  FROM scored)
+             |SELECT lang_pred, count(*) AS n FROM pred
+             |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin)),
 
     "q_doc_fingerprint" -> QueryDef(
       (s, dir) => {
@@ -248,6 +271,9 @@ object PipelineQueries {
              |  16 AS feature_dim
              |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // the frame-slice arithmetic (step = max(1, len/n); start = min(i·step,
+    // max(0, len−1)); bytes = min(start+step, len) − start) is integer math
+    // DuckDB can mirror exactly
     "q_multimodal_frames" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -257,7 +283,18 @@ object PipelineQueries {
           .select($"mediaId".as("media_id"), $"frame", $"n_bytes")
           .orderBy($"media_id", $"frame")
       },
-      None))
+      Some("""WITH m AS (
+             |  SELECT doc_id AS media_id, octet_length(encode(text)) AS len
+             |  FROM documents WHERE doc_id < 50),
+             |f AS (SELECT media_id, len, unnest(range(0, 4)) AS frame FROM m),
+             |calc AS (
+             |  SELECT media_id, frame, len,
+             |         greatest(len // 4, 1) AS step,
+             |         least(frame * greatest(len // 4, 1), greatest(len - 1, 0)) AS start
+             |  FROM f)
+             |SELECT media_id, CAST(frame AS INT) AS frame,
+             |       CAST(least(start + step, len) - start AS INT) AS n_bytes
+             |FROM calc ORDER BY media_id, frame""".stripMargin)))
 
   private def duckList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
