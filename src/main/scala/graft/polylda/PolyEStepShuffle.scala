@@ -1,0 +1,169 @@
+package graft.polylda
+
+import graft.functions.GammaFuncs.{digamma, logAdd, logGamma}
+import graft.lda.EStep.{randomElogBeta, updatePhiTerm}
+import graft.model.PolyDoc
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+private[polylda] case class PolyTermBeta(
+    lang: Int, termId: Int, cnt: Int, elogbeta: Option[Array[Double]])
+private[polylda] case class PolyDocWithBeta(
+    docId: Long, gamma: Option[Array[Double]], terms: Seq[PolyTermBeta])
+
+/**
+ * Shuffle-join polylingual E-step — the scale path when Σ_l K×V_l exceeds
+ * broadcast comfort (the polylda reference loads EVERY language's beta into
+ * each mapper, polylda/DocumentMapper.java:116-123, compounding the vanilla
+ * wall L times). Beta stays a distributed `(lang, termId, elogbeta[])`
+ * table; the corpus is double-exploded (language map, then term map),
+ * joined on (lang, termId), regrouped per doc, and the tied-gamma kernel
+ * runs per document. Per-language counts and token totals are rebuilt from
+ * the exploded terms, so nothing map-typed has to ride the groupBy key.
+ */
+object PolyEStepShuffle {
+
+  /** @param beta (lang INT, termId INT, elogbeta ARRAY<DOUBLE> length K) */
+  def run(
+      docs: Dataset[PolyDoc],
+      alphaBc: Broadcast[Array[Double]],
+      beta: DataFrame,
+      numTermsPerLang: Map[Int, Int],
+      localIterations: Int = 100,
+      randomStartGamma: Boolean = false,
+      learning: Boolean = true,
+      seed: Long = 42L,
+      phiFlushEntries: Int = 1 << 20): Dataset[PolyEStepRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    val exploded = docs.toDF()
+      .select($"docId", $"gamma", explode($"counts").as(Seq("lang", "langCounts")))
+      .select($"docId", $"gamma", $"lang",
+        explode($"langCounts").as(Seq("termId", "cnt")))
+    val grouped = exploded
+      .join(beta.select($"lang", $"termId", $"elogbeta"), Seq("lang", "termId"), "left")
+      .groupBy($"docId", $"gamma")
+      .agg(collect_list(struct($"lang", $"termId", $"cnt", $"elogbeta")).as("terms"))
+      .as[PolyDocWithBeta]
+
+    grouped.mapPartitions { it =>
+      val alpha = alphaBc.value
+      val k = alpha.length
+      val alphaSum = alpha.sum
+      val likelihoodAlpha = logGamma(alphaSum) - alpha.map(logGamma).sum
+      val betaFallback = new java.util.HashMap[Long, Array[Double]]()
+      def fallback(lang: Int, termId: Int): Array[Double] = {
+        val key = (lang.toLong << 32) | (termId.toLong & 0xFFFFFFFFL)
+        var v = betaFallback.get(key)
+        if (v == null) {
+          v = randomElogBeta(k, termId, numTermsPerLang.getOrElse(lang, 1).max(1),
+            seed ^ (lang.toLong << 17))
+          betaFallback.put(key, v)
+        }
+        v
+      }
+
+      val phiAcc = new java.util.HashMap[(Int, Int, Int), java.lang.Double]()
+      def drainPhi(): Vector[PolyEStepRow] = {
+        val b = Vector.newBuilder[PolyEStepRow]
+        phiAcc.forEach { (key, v) =>
+          b += PolyEStepRow(isDoc = false, -1L, null, 0.0, key._1, key._2, key._3, v.doubleValue())
+        }
+        phiAcc.clear()
+        b.result()
+      }
+
+      val docRows = it.flatMap { doc =>
+        val nnz = doc.terms.length
+        val langs = new Array[Int](nnz)
+        val termIds = new Array[Int](nnz)
+        val termCnt = new Array[Int](nnz)
+        val elogbeta = new Array[Array[Double]](nnz)
+        var totalTokens = 0L
+        var j = 0
+        doc.terms.foreach { tb =>
+          langs(j) = tb.lang
+          termIds(j) = tb.termId
+          termCnt(j) = tb.cnt
+          elogbeta(j) = tb.elogbeta.getOrElse(fallback(tb.lang, tb.termId))
+          totalTokens += tb.cnt
+          j += 1
+        }
+
+        val gamma: Array[Double] =
+          doc.gamma match {
+            case Some(g) if g.length == k && !randomStartGamma => g.clone()
+            case _ => Array.tabulate(k)(i => alpha(i) + totalTokens.toDouble / k)
+          }
+        val updateLogGamma = new Array[Double](k)
+        val logPhi = Array.ofDim[Double](nnz, k)
+        var likelihoodPhi = 0.0
+
+        var sweep = 1
+        var continue = true
+        while (continue) {
+          likelihoodPhi = 0.0
+          var i = 0
+          while (i < k) {
+            gamma(i) = digamma(gamma(i))
+            updateLogGamma(i) = math.log(alpha(i))
+            i += 1
+          }
+          var w = 0
+          while (w < nnz) {
+            likelihoodPhi += updatePhiTerm(k, termCnt(w), elogbeta(w),
+              gamma, logPhi(w), updateLogGamma)
+            w += 1
+          }
+          i = 0
+          while (i < k) { gamma(i) = math.exp(updateLogGamma(i)); i += 1 }
+          sweep += 1
+          continue = sweep < localIterations
+        }
+
+        var sumGamma = 0.0
+        var likelihoodGamma = 0.0
+        var i = 0
+        while (i < k) { sumGamma += gamma(i); likelihoodGamma += logGamma(gamma(i)); i += 1 }
+        likelihoodGamma -= logGamma(sumGamma)
+        val docLL = likelihoodAlpha + likelihoodGamma + likelihoodPhi
+
+        if (learning) {
+          var w = 0
+          while (w < nnz) {
+            val lp = logPhi(w)
+            i = 0
+            while (i < k) {
+              val key = (langs(w), i + 1, termIds(w))
+              val prev = phiAcc.get(key)
+              phiAcc.put(key, if (prev eq null) lp(i) else logAdd(prev.doubleValue(), lp(i)))
+              i += 1
+            }
+            w += 1
+          }
+        }
+
+        // rebuild the per-language maps for the doc row (next corpus input)
+        val counts = doc.terms.groupBy(_.lang).map { case (l, ts) =>
+          l -> ts.map(tb => tb.termId -> tb.cnt).toMap
+        }
+        val numTokens = doc.terms.groupBy(_.lang).map { case (l, ts) =>
+          l -> ts.map(_.cnt.toLong).sum
+        }
+
+        val row = PolyEStepRow(isDoc = true, doc.docId, gamma, docLL, -1, -1, -1, 0.0,
+          counts, numTokens, totalTokens)
+        if (phiAcc.size > phiFlushEntries) row +: drainPhi() else Vector(row)
+      }
+
+      val phiRows = new Iterator[PolyEStepRow] {
+        private lazy val inner = drainPhi().iterator
+        def hasNext: Boolean = inner.hasNext
+        def next(): PolyEStepRow = inner.next()
+      }
+      docRows ++ phiRows
+    }
+  }
+}

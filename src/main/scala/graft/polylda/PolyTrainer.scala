@@ -50,7 +50,30 @@ object PolyTrainer {
       checkpointEvery: Int = 1,
       /** Resume from `(dir, iteration)` — the polylda driver's resume path
         * (polylda/VariationalInference.java:396-404). */
-      resumeFrom: Option[(String, Int)] = None)
+      resumeFrom: Option[(String, Int)] = None,
+      /** Σ_l K×V_l threshold above which per-language beta is NOT collected
+        * and broadcast; the shuffle-join E-step (PolyEStepShuffle) runs
+        * instead. The reference loads every language's beta per mapper —
+        * L× the vanilla wall. */
+      betaBroadcastMaxEntries: Long = 4L << 20)
+
+  /** (lang, topic, termId, elogbeta) rows → (lang, termId, elogbeta[K]). */
+  private[polylda] def packBeta(betaRows: DataFrame): DataFrame = {
+    val spark = betaRows.sparkSession
+    import spark.implicits._
+    betaRows.groupBy($"lang", $"termId")
+      .agg(array_sort(collect_list(struct($"topic", $"elogbeta"))).as("te"))
+      .select($"lang", $"termId", transform($"te", x => x.getField("elogbeta")).as("elogbeta"))
+  }
+
+  private def emptyBetaTable(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("lang", IntegerType, nullable = false),
+        StructField("termId", IntegerType, nullable = false),
+        StructField("elogbeta", ArrayType(DoubleType), nullable = true))))
+  }
 
   /** (lang, topic, termId, elogbeta) rows → lang -> termId -> topic array. */
   private def betaRowsToNestedMap(rows: Array[org.apache.spark.sql.Row], k: Int)
@@ -101,16 +124,22 @@ object PolyTrainer {
     import spark.implicits._
     val k = cfg.numTopics
 
+    val totalVocab = numTermsPerLang.values.map(_.toLong).sum
+    val useShuffleEStep = k.toLong * totalVocab > cfg.betaBroadcastMaxEntries
+
     val rng = new java.util.Random(cfg.seed)
     var alpha = Array.fill(k)(rng.nextDouble())
     var beta: Map[Int, scala.collection.Map[Int, Array[Double]]] = Map.empty
+    var betaTable: DataFrame = emptyBetaTable(spark)
     var history = List.empty[Double]
     var startIter = 0
     var corpus = docs.persist(StorageLevel.MEMORY_AND_DISK)
 
     cfg.resumeFrom.foreach { case (dir, i) =>
       alpha = graft.lda.LdaCheckpoint.loadAlpha(spark, dir, i)
-      beta = betaRowsToNestedMap(graft.lda.LdaCheckpoint.loadBeta(spark, dir, i).collect(), k)
+      val betaRows = graft.lda.LdaCheckpoint.loadBeta(spark, dir, i)
+      if (useShuffleEStep) betaTable = packBeta(betaRows).persist(StorageLevel.MEMORY_AND_DISK)
+      else beta = betaRowsToNestedMap(betaRows.collect(), k)
       corpus = graft.lda.LdaCheckpoint.loadGamma(spark, dir, i)
         .select($"docId", $"counts", $"numTokens", $"totalTokens", $"gamma")
         .as[PolyDoc]
@@ -126,12 +155,17 @@ object PolyTrainer {
 
     while (iter < cfg.maxIterations && !converged) {
       val alphaBc = spark.sparkContext.broadcast(alpha)
-      val betaBc = spark.sparkContext.broadcast(beta)
 
-      val estep = PolyEStep.run(corpus, alphaBc, betaBc, numTermsPerLang,
-        localIterations = cfg.localIterations,
-        randomStartGamma = cfg.randomStartGamma,
-        learning = true, seed = cfg.seed)
+      val estep = (if (useShuffleEStep)
+        PolyEStepShuffle.run(corpus, alphaBc, betaTable, numTermsPerLang,
+          localIterations = cfg.localIterations,
+          randomStartGamma = cfg.randomStartGamma,
+          learning = true, seed = cfg.seed)
+      else
+        PolyEStep.run(corpus, alphaBc, spark.sparkContext.broadcast(beta), numTermsPerLang,
+          localIterations = cfg.localIterations,
+          randomStartGamma = cfg.randomStartGamma,
+          learning = true, seed = cfg.seed))
         .persist(StorageLevel.MEMORY_AND_DISK)
 
       val snapIdx = iter + 1
@@ -139,8 +173,14 @@ object PolyTrainer {
         (snapIdx % cfg.checkpointEvery == 0 || snapIdx == cfg.maxIterations)
       val betaRows = mstep(
         estep.filter(!$"isDoc").select($"lang", $"topic", $"termId", $"logphi"))
-      if (doCheckpoint) betaRows.persist(StorageLevel.MEMORY_AND_DISK)
-      beta = betaRowsToNestedMap(betaRows.collect(), k)
+      if (doCheckpoint || useShuffleEStep) betaRows.persist(StorageLevel.MEMORY_AND_DISK)
+      val prevBetaTable = betaTable
+      if (useShuffleEStep) {
+        betaTable = packBeta(betaRows).persist(StorageLevel.MEMORY_AND_DISK)
+        betaTable.count() // materialize before unpersisting the parent
+      } else {
+        beta = betaRowsToNestedMap(betaRows.collect(), k)
+      }
 
       // likelihood + alpha sufficient statistics in one job
       val docSide = estep.filter($"isDoc").toDF()
@@ -183,13 +223,25 @@ object PolyTrainer {
       }
 
       estep.unpersist()
-      if (doCheckpoint) betaRows.unpersist()
+      if (doCheckpoint || useShuffleEStep) betaRows.unpersist()
+      if (useShuffleEStep) prevBetaTable.unpersist()
 
       if (iter > startIter || cfg.resumeFrom.isDefined) {
         if (math.abs((ll - lastLL) / lastLL) <= cfg.convergence) converged = true
       }
       lastLL = ll
       iter += 1
+    }
+
+    // shuffle mode materializes the driver-side map only once at the end
+    if (useShuffleEStep) {
+      val rows = betaTable.select($"lang", $"termId", $"elogbeta")
+        .as[(Int, Int, Seq[Double])].collect()
+      beta = rows.groupBy(_._1).map { case (l, rs) =>
+        val langMap: scala.collection.Map[Int, Array[Double]] =
+          rs.map { case (_, w, arr) => w -> arr.toArray }.toMap
+        l -> langMap
+      }
     }
 
     PolyLdaModel(k, numTermsPerLang, alpha, beta, lastLL, iter, history.reverse)

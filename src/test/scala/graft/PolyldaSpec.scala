@@ -99,6 +99,27 @@ class PolyldaSpec extends SparkSpec {
     assert(assign((0, 1)) != assign((0, 2)))
   }
 
+  test("polylingual shuffle-join E-step matches the broadcast path") {
+    val r = PolyParseCorpus.run(corpus, PolyParseCorpus.Config(numLanguages = 2))
+    val numTerms = r.terms.collect().groupBy(_.lang).map { case (l, ts) => l -> ts.length }
+    val base = PolyTrainer.Config(numTopics = 2, maxIterations = 3, localIterations = 15,
+      seed = 3L, convergence = 0.0)
+    val broadcastM = PolyTrainer.train(r.docs, numTerms, base)
+    val shuffleM = PolyTrainer.train(r.docs, numTerms,
+      base.copy(betaBroadcastMaxEntries = 0L))
+    assert(broadcastM.llHistory.length == shuffleM.llHistory.length)
+    broadcastM.llHistory.zip(shuffleM.llHistory).foreach { case (a, b) =>
+      assert(math.abs((a - b) / a) < 1e-8, s"LL drift between paths: $a vs $b") }
+    assert(broadcastM.beta.keySet == shuffleM.beta.keySet)
+    broadcastM.beta.foreach { case (l, tm) =>
+      assert(tm.keySet == shuffleM.beta(l).keySet)
+      tm.foreach { case (w, arr) =>
+        arr.zip(shuffleM.beta(l)(w)).foreach { case (a, b) =>
+          assert(math.abs(a - b) < 1e-6, s"beta drift lang=$l term=$w: $a vs $b") }
+      }
+    }
+  }
+
   test("polylingual train 2 + resume 2 ≡ train 4 straight") {
     val r = PolyParseCorpus.run(corpus, PolyParseCorpus.Config(numLanguages = 2))
     val numTerms = r.terms.collect().groupBy(_.lang).map { case (l, ts) => l -> ts.length }
