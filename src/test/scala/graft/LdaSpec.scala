@@ -45,6 +45,27 @@ class LdaSpec extends SparkSpec {
       == Set("fruit", "metal"), s"topics not separated: $byTopic")
   }
 
+  test("informed prior steers seeded words into their assigned topics") {
+    import org.apache.spark.sql.functions.{col => c}
+    val parsed = ParseCorpus.run(corpus)
+    // seed topic 1 with a fruit word and topic 2 with a metal word: the
+    // eta boost (log 1000 vs log 0.001 — reference InformedPrior.java:43-44)
+    // must anchor each cluster to its seeded topic index
+    val seeds = Seq((1, "apple"), (2, "iron")).toDF("topic", "term")
+    val prior = graft.lda.InformedPrior.compile(seeds, parsed.terms)
+    val model = Trainer.train(parsed.docs, parsed.stats.numTerms.toInt,
+      Trainer.Config(numTopics = 2, maxIterations = 10, localIterations = 30,
+        seed = 42L, prior = Some(prior)))
+    val top = Display.topTermsPerTopic(
+      Display.betaToDF(spark, model), parsed.terms, k = 3).collect()
+    // the log(1000) eta boost guarantees the seeded word dominates its
+    // topic's beta; full cluster purity is not guaranteed on 10 docs
+    val rank1 = top.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Int]("topic") -> r.getAs[String]("term")).toMap
+    assert(rank1(1) == "apple", s"topic 1 top term: $rank1")
+    assert(rank1(2) == "iron", s"topic 2 top term: $rank1")
+  }
+
   test("training is deterministic under a fixed seed") {
     val parsed = ParseCorpus.run(corpus)
     def run() = Trainer.train(parsed.docs, parsed.stats.numTerms.toInt,
