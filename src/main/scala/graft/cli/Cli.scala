@@ -72,6 +72,10 @@ object ParseCorpusCli {
     val output = a("output")
     val langs = a.getOrElse("languages", "1").toInt
     if (langs > 1) {
+      // reject flags the polylingual pipeline does not implement rather than
+      // silently producing a different corpus
+      Seq("stopwords", "analyzer").foreach(f =>
+        require(!a.contains(f), s"--$f is not supported with --languages > 1"))
       import graft.polylda.PolyParseCorpus
       val r = PolyParseCorpus.fromRawLines(spark, input, PolyParseCorpus.Config(
         numLanguages = langs,
@@ -115,6 +119,8 @@ object TrainCli {
     val output = a("output")
     val langs = a.getOrElse("languages", "1").toInt
     if (langs > 1) {
+      Seq("informed-prior", "symmetric-alpha").foreach(f =>
+        require(!a.contains(f), s"--$f is not supported with --languages > 1"))
       import graft.polylda.{PolyTrainer}
       import graft.model.{PolyDoc, PolyTermEntry}
       val docs = spark.read.parquet(s"$corpusDir/document").as[PolyDoc]
@@ -133,10 +139,9 @@ object TrainCli {
     } else {
       val docs = spark.read.parquet(s"$corpusDir/document").as[Doc]
       val numTerms = spark.read.parquet(s"$corpusDir/term").agg(max($"termId")).as[Int].head()
-      val prior = a.get("informed-prior").map { f =>
-        val terms = spark.read.parquet(s"$corpusDir/term").as[TermEntry]
-        InformedPrior.compile(spark.read.parquet(f), terms)
-      }
+      // the prior dir holds InformedPriorCli's output, i.e. ALREADY-compiled
+      // (topic, termId) rows — pass them straight through
+      val prior = a.get("informed-prior").map(f => spark.read.parquet(f))
       val m = Trainer.train(docs, numTerms, Trainer.Config(
         numTopics = a("topics").toInt,
         maxIterations = a.getOrElse("iterations", "30").toInt,

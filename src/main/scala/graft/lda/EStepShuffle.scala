@@ -41,8 +41,15 @@ object EStepShuffle {
     import spark.implicits._
     import org.apache.spark.sql.functions._
 
+    // explode_outer + sentinel keeps documents with EMPTY counts in the
+    // pipeline (a plain explode would silently drop them from gamma/LL,
+    // diverging from the broadcast path); term ids are 1-based so -1 is free
     val exploded = docs.toDF()
-      .select($"docId", $"numTokens", $"gamma", explode($"counts").as(Seq("termId", "cnt")))
+      .select($"docId", $"numTokens", $"gamma",
+        explode_outer($"counts").as(Seq("termId", "cnt")))
+      .select($"docId", $"numTokens", $"gamma",
+        coalesce($"termId", lit(-1)).as("termId"),
+        coalesce($"cnt", lit(0)).as("cnt"))
     // left join: unseen terms fall back to the seeded random init in the kernel
     val grouped = exploded
       .join(beta.select($"termId", $"elogbeta"), Seq("termId"), "left")
@@ -71,12 +78,13 @@ object EStepShuffle {
       }
 
       val docRows = it.flatMap { doc =>
-        val nnz = doc.terms.length
+        val realTerms = doc.terms.filter(_.termId >= 0) // drop the empty-doc sentinel
+        val nnz = realTerms.length
         val termIds = new Array[Int](nnz)
         val termCnt = new Array[Int](nnz)
         val elogbeta = new Array[Array[Double]](nnz)
         var j = 0
-        doc.terms.foreach { tb =>
+        realTerms.foreach { tb =>
           termIds(j) = tb.termId
           termCnt(j) = tb.cnt
           elogbeta(j) = tb.elogbeta.getOrElse {
@@ -144,7 +152,7 @@ object EStepShuffle {
         }
 
         val row = EStepRow(isDoc = true, doc.docId, gamma, docLL, -1, -1, 0.0,
-          doc.terms.map(tb => tb.termId -> tb.cnt).toMap, doc.numTokens)
+          realTerms.map(tb => tb.termId -> tb.cnt).toMap, doc.numTokens)
         if (phiAcc.size > phiFlushEntries) row +: drainPhi() else Vector(row)
       }
 

@@ -56,9 +56,22 @@ object MStep {
 
   /** Alpha sufficient statistics ss_k = Σ_d ψ(γ_dk) − ψ(Σ_k γ_dk) from the
     * E-step's gamma rows (reference computes this in-mapper,
-    * DocumentMapper.java:256-258; here it is a small declarative agg). */
-  def alphaSufficientStatistics(gammaDocs: DataFrame, numTopics: Int): Array[Double] =
-    llAndAlphaStats(gammaDocs, numTopics)._2
+    * DocumentMapper.java:256-258; here it is a small declarative agg).
+    * Needs only a `gamma` column — trainers use `llAndAlphaStats` to fold
+    * the log-likelihood into the same job. */
+  def alphaSufficientStatistics(gammaDocs: DataFrame, numTopics: Int): Array[Double] = {
+    val spark = gammaDocs.sparkSession
+    import spark.implicits._
+    val rows = gammaDocs
+      .select(posexplode($"gamma").as(Seq("k", "g")),
+        aggregate($"gamma", lit(0.0), (acc, x) => acc + x).as("gsum"))
+      .groupBy($"k")
+      .agg(sum(digamma($"g") - digamma($"gsum")).as("ss"))
+      .collect()
+    val ss = new Array[Double](numTopics)
+    rows.foreach(r => ss(r.getAs[Int]("k")) = r.getAs[Double]("ss"))
+    ss
+  }
 
   /** One job over the E-step doc side producing BOTH the corpus
     * log-likelihood and the per-topic alpha sufficient statistics: the ll

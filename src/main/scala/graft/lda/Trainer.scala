@@ -173,12 +173,19 @@ object Trainer {
       }
       history = ll :: history
 
+      // convergence decided HERE so an early-converging run still snapshots
+      // its final state (doCheckpoint alone would skip it when
+      // checkpointEvery > 1 and the converged iteration isn't a multiple)
+      val willConverge = (iter > startIter || cfg.resumeFrom.isDefined) &&
+        math.abs((ll - lastLL) / lastLL) <= cfg.convergence
+      val doSnapshot = doCheckpoint || (cfg.checkpointDir.isDefined && willConverge)
+
       // gamma-<i> holds the FULL gamma-annotated corpus — exactly the
       // reference's layout, where the gamma output dir IS the next
       // iteration's document input (VariationalInference.java:358-379).
-      // snapIdx/doCheckpoint computed above (1-based: iteration i produces
-      // snapshot i+1, matching the reference's alpha-(i+1)).
-      if (doCheckpoint) {
+      // snapIdx computed above (1-based: iteration i produces snapshot i+1,
+      // matching the reference's alpha-(i+1)).
+      if (doSnapshot) {
         val dir = cfg.checkpointDir.get
         LdaCheckpoint.saveAlpha(spark, dir, snapIdx, alpha)
         LdaCheckpoint.saveBeta(betaRows, dir, snapIdx)
@@ -196,7 +203,7 @@ object Trainer {
       // localCheckpoint otherwise (fast).
       if (!cfg.randomStartGamma) {
         val nextCorpus =
-          if (doCheckpoint) {
+          if (doSnapshot) {
             LdaCheckpoint.loadGamma(spark, cfg.checkpointDir.get, snapIdx)
               .select($"docId", $"counts", $"numTokens", $"gamma")
               .as[Doc]
@@ -215,10 +222,7 @@ object Trainer {
       if (cacheBetaRows) betaRows.unpersist()
       if (useShuffleEStep) prevBetaTable.unpersist()
 
-      if (iter > startIter || cfg.resumeFrom.isDefined) {
-        val rel = math.abs((ll - lastLL) / lastLL)
-        if (rel <= cfg.convergence) converged = true
-      }
+      converged = willConverge
       lastLL = ll
       iter += 1
     }

@@ -69,9 +69,13 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
 
+    // cached: the shingle scan feeds the signature aggregation AND both
+    // sides of the verification join — without the cache the full
+    // tokenize+shingle projection would run three times
     val base = df.select(col(idCol).cast("long").as("id"),
         shingles(col(textCol), shingleSize).as("sh"))
       .filter(size($"sh") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // signature via aggregation: each shingle hashed exactly numHashes times,
     // partial min on the map side makes the shuffle one 32-long row per doc.

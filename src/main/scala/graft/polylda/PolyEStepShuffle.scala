@@ -38,10 +38,16 @@ object PolyEStepShuffle {
     import spark.implicits._
     import org.apache.spark.sql.functions._
 
+    // explode_outer + sentinels keep documents with empty maps in the
+    // pipeline (same divergence guard as the vanilla shuffle E-step)
     val exploded = docs.toDF()
-      .select($"docId", $"gamma", explode($"counts").as(Seq("lang", "langCounts")))
+      .select($"docId", $"gamma", explode_outer($"counts").as(Seq("lang", "langCounts")))
       .select($"docId", $"gamma", $"lang",
-        explode($"langCounts").as(Seq("termId", "cnt")))
+        explode_outer($"langCounts").as(Seq("termId", "cnt")))
+      .select($"docId", $"gamma",
+        coalesce($"lang", lit(-1)).as("lang"),
+        coalesce($"termId", lit(-1)).as("termId"),
+        coalesce($"cnt", lit(0)).as("cnt"))
     val grouped = exploded
       .join(beta.select($"lang", $"termId", $"elogbeta"), Seq("lang", "termId"), "left")
       .groupBy($"docId", $"gamma")
@@ -76,14 +82,15 @@ object PolyEStepShuffle {
       }
 
       val docRows = it.flatMap { doc =>
-        val nnz = doc.terms.length
+        val realTerms = doc.terms.filter(tb => tb.lang >= 0 && tb.termId >= 0)
+        val nnz = realTerms.length
         val langs = new Array[Int](nnz)
         val termIds = new Array[Int](nnz)
         val termCnt = new Array[Int](nnz)
         val elogbeta = new Array[Array[Double]](nnz)
         var totalTokens = 0L
         var j = 0
-        doc.terms.foreach { tb =>
+        realTerms.foreach { tb =>
           langs(j) = tb.lang
           termIds(j) = tb.termId
           termCnt(j) = tb.cnt
@@ -146,10 +153,10 @@ object PolyEStepShuffle {
         }
 
         // rebuild the per-language maps for the doc row (next corpus input)
-        val counts = doc.terms.groupBy(_.lang).map { case (l, ts) =>
+        val counts = realTerms.groupBy(_.lang).map { case (l, ts) =>
           l -> ts.map(tb => tb.termId -> tb.cnt).toMap
         }
-        val numTokens = doc.terms.groupBy(_.lang).map { case (l, ts) =>
+        val numTokens = realTerms.groupBy(_.lang).map { case (l, ts) =>
           l -> ts.map(_.cnt.toLong).sum
         }
 

@@ -88,9 +88,20 @@ object PolyParseCorpus {
     val termAgg = tokens.groupBy($"lang", $"term")
       .agg(count(lit(1)).as("df"), sum($"cnt").as("tf"))
 
-    val lo = cfg.minDfFraction * numDocsTotal
-    val hi = cfg.maxDfFraction * numDocsTotal
-    val banded = termAgg.filter($"df" >= lo && $"df" <= hi)
+    // df band thresholds are PER LANGUAGE — fractions of that language's
+    // document count, not the corpus total (reference computes
+    // minimumDocumentCount per languageIndex from TOTAL_DOCS_IN_LANGUAGE,
+    // polylda/ParseCorpus.java:242-245). Skipped entirely at the default
+    // full-width band.
+    val banding = cfg.minDfFraction > 0.0 || cfg.maxDfFraction < 1.0
+    val banded = if (banding) {
+      val thresholds = docsPerLanguage.toSeq.map { case (l, n) =>
+        (l, cfg.minDfFraction * n, cfg.maxDfFraction * n)
+      }.toDF("lang", "lo", "hi")
+      termAgg.join(broadcast(thresholds), "lang")
+        .filter($"df" >= $"lo" && $"df" <= $"hi")
+        .drop("lo", "hi")
+    } else termAgg
 
     // O3: per-language dense 1-based ranking by (df desc, tf desc, term asc)
     // via ONE global sort keyed language-first + per-language offset — scales

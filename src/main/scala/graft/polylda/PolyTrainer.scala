@@ -190,10 +190,16 @@ object PolyTrainer {
       }
       history = ll :: history
 
+      // convergence decided here so an early-converging run still snapshots
+      // its final state (see Trainer)
+      val willConverge = (iter > startIter || cfg.resumeFrom.isDefined) &&
+        math.abs((ll - lastLL) / lastLL) <= cfg.convergence
+      val doSnapshot = doCheckpoint || (cfg.checkpointDir.isDefined && willConverge)
+
       // snapshots share the vanilla layout; beta-<i> keeps its lang column
       // (the reference writes one beta_lang<l>-<i> file per language —
       // here one partitionable table)
-      if (doCheckpoint) {
+      if (doSnapshot) {
         val dir = cfg.checkpointDir.get
         graft.lda.LdaCheckpoint.saveAlpha(spark, dir, snapIdx, alpha)
         betaRows.select($"lang", $"topic", $"termId", $"elogbeta")
@@ -207,7 +213,7 @@ object PolyTrainer {
       // doc side carries the full document — next corpus is a projection
       if (!cfg.randomStartGamma) {
         val nextCorpus =
-          if (doCheckpoint) {
+          if (doSnapshot) {
             graft.lda.LdaCheckpoint.loadGamma(spark, cfg.checkpointDir.get, snapIdx)
               .select($"docId", $"counts", $"numTokens", $"totalTokens", $"gamma")
               .as[PolyDoc]
@@ -226,9 +232,7 @@ object PolyTrainer {
       if (doCheckpoint || useShuffleEStep) betaRows.unpersist()
       if (useShuffleEStep) prevBetaTable.unpersist()
 
-      if (iter > startIter || cfg.resumeFrom.isDefined) {
-        if (math.abs((ll - lastLL) / lastLL) <= cfg.convergence) converged = true
-      }
+      converged = willConverge
       lastLL = ll
       iter += 1
     }

@@ -45,7 +45,9 @@ object EventsStream {
     * per-call temp directory symlink. */
   private def streamableEventsDir(dir: String): String = {
     import java.nio.file.{Files, Paths}
-    val src = Paths.get(dir, "events.parquet")
+    // absolute path: a relative symlink target would resolve against the
+    // temp dir and dangle (createSymbolicLink does not validate the target)
+    val src = Paths.get(dir, "events.parquet").toAbsolutePath
     val tmp = Files.createTempDirectory("graft_events_stream_")
     tmp.toFile.deleteOnExit()
     val link = tmp.resolve("events.parquet")

@@ -62,6 +62,34 @@ class TrainerPathsSpec extends SparkSpec {
       assert(math.abs((a - b) / a) < 1e-6, s"alpha drift after resume: $a vs $b") }
   }
 
+  test("shuffle E-step keeps empty-count documents (parity with broadcast)") {
+    import graft.model.Doc
+    val parsed = ParseCorpus.run(corpus)
+    val withEmpty = (parsed.docs.collect().toSeq :+ Doc(99L, Map.empty, 0L, None)).toDS()
+    val base = Trainer.Config(numTopics = 2, maxIterations = 2, localIterations = 10,
+      seed = 42L, convergence = 0.0)
+    val b = Trainer.train(withEmpty, parsed.stats.numTerms.toInt, base)
+    val s = Trainer.train(withEmpty, parsed.stats.numTerms.toInt,
+      base.copy(betaBroadcastMaxEntries = 0L))
+    b.llHistory.zip(s.llHistory).foreach { case (x, y) =>
+      assert(math.abs((x - y) / x) < 1e-8, s"LL drift with empty doc: $x vs $y") }
+  }
+
+  test("early convergence still writes a final snapshot (checkpointEvery > 1)") {
+    val parsed = ParseCorpus.run(corpus)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_early_").toString
+    // convergence=1.0 stops at the first comparable iteration (iteration 2),
+    // which is NOT a multiple of checkpointEvery=5
+    val m = Trainer.train(parsed.docs, parsed.stats.numTerms.toInt,
+      Trainer.Config(numTopics = 2, maxIterations = 30, localIterations = 10,
+        seed = 42L, convergence = 1.0,
+        checkpointDir = Some(dir), checkpointEvery = 5))
+    assert(m.iterations < 30)
+    assert(new java.io.File(s"$dir/alpha-${m.iterations}").exists(),
+      s"final snapshot alpha-${m.iterations} missing")
+    assert(new java.io.File(s"$dir/gamma-${m.iterations}").exists())
+  }
+
   test("randomStartGamma re-initializes gamma every iteration (no warm start)") {
     val parsed = ParseCorpus.run(corpus)
     val cfg = Trainer.Config(numTopics = 2, maxIterations = 3, localIterations = 10,
