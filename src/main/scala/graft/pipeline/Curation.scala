@@ -1,0 +1,200 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Corpus-curation operators a large-scale training-data pipeline needs on
+ * top of pairwise dedup: duplicate-cluster assignment (connected
+ * components), Gopher/C4-style quality filtering, PII redaction, and
+ * deterministic (stratified) sampling.
+ *
+ * Scale posture: everything except `connectedComponents` is a single
+ * codegen'd projection/filter (no shuffle, no UDF) so it pushes down and
+ * pipelines with the scan. `connectedComponents` is the one iterative
+ * operator; it shuffles only the (tiny, relative to the corpus) edge list.
+ */
+object Curation {
+
+  /**
+   * Connected components over an undirected edge list via min-label
+   * propagation: every node repeatedly takes the minimum label in its
+   * closed neighborhood until a fixed point. Returns (id, cluster) where
+   * cluster is the smallest node id reachable from id.
+   *
+   * Scale: converges in O(component diameter) join+agg rounds. Near-dup
+   * graphs are dense bundles of mutually-similar docs (diameter ≤ ~3), so
+   * this beats the constant-factor overhead of large-star/small-star for
+   * the dedup use case; each round shuffles only the edge list, never the
+   * corpus. Labels are truncated (`localCheckpoint`) per round so the plan
+   * does not grow with the iteration count.
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIterations: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("d"))
+      .union(pairs.select(col(bCol).cast("long").as("s"), col(aCol).cast("long").as("d")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = edges.select($"s".as("id")).distinct()
+      .select($"id", $"id".as("cluster"))
+      .localCheckpoint()
+    // labels only ever decrease, so Σ(cluster) strictly decreases while
+    // anything changes — one scalar action per round decides convergence
+    var checksum = labels.agg(sum($"cluster")).as[Long].head()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val prev = labels
+      labels = edges.join(labels.withColumnRenamed("id", "d"), "d")
+        .select($"s".as("id"), $"cluster")
+        .union(prev)
+        .groupBy($"id").agg(min($"cluster").as("cluster"))
+        .localCheckpoint()
+      val next = labels.agg(sum($"cluster")).as[Long].head()
+      converged = next == checksum
+      checksum = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /**
+   * Duplicate-cluster assignment: label every document with the smallest
+   * doc id in its near-duplicate component (`pairs` from any of the Dedup
+   * pair generators); docs in no pair are their own singleton cluster.
+   * `keep` marks the cluster representative — filtering on it materializes
+   * the keep-one-per-cluster policy transitively (unlike
+   * `Dedup.applyKeepSmallest`, which only drops direct pair members).
+   */
+  def dedupClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"))
+      .join(connectedComponents(pairs), Seq("id"), "left")
+      .select($"id",
+        coalesce($"cluster", $"id").as("cluster"),
+        ($"id" === coalesce($"cluster", $"id")).as("keep"))
+  }
+
+  /** Gopher/C4-style quality-rule thresholds (Rae et al. 2021 §A1.1,
+    * Raffel et al. 2020 §2.2 — public heuristics, re-tuned for the
+    * fixture's short synthetic docs). */
+  case class QualityRules(
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaWordRatio: Double = 0.8,
+      minStopwordHits: Int = 2,
+      maxDupUnigramRatio: Double = 0.6,
+      maxTopBigramRatio: Double = 0.18)
+
+  /**
+   * Per-document quality-rule flags + overall `keep`, all as one codegen'd
+   * projection (no shuffle — the repetition rules run over the in-row token
+   * array, so the filter pipelines with the scan at 100 TB).
+   *
+   * Rules (one boolean column each): word count band, mean word length
+   * band, symbol ratio cap, alphabetic-word floor, distinct-stopword floor,
+   * duplicate-unigram cap, top-bigram-fraction cap.
+   */
+  def qualityFlags(df: DataFrame, textCol: String,
+      rules: QualityRules = QualityRules()): DataFrame = {
+    val toks = TextAnalysis.wsTokens(lower(col(textCol)))
+    val nWords = size(toks)
+    val meanLen = length(regexp_replace(col(textCol), " ", "")).cast("double") /
+      greatest(nWords, lit(1))
+    val symbolRatio = size(regexp_extract_all(col(textCol), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+      .cast("double") / greatest(length(col(textCol)), lit(1))
+    val alphaWordRatio = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") /
+      greatest(nWords, lit(1))
+    val stopwordHits = size(array_intersect(array_distinct(toks),
+      typedLit(TextAnalysis.EnStopwords)))
+    val dupUnigramRatio = lit(1.0) - size(array_distinct(toks)).cast("double") /
+      greatest(nWords, lit(1))
+    // top-bigram fraction without a shuffle: sort the in-row bigram array,
+    // longest equal run = the modal bigram's count (O(n log n) per doc,
+    // stays inside whole-stage codegen)
+    val bigrams = when(nWords >= 2,
+      array_sort(transform(sequence(lit(0), nWords - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2))))))
+      .otherwise(array().cast("array<string>"))
+    val topBigramCount = aggregate(bigrams,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val topBigramRatio = topBigramCount.cast("double") / greatest(size(bigrams), lit(1))
+
+    val flags = Seq(
+      "rule_word_count" -> nWords.between(rules.minWords, rules.maxWords),
+      "rule_mean_word_len" -> round(meanLen, 4).between(rules.minMeanWordLen, rules.maxMeanWordLen),
+      "rule_symbol_ratio" -> (round(symbolRatio, 4) <= rules.maxSymbolRatio),
+      "rule_alpha_words" -> (round(alphaWordRatio, 4) >= rules.minAlphaWordRatio),
+      "rule_stopwords" -> (stopwordHits >= rules.minStopwordHits),
+      "rule_dup_unigrams" -> (round(dupUnigramRatio, 4) <= rules.maxDupUnigramRatio),
+      "rule_top_bigram" -> (round(topBigramRatio, 4) <= rules.maxTopBigramRatio))
+    val out = flags.foldLeft(df) { case (acc, (name, c)) => acc.withColumn(name, c) }
+    out.withColumn("keep", flags.map(f => col(f._1)).reduce(_ && _))
+  }
+
+  /** PII patterns shared by redaction and the DuckDB oracle: Java regex ∩
+    * RE2 syntax only (no lookaround, no \b — RE2 lacks them). Order
+    * matters: emails contain dots that the IP pattern must not see. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>",
+    "\\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ]?[0-9]{4}" -> "<PHONE>")
+
+  /** Redact emails / IPv4s / phone numbers, returning the scrubbed text and
+    * the redaction count. Pure `regexp_replace` chain — codegen'd, no UDF. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val nRedactions = PiiPatterns.map { case (p, _) =>
+      size(regexp_extract_all(col(textCol), lit(p), lit(0)))
+    }.reduce(_ + _)
+    val redacted = PiiPatterns.foldLeft(col(textCol)) { case (c, (p, repl)) =>
+      regexp_replace(c, p, repl)
+    }
+    df.withColumn("n_redactions", nRedactions)
+      .withColumn("redacted", redacted)
+  }
+
+  /** 8-hex-digit keep boundary for a sampling rate over the md5 space:
+    * a key survives iff its first 8 md5 hex digits compare below this
+    * string. Fixed-width lowercase hex makes the lexicographic comparison
+    * identical across engines (Spark, DuckDB, anything with md5). */
+  def hexBoundary(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")
+    if (rate >= 1.0) "g" // sorts above every hex digit → keep all
+    else f"${(rate * (1L << 32)).toLong}%08x"
+  }
+
+  /** Deterministic sample: keep iff md5(salt ‖ key) falls below the rate
+    * boundary. Reproducible across runs, engines, and partitionings —
+    * unlike `df.sample`, whose output depends on partition layout. */
+  def deterministicSample(df: DataFrame, keyCol: String, rate: Double,
+      salt: String = "graft"): DataFrame =
+    df.filter(substring(md5(concat(lit(salt), col(keyCol).cast("string"))), 1, 8)
+      < lit(hexBoundary(rate)))
+
+  /** Per-stratum deterministic sampling (training-mix construction): each
+    * stratum value gets its own rate; unlisted strata get `defaultRate`.
+    * Same md5 mechanics as `deterministicSample`, one codegen'd filter. */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      salt: String = "graft"): DataFrame = {
+    val boundary = rates.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (stratum, rate)) =>
+        acc.when(col(strataCol) === stratum, lit(hexBoundary(rate)))
+    }.otherwise(lit(hexBoundary(defaultRate)))
+    df.filter(substring(md5(concat(lit(salt), col(keyCol).cast("string"))), 1, 8) < boundary)
+  }
+}

@@ -1,0 +1,179 @@
+package graft.queries
+
+import graft.pipeline.{Curation, Dedup}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation operators as declared queries over the `documents` test
+ * table: duplicate-cluster assignment (connected components over near-dup
+ * pairs), Gopher/C4-style quality filtering, PII redaction, and
+ * deterministic (stratified) sampling. Every query here has an exact DuckDB
+ * oracle — the cluster one leans on a recursive CTE, the sampling ones on
+ * md5's cross-engine portability.
+ */
+object CurationQueries {
+
+  import Registry.t
+
+  /** the ngram-Jaccard pair CTEs shared by the cluster oracle (identical to
+    * q_dedup_ngram_jaccard's oracle, kept in one place) */
+  private val NgramPairsCtes =
+    """tok AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok,
+      |         generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) AS i
+      |  FROM documents),
+      |allgrams AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS g
+      |    FROM tok) WHERE g IS NOT NULL),
+      |gdf AS (SELECT g, count(*) AS gcnt FROM allgrams GROUP BY g),
+      |grams AS (
+      |  SELECT allgrams.doc_id, allgrams.g FROM allgrams
+      |  JOIN gdf ON allgrams.g = gdf.g WHERE gdf.gcnt <= 100),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) >= 0.5)""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // near-dup pairs → connected components → transitive keep-one policy;
+    // the oracle closes the same edge list with a recursive CTE
+    "q_dedup_clusters" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2,
+          threshold = 0.5, maxGramDf = 100L)
+        Curation.dedupClusters(docs, "doc_id", pairs)
+          .select($"id".as("doc_id"), $"cluster", $"keep")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE $NgramPairsCtes,
+             |edges AS (
+             |  SELECT id_a AS s, id_b AS d FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT s, s FROM edges
+             |  UNION SELECT e.d, reach.r FROM edges e JOIN reach ON reach.id = e.s),
+             |cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+             |SELECT doc_id, coalesce(cc.cluster, doc_id) AS cluster,
+             |       doc_id = coalesce(cc.cluster, doc_id) AS keep
+             |FROM documents LEFT JOIN cc ON doc_id = cc.id
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Gopher/C4-style rule flags, thresholds tuned so the fixture exercises
+    // both outcomes of every data-dependent rule
+    "q_quality_filter" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Curation.qualityFlags(t(s, dir, "documents"), "text",
+          Curation.QualityRules(minWords = 20, maxWords = 5000,
+            minMeanWordLen = 3.0, maxMeanWordLen = 10.0, maxSymbolRatio = 0.1,
+            minAlphaWordRatio = 0.8, minStopwordHits = 2,
+            maxDupUnigramRatio = 0.6, maxTopBigramRatio = 0.1))
+          .select($"doc_id", $"rule_word_count", $"rule_stopwords",
+            $"rule_dup_unigrams", $"rule_top_bigram", $"keep")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, text,
+             |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+             |  FROM documents),
+             |bg AS (
+             |  SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS g
+             |  FROM (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i FROM toks)
+             |  QUALIFY g IS NOT NULL),
+             |bgtop AS (
+             |  SELECT doc_id, max(c) AS top, sum(c) AS nbg FROM (
+             |    SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY doc_id),
+             |f AS (
+             |  SELECT t.doc_id,
+             |    len(tk) AS n_words,
+             |    round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / greatest(len(tk), 1), 4) AS mean_len,
+             |    round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
+             |      / greatest(length(text), 1), 4) AS sym_ratio,
+             |    round(CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+             |      / greatest(len(tk), 1), 4) AS alpha_ratio,
+             |    len(list_intersect(list_distinct(tk),
+             |      ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by'])) AS stop_hits,
+             |    round(1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / greatest(len(tk), 1), 4) AS dup_uni,
+             |    round(CAST(coalesce(bgtop.top, 0) AS DOUBLE) / greatest(coalesce(bgtop.nbg, 1), 1), 4) AS top_bg
+             |  FROM toks t LEFT JOIN bgtop ON t.doc_id = bgtop.doc_id)
+             |SELECT doc_id,
+             |  n_words BETWEEN 20 AND 5000 AS rule_word_count,
+             |  stop_hits >= 2 AS rule_stopwords,
+             |  dup_uni <= 0.6 AS rule_dup_unigrams,
+             |  top_bg <= 0.1 AS rule_top_bigram,
+             |  (n_words BETWEEN 20 AND 5000) AND (mean_len BETWEEN 3.0 AND 10.0)
+             |    AND sym_ratio <= 0.1 AND alpha_ratio >= 0.8 AND stop_hits >= 2
+             |    AND dup_uni <= 0.6 AND top_bg <= 0.1 AS keep
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // PII is planted deterministically on doc_id % 5 = 0 (the synthetic
+    // corpus has none), then redacted; the oracle mirrors plant + redact
+    "q_pii_redaction" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val planted = t(s, dir, "documents")
+          .withColumn("text", when($"doc_id" % 5 === 0,
+            concat($"text", format_string(
+              " contact user%d@example.org ip 10.0.%d.%d tel +1 555-123-4567",
+              $"doc_id", $"doc_id" % 256, $"doc_id" % 100)))
+            .otherwise($"text"))
+        Curation.redactPii(planted, "text")
+          .select($"doc_id", $"n_redactions", $"redacted")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0 THEN text ||
+             |      printf(' contact user%d@example.org ip 10.0.%d.%d tel +1 555-123-4567',
+             |             doc_id, doc_id % 256, doc_id % 100)
+             |    ELSE text END AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             |    + len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}'))
+             |    + len(regexp_extract_all(text, '\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ]?[0-9]{4}')) AS INT)
+             |    AS n_redactions,
+             |  regexp_replace(regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+             |    '\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ]?[0-9]{4}', '<PHONE>', 'g') AS redacted
+             |FROM planted ORDER BY doc_id""".stripMargin)),
+
+    // md5-keyed deterministic sample at rate 0.3 — reproducible across
+    // engines/partitionings, which is exactly what the oracle verifies
+    "q_sample_deterministic" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Curation.deterministicSample(t(s, dir, "documents"), "doc_id", rate = 0.3)
+          .select($"doc_id").orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id FROM documents
+             |WHERE substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) < '4ccccccc'
+             |ORDER BY doc_id""".stripMargin)),
+
+    // per-language training-mix rates; unlisted languages get the default
+    "q_sample_stratified" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Curation.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+          rates = Map("en" -> 0.5, "zh" -> 0.2, "de" -> 0.25), defaultRate = 0.35)
+          .groupBy($"lang").agg(count(lit(1)).as("n_kept"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, count(*) AS n_kept FROM documents
+             |WHERE substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) <
+             |  CASE lang WHEN 'en' THEN '80000000' WHEN 'zh' THEN '33333333'
+             |            WHEN 'de' THEN '40000000' ELSE '59999999' END
+             |GROUP BY lang ORDER BY lang""".stripMargin)))
+}

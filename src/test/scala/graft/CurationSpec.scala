@@ -1,0 +1,86 @@
+package graft
+
+import graft.pipeline.Curation
+import org.apache.spark.sql.functions._
+
+/** Curation-operator validation: transitive cluster closure, quality-rule
+  * edge cases, PII redaction, and sampling determinism/rate accuracy. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components closes chains transitively") {
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 10-11,
+    // and an isolated edge 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val cc = Curation.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedupClusters keeps one representative per component, singletons survive") {
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Curation.dedupClusters(docs, "doc_id", pairs)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cluster"), r.getAs[Boolean]("keep")))
+    assert(out.toSet == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true), (6L, 5L, false)))
+  }
+
+  test("quality flags catch repetition, missing stopwords, and short docs") {
+    val good = "the quick brown fox jumps over a lazy dog and then runs " +
+      "far away to find some tasty food for its hungry little pups today"
+    val repetitive = ("spam ham " * 30).trim // one bigram dominates
+    val noStop = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val short = "too short"
+    val df = Seq((1L, good), (2L, repetitive), (3L, noStop), (4L, short))
+      .toDF("doc_id", "text")
+    val rules = Curation.QualityRules(minWords = 10, minStopwordHits = 2,
+      maxDupUnigramRatio = 0.6, maxTopBigramRatio = 0.2)
+    val out = Curation.qualityFlags(df, "text", rules).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("keep"), r.getAs[Boolean]("rule_word_count"),
+          r.getAs[Boolean]("rule_top_bigram"), r.getAs[Boolean]("rule_stopwords"))).toMap
+    assert(out(1L)._1, "clean doc should pass")
+    assert(!out(2L)._1 && !out(2L)._3, "repetitive doc should fail the top-bigram rule")
+    assert(!out(3L)._1 && !out(3L)._4, "stopword-free doc should fail the stopword rule")
+    assert(!out(4L)._1 && !out(4L)._2, "short doc should fail the word-count rule")
+  }
+
+  test("PII redaction scrubs emails, IPs, and phone numbers") {
+    val df = Seq(
+      (1L, "reach me at jane.doe+spam@mail.example.co.uk or 192.168.1.100 or +1 555-867-5309"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val out = Curation.redactPii(df, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_redactions"), r.getAs[String]("redacted"))).toMap
+    assert(out(1L)._1 == 3)
+    assert(out(1L)._2 == "reach me at <EMAIL> or <IP> or <PHONE>")
+    assert(out(2L) == (0, "no pii here at all"))
+  }
+
+  test("deterministic sampling is reproducible and hits the target rate") {
+    val df = (0L until 10000L).toDF("id")
+    val a = Curation.deterministicSample(df, "id", 0.3).collect().map(_.getLong(0)).toSet
+    val b = Curation.deterministicSample(df.repartition(7), "id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample must not depend on partitioning")
+    assert(math.abs(a.size / 10000.0 - 0.3) < 0.02, s"rate off: ${a.size}")
+    // rate 1.0 keeps everything (boundary special case)
+    assert(Curation.deterministicSample(df, "id", 1.0).count() == 10000L)
+  }
+
+  test("stratified sampling applies per-stratum rates") {
+    val df = (0L until 6000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("id", "lang")
+    val kept = Curation.stratifiedSample(df, "id", "lang",
+        rates = Map("en" -> 0.5, "zh" -> 0.1))
+      .groupBy($"lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    assert(math.abs(kept("en") / 3000.0 - 0.5) < 0.05, s"en: ${kept("en")}")
+    assert(math.abs(kept("zh") / 3000.0 - 0.1) < 0.05, s"zh: ${kept("zh")}")
+  }
+}
