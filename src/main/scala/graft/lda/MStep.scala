@@ -54,6 +54,90 @@ object MStep {
         (digamma(exp($"loglambda")) - digamma(exp($"lognorm"))).as("elogbeta"))
   }
 
+  /**
+   * Broadcast-mode fused per-iteration reduce: the phi side's necessary
+   * cross-partition fold to (topic, termId, λ) and the doc side's ll/alpha
+   * statistics run as two branches of ONE union — a single action per EM
+   * iteration where the unfused trainer ran two. The second aggregation
+   * stage (per-topic normalizer) and its broadcast join disappear entirely:
+   * `finishBetaOnDriver` does that O(K×V) tail on the collected rows, which
+   * are model-sized by the broadcast-mode contract anyway.
+   *
+   * Row encoding: tag 0 = (topic, termId, λ in v1); tag 1 = (topic = slot k,
+   * ss_k in v1, Σll in v2 — every slot carries the same Σll).
+   */
+  def fusedIterationRows(estep: DataFrame): DataFrame = {
+    val spark = estep.sparkSession
+    import spark.implicits._
+    val lambda = estep.filter(!$"isDoc")
+      .groupBy($"topic", $"termId")
+      .agg(logsumexp($"logphi").as("v1"))
+      .select(lit(0).as("tag"), $"topic", $"termId", $"v1", lit(0.0).as("v2"))
+    val stats = estep.filter($"isDoc")
+      .select($"ll", posexplode($"gamma").as(Seq("k", "g")),
+        aggregate($"gamma", lit(0.0), (acc, x) => acc + x).as("gsum"))
+      .groupBy($"k")
+      .agg(sum(digamma($"g") - digamma($"gsum")).as("v1"), sum($"ll").as("v2"))
+      .select(lit(1).as("tag"), $"k".as("topic"), lit(-1).as("termId"), $"v1", $"v2")
+    lambda.unionByName(stats)
+  }
+
+  /** Split `fusedIterationRows` output: (corpus LL, alpha stats, λ rows). */
+  def splitFused(rows: Array[org.apache.spark.sql.Row], numTopics: Int)
+      : (Double, Array[Double], Array[(Int, Int, Double)]) = {
+    val ss = new Array[Double](numTopics)
+    var ll = 0.0
+    val lambda = Array.newBuilder[(Int, Int, Double)]
+    rows.foreach { r =>
+      if (r.getAs[Int]("tag") == 0)
+        lambda += ((r.getAs[Int]("topic"), r.getAs[Int]("termId"), r.getAs[Double]("v1")))
+      else {
+        val k = r.getAs[Int]("topic")
+        ss(k) = r.getAs[Double]("v1")
+        if (k == 0) ll = r.getAs[Double]("v2")
+      }
+    }
+    (ll, ss, lambda.result())
+  }
+
+  /**
+   * Driver-side tail of the broadcast-mode M-step: eta smoothing, per-topic
+   * log-normalizer, E[log β] = ψ(λ) − ψ(Σ_w λ) — the same math
+   * `run` evaluates distributed (identical GammaFuncs kernels), done in one
+   * deterministic pass over the collected model (sorted by termId so the
+   * log-space fold order is reproducible). Returns the E-step's broadcast
+   * map and the (topic, termId, elogbeta) rows for checkpointing.
+   *
+   * @param seeded informed-prior (topic, termId) pairs; None = no prior
+   */
+  def finishBetaOnDriver(lambda: Array[(Int, Int, Double)], numTopics: Int,
+      seeded: Option[Set[(Int, Int)]])
+      : (scala.collection.Map[Int, Array[Double]], Seq[(Int, Int, Double)]) = {
+    import graft.functions.GammaFuncs.{digamma => dg, logAdd}
+    def eta(topic: Int, termId: Int): Double = seeded match {
+      case Some(s) => if (s((topic, termId))) InformedLogEta else UninformedLogEta
+      case None => DefaultLogEta
+    }
+    val byTopic = lambda.groupBy(_._1)
+    val betaMap = new java.util.HashMap[Int, Array[Double]]()
+    val rows = Seq.newBuilder[(Int, Int, Double)]
+    byTopic.foreach { case (topic, entries) =>
+      val smoothed = entries.sortBy(_._2)
+        .map { case (_, w, lp) => (w, logAdd(lp, eta(topic, w))) }
+      var lognorm = Double.NegativeInfinity
+      smoothed.foreach { case (_, v) => lognorm = logAdd(lognorm, v) }
+      val dgNorm = dg(math.exp(lognorm))
+      smoothed.foreach { case (w, v) =>
+        val e = dg(math.exp(v)) - dgNorm
+        var arr = betaMap.get(w)
+        if (arr == null) { arr = new Array[Double](numTopics); betaMap.put(w, arr) }
+        arr(topic - 1) = e
+        rows += ((topic, w, e))
+      }
+    }
+    (scala.jdk.CollectionConverters.MapHasAsScala(betaMap).asScala, rows.result())
+  }
+
   /** Alpha sufficient statistics ss_k = Σ_d ψ(γ_dk) − ψ(Σ_k γ_dk) from the
     * E-step's gamma rows (reference computes this in-mapper,
     * DocumentMapper.java:256-258; here it is a small declarative agg).

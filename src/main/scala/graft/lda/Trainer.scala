@@ -123,6 +123,12 @@ object Trainer {
     }
 
     val numDocs = corpus.count()
+    // informed-prior seed pairs are iteration-invariant: collect once here
+    // (broadcast mode smooths driver-side; shuffle mode joins the DataFrame)
+    val seededPrior: Option[Set[(Int, Int)]] =
+      if (useShuffleEStep) None
+      else cfg.prior.map(_.select($"topic", $"termId").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSet)
     var lastLL = history.headOption.getOrElse(0.0)
     var iter = startIter
     var converged = false
@@ -142,27 +148,35 @@ object Trainer {
           learning = true, seed = cfg.seed))
         .persist(StorageLevel.MEMORY_AND_DISK)
 
-      // M-step over the phi side. betaRows is consumed once in broadcast
-      // mode (the collect) — only cache it when the shuffle path or a
-      // checkpoint will read it again.
       val snapIdx = iter + 1
       val doCheckpoint = cfg.checkpointDir.isDefined &&
         (snapIdx % cfg.checkpointEvery == 0 || snapIdx == cfg.maxIterations)
-      val betaRows = MStep.run(
-        estep.filter(!$"isDoc").select($"topic", $"termId", $"logphi"), cfg.prior)
-      val cacheBetaRows = useShuffleEStep || doCheckpoint
-      if (cacheBetaRows) betaRows.persist(StorageLevel.MEMORY_AND_DISK)
+      val docSide = estep.filter($"isDoc").toDF()
+
+      // M-step + likelihood + alpha sufficient statistics. Shuffle mode:
+      // the distributed M-step (beta never driver-sized) plus a stats job.
+      // Broadcast mode: ONE fused action — the phi reduce and the doc-side
+      // stats are union branches of a single collect, and the normalizer/
+      // digamma tail runs on the driver over the (model-sized) rows.
+      var betaRowsDistributed: Option[DataFrame] = None // shuffle mode only
+      var betaRowsDriver: Seq[(Int, Int, Double)] = Nil // broadcast mode only
       val prevBetaTable = betaTable
-      if (useShuffleEStep) {
+      val (ll, ss) = if (useShuffleEStep) {
+        val betaRows = MStep.run(
+          estep.filter(!$"isDoc").select($"topic", $"termId", $"logphi"), cfg.prior)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        betaRowsDistributed = Some(betaRows)
         betaTable = packBeta(betaRows).persist(StorageLevel.MEMORY_AND_DISK)
         betaTable.count() // materialize before unpersisting the parent
+        MStep.llAndAlphaStats(docSide, k)
       } else {
-        beta = betaRowsToMap(betaRows.collect(), k)
+        val (llF, ssF, lambda) = MStep.splitFused(
+          MStep.fusedIterationRows(estep.toDF()).collect(), k)
+        val (betaMap, rows) = MStep.finishBetaOnDriver(lambda, k, seededPrior)
+        beta = betaMap
+        betaRowsDriver = rows
+        (llF, ssF)
       }
-
-      // likelihood + alpha sufficient statistics in ONE job over the doc side
-      val docSide = estep.filter($"isDoc").toDF()
-      val (ll, ss) = MStep.llAndAlphaStats(docSide, k)
       if (cfg.updateAlpha) {
         if (cfg.symmetricAlpha) {
           val a = AlphaUpdate.updateScalarAlpha(k, numDocs.toInt, alpha(0), ss.sum)
@@ -188,7 +202,9 @@ object Trainer {
       if (doSnapshot) {
         val dir = cfg.checkpointDir.get
         LdaCheckpoint.saveAlpha(spark, dir, snapIdx, alpha)
-        LdaCheckpoint.saveBeta(betaRows, dir, snapIdx)
+        val snapshotBeta = betaRowsDistributed.getOrElse(
+          betaRowsDriver.toDF("topic", "termId", "elogbeta"))
+        LdaCheckpoint.saveBeta(snapshotBeta, dir, snapIdx)
         LdaCheckpoint.saveGamma(
           docSide.select($"docId", $"counts", $"numTokens", $"gamma"), dir, snapIdx)
         LdaCheckpoint.saveState(dir, snapIdx, history.reverse)
@@ -219,7 +235,7 @@ object Trainer {
       }
 
       estep.unpersist()
-      if (cacheBetaRows) betaRows.unpersist()
+      betaRowsDistributed.foreach(_.unpersist())
       if (useShuffleEStep) prevBetaTable.unpersist()
 
       converged = willConverge
