@@ -119,6 +119,89 @@ object PolyTrainer {
         (digamma(exp($"loglambda")) - digamma(exp($"lognorm"))).as("elogbeta"))
   }
 
+  /**
+   * Broadcast-mode fused per-iteration reduce, mirroring
+   * [[graft.lda.MStep.fusedIterationRows]] with the polylingual key: the
+   * (lang, topic, termId) phi fold and the doc-side ll/alpha statistics are
+   * two branches of one union — a single action per EM iteration. The
+   * per-(lang, topic) normalizer runs driver-side over the collected
+   * (model-sized) rows. The -700 floor applies here, exactly as in `mstep`.
+   *
+   * Row encoding: tag 0 = (lang, topic, termId, floored log λ in v1);
+   * tag 1 = (topic = slot k, ss_k in v1, Σll in v2).
+   */
+  def fusedIterationRows(estep: DataFrame): DataFrame = {
+    val spark = estep.sparkSession
+    import spark.implicits._
+    val lambda = estep.filter(!$"isDoc")
+      .groupBy($"lang", $"topic", $"termId")
+      .agg(greatest(logsumexp($"logphi"), lit(-700.0)).as("v1"))
+      .select(lit(0).as("tag"), $"lang", $"topic", $"termId", $"v1", lit(0.0).as("v2"))
+    val stats = estep.filter($"isDoc")
+      .select($"ll", posexplode($"gamma").as(Seq("k", "g")),
+        aggregate($"gamma", lit(0.0), (acc, x) => acc + x).as("gsum"))
+      .groupBy($"k")
+      .agg(sum(digamma($"g") - digamma($"gsum")).as("v1"), sum($"ll").as("v2"))
+      .select(lit(1).as("tag"), lit(-1).as("lang"), $"k".as("topic"),
+        lit(-1).as("termId"), $"v1", $"v2")
+    lambda.unionByName(stats)
+  }
+
+  /** Split `fusedIterationRows` output: (corpus LL, alpha stats, λ rows). */
+  private[polylda] def splitFused(rows: Array[org.apache.spark.sql.Row], numTopics: Int)
+      : (Double, Array[Double], Array[(Int, Int, Int, Double)]) = {
+    val ss = new Array[Double](numTopics)
+    var ll = 0.0
+    val lambda = Array.newBuilder[(Int, Int, Int, Double)]
+    rows.foreach { r =>
+      if (r.getAs[Int]("tag") == 0)
+        lambda += ((r.getAs[Int]("lang"), r.getAs[Int]("topic"),
+          r.getAs[Int]("termId"), r.getAs[Double]("v1")))
+      else {
+        val k = r.getAs[Int]("topic")
+        ss(k) = r.getAs[Double]("v1")
+        if (k == 0) ll = r.getAs[Double]("v2")
+      }
+    }
+    (ll, ss, lambda.result())
+  }
+
+  /** Driver-side tail of the broadcast-mode polylingual M-step: per-(lang,
+    * topic) log-normalizer and E[log β] = ψ(λ) − ψ(Σ_w λ) over the collected
+    * λ rows (no eta — faithful to the reference's smoothing-free reducer;
+    * inputs are already floored). Sorted by termId per group so the
+    * log-space fold order is deterministic. */
+  private[polylda] def finishBetaOnDriver(
+      lambda: Array[(Int, Int, Int, Double)], numTopics: Int)
+      : (Map[Int, scala.collection.Map[Int, Array[Double]]], Seq[(Int, Int, Int, Double)]) = {
+    import graft.functions.GammaFuncs.{digamma => dg, logAdd}
+    val betaMaps = new java.util.HashMap[Int, java.util.HashMap[Int, Array[Double]]]()
+    val rows = Seq.newBuilder[(Int, Int, Int, Double)]
+    lambda.groupBy(e => (e._1, e._2)).foreach { case ((lang, topic), entries) =>
+      val sorted = entries.sortBy(_._3)
+      var lognorm = Double.NegativeInfinity
+      sorted.foreach { case (_, _, _, v) => lognorm = logAdd(lognorm, v) }
+      val dgNorm = dg(math.exp(lognorm))
+      var langMap = betaMaps.get(lang)
+      if (langMap == null) { langMap = new java.util.HashMap(); betaMaps.put(lang, langMap) }
+      sorted.foreach { case (_, _, w, v) =>
+        val e = dg(math.exp(v)) - dgNorm
+        var arr = langMap.get(w)
+        if (arr == null) { arr = new Array[Double](numTopics); langMap.put(w, arr) }
+        arr(topic - 1) = e
+        rows += ((lang, topic, w, e))
+      }
+    }
+    val beta = scala.jdk.CollectionConverters.MapHasAsScala(betaMaps).asScala.map {
+      case (l, m) =>
+        val langMap: scala.collection.Map[Int, Array[Double]] =
+          scala.jdk.CollectionConverters.MapHasAsScala(m).asScala
+            .map { case (a, b) => (a.intValue(), b) }
+        l.intValue() -> langMap
+    }.toMap
+    (beta, rows.result())
+  }
+
   def train(docs: Dataset[PolyDoc], numTermsPerLang: Map[Int, Int], cfg: Config): PolyLdaModel = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -171,20 +254,30 @@ object PolyTrainer {
       val snapIdx = iter + 1
       val doCheckpoint = cfg.checkpointDir.isDefined &&
         (snapIdx % cfg.checkpointEvery == 0 || snapIdx == cfg.maxIterations)
-      val betaRows = mstep(
-        estep.filter(!$"isDoc").select($"lang", $"topic", $"termId", $"logphi"))
-      if (doCheckpoint || useShuffleEStep) betaRows.persist(StorageLevel.MEMORY_AND_DISK)
+      val docSide = estep.filter($"isDoc").toDF()
+
+      // M-step + likelihood + alpha sufficient statistics — one fused action
+      // in broadcast mode (see fusedIterationRows), distributed M-step plus a
+      // stats job in shuffle mode (beta never driver-sized there).
+      var betaRowsDistributed: Option[DataFrame] = None // shuffle mode only
+      var betaRowsDriver: Seq[(Int, Int, Int, Double)] = Nil // broadcast mode
       val prevBetaTable = betaTable
-      if (useShuffleEStep) {
+      val (ll, ss) = if (useShuffleEStep) {
+        val betaRows = mstep(
+          estep.filter(!$"isDoc").select($"lang", $"topic", $"termId", $"logphi"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        betaRowsDistributed = Some(betaRows)
         betaTable = packBeta(betaRows).persist(StorageLevel.MEMORY_AND_DISK)
         betaTable.count() // materialize before unpersisting the parent
+        MStep.llAndAlphaStats(docSide, k)
       } else {
-        beta = betaRowsToNestedMap(betaRows.collect(), k)
+        val (llF, ssF, lambda) = splitFused(
+          fusedIterationRows(estep.toDF()).collect(), k)
+        val (betaMap, rows) = finishBetaOnDriver(lambda, k)
+        beta = betaMap
+        betaRowsDriver = rows
+        (llF, ssF)
       }
-
-      // likelihood + alpha sufficient statistics in one job
-      val docSide = estep.filter($"isDoc").toDF()
-      val (ll, ss) = MStep.llAndAlphaStats(docSide, k)
       if (cfg.updateAlpha) {
         alpha = AlphaUpdate.updateVectorAlpha(k, numDocs.toInt, alpha, ss)
       }
@@ -202,7 +295,9 @@ object PolyTrainer {
       if (doSnapshot) {
         val dir = cfg.checkpointDir.get
         graft.lda.LdaCheckpoint.saveAlpha(spark, dir, snapIdx, alpha)
-        betaRows.select($"lang", $"topic", $"termId", $"elogbeta")
+        betaRowsDistributed.getOrElse(
+            betaRowsDriver.toDF("lang", "topic", "termId", "elogbeta"))
+          .select($"lang", $"topic", $"termId", $"elogbeta")
           .write.mode("overwrite").parquet(s"$dir/beta-$snapIdx")
         graft.lda.LdaCheckpoint.saveGamma(
           docSide.select($"docId", $"counts", $"numTokens", $"totalTokens", $"gamma"),
@@ -229,7 +324,7 @@ object PolyTrainer {
       }
 
       estep.unpersist()
-      if (doCheckpoint || useShuffleEStep) betaRows.unpersist()
+      betaRowsDistributed.foreach(_.unpersist())
       if (useShuffleEStep) prevBetaTable.unpersist()
 
       converged = willConverge
