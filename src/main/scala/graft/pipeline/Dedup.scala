@@ -35,9 +35,26 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
+  /** 2^31 − 1: modulus of the universal hash family shared with the SQL
+    * oracles (products stay < 2^47, safe under ANSI overflow checking). */
+  val HashP: Long = 2147483647L
+
+  /** 60-bit base hash both Spark and DuckDB compute identically: the first
+    * 15 hex chars of md5, parsed as an integer. One md5 per value; the
+    * whole hash *family* then derives arithmetically (`hashFamily`), so
+    * LSH results are reproducible by a SQL oracle. */
+  def baseHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic (a, b) pairs for h_i(x) = (a_i·x + b_i) mod HashP. */
+  def hashFamily(n: Int, seed: Long = 7L): IndexedSeq[(Long, Long)] = {
+    val rng = new java.util.Random(seed)
+    IndexedSeq.fill(n)((rng.nextInt(32749).toLong + 1L, rng.nextInt(Int.MaxValue).toLong))
+  }
+
   /**
-   * MinHash signature as `numHashes` independent min-hashes; hash family is
-   * xxhash64 salted by the hash index — fully inside codegen, no UDF.
+   * MinHash signature as `numHashes` independent min-hashes over the shared
+   * universal family — fully inside codegen, no UDF.
    *
    * NOTE: referencing this column N times in one projection/generator
    * re-inlines (and re-computes) the whole signature N times — generator
@@ -45,9 +62,13 @@ object Dedup {
    * computes the signature as a min-aggregate over exploded shingles, which
    * materializes it exactly once behind a (tiny, combiner-reduced) shuffle.
    */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      h => array_min(transform(shingleCol, s => xxhash64(h, s))))
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
+    val fam = hashFamily(numHashes)
+    val hs = transform(shingleCol, s => baseHash60(s) % HashP)
+    array(fam.map { case (a, b) =>
+      array_min(transform(hs, h => (lit(a) * h + lit(b)) % HashP))
+    }: _*)
+  }
 
   /**
    * MinHash+LSH near-duplicate candidate pairs, verified with exact Jaccard
@@ -77,21 +98,26 @@ object Dedup {
       .filter(size($"sh") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // signature via aggregation: each shingle hashed exactly numHashes times,
-    // partial min on the map side makes the shuffle one 32-long row per doc.
-    // (An inline signature column would be re-inlined — and re-computed —
-    // once per band by the generator below.)
-    val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), $"s")).as(s"h$i"))
+    // signature via aggregation: ONE md5 base hash per shingle, the 32-way
+    // family derived by multiply-mod; partial min on the map side makes the
+    // shuffle one 32-long row per doc. (An inline signature column would be
+    // re-inlined — and re-computed — once per band by the generator below.)
+    val fam = hashFamily(numHashes)
+    val minCols = fam.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * $"hb" + lit(b)) % HashP).as(s"h$i") }
     val sig = base.select($"id", explode($"sh").as("s"))
+      .select($"id", (baseHash60($"s") % HashP).as("hb"))
       .groupBy($"id")
       .agg(minCols.head, minCols.tail: _*)
 
-    // band explode → bucket join on (band index, band hash), ids only
+    // band explode → bucket join on (band index, band hash), ids only.
+    // Band bucket = left fold (acc·31 + h_i) mod P over the band's rows —
+    // the same arithmetic the SQL oracle replays.
+    val bucketCol = (b: Int) =>
+      (b * r + 1 until (b + 1) * r).foldLeft(col(s"h${b * r}")) {
+        (acc, i) => (acc * 31 + col(s"h$i")) % HashP }
     val banded = sig
-      .select($"id",
-        posexplode(array((0 until bands).map(b =>
-          xxhash64((b * r until (b + 1) * r).map(i => col(s"h$i")): _*)): _*)))
+      .select($"id", posexplode(array((0 until bands).map(bucketCol): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
@@ -148,16 +174,20 @@ object Dedup {
       .filter($"jaccard" >= threshold)
   }
 
-  /** 64-bit SimHash over whitespace tokens: per bit, sign of Σ±1 across
+  /** 60-bit SimHash over whitespace tokens: per bit, sign of Σ±1 across
     * token hashes (bit b = 1 iff (#tokens with bit b set) * 2 > #tokens).
-    * Computed in ONE `aggregate` pass accumulating all 64 bit-counts per
-    * row, instead of 64 separate filter scans over the token-hash array. */
-  def simhash64(text: Column): Column = {
+    * 60 bits because `baseHash60` (md5-derived, SQL-reproducible) supplies
+    * exactly 60 uniform bits. Computed in ONE `aggregate` pass accumulating
+    * all 60 bit-counts per row, instead of 60 separate filter scans over
+    * the token-hash array. */
+  val SimhashBits = 60
+
+  def simhash(text: Column): Column = {
     val toks = TextAnalysis.wsTokens(lower(text))
-    val hashes = transform(toks, t => xxhash64(t))
-    val masks = typedLit(Array.tabulate(64)(b => 1L << b).toSeq)
+    val hashes = transform(toks, t => baseHash60(t))
+    val masks = typedLit(Array.tabulate(SimhashBits)(b => 1L << b).toSeq)
     val bitCounts = aggregate(hashes,
-      array_repeat(lit(0), 64),
+      array_repeat(lit(0), SimhashBits),
       (acc, h) => zip_with(acc,
         transform(masks, m => when(h.bitwiseAND(m) =!= 0L, lit(1)).otherwise(lit(0))),
         (a, x) => a + x))
@@ -167,16 +197,20 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** SimHash near-dup pairs: LSH over 4×16-bit chunks, verified by Hamming
-    * distance ≤ maxHamming. */
+  /** SimHash near-dup pairs: LSH over 4×15-bit chunks, verified by Hamming
+    * distance ≤ maxHamming. Token-less documents carry no signal and are
+    * dropped (they would otherwise all collide at signature 0). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val hashed = df.select(col(idCol).cast("long").as("id"), simhash64(col(textCol)).as("sim"))
+    val hashed = df
+      .select(col(idCol).cast("long").as("id"), simhash(col(textCol)).as("sim"),
+        size(TextAnalysis.wsTokens(lower(col(textCol)))).as("ntok"))
+      .filter($"ntok" > 0)
     val banded = hashed.select($"id", $"sim",
         posexplode(array((0 until 4).map(b =>
-          shiftright($"sim", b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+          shiftright($"sim", b * 15).bitwiseAND(lit(0x7FFFL))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
     val hamming = (a: Column, b: Column) => bit_count(a.bitwiseXOR(b))
     banded.as("a").join(banded.as("b"),

@@ -48,6 +48,9 @@ object PipelineQueries {
              |SELECT doc_id FROM fp JOIN keep ON fp.f = keep.f
              |WHERE doc_id = k ORDER BY doc_id""".stripMargin)),
 
+    // full SQL replay of the MinHash+LSH pipeline: the md5-derived base hash
+    // and multiply-mod family (Dedup.baseHash60 / hashFamily) are computable
+    // in DuckDB, so candidate generation AND verification are oracle-checked
     "q_dedup_minhash_lsh" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -55,7 +58,7 @@ object PipelineQueries {
           shingleSize = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.5)
           .orderBy($"id_a", $"id_b")
       },
-      None, bench = true),
+      Some(minhashOracleSql), bench = true),
 
     // gram-df cap 100 mirrored in the oracle: exact Jaccard over
     // discriminative grams (hot grams would go quadratic at scale)
@@ -92,13 +95,14 @@ object PipelineQueries {
              |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) >= 0.5
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // SQL replay of the 60-bit SimHash + 4×15-bit band LSH + Hamming verify
     "q_dedup_simhash" -> QueryDef(
       (s, dir) => {
         import s.implicits._
         Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
           .orderBy($"id_a", $"id_b")
       },
-      None),
+      Some(simhashOracleSql)),
 
     // planted near-duplicates make this check non-vacuous: vec_id < 20 get a
     // ×2-scaled copy at id+100000 (scaling preserves every hyperplane sign →
@@ -298,4 +302,78 @@ object PipelineQueries {
 
   private def duckList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** DuckDB replay of `Dedup.minhashNearDups(shingle=3, 32 hashes, 8 bands,
+    * threshold 0.5)`: same md5-60-bit base hash, same (a·h+b) mod P family
+    * constants, same fold-mod band buckets, exact Jaccard verification. */
+  private def minhashOracleSql: String = {
+    val P = Dedup.HashP
+    val fam = Dedup.hashFamily(32)
+    val sigCols = fam.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % $P) AS h$i" }.mkString(",\n    ")
+    def bucketExpr(band: Int): String =
+      (band * 4 + 1 until band * 4 + 4).foldLeft(s"h${band * 4}") {
+        (acc, i) => s"(($acc) * 31 + h$i) % $P" }
+    val bandSelects = (0 until 8).map(b =>
+      s"SELECT doc_id, $b AS band, ${bucketExpr(b)} AS bucket FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, CASE WHEN len(toks) >= 3
+       |    THEN list_distinct(list_transform(range(1, len(toks) - 1),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |    ELSE [array_to_string(toks, ' ')] END AS sh
+       |  FROM tok),
+       |hb AS (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % $P AS h
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM base)),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM hb GROUP BY doc_id),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |j AS (
+       |  SELECT id_a, id_b,
+       |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+       |  FROM cand
+       |  JOIN base sa ON sa.doc_id = id_a
+       |  JOIN base sb ON sb.doc_id = id_b)
+       |SELECT id_a, id_b, jaccard FROM j
+       |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB replay of `Dedup.simhashNearDups(maxHamming = 3)`: 60-bit
+    * simhash from the md5 base hash, 4×15-bit band LSH, Hamming verify. */
+  private def simhashOracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+      |  FROM documents),
+      |th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM th GROUP BY doc_id),
+      |bits AS (
+      |  SELECT doc_id, b, count(*) FILTER (WHERE ((h >> b) & 1) = 1) AS c
+      |  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bs
+      |  GROUP BY doc_id, b),
+      |sim AS (
+      |  SELECT bits.doc_id,
+      |         sum(CASE WHEN 2 * c > n THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sim
+      |  FROM bits JOIN cnt ON bits.doc_id = cnt.doc_id GROUP BY bits.doc_id),
+      |banded AS (
+      |  SELECT doc_id, band, ((sim >> (band * 15)) & 32767) AS chunk, sim
+      |  FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bd),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         bit_count(xor(a.sim, b.sim)) AS hamming
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM pairs
+      |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
 }
