@@ -114,14 +114,20 @@ object Similarity {
    * signatures. This is the 100 TB path: each query scores only its
    * candidate set, never the full corpus.
    */
+  /** Seeded random-hyperplane tables, shared between `lshTopK` and the SQL
+    * oracle generator (same constants → the oracle replays the bucketing). */
+  def lshTables(dim: Int, bitsPerTable: Int, nTables: Int,
+      seed: Long = 42L): Seq[Seq[Seq[Double]]] = {
+    val rng = new java.util.Random(seed)
+    Seq.fill(nTables)(Seq.fill(bitsPerTable)(Seq.fill(dim)(rng.nextGaussian())))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, bitsPerTable: Int = 8,
       nTables: Int = 4, seed: Long = 42L): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val rng = new java.util.Random(seed)
-    val tables: Seq[Seq[Seq[Double]]] =
-      Seq.fill(nTables)(Seq.fill(bitsPerTable)(Seq.fill(dim)(rng.nextGaussian())))
+    val tables = lshTables(dim, bitsPerTable, nTables, seed)
 
     def sigs(v: Column): Column = array(tables.zipWithIndex.map { case (planes, ti) =>
       struct(lit(ti).as("table"),

@@ -164,6 +164,8 @@ object PipelineQueries {
       },
       None),
 
+    // full SQL replay: the seeded hyperplanes are embedded as literals, so
+    // DuckDB reproduces the bucketing, candidate set, and exact rerank
     "q_ann_lsh" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -172,7 +174,7 @@ object PipelineQueries {
           k = 10, dim = 64, bitsPerTable = 6, nTables = 4)
           .orderBy($"query_id", $"rnk")
       },
-      None),
+      Some(annLshOracleSql)),
 
     // ---- text analysis ----
     "q_text_quality" -> QueryDef(
@@ -302,6 +304,43 @@ object PipelineQueries {
 
   private def duckList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** DuckDB replay of `Similarity.lshTopK(k=10, dim=64, 6 bits, 4 tables)`:
+    * the seeded hyperplanes are emitted as SQL literals (Java double
+    * toString round-trips exactly), bucket signatures and the exact cosine
+    * rerank mirror the Spark plan. */
+  private def annLshOracleSql: String = {
+    val tables = Similarity.lshTables(dim = 64, bitsPerTable = 6, nTables = 4)
+    def planeList(p: Seq[Double]): String = p.mkString("[", ", ", "]")
+    def bucketExpr(planes: Seq[Seq[Double]]): String =
+      planes.map(p =>
+        s"(CASE WHEN list_dot_product(v, ${planeList(p)}) > 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+    val sigSelects = tables.zipWithIndex.map { case (planes, ti) =>
+      s"SELECT vec_id, v, $ti AS tbl, ${bucketExpr(planes)} AS bucket FROM v"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sigs AS (
+       |  $sigSelects),
+       |q AS (SELECT * FROM sigs WHERE vec_id < 5),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+       |  FROM sigs c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
+       |    AND c.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT query_id, corpus_id,
+       |    round(list_dot_product(cv.v, qv.v)
+       |      / (sqrt(list_dot_product(cv.v, cv.v)) * sqrt(list_dot_product(qv.v, qv.v))), 6) AS cosine
+       |  FROM cand
+       |  JOIN v cv ON cv.vec_id = corpus_id
+       |  JOIN v qv ON qv.vec_id = query_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS INT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, rnk, corpus_id, cosine FROM ranked
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** DuckDB replay of `Dedup.minhashNearDups(shingle=3, 32 hashes, 8 bands,
     * threshold 0.5)`: same md5-60-bit base hash, same (a·h+b) mod P family
