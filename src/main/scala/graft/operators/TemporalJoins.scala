@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal join operators Spark has no built-in form of: as-of (backward)
+ * join and interval/range join. Both are expressed as shuffle-on-key plans
+ * that survive scale — no cartesian product, no per-key collect.
+ *
+ * (The reference engine has no temporal joins; these belong to the
+ * training-data-pipeline surface, e.g. joining telemetry to the latest
+ * model-version row or windowing events around incidents.)
+ */
+object TemporalJoins {
+
+  /**
+   * As-of backward join: for each left row, the single right row with the
+   * greatest `rightTsCol` ≤ the left row's `leftTsCol`, per join key.
+   *
+   * Plan: union both sides tagged, ONE shuffle on `keyCols`, one window
+   * pass carrying the latest right values forward with
+   * `last(ignoreNulls = true)`, then keep the left rows. This is the
+   * sort-merge formulation: no join explosion, no per-key memory beyond
+   * the window frame, skew limited to genuinely hot keys.
+   *
+   * Right rows sort before left rows at equal timestamps (ties are "at or
+   * before"). If the right side has several rows at the same (key, ts) the
+   * greatest `rightOrder` wins — pass a unique column (e.g. the event id)
+   * for deterministic output. Right value columns should be non-null: each
+   * is carried independently, so a null value would be filled from an older
+   * right row for that column only.
+   *
+   * @param rightValueCols right columns to surface (prefixed `right_`)
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTsCol: String, rightTsCol: String, rightValueCols: Seq[String],
+      rightOrder: Option[String] = None): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__ts", col(leftTsCol))
+      .withColumn("__side", lit(1))
+      .withColumn("__ord", lit(Long.MaxValue))
+    val lAligned = rightValueCols.foldLeft(l) { (df, c) =>
+      df.withColumn(s"right_$c", lit(null).cast(right.schema(c).dataType)) }
+
+    val r0 = right
+      .withColumn("__ts", col(rightTsCol))
+      .withColumn("__side", lit(0))
+      .withColumn("__ord",
+        rightOrder.map(col(_).cast("long")).getOrElse(lit(0L)))
+    val rAligned = leftCols.filterNot(keyCols.contains).foldLeft(
+      rightValueCols.foldLeft(r0) { (df, c) => df.withColumn(s"right_$c", col(c)) }
+        .select((keyCols ++ rightValueCols.map(c => s"right_$c") ++
+          Seq("__ts", "__side", "__ord")).map(col): _*)) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType)) }
+
+    val unioned = lAligned.select((leftCols ++
+        rightValueCols.map(c => s"right_$c") ++ Seq("__ts", "__side", "__ord")).map(col): _*)
+      .unionByName(rAligned.select((leftCols ++
+        rightValueCols.map(c => s"right_$c") ++ Seq("__ts", "__side", "__ord")).map(col): _*))
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy($"__ts".asc, $"__side".asc, $"__ord".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = rightValueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"right_$c", last(col(s"right_$c"), ignoreNulls = true).over(w)) }
+
+    filled.filter($"__side" === 1)
+      .select((leftCols ++ rightValueCols.map(c => s"right_$c")).map(col): _*)
+  }
+
+  /**
+   * Interval/range join without a cartesian: each right interval
+   * [loCol, hiCol] explodes into fixed-width time bins, the join runs on
+   * (key, bin) *equality* — a plain shuffle join Catalyst handles — and the
+   * exact containment predicate filters the bin-granular candidates.
+   *
+   * Choose `binWidth` near the typical interval span: each right row then
+   * lands in O(1) bins and each left point probes exactly one bin. (A naive
+   * `left.join(right, keys && lo <= pt && pt <= hi)` degenerates to a
+   * per-key cartesian — a non-equi condition gives Spark nothing to hash
+   * on. This keeps the equality key.)
+   *
+   * @param leftPointCol  numeric point column on the left (e.g. epoch µs)
+   * @param loCol, hiCol  interval bounds on the right, same unit
+   * @param binWidth      bin size in the same unit as the point column
+   * @return inner join of left × matching right rows (right columns
+   *         prefixed `r_` on name collisions)
+   */
+  def rangeJoinBinned(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftPointCol: String, loCol: String, hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val lb = left.withColumn("__bin",
+      floor(col(leftPointCol) / binWidth).cast("long"))
+    val collisions = left.columns.toSet.intersect(right.columns.toSet) -- keyCols
+    val rRenamed = collisions.foldLeft(right) { (df, c) =>
+      df.withColumnRenamed(c, s"r_$c") }
+    def rcol(c: String): String = if (collisions(c)) s"r_$c" else c
+    val rb = rRenamed.withColumn("__bin",
+      explode(sequence(floor(col(rcol(loCol)) / binWidth).cast("long"),
+        floor(col(rcol(hiCol)) / binWidth).cast("long"))))
+    lb.join(rb, keyCols :+ "__bin")
+      .filter(col(rcol(loCol)) <= col(leftPointCol) &&
+        col(leftPointCol) <= col(rcol(hiCol)))
+      .drop("__bin")
+  }
+}

@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.operators.TemporalJoins
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal join capabilities over the events table, each verified against
+ * DuckDB's native ASOF JOIN / inequality join on the same parquet.
+ */
+object TemporalQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // for each click, the latest purchase by the same user at or before it
+    "q_asof_purchase" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Registry.events(s, dir)
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"event_id", $"user_id", $"ts")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id".as("pid"), $"user_id", $"ts", $"value")
+        TemporalJoins.asofJoin(clicks, purchases, Seq("user_id"),
+            leftTsCol = "ts", rightTsCol = "ts",
+            rightValueCols = Seq("pid", "ts", "value"), rightOrder = Some("pid"))
+          .select($"event_id", $"user_id", $"ts",
+            $"right_pid".as("purchase_id"), $"right_ts".as("purchase_ts"),
+            round($"right_value", 4).as("purchase_value"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             |p AS (
+             |  SELECT event_id AS purchase_id, user_id, ts AS pts, value
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT c.event_id, c.user_id, c.ts, p.purchase_id,
+             |       p.pts AS purchase_ts, round(p.value, 4) AS purchase_value
+             |FROM c ASOF LEFT JOIN p
+             |  ON c.user_id = p.user_id AND c.ts >= p.pts
+             |ORDER BY c.event_id""".stripMargin)),
+
+    // per error event: how many views the same user had in the preceding
+    // 6 hours, and their total value (binned range join, no cartesian)
+    "q_range_error_context" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Registry.events(s, dir)
+        val views = ev.filter($"event_type" === "view")
+          .select($"user_id", unix_micros($"ts").as("vts"), $"value")
+        val errors = ev.filter($"event_type" === "error")
+          .select($"event_id".as("error_id"), $"user_id",
+            (unix_micros($"ts") - 21600000000L).as("lo"), unix_micros($"ts").as("hi"))
+        TemporalJoins.rangeJoinBinned(views, errors, Seq("user_id"),
+            leftPointCol = "vts", loCol = "lo", hiCol = "hi",
+            binWidth = 21600000000L)
+          .groupBy($"error_id")
+          .agg(count(lit(1)).as("n_views"), round(sum($"value"), 4).as("sum_view_value"))
+          .orderBy($"error_id")
+      },
+      Some("""WITH err AS (
+             |  SELECT event_id AS error_id, user_id, ts
+             |  FROM events WHERE event_type = 'error'),
+             |v AS (
+             |  SELECT user_id, ts AS vts, value FROM events WHERE event_type = 'view')
+             |SELECT error_id, count(*) AS n_views, round(sum(v.value), 4) AS sum_view_value
+             |FROM err JOIN v
+             |  ON err.user_id = v.user_id
+             | AND v.vts BETWEEN err.ts - INTERVAL 6 HOUR AND err.ts
+             |GROUP BY error_id ORDER BY error_id""".stripMargin)))
+}

@@ -28,5 +28,6 @@ object Registry {
 
   lazy val all: Map[String, QueryDef] =
     RelationalQueries.defs ++ CorpusQueries.defs ++ PipelineQueries.defs ++
-      CurationQueries.defs ++ StreamingQueries.defs ++ PolyldaQueries.defs
+      CurationQueries.defs ++ StreamingQueries.defs ++ PolyldaQueries.defs ++
+      TemporalQueries.defs
 }

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.TemporalJoins
+import org.apache.spark.sql.functions._
+
+/** Edge-case pins for the temporal joins: no-match nulls, equal-timestamp
+  * ties, same-(key, ts) right duplicates, and interval boundary inclusion
+  * across bin borders. */
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof join picks latest right row at or before each left row") {
+    val left = Seq(
+      (1L, "a", 100L), // after both right rows for a
+      (2L, "a", 15L),  // between the two
+      (3L, "a", 5L),   // before any -> null
+      (4L, "b", 50L),  // other key
+      (5L, "c", 50L)   // key with no right rows -> null
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      ("a", 10L, 1.0),
+      ("a", 20L, 2.0),
+      ("b", 50L, 3.0) // equal timestamp: counts as "at or before"
+    ).toDF("k", "rts", "v")
+
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"), "ts", "rts",
+        Seq("rts", "v"))
+      .orderBy($"id")
+      .select($"id", $"right_rts", $"right_v")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+
+    assert(out.toSeq == Seq(
+      (1L, Some(20L), Some(2.0)),
+      (2L, Some(10L), Some(1.0)),
+      (3L, None, None),
+      (4L, Some(50L), Some(3.0)),
+      (5L, None, None)))
+  }
+
+  test("asof join breaks same-(key, ts) right duplicates by rightOrder") {
+    val left = Seq((1L, "a", 10L)).toDF("id", "k", "ts")
+    val right = Seq(("a", 10L, 7L, 1.0), ("a", 10L, 9L, 2.0), ("a", 10L, 8L, 3.0))
+      .toDF("k", "rts", "rid", "v")
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"), "ts", "rts",
+      Seq("rid", "v"), rightOrder = Some("rid")).collect()
+    assert(out.head.getAs[Long]("right_rid") == 9L)
+    assert(out.head.getAs[Double]("right_v") == 2.0)
+  }
+
+  test("range join includes both boundaries and crosses bin borders") {
+    // bin width 10: interval [8, 21] spans bins 0..2
+    val points = Seq((1L, "a", 7L), (2L, "a", 8L), (3L, "a", 15L),
+      (4L, "a", 21L), (5L, "a", 22L), (6L, "b", 15L)).toDF("pid", "k", "pt")
+    val intervals = Seq(("a", 8L, 21L, 100L)).toDF("k", "lo", "hi", "iid")
+    val out = TemporalJoins.rangeJoinBinned(points, intervals, Seq("k"),
+        "pt", "lo", "hi", binWidth = 10L)
+      .select($"pid").as[Long].collect().sorted
+    assert(out.toSeq == Seq(2L, 3L, 4L))
+  }
+
+  test("range join matches the naive non-equi join on random data") {
+    val rng = new scala.util.Random(11)
+    val points = Seq.tabulate(300)(i =>
+      (i.toLong, s"k${rng.nextInt(5)}", rng.nextInt(1000).toLong))
+      .toDF("pid", "k", "pt")
+    val intervals = Seq.tabulate(60) { i =>
+      val lo = rng.nextInt(950).toLong
+      (s"k${rng.nextInt(5)}", lo, lo + rng.nextInt(120).toLong, i.toLong)
+    }.toDF("k", "lo", "hi", "iid")
+
+    val binned = TemporalJoins.rangeJoinBinned(points, intervals, Seq("k"),
+        "pt", "lo", "hi", binWidth = 64L)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    val naive = points.join(intervals, Seq("k"))
+      .filter($"lo" <= $"pt" && $"pt" <= $"hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(binned == naive && naive.nonEmpty)
+  }
+}
