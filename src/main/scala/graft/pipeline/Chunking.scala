@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Context-window chunking and lexical ranking (TF-IDF, BM25) for
+ * training-data preparation — all declarative, one shuffle per aggregate,
+ * scalar corpus statistics carried via broadcast cross-joins (no driver
+ * round-trip in the plan).
+ */
+object Chunking {
+
+  /**
+   * Split each document into overlapping token-window chunks: windows of
+   * `chunkSize` tokens starting every `chunkSize − overlap` tokens. A final
+   * window shorter than `overlap` tokens would be fully contained in its
+   * predecessor, so starts beyond `n − overlap` are dropped (except start
+   * 0, so every non-empty document yields at least one chunk).
+   *
+   * Pure per-row generator arithmetic — no shuffle at all; at 100 TB this
+   * is a map-only pass.
+   */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    val n = col("__n")
+    val starts = filter(sequence(lit(0), greatest(n - 1, lit(0)), lit(step)),
+      s => s === 0 || s < n - overlap)
+    df.select(col(idCol), TextAnalysis.wsTokens(lower(col(textCol))).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(n > 0)
+      .select(col(idCol), col("__toks"), n,
+        posexplode(starts).as(Seq("chunk_idx", "start")))
+      .withColumn("chunk_len", least(lit(chunkSize), n - col("start")))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("__toks"), col("start") + 1, lit(chunkSize))))
+      .select(col(idCol), col("chunk_idx"), col("chunk_len"), col("chunk_text"))
+  }
+
+  /**
+   * Top-k terms per document by smoothed TF-IDF:
+   * idf = ln((N + 1) / (df + 1)) + 1, score = tf · idf. N and df ride a
+   * broadcast cross-join so the whole computation is one plan (no driver
+   * scalar round-trip). Ties break lexicographically on the term.
+   */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.wsTokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy($"id", $"term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = df.select(countDistinct(col(idCol)).as("n"))
+    val scored = tf.join(broadcast(dfc), "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round($"tf" * (log(($"n" + 1).cast("double") / ($"df" + 1)) + 1), 4))
+    val w = Window.partitionBy($"id").orderBy($"tfidf".desc, $"term".asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= topK)
+      .select($"id".as(idCol), $"rnk", $"term", $"tf", $"tfidf")
+  }
+
+  /**
+   * Okapi BM25 document scores for a bag of query terms:
+   * idf = ln(1 + (N − df + 0.5) / (df + 0.5)),
+   * score = Σ_q idf(q) · tf·(k1+1) / (tf + k1·(1 − b + b·|D|/avgdl)).
+   * Returns only documents containing at least one query term.
+   */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(idCol).as("id"),
+      TextAnalysis.wsTokens(lower(col(textCol))).as("toks"))
+    val lens = toks.select($"id", size($"toks").as("dl"))
+    val stats = lens.agg(avg($"dl").as("avgdl"), count(lit(1)).as("n"))
+    val tf = toks.select($"id", explode($"toks").as("term"))
+      .filter($"term".isin(queryTerms: _*))
+      .groupBy($"id", $"term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfc), "term")
+      .join(lens, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + ($"n" - $"df" + 0.5) / ($"df" + 0.5)) *
+          ($"tf" * (k1 + 1)) /
+          ($"tf" + (lit(1 - b) + $"dl" / $"avgdl" * b) * k1))
+      .groupBy($"id")
+      .agg(round(sum($"contrib"), 4).as("bm25"))
+      .select($"id".as(idCol), $"bm25")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.pipeline.Chunking
+import org.apache.spark.sql.functions._
+
+/** Chunking and lexical-ranking capabilities over the documents table,
+  * each with an exact DuckDB oracle. */
+object RankingQueries {
+
+  import Registry.t
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // 64-token windows, 16-token overlap
+    "q_chunk_tokens" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Chunking.chunkByTokens(t(s, dir, "documents"), "doc_id", "text",
+            chunkSize = 64, overlap = 16)
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |t2 AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
+             |st AS (
+             |  SELECT doc_id, toks, n,
+             |    unnest(list_filter(range(0, n, 48), s -> s = 0 OR s < n - 16)) AS start,
+             |    generate_subscripts(list_filter(range(0, n, 48), s -> s = 0 OR s < n - 16), 1) - 1 AS chunk_idx
+             |  FROM t2)
+             |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             |       CAST(least(64, n - start) AS INT) AS chunk_len,
+             |       array_to_string(list_slice(toks, start + 1, least(start + 64, n)), ' ') AS chunk_text
+             |FROM st ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    "q_tfidf_top_terms" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Chunking.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", topK = 3)
+          .orderBy($"doc_id", $"rnk")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+             |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+             |scored AS (
+             |  SELECT doc_id, tf.term, tf,
+             |         round(tf * (ln((n + 1)::DOUBLE / (df + 1)) + 1), 4) AS tfidf
+             |  FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN nn),
+             |ranked AS (
+             |  SELECT *, CAST(row_number() OVER (
+             |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INT) AS rnk
+             |  FROM scored)
+             |SELECT doc_id, rnk, term, tf, tfidf FROM ranked
+             |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
+    "q_bm25" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Chunking.bm25(t(s, dir, "documents"), "doc_id", "text",
+            queryTerms = Seq("spark", "join", "vector"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |lens AS (SELECT doc_id, len(toks) AS dl FROM tok),
+             |stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM lens),
+             |tf AS (
+             |  SELECT doc_id, term, count(*) AS tf
+             |  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+             |  WHERE term IN ('spark', 'join', 'vector') GROUP BY doc_id, term),
+             |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |c AS (
+             |  SELECT doc_id,
+             |         ln(1 + (n - df + 0.5) / (df + 0.5))
+             |           * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS contrib
+             |  FROM tf JOIN dfc USING (term) JOIN lens USING (doc_id) CROSS JOIN stats)
+             |SELECT doc_id, round(sum(contrib), 4) AS bm25 FROM c
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.pipeline.Chunking
+
+/** Edge-case pins for chunking and lexical ranking (the sf0.01 oracle
+  * checks the exact math; these pin the boundary rules). */
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunking drops trailing windows contained in their predecessor") {
+    // 10 tokens, size 8, overlap 4 -> starts 0 and 4 only (start 8 would
+    // cover tokens already inside [4, 10))
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+    val out = Chunking.chunkByTokens(docs, "id", "text", chunkSize = 8, overlap = 4)
+      .orderBy($"chunk_idx")
+      .select($"chunk_idx", $"chunk_len", $"chunk_text").collect()
+    assert(out.length == 2)
+    assert(out(0).getInt(1) == 8 && out(0).getString(2).startsWith("t1 "))
+    assert(out(1).getInt(1) == 6 && out(1).getString(2) == "t5 t6 t7 t8 t9 t10")
+  }
+
+  test("short and empty documents chunk to one row and zero rows") {
+    val docs = Seq((1L, "a b c"), (2L, "   ")).toDF("id", "text")
+    val out = Chunking.chunkByTokens(docs, "id", "text", chunkSize = 8, overlap = 4)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("chunk_text") == "a b c")
+  }
+
+  test("tfidf ranks a document's rare term above a corpus-wide term") {
+    val docs = Seq(
+      (1L, "common common rare rare"),
+      (2L, "common common common"),
+      (3L, "common other other")).toDF("id", "text")
+    val top = Chunking.tfidfTopTerms(docs, "id", "text", topK = 1)
+      .orderBy($"id").select($"term").as[String].collect()
+    assert(top.toSeq == Seq("rare", "common", "other"))
+  }
+
+  test("bm25 favors higher tf and penalizes longer documents") {
+    val docs = Seq(
+      (1L, "spark spark spark pad"),
+      (2L, "spark pad pad pad"),
+      (3L, "spark " + Seq.fill(50)("pad").mkString(" ")),
+      (4L, "nothing here")).toDF("id", "text")
+    val scores = Chunking.bm25(docs, "id", "text", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.keySet == Set(1L, 2L, 3L))
+    assert(scores(1L) > scores(2L) && scores(2L) > scores(3L))
+  }
+}
