@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.pipeline.Skew
+import org.apache.spark.sql.functions._
+
+/** Statistical aggregates and shuffle-skew utilities, oracle-verified. */
+object StatsQueries {
+
+  import Registry.t
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // exact interpolated percentiles per event type (both engines use
+    // linear interpolation at rank (n-1)*p)
+    "q_value_percentiles" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Registry.events(s, dir)
+          .groupBy($"event_type")
+          .agg(percentile($"value", lit(0.25)).as("p"),
+            percentile($"value", lit(0.5)).as("q"),
+            percentile($"value", lit(0.95)).as("r"))
+          .select($"event_type", round($"p", 4).as("p25"),
+            round($"q", 4).as("p50"), round($"r", 4).as("p95"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type,
+             |  round(quantile_cont(value, 0.25), 4) AS p25,
+             |  round(quantile_cont(value, 0.50), 4) AS p50,
+             |  round(quantile_cont(value, 0.95), 4) AS p95
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // the salted join must be RESULT-identical to the plain join — the
+    // oracle is the unsalted SQL join, so any salting artifact (dropped or
+    // duplicated rows) fails the hash check
+    "q_salted_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem").select($"l_partkey", $"l_extendedprice", $"l_discount")
+        val part = t(s, dir, "part").select($"p_partkey".as("l_partkey"), $"p_brand")
+        Skew.saltedJoin(li, part, "l_partkey", salts = 8)
+          .groupBy($"p_brand")
+          .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"p_brand")
+      },
+      Some("""SELECT p_brand,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)))
+}

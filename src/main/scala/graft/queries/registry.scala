@@ -29,5 +29,5 @@ object Registry {
   lazy val all: Map[String, QueryDef] =
     RelationalQueries.defs ++ CorpusQueries.defs ++ PipelineQueries.defs ++
       CurationQueries.defs ++ StreamingQueries.defs ++ PolyldaQueries.defs ++
-      TemporalQueries.defs ++ RankingQueries.defs
+      TemporalQueries.defs ++ RankingQueries.defs ++ StatsQueries.defs
 }
