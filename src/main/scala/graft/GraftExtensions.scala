@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.{Digamma, LogAdd, LogGammaExpr, Trigamma}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.DoubleType
+
+/**
+ * SQL surface for the library's custom Catalyst expressions: register via
+ * `spark.sql.extensions=graft.GraftExtensions` on a new session, or
+ * `GraftExtensions.register(spark)` on an existing one. After that
+ * `spark.sql("SELECT digamma(x) ...")` uses the same codegen'd kernels as
+ * the DataFrame facade (graft.functions.gfunctions).
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def unary(name: String, f: Expression => Expression)
+      : (String, ExpressionInfo, Seq[Expression] => Expression) =
+    (name, new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"$name expects exactly 1 argument")
+        f(Cast(args.head, DoubleType))
+      })
+
+  private def binary(name: String, f: (Expression, Expression) => Expression)
+      : (String, ExpressionInfo, Seq[Expression] => Expression) =
+    (name, new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"$name expects exactly 2 arguments")
+        f(Cast(args(0), DoubleType), Cast(args(1), DoubleType))
+      })
+
+  /** (name, info, builder) for every registered SQL function. */
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    unary("digamma", Digamma),
+    unary("trigamma", Trigamma),
+    unary("lgamma", LogGammaExpr),
+    binary("log_add", LogAdd))
+
+  /** Register into an already-built session (extensions only run at
+    * construction time). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, info, builder) =>
+      org.apache.spark.sql.graftshim.shim.registerFunction(spark, name, info, builder)
+    }
+}

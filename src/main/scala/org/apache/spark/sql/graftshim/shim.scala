@@ -13,4 +13,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object shim {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function into an EXISTING session's registry (the
+    * `spark.sql.extensions` path only applies at session construction;
+    * `sessionState` is private[sql], hence here). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 }
