@@ -146,6 +146,43 @@ object Curation {
     out.withColumn("keep", flags.map(f => col(f._1)).reduce(_ && _))
   }
 
+  /**
+   * Benchmark decontamination: corpus documents sharing at least
+   * `minShared` distinct word n-grams with any document of a (small)
+   * benchmark/eval set. The join key is the n-gram, so the plan is two
+   * gram explosions + a shuffle join — never corpus × benchmark. An
+   * optional gram-df cap on the CORPUS side drops ubiquitous grams before
+   * the join (same skew argument as n-gram Jaccard; the benchmark side is
+   * small by construction).
+   *
+   * @return (corpus idCol, bench_id, shared_ngrams) sorted by caller
+   */
+  def ngramContamination(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, benchIdCol: String, benchTextCol: String,
+      n: Int = 5, minShared: Int = 3, maxGramDf: Long = Long.MaxValue): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def grams(df: DataFrame, id: String, text: String, out: String) = {
+      val toks = TextAnalysis.wsTokens(lower(col(text)))
+      df.select(col(id).cast("long").as(out), toks.as("toks"))
+        .filter(size($"toks") >= n)
+        .select(col(out), explode(array_distinct(
+          transform(sequence(lit(0), size($"toks") - n),
+            i => concat_ws(" ", slice($"toks", i + 1, lit(n)))))).as("g"))
+    }
+    val cg0 = grams(corpus, idCol, textCol, "cid")
+    val cg =
+      if (maxGramDf == Long.MaxValue) cg0
+      else cg0.join(cg0.groupBy($"g").agg(count(lit(1)).as("gdf"))
+        .filter($"gdf" <= maxGramDf).select($"g"), "g")
+    val bg = grams(bench, benchIdCol, benchTextCol, "bench_id")
+    cg.join(bg, "g")
+      .groupBy($"cid", $"bench_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter($"shared_ngrams" >= minShared)
+      .withColumnRenamed("cid", idCol)
+  }
+
   /** PII patterns shared by redaction and the DuckDB oracle: Java regex ∩
     * RE2 syntax only (no lookaround, no \b — RE2 lacks them). Order
     * matters: emails contain dots that the IP pattern must not see. */

@@ -175,5 +175,42 @@ object CurationQueries {
              |WHERE substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) <
              |  CASE lang WHEN 'en' THEN '80000000' WHEN 'zh' THEN '33333333'
              |            WHEN 'de' THEN '40000000' ELSE '59999999' END
-             |GROUP BY lang ORDER BY lang""".stripMargin)))
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // benchmark decontamination: the "eval set" is sliced out of docs 0-4
+    // (tokens 11..40), so every benchmark doc must hit its source document
+    // with ≥ 26 shared 5-grams; the oracle replays gram explosion + join
+    "q_decontamination" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val toks = graft.pipeline.TextAnalysis.wsTokens(lower($"text"))
+        val bench = docs.filter($"doc_id" < 5)
+          .select($"doc_id".as("bench_id"),
+            concat_ws(" ", slice(toks, 11, 30)).as("bench_text"))
+        Curation.ngramContamination(docs, bench, "doc_id", "text",
+            "bench_id", "bench_text", n = 5, minShared = 3)
+          .orderBy($"doc_id", $"bench_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |bench AS (
+             |  SELECT doc_id AS bench_id, array_to_string(toks[11:40], ' ') AS btext
+             |  FROM tok WHERE doc_id < 5),
+             |btok AS (
+             |  SELECT bench_id, list_filter(string_split(lower(btext), ' '), x -> x <> '') AS toks
+             |  FROM bench),
+             |cg AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+             |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS g
+             |  FROM tok WHERE len(toks) >= 5),
+             |bg AS (
+             |  SELECT bench_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+             |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS g
+             |  FROM btok WHERE len(toks) >= 5)
+             |SELECT doc_id, bench_id, count(*) AS shared_ngrams
+             |FROM cg JOIN bg USING (g)
+             |GROUP BY doc_id, bench_id HAVING count(*) >= 3
+             |ORDER BY doc_id, bench_id""".stripMargin)))
 }

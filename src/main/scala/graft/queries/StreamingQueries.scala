@@ -45,5 +45,12 @@ object StreamingQueries {
              |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
              |       count(*) AS events, round(sum(value), 2) AS value_sum
              |FROM s GROUP BY user_id, sid
-             |ORDER BY user_id, session_start""".stripMargin)))
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // every event delivered twice; streaming dropDuplicates restores
+    // exactly-once, so the batch aggregation oracle applies unchanged
+    "q_stream_dedup_counts" -> QueryDef(
+      (s, dir) => EventsStream.dedupedUserCounts(s, dir),
+      Some("""SELECT user_id, count(*) AS n, round(sum(value), 2) AS total_value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)))
 }

@@ -43,27 +43,32 @@ object EventsStream {
   /** The file stream source requires a *directory* (its basePath), but the
     * test tables are single parquet files — expose the events file through a
     * per-call temp directory symlink. */
-  private def streamableEventsDir(dir: String): String = {
+  private def streamableEventsDir(dir: String, copies: Int = 1): String = {
     import java.nio.file.{Files, Paths}
     // absolute path: a relative symlink target would resolve against the
     // temp dir and dangle (createSymbolicLink does not validate the target)
     val src = Paths.get(dir, "events.parquet").toAbsolutePath
     val tmp = Files.createTempDirectory("graft_events_stream_")
     tmp.toFile.deleteOnExit()
-    val link = tmp.resolve("events.parquet")
-    try Files.createSymbolicLink(link, src)
-    catch { case _: Exception => Files.copy(src, link) }
+    // copies > 1 simulates at-least-once redelivery: the same file exposed
+    // under several names, every event arriving `copies` times
+    (0 until copies).foreach { i =>
+      val link = tmp.resolve(s"events_$i.parquet")
+      try Files.createSymbolicLink(link, src)
+      catch { case _: Exception => Files.copy(src, link) }
+    }
     tmp.toString
   }
 
   /** streaming read of the events file; ts arrives as TIMESTAMP(NANOS)
     * which Spark's parquet reader only accepts as long → convert to µs */
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  private def eventsStream(spark: SparkSession, dir: String,
+      copies: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     spark.readStream
       .schema(schema)
-      .parquet(streamableEventsDir(dir))
+      .parquet(streamableEventsDir(dir, copies))
       .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
   }
 
@@ -84,6 +89,32 @@ object EventsStream {
     q.processAllAvailable()
     q.stop()
     spark.table(name).orderBy($"hour", $"event_type")
+  }
+
+  /**
+   * Exactly-once aggregation over at-least-once delivery: every event is
+   * delivered TWICE (the source directory exposes the same file under two
+   * names), and streaming `dropDuplicates` on the event id reduces the
+   * stream back to the logical input — per-user counts then equal the
+   * batch aggregation, so the plain SQL oracle applies. At scale the
+   * watermarked variant (`dropDuplicatesWithinWatermark`) bounds the dedup
+   * state; the unbounded form is exact and fine for a verification run.
+   */
+  def dedupedUserCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_dedup_counts_${counter.incrementAndGet()}"
+    val q = eventsStream(spark, dir, copies = 2)
+      .dropDuplicates("event_id")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).orderBy($"user_id")
   }
 
   /**
