@@ -54,21 +54,20 @@ object Dedup {
 
   /**
    * MinHash signature as `numHashes` independent min-hashes over the shared
-   * universal family — fully inside codegen, no UDF.
+   * universal family, computed in ONE fold over the shingle array (one md5
+   * per shingle; the zip_with-least accumulator carries every family member
+   * at once) — fully inside codegen, no UDF, no shuffle.
    *
-   * NOTE: referencing this column N times in one projection/generator
-   * re-inlines (and re-computes) the whole signature N times — generator
-   * expressions get no subexpression elimination. `minhashNearDups` instead
-   * computes the signature as a min-aggregate over exploded shingles, which
-   * materializes it exactly once behind a (tiny, combiner-reduced) shuffle.
+   * NOTE: keep this column in its own Project if a generator references it
+   * several times — expressions re-inlined into a generator get no
+   * subexpression elimination (`minhashNearDups` does this for the bands).
    */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
-    val fam = hashFamily(numHashes)
-    val hs = transform(shingleCol, s => baseHash60(s) % HashP)
-    array(fam.map { case (a, b) =>
-      array_min(transform(hs, h => (lit(a) * h + lit(b)) % HashP))
-    }: _*)
-  }
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    aggregate(
+      transform(shingleCol, s => baseHash60(s) % HashP),
+      array_repeat(lit(HashP), numHashes),
+      (acc, h) => zip_with(acc, typedLit(hashFamily(numHashes)),
+        (a, f) => least(a, (f.getField("_1") * h + f.getField("_2")) % HashP)))
 
   /**
    * MinHash+LSH near-duplicate candidate pairs, verified with exact Jaccard
@@ -98,10 +97,13 @@ object Dedup {
       .filter(size($"sh") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // signature via aggregation: ONE md5 base hash per shingle, the 32-way
-    // family derived by multiply-mod; partial min on the map side makes the
-    // shuffle one 32-long row per doc. (An inline signature column would be
-    // re-inlined — and re-computed — once per band by the generator below.)
+    // signature via explode + min-aggregate: ONE md5 base hash per shingle,
+    // the 32-way family derived by multiply-mod; partial min on the map
+    // side makes the shuffle one 32-long row per doc. (Measured faster than
+    // a map-side zip_with-least fold over the shingle array — the fold
+    // allocates a 32-wide array per element, the min-aggregate stays in
+    // tight codegen; and an inline signature column would be re-inlined
+    // once per band by the generator below.)
     val fam = hashFamily(numHashes)
     val minCols = fam.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * $"hb" + lit(b)) % HashP).as(s"h$i") }
