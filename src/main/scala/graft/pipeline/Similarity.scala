@@ -58,9 +58,10 @@ object Similarity {
     val c = corpus.select(col(idCol).cast("long").as("corpus_id"),
       col(vecCol).cast("array<double>").as("cv"))
 
-    // deterministic init: the nCentroids vectors with smallest hashed id
+    // deterministic init: the nCentroids vectors with smallest md5-hashed
+    // id (md5 so a SQL oracle can replay the choice; id tie-break)
     var centroids: Array[Array[Double]] = c
-      .orderBy(xxhash64($"corpus_id"))
+      .orderBy(md5($"corpus_id".cast("string")), $"corpus_id")
       .limit(nCentroids)
       .select($"cv").as[Seq[Double]].collect().map(_.toArray)
 
@@ -73,13 +74,17 @@ object Similarity {
       d.sortBy(_._1).take(n).map(_._2).toSeq
     }
 
-    // Lloyd iterations: distributed assignment, model-sized centroid update
+    // Lloyd iterations: distributed assignment, model-sized centroid
+    // update. Means are rounded to 4 dp so the centroid trajectory is
+    // independent of FP summation order (and replayable by a SQL oracle);
+    // at embedding scale ~0.1 the quantization is far below cluster
+    // separation.
     for (_ <- 0 until kmeansIterations) {
       val cents = centroids
       val assignUdf = udf((v: Seq[Double]) => nearest(v, cents, 1).head)
       val updated = c.withColumn("cid", assignUdf($"cv"))
         .select($"cid", posexplode($"cv").as(Seq("i", "x")))
-        .groupBy($"cid", $"i").agg(avg($"x").as("m"))
+        .groupBy($"cid", $"i").agg(round(avg($"x"), 4).as("m"))
         .collect()
       val byCid = updated.groupBy(_.getAs[Int]("cid"))
       centroids = centroids.indices.map { cid =>

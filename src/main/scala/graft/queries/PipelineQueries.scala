@@ -154,6 +154,10 @@ object PipelineQueries {
              |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin),
       bench = true),
 
+    // full SQL replay of IVF including the coarse k-means: md5-based init
+    // and 4-dp-rounded centroid means make the Lloyd trajectory independent
+    // of FP summation order, so DuckDB reproduces assignment, probing, and
+    // the exact cosine rerank
     "q_ann_ivf" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -162,7 +166,7 @@ object PipelineQueries {
           k = 10, nCentroids = 16, nProbe = 8, kmeansIterations = 3)
           .orderBy($"query_id", $"rnk")
       },
-      None),
+      Some(annIvfOracleSql)),
 
     // full SQL replay: the seeded hyperplanes are embedded as literals, so
     // DuckDB reproduces the bucketing, candidate set, and exact rerank
@@ -304,6 +308,68 @@ object PipelineQueries {
 
   private def duckList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** DuckDB replay of `Similarity.ivfTopK(k=10, 16 centroids, 8 probes, 3
+    * Lloyd iterations)`: md5-ordered init, per-iteration argmin assignment
+    * (squared L2, cid tie-break), 4-dp-rounded means with empty clusters
+    * keeping their previous centroid, then probe + exact cosine rerank. */
+  private def annIvfOracleSql: String = {
+    def dist(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, 65), j -> ($a.v[j] - $b.v[j]) * ($a.v[j] - $b.v[j])))"
+    def assignCte(n: Int): String =
+      s"""a$n AS (
+         |  SELECT vec_id, vv, cid FROM (
+         |    SELECT v.vec_id, v.v AS vv, c.cid,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${dist("v", "c")}, c.cid) AS rn
+         |    FROM v CROSS JOIN c${n - 1} c) WHERE rn = 1)""".stripMargin
+    def updateCte(n: Int): String =
+      s"""m$n AS (
+         |  SELECT cid, list(mr ORDER BY i) AS v FROM (
+         |    SELECT cid, i, round(avg(x), 4) AS mr FROM (
+         |      SELECT cid, unnest(vv) AS x, generate_subscripts(vv, 1) AS i FROM a$n)
+         |    GROUP BY cid, i) GROUP BY cid),
+         |c$n AS (
+         |  SELECT p.cid, COALESCE(m$n.v, p.v) AS v
+         |  FROM c${n - 1} p LEFT JOIN m$n ON p.cid = m$n.cid)""".stripMargin
+    val lloyd = (1 to 3).map(n => assignCte(n) + ",\n" + updateCte(n)).mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cid, v
+       |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |$lloyd,
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY ${dist("v", "c")}, c.cid) AS rn
+       |    FROM v CROSS JOIN c3 c) WHERE rn = 1),
+       |q AS (SELECT * FROM v WHERE vec_id < 5),
+       |probe AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT q.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${dist("q", "c")}, c.cid) AS rn
+       |    FROM q CROSS JOIN c3 c) WHERE rn <= 8),
+       |cand AS (
+       |  SELECT probe.query_id, assign.vec_id AS corpus_id
+       |  FROM probe JOIN assign ON probe.cid = assign.cid
+       |  WHERE assign.vec_id <> probe.query_id),
+       |scored AS (
+       |  SELECT query_id, corpus_id,
+       |    round(list_dot_product(cv.v, qv.v)
+       |      / (sqrt(list_dot_product(cv.v, cv.v)) * sqrt(list_dot_product(qv.v, qv.v))), 6) AS cosine
+       |  FROM cand
+       |  JOIN v cv ON cv.vec_id = corpus_id
+       |  JOIN v qv ON qv.vec_id = query_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS INT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, rnk, corpus_id, cosine FROM ranked
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** DuckDB replay of `Similarity.lshTopK(k=10, dim=64, 6 bits, 4 tables)`:
     * the seeded hyperplanes are emitted as SQL literals (Java double
