@@ -1,0 +1,57 @@
+package graft.queries
+
+import graft.sources.Formats
+import org.apache.spark.sql.functions._
+
+/** Source/sink format coverage: each query pushes a table through a
+  * written-and-reread format (CSV, JSON, Hive-partitioned parquet) and
+  * aggregates the result — the oracle runs on the ORIGINAL parquet, so any
+  * round-trip corruption (types, quoting, partition values) fails the
+  * hash check. */
+object FormatQueries {
+
+  import Registry.t
+
+  val defs: Map[String, QueryDef] = Map(
+
+    "q_csv_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val n = Formats.csvRoundtrip(t(s, dir, "nation"))
+        val r = Formats.csvRoundtrip(t(s, dir, "region"))
+        n.join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy($"r_name")
+          .agg(count(lit(1)).as("n_nations"))
+          .orderBy($"r_name")
+      },
+      Some("""SELECT r_name, count(*) AS n_nations
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    "q_json_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Formats.jsonRoundtrip(t(s, dir, "orders").filter($"o_orderkey" < 1000))
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+             |FROM orders WHERE o_orderkey < 1000
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    "q_partitioned_sink" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Formats.partitionedRoundtrip(
+            t(s, dir, "documents").select($"doc_id", $"lang", $"text"), "lang")
+          .filter($"lang".isin("en", "zh"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_id"),
+            max($"doc_id").as("max_id"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM documents WHERE lang IN ('en', 'zh')
+             |GROUP BY lang ORDER BY lang""".stripMargin)))
+}

@@ -180,6 +180,38 @@ object PipelineQueries {
       },
       Some(annLshOracleSql)),
 
+    // ---- embedding transforms ----
+    "q_embedding_normalize" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "embeddings")
+          .select($"vec_id", posexplode(
+            graft.pipeline.Embeddings.l2Normalize($"embedding".cast("array<double>")))
+            .as(Seq("i", "x")))
+          .select($"vec_id", $"i", round($"x", 6).as("x"))
+          .orderBy($"vec_id", $"i")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v)
+             |SELECT vec_id, generate_subscripts(v, 1) - 1 AS i,
+             |       round(unnest(v) / nrm, 6) AS x
+             |FROM n ORDER BY vec_id, i""".stripMargin)),
+
+    "q_embedding_quantize" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "embeddings")
+          .select($"vec_id", posexplode(
+            graft.pipeline.Embeddings.quantizeInt8($"embedding".cast("array<double>")))
+            .as(Seq("i", "q")))
+          .orderBy($"vec_id", $"i")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM v)
+             |SELECT vec_id, generate_subscripts(v, 1) - 1 AS i,
+             |       CAST(round(unnest(v) * 127.0 / ma, 0) AS INT) AS q
+             |FROM m ORDER BY vec_id, i""".stripMargin)),
+
     // ---- text analysis ----
     "q_text_quality" -> QueryDef(
       (s, dir) => {

@@ -29,5 +29,6 @@ object Registry {
   lazy val all: Map[String, QueryDef] =
     RelationalQueries.defs ++ CorpusQueries.defs ++ PipelineQueries.defs ++
       CurationQueries.defs ++ StreamingQueries.defs ++ PolyldaQueries.defs ++
-      TemporalQueries.defs ++ RankingQueries.defs ++ StatsQueries.defs
+      TemporalQueries.defs ++ RankingQueries.defs ++ StatsQueries.defs ++
+      FormatQueries.defs
 }
