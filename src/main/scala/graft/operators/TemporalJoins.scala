@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
 object TemporalJoins {
 
   /**
-   * As-of backward join: for each left row, the single right row with the
-   * greatest `rightTsCol` ≤ the left row's `leftTsCol`, per join key.
+   * As-of join: per join key, for each left row the single right row with
+   * the greatest `rightTsCol` ≤ the left row's `leftTsCol` (`direction =
+   * "backward"`, the default) or the smallest `rightTsCol` ≥ it
+   * (`direction = "forward"`).
    *
    * Plan: union both sides tagged, ONE shuffle on `keyCols`, one window
    * pass carrying the latest right values forward with
@@ -36,7 +38,10 @@ object TemporalJoins {
    */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTsCol: String, rightTsCol: String, rightValueCols: Seq[String],
-      rightOrder: Option[String] = None): DataFrame = {
+      rightOrder: Option[String] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val spark = left.sparkSession
     import spark.implicits._
 
@@ -64,8 +69,13 @@ object TemporalJoins {
       .unionByName(rAligned.select((leftCols ++
         rightValueCols.map(c => s"right_$c") ++ Seq("__ts", "__side", "__ord")).map(col): _*))
 
+    // backward: ascending traversal, last-seen right row = latest ≤ ts.
+    // forward: DESCENDING traversal, last-seen right row = earliest ≥ ts.
+    // Right rows sort before left at equal timestamps either way (__side 0
+    // first), keeping equality inside the match.
+    val tsOrder = if (direction == "backward") $"__ts".asc else $"__ts".desc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy($"__ts".asc, $"__side".asc, $"__ord".asc)
+      .orderBy(tsOrder, $"__side".asc, $"__ord".asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = rightValueCols.foldLeft(unioned) { (df, c) =>

@@ -39,6 +39,35 @@ object TemporalQueries {
              |  ON c.user_id = p.user_id AND c.ts >= p.pts
              |ORDER BY c.event_id""".stripMargin)),
 
+    // forward as-of: for each signup, the user's first purchase at or after
+    "q_asof_next_purchase" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Registry.events(s, dir)
+        val signups = ev.filter($"event_type" === "signup")
+          .select($"event_id", $"user_id", $"ts")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id".as("pid"), $"user_id", $"ts", $"value")
+        TemporalJoins.asofJoin(signups, purchases, Seq("user_id"),
+            leftTsCol = "ts", rightTsCol = "ts",
+            rightValueCols = Seq("pid", "ts", "value"),
+            rightOrder = Some("pid"), direction = "forward")
+          .select($"event_id", $"user_id", $"ts",
+            $"right_pid".as("purchase_id"), $"right_ts".as("purchase_ts"),
+            round($"right_value", 4).as("purchase_value"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+             |p AS (
+             |  SELECT event_id AS purchase_id, user_id, ts AS pts, value
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT c.event_id, c.user_id, c.ts, p.purchase_id,
+             |       p.pts AS purchase_ts, round(p.value, 4) AS purchase_value
+             |FROM c ASOF LEFT JOIN p
+             |  ON c.user_id = p.user_id AND c.ts <= p.pts
+             |ORDER BY c.event_id""".stripMargin)),
+
     // per error event: how many views the same user had in the preceding
     // 6 hours, and their total value (binned range join, no cartesian)
     "q_range_error_context" -> QueryDef(

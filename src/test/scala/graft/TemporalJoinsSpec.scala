@@ -38,6 +38,24 @@ class TemporalJoinsSpec extends SparkSpec {
       (5L, None, None)))
   }
 
+  test("forward asof join picks earliest right row at or after each left row") {
+    val left = Seq(
+      (1L, "a", 5L),   // before both -> rts 10
+      (2L, "a", 15L),  // between -> rts 20
+      (3L, "a", 20L),  // equal timestamp counts
+      (4L, "a", 25L),  // after all -> null
+      (5L, "c", 5L)    // no right rows -> null
+    ).toDF("id", "k", "ts")
+    val right = Seq(("a", 10L, 1.0), ("a", 20L, 2.0)).toDF("k", "rts", "v")
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"), "ts", "rts",
+        Seq("rts", "v"), direction = "forward")
+      .orderBy($"id")
+      .select($"id", $"right_rts").collect()
+      .map(r => (r.getLong(0), Option(r.get(1))))
+    assert(out.toSeq == Seq(
+      (1L, Some(10L)), (2L, Some(20L)), (3L, Some(20L)), (4L, None), (5L, None)))
+  }
+
   test("asof join breaks same-(key, ts) right duplicates by rightOrder") {
     val left = Seq((1L, "a", 10L)).toDF("id", "k", "ts")
     val right = Seq(("a", 10L, 7L, 1.0), ("a", 10L, 9L, 2.0), ("a", 10L, 8L, 3.0))
