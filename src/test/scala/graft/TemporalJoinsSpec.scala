@@ -77,6 +77,32 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out.toSeq == Seq(2L, 3L, 4L))
   }
 
+  test("asof join matches a naive join+window implementation on random data") {
+    val rng = new scala.util.Random(5)
+    val left = Seq.tabulate(200)(i =>
+      (i.toLong, s"k${rng.nextInt(4)}", rng.nextInt(500).toLong)).toDF("id", "k", "ts")
+    val right = Seq.tabulate(80)(i =>
+      (s"k${rng.nextInt(4)}", rng.nextInt(500).toLong, i.toLong)).toDF("k", "rts", "rid")
+
+    val fast = TemporalJoins.asofJoin(left, right, Seq("k"), "ts", "rts",
+        Seq("rid"), rightOrder = Some("rid"))
+      .select($"id", $"right_rid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+
+    // naive: all qualifying right rows, keep max (rts, rid), left-join back
+    // so left rows with no qualifying match keep a null
+    val matches = left.join(right, Seq("k"))
+      .filter($"rts" <= $"ts")
+      .groupBy($"id")
+      .agg(max(struct($"rts", $"rid")).as("m"))
+      .select($"id", $"m.rid".as("rid"))
+    val naive = left.select($"id").join(matches, Seq("id"), "left")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+
+    assert(fast.size == 200 && fast == naive)
+  }
+
   test("range join matches the naive non-equi join on random data") {
     val rng = new scala.util.Random(11)
     val points = Seq.tabulate(300)(i =>
