@@ -30,9 +30,10 @@ object TemporalJoins {
    * Right rows sort before left rows at equal timestamps (ties are "at or
    * before"). If the right side has several rows at the same (key, ts) the
    * greatest `rightOrder` wins — pass a unique column (e.g. the event id)
-   * for deterministic output. Right value columns should be non-null: each
-   * is carried independently, so a null value would be filled from an older
-   * right row for that column only.
+   * for deterministic output. Null join keys never match (equi-join
+   * semantics). Right value columns should be non-null: each is carried
+   * independently, so a null value would be filled from an older right row
+   * for that column only.
    *
    * @param rightValueCols right columns to surface (prefixed `right_`)
    */
@@ -45,19 +46,29 @@ object TemporalJoins {
     val spark = left.sparkSession
     import spark.implicits._
 
+    // __ord keeps the rightOrder column's NATIVE type (casting e.g. a UUID
+    // string to long would null it out and silently lose the tie-break);
+    // left rows order as null, which is fine — each left row is its own
+    // output, only right-vs-right order matters.
+    val ordType = rightOrder.map(right.schema(_).dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType)
+
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__ts", col(leftTsCol))
       .withColumn("__side", lit(1))
-      .withColumn("__ord", lit(Long.MaxValue))
+      .withColumn("__ord", lit(null).cast(ordType))
     val lAligned = rightValueCols.foldLeft(l) { (df, c) =>
       df.withColumn(s"right_$c", lit(null).cast(right.schema(c).dataType)) }
 
-    val r0 = right
+    // null join keys never match (equi-join semantics, matching the SQL
+    // ASOF oracle): drop right rows with a null key so they can't fill
+    // left rows that land in the same null partition
+    val r0 = keyCols.foldLeft(right) { (df, k) => df.filter(col(k).isNotNull) }
       .withColumn("__ts", col(rightTsCol))
       .withColumn("__side", lit(0))
       .withColumn("__ord",
-        rightOrder.map(col(_).cast("long")).getOrElse(lit(0L)))
+        rightOrder.map(col(_).cast(ordType)).getOrElse(lit(0L).cast(ordType)))
     val rAligned = leftCols.filterNot(keyCols.contains).foldLeft(
       rightValueCols.foldLeft(r0) { (df, c) => df.withColumn(s"right_$c", col(c)) }
         .select((keyCols ++ rightValueCols.map(c => s"right_$c") ++

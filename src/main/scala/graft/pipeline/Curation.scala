@@ -164,7 +164,9 @@ object Curation {
     import spark.implicits._
     def grams(df: DataFrame, id: String, text: String, out: String) = {
       val toks = TextAnalysis.wsTokens(lower(col(text)))
-      df.select(col(id).cast("long").as(out), toks.as("toks"))
+      // id keeps its native type — casting a string doc id to long would
+      // null it and collapse every document into one group
+      df.select(col(id).as(out), toks.as("toks"))
         .filter(size($"toks") >= n)
         .select(col(out), explode(array_distinct(
           transform(sequence(lit(0), size($"toks") - n),

@@ -184,8 +184,12 @@ object Dedup {
     * the token-hash array. */
   val SimhashBits = 60
 
-  def simhash(text: Column): Column = {
-    val toks = TextAnalysis.wsTokens(lower(text))
+  def simhash(text: Column): Column =
+    simhashOfTokens(TextAnalysis.wsTokens(lower(text)))
+
+  /** Same over a pre-tokenized column — lets callers that also need the
+    * token count tokenize once in their own Project. */
+  def simhashOfTokens(toks: Column): Column = {
     val hashes = transform(toks, t => baseHash60(t))
     val masks = typedLit(Array.tabulate(SimhashBits)(b => 1L << b).toSeq)
     val bitCounts = aggregate(hashes,
@@ -206,9 +210,12 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // tokenize ONCE in its own Project (the simhash and the token-count
+    // guard both read the attribute; inlining would tokenize twice)
     val hashed = df
-      .select(col(idCol).cast("long").as("id"), simhash(col(textCol)).as("sim"),
-        size(TextAnalysis.wsTokens(lower(col(textCol)))).as("ntok"))
+      .select(col(idCol).cast("long").as("id"),
+        TextAnalysis.wsTokens(lower(col(textCol))).as("toks"))
+      .select($"id", simhashOfTokens($"toks").as("sim"), size($"toks").as("ntok"))
       .filter($"ntok" > 0)
     val banded = hashed.select($"id", $"sim",
         posexplode(array((0 until 4).map(b =>

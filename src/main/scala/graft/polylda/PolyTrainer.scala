@@ -75,6 +75,17 @@ object PolyTrainer {
         StructField("elogbeta", ArrayType(DoubleType), nullable = true))))
   }
 
+  private def toNestedMap(
+      betaMaps: java.util.HashMap[Int, java.util.HashMap[Int, Array[Double]]])
+      : Map[Int, scala.collection.Map[Int, Array[Double]]] =
+    scala.jdk.CollectionConverters.MapHasAsScala(betaMaps).asScala.map {
+      case (l, m) =>
+        val langMap: scala.collection.Map[Int, Array[Double]] =
+          scala.jdk.CollectionConverters.MapHasAsScala(m).asScala
+            .map { case (a, b) => (a.intValue(), b) }
+        l.intValue() -> langMap
+    }.toMap
+
   /** (lang, topic, termId, elogbeta) rows → lang -> termId -> topic array. */
   private def betaRowsToNestedMap(rows: Array[org.apache.spark.sql.Row], k: Int)
       : Map[Int, scala.collection.Map[Int, Array[Double]]] = {
@@ -89,13 +100,7 @@ object PolyTrainer {
       if (arr == null) { arr = new Array[Double](k); langMap.put(w, arr) }
       arr(t) = r.getAs[Double]("elogbeta")
     }
-    scala.jdk.CollectionConverters.MapHasAsScala(betaMaps).asScala.map {
-      case (l, m) =>
-        val langMap: scala.collection.Map[Int, Array[Double]] =
-          scala.jdk.CollectionConverters.MapHasAsScala(m).asScala
-            .map { case (a, b) => (a.intValue(), b) }
-        l.intValue() -> langMap
-    }.toMap
+    toNestedMap(betaMaps)
   }
 
   /** Per-(lang, topic, term) M-step: logsumexp fold + per-(lang, topic)
@@ -192,14 +197,7 @@ object PolyTrainer {
         rows += ((lang, topic, w, e))
       }
     }
-    val beta = scala.jdk.CollectionConverters.MapHasAsScala(betaMaps).asScala.map {
-      case (l, m) =>
-        val langMap: scala.collection.Map[Int, Array[Double]] =
-          scala.jdk.CollectionConverters.MapHasAsScala(m).asScala
-            .map { case (a, b) => (a.intValue(), b) }
-        l.intValue() -> langMap
-    }.toMap
-    (beta, rows.result())
+    (toNestedMap(betaMaps), rows.result())
   }
 
   def train(docs: Dataset[PolyDoc], numTermsPerLang: Map[Int, Int], cfg: Config): PolyLdaModel = {

@@ -192,10 +192,12 @@ object PipelineQueries {
           .orderBy($"vec_id", $"i")
       },
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v)
-             |SELECT vec_id, generate_subscripts(v, 1) - 1 AS i,
-             |       round(unnest(v) / nrm, 6) AS x
-             |FROM n ORDER BY vec_id, i""".stripMargin)),
+             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+             |e AS (SELECT vec_id, nrm, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x0
+             |      FROM n)
+             |SELECT vec_id, i,
+             |       CASE WHEN nrm > 0 THEN round(x0 / nrm, 6) ELSE round(x0, 6) END AS x
+             |FROM e ORDER BY vec_id, i""".stripMargin)),
 
     "q_embedding_quantize" -> QueryDef(
       (s, dir) => {
@@ -207,10 +209,12 @@ object PipelineQueries {
           .orderBy($"vec_id", $"i")
       },
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM v)
-             |SELECT vec_id, generate_subscripts(v, 1) - 1 AS i,
-             |       CAST(round(unnest(v) * 127.0 / ma, 0) AS INT) AS q
-             |FROM m ORDER BY vec_id, i""".stripMargin)),
+             |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM v),
+             |e AS (SELECT vec_id, ma, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x0
+             |      FROM m)
+             |SELECT vec_id, i,
+             |       CASE WHEN ma > 0 THEN CAST(round(x0 * 127.0 / ma, 0) AS INT) ELSE 0 END AS q
+             |FROM e ORDER BY vec_id, i""".stripMargin)),
 
     // ---- text analysis ----
     "q_text_quality" -> QueryDef(

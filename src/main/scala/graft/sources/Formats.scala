@@ -12,21 +12,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object Formats {
 
-  private def tmp(prefix: String): String = {
-    val d = Files.createTempDirectory(s"graft_$prefix")
-    d.toFile.deleteOnExit()
-    d.resolve("data").toString
+  /** One FIXED location per (format, column set), overwritten on every
+    * call: repeated verify/bench runs keep at most one copy per distinct
+    * round-tripped shape on disk (a fresh temp dir per call would leak a
+    * full dataset copy each run — deleteOnExit cannot remove non-empty
+    * directories). Keyed by column names so two tables round-tripped in
+    * one query don't clobber each other's files before the lazy read. */
+  private def tmp(prefix: String, df: DataFrame): String = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_roundtrip")
+    Files.createDirectories(base)
+    val key = Integer.toHexString(df.columns.mkString(",").hashCode)
+    base.resolve(s"${prefix}_$key").toString
   }
 
   def csvRoundtrip(df: DataFrame): DataFrame = {
-    val path = tmp("csv")
-    df.write.option("header", "true").csv(path)
+    val path = tmp("csv", df)
+    df.write.mode("overwrite").option("header", "true").csv(path)
     df.sparkSession.read.option("header", "true").schema(df.schema).csv(path)
   }
 
   def jsonRoundtrip(df: DataFrame): DataFrame = {
-    val path = tmp("json")
-    df.write.json(path)
+    val path = tmp("json", df)
+    df.write.mode("overwrite").json(path)
     df.sparkSession.read.schema(df.schema).json(path)
   }
 
@@ -34,8 +42,8 @@ object Formats {
     * partition column prune directories at the source (the 100 TB layout
     * for any column with bounded cardinality). */
   def partitionedRoundtrip(df: DataFrame, partCol: String): DataFrame = {
-    val path = tmp("part")
-    df.write.partitionBy(partCol).parquet(path)
+    val path = tmp("part", df)
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
     df.sparkSession.read.parquet(path)
   }
 }

@@ -38,6 +38,16 @@ class TemporalJoinsSpec extends SparkSpec {
       (5L, None, None)))
   }
 
+  test("asof join never matches null keys to each other") {
+    val left = Seq((1L, Option.empty[String], 10L), (2L, Option("a"), 10L))
+      .toDF("id", "k", "ts")
+    val right = Seq((Option.empty[String], 5L, 1.0), (Option("a"), 5L, 2.0))
+      .toDF("k", "rts", "v")
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("v"))
+      .orderBy($"id").select($"right_v").collect().map(r => Option(r.get(0)))
+    assert(out.toSeq == Seq(None, Some(2.0)))
+  }
+
   test("forward asof join picks earliest right row at or after each left row") {
     val left = Seq(
       (1L, "a", 5L),   // before both -> rts 10
