@@ -14,10 +14,14 @@ import org.apache.spark.sql.types.DoubleType
  * the DataFrame facade (graft.functions.gfunctions).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // opt-in range-join binning (no-op until spark.graft.rangeJoin.binWidth
+    // is set on the session)
+    ext.injectOptimizerRule(session => graft.plans.RangeJoinBinRewrite(session))
+  }
 }
 
 object GraftExtensions {
