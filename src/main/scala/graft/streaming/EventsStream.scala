@@ -63,11 +63,12 @@ object EventsStream {
   /** streaming read of the events file; ts arrives as TIMESTAMP(NANOS)
     * which Spark's parquet reader only accepts as long → convert to µs */
   private def eventsStream(spark: SparkSession, dir: String,
-      copies: Int = 1): DataFrame = {
+      copies: Int = 1, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream
-      .schema(schema)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
       .parquet(streamableEventsDir(dir, copies))
       .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
   }
@@ -103,7 +104,10 @@ object EventsStream {
   def dedupedUserCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val name = s"graft_dedup_counts_${counter.incrementAndGet()}"
-    val q = eventsStream(spark, dir, copies = 2)
+    // one file per micro-batch → the duplicate delivery arrives in a
+    // SECOND batch, exercising cross-batch dedup state, not just
+    // within-batch distinct
+    val q = eventsStream(spark, dir, copies = 2, maxFilesPerTrigger = Some(1))
       .dropDuplicates("event_id")
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
