@@ -161,6 +161,7 @@ object ParseCorpus {
     val titles = base.select($"docId", $"title").as[TitleEntry]
 
     tokens.unpersist()
+    termAgg.unpersist()
     Result(docs, terms, titles,
       CorpusStats(encodedCount, numTerms, numDocsTotal - encodedCount, lowDf, highDf))
   }

@@ -26,7 +26,7 @@ object AlphaUpdate {
 
   /** Asymmetric (vector) α update from per-topic sufficient statistics
     * ss_k = Σ_d digamma(γ_dk) − digamma(Σ_k γ_dk). */
-  def updateVectorAlpha(numTopics: Int, numDocs: Int, alphaIn: Array[Double],
+  def updateVectorAlpha(numTopics: Int, numDocs: Long, alphaIn: Array[Double],
       ss: Array[Double]): Array[Double] = {
     var alpha = alphaIn.clone()
     var alphaNew = new Array[Double](numTopics)
@@ -91,7 +91,7 @@ object AlphaUpdate {
   }
 
   /** Symmetric (scalar) α update — Newton in log-space. */
-  def updateScalarAlpha(numTopics: Int, numDocs: Int, alphaInit0: Double,
+  def updateScalarAlpha(numTopics: Int, numDocs: Long, alphaInit0: Double,
       ss: Double): Double = {
     var alphaInit = alphaInit0
     var alpha = alphaInit

@@ -78,7 +78,10 @@ object EStepShuffle {
       }
 
       val docRows = it.flatMap { doc =>
-        val realTerms = doc.terms.filter(_.termId >= 0) // drop the empty-doc sentinel
+        // sortBy: collect_list order is task-scheduling-dependent, and the
+        // log-space folds below are not FP-associative — sorting makes
+        // shuffle-mode training run-to-run reproducible
+        val realTerms = doc.terms.filter(_.termId >= 0).sortBy(_.termId)
         val nnz = realTerms.length
         val termIds = new Array[Int](nnz)
         val termCnt = new Array[Int](nnz)

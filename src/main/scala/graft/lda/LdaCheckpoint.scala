@@ -37,10 +37,16 @@ object LdaCheckpoint {
   def saveGamma(gamma: DataFrame, dir: String, iter: Int): Unit =
     gamma.write.mode("overwrite").parquet(s"$dir/gamma-$iter")
 
-  def saveState(dir: String, iter: Int, llHistory: Seq[Double]): Unit = {
+  /** state JSON goes through the Hadoop filesystem like the parquet
+    * snapshots, so an hdfs:// or s3a:// checkpointDir keeps everything in
+    * one place (a java.nio path would silently write a LOCAL "hdfs:" dir). */
+  def saveState(spark: SparkSession, dir: String, iter: Int, llHistory: Seq[Double]): Unit = {
     val json = s"""{"iteration":$iter,"llHistory":[${llHistory.mkString(",")}]}"""
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/state-$iter.json"), json)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/state-$iter.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   def loadAlpha(spark: SparkSession, dir: String, iter: Int): Array[Double] = {
@@ -60,11 +66,15 @@ object LdaCheckpoint {
   def loadGamma(spark: SparkSession, dir: String, iter: Int): DataFrame =
     spark.read.parquet(s"$dir/gamma-$iter")
 
-  def loadLlHistory(dir: String, iter: Int): Seq[Double] = {
-    val path = java.nio.file.Paths.get(s"$dir/state-$iter.json")
-    if (!java.nio.file.Files.exists(path)) Seq.empty
+  def loadLlHistory(spark: SparkSession, dir: String, iter: Int): Seq[Double] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/state-$iter.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
     else {
-      val json = java.nio.file.Files.readString(path)
+      val in = fs.open(p)
+      val json =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
       val m = "\"llHistory\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
       m.map(_.group(1)).filter(_.nonEmpty)
         .map(_.split(",").toSeq.map(_.toDouble)).getOrElse(Seq.empty)

@@ -118,7 +118,7 @@ object Trainer {
         .select($"docId", $"counts", $"numTokens", $"gamma")
         .as[Doc]
         .persist(StorageLevel.MEMORY_AND_DISK)
-      history = LdaCheckpoint.loadLlHistory(dir, i).reverse.toList
+      history = LdaCheckpoint.loadLlHistory(spark, dir, i).reverse.toList
       startIter = i
     }
 
@@ -135,6 +135,11 @@ object Trainer {
 
     while (iter < cfg.maxIterations && !converged) {
       val alphaBc = spark.sparkContext.broadcast(alpha)
+      // captured so the (model-sized) beta broadcast can be destroyed at
+      // iteration end — otherwise broadcast memory grows linearly with
+      // iterations on the driver and every executor
+      val betaBc = if (useShuffleEStep) None
+        else Some(spark.sparkContext.broadcast(beta))
 
       val estep = (if (useShuffleEStep)
         EStepShuffle.run(corpus, alphaBc, betaTable, numTerms,
@@ -142,7 +147,7 @@ object Trainer {
           randomStartGamma = cfg.randomStartGamma,
           learning = true, seed = cfg.seed)
       else
-        EStep.run(corpus, alphaBc, spark.sparkContext.broadcast(beta), numTerms,
+        EStep.run(corpus, alphaBc, betaBc.get, numTerms,
           localIterations = cfg.localIterations,
           randomStartGamma = cfg.randomStartGamma,
           learning = true, seed = cfg.seed))
@@ -179,10 +184,10 @@ object Trainer {
       }
       if (cfg.updateAlpha) {
         if (cfg.symmetricAlpha) {
-          val a = AlphaUpdate.updateScalarAlpha(k, numDocs.toInt, alpha(0), ss.sum)
+          val a = AlphaUpdate.updateScalarAlpha(k, numDocs, alpha(0), ss.sum)
           alpha = Array.fill(k)(a)
         } else {
-          alpha = AlphaUpdate.updateVectorAlpha(k, numDocs.toInt, alpha, ss)
+          alpha = AlphaUpdate.updateVectorAlpha(k, numDocs, alpha, ss)
         }
       }
       history = ll :: history
@@ -207,7 +212,7 @@ object Trainer {
         LdaCheckpoint.saveBeta(snapshotBeta, dir, snapIdx)
         LdaCheckpoint.saveGamma(
           docSide.select($"docId", $"counts", $"numTokens", $"gamma"), dir, snapIdx)
-        LdaCheckpoint.saveState(dir, snapIdx, history.reverse)
+        LdaCheckpoint.saveState(spark, dir, snapIdx, history.reverse)
       }
 
       // rotate gamma into the corpus for the next iteration's warm start:
@@ -237,6 +242,10 @@ object Trainer {
       estep.unpersist()
       betaRowsDistributed.foreach(_.unpersist())
       if (useShuffleEStep) prevBetaTable.unpersist()
+      // every action reading these completed above (the fused collect /
+      // stats job, and the eager localCheckpoint or parquet snapshot)
+      alphaBc.destroy()
+      betaBc.foreach(_.destroy())
 
       converged = willConverge
       lastLL = ll

@@ -82,7 +82,10 @@ object PolyEStepShuffle {
       }
 
       val docRows = it.flatMap { doc =>
+        // sorted: collect_list order is nondeterministic and the log-space
+        // folds are not FP-associative (see EStepShuffle)
         val realTerms = doc.terms.filter(tb => tb.lang >= 0 && tb.termId >= 0)
+          .sortBy(tb => (tb.lang, tb.termId))
         val nnz = realTerms.length
         val langs = new Array[Int](nnz)
         val termIds = new Array[Int](nnz)

@@ -225,7 +225,7 @@ object PolyTrainer {
         .select($"docId", $"counts", $"numTokens", $"totalTokens", $"gamma")
         .as[PolyDoc]
         .persist(StorageLevel.MEMORY_AND_DISK)
-      history = graft.lda.LdaCheckpoint.loadLlHistory(dir, i).reverse.toList
+      history = graft.lda.LdaCheckpoint.loadLlHistory(spark, dir, i).reverse.toList
       startIter = i
     }
 
@@ -236,6 +236,10 @@ object PolyTrainer {
 
     while (iter < cfg.maxIterations && !converged) {
       val alphaBc = spark.sparkContext.broadcast(alpha)
+      // captured so the per-language beta broadcast can be destroyed at
+      // iteration end (see Trainer)
+      val betaBc = if (useShuffleEStep) None
+        else Some(spark.sparkContext.broadcast(beta))
 
       val estep = (if (useShuffleEStep)
         PolyEStepShuffle.run(corpus, alphaBc, betaTable, numTermsPerLang,
@@ -243,7 +247,7 @@ object PolyTrainer {
           randomStartGamma = cfg.randomStartGamma,
           learning = true, seed = cfg.seed)
       else
-        PolyEStep.run(corpus, alphaBc, spark.sparkContext.broadcast(beta), numTermsPerLang,
+        PolyEStep.run(corpus, alphaBc, betaBc.get, numTermsPerLang,
           localIterations = cfg.localIterations,
           randomStartGamma = cfg.randomStartGamma,
           learning = true, seed = cfg.seed))
@@ -277,7 +281,7 @@ object PolyTrainer {
         (llF, ssF)
       }
       if (cfg.updateAlpha) {
-        alpha = AlphaUpdate.updateVectorAlpha(k, numDocs.toInt, alpha, ss)
+        alpha = AlphaUpdate.updateVectorAlpha(k, numDocs, alpha, ss)
       }
       history = ll :: history
 
@@ -300,7 +304,7 @@ object PolyTrainer {
         graft.lda.LdaCheckpoint.saveGamma(
           docSide.select($"docId", $"counts", $"numTokens", $"totalTokens", $"gamma"),
           dir, snapIdx)
-        graft.lda.LdaCheckpoint.saveState(dir, snapIdx, history.reverse)
+        graft.lda.LdaCheckpoint.saveState(spark, dir, snapIdx, history.reverse)
       }
 
       // doc side carries the full document — next corpus is a projection
@@ -324,6 +328,8 @@ object PolyTrainer {
       estep.unpersist()
       betaRowsDistributed.foreach(_.unpersist())
       if (useShuffleEStep) prevBetaTable.unpersist()
+      alphaBc.destroy()
+      betaBc.foreach(_.destroy())
 
       converged = willConverge
       lastLL = ll

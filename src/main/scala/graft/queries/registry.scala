@@ -23,7 +23,7 @@ object Registry {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integral: double division loses ns ulps at 2^60
   }
 
   lazy val all: Map[String, QueryDef] =

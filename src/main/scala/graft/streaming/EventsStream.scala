@@ -48,14 +48,22 @@ object EventsStream {
     // absolute path: a relative symlink target would resolve against the
     // temp dir and dangle (createSymbolicLink does not validate the target)
     val src = Paths.get(dir, "events.parquet").toAbsolutePath
-    val tmp = Files.createTempDirectory("graft_events_stream_")
-    tmp.toFile.deleteOnExit()
+    // FIXED location per (source dir, copies), links created idempotently:
+    // a fresh temp dir per call would leak (deleteOnExit cannot remove
+    // non-empty directories), and on filesystems without symlinks each
+    // leaked dir would hold a full copy of the data
+    val key = Integer.toHexString(src.toString.hashCode)
+    val tmp = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_events_stream_${key}_$copies")
+    Files.createDirectories(tmp)
     // copies > 1 simulates at-least-once redelivery: the same file exposed
     // under several names, every event arriving `copies` times
     (0 until copies).foreach { i =>
       val link = tmp.resolve(s"events_$i.parquet")
-      try Files.createSymbolicLink(link, src)
-      catch { case _: Exception => Files.copy(src, link) }
+      if (!Files.exists(link)) {
+        try Files.createSymbolicLink(link, src)
+        catch { case _: Exception => Files.copy(src, link) }
+      }
     }
     tmp.toString
   }
@@ -70,7 +78,7 @@ object EventsStream {
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader
       .parquet(streamableEventsDir(dir, copies))
-      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integral: double division loses ns ulps at 2^60
   }
 
   def hourlyWindowed(spark: SparkSession, dir: String): DataFrame = {
