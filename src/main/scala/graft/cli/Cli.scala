@@ -30,6 +30,10 @@ import org.apache.spark.sql.functions._
  * `model/beta-i`, `model/gamma-i` (parquet dirs instead of SequenceFiles).
  */
 object Args {
+  /** presence-only flags — they never consume a following value, so
+    * `--lowercase input.txt` can't swallow a positional neighbor */
+  private val BooleanFlags = Set("lowercase", "symmetric-alpha", "random-start")
+
   /** tiny `--key value` / `--flag` parser */
   def parse(argv: Array[String]): Map[String, String] = {
     val m = scala.collection.mutable.Map.empty[String, String]
@@ -37,9 +41,10 @@ object Args {
     while (i < argv.length) {
       val a = argv(i)
       require(a.startsWith("--"), s"unexpected argument: $a")
-      if (i + 1 < argv.length && !argv(i + 1).startsWith("--")) {
-        m(a.drop(2)) = argv(i + 1); i += 2
-      } else { m(a.drop(2)) = "true"; i += 1 }
+      val key = a.drop(2)
+      if (!BooleanFlags(key) && i + 1 < argv.length && !argv(i + 1).startsWith("--")) {
+        m(key) = argv(i + 1); i += 2
+      } else { m(key) = "true"; i += 1 }
     }
     m.toMap
   }

@@ -19,7 +19,9 @@ object GammaFuncs {
 
   /** ψ(x) = d/dx ln Γ(x), for x > 0. NaN for x <= 0 poles handled crudely. */
   def digamma(x0: Double): Double = {
-    if (x0.isNaN || x0.isInfinite) return x0
+    if (x0.isNaN) return x0
+    // limits: psi(+inf) = +inf; psi(-inf) undefined
+    if (x0.isInfinite) return if (x0 > 0) x0 else Double.NaN
     var x = x0
     var acc = 0.0
     // reflection not needed for LDA (arguments are positive); guard anyway
@@ -40,7 +42,9 @@ object GammaFuncs {
 
   /** ψ'(x), the trigamma function, for x > 0. */
   def trigamma(x0: Double): Double = {
-    if (x0.isNaN || x0.isInfinite) return x0
+    if (x0.isNaN) return x0
+    // limits: psi'(+inf) = 0; psi'(-inf) undefined
+    if (x0.isInfinite) return if (x0 > 0) 0.0 else Double.NaN
     var x = x0
     var acc = 0.0
     if (x <= 0 && x == math.floor(x)) return Double.NaN

@@ -56,7 +56,10 @@ object Chunking {
     val tf = toks.groupBy($"id", $"term").agg(count(lit(1)).as("tf"))
     val dfc = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val n = df.select(countDistinct(col(idCol)).as("n"))
-    val scored = tf.join(broadcast(dfc), "term").crossJoin(broadcast(n))
+    // dfc is vocabulary-sized (unbounded) — shuffle join on term costs no
+    // extra exchange (tf is already partitioned by term from the dfc agg);
+    // only the 1-row n frame is broadcast
+    val scored = tf.join(dfc, "term").crossJoin(broadcast(n))
       .withColumn("tfidf",
         round($"tf" * (log(($"n" + 1).cast("double") / ($"df" + 1)) + 1), 4))
     val w = Window.partitionBy($"id").orderBy($"tfidf".desc, $"term".asc)

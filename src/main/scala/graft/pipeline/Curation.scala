@@ -44,7 +44,11 @@ object Curation {
       .localCheckpoint()
     // labels only ever decrease, so Σ(cluster) strictly decreases while
     // anything changes — one scalar action per round decides convergence
-    var checksum = labels.agg(sum($"cluster")).as[Long].head()
+    // coalesce: sum over an EMPTY labels frame is NULL (no pairs at all —
+    // every doc a singleton — is a normal input, not a crash)
+    def sumClusters(): Long =
+      labels.agg(coalesce(sum($"cluster"), lit(0L))).as[Long].head()
+    var checksum = sumClusters()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -54,11 +58,16 @@ object Curation {
         .union(prev)
         .groupBy($"id").agg(min($"cluster").as("cluster"))
         .localCheckpoint()
-      val next = labels.agg(sum($"cluster")).as[Long].head()
+      val next = sumClusters()
       converged = next == checksum
       checksum = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIterations rounds — " +
+          "a component's diameter exceeds maxIterations; raise it " +
+          "(silently returning split clusters would let duplicates survive)")
     edges.unpersist()
     labels
   }
@@ -196,14 +205,17 @@ object Curation {
   /** Redact emails / IPv4s / phone numbers, returning the scrubbed text and
     * the redaction count. Pure `regexp_replace` chain — codegen'd, no UDF. */
   def redactPii(df: DataFrame, textCol: String): DataFrame = {
-    val nRedactions = PiiPatterns.map { case (p, _) =>
-      size(regexp_extract_all(col(textCol), lit(p), lit(0)))
-    }.reduce(_ + _)
-    val redacted = PiiPatterns.foldLeft(col(textCol)) { case (c, (p, repl)) =>
-      regexp_replace(c, p, repl)
+    // count each pattern on the PROGRESSIVELY-replaced text, exactly like
+    // the replacement fold — counting everything against the original would
+    // double-count overlaps (an IP inside an already-redacted email)
+    var cur: Column = col(textCol)
+    var nRedactions: Column = lit(0)
+    PiiPatterns.foreach { case (p, repl) =>
+      nRedactions = nRedactions + size(regexp_extract_all(cur, lit(p), lit(0)))
+      cur = regexp_replace(cur, p, repl)
     }
     df.withColumn("n_redactions", nRedactions)
-      .withColumn("redacted", redacted)
+      .withColumn("redacted", cur)
   }
 
   /** 8-hex-digit keep boundary for a sampling rate over the md5 space:

@@ -244,18 +244,13 @@ object Dedup {
     val vecs = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val sigExpr = concat_ws("", planes.map { p =>
-      when(aggregate(zip_with($"v", typedLit(p), (a, b) => a * b),
-        lit(0.0), (acc, x) => acc + x) > 0, lit("1")).otherwise(lit("0"))
+      when(Similarity.dot($"v", typedLit(p)) > 0, lit("1")).otherwise(lit("0"))
     }: _*)
     val sig = vecs.withColumn("bucket", sigExpr)
 
-    val dot = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val norm = (a: Column) => sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
-
     sig.as("a").join(sig.as("b"), $"a.bucket" === $"b.bucket" && $"a.id" < $"b.id")
       .select($"a.id".as("id_a"), $"b.id".as("id_b"),
-        round(dot($"a.v", $"b.v") / (norm($"a.v") * norm($"b.v")), 6).as("cosine"))
+        round(Similarity.cosine($"a.v", $"b.v"), 6).as("cosine"))
       .filter($"cosine" >= cosineThreshold)
   }
 

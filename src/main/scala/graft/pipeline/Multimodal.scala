@@ -83,9 +83,11 @@ object Multimodal {
   def resize(media: Dataset[MediaRow], newWidth: Int, newHeight: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { m =>
-      val oldArea = math.max(1, m.width * m.height)
-      val targetLen = math.max(1,
-        (m.payload.length.toLong * (newWidth * newHeight) / oldArea).toInt)
+      // Long arithmetic: 65536x65536 overflows Int to 0 and would truncate
+      // every payload to one byte
+      val oldArea = math.max(1L, m.width.toLong * m.height)
+      val targetLen = math.max(1L,
+        m.payload.length.toLong * (newWidth.toLong * newHeight) / oldArea).toInt
       m.copy(
         payload = java.util.Arrays.copyOf(m.payload, targetLen),
         width = newWidth, height = newHeight)

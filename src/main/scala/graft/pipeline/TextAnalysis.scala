@@ -31,7 +31,9 @@ object TextAnalysis {
         round(size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double") /
           greatest(length(text), lit(1)), 4))
       .withColumn("stopword_ratio",
-        round(size(filter(toks, t => t.isin(EnStopwords: _*))).cast("double") /
+        // lower(t): match Title-Case/ALL-CAPS prose like the sibling
+        // heuristics (languageId, Curation.qualityFlags) do
+        round(size(filter(toks, t => lower(t).isin(EnStopwords: _*))).cast("double") /
           greatest(size(toks), lit(1)), 4))
   }
 

@@ -138,17 +138,21 @@ object CurationQueries {
              |      printf(' contact user%d@example.org ip 10.0.%d.%d tel +1 555-123-4567',
              |             doc_id, doc_id % 256, doc_id % 100)
              |    ELSE text END AS text
-             |  FROM documents)
+             |  FROM documents),
+             |r1 AS (SELECT doc_id, text,
+             |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+             |  FROM planted),
+             |r2 AS (SELECT doc_id, text, t1,
+             |  regexp_replace(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS t2
+             |  FROM r1)
              |SELECT doc_id,
              |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-             |    + len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}'))
-             |    + len(regexp_extract_all(text, '\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ]?[0-9]{4}')) AS INT)
+             |    + len(regexp_extract_all(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}'))
+             |    + len(regexp_extract_all(t2, '\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ]?[0-9]{4}')) AS INT)
              |    AS n_redactions,
-             |  regexp_replace(regexp_replace(regexp_replace(text,
-             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+             |  regexp_replace(t2,
              |    '\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ]?[0-9]{4}', '<PHONE>', 'g') AS redacted
-             |FROM planted ORDER BY doc_id""".stripMargin)),
+             |FROM r2 ORDER BY doc_id""".stripMargin)),
 
     // md5-keyed deterministic sample at rate 0.3 — reproducible across
     // engines/partitionings, which is exactly what the oracle verifies

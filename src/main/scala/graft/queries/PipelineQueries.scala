@@ -233,7 +233,7 @@ object PipelineQueries {
              |    round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
              |      / greatest(length(text), 1), 4) AS punct_ratio,
              |    round(CAST(len(list_filter(string_split(text, ' '),
-             |        t -> list_contains(${duckList(TextAnalysis.EnStopwords)}, t))) AS DOUBLE)
+             |        t -> list_contains(${duckList(TextAnalysis.EnStopwords)}, lower(t)))) AS DOUBLE)
              |      / greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1), 4) AS stopword_ratio
              |  FROM documents)
              |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, mean_token_len, punct_ratio, stopword_ratio,

@@ -26,6 +26,21 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall@10 = $recall")
   }
 
+  test("minhashSignature column equals the hash-family definition") {
+    import graft.pipeline.Dedup
+    val df = Seq((1L, Seq("a b c", "b c d", "x y z"))).toDF("id", "sh")
+    val sig = df.select(Dedup.minhashSignature($"sh", 8).as("sig"))
+      .as[Seq[Long]].head()
+    val fam = Dedup.hashFamily(8)
+    val hs = Seq("a b c", "b c d", "x y z").map { s =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16) % Dedup.HashP
+    }
+    val expect = fam.map { case (a, b) => hs.map(h => (a * h + b) % Dedup.HashP).min }
+    assert(sig == expect)
+  }
+
   test("embedding near-dup finds planted scaled duplicates and nothing else") {
     val e = embeddings.select($"vec_id", $"embedding")
     val planted = e.filter($"vec_id" < 10)
