@@ -43,6 +43,10 @@ object TemporalJoins {
       direction: String = "backward"): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
+    val reserved = rightValueCols.map(c => s"right_$c") ++ Seq("__ts", "__side", "__ord")
+    val clash = left.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"left side already has column(s) ${clash.mkString(", ")} — rename before joining")
     val spark = left.sparkSession
     import spark.implicits._
 
@@ -61,10 +65,11 @@ object TemporalJoins {
     val lAligned = rightValueCols.foldLeft(l) { (df, c) =>
       df.withColumn(s"right_$c", lit(null).cast(right.schema(c).dataType)) }
 
-    // null join keys never match (equi-join semantics, matching the SQL
-    // ASOF oracle): drop right rows with a null key so they can't fill
-    // left rows that land in the same null partition
-    val r0 = keyCols.foldLeft(right) { (df, k) => df.filter(col(k).isNotNull) }
+    // null join keys and null timestamps never match (ASOF semantics: a
+    // null comparison is no match): drop such right rows so the nulls-first/
+    // nulls-last window order can't let them fill anything
+    val r0 = keyCols.foldLeft(right.filter(col(rightTsCol).isNotNull)) {
+        (df, k) => df.filter(col(k).isNotNull) }
       .withColumn("__ts", col(rightTsCol))
       .withColumn("__side", lit(0))
       .withColumn("__ord",
@@ -92,8 +97,13 @@ object TemporalJoins {
     val filled = rightValueCols.foldLeft(unioned) { (df, c) =>
       df.withColumn(s"right_$c", last(col(s"right_$c"), ignoreNulls = true).over(w)) }
 
-    filled.filter($"__side" === 1)
-      .select((leftCols ++ rightValueCols.map(c => s"right_$c")).map(col): _*)
+    // a left row with a null timestamp matches nothing (under the forward
+    // direction's descending order it would otherwise sort after every
+    // right row and pick up the earliest one)
+    val nullSafe = rightValueCols.foldLeft(filled.filter($"__side" === 1)) { (df, c) =>
+      df.withColumn(s"right_$c",
+        when(col(leftTsCol).isNotNull, col(s"right_$c"))) }
+    nullSafe.select((leftCols ++ rightValueCols.map(c => s"right_$c")).map(col): _*)
   }
 
   /**
@@ -124,9 +134,13 @@ object TemporalJoins {
     val rRenamed = collisions.foldLeft(right) { (df, c) =>
       df.withColumnRenamed(c, s"r_$c") }
     def rcol(c: String): String = if (collisions(c)) s"r_$c" else c
-    val rb = rRenamed.withColumn("__bin",
-      explode(sequence(floor(col(rcol(loCol)) / binWidth).cast("long"),
-        floor(col(rcol(hiCol)) / binWidth).cast("long"))))
+    // lo > hi rows can't satisfy the containment predicate; exclude them
+    // BEFORE the explode (sequence(start, stop) throws when start > stop,
+    // which would crash the job where the naive join just drops the row)
+    val rb = rRenamed.filter(col(rcol(loCol)) <= col(rcol(hiCol)))
+      .withColumn("__bin",
+        explode(sequence(floor(col(rcol(loCol)) / binWidth).cast("long"),
+          floor(col(rcol(hiCol)) / binWidth).cast("long"))))
     lb.join(rb, keyCols :+ "__bin")
       .filter(col(rcol(loCol)) <= col(leftPointCol) &&
         col(leftPointCol) <= col(rcol(hiCol)))

@@ -32,8 +32,12 @@ case class RangeJoinBinRewrite(spark: SparkSession)
   private val BinP = "__graft_bin_p"
   private val BinI = "__graft_bin_i"
 
+  // unparsable or non-positive values disable the rule instead of failing
+  // every query on the session during optimization
   private def binWidth: Option[Long] =
-    spark.conf.getOption("spark.graft.rangeJoin.binWidth").map(_.toLong)
+    spark.conf.getOption("spark.graft.rangeJoin.binWidth")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .filter(_ > 0)
 
   override def apply(plan: LogicalPlan): LogicalPlan = binWidth match {
     case None => plan
@@ -82,10 +86,14 @@ case class RangeJoinBinRewrite(spark: SparkSession)
       val pointProj = Project(pointSide.output :+ binPAlias, pointSide)
 
       val binIAttr = AttributeReference(BinI, LongType)()
+      // exclude lo > hi rows BEFORE the explode: they can't satisfy the
+      // containment predicate, and sequence(start, stop) would throw where
+      // the original non-equi join just produced no match
+      val wellFormed = Filter(LessThanOrEqual(lo, hi), intervalSide)
       val gen = Generate(
         Explode(Sequence(binOf(lo), binOf(hi), Some(Literal(1L)), None)),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
-        generatorOutput = Seq(binIAttr), child = intervalSide)
+        generatorOutput = Seq(binIAttr), child = wellFormed)
 
       val newCond = And(cond, EqualTo(binPAlias.toAttribute, binIAttr))
       val (nl, nr) = if (ptOnLeft) (pointProj, gen) else (gen, pointProj)

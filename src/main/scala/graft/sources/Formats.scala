@@ -16,20 +16,32 @@ object Formats {
     * call: repeated verify/bench runs keep at most one copy per distinct
     * round-tripped shape on disk (a fresh temp dir per call would leak a
     * full dataset copy each run — deleteOnExit cannot remove non-empty
-    * directories). Keyed by column names so two tables round-tripped in
-    * one query don't clobber each other's files before the lazy read. */
+    * directories). */
   private def tmp(prefix: String, df: DataFrame): String = {
     val base = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_roundtrip")
     Files.createDirectories(base)
-    val key = Integer.toHexString(df.columns.mkString(",").hashCode)
-    base.resolve(s"${prefix}_$key").toString
+    // keyed by the frame's canonicalized plan (two different frames with
+    // the same columns must not clobber each other before their lazy
+    // reads run) and by the JVM (two concurrent drivers must not race);
+    // bounded: one dir per distinct round-tripped plan per process
+    val key = Integer.toHexString(df.queryExecution.logical.semanticHash())
+    val pid = ProcessHandle.current().pid()
+    base.resolve(s"${prefix}_${key}_$pid").toString
   }
 
   def csvRoundtrip(df: DataFrame): DataFrame = {
     val path = tmp("csv", df)
-    df.write.mode("overwrite").option("header", "true").csv(path)
-    df.sparkSession.read.option("header", "true").schema(df.schema).csv(path)
+    // nullValue sentinel keeps null vs empty-string distinct (the default
+    // "" collapses empty strings to null on read); multiLine parses
+    // embedded newlines the writer quotes
+    df.write.mode("overwrite")
+      .option("header", "true").option("nullValue", "\\N")
+      .csv(path)
+    df.sparkSession.read
+      .option("header", "true").option("nullValue", "\\N")
+      .option("multiLine", "true")
+      .schema(df.schema).csv(path)
   }
 
   def jsonRoundtrip(df: DataFrame): DataFrame = {
@@ -44,6 +56,8 @@ object Formats {
   def partitionedRoundtrip(df: DataFrame, partCol: String): DataFrame = {
     val path = tmp("part", df)
     df.write.mode("overwrite").partitionBy(partCol).parquet(path)
-    df.sparkSession.read.parquet(path)
+    // explicit schema: keeps the partition column's ORIGINAL type (Hive
+    // partition inference would retype '0001' as int) and column order
+    df.sparkSession.read.schema(df.schema).parquet(path)
   }
 }

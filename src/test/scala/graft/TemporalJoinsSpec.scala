@@ -48,6 +48,29 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out.toSeq == Seq(None, Some(2.0)))
   }
 
+  test("asof join treats null timestamps as no-match on either side") {
+    val left = Seq((1L, "a", Option(10L)), (2L, "a", Option.empty[Long]))
+      .toDF("id", "k", "ts")
+    val right = Seq(("a", Option(5L), 1.0), ("a", Option.empty[Long], 99.0))
+      .toDF("k", "rts", "v")
+    val back = TemporalJoins.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("v"))
+      .orderBy($"id").select($"right_v").collect().map(r => Option(r.get(0)))
+    assert(back.toSeq == Seq(Some(1.0), None))
+    val fwd = TemporalJoins.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("v"),
+        direction = "forward")
+      .orderBy($"id").select($"right_v").collect().map(r => Option(r.get(0)))
+    assert(fwd.toSeq == Seq(None, None)) // no right row at/after ts=10; null ts no match
+  }
+
+  test("range join excludes malformed (hi < lo) intervals instead of crashing") {
+    val points = Seq((1L, "a", 10L)).toDF("pid", "k", "pt")
+    val intervals = Seq(("a", 5L, 15L, 1L), ("a", 100L, 50L, 2L))
+      .toDF("k", "lo", "hi", "iid")
+    val out = TemporalJoins.rangeJoinBinned(points, intervals, Seq("k"),
+      "pt", "lo", "hi", binWidth = 10L).select($"iid").as[Long].collect()
+    assert(out.toSeq == Seq(1L))
+  }
+
   test("forward asof join picks earliest right row at or after each left row") {
     val left = Seq(
       (1L, "a", 5L),   // before both -> rts 10
