@@ -1,10 +1,10 @@
 package graft
 
-import graft.functions.{Digamma, LogAdd, LogGammaExpr, Trigamma}
+import graft.functions.{Digamma, DotProduct, LogAdd, LogGammaExpr, Trigamma}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /**
  * SQL surface for the library's custom Catalyst expressions: register via
@@ -42,12 +42,21 @@ object GraftExtensions {
         f(Cast(args(0), DoubleType), Cast(args(1), DoubleType))
       })
 
+  private def binaryVec(name: String, f: (Expression, Expression) => Expression)
+      : (String, ExpressionInfo, Seq[Expression] => Expression) =
+    (name, new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"$name expects exactly 2 arguments")
+        f(Cast(args(0), ArrayType(DoubleType)), Cast(args(1), ArrayType(DoubleType)))
+      })
+
   /** (name, info, builder) for every registered SQL function. */
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     unary("digamma", Digamma),
     unary("trigamma", Trigamma),
     unary("lgamma", LogGammaExpr),
-    binary("log_add", LogAdd))
+    binary("log_add", LogAdd),
+    binaryVec("vec_dot", DotProduct))
 
   /** Register into an already-built session (extensions only run at
     * construction time). */

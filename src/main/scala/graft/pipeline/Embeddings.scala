@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
  */
 object Embeddings {
 
-  /** x / ‖x‖₂ (zero vectors pass through unchanged). */
+  /** x / ‖x‖₂ (zero vectors pass through unchanged). Norm via the native
+    * codegen'd DotProduct expression — same FP order as the sum-of-squares
+    * fold it replaced. */
   def l2Normalize(v: Column): Column = {
-    val norm = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x))
+    val norm = graft.functions.vfunctions.vec_norm(v)
     when(norm > 0, transform(v, x => x / norm)).otherwise(v)
   }
 

@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  // native codegen'd expressions (graft.functions.DotProduct) — semantics
+  // and FP summation order identical to the aggregate/zip_with composition
+  // they replaced, but fused into whole-stage codegen instead of the
+  // interpreted higher-order-function path (see VectorExpressions.scala)
+  def dot(a: Column, b: Column): Column = graft.functions.vfunctions.vec_dot(a, b)
+  def l2norm(a: Column): Column = graft.functions.vfunctions.vec_norm(a)
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
   /**

@@ -27,6 +27,62 @@ class GraftExtensionsSpec extends SparkSpec {
     // the same objects register() installs
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     assert(GraftExtensions.all.map(_._1) ==
-      Seq("digamma", "trigamma", "lgamma", "log_add"))
+      Seq("digamma", "trigamma", "lgamma", "log_add", "vec_dot"))
+  }
+
+  test("vec_dot matches the aggregate/zip_with composition bitwise") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.1, -0.2, 0.3), Seq(1e-8, 2e8, -3.5)),
+      (Seq.empty[Double], Seq.empty[Double]))
+      .toDF("a", "b")
+    val rows = df.select(
+      graft.functions.vfunctions.vec_dot($"a", $"b").as("native"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        .as("composed")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // SQL name, with the float->double cast in the builder
+    val v = spark.sql("SELECT vec_dot(array(1.0, 2.0), array(3, 4)) AS d").head().getDouble(0)
+    assert(v == 11.0)
+  }
+
+  test("vec_dot null semantics mirror zip_with padding") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // length mismatch => null (zip_with pads, the fold absorbs the null);
+    // null element => null; null array => null
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(1.0))),
+      (Some(Seq(Double.NaN)), None))
+      .toDF("a", "b")
+    val out = df.select(graft.functions.vfunctions.vec_dot($"a", $"b").as("d")).collect()
+    assert(out.forall(_.isNullAt(0)))
+    val withNullElem = spark.sql(
+      "SELECT vec_dot(array(1.0, CAST(NULL AS DOUBLE)), array(1.0, 2.0)) AS d")
+    assert(withNullElem.head().isNullAt(0))
+  }
+
+  test("vec_dot stays inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // non-foldable input (derived from range) so neither ConstantFolding
+    // nor ConvertToLocalRelation evaluates the projection at optimize time
+    val df = spark.range(3)
+      .select(array($"id".cast("double"), lit(2.0)).as("a"),
+        array(lit(3.0), lit(4.0)).as("b"))
+      .select($"a", $"b", graft.functions.vfunctions.vec_dot($"a", $"b").as("d"))
+    // `*(n)` marks operators fused into a WholeStageCodegen stage; the
+    // vec_dot projection must carry it (a CodegenFallback expression would
+    // strand its Project outside any codegen stage)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.linesIterator.exists(l =>
+      l.trim.startsWith("*(") && l.contains("vec_dot")), physical)
+    assert(df.orderBy("d").collect().map(_.getDouble(2)).toSeq == Seq(8.0, 11.0, 14.0))
   }
 }
