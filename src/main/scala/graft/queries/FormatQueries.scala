@@ -53,5 +53,27 @@ object FormatQueries {
       },
       Some("""SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
              |FROM documents WHERE lang IN ('en', 'zh')
-             |GROUP BY lang ORDER BY lang""".stripMargin)))
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // bucketed layout: write both join sides hash-bucketed on the join
+    // key, then join AND aggregate on that key with zero exchanges in the
+    // plan (asserted in BucketingSpec) — the write is the one shuffle,
+    // amortized over every later join/agg on the key. The oracle replays
+    // the join on the original tables: any bucket routing error (row in
+    // the wrong bucket never meets its match) fails the hash check.
+    "q_bucketed_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer").select($"c_custkey", $"c_mktsegment")
+        val o = t(s, dir, "orders").select($"o_custkey", $"o_totalprice")
+        Formats.writeBucketed(c, "bkt_customer", "c_custkey", 8)
+        Formats.writeBucketed(o, "bkt_orders", "o_custkey", 8)
+        Formats.bucketedJoin(s, "bkt_customer", "bkt_orders", "c_custkey", "o_custkey")
+          .groupBy($"c_custkey", $"c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("total"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment, count(*) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey, c_mktsegment""".stripMargin)))
 }

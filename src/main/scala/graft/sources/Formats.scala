@@ -60,4 +60,39 @@ object Formats {
     // partition inference would retype '0001' as int) and column order
     df.sparkSession.read.schema(df.schema).parquet(path)
   }
+
+  /**
+   * Bucketed external table: hash-partitioned into `buckets` files by
+   * `key` and sorted by it within each bucket. The 100 TB join layout —
+   * two tables bucketed on the same key with the same bucket count
+   * sort-merge join with NO shuffle on either side (the write is the one
+   * shuffle, amortized over every subsequent join/aggregate on that key).
+   *
+   * The `repartition(buckets, key)` aligns write tasks with bucket
+   * boundaries (both use Murmur3 `pmod(hash(key), n)`), so each bucket is
+   * ONE file and the on-read sort order is usable — otherwise every write
+   * task emits a file per bucket it sees, and Spark must re-sort.
+   */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val path = tmp(s"bucket_$table", df)
+    df.repartition(buckets, df(key))
+      .write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Shuffle-free co-located equi-join of two tables written by
+    * `writeBucketed` with the same bucket count, on their respective
+    * bucket keys. The merge hint keeps the planner on sort-merge join (a
+    * small side would otherwise broadcast — which also avoids shuffle but
+    * ignores the bucket layout this demonstrates). */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(left)
+    val r = spark.table(right)
+    l.hint("merge").join(r, l(leftKey) === r(rightKey))
+  }
 }
