@@ -47,6 +47,15 @@ object StreamingQueries {
              |FROM s GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // stream–static broadcast enrichment join (stateless); output equals
+    // the batch join+agg so the plain SQL oracle applies
+    "q_stream_enriched_segments" -> QueryDef(
+      (s, dir) => EventsStream.enrichedSegmentTotals(s, dir),
+      Some("""SELECT c_mktsegment, event_type, count(*) AS n,
+             |  round(sum(value), 2) AS total_value
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin)),
+
     // every event delivered twice; streaming dropDuplicates restores
     // exactly-once, so the batch aggregation oracle applies unchanged
     "q_stream_dedup_counts" -> QueryDef(

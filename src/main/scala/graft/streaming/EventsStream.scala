@@ -130,6 +130,34 @@ object EventsStream {
   }
 
   /**
+   * Stream–static enrichment join: the event stream joined to the static
+   * `customer` dimension (broadcast — the static side is re-read per
+   * micro-batch, so keeping it broadcast-small avoids a per-batch shuffle),
+   * then aggregated by market segment. Stateless join: no watermark needed
+   * on a stream–static inner join, and at 100 TB the stream side never
+   * buffers — each micro-batch probes the broadcast table and moves on.
+   * Output equals the batch join+agg, so a plain SQL oracle applies.
+   */
+  def enrichedSegmentTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val customers = spark.read.parquet(s"$dir/customer.parquet")
+      .select($"c_custkey", $"c_mktsegment")
+    val name = s"graft_enriched_${counter.incrementAndGet()}"
+    val q = eventsStream(spark, dir)
+      .join(broadcast(customers), $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).orderBy($"c_mktsegment", $"event_type")
+  }
+
+  /**
    * Gap-based sessionization with CUSTOM state (`flatMapGroupsWithState`):
    * per user, events within `gapMinutes` of the previous one extend the
    * current session; a larger gap closes it and opens a new one. The open
