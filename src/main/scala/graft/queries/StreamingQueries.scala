@@ -56,6 +56,19 @@ object StreamingQueries {
              |FROM events JOIN customer ON user_id = c_custkey
              |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin)),
 
+    // watermarked stream–stream inner join with a time-range condition;
+    // on a static source the append-mode output equals the batch join
+    "q_stream_purchase_errors" -> QueryDef(
+      (s, dir) => EventsStream.purchaseErrorJoin(s, dir),
+      Some("""SELECT p.event_id AS p_id, e.event_id AS e_id,
+             |  p.user_id, p.value AS p_value,
+             |  epoch_us(p.ts) - epoch_us(e.ts) AS gap_us
+             |FROM events p JOIN events e
+             |  ON p.user_id = e.user_id
+             | AND p.event_type = 'purchase' AND e.event_type = 'error'
+             | AND e.ts >= p.ts - INTERVAL 30 MINUTE AND e.ts <= p.ts
+             |ORDER BY p_id, e_id""".stripMargin)),
+
     // every event delivered twice; streaming dropDuplicates restores
     // exactly-once, so the batch aggregation oracle applies unchanged
     "q_stream_dedup_counts" -> QueryDef(

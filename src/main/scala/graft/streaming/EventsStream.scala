@@ -158,6 +158,44 @@ object EventsStream {
   }
 
   /**
+   * Stream–stream inner join with watermarks and a time-range condition:
+   * purchase events joined to error events by the same user where the error
+   * happened in the 30 minutes before the purchase. Both sides carry a
+   * 1-hour watermark and the join predicate bounds event time on both
+   * sides — exactly what Spark needs to evict join state, so at 100 TB the
+   * buffered state per side stays O(watermark window), not O(stream).
+   * Inner-join results are emitted as they match (append mode); on a
+   * static source this equals the batch join, so a SQL oracle applies.
+   */
+  def purchaseErrorJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val purchases = eventsStream(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"),
+        $"value".as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    val errors = eventsStream(spark, dir)
+      .filter($"event_type" === "error")
+      .select($"event_id".as("e_id"), $"user_id".as("e_user"), $"ts".as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val name = s"graft_purchase_errors_${counter.incrementAndGet()}"
+    val q = purchases.join(errors,
+        $"user_id" === $"e_user" &&
+          $"e_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES") &&
+          $"e_ts" <= $"p_ts")
+      .select($"p_id", $"e_id", $"user_id", $"p_value",
+        (unix_micros($"p_ts") - unix_micros($"e_ts")).as("gap_us"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).orderBy($"p_id", $"e_id")
+  }
+
+  /**
    * Gap-based sessionization with CUSTOM state (`flatMapGroupsWithState`):
    * per user, events within `gapMinutes` of the previous one extend the
    * current session; a larger gap closes it and opens a new one. The open
