@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed cardinality sketches.
+ *
+ * HyperLogLog over the shared md5-derived 60-bit hash (`Dedup.baseHash60`):
+ * low 8 bits pick one of 256 registers, the rank is the leading-zero count
+ * of the remaining 52 bits, and the registers are a plain
+ * `groupBy(bucket).max(rank)`. The estimator's harmonic sum runs over
+ * INTEGER terms (2^(53−M) as BIGINT), so the result is independent of
+ * aggregation order and the whole sketch — registers, bias-corrected
+ * estimate, linear-counting small-range branch — is replayed exactly by a
+ * DuckDB oracle.
+ *
+ * 100 TB posture: this is the canonical two-level sketch plan — partial
+ * max-per-register map-side, merged by max in one shuffle of ≤ m rows per
+ * group, O(m) state per group regardless of input size. Compare
+ * `approx_count_distinct` (Spark's built-in HLL++), which is faster but
+ * not replayable by an external oracle.
+ */
+object Sketches {
+
+  /** register count m = 2^8 */
+  val HllM = 256
+
+  /** rank domain: 60-bit base hash minus 8 bucket bits */
+  val HllW = 52
+
+  /** α_m · m² · 2^53 — the estimator numerator as ONE literal shared with
+    * the SQL oracle (the 2^53 factor undoes the integer register scaling) */
+  val HllK: Double = 0.7213 / (1 + 1.079 / HllM) * HllM * HllM * 9007199254740992.0
+
+  /**
+   * Approximate distinct `keyCol` per `groupCols`, returned as
+   * (groupCols..., approx_distinct DOUBLE rounded to 2dp).
+   */
+  def hllEstimate(df: DataFrame, keyCol: String, groupCols: Seq[String],
+      outCol: String = "approx_distinct"): DataFrame = {
+    val h = Dedup.baseHash60(col(keyCol).cast("string"))
+    val rest = shiftright(h, 8)
+    // rank = leading zeros of the 52-bit remainder + 1 = 53 − bitlength
+    val rank = when(rest === 0, lit(HllW + 1))
+      .otherwise(lit(HllW + 1) - length(bin(rest)))
+    val gcols = groupCols.map(col)
+    val regs = df
+      .select(gcols :+ h.bitwiseAND(lit(255L)).as("bucket") :+ rank.as("r"): _*)
+      .groupBy(gcols :+ col("bucket"): _*)
+      .agg(max(col("r")).as("m"))
+    regs
+      .groupBy(gcols: _*)
+      // 2^(53−M) is exact in doubles (M ≥ 1), cast to BIGINT before the sum
+      // so the harmonic accumulation is integer — FP-order-independent
+      .agg(sum(expr("CAST(power(2, 53 - m) AS BIGINT)")).as("s_present"),
+        count(lit(1)).as("present"))
+      .withColumn("v", lit(HllM.toLong) - col("present"))
+      .withColumn("s", col("s_present") + col("v") * lit(9007199254740992L))
+      .withColumn("raw", lit(HllK) / col("s"))
+      .withColumn("est",
+        when(col("v") > 0 && col("raw") <= lit(2.5 * HllM),
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v")))
+          .otherwise(col("raw")))
+      .select(gcols :+ round(col("est"), 2).as(outCol): _*)
+  }
+
+  /** The DuckDB replay of `hllEstimate` over a `(scope, key)` relation
+    * provided as a WITH-clause body. Kept next to the Scala so the two
+    * stay literally in sync (same constants, same branch). */
+  def hllOracleSql(keyedRelation: String): String =
+    s"""WITH keyed AS ($keyedRelation),
+       |h AS (SELECT scope,
+       |        ('0x' || substr(md5(key), 1, 15))::BIGINT AS h
+       |      FROM keyed),
+       |r AS (SELECT scope, h % 256 AS bucket,
+       |        CASE WHEN h // 256 = 0 THEN 53
+       |             ELSE 53 - length(bin(h // 256)) END AS r
+       |      FROM h),
+       |regs AS (SELECT scope, bucket, max(r) AS m FROM r GROUP BY 1, 2),
+       |agg AS (SELECT scope,
+       |          sum(CAST(power(2, 53 - m) AS BIGINT)) AS s_present,
+       |          count(*) AS present
+       |        FROM regs GROUP BY 1),
+       |est AS (SELECT scope, 256 - present AS v,
+       |          $HllK / (s_present + (256 - present) * 9007199254740992) AS raw
+       |        FROM agg)
+       |SELECT scope,
+       |  round(CASE WHEN v > 0 AND raw <= ${2.5 * HllM}
+       |             THEN 256.0 * ln(256.0 / v) ELSE raw END, 2) AS approx_distinct
+       |FROM est""".stripMargin
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.Skew
+import graft.pipeline.{Sketches, Skew}
 import org.apache.spark.sql.functions._
 
 /** Statistical aggregates and shuffle-skew utilities, oracle-verified. */
@@ -8,7 +8,38 @@ object StatsQueries {
 
   import Registry.t
 
+  /** (scope, key) relation the HLL query sketches: per-event-type user
+    * cardinality (exercises the linear-counting branch — few hundred users)
+    * and global event-id cardinality (raw harmonic branch — tens of
+    * thousands). Shared verbatim with the DuckDB oracle. */
+  private val hllKeyedSql =
+    """SELECT 'user:' || event_type AS scope, CAST(user_id AS VARCHAR) AS key FROM events
+      |UNION ALL
+      |SELECT 'all_events' AS scope, CAST(event_id AS VARCHAR) AS key FROM events""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+
+    // HyperLogLog distinct-count sketch (md5-register construction,
+    // integer harmonic sum) next to the exact distinct count — BOTH
+    // columns hash-verified by the DuckDB replay of the same sketch
+    "q_hll_distinct" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Registry.events(s, dir)
+        val keyed = ev.select(concat(lit("user:"), $"event_type").as("scope"),
+            $"user_id".cast("string").as("key"))
+          .unionByName(ev.select(lit("all_events").as("scope"),
+            $"event_id".cast("string").as("key")))
+        val approx = Sketches.hllEstimate(keyed, "key", Seq("scope"))
+        val exact = keyed.groupBy($"scope")
+          .agg(count_distinct($"key").as("exact_distinct"))
+        exact.join(approx, "scope").orderBy($"scope")
+      },
+      Some(s"""SELECT k.scope, x.exact_distinct, k.approx_distinct
+              |FROM (${Sketches.hllOracleSql(hllKeyedSql)}) k
+              |JOIN (SELECT scope, count(DISTINCT key) AS exact_distinct
+              |      FROM ($hllKeyedSql) GROUP BY 1) x USING (scope)
+              |ORDER BY scope""".stripMargin)),
 
     // exact interpolated percentiles per event type (both engines use
     // linear interpolation at rank (n-1)*p)

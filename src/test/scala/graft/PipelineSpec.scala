@@ -136,6 +136,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("HLL sketch estimates within the m=256 error envelope at three scales") {
+    import graft.pipeline.Sketches
+    // 1.04/sqrt(256) ≈ 6.5% standard error; assert a generous 3σ ≈ 20%
+    val df = (1 to 50000).map(i => (if (i <= 300) "small" else "large", s"key$i"))
+      .toDF("scope", "key")
+    val est = Sketches.hllEstimate(df, "key", Seq("scope")).collect()
+      .map(r => r.getAs[String]("scope") -> r.getAs[Double]("approx_distinct")).toMap
+    // scopes partition the keys: 300 distinct small, 49700 distinct large
+    assert(math.abs(est("small") - 300) / 300.0 < 0.2, est)
+    assert(math.abs(est("large") - 49700) / 49700.0 < 0.2, est)
+    // duplicate-insensitivity: the sketch of the tripled input is IDENTICAL
+    val tripled = df.union(df).union(df)
+    val est3 = Sketches.hllEstimate(tripled, "key", Seq("scope")).collect()
+      .map(r => r.getAs[String]("scope") -> r.getAs[Double]("approx_distinct")).toMap
+    assert(est3 == est)
+  }
+
   test("ngram jaccard gram-df cap drops only hot grams") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),
