@@ -65,6 +65,58 @@ object Sketches {
       .select(gcols :+ round(col("est"), 2).as(outCol): _*)
   }
 
+  /** count–min depth (independent hash rows) and width (counters per row) */
+  val CmD = 4
+  val CmW = 512
+
+  /** the multiply-mod family shared with the SQL oracle (seed fixed) */
+  val CmFamily: IndexedSeq[(Long, Long)] = Dedup.hashFamily(CmD, seed = 11L)
+
+  /**
+   * Count–min frequency estimates for every distinct key: each occurrence
+   * increments one of `CmW` counters in each of `CmD` hash rows (a d×w
+   * integer grid — ONE bounded-size aggregate regardless of input size);
+   * a key's estimate is the min of its d counters, an upper bound on the
+   * true count that is tight unless all d buckets collide with other keys.
+   * Returns (key, cm_estimate). All-integer → oracle-replayable.
+   */
+  def cmFrequency(df: DataFrame, keyCol: String): DataFrame = {
+    val h = Dedup.baseHash60(col(keyCol).cast("string")) % Dedup.HashP
+    val rows = CmFamily.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("i"),
+        ((lit(a) * col("h") + lit(b)) % Dedup.HashP % CmW).as("bucket"))
+    }
+    val exploded = df.select(col(keyCol).cast("string").as("key"), h.as("h"))
+      .select(col("key"), explode(array(rows: _*)).as("ib"))
+      .select(col("key"), col("ib.i").as("i"), col("ib.bucket").as("bucket"))
+    val counters = exploded.groupBy(col("i"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    // probe side: d (i, bucket) coordinates per DISTINCT key — the join is
+    // against the tiny d×w counter grid, broadcastable at any scale
+    exploded.distinct()
+      .join(broadcast(counters), Seq("i", "bucket"))
+      .groupBy(col("key"))
+      .agg(min(col("c")).as("cm_estimate"))
+  }
+
+  /** DuckDB replay of `cmFrequency` over a one-column `key` relation. */
+  def cmOracleSql(keyedRelation: String): String = {
+    val fam = CmFamily.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH keyed AS ($keyedRelation),
+       |fam(i, a, b) AS (VALUES $fam),
+       |h AS (SELECT key,
+       |        ('0x' || substr(md5(key), 1, 15))::BIGINT % ${Dedup.HashP} AS h
+       |      FROM keyed),
+       |eb AS (SELECT key, i, (a * h + b) % ${Dedup.HashP} % $CmW AS bucket
+       |       FROM h CROSS JOIN fam),
+       |counters AS (SELECT i, bucket, count(*) AS c FROM eb GROUP BY 1, 2),
+       |probes AS (SELECT DISTINCT key, i, bucket FROM eb)
+       |SELECT p.key, min(c.c) AS cm_estimate
+       |FROM probes p JOIN counters c USING (i, bucket)
+       |GROUP BY p.key""".stripMargin
+  }
+
   /** The DuckDB replay of `hllEstimate` over a `(scope, key)` relation
     * provided as a WITH-clause body. Kept next to the Scala so the two
     * stay literally in sync (same constants, same branch). */

@@ -41,6 +41,29 @@ object StatsQueries {
               |      FROM ($hllKeyedSql) GROUP BY 1) x USING (scope)
               |ORDER BY scope""".stripMargin)),
 
+    // count-min frequency sketch next to exact per-user event counts —
+    // the estimate is an upper bound (min over 4 hash-row counters), and
+    // the whole integer grid is replayed by the DuckDB oracle
+    "q_cm_user_counts" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val keyed = Registry.events(s, dir)
+          .select($"user_id".cast("string").as("key"))
+        val cm = Sketches.cmFrequency(keyed, "key")
+        val exact = keyed.groupBy($"key").agg(count(lit(1)).as("exact_count"))
+        exact.join(cm, "key")
+          .select($"key".cast("long").as("user_id"), $"exact_count", $"cm_estimate")
+          .orderBy($"user_id")
+      },
+      Some(s"""WITH cm AS (${Sketches.cmOracleSql(
+                 "SELECT CAST(user_id AS VARCHAR) AS key FROM events")}),
+              |exact AS (SELECT CAST(user_id AS VARCHAR) AS key,
+              |            count(*) AS exact_count
+              |          FROM events GROUP BY 1)
+              |SELECT CAST(key AS BIGINT) AS user_id, exact_count, cm_estimate
+              |FROM exact JOIN cm USING (key)
+              |ORDER BY user_id""".stripMargin)),
+
     // exact interpolated percentiles per event type (both engines use
     // linear interpolation at rank (n-1)*p)
     "q_value_percentiles" -> QueryDef(

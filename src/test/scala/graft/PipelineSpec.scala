@@ -153,6 +153,23 @@ class PipelineSpec extends SparkSpec {
     assert(est3 == est)
   }
 
+  test("count-min estimates are upper bounds and exact for isolated keys") {
+    import graft.pipeline.Sketches
+    // skewed stream: key "hot" 1000×, 200 singletons
+    val df = (Seq.fill(1000)("hot") ++ (1 to 200).map(i => s"cold$i")).toDF("key")
+    val exact = df.groupBy($"key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Sketches.cmFrequency(df, "key").collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("cm_estimate")).toMap
+    assert(est.keySet == exact.keySet)
+    // count-min never underestimates
+    assert(est.forall { case (k, e) => e >= exact(k) })
+    // the heavy key dominates its buckets: estimate within +201 of truth
+    assert(est("hot") >= 1000L && est("hot") <= 1201L)
+    // most singletons estimate exactly 1 (d=4 rows, w=512 ≫ 201 keys)
+    assert(est.count { case (k, e) => k != "hot" && e == exact(k) } > 150)
+  }
+
   test("ngram jaccard gram-df cap drops only hot grams") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),
