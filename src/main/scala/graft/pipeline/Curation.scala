@@ -171,16 +171,11 @@ object Curation {
       n: Int = 5, minShared: Int = 3, maxGramDf: Long = Long.MaxValue): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    def grams(df: DataFrame, id: String, text: String, out: String) = {
-      val toks = TextAnalysis.wsTokens(lower(col(text)))
+    def grams(df: DataFrame, id: String, text: String, out: String) =
       // id keeps its native type — casting a string doc id to long would
       // null it and collapse every document into one group
-      df.select(col(id).as(out), toks.as("toks"))
-        .filter(size($"toks") >= n)
-        .select(col(out), explode(array_distinct(
-          transform(sequence(lit(0), size($"toks") - n),
-            i => concat_ws(" ", slice($"toks", i + 1, lit(n)))))).as("g"))
-    }
+      df.select(col(id).as(out),
+        explode(TextAnalysis.wordNgrams(col(text), n)).as("g"))
     val cg0 = grams(corpus, idCol, textCol, "cid")
     val cg =
       if (maxGramDf == Long.MaxValue) cg0

@@ -54,7 +54,12 @@ object PipelineQueries {
     "q_dedup_minhash_lsh" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        // the corpus arrives as ONE small parquet file (= one input split);
+        // spread it across cores first so the shingle/signature work
+        // parallelizes — at real scale the input is already many splits
+        Dedup.minhashNearDups(
+          t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text",
           shingleSize = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.5)
           .orderBy($"id_a", $"id_b")
       },
