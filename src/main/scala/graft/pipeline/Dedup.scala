@@ -190,20 +190,47 @@ object Dedup {
   def simhash(text: Column): Column =
     simhashOfTokens(TextAnalysis.wsTokens(lower(text)))
 
+  /** JVM twin of `baseHash60`: first 15 md5-hex chars as a long. Spark's
+    * md5() hashes the UTF-8 bytes — identical here, and the q_dedup_simhash
+    * oracle (DuckDB md5 replay) pins the equivalence end-to-end. */
+  private[graft] def baseHash60Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = 7.5 bytes: fold the top 8 bytes, drop low nibble
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+
   /** Same over a pre-tokenized column — lets callers that also need the
-    * token count tokenize once in their own Project. */
+    * token count tokenize once in their own Project. One typed pass: the
+    * aggregate/zip_with formulation evaluated 60 interpreted lambdas per
+    * token (HOFs get no codegen); this accumulates the 60 bit-counts in a
+    * tight loop with identical bit semantics. */
   def simhashOfTokens(toks: Column): Column = {
-    val hashes = transform(toks, t => baseHash60(t))
-    val masks = typedLit(Array.tabulate(SimhashBits)(b => 1L << b).toSeq)
-    val bitCounts = aggregate(hashes,
-      array_repeat(lit(0), SimhashBits),
-      (acc, h) => zip_with(acc,
-        transform(masks, m => when(h.bitwiseAND(m) =!= 0L, lit(1)).otherwise(lit(0))),
-        (a, x) => a + x))
-    aggregate(
-      zip_with(bitCounts, masks,
-        (c, m) => when(c * 2 > size(hashes), m).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    val f = udf((ts: Seq[String]) =>
+      if (ts == null) null.asInstanceOf[java.lang.Long]
+      else {
+        val n = ts.length
+        val counts = new Array[Int](SimhashBits)
+        ts.foreach { t =>
+          val h = baseHash60Jvm(t)
+          var b = 0
+          while (b < SimhashBits) {
+            if (((h >> b) & 1L) != 0L) counts(b) += 1
+            b += 1
+          }
+        }
+        var sig = 0L
+        var b = 0
+        while (b < SimhashBits) {
+          if (counts(b) * 2 > n) sig |= 1L << b
+          b += 1
+        }
+        java.lang.Long.valueOf(sig)
+      })
+    f(toks)
   }
 
   /** SimHash near-dup pairs: LSH over 4×15-bit chunks, verified by Hamming

@@ -153,6 +153,15 @@ class PipelineSpec extends SparkSpec {
     assert(est3 == est)
   }
 
+  test("baseHash60Jvm is bit-identical to the baseHash60 column expression") {
+    val samples = Seq("", "a", "hello world", "ünïcödé ⽂", "x" * 500) ++
+      (1 to 50).map(i => s"tok$i")
+    val viaColumn = samples.toDF("s")
+      .select(Dedup.baseHash60($"s").as("h")).collect().map(_.getLong(0))
+    val viaJvm = samples.map(graft.pipeline.Dedup.baseHash60Jvm)
+    assert(viaColumn.toSeq == viaJvm)
+  }
+
   test("count-min estimates are upper bounds and exact for isolated keys") {
     import graft.pipeline.Sketches
     // skewed stream: key "hot" 1000×, 200 singletons
