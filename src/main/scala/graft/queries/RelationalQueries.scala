@@ -259,6 +259,60 @@ object RelationalQueries {
              |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
              |ORDER BY o_custkey""".stripMargin)),
 
+    // pivot: per-user event-type count matrix (fixed pivot values keep the
+    // schema static — at scale an unbounded pivot would need a distinct
+    // pass first, so pin the columns)
+    "q_pivot_event_matrix" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Registry.events(s, dir)
+          .groupBy($"user_id")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id,
+             |  count(*) FILTER (WHERE event_type = 'click') AS click,
+             |  count(*) FILTER (WHERE event_type = 'error') AS error,
+             |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             |  count(*) FILTER (WHERE event_type = 'view') AS view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // MERGE/upsert as one full-outer join: refreshed rows win, new keys
+    // insert, untouched base rows carry forward (graft.operators.Merge)
+    "q_merge_upsert" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val base = t(s, dir, "customer")
+          .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+        val spent = t(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("1997-01-01"))
+          .groupBy($"o_custkey").agg(round(sum($"o_totalprice"), 2).as("spent"))
+        val updates = spent.select($"o_custkey".as("c_custkey"),
+            $"spent".as("c_acctbal"), lit("REFRESHED").as("c_mktsegment"))
+          .unionByName(spent.select(($"o_custkey" + 1000000).as("c_custkey"),
+            $"spent".as("c_acctbal"), lit("NEW").as("c_mktsegment")))
+        graft.operators.Merge.upsert(base, updates, "c_custkey")
+          .orderBy($"c_custkey")
+      },
+      Some("""WITH spent AS (
+             |  SELECT o_custkey, round(sum(o_totalprice), 2) AS spent
+             |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             |  GROUP BY o_custkey),
+             |updates AS (
+             |  SELECT o_custkey AS c_custkey, spent AS c_acctbal,
+             |         'REFRESHED' AS c_mktsegment FROM spent
+             |  UNION ALL
+             |  SELECT o_custkey + 1000000, spent, 'NEW' FROM spent),
+             |base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer)
+             |SELECT c_custkey,
+             |  coalesce(u.c_acctbal, b.c_acctbal) AS c_acctbal,
+             |  coalesce(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment
+             |FROM base b FULL OUTER JOIN updates u USING (c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
     // TPC-H Q4 style: correlated EXISTS + grouped count
     "q_order_priority_check" -> QueryDef(
       (s, dir) => {

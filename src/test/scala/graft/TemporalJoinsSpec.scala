@@ -154,4 +154,20 @@ class TemporalJoinsSpec extends SparkSpec {
       .select($"pid", $"iid").as[(Long, Long)].collect().toSet
     assert(binned == naive && naive.nonEmpty)
   }
+
+  test("Merge.upsert: update wins, new key inserts, untouched rows carry forward") {
+    import graft.operators.Merge
+    val base = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
+      .toDF("k", "bal", "seg")
+    // partial-column update: no "seg" column → seg carried from base everywhere
+    val updates = Seq((2L, 99.0), (9L, 1.0)).toDF("k", "bal")
+    val out = Merge.upsert(base, updates, "k")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)).orNull))
+    assert(out.toSeq == Seq(
+      (1L, 10.0, "a"),   // untouched
+      (2L, 99.0, "b"),   // updated bal, carried seg
+      (3L, 30.0, "c"),   // untouched
+      (9L, 1.0, null)))  // inserted; non-updatable column absent → null
+  }
 }
