@@ -97,4 +97,45 @@ object Chunking {
       .agg(round(sum($"contrib"), 4).as("bm25"))
       .select($"id".as(idCol), $"bm25")
   }
+
+  /**
+   * Greedy sequence packing for LLM training batches: documents are dealt
+   * into `numGroups` hash groups (md5-derived → oracle-replayable), and
+   * each group is scanned in doc-id order, accumulating documents into a
+   * pack while the token budget holds; a document that would overflow
+   * starts the next pack (an over-budget document gets a pack to itself).
+   *
+   * Plan: ONE shuffle (repartition by group) + an in-order partition scan
+   * (`sortWithinPartitions` + `mapPartitions` — the secondary-sort
+   * streaming pattern). Packing is deterministic because group membership
+   * and in-group order are data-derived, not partition-derived; at 100 TB
+   * raise `numGroups` so each sequential group stream stays short.
+   *
+   * Returns (doc_id, grp, pack, pack_pos, tokens): pack ids are dense
+   * 0-based per group, pack_pos is the document's position in its pack.
+   */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      tokenBudget: Long, numGroups: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"),
+        (Dedup.baseHash60(col(idCol).cast("string")) % numGroups).as("grp"),
+        size(TextAnalysis.wsTokens(col(textCol))).cast("long").as("tokens"))
+      .repartition(col("grp"))
+      .sortWithinPartitions($"grp", $"doc_id")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        // a partition holds whole groups in (grp, doc_id) order; state
+        // resets on every group boundary
+        var curGrp = Long.MinValue
+        var acc = 0L; var pack = 0L; var pos = 0L
+        it.map { case (id, g, t) =>
+          if (g != curGrp) { curGrp = g; acc = t; pack = 0L; pos = 0L }
+          else if (acc + t > tokenBudget) { pack += 1; acc = t; pos = 0L }
+          else { acc += t; pos += 1 }
+          (id, g, pack, pos, t)
+        }
+      }
+      .toDF("doc_id", "grp", "pack", "pack_pos", "tokens")
+  }
 }

@@ -79,5 +79,35 @@ object RankingQueries {
              |           * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS contrib
              |  FROM tf JOIN dfc USING (term) JOIN lens USING (doc_id) CROSS JOIN stats)
              |SELECT doc_id, round(sum(contrib), 4) AS bm25 FROM c
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // greedy sequence packing (256-token budget, 8 hash groups); the
+    // oracle replays the sequential greedy scan with a recursive CTE
+    // stepping through each group in doc-id order
+    "q_pack_sequences" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Chunking.packSequences(t(s, dir, "documents"), "doc_id", "text",
+            tokenBudget = 256L, numGroups = 8)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT doc_id,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS grp,
+             |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS tokens
+             |  FROM documents),
+             |r AS (SELECT d.*, row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+             |      FROM d),
+             |s AS (
+             |  SELECT grp, rn, doc_id, tokens, tokens AS acc,
+             |         0::BIGINT AS pack, 0::BIGINT AS pack_pos
+             |  FROM r WHERE rn = 1
+             |  UNION ALL
+             |  SELECT r.grp, r.rn, r.doc_id, r.tokens,
+             |    CASE WHEN s.acc + r.tokens > 256 THEN r.tokens ELSE s.acc + r.tokens END,
+             |    CASE WHEN s.acc + r.tokens > 256 THEN s.pack + 1 ELSE s.pack END,
+             |    CASE WHEN s.acc + r.tokens > 256 THEN 0 ELSE s.pack_pos + 1 END
+             |  FROM s JOIN r ON r.grp = s.grp AND r.rn = s.rn + 1)
+             |SELECT doc_id, grp, pack, pack_pos, tokens FROM s
+             |ORDER BY doc_id""".stripMargin)))
 }

@@ -48,4 +48,33 @@ class ChunkingSpec extends SparkSpec {
     assert(scores.keySet == Set(1L, 2L, 3L))
     assert(scores(1L) > scores(2L) && scores(2L) > scores(3L))
   }
+
+  test("packSequences: budget respected, positions dense, partitioning-invariant") {
+    val docs = (0L until 200L)
+      .map(i => (i, Seq.fill(5 + (i % 37).toInt)("w").mkString(" ")))
+      .toDF("id", "text")
+    val packed = Chunking.packSequences(docs, "id", "text", tokenBudget = 60L,
+      numGroups = 4)
+    val rows = packed.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 200)
+    // every multi-doc pack within budget (over-budget docs would sit alone;
+    // none here since max doc = 41 tokens < 60)
+    val byPack = rows.groupBy(r => (r._2, r._3))
+    assert(byPack.values.forall(_.map(_._5).sum <= 60L))
+    // pack ids dense from 0 per group; positions dense from 0 per pack,
+    // following doc-id order
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      val packs = g.map(_._3).distinct.sorted.toIndexedSeq
+      assert(packs.toSeq == (0L until packs.length.toLong).toSeq)
+    }
+    byPack.values.foreach { p =>
+      assert(p.sortBy(_._1).map(_._4).toSeq == (0L until p.length).toSeq)
+    }
+    // result independent of input partitioning
+    val re = Chunking.packSequences(docs.repartition(7), "id", "text", 60L, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(re.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+  }
 }
