@@ -43,18 +43,27 @@ object EStepShuffle {
 
     // explode_outer + sentinel keeps documents with EMPTY counts in the
     // pipeline (a plain explode would silently drop them from gamma/LL,
-    // diverging from the broadcast path); term ids are 1-based so -1 is free
+    // diverging from the broadcast path); term ids are 1-based so -1 is free.
+    // Only (docId, termId, cnt) rides the term-keyed shuffle: gamma (K
+    // doubles) and numTokens join back per DOC below — carrying them on the
+    // exploded rows would multiply the gamma payload by nnz across two
+    // shuffles (at K=100, nnz=500 that is ~800 KB/doc instead of ~800 B).
     val exploded = docs.toDF()
-      .select($"docId", $"numTokens", $"gamma",
-        explode_outer($"counts").as(Seq("termId", "cnt")))
-      .select($"docId", $"numTokens", $"gamma",
+      .select($"docId", explode_outer($"counts").as(Seq("termId", "cnt")))
+      .select($"docId",
         coalesce($"termId", lit(-1)).as("termId"),
         coalesce($"cnt", lit(0)).as("cnt"))
     // left join: unseen terms fall back to the seeded random init in the kernel
-    val grouped = exploded
+    val bundles = exploded
       .join(beta.select($"termId", $"elogbeta"), Seq("termId"), "left")
-      .groupBy($"docId", $"numTokens", $"gamma")
+      .groupBy($"docId")
       .agg(collect_list(struct($"termId", $"cnt", $"elogbeta")).as("terms"))
+    // bundles is already hash-partitioned by docId from the agg, so this
+    // join only shuffles the slim (docId, numTokens, gamma) side
+    val grouped = docs.toDF()
+      .select($"docId", $"numTokens", $"gamma")
+      .join(bundles, Seq("docId"))
+      .select($"docId", $"numTokens", $"gamma", $"terms")
       .as[DocWithBeta]
 
     grouped.mapPartitions { it =>

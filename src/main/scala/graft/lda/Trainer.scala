@@ -171,8 +171,12 @@ object Trainer {
           estep.filter(!$"isDoc").select($"topic", $"termId", $"logphi"), cfg.prior)
           .persist(StorageLevel.MEMORY_AND_DISK)
         betaRowsDistributed = Some(betaRows)
-        betaTable = packBeta(betaRows).persist(StorageLevel.MEMORY_AND_DISK)
-        betaTable.count() // materialize before unpersisting the parent
+        // localCheckpoint (eager): materializes AND truncates lineage. A
+        // plain persist leaves each iteration's betaTable plan nested inside
+        // the next one's (estep joins betaTable), so analysis/optimization
+        // cost grows superlinearly with iterations — the shuffle-mode
+        // equivalent of the corpus rotation's lineage truncation below.
+        betaTable = packBeta(betaRows).localCheckpoint()
         MStep.llAndAlphaStats(docSide, k)
       } else {
         val (llF, ssF, lambda) = MStep.splitFused(
@@ -243,7 +247,9 @@ object Trainer {
       betaRowsDistributed.foreach(_.unpersist())
       if (useShuffleEStep) prevBetaTable.unpersist()
       // every action reading these completed above (the fused collect /
-      // stats job, and the eager localCheckpoint or parquet snapshot)
+      // stats job, and the eager localCheckpoint or parquet snapshot).
+      // destroy() is non-blocking in Spark 4 (delegates to destroy(false)),
+      // so this adds no per-iteration driver latency
       alphaBc.destroy()
       betaBc.foreach(_.destroy())
 

@@ -17,11 +17,25 @@ object CorpusQueries {
     Registry.t(s, dir, "documents")
       .selectExpr("doc_id as docId", "cast(doc_id as string) as title", "text")
 
+  // Parse and training are deterministic per (session, dir): memoize so the
+  // queries sharing them (dictionary/encoded/prior parse; top_terms/doc_topics
+  // model) don't re-run a 5-iteration EM per registry entry. The cache holds
+  // persisted Datasets, so entries are only valid while their session lives —
+  // key on the session identity too.
+  private val parseCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), ParseCorpus.Result]()
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.lda.LdaModel]()
+
+  private[queries] def parsedCorpus(s: SparkSession, dir: String): ParseCorpus.Result =
+    parseCache.computeIfAbsent((s, dir), _ => ParseCorpus.run(docsDf(s, dir)))
+
   /** deterministic small training run shared by the model queries */
-  private def model(s: SparkSession, dir: String) = {
-    val parsed = ParseCorpus.run(docsDf(s, dir))
-    val m = Trainer.train(parsed.docs, parsed.stats.numTerms.toInt,
-      Trainer.Config(numTopics = 5, maxIterations = 5, localIterations = 20, seed = 42L))
+  private def model(s: SparkSession, dir: String): (ParseCorpus.Result, graft.lda.LdaModel) = {
+    val parsed = parsedCorpus(s, dir)
+    val m = modelCache.computeIfAbsent((s, dir), _ =>
+      Trainer.train(parsed.docs, parsed.stats.numTerms.toInt,
+        Trainer.Config(numTopics = 5, maxIterations = 5, localIterations = 20, seed = 42L)))
     (parsed, m)
   }
 
@@ -74,6 +88,22 @@ object CorpusQueries {
     "lda_top_terms" -> QueryDef(
       (s, dir) => {
         val (parsed, m) = model(s, dir)
+        Display.topTermsPerTopic(Display.betaToDF(s, m), parsed.terms, k = 10)
+      },
+      None, bench = true),
+
+    /** Same training run forced down the shuffle-join E-step
+      * (`betaBroadcastMaxEntries = 0`) — the 100 TB path where beta never
+      * touches the driver. Benched so the scale path has a timed row;
+      * output parity with the broadcast path is pinned in sbt
+      * (TrainerPathsSpec / LdaGoldenSpec). Deliberately NOT cached: the
+      * bench must time a full shuffle-mode training run. */
+    "lda_top_terms_shuffle" -> QueryDef(
+      (s, dir) => {
+        val parsed = parsedCorpus(s, dir)
+        val m = Trainer.train(parsed.docs, parsed.stats.numTerms.toInt,
+          Trainer.Config(numTopics = 5, maxIterations = 5, localIterations = 20,
+            seed = 42L, betaBroadcastMaxEntries = 0L))
         Display.topTermsPerTopic(Display.betaToDF(s, m), parsed.terms, k = 10)
       },
       None, bench = true),
