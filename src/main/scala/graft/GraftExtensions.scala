@@ -1,10 +1,10 @@
 package graft
 
-import graft.functions.{Digamma, DotProduct, LogAdd, LogGammaExpr, Trigamma}
+import graft.functions.{Digamma, DotProduct, LogAdd, LogGammaExpr, SimHash60, Trigamma, WordNgrams}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StringType}
 
 /**
  * SQL surface for the library's custom Catalyst expressions: register via
@@ -50,13 +50,31 @@ object GraftExtensions {
         f(Cast(args(0), ArrayType(DoubleType)), Cast(args(1), ArrayType(DoubleType)))
       })
 
+  /** text + foldable gram size n, e.g. `word_ngrams(text, 3)` */
+  private def textNgrams(name: String, wholeTextFallback: Boolean)
+      : (String, ExpressionInfo, Seq[Expression] => Expression) =
+    (name, new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"$name expects exactly 2 arguments")
+        require(args(1).foldable, s"$name: n must be a literal")
+        val n = Cast(args(1), IntegerType).eval().asInstanceOf[Int]
+        WordNgrams(Cast(args(0), StringType), n, wholeTextFallback)
+      })
+
   /** (name, info, builder) for every registered SQL function. */
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     unary("digamma", Digamma),
     unary("trigamma", Trigamma),
     unary("lgamma", LogGammaExpr),
     binary("log_add", LogAdd),
-    binaryVec("vec_dot", DotProduct))
+    binaryVec("vec_dot", DotProduct),
+    textNgrams("word_ngrams", wholeTextFallback = false),
+    textNgrams("shingles", wholeTextFallback = true),
+    ("simhash60", new ExpressionInfo(classOf[GraftExtensions].getName, "simhash60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash60 expects exactly 1 argument")
+        SimHash60(Cast(args.head, ArrayType(StringType)))
+      }))
 
   /** Register into an already-built session (extensions only run at
     * construction time). */

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, UnaryExpression}
+import org.apache.spark.sql.graftshim.shim
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/**
+ * Codegen'd text expressions for the dedup/decontamination hot paths
+ * (the DotProduct pattern applied to tokenization): a ScalaUDF pays a
+ * CatalystTypeConverters round-trip (UTF8String -> String -> Seq -> back)
+ * per row; these run straight over UTF8String bytes inside whole-stage
+ * codegen via a static kernel call (TextKernels).
+ */
+
+/**
+ * Distinct sliding word n-grams over whitespace tokens.
+ * `wholeTextFallback = false`: texts with fewer than n tokens yield an
+ * empty array (strict n-grams — TextAnalysis.wordNgrams semantics).
+ * `wholeTextFallback = true`: such texts yield the whole token sequence
+ * re-joined as one gram (shingle semantics — Dedup.shingles; an empty or
+ * null-coalesced text yields [""]).
+ */
+case class WordNgrams(child: Expression, n: Int, wholeTextFallback: Boolean)
+    extends UnaryExpression with Serializable {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.ngrams(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      n, wholeTextFallback)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.ngrams($c, $n, $wholeTextFallback)")
+
+  override protected def withNewChildInternal(c: Expression): WordNgrams = copy(child = c)
+  override def prettyName: String = if (wholeTextFallback) "shingles" else "word_ngrams"
+}
+
+/** 60-bit SimHash over an array<string> token column (bit b of the
+  * signature = majority vote of bit b across the tokens' 60-bit md5 base
+  * hashes — TextKernels.hash60, the JVM twin of Dedup.baseHash60). */
+case class SimHash60(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simhash60(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhash60($c)")
+
+  override protected def withNewChildInternal(c: Expression): SimHash60 = copy(child = c)
+  override def prettyName: String = "simhash60"
+}
+
+/** Column facade (functions-package style); inputs are cast here, since
+  * ExpectsInputTypes is private[sql]. */
+object tfunctions {
+  private def str(c: Column): Expression = {
+    val e = shim.toExpr(c)
+    if (e.dataType == StringType) e else Cast(e, StringType)
+  }
+  private def strArr(c: Column): Expression = {
+    val e = shim.toExpr(c)
+    e.dataType match {
+      case ArrayType(StringType, _) => e
+      case _ => Cast(e, ArrayType(StringType))
+    }
+  }
+  def word_ngrams(text: Column, n: Int): Column =
+    shim.toColumn(WordNgrams(str(text), n, wholeTextFallback = false))
+  def shingles(text: Column, n: Int): Column =
+    shim.toColumn(WordNgrams(str(text), n, wholeTextFallback = true))
+  def simhash60(tokens: Column): Column = shim.toColumn(SimHash60(strArr(tokens)))
+}

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Row-level kernels behind the text Catalyst expressions (WordNgrams,
+ * SimHash60). Static-forwarder object so generated Java can call
+ * `graft.functions.TextKernels.ngrams(...)` directly (same pattern as
+ * GammaFuncs). Everything works on UTF8String/bytes — no String round-trip,
+ * no CatalystTypeConverters, unlike the ScalaUDFs these replaced.
+ */
+object TextKernels {
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Whitespace tokens: split on single space, drop empties. */
+  private def tokens(s: UTF8String): Array[UTF8String] =
+    s.split(Space, -1).filter(_.numBytes() > 0)
+
+  /**
+   * Distinct sliding word n-grams (first-occurrence order, grams joined by
+   * one space). When the text has fewer than n tokens: with
+   * `wholeTextFallback` the whole token sequence re-joined by single spaces
+   * is the one gram (shingle semantics — an empty text yields [""]);
+   * without it the result is empty (strict n-gram semantics).
+   */
+  def ngrams(s: UTF8String, n: Int, wholeTextFallback: Boolean): ArrayData = {
+    val toks = tokens(s)
+    if (toks.length >= n) {
+      // LinkedHashSet: dedup preserving first occurrence, like Seq.distinct
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var i = 0
+      while (i + n <= toks.length) {
+        if (n == 1) seen.add(toks(i))
+        else {
+          val window = new Array[UTF8String](n)
+          System.arraycopy(toks, i, window, 0, n)
+          seen.add(UTF8String.concatWs(Space, window: _*))
+        }
+        i += 1
+      }
+      new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
+    } else if (wholeTextFallback) {
+      new GenericArrayData(Array[Any](UTF8String.concatWs(Space, toks: _*)))
+    } else {
+      new GenericArrayData(Array.empty[Any])
+    }
+  }
+
+  private val md5Local = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 15 hex chars of md5 as a long — the JVM twin of the
+    * `conv(substring(md5(c),1,15),16,10)` SQL base hash (Dedup.baseHash60):
+    * fold the top 8 digest bytes big-endian, drop the low nibble. */
+  def hash60(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+
+  val SimhashBits = 60
+
+  /** 60-bit SimHash over a token array: bit b set iff more than half the
+    * tokens have bit b set in their 60-bit md5 base hash. One pass
+    * accumulating all 60 bit-counts. */
+  def simhash60(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    val counts = new Array[Int](SimhashBits)
+    var i = 0
+    while (i < n) {
+      val h = hash60(toks.getUTF8String(i).getBytes)
+      var b = 0
+      while (b < SimhashBits) {
+        if (((h >> b) & 1L) != 0L) counts(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < SimhashBits) {
+      if (counts(b) * 2 > n) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+}

@@ -75,6 +75,58 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot"
 }
 
+/** Row-level kernel behind NearestCentroids (static-forwarder object so
+  * generated Java can call it — the GammaFuncs/TextKernels pattern). */
+object VectorKernels {
+  /** Indices of the `n` centroids nearest to `v` by squared L2, ordered by
+    * (distance, index) — identical semantics (and FP arithmetic) to the
+    * `d.sortBy(_._1).take(n)` driver formulation this replaced, where
+    * Scala's stable sort breaks ties by centroid index. */
+  def nearestCentroids(v: ArrayData, cents: ArrayData, n: Int): ArrayData = {
+    val m = cents.numElements()
+    val vd = v.toDoubleArray()
+    val dist = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      val ct = cents.getArray(i).toDoubleArray()
+      var s = 0.0
+      var j = 0
+      while (j < ct.length) { val t = vd(j) - ct(j); s += t * t; j += 1 }
+      dist(i) = s
+      i += 1
+    }
+    val order = Array.range(0, m)
+      .sortBy(i => (dist(i), i))(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
+    new GenericArrayData(order.take(math.min(n, m)))
+  }
+}
+
+/**
+ * Indices of the n nearest centroids (squared L2, ties by index) for a
+ * vector against a (typically literal/broadcast-sized) array of centroids.
+ * Keeps IVF assignment/probing inside whole-stage codegen — the ScalaUDF
+ * it replaced converted the vector AND the full centroid table to Scala
+ * collections per row.
+ */
+case class NearestCentroids(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression with Serializable {
+  require(n >= 1, s"n must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType,
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(v: Any, c: Any): Any =
+    VectorKernels.nearestCentroids(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.functions.VectorKernels.nearestCentroids($v, $c, $n)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestCentroids =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_nearest_centroids"
+}
+
 /** Column facade for the vector expressions (functions-package style).
   * Inputs are cast to array<double> here — the expression is double-only. */
 object vfunctions {
@@ -85,7 +137,17 @@ object vfunctions {
       case _ => Cast(e, ArrayType(DoubleType))
     }
   }
+  private def arrArr(c: Column): Expression = {
+    val e = shim.toExpr(c)
+    e.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => e
+      case _ => Cast(e, ArrayType(ArrayType(DoubleType)))
+    }
+  }
   def vec_dot(a: Column, b: Column): Column = shim.toColumn(DotProduct(arr(a), arr(b)))
   /** ‖x‖₂ as sqrt(x·x) — same FP order as the sum-of-squares fold. */
   def vec_norm(a: Column): Column = org.apache.spark.sql.functions.sqrt(vec_dot(a, a))
+  /** indices of the n nearest centroids by squared L2 (ties by index) */
+  def vec_nearest_centroids(v: Column, centroids: Column, n: Int): Column =
+    shim.toColumn(NearestCentroids(arr(v), arrArr(centroids), n))
 }

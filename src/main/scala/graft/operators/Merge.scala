@@ -20,7 +20,17 @@ import org.apache.spark.sql.functions._
 object Merge {
 
   /** `updates` must carry the key plus a subset of `base`'s columns;
-    * columns absent from `updates` are carried from `base` everywhere. */
+    * columns absent from `updates` are carried from `base` everywhere.
+    *
+    * Two deliberate divergences from Delta/Iceberg `MERGE INTO`, both
+    * consequences of the per-column coalesce:
+    *   - an update row carrying an explicit NULL in an updatable column
+    *     KEEPS the base value — this operator cannot null out a field
+    *     (encode "clear" as a sentinel value if you need it);
+    *   - duplicate keys in `updates` fan out via the join (one output row
+    *     per duplicate) instead of raising a cardinality error the way
+    *     transactional MERGE does — deduplicate updates first if the
+    *     source may carry repeats. */
   def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
     val updatable = updates.columns.toSet - key
     val outCols = base.columns.filter(_ != key).map { c =>

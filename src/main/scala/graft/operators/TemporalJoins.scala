@@ -27,6 +27,14 @@ object TemporalJoins {
    * sort-merge formulation: no join explosion, no per-key memory beyond
    * the window frame, skew limited to genuinely hot keys.
    *
+   * Wide-table hygiene: only (keys, ts, __rowid) from the left ride the
+   * union+window shuffle/sort — the left payload columns join back on a
+   * generated `monotonically_increasing_id` afterwards, so a 200-column
+   * left table doesn't get sorted inside every window partition. (The id
+   * is generated in one plan and read by both the union and the join-back;
+   * it is deterministic for a given scan split, which Spark guarantees for
+   * file sources under a fixed configuration.)
+   *
    * Right rows sort before left rows at equal timestamps (ties are "at or
    * before"). If the right side has several rows at the same (key, ts) the
    * greatest `rightOrder` wins — pass a unique column (e.g. the event id)
@@ -43,7 +51,8 @@ object TemporalJoins {
       direction: String = "backward"): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
-    val reserved = rightValueCols.map(c => s"right_$c") ++ Seq("__ts", "__side", "__ord")
+    val reserved = rightValueCols.map(c => s"right_$c") ++
+      Seq("__ts", "__side", "__ord", "__rowid")
     val clash = left.columns.toSet.intersect(reserved.toSet)
     require(clash.isEmpty,
       s"left side already has column(s) ${clash.mkString(", ")} — rename before joining")
@@ -58,32 +67,32 @@ object TemporalJoins {
       .getOrElse(org.apache.spark.sql.types.LongType)
 
     val leftCols = left.columns.toSeq
-    val l = left
-      .withColumn("__ts", col(leftTsCol))
-      .withColumn("__side", lit(1))
-      .withColumn("__ord", lit(null).cast(ordType))
-    val lAligned = rightValueCols.foldLeft(l) { (df, c) =>
+    val lWithId = left.withColumn("__rowid", monotonically_increasing_id())
+    // slim left: only (keys, ts, rowid) enter the union — payload columns
+    // join back on __rowid after the window (column pruning reaches the
+    // scan, so this branch reads just the slim columns)
+    val lSlim = rightValueCols.foldLeft(
+      lWithId.select(keyCols.map(col) :+ col(leftTsCol).as("__ts") :+ col("__rowid"): _*)
+        .withColumn("__side", lit(1))
+        .withColumn("__ord", lit(null).cast(ordType))) { (df, c) =>
       df.withColumn(s"right_$c", lit(null).cast(right.schema(c).dataType)) }
 
     // null join keys and null timestamps never match (ASOF semantics: a
     // null comparison is no match): drop such right rows so the nulls-first/
     // nulls-last window order can't let them fill anything
-    val r0 = keyCols.foldLeft(right.filter(col(rightTsCol).isNotNull)) {
-        (df, k) => df.filter(col(k).isNotNull) }
-      .withColumn("__ts", col(rightTsCol))
-      .withColumn("__side", lit(0))
-      .withColumn("__ord",
-        rightOrder.map(col(_).cast(ordType)).getOrElse(lit(0L).cast(ordType)))
-    val rAligned = leftCols.filterNot(keyCols.contains).foldLeft(
-      rightValueCols.foldLeft(r0) { (df, c) => df.withColumn(s"right_$c", col(c)) }
-        .select((keyCols ++ rightValueCols.map(c => s"right_$c") ++
-          Seq("__ts", "__side", "__ord")).map(col): _*)) { (df, c) =>
-      df.withColumn(c, lit(null).cast(left.schema(c).dataType)) }
+    val rAligned = rightValueCols.foldLeft(
+      keyCols.foldLeft(right.filter(col(rightTsCol).isNotNull)) {
+          (df, k) => df.filter(col(k).isNotNull) }
+        .withColumn("__ts", col(rightTsCol))
+        .withColumn("__side", lit(0))
+        .withColumn("__ord",
+          rightOrder.map(col(_).cast(ordType)).getOrElse(lit(0L).cast(ordType)))
+        .withColumn("__rowid", lit(null).cast("long"))) { (df, c) =>
+      df.withColumn(s"right_$c", col(c)) }
 
-    val unioned = lAligned.select((leftCols ++
-        rightValueCols.map(c => s"right_$c") ++ Seq("__ts", "__side", "__ord")).map(col): _*)
-      .unionByName(rAligned.select((leftCols ++
-        rightValueCols.map(c => s"right_$c") ++ Seq("__ts", "__side", "__ord")).map(col): _*))
+    val unionCols = (keyCols ++ rightValueCols.map(c => s"right_$c") ++
+      Seq("__ts", "__side", "__ord", "__rowid")).map(col)
+    val unioned = lSlim.select(unionCols: _*).unionByName(rAligned.select(unionCols: _*))
 
     // backward: ascending traversal, last-seen right row = latest ≤ ts.
     // forward: DESCENDING traversal, last-seen right row = earliest ≥ ts.
@@ -100,10 +109,14 @@ object TemporalJoins {
     // a left row with a null timestamp matches nothing (under the forward
     // direction's descending order it would otherwise sort after every
     // right row and pick up the earliest one)
-    val nullSafe = rightValueCols.foldLeft(filled.filter($"__side" === 1)) { (df, c) =>
-      df.withColumn(s"right_$c",
-        when(col(leftTsCol).isNotNull, col(s"right_$c"))) }
-    nullSafe.select((leftCols ++ rightValueCols.map(c => s"right_$c")).map(col): _*)
+    val matched = rightValueCols.foldLeft(filled.filter($"__side" === 1)) { (df, c) =>
+      df.withColumn(s"right_$c", when($"__ts".isNotNull, col(s"right_$c"))) }
+      .select(col("__rowid") +: rightValueCols.map(c => col(s"right_$c")): _*)
+
+    // exactly one matched row per left row (rowids are unique), so the
+    // join-back is 1:1
+    lWithId.join(matched, "__rowid")
+      .select((leftCols ++ rightValueCols.map(c => s"right_$c")).map(col): _*)
   }
 
   /**

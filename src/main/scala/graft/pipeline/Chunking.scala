@@ -118,7 +118,15 @@ object Chunking {
       tokenBudget: Long, numGroups: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"),
+    // fail loudly on ids the long cast would null (null / non-numeric
+    // strings) — the downstream non-nullable tuple encoder would otherwise
+    // throw an opaque NullPointerException mid-scan, and a silently nulled
+    // id would collapse documents into one sort position
+    val docId = when(col(idCol).isNull || col(idCol).cast("long").isNull,
+        raise_error(concat(lit(s"packSequences: $idCol not castable to long: "),
+          coalesce(col(idCol).cast("string"), lit("null")))))
+      .otherwise(col(idCol).cast("long"))
+    df.select(docId.as("doc_id"),
         (Dedup.baseHash60(col(idCol).cast("string")) % numGroups).as("grp"),
         size(TextAnalysis.wsTokens(col(textCol))).cast("long").as("tokens"))
       .repartition(col("grp"))

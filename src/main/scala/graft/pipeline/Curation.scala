@@ -168,7 +168,8 @@ object Curation {
    */
   def ngramContamination(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, benchIdCol: String, benchTextCol: String,
-      n: Int = 5, minShared: Int = 3, maxGramDf: Long = Long.MaxValue): DataFrame = {
+      n: Int = 5, minShared: Int = 3,
+      maxGramDf: Long = Dedup.DefaultMaxGramDf): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     def grams(df: DataFrame, id: String, text: String, out: String) =

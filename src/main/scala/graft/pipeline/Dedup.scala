@@ -28,22 +28,23 @@ object Dedup {
 
   /** Word shingles: distinct sliding n-grams over whitespace tokens; a
     * document with fewer than n tokens contributes its whole text as one
-    * shingle. One typed pass — see `TextAnalysis.wordNgrams` for why this
-    * beats the interpreted higher-order-function formulation ~7×. */
-  def shingles(text: Column, n: Int): Column = {
-    val f = udf((s: String) => {
-      val toks =
-        if (s == null) Array.empty[String]
-        else s.split(" ", -1).filter(_.nonEmpty)
-      if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).distinct.toSeq
-      else Seq(toks.mkString(" "))
-    })
-    f(lower(text))
-  }
+    * shingle (a null/empty text: one empty-string shingle). Codegen'd
+    * Catalyst expression — see `TextAnalysis.wordNgrams`; the coalesce
+    * preserves the replaced UDF's null behavior (null text → [""]). */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.tfunctions.shingles(coalesce(lower(text), lit("")), n)
 
   /** 2^31 − 1: modulus of the universal hash family shared with the SQL
     * oracles (products stay < 2^47, safe under ANSI overflow checking). */
   val HashP: Long = 2147483647L
+
+  /** Default gram-frequency cap for `ngramJaccard` / decontamination: the
+    * DEFAULT plan must be the scale-safe one. A gram shared by d documents
+    * contributes d² join rows, so an uncapped hot gram ("of the") makes the
+    * gram self-join quadratic in corpus size; grams in >100k documents carry
+    * no near-dup signal anyway. Pass `Long.MaxValue` explicitly to opt into
+    * the exact-but-unsafe all-grams plan. */
+  val DefaultMaxGramDf: Long = 100000L
 
   /** 60-bit base hash both Spark and DuckDB compute identically: the first
     * 15 hex chars of md5, parsed as an integer. One md5 per value; the
@@ -152,7 +153,7 @@ object Dedup {
    * no grams and drop out (strict semantics, unlike `shingles`' fallback).
    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, n: Int = 2,
-      threshold: Double = 0.5, maxGramDf: Long = Long.MaxValue): DataFrame = {
+      threshold: Double = 0.5, maxGramDf: Long = Dedup.DefaultMaxGramDf): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val allGrams = df
@@ -193,45 +194,19 @@ object Dedup {
   /** JVM twin of `baseHash60`: first 15 md5-hex chars as a long. Spark's
     * md5() hashes the UTF-8 bytes — identical here, and the q_dedup_simhash
     * oracle (DuckDB md5 replay) pins the equivalence end-to-end. */
-  private[graft] def baseHash60Jvm(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // first 15 hex chars = 7.5 bytes: fold the top 8 bytes, drop low nibble
-    var h = 0L
-    var i = 0
-    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-    h >>> 4
-  }
+  private[graft] def baseHash60Jvm(s: String): Long =
+    graft.functions.TextKernels.hash60(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** Same over a pre-tokenized column — lets callers that also need the
-    * token count tokenize once in their own Project. One typed pass: the
+    * token count tokenize once in their own Project. Codegen'd Catalyst
+    * expression (graft.functions.SimHash60) accumulating all 60 bit-counts
+    * in one pass over the token array's UTF8String bytes: the
     * aggregate/zip_with formulation evaluated 60 interpreted lambdas per
-    * token (HOFs get no codegen); this accumulates the 60 bit-counts in a
-    * tight loop with identical bit semantics. */
-  def simhashOfTokens(toks: Column): Column = {
-    val f = udf((ts: Seq[String]) =>
-      if (ts == null) null.asInstanceOf[java.lang.Long]
-      else {
-        val n = ts.length
-        val counts = new Array[Int](SimhashBits)
-        ts.foreach { t =>
-          val h = baseHash60Jvm(t)
-          var b = 0
-          while (b < SimhashBits) {
-            if (((h >> b) & 1L) != 0L) counts(b) += 1
-            b += 1
-          }
-        }
-        var sig = 0L
-        var b = 0
-        while (b < SimhashBits) {
-          if (counts(b) * 2 > n) sig |= 1L << b
-          b += 1
-        }
-        java.lang.Long.valueOf(sig)
-      })
-    f(toks)
-  }
+    * token, and the ScalaUDF it replaced converted every token to String
+    * per row. */
+  def simhashOfTokens(toks: Column): Column =
+    graft.functions.tfunctions.simhash60(toks)
 
   /** SimHash near-dup pairs: LSH over 4×15-bit chunks, verified by Hamming
     * distance ≤ maxHamming. Token-less documents carry no signal and are

@@ -39,6 +39,12 @@ object Sketches {
    */
   def hllEstimate(df: DataFrame, keyCol: String, groupCols: Seq[String],
       outCol: String = "approx_distinct"): DataFrame = {
+    // internal columns are __hll_-prefixed so a caller-supplied group column
+    // named e.g. "bucket" can't collide (ambiguous reference / misgrouping)
+    val reserved = Set("__hll_bucket", "__hll_r", "__hll_m", "__hll_present",
+      "__hll_s_present", "__hll_s", "__hll_v", "__hll_raw", "__hll_est")
+    require(groupCols.forall(g => !reserved(g)),
+      s"hllEstimate: group columns may not use reserved internal names $reserved")
     val h = Dedup.baseHash60(col(keyCol).cast("string"))
     val rest = shiftright(h, 8)
     // rank = leading zeros of the 52-bit remainder + 1 = 53 − bitlength
@@ -46,23 +52,24 @@ object Sketches {
       .otherwise(lit(HllW + 1) - length(bin(rest)))
     val gcols = groupCols.map(col)
     val regs = df
-      .select(gcols :+ h.bitwiseAND(lit(255L)).as("bucket") :+ rank.as("r"): _*)
-      .groupBy(gcols :+ col("bucket"): _*)
-      .agg(max(col("r")).as("m"))
+      .select(gcols :+ h.bitwiseAND(lit(255L)).as("__hll_bucket") :+ rank.as("__hll_r"): _*)
+      .groupBy(gcols :+ col("__hll_bucket"): _*)
+      .agg(max(col("__hll_r")).as("__hll_m"))
     regs
       .groupBy(gcols: _*)
       // 2^(53−M) is exact in doubles (M ≥ 1), cast to BIGINT before the sum
       // so the harmonic accumulation is integer — FP-order-independent
-      .agg(sum(expr("CAST(power(2, 53 - m) AS BIGINT)")).as("s_present"),
-        count(lit(1)).as("present"))
-      .withColumn("v", lit(HllM.toLong) - col("present"))
-      .withColumn("s", col("s_present") + col("v") * lit(9007199254740992L))
-      .withColumn("raw", lit(HllK) / col("s"))
-      .withColumn("est",
-        when(col("v") > 0 && col("raw") <= lit(2.5 * HllM),
-          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v")))
-          .otherwise(col("raw")))
-      .select(gcols :+ round(col("est"), 2).as(outCol): _*)
+      .agg(sum(expr("CAST(power(2, 53 - __hll_m) AS BIGINT)")).as("__hll_s_present"),
+        count(lit(1)).as("__hll_present"))
+      .withColumn("__hll_v", lit(HllM.toLong) - col("__hll_present"))
+      .withColumn("__hll_s",
+        col("__hll_s_present") + col("__hll_v") * lit(9007199254740992L))
+      .withColumn("__hll_raw", lit(HllK) / col("__hll_s"))
+      .withColumn("__hll_est",
+        when(col("__hll_v") > 0 && col("__hll_raw") <= lit(2.5 * HllM),
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("__hll_v")))
+          .otherwise(col("__hll_raw")))
+      .select(gcols :+ round(col("__hll_est"), 2).as(outCol): _*)
   }
 
   /** count–min depth (independent hash rows) and width (counters per row) */

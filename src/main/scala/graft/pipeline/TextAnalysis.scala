@@ -15,22 +15,15 @@ object TextAnalysis {
   def wsTokens(text: Column): Column = filter(split(text, " "), t => t =!= "")
 
   /** Distinct sliding word n-grams from raw text (lowercased), empty when
-    * the text has fewer than n tokens, null on null text. One typed pass:
-    * the equivalent transform(sequence)/slice/concat_ws/array_distinct
-    * higher-order-function chain runs interpreted (HOFs get no codegen)
-    * and re-evaluates the token array per reference — measured ~7× slower
-    * on the documents table. Output is string-identical, so the SQL
-    * oracles that replay gram construction are unaffected. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val f = udf((s: String) =>
-      if (s == null) null
-      else {
-        val toks = s.split(" ", -1).filter(_.nonEmpty)
-        if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).distinct.toSeq
-        else Seq.empty[String]
-      })
-    f(lower(text))
-  }
+    * the text has fewer than n tokens, null on null text. A codegen'd
+    * Catalyst expression (graft.functions.WordNgrams): the equivalent
+    * transform(sequence)/slice/concat_ws/array_distinct higher-order-function
+    * chain runs interpreted (HOFs get no codegen, measured ~7× slower), and
+    * the ScalaUDF this replaced paid a UTF8String↔String converter
+    * round-trip per row. Output is string-identical, so the SQL oracles
+    * that replay gram construction are unaffected. */
+  def wordNgrams(text: Column, n: Int): Column =
+    graft.functions.tfunctions.word_ngrams(lower(text), n)
 
   /** BPE-ish subword proxy: alpha runs, digit runs, or single punctuation. */
   val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"

@@ -27,7 +27,8 @@ class GraftExtensionsSpec extends SparkSpec {
     // the same objects register() installs
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     assert(GraftExtensions.all.map(_._1) ==
-      Seq("digamma", "trigamma", "lgamma", "log_add", "vec_dot"))
+      Seq("digamma", "trigamma", "lgamma", "log_add", "vec_dot",
+        "word_ngrams", "shingles", "simhash60"))
   }
 
   test("vec_dot matches the aggregate/zip_with composition bitwise") {
