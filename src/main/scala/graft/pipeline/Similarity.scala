@@ -54,7 +54,7 @@ object Similarity {
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-      kmeansIterations: Int = 5): DataFrame = {
+      kmeansIterations: Int = 5, roundCentroids: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(idCol).cast("long").as("corpus_id"),
@@ -67,26 +67,25 @@ object Similarity {
       .limit(nCentroids)
       .select($"cv").as[Seq[Double]].collect().map(_.toArray)
 
-    def nearest(v: Seq[Double], cents: Array[Array[Double]], n: Int): Seq[Int] = {
-      val d = cents.zipWithIndex.map { case (ct, i) =>
-        var s = 0.0; var j = 0
-        while (j < ct.length) { val t = v(j) - ct(j); s += t * t; j += 1 }
-        (s, i)
-      }
-      d.sortBy(_._1).take(n).map(_._2).toSeq
-    }
+    // assignment/probing by the codegen'd NearestCentroids expression:
+    // squared-L2, ties by centroid index — identical semantics (and FP
+    // arithmetic) to the ScalaUDF it replaced, which converted the vector
+    // AND the full centroid table to Scala collections per row
+    def nearestCol(v: Column, cents: Array[Array[Double]], n: Int): Column =
+      graft.functions.vfunctions.vec_nearest_centroids(
+        v, typedLit(cents.map(_.toSeq).toSeq), n)
 
     // Lloyd iterations: distributed assignment, model-sized centroid
-    // update. Means are rounded to 4 dp so the centroid trajectory is
-    // independent of FP summation order (and replayable by a SQL oracle);
-    // at embedding scale ~0.1 the quantization is far below cluster
-    // separation.
+    // update. `roundCentroids` (oracle mode, the default) rounds means to
+    // 4 dp so the centroid trajectory is independent of FP summation order
+    // (and replayable by a SQL oracle); at embedding scale ~0.1 the
+    // quantization is far below cluster separation. Pass false for the
+    // exact unrounded trajectory (recall pinned in SimilaritySpec).
     for (_ <- 0 until kmeansIterations) {
-      val cents = centroids
-      val assignUdf = udf((v: Seq[Double]) => nearest(v, cents, 1).head)
-      val updated = c.withColumn("cid", assignUdf($"cv"))
+      val mean = if (roundCentroids) round(avg($"x"), 4) else avg($"x")
+      val updated = c.withColumn("cid", element_at(nearestCol($"cv", centroids, 1), 1))
         .select($"cid", posexplode($"cv").as(Seq("i", "x")))
-        .groupBy($"cid", $"i").agg(round(avg($"x"), 4).as("m"))
+        .groupBy($"cid", $"i").agg(mean.as("m"))
         .collect()
       val byCid = updated.groupBy(_.getAs[Int]("cid"))
       centroids = centroids.indices.map { cid =>
@@ -98,13 +97,10 @@ object Similarity {
       }.toArray
     }
 
-    val cents = centroids
-    val assignUdf = udf((v: Seq[Double]) => nearest(v, cents, 1).head)
-    val probeUdf = udf((v: Seq[Double]) => nearest(v, cents, nProbe))
-    val assigned = c.withColumn("cid", assignUdf($"cv"))
+    val assigned = c.withColumn("cid", element_at(nearestCol($"cv", centroids, 1), 1))
     val q = queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("cid", explode(probeUdf($"qv")))
+      .withColumn("cid", explode(nearestCol($"qv", centroids, nProbe)))
 
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"corpus_id".asc)
     assigned.join(broadcast(q), Seq("cid"))

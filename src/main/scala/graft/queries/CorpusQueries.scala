@@ -58,7 +58,7 @@ object CorpusQueries {
     "corpus_dictionary" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val parsed = ParseCorpus.run(docsDf(s, dir))
+        val parsed = parsedCorpus(s, dir)
         parsed.terms.toDF()
           .select($"termId".as("term_id"), $"term", $"df", $"tf")
           .orderBy($"term_id")
@@ -74,7 +74,7 @@ object CorpusQueries {
       (s, dir) => {
         import s.implicits._
         // encoded corpus summary: per doc, vocabulary size and token count
-        val parsed = ParseCorpus.run(docsDf(s, dir))
+        val parsed = parsedCorpus(s, dir)
         parsed.docs.toDF()
           .select($"docId".as("doc_id"), size($"counts").as("distinct_terms"),
             $"numTokens".as("num_tokens"))
@@ -120,7 +120,7 @@ object CorpusQueries {
     "lda_informed_prior" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val parsed = ParseCorpus.run(docsDf(s, dir))
+        val parsed = parsedCorpus(s, dir)
         val seeds = Seq((1, "spark"), (1, "data"), (2, "join"), (2, "query"))
           .toDF("topic", "term")
         graft.lda.InformedPrior.compile(seeds, parsed.terms)

@@ -79,6 +79,19 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall@10 = $recall")
   }
 
+  test("ANN IVF unrounded centroids (roundCentroids=false) keep recall@10 >= 0.8") {
+    // production mode: exact FP means, no 4-dp oracle quantization — the
+    // approximation quality must not depend on the rounding
+    val q = embeddings.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(embeddings, q, "vec_id", "embedding", k = 10)
+      .select($"query_id", $"corpus_id")
+    val approx = Similarity.ivfTopK(embeddings, q, "vec_id", "embedding",
+      k = 10, nCentroids = 16, nProbe = 12, kmeansIterations = 3, roundCentroids = false)
+      .select($"query_id", $"corpus_id")
+    val recall = exact.intersect(approx).count().toDouble / exact.count()
+    assert(recall >= 0.8, s"recall@10 = $recall")
+  }
+
   test("simhash near-dup finds a planted duplicate (hamming 0)") {
     // simhash majority bits are sensitive to single-token edits on small
     // docs (many ±1-margin bits), so the deterministic planted case is an
