@@ -92,9 +92,16 @@ object ParseCorpusCli {
       println(s"[graft] polylingual corpus: ${r.docs.count()} docs, " +
         s"terms per language: ${r.terms.groupBy("lang").count().collect().mkString(", ")}")
     } else {
+      // built-in name or any fully-qualified class name, reflection-loaded
+      // like the reference's Lucene analyzer option (a Function1[String,
+      // Seq[String]] impl, or a Lucene Analyzer when Lucene is on the
+      // classpath) — see ParseCorpus.Analyzers.byClassName
       val analyzer = a.get("analyzer") match {
         case Some("unicode") => Some(ParseCorpus.Analyzers.unicode)
-        case Some(other) => sys.error(s"unknown analyzer: $other (available: unicode)")
+        case Some(className) if className.contains(".") =>
+          Some(ParseCorpus.Analyzers.byClassName(className))
+        case Some(other) =>
+          sys.error(s"unknown analyzer: $other (built-in: unicode; or a class name)")
         case None => None
       }
       val stop = a.get("stopwords").map(f =>

@@ -41,8 +41,9 @@ object ParseCorpus {
       minTokenLength: Int = 1,
       analyzer: Option[String => Seq[String]] = None)
 
-  /** Built-in analyzers (stand-ins for the reference's Lucene analyzers —
-    * Lucene is not on this classpath; the extension point is what P3 is). */
+  /** Built-in analyzers plus the reference's reflection-by-class-name
+    * loading surface (ParseCorpus.java:191-207,244-293 instantiates any
+    * Lucene `Analyzer` named on the command line). */
   object Analyzers {
     /** Unicode-aware word segmentation: letter/digit runs OR single CJK
       * ideographs as tokens (the per-character segmentation is what Lucene's
@@ -54,6 +55,73 @@ object ParseCorpus {
       val b = Seq.newBuilder[String]
       while (m.find()) b += m.group().toLowerCase(java.util.Locale.ROOT)
       b.result()
+    }
+
+    /**
+     * Reflection-load an analyzer by class name — the reference's P3
+     * surface. Accepts two shapes:
+     *   - a class implementing `Function1[String, Seq[String]]` with a
+     *     no-arg constructor;
+     *   - a Lucene `org.apache.lucene.analysis.Analyzer` subclass WHEN
+     *     Lucene is on the runtime classpath (e.g. `SmartChineseAnalyzer`).
+     *     The adapter drains the token stream the way the reference's
+     *     per-record tokenization does (ParseCorpus.java:244-293), built
+     *     purely via reflection — this library has no compile-time Lucene
+     *     dependency.
+     * The returned function closes over the class NAME only and
+     * instantiates lazily once per JVM, so it serializes into executor
+     * closures regardless of whether the analyzer class itself does.
+     */
+    def byClassName(className: String): String => Seq[String] =
+      new ReflectiveAnalyzer(className)
+  }
+
+  private[corpus] final class ReflectiveAnalyzer(className: String)
+      extends (String => Seq[String]) with Serializable {
+    @transient private lazy val delegate: String => Seq[String] =
+      ReflectiveAnalyzer.instantiate(className)
+    override def apply(text: String): Seq[String] = delegate(text)
+  }
+
+  private[corpus] object ReflectiveAnalyzer {
+    private def isLuceneAnalyzer(cls: Class[_]): Boolean =
+      Iterator.iterate[Class[_]](cls)(_.getSuperclass).takeWhile(_ != null)
+        .exists(_.getName == "org.apache.lucene.analysis.Analyzer")
+
+    def instantiate(className: String): String => Seq[String] = {
+      val loader = Option(Thread.currentThread().getContextClassLoader)
+        .getOrElse(getClass.getClassLoader)
+      val cls = Class.forName(className, true, loader)
+      val instance = cls.getDeclaredConstructor().newInstance()
+      instance match {
+        case f: Function1[_, _] =>
+          (text: String) => f.asInstanceOf[String => Seq[String]](text)
+        case a if isLuceneAnalyzer(cls) => luceneAdapter(a.asInstanceOf[AnyRef], loader)
+        case _ => throw new IllegalArgumentException(
+          s"$className is neither a String => Seq[String] nor a Lucene Analyzer")
+      }
+    }
+
+    /** TokenStream drain (reset → incrementToken* → end → close) via
+      * reflection against the Lucene 4+ analysis API. */
+    private def luceneAdapter(analyzer: AnyRef, loader: ClassLoader): String => Seq[String] = {
+      val termAttrCls = Class.forName(
+        "org.apache.lucene.analysis.tokenattributes.CharTermAttribute", true, loader)
+      val tokenStreamM = analyzer.getClass
+        .getMethod("tokenStream", classOf[String], classOf[java.io.Reader])
+      (text: String) => {
+        val ts = tokenStreamM.invoke(analyzer, "text", new java.io.StringReader(text))
+        val tsCls = ts.getClass
+        val attr = tsCls.getMethod("addAttribute", classOf[Class[_]]).invoke(ts, termAttrCls)
+        val increment = tsCls.getMethod("incrementToken")
+        val b = Seq.newBuilder[String]
+        tsCls.getMethod("reset").invoke(ts)
+        try {
+          while (increment.invoke(ts).asInstanceOf[java.lang.Boolean]) b += attr.toString
+          tsCls.getMethod("end").invoke(ts)
+        } finally tsCls.getMethod("close").invoke(ts)
+        b.result()
+      }
     }
   }
 

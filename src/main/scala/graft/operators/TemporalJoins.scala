@@ -27,13 +27,13 @@ object TemporalJoins {
    * sort-merge formulation: no join explosion, no per-key memory beyond
    * the window frame, skew limited to genuinely hot keys.
    *
-   * Wide-table hygiene: only (keys, ts, __rowid) from the left ride the
-   * union+window shuffle/sort — the left payload columns join back on a
-   * generated `monotonically_increasing_id` afterwards, so a 200-column
-   * left table doesn't get sorted inside every window partition. (The id
-   * is generated in one plan and read by both the union and the join-back;
-   * it is deterministic for a given scan split, which Spark guarantees for
-   * file sources under a fixed configuration.)
+   * Wide-table hygiene: only the DISTINCT left (keys, ts) probe points
+   * ride the union+window shuffle/sort — two left rows with the same keys
+   * and timestamp get the same as-of match by definition, so the match is
+   * computed once per probe point and the left payload columns equi-join
+   * back on (keys, ts) afterwards (null-safe, 1:1 because the probe side
+   * is distinct). A 200-column left table is never sorted inside a window
+   * partition, and nothing depends on row ids or recompute determinism.
    *
    * Right rows sort before left rows at equal timestamps (ties are "at or
    * before"). If the right side has several rows at the same (key, ts) the
@@ -52,7 +52,7 @@ object TemporalJoins {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     val reserved = rightValueCols.map(c => s"right_$c") ++
-      Seq("__ts", "__side", "__ord", "__rowid")
+      Seq("__ts", "__side", "__ord") ++ keyCols.map(k => s"__asof_$k")
     val clash = left.columns.toSet.intersect(reserved.toSet)
     require(clash.isEmpty,
       s"left side already has column(s) ${clash.mkString(", ")} — rename before joining")
@@ -67,12 +67,12 @@ object TemporalJoins {
       .getOrElse(org.apache.spark.sql.types.LongType)
 
     val leftCols = left.columns.toSeq
-    val lWithId = left.withColumn("__rowid", monotonically_increasing_id())
-    // slim left: only (keys, ts, rowid) enter the union — payload columns
-    // join back on __rowid after the window (column pruning reaches the
-    // scan, so this branch reads just the slim columns)
+    // slim left: only the distinct (keys, ts) probe points enter the union
+    // (column pruning reaches the scan, so this branch reads just the slim
+    // columns; the distinct also collapses duplicate probe points before
+    // the window sort)
     val lSlim = rightValueCols.foldLeft(
-      lWithId.select(keyCols.map(col) :+ col(leftTsCol).as("__ts") :+ col("__rowid"): _*)
+      left.select(keyCols.map(col) :+ col(leftTsCol).as("__ts"): _*).distinct()
         .withColumn("__side", lit(1))
         .withColumn("__ord", lit(null).cast(ordType))) { (df, c) =>
       df.withColumn(s"right_$c", lit(null).cast(right.schema(c).dataType)) }
@@ -86,12 +86,11 @@ object TemporalJoins {
         .withColumn("__ts", col(rightTsCol))
         .withColumn("__side", lit(0))
         .withColumn("__ord",
-          rightOrder.map(col(_).cast(ordType)).getOrElse(lit(0L).cast(ordType)))
-        .withColumn("__rowid", lit(null).cast("long"))) { (df, c) =>
-      df.withColumn(s"right_$c", col(c)) }
+          rightOrder.map(col(_).cast(ordType)).getOrElse(lit(0L).cast(ordType)))) {
+      (df, c) => df.withColumn(s"right_$c", col(c)) }
 
     val unionCols = (keyCols ++ rightValueCols.map(c => s"right_$c") ++
-      Seq("__ts", "__side", "__ord", "__rowid")).map(col)
+      Seq("__ts", "__side", "__ord")).map(col)
     val unioned = lSlim.select(unionCols: _*).unionByName(rAligned.select(unionCols: _*))
 
     // backward: ascending traversal, last-seen right row = latest ≤ ts.
@@ -111,11 +110,15 @@ object TemporalJoins {
     // right row and pick up the earliest one)
     val matched = rightValueCols.foldLeft(filled.filter($"__side" === 1)) { (df, c) =>
       df.withColumn(s"right_$c", when($"__ts".isNotNull, col(s"right_$c"))) }
-      .select(col("__rowid") +: rightValueCols.map(c => col(s"right_$c")): _*)
+      .select(keyCols.map(k => col(k).as(s"__asof_$k")) ++
+        (col("__ts").as("__asof_ts") +: rightValueCols.map(c => col(s"right_$c"))): _*)
 
-    // exactly one matched row per left row (rowids are unique), so the
-    // join-back is 1:1
-    lWithId.join(matched, "__rowid")
+    // join the payload back per probe point: null-safe so left rows with
+    // null keys/ts find their (null-filled) probe row; 1:1 because the
+    // probe side is distinct over exactly these columns
+    val joinCond = (keyCols.map(k => col(k) <=> col(s"__asof_$k")) :+
+      (col(leftTsCol) <=> col("__asof_ts"))).reduce(_ && _)
+    left.join(matched, joinCond)
       .select((leftCols ++ rightValueCols.map(c => s"right_$c")).map(col): _*)
   }
 

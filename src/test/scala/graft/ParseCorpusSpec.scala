@@ -66,6 +66,29 @@ class ParseCorpusSpec extends SparkSpec {
     assert(docs(2L).numTokens == 3) // 数 据 spark
   }
 
+  test("analyzer loads by class name (reference's reflection surface) and serializes") {
+    // the reference reflection-instantiates any named Lucene Analyzer
+    // (ParseCorpus.java:191-207); here any Function1[String, Seq[String]]
+    // class (or a Lucene Analyzer when Lucene is on the classpath) loads
+    // the same way, and the wrapper ships to executors by class NAME so
+    // the analyzer class itself need not be serializable
+    val an = ParseCorpus.Analyzers.byClassName(classOf[CommaAnalyzer].getName)
+    val df = Seq((1L, "t1", "a,b,a"), (2L, "t2", "c")).toDF("docId", "title", "text")
+    val r = ParseCorpus.run(df, ParseCorpus.Config(analyzer = Some(an)))
+    assert(r.terms.collect().map(_.term).toSet == Set("a", "b", "c"))
+    assert(r.docs.collect().map(d => d.docId -> d.numTokens).toMap ==
+      Map(1L -> 3L, 2L -> 1L))
+  }
+
+  test("analyzer class-name loading rejects unknown and incompatible classes") {
+    intercept[ClassNotFoundException] {
+      ParseCorpus.Analyzers.byClassName("no.such.AnalyzerClass")("x")
+    }
+    intercept[IllegalArgumentException] {
+      ParseCorpus.Analyzers.byClassName("java.lang.StringBuilder")("x")
+    }
+  }
+
   test("parses the documents test table end-to-end") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .selectExpr("doc_id as docId", "cast(doc_id as string) as title", "text")
@@ -75,4 +98,11 @@ class ParseCorpusSpec extends SparkSpec {
     val ids = r.terms.collect().map(_.termId).sorted
     assert(ids.head == 1 && ids.last == ids.length)
   }
+}
+
+/** Test analyzer for the reflection-loading path: must be top-level with a
+  * no-arg constructor (the loader instantiates it by name on executors). */
+class CommaAnalyzer extends (String => Seq[String]) {
+  override def apply(text: String): Seq[String] =
+    if (text == null) Seq.empty else text.split(",").toSeq.filter(_.nonEmpty)
 }
