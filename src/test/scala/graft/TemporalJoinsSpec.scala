@@ -9,6 +9,27 @@ import org.apache.spark.sql.functions._
 class TemporalJoinsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("asof join keeps left payload columns out of the window (slim shuffle)") {
+    // wide-table posture: only the distinct (keys, ts) probe points may
+    // ride the union+window sort — payload columns equi-join back after
+    val left = Seq((1L, "a", 10L, "payload-x", 3.14))
+      .toDF("id", "k", "ts", "wide_payload_str", "wide_payload_num")
+    val right = Seq(("a", 5L, 1.0)).toDF("k", "rts", "v")
+    val joined = TemporalJoins.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("v"))
+    val windows = joined.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty, "expected a Window in the asof plan")
+    windows.foreach { w =>
+      val carried = w.child.output.map(_.name).toSet
+      assert(!carried.exists(_.startsWith("wide_payload")),
+        s"payload columns rode the window sort: $carried")
+      assert(!carried.contains("id"), s"non-key left columns rode the window: $carried")
+    }
+    // and the result is still right
+    val row = joined.select($"id", $"right_v").collect().head
+    assert(row.getLong(0) == 1L && row.getDouble(1) == 1.0)
+  }
+
   test("asof join picks latest right row at or before each left row") {
     val left = Seq(
       (1L, "a", 100L), // after both right rows for a
