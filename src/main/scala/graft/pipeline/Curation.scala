@@ -190,6 +190,50 @@ object Curation {
       .withColumnRenamed("cid", idCol)
   }
 
+  /**
+   * Cross-document boilerplate line removal (the CCNet/RefinedWeb cleanup
+   * step): drop every line that appears VERBATIM in at least `minDocDf`
+   * distinct documents (navigation chrome, cookie banners, footers), keep
+   * the remaining lines in their original order.
+   *
+   * Scale posture: one explode to (doc, pos, line); the line document
+   * frequency is a hash aggregate keyed by the line itself (map-side
+   * partial aggregation collapses the hot lines that motivate the
+   * operator, so the shuffle carries one partial count per distinct line
+   * per partition — never one row per occurrence); hot lines join back on
+   * the line key; the reassembly is the only doc-keyed shuffle. Nothing is
+   * ever doc × doc and no line set touches the driver.
+   *
+   * @return one row per input doc: (idCol, clean_text, removed_lines) —
+   *         a fully-boilerplate document keeps its row with empty text
+   */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      minDocDf: Long, sep: String = "\n"): DataFrame = {
+    require(minDocDf >= 2, s"minDocDf must be >= 2, got $minDocDf")
+    val reserved = Set("__pos", "__line", "__boiler", "clean_text", "removed_lines")
+    require(!reserved(idCol),
+      s"removeBoilerplateLines: $idCol collides with an internal/output name")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__line")))
+    val hot = lines.groupBy($"__line")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter($"__df" >= minDocDf)
+      .select($"__line", lit(true).as("__boiler"))
+    lines.join(hot, Seq("__line"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        // collect_list skips the nulls `when` leaves for boilerplate lines;
+        // array_sort on (pos, line) structs restores document order
+        array_join(transform(
+          array_sort(collect_list(when(coalesce($"__boiler", lit(false)) === false,
+            struct($"__pos", $"__line")))),
+          x => x.getField("__line")), sep).as("clean_text"),
+        sum(when(coalesce($"__boiler", lit(false)), 1L).otherwise(0L)).as("removed_lines"))
+  }
+
   /** PII patterns shared by redaction and the DuckDB oracle: Java regex ∩
     * RE2 syntax only (no lookaround, no \b — RE2 lacks them). Order
     * matters: emails contain dots that the IP pattern must not see. */

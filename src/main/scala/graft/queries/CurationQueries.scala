@@ -216,5 +216,38 @@ object CurationQueries {
              |SELECT doc_id, bench_id, count(*) AS shared_ngrams
              |FROM cg JOIN bg USING (g)
              |GROUP BY doc_id, bench_id HAVING count(*) >= 3
-             |ORDER BY doc_id, bench_id""".stripMargin)))
+             |ORDER BY doc_id, bench_id""".stripMargin)),
+
+    /** cross-document boilerplate line removal: footer lines planted on
+      * every/half the docs must be stripped (df >= 10), per-doc unique
+      * footers and the original text (df = 1) must survive in order */
+    "q_boilerplate_lines" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val planted = t(s, dir, "documents").select($"doc_id",
+          concat($"text",
+            when($"doc_id" % 2 === 0, lit("\nSubscribe to our newsletter!"))
+              .otherwise(lit("")),
+            lit("\nAll rights reserved."),
+            lit("\nDocument "), $"doc_id".cast("string"), lit(" unique footer"))
+            .as("text"))
+        Curation.removeBoilerplateLines(planted, "doc_id", "text", minDocDf = 10)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id, text ||
+             |    CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Subscribe to our newsletter!' ELSE '' END ||
+             |    chr(10) || 'All rights reserved.' ||
+             |    chr(10) || 'Document ' || doc_id || ' unique footer' AS text
+             |  FROM documents),
+             |lines AS (
+             |  SELECT doc_id, generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+             |         unnest(string_split(text, chr(10))) AS line
+             |  FROM planted),
+             |ldf AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line)
+             |SELECT l.doc_id,
+             |  coalesce(string_agg(CASE WHEN d.df < 10 THEN l.line END, chr(10) ORDER BY l.pos), '') AS clean_text,
+             |  count(CASE WHEN d.df >= 10 THEN 1 END) AS removed_lines
+             |FROM lines l JOIN ldf d ON l.line = d.line
+             |GROUP BY l.doc_id ORDER BY doc_id""".stripMargin)))
 }

@@ -40,6 +40,17 @@ object FormatQueries {
              |FROM orders WHERE o_orderkey < 1000
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    "q_orc_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Formats.orcRoundtrip(t(s, dir, "supplier"))
+          .groupBy($"s_nationkey")
+          .agg(count(lit(1)).as("n"), round(sum($"s_acctbal"), 2).as("total_bal"))
+          .orderBy($"s_nationkey")
+      },
+      Some("""SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS total_bal
+             |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
     "q_partitioned_sink" -> QueryDef(
       (s, dir) => {
         import s.implicits._

@@ -50,6 +50,15 @@ object Formats {
     df.sparkSession.read.schema(df.schema).json(path)
   }
 
+  /** ORC sink + read-back (the other columnar format Spark ships a native
+    * vectorized reader for; types round-trip exactly, no schema needed —
+    * supplied anyway to pin column order). */
+  def orcRoundtrip(df: DataFrame): DataFrame = {
+    val path = tmp("orc", df)
+    df.write.mode("overwrite").orc(path)
+    df.sparkSession.read.schema(df.schema).orc(path)
+  }
+
   /** Hive-style partitioned parquet sink + read-back; filters on the
     * partition column prune directories at the source (the 100 TB layout
     * for any column with bounded cardinality). */

@@ -8,6 +8,36 @@ import org.apache.spark.sql.functions._
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("boilerplate line removal drops hot lines, keeps order, keeps empty docs") {
+    // "footer" appears in 3 docs (>= minDocDf 2) → removed everywhere;
+    // doc 3 is ONLY boilerplate → survives as an empty-text row;
+    // doc 1's unique lines keep their original order around the removal
+    val df = Seq(
+      (1L, "alpha\nfooter\nbeta"),
+      (2L, "gamma\nfooter"),
+      (3L, "footer"),
+      (4L, "delta")).toDF("id", "text")
+    val out = Curation.removeBoilerplateLines(df, "id", "text", minDocDf = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("removed_lines"))).toMap
+    assert(out == Map(
+      1L -> ("alpha\nbeta", 1L),
+      2L -> ("gamma", 1L),
+      3L -> ("", 1L),
+      4L -> ("delta", 0L)))
+  }
+
+  test("boilerplate line removal at the minDocDf boundary") {
+    // df(shared)=2: hot at minDocDf=2, kept at minDocDf=3
+    val df = Seq((1L, "a\nshared"), (2L, "b\nshared")).toDF("id", "text")
+    val at2 = Curation.removeBoilerplateLines(df, "id", "text", minDocDf = 2)
+      .collect().map(r => r.getAs[String]("clean_text")).toSet
+    assert(at2 == Set("a", "b"))
+    val at3 = Curation.removeBoilerplateLines(df, "id", "text", minDocDf = 3)
+      .collect().map(r => r.getAs[String]("clean_text")).toSet
+    assert(at3 == Set("a\nshared", "b\nshared"))
+  }
+
   test("connected components closes chains transitively") {
     // chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 10-11,
     // and an isolated edge 20-21
