@@ -25,6 +25,29 @@ class LdaGoldenSpec extends SparkSpec {
   private def tolerant(a: Double, b: Double): Boolean =
     math.abs(a - b) <= 1e-9 || math.abs(a - b) <= 1e-6 * math.max(math.abs(a), math.abs(b))
 
+  test("lda_top_terms_shuffle reproduces the broadcast golden fixture (scale-path parity)") {
+    // the shuffle-join E-step (beta never on the driver — the 100 TB path)
+    // must land on the same model as the broadcast path at real corpus
+    // size, not just on the 10-doc toy in TrainerPathsSpec. Slightly looser
+    // tolerance: cross-path FP drift stacks per iteration.
+    assume(new java.io.File(GoldenGen.SfDir).isDirectory,
+      s"${GoldenGen.SfDir} not present on this machine")
+    val golden = scala.io.Source.fromURL(
+      getClass.getClassLoader.getResource("golden/lda_top_terms_sf001.tsv"), "UTF-8")
+      .getLines().toSeq
+    val live = GoldenGen.render(spark, "lda_top_terms_shuffle", GoldenGen.SfDir)
+    assert(live.size == golden.size)
+    live.tail.zip(golden.tail).foreach { case (l, g) =>
+      val lv = l.split("\t", -1)
+      val gv = g.split("\t", -1)
+      assert(lv.take(3).sameElements(gv.take(3)), // topic, rank, term exact
+        s"shuffle path diverged from broadcast golden: $l vs $g")
+      val (a, b) = (lv(3).toDouble, gv(3).toDouble)
+      assert(math.abs(a - b) <= 1e-5 * math.max(math.abs(a), math.abs(b)),
+        s"score drift between paths: $a vs $b")
+    }
+  }
+
   GoldenGen.Queries.foreach { case (name, file) =>
     test(s"$name matches the committed sf0.01 golden fixture") {
       assume(new java.io.File(GoldenGen.SfDir).isDirectory,
