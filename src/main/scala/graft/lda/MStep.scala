@@ -157,19 +157,26 @@ object MStep {
     ss
   }
 
+  /** The pre-collect aggregation behind `llAndAlphaStats`: one row per
+    * topic slot k with (k, ss, llsum). Exposed so the shuffle-mode trainer
+    * can union it into its fused per-iteration action instead of running a
+    * separate stats job. */
+  def llAndAlphaStatsRows(gammaDocs: DataFrame): DataFrame = {
+    val spark = gammaDocs.sparkSession
+    import spark.implicits._
+    gammaDocs
+      .select($"ll", posexplode($"gamma").as(Seq("k", "g")),
+        aggregate($"gamma", lit(0.0), (acc, x) => acc + x).as("gsum"))
+      .groupBy($"k")
+      .agg(sum(digamma($"g") - digamma($"gsum")).as("ss"), sum($"ll").as("llsum"))
+  }
+
   /** One job over the E-step doc side producing BOTH the corpus
     * log-likelihood and the per-topic alpha sufficient statistics: the ll
     * column rides the gamma explosion and is summed per topic slot (every
     * doc contributes exactly once per k), so slot 0's sum is the corpus LL. */
   def llAndAlphaStats(gammaDocs: DataFrame, numTopics: Int): (Double, Array[Double]) = {
-    val spark = gammaDocs.sparkSession
-    import spark.implicits._
-    val rows = gammaDocs
-      .select($"ll", posexplode($"gamma").as(Seq("k", "g")),
-        aggregate($"gamma", lit(0.0), (acc, x) => acc + x).as("gsum"))
-      .groupBy($"k")
-      .agg(sum(digamma($"g") - digamma($"gsum")).as("ss"), sum($"ll").as("llsum"))
-      .collect()
+    val rows = llAndAlphaStatsRows(gammaDocs).collect()
     val ss = new Array[Double](numTopics)
     var ll = 0.0
     rows.foreach { r =>

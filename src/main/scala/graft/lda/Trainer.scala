@@ -158,26 +158,54 @@ object Trainer {
         (snapIdx % cfg.checkpointEvery == 0 || snapIdx == cfg.maxIterations)
       val docSide = estep.filter($"isDoc").toDF()
 
-      // M-step + likelihood + alpha sufficient statistics. Shuffle mode:
-      // the distributed M-step (beta never driver-sized) plus a stats job.
-      // Broadcast mode: ONE fused action — the phi reduce and the doc-side
-      // stats are union branches of a single collect, and the normalizer/
-      // digamma tail runs on the driver over the (model-sized) rows.
-      var betaRowsDistributed: Option[DataFrame] = None // shuffle mode only
+      // M-step + likelihood + alpha sufficient statistics. Both modes run
+      // ONE fused action per iteration. Broadcast mode: the phi reduce and
+      // the doc-side stats are union branches of a single collect, and the
+      // normalizer/digamma tail runs on the driver over the (model-sized)
+      // rows. Shuffle mode: the packed beta table, the gamma-annotated doc
+      // side (next iteration's corpus), and the k-row ll/alpha statistics
+      // are union branches of ONE eager localCheckpoint — materializing
+      // everything in a single job AND truncating lineage (a plain persist
+      // would nest each iteration's betaTable plan inside the next one's
+      // E-step join, growing analysis cost superlinearly). The unfused
+      // shape ran three actions over the cached E-step per iteration
+      // (beta localCheckpoint, stats collect, corpus rotation), paying two
+      // extra rounds of job/stage scheduling each time.
       var betaRowsDriver: Seq[(Int, Int, Double)] = Nil // broadcast mode only
+      var fused: Option[DataFrame] = None               // shuffle mode only
       val prevBetaTable = betaTable
       val (ll, ss) = if (useShuffleEStep) {
-        val betaRows = MStep.run(
-          estep.filter(!$"isDoc").select($"topic", $"termId", $"logphi"), cfg.prior)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        betaRowsDistributed = Some(betaRows)
-        // localCheckpoint (eager): materializes AND truncates lineage. A
-        // plain persist leaves each iteration's betaTable plan nested inside
-        // the next one's (estep joins betaTable), so analysis/optimization
-        // cost grows superlinearly with iterations — the shuffle-mode
-        // equivalent of the corpus rotation's lineage truncation below.
-        betaTable = packBeta(betaRows).localCheckpoint()
-        MStep.llAndAlphaStats(docSide, k)
+        val nullInt = lit(null).cast("int")
+        val nullLong = lit(null).cast("bigint")
+        val nullDouble = lit(null).cast("double")
+        val nullArr = lit(null).cast(ArrayType(DoubleType))
+        val nullCounts = lit(null).cast("map<int,int>")
+        val packed = packBeta(MStep.run(
+          estep.filter(!$"isDoc").select($"topic", $"termId", $"logphi"), cfg.prior))
+        val fusedDf = packed
+          .select(lit(0).as("tag"), $"termId", $"elogbeta", nullLong.as("docId"),
+            nullCounts.as("counts"), nullLong.as("numTokens"), nullArr.as("gamma"),
+            nullDouble.as("ll"), nullInt.as("k"), nullDouble.as("ss"))
+          .unionByName(docSide
+            .select(lit(1).as("tag"), nullInt.as("termId"), nullArr.as("elogbeta"),
+              $"docId", $"counts", $"numTokens", $"gamma", $"ll",
+              nullInt.as("k"), nullDouble.as("ss")))
+          .unionByName(MStep.llAndAlphaStatsRows(docSide)
+            .select(lit(2).as("tag"), nullInt.as("termId"), nullArr.as("elogbeta"),
+              nullLong.as("docId"), nullCounts.as("counts"), nullLong.as("numTokens"),
+              nullArr.as("gamma"), $"llsum".as("ll"), $"k", $"ss"))
+          .localCheckpoint()
+        fused = Some(fusedDf)
+        betaTable = fusedDf.filter($"tag" === 0).select($"termId", $"elogbeta")
+        val statsRows = fusedDf.filter($"tag" === 2).select($"k", $"ss", $"ll").collect()
+        val ssArr = new Array[Double](k)
+        var llSum = 0.0
+        statsRows.foreach { r =>
+          val kk = r.getInt(0)
+          ssArr(kk) = r.getDouble(1)
+          if (kk == 0) llSum = r.getDouble(2)
+        }
+        (llSum, ssArr)
       } else {
         val (llF, ssF, lambda) = MStep.splitFused(
           MStep.fusedIterationRows(estep.toDF()).collect(), k)
@@ -211,8 +239,17 @@ object Trainer {
       if (doSnapshot) {
         val dir = cfg.checkpointDir.get
         LdaCheckpoint.saveAlpha(spark, dir, snapIdx, alpha)
-        val snapshotBeta = betaRowsDistributed.getOrElse(
-          betaRowsDriver.toDF("topic", "termId", "elogbeta"))
+        // shuffle mode: unpack (topic, termId, elogbeta) rows back out of
+        // the materialized packed table (array position p ↔ topic p+1 —
+        // packBeta sorts its struct list by topic, and the E-step emits
+        // every topic 1..k for each term it touches)
+        val snapshotBeta = fused match {
+          case Some(f) =>
+            f.filter($"tag" === 0)
+              .select($"termId", posexplode($"elogbeta").as(Seq("pos", "v")))
+              .select(($"pos" + 1).as("topic"), $"termId", $"v".as("elogbeta"))
+          case None => betaRowsDriver.toDF("topic", "termId", "elogbeta")
+        }
         LdaCheckpoint.saveBeta(snapshotBeta, dir, snapIdx)
         LdaCheckpoint.saveGamma(
           docSide.select($"docId", $"counts", $"numTokens", $"gamma"), dir, snapIdx)
@@ -233,18 +270,24 @@ object Trainer {
               .select($"docId", $"counts", $"numTokens", $"gamma")
               .as[Doc]
               .persist(StorageLevel.MEMORY_AND_DISK)
-          } else {
-            docSide
-              .select($"docId", $"counts", $"numTokens", $"gamma")
-              .as[Doc]
-              .localCheckpoint() // eager — materializes here, no extra action
+          } else fused match {
+            case Some(f) =>
+              // already materialized by the fused localCheckpoint above — a
+              // filter view over it costs no extra action
+              f.filter($"tag" === 1)
+                .select($"docId", $"counts", $"numTokens", $"gamma")
+                .as[Doc]
+            case None =>
+              docSide
+                .select($"docId", $"counts", $"numTokens", $"gamma")
+                .as[Doc]
+                .localCheckpoint() // eager — materializes here, no extra action
           }
         corpus.unpersist()
         corpus = nextCorpus
       }
 
       estep.unpersist()
-      betaRowsDistributed.foreach(_.unpersist())
       if (useShuffleEStep) prevBetaTable.unpersist()
       // every action reading these completed above (the fused collect /
       // stats job, and the eager localCheckpoint or parquet snapshot).
