@@ -40,6 +40,25 @@ case class WordNgrams(child: Expression, n: Int, wholeTextFallback: Boolean)
   override def prettyName: String = if (wholeTextFallback) "shingles" else "word_ngrams"
 }
 
+/** All sliding word n-grams with duplicates kept (one entry per
+  * occurrence) — the counting twin of WordNgrams for repetition
+  * statistics. Fewer than n tokens yields an empty array. */
+case class WordNgramsAll(child: Expression, n: Int)
+    extends UnaryExpression with Serializable {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.ngramsAll(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.ngramsAll($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): WordNgramsAll = copy(child = c)
+  override def prettyName: String = "word_ngrams_all"
+}
+
 /** 60-bit SimHash over an array<string> token column (bit b of the
   * signature = majority vote of bit b across the tokens' 60-bit md5 base
   * hashes — TextKernels.hash60, the JVM twin of Dedup.baseHash60). */
@@ -73,6 +92,8 @@ object tfunctions {
   }
   def word_ngrams(text: Column, n: Int): Column =
     shim.toColumn(WordNgrams(str(text), n, wholeTextFallback = false))
+  def word_ngrams_all(text: Column, n: Int): Column =
+    shim.toColumn(WordNgramsAll(str(text), n))
   def shingles(text: Column, n: Int): Column =
     shim.toColumn(WordNgrams(str(text), n, wholeTextFallback = true))
   def simhash60(tokens: Column): Column = shim.toColumn(SimHash60(strArr(tokens)))

@@ -48,6 +48,32 @@ object TextKernels {
     }
   }
 
+  /**
+   * ALL sliding word n-grams in order, duplicates kept (one entry per
+   * occurrence) — the counting twin of `ngrams` for repetition statistics,
+   * where multiplicity is the whole point. Texts with fewer than n tokens
+   * yield an empty array.
+   */
+  def ngramsAll(s: UTF8String, n: Int): ArrayData = {
+    val toks = tokens(s)
+    if (toks.length >= n) {
+      val out = new Array[Any](toks.length - n + 1)
+      var i = 0
+      while (i + n <= toks.length) {
+        if (n == 1) out(i) = toks(i)
+        else {
+          val window = new Array[UTF8String](n)
+          System.arraycopy(toks, i, window, 0, n)
+          out(i) = UTF8String.concatWs(Space, window: _*)
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      new GenericArrayData(Array.empty[Any])
+    }
+  }
+
   private val md5Local = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
 

@@ -99,6 +99,33 @@ object Chunking {
   }
 
   /**
+   * Inverted index over lowercased whitespace tokens: one row per term
+   * with document frequency, collection frequency, and the posting list as
+   * a portable `"doc:tf,doc:tf"` string sorted by doc id.
+   *
+   * Two term-keyed hash aggregates with map-side partials — the classic
+   * scalable index build. Terms with df > `maxDf` are dropped (standard IR
+   * stopword pruning): at web scale a hot term's posting list is a
+   * single-row giant that no executor should materialize, so the safe cap
+   * is the default and callers opt INTO unbounded lists explicitly.
+   */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Long = 100000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"),
+        explode(TextAnalysis.wsTokens(lower(col(textCol)))).as("term"))
+      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+      .groupBy($"term").agg(
+        count(lit(1)).as("df"),
+        sum($"tf").as("cf"),
+        concat_ws(",", transform(array_sort(collect_list(struct($"doc_id", $"tf"))),
+          p => concat_ws(":", p.getField("doc_id").cast("string"),
+            p.getField("tf").cast("string")))).as("postings"))
+      .filter($"df" <= maxDf)
+  }
+
+  /**
    * Greedy sequence packing for LLM training batches: documents are dealt
    * into `numGroups` hash groups (md5-derived → oracle-replayable), and
    * each group is scanned in doc-id order, accumulating documents into a

@@ -26,4 +26,19 @@ object Embeddings {
       transform(v, x => round(x * lit(127.0) / maxAbs, 0).cast("int")))
       .otherwise(transform(v, x => lit(0)))
   }
+
+  /** Seeded Gaussian projection planes (outDim × inDim), shared between
+    * `randomProject` and the SQL oracle that replays it as literals. */
+  def gaussianPlanes(outDim: Int, inDim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new java.util.Random(seed)
+    Seq.fill(outDim)(Seq.fill(inDim)(rng.nextGaussian()))
+  }
+
+  /** Johnson–Lindenstrauss random projection to `planes.length` output
+    * dimensions: out_j = x · plane_j. The planes ride the plan as array
+    * literals and each dot product is the native codegen'd DotProduct
+    * expression — map-only at any scale, the standard cheap dimensionality
+    * reduction before clustering or coarse ANN at 100 TB. */
+  def randomProject(v: Column, planes: Seq[Seq[Double]]): Column =
+    array(planes.map(p => graft.functions.vfunctions.vec_dot(v, typedlit(p))): _*)
 }

@@ -99,4 +99,66 @@ object TextAnalysis {
     * whitespace-normalized lowercased text (portable across engines). */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /**
+   * Gopher-style per-document repetition signals (Rae et al. 2021, table
+   * A1): machine-generated and boilerplate-heavy pages repeat themselves,
+   * and the repetition fractions are the standard cheap filter for them.
+   *
+   *   - `n_lines`            non-empty (trimmed) lines
+   *   - `dup_line_frac`      repeated line occurrences beyond each line's
+   *                          first / total lines
+   *   - `dup_line_char_frac` characters in those repeated occurrences /
+   *                          characters in all lines
+   *   - `top_bigram_char_frac` characters covered by the most frequent
+   *                          word bigram (count × gram length, overlaps
+   *                          counted per occurrence) / text length
+   *   - `dup_bigram_char_frac` characters in bigram occurrences beyond
+   *                          each gram's first / text length
+   *
+   * Bigrams are counted with multiplicity over the lowercased,
+   * newline-flattened text (WordNgramsAll — codegen'd). The plan is two
+   * doc-keyed hash aggregates (lines, grams) joined back on doc id: every
+   * shuffle is keyed by the document, so it scales horizontally — no
+   * corpus-global state anywhere. Ratios are rounded to 6dp for
+   * cross-engine hash stability.
+   */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+
+    val lines = base.select($"doc_id",
+        explode(filter(transform(split($"text", "\n"), l => trim(l)), l => l =!= "")).as("line"))
+      .groupBy($"doc_id", $"line").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id").agg(
+        sum($"cnt").as("n_lines"),
+        sum(($"cnt" - 1) * length($"line")).as("dup_chars"),
+        sum($"cnt" - 1).as("dup_occ"),
+        sum($"cnt" * length($"line")).as("line_chars"))
+
+    val grams = base.select($"doc_id",
+        explode(graft.functions.tfunctions.word_ngrams_all(
+          lower(regexp_replace($"text", "\n", " ")), 2)).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id").agg(
+        max($"cnt" * length($"g")).as("top_chars"),
+        sum(($"cnt" - 1) * length($"g")).as("dup_gchars"))
+
+    // anchor on the input so blank/short documents keep a row (all-zero
+    // signals) instead of silently vanishing from the output
+    base.select($"doc_id", length($"text").as("text_len"))
+      .join(lines, Seq("doc_id"), "left")
+      .join(grams, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_lines", lit(0L)).as("n_lines"),
+        round(coalesce($"dup_occ", lit(0L)).cast("double") /
+          greatest($"n_lines", lit(1L)), 6).as("dup_line_frac"),
+        round(coalesce($"dup_chars", lit(0L)).cast("double") /
+          greatest($"line_chars", lit(1L)), 6).as("dup_line_char_frac"),
+        round(coalesce($"top_chars", lit(0L)).cast("double") /
+          greatest($"text_len", lit(1)), 6).as("top_bigram_char_frac"),
+        round(coalesce($"dup_gchars", lit(0L)).cast("double") /
+          greatest($"text_len", lit(1)), 6).as("dup_bigram_char_frac"))
+  }
 }

@@ -249,5 +249,67 @@ object CurationQueries {
              |  coalesce(string_agg(CASE WHEN d.df < 10 THEN l.line END, chr(10) ORDER BY l.pos), '') AS clean_text,
              |  count(CASE WHEN d.df >= 10 THEN 1 END) AS removed_lines
              |FROM lines l JOIN ldf d ON l.line = d.line
-             |GROUP BY l.doc_id ORDER BY doc_id""".stripMargin)))
+             |GROUP BY l.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Gopher repetition signals over a planted line structure: the flat
+    // fixture text is split into two 80-char lines plus a tail that is a
+    // doubled spam line on every third doc (exercising the duplicate-line
+    // branch) and a unique line otherwise. The oracle replays the planting
+    // and both aggregates exactly.
+    "q_repetition_signals" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val planted = t(s, dir, "documents").select($"doc_id",
+          concat(
+            substring($"text", 1, 80), lit("\n"),
+            substring($"text", 81, 80), lit("\n"),
+            when($"doc_id" % 3 === 0,
+              lit("Click here to buy now!\nClick here to buy now!"))
+              .otherwise(concat(lit("unique tail "), $"doc_id".cast("string"))))
+            .as("text"))
+        graft.pipeline.TextAnalysis.repetitionSignals(planted, "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    substr(text, 1, 80) || chr(10) || substr(text, 81, 80) || chr(10) ||
+             |    CASE WHEN doc_id % 3 = 0
+             |         THEN 'Click here to buy now!' || chr(10) || 'Click here to buy now!'
+             |         ELSE 'unique tail ' || doc_id END AS text
+             |  FROM documents),
+             |nz AS (
+             |  SELECT doc_id, line FROM (
+             |    SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS line
+             |    FROM planted) WHERE line <> ''),
+             |lc AS (SELECT doc_id, line, count(*) AS cnt FROM nz GROUP BY 1, 2),
+             |lstats AS (
+             |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+             |         sum((cnt - 1) * length(line)) AS dup_chars,
+             |         sum(cnt - 1) AS dup_occ,
+             |         sum(cnt * length(line)) AS line_chars
+             |  FROM lc GROUP BY 1),
+             |tok AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split(replace(lower(text), chr(10), ' '), ' '), x -> x <> '')) AS tok,
+             |    generate_subscripts(list_filter(string_split(replace(lower(text), chr(10), ' '), ' '), x -> x <> ''), 1) AS i
+             |  FROM planted),
+             |bg AS (
+             |  SELECT doc_id, g FROM (
+             |    SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS g
+             |    FROM tok) WHERE g IS NOT NULL),
+             |gc AS (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY 1, 2),
+             |gstats AS (
+             |  SELECT doc_id, max(cnt * length(g)) AS top_chars,
+             |         sum((cnt - 1) * length(g)) AS dup_gchars
+             |  FROM gc GROUP BY 1)
+             |SELECT b.doc_id,
+             |  coalesce(n_lines, 0) AS n_lines,
+             |  round(CAST(coalesce(dup_occ, 0) AS DOUBLE) / greatest(coalesce(n_lines, 0), 1), 6) AS dup_line_frac,
+             |  round(CAST(coalesce(dup_chars, 0) AS DOUBLE) / greatest(coalesce(line_chars, 0), 1), 6) AS dup_line_char_frac,
+             |  round(CAST(coalesce(top_chars, 0) AS DOUBLE) / greatest(length(b.text), 1), 6) AS top_bigram_char_frac,
+             |  round(CAST(coalesce(dup_gchars, 0) AS DOUBLE) / greatest(length(b.text), 1), 6) AS dup_bigram_char_frac
+             |FROM planted b
+             |LEFT JOIN lstats USING (doc_id)
+             |LEFT JOIN gstats USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)))
 }

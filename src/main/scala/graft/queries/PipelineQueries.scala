@@ -221,6 +221,33 @@ object PipelineQueries {
              |       CASE WHEN ma > 0 THEN CAST(round(x0 * 127.0 / ma, 0) AS INT) ELSE 0 END AS q
              |FROM e ORDER BY vec_id, i""".stripMargin)),
 
+    // JL random projection 64 -> 8 dims: the seeded planes are plan
+    // literals, so the oracle replays the exact same matrix as VALUES rows
+    "q_embed_random_projection" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val planes = graft.pipeline.Embeddings.gaussianPlanes(outDim = 8, inDim = 64)
+        t(s, dir, "embeddings")
+          .select($"vec_id", posexplode(graft.pipeline.Embeddings.randomProject(
+            $"embedding".cast("array<double>"), planes)).as(Seq("j", "v")))
+          .select($"vec_id", $"j", round($"v", 6).as("val"))
+          .orderBy($"vec_id", $"j")
+      },
+      Some {
+        val planes = graft.pipeline.Embeddings.gaussianPlanes(outDim = 8, inDim = 64)
+        val planeRows = planes.zipWithIndex
+          .map { case (p, j) => s"($j, [${p.mkString(", ")}])" }
+          .mkString(",\n             ")
+        s"""WITH planes AS (
+           |  SELECT j, unnest(p) AS w, generate_subscripts(p, 1) AS i
+           |  FROM (VALUES $planeRows) t(j, p)),
+           |v AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+           |             generate_subscripts(embedding, 1) AS i FROM embeddings)
+           |SELECT vec_id, j, round(sum(x * w), 6) AS val
+           |FROM v JOIN planes USING (i)
+           |GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin
+      }),
+
     // ---- text analysis ----
     "q_text_quality" -> QueryDef(
       (s, dir) => {
@@ -303,6 +330,24 @@ object PipelineQueries {
       },
       Some("""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // term -> (df, cf, "doc:tf,..." postings) with the df-capped pruning
+    // the operator defaults to (cap pinned explicitly so the oracle's
+    // HAVING mirrors it)
+    "q_inverted_index" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.Chunking.invertedIndex(
+          t(s, dir, "documents"), "doc_id", "text", maxDf = 100000L)
+          .orderBy($"term")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+             |  FROM documents),
+             |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
+             |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+             |       string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+             |FROM tf GROUP BY term HAVING count(*) <= 100000 ORDER BY term""".stripMargin)),
 
     // ---- multimodal plumbing (decode is a deterministic stub; the
     //      oracle checks the schema/bytes plumbing DuckDB can express) ----

@@ -208,4 +208,50 @@ class PipelineSpec extends SparkSpec {
     // docs 1,2 still match on "beta gamma"
     assert(capped.exists { case (a, b, _) => (a, b) == (1L, 2L) })
   }
+
+  test("repetitionSignals: hand-computed fractions, empty doc keeps a row") {
+    import graft.pipeline.TextAnalysis
+    val df = Seq(
+      (1L, "a b\na b\nc d e"), // dup line "a b"; bigrams of "a b a b c d e"
+      (2L, "x y"),             // single line, no repetition
+      (3L, "")                 // blank: must keep an all-zero row
+    ).toDF("id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "id", "text")
+      .orderBy($"doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    // doc 1: 3 lines, 1 repeated occurrence of "a b" (3 chars of 11 line
+    // chars); top bigram "a b" ×2 covers 6 of 13 text chars, its repeat 3
+    assert(out(0) == ((1L, 3L, 0.333333, 0.272727, 0.461538, 0.230769)))
+    assert(out(1) == ((2L, 1L, 0.0, 0.0, 1.0, 0.0)))
+    assert(out(2) == ((3L, 0L, 0.0, 0.0, 0.0, 0.0)))
+  }
+
+  test("invertedIndex: postings sorted by doc, df cap prunes hot terms") {
+    import graft.pipeline.Chunking
+    val df = Seq((2L, "b c"), (1L, "a b a")).toDF("id", "text")
+    val full = Chunking.invertedIndex(df, "id", "text")
+      .orderBy($"term")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(full.toSeq == Seq(
+      ("a", 1L, 2L, "1:2"), ("b", 2L, 2L, "1:1,2:1"), ("c", 1L, 1L, "2:1")))
+    val capped = Chunking.invertedIndex(df, "id", "text", maxDf = 1L)
+      .select($"term").as[String].collect().toSet
+    assert(capped == Set("a", "c"))
+  }
+
+  test("randomProject: literal planes give exact dots, seeded planes repeat") {
+    import graft.pipeline.Embeddings
+    val planes = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 2.0, 0.0))
+    val out = Seq(Tuple1(Seq(3.0, 4.0, 5.0))).toDF("v")
+      .select(Embeddings.randomProject($"v", planes).as("p"))
+      .as[Seq[Double]].head()
+    assert(out == Seq(3.0, 8.0))
+    assert(Embeddings.gaussianPlanes(4, 8, seed = 7L) ==
+      Embeddings.gaussianPlanes(4, 8, seed = 7L))
+    assert(Embeddings.gaussianPlanes(4, 8, seed = 7L) !=
+      Embeddings.gaussianPlanes(4, 8, seed = 8L))
+  }
 }
