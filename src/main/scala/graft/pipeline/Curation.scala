@@ -288,4 +288,24 @@ object Curation {
     }.otherwise(lit(hexBoundary(defaultRate)))
     df.filter(substring(md5(concat(lit(salt), col(keyCol).cast("string"))), 1, 8) < boundary)
   }
+
+  /**
+   * Per-key quota: keep at most `maxPerKey` rows per `keyCol` value,
+   * chosen by md5 order of the id — a uniform, deterministic,
+   * engine-portable "random" pick (domain quota capping: no single
+   * source/domain may dominate the training mix).
+   *
+   * One shuffle (the per-key window sort). When a hot key's cardinality
+   * dwarfs `maxPerKey`, bound the sort input first with
+   * `deterministicSample` at a rate that still clears the quota with
+   * margin — the two compose exactly because both order by the same md5.
+   */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, maxPerKey: Int): DataFrame = {
+    require(maxPerKey > 0, s"maxPerKey must be positive: $maxPerKey")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__quota_rank", row_number().over(w))
+      .filter(col("__quota_rank") <= maxPerKey)
+      .drop("__quota_rank")
+  }
 }

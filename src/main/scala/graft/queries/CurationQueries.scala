@@ -251,6 +251,23 @@ object CurationQueries {
              |FROM lines l JOIN ldf d ON l.line = d.line
              |GROUP BY l.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // per-source quota: at most 10 docs per source (the fixture has 25 per
+    // source, so the cap genuinely bites), picked by md5 order of the doc
+    // id (deterministic uniform choice the oracle replays exactly)
+    "q_domain_quota" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Curation.capPerKey(t(s, dir, "documents"), "source", "doc_id", maxPerKey = 10)
+          .select($"doc_id", $"source")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source,
+             |         row_number() OVER (PARTITION BY source
+             |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM documents)
+             |WHERE rk <= 10 ORDER BY doc_id""".stripMargin)),
+
     // Gopher repetition signals over a planted line structure: the flat
     // fixture text is split into two 80-char lines plus a tail that is a
     // doubled spam line on every third doc (exercising the duplicate-line

@@ -406,5 +406,23 @@ object RelationalQueries {
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |WHERE p_size >= 25
              |GROUP BY l_suppkey HAVING count(DISTINCT p_type) >= 3
-             |ORDER BY l_suppkey""".stripMargin)))
+             |ORDER BY l_suppkey""".stripMargin)),
+
+    // hierarchical totals via ROLLUP (subtotal per returnflag, grand
+    // total) — one pass, Catalyst expands the grouping sets; CUBE and
+    // GROUPING SETS ride the same Expand operator
+    "q_rollup_returns" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(round(sum($"l_quantity"), 2).as("sum_qty"),
+            count(lit(1)).as("n_rows"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+             |FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)))
 }

@@ -95,5 +95,36 @@ object TemporalQueries {
              |FROM err JOIN v
              |  ON err.user_id = v.user_id
              | AND v.vts BETWEEN err.ts - INTERVAL 6 HOUR AND err.ts
-             |GROUP BY error_id ORDER BY error_id""".stripMargin)))
+             |GROUP BY error_id ORDER BY error_id""".stripMargin)),
+
+    // batch gap sessionization (30-min gap), aggregated per session — the
+    // backfill twin of q_stream_sessionize, verified by the same window
+    // math in DuckDB
+    "q_sessionize_batch" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Sessionize.byGap(
+          Registry.events(s, dir).select($"user_id", $"ts"),
+          "user_id", "ts", gapMs = 30L * 60L * 1000L)
+          .groupBy($"user_id", $"session_seq")
+          .agg(count(lit(1)).as("n_events"),
+            min(unix_millis($"ts")).as("start_ms"),
+            max(unix_millis($"ts")).as("end_ms"))
+          .orderBy($"user_id", $"session_seq")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+             |f AS (
+             |  SELECT user_id, ms,
+             |    CASE WHEN lag(ms) OVER w IS NULL
+             |           OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS ns
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+             |s AS (
+             |  SELECT user_id, ms,
+             |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ms
+             |      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_seq
+             |  FROM f)
+             |SELECT user_id, session_seq, count(*) AS n_events,
+             |       min(ms) AS start_ms, max(ms) AS end_ms
+             |FROM s GROUP BY user_id, session_seq
+             |ORDER BY user_id, session_seq""".stripMargin)))
 }

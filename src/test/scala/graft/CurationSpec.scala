@@ -103,6 +103,19 @@ class CurationSpec extends SparkSpec {
     assert(Curation.deterministicSample(df, "id", 1.0).count() == 10000L)
   }
 
+  test("capPerKey keeps exactly the quota per key, deterministically") {
+    val df = (0L until 1000L).map(i => (i, s"src${i % 4}")).toDF("id", "source")
+    val kept = Curation.capPerKey(df, "source", "id", maxPerKey = 25)
+    val counts = kept.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.toSet == Set(25L) && counts.size == 4)
+    // same pick under different partitioning; under-quota keys untouched
+    val again = Curation.capPerKey(df.repartition(11), "source", "id", 25)
+      .select($"id").as[Long].collect().toSet
+    assert(again == kept.select($"id").as[Long].collect().toSet)
+    assert(Curation.capPerKey(df, "source", "id", 1000).count() == 1000L)
+  }
+
   test("stratified sampling applies per-stratum rates") {
     val df = (0L until 6000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
       .toDF("id", "lang")
