@@ -258,20 +258,51 @@ object PolyTrainer {
         (snapIdx % cfg.checkpointEvery == 0 || snapIdx == cfg.maxIterations)
       val docSide = estep.filter($"isDoc").toDF()
 
-      // M-step + likelihood + alpha sufficient statistics — one fused action
-      // in broadcast mode (see fusedIterationRows), distributed M-step plus a
-      // stats job in shuffle mode (beta never driver-sized there).
-      var betaRowsDistributed: Option[DataFrame] = None // shuffle mode only
+      // M-step + likelihood + alpha sufficient statistics — ONE fused
+      // action per iteration in both modes (see graft.lda.Trainer for the
+      // pattern): broadcast mode collects the fused rows; shuffle mode
+      // materializes the packed per-language beta, the doc side (next
+      // corpus), and the k-row ll/alpha stats as union branches of a
+      // single eager localCheckpoint (which also truncates lineage).
       var betaRowsDriver: Seq[(Int, Int, Int, Double)] = Nil // broadcast mode
+      var fused: Option[DataFrame] = None                    // shuffle mode
       val prevBetaTable = betaTable
       val (ll, ss) = if (useShuffleEStep) {
-        val betaRows = mstep(
-          estep.filter(!$"isDoc").select($"lang", $"topic", $"termId", $"logphi"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        betaRowsDistributed = Some(betaRows)
-        betaTable = packBeta(betaRows).persist(StorageLevel.MEMORY_AND_DISK)
-        betaTable.count() // materialize before unpersisting the parent
-        MStep.llAndAlphaStats(docSide, k)
+        val nullInt = lit(null).cast("int")
+        val nullLong = lit(null).cast("bigint")
+        val nullDouble = lit(null).cast("double")
+        val nullArr = lit(null).cast("array<double>")
+        val nullCounts = lit(null).cast("map<int,map<int,int>>")
+        val nullNumTokens = lit(null).cast("map<int,bigint>")
+        val packed = packBeta(mstep(
+          estep.filter(!$"isDoc").select($"lang", $"topic", $"termId", $"logphi")))
+        val fusedDf = packed
+          .select(lit(0).as("tag"), $"lang", $"termId", $"elogbeta",
+            nullLong.as("docId"), nullCounts.as("counts"),
+            nullNumTokens.as("numTokens"), nullLong.as("totalTokens"),
+            nullArr.as("gamma"), nullDouble.as("ll"), nullInt.as("k"),
+            nullDouble.as("ss"))
+          .unionByName(docSide
+            .select(lit(1).as("tag"), nullInt.as("lang"), nullInt.as("termId"),
+              nullArr.as("elogbeta"), $"docId", $"counts", $"numTokens",
+              $"totalTokens", $"gamma", $"ll", nullInt.as("k"), nullDouble.as("ss")))
+          .unionByName(MStep.llAndAlphaStatsRows(docSide)
+            .select(lit(2).as("tag"), nullInt.as("lang"), nullInt.as("termId"),
+              nullArr.as("elogbeta"), nullLong.as("docId"), nullCounts.as("counts"),
+              nullNumTokens.as("numTokens"), nullLong.as("totalTokens"),
+              nullArr.as("gamma"), $"llsum".as("ll"), $"k", $"ss"))
+          .localCheckpoint()
+        fused = Some(fusedDf)
+        betaTable = fusedDf.filter($"tag" === 0).select($"lang", $"termId", $"elogbeta")
+        val statsRows = fusedDf.filter($"tag" === 2).select($"k", $"ss", $"ll").collect()
+        val ssArr = new Array[Double](k)
+        var llSum = 0.0
+        statsRows.foreach { r =>
+          val kk = r.getInt(0)
+          ssArr(kk) = r.getDouble(1)
+          if (kk == 0) llSum = r.getDouble(2)
+        }
+        (llSum, ssArr)
       } else {
         val (llF, ssF, lambda) = splitFused(
           fusedIterationRows(estep.toDF()).collect(), k)
@@ -297,9 +328,17 @@ object PolyTrainer {
       if (doSnapshot) {
         val dir = cfg.checkpointDir.get
         graft.lda.LdaCheckpoint.saveAlpha(spark, dir, snapIdx, alpha)
-        betaRowsDistributed.getOrElse(
-            betaRowsDriver.toDF("lang", "topic", "termId", "elogbeta"))
-          .select($"lang", $"topic", $"termId", $"elogbeta")
+        // shuffle mode: unpack (lang, topic, termId, elogbeta) rows from
+        // the materialized packed table (array position p ↔ topic p+1;
+        // packBeta sorts by topic and the E-step emits every topic 1..k)
+        val snapshotBeta = fused match {
+          case Some(f) =>
+            f.filter($"tag" === 0)
+              .select($"lang", $"termId", posexplode($"elogbeta").as(Seq("pos", "v")))
+              .select($"lang", ($"pos" + 1).as("topic"), $"termId", $"v".as("elogbeta"))
+          case None => betaRowsDriver.toDF("lang", "topic", "termId", "elogbeta")
+        }
+        snapshotBeta.select($"lang", $"topic", $"termId", $"elogbeta")
           .write.mode("overwrite").parquet(s"$dir/beta-$snapIdx")
         graft.lda.LdaCheckpoint.saveGamma(
           docSide.select($"docId", $"counts", $"numTokens", $"totalTokens", $"gamma"),
@@ -315,18 +354,24 @@ object PolyTrainer {
               .select($"docId", $"counts", $"numTokens", $"totalTokens", $"gamma")
               .as[PolyDoc]
               .persist(StorageLevel.MEMORY_AND_DISK)
-          } else {
-            docSide
-              .select($"docId", $"counts", $"numTokens", $"totalTokens", $"gamma")
-              .as[PolyDoc]
-              .localCheckpoint()
+          } else fused match {
+            case Some(f) =>
+              // already materialized by the fused localCheckpoint — a
+              // filter view over it costs no extra action
+              f.filter($"tag" === 1)
+                .select($"docId", $"counts", $"numTokens", $"totalTokens", $"gamma")
+                .as[PolyDoc]
+            case None =>
+              docSide
+                .select($"docId", $"counts", $"numTokens", $"totalTokens", $"gamma")
+                .as[PolyDoc]
+                .localCheckpoint()
           }
         corpus.unpersist()
         corpus = nextCorpus
       }
 
       estep.unpersist()
-      betaRowsDistributed.foreach(_.unpersist())
       if (useShuffleEStep) prevBetaTable.unpersist()
       alphaBc.destroy()
       betaBc.foreach(_.destroy())
