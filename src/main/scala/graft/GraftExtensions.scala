@@ -74,6 +74,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash60 expects exactly 1 argument")
         SimHash60(Cast(args.head, ArrayType(StringType)))
+      }),
+    ("nfc_normalize", new ExpressionInfo(classOf[GraftExtensions].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize expects exactly 1 argument")
+        graft.functions.NfcNormalize(Cast(args.head, StringType))
       }))
 
   /** Register into an already-built session (extensions only run at

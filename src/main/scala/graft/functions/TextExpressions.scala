@@ -59,6 +59,23 @@ case class WordNgramsAll(child: Expression, n: Int)
   override def prettyName: String = "word_ngrams_all"
 }
 
+/** Unicode NFC normalization (see TextKernels.nfc) as a codegen'd
+  * expression — string in, canonically-composed string out. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.nfc(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.nfc($c)")
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(child = c)
+  override def prettyName: String = "nfc_normalize"
+}
+
 /** 60-bit SimHash over an array<string> token column (bit b of the
   * signature = majority vote of bit b across the tokens' 60-bit md5 base
   * hashes — TextKernels.hash60, the JVM twin of Dedup.baseHash60). */
@@ -94,6 +111,8 @@ object tfunctions {
     shim.toColumn(WordNgrams(str(text), n, wholeTextFallback = false))
   def word_ngrams_all(text: Column, n: Int): Column =
     shim.toColumn(WordNgramsAll(str(text), n))
+  def nfc_normalize(text: Column): Column =
+    shim.toColumn(NfcNormalize(str(text)))
   def shingles(text: Column, n: Int): Column =
     shim.toColumn(WordNgrams(str(text), n, wholeTextFallback = true))
   def simhash60(tokens: Column): Column = shim.toColumn(SimHash60(strArr(tokens)))

@@ -74,6 +74,19 @@ object TextKernels {
     }
   }
 
+  /** Unicode NFC normalization (canonical composition): the standard
+    * pre-dedup canonicalization — visually identical strings with
+    * different codepoint sequences (é vs e + combining acute) hash apart
+    * without it. Pays one UTF8String↔String round-trip (java.text.Normalizer
+    * has no byte-level API) but runs inside whole-stage codegen; the
+    * already-normalized common case returns the input buffer unchanged. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   private val md5Local = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
 

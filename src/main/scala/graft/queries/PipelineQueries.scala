@@ -331,6 +331,29 @@ object PipelineQueries {
       Some("""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // NFC canonical composition (pre-dedup canonicalization): decomposed
+    // sequences (e + combining acute) are planted onto every doc and must
+    // compose identically in both engines — lengths shrink accordingly
+    "q_nfc_normalize" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val planted = t(s, dir, "documents").select($"doc_id",
+          concat(substring($"text", 1, 40), lit(" cafe\u0301 nai\u0308ve")).as("text"))
+        planted.select($"doc_id",
+          graft.functions.tfunctions.nfc_normalize($"text").as("norm"),
+          length(graft.functions.tfunctions.nfc_normalize($"text")).as("n_chars"),
+          length($"text").as("n_chars_raw"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    substr(text, 1, 40) || ' cafe' || chr(769) || ' nai' || chr(776) || 've' AS text
+             |  FROM documents)
+             |SELECT doc_id, nfc_normalize(text) AS norm,
+             |       CAST(length(nfc_normalize(text)) AS INT) AS n_chars,
+             |       CAST(length(text) AS INT) AS n_chars_raw
+             |FROM planted ORDER BY doc_id""".stripMargin)),
+
     // term -> (df, cf, "doc:tf,..." postings) with the df-capped pruning
     // the operator defaults to (cap pinned explicitly so the oracle's
     // HAVING mirrors it)

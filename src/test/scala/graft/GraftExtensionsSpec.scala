@@ -22,13 +22,29 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(v == GammaFuncs.digamma(3.0))
   }
 
+  test("nfc_normalize composes decomposed sequences and is idempotent") {
+    GraftExtensions.register(spark)
+    // "cafe" + combining acute (U+0301) must compose to single-char é
+    val decomposed = "cafe\u0301"
+    val composed = "caf\u00e9"
+    spark.createDataFrame(Seq(Tuple1(decomposed))).toDF("t").createOrReplaceTempView("nfc_in")
+    val row = spark.sql(
+      "SELECT nfc_normalize(t) AS n, length(nfc_normalize(t)) AS l, " +
+        "nfc_normalize(nfc_normalize(t)) AS n2, nfc_normalize('plain') AS p FROM nfc_in")
+      .head()
+    assert(row.getString(0) == composed)
+    assert(row.getInt(1) == 4)
+    assert(row.getString(2) == composed)
+    assert(row.getString(3) == "plain")
+  }
+
   test("extension class injects the same builders") {
     // constructing the injector exercises the builder table; builders are
     // the same objects register() installs
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     assert(GraftExtensions.all.map(_._1) ==
       Seq("digamma", "trigamma", "lgamma", "log_add", "vec_dot",
-        "word_ngrams", "shingles", "simhash60"))
+        "word_ngrams", "shingles", "simhash60", "nfc_normalize"))
   }
 
   test("vec_dot matches the aggregate/zip_with composition bitwise") {
