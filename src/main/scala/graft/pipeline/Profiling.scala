@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Column profiling (the `ANALYZE TABLE` story for pipeline QA): count,
+ * null count, exact distinct count, min/max/mean/stddev per numeric
+ * column, melted to one row per column.
+ *
+ * All metrics for all columns ride ONE aggregate (a single scan — no
+ * per-column jobs); the melt is a row-local explode of the aggregate's
+ * single output row. The exact `countDistinct` makes Catalyst expand the
+ * input once per distinct aggregate: fine for QA runs, but at 100 TB
+ * swap it for `approx_count_distinct` (or `Sketches.hllEstimate`) —
+ * everything else stays one plain pass. Doubles round to 6dp for
+ * cross-engine stability.
+ */
+object Profiling {
+
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "numericProfile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        round(min(col(c)).cast("double"), 6).as(s"${c}__min"),
+        round(max(col(c)).cast("double"), 6).as(s"${c}__max"),
+        round(avg(col(c).cast("double")), 6).as(s"${c}__mean"),
+        round(stddev_samp(col(c).cast("double")), 6).as(s"${c}__stddev"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val packed = cols.map { c =>
+      struct(lit(c).as("column"),
+        col(s"${c}__n").as("n"),
+        coalesce(col(s"${c}__nulls"), lit(0L)).as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min"),
+        col(s"${c}__max").as("max"),
+        col(s"${c}__mean").as("mean"),
+        col(s"${c}__stddev").as("stddev"))
+    }
+    one.select(explode(array(packed: _*)).as("p"))
+      .select("p.column", "p.n", "p.n_nulls", "p.n_distinct",
+        "p.min", "p.max", "p.mean", "p.stddev")
+  }
+}

@@ -102,5 +102,29 @@ object StatsQueries {
              |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
              |  count(*) AS n_items
              |FROM lineitem JOIN part ON l_partkey = p_partkey
-             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)))
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // single-pass numeric column profiling (ANALYZE TABLE-style QA):
+    // one aggregate computes every metric for every column, melted to one
+    // row per column
+    "q_numeric_profile" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.Profiling.numericProfile(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+          .orderBy($"column")
+      },
+      Some {
+        def one(c: String) =
+          s"""SELECT '$c' AS "column", count($c) AS n,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |  count(DISTINCT $c) AS n_distinct,
+             |  round(CAST(min($c) AS DOUBLE), 6) AS min,
+             |  round(CAST(max($c) AS DOUBLE), 6) AS max,
+             |  round(avg(CAST($c AS DOUBLE)), 6) AS mean,
+             |  round(stddev_samp(CAST($c AS DOUBLE)), 6) AS stddev
+             |FROM lineitem""".stripMargin
+        Seq("l_quantity", "l_extendedprice", "l_discount").map(one)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+      }))
 }

@@ -242,6 +242,24 @@ class PipelineSpec extends SparkSpec {
     assert(capped == Set("a", "c"))
   }
 
+  test("numericProfile: one row per column with exact counts and stats") {
+    import graft.pipeline.Profiling
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, 10.0), (3.0, null), (1.0, 20.0))
+      .toDF("a", "b")
+    val out = Profiling.numericProfile(df, Seq("a", "b"))
+      .orderBy($"column").collect()
+    val a = out(0); val b = out(1)
+    assert(a.getString(0) == "a" && a.getLong(1) == 4L && a.getLong(2) == 0L &&
+      a.getLong(3) == 3L && a.getDouble(4) == 1.0 && a.getDouble(5) == 3.0 &&
+      a.getDouble(6) == 1.75)
+    assert(b.getString(0) == "b" && b.getLong(1) == 3L && b.getLong(2) == 1L &&
+      b.getLong(3) == 2L && b.getDouble(6) == round6(40.0 / 3))
+  }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("randomProject: literal planes give exact dots, seeded planes repeat") {
     import graft.pipeline.Embeddings
     val planes = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 2.0, 0.0))
