@@ -93,24 +93,71 @@ object Dedup {
       jaccardThreshold: Double = 0.7): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
+    val base = shingleBase(df, idCol, textCol, shingleSize)
+    val banded = bandedBuckets(base, numHashes, bands)
 
-    // cached: the shingle scan feeds the signature aggregation AND both
-    // sides of the verification join — without the cache the full
-    // tokenize+shingle projection would run three times
-    val base = df.select(col(idCol).cast("long").as("id"),
+    val candIds = banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" && $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"))
+      .distinct()
+
+    verifyJaccard(candIds, base, base, "id_a", "id_b", jaccardThreshold)
+  }
+
+  /**
+   * Incremental MinHash+LSH: which documents of a NEW batch near-duplicate
+   * the existing REFERENCE corpus — the continual-training ingest filter.
+   * Same hash family/banding as `minhashNearDups`, but candidates come
+   * only from the cross-side bucket join: no ref×ref pairs (the reference
+   * was already deduped) and no new×new pairs (dedup the batch separately
+   * if needed). At 100 TB the reference side's banded buckets are a
+   * precomputable, incrementally-maintainable index — each ingest shuffles
+   * only the (much smaller) new batch against it.
+   *
+   * Returns (new_id, ref_id, jaccard) with jaccard ≥ threshold.
+   */
+  def minhashNearDupsAgainst(newDf: DataFrame, refDf: DataFrame,
+      idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      jaccardThreshold: Double = 0.7): DataFrame = {
+    val spark = newDf.sparkSession
+    import spark.implicits._
+    val baseNew = shingleBase(newDf, idCol, textCol, shingleSize)
+    val baseRef = shingleBase(refDf, idCol, textCol, shingleSize)
+    val candIds = bandedBuckets(baseNew, numHashes, bands).as("a")
+      .join(bandedBuckets(baseRef, numHashes, bands).as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket")
+      .select($"a.id".as("new_id"), $"b.id".as("ref_id"))
+      .distinct()
+    verifyJaccard(candIds, baseNew, baseRef, "new_id", "ref_id", jaccardThreshold)
+  }
+
+  /** Cached (id, shingles) projection: feeds the signature aggregation AND
+    * the verification join — without the cache the tokenize+shingle
+    * projection would run three times. */
+  private def shingleBase(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
         shingles(col(textCol), shingleSize).as("sh"))
-      .filter(size($"sh") > 0)
+      .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // signature via explode + min-aggregate: ONE md5 base hash per shingle,
-    // the 32-way family derived by multiply-mod; partial min on the map
-    // side makes the shuffle one 32-long row per doc. (Measured faster than
-    // a map-side zip_with-least fold over the shingle array — the fold
-    // allocates a 32-wide array per element, the min-aggregate stays in
-    // tight codegen; and an inline signature column would be re-inlined
-    // once per band by the generator below.)
+  /** (id, band, bucket) rows for the LSH bucket join.
+    *
+    * Signature via explode + min-aggregate: ONE md5 base hash per shingle,
+    * the `numHashes`-way family derived by multiply-mod; partial min on the
+    * map side makes the shuffle one `numHashes`-long row per doc. (Measured
+    * faster than a map-side zip_with-least fold over the shingle array —
+    * the fold allocates a wide array per element, the min-aggregate stays
+    * in tight codegen; and an inline signature column would be re-inlined
+    * once per band by the generator.) Band bucket = left fold
+    * (acc·31 + h_i) mod P over the band's rows — the same arithmetic the
+    * SQL oracles replay. */
+  private def bandedBuckets(base: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
     val fam = hashFamily(numHashes)
     val minCols = fam.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * $"hb" + lit(b)) % HashP).as(s"h$i") }
@@ -118,31 +165,30 @@ object Dedup {
       .select($"id", (baseHash60($"s") % HashP).as("hb"))
       .groupBy($"id")
       .agg(minCols.head, minCols.tail: _*)
-
-    // band explode → bucket join on (band index, band hash), ids only.
-    // Band bucket = left fold (acc·31 + h_i) mod P over the band's rows —
-    // the same arithmetic the SQL oracle replays.
     val bucketCol = (b: Int) =>
       (b * r + 1 until (b + 1) * r).foldLeft(col(s"h${b * r}")) {
         (acc, i) => (acc * 31 + col(s"h$i")) % HashP }
-    val banded = sig
-      .select($"id", posexplode(array((0 until bands).map(bucketCol): _*)))
+    sig.select($"id", posexplode(array((0 until bands).map(bucketCol): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+  }
 
-    val candIds = banded.as("a").join(banded.as("b"),
-        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" && $"a.id" < $"b.id")
-      .select($"a.id".as("id_a"), $"b.id".as("id_b"))
-      .distinct()
-
+  /** Exact-Jaccard verification of candidate id pairs: shingle sets join
+    * back onto the (deduplicated, tiny) pair list, never onto the banded
+    * explosion. */
+  private def verifyJaccard(candIds: DataFrame, baseA: DataFrame,
+      baseB: DataFrame, aCol: String, bCol: String,
+      jaccardThreshold: Double): DataFrame = {
+    val spark = candIds.sparkSession
+    import spark.implicits._
     candIds
-      .join(base.select($"id".as("id_a"), $"sh".as("sh_a")), "id_a")
-      .join(base.select($"id".as("id_b"), $"sh".as("sh_b")), "id_b")
+      .join(baseA.select(col("id").as(aCol), $"sh".as("sh_a")), aCol)
+      .join(baseB.select(col("id").as(bCol), $"sh".as("sh_b")), bCol)
       .withColumn("jaccard",
         round(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
           size(array_union($"sh_a", $"sh_b")), 4))
       .filter($"jaccard" >= jaccardThreshold)
-      .select($"id_a", $"id_b", $"jaccard")
+      .select(col(aCol), col(bCol), $"jaccard")
   }
 
   /**

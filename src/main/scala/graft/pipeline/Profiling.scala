@@ -45,4 +45,27 @@ object Profiling {
       .select("p.column", "p.n", "p.n_nulls", "p.n_distinct",
         "p.min", "p.max", "p.mean", "p.stddev")
   }
+
+  /**
+   * Fixed-width histogram over `[lo, hi)` with `nBins` buckets: values
+   * below `lo` clamp into bin 0, at or above `hi` into the last bin
+   * (standard width_bucket-with-clamp semantics, so the counts always sum
+   * to the non-null row count). One hash aggregate on a tiny key space —
+   * the map-side partials collapse everything, so the shuffle carries at
+   * most `nBins` rows per task at any scale.
+   */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int,
+      lo: Double, hi: Double): DataFrame = {
+    require(nBins > 0 && hi > lo, s"need nBins > 0 and hi > lo: $nBins, [$lo, $hi)")
+    val width = (hi - lo) / nBins
+    val v = col(valueCol).cast("double")
+    val bin = least(greatest(floor((v - lit(lo)) / lit(width)), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("int")
+    val binLo = col("bin") * width + lo
+    df.filter(v.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"), round(binLo, 6).as("bin_lo"),
+        round(binLo + width, 6).as("bin_hi"), col("n"))
+  }
 }

@@ -100,6 +100,27 @@ object PipelineQueries {
              |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) >= 0.5
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // incremental ingest filter: a NEW batch (30 exact copies of ref docs
+    // + 30 novel synthetic docs) LSH-screened against the existing corpus;
+    // candidates come only from the cross-side bucket join. Full SQL replay
+    // like q_dedup_minhash_lsh, with a side flag on every CTE.
+    "q_dedup_incremental" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val copies = docs.filter($"doc_id" < 30)
+          .select(($"doc_id" + 500000).as("doc_id"), $"text")
+        val novel = docs.filter($"doc_id" >= 30 && $"doc_id" < 60)
+          .select(($"doc_id" + 500000).as("doc_id"),
+            concat(lit("zqx"), $"doc_id", lit(" wvu"), $"doc_id",
+              lit(" tsr"), $"doc_id").as("text"))
+        Dedup.minhashNearDupsAgainst(copies.unionByName(novel), docs,
+          "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.5)
+          .orderBy($"new_id", $"ref_id")
+      },
+      Some(incrementalMinhashOracleSql)),
+
     // SQL replay of the 60-bit SimHash + 4×15-bit band LSH + Hamming verify
     "q_dedup_simhash" -> QueryDef(
       (s, dir) => {
@@ -562,6 +583,61 @@ object PipelineQueries {
        |  JOIN base sb ON sb.doc_id = id_b)
        |SELECT id_a, id_b, jaccard FROM j
        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB replay of `Dedup.minhashNearDupsAgainst` over the planted new
+    * batch (side 1 = new, side 0 = reference; candidates cross-side only). */
+  private def incrementalMinhashOracleSql: String = {
+    val P = Dedup.HashP
+    val fam = Dedup.hashFamily(32)
+    val sigCols = fam.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % $P) AS h$i" }.mkString(",\n    ")
+    def bucketExpr(band: Int): String =
+      (band * 4 + 1 until band * 4 + 4).foldLeft(s"h${band * 4}") {
+        (acc, i) => s"(($acc) * 31 + h$i) % $P" }
+    val bandSelects = (0 until 8).map(b =>
+      s"SELECT side, doc_id, $b AS band, ${bucketExpr(b)} AS bucket FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH alldocs AS (
+       |  SELECT 0 AS side, doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT 1, doc_id + 500000, text FROM documents WHERE doc_id < 30
+       |  UNION ALL
+       |  SELECT 1, doc_id + 500000,
+       |         'zqx' || doc_id || ' wvu' || doc_id || ' tsr' || doc_id
+       |  FROM documents WHERE doc_id >= 30 AND doc_id < 60),
+       |tok AS (
+       |  SELECT side, doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+       |  FROM alldocs),
+       |base AS (
+       |  SELECT side, doc_id, CASE WHEN len(toks) >= 3
+       |    THEN list_distinct(list_transform(range(1, len(toks) - 1),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |    ELSE [array_to_string(toks, ' ')] END AS sh
+       |  FROM tok),
+       |hb AS (
+       |  SELECT side, doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % $P AS h
+       |  FROM (SELECT side, doc_id, unnest(sh) AS s FROM base)),
+       |sig AS (
+       |  SELECT side, doc_id,
+       |    $sigCols
+       |  FROM hb GROUP BY side, doc_id),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.side = 1 AND b.side = 0),
+       |j AS (
+       |  SELECT new_id, ref_id,
+       |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+       |  FROM cand
+       |  JOIN base sa ON sa.side = 1 AND sa.doc_id = new_id
+       |  JOIN base sb ON sb.side = 0 AND sb.doc_id = ref_id)
+       |SELECT new_id, ref_id, jaccard FROM j
+       |WHERE jaccard >= 0.5 ORDER BY new_id, ref_id""".stripMargin
   }
 
   /** DuckDB replay of `Dedup.simhashNearDups(maxHamming = 3)`: 60-bit

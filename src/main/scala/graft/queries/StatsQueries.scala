@@ -126,5 +126,21 @@ object StatsQueries {
              |FROM lineitem""".stripMargin
         Seq("l_quantity", "l_extendedprice", "l_discount").map(one)
           .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
-      }))
+      }),
+
+    // fixed-width histogram with clamp semantics (counts always sum to the
+    // non-null rows); tiny key space → map-side partials collapse everything
+    "q_value_histogram" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.Profiling.histogram(t(s, dir, "lineitem"),
+          "l_quantity", nBins = 10, lo = 1.0, hi = 51.0)
+          .orderBy($"bin")
+      },
+      Some("""SELECT bin, round(bin * 5.0 + 1.0, 6) AS bin_lo,
+             |       round(bin * 5.0 + 6.0, 6) AS bin_hi, count(*) AS n
+             |FROM (
+             |  SELECT CAST(least(greatest(floor((CAST(l_quantity AS DOUBLE) - 1.0) / 5.0), 0), 9) AS INT) AS bin
+             |  FROM lineitem WHERE l_quantity IS NOT NULL)
+             |GROUP BY bin ORDER BY bin""".stripMargin)))
 }

@@ -242,6 +242,27 @@ class PipelineSpec extends SparkSpec {
     assert(capped == Set("a", "c"))
   }
 
+  test("minhashNearDupsAgainst screens the new batch against the reference only") {
+    import graft.pipeline.Dedup
+    val ref = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("id", "text")
+    val fresh = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // copy of ref 1
+      (11L, "totally novel content xyzzy plugh quux")).toDF("id", "text")
+    val out = Dedup.minhashNearDupsAgainst(fresh, ref, "id", "text",
+        jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((10L, 1L, 1.0)))
+    // ref×ref dup pair must NOT appear even if the reference has one
+    val refDup = ref.unionByName(Seq((3L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("id", "text"))
+    val out2 = Dedup.minhashNearDupsAgainst(fresh, refDup, "id", "text",
+        jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out2 == Set((10L, 1L), (10L, 3L)))
+  }
+
   test("numericProfile: one row per column with exact counts and stats") {
     import graft.pipeline.Profiling
     val df = Seq[(java.lang.Double, java.lang.Double)](
