@@ -408,6 +408,32 @@ object RelationalQueries {
              |GROUP BY l_suppkey HAVING count(DISTINCT p_type) >= 3
              |ORDER BY l_suppkey""".stripMargin)),
 
+    // anti + semi joins in one query: customers who placed no orders
+    // (left_anti) counted per market segment next to those who did
+    // (left_semi) — Spark plans both without materializing the join output
+    "q_customer_order_presence" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cust = t(s, dir, "customer")
+        val ord = t(s, dir, "orders").select($"o_custkey")
+        val without = cust.join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+          .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_without"))
+        val withOrd = cust.join(ord, $"c_custkey" === $"o_custkey", "left_semi")
+          .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_with"))
+        withOrd.join(without, Seq("c_mktsegment"), "full_outer")
+          .select($"c_mktsegment",
+            coalesce($"n_with", lit(0L)).as("n_with"),
+            coalesce($"n_without", lit(0L)).as("n_without"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+             |  CAST(count(*) FILTER (WHERE EXISTS (
+             |    SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS BIGINT) AS n_with,
+             |  CAST(count(*) FILTER (WHERE NOT EXISTS (
+             |    SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS BIGINT) AS n_without
+             |FROM customer
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // hierarchical totals via ROLLUP (subtotal per returnflag, grand
     // total) — one pass, Catalyst expands the grouping sets; CUBE and
     // GROUPING SETS ride the same Expand operator
