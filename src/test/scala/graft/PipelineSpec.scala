@@ -242,6 +242,27 @@ class PipelineSpec extends SparkSpec {
     assert(capped == Set("a", "c"))
   }
 
+  test("minhash band join shuffles ids only — shingle payload never rides it") {
+    import graft.pipeline.Dedup
+    val docs = (0L until 50L)
+      .map(i => (i, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 7} tok${(i + 3) % 7}"))
+      .toDF("id", "text")
+    val out = Dedup.minhashNearDups(docs, "id", "text", jaccardThreshold = 0.9)
+    // the candidate-generation join must see only (id, band, bucket) on both
+    // sides; the sh column joins back later onto the deduplicated pairs
+    val joins = out.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    val bandJoins = joins.filter(j =>
+      j.left.output.exists(_.name == "band") && j.right.output.exists(_.name == "band"))
+    assert(bandJoins.nonEmpty, "expected the band-bucket self-join in the plan")
+    bandJoins.foreach { j =>
+      val cols = (j.left.output ++ j.right.output).map(_.name).toSet
+      assert(!cols.contains("sh"), s"shingles leaked into the band join: $cols")
+      assert(cols.subsetOf(Set("id", "band", "bucket")), s"unexpected payload: $cols")
+    }
+  }
+
   test("minhashNearDupsAgainst screens the new batch against the reference only") {
     import graft.pipeline.Dedup
     val ref = Seq(
