@@ -74,5 +74,36 @@ object StreamingQueries {
     "q_stream_dedup_counts" -> QueryDef(
       (s, dir) => EventsStream.dedupedUserCounts(s, dir),
       Some("""SELECT user_id, count(*) AS n, round(sum(value), 2) AS total_value
-             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)))
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // batch/streaming unification: the stateless quality-score operator
+    // (TextAnalysis.qualityScore, same Column transform q_text_quality
+    // verifies per-doc) runs unchanged inside a streaming query; complete
+    // mode on a single-file source equals the batch aggregation
+    "q_stream_quality_counts" -> QueryDef(
+      (s, dir) => graft.streaming.DocsStream.qualityScoreCounts(s, dir),
+      Some(s"""WITH f AS (
+             |  SELECT doc_id,
+             |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+             |    round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             |      / greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1), 4) AS mean_token_len,
+             |    round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+             |      / greatest(length(text), 1), 4) AS punct_ratio,
+             |    round(CAST(len(list_filter(string_split(text, ' '),
+             |        t -> list_contains(${duckStopwords}, lower(t)))) AS DOUBLE)
+             |      / greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1), 4) AS stopword_ratio
+             |  FROM documents),
+             |scored AS (
+             |  SELECT round((CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 0.4 ELSE 0.0 END)
+             |    + (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+             |    + (CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END)
+             |    + (CASE WHEN stopword_ratio >= 0.01 THEN 0.1 ELSE 0.0 END), 2) AS quality_score
+             |  FROM f)
+             |SELECT quality_score, count(*) AS n_docs
+             |FROM scored GROUP BY quality_score ORDER BY quality_score""".stripMargin))
+  )
+
+  private def duckStopwords: String =
+    graft.pipeline.TextAnalysis.EnStopwords
+      .map(s => s"'${s.replace("'", "''")}'").mkString("[", ", ", "]")
 }

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.pipeline.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming ingestion over the `documents` table: the batch curation
+ * operators are stateless Column transforms, so they run UNCHANGED inside
+ * a Structured Streaming query — the point of building them declaratively.
+ * This is the streaming half of the batch/streaming unification story:
+ * one operator definition, two execution modes.
+ */
+object DocsStream {
+
+  private val counter = new AtomicInteger(0)
+
+  /** documents.parquet is a single file; the streaming file source wants a
+    * directory, so expose it via a symlinked temp dir (same pattern as
+    * EventsStream.streamableEventsDir). */
+  private def streamableDocsDir(dir: String): String = {
+    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_docs_stream_${math.abs(dir.hashCode)}")
+    Files.createDirectories(tmp)
+    val link = tmp.resolve("documents_0.parquet")
+    if (!Files.exists(link)) {
+      try Files.createSymbolicLink(link, src)
+      catch { case _: Exception => Files.copy(src, link) }
+    }
+    tmp.toString
+  }
+
+  /**
+   * `TextAnalysis.qualityScore` applied to a document STREAM, aggregated
+   * to (quality_score, n_docs). The scoring projection is the exact batch
+   * operator; only the source (`readStream`) and sink differ. Complete
+   * mode on a single-file source ⇒ output equals the batch aggregation,
+   * so the plain SQL oracle applies.
+   */
+  def qualityScoreCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(streamableDocsDir(dir))
+    val name = s"graft_docs_quality_${counter.incrementAndGet()}"
+    val q = TextAnalysis.qualityScore(stream, "text")
+      .groupBy($"quality_score")
+      .agg(count(lit(1)).as("n_docs"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).orderBy($"quality_score")
+  }
+}
