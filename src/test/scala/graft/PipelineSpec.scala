@@ -242,6 +242,22 @@ class PipelineSpec extends SparkSpec {
     assert(capped == Set("a", "c"))
   }
 
+  test("histogram counts always sum to the non-null rows (clamp semantics)") {
+    import graft.pipeline.Profiling
+    val df = Seq[java.lang.Double](-5.0, 0.0, 0.5, 1.0, 2.5, 9.99, 10.0, 42.0, null)
+      .toDF("v")
+    for ((nBins, lo, hi) <- Seq((4, 0.0, 10.0), (1, -10.0, 50.0), (7, 0.25, 2.75))) {
+      val h = Profiling.histogram(df, "v", nBins, lo, hi).collect()
+      assert(h.map(_.getLong(3)).sum == 8L, s"bins=$nBins [$lo,$hi)")
+      assert(h.forall(r => r.getInt(0) >= 0 && r.getInt(0) < nBins))
+    }
+    // out-of-range values clamp to the edge bins
+    val edges = Profiling.histogram(df, "v", 4, 0.0, 10.0)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(edges(0) == 4L) // -5, 0, 0.5, 1.0
+    assert(edges(3) == 3L) // 9.99 plus clamped 10.0, 42.0
+  }
+
   test("minhash band join shuffles ids only — shingle payload never rides it") {
     import graft.pipeline.Dedup
     val docs = (0L until 50L)
