@@ -51,6 +51,18 @@ object FormatQueries {
       Some("""SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS total_bal
              |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
 
+    // generic Text/Text SequenceFile legacy ingestion: write the corpus
+    // out as a SequenceFile, read it back, recover typed columns
+    "q_seqfile_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Formats.sequenceFileRoundtrip(t(s, dir, "documents"), "doc_id", "text")
+          .select($"doc_id".cast("long").as("doc_id"), length($"text").as("n_chars"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, CAST(length(text) AS INT) AS n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     "q_partitioned_sink" -> QueryDef(
       (s, dir) => {
         import s.implicits._

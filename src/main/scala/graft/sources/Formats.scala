@@ -44,6 +44,26 @@ object Formats {
       .schema(df.schema).csv(path)
   }
 
+  /**
+   * Generic Text/Text SequenceFile round-trip — the legacy-ingestion path
+   * (the reference's corpora live in SequenceFiles; its custom Writables
+   * stay out of scope, but plain Text key/value pairs cover the generic
+   * legacy-data case). RDD-level on purpose: SequenceFile is an RDD-era
+   * Hadoop format, and `saveAsSequenceFile`/`sequenceFile` are its native
+   * Spark API — each partition writes/reads its own file, so the path
+   * scales like any other file source.
+   */
+  def sequenceFileRoundtrip(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val pairs = df.selectExpr(s"cast($keyCol as string)", s"cast($valueCol as string)")
+    val path = tmp("seqfile", pairs)
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    pairs.rdd.map(r => (r.getString(0), r.getString(1))).saveAsSequenceFile(path)
+    import spark.implicits._
+    spark.sparkContext.sequenceFile[String, String](path).toDF(keyCol, valueCol)
+  }
+
   def jsonRoundtrip(df: DataFrame): DataFrame = {
     val path = tmp("json", df)
     df.write.mode("overwrite").json(path)
