@@ -99,6 +99,28 @@ object Chunking {
   }
 
   /**
+   * Materialized training shards on top of `packSequences`: each pack's
+   * documents concatenated in pack order with `sep`. A shard's size is
+   * bounded by `tokenBudget` BY CONSTRUCTION, so the per-pack
+   * collect_list can never blow an executor — the one aggregate is keyed
+   * by (grp, pack) and scales with shard count.
+   */
+  def packedShards(df: DataFrame, idCol: String, textCol: String,
+      tokenBudget: Long, numGroups: Int = 8, sep: String = "\n\n"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    packSequences(df, idCol, textCol, tokenBudget, numGroups)
+      .join(df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text")),
+        "doc_id")
+      .groupBy($"grp", $"pack")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"tokens").as("shard_tokens"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct($"pack_pos", $"__text"))),
+          p => p.getField("__text"))).as("shard_text"))
+  }
+
+  /**
    * Inverted index over lowercased whitespace tokens: one row per term
    * with document frequency, collection frequency, and the posting list as
    * a portable `"doc:tf,doc:tf"` string sorted by doc id.

@@ -109,5 +109,40 @@ object RankingQueries {
              |    CASE WHEN s.acc + r.tokens > 256 THEN 0 ELSE s.pack_pos + 1 END
              |  FROM s JOIN r ON r.grp = s.grp AND r.rn = s.rn + 1)
              |SELECT doc_id, grp, pack, pack_pos, tokens FROM s
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // the packs materialized as training shards (docs concatenated in
+    // pack order); the shard text is md5'd so the compared output stays
+    // small while still pinning every byte
+    "q_packed_shards" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Chunking.packedShards(t(s, dir, "documents"), "doc_id", "text",
+            tokenBudget = 256L, numGroups = 8)
+          .select($"grp", $"pack", $"n_docs", $"shard_tokens",
+            md5($"shard_text").as("shard_md5"))
+          .orderBy($"grp", $"pack")
+      },
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT doc_id, text,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS grp,
+             |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS tokens
+             |  FROM documents),
+             |r AS (SELECT d.*, row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+             |      FROM d),
+             |s AS (
+             |  SELECT grp, rn, doc_id, text, tokens, tokens AS acc,
+             |         0::BIGINT AS pack, 0::BIGINT AS pack_pos
+             |  FROM r WHERE rn = 1
+             |  UNION ALL
+             |  SELECT r.grp, r.rn, r.doc_id, r.text, r.tokens,
+             |    CASE WHEN s.acc + r.tokens > 256 THEN r.tokens ELSE s.acc + r.tokens END,
+             |    CASE WHEN s.acc + r.tokens > 256 THEN s.pack + 1 ELSE s.pack END,
+             |    CASE WHEN s.acc + r.tokens > 256 THEN 0 ELSE s.pack_pos + 1 END
+             |  FROM s JOIN r ON r.grp = s.grp AND r.rn = s.rn + 1)
+             |SELECT grp, pack, count(*) AS n_docs,
+             |       CAST(sum(tokens) AS BIGINT) AS shard_tokens,
+             |       md5(string_agg(text, chr(10) || chr(10) ORDER BY pack_pos)) AS shard_md5
+             |FROM s GROUP BY grp, pack
+             |ORDER BY grp, pack""".stripMargin)))
 }
