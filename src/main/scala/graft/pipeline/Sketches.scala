@@ -106,6 +106,82 @@ object Sketches {
       .agg(min(col("c")).as("cm_estimate"))
   }
 
+  /** Bloom filter geometry: m bits packed into 62-bit words, k hash
+    * functions from the shared multiply-mod family (seeded independently
+    * of MinHash/CMS). ~500 keys in 4096 bits with k = 4 → FP rate well
+    * under 1%. */
+  val BloomBits = 4096
+  val BloomK = 4
+  private val BloomFamily = Dedup.hashFamily(BloomK, seed = 11L)
+
+  private def bloomPositions(key: org.apache.spark.sql.Column) = {
+    val h = Dedup.baseHash60(key.cast("string")) % Dedup.HashP
+    array(BloomFamily.map { case (a, b) =>
+      (lit(a) * h + lit(b)) % Dedup.HashP % BloomBits }: _*)
+  }
+
+  /** bits packed per word: 62 (not 64) so the max shift is 61 — bit 63
+    * overflows DuckDB's checked `<<` on signed BIGINT, and bit 62 would
+    * flip the sign; staying below both keeps the bitmap replayable. */
+  val BloomWordBits = 62
+
+  /**
+   * Build the Bloom bitmap: (word INT, bits BIGINT), ≤ m/62 rows total.
+   * One hash aggregate over a ≤ m/62 key space — map-side partial bit_or
+   * collapses everything, so the shuffle carries a handful of tiny rows per
+   * task at any input size. The classic membership pre-filter for
+   * "have we already ingested this document id" at 100 TB.
+   */
+  def bloomBuild(df: DataFrame, keyCol: String): DataFrame =
+    df.select(explode(bloomPositions(col(keyCol))).as("pos"))
+      .select((col("pos") / BloomWordBits).cast("int").as("word"),
+        (col("pos") % BloomWordBits).cast("int").as("bit"))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bits"))
+
+  /** Probe keys against a built bitmap: (key, maybe_present). A key is
+    * maybe-present iff ALL k of its bits are set; the bitmap side is tiny
+    * and broadcast. No false negatives; false positives at the designed
+    * rate (deterministic, so the SQL oracle replays them exactly). */
+  def bloomMightContain(bloom: DataFrame, keys: DataFrame, keyCol: String): DataFrame = {
+    val probes = keys.select(col(keyCol).cast("string").as("key"),
+        explode(bloomPositions(col(keyCol))).as("pos"))
+      .select(col("key"), (col("pos") / BloomWordBits).cast("int").as("word"),
+        (col("pos") % BloomWordBits).cast("int").as("bit"))
+    probes.join(broadcast(bloom), Seq("word"), "left")
+      .groupBy(col("key"))
+      .agg((min(when(expr("(bits >> bit) & 1") === 1, 1).otherwise(0)) === 1)
+        .as("maybe_present"))
+  }
+
+  /** DuckDB replay of `bloomBuild` + `bloomMightContain`: build over
+    * `keyedRelation` (one `key` column), probe `probeRelation`. */
+  def bloomOracleSql(keyedRelation: String, probeRelation: String): String = {
+    val fam = BloomFamily.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    s"""WITH keyed AS ($keyedRelation),
+       |probes AS ($probeRelation),
+       |fam(a, b) AS (VALUES $fam),
+       |bh AS (SELECT ('0x' || substr(md5(key), 1, 15))::BIGINT % ${Dedup.HashP} AS h
+       |       FROM keyed),
+       |bpos AS (SELECT (a * h + b) % ${Dedup.HashP} % $BloomBits AS pos
+       |         FROM bh CROSS JOIN fam),
+       |bloom AS (
+       |  SELECT CAST(pos // $BloomWordBits AS INT) AS word,
+       |         bit_or(1::BIGINT << CAST(pos % $BloomWordBits AS INT)) AS bits
+       |  FROM bpos GROUP BY 1),
+       |ph AS (SELECT key, ('0x' || substr(md5(key), 1, 15))::BIGINT % ${Dedup.HashP} AS h
+       |       FROM probes),
+       |ppos AS (SELECT key, (a * h + b) % ${Dedup.HashP} % $BloomBits AS pos
+       |         FROM ph CROSS JOIN fam),
+       |pt AS (SELECT key, CAST(pos // $BloomWordBits AS INT) AS word,
+       |              CAST(pos % $BloomWordBits AS INT) AS bit
+       |       FROM ppos)
+       |SELECT pt.key,
+       |       min(CASE WHEN (bits >> bit) & 1 = 1 THEN 1 ELSE 0 END) = 1 AS maybe_present
+       |FROM pt LEFT JOIN bloom USING (word)
+       |GROUP BY pt.key""".stripMargin
+  }
+
   /** DuckDB replay of `cmFrequency` over a one-column `key` relation. */
   def cmOracleSql(keyedRelation: String): String = {
     val fam = CmFamily.zipWithIndex

@@ -128,6 +128,25 @@ object StatsQueries {
           .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
       }),
 
+    // Bloom membership pre-filter: bitmap built over every doc id, probed
+    // with 10 present + 10 absent keys; build AND probe replayed in SQL
+    // (false positives, if any, are deterministic and match exactly)
+    "q_bloom_membership" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val bloom = Sketches.bloomBuild(docs, "doc_id")
+        val probes = docs.filter($"doc_id" < 10)
+          .select($"doc_id".cast("string").as("k"))
+          .unionByName(s.range(10).select(concat(lit("absent"), $"id").as("k")))
+        Sketches.bloomMightContain(bloom, probes, "k").orderBy($"key")
+      },
+      Some(Sketches.bloomOracleSql(
+        "SELECT CAST(doc_id AS VARCHAR) AS key FROM documents",
+        """SELECT CAST(doc_id AS VARCHAR) AS key FROM documents WHERE doc_id < 10
+          |UNION ALL SELECT 'absent' || i FROM range(10) t(i)""".stripMargin)
+        + "\nORDER BY key")),
+
     // fixed-width histogram with clamp semantics (counts always sum to the
     // non-null rows); tiny key space → map-side partials collapse everything
     "q_value_histogram" -> QueryDef(

@@ -242,6 +242,26 @@ class PipelineSpec extends SparkSpec {
     assert(capped == Set("a", "c"))
   }
 
+  test("bloom filter: no false negatives, low FP rate, partitioning-invariant") {
+    import graft.pipeline.Sketches
+    val members = (0L until 400L).map(i => Tuple1(s"key$i")).toDF("k")
+    val bloom = Sketches.bloomBuild(members, "k")
+    // every member must probe present (no false negatives)
+    val present = Sketches.bloomMightContain(bloom, members, "k")
+      .filter(!$"maybe_present").count()
+    assert(present == 0L)
+    // absent keys: FP rate must stay near design (~(1-e^{-kn/m})^k ≈ 4% here)
+    val absent = (0L until 500L).map(i => Tuple1(s"other$i")).toDF("k")
+    val fp = Sketches.bloomMightContain(bloom, absent, "k")
+      .filter($"maybe_present").count()
+    assert(fp <= 50L, s"false positives: $fp / 500")
+    // bitmap identical under different input partitioning
+    val a = bloom.collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = Sketches.bloomBuild(members.repartition(7), "k")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
   test("histogram counts always sum to the non-null rows (clamp semantics)") {
     import graft.pipeline.Profiling
     val df = Seq[java.lang.Double](-5.0, 0.0, 0.5, 1.0, 2.5, 9.99, 10.0, 42.0, null)
