@@ -76,6 +76,15 @@ object StreamingQueries {
       Some("""SELECT user_id, count(*) AS n, round(sum(value), 2) AS total_value
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // bounded-state dedup: dropDuplicatesWithinWatermark evicts ids past
+    // the event-time horizon (the 100 TB posture — unbounded dedup state
+    // grows forever); duplicates land inside the horizon, so the batch
+    // oracle still applies
+    "q_stream_dedup_watermarked" -> QueryDef(
+      (s, dir) => EventsStream.dedupedUserCountsWatermarked(s, dir),
+      Some("""SELECT user_id, count(*) AS n, round(sum(value), 2) AS total_value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // batch/streaming unification: the stateless quality-score operator
     // (TextAnalysis.qualityScore, same Column transform q_text_quality
     // verifies per-doc) runs unchanged inside a streaming query; complete

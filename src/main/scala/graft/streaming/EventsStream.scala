@@ -130,6 +130,35 @@ object EventsStream {
   }
 
   /**
+   * Bounded-state variant of `dedupedUserCounts`: the unbounded
+   * `dropDuplicates` keeps every seen id forever, which at 100 TB grows
+   * without limit — `dropDuplicatesWithinWatermark` evicts dedup state
+   * once ids age past the event-time watermark, which is the production
+   * posture (duplicates in real delivery arrive close together). The
+   * fixture's duplicate delivery lands in a second micro-batch well
+   * inside the horizon, so the output still equals the batch aggregation
+   * and the same SQL oracle applies.
+   */
+  def dedupedUserCountsWatermarked(spark: SparkSession, dir: String,
+      horizon: String = "30 days"): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_dedup_wm_counts_${counter.incrementAndGet()}"
+    val q = eventsStream(spark, dir, copies = 2, maxFilesPerTrigger = Some(1))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).orderBy($"user_id")
+  }
+
+  /**
    * Stream–static enrichment join: the event stream joined to the static
    * `customer` dimension (broadcast — the static side is re-read per
    * micro-batch, so keeping it broadcast-small avoids a per-batch shuffle),
