@@ -242,6 +242,31 @@ class PipelineSpec extends SparkSpec {
     assert(capped == Set("a", "c"))
   }
 
+  test("declarative logsumexp is bitwise-equal to the typed Aggregator form") {
+    import graft.functions.LogSumExp
+    val rng = new java.util.Random(3L)
+    val rows = (0 until 5000).map(i =>
+      (i % 37, if (i % 113 == 0) Double.NegativeInfinity else rng.nextGaussian() * 50))
+    val df = rows.toDF("g", "x").repartition(4, $"g")
+    val both = df.groupBy($"g").agg(
+      LogSumExp.logsumexp($"x").as("decl"),
+      LogSumExp.logsumexpUdaf($"x").as("udaf")).collect()
+    assert(both.length == 37)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"group ${r.getInt(0)}: ${r.getDouble(1)} vs ${r.getDouble(2)}")
+    }
+    // all -Inf group → -Inf (the empty-buffer branch)
+    val inf = Seq((1, Double.NegativeInfinity), (1, Double.NegativeInfinity))
+      .toDF("g", "x").groupBy($"g").agg(LogSumExp.logsumexp($"x").as("v")).head()
+    assert(inf.getDouble(1).isNegInfinity)
+    // the declarative form runs in HashAggregate (codegen), not ObjectHashAggregate
+    val plan = df.groupBy($"g").agg(LogSumExp.logsumexp($"x"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") && !plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("bloom filter: no false negatives, low FP rate, partitioning-invariant") {
     import graft.pipeline.Sketches
     val members = (0L until 400L).map(i => Tuple1(s"key$i")).toDF("k")
