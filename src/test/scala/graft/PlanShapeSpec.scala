@@ -1,0 +1,48 @@
+package graft
+
+import graft.queries.Registry
+
+/** Physical-plan pins for the headline relational queries: filters reach
+  * the parquet scan, scans read only referenced columns, small dimensions
+  * broadcast. A regression in any of these silently multiplies scan bytes
+  * or shuffle width at scale, so they are asserted, not eyeballed. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def physical(q: String): String =
+    Registry.all(q).fn(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter pushed to the scan, unused columns pruned") {
+    val plan = physical("q1_pricing_summary")
+    assert(plan.contains("PushedFilters"), plan)
+    val pushed = plan.linesIterator.mkString("\n")
+    assert(pushed.contains("LessThanOrEqual(l_shipdate"), plan)
+    // ReadSchema must NOT include columns q1 never touches
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_suppkey"),
+      readSchema)
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_returnflag"),
+      readSchema)
+  }
+
+  test("q3: filtered customer dimension joins via broadcast") {
+    val plan = physical("q3_shipping_priority")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+    // the BUILDING segment filter is pushed into the customer scan
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan)
+  }
+
+  test("q5: no cartesian products anywhere in the 5-way join") {
+    val plan = physical("q5_local_supplier_volume")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("corpus wordcount scans only the referenced columns") {
+    val plan = physical("corpus_wordcount")
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    // the documents table has lang/source/n_chars — the wordcount needs none of them
+    assert(!readSchema.contains("lang") && !readSchema.contains("source") &&
+      !readSchema.contains("n_chars"), readSchema)
+  }
+}
