@@ -79,6 +79,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "nfc_normalize expects exactly 1 argument")
         graft.functions.NfcNormalize(Cast(args.head, StringType))
+      }),
+    // aggregate: the analyzer wraps the raw AggregateFunction like any
+    // built-in (sum/avg), so GROUP BY ... logsumexp(x) just works
+    ("logsumexp", new ExpressionInfo(classOf[GraftExtensions].getName, "logsumexp"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "logsumexp expects exactly 1 argument")
+        graft.functions.LogSumExpDecl(Cast(args.head, DoubleType))
       }))
 
   /** Register into an already-built session (extensions only run at

@@ -38,13 +38,24 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getString(3) == "plain")
   }
 
+  test("logsumexp works as a SQL aggregate") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1, 0.0), (1, 0.0), (2, math.log(3.0))).toDF("g", "x")
+      .createOrReplaceTempView("lse_in")
+    val rows = spark.sql("SELECT g, logsumexp(x) AS v FROM lse_in GROUP BY g ORDER BY g")
+      .collect()
+    assert(math.abs(rows(0).getDouble(1) - math.log(2.0)) < 1e-12)
+    assert(math.abs(rows(1).getDouble(1) - math.log(3.0)) < 1e-12)
+  }
+
   test("extension class injects the same builders") {
     // constructing the injector exercises the builder table; builders are
     // the same objects register() installs
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     assert(GraftExtensions.all.map(_._1) ==
       Seq("digamma", "trigamma", "lgamma", "log_add", "vec_dot",
-        "word_ngrams", "shingles", "simhash60", "nfc_normalize"))
+        "word_ngrams", "shingles", "simhash60", "nfc_normalize", "logsumexp"))
   }
 
   test("vec_dot matches the aggregate/zip_with composition bitwise") {
