@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
  * input once per distinct aggregate: fine for QA runs, but at 100 TB
  * swap it for `approx_count_distinct` (or `Sketches.hllEstimate`) —
  * everything else stays one plain pass. Doubles round to 6dp for
- * cross-engine stability.
+ * cross-engine stability. Known engine divergence: `stddev_samp` of a
+ * single non-null value is NaN in Spark but NULL in DuckDB — only
+ * relevant for near-empty columns.
  */
 object Profiling {
 

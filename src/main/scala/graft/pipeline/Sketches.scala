@@ -112,7 +112,9 @@ object Sketches {
     * under 1%. */
   val BloomBits = 4096
   val BloomK = 4
-  private val BloomFamily = Dedup.hashFamily(BloomK, seed = 11L)
+  // seed 13: distinct from MinHash (7) and count-min (11) so the three
+  // sketch families are actually independent hash draws
+  private val BloomFamily = Dedup.hashFamily(BloomK, seed = 13L)
 
   private def bloomPositions(key: org.apache.spark.sql.Column) = {
     val h = Dedup.baseHash60(key.cast("string")) % Dedup.HashP
