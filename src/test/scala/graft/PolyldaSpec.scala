@@ -138,6 +138,30 @@ class PolyldaSpec extends SparkSpec {
       assert(math.abs((a - b) / a) < 1e-6, s"alpha drift after resume: $a vs $b") }
   }
 
+  test("polylingual SHUFFLE-mode train 2 + resume 2 ≡ straight 4") {
+    // exercises the fused iteration's snapshot writer (per-language packed
+    // beta unpacked via posexplode) and the shuffle-mode resume loader
+    val r = PolyParseCorpus.run(corpus, PolyParseCorpus.Config(numLanguages = 2))
+    val numTerms = r.terms.collect().groupBy(_.lang).map { case (l, ts) => l -> ts.length }
+    val dir = java.nio.file.Files.createTempDirectory("graft_poly_ckpt_sh_").toString
+    val base = PolyTrainer.Config(numTopics = 2, maxIterations = 4, localIterations = 15,
+      seed = 3L, convergence = 0.0, betaBroadcastMaxEntries = 0L)
+    val straight = PolyTrainer.train(r.docs, numTerms, base)
+    PolyTrainer.train(r.docs, numTerms,
+      base.copy(maxIterations = 2, checkpointDir = Some(dir)))
+    val resumed = PolyTrainer.train(r.docs, numTerms,
+      base.copy(resumeFrom = Some((dir, 2))))
+    assert(resumed.llHistory.length == straight.llHistory.length)
+    straight.llHistory.zip(resumed.llHistory).foreach { case (a, b) =>
+      assert(math.abs((a - b) / a) < 1e-8, s"LL drift after shuffle resume: $a vs $b") }
+    straight.beta.foreach { case (l, tm) =>
+      tm.foreach { case (w, arr) =>
+        arr.zip(resumed.beta(l)(w)).foreach { case (a, b) =>
+          assert(math.abs(a - b) < 1e-6, s"beta drift lang=$l term=$w: $a vs $b") }
+      }
+    }
+  }
+
   test("polylingual held-out inference: doc gamma leans to its cluster topic") {
     val r = PolyParseCorpus.run(corpus, PolyParseCorpus.Config(numLanguages = 2))
     val numTerms = r.terms.collect().groupBy(_.lang).map { case (l, ts) => l -> ts.length }

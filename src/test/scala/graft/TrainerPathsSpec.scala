@@ -62,6 +62,32 @@ class TrainerPathsSpec extends SparkSpec {
       assert(math.abs((a - b) / a) < 1e-6, s"alpha drift after resume: $a vs $b") }
   }
 
+  test("SHUFFLE-mode train 3 + resume 2 ≡ straight 5 (snapshot unpack + reload)") {
+    // exercises the fused iteration's snapshot writer (the packed beta is
+    // unpacked back to (topic, termId, elogbeta) rows via posexplode) and
+    // the shuffle-mode resume loader that re-packs it
+    val parsed = ParseCorpus.run(corpus)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_sh_").toString
+    val base = Trainer.Config(numTopics = 2, maxIterations = 5, localIterations = 15,
+      seed = 42L, convergence = 0.0, betaBroadcastMaxEntries = 0L)
+    val straight = Trainer.train(parsed.docs, parsed.stats.numTerms.toInt, base)
+
+    Trainer.train(parsed.docs, parsed.stats.numTerms.toInt,
+      base.copy(maxIterations = 3, checkpointDir = Some(dir)))
+    val resumed = Trainer.train(parsed.docs, parsed.stats.numTerms.toInt,
+      base.copy(resumeFrom = Some((dir, 3))))
+
+    assert(resumed.iterations == straight.iterations)
+    assert(resumed.llHistory.length == straight.llHistory.length,
+      s"${resumed.llHistory} vs ${straight.llHistory}")
+    straight.llHistory.zip(resumed.llHistory).foreach { case (a, b) =>
+      assert(math.abs((a - b) / a) < 1e-8, s"LL drift after shuffle resume: $a vs $b") }
+    straight.beta.foreach { case (w, arr) =>
+      arr.zip(resumed.beta(w)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-6, s"beta drift for term $w: $a vs $b") }
+    }
+  }
+
   test("shuffle E-step keeps empty-count documents (parity with broadcast)") {
     import graft.model.Doc
     val parsed = ParseCorpus.run(corpus)
