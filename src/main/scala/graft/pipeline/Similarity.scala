@@ -55,6 +55,45 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       kmeansIterations: Int = 5, roundCentroids: Boolean = true): DataFrame = {
+    val index = buildIvfIndex(corpus, idCol, vecCol, nCentroids,
+      kmeansIterations, roundCentroids)
+    probeIvf(index, queries, idCol, vecCol, k, nProbe)
+  }
+
+  /** A built IVF index: the coarse quantizer (model-sized) plus the
+    * assigned inverted lists (corpus-sized, distributed). */
+  case class IvfIndex(centroids: Array[Array[Double]], assigned: DataFrame)
+
+  /** Persist an index: centroids + inverted lists as parquet, the lists
+    * partitioned BY cid — a probe that touches nProbe lists reads only
+    * those partitions (partition pruning on the list files). */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    index.assigned.write.mode("overwrite")
+      .partitionBy("cid").parquet(s"$path/lists")
+  }
+
+  /** Reload a persisted index for probing (build once, query many). */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy($"cid").select($"centroid").as[Seq[Double]]
+      .collect().map(_.toArray)
+    // restore the pre-partitionBy column order (partition cols move last)
+    val lists = spark.read.parquet(s"$path/lists")
+      .select($"corpus_id", $"cv", $"cid")
+    IvfIndex(cents, lists)
+  }
+
+  /** Build the index: deterministic seeded k-means + final assignment. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, kmeansIterations: Int = 5,
+      roundCentroids: Boolean = true): IvfIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(idCol).cast("long").as("corpus_id"),
@@ -98,12 +137,24 @@ object Similarity {
     }
 
     val assigned = c.withColumn("cid", element_at(nearestCol($"cv", centroids, 1), 1))
+    IvfIndex(centroids, assigned)
+  }
+
+  /** Probe a built (or reloaded) index: each query exactly reranks only
+    * its `nProbe` nearest inverted lists. */
+  def probeIvf(index: IvfIndex, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    def nearestCol(v: Column, cents: Array[Array[Double]], n: Int): Column =
+      graft.functions.vfunctions.vec_nearest_centroids(
+        v, typedLit(cents.map(_.toSeq).toSeq), n)
     val q = queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("cid", explode(nearestCol($"qv", centroids, nProbe)))
+      .withColumn("cid", explode(nearestCol($"qv", index.centroids, nProbe)))
 
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"corpus_id".asc)
-    assigned.join(broadcast(q), Seq("cid"))
+    index.assigned.join(broadcast(q), Seq("cid"))
       .filter($"corpus_id" =!= $"query_id")
       .select($"query_id", $"corpus_id", round(cosine($"cv", $"qv"), 6).as("cosine"))
       .withColumn("rnk", row_number().over(w)).filter($"rnk" <= k)

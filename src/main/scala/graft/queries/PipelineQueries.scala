@@ -194,6 +194,26 @@ object PipelineQueries {
       },
       Some(annIvfOracleSql)),
 
+    // index lifecycle: build once → save (lists partitioned by cid) →
+    // reload → probe; results must be identical to the in-memory build,
+    // so the SAME oracle applies (build-once/query-many is the 100 TB
+    // serving shape — probes prune to their nProbe list partitions)
+    "q_ann_ivf_persisted" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val idx = Similarity.buildIvfIndex(e, "vec_id", "embedding",
+          nCentroids = 16, kmeansIterations = 3)
+        val path = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_ivf_index_${ProcessHandle.current().pid()}").toString
+        Similarity.saveIvfIndex(idx, path)
+        Similarity.probeIvf(Similarity.loadIvfIndex(s, path),
+          e.filter($"vec_id" < 5), "vec_id", "embedding", k = 10, nProbe = 8)
+          .orderBy($"query_id", $"rnk")
+      },
+      Some(annIvfOracleSql)),
+
     // full SQL replay: the seeded hyperplanes are embedded as literals, so
     // DuckDB reproduces the bucketing, candidate set, and exact rerank
     "q_ann_lsh" -> QueryDef(
