@@ -251,6 +251,68 @@ object CurationQueries {
              |FROM lines l JOIN ldf d ON l.line = d.line
              |GROUP BY l.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // the full curation pipeline composed end-to-end: near-dup pairs →
+    // connected-component dedup (keep cluster minimum) → Gopher/C4 quality
+    // filter → deterministic 50% sample. One declarative plan; the oracle
+    // is the composition of the stage oracles (recursive-CTE closure,
+    // quality CTE, md5 sampling boundary)
+    "q_curation_pipeline" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2,
+          threshold = 0.5, maxGramDf = 100L)
+        val survivors = Curation.dedupClusters(docs, "doc_id", pairs)
+          .filter($"keep").select($"id".as("doc_id"))
+        val kept = docs.join(survivors, "doc_id")
+        val quality = Curation.qualityFlags(kept, "text",
+          Curation.QualityRules(minWords = 20, maxWords = 5000,
+            minMeanWordLen = 3.0, maxMeanWordLen = 10.0, maxSymbolRatio = 0.1,
+            minAlphaWordRatio = 0.8, minStopwordHits = 2,
+            maxDupUnigramRatio = 0.6, maxTopBigramRatio = 0.1))
+          .filter($"keep")
+        Curation.deterministicSample(quality, "doc_id", 0.5)
+          .select($"doc_id")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE $NgramPairsCtes,
+             |edges AS (
+             |  SELECT id_a AS s, id_b AS d FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT s, s FROM edges
+             |  UNION SELECT e.d, reach.r FROM edges e JOIN reach ON reach.id = e.s),
+             |cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+             |survivors AS (
+             |  SELECT doc_id, text FROM documents LEFT JOIN cc ON doc_id = cc.id
+             |  WHERE doc_id = coalesce(cc.cluster, doc_id)),
+             |toks2 AS (
+             |  SELECT doc_id, text,
+             |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+             |  FROM survivors),
+             |bg2 AS (
+             |  SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS g
+             |  FROM (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i FROM toks2)
+             |  QUALIFY g IS NOT NULL),
+             |bgtop2 AS (
+             |  SELECT doc_id, max(c) AS top, sum(c) AS nbg FROM (
+             |    SELECT doc_id, g, count(*) AS c FROM bg2 GROUP BY 1, 2) GROUP BY doc_id),
+             |qual AS (
+             |  SELECT t.doc_id FROM toks2 t LEFT JOIN bgtop2 ON t.doc_id = bgtop2.doc_id
+             |  WHERE len(tk) BETWEEN 20 AND 5000
+             |    AND round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / greatest(len(tk), 1), 4) BETWEEN 3.0 AND 10.0
+             |    AND round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+             |        / greatest(length(text), 1), 4) <= 0.1
+             |    AND round(CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+             |        / greatest(len(tk), 1), 4) >= 0.8
+             |    AND len(list_intersect(list_distinct(tk),
+             |        ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by'])) >= 2
+             |    AND round(1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / greatest(len(tk), 1), 4) <= 0.6
+             |    AND round(CAST(coalesce(bgtop2.top, 0) AS DOUBLE) / greatest(coalesce(bgtop2.nbg, 1), 1), 4) <= 0.1)
+             |SELECT doc_id FROM qual
+             |WHERE substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+             |ORDER BY doc_id""".stripMargin)),
+
     // per-source quota: at most 10 docs per source (the fixture has 25 per
     // source, so the cap genuinely bites), picked by md5 order of the doc
     // id (deterministic uniform choice the oracle replays exactly)
