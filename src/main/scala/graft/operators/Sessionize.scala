@@ -28,4 +28,42 @@ object Sessionize {
       (sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
         .cast("long"))
   }
+
+  /**
+   * Ordered funnel per key: how far through `steps` (an ordered list of
+   * event types) each key progressed, where step i+1 must occur strictly
+   * AFTER the key's earliest completion of step i. One aggregate per step
+   * level over a single key-grouped pass: stage k's timestamp is
+   * min(ts of step k events later than stage k−1's timestamp) — a
+   * conditional-min chain, no self-joins, no per-key sort. Returns
+   * (key, funnel_stage) with stage ∈ [0, steps.length].
+   */
+  def funnelStages(df: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(col("key"))
+    val base = df.select(col(keyCol).as("key"), col(typeCol).as("t"),
+      unix_millis(col(tsCol)).as("ms"))
+    // stage timestamps as a chain of per-key window mins over the SAME
+    // unordered partition spec: one shuffle on the key, every level reuses
+    // it, and the final groupBy(key) also reuses it (no second exchange).
+    // s_i = min ms of step-i events strictly later than s_{i-1}; a missing
+    // earlier stage nulls the condition, so progression stops — exactly
+    // the ordered-funnel semantics.
+    val staged = steps.indices.foldLeft(base) { (acc, i) =>
+      val cond =
+        if (i == 0) col("t") === steps.head
+        else col("t") === steps(i) && col("ms") > col(s"s${i - 1}")
+      acc.withColumn(s"s$i", min(when(cond, col("ms"))).over(w))
+    }
+    val firsts = steps.indices.map(i => first(col(s"s$i")).as(s"s$i"))
+    // ascending fold so the DEEPEST stage's check ends up outermost:
+    // when(s_last, n)...otherwise(when(s_0, 1).otherwise(0))
+    val stage = steps.indices.foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"s$i").isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    staged.groupBy(col("key"))
+      .agg(firsts.head, firsts.tail: _*)
+      .select(col("key").as(keyCol), stage.as("funnel_stage"))
+  }
 }

@@ -126,5 +126,35 @@ object TemporalQueries {
              |SELECT user_id, session_seq, count(*) AS n_events,
              |       min(ms) AS start_ms, max(ms) AS end_ms
              |FROM s GROUP BY user_id, session_seq
-             |ORDER BY user_id, session_seq""".stripMargin)))
+             |ORDER BY user_id, session_seq""".stripMargin)),
+
+    // ordered funnel view → click → purchase: each step must occur
+    // strictly after the user's earliest completion of the previous one;
+    // one key shuffle reused by every stage and the final count. Sliced to
+    // the first two days so the fixture actually distributes users across
+    // ALL four stages (the full month completes every funnel)
+    "q_event_funnel" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Sessionize.funnelStages(
+            Registry.events(s, dir).filter($"ts" < lit("2024-01-03")),
+            "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+          .groupBy($"funnel_stage").agg(count(lit(1)).as("n_users"))
+          .orderBy($"funnel_stage")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+             |        WHERE ts < TIMESTAMP '2024-01-03'),
+             |s0 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ms END) AS v0
+             |       FROM e GROUP BY 1),
+             |s1 AS (SELECT e.user_id, min(CASE WHEN event_type = 'click' AND ms > v0 THEN ms END) AS v1
+             |       FROM e JOIN s0 USING (user_id) GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(CASE WHEN event_type = 'purchase' AND ms > v1 THEN ms END) AS v2
+             |       FROM e JOIN s1 USING (user_id) GROUP BY 1),
+             |st AS (
+             |  SELECT s0.user_id,
+             |    CASE WHEN v2 IS NOT NULL THEN 3 WHEN v1 IS NOT NULL THEN 2
+             |         WHEN v0 IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage
+             |  FROM s0 JOIN s1 USING (user_id) JOIN s2 USING (user_id))
+             |SELECT funnel_stage, count(*) AS n_users FROM st
+             |GROUP BY funnel_stage ORDER BY funnel_stage""".stripMargin)))
 }

@@ -25,6 +25,20 @@ class SessionizeSpec extends SparkSpec {
       (2L, 50L, 0L)))
   }
 
+  test("funnel stages require strict temporal order and report the deepest stage") {
+    val df = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L), // full funnel
+      (2L, "click", 5L), (2L, "view", 6L),                          // click BEFORE view → stage 1
+      (3L, "view", 10L), (3L, "purchase", 20L),                     // skips click → stage 1
+      (4L, "view", 10L), (4L, "click", 10L),                        // tie is not strictly after → stage 1
+      (5L, "error", 1L)                                             // no funnel events → stage 0
+    ).toDF("key", "t", "ms").select($"key", $"t", timestamp_millis($"ms").as("ts"))
+    val out = Sessionize.funnelStages(df, "key", "t", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 0))
+  }
+
   test("assignment is invariant under input partitioning") {
     val rows = (0L until 500L).map(i => (i % 7, i * 37L % 10000L))
     val a = Sessionize.byGap(ev(rows: _*), "user_id", "ts", 200L)
