@@ -66,4 +66,26 @@ object Sessionize {
       .agg(firsts.head, firsts.tail: _*)
       .select(col("key").as(keyCol), stage.as("funnel_stage"))
   }
+
+  /**
+   * Cohort retention: keys are cohorted by the period of their FIRST
+   * event (period = floor((ms − epoch0) / periodMs)), and each
+   * (cohort, offset) cell counts keys still active `offset` periods
+   * later. Two key-grouped aggregates plus a distinct — every shuffle
+   * keyed by the key or the (small) cohort grid; the classic
+   * activity-matrix query at any scale. Returns
+   * (cohort_period, period_offset, n_keys).
+   */
+  def cohortRetention(df: DataFrame, keyCol: String, tsCol: String,
+      epoch0Ms: Long, periodMs: Long): DataFrame = {
+    require(periodMs > 0, "periodMs must be positive")
+    val ev = df.select(col(keyCol).as("key"),
+      floor((unix_millis(col(tsCol)) - lit(epoch0Ms)) / lit(periodMs)).as("period"))
+    val cohorts = ev.groupBy(col("key")).agg(min(col("period")).as("cohort_period"))
+    ev.distinct()
+      .join(cohorts, "key")
+      .groupBy(col("cohort_period"),
+        (col("period") - col("cohort_period")).as("period_offset"))
+      .agg(count(lit(1)).as("n_keys"))
+  }
 }

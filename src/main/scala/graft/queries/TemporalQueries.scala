@@ -156,5 +156,29 @@ object TemporalQueries {
              |         WHEN v0 IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage
              |  FROM s0 JOIN s1 USING (user_id) JOIN s2 USING (user_id))
              |SELECT funnel_stage, count(*) AS n_users FROM st
-             |GROUP BY funnel_stage ORDER BY funnel_stage""".stripMargin)))
+             |GROUP BY funnel_stage ORDER BY funnel_stage""".stripMargin)),
+
+    // daily purchase-retention matrix: users cohorted by first-purchase
+    // day, each (cohort, offset) cell = users purchasing again offset days
+    // later (11 cohorts × offsets on the fixture — integer day arithmetic
+    // both engines compute identically)
+    "q_cohort_retention" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Sessionize.cohortRetention(
+            Registry.events(s, dir).filter($"event_type" === "purchase"),
+            "user_id", "ts",
+            epoch0Ms = 1704067200000L, periodMs = 86400000L)
+          .orderBy($"cohort_period", $"period_offset")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, (epoch_ms(ts) - 1704067200000) // 86400000 AS p
+             |  FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, min(p) AS cohort_period FROM e GROUP BY 1),
+             |a AS (SELECT DISTINCT user_id, p FROM e)
+             |SELECT cohort_period, p - cohort_period AS period_offset,
+             |       count(*) AS n_keys
+             |FROM a JOIN c USING (user_id)
+             |GROUP BY cohort_period, period_offset
+             |ORDER BY cohort_period, period_offset""".stripMargin)))
 }

@@ -39,6 +39,18 @@ class SessionizeSpec extends SparkSpec {
     assert(out == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 0))
   }
 
+  test("cohort retention counts keys per (first-period, offset) cell") {
+    import graft.operators.Sessionize
+    // periods of 100ms from epoch0=0: A first in p0, active p0+p2;
+    // B first in p0 only; C first in p1, active p1+p2 (two events in p1
+    // must count once)
+    val df = Seq((1L, 10L), (1L, 250L), (2L, 50L), (3L, 110L), (3L, 150L), (3L, 220L))
+      .toDF("id", "ms").select($"id", timestamp_millis($"ms").as("ts"))
+    val out = Sessionize.cohortRetention(df, "id", "ts", epoch0Ms = 0L, periodMs = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((0L, 0L) -> 2L, (0L, 2L) -> 1L, (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+  }
+
   test("assignment is invariant under input partitioning") {
     val rows = (0L until 500L).map(i => (i % 7, i * 37L % 10000L))
     val a = Sessionize.byGap(ev(rows: _*), "user_id", "ts", 200L)
