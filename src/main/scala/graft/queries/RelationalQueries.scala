@@ -388,6 +388,25 @@ object RelationalQueries {
              |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
       bench = true),
 
+    // hopping (sliding) windows: 1-hour windows every 30 minutes — each
+    // event lands in exactly two windows (Spark's window() generator);
+    // the oracle constructs both containing windows per event explicitly
+    "q_events_hopping" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Registry.events(s, dir)
+          .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+          .select(date_format($"window.start", "yyyy-MM-dd HH:mm").as("window_start"),
+            $"event_type", $"n", $"total_value")
+          .orderBy($"window_start", $"event_type")
+      },
+      Some("""SELECT strftime(time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE,
+             |         '%Y-%m-%d %H:%M') AS window_start,
+             |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+             |FROM events CROSS JOIN (VALUES (0), (1)) t(k)
+             |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
     // grouped distinct + filter pushdown through join
     "q_supplier_part_types" -> QueryDef(
       (s, dir) => {
