@@ -40,4 +40,38 @@ object Merge {
     base.as("b").join(updates.as("u"), Seq(key), "full_outer")
       .select(col(key) +: outCols.toSeq: _*)
   }
+
+  /**
+   * SCD Type-2 apply: `history` rows are (key, attrs…, valid_from_ms,
+   * valid_to_ms) with NULL valid_to marking the current version;
+   * `updates` carry (key, attrs…, ts_ms) — at most one update per key
+   * (deduplicate upstream like `upsert`). For each updated key the
+   * current row closes at the update's timestamp and a new open row is
+   * appended; closed history and untouched keys pass through unchanged.
+   *
+   * One key-keyed left join over the current slice plus a union with the
+   * (unchanged) closed slice — history grows append-only, the classic
+   * dimension-table maintenance pass on a bucketed-by-key layout.
+   */
+  def scd2(history: DataFrame, updates: DataFrame, key: String,
+      tsCol: String): DataFrame = {
+    val attrCols = history.columns.filter(c =>
+      c != key && c != "valid_from_ms" && c != "valid_to_ms").toSeq
+    val closed = history.filter(col("valid_to_ms").isNotNull)
+    val current = history.filter(col("valid_to_ms").isNull)
+    // close updated current rows (untouched keys keep NULL valid_to)
+    val closedNow = current.as("b")
+      .join(updates.select(col(key), col(tsCol)).as("u"), Seq(key), "left")
+      .select(col(key) +: (attrCols.map(c => col(s"b.$c").as(c)) :+
+        col("b.valid_from_ms").as("valid_from_ms") :+
+        col(s"u.$tsCol").cast("long").as("valid_to_ms")): _*)
+    // new open versions from the updates
+    val opened = updates
+      .select(col(key) +: (attrCols.map(col) :+
+        col(tsCol).cast("long").as("valid_from_ms") :+
+        lit(null).cast("long").as("valid_to_ms")): _*)
+    closed.select(closedNow.columns.map(col): _*)
+      .unionByName(closedNow)
+      .unionByName(opened)
+  }
 }

@@ -313,6 +313,37 @@ object RelationalQueries {
              |FROM base b FULL OUTER JOIN updates u USING (c_custkey)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // SCD Type-2 apply: updated keys close their current row at the
+    // update timestamp and append a new open version; closed history and
+    // untouched keys pass through (graft.operators.Merge.scd2)
+    "q_merge_scd2" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cust = t(s, dir, "customer")
+        val hist = cust
+          .withColumn("valid_from_ms", lit(0L))
+          .withColumn("valid_to_ms", lit(null).cast("long"))
+        val upd = cust.filter($"c_custkey" % 10 === 0)
+          .withColumn("c_acctbal", round($"c_acctbal" + 100, 2))
+          .withColumn("ts_ms", lit(1000L))
+        graft.operators.Merge.scd2(hist, upd, "c_custkey", "ts_ms")
+          .orderBy($"c_custkey", $"valid_from_ms")
+      },
+      Some("""WITH upd AS (
+             |  SELECT c_custkey, c_name, c_nationkey,
+             |         round(c_acctbal + 100, 2) AS c_acctbal, c_mktsegment
+             |  FROM customer WHERE c_custkey % 10 = 0)
+             |SELECT h.c_custkey, h.c_name, h.c_nationkey, h.c_acctbal,
+             |       h.c_mktsegment, CAST(0 AS BIGINT) AS valid_from_ms,
+             |       CASE WHEN u.c_custkey IS NOT NULL
+             |            THEN CAST(1000 AS BIGINT) END AS valid_to_ms
+             |FROM customer h LEFT JOIN upd u USING (c_custkey)
+             |UNION ALL
+             |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+             |       CAST(1000 AS BIGINT), CAST(NULL AS BIGINT)
+             |FROM upd
+             |ORDER BY c_custkey, valid_from_ms""".stripMargin)),
+
     // TPC-H Q4 style: correlated EXISTS + grouped count
     "q_order_priority_check" -> QueryDef(
       (s, dir) => {

@@ -191,4 +191,23 @@ class TemporalJoinsSpec extends SparkSpec {
       (3L, 30.0, "c"),   // untouched
       (9L, 1.0, null)))  // inserted; non-updatable column absent → null
   }
+
+  test("Merge.scd2: updates close the current version and append a new one") {
+    import graft.operators.Merge
+    val history = Seq(
+      (1L, 10.0, 0L, Some(100L)), // closed old version of key 1
+      (1L, 11.0, 100L, None),     // current version of key 1
+      (2L, 20.0, 0L, None))       // current version of key 2 (untouched)
+      .toDF("k", "bal", "valid_from_ms", "valid_to_ms")
+    val updates = Seq((1L, 12.0, 500L)).toDF("k", "bal", "ts")
+    val out = Merge.scd2(history, updates, "k", "ts")
+      .orderBy($"k", $"valid_from_ms").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(out.toSeq == Seq(
+      (1L, 10.0, 0L, Some(100L)),  // closed history untouched
+      (1L, 11.0, 100L, Some(500L)),// current closed at update ts
+      (1L, 12.0, 500L, None),      // new open version
+      (2L, 20.0, 0L, None)))       // untouched key stays open
+  }
 }
