@@ -123,6 +123,33 @@ object TemporalJoins {
   }
 
   /**
+   * As-of join with a maximum-staleness bound (pandas `merge_asof`'s
+   * `tolerance`): a match farther than `toleranceMs` from the left
+   * timestamp is nulled out — the left row survives unmatched. A
+   * post-projection over `asofJoin` carrying the right timestamp, so the
+   * shuffle/window plan is identical to the unbounded form.
+   */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTsCol: String, rightTsCol: String, rightValueCols: Seq[String],
+      toleranceMs: Long, rightOrder: Option[String] = None,
+      direction: String = "backward"): DataFrame = {
+    require(toleranceMs >= 0, s"toleranceMs must be non-negative: $toleranceMs")
+    val carried =
+      if (rightValueCols.contains(rightTsCol)) rightValueCols
+      else rightValueCols :+ rightTsCol
+    val joined = asofJoin(left, right, keyCols, leftTsCol, rightTsCol,
+      carried, rightOrder, direction)
+    val rts = col(s"right_$rightTsCol")
+    val diff =
+      if (direction == "backward") unix_millis(col(leftTsCol)) - unix_millis(rts)
+      else unix_millis(rts) - unix_millis(col(leftTsCol))
+    val within = rts.isNotNull && diff <= toleranceMs
+    val bounded = carried.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"right_$c", when(within, col(s"right_$c"))) }
+    if (carried == rightValueCols) bounded else bounded.drop(s"right_$rightTsCol")
+  }
+
+  /**
    * Interval/range join without a cartesian: each right interval
    * [loCol, hiCol] explodes into fixed-width time bins, the join runs on
    * (key, bin) *equality* — a plain shuffle join Catalyst handles — and the

@@ -39,6 +39,40 @@ object TemporalQueries {
              |  ON c.user_id = p.user_id AND c.ts >= p.pts
              |ORDER BY c.event_id""".stripMargin)),
 
+    // as-of with a staleness bound (pandas merge_asof tolerance): the
+    // latest purchase counts only within 6 hours of the click — older
+    // matches null out, the click row survives
+    "q_asof_tolerance" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Registry.events(s, dir)
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"event_id", $"user_id", $"ts")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id".as("pid"), $"user_id", $"ts", $"value")
+        TemporalJoins.asofJoinTolerance(clicks, purchases, Seq("user_id"),
+            leftTsCol = "ts", rightTsCol = "ts",
+            rightValueCols = Seq("pid", "value"),
+            toleranceMs = 6L * 3600L * 1000L, rightOrder = Some("pid"))
+          .select($"event_id", $"user_id", $"ts",
+            $"right_pid".as("purchase_id"),
+            round($"right_value", 4).as("purchase_value"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             |p AS (
+             |  SELECT event_id AS purchase_id, user_id, ts AS pts, value
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT c.event_id, c.user_id, c.ts,
+             |  CASE WHEN epoch_ms(c.ts) - epoch_ms(p.pts) <= 21600000
+             |       THEN p.purchase_id END AS purchase_id,
+             |  CASE WHEN epoch_ms(c.ts) - epoch_ms(p.pts) <= 21600000
+             |       THEN round(p.value, 4) END AS purchase_value
+             |FROM c ASOF LEFT JOIN p
+             |  ON c.user_id = p.user_id AND c.ts >= p.pts
+             |ORDER BY c.event_id""".stripMargin)),
+
     // forward as-of: for each signup, the user's first purchase at or after
     "q_asof_next_purchase" -> QueryDef(
       (s, dir) => {

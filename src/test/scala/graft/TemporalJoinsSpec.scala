@@ -192,6 +192,23 @@ class TemporalJoinsSpec extends SparkSpec {
       (9L, 1.0, null)))  // inserted; non-updatable column absent → null
   }
 
+  test("asofJoinTolerance nulls matches older than the bound, keeps the row") {
+    import graft.operators.TemporalJoins
+    val left = Seq((1L, 100L), (2L, 1000L)).toDF("k", "ms")
+      .select($"k", timestamp_millis($"ms").as("ts"))
+    val right = Seq((1L, 90L, 7.0), (2L, 100L, 9.0)).toDF("k", "ms", "v")
+      .select($"k", timestamp_millis($"ms").as("ts"), $"v")
+    val out = TemporalJoins.asofJoinTolerance(left, right, Seq("k"),
+        "ts", "ts", Seq("v"), toleranceMs = 50L)
+      .orderBy($"k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // k=1: 10ms stale → within 50ms; k=2: 900ms stale → nulled, row kept
+    assert(out.toSeq == Seq((1L, Some(7.0)), (2L, None)))
+    // the right_ts carrier column is dropped when not requested
+    assert(!TemporalJoins.asofJoinTolerance(left, right, Seq("k"),
+      "ts", "ts", Seq("v"), 50L).columns.contains("right_ts"))
+  }
+
   test("Merge.scd2: updates close the current version and append a new one") {
     import graft.operators.Merge
     val history = Seq(
