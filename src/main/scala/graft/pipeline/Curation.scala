@@ -290,6 +290,41 @@ object Curation {
   }
 
   /**
+   * Weighted deterministic sampling: keep a row iff its md5-uniform draw
+   * falls below `weightCol` (a per-row keep probability in [0, 1] — e.g.
+   * a quality score, so high-quality documents survive preferentially).
+   * Same engine-portable md5 mechanics as `deterministicSample`; the
+   * uniform is the first 8 md5 hex digits scaled to [0, 1).
+   */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      salt: String = "graft"): DataFrame = {
+    val u = conv(substring(md5(concat(lit(salt), col(keyCol).cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    df.filter(u < col(weightCol))
+  }
+
+  /**
+   * Deterministic dataset split (train/val/test): each key's md5-uniform
+   * draw lands in one of the cumulative `fractions` bands; returns the
+   * input plus a `split` column with the band's name. Engine-portable,
+   * partitioning-independent, and stable across runs — the properties a
+   * training split must have (a df.randomSplit changes with partitioning).
+   * Fractions must sum to 1 (±1e-9).
+   */
+  def assignSplits(df: DataFrame, keyCol: String, fractions: Seq[(String, Double)],
+      salt: String = "graft"): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1: $fractions")
+    val u = conv(substring(md5(concat(lit(salt), col(keyCol).cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val cum = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val expr = fractions.zip(cum).init.foldRight(lit(fractions.last._1)) {
+      case (((name, _), hi), acc) => when(u < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /**
    * Per-key quota: keep at most `maxPerKey` rows per `keyCol` value,
    * chosen by md5 order of the id — a uniform, deterministic,
    * engine-portable "random" pick (domain quota capping: no single

@@ -313,6 +313,40 @@ object CurationQueries {
              |WHERE substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
              |ORDER BY doc_id""".stripMargin)),
 
+    // weighted sampling: keep probability proportional to document length
+    // (clamped to 1) — longer docs survive preferentially; the md5-uniform
+    // draw is replayed exactly in SQL
+    "q_sample_weighted" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .withColumn("w", least($"n_chars" / 2000.0, lit(1.0)))
+        Curation.weightedSample(docs, "doc_id", "w")
+          .select($"doc_id").orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id FROM documents
+             |WHERE CAST(('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |      / 4294967296.0 < least(n_chars / 2000.0, 1.0)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // deterministic 80/10/10 train/val/test split: stable under
+    // partitioning and across engines (df.randomSplit is neither)
+    "q_dataset_split" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Curation.assignSplits(t(s, dir, "documents"), "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .select($"doc_id", $"split").orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM (SELECT doc_id,
+             |        CAST(('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |        / 4294967296.0 AS u
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
     // per-source quota: at most 10 docs per source (the fixture has 25 per
     // source, so the cap genuinely bites), picked by md5 order of the doc
     // id (deterministic uniform choice the oracle replays exactly)

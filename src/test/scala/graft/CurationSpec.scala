@@ -103,6 +103,37 @@ class CurationSpec extends SparkSpec {
     assert(Curation.deterministicSample(df, "id", 1.0).count() == 10000L)
   }
 
+  test("weightedSample keeps rows in proportion to their weight") {
+    val df = (0L until 8000L).map(i => (i, if (i % 2 == 0) 0.9 else 0.1))
+      .toDF("id", "w")
+    val kept = Curation.weightedSample(df, "id", "w")
+      .groupBy($"w").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(math.abs(kept(0.9) / 4000.0 - 0.9) < 0.03, s"high: ${kept(0.9)}")
+    assert(math.abs(kept(0.1) / 4000.0 - 0.1) < 0.03, s"low: ${kept(0.1)}")
+    // weight 0 keeps nothing; weight 1 keeps everything
+    val edge = (0L until 100L).map(i => (i, if (i < 50) 0.0 else 1.0)).toDF("id", "w")
+    val e = Curation.weightedSample(edge, "id", "w").select($"id").as[Long].collect()
+    assert(e.forall(_ >= 50L) && e.length == 50)
+  }
+
+  test("assignSplits: every key gets exactly one stable band, rates hold") {
+    val df = (0L until 10000L).map(Tuple1(_)).toDF("id")
+    val splits = Curation.assignSplits(df, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = splits.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") / 10000.0 - 0.8) < 0.02, counts.toString)
+    assert(math.abs(counts("val") / 10000.0 - 0.1) < 0.01, counts.toString)
+    assert(math.abs(counts("test") / 10000.0 - 0.1) < 0.01, counts.toString)
+    // stable under repartitioning (the property randomSplit lacks)
+    val a = splits.select($"id", $"split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Curation.assignSplits(df.repartition(13), "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select($"id", $"split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
   test("capPerKey keeps exactly the quota per key, deterministically") {
     val df = (0L until 1000L).map(i => (i, s"src${i % 4}")).toDF("id", "source")
     val kept = Curation.capPerKey(df, "source", "id", maxPerKey = 25)
