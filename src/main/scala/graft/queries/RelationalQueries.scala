@@ -438,6 +438,22 @@ object RelationalQueries {
              |FROM events CROSS JOIN (VALUES (0), (1)) t(k)
              |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
 
+    // semi-structured parsing: the events props column is a JSON string;
+    // extract a typed field and aggregate on it (from_json/get_json_object
+    // family — the standard telemetry-payload shape)
+    "q_json_props" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Registry.events(s, dir)
+          .select(get_json_object($"props", "$.k").cast("int").as("k"), $"value")
+          .groupBy(($"k" % 10).as("k_mod"))
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+          .orderBy($"k_mod")
+      },
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+             |  count(*) AS n, round(sum(value), 2) AS total_value
+             |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin)),
+
     // grouped distinct + filter pushdown through join
     "q_supplier_part_types" -> QueryDef(
       (s, dir) => {
