@@ -42,6 +42,23 @@ object Merge {
   }
 
   /**
+   * Change-log compaction: keep each key's LATEST version from an
+   * append-only change stream (row_number over the key ordered by the
+   * version column descending, ties broken by `tieCol` descending so the
+   * result is deterministic when several changes share a timestamp).
+   * One key shuffle; Spark 3.5+ plans the rank filter as WindowGroupLimit,
+   * so only each key's top row survives the sort buffer.
+   */
+  def latestByKey(changes: DataFrame, key: String, versionCol: String,
+      tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+      .orderBy(col(versionCol).desc, col(tieCol).desc)
+    changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /**
    * SCD Type-2 apply: `history` rows are (key, attrs…, valid_from_ms,
    * valid_to_ms) with NULL valid_to marking the current version;
    * `updates` carry (key, attrs…, ts_ms) — at most one update per key

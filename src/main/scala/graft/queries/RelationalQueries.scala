@@ -313,6 +313,23 @@ object RelationalQueries {
              |FROM base b FULL OUTER JOIN updates u USING (c_custkey)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // change-log compaction: each user's latest event wins (CDC snapshot
+    // from an append-only log; ties broken by event id)
+    "q_latest_by_key" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Merge.latestByKey(Registry.events(s, dir),
+            "user_id", "ts", "event_id")
+          .select($"user_id", $"event_id", $"event_type",
+            round($"value", 4).as("value"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id, event_id, event_type, round(value, 4) AS value
+             |FROM (SELECT *, row_number() OVER (
+             |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |      FROM events)
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
     // SCD Type-2 apply: updated keys close their current row at the
     // update timestamp and append a new open version; closed history and
     // untouched keys pass through (graft.operators.Merge.scd2)

@@ -38,6 +38,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("latestByKey plans a WindowGroupLimit (top-1 prune before the sort)") {
+    val plan = physical("q_latest_by_key")
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("corpus wordcount scans only the referenced columns") {
     val plan = physical("corpus_wordcount")
     val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
