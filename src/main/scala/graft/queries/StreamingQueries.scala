@@ -76,6 +76,18 @@ object StreamingQueries {
       Some("""SELECT user_id, count(*) AS n, round(sum(value), 2) AS total_value
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // append-mode parquet file sink: only windows finalized by the
+    // watermark emit (end <= max event time - 1h), exactly once into
+    // checkpointed files — the oracle applies the same cutoff
+    "q_stream_file_sink" -> QueryDef(
+      (s, dir) => EventsStream.hourlyToFileSink(s, dir),
+      Some("""WITH m AS (SELECT max(ts) AS mx FROM events)
+             |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+             |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+             |FROM events, m
+             |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
+             |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
+
     // bounded-state dedup: dropDuplicatesWithinWatermark evicts ids past
     // the event-time horizon (the 100 TB posture — unbounded dedup state
     // grows forever); duplicates land inside the horizon, so the batch

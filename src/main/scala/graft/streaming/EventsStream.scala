@@ -130,6 +130,40 @@ object EventsStream {
   }
 
   /**
+   * Append-mode windowed aggregation into an exactly-once PARQUET file
+   * sink (checkpointed) — the production sink shape, where finalized
+   * windows land in files and the checkpoint makes restarts idempotent.
+   * Append mode only emits a window once the watermark passes its end, so
+   * with a bounded source the output is every window whose end ≤
+   * max(event time) − delay: deterministic, and the batch oracle applies
+   * with exactly that cutoff. (The trailing window never finalizes — the
+   * semantics, not a bug.)
+   */
+  def hourlyToFileSink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val run = counter.incrementAndGet()
+    val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_file_sink_${ProcessHandle.current().pid()}_$run")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    val q = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm").as("hour"),
+        $"event_type", $"n", $"total_value")
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(out).orderBy($"hour", $"event_type")
+  }
+
+  /**
    * Bounded-state variant of `dedupedUserCounts`: the unbounded
    * `dropDuplicates` keeps every seen id forever, which at 100 TB grows
    * without limit — `dropDuplicatesWithinWatermark` evicts dedup state
