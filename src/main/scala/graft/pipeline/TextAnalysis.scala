@@ -116,6 +116,11 @@ object TextAnalysis {
    *   - `dup_bigram_char_frac` characters in bigram occurrences beyond
    *                          each gram's first / text length
    *
+   * The two bigram fractions count overlapping occurrences per occurrence
+   * (adjacent bigrams share a token), so their raw ratio can exceed 1 on
+   * pathologically repetitive text — both clamp to 1, keeping every
+   * signal in [0, 1] for downstream thresholding.
+   *
    * Bigrams are counted with multiplicity over the lowercased,
    * newline-flattened text (WordNgramsAll — codegen'd). The plan is two
    * doc-keyed hash aggregates (lines, grams) joined back on doc id: every
@@ -156,9 +161,9 @@ object TextAnalysis {
           greatest($"n_lines", lit(1L)), 6).as("dup_line_frac"),
         round(coalesce($"dup_chars", lit(0L)).cast("double") /
           greatest($"line_chars", lit(1L)), 6).as("dup_line_char_frac"),
-        round(coalesce($"top_chars", lit(0L)).cast("double") /
-          greatest($"text_len", lit(1)), 6).as("top_bigram_char_frac"),
-        round(coalesce($"dup_gchars", lit(0L)).cast("double") /
-          greatest($"text_len", lit(1)), 6).as("dup_bigram_char_frac"))
+        round(least(coalesce($"top_chars", lit(0L)).cast("double") /
+          greatest($"text_len", lit(1)), lit(1.0)), 6).as("top_bigram_char_frac"),
+        round(least(coalesce($"dup_gchars", lit(0L)).cast("double") /
+          greatest($"text_len", lit(1)), lit(1.0)), 6).as("dup_bigram_char_frac"))
   }
 }

@@ -419,8 +419,8 @@ object CurationQueries {
              |  coalesce(n_lines, 0) AS n_lines,
              |  round(CAST(coalesce(dup_occ, 0) AS DOUBLE) / greatest(coalesce(n_lines, 0), 1), 6) AS dup_line_frac,
              |  round(CAST(coalesce(dup_chars, 0) AS DOUBLE) / greatest(coalesce(line_chars, 0), 1), 6) AS dup_line_char_frac,
-             |  round(CAST(coalesce(top_chars, 0) AS DOUBLE) / greatest(length(b.text), 1), 6) AS top_bigram_char_frac,
-             |  round(CAST(coalesce(dup_gchars, 0) AS DOUBLE) / greatest(length(b.text), 1), 6) AS dup_bigram_char_frac
+             |  round(least(CAST(coalesce(top_chars, 0) AS DOUBLE) / greatest(length(b.text), 1), 1.0), 6) AS top_bigram_char_frac,
+             |  round(least(CAST(coalesce(dup_gchars, 0) AS DOUBLE) / greatest(length(b.text), 1), 1.0), 6) AS dup_bigram_char_frac
              |FROM planted b
              |LEFT JOIN lstats USING (doc_id)
              |LEFT JOIN gstats USING (doc_id)

@@ -242,6 +242,58 @@ class PipelineSpec extends SparkSpec {
     assert(capped == Set("a", "c"))
   }
 
+  test("repetitionSignals fractions stay in [0,1] over adversarial docs") {
+    import graft.pipeline.TextAnalysis
+    val rng = new java.util.Random(11L)
+    val docs = (0L until 300L).map { i =>
+      val toks = Seq.fill(1 + rng.nextInt(40))(s"w${rng.nextInt(6)}")
+      val text = i % 5 match {
+        case 0 => ""                             // blank
+        case 1 => toks.mkString(" ")             // single line
+        case 2 => toks.grouped(5).map(_.mkString(" ")).mkString("\n")
+        case 3 => (toks ++ toks).mkString(" ")   // heavy repetition
+        case _ => "\n\n" + toks.mkString(" ") + "\n \n" // empty/space lines
+      }
+      (i, text)
+    }.toDF("id", "text")
+    val rows = TextAnalysis.repetitionSignals(docs, "id", "text").collect()
+    assert(rows.length == 300)
+    rows.foreach { r =>
+      (2 to 5).foreach { c =>
+        val v = r.getDouble(c)
+        assert(v >= 0.0 && v <= 1.0001, s"col $c out of range: $v in ${r}")
+      }
+    }
+  }
+
+  test("invertedIndex postings decode back to the exact term counts") {
+    import graft.pipeline.Chunking
+    val rng = new java.util.Random(5L)
+    val docs = (0L until 100L).map { i =>
+      (i, Seq.fill(1 + rng.nextInt(30))(s"t${rng.nextInt(12)}").mkString(" "))
+    }.toDF("id", "text")
+    val idx = Chunking.invertedIndex(docs, "id", "text").collect()
+    // rebuild (term, doc, tf) from the postings strings and compare with
+    // a direct count
+    val decoded = idx.flatMap { r =>
+      r.getString(3).split(",").map { p =>
+        val Array(d, tf) = p.split(":")
+        (r.getString(0), d.toLong, tf.toLong)
+      }
+    }.toSet
+    val direct = docs.select($"id", explode(split(lower($"text"), " ")).as("t"))
+      .groupBy($"t", $"id").count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(decoded == direct)
+    // df/cf consistent with the postings
+    idx.foreach { r =>
+      val parts = r.getString(3).split(",")
+      assert(parts.length.toLong == r.getLong(1), s"df mismatch for ${r.getString(0)}")
+      assert(parts.map(_.split(":")(1).toLong).sum == r.getLong(2),
+        s"cf mismatch for ${r.getString(0)}")
+    }
+  }
+
   test("declarative logsumexp is bitwise-equal to the typed Aggregator form") {
     import graft.functions.LogSumExp
     val rng = new java.util.Random(3L)
