@@ -7,6 +7,30 @@ import graft.pipeline.Chunking
 class ChunkingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("chunk reconstruction: de-overlapped chunks rebuild the token stream") {
+    val rng = new java.util.Random(17L)
+    val docs = (0L until 120L).map { i =>
+      (i, Seq.fill(1 + rng.nextInt(60))(s"w${rng.nextInt(9)}").mkString(" "))
+    }.toDF("id", "text")
+    for ((size, overlap) <- Seq((8, 0), (8, 4), (5, 2), (16, 15))) {
+      val chunks = Chunking.chunkByTokens(docs, "id", "text", size, overlap)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+        .groupBy(_._1)
+      val original = docs.collect()
+        .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+        .toMap
+      original.foreach { case (id, toks) =>
+        val cs = chunks(id).sortBy(_._2).map(_._3.split(" ").toSeq)
+        // every chunk within size; first starts the doc; dropping each
+        // chunk's first `overlap` tokens (except chunk 0) rebuilds the doc
+        assert(cs.forall(_.length <= size), s"doc $id size/$overlap")
+        val rebuilt = cs.head ++ cs.tail.flatMap(_.drop(overlap))
+        assert(rebuilt == toks, s"doc $id ($size,$overlap): $rebuilt vs $toks")
+      }
+    }
+  }
+
   test("chunking drops trailing windows contained in their predecessor") {
     // 10 tokens, size 8, overlap 4 -> starts 0 and 4 only (start 8 would
     // cover tokens already inside [4, 10))
