@@ -39,6 +39,31 @@ class SessionizeSpec extends SparkSpec {
     assert(out == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 0))
   }
 
+  test("batch byGap agrees with the streaming sessionizer on real events") {
+    // the two implementations are independent (window chain vs
+    // flatMapGroupsWithState); same gap on the same data must yield the
+    // same per-session (user, start, end, count) sets
+    val dir = "/root/testdata/sf0.001"
+    val streaming = graft.streaming.EventsStream.sessionize(spark, dir, gapMinutes = 30)
+      .select($"user_id", $"session_start", $"session_end", $"events")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val events = graft.queries.Registry.events(spark, dir)
+    val batch = graft.operators.Sessionize.byGap(
+        events.select($"user_id", $"ts"), "user_id", "ts", gapMs = 30L * 60L * 1000L)
+      .groupBy($"user_id", $"session_seq")
+      .agg(org.apache.spark.sql.functions.min($"ts").as("s"),
+        org.apache.spark.sql.functions.max($"ts").as("e"),
+        count(lit(1)).as("n"))
+      .select($"user_id",
+        date_format($"s", "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format($"e", "yyyy-MM-dd HH:mm:ss").as("session_end"), $"n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(batch == streaming, s"batch ${batch.size} vs streaming ${streaming.size} sessions")
+    assert(batch.nonEmpty)
+  }
+
   test("cohort retention counts keys per (first-period, offset) cell") {
     import graft.operators.Sessionize
     // periods of 100ms from epoch0=0: A first in p0, active p0+p2;
