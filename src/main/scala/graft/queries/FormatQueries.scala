@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.sources.Formats
+import graft.sources.{Formats, MrldaSequenceFile}
 import org.apache.spark.sql.functions._
 
 /** Source/sink format coverage: each query pushes a table through a
@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
 object FormatQueries {
 
   import Registry.t
+
+  /** One fixed export location per (kind, JVM), overwritten each run —
+    * same bounded-footprint reasoning as Formats.tmp. */
+  private def mrldaTmp(kind: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_mrlda", s"${kind}_${ProcessHandle.current().pid()}").toString
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -62,6 +68,80 @@ object FormatQueries {
       },
       Some("""SELECT doc_id, CAST(length(text) AS INT) AS n_chars
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // the reference's NATIVE corpus wire format: dictionary-encode the
+    // documents table, export it as SequenceFile<IntWritable,
+    // cc.mrlda.Document> (hand-rolled header/record framing — the class
+    // isn't on any classpath here), read it back with the split-aware
+    // native reader, and explode to (doc_id, term_id, cnt). The oracle
+    // recomputes the dictionary encoding from raw text in DuckDB, so any
+    // byte-framing error on either side fails the hash check.
+    "q_seqfile_mrlda_docs" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val parsed = CorpusQueries.parsedCorpus(s, dir)
+        val path = mrldaTmp("docs")
+        // tiny sync interval so even the sf0.01 fixture crosses sync
+        // markers and a sub-file split size exercises the range reader
+        MrldaSequenceFile.writeDocs(parsed.docs, path, syncIntervalBytes = 512)
+        MrldaSequenceFile.readDocs(s, path, splitBytes = 16 * 1024).toDF()
+          .select($"docId".as("doc_id"), explode($"counts").as(Seq("term_id", "cnt")))
+          .orderBy($"doc_id", $"term_id")
+      },
+      Some("""WITH dict AS (
+             |  SELECT CAST(row_number() OVER (ORDER BY df DESC, tf DESC, token ASC) AS INT) AS term_id,
+             |         token AS term
+             |  FROM (SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf
+             |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) u
+             |        WHERE token <> '' GROUP BY token)),
+             |tok AS (SELECT doc_id, token, count(*) AS cnt
+             |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) u
+             |        WHERE token <> '' GROUP BY doc_id, token)
+             |SELECT t.doc_id, d.term_id, CAST(t.cnt AS INT) AS cnt
+             |FROM tok t JOIN dict d ON t.token = d.term
+             |ORDER BY doc_id, term_id""".stripMargin)),
+
+    // polylingual variant: fixed language-slot framing
+    // (polylda/Document.java:259-287), missing-language slots round-trip
+    // as absent map keys
+    "q_seqfile_mrlda_poly" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val parsed = PolyldaQueries.parsed(s, dir)
+        val path = mrldaTmp("poly")
+        MrldaSequenceFile.writePolyDocs(parsed.docs, path, numLanguages = 2,
+          syncIntervalBytes = 512)
+        MrldaSequenceFile.readPolyDocs(s, path, splitBytes = 16 * 1024).toDF()
+          .select($"docId".as("doc_id"), explode($"counts").as(Seq("lang", "m")))
+          .select($"doc_id", $"lang", explode($"m").as(Seq("term_id", "cnt")))
+          .orderBy($"doc_id", $"lang", $"term_id")
+      },
+      Some("""WITH l0 AS (
+             |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+             |  FROM documents),
+             |l1 AS (
+             |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+             |           x -> x <> '' AND len(x) % 2 = 0)) AS token
+             |  FROM documents WHERE doc_id % 7 <> 0),
+             |agg AS (
+             |  SELECT CAST(0 AS INT) AS lang, token, count(DISTINCT doc_id) AS df, count(*) AS tf
+             |  FROM l0 GROUP BY token
+             |  UNION ALL
+             |  SELECT CAST(1 AS INT), token, count(DISTINCT doc_id), count(*)
+             |  FROM l1 GROUP BY token),
+             |dict AS (
+             |  SELECT lang,
+             |         CAST(row_number() OVER (PARTITION BY lang ORDER BY df DESC, tf DESC, token ASC) AS INT) AS term_id,
+             |         token FROM agg),
+             |tok AS (
+             |  SELECT doc_id, CAST(0 AS INT) AS lang, token, count(*) AS cnt
+             |  FROM l0 GROUP BY doc_id, token
+             |  UNION ALL
+             |  SELECT doc_id, CAST(1 AS INT), token, count(*)
+             |  FROM l1 GROUP BY doc_id, token)
+             |SELECT t.doc_id, t.lang, d.term_id, CAST(t.cnt AS INT) AS cnt
+             |FROM tok t JOIN dict d ON t.lang = d.lang AND t.token = d.token
+             |ORDER BY t.doc_id, t.lang, d.term_id""".stripMargin)),
 
     "q_partitioned_sink" -> QueryDef(
       (s, dir) => {

@@ -29,7 +29,7 @@ object PolyldaQueries {
                 x => length(x) % 2 === 0)))).as("texts"))
   }
 
-  private def parsed(s: SparkSession, dir: String) =
+  private[queries] def parsed(s: SparkSession, dir: String) =
     PolyParseCorpus.run(bilingualInput(s, dir), PolyParseCorpus.Config(numLanguages = 2))
 
   /** shared DuckDB CTEs reproducing the bilingual derivation */
