@@ -171,6 +171,14 @@ object Trainer {
       // shape ran three actions over the cached E-step per iteration
       // (beta localCheckpoint, stats collect, corpus rotation), paying two
       // extra rounds of job/stage scheduling each time.
+      //
+      // Known tradeoff of the fusion: betaTable and the next corpus are
+      // tag-filter views over the SAME checkpoint, so each consumer scan
+      // re-reads the full union's blocks. Measured faster at bench scale
+      // (scheduling dominates), but if the doc side ever dwarfs beta by
+      // enough that re-scanning it per E-step join hurts, split into TWO
+      // checkpoints (beta branch separate) — still one upstream E-step
+      // job via the shared cached `estep`.
       var betaRowsDriver: Seq[(Int, Int, Double)] = Nil // broadcast mode only
       var fused: Option[DataFrame] = None               // shuffle mode only
       val prevBetaTable = betaTable

@@ -135,16 +135,24 @@ object Chunking {
       maxDf: Long = 100000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"),
+    val perDoc = df.select(col(idCol).cast("long").as("doc_id"),
         explode(TextAnalysis.wsTokens(lower(col(textCol)))).as("term"))
       .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+    // df/cf first, and the band filter BEFORE the posting-list aggregate:
+    // a hot term must never reach collect_list, or its full posting list
+    // materializes on one executor just to be dropped. The join replays
+    // the (cheap, map-side-combined) per-doc pass — trading a second scan
+    // for bounded executor memory, the right side of the trade at scale.
+    val kept = perDoc.groupBy($"term")
+      .agg(count(lit(1)).as("df"), sum($"tf").as("cf"))
+      .filter($"df" <= maxDf)
+    perDoc.join(kept, "term")
       .groupBy($"term").agg(
-        count(lit(1)).as("df"),
-        sum($"tf").as("cf"),
+        first($"df").as("df"),
+        first($"cf").as("cf"),
         concat_ws(",", transform(array_sort(collect_list(struct($"doc_id", $"tf"))),
           p => concat_ws(":", p.getField("doc_id").cast("string"),
             p.getField("tf").cast("string")))).as("postings"))
-      .filter($"df" <= maxDf)
   }
 
   /**

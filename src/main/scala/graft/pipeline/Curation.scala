@@ -317,7 +317,12 @@ object Curation {
       s"fractions must sum to 1: $fractions")
     val u = conv(substring(md5(concat(lit(salt), col(keyCol).cast("string"))), 1, 8), 16, 10)
       .cast("double") / lit(4294967296.0)
+    // round each cumulative boundary to 12dp: the floating fold of the
+    // fractions (0.8 + 0.1 = 0.9000000000000001) must not open an
+    // engine-divergent band vs an oracle's literal 0.9 — draws are exact
+    // k/2^32 multiples, far coarser than 1e-12
     val cum = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(b => math.rint(b * 1e12) / 1e12)
     val expr = fractions.zip(cum).init.foldRight(lit(fractions.last._1)) {
       case (((name, _), hi), acc) => when(u < hi, lit(name)).otherwise(acc)
     }

@@ -19,21 +19,10 @@ object DocsStream {
   private val counter = new AtomicInteger(0)
 
   /** documents.parquet is a single file; the streaming file source wants a
-    * directory, so expose it via a symlinked temp dir (same pattern as
-    * EventsStream.streamableEventsDir). */
-  private def streamableDocsDir(dir: String): String = {
-    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
-    val tmp = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_docs_stream_${math.abs(dir.hashCode)}")
-    Files.createDirectories(tmp)
-    val link = tmp.resolve("documents_0.parquet")
-    if (!Files.exists(link)) {
-      try Files.createSymbolicLink(link, src)
-      catch { case _: Exception => Files.copy(src, link) }
-    }
-    tmp.toString
-  }
+    * directory, so expose it via StreamDirs (path-keyed, staleness-aware). */
+  private def streamableDocsDir(dir: String): String =
+    StreamDirs.linkedDir("graft_docs_stream",
+      java.nio.file.Paths.get(dir, "documents.parquet"), Seq("documents_0.parquet"))
 
   /**
    * `TextAnalysis.qualityScore` applied to a document STREAM, aggregated

@@ -43,30 +43,13 @@ object EventsStream {
   /** The file stream source requires a *directory* (its basePath), but the
     * test tables are single parquet files — expose the events file through a
     * per-call temp directory symlink. */
-  private def streamableEventsDir(dir: String, copies: Int = 1): String = {
-    import java.nio.file.{Files, Paths}
-    // absolute path: a relative symlink target would resolve against the
-    // temp dir and dangle (createSymbolicLink does not validate the target)
-    val src = Paths.get(dir, "events.parquet").toAbsolutePath
-    // FIXED location per (source dir, copies), links created idempotently:
-    // a fresh temp dir per call would leak (deleteOnExit cannot remove
-    // non-empty directories), and on filesystems without symlinks each
-    // leaked dir would hold a full copy of the data
-    val key = Integer.toHexString(src.toString.hashCode)
-    val tmp = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_events_stream_${key}_$copies")
-    Files.createDirectories(tmp)
-    // copies > 1 simulates at-least-once redelivery: the same file exposed
-    // under several names, every event arriving `copies` times
-    (0 until copies).foreach { i =>
-      val link = tmp.resolve(s"events_$i.parquet")
-      if (!Files.exists(link)) {
-        try Files.createSymbolicLink(link, src)
-        catch { case _: Exception => Files.copy(src, link) }
-      }
-    }
-    tmp.toString
-  }
+  /** copies > 1 simulates at-least-once redelivery: the same file exposed
+    * under several names, every event arriving `copies` times. Location
+    * fixed per (source path, copies) and staleness-refreshed — StreamDirs. */
+  private def streamableEventsDir(dir: String, copies: Int = 1): String =
+    StreamDirs.linkedDir("graft_events_stream",
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      (0 until copies).map(i => s"events_$i.parquet"))
 
   /** streaming read of the events file; ts arrives as TIMESTAMP(NANOS)
     * which Spark's parquet reader only accepts as long → convert to µs */
