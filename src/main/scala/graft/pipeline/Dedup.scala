@@ -90,11 +90,12 @@ object Dedup {
    */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      jaccardThreshold: Double = 0.7): DataFrame = {
+      jaccardThreshold: Double = 0.7,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val base = shingleBase(df, idCol, textCol, shingleSize)
-    val banded = bandedBuckets(base, numHashes, bands)
+    val banded = capBuckets(bandedBuckets(base, numHashes, bands), maxBucketSize)
 
     val candIds = banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" && $"a.id" < $"b.id")
@@ -119,17 +120,56 @@ object Dedup {
   def minhashNearDupsAgainst(newDf: DataFrame, refDf: DataFrame,
       idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      jaccardThreshold: Double = 0.7): DataFrame = {
+      jaccardThreshold: Double = 0.7,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val spark = newDf.sparkSession
     import spark.implicits._
     val baseNew = shingleBase(newDf, idCol, textCol, shingleSize)
     val baseRef = shingleBase(refDf, idCol, textCol, shingleSize)
-    val candIds = bandedBuckets(baseNew, numHashes, bands).as("a")
-      .join(bandedBuckets(baseRef, numHashes, bands).as("b"),
+    val candIds = capBuckets(bandedBuckets(baseNew, numHashes, bands), maxBucketSize).as("a")
+      .join(capBuckets(bandedBuckets(baseRef, numHashes, bands), maxBucketSize).as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket")
       .select($"a.id".as("new_id"), $"b.id".as("ref_id"))
       .distinct()
     verifyJaccard(candIds, baseNew, baseRef, "new_id", "ref_id", jaccardThreshold)
+  }
+
+  /** Per-(band, bucket) population cap for the LSH join — the standard
+    * skew posture. Boilerplate (one shingle or signature shared by a huge
+    * doc fraction) produces a single giant bucket whose self-join is
+    * O(n²); real near-dups still collide in their OTHER, small buckets,
+    * and exact-duplicate floods are `exactDupGroups`' job, so dropping an
+    * over-cap bucket bounds the candidate explosion at a marginal recall
+    * cost. Default 10k: a 10k-doc bucket already yields ~50M candidate
+    * pairs — past any useful near-dup signal. */
+  val DefaultMaxBucketSize: Int = 10000
+
+  /** Keep only buckets with ≤ `maxBucketSize` members. Bucket sizes come
+    * from a (band, bucket)-keyed aggregate — bucket-level cardinality, a
+    * tiny frame at any corpus size — joined back on the same key, so both
+    * shuffles share one partitioning. */
+  private def capBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame = {
+    import banded.sparkSession.implicits._
+    val ok = banded.groupBy($"band", $"bucket")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" <= maxBucketSize)
+      .select($"band", $"bucket")
+    banded.join(ok, Seq("band", "bucket"))
+  }
+
+  /** The buckets the cap WOULD drop, with populations — the "log" half of
+    * drop-and-log: run it next to a capped dedup to quantify what was
+    * skipped (each row is usually a boilerplate cluster worth routing to
+    * exact dedup instead). */
+  def hotBuckets(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    import df.sparkSession.implicits._
+    val base = shingleBase(df, idCol, textCol, shingleSize)
+    bandedBuckets(base, numHashes, bands)
+      .groupBy($"band", $"bucket")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" > maxBucketSize)
   }
 
   /** Cached (id, shingles) projection: feeds the signature aggregation AND
