@@ -213,10 +213,14 @@ object DisplayTopicCli {
       val beta = LdaCheckpoint.loadBeta(spark, a("model"), a("index").toInt)
       val terms = spark.read.parquet(s"${a("corpus")}/term").as[TermEntry]
       val top = Display.topTermsPerTopic(beta, terms, topK)
-      // reference DisplayTopic prints "term \t\t score" per topic (README.md:373)
+      // stdout parity with the reference's DisplayTopic
+      // (DisplayTopic.java:114-137, README.md:371-381): a '=' banner per
+      // topic, then one "term\t\tscore" line per ranked term
       top.orderBy($"topic", $"rank").collect().groupBy(_.getAs[Int]("topic")).toSeq.sortBy(_._1)
         .foreach { case (topic, rows) =>
-          println(s"Topic $topic:")
+          println("==============================")
+          println(s"Top ranked $topK terms for Topic $topic")
+          println("==============================")
           rows.foreach(r => println(s"${r.getAs[String]("term")}\t\t${r.getAs[Double]("score")}"))
         }
     }
@@ -229,10 +233,18 @@ object DisplayDocumentCli {
     val a = Args.parse(argv)
     Args.withSession("graft-display-document") { spark =>
     import spark.implicits._
+    // stdout parity with the reference's DisplayDocument
+    // (DisplayDocument.java:94-98): "docId g0 g1 ... gK " per line — RAW
+    // gamma values, space-separated, trailing space included
     val gamma = LdaCheckpoint.loadGamma(spark, a("model"), a("index").toInt)
-    Display.documentTopics(gamma.select($"docId", $"gamma"))
-      .orderBy($"docId", $"topic")
-      .show(a.getOrElse("rows", "100").toInt, truncate = false)
+    gamma.select($"docId", $"gamma").orderBy($"docId")
+      .take(a.getOrElse("rows", "100").toInt)
+      .foreach { r =>
+        val sb = new StringBuilder
+        sb.append(r.getLong(0)).append(' ')
+        r.getSeq[Double](1).foreach { g => sb.append(g).append(' ') }
+        println(sb.result())
+      }
     }
   }
 }

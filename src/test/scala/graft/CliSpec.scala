@@ -40,9 +40,51 @@ class CliSpec extends SparkSpec {
       "--model-index", "3"))
     assert(spark.read.parquet(s"$modelDir/alpha-5").count() == 2)
 
-    cli.DisplayTopicCli.main(Array("--model", modelDir, "--index", "5",
-      "--corpus", corpusDir, "--top", "3"))
-    cli.DisplayDocumentCli.main(Array("--model", modelDir, "--index", "5", "--rows", "5"))
+    // stdout golden: the reference's DisplayTopic layout
+    // (DisplayTopic.java:114-137) — '=' banner per topic, then
+    // "term\t\tscore" lines
+    val topicOut = captureStdout {
+      cli.DisplayTopicCli.main(Array("--model", modelDir, "--index", "5",
+        "--corpus", corpusDir, "--top", "3"))
+    }
+    val topicLines = topicOut.split("\n").toSeq
+    val banner = "=============================="
+    val scoreLine = """^\S+\t\t-?\d+(\.\d+)?(E-?\d+)?$""".r
+    // two topics → two banner blocks of exactly 3 ranked lines each
+    assert(topicLines.count(_ == banner) == 4, topicOut)
+    assert(topicLines.contains(s"Top ranked 3 terms for Topic 1"), topicOut)
+    assert(topicLines.contains(s"Top ranked 3 terms for Topic 2"), topicOut)
+    val ranked = topicLines.filter(l => scoreLine.matches(l))
+    assert(ranked.size == 6, topicOut)
+    // the two planted vocabularies separate: fruit terms top one topic,
+    // metal terms the other
+    val fruit = Set("apple", "banana", "cherry", "fruit")
+    val byTopic = topicOut.split(banner).filter(_.contains("\t\t"))
+    assert(byTopic.length == 2, topicOut)
+    val sets = byTopic.map(_.split("\n").filter(_.contains("\t\t"))
+      .map(_.split("\t\t")(0)).toSet)
+    assert(sets.exists(s => s.subsetOf(fruit)) && sets.exists(s => s.intersect(fruit).isEmpty),
+      topicOut)
+
+    // stdout golden: DisplayDocument's "docId g0 g1 ... gK " row shape
+    // (DisplayDocument.java:94-98) — raw gamma, trailing space
+    val docOut = captureStdout {
+      cli.DisplayDocumentCli.main(Array("--model", modelDir, "--index", "5", "--rows", "5"))
+    }
+    val docLines = docOut.split("\n").filter(_.nonEmpty).toSeq
+    assert(docLines.size == 5, docOut)
+    val docLine = """^\d+ (-?\d+(\.\d+)?(E-?\d+)? )+$""".r
+    docLines.foreach(l => assert(docLine.matches(l), s"bad row shape: '$l'"))
+    // 2 topics → docId + exactly 2 gamma values, ids ascending from 1
+    assert(docLines.map(_.trim.split(" ")(0).toInt) == (1 to 5),
+      docOut)
+    docLines.foreach(l => assert(l.trim.split(" ").length == 3, l))
+  }
+
+  private def captureStdout(body: => Unit): String = {
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) { body }
+    buf.toString("UTF-8")
   }
 
   test("polylingual CLI: parse + train") {
