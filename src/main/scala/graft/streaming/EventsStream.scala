@@ -67,12 +67,7 @@ object EventsStream {
   def hourlyWindowed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val name = s"graft_events_hourly_${counter.incrementAndGet()}"
-    val q = eventsStream(spark, dir)
-      .withWatermark("ts", "1 hour")
-      .groupBy(window($"ts", "1 hour"), $"event_type")
-      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
-      .select(date_format($"window.start", "yyyy-MM-dd HH:mm").as("hour"),
-        $"event_type", $"n", $"total_value")
+    val q = hourlyAggregate(eventsStream(spark, dir))
       .writeStream
       .outputMode("complete")
       .format("memory")
@@ -112,6 +107,33 @@ object EventsStream {
     spark.table(name).orderBy($"user_id")
   }
 
+  /** The watermarked hourly aggregation shared by `hourlyWindowed`,
+    * `hourlyToFileSink`, and the late-data replay spec: 1-hour watermark,
+    * 1-hour tumbling windows per event type. Factored out so the
+    * drop/evict boundary proven on a controlled multi-batch source is the
+    * SAME plan the sink queries run. */
+  private[graft] def hourlyAggregate(stream: DataFrame): DataFrame = {
+    import stream.sparkSession.implicits._
+    stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm").as("hour"),
+        $"event_type", $"n", $"total_value")
+  }
+
+  /** Watermarked-dedup + per-user aggregation shared by
+    * `dedupedUserCountsWatermarked` and the late-data replay spec. */
+  private[graft] def dedupWatermarkedAggregate(stream: DataFrame,
+      horizon: String): DataFrame = {
+    import stream.sparkSession.implicits._
+    stream
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+  }
+
   /**
    * Append-mode windowed aggregation into an exactly-once PARQUET file
    * sink (checkpointed) — the production sink shape, where finalized
@@ -129,12 +151,7 @@ object EventsStream {
       s"graft_file_sink_${ProcessHandle.current().pid()}_$run")
     val out = base.resolve("out").toString
     val ckpt = base.resolve("ckpt").toString
-    val q = eventsStream(spark, dir)
-      .withWatermark("ts", "1 hour")
-      .groupBy(window($"ts", "1 hour"), $"event_type")
-      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
-      .select(date_format($"window.start", "yyyy-MM-dd HH:mm").as("hour"),
-        $"event_type", $"n", $"total_value")
+    val q = hourlyAggregate(eventsStream(spark, dir))
       .writeStream
       .outputMode("append")
       .format("parquet")
@@ -160,11 +177,8 @@ object EventsStream {
       horizon: String = "30 days"): DataFrame = {
     import spark.implicits._
     val name = s"graft_dedup_wm_counts_${counter.incrementAndGet()}"
-    val q = eventsStream(spark, dir, copies = 2, maxFilesPerTrigger = Some(1))
-      .withWatermark("ts", horizon)
-      .dropDuplicatesWithinWatermark("event_id")
-      .groupBy($"user_id")
-      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+    val q = dedupWatermarkedAggregate(
+        eventsStream(spark, dir, copies = 2, maxFilesPerTrigger = Some(1)), horizon)
       .writeStream
       .outputMode("complete")
       .format("memory")
