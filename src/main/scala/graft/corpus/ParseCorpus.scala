@@ -236,19 +236,41 @@ object ParseCorpus {
 
   /**
    * Dense 1-based ranking without a single-partition window: global sort
-   * (range-partitioned shuffle) + zipWithIndex. Deterministic given a
-   * total ordering.
+   * (range-partitioned shuffle), then per-partition offsets. Deterministic
+   * given a total ordering.
+   *
+   * Stays in Tungsten end to end (the old shape dropped to
+   * `rdd.zipWithIndex` + `createDataFrame`, paying InternalRow↔Row
+   * conversion both ways and an RDD scan barrier in every consumer plan;
+   * consumers now see a columnar InMemoryTableScan). The sorted frame is
+   * persisted and materialized ONCE by the count job: that pins the
+   * sampled range boundaries, so the partition-count job and the final
+   * projection see identical partitions (two separate executions of an
+   * orderBy may sample different boundaries; a cached plan re-reads — or
+   * on eviction recomputes through the same exchange, whose shuffle
+   * output is reused). The per-partition local index comes from
+   * `monotonically_increasing_id` (partition id in the top 31 bits,
+   * consecutive local index in the low 33 — partitions are capped at
+   * 2^33 rows, far past any sane partition), and the offset join
+   * broadcasts one row per partition — same role as zipWithIndex's
+   * internal count job, minus the row conversions.
    */
   private[graft] def rankByIndex(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
       idName: String): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.orderBy(order: _*)
-    val schema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField(idName, org.apache.spark.sql.types.LongType, nullable = false) +:
-        sorted.schema.fields)
-    val rdd = sorted.rdd.zipWithIndex.map { case (row, idx) =>
-      org.apache.spark.sql.Row.fromSeq((idx + 1L) +: row.toSeq)
-    }
-    spark.createDataFrame(rdd, schema)
+    import spark.implicits._
+    val localBits = 1L << 33
+    val marked = df.orderBy(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = marked.groupBy($"__pid").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2)) // cumulative count of earlier partitions
+      .toSeq.toDF("__pid", "__off")
+    marked.join(broadcast(offsets), "__pid")
+      .withColumn(idName, $"__off" + $"__mid" % localBits + 1L)
+      .select(col(idName) +: df.columns.map(col): _*)
   }
 }
