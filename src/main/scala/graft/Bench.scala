@@ -43,14 +43,43 @@ object Bench {
       // query runs next (the shuffle-training row was up to 3× noisier)
       System.gc()
       Thread.sleep(2000)
+      var df: org.apache.spark.sql.DataFrame = null
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      try { df = SparkEntry.queries(name)(spark, sfDir); df.count() }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // digest computed AFTER the timer stops, on the frame the timed run
+      // built — zero timing impact, no second plan construction
+      (name, (System.nanoTime() - t0) / 1e9, if (df == null) "err" else planDigest(df, name))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val ps = results.map { case (k, _, d) => "\"" + k + "\":\"" + d + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$ps,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Short fingerprint of a query's optimized logical plan, printed next
+    * to its timing so a cross-round time swing is decidable from the JSON
+    * alone: same digest = same plan (environmental noise), different
+    * digest = the plan changed. Run-varying tokens (expression ids, object
+    * addresses, lambda names, pid/counter-keyed temp paths) are scrubbed
+    * before hashing. */
+  private[graft] def planDigest(df: org.apache.spark.sql.DataFrame, name: String = ""): String = {
+    val scrubbed = df.queryExecution.optimizedPlan.toString
+      .replaceAll("#\\d+", "#")
+      .replaceAll("plan_id=\\d+", "plan_id=") // global physical-plan counter
+      .replaceAll("@[0-9a-fA-F]+", "@")
+      .replaceAll("\\$\\$Lambda[/$][0-9a-fx/.]+", "\\$\\$Lambda")
+      .replaceAll("[a-z]+_[0-9a-f]+_\\d+", "tmp") // pid/plan-keyed temp dirs
+      .replaceAll("graft_[a-z_]+_\\d+", "graft_tmp") // counter-keyed sink names
+    // debugging aid: SPARK_GRAFT_PLAN_DUMP=<dir> writes each scrubbed plan
+    // so two runs' digest inputs can be diffed directly
+    sys.env.get("SPARK_GRAFT_PLAN_DUMP").foreach { d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(d, s"$name.txt"), scrubbed)
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(scrubbed.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
   }
 }

@@ -39,7 +39,12 @@ object ParseCorpus {
       tokenSplitPattern: String = "\\s+",
       lowercase: Boolean = false,
       minTokenLength: Int = 1,
-      analyzer: Option[String => Seq[String]] = None)
+      analyzer: Option[String => Seq[String]] = None,
+      /** Vocabulary size above which the dictionary-encode join drops its
+        * broadcast hint and lets the planner shuffle-join instead (a 20M+
+        * term dict is no longer comfortably executor-resident). Lowered in
+        * tests to pin the fallback plan shape. */
+      dictBroadcastMaxTerms: Long = 20_000_000L)
 
   /** Built-in analyzers plus the reference's reflection-by-class-name
     * loading surface (ParseCorpus.java:191-207,244-293 instantiates any
@@ -208,11 +213,11 @@ object ParseCorpus {
     val numTerms = terms.count()
 
     // J1/P7: dictionary-encode; broadcast for any realistic vocabulary
-    // (50M-term dict ≈ a few hundred MB — beyond that drop the hint and let
-    // AQE pick a shuffle join)
+    // (a few hundred MB — beyond `dictBroadcastMaxTerms` drop the hint and
+    // let AQE pick a shuffle join)
     val dict = terms.select($"termId", $"term")
     val encoded = tokens
-      .join(if (numTerms <= 20_000_000) broadcast(dict) else dict, "term")
+      .join(if (numTerms <= cfg.dictBroadcastMaxTerms) broadcast(dict) else dict, "term")
       .groupBy($"docId")
       .agg(
         map_from_entries(array_sort(collect_list(struct($"termId", $"cnt".cast("int"))))).as("counts"),

@@ -50,4 +50,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!readSchema.contains("lang") && !readSchema.contains("source") &&
       !readSchema.contains("n_chars"), readSchema)
   }
+
+  test("dictionary encode degrades to a shuffle join above the broadcast cap") {
+    import graft.corpus.ParseCorpus
+    val docs = Registry.t(spark, dir, "documents")
+      .selectExpr("doc_id as docId", "cast(doc_id as string) as title", "text")
+    // pin the planner: no size-based auto-broadcast and no AQE runtime
+    // rewrite, so the ONLY source of a broadcast is ParseCorpus's hint —
+    // exactly what a 20M+ term vocabulary sees (its size estimate is far
+    // past any auto threshold)
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val hintedRun = ParseCorpus.run(docs)
+      val hinted = hintedRun.docs.queryExecution.executedPlan.toString
+      assert(hinted.contains("BroadcastHashJoin"), hinted)
+      val a = hintedRun.docs.collect().map(_.toString).sorted
+      // drop the hinted run's cache entry: cache matching ignores join
+      // hints, so the hint-free fallback plan would otherwise resolve to
+      // this (broadcast-built) materialization instead of planning fresh
+      hintedRun.docs.unpersist(blocking = true)
+      val fallback = ParseCorpus.run(docs,
+        ParseCorpus.Config(dictBroadcastMaxTerms = 0L))
+      val plan = fallback.docs.queryExecution.executedPlan.toString
+      // the TERM join must no longer broadcast (rankByIndex's per-partition
+      // offset join keeps its intentional one-row-per-partition broadcast)
+      assert(!plan.contains("BroadcastHashJoin [term"), plan)
+      assert(plan.contains("SortMergeJoin [term") || plan.contains("ShuffledHashJoin [term"),
+        plan)
+      // and the fallback path produces the identical corpus
+      val b = fallback.docs.collect().map(_.toString).sorted
+      assert(a.toSeq == b.toSeq)
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
