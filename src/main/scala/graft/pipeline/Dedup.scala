@@ -95,7 +95,11 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val base = shingleBase(df, idCol, textCol, shingleSize)
+    // persisted: the self-join consumes this frame TWICE, and since the
+    // cap landed it carries two aggregates + a join — without the cache
+    // the whole signature+cap pipeline would compute once per side
     val banded = capBuckets(bandedBuckets(base, numHashes, bands), maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val candIds = banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" && $"a.id" < $"b.id")
@@ -144,17 +148,18 @@ object Dedup {
     * pairs — past any useful near-dup signal. */
   val DefaultMaxBucketSize: Int = 10000
 
-  /** Keep only buckets with ≤ `maxBucketSize` members. Bucket sizes come
-    * from a (band, bucket)-keyed aggregate — bucket-level cardinality, a
-    * tiny frame at any corpus size — joined back on the same key, so both
-    * shuffles share one partitioning. */
+  /** Keep only buckets with ≤ `maxBucketSize` members. The population
+    * comes from an unordered count window over (band, bucket): ONE
+    * shuffle, already on the self-join's key, so the cap adds no
+    * exchange to the candidate join (an aggregate+join-back shape costs
+    * two). A flooded bucket's rows spill in the window buffer — bounded
+    * by the bucket itself, which is exactly what's being measured. */
   private def capBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame = {
     import banded.sparkSession.implicits._
-    val ok = banded.groupBy($"band", $"bucket")
-      .agg(count(lit(1)).as("n"))
-      .filter($"n" <= maxBucketSize)
-      .select($"band", $"bucket")
-    banded.join(ok, Seq("band", "bucket"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"band", $"bucket")
+    banded.withColumn("__bn", count(lit(1)).over(w))
+      .filter($"__bn" <= maxBucketSize)
+      .drop("__bn")
   }
 
   /** The buckets the cap WOULD drop, with populations — the "log" half of
