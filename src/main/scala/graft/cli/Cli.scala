@@ -25,6 +25,10 @@ import org.apache.spark.sql.functions._
  *   graft.cli.InformedPriorCli --words f --corpus corpus/ --output prior/
  *   graft.cli.DisplayTopicCli  --model model/ --index i --corpus corpus/ [--top 10]
  *   graft.cli.DisplayDocumentCli --model model/ --index i
+ *   graft.cli.ImportModelCli   --alpha alpha-i --beta beta-i --output model/
+ *                              --index i [--corpus docDir]   (migrate an
+ *                              existing Mr.LDA model's SequenceFiles into a
+ *                              graft checkpoint: display + resume-ready)
  *
  * Output layout matches the reference's per-iteration files: `model/alpha-i`,
  * `model/beta-i`, `model/gamma-i` (parquet dirs instead of SequenceFiles).
@@ -245,6 +249,22 @@ object DisplayDocumentCli {
         r.getSeq[Double](1).foreach { g => sb.append(g).append(' ') }
         println(sb.result())
       }
+    }
+  }
+}
+
+/** Migrate an existing Mr.LDA model directory (alpha-<i> / beta-<i>
+  * SequenceFiles, optionally the gamma-carrying document files) into a
+  * graft checkpoint that DisplayTopicCli reads directly and TrainCli
+  * resumes from via --model-index. */
+object ImportModelCli {
+  def main(argv: Array[String]): Unit = {
+    val a = Args.parse(argv)
+    Args.withSession("graft-import-model") { spark =>
+      val iter = a("index").toInt
+      graft.sources.MrldaModelFiles.importLegacyCheckpoint(
+        spark, a("alpha"), a("beta"), a("output"), iter, a.get("corpus"))
+      println(s"[graft] imported legacy model into ${a("output")} at index $iter")
     }
   }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.sources.{Formats, MrldaSequenceFile}
+import graft.sources.{Formats, MrldaModelFiles, MrldaSequenceFile}
 import org.apache.spark.sql.functions._
 
 /** Source/sink format coverage: each query pushes a table through a
@@ -100,6 +100,27 @@ object FormatQueries {
              |SELECT t.doc_id, d.term_id, CAST(t.cnt AS INT) AS cnt
              |FROM tok t JOIN dict d ON t.token = d.term
              |ORDER BY doc_id, term_id""".stripMargin)),
+
+    // the reference's term-index artifact (SequenceFile<IntWritable,
+    // Text>, ParseCorpus.java:517-518): export the dictionary in that
+    // layout, read it back with the native reader, oracle against the
+    // from-scratch DuckDB dictionary
+    "q_seqfile_mrlda_dict" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val parsed = CorpusQueries.parsedCorpus(s, dir)
+        val path = mrldaTmp("dict")
+        MrldaModelFiles.writeIntTextIndex(parsed.terms.toDF(), path, "termId", "term",
+          syncIntervalBytes = 256)
+        MrldaModelFiles.readIntTextIndex(s, path, "term_id", "term", splitBytes = 4 * 1024)
+          .orderBy($"term_id")
+      },
+      Some("""SELECT CAST(row_number() OVER (ORDER BY df DESC, tf DESC, token ASC) AS INT) AS term_id,
+             |       token AS term
+             |FROM (SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf
+             |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) u
+             |      WHERE token <> '' GROUP BY token)
+             |ORDER BY term_id""".stripMargin)),
 
     // polylingual variant: fixed language-slot framing
     // (polylda/Document.java:259-287), missing-language slots round-trip

@@ -179,11 +179,11 @@ object MrldaSequenceFile {
    * names are short so the vint is one byte), two compression booleans,
    * a 4-byte metadata entry count (0), and the 16-byte sync marker.
    */
-  private def writeHeader(out: DataOutputStream, valueClassName: String,
-      sync: Array[Byte]): Unit = {
+  private def writeHeader(out: DataOutputStream, keyClassName: String,
+      valueClassName: String, sync: Array[Byte]): Unit = {
     out.write("SEQ".getBytes("UTF-8"))
     out.writeByte(6)
-    writeVIntString(out, KeyClassName)
+    writeVIntString(out, keyClassName)
     writeVIntString(out, valueClassName)
     out.writeBoolean(false) // value compression
     out.writeBoolean(false) // block compression
@@ -191,12 +191,56 @@ object MrldaSequenceFile {
     out.write(sync)
   }
 
-  private def writeVIntString(out: DataOutputStream, s: String): Unit = {
+  /** Hadoop `WritableUtils.writeVInt`: [-112, 127] inline in one byte,
+    * larger magnitudes as a size marker + big-endian payload bytes. Full
+    * form, not just the short-string fast path — titles and terms in the
+    * index files can exceed 127 bytes. */
+  private[sources] def writeVInt(out: DataOutputStream, value: Int): Unit = {
+    if (value >= -112 && value <= 127) out.writeByte(value)
+    else {
+      var i = value
+      var len = -112
+      if (i < 0) { i ^= -1; len = -120 }
+      var tmp = i
+      while (tmp != 0) { tmp >>>= 8; len -= 1 }
+      out.writeByte(len)
+      val size = if (len < -120) -(len + 120) else -(len + 112)
+      var idx = size - 1
+      while (idx >= 0) { out.writeByte(((i >> (8 * idx)) & 0xff).toInt); idx -= 1 }
+    }
+  }
+
+  private[sources] def readVInt(in: DataInputStream): Int = {
+    val first = in.readByte()
+    if (first >= -112) first.toInt
+    else {
+      val negative = first < -120
+      // Hadoop's size marker counts ITSELF: total bytes = -119-v / -111-v,
+      // payload bytes are one fewer
+      val payload = (if (negative) -119 - first else -111 - first) - 1
+      var i = 0L
+      var n = 0
+      while (n < payload) { i = (i << 8) | (in.readByte() & 0xff); n += 1 }
+      (if (negative) i ^ -1L else i).toInt
+    }
+  }
+
+  /** Hadoop `Text` serialization: vint byte length + UTF-8 bytes. */
+  private[sources] def writeText(out: DataOutputStream, s: String): Unit = {
     val b = s.getBytes("UTF-8")
-    require(b.length <= 127, s"class name too long for 1-byte vint: $s")
-    out.writeByte(b.length)
+    writeVInt(out, b.length)
     out.write(b)
   }
+
+  private[sources] def readText(in: DataInputStream): String = {
+    val len = readVInt(in)
+    val b = new Array[Byte](len)
+    in.readFully(b)
+    new String(b, "UTF-8")
+  }
+
+  private def writeVIntString(out: DataOutputStream, s: String): Unit =
+    writeText(out, s)
 
   /** Deterministic per-file sync marker (Hadoop uses an MD5 of a UUID;
     * we hash the file name so fixtures are byte-reproducible). */
@@ -206,35 +250,40 @@ object MrldaSequenceFile {
   private final class RecordWriter(out: DataOutputStream, sync: Array[Byte],
       syncIntervalBytes: Int) {
     private var sinceSync = 0
-    def write(docId: Int, value: Array[Byte]): Unit = {
+    def write(key: Array[Byte], value: Array[Byte]): Unit = {
       if (sinceSync >= syncIntervalBytes) {
         out.writeInt(-1) // sync escape
         out.write(sync)
         sinceSync = 0
       }
-      val recordLen = 4 + value.length // key bytes + value bytes
+      val recordLen = key.length + value.length
       out.writeInt(recordLen)
-      out.writeInt(4) // key length (IntWritable)
-      out.writeInt(docId)
+      out.writeInt(key.length)
+      out.write(key)
       out.write(value)
       sinceSync += 8 + recordLen
     }
+  }
+
+  private[sources] def intKey(v: Int): Array[Byte] = {
+    val b = new ByteArrayOutputStream(4); val o = new DataOutputStream(b)
+    o.writeInt(v); b.toByteArray
   }
 
   /** Write a corpus in the reference's vanilla wire format: one file per
     * non-empty partition (S4), uncompressed records, sync-marked. */
   def writeDocs(docs: Dataset[Doc], path: String,
       syncIntervalBytes: Int = DefaultSyncIntervalBytes): Unit =
-    writePartitioned(docs, path, DocClassName, syncIntervalBytes) { doc =>
-      (checkedDocId(doc.docId), encodeDoc(doc.counts, doc.gamma))
+    writeRaw(docs, path, KeyClassName, DocClassName, syncIntervalBytes) { doc =>
+      (intKey(checkedDocId(doc.docId)), encodeDoc(doc.counts, doc.gamma))
     }
 
   /** Polylingual variant: `numLanguages` fixes the slot-array width the
     * reference stores explicitly (polylda/Document.java:259-264). */
   def writePolyDocs(docs: Dataset[PolyDoc], path: String, numLanguages: Int,
       syncIntervalBytes: Int = DefaultSyncIntervalBytes): Unit =
-    writePartitioned(docs, path, PolyDocClassName, syncIntervalBytes) { doc =>
-      (checkedDocId(doc.docId), encodePolyDoc(doc.counts, numLanguages, doc.gamma))
+    writeRaw(docs, path, KeyClassName, PolyDocClassName, syncIntervalBytes) { doc =>
+      (intKey(checkedDocId(doc.docId)), encodePolyDoc(doc.counts, numLanguages, doc.gamma))
     }
 
   private def checkedDocId(docId: Long): Int = {
@@ -243,9 +292,12 @@ object MrldaSequenceFile {
     docId.toInt
   }
 
-  private def writePartitioned[T](ds: Dataset[T], path: String,
-      valueClassName: String, syncIntervalBytes: Int)(
-      encode: T => (Int, Array[Byte])): Unit = {
+  /** Generic distributed writer: any (key bytes, value bytes) encoding
+    * under any declared class names — the other reference artifacts
+    * (term/title indices, alpha, beta) ride the same container framing. */
+  private[sources] def writeRaw[T](ds: Dataset[T], path: String,
+      keyClassName: String, valueClassName: String, syncIntervalBytes: Int)(
+      encode: T => (Array[Byte], Array[Byte])): Unit = {
     val spark = ds.sparkSession
     val confBc = spark.sparkContext.broadcast(
       new SerializableConf(spark.sparkContext.hadoopConfiguration))
@@ -263,9 +315,9 @@ object MrldaSequenceFile {
           taskFs.create(file, true)))
         val sync = syncFor(name)
         try {
-          writeHeader(out, valueClassName, sync)
+          writeHeader(out, keyClassName, valueClassName, sync)
           val w = new RecordWriter(out, sync, syncIntervalBytes)
-          it.foreach { t => val (id, bytes) = encode(t); w.write(id, bytes) }
+          it.foreach { t => val (k, v) = encode(t); w.write(k, v) }
         } finally out.close()
         Iterator.single(name)
       }
@@ -285,9 +337,9 @@ object MrldaSequenceFile {
   def readDocs(spark: SparkSession, path: String,
       splitBytes: Long = DefaultSplitBytes): Dataset[Doc] = {
     import spark.implicits._
-    scanRaw(spark, path, splitBytes) { case (docId, bytes) =>
+    scanRaw(spark, path, splitBytes) { case (key, bytes) =>
       val (counts, tokens, gamma) = decodeDoc(bytes)
-      Doc(docId.toLong, counts, tokens, gamma)
+      Doc(decodeIntKey(key).toLong, counts, tokens, gamma)
     }.toDS()
   }
 
@@ -295,14 +347,21 @@ object MrldaSequenceFile {
   def readPolyDocs(spark: SparkSession, path: String,
       splitBytes: Long = DefaultSplitBytes): Dataset[PolyDoc] = {
     import spark.implicits._
-    scanRaw(spark, path, splitBytes) { case (docId, bytes) =>
+    scanRaw(spark, path, splitBytes) { case (key, bytes) =>
       val (counts, perLang, total, gamma) = decodePolyDoc(bytes)
-      PolyDoc(docId.toLong, counts, perLang, total, gamma)
+      PolyDoc(decodeIntKey(key).toLong, counts, perLang, total, gamma)
     }.toDS()
   }
 
-  private def scanRaw[T: scala.reflect.ClassTag](spark: SparkSession, path: String,
-      splitBytes: Long)(decode: ((Int, Array[Byte])) => T)
+  private[sources] def decodeIntKey(key: Array[Byte]): Int = {
+    require(key.length == 4, s"expected 4-byte IntWritable key, got ${key.length} bytes")
+    new DataInputStream(new ByteArrayInputStream(key)).readInt()
+  }
+
+  /** Generic split-aware scan yielding raw (key bytes, value bytes) —
+    * shared by the corpus readers and the model-artifact readers. */
+  private[sources] def scanRaw[T: scala.reflect.ClassTag](spark: SparkSession, path: String,
+      splitBytes: Long)(decode: ((Array[Byte], Array[Byte])) => T)
       : org.apache.spark.rdd.RDD[T] = {
     val sc = spark.sparkContext
     val conf = sc.hadoopConfiguration
@@ -341,14 +400,16 @@ object MrldaSequenceFile {
     * `WritableName` registry (its public renamed-class escape hatch).
     * The raw-record API never instantiates it, so any Writable works.
     * Idempotent, called once per executor JVM. */
-  @transient private lazy val registerAliases: Unit = {
-    org.apache.hadoop.io.WritableName.addName(
-      classOf[org.apache.hadoop.io.BytesWritable], DocClassName)
-    org.apache.hadoop.io.WritableName.addName(
-      classOf[org.apache.hadoop.io.BytesWritable], PolyDocClassName)
-  }
+  @transient private lazy val registerAliases: Unit =
+    Seq(DocClassName, PolyDocClassName,
+      "edu.umd.cloud9.io.map.HMapIDW",
+      "edu.umd.cloud9.io.pair.PairOfIntFloat",
+      "edu.umd.cloud9.io.array.ArrayListOfIntsWritable").foreach { name =>
+      org.apache.hadoop.io.WritableName.addName(
+        classOf[org.apache.hadoop.io.BytesWritable], name)
+    }
 
-  private def readSplit(conf: Configuration, s: Split): Iterator[(Int, Array[Byte])] = {
+  private def readSplit(conf: Configuration, s: Split): Iterator[(Array[Byte], Array[Byte])] = {
     registerAliases
     val reader = new SequenceFile.Reader(conf, SequenceFile.Reader.file(new Path(s.path)))
     var open = true
@@ -356,10 +417,10 @@ object MrldaSequenceFile {
       if (s.start > 0) reader.sync(s.start)
       var more = reader.getPosition < s.end
       if (!more) { reader.close(); open = false; Iterator.empty }
-      else new Iterator[(Int, Array[Byte])] {
+      else new Iterator[(Array[Byte], Array[Byte])] {
         private val keyBuf = new DataOutputBuffer()
         private val valBytes = reader.createValueBytes()
-        private var nextRec: (Int, Array[Byte]) = _
+        private var nextRec: (Array[Byte], Array[Byte]) = _
         advance()
 
         private def advance(): Unit = {
@@ -373,19 +434,17 @@ object MrldaSequenceFile {
             // record begins past a sync beyond our range: the next split owns it
             more = false
           } else {
-            require(keyLen == 4, s"expected 4-byte IntWritable key, got $keyLen bytes")
-            val kin = new DataInputStream(new ByteArrayInputStream(keyBuf.getData, 0, 4))
-            val docId = kin.readInt()
+            val key = java.util.Arrays.copyOfRange(keyBuf.getData, 0, keyLen)
             val vout = new ByteArrayOutputStream()
             reader.nextRawValue(valBytes)
             valBytes.writeUncompressedBytes(new DataOutputStream(vout))
-            nextRec = (docId, vout.toByteArray)
+            nextRec = (key, vout.toByteArray)
           }
           if (!more || nextRec == null) { reader.close(); open = false }
         }
 
         override def hasNext: Boolean = nextRec != null
-        override def next(): (Int, Array[Byte]) = {
+        override def next(): (Array[Byte], Array[Byte]) = {
           val r = nextRec
           if (r == null) throw new NoSuchElementException
           advance()
