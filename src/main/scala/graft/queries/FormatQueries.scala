@@ -122,6 +122,34 @@ object FormatQueries {
              |      WHERE token <> '' GROUP BY token)
              |ORDER BY term_id""".stripMargin)),
 
+    // the reference's informed-prior artifact (SequenceFile<IntWritable,
+    // ArrayListOfIntsWritable>, InformedPrior.java:126-170): compile the
+    // seed words, round-trip through the legacy layout, explode back
+    "q_seqfile_mrlda_prior" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val parsed = CorpusQueries.parsedCorpus(s, dir)
+        val seeds = Seq((1, "spark"), (1, "data"), (2, "join"), (2, "query"))
+          .toDF("topic", "term")
+        val compiled = graft.lda.InformedPrior.compile(seeds, parsed.terms)
+          .groupBy($"topic")
+          .agg(sort_array(collect_list($"termId")).as("termIds"))
+        val path = mrldaTmp("prior")
+        MrldaModelFiles.writeInformedPrior(compiled, path)
+        MrldaModelFiles.readInformedPrior(s, path)
+          .select($"topic", explode($"termIds").as("term_id"))
+          .orderBy($"topic", $"term_id")
+      },
+      Some("""WITH dict AS (
+             |  SELECT CAST(row_number() OVER (ORDER BY df DESC, tf DESC, token ASC) AS INT) AS term_id,
+             |         token AS term
+             |  FROM (SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf
+             |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) u
+             |        WHERE token <> '' GROUP BY token)),
+             |seeds(topic, term) AS (VALUES (1, 'spark'), (1, 'data'), (2, 'join'), (2, 'query'))
+             |SELECT s.topic, d.term_id FROM seeds s JOIN dict d ON s.term = d.term
+             |ORDER BY s.topic, d.term_id""".stripMargin)),
+
     // polylingual variant: fixed language-slot framing
     // (polylda/Document.java:259-287), missing-language slots round-trip
     // as absent map keys

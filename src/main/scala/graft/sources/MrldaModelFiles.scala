@@ -156,6 +156,35 @@ object MrldaModelFiles {
     }
   }
 
+  // ---- informed prior (IntWritable topic -> ArrayListOfIntsWritable) ----
+
+  /** Read a reference informed-prior file (InformedPrior.java:126-170:
+    * topic 1..T → seed term ids; cloud9 `ArrayListOfIntsWritable` writes
+    * `int size` then the ints) into (topic, termIds). */
+  def readInformedPrior(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    scanRaw(spark, path, DefaultSplitBytes) { case (key, value) =>
+      val in = new DataInputStream(new ByteArrayInputStream(value))
+      val n = in.readInt()
+      (decodeIntKey(key), (0 until n).map(_ => in.readInt()))
+    }.toDF("topic", "termIds")
+  }
+
+  /** Export (topic INT, termIds ARRAY<INT>) in the reference layout. */
+  def writeInformedPrior(df: DataFrame, path: String,
+      syncIntervalBytes: Int = DefaultSyncIntervalBytes): Unit = {
+    import df.sparkSession.implicits._
+    writeRaw(df.select(col("topic").cast("int"), col("termIds").cast("array<int>"))
+        .as[(Int, Seq[Int])],
+      path, KeyClassName, "edu.umd.cloud9.io.array.ArrayListOfIntsWritable",
+      syncIntervalBytes) { case (topic, ids) =>
+      val b = new ByteArrayOutputStream(); val o = new DataOutputStream(b)
+      o.writeInt(ids.size)
+      ids.foreach(o.writeInt)
+      (intKey(topic), b.toByteArray)
+    }
+  }
+
   /**
    * One-call migration: convert a reference model (alpha-<i> + beta-<i>
    * SequenceFiles) into a graft checkpoint at `outDir`, from which

@@ -115,6 +115,58 @@ class MrldaModelFilesSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1, 10, -0.5), (1, 11, -1.5), (2, 10, -0.75)))
   }
 
+  test("informed prior: hand-built IntWritable->ArrayListOfIntsWritable fixture decodes") {
+    def ints(vs: Int*): Array[Byte] = {
+      val b = new ByteArrayOutputStream(); val o = new DataOutputStream(b)
+      o.writeInt(vs.size); vs.foreach(o.writeInt); b.toByteArray
+    }
+    val dir = tmpDir("prior")
+    seqFile(dir, "org.apache.hadoop.io.IntWritable",
+      "edu.umd.cloud9.io.array.ArrayListOfIntsWritable",
+      Seq(intBytes(1) -> ints(3, 7, 12), intBytes(2) -> ints()))
+    val rows = MrldaModelFiles.readInformedPrior(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Int](1)).sortBy(_._1)
+    assert(rows.toSeq == Seq(1 -> Seq(3, 7, 12), 2 -> Seq.empty))
+  }
+
+  test("record-compressed container decodes through the same reader") {
+    // record-compressed variant (header compress=true + DefaultCodec, each
+    // value zlib-deflated individually) — what a reference install with
+    // mapred.output.compress=true leaves on disk
+    val bytes = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bytes)
+    def vintStr(s: String): Unit = { out.writeByte(s.length); out.write(s.getBytes("UTF-8")) }
+    out.write("SEQ".getBytes("UTF-8")); out.writeByte(6)
+    vintStr("org.apache.hadoop.io.IntWritable")
+    vintStr("cc.mrlda.Document")
+    out.writeBoolean(true)  // value compression ON
+    out.writeBoolean(false) // not block-compressed
+    vintStr("org.apache.hadoop.io.compress.DefaultCodec")
+    out.writeInt(0)
+    val sync = Array.tabulate[Byte](16)(i => (i * 13 + 1).toByte)
+    out.write(sync)
+    val value = { // {5: 2} with no gamma, per Document.write
+      val b = new ByteArrayOutputStream(); val o = new DataOutputStream(b)
+      o.writeInt(1); o.writeInt(5); o.writeInt(2); o.writeInt(0); b.toByteArray
+    }
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(value); d.finish()
+      val buf = new Array[Byte](256)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    out.writeInt(4 + deflated.length); out.writeInt(4)
+    out.writeInt(42); out.write(deflated)
+    out.flush()
+    val dir = tmpDir("compressed")
+    Files.write(new File(dir, "part-00000").toPath, bytes.toByteArray)
+
+    val docs = MrldaSequenceFile.readDocs(spark, dir).collect()
+    assert(docs.length == 1)
+    assert(docs(0).docId == 42L && docs(0).counts == Map(5 -> 2) && docs(0).numTokens == 2L)
+  }
+
   test("legacy model import: checkpoint resumes and displays identically") {
     import spark.implicits._
     // train a tiny model, export it in the REFERENCE layout, re-import as
