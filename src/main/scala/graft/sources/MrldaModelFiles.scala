@@ -202,4 +202,27 @@ object MrldaModelFiles {
         MrldaSequenceFile.readDocs(spark, cp).toDF(), outDir, iter)
     }
   }
+
+  /** Polylingual migration: the reference writes one `beta_lang<l>-<i>`
+    * file per language (polylda/VariationalInference.java:358-399, same
+    * PairOfIntFloat/HMapIDW framing); pass them ordered by graft's
+    * 0-based language index. Produces PolyTrainer's checkpoint layout
+    * (beta-<i> keeps the lang column, gamma holds PolyDoc rows). */
+  def importLegacyPolyCheckpoint(spark: SparkSession, alphaPath: String,
+      betaPathsByLang: Seq[String], outDir: String, iter: Int,
+      corpusPath: Option[String] = None): Unit = {
+    graft.lda.LdaCheckpoint.saveAlpha(spark, outDir, iter, readAlpha(spark, alphaPath))
+    betaPathsByLang.zipWithIndex
+      .map { case (p, lang) => readBeta(spark, p).withColumn("lang", lit(lang)) }
+      .reduce(_.unionByName(_))
+      .select(col("lang"), col("topic"), col("termId"), col("elogbeta"))
+      .write.mode("overwrite").parquet(s"$outDir/beta-$iter")
+    corpusPath.foreach { cp =>
+      graft.lda.LdaCheckpoint.saveGamma(
+        MrldaSequenceFile.readPolyDocs(spark, cp).toDF()
+          .select(col("docId"), col("counts"), col("numTokens"),
+            col("totalTokens"), col("gamma")),
+        outDir, iter)
+    }
+  }
 }

@@ -167,6 +167,57 @@ class MrldaModelFilesSpec extends SparkSpec {
     assert(docs(0).docId == 42L && docs(0).counts == Map(5 -> 2) && docs(0).numTokens == 2L)
   }
 
+  test("polylingual legacy import: per-language beta files resume PolyTrainer") {
+    import spark.implicits._
+    import graft.model.PolyDoc
+    import graft.polylda.PolyTrainer
+    val rnd = new java.util.Random(13L)
+    val docs = (1 to 40).map { i =>
+      val t = i % 2
+      def bag(base: Int) = (0 until 10).map(_ => base + t * 4 + rnd.nextInt(4) + 1)
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val c = Map(0 -> bag(0), 1 -> bag(0))
+      val n = c.map { case (l, m) => l -> m.values.sum.toLong }
+      PolyDoc(i.toLong, c, n, n.values.sum, None)
+    }
+    val ds = docs.toDS()
+    val numTerms = Map(0 -> 8, 1 -> 8)
+    val model = PolyTrainer.train(ds, numTerms,
+      PolyTrainer.Config(numTopics = 2, maxIterations = 2, localIterations = 8, seed = 4L))
+
+    // export per-language beta in the reference layout from the model's rows
+    val betaRows = model.beta.toSeq.flatMap { case (lang, termMap) =>
+      termMap.toSeq.flatMap { case (termId, arr) =>
+        arr.zipWithIndex.map { case (v, t) => (lang, t + 1, termId, v) }
+      }
+    }.toDF("lang", "topic", "termId", "elogbeta")
+    val alphaDir = tmpDir("poly_alpha"); val corpusDir = tmpDir("poly_corpus")
+    MrldaModelFiles.writeAlpha(spark, alphaDir, model.alpha)
+    val langDirs = Seq(0, 1).map { l =>
+      val d = tmpDir(s"poly_beta_$l")
+      MrldaModelFiles.writeBeta(
+        betaRows.filter($"lang" === l).select($"topic", $"termId", $"elogbeta"), d)
+      d
+    }
+    MrldaSequenceFile.writePolyDocs(ds, corpusDir, numLanguages = 2)
+
+    val ckpt = tmpDir("poly_imported")
+    MrldaModelFiles.importLegacyPolyCheckpoint(spark, alphaDir, langDirs, ckpt,
+      iter = 2, corpusPath = Some(corpusDir))
+    assert(LdaCheckpoint.loadAlpha(spark, ckpt, 2).toSeq == model.alpha.toSeq)
+    val back = spark.read.parquet(s"$ckpt/beta-2")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))).sorted
+    val orig = betaRows.select($"lang", $"topic", $"termId", $"elogbeta")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))).sorted
+    assert(back.toSeq == orig.toSeq)
+
+    val resumed = PolyTrainer.train(ds, numTerms,
+      PolyTrainer.Config(numTopics = 2, maxIterations = 4, localIterations = 8, seed = 4L,
+        checkpointDir = Some(ckpt), resumeFrom = Some((ckpt, 2))))
+    assert(resumed.iterations == 4)
+    assert(java.lang.Double.isFinite(resumed.logLikelihood))
+  }
+
   test("legacy model import: checkpoint resumes and displays identically") {
     import spark.implicits._
     // train a tiny model, export it in the REFERENCE layout, re-import as
