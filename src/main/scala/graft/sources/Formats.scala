@@ -45,10 +45,11 @@ object Formats {
   }
 
   /**
-   * Generic Text/Text SequenceFile round-trip — the legacy-ingestion path
-   * (the reference's corpora live in SequenceFiles; its custom Writables
-   * stay out of scope, but plain Text key/value pairs cover the generic
-   * legacy-data case). RDD-level on purpose: SequenceFile is an RDD-era
+   * Generic Text/Text SequenceFile round-trip — the generic legacy-data
+   * path (the reference's OWN Writable formats have native readers in
+   * [[MrldaSequenceFile]]/[[MrldaModelFiles]]; this covers everything
+   * else stored as plain Text pairs). RDD-level on purpose: SequenceFile
+   * is an RDD-era
    * Hadoop format, and `saveAsSequenceFile`/`sequenceFile` are its native
    * Spark API — each partition writes/reads its own file, so the path
    * scales like any other file source.
