@@ -29,6 +29,9 @@ import org.apache.spark.sql.functions._
  *                              --index i [--corpus docDir]   (migrate an
  *                              existing Mr.LDA model's SequenceFiles into a
  *                              graft checkpoint: display + resume-ready)
+ *   graft.cli.DumpSeqFileCli   --input path [--format docs|poly|dict|title|
+ *                              alpha|beta|prior] [--rows 20]  (the
+ *                              reference's ReadSequenceFile inspection tool)
  *
  * Output layout matches the reference's per-iteration files: `model/alpha-i`,
  * `model/beta-i`, `model/gamma-i` (parquet dirs instead of SequenceFiles).
@@ -265,6 +268,51 @@ object ImportModelCli {
       graft.sources.MrldaModelFiles.importLegacyCheckpoint(
         spark, a("alpha"), a("beta"), a("output"), iter, a.get("corpus"))
       println(s"[graft] imported legacy model into ${a("output")} at index $iter")
+    }
+  }
+}
+
+/** Inspect any reference-format SequenceFile (the reference's
+  * `ReadSequenceFile` utility, README.md:66-75,371-381): prints up to
+  * --rows records as "key\tvalue" lines. --format selects the wire
+  * layout: docs | poly | dict | title | alpha | beta | prior. */
+object DumpSeqFileCli {
+  def main(argv: Array[String]): Unit = {
+    val a = Args.parse(argv)
+    Args.withSession("graft-dump-seqfile") { spark =>
+      import graft.sources.{MrldaModelFiles, MrldaSequenceFile}
+      val path = a("input")
+      val n = a.getOrElse("rows", "20").toInt
+      a.getOrElse("format", "docs") match {
+        case "docs" =>
+          MrldaSequenceFile.readDocs(spark, path).orderBy("docId").take(n).foreach { d =>
+            val counts = d.counts.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+            println(s"${d.docId}\t{$counts} tokens=${d.numTokens}" +
+              d.gamma.map(g => s" gamma=[${g.mkString(",")}]").getOrElse(""))
+          }
+        case "poly" =>
+          MrldaSequenceFile.readPolyDocs(spark, path).orderBy("docId").take(n).foreach { d =>
+            val langs = d.counts.toSeq.sortBy(_._1).map { case (l, m) =>
+              s"lang$l:{${m.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")}}"
+            }.mkString(" ")
+            println(s"${d.docId}\t$langs tokens=${d.totalTokens}")
+          }
+        case "dict" | "title" =>
+          val (idCol, strCol) = if (a("format") == "dict") ("termId", "term") else ("docId", "title")
+          MrldaModelFiles.readIntTextIndex(spark, path, idCol, strCol)
+            .orderBy(idCol).take(n)
+            .foreach(r => println(s"${r.getInt(0)}\t${r.getString(1)}"))
+        case "alpha" =>
+          MrldaModelFiles.readAlpha(spark, path).zipWithIndex
+            .take(n).foreach { case (v, i) => println(s"${i + 1}\t$v") }
+        case "beta" =>
+          MrldaModelFiles.readBeta(spark, path).orderBy("topic", "termId").take(n)
+            .foreach(r => println(s"${r.getInt(0)}\t${r.getInt(1)}\t${r.getDouble(2)}"))
+        case "prior" =>
+          MrldaModelFiles.readInformedPrior(spark, path).orderBy("topic").take(n)
+            .foreach(r => println(s"${r.getInt(0)}\t[${r.getSeq[Int](1).mkString(",")}]"))
+        case other => sys.error(s"unknown --format: $other")
+      }
     }
   }
 }

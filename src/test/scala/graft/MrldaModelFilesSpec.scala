@@ -218,6 +218,32 @@ class MrldaModelFilesSpec extends SparkSpec {
     assert(java.lang.Double.isFinite(resumed.logLikelihood))
   }
 
+  test("DumpSeqFileCli prints key\\tvalue rows for each format") {
+    import spark.implicits._
+    val dictDir = tmpDir("dump_dict")
+    MrldaModelFiles.writeIntTextIndex(
+      Seq((1, "apple"), (2, "banana")).toDF("termId", "term"), dictDir, "termId", "term")
+    val alphaDir = tmpDir("dump_alpha")
+    MrldaModelFiles.writeAlpha(spark, alphaDir, Array(0.25, 0.75))
+    val docsDir = tmpDir("dump_docs")
+    MrldaSequenceFile.writeDocs(
+      Seq(graft.model.Doc(7L, Map(1 -> 2), 2L, None)).toDS(), docsDir)
+
+    def capture(args: Array[String]): String = {
+      val buf = new ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+        graft.cli.DumpSeqFileCli.main(args)
+      }
+      buf.toString("UTF-8")
+    }
+    assert(capture(Array("--input", dictDir, "--format", "dict")) ==
+      "1\tapple\n2\tbanana\n")
+    assert(capture(Array("--input", alphaDir, "--format", "alpha")) ==
+      "1\t0.25\n2\t0.75\n")
+    assert(capture(Array("--input", docsDir, "--format", "docs")) ==
+      "7\t{1=2} tokens=2\n")
+  }
+
   test("legacy model import: checkpoint resumes and displays identically") {
     import spark.implicits._
     // train a tiny model, export it in the REFERENCE layout, re-import as
