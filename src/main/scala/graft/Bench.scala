@@ -48,8 +48,13 @@ object Bench {
       try { df = SparkEntry.queries(name)(spark, sfDir); df.count() }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
       // digest computed AFTER the timer stops, on the frame the timed run
-      // built — zero timing impact, no second plan construction
-      (name, (System.nanoTime() - t0) / 1e9, if (df == null) "err" else planDigest(df, name))
+      // built — zero timing impact, no second plan construction; its own
+      // guard so a digest failure can't abort the remaining timings
+      val digest =
+        try { if (df == null) "err" else planDigest(df, name) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] digest $name failed: $e"); "err" }
+      (name, (System.nanoTime() - t0) / 1e9, digest)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val ps = results.map { case (k, _, d) => "\"" + k + "\":\"" + d + "\"" }.mkString("{", ",", "}")

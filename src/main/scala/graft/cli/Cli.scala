@@ -243,8 +243,11 @@ object DisplayDocumentCli {
     // stdout parity with the reference's DisplayDocument
     // (DisplayDocument.java:94-98): "docId g0 g1 ... gK " per line — RAW
     // gamma values, space-separated, trailing space included
+    // null-gamma rows (a pre-training corpus imported by ImportModelCli)
+    // are skipped, like the reference's precondition and the old
+    // explode-based path — not a crash
     val gamma = LdaCheckpoint.loadGamma(spark, a("model"), a("index").toInt)
-    gamma.select($"docId", $"gamma").orderBy($"docId")
+    gamma.select($"docId", $"gamma").filter($"gamma".isNotNull).orderBy($"docId")
       .take(a.getOrElse("rows", "100").toInt)
       .foreach { r =>
         val sb = new StringBuilder

@@ -152,8 +152,12 @@ object ParseCorpus {
     // ParseCorpus.java:698-710; a join back on the non-unique title would
     // conflate them). Sorted order is the deterministic stand-in for
     // encounter order.
-    val withIds = rankByIndex(lines, Seq($"title".asc, $"text".asc), "docId")
-    run(withIds.select($"docId", $"title", $"text"), cfg)
+    val (withIds, rankCache) = rankByIndexWithCache(lines, Seq($"title".asc, $"text".asc), "docId")
+    val result = run(withIds.select($"docId", $"title", $"text"), cfg)
+    // run() persisted AND counted docs/terms, so the ranking's internal
+    // sorted cache is no longer load-bearing
+    rankCache.unpersist()
+    result
   }
 
   /** Parse a (docId, title, text) DataFrame (e.g. the `documents` table). */
@@ -206,11 +210,14 @@ object ParseCorpus {
     // O1: dense 1-based ranking by (df desc, tf desc, term asc — the term
     // tiebreak makes the dictionary deterministic where the reference
     // depended on shuffle order)
-    val terms = rankByIndex(banded, Seq($"df".desc, $"tf".desc, $"term".asc), "termId")
+    val (rankedTerms, termRankCache) =
+      rankByIndexWithCache(banded, Seq($"df".desc, $"tf".desc, $"term".asc), "termId")
+    val terms = rankedTerms
       .select($"termId".cast("int").as("termId"), $"term", $"df", $"tf")
       .as[TermEntry]
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val numTerms = terms.count()
+    val numTerms = terms.count() // materializes terms → rank cache droppable
+    termRankCache.unpersist()
 
     // J1/P7: dictionary-encode; broadcast for any realistic vocabulary
     // (a few hundred MB — beyond `dictBroadcastMaxTerms` drop the hint and
@@ -261,7 +268,17 @@ object ParseCorpus {
    * internal count job, minus the row conversions.
    */
   private[graft] def rankByIndex(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
-      idName: String): DataFrame = {
+      idName: String): DataFrame =
+    rankByIndexWithCache(df, order, idName)._1
+
+  /** As `rankByIndex`, also returning the internal sorted cache so the
+    * caller can `unpersist()` it once a DOWNSTREAM frame is persisted and
+    * materialized (otherwise one sorted copy per call lives until session
+    * cleanup). Unpersisting is determinism-safe: an eviction-triggered
+    * recompute replays the same physical exchange and reuses its shuffle
+    * output, so partitions — and therefore the assigned ids — repeat. */
+  private[graft] def rankByIndexWithCache(df: DataFrame,
+      order: Seq[org.apache.spark.sql.Column], idName: String): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
     val localBits = 1L << 33
@@ -274,8 +291,9 @@ object ParseCorpus {
     val offsets = counts.map(_._1)
       .zip(counts.scanLeft(0L)(_ + _._2)) // cumulative count of earlier partitions
       .toSeq.toDF("__pid", "__off")
-    marked.join(broadcast(offsets), "__pid")
+    val ranked = marked.join(broadcast(offsets), "__pid")
       .withColumn(idName, $"__off" + $"__mid" % localBits + 1L)
       .select(col(idName) +: df.columns.map(col): _*)
+    (ranked, marked)
   }
 }

@@ -95,9 +95,11 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val base = shingleBase(df, idCol, textCol, shingleSize)
-    // persisted: the self-join consumes this frame TWICE, and since the
-    // cap landed it carries two aggregates + a join — without the cache
-    // the whole signature+cap pipeline would compute once per side
+    // persisted: the self-join consumes this frame TWICE — without the
+    // cache the whole signature+cap pipeline would compute once per side.
+    // Like shingleBase's cache it lives until session cleanup/LRU
+    // eviction (the result is lazy, so in-function unpersist is
+    // impossible); eviction only recomputes, never corrupts.
     val banded = capBuckets(bandedBuckets(base, numHashes, bands), maxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -145,7 +147,14 @@ object Dedup {
     * and exact-duplicate floods are `exactDupGroups`' job, so dropping an
     * over-cap bucket bounds the candidate explosion at a marginal recall
     * cost. Default 10k: a 10k-doc bucket already yields ~50M candidate
-    * pairs — past any useful near-dup signal. */
+    * pairs — past any useful near-dup signal.
+    *
+    * SEMANTIC NOTE: the cap is a deliberate recall trade, on by default
+    * because unbounded buckets are the known LSH production failure. A
+    * near-identical cluster LARGER than the cap (e.g. 15k template pages
+    * that are not byte-identical) is dropped wholesale — run
+    * [[hotBuckets]] alongside to see exactly what was skipped, and pass
+    * `maxBucketSize = Int.MaxValue` for the exact uncapped semantics. */
   val DefaultMaxBucketSize: Int = 10000
 
   /** Keep only buckets with ≤ `maxBucketSize` members. The population

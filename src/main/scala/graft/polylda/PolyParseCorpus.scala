@@ -1,6 +1,6 @@
 package graft.polylda
 
-import graft.corpus.ParseCorpus.rankByIndex
+import graft.corpus.ParseCorpus
 import graft.model.{PolyDoc, PolyTermEntry}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -52,8 +52,11 @@ object PolyParseCorpus {
       .filter(size($"parts") === cfg.numLanguages + 1)
       .select($"parts"(0).as("title"),
         slice($"parts", 2, cfg.numLanguages).as("texts"))
-    val withIds = rankByIndex(lines, Seq($"title".asc, $"texts".asc), "docId")
-    run(withIds.select($"docId", $"title", $"texts"), cfg)
+    val (withIds, rankCache) =
+      ParseCorpus.rankByIndexWithCache(lines, Seq($"title".asc, $"texts".asc), "docId")
+    val result = run(withIds.select($"docId", $"title", $"texts"), cfg)
+    rankCache.unpersist() // run() persisted + counted docs/terms
+    result
   }
 
   /**
@@ -106,7 +109,7 @@ object PolyParseCorpus {
     // O3: per-language dense 1-based ranking by (df desc, tf desc, term asc)
     // via ONE global sort keyed language-first + per-language offset — scales
     // to any vocabulary without a per-language single task.
-    val globallyRanked = rankByIndex(banded,
+    val (globallyRanked, rankCache) = ParseCorpus.rankByIndexWithCache(banded,
       Seq($"lang".asc, $"df".desc, $"tf".desc, $"term".asc), "grank")
     val offsets = globallyRanked.groupBy($"lang").agg(min($"grank").as("goff"))
     val terms = globallyRanked.join(broadcast(offsets), "lang")
@@ -114,7 +117,8 @@ object PolyParseCorpus {
         $"term", $"df", $"tf")
       .as[PolyTermEntry]
       .persist(StorageLevel.MEMORY_AND_DISK)
-    terms.count()
+    terms.count() // materializes terms → rank cache droppable
+    rankCache.unpersist()
 
     // J1/P7 per language: encode + pack per-language count maps; languages a
     // doc is missing simply have no key in `counts`

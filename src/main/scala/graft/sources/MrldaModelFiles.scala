@@ -211,6 +211,8 @@ object MrldaModelFiles {
   def importLegacyPolyCheckpoint(spark: SparkSession, alphaPath: String,
       betaPathsByLang: Seq[String], outDir: String, iter: Int,
       corpusPath: Option[String] = None): Unit = {
+    require(betaPathsByLang.nonEmpty,
+      "betaPathsByLang is empty — no beta_lang<l> files matched; check the model path/glob")
     graft.lda.LdaCheckpoint.saveAlpha(spark, outDir, iter, readAlpha(spark, alphaPath))
     betaPathsByLang.zipWithIndex
       .map { case (p, lang) => readBeta(spark, p).withColumn("lang", lit(lang)) }

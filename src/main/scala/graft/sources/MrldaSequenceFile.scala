@@ -310,15 +310,29 @@ object MrldaSequenceFile {
       else {
         val name = f"part-$idx%05d"
         val file = new Path(path, name)
+        // task-commit protocol: write under an attempt-unique temp name,
+        // publish by rename — a speculative or zombie second attempt can
+        // never truncate/interleave a final file another attempt already
+        // produced (both attempts write identical bytes; last rename wins
+        // whole-file). The dotted prefix keeps abandoned temps invisible
+        // to the reader's hidden-file filter.
+        val ctx = org.apache.spark.TaskContext.get()
+        val attempt = if (ctx == null) "local" else ctx.taskAttemptId().toString
+        val tmpFile = new Path(path, s".${name}.$attempt.tmp")
         val taskFs = file.getFileSystem(confBc.value.value)
         val out = new DataOutputStream(new java.io.BufferedOutputStream(
-          taskFs.create(file, true)))
+          taskFs.create(tmpFile, true)))
         val sync = syncFor(name)
         try {
           writeHeader(out, keyClassName, valueClassName, sync)
           val w = new RecordWriter(out, sync, syncIntervalBytes)
           it.foreach { t => val (k, v) = encode(t); w.write(k, v) }
         } finally out.close()
+        taskFs.delete(file, false) // clear a previous attempt's publish
+        if (!taskFs.rename(tmpFile, file)) {
+          taskFs.delete(tmpFile, false)
+          throw new java.io.IOException(s"could not publish $tmpFile as $file")
+        }
         Iterator.single(name)
       }
     }.count(): Unit
@@ -413,6 +427,12 @@ object MrldaSequenceFile {
     registerAliases
     val reader = new SequenceFile.Reader(conf, SequenceFile.Reader.file(new Path(s.path)))
     var open = true
+    // close at task end even if the consumer stops early (limit) or a
+    // decode/read error aborts mid-iteration — otherwise each abandoned
+    // split leaks an open file handle until GC
+    Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] {
+      _ => if (open) { open = false; reader.close() }
+    })
     try {
       if (s.start > 0) reader.sync(s.start)
       var more = reader.getPosition < s.end
