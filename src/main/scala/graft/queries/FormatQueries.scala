@@ -99,7 +99,8 @@ object FormatQueries {
              |        WHERE token <> '' GROUP BY doc_id, token)
              |SELECT t.doc_id, d.term_id, CAST(t.cnt AS INT) AS cnt
              |FROM tok t JOIN dict d ON t.token = d.term
-             |ORDER BY doc_id, term_id""".stripMargin)),
+             |ORDER BY doc_id, term_id""".stripMargin),
+      bench = true), // timed: the native legacy-IO write+read path
 
     // the reference's term-index artifact (SequenceFile<IntWritable,
     // Text>, ParseCorpus.java:517-518): export the dictionary in that
