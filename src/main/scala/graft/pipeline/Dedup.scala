@@ -363,4 +363,64 @@ object Dedup {
     * pairs, drop every id that appears as the larger member of a pair. */
   def applyKeepSmallest(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /**
+   * Exact substring-level duplicate spans — the span-granular complement of
+   * the document-level near-dup operators, after Lee et al. 2021
+   * ("Deduplicating Training Data Makes Language Models Better"): any
+   * `windowSize`-token window occurring in ≥ `minDocFreq` distinct documents
+   * marks duplicated text; overlapping/adjacent marked windows merge into
+   * maximal per-document spans, the unit a curation pipeline cuts (or
+   * down-weights) instead of dropping whole documents.
+   *
+   * Spark-first shape (the paper builds a single-node suffix array — a
+   * non-starter at 100 TB): windows explode to (doc, pos, gramHash) with the
+   * gram hashed to 60 md5-derived bits (`baseHash60`) so the gram-keyed
+   * exchange ships 8 bytes, not ~50-byte strings; a hash aggregate keeps
+   * hashes whose distinct-doc count reaches `minDocFreq`; marked positions
+   * come back via a semi join on the hash, and per-doc gaps-and-islands
+   * (break when the gap between marked positions exceeds `windowSize`)
+   * merges windows into maximal spans. Every shuffle is keyed by gram hash
+   * or doc id — no pair matrix, no global state, and the windowed island
+   * scan is per-document. Within-document repeats are deliberately out of
+   * scope (one doc = one vote): `TextAnalysis.repetitionSignals` covers
+   * intra-doc repetition.
+   *
+   * Returns (doc_id, span_start, span_end, span_tokens, n_windows): 0-based
+   * inclusive token offsets into the whitespace token sequence of
+   * lowercase(text); n_windows = number of duplicated windows merged into
+   * the span.
+   */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      windowSize: Int = 8, minDocFreq: Long = 2L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // consumed twice (df aggregate + mark join) — persisted like
+    // shingleBase; lives until session cleanup/LRU eviction (result is
+    // lazy, so in-function unpersist is impossible), eviction only
+    // recomputes
+    val grams = df
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(graft.functions.tfunctions.word_ngrams_all(
+          lower(col(textCol)), windowSize)).as(Seq("pos", "g")))
+      .select($"id", $"pos", baseHash60($"g").as("gh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupGrams = grams.groupBy($"gh")
+      .agg(count_distinct($"id").as("gdf"))
+      .filter($"gdf" >= minDocFreq)
+      .select($"gh")
+    val w = Window.partitionBy($"id").orderBy($"pos")
+    grams.join(dupGrams, Seq("gh"), "left_semi")
+      .select($"id", $"pos")
+      .withColumn("brk",
+        when($"pos" - lag($"pos", 1).over(w) > windowSize, 1).otherwise(0))
+      .withColumn("grp", sum($"brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"id", $"grp")
+      .agg(min($"pos").as("span_start"),
+        (max($"pos") + windowSize - 1).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select($"id".as("doc_id"), $"span_start", $"span_end",
+        ($"span_end" - $"span_start" + 1).as("span_tokens"), $"n_windows")
+  }
 }

@@ -130,6 +130,62 @@ object PipelineQueries {
       },
       Some(simhashOracleSql)),
 
+    // substring-level dedup (Lee et al. 2021 shape): planted boilerplate
+    // tail on every 7th doc guarantees cross-doc duplicated 5-token
+    // windows; spans merge per doc via gaps-and-islands. Full SQL replay
+    // including the md5-60-bit gram hashing.
+    "q_substring_dup_spans" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val planted = t(s, dir, "documents").select($"doc_id",
+          when($"doc_id" % 7 === 0,
+            concat($"text",
+              lit(" widely shared boilerplate sentence repeated verbatim across many documents")))
+            .otherwise($"text").as("text"))
+        Dedup.duplicateSpans(planted, "doc_id", "text",
+          windowSize = 5, minDocFreq = 2)
+          .orderBy($"doc_id", $"span_start")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0
+             |         THEN text || ' widely shared boilerplate sentence repeated verbatim across many documents'
+             |         ELSE text END AS text
+             |  FROM documents),
+             |tok AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok,
+             |    generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) AS i
+             |  FROM planted),
+             |g5 AS (
+             |  SELECT doc_id, i,
+             |         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+             |             || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS g
+             |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+             |grams AS (
+             |  SELECT doc_id, i - 1 AS pos, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+             |  FROM g5 WHERE g IS NOT NULL),
+             |dupg AS (
+             |  SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+             |marked AS (
+             |  SELECT doc_id, pos FROM grams JOIN dupg USING (gh)),
+             |flag AS (
+             |  SELECT doc_id, pos,
+             |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+             |              THEN 1 ELSE 0 END AS brk
+             |  FROM marked),
+             |grp AS (
+             |  SELECT doc_id, pos,
+             |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+             |                        ROWS UNBOUNDED PRECEDING) AS g
+             |  FROM flag)
+             |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+             |       CAST(max(pos) + 4 AS INT) AS span_end,
+             |       CAST(max(pos) + 4 - min(pos) + 1 AS INT) AS span_tokens,
+             |       count(*) AS n_windows
+             |FROM grp GROUP BY doc_id, g
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
     // planted near-duplicates make this check non-vacuous: vec_id < 20 get a
     // ×2-scaled copy at id+100000 (scaling preserves every hyperplane sign →
     // guaranteed same LSH bucket; cosine exactly 1.0). Random 64-d vectors

@@ -427,4 +427,42 @@ class PipelineSpec extends SparkSpec {
     assert(Embeddings.gaussianPlanes(4, 8, seed = 7L) !=
       Embeddings.gaussianPlanes(4, 8, seed = 8L))
   }
+
+  test("duplicateSpans: cross-doc windows merge into maximal spans; " +
+      "within-doc repeats and unique text don't mark") {
+    // docs 1 and 2 share tokens 0..5 ("alpha beta gamma delta epsilon zeta")
+    // → windows at pos 0,1,2 (size 4) merge into one span [0, 5].
+    // doc 3 repeats a window INSIDE itself only → no cross-doc dup.
+    // doc 4 is unique → no spans at all.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta one two three"),
+      (2L, "alpha beta gamma delta epsilon zeta nine eight seven"),
+      (3L, "rep eat this now rep eat this now distinct words here"),
+      (4L, "entirely different content with no shared windows anywhere")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text",
+      windowSize = 4, minDocFreq = 2)
+      .orderBy($"doc_id", $"span_start")
+      .collect()
+    assert(spans.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    spans.foreach { r =>
+      assert(r.getInt(1) == 0 && r.getInt(2) == 5 &&
+        r.getInt(3) == 6 && r.getLong(4) == 3L, r.toString)
+    }
+
+    // two marked windows exactly windowSize apart still merge (contiguous
+    // coverage); windowSize+1 apart split into two spans
+    val far = Seq(
+      (10L, "s1 s2 s3 s4 xx yy zz qq t1 t2 t3 t4"),
+      (11L, "s1 s2 s3 s4 aa bb cc dd t1 t2 t3 t4"),
+      (12L, "s1 s2 s3 s4 ee ff gg hh ii t1 t2 t3 t4")
+    ).toDF("doc_id", "text")
+    val farSpans = Dedup.duplicateSpans(far, "doc_id", "text",
+      windowSize = 4, minDocFreq = 2)
+      .orderBy($"doc_id", $"span_start").collect()
+    // docs 10/11: marked at pos 0 and 8 (gap 8 > 4) → two spans each;
+    // doc 12: marked at pos 0 and 9 → two spans
+    assert(farSpans.length == 6)
+    assert(farSpans.count(_.getInt(1) == 0) == 3) // one leading span per doc
+  }
 }
