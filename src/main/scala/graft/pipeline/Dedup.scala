@@ -117,27 +117,91 @@ object Dedup {
    * Same hash family/banding as `minhashNearDups`, but candidates come
    * only from the cross-side bucket join: no ref×ref pairs (the reference
    * was already deduped) and no new×new pairs (dedup the batch separately
-   * if needed). At 100 TB the reference side's banded buckets are a
-   * precomputable, incrementally-maintainable index — each ingest shuffles
-   * only the (much smaller) new batch against it.
+   * if needed).
    *
-   * Returns (new_id, ref_id, jaccard) with jaccard ≥ threshold.
+   * Returns (new_id, ref_id, jaccard) with jaccard ≥ threshold. One-shot
+   * convenience over `buildMinhashIndex` + `screenAgainstIndex` — callers
+   * screening MANY batches (or a stream) build the index once instead.
    */
   def minhashNearDupsAgainst(newDf: DataFrame, refDf: DataFrame,
       idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
       jaccardThreshold: Double = 0.7,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    screenAgainstIndex(
+      buildMinhashIndex(refDf, idCol, textCol, shingleSize, numHashes, bands,
+        maxBucketSize),
+      newDf, idCol, textCol, jaccardThreshold, maxBucketSize)
+
+  /** Precomputed LSH reference index: the (capped) banded buckets plus the
+    * shingle sets of an already-deduped corpus. At 100 TB this is the
+    * durable artifact of the ingest pipeline — built once (one pass over
+    * the reference), persisted (`saveMinhashIndex`), and every future
+    * batch or stream shuffles only ITS OWN rows against it. */
+  case class MinhashRefIndex(banded: DataFrame, base: DataFrame,
+      shingleSize: Int, numHashes: Int, bands: Int)
+
+  /** One pass over the reference corpus → reusable screen index. */
+  def buildMinhashIndex(refDf: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      maxBucketSize: Int = DefaultMaxBucketSize): MinhashRefIndex = {
+    val base = shingleBase(refDf, idCol, textCol, shingleSize)
+    MinhashRefIndex(capBuckets(bandedBuckets(base, numHashes, bands), maxBucketSize),
+      base, shingleSize, numHashes, bands)
+  }
+
+  /** Persist an index: banded buckets partitioned BY band (a probe joins
+    * on (band, bucket), so band-partition pruning applies), shingle sets
+    * as plain parquet, parameters as a 1-row parquet. */
+  def saveMinhashIndex(index: MinhashRefIndex, path: String): Unit = {
+    val spark = index.banded.sparkSession
+    import spark.implicits._
+    index.banded.write.mode("overwrite").partitionBy("band").parquet(s"$path/banded")
+    index.base.write.mode("overwrite").parquet(s"$path/base")
+    Seq((index.shingleSize, index.numHashes, index.bands))
+      .toDF("shingleSize", "numHashes", "bands")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Reload a persisted index for screening (build once, screen many). */
+  def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): MinhashRefIndex = {
+    import spark.implicits._
+    val p = spark.read.parquet(s"$path/params")
+      .select($"shingleSize", $"numHashes", $"bands")
+      .as[(Int, Int, Int)].head()
+    // restore the pre-partitionBy column order (partition cols move last)
+    val banded = spark.read.parquet(s"$path/banded")
+      .select($"id", $"band", $"bucket")
+    MinhashRefIndex(banded, spark.read.parquet(s"$path/base"), p._1, p._2, p._3)
+  }
+
+  /** Screen a new batch against a prebuilt reference index: cross-side
+    * bucket join only (ids-only shuffle), exact-Jaccard verification on
+    * the candidate pairs. The new side is banded with the index's own
+    * parameters — the hash family is deterministic, so a reloaded index
+    * screens identically to a freshly built one.
+    *
+    * `persistNewSide = false` recomputes the new batch's shingles for the
+    * verification join instead of caching them: per-invocation plans are
+    * distinct, so a long-running caller (a streaming foreachBatch loop)
+    * would otherwise accumulate one cache entry per batch forever. */
+  def screenAgainstIndex(index: MinhashRefIndex, newDf: DataFrame,
+      idCol: String, textCol: String, jaccardThreshold: Double = 0.7,
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      persistNewSide: Boolean = true): DataFrame = {
     val spark = newDf.sparkSession
     import spark.implicits._
-    val baseNew = shingleBase(newDf, idCol, textCol, shingleSize)
-    val baseRef = shingleBase(refDf, idCol, textCol, shingleSize)
-    val candIds = capBuckets(bandedBuckets(baseNew, numHashes, bands), maxBucketSize).as("a")
-      .join(capBuckets(bandedBuckets(baseRef, numHashes, bands), maxBucketSize).as("b"),
+    val baseNew =
+      if (persistNewSide) shingleBase(newDf, idCol, textCol, index.shingleSize)
+      else shingleProjection(newDf, idCol, textCol, index.shingleSize)
+    val candIds = capBuckets(
+        bandedBuckets(baseNew, index.numHashes, index.bands), maxBucketSize).as("a")
+      .join(index.banded.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket")
       .select($"a.id".as("new_id"), $"b.id".as("ref_id"))
       .distinct()
-    verifyJaccard(candIds, baseNew, baseRef, "new_id", "ref_id", jaccardThreshold)
+    verifyJaccard(candIds, baseNew, index.base, "new_id", "ref_id", jaccardThreshold)
   }
 
   /** Per-(band, bucket) population cap for the LSH join — the standard
@@ -191,10 +255,15 @@ object Dedup {
     * projection would run three times. */
   private def shingleBase(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
+    shingleProjection(df, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The uncached (id, shingles) projection behind `shingleBase`. */
+  private def shingleProjection(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
         shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** (id, band, bucket) rows for the LSH bucket join.
     *

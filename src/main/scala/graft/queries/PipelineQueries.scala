@@ -662,8 +662,11 @@ object PipelineQueries {
   }
 
   /** DuckDB replay of `Dedup.minhashNearDupsAgainst` over the planted new
-    * batch (side 1 = new, side 0 = reference; candidates cross-side only). */
-  private def incrementalMinhashOracleSql: String = {
+    * batch (side 1 = new, side 0 = reference; candidates cross-side only).
+    * Shared with `q_stream_incremental_dedup`: the streaming foreachBatch
+    * screen runs the same batch operator per micro-batch, and new×new pairs
+    * can't exist, so micro-batching cannot change the result. */
+  private[queries] def incrementalMinhashOracleSql: String = {
     val P = Dedup.HashP
     val fam = Dedup.hashFamily(32)
     val sigCols = fam.zipWithIndex.map { case ((a, b), i) =>

@@ -97,6 +97,15 @@ object StreamingQueries {
       Some("""SELECT user_id, count(*) AS n, round(sum(value), 2) AS total_value
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // the continual-ingest dedup filter as a stream: per-micro-batch
+    // foreachBatch screen against a prebuilt MinHash reference index.
+    // Candidates only cross new×reference, so the result is independent of
+    // micro-batching (forced to 2 triggers) and the batch incremental-LSH
+    // oracle applies unchanged.
+    "q_stream_incremental_dedup" -> QueryDef(
+      (s, dir) => graft.streaming.DedupStream.incrementalScreen(s, dir),
+      Some(PipelineQueries.incrementalMinhashOracleSql)),
+
     // batch/streaming unification: the stateless quality-score operator
     // (TextAnalysis.qualityScore, same Column transform q_text_quality
     // verifies per-doc) runs unchanged inside a streaming query; complete

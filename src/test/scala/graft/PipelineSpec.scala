@@ -428,6 +428,25 @@ class PipelineSpec extends SparkSpec {
       Embeddings.gaussianPlanes(4, 8, seed = 8L))
   }
 
+  test("minhash index: save/load screens identically to a fresh build") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val newBatch = docs.filter($"doc_id" < 10)
+      .select(($"doc_id" + 900000).as("doc_id"), $"text")
+    val fresh = Dedup.buildMinhashIndex(docs, "doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString
+    Dedup.saveMinhashIndex(fresh, path)
+    val loaded = Dedup.loadMinhashIndex(spark, path)
+    assert(loaded.shingleSize == fresh.shingleSize &&
+      loaded.numHashes == fresh.numHashes && loaded.bands == fresh.bands)
+    val a = Dedup.screenAgainstIndex(fresh, newBatch, "doc_id", "text",
+      jaccardThreshold = 0.5).collect().map(_.toString).sorted
+    val b = Dedup.screenAgainstIndex(loaded, newBatch, "doc_id", "text",
+      jaccardThreshold = 0.5, persistNewSide = false)
+      .collect().map(_.toString).sorted
+    assert(a.nonEmpty, "planted copies must screen as dups")
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("duplicateSpans: cross-doc windows merge into maximal spans; " +
       "within-doc repeats and unique text don't mark") {
     // docs 1 and 2 share tokens 0..5 ("alpha beta gamma delta epsilon zeta")
