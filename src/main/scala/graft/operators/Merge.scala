@@ -42,6 +42,37 @@ object Merge {
   }
 
   /**
+   * Version-aware upsert: an update replaces the base row only when its
+   * (version, tie) pair is strictly newer — a late or replayed update is
+   * a no-op. This makes the apply IDEMPOTENT and delivery-order safe: a
+   * change stream converges to the same snapshot no matter how its rows
+   * are micro-batched or reordered across batches, which is the CDC-apply
+   * posture a streaming pipeline needs (plain `upsert` assumes the caller
+   * ordered the batches). Whole rows swap — unlike `upsert`'s per-column
+   * coalesce, an explicit NULL in a winning update is honored.
+   *
+   * `updates` must carry ALL of `base`'s columns and at most one row per
+   * key (compact with `latestByKey` first). One key shuffle, like
+   * `upsert`.
+   */
+  def versionedUpsert(base: DataFrame, updates: DataFrame, key: String,
+      versionCol: String, tieCol: String): DataFrame = {
+    val updateWins = col(s"b.$versionCol").isNull ||
+      col(s"u.$versionCol") > col(s"b.$versionCol") ||
+      (col(s"u.$versionCol") === col(s"b.$versionCol") &&
+        col(s"u.$tieCol") > col(s"b.$tieCol"))
+    // "u side exists and wins" — u.version is non-null whenever the update
+    // row exists (it IS the ordering column), so it doubles as the
+    // presence probe the full-outer join needs
+    val takeU = col(s"u.$versionCol").isNotNull && updateWins
+    val outCols = base.columns.filter(_ != key).map { c =>
+      when(takeU, col(s"u.$c")).otherwise(col(s"b.$c")).as(c)
+    }
+    base.as("b").join(updates.as("u"), Seq(key), "full_outer")
+      .select(col(key) +: outCols.toSeq: _*)
+  }
+
+  /**
    * Change-log compaction: keep each key's LATEST version from an
    * append-only change stream (row_number over the key ordered by the
    * version column descending, ties broken by `tieCol` descending so the

@@ -97,6 +97,20 @@ object StreamingQueries {
       Some("""SELECT user_id, count(*) AS n, round(sum(value), 2) AS total_value
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // CDC apply: out-of-order change stream → keyed snapshot via
+    // foreachBatch + version-aware upsert; converges to the batch
+    // latest-by-key no matter how the stream is micro-batched, which is
+    // exactly what the oracle computes
+    "q_stream_upsert_snapshot" -> QueryDef(
+      (s, dir) => EventsStream.snapshotUpsertSink(s, dir),
+      Some("""SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+             |       round(value, 2) AS value
+             |FROM (SELECT *, row_number() OVER (
+             |        PARTITION BY user_id
+             |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+             |      FROM events)
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
     // the continual-ingest dedup filter as a stream: per-micro-batch
     // foreachBatch screen against a prebuilt MinHash reference index.
     // Candidates only cross new×reference, so the result is independent of

@@ -164,6 +164,67 @@ object EventsStream {
   }
 
   /**
+   * Streaming CDC apply: a change stream maintained as a keyed parquet
+   * SNAPSHOT (current state per user) via foreachBatch — each micro-batch
+   * compacts to its latest row per key (`Merge.latestByKey`) and applies
+   * with the version-aware upsert (`Merge.versionedUpsert`), writing a new
+   * snapshot version per batch (the table-format pattern: versions are
+   * immutable, the latest pointer advances).
+   *
+   * The change stream is deliberately NOT time-ordered: events split
+   * round-robin by id into three files (one per trigger), so micro-batches
+   * interleave event times and a naive last-write-wins apply would corrupt
+   * the snapshot. `versionedUpsert` ignores stale updates, so the stream
+   * converges to exactly the batch `latestByKey` over all events — which
+   * is the oracle. Scale: one key shuffle per batch; at 100 TB the base
+   * would be bucketed by key (Formats.writeBucketed) making each apply
+   * exchange-free on the snapshot side.
+   */
+  def snapshotUpsertSink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val run = counter.incrementAndGet()
+    val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_upsert_sink_${ProcessHandle.current().pid()}_$run")
+    val incoming = base.resolve("incoming").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+    (0 until 3).foreach { i =>
+      events.filter($"event_id" % 3 === i).coalesce(1)
+        .write.mode("append").parquet(incoming)
+    }
+
+    @volatile var snapshotPath: Option[String] = None
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(incoming)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val compacted = graft.operators.Merge.latestByKey(
+          batch, "user_id", "ts", "event_id")
+        val next = snapshotPath match {
+          case None => compacted
+          case Some(p) => graft.operators.Merge.versionedUpsert(
+            spark.read.parquet(p), compacted, "user_id", "ts", "event_id")
+        }
+        val out = base.resolve(s"v$batchId").toString
+        next.write.mode("overwrite").parquet(out)
+        snapshotPath = Some(out)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(snapshotPath.getOrElse(
+        sys.error("snapshot stream produced no batches")))
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+        $"event_type", round($"value", 2).as("value"))
+      .orderBy($"user_id")
+  }
+
+  /**
    * Bounded-state variant of `dedupedUserCounts`: the unbounded
    * `dropDuplicates` keeps every seen id forever, which at 100 TB grows
    * without limit — `dropDuplicatesWithinWatermark` evicts dedup state

@@ -227,4 +227,41 @@ class TemporalJoinsSpec extends SparkSpec {
       (1L, 12.0, 500L, None),      // new open version
       (2L, 20.0, 0L, None)))       // untouched key stays open
   }
+
+  test("Merge.versionedUpsert: newer wins, stale is a no-op, NULL honored, " +
+      "apply order can't change the converged snapshot") {
+    import graft.operators.Merge
+    val base = Seq(
+      (1L, 100L, 5L, Option("a")),  // will be beaten by v200
+      (2L, 100L, 5L, Option("b")),  // update is STALE (v50) → keeps base
+      (3L, 100L, 5L, Option("c")))  // same version, higher tie → update wins
+      .toDF("k", "v", "tie", "payload")
+    val updates = Seq(
+      (1L, 200L, 1L, Option.empty[String]), // newer + explicit NULL payload
+      (2L, 50L, 9L, Option("stale")),
+      (3L, 100L, 7L, Option("c2")),
+      (4L, 10L, 1L, Option("new")))         // insert
+      .toDF("k", "v", "tie", "payload")
+    val out = Merge.versionedUpsert(base, updates, "k", "v", "tie")
+      .orderBy($"k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getString(3))))
+    assert(out.toSeq == Seq(
+      (1L, 200L, 1L, None),        // newer version, NULL overwrites
+      (2L, 100L, 5L, Some("b")),   // stale update ignored
+      (3L, 100L, 7L, Some("c2")),  // tie-break on tie column
+      (4L, 10L, 1L, Some("new")))) // insert
+
+    // order independence: applying two disjoint-in-time batches in either
+    // order converges to the same snapshot
+    val early = Seq((7L, 1L, 1L, Option("old"))).toDF("k", "v", "tie", "payload")
+    val late = Seq((7L, 9L, 1L, Option("new"))).toDF("k", "v", "tie", "payload")
+    val empty = base.filter($"k" < 0)
+    val ab = Merge.versionedUpsert(
+      Merge.versionedUpsert(empty, early, "k", "v", "tie"), late, "k", "v", "tie")
+    val ba = Merge.versionedUpsert(
+      Merge.versionedUpsert(empty, late, "k", "v", "tie"), early, "k", "v", "tie")
+    assert(ab.collect().toSeq == ba.collect().toSeq)
+    assert(ab.select($"payload").as[String].head() == "new")
+  }
 }
