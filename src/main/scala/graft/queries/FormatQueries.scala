@@ -193,6 +193,25 @@ object FormatQueries {
              |FROM tok t JOIN dict d ON t.lang = d.lang AND t.token = d.token
              |ORDER BY t.doc_id, t.lang, d.term_id""".stripMargin)),
 
+    // z-order layout: Morton curve over (partkey, suppkey) — the query
+    // buckets the curve into 64 tiles and reports each tile's 2-D bounding
+    // box, the exact stats a reader prunes files by. Full SQL replay of
+    // the quantize + bit-interleave arithmetic (all integer-exact).
+    "q_zorder_layout" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val withZ = graft.sources.ZOrder.withZValue(
+          t(s, dir, "lineitem").select($"l_partkey", $"l_suppkey"),
+          "l_partkey", "l_suppkey", bits = 16)
+        withZ.withColumn("bucket", expr(s"z div ${1L << 26}L"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"),
+            min($"l_partkey").as("min_pk"), max($"l_partkey").as("max_pk"),
+            min($"l_suppkey").as("min_sk"), max($"l_suppkey").as("max_sk"))
+          .orderBy($"bucket")
+      },
+      Some(zorderOracleSql)),
+
     "q_partitioned_sink" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -229,4 +248,30 @@ object FormatQueries {
              |  round(sum(o_totalprice), 2) AS total
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |GROUP BY c_custkey, c_mktsegment""".stripMargin)))
+
+  /** DuckDB replay of `ZOrder.withZValue(bits = 16)` over lineitem:
+    * same min/max bounds, same integer quantization (`//` = Spark `div`
+    * on non-negative operands), same bit interleave, bucketed by the top
+    * 6 curve bits. */
+  private def zorderOracleSql: String = {
+    val terms = (0 until 16).map(b =>
+      s"(((qa >> $b) & 1) << ${2 * b + 1}) + (((qb >> $b) & 1) << ${2 * b})")
+      .mkString("\n           + ")
+    s"""WITH s AS (
+       |  SELECT min(l_partkey) AS mina, max(l_partkey) AS maxa,
+       |         min(l_suppkey) AS minb, max(l_suppkey) AS maxb
+       |  FROM lineitem),
+       |q AS (
+       |  SELECT l_partkey, l_suppkey,
+       |         ((l_partkey - mina) * 65535) // greatest(maxa - mina, 1) AS qa,
+       |         ((l_suppkey - minb) * 65535) // greatest(maxb - minb, 1) AS qb
+       |  FROM lineitem, s),
+       |z AS (SELECT l_partkey, l_suppkey,
+       |        $terms AS z
+       |      FROM q)
+       |SELECT z // 67108864 AS bucket, count(*) AS n,
+       |       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+       |       min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+       |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
 }

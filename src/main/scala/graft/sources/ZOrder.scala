@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Z-order (Morton-curve) layout for multi-dimensional data skipping — the
+ * write-side optimization Delta's `OPTIMIZE ZORDER BY` popularized, here
+ * as a plain parquet layout pass. Sorting by one key gives perfect file
+ * pruning on that key and none on any other; interleaving the bits of two
+ * quantized keys gives moderate pruning on BOTH — at 100 TB, where a scan
+ * touches thousands of files, cutting file counts ~4× on each of two
+ * predicate dimensions beats 1000× on one and 1× on the other for mixed
+ * workloads.
+ *
+ * Everything is exact integer arithmetic (subtract-min, scale by
+ * 2^bits−1, integer-divide by the range, interleave bits ≤ 2·bits ≤ 62),
+ * so a SQL oracle replays the curve bit-for-bit.
+ */
+object ZOrder {
+
+  /** min/max of both dimensions — the only data-dependent inputs to the
+    * curve. Collected once (4 longs, model-sized) so the z expression is
+    * plan literals; at scale these come from table statistics instead. */
+  def bounds(df: DataFrame, colA: String, colB: String): (Long, Long, Long, Long) = {
+    val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  /** Quantize to `bits` levels: (x − min)·(2^bits−1) div max(range, 1).
+    * Exact integer math — SQL `div`, not floating division — identical to
+    * the oracle's `//`; products stay < 2^47 for key ranges up to 2^31. */
+  private def quantize(colName: String, minV: Long, maxV: Long, bits: Int): Column = {
+    val m = (1L << bits) - 1
+    val range = math.max(maxV - minV, 1L)
+    expr(s"((cast(`$colName` as bigint) - ${minV}L) * ${m}L) div ${range}L")
+  }
+
+  /** The interleave: bit b of qa lands at 2b+1, bit b of qb at 2b (a gets
+    * the higher lane). Bits are disjoint, so `+` assembles the word. */
+  private def interleave(qa: Column, qb: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L).cast("long")) { (acc, b) =>
+      acc + shiftleft(shiftright(qa, b).bitwiseAND(lit(1L)), 2 * b + 1) +
+        shiftleft(shiftright(qb, b).bitwiseAND(lit(1L)), 2 * b)
+    }
+
+  /** Append a `z` column interleaving `colA` (high lanes) and `colB`. */
+  def withZValue(df: DataFrame, colA: String, colB: String, bits: Int = 16,
+      zCol: String = "z"): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val (minA, maxA, minB, maxB) = bounds(df, colA, colB)
+    df.withColumn(zCol,
+      interleave(quantize(colA, minA, maxA, bits),
+        quantize(colB, minB, maxB, bits), bits))
+  }
+
+  /** Write `df` as `numFiles` parquet files range-partitioned and sorted
+    * by the z-curve over (colA, colB): each file covers a compact 2-D
+    * tile, so per-file min/max footer stats prune scans filtered on
+    * EITHER dimension. One range shuffle — the same cost as a plain
+    * global sort layout. */
+  def zorderWrite(df: DataFrame, colA: String, colB: String, path: String,
+      numFiles: Int, bits: Int = 16): Unit =
+    withZValue(df, colA, colB, bits)
+      .repartitionByRange(numFiles, col("z"))
+      .sortWithinPartitions(col("z"))
+      .drop("z")
+      .write.mode("overwrite").parquet(path)
+
+  /** Per-file min/max of the given columns for a parquet directory — the
+    * skipping bounds a reader would get from footer stats, observable as
+    * a DataFrame for tests and layout audits. */
+  def fileBounds(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}
