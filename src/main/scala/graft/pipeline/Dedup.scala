@@ -434,6 +434,48 @@ object Dedup {
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
   /**
+   * Semantic (embedding-space) dedup, SemDeDup-style (Abbas et al. 2023):
+   * cluster embeddings with the IVF coarse quantizer
+   * (`Similarity.buildIvfIndex` — deterministic seeded k-means), then
+   * compare pairs only WITHIN a cluster. Semantic near-duplicates land in
+   * the same cluster by construction, so the comparison count shrinks from
+   * O(n²) to Σ|cluster|², tuned by `nClusters` (the paper runs ~100k
+   * clusters at web scale); after the one cid-keyed shuffle the per-cluster
+   * work is embarrassingly parallel. Complements `embeddingNearDups`
+   * (hyperplane LSH): k-means clusters track the data's actual density
+   * where random hyperplanes cut blindly.
+   *
+   * `maxClusterSize` is the same drop-and-log skew guard as the LSH bucket
+   * cap — a degenerate cluster (collapsed embedding model, all-zero rows)
+   * would otherwise go quadratic on one key.
+   *
+   * Returns (id_a, id_b, cid, cosine) with id_a < id_b and cosine ≥
+   * threshold; feed to `applyKeepSmallest` for the keep-one policy.
+   */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 16, kmeansIterations: Int = 3,
+      cosineThreshold: Double = 0.95,
+      maxClusterSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val assigned = Similarity.buildIvfIndex(df, idCol, vecCol, nClusters,
+      kmeansIterations).assigned
+    // count window on the join key: one shuffle, reused by the self-join
+    // (the capBuckets pattern); persisted because the self-join consumes
+    // the capped frame twice
+    val w = Window.partitionBy($"cid")
+    val capped = assigned.withColumn("__cn", count(lit(1)).over(w))
+      .filter($"__cn" <= maxClusterSize).drop("__cn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    capped.as("a").join(capped.as("b"),
+        $"a.cid" === $"b.cid" && $"a.corpus_id" < $"b.corpus_id")
+      .select($"a.corpus_id".as("id_a"), $"b.corpus_id".as("id_b"),
+        $"a.cid".as("cid"),
+        round(Similarity.cosine($"a.cv", $"b.cv"), 6).as("cosine"))
+      .filter($"cosine" >= cosineThreshold)
+  }
+
+  /**
    * Exact substring-level duplicate spans — the span-granular complement of
    * the document-level near-dup operators, after Lee et al. 2021
    * ("Deduplicating Training Data Makes Language Models Better"): any

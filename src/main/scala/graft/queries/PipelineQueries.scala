@@ -209,6 +209,26 @@ object PipelineQueries {
              |       round(sum(x * (2*x)) / (sqrt(sum(x*x)) * sqrt(sum((2*x)*(2*x)))), 6) AS cosine
              |FROM v GROUP BY vec_id ORDER BY id_a, id_b""".stripMargin)),
 
+    // SemDeDup-style semantic dedup: k-means clusters (same deterministic
+    // seeded Lloyd trajectory as the IVF oracle), pairwise cosine within
+    // clusters only. Planted perturbed copies (+0.01 on one coordinate,
+    // cosine ≈ 0.99995) make the check non-vacuous; random unit vectors
+    // can't reach 0.99 by chance.
+    "q_dedup_semantic" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+        val planted = e.filter($"vec_id" < 30)
+          .select(($"vec_id" + 200000).as("vec_id"),
+            concat(array(element_at($"embedding", 1) + lit(0.01)),
+              slice($"embedding", 2, 63)).as("embedding"))
+        Dedup.semanticDedup(e.unionByName(planted), "vec_id", "embedding",
+          nClusters = 16, kmeansIterations = 3, cosineThreshold = 0.99)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(semanticDedupOracleSql)),
+
     // ---- similarity search ----
     "q_ann_bruteforce" -> QueryDef(
       (s, dir) => {
@@ -515,30 +535,42 @@ object PipelineQueries {
   private def duckList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
+  /** Squared-L2 between two (vec_id, v) CTE aliases — shared by the
+    * IVF and semantic-dedup oracle generators. */
+  private def ivfDist(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), j -> ($a.v[j] - $b.v[j]) * ($a.v[j] - $b.v[j])))"
+
+  /** Lloyd-iteration CTE pair n (assignment aN over cN-1, update cN),
+    * matching `Similarity.buildIvfIndex`'s rounded trajectory. */
+  private def ivfAssignCte(n: Int): String =
+    s"""a$n AS (
+       |  SELECT vec_id, vv, cid FROM (
+       |    SELECT v.vec_id, v.v AS vv, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY ${ivfDist("v", "c")}, c.cid) AS rn
+       |    FROM v CROSS JOIN c${n - 1} c) WHERE rn = 1)""".stripMargin
+
+  private def ivfUpdateCte(n: Int): String =
+    s"""m$n AS (
+       |  SELECT cid, list(mr ORDER BY i) AS v FROM (
+       |    SELECT cid, i, round(avg(x), 4) AS mr FROM (
+       |      SELECT cid, unnest(vv) AS x, generate_subscripts(vv, 1) AS i FROM a$n)
+       |    GROUP BY cid, i) GROUP BY cid),
+       |c$n AS (
+       |  SELECT p.cid, COALESCE(m$n.v, p.v) AS v
+       |  FROM c${n - 1} p LEFT JOIN m$n ON p.cid = m$n.cid)""".stripMargin
+
+  private def ivfLloydCtes(iterations: Int): String =
+    (1 to iterations).map(n => ivfAssignCte(n) + ",\n" + ivfUpdateCte(n))
+      .mkString(",\n")
+
   /** DuckDB replay of `Similarity.ivfTopK(k=10, 16 centroids, 8 probes, 3
     * Lloyd iterations)`: md5-ordered init, per-iteration argmin assignment
     * (squared L2, cid tie-break), 4-dp-rounded means with empty clusters
     * keeping their previous centroid, then probe + exact cosine rerank. */
   private def annIvfOracleSql: String = {
-    def dist(a: String, b: String): String =
-      s"list_sum(list_transform(range(1, 65), j -> ($a.v[j] - $b.v[j]) * ($a.v[j] - $b.v[j])))"
-    def assignCte(n: Int): String =
-      s"""a$n AS (
-         |  SELECT vec_id, vv, cid FROM (
-         |    SELECT v.vec_id, v.v AS vv, c.cid,
-         |           row_number() OVER (PARTITION BY v.vec_id
-         |             ORDER BY ${dist("v", "c")}, c.cid) AS rn
-         |    FROM v CROSS JOIN c${n - 1} c) WHERE rn = 1)""".stripMargin
-    def updateCte(n: Int): String =
-      s"""m$n AS (
-         |  SELECT cid, list(mr ORDER BY i) AS v FROM (
-         |    SELECT cid, i, round(avg(x), 4) AS mr FROM (
-         |      SELECT cid, unnest(vv) AS x, generate_subscripts(vv, 1) AS i FROM a$n)
-         |    GROUP BY cid, i) GROUP BY cid),
-         |c$n AS (
-         |  SELECT p.cid, COALESCE(m$n.v, p.v) AS v
-         |  FROM c${n - 1} p LEFT JOIN m$n ON p.cid = m$n.cid)""".stripMargin
-    val lloyd = (1 to 3).map(n => assignCte(n) + ",\n" + updateCte(n)).mkString(",\n")
+    def dist(a: String, b: String): String = ivfDist(a, b)
+    val lloyd = ivfLloydCtes(3)
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |c0 AS (
        |  SELECT CAST(row_number() OVER (
@@ -575,6 +607,39 @@ object PipelineQueries {
        |  FROM scored)
        |SELECT query_id, rnk, corpus_id, cosine FROM ranked
        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** DuckDB replay of `Dedup.semanticDedup(16 clusters, 3 Lloyd
+    * iterations, threshold 0.99)` over embeddings ∪ the planted perturbed
+    * copies: same k-means trajectory as the IVF oracle, then pairwise
+    * cosine WITHIN each final cluster. */
+  private def semanticDedupOracleSql: String = {
+    val lloyd = ivfLloydCtes(3)
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 200000,
+       |         list_concat([CAST(embedding[1] AS DOUBLE) + 0.01],
+       |                     CAST(embedding[2:] AS DOUBLE[]))
+       |  FROM embeddings WHERE vec_id < 30),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cid, v
+       |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |$lloyd,
+       |assign AS (
+       |  SELECT vec_id, vv, cid FROM (
+       |    SELECT v.vec_id, v.v AS vv, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY ${ivfDist("v", "c")}, c.cid) AS rn
+       |    FROM v CROSS JOIN c3 c) WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cid AS cid,
+       |    round(list_dot_product(a.vv, b.vv)
+       |      / (sqrt(list_dot_product(a.vv, a.vv)) * sqrt(list_dot_product(b.vv, b.vv))), 6) AS cosine
+       |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, cid, cosine FROM pairs
+       |WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin
   }
 
   /** DuckDB replay of `Similarity.lshTopK(k=10, dim=64, 6 bits, 4 tables)`:

@@ -428,6 +428,29 @@ class PipelineSpec extends SparkSpec {
       Embeddings.gaussianPlanes(4, 8, seed = 8L))
   }
 
+  test("semanticDedup: recovers planted perturbed copies within clusters") {
+    val e = embeddings.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val planted = e.filter($"vec_id" < 10)
+      .select(($"vec_id" + 200000).as("vec_id"),
+        concat(array(element_at($"v", 1) + lit(0.01)), slice($"v", 2, 63)).as("v"))
+    val pairs = Dedup.semanticDedup(e.unionByName(planted), "vec_id", "v",
+      nClusters = 8, kmeansIterations = 2, cosineThreshold = 0.99)
+      .collect()
+    // every planted pair is recovered (original and its perturbed copy are
+    // near-identical, so they share a cluster), and nothing else reaches
+    // cosine 0.99 among random unit vectors
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      (0L until 10L).map(i => (i, i + 200000L)))
+    assert(pairs.forall(_.getDouble(3) >= 0.99))
+    // keep-one policy drops exactly the 10 copies
+    val kept = Dedup.applyKeepSmallest(e.unionByName(planted), "vec_id",
+      Dedup.semanticDedup(e.unionByName(planted), "vec_id", "v",
+        nClusters = 8, kmeansIterations = 2, cosineThreshold = 0.99)
+        .select($"id_a", $"id_b"))
+    assert(kept.count() == e.count())
+    assert(kept.filter($"vec_id" >= 200000).count() == 0)
+  }
+
   test("minhash index: save/load screens identically to a fresh build") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val newBatch = docs.filter($"doc_id" < 10)
