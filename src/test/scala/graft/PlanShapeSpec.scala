@@ -51,6 +51,28 @@ class PlanShapeSpec extends SparkSpec {
       !readSchema.contains("n_chars"), readSchema)
   }
 
+  test("duplicateSpans: no pair matrix — gram-keyed joins only") {
+    val plan = physical("q_substring_dup_spans")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan)
+    // the mark join is a LEFT SEMI on the gram hash (ids never fan out
+    // against each other)
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("semanticDedup: the pair join is keyed by cluster id, not cross") {
+    val plan = physical("q_dedup_semantic")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan)
+  }
+
+  test("zorder layout query: scan reads only the two curve columns") {
+    val plan = physical("q_zorder_layout")
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_quantity") && !readSchema.contains("l_orderkey"),
+      readSchema)
+  }
+
   test("dictionary encode degrades to a shuffle join above the broadcast cap") {
     import graft.corpus.ParseCorpus
     val docs = Registry.t(spark, dir, "documents")
