@@ -158,50 +158,36 @@ object Trainer {
         (snapIdx % cfg.checkpointEvery == 0 || snapIdx == cfg.maxIterations)
       val docSide = estep.filter($"isDoc").toDF()
 
-      // M-step + likelihood + alpha sufficient statistics. Both modes run
-      // ONE fused action per iteration. Broadcast mode: the phi reduce and
-      // the doc-side stats are union branches of a single collect, and the
-      // normalizer/digamma tail runs on the driver over the (model-sized)
-      // rows. Shuffle mode: the packed beta table, the gamma-annotated doc
-      // side (next iteration's corpus), and the k-row ll/alpha statistics
-      // are union branches of ONE eager localCheckpoint — materializing
-      // everything in a single job AND truncating lineage (a plain persist
-      // would nest each iteration's betaTable plan inside the next one's
-      // E-step join, growing analysis cost superlinearly). The unfused
-      // shape ran three actions over the cached E-step per iteration
-      // (beta localCheckpoint, stats collect, corpus rotation), paying two
-      // extra rounds of job/stage scheduling each time.
-      //
-      // Known tradeoff of the fusion: betaTable and the next corpus are
-      // tag-filter views over the SAME checkpoint, so each consumer scan
-      // re-reads the full union's blocks. Measured faster at bench scale
-      // (scheduling dominates), but if the doc side ever dwarfs beta by
-      // enough that re-scanning it per E-step join hurts, split into TWO
-      // checkpoints (beta branch separate) — still one upstream E-step
-      // job via the shared cached `estep`.
+      // M-step + likelihood + alpha sufficient statistics. Broadcast mode:
+      // the phi reduce and the doc-side stats are union branches of a
+      // single collect, and the normalizer/digamma tail runs on the driver
+      // over the (model-sized) rows. Shuffle mode: TWO localCheckpoints
+      // over the shared cached `estep` — (1) the MODEL-sized one here
+      // (packed beta + the k-row ll/alpha statistics as union branches),
+      // consumed by the stats collect and by every E-step beta join of the
+      // next iteration; (2) the CORPUS-sized gamma rotation below. Keeping
+      // the doc side out of (1) means the per-iteration beta scans never
+      // re-read corpus blocks — the doc side grows with the corpus while
+      // beta stays K×V, so at scale the tag-filter-over-one-fused-
+      // checkpoint shape multiplied exactly the wrong scan. Both
+      // checkpoints also truncate lineage (a plain persist would nest each
+      // iteration's plan inside the next E-step join, growing analysis
+      // cost superlinearly).
       var betaRowsDriver: Seq[(Int, Int, Double)] = Nil // broadcast mode only
       var fused: Option[DataFrame] = None               // shuffle mode only
       val prevBetaTable = betaTable
       val (ll, ss) = if (useShuffleEStep) {
         val nullInt = lit(null).cast("int")
-        val nullLong = lit(null).cast("bigint")
         val nullDouble = lit(null).cast("double")
         val nullArr = lit(null).cast(ArrayType(DoubleType))
-        val nullCounts = lit(null).cast("map<int,int>")
         val packed = packBeta(MStep.run(
           estep.filter(!$"isDoc").select($"topic", $"termId", $"logphi"), cfg.prior))
         val fusedDf = packed
-          .select(lit(0).as("tag"), $"termId", $"elogbeta", nullLong.as("docId"),
-            nullCounts.as("counts"), nullLong.as("numTokens"), nullArr.as("gamma"),
+          .select(lit(0).as("tag"), $"termId", $"elogbeta",
             nullDouble.as("ll"), nullInt.as("k"), nullDouble.as("ss"))
-          .unionByName(docSide
-            .select(lit(1).as("tag"), nullInt.as("termId"), nullArr.as("elogbeta"),
-              $"docId", $"counts", $"numTokens", $"gamma", $"ll",
-              nullInt.as("k"), nullDouble.as("ss")))
           .unionByName(MStep.llAndAlphaStatsRows(docSide)
             .select(lit(2).as("tag"), nullInt.as("termId"), nullArr.as("elogbeta"),
-              nullLong.as("docId"), nullCounts.as("counts"), nullLong.as("numTokens"),
-              nullArr.as("gamma"), $"llsum".as("ll"), $"k", $"ss"))
+              $"llsum".as("ll"), $"k", $"ss"))
           .localCheckpoint()
         fused = Some(fusedDf)
         betaTable = fusedDf.filter($"tag" === 0).select($"termId", $"elogbeta")
@@ -278,18 +264,14 @@ object Trainer {
               .select($"docId", $"counts", $"numTokens", $"gamma")
               .as[Doc]
               .persist(StorageLevel.MEMORY_AND_DISK)
-          } else fused match {
-            case Some(f) =>
-              // already materialized by the fused localCheckpoint above — a
-              // filter view over it costs no extra action
-              f.filter($"tag" === 1)
-                .select($"docId", $"counts", $"numTokens", $"gamma")
-                .as[Doc]
-            case None =>
-              docSide
-                .select($"docId", $"counts", $"numTokens", $"gamma")
-                .as[Doc]
-                .localCheckpoint() // eager — materializes here, no extra action
+          } else {
+            // both modes: eager localCheckpoint over the cached E-step —
+            // in shuffle mode this is checkpoint (2) of the split (the
+            // corpus-sized half; beta+stats went into (1) above)
+            docSide
+              .select($"docId", $"counts", $"numTokens", $"gamma")
+              .as[Doc]
+              .localCheckpoint()
           }
         corpus.unpersist()
         corpus = nextCorpus
