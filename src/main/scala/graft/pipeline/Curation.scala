@@ -258,6 +258,39 @@ object Curation {
       .withColumn("redacted", cur)
   }
 
+  /** 16-digit card-number candidate (optional dash/space group
+    * separators) — Java regex ∩ RE2, shared with the SQL oracle. */
+  val CardPattern: String = "[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}"
+
+  /** Luhn checksum over a 16-digit candidate (separators stripped), as a
+    * pure Column expression: position p from the right doubles when p is
+    * even, digits > 9 fold back by −9, valid iff the sum ≡ 0 (mod 10).
+    * The checksum is what separates a real card number from any random
+    * 16-digit run — regex alone would flood a curation pass with false
+    * positives. */
+  def luhnValid(candidate: Column): Column = {
+    val s = regexp_replace(candidate, "[- ]", "")
+    val total = aggregate(sequence(lit(1), lit(16)), lit(0), (acc, i) => {
+      val d = s.substr(i, lit(1)).cast("int")
+      val doubled = when((lit(17) - i) % 2 === 0, d * 2).otherwise(d)
+      acc + when(doubled > 9, doubled - 9).otherwise(doubled)
+    })
+    total % 10 === 0
+  }
+
+  /** Per-document card-number detection: regex candidates, then Luhn
+    * validation — (n_candidates, n_cards) columns appended. Detection
+    * rather than blind redaction: flagged documents are the unit a
+    * curation pipeline drops or routes to review. Single codegen'd
+    * projection, no shuffle. */
+  def detectCardNumbers(df: DataFrame, textCol: String): DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit(CardPattern), lit(0))
+    df.withColumn("__cands", cands)
+      .withColumn("n_candidates", size(col("__cands")))
+      .withColumn("n_cards", size(filter(col("__cands"), luhnValid _)))
+      .drop("__cands")
+  }
+
   /** 8-hex-digit keep boundary for a sampling rate over the md5 space:
     * a key survives iff its first 8 md5 hex digits compare below this
     * string. Fixed-width lowercase hex makes the lexicographic comparison

@@ -119,6 +119,41 @@ object CurationQueries {
 
     // PII is planted deterministically on doc_id % 5 = 0 (the synthetic
     // corpus has none), then redacted; the oracle mirrors plant + redact
+    // Luhn-validated card detection: one planted VALID card + one
+    // checksum-failing near-miss per flagged doc, so the oracle proves the
+    // checksum (not just the regex) separates them
+    "q_pii_card_detect" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val planted = t(s, dir, "documents")
+          .withColumn("text", when($"doc_id" % 11 === 0,
+            concat($"text",
+              lit(" card 4111-1111-1111-1111 ref 4111-1111-1111-1112")))
+            .otherwise($"text"))
+        graft.pipeline.Curation.detectCardNumbers(planted, "text")
+          .select($"doc_id", $"n_candidates", $"n_cards")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 11 = 0
+             |         THEN text || ' card 4111-1111-1111-1111 ref 4111-1111-1111-1112'
+             |         ELSE text END AS text
+             |  FROM documents),
+             |c AS (SELECT doc_id,
+             |        regexp_extract_all(text,
+             |          '[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}') AS cands
+             |      FROM planted)
+             |SELECT doc_id, CAST(len(cands) AS INT) AS n_candidates,
+             |  CAST(len(list_filter(cands, cc ->
+             |    list_sum(list_transform(range(1, 17), i ->
+             |      CASE WHEN (17 - i) % 2 = 0
+             |           THEN CASE WHEN CAST(substr(replace(replace(cc, '-', ''), ' ', ''), i, 1) AS INT) * 2 > 9
+             |                THEN CAST(substr(replace(replace(cc, '-', ''), ' ', ''), i, 1) AS INT) * 2 - 9
+             |                ELSE CAST(substr(replace(replace(cc, '-', ''), ' ', ''), i, 1) AS INT) * 2 END
+             |           ELSE CAST(substr(replace(replace(cc, '-', ''), ' ', ''), i, 1) AS INT) END)) % 10 = 0)) AS INT) AS n_cards
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     "q_pii_redaction" -> QueryDef(
       (s, dir) => {
         import s.implicits._

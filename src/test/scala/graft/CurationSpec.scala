@@ -157,4 +157,20 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(kept("en") / 3000.0 - 0.5) < 0.05, s"en: ${kept("en")}")
     assert(math.abs(kept("zh") / 3000.0 - 0.1) < 0.05, s"zh: ${kept("zh")}")
   }
+
+  test("detectCardNumbers: Luhn separates real cards from 16-digit noise") {
+    val docs = Seq(
+      (1L, "pay with 4111-1111-1111-1111 thanks"),        // valid (Visa test)
+      (2L, "pay with 4111-1111-1111-1112 thanks"),        // checksum fails
+      (3L, "ref 5500 0000 0000 0004 and 1234567890123456"), // one valid, one not
+      (4L, "no digits here"),
+      (5L, "order 4111111111111111")                      // valid, no separators
+    ).toDF("doc_id", "text")
+    val out = Curation.detectCardNumbers(docs, "text")
+      .select($"doc_id", $"n_candidates", $"n_cards")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.toSeq == Seq(
+      (1L, 1, 1), (2L, 1, 0), (3L, 2, 1), (4L, 0, 0), (5L, 1, 1)))
+  }
 }
