@@ -258,6 +258,25 @@ object Curation {
       .withColumn("redacted", cur)
   }
 
+  /**
+   * Leakage-safe dataset split: near-duplicate CLUSTERS (not documents)
+   * are the unit of split assignment, so two near-copies can never land
+   * one in train and one in test — the standard guard against evaluation
+   * contamination when splitting a deduplicatable corpus. Composes the
+   * existing pieces: `dedupClusters` (connected components over near-dup
+   * pairs) for the cluster root, `assignSplits` keyed by the root instead
+   * of the document id. Docs with no near-dup are their own cluster, so
+   * the split stays ~uniform at the configured fractions.
+   */
+  def leakageSafeSplits(df: DataFrame, idCol: String, pairs: DataFrame,
+      fractions: Seq[(String, Double)], salt: String = "graft"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    assignSplits(dedupClusters(df, idCol, pairs).select($"id", $"cluster"),
+        "cluster", fractions, salt)
+      .select($"id".as(idCol), $"cluster", $"split")
+  }
+
   /** 16-digit card-number candidate (optional dash/space group
     * separators) — Java regex ∩ RE2, shared with the SQL oracle. */
   val CardPattern: String = "[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}"

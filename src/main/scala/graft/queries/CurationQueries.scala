@@ -382,6 +382,40 @@ object CurationQueries {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // split by near-dup CLUSTER, not by doc: near-copies inherit their
+    // cluster root's split, so train/test contamination by duplicates is
+    // structurally impossible. Oracle = the cluster recursion + the split
+    // hash keyed by the cluster id.
+    "q_leakage_safe_split" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2,
+          threshold = 0.5, maxGramDf = 100L)
+        Curation.leakageSafeSplits(docs, "doc_id", pairs,
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE $NgramPairsCtes,
+             |edges AS (
+             |  SELECT id_a AS s, id_b AS d FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT s, s FROM edges
+             |  UNION SELECT e.d, reach.r FROM edges e JOIN reach ON reach.id = e.s),
+             |cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+             |clustered AS (
+             |  SELECT doc_id, coalesce(cc.cluster, doc_id) AS cluster
+             |  FROM documents LEFT JOIN cc ON doc_id = cc.id)
+             |SELECT doc_id, cluster,
+             |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM (SELECT doc_id, cluster,
+             |        CAST(('0x' || substr(md5('graft' || CAST(cluster AS VARCHAR)), 1, 8)) AS BIGINT)
+             |        / 4294967296.0 AS u
+             |      FROM clustered)
+             |ORDER BY doc_id""".stripMargin)),
+
     // per-source quota: at most 10 docs per source (the fixture has 25 per
     // source, so the cap genuinely bites), picked by md5 order of the doc
     // id (deterministic uniform choice the oracle replays exactly)

@@ -158,6 +158,31 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(kept("zh") / 3000.0 - 0.1) < 0.05, s"zh: ${kept("zh")}")
   }
 
+  test("leakageSafeSplits: a near-dup cluster never straddles splits") {
+    import graft.pipeline.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val withCopies = docs.unionByName(
+      docs.filter($"doc_id" < 10).select(($"doc_id" + 1000000).as("doc_id"), $"text"))
+    val pairs = Dedup.ngramJaccard(withCopies, "doc_id", "text", n = 2,
+      threshold = 0.5, maxGramDf = 100L)
+    val split = Curation.leakageSafeSplits(withCopies, "doc_id", pairs,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // every cluster maps to exactly one split...
+    val straddling = split.groupBy($"cluster")
+      .agg(countDistinct($"split").as("ns")).filter($"ns" > 1).count()
+    assert(straddling == 0)
+    // ...including the planted multi-doc clusters (the guard is non-vacuous)
+    val multi = split.groupBy($"cluster").count().filter($"count" > 1).count()
+    assert(multi >= 10, s"expected planted clusters, got $multi")
+    // copies inherit the ORIGINAL's cluster and split
+    val orig = split.filter($"doc_id" < 10)
+      .select($"doc_id", $"split".as("s_orig"))
+    val copies = split.filter($"doc_id" >= 1000000)
+      .select(($"doc_id" - 1000000).as("doc_id"), $"split".as("s_copy"))
+    assert(orig.join(copies, "doc_id").filter($"s_orig" =!= $"s_copy").count() == 0)
+  }
+
   test("detectCardNumbers: Luhn separates real cards from 16-digit noise") {
     val docs = Seq(
       (1L, "pay with 4111-1111-1111-1111 thanks"),        // valid (Visa test)
