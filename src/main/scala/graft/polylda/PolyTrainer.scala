@@ -258,39 +258,29 @@ object PolyTrainer {
         (snapIdx % cfg.checkpointEvery == 0 || snapIdx == cfg.maxIterations)
       val docSide = estep.filter($"isDoc").toDF()
 
-      // M-step + likelihood + alpha sufficient statistics — ONE fused
-      // action per iteration in both modes (see graft.lda.Trainer for the
-      // pattern): broadcast mode collects the fused rows; shuffle mode
-      // materializes the packed per-language beta, the doc side (next
-      // corpus), and the k-row ll/alpha stats as union branches of a
-      // single eager localCheckpoint (which also truncates lineage).
+      // M-step + likelihood + alpha sufficient statistics — the same
+      // two-checkpoint-by-size-class shape as graft.lda.Trainer: broadcast
+      // mode collects the fused rows; shuffle mode materializes (1) the
+      // MODEL-sized packed per-language beta + k-row ll/alpha stats here
+      // and (2) the CORPUS-sized gamma rotation below, both reading the
+      // one cached E-step. Keeping the doc side out of (1) means the
+      // per-iteration beta scans never re-read corpus blocks; both
+      // checkpoints truncate lineage.
       var betaRowsDriver: Seq[(Int, Int, Int, Double)] = Nil // broadcast mode
       var fused: Option[DataFrame] = None                    // shuffle mode
       val prevBetaTable = betaTable
       val (ll, ss) = if (useShuffleEStep) {
         val nullInt = lit(null).cast("int")
-        val nullLong = lit(null).cast("bigint")
         val nullDouble = lit(null).cast("double")
         val nullArr = lit(null).cast("array<double>")
-        val nullCounts = lit(null).cast("map<int,map<int,int>>")
-        val nullNumTokens = lit(null).cast("map<int,bigint>")
         val packed = packBeta(mstep(
           estep.filter(!$"isDoc").select($"lang", $"topic", $"termId", $"logphi")))
         val fusedDf = packed
           .select(lit(0).as("tag"), $"lang", $"termId", $"elogbeta",
-            nullLong.as("docId"), nullCounts.as("counts"),
-            nullNumTokens.as("numTokens"), nullLong.as("totalTokens"),
-            nullArr.as("gamma"), nullDouble.as("ll"), nullInt.as("k"),
-            nullDouble.as("ss"))
-          .unionByName(docSide
-            .select(lit(1).as("tag"), nullInt.as("lang"), nullInt.as("termId"),
-              nullArr.as("elogbeta"), $"docId", $"counts", $"numTokens",
-              $"totalTokens", $"gamma", $"ll", nullInt.as("k"), nullDouble.as("ss")))
+            nullDouble.as("ll"), nullInt.as("k"), nullDouble.as("ss"))
           .unionByName(MStep.llAndAlphaStatsRows(docSide)
             .select(lit(2).as("tag"), nullInt.as("lang"), nullInt.as("termId"),
-              nullArr.as("elogbeta"), nullLong.as("docId"), nullCounts.as("counts"),
-              nullNumTokens.as("numTokens"), nullLong.as("totalTokens"),
-              nullArr.as("gamma"), $"llsum".as("ll"), $"k", $"ss"))
+              nullArr.as("elogbeta"), $"llsum".as("ll"), $"k", $"ss"))
           .localCheckpoint()
         fused = Some(fusedDf)
         betaTable = fusedDf.filter($"tag" === 0).select($"lang", $"termId", $"elogbeta")
@@ -354,18 +344,13 @@ object PolyTrainer {
               .select($"docId", $"counts", $"numTokens", $"totalTokens", $"gamma")
               .as[PolyDoc]
               .persist(StorageLevel.MEMORY_AND_DISK)
-          } else fused match {
-            case Some(f) =>
-              // already materialized by the fused localCheckpoint — a
-              // filter view over it costs no extra action
-              f.filter($"tag" === 1)
-                .select($"docId", $"counts", $"numTokens", $"totalTokens", $"gamma")
-                .as[PolyDoc]
-            case None =>
-              docSide
-                .select($"docId", $"counts", $"numTokens", $"totalTokens", $"gamma")
-                .as[PolyDoc]
-                .localCheckpoint()
+          } else {
+            // both modes: eager localCheckpoint over the cached E-step —
+            // in shuffle mode this is checkpoint (2) of the split
+            docSide
+              .select($"docId", $"counts", $"numTokens", $"totalTokens", $"gamma")
+              .as[PolyDoc]
+              .localCheckpoint()
           }
         corpus.unpersist()
         corpus = nextCorpus
