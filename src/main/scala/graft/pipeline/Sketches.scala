@@ -35,26 +35,55 @@ object Sketches {
 
   /**
    * Approximate distinct `keyCol` per `groupCols`, returned as
-   * (groupCols..., approx_distinct DOUBLE rounded to 2dp).
+   * (groupCols..., approx_distinct DOUBLE rounded to 2dp). One-shot
+   * composition of `hllSketch` + `hllEstimateFromSketch`.
    */
   def hllEstimate(df: DataFrame, keyCol: String, groupCols: Seq[String],
-      outCol: String = "approx_distinct"): DataFrame = {
+      outCol: String = "approx_distinct"): DataFrame =
+    hllEstimateFromSketch(hllSketch(df, keyCol, groupCols), groupCols, outCol)
+
+  /**
+   * The REGISTER TABLE form of the sketch: (groupCols..., __hll_bucket,
+   * __hll_m), ≤ m rows per group — the persistable artifact. Build one per
+   * ingest slice (day, shard), save as parquet, then `hllMerge` any slice
+   * combination and estimate at query time WITHOUT rescanning data:
+   * registers merge losslessly by max, so the merged estimate is
+   * bit-identical to a single pass over the union. That is the
+   * sketch-table pattern at 100 TB — cardinality dashboards over
+   * arbitrary date ranges from kilobyte-sized inputs.
+   */
+  def hllSketch(df: DataFrame, keyCol: String, groupCols: Seq[String]): DataFrame = {
     // internal columns are __hll_-prefixed so a caller-supplied group column
     // named e.g. "bucket" can't collide (ambiguous reference / misgrouping)
     val reserved = Set("__hll_bucket", "__hll_r", "__hll_m", "__hll_present",
       "__hll_s_present", "__hll_s", "__hll_v", "__hll_raw", "__hll_est")
     require(groupCols.forall(g => !reserved(g)),
-      s"hllEstimate: group columns may not use reserved internal names $reserved")
+      s"hllSketch: group columns may not use reserved internal names $reserved")
     val h = Dedup.baseHash60(col(keyCol).cast("string"))
     val rest = shiftright(h, 8)
     // rank = leading zeros of the 52-bit remainder + 1 = 53 − bitlength
     val rank = when(rest === 0, lit(HllW + 1))
       .otherwise(lit(HllW + 1) - length(bin(rest)))
     val gcols = groupCols.map(col)
-    val regs = df
-      .select(gcols :+ h.bitwiseAND(lit(255L)).as("__hll_bucket") :+ rank.as("__hll_r"): _*)
+    df.select(gcols :+ h.bitwiseAND(lit(255L)).as("__hll_bucket") :+ rank.as("__hll_r"): _*)
       .groupBy(gcols :+ col("__hll_bucket"): _*)
       .agg(max(col("__hll_r")).as("__hll_m"))
+  }
+
+  /** Merge register tables (same groupCols) by register max — lossless,
+    * associative, commutative: any grouping of slices estimates
+    * identically. ≤ m rows per group in AND out. */
+  def hllMerge(sketches: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(sketches.nonEmpty, "hllMerge: no sketches")
+    sketches.reduce(_.unionByName(_))
+      .groupBy(groupCols.map(col) :+ col("__hll_bucket"): _*)
+      .agg(max(col("__hll_m")).as("__hll_m"))
+  }
+
+  /** The estimator tail over a register table (built or merged). */
+  def hllEstimateFromSketch(regs: DataFrame, groupCols: Seq[String],
+      outCol: String = "approx_distinct"): DataFrame = {
+    val gcols = groupCols.map(col)
     regs
       .groupBy(gcols: _*)
       // 2^(53−M) is exact in doubles (M ≥ 1), cast to BIGINT before the sum

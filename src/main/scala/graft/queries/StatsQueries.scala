@@ -41,6 +41,34 @@ object StatsQueries {
               |      FROM ($hllKeyedSql) GROUP BY 1) x USING (scope)
               |ORDER BY scope""".stripMargin)),
 
+    // the sketch-TABLE lifecycle: three disjoint event slices sketched
+    // independently, each register table round-tripped through parquet,
+    // merged by register max, estimated once — HLL merge is lossless, so
+    // the oracle is simply the direct single-pass replay over all events
+    "q_hll_sketch_merge" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Registry.events(s, dir)
+          .select($"event_id", $"event_type".as("scope"),
+            $"user_id".cast("string").as("key"))
+        val base = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_hll_sketches_${ProcessHandle.current().pid()}")
+        val sketches = (0 until 3).map { i =>
+          val p = base.resolve(s"slice_$i").toString
+          Sketches.hllSketch(ev.filter($"event_id" % 3 === i), "key", Seq("scope"))
+            .write.mode("overwrite").parquet(p)
+          s.read.parquet(p)
+        }
+        Sketches.hllEstimateFromSketch(
+            Sketches.hllMerge(sketches, Seq("scope")), Seq("scope"))
+          .orderBy($"scope")
+      },
+      Some(s"""SELECT scope, approx_distinct
+              |FROM (${Sketches.hllOracleSql(
+                  "SELECT event_type AS scope, CAST(user_id AS VARCHAR) AS key FROM events")})
+              |ORDER BY scope""".stripMargin)),
+
     // count-min frequency sketch next to exact per-user event counts —
     // the estimate is an upper bound (min over 4 hash-row counters), and
     // the whole integer grid is replayed by the DuckDB oracle

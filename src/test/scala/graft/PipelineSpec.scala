@@ -164,6 +164,20 @@ class PipelineSpec extends SparkSpec {
     val est3 = Sketches.hllEstimate(tripled, "key", Seq("scope")).collect()
       .map(r => r.getAs[String]("scope") -> r.getAs[Double]("approx_distinct")).toMap
     assert(est3 == est)
+
+    // mergeability is LOSSLESS: sketch disjoint (and overlapping!) slices
+    // separately, merge register tables, estimate — identical to the
+    // single-pass estimate, for any slicing
+    val slices = Seq(
+      df.filter(length($"key") % 3 === 0),
+      df.filter(length($"key") % 3 === 1),
+      df.filter(length($"key") % 3 === 2),
+      df.limit(1000)) // overlapping slice: max-merge absorbs it
+      .map(s => Sketches.hllSketch(s, "key", Seq("scope")))
+    val merged = Sketches.hllEstimateFromSketch(
+        Sketches.hllMerge(slices, Seq("scope")), Seq("scope")).collect()
+      .map(r => r.getAs[String]("scope") -> r.getAs[Double]("approx_distinct")).toMap
+    assert(merged == est)
   }
 
   test("baseHash60Jvm is bit-identical to the baseHash60 column expression") {
