@@ -97,6 +97,17 @@ object StreamingQueries {
       Some("""SELECT user_id, count(*) AS n, round(sum(value), 2) AS total_value
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // streaming sketch maintenance: per-batch HLL register sketches
+    // max-merged into a persistent register table; merge is lossless so
+    // the final estimate equals the single-pass DuckDB replay regardless
+    // of micro-batching
+    "q_stream_hll_sketch" -> QueryDef(
+      (s, dir) => EventsStream.streamingHllSketch(s, dir),
+      Some(s"""SELECT scope, approx_distinct
+              |FROM (${graft.pipeline.Sketches.hllOracleSql(
+                  "SELECT event_type AS scope, CAST(user_id AS VARCHAR) AS key FROM events")})
+              |ORDER BY scope""".stripMargin)),
+
     // CDC apply: out-of-order change stream → keyed snapshot via
     // foreachBatch + version-aware upsert; converges to the batch
     // latest-by-key no matter how the stream is micro-batched, which is

@@ -225,6 +225,59 @@ object EventsStream {
   }
 
   /**
+   * Streaming sketch maintenance: each micro-batch is sketched
+   * (`Sketches.hllSketch`) and max-merged into a persistent register
+   * table (`Sketches.hllMerge`), one immutable version per batch — the
+   * foreachBatch twin of `q_hll_sketch_merge`'s batch lifecycle. Register
+   * merge is lossless and order/batching-independent, so the final
+   * estimate equals the single-pass estimate over all events (the
+   * oracle), no matter how the stream was chunked. State is the ≤ m-row
+   * register table itself — nothing in Spark's state store, nothing that
+   * grows with stream length: the 100 TB cardinality-dashboard shape.
+   */
+  def streamingHllSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val run = counter.incrementAndGet()
+    val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_hll_stream_${ProcessHandle.current().pid()}_$run")
+    val incoming = base.resolve("incoming").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select($"event_id", $"event_type".as("scope"),
+        $"user_id".cast("string").as("key"))
+    (0 until 3).foreach { i =>
+      events.filter($"event_id" % 3 === i).coalesce(1)
+        .write.mode("append").parquet(incoming)
+    }
+
+    @volatile var sketchPath: Option[String] = None
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(incoming)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val batchSketch = graft.pipeline.Sketches.hllSketch(batch, "key", Seq("scope"))
+        val merged = sketchPath match {
+          case None => batchSketch
+          case Some(p) => graft.pipeline.Sketches.hllMerge(
+            Seq(spark.read.parquet(p), batchSketch), Seq("scope"))
+        }
+        val out = base.resolve(s"v$batchId").toString
+        merged.write.mode("overwrite").parquet(out)
+        sketchPath = Some(out)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.pipeline.Sketches.hllEstimateFromSketch(
+        spark.read.parquet(sketchPath.getOrElse(
+          sys.error("sketch stream produced no batches"))), Seq("scope"))
+      .orderBy($"scope")
+  }
+
+  /**
    * Bounded-state variant of `dedupedUserCounts`: the unbounded
    * `dropDuplicates` keeps every seen id forever, which at 100 TB grows
    * without limit — `dropDuplicatesWithinWatermark` evicts dedup state
