@@ -259,6 +259,30 @@ object Curation {
   }
 
   /**
+   * Keep-BEST materialization: from each near-dup cluster keep the row
+   * with the highest `scoreCol` (ties broken by smallest id) — curation
+   * usually wants the best-quality copy of a duplicated page, not the one
+   * with the lowest id (`Dedup.applyKeepSmallest`'s policy). One window
+   * pass per cluster on top of the connected-components labels; the
+   * row_number + top-1 filter plans as WindowGroupLimit, so only each
+   * cluster's best row survives the sort buffer.
+   */
+  def applyKeepBest(df: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val clustered = dedupClusters(df, idCol, pairs).select($"id", $"cluster")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster").orderBy(col(scoreCol).desc, $"id".asc)
+    val kept = clustered
+      .join(df.select(col(idCol).cast("long").as("id"), col(scoreCol)), "id")
+      .withColumn("__rn", row_number().over(w))
+      .filter($"__rn" === 1)
+      .select($"id".as(idCol))
+    df.join(kept, Seq(idCol), "left_semi")
+  }
+
+  /**
    * Leakage-safe dataset split: near-duplicate CLUSTERS (not documents)
    * are the unit of split assignment, so two near-copies can never land
    * one in train and one in test — the standard guard against evaluation

@@ -382,6 +382,37 @@ object CurationQueries {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // keep-BEST policy: each near-dup cluster keeps its longest member
+    // (n_chars score), not its smallest id — the curation choice when
+    // copies differ in completeness
+    "q_dedup_keep_best" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2,
+          threshold = 0.5, maxGramDf = 100L)
+        Curation.applyKeepBest(docs, "doc_id", pairs, "n_chars")
+          .select($"doc_id", $"n_chars")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE $NgramPairsCtes,
+             |edges AS (
+             |  SELECT id_a AS s, id_b AS d FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT s, s FROM edges
+             |  UNION SELECT e.d, reach.r FROM edges e JOIN reach ON reach.id = e.s),
+             |cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+             |clustered AS (
+             |  SELECT doc_id, coalesce(cc.cluster, doc_id) AS cluster, n_chars
+             |  FROM documents LEFT JOIN cc ON doc_id = cc.id),
+             |ranked AS (
+             |  SELECT doc_id, n_chars, row_number() OVER (
+             |    PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC) AS rn
+             |  FROM clustered)
+             |SELECT doc_id, n_chars FROM ranked WHERE rn = 1
+             |ORDER BY doc_id""".stripMargin)),
+
     // split by near-dup CLUSTER, not by doc: near-copies inherit their
     // cluster root's split, so train/test contamination by duplicates is
     // structurally impossible. Oracle = the cluster recursion + the split

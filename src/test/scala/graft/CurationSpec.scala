@@ -158,6 +158,23 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(kept("zh") / 3000.0 - 0.1) < 0.05, s"zh: ${kept("zh")}")
   }
 
+  test("applyKeepBest keeps the highest-scoring member of each cluster") {
+    val docs = Seq(
+      (1L, "shared text body one", 10L),
+      (2L, "shared text body one extended", 25L),  // best of cluster {1,2,3}
+      (3L, "shared text body one x", 12L),
+      (4L, "completely different content", 7L))    // singleton survives
+      .toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Curation.applyKeepBest(docs, "doc_id", pairs, "n_chars")
+      .select($"doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 4L))
+    // WindowGroupLimit: only each cluster's top row survives the sort
+    val plan = Curation.applyKeepBest(docs, "doc_id", pairs, "n_chars")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("leakageSafeSplits: a near-dup cluster never straddles splits") {
     import graft.pipeline.Dedup
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
