@@ -465,6 +465,25 @@ class PipelineSpec extends SparkSpec {
     assert(kept.filter($"vec_id" >= 200000).count() == 0)
   }
 
+  test("duplicateSpans edges: null/empty/short docs, unreachable minDocFreq") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),         // full-doc duplicate of 1
+      (3L, null.asInstanceOf[String]),
+      (4L, ""),                    // no tokens
+      (5L, "xy"))                  // fewer than windowSize tokens
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text",
+      windowSize = 3, minDocFreq = 2).orderBy($"doc_id").collect()
+    // only the duplicated pair marks; one maximal span covering all 6 tokens
+    assert(spans.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    spans.foreach(r => assert(r.getInt(1) == 0 && r.getInt(2) == 5 &&
+      r.getInt(3) == 6, r.toString))
+    // a doc-frequency floor beyond the corpus size marks nothing
+    assert(Dedup.duplicateSpans(docs, "doc_id", "text",
+      windowSize = 3, minDocFreq = 10L).count() == 0)
+  }
+
   test("minhash index: save/load screens identically to a fresh build") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val newBatch = docs.filter($"doc_id" < 10)

@@ -49,4 +49,18 @@ class ZOrderSpec extends SparkSpec {
     assert(spark.read.parquet(zdir).agg(sum($"l_partkey"), sum($"l_suppkey")).head() ==
       li.agg(sum($"l_partkey"), sum($"l_suppkey")).head())
   }
+
+  test("z-value edges: constant dimension, bits=1, exact interleave") {
+    val df = Seq((0L, 5L), (1L, 5L), (2L, 5L), (3L, 5L)).toDF("a", "b")
+    // b constant → its range clamps to 1 and qb = 0: z carries only a's
+    // lanes. bits=2, a range 3, m=3: qa = a·3 div 3 = a; bit p of qa lands
+    // at position 2p+1, so qa=3 (binary 11) → z = 0b1010 = 10.
+    val z2 = ZOrder.withZValue(df, "a", "b", bits = 2)
+      .select($"a", $"z").as[(Long, Long)].collect().toMap
+    assert(z2 == Map(0L -> 0L, 1L -> 2L, 2L -> 8L, 3L -> 10L))
+    // bits=1: m=1, qa = a div 3 → 0 below the max, 1 at it; z = qa << 1
+    val z1 = ZOrder.withZValue(df, "a", "b", bits = 1)
+      .select($"a", $"z").as[(Long, Long)].collect().toMap
+    assert(z1 == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 2L))
+  }
 }
