@@ -52,23 +52,30 @@ object Merge {
    * coalesce, an explicit NULL in a winning update is honored.
    *
    * `updates` must carry ALL of `base`'s columns and at most one row per
-   * key (compact with `latestByKey` first). One key shuffle, like
+   * key (compact with `latestByKey` first). A NULL version sorts OLDEST:
+   * a NULL-versioned update still inserts a missing key but never beats
+   * an existing row, and a NULL-versioned base row loses to any versioned
+   * update — explicit presence markers decide existence, so no side's
+   * version column doubles as the join probe. One key shuffle, like
    * `upsert`.
    */
   def versionedUpsert(base: DataFrame, updates: DataFrame, key: String,
       versionCol: String, tieCol: String): DataFrame = {
-    val updateWins = col(s"b.$versionCol").isNull ||
+    val b = base.withColumn("__b_present", lit(true)).as("b")
+    val u = updates.withColumn("__u_present", lit(true)).as("u")
+    // NULL version/tie comparisons resolve to false → keep base (NULL is
+    // oldest); base-side NULL version loses via the reversed probe below
+    val strictlyNewer = coalesce(
       col(s"u.$versionCol") > col(s"b.$versionCol") ||
-      (col(s"u.$versionCol") === col(s"b.$versionCol") &&
-        col(s"u.$tieCol") > col(s"b.$tieCol"))
-    // "u side exists and wins" — u.version is non-null whenever the update
-    // row exists (it IS the ordering column), so it doubles as the
-    // presence probe the full-outer join needs
-    val takeU = col(s"u.$versionCol").isNotNull && updateWins
+        (col(s"u.$versionCol") === col(s"b.$versionCol") &&
+          col(s"u.$tieCol") > col(s"b.$tieCol")),
+      col(s"b.$versionCol").isNull && col(s"u.$versionCol").isNotNull)
+    val takeU = col("u.__u_present").isNotNull &&
+      (col("b.__b_present").isNull || strictlyNewer)
     val outCols = base.columns.filter(_ != key).map { c =>
       when(takeU, col(s"u.$c")).otherwise(col(s"b.$c")).as(c)
     }
-    base.as("b").join(updates.as("u"), Seq(key), "full_outer")
+    b.join(u, Seq(key), "full_outer")
       .select(col(key) +: outCols.toSeq: _*)
   }
 

@@ -447,11 +447,27 @@ object Dedup {
    *
    * `maxClusterSize` is the same drop-and-log skew guard as the LSH bucket
    * cap — a degenerate cluster (collapsed embedding model, all-zero rows)
-   * would otherwise go quadratic on one key.
+   * would otherwise go quadratic on one key; [[hotClusters]] is the log
+   * half, listing exactly what the cap skipped.
    *
    * Returns (id_a, id_b, cid, cosine) with id_a < id_b and cosine ≥
    * threshold; feed to `applyKeepSmallest` for the keep-one policy.
    */
+  /** The clusters `semanticDedup`'s cap WOULD drop, with populations —
+    * the "log" half of drop-and-log (mirror of [[hotBuckets]] for the
+    * LSH cap): run next to a capped dedup to quantify what was skipped;
+    * an over-cap cluster usually means a collapsed embedding region
+    * worth routing to exact dedup or re-clustering with more centroids. */
+  def hotClusters(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 16, kmeansIterations: Int = 3,
+      maxClusterSize: Int = DefaultMaxBucketSize): DataFrame = {
+    import df.sparkSession.implicits._
+    Similarity.buildIvfIndex(df, idCol, vecCol, nClusters, kmeansIterations)
+      .assigned
+      .groupBy($"cid").agg(count(lit(1)).as("n"))
+      .filter($"n" > maxClusterSize)
+  }
+
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       nClusters: Int = 16, kmeansIterations: Int = 3,
       cosineThreshold: Double = 0.95,

@@ -117,8 +117,6 @@ object CurationQueries {
              |    AND dup_uni <= 0.6 AND top_bg <= 0.1 AS keep
              |FROM f ORDER BY doc_id""".stripMargin)),
 
-    // PII is planted deterministically on doc_id % 5 = 0 (the synthetic
-    // corpus has none), then redacted; the oracle mirrors plant + redact
     // Luhn-validated card detection: one planted VALID card + one
     // checksum-failing near-miss per flagged doc, so the oracle proves the
     // checksum (not just the regex) separates them
@@ -154,6 +152,8 @@ object CurationQueries {
              |           ELSE CAST(substr(replace(replace(cc, '-', ''), ' ', ''), i, 1) AS INT) END)) % 10 = 0)) AS INT) AS n_cards
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // PII is planted deterministically on doc_id % 5 = 0 (the synthetic
+    // corpus has none), then redacted; the oracle mirrors plant + redact
     "q_pii_redaction" -> QueryDef(
       (s, dir) => {
         import s.implicits._

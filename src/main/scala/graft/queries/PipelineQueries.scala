@@ -108,13 +108,7 @@ object PipelineQueries {
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents")
-        val copies = docs.filter($"doc_id" < 30)
-          .select(($"doc_id" + 500000).as("doc_id"), $"text")
-        val novel = docs.filter($"doc_id" >= 30 && $"doc_id" < 60)
-          .select(($"doc_id" + 500000).as("doc_id"),
-            concat(lit("zqx"), $"doc_id", lit(" wvu"), $"doc_id",
-              lit(" tsr"), $"doc_id").as("text"))
-        Dedup.minhashNearDupsAgainst(copies.unionByName(novel), docs,
+        Dedup.minhashNearDupsAgainst(plantedIngestBatch(docs), docs,
           "doc_id", "text",
           shingleSize = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.5)
           .orderBy($"new_id", $"ref_id")
@@ -534,6 +528,23 @@ object PipelineQueries {
 
   private def duckList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** The planted ingest batch (30 exact copies of reference docs at
+    * id+500000 + 30 novel synthetic docs) — shared by `q_dedup_incremental`
+    * and the streaming screen (`DedupStream.incrementalScreen`), and it
+    * must stay bit-identical to `incrementalMinhashOracleSql`'s `alldocs`
+    * CTE: one construction, three consumers. */
+  private[graft] def plantedIngestBatch(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    val copies = docs.filter($"doc_id" < 30)
+      .select(($"doc_id" + 500000).as("doc_id"), $"text")
+    val novel = docs.filter($"doc_id" >= 30 && $"doc_id" < 60)
+      .select(($"doc_id" + 500000).as("doc_id"),
+        concat(lit("zqx"), $"doc_id", lit(" wvu"), $"doc_id",
+          lit(" tsr"), $"doc_id").as("text"))
+    copies.unionByName(novel)
+  }
 
   /** Squared-L2 between two (vec_id, v) CTE aliases — shared by the
     * IVF and semantic-dedup oracle generators. */

@@ -8,6 +8,8 @@ object StatsQueries {
 
   import Registry.t
 
+  private val hllRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** (scope, key) relation the HLL query sketches: per-event-type user
     * cardinality (exercises the linear-counting branch — few hundred users)
     * and global event-id cardinality (raw harmonic branch — tens of
@@ -51,9 +53,11 @@ object StatsQueries {
         val ev = Registry.events(s, dir)
           .select($"event_id", $"event_type".as("scope"),
             $"user_id".cast("string").as("key"))
+        // run counter like the streaming sinks: re-invocation in one JVM
+        // must not overwrite part files a previous lazy result still reads
         val base = java.nio.file.Paths.get(
           System.getProperty("java.io.tmpdir"),
-          s"graft_hll_sketches_${ProcessHandle.current().pid()}")
+          s"graft_hll_sketches_${ProcessHandle.current().pid()}_${hllRuns.incrementAndGet()}")
         val sketches = (0 until 3).map { i =>
           val p = base.resolve(s"slice_$i").toString
           Sketches.hllSketch(ev.filter($"event_id" % 3 === i), "key", Seq("scope"))

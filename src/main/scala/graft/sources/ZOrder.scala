@@ -25,6 +25,8 @@ object ZOrder {
   def bounds(df: DataFrame, colA: String, colB: String): (Long, Long, Long, Long) = {
     val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      s"ZOrder.bounds: no non-null ($colA, $colB) rows to lay out")
     (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }
 
@@ -61,12 +63,16 @@ object ZOrder {
     * EITHER dimension. One range shuffle — the same cost as a plain
     * global sort layout. */
   def zorderWrite(df: DataFrame, colA: String, colB: String, path: String,
-      numFiles: Int, bits: Int = 16): Unit =
-    withZValue(df, colA, colB, bits)
-      .repartitionByRange(numFiles, col("z"))
-      .sortWithinPartitions(col("z"))
-      .drop("z")
+      numFiles: Int, bits: Int = 16): Unit = {
+    // collision-free internal name: a data column named "z" must survive
+    // the layout pass intact
+    val zc = "__zorder_z"
+    withZValue(df, colA, colB, bits, zCol = zc)
+      .repartitionByRange(numFiles, col(zc))
+      .sortWithinPartitions(col(zc))
+      .drop(zc)
       .write.mode("overwrite").parquet(path)
+  }
 
   /** Per-file min/max of the given columns for a parquet directory — the
     * skipping bounds a reader would get from footer stats, observable as

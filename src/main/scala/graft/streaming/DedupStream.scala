@@ -53,14 +53,9 @@ object DedupStream {
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
 
-    // the planted ingest batch (same construction as q_dedup_incremental)
-    val copies = docs.filter($"doc_id" < 30)
-      .select(($"doc_id" + 500000).as("doc_id"), $"text")
-    val novel = docs.filter($"doc_id" >= 30 && $"doc_id" < 60)
-      .select(($"doc_id" + 500000).as("doc_id"),
-        concat(lit("zqx"), $"doc_id", lit(" wvu"), $"doc_id",
-          lit(" tsr"), $"doc_id").as("text"))
-    val newBatch = copies.unionByName(novel)
+    // the planted ingest batch — ONE construction shared with
+    // q_dedup_incremental and its oracle (PipelineQueries)
+    val newBatch = graft.queries.PipelineQueries.plantedIngestBatch(docs)
     // two files → two triggers under maxFilesPerTrigger=1
     newBatch.filter($"doc_id" % 2 === 0).coalesce(1)
       .write.mode("append").parquet(incoming)

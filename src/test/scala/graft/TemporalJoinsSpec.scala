@@ -252,6 +252,26 @@ class TemporalJoinsSpec extends SparkSpec {
       (3L, 100L, 7L, Some("c2")),  // tie-break on tie column
       (4L, 10L, 1L, Some("new")))) // insert
 
+    // NULL versions sort oldest: a NULL-versioned update still inserts a
+    // missing key, but never beats an existing row — and no phantom
+    // all-null row appears for the inserted key
+    val nullV = Seq(
+      (1L, Option.empty[Long], 1L, Option("ghost")),   // stale vs base v100
+      (9L, Option.empty[Long], 1L, Option("inserted"))) // new key
+      .toDF("k", "v", "tie", "payload")
+    val nOut = Merge.versionedUpsert(
+        base.select($"k", $"v".cast("long").as("v"), $"tie", $"payload"),
+        nullV, "k", "v", "tie")
+      .orderBy($"k").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(3)) None else Some(r.getString(3))))
+    assert(nOut.toSeq == Seq(
+      (1L, Some(100L), Some("a")),   // NULL update loses to v100
+      (2L, Some(100L), Some("b")),
+      (3L, Some(100L), Some("c")),
+      (9L, None, Some("inserted")))) // NULL insert lands whole, not phantom
+
     // order independence: applying two disjoint-in-time batches in either
     // order converges to the same snapshot
     val early = Seq((7L, 1L, 1L, Option("old"))).toDF("k", "v", "tie", "payload")
