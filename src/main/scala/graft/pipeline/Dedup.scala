@@ -133,6 +133,53 @@ object Dedup {
         maxBucketSize),
       newDf, idCol, textCol, jaccardThreshold, maxBucketSize)
 
+  /**
+   * Apply `duplicateSpans`: rebuild each document's text with every marked
+   * token range removed — the aggressive boilerplate posture (a window
+   * repeated across ≥ minDocFreq documents is template text; C4 cuts such
+   * lines, this cuts exact token spans). Returns (doc_id, clean_text,
+   * removed_tokens); documents with no spans pass through with their
+   * whitespace-normalized token join (token-level surgery can't preserve
+   * the original whitespace).
+   *
+   * Plan shape: tokens posexplode once, spans join back doc-keyed with a
+   * range predicate (each doc has FEW spans, so the per-doc fan-out is
+   * bounded), survivors re-join ordered by position — every shuffle keyed
+   * by doc id.
+   */
+  def cutSpans(df: DataFrame, idCol: String, textCol: String,
+      windowSize: Int = 8, minDocFreq: Long = 2L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spans = duplicateSpans(df, idCol, textCol, windowSize, minDocFreq)
+      .select($"doc_id".as("id"), $"span_start", $"span_end")
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      posexplode(TextAnalysis.wsTokens(lower(col(textCol)))).as(Seq("pos", "tok")))
+    val marked = toks.join(spans,
+      Seq("id"), "left")
+      .withColumn("__in_span",
+        $"span_start".isNotNull &&
+          $"pos" >= $"span_start" && $"pos" <= $"span_end")
+      // a token joins once per span of its doc: it is removed if ANY span
+      // covers it
+      .groupBy($"id", $"pos")
+      .agg(first($"tok").as("tok"), max($"__in_span").as("cut"))
+    val perDoc = marked.groupBy($"id")
+      .agg(
+        // collect_list skips nulls, so cut tokens vanish from the rebuild
+        // (same trick as Curation's boilerplate-line removal)
+        array_join(transform(array_sort(collect_list(
+          when(!$"cut", struct($"pos", $"tok")))), x => x.getField("tok")), " ")
+          .as("clean_text"),
+        sum(when($"cut", 1L).otherwise(0L)).as("removed_tokens"))
+    // anchor on the input: token-less documents keep a row (empty text,
+    // zero removed) instead of silently vanishing
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .join(perDoc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"clean_text", lit("")).as("clean_text"),
+        coalesce($"removed_tokens", lit(0L)).as("removed_tokens"))
+  }
+
   /** Precomputed LSH reference index: the (capped) banded buckets plus the
     * shingle sets of an already-deduped corpus. At 100 TB this is the
     * durable artifact of the ingest pipeline — built once (one pass over

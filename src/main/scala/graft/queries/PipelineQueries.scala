@@ -203,6 +203,73 @@ object PipelineQueries {
              |       round(sum(x * (2*x)) / (sqrt(sum(x*x)) * sqrt(sum((2*x)*(2*x)))), 6) AS cosine
              |FROM v GROUP BY vec_id ORDER BY id_a, id_b""".stripMargin)),
 
+    // the apply half of substring dedup: marked spans cut from the token
+    // stream, text rebuilt, removal counted — same plant and span CTEs as
+    // q_substring_dup_spans, plus the range-join cut and ordered rebuild
+    "q_substring_cut" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val planted = t(s, dir, "documents").select($"doc_id",
+          when($"doc_id" % 7 === 0,
+            concat($"text",
+              lit(" widely shared boilerplate sentence repeated verbatim across many documents")))
+            .otherwise($"text").as("text"))
+        Dedup.cutSpans(planted, "doc_id", "text",
+          windowSize = 5, minDocFreq = 2)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0
+             |         THEN text || ' widely shared boilerplate sentence repeated verbatim across many documents'
+             |         ELSE text END AS text
+             |  FROM documents),
+             |tok AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok,
+             |    generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) AS i
+             |  FROM planted),
+             |g5 AS (
+             |  SELECT doc_id, i,
+             |         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+             |             || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS g
+             |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+             |grams AS (
+             |  SELECT doc_id, i - 1 AS pos, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+             |  FROM g5 WHERE g IS NOT NULL),
+             |dupg AS (
+             |  SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+             |mk AS (
+             |  SELECT doc_id, pos FROM grams JOIN dupg USING (gh)),
+             |flag AS (
+             |  SELECT doc_id, pos,
+             |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+             |              THEN 1 ELSE 0 END AS brk
+             |  FROM mk),
+             |grp AS (
+             |  SELECT doc_id, pos,
+             |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+             |                        ROWS UNBOUNDED PRECEDING) AS g
+             |  FROM flag),
+             |spans AS (
+             |  SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+             |  FROM grp GROUP BY doc_id, g),
+             |cut AS (
+             |  SELECT t.doc_id, t.i - 1 AS pos, t.tok,
+             |         max(CASE WHEN sp.s IS NOT NULL THEN 1 ELSE 0 END) AS c
+             |  FROM tok t LEFT JOIN spans sp
+             |    ON t.doc_id = sp.doc_id AND t.i - 1 BETWEEN sp.s AND sp.e
+             |  GROUP BY t.doc_id, t.i, t.tok),
+             |agg AS (
+             |  SELECT doc_id,
+             |         string_agg(CASE WHEN c = 0 THEN tok END, ' ' ORDER BY pos) AS clean_text,
+             |         sum(c) AS removed
+             |  FROM cut GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+             |       CAST(coalesce(agg.removed, 0) AS BIGINT) AS removed_tokens
+             |FROM documents d LEFT JOIN agg USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // SemDeDup-style semantic dedup: k-means clusters (same deterministic
     // seeded Lloyd trajectory as the IVF oracle), pairwise cosine within
     // clusters only. Planted perturbed copies (+0.01 on one coordinate,

@@ -465,6 +465,25 @@ class PipelineSpec extends SparkSpec {
     assert(kept.filter($"vec_id" >= 200000).count() == 0)
   }
 
+  test("cutSpans removes exactly the duplicated spans and keeps the rest") {
+    // boundary tokens differ between the docs so only windows fully inside
+    // the shared run (positions 2 and 3) are duplicated → span [2, 6]
+    val docs = Seq(
+      (1L, "intro one SHARED BOILER PLATE TEXT HERE outroa enda"),
+      (2L, "intro two shared boiler plate text here outrob endb"),
+      (3L, "totally unique content with no repeats at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.cutSpans(docs, "doc_id", "text",
+      windowSize = 4, minDocFreq = 2)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // the 5 shared (case-insensitive) tokens are cut; the rest survive
+    assert(out(0) == ((1L, "intro one outroa enda", 5L)))
+    assert(out(1) == ((2L, "intro two outrob endb", 5L)))
+    // untouched doc: whitespace-normalized lowercased token join, 0 removed
+    assert(out(2) == ((3L, "totally unique content with no repeats at all", 0L)))
+  }
+
   test("duplicateSpans edges: null/empty/short docs, unreachable minDocFreq") {
     val docs = Seq(
       (1L, "a b c d e f"),
