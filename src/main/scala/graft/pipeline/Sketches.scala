@@ -116,23 +116,45 @@ object Sketches {
    * true count that is tight unless all d buckets collide with other keys.
    * Returns (key, cm_estimate). All-integer → oracle-replayable.
    */
-  def cmFrequency(df: DataFrame, keyCol: String): DataFrame = {
+  def cmFrequency(df: DataFrame, keyCol: String): DataFrame =
+    cmProbe(cmSketch(df, keyCol), df, keyCol)
+
+  /** The d×w counter grid as a persistable sketch table: (i, bucket, c).
+    * Like the HLL register table, build one per ingest slice and
+    * `cmMerge` any combination — counters ADD, so the merged grid equals
+    * the single-pass grid over the union exactly. */
+  def cmSketch(df: DataFrame, keyCol: String): DataFrame =
+    cmCoordinates(df, keyCol)
+      .groupBy(col("i"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Merge counter grids by cell-wise sum — exact, any slicing. */
+  def cmMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "cmMerge: no sketches")
+    sketches.reduce(_.unionByName(_))
+      .groupBy(col("i"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+  }
+
+  /** Estimate each of `keys`' frequencies against a built (or merged)
+    * grid: min over the key's d counters. The grid is tiny and
+    * broadcast. */
+  def cmProbe(counters: DataFrame, keys: DataFrame, keyCol: String): DataFrame =
+    cmCoordinates(keys, keyCol).distinct()
+      .join(broadcast(counters), Seq("i", "bucket"))
+      .groupBy(col("key"))
+      .agg(min(col("c")).as("cm_estimate"))
+
+  /** (key, i, bucket) hash coordinates shared by build and probe. */
+  private def cmCoordinates(df: DataFrame, keyCol: String): DataFrame = {
     val h = Dedup.baseHash60(col(keyCol).cast("string")) % Dedup.HashP
     val rows = CmFamily.zipWithIndex.map { case ((a, b), i) =>
       struct(lit(i).as("i"),
         ((lit(a) * col("h") + lit(b)) % Dedup.HashP % CmW).as("bucket"))
     }
-    val exploded = df.select(col(keyCol).cast("string").as("key"), h.as("h"))
+    df.select(col(keyCol).cast("string").as("key"), h.as("h"))
       .select(col("key"), explode(array(rows: _*)).as("ib"))
       .select(col("key"), col("ib.i").as("i"), col("ib.bucket").as("bucket"))
-    val counters = exploded.groupBy(col("i"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
-    // probe side: d (i, bucket) coordinates per DISTINCT key — the join is
-    // against the tiny d×w counter grid, broadcastable at any scale
-    exploded.distinct()
-      .join(broadcast(counters), Seq("i", "bucket"))
-      .groupBy(col("key"))
-      .agg(min(col("c")).as("cm_estimate"))
   }
 
   /** Bloom filter geometry: m bits packed into 62-bit words, k hash
@@ -169,6 +191,16 @@ object Sketches {
         (col("pos") % BloomWordBits).cast("int").as("bit"))
       .groupBy(col("word"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bits"))
+
+  /** Merge Bloom bitmaps by word-wise OR — exact and slicing-independent
+    * (set union of the inserted keys), completing the mergeable trio next
+    * to `hllMerge` (max) and `cmMerge` (sum). */
+  def bloomMerge(blooms: Seq[DataFrame]): DataFrame = {
+    require(blooms.nonEmpty, "bloomMerge: no bitmaps")
+    blooms.reduce(_.unionByName(_))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(bits)").as("bits"))
+  }
 
   /** Probe keys against a built bitmap: (key, maybe_present). A key is
     * maybe-present iff ALL k of its bits are set; the bitmap side is tiny

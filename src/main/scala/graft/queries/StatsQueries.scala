@@ -8,7 +8,7 @@ object StatsQueries {
 
   import Registry.t
 
-  private val hllRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val tmpRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** (scope, key) relation the HLL query sketches: per-event-type user
     * cardinality (exercises the linear-counting branch — few hundred users)
@@ -57,7 +57,7 @@ object StatsQueries {
         // must not overwrite part files a previous lazy result still reads
         val base = java.nio.file.Paths.get(
           System.getProperty("java.io.tmpdir"),
-          s"graft_hll_sketches_${ProcessHandle.current().pid()}_${hllRuns.incrementAndGet()}")
+          s"graft_hll_sketches_${ProcessHandle.current().pid()}_${tmpRuns.incrementAndGet()}")
         val sketches = (0 until 3).map { i =>
           val p = base.resolve(s"slice_$i").toString
           Sketches.hllSketch(ev.filter($"event_id" % 3 === i), "key", Seq("scope"))
@@ -172,6 +172,54 @@ object StatsQueries {
           .select($"doc_id".cast("string").as("k"))
           .unionByName(s.range(10).select(concat(lit("absent"), $"id").as("k")))
         Sketches.bloomMightContain(bloom, probes, "k").orderBy($"key")
+      },
+      Some(Sketches.bloomOracleSql(
+        "SELECT CAST(doc_id AS VARCHAR) AS key FROM documents",
+        """SELECT CAST(doc_id AS VARCHAR) AS key FROM documents WHERE doc_id < 10
+          |UNION ALL SELECT 'absent' || i FROM range(10) t(i)""".stripMargin)
+        + "\nORDER BY key")),
+
+    // count-min grids merge by cell-wise SUM (exact): three event slices
+    // sketched independently, grids round-tripped through parquet,
+    // merged, probed — equals the single-pass grid, so the direct replay
+    // oracle applies
+    "q_cm_sketch_merge" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val keyed = Registry.events(s, dir)
+          .select($"event_id", $"user_id".cast("string").as("key"))
+        val base = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_cm_sketches_${ProcessHandle.current().pid()}_${tmpRuns.incrementAndGet()}")
+        val grids = (0 until 3).map { i =>
+          val p = base.resolve(s"slice_$i").toString
+          Sketches.cmSketch(keyed.filter($"event_id" % 3 === i), "key")
+            .write.mode("overwrite").parquet(p)
+          s.read.parquet(p)
+        }
+        Sketches.cmProbe(Sketches.cmMerge(grids), keyed, "key")
+          .select($"key".cast("long").as("user_id"), $"cm_estimate")
+          .orderBy($"user_id")
+      },
+      Some(s"""SELECT CAST(key AS BIGINT) AS user_id, cm_estimate
+              |FROM (${Sketches.cmOracleSql(
+                  "SELECT CAST(user_id AS VARCHAR) AS key FROM events")})
+              |ORDER BY user_id""".stripMargin)),
+
+    // Bloom bitmaps merge by word-wise OR (set union of inserted keys):
+    // three doc-id slices built independently, merged, probed against
+    // present + absent keys — identical to the single-build bitmap
+    "q_bloom_merge" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val blooms = (0 until 3).map(i =>
+          Sketches.bloomBuild(docs.filter($"doc_id" % 3 === i), "doc_id"))
+        val probes = docs.filter($"doc_id" < 10)
+          .select($"doc_id".cast("string").as("k"))
+          .unionByName(s.range(10).select(concat(lit("absent"), $"id").as("k")))
+        Sketches.bloomMightContain(Sketches.bloomMerge(blooms), probes, "k")
+          .orderBy($"key")
       },
       Some(Sketches.bloomOracleSql(
         "SELECT CAST(doc_id AS VARCHAR) AS key FROM documents",
