@@ -12,6 +12,8 @@ object FormatQueries {
 
   import Registry.t
 
+  private val runs = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** One fixed export location per (kind, JVM), overwritten each run —
     * same bounded-footprint reasoning as Formats.tmp. */
   private def mrldaTmp(kind: String): String =
@@ -192,6 +194,62 @@ object FormatQueries {
              |SELECT t.doc_id, t.lang, d.term_id, CAST(t.cnt AS INT) AS cnt
              |FROM tok t JOIN dict d ON t.lang = d.lang AND t.token = d.token
              |ORDER BY t.doc_id, t.lang, d.term_id""".stripMargin)),
+
+    // schema evolution across ingest epochs: an early epoch lacks a column
+    // later epochs carry; mergeSchema reads the union with nulls filled —
+    // the 100 TB reality of long-lived datasets. The oracle reconstructs
+    // the same epoch split from the original table.
+    "q_schema_evolution" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val base = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_schema_evo_${ProcessHandle.current().pid()}_${runs.incrementAndGet()}")
+        val o = t(s, dir, "orders")
+        o.filter($"o_orderkey" < 500)
+          .select($"o_orderkey", $"o_totalprice")
+          .write.mode("overwrite").parquet(base.resolve("epoch1").toString)
+        o.filter($"o_orderkey" >= 500 && $"o_orderkey" < 1000)
+          .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+          .write.mode("overwrite").parquet(base.resolve("epoch2").toString)
+        s.read.option("mergeSchema", "true")
+          .parquet(base.resolve("epoch1").toString, base.resolve("epoch2").toString)
+          .groupBy(coalesce($"o_orderstatus", lit("MISSING")).as("status"))
+          .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+          .orderBy($"status")
+      },
+      Some("""SELECT CASE WHEN o_orderkey < 500 THEN 'MISSING'
+             |            ELSE o_orderstatus END AS status,
+             |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+             |FROM orders WHERE o_orderkey < 1000
+             |GROUP BY 1 ORDER BY status""".stripMargin)),
+
+    // corrupt-record tolerance: planted malformed JSON must not fail the
+    // job — from_json yields null (PERMISSIVE), corrupt rows are counted
+    // and excluded from the field aggregate, good rows parse unaffected
+    "q_corrupt_tolerance" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val planted = Registry.events(s, dir).select($"event_id", $"event_type",
+          when($"event_id" % 13 === 0,
+            concat(substring($"props", 1, 6), lit("broken")))
+            .otherwise($"props").as("props"))
+        planted
+          .select($"event_type",
+            from_json($"props",
+              org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+              .getField("k").as("k"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when($"k".isNull, 1).otherwise(0)).as("n_corrupt"),
+            sum($"k").as("k_sum"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+             |  CAST(sum(CASE WHEN event_id % 13 <> 0
+             |           THEN CAST(json_extract_string(props, '$.k') AS INT) END) AS BIGINT) AS k_sum
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // z-order layout: Morton curve over (partkey, suppkey) — the query
     // buckets the curve into 64 tiles and reports each tile's 2-D bounding
