@@ -145,7 +145,11 @@ object Dedup {
    * Plan shape: tokens posexplode once, spans join back doc-keyed with a
    * range predicate (each doc has FEW spans, so the per-doc fan-out is
    * bounded), survivors re-join ordered by position — every shuffle keyed
-   * by doc id.
+   * by doc id. Matching is case-insensitive (spans come from lowercased
+   * grams) but the rebuild keeps the ORIGINAL casing: lowercasing never
+   * moves a space, so positions index both token sequences identically.
+   * Precondition: one row per id (like `duplicateSpans`, duplicate ids
+   * are treated as one document; their rebuilt text interleaves).
    */
   def cutSpans(df: DataFrame, idCol: String, textCol: String,
       windowSize: Int = 8, minDocFreq: Long = 2L): DataFrame = {
@@ -154,16 +158,17 @@ object Dedup {
     val spans = duplicateSpans(df, idCol, textCol, windowSize, minDocFreq)
       .select($"doc_id".as("id"), $"span_start", $"span_end")
     val toks = df.select(col(idCol).cast("long").as("id"),
-      posexplode(TextAnalysis.wsTokens(lower(col(textCol)))).as(Seq("pos", "tok")))
+      posexplode(TextAnalysis.wsTokens(col(textCol))).as(Seq("pos", "tok")))
     val marked = toks.join(spans,
       Seq("id"), "left")
       .withColumn("__in_span",
         $"span_start".isNotNull &&
           $"pos" >= $"span_start" && $"pos" <= $"span_end")
       // a token joins once per span of its doc: it is removed if ANY span
-      // covers it
+      // covers it (max over tok, not first — deterministic even when the
+      // unique-id precondition is violated)
       .groupBy($"id", $"pos")
-      .agg(first($"tok").as("tok"), max($"__in_span").as("cut"))
+      .agg(max($"tok").as("tok"), max($"__in_span").as("cut"))
     val perDoc = marked.groupBy($"id")
       .agg(
         // collect_list skips nulls, so cut tokens vanish from the rebuild
@@ -172,9 +177,10 @@ object Dedup {
           when(!$"cut", struct($"pos", $"tok")))), x => x.getField("tok")), " ")
           .as("clean_text"),
         sum(when($"cut", 1L).otherwise(0L)).as("removed_tokens"))
-    // anchor on the input: token-less documents keep a row (empty text,
-    // zero removed) instead of silently vanishing
-    df.select(col(idCol).cast("long").as("doc_id"))
+    // anchor on the input ids (distinct: one output row per document even
+    // if the precondition is violated): token-less documents keep a row
+    // (empty text, zero removed) instead of silently vanishing
+    df.select(col(idCol).cast("long").as("doc_id")).distinct()
       .join(perDoc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"clean_text", lit("")).as("clean_text"),
         coalesce($"removed_tokens", lit(0L)).as("removed_tokens"))

@@ -137,13 +137,15 @@ object Sketches {
   }
 
   /** Estimate each of `keys`' frequencies against a built (or merged)
-    * grid: min over the key's d counters. The grid is tiny and
-    * broadcast. */
+    * grid: min over the key's d counters. The grid is tiny and broadcast.
+    * LEFT join + coalesce-0: a sparse grid stores only touched cells, so
+    * a never-inserted probe key must read its absent cells as 0 (estimate
+    * 0, the CM definition) rather than vanish or min over survivors. */
   def cmProbe(counters: DataFrame, keys: DataFrame, keyCol: String): DataFrame =
     cmCoordinates(keys, keyCol).distinct()
-      .join(broadcast(counters), Seq("i", "bucket"))
+      .join(broadcast(counters), Seq("i", "bucket"), "left")
       .groupBy(col("key"))
-      .agg(min(col("c")).as("cm_estimate"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cm_estimate"))
 
   /** (key, i, bucket) hash coordinates shared by build and probe. */
   private def cmCoordinates(df: DataFrame, keyCol: String): DataFrame = {

@@ -254,10 +254,15 @@ object PipelineQueries {
              |spans AS (
              |  SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
              |  FROM grp GROUP BY doc_id, g),
+             |toko AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok,
+             |    generate_subscripts(list_filter(string_split(text, ' '), x -> x <> ''), 1) AS i
+             |  FROM planted),
              |cut AS (
              |  SELECT t.doc_id, t.i - 1 AS pos, t.tok,
              |         max(CASE WHEN sp.s IS NOT NULL THEN 1 ELSE 0 END) AS c
-             |  FROM tok t LEFT JOIN spans sp
+             |  FROM toko t LEFT JOIN spans sp
              |    ON t.doc_id = sp.doc_id AND t.i - 1 BETWEEN sp.s AND sp.e
              |  GROUP BY t.doc_id, t.i, t.tok),
              |agg AS (

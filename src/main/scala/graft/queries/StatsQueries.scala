@@ -10,6 +10,21 @@ object StatsQueries {
 
   private val tmpRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Probe set shared by both Bloom queries (and their oracles): 10
+    * present doc ids + 10 synthetic absent keys — ONE construction, so
+    * the Spark and SQL sides cannot drift apart. */
+  private def bloomProbes(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    docs.filter($"doc_id" < 10)
+      .select($"doc_id".cast("string").as("k"))
+      .unionByName(s.range(10).select(concat(lit("absent"), $"id").as("k")))
+  }
+
+  private val bloomProbeSql =
+    """SELECT CAST(doc_id AS VARCHAR) AS key FROM documents WHERE doc_id < 10
+      |UNION ALL SELECT 'absent' || i FROM range(10) t(i)""".stripMargin
+
   /** (scope, key) relation the HLL query sketches: per-event-type user
     * cardinality (exercises the linear-counting branch — few hundred users)
     * and global event-id cardinality (raw harmonic branch — tens of
@@ -168,16 +183,11 @@ object StatsQueries {
         import s.implicits._
         val docs = t(s, dir, "documents")
         val bloom = Sketches.bloomBuild(docs, "doc_id")
-        val probes = docs.filter($"doc_id" < 10)
-          .select($"doc_id".cast("string").as("k"))
-          .unionByName(s.range(10).select(concat(lit("absent"), $"id").as("k")))
-        Sketches.bloomMightContain(bloom, probes, "k").orderBy($"key")
+        Sketches.bloomMightContain(bloom, bloomProbes(s, docs), "k").orderBy($"key")
       },
       Some(Sketches.bloomOracleSql(
         "SELECT CAST(doc_id AS VARCHAR) AS key FROM documents",
-        """SELECT CAST(doc_id AS VARCHAR) AS key FROM documents WHERE doc_id < 10
-          |UNION ALL SELECT 'absent' || i FROM range(10) t(i)""".stripMargin)
-        + "\nORDER BY key")),
+        bloomProbeSql) + "\nORDER BY key")),
 
     // count-min grids merge by cell-wise SUM (exact): three event slices
     // sketched independently, grids round-tripped through parquet,
@@ -215,17 +225,13 @@ object StatsQueries {
         val docs = t(s, dir, "documents")
         val blooms = (0 until 3).map(i =>
           Sketches.bloomBuild(docs.filter($"doc_id" % 3 === i), "doc_id"))
-        val probes = docs.filter($"doc_id" < 10)
-          .select($"doc_id".cast("string").as("k"))
-          .unionByName(s.range(10).select(concat(lit("absent"), $"id").as("k")))
-        Sketches.bloomMightContain(Sketches.bloomMerge(blooms), probes, "k")
+        Sketches.bloomMightContain(Sketches.bloomMerge(blooms),
+            bloomProbes(s, docs), "k")
           .orderBy($"key")
       },
       Some(Sketches.bloomOracleSql(
         "SELECT CAST(doc_id AS VARCHAR) AS key FROM documents",
-        """SELECT CAST(doc_id AS VARCHAR) AS key FROM documents WHERE doc_id < 10
-          |UNION ALL SELECT 'absent' || i FROM range(10) t(i)""".stripMargin)
-        + "\nORDER BY key")),
+        bloomProbeSql) + "\nORDER BY key")),
 
     // fixed-width histogram with clamp semantics (counts always sum to the
     // non-null rows); tiny key space → map-side partials collapse everything

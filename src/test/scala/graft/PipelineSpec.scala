@@ -465,23 +465,33 @@ class PipelineSpec extends SparkSpec {
     assert(kept.filter($"vec_id" >= 200000).count() == 0)
   }
 
+  test("cmProbe: a never-inserted key estimates 0 against a sparse grid") {
+    import graft.pipeline.Sketches
+    val grid = Sketches.cmSketch(Seq("a", "b", "a").toDF("key"), "key")
+    val est = Sketches.cmProbe(grid, Seq("a", "zzz-unseen").toDF("key"), "key")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("a") >= 2L)            // count-min is an upper bound
+    assert(est("zzz-unseen") == 0L)   // absent cells read as 0, key kept
+  }
+
   test("cutSpans removes exactly the duplicated spans and keeps the rest") {
     // boundary tokens differ between the docs so only windows fully inside
     // the shared run (positions 2 and 3) are duplicated → span [2, 6]
     val docs = Seq(
-      (1L, "intro one SHARED BOILER PLATE TEXT HERE outroa enda"),
+      (1L, "Intro One SHARED BOILER PLATE TEXT HERE Outroa Enda"),
       (2L, "intro two shared boiler plate text here outrob endb"),
-      (3L, "totally unique content with no repeats at all"))
+      (3L, "Totally Unique Content With No Repeats At All"))
       .toDF("doc_id", "text")
     val out = Dedup.cutSpans(docs, "doc_id", "text",
       windowSize = 4, minDocFreq = 2)
       .orderBy($"doc_id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-    // the 5 shared (case-insensitive) tokens are cut; the rest survive
-    assert(out(0) == ((1L, "intro one outroa enda", 5L)))
+    // the 5 shared tokens are cut (matching is case-insensitive), and the
+    // SURVIVING text keeps its original casing
+    assert(out(0) == ((1L, "Intro One Outroa Enda", 5L)))
     assert(out(1) == ((2L, "intro two outrob endb", 5L)))
-    // untouched doc: whitespace-normalized lowercased token join, 0 removed
-    assert(out(2) == ((3L, "totally unique content with no repeats at all", 0L)))
+    // untouched doc: whitespace-normalized token join, original case, 0 cut
+    assert(out(2) == ((3L, "Totally Unique Content With No Repeats At All", 0L)))
   }
 
   test("duplicateSpans edges: null/empty/short docs, unreachable minDocFreq") {
