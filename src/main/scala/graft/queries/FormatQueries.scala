@@ -270,6 +270,25 @@ object FormatQueries {
       },
       Some(zorderOracleSql)),
 
+    // the N-dimensional curve: three BIGINT keys at 10 bits each (30-bit
+    // word), tiled into 64 buckets with per-tile bounding boxes on ALL
+    // three dimensions — same integer-exact replay as q_zorder_layout
+    "q_zorder_multi" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val withZ = graft.sources.ZOrder.withZValueN(
+          t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey", $"l_suppkey"),
+          Seq("l_orderkey", "l_partkey", "l_suppkey"), bits = 10)
+        withZ.withColumn("bucket", expr(s"z div ${1L << 24}L"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"),
+            min($"l_orderkey").as("min_ok"), max($"l_orderkey").as("max_ok"),
+            min($"l_partkey").as("min_pk"), max($"l_partkey").as("max_pk"),
+            min($"l_suppkey").as("min_sk"), max($"l_suppkey").as("max_sk"))
+          .orderBy($"bucket")
+      },
+      Some(zorderMultiOracleSql)),
+
     "q_partitioned_sink" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -306,6 +325,33 @@ object FormatQueries {
              |  round(sum(o_totalprice), 2) AS total
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |GROUP BY c_custkey, c_mktsegment""".stripMargin)))
+
+  /** DuckDB replay of `ZOrder.withZValueN(Seq(orderkey, partkey,
+    * suppkey), bits = 10)`: bit b of column j lands at 3b + (2 − j). */
+  private def zorderMultiOracleSql: String = {
+    val terms = (0 until 10).flatMap(b => (0 until 3).map(j =>
+      s"(((q$j >> $b) & 1) << ${b * 3 + (2 - j)})"))
+      .mkString("\n           + ")
+    s"""WITH s AS (
+       |  SELECT min(l_orderkey) AS min0, max(l_orderkey) AS max0,
+       |         min(l_partkey) AS min1, max(l_partkey) AS max1,
+       |         min(l_suppkey) AS min2, max(l_suppkey) AS max2
+       |  FROM lineitem),
+       |q AS (
+       |  SELECT l_orderkey, l_partkey, l_suppkey,
+       |         ((l_orderkey - min0) * 1023) // greatest(max0 - min0, 1) AS q0,
+       |         ((l_partkey - min1) * 1023) // greatest(max1 - min1, 1) AS q1,
+       |         ((l_suppkey - min2) * 1023) // greatest(max2 - min2, 1) AS q2
+       |  FROM lineitem, s),
+       |z AS (SELECT l_orderkey, l_partkey, l_suppkey,
+       |        $terms AS z
+       |      FROM q)
+       |SELECT z // ${1L << 24} AS bucket, count(*) AS n,
+       |       min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+       |       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+       |       min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+       |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
 
   /** DuckDB replay of `ZOrder.withZValue(bits = 16)` over lineitem:
     * same min/max bounds, same integer quantization (`//` = Spark `div`

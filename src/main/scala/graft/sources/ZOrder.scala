@@ -23,11 +23,20 @@ object ZOrder {
     * curve. Collected once (4 longs, model-sized) so the z expression is
     * plan literals; at scale these come from table statistics instead. */
   def bounds(df: DataFrame, colA: String, colB: String): (Long, Long, Long, Long) = {
-    val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
-      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
-    require(!r.isNullAt(0) && !r.isNullAt(2),
-      s"ZOrder.bounds: no non-null ($colA, $colB) rows to lay out")
-    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val Seq((minA, maxA), (minB, maxB)) = boundsN(df, Seq(colA, colB))
+    (minA, maxA, minB, maxB)
+  }
+
+  /** Per-column (min, max) for any number of curve dimensions. */
+  def boundsN(df: DataFrame, cols: Seq[String]): Seq[(Long, Long)] = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.indices.map { j =>
+      require(!r.isNullAt(2 * j),
+        s"ZOrder.bounds: no non-null ${cols(j)} rows to lay out")
+      (r.getLong(2 * j), r.getLong(2 * j + 1))
+    }
   }
 
   /** Quantize to `bits` levels: (x − min)·(2^bits−1) div max(range, 1).
@@ -39,22 +48,37 @@ object ZOrder {
     expr(s"((cast(`$colName` as bigint) - ${minV}L) * ${m}L) div ${range}L")
   }
 
-  /** The interleave: bit b of qa lands at 2b+1, bit b of qb at 2b (a gets
-    * the higher lane). Bits are disjoint, so `+` assembles the word. */
-  private def interleave(qa: Column, qb: Column, bits: Int): Column =
+  /** Round-robin interleave of N quantized columns: bit b of column j
+    * lands at position b·N + (N−1−j) — earlier columns get the higher
+    * lane within each round, so for N=2 this is the classic (2b+1, 2b)
+    * Morton pairing. Bits are disjoint, so `+` assembles the word. */
+  private def interleaveN(qs: Seq[Column], bits: Int): Column = {
+    val n = qs.length
     (0 until bits).foldLeft(lit(0L).cast("long")) { (acc, b) =>
-      acc + shiftleft(shiftright(qa, b).bitwiseAND(lit(1L)), 2 * b + 1) +
-        shiftleft(shiftright(qb, b).bitwiseAND(lit(1L)), 2 * b)
+      qs.zipWithIndex.foldLeft(acc) { case (a, (q, j)) =>
+        a + shiftleft(shiftright(q, b).bitwiseAND(lit(1L)), b * n + (n - 1 - j))
+      }
     }
+  }
 
   /** Append a `z` column interleaving `colA` (high lanes) and `colB`. */
   def withZValue(df: DataFrame, colA: String, colB: String, bits: Int = 16,
+      zCol: String = "z"): DataFrame =
+    withZValueN(df, Seq(colA, colB), bits, zCol)
+
+  /** N-dimensional form: interleave any number of columns (earlier
+    * columns take the higher lanes). Total curve width N·bits must stay
+    * under 62 so the word survives signed-long arithmetic in every
+    * engine an oracle might replay it on. */
+  def withZValueN(df: DataFrame, cols: Seq[String], bits: Int = 16,
       zCol: String = "z"): DataFrame = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    val (minA, maxA, minB, maxB) = bounds(df, colA, colB)
-    df.withColumn(zCol,
-      interleave(quantize(colA, minA, maxA, bits),
-        quantize(colB, minB, maxB, bits), bits))
+    require(cols.size >= 2, s"z-order needs at least 2 columns, got $cols")
+    require(bits >= 1 && cols.size * bits <= 62,
+      s"need 1 <= bits and ${cols.size}*bits <= 62, got $bits")
+    val bs = boundsN(df, cols)
+    df.withColumn(zCol, interleaveN(
+      cols.zip(bs).map { case (c, (lo, hi)) => quantize(c, lo, hi, bits) },
+      bits))
   }
 
   /** Write `df` as `numFiles` parquet files range-partitioned and sorted
