@@ -301,6 +301,40 @@ object Curation {
       .select($"id".as(idCol), $"cluster", $"split")
   }
 
+  /**
+   * URL canonicalization — the precursor to URL-level dedup in a web
+   * corpus (the same page arrives as `HTTPS://Host/...#frag`,
+   * `https://host/...?utm_source=...`, …). The chain, every step Java ∩
+   * RE2 regex with no lookaround and no replacement backrefs (so a SQL
+   * oracle replays it verbatim):
+   *
+   *   1. drop the fragment (`#...`);
+   *   2. lowercase ONLY the scheme+host (the first `…//host` span —
+   *      paths are case-sensitive);
+   *   3. strip tracking parameters (`utm_*`, `fbclid`, `gclid`);
+   *   4. repair separator debris (`?&&` runs, trailing `?`/`&`);
+   *   5. drop a trailing slash.
+   *
+   * Port normalization (`:443` → ``) is deliberately out of scope: it
+   * needs lookahead or backref replacement, which RE2/engine-portable
+   * regex can't express.
+   */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val hostSpan = "^[^/]*//[^/]*"
+    val lowered = concat(
+      lower(regexp_extract(noFrag, hostSpan, 0)),
+      regexp_replace(noFrag, hostSpan, ""))
+    val noTrack = regexp_replace(lowered,
+      "(utm_[a-z]+|fbclid|gclid)=[^&#]*", "")
+    val collapsed = regexp_replace(
+      regexp_replace(noTrack, "\\?[?&]+", "?"), "&&+", "&")
+    regexp_replace(regexp_replace(collapsed, "[?&]+$", ""), "/$", "")
+  }
+
+  /** md5 of the canonical URL — the key URL-level dedup groups by. */
+  def urlFingerprint(url: Column): Column = md5(canonicalizeUrl(url))
+
   /** 16-digit card-number candidate (optional dash/space group
     * separators) — Java regex ∩ RE2, shared with the SQL oracle. */
   val CardPattern: String = "[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}"

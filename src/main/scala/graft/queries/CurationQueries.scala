@@ -117,6 +117,56 @@ object CurationQueries {
              |    AND dup_uni <= 0.6 AND top_bg <= 0.1 AS keep
              |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // URL-level dedup: two planted surface variants per logical page
+    // (upper-case scheme/host + fragment + utm on one, different param
+    // order + trailing tracker on the other) must canonicalize to ONE
+    // url; 500 docs collapse to 100 canonical pages of 5 docs each
+    "q_url_canonicalize" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val planted = t(s, dir, "documents").select($"doc_id",
+          when($"doc_id" % 2 === 0,
+            concat(lit("HTTPS://Example"), $"doc_id" % 20, lit(".COM/Path"),
+              $"doc_id" % 50, lit("/?utm_source=t&id="), $"doc_id" % 100,
+              lit("#frag")))
+            .otherwise(
+              concat(lit("https://example"), $"doc_id" % 20, lit(".com/Path"),
+                $"doc_id" % 50, lit("/?id="), $"doc_id" % 100,
+                lit("&utm_campaign=c")))
+            .as("url"))
+        planted
+          .groupBy(graft.pipeline.Curation.canonicalizeUrl($"url").as("canonical_url"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy($"canonical_url")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 2 = 0
+             |      THEN 'HTTPS://Example' || (doc_id % 20) || '.COM/Path' ||
+             |           (doc_id % 50) || '/?utm_source=t&id=' || (doc_id % 100) || '#frag'
+             |      ELSE 'https://example' || (doc_id % 20) || '.com/Path' ||
+             |           (doc_id % 50) || '/?id=' || (doc_id % 100) || '&utm_campaign=c'
+             |    END AS url
+             |  FROM documents),
+             |c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u FROM planted),
+             |c2 AS (SELECT doc_id,
+             |         lower(regexp_extract(u, '^[^/]*//[^/]*')) ||
+             |         regexp_replace(u, '^[^/]*//[^/]*', '', 'g') AS u
+             |       FROM c1),
+             |c3 AS (SELECT doc_id,
+             |         regexp_replace(u, '(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g') AS u
+             |       FROM c2),
+             |c4 AS (SELECT doc_id,
+             |         regexp_replace(regexp_replace(u, '\?[?&]+', '?', 'g'),
+             |                        '&&+', '&', 'g') AS u
+             |       FROM c3),
+             |c5 AS (SELECT doc_id,
+             |         regexp_replace(regexp_replace(u, '[?&]+$', '', 'g'),
+             |                        '/$', '', 'g') AS u
+             |       FROM c4)
+             |SELECT u AS canonical_url, count(*) AS n_docs
+             |FROM c5 GROUP BY u ORDER BY canonical_url""".stripMargin)),
+
     // Luhn-validated card detection: one planted VALID card + one
     // checksum-failing near-miss per flagged doc, so the oracle proves the
     // checksum (not just the regex) separates them

@@ -158,6 +158,32 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(kept("zh") / 3000.0 - 0.1) < 0.05, s"zh: ${kept("zh")}")
   }
 
+  test("canonicalizeUrl: case, fragments, trackers, debris, edge shapes") {
+    val cases = Seq(
+      // scheme+host lowercase, path case kept, fragment dropped
+      "HTTPS://Example.COM/PaTh#frag" -> "https://example.com/PaTh",
+      // tracker stripped mid-query, separator repaired
+      "https://a.com/p?utm_source=x&id=7" -> "https://a.com/p?id=7",
+      "https://a.com/p?id=7&utm_campaign=c" -> "https://a.com/p?id=7",
+      // tracker-only query vanishes entirely (and the trailing slash)
+      "https://a.com/p/?utm_medium=m" -> "https://a.com/p",
+      // fbclid between real params
+      "https://a.com/p?a=1&fbclid=xyz&b=2" -> "https://a.com/p?a=1&b=2",
+      // no scheme/host span: passes through the host step untouched
+      "relative/path?gclid=g" -> "relative/path",
+      // nothing to canonicalize
+      "https://a.com/q?x=1" -> "https://a.com/q?x=1")
+    val out = cases.map(_._1).toDF("url")
+      .select(Curation.canonicalizeUrl($"url").as("c")).as[String].collect()
+    cases.map(_._2).zip(out).foreach { case (want, got) =>
+      assert(got == want, s"got $got, want $want")
+    }
+    // the fingerprint groups surface variants together
+    val fps = Seq("HTTPS://A.com/p?utm_source=1", "https://a.com/p")
+      .toDF("url").select(Curation.urlFingerprint($"url")).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
   test("applyKeepBest keeps the highest-scoring member of each cluster") {
     val docs = Seq(
       (1L, "shared text body one", 10L),
