@@ -80,6 +80,11 @@ object GraftExtensions {
         require(args.length == 1, "nfc_normalize expects exactly 1 argument")
         graft.functions.NfcNormalize(Cast(args.head, StringType))
       }),
+    ("fold_accents", new ExpressionInfo(classOf[GraftExtensions].getName, "fold_accents"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "fold_accents expects exactly 1 argument")
+        graft.functions.FoldAccents(Cast(args.head, StringType))
+      }),
     // aggregate: the analyzer wraps the raw AggregateFunction like any
     // built-in (sum/avg), so GROUP BY ... logsumexp(x) just works
     ("logsumexp", new ExpressionInfo(classOf[GraftExtensions].getName, "logsumexp"),

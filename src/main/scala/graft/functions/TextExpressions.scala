@@ -76,6 +76,23 @@ case class NfcNormalize(child: Expression)
   override def prettyName: String = "nfc_normalize"
 }
 
+/** Accent-folding casefold (see TextKernels.foldAccents) as a codegen'd
+  * expression — NFD − combining marks, lowercased. */
+case class FoldAccents(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.foldAccents(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.foldAccents($c)")
+
+  override protected def withNewChildInternal(c: Expression): FoldAccents = copy(child = c)
+  override def prettyName: String = "fold_accents"
+}
+
 /** 60-bit SimHash over an array<string> token column (bit b of the
   * signature = majority vote of bit b across the tokens' 60-bit md5 base
   * hashes — TextKernels.hash60, the JVM twin of Dedup.baseHash60). */
@@ -113,6 +130,8 @@ object tfunctions {
     shim.toColumn(WordNgramsAll(str(text), n))
   def nfc_normalize(text: Column): Column =
     shim.toColumn(NfcNormalize(str(text)))
+  def fold_accents(text: Column): Column =
+    shim.toColumn(FoldAccents(str(text)))
   def shingles(text: Column, n: Int): Column =
     shim.toColumn(WordNgrams(str(text), n, wholeTextFallback = true))
   def simhash60(tokens: Column): Column = shim.toColumn(SimHash60(strArr(tokens)))

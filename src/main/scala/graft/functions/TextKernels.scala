@@ -87,6 +87,38 @@ object TextKernels {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
+  /** Accent-folding casefold: NFD-decompose, drop combining marks
+    * (general category Mn), lowercase — "Café Nürnberg" → "cafe
+    * nurnberg". The aggressive canonicalization for accent-insensitive
+    * dedup keys; matches `lower(strip_accents(x))` semantics for
+    * Latin-script diacritics (what the oracle pins). ASCII-only strings
+    * skip the Normalizer round-trip entirely. */
+  def foldAccents(s: UTF8String): UTF8String = {
+    val str = s.toString
+    var asciiUpper = false
+    var nonAscii = false
+    var i = 0
+    while (i < str.length && !nonAscii) {
+      val c = str.charAt(i)
+      if (c >= 128) nonAscii = true
+      else if (c >= 'A' && c <= 'Z') asciiUpper = true
+      i += 1
+    }
+    if (!nonAscii) {
+      if (!asciiUpper) s else UTF8String.fromString(str.toLowerCase(java.util.Locale.ROOT))
+    } else {
+      val nfd = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFD)
+      val sb = new java.lang.StringBuilder(nfd.length)
+      var j = 0
+      while (j < nfd.length) {
+        val c = nfd.charAt(j)
+        if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+        j += 1
+      }
+      UTF8String.fromString(sb.toString.toLowerCase(java.util.Locale.ROOT))
+    }
+  }
+
   private val md5Local = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
 

@@ -537,6 +537,31 @@ object PipelineQueries {
              |       CAST(length(text) AS INT) AS n_chars_raw
              |FROM planted ORDER BY doc_id""".stripMargin)),
 
+    // accent-folding casefold (NFD − combining marks, lowercased): the
+    // aggressive canonicalization key for accent-insensitive dedup —
+    // planted Latin diacritics must fold identically to DuckDB's
+    // lower(strip_accents(...))
+    "q_accent_fold" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val planted = t(s, dir, "documents").select($"doc_id",
+          concat(substring($"text", 1, 40),
+            lit(" Caf\u00e9 N\u00fcrnberg ni\u00f1o fa\u00e7ade \u00c0 La Carte")).as("text"))
+        planted.select($"doc_id",
+            graft.functions.tfunctions.fold_accents($"text").as("folded"),
+            length(graft.functions.tfunctions.fold_accents($"text")).as("n_chars"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    substr(text, 1, 40) ||
+             |    ' Caf' || chr(233) || ' N' || chr(252) || 'rnberg ni' || chr(241) ||
+             |    'o fa' || chr(231) || 'ade ' || chr(192) || ' La Carte' AS text
+             |  FROM documents)
+             |SELECT doc_id, lower(strip_accents(text)) AS folded,
+             |       CAST(length(lower(strip_accents(text))) AS INT) AS n_chars
+             |FROM planted ORDER BY doc_id""".stripMargin)),
+
     // term -> (df, cf, "doc:tf,..." postings) with the df-capped pruning
     // the operator defaults to (cap pinned explicitly so the oracle's
     // HAVING mirrors it)

@@ -55,7 +55,21 @@ class GraftExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     assert(GraftExtensions.all.map(_._1) ==
       Seq("digamma", "trigamma", "lgamma", "log_add", "vec_dot",
-        "word_ngrams", "shingles", "simhash60", "nfc_normalize", "logsumexp"))
+        "word_ngrams", "shingles", "simhash60", "nfc_normalize",
+        "fold_accents", "logsumexp"))
+  }
+
+  test("fold_accents strips diacritics, lowercases, keeps ASCII buffers") {
+    GraftExtensions.register(spark)
+    val out = spark.sql(
+      "SELECT fold_accents('Caf\u00e9 N\u00fcrnberg ni\u00f1o') AS a, " +
+        "fold_accents('cafe\u0301') AS b, " + // decomposed input folds too
+        "fold_accents('Plain ASCII') AS c, fold_accents('lower') AS d")
+      .head()
+    assert(out.getString(0) == "cafe nurnberg nino")
+    assert(out.getString(1) == "cafe")
+    assert(out.getString(2) == "plain ascii")
+    assert(out.getString(3) == "lower")
   }
 
   test("vec_dot matches the aggregate/zip_with composition bitwise") {
