@@ -94,26 +94,32 @@ object TextKernels {
     * Latin-script diacritics (what the oracle pins). ASCII-only strings
     * skip the Normalizer round-trip entirely. */
   def foldAccents(s: UTF8String): UTF8String = {
-    val str = s.toString
+    // ASCII scan over the raw UTF-8 bytes — no String materialized unless
+    // the row actually needs folding (a negative byte marks non-ASCII)
     var asciiUpper = false
     var nonAscii = false
     var i = 0
-    while (i < str.length && !nonAscii) {
-      val c = str.charAt(i)
-      if (c >= 128) nonAscii = true
-      else if (c >= 'A' && c <= 'Z') asciiUpper = true
+    val n = s.numBytes()
+    while (i < n && !nonAscii) {
+      val b = s.getByte(i)
+      if (b < 0) nonAscii = true
+      else if (b >= 'A' && b <= 'Z') asciiUpper = true
       i += 1
     }
     if (!nonAscii) {
-      if (!asciiUpper) s else UTF8String.fromString(str.toLowerCase(java.util.Locale.ROOT))
+      if (!asciiUpper) s
+      else UTF8String.fromString(s.toString.toLowerCase(java.util.Locale.ROOT))
     } else {
-      val nfd = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFD)
+      val nfd = java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFD)
       val sb = new java.lang.StringBuilder(nfd.length)
+      // iterate CODE POINTS, not UTF-16 units: a supplementary-plane
+      // combining mark (e.g. U+110B9) is two surrogates whose per-char
+      // type is SURROGATE — a char loop would never strip it
       var j = 0
       while (j < nfd.length) {
-        val c = nfd.charAt(j)
-        if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
-        j += 1
+        val cp = nfd.codePointAt(j)
+        if (Character.getType(cp) != Character.NON_SPACING_MARK) sb.appendCodePoint(cp)
+        j += Character.charCount(cp)
       }
       UTF8String.fromString(sb.toString.toLowerCase(java.util.Locale.ROOT))
     }

@@ -308,28 +308,37 @@ object Curation {
    * RE2 regex with no lookaround and no replacement backrefs (so a SQL
    * oracle replays it verbatim):
    *
-   *   1. drop the fragment (`#...`);
+   *   1. drop the fragment (`#` to end of text);
    *   2. lowercase ONLY the scheme+host (the first `…//host` span —
    *      paths are case-sensitive);
-   *   3. strip tracking parameters (`utm_*`, `fbclid`, `gclid`);
-   *   4. repair separator debris (`?&&` runs, trailing `?`/`&`);
+   *   3. strip tracking parameters (`utm_*`, `fbclid`, `gclid`) — each
+   *      pattern is anchored to a `?`/`&` parameter boundary, so a param
+   *      NAMED e.g. `songclid` or `xfbclid` never matches: first the
+   *      `&`-prefixed occurrences drop, then a leading `?tracker&`
+   *      re-anchors the `?`, then a lone `?tracker` at end of text drops;
+   *   4. repair any separator debris (`?&` runs, trailing `?`/`&`);
    *   5. drop a trailing slash.
    *
-   * Port normalization (`:443` → ``) is deliberately out of scope: it
-   * needs lookahead or backref replacement, which RE2/engine-portable
-   * regex can't express.
+   * End-of-text anchors are `\z`, not `$`: Java's `$` also matches before
+   * a final newline where RE2's does not, and the whole chain must replay
+   * identically in a SQL oracle. Port normalization (`:443` → ``) is
+   * deliberately out of scope: it needs lookahead or backref replacement,
+   * which RE2/engine-portable regex can't express.
    */
   def canonicalizeUrl(url: Column): Column = {
-    val noFrag = regexp_replace(url, "#.*$", "")
+    val trackers = "(utm_[a-z]+|fbclid|gclid)"
+    val noFrag = regexp_replace(url, "#[\\s\\S]*", "")
     val hostSpan = "^[^/]*//[^/]*"
     val lowered = concat(
       lower(regexp_extract(noFrag, hostSpan, 0)),
       regexp_replace(noFrag, hostSpan, ""))
-    val noTrack = regexp_replace(lowered,
-      "(utm_[a-z]+|fbclid|gclid)=[^&#]*", "")
+    val noAmpTrack = regexp_replace(lowered, s"&$trackers=[^&#]*", "")
+    val noLeadTrack = regexp_replace(
+      regexp_replace(noAmpTrack, s"\\?$trackers=[^&#]*&", "?"),
+      s"\\?$trackers=[^&#]*\\z", "")
     val collapsed = regexp_replace(
-      regexp_replace(noTrack, "\\?[?&]+", "?"), "&&+", "&")
-    regexp_replace(regexp_replace(collapsed, "[?&]+$", ""), "/$", "")
+      regexp_replace(noLeadTrack, "\\?[?&]+", "?"), "&&+", "&")
+    regexp_replace(regexp_replace(collapsed, "[?&]+\\z", ""), "/\\z", "")
   }
 
   /** md5 of the canonical URL — the key URL-level dedup groups by. */

@@ -148,21 +148,24 @@ object CurationQueries {
              |           (doc_id % 50) || '/?id=' || (doc_id % 100) || '&utm_campaign=c'
              |    END AS url
              |  FROM documents),
-             |c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u FROM planted),
+             |c1 AS (SELECT doc_id, regexp_replace(url, '#[\s\S]*', '', 'g') AS u FROM planted),
              |c2 AS (SELECT doc_id,
              |         lower(regexp_extract(u, '^[^/]*//[^/]*')) ||
              |         regexp_replace(u, '^[^/]*//[^/]*', '', 'g') AS u
              |       FROM c1),
              |c3 AS (SELECT doc_id,
-             |         regexp_replace(u, '(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g') AS u
+             |         regexp_replace(regexp_replace(regexp_replace(u,
+             |           '&(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+             |           '\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '?', 'g'),
+             |           '\?(utm_[a-z]+|fbclid|gclid)=[^&#]*\z', '', 'g') AS u
              |       FROM c2),
              |c4 AS (SELECT doc_id,
              |         regexp_replace(regexp_replace(u, '\?[?&]+', '?', 'g'),
              |                        '&&+', '&', 'g') AS u
              |       FROM c3),
              |c5 AS (SELECT doc_id,
-             |         regexp_replace(regexp_replace(u, '[?&]+$', '', 'g'),
-             |                        '/$', '', 'g') AS u
+             |         regexp_replace(regexp_replace(u, '[?&]+\z', '', 'g'),
+             |                        '/\z', '', 'g') AS u
              |       FROM c4)
              |SELECT u AS canonical_url, count(*) AS n_docs
              |FROM c5 GROUP BY u ORDER BY canonical_url""".stripMargin)),

@@ -171,6 +171,12 @@ class CurationSpec extends SparkSpec {
       "https://a.com/p?a=1&fbclid=xyz&b=2" -> "https://a.com/p?a=1&b=2",
       // no scheme/host span: passes through the host step untouched
       "relative/path?gclid=g" -> "relative/path",
+      // params NAMED like trackers with a prefix are NOT trackers — the
+      // patterns anchor at the parameter boundary
+      "https://a.com/p?songclid=AAA" -> "https://a.com/p?songclid=AAA",
+      "https://a.com/p?xfbclid=1&b=2" -> "https://a.com/p?xfbclid=1&b=2",
+      // consecutive leading trackers all drop, the ? re-anchors
+      "https://a.com/p?utm_a=1&utm_b=2&id=7" -> "https://a.com/p?id=7",
       // nothing to canonicalize
       "https://a.com/q?x=1" -> "https://a.com/q?x=1")
     val out = cases.map(_._1).toDF("url")
