@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Statistical language-model scoring for corpus curation — the CCNet /
+ * KenLM-style quality signal: train an n-gram LM on the corpus itself and
+ * score each document's cross-entropy under it. Documents whose perplexity
+ * is far above the corpus norm are boilerplate/gibberish candidates; far
+ * below are template/repetition candidates. Both tails get filtered in a
+ * production pretraining pipeline.
+ *
+ * Everything is count arithmetic over token-keyed aggregates, so the whole
+ * model "fits" in two small DataFrames (bigram and context counts) and the
+ * scoring pass is ordinary key joins — no driver-side model object, no UDF.
+ */
+object LanguageModel {
+
+  /**
+   * Bigram LM with add-k smoothing, trained and applied in one plan.
+   *
+   * Per document: tokens are whitespace-split lowercased words with a
+   * `<s>` begin-of-sentence context, giving one (w1, w2) event per token.
+   * The model is P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V) where c(w1) is
+   * the count of w1 AS A CONTEXT (so the conditional sums to 1) and V is
+   * the predicted-token vocabulary size. Output per doc:
+   * `cross_entropy` = −mean log2 P (bits/token, 6dp) and
+   * `perplexity` = 2^H (4dp). Docs with zero tokens have no events and are
+   * absent from the output, as in CCNet.
+   *
+   * Scale: the event table is corpus-sized but the two count tables are
+   * vocabulary-bounded (V and ≤V² rows, in practice ≪ corpus) — the joins
+   * are term-keyed shuffles that AQE turns into broadcasts when the vocab
+   * is small. One pass builds counts, one pass scores; no per-doc state.
+   * The bigram zip is a higher-order-function expression (interpreted, not
+   * codegen'd) but runs once per doc — the aggregate/join stages that
+   * dominate are all codegen'd.
+   */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+      k: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = TextAnalysis.wsTokens(lower(col(textCol)))
+    // zip_with pads the shorter side with null: zipping (<s> +: toks) with
+    // toks aligns index i to (prev token, token) and leaves one trailing
+    // (last token, null) entry, which the filter drops — bigrams with a
+    // BOS context and no window shuffle.
+    val events = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(filter(
+          zip_with(concat(array(lit("<s>")), toks), toks,
+            (a, b) => struct(a.as("w1"), b.as("w2"))),
+          p => p.getField("w2").isNotNull)).as("bg"))
+      .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    val bigrams = events.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val contexts = events.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val vocab = events.select(countDistinct($"w2").as("v"))
+    events
+      .join(bigrams, Seq("w1", "w2"))
+      .join(contexts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (-avg(log2(($"c12" + lit(k)) / ($"c1" + lit(k) * $"v")))).as("h"))
+      .select($"doc_id", $"n_tokens",
+        round($"h", 6).as("cross_entropy"),
+        round(pow(lit(2.0), $"h"), 4).as("perplexity"))
+  }
+}

@@ -166,4 +166,37 @@ object TextAnalysis {
         round(least(coalesce($"dup_gchars", lit(0L)).cast("double") /
           greatest($"text_len", lit(1)), lit(1.0)), 6).as("dup_bigram_char_frac"))
   }
+
+  /**
+   * Token-histogram Shannon entropy per document — a one-number diversity
+   * signal: near 0 bits means the document is one token repeated (spam /
+   * template), near log2(n_tokens) means every token is distinct. The
+   * identity H = log2(n) − (Σ c·log2 c)/n avoids a per-token division.
+   * `entropy_norm` rescales by the max possible for the doc's length so
+   * thresholds transfer across document sizes.
+   *
+   * Plan: two doc-keyed hash aggregates (token counts, then the entropy
+   * fold) — the same horizontally-scalable shape as `repetitionSignals`;
+   * no corpus-global state. Zero-token docs keep a row with zero entropy.
+   */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val stats = base.select($"doc_id", explode(wsTokens(lower($"text"))).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id").agg(
+        sum($"cnt").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum($"cnt".cast("double") * log2($"cnt")).as("clogc"))
+    base.select($"doc_id").join(stats, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+        coalesce($"n_distinct", lit(0L)).as("n_distinct"),
+        round(coalesce(log2($"n_tokens") - $"clogc" / $"n_tokens", lit(0.0)), 6)
+          .as("entropy_bits"),
+        round(coalesce(
+          when($"n_tokens" > 1, (log2($"n_tokens") - $"clogc" / $"n_tokens") / log2($"n_tokens"))
+            .otherwise(lit(0.0)), lit(0.0)), 6).as("entropy_norm"))
+  }
 }

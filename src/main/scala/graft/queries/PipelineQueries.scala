@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, LanguageModel, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /**
@@ -457,6 +457,64 @@ object PipelineQueries {
              |    + (CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END)
              |    + (CASE WHEN stopword_ratio >= 0.01 THEN 0.1 ELSE 0.0 END), 2) AS quality_score
              |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // CCNet-shape LM quality signal: bigram LM with add-k smoothing trained
+    // on the corpus, per-doc cross-entropy + perplexity. The oracle replays
+    // the exact count arithmetic; log2/avg agree at 6dp (IEEE doubles,
+    // ~100-term sums).
+    "q_bigram_lm_score" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        LanguageModel.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+             |  FROM documents),
+             |pairs AS (
+             |  SELECT doc_id,
+             |    CASE WHEN i = 1 THEN '<s>' ELSE ts[i - 1] END AS w1,
+             |    ts[i] AS w2
+             |  FROM toks, UNNEST(generate_series(1, len(ts))) AS u(i)),
+             |bg AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM pairs GROUP BY 1, 2),
+             |ctx AS (SELECT w1, count(*)::BIGINT AS c1 FROM pairs GROUP BY 1),
+             |voc AS (SELECT count(DISTINCT w2)::BIGINT AS v FROM pairs),
+             |scored AS (
+             |  SELECT p.doc_id, count(*)::BIGINT AS n_tokens,
+             |    -avg(log2((bg.c12 + 0.5) / (ctx.c1 + 0.5 * voc.v))) AS h
+             |  FROM pairs p
+             |  JOIN bg USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc
+             |  GROUP BY p.doc_id)
+             |SELECT doc_id, n_tokens, round(h, 6) AS cross_entropy,
+             |  round(pow(2, h), 4) AS perplexity
+             |FROM scored ORDER BY doc_id""".stripMargin)),
+
+    // token-histogram Shannon entropy: the one-number spam/diversity signal
+    "q_token_entropy" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH counts AS (
+             |  SELECT doc_id, tok, count(*)::BIGINT AS cnt
+             |  FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+             |                x -> x <> '')) AS tok
+             |        FROM documents)
+             |  GROUP BY 1, 2),
+             |stats AS (
+             |  SELECT doc_id, sum(cnt)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
+             |    sum(cnt * log2(cnt)) AS clogc
+             |  FROM counts GROUP BY 1)
+             |SELECT d.doc_id,
+             |  coalesce(n_tokens, 0) AS n_tokens,
+             |  coalesce(n_distinct, 0) AS n_distinct,
+             |  round(coalesce(log2(n_tokens) - clogc / n_tokens, 0.0), 6) AS entropy_bits,
+             |  round(coalesce(CASE WHEN n_tokens > 1
+             |    THEN (log2(n_tokens) - clogc / n_tokens) / log2(n_tokens)
+             |    ELSE 0.0 END, 0.0), 6) AS entropy_norm
+             |FROM documents d LEFT JOIN stats USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
 
     "q_token_counts" -> QueryDef(
       (s, dir) => {

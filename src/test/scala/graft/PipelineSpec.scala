@@ -242,6 +242,46 @@ class PipelineSpec extends SparkSpec {
     assert(out(2) == ((3L, 0L, 0.0, 0.0, 0.0, 0.0)))
   }
 
+  test("bigramLmScore: hand-computed add-k bigram cross-entropy") {
+    import graft.pipeline.LanguageModel
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "  ")).toDF("id", "text")
+    val out = LanguageModel.bigramLmScore(df, "id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // events: (<s>,a)×3, (a,b)×2, (a,c)×1 → c(<s>)=3, c(a)=3, V=|{a,b,c}|=3
+    // k=0.5: P(a|<s>)=3.5/4.5, P(b|a)=2.5/4.5, P(c|a)=1.5/4.5
+    val ln2 = math.log(2.0)
+    def h(ps: Double*): Double = -ps.map(p => math.log(p) / ln2).sum / ps.size
+    val h12 = h(3.5 / 4.5, 2.5 / 4.5)
+    val h3 = h(3.5 / 4.5, 1.5 / 4.5)
+    def r(x: Double, dp: Int): Double =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L)) // zero-token doc 4 absent
+    assert(out(0) == ((1L, 2L, r(h12, 6), r(math.pow(2, h12), 4))))
+    assert(out(1)._3 == out(0)._3) // identical docs score identically
+    assert(out(2) == ((3L, 2L, r(h3, 6), r(math.pow(2, h3), 4))))
+    // the rarer continuation (a,c) must cost more bits than (a,b)
+    assert(out(2)._3 > out(0)._3)
+  }
+
+  test("tokenEntropy: hand-computed bits, zero-token doc keeps a row") {
+    import graft.pipeline.TextAnalysis
+    val df = Seq(
+      (1L, "a a a a"), // one repeated token → 0 bits
+      (2L, "a b c d"), // all distinct → log2(4) = 2 bits, norm 1
+      (3L, "a A b b"), // case-folds to {a:2, b:2} → 1 bit, norm 0.5
+      (4L, "")         // zero tokens → all-zero row, not dropped
+    ).toDF("id", "text")
+    val out = TextAnalysis.tokenEntropy(df, "id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, 4L, 1L, 0.0, 0.0),
+      (2L, 4L, 4L, 2.0, 1.0),
+      (3L, 4L, 2L, 1.0, 0.5),
+      (4L, 0L, 0L, 0.0, 0.0)))
+  }
+
   test("invertedIndex: postings sorted by doc, df cap prunes hot terms") {
     import graft.pipeline.Chunking
     val df = Seq((2L, "b c"), (1L, "a b a")).toDF("id", "text")
