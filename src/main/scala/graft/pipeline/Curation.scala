@@ -449,6 +449,42 @@ object Curation {
   }
 
   /**
+   * Temperature-based mixture rebalancing — the data-mixing move every
+   * large pretraining corpus makes (GPT-3 / The Pile shape): domain d with
+   * share p_d of the corpus is resampled toward p_d^τ (renormalized), so
+   * τ < 1 flattens the mix (upweights rare domains relative to dominant
+   * ones) and τ = 1 is a no-op. Materialized as per-domain acceptance
+   * rates a_d ∝ n_d^(τ−1), scaled so the most-upweighted domain keeps
+   * everything (no domain can exceed rate 1), then applied with the same
+   * engine-portable md5 draw as `deterministicSample`. Rates are rounded
+   * to 12dp (assignSplits precedent: draws are exact k/2^32 multiples, so
+   * a 1e-12-rounded boundary can't open an engine-divergent band).
+   *
+   * Returns every input row plus `accept_rate` and `kept` — callers
+   * filter on `kept`; keeping rejects visible makes the mix auditable.
+   *
+   * Scale: the domain-count table is domain-cardinality-sized (tiny), so
+   * the rate join is a broadcast; the draw is one codegen'd expression.
+   * One aggregate + one broadcast join regardless of corpus size.
+   */
+  def mixtureResample(df: DataFrame, keyCol: String, domainCol: String,
+      temperature: Double, salt: String = "graft"): DataFrame = {
+    require(temperature > 0.0 && temperature <= 1.0,
+      s"temperature must be in (0,1]: $temperature")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val weights = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n_domain"))
+      .select(col(domainCol), pow($"n_domain".cast("double"), lit(temperature - 1.0)).as("w"))
+    val maxW = weights.select(max($"w").as("max_w"))
+    val rates = weights.crossJoin(broadcast(maxW))
+      .select(col(domainCol), round($"w" / $"max_w", 12).as("accept_rate"))
+    val u = conv(substring(md5(concat(lit(salt), col(keyCol).cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    df.join(broadcast(rates), domainCol)
+      .withColumn("kept", u < col("accept_rate"))
+  }
+
+  /**
    * Per-key quota: keep at most `maxPerKey` rows per `keyCol` value,
    * chosen by md5 order of the id — a uniform, deterministic,
    * engine-portable "random" pick (domain quota capping: no single

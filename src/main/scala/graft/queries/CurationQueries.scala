@@ -254,6 +254,23 @@ object CurationQueries {
              |WHERE substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) < '4ccccccc'
              |ORDER BY doc_id""".stripMargin)),
 
+    // temperature mixture rebalancing (τ=0.5): dominant languages are
+    // downsampled toward the flattened mix; the rarest keeps rate 1.0
+    "q_mixture_resample" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Curation.mixtureResample(t(s, dir, "documents"), "doc_id", "lang", temperature = 0.5)
+          .select($"doc_id", $"lang", $"accept_rate", $"kept")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+             |w AS (SELECT lang, pow(CAST(n AS DOUBLE), 0.5 - 1.0) AS w FROM c),
+             |a AS (SELECT lang, round(w / (SELECT max(w) FROM w), 12) AS accept_rate FROM w)
+             |SELECT d.doc_id, d.lang, a.accept_rate,
+             |  (CAST(('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |     / 4294967296.0 < a.accept_rate) AS kept
+             |FROM documents d JOIN a USING (lang) ORDER BY doc_id""".stripMargin)),
+
     // per-language training-mix rates; unlisted languages get the default
     "q_sample_stratified" -> QueryDef(
       (s, dir) => {

@@ -117,6 +117,28 @@ class CurationSpec extends SparkSpec {
     assert(e.forall(_ >= 50L) && e.length == 50)
   }
 
+  test("mixtureResample flattens the domain mix at τ<1, no-ops at τ=1") {
+    // domain A dominates 9:1 → at τ=0.5, a_A = 9^-0.5 = 1/3, a_B = 1.0
+    val df = (0L until 10000L).map(i => (i, if (i % 10 == 0) "B" else "A"))
+      .toDF("id", "dom")
+    val out = Curation.mixtureResample(df, "id", "dom", temperature = 0.5)
+    val rates = out.select($"dom", $"accept_rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("B") == 1.0)
+    assert(math.abs(rates("A") - 1.0 / 3.0) < 1e-12)
+    val kept = out.filter($"kept").groupBy($"dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("B") == 1000L, "most-upweighted domain keeps everything")
+    assert(math.abs(kept("A") / 9000.0 - 1.0 / 3.0) < 0.02, s"A kept: ${kept("A")}")
+    // partitioning independence (the md5 draw, not Spark's sample)
+    val repart = Curation.mixtureResample(df.repartition(13), "id", "dom", 0.5)
+      .filter($"kept").select($"id").as[Long].collect().toSet
+    assert(repart == out.filter($"kept").select($"id").as[Long].collect().toSet)
+    // τ=1 is the identity mix: every row kept at rate 1
+    val flat = Curation.mixtureResample(df, "id", "dom", temperature = 1.0)
+    assert(flat.filter(!$"kept" || $"accept_rate" =!= 1.0).count() == 0)
+  }
+
   test("assignSplits: every key gets exactly one stable band, rates hold") {
     val df = (0L until 10000L).map(Tuple1(_)).toDF("id")
     val splits = Curation.assignSplits(df, "id",
