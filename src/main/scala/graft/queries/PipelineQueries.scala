@@ -295,6 +295,53 @@ object PipelineQueries {
       },
       Some(semanticDedupOracleSql)),
 
+    // SymSpell-shape fuzzy join: corpus dictionary (freq ≥ 3 lowercase
+    // alpha terms) probed with planted middle-character-deletion typos;
+    // deletion-neighborhood blocking + one exact levenshtein pass — never
+    // a cross product. The oracle replays neighborhoods with list lambdas
+    // over generate_series VALUES (engine-safe: not index lambdas).
+    "q_fuzzy_join_del1" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .select(explode(TextAnalysis.wsTokens(lower($"text"))).as("term"))
+        val dict = toks.filter($"term".rlike("^[a-z]{4,}$"))
+          .groupBy($"term").agg(count(lit(1)).as("n")).filter($"n" >= 3)
+          .select($"term")
+        val mid = expr("length(term) div 2 + 1")
+        val probes = dict.filter(length($"term") >= 5)
+          .select(concat($"term".substr(lit(1), mid - 1),
+            $"term".substr(mid + 1, length($"term"))).as("probe"))
+          .distinct()
+        graft.operators.FuzzyJoin.fuzzyJoinDel1(probes, "probe", dict, "term")
+          .select($"l_key".as("probe"), $"r_key".as("term"), $"dist")
+          .orderBy($"probe", $"term")
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+             |  FROM documents),
+             |dict AS (
+             |  SELECT term FROM toks WHERE regexp_full_match(term, '[a-z]{4,}')
+             |  GROUP BY term HAVING count(*) >= 3),
+             |probes AS (
+             |  SELECT DISTINCT substr(term, 1, len(term) // 2)
+             |    || substr(term, len(term) // 2 + 2, len(term)) AS probe
+             |  FROM dict WHERE len(term) >= 5),
+             |pv AS (
+             |  SELECT probe, v FROM probes,
+             |    UNNEST(list_distinct(list_prepend(probe,
+             |      list_transform(generate_series(1, len(probe)),
+             |        i -> substr(probe, 1, i - 1) || substr(probe, i + 1, len(probe)))))) AS t(v)),
+             |dv AS (
+             |  SELECT term, v FROM dict,
+             |    UNNEST(list_distinct(list_prepend(term,
+             |      list_transform(generate_series(1, len(term)),
+             |        i -> substr(term, 1, i - 1) || substr(term, i + 1, len(term)))))) AS t(v)),
+             |cand AS (SELECT DISTINCT probe, term FROM pv JOIN dv USING (v))
+             |SELECT probe, term, CAST(levenshtein(probe, term) AS INT) AS dist
+             |FROM cand WHERE levenshtein(probe, term) <= 1
+             |ORDER BY probe, term""".stripMargin)),
+
     // ---- similarity search ----
     "q_ann_bruteforce" -> QueryDef(
       (s, dir) => {
