@@ -237,6 +237,32 @@ object Curation {
   /** PII patterns shared by redaction and the DuckDB oracle: Java regex ∩
     * RE2 syntax only (no lookaround, no \b — RE2 lacks them). Order
     * matters: emails contain dots that the IP pattern must not see. */
+  /**
+   * HTML → text extraction (the first step of every web-corpus pipeline):
+   * drop `<script>`/`<style>` elements WITH their contents, strip remaining
+   * tags (and single-`>` comments) to spaces, decode the common character
+   * entities (after tag-stripping, so a literal `&lt;b&gt;` in prose does
+   * not get re-stripped; `&amp;` last, the standard one-pass order), then
+   * collapse whitespace. Every regex is Java ∩ RE2 — `(?is)` inline flags,
+   * non-greedy `.*?`, no lookaround, no `\b`, no backreferences — so a SQL
+   * oracle replays the chain verbatim. An unclosed script/style element
+   * degrades gracefully: its tags strip, its text survives.
+   *
+   * Pure codegen'd `regexp_replace`/`replace` chain — no UDF, no parse
+   * tree; the deliberate trade for a distributed scan operator (a DOM
+   * parser is what the multimodal decode seam is for).
+   */
+  def stripHtml(text: Column): Column = {
+    val noElems = Seq("script", "style").foldLeft(text) { (c, tag) =>
+      regexp_replace(c, s"(?is)<$tag[^>]*>.*?</$tag>", " ")
+    }
+    val noTags = regexp_replace(noElems, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   val PiiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>",

@@ -207,6 +207,41 @@ object CurationQueries {
 
     // PII is planted deterministically on doc_id % 5 = 0 (the synthetic
     // corpus has none), then redacted; the oracle mirrors plant + redact
+    // HTML → text extraction over deterministically planted markup (the
+    // corpus text itself is markup-free, checked): script/style contents
+    // die, tags and comments strip, entities decode, whitespace collapses.
+    // The oracle replays the identical Java∩RE2 chain.
+    "q_html_strip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val html = concat(
+          lit("<html><head><title>"), $"source",
+          lit("</title><STYLE>p {color: red}</STYLE></head><body><p>"), $"text",
+          lit("</p><p>5 &lt; 7 &amp;&amp; &quot;ok&quot;&nbsp;&#39;y&#39;</p>" +
+            "<script type=\"text/javascript\">track("), $"doc_id",
+          lit(");</script><!-- nav --></body></html>"))
+        t(s, dir, "documents")
+          .select($"doc_id", Curation.stripHtml(html).as("text_clean"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |  '<html><head><title>' || source ||
+             |  '</title><STYLE>p {color: red}</STYLE></head><body><p>' || text ||
+             |  '</p><p>5 &lt; 7 &amp;&amp; &quot;ok&quot;&nbsp;&#39;y&#39;</p>' ||
+             |  '<script type="text/javascript">track(' || doc_id ||
+             |  ');</script><!-- nav --></body></html>' AS html
+             |  FROM documents)
+             |SELECT doc_id, trim(regexp_replace(
+             |  replace(replace(replace(replace(replace(replace(
+             |    regexp_replace(regexp_replace(regexp_replace(html,
+             |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             |      '(?s)<[^>]*>', ' ', 'g'),
+             |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+             |    '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+             |  '\s+', ' ', 'g')) AS text_clean
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
     "q_pii_redaction" -> QueryDef(
       (s, dir) => {
         import s.implicits._

@@ -117,6 +117,30 @@ class CurationSpec extends SparkSpec {
     assert(e.forall(_ >= 50L) && e.length == 50)
   }
 
+  test("stripHtml: elements, tags, entities, comments, degraded input") {
+    val cases = Seq(
+      // script/style contents die, tags become spaces, text survives
+      (1L, "<html><body><p>Hello <b>world</b></p><script>var x = '<p>';</script></body></html>",
+        "Hello world"),
+      (2L, "<STYLE type=\"a\">p { color: red }</STYLE>kept", "kept"),
+      // entities decode AFTER stripping: literal markup in prose survives
+      (3L, "a &lt;b&gt; c &amp;&amp; d &quot;q&quot; &#39;s&#39;&nbsp;end",
+        "a <b> c && d \"q\" 's' end"),
+      // case-insensitive element match, attributes in the open tag
+      (4L, "<SCRIPT src=\"x.js\">alert(1)</SCRIPT>after", "after"),
+      // unclosed script: tags strip, contents degrade to visible text
+      (5L, "<script>orphan(); <p>tail</p>", "orphan(); tail"),
+      // comment with a single terminating > strips as a tag
+      (6L, "pre <!-- nav bar --> post", "pre post"),
+      (7L, "  already   plain\n\ttext  ", "already plain text"))
+    val out = cases.map(c => (c._1, c._2)).toDF("id", "html")
+      .select($"id", Curation.stripHtml($"html").as("clean"))
+      .orderBy($"id").as[(Long, String)].collect()
+    cases.zip(out).foreach { case ((id, _, want), (gotId, got)) =>
+      assert(gotId == id && got == want, s"doc $id: got '$got', want '$want'")
+    }
+  }
+
   test("mixtureResample flattens the domain mix at τ<1, no-ops at τ=1") {
     // domain A dominates 9:1 → at τ=0.5, a_A = 9^-0.5 = 1/3, a_B = 1.0
     val df = (0L until 10000L).map(i => (i, if (i % 10 == 0) "B" else "A"))
