@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{Dedup, LanguageModel, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Classify, Dedup, LanguageModel, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /**
@@ -535,6 +535,37 @@ object PipelineQueries {
              |SELECT doc_id, n_tokens, round(h, 6) AS cross_entropy,
              |  round(pow(2, h), 4) AS perplexity
              |FROM scored ORDER BY doc_id""".stripMargin)),
+
+    // in-engine trained NB classifier: distill the lang column into token
+    // log-odds, score every doc — the fastText-classifier shape as pure
+    // count arithmetic. The oracle retrains the identical model in SQL.
+    "q_nb_token_classifier" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").withColumn("is_en", $"lang" === "en")
+        Classify.nbTokenClassifier(docs, "doc_id", "text", "is_en")
+          .withColumnRenamed("predicted", "predicted_en")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH lab AS (SELECT doc_id, (lang = 'en') AS pos FROM documents),
+             |ev AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+             |         x -> x <> '')) AS tok FROM documents),
+             |tc AS (SELECT tok,
+             |         sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS cp,
+             |         sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)::BIGINT AS cn
+             |       FROM ev JOIN lab USING (doc_id) GROUP BY tok),
+             |g AS (SELECT sum(cp)::BIGINT AS np, sum(cn)::BIGINT AS nn,
+             |        count(*)::BIGINT AS v FROM tc),
+             |dp AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS dpos,
+             |         sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)::BIGINT AS dneg FROM lab),
+             |w AS (SELECT tok, ln((cp + 1.0) / (np + 1.0 * v))
+             |        - ln((cn + 1.0) / (nn + 1.0 * v)) AS w FROM tc, g),
+             |s AS (SELECT doc_id, sum(w) AS sw FROM ev JOIN w USING (tok) GROUP BY 1)
+             |SELECT l.doc_id,
+             |  round(ln(CAST(dpos AS DOUBLE) / dneg) + coalesce(sw, 0.0), 6) AS score,
+             |  (ln(CAST(dpos AS DOUBLE) / dneg) + coalesce(sw, 0.0)) > 0 AS predicted_en
+             |FROM lab l LEFT JOIN s USING (doc_id) CROSS JOIN dp
+             |ORDER BY doc_id""".stripMargin)),
 
     // token-histogram Shannon entropy: the one-number spam/diversity signal
     "q_token_entropy" -> QueryDef(

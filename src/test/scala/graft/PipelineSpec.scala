@@ -264,6 +264,26 @@ class PipelineSpec extends SparkSpec {
     assert(out(2)._3 > out(0)._3)
   }
 
+  test("nbTokenClassifier: hand-computed log-odds, prior-only empty doc") {
+    import graft.pipeline.Classify
+    val df = Seq(
+      (1L, "good good", true), (2L, "good bad", true),
+      (3L, "bad bad", false), (4L, "", false)
+    ).toDF("id", "text", "label")
+    val out = Classify.nbTokenClassifier(df, "id", "text", "label")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    // counts: good cp=3 cn=0, bad cp=1 cn=2; np=4 nn=2 V=2; prior=ln(2/2)=0
+    val wGood = math.log(4.0 / 6.0) - math.log(1.0 / 4.0)
+    val wBad = math.log(2.0 / 6.0) - math.log(3.0 / 4.0)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0) == ((1L, r6(2 * wGood), true)))
+    assert(out(1) == ((2L, r6(wGood + wBad), true)))
+    assert(out(2) == ((3L, r6(2 * wBad), false)))
+    assert(out(3) == ((4L, 0.0, false))) // zero tokens → prior only, not >0
+  }
+
   test("tokenEntropy: hand-computed bits, zero-token doc keeps a row") {
     import graft.pipeline.TextAnalysis
     val df = Seq(
