@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.sources.{Formats, MrldaModelFiles, MrldaSequenceFile}
+import graft.sources.{Formats, MrldaModelFiles, MrldaSequenceFile, Snapshots}
 import org.apache.spark.sql.functions._
 
 /** Source/sink format coverage: each query pushes a table through a
@@ -21,6 +21,40 @@ object FormatQueries {
       "graft_mrlda", s"${kind}_${ProcessHandle.current().pid()}").toString
 
   val defs: Map[String, QueryDef] = Map(
+
+    // manifest-versioned snapshots: three commits (base, append, overwrite),
+    // then TIME TRAVEL back to v1 and v2 in one result. The oracle replays
+    // each version's row set from the original table — any commit-protocol
+    // defect (lost files, double-applied append, overwrite leaking priors)
+    // breaks the hash.
+    "q_snapshot_time_travel" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val snapDir = java.nio.file.Files
+          .createTempDirectory("graft_snap").toString
+        val orders = t(s, dir, "orders")
+        Snapshots.commit(orders.filter($"o_orderkey" % 3 === 0), snapDir) // v0
+        Snapshots.commit(orders.filter($"o_orderkey" % 3 === 1), snapDir) // v1 append
+        Snapshots.commit(orders.filter($"o_orderkey" % 3 === 2), snapDir,
+          append = false) // v2 overwrite
+        def agg(v: Long) = Snapshots.readVersion(s, snapDir, v)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+          .withColumn("version", lit(v))
+        agg(1L).unionByName(agg(2L))
+          .select($"version", $"o_orderstatus", $"n", $"total")
+          .orderBy($"version", $"o_orderstatus")
+      },
+      Some("""SELECT 1 AS version, o_orderstatus, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+             |GROUP BY o_orderstatus
+             |UNION ALL
+             |SELECT 2 AS version, o_orderstatus, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders WHERE o_orderkey % 3 = 2
+             |GROUP BY o_orderstatus
+             |ORDER BY version, o_orderstatus""".stripMargin)),
 
     "q_csv_roundtrip" -> QueryDef(
       (s, dir) => {

@@ -1,0 +1,117 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Manifest-versioned parquet snapshots — the minimal lakehouse commit
+ * protocol (the Delta/Iceberg core) for reproducible training data: every
+ * commit writes its data files to a version-private directory and then
+ * publishes ONE manifest file whose atomic create is the commit point.
+ *
+ *   - Readers resolve a version to an explicit file list from its
+ *     manifest — they never LIST the data tree, so half-written files,
+ *     failed commits, and eventually-consistent object-store listings are
+ *     invisible by construction.
+ *   - Writers race on the manifest create (`rename` onto a fresh name
+ *     fails if it exists): optimistic concurrency, last loser retries.
+ *   - Old versions stay readable forever (time travel) until a GC pass
+ *     deletes manifests; "what data trained this model" is answered by a
+ *     version number instead of a directory copy.
+ *
+ * At 100 TB the manifest is KB-sized text (file paths), the data files
+ * are immutable parquet, and an `append` commit reuses every prior file —
+ * commit cost is proportional to NEW data only.
+ */
+object Snapshots {
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(dir: String, v: Long) = new Path(dir, f"_manifests/v$v%06d.manifest")
+
+  /** Highest committed version, if any. Manifest names are fixed-width so
+    * this is a lexicographic max over one small directory listing. */
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val f = fs(spark, dir)
+    val mdir = new Path(dir, "_manifests")
+    if (!f.exists(mdir)) None
+    else {
+      val vs = f.listStatus(mdir).map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+          n.stripPrefix("v").stripSuffix(".manifest").toLong }
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  private def readManifest(spark: SparkSession, dir: String, v: Long): Seq[String] = {
+    val f = fs(spark, dir)
+    val p = manifestPath(dir, v)
+    require(f.exists(p), s"snapshot version $v does not exist under $dir")
+    val in = f.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      Iterator.continually(in.read(buf)).takeWhile(_ > 0).foreach(bytes.write(buf, 0, _))
+      new String(bytes.toByteArray, StandardCharsets.UTF_8)
+        .split("\n").toSeq.filter(_.nonEmpty)
+    } finally in.close()
+  }
+
+  /**
+   * Commit `df` as the next version. `append = true` carries the previous
+   * version's files forward; `false` makes this version a full overwrite
+   * (prior versions remain readable). Returns the committed version.
+   *
+   * `expectedVersion` is the optimistic-transaction guard: a caller that
+   * read version v−1, derived this commit from it, and passes `Some(v)`
+   * is guaranteed either to publish exactly v or to throw because a
+   * concurrent committer got there first (the manifest `rename` onto a
+   * fresh name is the atomic claim — verified non-overwriting on the
+   * local FS, the HDFS rename contract elsewhere). Without it the commit
+   * targets whatever the latest version is at entry, last-writer-wins.
+   * A lost race throws — the caller retries, re-reading its base.
+   */
+  def commit(df: DataFrame, dir: String, append: Boolean = true,
+      expectedVersion: Option[Long] = None): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, dir)
+    val v = expectedVersion.getOrElse(latestVersion(spark, dir).map(_ + 1).getOrElse(0L))
+    require(v >= 0, s"snapshot version must be >= 0: $v")
+    val dataDir = new Path(dir, f"data/v$v%06d-${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write.parquet(dataDir.toString)
+    val newFiles = f.listStatus(dataDir).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .map(_.toString).sorted.toSeq
+    val carried = if (append && v > 0) readManifest(spark, dir, v - 1) else Seq.empty
+    val tmp = new Path(dir, s"_manifests/.tmp-${java.util.UUID.randomUUID()}")
+    f.mkdirs(new Path(dir, "_manifests"))
+    val out = f.create(tmp, true)
+    try out.write((carried ++ newFiles).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    // rename onto a fresh name is the atomic commit point: if a concurrent
+    // committer already published this version, rename returns false and
+    // this commit's data dir is dead weight for GC — never half-visible
+    if (!f.rename(tmp, manifestPath(dir, v))) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"snapshot commit race lost: version $v already exists under $dir")
+    }
+    v
+  }
+
+  /** Read an exact committed version (time travel). */
+  def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
+    val files = readManifest(spark, dir, v)
+    if (files.isEmpty) spark.emptyDataFrame else spark.read.parquet(files: _*)
+  }
+
+  /** Read the latest committed version. */
+  def readLatest(spark: SparkSession, dir: String): DataFrame = {
+    val v = latestVersion(spark, dir)
+    require(v.isDefined, s"no committed snapshot under $dir")
+    readVersion(spark, dir, v.get)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** The snapshot commit protocol: versions are append-or-overwrite file
+  * sets published by an atomic manifest create; every old version stays
+  * readable; a lost race throws instead of corrupting; readers never see
+  * unpublished data files. */
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir() = Files.createTempDirectory("snapspec").toString
+
+  test("commit/append/overwrite and time travel back to every version") {
+    val dir = freshDir()
+    assert(Snapshots.latestVersion(spark, dir).isEmpty)
+    assert(Snapshots.commit(Seq(1, 2).toDF("x"), dir) == 0L)
+    assert(Snapshots.commit(Seq(3).toDF("x"), dir) == 1L) // append
+    assert(Snapshots.commit(Seq(9).toDF("x"), dir, append = false) == 2L)
+    assert(Snapshots.commit(Seq(10).toDF("x"), dir) == 3L) // append onto overwrite
+    def vals(v: Long) = Snapshots.readVersion(spark, dir, v)
+      .as[Int].collect().sorted.toSeq
+    assert(vals(0) == Seq(1, 2))
+    assert(vals(1) == Seq(1, 2, 3))
+    assert(vals(2) == Seq(9))     // overwrite dropped priors from THIS version
+    assert(vals(3) == Seq(9, 10)) // but v1 history above remains intact
+    assert(Snapshots.latestVersion(spark, dir).contains(3L))
+    assert(Snapshots.readLatest(spark, dir).as[Int].collect().sorted.toSeq == Seq(9, 10))
+  }
+
+  test("unpublished data files are invisible to readers") {
+    val dir = freshDir()
+    Snapshots.commit(Seq(1).toDF("x"), dir)
+    // simulate a crashed writer: data files land but no manifest publishes
+    Seq(99).toDF("x").write.parquet(s"$dir/data/v000042-dead")
+    assert(Snapshots.readLatest(spark, dir).as[Int].collect().toSeq == Seq(1))
+    assert(Snapshots.latestVersion(spark, dir).contains(0L))
+  }
+
+  test("a manifest race loses loudly, winner's version unharmed") {
+    val dir = freshDir()
+    Snapshots.commit(Seq(1).toDF("x"), dir)
+    // occupy version 1's manifest slot as a concurrent winner would
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val winner = new Path(dir, "_manifests/v000001.manifest")
+    val out = fs.create(winner, false)
+    val existing = Snapshots.readVersion(spark, dir, 0L).inputFiles.sorted
+    out.write(existing.mkString("\n").getBytes("UTF-8")); out.close()
+    // the loser read latest=0 before the winner published, so it expects
+    // to publish version 1 — the manifest claim must fail loudly
+    val e = intercept[IllegalStateException] {
+      Snapshots.commit(Seq(2).toDF("x"), dir, expectedVersion = Some(1L))
+    }
+    assert(e.getMessage.contains("race"))
+    assert(Snapshots.readVersion(spark, dir, 1L).as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("schema is preserved and reads prune to the version's files only") {
+    val dir = freshDir()
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
+    Snapshots.commit(df, dir)
+    Snapshots.commit(Seq((3L, "c", 3.5)).toDF("id", "s", "v"), dir, append = false)
+    val v0 = Snapshots.readVersion(spark, dir, 0L)
+    assert(v0.schema.fieldNames.toSeq == Seq("id", "s", "v"))
+    assert(v0.inputFiles.forall(_.contains("/data/v000000-")))
+    assert(v0.count() == 2)
+  }
+}
