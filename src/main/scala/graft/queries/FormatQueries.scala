@@ -56,6 +56,28 @@ object FormatQueries {
              |GROUP BY o_orderstatus
              |ORDER BY version, o_orderstatus""".stripMargin)),
 
+    // compaction losslessness: commit orders fragmented across 32 small
+    // files, OPTIMIZE into ~1, read the compacted version back and
+    // aggregate — the oracle aggregates the original table, so a dropped
+    // or duplicated row in the rewrite breaks the hash. File-count
+    // reduction itself is asserted in SnapshotsSpec.
+    "q_snapshot_compaction" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val snapDir = java.nio.file.Files
+          .createTempDirectory("graft_compact").toString
+        Snapshots.commit(t(s, dir, "orders").repartition(32), snapDir)
+        Snapshots.compact(s, snapDir, targetFileBytes = 1L << 30)
+        Snapshots.readLatest(s, snapDir)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
     "q_csv_roundtrip" -> QueryDef(
       (s, dir) => {
         import s.implicits._

@@ -102,6 +102,61 @@ object Snapshots {
     v
   }
 
+  /**
+   * Compaction (the OPTIMIZE pass): rewrite the latest version's data as
+   * ~`targetFileBytes`-sized files and publish the result as a new version
+   * with identical rows. Small-file pressure is the operational failure
+   * mode of an append-heavy table at scale — thousands of KB-files per
+   * day turn every scan into a metadata storm; compaction amortizes them
+   * away without blocking readers (old versions stay live until vacuum).
+   * The file-count choice comes from the manifest's own byte accounting,
+   * not a row count guess.
+   */
+  def compact(spark: SparkSession, dir: String, targetFileBytes: Long = 128L << 20): Long = {
+    val v = latestVersion(spark, dir)
+    require(v.isDefined, s"nothing to compact under $dir")
+    val f = fs(spark, dir)
+    val bytes = readManifest(spark, dir, v.get)
+      .map(p => f.getFileStatus(new Path(p)).getLen).sum
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val data = readVersion(spark, dir, v.get).repartition(nFiles)
+    commit(data, dir, append = false, expectedVersion = Some(v.get + 1))
+  }
+
+  /**
+   * Vacuum: delete every data file not referenced by a retained manifest,
+   * and the manifests below `retainVersions` from the latest. Bounds the
+   * storage cost of time travel; after vacuum, only the retained window
+   * is readable. Returns the number of deleted data files.
+   */
+  def vacuum(spark: SparkSession, dir: String, retainVersions: Int = 2): Long = {
+    require(retainVersions >= 1, "must retain at least the latest version")
+    val f = fs(spark, dir)
+    val latest = latestVersion(spark, dir).getOrElse(return 0L)
+    val cutoff = latest - retainVersions + 1
+    val mdir = new Path(dir, "_manifests")
+    f.listStatus(mdir).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("v") && n.endsWith(".manifest") &&
+          n.stripPrefix("v").stripSuffix(".manifest").toLong < cutoff
+      }.foreach(f.delete(_, false))
+    val live = (cutoff to latest).flatMap(readManifest(spark, dir, _)).toSet
+    val dataRoot = new Path(dir, "data")
+    if (!f.exists(dataRoot)) return 0L
+    var deleted = 0L
+    f.listStatus(dataRoot).foreach { sub =>
+      val all = f.listStatus(sub.getPath)
+      val dead = all.filter(s => !live.contains(s.getPath.toString))
+      dead.foreach { s =>
+        if (f.delete(s.getPath, false) && s.getPath.getName.endsWith(".parquet")) deleted += 1
+      }
+      // drop the per-version dir once nothing in it is referenced
+      if (dead.length == all.length) f.delete(sub.getPath, true)
+    }
+    deleted
+  }
+
   /** Read an exact committed version (time travel). */
   def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
     val files = readManifest(spark, dir, v)

@@ -59,6 +59,36 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.readVersion(spark, dir, 1L).as[Int].collect().toSeq == Seq(1))
   }
 
+  test("compact rewrites small files into few, rows identical, history live") {
+    val dir = freshDir()
+    Snapshots.commit(spark.range(1000).toDF("x").repartition(16), dir)
+    assert(Snapshots.readLatest(spark, dir).inputFiles.length == 16)
+    val cv = Snapshots.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(cv == 1L)
+    val compacted = Snapshots.readVersion(spark, dir, cv)
+    assert(compacted.inputFiles.length == 1)
+    assert(compacted.as[Long].collect().sorted.toSeq == (0L until 1000L))
+    // pre-compaction version still reads (readers mid-scan are unharmed)
+    assert(Snapshots.readVersion(spark, dir, 0L).count() == 1000)
+  }
+
+  test("vacuum deletes only unreferenced files, retained window still reads") {
+    val dir = freshDir()
+    Snapshots.commit(spark.range(100).toDF("x").repartition(4), dir)  // v0
+    Snapshots.commit(spark.range(100, 200).toDF("x"), dir)            // v1 append
+    // everything v1 references (v0's files + its own) dies with the window
+    val doomed = Snapshots.readVersion(spark, dir, 1L).inputFiles.length
+    Snapshots.compact(spark, dir, targetFileBytes = 1L << 30)         // v2 rewrite
+    val deleted = Snapshots.vacuum(spark, dir, retainVersions = 1)
+    assert(deleted == doomed.toLong)
+    assert(Snapshots.latestVersion(spark, dir).contains(2L))
+    assert(Snapshots.readLatest(spark, dir).count() == 200)
+    // time travel below the retention window is gone
+    assertThrows[IllegalArgumentException](Snapshots.readVersion(spark, dir, 0L))
+    // idempotent: nothing left to delete
+    assert(Snapshots.vacuum(spark, dir, retainVersions = 1) == 0L)
+  }
+
   test("schema is preserved and reads prune to the version's files only") {
     val dir = freshDir()
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
