@@ -122,6 +122,15 @@ object StreamingQueries {
              |      FROM events)
              |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
+    // exactly-once versioned ingest: every micro-batch commits as snapshot
+    // version==batchId (expectedVersion guard), and a deliberate second
+    // commit per batch exercises the replay-idempotence path every run —
+    // a double-applied batch would double the counts and break the hash
+    "q_stream_snapshot_ingest" -> QueryDef(
+      (s, dir) => EventsStream.snapshotIngestSink(s, dir),
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // the continual-ingest dedup filter as a stream: per-micro-batch
     // foreachBatch screen against a prebuilt MinHash reference index.
     // Candidates only cross new×reference, so the result is independent of

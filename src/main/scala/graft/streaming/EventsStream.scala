@@ -225,6 +225,60 @@ object EventsStream {
   }
 
   /**
+   * Exactly-once streaming ingest into a manifest-versioned snapshot
+   * table: each micro-batch appends as snapshot version == batchId with
+   * `expectedVersion` as the transaction guard — a REPLAYED batch (sink
+   * restart after a crash between commit and checkpoint advance) targets
+   * an already-published version, loses the manifest race, and is
+   * swallowed as "already committed". That race-loss-means-idempotence
+   * trick is the standard table-format sink contract (Delta's
+   * txnAppId/txnVersion); here it falls straight out of the snapshot
+   * commit protocol. The second commit attempt per batch in the sink
+   * exercises the replay path on every run, not just on crashes.
+   *
+   * Converges to all events regardless of batching; the batch aggregate
+   * over the source table is the oracle.
+   */
+  def snapshotIngestSink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val run = counter.incrementAndGet()
+    val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_snap_ingest_${ProcessHandle.current().pid()}_$run")
+    val incoming = base.resolve("incoming").toString
+    val ckpt = base.resolve("ckpt").toString
+    val snapDir = base.resolve("snap").toString
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select($"event_id", $"event_type", $"value")
+    (0 until 3).foreach { i =>
+      events.filter($"event_id" % 3 === i).coalesce(1)
+        .write.mode("append").parquet(incoming)
+    }
+
+    def commitIdempotent(batch: DataFrame, batchId: Long): Unit =
+      try graft.sources.Snapshots.commit(batch, snapDir,
+        append = true, expectedVersion = Some(batchId))
+      catch { case _: IllegalStateException => () } // replay: already committed
+
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(incoming)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitIdempotent(batch, batchId)
+        commitIdempotent(batch, batchId) // simulated replay: must no-op
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.sources.Snapshots.readLatest(spark, snapDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total"))
+      .orderBy($"event_type")
+  }
+
+  /**
    * Streaming sketch maintenance: each micro-batch is sketched
    * (`Sketches.hllSketch`) and max-merged into a persistent register
    * table (`Sketches.hllMerge`), one immutable version per batch — the
