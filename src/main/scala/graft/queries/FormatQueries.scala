@@ -56,6 +56,27 @@ object FormatQueries {
              |GROUP BY o_orderstatus
              |ORDER BY version, o_orderstatus""".stripMargin)),
 
+    // incremental consumption: three appended commits, then the change
+    // feed for v0→v2 must surface exactly the rows of commits 1 and 2 —
+    // the file-diff read a downstream incremental pipeline does
+    "q_snapshot_changes" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val snapDir = java.nio.file.Files
+          .createTempDirectory("graft_changes").toString
+        val orders = t(s, dir, "orders")
+        (0 to 2).foreach(i =>
+          Snapshots.commit(orders.filter($"o_orderkey" % 3 === i), snapDir))
+        Snapshots.readChanges(s, snapDir, fromV = 0L, toV = 2L)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders WHERE o_orderkey % 3 IN (1, 2)
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // compaction losslessness: commit orders fragmented across 32 small
     // files, OPTIMIZE into ~1, read the compacted version back and
     // aggregate — the oracle aggregates the original table, so a dropped

@@ -163,6 +163,24 @@ object Snapshots {
     if (files.isEmpty) spark.emptyDataFrame else spark.read.parquet(files: _*)
   }
 
+  /**
+   * Incremental read (change feed): the rows ADDED between two committed
+   * versions, resolved as the file-set difference of their manifests —
+   * zero data reads beyond the new files themselves, because files are
+   * immutable and appends only ever add paths. This is how a downstream
+   * incremental pipeline (dedup screen, index refresh, training-shard
+   * builder) consumes the table without rescanning history. An overwrite
+   * inside the window surfaces only files still live at `toV` — the
+   * change feed is "what's new in toV relative to fromV", not an event
+   * log.
+   */
+  def readChanges(spark: SparkSession, dir: String, fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"change window must run forward: $fromV..$toV")
+    val before = readManifest(spark, dir, fromV).toSet
+    val added = readManifest(spark, dir, toV).filterNot(before)
+    if (added.isEmpty) spark.emptyDataFrame else spark.read.parquet(added: _*)
+  }
+
   /** Read the latest committed version. */
   def readLatest(spark: SparkSession, dir: String): DataFrame = {
     val v = latestVersion(spark, dir)

@@ -89,6 +89,21 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.vacuum(spark, dir, retainVersions = 1) == 0L)
   }
 
+  test("readChanges surfaces appended rows only, empty when nothing changed") {
+    val dir = freshDir()
+    Snapshots.commit(Seq(1, 2).toDF("x"), dir)            // v0
+    Snapshots.commit(Seq(3).toDF("x"), dir)               // v1
+    Snapshots.commit(Seq(4).toDF("x"), dir)               // v2
+    def changes(a: Long, b: Long) = Snapshots.readChanges(spark, dir, a, b)
+    assert(changes(0, 2).as[Int].collect().sorted.toSeq == Seq(3, 4))
+    assert(changes(1, 2).as[Int].collect().toSeq == Seq(4))
+    assert(changes(2, 2).count() == 0) // same version: no changes
+    // compaction rewrites everything: the feed reports the rewritten files
+    // (a consumer crossing a rewrite should fall back to a full read)
+    Snapshots.compact(spark, dir, targetFileBytes = 1L << 30) // v3
+    assert(changes(2, 3).as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+  }
+
   test("schema is preserved and reads prune to the version's files only") {
     val dir = freshDir()
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
