@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.pipeline.{Classify, Dedup, LanguageModel, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Classify, Dedup, LanguageModel, Multimodal, Retrieval, Similarity, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -343,6 +344,75 @@ object PipelineQueries {
              |ORDER BY probe, term""".stripMargin)),
 
     // ---- similarity search ----
+    // hybrid retrieval: dense cosine top-10 + sparse lexical-Jaccard
+    // top-10 fused by reciprocal rank (k=60) — ranks only, so the
+    // incomparable score scales never touch. documents/embeddings share
+    // the 0..499 id space by fixture design. The oracle replays both
+    // rankings and the fusion.
+    "q_hybrid_retrieval" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val docs = t(s, dir, "documents")
+        val dense = Similarity
+          .bruteForceTopK(emb, emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 10)
+          .select($"query_id", $"corpus_id", $"cosine".as("score"))
+        val lex = Retrieval
+          .lexicalJaccardTopK(docs, docs.filter($"doc_id" < 3), "doc_id", "text", k = 10)
+          .select($"query_id", $"corpus_id", $"jaccard".as("score"))
+        Retrieval.rrfFuse(Seq(dense, lex), "query_id", "corpus_id", "score")
+          .withColumn("fused_rank", row_number().over(
+            Window.partitionBy($"query_id").orderBy($"rrf".desc, $"corpus_id".asc)))
+          .filter($"fused_rank" <= 5)
+          .select($"query_id", $"fused_rank", $"corpus_id", $"n_lists", $"rrf")
+          .orderBy($"query_id", $"fused_rank")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+             |         generate_subscripts(embedding, 1) AS i
+             |  FROM embeddings),
+             |qv AS (SELECT * FROM v WHERE vec_id < 3),
+             |dots AS (
+             |  SELECT qv.vec_id AS query_id, c.vec_id AS corpus_id,
+             |         sum(qv.x * c.x) AS dot,
+             |         sqrt(sum(qv.x * qv.x)) AS qn2, sqrt(sum(c.x * c.x)) AS cn2
+             |  FROM qv JOIN v c ON qv.i = c.i AND c.vec_id <> qv.vec_id
+             |  GROUP BY 1, 2),
+             |dense AS (
+             |  SELECT query_id, corpus_id, row_number() OVER (
+             |      PARTITION BY query_id
+             |      ORDER BY round(dot / (qn2 * cn2), 6) DESC, corpus_id) AS rank
+             |  FROM dots),
+             |tokset AS (
+             |  SELECT doc_id, unnest(list_distinct(list_filter(
+             |    string_split(lower(text), ' '), x -> x <> ''))) AS tok
+             |  FROM documents),
+             |qn AS (SELECT doc_id, count(*) AS nq FROM tokset WHERE doc_id < 3 GROUP BY 1),
+             |cn AS (SELECT doc_id, count(*) AS nc FROM tokset GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS query_id, b.doc_id AS corpus_id, count(*) AS ni
+             |  FROM tokset a JOIN tokset b USING (tok)
+             |  WHERE a.doc_id < 3 AND a.doc_id <> b.doc_id
+             |  GROUP BY 1, 2),
+             |lex AS (
+             |  SELECT query_id, corpus_id, row_number() OVER (
+             |      PARTITION BY query_id
+             |      ORDER BY round(CAST(ni AS DOUBLE) / (nq + nc - ni), 6) DESC, corpus_id) AS rank
+             |  FROM inter JOIN qn ON qn.doc_id = query_id JOIN cn ON cn.doc_id = corpus_id),
+             |unioned AS (
+             |  SELECT query_id, corpus_id, rank FROM dense WHERE rank <= 10
+             |  UNION ALL
+             |  SELECT query_id, corpus_id, rank FROM lex WHERE rank <= 10),
+             |fused AS (
+             |  SELECT query_id, corpus_id, count(*)::BIGINT AS n_lists,
+             |         round(sum((1.0::DOUBLE) / (rank + 60)), 6) AS rrf
+             |  FROM unioned GROUP BY 1, 2),
+             |outp AS (SELECT *, CAST(row_number() OVER (
+             |    PARTITION BY query_id ORDER BY rrf DESC, corpus_id) AS INT) AS fused_rank
+             |  FROM fused)
+             |SELECT query_id, fused_rank, corpus_id, n_lists, rrf FROM outp
+             |WHERE fused_rank <= 5 ORDER BY query_id, fused_rank""".stripMargin)),
+
     "q_ann_bruteforce" -> QueryDef(
       (s, dir) => {
         import s.implicits._

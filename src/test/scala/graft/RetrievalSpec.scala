@@ -1,0 +1,41 @@
+package graft
+
+import graft.pipeline.Retrieval
+import org.apache.spark.sql.functions._
+
+/** Rank fusion must consume ranks only (scale-free), count list
+  * membership, and break ties deterministically; the lexical ranker must
+  * stay sparse (zero-overlap pairs never appear). */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rrfFuse: hand-computed reciprocal ranks across two lists") {
+    val l1 = Seq((7L, 10L, 0.9), (7L, 11L, 0.8), (7L, 12L, 0.7)).toDF("q", "id", "score")
+    val l2 = Seq((7L, 11L, 10.0), (7L, 12L, 5.0), (7L, 13L, 1.0)).toDF("q", "id", "score")
+    val out = Retrieval.rrfFuse(Seq(l1, l2), "q", "id", "score")
+      .orderBy($"rrf".desc, $"id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // id 11: rank 2 in list1, rank 1 in list2 — the incomparable score
+    // scales (0..1 vs 0..10) never mix, only the ranks do
+    assert(out.toSeq == Seq(
+      (11L, 2L, r6(1.0 / 62 + 1.0 / 61)),
+      (12L, 2L, r6(1.0 / 63 + 1.0 / 62)),
+      (10L, 1L, r6(1.0 / 61)),
+      (13L, 1L, r6(1.0 / 63))))
+  }
+
+  test("lexicalJaccardTopK: sparse candidates, exact jaccard, self excluded") {
+    val docs = Seq(
+      (0L, "a b c"), (1L, "a b c d"), (2L, "x y"), (3L, "a a a")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.lexicalJaccardTopK(docs, docs.filter($"doc_id" === 0), "doc_id", "text", k = 10)
+      .orderBy($"rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // doc 2 shares nothing → absent (sparse); doc 3 distinct-set {a} → 1/3
+    assert(out.toSeq == Seq(
+      (0L, 1, 1L, 0.75),
+      (0L, 2, 3L, 0.333333)))
+  }
+}
