@@ -67,4 +67,29 @@ object LanguageModel {
         round($"h", 6).as("cross_entropy"),
         round(pow(lit(2.0), $"h"), 4).as("perplexity"))
   }
+
+  /**
+   * The CCNet filtering step on top of `bigramLmScore`: within each
+   * language, keep documents at or below the `quantile` cut of perplexity
+   * (CCNet's head/middle/tail split is exactly this with 0.33/0.66).
+   * Per-language, because perplexity scales differ by language — a global
+   * cut would silently drop whole languages. `pr` is `percent_rank` over
+   * (perplexity, doc_id) — a deterministic total order, and a rational
+   * (rank−1)/(n−1) both engines compute identically.
+   *
+   * One window shuffle keyed by language over the (small) scored output;
+   * the LM scoring plan underneath is the scalable part.
+   */
+  def perplexityFilter(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, quantile: Double = 0.5, k: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    bigramLmScore(df, idCol, textCol, k)
+      .join(df.select(col(idCol).cast("long").as("doc_id"), col(langCol).as("lang")), "doc_id")
+      .withColumn("pr", percent_rank().over(
+        Window.partitionBy($"lang").orderBy($"perplexity", $"doc_id")))
+      .select($"doc_id", $"lang", $"perplexity",
+        round($"pr", 6).as("pr"), ($"pr" <= quantile).as("kept"))
+  }
 }

@@ -14,6 +14,29 @@ object PipelineQueries {
 
   import Registry.t
 
+  /** Shared oracle CTE chain for the bigram LM: token pairs with a BOS
+    * context, bigram/context counts, vocab, and per-doc cross-entropy
+    * `h` (bits/token) in `scored` — reused by the score and filter
+    * oracles so the model arithmetic is written once. */
+  private val bigramLmCtes =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT doc_id,
+      |    CASE WHEN i = 1 THEN '<s>' ELSE ts[i - 1] END AS w1,
+      |    ts[i] AS w2
+      |  FROM toks, UNNEST(generate_series(1, len(ts))) AS u(i)),
+      |bg AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM pairs GROUP BY 1, 2),
+      |ctx AS (SELECT w1, count(*)::BIGINT AS c1 FROM pairs GROUP BY 1),
+      |voc AS (SELECT count(DISTINCT w2)::BIGINT AS v FROM pairs),
+      |scored AS (
+      |  SELECT p.doc_id, count(*)::BIGINT AS n_tokens,
+      |    -avg(log2((bg.c12 + 0.5) / (ctx.c1 + 0.5 * voc.v))) AS h
+      |  FROM pairs p
+      |  JOIN bg USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc
+      |  GROUP BY p.doc_id)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- dedup ----
@@ -585,26 +608,31 @@ object PipelineQueries {
         LanguageModel.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
           .orderBy($"doc_id")
       },
-      Some("""WITH toks AS (
-             |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
-             |  FROM documents),
-             |pairs AS (
-             |  SELECT doc_id,
-             |    CASE WHEN i = 1 THEN '<s>' ELSE ts[i - 1] END AS w1,
-             |    ts[i] AS w2
-             |  FROM toks, UNNEST(generate_series(1, len(ts))) AS u(i)),
-             |bg AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM pairs GROUP BY 1, 2),
-             |ctx AS (SELECT w1, count(*)::BIGINT AS c1 FROM pairs GROUP BY 1),
-             |voc AS (SELECT count(DISTINCT w2)::BIGINT AS v FROM pairs),
-             |scored AS (
-             |  SELECT p.doc_id, count(*)::BIGINT AS n_tokens,
-             |    -avg(log2((bg.c12 + 0.5) / (ctx.c1 + 0.5 * voc.v))) AS h
-             |  FROM pairs p
-             |  JOIN bg USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc
-             |  GROUP BY p.doc_id)
+      Some(s"""WITH $bigramLmCtes
              |SELECT doc_id, n_tokens, round(h, 6) AS cross_entropy,
              |  round(pow(2, h), 4) AS perplexity
              |FROM scored ORDER BY doc_id""".stripMargin)),
+
+    // the CCNet FILTER on top of the score: per-language median cut on
+    // perplexity (head/middle/tail quantile gating generalizes the same
+    // way) — per-language because perplexity scales differ by language
+    "q_perplexity_filter" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        LanguageModel.perplexityFilter(t(s, dir, "documents"),
+            "doc_id", "text", "lang", quantile = 0.5)
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH $bigramLmCtes,
+             |ppl AS (SELECT doc_id, round(pow(2, h), 4) AS perplexity FROM scored),
+             |win AS (
+             |  SELECT p.doc_id, d.lang, p.perplexity,
+             |    percent_rank() OVER (PARTITION BY d.lang
+             |      ORDER BY p.perplexity, p.doc_id) AS pr
+             |  FROM ppl p JOIN documents d USING (doc_id))
+             |SELECT doc_id, lang, perplexity, round(pr, 6) AS pr,
+             |  (pr <= 0.5) AS kept
+             |FROM win ORDER BY doc_id""".stripMargin)),
 
     // in-engine trained NB classifier: distill the lang column into token
     // log-odds, score every doc — the fastText-classifier shape as pure

@@ -284,6 +284,25 @@ class PipelineSpec extends SparkSpec {
     assert(out(3) == ((4L, 0.0, false))) // zero tokens → prior only, not >0
   }
 
+  test("perplexityFilter: per-language median cut keeps the low-ppl half") {
+    import graft.pipeline.LanguageModel
+    val df = Seq(
+      // lang A: doc 1/2 are in-distribution, 3/4 use rare continuations
+      (1L, "a b a b", "A"), (2L, "a b a b", "A"),
+      (3L, "a q z w", "A"), (4L, "q w z a", "A"),
+      (5L, "solo", "B") // single doc: percent_rank 0 → kept
+    ).toDF("id", "text", "lang")
+    val out = LanguageModel.perplexityFilter(df, "id", "text", "lang")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(4)))
+    val byLang = out.groupBy(_._2)
+    assert(byLang("A").count(_._4) == 2, s"A kept: ${out.mkString(",")}")
+    // the kept A docs are exactly the lowest-perplexity ones
+    val (keptA, dropA) = byLang("A").partition(_._4)
+    assert(keptA.map(_._3).max <= dropA.map(_._3).min)
+    assert(byLang("B").forall(_._4))
+  }
+
   test("tokenEntropy: hand-computed bits, zero-token doc keeps a row") {
     import graft.pipeline.TextAnalysis
     val df = Seq(
