@@ -37,7 +37,58 @@ object PipelineQueries {
       |  JOIN bg USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc
       |  GROUP BY p.doc_id)""".stripMargin
 
+  /** Generated PageRank oracle: the iteration count is unrolled into
+    * chained CTEs (d_i dangling mass, c_i contributions, r_i ranks), each
+    * replaying the 12dp-rounded update exactly. Scala interpolates the
+    * SAME doubles the Spark plan uses (`1 - 0.85` prints its exact IEEE
+    * value), so both engines evaluate identical literals. */
+  private def pageRankOracleSql(iters: Int, d: Double): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH cs AS (
+      |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (SELECT src, dst FROM cs UNION ALL SELECT dst, src FROM cs),
+      |nodes AS (SELECT DISTINCT src AS node FROM edges
+      |          UNION SELECT DISTINCT dst FROM edges),
+      |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+      |outdeg AS (SELECT src, count(*)::BIGINT AS odeg FROM edges GROUP BY 1),
+      |r0 AS (SELECT node, round((1.0::DOUBLE) / (SELECT n FROM nn), 12) AS rank
+      |       FROM nodes)""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++= s""",
+        |d$i AS (SELECT coalesce(sum(r.rank), 0.0) AS dm FROM r${i - 1} r
+        |  LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL),
+        |c$i AS (SELECT e.dst AS node, sum(r.rank / o.odeg) AS contrib
+        |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+        |  JOIN outdeg o ON e.src = o.src GROUP BY 1),
+        |r$i AS (SELECT nd.node, round(${1 - d} / (SELECT n FROM nn)
+        |    + $d * (coalesce(c.contrib, 0.0)
+        |            + (SELECT dm FROM d$i) / (SELECT n FROM nn)), 12) AS rank
+        |  FROM nodes nd LEFT JOIN c$i c ON nd.node = c.node)""".stripMargin
+    }
+    sb ++= s"\nSELECT node, rank FROM r$iters ORDER BY rank DESC, node LIMIT 20"
+    sb.toString
+  }
+
   val defs: Map[String, QueryDef] = Map(
+
+    // PageRank over the customer↔supplier interaction graph (symmetrized
+    // bipartite edges via orders⋈lineitem), 3 power iterations, top 20 —
+    // the link-authority prior of web-corpus curation. The oracle unrolls
+    // the identical trajectory.
+    "q_pagerank" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cs = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+          .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+            $"o_orderkey" === $"l_orderkey")
+          .select($"o_custkey".as("src"), ($"l_suppkey" + 1000000L).as("dst"))
+          .distinct()
+        val edges = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
+        graft.pipeline.Graphs.pageRank(edges, "src", "dst", damping = 0.85, iterations = 3)
+          .orderBy($"rank".desc, $"node").limit(20)
+      },
+      Some(pageRankOracleSql(iters = 3, d = 0.85))),
 
     // ---- dedup ----
     "q_dedup_exact_groups" -> QueryDef(

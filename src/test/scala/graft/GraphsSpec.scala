@@ -1,0 +1,52 @@
+package graft
+
+import graft.pipeline.Graphs
+import org.apache.spark.sql.functions._
+
+/** PageRank against an in-test reference implementation (same 12dp
+  * per-iteration rounding), plus the invariants: total mass 1, dangling
+  * mass redistributed, hubs outrank leaves. */
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val edges = Seq(
+    (1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L), (3L, 5L)) // 5 dangles
+
+  private def reference(iters: Int, d: Double = 0.85): Map[Long, Double] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
+    def r12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var rank = nodes.map(_ -> r12(1.0 / n)).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(outdeg.contains).map(rank).sum
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => rank(e._1) / outdeg(e._1)).sum }
+      rank = nodes.map(v => v ->
+        r12((1 - d) / n + d * (contrib.getOrElse(v, 0.0) + dm / n))).toMap
+    }
+    rank
+  }
+
+  test("pageRank matches the reference trajectory, mass conserved") {
+    for (iters <- Seq(1, 3)) {
+      val got = Graphs.pageRank(edges.toDF("src", "dst"), "src", "dst",
+          damping = 0.85, iterations = iters)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = reference(iters)
+      assert(got.keySet == want.keySet)
+      got.foreach { case (node, r) =>
+        assert(math.abs(r - want(node)) < 1e-9, s"iters=$iters node=$node: $r vs ${want(node)}")
+      }
+      assert(math.abs(got.values.sum - 1.0) < 1e-9, "mass must be conserved")
+    }
+  }
+
+  test("authority ordering: the most-linked node outranks sources") {
+    val got = Graphs.pageRank(edges.toDF("src", "dst"), "src", "dst", iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // node 1 (in-links from 3 and 4) and 3 (from 1 and 2) dominate node 4
+    // (no in-links: floor + dangling share only)
+    assert(got(1L) > got(4L) && got(3L) > got(4L))
+  }
+}
