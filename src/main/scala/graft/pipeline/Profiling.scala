@@ -70,4 +70,39 @@ object Profiling {
       .select(col("bin"), round(binLo, 6).as("bin_lo"),
         round(binLo + width, 6).as("bin_hi"), col("n"))
   }
+
+  /**
+   * Distribution drift between a baseline slice and a current slice —
+   * the Population Stability Index over the same clamped fixed-width
+   * binning as `histogram`: psi_bin = (p − q)·ln(p/q), with both mass
+   * fractions floored at `eps` (the standard guard: an empty bin on one
+   * side must contribute a large-but-finite term, not ±∞). Total PSI =
+   * Σ bins; the conventional alert thresholds are 0.1 (drifting) / 0.25
+   * (shifted). Per-bin contributions are returned so the drifted REGION
+   * is visible, not just the scalar.
+   *
+   * Two tiny-key hash aggregates + one bin-keyed outer join — nothing
+   * corpus-sized leaves the scan.
+   */
+  def psiDrift(base: DataFrame, current: DataFrame, valueCol: String,
+      nBins: Int, lo: Double, hi: Double, eps: Double = 1e-4): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    def counts(df: DataFrame, out: String) =
+      histogram(df, valueCol, nBins, lo, hi).select($"bin", col("n").as(out))
+    val totals = (d: DataFrame, c: String) => d.agg(sum(col(c)).as(s"t_$c"))
+    val b = counts(base, "nb")
+    val c = counts(current, "nc")
+    val bins = spark.range(nBins).select($"id".cast("int").as("bin"))
+    val joined = bins
+      .join(b, Seq("bin"), "left").join(c, Seq("bin"), "left")
+      .na.fill(0L, Seq("nb", "nc"))
+      .crossJoin(broadcast(totals(b, "nb")))
+      .crossJoin(broadcast(totals(c, "nc")))
+    val p = greatest($"nb".cast("double") / $"t_nb", lit(eps))
+    val q = greatest($"nc".cast("double") / $"t_nc", lit(eps))
+    joined.select($"bin", $"nb", $"nc",
+        round((p - q) * log(p / q), 6).as("psi_contrib"))
+      .orderBy($"bin")
+  }
 }

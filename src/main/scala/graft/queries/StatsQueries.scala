@@ -247,5 +247,82 @@ object StatsQueries {
              |FROM (
              |  SELECT CAST(least(greatest(floor((CAST(l_quantity AS DOUBLE) - 1.0) / 5.0), 0), 9) AS INT) AS bin
              |  FROM lineitem WHERE l_quantity IS NOT NULL)
-             |GROUP BY bin ORDER BY bin""".stripMargin)))
+             |GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    // declarative data-quality gates in one pass: four row-level rules
+    // (one planted to FAIL so violation counting is exercised), key
+    // uniqueness, and referential integrity — the pre-training ingest
+    // checklist
+    "q_data_expectations" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import graft.pipeline.Expectations
+        import graft.pipeline.Expectations.Rule
+        val li = t(s, dir, "lineitem")
+        Expectations.check(li, Seq(
+            Rule("flag_valid", $"l_returnflag".isin("A", "N", "R")),
+            Rule("price_positive", $"l_extendedprice" > 0),
+            Rule("qty_max_10", $"l_quantity" <= 10), // planted: must fail
+            Rule("qty_range", $"l_quantity".between(1, 50))))
+          .unionByName(Expectations.checkUnique(li, "unique_order_line",
+            Seq("l_orderkey", "l_linenumber")))
+          .unionByName(Expectations.checkForeignKey(li, "fk_orderkey",
+            "l_orderkey", t(s, dir, "orders"), "o_orderkey"))
+          .orderBy($"rule")
+      },
+      Some("""WITH rowchecks AS (
+             |  SELECT
+             |    sum(CASE WHEN NOT coalesce(l_returnflag IN ('A', 'N', 'R'), false) THEN 1 ELSE 0 END)::BIGINT AS flag_valid,
+             |    sum(CASE WHEN NOT coalesce(l_extendedprice > 0, false) THEN 1 ELSE 0 END)::BIGINT AS price_positive,
+             |    sum(CASE WHEN NOT coalesce(l_quantity <= 10, false) THEN 1 ELSE 0 END)::BIGINT AS qty_max_10,
+             |    sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, false) THEN 1 ELSE 0 END)::BIGINT AS qty_range
+             |  FROM lineitem),
+             |uniq AS (
+             |  SELECT coalesce(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0)::BIGINT AS v
+             |  FROM (SELECT count(*) AS cnt FROM lineitem
+             |        GROUP BY l_orderkey, l_linenumber)),
+             |fk AS (
+             |  SELECT count(*)::BIGINT AS v FROM lineitem l
+             |  ANTI JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             |    ON l.l_orderkey = o.o_orderkey)
+             |SELECT rule, violations, violations = 0 AS pass FROM (
+             |  SELECT 'flag_valid' AS rule, flag_valid AS violations FROM rowchecks
+             |  UNION ALL SELECT 'price_positive', price_positive FROM rowchecks
+             |  UNION ALL SELECT 'qty_max_10', qty_max_10 FROM rowchecks
+             |  UNION ALL SELECT 'qty_range', qty_range FROM rowchecks
+             |  UNION ALL SELECT 'unique_order_line', v FROM uniq
+             |  UNION ALL SELECT 'fk_orderkey', v FROM fk)
+             |ORDER BY rule""".stripMargin)),
+
+    // PSI drift between the 1995 and 1996 order-value distributions —
+    // per-bin contributions (eps-floored, the standard ±∞ guard) so the
+    // drifted region is visible, not just the scalar
+    "q_drift_psi" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val orders = t(s, dir, "orders")
+        graft.pipeline.Profiling.psiDrift(
+          orders.filter(year($"o_orderdate") === 1995),
+          orders.filter(year($"o_orderdate") === 1996),
+          "o_totalprice", nBins = 10, lo = 0.0, hi = 500000.0)
+      },
+      Some("""WITH bc AS (
+             |  SELECT CAST(least(greatest(floor(CAST(o_totalprice AS DOUBLE) / 50000.0), 0), 9) AS INT) AS bin,
+             |         count(*)::BIGINT AS nb
+             |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+             |cc AS (
+             |  SELECT CAST(least(greatest(floor(CAST(o_totalprice AS DOUBLE) / 50000.0), 0), 9) AS INT) AS bin,
+             |         count(*)::BIGINT AS nc
+             |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+             |bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+             |tot AS (SELECT (SELECT sum(nb) FROM bc)::BIGINT AS tb,
+             |               (SELECT sum(nc) FROM cc)::BIGINT AS tc),
+             |j AS (SELECT bin, coalesce(nb, 0) AS nb, coalesce(nc, 0) AS nc
+             |      FROM bins LEFT JOIN bc USING (bin) LEFT JOIN cc USING (bin))
+             |SELECT bin, nb, nc,
+             |  round((greatest(CAST(nb AS DOUBLE) / tb, 1.0e-4)
+             |         - greatest(CAST(nc AS DOUBLE) / tc, 1.0e-4))
+             |    * ln(greatest(CAST(nb AS DOUBLE) / tb, 1.0e-4)
+             |         / greatest(CAST(nc AS DOUBLE) / tc, 1.0e-4)), 6) AS psi_contrib
+             |FROM j, tot ORDER BY bin""".stripMargin)))
 }
