@@ -73,6 +73,31 @@ class PlanShapeSpec extends SparkSpec {
       readSchema)
   }
 
+  test("fuzzyJoinDel1: variant equi-join, never a pair matrix") {
+    val plan = physical("q_fuzzy_join_del1")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan)
+  }
+
+  test("bigramLmScore: count-table joins are keyed; only 1-row vocab crosses") {
+    val plan = physical("q_bigram_lm_score")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop is the 1-row vocab broadcast (model-sized)
+    val bnl = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnl <= 1, s"expected at most the vocab cross-join, got $bnl:\n$plan")
+  }
+
+  test("mixtureResample: the per-domain rate table joins via broadcast") {
+    val plan = physical("q_mixture_resample")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("hybrid retrieval: candidate generation stays sparse, no pair matrix") {
+    val plan = physical("q_hybrid_retrieval")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("dictionary encode degrades to a shuffle join above the broadcast cap") {
     import graft.corpus.ParseCorpus
     val docs = Registry.t(spark, dir, "documents")
