@@ -35,11 +35,14 @@ object Classify {
     import spark.implicits._
     val base = df.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text"), col(labelCol).cast("boolean").as("pos"))
-    val ev = base.select($"doc_id", explode(TextAnalysis.wsTokens(lower($"text"))).as("tok"))
-    val tc = ev.join(base.select($"doc_id", $"pos"), "doc_id")
-      .groupBy($"tok").agg(
-        sum(when($"pos", 1L).otherwise(0L)).as("cp"),
-        sum(when(!$"pos", 1L).otherwise(0L)).as("cn"))
+    // the label rides THROUGH the explode — re-joining the corpus-sized
+    // event table back onto base just to recover it would be a whole
+    // extra shuffle of the largest table in the plan
+    val ev = base.select($"doc_id", $"pos",
+      explode(TextAnalysis.wsTokens(lower($"text"))).as("tok"))
+    val tc = ev.groupBy($"tok").agg(
+      sum(when($"pos", 1L).otherwise(0L)).as("cp"),
+      sum(when(!$"pos", 1L).otherwise(0L)).as("cn"))
     val g = tc.select(sum($"cp").as("np"), sum($"cn").as("nn"), count(lit(1)).as("v"))
     val prior = base.select(
       sum(when($"pos", 1L).otherwise(0L)).as("dpos"),

@@ -260,7 +260,9 @@ object Curation {
     val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    // explicit class, not \s: Java's \s includes \x0B (vertical tab) where
+    // RE2's does not — the one place the two engines' "whitespace" diverges
+    trim(regexp_replace(decoded, "[ \\t\\n\\f\\r\\x0B]+", " "))
   }
 
   val PiiPatterns: Seq[(String, String)] = Seq(
@@ -506,7 +508,12 @@ object Curation {
       .select(col(domainCol), round($"w" / $"max_w", 12).as("accept_rate"))
     val u = conv(substring(md5(concat(lit(salt), col(keyCol).cast("string"))), 1, 8), 16, 10)
       .cast("double") / lit(4294967296.0)
-    df.join(broadcast(rates), domainCol)
+    // null-safe equality: groupBy made a rate row for the NULL domain, and
+    // the promised "returns every input row" contract must include it — a
+    // plain equi-join would silently drop NULL-domain rows
+    df.join(broadcast(rates.withColumnRenamed(domainCol, "__dom")),
+        col(domainCol) <=> col("__dom"))
+      .drop("__dom")
       .withColumn("kept", u < col("accept_rate"))
   }
 

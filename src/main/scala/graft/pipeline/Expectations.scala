@@ -16,9 +16,13 @@ object Expectations {
   /** A named row-level expectation: `pred` must hold for every row. */
   case class Rule(name: String, pred: Column)
 
-  /** Row-level rules in one aggregate pass over `df`. */
+  /** Row-level rules in one aggregate pass over `df`. Rule names are
+    * identifiers (they travel through a generated `stack` expression —
+    * free-form text would need escaping, so it is rejected instead). */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "no rules to check")
+    rules.foreach(r => require(r.name.matches("[A-Za-z0-9_]+"),
+      s"rule name must be an identifier ([A-Za-z0-9_]+): '${r.name}'"))
     val spark = df.sparkSession
     import spark.implicits._
     val aggs = rules.map(r =>

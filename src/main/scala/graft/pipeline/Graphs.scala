@@ -37,22 +37,30 @@ object Graphs {
     val nodes = edges.select($"src".as("node"))
       .union(edges.select($"dst".as("node"))).distinct().localCheckpoint()
     val n = nodes.count()
-    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("odeg")).localCheckpoint()
+    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("odeg"))
+    // the edge⋈outdeg join is loop-invariant: materialize (src, dst, odeg)
+    // once instead of re-joining it every iteration
+    val edgesWithDeg = edges.join(outdeg, "src")
+      .select($"src", $"dst", $"odeg").localCheckpoint()
+    val srcs = outdeg.select($"src").localCheckpoint()
     var ranks = nodes.select($"node", round(lit(1.0 / n), 12).as("rank")).localCheckpoint()
     for (_ <- 1 to iterations) {
-      val dangling = ranks.join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+      val dangling = ranks.join(srcs, ranks("node") === srcs("src"), "left_anti")
         .agg(coalesce(sum($"rank"), lit(0.0)).as("dm"))
-      val contribs = edges
-        .join(ranks, edges("src") === ranks("node"))
-        .join(outdeg, "src")
+      val contribs = edgesWithDeg
+        .join(ranks, edgesWithDeg("src") === ranks("node"))
         .select($"dst".as("node"), ($"rank" / $"odeg").as("c"))
         .groupBy($"node").agg(sum($"c").as("contrib"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      val next = nodes.join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select($"node",
           round(lit((1 - damping) / n) +
             lit(damping) * (coalesce($"contrib", lit(0.0)) + $"dm" / n), 12).as("rank"))
         .localCheckpoint()
+      // the superseded iteration's checkpoint blocks are dead — release
+      // them, or executor storage grows linearly with iterations
+      ranks.unpersist(blocking = false)
+      ranks = next
     }
     ranks
   }

@@ -90,15 +90,17 @@ object Profiling {
     import spark.implicits._
     def counts(df: DataFrame, out: String) =
       histogram(df, valueCol, nBins, lo, hi).select($"bin", col("n").as(out))
-    val totals = (d: DataFrame, c: String) => d.agg(sum(col(c)).as(s"t_$c"))
-    val b = counts(base, "nb")
-    val c = counts(current, "nc")
     val bins = spark.range(nBins).select($"id".cast("int").as("bin"))
+    // totals come from the already-joined bin rows (clamped binning loses
+    // nothing), NOT from a second aggregate over each histogram — that
+    // would re-execute both corpus-sized scans just for two scalars
+    val total = org.apache.spark.sql.expressions.Window.partitionBy()
     val joined = bins
-      .join(b, Seq("bin"), "left").join(c, Seq("bin"), "left")
+      .join(counts(base, "nb"), Seq("bin"), "left")
+      .join(counts(current, "nc"), Seq("bin"), "left")
       .na.fill(0L, Seq("nb", "nc"))
-      .crossJoin(broadcast(totals(b, "nb")))
-      .crossJoin(broadcast(totals(c, "nc")))
+      .withColumn("t_nb", sum($"nb").over(total))
+      .withColumn("t_nc", sum($"nc").over(total))
     val p = greatest($"nb".cast("double") / $"t_nb", lit(eps))
     val q = greatest($"nc".cast("double") / $"t_nc", lit(eps))
     joined.select($"bin", $"nb", $"nc",

@@ -239,7 +239,7 @@ object CurationQueries {
              |      '(?s)<[^>]*>', ' ', 'g'),
              |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
              |    '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-             |  '\s+', ' ', 'g')) AS text_clean
+             |  '[ \t\n\f\r\x0B]+', ' ', 'g')) AS text_clean
              |FROM h ORDER BY doc_id""".stripMargin)),
 
     "q_pii_redaction" -> QueryDef(

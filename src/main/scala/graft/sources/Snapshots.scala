@@ -46,19 +46,36 @@ object Snapshots {
     }
   }
 
-  private def readManifest(spark: SparkSession, dir: String, v: Long): Seq[String] = {
+  /** A committed version: the table schema at commit time (header line)
+    * plus the explicit file list. The schema rides in the manifest so an
+    * EMPTY version (or an empty change window) still reads as a typed,
+    * zero-row DataFrame instead of a schemaless one. */
+  private case class Manifest(schemaDdl: Option[String], files: Seq[String])
+
+  private def readManifestFull(spark: SparkSession, dir: String, v: Long): Manifest = {
     val f = fs(spark, dir)
     val p = manifestPath(dir, v)
     require(f.exists(p), s"snapshot version $v does not exist under $dir")
     val in = f.open(p)
-    try {
+    val lines = try {
       val bytes = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
       Iterator.continually(in.read(buf)).takeWhile(_ > 0).foreach(bytes.write(buf, 0, _))
       new String(bytes.toByteArray, StandardCharsets.UTF_8)
         .split("\n").toSeq.filter(_.nonEmpty)
     } finally in.close()
+    Manifest(
+      lines.collectFirst { case l if l.startsWith("#schema\t") => l.stripPrefix("#schema\t") },
+      lines.filterNot(_.startsWith("#")))
   }
+
+  private def readManifest(spark: SparkSession, dir: String, v: Long): Seq[String] =
+    readManifestFull(spark, dir, v).files
+
+  private def emptyWithSchema(spark: SparkSession, ddl: Option[String]): DataFrame =
+    ddl.map(d => spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(d)))
+      .getOrElse(spark.emptyDataFrame)
 
   /**
    * Commit `df` as the next version. `append = true` carries the previous
@@ -89,7 +106,8 @@ object Snapshots {
     val tmp = new Path(dir, s"_manifests/.tmp-${java.util.UUID.randomUUID()}")
     f.mkdirs(new Path(dir, "_manifests"))
     val out = f.create(tmp, true)
-    try out.write((carried ++ newFiles).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val header = s"#schema\t${df.schema.toDDL}"
+    try out.write((header +: (carried ++ newFiles)).mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // rename onto a fresh name is the atomic commit point: if a concurrent
     // committer already published this version, rename returns false and
@@ -135,13 +153,17 @@ object Snapshots {
     val latest = latestVersion(spark, dir).getOrElse(return 0L)
     val cutoff = latest - retainVersions + 1
     val mdir = new Path(dir, "_manifests")
-    f.listStatus(mdir).map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        n.startsWith("v") && n.endsWith(".manifest") &&
-          n.stripPrefix("v").stripSuffix(".manifest").toLong < cutoff
-      }.foreach(f.delete(_, false))
-    val live = (cutoff to latest).flatMap(readManifest(spark, dir, _)).toSet
+    // operate on the versions that actually EXIST: a young table (fewer
+    // versions than the retention window) or a previously-vacuumed one has
+    // gaps below the cutoff, and assuming contiguity would crash the
+    // live-set read
+    val existing = f.listStatus(mdir).map(_.getPath)
+      .collect { case p if p.getName.startsWith("v") && p.getName.endsWith(".manifest") =>
+        p.getName.stripPrefix("v").stripSuffix(".manifest").toLong -> p }
+      .sortBy(_._1)
+    existing.filter(_._1 < cutoff).foreach { case (_, p) => f.delete(p, false) }
+    val live = existing.collect { case (v, _) if v >= cutoff => v }
+      .flatMap(readManifest(spark, dir, _)).toSet
     val dataRoot = new Path(dir, "data")
     if (!f.exists(dataRoot)) return 0L
     var deleted = 0L
@@ -157,10 +179,12 @@ object Snapshots {
     deleted
   }
 
-  /** Read an exact committed version (time travel). */
+  /** Read an exact committed version (time travel). An empty version
+    * reads as a typed zero-row DataFrame (schema from the manifest). */
   def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
-    val files = readManifest(spark, dir, v)
-    if (files.isEmpty) spark.emptyDataFrame else spark.read.parquet(files: _*)
+    val m = readManifestFull(spark, dir, v)
+    if (m.files.isEmpty) emptyWithSchema(spark, m.schemaDdl)
+    else spark.read.parquet(m.files: _*)
   }
 
   /**
@@ -177,8 +201,11 @@ object Snapshots {
   def readChanges(spark: SparkSession, dir: String, fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"change window must run forward: $fromV..$toV")
     val before = readManifest(spark, dir, fromV).toSet
-    val added = readManifest(spark, dir, toV).filterNot(before)
-    if (added.isEmpty) spark.emptyDataFrame else spark.read.parquet(added: _*)
+    val to = readManifestFull(spark, dir, toV)
+    val added = to.files.filterNot(before)
+    // "no changes" is a typed empty frame — consumers column-select it
+    if (added.isEmpty) emptyWithSchema(spark, to.schemaDdl)
+    else spark.read.parquet(added: _*)
   }
 
   /** Read the latest committed version. */

@@ -161,6 +161,13 @@ class CurationSpec extends SparkSpec {
     // τ=1 is the identity mix: every row kept at rate 1
     val flat = Curation.mixtureResample(df, "id", "dom", temperature = 1.0)
     assert(flat.filter(!$"kept" || $"accept_rate" =!= 1.0).count() == 0)
+    // NULL domains form their own group and keep their rows (the
+    // "every input row returns" contract survives the rate join)
+    val withNull = Seq((1L, Some("A")), (2L, None), (3L, None))
+      .toDF("id", "dom")
+    val nulls = Curation.mixtureResample(withNull, "id", "dom", 0.5)
+    assert(nulls.count() == 3)
+    assert(nulls.filter($"dom".isNull).count() == 2)
   }
 
   test("assignSplits: every key gets exactly one stable band, rates hold") {

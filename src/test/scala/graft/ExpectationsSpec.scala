@@ -22,6 +22,14 @@ class ExpectationsSpec extends SparkSpec {
       ("v_positive", 2L, false), ("v_small", 2L, false), ("id_positive", 0L, true)))
   }
 
+  test("non-identifier rule names are rejected, not spliced into SQL") {
+    val df = Seq(1).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      Expectations.check(df, Seq(Rule("price isn't negative", $"v" >= 0)))
+    }
+    assert(e.getMessage.contains("identifier"))
+  }
+
   test("uniqueness counts every member of a duplicated key; FK counts orphans") {
     val child = Seq((1, 10), (2, 10), (3, 11), (4, 99)).toDF("id", "k")
     val uniq = Expectations.checkUnique(child, "u", Seq("k")).collect().head

@@ -104,6 +104,31 @@ class SnapshotsSpec extends SparkSpec {
     assert(changes(2, 3).as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
   }
 
+  test("vacuum on a young or gappy table clamps to existing versions") {
+    val dir = freshDir()
+    Snapshots.commit(Seq(1).toDF("x"), dir)
+    // one version, default retention 2: nothing to delete, no crash
+    assert(Snapshots.vacuum(spark, dir) == 0L)
+    Snapshots.commit(Seq(2).toDF("x"), dir)
+    Snapshots.commit(Seq(3).toDF("x"), dir, append = false) // orphans v0/v1 files
+    assert(Snapshots.vacuum(spark, dir, retainVersions = 1) >= 1L)
+    // manifests below the cutoff are gone; a LARGER window now spans the
+    // gap and must skip the missing versions instead of crashing
+    assert(Snapshots.vacuum(spark, dir, retainVersions = 4) == 0L)
+    assert(Snapshots.readLatest(spark, dir).as[Int].collect().toSeq == Seq(3))
+  }
+
+  test("empty versions and empty change windows read with the table schema") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), dir)
+    Snapshots.commit(Seq.empty[(Long, String)].toDF("id", "s"), dir, append = false)
+    val empty = Snapshots.readLatest(spark, dir)
+    assert(empty.schema.fieldNames.toSeq == Seq("id", "s"))
+    assert(empty.select($"id").count() == 0) // column-referencing must work
+    val none = Snapshots.readChanges(spark, dir, 0L, 0L)
+    assert(none.select($"s").count() == 0)
+  }
+
   test("schema is preserved and reads prune to the version's files only") {
     val dir = freshDir()
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
