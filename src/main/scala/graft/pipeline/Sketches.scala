@@ -1,6 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -219,6 +220,147 @@ object Sketches {
         .as("maybe_present"))
   }
 
+  /** bottom-k size for the KMV sketch */
+  val KmvK = 128
+
+  /** hash domain size 2^60 as an exact double (60-bit md5 prefix) */
+  private val KmvDomain = 1.152921504606846976e18
+
+  /**
+   * K-minimum-values sketch: the k smallest distinct 60-bit key hashes per
+   * group — the sketch that HLL cannot be: because it keeps actual hash
+   * VALUES, two sketches support set INTERSECTION and Jaccard estimates
+   * (bottom-k of the union ∩ both sides), not just distinct counts.
+   *
+   * Scale shape: one hash-dedup aggregate (map-side partials collapse
+   * duplicate keys), then `row_number ≤ k` — which Spark plans as
+   * WindowGroupLimit, pushing a partial bottom-k BEFORE the shuffle, so
+   * the final exchange carries ≤ k rows per group per map partition.
+   * Output ≤ k rows per group: the persistable artifact, like the HLL
+   * register table.
+   */
+  def kmvSketch(df: DataFrame, keyCol: String, groupCols: Seq[String],
+      k: Int = KmvK): DataFrame = {
+    val reserved = Set("__kmv_h", "__kmv_rn")
+    require(groupCols.forall(g => !reserved(g)),
+      s"kmvSketch: group columns may not use reserved internal names $reserved")
+    val gcols = groupCols.map(col)
+    val hashed = df
+      .select(gcols :+ Dedup.baseHash60(col(keyCol).cast("string")).as("__kmv_h"): _*)
+      .groupBy(gcols :+ col("__kmv_h"): _*).agg(lit(1).as("__kmv_rn"))
+    bottomK(hashed, groupCols, k)
+  }
+
+  /** bottom-k hashes per group via the WindowGroupLimit-planned filter */
+  private def bottomK(hashed: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__kmv_h"))
+    hashed
+      .withColumn("__kmv_rn", row_number().over(w))
+      .filter(col("__kmv_rn") <= k)
+      .select(groupCols.map(col) :+ col("__kmv_h"): _*)
+  }
+
+  /** Merge KMV sketches: bottom-k of the distinct hash union. Lossless for
+    * set union — the k smallest hashes of A ∪ B are all within the k
+    * smallest of A plus the k smallest of B, so merging sketches equals
+    * sketching the union. Associative, commutative, any slicing. */
+  def kmvMerge(sketches: Seq[DataFrame], groupCols: Seq[String],
+      k: Int = KmvK): DataFrame = {
+    require(sketches.nonEmpty, "kmvMerge: no sketches")
+    bottomK(sketches.reduce(_.unionByName(_)).distinct(), groupCols, k)
+  }
+
+  /** Distinct-count estimator over a (built or merged) sketch: exact when
+    * the group has fewer than k hashes (the sketch IS the distinct hash
+    * set), else (k−1) · 2^60 / h_(k). */
+  def kmvEstimateFromSketch(sketch: DataFrame, groupCols: Seq[String],
+      k: Int = KmvK, outCol: String = "kmv_distinct"): DataFrame = {
+    val gcols = groupCols.map(col)
+    sketch.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("__kmv_n"), max(col("__kmv_h")).as("__kmv_hk"))
+      .select(gcols :+
+        round(when(col("__kmv_n") < k, col("__kmv_n").cast("double"))
+          .otherwise(lit((k - 1).toDouble * KmvDomain) / col("__kmv_hk").cast("double")), 2)
+          .as(outCol): _*)
+  }
+
+  /**
+   * Pairwise set-overlap estimates for every unordered pair of scopes in
+   * one sketch table: Jaccard = |bottom-k(A ∪ B) ∩ A ∩ B| / |bottom-k(A ∪ B)|
+   * (any union-bottom-k hash belonging to A is necessarily within A's own
+   * bottom-k, so sketch membership is exact there), and the intersection
+   * size estimate = Jaccard · KMV-union-estimate. Everything after the
+   * scope-pair fan-out is sketch-sized: ≤ 2k rows per pair.
+   * Returns (scope_a, scope_b, kmv_jaccard, kmv_intersect).
+   */
+  def kmvJaccard(sketch: DataFrame, scopeCol: String, k: Int = KmvK): DataFrame = {
+    val scopes = sketch.select(col(scopeCol).as("__kmv_s")).distinct()
+    val pairs = scopes.select(col("__kmv_s").as("scope_a"))
+      .crossJoin(scopes.select(col("__kmv_s").as("scope_b")))
+      .filter(col("scope_a") < col("scope_b"))
+    val memA = pairs.join(sketch.withColumnRenamed(scopeCol, "scope_a"), "scope_a")
+      .select(col("scope_a"), col("scope_b"), col("__kmv_h"),
+        lit(1).as("__in_a"), lit(0).as("__in_b"))
+    val memB = pairs.join(sketch.withColumnRenamed(scopeCol, "scope_b"), "scope_b")
+      .select(col("scope_a"), col("scope_b"), col("__kmv_h"),
+        lit(0).as("__in_a"), lit(1).as("__in_b"))
+    val union = memA.unionByName(memB)
+      .groupBy(col("scope_a"), col("scope_b"), col("__kmv_h"))
+      .agg(max(col("__in_a")).as("__in_a"), max(col("__in_b")).as("__in_b"))
+    val w = Window.partitionBy(col("scope_a"), col("scope_b")).orderBy(col("__kmv_h"))
+    union
+      .withColumn("__kmv_rn", row_number().over(w))
+      .filter(col("__kmv_rn") <= k)
+      .groupBy(col("scope_a"), col("scope_b"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__in_a") * col("__in_b")).as("__nb"),
+        max(col("__kmv_h")).as("__hk"))
+      .withColumn("__union_est",
+        when(col("__n") < k, col("__n").cast("double"))
+          .otherwise(lit((k - 1).toDouble * KmvDomain) / col("__hk").cast("double")))
+      .select(col("scope_a"), col("scope_b"),
+        round(col("__nb").cast("double") / col("__n"), 4).as("kmv_jaccard"),
+        round(col("__nb").cast("double") / col("__n") * col("__union_est"), 2)
+          .as("kmv_intersect"))
+  }
+
+  /** DuckDB replay of `kmvSketch` + `kmvJaccard` over a `(scope, key)`
+    * relation — sketch construction, union bottom-k, and both estimators,
+    * verbatim. */
+  def kmvJaccardOracleSql(keyedRelation: String, k: Int = KmvK): String =
+    s"""WITH keyed AS ($keyedRelation),
+       |kh AS (SELECT DISTINCT scope,
+       |         ('0x' || substr(md5(key), 1, 15))::BIGINT AS h
+       |       FROM keyed),
+       |sk AS (SELECT scope, h FROM (
+       |         SELECT scope, h, row_number() OVER (PARTITION BY scope ORDER BY h) AS rn
+       |         FROM kh) WHERE rn <= $k),
+       |prs AS (SELECT a.scope AS sa, b.scope AS sb
+       |        FROM (SELECT DISTINCT scope FROM sk) a,
+       |             (SELECT DISTINCT scope FROM sk) b
+       |        WHERE a.scope < b.scope),
+       |mem AS (SELECT sa, sb, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+       |          SELECT p.sa, p.sb, s.h, 1 AS in_a, 0 AS in_b
+       |          FROM prs p JOIN sk s ON s.scope = p.sa
+       |          UNION ALL
+       |          SELECT p.sa, p.sb, s.h, 0, 1
+       |          FROM prs p JOIN sk s ON s.scope = p.sb)
+       |        GROUP BY 1, 2, 3),
+       |bot AS (SELECT * FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+       |          FROM mem) WHERE rn <= $k),
+       |agg AS (SELECT sa, sb, count(*) AS n, sum(in_a * in_b) AS nb, max(h) AS hk
+       |        FROM bot GROUP BY 1, 2),
+       |est AS (SELECT sa, sb, n, nb,
+       |          CASE WHEN n < $k THEN CAST(n AS DOUBLE)
+       |               ELSE ${(k - 1).toDouble} * 1152921504606846976 / CAST(hk AS DOUBLE)
+       |          END AS union_est
+       |        FROM agg)
+       |SELECT sa AS scope_a, sb AS scope_b,
+       |       round(CAST(nb AS DOUBLE) / n, 4) AS kmv_jaccard,
+       |       round(CAST(nb AS DOUBLE) / n * union_est, 2) AS kmv_intersect
+       |FROM est""".stripMargin
+
   /** DuckDB replay of `bloomBuild` + `bloomMightContain`: build over
     * `keyedRelation` (one `key` column), probe `probeRelation`. */
   def bloomOracleSql(keyedRelation: String, probeRelation: String): String = {
@@ -245,6 +387,30 @@ object Sketches {
        |       min(CASE WHEN (bits >> bit) & 1 = 1 THEN 1 ELSE 0 END) = 1 AS maybe_present
        |FROM pt LEFT JOIN bloom USING (word)
        |GROUP BY pt.key""".stripMargin
+  }
+
+  /**
+   * Runtime join pruning: collect a built Bloom bitmap (model-sized —
+   * ≤ m/62 rows) into a literal word array and return a pure Column
+   * predicate testing all k bit positions against it. Filtering the FACT
+   * side of a join with this predicate before the shuffle is the
+   * runtime-filter posture at 100 TB: the probe is map-only codegen (no
+   * explode, no extra shuffle), false positives are removed by the join
+   * itself, and no false negatives exist — so the join result is
+   * IDENTICAL to the unpruned join while the exchange only carries rows
+   * that can possibly match.
+   */
+  def bloomPruneFilter(bloom: DataFrame, key: Column): Column = {
+    val words = new Array[Long](BloomBits / BloomWordBits + 1)
+    bloom.collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+    val wordsLit = array(words.toIndexedSeq.map(lit): _*)
+    val h = Dedup.baseHash60(key.cast("string")) % Dedup.HashP
+    BloomFamily.map { case (a, b) =>
+      val pos = (lit(a) * h + lit(b)) % Dedup.HashP % BloomBits
+      call_function("shiftright",
+        element_at(wordsLit, (pos / BloomWordBits).cast("int") + lit(1)),
+        (pos % BloomWordBits).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
   }
 
   /** DuckDB replay of `cmFrequency` over a one-column `key` relation. */

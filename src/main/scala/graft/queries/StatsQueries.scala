@@ -111,6 +111,84 @@ object StatsQueries {
               |FROM exact JOIN cm USING (key)
               |ORDER BY user_id""".stripMargin)),
 
+    // KMV bottom-k sketch: pairwise Jaccard + intersection-size estimates
+    // between the per-event-type (user, day) activity sets — the set-overlap
+    // question HLL registers cannot answer — next to the exact overlap.
+    // Sketch construction, union bottom-k, and both estimators are replayed
+    // verbatim by the DuckDB oracle.
+    "q_kmv_jaccard" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val keyed = Registry.events(s, dir)
+          .select($"event_type".as("scope"),
+            concat($"user_id".cast("string"), lit(":"),
+              date_format($"ts", "yyyy-MM-dd")).as("key"))
+        val kmv = Sketches.kmvJaccard(
+          Sketches.kmvSketch(keyed, "key", Seq("scope")), "scope")
+        val ex = keyed.distinct()
+        val sizes = ex.groupBy($"scope").agg(count(lit(1)).as("c"))
+        val inter = ex.select($"scope".as("scope_a"), $"key")
+          .join(ex.select($"scope".as("scope_b"), $"key"), Seq("key"))
+          .filter($"scope_a" < $"scope_b")
+          .groupBy($"scope_a", $"scope_b").agg(count(lit(1)).as("i"))
+        inter
+          .join(sizes.select($"scope".as("scope_a"), $"c".as("ca")), "scope_a")
+          .join(sizes.select($"scope".as("scope_b"), $"c".as("cb")), "scope_b")
+          .select($"scope_a", $"scope_b",
+            round($"i".cast("double") / ($"ca" + $"cb" - $"i"), 4).as("exact_jaccard"),
+            $"i".as("exact_intersect"))
+          .join(kmv, Seq("scope_a", "scope_b"))
+          .orderBy($"scope_a", $"scope_b")
+      },
+      Some {
+        val keyedSql =
+          """SELECT event_type AS scope,
+            |       user_id || ':' || strftime(date_trunc('day', ts), '%Y-%m-%d') AS key
+            |FROM events""".stripMargin
+        s"""WITH ex AS (SELECT DISTINCT scope, key FROM ($keyedSql)),
+           |sizes AS (SELECT scope, count(*) AS c FROM ex GROUP BY 1),
+           |inter AS (SELECT a.scope AS sa, b.scope AS sb, count(*) AS i
+           |          FROM ex a JOIN ex b ON a.key = b.key AND a.scope < b.scope
+           |          GROUP BY 1, 2),
+           |exact AS (SELECT sa, sb,
+           |            round(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 4) AS exact_jaccard,
+           |            i AS exact_intersect
+           |          FROM inter
+           |          JOIN sizes ca ON ca.scope = sa
+           |          JOIN sizes cb ON cb.scope = sb),
+           |kmv AS (${Sketches.kmvJaccardOracleSql(keyedSql)})
+           |SELECT e.sa AS scope_a, e.sb AS scope_b, e.exact_jaccard,
+           |       e.exact_intersect, k.kmv_jaccard, k.kmv_intersect
+           |FROM exact e JOIN kmv k ON k.scope_a = e.sa AND k.scope_b = e.sb
+           |ORDER BY scope_a, scope_b""".stripMargin
+      }),
+
+    // runtime Bloom join pruning: the fact side is pre-filtered by a
+    // map-only bitmap probe built from the filtered dim keys, then joined —
+    // the oracle is the UNPRUNED join, so any pruning artifact (a dropped
+    // matching row) fails the hash check; false positives are removed by
+    // the join itself
+    "q_bloom_prune_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val dim = t(s, dir, "part").filter($"p_brand" === "Brand#11")
+          .select($"p_partkey", $"p_type")
+        val bloom = Sketches.bloomBuild(dim, "p_partkey")
+        val fact = t(s, dir, "lineitem")
+          .select($"l_partkey", $"l_extendedprice", $"l_discount")
+          .filter(Sketches.bloomPruneFilter(bloom, $"l_partkey"))
+        fact.join(dim, fact("l_partkey") === dim("p_partkey"))
+          .groupBy($"p_type")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+          .orderBy($"p_type")
+      },
+      Some("""SELECT p_type, count(*) AS n_items,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand = 'Brand#11'
+             |GROUP BY p_type ORDER BY p_type""".stripMargin)),
+
     // exact interpolated percentiles per event type (both engines use
     // linear interpolation at rank (n-1)*p)
     "q_value_percentiles" -> QueryDef(

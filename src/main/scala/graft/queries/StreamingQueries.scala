@@ -47,6 +47,30 @@ object StreamingQueries {
              |FROM s GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // NATIVE session_window aggregation (state-store-managed window
+    // merges) next to the custom-state sessionizer; the oracle replays
+    // the built-in's exact semantics — split at gap >= 30min, window end
+    // = last event + gap
+    "q_stream_session_native" -> QueryDef(
+      (s, dir) => EventsStream.sessionWindowNative(s, dir, gapMinutes = 30),
+      Some("""WITH d AS (
+             |  SELECT user_id, ts, value,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (
+             |  SELECT user_id, ts, value,
+             |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |                          ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM d)
+             |SELECT user_id,
+             |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+             |       count(*) AS events, round(sum(value), 2) AS value_sum
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // stream–static broadcast enrichment join (stateless); output equals
     // the batch join+agg so the plain SQL oracle applies
     "q_stream_enriched_segments" -> QueryDef(

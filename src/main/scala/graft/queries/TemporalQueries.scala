@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.TemporalJoins
+import graft.operators.{TemporalJoins, TimeSeries}
 import org.apache.spark.sql.functions._
 
 /**
@@ -10,6 +10,40 @@ import org.apache.spark.sql.functions._
 object TemporalQueries {
 
   val defs: Map[String, QueryDef] = Map(
+
+    // calendar reindex + forward fill: each user's daily purchase spend
+    // regularized onto their full [first, last] day spine — gap days carry
+    // the last observed value with observed=false; the oracle replays the
+    // spine (generate_series) and the fill (last_value IGNORE NULLS)
+    "q_timeseries_gapfill" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val daily = Registry.events(s, dir)
+          .filter($"event_type" === "purchase")
+          .groupBy($"user_id", to_date($"ts").as("day"))
+          .agg(round(sum($"value"), 2).as("spend"))
+        TimeSeries.gapFillForwardDaily(daily, "user_id", "day", "spend")
+          .select($"user_id", date_format($"day", "yyyy-MM-dd").as("day"),
+            $"spend", $"observed")
+          .orderBy($"user_id", $"day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |         round(sum(value), 2) AS spend
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |span AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+             |         FROM daily GROUP BY 1),
+             |spine AS (SELECT user_id,
+             |            CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+             |          FROM span),
+             |j AS (SELECT s.user_id, s.day, d.spend, d.spend IS NOT NULL AS observed
+             |      FROM spine s LEFT JOIN daily d USING (user_id, day))
+             |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+             |       last_value(spend IGNORE NULLS) OVER (
+             |         PARTITION BY user_id ORDER BY day
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spend,
+             |       observed
+             |FROM j ORDER BY user_id, day""".stripMargin)),
 
     // for each click, the latest purchase by the same user at or before it
     "q_asof_purchase" -> QueryDef(

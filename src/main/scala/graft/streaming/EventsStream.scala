@@ -475,6 +475,41 @@ object EventsStream {
   }
 
   /**
+   * NATIVE session windows (`session_window`) next to the custom
+   * `flatMapGroupsWithState` sessionizer: the same gap semantics expressed
+   * declaratively, with Spark's state store handling window merges — the
+   * preferred form when no custom per-session state is needed, since the
+   * engine can evict via the watermark and the plan stays whole-stage
+   * friendly. Complete mode (update is rejected for session windows —
+   * merges would retract earlier emissions) holds every session in final
+   * state. The built-in defines the window end as lastEvent + gap, and
+   * splits when the inter-event gap is EXACTLY the gap duration (windows
+   * that touch do not overlap) — both replayed by the oracle (`>=` in the
+   * island test, `max(ts) + gap` as the end).
+   */
+  def sessionWindowNative(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_session_native_${counter.incrementAndGet()}"
+    val q = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", s"$gapMinutes minutes"), $"user_id")
+      .agg(count(lit(1)).as("events"), round(sum($"value"), 2).as("value_sum"))
+      .select($"user_id",
+        date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format($"session_window.end", "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        $"events", $"value_sum")
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).orderBy($"user_id", $"session_start")
+  }
+
+  /**
    * Sessionization-style stateful pattern: per-user event counts over
    * 30-minute event-time windows with a 2-hour watermark, update mode
    * (append would hold back windows newer than the final watermark, which

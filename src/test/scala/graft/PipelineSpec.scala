@@ -648,4 +648,55 @@ class PipelineSpec extends SparkSpec {
     assert(farSpans.length == 6)
     assert(farSpans.count(_.getInt(1) == 0) == 3) // one leading span per doc
   }
+
+  test("KMV sketch: slice merge equals the union sketch; estimates exact below k") {
+    import graft.pipeline.Sketches
+    val keys = (1 to 500).map(i => (i, "s", s"key$i")).toDF("i", "scope", "key")
+    val full = Sketches.kmvSketch(keys, "key", Seq("scope"), k = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(full.size == 64)
+    // merging per-slice sketches (disjoint + an overlapping slice) is
+    // lossless for set union: identical bottom-k to the one-pass sketch
+    val slices = Seq(
+      keys.filter($"i" % 3 === 0), keys.filter($"i" % 3 === 1),
+      keys.filter($"i" % 3 === 2), keys.limit(100))
+      .map(s => Sketches.kmvSketch(s, "key", Seq("scope"), k = 64))
+    val merged = Sketches.kmvMerge(slices, Seq("scope"), k = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(merged == full)
+    // below k the sketch IS the distinct hash set → estimator is exact
+    val small = (1 to 40).map(i => ("t", s"k$i")).toDF("scope", "key")
+    val est = Sketches.kmvEstimateFromSketch(
+        Sketches.kmvSketch(small, "key", Seq("scope"), k = 64), Seq("scope"), k = 64)
+      .collect().head.getDouble(1)
+    assert(est == 40.0)
+  }
+
+  test("KMV Jaccard is exact when the pair's union fits under k") {
+    import graft.pipeline.Sketches
+    // A = 1..100, B = 51..150 → |∩| = 50, |∪| = 150, J = 1/3
+    val keyed = ((1 to 100).map(i => ("A", s"k$i")) ++
+      (51 to 150).map(i => ("B", s"k$i"))).toDF("scope", "key")
+    val row = Sketches.kmvJaccard(
+        Sketches.kmvSketch(keyed, "key", Seq("scope"), k = 256), "scope", k = 256)
+      .collect().head
+    assert(row.getString(0) == "A" && row.getString(1) == "B")
+    assert(row.getDouble(2) == math.rint(50.0 / 150.0 * 10000) / 10000)
+    assert(row.getDouble(3) == 50.0)
+  }
+
+  test("bloomPruneFilter: no false negatives, real pruning, join-identical") {
+    import graft.pipeline.Sketches
+    val dim = (1 to 100).map(i => s"m$i").toDF("k")
+    val bloom = Sketches.bloomBuild(dim, "k")
+    val fact = ((1 to 100).map(i => s"m$i") ++ (1 to 900).map(i => s"x$i")).toDF("k")
+    val pruned = fact.filter(Sketches.bloomPruneFilter(bloom, $"k"))
+    val kept = pruned.collect().map(_.getString(0)).toSet
+    assert((1 to 100).forall(i => kept(s"m$i")), "a matching key was pruned")
+    assert(kept.size < 300, s"no real pruning: ${kept.size} of 1000 kept")
+    // the pruned join equals the unpruned join exactly
+    val plain = fact.join(dim, "k").collect().map(_.getString(0)).sorted.toSeq
+    val viaBloom = pruned.join(dim, "k").collect().map(_.getString(0)).sorted.toSeq
+    assert(viaBloom == plain)
+  }
 }

@@ -284,4 +284,23 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(ab.collect().toSeq == ba.collect().toSeq)
     assert(ab.select($"payload").as[String].head() == "new")
   }
+
+  test("gapFillForwardDaily: complete per-key spine, carried values, observed flags") {
+    import graft.operators.TimeSeries
+    val daily = Seq(
+      (1L, "2024-01-01", 10.0), (1L, "2024-01-04", 20.0), // 2-day gap
+      (2L, "2024-01-02", 5.0))                            // single observation
+      .toDF("k", "d", "v")
+      .select($"k", to_date($"d").as("d"), $"v")
+    val out = TimeSeries.gapFillForwardDaily(daily, "k", "d", "v")
+      .orderBy($"k", $"d")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, "2024-01-01", 10.0, true),
+      (1L, "2024-01-02", 10.0, false), // carried forward
+      (1L, "2024-01-03", 10.0, false),
+      (1L, "2024-01-04", 20.0, true),  // real observation replaces the carry
+      (2L, "2024-01-02", 5.0, true)))  // no gap → spine is the observation
+  }
 }
