@@ -98,6 +98,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("KMV sketch plans a WindowGroupLimit (partial bottom-k before the shuffle)") {
+    import org.apache.spark.sql.functions._
+    val keyed = Registry.t(spark, dir, "documents")
+      .select(col("lang").as("scope"), col("doc_id").cast("string").as("key"))
+    val plan = graft.pipeline.Sketches.kmvSketch(keyed, "key", Seq("scope"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("bloomPruneFilter stays map-only on the fact side: no explode, no extra shuffle") {
+    val plan = physical("q_bloom_prune_join")
+    // the bitmap probe is a literal-array predicate — a Generate (explode)
+    // or an extra aggregate on the fact side would mean the probe shape
+    // regressed to the shuffling bloomMightContain form
+    assert(!plan.contains("Generate"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan)
+    // the lineitem scan feeds a Filter containing the bitmap words literal
+    assert(plan.contains("shiftright"), plan)
+  }
+
+  test("gap fill: spine generator plus one window pass, no cartesian") {
+    val plan = physical("q_timeseries_gapfill")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan)
+    // sequence+explode appears as a Generate feeding the left join
+    assert(plan.contains("Generate"), plan)
+  }
+
   test("dictionary encode degrades to a shuffle join above the broadcast cap") {
     import graft.corpus.ParseCorpus
     val docs = Registry.t(spark, dir, "documents")
