@@ -99,6 +99,30 @@ object FormatQueries {
              |FROM orders GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin)),
 
+    // manifest data skipping: commit orders range-clustered on o_orderkey
+    // with per-file min/max stats, then answer a key-windowed aggregate
+    // through the pruned read path. The oracle filters the original table,
+    // so a wrongly-skipped file (missing rows) or a bad residual filter
+    // (extra rows) fails the hash; the pruning RATE itself is asserted in
+    // SnapshotsSpec.
+    "q_snapshot_skipping" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val snapDir = java.nio.file.Files
+          .createTempDirectory("graft_skip").toString
+        Snapshots.commit(t(s, dir, "orders").repartitionByRange(8, $"o_orderkey"),
+          snapDir, statsCols = Seq("o_orderkey"))
+        Snapshots.readVersionRange(s, snapDir, 0L, "o_orderkey",
+            lo = Some("5000"), hi = Some("15000"))
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders WHERE o_orderkey BETWEEN 5000 AND 15000
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     "q_csv_roundtrip" -> QueryDef(
       (s, dir) => {
         import s.implicits._

@@ -3,7 +3,9 @@ package graft.sources
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
+import org.apache.spark.sql.types.{DataType, NumericType, StructType}
 
 /**
  * Manifest-versioned parquet snapshots — the minimal lakehouse commit
@@ -47,10 +49,27 @@ object Snapshots {
   }
 
   /** A committed version: the table schema at commit time (header line)
-    * plus the explicit file list. The schema rides in the manifest so an
-    * EMPTY version (or an empty change window) still reads as a typed,
-    * zero-row DataFrame instead of a schemaless one. */
-  private case class Manifest(schemaDdl: Option[String], files: Seq[String])
+    * plus the explicit file list, plus optional per-(file, column) min/max
+    * stats lines used for scan pruning. The schema rides in the manifest
+    * so an EMPTY version (or an empty change window) still reads as a
+    * typed, zero-row DataFrame instead of a schemaless one. Stats keys are
+    * scheme-stripped paths (`Path.toUri.getPath`) so `file:/` vs `file:///`
+    * spellings can't split an entry from its file. */
+  private case class Manifest(schemaDdl: Option[String], files: Seq[String],
+      stats: Map[(String, String), (Option[String], Option[String])])
+
+  /** min/max values are base64-wrapped in the manifest (a string column's
+    * extremes may contain tabs/newlines); `-` marks "no value" (all-null
+    * file), which pruning treats as "keep". */
+  private def encStat(v: Option[String]): String =
+    v.map(s => java.util.Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8)))
+      .getOrElse("-")
+
+  private def decStat(t: String): Option[String] =
+    if (t == "-") None
+    else Some(new String(java.util.Base64.getDecoder.decode(t), StandardCharsets.UTF_8))
+
+  private def pathKey(s: String): String = new Path(s).toUri.getPath
 
   private def readManifestFull(spark: SparkSession, dir: String, v: Long): Manifest = {
     val f = fs(spark, dir)
@@ -64,9 +83,15 @@ object Snapshots {
       new String(bytes.toByteArray, StandardCharsets.UTF_8)
         .split("\n").toSeq.filter(_.nonEmpty)
     } finally in.close()
+    val stats = lines.collect { case l if l.startsWith("#stats\t") =>
+      l.split("\t", -1) match {
+        case Array(_, path, c, mn, mx) => (path, c) -> (decStat(mn), decStat(mx))
+      }
+    }.toMap
     Manifest(
       lines.collectFirst { case l if l.startsWith("#schema\t") => l.stripPrefix("#schema\t") },
-      lines.filterNot(_.startsWith("#")))
+      lines.filterNot(_.startsWith("#")),
+      stats)
   }
 
   private def readManifest(spark: SparkSession, dir: String, v: Long): Seq[String] =
@@ -90,9 +115,16 @@ object Snapshots {
    * local FS, the HDFS rename contract elsewhere). Without it the commit
    * targets whatever the latest version is at entry, last-writer-wins.
    * A lost race throws — the caller retries, re-reading its base.
+   *
+   * `statsCols` opts files into per-file min/max manifest stats for those
+   * columns, computed by one aggregate pass over the NEW files only (so,
+   * like the commit itself, stats cost is proportional to new data — an
+   * append onto 100 TB re-stats only the appended files and carries every
+   * prior stats line forward verbatim). Readers prune with
+   * `readVersionRange`; files committed without stats are never pruned.
    */
   def commit(df: DataFrame, dir: String, append: Boolean = true,
-      expectedVersion: Option[Long] = None): Long = {
+      expectedVersion: Option[Long] = None, statsCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val v = expectedVersion.getOrElse(latestVersion(spark, dir).map(_ + 1).getOrElse(0L))
@@ -102,12 +134,35 @@ object Snapshots {
     val newFiles = f.listStatus(dataDir).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .map(_.toString).sorted.toSeq
-    val carried = if (append && v > 0) readManifest(spark, dir, v - 1) else Seq.empty
+    val statLines: Seq[String] =
+      if (statsCols.isEmpty) Seq.empty
+      else {
+        val aggs = statsCols.flatMap(c => Seq(
+          min(col(c)).cast("string"), max(col(c)).cast("string")))
+        spark.read.parquet(dataDir.toString)
+          .groupBy(input_file_name().as("__file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().toSeq // one row per new file — manifest-sized
+          .flatMap { r =>
+            statsCols.zipWithIndex.map { case (c, i) =>
+              s"#stats\t${pathKey(r.getString(0))}\t$c\t" +
+                s"${encStat(Option(r.getString(1 + 2 * i)))}\t" +
+                encStat(Option(r.getString(2 + 2 * i)))
+            }
+          }
+      }
+    val prior = if (append && v > 0) readManifestFull(spark, dir, v - 1)
+      else Manifest(None, Seq.empty, Map.empty)
+    val carried = prior.files
+    val carriedStats = prior.stats.map { case ((p, c), (mn, mx)) =>
+      s"#stats\t$p\t$c\t${encStat(mn)}\t${encStat(mx)}"
+    }.toSeq.sorted
     val tmp = new Path(dir, s"_manifests/.tmp-${java.util.UUID.randomUUID()}")
     f.mkdirs(new Path(dir, "_manifests"))
     val out = f.create(tmp, true)
     val header = s"#schema\t${df.schema.toDDL}"
-    try out.write((header +: (carried ++ newFiles)).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try out.write(((header +: (carriedStats ++ statLines)) ++ (carried ++ newFiles))
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // rename onto a fresh name is the atomic commit point: if a concurrent
     // committer already published this version, rename returns false and
@@ -130,7 +185,8 @@ object Snapshots {
    * The file-count choice comes from the manifest's own byte accounting,
    * not a row count guess.
    */
-  def compact(spark: SparkSession, dir: String, targetFileBytes: Long = 128L << 20): Long = {
+  def compact(spark: SparkSession, dir: String, targetFileBytes: Long = 128L << 20,
+      statsCols: Seq[String] = Seq.empty): Long = {
     val v = latestVersion(spark, dir)
     require(v.isDefined, s"nothing to compact under $dir")
     val f = fs(spark, dir)
@@ -138,7 +194,8 @@ object Snapshots {
       .map(p => f.getFileStatus(new Path(p)).getLen).sum
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val data = readVersion(spark, dir, v.get).repartition(nFiles)
-    commit(data, dir, append = false, expectedVersion = Some(v.get + 1))
+    commit(data, dir, append = false, expectedVersion = Some(v.get + 1),
+      statsCols = statsCols)
   }
 
   /**
@@ -213,5 +270,72 @@ object Snapshots {
     val v = latestVersion(spark, dir)
     require(v.isDefined, s"no committed snapshot under $dir")
     readVersion(spark, dir, v.get)
+  }
+
+  /** Stats-aware ordering for pruning decisions. Numeric columns compare
+    * as BigDecimal (string-cast doubles may arrive in scientific
+    * notation); everything else compares as UTF-8 BYTES — the binary
+    * ordering Spark's string min/max uses — because Java's String
+    * compareTo (UTF-16 code units) disagrees with it above the BMP, and a
+    * pruning comparator that disagrees with the stats writer is how files
+    * get wrongly skipped. Date/timestamp string forms are fixed-width
+    * ISO, so byte order is value order there too. */
+  private def statCompare(dt: DataType)(a: String, b: String): Int = dt match {
+    case _: NumericType => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    case _ => java.util.Arrays.compareUnsigned( // bytes are SIGNED in Java;
+      // UTF8String orders them unsigned, and 0xF0… must sort above ASCII
+      a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /**
+   * The file lists behind a range-pruned read of `column` ∈ [`lo`, `hi`]
+   * (either bound optional, both inclusive, values in string-cast form):
+   * (files kept, total files in the version). A file survives unless its
+   * recorded [min, max] provably misses the range; files with no stats
+   * for the column — committed before stats, different stats set, or
+   * all-null — are kept conservatively. Exposed so tests (and operators
+   * reporting scan amplification) can see the pruning rate, not just the
+   * pruned result.
+   */
+  def filesInRange(spark: SparkSession, dir: String, v: Long, column: String,
+      lo: Option[String], hi: Option[String]): (Seq[String], Int) = {
+    val m = readManifestFull(spark, dir, v)
+    val dt = m.schemaDdl.map(d => StructType.fromDDL(d).apply(column).dataType)
+      .getOrElse(org.apache.spark.sql.types.StringType)
+    val cmp = statCompare(dt) _
+    val kept = m.files.filter { file =>
+      m.stats.get((pathKey(file), column)) match {
+        case Some((Some(mn), Some(mx))) =>
+          // keep iff [mn, mx] intersects [lo, hi]
+          lo.forall(l => cmp(mx, l) >= 0) && hi.forall(h => cmp(mn, h) <= 0)
+        case _ => true
+      }
+    }
+    (kept, m.files.size)
+  }
+
+  /**
+   * Data-skipping read: version `v` restricted to `column` ∈ [`lo`, `hi`],
+   * scanning only the files whose manifest stats can contain the range and
+   * applying the residual row filter on the survivors — so results are
+   * EXACTLY `readVersion(...).filter(between)`, files skipped or not. This
+   * is the payoff of the stats lines (and of committing range- or
+   * z-order-clustered data): a time- or key-windowed read of a 100 TB
+   * table opens the handful of files whose ranges overlap the window
+   * instead of every file ever committed. Pruning never consults data —
+   * one manifest read decides the scan set.
+   */
+  def readVersionRange(spark: SparkSession, dir: String, v: Long, column: String,
+      lo: Option[String], hi: Option[String]): DataFrame = {
+    val m = readManifestFull(spark, dir, v)
+    val dt = m.schemaDdl.map(d => StructType.fromDDL(d).apply(column).dataType)
+      .getOrElse(org.apache.spark.sql.types.StringType)
+    val (kept, _) = filesInRange(spark, dir, v, column, lo, hi)
+    val base = if (kept.isEmpty) emptyWithSchema(spark, m.schemaDdl)
+      else spark.read.parquet(kept: _*)
+    val bounds: Seq[Column] =
+      lo.map(l => col(column) >= lit(l).cast(dt)).toSeq ++
+        hi.map(h => col(column) <= lit(h).cast(dt)).toSeq
+    bounds.foldLeft(base)(_.filter(_))
   }
 }

@@ -129,6 +129,80 @@ class SnapshotsSpec extends SparkSpec {
     assert(none.select($"s").count() == 0)
   }
 
+  test("stats pruning: range read opens only overlapping files, result exact") {
+    val dir = freshDir()
+    // range-clustered commit: 8 files with disjoint id ranges
+    Snapshots.commit(spark.range(1000).toDF("id").repartitionByRange(8, $"id"),
+      dir, statsCols = Seq("id"))
+    val (kept, total) = Snapshots.filesInRange(spark, dir, 0L, "id",
+      Some("100"), Some("200"))
+    assert(total == 8)
+    assert(kept.size <= 2, s"expected ~1-2 overlapping files, got ${kept.size}")
+    val pruned = Snapshots.readVersionRange(spark, dir, 0L, "id",
+      Some("100"), Some("200"))
+    assert(pruned.as[Long].collect().sorted.toSeq == (100L to 200L))
+    // open-ended bounds prune too
+    val (keptHi, _) = Snapshots.filesInRange(spark, dir, 0L, "id", Some("900"), None)
+    assert(keptHi.size <= 2)
+    assert(Snapshots.readVersionRange(spark, dir, 0L, "id", Some("900"), None)
+      .count() == 100)
+  }
+
+  test("stats carry forward on append; stat-less and all-null files are kept") {
+    val dir = freshDir()
+    Snapshots.commit(Seq(1L, 2L).toDF("id").coalesce(1), dir, statsCols = Seq("id")) // v0
+    Snapshots.commit(Seq(100L, 200L).toDF("id").coalesce(1), dir) // v1: NO stats
+    Snapshots.commit(Seq(Some(500L), None).toDF("id").coalesce(1),
+      dir, statsCols = Seq("id")) // v2: stats present, includes a null
+    val (kept, total) = Snapshots.filesInRange(spark, dir, 2L, "id",
+      Some("450"), Some("600"))
+    assert(total == 3)
+    // v0's carried stats exclude it; v1 has no stats (kept); v2 overlaps
+    assert(kept.size == 2)
+    assert(Snapshots.readVersionRange(spark, dir, 2L, "id", Some("450"), Some("600"))
+      .as[Long].collect().toSeq == Seq(500L))
+    // an all-null file has no usable stats: conservatively kept, rows
+    // removed by the residual filter
+    val allNull = freshDir()
+    Snapshots.commit(Seq[Option[Long]](None, None).toDF("id").coalesce(1),
+      allNull, statsCols = Seq("id"))
+    val (keptN, totalN) = Snapshots.filesInRange(spark, allNull, 0L, "id",
+      Some("0"), Some("10"))
+    assert(keptN.size == totalN)
+    assert(Snapshots.readVersionRange(spark, allNull, 0L, "id",
+      Some("0"), Some("10")).count() == 0)
+  }
+
+  test("string stats prune byte-wise and survive hostile extreme values") {
+    val dir = freshDir()
+    // a tab-and-newline-bearing minimum must round-trip the manifest
+    Snapshots.commit(Seq("a\tx\nb", "mm", "zz").toDF("s").coalesce(1),
+      dir, statsCols = Seq("s"))
+    Snapshots.commit(Seq("😀emoji", "qq").toDF("s").coalesce(1), dir,
+      statsCols = Seq("s")) // astral-plane max: byte order, not UTF-16 order
+    val (kept, total) = Snapshots.filesInRange(spark, dir, 1L, "s",
+      Some("y"), None) // only values >= "y": file 1's max "zz" qualifies;
+    // file 2's byte-wise max is the emoji (> 'z' in UTF-8), so it stays too
+    assert(total == 2 && kept.size == 2)
+    val rows = Snapshots.readVersionRange(spark, dir, 1L, "s", Some("y"), None)
+      .as[String].collect().sorted.toSeq
+    assert(rows == Seq("zz", "😀emoji").sorted)
+    val (keptLow, _) = Snapshots.filesInRange(spark, dir, 1L, "s", None, Some("b"))
+    assert(keptLow.size == 1) // second file's min "qq" > "b": pruned
+  }
+
+  test("compact can re-stat the rewritten files") {
+    val dir = freshDir()
+    Snapshots.commit(spark.range(100).toDF("id").repartition(4), dir,
+      statsCols = Seq("id"))
+    Snapshots.compact(spark, dir, targetFileBytes = 1L << 30, statsCols = Seq("id"))
+    val (kept, total) = Snapshots.filesInRange(spark, dir, 1L, "id",
+      Some("1000"), None) // outside the data range: everything prunes
+    assert(total == 1 && kept.isEmpty)
+    assert(Snapshots.readVersionRange(spark, dir, 1L, "id", Some("1000"), None)
+      .count() == 0)
+  }
+
   test("schema is preserved and reads prune to the version's files only") {
     val dir = freshDir()
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
