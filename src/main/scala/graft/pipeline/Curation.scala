@@ -536,4 +536,44 @@ object Curation {
       .filter(col("__quota_rank") <= maxPerKey)
       .drop("__quota_rank")
   }
+
+  /**
+   * Token-budget mix construction: each domain contributes documents —
+   * picked in deterministic md5 order, so the selection is a uniform
+   * "random" sample that is stable across runs, engines, and partition
+   * layouts — until its TOKEN budget is exhausted. This is how a training
+   * mix is actually specified ("600 B tokens of web, 50 B of code, …"):
+   * quotas are in tokens, not documents, because document length varies
+   * by orders of magnitude across domains.
+   *
+   * A document is kept iff the running token total up to AND INCLUDING it
+   * stays within the domain's budget (first-fit in md5 order; no
+   * backfilling past an oversized document — deterministic and
+   * replayable, which backfilling is not). Domains absent from `budgets`
+   * get `defaultBudget`; a null domain gets `defaultBudget` too. Returns
+   * every input row plus `cum_tokens`, `budget`, and `kept` — rejects stay
+   * visible so the mix is auditable (same contract as `mixtureResample`).
+   *
+   * Scale: one hash shuffle on the domain (the window sort); the budget
+   * lookup is a literal CASE chain, zero joins. A domain is one window
+   * partition, so a giant domain serializes its cumsum — at that point
+   * pre-cut it with `deterministicSample` at `budget / est_domain_tokens`
+   * (with margin), which composes exactly because both order by the same
+   * md5 draw.
+   */
+  def tokenBudgetMix(df: DataFrame, idCol: String, domainCol: String,
+      tokensCol: String, budgets: Map[String, Long], defaultBudget: Long,
+      salt: String = "graft"): DataFrame = {
+    require(defaultBudget >= 0, s"defaultBudget must be >= 0: $defaultBudget")
+    val budget = budgets.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (dom, b)) => acc.when(col(domainCol) === dom, lit(b))
+    }.otherwise(lit(defaultBudget))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(domainCol))
+      .orderBy(md5(concat(lit(salt), col(idCol).cast("string"))), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokensCol).cast("long")).over(w))
+      .withColumn("budget", budget)
+      .withColumn("kept", col("cum_tokens") <= col("budget"))
+  }
 }

@@ -291,6 +291,40 @@ object CurationQueries {
 
     // temperature mixture rebalancing (τ=0.5): dominant languages are
     // downsampled toward the flattened mix; the rarest keeps rate 1.0
+    // token-budget mix: each source fills its TOKEN quota in md5 order
+    // (src0 gets a raised budget, src1 is zeroed out, the rest get the
+    // default) — the oracle replays the same window cumsum over the same
+    // md5 ordering, so a tie-break or budget-lookup divergence flips a
+    // `kept` bit and fails the hash
+    "q_token_budget_mix" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents").select($"doc_id", $"source",
+          size(graft.pipeline.TextAnalysis.wsTokens($"text")).as("ws_tokens"))
+        Curation.tokenBudgetMix(d, "doc_id", "source", "ws_tokens",
+            budgets = Map("src0" -> 2000L, "src1" -> 0L), defaultBudget = 1000L)
+          .select($"doc_id", $"source", $"ws_tokens", $"cum_tokens",
+            $"budget", $"kept")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS ws_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, source, ws_tokens,
+             |    CAST(sum(CAST(ws_tokens AS BIGINT)) OVER (
+             |      PARTITION BY source
+             |      ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)), doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+             |  FROM toks)
+             |SELECT doc_id, source, ws_tokens, cum_tokens,
+             |  CAST(CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 0
+             |       ELSE 1000 END AS BIGINT) AS budget,
+             |  cum_tokens <= (CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 0
+             |                 ELSE 1000 END) AS kept
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     "q_mixture_resample" -> QueryDef(
       (s, dir) => {
         import s.implicits._

@@ -285,6 +285,39 @@ class CurationSpec extends SparkSpec {
     assert(orig.join(copies, "doc_id").filter($"s_orig" =!= $"s_copy").count() == 0)
   }
 
+  test("tokenBudgetMix: first-fit in md5 order, per-domain budgets, null domain") {
+    import org.apache.spark.sql.functions.{concat, lit, md5}
+    val docs = Seq(
+      (1L, Some("web"), 400), (2L, Some("web"), 400), (3L, Some("web"), 400),
+      (4L, Some("code"), 900),
+      (5L, None, 50), (6L, None, 100)
+    ).toDF("id", "dom", "toks")
+    val out = Curation.tokenBudgetMix(docs, "id", "dom", "toks",
+      budgets = Map("web" -> 800L, "code" -> 100L), defaultBudget = 120L)
+    // per-domain kept token totals never exceed the budget
+    val sums = out.filter($"kept").groupBy($"dom")
+      .agg(org.apache.spark.sql.functions.sum($"toks").as("s"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(sums.getOrElse(Some("web"), 0L) <= 800L)
+    assert(!sums.contains(Some("code"))) // 900 > 100: nothing fits
+    // null domain uses the default budget: only the 50-token doc can fit
+    // alongside the 100-token one in SOME order; exactly first-fit decides
+    val nullKept = out.filter($"dom".isNull && $"kept").count()
+    assert(nullKept >= 1)
+    // the keep set is exactly the md5-order first-fit prefix per domain
+    val webOrder = docs.filter($"dom" === "web")
+      .orderBy(md5(concat(lit("graft"), $"id".cast("string"))), $"id")
+      .select($"id").as[Long].collect().toSeq
+    val webKept = out.filter($"dom" === "web" && $"kept")
+      .select($"id").as[Long].collect().toSet
+    assert(webKept == webOrder.take(2).toSet) // 400+400 fits, third breaks 800
+    // deterministic across re-evaluation and repartitioning
+    val again = Curation.tokenBudgetMix(docs.repartition(7), "id", "dom", "toks",
+      budgets = Map("web" -> 800L, "code" -> 100L), defaultBudget = 120L)
+      .filter($"kept").select($"id").as[Long].collect().toSet
+    assert(again == out.filter($"kept").select($"id").as[Long].collect().toSet)
+  }
+
   test("detectCardNumbers: Luhn separates real cards from 16-digit noise") {
     val docs = Seq(
       (1L, "pay with 4111-1111-1111-1111 thanks"),        // valid (Visa test)
