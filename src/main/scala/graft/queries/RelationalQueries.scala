@@ -217,6 +217,85 @@ object RelationalQueries {
              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
              |ORDER BY status, priority""".stripMargin)),
 
+    // time-RANGE window frame: per-customer rolling 30-day revenue keyed
+    // by order date (not row count) — the frame is value-based, so gaps
+    // and same-day ties behave identically in both engines
+    "q_rolling_revenue_30d" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy(datediff($"o_orderdate", lit("1970-01-01").cast("date")))
+          .rangeBetween(-30, 0)
+        t(s, dir, "orders")
+          .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+            round(sum($"o_totalprice").over(w), 2).as("rolling_30d"))
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate
+             |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2)
+             |    AS rolling_30d
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // explicit GROUPING SETS (the general form rollup/cube specialize):
+    // per-status totals, per-priority totals, and the grand total in one
+    // pass, disambiguated by grouping flags rather than null-coalescing
+    "q_grouping_sets" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupingSets(
+            Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq.empty),
+            $"o_orderstatus", $"o_orderpriority")
+          .agg(grouping($"o_orderstatus").as("g_status"),
+            grouping($"o_orderpriority").as("g_priority"),
+            count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+          .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+            coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+            $"g_status".cast("int").as("g_status"),
+            $"g_priority".cast("int").as("g_priority"), $"n", $"total")
+          .orderBy($"status", $"priority")
+      },
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |  coalesce(o_orderpriority, 'ALL') AS priority,
+             |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+             |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+             |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY status, priority""".stripMargin)),
+
+    // unpivot (wide → long): one row per (status, metric), the inverse of
+    // q_pivot_event_matrix's pivot — metric columns melt into rows
+    "q_unpivot_metrics" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_orderstatus")
+          .agg(round(sum($"o_totalprice"), 2).as("sum_price"),
+            round(avg($"o_totalprice"), 2).as("avg_price"),
+            count(lit(1)).cast("double").as("n_orders"))
+          .unpivot(
+            Array(col("o_orderstatus")),
+            Array(col("sum_price"), col("avg_price"), col("n_orders")),
+            "metric", "value")
+          .orderBy($"o_orderstatus", $"metric")
+      },
+      Some("""WITH wide AS (
+             |  SELECT o_orderstatus,
+             |    round(sum(o_totalprice), 2) AS sum_price,
+             |    round(avg(o_totalprice), 2) AS avg_price,
+             |    CAST(count(*) AS DOUBLE) AS n_orders
+             |  FROM orders GROUP BY o_orderstatus)
+             |SELECT o_orderstatus, metric, value FROM (
+             |  SELECT o_orderstatus, 'sum_price' AS metric, sum_price AS value FROM wide
+             |  UNION ALL
+             |  SELECT o_orderstatus, 'avg_price', avg_price FROM wide
+             |  UNION ALL
+             |  SELECT o_orderstatus, 'n_orders', n_orders FROM wide)
+             |ORDER BY o_orderstatus, metric""".stripMargin)),
+
     // lag analytics: days between a customer's consecutive orders
     "q_customer_order_gaps" -> QueryDef(
       (s, dir) => {

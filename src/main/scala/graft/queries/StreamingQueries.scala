@@ -93,6 +93,39 @@ object StreamingQueries {
              | AND e.ts >= p.ts - INTERVAL 30 MINUTE AND e.ts <= p.ts
              |ORDER BY p_id, e_id""".stripMargin)),
 
+    // left-outer variant: unmatched purchases null-extend only once the
+    // watermark (min of both sides' max event time, minus the 1h delay)
+    // proves no qualifying error can still arrive; purchases inside the
+    // final horizon are withheld at stream end. The oracle replays both
+    // branches: matched rows horizon-free, unmatched rows horizon-gated.
+    "q_stream_purchase_errors_left" -> QueryDef(
+      (s, dir) => EventsStream.purchaseErrorLeftJoin(s, dir),
+      Some("""WITH wm AS (
+             |  SELECT least(
+             |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+             |    (SELECT max(ts) FROM events WHERE event_type = 'error'))
+             |    - INTERVAL 1 HOUR AS w),
+             |matched AS (
+             |  SELECT p.event_id AS p_id, e.event_id AS e_id,
+             |    p.user_id, p.value AS p_value,
+             |    epoch_us(p.ts) - epoch_us(e.ts) AS gap_us
+             |  FROM events p JOIN events e
+             |    ON p.user_id = e.user_id
+             |   AND p.event_type = 'purchase' AND e.event_type = 'error'
+             |   AND e.ts >= p.ts - INTERVAL 30 MINUTE AND e.ts <= p.ts),
+             |unmatched AS (
+             |  SELECT p.event_id AS p_id, CAST(NULL AS BIGINT) AS e_id,
+             |    p.user_id, p.value AS p_value, CAST(NULL AS BIGINT) AS gap_us
+             |  FROM events p, wm
+             |  WHERE p.event_type = 'purchase' AND p.ts < wm.w
+             |    AND NOT EXISTS (
+             |      SELECT 1 FROM events e
+             |      WHERE e.event_type = 'error' AND e.user_id = p.user_id
+             |        AND e.ts >= p.ts - INTERVAL 30 MINUTE AND e.ts <= p.ts))
+             |SELECT * FROM matched
+             |UNION ALL SELECT * FROM unmatched
+             |ORDER BY p_id, e_id""".stripMargin)),
+
     // every event delivered twice; streaming dropDuplicates restores
     // exactly-once, so the batch aggregation oracle applies unchanged
     "q_stream_dedup_counts" -> QueryDef(

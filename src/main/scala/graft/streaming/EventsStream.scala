@@ -424,6 +424,49 @@ object EventsStream {
   }
 
   /**
+   * Stream–stream LEFT OUTER join: same sides and time-range condition as
+   * `purchaseErrorJoin`, but purchases with no error in their 30-minute
+   * lookback must still emit (null-extended). In streaming this is
+   * watermark-gated: a left row can only be declared unmatched once the
+   * watermark proves no qualifying error can still arrive (every error
+   * with e_ts ≤ p_ts is late once the watermark passes p_ts), so
+   * null-extended rows trail the data by the watermark delay and rows
+   * inside the final watermark horizon are withheld at stream end — state
+   * stays O(watermark window) per side, which is what makes the join
+   * feasible against an unbounded stream. The oracle applies the same
+   * horizon cutoff to its unmatched branch; matched rows emit as they
+   * match, horizon-free, like the inner join.
+   */
+  def purchaseErrorLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val purchases = eventsStream(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"),
+        $"value".as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    val errors = eventsStream(spark, dir)
+      .filter($"event_type" === "error")
+      .select($"event_id".as("e_id"), $"user_id".as("e_user"), $"ts".as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val name = s"graft_purchase_errors_left_${counter.incrementAndGet()}"
+    val q = purchases.join(errors,
+        $"user_id" === $"e_user" &&
+          $"e_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES") &&
+          $"e_ts" <= $"p_ts",
+        "left_outer")
+      .select($"p_id", $"e_id", $"user_id", $"p_value",
+        (unix_micros($"p_ts") - unix_micros($"e_ts")).as("gap_us"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).orderBy($"p_id", $"e_id")
+  }
+
+  /**
    * Gap-based sessionization with CUSTOM state (`flatMapGroupsWithState`):
    * per user, events within `gapMinutes` of the previous one extend the
    * current session; a larger gap closes it and opens a new one. The open
