@@ -538,6 +538,33 @@ object Curation {
   }
 
   /**
+   * Weighted per-key quota: keep the `maxPerKey` rows per key chosen by
+   * Efraimidis–Spirakis A-Res weighted sampling WITHOUT replacement —
+   * each row scores `u^(1/w)` (u = its deterministic md5 draw, w = its
+   * weight) and the top-k scores per key win, which provably samples
+   * k rows with probability proportional to weight. The weighted
+   * counterpart of `capPerKey`: "keep 10k docs per domain, preferring
+   * high-quality ones, reproducibly". Rows with null or non-positive
+   * weight score below every positive-weight row (picked only when k
+   * exceeds the positive-weight population). Deterministic across runs,
+   * engines, and partitionings; one key shuffle, and the per-key top-k
+   * plans as WindowGroupLimit (partial limit before the shuffle).
+   */
+  def weightedCapPerKey(df: DataFrame, keyCol: String, idCol: String,
+      weightCol: String, maxPerKey: Int, salt: String = "graft"): DataFrame = {
+    require(maxPerKey > 0, s"maxPerKey must be positive: $maxPerKey")
+    val u = conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val score = when(col(weightCol).isNotNull && col(weightCol) > 0,
+      pow(u, lit(1.0) / col(weightCol).cast("double"))).otherwise(lit(-1.0))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+      .orderBy(score.desc, col(idCol).asc)
+    df.withColumn("__wquota_rank", row_number().over(w))
+      .filter(col("__wquota_rank") <= maxPerKey)
+      .drop("__wquota_rank")
+  }
+
+  /**
    * Token-budget mix construction: each domain contributes documents —
    * picked in deterministic md5 order, so the selection is a uniform
    * "random" sample that is stable across runs, engines, and partition

@@ -291,6 +291,31 @@ object CurationQueries {
 
     // temperature mixture rebalancing (τ=0.5): dominant languages are
     // downsampled toward the flattened mix; the rarest keeps rate 1.0
+    // weighted per-source quota (Efraimidis–Spirakis A-Res): 10 docs per
+    // source, preferring long ones — the oracle replays u^(1/w) scoring
+    // and the per-key top-k in DuckDB (QUALIFY). Scores are plain doubles
+    // in both engines; the frozen fixture makes any ulp-level ordering
+    // divergence a one-time, loud failure rather than flakiness.
+    "q_weighted_quota" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Curation.weightedCapPerKey(t(s, dir, "documents"), "source", "doc_id",
+            "n_chars", maxPerKey = 10)
+          .select($"doc_id", $"source", $"n_chars")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, source, n_chars FROM (
+             |  SELECT doc_id, source, n_chars,
+             |    row_number() OVER (PARTITION BY source ORDER BY
+             |      CASE WHEN n_chars IS NOT NULL AND n_chars > 0
+             |           THEN pow(CAST(('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |                      / 4294967296.0,
+             |                    1.0 / CAST(n_chars AS DOUBLE))
+             |           ELSE -1.0 END DESC,
+             |      doc_id ASC) AS rnk
+             |  FROM documents)
+             |WHERE rnk <= 10 ORDER BY doc_id""".stripMargin)),
+
     // token-budget mix: each source fills its TOKEN quota in md5 order
     // (src0 gets a raised budget, src1 is zeroed out, the rest get the
     // default) — the oracle replays the same window cumsum over the same

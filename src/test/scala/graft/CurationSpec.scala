@@ -318,6 +318,26 @@ class CurationSpec extends SparkSpec {
     assert(again == out.filter($"kept").select($"id").as[Long].collect().toSet)
   }
 
+  test("weightedCapPerKey: quota holds, weight biases the pick, weight<=0 last") {
+    val rows = (1L to 200L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", if (i <= 100) 1000.0 else 1.0)) :+
+      (201L, "a", 0.0) :+ (202L, "a", -5.0)
+    val df = rows.toDF("id", "key", "w")
+    val out = Curation.weightedCapPerKey(df, "key", "id", "w", maxPerKey = 20)
+    val perKey = out.groupBy($"key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perKey.values.forall(_ == 20))
+    // heavy rows (w=1000, ids<=100) should dominate the winners
+    val heavy = out.filter($"id" <= 100).count()
+    assert(heavy >= 30, s"expected weight bias toward heavy rows, got $heavy/40")
+    // zero/negative weights only win when k exceeds positive-weight rows
+    assert(out.filter($"id" >= 201L).count() == 0)
+    // deterministic under repartitioning
+    val again = Curation.weightedCapPerKey(df.repartition(13), "key", "id", "w", 20)
+      .select($"id").as[Long].collect().toSet
+    assert(again == out.select($"id").as[Long].collect().toSet)
+  }
+
   test("detectCardNumbers: Luhn separates real cards from 16-digit noise") {
     val docs = Seq(
       (1L, "pay with 4111-1111-1111-1111 thanks"),        // valid (Visa test)

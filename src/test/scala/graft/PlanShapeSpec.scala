@@ -127,6 +127,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Generate"), plan)
   }
 
+  test("weightedCapPerKey plans a WindowGroupLimit (partial top-k before the shuffle)") {
+    import org.apache.spark.sql.functions._
+    val docs = Registry.t(spark, dir, "documents")
+    val plan = graft.pipeline.Curation
+      .weightedCapPerKey(docs, "source", "doc_id", "n_chars", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("tokenBudgetMix: one domain shuffle, budget lookup joins nothing") {
+    val plan = physical("q_token_budget_mix")
+    assert(!plan.contains("Join"), plan) // CASE-chain budgets, not a join
+    // exactly one exchange feeds the window cumsum (plus the final sort's)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges\n$plan")
+  }
+
+  test("rolling RANGE window: one window pass, no self-join") {
+    val plan = physical("q_rolling_revenue_30d")
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("dictionary encode degrades to a shuffle join above the broadcast cap") {
     import graft.corpus.ParseCorpus
     val docs = Registry.t(spark, dir, "documents")

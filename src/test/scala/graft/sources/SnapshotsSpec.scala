@@ -191,6 +191,27 @@ class SnapshotsSpec extends SparkSpec {
     assert(keptLow.size == 1) // second file's min "qq" > "b": pruned
   }
 
+  test("z-order + stats compose: a 2-D box prunes files on the curve column") {
+    val dir = freshDir()
+    val xs = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    val curved = graft.sources.ZOrder.withZValue(
+      xs.toDF("x", "y"), "x", "y", bits = 6)
+    // cluster by the curve, stat the curve: files now cover z ranges,
+    // and a 2-D box query maps to a z interval that skips most files
+    Snapshots.commit(curved.repartitionByRange(16, $"z"), dir,
+      statsCols = Seq("z"))
+    // the box x,y ∈ [0,15]² is exactly z ∈ [0, 255] on a 6-bit curve
+    // (z < 256 zeroes every interleaved bit ≥ 8, i.e. both coords < 16)
+    val (kept, total) = Snapshots.filesInRange(spark, dir, 0L, "z",
+      Some("0"), Some("255"))
+    assert(total == 16)
+    // the box is 1/16 of the curve = 1 of 16 range-clustered files
+    assert(kept.size <= 2, s"z-clustered box read should prune, kept ${kept.size}")
+    val rows = Snapshots.readVersionRange(spark, dir, 0L, "z", Some("0"), Some("255"))
+    assert(rows.count() == 256)
+    assert(rows.filter($"x" > 15 || $"y" > 15).count() == 0)
+  }
+
   test("compact can re-stat the rewritten files") {
     val dir = freshDir()
     Snapshots.commit(spark.range(100).toDF("id").repartition(4), dir,
