@@ -538,6 +538,19 @@ object Curation {
   }
 
   /**
+   * Keyed pseudonymization: replace identifier columns with salted
+   * SHA-256 tokens. Deterministic for a fixed salt, so the SAME id maps
+   * to the SAME token everywhere — joins, group-bys, and dedup keys
+   * survive tokenization (the property plain redaction destroys), while
+   * the raw identifier never leaves the engine. Rotate the salt to break
+   * linkability between releases. Nulls stay null. One codegen'd
+   * expression per column — no shuffle, no lookup table to leak.
+   */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame =
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, sha2(concat(lit(salt), col(c).cast("string")), 256)))
+
+  /**
    * Weighted per-key quota: keep the `maxPerKey` rows per key chosen by
    * Efraimidis–Spirakis A-Res weighted sampling WITHOUT replacement —
    * each row scores `u^(1/w)` (u = its deterministic md5 draw, w = its

@@ -291,6 +291,32 @@ object CurationQueries {
 
     // temperature mixture rebalancing (τ=0.5): dominant languages are
     // downsampled toward the flattened mix; the rarest keeps rate 1.0
+    // keyed pseudonymization preserves joins: customer and order keys are
+    // tokenized independently (same salt), then joined ON THE TOKENS —
+    // per-token order counts must equal the raw join's, proving the same
+    // id maps to the same token on both sides. DuckDB replays the salted
+    // sha256 bit-for-bit.
+    "q_pseudonymize_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val c = Curation.pseudonymize(
+          t(s, dir, "customer").select($"c_custkey", $"c_mktsegment"),
+          Seq("c_custkey"), salt = "release1")
+        val o = Curation.pseudonymize(
+          t(s, dir, "orders").select($"o_custkey", $"o_totalprice"),
+          Seq("o_custkey"), salt = "release1")
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .groupBy($"c_custkey".as("token"), $"c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum($"o_totalprice"), 2).as("total"))
+          .orderBy($"token")
+      },
+      Some("""SELECT sha256('release1' || CAST(c_custkey AS VARCHAR)) AS token,
+             |  c_mktsegment, count(*) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY 1, 2 ORDER BY token""".stripMargin)),
+
     // weighted per-source quota (Efraimidis–Spirakis A-Res): 10 docs per
     // source, preferring long ones — the oracle replays u^(1/w) scoring
     // and the per-key top-k in DuckDB (QUALIFY). Scores are plain doubles

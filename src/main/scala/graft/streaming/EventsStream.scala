@@ -258,7 +258,11 @@ object EventsStream {
 
     def commitIdempotent(batch: DataFrame, batchId: Long): Unit =
       try graft.sources.Snapshots.commit(batch, snapDir,
-        append = true, expectedVersion = Some(batchId))
+        append = true, expectedVersion = Some(batchId),
+        // stat each micro-batch's files on the id so downstream windowed
+        // consumers (readVersionRange) prune the ingested history instead
+        // of rescanning it — stats cost stays per-batch-sized
+        statsCols = Seq("event_id"))
       catch { case _: IllegalStateException => () } // replay: already committed
 
     val stream = spark.readStream.schema(events.schema)
