@@ -99,6 +99,36 @@ object FormatQueries {
              |FROM orders GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin)),
 
+    // predicate delete: commit orders, delete one status, read the new
+    // version — the oracle is the complement filter; rows where the
+    // predicate would be NULL are kept (asserted separately in
+    // SnapshotsSpec). The deleted rows must remain readable at v0
+    // (time travel), which the second branch checks.
+    "q_snapshot_delete" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val snapDir = java.nio.file.Files
+          .createTempDirectory("graft_del").toString
+        Snapshots.commit(t(s, dir, "orders"), snapDir)
+        Snapshots.deleteWhere(s, snapDir, $"o_orderstatus" === "F")
+        def agg(v: Long) = Snapshots.readVersion(s, snapDir, v)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+          .withColumn("version", lit(v))
+        agg(0L).unionByName(agg(1L))
+          .select($"version", $"o_orderstatus", $"n", $"total")
+          .orderBy($"version", $"o_orderstatus")
+      },
+      Some("""SELECT 0 AS version, o_orderstatus, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY o_orderstatus
+             |UNION ALL
+             |SELECT 1 AS version, o_orderstatus, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders WHERE o_orderstatus <> 'F'
+             |GROUP BY o_orderstatus
+             |ORDER BY version, o_orderstatus""".stripMargin)),
+
     // manifest data skipping: commit orders range-clustered on o_orderkey
     // with per-file min/max stats, then answer a key-windowed aggregate
     // through the pruned read path. The oracle filters the original table,

@@ -160,8 +160,9 @@ object Snapshots {
     val tmp = new Path(dir, s"_manifests/.tmp-${java.util.UUID.randomUUID()}")
     f.mkdirs(new Path(dir, "_manifests"))
     val out = f.create(tmp, true)
-    val header = s"#schema\t${df.schema.toDDL}"
-    try out.write(((header +: (carriedStats ++ statLines)) ++ (carried ++ newFiles))
+    val headers = Seq(s"#schema\t${df.schema.toDDL}",
+      s"#committedAt\t${System.currentTimeMillis()}")
+    try out.write(((headers ++ (carriedStats ++ statLines)) ++ (carried ++ newFiles))
       .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // rename onto a fresh name is the atomic commit point: if a concurrent
@@ -270,6 +271,63 @@ object Snapshots {
     val v = latestVersion(spark, dir)
     require(v.isDefined, s"no committed snapshot under $dir")
     readVersion(spark, dir, v.get)
+  }
+
+  /** A version's commit wall-clock time (epoch millis), if recorded —
+    * manifests written before the `#committedAt` header lack it. */
+  def commitTime(spark: SparkSession, dir: String, v: Long): Option[Long] = {
+    val f = fs(spark, dir)
+    val p = manifestPath(dir, v)
+    require(f.exists(p), s"snapshot version $v does not exist under $dir")
+    val in = f.open(p)
+    try {
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+      Iterator.continually(reader.readLine()).takeWhile(_ != null)
+        .collectFirst { case l if l.startsWith("#committedAt\t") =>
+          l.stripPrefix("#committedAt\t").toLong }
+    } finally in.close()
+  }
+
+  /**
+   * Timestamp time travel (TIMESTAMP AS OF): the latest version committed
+   * at or before `tsMillis`. Pre-header manifests (no recorded commit
+   * time) count as arbitrarily old — always eligible — so upgrading a
+   * table never makes its history unreadable. Throws if every version is
+   * newer than the asked-for time.
+   */
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame = {
+    val f = fs(spark, dir)
+    val mdir = new Path(dir, "_manifests")
+    require(f.exists(mdir), s"no committed snapshot under $dir")
+    val versions = f.listStatus(mdir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toLong }.sorted
+    val eligible = versions.filter(v =>
+      commitTime(spark, dir, v).forall(_ <= tsMillis))
+    require(eligible.nonEmpty,
+      s"no snapshot version under $dir committed at or before $tsMillis")
+    readVersion(spark, dir, eligible.max)
+  }
+
+  /**
+   * Predicate delete (the governance / right-to-be-forgotten pass):
+   * publish a new version containing every current row EXCEPT those where
+   * `predicate` is TRUE — rows where it evaluates NULL are kept (delete
+   * removes what provably matches, it doesn't launder unknowns). A full
+   * overwrite commit: prior versions still hold the deleted rows until
+   * `vacuum` reclaims them, which is the documented two-step of every
+   * manifest-based table format (logical delete now, physical scrub at
+   * vacuum). Returns the new version.
+   */
+  def deleteWhere(spark: SparkSession, dir: String,
+      predicate: Column, statsCols: Seq[String] = Seq.empty): Long = {
+    val v = latestVersion(spark, dir)
+    require(v.isDefined, s"nothing to delete under $dir")
+    val kept = readVersion(spark, dir, v.get)
+      .filter(!org.apache.spark.sql.functions.coalesce(predicate, lit(false)))
+    commit(kept, dir, append = false, expectedVersion = Some(v.get + 1),
+      statsCols = statsCols)
   }
 
   /** Stats-aware ordering for pruning decisions. Numeric columns compare

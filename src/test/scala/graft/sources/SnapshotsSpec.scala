@@ -224,6 +224,36 @@ class SnapshotsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("deleteWhere removes only provable matches; vacuum scrubs history") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, Some("x")), (2L, Some("y")), (3L, None))
+      .toDF("id", "tag"), dir)
+    val dv = Snapshots.deleteWhere(spark, dir, $"tag" === "x")
+    assert(dv == 1L)
+    // NULL-predicate row 3 survives: delete removes TRUE matches only
+    assert(Snapshots.readLatest(spark, dir).select($"id").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 3L))
+    // logical delete: v0 still holds the row until vacuum
+    assert(Snapshots.readVersion(spark, dir, 0L).count() == 3)
+    Snapshots.vacuum(spark, dir, retainVersions = 1)
+    assertThrows[IllegalArgumentException](Snapshots.readVersion(spark, dir, 0L))
+  }
+
+  test("readAsOf resolves the version committed at or before a timestamp") {
+    val dir = freshDir()
+    Snapshots.commit(Seq(1).toDF("x"), dir)
+    val t0 = Snapshots.commitTime(spark, dir, 0L).get
+    Thread.sleep(20)
+    Snapshots.commit(Seq(2).toDF("x"), dir)
+    val t1 = Snapshots.commitTime(spark, dir, 1L).get
+    assert(t0 <= t1)
+    assert(Snapshots.readAsOf(spark, dir, t0).as[Int].collect().sorted.toSeq == Seq(1))
+    assert(Snapshots.readAsOf(spark, dir, t1 + 1).as[Int].collect().sorted.toSeq
+      == Seq(1, 2))
+    // asking for a time before the first commit is an error, not v0
+    assertThrows[IllegalArgumentException](Snapshots.readAsOf(spark, dir, t0 - 1000))
+  }
+
   test("schema is preserved and reads prune to the version's files only") {
     val dir = freshDir()
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
