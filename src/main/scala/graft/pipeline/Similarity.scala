@@ -78,6 +78,31 @@ object Similarity {
       .partitionBy("cid").parquet(s"$path/lists")
   }
 
+  /**
+   * Incremental index maintenance: assign NEW vectors against the frozen
+   * coarse quantizer and append them to the persisted inverted lists —
+   * no retraining, no rewrite of existing lists (the appended files land
+   * inside their `cid=` partitions, so probes keep pruning correctly).
+   * This is how a 100 TB vector index absorbs a daily embedding batch:
+   * centroid drift is handled by an occasional full rebuild, not by
+   * blocking ingest on one. Probing after append is IDENTICAL to having
+   * assigned all vectors with these centroids in one pass (oracled by
+   * `q_ann_ivf_incremental`).
+   */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy($"cid").select($"centroid").as[Seq[Double]]
+      .collect().map(_.toArray)
+    newVectors.select(col(idCol).cast("long").as("corpus_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cid", element_at(
+        graft.functions.vfunctions.vec_nearest_centroids(
+          $"cv", typedLit(cents.map(_.toSeq).toSeq), 1), 1))
+      .write.mode("append").partitionBy("cid").parquet(s"$path/lists")
+  }
+
   /** Reload a persisted index for probing (build once, query many). */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
     import spark.implicits._

@@ -547,6 +547,28 @@ object PipelineQueries {
       },
       Some(annIvfOracleSql)),
 
+    // incremental maintenance: train the quantizer on the EVEN half only,
+    // save, append the odd half against the frozen centroids (no retrain,
+    // no list rewrite), reload, probe — results must equal a one-pass
+    // assignment of ALL vectors with the half-trained centroids, which is
+    // exactly what the oracle replays
+    "q_ann_ivf_incremental" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val idx = Similarity.buildIvfIndex(e.filter($"vec_id" % 2 === 0),
+          "vec_id", "embedding", nCentroids = 16, kmeansIterations = 3)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_ivf_incr").toString
+        Similarity.saveIvfIndex(idx, path)
+        Similarity.appendIvfIndex(s, path, e.filter($"vec_id" % 2 =!= 0),
+          "vec_id", "embedding")
+        Similarity.probeIvf(Similarity.loadIvfIndex(s, path),
+          e.filter($"vec_id" < 5), "vec_id", "embedding", k = 10, nProbe = 8)
+          .orderBy($"query_id", $"rnk")
+      },
+      Some(annIvfIncrementalOracleSql)),
+
     // full SQL replay: the seeded hyperplanes are embedded as literals, so
     // DuckDB reproduces the bucketing, candidate set, and exact rerank
     "q_ann_lsh" -> QueryDef(
@@ -994,6 +1016,53 @@ object PipelineQueries {
        |  FROM cand
        |  JOIN v cv ON cv.vec_id = corpus_id
        |  JOIN v qv ON qv.vec_id = query_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS INT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, rnk, corpus_id, cosine FROM ranked
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** DuckDB replay of the INCREMENTAL index: k-means trained on the even
+    * half only (CTE `v` = training set, so the shared Lloyd CTEs apply
+    * unchanged), then assignment and probing over ALL vectors with the
+    * frozen half-trained centroids — the semantics `appendIvfIndex`
+    * guarantees. */
+  private def annIvfIncrementalOracleSql: String = {
+    def dist(a: String, b: String): String = ivfDist(a, b)
+    val lloyd = ivfLloydCtes(3)
+    s"""WITH allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |v AS (SELECT * FROM allv WHERE vec_id % 2 = 0),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cid, v
+       |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |$lloyd,
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY ${dist("v", "c")}, c.cid) AS rn
+       |    FROM allv v CROSS JOIN c3 c) WHERE rn = 1),
+       |q AS (SELECT * FROM allv WHERE vec_id < 5),
+       |probe AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT q.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${dist("q", "c")}, c.cid) AS rn
+       |    FROM q CROSS JOIN c3 c) WHERE rn <= 8),
+       |cand AS (
+       |  SELECT probe.query_id, assign.vec_id AS corpus_id
+       |  FROM probe JOIN assign ON probe.cid = assign.cid
+       |  WHERE assign.vec_id <> probe.query_id),
+       |scored AS (
+       |  SELECT query_id, corpus_id,
+       |    round(list_dot_product(cv.v, qv.v)
+       |      / (sqrt(list_dot_product(cv.v, cv.v)) * sqrt(list_dot_product(qv.v, qv.v))), 6) AS cosine
+       |  FROM cand
+       |  JOIN allv cv ON cv.vec_id = corpus_id
+       |  JOIN allv qv ON qv.vec_id = query_id),
        |ranked AS (
        |  SELECT *, CAST(row_number() OVER (
        |    PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS INT) AS rnk
