@@ -69,6 +69,61 @@ object CurationQueries {
              |FROM documents LEFT JOIN cc ON doc_id = cc.id
              |ORDER BY doc_id""".stripMargin)),
 
+    // ENSEMBLE dedup: n-gram-Jaccard and SimHash pair generators union
+    // into ONE edge list before the connected-components pass — defense
+    // in depth (each method misses different near-dup shapes; the union
+    // clusters transitively across methods). The oracle replays both
+    // generators (shared ngram CTEs + s-prefixed simhash CTEs) and closes
+    // the combined edges with the same recursive CTE.
+    "q_dedup_ensemble" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val np = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2,
+          threshold = 0.5, maxGramDf = 100L).select($"id_a", $"id_b")
+        val sp = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+          .select($"id_a", $"id_b")
+        Curation.dedupClusters(docs, "doc_id", np.unionByName(sp).distinct())
+          .select($"id".as("doc_id"), $"cluster", $"keep")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE $NgramPairsCtes,
+             |stok AS (
+             |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+             |  FROM documents),
+             |sth AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM stok),
+             |scnt AS (SELECT doc_id, count(*) AS n FROM sth GROUP BY doc_id),
+             |sbits AS (
+             |  SELECT doc_id, b, count(*) FILTER (WHERE ((h >> b) & 1) = 1) AS c
+             |  FROM sth CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bs
+             |  GROUP BY doc_id, b),
+             |ssim AS (
+             |  SELECT sbits.doc_id,
+             |         sum(CASE WHEN 2 * c > n THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sim
+             |  FROM sbits JOIN scnt ON sbits.doc_id = scnt.doc_id GROUP BY sbits.doc_id),
+             |sbanded AS (
+             |  SELECT doc_id, band, ((sim >> (band * 15)) & 32767) AS chunk, sim
+             |  FROM ssim CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bd),
+             |spairs AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         bit_count(xor(a.sim, b.sim)) AS hamming
+             |  FROM sbanded a JOIN sbanded b
+             |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+             |allpairs AS (
+             |  SELECT id_a, id_b FROM pairs
+             |  UNION SELECT id_a, id_b FROM spairs WHERE hamming <= 3),
+             |edges AS (
+             |  SELECT id_a AS s, id_b AS d FROM allpairs
+             |  UNION SELECT id_b, id_a FROM allpairs),
+             |reach(id, r) AS (
+             |  SELECT s, s FROM edges
+             |  UNION SELECT e.d, reach.r FROM edges e JOIN reach ON reach.id = e.s),
+             |cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+             |SELECT doc_id, coalesce(cc.cluster, doc_id) AS cluster,
+             |       doc_id = coalesce(cc.cluster, doc_id) AS keep
+             |FROM documents LEFT JOIN cc ON doc_id = cc.id
+             |ORDER BY doc_id""".stripMargin)),
+
     // Gopher/C4-style rule flags, thresholds tuned so the fixture exercises
     // both outcomes of every data-dependent rule
     "q_quality_filter" -> QueryDef(
