@@ -126,6 +126,47 @@ object StreamingQueries {
              |UNION ALL SELECT * FROM unmatched
              |ORDER BY p_id, e_id""".stripMargin)),
 
+    // full-outer: both eviction horizons at once — unmatched purchases
+    // gate on p_ts < wm, unmatched errors on e_ts + 30min < wm (the last
+    // purchase that could reach back at them is then late)
+    "q_stream_purchase_errors_full" -> QueryDef(
+      (s, dir) => EventsStream.purchaseErrorFullJoin(s, dir),
+      Some("""WITH wm AS (
+             |  SELECT least(
+             |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+             |    (SELECT max(ts) FROM events WHERE event_type = 'error'))
+             |    - INTERVAL 1 HOUR AS w),
+             |matched AS (
+             |  SELECT p.event_id AS p_id, e.event_id AS e_id,
+             |    p.user_id AS uid,
+             |    epoch_us(p.ts) - epoch_us(e.ts) AS gap_us
+             |  FROM events p JOIN events e
+             |    ON p.user_id = e.user_id
+             |   AND p.event_type = 'purchase' AND e.event_type = 'error'
+             |   AND e.ts >= p.ts - INTERVAL 30 MINUTE AND e.ts <= p.ts),
+             |un_p AS (
+             |  SELECT p.event_id AS p_id, CAST(NULL AS BIGINT) AS e_id,
+             |    p.user_id AS uid, CAST(NULL AS BIGINT) AS gap_us
+             |  FROM events p, wm
+             |  WHERE p.event_type = 'purchase' AND p.ts < wm.w
+             |    AND NOT EXISTS (
+             |      SELECT 1 FROM events e
+             |      WHERE e.event_type = 'error' AND e.user_id = p.user_id
+             |        AND e.ts >= p.ts - INTERVAL 30 MINUTE AND e.ts <= p.ts)),
+             |un_e AS (
+             |  SELECT CAST(NULL AS BIGINT) AS p_id, e.event_id AS e_id,
+             |    e.user_id AS uid, CAST(NULL AS BIGINT) AS gap_us
+             |  FROM events e, wm
+             |  WHERE e.event_type = 'error' AND e.ts + INTERVAL 30 MINUTE < wm.w
+             |    AND NOT EXISTS (
+             |      SELECT 1 FROM events p
+             |      WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+             |        AND e.ts >= p.ts - INTERVAL 30 MINUTE AND e.ts <= p.ts))
+             |SELECT * FROM matched
+             |UNION ALL SELECT * FROM un_p
+             |UNION ALL SELECT * FROM un_e
+             |ORDER BY p_id, e_id""".stripMargin)),
+
     // every event delivered twice; streaming dropDuplicates restores
     // exactly-once, so the batch aggregation oracle applies unchanged
     "q_stream_dedup_counts" -> QueryDef(

@@ -330,6 +330,44 @@ object Snapshots {
       statsCols = statsCols)
   }
 
+  /**
+   * Shallow clone (zero-copy branching): start a NEW table at `targetDir`
+   * whose v0 manifest references the SOURCE's latest data files verbatim —
+   * no data is copied, so cloning a 100 TB table costs one manifest
+   * write. The clone then evolves independently (appends, deletes,
+   * compaction land under its own `data/` tree). Ownership caveat, same
+   * as every shallow-clone design: the clone's `vacuum` only scans its
+   * OWN data root and cannot touch shared files, but a vacuum on the
+   * SOURCE can delete files the clone still references — treat cloned
+   * sources as retention-pinned, or compact the clone first (its rewrite
+   * copies the rows it keeps). Returns the clone's version (always 0).
+   */
+  def cloneLatest(spark: SparkSession, dir: String, targetDir: String): Long = {
+    val v = latestVersion(spark, dir)
+    require(v.isDefined, s"no committed snapshot under $dir")
+    val f = fs(spark, targetDir)
+    require(latestVersion(spark, targetDir).isEmpty,
+      s"clone target $targetDir already has committed versions")
+    val src = manifestPath(dir, v.get)
+    val in = fs(spark, dir).open(src)
+    val bytes = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      Iterator.continually(in.read(buf)).takeWhile(_ > 0).foreach(bos.write(buf, 0, _))
+      bos.toByteArray
+    } finally in.close()
+    val tmp = new Path(targetDir, s"_manifests/.tmp-${java.util.UUID.randomUUID()}")
+    f.mkdirs(new Path(targetDir, "_manifests"))
+    val out = f.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (!f.rename(tmp, manifestPath(targetDir, 0L))) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"snapshot clone race lost: version 0 already exists under $targetDir")
+    }
+    0L
+  }
+
   /** Stats-aware ordering for pruning decisions. Numeric columns compare
     * as BigDecimal (string-cast doubles may arrive in scientific
     * notation); everything else compares as UTF-8 BYTES — the binary

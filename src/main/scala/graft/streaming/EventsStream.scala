@@ -471,6 +471,44 @@ object EventsStream {
   }
 
   /**
+   * Stream–stream FULL OUTER join: both directions of the left-outer
+   * semantics at once. Unmatched purchases null-extend when the
+   * watermark passes `p_ts` (no qualifying error can still arrive);
+   * unmatched errors null-extend when it passes `e_ts + 30min` (the last
+   * purchase that could have looked back at them is now late). Each
+   * side's withheld tail at stream end is its own eviction horizon — the
+   * oracle replays both cutoffs.
+   */
+  def purchaseErrorFullJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val purchases = eventsStream(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"),
+        $"value".as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    val errors = eventsStream(spark, dir)
+      .filter($"event_type" === "error")
+      .select($"event_id".as("e_id"), $"user_id".as("e_user"), $"ts".as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val name = s"graft_purchase_errors_full_${counter.incrementAndGet()}"
+    val q = purchases.join(errors,
+        $"user_id" === $"e_user" &&
+          $"e_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES") &&
+          $"e_ts" <= $"p_ts",
+        "full_outer")
+      .select($"p_id", $"e_id", coalesce($"user_id", $"e_user").as("uid"),
+        (unix_micros($"p_ts") - unix_micros($"e_ts")).as("gap_us"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).orderBy($"p_id", $"e_id")
+  }
+
+  /**
    * Gap-based sessionization with CUSTOM state (`flatMapGroupsWithState`):
    * per user, events within `gapMinutes` of the previous one extend the
    * current session; a larger gap closes it and opens a new one. The open

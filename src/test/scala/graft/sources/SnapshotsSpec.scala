@@ -254,6 +254,31 @@ class SnapshotsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Snapshots.readAsOf(spark, dir, t0 - 1000))
   }
 
+  test("shallow clone: zero-copy v0, independent evolution, stats carried") {
+    val src = freshDir(); val tgt = freshDir()
+    Snapshots.commit(spark.range(100).toDF("id").repartitionByRange(4, $"id"),
+      src, statsCols = Seq("id"))
+    assert(Snapshots.cloneLatest(spark, src, tgt) == 0L)
+    // clone reads the SOURCE's files — same rows, zero data under tgt
+    assert(Snapshots.readLatest(spark, tgt).count() == 100)
+    assert(Snapshots.readLatest(spark, tgt).inputFiles
+      .forall(_.contains(src.replace("file:", ""))))
+    // stats lines came along: pruning works on the clone immediately
+    val (kept, total) = Snapshots.filesInRange(spark, tgt, 0L, "id",
+      Some("0"), Some("10"))
+    assert(total == 4 && kept.size <= 2)
+    // the clone evolves independently of the source
+    Snapshots.commit(spark.range(100, 150).toDF("id"), tgt)
+    assert(Snapshots.readLatest(spark, tgt).count() == 150)
+    assert(Snapshots.readLatest(spark, src).count() == 100)
+    // clone's vacuum never touches shared (source-owned) files
+    Snapshots.commit(spark.range(200, 210).toDF("id"), tgt, append = false)
+    Snapshots.vacuum(spark, tgt, retainVersions = 1)
+    assert(Snapshots.readLatest(spark, src).count() == 100)
+    // cloning onto a live table refuses
+    assertThrows[IllegalArgumentException](Snapshots.cloneLatest(spark, src, tgt))
+  }
+
   test("schema is preserved and reads prune to the version's files only") {
     val dir = freshDir()
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
