@@ -568,8 +568,12 @@ object Curation {
     require(maxPerKey > 0, s"maxPerKey must be positive: $maxPerKey")
     val u = conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8), 16, 10)
       .cast("double") / lit(4294967296.0)
-    val score = when(col(weightCol).isNotNull && col(weightCol) > 0,
-      pow(u, lit(1.0) / col(weightCol).cast("double"))).otherwise(lit(-1.0))
+    // NaN weights must land in the "not a usable weight" bucket with null
+    // and non-positive: Spark's ordering treats NaN as LARGER than every
+    // double, so an unguarded NaN score would win every quota slot
+    val wd = col(weightCol).cast("double")
+    val score = when(wd.isNotNull && !isnan(wd) && wd > 0,
+      pow(u, lit(1.0) / wd)).otherwise(lit(-1.0))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
       .orderBy(score.desc, col(idCol).asc)
     df.withColumn("__wquota_rank", row_number().over(w))
@@ -612,7 +616,12 @@ object Curation {
       .orderBy(md5(concat(lit(salt), col(idCol).cast("string"))), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("cum_tokens", sum(col(tokensCol).cast("long")).over(w))
+    // a NULL token count must not poison the classification: sum().over
+    // skips NULLs, which would leave that row's cum_tokens (and so its
+    // `kept`) NULL — dropped by BOTH filter(kept) and filter(!kept),
+    // vanishing from the audit. Count it as 0 tokens instead.
+    df.withColumn("cum_tokens",
+        sum(coalesce(col(tokensCol).cast("long"), lit(0L))).over(w))
       .withColumn("budget", budget)
       .withColumn("kept", col("cum_tokens") <= col("budget"))
   }

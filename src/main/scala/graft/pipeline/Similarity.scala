@@ -92,9 +92,7 @@ object Similarity {
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
     import spark.implicits._
-    val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy($"cid").select($"centroid").as[Seq[Double]]
-      .collect().map(_.toArray)
+    val cents = loadCentroids(spark, path)
     newVectors.select(col(idCol).cast("long").as("corpus_id"),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cid", element_at(
@@ -103,16 +101,23 @@ object Similarity {
       .write.mode("append").partitionBy("cid").parquet(s"$path/lists")
   }
 
+  /** The persisted coarse quantizer, cid-ordered — the ONE decoder of the
+    * centroid layout, shared by load and append so they can't drift. */
+  private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/centroids")
+      .orderBy($"cid").select($"centroid").as[Seq[Double]]
+      .collect().map(_.toArray)
+  }
+
   /** Reload a persisted index for probing (build once, query many). */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
     import spark.implicits._
-    val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy($"cid").select($"centroid").as[Seq[Double]]
-      .collect().map(_.toArray)
     // restore the pre-partitionBy column order (partition cols move last)
     val lists = spark.read.parquet(s"$path/lists")
       .select($"corpus_id", $"cv", $"cid")
-    IvfIndex(cents, lists)
+    IvfIndex(loadCentroids(spark, path), lists)
   }
 
   /** Build the index: deterministic seeded k-means + final assignment. */

@@ -165,7 +165,7 @@ object StreamingQueries {
              |SELECT * FROM matched
              |UNION ALL SELECT * FROM un_p
              |UNION ALL SELECT * FROM un_e
-             |ORDER BY p_id, e_id""".stripMargin)),
+             |ORDER BY p_id NULLS LAST, e_id NULLS LAST""".stripMargin)),
 
     // every event delivered twice; streaming dropDuplicates restores
     // exactly-once, so the batch aggregation oracle applies unchanged

@@ -56,7 +56,8 @@ object Snapshots {
     * scheme-stripped paths (`Path.toUri.getPath`) so `file:/` vs `file:///`
     * spellings can't split an entry from its file. */
   private case class Manifest(schemaDdl: Option[String], files: Seq[String],
-      stats: Map[(String, String), (Option[String], Option[String])])
+      stats: Map[(String, String), (Option[String], Option[String])],
+      statsCols: Seq[String])
 
   /** min/max values are base64-wrapped in the manifest (a string column's
     * extremes may contain tabs/newlines); `-` marks "no value" (all-null
@@ -91,7 +92,10 @@ object Snapshots {
     Manifest(
       lines.collectFirst { case l if l.startsWith("#schema\t") => l.stripPrefix("#schema\t") },
       lines.filterNot(_.startsWith("#")),
-      stats)
+      stats,
+      lines.collectFirst { case l if l.startsWith("#statsCols\t") =>
+        l.stripPrefix("#statsCols\t").split(",").toSeq.filter(_.nonEmpty) }
+        .getOrElse(Seq.empty))
   }
 
   private def readManifest(spark: SparkSession, dir: String, v: Long): Seq[String] =
@@ -152,7 +156,7 @@ object Snapshots {
           }
       }
     val prior = if (append && v > 0) readManifestFull(spark, dir, v - 1)
-      else Manifest(None, Seq.empty, Map.empty)
+      else Manifest(None, Seq.empty, Map.empty, Seq.empty)
     val carried = prior.files
     val carriedStats = prior.stats.map { case ((p, c), (mn, mx)) =>
       s"#stats\t$p\t$c\t${encStat(mn)}\t${encStat(mx)}"
@@ -160,8 +164,16 @@ object Snapshots {
     val tmp = new Path(dir, s"_manifests/.tmp-${java.util.UUID.randomUUID()}")
     f.mkdirs(new Path(dir, "_manifests"))
     val out = f.create(tmp, true)
+    // the table's stats set rides in the header so rewrite commits
+    // (compact, deleteWhere) can re-stat without every call site having
+    // to remember the column list; an append inherits the prior set
+    val effectiveStatsCols =
+      if (statsCols.nonEmpty) statsCols
+      else if (append) prior.statsCols else Seq.empty
     val headers = Seq(s"#schema\t${df.schema.toDDL}",
-      s"#committedAt\t${System.currentTimeMillis()}")
+      s"#committedAt\t${System.currentTimeMillis()}") ++
+      (if (effectiveStatsCols.nonEmpty)
+        Seq(s"#statsCols\t${effectiveStatsCols.mkString(",")}") else Seq.empty)
     try out.write(((headers ++ (carriedStats ++ statLines)) ++ (carried ++ newFiles))
       .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -191,12 +203,14 @@ object Snapshots {
     val v = latestVersion(spark, dir)
     require(v.isDefined, s"nothing to compact under $dir")
     val f = fs(spark, dir)
-    val bytes = readManifest(spark, dir, v.get)
-      .map(p => f.getFileStatus(new Path(p)).getLen).sum
+    val m = readManifestFull(spark, dir, v.get)
+    val bytes = m.files.map(p => f.getFileStatus(new Path(p)).getLen).sum
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val data = readVersion(spark, dir, v.get).repartition(nFiles)
+    // a rewrite must not silently turn off data skipping: default to the
+    // table's recorded stats set when the caller doesn't override
     commit(data, dir, append = false, expectedVersion = Some(v.get + 1),
-      statsCols = statsCols)
+      statsCols = if (statsCols.nonEmpty) statsCols else m.statsCols)
   }
 
   /**
@@ -324,10 +338,13 @@ object Snapshots {
       predicate: Column, statsCols: Seq[String] = Seq.empty): Long = {
     val v = latestVersion(spark, dir)
     require(v.isDefined, s"nothing to delete under $dir")
+    val m = readManifestFull(spark, dir, v.get)
     val kept = readVersion(spark, dir, v.get)
       .filter(!org.apache.spark.sql.functions.coalesce(predicate, lit(false)))
+    // same skip-preservation rule as compact: the rewrite re-stats the
+    // table's recorded stats columns unless explicitly overridden
     commit(kept, dir, append = false, expectedVersion = Some(v.get + 1),
-      statsCols = statsCols)
+      statsCols = if (statsCols.nonEmpty) statsCols else m.statsCols)
   }
 
   /**
@@ -356,10 +373,18 @@ object Snapshots {
       Iterator.continually(in.read(buf)).takeWhile(_ > 0).foreach(bos.write(buf, 0, _))
       bos.toByteArray
     } finally in.close()
+    // the clone is a NEW commit: its v0 carries the clone wall-clock, not
+    // the source's — readAsOf(clone, t) must not resolve for t before the
+    // clone existed
+    val restamped = new String(bytes, StandardCharsets.UTF_8)
+      .split("\n").map { l =>
+        if (l.startsWith("#committedAt\t"))
+          s"#committedAt\t${System.currentTimeMillis()}" else l
+      }.mkString("\n")
     val tmp = new Path(targetDir, s"_manifests/.tmp-${java.util.UUID.randomUUID()}")
     f.mkdirs(new Path(targetDir, "_manifests"))
     val out = f.create(tmp, true)
-    try out.write(bytes) finally out.close()
+    try out.write(restamped.getBytes(StandardCharsets.UTF_8)) finally out.close()
     if (!f.rename(tmp, manifestPath(targetDir, 0L))) {
       f.delete(tmp, false)
       throw new IllegalStateException(
@@ -377,7 +402,14 @@ object Snapshots {
     * get wrongly skipped. Date/timestamp string forms are fixed-width
     * ISO, so byte order is value order there too. */
   private def statCompare(dt: DataType)(a: String, b: String): Int = dt match {
-    case _: NumericType => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    case _: NumericType =>
+      // a float column's extremes can be "NaN"/"Infinity" (Spark's max
+      // treats NaN as the largest double) — BigDecimal can't parse those,
+      // and a crash here would make the version unreadable via the pruned
+      // path. Declaring the values equal makes both bound checks pass, so
+      // the file is conservatively KEPT (never wrongly skipped).
+      try new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+      catch { case _: NumberFormatException => 0 }
     case _ => java.util.Arrays.compareUnsigned( // bytes are SIGNED in Java;
       // UTF8String orders them unsigned, and 0xF0… must sort above ASCII
       a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
@@ -394,8 +426,11 @@ object Snapshots {
    * pruned result.
    */
   def filesInRange(spark: SparkSession, dir: String, v: Long, column: String,
+      lo: Option[String], hi: Option[String]): (Seq[String], Int) =
+    filesInRangeOf(readManifestFull(spark, dir, v), column, lo, hi)
+
+  private def filesInRangeOf(m: Manifest, column: String,
       lo: Option[String], hi: Option[String]): (Seq[String], Int) = {
-    val m = readManifestFull(spark, dir, v)
     val dt = m.schemaDdl.map(d => StructType.fromDDL(d).apply(column).dataType)
       .getOrElse(org.apache.spark.sql.types.StringType)
     val cmp = statCompare(dt) _
@@ -423,10 +458,12 @@ object Snapshots {
    */
   def readVersionRange(spark: SparkSession, dir: String, v: Long, column: String,
       lo: Option[String], hi: Option[String]): DataFrame = {
+    // ONE manifest read serves both the prune and the residual filter —
+    // on an object store each manifest open is a remote GET
     val m = readManifestFull(spark, dir, v)
     val dt = m.schemaDdl.map(d => StructType.fromDDL(d).apply(column).dataType)
       .getOrElse(org.apache.spark.sql.types.StringType)
-    val (kept, _) = filesInRange(spark, dir, v, column, lo, hi)
+    val (kept, _) = filesInRangeOf(m, column, lo, hi)
     val base = if (kept.isEmpty) emptyWithSchema(spark, m.schemaDdl)
       else spark.read.parquet(kept: _*)
     val bounds: Seq[Column] =

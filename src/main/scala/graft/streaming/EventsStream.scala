@@ -505,7 +505,10 @@ object EventsStream {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(name).orderBy($"p_id", $"e_id")
+    // unmatched-error rows have p_id NULL: Spark's default asc puts NULLs
+    // FIRST, DuckDB's puts them LAST — pin NULLS LAST on both sides so
+    // the ordered outputs agree row-for-row
+    spark.table(name).orderBy($"p_id".asc_nulls_last, $"e_id".asc_nulls_last)
   }
 
   /**

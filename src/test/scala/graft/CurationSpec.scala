@@ -316,6 +316,24 @@ class CurationSpec extends SparkSpec {
       budgets = Map("web" -> 800L, "code" -> 100L), defaultBudget = 120L)
       .filter($"kept").select($"id").as[Long].collect().toSet
     assert(again == out.filter($"kept").select($"id").as[Long].collect().toSet)
+    // a NULL token count classifies as 0 tokens — kept is never NULL, so
+    // the row can't vanish from both the mix and the reject audit
+    val withNull = Seq((1L, "web", Some(10)), (2L, "web", None))
+      .toDF("id", "dom", "toks")
+    val nOut = Curation.tokenBudgetMix(withNull, "id", "dom", "toks",
+      budgets = Map.empty, defaultBudget = 100L)
+    assert(nOut.filter($"kept".isNull).count() == 0)
+    assert(nOut.filter($"kept").count() == 2)
+  }
+
+  test("weightedCapPerKey: NaN weights rank with unusable weights, not first") {
+    val rows = (1L to 30L).map(i => (i, "k", 1.0)) ++
+      Seq((31L, "k", Double.NaN), (32L, "k", Double.NaN))
+    val out = Curation.weightedCapPerKey(rows.toDF("id", "key", "w"),
+      "key", "id", "w", maxPerKey = 10)
+    assert(out.count() == 10)
+    assert(out.filter($"id" >= 31L).count() == 0,
+      "NaN-weight rows must not win quota slots")
   }
 
   test("weightedCapPerKey: quota holds, weight biases the pick, weight<=0 last") {

@@ -254,6 +254,33 @@ class SnapshotsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Snapshots.readAsOf(spark, dir, t0 - 1000))
   }
 
+  test("rewrites keep data skipping alive; NaN stats keep, never crash") {
+    val dir = freshDir()
+    Snapshots.commit(spark.range(1000).toDF("id")
+      .selectExpr("id", "CAST(id AS DOUBLE) AS score")
+      .repartitionByRange(4, $"id"), dir, statsCols = Seq("id"))
+    // delete WITHOUT re-passing statsCols: the recorded set must survive
+    Snapshots.deleteWhere(spark, dir, $"id" >= 900)
+    val (kept, total) = Snapshots.filesInRange(spark, dir, 1L, "id",
+      Some("0"), Some("10"))
+    assert(total > 0 && kept.size < total,
+      s"stats lost through deleteWhere: kept ${kept.size}/$total")
+    // compact inherits the set the same way
+    Snapshots.compact(spark, dir, targetFileBytes = 1L)
+    val v = Snapshots.latestVersion(spark, dir).get
+    val (k2, t2) = Snapshots.filesInRange(spark, dir, v, "id", Some("0"), Some("10"))
+    assert(t2 > 1 && k2.size < t2, s"stats lost through compact: ${k2.size}/$t2")
+    // NaN extremes: prune path must conservatively keep, not crash
+    val nanDir = freshDir()
+    Snapshots.commit(Seq(1.0, Double.NaN).toDF("x").coalesce(1), nanDir,
+      statsCols = Seq("x"))
+    val (kn, tn) = Snapshots.filesInRange(spark, nanDir, 0L, "x",
+      Some("0.5"), Some("2.0"))
+    assert(kn.size == tn)
+    assert(Snapshots.readVersionRange(spark, nanDir, 0L, "x",
+      Some("0.5"), Some("2.0")).count() == 1)
+  }
+
   test("shallow clone: zero-copy v0, independent evolution, stats carried") {
     val src = freshDir(); val tgt = freshDir()
     Snapshots.commit(spark.range(100).toDF("id").repartitionByRange(4, $"id"),
