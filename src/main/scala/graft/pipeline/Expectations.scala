@@ -35,6 +35,22 @@ object Expectations {
       .select($"rule", $"violations", ($"violations" === 0L).as("pass"))
   }
 
+  /**
+   * Write-audit-publish: commit `df` as the next snapshot version ONLY if
+   * every rule holds on the STAGED files (Snapshots stages the parquet,
+   * runs this audit on the staged read-back, and publishes the manifest
+   * only on a clean report — a failed batch never becomes visible to any
+   * reader and its staging files are deleted). Returns the published
+   * version; throws `Snapshots.AuditFailedException` carrying the failed
+   * rule rows otherwise. This is the ingestion gate every production
+   * training-data table runs: bad batches bounce at the door instead of
+   * being discovered downstream.
+   */
+  def auditedCommit(df: DataFrame, dir: String, rules: Seq[Rule],
+      append: Boolean = true, statsCols: Seq[String] = Seq.empty): Long =
+    graft.sources.Snapshots.commit(df, dir, append, expectedVersion = None,
+      statsCols = statsCols, audit = Some(staged => check(staged, rules)))
+
   /** Key-uniqueness expectation: rows whose key occurs more than once
     * all count as violations (a keyed aggregate, scale-safe). */
   def checkUnique(df: DataFrame, name: String, keyCols: Seq[String]): DataFrame = {

@@ -99,6 +99,37 @@ object FormatQueries {
              |FROM orders GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin)),
 
+    // write-audit-publish: three audited commits — the middle one plants
+    // negative prices and must bounce at the audit (no version published,
+    // staging cleaned) — so the final table is exactly batches 0 and 2,
+    // which is what the oracle replays
+    "q_snapshot_wap" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import graft.pipeline.Expectations
+        import graft.pipeline.Expectations.Rule
+        val snapDir = java.nio.file.Files
+          .createTempDirectory("graft_wap").toString
+        val o = t(s, dir, "orders")
+        val rules = Seq(Rule("positive_price", $"o_totalprice" > 0),
+          Rule("nonnull_key", $"o_orderkey".isNotNull))
+        Expectations.auditedCommit(o.filter($"o_orderkey" % 3 === 0), snapDir, rules)
+        try Expectations.auditedCommit(
+            o.filter($"o_orderkey" % 3 === 1)
+              .withColumn("o_totalprice", -$"o_totalprice"),
+            snapDir, rules)
+        catch { case _: Snapshots.AuditFailedException => () } // bounced
+        Expectations.auditedCommit(o.filter($"o_orderkey" % 3 === 2), snapDir, rules)
+        Snapshots.readLatest(s, snapDir)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders WHERE o_orderkey % 3 IN (0, 2)
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // predicate delete: commit orders, delete one status, read the new
     // version — the oracle is the complement filter; rows where the
     // predicate would be NULL are kept (asserted separately in

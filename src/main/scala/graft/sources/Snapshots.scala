@@ -127,14 +127,36 @@ object Snapshots {
    * prior stats line forward verbatim). Readers prune with
    * `readVersionRange`; files committed without stats are never pruned.
    */
+  /** Thrown by an audited commit whose staged data failed its audit; the
+    * staged files are already cleaned up when this escapes. Each row of
+    * `report` is one failed rule as the audit function reported it. */
+  final case class AuditFailedException(report: Seq[org.apache.spark.sql.Row])
+    extends RuntimeException(
+      s"snapshot audit failed: ${report.map(_.toString).mkString("; ")}")
+
   def commit(df: DataFrame, dir: String, append: Boolean = true,
-      expectedVersion: Option[Long] = None, statsCols: Seq[String] = Seq.empty): Long = {
+      expectedVersion: Option[Long] = None, statsCols: Seq[String] = Seq.empty,
+      audit: Option[DataFrame => DataFrame] = None): Long = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val v = expectedVersion.getOrElse(latestVersion(spark, dir).map(_ + 1).getOrElse(0L))
     require(v >= 0, s"snapshot version must be >= 0: $v")
     val dataDir = new Path(dir, f"data/v$v%06d-${java.util.UUID.randomUUID().toString.take(8)}")
     df.write.parquet(dataDir.toString)
+    // write–AUDIT–publish: the audit runs on the STAGED files (what
+    // readers would actually see), between the data write and the
+    // manifest publish. A failed audit deletes the staging dir and
+    // throws — the commit point was never reached, so concurrent readers
+    // never saw a row of the rejected batch. The audit fn returns report
+    // rows with a boolean `pass` column; any false row fails the commit.
+    audit.foreach { a =>
+      val bad = a(spark.read.parquet(dataDir.toString))
+        .filter(!col("pass")).collect()
+      if (bad.nonEmpty) {
+        f.delete(dataDir, true)
+        throw AuditFailedException(bad.toSeq)
+      }
+    }
     val newFiles = f.listStatus(dataDir).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .map(_.toString).sorted.toSeq

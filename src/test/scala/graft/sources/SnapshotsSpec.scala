@@ -254,6 +254,28 @@ class SnapshotsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Snapshots.readAsOf(spark, dir, t0 - 1000))
   }
 
+  test("audited commit: failed audit publishes nothing and cleans staging") {
+    val dir = freshDir()
+    def audit(bad: Boolean): Option[org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame] =
+      Some(staged => staged.agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .select(org.apache.spark.sql.functions.lit("rule_x").as("rule"),
+          org.apache.spark.sql.functions.lit(!bad).as("pass")))
+    assert(Snapshots.commit(Seq(1).toDF("x"), dir, audit = audit(bad = false)) == 0L)
+    val e = intercept[Snapshots.AuditFailedException] {
+      Snapshots.commit(Seq(2).toDF("x"), dir, audit = audit(bad = true))
+    }
+    assert(e.report.head.getAs[String]("rule") == "rule_x")
+    // nothing published, staging gone: only v0's data dir remains
+    assert(Snapshots.latestVersion(spark, dir).contains(0L))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new Path(dir, "data")).length == 1)
+    // the table keeps accepting clean batches afterwards
+    assert(Snapshots.commit(Seq(3).toDF("x"), dir, audit = audit(bad = false)) == 1L)
+    assert(Snapshots.readLatest(spark, dir).as[Int].collect().sorted.toSeq == Seq(1, 3))
+  }
+
   test("rewrites keep data skipping alive; NaN stats keep, never crash") {
     val dir = freshDir()
     Snapshots.commit(spark.range(1000).toDF("id")
