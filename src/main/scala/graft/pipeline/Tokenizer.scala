@@ -1,0 +1,240 @@
+package graft.pipeline
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed BPE tokenizer training — the missing piece between the
+ * token-count proxies in [[TextAnalysis]] and a real training-data
+ * pipeline: learn the merge table FROM the corpus, then encode the
+ * corpus WITH it.
+ *
+ * Scale shape (the same one every production tokenizer trainer uses —
+ * corpus-scale work is counting, model-scale work is merging):
+ *
+ *  1. `wordFrequencies` — ONE distributed pass: explode lowercased
+ *     whitespace words, hash-aggregate to (word, freq). Map-side
+ *     combining makes the shuffle vocabulary-sized, not corpus-sized;
+ *     at 100 TB this is the only stage that touches every byte.
+ *  2. `trainBpe` — cap the frequency table to the `maxWords` heaviest
+ *     words (freq desc, word asc — deterministic) and collect it: the
+ *     capped table is MODEL-sized by construction (same contract as
+ *     LDA's K×V beta collect in broadcast mode), and the dropped tail
+ *     is frequency-1 noise that cannot win a merge anyway. The exact
+ *     Sennrich merge loop then runs driver-side over that sufficient
+ *     statistic with incremental pair-count maintenance.
+ *  3. `bpeEncode` — distributed again: broadcast the (tiny) merge-rank
+ *     map and greedily merge per word inside `mapPartitions`, with a
+ *     per-partition word→tokens cache (Zipf makes the hit rate high).
+ *
+ * Reference behavior anchor: the reference tokenizes with Lucene
+ *  analyzers at parse time (ParseCorpus.java:244-293) and never learns
+ * subwords; BPE is the training-pipeline extension this engine adds.
+ *
+ * Algorithm: Sennrich, Haddow & Birch, "Neural Machine Translation of
+ * Rare Words with Subword Units" (ACL 2016). Words end with an explicit
+ * `</w>` symbol; pair selection is (count desc, left asc, right asc) —
+ * a total order, so training is deterministic for a given word-frequency
+ * table regardless of partitioning.
+ */
+object Tokenizer {
+
+  val EndOfWord = "</w>"
+
+  /** Learned model: merges in rank order plus the final symbol vocab. */
+  case class BpeModel(merges: Seq[(String, String)], vocab: Seq[String]) {
+    /** (left, right) → rank, rank 0 merged first. */
+    lazy val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap
+  }
+
+  /** Corpus word-frequency table: one row per distinct lowercased
+    * whitespace word with its total occurrence count. The one
+    * corpus-scale stage of tokenizer training (oracle-able in plain
+    * SQL; the merge loop is not). */
+  def wordFrequencies(df: DataFrame, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(explode(TextAnalysis.wsTokens(lower(col(textCol)))).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+  }
+
+  /**
+   * Learn `numMerges` BPE merges from the corpus. `maxWords` bounds the
+   * driver-side sufficient statistic (top words by freq desc, word asc);
+   * `minFreq` drops words rarer than the threshold before the cap (the
+   * standard trainer knob — a freq-1 tail pair can never beat a real
+   * merge, so dropping it changes nothing but the constant).
+   */
+  def trainBpe(df: DataFrame, textCol: String, numMerges: Int,
+      maxWords: Int = 1000000, minFreq: Long = 1L): BpeModel = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = wordFrequencies(df, textCol)
+      .filter($"freq" >= minFreq)
+      .orderBy($"freq".desc, $"word".asc)
+      .limit(maxWords)
+      .as[(String, Long)]
+      .collect()
+    trainFromCounts(rows, numMerges)
+  }
+
+  /** The exact merge loop over an in-memory word-frequency table —
+    * factored out so specs can drive it with hand-built fixtures. */
+  private[pipeline] def trainFromCounts(wordFreqs: Seq[(String, Long)],
+      numMerges: Int): BpeModel = {
+    // each word as a mutable symbol sequence (code points, then </w>)
+    val words: Array[mutable.ArrayBuffer[String]] =
+      wordFreqs.map { case (w, _) => toSymbols(w) }.toArray
+    val freqs: Array[Long] = wordFreqs.map(_._2).toArray
+
+    // pair → corpus count, and pair → indices of words containing it;
+    // maintained incrementally: a merge only touches words that contain
+    // the merged pair, so each iteration costs O(affected symbols), not
+    // O(corpus vocabulary)
+    val stats = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+
+    def addWord(i: Int, sign: Long): Unit = {
+      val syms = words(i)
+      var j = 0
+      while (j < syms.length - 1) {
+        val p = (syms(j), syms(j + 1))
+        val n = stats.getOrElse(p, 0L) + sign * freqs(i)
+        if (n == 0L) { stats.remove(p); where.get(p).foreach(_.remove(i)) }
+        else {
+          stats(p) = n
+          if (sign > 0) where.getOrElseUpdate(p, mutable.Set.empty) += i
+        }
+        j += 1
+      }
+    }
+    words.indices.foreach(addWord(_, 1L))
+
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var m = 0
+    while (m < numMerges && stats.nonEmpty) {
+      // argmax under the total order (count desc, left asc, right asc)
+      var best: (String, String) = null
+      var bestN = 0L
+      stats.foreach { case (p, n) =>
+        if (best == null || n > bestN ||
+            (n == bestN && (p._1 < best._1 ||
+              (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bestN = n
+        }
+      }
+      merges += best
+      val merged = best._1 + best._2
+      // rewrite only the words that contain the winning pair
+      val affected = where.getOrElse(best, mutable.Set.empty).toArray
+      affected.foreach { i =>
+        addWord(i, -1L)
+        words(i) = mergePair(words(i), best._1, best._2, merged)
+        addWord(i, 1L)
+      }
+      stats.remove(best)
+      where.remove(best)
+      m += 1
+    }
+
+    val vocab = (words.iterator.flatten ++
+        merges.iterator.map { case (a, b) => a + b }).toSeq.distinct.sorted
+    BpeModel(merges.toSeq, vocab)
+  }
+
+  /** word → code-point symbols + explicit end-of-word marker */
+  private def toSymbols(w: String): mutable.ArrayBuffer[String] = {
+    val buf = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      buf += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    buf += EndOfWord
+    buf
+  }
+
+  /** left-to-right non-overlapping replacement of the adjacent pair */
+  private def mergePair(syms: mutable.ArrayBuffer[String], a: String,
+      b: String, merged: String): mutable.ArrayBuffer[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+        out += merged; j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out
+  }
+
+  /** GPT-2-style greedy encode of one word: repeatedly merge the
+    * lowest-rank adjacent pair until none applies. Reproduces the
+    * training segmentation for any word seen with these merges. */
+  private[pipeline] def encodeWord(w: String,
+      ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms = toSymbols(w)
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestJ = -1
+      var j = 0
+      while (j < syms.length - 1) {
+        val r = ranks.getOrElse((syms(j), syms(j + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestJ = j }
+        j += 1
+      }
+      if (bestJ < 0) done = true
+      else syms = mergePair(syms, syms(bestJ), syms(bestJ + 1),
+        syms(bestJ) + syms(bestJ + 1))
+    }
+    syms.toSeq
+  }
+
+  /** The learned merge table as a frame: (rank, left, right, merged). */
+  def mergesDf(spark: SparkSession, model: BpeModel): DataFrame = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((a, b), r) => (r, a, b, a + b) }
+      .toDF("rank", "left", "right", "merged")
+  }
+
+  /**
+   * Distributed encode: (id, tokens, n_tokens) per document. The merge
+   * table is driver-held (model-sized) and closure-broadcast; the scan
+   * is one `mapPartitions` with a per-partition word→tokens cache
+   * (capped — Zipf means the hot head covers most token mass, and the
+   * cap keeps a pathological all-distinct partition from growing the
+   * map without bound).
+   */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      model: BpeModel, cacheCap: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranks = model.ranks
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val cache = mutable.HashMap.empty[String, Seq[String]]
+        it.map { case (id, text) =>
+          val words =
+            if (text == null) Array.empty[String]
+            else text.toLowerCase.split(" ").filter(_.nonEmpty)
+          val toks = words.iterator.flatMap { w =>
+            cache.get(w) match {
+              case Some(t) => t
+              case None =>
+                val t = encodeWord(w, ranks)
+                if (cache.size < cacheCap) cache(w) = t
+                t
+            }
+          }.toSeq
+          (id, toks, toks.length)
+        }
+      }
+      .toDF("doc_id", "tokens", "n_tokens")
+  }
+}

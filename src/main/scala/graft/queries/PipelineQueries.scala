@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{Classify, Dedup, LanguageModel, Multimodal, Retrieval, Similarity, TextAnalysis}
+import graft.pipeline.{Classify, Dedup, LanguageModel, Multimodal, Retrieval, Similarity, TextAnalysis, Tokenizer}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -928,7 +928,50 @@ object PipelineQueries {
              |  FROM f)
              |SELECT media_id, CAST(frame AS INT) AS frame,
              |       CAST(least(start + step, len) - start AS INT) AS n_bytes
-             |FROM calc ORDER BY media_id, frame""".stripMargin)))
+             |FROM calc ORDER BY media_id, frame""".stripMargin)),
+
+    // ---- BPE tokenizer training (Tokenizer.scala) ----
+
+    // the corpus-scale stage of tokenizer training: top-200 words by
+    // (freq desc, word asc) — fully SQL-expressible
+    "q_bpe_word_freqs" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tokenizer.wordFrequencies(t(s, dir, "documents"), "text")
+          .orderBy($"freq".desc, $"word".asc).limit(200)
+      },
+      Some("""SELECT word, freq FROM (
+             |  SELECT word, count(*)::BIGINT AS freq FROM (
+             |    SELECT unnest(list_filter(string_split(lower(text), ' '),
+             |      x -> x <> '')) AS word FROM documents)
+             |  GROUP BY word)
+             |ORDER BY freq DESC, word ASC LIMIT 200""".stripMargin)),
+
+    // the learned merge table: deterministic for a given corpus (total
+    // order on pair selection) but not SQL-expressible → rows-only check;
+    // the merge loop itself is golden-pinned by TokenizerSpec against the
+    // Sennrich ACL-2016 worked example
+    "q_bpe_merges" -> QueryDef(
+      (s, dir) => {
+        val model = Tokenizer.trainBpe(t(s, dir, "documents"), "text",
+          numMerges = 200, maxWords = 50000, minFreq = 2L)
+        Tokenizer.mergesDf(s, model).orderBy("rank")
+      },
+      None),
+
+    // distributed encode with the learned merges: per-doc BPE token
+    // counts. Compression property (bpe tokens <= codepoints+words) and
+    // reconstruction are TokenizerSpec-pinned; rows-only here.
+    "q_bpe_encode" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val model = Tokenizer.trainBpe(docs, "text",
+          numMerges = 200, maxWords = 50000, minFreq = 2L)
+        Tokenizer.bpeEncode(docs, "doc_id", "text", model)
+          .select($"doc_id", $"n_tokens").orderBy($"doc_id")
+      },
+      None))
 
   private def duckList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")

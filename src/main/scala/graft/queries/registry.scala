@@ -15,15 +15,27 @@ object Registry {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) which Spark 4's parquet
-    * reader rejects; read nanos as long and convert to microsecond
-    * timestamps (DuckDB's date_trunc on the ns original agrees at the
-    * granularities we aggregate on). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  /** The events table has shipped with different physical `ts` layouts
+    * across test-data generations — TIMESTAMP(NANOS) (which Spark 4 only
+    * reads as long under the nanosAsLong legacy conf) and plain
+    * timestamp[us] (read as TIMESTAMP_NTZ) — so normalize whatever the
+    * scan produced to microsecond TimestampType. The session timezone is
+    * pinned UTC everywhere, so the NTZ→LTZ cast preserves the instant and
+    * DuckDB's date_trunc agrees at every granularity we aggregate on. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType => // nanos-as-long: integral div (double division loses ns ulps at 2^60)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integral: double division loses ns ulps at 2^60
+    normalizeEventTs(t(spark, dir, "events"))
   }
 
   lazy val all: Map[String, QueryDef] =

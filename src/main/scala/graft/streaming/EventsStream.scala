@@ -51,17 +51,17 @@ object EventsStream {
       java.nio.file.Paths.get(dir, "events.parquet"),
       (0 until copies).map(i => s"events_$i.parquet"))
 
-  /** streaming read of the events file; ts arrives as TIMESTAMP(NANOS)
-    * which Spark's parquet reader only accepts as long → convert to µs */
+  /** streaming read of the events file; `ts` is normalized to µs
+    * TimestampType whatever the file's physical layout (nanos-as-long or
+    * timestamp[us] — see Registry.normalizeEventTs) */
   private def eventsStream(spark: SparkSession, dir: String,
       copies: Int = 1, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader
-      .parquet(streamableEventsDir(dir, copies))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integral: double division loses ns ulps at 2^60
+    graft.queries.Registry.normalizeEventTs(
+      reader.parquet(streamableEventsDir(dir, copies)))
   }
 
   def hourlyWindowed(spark: SparkSession, dir: String): DataFrame = {
@@ -189,8 +189,8 @@ object EventsStream {
     val ckpt = base.resolve("ckpt").toString
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.queries.Registry.normalizeEventTs(
+        spark.read.parquet(s"$dir/events.parquet"))
       .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
     (0 until 3).foreach { i =>
       events.filter($"event_id" % 3 === i).coalesce(1)

@@ -1,0 +1,88 @@
+package graft
+
+import graft.pipeline.Tokenizer
+import org.apache.spark.sql.functions._
+
+/** BPE training + encode: the Sennrich ACL-2016 worked example as a
+  * golden merge sequence, reconstruction/idempotence properties, and
+  * determinism of the distributed word-count → driver merge-loop split. */
+class TokenizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the paper's corpus: {low:5, lower:2, newest:6, widest:3}
+  private def paperDf = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+    Seq.fill(6)("newest") ++ Seq.fill(3)("widest") match {
+    case ws => ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+  }
+
+  test("golden merge sequence on the Sennrich fixture") {
+    val model = Tokenizer.trainBpe(paperDf, "text", numMerges = 6)
+    // hand-derived under (count desc, left asc, right asc):
+    // (e,s)=9; (es,t)=9; (est,</w>)=9; (l,o)=7; (lo,w)=7; (e,w)=6
+    assert(model.merges === Seq(
+      ("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o"), ("lo", "w"), ("e", "w")))
+  }
+
+  test("fully-merged training words encode to single tokens") {
+    val model = Tokenizer.trainBpe(paperDf, "text", numMerges = 100)
+    val enc = Tokenizer.bpeEncode(paperDf.dropDuplicates("text"),
+        "doc_id", "text", model)
+      .select($"tokens").as[Seq[String]].collect()
+    assert(enc.forall(_.length == 1), s"not fully merged: ${enc.toSeq}")
+  }
+
+  test("encode reconstructs the lowercased text exactly") {
+    val docs = Seq(
+      (1L, "The quick brown fox JUMPS over 42 lazy dogs!"),
+      (2L, "naïve café — résumé ✓"),
+      (3L, ""),
+      (4L, "low lower newest widest unseen-word")).toDF("doc_id", "text")
+    val model = Tokenizer.trainBpe(paperDf, "text", numMerges = 10)
+    val out = Tokenizer.bpeEncode(docs, "doc_id", "text", model)
+      .select($"doc_id", $"tokens").as[(Long, Seq[String])]
+      .collect().toMap
+    docs.select($"doc_id", $"text").as[(Long, String)].collect().foreach {
+      case (id, text) =>
+        val rebuilt = out(id).mkString("")
+          .replace(Tokenizer.EndOfWord, " ").trim
+        val expect = text.toLowerCase.split(" ").filter(_.nonEmpty).mkString(" ")
+        assert(rebuilt === expect, s"doc $id")
+    }
+  }
+
+  test("every emitted token is in the model vocab for trained words") {
+    val model = Tokenizer.trainBpe(paperDf, "text", numMerges = 3)
+    val vocab = model.vocab.toSet
+    val toks = Tokenizer.bpeEncode(paperDf, "doc_id", "text", model)
+      .select(explode($"tokens")).as[String].collect()
+    assert(toks.forall(vocab.contains), s"out-of-vocab: ${toks.filterNot(vocab.contains).toSeq}")
+  }
+
+  test("training is deterministic across repartitionings") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Tokenizer.trainBpe(docs, "text", numMerges = 40)
+    val b = Tokenizer.trainBpe(docs.repartition(7), "text", numMerges = 40)
+    assert(a.merges === b.merges)
+    assert(a.vocab === b.vocab)
+  }
+
+  test("wordFrequencies matches a plain SQL aggregate") {
+    val docs = Seq((1L, "a b a"), (2L, "B a  c")).toDF("doc_id", "text")
+    val got = Tokenizer.wordFrequencies(docs, "text")
+      .orderBy($"word").as[(String, Long)].collect().toSeq
+    assert(got === Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
+
+  test("minFreq and maxWords bound the driver-side table") {
+    val docs = Seq((1L, "aa aa aa bb bb cc")).toDF("doc_id", "text")
+    // minFreq=2 drops cc entirely: no merge may involve 'c'
+    val m = Tokenizer.trainBpe(docs, "text", numMerges = 100, minFreq = 2L)
+    assert(!m.merges.exists { case (a, b) => (a + b).contains("c") })
+    // maxWords=1 keeps only the heaviest word (aa)
+    val m1 = Tokenizer.trainBpe(docs, "text", numMerges = 100, maxWords = 1)
+    assert(m1.merges.forall { case (a, b) => "aa</w>".contains(a.replace("</w>", "")) || a == "a" })
+    assert(m1.vocab.forall(v => v == "</w>" || v.replace("</w>", "").forall(_ == 'a')))
+  }
+}
