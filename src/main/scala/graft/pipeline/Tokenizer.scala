@@ -202,6 +202,33 @@ object Tokenizer {
       .toDF("rank", "left", "right", "merged")
   }
 
+  /** Dense integer ids for the model vocabulary: position in the sorted
+    * vocab — deterministic, so ids are stable across save/load. */
+  def vocabIds(model: BpeModel): Map[String, Int] =
+    model.vocab.zipWithIndex.toMap
+
+  /** Persist a trained model as two parquet tables (`merges` in rank
+    * order, `vocab` with dense ids) — the tokenizer-artifact layout a
+    * training pipeline ships to every consumer job. */
+  def saveModel(spark: SparkSession, model: BpeModel, dir: String): Unit = {
+    import spark.implicits._
+    mergesDf(spark, model).write.mode("overwrite").parquet(s"$dir/merges")
+    vocabIds(model).toSeq.sortBy(_._2).toDF("piece", "id")
+      .write.mode("overwrite").parquet(s"$dir/vocab")
+  }
+
+  /** Load a model persisted by [[saveModel]]; merges come back in rank
+    * order and the vocab in id order, so `loadModel(saveModel(m)) == m`. */
+  def loadModel(spark: SparkSession, dir: String): BpeModel = {
+    import spark.implicits._
+    val merges = spark.read.parquet(s"$dir/merges")
+      .orderBy("rank").select("left", "right")
+      .as[(String, String)].collect().toSeq
+    val vocab = spark.read.parquet(s"$dir/vocab")
+      .orderBy("id").select("piece").as[String].collect().toSeq
+    BpeModel(merges, vocab)
+  }
+
   /**
    * Distributed encode: (id, tokens, n_tokens) per document. The merge
    * table is driver-held (model-sized) and closure-broadcast; the scan
@@ -236,5 +263,25 @@ object Tokenizer {
         }
       }
       .toDF("doc_id", "tokens", "n_tokens")
+  }
+
+  /** Encode to dense integer ids (what a training pipeline actually
+    * feeds the model): the id lookup rides in the same `mapPartitions`
+    * closure as the merge table — NOT a plan-literal map, which would
+    * bloat every task's serialized plan at a real vocab size. Tokens
+    * outside the vocab (an unseen code point's char piece) map to -1 —
+    * the caller's OOV policy decides (real deployments add a
+    * byte-fallback alphabet so -1 never occurs). */
+  def bpeEncodeIds(df: DataFrame, idCol: String, textCol: String,
+      model: BpeModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ids = vocabIds(model)
+    bpeEncode(df, idCol, textCol, model)
+      .as[(Long, Seq[String], Int)]
+      .mapPartitions(_.map { case (id, toks, n) =>
+        (id, toks.map(ids.getOrElse(_, -1)), n)
+      })
+      .toDF("doc_id", "token_ids", "n_tokens")
   }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{Classify, Dedup, LanguageModel, Multimodal, Retrieval, Similarity, TextAnalysis, Tokenizer}
+import graft.pipeline.{Classify, Dedup, LanguageModel, Multimodal, Retrieval, Similarity, TextAnalysis, Tokenizer, Unigram}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -969,6 +969,83 @@ object PipelineQueries {
         val model = Tokenizer.trainBpe(docs, "text",
           numMerges = 200, maxWords = 50000, minFreq = 2L)
         Tokenizer.bpeEncode(docs, "doc_id", "text", model)
+          .select($"doc_id", $"n_tokens").orderBy($"doc_id")
+      },
+      None),
+
+    // tokenizer-artifact lifecycle: train → save (merges+vocab parquet)
+    // → load → encode to dense ids. ids_sum pins id assignment stability
+    // across the round-trip; -1 (OOV) cannot occur here because the
+    // encode corpus is the training corpus
+    "q_bpe_persisted" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val model = Tokenizer.trainBpe(docs, "text",
+          numMerges = 200, maxWords = 50000, minFreq = 2L)
+        val path = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_bpe_model_${ProcessHandle.current().pid()}").toString
+        Tokenizer.saveModel(s, model, path)
+        val loaded = Tokenizer.loadModel(s, path)
+        Tokenizer.bpeEncodeIds(docs, "doc_id", "text", loaded)
+          .select($"doc_id", $"n_tokens",
+            aggregate($"token_ids", lit(0L), (a, x) => a + x).as("ids_sum"))
+          .orderBy($"doc_id")
+      },
+      None),
+
+    // ---- Unigram-LM tokenizer (Unigram.scala) ----
+
+    // the seed stage of unigram training, declared distributedly so both
+    // engines replay it: freq-weighted substring (len 1..6) counts over
+    // the word table, top-200
+    "q_unigram_seed_substrings" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val wf = Tokenizer.wordFrequencies(t(s, dir, "documents"), "text")
+        wf.select($"freq", explode(flatten(transform(
+            sequence(lit(0), length($"word") - 1),
+            i => transform(
+              sequence(i + 1, least(i + 6, length($"word"))),
+              j => $"word".substr(i + 1, j - i))))).as("piece"))
+          .groupBy($"piece").agg(sum($"freq").as("weight"))
+          .orderBy($"weight".desc, $"piece".asc).limit(200)
+      },
+      Some("""WITH wf AS (
+             |  SELECT word, count(*)::BIGINT AS freq FROM (
+             |    SELECT unnest(list_filter(string_split(lower(text), ' '),
+             |      x -> x <> '')) AS word FROM documents)
+             |  GROUP BY word),
+             |subs AS (
+             |  SELECT substring(word, i, l) AS piece, freq
+             |  FROM wf,
+             |       UNNEST(generate_series(1, len(word))) AS a(i),
+             |       UNNEST(generate_series(1, 6)) AS b(l)
+             |  WHERE i + l - 1 <= len(word))
+             |SELECT piece, sum(freq)::BIGINT AS weight FROM subs
+             |GROUP BY piece ORDER BY weight DESC, piece ASC LIMIT 200""".stripMargin)),
+
+    // learned unigram vocabulary: deterministic (total-order seed cap,
+    // EM over a fixed word table) but not SQL-expressible → rows-only;
+    // algorithm pinned by UnigramSpec (EM-beats-uniform, golden
+    // determinism, reconstruction)
+    "q_unigram_vocab" -> QueryDef(
+      (s, dir) => {
+        val model = Unigram.train(t(s, dir, "documents"), "text",
+          Unigram.Config(targetVocab = 1000, seedSize = 8000, maxPieceLen = 6))
+        Unigram.vocabDf(s, model).orderBy("piece")
+      },
+      None),
+
+    // distributed Viterbi encode with the learned pieces
+    "q_unigram_encode" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val model = Unigram.train(docs, "text",
+          Unigram.Config(targetVocab = 1000, seedSize = 8000, maxPieceLen = 6))
+        Unigram.encode(docs, "doc_id", "text", model)
           .select($"doc_id", $"n_tokens").orderBy($"doc_id")
       },
       None))

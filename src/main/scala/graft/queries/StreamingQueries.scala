@@ -238,6 +238,15 @@ object StreamingQueries {
       (s, dir) => graft.streaming.DedupStream.incrementalScreen(s, dir),
       Some(PipelineQueries.incrementalMinhashOracleSql)),
 
+    // train-batch/apply-stream tokenization: BPE merges learned once from
+    // the batch corpus, the stateless distributed encode applied inside a
+    // streaming query (append mode, no state); per-doc counts equal the
+    // batch q_bpe_encode rows (StreamingTokenizeSpec pins parity — the
+    // merge table itself is not SQL-expressible, so rows-only here)
+    "q_stream_bpe_counts" -> QueryDef(
+      (s, dir) => graft.streaming.DocsStream.bpeTokenCounts(s, dir),
+      None),
+
     // batch/streaming unification: the stateless quality-score operator
     // (TextAnalysis.qualityScore, same Column transform q_text_quality
     // verifies per-doc) runs unchanged inside a streaming query; complete

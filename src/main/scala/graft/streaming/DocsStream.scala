@@ -48,4 +48,33 @@ object DocsStream {
     q.stop()
     spark.table(name).orderBy($"quality_score")
   }
+
+  /**
+   * Train-batch / apply-stream tokenization — the production serving
+   * shape: the BPE model is learned ONCE from the batch corpus (driver
+   * artifact), then the stateless distributed encode runs unchanged
+   * inside a streaming query (`mapPartitions` over the stream, append
+   * mode, no state). Per-doc token counts equal the batch
+   * `q_bpe_encode` rows exactly — StreamingTokenizeSpec pins the
+   * parity.
+   */
+  def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val model = graft.pipeline.Tokenizer.trainBpe(docs, "text",
+      numMerges = 200, maxWords = 50000, minFreq = 2L)
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(streamableDocsDir(dir))
+    val name = s"graft_docs_bpe_${counter.incrementAndGet()}"
+    val q = graft.pipeline.Tokenizer.bpeEncode(stream, "doc_id", "text", model)
+      .select($"doc_id", $"n_tokens")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).orderBy($"doc_id")
+  }
 }

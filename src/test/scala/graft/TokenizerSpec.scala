@@ -75,6 +75,26 @@ class TokenizerSpec extends SparkSpec {
     assert(got === Seq(("a", 3L), ("b", 2L), ("c", 1L)))
   }
 
+  test("save/load round-trips the model and id assignment") {
+    val model = Tokenizer.trainBpe(paperDf, "text", numMerges = 6)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_model_spec").toString
+    Tokenizer.saveModel(spark, model, dir)
+    val loaded = Tokenizer.loadModel(spark, dir)
+    assert(loaded == model)
+    assert(Tokenizer.vocabIds(loaded) == Tokenizer.vocabIds(model))
+  }
+
+  test("encodeIds maps trained tokens densely and OOV to -1") {
+    val model = Tokenizer.trainBpe(paperDf, "text", numMerges = 100)
+    val docs = Seq((1L, "low newest"), (2L, "xyz")).toDF("doc_id", "text")
+    val out = Tokenizer.bpeEncodeIds(docs, "doc_id", "text", model)
+      .select($"doc_id", $"token_ids").as[(Long, Seq[Int])].collect().toMap
+    val n = model.vocab.size
+    assert(out(1L).forall(id => id >= 0 && id < n), s"ids ${out(1L)}")
+    // x/y/z never seen in training: every piece is OOV
+    assert(out(2L).forall(_ == -1), s"ids ${out(2L)}")
+  }
+
   test("minFreq and maxWords bound the driver-side table") {
     val docs = Seq((1L, "aa aa aa bb bb cc")).toDF("doc_id", "text")
     // minFreq=2 drops cc entirely: no merge may involve 'c'
