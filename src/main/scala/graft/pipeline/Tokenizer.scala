@@ -83,7 +83,7 @@ object Tokenizer {
 
   /** The exact merge loop over an in-memory word-frequency table —
     * factored out so specs can drive it with hand-built fixtures. */
-  private[pipeline] def trainFromCounts(wordFreqs: Seq[(String, Long)],
+  private[graft] def trainFromCounts(wordFreqs: Seq[(String, Long)],
       numMerges: Int): BpeModel = {
     // each word as a mutable symbol sequence (code points, then </w>)
     val words: Array[mutable.ArrayBuffer[String]] =
@@ -174,7 +174,7 @@ object Tokenizer {
   /** GPT-2-style greedy encode of one word: repeatedly merge the
     * lowest-rank adjacent pair until none applies. Reproduces the
     * training segmentation for any word seen with these merges. */
-  private[pipeline] def encodeWord(w: String,
+  private[graft] def encodeWord(w: String,
       ranks: Map[(String, String), Int]): Seq[String] = {
     var syms = toSymbols(w)
     var done = false

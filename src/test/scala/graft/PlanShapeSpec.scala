@@ -184,4 +184,30 @@ class PlanShapeSpec extends SparkSpec {
       assert(a.toSeq == b.toSeq)
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("bpe/unigram encode is map-only: scan + mapPartitions, no exchange") {
+    // the encode stage must stream over the corpus with a broadcast
+    // model — ANY exchange here would shuffle the full 100 TB corpus
+    import graft.pipeline.{Tokenizer, Unigram}
+    val docs = Registry.t(spark, dir, "documents")
+    val bpe = Tokenizer.trainBpe(docs, "text", numMerges = 20)
+    val bplan = Tokenizer.bpeEncode(docs, "doc_id", "text", bpe)
+      .queryExecution.executedPlan.toString
+    assert(!bplan.contains("Exchange"), bplan)
+    val uni = Unigram.train(docs, "text",
+      Unigram.Config(targetVocab = 200, seedSize = 500, maxPieceLen = 4))
+    val uplan = Unigram.encode(docs, "doc_id", "text", uni)
+      .queryExecution.executedPlan.toString
+    assert(!uplan.contains("Exchange"), uplan)
+  }
+
+  test("tokenizer word-frequency statistic: one partial-agg shuffle") {
+    val plan = graft.pipeline.Tokenizer.wordFrequencies(
+        Registry.t(spark, dir, "documents"), "text")
+      .queryExecution.executedPlan.toString
+    // map-side combine (partial_count) before the single exchange keeps
+    // the shuffle vocabulary-sized, not corpus-sized
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("partial_count") || plan.contains("partial count"), plan)
+  }
 }

@@ -81,4 +81,35 @@ class PropertySpec extends AnyFunSuite {
       assert(math.exp(acc) > 0.0 || acc < -745.0) // exp underflow floor
     }
   }
+
+  test("bpe encode concatenation is the identity on arbitrary corpora") {
+    import graft.pipeline.Tokenizer
+    val wordGen = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaLowerChar, Gen.oneOf('é', 'ß', '中', '!', '0'))).map(_.mkString)
+    forSamples(Gen.nonEmptyListOf(Gen.zip(wordGen, Gen.choose(1L, 20L))), n = 60) { wf =>
+      val counts = wf.groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }.toSeq
+      val model = Tokenizer.trainFromCounts(counts.sortBy(p => (-p._2, p._1)), 30)
+      counts.foreach { case (w, _) =>
+        val toks = Tokenizer.encodeWord(w, model.ranks)
+        assert(toks.mkString("").stripSuffix(Tokenizer.EndOfWord) == w, s"word $w → $toks")
+        assert(toks.forall(model.vocab.contains), s"OOV piece for $w: $toks")
+      }
+    }
+  }
+
+  test("unigram viterbi segmentation is the identity and never empty") {
+    import graft.pipeline.Unigram
+    val wordGen = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaLowerChar, Gen.oneOf('é', '中', '7'))).map(_.mkString.take(20))
+    forSamples(Gen.nonEmptyListOf(Gen.zip(wordGen, Gen.choose(1L, 20L))), n = 40) { wf =>
+      val counts = wf.groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }.toSeq
+        .sortBy(p => (-p._2, p._1))
+      val model = Unigram.trainFromCounts(counts,
+        Unigram.Config(targetVocab = 30, seedSize = 60, maxPieceLen = 4))
+      counts.foreach { case (w, _) =>
+        val pieces = Unigram.viterbiEncode(w, model)
+        assert(pieces.nonEmpty && pieces.mkString("") == w, s"word $w → $pieces")
+      }
+    }
+  }
 }
