@@ -423,6 +423,29 @@ object Curation {
     df.filter(substring(md5(concat(lit(salt), col(keyCol).cast("string"))), 1, 8)
       < lit(hexBoundary(rate)))
 
+  /**
+   * Reproducible global shuffle — the training-order primitive: every
+   * epoch's data order must be random-looking yet identical across
+   * re-runs (a restarted job must not reorder examples). Each row gets a
+   * shard (`hash % numShards`) and a dense 0-based position within its
+   * shard by md5 order — change `salt` to get an independent
+   * permutation (one salt per epoch).
+   *
+   * Scale: ONE hash shuffle (partition by shard) and a per-shard sort —
+   * no global sort, no single-partition window; shards are the write
+   * granularity, so numShards tracks the target file count at 100 TB.
+   */
+  def deterministicShuffle(df: DataFrame, keyCol: String, numShards: Int,
+      salt: String = "graft"): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    import org.apache.spark.sql.expressions.Window
+    val draw = md5(concat(lit(salt), col(keyCol).cast("string")))
+    df.withColumn("shard", (graft.pipeline.Dedup.baseHash60(
+        concat(lit(salt), col(keyCol).cast("string"))) % numShards).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(draw, col(keyCol).cast("string"))) - 1)
+  }
+
   /** Per-stratum deterministic sampling (training-mix construction): each
     * stratum value gets its own rate; unlisted strata get `defaultRate`.
     * Same md5 mechanics as `deterministicSample`, one codegen'd filter. */

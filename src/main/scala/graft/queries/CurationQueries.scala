@@ -627,6 +627,25 @@ object CurationQueries {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // reproducible global shuffle: shard + dense in-shard position by md5
+    // order — the per-epoch training-order primitive (salt = epoch).
+    // One hash shuffle + per-shard sort; no global sort anywhere
+    "q_global_shuffle" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Curation.deterministicShuffle(t(s, dir, "documents"), "doc_id", numShards = 8)
+          .select($"doc_id", $"shard", $"pos").orderBy($"doc_id")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    ('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
+             |    md5('graft' || CAST(doc_id AS VARCHAR)) AS draw
+             |  FROM documents)
+             |SELECT doc_id, CAST(shard AS INT) AS shard,
+             |  CAST(row_number() OVER (PARTITION BY shard
+             |    ORDER BY draw, CAST(doc_id AS VARCHAR)) - 1 AS INT) AS pos
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
     // keep-BEST policy: each near-dup cluster keeps its longest member
     // (n_chars score), not its smallest id — the curation choice when
     // copies differ in completeness

@@ -371,4 +371,28 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       (1L, 1, 1), (2L, 1, 0), (3L, 2, 1), (4L, 0, 0), (5L, 1, 1)))
   }
+
+  test("deterministicShuffle: dense per-shard positions, salt-keyed permutation") {
+    val df = (0L until 200L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val a = Curation.deterministicShuffle(df, "id", numShards = 4)
+      .select($"id", $"shard", $"pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // positions within each shard are exactly 0..n-1
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0 until rows.length).toSeq, s"shard $shard")
+    }
+    // stable under repartitioning (the reproducibility contract)
+    val b = Curation.deterministicShuffle(df.repartition(7), "id", numShards = 4)
+      .select($"id", $"shard", $"pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    // a different salt (epoch) produces a different permutation
+    val c = Curation.deterministicShuffle(df, "id", numShards = 4, salt = "epoch2")
+      .select($"id", $"shard", $"pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(c.sortBy(_._1).toSeq != a.sortBy(_._1).toSeq)
+    // and the order within a shard is not the insertion order (it shuffles)
+    val shard0 = a.filter(_._2 == a(0)._2).sortBy(_._3).map(_._1).toSeq
+    assert(shard0 != shard0.sorted)
+  }
 }
