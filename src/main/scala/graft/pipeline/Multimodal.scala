@@ -23,17 +23,31 @@ case class MediaFeatures(
  * Multimodal column plumbing: image/audio/video as opaque `binary` columns
  * with typed metadata, processed batch-wise in `mapPartitions`.
  *
- * The decode step is a DETERMINISTIC STUB (this container has no
- * image/audio codecs): `decodeStub` derives a fixed-size feature vector
- * from the payload bytes. The Spark-side contract — schema, partition-wise
- * batching, feature shape, join-back pattern — is real and tested; swap
- * `decodeStub` for a JNI/codec call in production.
+ * The decode step is REAL for the formats a bare JVM can parse — BMP
+ * (24-bit BI_RGB) and WAV (PCM16) via [[MediaCodecs]]: actual pixels /
+ * samples → actual image/audio statistics, and resize/frame-sampling
+ * that emit VALID files of the same format. Payloads in any other
+ * format (JPEG/MP4/… need codecs this container doesn't ship) fall
+ * back to `decodeStub`, a deterministic byte-hash feature vector that
+ * keeps the Spark-side contract — schema, partition-wise batching,
+ * feature shape, join-back pattern — exercised end-to-end.
  */
 object Multimodal {
 
   val FeatureDim = 16
 
-  /** STUB: stands in for image decode + model feature extraction. */
+  /** Format-sniffing decode: real BMP/WAV feature extraction, stub for
+    * opaque payloads. One decoder-dispatch per row, no per-row library
+    * init (that belongs once-per-partition in the mapPartitions callers). */
+  def decode(payload: Array[Byte]): Array[Float] =
+    if (MediaCodecs.isBmp(payload))
+      MediaCodecs.decodeBmp(payload).map(MediaCodecs.bmpFeatures).getOrElse(decodeStub(payload))
+    else if (MediaCodecs.isWav(payload))
+      MediaCodecs.decodeWav(payload).map(MediaCodecs.wavFeatures).getOrElse(decodeStub(payload))
+    else decodeStub(payload)
+
+  /** STUB: stands in for decode + feature extraction of formats that
+    * need codecs this container doesn't ship. */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
     var h = 1125899906842597L
@@ -49,49 +63,125 @@ object Multimodal {
   }
 
   /** Batch feature extraction over the binary column; one decoder init per
-    * partition (the expensive part in a real codec), then row streaming. */
+    * partition (the expensive part in a real codec), then row streaming.
+    * Dispatches to the REAL BMP/WAV decoders, stub otherwise. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // real impl: initialize decoder/model once per partition here
+      // real impl: initialize heavyweight codecs/models once per partition here
       it.map { m =>
-        MediaFeatures(m.mediaId, m.kind, m.payload.length, decodeStub(m.payload))
+        MediaFeatures(m.mediaId, m.kind, m.payload.length, decode(m.payload))
       }
     }
   }
 
-  /** Frame sampling plumbing for video-like payloads: split the payload
-    * into `n` evenly spaced "frames" (stub: byte slices) and emit one row
-    * per frame — the explode-shape a real frame sampler produces. */
+  /** Frame sampling: split each payload into `n` evenly spaced segments
+    * and emit one row per segment — the explode-shape a real frame
+    * sampler produces. WAV payloads get REAL sample-aligned slices,
+    * each re-wrapped as a valid standalone WAV (so downstream decode
+    * works on every frame); opaque payloads get byte slices + stub. */
   def sampleFrames(media: Dataset[MediaRow], n: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
-      val step = math.max(1, m.payload.length / n)
-      (0 until n).iterator.map { i =>
-        val start = math.min(i.toLong * step, math.max(0, m.payload.length - 1)).toInt
-        val end = math.min(start + step, m.payload.length)
-        val slice = java.util.Arrays.copyOfRange(m.payload, start, end)
-        (m.mediaId, i, slice.length, decodeStub(slice))
+      MediaCodecs.decodeWav(m.payload) match {
+        case Some(wav) =>
+          (0 until n).iterator.map { i =>
+            val bytes = MediaCodecs.encodeWav(MediaCodecs.sliceWav(wav, i, n))
+            (m.mediaId, i, bytes.length, decode(bytes))
+          }
+        case None =>
+          val step = math.max(1, m.payload.length / n)
+          (0 until n).iterator.map { i =>
+            val start = math.min(i.toLong * step, math.max(0, m.payload.length - 1)).toInt
+            val end = math.min(start + step, m.payload.length)
+            val slice = java.util.Arrays.copyOfRange(m.payload, start, end)
+            (m.mediaId, i, slice.length, decodeStub(slice))
+          }
       }
     }.toDF("mediaId", "frame", "n_bytes", "features")
   }
 
-  /** Resize plumbing: payload transformed to the new dimensions' byte
-    * budget with metadata updated in the same pass (stub: proportional
-    * truncate/keep — a real impl calls the codec's scaler). Composes with
-    * extractFeatures/sampleFrames downstream. */
+  /** Resize: BMP payloads get a REAL nearest-neighbor resample (the
+    * output is a valid BMP at the new dimensions); opaque payloads keep
+    * the proportional byte-budget stub so the pipeline shape is
+    * exercised for every format. Composes with extractFeatures /
+    * sampleFrames downstream. */
   def resize(media: Dataset[MediaRow], newWidth: Int, newHeight: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { m =>
-      // Long arithmetic: 65536x65536 overflows Int to 0 and would truncate
-      // every payload to one byte
-      val oldArea = math.max(1L, m.width.toLong * m.height)
-      val targetLen = math.max(1L,
-        m.payload.length.toLong * (newWidth.toLong * newHeight) / oldArea).toInt
-      m.copy(
-        payload = java.util.Arrays.copyOf(m.payload, targetLen),
-        width = newWidth, height = newHeight)
+      MediaCodecs.decodeBmp(m.payload) match {
+        case Some(img) =>
+          m.copy(
+            payload = MediaCodecs.encodeBmp(MediaCodecs.resizeBmp(img, newWidth, newHeight)),
+            width = newWidth, height = newHeight)
+        case None =>
+          // Long arithmetic: 65536x65536 overflows Int to 0 and would
+          // truncate every payload to one byte
+          val oldArea = math.max(1L, m.width.toLong * m.height)
+          val targetLen = math.max(1L,
+            m.payload.length.toLong * (newWidth.toLong * newHeight) / oldArea).toInt
+          m.copy(
+            payload = java.util.Arrays.copyOf(m.payload, targetLen),
+            width = newWidth, height = newHeight)
+      }
     }
+  }
+
+  /**
+   * Deterministic REAL-media fixture from a text table: even ids become
+   * valid BMPs (arithmetic-derived pixels), odd ids valid PCM16 WAVs
+   * (square-wave samples). Dimensions/sample counts are closed-form in
+   * (id, codepoint-length of text) — so a SQL oracle can verify the
+   * serialized sizes AND the decoded header fields round-tripped by the
+   * real decoders, while specs pin the pixel/sample statistics.
+   */
+  def realMediaFromText(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val len = text.codePointCount(0, text.length) // = DuckDB len()
+        if (id % 2 == 0) {
+          val w = 4 + (len % 8); val h = 3 + (len % 5)
+          val rgb = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val o = (y * w + x) * 3
+              rgb(o) = ((x * 7 + y * 13 + id) % 256).toByte
+              rgb(o + 1) = ((x * 3 + y * 11 + len) % 256).toByte
+              rgb(o + 2) = ((x * 5 + y * 17) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          MediaRow(id, "image", MediaCodecs.encodeBmp(MediaCodecs.Bmp(w, h, rgb)),
+            w, h, 0)
+        } else {
+          val ns = 64 + (len % 128)
+          val samples = Array.tabulate(ns)(i =>
+            (if ((i / 4) % 2 == 0) 8000 else -8000).toShort) // square wave, period 8
+          MediaRow(id, "audio", MediaCodecs.encodeWav(MediaCodecs.Wav(8000, 1, samples)),
+            0, 0, 8000)
+        }
+      }
+  }
+
+  /** Round-trip summary through the REAL decoders: for each payload, the
+    * header fields the decoder actually parsed back — (width, height)
+    * for BMP, (sampleRate, nSamples) for WAV; -1/-1 when only the stub
+    * path applies. Integer-exact, so a SQL oracle can replay it. */
+  def realDecodeSummary(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val (a, b) = MediaCodecs.decodeBmp(m.payload)
+        .map(img => (img.width, img.height))
+        .orElse(MediaCodecs.decodeWav(m.payload)
+          .map(w => (w.sampleRateHz, w.samples.length)))
+        .getOrElse((-1, -1))
+      (m.mediaId, m.kind, m.payload.length, a, b)
+    }.toDF("media_id", "kind", "n_bytes", "decoded_a", "decoded_b")
   }
 
   /** Build a deterministic media table from any text table (test fixture:

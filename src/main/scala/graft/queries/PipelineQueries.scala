@@ -905,6 +905,34 @@ object PipelineQueries {
              |  16 AS feature_dim
              |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // REAL decode round-trip: valid BMP/WAV payloads built with
+    // closed-form dimensions, parsed back by the pure-JVM decoders
+    // (MediaCodecs); the oracle replays sizes AND the decoded header
+    // fields from the same closed forms — an actual cross-engine check
+    // that the codec paths parse what they serialize
+    "q_multimodal_real_decode" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.realDecodeSummary(Multimodal.realMediaFromText(
+            t(s, dir, "documents").filter($"doc_id" < 200), "doc_id", "text"))
+          .orderBy($"media_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, len(text) AS l FROM documents WHERE doc_id < 200),
+             |calc AS (
+             |  SELECT doc_id,
+             |    doc_id % 2 = 0 AS is_img,
+             |    4 + (l % 8) AS w, 3 + (l % 5) AS h,
+             |    64 + (l % 128) AS ns
+             |  FROM m)
+             |SELECT doc_id AS media_id,
+             |  CASE WHEN is_img THEN 'image' ELSE 'audio' END AS kind,
+             |  CAST(CASE WHEN is_img THEN 54 + ((w * 3 + 3) // 4 * 4) * h
+             |       ELSE 44 + 2 * ns END AS INT) AS n_bytes,
+             |  CAST(CASE WHEN is_img THEN w ELSE 8000 END AS INT) AS decoded_a,
+             |  CAST(CASE WHEN is_img THEN h ELSE ns END AS INT) AS decoded_b
+             |FROM calc ORDER BY media_id""".stripMargin)),
+
     // the frame-slice arithmetic (step = max(1, len/n); start = min(i·step,
     // max(0, len−1)); bytes = min(start+step, len) − start) is integer math
     // DuckDB can mirror exactly
