@@ -148,6 +148,141 @@ object MediaCodecs {
     out
   }
 
+  // ---------- PNG: 8-bit RGB/RGBA, non-interlaced ----------
+  // zlib lives in the JVM (java.util.zip), so PNG needs no native codec
+  // either: chunk parse + inflate + per-row defilter (the five filter
+  // types of the spec). Decoded images reuse [[Bmp]] as the in-memory
+  // RGB representation, so features/resize compose unchanged.
+
+  private val PngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  def isPng(payload: Array[Byte]): Boolean =
+    payload.length >= 8 && payload.take(8).sameElements(PngSig)
+
+  /** serialize RGB as a minimal valid PNG: IHDR + one IDAT (deflate of
+    * filter-type-0 rows) + IEND, CRCs included */
+  def encodePng(img: Bmp): Array[Byte] = {
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(tag.getBytes("US-ASCII")); crc.update(body)
+      val out = ByteBuffer.allocate(12 + body.length) // length + tag + body + crc
+      out.putInt(body.length).put(tag.getBytes("US-ASCII")).put(body)
+        .putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(img.width).putInt(img.height)
+      .put(8.toByte).put(2.toByte) // bit depth 8, color type 2 (RGB)
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+      .array()
+    val raw = new Array[Byte]((img.width * 3 + 1) * img.height)
+    var y = 0
+    while (y < img.height) {
+      val base = y * (img.width * 3 + 1)
+      raw(base) = 0 // filter type None
+      System.arraycopy(img.rgb, y * img.width * 3, raw, base + 1, img.width * 3)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val outBytes = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      outBytes.write(buf, 0, n)
+    }
+    deflater.end()
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", outBytes.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** decode non-interlaced 8-bit RGB or RGBA PNG (alpha dropped);
+    * None for anything else or malformed input */
+  def decodePng(payload: Array[Byte]): Option[Bmp] = {
+    if (!isPng(payload)) return None
+    try {
+      val in = ByteBuffer.wrap(payload) // PNG ints are big-endian (default)
+      var pos = 8
+      var width = 0; var height = 0; var colorType = -1; var ok = true
+      val idat = new java.io.ByteArrayOutputStream()
+      while (pos + 8 <= payload.length) {
+        val len = in.getInt(pos)
+        if (len < 0 || pos + 12L + len > payload.length) return None
+        val tag = new String(payload, pos + 4, 4, "US-ASCII")
+        tag match {
+          case "IHDR" =>
+            width = in.getInt(pos + 8)
+            height = in.getInt(pos + 12)
+            val bitDepth = payload(pos + 16)
+            colorType = payload(pos + 17)
+            val interlace = payload(pos + 20)
+            ok = bitDepth == 8 && (colorType == 2 || colorType == 6) && interlace == 0
+          case "IDAT" => idat.write(payload, pos + 8, len)
+          case _ => // PLTE/tEXt/… skipped; IEND ends below via loop bound
+        }
+        pos += 12 + len
+      }
+      if (!ok || width <= 0 || height <= 0 || idat.size == 0) return None
+      val bpp = if (colorType == 6) 4 else 3
+      val stride = width * bpp
+      val raw = new Array[Byte]((stride + 1) * height)
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(idat.toByteArray)
+      var off = 0
+      while (!inflater.finished() && off < raw.length) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        off += n
+      }
+      inflater.end()
+      if (off != raw.length) return None
+      // defilter in place into `img` (spec §9: None/Sub/Up/Average/Paeth)
+      val img = new Array[Byte](stride * height)
+      def paeth(a: Int, b: Int, c: Int): Int = {
+        val p = a + b - c
+        val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+      }
+      var y = 0
+      while (y < height) {
+        val filter = raw(y * (stride + 1)) & 0xff
+        val rowIn = y * (stride + 1) + 1
+        val rowOut = y * stride
+        var x = 0
+        while (x < stride) {
+          val cur = raw(rowIn + x) & 0xff
+          val left = if (x >= bpp) img(rowOut + x - bpp) & 0xff else 0
+          val up = if (y > 0) img(rowOut - stride + x) & 0xff else 0
+          val ul = if (y > 0 && x >= bpp) img(rowOut - stride + x - bpp) & 0xff else 0
+          val v = filter match {
+            case 0 => cur
+            case 1 => cur + left
+            case 2 => cur + up
+            case 3 => cur + (left + up) / 2
+            case 4 => cur + paeth(left, up, ul)
+            case _ => return None
+          }
+          img(rowOut + x) = (v & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      // drop alpha if present
+      val rgb =
+        if (bpp == 3) img
+        else {
+          val o = new Array[Byte](width * height * 3)
+          var i = 0
+          while (i < width * height) {
+            o(i * 3) = img(i * 4); o(i * 3 + 1) = img(i * 4 + 1); o(i * 3 + 2) = img(i * 4 + 2)
+            i += 1
+          }
+          o
+        }
+      Some(Bmp(width, height, rgb))
+    } catch { case _: Exception => None }
+  }
+
   // ---------- WAV: RIFF/WAVE, 16-bit PCM ----------
 
   case class Wav(sampleRateHz: Int, channels: Int, samples: Array[Short])

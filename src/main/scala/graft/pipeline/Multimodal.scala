@@ -42,6 +42,8 @@ object Multimodal {
   def decode(payload: Array[Byte]): Array[Float] =
     if (MediaCodecs.isBmp(payload))
       MediaCodecs.decodeBmp(payload).map(MediaCodecs.bmpFeatures).getOrElse(decodeStub(payload))
+    else if (MediaCodecs.isPng(payload))
+      MediaCodecs.decodePng(payload).map(MediaCodecs.bmpFeatures).getOrElse(decodeStub(payload))
     else if (MediaCodecs.isWav(payload))
       MediaCodecs.decodeWav(payload).map(MediaCodecs.wavFeatures).getOrElse(decodeStub(payload))
     else decodeStub(payload)
@@ -109,11 +111,15 @@ object Multimodal {
   def resize(media: Dataset[MediaRow], newWidth: Int, newHeight: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { m =>
-      MediaCodecs.decodeBmp(m.payload) match {
-        case Some(img) =>
-          m.copy(
-            payload = MediaCodecs.encodeBmp(MediaCodecs.resizeBmp(img, newWidth, newHeight)),
-            width = newWidth, height = newHeight)
+      // real resample, re-encoded in the SAME container format
+      val real =
+        MediaCodecs.decodeBmp(m.payload)
+          .map(img => MediaCodecs.encodeBmp(MediaCodecs.resizeBmp(img, newWidth, newHeight)))
+          .orElse(MediaCodecs.decodePng(m.payload)
+            .map(img => MediaCodecs.encodePng(MediaCodecs.resizeBmp(img, newWidth, newHeight))))
+      real match {
+        case Some(bytes) =>
+          m.copy(payload = bytes, width = newWidth, height = newHeight)
         case None =>
           // Long arithmetic: 65536x65536 overflows Int to 0 and would
           // truncate every payload to one byte
@@ -156,8 +162,13 @@ object Multimodal {
             }
             y += 1
           }
-          MediaRow(id, "image", MediaCodecs.encodeBmp(MediaCodecs.Bmp(w, h, rgb)),
-            w, h, 0)
+          val img = MediaCodecs.Bmp(w, h, rgb)
+          // alternate the container: ids ≡ 0 (mod 4) ship BMP, ≡ 2 ship
+          // PNG — same pixels, both real-decoded back
+          if (id % 4 == 0)
+            MediaRow(id, "image", MediaCodecs.encodeBmp(img), w, h, 0)
+          else
+            MediaRow(id, "image_png", MediaCodecs.encodePng(img), w, h, 0)
         } else {
           val ns = 64 + (len % 128)
           val samples = Array.tabulate(ns)(i =>
@@ -170,17 +181,21 @@ object Multimodal {
 
   /** Round-trip summary through the REAL decoders: for each payload, the
     * header fields the decoder actually parsed back — (width, height)
-    * for BMP, (sampleRate, nSamples) for WAV; -1/-1 when only the stub
-    * path applies. Integer-exact, so a SQL oracle can replay it. */
+    * for BMP/PNG, (sampleRate, nSamples) for WAV; -1/-1 when only the
+    * stub path applies. Integer-exact, so a SQL oracle can replay it.
+    * PNG rows report n_bytes = -1: the deflate stream's length is
+    * encoder-dependent and not part of the format contract. */
   def realDecodeSummary(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.map { m =>
       val (a, b) = MediaCodecs.decodeBmp(m.payload)
+        .orElse(MediaCodecs.decodePng(m.payload))
         .map(img => (img.width, img.height))
         .orElse(MediaCodecs.decodeWav(m.payload)
           .map(w => (w.sampleRateHz, w.samples.length)))
         .getOrElse((-1, -1))
-      (m.mediaId, m.kind, m.payload.length, a, b)
+      val nBytes = if (MediaCodecs.isPng(m.payload)) -1 else m.payload.length
+      (m.mediaId, m.kind, nBytes, a, b)
     }.toDF("media_id", "kind", "n_bytes", "decoded_a", "decoded_b")
   }
 

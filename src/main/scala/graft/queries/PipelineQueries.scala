@@ -922,12 +922,15 @@ object PipelineQueries {
              |calc AS (
              |  SELECT doc_id,
              |    doc_id % 2 = 0 AS is_img,
+             |    doc_id % 4 = 2 AS is_png,
              |    4 + (l % 8) AS w, 3 + (l % 5) AS h,
              |    64 + (l % 128) AS ns
              |  FROM m)
              |SELECT doc_id AS media_id,
-             |  CASE WHEN is_img THEN 'image' ELSE 'audio' END AS kind,
-             |  CAST(CASE WHEN is_img THEN 54 + ((w * 3 + 3) // 4 * 4) * h
+             |  CASE WHEN is_png THEN 'image_png'
+             |       WHEN is_img THEN 'image' ELSE 'audio' END AS kind,
+             |  CAST(CASE WHEN is_png THEN -1
+             |       WHEN is_img THEN 54 + ((w * 3 + 3) // 4 * 4) * h
              |       ELSE 44 + 2 * ns END AS INT) AS n_bytes,
              |  CAST(CASE WHEN is_img THEN w ELSE 8000 END AS INT) AS decoded_a,
              |  CAST(CASE WHEN is_img THEN h ELSE ns END AS INT) AS decoded_b

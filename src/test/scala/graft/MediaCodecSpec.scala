@@ -59,6 +59,91 @@ class MediaCodecSpec extends SparkSpec {
     assert(MediaCodecs.decodeBmp(bpp8).isEmpty)
   }
 
+  test("png encode→decode is bit-exact (zlib round-trip + chunk CRCs)") {
+    for ((w, h) <- Seq((1, 1), (3, 2), (7, 5))) {
+      val img = Bmp(w, h, randRgb(w, h, seed = w * 17 + h))
+      val bytes = MediaCodecs.encodePng(img)
+      assert(MediaCodecs.isPng(bytes))
+      val back = MediaCodecs.decodePng(bytes)
+      assert(back.get.width == w && back.get.height == h)
+      assert(back.get.rgb.toSeq == img.rgb.toSeq, s"w=$w h=$h")
+    }
+  }
+
+  test("png defilter inverts every spec filter type (Sub/Up/Average/Paeth)") {
+    // build a PNG whose rows use filters 1..4: apply the spec's forward
+    // filter in the test, the decoder must invert it back to the pixels
+    val w = 5; val h = 4; val bpp = 3; val stride = w * bpp
+    val img = Bmp(w, h, randRgb(w, h, seed = 99))
+    def px(y: Int, x: Int): Int = img.rgb(y * stride + x) & 0xff
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val raw = new Array[Byte]((stride + 1) * h)
+    for (y <- 0 until h) {
+      val f = y % 4 + 1 // 1=Sub 2=Up 3=Average 4=Paeth
+      raw(y * (stride + 1)) = f.toByte
+      for (x <- 0 until stride) {
+        val left = if (x >= bpp) px(y, x - bpp) else 0
+        val up = if (y > 0) px(y - 1, x) else 0
+        val ul = if (y > 0 && x >= bpp) px(y - 1, x - bpp) else 0
+        val pred = f match {
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        raw(y * (stride + 1) + 1 + x) = ((px(y, x) - pred) & 0xff).toByte
+      }
+    }
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(tag.getBytes); crc.update(body)
+      java.nio.ByteBuffer.allocate(12 + body.length)
+        .putInt(body.length).put(tag.getBytes).put(body).putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val os = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) os.write(buf, 0, d.deflate(buf))
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val png = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", os.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+    assert(MediaCodecs.decodePng(png).get.rgb.toSeq == img.rgb.toSeq)
+  }
+
+  test("png rgba decode drops alpha; malformed png rejected") {
+    // craft a 2x1 RGBA png (color type 6) with filter 0 rows
+    val w = 2; val h = 1
+    val rgba = Array[Byte](10, 20, 30, 127.toByte, 40, 50, 60, 255.toByte)
+    val raw = Array[Byte](0) ++ rgba
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(tag.getBytes); crc.update(body)
+      java.nio.ByteBuffer.allocate(12 + body.length)
+        .putInt(body.length).put(tag.getBytes).put(body).putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+    val buf = new Array[Byte](256); val os = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) os.write(buf, 0, d.deflate(buf))
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val png = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", os.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+    assert(MediaCodecs.decodePng(png).get.rgb.toSeq ==
+      Seq[Byte](10, 20, 30, 40, 50, 60))
+    // truncated IDAT → rejected
+    assert(MediaCodecs.decodePng(png.take(png.length - 20)).isEmpty)
+    // 16-bit depth → rejected
+    val deep = png.clone; deep(8 + 8 + 8) = 16
+    assert(MediaCodecs.decodePng(deep).isEmpty)
+  }
+
   test("wav encode→decode is bit-exact and chunk walking skips LIST") {
     val rng = new java.util.Random(3)
     val samples = Array.fill(200)((rng.nextInt(65536) - 32768).toShort)
@@ -117,12 +202,17 @@ class MediaCodecSpec extends SparkSpec {
   }
 
   test("resize and sampleFrames take the real paths on real media") {
-    val docs = Seq((0L, "an image doc"), (1L, "an audio doc")).toDF("doc_id", "text")
+    val docs = Seq((0L, "an image doc"), (1L, "an audio doc"),
+      (2L, "a png image doc")).toDF("doc_id", "text")
     val media = Multimodal.realMediaFromText(docs, "doc_id", "text")
     val resized = Multimodal.resize(media, 2, 2).collect()
     val img = resized.find(_.kind == "image").get
     val back = MediaCodecs.decodeBmp(img.payload)
     assert(back.get.width == 2 && back.get.height == 2) // valid BMP at new dims
+    val png = resized.find(_.kind == "image_png").get
+    assert(MediaCodecs.isPng(png.payload)) // container format preserved
+    val pback = MediaCodecs.decodePng(png.payload)
+    assert(pback.get.width == 2 && pback.get.height == 2)
     val frames = Multimodal.sampleFrames(media.filter(_.kind == "audio"), 4)
       .select($"features").collect()
     // every audio frame is a valid standalone WAV → real audio features
