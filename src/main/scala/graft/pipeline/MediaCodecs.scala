@@ -283,6 +283,147 @@ object MediaCodecs {
     } catch { case _: Exception => None }
   }
 
+  // ---------- Y4M (YUV4MPEG2): uncompressed 4:2:0 video ----------
+  // The one mainstream VIDEO container with no compression at all: a
+  // text header + raw planar YUV frames (mplayer/ffmpeg's interchange
+  // format). Pure parsing + BT.601 full-range color math — so the
+  // "video" kind gets a real decode path too. Frames reuse [[Bmp]] as
+  // the in-memory RGB representation.
+
+  case class Y4m(width: Int, height: Int, frames: Seq[Bmp]) {
+    require(width % 2 == 0 && height % 2 == 0, s"4:2:0 needs even dims: $width x $height")
+    require(frames.forall(f => f.width == width && f.height == height))
+  }
+
+  def isY4m(payload: Array[Byte]): Boolean =
+    payload.length >= 10 &&
+      new String(payload, 0, 10, "US-ASCII") == "YUV4MPEG2 "
+
+  private def clamp(v: Double): Byte =
+    math.max(0, math.min(255, math.round(v))).toByte
+
+  /** RGB frame → (Y, U, V) planes, BT.601 full-range, 2x2 chroma mean */
+  private def toYuv420(f: Bmp): (Array[Byte], Array[Byte], Array[Byte]) = {
+    val w = f.width; val h = f.height
+    val yP = new Array[Byte](w * h)
+    val uF = new Array[Double](w * h); val vF = new Array[Double](w * h)
+    var i = 0
+    while (i < w * h) {
+      val r = f.rgb(i * 3) & 0xff; val g = f.rgb(i * 3 + 1) & 0xff; val b = f.rgb(i * 3 + 2) & 0xff
+      yP(i) = clamp(0.299 * r + 0.587 * g + 0.114 * b)
+      uF(i) = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+      vF(i) = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+      i += 1
+    }
+    val uP = new Array[Byte](w / 2 * (h / 2)); val vP = new Array[Byte](uP.length)
+    var cy = 0
+    while (cy < h / 2) {
+      var cx = 0
+      while (cx < w / 2) {
+        val a = 2 * cy * w + 2 * cx
+        val u4 = (uF(a) + uF(a + 1) + uF(a + w) + uF(a + w + 1)) / 4.0
+        val v4 = (vF(a) + vF(a + 1) + vF(a + w) + vF(a + w + 1)) / 4.0
+        uP(cy * (w / 2) + cx) = clamp(u4); vP(cy * (w / 2) + cx) = clamp(v4)
+        cx += 1
+      }
+      cy += 1
+    }
+    (yP, uP, vP)
+  }
+
+  def encodeY4m(video: Y4m, fpsNum: Int = 25, fpsDen: Int = 1): Array[Byte] = {
+    val header =
+      s"YUV4MPEG2 W${video.width} H${video.height} F$fpsNum:$fpsDen Ip A1:1 C420jpeg\n"
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(header.getBytes("US-ASCII"))
+    video.frames.foreach { f =>
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      val (y, u, v) = toYuv420(f)
+      out.write(y); out.write(u); out.write(v)
+    }
+    out.toByteArray
+  }
+
+  /** decode YUV4MPEG2 C420 (any 420 chroma tag); None otherwise */
+  def decodeY4m(payload: Array[Byte]): Option[Y4m] = {
+    if (!isY4m(payload)) return None
+    try {
+      val nl = payload.indexOf('\n'.toByte)
+      if (nl < 0) return None
+      val tokens = new String(payload, 0, nl, "US-ASCII").split(" ")
+      var w = 0; var h = 0
+      tokens.iterator.drop(1).foreach { t =>
+        if (t.startsWith("W")) w = t.tail.toInt
+        else if (t.startsWith("H")) h = t.tail.toInt
+        else if (t.startsWith("C") && !t.startsWith("C420")) return None
+      }
+      if (w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0) return None
+      val frameBytes = w * h + 2 * (w / 2) * (h / 2)
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Bmp]
+      var pos = nl + 1
+      while (pos < payload.length) {
+        val fnl = payload.indexOf('\n'.toByte, pos)
+        if (fnl < 0 || !new String(payload, pos, 5, "US-ASCII").equals("FRAME")) return None
+        var p = fnl + 1
+        if (p + frameBytes > payload.length) return None
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          val yy = payload(p + i) & 0xff
+          val ci = (i / w / 2) * (w / 2) + (i % w) / 2
+          val u = (payload(p + w * h + ci) & 0xff) - 128
+          val v = (payload(p + w * h + (w / 2) * (h / 2) + ci) & 0xff) - 128
+          rgb(i * 3) = clamp(yy + 1.402 * v)
+          rgb(i * 3 + 1) = clamp(yy - 0.344136 * u - 0.714136 * v)
+          rgb(i * 3 + 2) = clamp(yy + 1.772 * u)
+          i += 1
+        }
+        frames += Bmp(w, h, rgb)
+        pos = p + frameBytes
+      }
+      if (frames.isEmpty) None else Some(Y4m(w, h, frames.toSeq))
+    } catch { case _: Exception => None }
+  }
+
+  /** 16-dim video features: dimensions, frame count, luma statistics,
+    * inter-frame MOTION (mean |ΔY| between consecutive frames — the
+    * signal a video-quality filter gates on); f15 = 3 marks video. */
+  def y4mFeatures(video: Y4m): Array[Float] = {
+    val w = video.width; val h = video.height; val n = w * h
+    def luma(f: Bmp): Array[Double] = Array.tabulate(n) { i =>
+      0.299 * (f.rgb(i * 3) & 0xff) + 0.587 * (f.rgb(i * 3 + 1) & 0xff) +
+        0.114 * (f.rgb(i * 3 + 2) & 0xff)
+    }
+    val lumas = video.frames.map(luma)
+    var sum = 0.0; var sum2 = 0.0
+    val hist = new Array[Long](8)
+    lumas.foreach(_.foreach { l =>
+      sum += l; sum2 += l * l; hist((l / 32.0).toInt.min(7)) += 1
+    })
+    val total = (n * video.frames.length).toDouble
+    val mean = sum / total
+    val variance = math.max(0.0, sum2 / total - mean * mean)
+    val motion =
+      if (lumas.length < 2) 0.0
+      else lumas.sliding(2).map { case Seq(a, b) =>
+        var d = 0.0; var i = 0
+        while (i < n) { d += math.abs(b(i) - a(i)); i += 1 }
+        d / n
+      }.sum / (lumas.length - 1)
+    val out = new Array[Float](Multimodal.FeatureDim)
+    out(0) = w / 1024f
+    out(1) = h / 1024f
+    out(2) = video.frames.length / 100f
+    out(3) = (mean / 255.0).toFloat
+    out(4) = (motion / 255.0).toFloat
+    out(5) = (math.sqrt(variance) / 255.0).toFloat
+    var i = 0
+    while (i < 8) { out(6 + i) = (hist(i) / total).toFloat; i += 1 }
+    out(14) = (w.toFloat / h) / 8f
+    out(15) = 3f
+    out
+  }
+
   // ---------- WAV: RIFF/WAVE, 16-bit PCM ----------
 
   case class Wav(sampleRateHz: Int, channels: Int, samples: Array[Short])

@@ -46,6 +46,8 @@ object Multimodal {
       MediaCodecs.decodePng(payload).map(MediaCodecs.bmpFeatures).getOrElse(decodeStub(payload))
     else if (MediaCodecs.isWav(payload))
       MediaCodecs.decodeWav(payload).map(MediaCodecs.wavFeatures).getOrElse(decodeStub(payload))
+    else if (MediaCodecs.isY4m(payload))
+      MediaCodecs.decodeY4m(payload).map(MediaCodecs.y4mFeatures).getOrElse(decodeStub(payload))
     else decodeStub(payload)
 
   /** STUB: stands in for decode + feature extraction of formats that
@@ -85,20 +87,32 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRow], n: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
-      MediaCodecs.decodeWav(m.payload) match {
-        case Some(wav) =>
+      MediaCodecs.decodeY4m(m.payload) match {
+        case Some(video) =>
+          // REAL video frame sampling: n evenly spaced frames, each
+          // re-encoded as a standalone PNG — the image-per-frame shape a
+          // vision encoder consumes downstream
+          val step = math.max(1, video.frames.length / n)
           (0 until n).iterator.map { i =>
-            val bytes = MediaCodecs.encodeWav(MediaCodecs.sliceWav(wav, i, n))
+            val idx = math.min(i * step, video.frames.length - 1)
+            val bytes = MediaCodecs.encodePng(video.frames(idx))
             (m.mediaId, i, bytes.length, decode(bytes))
           }
-        case None =>
-          val step = math.max(1, m.payload.length / n)
-          (0 until n).iterator.map { i =>
-            val start = math.min(i.toLong * step, math.max(0, m.payload.length - 1)).toInt
-            val end = math.min(start + step, m.payload.length)
-            val slice = java.util.Arrays.copyOfRange(m.payload, start, end)
-            (m.mediaId, i, slice.length, decodeStub(slice))
-          }
+        case None => MediaCodecs.decodeWav(m.payload) match {
+          case Some(wav) =>
+            (0 until n).iterator.map { i =>
+              val bytes = MediaCodecs.encodeWav(MediaCodecs.sliceWav(wav, i, n))
+              (m.mediaId, i, bytes.length, decode(bytes))
+            }
+          case None =>
+            val step = math.max(1, m.payload.length / n)
+            (0 until n).iterator.map { i =>
+              val start = math.min(i.toLong * step, math.max(0, m.payload.length - 1)).toInt
+              val end = math.min(start + step, m.payload.length)
+              val slice = java.util.Arrays.copyOfRange(m.payload, start, end)
+              (m.mediaId, i, slice.length, decodeStub(slice))
+            }
+        }
       }
     }.toDF("mediaId", "frame", "n_bytes", "features")
   }
@@ -111,12 +125,19 @@ object Multimodal {
   def resize(media: Dataset[MediaRow], newWidth: Int, newHeight: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { m =>
-      // real resample, re-encoded in the SAME container format
+      // real resample, re-encoded in the SAME container format (Y4M
+      // needs even target dims for 4:2:0 — odd targets fall to the stub)
       val real =
         MediaCodecs.decodeBmp(m.payload)
           .map(img => MediaCodecs.encodeBmp(MediaCodecs.resizeBmp(img, newWidth, newHeight)))
           .orElse(MediaCodecs.decodePng(m.payload)
             .map(img => MediaCodecs.encodePng(MediaCodecs.resizeBmp(img, newWidth, newHeight))))
+          .orElse(
+            if (newWidth % 2 == 0 && newHeight % 2 == 0)
+              MediaCodecs.decodeY4m(m.payload).map(v => MediaCodecs.encodeY4m(
+                MediaCodecs.Y4m(newWidth, newHeight,
+                  v.frames.map(MediaCodecs.resizeBmp(_, newWidth, newHeight)))))
+            else None)
       real match {
         case Some(bytes) =>
           m.copy(payload = bytes, width = newWidth, height = newHeight)
@@ -169,12 +190,34 @@ object Multimodal {
             MediaRow(id, "image", MediaCodecs.encodeBmp(img), w, h, 0)
           else
             MediaRow(id, "image_png", MediaCodecs.encodePng(img), w, h, 0)
-        } else {
+        } else if (id % 4 == 1) {
           val ns = 64 + (len % 128)
           val samples = Array.tabulate(ns)(i =>
             (if ((i / 4) % 2 == 0) 8000 else -8000).toShort) // square wave, period 8
           MediaRow(id, "audio", MediaCodecs.encodeWav(MediaCodecs.Wav(8000, 1, samples)),
             0, 0, 8000)
+        } else {
+          // video: even 4:2:0 dims + frame count, all closed-form in len
+          val w = 2 * (2 + (len % 6)); val h = 2 * (2 + (len % 4))
+          val nf = 2 + (len % 3)
+          val frames = (0 until nf).map { f =>
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val o = (y * w + x) * 3
+                rgb(o) = ((x * 11 + y * 5 + f * 29 + id) % 256).toByte
+                rgb(o + 1) = ((x * 13 + y * 7 + f * 31 + len) % 256).toByte
+                rgb(o + 2) = ((x * 17 + y * 3 + f * 37) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            MediaCodecs.Bmp(w, h, rgb)
+          }
+          MediaRow(id, "video", MediaCodecs.encodeY4m(MediaCodecs.Y4m(w, h, frames)),
+            w, h, 0)
         }
       }
   }
@@ -193,6 +236,8 @@ object Multimodal {
         .map(img => (img.width, img.height))
         .orElse(MediaCodecs.decodeWav(m.payload)
           .map(w => (w.sampleRateHz, w.samples.length)))
+        .orElse(MediaCodecs.decodeY4m(m.payload)
+          .map(v => (v.width, v.frames.length)))
         .getOrElse((-1, -1))
       val nBytes = if (MediaCodecs.isPng(m.payload)) -1 else m.payload.length
       (m.mediaId, m.kind, nBytes, a, b)

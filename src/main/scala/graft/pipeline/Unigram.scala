@@ -290,6 +290,25 @@ object Unigram {
       .toDF("piece", "logprob")
   }
 
+  /** Persist the model as one parquet table (piece, logprob) — the
+    * artifact a training pipeline ships; logprobs stored at full
+    * precision so load⟲save is exact. */
+  def saveModel(spark: SparkSession, model: UnigramModel, dir: String): Unit = {
+    import spark.implicits._
+    model.logProbs.toSeq.sortBy(_._1).toDF("piece", "logprob")
+      .write.mode("overwrite").parquet(s"$dir/pieces")
+  }
+
+  /** Load a model persisted by [[saveModel]]. `maxPieceLen` is recovered
+    * from the vocabulary itself (the DP only needs an upper bound on
+    * piece length, and the longest stored piece IS that bound). */
+  def loadModel(spark: SparkSession, dir: String): UnigramModel = {
+    import spark.implicits._
+    val pieces = spark.read.parquet(s"$dir/pieces")
+      .select("piece", "logprob").as[(String, Double)].collect()
+    UnigramModel(pieces.toMap, pieces.iterator.map(_._1.length).max)
+  }
+
   /** Distributed Viterbi encode: (doc_id, tokens, n_tokens) — same
     * scale shape as [[Tokenizer.bpeEncode]] (broadcast model, cached
     * per-partition word→pieces map). */

@@ -920,20 +920,26 @@ object PipelineQueries {
       Some("""WITH m AS (
              |  SELECT doc_id, len(text) AS l FROM documents WHERE doc_id < 200),
              |calc AS (
-             |  SELECT doc_id,
-             |    doc_id % 2 = 0 AS is_img,
-             |    doc_id % 4 = 2 AS is_png,
+             |  SELECT doc_id, doc_id % 4 AS k,
              |    4 + (l % 8) AS w, 3 + (l % 5) AS h,
-             |    64 + (l % 128) AS ns
+             |    64 + (l % 128) AS ns,
+             |    2 * (2 + (l % 6)) AS vw, 2 * (2 + (l % 4)) AS vh,
+             |    2 + (l % 3) AS nf
              |  FROM m)
              |SELECT doc_id AS media_id,
-             |  CASE WHEN is_png THEN 'image_png'
-             |       WHEN is_img THEN 'image' ELSE 'audio' END AS kind,
-             |  CAST(CASE WHEN is_png THEN -1
-             |       WHEN is_img THEN 54 + ((w * 3 + 3) // 4 * 4) * h
-             |       ELSE 44 + 2 * ns END AS INT) AS n_bytes,
-             |  CAST(CASE WHEN is_img THEN w ELSE 8000 END AS INT) AS decoded_a,
-             |  CAST(CASE WHEN is_img THEN h ELSE ns END AS INT) AS decoded_b
+             |  CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |         WHEN 2 THEN 'image_png' ELSE 'video' END AS kind,
+             |  CAST(CASE k
+             |       WHEN 0 THEN 54 + ((w * 3 + 3) // 4 * 4) * h
+             |       WHEN 1 THEN 44 + 2 * ns
+             |       WHEN 2 THEN -1
+             |       ELSE length('YUV4MPEG2 W' || vw || ' H' || vh ||
+             |              ' F25:1 Ip A1:1 C420jpeg') + 1
+             |            + nf * (6 + vw * vh * 3 // 2) END AS INT) AS n_bytes,
+             |  CAST(CASE k WHEN 0 THEN w WHEN 1 THEN 8000
+             |       WHEN 2 THEN w ELSE vw END AS INT) AS decoded_a,
+             |  CAST(CASE k WHEN 0 THEN h WHEN 1 THEN ns
+             |       WHEN 2 THEN h ELSE nf END AS INT) AS decoded_b
              |FROM calc ORDER BY media_id""".stripMargin)),
 
     // the frame-slice arithmetic (step = max(1, len/n); start = min(i·step,

@@ -184,6 +184,46 @@ class MediaCodecSpec extends SparkSpec {
     assert(f(15) == 1f)
   }
 
+  test("y4m encode→decode: header parsed, grayscale round-trips within ±1") {
+    // grayscale frames: U=V=128 exactly, so chroma subsampling is
+    // lossless and Y = pixel value — round-trip error is pure rounding
+    val w = 6; val h = 4
+    val frames = (0 until 3).map { f =>
+      val rgb = new Array[Byte](w * h * 3)
+      for (i <- 0 until w * h; c <- 0 until 3) rgb(i * 3 + c) = ((i * 9 + f * 40) % 256).toByte
+      MediaCodecs.Bmp(w, h, rgb)
+    }
+    val video = MediaCodecs.Y4m(w, h, frames)
+    val back = MediaCodecs.decodeY4m(MediaCodecs.encodeY4m(video))
+    assert(back.get.width == w && back.get.height == h && back.get.frames.length == 3)
+    for (f <- 0 until 3; i <- 0 until w * h * 3) {
+      val a = frames(f).rgb(i) & 0xff; val b = back.get.frames(f).rgb(i) & 0xff
+      assert(math.abs(a - b) <= 1, s"frame $f byte $i: $a vs $b")
+    }
+  }
+
+  test("y4m features: still video has zero motion, moving video does not") {
+    val w = 4; val h = 4
+    def flat(v: Int) = MediaCodecs.Bmp(w, h, Array.fill(w * h * 3)(v.toByte))
+    val still = MediaCodecs.y4mFeatures(MediaCodecs.Y4m(w, h, Seq(flat(100), flat(100))))
+    assert(still(4) == 0f, s"motion ${still(4)}")
+    assert(still(15) == 3f)
+    val moving = MediaCodecs.y4mFeatures(MediaCodecs.Y4m(w, h, Seq(flat(100), flat(200))))
+    assert(moving(4) > 0.3f, s"motion ${moving(4)}") // |ΔY| = 100 → ~0.39
+    assert(math.abs(still(3) - 100f / 255f) < 1e-5)  // mean luma
+  }
+
+  test("malformed y4m rejected: odd dims, bad chroma, truncated frame") {
+    val good = MediaCodecs.encodeY4m(MediaCodecs.Y4m(4, 4,
+      Seq(MediaCodecs.Bmp(4, 4, randRgb(4, 4, 11)))))
+    assert(MediaCodecs.decodeY4m(good).isDefined)
+    assert(MediaCodecs.decodeY4m(good.take(good.length - 5)).isEmpty) // truncated
+    val odd = new String(good.take(30), "US-ASCII").replace("W4", "W5")
+    assert(MediaCodecs.decodeY4m(odd.getBytes ++ good.drop(30)).isEmpty)
+    val c444 = new String(good, "US-ASCII").replace("C420jpeg", "C444mono").getBytes
+    assert(MediaCodecs.decodeY4m(c444).isEmpty)
+  }
+
   test("dispatch: real decoders for bmp/wav, stub for opaque bytes") {
     val bmp = MediaCodecs.encodeBmp(Bmp(3, 2, randRgb(3, 2, 5)))
     val wav = MediaCodecs.encodeWav(Wav(8000, 1, Array.tabulate(64)(_.toShort)))
@@ -217,5 +257,13 @@ class MediaCodecSpec extends SparkSpec {
       .select($"features").collect()
     // every audio frame is a valid standalone WAV → real audio features
     assert(frames.forall(_.getSeq[Float](0)(15) == 2f))
+    // video frames sample to standalone PNGs → real image features
+    val vdocs = Seq((3L, "a moving picture")).toDF("doc_id", "text")
+    val vmedia = Multimodal.realMediaFromText(vdocs, "doc_id", "text")
+    assert(vmedia.collect().head.kind == "video")
+    val vframes = Multimodal.sampleFrames(vmedia, 2).select($"features").collect()
+    assert(vframes.nonEmpty && vframes.forall(_.getSeq[Float](0)(15) == 1f))
+    // and the video payload itself dispatches to the real video features
+    assert(Multimodal.decode(vmedia.collect().head.payload)(15) == 3f)
   }
 }

@@ -77,6 +77,17 @@ class UnigramSpec extends SparkSpec {
     assert(stats >= words, s"tokens $stats < words $words (impossible)")
   }
 
+  test("save/load round-trips the model and encode output exactly") {
+    val cfg = Unigram.Config(targetVocab = 9, seedSize = 50, maxPieceLen = 4)
+    val model = Unigram.train(comboDf, "text", cfg)
+    val dir = java.nio.file.Files.createTempDirectory("unigram_model_spec").toString
+    Unigram.saveModel(spark, model, dir)
+    val loaded = Unigram.loadModel(spark, dir)
+    assert(loaded.logProbs == model.logProbs)
+    assert(Unigram.viterbiEncode("abcdef", loaded) ==
+      Unigram.viterbiEncode("abcdef", model))
+  }
+
   test("chars-only floor: target below alphabet size still terminates") {
     val model = Unigram.trainFromCounts(Seq(("abc", 5L), ("bcd", 3L)),
       Unigram.Config(targetVocab = 2, seedSize = 10, maxPieceLen = 3))
