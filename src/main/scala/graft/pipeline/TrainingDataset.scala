@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * The capstone composition: raw documents → a packed, tokenized training
+ * dataset — every stage an operator this engine already verifies on its
+ * own, chained the way a production data build chains them:
+ *
+ *  1. quality gate ([[Curation.qualityFlags]] `keep`)
+ *  2. exact dedup, keep-smallest-id ([[Dedup.exactDedup]])
+ *  3. deterministic train/val/test split ([[Curation.assignSplits]])
+ *  4. BPE training on the TRAIN split ONLY — tokenizer fitting is a
+ *     form of training, so fitting it on val/test would leak
+ *  5. distributed encode of EVERY split with the train-fitted model
+ *  6. per-split sequence packing to the token budget
+ *     ([[Chunking.packSequences]] over a synthetic one-token-per-word
+ *     text — packing consumes token COUNTS, not text)
+ *
+ * Output: one row per pack — (split, grp, pack, n_docs, pack_tokens).
+ * Corpus-scale stages are all map/hash-agg shaped (each stage's scale
+ * posture is pinned by its own operator's tests); the only driver-side
+ * state is the BPE merge table (model-sized by construction).
+ *
+ * Not SQL-expressible (the tokenizer sits mid-pipeline), so the registry
+ * row is rows-only; TrainingDatasetSpec pins conservation (every kept
+ * doc lands in exactly one pack), budget compliance, leak-freedom (the
+ * model equals one trained on the train split alone), and determinism.
+ */
+object TrainingDataset {
+
+  case class Result(
+      model: Tokenizer.BpeModel,
+      encoded: DataFrame, // (doc_id, split, n_tokens)
+      packs: DataFrame)   // (split, grp, pack, n_docs, pack_tokens)
+
+  def build(docs: DataFrame, idCol: String, textCol: String,
+      tokenBudget: Long = 512L,
+      numMerges: Int = 200,
+      fractions: Seq[(String, Double)] = Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+      numGroups: Int = 4): Result = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val kept = Curation.qualityFlags(docs, textCol).filter($"keep")
+      .select(col(idCol), col(textCol))
+    val keepIds = Dedup.exactDedup(kept, idCol, textCol).select($"keep_id".as(idCol))
+    val deduped = kept.join(keepIds, idCol)
+    val split = Curation.assignSplits(deduped, idCol, fractions)
+
+    val model = Tokenizer.trainBpe(
+      split.filter($"split" === "train"), textCol, numMerges)
+
+    val encoded = Tokenizer.bpeEncode(split, idCol, textCol, model)
+      .join(split.select(col(idCol).cast("long").as("doc_id"), $"split"), "doc_id")
+      .select($"doc_id", $"split", $"n_tokens")
+
+    // packSequences consumes whitespace-token counts; feed it a synthetic
+    // text of exactly n_tokens single-char words so the packer sees the
+    // BPE token count without re-tokenizing (split-prefixed group keys
+    // keep splits in disjoint packs)
+    val packInput = encoded.select(
+      $"doc_id", $"split",
+      expr("repeat('x ', n_tokens)").as("__tok_text"))
+    val packs = fractions.map(_._1).map { s =>
+      Chunking.packSequences(
+          packInput.filter($"split" === s), "doc_id", "__tok_text",
+          tokenBudget, numGroups)
+        .groupBy($"grp", $"pack")
+        .agg(count(lit(1)).as("n_docs"), sum($"tokens").as("pack_tokens"))
+        .select(lit(s).as("split"), $"grp", $"pack", $"n_docs", $"pack_tokens")
+    }.reduce(_.unionByName(_))
+
+    Result(model, encoded, packs)
+  }
+}

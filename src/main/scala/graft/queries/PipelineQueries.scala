@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{Classify, Dedup, LanguageModel, Multimodal, Retrieval, Similarity, TextAnalysis, Tokenizer, Unigram}
+import graft.pipeline.{Classify, Dedup, LanguageModel, Multimodal, Retrieval, Similarity, TextAnalysis, Tokenizer, TrainingDataset, Unigram}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1029,6 +1029,19 @@ object PipelineQueries {
           .select($"doc_id", $"n_tokens",
             aggregate($"token_ids", lit(0L), (a, x) => a + x).as("ids_sum"))
           .orderBy($"doc_id")
+      },
+      None),
+
+    // the capstone composition: quality gate → exact dedup → splits →
+    // BPE fitted on train ONLY → encode all → per-split packing. Not
+    // SQL-expressible (tokenizer mid-pipeline) → rows-only;
+    // TrainingDatasetSpec pins conservation/budget/leak-freedom
+    "q_training_dataset" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        TrainingDataset.build(t(s, dir, "documents"), "doc_id", "text",
+            tokenBudget = 512L, numMerges = 100)
+          .packs.orderBy($"split", $"grp", $"pack")
       },
       None),
 
