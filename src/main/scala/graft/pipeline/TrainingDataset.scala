@@ -58,8 +58,8 @@ object TrainingDataset {
 
     // packSequences consumes whitespace-token counts; feed it a synthetic
     // text of exactly n_tokens single-char words so the packer sees the
-    // BPE token count without re-tokenizing (split-prefixed group keys
-    // keep splits in disjoint packs)
+    // BPE token count without re-tokenizing. Packing runs once per split
+    // (three filtered passes), so splits can never share a pack.
     val packInput = encoded.select(
       $"doc_id", $"split",
       expr("repeat('x ', n_tokens)").as("__tok_text"))
