@@ -172,6 +172,17 @@ object Chunking {
    * 0-based per group, pack_pos is the document's position in its pack.
    */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
+      tokenBudget: Long, numGroups: Int = 8): DataFrame =
+    packSequencesFromCounts(
+      df.withColumn("__pack_tokens",
+        size(TextAnalysis.wsTokens(col(textCol))).cast("long")),
+      idCol, "__pack_tokens", tokenBudget, numGroups)
+
+  /** As [[packSequences]], but over a PRECOMPUTED per-doc token count —
+    * the shape a tokenized pipeline needs (the count is already known
+    * from the encode stage; synthesizing text just to re-count it would
+    * be O(tokens) per row for nothing). */
+  def packSequencesFromCounts(df: DataFrame, idCol: String, tokensCol: String,
       tokenBudget: Long, numGroups: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -185,7 +196,7 @@ object Chunking {
       .otherwise(col(idCol).cast("long"))
     df.select(docId.as("doc_id"),
         (Dedup.baseHash60(col(idCol).cast("string")) % numGroups).as("grp"),
-        size(TextAnalysis.wsTokens(col(textCol))).cast("long").as("tokens"))
+        col(tokensCol).cast("long").as("tokens"))
       .repartition(col("grp"))
       .sortWithinPartitions($"grp", $"doc_id")
       .as[(Long, Long, Long)]

@@ -231,11 +231,21 @@ object MediaCodecs {
       var off = 0
       while (!inflater.finished() && off < raw.length) {
         val n = inflater.inflate(raw, off, raw.length - off)
-        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        // n == 0 without progress: truncated stream (needsInput) or a
+        // preset-dictionary header (needsDictionary — inflate would
+        // return 0 forever: reject, don't spin)
+        if (n == 0 && (inflater.needsInput() || inflater.needsDictionary())) {
+          inflater.end(); return None
+        }
         off += n
       }
+      if (off != raw.length) { inflater.end(); return None }
+      // the stream must END here: extra decompressed rows beyond the
+      // IHDR-declared size mean an inconsistent file, not a valid image
+      if (!inflater.finished() && inflater.inflate(new Array[Byte](1)) > 0) {
+        inflater.end(); return None
+      }
       inflater.end()
-      if (off != raw.length) return None
       // defilter in place into `img` (spec §9: None/Sub/Up/Average/Paeth)
       val img = new Array[Byte](stride * height)
       def paeth(a: Int, b: Int, c: Int): Int = {
@@ -394,22 +404,30 @@ object MediaCodecs {
       0.299 * (f.rgb(i * 3) & 0xff) + 0.587 * (f.rgb(i * 3 + 1) & 0xff) +
         0.114 * (f.rgb(i * 3 + 2) & 0xff)
     }
-    val lumas = video.frames.map(luma)
-    var sum = 0.0; var sum2 = 0.0
+    // one streaming pass, TWO luma buffers live at any time — motion only
+    // compares consecutive frames, so materializing every frame's luma
+    // (8 B/px × frames on top of the decoded RGB) would make a single
+    // long video row an executor OOM
+    var sum = 0.0; var sum2 = 0.0; var motionSum = 0.0
     val hist = new Array[Long](8)
-    lumas.foreach(_.foreach { l =>
-      sum += l; sum2 += l * l; hist((l / 32.0).toInt.min(7)) += 1
-    })
+    var prev: Array[Double] = null
+    video.frames.foreach { f =>
+      val cur = luma(f)
+      var i = 0
+      while (i < n) {
+        val l = cur(i)
+        sum += l; sum2 += l * l; hist((l / 32.0).toInt.min(7)) += 1
+        if (prev != null) motionSum += math.abs(l - prev(i))
+        i += 1
+      }
+      prev = cur
+    }
     val total = (n * video.frames.length).toDouble
     val mean = sum / total
     val variance = math.max(0.0, sum2 / total - mean * mean)
     val motion =
-      if (lumas.length < 2) 0.0
-      else lumas.sliding(2).map { case Seq(a, b) =>
-        var d = 0.0; var i = 0
-        while (i < n) { d += math.abs(b(i) - a(i)); i += 1 }
-        d / n
-      }.sum / (lumas.length - 1)
+      if (video.frames.length < 2) 0.0
+      else motionSum / n / (video.frames.length - 1)
     val out = new Array[Float](Multimodal.FeatureDim)
     out(0) = w / 1024f
     out(1) = h / 1024f

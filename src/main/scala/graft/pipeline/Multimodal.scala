@@ -90,19 +90,26 @@ object Multimodal {
       MediaCodecs.decodeY4m(m.payload) match {
         case Some(video) =>
           // REAL video frame sampling: n evenly spaced frames, each
-          // re-encoded as a standalone PNG — the image-per-frame shape a
-          // vision encoder consumes downstream
+          // emitted as a standalone PNG — the image-per-frame shape a
+          // vision encoder consumes downstream. Features come straight
+          // from the frame (the PNG round-trip is bit-exact, so decoding
+          // the bytes back would produce the identical vector at 2×
+          // compression cost per frame)
           val step = math.max(1, video.frames.length / n)
           (0 until n).iterator.map { i =>
             val idx = math.min(i * step, video.frames.length - 1)
-            val bytes = MediaCodecs.encodePng(video.frames(idx))
-            (m.mediaId, i, bytes.length, decode(bytes))
+            val frame = video.frames(idx)
+            (m.mediaId, i, MediaCodecs.encodePng(frame).length,
+              MediaCodecs.bmpFeatures(frame))
           }
         case None => MediaCodecs.decodeWav(m.payload) match {
           case Some(wav) =>
             (0 until n).iterator.map { i =>
-              val bytes = MediaCodecs.encodeWav(MediaCodecs.sliceWav(wav, i, n))
-              (m.mediaId, i, bytes.length, decode(bytes))
+              val slice = MediaCodecs.sliceWav(wav, i, n)
+              // 44-byte canonical header + PCM16 data — encodeWav's size
+              // closed-form, without serializing bytes just to measure them
+              (m.mediaId, i, 44 + 2 * slice.samples.length,
+                MediaCodecs.wavFeatures(slice))
             }
           case None =>
             val step = math.max(1, m.payload.length / n)

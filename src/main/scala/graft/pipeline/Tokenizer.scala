@@ -247,9 +247,12 @@ object Tokenizer {
       .mapPartitions { it =>
         val cache = mutable.HashMap.empty[String, Seq[String]]
         it.map { case (id, text) =>
+          // Locale.ROOT: training lowercased via Spark's locale-independent
+          // lower(); a tr-TR executor default would turn "I" into "ı", a
+          // symbol training never saw
           val words =
             if (text == null) Array.empty[String]
-            else text.toLowerCase.split(" ").filter(_.nonEmpty)
+            else text.toLowerCase(java.util.Locale.ROOT).split(" ").filter(_.nonEmpty)
           val toks = words.iterator.flatMap { w =>
             cache.get(w) match {
               case Some(t) => t

@@ -56,16 +56,12 @@ object TrainingDataset {
       .join(split.select(col(idCol).cast("long").as("doc_id"), $"split"), "doc_id")
       .select($"doc_id", $"split", $"n_tokens")
 
-    // packSequences consumes whitespace-token counts; feed it a synthetic
-    // text of exactly n_tokens single-char words so the packer sees the
-    // BPE token count without re-tokenizing. Packing runs once per split
-    // (three filtered passes), so splits can never share a pack.
-    val packInput = encoded.select(
-      $"doc_id", $"split",
-      expr("repeat('x ', n_tokens)").as("__tok_text"))
+    // the packer consumes the BPE token counts the encode stage already
+    // produced. Packing runs once per split (three filtered passes), so
+    // splits can never share a pack.
     val packs = fractions.map(_._1).map { s =>
-      Chunking.packSequences(
-          packInput.filter($"split" === s), "doc_id", "__tok_text",
+      Chunking.packSequencesFromCounts(
+          encoded.filter($"split" === s), "doc_id", "n_tokens",
           tokenBudget, numGroups)
         .groupBy($"grp", $"pack")
         .agg(count(lit(1)).as("n_docs"), sum($"tokens").as("pack_tokens"))

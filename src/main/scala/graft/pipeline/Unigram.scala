@@ -321,9 +321,11 @@ object Unigram {
       .mapPartitions { it =>
         val cache = mutable.HashMap.empty[String, Seq[String]]
         it.map { case (id, text) =>
+          // Locale.ROOT — must match Spark's locale-independent lower()
+          // used at training time (see Tokenizer.bpeEncode)
           val ws =
             if (text == null) Array.empty[String]
-            else text.toLowerCase.split(" ").filter(_.nonEmpty)
+            else text.toLowerCase(java.util.Locale.ROOT).split(" ").filter(_.nonEmpty)
           val toks = ws.iterator.flatMap { w =>
             cache.get(w) match {
               case Some(t) => t

@@ -100,5 +100,13 @@ class ChunkingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4)))
     assert(re.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+    // the precomputed-count path packs identically to the text path
+    val counted = docs.withColumn("n",
+      org.apache.spark.sql.functions.size(
+        graft.pipeline.TextAnalysis.wsTokens($"text")).cast("long"))
+    val fromCounts = Chunking.packSequencesFromCounts(counted, "id", "n", 60L, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(fromCounts.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
   }
 }

@@ -144,6 +144,35 @@ class MediaCodecSpec extends SparkSpec {
     assert(MediaCodecs.decodePng(deep).isEmpty)
   }
 
+  test("png: preset-dictionary zlib header rejected (no inflate spin)") {
+    // zlib CMF/FLG with FDICT set (0x78 0x3F has a valid %31 checksum):
+    // inflate() returns 0 with needsDictionary, which must reject — not
+    // loop forever inside a Spark task
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(tag.getBytes); crc.update(body)
+      java.nio.ByteBuffer.allocate(12 + body.length)
+        .putInt(body.length).put(tag.getBytes).put(body).putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(2).putInt(2)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val fdictStream = Array[Byte](0x78, 0x3f, 1, 2, 3, 4, 5, 6, 7, 8)
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val png = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", fdictStream) ++
+      chunk("IEND", Array.empty[Byte])
+    assert(MediaCodecs.decodePng(png).isEmpty) // and returns, not hangs
+  }
+
+  test("png with more rows than IHDR declares is rejected") {
+    val img = Bmp(2, 2, randRgb(2, 2, 21))
+    val bytes = MediaCodecs.encodePng(img)
+    // re-declare the height as 1: the stream now decompresses to MORE
+    // data than the header implies → inconsistent file, must reject
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.putInt(8 + 8 + 4, 1) // IHDR height field
+    assert(MediaCodecs.decodePng(bytes).isEmpty)
+  }
+
   test("wav encode→decode is bit-exact and chunk walking skips LIST") {
     val rng = new java.util.Random(3)
     val samples = Array.fill(200)((rng.nextInt(65536) - 32768).toShort)

@@ -95,6 +95,20 @@ class TokenizerSpec extends SparkSpec {
     assert(out(2L).forall(_ == -1), s"ids ${out(2L)}")
   }
 
+  test("encode lowercases locale-independently (tr-TR 'I' stays 'i')") {
+    val model = Tokenizer.trainBpe(paperDf, "text", numMerges = 100)
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      val toks = Tokenizer.bpeEncode(
+          Seq((1L, "LOW NEWEST")).toDF("doc_id", "text"), "doc_id", "text", model)
+        .select($"tokens").as[Seq[String]].head()
+      // under the Turkish locale, String.toLowerCase maps I→ı (dotless),
+      // which training (Spark's locale-independent lower) never produced
+      assert(toks == Seq("low</w>", "newest</w>"), toks)
+    } finally java.util.Locale.setDefault(saved)
+  }
+
   test("minFreq and maxWords bound the driver-side table") {
     val docs = Seq((1L, "aa aa aa bb bb cc")).toDF("doc_id", "text")
     // minFreq=2 drops cc entirely: no merge may involve 'c'
