@@ -201,6 +201,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!uplan.contains("Exchange"), uplan)
   }
 
+  test("deterministicShuffle: one hash exchange, no global sort") {
+    import graft.pipeline.Curation
+    val plan = Curation.deterministicShuffle(
+        Registry.t(spark, dir, "documents"), "doc_id", numShards = 8)
+      .queryExecution.executedPlan.toString
+    // the window partitions by shard (one hash exchange + per-shard
+    // sort); a rangepartitioning exchange would mean a global sort crept
+    // in — the thing this operator exists to avoid
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
   test("tokenizer word-frequency statistic: one partial-agg shuffle") {
     val plan = graft.pipeline.Tokenizer.wordFrequencies(
         Registry.t(spark, dir, "documents"), "text")
