@@ -29,6 +29,136 @@ object Classify {
    * is two hash aggregates. The same shape as `LanguageModel.bigramLmScore`
    * — corpus-sized work only in the event explode and the final doc agg.
    */
+  /**
+   * Fixed hashed-feature bucket for a token: the value of the first five
+   * hex chars of md5(token) mod `numBuckets`. Five chars (< 2^20) so the
+   * parse never overflows, md5 so a SQL oracle replays the assignment
+   * digit-for-digit on any engine.
+   */
+  def tokenBucket(tok: org.apache.spark.sql.Column, numBuckets: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(tok), 1, 5), 16, 10).cast("long") % numBuckets
+
+  /**
+   * Logistic regression over hashed token features — the other half of the
+   * fastText-classifier pair next to [[nbTokenClassifier]]: where NB is
+   * closed-form counts, this is the trained-by-gradient-descent shape, with
+   * the hashing trick standing in for a vocabulary (`numBuckets` weights,
+   * no token dictionary — the standard trick when the vocabulary at corpus
+   * scale is unbounded).
+   *
+   * Features: x_{d,b} = count of doc d's tokens hashing to bucket b — raw
+   * bag-of-words counts, as in any linear text classifier. (NOT
+   * length-normalized: fractions put the class gap between two documents
+   * at ~1/doclen, which needs weights ~doclen/trust-region — dozens of
+   * clamped steps away; unit-scale counts put the learnable gap at ~1 and
+   * the optimum within a few steps. The per-coordinate curvature absorbs
+   * the scale difference between hot and rare buckets either way.)
+   * Training is full-batch DIAGONAL-NEWTON descent with shotgun
+   * under-relaxation. Plain GD is hopeless here (the bias gradient is
+   * ~10³× the per-bucket gradients — no single learning rate serves
+   * both), and UNDAMPED per-coordinate Newton diverges for the dual
+   * reason: every document activates ~m buckets at once, each coordinate
+   * independently corrects the same shared residual, and the collective
+   * step lands ~m× too far (the classic parallel-coordinate-descent
+   * hazard). The stable step is the Newton step scaled by 1/m with
+   * m = max_d(active buckets of d) — computed from the data, so the
+   * damping self-tunes to the corpus. Per step, with
+   * p_d = sigmoid(bias + Σ_b w_b x_{d,b}):
+   *   g_b = Σ_d (p_d − y_d) x_{d,b},   h_b = Σ_d p_d (1−p_d) x_{d,b}²,
+   *   w_b ← w_b − (η/m) round(clamp(g_b / (h_b + 1e-6), ±2), 6)
+   * and for the bias the same with x ≡ 1 but WITHOUT the 1/m (it is one
+   * coordinate correcting a residual no other coordinate owns whole; in
+   * practice it must converge first or the weights chase a moving
+   * intercept). The clamp is the usual Newton trust region: once a
+   * document saturates, its curvature vanishes and a raw quotient can
+   * jump by 10⁶ in one step. The per-coordinate STEP is
+   * rounded to 6dp (killing summation-order FP noise, so the trajectory
+   * is engine-replayable and a SQL oracle retrains the identical model);
+   * the weight update itself is NOT rounded — IEEE arithmetic on
+   * identical rounded steps is already deterministic, and rounding would
+   * land weights exactly on rounding boundaries (η × 1e-6-grid steps),
+   * where engines disagree.
+   *
+   * Scale: the feature table is built once (one explode + two hash aggs)
+   * and cached; each GD step is ONE distributed pass producing a
+   * model-sized (`numBuckets`-row) gradient that the driver folds into the
+   * weight vector — the same driver↔model round-trip as the LDA trainer,
+   * never a driver pass over documents. Weights enter each pass as plan
+   * literals (broadcast-by-value), so scoring is corpus-scan + hash-agg
+   * with no join at all.
+   */
+  def lrHashClassifier(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, numBuckets: Int = 64, iterations: Int = 3,
+      learnRate: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"), col(labelCol).cast("boolean").cast("int").as("y"))
+    val ev = base.select($"doc_id", $"y",
+      explode(TextAnalysis.wsTokens(lower($"text"))).as("tok"))
+    // per-(doc,bucket) normalized tf; the label rides through (same
+    // reasoning as nbTokenClassifier: re-joining it back would shuffle the
+    // corpus-sized table a second time)
+    val feats = ev
+      .select($"doc_id", $"y", tokenBucket($"tok", numBuckets).as("b"))
+      .groupBy($"doc_id", $"y", $"b").agg(count(lit(1)).cast("double").as("x"))
+      .localCheckpoint(false) // reused every GD step: compute the explode once
+    // shotgun damping: the widest doc bounds how far parallel coordinate
+    // steps may collectively overshoot (model-sized driver scalar)
+    val m = feats.groupBy($"doc_id").count()
+      .agg(max($"count")).head.getLong(0).toDouble
+
+    var w = Array.fill(numBuckets)(0.0)
+    var bias = 0.0
+    def scoreCol(wts: Array[Double], b0: Double) = {
+      // the per-doc Σ w_b·x_b is folded in BUCKET ORDER (collect → sort →
+      // sequential fold), not via sum(): identical weights then give
+      // bit-identical scores on any engine, so the 6dp score rounding can
+      // never straddle — scores live on a fine lattice (steps are rounded
+      // multiples of η/m) that passes close to rounding boundaries, where
+      // an unordered sum's ±1e-14 would otherwise flip the last digit
+      val perDoc = feats.groupBy($"doc_id", $"y")
+        .agg(aggregate(
+          array_sort(collect_list(struct($"b",
+            ($"x" * element_at(typedLit(wts.toSeq), ($"b" + 1).cast("int"))).as("wx")))),
+          lit(0.0), (acc, e) => acc + e.getField("wx")).as("sw"))
+      // zero-token docs never reach feats; restore them with the bias-only
+      // score via a left join from the doc universe
+      base.select($"doc_id", $"y").join(perDoc.drop("y"), Seq("doc_id"), "left")
+        .select($"doc_id", $"y", (lit(b0) + coalesce($"sw", lit(0.0))).as("s"))
+    }
+    for (_ <- 0 until iterations) {
+      // doc-level error + curvature computed once per step (localCheckpoint:
+      // the two aggregates below must not re-run the scoring pass)
+      val p = scoreCol(w, bias)
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-$"s")))
+        .select($"doc_id", ($"p" - $"y").as("err"), ($"p" * (lit(1.0) - $"p")).as("ph"))
+        .localCheckpoint(false)
+      // per-bucket Newton step: one join + hash agg → numBuckets rows
+      def clamped(c: org.apache.spark.sql.Column) =
+        round(least(greatest(c, lit(-2.0)), lit(2.0)), 6)
+      val steps = p.join(feats.select($"doc_id", $"b", $"x"), "doc_id")
+        .groupBy($"b").agg(clamped(
+          sum($"err" * $"x") / (sum($"ph" * $"x" * $"x") + lit(1e-6))).as("st"))
+        .collect()
+      // bias step: every doc contributes (zero-token docs included, x ≡ 1)
+      val biasStep = p.agg(clamped(sum($"err") / (sum($"ph") + lit(1e-6))))
+        .head.getDouble(0)
+      val stByB = steps.map(r => r.getAs[Long]("b").toInt -> r.getAs[Double]("st")).toMap
+      // plain double update, NO rounding: the steps are already rounded
+      // (identical across engines), and IEEE arithmetic on identical
+      // inputs is deterministic. Rounding here would be actively harmful —
+      // η × 1e-6-grid steps put weights on rounding boundaries, where
+      // engines' round() implementations legitimately disagree.
+      w = w.zipWithIndex.map { case (wv, i) =>
+        wv - learnRate / m * stByB.getOrElse(i, 0.0)
+      }
+      bias = bias - learnRate * biasStep
+    }
+    scoreCol(w, bias)
+      .select($"doc_id", round($"s", 6).as("score"), ($"s" > 0).as("predicted"))
+  }
+
   def nbTokenClassifier(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, alpha: Double = 1.0): DataFrame = {
     val spark = df.sparkSession

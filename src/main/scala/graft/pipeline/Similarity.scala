@@ -192,6 +192,130 @@ object Similarity {
   }
 
   /**
+   * Product-quantization codebooks: `books(s)(code)` is the `subDim`-wide
+   * centroid for code `code` of subspace `s`. Model-sized
+   * (numSubspaces × codebookSize × subDim doubles) — lives on the driver
+   * and enters plans as literals, exactly like the IVF coarse quantizer.
+   */
+  case class PqCodebooks(dim: Int, subDim: Int, books: Array[Array[Array[Double]]])
+
+  /**
+   * Train product-quantization codebooks: the embedding is split into
+   * `numSubspaces` contiguous slices and each slice gets its own
+   * `codebookSize`-centroid k-means (same deterministic recipe as
+   * [[buildIvfIndex]]: md5-ordered init, squared-L2 argmin with
+   * centroid-index tie-break, 4dp-rounded means, empty clusters keep their
+   * centroid — so a SQL oracle replays the full trajectory).
+   *
+   * All subspaces train in ONE distributed pass per Lloyd iteration: the
+   * per-subspace assignment explodes into (s, cid, i, x) and a single hash
+   * aggregate updates every codebook at once — iterations × 1 shuffle, not
+   * iterations × numSubspaces.
+   */
+  def trainPq(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      numSubspaces: Int = 4, codebookSize: Int = 8,
+      kmeansIterations: Int = 2): PqCodebooks = {
+    require(dim % numSubspaces == 0, s"dim $dim not divisible by $numSubspaces")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val subDim = dim / numSubspaces
+    val c = corpus.select(col(idCol).cast("long").as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+
+    // init: slices of the codebookSize md5-first vectors (one scan, every
+    // subspace initialized from the same rows — the oracle slices one c0)
+    val initFull: Array[Array[Double]] = c
+      .orderBy(md5($"corpus_id".cast("string")), $"corpus_id")
+      .limit(codebookSize)
+      .select($"cv").as[Seq[Double]].collect().map(_.toArray)
+    var books: Array[Array[Array[Double]]] = Array.tabulate(numSubspaces) { s =>
+      initFull.map(_.slice(s * subDim, (s + 1) * subDim))
+    }
+
+    def subSlice(s: Int): Column = slice($"cv", s * subDim + 1, subDim)
+    def codeCol(s: Int, bks: Array[Array[Array[Double]]]): Column =
+      element_at(graft.functions.vfunctions.vec_nearest_centroids(
+        subSlice(s), typedLit(bks(s).map(_.toSeq).toSeq), 1), 1)
+
+    for (_ <- 0 until kmeansIterations) {
+      val subs = array((0 until numSubspaces).map { s =>
+        struct(lit(s).as("s"), codeCol(s, books).as("cid"), subSlice(s).as("sv"))
+      }: _*)
+      val updated = c.select(explode(subs).as("e"))
+        .select($"e.s".as("s"), $"e.cid".as("cid"), posexplode($"e.sv").as(Seq("i", "x")))
+        .groupBy($"s", $"cid", $"i").agg(round(avg($"x"), 4).as("m"))
+        .collect()
+      val byKey = updated.groupBy(r => (r.getAs[Int]("s"), r.getAs[Int]("cid")))
+      books = Array.tabulate(numSubspaces) { s =>
+        books(s).zipWithIndex.map { case (old, cid) =>
+          byKey.get((s, cid)).map { rows =>
+            val arr = new Array[Double](subDim)
+            rows.foreach(r => arr(r.getAs[Int]("i")) = r.getAs[Double]("m"))
+            arr
+          }.getOrElse(old)
+        }
+      }
+    }
+    PqCodebooks(dim, subDim, books)
+  }
+
+  /** Encode a corpus against trained codebooks: per vector, one small int
+    * code per subspace. THIS is the PQ payoff at 100 TB — the scored
+    * representation is numSubspaces bytes per vector instead of dim
+    * floats, so the whole index fits executor memory and the raw vectors
+    * never enter the scoring join. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      cb: PqCodebooks): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val numSubspaces = cb.books.length
+    val c = corpus.select(col(idCol).cast("long").as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val codes = array((0 until numSubspaces).map { s =>
+      element_at(graft.functions.vfunctions.vec_nearest_centroids(
+        slice($"cv", s * cb.subDim + 1, cb.subDim),
+        typedLit(cb.books(s).map(_.toSeq).toSeq), 1), 1)
+    }: _*)
+    c.select($"corpus_id", codes.as("codes"))
+  }
+
+  /**
+   * PQ approximate top-k by asymmetric distance computation: queries keep
+   * their exact vector; each corpus vector is represented only by its
+   * codes, scored as cosine(query, reconstruction) where reconstruction =
+   * concat of the coded centroids. dot(q, recon) decomposes into per-
+   * subspace dots against looked-up centroid literals — no corpus vector
+   * is read after encoding, and the entire scoring pass is codegen'd
+   * expressions over a (corpus_id, codes) table.
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, numSubspaces: Int = 4,
+      codebookSize: Int = 8, kmeansIterations: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = trainPq(corpus, idCol, vecCol, dim, numSubspaces, codebookSize,
+      kmeansIterations)
+    val enc = pqEncode(corpus, idCol, vecCol, cb)
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+
+    def cent(s: Int): Column = element_at(
+      typedLit(cb.books(s).map(_.toSeq).toSeq),
+      element_at($"codes", s + 1) + 1)
+    def qSub(s: Int): Column = slice($"qv", s * cb.subDim + 1, cb.subDim)
+    val dotSum = (0 until numSubspaces).map(s => dot(qSub(s), cent(s))).reduce(_ + _)
+    val cNorm2 = (0 until numSubspaces).map(s => dot(cent(s), cent(s))).reduce(_ + _)
+
+    val w = Window.partitionBy($"query_id").orderBy($"cosine_pq".desc, $"corpus_id".asc)
+    enc.crossJoin(broadcast(q))
+      .filter($"corpus_id" =!= $"query_id")
+      .select($"query_id", $"corpus_id",
+        round(dotSum / (l2norm($"qv") * sqrt(cNorm2)), 6).as("cosine_pq"))
+      .withColumn("rnk", row_number().over(w)).filter($"rnk" <= k)
+      .select($"query_id", $"rnk", $"corpus_id", $"cosine_pq")
+  }
+
+  /**
    * LSH-bucketed approximate top-k: random-hyperplane signatures with
    * `nTables` independent tables; candidates = bucket collisions in any
    * table; exact rerank within candidates. Recall grows with tables/shorter

@@ -569,6 +569,23 @@ object PipelineQueries {
       },
       Some(annIvfIncrementalOracleSql)),
 
+    // product quantization: per-subspace k-means codebooks (same md5-init
+    // + 4dp-rounded Lloyd recipe as IVF, so the oracle retrains all four
+    // codebooks in SQL), corpus reduced to 4 codes per vector, queries
+    // scored by asymmetric distance against the coded centroids only —
+    // the memory-compression half of a scale ANN index next to IVF's
+    // partition pruning
+    "q_ann_pq" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        Similarity.pqTopK(e, e.filter($"vec_id" < 5), "vec_id", "embedding",
+          k = 10, dim = 64, numSubspaces = 4, codebookSize = 8,
+          kmeansIterations = 2)
+          .orderBy($"query_id", $"rnk")
+      },
+      Some(annPqOracleSql)),
+
     // full SQL replay: the seeded hyperplanes are embedded as literals, so
     // DuckDB reproduces the bucketing, candidate set, and exact rerank
     "q_ann_lsh" -> QueryDef(
@@ -737,6 +754,27 @@ object PipelineQueries {
              |  (ln(CAST(dpos AS DOUBLE) / dneg) + coalesce(sw, 0.0)) > 0 AS predicted_en
              |FROM lab l LEFT JOIN s USING (doc_id) CROSS JOIN dp
              |ORDER BY doc_id""".stripMargin)),
+
+    // trained-by-descent counterpart to the NB classifier: logistic
+    // regression over md5-hashed token buckets (hashing trick — no
+    // vocabulary), 3 diagonal-Newton steps with 6dp-rounded clamped
+    // per-coordinate steps so the oracle retrains the identical weight
+    // trajectory in unrolled SQL. The probe label (docs where 'data'
+    // outnumbers 'table', ~39% positive) is chosen because it is actually
+    // LEARNABLE in this synthetic corpus — `lang` is token-independent
+    // here (even NB cannot beat the majority class on it), so a lang
+    // target would only ever demonstrate the bias converging
+    "q_lr_classifier" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").withColumn("data_heavy",
+          size(filter(TextAnalysis.wsTokens(lower($"text")), _ === "data")) >
+          size(filter(TextAnalysis.wsTokens(lower($"text")), _ === "table")))
+        Classify.lrHashClassifier(docs, "doc_id", "text", "data_heavy",
+          numBuckets = 256, iterations = 24, learnRate = 1.0)
+          .orderBy($"doc_id")
+      },
+      Some(lrClassifierOracleSql(numBuckets = 256, iterations = 24, lr = 1.0))),
 
     // token-histogram Shannon entropy: the one-number spam/diversity signal
     "q_token_entropy" -> QueryDef(
@@ -1148,6 +1186,158 @@ object PipelineQueries {
   private def ivfLloydCtes(iterations: Int): String =
     (1 to iterations).map(n => ivfAssignCte(n) + ",\n" + ivfUpdateCte(n))
       .mkString(",\n")
+
+  /** Squared-L2 between subspace-sliced rows `$a.v`/`$b.v` of width
+    * `subDim` — the PQ analogue of [[ivfDist]]. */
+  private def pqDist(a: String, b: String, subDim: Int): String =
+    s"list_sum(list_transform(range(1, ${subDim + 1}), j -> ($a.v[j] - $b.v[j]) * ($a.v[j] - $b.v[j])))"
+
+  /** Lloyd CTEs for PQ subspace `s` (reads `sv$s`, seeds from `s${s}c0`):
+    * the same rounded trajectory as [[ivfLloydCtes]], namespaced per
+    * subspace. */
+  private def pqLloydCtes(s: Int, iterations: Int, subDim: Int): String = {
+    def assign(n: Int) =
+      s"""s${s}a$n AS (
+         |  SELECT vec_id, vv, cid FROM (
+         |    SELECT v.vec_id, v.v AS vv, c.cid,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${pqDist("v", "c", subDim)}, c.cid) AS rn
+         |    FROM sv$s v CROSS JOIN s${s}c${n - 1} c) WHERE rn = 1)""".stripMargin
+    def update(n: Int) =
+      s"""s${s}m$n AS (
+         |  SELECT cid, list(mr ORDER BY i) AS v FROM (
+         |    SELECT cid, i, round(avg(x), 4) AS mr FROM (
+         |      SELECT cid, unnest(vv) AS x, generate_subscripts(vv, 1) AS i FROM s${s}a$n)
+         |    GROUP BY cid, i) GROUP BY cid),
+         |s${s}c$n AS (
+         |  SELECT p.cid, COALESCE(m.v, p.v) AS v
+         |  FROM s${s}c${n - 1} p LEFT JOIN s${s}m$n m ON p.cid = m.cid)""".stripMargin
+    (1 to iterations).map(n => assign(n) + ",\n" + update(n)).mkString(",\n")
+  }
+
+  /** DuckDB replay of `Similarity.pqTopK(k=10, dim=64, 4 subspaces of 16,
+    * 8-entry codebooks, 2 Lloyd iterations)`: one md5-ordered init shared
+    * by all subspaces (sliced), four independent rounded k-means, argmin
+    * encoding, then ADC scoring — per-subspace dots against the coded
+    * centroids summed in subspace order, normalized by the exact query
+    * norm and the reconstructed corpus norm. */
+  private def annPqOracleSql: String = {
+    val numSub = 4; val subDim = 16; val iters = 2; val books = 8
+    def lo(s: Int) = s * subDim + 1
+    def hi(s: Int) = (s + 1) * subDim
+    val slices = (0 until numSub).map { s =>
+      s"""sv$s AS (SELECT vec_id, v[${lo(s)}:${hi(s)}] AS v FROM v),
+         |s${s}c0 AS (SELECT cid, v[${lo(s)}:${hi(s)}] AS v FROM c0)""".stripMargin
+    }.mkString(",\n")
+    val lloyd = (0 until numSub).map(s => pqLloydCtes(s, iters, subDim)).mkString(",\n")
+    val codes = (0 until numSub).map { s =>
+      s"""s${s}code AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT v.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${pqDist("v", "c", subDim)}, c.cid) AS rn
+         |    FROM sv$s v CROSS JOIN s${s}c$iters c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val codesWide = "codes AS (SELECT s0code.vec_id, " +
+      (0 until numSub).map(s => s"s${s}code.cid AS k$s").mkString(", ") +
+      " FROM s0code " +
+      (1 until numSub).map(s => s"JOIN s${s}code USING (vec_id)").mkString(" ") + ")"
+    val dotSum = (0 until numSub)
+      .map(s => s"list_dot_product(q.v[${lo(s)}:${hi(s)}], e$s.v)").mkString(" + ")
+    val cNorm2 = (0 until numSub)
+      .map(s => s"list_dot_product(e$s.v, e$s.v)").mkString(" + ")
+    val centJoins = (0 until numSub)
+      .map(s => s"JOIN s${s}c$iters e$s ON e.k$s = e$s.cid").mkString("\n  ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cid, v
+       |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $books),
+       |$slices,
+       |$lloyd,
+       |$codes,
+       |$codesWide,
+       |q AS (SELECT vec_id, v FROM v WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS corpus_id,
+       |    round(($dotSum)
+       |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt($cNorm2)), 6) AS cosine_pq
+       |  FROM q CROSS JOIN codes e
+       |  $centJoins
+       |  WHERE e.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine_pq DESC, corpus_id ASC) AS INT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, rnk, corpus_id, cosine_pq FROM ranked
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** DuckDB retrain of `Classify.lrHashClassifier`: the md5-hex bucket
+    * parse is spelled as a strpos polynomial (DuckDB has no hex→int
+    * cast), the GD steps are unrolled CTE chains, and every gradient and
+    * weight is rounded to 6dp exactly where the Scala trainer rounds —
+    * same trajectory, same final scores. */
+  private def lrClassifierOracleSql(numBuckets: Int, iterations: Int,
+      lr: Double): String = {
+    val hexv = Seq(65536, 4096, 256, 16, 1).zipWithIndex.map { case (m, i) =>
+      s"(strpos('0123456789abcdef', substr(md5(tok), ${i + 1}, 1)) - 1) * $m"
+    }.mkString("(", "\n       + ", ")")
+    // every per-step CTE is MATERIALIZED: with default inlining each w_n
+    // is substituted into BOTH its consumers and the reference tree
+    // doubles per iteration — 2^24 scans of the base tables. Materialized,
+    // the chain evaluates once per step.
+    def clamp(e: String) = s"round(least(greatest($e, -2.0), 2.0), 6)"
+    val steps = (1 to iterations).map { n =>
+      s"""s$n AS MATERIALIZED (
+         |  SELECT l.doc_id, l.y,
+         |    (SELECT bw FROM b${n - 1})
+         |      + coalesce(list_sum(list(f.x * w.w ORDER BY f.b)), 0.0) AS s
+         |  FROM lab l LEFT JOIN feats f USING (doc_id)
+         |  LEFT JOIN w${n - 1} w USING (b)
+         |  GROUP BY l.doc_id, l.y),
+         |p$n AS MATERIALIZED (
+         |        SELECT doc_id, 1.0 / (1.0 + exp(-s)) - y AS err,
+         |          (1.0 / (1.0 + exp(-s))) * (1.0 - 1.0 / (1.0 + exp(-s))) AS ph
+         |        FROM s$n),
+         |g$n AS MATERIALIZED (
+         |        SELECT b, ${clamp("sum(err * x) / (sum(ph * x * x) + 1e-6)")} AS g
+         |        FROM p$n JOIN feats USING (doc_id) GROUP BY b),
+         |w$n AS MATERIALIZED (
+         |        SELECT w.b, w.w - $lr / (SELECT m FROM mx) * coalesce(g.g, 0.0) AS w
+         |        FROM w${n - 1} w LEFT JOIN g$n g USING (b)),
+         |b$n AS MATERIALIZED (
+         |        SELECT (SELECT bw FROM b${n - 1})
+         |          - $lr * ${clamp("sum(err) / (sum(ph) + 1e-6)")} AS bw FROM p$n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH lab AS MATERIALIZED (
+       |  SELECT doc_id, CAST(
+       |    len(list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''),
+       |        x -> x = 'data')) >
+       |    len(list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''),
+       |        x -> x = 'table')) AS INT) AS y
+       |  FROM documents),
+       |ev AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+       |         x -> x <> '')) AS tok FROM documents),
+       |evb AS (SELECT doc_id, $hexv % $numBuckets AS b FROM ev),
+       |feats AS MATERIALIZED (
+       |  SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS x FROM evb GROUP BY 1, 2),
+       |mx AS MATERIALIZED (
+       |  SELECT CAST(max(c) AS DOUBLE) AS m FROM (
+       |         SELECT count(*) AS c FROM feats GROUP BY doc_id)),
+       |w0 AS MATERIALIZED (SELECT DISTINCT b, 0.0 AS w FROM feats),
+       |b0 AS (SELECT 0.0 AS bw),
+       |$steps,
+       |sf AS (
+       |  SELECT l.doc_id,
+       |    (SELECT bw FROM b$iterations)
+       |      + coalesce(list_sum(list(f.x * w.w ORDER BY f.b)), 0.0) AS s
+       |  FROM lab l LEFT JOIN feats f USING (doc_id)
+       |  LEFT JOIN w$iterations w USING (b)
+       |  GROUP BY l.doc_id)
+       |SELECT doc_id, round(s, 6) AS score, s > 0 AS predicted FROM sf
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB replay of `Similarity.ivfTopK(k=10, 16 centroids, 8 probes, 3
     * Lloyd iterations)`: md5-ordered init, per-iteration argmin assignment

