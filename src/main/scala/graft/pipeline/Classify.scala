@@ -159,6 +159,38 @@ object Classify {
       .select($"doc_id", round($"s", 6).as("score"), ($"s" > 0).as("predicted"))
   }
 
+  /**
+   * ROC AUC of a scored frame against a boolean label — model evaluation
+   * inside the engine, as count arithmetic: group by distinct score, walk
+   * the score histogram once, and credit each positive group with the
+   * negatives strictly below it plus half its own ties (the Mann–Whitney
+   * average-rank formulation). One row out: (auc, n_pos, n_neg).
+   *
+   * Scale: the global window runs over the DISTINCT-score histogram, not
+   * the rows; with 6dp-rounded scores that is bounded (and at true 100 TB
+   * scale you bin scores first — same formula, coarser groups). All
+   * intermediate arithmetic is integer counts in doubles, so engines
+   * agree exactly before the final rounding.
+   */
+  def rankAuc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val sc = scored.select(col(scoreCol).as("score"),
+      col(labelCol).cast("boolean").cast("int").as("y"))
+    val g = sc.groupBy($"score").agg(
+      sum($"y").cast("double").as("np"),
+      (count(lit(1)) - sum($"y")).cast("double").as("nn"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"score")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val c = g.withColumn("cumneg", coalesce(sum($"nn").over(w), lit(0.0)))
+    val tot = sc.agg(sum($"y").cast("double").as("p"),
+      (count(lit(1)) - sum($"y")).cast("double").as("n"))
+    c.agg(sum(($"cumneg" + $"nn" / 2.0) * $"np").as("num"))
+      .crossJoin(broadcast(tot))
+      .select(round($"num" / ($"p" * $"n"), 6).as("auc"),
+        $"p".cast("long").as("n_pos"), $"n".cast("long").as("n_neg"))
+  }
+
   def nbTokenClassifier(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, alpha: Double = 1.0): DataFrame = {
     val spark = df.sparkSession

@@ -316,6 +316,71 @@ object Similarity {
   }
 
   /**
+   * IVF-PQ: the two scale mechanisms composed — the coarse quantizer
+   * prunes each query to `nProbe` inverted lists (IVF), and within the
+   * probed lists vectors are represented only by product-quantization
+   * codes of their RESIDUAL (v − coarse centroid), scored by asymmetric
+   * distance (PQ). This is the standard serving shape for billion-vector
+   * indexes: list pruning bounds compute, residual codes bound memory
+   * (numSubspaces small ints per vector), and the raw vectors appear in
+   * no per-query plan at all.
+   *
+   * cosine(q, c_cid + recon) decomposes into literal-table lookups:
+   * dot(q, c) plus per-subspace dots of q against the coded residual
+   * centroids; the reconstruction norm likewise. All terms are summed in
+   * a fixed subspace order so a SQL oracle reproduces the score
+   * bit-for-bit after the shared 6dp rounding.
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, nCentroids: Int = 16, nProbe: Int = 8,
+      numSubspaces: Int = 4, codebookSize: Int = 8, ivfIterations: Int = 3,
+      pqIterations: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val idx = buildIvfIndex(corpus, idCol, vecCol, nCentroids, ivfIterations)
+    val centsLit = typedLit(idx.centroids.map(_.toSeq).toSeq)
+    // residuals vs the assigned coarse centroid; PQ codebooks train on the
+    // residual distribution (pooled across lists, as FAISS does)
+    val resid = idx.assigned.withColumn("rv",
+      zip_with($"cv", element_at(centsLit, $"cid" + 1), (a, b) => a - b))
+    val cb = trainPq(resid, "corpus_id", "rv", dim, numSubspaces,
+      codebookSize, pqIterations)
+    def codeOf(s: Int): Column = element_at(
+      graft.functions.vfunctions.vec_nearest_centroids(
+        slice($"rv", s * cb.subDim + 1, cb.subDim),
+        typedLit(cb.books(s).map(_.toSeq).toSeq), 1), 1)
+    // the index rows a query scans: (corpus_id, cid, codes) — no vectors
+    val enc = resid.select($"corpus_id", $"cid",
+      array((0 until numSubspaces).map(codeOf): _*).as("codes"))
+
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("cid", explode(
+        graft.functions.vfunctions.vec_nearest_centroids(
+          $"qv", centsLit, nProbe)))
+
+    val cCol = element_at(centsLit, $"cid" + 1)
+    def rs(s: Int): Column = element_at(
+      typedLit(cb.books(s).map(_.toSeq).toSeq),
+      element_at($"codes", s + 1) + 1)
+    def qSub(s: Int): Column = slice($"qv", s * cb.subDim + 1, cb.subDim)
+    def cSub(s: Int): Column = slice(cCol, s * cb.subDim + 1, cb.subDim)
+    val dotQ = (0 until numSubspaces).map(s => dot(qSub(s), rs(s)))
+      .foldLeft(dot($"qv", cCol))(_ + _)
+    val cr = (0 until numSubspaces).map(s => dot(cSub(s), rs(s))).reduce(_ + _)
+    val rr = (0 until numSubspaces).map(s => dot(rs(s), rs(s))).reduce(_ + _)
+    val reconNorm2 = dot(cCol, cCol) + lit(2.0) * cr + rr
+
+    val w = Window.partitionBy($"query_id").orderBy($"cosine_ivfpq".desc, $"corpus_id".asc)
+    enc.join(broadcast(q), Seq("cid"))
+      .filter($"corpus_id" =!= $"query_id")
+      .select($"query_id", $"corpus_id",
+        round(dotQ / (l2norm($"qv") * sqrt(reconNorm2)), 6).as("cosine_ivfpq"))
+      .withColumn("rnk", row_number().over(w)).filter($"rnk" <= k)
+      .select($"query_id", $"rnk", $"corpus_id", $"cosine_ivfpq")
+  }
+
+  /**
    * LSH-bucketed approximate top-k: random-hyperplane signatures with
    * `nTables` independent tables; candidates = bucket collisions in any
    * table; exact rerank within candidates. Recall grows with tables/shorter

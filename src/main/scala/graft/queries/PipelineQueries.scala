@@ -586,6 +586,21 @@ object PipelineQueries {
       },
       Some(annPqOracleSql)),
 
+    // the two scale mechanisms composed — IVF list pruning × PQ residual
+    // codes with ADC scoring, the standard billion-vector serving shape;
+    // the oracle replays the coarse k-means, the residual codebooks, the
+    // probe, and the fixed-order ADC arithmetic end to end
+    "q_ann_ivfpq" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        Similarity.ivfPqTopK(e, e.filter($"vec_id" < 5), "vec_id", "embedding",
+          k = 10, dim = 64, nCentroids = 16, nProbe = 8, numSubspaces = 4,
+          codebookSize = 8, ivfIterations = 3, pqIterations = 2)
+          .orderBy($"query_id", $"rnk")
+      },
+      Some(annIvfPqOracleSql)),
+
     // full SQL replay: the seeded hyperplanes are embedded as literals, so
     // DuckDB reproduces the bucketing, candidate set, and exact rerank
     "q_ann_lsh" -> QueryDef(
@@ -775,6 +790,22 @@ object PipelineQueries {
           .orderBy($"doc_id")
       },
       Some(lrClassifierOracleSql(numBuckets = 256, iterations = 24, lr = 1.0))),
+
+    // model evaluation inside the engine: ROC AUC of the trained LR scores
+    // against their label, by the score-histogram / average-rank formula —
+    // the oracle retrains the classifier AND recomputes the metric
+    "q_classifier_auc" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").withColumn("data_heavy",
+          size(filter(TextAnalysis.wsTokens(lower($"text")), _ === "data")) >
+          size(filter(TextAnalysis.wsTokens(lower($"text")), _ === "table")))
+        val scored = Classify.lrHashClassifier(docs, "doc_id", "text",
+          "data_heavy", numBuckets = 256, iterations = 24, learnRate = 1.0)
+          .join(docs.select($"doc_id", $"data_heavy"), "doc_id")
+        Classify.rankAuc(scored, "score", "data_heavy")
+      },
+      Some(lrAucOracleSql(numBuckets = 256, iterations = 24, lr = 1.0))),
 
     // token-histogram Shannon entropy: the one-number spam/diversity signal
     "q_token_entropy" -> QueryDef(
@@ -1273,12 +1304,109 @@ object PipelineQueries {
        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** DuckDB replay of `Similarity.ivfPqTopK`: the coarse 16-centroid
+    * k-means (3 Lloyd iterations, shared CTE builder), per-vector
+    * residuals against the assigned centroid, four independent residual
+    * codebooks (2 rounded Lloyd iterations each), probe of the 8 nearest
+    * lists, and the ADC cosine — every dot summed in the same fixed
+    * order as the Scala expression chain. */
+  private def annIvfPqOracleSql: String = {
+    val numSub = 4; val subDim = 16; val pqIters = 2; val books = 8
+    def lo(s: Int) = s * subDim + 1
+    def hi(s: Int) = (s + 1) * subDim
+    val lloyd = ivfLloydCtes(3)
+    val slices = (0 until numSub).map { s =>
+      s"""sv$s AS (SELECT vec_id, v[${lo(s)}:${hi(s)}] AS v FROM rvv),
+         |s${s}c0 AS (SELECT cid, v[${lo(s)}:${hi(s)}] AS v FROM rc0)""".stripMargin
+    }.mkString(",\n")
+    val pqLloyd = (0 until numSub).map(s => pqLloydCtes(s, pqIters, subDim)).mkString(",\n")
+    val codes = (0 until numSub).map { s =>
+      s"""s${s}code AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT v.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${pqDist("v", "c", subDim)}, c.cid) AS rn
+         |    FROM sv$s v CROSS JOIN s${s}c$pqIters c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val codesWide = "codes AS MATERIALIZED (SELECT s0code.vec_id, " +
+      (0 until numSub).map(s => s"s${s}code.cid AS k$s").mkString(", ") +
+      " FROM s0code " +
+      (1 until numSub).map(s => s"JOIN s${s}code USING (vec_id)").mkString(" ") + ")"
+    val dsum = (0 until numSub)
+      .map(s => s"list_dot_product(p.qv[${lo(s)}:${hi(s)}], e$s.v)").mkString(" + ")
+    val crSum = (0 until numSub)
+      .map(s => s"list_dot_product(cc.v[${lo(s)}:${hi(s)}], e$s.v)").mkString(" + ")
+    val rrSum = (0 until numSub)
+      .map(s => s"list_dot_product(e$s.v, e$s.v)").mkString(" + ")
+    val centJoins = (0 until numSub)
+      .map(s => s"JOIN s${s}c$pqIters e$s ON e.k$s = e$s.cid").mkString("\n  ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cid, v
+       |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |$lloyd,
+       |assign AS MATERIALIZED (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY ${ivfDist("v", "c")}, c.cid) AS rn
+       |    FROM v CROSS JOIN c3 c) WHERE rn = 1),
+       |rvv AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cid,
+       |         list_transform(range(1, 65), j -> v.v[j] - c.v[j]) AS v
+       |  FROM assign a JOIN v ON v.vec_id = a.vec_id JOIN c3 c ON c.cid = a.cid),
+       |rc0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cid, v
+       |  FROM rvv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $books),
+       |$slices,
+       |$pqLloyd,
+       |$codes,
+       |$codesWide,
+       |q AS (SELECT vec_id, v FROM v WHERE vec_id < 5),
+       |probe AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, qv, cid FROM (
+       |    SELECT q.vec_id, q.v AS qv, c.cid,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${ivfDist("q", "c")}, c.cid) AS rn
+       |    FROM q CROSS JOIN c3 c) WHERE rn <= 8),
+       |ecand AS MATERIALIZED (
+       |  SELECT c.vec_id, a.cid, c.k0, c.k1, c.k2, c.k3
+       |  FROM codes c JOIN assign a USING (vec_id)),
+       |scored AS (
+       |  SELECT p.query_id, e.vec_id AS corpus_id,
+       |    round((list_dot_product(p.qv, cc.v) + $dsum)
+       |      / (sqrt(list_dot_product(p.qv, p.qv))
+       |         * sqrt(list_dot_product(cc.v, cc.v)
+       |                + 2.0 * ($crSum) + ($rrSum))), 6) AS cosine_ivfpq
+       |  FROM probe p
+       |  JOIN ecand e ON e.cid = p.cid
+       |  JOIN c3 cc ON cc.cid = e.cid
+       |  $centJoins
+       |  WHERE e.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine_ivfpq DESC, corpus_id ASC) AS INT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, rnk, corpus_id, cosine_ivfpq FROM ranked
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** DuckDB retrain of `Classify.lrHashClassifier`: the md5-hex bucket
     * parse is spelled as a strpos polynomial (DuckDB has no hex→int
     * cast), the GD steps are unrolled CTE chains, and every gradient and
     * weight is rounded to 6dp exactly where the Scala trainer rounds —
     * same trajectory, same final scores. */
   private def lrClassifierOracleSql(numBuckets: Int, iterations: Int,
+      lr: Double): String =
+    s"""WITH ${lrOracleCtes(numBuckets, iterations, lr)}
+       |SELECT doc_id, round(s, 6) AS score, s > 0 AS predicted FROM sf
+       |ORDER BY doc_id""".stripMargin
+
+  /** The retrain chain through `sf` (doc_id, s = final unrounded score),
+    * shared by the classifier oracle and the AUC oracle. */
+  private def lrOracleCtes(numBuckets: Int, iterations: Int,
       lr: Double): String = {
     val hexv = Seq(65536, 4096, 256, 16, 1).zipWithIndex.map { case (m, i) =>
       s"(strpos('0123456789abcdef', substr(md5(tok), ${i + 1}, 1)) - 1) * $m"
@@ -1310,7 +1438,7 @@ object PipelineQueries {
          |        SELECT (SELECT bw FROM b${n - 1})
          |          - $lr * ${clamp("sum(err) / (sum(ph) + 1e-6)")} AS bw FROM p$n)""".stripMargin
     }.mkString(",\n")
-    s"""WITH lab AS MATERIALIZED (
+    s"""lab AS MATERIALIZED (
        |  SELECT doc_id, CAST(
        |    len(list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''),
        |        x -> x = 'data')) >
@@ -1334,10 +1462,32 @@ object PipelineQueries {
        |      + coalesce(list_sum(list(f.x * w.w ORDER BY f.b)), 0.0) AS s
        |  FROM lab l LEFT JOIN feats f USING (doc_id)
        |  LEFT JOIN w$iterations w USING (b)
-       |  GROUP BY l.doc_id)
-       |SELECT doc_id, round(s, 6) AS score, s > 0 AS predicted FROM sf
-       |ORDER BY doc_id""".stripMargin
+       |  GROUP BY l.doc_id)""".stripMargin
   }
+
+  /** DuckDB replay of `Classify.rankAuc` over the retrained LR scores:
+    * the score-histogram AUC (cumulative negatives below each distinct
+    * score + half the ties) — integer-count arithmetic, so both engines
+    * agree exactly before the final 6dp rounding. */
+  private def lrAucOracleSql(numBuckets: Int, iterations: Int,
+      lr: Double): String =
+    s"""WITH ${lrOracleCtes(numBuckets, iterations, lr)},
+       |sc AS (SELECT l.doc_id, l.y, round(sf.s, 6) AS score
+       |       FROM sf JOIN lab l USING (doc_id)),
+       |g AS (SELECT score,
+       |        CAST(sum(y) AS DOUBLE) AS np,
+       |        CAST(count(*) - sum(y) AS DOUBLE) AS nn
+       |      FROM sc GROUP BY score),
+       |c AS (SELECT score, np, nn,
+       |        coalesce(sum(nn) OVER (ORDER BY score
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cumneg
+       |      FROM g),
+       |tot AS (SELECT CAST(sum(y) AS DOUBLE) AS p,
+       |               CAST(count(*) - sum(y) AS DOUBLE) AS n FROM sc)
+       |SELECT round(sum((cumneg + nn / 2.0) * np) / (SELECT p * n FROM tot), 6) AS auc,
+       |       CAST((SELECT p FROM tot) AS BIGINT) AS n_pos,
+       |       CAST((SELECT n FROM tot) AS BIGINT) AS n_neg
+       |FROM c""".stripMargin
 
   /** DuckDB replay of `Similarity.ivfTopK(k=10, 16 centroids, 8 probes, 3
     * Lloyd iterations)`: md5-ordered init, per-iteration argmin assignment
@@ -1389,7 +1539,7 @@ object PipelineQueries {
     * unchanged), then assignment and probing over ALL vectors with the
     * frozen half-trained centroids — the semantics `appendIvfIndex`
     * guarantees. */
-  private def annIvfIncrementalOracleSql: String = {
+  private[queries] def annIvfIncrementalOracleSql: String = {
     def dist(a: String, b: String): String = ivfDist(a, b)
     val lloyd = ivfLloydCtes(3)
     s"""WITH allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -238,6 +238,15 @@ object StreamingQueries {
       (s, dir) => graft.streaming.DedupStream.incrementalScreen(s, dir),
       Some(PipelineQueries.incrementalMinhashOracleSql)),
 
+    // continual vector-index maintenance as a stream: per-micro-batch
+    // foreachBatch append of new embeddings into the persisted IVF lists
+    // against FROZEN centroids. Assignment is per-row, so the final index
+    // is micro-batching-independent (forced to 2 triggers) and the batch
+    // incremental-IVF oracle applies unchanged to the post-ingest probe.
+    "q_stream_ann_ingest" -> QueryDef(
+      (s, dir) => graft.streaming.AnnStream.incrementalIvfIngest(s, dir),
+      Some(PipelineQueries.annIvfIncrementalOracleSql)),
+
     // train-batch/apply-stream tokenization: BPE merges learned once from
     // the batch corpus, the stateless distributed encode applied inside a
     // streaming query (append mode, no state); per-doc counts equal the

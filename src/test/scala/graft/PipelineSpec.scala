@@ -749,6 +749,38 @@ class PipelineSpec extends SparkSpec {
     assert(enc.sortBy(_._1).toSeq == enc2.sortBy(_._1).toSeq)
   }
 
+  test("IVF-PQ recovers planted clusters through probe + residual codes") {
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(8, 64)(rng.nextGaussian() * 5.0)
+    val rows = (0 until 200).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(_ + rng.nextGaussian() * 0.3).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 8)
+    val approx = Similarity.ivfPqTopK(df, q, "vec_id", "embedding",
+      k = 10, dim = 64, nCentroids = 8, nProbe = 2, numSubspaces = 4,
+      codebookSize = 8, ivfIterations = 3, pqIterations = 2)
+      .select($"query_id", $"corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(approx.length == 80, s"missing neighbors: ${approx.length}")
+    val frac = approx.count { case (qid, cid) => qid % 8 == cid % 8 }.toDouble / approx.length
+    assert(frac >= 0.95, s"cluster-mate fraction = $frac")
+  }
+
+  test("rankAuc: hand-computed AUC with ties, degenerate perfect ranking") {
+    import graft.pipeline.Classify
+    // scores: pos {3, 2}, neg {2, 1} → pairs: (3>2)=1, (3>1)=1, (2~2)=.5,
+    // (2>1)=1 → AUC = 3.5/4
+    val df = Seq((0.3, true), (0.2, true), (0.2, false), (0.1, false))
+      .toDF("score", "label")
+    val r = Classify.rankAuc(df, "score", "label").head
+    assert(r.getDouble(0) == 0.875 && r.getLong(1) == 2 && r.getLong(2) == 2)
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false))
+      .toDF("score", "label")
+    assert(Classify.rankAuc(perfect, "score", "label").head.getDouble(0) == 1.0)
+  }
+
   test("lrHashClassifier separates a separable corpus perfectly") {
     import graft.pipeline.Classify
     val synth = (0 until 40).map { i =>

@@ -222,4 +222,36 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
     assert(plan.contains("partial_count") || plan.contains("partial count"), plan)
   }
+
+  test("PQ scoring join carries codes only — raw vectors never enter it") {
+    // the point of product quantization at scale: after encoding, the
+    // scored representation is the codes array, so the join input must
+    // not project the embedding column
+    val e = Registry.t(spark, dir, "embeddings")
+    import spark.implicits._
+    val df = graft.pipeline.Similarity.pqTopK(e, e.filter($"vec_id" < 5),
+      "vec_id", "embedding", k = 10, dim = 64)
+    val plan = df.queryExecution.executedPlan.toString
+    val joinLines = plan.linesIterator
+      .dropWhile(l => !l.contains("BroadcastNestedLoopJoin")).take(4).mkString("\n")
+    assert(joinLines.nonEmpty, plan)
+    // the corpus side feeding the join projects codes, not cv
+    val projAboveJoin = plan.linesIterator
+      .filter(l => l.contains("Project") && l.contains("codes"))
+    assert(projAboveJoin.nonEmpty, plan)
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains("cv#")), plan)
+  }
+
+  test("IVF-PQ probe joins on cid with codes-only index rows") {
+    val e = Registry.t(spark, dir, "embeddings")
+    import spark.implicits._
+    val df = graft.pipeline.Similarity.ivfPqTopK(e, e.filter($"vec_id" < 5),
+      "vec_id", "embedding", k = 10, dim = 64)
+    val plan = df.queryExecution.executedPlan.toString
+    // candidate generation is a cid-keyed broadcast hash join (list
+    // pruning), not a nested-loop over the corpus
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("cid"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
