@@ -402,6 +402,42 @@ object Dedup {
       .filter($"jaccard" >= threshold)
   }
 
+  /**
+   * N-gram CONTAINMENT — the asymmetric twin of [[ngramJaccard]]:
+   * containment(A in B) = |grams(A) ∩ grams(B)| / |grams(A)|. Jaccard
+   * misses the quote-inside-a-larger-document case (a short doc fully
+   * embedded in a long one has small union-relative overlap but
+   * containment ≈ 1), which is exactly the duplication a pretraining
+   * corpus accumulates as articles get quoted and aggregated. Emits
+   * ORDERED pairs — (a, b) means a's grams are covered by b — so both
+   * directions can appear with different scores. Same scale posture as
+   * the Jaccard: gram-keyed join with a gram-df cap, never a pair
+   * matrix.
+   */
+  def ngramContainment(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, threshold: Double = 0.8,
+      maxGramDf: Long = Dedup.DefaultMaxGramDf): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val allGrams = df
+      .select(col(idCol).cast("long").as("id"),
+        explode(TextAnalysis.wordNgrams(col(textCol), n)).as("g"))
+    val grams =
+      if (maxGramDf == Long.MaxValue) allGrams
+      else allGrams.join(
+        allGrams.groupBy($"g").agg(count(lit(1)).as("gdf"))
+          .filter($"gdf" <= maxGramDf).select($"g"), "g")
+    val sizes = grams.groupBy($"id").agg(count(lit(1)).as("n"))
+    val inter = grams.as("a").join(grams.as("b"), $"a.g" === $"b.g" && $"a.id" =!= $"b.id")
+      .groupBy($"a.id".as("id_a"), $"b.id".as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select($"id".as("id_a"), $"n".as("na")), "id_a")
+      .select($"id_a", $"id_b",
+        round($"c".cast("double") / $"na", 4).as("containment"))
+      .filter($"containment" >= threshold)
+  }
+
   /** 60-bit SimHash over whitespace tokens: per bit, sign of Σ±1 across
     * token hashes (bit b = 1 iff (#tokens with bit b set) * 2 > #tokens).
     * 60 bits because `baseHash60` (md5-derived, SQL-reproducible) supplies

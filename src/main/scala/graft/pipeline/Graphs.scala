@@ -64,4 +64,52 @@ object Graphs {
     }
     ranks
   }
+
+  /**
+   * Per-node triangle counts by the degree-ordered edge-iterator
+   * algorithm — the standard distributed formulation:
+   *
+   *  1. canonicalize to distinct undirected edges (a < b);
+   *  2. orient every edge from its (degree, id)-smaller endpoint to the
+   *     larger — an acyclic orientation whose max out-degree is O(√E)
+   *     on any graph, which is what bounds the wedge join;
+   *  3. wedges = pairs of out-neighbors (v, w) of a common u, ordered by
+   *     the same (degree, id) total order;
+   *  4. a wedge closes into a triangle iff the oriented edge v→w exists.
+   *
+   * Each triangle is found exactly once (u < v < w in orientation
+   * order), then credited to all three vertices. Everything is
+   * equi-joins + hash aggregates on integer counts — no FP, so a SQL
+   * oracle replays it exactly. Returns (node, triangles) for nodes in
+   * at least one triangle.
+   */
+  def triangleCount(edges0: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val und = edges0.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter($"a" =!= $"b")
+      .distinct()
+    val deg = und.select($"a".as("n")).union(und.select($"b".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("d"))
+    // orient by (degree, id); carry the endpoint orders so the wedge
+    // pairing below needs no extra degree join
+    val oriented = und
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+      .select(
+        when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"), struct($"a", $"da", $"b", $"db"))
+          .otherwise(struct($"b".as("a"), $"db".as("da"), $"a".as("b"), $"da".as("db"))).as("e"))
+      .select($"e.a".as("u"), $"e.b".as("v"), $"e.db".as("dv"))
+    val e1 = oriented.select($"u", $"v", $"dv")
+    val e2 = oriented.select($"u", $"v".as("w"), $"dv".as("dw"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter($"dv" < $"dw" || ($"dv" === $"dw" && $"v" < $"w"))
+      .select($"u", $"v", $"w")
+    val triangles = wedges.join(
+      oriented.select($"u".as("v"), $"v".as("w")), Seq("v", "w"))
+    triangles.select(explode(array($"u", $"v", $"w")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("triangles"))
+  }
 }

@@ -287,4 +287,196 @@ object Tokenizer {
       })
       .toDF("doc_id", "token_ids", "n_tokens")
   }
+
+  // ===================== WordPiece =====================
+
+  /** Continuation-piece marker (BERT convention). */
+  val WpCont = "##"
+  val WpUnk = "[UNK]"
+
+  /** Strip the continuation marker if present. */
+  private def wpBody(s: String): String =
+    if (s.startsWith(WpCont)) s.substring(WpCont.length) else s
+
+  /** word → WordPiece symbols: first code point plain, the rest
+    * ##-prefixed (no end-of-word marker — continuation is positional). */
+  private def toSymbolsWp(w: String): mutable.ArrayBuffer[String] = {
+    val buf = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val s = new String(Character.toChars(cp))
+      buf += (if (i == 0) s else WpCont + s)
+      i += Character.charCount(cp)
+    }
+    buf
+  }
+
+  /**
+   * Learn a WordPiece vocabulary: the same incremental merge loop as BPE
+   * but pairs are chosen by the WordPiece LIKELIHOOD score
+   * count(ab) / (count(a)·count(b)) instead of raw count — the pair whose
+   * merge most increases corpus likelihood under a unigram piece model.
+   * Scores are compared by Long cross-multiplication (no FP), ties by
+   * (left, right) lexicographic, so training is exactly reproducible.
+   * Continuation pieces carry the BERT `##` prefix; merging keeps it on
+   * the left symbol only (`a`+`##b`→`ab`, `##a`+`##b`→`##ab`).
+   */
+  def trainWordpiece(df: DataFrame, textCol: String, numMerges: Int,
+      maxWords: Int = 1000000, minFreq: Long = 1L): Seq[String] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = wordFrequencies(df, textCol)
+      .filter($"freq" >= minFreq)
+      .orderBy($"freq".desc, $"word".asc)
+      .limit(maxWords)
+      .as[(String, Long)]
+      .collect()
+    trainWordpieceFromCounts(rows, numMerges)
+  }
+
+  /** The exact WordPiece merge loop over an in-memory word-frequency
+    * table — factored out so specs can drive it with hand fixtures. */
+  private[graft] def trainWordpieceFromCounts(wordFreqs: Seq[(String, Long)],
+      numMerges: Int): Seq[String] = {
+    val words: Array[mutable.ArrayBuffer[String]] =
+      wordFreqs.map { case (w, _) => toSymbolsWp(w) }.toArray
+    val freqs: Array[Long] = wordFreqs.map(_._2).toArray
+
+    val pairStats = mutable.HashMap.empty[(String, String), Long]
+    val symStats = mutable.HashMap.empty[String, Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+
+    def addWord(i: Int, sign: Long): Unit = {
+      val syms = words(i)
+      var j = 0
+      while (j < syms.length) {
+        val n = symStats.getOrElse(syms(j), 0L) + sign * freqs(i)
+        if (n == 0L) symStats.remove(syms(j)) else symStats(syms(j)) = n
+        if (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          val c = pairStats.getOrElse(p, 0L) + sign * freqs(i)
+          if (c == 0L) { pairStats.remove(p); where.get(p).foreach(_.remove(i)) }
+          else {
+            pairStats(p) = c
+            if (sign > 0) where.getOrElseUpdate(p, mutable.Set.empty) += i
+          }
+        }
+        j += 1
+      }
+    }
+    words.indices.foreach(addWord(_, 1L))
+
+    var m = 0
+    while (m < numMerges && pairStats.nonEmpty) {
+      // argmax of n/(ca·cb) via cross-multiplication: n1·ca2·cb2 vs
+      // n2·ca1·cb1 (BigInt: three-way products of corpus-scale counts
+      // overflow Long at ~2^21 tokens)
+      var best: (String, String) = null
+      var bestN = 0L
+      var bestDen = BigInt(0)
+      pairStats.foreach { case (p, n) =>
+        val den = BigInt(symStats(p._1)) * BigInt(symStats(p._2))
+        val better =
+          if (best == null) true
+          else {
+            val l = BigInt(n) * bestDen
+            val r = BigInt(bestN) * den
+            l > r || (l == r && (p._1 < best._1 ||
+              (p._1 == best._1 && p._2 < best._2)))
+          }
+        if (better) { best = p; bestN = n; bestDen = den }
+      }
+      val merged = wpMerge(best._1, best._2)
+      val affected = where.getOrElse(best, mutable.Set.empty).toArray
+      affected.foreach { i =>
+        addWord(i, -1L)
+        words(i) = mergePair(words(i), best._1, best._2, merged)
+        addWord(i, 1L)
+      }
+      pairStats.remove(best)
+      where.remove(best)
+      m += 1
+    }
+
+    (words.iterator.flatten.toSeq :+ WpUnk).distinct.sorted
+  }
+
+  /** `a`+`##b` → `ab`; `##a`+`##b` → `##ab`. */
+  private def wpMerge(a: String, b: String): String = a + wpBody(b)
+
+  /**
+   * WordPiece ENCODE: greedy longest-match-first against the vocabulary
+   * (the standard BERT inference algorithm — independent of how the
+   * vocab was trained). A word with any unmatchable remainder becomes a
+   * single [UNK]. Distributed exactly like [[bpeEncode]]: stateless
+   * `mapPartitions` with a per-partition word cache, map-only plan.
+   */
+  def wordpieceEncode(df: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String], cacheCap: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vset = vocab.toSet
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val cache = mutable.HashMap.empty[String, Seq[String]]
+        it.map { case (id, text) =>
+          val words =
+            if (text == null) Array.empty[String]
+            else text.toLowerCase(java.util.Locale.ROOT).split(" ").filter(_.nonEmpty)
+          val toks = words.iterator.flatMap { w =>
+            cache.get(w) match {
+              case Some(t) => t
+              case None =>
+                val t = wpEncodeWord(w, vset)
+                if (cache.size < cacheCap) cache(w) = t
+                t
+            }
+          }.toSeq
+          (id, toks, toks.length)
+        }
+      }
+      .toDF("doc_id", "tokens", "n_tokens")
+  }
+
+  private[graft] def wpEncodeWord(w: String, vocab: Set[String]): Seq[String] = {
+    if (w.isEmpty) return Seq.empty
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      var j = w.length
+      var found: String = null
+      while (found == null && j > i) {
+        // a candidate boundary may not split a surrogate pair
+        val splitsSurrogate = j < w.length &&
+          Character.isHighSurrogate(w.charAt(j - 1)) &&
+          Character.isLowSurrogate(w.charAt(j))
+        if (!splitsSurrogate) {
+          val cand = (if (i == 0) "" else WpCont) + w.substring(i, j)
+          if (vocab.contains(cand)) found = cand
+        }
+        j -= 1
+      }
+      if (found == null) return Seq(WpUnk)
+      out += found
+      i += wpBody(found).length
+    }
+    out.toSeq
+  }
+
+  /** Persist / reload a WordPiece vocabulary (one piece per row with its
+    * dense id — the artifact a serving pipeline ships). */
+  def saveWordpiece(spark: SparkSession, vocab: Seq[String], dir: String): Unit = {
+    import spark.implicits._
+    vocab.zipWithIndex.map { case (p, i) => (i, p) }
+      .toDF("piece_id", "piece").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  def loadWordpiece(spark: SparkSession, dir: String): Seq[String] = {
+    import spark.implicits._
+    spark.read.parquet(dir).orderBy($"piece_id")
+      .select($"piece").as[String].collect().toSeq
+  }
 }

@@ -90,6 +90,44 @@ object PipelineQueries {
       },
       Some(pageRankOracleSql(iters = 3, d = 0.85))),
 
+    // triangle counting over the customer co-order-date graph (customers
+    // linked when they ordered the same day): degree-ordered edge
+    // iterator, each triangle found once and credited to its 3 vertices.
+    // Pure equi-join/count arithmetic — the oracle replays it exactly.
+    "q_triangle_count" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cd = t(s, dir, "orders")
+          .select($"o_custkey".as("c"), $"o_orderdate".as("d")).distinct()
+        val edges = cd.as("x").join(cd.as("y"), Seq("d"))
+          .filter($"x.c" < $"y.c")
+          .select($"x.c".as("src"), $"y.c".as("dst"))
+        graft.pipeline.Graphs.triangleCount(edges, "src", "dst")
+          .orderBy($"node")
+      },
+      Some("""WITH cd AS (SELECT DISTINCT o_custkey AS c, o_orderdate AS d FROM orders),
+             |und AS (SELECT DISTINCT x.c AS a, y.c AS b
+             |        FROM cd x JOIN cd y ON x.d = y.d AND x.c < y.c),
+             |deg AS (SELECT n, count(*)::BIGINT AS dg FROM (
+             |          SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+             |        GROUP BY n),
+             |ori AS (
+             |  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+             |         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v,
+             |         CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dv
+             |  FROM (SELECT und.a, und.b, x.dg AS da, y.dg AS db
+             |        FROM und JOIN deg x ON x.n = und.a JOIN deg y ON y.n = und.b)),
+             |wg AS (SELECT e1.u, e1.v, e2.v AS w
+             |       FROM ori e1 JOIN ori e2 ON e1.u = e2.u
+             |        AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))),
+             |tri AS (SELECT wg.u, wg.v, wg.w
+             |        FROM wg JOIN ori ON ori.u = wg.v AND ori.v = wg.w)
+             |SELECT node, count(*)::BIGINT AS triangles FROM (
+             |  SELECT u AS node FROM tri
+             |  UNION ALL SELECT v AS node FROM tri
+             |  UNION ALL SELECT w AS node FROM tri)
+             |GROUP BY node ORDER BY node""".stripMargin)),
+
     // ---- dedup ----
     "q_dedup_exact_groups" -> QueryDef(
       (s, dir) => {
@@ -173,6 +211,40 @@ object PipelineQueries {
              |JOIN sizes sa ON sa.doc_id = id_a
              |JOIN sizes sb ON sb.doc_id = id_b
              |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // asymmetric containment |A∩B|/|A|: catches a short doc quoted inside
+    // a longer one, which union-relative Jaccard structurally misses
+    "q_dedup_containment" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Dedup.ngramContainment(t(s, dir, "documents"), "doc_id", "text",
+          n = 2, threshold = 0.6, maxGramDf = 100L)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok,
+             |         generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) AS i
+             |  FROM documents),
+             |allgrams AS (
+             |  SELECT DISTINCT doc_id, g FROM (
+             |    SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS g
+             |    FROM tok) WHERE g IS NOT NULL),
+             |gdf AS (SELECT g, count(*) AS gcnt FROM allgrams GROUP BY g),
+             |grams AS (
+             |  SELECT allgrams.doc_id, allgrams.g FROM allgrams
+             |  JOIN gdf ON allgrams.g = gdf.g WHERE gdf.gcnt <= 100),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+             |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id <> b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |       round(CAST(c AS DOUBLE) / sa.n, 4) AS containment
+             |FROM inter
+             |JOIN sizes sa ON sa.doc_id = id_a
+             |WHERE round(CAST(c AS DOUBLE) / sa.n, 4) >= 0.6
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // incremental ingest filter: a NEW batch (30 exact copies of ref docs
@@ -1057,6 +1129,38 @@ object PipelineQueries {
     // order on pair selection) but not SQL-expressible → rows-only check;
     // the merge loop itself is golden-pinned by TokenizerSpec against the
     // Sennrich ACL-2016 worked example
+    // WordPiece: likelihood-scored merges (count(ab)/(count(a)·count(b)),
+    // BigInt cross-multiplied — not SQL-expressible) and BERT-style greedy
+    // longest-match encode through a save/load round-trip of the vocab
+    // artifact. Hand-fixture training goldens, longest-match/UNK/surrogate
+    // semantics, and BPE-vs-WordPiece segmentation divergence are
+    // TokenizerSpec-pinned; rows-only here.
+    "q_wordpiece_vocab" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val vocab = Tokenizer.trainWordpiece(t(s, dir, "documents"), "text",
+          numMerges = 200, maxWords = 50000, minFreq = 2L)
+        vocab.zipWithIndex.map { case (p, i) => (i, p) }
+          .toDF("piece_id", "piece").orderBy($"piece_id")
+      },
+      None),
+
+    "q_wordpiece_encode" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val vocab = Tokenizer.trainWordpiece(docs, "text",
+          numMerges = 200, maxWords = 50000, minFreq = 2L)
+        val path = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_wp_vocab_${ProcessHandle.current().pid()}").toString
+        Tokenizer.saveWordpiece(s, vocab, path)
+        Tokenizer.wordpieceEncode(docs, "doc_id", "text",
+          Tokenizer.loadWordpiece(s, path))
+          .select($"doc_id", $"n_tokens").orderBy($"doc_id")
+      },
+      None),
+
     "q_bpe_merges" -> QueryDef(
       (s, dir) => {
         val model = Tokenizer.trainBpe(t(s, dir, "documents"), "text",

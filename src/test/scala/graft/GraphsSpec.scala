@@ -49,4 +49,26 @@ class GraphsSpec extends SparkSpec {
     // (no in-links: floor + dangling share only)
     assert(got(1L) > got(4L) && got(3L) > got(4L))
   }
+
+  test("triangleCount: K4, K4 plus pendant, and a triangle-free path") {
+    import spark.implicits._
+    // K4: every vertex sits in C(3,2)=3 triangles, 4 triangles total
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val got = Graphs.triangleCount(k4.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got)
+    // pendant vertex 5 joins no triangle and must not appear
+    val withPendant = k4 :+ (4L, 5L)
+    val got2 = Graphs.triangleCount(withPendant.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got, got2)
+    // path graph: no triangles at all
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(Graphs.triangleCount(path.toDF("src", "dst"), "src", "dst").count() == 0)
+    // duplicate/reversed/self edges canonicalize away
+    val messy = k4 ++ Seq((2L, 1L), (3L, 3L), (1L, 2L))
+    val got3 = Graphs.triangleCount(messy.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got3 == got, got3)
+  }
 }

@@ -749,6 +749,23 @@ class PipelineSpec extends SparkSpec {
     assert(enc.sortBy(_._1).toSeq == enc2.sortBy(_._1).toSeq)
   }
 
+  test("ngramContainment catches a quote-inside-doc that Jaccard misses") {
+    val short0 = "alpha beta gamma delta epsilon zeta"
+    val long0 = "one two three four five six seven eight nine ten " +
+      short0 + " eleven twelve thirteen fourteen fifteen sixteen seventeen"
+    val df = Seq((1L, short0), (2L, long0), (3L, "unrelated words here entirely"))
+      .toDF("id", "text")
+    val cont = Dedup.ngramContainment(df, "id", "text", n = 2, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every bigram of the short doc appears in the long doc → containment 1.0
+    assert(cont.exists { case (a, b, c) => a == 1L && b == 2L && c == 1.0 }, cont.toSeq)
+    // the reverse direction is far below threshold, and Jaccard misses the pair
+    assert(!cont.exists { case (a, b, _) => a == 2L && b == 1L }, cont.toSeq)
+    val jac = Dedup.ngramJaccard(df, "id", "text", n = 2, threshold = 0.8)
+      .collect()
+    assert(jac.isEmpty, jac.toSeq)
+  }
+
   test("IVF-PQ recovers planted clusters through probe + residual codes") {
     val rng = new scala.util.Random(11)
     val centers = Array.fill(8, 64)(rng.nextGaussian() * 5.0)

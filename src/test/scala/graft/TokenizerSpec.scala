@@ -119,4 +119,58 @@ class TokenizerSpec extends SparkSpec {
     assert(m1.merges.forall { case (a, b) => "aa</w>".contains(a.replace("</w>", "")) || a == "a" })
     assert(m1.vocab.forall(v => v == "</w>" || v.replace("</w>", "").forall(_ == 'a')))
   }
+
+  test("wordpiece training picks by likelihood, not count") {
+    // (w,##z) count 5 but score 5/(5·14) beats (x,##y) count 10 at
+    // 10/(19·10): likelihood training merges the rarer-but-tighter pair
+    val vocab = Tokenizer.trainWordpieceFromCounts(
+      Seq(("xy", 10L), ("xz", 9L), ("wz", 5L)), numMerges = 1)
+    assert(vocab == Seq("##y", "##z", "[UNK]", "wz", "x"), vocab)
+    // exact-tie on score falls back to (left, right) lexicographic
+    val tied = Tokenizer.trainWordpieceFromCounts(
+      Seq(("ab", 10L), ("ac", 3L)), numMerges = 1)
+    assert(tied == Seq("##c", "[UNK]", "a", "ab"), tied)
+  }
+
+  test("wordpiece encode: greedy longest match, whole-word UNK on dead end") {
+    val v = Set("un", "##able", "##ab", "##le", "a", "ab")
+    assert(Tokenizer.wpEncodeWord("unable", v) == Seq("un", "##able"))
+    // "abc": "ab" matches, then "##c" is unmatchable → whole word UNK
+    assert(Tokenizer.wpEncodeWord("abc", v) == Seq("[UNK]"))
+    assert(Tokenizer.wpEncodeWord("zzz", v) == Seq("[UNK]"))
+    assert(Tokenizer.wpEncodeWord("", v) == Seq.empty)
+  }
+
+  test("wordpiece trained vocab encodes its training corpus without UNK") {
+    val docs = paperDf
+    val vocab = Tokenizer.trainWordpiece(docs, "text", numMerges = 10)
+    val enc = Tokenizer.wordpieceEncode(docs.dropDuplicates("text"),
+      "doc_id", "text", vocab).collect()
+    enc.foreach { r =>
+      val toks = r.getSeq[String](1)
+      assert(!toks.contains("[UNK]"), toks)
+    }
+    // concatenating the pieces (## stripped) reconstructs the word
+    val byDoc = docs.dropDuplicates("text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    enc.foreach { r =>
+      val rebuilt = r.getSeq[String](1).map(t =>
+        if (t.startsWith("##")) t.substring(2) else t).mkString
+      assert(rebuilt == byDoc(r.getLong(0)), rebuilt)
+    }
+  }
+
+  test("wordpiece vocab save/load round-trips and encodes identically") {
+    val docs = paperDf
+    val vocab = Tokenizer.trainWordpiece(docs, "text", numMerges = 6)
+    val dir = java.nio.file.Files.createTempDirectory("graft_wp_test").toString
+    Tokenizer.saveWordpiece(spark, vocab, dir)
+    val loaded = Tokenizer.loadWordpiece(spark, dir)
+    assert(loaded == vocab)
+    val a = Tokenizer.wordpieceEncode(docs, "doc_id", "text", vocab)
+      .orderBy($"doc_id").collect().map(_.getSeq[String](1)).toSeq
+    val b = Tokenizer.wordpieceEncode(docs, "doc_id", "text", loaded)
+      .orderBy($"doc_id").collect().map(_.getSeq[String](1)).toSeq
+    assert(a == b)
+  }
 }
