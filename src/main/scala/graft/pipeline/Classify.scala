@@ -154,9 +154,15 @@ object Classify {
         wv - learnRate / m * stByB.getOrElse(i, 0.0)
       }
       bias = bias - learnRate * biasStep
+      // both gradient actions completed — release this step's blocks, or
+      // `iterations` corpus-sized checkpoints pile up on the executors
+      p.unpersist(blocking = false)
     }
-    scoreCol(w, bias)
+    val out = scoreCol(w, bias)
       .select($"doc_id", round($"s", 6).as("score"), ($"s" > 0).as("predicted"))
+      .localCheckpoint() // materialize before releasing feats below
+    feats.unpersist(blocking = false)
+    out
   }
 
   /**
@@ -187,7 +193,10 @@ object Classify {
       (count(lit(1)) - sum($"y")).cast("double").as("n"))
     c.agg(sum(($"cumneg" + $"nn" / 2.0) * $"np").as("num"))
       .crossJoin(broadcast(tot))
-      .select(round($"num" / ($"p" * $"n"), 6).as("auc"),
+      .select(
+        // single-class input has no rankable pairs: AUC is undefined —
+        // surface that as NULL, not a silent NaN
+        when($"p" > 0 && $"n" > 0, round($"num" / ($"p" * $"n"), 6)).as("auc"),
         $"p".cast("long").as("n_pos"), $"n".cast("long").as("n_neg"))
   }
 

@@ -374,26 +374,43 @@ object Dedup {
    * that share at least one gram. Documents with fewer than n tokens have
    * no grams and drop out (strict semantics, unlike `shingles`' fallback).
    */
-  def ngramJaccard(df: DataFrame, idCol: String, textCol: String, n: Int = 2,
-      threshold: Double = 0.5, maxGramDf: Long = Dedup.DefaultMaxGramDf): DataFrame = {
+  /** Shared scaffold for the exact n-gram pair measures: df-capped
+    * per-doc distinct grams, per-doc set sizes, and pairwise
+    * intersection counts over the gram-keyed join. `ordered = false`
+    * emits each unordered pair once (id_a < id_b, for symmetric
+    * measures); `ordered = true` emits both directions (for asymmetric
+    * ones). The gram-frequency cap matters at scale: hot grams
+    * ("of the") hit ~every document, turning the gram self-join
+    * quadratic on that key; dropping grams with df > maxGramDf from
+    * BOTH the intersection and the set sizes keeps the math exact over
+    * the remaining discriminative grams. */
+  private def gramPairCounts(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxGramDf: Long, ordered: Boolean): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
     val allGrams = df
       .select(col(idCol).cast("long").as("id"),
         explode(TextAnalysis.wordNgrams(col(textCol), n)).as("g"))
-    // gram-frequency cap: hot grams ("of the") hit ~every document, turning
-    // the gram self-join quadratic on that key at scale. Dropping grams with
-    // df > maxGramDf from BOTH the intersection and the per-doc set sizes
-    // keeps the math exact over the remaining discriminative grams.
     val grams =
       if (maxGramDf == Long.MaxValue) allGrams
       else allGrams.join(
         allGrams.groupBy($"g").agg(count(lit(1)).as("gdf"))
           .filter($"gdf" <= maxGramDf).select($"g"), "g")
     val sizes = grams.groupBy($"id").agg(count(lit(1)).as("n"))
-    val inter = grams.as("a").join(grams.as("b"), $"a.g" === $"b.g" && $"a.id" < $"b.id")
+    val pairCond =
+      if (ordered) $"a.id" =!= $"b.id" else $"a.id" < $"b.id"
+    val inter = grams.as("a").join(grams.as("b"), $"a.g" === $"b.g" && pairCond)
       .groupBy($"a.id".as("id_a"), $"b.id".as("id_b"))
       .agg(count(lit(1)).as("c"))
+    (sizes, inter)
+  }
+
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String, n: Int = 2,
+      threshold: Double = 0.5, maxGramDf: Long = Dedup.DefaultMaxGramDf): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (sizes, inter) = gramPairCounts(df, idCol, textCol, n, maxGramDf,
+      ordered = false)
     inter
       .join(sizes.select($"id".as("id_a"), $"n".as("na")), "id_a")
       .join(sizes.select($"id".as("id_b"), $"n".as("nb")), "id_b")
@@ -419,18 +436,8 @@ object Dedup {
       maxGramDf: Long = Dedup.DefaultMaxGramDf): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val allGrams = df
-      .select(col(idCol).cast("long").as("id"),
-        explode(TextAnalysis.wordNgrams(col(textCol), n)).as("g"))
-    val grams =
-      if (maxGramDf == Long.MaxValue) allGrams
-      else allGrams.join(
-        allGrams.groupBy($"g").agg(count(lit(1)).as("gdf"))
-          .filter($"gdf" <= maxGramDf).select($"g"), "g")
-    val sizes = grams.groupBy($"id").agg(count(lit(1)).as("n"))
-    val inter = grams.as("a").join(grams.as("b"), $"a.g" === $"b.g" && $"a.id" =!= $"b.id")
-      .groupBy($"a.id".as("id_a"), $"b.id".as("id_b"))
-      .agg(count(lit(1)).as("c"))
+    val (sizes, inter) = gramPairCounts(df, idCol, textCol, n, maxGramDf,
+      ordered = true)
     inter
       .join(sizes.select($"id".as("id_a"), $"n".as("na")), "id_a")
       .select($"id_a", $"id_b",

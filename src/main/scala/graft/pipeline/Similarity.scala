@@ -316,6 +316,53 @@ object Similarity {
   }
 
   /**
+   * Binary sign quantization + Hamming search — the extreme end of the
+   * vector-compression family (float32 → int8 → PQ codes → 1 bit/dim):
+   * each embedding collapses to sign bits packed into two longs (for
+   * dim ≤ 128), and neighbor candidates rank by Hamming distance, i.e.
+   * two XORs and two popcounts per pair. For random-hyperplane-ish
+   * embeddings, Hamming distance is a monotone estimator of angular
+   * distance; production stacks use exactly this as the cheap first-pass
+   * filter before an exact rerank. Everything is integer arithmetic, so
+   * the SQL oracle replays it bit-exactly.
+   *
+   * The packed representation is 32-dim words (weights ≤ 2³¹, so every
+   * partial sum stays positive — no sign-bit/overflow divergence between
+   * engines, DuckDB's checked BIGINT addition included); dims beyond the
+   * vector length contribute 0.
+   */
+  def signBits(v: Column, lo: Int, hi: Int): Column = {
+    require(hi - lo <= 32, "one packed word covers at most 32 dims")
+    (lo until hi).map { i =>
+      when(element_at(v, i + 1) > 0, lit(1L << (hi - 1 - i))).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val words = (dim + 31) / 32
+    def packed(df: DataFrame, id: String) = df.select(
+      col(idCol).cast("long").as(id) +:
+      (0 until words).map { w =>
+        signBits(col(vecCol).cast("array<double>"),
+          w * 32, math.min((w + 1) * 32, dim)).as(s"${id}_b$w")
+      }: _*)
+    val c = packed(corpus, "corpus_id")
+    val q = packed(queries, "query_id")
+    val hamming = (0 until words).map { w =>
+      bit_count(col(s"corpus_id_b$w").bitwiseXOR(col(s"query_id_b$w")))
+    }.reduce(_ + _)
+    val win = Window.partitionBy($"query_id").orderBy($"hamming".asc, $"corpus_id".asc)
+    c.crossJoin(broadcast(q))
+      .filter($"corpus_id" =!= $"query_id")
+      .select($"query_id", $"corpus_id", hamming.cast("int").as("hamming"))
+      .withColumn("rnk", row_number().over(win)).filter($"rnk" <= k)
+      .select($"query_id", $"rnk", $"corpus_id", $"hamming")
+  }
+
+  /**
    * IVF-PQ: the two scale mechanisms composed — the coarse quantizer
    * prunes each query to `nProbe` inverted lists (IVF), and within the
    * probed lists vectors are represented only by product-quantization

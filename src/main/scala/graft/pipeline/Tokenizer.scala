@@ -367,6 +367,16 @@ object Tokenizer {
     }
     words.indices.foreach(addWord(_, 1L))
 
+    // the vocab must keep the ALPHABET and every intermediate merged
+    // piece, not just each word's final segmentation: greedy
+    // longest-match can take a longer prefix than training did and then
+    // need a shorter piece (or a single character) to finish the word —
+    // dropping intermediates would dead-end such words to [UNK] even on
+    // the training corpus. (Real WordPiece vocabularies are exactly
+    // alphabet + merge results for the same reason.)
+    val vocabAcc = mutable.LinkedHashSet.empty[String]
+    words.iterator.flatten.foreach(vocabAcc += _)
+
     var m = 0
     while (m < numMerges && pairStats.nonEmpty) {
       // argmax of n/(ca·cb) via cross-multiplication: n1·ca2·cb2 vs
@@ -388,6 +398,7 @@ object Tokenizer {
         if (better) { best = p; bestN = n; bestDen = den }
       }
       val merged = wpMerge(best._1, best._2)
+      vocabAcc += merged
       val affected = where.getOrElse(best, mutable.Set.empty).toArray
       affected.foreach { i =>
         addWord(i, -1L)
@@ -399,7 +410,7 @@ object Tokenizer {
       m += 1
     }
 
-    (words.iterator.flatten.toSeq :+ WpUnk).distinct.sorted
+    (vocabAcc.toSeq :+ WpUnk).distinct.sorted
   }
 
   /** `a`+`##b` → `ab`; `##a`+`##b` → `##ab`. */
@@ -446,6 +457,7 @@ object Tokenizer {
     var i = 0
     while (i < w.length) {
       var j = w.length
+      var foundEnd = -1
       var found: String = null
       while (found == null && j > i) {
         // a candidate boundary may not split a surrogate pair
@@ -454,13 +466,17 @@ object Tokenizer {
           Character.isLowSurrogate(w.charAt(j))
         if (!splitsSurrogate) {
           val cand = (if (i == 0) "" else WpCont) + w.substring(i, j)
-          if (vocab.contains(cand)) found = cand
+          if (vocab.contains(cand)) { found = cand; foundEnd = j }
         }
         j -= 1
       }
       if (found == null) return Seq(WpUnk)
       out += found
-      i += wpBody(found).length
+      // advance by the chars actually consumed from w — NOT by the
+      // ##-stripped piece length, which under-advances when the raw text
+      // itself starts with "##" (the piece then matched without a marker
+      // being added, so stripping would double-read those chars)
+      i = foundEnd
     }
     out.toSeq
   }

@@ -658,6 +658,19 @@ object PipelineQueries {
       },
       Some(annPqOracleSql)),
 
+    // binary sign quantization + Hamming ranking: the 1-bit/dim end of
+    // the compression family; integer-exact, so the oracle replays the
+    // packing and popcount arithmetic bit-for-bit
+    "q_ann_hamming" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        Similarity.hammingTopK(e, e.filter($"vec_id" < 5), "vec_id",
+          "embedding", k = 10, dim = 64)
+          .orderBy($"query_id", $"rnk")
+      },
+      Some(annHammingOracleSql)),
+
     // the two scale mechanisms composed — IVF list pruning × PQ residual
     // codes with ADC scoring, the standard billion-vector serving shape;
     // the oracle replays the coarse k-means, the residual codebooks, the
@@ -1151,9 +1164,10 @@ object PipelineQueries {
         val docs = t(s, dir, "documents")
         val vocab = Tokenizer.trainWordpiece(docs, "text",
           numMerges = 200, maxWords = 50000, minFreq = 2L)
-        val path = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"),
-          s"graft_wp_vocab_${ProcessHandle.current().pid()}").toString
+        // per-run temp dir: a fixed pid-keyed path would let two scales'
+        // concurrent runs overwrite each other's vocab mid-round-trip
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_wp_vocab_").toString
         Tokenizer.saveWordpiece(s, vocab, path)
         Tokenizer.wordpieceEncode(docs, "doc_id", "text",
           Tokenizer.loadWordpiece(s, path))
@@ -1408,6 +1422,29 @@ object PipelineQueries {
        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** DuckDB replay of `Similarity.hammingTopK(dim=64)`: the same 32-dim
+    * sign-bit words (positive weights only — no sign-bit overflow under
+    * DuckDB's checked BIGINT addition) and XOR+popcount ranking. */
+  private def annHammingOracleSql: String = {
+    def word(w: Int): String =
+      (w * 32 until (w + 1) * 32).map { i =>
+        s"CASE WHEN v[${i + 1}] > 0 THEN ${1L << ((w + 1) * 32 - 1 - i)} ELSE 0 END"
+      }.mkString("(", "\n       + ", ")")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |pk AS (SELECT vec_id, ${word(0)} AS b0, ${word(1)} AS b1 FROM v),
+       |q AS (SELECT vec_id, b0, b1 FROM pk WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |    CAST(bit_count(xor(c.b0, q.b0)) + bit_count(xor(c.b1, q.b1)) AS INT) AS hamming
+       |  FROM pk c CROSS JOIN q WHERE c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY hamming ASC, corpus_id ASC) AS INT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, rnk, corpus_id, hamming FROM ranked
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** DuckDB replay of `Similarity.ivfPqTopK`: the coarse 16-centroid
     * k-means (3 Lloyd iterations, shared CTE builder), per-vector
     * residuals against the assigned centroid, four independent residual
@@ -1588,7 +1625,9 @@ object PipelineQueries {
        |      FROM g),
        |tot AS (SELECT CAST(sum(y) AS DOUBLE) AS p,
        |               CAST(count(*) - sum(y) AS DOUBLE) AS n FROM sc)
-       |SELECT round(sum((cumneg + nn / 2.0) * np) / (SELECT p * n FROM tot), 6) AS auc,
+       |SELECT CASE WHEN (SELECT p * n FROM tot) > 0
+       |         THEN round(sum((cumneg + nn / 2.0) * np) / (SELECT p * n FROM tot), 6)
+       |         ELSE NULL END AS auc,
        |       CAST((SELECT p FROM tot) AS BIGINT) AS n_pos,
        |       CAST((SELECT n FROM tot) AS BIGINT) AS n_neg
        |FROM c""".stripMargin

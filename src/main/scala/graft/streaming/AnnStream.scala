@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.util.concurrent.atomic.AtomicInteger
-
 import graft.pipeline.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -31,8 +29,6 @@ import org.apache.spark.sql.functions._
  */
 object AnnStream {
 
-  private val counter = new AtomicInteger(0)
-
   /**
    * The `q_ann_ivf_incremental` scenario as a stream: the quantizer is
    * trained on the EVEN vectors only and persisted; the ODD vectors
@@ -43,9 +39,11 @@ object AnnStream {
    */
   def incrementalIvfIngest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val run = counter.incrementAndGet()
-    val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_ann_stream_${ProcessHandle.current().pid()}_$run")
+    // createTempDirectory (not a pid+counter name): a restarted JVM can
+    // reuse the pid with the counter back at 1, and a leftover streaming
+    // checkpoint under the same path would replay a half-committed batch
+    // into the fresh index — duplicate appends
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_stream_")
     val incoming = base.resolve("incoming").toString
     val ckpt = base.resolve("ckpt").toString
     val idxPath = base.resolve("ivf").toString

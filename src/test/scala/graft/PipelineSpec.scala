@@ -785,6 +785,32 @@ class PipelineSpec extends SparkSpec {
     assert(frac >= 0.95, s"cluster-mate fraction = $frac")
   }
 
+  test("hammingTopK: hand-computed distances and cluster recovery") {
+    // hand case: 64-dim sign patterns differing in a known number of dims
+    val base = Array.fill(64)(1.0)
+    def flip(k: Int) = base.zipWithIndex.map { case (x, i) => if (i < k) -x else x }
+    val df = Seq((0L, base.toSeq), (1L, flip(3).toSeq), (2L, flip(10).toSeq),
+      (3L, flip(64).toSeq)).toDF("vec_id", "embedding")
+    val got = Similarity.hammingTopK(df, df.filter($"vec_id" === 0), "vec_id",
+      "embedding", k = 3, dim = 64)
+      .collect().map(r => (r.getLong(2), r.getInt(3))).toSeq
+    assert(got == Seq((1L, 3), (2L, 10), (3L, 64)), got)
+
+    // clustered fixture: sign bits survive noise, neighbors are cluster-mates
+    val rng = new scala.util.Random(13)
+    val centers = Array.fill(8, 64)(rng.nextGaussian() * 5.0)
+    val rows = (0 until 200).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(_ + rng.nextGaussian() * 0.3).toSeq)
+    }
+    val cdf = rows.toDF("vec_id", "embedding")
+    val approx = Similarity.hammingTopK(cdf, cdf.filter($"vec_id" < 8), "vec_id",
+      "embedding", k = 10, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val frac = approx.count { case (q, c) => q % 8 == c % 8 }.toDouble / approx.length
+    assert(frac >= 0.95, s"cluster-mate fraction = $frac")
+  }
+
   test("rankAuc: hand-computed AUC with ties, degenerate perfect ranking") {
     import graft.pipeline.Classify
     // scores: pos {3, 2}, neg {2, 1} → pairs: (3>2)=1, (3>1)=1, (2~2)=.5,

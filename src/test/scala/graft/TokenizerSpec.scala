@@ -123,13 +123,14 @@ class TokenizerSpec extends SparkSpec {
   test("wordpiece training picks by likelihood, not count") {
     // (w,##z) count 5 but score 5/(5·14) beats (x,##y) count 10 at
     // 10/(19·10): likelihood training merges the rarer-but-tighter pair
+    // vocab = alphabet pieces + the merge result + [UNK], sorted
     val vocab = Tokenizer.trainWordpieceFromCounts(
       Seq(("xy", 10L), ("xz", 9L), ("wz", 5L)), numMerges = 1)
-    assert(vocab == Seq("##y", "##z", "[UNK]", "wz", "x"), vocab)
+    assert(vocab == Seq("##y", "##z", "[UNK]", "w", "wz", "x"), vocab)
     // exact-tie on score falls back to (left, right) lexicographic
     val tied = Tokenizer.trainWordpieceFromCounts(
       Seq(("ab", 10L), ("ac", 3L)), numMerges = 1)
-    assert(tied == Seq("##c", "[UNK]", "a", "ab"), tied)
+    assert(tied == Seq("##b", "##c", "[UNK]", "a", "ab"), tied)
   }
 
   test("wordpiece encode: greedy longest match, whole-word UNK on dead end") {
@@ -139,6 +140,21 @@ class TokenizerSpec extends SparkSpec {
     assert(Tokenizer.wpEncodeWord("abc", v) == Seq("[UNK]"))
     assert(Tokenizer.wpEncodeWord("zzz", v) == Seq("[UNK]"))
     assert(Tokenizer.wpEncodeWord("", v) == Seq.empty)
+    // a word literally starting with "##" can match a continuation piece
+    // at position 0 (no marker is added there) — the cursor must advance
+    // by the chars consumed from the word, not the ##-stripped length
+    assert(Tokenizer.wpEncodeWord("##xy", Set("##xy")) == Seq("##xy"))
+    assert(Tokenizer.wpEncodeWord("##xy", Set("##x", "##y")) ==
+      Seq("##x", "##y"))
+  }
+
+  test("wordpiece vocab keeps intermediate merge results, not just finals") {
+    // merges on "abcd": (##b,##c) then (##bc,##d) — final pieces [a, ##bcd],
+    // but greedy encode elsewhere may need the intermediate ##bc
+    val vocab = Tokenizer.trainWordpieceFromCounts(Seq(("abcd", 10L)), numMerges = 2)
+    assert(vocab.contains("##bc"), vocab)
+    assert(vocab.contains("##bcd"), vocab)
+    assert(vocab.contains("##b") && vocab.contains("##c") && vocab.contains("##d"), vocab)
   }
 
   test("wordpiece trained vocab encodes its training corpus without UNK") {
