@@ -49,6 +49,71 @@ object Retrieval {
    * desc, id asc), jaccard rounded to 6dp before ranking so downstream
    * rank fusion is engine-stable.
    */
+  /**
+   * Maximal-marginal-relevance selection (Carbonell–Goldstein): from each
+   * query's top-`poolSize` cosine candidates, greedily pick `k` results
+   * maximizing λ·relevance − (1−λ)·max-similarity-to-already-selected —
+   * the standard diversity-aware rerank, and in a training-data pipeline
+   * the selector that keeps a retrieved context set from being k copies
+   * of the same document.
+   *
+   * Distributed shape: the candidate pool and its per-query pairwise
+   * similarity matrix are poolSize-bounded (poolSize² rows per query,
+   * e.g. 400 at poolSize=20 — the whole corpus never pairs), and the k−1
+   * greedy steps run as k−1 window-argmax passes with EVERY query
+   * advancing in parallel; no driver loop over queries. Relevance and
+   * pair similarities are 6dp-rounded (like every cosine here), scores
+   * 6dp-rounded with corpus-id tie-break, so a SQL oracle replays the
+   * selection exactly.
+   *
+   * Returns (query_id, pick, corpus_id, cosine) with pick 1..k in
+   * selection order.
+   */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, poolSize: Int = 20,
+      lambda: Double = 0.7): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pool = graft.pipeline.Similarity
+      .bruteForceTopK(corpus, queries, idCol, vecCol, poolSize)
+      .withColumnRenamed("rnk", "rel_rnk")
+    // vectors back onto the pool for the pairwise matrix
+    val vecs = corpus.select(col(idCol).cast("long").as("corpus_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val pv = pool.join(vecs, "corpus_id")
+      .select($"query_id", $"corpus_id", $"cosine", $"v")
+      .localCheckpoint(false)
+    val pairSim = pv.as("x").join(pv.as("y"),
+        $"x.query_id" === $"y.query_id" && $"x.corpus_id" =!= $"y.corpus_id")
+      .select($"x.query_id".as("query_id"), $"x.corpus_id".as("ca"),
+        $"y.corpus_id".as("cb"),
+        round(graft.pipeline.Similarity.cosine($"x.v", $"y.v"), 6).as("sim"))
+      .localCheckpoint(false)
+    val cand = pv.select($"query_id", $"corpus_id", $"cosine")
+
+    // pick 1: plain relevance argmax (tie by corpus_id, as everywhere)
+    val w1 = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"corpus_id".asc)
+    var selected = cand.withColumn("r", row_number().over(w1)).filter($"r" === 1)
+      .select($"query_id", $"corpus_id", $"cosine", lit(1).as("pick"))
+    for (step <- 2 to k) {
+      val remaining = cand.join(
+        selected.select($"query_id", $"corpus_id"), Seq("query_id", "corpus_id"),
+        "left_anti")
+      val scored = remaining
+        .join(pairSim.withColumnRenamed("ca", "corpus_id"), Seq("query_id", "corpus_id"))
+        .join(selected.select($"query_id", $"corpus_id".as("cb")), Seq("query_id", "cb"))
+        .groupBy($"query_id", $"corpus_id", $"cosine")
+        .agg(max($"sim").as("msim"))
+        .select($"query_id", $"corpus_id", $"cosine",
+          round(lit(lambda) * $"cosine" - lit(1.0 - lambda) * $"msim", 6).as("score"))
+      val ws = Window.partitionBy($"query_id").orderBy($"score".desc, $"corpus_id".asc)
+      val next = scored.withColumn("r", row_number().over(ws)).filter($"r" === 1)
+        .select($"query_id", $"corpus_id", $"cosine", lit(step).as("pick"))
+      selected = selected.unionByName(next).localCheckpoint(false)
+    }
+    selected.select($"query_id", $"pick", $"corpus_id", $"cosine")
+  }
+
   def lexicalJaccardTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, textCol: String, k: Int): DataFrame = {
     val spark = corpus.sparkSession

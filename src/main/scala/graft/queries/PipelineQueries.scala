@@ -658,6 +658,20 @@ object PipelineQueries {
       },
       Some(annPqOracleSql)),
 
+    // diversity-aware rerank: MMR greedy selection over each query's
+    // cosine pool — λ·relevance − (1−λ)·max-sim-to-selected, all queries
+    // advancing in parallel per step; the oracle unrolls the k-step
+    // greedy selection with the identical rounded arithmetic
+    "q_mmr_rerank" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        graft.pipeline.Retrieval.mmrTopK(e, e.filter($"vec_id" < 5),
+          "vec_id", "embedding", k = 5, poolSize = 20, lambda = 0.7)
+          .orderBy($"query_id", $"pick")
+      },
+      Some(mmrOracleSql(k = 5, poolSize = 20, lambda = 0.7))),
+
     // binary sign quantization + Hamming ranking: the 1-bit/dim end of
     // the compression family; integer-exact, so the oracle replays the
     // packing and popcount arithmetic bit-for-bit
@@ -1420,6 +1434,69 @@ object PipelineQueries {
        |  FROM scored)
        |SELECT query_id, rnk, corpus_id, cosine_pq FROM ranked
        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** DuckDB replay of `Retrieval.mmrTopK`: the brute-force cosine pool,
+    * the 6dp-rounded per-query pairwise similarity matrix, and the
+    * greedy selection unrolled one CTE pair per pick. λ and 1−λ are
+    * interpolated from the SAME Scala doubles the operator uses (1−0.7
+    * is 0.30000000000000004 — writing the rounded literal would diverge
+    * the score arithmetic). */
+  private def mmrOracleSql(k: Int, poolSize: Int, lambda: Double): String = {
+    val lam = lambda.toString
+    val oneMinus = (1.0 - lambda).toString
+    val steps = (2 to k).map { n =>
+      s"""r$n AS MATERIALIZED (
+         |  SELECT c.query_id, c.corpus_id, c.cosine,
+         |    round($lam * c.cosine - $oneMinus * max(ps.sim), 6) AS score
+         |  FROM pool c
+         |  JOIN pairsim ps ON ps.query_id = c.query_id AND ps.ca = c.corpus_id
+         |  JOIN sel${n - 1} s2 ON s2.query_id = ps.query_id AND s2.corpus_id = ps.cb
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${n - 1} s
+         |                    WHERE s.query_id = c.query_id AND s.corpus_id = c.corpus_id)
+         |  GROUP BY c.query_id, c.corpus_id, c.cosine),
+         |sel$n AS MATERIALIZED (
+         |  SELECT * FROM sel${n - 1}
+         |  UNION ALL
+         |  SELECT query_id, corpus_id, cosine, $n AS pick FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, corpus_id ASC) AS r FROM r$n)
+         |  WHERE r = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i,
+       |         unnest(CAST(embedding AS DOUBLE[])) AS x
+       |  FROM embeddings),
+       |q AS (SELECT * FROM v WHERE vec_id < 5),
+       |dots AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |         sum(q.x * c.x) AS dot,
+       |         sqrt(sum(q.x * q.x)) AS qn, sqrt(sum(c.x * c.x)) AS cn
+       |  FROM q JOIN v c ON q.i = c.i AND c.vec_id <> q.vec_id
+       |  GROUP BY 1, 2),
+       |pool AS MATERIALIZED (
+       |  SELECT query_id, corpus_id, cosine FROM (
+       |    SELECT query_id, corpus_id, round(dot / (qn * cn), 6) AS cosine,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY round(dot / (qn * cn), 6) DESC, corpus_id ASC) AS rnk
+       |    FROM dots) WHERE rnk <= $poolSize),
+       |pairsim AS MATERIALIZED (
+       |  SELECT a.query_id, a.corpus_id AS ca, b.corpus_id AS cb,
+       |    round(sum(x.x * y.x)
+       |      / (sqrt(sum(x.x * x.x)) * sqrt(sum(y.x * y.x))), 6) AS sim
+       |  FROM pool a
+       |  JOIN pool b ON a.query_id = b.query_id AND a.corpus_id <> b.corpus_id
+       |  JOIN v x ON x.vec_id = a.corpus_id
+       |  JOIN v y ON y.vec_id = b.corpus_id AND y.i = x.i
+       |  GROUP BY 1, 2, 3),
+       |sel1 AS MATERIALIZED (
+       |  SELECT query_id, corpus_id, cosine, 1 AS pick FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, corpus_id ASC) AS r FROM pool)
+       |  WHERE r = 1),
+       |$steps
+       |SELECT query_id, pick, corpus_id, cosine FROM sel$k
+       |ORDER BY query_id, pick""".stripMargin
   }
 
   /** DuckDB replay of `Similarity.hammingTopK(dim=64)`: the same 32-dim

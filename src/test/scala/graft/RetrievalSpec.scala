@@ -38,4 +38,32 @@ class RetrievalSpec extends SparkSpec {
       (0L, 1, 1L, 0.75),
       (0L, 2, 3L, 0.333333)))
   }
+
+  test("mmrTopK diversifies: plain top-k is one cluster, MMR spans clusters") {
+    // three tight clusters; the query sits in cluster 0, whose 10 members
+    // dominate relevance — but they are near-duplicates of each other
+    val rng = new scala.util.Random(19)
+    val centers = Array.tabulate(3, 64)((c, j) => if (j % 3 == c) 4.0 else 0.5)
+    val rows = (0 until 30).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(_ + rng.nextGaussian() * 0.05).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" === 0)
+    val plain = graft.pipeline.Similarity
+      .bruteForceTopK(df, q, "vec_id", "embedding", k = 5)
+      .collect().map(_.getLong(2) % 3).toSet
+    assert(plain == Set(0L), s"plain top-5 should be one cluster: $plain")
+    val mmr = Retrieval.mmrTopK(df, q, "vec_id", "embedding",
+      k = 5, poolSize = 20, lambda = 0.3)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(mmr.length == 5 && mmr.map(_._1).toSet == Set(1, 2, 3, 4, 5), mmr.toSeq)
+    val clusters = mmr.map(_._2 % 3).toSet
+    assert(clusters.size >= 2, s"MMR picks span clusters: $clusters")
+    // pick 1 is always the pure-relevance argmax
+    val top1 = graft.pipeline.Similarity
+      .bruteForceTopK(df, q, "vec_id", "embedding", k = 1)
+      .head.getLong(2)
+    assert(mmr.find(_._1 == 1).get._2 == top1)
+  }
 }
