@@ -77,6 +77,27 @@ object FormatQueries {
              |FROM orders WHERE o_orderkey % 3 IN (1, 2)
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // incremental view maintenance: the (status → count, sum) aggregate
+    // maintained by folding per-version change-feed deltas must equal a
+    // full recompute over the final table — each refresh read only the
+    // delta files. The oracle IS the full recompute.
+    "q_snapshot_incremental_agg" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val snapDir = java.nio.file.Files
+          .createTempDirectory("graft_ivm").toString
+        val orders = t(s, dir, "orders")
+        (0 to 2).foreach(i =>
+          Snapshots.commit(orders.filter($"o_orderkey" % 3 === i), snapDir))
+        Snapshots.incrementalCountSum(s, snapDir, "o_orderstatus", "o_totalprice")
+          .select($"key".as("o_orderstatus"), $"n",
+            round($"total", 2).as("total"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // compaction losslessness: commit orders fragmented across 32 small
     // files, OPTIMIZE into ~1, read the compacted version back and
     // aggregate — the oracle aggregates the original table, so a dropped

@@ -302,6 +302,40 @@ object Snapshots {
     else spark.read.parquet(added: _*)
   }
 
+  /**
+   * Incremental view maintenance for an additive (count, sum) aggregate
+   * over an APPEND-ONLY snapshot dir: the maintained view at version N
+   * is view(N−1) merged with the aggregate of just the N−1→N change
+   * feed — each refresh reads only the delta files, never the full
+   * table. This is the materialized-view refresh loop every lakehouse
+   * runs; at 100 TB the delta is hours of ingest while the table is
+   * years, which is the entire point.
+   *
+   * Contract: additive measures only, and append-only history (an
+   * overwrite or delete commit invalidates the fold — such dirs need a
+   * full recompute, which is why [[readChanges]] is append-shaped too).
+   * Returns (key, n, total) for every key ever seen.
+   */
+  def incrementalCountSum(spark: SparkSession, dir: String,
+      keyCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val vmax = latestVersion(spark, dir)
+    require(vmax.isDefined, s"no committed snapshot under $dir")
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy(col(keyCol).as("key"))
+        .agg(count(lit(1)).as("n"), sum(col(valCol)).as("total"))
+    var view = aggOf(readVersion(spark, dir, 0L))
+    for (v <- 1L to vmax.get) {
+      val delta = aggOf(readChanges(spark, dir, v - 1, v))
+        .select(col("key"), col("n").as("dn"), col("total").as("dtotal"))
+      view = view.join(delta, Seq("key"), "full_outer")
+        .select(col("key"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("total"), lit(0.0)) + coalesce(col("dtotal"), lit(0.0))).as("total"))
+    }
+    view
+  }
+
   /** Read the latest committed version. */
   def readLatest(spark: SparkSession, dir: String): DataFrame = {
     val v = latestVersion(spark, dir)

@@ -338,4 +338,22 @@ class SnapshotsSpec extends SparkSpec {
     assert(v0.inputFiles.forall(_.contains("/data/v000000-")))
     assert(v0.count() == 2)
   }
+
+  test("incrementalCountSum: delta fold equals full recompute, empty delta ok") {
+    val dir = freshDir()
+    Snapshots.commit(Seq(("a", 1.0), ("b", 2.0), ("a", 3.0)).toDF("k", "x"), dir)
+    Snapshots.commit(Seq(("b", 4.0), ("c", 5.0)).toDF("k", "x"), dir)
+    // an empty append: the change feed between v1 and v2 has no rows
+    Snapshots.commit(Seq.empty[(String, Double)].toDF("k", "x"), dir)
+    Snapshots.commit(Seq(("a", 6.0)).toDF("k", "x"), dir)
+    val got = Snapshots.incrementalCountSum(spark, dir, "k", "x")
+      .orderBy($"key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("a", 3L, 10.0), ("b", 2L, 6.0), ("c", 1L, 5.0)), got.toSeq)
+    // equals the full recompute over the latest version
+    val full = Snapshots.readLatest(spark, dir).groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"x").as("t")).orderBy($"k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == full.toSeq)
+  }
 }
