@@ -171,6 +171,62 @@ object Chunking {
    * Returns (doc_id, grp, pack, pack_pos, tokens): pack ids are dense
    * 0-based per group, pack_pos is the document's position in its pack.
    */
+  /**
+   * Sentence-aligned chunking — the RAG-prep variant of
+   * [[chunkByTokens]]: the text splits into sentences at
+   * `[.!?]` + whitespace boundaries, and consecutive sentences pack
+   * greedily into chunks of at most `maxTokens` whitespace tokens (a
+   * sentence that alone exceeds the budget gets its own chunk). A chunk
+   * never splits mid-sentence, which is what retrieval embedding actually
+   * wants from a chunker.
+   *
+   * Plan shape: one doc-keyed repartition + in-order partition scan (the
+   * same secondary-sort idiom as [[packSequencesFromCounts]] — greedy
+   * reset-on-overflow is sequential per doc and NOT a window function).
+   * The sentence boundary is marked by a sentinel substitution rather
+   * than a lookbehind split so an RE2-based SQL engine (no lookbehind)
+   * can replay it; the oracle walks the same greedy recurrence as a
+   * recursive CTE. Returns (doc_id, chunk, chunk_text, n_sentences,
+   * n_tokens); documents with no non-blank sentence emit nothing.
+   */
+  def chunkBySentences(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, boundaryPattern: String = "([.!?]) +"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val marked = regexp_replace(col(textCol), boundaryPattern, "$1\u0001")
+    val sents = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(marked, "\u0001")).as(Seq("i", "sent")))
+      .filter(length(trim($"sent")) > 0)
+      .select($"doc_id", $"i", $"sent",
+        size(TextAnalysis.wsTokens($"sent")).as("ntok"))
+    val walked = sents
+      .repartition($"doc_id")
+      .sortWithinPartitions($"doc_id", $"i")
+      .as[(Long, Int, String, Int)]
+      .mapPartitions { it =>
+        var curDoc = Long.MinValue
+        var acc = 0L; var chunk = 0L; var pos = 0
+        it.map { case (id, _, s, t) =>
+          if (id != curDoc) { curDoc = id; acc = t; chunk = 0L; pos = 0 }
+          else if (acc + t > maxTokens) { chunk += 1; acc = t; pos = 0 }
+          else { acc += t; pos += 1 }
+          (id, chunk, pos, s, t)
+        }
+      }
+      .toDF("doc_id", "chunk", "pos", "sent", "ntok")
+    // in-chunk order carried explicitly (collect_list arrival order is
+    // not a contract): sort the collected (pos, sent) structs
+    walked
+      .groupBy($"doc_id", $"chunk")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct($"pos", $"sent"))),
+          e => e.getField("sent"))).as("chunk_text"),
+        count(lit(1)).cast("int").as("n_sentences"),
+        sum($"ntok").cast("long").as("n_tokens"))
+  }
+
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       tokenBudget: Long, numGroups: Int = 8): DataFrame =
     packSequencesFromCounts(

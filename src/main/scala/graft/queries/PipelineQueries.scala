@@ -658,6 +658,20 @@ object PipelineQueries {
       },
       Some(annPqOracleSql)),
 
+    // sentence-aligned chunking: greedy reset-on-overflow packing of
+    // segments into ≤40-token chunks, never splitting a segment. The
+    // fixture corpus has no punctuation, so the boundary pattern is a
+    // token delimiter ("window" ends a segment) — same operator, same
+    // recurrence; the oracle walks the greedy fold as a recursive CTE
+    "q_chunk_sentences" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.Chunking.chunkBySentences(t(s, dir, "documents"),
+          "doc_id", "text", maxTokens = 40, boundaryPattern = "(window) ")
+          .orderBy($"doc_id", $"chunk")
+      },
+      Some(chunkSentencesOracleSql(maxTokens = 40, pattern = "(window) "))),
+
     // diversity-aware rerank: MMR greedy selection over each query's
     // cosine pool — λ·relevance − (1−λ)·max-sim-to-selected, all queries
     // advancing in parallel per step; the oracle unrolls the k-step
@@ -1435,6 +1449,42 @@ object PipelineQueries {
        |SELECT query_id, rnk, corpus_id, cosine_pq FROM ranked
        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
   }
+
+  /** DuckDB replay of `Chunking.chunkBySentences`: the sentinel
+    * substitution (chr(1), matching the operator's \\u0001), the
+    * non-blank segment filter with dense renumbering, and the greedy
+    * reset-on-overflow walk as a RECURSIVE CTE joining segment i+1 onto
+    * the accumulated state — the sequential fold a window function
+    * cannot express. */
+  private def chunkSentencesOracleSql(maxTokens: Int, pattern: String): String =
+    s"""WITH RECURSIVE marked AS (
+       |  SELECT doc_id, regexp_replace(text, '$pattern', '\\1' || chr(1), 'g') AS t
+       |  FROM documents),
+       |raw AS (
+       |  SELECT doc_id, unnest(string_split(t, chr(1))) AS sent,
+       |         generate_subscripts(string_split(t, chr(1)), 1) AS oi
+       |  FROM marked),
+       |sent AS (
+       |  SELECT doc_id, sent,
+       |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY oi) AS INT) AS i,
+       |         CAST(len(list_filter(string_split(sent, ' '), x -> x <> '')) AS INT) AS ntok
+       |  FROM raw WHERE trim(sent) <> ''),
+       |walk AS (
+       |  SELECT doc_id, i, sent, ntok,
+       |         CAST(0 AS BIGINT) AS chunk, CAST(ntok AS BIGINT) AS acc
+       |  FROM sent WHERE i = 1
+       |  UNION ALL
+       |  SELECT s.doc_id, s.i, s.sent, s.ntok,
+       |    CASE WHEN w.acc + s.ntok > $maxTokens THEN w.chunk + 1 ELSE w.chunk END,
+       |    CASE WHEN w.acc + s.ntok > $maxTokens
+       |         THEN CAST(s.ntok AS BIGINT) ELSE w.acc + s.ntok END
+       |  FROM walk w JOIN sent s ON s.doc_id = w.doc_id AND s.i = w.i + 1)
+       |SELECT doc_id, chunk,
+       |       string_agg(sent, ' ' ORDER BY i) AS chunk_text,
+       |       CAST(count(*) AS INT) AS n_sentences,
+       |       CAST(sum(ntok) AS BIGINT) AS n_tokens
+       |FROM walk GROUP BY doc_id, chunk
+       |ORDER BY doc_id, chunk""".stripMargin
 
   /** DuckDB replay of `Retrieval.mmrTopK`: the brute-force cosine pool,
     * the 6dp-rounded per-query pairwise similarity matrix, and the

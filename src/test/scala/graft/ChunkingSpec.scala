@@ -109,4 +109,28 @@ class ChunkingSpec extends SparkSpec {
         r.getLong(3), r.getLong(4)))
     assert(fromCounts.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
   }
+
+  test("chunkBySentences: greedy packing never splits a sentence") {
+    // sentences of 3/4/5/2 tokens; budget 7 → [s1 s2]=7, [s3 s4]=7
+    val df = Seq(
+      (1L, "one two three. four five six seven! eight nine ten eleven twelve? last words."),
+      (2L, ""), // no sentences → no rows
+      (3L, "a b c d e f g h i j k l") // one unpunctuated 12-token sentence
+    ).toDF("doc_id", "text")
+    val got = Chunking.chunkBySentences(df, "doc_id", "text", maxTokens = 7)
+      .orderBy($"doc_id", $"chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, "one two three. four five six seven!", 2, 7L),
+      (1L, 1L, "eight nine ten eleven twelve? last words.", 2, 7L),
+      (3L, 0L, "a b c d e f g h i j k l", 1, 12L)), got.toSeq)
+    // an over-budget sentence gets its own chunk; neighbors are unharmed
+    val big = Seq((9L, "tiny one. w1 w2 w3 w4 w5 w6 w7 w8 w9 w10. after words."))
+      .toDF("doc_id", "text")
+    val got2 = Chunking.chunkBySentences(big, "doc_id", "text", maxTokens = 4)
+      .orderBy($"chunk").collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(got2.toSeq == Seq(
+      (0L, "tiny one."), (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10."),
+      (2L, "after words.")), got2.toSeq)
+  }
 }
