@@ -42,4 +42,32 @@ object TimeSeries {
       .withColumn("observed", col(valueCol).isNotNull)
       .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
+
+  /**
+   * OHLC downsampling: per (key, time bucket), the first / max / min /
+   * last observation by event time — the classic bar aggregation
+   * (finance candles, but equally "state at window edges" for any
+   * metrics rollup). First/last are ORDER-DEPENDENT, which a plain
+   * groupBy cannot express; the scalable shape is min/max of
+   * (ts, tiebreak, value) structs — struct ordering compares fields
+   * left-to-right, so the agg stays a hash aggregate with map-side
+   * partials: ONE shuffle, no window sort at all. Ties on ts break by
+   * `idCol` so the result is total-order deterministic.
+   */
+  def ohlcBars(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valCol: String, bucket: String = "1 hour"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(keyCol).as("key"),
+      window(col(tsCol), bucket).getField("start").as("bucket_start"),
+      col(tsCol).cast("timestamp").as("__ts"),
+      col(idCol).cast("long").as("__id"),
+      col(valCol).cast("double").as("v"))
+    base.groupBy($"key", $"bucket_start").agg(
+      min(struct($"__ts", $"__id", $"v")).getField("v").as("open"),
+      max($"v").as("high"),
+      min($"v").as("low"),
+      max(struct($"__ts", $"__id", $"v")).getField("v").as("close"),
+      count(lit(1)).as("n_obs"))
+  }
 }

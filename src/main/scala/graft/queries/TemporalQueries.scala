@@ -45,6 +45,40 @@ object TemporalQueries {
              |       observed
              |FROM j ORDER BY user_id, day""".stripMargin)),
 
+    // OHLC downsampling: per (user, hour) bars over the event value — the
+    // order-dependent first/last computed as min/max of (ts, id, v)
+    // structs, so the whole bar is ONE hash aggregate (no window sort);
+    // the oracle takes first/last via row_number windows instead and
+    // must agree exactly (bar edges are raw row values, no FP folding)
+    "q_ohlc_bars" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.ohlcBars(Registry.events(s, dir), "user_id", "ts",
+          "event_id", "value", bucket = "1 hour")
+          .select($"key".as("user_id"),
+            date_format($"bucket_start", "yyyy-MM-dd HH:mm").as("hour"),
+            $"open", $"high", $"low", $"close", $"n_obs")
+          .orderBy($"user_id", $"hour")
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id, date_trunc('hour', ts) AS bs, ts, event_id,
+             |         value AS v
+             |  FROM events),
+             |sel AS (
+             |  SELECT *,
+             |    row_number() OVER (PARTITION BY user_id, bs
+             |      ORDER BY ts, event_id) AS ra,
+             |    row_number() OVER (PARTITION BY user_id, bs
+             |      ORDER BY ts DESC, event_id DESC) AS rd
+             |  FROM b)
+             |SELECT user_id, strftime(bs, '%Y-%m-%d %H:%M') AS hour,
+             |  max(CASE WHEN ra = 1 THEN v END) AS open,
+             |  max(v) AS high, min(v) AS low,
+             |  max(CASE WHEN rd = 1 THEN v END) AS close,
+             |  count(*) AS n_obs
+             |FROM sel GROUP BY user_id, bs
+             |ORDER BY user_id, hour""".stripMargin)),
+
     // for each click, the latest purchase by the same user at or before it
     "q_asof_purchase" -> QueryDef(
       (s, dir) => {

@@ -303,4 +303,28 @@ class TemporalJoinsSpec extends SparkSpec {
       (1L, "2024-01-04", 20.0, true),  // real observation replaces the carry
       (2L, "2024-01-02", 5.0, true)))  // no gap → spine is the observation
   }
+
+  test("ohlcBars: hand-computed bars, ts ties broken by id") {
+    import graft.operators.TimeSeries
+    val rows = Seq(
+      // user 1, hour 10: open=first by ts (3.0), close=last (1.0)
+      (1L, "2024-01-01 10:05:00", 100L, 3.0),
+      (1L, "2024-01-01 10:20:00", 101L, 9.0),
+      (1L, "2024-01-01 10:50:00", 102L, 1.0),
+      // user 1, hour 11: single row — all four edges equal
+      (1L, "2024-01-01 11:10:00", 103L, 7.0),
+      // user 2, hour 10: ts tie — open is the smaller event_id
+      (2L, "2024-01-01 10:30:00", 201L, 4.0),
+      (2L, "2024-01-01 10:30:00", 200L, 6.0)
+    ).toDF("user_id", "ts_s", "event_id", "value")
+      .withColumn("ts", to_timestamp($"ts_s"))
+    val got = TimeSeries.ohlcBars(rows, "user_id", "ts", "event_id", "value")
+      .orderBy($"key", $"bucket_start").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      (1L, 3.0, 9.0, 1.0, 1.0, 3L),
+      (1L, 7.0, 7.0, 7.0, 7.0, 1L),
+      (2L, 6.0, 6.0, 4.0, 4.0, 2L)), got.toSeq)
+  }
 }
