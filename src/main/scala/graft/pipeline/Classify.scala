@@ -200,6 +200,56 @@ object Classify {
         $"p".cast("long").as("n_pos"), $"n".cast("long").as("n_neg"))
   }
 
+  /**
+   * Threshold metrics for a scored frame: one row of confusion counts
+   * plus precision/recall/F1/accuracy at `threshold` (default 0: the
+   * sign decision [[lrHashClassifier]] and [[nbTokenClassifier]] emit).
+   * Pure count arithmetic; undefined ratios (empty denominators) are
+   * NULL, not NaN. One hash aggregate — trivially 100 TB-safe.
+   */
+  def confusionStats(scored: DataFrame, scoreCol: String, labelCol: String,
+      threshold: Double = 0.0): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val b = scored.select((col(scoreCol) > threshold).as("ph"),
+      col(labelCol).cast("boolean").as("y"))
+    val agg = b.agg(
+      sum(when($"ph" && $"y", 1L).otherwise(0L)).as("tp"),
+      sum(when($"ph" && !$"y", 1L).otherwise(0L)).as("fp"),
+      sum(when(!$"ph" && $"y", 1L).otherwise(0L)).as("fn"),
+      sum(when(!$"ph" && !$"y", 1L).otherwise(0L)).as("tn"))
+    def ratio(n: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+      when(d > 0, round(n.cast("double") / d, 6))
+    agg.select($"tp", $"fp", $"fn", $"tn",
+      ratio($"tp", $"tp" + $"fp").as("precision"),
+      ratio($"tp", $"tp" + $"fn").as("recall"),
+      ratio(lit(2) * $"tp", lit(2) * $"tp" + $"fp" + $"fn").as("f1"),
+      ratio($"tp" + $"tn", $"tp" + $"fp" + $"fn" + $"tn").as("accuracy"))
+  }
+
+  /**
+   * Calibration curve (reliability diagram): scores pass through the
+   * sigmoid into probabilities, probabilities bin into `bins` equal-width
+   * buckets, and each bucket reports its size, mean predicted
+   * probability, and observed positive rate — the table you plot to see
+   * whether 0.8 means 80%. Bin edges are exact (floor of p×bins, clamped
+   * so p=1 lands in the last bin); means rounded 6dp.
+   */
+  def calibrationCurve(scored: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val b = scored.select(
+      (lit(1.0) / (lit(1.0) + exp(-col(scoreCol)))).as("p"),
+      col(labelCol).cast("boolean").cast("int").as("y"))
+    b.withColumn("bin",
+        least(floor($"p" * bins).cast("int"), lit(bins - 1)))
+      .groupBy($"bin").agg(
+        count(lit(1)).as("n"),
+        round(avg($"p"), 6).as("mean_p"),
+        round(avg($"y".cast("double")), 6).as("frac_pos"))
+  }
+
   def nbTokenClassifier(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, alpha: Double = 1.0): DataFrame = {
     val spark = df.sparkSession

@@ -904,20 +904,54 @@ object PipelineQueries {
       },
       Some(lrClassifierOracleSql(numBuckets = 256, iterations = 24, lr = 1.0))),
 
+    // threshold metrics of the trained LR at the sign decision: one row
+    // of confusion counts + precision/recall/F1/accuracy, oracle retrains
+    // and recounts
+    "q_classifier_confusion" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Classify.confusionStats(lrScored(s, dir), "score", "data_heavy")
+      },
+      Some(s"""WITH ${lrOracleCtes(numBuckets = 256, iterations = 24, lr = 1.0)},
+              |sc AS (SELECT l.doc_id, l.y, round(sf.s, 6) AS score
+              |       FROM sf JOIN lab l USING (doc_id)),
+              |c AS (SELECT
+              |  sum(CASE WHEN score > 0 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+              |  sum(CASE WHEN score > 0 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+              |  sum(CASE WHEN score <= 0 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS fn,
+              |  sum(CASE WHEN score <= 0 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS tn
+              |  FROM sc)
+              |SELECT tp, fp, fn, tn,
+              |  CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+              |  CASE WHEN tp + fn > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+              |  CASE WHEN 2 * tp + fp + fn > 0 THEN round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) END AS f1,
+              |  CASE WHEN tp + fp + fn + tn > 0 THEN round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) END AS accuracy
+              |FROM c""".stripMargin)),
+
+    // calibration curve of the trained LR: sigmoid probabilities into 10
+    // equal-width bins, each reporting size, mean predicted probability,
+    // and observed positive rate
+    "q_classifier_calibration" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Classify.calibrationCurve(lrScored(s, dir), "score", "data_heavy",
+          bins = 10).orderBy($"bin")
+      },
+      Some(s"""WITH ${lrOracleCtes(numBuckets = 256, iterations = 24, lr = 1.0)},
+              |sc AS (SELECT l.doc_id, l.y,
+              |         1.0 / (1.0 + exp(-round(sf.s, 6))) AS p
+              |       FROM sf JOIN lab l USING (doc_id)),
+              |b AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, p, y FROM sc)
+              |SELECT bin, count(*)::BIGINT AS n,
+              |  round(avg(p), 6) AS mean_p,
+              |  round(avg(CAST(y AS DOUBLE)), 6) AS frac_pos
+              |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
+
     // model evaluation inside the engine: ROC AUC of the trained LR scores
     // against their label, by the score-histogram / average-rank formula —
     // the oracle retrains the classifier AND recomputes the metric
     "q_classifier_auc" -> QueryDef(
-      (s, dir) => {
-        import s.implicits._
-        val docs = t(s, dir, "documents").withColumn("data_heavy",
-          size(filter(TextAnalysis.wsTokens(lower($"text")), _ === "data")) >
-          size(filter(TextAnalysis.wsTokens(lower($"text")), _ === "table")))
-        val scored = Classify.lrHashClassifier(docs, "doc_id", "text",
-          "data_heavy", numBuckets = 256, iterations = 24, learnRate = 1.0)
-          .join(docs.select($"doc_id", $"data_heavy"), "doc_id")
-        Classify.rankAuc(scored, "score", "data_heavy")
-      },
+      (s, dir) => Classify.rankAuc(lrScored(s, dir), "score", "data_heavy"),
       Some(lrAucOracleSql(numBuckets = 256, iterations = 24, lr = 1.0))),
 
     // token-histogram Shannon entropy: the one-number spam/diversity signal
@@ -1671,6 +1705,21 @@ object PipelineQueries {
     s"""WITH ${lrOracleCtes(numBuckets, iterations, lr)}
        |SELECT doc_id, round(s, 6) AS score, s > 0 AS predicted FROM sf
        |ORDER BY doc_id""".stripMargin
+
+  /** The trained LR scores joined back onto the probe label — shared by
+    * every classifier-evaluation query (train once per query, same
+    * hyperparameters as `q_lr_classifier` so the shared oracle chain
+    * applies). */
+  private def lrScored(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").withColumn("data_heavy",
+      size(filter(TextAnalysis.wsTokens(lower($"text")), _ === "data")) >
+      size(filter(TextAnalysis.wsTokens(lower($"text")), _ === "table")))
+    Classify.lrHashClassifier(docs, "doc_id", "text", "data_heavy",
+      numBuckets = 256, iterations = 24, learnRate = 1.0)
+      .join(docs.select($"doc_id", $"data_heavy"), "doc_id")
+  }
 
   /** The retrain chain through `sf` (doc_id, s = final unrounded score),
     * shared by the classifier oracle and the AUC oracle. */

@@ -824,6 +824,26 @@ class PipelineSpec extends SparkSpec {
     assert(Classify.rankAuc(perfect, "score", "label").head.getDouble(0) == 1.0)
   }
 
+  test("confusionStats and calibrationCurve: hand-computed, NULL-safe") {
+    import graft.pipeline.Classify
+    // tp=1 (2.0,T), fp=1 (1.0,F), fn=1 (-1.0,T), tn=2 (-2.0,F)(-3.0,F)
+    val df = Seq((2.0, true), (1.0, false), (-1.0, true), (-2.0, false),
+      (-3.0, false)).toDF("score", "label")
+    val r = Classify.confusionStats(df, "score", "label").head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 1L, 1L, 2L)))
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 0.5) // precision, recall
+    assert(r.getDouble(6) == 0.5 && r.getDouble(7) == 0.6) // f1, accuracy
+    // all-negative predictions: precision undefined → NULL, not NaN
+    val neg = Seq((-1.0, true), (-2.0, false)).toDF("score", "label")
+    assert(Classify.confusionStats(neg, "score", "label").head.isNullAt(4))
+    // calibration: sigmoid(0)=0.5 lands in bin 5; p=1-ish in bin 9
+    val cal = Classify.calibrationCurve(
+      Seq((0.0, false), (0.0, true), (100.0, true)).toDF("score", "label"),
+      "score", "label", bins = 10)
+      .orderBy($"bin").collect().map(r2 => (r2.getInt(0), r2.getLong(1), r2.getDouble(3)))
+    assert(cal.toSeq == Seq((5, 2L, 0.5), (9, 1L, 1.0)), cal.toSeq)
+  }
+
   test("lrHashClassifier separates a separable corpus perfectly") {
     import graft.pipeline.Classify
     val synth = (0 until 40).map { i =>
