@@ -77,6 +77,37 @@ object FormatQueries {
              |FROM orders WHERE o_orderkey % 3 IN (1, 2)
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // row-level semantic diff across an overwrite: v1 drops every 5th
+    // order and rewrites the priority of every 7th — the diff must
+    // surface exactly the dropped rows and both sides of each rewrite;
+    // the oracle reconstructs the same sets from the base table
+    "q_snapshot_rowdiff" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val snapDir = java.nio.file.Files
+          .createTempDirectory("graft_rowdiff").toString
+        val orders = t(s, dir, "orders")
+        Snapshots.commit(orders, snapDir)
+        val v1 = orders.filter($"o_orderkey" % 5 =!= 0)
+          .withColumn("o_orderpriority",
+            when($"o_orderkey" % 7 === 0, lit("0-DIFF"))
+              .otherwise($"o_orderpriority"))
+        Snapshots.commit(v1, snapDir, append = false)
+        Snapshots.diffVersions(s, snapDir, 0L, 1L)
+          .groupBy($"op", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"op", $"o_orderpriority")
+      },
+      Some("""SELECT op, o_orderpriority, count(*) AS n FROM (
+             |  SELECT 'delete' AS op, o_orderpriority FROM orders
+             |  WHERE o_orderkey % 5 = 0
+             |     OR (o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0)
+             |  UNION ALL
+             |  SELECT 'insert' AS op, '0-DIFF' AS o_orderpriority FROM orders
+             |  WHERE o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0)
+             |GROUP BY op, o_orderpriority
+             |ORDER BY op, o_orderpriority""".stripMargin)),
+
     // incremental view maintenance: the (status → count, sum) aggregate
     // maintained by folding per-version change-feed deltas must equal a
     // full recompute over the final table — each refresh read only the

@@ -336,6 +336,23 @@ object Snapshots {
     view
   }
 
+  /**
+   * Row-level semantic diff between two versions: multiset except in
+   * both directions, tagged `insert` (in v2, not v1) / `delete` (in v1,
+   * not v2). An update surfaces as a delete of the old row plus an
+   * insert of the new one. Unlike [[readChanges]] (file-level, append
+   * shaped) this is correct across OVERWRITE and delete commits — the
+   * audit query "what actually changed between yesterday's table and
+   * today's", at the cost of reading both versions.
+   */
+  def diffVersions(spark: SparkSession, dir: String, v1: Long, v2: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = readVersion(spark, dir, v1)
+    val b = readVersion(spark, dir, v2)
+    b.exceptAll(a).withColumn("op", lit("insert"))
+      .unionByName(a.exceptAll(b).withColumn("op", lit("delete")))
+  }
+
   /** Read the latest committed version. */
   def readLatest(spark: SparkSession, dir: String): DataFrame = {
     val v = latestVersion(spark, dir)

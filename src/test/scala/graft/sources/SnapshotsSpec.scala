@@ -339,6 +339,19 @@ class SnapshotsSpec extends SparkSpec {
     assert(v0.count() == 2)
   }
 
+  test("diffVersions: update = delete+insert, identical versions diff empty") {
+    val dir = freshDir()
+    Snapshots.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), dir)
+    // v1: drop id=3, rewrite id=2, keep id=1
+    Snapshots.commit(Seq((1L, "a"), (2L, "B")).toDF("id", "v"), dir, append = false)
+    val diff = Snapshots.diffVersions(spark, dir, 0L, 1L)
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getString(1))).sorted
+    assert(diff.toSeq == Seq(
+      ("delete", 2L, "b"), ("delete", 3L, "c"), ("insert", 2L, "B")), diff.toSeq)
+    // self-diff is empty
+    assert(Snapshots.diffVersions(spark, dir, 1L, 1L).count() == 0)
+  }
+
   test("incrementalCountSum: delta fold equals full recompute, empty delta ok") {
     val dir = freshDir()
     Snapshots.commit(Seq(("a", 1.0), ("b", 2.0), ("a", 3.0)).toDF("k", "x"), dir)
