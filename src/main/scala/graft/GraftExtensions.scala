@@ -85,6 +85,11 @@ object GraftExtensions {
         require(args.length == 1, "fold_accents expects exactly 1 argument")
         graft.functions.FoldAccents(Cast(args.head, StringType))
       }),
+    ("porter_stem", new ExpressionInfo(classOf[GraftExtensions].getName, "porter_stem"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "porter_stem expects exactly 1 argument")
+        graft.functions.PorterStem(Cast(args.head, StringType))
+      }),
     // aggregate: the analyzer wraps the raw AggregateFunction like any
     // built-in (sum/avg), so GROUP BY ... logsumexp(x) just works
     ("logsumexp", new ExpressionInfo(classOf[GraftExtensions].getName, "logsumexp"),

@@ -105,10 +105,11 @@ object ParseCorpusCli {
       // classpath) — see ParseCorpus.Analyzers.byClassName
       val analyzer = a.get("analyzer") match {
         case Some("unicode") => Some(ParseCorpus.Analyzers.unicode)
+        case Some("english") => Some(ParseCorpus.Analyzers.english)
         case Some(className) if className.contains(".") =>
           Some(ParseCorpus.Analyzers.byClassName(className))
         case Some(other) =>
-          sys.error(s"unknown analyzer: $other (built-in: unicode; or a class name)")
+          sys.error(s"unknown analyzer: $other (built-in: unicode, english; or a class name)")
         case None => None
       }
       val stop = a.get("stopwords").map(f =>

@@ -62,6 +62,45 @@ object ParseCorpus {
       b.result()
     }
 
+    /** Lucene's English analysis stop set (StandardAnalyzer /
+      * EnglishAnalyzer default — 33 words, a public constant since
+      * Lucene 1.x). */
+    val englishStopwords: Set[String] = Set(
+      "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+      "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+      "that", "the", "their", "then", "there", "these", "they", "this",
+      "to", "was", "will", "with")
+
+    /**
+     * The `EnglishAnalyzer` chain a reference user would name on the
+     * command line (reference ParseCorpus.java:191-207 instantiates any
+     * Lucene Analyzer by class name), rebuilt natively: unicode word
+     * segmentation → possessive-'s strip → lowercase → English stop set →
+     * Porter stem (graft.functions.PorterStemmer — the algorithm behind
+     * Lucene's PorterStemFilter). No Lucene jar required.
+     */
+    val english: String => Seq[String] = { text =>
+      // UAX#29-style segmentation: apostrophes are word-internal (MidLetter)
+      // so "dog's" / "don't" stay single tokens, exactly like Lucene's
+      // StandardTokenizer; CJK ideographs still segment per character.
+      val m = java.util.regex.Pattern
+        .compile("[\\p{script=Han}\\p{script=Hiragana}\\p{script=Katakana}]" +
+          "|[\\p{L}\\p{N}]+(?:['’][\\p{L}\\p{N}]+)*")
+        .matcher(text)
+      val b = Seq.newBuilder[String]
+      while (m.find()) {
+        val raw = m.group().toLowerCase(java.util.Locale.ROOT)
+        // EnglishPossessiveFilter: drop a trailing 's / ’s
+        val t =
+          if (raw.length > 2 && raw.endsWith("s") &&
+              (raw.charAt(raw.length - 2) == '\'' || raw.charAt(raw.length - 2) == '’'))
+            raw.dropRight(2)
+          else raw
+        if (!englishStopwords.contains(t)) b += graft.functions.PorterStemmer.stem(t)
+      }
+      b.result()
+    }
+
     /**
      * Reflection-load an analyzer by class name — the reference's P3
      * surface. Accepts two shapes:

@@ -93,6 +93,25 @@ case class FoldAccents(child: Expression)
   override def prettyName: String = "fold_accents"
 }
 
+/** Porter stemming (see [[PorterStemmer]]) as a codegen'd expression —
+  * one lowercase word in, its stem out. The stemming stage of the English
+  * analyzer chain, exposed standalone so SQL/DataFrame pipelines can stem
+  * token columns without running the whole corpus parser. */
+case class PorterStem(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    PorterStemmer.stem(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PorterStemmer.stem($c)")
+
+  override protected def withNewChildInternal(c: Expression): PorterStem = copy(child = c)
+  override def prettyName: String = "porter_stem"
+}
+
 /** 60-bit SimHash over an array<string> token column (bit b of the
   * signature = majority vote of bit b across the tokens' 60-bit md5 base
   * hashes — TextKernels.hash60, the JVM twin of Dedup.baseHash60). */
@@ -135,4 +154,5 @@ object tfunctions {
   def shingles(text: Column, n: Int): Column =
     shim.toColumn(WordNgrams(str(text), n, wholeTextFallback = true))
   def simhash60(tokens: Column): Column = shim.toColumn(SimHash60(strArr(tokens)))
+  def porter_stem(word: Column): Column = shim.toColumn(PorterStem(str(word)))
 }

@@ -995,6 +995,50 @@ object PipelineQueries {
              |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS bpeish_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Porter stemming (the English-analyzer chain minus segmentation
+    // differences: whitespace tokens → stop filter → stem) aggregated to a
+    // stemmed dictionary. The fixture vocabulary is a closed 31-word set,
+    // so the oracle replays the algorithm as an explicit stem map — each
+    // entry hand-derived from the published Porter (1980) rules and
+    // independently pinned against the paper's own test vectors in
+    // PorterStemmerSpec. 'merge'→'merg' (step5a), 'table'→'tabl',
+    // 'value'→'valu', 'query'→'queri' (step1c), 'key'→'kei' (step1c — the
+    // famous Porter-1 quirk Porter-2 later fixed), 'customer'→'custom'
+    // (step4 -er at m>1); everything else is a fixed point.
+    "q_porter_stem" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val stop = graft.corpus.ParseCorpus.Analyzers.englishStopwords.toSeq
+        t(s, dir, "documents")
+          .select($"doc_id", explode(TextAnalysis.wsTokens(lower($"text"))).as("tok"))
+          .filter(!$"tok".isin(stop: _*))
+          .select($"doc_id", graft.functions.tfunctions.porter_stem($"tok").as("stem"))
+          .groupBy($"stem")
+          .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("tf"))
+          .orderBy($"stem")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+             |  FROM documents
+             |), mapped AS (
+             |  SELECT doc_id,
+             |    CASE tok
+             |      WHEN 'customer' THEN 'custom'
+             |      WHEN 'key'      THEN 'kei'
+             |      WHEN 'merge'    THEN 'merg'
+             |      WHEN 'query'    THEN 'queri'
+             |      WHEN 'table'    THEN 'tabl'
+             |      WHEN 'value'    THEN 'valu'
+             |      ELSE tok
+             |    END AS stem
+             |  FROM toks
+             |  WHERE tok NOT IN ('a','an','and','are','as','at','be','but','by','for',
+             |    'if','in','into','is','it','no','not','of','on','or','such','that',
+             |    'the','their','then','there','these','they','this','to','was','will','with')
+             |)
+             |SELECT stem, count(DISTINCT doc_id) AS df, count(*) AS tf
+             |FROM mapped GROUP BY stem ORDER BY stem""".stripMargin)),
+
     // the heuristic is pure ratio arithmetic — reproduced in SQL including
     // the fold's tie-break (first language in sorted order wins ties)
     "q_lang_id" -> QueryDef(
