@@ -88,4 +88,42 @@ object Sessionize {
         (col("period") - col("cohort_period")).as("period_offset"))
       .agg(count(lit(1)).as("n_keys"))
   }
+
+  /**
+   * Event-sequence pattern matching (MATCH_RECOGNIZE-lite / the core of
+   * complex-event processing): each key's events are serialized in
+   * (ts, id) order into a code string via `codes` (event type → one
+   * char), and `pattern` — a regex over those codes, e.g. `v[ce]*p` for
+   * "a view leading through clicks/errors to a purchase" — is counted
+   * non-overlapping left-to-right (the semantics both regex engines
+   * share).
+   *
+   * Scale shape: ONE key shuffle; the per-key state is the code string
+   * (one byte per event — the same order of memory a session window
+   * would hold), built as a hash aggregate via sort_array(collect_list)
+   * rather than a window sort. Event types outside `codes` are dropped
+   * before the aggregate, so the string only holds pattern-relevant
+   * events. Returns (key, n_events, seq_len, n_matches, matched).
+   */
+  def eventPatternCounts(df: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, idCol: String, codes: Map[String, String],
+      pattern: String): DataFrame = {
+    require(codes.values.forall(_.length == 1), "codes must map to single chars")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val code = codes.foldLeft(lit(null).cast("string")) { case (acc, (t, c)) =>
+      when(col(typeCol) === t, lit(c)).otherwise(acc)
+    }
+    df.select(col(keyCol).as("key"), code.as("c"),
+        col(tsCol).cast("timestamp").as("ts"), col(idCol).cast("long").as("id"))
+      .filter($"c".isNotNull)
+      .groupBy($"key")
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct($"ts", $"id", $"c"))),
+          s => s.getField("c"))).as("seq"))
+      .select($"key", $"n_events", length($"seq").as("seq_len"),
+        size(regexp_extract_all($"seq", lit(pattern), lit(0))).as("n_matches"))
+      .withColumn("matched", $"n_matches" > 0)
+  }
 }

@@ -70,4 +70,88 @@ object TimeSeries {
       max(struct($"__ts", $"__id", $"v")).getField("v").as("close"),
       count(lit(1)).as("n_obs"))
   }
+
+  /**
+   * Exponentially weighted moving average per key (pandas
+   * `ewm(alpha).mean()` with `adjust=False`): the recursive smoothing
+   *
+   *   s_1 = v_1;   s_i = α·v_i + (1−α)·s_{i−1}
+   *
+   * A recursive dependence is NOT a window function (each row needs the
+   * previous row's OUTPUT, not its input), so the scalable shape is the
+   * packSequences secondary-sort idiom: ONE key shuffle, in-order
+   * partition scan with a per-key fold — state is one double per key,
+   * rows stream through. The closed-form alternative (v_j·(1−α)^(−j)
+   * running sums) overflows for long series, so the fold is also the
+   * numerically right shape.
+   *
+   * Arithmetic is written exactly as `α·v + (1−α)·s` so an oracle doing
+   * the same IEEE operations in the same per-key order reproduces it
+   * bitwise (pick α with an exact binary representation — 0.25, 0.5 —
+   * and `1−α` is exact too).
+   *
+   * Ordering within a key is (`tsCol`, `idCol`) — the id breaks
+   * timestamp ties so the fold order is total and deterministic.
+   */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long").as("key"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(idCol).cast("long").as("id"),
+        col(valCol).cast("double").as("v"))
+      .repartition(col("key"))
+      .sortWithinPartitions($"key", $"ts", $"id")
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .mapPartitions { it =>
+        var curKey = Long.MinValue
+        var first = true
+        var s = 0.0
+        it.map { case (k, ts, id, v) =>
+          if (k != curKey) { curKey = k; first = true }
+          s = if (first) { first = false; v } else alpha * v + (1 - alpha) * s
+          (k, ts, id, v, s)
+        }
+      }
+      .toDF("key", "ts", "id", "v", "ewma")
+      .select($"key".as(keyCol), $"ts".as(tsCol), $"id".as(idCol),
+        $"v".as(valCol), $"ewma")
+  }
+
+  /**
+   * Rolling z-score anomaly detection per key: each observation scored
+   * against the mean/stddev of its `lookback` PRECEDING observations
+   * (current row excluded — the score must not contaminate its own
+   * baseline), flagged when |z| exceeds `threshold`. Rows with fewer
+   * than `minPoints` prior observations or zero dispersion get a null z
+   * and no flag.
+   *
+   * One key-partitioned window sort — the minimum any order-dependent
+   * rolling statistic needs; at 100 TB the window state is `lookback`
+   * rows per key, never the key's history. z is rounded to 4dp so the
+   * two engines' (equivalent, differently-associated) variance
+   * accumulations cannot disagree in the last ulp.
+   */
+  def rollingZscore(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String, lookback: Int = 20,
+      minPoints: Int = 5, threshold: Double = 3.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-lookback, -1)
+    df.select(col(keyCol), col(tsCol), col(idCol),
+        col(valCol).cast("double").as("__v"))
+      .withColumn("__n", count($"__v").over(w))
+      .withColumn("__mu", avg($"__v").over(w))
+      .withColumn("__sd", stddev_samp($"__v").over(w))
+      .withColumn("z",
+        when($"__n" >= minPoints && $"__sd" > 0,
+          round(($"__v" - $"__mu") / $"__sd", 4)))
+      .withColumn("is_anomaly", coalesce(abs($"z") > threshold, lit(false)))
+      .drop("__n", "__mu", "__sd")
+      .withColumnRenamed("__v", valCol)
+  }
 }

@@ -107,4 +107,34 @@ object Profiling {
         round((p - q) * log(p / q), 6).as("psi_contrib"))
       .orderBy($"bin")
   }
+
+  /**
+   * Pairwise Pearson correlation over `cols` — the feature-drift /
+   * redundancy screen a profiling pass runs before modeling. All
+   * C(n,2) coefficients come out of ONE hash-aggregate pass (every
+   * `corr` is an algebraic aggregate with map-side partials over the
+   * same scan), then unpivot to tidy (col_x, col_y, r) rows — at 100 TB
+   * the cost is one table scan regardless of how many pairs are asked
+   * for. Null-containing rows are dropped per pair (corr's own
+   * semantics). r is rounded to 6dp so differently-associated co-moment
+   * sums can't flip the last ulp across engines.
+   */
+  def corrPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 6).as(s"${a}__$b")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        col(s"${a}__$b").as("r"))
+    }
+    one.select(explode(array(stacked: _*)).as("p"))
+      .select($"p.col_x", $"p.col_y", $"p.r")
+  }
 }

@@ -253,6 +253,28 @@ object StatsQueries {
           .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
       }),
 
+    // all pairwise Pearson coefficients from ONE aggregate pass over one
+    // scan (algebraic aggregates, map-side partials); 6dp rounding keeps
+    // the engines' co-moment associativity out of the hash
+    "q_corr_matrix" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.Profiling.corrPairs(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+          .orderBy($"col_x", $"col_y")
+      },
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val pairs = for {
+          i <- cols.indices; j <- cols.indices if i < j
+        } yield (cols(i), cols(j))
+        pairs.map { case (a, b) =>
+          s"""SELECT '$a' AS col_x, '$b' AS col_y,
+             |  round(corr(CAST($a AS DOUBLE), CAST($b AS DOUBLE)), 6) AS r
+             |FROM lineitem""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY col_x, col_y")
+      }),
+
     // Bloom membership pre-filter: bitmap built over every doc id, probed
     // with 10 present + 10 absent keys; build AND probe replayed in SQL
     // (false positives, if any, are deterministic and match exactly)

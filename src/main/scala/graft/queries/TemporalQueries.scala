@@ -79,6 +79,94 @@ object TemporalQueries {
              |FROM sel GROUP BY user_id, bs
              |ORDER BY user_id, hour""".stripMargin)),
 
+    // recursive per-key smoothing (pandas ewm(adjust=False)): the fold is
+    // NOT a window function, so the engine side is the secondary-sort
+    // mapPartitions idiom; α=0.25 and 1−α=0.75 are exact binary doubles
+    // and both engines fold in the same (ts, event_id) order, so the
+    // trajectories match bitwise — no rounding anywhere
+    "q_ewma" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.ewma(
+          Registry.events(s, dir).filter($"event_type" === "purchase"),
+          "user_id", "ts", "event_id", "value", alpha = 0.25)
+          .orderBy($"user_id", $"ts", $"event_id")
+      },
+      Some("""WITH RECURSIVE ordered AS (
+             |  SELECT user_id, ts, event_id, value,
+             |         row_number() OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS rn
+             |  FROM events WHERE event_type = 'purchase'),
+             |rec AS (
+             |  SELECT user_id, ts, event_id, value, rn, value AS ewma
+             |  FROM ordered WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.user_id, o.ts, o.event_id, o.value, o.rn,
+             |         0.25 * o.value + 0.75 * r.ewma
+             |  FROM ordered o JOIN rec r
+             |    ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+             |SELECT user_id, ts, event_id, value, ewma
+             |FROM rec ORDER BY user_id, ts, event_id""".stripMargin)),
+
+    // rolling z-score outlier screen: each purchase scored against the
+    // mean/stddev of its 20 preceding purchases (current row excluded);
+    // 4dp rounding keeps the engines' variance associativity out of the
+    // hash
+    "q_ts_anomaly" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.rollingZscore(
+          Registry.events(s, dir).filter($"event_type" === "purchase")
+            .select($"user_id", $"ts", $"event_id", $"value"),
+          "user_id", "ts", "event_id", "value",
+          lookback = 20, minPoints = 5, threshold = 3.0)
+          .orderBy($"user_id", $"ts", $"event_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, ts, event_id, value,
+             |    count(value) OVER w AS n,
+             |    avg(value) OVER w AS mu,
+             |    stddev_samp(value) OVER w AS sd
+             |  FROM events WHERE event_type = 'purchase'
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+             |SELECT user_id, ts, event_id, value,
+             |  CASE WHEN n >= 5 AND sd > 0 THEN round((value - mu) / sd, 4) END AS z,
+             |  coalesce(CASE WHEN n >= 5 AND sd > 0
+             |    THEN abs(round((value - mu) / sd, 4)) > 3.0 END, false) AS is_anomaly
+             |FROM v ORDER BY user_id, ts, event_id""".stripMargin)),
+
+    // MATCH_RECOGNIZE-lite: each user's event stream serialized to a code
+    // string in (ts, event_id) order, "view leading through clicks/errors
+    // to a purchase" counted as non-overlapping regex matches — the same
+    // left-to-right semantics in both regex engines
+    "q_event_pattern" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Sessionize.eventPatternCounts(
+          Registry.events(s, dir), "user_id", "event_type", "ts", "event_id",
+          codes = Map("view" -> "v", "click" -> "c", "error" -> "e",
+            "purchase" -> "p", "signup" -> "s"),
+          pattern = "v[ce]*p")
+          .orderBy($"key")
+          .select($"key".as("user_id"), $"n_events", $"seq_len",
+            $"n_matches", $"matched")
+      },
+      Some("""WITH coded AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+             |      WHEN 'error' THEN 'e' WHEN 'purchase' THEN 'p'
+             |      WHEN 'signup' THEN 's' END AS c
+             |  FROM events),
+             |seqs AS (
+             |  SELECT user_id, count(*) AS n_events,
+             |         string_agg(c, '' ORDER BY ts, event_id) AS seq
+             |  FROM coded WHERE c IS NOT NULL GROUP BY user_id)
+             |SELECT user_id, n_events, CAST(length(seq) AS INT) AS seq_len,
+             |  CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS INT) AS n_matches,
+             |  len(regexp_extract_all(seq, 'v[ce]*p')) > 0 AS matched
+             |FROM seqs ORDER BY user_id""".stripMargin)),
+
     // for each click, the latest purchase by the same user at or before it
     "q_asof_purchase" -> QueryDef(
       (s, dir) => {

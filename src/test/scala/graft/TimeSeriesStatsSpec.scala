@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.{Sessionize, TimeSeries}
+import graft.pipeline.Profiling
+import org.apache.spark.sql.functions._
+
+/** Hand-computed pins for the round-6 analytics additions: EWMA fold
+  * semantics and key isolation, rolling z-score baseline exclusion,
+  * event-pattern regex counting, and correlation-matrix exactness on
+  * constructed linear data. */
+class TimeSeriesStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+  test("ewma follows the adjust=False recursion and resets per key") {
+    val df = Seq(
+      (1L, ts(1000L), 10L, 4.0),
+      (1L, ts(2000L), 11L, 8.0),
+      (1L, ts(3000L), 12L, 8.0),
+      (2L, ts(1000L), 20L, 100.0),
+      (2L, ts(2000L), 21L, 0.0)).toDF("k", "t", "id", "v")
+    val out = TimeSeries.ewma(df, "k", "t", "id", "v", alpha = 0.5)
+      .orderBy("k", "t").select($"k", $"ewma").as[(Long, Double)].collect()
+    // key 1: 4.0; 0.5*8+0.5*4 = 6.0; 0.5*8+0.5*6 = 7.0
+    // key 2 restarts: 100.0; 0.5*0+0.5*100 = 50.0
+    assert(out.toSeq == Seq((1L, 4.0), (1L, 6.0), (1L, 7.0),
+      (2L, 100.0), (2L, 50.0)))
+  }
+
+  test("ewma breaks timestamp ties by the id column") {
+    val df = Seq(
+      (1L, ts(1000L), 2L, 100.0), // same ts — id orders the fold
+      (1L, ts(1000L), 1L, 0.0)).toDF("k", "t", "id", "v")
+    val out = TimeSeries.ewma(df, "k", "t", "id", "v", alpha = 0.25)
+      .orderBy("id").select($"ewma").as[Double].collect()
+    // fold order is id 1 (v=0) then id 2 (v=100): s1=0, s2=25
+    assert(out.toSeq == Seq(0.0, 25.0))
+  }
+
+  test("rolling z-score excludes the current row and flags the outlier") {
+    // 6 calm points then a spike: the spike's baseline is the calm window,
+    // so its z is huge; the spike must NOT contaminate its own baseline
+    val rows = (1 to 6).map(i => (1L, ts(i * 1000L), i.toLong, 10.0 + (i % 2))) :+
+      (1L, ts(7000L), 7L, 1000.0)
+    val out = TimeSeries.rollingZscore(rows.toDF("k", "t", "id", "v"),
+        "k", "t", "id", "v", lookback = 10, minPoints = 5, threshold = 3.0)
+      .orderBy("id").select($"z", $"is_anomaly")
+      .as[(Option[Double], Boolean)].collect()
+    assert(out.take(5).forall(r => r._1.isEmpty && !r._2),
+      "warm-up rows (fewer than minPoints priors) must be unflagged nulls")
+    assert(out(6)._1.exists(_ > 100) && out(6)._2, s"spike not flagged: ${out(6)}")
+  }
+
+  test("event pattern counts non-overlapping matches in time order") {
+    val df = Seq(
+      // user 1: v c p v p  → two matches of v[c]*p
+      (1L, ts(1000L), 1L, "view"), (1L, ts(2000L), 2L, "click"),
+      (1L, ts(3000L), 3L, "purchase"), (1L, ts(4000L), 4L, "view"),
+      (1L, ts(5000L), 5L, "purchase"),
+      // user 2: p v c c  → purchase precedes the view: no match
+      (2L, ts(1000L), 6L, "purchase"), (2L, ts(2000L), 7L, "view"),
+      (2L, ts(3000L), 8L, "click"), (2L, ts(4000L), 9L, "click"),
+      // user 3: only unmapped types → dropped before the aggregate
+      (3L, ts(1000L), 10L, "signup_other")).toDF("k", "t", "id", "typ")
+    val out = Sessionize.eventPatternCounts(df, "k", "typ", "t", "id",
+        codes = Map("view" -> "v", "click" -> "c", "purchase" -> "p"),
+        pattern = "v[c]*p")
+      .orderBy("key")
+      .select($"key", $"n_matches", $"matched")
+      .as[(Long, Int, Boolean)].collect()
+    assert(out.toSeq == Seq((1L, 2, true), (2L, 0, false)))
+  }
+
+  test("corrPairs is exact on constructed linear relationships") {
+    val df = (1 to 50).map { i =>
+      (i.toDouble, 2.0 * i + 3.0, -1.0 * i, (i % 2).toDouble)
+    }.toDF("x", "y2x", "negx", "parity")
+    val out = Profiling.corrPairs(df, Seq("x", "y2x", "negx"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(out == Set(("x", "y2x", 1.0), ("x", "negx", -1.0),
+      ("y2x", "negx", -1.0)))
+    // one aggregate pass: the plan has no join and a single pair of
+    // (partial, final) aggregates over one scan
+    val plan = Profiling.corrPairs(df, Seq("x", "y2x", "negx", "parity"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"corrPairs must not join:\n$plan")
+  }
+}
