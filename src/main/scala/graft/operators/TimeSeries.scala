@@ -154,4 +154,27 @@ object TimeSeries {
       .drop("__n", "__mu", "__sd")
       .withColumnRenamed("__v", valCol)
   }
+
+  /**
+   * Lag-k autocorrelation per key: Pearson correlation between each
+   * observation and the one `lag` steps earlier in (ts, id) order — the
+   * seasonality / persistence screen of a time-series profile. One
+   * key-partitioned window pass to align the lagged pairs, then one hash
+   * aggregate; keys with fewer than `lag`+2 observations (no variance in
+   * a 1-pair sample) come out null and are kept, so the caller sees every
+   * key it asked about. 6dp rounding for cross-engine hash stability.
+   */
+  def lagAutocorr(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String, lag: Int = 1): DataFrame = {
+    require(lag >= 1, "lag must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    df.select(col(keyCol), col(tsCol), col(idCol),
+        col(valCol).cast("double").as("__v"))
+      .withColumn("__prev", org.apache.spark.sql.functions.lag($"__v", lag).over(w))
+      .groupBy(col(keyCol))
+      .agg(count($"__prev").as("n_pairs"),
+        round(corr($"__v", $"__prev"), 6).as(s"acf_$lag"))
+  }
 }

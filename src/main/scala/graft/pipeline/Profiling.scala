@@ -137,4 +137,26 @@ object Profiling {
     one.select(explode(array(stacked: _*)).as("p"))
       .select($"p.col_x", $"p.col_y", $"p.r")
   }
+
+  /**
+   * Per-group simple linear regression (OLS y = a·x + b): slope,
+   * intercept, R² and n from ONE hash aggregate — `regr_slope` and
+   * friends are algebraic aggregates with map-side partials, so the cost
+   * is a single keyed scan at any scale (the closed-form sums, never a
+   * solver). Rows where either side is null are excluded pairwise
+   * (standard regr_* semantics). 6dp rounding keeps the engines'
+   * sum-association out of the hash.
+   */
+  def olsByGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    df.groupBy(col(groupCol))
+      .agg(regr_count(y, x).as("n"),
+        round(regr_slope(y, x), 6).as("slope"),
+        round(regr_intercept(y, x), 6).as("intercept"),
+        round(regr_r2(y, x), 6).as("r2"))
+  }
 }

@@ -275,6 +275,22 @@ object StatsQueries {
         }.mkString("", "\nUNION ALL\n", "\nORDER BY col_x, col_y")
       }),
 
+    // per-group OLS from one keyed aggregate (regr_* are algebraic with
+    // map-side partials in both engines)
+    "q_ols_by_group" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.Profiling.olsByGroup(t(s, dir, "lineitem"),
+          "l_returnflag", "l_quantity", "l_extendedprice")
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  regr_count(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) AS n,
+             |  round(regr_slope(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 6) AS slope,
+             |  round(regr_intercept(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 6) AS intercept,
+             |  round(regr_r2(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 6) AS r2
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Bloom membership pre-filter: bitmap built over every doc id, probed
     // with 10 present + 10 absent keys; build AND probe replayed in SQL
     // (false positives, if any, are deterministic and match exactly)

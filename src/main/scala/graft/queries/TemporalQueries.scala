@@ -167,6 +167,25 @@ object TemporalQueries {
              |  len(regexp_extract_all(seq, 'v[ce]*p')) > 0 AS matched
              |FROM seqs ORDER BY user_id""".stripMargin)),
 
+    // lag-1 persistence per user: align pairs with one keyed window pass,
+    // correlate with one hash aggregate; sparse users stay as null rows
+    "q_lag_autocorr" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.lagAutocorr(
+          Registry.events(s, dir).filter($"event_type" === "purchase"),
+          "user_id", "ts", "event_id", "value", lag = 1)
+          .orderBy($"user_id")
+      },
+      Some("""WITH lagged AS (
+             |  SELECT user_id, value,
+             |    lag(value, 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT user_id, count(prev) AS n_pairs,
+             |  round(corr(value, prev), 6) AS acf_1
+             |FROM lagged GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // for each click, the latest purchase by the same user at or before it
     "q_asof_purchase" -> QueryDef(
       (s, dir) => {

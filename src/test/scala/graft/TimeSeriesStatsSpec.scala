@@ -72,6 +72,29 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2, true), (2L, 0, false)))
   }
 
+  test("olsByGroup recovers planted slope and intercept exactly") {
+    val df = (1 to 40).flatMap { i =>
+      Seq(("a", i.toDouble, 2.5 * i + 7.0),  // exact line: slope 2.5, b 7
+          ("b", i.toDouble, -3.0 * i + 1.0)) // slope -3, b 1
+    }.toDF("g", "x", "y")
+    val out = Profiling.olsByGroup(df, "g", "x", "y").orderBy("g")
+      .select($"g", $"n", $"slope", $"intercept", $"r2")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(out.toSeq == Seq(("a", 40L, 2.5, 7.0, 1.0), ("b", 40L, -3.0, 1.0, 1.0)))
+  }
+
+  test("lagAutocorr pins alternating series at -1 and keeps sparse keys as nulls") {
+    val alt = (1 to 20).map(i => (1L, ts(i * 1000L), i.toLong,
+      if (i % 2 == 0) 1.0 else -1.0))
+    val sparse = Seq((2L, ts(1000L), 100L, 5.0)) // one obs: zero pairs
+    val out = TimeSeries.lagAutocorr((alt ++ sparse).toDF("k", "t", "id", "v"),
+        "k", "t", "id", "v", lag = 1)
+      .orderBy("k")
+      .select($"k", $"n_pairs", $"acf_1")
+      .as[(Long, Long, Option[Double])].collect()
+    assert(out.toSeq == Seq((1L, 19L, Some(-1.0)), (2L, 0L, None)))
+  }
+
   test("corrPairs is exact on constructed linear relationships") {
     val df = (1 to 50).map { i =>
       (i.toDouble, 2.0 * i + 3.0, -1.0 * i, (i % 2).toDouble)
