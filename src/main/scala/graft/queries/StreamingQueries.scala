@@ -47,6 +47,28 @@ object StreamingQueries {
              |FROM s GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // stateful streaming EWMA: the last smoothed value rides GroupState
+    // across micro-batches; on per-key time-ordered delivery the emitted
+    // trajectory equals the batch fold, so the recursive-CTE oracle from
+    // q_ewma applies verbatim (bitwise, no rounding)
+    "q_stream_ewma" -> QueryDef(
+      (s, dir) => EventsStream.ewmaStream(s, dir, alpha = 0.25),
+      Some("""WITH RECURSIVE ordered AS (
+             |  SELECT user_id, ts, event_id, value,
+             |         row_number() OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS rn
+             |  FROM events WHERE event_type = 'purchase'),
+             |rec AS (
+             |  SELECT user_id, ts, event_id, value, rn, value AS ewma
+             |  FROM ordered WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.user_id, o.ts, o.event_id, o.value, o.rn,
+             |         0.25 * o.value + 0.75 * r.ewma
+             |  FROM ordered o JOIN rec r
+             |    ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+             |SELECT user_id, ts, event_id, value, ewma
+             |FROM rec ORDER BY user_id, ts, event_id""".stripMargin)),
+
     // NATIVE session_window aggregation (state-store-managed window
     // merges) next to the custom-state sessionizer; the oracle replays
     // the built-in's exact semantics — split at gap >= 30min, window end

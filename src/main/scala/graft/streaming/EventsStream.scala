@@ -16,6 +16,15 @@ case class SessionOut(
     user_id: Long, session_start: String, session_end: String,
     events: Long, value_sum: Double)
 
+/** One observation for the streaming EWMA (µs epoch — exact ts algebra). */
+case class EwmaEvent(user_id: Long, tsUs: Long, event_id: Long, value: Double)
+
+/** EWMA state carried between micro-batches: the last smoothed value. */
+case class EwmaCarry(s: Double)
+
+case class EwmaOut(user_id: Long, tsUs: Long, event_id: Long,
+    value: Double, ewma: Double)
+
 /**
  * Structured Streaming surface over the `events` table: event-time windowed
  * aggregation with a watermark. This is *new* capability relative to the
@@ -560,6 +569,61 @@ object EventsStream {
     spark.table(name)
       .withColumn("value_sum", round($"value_sum", 2))
       .orderBy($"user_id", $"session_start")
+  }
+
+  /**
+   * Streaming EWMA (the stateful twin of `TimeSeries.ewma`): per user,
+   * the `adjust=False` recursion s_i = α·v_i + (1−α)·s_{i−1} with the
+   * last smoothed value carried in `GroupState` across micro-batches.
+   * Each batch's events fold in (ts, event_id) order on top of the
+   * carried state, so as long as delivery is per-key time-ordered ACROSS
+   * batches (the file source replaying time-partitioned files — the
+   * normal ingest shape) the emitted trajectory is identical to the
+   * batch fold, and the batch recursive-CTE oracle applies unchanged.
+   * Same exact-binary-α contract as the batch operator: no rounding.
+   */
+  def ewmaTransform(events: org.apache.spark.sql.Dataset[EwmaEvent],
+      alpha: Double): org.apache.spark.sql.Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    def fn(uid: Long, it: Iterator[EwmaEvent], state: GroupState[EwmaCarry])
+        : Iterator[EwmaOut] = {
+      val evs = it.toArray.sortBy(e => (e.tsUs, e.event_id))
+      var s = state.getOption.map(_.s).getOrElse(0.0)
+      var first = state.getOption.isEmpty
+      val out = evs.map { e =>
+        s = if (first) { first = false; e.value } else alpha * e.value + (1 - alpha) * s
+        EwmaOut(uid, e.tsUs, e.event_id, e.value, s)
+      }
+      if (!first) state.update(EwmaCarry(s))
+      out.iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  def ewmaStream(spark: SparkSession, dir: String, alpha: Double,
+      eventType: String = "purchase"): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_ewma_stream_${counter.incrementAndGet()}"
+    val q = ewmaTransform(
+      eventsStream(spark, dir)
+        .filter($"event_type" === eventType)
+        .select($"user_id".cast("long").as("user_id"),
+          unix_micros($"ts").as("tsUs"),
+          $"event_id".cast("long").as("event_id"),
+          $"value".cast("double").as("value"))
+        .as[EwmaEvent], alpha)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+      .select($"user_id", timestamp_micros($"tsUs").as("ts"), $"event_id",
+        $"value", $"ewma")
+      .orderBy($"user_id", $"ts", $"event_id")
   }
 
   /**

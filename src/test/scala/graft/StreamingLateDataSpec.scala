@@ -66,6 +66,47 @@ class StreamingLateDataSpec extends SparkSpec {
     result.collect().map(_.mkString("|")).sorted.toSeq
   }
 
+  test("streaming EWMA state carries across micro-batches (equals the batch fold)") {
+    import spark.implicits._
+    // two time-ordered batches for two users; the second batch's folds
+    // must continue from batch-1 state, not restart
+    val batch1 = Seq(
+      ("1", 1L, "purchase", 4.0, ts("10:00")),
+      ("2", 1L, "purchase", 8.0, ts("10:10")),
+      ("3", 2L, "purchase", 100.0, ts("10:05")))
+    val batch2 = Seq(
+      ("4", 1L, "purchase", 8.0, ts("11:00")),
+      ("5", 2L, "purchase", 0.0, ts("11:05")))
+
+    val srcDir = Files.createTempDirectory("ewma_src_")
+    addBatch(srcDir, "b1", batch1.map(r => (r._1, r._2, r._3, r._4, r._5)))
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val name = s"ewma_replay_${System.nanoTime()}"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    // the PRODUCTION transform (EventsStream.ewmaTransform), driven over a
+    // controlled two-batch replay the fixed-dir ewmaStream can't stage
+    val q = EventsStream.ewmaTransform(
+        stream.filter($"event_type" === "purchase")
+          .select($"user_id".cast("long").as("user_id"),
+            unix_micros($"ts").as("tsUs"),
+            $"event_id".cast("long").as("event_id"),
+            $"value".cast("double").as("value"))
+          .as[graft.streaming.EwmaEvent], alpha = 0.5)
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    addBatch(srcDir, "b2", batch2)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name)
+      .select($"user_id", $"event_id", $"ewma")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // user 1: 4.0; 0.5*8+0.5*4 = 6.0; batch 2 continues: 0.5*8+0.5*6 = 7.0
+    // user 2: 100.0; batch 2 continues: 0.5*0+0.5*100 = 50.0
+    assert(got == Seq((1L, 1L, 4.0), (1L, 2L, 6.0), (1L, 4L, 7.0),
+      (2L, 3L, 100.0), (2L, 5L, 50.0)), got.mkString(", "))
+  }
+
   test("append windows: past-horizon stragglers drop, in-horizon late rows count") {
     val batch1 = Seq(
       ("e1", 1L, "view", 1.0, ts("10:05")),
