@@ -762,6 +762,20 @@ object PipelineQueries {
              |       CASE WHEN ma > 0 THEN CAST(round(x0 * 127.0 / ma, 0) AS INT) ELSE 0 END AS q
              |FROM e ORDER BY vec_id, i""".stripMargin)),
 
+    // distributed PCA (top component by power iteration): the data work
+    // is one treeAggregate covariance pass; 6dp/10dp rounding anchors
+    // make the eigen-iteration engine-independent, and the oracle unrolls
+    // all 20 steps as CTEs (the q_lr_classifier trajectory pattern)
+    "q_pca_top_component" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.Embeddings.pcaTopComponent(
+          t(s, dir, "embeddings"), "embedding", iterations = 20)
+          .orderBy($"dim")
+      },
+      Some(graft.pipeline.Embeddings.pcaTopComponentOracleSql(
+        "embeddings", "embedding", d = 64, iterations = 20))),
+
     // JL random projection 64 -> 8 dims: the seeded planes are plan
     // literals, so the oracle replays the exact same matrix as VALUES rows
     "q_embed_random_projection" -> QueryDef(
