@@ -776,6 +776,31 @@ object PipelineQueries {
       Some(graft.pipeline.Embeddings.pcaTopComponentOracleSql(
         "embeddings", "embedding", d = 64, iterations = 20))),
 
+    // top-2 PCA with Hotelling deflation between components (C − λvvᵀ,
+    // re-rounded — the same parity anchor), all replayed in the oracle
+    "q_pca_components" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.Embeddings.pcaComponents(
+          t(s, dir, "embeddings"), "embedding", k = 2, iterations = 20)
+          .orderBy($"comp", $"dim")
+      },
+      Some(graft.pipeline.Embeddings.pcaComponentsOracleSql(
+        "embeddings", "embedding", d = 64, k = 2, iterations = 20))),
+
+    // PCA projection scores: components ride the plan as literals, the
+    // scan is map-only (codegen'd DotProduct) — the whitening/outlier
+    // serving shape; the oracle projects via the same CTE-fitted model
+    "q_pca_scores" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.Embeddings.pcaScores(
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 2, iterations = 20)
+          .orderBy($"vec_id", $"comp")
+      },
+      Some(graft.pipeline.Embeddings.pcaScoresOracleSql(
+        "embeddings", "vec_id", "embedding", d = 64, k = 2, iterations = 20))),
+
     // JL random projection 64 -> 8 dims: the seeded planes are plan
     // literals, so the oracle replays the exact same matrix as VALUES rows
     "q_embed_random_projection" -> QueryDef(
