@@ -189,4 +189,38 @@ object TemporalJoins {
         col(leftPointCol) <= col(rcol(hiCol)))
       .drop("__bin")
   }
+
+  /**
+   * Interval × interval overlap join (closed bounds: overlap iff
+   * l.lo ≤ r.hi AND r.lo ≤ l.hi) — the two-sided twin of
+   * [[rangeJoinBinned]]. BOTH sides explode into fixed-width bins and
+   * join on (key, bin) equality; a pair sharing several bins would
+   * duplicate, so each candidate survives only in its CANONICAL bin —
+   * the bin of max(l.lo, r.lo), the overlap's start — which dedups
+   * without a distinct shuffle. Malformed (hi < lo) intervals are
+   * excluded before the explode on both sides (same contract as
+   * rangeJoinBinned). Right columns are prefixed `r_` on collisions.
+   */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], lLoCol: String, lHiCol: String,
+      rLoCol: String, rHiCol: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val collisions = left.columns.toSet.intersect(right.columns.toSet) -- keyCols
+    val rRenamed = collisions.foldLeft(right) { (df, c) =>
+      df.withColumnRenamed(c, s"r_$c") }
+    def rcol(c: String): String = if (collisions(c)) s"r_$c" else c
+    def binned(df: DataFrame, lo: String, hi: String) =
+      df.filter(col(lo) <= col(hi))
+        .withColumn("__bin", explode(sequence(
+          floor(col(lo) / binWidth).cast("long"),
+          floor(col(hi) / binWidth).cast("long"))))
+    val lb = binned(left, lLoCol, lHiCol)
+    val rb = binned(rRenamed, rcol(rLoCol), rcol(rHiCol))
+    lb.join(rb, keyCols :+ "__bin")
+      .filter(col(lLoCol) <= col(rcol(rHiCol)) &&
+        col(rcol(rLoCol)) <= col(lHiCol) &&
+        col("__bin") === floor(greatest(col(lLoCol), col(rcol(rLoCol))) / binWidth)
+          .cast("long"))
+      .drop("__bin")
+  }
 }

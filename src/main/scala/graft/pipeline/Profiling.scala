@@ -147,6 +147,32 @@ object Profiling {
    * (standard regr_* semantics). 6dp rounding keeps the engines'
    * sum-association out of the hash.
    */
+  /**
+   * Weighted median per key: the smallest value whose running weight
+   * reaches half the key's total — the robust location statistic for
+   * weighted data (quantity-weighted price, token-weighted score). One
+   * key-partitioned window sort plus a hash aggregate; exact, no
+   * interpolation, so integer-weighted fixtures compare bit-for-bit.
+   * Ties in the value can permute cumulative weights within the tie run
+   * but never change which VALUE first crosses the threshold, so the
+   * result is deterministic under any partitioning.
+   */
+  def weightedMedian(df: DataFrame, keyCol: String, valCol: String,
+      weightCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val byKey = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    val cum = byKey.orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(col(keyCol), col(valCol).cast("double").as("__v"),
+        col(weightCol).cast("double").as("__w"))
+      .withColumn("__cumw", sum($"__w").over(cum))
+      .withColumn("__total", sum($"__w").over(byKey))
+      .filter($"__cumw" >= $"__total" / 2)
+      .groupBy(col(keyCol))
+      .agg(min($"__v").as("weighted_median"))
+  }
+
   def olsByGroup(df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
     val spark = df.sparkSession

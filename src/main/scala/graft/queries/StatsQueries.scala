@@ -275,6 +275,30 @@ object StatsQueries {
         }.mkString("", "\nUNION ALL\n", "\nORDER BY col_x, col_y")
       }),
 
+    // exact weighted median (first value whose running weight crosses
+    // half the total) — integer weights, so the threshold is exact in
+    // both engines and the picked value compares bit-for-bit
+    "q_weighted_median" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.Profiling.weightedMedian(t(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice", "l_quantity")
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH w AS (
+             |  SELECT l_returnflag AS k, CAST(l_extendedprice AS DOUBLE) AS v,
+             |         CAST(l_quantity AS DOUBLE) AS wt
+             |  FROM lineitem),
+             |c AS (
+             |  SELECT k, v,
+             |    sum(wt) OVER (PARTITION BY k ORDER BY v
+             |                  ROWS UNBOUNDED PRECEDING) AS cumw,
+             |    sum(wt) OVER (PARTITION BY k) AS total
+             |  FROM w)
+             |SELECT k AS l_returnflag, min(v) AS weighted_median
+             |FROM c WHERE cumw >= total / 2
+             |GROUP BY k ORDER BY l_returnflag""".stripMargin)),
+
     // per-group OLS from one keyed aggregate (regr_* are algebraic with
     // map-side partials in both engines)
     "q_ols_by_group" -> QueryDef(

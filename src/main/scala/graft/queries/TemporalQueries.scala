@@ -167,6 +167,41 @@ object TemporalQueries {
              |  len(regexp_extract_all(seq, 'v[ce]*p')) > 0 AS matched
              |FROM seqs ORDER BY user_id""".stripMargin)),
 
+    // interval × interval overlap join, both sides binned, candidates
+    // deduped by keeping only the overlap-start bin (no distinct
+    // shuffle); oracle is DuckDB's plain inequality join
+    "q_interval_overlap" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Registry.events(s, dir)
+        // ±-window intervals derived per event: clicks get [ts, ts+30m),
+        // purchases [ts−5m, ts+5m] — overlap = purchase near a click
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"event_id".as("click_id"),
+            unix_micros($"ts").as("c_lo"),
+            (unix_micros($"ts") + 1800L * 1000000L).as("c_hi"))
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id".as("purchase_id"),
+            (unix_micros($"ts") - 300L * 1000000L).as("p_lo"),
+            (unix_micros($"ts") + 300L * 1000000L).as("p_hi"))
+        TemporalJoins.intervalOverlapJoin(clicks, purchases, Seq("user_id"),
+            "c_lo", "c_hi", "p_lo", "p_hi", binWidth = 1800L * 1000000L)
+          .select($"user_id", $"click_id", $"purchase_id")
+          .orderBy($"user_id", $"click_id", $"purchase_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, event_id AS click_id,
+             |         epoch_us(ts) AS lo, epoch_us(ts) + 1800000000 AS hi
+             |  FROM events WHERE event_type = 'click'),
+             |p AS (
+             |  SELECT user_id, event_id AS purchase_id,
+             |         epoch_us(ts) - 300000000 AS lo, epoch_us(ts) + 300000000 AS hi
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT c.user_id AS user_id, c.click_id, p.purchase_id
+             |FROM c JOIN p ON c.user_id = p.user_id
+             |              AND c.lo <= p.hi AND p.lo <= c.hi
+             |ORDER BY c.user_id, click_id, purchase_id""".stripMargin)),
+
     // lag-1 persistence per user: align pairs with one keyed window pass,
     // correlate with one hash aggregate; sparse users stay as null rows
     "q_lag_autocorr" -> QueryDef(

@@ -95,6 +95,37 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 19L, Some(-1.0)), (2L, 0L, None)))
   }
 
+  test("interval overlap join dedups multi-bin pairs and drops malformed rows") {
+    import graft.operators.TemporalJoins
+    val left = Seq(
+      (1L, 10L, 0L, 1000L),   // spans 11 bins at width 100
+      (1L, 11L, 500L, 400L),  // malformed: hi < lo -> dropped
+      (2L, 12L, 0L, 50L)).toDF("k", "lid", "lo", "hi")
+    val right = Seq(
+      (1L, 20L, 950L, 2000L), // overlaps lid=10 in many shared bins
+      (1L, 21L, 1500L, 1600L), // no overlap
+      (2L, 22L, 50L, 60L)).toDF("k", "rid", "lo", "hi")
+    // right's lo/hi collide with left's and get auto-prefixed r_ inside;
+    // the caller still names them by their ORIGINAL right-side names
+    val out = TemporalJoins.intervalOverlapJoin(left, right, Seq("k"),
+        "lo", "hi", "lo", "hi", binWidth = 100L)
+      .select($"k", $"lid", $"rid").as[(Long, Long, Long)].collect().sorted.toSeq
+    // exactly ONE row per overlapping pair despite shared bins; boundary
+    // touch (50 == 50) counts — closed bounds
+    assert(out == Seq((1L, 10L, 20L), (2L, 12L, 22L)), out.mkString(", "))
+  }
+
+  test("weightedMedian picks the first value crossing half the total weight") {
+    val df = Seq(
+      ("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 10.0), // total 12, half 6 -> 3.0
+      ("b", 5.0, 3.0), ("b", 7.0, 1.0),                   // total 4, half 2 -> 5.0
+      ("c", 9.0, 2.0), ("c", 4.0, 2.0)                    // total 4, half 2 -> 4.0 (exact boundary)
+    ).toDF("k", "v", "w")
+    val out = graft.pipeline.Profiling.weightedMedian(df, "k", "v", "w")
+      .orderBy("k").as[(String, Double)].collect().toSeq
+    assert(out == Seq(("a", 3.0), ("b", 5.0), ("c", 4.0)), out.mkString(", "))
+  }
+
   test("corrPairs is exact on constructed linear relationships") {
     val df = (1 to 50).map { i =>
       (i.toDouble, 2.0 * i + 3.0, -1.0 * i, (i % 2).toDouble)
