@@ -148,6 +148,37 @@ object Profiling {
    * sum-association out of the hash.
    */
   /**
+   * Pearson chi-square test of independence between two categorical
+   * columns — the feature-dependence / drift screen next to PSI. The
+   * observed contingency table is ONE hash aggregate; margins and the
+   * full cell grid (including zero-observed cells, which still
+   * contribute (0−e)²/e) come from joins over the margin frames — all
+   * category-count-sized, never data-sized, so the one corpus scan
+   * dominates at any scale. Returns one row:
+   * (chi2, dof, n, n_cells). χ² rounded 6dp for cross-engine stability.
+   */
+  def chiSquareTest(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val obs = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val ra = obs.groupBy($"a").agg(sum($"o").as("rowT"))
+    val cb = obs.groupBy($"b").agg(sum($"o").as("colT"))
+    val grid = ra.crossJoin(cb)
+      .join(obs, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("o"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    grid
+      .withColumn("n", sum($"o").over(tot))
+      .withColumn("e", $"rowT" * $"colT" / $"n".cast("double"))
+      .agg(
+        round(sum(($"o" - $"e") * ($"o" - $"e") / $"e"), 6).as("chi2"),
+        ((countDistinct($"a") - 1) * (countDistinct($"b") - 1)).as("dof"),
+        first($"n").as("n"),
+        count(lit(1)).as("n_cells"))
+  }
+
+  /**
    * Weighted median per key: the smallest value whose running weight
    * reaches half the key's total — the robust location statistic for
    * weighted data (quantity-weighted price, token-weighted score). One

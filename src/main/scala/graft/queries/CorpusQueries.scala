@@ -70,6 +70,41 @@ object CorpusQueries {
              |      WHERE token <> '' GROUP BY token)
              |ORDER BY term_id""".stripMargin)),
 
+    // the full English analyzer chain (P3) driving the corpus build,
+    // oracled end-to-end: the closed fixture vocabulary makes the Porter
+    // stage an explicit stem map (hand-derived from the published rules,
+    // independently pinned in PorterStemmerSpec), the stop filter drops
+    // 'a'/'the', and the dictionary ranking replays as a window
+    "corpus_english_dictionary" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val parsed = ParseCorpus.run(docsDf(s, dir),
+          ParseCorpus.Config(analyzer = Some(ParseCorpus.Analyzers.english)))
+        parsed.terms.toDF()
+          .select($"termId".as("term_id"), $"term", $"df", $"tf")
+          .orderBy($"term_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+             |  FROM documents),
+             |mapped AS (
+             |  SELECT doc_id,
+             |    CASE tok WHEN 'customer' THEN 'custom' WHEN 'key' THEN 'kei'
+             |      WHEN 'merge' THEN 'merg' WHEN 'query' THEN 'queri'
+             |      WHEN 'table' THEN 'tabl' WHEN 'value' THEN 'valu'
+             |      ELSE tok END AS stem
+             |  FROM toks
+             |  WHERE tok <> '' AND tok NOT IN ('a','an','and','are','as','at',
+             |    'be','but','by','for','if','in','into','is','it','no','not',
+             |    'of','on','or','such','that','the','their','then','there',
+             |    'these','they','this','to','was','will','with')),
+             |agg AS (
+             |  SELECT stem, count(DISTINCT doc_id) AS df, count(*) AS tf
+             |  FROM mapped GROUP BY stem)
+             |SELECT CAST(row_number() OVER (ORDER BY df DESC, tf DESC, stem ASC) AS INT) AS term_id,
+             |       stem AS term, df, tf
+             |FROM agg ORDER BY term_id""".stripMargin)),
+
     "corpus_encoded_docs" -> QueryDef(
       (s, dir) => {
         import s.implicits._

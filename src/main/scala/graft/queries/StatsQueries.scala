@@ -275,6 +275,30 @@ object StatsQueries {
         }.mkString("", "\nUNION ALL\n", "\nORDER BY col_x, col_y")
       }),
 
+    // chi-square independence screen over two categorical columns; the
+    // full cell grid (zero-observed cells included) is replayed in SQL
+    "q_chi_square" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.Profiling.chiSquareTest(t(s, dir, "lineitem"),
+          "l_returnflag", "l_linestatus")
+      },
+      Some("""WITH obs AS (
+             |  SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS o
+             |  FROM lineitem GROUP BY 1, 2),
+             |ra AS (SELECT a, sum(o) AS rowT FROM obs GROUP BY a),
+             |cb AS (SELECT b, sum(o) AS colT FROM obs GROUP BY b),
+             |grid AS (
+             |  SELECT ra.a, cb.b, ra.rowT, cb.colT, coalesce(obs.o, 0) AS o
+             |  FROM ra CROSS JOIN cb
+             |  LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b),
+             |tot AS (SELECT sum(o) AS n FROM grid)
+             |SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2,
+             |       (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof,
+             |       CAST(first(n) AS BIGINT) AS n, count(*) AS n_cells
+             |FROM (SELECT g.*, tot.n, g.rowT * g.colT / CAST(tot.n AS DOUBLE) AS e
+             |      FROM grid g CROSS JOIN tot)""".stripMargin)),
+
     // exact weighted median (first value whose running weight crosses
     // half the total) — integer weights, so the threshold is exact in
     // both engines and the picked value compares bit-for-bit

@@ -56,7 +56,7 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(GraftExtensions.all.map(_._1) ==
       Seq("digamma", "trigamma", "lgamma", "log_add", "vec_dot",
         "word_ngrams", "shingles", "simhash60", "nfc_normalize",
-        "fold_accents", "logsumexp"))
+        "fold_accents", "porter_stem", "logsumexp"))
   }
 
   test("fold_accents strips diacritics, lowercases, keeps ASCII buffers") {

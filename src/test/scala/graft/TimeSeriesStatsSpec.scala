@@ -126,6 +126,21 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(out == Seq(("a", 3.0), ("b", 5.0), ("c", 4.0)), out.mkString(", "))
   }
 
+  test("chiSquareTest matches a hand-computed 2x2 table, zero cells included") {
+    // observed: (x,p)=30, (x,q)=10, (y,p)=10, (y,q)=30 → margins 40/40;
+    // e = 20 everywhere → chi2 = 4·(10²/20) = 20
+    val rows = Seq.fill(30)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(30)(("y", "q"))
+    val out = graft.pipeline.Profiling.chiSquareTest(rows.toDF("a", "b"), "a", "b")
+      .as[(Double, Long, Long, Long)].head()
+    assert(out == ((20.0, 1L, 80L, 4L)), out)
+    // a category pair never observed together still contributes (0−e)²/e
+    val sparse = Seq.fill(8)(("x", "p")) ++ Seq.fill(8)(("y", "q"))
+    val out2 = graft.pipeline.Profiling.chiSquareTest(sparse.toDF("a", "b"), "a", "b")
+      .as[(Double, Long, Long, Long)].head()
+    assert(out2._4 == 4L && out2._1 == 16.0, s"perfect association on n=16: $out2")
+  }
+
   test("corrPairs is exact on constructed linear relationships") {
     val df = (1 to 50).map { i =>
       (i.toDouble, 2.0 * i + 3.0, -1.0 * i, (i % 2).toDouble)
