@@ -44,6 +44,34 @@ object Similarity {
   }
 
   /**
+   * Hard-negative mining for contrastive training: for each query
+   * vector, the k most-similar corpus vectors whose LABEL differs —
+   * exactly the "hardest negatives" a triplet/InfoNCE batch wants. Same
+   * broadcast-scan shape as [[bruteForceTopK]] (the exact baseline; at
+   * scale the IVF/LSH paths supply the candidates), with the label
+   * predicate pushed into the scan filter so same-label pairs never
+   * reach the scorer.
+   */
+  def hardNegativesTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).cast("long").as("corpus_id"),
+      col(labelCol).cast("long").as("c_label"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(labelCol).cast("long").as("q_label"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter($"corpus_id" =!= $"query_id" && $"c_label" =!= $"q_label")
+      .select($"query_id", $"corpus_id", $"c_label",
+        round(cosine($"cv", $"qv"), 6).as("cosine"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"corpus_id".asc)
+    scored.withColumn("rnk", row_number().over(w)).filter($"rnk" <= k)
+      .select($"query_id", $"rnk", $"corpus_id", $"c_label", $"cosine")
+  }
+
+  /**
    * IVF-style approximate top-k: a coarse k-means quantizer (Lloyd
    * iterations, deterministic init by hashed id) partitions the corpus into
    * `nCentroids` inverted lists; each query exactly reranks only the

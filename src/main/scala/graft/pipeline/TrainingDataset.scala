@@ -70,4 +70,39 @@ object TrainingDataset {
 
     Result(model, encoded, packs)
   }
+
+  /**
+   * Deterministic uniform negative sampling for contrastive training:
+   * each anchor gets `k` pseudo-random OTHER rows, drawn by an
+   * md5-derived index into the id-ranked corpus (`Dedup.baseHash60` —
+   * the engine's standard replayable draw) with a +1-mod-n bump when the
+   * draw lands on the anchor itself. The complement to
+   * `Similarity.hardNegativesTopK`: uniform negatives for the bulk of a
+   * batch, hard negatives for the informative tail.
+   *
+   * Scale shape: the id→index map is the corpus-build ranking (sort +
+   * per-partition offsets — no single-partition window); the draw is
+   * map-only; resolving indices back to ids is one join keyed by the
+   * index. Returns (anchor_id, slot, negative_id).
+   */
+  def negativeSample(df: DataFrame, idCol: String, k: Int,
+      salt: String = "neg"): DataFrame = {
+    require(k >= 1, "need at least one negative per anchor")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = df.count()
+    require(n >= 2, s"negative sampling needs at least 2 rows, got $n")
+    val ranked = graft.corpus.ParseCorpus.rankByIndex(
+        df.select(col(idCol).cast("long").as("id")), Seq(col("id").asc), "rank")
+      .select($"id", ($"rank" - 1).as("idx")) // 0-based
+    val draws = ranked
+      .select($"id".as("anchor_id"), $"idx".as("aidx"),
+        explode(array((1 to k).map(lit(_)): _*)).as("slot"))
+      .withColumn("h", pmod(Dedup.baseHash60(
+        concat($"anchor_id", lit(s":$salt:"), $"slot")), lit(n)))
+      .withColumn("nidx",
+        when($"h" === $"aidx", ($"h" + 1) % n).otherwise($"h"))
+    draws.join(ranked.select($"idx".as("nidx"), $"id".as("negative_id")), "nidx")
+      .select($"anchor_id", $"slot", $"negative_id")
+  }
 }

@@ -776,6 +776,63 @@ object PipelineQueries {
       Some(graft.pipeline.Embeddings.pcaTopComponentOracleSql(
         "embeddings", "embedding", d = 64, iterations = 20))),
 
+    // hard-negative mining: per query, the most-similar corpus vectors
+    // with a DIFFERENT label — the informative tail of a contrastive
+    // batch; same broadcast-scan shape as the exact ANN baseline
+    "q_hard_negatives" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        Similarity.hardNegativesTopK(e, e.filter($"vec_id" < 5),
+          "vec_id", "embedding", "label", k = 5)
+          .orderBy($"query_id", $"rnk")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+             |         unnest(CAST(embedding AS DOUBLE[])) AS x,
+             |         generate_subscripts(embedding, 1) AS i
+             |  FROM embeddings),
+             |q AS (SELECT * FROM v WHERE vec_id < 5),
+             |dots AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             |         c.label AS c_label, sum(q.x * c.x) AS dot,
+             |         sqrt(sum(q.x * q.x)) AS qn, sqrt(sum(c.x * c.x)) AS cn
+             |  FROM q JOIN v c ON q.i = c.i AND c.vec_id <> q.vec_id
+             |                 AND c.label <> q.label
+             |  GROUP BY 1, 2, 3),
+             |scored AS (SELECT query_id, corpus_id, c_label,
+             |                  round(dot / (qn * cn), 6) AS cosine FROM dots),
+             |ranked AS (SELECT *, CAST(row_number() OVER (
+             |    PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS INT) AS rnk
+             |  FROM scored)
+             |SELECT query_id, rnk, corpus_id, c_label, cosine
+             |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    // deterministic uniform negative sampling: md5-indexed draws into the
+    // id-ranked corpus, +1-mod-n bump off the anchor; fully replayable
+    "q_negative_sample" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        TrainingDataset.negativeSample(t(s, dir, "documents"), "doc_id", k = 4)
+          .orderBy($"anchor_id", $"slot")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT doc_id AS id, row_number() OVER (ORDER BY doc_id) - 1 AS idx
+             |  FROM documents),
+             |nn AS (SELECT count(*) AS n FROM documents),
+             |draws AS (
+             |  SELECT r.id AS anchor_id, r.idx AS aidx, j AS slot,
+             |    CAST(('0x' || substr(md5(CAST(r.id AS VARCHAR) || ':neg:' ||
+             |      CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % nn.n AS h
+             |  FROM ranked r CROSS JOIN nn, UNNEST(generate_series(1, 4)) t(j)),
+             |fixed AS (
+             |  SELECT anchor_id, slot,
+             |    CASE WHEN h = aidx THEN (h + 1) % (SELECT n FROM nn) ELSE h END AS nidx
+             |  FROM draws)
+             |SELECT f.anchor_id, f.slot, r2.id AS negative_id
+             |FROM fixed f JOIN ranked r2 ON f.nidx = r2.idx
+             |ORDER BY anchor_id, slot""".stripMargin)),
+
     // top-2 PCA with Hotelling deflation between components (C − λvvᵀ,
     // re-rounded — the same parity anchor), all replayed in the oracle
     "q_pca_components" -> QueryDef(

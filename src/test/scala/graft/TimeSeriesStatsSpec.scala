@@ -126,6 +126,35 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(out == Seq(("a", 3.0), ("b", 5.0), ("c", 4.0)), out.mkString(", "))
   }
 
+  test("hardNegativesTopK never returns same-label neighbors") {
+    import graft.pipeline.Similarity
+    // nearest vector to the query shares its label — it must be skipped
+    // in favor of the farther different-label one
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0), 0L),   // query
+      (2L, Seq(0.99, 0.1), 0L),  // nearest but SAME label
+      (3L, Seq(0.8, 0.6), 1L),   // different label -> the hard negative
+      (4L, Seq(-1.0, 0.0), 1L)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegativesTopK(corpus,
+        corpus.filter($"vec_id" === 1L), "vec_id", "embedding", "label", k = 2)
+      .orderBy("rnk").select($"corpus_id", $"c_label").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((3L, 1L), (4L, 1L)), out.mkString(", "))
+  }
+
+  test("negativeSample is deterministic, k-per-anchor, and never self") {
+    import graft.pipeline.TrainingDataset
+    val df = (0L until 50L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val a = TrainingDataset.negativeSample(df, "doc_id", k = 3)
+      .orderBy("anchor_id", "slot")
+      .as[(Long, Int, Long)].collect().toSeq
+    val b = TrainingDataset.negativeSample(df, "doc_id", k = 3)
+      .orderBy("anchor_id", "slot")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(a == b, "draws must be deterministic")
+    assert(a.size == 150 && a.groupBy(_._1).forall(_._2.size == 3))
+    assert(a.forall { case (anchor, _, neg) => anchor != neg }, "self-negative")
+  }
+
   test("chiSquareTest matches a hand-computed 2x2 table, zero cells included") {
     // observed: (x,p)=30, (x,q)=10, (y,p)=10, (y,q)=30 → margins 40/40;
     // e = 20 everywhere → chi2 = 4·(10²/20) = 20
