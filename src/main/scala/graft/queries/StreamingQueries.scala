@@ -47,6 +47,27 @@ object StreamingQueries {
              |FROM s GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // streaming rolling z-score: each key's ≤20 most recent values ride
+    // GroupState (strictly bounded), every arrival scored against the
+    // buffered baseline; equals the batch operator on ordered delivery,
+    // so q_ts_anomaly's oracle applies
+    "q_stream_ts_anomaly" -> QueryDef(
+      (s, dir) => EventsStream.zscoreStream(s, dir,
+        lookback = 20, minPoints = 5, threshold = 3.0),
+      Some("""WITH v AS (
+             |  SELECT user_id, ts, event_id, value,
+             |    count(value) OVER w AS n,
+             |    avg(value) OVER w AS mu,
+             |    stddev_samp(value) OVER w AS sd
+             |  FROM events WHERE event_type = 'purchase'
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+             |SELECT user_id, ts, event_id, value,
+             |  CASE WHEN n >= 5 AND sd > 0 THEN round((value - mu) / sd, 4) END AS z,
+             |  coalesce(CASE WHEN n >= 5 AND sd > 0
+             |    THEN abs(round((value - mu) / sd, 4)) > 3.0 END, false) AS is_anomaly
+             |FROM v ORDER BY user_id, ts, event_id""".stripMargin)),
+
     // stateful streaming EWMA: the last smoothed value rides GroupState
     // across micro-batches; on per-key time-ordered delivery the emitted
     // trajectory equals the batch fold, so the recursive-CTE oracle from

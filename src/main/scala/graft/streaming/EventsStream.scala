@@ -19,6 +19,13 @@ case class SessionOut(
 /** One observation for the streaming EWMA (µs epoch — exact ts algebra). */
 case class EwmaEvent(user_id: Long, tsUs: Long, event_id: Long, value: Double)
 
+/** Rolling-window state for the streaming z-score: the key's most recent
+  * ≤ lookback observations, oldest first — bounded, watermark-free. */
+case class ZscoreBuf(values: List[Double])
+
+case class ZscoreOut(user_id: Long, tsUs: Long, event_id: Long,
+    value: Double, z: Option[Double], is_anomaly: Boolean)
+
 /** EWMA state carried between micro-batches: the last smoothed value. */
 case class EwmaCarry(s: Double)
 
@@ -599,6 +606,76 @@ object EventsStream {
     }
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /**
+   * Streaming rolling z-score (the stateful twin of
+   * `TimeSeries.rollingZscore`): each key carries its most recent
+   * ≤ `lookback` values in `GroupState` — STRICTLY BOUNDED state, the
+   * anomaly-detection posture for an unbounded stream. Every incoming
+   * observation is scored against the buffered baseline (itself
+   * excluded), then pushed in. On per-key time-ordered delivery the
+   * emitted scores equal the batch operator's, so `q_ts_anomaly`'s SQL
+   * oracle applies; the 4dp rounding both operators share absorbs the
+   * two-pass-vs-window variance association difference.
+   */
+  def zscoreTransform(events: org.apache.spark.sql.Dataset[EwmaEvent],
+      lookback: Int, minPoints: Int, threshold: Double)
+      : org.apache.spark.sql.Dataset[ZscoreOut] = {
+    import events.sparkSession.implicits._
+    def score(buf: List[Double], v: Double): (Option[Double], Boolean) = {
+      val n = buf.size
+      if (n < minPoints) (None, false)
+      else {
+        val mu = buf.sum / n
+        val sd = math.sqrt(buf.map(x => (x - mu) * (x - mu)).sum / (n - 1))
+        if (sd > 0) {
+          val z = java.math.BigDecimal.valueOf((v - mu) / sd)
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          (Some(z), math.abs(z) > threshold)
+        } else (None, false)
+      }
+    }
+    def fn(uid: Long, it: Iterator[EwmaEvent], state: GroupState[ZscoreBuf])
+        : Iterator[ZscoreOut] = {
+      val evs = it.toArray.sortBy(e => (e.tsUs, e.event_id))
+      var buf = state.getOption.map(_.values).getOrElse(Nil)
+      val out = evs.map { e =>
+        val (z, flag) = score(buf, e.value)
+        buf = (buf :+ e.value).takeRight(lookback)
+        ZscoreOut(uid, e.tsUs, e.event_id, e.value, z, flag)
+      }
+      if (evs.nonEmpty) state.update(ZscoreBuf(buf))
+      out.iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  def zscoreStream(spark: SparkSession, dir: String, lookback: Int = 20,
+      minPoints: Int = 5, threshold: Double = 3.0,
+      eventType: String = "purchase"): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_zscore_stream_${counter.incrementAndGet()}"
+    val q = zscoreTransform(
+      eventsStream(spark, dir)
+        .filter($"event_type" === eventType)
+        .select($"user_id".cast("long").as("user_id"),
+          unix_micros($"ts").as("tsUs"),
+          $"event_id".cast("long").as("event_id"),
+          $"value".cast("double").as("value"))
+        .as[EwmaEvent], lookback, minPoints, threshold)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+      .select($"user_id", timestamp_micros($"tsUs").as("ts"), $"event_id",
+        $"value", $"z", $"is_anomaly")
+      .orderBy($"user_id", $"ts", $"event_id")
   }
 
   def ewmaStream(spark: SparkSession, dir: String, alpha: Double,

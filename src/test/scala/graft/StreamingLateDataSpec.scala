@@ -107,6 +107,41 @@ class StreamingLateDataSpec extends SparkSpec {
       (2L, 3L, 100.0), (2L, 5L, 50.0)), got.mkString(", "))
   }
 
+  test("streaming z-score baseline spans the micro-batch boundary") {
+    import spark.implicits._
+    // 6 calm points in batch 1, the spike in batch 2: its baseline is the
+    // carried buffer, which only works if GroupState survives the boundary
+    val batch1 = (1 to 6).map(i =>
+      (i.toString, 1L, "purchase", 10.0 + (i % 2), ts(f"10:0$i")))
+    val batch2 = Seq(("7", 1L, "purchase", 1000.0, ts("10:10")))
+    val srcDir = Files.createTempDirectory("zs_src_")
+    addBatch(srcDir, "b1", batch1)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val name = s"zs_replay_${System.nanoTime()}"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    val q = EventsStream.zscoreTransform(
+        stream.filter($"event_type" === "purchase")
+          .select($"user_id".cast("long").as("user_id"),
+            unix_micros($"ts").as("tsUs"),
+            $"event_id".cast("long").as("event_id"),
+            $"value".cast("double").as("value"))
+          .as[graft.streaming.EwmaEvent],
+        lookback = 10, minPoints = 5, threshold = 3.0)
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    addBatch(srcDir, "b2", batch2)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name)
+      .select($"event_id", $"z", $"is_anomaly")
+      .as[(Long, Option[Double], Boolean)].collect().sortBy(_._1).toSeq
+    assert(rows.take(5).forall(r => r._2.isEmpty && !r._3), "warm-up must be null")
+    val spike = rows.last
+    assert(spike._1 == 7L && spike._2.exists(_ > 100) && spike._3,
+      s"cross-batch spike not flagged: $spike")
+  }
+
   test("append windows: past-horizon stragglers drop, in-horizon late rows count") {
     val batch1 = Seq(
       ("e1", 1L, "view", 1.0, ts("10:05")),
