@@ -254,4 +254,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("cid"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("interval overlap join stays an equi-join on (key, bin) — no cartesian") {
+    val plan = physical("q_interval_overlap")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the exact overlap predicate must survive as a post-join filter
+    assert(plan.contains("__bin"), plan)
+  }
+
+  test("pca scores are map-only over the scan (model as literals, no join)") {
+    val plan = physical("q_pca_scores")
+    // one exchange for the final orderBy is fine; the scoring itself must
+    // not join — the fitted components ride the plan as literals
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("weighted median: one window sort, no extra shuffle for the total") {
+    val plan = physical("q_weighted_median")
+    // both window frames share the same key partitioning: exactly one
+    // hashpartitioning exchange on the key column
+    val exchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size == 1, s"expected 1 key exchange:\n$plan")
+  }
 }
