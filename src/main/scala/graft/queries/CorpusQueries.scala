@@ -105,6 +105,63 @@ object CorpusQueries {
              |       stem AS term, df, tf
              |FROM agg ORDER BY term_id""".stripMargin)),
 
+    // UMass topic coherence over deterministic term sets (the top-15
+    // corpus terms by the dictionary ranking, dealt into 3 sets of 5) —
+    // the co-occurrence joins and the log-sum replay exactly in SQL
+    // (DuckDB ln(); its log() is log10). The same operator scores real
+    // trained topics in LdaSpec.
+    "q_topic_coherence" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val tok = docsDf(s, dir)
+          .select($"docId".as("doc_id"), explode(split($"text", " ")).as("term"))
+          .filter($"term" =!= "")
+        val stats = tok.groupBy($"term")
+          .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("tf"))
+        // model-sized ranking (vocab rows post-aggregate), so the single-
+        // partition window is bounded by the dictionary, not the corpus
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"df".desc, $"tf".desc, $"term".asc)
+        val sets = stats.withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 15)
+          .select((($"rn" - 1) / 5).cast("int").as("set_id"),
+            ((($"rn" - 1) % 5) + 1).cast("int").as("rank"), $"term")
+        graft.lda.Eval.umassCoherence(tok, "doc_id", "term",
+            sets, "set_id", "rank", "term")
+          .orderBy($"set_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |tok2 AS (SELECT * FROM tok WHERE term <> ''),
+             |stats AS (
+             |  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+             |  FROM tok2 GROUP BY term),
+             |ranked AS (
+             |  SELECT term, row_number() OVER (ORDER BY df DESC, tf DESC, term ASC) AS rn
+             |  FROM stats),
+             |sets AS (
+             |  SELECT CAST((rn - 1) // 5 AS INT) AS set_id,
+             |         CAST((rn - 1) % 5 + 1 AS INT) AS rank, term
+             |  FROM ranked WHERE rn <= 15),
+             |inc AS (
+             |  SELECT DISTINCT t.doc_id AS doc, t.term
+             |  FROM tok2 t JOIN (SELECT DISTINCT term FROM sets) e USING (term)),
+             |dfc AS (SELECT term, count(*) AS df FROM inc GROUP BY term),
+             |pairs AS (
+             |  SELECT si.set_id, si.term AS term_i, sj.term AS term_j
+             |  FROM sets si JOIN sets sj
+             |    ON si.set_id = sj.set_id AND si.rank > sj.rank),
+             |codoc AS (
+             |  SELECT a.term AS term_i, b.term AS term_j, count(*) AS d_ij
+             |  FROM inc a JOIN inc b USING (doc) GROUP BY 1, 2)
+             |SELECT p.set_id, count(*) AS n_pairs,
+             |  round(sum(ln((coalesce(c.d_ij, 0) + 1) / CAST(d.df AS DOUBLE))), 6) AS coherence
+             |FROM pairs p
+             |LEFT JOIN codoc c ON c.term_i = p.term_i AND c.term_j = p.term_j
+             |JOIN dfc d ON d.term = p.term_j
+             |GROUP BY p.set_id ORDER BY p.set_id""".stripMargin)),
+
     "corpus_encoded_docs" -> QueryDef(
       (s, dir) => {
         import s.implicits._
