@@ -156,6 +156,43 @@ object TimeSeries {
   }
 
   /**
+   * Time-weighted average value per (key, bucket) — TWAP: each
+   * observation holds until the next one (or the bucket edge), and the
+   * bucket's average weights values by that holding time. The honest
+   * mean for irregularly-sampled state (prices, gauges, settings) where
+   * a plain avg over-counts bursts. Observations cap at the bucket end;
+   * the last observation of a bucket extends to the edge. A bucket with
+   * one observation gets that value (weight = its tail span).
+   *
+   * One key-partitioned window (`lead`) + one hash aggregate — same
+   * shuffle budget as the plain bucket mean. 6dp rounding on the
+   * weighted mean (duration arithmetic is exact µs integers).
+   */
+  def twap(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valCol: String, bucket: String = "1 hour"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val base = df.select(col(keyCol).as("key"),
+        unix_micros(col(tsCol).cast("timestamp")).as("tUs"),
+        col(idCol).cast("long").as("id"),
+        col(valCol).cast("double").as("v"),
+        window(col(tsCol), bucket).getField("start").as("bucket_start"),
+        unix_micros(window(col(tsCol), bucket).getField("end")).as("bEndUs"))
+      .withColumn("nextUs", lead($"tUs", 1).over(
+        Window.partitionBy($"key").orderBy($"tUs", $"id")))
+      .withColumn("holdUs",
+        least(coalesce($"nextUs", $"bEndUs"), $"bEndUs") - $"tUs")
+      // a zero hold (duplicate timestamp) still carries epsilon-free
+      // weight 0 — the later duplicate wins the interval, which is the
+      // standard last-observation-carried-forward reading
+      .filter($"holdUs" >= 0)
+    base.groupBy($"key", $"bucket_start")
+      .agg(count(lit(1)).as("n_obs"),
+        round(sum($"v" * $"holdUs") / sum($"holdUs"), 6).as("twap"))
+  }
+
+  /**
    * Lag-k autocorrelation per key: Pearson correlation between each
    * observation and the one `lag` steps earlier in (ts, id) order — the
    * seasonality / persistence screen of a time-series profile. One

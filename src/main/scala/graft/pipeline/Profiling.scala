@@ -148,6 +148,30 @@ object Profiling {
    * sum-association out of the hash.
    */
   /**
+   * Per-group winsorization: values clipped to the group's
+   * [pLo, pHi] exact percentiles (linear interpolation — the same
+   * definition both engines implement). Outlier taming that preserves
+   * row count, the standard pre-normalization step for heavy-tailed
+   * features. Two passes over the keyed data: one aggregate for the
+   * bounds (group-count-sized), one join-back + clip (map-side after the
+   * key join). Adds `winsorized` plus clip flags.
+   */
+  def winsorize(df: DataFrame, keyCol: String, valCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, "need 0 <= pLo < pHi <= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valCol).cast("double")
+    val bounds = df.groupBy(col(keyCol))
+      .agg(percentile(v, lit(pLo)).as("__lo"), percentile(v, lit(pHi)).as("__hi"))
+    df.join(bounds, keyCol)
+      .withColumn("winsorized", least(greatest(v, $"__lo"), $"__hi"))
+      .withColumn("clipped_low", v < $"__lo")
+      .withColumn("clipped_high", v > $"__hi")
+      .drop("__lo", "__hi")
+  }
+
+  /**
    * Pearson chi-square test of independence between two categorical
    * columns — the feature-dependence / drift screen next to PSI. The
    * observed contingency table is ONE hash aggregate; margins and the

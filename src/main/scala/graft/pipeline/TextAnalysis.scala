@@ -199,4 +199,35 @@ object TextAnalysis {
           when($"n_tokens" > 1, (log2($"n_tokens") - $"clogc" / $"n_tokens") / log2($"n_tokens"))
             .otherwise(lit(0.0)), lit(0.0)), 6).as("entropy_norm"))
   }
+
+  /**
+   * Flesch reading-ease per document — a cheap readability prior for
+   * corpus quality filtering next to the heuristic/classifier scores:
+   *
+   *   206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+   *
+   * with syllables approximated as vowel-group runs `[aeiouy]+` per
+   * lowercased word (the standard dictionary-free estimate) and
+   * sentences as `[.!?]+` runs, floored at 1. Pure column arithmetic
+   * over two regexp counts — map-only at any scale, trivially
+   * SQL-replayable. Zero-word documents get a null score.
+   */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = size(wsTokens(col(textCol))).cast("double")
+    val sentences = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))), lit(1))
+      .cast("double")
+    val syllables =
+      size(regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"), lit(0)))
+        .cast("double")
+    df.select(col(idCol),
+      words.cast("long").as("n_words"),
+      sentences.cast("long").as("n_sentences"),
+      syllables.cast("long").as("n_syllables"),
+      when(words > 0,
+        round(lit(206.835) - lit(1.015) * (words / sentences) -
+          lit(84.6) * (syllables / words), 4)).as("flesch"))
+  }
 }

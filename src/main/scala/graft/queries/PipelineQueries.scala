@@ -1135,6 +1135,27 @@ object PipelineQueries {
              |SELECT stem, count(DISTINCT doc_id) AS df, count(*) AS tf
              |FROM mapped GROUP BY stem ORDER BY stem""".stripMargin)),
 
+    // Flesch reading ease with vowel-group syllable estimation — pure
+    // regexp-count arithmetic, map-only, replayed exactly in SQL
+    "q_readability" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.readability(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_words,
+             |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+             |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables,
+             |  CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) > 0 THEN
+             |    round(206.835
+             |      - 1.015 * (CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE)
+             |                 / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+             |      - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+             |                / len(list_filter(string_split(text, ' '), x -> x <> ''))), 4)
+             |  END AS flesch
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // the heuristic is pure ratio arithmetic — reproduced in SQL including
     // the fold's tie-break (first language in sorted order wins ties)
     "q_lang_id" -> QueryDef(

@@ -275,6 +275,40 @@ object StatsQueries {
         }.mkString("", "\nUNION ALL\n", "\nORDER BY col_x, col_y")
       }),
 
+    // per-group winsorization at exact interpolated percentiles (both
+    // engines define quantile_cont/percentile identically); summarized
+    // per group so the output is grid-sized
+    "q_winsorize" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.Profiling.winsorize(t(s, dir, "lineitem"),
+            "l_returnflag", "l_extendedprice", pLo = 0.05, pHi = 0.95)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum($"clipped_low".cast("long")).as("n_low"),
+            sum($"clipped_high".cast("long")).as("n_high"),
+            round(avg($"l_extendedprice"), 4).as("mean_raw"),
+            round(avg($"winsorized"), 4).as("mean_winsorized"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH b AS (
+             |  SELECT l_returnflag AS k,
+             |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS lo,
+             |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS hi
+             |  FROM lineitem GROUP BY 1),
+             |w AS (
+             |  SELECT l.l_returnflag AS k, CAST(l.l_extendedprice AS DOUBLE) AS v,
+             |    least(greatest(CAST(l.l_extendedprice AS DOUBLE), b.lo), b.hi) AS wv,
+             |    CAST(l.l_extendedprice AS DOUBLE) < b.lo AS cl,
+             |    CAST(l.l_extendedprice AS DOUBLE) > b.hi AS ch
+             |  FROM lineitem l JOIN b ON l.l_returnflag = b.k)
+             |SELECT k AS l_returnflag, count(*) AS n,
+             |  CAST(sum(CASE WHEN cl THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+             |  CAST(sum(CASE WHEN ch THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+             |  round(avg(v), 4) AS mean_raw,
+             |  round(avg(wv), 4) AS mean_winsorized
+             |FROM w GROUP BY k ORDER BY l_returnflag""".stripMargin)),
+
     // chi-square independence screen over two categorical columns; the
     // full cell grid (zero-observed cells included) is replayed in SQL
     "q_chi_square" -> QueryDef(

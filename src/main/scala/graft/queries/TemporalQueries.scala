@@ -167,6 +167,36 @@ object TemporalQueries {
              |  len(regexp_extract_all(seq, 'v[ce]*p')) > 0 AS matched
              |FROM seqs ORDER BY user_id""".stripMargin)),
 
+    // time-weighted average (TWAP): each observation holds until the
+    // next one or the bucket edge; one lead window + one hash aggregate
+    "q_twap" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.twap(
+          Registry.events(s, dir).filter($"event_type" === "purchase"),
+          "user_id", "ts", "event_id", "value", bucket = "1 hour")
+          .select($"key".as("user_id"),
+            date_format($"bucket_start", "yyyy-MM-dd HH:mm").as("hour"),
+            $"n_obs", $"twap")
+          .orderBy($"user_id", $"hour")
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id, ts, event_id, value,
+             |    epoch_us(ts) AS tus,
+             |    date_trunc('hour', ts) AS bs,
+             |    epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS bend,
+             |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS nxt
+             |  FROM events WHERE event_type = 'purchase'),
+             |h AS (SELECT user_id, bs, value,
+             |        least(coalesce(nxt, bend), bend) - tus AS hold
+             |      FROM b WHERE least(coalesce(nxt, bend), bend) - tus >= 0)
+             |SELECT user_id, strftime(bs, '%Y-%m-%d %H:%M') AS hour,
+             |  count(*) AS n_obs,
+             |  round(sum(value * hold) / sum(hold), 6) AS twap
+             |FROM h GROUP BY user_id, bs
+             |ORDER BY user_id, hour""".stripMargin)),
+
     // interval × interval overlap join, both sides binned, candidates
     // deduped by keeping only the overlap-start bin (no distinct
     // shuffle); oracle is DuckDB's plain inequality join
