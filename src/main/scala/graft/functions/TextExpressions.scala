@@ -129,6 +129,26 @@ case class SimHash60(child: Expression) extends UnaryExpression with Serializabl
   override def prettyName: String = "simhash60"
 }
 
+/** Jaro–Winkler similarity (see TextKernels.jaroWinkler) as a codegen'd
+  * binary expression — the record-linkage scorer. Byte-level on UTF-8 to
+  * match DuckDB's `jaro_winkler_similarity` exactly. */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.jaroWinkler(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextKernels.jaroWinkler($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinkler =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaro_winkler"
+}
+
 /** Column facade (functions-package style); inputs are cast here, since
   * ExpectsInputTypes is private[sql]. */
 object tfunctions {
@@ -155,4 +175,6 @@ object tfunctions {
     shim.toColumn(WordNgrams(str(text), n, wholeTextFallback = true))
   def simhash60(tokens: Column): Column = shim.toColumn(SimHash60(strArr(tokens)))
   def porter_stem(word: Column): Column = shim.toColumn(PorterStem(str(word)))
+  def jaro_winkler(a: Column, b: Column): Column =
+    shim.toColumn(JaroWinkler(str(a), str(b)))
 }

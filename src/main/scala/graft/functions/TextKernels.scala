@@ -167,4 +167,60 @@ object TextKernels {
     }
     sig
   }
+
+  /**
+   * Textbook Jaro–Winkler similarity over the raw UTF-8 BYTES of both
+   * strings — deliberately byte-level, not code-point-level, because
+   * that is what DuckDB's `jaro_winkler_similarity` computes (probe:
+   * 'éclair' vs 'eclair' → 0.849206… = the length-7 byte math), so the
+   * oracle replays exactly. ASCII inputs are unaffected. Standard
+   * parameters: match window max(|s|,|t|)/2 − 1, Winkler boost p=0.1
+   * over a common prefix capped at 4, applied only when jaro > 0.7.
+   * Either side empty → 0.0 (DuckDB's convention, including both-empty).
+   */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val s = a.getBytes
+    val t = b.getBytes
+    val sl = s.length
+    val tl = t.length
+    if (sl == 0 || tl == 0) return 0.0
+    val window = math.max(0, math.max(sl, tl) / 2 - 1)
+    val sMatch = new Array[Boolean](sl)
+    val tMatch = new Array[Boolean](tl)
+    var m = 0
+    var i = 0
+    while (i < sl) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(tl - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!tMatch(j) && s(i) == t(j)) {
+          sMatch(i) = true; tMatch(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions: matched chars compared in order; half the mismatches
+    var halfT = 0
+    var k = 0
+    i = 0
+    while (i < sl) {
+      if (sMatch(i)) {
+        while (!tMatch(k)) k += 1
+        if (s(i) != t(k)) halfT += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    val jaro = (md / sl + md / tl + (md - halfT / 2) / md) / 3.0
+    if (jaro <= 0.7) return jaro
+    var prefix = 0
+    val pMax = math.min(4, math.min(sl, tl))
+    while (prefix < pMax && s(prefix) == t(prefix)) prefix += 1
+    jaro + prefix * 0.1 * (1.0 - jaro)
+  }
 }

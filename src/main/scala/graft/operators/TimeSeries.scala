@@ -214,4 +214,56 @@ object TimeSeries {
       .agg(count($"__prev").as("n_pairs"),
         round(corr($"__v", $"__prev"), 6).as(s"acf_$lag"))
   }
+
+  /**
+   * Holt's linear-trend double exponential smoothing per key — the
+   * trend-aware sibling of `ewma` and the standard short-horizon
+   * forecaster for metrics with drift:
+   *
+   *   l_t = α·v_t + (1−α)·(l_{t−1} + b_{t−1})
+   *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+   *
+   * initialized l₁ = v₁, b₁ = 0; `forecast` = l_t + b_t is the
+   * one-step-ahead prediction made at row t. The fold is a sequential
+   * recurrence (not a window function), so the engine side is the same
+   * secondary-sort mapPartitions idiom as `ewma`: one shuffle on the
+   * key, sorted (ts, id) within partitions, single streaming pass —
+   * per-key state is two doubles, so this scales to any number of keys
+   * and any series length. With exact-binary α/β (e.g. 0.5, 0.25) and
+   * the SQL replay written with the SAME expression structure, the
+   * trajectories match bitwise — no rounding needed.
+   */
+  def holtLinear(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valCol: String, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0,1], got $beta")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long").as("key"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(idCol).cast("long").as("id"),
+        col(valCol).cast("double").as("v"))
+      .repartition(col("key"))
+      .sortWithinPartitions($"key", $"ts", $"id")
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .mapPartitions { it =>
+        var curKey = Long.MinValue
+        var first = true
+        var l = 0.0
+        var b = 0.0
+        it.map { case (k, ts, id, v) =>
+          if (k != curKey) { curKey = k; first = true }
+          if (first) { first = false; l = v; b = 0.0 }
+          else {
+            val lPrev = l
+            l = alpha * v + (1 - alpha) * (l + b)
+            b = beta * (l - lPrev) + (1 - beta) * b
+          }
+          (k, ts, id, v, l, b, l + b)
+        }
+      }
+      .toDF("key", "ts", "id", "v", "level", "trend", "forecast")
+      .select($"key".as(keyCol), $"ts".as(tsCol), $"id".as(idCol),
+        $"v".as(valCol), $"level", $"trend", $"forecast")
+  }
 }

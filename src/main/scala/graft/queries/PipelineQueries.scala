@@ -442,6 +442,57 @@ object PipelineQueries {
       },
       Some(semanticDedupOracleSql)),
 
+    // Jaro–Winkler record linkage over part names, blocked on brand —
+    // the codegen'd byte-level kernel replays exactly against DuckDB's
+    // jaro_winkler_similarity (same byte-level definition, probed);
+    // 6dp rounding anchors the threshold comparison
+    "q_jw_name_match" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.EntityResolution.jaroWinklerPairs(
+            t(s, dir, "part"), "p_partkey", "p_name", col("p_brand"),
+            threshold = 0.9)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS score
+             |FROM part a JOIN part b
+             |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // full entity resolution: blocked JW pairs closed transitively into
+    // entity clusters (smallest-member label), canonical name joined
+    // back; the oracle reuses the recursive-CTE reachability closure
+    "q_entity_resolution" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.EntityResolution.resolveEntities(
+            t(s, dir, "part"), "p_partkey", "p_name", col("p_brand"),
+            threshold = 0.9)
+          .orderBy($"id")
+      },
+      Some("""WITH RECURSIVE pairs AS MATERIALIZED (
+             |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+             |  FROM part a JOIN part b
+             |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             |  WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9),
+             |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT s, s FROM edges
+             |  UNION SELECT e.d, reach.r FROM edges e JOIN reach ON reach.id = e.s),
+             |cc AS (SELECT id, min(r) AS entity_id FROM reach GROUP BY id),
+             |lab AS (
+             |  SELECT p.p_partkey AS id,
+             |    coalesce(cc.entity_id, p.p_partkey) AS entity_id,
+             |    p.p_partkey = coalesce(cc.entity_id, p.p_partkey) AS is_canonical
+             |  FROM part p LEFT JOIN cc ON p.p_partkey = cc.id)
+             |SELECT lab.id, lab.entity_id, c.p_name AS canonical_name,
+             |       lab.is_canonical
+             |FROM lab JOIN part c ON lab.entity_id = c.p_partkey
+             |ORDER BY lab.id""".stripMargin)),
+
     // SymSpell-shape fuzzy join: corpus dictionary (freq ≥ 3 lowercase
     // alpha terms) probed with planted middle-character-deletion typos;
     // deletion-neighborhood blocking + one exact levenshtein pass — never

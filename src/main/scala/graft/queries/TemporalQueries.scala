@@ -108,6 +108,43 @@ object TemporalQueries {
              |SELECT user_id, ts, event_id, value, ewma
              |FROM rec ORDER BY user_id, ts, event_id""".stripMargin)),
 
+    // Holt linear-trend smoothing: same bitwise-fold device as q_ewma —
+    // α=0.5/β=0.25 are exact binary doubles and the SQL recursion uses
+    // the IDENTICAL expression structure (inner subquery computes the
+    // new level once, then the trend update reads it), so level, trend
+    // and forecast trajectories match with no rounding
+    "q_holt_linear" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.holtLinear(
+          Registry.events(s, dir).filter($"event_type" === "purchase"),
+          "user_id", "ts", "event_id", "value", alpha = 0.5, beta = 0.25)
+          .select($"user_id", $"ts", $"event_id", $"value",
+            $"level", $"trend", $"forecast")
+          .orderBy($"user_id", $"ts", $"event_id")
+      },
+      Some("""WITH RECURSIVE ordered AS (
+             |  SELECT user_id, ts, event_id, value,
+             |         row_number() OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS rn
+             |  FROM events WHERE event_type = 'purchase'),
+             |rec AS (
+             |  SELECT user_id, ts, event_id, value, rn,
+             |         value AS l, CAST(0 AS DOUBLE) AS b
+             |  FROM ordered WHERE rn = 1
+             |  UNION ALL
+             |  SELECT user_id, ts, event_id, value, rn,
+             |         lnew AS l, 0.25 * (lnew - lprev) + 0.75 * bprev AS b
+             |  FROM (
+             |    SELECT o.user_id, o.ts, o.event_id, o.value, o.rn,
+             |           0.5 * o.value + 0.5 * (r.l + r.b) AS lnew,
+             |           r.l AS lprev, r.b AS bprev
+             |    FROM ordered o JOIN rec r
+             |      ON o.user_id = r.user_id AND o.rn = r.rn + 1))
+             |SELECT user_id, ts, event_id, value,
+             |       l AS level, b AS trend, l + b AS forecast
+             |FROM rec ORDER BY user_id, ts, event_id""".stripMargin)),
+
     // rolling z-score outlier screen: each purchase scored against the
     // mean/stddev of its 20 preceding purchases (current row excluded);
     // 4dp rounding keeps the engines' variance associativity out of the

@@ -37,4 +37,44 @@ class FuzzyJoinSpec extends SparkSpec {
     // and never even a candidate
     assert(!pairs.exists(p => p._1 == "ab"))
   }
+
+  // Values probed from DuckDB's jaro_winkler_similarity (the oracle
+  // engine), which computes byte-level textbook Jaro–Winkler with boost
+  // threshold 0.7, p=0.1, prefix cap 4; includes the classic textbook
+  // pairs (Winkler 1990) and the byte-level unicode fingerprint.
+  test("jaroWinkler kernel matches the DuckDB oracle definition exactly") {
+    import graft.functions.TextKernels.jaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def jw(a: String, b: String): Double = jaroWinkler(u(a), u(b))
+    assert(jw("MARTHA", "MARHTA") == 0.9611111111111111)
+    assert(jw("DIXON", "DICKSONX") == 0.8133333333333332)
+    assert(jw("JELLYFISH", "SMELLYFISH") == 0.8962962962962964)
+    assert(jw("CRATE", "TRACE") == 0.7333333333333334)      // >0.7 but prefix 0
+    assert(jw("abcdefgh", "abehcdfg") == 0.8952380952380953) // odd transposition count: integer halving
+    assert(jw("aaaaaaaaab", "aaaaaaaaaz") == 0.96)           // prefix capped at 4
+    assert(jw("abcdxxxxxx", "abcdyyyyyy") == 0.6)            // jaro ≤ 0.7: no boost despite prefix
+    assert(jw("ababababab", "babababa") == 0.7666666666666666)
+    assert(jw("éclair", "eclair") == 0.8492063492063492)     // BYTE-level: 'é' is 2 bytes
+    assert(jw("ABC", "ABC") == 1.0)
+    assert(jw("a", "b") == 0.0)
+    assert(jw("", "ABC") == 0.0)
+    assert(jw("", "") == 0.0)                                // DuckDB's both-empty convention
+  }
+
+  test("entity resolution clusters transitively and keeps block pruning") {
+    val df = Seq(
+      (1L, "acme corp", "A"), (2L, "acme corp.", "A"), (3L, "acme korp", "A"),
+      (4L, "zenith ltd", "A"), (5L, "acme corp", "B")
+    ).toDF("id", "name", "blk")
+    val out = graft.operators.EntityResolution
+      .resolveEntities(df, "id", "name", col("blk"), threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getBoolean(3))).toMap
+    // 1~2 and 2~3 chain into one entity even if 1~3 alone scored lower;
+    // 5 matches nothing (different block despite identical name)
+    assert(out(1L) == (1L, "acme corp", true))
+    assert(out(2L)._1 == 1L && !out(2L)._3)
+    assert(out(3L)._1 == 1L)
+    assert(out(4L) == (4L, "zenith ltd", true))
+    assert(out(5L) == (5L, "acme corp", true))
+  }
 }
