@@ -90,6 +90,11 @@ object GraftExtensions {
         require(args.length == 1, "porter_stem expects exactly 1 argument")
         graft.functions.PorterStem(Cast(args.head, StringType))
       }),
+    ("jaro_winkler", new ExpressionInfo(classOf[GraftExtensions].getName, "jaro_winkler"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "jaro_winkler expects exactly 2 arguments")
+        graft.functions.JaroWinkler(Cast(args(0), StringType), Cast(args(1), StringType))
+      }),
     // aggregate: the analyzer wraps the raw AggregateFunction like any
     // built-in (sum/avg), so GROUP BY ... logsumexp(x) just works
     ("logsumexp", new ExpressionInfo(classOf[GraftExtensions].getName, "logsumexp"),

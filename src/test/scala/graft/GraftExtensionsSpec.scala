@@ -56,7 +56,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(GraftExtensions.all.map(_._1) ==
       Seq("digamma", "trigamma", "lgamma", "log_add", "vec_dot",
         "word_ngrams", "shingles", "simhash60", "nfc_normalize",
-        "fold_accents", "porter_stem", "logsumexp"))
+        "fold_accents", "porter_stem", "jaro_winkler", "logsumexp"))
+  }
+
+  test("jaro_winkler is callable from SQL with the byte-level kernel") {
+    GraftExtensions.register(spark)
+    val out = spark.sql(
+      "SELECT jaro_winkler('MARTHA', 'MARHTA') AS a, jaro_winkler('', 'x') AS b")
+      .head()
+    assert(out.getDouble(0) == 0.9611111111111111)
+    assert(out.getDouble(1) == 0.0)
   }
 
   test("fold_accents strips diacritics, lowercases, keeps ASCII buffers") {
