@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.sources.{Formats, MrldaModelFiles, MrldaSequenceFile, Snapshots}
+import graft.sources.{Formats, MrldaModelFiles, MrldaSequenceFile, Snapshots, Warc}
 import org.apache.spark.sql.functions._
 
 /** Source/sink format coverage: each query pushes a table through a
@@ -283,6 +283,33 @@ object FormatQueries {
           .orderBy($"doc_id")
       },
       Some("""SELECT doc_id, CAST(length(text) AS INT) AS n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // WARC/1.0 round-trip (the Common Crawl wire format): documents →
+    // per-record-gzip-member .warc.gz files (one per partition) → the
+    // streaming file-parallel reader → headers + payload re-derived.
+    // Deterministic record ids and the md5 payload digest are replayed
+    // exactly in DuckDB, so any framing error on either side (header
+    // bytes, Content-Length, member boundaries) fails the hash check.
+    "q_warc_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val path = mrldaTmp("warc")
+        Warc.write(Warc.fromDocuments(docs.repartition(4, $"doc_id"),
+          "doc_id", "text", "source"), path, gzipPerRecord = true)
+        Warc.read(s, path)
+          .select(
+            regexp_extract($"target_uri", "/([0-9]+)$", 1).cast("long").as("doc_id"),
+            $"warc_type", $"record_id",
+            $"content_length",
+            md5($"payload").as("payload_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, 'response' AS warc_type,
+             |  '<urn:uuid:' || md5(CAST(doc_id AS VARCHAR)) || '>' AS record_id,
+             |  CAST(strlen(text) AS BIGINT) AS content_length,
+             |  md5(text) AS payload_md5
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // the reference's NATIVE corpus wire format: dictionary-encode the

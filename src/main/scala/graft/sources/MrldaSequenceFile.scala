@@ -45,8 +45,8 @@ object MrldaSequenceFile {
 
   /** Hadoop `Configuration` is a Writable, not java-serializable; this
     * wrapper ships it into task closures (Spark's own equivalent is
-    * `private[spark]`). */
-  private final class SerializableConf(@transient var value: Configuration)
+    * `private[spark]`). Shared with the other hand-framed sources (Warc). */
+  private[sources] final class SerializableConf(@transient var value: Configuration)
       extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {
       out.defaultWriteObject()
