@@ -44,6 +44,44 @@ object TimeSeries {
   }
 
   /**
+   * Daily calendar-spine gap fill with LINEAR interpolation — the
+   * numeric sibling of `gapFillForwardDaily` for continuous metrics
+   * (rates, balances, sensor readings) where carrying the last value
+   * flat would bias trends. Every gap is interior by construction (the
+   * spine spans each key's own [min, max] observed dates, so both
+   * edges are observed): a missing day gets
+   * prev + (next − prev) · (day − prevDay)/(nextDay − prevDay),
+   * rounded 6dp. Same scale shape as the forward fill — one spine
+   * explode, one left join, two window passes over the SAME key
+   * partitioning (Catalyst reuses one sort/shuffle for both frames).
+   */
+  def gapFillInterpolateDaily(daily: DataFrame, keyCol: String, dateCol: String,
+      valueCol: String): DataFrame = {
+    val spine = daily.groupBy(col(keyCol))
+      .agg(min(col(dateCol)).as("__ts_lo"), max(col(dateCol)).as("__ts_hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__ts_lo"), col("__ts_hi"), expr("interval 1 day")))
+          .as(dateCol))
+    val back = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    spine.join(daily, Seq(keyCol, dateCol), "left")
+      .withColumn("observed", v.isNotNull)
+      .withColumn("__pv", last(v, ignoreNulls = true).over(back))
+      .withColumn("__pd", last(when(v.isNotNull, col(dateCol)), ignoreNulls = true).over(back))
+      .withColumn("__nv", first(v, ignoreNulls = true).over(fwd))
+      .withColumn("__nd", first(when(v.isNotNull, col(dateCol)), ignoreNulls = true).over(fwd))
+      .withColumn(valueCol,
+        when(col("observed"), round(v, 6)).otherwise(round(
+          col("__pv") + (col("__nv") - col("__pv")) *
+            datediff(col(dateCol), col("__pd")) /
+            datediff(col("__nd"), col("__pd")), 6)))
+      .drop("__pv", "__pd", "__nv", "__nd")
+  }
+
+  /**
    * OHLC downsampling: per (key, time bucket), the first / max / min /
    * last observation by event time — the classic bar aggregation
    * (finance candles, but equally "state at window edges" for any

@@ -45,6 +45,53 @@ object TemporalQueries {
              |       observed
              |FROM j ORDER BY user_id, day""".stripMargin)),
 
+    // linear-interpolation gap fill: interior gaps are time-weighted
+    // blends of the surrounding observations; both window passes share
+    // one key sort, and the oracle replays prev/next via IGNORE NULLS
+    "q_gapfill_interpolate" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val daily = Registry.events(s, dir)
+          .filter($"event_type" === "purchase")
+          .groupBy($"user_id", to_date($"ts").as("day"))
+          .agg(round(sum($"value"), 2).as("spend"))
+        TimeSeries.gapFillInterpolateDaily(daily, "user_id", "day", "spend")
+          .select($"user_id", date_format($"day", "yyyy-MM-dd").as("day"),
+            $"spend", $"observed")
+          .orderBy($"user_id", $"day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |         round(sum(value), 2) AS spend
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |span AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+             |         FROM daily GROUP BY 1),
+             |spine AS (SELECT user_id,
+             |            CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+             |          FROM span),
+             |j AS (SELECT s.user_id, s.day, d.spend, d.spend IS NOT NULL AS observed
+             |      FROM spine s LEFT JOIN daily d USING (user_id, day)),
+             |w AS (SELECT user_id, day, spend, observed,
+             |        last_value(spend IGNORE NULLS) OVER (
+             |          PARTITION BY user_id ORDER BY day
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             |        last_value(CASE WHEN observed THEN day END IGNORE NULLS) OVER (
+             |          PARTITION BY user_id ORDER BY day
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             |        first_value(spend IGNORE NULLS) OVER (
+             |          PARTITION BY user_id ORDER BY day
+             |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             |        first_value(CASE WHEN observed THEN day END IGNORE NULLS) OVER (
+             |          PARTITION BY user_id ORDER BY day
+             |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+             |      FROM j)
+             |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+             |       CASE WHEN observed THEN round(spend, 6)
+             |            ELSE round(pv + (nv - pv) * (day - pd) / (nd - pd), 6)
+             |       END AS spend,
+             |       observed
+             |FROM w ORDER BY user_id, day""".stripMargin)),
+
     // OHLC downsampling: per (user, hour) bars over the event value — the
     // order-dependent first/last computed as min/max of (ts, id, v)
     // structs, so the whole bar is ONE hash aggregate (no window sort);
