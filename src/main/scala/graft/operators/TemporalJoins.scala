@@ -150,6 +150,108 @@ object TemporalJoins {
   }
 
   /**
+   * Nearest-direction as-of join (pandas `merge_asof(direction=
+   * "nearest")`): per key, each left row takes whichever right row is
+   * CLOSER in time — the latest at-or-before or the earliest strictly-
+   * after — with ties going backward (the at-or-before row). The
+   * sensor-alignment join: neither pure direction is right when clocks
+   * drift both ways. Optional `toleranceMs` nulls out matches farther
+   * than the bound in the chosen direction.
+   *
+   * Plan: the same slim-probe union as `asofJoin`, ONE shuffle + ONE
+   * sort — the backward candidate reads from the running frame
+   * (unboundedPreceding..current) and the forward candidate from the
+   * mirrored frame (current..unboundedFollowing) over the SAME window
+   * ordering, so both frames share the sort. Same-ts right rows land in
+   * the preceding frame (they sort before the probe), i.e. a distance-0
+   * match is always a backward win. Ties among right rows at one
+   * timestamp break by greatest `rightOrder` backward and smallest
+   * forward (both deterministic; pass a unique column).
+   */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTsCol: String, rightTsCol: String, rightValueCols: Seq[String],
+      rightOrder: Option[String] = None,
+      toleranceMs: Option[Long] = None): DataFrame = {
+    val reserved = rightValueCols.map(c => s"right_$c") ++
+      Seq("__ts", "__side", "__ord", "asof_dir") ++ keyCols.map(k => s"__asof_$k")
+    val clash = left.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"left side already has column(s) ${clash.mkString(", ")} — rename before joining")
+    val spark = left.sparkSession
+    import spark.implicits._
+
+    val ordType = rightOrder.map(right.schema(_).dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType)
+    val leftCols = left.columns.toSeq
+    val carried =
+      if (rightValueCols.contains(rightTsCol)) rightValueCols
+      else rightValueCols :+ rightTsCol
+
+    val lSlim = carried.foldLeft(
+      left.select(keyCols.map(col) :+ col(leftTsCol).as("__ts"): _*).distinct()
+        .withColumn("__side", lit(1))
+        .withColumn("__ord", lit(null).cast(ordType))) { (df, c) =>
+      df.withColumn(s"right_$c", lit(null).cast(right.schema(c).dataType)) }
+    val rAligned = carried.foldLeft(
+      keyCols.foldLeft(right.filter(col(rightTsCol).isNotNull)) {
+          (df, k) => df.filter(col(k).isNotNull) }
+        .withColumn("__ts", col(rightTsCol))
+        .withColumn("__side", lit(0))
+        .withColumn("__ord",
+          rightOrder.map(col(_).cast(ordType)).getOrElse(lit(0L).cast(ordType)))) {
+      (df, c) => df.withColumn(s"right_$c", col(c)) }
+
+    val unionCols = (keyCols ++ carried.map(c => s"right_$c") ++
+      Seq("__ts", "__side", "__ord")).map(col)
+    val unioned = lSlim.select(unionCols: _*).unionByName(rAligned.select(unionCols: _*))
+
+    val order = Seq($"__ts".asc, $"__side".asc, $"__ord".asc)
+    val back = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val filled = carried.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"__b_$c", last(col(s"right_$c"), ignoreNulls = true).over(back))
+        .withColumn(s"__f_$c", first(col(s"right_$c"), ignoreNulls = true).over(fwd)) }
+
+    // distance in the ts column's native resolution: ms for timestamps,
+    // raw units for numeric time axes (toleranceMs is read in the same
+    // unit in that case)
+    def asNum(c: org.apache.spark.sql.Column, src: String) =
+      if (src == "timestamp") unix_millis(c) else c.cast("long")
+    val leftIsTs = left.schema(leftTsCol).dataType ==
+      org.apache.spark.sql.types.TimestampType
+    val kind = if (leftIsTs) "timestamp" else "numeric"
+    val bd = asNum($"__ts", kind) - asNum(col(s"__b_$rightTsCol"), kind)
+    val fd = asNum(col(s"__f_$rightTsCol"), kind) - asNum($"__ts", kind)
+    val within = (d: org.apache.spark.sql.Column) =>
+      toleranceMs.map(t => d <= t).getOrElse(lit(true))
+    val bOk = col(s"__b_$rightTsCol").isNotNull && within(bd)
+    val fOk = col(s"__f_$rightTsCol").isNotNull && within(fd)
+    // backward wins ties (covers the distance-0 same-ts case by frame
+    // construction too); null left ts matches nothing
+    val useB = $"__ts".isNotNull && bOk && (!fOk || bd <= fd)
+    val useF = $"__ts".isNotNull && fOk && !useB
+
+    val chosen = carried.foldLeft(
+      filled.filter($"__side" === 1)
+        .withColumn("asof_dir",
+          when(useB, lit("backward")).when(useF, lit("forward")))) { (df, c) =>
+      df.withColumn(s"right_$c",
+        when(useB, col(s"__b_$c")).when(useF, col(s"__f_$c"))) }
+      .select(keyCols.map(k => col(k).as(s"__asof_$k")) ++
+        (col("__ts").as("__asof_pt") +: col("asof_dir") +:
+          carried.map(c => col(s"right_$c"))): _*)
+
+    val joinCond = (keyCols.map(k => col(k) <=> col(s"__asof_$k")) :+
+      (col(leftTsCol) <=> col("__asof_pt"))).reduce(_ && _)
+    val out = left.join(chosen, joinCond)
+      .select((leftCols ++ rightValueCols.map(c => s"right_$c") :+ "asof_dir").map(col): _*)
+    out
+  }
+
+  /**
    * Interval/range join without a cartesian: each right interval
    * [loCol, hiCol] explodes into fixed-width time bins, the join runs on
    * (key, bin) *equality* — a plain shuffle join Catalyst handles — and the

@@ -363,6 +363,77 @@ object TemporalQueries {
              |  ON c.user_id = p.user_id AND c.ts >= p.pts
              |ORDER BY c.event_id""".stripMargin)),
 
+    // nearest-direction as-of (merge_asof direction='nearest'): each
+    // click takes whichever purchase is closer in time within 6 h, ties
+    // backward; the oracle replays the union + two-frame window
+    // construction (DuckDB ASOF JOIN has no nearest mode)
+    "q_asof_nearest" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Registry.events(s, dir)
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"event_id", $"user_id", $"ts")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id".as("pid"), $"user_id", $"ts", $"value")
+        TemporalJoins.asofJoinNearest(clicks, purchases, Seq("user_id"),
+            leftTsCol = "ts", rightTsCol = "ts",
+            rightValueCols = Seq("pid", "ts", "value"), rightOrder = Some("pid"),
+            toleranceMs = Some(6L * 3600 * 1000))
+          .select($"event_id", $"user_id", $"ts",
+            $"right_pid".as("purchase_id"), $"right_ts".as("purchase_ts"),
+            round($"right_value", 4).as("purchase_value"), $"asof_dir")
+          .orderBy($"event_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             |p AS (
+             |  SELECT event_id AS pid, user_id, ts, value
+             |  FROM events WHERE event_type = 'purchase'),
+             |u AS (
+             |  SELECT user_id, ts, 1 AS side, NULL::BIGINT AS ord,
+             |         NULL::BIGINT AS r_pid, NULL::TIMESTAMP AS r_pts,
+             |         NULL::DOUBLE AS r_value
+             |  FROM (SELECT DISTINCT user_id, ts FROM c)
+             |  UNION ALL
+             |  SELECT user_id, ts, 0, pid, pid, ts, value FROM p),
+             |w AS (
+             |  SELECT user_id, ts, side,
+             |    last_value(r_pid IGNORE NULLS) OVER bwin AS b_pid,
+             |    last_value(r_pts IGNORE NULLS) OVER bwin AS b_pts,
+             |    last_value(r_value IGNORE NULLS) OVER bwin AS b_value,
+             |    first_value(r_pid IGNORE NULLS) OVER fwin AS f_pid,
+             |    first_value(r_pts IGNORE NULLS) OVER fwin AS f_pts,
+             |    first_value(r_value IGNORE NULLS) OVER fwin AS f_value
+             |  FROM u
+             |  WINDOW bwin AS (PARTITION BY user_id ORDER BY ts, side, ord
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |  fwin AS (PARTITION BY user_id ORDER BY ts, side, ord
+             |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+             |ch AS (
+             |  SELECT user_id, ts,
+             |    b_pts IS NOT NULL AND epoch_ms(ts) - epoch_ms(b_pts) <= 21600000 AS b_ok,
+             |    f_pts IS NOT NULL AND epoch_ms(f_pts) - epoch_ms(ts) <= 21600000 AS f_ok,
+             |    epoch_ms(ts) - epoch_ms(b_pts) AS bd,
+             |    epoch_ms(f_pts) - epoch_ms(ts) AS fd,
+             |    b_pid, b_pts, b_value, f_pid, f_pts, f_value
+             |  FROM w WHERE side = 1),
+             |sel AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN b_ok AND (NOT f_ok OR bd <= fd) THEN 'backward'
+             |         WHEN f_ok THEN 'forward' END AS asof_dir,
+             |    CASE WHEN b_ok AND (NOT f_ok OR bd <= fd) THEN b_pid
+             |         WHEN f_ok THEN f_pid END AS purchase_id,
+             |    CASE WHEN b_ok AND (NOT f_ok OR bd <= fd) THEN b_pts
+             |         WHEN f_ok THEN f_pts END AS purchase_ts,
+             |    CASE WHEN b_ok AND (NOT f_ok OR bd <= fd) THEN b_value
+             |         WHEN f_ok THEN f_value END AS purchase_value
+             |  FROM ch)
+             |SELECT c.event_id, c.user_id, c.ts, sel.purchase_id,
+             |       sel.purchase_ts, round(sel.purchase_value, 4) AS purchase_value,
+             |       sel.asof_dir
+             |FROM c JOIN sel ON c.user_id = sel.user_id AND c.ts = sel.ts
+             |ORDER BY c.event_id""".stripMargin)),
+
     // as-of with a staleness bound (pandas merge_asof tolerance): the
     // latest purchase counts only within 6 hours of the click — older
     // matches null out, the click row survives

@@ -110,6 +110,40 @@ class TemporalJoinsSpec extends SparkSpec {
       (1L, Some(10L)), (2L, Some(20L)), (3L, Some(20L)), (4L, None), (5L, None)))
   }
 
+  test("nearest asof picks the closer side, ties backward, tolerance bounds both") {
+    val left = Seq(
+      (1L, "a", 12L),  // dist 2 back (10), 8 fwd (20) -> backward 10
+      (2L, "a", 18L),  // dist 8 back, 2 fwd -> forward 20
+      (3L, "a", 15L),  // tie (5 both ways) -> backward 10
+      (4L, "a", 20L),  // exact hit -> backward 20 at distance 0
+      (5L, "a", 100L), // back dist 80 > tol, no fwd -> null
+      (6L, "b", 7L)    // no right rows for key b -> null
+    ).toDF("id", "k", "ts")
+    val right = Seq(("a", 10L, 1.0), ("a", 20L, 2.0)).toDF("k", "rts", "v")
+    val out = TemporalJoins.asofJoinNearest(left, right, Seq("k"), "ts", "rts",
+        Seq("rts", "v"), toleranceMs = Some(50L))
+      .orderBy($"id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(r.fieldIndex("right_rts"))),
+        Option(r.getAs[String]("asof_dir"))))
+    assert(out.toSeq == Seq(
+      (1L, Some(10L), Some("backward")),
+      (2L, Some(20L), Some("forward")),
+      (3L, Some(10L), Some("backward")),
+      (4L, Some(20L), Some("backward")),
+      (5L, None, None),
+      (6L, None, None)), out.toSeq)
+  }
+
+  test("nearest asof falls forward when only backward violates tolerance") {
+    val left = Seq((1L, "a", 95L)).toDF("id", "k", "ts")
+    val right = Seq(("a", 10L, 1.0), ("a", 101L, 2.0)).toDF("k", "rts", "v")
+    val out = TemporalJoins.asofJoinNearest(left, right, Seq("k"), "ts", "rts",
+      Seq("rts", "v"), toleranceMs = Some(20L)).collect()
+    assert(out.head.getAs[Long]("right_rts") == 101L)
+    assert(out.head.getAs[String]("asof_dir") == "forward")
+  }
+
   test("asof join breaks same-(key, ts) right duplicates by rightOrder") {
     val left = Seq((1L, "a", 10L)).toDF("id", "k", "ts")
     val right = Seq(("a", 10L, 7L, 1.0), ("a", 10L, 9L, 2.0), ("a", 10L, 8L, 3.0))
