@@ -254,6 +254,36 @@ object TimeSeries {
   }
 
   /**
+   * Exact rolling median per key over the `lookback` preceding
+   * observations plus the current one — the robust alternative to a
+   * rolling mean for spiky series (the denoiser monitoring pipelines
+   * actually want). Linear interpolation on even counts (the
+   * quantile_cont definition both engines share). Implemented as
+   * sort_array over a bounded window collect — per-row memory is
+   * O(lookback), which is the honest cost of an exact order statistic;
+   * for unbounded windows use an approximate sketch instead. One key
+   * shuffle, one window sort.
+   */
+  def rollingMedian(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String, lookback: Int): DataFrame = {
+    require(lookback >= 1, s"lookback must be >= 1, got $lookback")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-lookback, Window.currentRow)
+    val sorted = sort_array(collect_list(col(valCol).cast("double")).over(w))
+    val n = size(sorted)
+    val mid = element_at(sorted, ((n + 1) / 2).cast("int"))
+    val lo = element_at(sorted, (n / 2).cast("int"))
+    val hi = element_at(sorted, (n / 2).cast("int") + 1)
+    df.select(col(keyCol), col(tsCol), col(idCol),
+        col(valCol).cast("double").as(valCol))
+      .withColumn("n_window", n)
+      .withColumn("rolling_median", round(
+        when(n % 2 === 1, mid).otherwise((lo + hi) / 2.0), 6))
+  }
+
+  /**
    * Holt's linear-trend double exponential smoothing per key — the
    * trend-aware sibling of `ewma` and the standard short-horizon
    * forecaster for metrics with drift:

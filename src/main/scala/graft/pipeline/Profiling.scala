@@ -172,6 +172,31 @@ object Profiling {
   }
 
   /**
+   * Equal-frequency quantile binning (the feature bucketizer): each row
+   * labeled with the bucket its value falls into among `k` buckets
+   * bounded at the exact interpolated percentiles i/k. bucket =
+   * #{interior bounds ≤ v}, so bucket 0 is below the 1/k-th percentile
+   * and boundary-equal values go UP a bucket — the convention a SQL
+   * replay states naturally. Bounds come from ONE scalar aggregate
+   * (6dp-rounded so engine association order can't wiggle a boundary)
+   * broadcast as a 1-row frame; the assignment itself is map-side —
+   * scale cost is one pass plus the exact-percentile agg.
+   */
+  def quantileBin(df: DataFrame, valCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"need at least 2 buckets, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valCol).cast("double")
+    val fracs = (1 until k).map(_.toDouble / k)
+    val bounds = df.agg(
+      array(fracs.map(f => round(percentile(v, lit(f)), 6)): _*).as("__bounds"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        size(filter($"__bounds", b => v >= b)))
+      .drop("__bounds")
+  }
+
+  /**
    * Pearson chi-square test of independence between two categorical
    * columns — the feature-dependence / drift screen next to PSI. The
    * observed contingency table is ONE hash aggregate; margins and the

@@ -309,6 +309,31 @@ object StatsQueries {
              |  round(avg(wv), 4) AS mean_winsorized
              |FROM w GROUP BY k ORDER BY l_returnflag""".stripMargin)),
 
+    // equal-frequency quantile binning (feature bucketizer): 10 buckets
+    // bounded at exact 6dp-rounded percentiles, summarized per bucket
+    "q_quantile_bin" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.Profiling.quantileBin(t(s, dir, "lineitem"),
+            "l_extendedprice", k = 10)
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"),
+            round(min($"l_extendedprice"), 4).as("lo"),
+            round(max($"l_extendedprice"), 4).as("hi"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH b AS (
+             |  SELECT list_transform(quantile_cont(CAST(l_extendedprice AS DOUBLE),
+             |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]), x -> round(x, 6)) AS bounds
+             |  FROM lineitem)
+             |SELECT CAST(len(list_filter(b.bounds,
+             |         x -> CAST(l.l_extendedprice AS DOUBLE) >= x)) AS INT) AS bucket,
+             |       count(*) AS n,
+             |       round(min(l_extendedprice), 4) AS lo,
+             |       round(max(l_extendedprice), 4) AS hi
+             |FROM lineitem l CROSS JOIN b
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // chi-square independence screen over two categorical columns; the
     // full cell grid (zero-observed cells included) is replayed in SQL
     "q_chi_square" -> QueryDef(

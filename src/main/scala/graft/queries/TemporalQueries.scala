@@ -192,6 +192,26 @@ object TemporalQueries {
              |       l AS level, b AS trend, l + b AS forecast
              |FROM rec ORDER BY user_id, ts, event_id""".stripMargin)),
 
+    // exact rolling median (10 preceding + current), quantile_cont
+    // interpolation on even window counts — the robust denoiser next to
+    // the rolling-zscore screen
+    "q_rolling_median" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.rollingMedian(
+          Registry.events(s, dir).filter($"event_type" === "purchase")
+            .select($"user_id", $"ts", $"event_id", $"value"),
+          "user_id", "ts", "event_id", "value", lookback = 10)
+          .orderBy($"user_id", $"ts", $"event_id")
+      },
+      Some("""SELECT user_id, ts, event_id, value,
+             |  CAST(count(*) OVER w AS INT) AS n_window,
+             |  round(quantile_cont(value, 0.5) OVER w, 6) AS rolling_median
+             |FROM events WHERE event_type = 'purchase'
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |  ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, ts, event_id""".stripMargin)),
+
     // rolling z-score outlier screen: each purchase scored against the
     // mean/stddev of its 20 preceding purchases (current row excluded);
     // 4dp rounding keeps the engines' variance associativity out of the
