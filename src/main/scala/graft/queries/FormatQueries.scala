@@ -312,6 +312,60 @@ object FormatQueries {
              |  md5(text) AS payload_md5
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // the crawl-ingest capstone: HTML pages archived as WARC → the
+    // streaming WARC reader → tag/entity strip → word-count gate →
+    // exact dedup (keep smallest id per identical clean text). The
+    // oracle replays every stage from the raw documents table, so a
+    // defect anywhere in the chain (framing, gzip members, strip rules,
+    // gate boundary, dedup policy) breaks the hash. The heavier
+    // quality-rule set is pinned separately by q_quality_filter.
+    "q_crawl_pipeline" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val html = concat(
+          lit("<html><head><title>"), $"source",
+          lit("</title></head><body><p>"), $"text",
+          lit("</p><script>track("), $"doc_id",
+          lit(");</script></body></html>"))
+        val path = mrldaTmp("crawl")
+        Warc.write(
+          Warc.fromDocuments(docs.withColumn("html", html), "doc_id", "html", "source")
+            .repartition(4, col("record_id")), path, gzipPerRecord = true)
+        val cleaned = Warc.read(s, path)
+          .select(
+            regexp_extract($"target_uri", "/([0-9]+)$", 1).cast("long").as("doc_id"),
+            graft.pipeline.Curation.stripHtml(decode($"payload", "UTF-8")).as("text_clean"))
+        val gated = cleaned
+          .withColumn("n_tokens", size(graft.pipeline.TextAnalysis.wsTokens($"text_clean")))
+          .filter($"n_tokens" >= 5)
+        gated.groupBy($"text_clean", $"n_tokens")
+          .agg(min($"doc_id").as("doc_id"))
+          .select($"doc_id", $"n_tokens", md5($"text_clean").as("text_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |  '<html><head><title>' || source || '</title></head><body><p>' ||
+             |  text || '</p><script>track(' || doc_id ||
+             |  ');</script></body></html>' AS html
+             |  FROM documents),
+             |st AS (SELECT doc_id, trim(regexp_replace(
+             |  replace(replace(replace(replace(replace(replace(
+             |    regexp_replace(regexp_replace(regexp_replace(html,
+             |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             |      '(?s)<[^>]*>', ' ', 'g'),
+             |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+             |    '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+             |  '[ \t\n\f\r\x0B]+', ' ', 'g')) AS t
+             |  FROM h),
+             |g AS (SELECT doc_id, t, n FROM (
+             |  SELECT doc_id, t,
+             |    CAST(len(list_filter(string_split(t, ' '), x -> x <> '')) AS INT) AS n
+             |  FROM st) WHERE n >= 5)
+             |SELECT min(doc_id) AS doc_id, n AS n_tokens, md5(t) AS text_md5
+             |FROM g GROUP BY t, n ORDER BY doc_id""".stripMargin)),
+
     // the reference's NATIVE corpus wire format: dictionary-encode the
     // documents table, export it as SequenceFile<IntWritable,
     // cc.mrlda.Document> (hand-rolled header/record framing — the class
