@@ -277,4 +277,37 @@ object Classify {
       .crossJoin(broadcast(prior))
       .select($"doc_id", round(score, 6).as("score"), (score > 0).as("predicted"))
   }
+
+  /**
+   * k-nearest-neighbor majority-vote classifier over an embedding
+   * column: each query's top-k cosine neighbors among the labeled
+   * corpus vote; the label with the most votes wins, ties to the
+   * SMALLEST label id (deterministic). The training-free baseline
+   * classifier every embedding space gets judged by.
+   *
+   * Built on the exact `Similarity.bruteForceTopK` scorer here (the
+   * correctness anchor); at corpus scale swap the neighbor stage for
+   * `ivfTopK`/`lshTopK` — the vote is the same label join + one
+   * query-keyed aggregate either way, and the argmax is a
+   * max-of-struct (votes, best cosine, −label), ONE aggregate, no
+   * second shuffle or window pass.
+   *
+   * Returns (query_id, predicted, votes, n_neighbors).
+   */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nn = graft.pipeline.Similarity.bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    val labels = corpus.select(col(idCol).cast("long").as("corpus_id"),
+      col(labelCol).cast("long").as("label"))
+    nn.join(labels, "corpus_id")
+      .groupBy($"query_id", $"label")
+      .agg(count(lit(1)).as("nv"))
+      .groupBy($"query_id")
+      .agg(max(struct($"nv".as("nv"), (-$"label").as("negl"))).as("__best"),
+        sum($"nv").cast("int").as("n_neighbors"))
+      .select($"query_id", (-$"__best.negl").as("predicted"),
+        $"__best.nv".cast("int").as("votes"), $"n_neighbors")
+  }
 }

@@ -636,6 +636,53 @@ object PipelineQueries {
              |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin),
       bench = true),
 
+    // kNN majority-vote classification: 10 cosine neighbors among the
+    // held-out-labeled corpus vote, ties to the smallest label; the
+    // oracle replays neighbor ranking AND the vote argmax
+    "q_knn_classify" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        Classify.knnClassify(e.filter($"vec_id" >= 50), e.filter($"vec_id" < 50),
+            "vec_id", "embedding", "label", k = 10)
+          .join(e.select($"vec_id".as("query_id"),
+            $"label".cast("long").as("__actual")), "query_id")
+          .select($"query_id", $"predicted", $"votes", $"n_neighbors",
+            ($"predicted" === $"__actual").as("correct"))
+          .orderBy($"query_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+             |         generate_subscripts(embedding, 1) AS i
+             |  FROM embeddings),
+             |q AS (SELECT * FROM v WHERE vec_id < 50),
+             |c AS (SELECT * FROM v WHERE vec_id >= 50),
+             |dots AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             |         sum(q.x * c.x) AS dot,
+             |         sqrt(sum(q.x * q.x)) AS qn, sqrt(sum(c.x * c.x)) AS cn
+             |  FROM q JOIN c ON q.i = c.i GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT query_id, corpus_id, round(dot / (qn * cn), 6) AS cosine,
+             |         row_number() OVER (PARTITION BY query_id
+             |           ORDER BY round(dot / (qn * cn), 6) DESC, corpus_id ASC) AS rnk
+             |  FROM dots),
+             |nb AS (SELECT r.query_id, CAST(e.label AS BIGINT) AS label
+             |       FROM ranked r JOIN embeddings e ON r.corpus_id = e.vec_id
+             |       WHERE r.rnk <= 10),
+             |votes AS (SELECT query_id, label, count(*) AS nv
+             |          FROM nb GROUP BY 1, 2),
+             |sel AS (
+             |  SELECT query_id, label AS predicted, CAST(nv AS INT) AS votes,
+             |         CAST(sum(nv) OVER (PARTITION BY query_id) AS INT) AS n_neighbors
+             |  FROM votes
+             |  QUALIFY row_number() OVER (PARTITION BY query_id
+             |    ORDER BY nv DESC, label ASC) = 1)
+             |SELECT s.query_id, s.predicted, s.votes, s.n_neighbors,
+             |       s.predicted = CAST(e.label AS BIGINT) AS correct
+             |FROM sel s JOIN embeddings e ON s.query_id = e.vec_id
+             |ORDER BY s.query_id""".stripMargin)),
+
     // full SQL replay of IVF including the coarse k-means: md5-based init
     // and 4-dp-rounded centroid means make the Lloyd trajectory independent
     // of FP summation order, so DuckDB reproduces assignment, probing, and
