@@ -254,6 +254,46 @@ object TimeSeries {
   }
 
   /**
+   * Classical additive seasonal decomposition (v = trend + seasonal +
+   * residual) of a daily series per key, with an ODD period (e.g. 7 for
+   * weekly): trend is the centered moving average of the full ±period/2
+   * window (null at the edges where the window is short — no padding
+   * lies), the seasonal component is the per-phase mean of the
+   * detrended series re-centered to sum to zero over one period, and
+   * the residual is what's left. Phase = day-of-week-style
+   * `datediff mod period` from a fixed epoch, so gaps in the calendar
+   * can't shift phases. Pure windows + two phase-keyed aggregates —
+   * every stage replays in SQL, 6dp anchors.
+   */
+  def seasonalDecompose(daily: DataFrame, keyCol: String, dateCol: String,
+      valCol: String, period: Int = 7): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be odd >= 3 (centered MA), got $period")
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val half = period / 2
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
+      .rowsBetween(-half, half)
+    val v = col(valCol).cast("double")
+    val base = daily.select(col(keyCol), col(dateCol), v.as("v"))
+      .withColumn("phase",
+        pmod(datediff(col(dateCol), lit(java.sql.Date.valueOf("1970-01-01"))),
+          lit(period)))
+      .withColumn("trend",
+        when(count($"v").over(w) === period, round(avg($"v").over(w), 6)))
+      .withColumn("detrended", $"v" - $"trend")
+    val phaseMeans = base.groupBy(col(keyCol), $"phase")
+      .agg(round(avg($"detrended"), 6).as("phase_mean"))
+    val centered = phaseMeans
+      .withColumn("seasonal", round($"phase_mean" -
+        avg($"phase_mean").over(Window.partitionBy(col(keyCol))), 6))
+      .select(col(keyCol), $"phase", $"seasonal")
+    base.join(centered, Seq(keyCol, "phase"))
+      .select(col(keyCol), col(dateCol), $"phase", $"v", $"trend", $"seasonal",
+        round($"v" - $"trend" - $"seasonal", 6).as("residual"))
+  }
+
+  /**
    * Exact rolling median per key over the `lookback` preceding
    * observations plus the current one — the robust alternative to a
    * rolling mean for spiky series (the denoiser monitoring pipelines

@@ -192,6 +192,45 @@ object TemporalQueries {
              |       l AS level, b AS trend, l + b AS forecast
              |FROM rec ORDER BY user_id, ts, event_id""".stripMargin)),
 
+    // classical additive decomposition of daily event counts, weekly
+    // period: centered-MA trend (null at edges), zero-centered per-phase
+    // seasonal, residual — every stage replayed in SQL at 6dp
+    "q_seasonal_decompose" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val daily = Registry.events(s, dir)
+          .groupBy($"event_type", to_date($"ts").as("day"))
+          .agg(count(lit(1)).cast("double").as("n"))
+        TimeSeries.seasonalDecompose(daily, "event_type", "day", "n", period = 7)
+          .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day"),
+            $"phase", $"v", $"trend", $"seasonal", $"residual")
+          .orderBy($"event_type", $"day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |         CAST(count(*) AS DOUBLE) AS v
+             |  FROM events GROUP BY 1, 2),
+             |b AS (
+             |  SELECT event_type, day, v,
+             |    CAST(CAST(day - DATE '1970-01-01' AS BIGINT) % 7 AS INT) AS phase,
+             |    CASE WHEN count(v) OVER w = 7
+             |         THEN round(avg(v) OVER w, 6) END AS trend
+             |  FROM daily
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+             |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |d AS (SELECT *, v - trend AS detrended FROM b),
+             |pm AS (SELECT event_type, phase, round(avg(detrended), 6) AS phase_mean
+             |       FROM d GROUP BY 1, 2),
+             |ctr AS (SELECT event_type, phase,
+             |          round(phase_mean - avg(phase_mean) OVER (
+             |            PARTITION BY event_type), 6) AS seasonal
+             |        FROM pm)
+             |SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.phase,
+             |       d.v, d.trend, c.seasonal,
+             |       round(d.v - d.trend - c.seasonal, 6) AS residual
+             |FROM d JOIN ctr c ON d.event_type = c.event_type AND d.phase = c.phase
+             |ORDER BY d.event_type, day""".stripMargin)),
+
     // exact rolling median (10 preceding + current), quantile_cont
     // interpolation on even window counts — the robust denoiser next to
     // the rolling-zscore screen
