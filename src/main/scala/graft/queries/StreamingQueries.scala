@@ -90,6 +90,33 @@ object StreamingQueries {
              |SELECT user_id, ts, event_id, value, ewma
              |FROM rec ORDER BY user_id, ts, event_id""".stripMargin)),
 
+    // streaming Holt linear trend: level+trend carried in GroupState,
+    // O(1) per key; trajectory equals the batch fold, so the same
+    // structure-matched recursive CTE is the oracle
+    "q_stream_holt" -> QueryDef(
+      (s, dir) => EventsStream.holtStream(s, dir, alpha = 0.5, beta = 0.25),
+      Some("""WITH RECURSIVE ordered AS (
+             |  SELECT user_id, ts, event_id, value,
+             |         row_number() OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS rn
+             |  FROM events WHERE event_type = 'purchase'),
+             |rec AS (
+             |  SELECT user_id, ts, event_id, value, rn,
+             |         value AS l, CAST(0 AS DOUBLE) AS b
+             |  FROM ordered WHERE rn = 1
+             |  UNION ALL
+             |  SELECT user_id, ts, event_id, value, rn,
+             |         lnew AS l, 0.25 * (lnew - lprev) + 0.75 * bprev AS b
+             |  FROM (
+             |    SELECT o.user_id, o.ts, o.event_id, o.value, o.rn,
+             |           0.5 * o.value + 0.5 * (r.l + r.b) AS lnew,
+             |           r.l AS lprev, r.b AS bprev
+             |    FROM ordered o JOIN rec r
+             |      ON o.user_id = r.user_id AND o.rn = r.rn + 1))
+             |SELECT user_id, ts, event_id, value,
+             |       l AS level, b AS trend, l + b AS forecast
+             |FROM rec ORDER BY user_id, ts, event_id""".stripMargin)),
+
     // NATIVE session_window aggregation (state-store-managed window
     // merges) next to the custom-state sessionizer; the oracle replays
     // the built-in's exact semantics — split at gap >= 30min, window end

@@ -32,6 +32,12 @@ case class EwmaCarry(s: Double)
 case class EwmaOut(user_id: Long, tsUs: Long, event_id: Long,
     value: Double, ewma: Double)
 
+/** Holt state carried between micro-batches: level + trend. */
+case class HoltCarry(l: Double, b: Double)
+
+case class HoltOut(user_id: Long, tsUs: Long, event_id: Long,
+    value: Double, level: Double, trend: Double, forecast: Double)
+
 /**
  * Structured Streaming surface over the `events` table: event-time windowed
  * aggregation with a watermark. This is *new* capability relative to the
@@ -606,6 +612,63 @@ object EventsStream {
     }
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /**
+   * Streaming Holt linear-trend smoothing (the stateful twin of
+   * `TimeSeries.holtLinear`): per user, the level/trend recursion with
+   * BOTH scalars carried in `GroupState` across micro-batches — O(1)
+   * per-key state for an unbounded stream. Same delivery contract and
+   * exact-binary-coefficient reasoning as `ewmaTransform`, so the batch
+   * recursive-CTE oracle applies to the streamed trajectory unchanged.
+   */
+  def holtTransform(events: org.apache.spark.sql.Dataset[EwmaEvent],
+      alpha: Double, beta: Double): org.apache.spark.sql.Dataset[HoltOut] = {
+    import events.sparkSession.implicits._
+    def fn(uid: Long, it: Iterator[EwmaEvent], state: GroupState[HoltCarry])
+        : Iterator[HoltOut] = {
+      val evs = it.toArray.sortBy(e => (e.tsUs, e.event_id))
+      var carry = state.getOption
+      val out = evs.map { e =>
+        carry = Some(carry match {
+          case None => HoltCarry(e.value, 0.0)
+          case Some(HoltCarry(lPrev, bPrev)) =>
+            val l = alpha * e.value + (1 - alpha) * (lPrev + bPrev)
+            HoltCarry(l, beta * (l - lPrev) + (1 - beta) * bPrev)
+        })
+        val c = carry.get
+        HoltOut(uid, e.tsUs, e.event_id, e.value, c.l, c.b, c.l + c.b)
+      }
+      carry.foreach(state.update)
+      out.iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  def holtStream(spark: SparkSession, dir: String, alpha: Double, beta: Double,
+      eventType: String = "purchase"): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_holt_stream_${counter.incrementAndGet()}"
+    val q = holtTransform(
+      eventsStream(spark, dir)
+        .filter($"event_type" === eventType)
+        .select($"user_id".cast("long").as("user_id"),
+          unix_micros($"ts").as("tsUs"),
+          $"event_id".cast("long").as("event_id"),
+          $"value".cast("double").as("value"))
+        .as[EwmaEvent], alpha, beta)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+      .select($"user_id", timestamp_micros($"tsUs").as("ts"), $"event_id",
+        $"value", $"level", $"trend", $"forecast")
+      .orderBy($"user_id", $"ts", $"event_id")
   }
 
   /**

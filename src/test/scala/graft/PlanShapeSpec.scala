@@ -278,4 +278,50 @@ class PlanShapeSpec extends SparkSpec {
       .filter(l => l.contains("Exchange hashpartitioning")).toSeq
     assert(exchanges.size == 1, s"expected 1 key exchange:\n$plan")
   }
+
+  test("nearest asof: both direction frames share one window sort") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val left = Seq((1L, "a", 10L)).toDF("id", "k", "ts")
+    val right = Seq(("a", 10L, 1.0)).toDF("k", "rts", "v")
+    val df = graft.operators.TemporalJoins.asofJoinNearest(
+      left, right, Seq("k"), "ts", "rts", Seq("rts", "v"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the union+window segment must sort the (key) partition exactly once
+    // — the preceding and following frames ride the same Sort
+    val sorts = plan.linesIterator.filter(_.trim.startsWith("+- Sort")).toSeq ++
+      plan.linesIterator.filter(_.trim.startsWith(":- Sort")).toSeq
+    val windowSorts = sorts.filter(_.contains("__ts"))
+    assert(windowSorts.size == 1, s"expected 1 window sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("rolling median and zscore windows stay single-sort per key") {
+    val plan = physical("q_rolling_median")
+    val exchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    // one key exchange for the window; the final orderBy is a range
+    // exchange, not a second hash shuffle
+    assert(exchanges.size == 1, s"expected 1 key exchange:\n$plan")
+  }
+
+  test("quantile binning: bounds broadcast, assignment map-side") {
+    val plan = physical("q_quantile_bin")
+    // the 1-row bounds frame joins via broadcast nested loop (a true
+    // cross join of one row) — never a shuffled join of the fact table
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    val exchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    // only the bucket-summary aggregate shuffles (plus nothing for the
+    // assignment itself)
+    assert(exchanges.size <= 1, s"expected <=1 hash exchange:\n$plan")
+  }
+
+  test("entity resolution: JW candidates come from block equi-joins only") {
+    val plan = physical("q_jw_name_match")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the block key is the join key; the JW kernel runs post-join
+    assert(plan.contains("jaro_winkler") || plan.contains("jaroWinkler"), plan)
+  }
 }

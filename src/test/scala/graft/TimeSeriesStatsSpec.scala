@@ -184,4 +184,76 @@ class TimeSeriesStatsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"corrPairs must not join:\n$plan")
   }
+
+  test("holtLinear recovers a pure linear ramp: trend converges, residual-free forecast") {
+    // v_t = 10 + 2t: with l1=v1, b1=0, the recursion tracks the ramp and
+    // the one-step forecast approaches v_{t+1}
+    val rows = (0 until 20).map(i => (1L, f"2024-01-01 00:$i%02d:00", i.toLong, 10.0 + 2 * i))
+    val df = rows.toDF("k", "ts_s", "id", "v")
+      .withColumn("ts", to_timestamp($"ts_s"))
+    val out = TimeSeries.holtLinear(df, "k", "ts", "id", "v", alpha = 0.5, beta = 0.25)
+      .orderBy($"id").collect()
+    assert(out.head.getAs[Double]("level") == 10.0 &&
+      out.head.getAs[Double]("trend") == 0.0)
+    val lastF = out(18).getAs[Double]("forecast")
+    val lastV = out(19).getAs[Double]("v")
+    assert(math.abs(lastF - lastV) < 0.7, s"forecast $lastF vs next $lastV")
+  }
+
+  test("twap weights values by holding time, capped at the bucket edge") {
+    // one bucket [10:00, 11:00): v=10 held 15 min, then v=30 held 45 min
+    // -> twap = (10*15 + 30*45)/60 = 25
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, 10.0),
+      (1L, "2024-01-01 10:15:00", 2L, 30.0)
+    ).toDF("k", "ts_s", "id", "v").withColumn("ts", to_timestamp($"ts_s"))
+    val out = TimeSeries.twap(df, "k", "ts", "id", "v", bucket = "1 hour").collect()
+    assert(out.length == 1 && out.head.getAs[Double]("twap") == 25.0, out.toSeq)
+  }
+
+  test("rollingMedian interpolates even windows and bounds the frame") {
+    val df = Seq((1L, 1L, 1.0), (1L, 2L, 9.0), (1L, 3L, 5.0), (1L, 4L, 7.0))
+      .toDF("k", "id", "v").withColumn("ts", $"id")
+    val out = TimeSeries.rollingMedian(df, "k", "ts", "id", "v", lookback = 2)
+      .orderBy($"id").collect().map(_.getAs[Double]("rolling_median"))
+    // windows: [1]=1, [1,9]=5, [1,9,5]=5, [9,5,7]=7
+    assert(out.toSeq == Seq(1.0, 5.0, 5.0, 7.0), out.toSeq)
+  }
+
+  test("seasonalDecompose: seasonal sums to zero and recomposes exactly") {
+    // 4 weeks of period-7 data: v = 100 + phase bump
+    val bumps = Seq(5.0, -3.0, 0.0, 2.0, -1.0, -2.0, -1.0)
+    val rows = (0 until 28).map { i =>
+      (1L, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+        100.0 + bumps(i % 7))
+    }
+    val out = TimeSeries.seasonalDecompose(
+      rows.toDF("k", "day", "v"), "k", "day", "v", period = 7)
+      .orderBy($"day").collect()
+    val seasonalByPhase = out.map(r =>
+      r.getAs[Int]("phase") -> r.getAs[Double]("seasonal")).toMap
+    assert(math.abs(seasonalByPhase.values.sum) < 1e-6)
+    // interior rows recompose: v = trend + seasonal + residual
+    out.filter(r => !r.isNullAt(r.fieldIndex("trend"))).foreach { r =>
+      val back = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("residual")
+      assert(math.abs(back - r.getAs[Double]("v")) < 1e-5, r)
+    }
+    // the constant-plus-seasonal series has a flat interior trend of 100
+    out.filter(r => !r.isNullAt(r.fieldIndex("trend"))).foreach { r =>
+      assert(math.abs(r.getAs[Double]("trend") - 100.0) < 1e-6, r)
+    }
+  }
+
+  test("winsorize clips exactly at the group percentiles and keeps row count") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val out = Profiling.winsorize(df, "k", "v", pLo = 0.05, pHi = 0.95)
+    assert(out.count() == 100)
+    val w = out.select("winsorized").as[Double].collect()
+    // interpolated p5 of 1..100 = 5.95, p95 = 95.05
+    assert(math.abs(w.min - 5.95) < 1e-9 && math.abs(w.max - 95.05) < 1e-9,
+      (w.min, w.max))
+    assert(out.filter($"clipped_low").count() == 5)
+    assert(out.filter($"clipped_high").count() == 5)
+  }
 }
