@@ -49,4 +49,44 @@ object FuzzyJoin {
       .withColumn("dist", levenshtein($"l_key", $"r_key"))
       .filter($"dist" <= 1)
   }
+
+  /**
+   * Longest-prefix-match join: each fact string matches the LONGEST
+   * entry of a prefix dictionary that prefixes it — the routing-table /
+   * category-tree / URL-path lookup. Scalable shape: the fact side
+   * explodes one candidate substring PER DISTINCT DICT PREFIX LENGTH
+   * (collected to the driver — the dictionary is model-sized by
+   * assumption, and its distinct lengths are fewer still), the match is
+   * a plain equi-join on the candidate string, and one max-of-struct
+   * aggregate keeps the longest hit per fact row. Expansion factor =
+   * #distinct prefix lengths, never O(string length), and never a
+   * starts_with theta join (which Spark could only plan as a nested
+   * loop).
+   *
+   * Facts with no matching prefix are kept with a null match
+   * (left-join semantics). Returns the fact id, the fact string, the
+   * matched prefix and its length.
+   */
+  def longestPrefixJoin(facts: DataFrame, idCol: String, factCol: String,
+      dict: DataFrame, prefixCol: String): DataFrame = {
+    val spark = facts.sparkSession
+    import spark.implicits._
+    val lengths = dict.select(length(col(prefixCol)).as("l")).distinct()
+      .as[Int].collect().sorted
+    require(lengths.nonEmpty, "prefix dictionary is empty")
+    val candidates = facts.select(col(idCol).as("__fid"), col(factCol).as("__fact"))
+      .withColumn("__cand",
+        explode(array_distinct(array(lengths.map(l =>
+          substring($"__fact", 1, l)): _*))))
+    val d = dict.select(col(prefixCol).as("__cand")).distinct()
+    val matched = candidates.join(d, "__cand")
+      .groupBy($"__fid")
+      .agg(max(struct(length($"__cand").as("plen"), $"__cand".as("pfx"))).as("__best"))
+      .select($"__fid", $"__best.pfx".as("matched_prefix"),
+        $"__best.plen".as("prefix_len"))
+    facts.select(col(idCol).as("__fid"), col(factCol).as("__fact"))
+      .join(matched, Seq("__fid"), "left")
+      .select($"__fid".as(idCol), $"__fact".as(factCol),
+        $"matched_prefix", $"prefix_len")
+  }
 }

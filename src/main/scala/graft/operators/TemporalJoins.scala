@@ -325,4 +325,38 @@ object TemporalJoins {
           .cast("long"))
       .drop("__bin")
   }
+
+  /**
+   * Interval union / coverage merge per key (gaps-and-islands): collapse
+   * overlapping-or-touching [lo, hi] segments into maximal merged
+   * intervals — the "total time covered" primitive (uptime from
+   * overlapping incident windows, utilization from bookings, masking
+   * spans before a cut). Touching means next.lo ≤ running max(hi):
+   * [1,5] and [5,9] merge.
+   *
+   * One key shuffle, one window sort: a new island starts where `lo`
+   * exceeds the running max of every earlier interval's `hi` (the
+   * running-max formulation handles nested intervals that a lag-based
+   * check misses), island ids are a running sum of those flags, and one
+   * hash aggregate emits each island's bounds and member count.
+   * Numeric or timestamp bounds both work (comparison-only logic).
+   */
+  def mergeIntervals(df: DataFrame, keyCol: String, loCol: String,
+      hiCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col(loCol), col(hiCol))
+    val prevMax = max(col(hiCol)).over(
+      ord.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = df.filter(col(loCol) <= col(hiCol))
+      .withColumn("__new", when(prevMax.isNull || col(loCol) > prevMax, 1)
+        .otherwise(0))
+      .withColumn("__island",
+        sum($"__new").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col(keyCol), $"__island")
+      .agg(min(col(loCol)).as("merged_lo"), max(col(hiCol)).as("merged_hi"),
+        count(lit(1)).cast("int").as("n_segments"))
+      .select(col(keyCol), $"__island".cast("int").as("island"),
+        $"merged_lo", $"merged_hi", $"n_segments")
+  }
 }

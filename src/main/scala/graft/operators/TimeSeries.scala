@@ -254,6 +254,70 @@ object TimeSeries {
   }
 
   /**
+   * One-sided CUSUM changepoint detection per key: the classic
+   * drift detector for metric shifts too small for a z-score spike.
+   * Against a per-key baseline mean μ (from the first `baselineN`
+   * observations — the "known good" calibration window), accumulate
+   *
+   *   hi_t = max(0, hi_{t−1} + (v_t − μ − slack))
+   *   lo_t = max(0, lo_{t−1} − (v_t − μ + slack))
+   *
+   * and flag when either sum crosses `threshold` (then reset that sum —
+   * the standard restart-after-alarm convention). The fold is a
+   * sequential recurrence like `ewma`, so the engine side is the same
+   * secondary-sort mapPartitions pass (O(1) state per key), and with
+   * the baseline mean rounded to 6dp the trajectory replays exactly in
+   * a recursive CTE. `slack` and `threshold` are in value units
+   * (commonly k·σ and h·σ).
+   */
+  def cusum(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valCol: String, baselineN: Int, slack: Double,
+      threshold: Double): DataFrame = {
+    require(baselineN >= 1, "baselineN must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(keyCol).cast("long").as("key"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(idCol).cast("long").as("id"),
+        col(valCol).cast("double").as("v"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy($"key").orderBy($"ts", $"id")))
+    val mu = base.filter($"__rn" <= baselineN)
+      .groupBy($"key").agg(round(avg($"v"), 6).as("mu"))
+    base.join(mu, "key")
+      .repartition(col("key"))
+      .sortWithinPartitions($"key", $"ts", $"id")
+      .as[(Long, java.sql.Timestamp, Long, Double, Int, Double)]
+      .mapPartitions { it =>
+        // the CARRIED sums are rounded to 6dp each step (not just at
+        // emission) — the rounding-anchor device that lets a recursive
+        // CTE carry the identical state
+        def r6(x: Double): Double =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        var curKey = Long.MinValue
+        var hi = 0.0
+        var lo = 0.0
+        it.map { case (k, ts, id, v, _, m) =>
+          if (k != curKey) { curKey = k; hi = 0.0; lo = 0.0 }
+          hi = r6(math.max(0.0, hi + (v - m - slack)))
+          lo = r6(math.max(0.0, lo - (v - m + slack)))
+          val alarmHi = hi > threshold
+          val alarmLo = lo > threshold
+          val outHi = hi
+          val outLo = lo
+          if (alarmHi) hi = 0.0
+          if (alarmLo) lo = 0.0
+          (k, ts, id, v, m, outHi, outLo, alarmHi, alarmLo)
+        }
+      }
+      .toDF("key", "ts", "id", "v", "mu", "cusum_hi", "cusum_lo",
+        "alarm_hi", "alarm_lo")
+      .select($"key".as(keyCol), $"ts".as(tsCol), $"id".as(idCol),
+        $"v".as(valCol), $"mu", $"cusum_hi", $"cusum_lo",
+        $"alarm_hi", $"alarm_lo")
+  }
+
+  /**
    * Classical additive seasonal decomposition (v = trend + seasonal +
    * residual) of a daily series per key, with an ODD period (e.g. 7 for
    * weekly): trend is the centered moving average of the full ±period/2

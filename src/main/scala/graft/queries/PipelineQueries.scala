@@ -442,6 +442,40 @@ object PipelineQueries {
       },
       Some(semanticDedupOracleSql)),
 
+    // longest-prefix-match join (routing-table / category-tree lookup):
+    // a two-level prefix dictionary built from a third of the parts'
+    // type strings; every part matches its longest applicable prefix by
+    // distinct-length equi-joins — never a starts_with theta join
+    "q_prefix_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val parts = t(s, dir, "part")
+        val src = parts.filter($"p_partkey" % 3 === 0)
+        val w1 = src.select(split($"p_type", " ").getItem(0).as("pfx"))
+        val w2 = src.select(concat_ws(" ",
+          slice(split($"p_type", " "), 1, 2)).as("pfx"))
+        val dict = w1.unionByName(w2).distinct()
+        graft.operators.FuzzyJoin.longestPrefixJoin(
+            parts, "p_partkey", "p_type", dict, "pfx")
+          .orderBy($"p_partkey")
+      },
+      Some("""WITH src AS (SELECT p_type FROM part WHERE p_partkey % 3 = 0),
+             |w1 AS (SELECT string_split(p_type, ' ')[1] AS pfx FROM src),
+             |w2 AS (SELECT string_split(p_type, ' ')[1] || ' ' ||
+             |              string_split(p_type, ' ')[2] AS pfx FROM src),
+             |d AS (SELECT DISTINCT pfx FROM (
+             |  SELECT pfx FROM w1 UNION ALL SELECT pfx FROM w2)
+             |  WHERE pfx IS NOT NULL),
+             |m AS (
+             |  SELECT p.p_partkey, d.pfx, len(d.pfx) AS pl,
+             |         row_number() OVER (PARTITION BY p.p_partkey
+             |           ORDER BY len(d.pfx) DESC, d.pfx DESC) AS rn
+             |  FROM part p JOIN d ON substr(p.p_type, 1, len(d.pfx)) = d.pfx)
+             |SELECT p.p_partkey, p.p_type, m.pfx AS matched_prefix,
+             |       CAST(m.pl AS INT) AS prefix_len
+             |FROM part p LEFT JOIN m ON p.p_partkey = m.p_partkey AND m.rn = 1
+             |ORDER BY p.p_partkey""".stripMargin)),
+
     // Jaro–Winkler record linkage over part names, blocked on brand —
     // the codegen'd byte-level kernel replays exactly against DuckDB's
     // jaro_winkler_similarity (same byte-level definition, probed);

@@ -192,6 +192,101 @@ object TemporalQueries {
              |       l AS level, b AS trend, l + b AS forecast
              |FROM rec ORDER BY user_id, ts, event_id""".stripMargin)),
 
+    // interval-union coverage: each purchase opens a value-minutes
+    // activity window; overlapping-or-touching windows merge per user
+    // via the running-max gaps-and-islands pass, summarized as total
+    // covered minutes — the uptime/utilization primitive
+    "q_interval_merge" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val iv = Registry.events(s, dir).filter($"event_type" === "purchase")
+          .select($"user_id", $"ts".as("lo"),
+            timestamp_micros(unix_micros($"ts") +
+              round($"value").cast("long") * lit(60000000L)).as("hi"))
+        TemporalJoins.mergeIntervals(iv, "user_id", "lo", "hi")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).cast("int").as("n_islands"),
+            sum($"n_segments").cast("int").as("n_segments"),
+            (sum(unix_micros($"merged_hi") - unix_micros($"merged_lo"))
+              / lit(60000000L)).cast("double").as("covered_minutes"))
+          .select($"user_id", $"n_islands", $"n_segments",
+            round($"covered_minutes", 4).as("covered_minutes"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id, ts AS lo,
+             |         make_timestamp(epoch_us(ts)
+             |           + CAST(round(value) AS BIGINT) * 60000000) AS hi
+             |  FROM events WHERE event_type = 'purchase'),
+             |f AS (
+             |  SELECT user_id, lo, hi,
+             |    CASE WHEN max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             |         OR lo > max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |         THEN 1 ELSE 0 END AS newi
+             |  FROM iv WHERE lo <= hi),
+             |isl AS (
+             |  SELECT user_id, lo, hi,
+             |    sum(newi) OVER (PARTITION BY user_id ORDER BY lo, hi
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM f),
+             |m AS (
+             |  SELECT user_id, island, min(lo) AS mlo, max(hi) AS mhi,
+             |         count(*) AS nseg
+             |  FROM isl GROUP BY 1, 2)
+             |SELECT user_id, CAST(count(*) AS INT) AS n_islands,
+             |       CAST(sum(nseg) AS INT) AS n_segments,
+             |       round(CAST(sum(epoch_us(mhi) - epoch_us(mlo)) AS DOUBLE)
+             |         / 60000000, 4) AS covered_minutes
+             |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // CUSUM drift detection: per-user baseline mean from the first 20
+    // purchases, two one-sided sums with slack 5 / threshold 50,
+    // reset-after-alarm; carried sums rounded 6dp each step so the
+    // recursive CTE carries identical state
+    "q_cusum" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.cusum(
+          Registry.events(s, dir).filter($"event_type" === "purchase"),
+          "user_id", "ts", "event_id", "value",
+          baselineN = 20, slack = 5.0, threshold = 50.0)
+          .orderBy($"user_id", $"ts", $"event_id")
+      },
+      Some("""WITH RECURSIVE ordered AS (
+             |  SELECT user_id, ts, event_id, value,
+             |         row_number() OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS rn
+             |  FROM events WHERE event_type = 'purchase'),
+             |muq AS (SELECT user_id, round(avg(value), 6) AS mu
+             |        FROM ordered WHERE rn <= 20 GROUP BY 1),
+             |o2 AS (SELECT o.user_id, o.ts, o.event_id, o.value, o.rn, muq.mu
+             |       FROM ordered o JOIN muq USING (user_id)),
+             |rec AS (
+             |  SELECT user_id, ts, event_id, value, rn, mu,
+             |    round(greatest(0, 0 + (value - mu - 5.0)), 6) AS hi,
+             |    round(greatest(0, 0 - (value - mu + 5.0)), 6) AS lo,
+             |    CASE WHEN round(greatest(0, 0 + (value - mu - 5.0)), 6) > 50.0
+             |         THEN 0 ELSE round(greatest(0, 0 + (value - mu - 5.0)), 6) END AS hic,
+             |    CASE WHEN round(greatest(0, 0 - (value - mu + 5.0)), 6) > 50.0
+             |         THEN 0 ELSE round(greatest(0, 0 - (value - mu + 5.0)), 6) END AS loc
+             |  FROM o2 WHERE rn = 1
+             |  UNION ALL
+             |  SELECT user_id, ts, event_id, value, rn, mu, hi, lo,
+             |    CASE WHEN hi > 50.0 THEN 0 ELSE hi END,
+             |    CASE WHEN lo > 50.0 THEN 0 ELSE lo END
+             |  FROM (
+             |    SELECT o.user_id, o.ts, o.event_id, o.value, o.rn, o.mu,
+             |      round(greatest(0, r.hic + (o.value - o.mu - 5.0)), 6) AS hi,
+             |      round(greatest(0, r.loc - (o.value - o.mu + 5.0)), 6) AS lo
+             |    FROM o2 o JOIN rec r
+             |      ON o.user_id = r.user_id AND o.rn = r.rn + 1))
+             |SELECT user_id, ts, event_id, value, mu,
+             |       hi AS cusum_hi, lo AS cusum_lo,
+             |       hi > 50.0 AS alarm_hi, lo > 50.0 AS alarm_lo
+             |FROM rec ORDER BY user_id, ts, event_id""".stripMargin)),
+
     // classical additive decomposition of daily event counts, weekly
     // period: centered-MA trend (null at edges), zero-centered per-phase
     // seasonal, residual — every stage replayed in SQL at 6dp
