@@ -254,6 +254,40 @@ object TimeSeries {
   }
 
   /**
+   * Cross-correlation lead–lag scan between two keyed daily series:
+   * Pearson correlation of A_t against B_{t+lag} for every lag in
+   * [−maxLag, maxLag], pooled across keys — "do clicks lead purchases,
+   * and by how many days?". The A side explodes once per lag (2·maxLag+1
+   * rows, a literal array — no join blow-up beyond that constant), the
+   * match is an equi-join on (key, shifted day), and one hash aggregate
+   * per lag finishes it. `best` marks the lag with the highest |corr|
+   * (ties to the smaller lag), computed over the lag-sized result.
+   */
+  def crossCorr(a: DataFrame, b: DataFrame, keyCol: String, dateCol: String,
+      aVal: String, bVal: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 0, "maxLag must be >= 0")
+    val spark = a.sparkSession
+    import spark.implicits._
+    val lags = (-maxLag to maxLag).toArray
+    val aSide = a.select(col(keyCol).as("__k"), col(dateCol).as("__d"),
+        col(aVal).cast("double").as("__a"))
+      .withColumn("lag", explode(array(lags.map(lit(_)): _*)))
+      .withColumn("__d", date_add($"__d", $"lag"))
+    val bSide = b.select(col(keyCol).as("__k"), col(dateCol).as("__d"),
+      col(bVal).cast("double").as("__b"))
+    val byLag = aSide.join(bSide, Seq("__k", "__d"))
+      .groupBy($"lag")
+      .agg(count(lit(1)).cast("int").as("n_pairs"),
+        round(corr($"__a", $"__b"), 6).as("xcorr"))
+    val w = Window.orderBy(abs($"xcorr").desc, $"lag".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // the window runs over 2·maxLag+1 rows — a constant-size frame, not
+    // a data-sized single partition
+    byLag.withColumn("best",
+      $"lag" === first($"lag").over(w))
+  }
+
+  /**
    * One-sided CUSUM changepoint detection per key: the classic
    * drift detector for metric shifts too small for a z-score spike.
    * Against a per-key baseline mean μ (from the first `baselineN`

@@ -90,6 +90,46 @@ object StreamingQueries {
              |SELECT user_id, ts, event_id, value, ewma
              |FROM rec ORDER BY user_id, ts, event_id""".stripMargin)),
 
+    // streaming CUSUM: calibration buffer until the baseline freezes,
+    // then backlog + live scoring — batch-trajectory parity for every
+    // key that completes calibration (the oracle filters to those)
+    "q_stream_cusum" -> QueryDef(
+      (s, dir) => EventsStream.cusumStream(s, dir,
+        baselineN = 20, slack = 5.0, threshold = 50.0),
+      Some("""WITH RECURSIVE ordered AS (
+             |  SELECT user_id, ts, event_id, value,
+             |         row_number() OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS rn
+             |  FROM events WHERE event_type = 'purchase'),
+             |muq AS (SELECT user_id, round(avg(value), 6) AS mu
+             |        FROM ordered WHERE rn <= 20 GROUP BY user_id
+             |        HAVING count(*) >= 20),
+             |o2 AS (SELECT o.user_id, o.ts, o.event_id, o.value, o.rn, muq.mu
+             |       FROM ordered o JOIN muq USING (user_id)),
+             |rec AS (
+             |  SELECT user_id, ts, event_id, value, rn, mu,
+             |    round(greatest(0, 0 + (value - mu - 5.0)), 6) AS hi,
+             |    round(greatest(0, 0 - (value - mu + 5.0)), 6) AS lo,
+             |    CASE WHEN round(greatest(0, 0 + (value - mu - 5.0)), 6) > 50.0
+             |         THEN 0 ELSE round(greatest(0, 0 + (value - mu - 5.0)), 6) END AS hic,
+             |    CASE WHEN round(greatest(0, 0 - (value - mu + 5.0)), 6) > 50.0
+             |         THEN 0 ELSE round(greatest(0, 0 - (value - mu + 5.0)), 6) END AS loc
+             |  FROM o2 WHERE rn = 1
+             |  UNION ALL
+             |  SELECT user_id, ts, event_id, value, rn, mu, hi, lo,
+             |    CASE WHEN hi > 50.0 THEN 0 ELSE hi END,
+             |    CASE WHEN lo > 50.0 THEN 0 ELSE lo END
+             |  FROM (
+             |    SELECT o.user_id, o.ts, o.event_id, o.value, o.rn, o.mu,
+             |      round(greatest(0, r.hic + (o.value - o.mu - 5.0)), 6) AS hi,
+             |      round(greatest(0, r.loc - (o.value - o.mu + 5.0)), 6) AS lo
+             |    FROM o2 o JOIN rec r
+             |      ON o.user_id = r.user_id AND o.rn = r.rn + 1))
+             |SELECT user_id, ts, event_id, value, mu,
+             |       hi AS cusum_hi, lo AS cusum_lo,
+             |       hi > 50.0 AS alarm_hi, lo > 50.0 AS alarm_lo
+             |FROM rec ORDER BY user_id, ts, event_id""".stripMargin)),
+
     // streaming Holt linear trend: level+trend carried in GroupState,
     // O(1) per key; trajectory equals the batch fold, so the same
     // structure-matched recursive CTE is the oracle

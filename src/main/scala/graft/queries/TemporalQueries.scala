@@ -241,6 +241,40 @@ object TemporalQueries {
              |         / 60000000, 4) AS covered_minutes
              |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // cross-correlation lead-lag scan: daily click counts vs purchase
+    // counts per user, lags -3..3 pooled across users; best = highest
+    // |corr|, ties to the smaller lag
+    "q_cross_corr" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Registry.events(s, dir)
+        def daily(t: String) = ev.filter($"event_type" === t)
+          .groupBy($"user_id", to_date($"ts").as("day"))
+          .agg(count(lit(1)).cast("double").as("n"))
+        TimeSeries.crossCorr(daily("click"), daily("purchase"),
+            "user_id", "day", "n", "n", maxLag = 3)
+          .orderBy($"lag")
+      },
+      Some("""WITH a AS (
+             |  SELECT user_id AS k, CAST(date_trunc('day', ts) AS DATE) AS d,
+             |         CAST(count(*) AS DOUBLE) AS av
+             |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+             |b AS (
+             |  SELECT user_id AS k, CAST(date_trunc('day', ts) AS DATE) AS d,
+             |         CAST(count(*) AS DOUBLE) AS bv
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |l AS (SELECT CAST(unnest(range(-3, 4)) AS INT) AS lag),
+             |j AS (SELECT l.lag, a.av, b.bv
+             |      FROM a CROSS JOIN l
+             |      JOIN b ON a.k = b.k AND a.d + l.lag = b.d),
+             |g AS (SELECT lag, CAST(count(*) AS INT) AS n_pairs,
+             |             round(corr(av, bv), 6) AS xcorr
+             |      FROM j GROUP BY lag)
+             |SELECT lag, n_pairs, xcorr,
+             |       lag = (SELECT lag FROM g
+             |              ORDER BY abs(xcorr) DESC NULLS LAST, lag LIMIT 1) AS best
+             |FROM g ORDER BY lag""".stripMargin)),
+
     // CUSUM drift detection: per-user baseline mean from the first 20
     // purchases, two one-sided sums with slack 5 / threshold 50,
     // reset-after-alarm; carried sums rounded 6dp each step so the

@@ -35,6 +35,16 @@ case class EwmaOut(user_id: Long, tsUs: Long, event_id: Long,
 /** Holt state carried between micro-batches: level + trend. */
 case class HoltCarry(l: Double, b: Double)
 
+/** CUSUM state carried between micro-batches: the calibration buffer
+  * (≤ baselineN observations, held until the baseline mean freezes) or,
+  * once frozen, the mean plus the two one-sided sums. */
+case class CusumCarry(pending: List[EwmaEvent], mu: Double, frozen: Boolean,
+    hi: Double, lo: Double)
+
+case class CusumOut(user_id: Long, tsUs: Long, event_id: Long, value: Double,
+    mu: Double, cusum_hi: Double, cusum_lo: Double,
+    alarm_hi: Boolean, alarm_lo: Boolean)
+
 case class HoltOut(user_id: Long, tsUs: Long, event_id: Long,
     value: Double, level: Double, trend: Double, forecast: Double)
 
@@ -644,6 +654,80 @@ object EventsStream {
     }
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /**
+   * Streaming CUSUM (the stateful twin of `TimeSeries.cusum`): each key
+   * buffers its first `baselineN` observations (bounded state), freezes
+   * the 6dp-rounded baseline mean when the window fills, then emits the
+   * buffered backlog scored from row 1 followed by live scoring — so
+   * the emitted trajectory equals the batch operator's for every key
+   * that completes calibration. Keys that never reach `baselineN`
+   * observations emit nothing (a drift detector with no baseline has
+   * nothing sound to say); the batch oracle applies with the same
+   * ≥ baselineN filter.
+   */
+  def cusumTransform(events: org.apache.spark.sql.Dataset[EwmaEvent],
+      baselineN: Int, slack: Double, threshold: Double)
+      : org.apache.spark.sql.Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def fn(uid: Long, it: Iterator[EwmaEvent], state: GroupState[CusumCarry])
+        : Iterator[CusumOut] = {
+      val evs = it.toArray.sortBy(e => (e.tsUs, e.event_id))
+      var st = state.getOption.getOrElse(CusumCarry(Nil, 0.0, frozen = false, 0.0, 0.0))
+      val out = Seq.newBuilder[CusumOut]
+      def score(e: EwmaEvent): Unit = {
+        val hi = r6(math.max(0.0, st.hi + (e.value - st.mu - slack)))
+        val lo = r6(math.max(0.0, st.lo - (e.value - st.mu + slack)))
+        val aHi = hi > threshold
+        val aLo = lo > threshold
+        out += CusumOut(uid, e.tsUs, e.event_id, e.value, st.mu, hi, lo, aHi, aLo)
+        st = st.copy(hi = if (aHi) 0.0 else hi, lo = if (aLo) 0.0 else lo)
+      }
+      evs.foreach { e =>
+        if (st.frozen) score(e)
+        else {
+          val pending = st.pending :+ e
+          if (pending.size >= baselineN) {
+            val mu = r6(pending.map(_.value).sum / pending.size)
+            st = CusumCarry(Nil, mu, frozen = true, 0.0, 0.0)
+            pending.foreach(score)
+          } else st = st.copy(pending = pending)
+        }
+      }
+      state.update(st)
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  def cusumStream(spark: SparkSession, dir: String, baselineN: Int,
+      slack: Double, threshold: Double,
+      eventType: String = "purchase"): DataFrame = {
+    import spark.implicits._
+    val name = s"graft_cusum_stream_${counter.incrementAndGet()}"
+    val q = cusumTransform(
+      eventsStream(spark, dir)
+        .filter($"event_type" === eventType)
+        .select($"user_id".cast("long").as("user_id"),
+          unix_micros($"ts").as("tsUs"),
+          $"event_id".cast("long").as("event_id"),
+          $"value".cast("double").as("value"))
+        .as[EwmaEvent], baselineN, slack, threshold)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+      .select($"user_id", timestamp_micros($"tsUs").as("ts"), $"event_id",
+        $"value", $"mu", $"cusum_hi", $"cusum_lo", $"alarm_hi", $"alarm_lo")
+      .orderBy($"user_id", $"ts", $"event_id")
   }
 
   def holtStream(spark: SparkSession, dir: String, alpha: Double, beta: Double,
