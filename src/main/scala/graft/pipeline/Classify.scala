@@ -279,6 +279,38 @@ object Classify {
   }
 
   /**
+   * Per-class multiclass evaluation (one-vs-rest precision / recall /
+   * F1 per label, plus support) from any (predicted, actual) frame —
+   * the report card for `knnClassify` / `nbTokenClassifier` beyond
+   * binary `confusionStats`. Classes present in either column get a
+   * row; 6dp ratios with the 0/0 → 0 convention. One grouped count +
+   * two tiny aggregates — confusion-matrix-sized, never data-sized.
+   */
+  def multiclassEval(pred: DataFrame, predCol: String, actualCol: String): DataFrame = {
+    val spark = pred.sparkSession
+    import spark.implicits._
+    val base = pred.select(col(predCol).cast("long").as("p"),
+      col(actualCol).cast("long").as("a"))
+    val tp = base.filter($"p" === $"a").groupBy($"a".as("label"))
+      .agg(count(lit(1)).as("tp"))
+    val predN = base.groupBy($"p".as("label")).agg(count(lit(1)).as("n_pred"))
+    val actN = base.groupBy($"a".as("label")).agg(count(lit(1)).as("support"))
+    def ratio(n: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+      round(when(d > 0, n.cast("double") / d).otherwise(0.0), 6)
+    actN.join(predN, Seq("label"), "full")
+      .join(tp, Seq("label"), "left")
+      .select($"label",
+        coalesce($"support", lit(0L)).as("support"),
+        coalesce($"n_pred", lit(0L)).as("n_pred"),
+        coalesce($"tp", lit(0L)).as("tp"))
+      .withColumn("precision", ratio($"tp", $"n_pred"))
+      .withColumn("recall", ratio($"tp", $"support"))
+      .withColumn("f1", round(when($"precision" + $"recall" > 0,
+        lit(2.0) * $"precision" * $"recall" / ($"precision" + $"recall"))
+        .otherwise(0.0), 6))
+  }
+
+  /**
    * k-nearest-neighbor majority-vote classifier over an embedding
    * column: each query's top-k cosine neighbors among the labeled
    * corpus vote; the label with the most votes wins, ties to the

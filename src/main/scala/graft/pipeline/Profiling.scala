@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -169,6 +169,54 @@ object Profiling {
       .withColumn("clipped_low", v < $"__lo")
       .withColumn("clipped_high", v > $"__hi")
       .drop("__lo", "__hi")
+  }
+
+  /** Poisson(1) inverse-CDF thresholds (cumulative, 9dp literals) shared
+    * verbatim by the SQL replay — a u ∈ [0,1) draw maps to the weight
+    * whose cumulative bound it falls under, capped at 7. */
+  val PoissonCdf: Seq[Double] = Seq(
+    0.367879441, 0.735758882, 0.919698603, 0.981011843,
+    0.996340153, 0.999405815, 0.999916758)
+
+  /**
+   * Poisson-bootstrap confidence interval for a mean — THE distributed
+   * bootstrap: resampling-with-replacement is unshardable, but giving
+   * every row an independent Poisson(1) weight per replicate is
+   * one-pass, embarrassingly parallel, and asymptotically equivalent.
+   * Weights are md5-deterministic in (row id, replicate), so the whole
+   * procedure — draws, weighted means, percentile CI — replays exactly
+   * in SQL. One scan fan-out of B (the replicate count, a literal
+   * array), one hash aggregate to B rows, then a B-sized summary:
+   * point mean, the exact [α/2, 1−α/2] percentile interval over the
+   * 4dp-rounded replicate means (4dp, not 6 — the replicate sums are
+   * data-sized, and the anchor must sit far above cross-engine
+   * summation-association error), and their stddev as the bootstrap SE.
+   */
+  def bootstrapMeanCi(df: DataFrame, idCol: String, valCol: String,
+      replicates: Int = 32, alpha: Double = 0.05): DataFrame = {
+    require(replicates >= 8, "need >= 8 replicates for a meaningful CI")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valCol).cast("double")
+    val u = graft.pipeline.Dedup.baseHash60(
+      concat(col(idCol).cast("string"), lit(":"), $"b".cast("string")))
+      .cast("double") / lit(math.pow(2, 60))
+    val weight = PoissonCdf.zipWithIndex.reverse
+      .foldLeft(lit(7): Column) { case (acc, (p, k)) =>
+        when(u < p, lit(k)).otherwise(acc)
+      }
+    val reps = df.select(col(idCol), v.as("__v"))
+      .withColumn("b", explode(array((1 to replicates).map(lit(_)): _*)))
+      .withColumn("__w", weight)
+      .groupBy($"b")
+      .agg(round(sum($"__w" * $"__v") / sum($"__w"), 4).as("rep_mean"))
+    val point = df.agg(count(v).as("n"), round(avg(v), 4).as("mean"))
+    reps.agg(
+        round(percentile($"rep_mean", lit(alpha / 2)), 4).as("ci_lo"),
+        round(percentile($"rep_mean", lit(1 - alpha / 2)), 4).as("ci_hi"),
+        round(stddev_samp($"rep_mean"), 4).as("boot_se"))
+      .crossJoin(broadcast(point))
+      .select($"n", $"mean", $"ci_lo", $"ci_hi", $"boot_se")
   }
 
   /**

@@ -717,6 +717,70 @@ object PipelineQueries {
              |FROM sel s JOIN embeddings e ON s.query_id = e.vec_id
              |ORDER BY s.query_id""".stripMargin)),
 
+    // per-class report card over the kNN predictions: one-vs-rest
+    // precision/recall/F1 with support, the F1 computed from the
+    // 6dp-rounded ratios on both engines
+    "q_knn_eval" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val pred = Classify.knnClassify(e.filter($"vec_id" >= 50),
+            e.filter($"vec_id" < 50), "vec_id", "embedding", "label", k = 10)
+          .join(e.select($"vec_id".as("query_id"),
+            $"label".cast("long").as("actual")), "query_id")
+        Classify.multiclassEval(pred, "predicted", "actual")
+          .orderBy($"label")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+             |         generate_subscripts(embedding, 1) AS i
+             |  FROM embeddings),
+             |q AS (SELECT * FROM v WHERE vec_id < 50),
+             |c AS (SELECT * FROM v WHERE vec_id >= 50),
+             |dots AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             |         sum(q.x * c.x) AS dot,
+             |         sqrt(sum(q.x * q.x)) AS qn, sqrt(sum(c.x * c.x)) AS cn
+             |  FROM q JOIN c ON q.i = c.i GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT query_id, corpus_id,
+             |         row_number() OVER (PARTITION BY query_id
+             |           ORDER BY round(dot / (qn * cn), 6) DESC, corpus_id ASC) AS rnk
+             |  FROM dots),
+             |nb AS (SELECT r.query_id, CAST(e.label AS BIGINT) AS label
+             |       FROM ranked r JOIN embeddings e ON r.corpus_id = e.vec_id
+             |       WHERE r.rnk <= 10),
+             |votes AS (SELECT query_id, label, count(*) AS nv
+             |          FROM nb GROUP BY 1, 2),
+             |sel AS (
+             |  SELECT query_id, label AS predicted FROM votes
+             |  QUALIFY row_number() OVER (PARTITION BY query_id
+             |    ORDER BY nv DESC, label ASC) = 1),
+             |pa AS (SELECT s.predicted AS p, CAST(e.label AS BIGINT) AS a
+             |       FROM sel s JOIN embeddings e ON s.query_id = e.vec_id),
+             |tp AS (SELECT a AS label, count(*) AS tp FROM pa WHERE p = a GROUP BY 1),
+             |pn AS (SELECT p AS label, count(*) AS n_pred FROM pa GROUP BY 1),
+             |an AS (SELECT a AS label, count(*) AS support FROM pa GROUP BY 1),
+             |j AS (
+             |  SELECT coalesce(an.label, pn.label) AS label,
+             |         coalesce(an.support, 0) AS support,
+             |         coalesce(pn.n_pred, 0) AS n_pred,
+             |         coalesce(tp.tp, 0) AS tp
+             |  FROM an FULL JOIN pn ON an.label = pn.label
+             |  LEFT JOIN tp ON coalesce(an.label, pn.label) = tp.label),
+             |r AS (
+             |  SELECT label, support, n_pred, tp,
+             |    round(CASE WHEN n_pred > 0
+             |          THEN CAST(tp AS DOUBLE) / n_pred ELSE 0 END, 6) AS precision,
+             |    round(CASE WHEN support > 0
+             |          THEN CAST(tp AS DOUBLE) / support ELSE 0 END, 6) AS recall
+             |  FROM j)
+             |SELECT label, support, n_pred, tp, precision, recall,
+             |  round(CASE WHEN precision + recall > 0
+             |        THEN 2.0 * precision * recall / (precision + recall)
+             |        ELSE 0 END, 6) AS f1
+             |FROM r ORDER BY label""".stripMargin)),
+
     // full SQL replay of IVF including the coarse k-means: md5-based init
     // and 4-dp-rounded centroid means make the Lloyd trajectory independent
     // of FP summation order, so DuckDB reproduces assignment, probing, and

@@ -309,6 +309,49 @@ object StatsQueries {
              |  round(avg(wv), 4) AS mean_winsorized
              |FROM w GROUP BY k ORDER BY l_returnflag""".stripMargin)),
 
+    // Poisson-bootstrap CI for the mean: 32 md5-deterministic
+    // Poisson(1)-weighted replicates, percentile interval — the
+    // shardable bootstrap, draws and inverse CDF replayed bit-for-bit
+    "q_bootstrap_ci" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .select(concat($"l_orderkey".cast("string"), lit("_"),
+            $"l_linenumber".cast("string")).as("rid"), $"l_extendedprice")
+        graft.pipeline.Profiling.bootstrapMeanCi(li, "rid", "l_extendedprice",
+          replicates = 32, alpha = 0.05)
+      },
+      Some("""WITH base AS (
+             |  SELECT CAST(l_orderkey AS VARCHAR) || '_' ||
+             |         CAST(l_linenumber AS VARCHAR) AS rid,
+             |         CAST(l_extendedprice AS DOUBLE) AS v
+             |  FROM lineitem),
+             |drawn AS (
+             |  SELECT v, b,
+             |    CAST(('0x' || substr(md5(rid || ':' || CAST(b AS VARCHAR)), 1, 15))
+             |      AS BIGINT) / 1152921504606846976.0 AS u
+             |  FROM base CROSS JOIN (SELECT CAST(unnest(range(1, 33)) AS INT) AS b)),
+             |weighted AS (
+             |  SELECT b, v,
+             |    CASE WHEN u < 0.367879441 THEN 0
+             |         WHEN u < 0.735758882 THEN 1
+             |         WHEN u < 0.919698603 THEN 2
+             |         WHEN u < 0.981011843 THEN 3
+             |         WHEN u < 0.996340153 THEN 4
+             |         WHEN u < 0.999405815 THEN 5
+             |         WHEN u < 0.999916758 THEN 6
+             |         ELSE 7 END AS w
+             |  FROM drawn),
+             |reps AS (
+             |  SELECT b, round(sum(w * v) / sum(w), 4) AS rep_mean
+             |  FROM weighted GROUP BY b),
+             |point AS (SELECT count(v) AS n, round(avg(v), 4) AS mean FROM base)
+             |SELECT point.n, point.mean,
+             |  round(quantile_cont(rep_mean, 0.025), 4) AS ci_lo,
+             |  round(quantile_cont(rep_mean, 0.975), 4) AS ci_hi,
+             |  round(stddev_samp(rep_mean), 4) AS boot_se
+             |FROM reps, point GROUP BY point.n, point.mean""".stripMargin)),
+
     // equal-frequency quantile binning (feature bucketizer): 10 buckets
     // bounded at exact 6dp-rounded percentiles, summarized per bucket
     "q_quantile_bin" -> QueryDef(
