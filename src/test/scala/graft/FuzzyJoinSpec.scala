@@ -38,6 +38,22 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == "ab"))
   }
 
+  test("longestPrefixJoin matches a naive startsWith scan on random data") {
+    val rng = new scala.util.Random(47)
+    def word(n: Int) = Seq.fill(n)(('a' + rng.nextInt(3)).toChar).mkString
+    val facts = Seq.tabulate(300)(i => (i.toLong, word(2 + rng.nextInt(8))))
+    val dictEntries = Seq.fill(40)(word(1 + rng.nextInt(5))).distinct
+    val got = FuzzyJoin.longestPrefixJoin(
+        facts.toDF("id", "s"), "id", "s",
+        dictEntries.toDF("pfx"), "pfx")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("matched_prefix"))).toMap
+    val expected = facts.map { case (id, s) =>
+      id -> dictEntries.filter(s.startsWith).sortBy(-_.length).headOption
+    }.toMap
+    assert(got == expected)
+  }
+
   // Values probed from DuckDB's jaro_winkler_similarity (the oracle
   // engine), which computes byte-level textbook Jaro–Winkler with boost
   // threshold 0.7, p=0.1, prefix cap 4; includes the classic textbook

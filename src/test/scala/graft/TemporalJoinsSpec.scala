@@ -165,6 +165,65 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out.toSeq == Seq(2L, 3L, 4L))
   }
 
+  test("nearest asof matches a naive driver-side computation on random data") {
+    val rng = new scala.util.Random(23)
+    val left = Seq.tabulate(200)(i =>
+      (i.toLong, s"k${rng.nextInt(4)}", rng.nextInt(500).toLong)).toDF("id", "k", "ts")
+    val rightRows = Seq.tabulate(80)(i =>
+      (s"k${rng.nextInt(4)}", rng.nextInt(500).toLong, i.toLong))
+    val right = rightRows.toDF("k", "rts", "rid")
+    val tol = 60L
+
+    val fast = TemporalJoins.asofJoinNearest(left, right, Seq("k"), "ts", "rts",
+        Seq("rts", "rid"), rightOrder = Some("rid"), toleranceMs = Some(tol))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(r.fieldIndex("right_rid"))).map(_.asInstanceOf[Long]),
+          Option(r.getAs[String]("asof_dir")))).toMap
+
+    val byKey = rightRows.groupBy(_._1)
+    def naive(k: String, ts: Long): (Option[Long], Option[String]) = {
+      val rs = byKey.getOrElse(k, Nil)
+      // backward: max (rts <= ts), ties by max rid; forward: min (rts > ts),
+      // ties by min rid — the operator's documented conventions
+      val b = rs.filter(_._2 <= ts).sortBy(r => (r._2, r._3)).lastOption
+      val f = rs.filter(_._2 > ts).sortBy(r => (r._2, r._3)).headOption
+      val bOk = b.exists(r => ts - r._2 <= tol)
+      val fOk = f.exists(r => r._2 - ts <= tol)
+      if (bOk && (!fOk || ts - b.get._2 <= f.get._2 - ts))
+        (Some(b.get._3), Some("backward"))
+      else if (fOk) (Some(f.get._3), Some("forward"))
+      else (None, None)
+    }
+    val expected = left.collect().map(r =>
+      r.getLong(0) -> naive(r.getString(1), r.getLong(2))).toMap
+    assert(fast.size == 200 && fast == expected)
+  }
+
+  test("mergeIntervals matches a naive sweep merge on random data") {
+    val rng = new scala.util.Random(31)
+    val ivRows = Seq.tabulate(300) { _ =>
+      val lo = rng.nextInt(900).toLong
+      (s"k${rng.nextInt(5)}", lo, lo + rng.nextInt(60).toLong)
+    }
+    val got = TemporalJoins.mergeIntervals(ivRows.toDF("k", "lo", "hi"), "k", "lo", "hi")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).sortBy(_._1).toSeq).toMap
+    val expected = ivRows.groupBy(_._1).view.mapValues { rs =>
+      val sorted = rs.map(r => (r._2, r._3)).sortBy(identity)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+      sorted.foreach { case (lo, hi) =>
+        if (out.nonEmpty && lo <= out.last._2) {
+          val (mlo, mhi, n) = out.remove(out.size - 1)
+          out += ((mlo, math.max(mhi, hi), n + 1))
+        } else out += ((lo, hi, 1))
+      }
+      out.toSeq
+    }.toMap
+    assert(got == expected)
+  }
+
   test("asof join matches a naive join+window implementation on random data") {
     val rng = new scala.util.Random(5)
     val left = Seq.tabulate(200)(i =>
