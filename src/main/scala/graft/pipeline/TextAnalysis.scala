@@ -201,6 +201,49 @@ object TextAnalysis {
   }
 
   /**
+   * Deflate compression ratio per document — the model-free redundancy
+   * signal web-scale curation pipelines gate on (boilerplate, keyword
+   * stuffing, and generated spam compress far better than prose; a
+   * ratio near 1 flags high-entropy noise). compressed/raw bytes with
+   * zlib level 6, raw deflate (nowrap — no header/checksum variance).
+   * One Deflater per PARTITION, reset per row (allocation-free inner
+   * loop); map-only at any scale. Not SQL-replayable (no deflate in
+   * the oracle engine) — correctness is pinned by invariants + the
+   * determinism spec instead, and the registry entry takes the
+   * rows-only check. Empty documents get ratio null.
+   */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String,
+      level: Int = 6): DataFrame = {
+    require(level >= 1 && level <= 9, s"deflate level must be 1..9, got $level")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(level, true)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished())
+            compressed += deflater.deflate(buf)
+          (id, raw.length.toLong, compressed,
+            if (raw.length > 0)
+              Some(BigDecimal(compressed.toDouble / raw.length)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            else None)
+        }
+      }
+      .toDF("id", "n_bytes", "n_compressed", "compression_ratio")
+      .select(col("id").as(idCol), $"n_bytes", $"n_compressed",
+        $"compression_ratio")
+  }
+
+  /**
    * Flesch reading-ease per document — a cheap readability prior for
    * corpus quality filtering next to the heuristic/classifier scores:
    *

@@ -1331,6 +1331,17 @@ object PipelineQueries {
              |SELECT stem, count(DISTINCT doc_id) AS df, count(*) AS tf
              |FROM mapped GROUP BY stem ORDER BY stem""".stripMargin)),
 
+    // deflate compression ratio (redundancy gate): no SQL oracle exists
+    // for deflate, so this takes the rows-only check; the algorithmic
+    // invariants + determinism are pinned in PipelineSpec
+    "q_compression_ratio" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.compressionRatio(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      None),
+
     // Flesch reading ease with vowel-group syllable estimation — pure
     // regexp-count arithmetic, map-only, replayed exactly in SQL
     "q_readability" -> QueryDef(

@@ -870,4 +870,32 @@ class PipelineSpec extends SparkSpec {
       .filter($"predicted" === $"data_heavy").count().toDouble / docs.count()
     assert(acc > majority + 0.05, s"acc=$acc majority=$majority")
   }
+
+  test("compressionRatio separates repetitive from high-entropy text deterministically") {
+    import graft.pipeline.TextAnalysis
+    val rng = new scala.util.Random(9)
+    val noisy = Seq.fill(800)(('a' + rng.nextInt(26)).toChar).mkString
+    val docs = Seq(
+      (1L, "spam spam " * 200),            // highly repetitive
+      (2L, noisy),                          // near-incompressible
+      (3L, ""),                             // empty -> null ratio
+      (4L, "A short plain sentence about data pipelines.")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatio(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    val spamRatio = out(1L)._2.get
+    val noiseRatio = out(2L)._2.get
+    assert(spamRatio < 0.05, s"repetitive text should crush: $spamRatio")
+    assert(noiseRatio > 0.5, s"random text should not compress: $noiseRatio")
+    assert(out(3L)._2.isEmpty && out(3L)._1 == 0L)
+    assert(out(4L)._2.exists(r => r > 0 && r <= 1.2))
+    // byte counts are exact UTF-8 lengths
+    assert(out(1L)._1 == 2000L && out(2L)._1 == 800L)
+    // deterministic under repartitioning (fresh Deflater state per row)
+    val re = TextAnalysis.compressionRatio(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(re == out)
+  }
 }
