@@ -171,6 +171,124 @@ object Profiling {
       .drop("__lo", "__hi")
   }
 
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /**
+   * Two-component 1-D Gaussian mixture fitted by EM — the in-engine
+   * latent-class decomposition for bimodal metrics (organic vs bot
+   * traffic, two price regimes) next to the single-Gaussian profile.
+   * Deterministic by construction: means init at the exact 25th/75th
+   * percentiles, variances at the population variance, equal weights;
+   * each EM iteration is ONE aggregate pass over the data (model = 6
+   * scalars, collected per iteration exactly like the LDA driver's
+   * alpha rows), and every updated parameter is ROUNDED to 6dp before
+   * the next pass — the rounding-anchor device that makes the whole
+   * trajectory replayable as unrolled MATERIALIZED CTEs
+   * (`gmm1dOracleSql`) regardless of either engine's summation order
+   * or libm. Degenerate responsibilities (both densities underflow)
+   * fall back to the prior weight; variances floor at 1e-6.
+   *
+   * Returns one row per component: (comp, weight, mu, var,
+   * loglik) with the final-model log-likelihood (4dp) repeated on both.
+   */
+  def gmm1d(df: DataFrame, valCol: String, iterations: Int = 8): DataFrame = {
+    require(iterations >= 1, "need at least one EM iteration")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(valCol).cast("double").as("v")).persist()
+    try {
+      val init = base.agg(
+        round(percentile($"v", lit(0.25)), 6).as("mu1"),
+        round(percentile($"v", lit(0.75)), 6).as("mu2"),
+        round(var_pop($"v"), 6).as("s0")).head()
+      var mu1 = init.getDouble(0); var mu2 = init.getDouble(1)
+      var s1 = math.max(init.getDouble(2), 1e-6); var s2 = s1
+      var w1 = 0.5; var w2 = 0.5
+
+      def pdf(w: Double, mu: Double, s: Double) =
+        lit(w) * exp(-($"v" - mu) * ($"v" - mu) / (2 * s)) /
+          sqrt(lit(2 * math.Pi * s))
+
+      for (_ <- 1 to iterations) {
+        val p1 = pdf(w1, mu1, s1)
+        val p2 = pdf(w2, mu2, s2)
+        val r1 = when(p1 + p2 > 0, p1 / (p1 + p2)).otherwise(lit(w1))
+        val r2 = when(p1 + p2 > 0, p2 / (p1 + p2)).otherwise(lit(w2))
+        val row = base.agg(
+          sum(r1).as("n1"), sum(r1 * $"v").as("sv1"), sum(r1 * $"v" * $"v").as("sq1"),
+          sum(r2).as("n2"), sum(r2 * $"v").as("sv2"), sum(r2 * $"v" * $"v").as("sq2"),
+          count(lit(1)).cast("double").as("n")).head()
+        val (n1, sv1, sq1) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+        val (n2, sv2, sq2) = (row.getDouble(3), row.getDouble(4), row.getDouble(5))
+        val n = row.getDouble(6)
+        // the SAME IEEE expressions the SQL replay computes, then the anchor
+        w1 = r6(n1 / n); w2 = r6(n2 / n)
+        mu1 = r6(sv1 / n1); mu2 = r6(sv2 / n2)
+        s1 = math.max(r6(sq1 / n1 - (sv1 / n1) * (sv1 / n1)), 1e-6)
+        s2 = math.max(r6(sq2 / n2 - (sv2 / n2) * (sv2 / n2)), 1e-6)
+      }
+      val ll = BigDecimal(base.agg(
+          sum(log(pdf(w1, mu1, s1) + pdf(w2, mu2, s2))).as("ll")).head().getDouble(0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((1, w1, mu1, s1, ll), (2, w2, mu2, s2, ll))
+        .toDF("comp", "weight", "mu", "var", "loglik")
+    } finally base.unpersist()
+  }
+
+  /** The unrolled-CTE SQL replay of `gmm1d` (the q_lr_classifier
+    * trajectory pattern): same init, same per-iteration expressions,
+    * same 6dp anchors. `sourceSql` must select a single DOUBLE column
+    * aliased `v`. */
+  def gmm1dOracleSql(sourceSql: String, iterations: Int): String = {
+    def pdf(w: String, mu: String, s: String) =
+      s"$w * exp(-(v - $mu) * (v - $mu) / (2 * $s)) / sqrt(2 * pi() * $s)"
+    def params(step: String) = (s"(SELECT w1 FROM $step)", s"(SELECT w2 FROM $step)",
+      s"(SELECT mu1 FROM $step)", s"(SELECT mu2 FROM $step)",
+      s"(SELECT s1 FROM $step)", s"(SELECT s2 FROM $step)")
+    val steps = (1 to iterations).map { i =>
+      val prev = if (i == 1) "init" else s"step${i - 1}"
+      val (pw1, pw2, pmu1, pmu2, ps1, ps2) = params(prev)
+      val p1 = pdf(pw1, pmu1, ps1)
+      val p2 = pdf(pw2, pmu2, ps2)
+      s"""step$i AS MATERIALIZED (
+         |  SELECT round(n1 / n, 6) AS w1, round(n2 / n, 6) AS w2,
+         |         round(sv1 / n1, 6) AS mu1, round(sv2 / n2, 6) AS mu2,
+         |         greatest(round(sq1 / n1 - (sv1 / n1) * (sv1 / n1), 6), 1e-6) AS s1,
+         |         greatest(round(sq2 / n2 - (sv2 / n2) * (sv2 / n2), 6), 1e-6) AS s2
+         |  FROM (
+         |    SELECT sum(r1) AS n1, sum(r1 * v) AS sv1, sum(r1 * v * v) AS sq1,
+         |           sum(r2) AS n2, sum(r2 * v) AS sv2, sum(r2 * v * v) AS sq2,
+         |           CAST(count(*) AS DOUBLE) AS n
+         |    FROM (
+         |      SELECT v,
+         |        CASE WHEN $p1 + $p2 > 0 THEN $p1 / ($p1 + $p2) ELSE $pw1 END AS r1,
+         |        CASE WHEN $p1 + $p2 > 0 THEN $p2 / ($p1 + $p2) ELSE $pw2 END AS r2
+         |      FROM base)))""".stripMargin
+    }
+    val last = s"step$iterations"
+    val (fw1, fw2, fmu1, fmu2, fs1, fs2) = params(last)
+    val fp1 = pdf(fw1, fmu1, fs1)
+    val fp2 = pdf(fw2, fmu2, fs2)
+    s"""WITH base AS MATERIALIZED ($sourceSql),
+       |init AS MATERIALIZED (
+       |  SELECT 0.5 AS w1, 0.5 AS w2,
+       |         round(quantile_cont(v, 0.25), 6) AS mu1,
+       |         round(quantile_cont(v, 0.75), 6) AS mu2,
+       |         greatest(round(var_pop(v), 6), 1e-6) AS s1,
+       |         greatest(round(var_pop(v), 6), 1e-6) AS s2
+       |  FROM base),
+       |${steps.mkString(",\n")},
+       |ll AS MATERIALIZED (
+       |  SELECT round(sum(ln($fp1 + $fp2)), 4) AS loglik FROM base)
+       |SELECT comp,
+       |  CASE comp WHEN 1 THEN (SELECT w1 FROM $last) ELSE (SELECT w2 FROM $last) END AS weight,
+       |  CASE comp WHEN 1 THEN $fmu1 ELSE $fmu2 END AS mu,
+       |  CASE comp WHEN 1 THEN (SELECT s1 FROM $last) ELSE (SELECT s2 FROM $last) END AS var,
+       |  (SELECT loglik FROM ll) AS loglik
+       |FROM (SELECT 1 AS comp UNION ALL SELECT 2) ORDER BY comp""".stripMargin
+  }
+
   /** Poisson(1) inverse-CDF thresholds (cumulative, 9dp literals) shared
     * verbatim by the SQL replay — a u ∈ [0,1) draw maps to the weight
     * whose cumulative bound it falls under, capped at 7. */

@@ -309,6 +309,21 @@ object StatsQueries {
              |  round(avg(wv), 4) AS mean_winsorized
              |FROM w GROUP BY k ORDER BY l_returnflag""".stripMargin)),
 
+    // two-component 1-D Gaussian mixture via EM: percentile init, one
+    // aggregate pass per iteration, 6dp parameter anchors; the oracle
+    // unrolls all 8 EM steps as MATERIALIZED CTEs
+    "q_gmm1d" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.Profiling.gmm1d(
+          Registry.events(s, dir).filter($"event_type" === "purchase")
+            .select($"value"), "value", iterations = 8)
+          .orderBy($"comp")
+      },
+      Some(graft.pipeline.Profiling.gmm1dOracleSql(
+        "SELECT CAST(value AS DOUBLE) AS v FROM events WHERE event_type = 'purchase'",
+        iterations = 8))),
+
     // Poisson-bootstrap CI for the mean: 32 md5-deterministic
     // Poisson(1)-weighted replicates, percentile interval — the
     // shardable bootstrap, draws and inverse CDF replayed bit-for-bit
