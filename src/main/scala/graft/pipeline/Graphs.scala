@@ -112,4 +112,43 @@ object Graphs {
     triangles.select(explode(array($"u", $"v", $"w")).as("node"))
       .groupBy($"node").agg(count(lit(1)).as("triangles"))
   }
+
+  /**
+   * Pairwise association rules over (basket, item) rows — market-basket
+   * support / confidence / lift, the co-occurrence screen behind
+   * "frequently bought together" and feature-cooccurrence audits. For
+   * each unordered item pair occurring in ≥ `minPairCount` baskets:
+   * support = n_ab/n_baskets, confidence(a→b) = n_ab/n_a, lift =
+   * support / (p_a·p_b).
+   *
+   * Scale shape: items self-join WITHIN a basket only (basket-keyed
+   * equi-join) and the pair space is pruned by `minPairCount` BEFORE
+   * the per-item joins; baskets are bounded (order line counts), so the
+   * fan-out is per-basket-quadratic, never corpus-quadratic. Item
+   * frequencies ride a broadcast-sized join back onto the surviving
+   * pairs.
+   */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minPairCount: Long = 3L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val items = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+    val nBaskets = items.select($"basket").distinct().count().toDouble
+    val itemCounts = items.groupBy($"item").agg(count(lit(1)).as("n_item"))
+    val pairs = items.as("a")
+      .join(items.as("b"), Seq("basket"))
+      .filter($"a.item" < $"b.item")
+      .groupBy($"a.item".as("item_a"), $"b.item".as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= minPairCount)
+    pairs
+      .join(itemCounts.select($"item".as("item_a"), $"n_item".as("n_a")), "item_a")
+      .join(itemCounts.select($"item".as("item_b"), $"n_item".as("n_b")), "item_b")
+      .select($"item_a", $"item_b", $"n_ab", $"n_a", $"n_b",
+        round($"n_ab" / nBaskets, 6).as("support"),
+        round($"n_ab".cast("double") / $"n_a", 6).as("confidence"),
+        round(($"n_ab" / nBaskets) /
+          (($"n_a" / nBaskets) * ($"n_b" / nBaskets)), 6).as("lift"))
+  }
 }

@@ -175,6 +175,50 @@ object Profiling {
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /**
+   * Benford's-law conformance screen over a positive currency-style
+   * column: observed first-significant-digit frequencies vs the
+   * log10(1 + 1/d) expectation, with per-digit chi-square
+   * contributions — the classic fabricated-numbers detector for
+   * finance-shaped data. The digit comes from the value scaled to
+   * integer cents and stringified (integer formatting is
+   * engine-identical; float log10 at power-of-ten boundaries is not).
+   * One digit-keyed hash aggregate; 9-row output.
+   */
+  def benfordScreen(df: DataFrame, valCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valCol).cast("double")
+    val digit = substring(round(v * 100).cast("long").cast("string"), 1, 1)
+      .cast("int")
+    val total = org.apache.spark.sql.expressions.Window.partitionBy()
+    df.filter(v > 0)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("observed_p", round($"n" / sum($"n").over(total), 6))
+      .withColumn("benford_p", round(log10(lit(1.0) + lit(1.0) / $"digit"), 6))
+      .withColumn("chi_contrib", round(
+        ($"observed_p" - $"benford_p") * ($"observed_p" - $"benford_p") /
+          $"benford_p", 6))
+  }
+
+  /**
+   * Order-independent table fingerprint for data contracts / cross-copy
+   * diffing: per-row md5-derived 60-bit hashes over the
+   * pipe-concatenated column values, combined by EXACT decimal SUM (an
+   * order-free combiner — Spark 4's ANSI long sum would overflow, and
+   * neither engine has a portable xor aggregate), plus the row count.
+   * Two tables share a fingerprint iff they agree row-for-row as
+   * multisets. One scan, one scalar aggregate.
+   */
+  def tableFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val rowHash = graft.pipeline.Dedup.baseHash60(
+      concat_ws("|", cols.map(c => col(c).cast("string")): _*))
+    df.agg(count(lit(1)).as("n_rows"),
+      sum(rowHash.cast("decimal(38,0)")).as("hash_sum"))
+  }
+
+  /**
    * Two-component 1-D Gaussian mixture fitted by EM — the in-engine
    * latent-class decomposition for bimodal metrics (organic vs bot
    * traffic, two price regimes) next to the single-Gaussian profile.

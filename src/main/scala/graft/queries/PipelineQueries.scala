@@ -442,6 +442,37 @@ object PipelineQueries {
       },
       Some(semanticDedupOracleSql)),
 
+    // market-basket association rules over co-ordered part brands:
+    // basket-keyed self-join only (never corpus-quadratic), pair space
+    // pruned by min support BEFORE the frequency joins
+    "q_assoc_rules" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val baskets = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), $"l_partkey" === $"p_partkey")
+          .select($"l_orderkey".as("basket"), $"p_brand".as("item"))
+        graft.pipeline.Graphs.associationRules(baskets, "basket", "item",
+            minPairCount = 3L)
+          .orderBy($"item_a", $"item_b")
+      },
+      Some("""WITH it AS (
+             |  SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+             |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+             |nb AS (SELECT CAST(count(DISTINCT basket) AS DOUBLE) AS n FROM it),
+             |ic AS (SELECT item, count(*) AS n_item FROM it GROUP BY 1),
+             |pr AS (
+             |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+             |  FROM it a JOIN it b ON a.basket = b.basket AND a.item < b.item
+             |  GROUP BY 1, 2 HAVING count(*) >= 3)
+             |SELECT item_a, item_b, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+             |  round(n_ab / nb.n, 6) AS support,
+             |  round(CAST(n_ab AS DOUBLE) / ia.n_item, 6) AS confidence,
+             |  round((n_ab / nb.n) / ((ia.n_item / nb.n) * (ib.n_item / nb.n)), 6) AS lift
+             |FROM pr, nb
+             |JOIN ic ia ON pr.item_a = ia.item
+             |JOIN ic ib ON pr.item_b = ib.item
+             |ORDER BY item_a, item_b""".stripMargin)),
+
     // longest-prefix-match join (routing-table / category-tree lookup):
     // a two-level prefix dictionary built from a third of the parts'
     // type strings; every part matches its longest applicable prefix by

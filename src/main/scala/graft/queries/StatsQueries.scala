@@ -309,6 +309,52 @@ object StatsQueries {
              |  round(avg(wv), 4) AS mean_winsorized
              |FROM w GROUP BY k ORDER BY l_returnflag""".stripMargin)),
 
+    // Benford first-digit screen: integer-cents stringified digit (no
+    // float log10 boundary risk), per-digit chi-square contributions
+    "q_benford" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.Profiling.benfordScreen(t(s, dir, "lineitem"),
+            "l_extendedprice")
+          .orderBy($"digit")
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(substr(CAST(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100)
+             |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+             |  FROM lineitem WHERE CAST(l_extendedprice AS DOUBLE) > 0),
+             |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+             |p AS (SELECT digit, n,
+             |        round(n / sum(n) OVER (), 6) AS observed_p,
+             |        round(log10(1.0 + 1.0 / digit), 6) AS benford_p
+             |      FROM g)
+             |SELECT digit, n, observed_p, benford_p,
+             |  round((observed_p - benford_p) * (observed_p - benford_p)
+             |    / benford_p, 6) AS chi_contrib
+             |FROM p ORDER BY digit""".stripMargin)),
+
+    // order-independent multiset fingerprint (exact decimal hash sum) —
+    // the data-contract checksum for cross-copy diffing
+    "q_table_fingerprint" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+          .withColumn("price_str",
+            $"o_totalprice".cast("decimal(12,2)").cast("string"))
+          .withColumn("date_str", $"o_orderdate".cast("date").cast("string"))
+        graft.pipeline.Profiling.tableFingerprint(o,
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+            "date_str", "price_str"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  sum(CAST(CAST(('0x' || substr(md5(
+             |    CAST(o_orderkey AS VARCHAR) || '|' ||
+             |    CAST(o_custkey AS VARCHAR) || '|' ||
+             |    o_orderstatus || '|' || o_orderpriority || '|' ||
+             |    CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || '|' ||
+             |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)), 1, 15))
+             |    AS BIGINT) AS DECIMAL(38,0))) AS hash_sum
+             |FROM orders""".stripMargin)),
+
     // two-component 1-D Gaussian mixture via EM: percentile init, one
     // aggregate pass per iteration, 6dp parameter anchors; the oracle
     // unrolls all 8 EM steps as MATERIALIZED CTEs
