@@ -18,6 +18,28 @@ import org.apache.spark.sql.functions._
  */
 object Sessionize {
 
+  /**
+   * First-order Markov transition matrix over per-key event sequences:
+   * P(next = b | current = a) from consecutive (ts, id)-ordered event
+   * pairs — the user-journey summary behind flow diagrams and
+   * next-step prediction baselines. One key-partitioned lead window +
+   * one (from, to)-keyed aggregate; row-probabilities via a
+   * from-keyed window over the state-space-sized result. 6dp rounds.
+   */
+  def markovTransitions(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, stateCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = df
+      .withColumn("__next", lead(col(stateCol), 1).over(w))
+      .filter($"__next".isNotNull)
+      .groupBy(col(stateCol).as("from_state"), $"__next".as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotal = Window.partitionBy($"from_state")
+    pairs.withColumn("p", round($"n" / sum($"n").over(rowTotal), 6))
+  }
+
   /** Appends `session_seq` (0-based per key) to `df`. */
   def byGap(df: DataFrame, keyCol: String, tsCol: String, gapMs: Long): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))

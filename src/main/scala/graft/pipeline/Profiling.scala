@@ -175,6 +175,47 @@ object Profiling {
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /**
+   * Kaplan–Meier survival estimator from per-subject (duration,
+   * event) rows — duration in whatever unit, event = true for an
+   * observed event, false for right-censoring. The time-to-event
+   * workhorse (conversion lag, churn, time-to-failure) done as pure
+   * relational algebra: durations aggregate to a time-grid (distinct
+   * durations — small by construction), the at-risk count at each time
+   * is N minus the running count of earlier exits, and the survival
+   * curve is the running product Π(1 − d/n) computed as
+   * exp(Σ ln(·)) over the grid (grid-sized windows, never
+   * subject-sized). Emits one row per DEATH time: (t, n_at_risk,
+   * n_events, n_censored_at_t, survival 6dp).
+   */
+  def kaplanMeier(df: DataFrame, durationCol: String, eventCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val subj = df.select(col(durationCol).cast("long").as("t"),
+      col(eventCol).cast("boolean").as("ev"))
+    val grid = subj.groupBy($"t")
+      .agg(sum(when($"ev", 1L).otherwise(0L)).as("d"),
+        sum(when($"ev", 0L).otherwise(1L)).as("c"))
+    val ord = org.apache.spark.sql.expressions.Window.orderBy($"t")
+    val before = ord.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val upTo = ord.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val total = org.apache.spark.sql.expressions.Window.partitionBy()
+    grid
+      .withColumn("n_at_risk",
+        sum($"d" + $"c").over(total) - coalesce(sum($"d" + $"c").over(before), lit(0L)))
+      .withColumn("survival",
+        // the d == n_at_risk factor is exactly 0 and ln would reject it
+        // (DuckDB errors, Spark nulls-and-skips): a -1e9 sentinel term
+        // underflows exp to the exact 0.0 the product demands
+        round(exp(sum {
+          val f = lit(1.0) - $"d".cast("double") / $"n_at_risk"
+          when(f > 0, log(f)).otherwise(lit(-1e9))
+        }.over(upTo)), 6))
+      .filter($"d" > 0)
+      .select($"t", $"n_at_risk", $"d".as("n_events"), $"c".as("n_censored"),
+        $"survival")
+  }
+
+  /**
    * Benford's-law conformance screen over a positive currency-style
    * column: observed first-significant-digit frequencies vs the
    * log10(1 + 1/d) expectation, with per-digit chi-square

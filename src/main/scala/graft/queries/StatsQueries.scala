@@ -309,6 +309,61 @@ object StatsQueries {
              |  round(avg(wv), 4) AS mean_winsorized
              |FROM w GROUP BY k ORDER BY l_returnflag""".stripMargin)),
 
+    // Kaplan-Meier conversion-lag curve: per user, days from first
+    // event to first purchase, right-censored at the corpus horizon;
+    // survival = exp(sum ln) running product over the day grid
+    "q_kaplan_meier" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Registry.events(s, dir)
+        val horizon = ev.agg(max(to_date($"ts")).as("h"))
+        val subj = ev.groupBy($"user_id")
+          .agg(min(to_date($"ts")).as("first_day"),
+            min(when($"event_type" === "purchase", to_date($"ts"))).as("conv_day"))
+          .crossJoin(broadcast(horizon))
+          .select(
+            when($"conv_day".isNotNull, datediff($"conv_day", $"first_day"))
+              .otherwise(datediff($"h", $"first_day")).as("dur"),
+            $"conv_day".isNotNull.as("ev"))
+        graft.pipeline.Profiling.kaplanMeier(subj, "dur", "ev")
+          .orderBy($"t")
+      },
+      Some("""WITH h AS (SELECT CAST(max(date_trunc('day', ts)) AS DATE) AS h FROM events),
+             |subj AS (
+             |  SELECT CASE WHEN conv_day IS NOT NULL
+             |              THEN conv_day - first_day
+             |              ELSE h.h - first_day END AS dur,
+             |         conv_day IS NOT NULL AS ev
+             |  FROM (
+             |    SELECT user_id,
+             |      CAST(min(date_trunc('day', ts)) AS DATE) AS first_day,
+             |      CAST(min(CASE WHEN event_type = 'purchase'
+             |                    THEN date_trunc('day', ts) END) AS DATE) AS conv_day
+             |    FROM events GROUP BY user_id), h),
+             |grid AS (
+             |  SELECT CAST(dur AS BIGINT) AS t,
+             |         sum(CASE WHEN ev THEN 1 ELSE 0 END) AS d,
+             |         sum(CASE WHEN ev THEN 0 ELSE 1 END) AS c
+             |  FROM subj GROUP BY 1),
+             |k AS (
+             |  SELECT t, d, c,
+             |    sum(d + c) OVER () - coalesce(sum(d + c) OVER (
+             |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS n_at_risk
+             |  FROM grid),
+             |s AS (
+             |  SELECT t, d, c, n_at_risk,
+             |    round(exp(sum(CASE WHEN 1.0 - CAST(d AS DOUBLE) / n_at_risk > 0
+             |      THEN ln(1.0 - CAST(d AS DOUBLE) / n_at_risk)
+             |      ELSE -1e9 END) OVER (
+             |        ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+             |      AS survival
+             |  FROM k)
+             |SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+             |       CAST(d AS BIGINT) AS n_events,
+             |       CAST(c AS BIGINT) AS n_censored, survival
+             |FROM s WHERE d > 0 ORDER BY t""".stripMargin)),
+
     // Benford first-digit screen: integer-cents stringified digit (no
     // float log10 boundary risk), per-digit chi-square contributions
     "q_benford" -> QueryDef(

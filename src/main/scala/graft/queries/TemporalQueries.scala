@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{TemporalJoins, TimeSeries}
+import graft.operators.{Sessionize, TemporalJoins, TimeSeries}
 import org.apache.spark.sql.functions._
 
 /**
@@ -717,6 +717,26 @@ object TemporalQueries {
     // batch gap sessionization (30-min gap), aggregated per session — the
     // backfill twin of q_stream_sessionize, verified by the same window
     // math in DuckDB
+    // first-order Markov transitions between event types per user —
+    // the user-journey flow matrix; row-normalized at 6dp
+    "q_markov_transitions" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Sessionize.markovTransitions(Registry.events(s, dir),
+            "user_id", "ts", "event_id", "event_type")
+          .orderBy($"from_state", $"to_state")
+      },
+      Some("""WITH p AS (
+             |  SELECT event_type AS from_state,
+             |         lead(event_type) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS to_state
+             |  FROM events),
+             |g AS (SELECT from_state, to_state, count(*) AS n
+             |      FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_state, to_state, n,
+             |       round(n / sum(n) OVER (PARTITION BY from_state), 6) AS p
+             |FROM g ORDER BY from_state, to_state""".stripMargin)),
+
     "q_sessionize_batch" -> QueryDef(
       (s, dir) => {
         import s.implicits._
