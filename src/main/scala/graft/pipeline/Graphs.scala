@@ -114,6 +114,52 @@ object Graphs {
   }
 
   /**
+   * k-core of an undirected graph: the maximal subgraph where every
+   * node keeps degree ≥ k — the standard dense-community / spam-farm
+   * peel. Iterative deletion: drop all nodes below degree k, recompute
+   * degrees, repeat to the (unique, order-independent) fixpoint. Each
+   * round is one degree aggregate + two semi-joins over the shrinking
+   * edge list; ONE scalar action (edge count) decides convergence, and
+   * `localCheckpoint` truncates lineage per round — the
+   * connectedComponents posture. Returns surviving nodes with their
+   * in-core degree.
+   */
+  def kCore(edges0: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIterations: Int = 50): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val base = edges0.select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("d"))
+      .filter($"s" =!= $"d")
+    var e = base.union(base.select($"d".as("s"), $"s".as("d")))
+      .distinct()
+      .localCheckpoint()
+    var n = e.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val deg = e.groupBy($"s").agg(count(lit(1)).as("__dg"))
+        .filter($"__dg" >= k)
+        .select($"s".as("__keep"))
+      val next = e
+        .join(deg.withColumnRenamed("__keep", "s"), Seq("s"), "left_semi")
+        .join(deg.withColumnRenamed("__keep", "d"), Seq("d"), "left_semi")
+        .select($"s", $"d")
+        .localCheckpoint()
+      val m = next.count()
+      converged = m == n
+      n = m
+      e = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore did not converge in $maxIterations peel rounds")
+    e.groupBy($"s".as("node")).agg(count(lit(1)).as("degree"))
+  }
+
+  /**
    * Pairwise association rules over (basket, item) rows — market-basket
    * support / confidence / lift, the co-occurrence screen behind
    * "frequently bought together" and feature-cooccurrence audits. For

@@ -442,6 +442,23 @@ object PipelineQueries {
       },
       Some(semanticDedupOracleSql)),
 
+    // k-core peel (k=40) of the co-order-date customer graph: 17 rounds
+    // to the fixpoint at sf0.01; the oracle unrolls 20 MATERIALIZED
+    // peel rounds (rounds past the fixpoint are no-ops, so any
+    // converged depth ≤ 20 replays exactly)
+    "q_kcore" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cd = t(s, dir, "orders")
+          .select($"o_custkey".as("c"), $"o_orderdate".as("d")).distinct()
+        val edges = cd.as("x").join(cd.as("y"), Seq("d"))
+          .filter($"x.c" < $"y.c")
+          .select($"x.c".as("src"), $"y.c".as("dst"))
+        graft.pipeline.Graphs.kCore(edges, "src", "dst", k = 40)
+          .orderBy($"node")
+      },
+      Some(kCoreOracleSql(k = 40, rounds = 20))),
+
     // market-basket association rules over co-ordered part brands:
     // basket-keyed self-join only (never corpus-quadratic), pair space
     // pruned by min support BEFORE the frequency joins
@@ -2211,6 +2228,29 @@ object PipelineQueries {
     * Lloyd iterations)`: md5-ordered init, per-iteration argmin assignment
     * (squared L2, cid tie-break), 4-dp-rounded means with empty clusters
     * keeping their previous centroid, then probe + exact cosine rerank. */
+  /** Unrolled k-core peel: `rounds` MATERIALIZED (degree, filter)
+    * rounds over the doubled co-order edge list — any converged depth
+    * ≤ rounds replays the fixpoint exactly (extra rounds are no-ops). */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      val prev = s"e${i - 1}"
+      s"""dg$i AS MATERIALIZED (
+         |  SELECT s, count(*) AS c FROM $prev GROUP BY s),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.s, e.d FROM $prev e
+         |  JOIN dg$i a ON e.s = a.s AND a.c >= $k
+         |  JOIN dg$i b ON e.d = b.s AND b.c >= $k)""".stripMargin
+    }
+    s"""WITH cd AS (SELECT DISTINCT o_custkey AS c, o_orderdate AS d FROM orders),
+       |und AS (SELECT DISTINCT x.c AS a, y.c AS b
+       |        FROM cd x JOIN cd y ON x.d = y.d AND x.c < y.c),
+       |e0 AS MATERIALIZED (
+       |  SELECT a AS s, b AS d FROM und UNION SELECT b, a FROM und),
+       |${steps.mkString(",\n")}
+       |SELECT s AS node, count(*) AS degree FROM e$rounds
+       |GROUP BY s ORDER BY node""".stripMargin
+  }
+
   private def annIvfOracleSql: String = {
     def dist(a: String, b: String): String = ivfDist(a, b)
     val lloyd = ivfLloydCtes(3)
