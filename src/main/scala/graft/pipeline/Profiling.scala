@@ -175,6 +175,29 @@ object Profiling {
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /**
+   * Per-group null imputation: missing values filled with the group's
+   * mean or exact median (6dp-rounded fill so the replay anchors), an
+   * `imputed` flag marking filled rows. One group-stats aggregate +
+   * one key join — the standard feature-cleaning pass that must not
+   * change row count.
+   */
+  def imputeByGroup(df: DataFrame, keyCol: String, valCol: String,
+      strategy: String = "mean"): DataFrame = {
+    require(strategy == "mean" || strategy == "median",
+      s"strategy must be mean|median, got $strategy")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valCol).cast("double")
+    val fillAgg = if (strategy == "mean") avg(v) else percentile(v, lit(0.5))
+    val fills = df.groupBy(col(keyCol))
+      .agg(round(fillAgg, 6).as("__fill"))
+    df.join(fills, keyCol)
+      .withColumn("imputed", v.isNull && $"__fill".isNotNull)
+      .withColumn(valCol, coalesce(v, $"__fill"))
+      .drop("__fill")
+  }
+
+  /**
    * Kaplan–Meier survival estimator from per-subject (duration,
    * event) rows — duration in whatever unit, event = true for an
    * observed event, false for right-censoring. The time-to-event

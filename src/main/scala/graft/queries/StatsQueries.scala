@@ -309,6 +309,98 @@ object StatsQueries {
              |  round(avg(wv), 4) AS mean_winsorized
              |FROM w GROUP BY k ORDER BY l_returnflag""".stripMargin)),
 
+    // RFM customer segmentation: recency/frequency/monetary quintiles
+    // via three exact-percentile binnings (quantileBin composed), the
+    // recency score inverted so fresher = higher
+    "q_rfm_segments" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val orders = t(s, dir, "orders")
+        val horizon = orders.agg(max($"o_orderdate".cast("date")).as("h"))
+        val base = orders.groupBy($"o_custkey")
+          .agg(max($"o_orderdate".cast("date")).as("last_day"),
+            count(lit(1)).as("frequency"),
+            round(sum($"o_totalprice"), 2).as("monetary"))
+          .crossJoin(broadcast(horizon))
+          .select($"o_custkey", datediff($"h", $"last_day").as("recency"),
+            $"frequency".cast("double").as("frequency"), $"monetary")
+        val r = graft.pipeline.Profiling.quantileBin(base, "recency", 5)
+          .withColumnRenamed("bucket", "rb")
+        val f = graft.pipeline.Profiling.quantileBin(r, "frequency", 5)
+          .withColumnRenamed("bucket", "fb")
+        val m = graft.pipeline.Profiling.quantileBin(f, "monetary", 5)
+          .withColumnRenamed("bucket", "mb")
+        m.select($"o_custkey",
+            (lit(5) - $"rb").as("r_score"),
+            ($"fb" + 1).as("f_score"),
+            ($"mb" + 1).as("m_score"))
+          .withColumn("segment", concat($"r_score", $"f_score", $"m_score"))
+          .orderBy($"o_custkey")
+      },
+      Some("""WITH h AS (SELECT CAST(max(o_orderdate) AS DATE) AS h FROM orders),
+             |base AS (
+             |  SELECT o_custkey,
+             |    h.h - CAST(max(o_orderdate) AS DATE) AS recency,
+             |    CAST(count(*) AS DOUBLE) AS frequency,
+             |    round(sum(o_totalprice), 2) AS monetary
+             |  FROM orders, h GROUP BY o_custkey, h.h),
+             |b AS (
+             |  SELECT
+             |    list_transform(quantile_cont(CAST(recency AS DOUBLE),
+             |      [0.2,0.4,0.6,0.8]), x -> round(x, 6)) AS rbounds,
+             |    list_transform(quantile_cont(frequency,
+             |      [0.2,0.4,0.6,0.8]), x -> round(x, 6)) AS fbounds,
+             |    list_transform(quantile_cont(CAST(monetary AS DOUBLE),
+             |      [0.2,0.4,0.6,0.8]), x -> round(x, 6)) AS mbounds
+             |  FROM base),
+             |sc AS (
+             |  SELECT o_custkey,
+             |    5 - CAST(len(list_filter(b.rbounds,
+             |      x -> CAST(recency AS DOUBLE) >= x)) AS INT) AS r_score,
+             |    CAST(len(list_filter(b.fbounds,
+             |      x -> frequency >= x)) AS INT) + 1 AS f_score,
+             |    CAST(len(list_filter(b.mbounds,
+             |      x -> CAST(monetary AS DOUBLE) >= x)) AS INT) + 1 AS m_score
+             |  FROM base CROSS JOIN b)
+             |SELECT o_custkey, r_score, f_score, m_score,
+             |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+             |    CAST(m_score AS VARCHAR) AS segment
+             |FROM sc ORDER BY o_custkey""".stripMargin)),
+
+    // per-group mean imputation preserving row count; summarized per
+    // user so the output is key-sized
+    "q_impute" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val planted = Registry.events(s, dir)
+          .filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id",
+            when($"event_id" % 7 === 0, lit(null)).otherwise($"value")
+              .as("value"))
+        graft.pipeline.Profiling.imputeByGroup(planted, "user_id", "value",
+            strategy = "mean")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n"),
+            sum($"imputed".cast("long")).as("n_imputed"),
+            round(avg($"value"), 4).as("mean_filled"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT user_id, event_id,
+             |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+             |  FROM events WHERE event_type = 'purchase'),
+             |fills AS (SELECT user_id, round(avg(value), 6) AS fill
+             |          FROM planted GROUP BY user_id),
+             |filled AS (
+             |  SELECT p.user_id,
+             |    p.value IS NULL AND f.fill IS NOT NULL AS imputed,
+             |    coalesce(p.value, f.fill) AS value
+             |  FROM planted p JOIN fills f USING (user_id))
+             |SELECT user_id, count(*) AS n,
+             |  CAST(sum(CASE WHEN imputed THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+             |  round(avg(value), 4) AS mean_filled
+             |FROM filled GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Kaplan-Meier conversion-lag curve: per user, days from first
     // event to first purchase, right-censored at the corpus horizon;
     // survival = exp(sum ln) running product over the day grid
