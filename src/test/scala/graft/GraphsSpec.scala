@@ -71,4 +71,33 @@ class GraphsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got3 == got, got3)
   }
+
+  test("kCore peels a pendant chain off a K4 and keeps the clique") {
+    // K4 on 1-4 plus chain 4-5-6: 3-core = exactly the K4 (needs TWO
+    // peel rounds: dropping 6 first leaves 5 at degree 1)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val core3 = Graphs.kCore(edges, "src", "dst", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), core3)
+    // k above the max core → empty, and the loop still converges
+    assert(Graphs.kCore(edges, "src", "dst", k = 4).count() == 0)
+    // 1-core keeps everything (self-loops were never edges)
+    assert(Graphs.kCore(edges, "src", "dst", k = 1).count() == 6)
+  }
+
+  test("associationRules computes support, confidence, and lift exactly") {
+    // 4 baskets: {a,b} x3, {a} x1 => n_a=4, n_b=3, n_ab=3
+    val rows = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "b"), (4L, "a")).toDF("basket", "item")
+    val out = Graphs.associationRules(rows, "basket", "item", minPairCount = 2L)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("item_a") == "a" && r.getAs[String]("item_b") == "b")
+    assert(r.getAs[Long]("n_ab") == 3L)
+    assert(r.getAs[Double]("support") == 0.75)
+    assert(r.getAs[Double]("confidence") == 0.75)   // 3/4 (a -> b)
+    assert(r.getAs[Double]("lift") == 1.0)          // 0.75 / (1.0 * 0.75)
+  }
 }

@@ -245,6 +245,88 @@ class TimeSeriesStatsSpec extends SparkSpec {
     }
   }
 
+  test("kaplanMeier reproduces the textbook hand example with censoring") {
+    // durations: events at 6,6,6 (n=10 at risk), censored 6; event 7 (n=6);
+    // censored 9,10; event 10 (n=3); censored 11,13
+    val subj = Seq((6L, true), (6L, true), (6L, true), (6L, false),
+      (7L, true), (9L, false), (10L, false), (10L, true), (11L, false),
+      (13L, false)).toDF("dur", "ev")
+    val out = Profiling.kaplanMeier(subj, "dur", "ev")
+      .orderBy($"t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    // S(6) = 1 - 3/10 = 0.7; S(7) = 0.7 * (1 - 1/6); S(10): at-risk 4,
+    // one event -> * (1 - 1/4)
+    assert(out(0) == (6L, 10L, 3L, 0.7), out.toSeq)
+    assert(out(1)._1 == 7L && out(1)._2 == 6L &&
+      math.abs(out(1)._4 - 0.7 * 5 / 6) < 1e-6)
+    assert(out(2)._1 == 10L && out(2)._2 == 4L &&
+      math.abs(out(2)._4 - 0.7 * (5.0 / 6) * 0.75) < 1e-6)
+    // everyone dying at the last time hits the exact-zero guard
+    val allDie = Seq((1L, true), (1L, true)).toDF("dur", "ev")
+    val z = Profiling.kaplanMeier(allDie, "dur", "ev").collect()
+    assert(z.head.getDouble(4) == 0.0)
+  }
+
+  test("gmm1d recovers a planted two-component mixture") {
+    val rng = new scala.util.Random(3)
+    val vals = Seq.fill(2000)(10.0 + rng.nextGaussian() * 2) ++
+      Seq.fill(1000)(50.0 + rng.nextGaussian() * 3)
+    val out = Profiling.gmm1d(vals.toDF("v"), "v", iterations = 12)
+      .orderBy($"mu").collect()
+    val (w1, mu1) = (out(0).getDouble(1), out(0).getDouble(2))
+    val (w2, mu2) = (out(1).getDouble(1), out(1).getDouble(2))
+    assert(math.abs(mu1 - 10.0) < 0.5 && math.abs(mu2 - 50.0) < 0.5, (mu1, mu2))
+    assert(math.abs(w1 - 2.0 / 3) < 0.05 && math.abs(w2 - 1.0 / 3) < 0.05, (w1, w2))
+    assert(out(0).getDouble(4) == out(1).getDouble(4)) // shared loglik
+  }
+
+  test("bootstrapMeanCi brackets the true mean with a sane width") {
+    val df = (1 to 2000).map(i => (i.toLong, (i % 100).toDouble)).toDF("id", "v")
+    val r = Profiling.bootstrapMeanCi(df, "id", "v", replicates = 32).head()
+    val (mean, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(r.getLong(0) == 2000L)
+    assert(lo <= mean && mean <= hi, (lo, mean, hi))
+    // sd ~ 28.9 / sqrt(2000) ~ 0.65 -> 95% interval within ~±2
+    assert(hi - lo < 4.0 && hi - lo > 0.3, (lo, hi))
+  }
+
+  test("tableFingerprint is order- and partitioning-invariant, row-sensitive") {
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "s")
+    def fp(d: org.apache.spark.sql.DataFrame) =
+      Profiling.tableFingerprint(d, Seq("id", "s")).head()
+    val a = fp(df)
+    val b = fp(df.orderBy($"s".desc).repartition(5))
+    assert(a == b)
+    val c = fp(Seq((1L, "x"), (2L, "y"), (3L, "w")).toDF("id", "s"))
+    assert(a != c)
+  }
+
+  test("benfordScreen on planted digit counts matches hand arithmetic") {
+    // 30 values starting with 1, 10 starting with 2
+    val vals = Seq.fill(30)(12.34) ++ Seq.fill(10)(250.0)
+    val out = Profiling.benfordScreen(vals.toDF("v"), "v")
+      .orderBy($"digit").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(out(0).getLong(1) == 30L && out(1).getLong(1) == 10L)
+    assert(out(0).getDouble(2) == 0.75 && out(1).getDouble(2) == 0.25)
+    assert(out(0).getDouble(3) == 0.30103) // log10(2) rounded 6dp
+  }
+
+  test("imputeByGroup fills nulls with the group statistic, count preserved") {
+    val df = Seq(("g1", Some(10.0)), ("g1", Some(20.0)), ("g1", None),
+      ("g2", None), ("g2", Some(5.0))).toDF("k", "v")
+    val mean = Profiling.imputeByGroup(df, "k", "v", "mean")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    assert(mean.length == 5)
+    assert(mean.count(_._3) == 2)
+    assert(mean.filter(r => r._1 == "g1" && r._3).head._2 == 15.0)
+    assert(mean.filter(r => r._1 == "g2" && r._3).head._2 == 5.0)
+    val med = Profiling.imputeByGroup(df, "k", "v", "median")
+      .filter($"imputed").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(med == Map("g1" -> 15.0, "g2" -> 5.0))
+  }
+
   test("winsorize clips exactly at the group percentiles and keeps row count") {
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("k", "v")
     val out = Profiling.winsorize(df, "k", "v", pLo = 0.05, pHi = 0.95)
