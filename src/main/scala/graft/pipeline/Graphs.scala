@@ -66,6 +66,61 @@ object Graphs {
   }
 
   /**
+   * Personalized PageRank: the random walk teleports to the SEED set
+   * (uniformly) instead of to every node — relevance relative to a
+   * query set, the recsys/"related entities" variant. Same power
+   * iteration, joins, 12dp anchors and checkpoint discipline as
+   * `pageRank`; dangling mass also returns to the seeds. Nodes
+   * unreachable from the seeds settle at rank 0 — that sparsity is the
+   * point. `seeds`' single column is intersected with the graph's node
+   * set before normalizing.
+   */
+  def personalizedPageRank(edges0: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, damping: Double = 0.85, iterations: Int = 10): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val edges = edges0
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = edges.select($"src".as("node"))
+      .union(edges.select($"dst".as("node"))).distinct().localCheckpoint()
+    val seedSet = seeds.select(col(seeds.columns.head).cast("long").as("node"))
+      .distinct().join(nodes, "node").localCheckpoint()
+    val sc = seedSet.count()
+    require(sc > 0, "no seed intersects the graph's node set")
+    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("odeg"))
+    val edgesWithDeg = edges.join(outdeg, "src")
+      .select($"src", $"dst", $"odeg").localCheckpoint()
+    val srcs = outdeg.select($"src").localCheckpoint()
+    val tele = nodes
+      .join(seedSet.withColumn("__s", lit(1)), Seq("node"), "left")
+      .select($"node",
+        when($"__s".isNotNull, round(lit(1.0 / sc), 12)).otherwise(lit(0.0))
+          .as("tele"))
+      .localCheckpoint()
+    var ranks = tele.select($"node", $"tele".as("rank")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val dangling = ranks.join(srcs, ranks("node") === srcs("src"), "left_anti")
+        .agg(coalesce(sum($"rank"), lit(0.0)).as("dm"))
+      val contribs = edgesWithDeg
+        .join(ranks, edgesWithDeg("src") === ranks("node"))
+        .select($"dst".as("node"), ($"rank" / $"odeg").as("c"))
+        .groupBy($"node").agg(sum($"c").as("contrib"))
+      val next = tele.join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select($"node",
+          round(lit(1 - damping) * $"tele" +
+            lit(damping) * (coalesce($"contrib", lit(0.0)) + $"dm" * $"tele"),
+            12).as("rank"))
+        .localCheckpoint()
+      ranks.unpersist(blocking = false)
+      ranks = next
+    }
+    ranks
+  }
+
+  /**
    * Per-node triangle counts by the degree-ordered edge-iterator
    * algorithm — the standard distributed formulation:
    *
@@ -111,6 +166,55 @@ object Graphs {
       oriented.select($"u".as("v"), $"v".as("w")), Seq("v", "w"))
     triangles.select(explode(array($"u", $"v", $"w")).as("node"))
       .groupBy($"node").agg(count(lit(1)).as("triangles"))
+  }
+
+  /**
+   * HITS hubs-and-authorities over a DIRECTED graph: a(v) = Σ h(u) over
+   * in-edges, then h(u) = Σ a(v) over out-edges, each L1-normalized per
+   * half-step — the classic bipartite-authority scorer next to
+   * PageRank (here: customers as hubs, suppliers as authorities).
+   * Each half-step is one edge⋈score join + a keyed aggregate + a
+   * scalar normalizer; 12dp anchors after every normalization make the
+   * trajectory engine-independent, same device as `pageRank`.
+   */
+  def hits(edges0: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val edges = edges0
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = edges.select($"src".as("node"))
+      .union(edges.select($"dst".as("node"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    var hubs = nodes.select($"node", round(lit(1.0 / n), 12).as("h")).localCheckpoint()
+    var auths = nodes.select($"node", lit(0.0).as("a")).localCheckpoint()
+    def normalized(df: DataFrame, c: String): DataFrame = {
+      val tot = df.agg(sum(col(c)).as("__t"))
+      df.crossJoin(broadcast(tot))
+        .select($"node", round(col(c) / $"__t", 12).as(c))
+    }
+    for (_ <- 1 to iterations) {
+      val aRaw = edges.join(hubs, edges("src") === hubs("node"))
+        .groupBy($"dst".as("node")).agg(sum($"h").as("a"))
+      val aNext = normalized(
+        nodes.join(aRaw, Seq("node"), "left")
+          .select($"node", coalesce($"a", lit(0.0)).as("a")), "a")
+        .localCheckpoint()
+      val hRaw = edges.join(aNext, edges("dst") === aNext("node"))
+        .groupBy($"src".as("node")).agg(sum($"a").as("h"))
+      val hNext = normalized(
+        nodes.join(hRaw, Seq("node"), "left")
+          .select($"node", coalesce($"h", lit(0.0)).as("h")), "h")
+        .localCheckpoint()
+      auths.unpersist(blocking = false)
+      hubs.unpersist(blocking = false)
+      auths = aNext
+      hubs = hNext
+    }
+    hubs.join(auths, "node")
+      .select($"node", $"h".as("hub"), $"a".as("authority"))
   }
 
   /**

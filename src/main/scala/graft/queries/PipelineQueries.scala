@@ -70,7 +70,119 @@ object PipelineQueries {
     sb.toString
   }
 
+  /** Unrolled personalized-PageRank trajectory: teleport mass restricted
+    * to the seed customers (< 10), dangling mass returns to seeds. */
+  private def pprOracleSql(iters: Int, d: Double): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH cs AS (
+      |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (SELECT src, dst FROM cs UNION ALL SELECT dst, src FROM cs),
+      |nodes AS (SELECT DISTINCT src AS node FROM edges
+      |          UNION SELECT DISTINCT dst FROM edges),
+      |sd AS (SELECT node FROM nodes WHERE node < 10),
+      |sc AS (SELECT count(*)::BIGINT AS c FROM sd),
+      |outdeg AS (SELECT src, count(*)::BIGINT AS odeg FROM edges GROUP BY 1),
+      |tl AS (SELECT n.node,
+      |         CASE WHEN s.node IS NOT NULL
+      |              THEN round(1.0::DOUBLE / (SELECT c FROM sc), 12)
+      |              ELSE 0.0 END AS tele
+      |       FROM nodes n LEFT JOIN sd s ON n.node = s.node),
+      |r0 AS (SELECT node, tele AS rank FROM tl)""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++= s""",
+        |d$i AS (SELECT coalesce(sum(r.rank), 0.0) AS dm FROM r${i - 1} r
+        |  LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL),
+        |c$i AS (SELECT e.dst AS node, sum(r.rank / o.odeg) AS contrib
+        |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+        |  JOIN outdeg o ON e.src = o.src GROUP BY 1),
+        |r$i AS (SELECT t.node, round(${1 - d} * t.tele
+        |    + $d * (coalesce(c.contrib, 0.0)
+        |            + (SELECT dm FROM d$i) * t.tele), 12) AS rank
+        |  FROM tl t LEFT JOIN c$i c ON t.node = c.node)""".stripMargin
+    }
+    sb ++= s"\nSELECT node, rank FROM r$iters WHERE rank > 0 " +
+      "ORDER BY rank DESC, node LIMIT 20"
+    sb.toString
+  }
+
+  /** Unrolled HITS trajectory on the directed customer→supplier graph:
+    * per iteration an authority half-step then a hub half-step, each
+    * L1-normalized and 12dp-rounded. */
+  private def hitsOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e AS (
+      |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |nodes AS (SELECT DISTINCT src AS node FROM e
+      |          UNION SELECT DISTINCT dst FROM e),
+      |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+      |h0 AS (SELECT node, round(1.0::DOUBLE / (SELECT n FROM nn), 12) AS h
+      |       FROM nodes)""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++= s""",
+        |ar$i AS (SELECT nd.node, coalesce(x.a, 0.0) AS a
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS node, sum(h.h) AS a
+        |    FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1) x
+        |  ON nd.node = x.node),
+        |at$i AS (SELECT sum(a) AS t FROM ar$i),
+        |a$i AS (SELECT node, round(a / (SELECT t FROM at$i), 12) AS a FROM ar$i),
+        |hr$i AS (SELECT nd.node, coalesce(x.h, 0.0) AS h
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.src AS node, sum(a.a) AS h
+        |    FROM e JOIN a$i a ON e.dst = a.node GROUP BY 1) x
+        |  ON nd.node = x.node),
+        |ht$i AS (SELECT sum(h) AS t FROM hr$i),
+        |h$i AS (SELECT node, round(h / (SELECT t FROM ht$i), 12) AS h FROM hr$i)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT h.node, h.h AS hub, a.a AS authority
+      |FROM h$iters h JOIN a$iters a ON h.node = a.node
+      |ORDER BY authority DESC, hub DESC, h.node LIMIT 20""".stripMargin
+    sb.toString
+  }
+
   val defs: Map[String, QueryDef] = Map(
+
+    // HITS on the directed customer→supplier purchase graph: top
+    // authorities (suppliers) with their hub scores; 3 iterations,
+    // trajectory unrolled in the oracle
+    "q_hits" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+          .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+            $"o_orderkey" === $"l_orderkey")
+          .select($"o_custkey".as("src"), ($"l_suppkey" + 1000000L).as("dst"))
+          .distinct()
+        graft.pipeline.Graphs.hits(e, "src", "dst", iterations = 3)
+          .orderBy($"authority".desc, $"hub".desc, $"node")
+          .limit(20)
+      },
+      Some(hitsOracleSql(iters = 3))),
+
+    // personalized PageRank seeded at customers < 10 over the same
+    // bipartite interaction graph — relevance relative to the seed set;
+    // identical unrolled-trajectory oracle, teleport mass to seeds only
+    "q_personalized_pagerank" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cs = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+          .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+            $"o_orderkey" === $"l_orderkey")
+          .select($"o_custkey".as("src"), ($"l_suppkey" + 1000000L).as("dst"))
+          .distinct()
+        val edges = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
+        val seeds = t(s, dir, "orders").select($"o_custkey".as("node"))
+          .filter($"node" < 10).distinct()
+        graft.pipeline.Graphs.personalizedPageRank(edges, "src", "dst",
+            seeds, damping = 0.85, iterations = 3)
+          .filter($"rank" > 0)
+          .orderBy($"rank".desc, $"node")
+          .limit(20)
+      },
+      Some(pprOracleSql(iters = 3, d = 0.85))),
 
     // PageRank over the customer↔supplier interaction graph (symmetrized
     // bipartite edges via orders⋈lineitem), 3 power iterations, top 20 —
