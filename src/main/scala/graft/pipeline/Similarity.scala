@@ -44,6 +44,30 @@ object Similarity {
   }
 
   /**
+   * Reciprocal best match between two embedding sets: pairs (a, b)
+   * where b is a's nearest neighbor in B AND a is b's nearest in A —
+   * the mutual-top-1 criterion of bilingual-lexicon induction and
+   * cross-modal entity alignment (one-directional top-1 is noisy;
+   * mutuality is the standard precision filter). Two broadcast-scan
+   * top-1 passes (swap `ivfTopK` in for the candidate stage at scale)
+   * joined on agreement; ties break by smaller id on both sides, so
+   * the match set is deterministic.
+   */
+  def reciprocalBestMatch(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val ab = bruteForceTopK(b, a, idCol, vecCol, k = 1)
+      .select($"query_id".as("id_a"), $"corpus_id".as("id_b"),
+        $"cosine".as("cosine_ab"))
+    val ba = bruteForceTopK(a, b, idCol, vecCol, k = 1)
+      .select($"query_id".as("id_b"), $"corpus_id".as("id_a"),
+        $"cosine".as("cosine_ba"))
+    ab.join(ba, Seq("id_a", "id_b"))
+      .select($"id_a", $"id_b", $"cosine_ab".as("cosine"))
+  }
+
+  /**
    * Hard-negative mining for contrastive training: for each query
    * vector, the k most-similar corpus vectors whose LABEL differs —
    * exactly the "hardest negatives" a triplet/InfoNCE batch wants. Same

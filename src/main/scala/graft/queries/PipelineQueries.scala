@@ -830,6 +830,39 @@ object PipelineQueries {
              |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin),
       bench = true),
 
+    // reciprocal best match between the even- and odd-id embedding
+    // halves: mutual top-1 cosine only — the entity-alignment filter;
+    // the oracle computes one dot grid and ranks it both ways
+    "q_mutual_match" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        Similarity.reciprocalBestMatch(
+            e.filter($"vec_id" % 2 === 0), e.filter($"vec_id" % 2 === 1),
+            "vec_id", "embedding")
+          .orderBy($"id_a")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+             |         generate_subscripts(embedding, 1) AS i
+             |  FROM embeddings),
+             |av AS (SELECT * FROM v WHERE vec_id % 2 = 0),
+             |bv AS (SELECT * FROM v WHERE vec_id % 2 = 1),
+             |dots AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |         round(sum(a.x * b.x) /
+             |           (sqrt(sum(a.x * a.x)) * sqrt(sum(b.x * b.x))), 6) AS c
+             |  FROM av a JOIN bv b ON a.i = b.i GROUP BY 1, 2),
+             |tab AS (SELECT id_a, id_b, c FROM dots
+             |        QUALIFY row_number() OVER (PARTITION BY id_a
+             |          ORDER BY c DESC, id_b ASC) = 1),
+             |tba AS (SELECT id_a, id_b FROM dots
+             |        QUALIFY row_number() OVER (PARTITION BY id_b
+             |          ORDER BY c DESC, id_a ASC) = 1)
+             |SELECT t.id_a, t.id_b, t.c AS cosine
+             |FROM tab t JOIN tba u ON t.id_a = u.id_a AND t.id_b = u.id_b
+             |ORDER BY t.id_a""".stripMargin)),
+
     // kNN majority-vote classification: 10 cosine neighbors among the
     // held-out-labeled corpus vote, ties to the smallest label; the
     // oracle replays neighbor ranking AND the vote argmax
