@@ -1151,6 +1151,20 @@ object PipelineQueries {
              |       CASE WHEN ma > 0 THEN CAST(round(x0 * 127.0 / ma, 0) AS INT) ELSE 0 END AS q
              |FROM e ORDER BY vec_id, i""".stripMargin)),
 
+    // count-based word embeddings trained in-engine: ±2-window PPMI
+    // matrix (offset equi-joins, never per-doc quadratic) factorized by
+    // the same unrolled power-iteration-with-deflation trajectory as
+    // PCA — the Levy-Goldberg spectral embedding, fully oracled
+    "q_word_embeddings" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.WordVectors.spectralEmbed(t(s, dir, "documents"),
+            "doc_id", "text", window = 2, k = 2, iterations = 10)
+          .orderBy($"comp", $"term")
+      },
+      Some(graft.pipeline.WordVectors.oracleSql(window = 2, k = 2,
+        iterations = 10))),
+
     // distributed PCA (top component by power iteration): the data work
     // is one treeAggregate covariance pass; 6dp/10dp rounding anchors
     // make the eigen-iteration engine-independent, and the oracle unrolls

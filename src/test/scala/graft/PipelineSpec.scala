@@ -871,6 +871,38 @@ class PipelineSpec extends SparkSpec {
     assert(acc > majority + 0.05, s"acc=$acc majority=$majority")
   }
 
+  test("spectralEmbed: Perron-Frobenius signs, ordered lambdas, repartition-stable") {
+    import graft.pipeline.WordVectors
+    val docs = Seq(
+      (1L, "data table join data table"),
+      (2L, "join table data join"),
+      (3L, "alpha beta alpha beta gamma"),
+      (4L, "beta gamma alpha")
+    ).toDF("doc_id", "text")
+    val out = WordVectors.spectralEmbed(docs, "doc_id", "text",
+      window = 2, k = 2, iterations = 10).collect()
+    val c0 = out.filter(_.getInt(1) == 0)
+    val c1 = out.filter(_.getInt(1) == 1)
+    // top eigenvector of a nonnegative matrix from a positive start stays
+    // nonnegative, and eigenvalues come out in decreasing order
+    assert(c0.forall(_.getDouble(2) >= 0), c0.mkString(","))
+    assert(c0.head.getDouble(3) >= c1.head.getDouble(3))
+    assert(c1.head.getDouble(3) > 0)
+    // within-block neighbors score closer than cross-block pairs on the
+    // 2-d embedding (alpha~beta vs alpha~data)
+    def vec(t: String) = out.filter(_.getString(0) == t).sortBy(_.getInt(1))
+      .map(_.getDouble(2))
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    assert(d2(vec("alpha"), vec("beta")) < d2(vec("alpha"), vec("data")))
+    val re = WordVectors.spectralEmbed(docs.repartition(5), "doc_id", "text",
+      window = 2, k = 2, iterations = 10).collect().map(r =>
+      (r.getString(0), r.getInt(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val first = out.map(r =>
+      (r.getString(0), r.getInt(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(re == first)
+  }
+
   test("compressionRatio separates repetitive from high-entropy text deterministically") {
     import graft.pipeline.TextAnalysis
     val rng = new scala.util.Random(9)
