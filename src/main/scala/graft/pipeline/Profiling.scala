@@ -175,6 +175,47 @@ object Profiling {
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /**
+   * Gini coefficient + Lorenz curve points over a nonnegative value
+   * column — the concentration/inequality summary (spend
+   * concentration, token-budget skew, shard balance). Exact discrete
+   * formulation over values sorted ascending (ties broken by `idCol`
+   * for a deterministic curve):
+   *
+   *   G = (2·Σ i·v_i) / (n·Σ v_i) − (n + 1)/n
+   *
+   * One sort + running sums; `lorenz` rows are the cumulative
+   * population/value shares at each decile boundary (grid-sized
+   * output). Returns (decile, pop_share, value_share, gini) with the
+   * scalar repeated per row. 6dp. The global rank window implies the
+   * input is an already-AGGREGATED entity table (customers, shards) —
+   * key-sized, not event-sized; feed it groupBy output.
+   */
+  def giniLorenz(df: DataFrame, idCol: String, valCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valCol).cast("double")
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy($"__v".asc, col(idCol).asc)
+    val ranked = df.select(col(idCol), v.as("__v"))
+      .withColumn("__i", row_number().over(ord))
+      .withColumn("__cum", sum($"__v").over(ord.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val tot = ranked.agg(count(lit(1)).as("n"), sum($"__v").as("t"),
+      sum($"__i" * $"__v").as("iv")).head()
+    val n = tot.getLong(0); val t = tot.getDouble(1); val iv = tot.getDouble(2)
+    val gini = BigDecimal(2.0 * iv / (n * t) - (n + 1.0) / n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    ranked
+      .withColumn("decile", ceil($"__i" * 10.0 / n).cast("int"))
+      .groupBy($"decile")
+      .agg(max($"__i").as("__maxi"), max($"__cum").as("__maxcum"))
+      .select($"decile",
+        round($"__maxi" / n.toDouble, 6).as("pop_share"),
+        round($"__maxcum" / t, 6).as("value_share"),
+        lit(gini).as("gini"))
+  }
+
+  /**
    * Per-group null imputation: missing values filled with the group's
    * mean or exact median (6dp-rounded fill so the replay anchors), an
    * `imputed` flag marking filled rows. One group-stats aggregate +

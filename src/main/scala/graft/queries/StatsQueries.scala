@@ -309,6 +309,77 @@ object StatsQueries {
              |  round(avg(wv), 4) AS mean_winsorized
              |FROM w GROUP BY k ORDER BY l_returnflag""".stripMargin)),
 
+    // Gini + Lorenz deciles of customer spend concentration — the
+    // inequality summary; exact discrete formulation, deterministic
+    // tie-broken ranking
+    "q_gini_spend" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val base = t(s, dir, "orders").groupBy($"o_custkey")
+          .agg(sum($"o_totalprice").as("spend"))
+        graft.pipeline.Profiling.giniLorenz(base, "o_custkey", "spend")
+          .orderBy($"decile")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_custkey AS id, CAST(sum(o_totalprice) AS DOUBLE) AS v
+             |  FROM orders GROUP BY 1),
+             |r AS (
+             |  SELECT id, v,
+             |    row_number() OVER (ORDER BY v ASC, id ASC) AS i,
+             |    sum(v) OVER (ORDER BY v ASC, id ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM base),
+             |tot AS (SELECT count(*)::BIGINT AS n, sum(v) AS t,
+             |               sum(i * v) AS iv FROM r),
+             |g AS (SELECT round(2.0 * iv / (n * t) - (n + 1.0) / n, 6) AS gini
+             |      FROM tot)
+             |SELECT CAST(ceil(i * 10.0 / tot.n) AS INT) AS decile,
+             |       round(max(i) / CAST(tot.n AS DOUBLE), 6) AS pop_share,
+             |       round(max(cum) / tot.t, 6) AS value_share,
+             |       g.gini
+             |FROM r, tot, g
+             |GROUP BY 1, tot.n, tot.t, g.gini ORDER BY decile""".stripMargin)),
+
+    // ABC (Pareto) classification by descending cumulative value share:
+    // A covers 80%, B to 95%, C the tail — running shares fold in one
+    // deterministic order on both engines, so no rounding is needed on
+    // the class boundary
+    "q_abc_classification" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"spend".desc, $"o_custkey".asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+        t(s, dir, "orders").groupBy($"o_custkey")
+          .agg(sum($"o_totalprice").as("spend"))
+          .withColumn("cumshare", sum($"spend").over(w) / sum($"spend").over(tot))
+          .withColumn("abc_class",
+            when($"cumshare" <= 0.8, "A").when($"cumshare" <= 0.95, "B")
+              .otherwise("C"))
+          .groupBy($"abc_class")
+          .agg(count(lit(1)).as("n_customers"),
+            round(sum($"spend"), 2).as("class_spend"),
+            round(max($"cumshare"), 6).as("cum_share_max"))
+          .orderBy($"abc_class")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_custkey, CAST(sum(o_totalprice) AS DOUBLE) AS spend
+             |  FROM orders GROUP BY 1),
+             |c AS (
+             |  SELECT o_custkey, spend,
+             |    sum(spend) OVER (ORDER BY spend DESC, o_custkey ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      / sum(spend) OVER () AS cumshare
+             |  FROM base),
+             |k AS (SELECT *, CASE WHEN cumshare <= 0.8 THEN 'A'
+             |                     WHEN cumshare <= 0.95 THEN 'B'
+             |                     ELSE 'C' END AS abc_class FROM c)
+             |SELECT abc_class, count(*) AS n_customers,
+             |       round(sum(spend), 2) AS class_spend,
+             |       round(max(cumshare), 6) AS cum_share_max
+             |FROM k GROUP BY 1 ORDER BY abc_class""".stripMargin)),
+
     // RFM customer segmentation: recency/frequency/monetary quintiles
     // via three exact-percentile binnings (quantileBin composed), the
     // recency score inverted so fresher = higher
