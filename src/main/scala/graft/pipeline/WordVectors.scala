@@ -113,6 +113,18 @@ object WordVectors {
     * vocab×vocab grid, then the per-component step triples and
     * deflation exactly as `Embeddings.pcaCteChain` writes them. */
   def oracleSql(window: Int, k: Int, iterations: Int): String = {
+    val selects = (0 until k).map { c =>
+      s"""SELECT vb.term, $c AS comp, v.v AS value, lam$c.lambda
+         |FROM vf$c v JOIN vocab vb ON v.i = vb.i CROSS JOIN lam$c""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${cteChain(window, k, iterations)}
+       |$selects
+       |ORDER BY comp, term""".stripMargin
+  }
+
+  /** The shared CTE chain (see [[oracleSql]]); exposes `toks`, `vocab`,
+    * and per component `vf{c}` + `lam{c}`. */
+  private def cteChain(window: Int, k: Int, iterations: Int): String = {
     val offsets = (1 to window).map(o =>
       s"""SELECT doc, pos + $o AS pos, term AS right_term FROM toks""")
       .mkString("\n  UNION ALL\n  ")
@@ -177,12 +189,41 @@ object WordVectors {
         else Seq.empty
       Seq(v0) ++ steps ++ Seq(fin) ++ deflate
     }
+    (Seq(head) ++ perComp).mkString(",\n")
+  }
+
+  /**
+   * Document embeddings from the fitted word vectors: each document's
+   * vector is the per-component MEAN of its tokens' spectral values
+   * (out-of-vocab tokens skipped), rounded 6dp — the bag-of-vectors
+   * doc representation. The word model is vocab×k (model-sized) and
+   * broadcast-joins onto the token stream; one doc-keyed aggregate.
+   */
+  def embedDocuments(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, k: Int, iterations: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wv = spectralEmbed(docs, idCol, textCol, window, k, iterations)
+    val toks = docs.select(col(idCol).as("doc"),
+      explode(TextAnalysis.wsTokens(lower(col(textCol)))).as("term"))
+    toks.join(broadcast(wv), "term")
+      .groupBy($"doc", $"comp")
+      .agg(round(avg($"value"), 6).as("value"), count(lit(1)).as("n_tokens"))
+      .select($"doc".as(idCol), $"comp", $"value", $"n_tokens")
+  }
+
+  /** DuckDB replay of [[embedDocuments]]. */
+  def docOracleSql(window: Int, k: Int, iterations: Int): String = {
     val selects = (0 until k).map { c =>
-      s"""SELECT vb.term, $c AS comp, v.v AS value, lam$c.lambda
-         |FROM vf$c v JOIN vocab vb ON v.i = vb.i CROSS JOIN lam$c""".stripMargin
+      s"""SELECT t.doc, $c AS comp, round(avg(v.v), 6) AS value,
+         |       count(*) AS n_tokens
+         |FROM toks t JOIN vocab vb ON t.term = vb.term
+         |JOIN vf$c v ON vb.i = v.i
+         |GROUP BY t.doc""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH ${(Seq(head) ++ perComp).mkString(",\n")}
-       |$selects
-       |ORDER BY comp, term""".stripMargin
+    s"""WITH ${cteChain(window, k, iterations)},
+       |docvecs AS ($selects)
+       |SELECT doc AS doc_id, comp, value, n_tokens
+       |FROM docvecs ORDER BY doc_id, comp""".stripMargin
   }
 }

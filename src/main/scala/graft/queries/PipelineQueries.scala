@@ -1165,6 +1165,18 @@ object PipelineQueries {
       Some(graft.pipeline.WordVectors.oracleSql(window = 2, k = 2,
         iterations = 10))),
 
+    // document embeddings as the token-mean of the fitted spectral word
+    // vectors — the bag-of-vectors composition over the trained model
+    "q_doc_embeddings" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.WordVectors.embedDocuments(t(s, dir, "documents"),
+            "doc_id", "text", window = 2, k = 2, iterations = 10)
+          .orderBy($"doc_id", $"comp")
+      },
+      Some(graft.pipeline.WordVectors.docOracleSql(window = 2, k = 2,
+        iterations = 10))),
+
     // distributed PCA (top component by power iteration): the data work
     // is one treeAggregate covariance pass; 6dp/10dp rounding anchors
     // make the eigen-iteration engine-independent, and the oracle unrolls
