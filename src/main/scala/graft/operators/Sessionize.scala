@@ -148,4 +148,54 @@ object Sessionize {
         size(regexp_extract_all($"seq", lit(pattern), lit(0))).as("n_matches"))
       .withColumn("matched", $"n_matches" > 0)
   }
+
+  /**
+   * Behavioral-similarity pairs: users whose coded event SEQUENCES are
+   * close in edit distance — "who behaves like whom" for cohorting and
+   * bot-ring detection. Candidates are blocked by sequence-length BAND
+   * (edit distance ≥ length difference, so pairs beyond the band can't
+   * reach the similarity floor — the block is a correctness-preserving
+   * prune, not an approximation) and adjacent bands are included for
+   * boundary pairs. similarity = 1 − dist/max(len); pairs at or above
+   * `minSimilarity` survive. Never a global cross join: band-keyed
+   * equi-join only, with per-band population bounded by the band
+   * construction.
+   */
+  def behaviorSimilarity(df: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, idCol: String, codes: Map[String, String],
+      minSimilarity: Double): DataFrame = {
+    require(minSimilarity > 0 && minSimilarity < 1, "minSimilarity in (0,1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val code = codes.foldLeft(lit(null).cast("string")) { case (acc, (t, c)) =>
+      when(col(typeCol) === t, lit(c)).otherwise(acc)
+    }
+    val seqs = df.select(col(keyCol).cast("long").as("key"), code.as("c"),
+        col(tsCol).cast("timestamp").as("ts"), col(idCol).cast("long").as("id"))
+      .filter($"c".isNotNull)
+      .groupBy($"key")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct($"ts", $"id", $"c"))),
+        s => s.getField("c"))).as("seq"))
+      .withColumn("len", length($"seq"))
+    // length blocking with an EXACT integer bound: edit distance is at
+    // least the length difference, so sim >= s forces
+    // |lenA - lenB| <= (1-s)·maxSeqLen; one side explodes its length
+    // into that ±delta window and the join is a plain integer equi-join
+    // — a complete, float-free prune (delta is corpus-bounded: coded
+    // session sequences, not documents)
+    val maxLen = seqs.agg(max($"len")).head().getInt(0)
+    val delta = math.ceil((1 - minSimilarity) * maxLen).toInt
+    val a = seqs.select($"key".as("id_a"), $"seq".as("seq_a"), $"len".as("len_a"))
+    val b = seqs.select($"key".as("id_b"), $"seq".as("seq_b"), $"len".as("len_b"))
+      .withColumn("len_a", explode(array(
+        (-delta to delta).map(o => $"len_b" + o): _*)))
+    a.join(b, Seq("len_a"))
+      .filter($"id_a" < $"id_b")
+      .withColumn("dist", levenshtein($"seq_a", $"seq_b"))
+      .withColumn("similarity",
+        round(lit(1.0) - $"dist" / greatest($"len_a", $"len_b"), 6))
+      .filter($"similarity" >= minSimilarity)
+      .select($"id_a", $"id_b", $"len_a", $"len_b", $"dist", $"similarity")
+  }
 }

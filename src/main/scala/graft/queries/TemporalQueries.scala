@@ -717,6 +717,47 @@ object TemporalQueries {
     // batch gap sessionization (30-min gap), aggregated per session — the
     // backfill twin of q_stream_sessionize, verified by the same window
     // math in DuckDB
+    // behavioral similarity: users whose coded event sequences sit
+    // within edit-distance 10% of each other — exact length-difference
+    // blocking (complete, integer arithmetic), one levenshtein pass on
+    // the banded candidates; both engines share the textbook distance
+    "q_behavior_similarity" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Sessionize.behaviorSimilarity(Registry.events(s, dir),
+            "user_id", "event_type", "ts", "event_id",
+            codes = Map("view" -> "v", "click" -> "c", "error" -> "e",
+              "purchase" -> "p", "signup" -> "s"),
+            minSimilarity = 0.9)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH coded AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+             |      WHEN 'error' THEN 'e' WHEN 'purchase' THEN 'p'
+             |      WHEN 'signup' THEN 's' END AS c
+             |  FROM events),
+             |seqs AS (
+             |  SELECT user_id AS key,
+             |         string_agg(c, '' ORDER BY ts, event_id) AS seq,
+             |         CAST(length(string_agg(c, '' ORDER BY ts, event_id)) AS INT)
+             |           AS len
+             |  FROM coded WHERE c IS NOT NULL GROUP BY user_id),
+             |mx AS (SELECT CAST(ceil(0.1 * max(len)) AS INT) AS delta FROM seqs),
+             |p AS (
+             |  SELECT a.key AS id_a, b.key AS id_b, a.len AS len_a,
+             |         b.len AS len_b, levenshtein(a.seq, b.seq) AS dist
+             |  FROM seqs a JOIN seqs b
+             |    ON abs(a.len - b.len) <= (SELECT delta FROM mx)
+             |   AND a.key < b.key)
+             |SELECT id_a, id_b, len_a, len_b, dist,
+             |       round(1.0 - CAST(dist AS DOUBLE) / greatest(len_a, len_b), 6)
+             |         AS similarity
+             |FROM p
+             |WHERE round(1.0 - CAST(dist AS DOUBLE) / greatest(len_a, len_b), 6)
+             |      >= 0.9
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // first-order Markov transitions between event types per user —
     // the user-journey flow matrix; row-normalized at 6dp
     "q_markov_transitions" -> QueryDef(
