@@ -150,6 +150,28 @@ object Sessionize {
   }
 
   /**
+   * Frequent 3-step journey mining: the top-k most common consecutive
+   * (state → state → state) paths across all keys — the sequence
+   * summary one level deeper than `markovTransitions`' pair matrix.
+   * Two leads over one key-partitioned window (same sort), one path
+   * aggregate, top-k by (count desc, path asc).
+   */
+  def frequentPaths3(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, stateCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    df.withColumn("__s2", lead(col(stateCol), 1).over(w))
+      .withColumn("__s3", lead(col(stateCol), 2).over(w))
+      .filter($"__s3".isNotNull)
+      .groupBy(concat_ws(">", col(stateCol), $"__s2", $"__s3").as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path".asc)
+      .limit(topK)
+  }
+
+  /**
    * Behavioral-similarity pairs: users whose coded event SEQUENCES are
    * close in edit distance — "who behaves like whom" for cohorting and
    * bot-ring detection. Candidates are blocked by sequence-length BAND

@@ -175,6 +175,65 @@ object Profiling {
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /**
+   * Robust z-score per group: (v − median) / (1.4826·MAD), the
+   * outlier score that a single wild value cannot poison (unlike the
+   * mean/stddev z-score — its own baseline moves with the outlier).
+   * MAD = exact median of |v − median|; the 1.4826 constant rescales
+   * to σ-equivalents under normality. Two grouped exact-percentile
+   * aggregates + one join-back; 6dp anchors on median/MAD, 4dp on the
+   * score. Zero-MAD groups (constant values) score null.
+   */
+  def robustZscore(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valCol).cast("double")
+    val med = df.groupBy(col(keyCol))
+      .agg(round(percentile(v, lit(0.5)), 6).as("__med"))
+    val mad = df.join(med, keyCol)
+      .groupBy(col(keyCol))
+      .agg(round(percentile(abs(v - $"__med"), lit(0.5)), 6).as("__mad"))
+    df.join(med, keyCol).join(mad, keyCol)
+      .withColumn("robust_z",
+        when($"__mad" > 0,
+          round((v - $"__med") / (lit(1.4826) * $"__mad"), 4)))
+      .withColumnRenamed("__med", "group_median")
+      .withColumnRenamed("__mad", "group_mad")
+  }
+
+  /**
+   * Mutual information between two columns over an equal-frequency
+   * grid: both sides quantile-binned (`quantileBin` bounds), then
+   * MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) over the k×k cell grid — the
+   * nonlinear-dependence screen that catches what Pearson `corrPairs`
+   * misses. Cell/marginal counts are exact integers; only the final
+   * per-cell term is floating (6dp), summed over the grid-sized
+   * result. Returns per-cell contributions plus the scalar `mi`.
+   */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String,
+      k: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val binned = quantileBin(
+      quantileBin(df.select(col(xCol).cast("double").as("__x"),
+          col(yCol).cast("double").as("__y")), "__x", k)
+        .withColumnRenamed("bucket", "bx"), "__y", k)
+      .withColumnRenamed("bucket", "by")
+    val cells = binned.groupBy($"bx", $"by").agg(count(lit(1)).as("nxy"))
+    val total = org.apache.spark.sql.expressions.Window.partitionBy()
+    val withMarg = cells
+      .withColumn("nx", sum($"nxy").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"bx")))
+      .withColumn("ny", sum($"nxy").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"by")))
+      .withColumn("n", sum($"nxy").over(total))
+      .withColumn("mi_contrib", round(
+        $"nxy" / $"n" * log($"nxy" * $"n" / ($"nx" * $"ny")), 6))
+    withMarg
+      .withColumn("mi", round(sum($"mi_contrib").over(total), 6))
+      .select($"bx", $"by", $"nxy", $"mi_contrib", $"mi")
+  }
+
+  /**
    * Gini coefficient + Lorenz curve points over a nonnegative value
    * column — the concentration/inequality summary (spend
    * concentration, token-budget skew, shard balance). Exact discrete

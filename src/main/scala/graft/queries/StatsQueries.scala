@@ -309,6 +309,72 @@ object StatsQueries {
              |  round(avg(wv), 4) AS mean_winsorized
              |FROM w GROUP BY k ORDER BY l_returnflag""".stripMargin)),
 
+    // robust (median/MAD) z-score per user — the outlier screen a wild
+    // value cannot poison; exact medians both engines
+    "q_robust_zscore" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.Profiling.robustZscore(
+          Registry.events(s, dir).filter($"event_type" === "purchase")
+            .select($"user_id", $"event_id", $"value"),
+          "user_id", "value")
+          .select($"user_id", $"event_id", $"value",
+            $"group_median", $"group_mad", $"robust_z")
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, event_id, value FROM events
+             |  WHERE event_type = 'purchase'),
+             |med AS (SELECT user_id,
+             |          round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS m
+             |        FROM p GROUP BY 1),
+             |mad AS (SELECT p.user_id,
+             |          round(quantile_cont(abs(CAST(p.value AS DOUBLE) - med.m), 0.5), 6) AS d
+             |        FROM p JOIN med USING (user_id) GROUP BY 1)
+             |SELECT p.user_id, p.event_id, p.value,
+             |       med.m AS group_median, mad.d AS group_mad,
+             |       CASE WHEN mad.d > 0 THEN
+             |         round((CAST(p.value AS DOUBLE) - med.m) / (1.4826 * mad.d), 4)
+             |       END AS robust_z
+             |FROM p JOIN med USING (user_id) JOIN mad USING (user_id)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // binned mutual information between quantity and price — the
+    // nonlinear-dependence screen; exact integer cell grid, ln terms
+    // only at the 4×4 summary
+    "q_mutual_info" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.Profiling.mutualInformation(t(s, dir, "lineitem"),
+            "l_quantity", "l_extendedprice", k = 4)
+          .orderBy($"bx", $"by")
+      },
+      Some("""WITH base AS (
+             |  SELECT CAST(l_quantity AS DOUBLE) AS x,
+             |         CAST(l_extendedprice AS DOUBLE) AS y
+             |  FROM lineitem),
+             |bx AS (SELECT list_transform(quantile_cont(x, [0.25,0.5,0.75]),
+             |         v -> round(v, 6)) AS b FROM base),
+             |by AS (SELECT list_transform(quantile_cont(y, [0.25,0.5,0.75]),
+             |         v -> round(v, 6)) AS b FROM base),
+             |binned AS (
+             |  SELECT CAST(len(list_filter(bx.b, v -> base.x >= v)) AS INT) AS bx,
+             |         CAST(len(list_filter(by.b, v -> base.y >= v)) AS INT) AS by
+             |  FROM base CROSS JOIN bx CROSS JOIN by),
+             |cells AS (SELECT bx, by, count(*) AS nxy FROM binned GROUP BY 1, 2),
+             |g AS (
+             |  SELECT bx, by, nxy,
+             |    sum(nxy) OVER (PARTITION BY bx) AS nx,
+             |    sum(nxy) OVER (PARTITION BY by) AS ny,
+             |    sum(nxy) OVER () AS n
+             |  FROM cells),
+             |c AS (SELECT bx, by, CAST(nxy AS BIGINT) AS nxy,
+             |        round(nxy / n * ln(nxy * n / (nx * ny)), 6) AS mi_contrib
+             |      FROM g)
+             |SELECT bx, by, nxy, mi_contrib,
+             |       round(sum(mi_contrib) OVER (), 6) AS mi
+             |FROM c ORDER BY bx, by""".stripMargin)),
+
     // Gini + Lorenz deciles of customer spend concentration — the
     // inequality summary; exact discrete formulation, deterministic
     // tie-broken ranking

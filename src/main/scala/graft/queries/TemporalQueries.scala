@@ -758,6 +758,24 @@ object TemporalQueries {
              |      >= 0.9
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // top-10 three-step event journeys across all users — one window
+    // sort, two leads, path aggregate
+    "q_frequent_paths" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Sessionize.frequentPaths3(Registry.events(s, dir),
+          "user_id", "ts", "event_id", "event_type", topK = 10)
+      },
+      Some("""WITH p AS (
+             |  SELECT event_type AS s1,
+             |    lead(event_type, 1) OVER w AS s2,
+             |    lead(event_type, 2) OVER w AS s3
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT s1 || '>' || s2 || '>' || s3 AS path, count(*) AS n
+             |FROM p WHERE s3 IS NOT NULL
+             |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 10""".stripMargin)),
+
     // first-order Markov transitions between event types per user —
     // the user-journey flow matrix; row-normalized at 6dp
     "q_markov_transitions" -> QueryDef(
