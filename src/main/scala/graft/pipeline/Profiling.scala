@@ -175,6 +175,42 @@ object Profiling {
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /**
+   * Welch's two-sample t-test between every pair of groups in
+   * `keyCol` — the unequal-variance A/B comparison (never pooled
+   * variance: group sizes and spreads differ in real experiments):
+   *
+   *   t = (m₁ − m₂) / √(s₁²/n₁ + s₂²/n₂)
+   *
+   * with Welch–Satterthwaite degrees of freedom. One grouped moment
+   * aggregate (count/mean/variance per group), then a group×group join
+   * over the GROUP-COUNT-sized stats frame — the data is scanned once
+   * regardless of how many pairs come out. 6dp/2dp rounding anchors;
+   * p-values are left to the caller's lookup (no incomplete-beta in
+   * the oracle engine) — |t| with df is the decision statistic.
+   */
+  def welchTTest(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valCol).cast("double")
+    val stats = df.groupBy(col(keyCol).as("g"))
+      .agg(count(v).as("n"), round(avg(v), 6).as("m"),
+        round(var_samp(v), 6).as("s2"))
+    val a = stats.select($"g".as("group_a"), $"n".as("na"), $"m".as("ma"),
+      $"s2".as("sa"))
+    val b = stats.select($"g".as("group_b"), $"n".as("nb"), $"m".as("mb"),
+      $"s2".as("sb"))
+    a.join(b, $"group_a" < $"group_b")
+      .withColumn("se2", $"sa" / $"na" + $"sb" / $"nb")
+      .withColumn("t_stat", round(($"ma" - $"mb") / sqrt($"se2"), 4))
+      .withColumn("df_welch", round(
+        ($"se2" * $"se2") /
+          (($"sa" / $"na") * ($"sa" / $"na") / ($"na" - 1) +
+            ($"sb" / $"nb") * ($"sb" / $"nb") / ($"nb" - 1)), 2))
+      .select($"group_a", $"group_b", $"na", $"nb", $"ma", $"mb",
+        $"t_stat", $"df_welch")
+  }
+
+  /**
    * Robust z-score per group: (v − median) / (1.4826·MAD), the
    * outlier score that a single wild value cannot poison (unlike the
    * mean/stddev z-score — its own baseline moves with the outlier).

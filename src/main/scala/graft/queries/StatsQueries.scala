@@ -309,6 +309,34 @@ object StatsQueries {
              |  round(avg(wv), 4) AS mean_winsorized
              |FROM w GROUP BY k ORDER BY l_returnflag""".stripMargin)),
 
+    // Welch unequal-variance t-tests between every event-type pair on
+    // the value column — the A/B comparison grid off one moment pass
+    "q_welch_ttest" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.Profiling.welchTTest(
+          Registry.events(s, dir).select($"event_type", $"value"),
+          "event_type", "value")
+          .orderBy($"group_a", $"group_b")
+      },
+      Some("""WITH st AS (
+             |  SELECT event_type AS g, count(value) AS n,
+             |         round(avg(CAST(value AS DOUBLE)), 6) AS m,
+             |         round(var_samp(CAST(value AS DOUBLE)), 6) AS s2
+             |  FROM events GROUP BY 1),
+             |p AS (
+             |  SELECT a.g AS group_a, b.g AS group_b,
+             |         a.n AS na, b.n AS nb, a.m AS ma, b.m AS mb,
+             |         a.s2 / a.n + b.s2 / b.n AS se2,
+             |         a.s2 AS sa, b.s2 AS sb
+             |  FROM st a JOIN st b ON a.g < b.g)
+             |SELECT group_a, group_b, na, nb, ma, mb,
+             |  round((ma - mb) / sqrt(se2), 4) AS t_stat,
+             |  round((se2 * se2) /
+             |    ((sa / na) * (sa / na) / (na - 1) +
+             |     (sb / nb) * (sb / nb) / (nb - 1)), 2) AS df_welch
+             |FROM p ORDER BY group_a, group_b""".stripMargin)),
+
     // robust (median/MAD) z-score per user — the outlier screen a wild
     // value cannot poison; exact medians both engines
     "q_robust_zscore" -> QueryDef(

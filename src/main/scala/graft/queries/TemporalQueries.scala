@@ -717,6 +717,45 @@ object TemporalQueries {
     // batch gap sessionization (30-min gap), aggregated per session — the
     // backfill twin of q_stream_sessionize, verified by the same window
     // math in DuckDB
+    // grid-blocked spatial self-join: md5-deterministic user coords in
+    // a 10°×20° region, all pairs within 100 km via cell equi-join +
+    // exact haversine (4dp absorbs libm trig); never a cross product
+    "q_geo_neighbors" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val u = Registry.events(s, dir).select($"user_id").distinct()
+        def draw(salt: String) = graft.pipeline.Dedup.baseHash60(
+          concat(lit(s"$salt:"), $"user_id".cast("string")))
+          .cast("double") / lit(math.pow(2, 60))
+        val pts = u.select($"user_id",
+          round(lit(40.0) + lit(10.0) * draw("lat"), 6).as("lat"),
+          round(lit(0.0) + lit(20.0) * draw("lon"), 6).as("lon"))
+        graft.operators.Geo.geoNeighbors(pts, "user_id", "lat", "lon",
+            radiusKm = 100.0)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |c AS (
+             |  SELECT user_id,
+             |    round(40.0 + 10.0 * (CAST(('0x' || substr(md5('lat:' ||
+             |      CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             |      / 1152921504606846976.0), 6) AS lat,
+             |    round(0.0 + 20.0 * (CAST(('0x' || substr(md5('lon:' ||
+             |      CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             |      / 1152921504606846976.0), 6) AS lon
+             |  FROM u),
+             |p AS (
+             |  SELECT a.user_id AS id_a, b.user_id AS id_b,
+             |    round(2 * 6371.0088 * asin(sqrt(
+             |      sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+             |      + cos(radians(a.lat)) * cos(radians(b.lat))
+             |      * sin(radians(b.lon - a.lon) / 2)
+             |      * sin(radians(b.lon - a.lon) / 2))), 4) AS distance_km
+             |  FROM c a JOIN c b ON a.user_id < b.user_id)
+             |SELECT id_a, id_b, distance_km FROM p
+             |WHERE distance_km <= 100.0
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // behavioral similarity: users whose coded event sequences sit
     // within edit-distance 10% of each other — exact length-difference
     // blocking (complete, integer arithmetic), one levenshtein pass on
