@@ -33,6 +33,32 @@ object Geo {
   }
 
   /**
+   * Nearest-site lookup: each point matched to its closest entry of a
+   * small `sites` table (stores, warehouses, cells) by exact haversine
+   * — the assignment/coverage query. Sites are model-sized by
+   * assumption and broadcast; the argmin is a max-of-struct on
+   * (−distance, −site_id), ONE aggregate, no window sort. Ties go to
+   * the smaller site id.
+   */
+  def nearestSite(points: DataFrame, idCol: String, latCol: String,
+      lonCol: String, sites: DataFrame, siteIdCol: String,
+      siteLatCol: String, siteLonCol: String): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val s = sites.select(col(siteIdCol).cast("long").as("site_id"),
+      col(siteLatCol).cast("double").as("slat"),
+      col(siteLonCol).cast("double").as("slon"))
+    points.select(col(idCol).cast("long").as("id"),
+        col(latCol).cast("double").as("lat"), col(lonCol).cast("double").as("lon"))
+      .crossJoin(broadcast(s))
+      .withColumn("d", round(haversineKm($"lat", $"lon", $"slat", $"slon"), 4))
+      .groupBy($"id")
+      .agg(max(struct((-$"d").as("negd"), (-$"site_id").as("negid"))).as("__best"))
+      .select($"id".as(idCol), (-$"__best.negid").as("site_id"),
+        (-$"__best.negd").as("distance_km"))
+  }
+
+  /**
    * All (id_a < id_b) pairs within `radiusKm`, with the 4dp distance.
    * `cellDeg` tunes the grid (default 1°≈111 km cells).
    */

@@ -175,6 +175,37 @@ object Profiling {
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /**
+   * CUPED variance reduction for experiment metrics: per-unit
+   * pre-period covariate X and in-experiment metric Y, adjusted
+   * Y′ = Y − θ·(X − mean(X)) with θ = cov(X,Y)/var(X) fitted over ALL
+   * units (the standard single-θ design; per-cohort θ leaks the
+   * treatment). Returns per-cohort rows: n, raw mean, adjusted mean,
+   * plus the global θ and the variance ratio var(Y′)/var(Y) — the
+   * fraction of metric noise the covariate removed. Two scalar
+   * aggregates + one map-side adjustment: one scan of the unit table.
+   * 6dp anchors on θ/means/ratio.
+   */
+  def cuped(units: DataFrame, cohortCol: String, preCol: String,
+      postCol: String): DataFrame = {
+    val spark = units.sparkSession
+    import spark.implicits._
+    val x = col(preCol).cast("double")
+    val y = col(postCol).cast("double")
+    val g = units.agg(round(covar_samp(x, y) / var_samp(x), 6).as("theta"),
+      round(avg(x), 6).as("mx")).head()
+    val theta = g.getDouble(0); val mx = g.getDouble(1)
+    val adjusted = units.withColumn("__yadj", y - lit(theta) * (x - lit(mx)))
+    val varRatio = adjusted.agg(
+      round(var_samp($"__yadj") / var_samp(y), 6).as("vr")).head().getDouble(0)
+    adjusted.groupBy(col(cohortCol).as("cohort"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(y), 6).as("mean_raw"),
+        round(avg($"__yadj"), 6).as("mean_cuped"))
+      .withColumn("theta", lit(theta))
+      .withColumn("var_ratio", lit(varRatio))
+  }
+
+  /**
    * Welch's two-sample t-test between every pair of groups in
    * `keyCol` — the unequal-variance A/B comparison (never pooled
    * variance: group sizes and spreads differ in real experiments):

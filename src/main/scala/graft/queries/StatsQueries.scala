@@ -309,6 +309,111 @@ object StatsQueries {
              |  round(avg(wv), 4) AS mean_winsorized
              |FROM w GROUP BY k ORDER BY l_returnflag""".stripMargin)),
 
+    // difference-in-differences: md5-parity cohorts × midpoint-date
+    // periods over purchase values; DiD from the 4dp cell means
+    "q_diff_in_diff" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val p = Registry.events(s, dir).filter($"event_type" === "purchase")
+        val span = p.agg(min(to_date($"ts")).as("lo"), max(to_date($"ts")).as("hi"))
+        val cells = p.crossJoin(broadcast(span))
+          .withColumn("cohort",
+            when(graft.pipeline.Dedup.baseHash60(
+              concat(lit("did:"), $"user_id".cast("string"))) % 2 === 0,
+              "treat").otherwise("control"))
+          .withColumn("period",
+            when(datediff(to_date($"ts"), $"lo") * 2 < datediff($"hi", $"lo"),
+              "pre").otherwise("post"))
+          .groupBy($"cohort", $"period")
+          .agg(count(lit(1)).as("n"), round(avg($"value"), 4).as("m"))
+        val wide = cells.groupBy()
+          .pivot(concat($"cohort", lit("_"), $"period"),
+            Seq("treat_pre", "treat_post", "control_pre", "control_post"))
+          .agg(first($"m"))
+        cells.select($"cohort", $"period", $"n", $"m")
+          .crossJoin(broadcast(wide.select(
+            round(($"treat_post" - $"treat_pre") -
+              ($"control_post" - $"control_pre"), 4).as("did"))))
+          .orderBy($"cohort", $"period")
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, value, CAST(date_trunc('day', ts) AS DATE) AS day
+             |  FROM events WHERE event_type = 'purchase'),
+             |sp AS (SELECT min(day) AS lo, max(day) AS hi FROM p),
+             |lab AS (
+             |  SELECT CASE WHEN CAST(('0x' || substr(md5('did:' ||
+             |      CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+             |      THEN 'treat' ELSE 'control' END AS cohort,
+             |    CASE WHEN (day - sp.lo) * 2 < (sp.hi - sp.lo)
+             |      THEN 'pre' ELSE 'post' END AS period,
+             |    value
+             |  FROM p, sp),
+             |cells AS (
+             |  SELECT cohort, period, count(*) AS n, round(avg(value), 4) AS m
+             |  FROM lab GROUP BY 1, 2),
+             |d AS (
+             |  SELECT round(
+             |    (max(CASE WHEN cohort = 'treat' AND period = 'post' THEN m END)
+             |     - max(CASE WHEN cohort = 'treat' AND period = 'pre' THEN m END))
+             |    - (max(CASE WHEN cohort = 'control' AND period = 'post' THEN m END)
+             |       - max(CASE WHEN cohort = 'control' AND period = 'pre' THEN m END)),
+             |    4) AS did
+             |  FROM cells)
+             |SELECT cohort, period, n, m, d.did FROM cells, d
+             |ORDER BY cohort, period""".stripMargin)),
+
+    // CUPED variance reduction: pre-period covariate regression-adjusts
+    // the post metric; single global theta, per-cohort adjusted means
+    "q_cuped" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val p = Registry.events(s, dir).filter($"event_type" === "purchase")
+        val span = p.agg(min(to_date($"ts")).as("lo"), max(to_date($"ts")).as("hi"))
+        val units = p.crossJoin(broadcast(span))
+          .withColumn("period",
+            when(datediff(to_date($"ts"), $"lo") * 2 < datediff($"hi", $"lo"),
+              "pre").otherwise("post"))
+          .groupBy($"user_id")
+          .agg(round(avg(when($"period" === "pre", $"value")), 6).as("x"),
+            round(avg(when($"period" === "post", $"value")), 6).as("y"))
+          .filter($"x".isNotNull && $"y".isNotNull)
+          .withColumn("cohort",
+            when(graft.pipeline.Dedup.baseHash60(
+              concat(lit("did:"), $"user_id".cast("string"))) % 2 === 0,
+              "treat").otherwise("control"))
+        graft.pipeline.Profiling.cuped(units, "cohort", "x", "y")
+          .orderBy($"cohort")
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, value, CAST(date_trunc('day', ts) AS DATE) AS day
+             |  FROM events WHERE event_type = 'purchase'),
+             |sp AS (SELECT min(day) AS lo, max(day) AS hi FROM p),
+             |units AS (
+             |  SELECT user_id,
+             |    round(avg(CASE WHEN (day - sp.lo) * 2 < (sp.hi - sp.lo)
+             |              THEN value END), 6) AS x,
+             |    round(avg(CASE WHEN NOT ((day - sp.lo) * 2 < (sp.hi - sp.lo))
+             |              THEN value END), 6) AS y
+             |  FROM p, sp GROUP BY user_id, sp.lo, sp.hi),
+             |u2 AS (
+             |  SELECT user_id, x, y,
+             |    CASE WHEN CAST(('0x' || substr(md5('did:' ||
+             |      CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+             |      THEN 'treat' ELSE 'control' END AS cohort
+             |  FROM units WHERE x IS NOT NULL AND y IS NOT NULL),
+             |g AS (SELECT round(covar_samp(x, y) / var_samp(x), 6) AS theta,
+             |             round(avg(x), 6) AS mx FROM u2),
+             |adj AS (SELECT cohort, y, y - g.theta * (x - g.mx) AS yadj
+             |        FROM u2, g),
+             |vr AS (SELECT round(var_samp(yadj) / var_samp(y), 6) AS var_ratio
+             |       FROM adj)
+             |SELECT cohort, count(*) AS n,
+             |  round(avg(y), 6) AS mean_raw,
+             |  round(avg(yadj), 6) AS mean_cuped,
+             |  g.theta, vr.var_ratio
+             |FROM adj, g, vr GROUP BY cohort, g.theta, vr.var_ratio
+             |ORDER BY cohort""".stripMargin)),
+
     // Welch unequal-variance t-tests between every event-type pair on
     // the value column — the A/B comparison grid off one moment pass
     "q_welch_ttest" -> QueryDef(

@@ -756,6 +756,57 @@ object TemporalQueries {
              |WHERE distance_km <= 100.0
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // nearest-site assignment: every user snapped to the closest of 20
+    // synthetic stores (broadcast argmin, no window); same md5 coords
+    "q_geo_nearest_site" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val u = Registry.events(s, dir).select($"user_id").distinct()
+        def draw(salt: String, c: org.apache.spark.sql.Column) =
+          graft.pipeline.Dedup.baseHash60(concat(lit(s"$salt:"), c.cast("string")))
+            .cast("double") / lit(math.pow(2, 60))
+        val pts = u.select($"user_id",
+          round(lit(40.0) + lit(10.0) * draw("lat", $"user_id"), 6).as("lat"),
+          round(lit(0.0) + lit(20.0) * draw("lon", $"user_id"), 6).as("lon"))
+        val sites = s.range(20).select($"id".as("site_id"),
+          round(lit(40.0) + lit(10.0) * draw("slat", $"id"), 6).as("slat"),
+          round(lit(0.0) + lit(20.0) * draw("slon", $"id"), 6).as("slon"))
+        graft.operators.Geo.nearestSite(pts, "user_id", "lat", "lon",
+            sites, "site_id", "slat", "slon")
+          .orderBy($"user_id")
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |c AS (
+             |  SELECT user_id,
+             |    round(40.0 + 10.0 * (CAST(('0x' || substr(md5('lat:' ||
+             |      CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             |      / 1152921504606846976.0), 6) AS lat,
+             |    round(0.0 + 20.0 * (CAST(('0x' || substr(md5('lon:' ||
+             |      CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             |      / 1152921504606846976.0), 6) AS lon
+             |  FROM u),
+             |st AS (
+             |  SELECT s AS site_id,
+             |    round(40.0 + 10.0 * (CAST(('0x' || substr(md5('slat:' ||
+             |      CAST(s AS VARCHAR)), 1, 15)) AS BIGINT)
+             |      / 1152921504606846976.0), 6) AS slat,
+             |    round(0.0 + 20.0 * (CAST(('0x' || substr(md5('slon:' ||
+             |      CAST(s AS VARCHAR)), 1, 15)) AS BIGINT)
+             |      / 1152921504606846976.0), 6) AS slon
+             |  FROM (SELECT unnest(range(0, 20)) AS s)),
+             |d AS (
+             |  SELECT c.user_id, st.site_id,
+             |    round(2 * 6371.0088 * asin(sqrt(
+             |      sin(radians(st.slat - c.lat) / 2) * sin(radians(st.slat - c.lat) / 2)
+             |      + cos(radians(c.lat)) * cos(radians(st.slat))
+             |      * sin(radians(st.slon - c.lon) / 2)
+             |      * sin(radians(st.slon - c.lon) / 2))), 4) AS distance_km
+             |  FROM c CROSS JOIN st)
+             |SELECT user_id, site_id, distance_km FROM d
+             |QUALIFY row_number() OVER (PARTITION BY user_id
+             |  ORDER BY distance_km ASC, site_id ASC) = 1
+             |ORDER BY user_id""".stripMargin)),
+
     // behavioral similarity: users whose coded event sequences sit
     // within edit-distance 10% of each other — exact length-difference
     // blocking (complete, integer arithmetic), one levenshtein pass on
