@@ -175,6 +175,55 @@ object Profiling {
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /**
+   * Mann–Whitney U (Wilcoxon rank-sum) between two groups — the
+   * nonparametric A/B test that ignores the metric's distribution
+   * (heavy-tailed revenue, bounded scores): rank everything pooled
+   * (AVERAGE ranks on ties — the exact convention both engines can
+   * compute as (rank window + count window)), U₁ = R₁ − n₁(n₁+1)/2,
+   * and the normal approximation with the TIE-CORRECTED variance
+   *
+   *   σ² = n₁n₂/12 · ((N+1) − Σ(tⱼ³−tⱼ)/(N(N−1)))
+   *
+   * Exact integer/rational arithmetic until the final z (4dp).
+   * Requires exactly two distinct group labels; one global rank sort
+   * (the test is a whole-dataset order statistic by definition).
+   */
+  def mannWhitneyU(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valCol).cast("double")
+    val base = df.select(col(groupCol).cast("string").as("g"), v.as("__v"))
+      .filter($"__v".isNotNull)
+    // average rank of a tie block = (#smaller) + (block+1)/2, from two
+    // frames over one sort
+    val ord = org.apache.spark.sql.expressions.Window.orderBy($"__v")
+    val ranked = base
+      .withColumn("__rmin", rank().over(ord))
+      .withColumn("__tie", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"__v")))
+      .withColumn("__avgr", $"__rmin" + ($"__tie" - 1) / lit(2.0))
+    val stats = ranked.groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum($"__avgr").as("r"))
+      .orderBy($"g").collect()
+    require(stats.length == 2,
+      s"mannWhitneyU needs exactly 2 groups, got ${stats.length}")
+    val (g1, n1, r1) = (stats(0).getString(0), stats(0).getLong(1), stats(0).getDouble(2))
+    val (g2, n2) = (stats(1).getString(0), stats(1).getLong(1))
+    val nTot = n1 + n2
+    val ties = ranked.select($"__v").groupBy($"__v")
+      .agg(count(lit(1)).as("t"))
+      .agg(sum($"t" * $"t" * $"t" - $"t").as("tsum")).head().getLong(0)
+    val u1 = r1 - n1 * (n1 + 1) / 2.0
+    val mu = n1 * n2 / 2.0
+    val sigma2 = n1.toDouble * n2 / 12.0 *
+      ((nTot + 1) - ties.toDouble / (nTot.toDouble * (nTot - 1)))
+    val z = BigDecimal((u1 - mu) / math.sqrt(sigma2))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((g1, n1, r6(u1), g2, n2, r6(n1.toDouble * n2 - u1), z))
+      .toDF("group_1", "n1", "u1", "group_2", "n2", "u2", "z_stat")
+  }
+
+  /**
    * CUPED variance reduction for experiment metrics: per-unit
    * pre-period covariate X and in-experiment metric Y, adjusted
    * Y′ = Y − θ·(X − mean(X)) with θ = cov(X,Y)/var(X) fitted over ALL

@@ -414,6 +414,54 @@ object StatsQueries {
              |FROM adj, g, vr GROUP BY cohort, g.theta, vr.var_ratio
              |ORDER BY cohort""".stripMargin)),
 
+    // Mann-Whitney rank-sum between the md5 cohorts: average ranks on
+    // ties are exact halves (sums replay bit-for-bit), tie-corrected
+    // normal z at 4dp
+    "q_mann_whitney" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val p = Registry.events(s, dir).filter($"event_type" === "purchase")
+          .withColumn("cohort",
+            when(graft.pipeline.Dedup.baseHash60(
+              concat(lit("did:"), $"user_id".cast("string"))) % 2 === 0,
+              "treat").otherwise("control"))
+        graft.pipeline.Profiling.mannWhitneyU(p, "cohort", "value")
+      },
+      Some("""WITH p AS (
+             |  SELECT CAST(value AS DOUBLE) AS v,
+             |    CASE WHEN CAST(('0x' || substr(md5('did:' ||
+             |      CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+             |      THEN 'treat' ELSE 'control' END AS cohort
+             |  FROM events WHERE event_type = 'purchase'),
+             |r AS (
+             |  SELECT cohort, v,
+             |    rank() OVER (ORDER BY v) AS rmin,
+             |    count(*) OVER (PARTITION BY v) AS tie
+             |  FROM p),
+             |a AS (SELECT cohort, v, rmin + (tie - 1) / 2.0 AS avgr FROM r),
+             |st AS (SELECT cohort, count(*) AS n, sum(avgr) AS r
+             |       FROM a GROUP BY 1),
+             |tq AS (SELECT sum(t * t * t - t) AS tsum FROM (
+             |         SELECT count(*) AS t FROM a GROUP BY v)),
+             |c AS (
+             |  SELECT
+             |    (SELECT n FROM st WHERE cohort = 'control') AS n1,
+             |    (SELECT r FROM st WHERE cohort = 'control') AS r1,
+             |    (SELECT n FROM st WHERE cohort = 'treat') AS n2,
+             |    (SELECT tsum FROM tq) AS tsum),
+             |f AS (
+             |  SELECT n1, n2, r1 - n1 * (n1 + 1) / 2.0 AS u1,
+             |    n1 + n2 AS nt, tsum
+             |  FROM c)
+             |SELECT 'control' AS group_1, n1, round(u1, 6) AS u1,
+             |  'treat' AS group_2, n2,
+             |  round(CAST(n1 AS DOUBLE) * n2 - u1, 6) AS u2,
+             |  round((u1 - n1 * n2 / 2.0) /
+             |    sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0 *
+             |      ((nt + 1) - CAST(tsum AS DOUBLE)
+             |        / (CAST(nt AS DOUBLE) * (nt - 1)))), 4) AS z_stat
+             |FROM f""".stripMargin)),
+
     // Welch unequal-variance t-tests between every event-type pair on
     // the value column — the A/B comparison grid off one moment pass
     "q_welch_ttest" -> QueryDef(
