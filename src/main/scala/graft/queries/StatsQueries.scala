@@ -414,6 +414,64 @@ object StatsQueries {
              |FROM adj, g, vr GROUP BY cohort, g.theta, vr.var_ratio
              |ORDER BY cohort""".stripMargin)),
 
+    // two-proportion z-test on "heavy buyer" conversion (>= 14
+    // purchases — every user purchases at least once in this fixture)
+    // between the md5 cohorts; pooled-variance form, exact cells
+    "q_proportion_ztest" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val conv = Registry.events(s, dir)
+          .groupBy($"user_id")
+          .agg((sum(($"event_type" === "purchase").cast("int")) >= 14)
+            .cast("long").as("converted"))
+          .withColumn("cohort",
+            when(graft.pipeline.Dedup.baseHash60(
+              concat(lit("did:"), $"user_id".cast("string"))) % 2 === 0,
+              "treat").otherwise("control"))
+        val cells = conv.groupBy($"cohort")
+          .agg(count(lit(1)).as("n"), sum($"converted").as("k"))
+          .orderBy($"cohort").collect()
+        val (n1, k1) = (cells(0).getLong(1), cells(0).getLong(2))
+        val (n2, k2) = (cells(1).getLong(1), cells(1).getLong(2))
+        val p1 = k1.toDouble / n1; val p2 = k2.toDouble / n2
+        val pPool = (k1 + k2).toDouble / (n1 + n2)
+        val z = BigDecimal((p1 - p2) /
+            math.sqrt(pPool * (1 - pPool) * (1.0 / n1 + 1.0 / n2)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        def r6d(x: Double) = BigDecimal(x)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Seq(("control", n1, k1, r6d(p1), "treat", n2, k2, r6d(p2), z))
+          .toDF("group_1", "n1", "k1", "p1", "group_2", "n2", "k2", "p2", "z_stat")
+      },
+      Some("""WITH conv AS (
+             |  SELECT user_id,
+             |    CASE WHEN sum(CASE WHEN event_type = 'purchase'
+             |                  THEN 1 ELSE 0 END) >= 14
+             |         THEN 1 ELSE 0 END AS c
+             |  FROM events GROUP BY user_id),
+             |lab AS (
+             |  SELECT c, CASE WHEN CAST(('0x' || substr(md5('did:' ||
+             |      CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+             |      THEN 'treat' ELSE 'control' END AS cohort
+             |  FROM conv),
+             |cells AS (SELECT cohort, count(*) AS n, CAST(sum(c) AS BIGINT) AS k
+             |          FROM lab GROUP BY 1),
+             |w AS (
+             |  SELECT
+             |    (SELECT n FROM cells WHERE cohort = 'control') AS n1,
+             |    (SELECT k FROM cells WHERE cohort = 'control') AS k1,
+             |    (SELECT n FROM cells WHERE cohort = 'treat') AS n2,
+             |    (SELECT k FROM cells WHERE cohort = 'treat') AS k2)
+             |SELECT 'control' AS group_1, n1, k1,
+             |  round(CAST(k1 AS DOUBLE) / n1, 6) AS p1,
+             |  'treat' AS group_2, n2, k2,
+             |  round(CAST(k2 AS DOUBLE) / n2, 6) AS p2,
+             |  round((CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2) /
+             |    sqrt((CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+             |      * (1 - CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+             |      * (1.0 / n1 + 1.0 / n2)), 4) AS z_stat
+             |FROM w""".stripMargin)),
+
     // Mann-Whitney rank-sum between the md5 cohorts: average ranks on
     // ties are exact halves (sums replay bit-for-bit), tie-corrected
     // normal z at 4dp

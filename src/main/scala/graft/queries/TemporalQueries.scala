@@ -360,6 +360,61 @@ object TemporalQueries {
              |FROM d JOIN ctr c ON d.event_type = c.event_type AND d.phase = c.phase
              |ORDER BY d.event_type, day""".stripMargin)),
 
+    // seasonality-adjusted anomaly screen: decompose weekly pattern,
+    // robust-z the residuals per series — the composition that keeps
+    // every Friday peak from tripping the detector
+    "q_seasonal_anomaly" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val daily = Registry.events(s, dir)
+          .groupBy($"event_type", to_date($"ts").as("day"))
+          .agg(count(lit(1)).cast("double").as("n"))
+        val res = TimeSeries.seasonalDecompose(daily, "event_type", "day", "n",
+            period = 7)
+          .filter($"trend".isNotNull)
+          .select($"event_type", $"day", $"v", $"residual")
+        graft.pipeline.Profiling.robustZscore(res, "event_type", "residual")
+          .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day"),
+            $"v", $"residual", $"robust_z".as("season_adj_z"))
+          .orderBy($"event_type", $"day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |         CAST(count(*) AS DOUBLE) AS v
+             |  FROM events GROUP BY 1, 2),
+             |b AS (
+             |  SELECT event_type, day, v,
+             |    CAST(CAST(day - DATE '1970-01-01' AS BIGINT) % 7 AS INT) AS phase,
+             |    CASE WHEN count(v) OVER w = 7
+             |         THEN round(avg(v) OVER w, 6) END AS trend
+             |  FROM daily
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+             |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |d AS (SELECT *, v - trend AS detrended FROM b),
+             |pm AS (SELECT event_type, phase, round(avg(detrended), 6) AS phase_mean
+             |       FROM d GROUP BY 1, 2),
+             |ctr AS (SELECT event_type, phase,
+             |          round(phase_mean - avg(phase_mean) OVER (
+             |            PARTITION BY event_type), 6) AS seasonal
+             |        FROM pm),
+             |res AS (
+             |  SELECT d.event_type, d.day, d.v,
+             |         round(d.v - d.trend - c.seasonal, 6) AS residual
+             |  FROM d JOIN ctr c ON d.event_type = c.event_type AND d.phase = c.phase
+             |  WHERE d.trend IS NOT NULL),
+             |med AS (SELECT event_type, round(quantile_cont(residual, 0.5), 6) AS m
+             |        FROM res GROUP BY 1),
+             |mad AS (SELECT r.event_type,
+             |          round(quantile_cont(abs(r.residual - med.m), 0.5), 6) AS d
+             |        FROM res r JOIN med USING (event_type) GROUP BY 1)
+             |SELECT r.event_type, strftime(r.day, '%Y-%m-%d') AS day, r.v,
+             |       r.residual,
+             |       CASE WHEN mad.d > 0 THEN
+             |         round((r.residual - med.m) / (1.4826 * mad.d), 4)
+             |       END AS season_adj_z
+             |FROM res r JOIN med USING (event_type) JOIN mad USING (event_type)
+             |ORDER BY r.event_type, day""".stripMargin)),
+
     // exact rolling median (10 preceding + current), quantile_cont
     // interpolation on even window counts — the robust denoiser next to
     // the rolling-zscore screen
