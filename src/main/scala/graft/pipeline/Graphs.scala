@@ -264,6 +264,41 @@ object Graphs {
   }
 
   /**
+   * Item–item collaborative filtering over binary (basket, item)
+   * interactions: similarity(a, b) = n_ab / √(n_a·n_b) (cosine of the
+   * binary co-occurrence vectors — the classic "customers also bought"
+   * scorer), top-k neighbors per item. Same scale shape as
+   * `associationRules`: basket-keyed self-join only, pair space pruned
+   * by `minPairCount` BEFORE the marginal joins, then one item-keyed
+   * window for the top-k cut. 6dp cosine, ties by neighbor id.
+   */
+  def itemItemCf(df: DataFrame, basketCol: String, itemCol: String,
+      k: Int, minPairCount: Long = 2L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val items = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+    val itemCounts = items.groupBy($"item").agg(count(lit(1)).as("n_item"))
+    val pairs = items.as("a").join(items.as("b"), Seq("basket"))
+      .filter($"a.item" =!= $"b.item")
+      .groupBy($"a.item".as("item"), $"b.item".as("neighbor"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= minPairCount)
+    val scored = pairs
+      .join(itemCounts.select($"item", $"n_item".as("n_a")), "item")
+      .join(itemCounts.select($"item".as("neighbor"), $"n_item".as("n_b")),
+        "neighbor")
+      .withColumn("cosine",
+        round($"n_ab" / sqrt($"n_a".cast("double") * $"n_b"), 6))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"item")
+      .orderBy($"cosine".desc, $"neighbor".asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"item", $"rnk", $"neighbor", $"n_ab", $"cosine")
+  }
+
+  /**
    * Pairwise association rules over (basket, item) rows — market-basket
    * support / confidence / lift, the co-occurrence screen behind
    * "frequently bought together" and feature-cooccurrence audits. For

@@ -571,6 +571,39 @@ object PipelineQueries {
       },
       Some(kCoreOracleSql(k = 40, rounds = 20))),
 
+    // "customers also bought": item-item binary-cosine CF over
+    // co-ordered brands, top-5 neighbors per brand
+    "q_item_item_cf" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val baskets = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), $"l_partkey" === $"p_partkey")
+          .select($"l_orderkey".as("basket"), $"p_brand".as("item"))
+        graft.pipeline.Graphs.itemItemCf(baskets, "basket", "item",
+            k = 5, minPairCount = 2L)
+          .orderBy($"item", $"rnk")
+      },
+      Some("""WITH it AS (
+             |  SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+             |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+             |ic AS (SELECT item, count(*) AS n_item FROM it GROUP BY 1),
+             |pr AS (
+             |  SELECT a.item AS item, b.item AS neighbor, count(*) AS n_ab
+             |  FROM it a JOIN it b ON a.basket = b.basket AND a.item <> b.item
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |sc AS (
+             |  SELECT pr.item, pr.neighbor, pr.n_ab,
+             |    round(pr.n_ab / sqrt(CAST(ia.n_item AS DOUBLE) * ib.n_item), 6)
+             |      AS cosine
+             |  FROM pr JOIN ic ia ON pr.item = ia.item
+             |  JOIN ic ib ON pr.neighbor = ib.item)
+             |SELECT item, CAST(row_number() OVER (PARTITION BY item
+             |    ORDER BY cosine DESC, neighbor ASC) AS INT) AS rnk,
+             |  neighbor, n_ab, cosine
+             |FROM sc
+             |QUALIFY rnk <= 5
+             |ORDER BY item, rnk""".stripMargin)),
+
     // market-basket association rules over co-ordered part brands:
     // basket-keyed self-join only (never corpus-quadratic), pair space
     // pruned by min support BEFORE the frequency joins
