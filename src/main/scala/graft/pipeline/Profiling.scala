@@ -272,9 +272,12 @@ object Profiling {
     val spark = df.sparkSession
     import spark.implicits._
     val v = col(valCol).cast("double")
+    // group-count-sized; checkpointed so the self-join below reads the
+    // materialized stats instead of scanning the fact table twice
     val stats = df.groupBy(col(keyCol).as("g"))
       .agg(count(v).as("n"), round(avg(v), 6).as("m"),
         round(var_samp(v), 6).as("s2"))
+      .localCheckpoint()
     val a = stats.select($"g".as("group_a"), $"n".as("na"), $"m".as("ma"),
       $"s2".as("sa"))
     val b = stats.select($"g".as("group_b"), $"n".as("nb"), $"m".as("mb"),

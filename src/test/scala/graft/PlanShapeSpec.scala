@@ -317,6 +317,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges.size <= 1, s"expected <=1 hash exchange:\n$plan")
   }
 
+  test("welch t-test: one scan of the fact table, pairs from the stats frame") {
+    val plan = physical("q_welch_ttest")
+    // the stats frame is checkpointed, so the pair join reads the
+    // materialized group stats — the fact parquet appears at most once
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 0, s"expected checkpointed stats, no live scans:\n$plan")
+  }
+
+  test("bootstrap CI: replicate fan-out stays map-side, no sort-merge join") {
+    val plan = physical("q_bootstrap_ci")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan)
+    // the fan-out is a generate (explode), not a join against a numbers table
+    assert(plan.contains("Generate"), plan)
+  }
+
+  test("item-item CF and association rules never go corpus-quadratic") {
+    for (q <- Seq("q_item_item_cf", "q_assoc_rules")) {
+      val plan = physical(q)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+    }
+  }
+
   test("entity resolution: JW candidates come from block equi-joins only") {
     val plan = physical("q_jw_name_match")
     assert(!plan.contains("CartesianProduct") &&
