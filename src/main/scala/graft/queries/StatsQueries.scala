@@ -325,7 +325,11 @@ object StatsQueries {
             when(datediff(to_date($"ts"), $"lo") * 2 < datediff($"hi", $"lo"),
               "pre").otherwise("post"))
           .groupBy($"cohort", $"period")
-          .agg(count(lit(1)).as("n"), round(avg($"value"), 4).as("m"))
+          .agg(count(lit(1)).as("n"),
+            // exact-decimal sum: 2dp inputs make round(avg,4) boundary-
+            // exact, so anchor via the identical rational on both engines
+            round(sum($"value".cast("decimal(20,2)")).cast("double") /
+              count(lit(1)) + lit(1e-9), 4).as("m"))
         val wide = cells.groupBy()
           .pivot(concat($"cohort", lit("_"), $"period"),
             Seq("treat_pre", "treat_post", "control_pre", "control_post"))
@@ -349,7 +353,9 @@ object StatsQueries {
              |    value
              |  FROM p, sp),
              |cells AS (
-             |  SELECT cohort, period, count(*) AS n, round(avg(value), 4) AS m
+             |  SELECT cohort, period, count(*) AS n,
+             |    round(CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE)
+             |      / count(*) + 0.000000001, 4) AS m
              |  FROM lab GROUP BY 1, 2),
              |d AS (
              |  SELECT round(
@@ -374,8 +380,13 @@ object StatsQueries {
             when(datediff(to_date($"ts"), $"lo") * 2 < datediff($"hi", $"lo"),
               "pre").otherwise("post"))
           .groupBy($"user_id")
-          .agg(round(avg(when($"period" === "pre", $"value")), 6).as("x"),
-            round(avg(when($"period" === "post", $"value")), 6).as("y"))
+          .agg(
+            round(sum(when($"period" === "pre", $"value").cast("decimal(20,2)"))
+              .cast("double") / count(when($"period" === "pre", $"value"))
+              + lit(1e-9), 6).as("x"),
+            round(sum(when($"period" === "post", $"value").cast("decimal(20,2)"))
+              .cast("double") / count(when($"period" === "post", $"value"))
+              + lit(1e-9), 6).as("y"))
           .filter($"x".isNotNull && $"y".isNotNull)
           .withColumn("cohort",
             when(graft.pipeline.Dedup.baseHash60(
@@ -390,10 +401,14 @@ object StatsQueries {
              |sp AS (SELECT min(day) AS lo, max(day) AS hi FROM p),
              |units AS (
              |  SELECT user_id,
-             |    round(avg(CASE WHEN (day - sp.lo) * 2 < (sp.hi - sp.lo)
-             |              THEN value END), 6) AS x,
-             |    round(avg(CASE WHEN NOT ((day - sp.lo) * 2 < (sp.hi - sp.lo))
-             |              THEN value END), 6) AS y
+             |    round(CAST(sum(CAST(CASE WHEN (day - sp.lo) * 2 < (sp.hi - sp.lo)
+             |        THEN value END AS DECIMAL(20,2))) AS DOUBLE)
+             |      / count(CASE WHEN (day - sp.lo) * 2 < (sp.hi - sp.lo)
+             |              THEN value END) + 0.000000001, 6) AS x,
+             |    round(CAST(sum(CAST(CASE WHEN NOT ((day - sp.lo) * 2 < (sp.hi - sp.lo))
+             |        THEN value END AS DECIMAL(20,2))) AS DOUBLE)
+             |      / count(CASE WHEN NOT ((day - sp.lo) * 2 < (sp.hi - sp.lo))
+             |              THEN value END) + 0.000000001, 6) AS y
              |  FROM p, sp GROUP BY user_id, sp.lo, sp.hi),
              |u2 AS (
              |  SELECT user_id, x, y,
@@ -758,7 +773,18 @@ object StatsQueries {
           .groupBy($"user_id")
           .agg(count(lit(1)).as("n"),
             sum($"imputed".cast("long")).as("n_imputed"),
-            round(avg($"value"), 4).as("mean_filled"))
+            // the raw values are exact 2dp decimals, so a plain
+            // round(avg, 4) lands on EXACT half boundaries where the
+            // engines' last-ulp sums disagree (seen at sf0.1) — sum as
+            // exact DECIMAL instead: identical rational → identical
+            // double → identical round on both engines
+            // +1e-9 boundary dodge: 2dp-rational means land EXACTLY on
+            // x.xxxx5, where Spark's BigDecimal and DuckDB's multiply-
+            // based round disagree; the nudge is far below the 1/(100n)
+            // spacing of possible means, so only exact ties move — and
+            // they move the same way on both engines
+            round(sum($"value".cast("decimal(20,6)")).cast("double") /
+              count(lit(1)) + lit(1e-9), 4).as("mean_filled"))
           .orderBy($"user_id")
       },
       Some("""WITH planted AS (
@@ -774,7 +800,8 @@ object StatsQueries {
              |  FROM planted p JOIN fills f USING (user_id))
              |SELECT user_id, count(*) AS n,
              |  CAST(sum(CASE WHEN imputed THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
-             |  round(avg(value), 4) AS mean_filled
+             |  round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+             |    / count(*) + 0.000000001, 4) AS mean_filled
              |FROM filled GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // Kaplan-Meier conversion-lag curve: per user, days from first
