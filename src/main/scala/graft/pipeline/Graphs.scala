@@ -254,6 +254,9 @@ object Graphs {
       val m = next.count()
       converged = m == n
       n = m
+      // release the superseded round's checkpoint blocks (the pageRank
+      // discipline — otherwise storage grows with peel depth)
+      e.unpersist(blocking = false)
       e = next
       iter += 1
     }

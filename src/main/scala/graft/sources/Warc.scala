@@ -90,9 +90,18 @@ object Warc {
         col("warc_date").cast("string"), col("payload").cast("binary"))
       .foreachPartition { (it: Iterator[Row]) =>
         if (it.hasNext) {
-          val part = TaskContext.getPartitionId()
-          val file = new Path(path, f"part-$part%05d$ext")
-          val out = file.getFileSystem(confBc.value.value).create(file, true)
+          val tc = TaskContext.get()
+          val part = tc.partitionId()
+          // task-commit protocol: write to an attempt-suffixed temp file
+          // and RENAME into place — a retried/speculative attempt can
+          // never interleave bytes with a concurrent writer of the same
+          // partition file (rename is the atomic publish; first attempt
+          // to land wins, losers' temps are swept below)
+          val fs = new Path(path).getFileSystem(confBc.value.value)
+          val finalFile = new Path(path, f"part-$part%05d$ext")
+          val tmpFile = new Path(path,
+            f".part-$part%05d.attempt-${tc.taskAttemptId()}$ext.tmp")
+          val out = fs.create(tmpFile, true)
           try {
             it.foreach { r =>
               val rec = recordBytes(r.getString(0), r.getString(1),
@@ -104,8 +113,14 @@ object Warc {
               } else out.write(rec)
             }
           } finally out.close()
+          if (!fs.rename(tmpFile, finalFile)) fs.delete(tmpFile, false)
+          ()
         }
       }
+    // sweep temps of failed/superseded attempts (readers filter on
+    // extension, so leftovers are harmless, but don't leave litter)
+    fs.listStatus(new Path(path)).filter(_.getPath.getName.endsWith(".tmp"))
+      .foreach(st => fs.delete(st.getPath, false))
   }
 
   /** The standard projection from the `documents` table to writable WARC
