@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
  * haversine filter. Never a pairwise matrix; the fan-out is the fixed
  * window size. Distances round to 4dp km so both engines' libm trig
  * agrees through the threshold compare.
+ *
+ * Known limits (documented, not silent): cells do not wrap at the
+ * ±180° antimeridian (a corpus straddling it needs a shifted
+ * longitude frame), and the polar guard below rejects |lat| ≥ 89°
+ * where lon cells degenerate.
  */
 object Geo {
 

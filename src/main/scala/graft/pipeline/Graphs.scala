@@ -169,6 +169,65 @@ object Graphs {
   }
 
   /**
+   * Hierarchical rollup (BOM explosion / org-chart aggregation): given
+   * child→parent edges of a FOREST and a per-node value, every node's
+   * subtree total (own value + all descendants) plus its depth. The
+   * distributed shape is ancestor-closure-by-doubling: the (node,
+   * ancestor) closure grows by joining the frontier onto itself —
+   * O(log depth) rounds, each a plain equi-join, never a per-level
+   * driver loop of depth length — then one aggregate credits each
+   * node's value to all its ancestors. Closure size is n·depth rows
+   * (the honest cost of subtree aggregation without a tree index).
+   * Cycles make the doubling loop exceed `maxDepth` and throw.
+   */
+  def hierarchyRollup(edges: DataFrame, childCol: String, parentCol: String,
+      values: DataFrame, idCol: String, valCol: String,
+      maxDepth: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(childCol).cast("long").as("c"),
+        col(parentCol).cast("long").as("p"))
+      .filter($"c" =!= $"p").distinct().localCheckpoint()
+    // closure starts as the direct edges (paths of length 1); PURE
+    // doubling — compose the closure with itself — so after k rounds it
+    // holds every path of length ≤ 2^k
+    var closure = e.select($"c".as("node"), $"p".as("anc"))
+      .localCheckpoint()
+    val maxRounds = 32 - Integer.numberOfLeadingZeros(math.max(1, maxDepth - 1))
+    var rounds = 0
+    var grown = true
+    while (grown && rounds < maxRounds) {
+      val next = closure.join(
+          closure.select($"node".as("anc"), $"anc".as("anc2")), "anc")
+        .select($"node", $"anc2".as("anc"))
+        .except(closure)
+        .localCheckpoint()
+      grown = next.count() > 0
+      if (grown) {
+        val merged = closure.union(next).distinct().localCheckpoint()
+        closure.unpersist(blocking = false)
+        next.unpersist(blocking = false)
+        closure = merged
+      }
+      rounds += 1
+    }
+    if (grown)
+      throw new IllegalStateException(
+        s"hierarchy deeper than $maxDepth (or cyclic) — rollup refused")
+    val v = values.select(col(idCol).cast("long").as("node"),
+      col(valCol).cast("double").as("v"))
+    val descendantSums = closure.select($"anc".as("node"), $"node".as("desc"))
+      .join(v.select($"node".as("desc"), $"v"), "desc")
+      .groupBy($"node").agg(sum($"v").as("desc_sum"))
+    val depths = closure.groupBy($"node").agg(count(lit(1)).as("depth"))
+    v.join(descendantSums, Seq("node"), "left")
+      .join(depths, Seq("node"), "left")
+      .select($"node", round($"v", 2).as("own_value"),
+        round($"v" + coalesce($"desc_sum", lit(0.0)), 2).as("subtree_value"),
+        coalesce($"depth", lit(0L)).as("depth"))
+  }
+
+  /**
    * HITS hubs-and-authorities over a DIRECTED graph: a(v) = Σ h(u) over
    * in-edges, then h(u) = Σ a(v) over out-edges, each L1-normalized per
    * half-step — the classic bipartite-authority scorer next to

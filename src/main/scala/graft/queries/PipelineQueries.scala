@@ -554,6 +554,38 @@ object PipelineQueries {
       },
       Some(semanticDedupOracleSql)),
 
+    // BOM-style hierarchical rollup over the synthetic part tree
+    // (parent = partkey/2): subtree price totals + depth via
+    // log-rounds ancestor-closure doubling; recursive-CTE oracle
+    "q_hierarchy_rollup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val parts = t(s, dir, "part")
+        val edges = parts.select($"p_partkey".as("child"),
+          ($"p_partkey" / 2).cast("long").as("parent"))
+        graft.pipeline.Graphs.hierarchyRollup(edges, "child", "parent",
+            parts, "p_partkey", "p_retailprice")
+          .orderBy($"node")
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT p_partkey AS c, p_partkey // 2 AS p FROM part
+             |  WHERE p_partkey <> p_partkey // 2),
+             |rec(node, anc) AS (
+             |  SELECT c, p FROM e
+             |  UNION
+             |  SELECT r.node, e.p FROM rec r JOIN e ON r.anc = e.c),
+             |v AS (SELECT p_partkey AS node,
+             |             CAST(p_retailprice AS DOUBLE) AS v FROM part),
+             |ds AS (SELECT r.anc AS node, sum(dv.v) AS desc_sum
+             |       FROM rec r JOIN v dv ON r.node = dv.node GROUP BY 1),
+             |dp AS (SELECT node, count(*) AS depth FROM rec GROUP BY 1)
+             |SELECT v.node, round(v.v, 2) AS own_value,
+             |       round(v.v + coalesce(ds.desc_sum, 0.0), 2) AS subtree_value,
+             |       coalesce(dp.depth, 0) AS depth
+             |FROM v LEFT JOIN ds ON v.node = ds.node
+             |LEFT JOIN dp ON v.node = dp.node
+             |ORDER BY v.node""".stripMargin)),
+
     // k-core peel (k=40) of the co-order-date customer graph: 17 rounds
     // to the fixpoint at sf0.01; the oracle unrolls 20 MATERIALIZED
     // peel rounds (rounds past the fixpoint are no-ops, so any
