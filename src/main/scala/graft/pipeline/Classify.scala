@@ -311,6 +311,61 @@ object Classify {
   }
 
   /**
+   * Isotonic (monotone) probability calibration of classifier scores —
+   * binned PAVA via the exact minimax identity: with score-quantile
+   * bins j ≤ i ≤ k and A(j,k) = (Σ labels in bins j..k)/(Σ counts),
+   *
+   *   calibrated(i) = max_{j≤i} min_{k≥i} A(j,k)
+   *
+   * which equals the pool-adjacent-violators fit and is PURE relational
+   * algebra: one quantile binning pass over the data, then two window
+   * sweeps over the nBins² grid (grid-sized — never data-sized). All
+   * A(j,k) are integer/integer ratios, so both engines compute
+   * IDENTICAL doubles and the minimax picks identically; the final
+   * round carries the +1e-9 exact-boundary dodge. Output is one row
+   * per bin: (bin, n, mean_score, mean_label, calibrated), calibrated
+   * monotone non-decreasing by construction.
+   */
+  def isotonicCalibrate(scored: DataFrame, idCol: String, scoreCol: String,
+      labelCol: String, nBins: Int = 20): DataFrame = {
+    require(nBins >= 2, "need at least 2 bins")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val base = scored.select(col(idCol).as("__id"),
+      col(scoreCol).cast("double").as("__s"),
+      col(labelCol).cast("long").as("__y"))
+    val n = base.count()
+    val ord = org.apache.spark.sql.expressions.Window.orderBy($"__s", $"__id")
+    val binned = base.withColumn("__rn", row_number().over(ord))
+      .withColumn("bin", ceil($"__rn" * nBins.toDouble / n).cast("int"))
+    val bins = binned.groupBy($"bin")
+      .agg(count(lit(1)).as("w"), sum($"__y").as("ysum"),
+        round(avg($"__s"), 6).as("mean_score"))
+      .localCheckpoint()
+    // cumulative sums over the bin grid -> A(j,k) for every j<=k
+    val cum = bins.select($"bin", $"w", $"ysum")
+      .withColumn("cw", sum($"w").over(
+        org.apache.spark.sql.expressions.Window.orderBy($"bin")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("cy", sum($"ysum").over(
+        org.apache.spark.sql.expressions.Window.orderBy($"bin")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val j = cum.select($"bin".as("j"), ($"cw" - $"w").as("cwj"), ($"cy" - $"ysum").as("cyj"))
+    val k = cum.select($"bin".as("k"), $"cw".as("cwk"), $"cy".as("cyk"))
+    val a = j.crossJoin(k).filter($"j" <= $"k")
+      .withColumn("a", ($"cyk" - $"cyj").cast("double") / ($"cwk" - $"cwj"))
+    // B(j,i) = min over k>=i of A(j,k): running min from the right per j
+    val grid = a.join(
+        bins.select($"bin".as("i")), $"j" <= $"i" && $"i" <= $"k")
+      .groupBy($"j", $"i").agg(min($"a").as("b"))
+    val fit = grid.groupBy($"i").agg(max($"b").as("f"))
+    bins.join(fit, $"bin" === $"i")
+      .select($"bin", $"w".as("n"), $"mean_score",
+        round($"ysum".cast("double") / $"w" + lit(1e-9), 6).as("mean_label"),
+        round($"f" + lit(1e-9), 6).as("calibrated"))
+  }
+
+  /**
    * k-nearest-neighbor majority-vote classifier over an embedding
    * column: each query's top-k cosine neighbors among the labeled
    * corpus vote; the label with the most votes wins, ties to the

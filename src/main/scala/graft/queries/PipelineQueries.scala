@@ -1507,6 +1507,49 @@ object PipelineQueries {
     // calibration curve of the trained LR: sigmoid probabilities into 10
     // equal-width bins, each reporting size, mean predicted probability,
     // and observed positive rate
+    // isotonic (PAVA) calibration of the LR scores via the exact
+    // minimax identity over 20 score-quantile bins — all pool averages
+    // are integer ratios, so the fit replays bit-for-bit
+    "q_isotonic_calibration" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Classify.isotonicCalibrate(lrScored(s, dir)
+            .withColumn("y", $"data_heavy".cast("long")),
+            "doc_id", "score", "y", nBins = 20)
+          .orderBy($"bin")
+      },
+      Some(s"""WITH ${lrOracleCtes(numBuckets = 256, iterations = 24, lr = 1.0)},
+              |sc AS (SELECT l.doc_id, l.y, round(sf.s, 6) AS score
+              |       FROM sf JOIN lab l USING (doc_id)),
+              |rb AS (SELECT doc_id, y, score,
+              |         row_number() OVER (ORDER BY score, doc_id) AS rn,
+              |         count(*) OVER () AS n
+              |       FROM sc),
+              |bn AS (SELECT CAST(ceil(rn * 20.0 / n) AS INT) AS bin, y, score
+              |       FROM rb),
+              |bins AS (SELECT bin, count(*) AS w, sum(y) AS ysum,
+              |                round(avg(score), 6) AS mean_score
+              |         FROM bn GROUP BY 1),
+              |cum AS (SELECT bin, w, ysum, mean_score,
+              |          sum(w) OVER (ORDER BY bin) AS cw,
+              |          sum(ysum) OVER (ORDER BY bin) AS cy
+              |        FROM bins),
+              |a AS (
+              |  SELECT jj.bin AS j, kk.bin AS k,
+              |    CAST(kk.cy - (jj.cy - jj.ysum) AS DOUBLE)
+              |      / CAST(kk.cw - (jj.cw - jj.w) AS DOUBLE) AS a
+              |  FROM cum jj CROSS JOIN cum kk WHERE jj.bin <= kk.bin),
+              |grid AS (
+              |  SELECT a.j, bi.bin AS i, min(a.a) AS b
+              |  FROM a JOIN bins bi ON a.j <= bi.bin AND bi.bin <= a.k
+              |  GROUP BY 1, 2),
+              |fit AS (SELECT i, max(b) AS f FROM grid GROUP BY 1)
+              |SELECT b.bin, b.w AS n, b.mean_score,
+              |  round(CAST(b.ysum AS DOUBLE) / b.w + 0.000000001, 6) AS mean_label,
+              |  round(fit.f + 0.000000001, 6) AS calibrated
+              |FROM bins b JOIN fit ON b.bin = fit.i
+              |ORDER BY b.bin""".stripMargin)),
+
     "q_classifier_calibration" -> QueryDef(
       (s, dir) => {
         import s.implicits._

@@ -56,4 +56,26 @@ class EvalSpec extends SparkSpec {
   private def Registry_docs() =
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .selectExpr("doc_id as docId", "cast(doc_id as string) as title", "text")
+
+  test("isotonicCalibrate pools violators and is monotone (hand PAVA)") {
+    import graft.pipeline.Classify
+    // 6 units, 3 bins of 2 by score: bin means 1.0, 0.0, 0.5 — the
+    // textbook violator: PAVA pools bins 1-2 to 0.5, then pools with
+    // bin 3 (0.5) staying level => calibrated = [0.5, 0.5, 0.5]
+    val df = Seq(
+      (1L, 0.10, 1L), (2L, 0.15, 1L),
+      (3L, 0.40, 0L), (4L, 0.45, 0L),
+      (5L, 0.80, 1L), (6L, 0.85, 0L)
+    ).toDF("id", "score", "y")
+    val out = Classify.isotonicCalibrate(df, "id", "score", "y", nBins = 3)
+      .orderBy($"bin").collect()
+    assert(out.map(_.getDouble(4)).toSeq == Seq(0.5, 0.5, 0.5), out.toSeq)
+    // a clean monotone case passes through unpooled
+    val mono = Seq((1L, 0.1, 0L), (2L, 0.2, 0L), (3L, 0.5, 0L),
+      (4L, 0.6, 1L), (5L, 0.8, 1L), (6L, 0.9, 1L)).toDF("id", "score", "y")
+    val m = Classify.isotonicCalibrate(mono, "id", "score", "y", nBins = 3)
+      .orderBy($"bin").collect().map(_.getDouble(4))
+    assert(m.toSeq == Seq(0.0, 0.5, 1.0), m.toSeq)
+    assert(m.sliding(2).forall(p => p(0) <= p(1)))
+  }
 }
