@@ -319,7 +319,11 @@ object Classify {
    *
    * which equals the pool-adjacent-violators fit and is PURE relational
    * algebra: one quantile binning pass over the data, then two window
-   * sweeps over the nBins² grid (grid-sized — never data-sized). All
+   * sweeps over the nBins² grid (grid-sized — never data-sized). The
+   * equal-count binning ranks via the Tungsten range-sort + partition
+   * offset idiom (`ParseCorpus.rankByIndex`) — a DISTRIBUTED sort, not
+   * a single-partition `row_number` window, so the binning pass scales
+   * with executors instead of serializing the scored rows. All
    * A(j,k) are integer/integer ratios, so both engines compute
    * IDENTICAL doubles and the minimax picks identically; the final
    * round carries the +1e-9 exact-boundary dodge. Output is one row
@@ -335,13 +339,15 @@ object Classify {
       col(scoreCol).cast("double").as("__s"),
       col(labelCol).cast("long").as("__y"))
     val n = base.count()
-    val ord = org.apache.spark.sql.expressions.Window.orderBy($"__s", $"__id")
-    val binned = base.withColumn("__rn", row_number().over(ord))
+    val (ranked, sortCache) = graft.corpus.ParseCorpus.rankByIndexWithCache(
+      base, Seq($"__s", $"__id"), "__rn")
+    val binned = ranked
       .withColumn("bin", ceil($"__rn" * nBins.toDouble / n).cast("int"))
     val bins = binned.groupBy($"bin")
       .agg(count(lit(1)).as("w"), sum($"__y").as("ysum"),
         round(avg($"__s"), 6).as("mean_score"))
       .localCheckpoint()
+    sortCache.unpersist()
     // cumulative sums over the bin grid -> A(j,k) for every j<=k
     val cum = bins.select($"bin", $"w", $"ysum")
       .withColumn("cw", sum($"w").over(

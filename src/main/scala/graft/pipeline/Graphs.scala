@@ -206,9 +206,11 @@ object Graphs {
       if (grown) {
         val merged = closure.union(next).distinct().localCheckpoint()
         closure.unpersist(blocking = false)
-        next.unpersist(blocking = false)
         closure = merged
       }
+      // the frontier is folded into `merged` (or empty) either way —
+      // release its checkpoint blocks in BOTH branches
+      next.unpersist(blocking = false)
       rounds += 1
     }
     if (grown)
@@ -220,11 +222,17 @@ object Graphs {
       .join(v.select($"node".as("desc"), $"v"), "desc")
       .groupBy($"node").agg(sum($"v").as("desc_sum"))
     val depths = closure.groupBy($"node").agg(count(lit(1)).as("depth"))
-    v.join(descendantSums, Seq("node"), "left")
+    // materialize the node-sized result, then release the n·depth
+    // closure blocks — the caller holds only the small rollup frame
+    val out = v.join(descendantSums, Seq("node"), "left")
       .join(depths, Seq("node"), "left")
       .select($"node", round($"v", 2).as("own_value"),
         round($"v" + coalesce($"desc_sum", lit(0.0)), 2).as("subtree_value"),
         coalesce($"depth", lit(0L)).as("depth"))
+      .localCheckpoint()
+    closure.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    out
   }
 
   /**

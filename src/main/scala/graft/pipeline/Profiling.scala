@@ -185,8 +185,15 @@ object Profiling {
    *   σ² = n₁n₂/12 · ((N+1) − Σ(tⱼ³−tⱼ)/(N(N−1)))
    *
    * Exact integer/rational arithmetic until the final z (4dp).
-   * Requires exactly two distinct group labels; one global rank sort
-   * (the test is a whole-dataset order statistic by definition).
+   * Requires exactly two distinct group labels.
+   *
+   * Scale path: ranks are derived ANALYTICALLY from the distinct-value
+   * grid, never by sorting the raw rows — groupBy(value, group) counts
+   * (one hash-agg shuffle sized by |grid|×2), an ordered cumulative sum
+   * over the grid (the only global window, bounded by the number of
+   * DISTINCT values), and the tie-block average rank
+   * (#strictly-below) + (t+1)/2 joined back by value. A raw-row global
+   * sort would serialize the whole sample through one task at 100×.
    */
   def mannWhitneyU(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -194,23 +201,25 @@ object Profiling {
     val v = col(valCol).cast("double")
     val base = df.select(col(groupCol).cast("string").as("g"), v.as("__v"))
       .filter($"__v".isNotNull)
-    // average rank of a tie block = (#smaller) + (block+1)/2, from two
-    // frames over one sort
-    val ord = org.apache.spark.sql.expressions.Window.orderBy($"__v")
-    val ranked = base
-      .withColumn("__rmin", rank().over(ord))
-      .withColumn("__tie", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"__v")))
-      .withColumn("__avgr", $"__rmin" + ($"__tie" - 1) / lit(2.0))
-    val stats = ranked.groupBy($"g")
-      .agg(count(lit(1)).as("n"), sum($"__avgr").as("r"))
+    val vg = base.groupBy($"__v", $"g").agg(count(lit(1)).as("__c"))
+    val gridOrd = org.apache.spark.sql.expressions.Window.orderBy($"__v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // average rank of a tie block = (#smaller) + (block+1)/2; ranks are
+    // exact half-integers and __c * __avgr is exact in double, so this
+    // is bit-identical to ranking the raw rows.
+    val grid = vg.groupBy($"__v").agg(sum($"__c").as("__t"))
+      .withColumn("__below", coalesce(sum($"__t").over(gridOrd), lit(0L)))
+      .withColumn("__avgr", $"__below" + ($"__t" + 1) / lit(2.0))
+    val stats = vg.join(grid.select($"__v", $"__avgr"), "__v")
+      .groupBy($"g")
+      .agg(sum($"__c").as("n"), sum($"__c" * $"__avgr").as("r"))
       .orderBy($"g").collect()
     require(stats.length == 2,
       s"mannWhitneyU needs exactly 2 groups, got ${stats.length}")
     val (g1, n1, r1) = (stats(0).getString(0), stats(0).getLong(1), stats(0).getDouble(2))
     val (g2, n2) = (stats(1).getString(0), stats(1).getLong(1))
     val nTot = n1 + n2
-    val ties = ranked.select($"__v").groupBy($"__v")
+    val ties = base.groupBy($"__v")
       .agg(count(lit(1)).as("t"))
       .agg(sum($"t" * $"t" * $"t" - $"t").as("tsum")).head().getLong(0)
     val u1 = r1 - n1 * (n1 + 1) / 2.0
@@ -474,7 +483,10 @@ object Profiling {
     val digit = substring(round(v * 100).cast("long").cast("string"), 1, 1)
       .cast("int")
     val total = org.apache.spark.sql.expressions.Window.partitionBy()
-    df.filter(v > 0)
+    // filter on the INTEGER cents, not the raw value: v in (0, 0.005)
+    // rounds to 0 cents, which would yield digit 0 and a divide-by-zero
+    // Benford expectation — sub-cent values carry no leading digit.
+    df.filter(round(v * 100).cast("long") >= 1)
       .groupBy(digit.as("digit"))
       .agg(count(lit(1)).as("n"))
       .withColumn("observed_p", round($"n" / sum($"n").over(total), 6))
@@ -489,16 +501,23 @@ object Profiling {
    * diffing: per-row md5-derived 60-bit hashes over the
    * pipe-concatenated column values, combined by EXACT decimal SUM (an
    * order-free combiner — Spark 4's ANSI long sum would overflow, and
-   * neither engine has a portable xor aggregate), plus the row count.
-   * Two tables share a fingerprint iff they agree row-for-row as
-   * multisets. One scan, one scalar aggregate.
+   * neither engine has a portable xor aggregate), then reduced mod the
+   * Mersenne prime 2^61-1 so the emitted fingerprint is a plain BIGINT
+   * (a raw DECIMAL(38,0) ~1e22 is canonicalized differently by
+   * downstream consumers; the mod keeps the combiner order-free and the
+   * collision bound ~2^-61), plus the row count. Two tables share a
+   * fingerprint iff they agree row-for-row as multisets (mod collision).
+   * One scan, one scalar aggregate.
    */
+  val FingerprintModulus = 2305843009213693951L // 2^61 - 1, Mersenne prime
+
   def tableFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
     val rowHash = graft.pipeline.Dedup.baseHash60(
       concat_ws("|", cols.map(c => col(c).cast("string")): _*))
     df.agg(count(lit(1)).as("n_rows"),
-      sum(rowHash.cast("decimal(38,0)")).as("hash_sum"))
+      (sum(rowHash.cast("decimal(38,0)")) %
+        lit(BigDecimal(FingerprintModulus))).cast("long").as("hash_sum"))
   }
 
   /**

@@ -71,12 +71,21 @@ object WordVectors {
       window: Int, k: Int, iterations: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val p = ppmi(cooccurrence(docs, idCol, textCol, window))
+    val ppmiDf = ppmi(cooccurrence(docs, idCol, textCol, window))
+      .localCheckpoint()
+    // guard BEFORE collecting the dense matrix: one cheap distinct-count
+    // aggregate decides whether the vocab is model-sized — an oversized
+    // vocab must fail with this error, not an OOM mid-collect.
+    val dGuard = ppmiDf.select(explode(array($"term_a", $"term_b")).as("t"))
+      .agg(countDistinct($"t")).head().getLong(0)
+    require(dGuard >= 2 && dGuard <= 10000,
+      s"vocab size $dGuard outside the model-sized range")
+    val p = ppmiDf
       .collect().map(r => (r.getString(1), r.getString(0), r.getDouble(2)))
+    ppmiDf.unpersist()
     // vocab = every term seen in any co-occurrence (alphabetical ids)
     val vocab = p.flatMap(t => Seq(t._1, t._2)).distinct.sorted
     val d = vocab.length
-    require(d >= 2 && d <= 10000, s"vocab size $d outside the model-sized range")
     require(k >= 1 && k <= d && iterations >= 1, "bad k/iterations")
     val idx = vocab.zipWithIndex.toMap
     val m = Array.ofDim[Double](d, d)

@@ -871,7 +871,8 @@ object StatsQueries {
       Some("""WITH d AS (
              |  SELECT CAST(substr(CAST(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100)
              |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
-             |  FROM lineitem WHERE CAST(l_extendedprice AS DOUBLE) > 0),
+             |  FROM lineitem
+             |  WHERE CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) >= 1),
              |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
              |p AS (SELECT digit, n,
              |        round(n / sum(n) OVER (), 6) AS observed_p,
@@ -896,13 +897,14 @@ object StatsQueries {
             "date_str", "price_str"))
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
-             |  sum(CAST(CAST(('0x' || substr(md5(
+             |  CAST(sum(CAST(CAST(('0x' || substr(md5(
              |    CAST(o_orderkey AS VARCHAR) || '|' ||
              |    CAST(o_custkey AS VARCHAR) || '|' ||
              |    o_orderstatus || '|' || o_orderpriority || '|' ||
              |    CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || '|' ||
              |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)), 1, 15))
-             |    AS BIGINT) AS DECIMAL(38,0))) AS hash_sum
+             |    AS BIGINT) AS DECIMAL(38,0))) % 2305843009213693951
+             |    AS BIGINT) AS hash_sum
              |FROM orders""".stripMargin)),
 
     // two-component 1-D Gaussian mixture via EM: percentile init, one

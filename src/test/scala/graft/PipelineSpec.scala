@@ -903,6 +903,20 @@ class PipelineSpec extends SparkSpec {
     assert(re == first)
   }
 
+  test("spectralEmbed: oversized vocab fails the guard BEFORE collecting the matrix") {
+    import graft.pipeline.WordVectors
+    // 10,100 distinct singleton tokens -> every co-occurring pair is rare
+    // (PPMI > 0), so the vocab blows the 10k model-size cap; the require
+    // must fire from the cheap distinct-count aggregate, never an OOM
+    val big = (0 until 10100).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, big)).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      WordVectors.spectralEmbed(docs, "doc_id", "text",
+        window = 2, k = 1, iterations = 1)
+    }
+    assert(e.getMessage.contains("model-sized"), e.getMessage)
+  }
+
   test("compressionRatio separates repetitive from high-entropy text deterministically") {
     import graft.pipeline.TextAnalysis
     val rng = new scala.util.Random(9)
