@@ -1895,16 +1895,14 @@ object PipelineQueries {
              |  GROUP BY word)
              |ORDER BY freq DESC, word ASC LIMIT 200""".stripMargin)),
 
-    // the learned merge table: deterministic for a given corpus (total
-    // order on pair selection) but not SQL-expressible → rows-only check;
-    // the merge loop itself is golden-pinned by TokenizerSpec against the
-    // Sennrich ACL-2016 worked example
-    // WordPiece: likelihood-scored merges (count(ab)/(count(a)·count(b)),
-    // BigInt cross-multiplied — not SQL-expressible) and BERT-style greedy
-    // longest-match encode through a save/load round-trip of the vocab
-    // artifact. Hand-fixture training goldens, longest-match/UNK/surrogate
-    // semantics, and BPE-vs-WordPiece segmentation divergence are
-    // TokenizerSpec-pinned; rows-only here.
+    // the learned merge/vocab tables and encodes are deterministic
+    // functions of the (already-oracled) word-frequency table, and since
+    // r7 they carry FULL hash oracles: TokenizerOracles replays the
+    // Sennrich merge loop (and WordPiece's cross-multiplied likelihood
+    // argmax, and both greedy encoders) as unrolled MATERIALIZED CTEs —
+    // see that object's doc for the wrapped-symbol replace() device.
+    // The merge loop is additionally golden-pinned by TokenizerSpec
+    // against the Sennrich ACL-2016 worked example.
     "q_wordpiece_vocab" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -1913,7 +1911,8 @@ object PipelineQueries {
         vocab.zipWithIndex.map { case (p, i) => (i, p) }
           .toDF("piece_id", "piece").orderBy($"piece_id")
       },
-      None),
+      Some(TokenizerOracles.wordpieceVocabSql(
+        numMerges = 200, minFreq = 2L, maxWords = 50000))),
 
     "q_wordpiece_encode" -> QueryDef(
       (s, dir) => {
@@ -1930,7 +1929,8 @@ object PipelineQueries {
           Tokenizer.loadWordpiece(s, path))
           .select($"doc_id", $"n_tokens").orderBy($"doc_id")
       },
-      None),
+      Some(TokenizerOracles.wordpieceEncodeSql(
+        numMerges = 200, encRounds = 12, minFreq = 2L, maxWords = 50000))),
 
     "q_bpe_merges" -> QueryDef(
       (s, dir) => {
@@ -1938,11 +1938,12 @@ object PipelineQueries {
           numMerges = 200, maxWords = 50000, minFreq = 2L)
         Tokenizer.mergesDf(s, model).orderBy("rank")
       },
-      None),
+      Some(TokenizerOracles.bpeMergesSql(
+        numMerges = 200, minFreq = 2L, maxWords = 50000))),
 
     // distributed encode with the learned merges: per-doc BPE token
     // counts. Compression property (bpe tokens <= codepoints+words) and
-    // reconstruction are TokenizerSpec-pinned; rows-only here.
+    // reconstruction are TokenizerSpec-pinned; hash-oracled since r7.
     "q_bpe_encode" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -1952,7 +1953,8 @@ object PipelineQueries {
         Tokenizer.bpeEncode(docs, "doc_id", "text", model)
           .select($"doc_id", $"n_tokens").orderBy($"doc_id")
       },
-      None),
+      Some(TokenizerOracles.bpeEncodeSql(
+        numMerges = 200, encRounds = 12, minFreq = 2L, maxWords = 50000))),
 
     // tokenizer-artifact lifecycle: train → save (merges+vocab parquet)
     // → load → encode to dense ids. ids_sum pins id assignment stability
@@ -1974,7 +1976,8 @@ object PipelineQueries {
             aggregate($"token_ids", lit(0L), (a, x) => a + x).as("ids_sum"))
           .orderBy($"doc_id")
       },
-      None),
+      Some(TokenizerOracles.bpePersistedSql(
+        numMerges = 200, encRounds = 12, minFreq = 2L, maxWords = 50000))),
 
     // the capstone composition: quality gate → exact dedup → splits →
     // BPE fitted on train ONLY → encode all → per-split packing. Not
@@ -2032,6 +2035,22 @@ object PipelineQueries {
       },
       None),
 
+    // Viterbi encode against a PLANTED fixed model (exact-binary
+    // quarter log-probs → engine-identical path scores): the unigram
+    // family's hash-oracled encode row, next to the spec-pinned trained
+    // rows. The oracle unrolls the DP one CTE layer per char position.
+    "q_unigram_planted_encode" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val model = graft.pipeline.Unigram.UnigramModel(
+          plantedUnigramPieces.toMap, maxPieceLen = 5)
+        graft.pipeline.Unigram.encode(t(s, dir, "documents"),
+            "doc_id", "text", model)
+          .select($"doc_id", $"n_tokens").orderBy($"doc_id")
+      },
+      Some(TokenizerOracles.unigramPlantedEncodeSql(
+        plantedUnigramPieces, maxPieceLen = 5, maxWordLen = 12))),
+
     // distributed Viterbi encode with the learned pieces
     "q_unigram_encode" -> QueryDef(
       (s, dir) => {
@@ -2043,6 +2062,30 @@ object PipelineQueries {
           .select($"doc_id", $"n_tokens").orderBy($"doc_id")
       },
       None))
+
+  /** The planted unigram model for q_unigram_planted_encode: every
+    * log-prob is an exact binary quarter (and the full a–z alphabet is
+    * included at a low score), so Viterbi path sums are EXACT doubles on
+    * both engines and the segmentation replays bit-for-bit. */
+  // lazy: referenced from the eagerly-built query map above this definition
+  private[queries] lazy val plantedUnigramPieces: Seq[(String, Double)] = Seq(
+    "data" -> -2.0, "ta" -> -2.5, "da" -> -2.5, "at" -> -2.75,
+    "spark" -> -2.0, "par" -> -2.25, "ar" -> -2.5, "qu" -> -2.5,
+    "er" -> -2.25, "ry" -> -2.5, "query" -> -2.25, "st" -> -2.5,
+    "ream" -> -2.75, "or" -> -2.5, "der" -> -2.75, "in" -> -2.5,
+    "dow" -> -2.75, "win" -> -2.5, "le" -> -2.5, "ab" -> -2.75,
+    "tab" -> -2.5, "the" -> -1.75, "he" -> -2.5, "row" -> -2.0,
+    "gg" -> -3.0, "sc" -> -2.75, "an" -> -2.25, "al" -> -2.5,
+    "sm" -> -2.75, "lo" -> -2.5, "so" -> -2.75, "rt" -> -2.75,
+    "ha" -> -2.5, "sh" -> -2.75, "jo" -> -2.75, "oin" -> -2.75,
+    "ke" -> -2.75, "ey" -> -2.75, "li" -> -2.75, "ne" -> -2.75,
+    "me" -> -2.75, "rge" -> -2.75, "va" -> -2.75, "lue" -> -2.75,
+    "vec" -> -2.75, "tor" -> -2.5, "cus" -> -2.75, "tom" -> -2.75,
+    "col" -> -2.5, "umn" -> -2.75, "fil" -> -2.75, "ter" -> -2.5,
+    "fa" -> -2.75, "gro" -> -2.75, "up" -> -2.5, "ba" -> -2.75,
+    "tch" -> -2.75, "bi" -> -2.75, "du" -> -2.75, "sl" -> -2.75,
+    "ow" -> -2.5, "big" -> -2.25, "val" -> -2.5) ++
+    ('a' to 'z').map(c => c.toString -> -6.0)
 
   private def duckList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")

@@ -362,9 +362,13 @@ object StreamingQueries {
     // streaming query (append mode, no state); per-doc counts equal the
     // batch q_bpe_encode rows (StreamingTokenizeSpec pins parity — the
     // merge table itself is not SQL-expressible, so rows-only here)
+    // streaming BPE apply emits exactly the batch q_bpe_encode rows
+    // (stateless mapPartitions, append mode), so it shares that query's
+    // full merge-replay oracle (TokenizerOracles)
     "q_stream_bpe_counts" -> QueryDef(
       (s, dir) => graft.streaming.DocsStream.bpeTokenCounts(s, dir),
-      None),
+      Some(TokenizerOracles.bpeEncodeSql(
+        numMerges = 200, encRounds = 12, minFreq = 2L, maxWords = 50000))),
 
     // batch/streaming unification: the stateless quality-score operator
     // (TextAnalysis.qualityScore, same Column transform q_text_quality

@@ -1,0 +1,341 @@
+package graft.queries
+
+/**
+ * DuckDB oracle SQL generators that REPLAY tokenizer training and
+ * encoding as pure relational algebra, so the registry's BPE/WordPiece
+ * rows get full hash oracles instead of rows-only checks.
+ *
+ * The device: a word's segmentation is ONE string of
+ * `chr(1)<sym>chr(2)`-wrapped symbols, so
+ *
+ *  - "merge all non-overlapping (a,b) left-to-right" is exactly SQL
+ *    `replace(seg, chr(1)a chr(2)chr(1)b chr(2), chr(1)ab chr(2))` —
+ *    `replace` scans left-to-right and never rescans replaced output,
+ *    which is precisely `Tokenizer.mergePair`'s semantics, and the
+ *    per-symbol wrapping means adjacent matches share no delimiter
+ *    characters (a bare space delimiter would miss back-to-back pairs);
+ *  - pair/symbol counts come from splitting the segmentation strings
+ *    back into lists (grid-sized — the fixture vocabulary is closed);
+ *  - each training round is a MATERIALIZED CTE trio (pairs → argmax →
+ *    rewritten segs); no-op rounds past the merge supply running dry
+ *    are safe (the LEFT JOIN against an empty argmax row keeps segs
+ *    unchanged), same unrolling contract as the PCA/LR/PAVA oracles.
+ *
+ * WordPiece's likelihood argmax n/(count(a)·count(b)) is replayed
+ * EXACTLY via a scaled integer key floor(n·2^96/(ca·cb)) in HUGEINT:
+ * two distinct rationals with denominators ≤ D differ by ≥ 1/D², so the
+ * keys differ as long as 2^96 ≫ D² (holds through corpus sizes of ~4M
+ * tokens, far past the test scales); equal rationals get equal keys and
+ * fall to the same (left, right) lexicographic tie-break the trainer
+ * uses. This mirrors `trainWordpieceFromCounts`'s BigInt
+ * cross-multiplication without needing pairwise comparison in SQL.
+ *
+ * Encoding replays are bounded unrolls too: BPE greedy lowest-rank
+ * merging removes ≥1 symbol per round (word length caps the rounds) and
+ * WordPiece greedy longest-match consumes ≥1 character per round; both
+ * use the word-length bound + slack, with no-op rounds safe.
+ */
+private[queries] object TokenizerOracles {
+
+  /** Capped word-frequency table — identical to `Tokenizer.trainBpe`'s
+    * collect stage (and the already-oracled q_bpe_word_freqs shape). */
+  private def wfCte(minFreq: Long, maxWords: Int): String =
+    s"""wf AS MATERIALIZED (
+       |  SELECT word, freq FROM (
+       |    SELECT word, count(*)::BIGINT AS freq FROM (
+       |      SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word FROM documents)
+       |    GROUP BY word)
+       |  WHERE freq >= $minFreq
+       |  ORDER BY freq DESC, word ASC LIMIT $maxWords)""".stripMargin
+
+  /** Split a wrapped segmentation string back into its symbol list. */
+  private val segList = "string_split(trim(seg, chr(1) || chr(2)), chr(2) || chr(1))"
+
+  // ======================= BPE =======================
+
+  /** The shared BPE training chain: wf, s0, then (b{r}, s{r+1}) per
+    * round — b{r} is round r's winning pair (count desc, left asc,
+    * right asc), s{r+1} the rewritten segmentations. */
+  private def bpeChain(numMerges: Int, minFreq: Long, maxWords: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += wfCte(minFreq, maxWords)
+    parts +=
+      s"""s0 AS MATERIALIZED (
+         |  SELECT list_reduce(list_transform(string_split_regex(word, ''),
+         |           c -> chr(1) || c || chr(2)), (x, y) -> x || y)
+         |         || chr(1) || '</w>' || chr(2) AS seg, freq FROM wf)""".stripMargin
+    for (r <- 0 until numMerges) {
+      parts +=
+        s"""b$r AS MATERIALIZED (
+           |  SELECT a, b FROM (
+           |    SELECT l[i] AS a, l[i+1] AS b, sum(freq) AS n FROM (
+           |      SELECT unnest(generate_series(1, len(l) - 1)) AS i, l, freq FROM (
+           |        SELECT $segList AS l, freq
+           |        FROM s$r) WHERE len(l) >= 2)
+           |    GROUP BY a, b)
+           |  ORDER BY n DESC, a ASC, b ASC LIMIT 1)""".stripMargin
+      parts +=
+        s"""s${r + 1} AS MATERIALIZED (
+           |  SELECT CASE WHEN b.a IS NULL THEN s.seg
+           |    ELSE replace(s.seg, chr(1) || b.a || chr(2) || chr(1) || b.b || chr(2),
+           |                 chr(1) || b.a || b.b || chr(2)) END AS seg, s.freq
+           |  FROM s$r s LEFT JOIN b$r b ON TRUE)""".stripMargin
+    }
+    "WITH " + parts.result().mkString(",\n")
+  }
+
+  /** Oracle for q_bpe_merges: (rank, left, right, merged) in rank order;
+    * rounds past the supply running dry contribute no row, matching the
+    * trainer's early stop. */
+  def bpeMergesSql(numMerges: Int, minFreq: Long, maxWords: Int): String = {
+    val union = (0 until numMerges).map(r =>
+      s"""SELECT $r AS rank, a AS "left", b AS "right", a || b AS merged FROM b$r""")
+      .mkString("\nUNION ALL ")
+    bpeChain(numMerges, minFreq, maxWords) +
+      "\nSELECT * FROM (" + union + ") ORDER BY rank"
+  }
+
+  /** BPE encode replay over the distinct encode-corpus words: greedy
+    * lowest-rank adjacent merge per round, all occurrences at once
+    * (rank ties across positions cannot occur — ranks are unique per
+    * pair). `encRounds` need only cover the longest word's symbol
+    * count; extra rounds are no-ops. */
+  private def bpeEncodeChain(numMerges: Int, encRounds: Int, minFreq: Long,
+      maxWords: Int): String = {
+    val parts = Seq.newBuilder[String]
+    val ranks = (0 until numMerges)
+      .map(r => s"SELECT $r AS rank, a, b FROM b$r").mkString("\nUNION ALL ")
+    parts += "ranks AS MATERIALIZED (" + ranks + ")"
+    parts +=
+      """ew AS MATERIALIZED (
+        |  SELECT DISTINCT word FROM (
+        |    SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+        |    FROM documents))""".stripMargin
+    parts +=
+      """e0 AS MATERIALIZED (
+        |  SELECT word, list_reduce(list_transform(string_split_regex(word, ''),
+        |           c -> chr(1) || c || chr(2)), (x, y) -> x || y)
+        |         || chr(1) || '</w>' || chr(2) AS seg FROM ew)""".stripMargin
+    for (k <- 0 until encRounds) {
+      parts +=
+        s"""e${k + 1} AS MATERIALIZED (
+           |  SELECT s.word, CASE WHEN m.a IS NULL THEN s.seg
+           |    ELSE replace(s.seg, chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2),
+           |                 chr(1) || m.a || m.b || chr(2)) END AS seg
+           |  FROM e$k s LEFT JOIN (
+           |    SELECT word, arg_min(a, rank) AS a, arg_min(b, rank) AS b FROM (
+           |      SELECT w.word, r.a, r.b, r.rank FROM (
+           |        SELECT word, l[i] AS a, l[i+1] AS b FROM (
+           |          SELECT word, unnest(generate_series(1, len(l) - 1)) AS i, l FROM (
+           |            SELECT word, $segList AS l
+           |            FROM e$k) WHERE len(l) >= 2)) w
+           |      JOIN ranks r ON r.a = w.a AND r.b = w.b)
+           |    GROUP BY word) m ON m.word = s.word)""".stripMargin
+    }
+    parts +=
+      s"""wtoks AS MATERIALIZED (
+         |  SELECT word, len($segList) AS n_toks
+         |  FROM e$encRounds)""".stripMargin
+    bpeChain(numMerges, minFreq, maxWords) + ",\n" + parts.result().mkString(",\n")
+  }
+
+  /** Per-doc token-count projection shared by the encode oracles:
+    * explode doc words, join the per-word token counts, LEFT JOIN so an
+    * all-empty doc still emits 0. */
+  private def docProjection(extraSelect: String, extraJoin: String): String =
+    s"""
+       |SELECT d.doc_id, CAST(coalesce(t.n, 0) AS INT) AS n_tokens$extraSelect
+       |FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+       |LEFT JOIN (
+       |  SELECT doc_id, sum(n_toks) AS n$extraJoin FROM (
+       |    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |      unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+       |    FROM documents) dw JOIN wtoks USING (word)${
+         if (extraJoin.nonEmpty) " JOIN wsum USING (word)" else ""}
+       |  GROUP BY doc_id) t USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Oracle for q_bpe_encode: (doc_id, n_tokens). */
+  def bpeEncodeSql(numMerges: Int, encRounds: Int, minFreq: Long,
+      maxWords: Int): String =
+    bpeEncodeChain(numMerges, encRounds, minFreq, maxWords) +
+      docProjection("", "")
+
+  /** Oracle for q_bpe_persisted: (doc_id, n_tokens, ids_sum) with the
+    * model's dense vocab ids (sorted final-symbols ∪ merge results,
+    * 0-based) — replays `Tokenizer.vocabIds` + `bpeEncodeIds`. */
+  def bpePersistedSql(numMerges: Int, encRounds: Int, minFreq: Long,
+      maxWords: Int): String = {
+    val mergedUnion = (0 until numMerges)
+      .map(r => s"SELECT a || b AS piece FROM b$r").mkString("\nUNION ALL ")
+    bpeEncodeChain(numMerges, encRounds, minFreq, maxWords) +
+      s""",
+         |bvocab AS MATERIALIZED (
+         |  SELECT piece, CAST(row_number() OVER (ORDER BY piece ASC) - 1 AS INT) AS id FROM (
+         |    SELECT DISTINCT piece FROM (
+         |      SELECT unnest($segList) AS piece
+         |      FROM s$numMerges
+         |      UNION ALL $mergedUnion))),
+         |wsum AS MATERIALIZED (
+         |  SELECT word, sum(v.id)::BIGINT AS ids_sum FROM (
+         |    SELECT word, unnest($segList) AS piece
+         |    FROM e$encRounds) wt JOIN bvocab v ON v.piece = wt.piece
+         |  GROUP BY word)""".stripMargin +
+      docProjection(",\n  CAST(coalesce(t.s, 0) AS BIGINT) AS ids_sum",
+        ", sum(ids_sum) AS s")
+  }
+
+  // ======================= WordPiece =======================
+
+  /** 2^96 — the likelihood-score scaling constant (see object doc). */
+  private val WpScale = "79228162514264337593543950336"
+
+  private def wpChain(numMerges: Int, minFreq: Long, maxWords: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += wfCte(minFreq, maxWords)
+    parts +=
+      """s0 AS MATERIALIZED (
+        |  SELECT list_reduce(list_transform(string_split_regex(word, ''),
+        |           (c, i) -> chr(1) || CASE WHEN i = 1 THEN c ELSE '##' || c END || chr(2)),
+        |           (x, y) -> x || y) AS seg, freq FROM wf)""".stripMargin
+    for (r <- 0 until numMerges) {
+      parts +=
+        s"""b$r AS MATERIALIZED (
+           |  SELECT a, b FROM (
+           |    SELECT p.a, p.b,
+           |           (CAST(p.n AS HUGEINT) * $WpScale)
+           |             // (CAST(ca.n AS HUGEINT) * cb.n) AS score
+           |    FROM (
+           |      SELECT l[i] AS a, l[i+1] AS b, sum(freq) AS n FROM (
+           |        SELECT unnest(generate_series(1, len(l) - 1)) AS i, l, freq FROM (
+           |          SELECT $segList AS l, freq
+           |          FROM s$r) WHERE len(l) >= 2)
+           |      GROUP BY a, b) p
+           |    JOIN (
+           |      SELECT sym, sum(freq) AS n FROM (
+           |        SELECT unnest($segList) AS sym, freq
+           |        FROM s$r) GROUP BY sym) ca ON ca.sym = p.a
+           |    JOIN (
+           |      SELECT sym, sum(freq) AS n FROM (
+           |        SELECT unnest($segList) AS sym, freq
+           |        FROM s$r) GROUP BY sym) cb ON cb.sym = p.b)
+           |  ORDER BY score DESC, a ASC, b ASC LIMIT 1)""".stripMargin
+      parts +=
+        s"""s${r + 1} AS MATERIALIZED (
+           |  SELECT CASE WHEN b.a IS NULL THEN s.seg
+           |    ELSE replace(s.seg, chr(1) || b.a || chr(2) || chr(1) || b.b || chr(2),
+           |                 chr(1) || b.a ||
+           |                 CASE WHEN b.b LIKE '##%' THEN substring(b.b, 3) ELSE b.b END
+           |                 || chr(2)) END AS seg, s.freq
+           |  FROM s$r s LEFT JOIN b$r b ON TRUE)""".stripMargin
+    }
+    val mergedUnion = (0 until numMerges).map(r =>
+      s"SELECT a || CASE WHEN b LIKE '##%' THEN substring(b, 3) ELSE b END AS piece FROM b$r")
+      .mkString("\nUNION ALL ")
+    "WITH " + parts.result().mkString(",\n") +
+      s""",
+         |vocab AS MATERIALIZED (
+         |  SELECT DISTINCT piece FROM (
+         |    SELECT unnest($segList) AS piece FROM s0
+         |    UNION ALL SELECT '[UNK]'
+         |    UNION ALL $mergedUnion))""".stripMargin
+  }
+
+  /** Oracle for q_wordpiece_vocab: (piece_id, piece) — alphabet ∪ merge
+    * results ∪ [UNK], sorted, dense 0-based ids. */
+  def wordpieceVocabSql(numMerges: Int, minFreq: Long, maxWords: Int): String =
+    wpChain(numMerges, minFreq, maxWords) +
+      """
+        |SELECT CAST(row_number() OVER (ORDER BY piece ASC) - 1 AS INT) AS piece_id, piece
+        |FROM vocab ORDER BY piece_id""".stripMargin
+
+  /** Oracle for q_wordpiece_encode: greedy longest-match-first per word
+    * as a bounded unroll over (word, pos, toks, failed) state; a word
+    * with an unmatchable remainder collapses to a single [UNK]. */
+  def wordpieceEncodeSql(numMerges: Int, encRounds: Int, minFreq: Long,
+      maxWords: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts +=
+      """ew AS MATERIALIZED (
+        |  SELECT DISTINCT word FROM (
+        |    SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+        |    FROM documents))""".stripMargin
+    parts += "w0 AS MATERIALIZED (\n  SELECT word, 1 AS pos, 0 AS toks, false AS failed FROM ew)"
+    for (k <- 0 until encRounds) {
+      parts +=
+        s"""w${k + 1} AS MATERIALIZED (
+           |  SELECT s.word,
+           |    CASE WHEN s.failed OR s.pos > len(s.word) OR m.l IS NULL THEN s.pos
+           |         ELSE s.pos + m.l END AS pos,
+           |    CASE WHEN s.failed OR s.pos > len(s.word) OR m.l IS NULL THEN s.toks
+           |         ELSE s.toks + 1 END AS toks,
+           |    CASE WHEN s.failed THEN true
+           |         WHEN s.pos <= len(s.word) AND m.l IS NULL THEN true
+           |         ELSE false END AS failed
+           |  FROM w$k s LEFT JOIN (
+           |    SELECT word, max(L) AS l FROM (
+           |      SELECT c.word, c.L FROM (
+           |        SELECT word, unnest(generate_series(1, len(word) - pos + 1)) AS L,
+           |          CASE WHEN pos = 1 THEN '' ELSE '##' END AS pre, pos
+           |        FROM w$k WHERE pos <= len(word) AND NOT failed) c
+           |      JOIN vocab v ON v.piece = c.pre || substring(c.word, c.pos, c.L))
+           |    GROUP BY word) m USING (word))""".stripMargin
+    }
+    parts +=
+      s"""wtoks AS MATERIALIZED (
+         |  SELECT word, CASE WHEN failed THEN 1 ELSE toks END AS n_toks FROM w$encRounds)""".stripMargin
+    wpChain(numMerges, minFreq, maxWords) + ",\n" + parts.result().mkString(",\n") +
+      docProjection("", "")
+  }
+
+  // ======================= Unigram (planted model) =======================
+
+  /**
+   * Oracle for q_unigram_planted_encode: Viterbi segmentation against a
+   * FIXED planted piece table whose log-probs are all exact binary
+   * quarters — every path score is a sum of ≤ `maxWordLen` exact
+   * doubles, so both engines compute IDENTICAL scores and the argmax
+   * (with the trainer's first-smallest-split tie-break, replayed here
+   * as `row_number() ORDER BY score DESC, j ASC`) picks identically.
+   * The DP unrolls one CTE layer per character position (word length
+   * bounds the layers). The TRAINED unigram model stays rows-only: its
+   * EM accumulates forward–backward mass in hash-map iteration order,
+   * which no engine-independent replay can reproduce (see CATALOG.md).
+   */
+  def unigramPlantedEncodeSql(pieces: Seq[(String, Double)],
+      maxPieceLen: Int, maxWordLen: Int): String = {
+    val vals = pieces.map { case (p, lp) => s"('$p', $lp)" }.mkString(", ")
+    val parts = Seq.newBuilder[String]
+    parts += s"uvocab AS MATERIALIZED (SELECT piece, CAST(lp AS DOUBLE) AS lp " +
+      s"FROM (VALUES $vals) AS t(piece, lp))"
+    parts +=
+      """ew AS MATERIALIZED (
+        |  SELECT DISTINCT word FROM (
+        |    SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+        |    FROM documents))""".stripMargin
+    parts += "L0 AS MATERIALIZED (SELECT word, 0 AS i, CAST(0.0 AS DOUBLE) AS best, 0 AS cnt FROM ew)"
+    for (i <- 1 to maxWordLen) {
+      val lo = math.max(0, i - maxPieceLen)
+      parts +=
+        s"""L$i AS MATERIALIZED (
+           |  SELECT * FROM L${i - 1}
+           |  UNION ALL
+           |  SELECT word, $i AS i, best, cnt FROM (
+           |    SELECT c.word, c.score AS best, c.cnt,
+           |           row_number() OVER (PARTITION BY c.word ORDER BY c.score DESC, c.j ASC) AS rn
+           |    FROM (
+           |      SELECT w.word, t.j, p.best + v.lp AS score, p.cnt + 1 AS cnt
+           |      FROM ew w
+           |      CROSS JOIN (SELECT unnest(generate_series($lo, ${i - 1})) AS j) t
+           |      JOIN L${i - 1} p ON p.word = w.word AND p.i = t.j
+           |      JOIN uvocab v ON v.piece = substring(w.word, t.j + 1, $i - t.j)
+           |      WHERE len(w.word) >= $i) c)
+           |  WHERE rn = 1)""".stripMargin
+    }
+    parts +=
+      s"""wtoks AS MATERIALIZED (
+         |  SELECT w.word, l.cnt AS n_toks FROM ew w
+         |  JOIN L$maxWordLen l ON l.word = w.word AND l.i = len(w.word))""".stripMargin
+    "WITH " + parts.result().mkString(",\n") + docProjection("", "")
+  }
+}
