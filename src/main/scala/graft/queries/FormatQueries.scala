@@ -127,7 +127,8 @@ object FormatQueries {
       },
       Some("""SELECT o_orderstatus, count(*) AS n,
              |  round(sum(o_totalprice), 2) AS total
-             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      bench = true), // timed: snapshot commits + delta-only incremental refresh
 
     // compaction losslessness: commit orders fragmented across 32 small
     // files, OPTIMIZE into ~1, read the compacted version back and

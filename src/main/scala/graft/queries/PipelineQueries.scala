@@ -200,7 +200,8 @@ object PipelineQueries {
         graft.pipeline.Graphs.pageRank(edges, "src", "dst", damping = 0.85, iterations = 3)
           .orderBy($"rank".desc, $"node").limit(20)
       },
-      Some(pageRankOracleSql(iters = 3, d = 0.85))),
+      Some(pageRankOracleSql(iters = 3, d = 0.85)),
+      bench = true), // timed: the edge⋈rank iterate shape at scale
 
     // triangle counting over the customer co-order-date graph (customers
     // linked when they ordered the same day): degree-ordered edge
@@ -437,7 +438,8 @@ object PipelineQueries {
              |       CAST(max(pos) + 4 - min(pos) + 1 AS INT) AS span_tokens,
              |       count(*) AS n_windows
              |FROM grp GROUP BY doc_id, g
-             |ORDER BY doc_id, span_start""".stripMargin)),
+             |ORDER BY doc_id, span_start""".stripMargin),
+      bench = true), // timed: gram-hash shuffle + gaps-and-islands merge
 
     // planted near-duplicates make this check non-vacuous: vec_id < 20 get a
     // ×2-scaled copy at id+100000 (scaling preserves every hyperplane sign →
@@ -1166,7 +1168,8 @@ object PipelineQueries {
           codebookSize = 8, ivfIterations = 3, pqIterations = 2)
           .orderBy($"query_id", $"rnk")
       },
-      Some(annIvfPqOracleSql)),
+      Some(annIvfPqOracleSql),
+      bench = true), // timed: IVF-prune × PQ-code scoring, the serving shape
 
     // full SQL replay: the seeded hyperplanes are embedded as literals, so
     // DuckDB reproduces the bucketing, candidate set, and exact rerank
@@ -1990,7 +1993,8 @@ object PipelineQueries {
             tokenBudget = 512L, numMerges = 100)
           .packs.orderBy($"split", $"grp", $"pack")
       },
-      None),
+      None,
+      bench = true), // timed: the full gate→dedup→split→BPE→pack composition
 
     // ---- Unigram-LM tokenizer (Unigram.scala) ----
 
