@@ -36,14 +36,17 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** Format-sniffing decode: real BMP/WAV feature extraction, stub for
-    * opaque payloads. One decoder-dispatch per row, no per-row library
-    * init (that belongs once-per-partition in the mapPartitions callers). */
+  /** Format-sniffing decode: real BMP/PNG/JPEG/WAV/Y4M feature
+    * extraction, stub for opaque payloads. One decoder-dispatch per row,
+    * no per-row library init (that belongs once-per-partition in the
+    * mapPartitions callers). */
   def decode(payload: Array[Byte]): Array[Float] =
     if (MediaCodecs.isBmp(payload))
       MediaCodecs.decodeBmp(payload).map(MediaCodecs.bmpFeatures).getOrElse(decodeStub(payload))
     else if (MediaCodecs.isPng(payload))
       MediaCodecs.decodePng(payload).map(MediaCodecs.bmpFeatures).getOrElse(decodeStub(payload))
+    else if (JpegCodec.isJpeg(payload))
+      JpegCodec.decodeJpeg(payload).map(MediaCodecs.bmpFeatures).getOrElse(decodeStub(payload))
     else if (MediaCodecs.isWav(payload))
       MediaCodecs.decodeWav(payload).map(MediaCodecs.wavFeatures).getOrElse(decodeStub(payload))
     else if (MediaCodecs.isY4m(payload))
@@ -51,7 +54,8 @@ object Multimodal {
     else decodeStub(payload)
 
   /** STUB: stands in for decode + feature extraction of formats that
-    * need codecs this container doesn't ship. */
+    * need codecs this container doesn't ship (MP4/H.264 — JPEG decode
+    * went native in r7, see [[JpegCodec]]). */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
     var h = 1125899906842597L
@@ -139,6 +143,10 @@ object Multimodal {
           .map(img => MediaCodecs.encodeBmp(MediaCodecs.resizeBmp(img, newWidth, newHeight)))
           .orElse(MediaCodecs.decodePng(m.payload)
             .map(img => MediaCodecs.encodePng(MediaCodecs.resizeBmp(img, newWidth, newHeight))))
+          .orElse(if (JpegCodec.isJpeg(m.payload))
+            JpegCodec.decodeJpeg(m.payload)
+              .map(img => JpegCodec.encodeJpeg(MediaCodecs.resizeBmp(img, newWidth, newHeight)))
+          else None)
           .orElse(
             if (newWidth % 2 == 0 && newHeight % 2 == 0)
               MediaCodecs.decodeY4m(m.payload).map(v => MediaCodecs.encodeY4m(
@@ -240,13 +248,16 @@ object Multimodal {
     media.map { m =>
       val (a, b) = MediaCodecs.decodeBmp(m.payload)
         .orElse(MediaCodecs.decodePng(m.payload))
+        .orElse(if (JpegCodec.isJpeg(m.payload)) JpegCodec.decodeJpeg(m.payload) else None)
         .map(img => (img.width, img.height))
         .orElse(MediaCodecs.decodeWav(m.payload)
           .map(w => (w.sampleRateHz, w.samples.length)))
         .orElse(MediaCodecs.decodeY4m(m.payload)
           .map(v => (v.width, v.frames.length)))
         .getOrElse((-1, -1))
-      val nBytes = if (MediaCodecs.isPng(m.payload)) -1 else m.payload.length
+      // PNG/JPEG stream lengths are encoder-dependent, not format contract
+      val nBytes = if (MediaCodecs.isPng(m.payload) || JpegCodec.isJpeg(m.payload)) -1
+        else m.payload.length
       (m.mediaId, m.kind, nBytes, a, b)
     }.toDF("media_id", "kind", "n_bytes", "decoded_a", "decoded_b")
   }

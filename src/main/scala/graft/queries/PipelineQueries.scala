@@ -1856,6 +1856,56 @@ object PipelineQueries {
              |       WHEN 2 THEN h ELSE nf END AS INT) AS decoded_b
              |FROM calc ORDER BY media_id""".stripMargin)),
 
+    // native baseline-JPEG codec (JpegCodec, r7) end-to-end: deterministic
+    // gradient images (closed-form dims in doc_id/len) → encodeJpeg →
+    // decodeJpeg. Dims are exact; lossy pixel fidelity is asserted as a
+    // boolean (mean abs error < 8 at q85 on smooth content — a decode or
+    // entropy bug flips it to false and the hash mismatches). Pixel math
+    // is spec-pinned in JpegCodecSpec incl. an ImageIO cross-witness.
+    "q_jpeg_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val len = text.codePointCount(0, text.length)
+            val w = 8 + (len % 9).toInt
+            val h = 8 + ((len + id) % 7).toInt
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val o = (y * w + x) * 3
+                rgb(o) = ((x * 255) / math.max(1, w - 1)).toByte
+                rgb(o + 1) = ((y * 255) / math.max(1, h - 1)).toByte
+                rgb(o + 2) = math.min(255,
+                  (x + y) * 255 / math.max(1, w + h - 2) + (id % 37)).toInt.toByte
+                x += 1
+              }
+              y += 1
+            }
+            val img = graft.pipeline.MediaCodecs.Bmp(w, h, rgb)
+            val bytes = graft.pipeline.JpegCodec.encodeJpeg(img, quality = 85)
+            val back = graft.pipeline.JpegCodec.decodeJpeg(bytes)
+            val mad = back.map { b =>
+              img.rgb.iterator.zip(b.rgb.iterator)
+                .map { case (p, q) => math.abs((p & 0xff) - (q & 0xff)) }
+                .sum.toDouble / img.rgb.length
+            }.getOrElse(Double.MaxValue)
+            (id, back.map(_.width).getOrElse(-1),
+              back.map(_.height).getOrElse(-1), mad < 8.0)
+          }
+          .toDF("doc_id", "width", "height", "lossy_ok")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(8 + (len(text) % 9) AS INT) AS width,
+             |  CAST(8 + ((len(text) + doc_id) % 7) AS INT) AS height,
+             |  true AS lossy_ok
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
     // the frame-slice arithmetic (step = max(1, len/n); start = min(i·step,
     // max(0, len−1)); bytes = min(start+step, len) − start) is integer math
     // DuckDB can mirror exactly
