@@ -339,10 +339,7 @@ object Classify {
       col(scoreCol).cast("double").as("__s"),
       col(labelCol).cast("long").as("__y"))
     val n = base.count()
-    val (ranked, sortCache) = graft.corpus.ParseCorpus.rankByIndexWithCache(
-      base, Seq($"__s", $"__id"), "__rn")
-    val binned = ranked
-      .withColumn("bin", ceil($"__rn" * nBins.toDouble / n).cast("int"))
+    val (binned, sortCache) = isotonicBinned(base, nBins, n)
     val bins = binned.groupBy($"bin")
       .agg(count(lit(1)).as("w"), sum($"__y").as("ysum"),
         round(avg($"__s"), 6).as("mean_score"))
@@ -369,6 +366,19 @@ object Classify {
       .select($"bin", $"w".as("n"), $"mean_score",
         round($"ysum".cast("double") / $"w" + lit(1e-9), 6).as("mean_label"),
         round($"f" + lit(1e-9), 6).as("calibrated"))
+  }
+
+  /** Equal-count bin assignment via the distributed range-sort +
+    * partition-offset rank (NO global row_number window) — exposed so
+    * PlanShapeSpec can pin the plan stays window-free. Returns the
+    * binned frame plus the internal sort cache to unpersist. */
+  private[graft] def isotonicBinned(base: DataFrame, nBins: Int,
+      n: Long): (DataFrame, DataFrame) = {
+    import base.sparkSession.implicits._
+    val (ranked, sortCache) = graft.corpus.ParseCorpus.rankByIndexWithCache(
+      base, Seq($"__s", $"__id"), "__rn")
+    (ranked.withColumn("bin", ceil($"__rn" * nBins.toDouble / n).cast("int")),
+      sortCache)
   }
 
   /**

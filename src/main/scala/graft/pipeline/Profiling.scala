@@ -195,12 +195,12 @@ object Profiling {
    * (#strictly-below) + (t+1)/2 joined back by value. A raw-row global
    * sort would serialize the whole sample through one task at 100×.
    */
-  def mannWhitneyU(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
-    val spark = df.sparkSession
+  /** The rank-sum sufficient statistic (g, n, r) computed over the
+    * distinct-value grid — exposed so PlanShapeSpec can pin that the
+    * ordered window runs over the aggregated grid, never the raw rows. */
+  private[graft] def mwRankStats(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
     import spark.implicits._
-    val v = col(valCol).cast("double")
-    val base = df.select(col(groupCol).cast("string").as("g"), v.as("__v"))
-      .filter($"__v".isNotNull)
     val vg = base.groupBy($"__v", $"g").agg(count(lit(1)).as("__c"))
     val gridOrd = org.apache.spark.sql.expressions.Window.orderBy($"__v")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -210,10 +210,18 @@ object Profiling {
     val grid = vg.groupBy($"__v").agg(sum($"__c").as("__t"))
       .withColumn("__below", coalesce(sum($"__t").over(gridOrd), lit(0L)))
       .withColumn("__avgr", $"__below" + ($"__t" + 1) / lit(2.0))
-    val stats = vg.join(grid.select($"__v", $"__avgr"), "__v")
+    vg.join(grid.select($"__v", $"__avgr"), "__v")
       .groupBy($"g")
       .agg(sum($"__c").as("n"), sum($"__c" * $"__avgr").as("r"))
-      .orderBy($"g").collect()
+  }
+
+  def mannWhitneyU(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valCol).cast("double")
+    val base = df.select(col(groupCol).cast("string").as("g"), v.as("__v"))
+      .filter($"__v".isNotNull)
+    val stats = mwRankStats(base).orderBy($"g").collect()
     require(stats.length == 2,
       s"mannWhitneyU needs exactly 2 groups, got ${stats.length}")
     val (g1, n1, r1) = (stats(0).getString(0), stats(0).getLong(1), stats(0).getDouble(2))

@@ -348,4 +348,34 @@ class PlanShapeSpec extends SparkSpec {
     // the block key is the join key; the JW kernel runs post-join
     assert(plan.contains("jaro_winkler") || plan.contains("jaroWinkler"), plan)
   }
+
+  test("mannWhitneyU ranks over the aggregated grid, never the raw rows") {
+    import spark.implicits._
+    val base = Registry.t(spark, dir, "events")
+      .select(($"user_id" % 2).cast("string").as("g"),
+        $"value".cast("double").as("__v"))
+      .filter($"__v".isNotNull)
+    val plan = graft.pipeline.Profiling.mwRankStats(base)
+      .queryExecution.executedPlan.toString
+    // exactly one ordered Window, and a HashAggregate sits BENEATH it in
+    // the tree (children print after parents): the raw relation is
+    // grid-aggregated BEFORE anything is globally ordered
+    val winAt = plan.indexOf("Window")
+    assert(winAt >= 0, plan)
+    assert(plan.indexOf("Window", winAt + 1) < 0, s"more than one Window:\n$plan")
+    val aggBelow = plan.indexOf("HashAggregate", winAt)
+    assert(aggBelow > winAt, s"no aggregate beneath the Window:\n$plan")
+  }
+
+  test("isotonicCalibrate bins without any window: distributed range sort") {
+    import spark.implicits._
+    val base = Registry.t(spark, dir, "events")
+      .select($"event_id".as("__id"), ($"value" % 1.0).as("__s"),
+        ($"event_id" % 2).cast("long").as("__y"))
+    val (binned, cache) = graft.pipeline.Classify.isotonicBinned(base, 10, 100L)
+    val plan = binned.queryExecution.executedPlan.toString
+    cache.unpersist()
+    assert(!plan.contains("Window"), s"global window crept back in:\n$plan")
+    assert(plan.contains("rangepartitioning"), s"no distributed sort:\n$plan")
+  }
 }
