@@ -2033,9 +2033,11 @@ object PipelineQueries {
         numMerges = 200, encRounds = 12, minFreq = 2L, maxWords = 50000))),
 
     // the capstone composition: quality gate → exact dedup → splits →
-    // BPE fitted on train ONLY → encode all → per-split packing. Not
-    // SQL-expressible (tokenizer mid-pipeline) → rows-only;
-    // TrainingDatasetSpec pins conservation/budget/leak-freedom
+    // BPE fitted on train ONLY → encode all → per-split packing.
+    // Hash-oracled since r7: TokenizerOracles.trainingDatasetSql replays
+    // every stage (the BPE merge loop fitted on the REPLAYED train split,
+    // packing as the recursive-CTE greedy scan);
+    // TrainingDatasetSpec additionally pins conservation/budget/leak-freedom
     "q_training_dataset" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -2043,7 +2045,8 @@ object PipelineQueries {
             tokenBudget = 512L, numMerges = 100)
           .packs.orderBy($"split", $"grp", $"pack")
       },
-      None,
+      Some(TokenizerOracles.trainingDatasetSql(
+        numMerges = 100, encRounds = 12, tokenBudget = 512L, numGroups = 4)),
       bench = true), // timed: the full gate→dedup→split→BPE→pack composition
 
     // ---- Unigram-LM tokenizer (Unigram.scala) ----

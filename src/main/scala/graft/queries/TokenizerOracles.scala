@@ -38,12 +38,16 @@ package graft.queries
 private[queries] object TokenizerOracles {
 
   /** Capped word-frequency table — identical to `Tokenizer.trainBpe`'s
-    * collect stage (and the already-oracled q_bpe_word_freqs shape). */
-  private def wfCte(minFreq: Long, maxWords: Int): String =
+    * collect stage (and the already-oracled q_bpe_word_freqs shape).
+    * `docsFrom` is any relation providing (doc_id, text) — "documents"
+    * for the standalone tokenizer rows, the train-split CTE for the
+    * training-dataset capstone. */
+  private def wfCte(minFreq: Long, maxWords: Int,
+      docsFrom: String = "documents"): String =
     s"""wf AS MATERIALIZED (
        |  SELECT word, freq FROM (
        |    SELECT word, count(*)::BIGINT AS freq FROM (
-       |      SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word FROM documents)
+       |      SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word FROM $docsFrom)
        |    GROUP BY word)
        |  WHERE freq >= $minFreq
        |  ORDER BY freq DESC, word ASC LIMIT $maxWords)""".stripMargin
@@ -56,9 +60,10 @@ private[queries] object TokenizerOracles {
   /** The shared BPE training chain: wf, s0, then (b{r}, s{r+1}) per
     * round — b{r} is round r's winning pair (count desc, left asc,
     * right asc), s{r+1} the rewritten segmentations. */
-  private def bpeChain(numMerges: Int, minFreq: Long, maxWords: Int): String = {
+  private def bpeChain(numMerges: Int, minFreq: Long, maxWords: Int,
+      docsFrom: String = "documents"): String = {
     val parts = Seq.newBuilder[String]
-    parts += wfCte(minFreq, maxWords)
+    parts += wfCte(minFreq, maxWords, docsFrom)
     parts +=
       s"""s0 AS MATERIALIZED (
          |  SELECT list_reduce(list_transform(string_split_regex(word, ''),
@@ -101,16 +106,17 @@ private[queries] object TokenizerOracles {
     * pair). `encRounds` need only cover the longest word's symbol
     * count; extra rounds are no-ops. */
   private def bpeEncodeChain(numMerges: Int, encRounds: Int, minFreq: Long,
-      maxWords: Int): String = {
+      maxWords: Int, trainFrom: String = "documents",
+      encodeFrom: String = "documents"): String = {
     val parts = Seq.newBuilder[String]
     val ranks = (0 until numMerges)
       .map(r => s"SELECT $r AS rank, a, b FROM b$r").mkString("\nUNION ALL ")
     parts += "ranks AS MATERIALIZED (" + ranks + ")"
     parts +=
-      """ew AS MATERIALIZED (
-        |  SELECT DISTINCT word FROM (
-        |    SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
-        |    FROM documents))""".stripMargin
+      s"""ew AS MATERIALIZED (
+         |  SELECT DISTINCT word FROM (
+         |    SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+         |    FROM $encodeFrom))""".stripMargin
     parts +=
       """e0 AS MATERIALIZED (
         |  SELECT word, list_reduce(list_transform(string_split_regex(word, ''),
@@ -136,7 +142,8 @@ private[queries] object TokenizerOracles {
       s"""wtoks AS MATERIALIZED (
          |  SELECT word, len($segList) AS n_toks
          |  FROM e$encRounds)""".stripMargin
-    bpeChain(numMerges, minFreq, maxWords) + ",\n" + parts.result().mkString(",\n")
+    bpeChain(numMerges, minFreq, maxWords, trainFrom) + ",\n" +
+      parts.result().mkString(",\n")
   }
 
   /** Per-doc token-count projection shared by the encode oracles:
@@ -286,6 +293,104 @@ private[queries] object TokenizerOracles {
          |  SELECT word, CASE WHEN failed THEN 1 ELSE toks END AS n_toks FROM w$encRounds)""".stripMargin
     wpChain(numMerges, minFreq, maxWords) + ",\n" + parts.result().mkString(",\n") +
       docProjection("", "")
+  }
+
+  // ======================= training-dataset capstone =======================
+
+  /**
+   * Oracle for q_training_dataset — the full capstone composition in one
+   * replay, each stage the SQL form its own operator-query already
+   * proves: default-rules quality gate → exact dedup (keep-smallest-id
+   * per whitespace-normalized md5 fingerprint) → md5-band train/val/test
+   * split → the BPE merge-loop replay FITTED ON THE TRAIN SPLIT ONLY →
+   * encode replay over every kept doc → greedy sequence packing per
+   * (split, group) via the recursive-CTE scan (the q_pack_sequences
+   * device), aggregated to (split, grp, pack, n_docs, pack_tokens).
+   */
+  def trainingDatasetSql(numMerges: Int, encRounds: Int, tokenBudget: Long,
+      numGroups: Int): String = {
+    // default QualityRules thresholds (Curation.QualityRules())
+    val prelude =
+      s"""docs0 AS MATERIALIZED (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+         |qtoks AS (
+         |  SELECT doc_id, text,
+         |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+         |  FROM docs0),
+         |qbg AS (
+         |  SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS g
+         |  FROM (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i FROM qtoks)
+         |  QUALIFY g IS NOT NULL),
+         |qbgtop AS (
+         |  SELECT doc_id, max(c) AS top, sum(c) AS nbg FROM (
+         |    SELECT doc_id, g, count(*) AS c FROM qbg GROUP BY 1, 2) GROUP BY doc_id),
+         |qf AS (
+         |  SELECT t.doc_id,
+         |    len(tk) AS n_words,
+         |    round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / greatest(len(tk), 1), 4) AS mean_len,
+         |    round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+         |      / greatest(length(text), 1), 4) AS sym_ratio,
+         |    round(CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+         |      / greatest(len(tk), 1), 4) AS alpha_ratio,
+         |    len(list_intersect(list_distinct(tk),
+         |      ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by'])) AS stop_hits,
+         |    round(1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / greatest(len(tk), 1), 4) AS dup_uni,
+         |    round(CAST(coalesce(qbgtop.top, 0) AS DOUBLE) / greatest(coalesce(qbgtop.nbg, 1), 1), 4) AS top_bg
+         |  FROM qtoks t LEFT JOIN qbgtop ON t.doc_id = qbgtop.doc_id),
+         |kept AS MATERIALIZED (
+         |  SELECT d.doc_id, d.text FROM docs0 d JOIN qf USING (doc_id)
+         |  WHERE (n_words BETWEEN 50 AND 100000) AND (mean_len BETWEEN 3.0 AND 10.0)
+         |    AND sym_ratio <= 0.1 AND alpha_ratio >= 0.8 AND stop_hits >= 2
+         |    AND dup_uni <= 0.6 AND top_bg <= 0.18),
+         |kfp AS (
+         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+         |  FROM kept),
+         |kmin AS (SELECT f, min(doc_id) AS k FROM kfp GROUP BY f),
+         |splitdocs AS MATERIALIZED (
+         |  SELECT doc_id, text,
+         |    CASE WHEN u < 0.98 THEN 'train' WHEN u < 0.99 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT kept.doc_id, kept.text,
+         |      ('0x' || substr(md5('graft' || CAST(kept.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |        / 4294967296.0 AS u
+         |    FROM kept JOIN kfp USING (doc_id) JOIN kmin
+         |      ON kfp.f = kmin.f AND kept.doc_id = kmin.k)),
+         |traindocs AS MATERIALIZED (
+         |  SELECT doc_id, text FROM splitdocs WHERE split = 'train')""".stripMargin
+    val tokenizer = bpeEncodeChain(numMerges, encRounds, minFreq = 1L,
+      maxWords = 1000000, trainFrom = "traindocs", encodeFrom = "splitdocs")
+      .stripPrefix("WITH ")
+    val packing =
+      s"""enc AS MATERIALIZED (
+         |  SELECT s.doc_id, s.split,
+         |    ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT % $numGroups AS grp,
+         |    coalesce(t.n, 0) AS tokens
+         |  FROM splitdocs s
+         |  LEFT JOIN (
+         |    SELECT doc_id, sum(n_toks) AS n FROM (
+         |      SELECT doc_id,
+         |        unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+         |      FROM splitdocs) dw JOIN wtoks USING (word)
+         |    GROUP BY doc_id) t ON t.doc_id = s.doc_id),
+         |rseq AS (
+         |  SELECT enc.*, row_number() OVER (PARTITION BY split, grp ORDER BY doc_id) AS rn
+         |  FROM enc),
+         |pk AS (
+         |  SELECT split, grp, rn, doc_id, tokens, tokens AS acc, 0::BIGINT AS pack
+         |  FROM rseq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.split, r.grp, r.rn, r.doc_id, r.tokens,
+         |    CASE WHEN s.acc + r.tokens > $tokenBudget THEN r.tokens
+         |         ELSE s.acc + r.tokens END,
+         |    CASE WHEN s.acc + r.tokens > $tokenBudget THEN s.pack + 1 ELSE s.pack END
+         |  FROM pk s JOIN rseq r
+         |    ON r.split = s.split AND r.grp = s.grp AND r.rn = s.rn + 1)
+         |SELECT split, grp, pack, count(*) AS n_docs,
+         |  sum(tokens)::BIGINT AS pack_tokens
+         |FROM pk GROUP BY split, grp, pack
+         |ORDER BY split, grp, pack""".stripMargin
+    "WITH RECURSIVE " + prelude + ",\n" + tokenizer + ",\n" + packing
   }
 
   // ======================= Unigram (planted model) =======================
