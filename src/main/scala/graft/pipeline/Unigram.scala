@@ -33,8 +33,21 @@ import org.apache.spark.sql.functions._
  * All ordering is total (count desc, piece asc), so training is
  * deterministic for a given word-frequency table regardless of
  * partitioning — the property the golden specs pin.
+ *
+ * Every EM state handoff is ROUNDING-ANCHORED (the same device the
+ * GMM/PCA/LR trainers use): forward/backward lattice values to 10dp,
+ * posterior exponents to 10dp, expected counts to 4dp before the
+ * M-step, log-probs to 8dp after it (and at init). The anchors absorb
+ * the ≤1-ulp libm and summation-order differences between engines, so
+ * the whole trajectory replays as unrolled SQL (`TokenizerOracles`)
+ * instead of being a rows-only model output.
  */
 object Unigram {
+
+  // HALF_UP on the exact binary expansion — the repo's anchor convention
+  // (mirrors DuckDB round(); Profiling.r6 precedent)
+  private def rnd(x: Double, dp: Int): Double =
+    BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Learned model: piece → natural-log probability. */
   case class UnigramModel(logProbs: Map[String, Double], maxPieceLen: Int) {
@@ -101,7 +114,7 @@ object Unigram {
     var logP: mutable.HashMap[String, Double] = {
       val m = mutable.HashMap.empty[String, Double]
       val tot = vocab.iterator.map(p => subCounts.getOrElse(p, 1.0)).sum
-      vocab.foreach(p => m(p) = math.log(subCounts.getOrElse(p, 1.0) / tot))
+      vocab.foreach(p => m(p) = rnd(math.log(subCounts.getOrElse(p, 1.0) / tot), 8))
       m
     }
 
@@ -116,15 +129,16 @@ object Unigram {
           k += 1
         }
         // M-step over pieces with nonzero posterior mass; pieces never
-        // reached keep a floor so they stay prunable-last, not NaN
-        val tot = math.log(expected.values.sum)
+        // reached keep a floor so they stay prunable-last, not NaN.
+        // Expected counts anchor at 4dp and the total sums in SORTED
+        // piece order — the engine-replayability contract (object doc).
+        val c4 = vocab.iterator
+          .map(p => p -> rnd(expected.getOrElse(p, 0.0), 4)).toSeq
+        val tot = math.log(c4.iterator.map(_._2).sum)
         val floor = -1e9
         val next = mutable.HashMap.empty[String, Double]
-        vocab.foreach { p =>
-          next(p) = expected.get(p) match {
-            case Some(c) if c > 0.0 => math.log(c) - tot
-            case _ => floor
-          }
+        c4.foreach { case (p, c) =>
+          next(p) = if (c > 0.0) rnd(math.log(c) - tot, 8) else floor
         }
         logP = next
         it += 1
@@ -154,7 +168,7 @@ object Unigram {
         logsumexp(logs)
       }
       val renorm = mutable.HashMap.empty[String, Double]
-      vocab.foreach(p => renorm(p) = logP(p) - mass)
+      vocab.foreach(p => renorm(p) = rnd(logP(p) - mass, 8))
       logP = renorm
       emRound()
     }
@@ -180,7 +194,7 @@ object Unigram {
           buf += la(j) + lp.get
         j += 1
       }
-      if (buf.nonEmpty) la(i) = logsumexp(buf.toArray)
+      if (buf.nonEmpty) la(i) = rnd(logsumexp(buf.toArray), 10)
       i += 1
     }
     val z = la(n)
@@ -195,7 +209,7 @@ object Unigram {
           buf += lp.get + lb(j)
         j += 1
       }
-      if (buf.nonEmpty) lb(i) = logsumexp(buf.toArray)
+      if (buf.nonEmpty) lb(i) = rnd(logsumexp(buf.toArray), 10)
       i -= 1
     }
     i = 0
@@ -205,7 +219,7 @@ object Unigram {
         val piece = w.substring(i, j)
         val lp = logP.get(piece)
         if (lp.isDefined) {
-          val post = la(i) + lp.get + lb(j) - z
+          val post = rnd(la(i) + lp.get + lb(j) - z, 10)
           if (post > -30.0) { // exp(-30) ~ 1e-13: below is numerically irrelevant
             val m = freq * math.exp(post)
             expected(piece) = expected.getOrElse(piece, 0.0) + m

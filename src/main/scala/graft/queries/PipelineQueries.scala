@@ -2080,9 +2080,10 @@ object PipelineQueries {
              |SELECT piece, sum(freq)::BIGINT AS weight FROM subs
              |GROUP BY piece ORDER BY weight DESC, piece ASC LIMIT 200""".stripMargin)),
 
-    // learned unigram vocabulary: deterministic (total-order seed cap,
-    // EM over a fixed word table) but not SQL-expressible → rows-only;
-    // algorithm pinned by UnigramSpec (EM-beats-uniform, golden
+    // learned unigram vocabulary — hash-oracled since r7: the trainer's
+    // rounding anchors (Unigram object doc) make the seed + EM trajectory
+    // replayable as unrolled lattice CTEs (TokenizerOracles.unigramChain);
+    // algorithm additionally pinned by UnigramSpec (EM-beats-uniform,
     // determinism, reconstruction)
     "q_unigram_vocab" -> QueryDef(
       (s, dir) => {
@@ -2090,7 +2091,8 @@ object PipelineQueries {
           Unigram.Config(targetVocab = 1000, seedSize = 8000, maxPieceLen = 6))
         Unigram.vocabDf(s, model).orderBy("piece")
       },
-      None),
+      Some(TokenizerOracles.unigramVocabSql(
+        emSubIters = 2, seedSize = 8000, maxPieceLen = 6, maxPos = 12))),
 
     // Viterbi encode against a PLANTED fixed model (exact-binary
     // quarter log-probs → engine-identical path scores): the unigram
@@ -2108,7 +2110,8 @@ object PipelineQueries {
       Some(TokenizerOracles.unigramPlantedEncodeSql(
         plantedUnigramPieces, maxPieceLen = 5, maxWordLen = 12))),
 
-    // distributed Viterbi encode with the learned pieces
+    // distributed Viterbi encode with the learned pieces — hash-oracled
+    // since r7 (training replay + DP layer unroll)
     "q_unigram_encode" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -2118,7 +2121,8 @@ object PipelineQueries {
         Unigram.encode(docs, "doc_id", "text", model)
           .select($"doc_id", $"n_tokens").orderBy($"doc_id")
       },
-      None))
+      Some(TokenizerOracles.unigramEncodeSql(
+        emSubIters = 2, seedSize = 8000, maxPieceLen = 6, maxPos = 12))))
 
   /** The planted unigram model for q_unigram_planted_encode: every
     * log-prob is an exact binary quarter (and the full a–z alphabet is

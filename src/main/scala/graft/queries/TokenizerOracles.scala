@@ -393,6 +393,170 @@ private[queries] object TokenizerOracles {
     "WITH RECURSIVE " + prelude + ",\n" + tokenizer + ",\n" + packing
   }
 
+  // ======================= Unigram (trained model) =======================
+
+  /**
+   * The anchored unigram-EM training chain: seed (substring counts,
+   * chars always kept, top-`seedSize` multi-char pieces), then
+   * `emSubIters` forward–backward E-steps + renormalizing M-steps,
+   * replayed exactly thanks to `Unigram`'s rounding anchors (10dp
+   * lattice values and posterior exponents, 4dp expected counts, 8dp
+   * log-probs — see that object's doc). Replays the NO-PRUNE path the
+   * registry configuration takes (fixture vocab ≈ 259 < targetVocab
+   * 1000); each lattice position is one unrolled CTE layer, `maxPos`
+   * bounding the longest word (extra layers are no-ops).
+   */
+  private def unigramChain(emSubIters: Int, seedSize: Int, maxPieceLen: Int,
+      maxPos: Int, minFreq: Long, maxWords: Int, maxWordLen: Int): String = {
+    val P = Seq.newBuilder[String]
+    P +=
+      s"""uwf AS MATERIALIZED (
+         |  SELECT word, freq FROM (
+         |    SELECT word, count(*)::BIGINT AS freq FROM (
+         |      SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word FROM documents)
+         |    GROUP BY word)
+         |  WHERE freq >= $minFreq AND len(word) <= $maxWordLen
+         |  ORDER BY freq DESC, word ASC LIMIT $maxWords)""".stripMargin
+    P +=
+      s"""usubs AS MATERIALIZED (
+         |  SELECT piece, sum(freq)::DOUBLE AS c FROM (
+         |    SELECT substring(word, i, l) AS piece, freq
+         |    FROM uwf, UNNEST(generate_series(1, len(word))) AS a(i),
+         |         UNNEST(generate_series(1, $maxPieceLen)) AS b(l)
+         |    WHERE i + l - 1 <= len(word))
+         |  GROUP BY piece)""".stripMargin
+    P +=
+      s"""uvocab AS MATERIALIZED (
+         |  SELECT piece FROM usubs WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece FROM (
+         |    SELECT piece, c FROM usubs WHERE len(piece) >= 2
+         |    ORDER BY c DESC, piece ASC LIMIT $seedSize))""".stripMargin
+    P +=
+      """ulp0 AS MATERIALIZED (
+        |  SELECT v.piece, round(ln(s.c / t.tot), 8) AS lp
+        |  FROM uvocab v JOIN usubs s USING (piece)
+        |  CROSS JOIN (SELECT sum(s2.c) AS tot FROM uvocab v2 JOIN usubs s2 USING (piece)) t)""".stripMargin
+    P +=
+      s"""uarcs AS MATERIALIZED (
+         |  SELECT w.word, w.freq, t.j, t.i, substring(w.word, t.j + 1, t.i - t.j) AS piece
+         |  FROM uwf w, (SELECT a.j, b.i FROM UNNEST(generate_series(0, ${maxWordLen - 1})) AS a(j),
+         |               UNNEST(generate_series(1, $maxWordLen)) AS b(i)
+         |               WHERE i > j AND i - j <= $maxPieceLen) t
+         |  WHERE t.i <= len(w.word)
+         |    AND substring(w.word, t.j + 1, t.i - t.j) IN (SELECT piece FROM uvocab))""".stripMargin
+    for (t <- 0 until emSubIters) {
+      P += s"ula${t}_0 AS (SELECT word, 0 AS pos, CAST(0.0 AS DOUBLE) AS v FROM uwf)"
+      for (i <- 1 to maxPos) {
+        P +=
+          s"""ula${t}_$i AS MATERIALIZED (
+             |  SELECT * FROM ula${t}_${i - 1}
+             |  UNION ALL
+             |  SELECT word, $i AS pos, round(mx + ln(sexp), 10) AS v FROM (
+             |    SELECT s.word, s.mx, sum(exp(s.s - s.mx)) AS sexp FROM (
+             |      SELECT a.word, p.v + l.lp AS s,
+             |             max(p.v + l.lp) OVER (PARTITION BY a.word) AS mx
+             |      FROM uarcs a
+             |      JOIN ula${t}_${i - 1} p ON p.word = a.word AND p.pos = a.j
+             |      JOIN ulp$t l ON l.piece = a.piece
+             |      WHERE a.i = $i) s
+             |    GROUP BY s.word, s.mx) )""".stripMargin
+      }
+      P += s"ulb${t}_0 AS (SELECT word, len(word) AS pos, CAST(0.0 AS DOUBLE) AS v FROM uwf)"
+      for (d <- 1 to maxPos) {
+        P +=
+          s"""ulb${t}_$d AS MATERIALIZED (
+             |  SELECT * FROM ulb${t}_${d - 1}
+             |  UNION ALL
+             |  SELECT word, pos, round(mx + ln(sexp), 10) AS v FROM (
+             |    SELECT s.word, s.pos, s.mx, sum(exp(s.s - s.mx)) AS sexp FROM (
+             |      SELECT a.word, a.j AS pos, l.lp + p.v AS s,
+             |             max(l.lp + p.v) OVER (PARTITION BY a.word, a.j) AS mx
+             |      FROM uarcs a
+             |      JOIN ulb${t}_${d - 1} p ON p.word = a.word AND p.pos = a.i
+             |      JOIN ulp$t l ON l.piece = a.piece
+             |      WHERE len(a.word) - a.j = $d) s
+             |    GROUP BY s.word, s.pos, s.mx) )""".stripMargin
+      }
+      P +=
+        s"""uc4_$t AS MATERIALIZED (
+           |  SELECT v.piece, round(coalesce(e.c, 0.0), 4) AS c FROM uvocab v
+           |  LEFT JOIN (
+           |    SELECT a.piece, sum(a.freq * exp(post)) AS c FROM (
+           |      SELECT ar.piece, ar.freq,
+           |        round(la.v + l.lp + lb.v - z.v, 10) AS post
+           |      FROM uarcs ar
+           |      JOIN ula${t}_$maxPos la ON la.word = ar.word AND la.pos = ar.j
+           |      JOIN ulb${t}_$maxPos lb ON lb.word = ar.word AND lb.pos = ar.i
+           |      JOIN ulp$t l ON l.piece = ar.piece
+           |      JOIN ula${t}_$maxPos z ON z.word = ar.word AND z.pos = len(ar.word)) a
+           |    WHERE post > -30.0
+           |    GROUP BY a.piece) e USING (piece))""".stripMargin
+      P +=
+        s"""ulp${t + 1} AS MATERIALIZED (
+           |  SELECT piece, CASE WHEN c > 0 THEN round(ln(c) - t.lt, 8)
+           |                     ELSE -1000000000.0 END AS lp
+           |  FROM uc4_$t CROSS JOIN (SELECT ln(sum(c)) AS lt FROM uc4_$t) t)""".stripMargin
+    }
+    "WITH " + P.result().mkString(",\n")
+  }
+
+  /** Oracle for q_unigram_vocab: (piece, logprob) of the trained model. */
+  def unigramVocabSql(emSubIters: Int, seedSize: Int, maxPieceLen: Int,
+      maxPos: Int, minFreq: Long = 1L, maxWords: Int = 1000000,
+      maxWordLen: Int = 48): String =
+    unigramChain(emSubIters, seedSize, maxPieceLen, maxPos, minFreq,
+      maxWords, maxWordLen) +
+      s"\nSELECT piece, round(lp, 8) AS logprob FROM ulp$emSubIters ORDER BY piece"
+
+  /** Oracle for q_unigram_encode: Viterbi per-doc token counts under the
+    * trained (replayed) model. Path scores are raw doubles on both
+    * engines — sums of the same ≤(word length) 8dp-anchored log-probs —
+    * with the trainer's first-smallest-split tie-break. */
+  def unigramEncodeSql(emSubIters: Int, seedSize: Int, maxPieceLen: Int,
+      maxPos: Int, minFreq: Long = 1L, maxWords: Int = 1000000,
+      maxWordLen: Int = 48): String = {
+    val P = Seq.newBuilder[String]
+    P +=
+      """uew AS MATERIALIZED (SELECT DISTINCT word FROM (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word FROM documents))""".stripMargin
+    P += "uv0 AS (SELECT word, 0 AS i, CAST(0.0 AS DOUBLE) AS best, 0 AS cnt FROM uew)"
+    for (i <- 1 to maxPos) {
+      val lo = math.max(0, i - maxPieceLen)
+      P +=
+        s"""uv$i AS MATERIALIZED (
+           |  SELECT * FROM uv${i - 1}
+           |  UNION ALL
+           |  SELECT word, $i AS i, best, cnt FROM (
+           |    SELECT c.word, c.score AS best, c.cnt,
+           |           row_number() OVER (PARTITION BY c.word ORDER BY c.score DESC, c.j ASC) AS rn
+           |    FROM (
+           |      SELECT w.word, t.j, p.best + v.lp AS score, p.cnt + 1 AS cnt
+           |      FROM uew w
+           |      CROSS JOIN (SELECT unnest(generate_series($lo, ${i - 1})) AS j) t
+           |      JOIN uv${i - 1} p ON p.word = w.word AND p.i = t.j
+           |      JOIN ulp$emSubIters v ON v.piece = substring(w.word, t.j + 1, $i - t.j)
+           |      WHERE len(w.word) >= $i) c)
+           |  WHERE rn = 1)""".stripMargin
+    }
+    P +=
+      s"""uwtoks AS MATERIALIZED (
+         |  SELECT w.word, l.cnt AS n_toks FROM uew w
+         |  JOIN uv$maxPos l ON l.word = w.word AND l.i = len(w.word))""".stripMargin
+    unigramChain(emSubIters, seedSize, maxPieceLen, maxPos, minFreq,
+      maxWords, maxWordLen) + ",\n" + P.result().mkString(",\n") +
+      s"""
+         |SELECT d.doc_id, CAST(coalesce(t.n, 0) AS INT) AS n_tokens
+         |FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+         |LEFT JOIN (
+         |  SELECT doc_id, sum(n_toks) AS n FROM (
+         |    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |      unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+         |    FROM documents) dw JOIN uwtoks USING (word)
+         |  GROUP BY doc_id) t USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ======================= Unigram (planted model) =======================
 
   /**
