@@ -115,14 +115,28 @@ object Multimodal {
               (m.mediaId, i, 44 + 2 * slice.samples.length,
                 MediaCodecs.wavFeatures(slice))
             }
-          case None =>
-            val step = math.max(1, m.payload.length / n)
-            (0 until n).iterator.map { i =>
-              val start = math.min(i.toLong * step, math.max(0, m.payload.length - 1)).toInt
-              val end = math.min(start + step, m.payload.length)
-              val slice = java.util.Arrays.copyOfRange(m.payload, start, end)
-              (m.mediaId, i, slice.length, decodeStub(slice))
-            }
+          case None => Mp4Demux.demux(m.payload) match {
+            case Some(info) if info.tracks.head.nSamples > 0 =>
+              // REAL MP4 frame sampling: the demuxer resolves exact
+              // per-sample byte ranges from the stsz×stsc×stco tables, so
+              // each emitted frame is the sample's true payload; only the
+              // codec decode itself is the deterministic stub
+              val t = info.tracks.head
+              val step = math.max(1, t.nSamples / n)
+              (0 until n).iterator.map { i =>
+                val idx = math.min(i * step, t.nSamples - 1)
+                val sample = Mp4Demux.sampleBytes(m.payload, t, idx)
+                (m.mediaId, i, sample.length, decodeStub(sample))
+              }
+            case _ =>
+              val step = math.max(1, m.payload.length / n)
+              (0 until n).iterator.map { i =>
+                val start = math.min(i.toLong * step, math.max(0, m.payload.length - 1)).toInt
+                val end = math.min(start + step, m.payload.length)
+                val slice = java.util.Arrays.copyOfRange(m.payload, start, end)
+                (m.mediaId, i, slice.length, decodeStub(slice))
+              }
+          }
         }
       }
     }.toDF("mediaId", "frame", "n_bytes", "features")
@@ -254,6 +268,8 @@ object Multimodal {
           .map(w => (w.sampleRateHz, w.samples.length)))
         .orElse(MediaCodecs.decodeY4m(m.payload)
           .map(v => (v.width, v.frames.length)))
+        .orElse(Mp4Demux.demux(m.payload)
+          .map(info => (info.tracks.head.width, info.tracks.head.nSamples)))
         .getOrElse((-1, -1))
       // PNG/JPEG stream lengths are encoder-dependent, not format contract
       val nBytes = if (MediaCodecs.isPng(m.payload) || JpegCodec.isJpeg(m.payload)) -1

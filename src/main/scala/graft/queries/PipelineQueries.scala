@@ -1856,6 +1856,49 @@ object PipelineQueries {
              |       WHEN 2 THEN h ELSE nf END AS INT) AS decoded_b
              |FROM calc ORDER BY media_id""".stripMargin)),
 
+    // native MP4/ISO-BMFF demux (Mp4Demux, r7) end-to-end: per doc a
+    // spec-valid single-track file is muxed with closed-form sample
+    // counts/sizes/dims, then demuxed back — every structural field the
+    // demuxer resolves (brand, fourcc, sample count, the stsz×stsc×stco
+    // total, dims, duration) is integer-exact and SQL-replayable. The
+    // per-sample byte-range correctness is Mp4DemuxSpec-pinned.
+    "q_mp4_demux" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 150)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val len = text.codePointCount(0, text.length)
+            val n = 2 + (len % 5)
+            val samples = (0 until n).map(i =>
+              Array.tabulate(10 + ((len + i) % 7))(k => ((id + i * 13 + k) % 251).toByte))
+            val w = 16 * (1 + (len % 4))
+            val h = 16 * (1 + (len % 3))
+            val bytes = graft.pipeline.Mp4Demux.encodeMp4(samples, w, h)
+            val info = graft.pipeline.Mp4Demux.demux(bytes).get
+            val tr = info.tracks.head
+            (id, info.majorBrand, tr.codec, tr.nSamples, tr.totalSampleBytes,
+              tr.width, tr.height, tr.duration)
+          }
+          .toDF("doc_id", "brand", "codec", "n_samples", "total_sample_bytes",
+            "width", "height", "duration")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(doc_id AS BIGINT) AS doc_id, len(text) AS l,
+             |         2 + len(text) % 5 AS n
+             |  FROM documents WHERE doc_id < 150),
+             |b AS (
+             |  SELECT doc_id, sum(10 + (l + i) % 7)::BIGINT AS tb
+             |  FROM d, UNNEST(generate_series(0, n - 1)) t(i) GROUP BY doc_id)
+             |SELECT d.doc_id, 'isom' AS brand, 'avc1' AS codec,
+             |  CAST(n AS INT) AS n_samples, b.tb AS total_sample_bytes,
+             |  CAST(16 * (1 + l % 4) AS INT) AS width,
+             |  CAST(16 * (1 + l % 3) AS INT) AS height,
+             |  CAST(n AS BIGINT) AS duration
+             |FROM d JOIN b USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     // native baseline-JPEG codec (JpegCodec, r7) end-to-end: deterministic
     // gradient images (closed-form dims in doc_id/len) → encodeJpeg →
     // decodeJpeg. Dims are exact; lossy pixel fidelity is asserted as a
