@@ -178,12 +178,20 @@ object JpegCodec {
       while (i < n) { v = (v << 1) | nextBit(); i += 1 }
       v
     }
-    /** drop partial byte, consume an expected RSTn marker */
-    def alignToRestart(): Unit = {
+    /** drop partial byte, consume an expected RSTn marker — and verify
+      * its modulo-8 index (T.81 E.2.4): a dropped/duplicated restart
+      * marker would otherwise resync to the wrong MCU boundary and
+      * decode silently shifted; a mismatch throws (caught into None). */
+    def alignToRestart(expected: Int): Unit = {
       cnt = 0
       while (pos + 1 < data.length && !((data(pos) & 0xff) == 0xFF &&
         (data(pos + 1) & 0xff) >= 0xD0 && (data(pos + 1) & 0xff) <= 0xD7)) pos += 1
-      if (pos + 1 < data.length) pos += 2
+      if (pos + 1 < data.length) {
+        if (((data(pos + 1) & 0xff) & 7) != (expected & 7))
+          throw new JpegFormat(
+            s"restart marker index ${(data(pos + 1) & 0xff) & 7}, expected ${expected & 7}")
+        pos += 2
+      }
     }
   }
 
@@ -306,7 +314,7 @@ object JpegCodec {
       var mx = 0
       while (mx < mcusX) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          br.alignToRestart()
+          br.alignToRestart((mcu / restartInterval - 1) % 8)
           comps.foreach(_.pred = 0)
         }
         comps.foreach { c =>

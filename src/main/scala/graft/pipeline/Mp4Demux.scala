@@ -37,7 +37,12 @@ object Mp4Demux {
   }
 
   case class Mp4Info(majorBrand: String, timescale: Long, duration: Long,
-      tracks: Seq[Track])
+      tracks: Seq[Track]) {
+    /** The track video-frame semantics should use: the first 'vide'
+      * track (a sound-first multi-track file would otherwise sample
+      * audio bytes as "frames"), falling back to the first track. */
+    def videoTrack: Track = tracks.find(_.handler == "vide").getOrElse(tracks.head)
+  }
 
   def isMp4(p: Array[Byte]): Boolean =
     p.length >= 12 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p'
@@ -138,7 +143,10 @@ object Mp4Demux {
           case _ => false
         }
       }
-      // resolve stsz × stsc × stco → per-sample (offset, size)
+      // resolve stsz × stsc × stco → per-sample (offset, size); ranges
+      // must land inside the payload — hostile/corrupt stsz or stco
+      // values (negative sizes, offsets past EOF) reject the whole file
+      // (caught in demux → None → callers fall back to the stub path)
       val ranges = mutable.ArrayBuffer.empty[(Long, Int)]
       if (sizes.nonEmpty && chunkOffsets.nonEmpty && stsc.nonEmpty) {
         var si = 0
@@ -152,8 +160,12 @@ object Mp4Demux {
           var off = chunkOffsets(ci)
           var j = 0
           while (j < spc && si < sizes.length) {
-            ranges += ((off, sizes(si)))
-            off += sizes(si)
+            val len = sizes(si)
+            if (len < 0 || off < 0 || off + len > p.length)
+              throw new IllegalArgumentException(
+                s"sample range out of bounds: off=$off len=$len payload=${p.length}")
+            ranges += ((off, len))
+            off += len
             si += 1; j += 1
           }
           ci += 1

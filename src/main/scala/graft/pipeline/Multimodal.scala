@@ -116,12 +116,13 @@ object Multimodal {
                 MediaCodecs.wavFeatures(slice))
             }
           case None => Mp4Demux.demux(m.payload) match {
-            case Some(info) if info.tracks.head.nSamples > 0 =>
+            case Some(info) if info.videoTrack.nSamples > 0 =>
               // REAL MP4 frame sampling: the demuxer resolves exact
-              // per-sample byte ranges from the stsz×stsc×stco tables, so
-              // each emitted frame is the sample's true payload; only the
-              // codec decode itself is the deterministic stub
-              val t = info.tracks.head
+              // per-sample byte ranges from the stsz×stsc×stco tables
+              // (bounds-validated at demux, so sampleBytes can't escape
+              // the payload), so each emitted frame is the sample's true
+              // payload; only the codec decode itself is the stub
+              val t = info.videoTrack
               val step = math.max(1, t.nSamples / n)
               (0 until n).iterator.map { i =>
                 val idx = math.min(i * step, t.nSamples - 1)
@@ -269,7 +270,7 @@ object Multimodal {
         .orElse(MediaCodecs.decodeY4m(m.payload)
           .map(v => (v.width, v.frames.length)))
         .orElse(Mp4Demux.demux(m.payload)
-          .map(info => (info.tracks.head.width, info.tracks.head.nSamples)))
+          .map(info => (info.videoTrack.width, info.videoTrack.nSamples)))
         .getOrElse((-1, -1))
       // PNG/JPEG stream lengths are encoder-dependent, not format contract
       val nBytes = if (MediaCodecs.isPng(m.payload) || JpegCodec.isJpeg(m.payload)) -1

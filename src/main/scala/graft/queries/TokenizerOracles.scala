@@ -138,10 +138,24 @@ private[queries] object TokenizerOracles {
            |      JOIN ranks r ON r.a = w.a AND r.b = w.b)
            |    GROUP BY word) m ON m.word = s.word)""".stripMargin
     }
+    // Loud bound check (r7 ADVICE): encRounds is a fixture invariant —
+    // a corpus word needing more merge rounds would silently under-merge
+    // and surface only as an opaque oracle hash diff. If any final seg
+    // still has a joinable ranked pair, fail the oracle with a message
+    // naming the violated bound instead.
+    parts +=
+      s"""eguard AS MATERIALIZED (
+         |  SELECT CASE WHEN count(*) > 0 THEN error(
+         |      'bpeEncodeChain: encRounds=$encRounds under-merges — a joinable ranked pair remains')
+         |    ELSE 0 END AS ok
+         |  FROM (SELECT word, l[i] AS a, l[i+1] AS b FROM (
+         |      SELECT word, unnest(generate_series(1, len(l) - 1)) AS i, l FROM (
+         |        SELECT word, $segList AS l FROM e$encRounds) WHERE len(l) >= 2)) w
+         |    JOIN ranks r ON r.a = w.a AND r.b = w.b)""".stripMargin
     parts +=
       s"""wtoks AS MATERIALIZED (
          |  SELECT word, len($segList) AS n_toks
-         |  FROM e$encRounds)""".stripMargin
+         |  FROM e$encRounds WHERE (SELECT ok FROM eguard) = 0)""".stripMargin
     bpeChain(numMerges, minFreq, maxWords, trainFrom) + ",\n" +
       parts.result().mkString(",\n")
   }
@@ -288,9 +302,18 @@ private[queries] object TokenizerOracles {
            |      JOIN vocab v ON v.piece = c.pre || substring(c.word, c.pos, c.L))
            |    GROUP BY word) m USING (word))""".stripMargin
     }
+    // Loud bound check (r7 ADVICE): a word still mid-scan after
+    // encRounds greedy steps would silently report a short token count.
+    parts +=
+      s"""wguard AS MATERIALIZED (
+         |  SELECT CASE WHEN count(*) > 0 THEN error(
+         |      'wordpieceEncodeSql: encRounds=$encRounds too small — unfinished words remain')
+         |    ELSE 0 END AS ok
+         |  FROM w$encRounds WHERE NOT failed AND pos <= len(word))""".stripMargin
     parts +=
       s"""wtoks AS MATERIALIZED (
-         |  SELECT word, CASE WHEN failed THEN 1 ELSE toks END AS n_toks FROM w$encRounds)""".stripMargin
+         |  SELECT word, CASE WHEN failed THEN 1 ELSE toks END AS n_toks
+         |  FROM w$encRounds WHERE (SELECT ok FROM wguard) = 0)""".stripMargin
     wpChain(numMerges, minFreq, maxWords) + ",\n" + parts.result().mkString(",\n") +
       docProjection("", "")
   }
@@ -437,6 +460,14 @@ private[queries] object TokenizerOracles {
         |  SELECT v.piece, round(ln(s.c / t.tot), 8) AS lp
         |  FROM uvocab v JOIN usubs s USING (piece)
         |  CROSS JOIN (SELECT sum(s2.c) AS tot FROM uvocab v2 JOIN usubs s2 USING (piece)) t)""".stripMargin
+    // Loud bound check (r7 ADVICE): if the longest trained word exceeds
+    // maxPos the lattice layers truncate and the replay silently
+    // diverges — fail with the violated bound's name instead.
+    P +=
+      s"""uguard AS MATERIALIZED (
+         |  SELECT CASE WHEN max(len(word)) > $maxPos THEN error(
+         |      'unigramChain: maxPos=$maxPos < longest corpus word — lattice truncated')
+         |    ELSE 0 END AS ok FROM uwf)""".stripMargin
     P +=
       s"""uarcs AS MATERIALIZED (
          |  SELECT w.word, w.freq, t.j, t.i, substring(w.word, t.j + 1, t.i - t.j) AS piece
@@ -444,7 +475,8 @@ private[queries] object TokenizerOracles {
          |               UNNEST(generate_series(1, $maxWordLen)) AS b(i)
          |               WHERE i > j AND i - j <= $maxPieceLen) t
          |  WHERE t.i <= len(w.word)
-         |    AND substring(w.word, t.j + 1, t.i - t.j) IN (SELECT piece FROM uvocab))""".stripMargin
+         |    AND substring(w.word, t.j + 1, t.i - t.j) IN (SELECT piece FROM uvocab)
+         |    AND (SELECT ok FROM uguard) = 0)""".stripMargin
     for (t <- 0 until emSubIters) {
       P += s"ula${t}_0 AS (SELECT word, 0 AS pos, CAST(0.0 AS DOUBLE) AS v FROM uwf)"
       for (i <- 1 to maxPos) {
@@ -539,10 +571,18 @@ private[queries] object TokenizerOracles {
            |      WHERE len(w.word) >= $i) c)
            |  WHERE rn = 1)""".stripMargin
     }
+    // Loud bound check (r7 ADVICE): the inner JOIN at l.i = len(word)
+    // silently DROPS any encode word longer than maxPos — fail instead.
+    P +=
+      s"""ueguard AS MATERIALIZED (
+         |  SELECT CASE WHEN max(len(word)) > $maxPos THEN error(
+         |      'unigramEncodeSql: maxPos=$maxPos < longest encode word — words would be dropped')
+         |    ELSE 0 END AS ok FROM uew)""".stripMargin
     P +=
       s"""uwtoks AS MATERIALIZED (
          |  SELECT w.word, l.cnt AS n_toks FROM uew w
-         |  JOIN uv$maxPos l ON l.word = w.word AND l.i = len(w.word))""".stripMargin
+         |  JOIN uv$maxPos l ON l.word = w.word AND l.i = len(w.word)
+         |  WHERE (SELECT ok FROM ueguard) = 0)""".stripMargin
     unigramChain(emSubIters, seedSize, maxPieceLen, maxPos, minFreq,
       maxWords, maxWordLen) + ",\n" + P.result().mkString(",\n") +
       s"""
@@ -601,10 +641,18 @@ private[queries] object TokenizerOracles {
            |      WHERE len(w.word) >= $i) c)
            |  WHERE rn = 1)""".stripMargin
     }
+    // Loud bound check (r7 ADVICE): the inner JOIN at l.i = len(word)
+    // silently DROPS any word longer than maxWordLen — fail instead.
+    parts +=
+      s"""pguard AS MATERIALIZED (
+         |  SELECT CASE WHEN max(len(word)) > $maxWordLen THEN error(
+         |      'unigramPlantedEncodeSql: maxWordLen=$maxWordLen < longest word — words would be dropped')
+         |    ELSE 0 END AS ok FROM ew)""".stripMargin
     parts +=
       s"""wtoks AS MATERIALIZED (
          |  SELECT w.word, l.cnt AS n_toks FROM ew w
-         |  JOIN L$maxWordLen l ON l.word = w.word AND l.i = len(w.word))""".stripMargin
+         |  JOIN L$maxWordLen l ON l.word = w.word AND l.i = len(w.word)
+         |  WHERE (SELECT ok FROM pguard) = 0)""".stripMargin
     "WITH " + parts.result().mkString(",\n") + docProjection("", "")
   }
 }

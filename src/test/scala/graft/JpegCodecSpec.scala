@@ -139,6 +139,18 @@ class JpegCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(meanAbsDiff(b, fromBuffered(bi)) < 2.0)
   }
 
+  test("wrong restart-marker index refuses instead of decoding shifted (r7 ADVICE)") {
+    val img = gradient(48, 16)
+    val rst = JpegCodec.encodeJpeg(img, quality = 85, restartInterval = 2)
+    // the first restart marker in scan data is FF D0 (index 0); bump its
+    // modulo-8 index — a resync there would shift every following MCU
+    val evil = rst.clone()
+    val i = (2 until evil.length - 1).find(i =>
+      (evil(i) & 0xff) == 0xFF && (evil(i + 1) & 0xff) == 0xD0).get
+    evil(i + 1) = 0xD3.toByte
+    assert(JpegCodec.decodeJpeg(evil).isEmpty)
+  }
+
   test("hostile inputs return None, never throw") {
     assert(JpegCodec.decodeJpeg(Array.empty[Byte]).isEmpty)
     assert(JpegCodec.decodeJpeg(Array[Byte](0xFF.toByte, 0xD8.toByte)).isEmpty)

@@ -71,6 +71,48 @@ class Mp4DemuxSpec extends SparkSpec {
     assert(Mp4Demux.demux(broken).isEmpty)
   }
 
+  test("corrupt-but-parseable sample tables reject at demux (r7 ADVICE)") {
+    val valid = Mp4Demux.encodeMp4(mkSamples(4, 7), 16, 16)
+    // find the stco box and point its first chunk offset past EOF: the
+    // box tree still parses, but the resolved (off, len) ranges escape
+    // the payload — demux must return None, not leave a landmine for
+    // sampleBytes to throw in an executor
+    def findBox(typ: String): Int = {
+      val pat = typ.getBytes("ISO-8859-1")
+      (0 until valid.length - 4).find(i => valid.slice(i, i + 4).sameElements(pat)).get
+    }
+    val stco = findBox("stco")
+    val evil = valid.clone()
+    // first entry at stco+4(ver/flags)+4(count): write a huge offset
+    val o = stco + 4 + 4 + 4
+    evil(o) = 0x7f.toByte; evil(o + 1) = -1; evil(o + 2) = -1; evil(o + 3) = -1
+    assert(Mp4Demux.demux(evil).isEmpty)
+    // hostile stsz too: negative sample size
+    val stsz = findBox("stsz")
+    val evil2 = valid.clone()
+    val so = stsz + 4 + 4 + 4 + 4 // ver/flags, uniform, count, then sizes
+    evil2(so) = -1
+    assert(Mp4Demux.demux(evil2).isEmpty)
+    // and Multimodal falls back to the byte-slice stub instead of failing
+    import spark.implicits._
+    val media = Seq(graft.pipeline.MediaRow(9L, "video_mp4", evil, 16, 16, 0)).toDS()
+    val out = graft.pipeline.Multimodal.sampleFrames(media, 2).collect()
+    assert(out.length == 2)
+  }
+
+  test("videoTrack prefers the first 'vide' track over a sound-first head") {
+    // hand-build a two-track file by splicing a second trak into moov is
+    // overkill — instead demux a sound-only file and check the fallback,
+    // then check the selector on a synthetic Mp4Info
+    val soun = Mp4Demux.demux(Mp4Demux.encodeMp4(mkSamples(3, 1), 0, 0,
+      codec = "mp4a", handler = "soun")).get
+    assert(soun.videoTrack.handler == "soun") // fallback: head
+    val t1 = soun.tracks.head
+    val vide = t1.copy(trackId = 2, handler = "vide", width = 64, height = 48)
+    val multi = soun.copy(tracks = Seq(t1, vide))
+    assert(multi.videoTrack.handler == "vide" && multi.videoTrack.width == 64)
+  }
+
   test("Multimodal.sampleFrames slices real MP4 sample payloads") {
     val samples = mkSamples(9, seed = 2)
     val bytes = Mp4Demux.encodeMp4(samples, 32, 24, samplesPerChunk = 4)
