@@ -20,6 +20,64 @@ import org.apache.spark.sql.functions._
  */
 object Profiling {
 
+  /**
+   * Distributed ordered prefix sums — the partition-offset idiom (same
+   * device as `ParseCorpus.rankByIndexWithCache`): range-sort on
+   * `order`, label rows with their physical partition, aggregate ONE
+   * (count, sum) row per partition, broadcast the cumulative offsets
+   * back, and finish with a partition-LOCAL window. No row ever flows
+   * through a single global-window task, so the shape survives inputs
+   * where every value is distinct (grid = n rows).
+   *
+   * Adds to each row, under the total order given by `order`:
+   *   __i     1-based global row number (long)
+   *   __below prefix sum of `value` over rows strictly before
+   *   __cum   prefix sum including this row (nulls contribute 0)
+   * Sums keep `sum(value)`'s type: exact longs for integral inputs,
+   * double (partition-associated) otherwise.
+   *
+   * Returns (annotated frame, sorted cache). The caller unpersists the
+   * cache once done; eviction-triggered recompute is determinism-safe
+   * (the rerun replays the same exchange and reuses its shuffle
+   * output, so partition labels repeat).
+   */
+  private[graft] def orderedPrefix(df: DataFrame, order: Seq[Column],
+      value: Column): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val marked = df.withColumn("__val", value)
+      .orderBy(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val agg = marked.groupBy($"__pid")
+      .agg(count(lit(1)).as("__n"), sum($"__val").as("__s"))
+    val isLong = agg.schema("__s").dataType ==
+      org.apache.spark.sql.types.LongType
+    val rows = agg.collect().sortBy(_.getInt(0)) // one row per partition
+    val cntOff = rows.map(_.getLong(1)).scanLeft(0L)(_ + _)
+    val offsets =
+      if (isLong) {
+        val sumOff = rows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2))
+          .scanLeft(0L)(_ + _)
+        rows.indices.map(i => (rows(i).getInt(0), cntOff(i), sumOff(i)))
+          .toDF("__pid", "__coff", "__soff")
+      } else {
+        val sumOff = rows.map(r => if (r.isNullAt(2)) 0.0 else r.getDouble(2))
+          .scanLeft(0.0)(_ + _)
+        rows.indices.map(i => (rows(i).getInt(0), cntOff(i), sumOff(i)))
+          .toDF("__pid", "__coff", "__soff")
+      }
+    val zero = if (isLong) lit(0L) else lit(0.0)
+    val local = Window.partitionBy($"__pid").orderBy(order: _*)
+    val out = marked.join(broadcast(offsets), "__pid")
+      .withColumn("__i", $"__coff" + row_number().over(local))
+      .withColumn("__below", $"__soff" + coalesce(
+        sum($"__val").over(local.rowsBetween(Window.unboundedPreceding, -1)), zero))
+      .withColumn("__cum", $"__below" + coalesce($"__val", zero))
+    (out, marked)
+  }
+
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "numericProfile needs at least one column")
     val aggs = cols.flatMap { c =>
@@ -189,30 +247,33 @@ object Profiling {
    *
    * Scale path: ranks are derived ANALYTICALLY from the distinct-value
    * grid, never by sorting the raw rows — groupBy(value, group) counts
-   * (one hash-agg shuffle sized by |grid|×2), an ordered cumulative sum
-   * over the grid (the only global window, bounded by the number of
-   * DISTINCT values), and the tie-block average rank
+   * (one hash-agg shuffle sized by |grid|×2), a DISTRIBUTED cumulative
+   * sum over the grid (partition-offset prefix sums, no unpartitioned
+   * window — so a fully continuous sample, where grid = n, still
+   * parallelizes), and the tie-block average rank
    * (#strictly-below) + (t+1)/2 joined back by value. A raw-row global
    * sort would serialize the whole sample through one task at 100×.
    */
   /** The rank-sum sufficient statistic (g, n, r) computed over the
-    * distinct-value grid — exposed so PlanShapeSpec can pin that the
-    * ordered window runs over the aggregated grid, never the raw rows. */
-  private[graft] def mwRankStats(base: DataFrame): DataFrame = {
+    * distinct-value grid — exposed so PlanShapeSpec can pin that NO
+    * unpartitioned window appears: the grid prefix sums ride the
+    * partition-offset idiom ([[orderedPrefix]]), so even a fully
+    * continuous sample (grid = n rows) never serializes through one
+    * task. Returns (stats, sorted-grid cache to unpersist). */
+  private[graft] def mwRankStats(base: DataFrame): (DataFrame, DataFrame) = {
     val spark = base.sparkSession
     import spark.implicits._
     val vg = base.groupBy($"__v", $"g").agg(count(lit(1)).as("__c"))
-    val gridOrd = org.apache.spark.sql.expressions.Window.orderBy($"__v")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    // average rank of a tie block = (#smaller) + (block+1)/2; ranks are
-    // exact half-integers and __c * __avgr is exact in double, so this
-    // is bit-identical to ranking the raw rows.
-    val grid = vg.groupBy($"__v").agg(sum($"__c").as("__t"))
-      .withColumn("__below", coalesce(sum($"__t").over(gridOrd), lit(0L)))
-      .withColumn("__avgr", $"__below" + ($"__t" + 1) / lit(2.0))
-    vg.join(grid.select($"__v", $"__avgr"), "__v")
+    // average rank of a tie block = (#smaller) + (block+1)/2; __below is
+    // an exact long sum, ranks are exact half-integers and __c * __avgr
+    // is exact in double, so this is bit-identical to ranking raw rows.
+    val (pre, cache) = orderedPrefix(
+      vg.groupBy($"__v").agg(sum($"__c").as("__t")), Seq($"__v".asc), $"__t")
+    val grid = pre.withColumn("__avgr", $"__below" + ($"__t" + 1) / lit(2.0))
+    val stats = vg.join(grid.select($"__v", $"__avgr"), "__v")
       .groupBy($"g")
       .agg(sum($"__c").as("n"), sum($"__c" * $"__avgr").as("r"))
+    (stats, cache)
   }
 
   def mannWhitneyU(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
@@ -221,7 +282,9 @@ object Profiling {
     val v = col(valCol).cast("double")
     val base = df.select(col(groupCol).cast("string").as("g"), v.as("__v"))
       .filter($"__v".isNotNull)
-    val stats = mwRankStats(base).orderBy($"g").collect()
+    val (statsDf, gridCache) = mwRankStats(base)
+    val stats = statsDf.orderBy($"g").collect()
+    gridCache.unpersist()
     require(stats.length == 2,
       s"mannWhitneyU needs exactly 2 groups, got ${stats.length}")
     val (g1, n1, r1) = (stats(0).getString(0), stats(0).getLong(1), stats(0).getDouble(2))
@@ -378,29 +441,28 @@ object Profiling {
    *
    *   G = (2·Σ i·v_i) / (n·Σ v_i) − (n + 1)/n
    *
-   * One sort + running sums; `lorenz` rows are the cumulative
-   * population/value shares at each decile boundary (grid-sized
-   * output). Returns (decile, pop_share, value_share, gini) with the
-   * scalar repeated per row. 6dp. The global rank window implies the
-   * input is an already-AGGREGATED entity table (customers, shards) —
-   * key-sized, not event-sized; feed it groupBy output.
+   * One distributed range-sort + partition-offset prefix sums (no
+   * unpartitioned window — [[orderedPrefix]]); `lorenz` rows are the
+   * cumulative population/value shares at each decile boundary
+   * (grid-sized output). Returns (decile, pop_share, value_share,
+   * gini) with the scalar repeated per row. 6dp. The sort cost still
+   * implies the input is an already-AGGREGATED entity table
+   * (customers, shards) — key-sized, not event-sized; feed it groupBy
+   * output — but an event-sized input now degrades to a parallel
+   * sort, not a single-task window.
    */
   def giniLorenz(df: DataFrame, idCol: String, valCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val v = col(valCol).cast("double")
-    val ord = org.apache.spark.sql.expressions.Window
-      .orderBy($"__v".asc, col(idCol).asc)
-    val ranked = df.select(col(idCol), v.as("__v"))
-      .withColumn("__i", row_number().over(ord))
-      .withColumn("__cum", sum($"__v").over(ord.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val (ranked, cache) = orderedPrefix(
+      df.select(col(idCol), v.as("__v")), Seq($"__v".asc, col(idCol).asc), $"__v")
     val tot = ranked.agg(count(lit(1)).as("n"), sum($"__v").as("t"),
       sum($"__i" * $"__v").as("iv")).head()
     val n = tot.getLong(0); val t = tot.getDouble(1); val iv = tot.getDouble(2)
     val gini = BigDecimal(2.0 * iv / (n * t) - (n + 1.0) / n)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    ranked
+    val res = ranked
       .withColumn("decile", ceil($"__i" * 10.0 / n).cast("int"))
       .groupBy($"decile")
       .agg(max($"__i").as("__maxi"), max($"__cum").as("__maxcum"))
@@ -408,6 +470,8 @@ object Profiling {
         round($"__maxi" / n.toDouble, 6).as("pop_share"),
         round($"__maxcum" / t, 6).as("value_share"),
         lit(gini).as("gini"))
+    cache.unpersist() // determinism-safe: recompute reuses the exchange
+    res
   }
 
   /**

@@ -349,22 +349,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("jaro_winkler") || plan.contains("jaroWinkler"), plan)
   }
 
-  test("mannWhitneyU ranks over the aggregated grid, never the raw rows") {
+  /** Every Window node in `plan` must carry a partition spec mentioning
+    * `__pid` — i.e. partition-LOCAL prefix work only; an unpartitioned
+    * (single-task) window anywhere fails. */
+  private def assertPidPartitionedWindowsOnly(plan: String): Unit = {
+    val winLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    winLines.foreach { l =>
+      assert(l.contains("__pid"), s"unpartitioned Window crept back in:\n$l\n$plan")
+    }
+  }
+
+  test("mannWhitneyU: grid-aggregated AND no unpartitioned window at all") {
     import spark.implicits._
     val base = Registry.t(spark, dir, "events")
       .select(($"user_id" % 2).cast("string").as("g"),
         $"value".cast("double").as("__v"))
       .filter($"__v".isNotNull)
-    val plan = graft.pipeline.Profiling.mwRankStats(base)
-      .queryExecution.executedPlan.toString
-    // exactly one ordered Window, and a HashAggregate sits BENEATH it in
-    // the tree (children print after parents): the raw relation is
-    // grid-aggregated BEFORE anything is globally ordered
-    val winAt = plan.indexOf("Window")
-    assert(winAt >= 0, plan)
-    assert(plan.indexOf("Window", winAt + 1) < 0, s"more than one Window:\n$plan")
-    val aggBelow = plan.indexOf("HashAggregate", winAt)
-    assert(aggBelow > winAt, s"no aggregate beneath the Window:\n$plan")
+    val (stats, cache) = graft.pipeline.Profiling.mwRankStats(base)
+    val plan = stats.queryExecution.executedPlan.toString
+    cache.unpersist()
+    // the raw relation is grid-aggregated before any ordering, and the
+    // grid prefix sums ride partition-offset windows (r7 VERDICT: the
+    // grid window degenerated to one task when all values are distinct)
+    assertPidPartitionedWindowsOnly(plan)
+    assert(plan.contains("rangepartitioning"), s"no distributed sort:\n$plan")
+  }
+
+  test("giniLorenz: partition-offset prefix sums, no unpartitioned window") {
+    import spark.implicits._
+    val base = Registry.t(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(org.apache.spark.sql.functions.sum($"o_totalprice").as("spend"))
+    val out = graft.pipeline.Profiling.giniLorenz(base, "o_custkey", "spend")
+    val plan = out.queryExecution.executedPlan.toString
+    assertPidPartitionedWindowsOnly(plan)
+    assert(plan.contains("rangepartitioning"), s"no distributed sort:\n$plan")
   }
 
   test("isotonicCalibrate bins without any window: distributed range sort") {
