@@ -1947,7 +1947,8 @@ object PipelineQueries {
              |  CAST(8 + (len(text) % 9) AS INT) AS width,
              |  CAST(8 + ((len(text) + doc_id) % 7) AS INT) AS height,
              |  true AS lossy_ok
-             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin),
+      bench = true), // timed: per-partition JPEG encode+decode (codec family)
 
     // the frame-slice arithmetic (step = max(1, len/n); start = min(i·step,
     // max(0, len−1)); bytes = min(start+step, len) − start) is integer math
@@ -2135,7 +2136,8 @@ object PipelineQueries {
         Unigram.vocabDf(s, model).orderBy("piece")
       },
       Some(TokenizerOracles.unigramVocabSql(
-        emSubIters = 2, seedSize = 8000, maxPieceLen = 6, maxPos = 12))),
+        emSubIters = 2, seedSize = 8000, maxPieceLen = 6, maxPos = 12)),
+      bench = true), // timed: heaviest tokenizer-training row (EM lattices)
 
     // Viterbi encode against a PLANTED fixed model (exact-binary
     // quarter log-probs → engine-identical path scores): the unigram
