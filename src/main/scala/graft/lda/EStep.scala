@@ -91,6 +91,19 @@ object EStep {
    * @param learning when false (held-out inference, reference D5) phi rows
    *                 are not emitted.
    */
+  /**
+   * @param anchorGammaDp when > 0, round each sweep's gamma handoff to
+   *                      this many decimals (HALF_UP — the repo's anchor
+   *                      convention, mirrors DuckDB round()); 0 = off.
+   *                      Only the planted-fixture replay
+   *                      ([[PlantedLda]]) sets it — the production
+   *                      100-sweep path stays unanchored and
+   *                      golden-pinned.
+   * @param anchorPhiDp   when > 0, round emitted log-phi values before
+   *                      the partition combiner folds them, so a SQL
+   *                      replay can reproduce the fold from identical
+   *                      inputs regardless of fold order.
+   */
   def run(
       docs: Dataset[Doc],
       alphaBc: Broadcast[Array[Double]],
@@ -100,7 +113,9 @@ object EStep {
       randomStartGamma: Boolean = false,
       learning: Boolean = true,
       seed: Long = 42L,
-      phiFlushEntries: Int = 1 << 20): Dataset[EStepRow] = {
+      phiFlushEntries: Int = 1 << 20,
+      anchorGammaDp: Int = 0,
+      anchorPhiDp: Int = 0): Dataset[EStepRow] = {
     import docs.sparkSession.implicits._
 
     docs.mapPartitions { it =>
@@ -182,7 +197,13 @@ object EStep {
             w += 1
           }
           i = 0
-          while (i < k) { gamma(i) = math.exp(updateLogGamma(i)); i += 1 }
+          while (i < k) {
+            gamma(i) = math.exp(updateLogGamma(i))
+            if (anchorGammaDp > 0)
+              gamma(i) = BigDecimal(gamma(i))
+                .setScale(anchorGammaDp, BigDecimal.RoundingMode.HALF_UP).toDouble
+            i += 1
+          }
           sweep += 1
           continue = sweep < localIterations
         }
@@ -204,8 +225,12 @@ object EStep {
             i = 0
             while (i < k) {
               val key = ((i + 1).toLong << 32) | (termIds(w).toLong & 0xFFFFFFFFL)
+              val v = if (anchorPhiDp > 0)
+                BigDecimal(lp(i)).setScale(anchorPhiDp,
+                  BigDecimal.RoundingMode.HALF_UP).toDouble
+              else lp(i)
               val prev = phiAcc.get(key)
-              phiAcc.put(key, if (prev eq null) lp(i) else logAdd(prev.doubleValue(), lp(i)))
+              phiAcc.put(key, if (prev eq null) v else logAdd(prev.doubleValue(), v))
               i += 1
             }
             w += 1

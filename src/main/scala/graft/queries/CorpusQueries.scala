@@ -200,6 +200,15 @@ object CorpusQueries {
       },
       None, bench = true),
 
+    /** Planted micro-EM, fully hash-oracled: the reference's CORE math
+      * (E-step fixed point, M-step lambda/eta/E[log beta]) on real
+      * operators with rounding-anchored handoffs, replayed in DuckDB as
+      * unrolled CTEs — the independent-engine check the full-scale
+      * golden-pinned rows cannot have (see CATALOG.md). */
+    "q_lda_planted_em" -> QueryDef(
+      (s, dir) => graft.lda.PlantedLda.run(s, dir),
+      Some(LdaPlantedOracle.sql())),
+
     "lda_doc_topics" -> QueryDef(
       (s, dir) => {
         import s.implicits._

@@ -1,0 +1,136 @@
+package graft.queries
+
+/**
+ * DuckDB replay of the planted micro-LDA EM trajectory
+ * ([[graft.lda.PlantedLda]]) — the same unrolled-MATERIALIZED-CTE
+ * device as the r7 unigram replay (TokenizerOracles): every state
+ * handoff is rounding-anchored on the Spark side, so the oracle
+ * recomputes each stage from IDENTICAL inputs and re-anchors, making
+ * <=2-ulp libm / fold-order divergence unobservable.
+ *
+ * The replayed math, per EM iteration (reference semantics
+ * cc/mrlda/DocumentMapper.java:204-242, TermReducer.java:134-238):
+ *   sweep:  dg_k = psi(gamma_k);  raw_wk = lb_wk + dg_k
+ *           lp_wk = raw_wk - logAdd_k(raw) + ln(cnt_w)
+ *           gamma'_k = round(alpha + sum_w exp(lp_wk), 8)
+ *   lambda: round(ln sum_docs exp(round(lp, 10)), 8) per (topic, term)
+ *   m-step: sm = logAdd(lambda, ln 1e-12); lognorm_k = ln sum_w exp(sm)
+ *           elogbeta = round(psi(exp(sm)) - psi(exp(lognorm)), 8)
+ *
+ * psi is the SAME recurrence + Bernoulli series as GammaFuncs.digamma
+ * (A&S 6.3.5/6.3.18: shift x to >= 10 — at most 10 unrolled steps for
+ * any x > 0 — then ln x - 1/2x - sum B_2n/(2n x^2n)), and logAdd
+ * mirrors GammaFuncs.logAdd's max-branch + ln(1+exp(-d)) form.
+ */
+object LdaPlantedOracle {
+
+  /** digamma as an inline SQL expression over column/expr `x` (x > 0).
+    * Mirrors GammaFuncs.digamma's recurrence-then-series structure. */
+  private def dg(x: String): String = {
+    val y = s"($x + greatest(0, ceil(10 - $x)))"
+    val rec = (0 until 10)
+      .map(i => s"(CASE WHEN $x + $i < 10 THEN 1.0/($x + $i) ELSE 0.0 END)")
+      .mkString(" + ")
+    val i2 = s"(1.0/($y*$y))"
+    s"(-($rec) + ln($y) - 0.5/$y + $i2*(-1.0/12.0 + $i2*(1.0/120.0 + " +
+      s"$i2*(-1.0/252.0 + $i2*(1.0/240.0 + $i2*(-1.0/132.0 + " +
+      s"$i2*(691.0/32760.0 + $i2*(-1.0/12.0))))))))"
+  }
+
+  /** logAdd(a, b) mirroring GammaFuncs.logAdd's branch structure. */
+  private def logAdd(a: String, b: String): String =
+    s"(CASE WHEN $a >= $b THEN $a + ln(1 + exp($b - $a)) " +
+      s"ELSE $b + ln(1 + exp($a - $b)) END)"
+
+  def sql(k: Int = 2, vocab: Int = 20, maxDocId: Long = 30,
+      emIters: Int = 3, sweeps: Int = 3, alpha: Double = 0.5,
+      gammaDp: Int = 8, phiDp: Int = 10, betaDp: Int = 8): String = {
+    require(k == 2, "the unrolled replay pivots on exactly 2 topics")
+    val P = Seq.newBuilder[String]
+    P +=
+      s"""pdw AS MATERIALIZED (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc,
+         |         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+         |  FROM documents WHERE doc_id < $maxDocId)""".stripMargin
+    P +=
+      s"""pvoc AS MATERIALIZED (
+         |  SELECT word, CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS INT) - 1 AS term
+         |  FROM (SELECT word, count(*) AS cnt FROM pdw GROUP BY 1)
+         |  QUALIFY row_number() OVER (ORDER BY cnt DESC, word ASC) <= $vocab)""".stripMargin
+    P +=
+      """pcnt AS MATERIALIZED (
+        |  SELECT doc, term, count(*)::INT AS cnt FROM pdw JOIN pvoc USING (word)
+        |  GROUP BY 1, 2)""".stripMargin
+    P += s"pdoc AS MATERIALIZED (SELECT doc, sum(cnt)::BIGINT AS n FROM pcnt GROUP BY 1)"
+    P += s"ptop AS (SELECT unnest([${(0 until k).mkString(", ")}]) AS t)"
+    P +=
+      s"""pb0 AS MATERIALIZED (
+         |  SELECT term, t,
+         |         round(-ln(CAST($vocab AS DOUBLE)) + (((term*7 + t*3) % 11) - 5)/100.0, $betaDp) AS lb
+         |  FROM pvoc CROSS JOIN ptop)""".stripMargin
+    P +=
+      s"""pg1_0 AS MATERIALIZED (
+         |  SELECT doc, t, $alpha + n/${k.toDouble} AS g FROM pdoc CROSS JOIN ptop)""".stripMargin
+    for (it <- 1 to emIters) {
+      if (it > 1) // carry the previous iteration's final gammas forward
+        P += s"pg${it}_0 AS (SELECT * FROM pg${it - 1}_$sweeps)"
+      for (s <- 1 to sweeps) {
+        P +=
+          s"""pdg${it}_$s AS (SELECT doc, t, ${dg("g")} AS dgv FROM pg${it}_${s - 1})""".stripMargin
+        P +=
+          s"""praw${it}_$s AS MATERIALIZED (
+             |  SELECT c.doc, c.term, c.cnt, b.t, (b.lb + d.dgv) AS raw
+             |  FROM pcnt c JOIN pb${it - 1} b ON b.term = c.term
+             |  JOIN pdg${it}_$s d ON d.doc = c.doc AND d.t = b.t)""".stripMargin
+        P +=
+          s"""pn${it}_$s AS (
+             |  SELECT doc, term, ${logAdd("a0", "a1")} AS nrm FROM (
+             |    SELECT doc, term,
+             |      max(CASE WHEN t = 0 THEN raw END) AS a0,
+             |      max(CASE WHEN t = 1 THEN raw END) AS a1
+             |    FROM praw${it}_$s GROUP BY doc, term))""".stripMargin
+        P +=
+          s"""pphi${it}_$s AS MATERIALIZED (
+             |  SELECT r.doc, r.term, r.cnt, r.t, ((r.raw - n.nrm) + ln(r.cnt)) AS lp
+             |  FROM praw${it}_$s r JOIN pn${it}_$s n ON n.doc = r.doc AND n.term = r.term)""".stripMargin
+        P +=
+          s"""pg${it}_$s AS MATERIALIZED (
+             |  SELECT doc, t, round($alpha + sum(exp(lp)), $gammaDp) AS g
+             |  FROM pphi${it}_$s GROUP BY doc, t)""".stripMargin
+      }
+      P +=
+        s"""plam$it AS MATERIALIZED (
+           |  SELECT term, t, round(mx + ln(sumex), $betaDp) AS lam FROM (
+           |    SELECT term, t, mx, sum(exp(v - mx)) AS sumex FROM (
+           |      SELECT term, t, round(lp, $phiDp) AS v,
+           |             max(round(lp, $phiDp)) OVER (PARTITION BY term, t) AS mx
+           |      FROM pphi${it}_$sweeps)
+           |    GROUP BY term, t, mx))""".stripMargin
+      P +=
+        s"""psm$it AS MATERIALIZED (
+           |  SELECT term, t, ${logAdd("lam", "ln(1e-12)")} AS sm FROM plam$it)""".stripMargin
+      P +=
+        s"""pnorm$it AS (
+           |  SELECT t, mx + ln(sumex) AS lognorm FROM (
+           |    SELECT t, mx, sum(exp(sm - mx)) AS sumex FROM (
+           |      SELECT t, sm, max(sm) OVER (PARTITION BY t) AS mx FROM psm$it)
+           |    GROUP BY t, mx))""".stripMargin
+      P += s"pbx$it AS (SELECT term, t, exp(sm) AS xl FROM psm$it)"
+      P += s"pbn$it AS (SELECT t, exp(lognorm) AS xn FROM pnorm$it)"
+      P += s"pbd$it AS (SELECT term, t, ${dg("xl")} AS dxl FROM pbx$it)"
+      P += s"pbe$it AS (SELECT t, ${dg("xn")} AS dxn FROM pbn$it)"
+      P +=
+        s"""pb$it AS MATERIALIZED (
+           |  SELECT d.term, d.t, round(d.dxl - e.dxn, $betaDp) AS lb
+           |  FROM pbd$it d JOIN pbe$it e USING (t))""".stripMargin
+    }
+    "WITH " + P.result().mkString(",\n") +
+      s"""
+         |SELECT kind, topic, idx, value FROM (
+         |  SELECT 'beta' AS kind, CAST(t + 1 AS INT) AS topic,
+         |         CAST(term AS BIGINT) AS idx, lb AS value FROM pb$emIters
+         |  UNION ALL
+         |  SELECT 'gamma', CAST(t + 1 AS INT), doc, g FROM pg${emIters}_$sweeps)
+         |ORDER BY kind, topic, idx""".stripMargin
+  }
+}
