@@ -44,6 +44,13 @@ object PolyEStep {
    *                        init scale for unseen terms, per language like the
    *                        reference's numberOfTerms[languageIndex]).
    */
+  /**
+   * @param anchorGammaDp fixture-only rounding anchor on each sweep's
+   *                      gamma handoff (see [[graft.lda.EStep.run]];
+   *                      used by the planted polylda replay). 0 = off.
+   * @param anchorPhiDp   fixture-only anchor on emitted log-phi before
+   *                      the partition combiner folds them. 0 = off.
+   */
   def run(
       docs: Dataset[PolyDoc],
       alphaBc: Broadcast[Array[Double]],
@@ -53,7 +60,9 @@ object PolyEStep {
       randomStartGamma: Boolean = false,
       learning: Boolean = true,
       seed: Long = 42L,
-      phiFlushEntries: Int = 1 << 20): Dataset[PolyEStepRow] = {
+      phiFlushEntries: Int = 1 << 20,
+      anchorGammaDp: Int = 0,
+      anchorPhiDp: Int = 0): Dataset[PolyEStepRow] = {
     import docs.sparkSession.implicits._
 
     docs.mapPartitions { it =>
@@ -137,7 +146,13 @@ object PolyEStep {
             li += 1
           }
           i = 0
-          while (i < k) { gamma(i) = math.exp(updateLogGamma(i)); i += 1 }
+          while (i < k) {
+            gamma(i) = math.exp(updateLogGamma(i))
+            if (anchorGammaDp > 0)
+              gamma(i) = BigDecimal(gamma(i))
+                .setScale(anchorGammaDp, BigDecimal.RoundingMode.HALF_UP).toDouble
+            i += 1
+          }
           sweep += 1
           continue = sweep < localIterations
         }
@@ -161,8 +176,12 @@ object PolyEStep {
               i = 0
               while (i < k) {
                 val key = (lang, i + 1, ids(w))
+                val v = if (anchorPhiDp > 0)
+                  BigDecimal(lp(i)).setScale(anchorPhiDp,
+                    BigDecimal.RoundingMode.HALF_UP).toDouble
+                else lp(i)
                 val prev = phiAcc.get(key)
-                phiAcc.put(key, if (prev eq null) lp(i) else logAdd(prev.doubleValue(), lp(i)))
+                phiAcc.put(key, if (prev eq null) v else logAdd(prev.doubleValue(), v))
                 i += 1
               }
               w += 1

@@ -133,4 +133,102 @@ object LdaPlantedOracle {
          |  SELECT 'gamma', CAST(t + 1 AS INT), doc, g FROM pg${emIters}_$sweeps)
          |ORDER BY kind, topic, idx""".stripMargin
   }
+
+  /**
+   * The polylingual twin ([[graft.polylda.PolyPlantedLda]]): language =
+   * word < 'n' split, per-language vocabularies and betas, shared
+   * gamma; M-step is the polylda reducer's — NO eta smoothing, log
+   * lambda floored at -700 (PolyTrainer.mstep) — replayed per
+   * (lang, topic, term).
+   */
+  def polySql(k: Int = 2, vocabPerLang: Int = 10, maxDocId: Long = 30,
+      emIters: Int = 3, sweeps: Int = 3, alpha: Double = 0.5,
+      gammaDp: Int = 8, phiDp: Int = 10, betaDp: Int = 8): String = {
+    require(k == 2, "the unrolled replay pivots on exactly 2 topics")
+    val P = Seq.newBuilder[String]
+    P +=
+      s"""pdw AS MATERIALIZED (
+         |  SELECT doc, word, CASE WHEN word < 'n' THEN 0 ELSE 1 END AS lang FROM (
+         |    SELECT CAST(doc_id AS BIGINT) AS doc,
+         |           unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+         |    FROM documents WHERE doc_id < $maxDocId))""".stripMargin
+    P +=
+      s"""pvoc AS MATERIALIZED (
+         |  SELECT lang, word,
+         |         CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word ASC) AS INT) - 1 AS term
+         |  FROM (SELECT lang, word, count(*) AS cnt FROM pdw GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word ASC) <= $vocabPerLang)""".stripMargin
+    P +=
+      """pcnt AS MATERIALIZED (
+        |  SELECT doc, lang, term, count(*)::INT AS cnt
+        |  FROM pdw JOIN pvoc USING (lang, word) GROUP BY 1, 2, 3)""".stripMargin
+    P += s"pdoc AS MATERIALIZED (SELECT doc, sum(cnt)::BIGINT AS n FROM pcnt GROUP BY 1)"
+    P += s"ptop AS (SELECT unnest([${(0 until k).mkString(", ")}]) AS t)"
+    P +=
+      s"""pb0 AS MATERIALIZED (
+         |  SELECT lang, term, t,
+         |         round(-ln(CAST($vocabPerLang AS DOUBLE)) + (((term*7 + t*3 + lang*5) % 11) - 5)/100.0, $betaDp) AS lb
+         |  FROM (SELECT DISTINCT lang, term FROM pvoc) CROSS JOIN ptop)""".stripMargin
+    P +=
+      s"""pg1_0 AS MATERIALIZED (
+         |  SELECT doc, t, $alpha + n/${k.toDouble} AS g FROM pdoc CROSS JOIN ptop)""".stripMargin
+    for (it <- 1 to emIters) {
+      if (it > 1)
+        P += s"pg${it}_0 AS (SELECT * FROM pg${it - 1}_$sweeps)"
+      for (s <- 1 to sweeps) {
+        P += s"pdg${it}_$s AS (SELECT doc, t, ${dg("g")} AS dgv FROM pg${it}_${s - 1})"
+        P +=
+          s"""praw${it}_$s AS MATERIALIZED (
+             |  SELECT c.doc, c.lang, c.term, c.cnt, b.t, (b.lb + d.dgv) AS raw
+             |  FROM pcnt c JOIN pb${it - 1} b ON b.lang = c.lang AND b.term = c.term
+             |  JOIN pdg${it}_$s d ON d.doc = c.doc AND d.t = b.t)""".stripMargin
+        P +=
+          s"""pn${it}_$s AS (
+             |  SELECT doc, lang, term, ${logAdd("a0", "a1")} AS nrm FROM (
+             |    SELECT doc, lang, term,
+             |      max(CASE WHEN t = 0 THEN raw END) AS a0,
+             |      max(CASE WHEN t = 1 THEN raw END) AS a1
+             |    FROM praw${it}_$s GROUP BY doc, lang, term))""".stripMargin
+        P +=
+          s"""pphi${it}_$s AS MATERIALIZED (
+             |  SELECT r.doc, r.lang, r.term, r.cnt, r.t, ((r.raw - n.nrm) + ln(r.cnt)) AS lp
+             |  FROM praw${it}_$s r
+             |  JOIN pn${it}_$s n ON n.doc = r.doc AND n.lang = r.lang AND n.term = r.term)""".stripMargin
+        P +=
+          s"""pg${it}_$s AS MATERIALIZED (
+             |  SELECT doc, t, round($alpha + sum(exp(lp)), $gammaDp) AS g
+             |  FROM pphi${it}_$s GROUP BY doc, t)""".stripMargin
+      }
+      P +=
+        s"""plam$it AS MATERIALIZED (
+           |  SELECT lang, term, t, round(greatest(mx + ln(sumex), -700.0), $betaDp) AS lam FROM (
+           |    SELECT lang, term, t, mx, sum(exp(v - mx)) AS sumex FROM (
+           |      SELECT lang, term, t, round(lp, $phiDp) AS v,
+           |             max(round(lp, $phiDp)) OVER (PARTITION BY lang, term, t) AS mx
+           |      FROM pphi${it}_$sweeps)
+           |    GROUP BY lang, term, t, mx))""".stripMargin
+      P +=
+        s"""pnorm$it AS (
+           |  SELECT lang, t, mx + ln(sumex) AS lognorm FROM (
+           |    SELECT lang, t, mx, sum(exp(lam - mx)) AS sumex FROM (
+           |      SELECT lang, t, lam, max(lam) OVER (PARTITION BY lang, t) AS mx FROM plam$it)
+           |    GROUP BY lang, t, mx))""".stripMargin
+      P += s"pbx$it AS (SELECT lang, term, t, exp(lam) AS xl FROM plam$it)"
+      P += s"pbn$it AS (SELECT lang, t, exp(lognorm) AS xn FROM pnorm$it)"
+      P += s"pbd$it AS (SELECT lang, term, t, ${dg("xl")} AS dxl FROM pbx$it)"
+      P += s"pbe$it AS (SELECT lang, t, ${dg("xn")} AS dxn FROM pbn$it)"
+      P +=
+        s"""pb$it AS MATERIALIZED (
+           |  SELECT d.lang, d.term, d.t, round(d.dxl - e.dxn, $betaDp) AS lb
+           |  FROM pbd$it d JOIN pbe$it e ON e.lang = d.lang AND e.t = d.t)""".stripMargin
+    }
+    "WITH " + P.result().mkString(",\n") +
+      s"""
+         |SELECT kind, lang, topic, idx, value FROM (
+         |  SELECT 'beta' AS kind, CAST(lang AS INT) AS lang, CAST(t + 1 AS INT) AS topic,
+         |         CAST(term AS BIGINT) AS idx, lb AS value FROM pb$emIters
+         |  UNION ALL
+         |  SELECT 'gamma', -1, CAST(t + 1 AS INT), doc, g FROM pg${emIters}_$sweeps)
+         |ORDER BY kind, lang, topic, idx""".stripMargin
+  }
 }

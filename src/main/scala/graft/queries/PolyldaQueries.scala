@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.polylda.{PolyParseCorpus, PolyTrainer}
+import graft.polylda.{PolyParseCorpus, PolyPlantedLda, PolyTrainer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -99,5 +99,13 @@ object PolyldaQueries {
         PolyTrainer.topTermsPerTopic(s, m, p.terms, k = 5)
           .orderBy($"lang", $"topic", $"rnk")
       },
-      None))
+      None),
+
+    /** Planted polylingual micro-EM, fully hash-oracled — the polylda
+      * core (tied-gamma E-step across languages, eta-free floored
+      * M-step) replayed in DuckDB; see PolyPlantedLda / the vanilla
+      * q_lda_planted_em. */
+    "q_polylda_planted_em" -> QueryDef(
+      (s, dir) => PolyPlantedLda.run(s, dir),
+      Some(LdaPlantedOracle.polySql())))
 }
