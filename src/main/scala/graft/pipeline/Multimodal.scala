@@ -51,11 +51,15 @@ object Multimodal {
       MediaCodecs.decodeWav(payload).map(MediaCodecs.wavFeatures).getOrElse(decodeStub(payload))
     else if (MediaCodecs.isY4m(payload))
       MediaCodecs.decodeY4m(payload).map(MediaCodecs.y4mFeatures).getOrElse(decodeStub(payload))
+    else if (H264Codec.isH264(payload))
+      H264Codec.decode(payload).map(MediaCodecs.bmpFeatures).getOrElse(decodeStub(payload))
     else decodeStub(payload)
 
   /** STUB: stands in for decode + feature extraction of formats that
-    * need codecs this container doesn't ship (MP4/H.264 — JPEG decode
-    * went native in r7, see [[JpegCodec]]). */
+    * need codecs this container doesn't ship (JPEG went native in r7
+    * via [[JpegCodec]]; H.264 I_PCM IDR frames went native in r8 via
+    * [[H264Codec]] — what remains stubbed is foreign entropy-coded
+    * codec payloads: CAVLC/CABAC residuals, AAC, ...). */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
     var h = 1125899906842597L
@@ -127,7 +131,11 @@ object Multimodal {
               (0 until n).iterator.map { i =>
                 val idx = math.min(i * step, t.nSamples - 1)
                 val sample = Mp4Demux.sampleBytes(m.payload, t, idx)
-                (m.mediaId, i, sample.length, decodeStub(sample))
+                // REAL decode when the sample is an H.264 IDR our codec
+                // handles (I_PCM path); stub only for foreign codecs
+                val feats = H264Codec.decode(sample)
+                  .map(MediaCodecs.bmpFeatures).getOrElse(decodeStub(sample))
+                (m.mediaId, i, sample.length, feats)
               }
             case _ =>
               val step = math.max(1, m.payload.length / n)
@@ -269,6 +277,7 @@ object Multimodal {
           .map(w => (w.sampleRateHz, w.samples.length)))
         .orElse(MediaCodecs.decodeY4m(m.payload)
           .map(v => (v.width, v.frames.length)))
+        .orElse(H264Codec.describe(m.payload))
         .orElse(Mp4Demux.demux(m.payload)
           .map(info => (info.videoTrack.width, info.videoTrack.nSamples)))
         .getOrElse((-1, -1))

@@ -1899,6 +1899,63 @@ object PipelineQueries {
              |  CAST(n AS BIGINT) AS duration
              |FROM d JOIN b USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // native H.264 intra codec (H264Codec, r8) end-to-end THROUGH the MP4
+    // container: deterministic gradient frames (closed-form dims) →
+    // encode as I_PCM IDR AVCC samples → mux (Mp4Demux.encodeMp4) →
+    // demux → per-sample H264Codec.decode. Dims replay closed-form;
+    // `transport_exact` pins that the decoded 4:2:0 planes equal the
+    // encoder's conversion BYTE-FOR-BYTE (I_PCM is lossless transport) —
+    // any bitstream/NAL/escaping bug flips it and the hash mismatches.
+    "q_h264_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val len = text.codePointCount(0, text.length)
+            val w = 16 + 2 * (len % 8).toInt
+            val h = 16 + 2 * ((len + id) % 6).toInt
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val o = (y * w + x) * 3
+                rgb(o) = ((x * 255) / (w - 1)).toByte
+                rgb(o + 1) = ((y * 255) / (h - 1)).toByte
+                rgb(o + 2) = ((x * 3 + y * 5 + id) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val img = graft.pipeline.MediaCodecs.Bmp(w, h, rgb)
+            val sample = graft.pipeline.H264Codec.encode(img)
+            val mp4 = graft.pipeline.Mp4Demux.encodeMp4(Seq(sample, sample), w, h)
+            val info = graft.pipeline.Mp4Demux.demux(mp4).get
+            val bytes = graft.pipeline.Mp4Demux.sampleBytes(mp4, info.videoTrack, 0)
+            val planes = graft.pipeline.H264Codec.decodeYuv(bytes)
+            val wMbs = (w + 15) / 16; val hMbs = (h + 15) / 16
+            val expect = graft.pipeline.H264Codec.toYuv420(img, wMbs, hMbs)
+            val exact = planes.exists { case (sps, yP, cbP, crP) =>
+              sps.width == w && sps.height == h &&
+                java.util.Arrays.equals(yP, expect._1) &&
+                java.util.Arrays.equals(cbP, expect._2) &&
+                java.util.Arrays.equals(crP, expect._3)
+            }
+            (id, planes.map(_._1.width).getOrElse(-1),
+              planes.map(_._1.height).getOrElse(-1),
+              info.videoTrack.nSamples, exact)
+          }
+          .toDF("doc_id", "width", "height", "n_samples", "transport_exact")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(16 + 2 * (len(text) % 8) AS INT) AS width,
+             |  CAST(16 + 2 * ((len(text) + doc_id) % 6) AS INT) AS height,
+             |  2 AS n_samples, true AS transport_exact
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
     // native baseline-JPEG codec (JpegCodec, r7) end-to-end: deterministic
     // gradient images (closed-form dims in doc_id/len) → encodeJpeg →
     // decodeJpeg. Dims are exact; lossy pixel fidelity is asserted as a
