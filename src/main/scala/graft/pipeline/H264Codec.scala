@@ -24,11 +24,21 @@ import scala.collection.mutable.ArrayBuffer
  *    spec pins exact pixel equality (the spec's own escape hatch for
  *    uncompressible content; here it doubles as the honest fixture
  *    path, exactly like the BMP/WAV/Y4M codecs).
- *  - Intra_16x16 mb_types are PARSED (prediction mode / CBP fields per
- *    Table 7-11) so foreign I-frames fail soft with a clear reason
- *    (None), never mis-decode: CAVLC residual decoding is NOT
- *    implemented — that is the one remaining H.264 gap, documented
- *    here rather than stubbed silently.
+ *  - Intra_16x16 macroblocks with FULL CAVLC residual decoding AND
+ *    encoding (clauses 8.3/8.5/9.2 via [[H264Cavlc]] +
+ *    [[H264Transform]]): V/H/DC/Plane luma-16x16 and DC/H/V/Plane
+ *    chroma prediction, luma-DC Hadamard + chroma-DC 2x2 + 4x4
+ *    integer transforms, nC neighbor tracking across I_PCM and coded
+ *    macroblocks. The encoder (`qp` >= 0) reconstructs exactly as the
+ *    decoder, so intra prediction chains agree.
+ *  - Intra_4x4 (mb_type 0) remains the one out-of-scope I-slice shape:
+ *    it refuses with a clear reason (None), never mis-decodes.
+ *
+ * Verification posture: no conformant decoder ships in this container,
+ * so foreign-bitstream conformance is untestable here; what the specs
+ * pin is spec-vector bit primitives, structurally-validated VLC
+ *    tables (H264CavlcSpec), byte-exact I_PCM transport, and
+ * rate/quality-sane compressed round trips (flat content exact).
  *
  * Reference scope anchor: the Mr.LDA reference has no media surface;
  * this is beyond-reference capability for the multimodal pipeline.
@@ -38,7 +48,7 @@ object H264Codec {
   // ---------------- RBSP bit IO ----------------
 
   /** MSB-first reader over RBSP bytes (EPBs already removed). */
-  private final class BitReader(data: Array[Byte]) {
+  private final class BitReader(data: Array[Byte]) extends H264Cavlc.BitIn {
     var pos = 0 // bit position
     def more: Boolean = pos < data.length * 8
     def u1(): Int = {
@@ -71,7 +81,7 @@ object H264Codec {
     def readByte(): Int = { val v = u(8); v }
   }
 
-  private final class BitWriter {
+  private final class BitWriter extends H264Cavlc.BitOut {
     private val out = ArrayBuffer.empty[Byte]
     private var cur = 0
     private var nbits = 0
@@ -284,53 +294,210 @@ object H264Codec {
     if (sps.picOrderCntType == 0) r.u(16) // poc lsb (we always write type 2)
     // dec_ref_pic_marking for IDR (7.3.3.3)
     r.u1(); r.u1()
-    r.se() // slice_qp_delta
+    val sliceQpDelta = r.se() // slice_qp_delta
     if (pps.deblockingControlPresent) {
       val idc = r.ue()
       if (idc != 1) { r.se(); r.se() }
     }
     // slice_data: all-I macroblocks, raster order
-    val wMbs = sps.widthMbs; val hMbs = sps.heightMbs
-    val lumaW = wMbs * 16; val lumaH = hMbs * 16
-    val yPlane = new Array[Byte](lumaW * lumaH)
-    val cbPlane = new Array[Byte](lumaW * lumaH / 4)
-    val crPlane = new Array[Byte](lumaW * lumaH / 4)
+    val st = new FrameState(sps.widthMbs, sps.heightMbs)
+    var qpY = pps.picInitQp + sliceQpDelta
+    if (qpY < 0 || qpY > 51) throw new H264Format(s"slice QP $qpY out of range")
     var mb = 0
-    val nMbs = wMbs * hMbs
+    val nMbs = st.wMbs * st.hMbs
     while (mb < nMbs) {
       val mbType = r.ue()
+      val mbX = (mb % st.wMbs) * 16
+      val mbY = (mb / st.wMbs) * 16
       if (mbType == 25) { // I_PCM (7.3.5)
         while (!r.byteAligned) {
           if (r.u1() != 0) throw new H264Format("pcm_alignment_zero_bit != 0")
         }
-        val mbX = (mb % wMbs) * 16
-        val mbY = (mb / wMbs) * 16
         var i = 0
         while (i < 256) {
-          yPlane((mbY + i / 16) * lumaW + mbX + i % 16) = r.readByte().toByte
+          st.yPlane((mbY + i / 16) * st.lumaW + mbX + i % 16) = r.readByte().toByte
           i += 1
         }
-        val cW = lumaW / 2
+        val cW = st.lumaW / 2
         i = 0
         while (i < 64) {
-          cbPlane((mbY / 2 + i / 8) * cW + mbX / 2 + i % 8) = r.readByte().toByte
+          st.cbPlane((mbY / 2 + i / 8) * cW + mbX / 2 + i % 8) = r.readByte().toByte
           i += 1
         }
         i = 0
         while (i < 64) {
-          crPlane((mbY / 2 + i / 8) * cW + mbX / 2 + i % 8) = r.readByte().toByte
+          st.crPlane((mbY / 2 + i / 8) * cW + mbX / 2 + i % 8) = r.readByte().toByte
           i += 1
         }
+        st.markPcm(mbX / 16, mbY / 16) // I_PCM counts as nnz 16 (9.2.1)
       } else if (mbType >= 1 && mbType <= 24) {
-        // Intra_16x16: the header fields parse (Table 7-11) but the CAVLC
-        // residual does not — fail soft with a precise reason
-        throw new H264Format("Intra_16x16 CAVLC residual not implemented")
+        // Intra_16x16 (Table 7-11): predMode + CBP packed in mb_type
+        val predMode = (mbType - 1) % 4
+        val cbpChroma = ((mbType - 1) / 4) % 3
+        val cbpLuma = ((mbType - 1) / 12) * 15
+        val chromaMode = r.ue()
+        if (chromaMode > 3) throw new H264Format(s"chroma pred mode $chromaMode")
+        val qpDelta = r.se()
+        qpY = ((qpY + qpDelta) % 52 + 52) % 52
+        decodeIntra16x16(r, st, mbX / 16, mbY / 16, predMode, chromaMode,
+          cbpLuma, cbpChroma, qpY)
       } else if (mbType == 0) {
         throw new H264Format("Intra_4x4 CAVLC residual not implemented")
       } else throw new H264Format(s"bad I-slice mb_type $mbType")
       mb += 1
     }
-    (sps, yPlane, cbPlane, crPlane)
+    (sps, st.yPlane, st.cbPlane, st.crPlane)
+  }
+
+  /** Per-frame reconstruction state: planes + the per-4x4-block
+    * TotalCoeff grids CAVLC's nC context derivation needs (9.2.1). */
+  private final class FrameState(val wMbs: Int, val hMbs: Int) {
+    val lumaW: Int = wMbs * 16
+    val yPlane = new Array[Byte](lumaW * hMbs * 16)
+    val cbPlane = new Array[Byte](lumaW * hMbs * 16 / 4)
+    val crPlane = new Array[Byte](lumaW * hMbs * 16 / 4)
+    /** TotalCoeff per luma 4x4 block (grid wMbs*4 x hMbs*4). */
+    val nnzY = new Array[Int](wMbs * 4 * hMbs * 4)
+    /** TotalCoeff per chroma 4x4 block, per component (wMbs*2 x hMbs*2). */
+    val nnzC = Array.fill(2)(new Array[Int](wMbs * 2 * hMbs * 2))
+
+    def nnzYAt(bx: Int, by: Int): Int = nnzY(by * wMbs * 4 + bx)
+    def setNnzY(bx: Int, by: Int, v: Int): Unit = nnzY(by * wMbs * 4 + bx) = v
+    def nnzCAt(c: Int, bx: Int, by: Int): Int = nnzC(c)(by * wMbs * 2 + bx)
+    def setNnzC(c: Int, bx: Int, by: Int, v: Int): Unit = nnzC(c)(by * wMbs * 2 + bx) = v
+
+    /** nC for a luma block (9.2.1): mean of available neighbors. */
+    def lumaNc(bx: Int, by: Int): Int = {
+      val a = if (bx > 0) nnzYAt(bx - 1, by) else -1
+      val b = if (by > 0) nnzYAt(bx, by - 1) else -1
+      if (a >= 0 && b >= 0) (a + b + 1) >> 1 else if (a >= 0) a else if (b >= 0) b else 0
+    }
+    def chromaNc(c: Int, bx: Int, by: Int): Int = {
+      val a = if (bx > 0) nnzCAt(c, bx - 1, by) else -1
+      val b = if (by > 0) nnzCAt(c, bx, by - 1) else -1
+      if (a >= 0 && b >= 0) (a + b + 1) >> 1 else if (a >= 0) a else if (b >= 0) b else 0
+    }
+    def markPcm(mx: Int, my: Int): Unit = {
+      for (y <- 0 until 4; x <- 0 until 4) setNnzY(mx * 4 + x, my * 4 + y, 16)
+      for (c <- 0 until 2; y <- 0 until 2; x <- 0 until 2)
+        setNnzC(c, mx * 2 + x, my * 2 + y, 16)
+    }
+  }
+
+  private def clipB(v: Int): Byte =
+    (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+
+  /** un-zigzag a 16-coeff scan (offset 1 skips the DC slot for AC-only
+    * 15-coeff blocks) into a raster 4x4. */
+  private def unzigzag(scan: Array[Int], offset: Int): Array[Int] = {
+    val out = new Array[Int](16)
+    var k = 0
+    while (k < scan.length) {
+      out(H264Transform.Zigzag4x4(k + offset)) = scan(k)
+      k += 1
+    }
+    out
+  }
+
+  /** Decode one Intra_16x16 macroblock's residual and reconstruct it
+    * (8.3.3 prediction + 9.2 CAVLC + 8.5 transforms). */
+  private def decodeIntra16x16(r: BitReader, st: FrameState, mx: Int, my: Int,
+      predMode: Int, chromaMode: Int, cbpLuma: Int, cbpChroma: Int, qpY: Int): Unit = {
+    import H264Transform._
+    val lumaW = st.lumaW
+    val x0 = mx * 16; val y0 = my * 16
+    // ---- luma prediction from reconstructed neighbors
+    val top = if (my > 0) Array.tabulate(16)(i => st.yPlane((y0 - 1) * lumaW + x0 + i) & 0xff) else null
+    val left = if (mx > 0) Array.tabulate(16)(i => st.yPlane((y0 + i) * lumaW + x0 - 1) & 0xff) else null
+    val tl = if (mx > 0 && my > 0) st.yPlane((y0 - 1) * lumaW + x0 - 1) & 0xff else 0
+    val pred = predLuma16x16(predMode, top, left, tl)
+    // ---- luma residual
+    val dcScan = new Array[Int](16)
+    H264Cavlc.decodeBlock(r, dcScan, 16, st.lumaNc(mx * 4, my * 4))
+    val dcd = dequantLumaDc(unzigzag(dcScan, 0), qpY)
+    val acScan = new Array[Int](15)
+    var bi = 0
+    while (bi < 16) {
+      val (bxo, byo) = LumaBlockOrder(bi)
+      val gbx = mx * 4 + bxo; val gby = my * 4 + byo
+      var resid: Array[Int] = null
+      if (cbpLuma != 0) {
+        val tc = H264Cavlc.decodeBlock(r, acScan, 15, st.lumaNc(gbx, gby))
+        st.setNnzY(gbx, gby, tc)
+        resid = dequant4x4(unzigzag(acScan, 1), qpY, skipDc = true)
+      } else {
+        st.setNnzY(gbx, gby, 0)
+        resid = new Array[Int](16)
+      }
+      resid(0) = dcd(byo * 4 + bxo)
+      val rpx = inverse4x4(resid)
+      var py = 0
+      while (py < 4) {
+        var px = 0
+        while (px < 4) {
+          val fx = bxo * 4 + px; val fy = byo * 4 + py
+          st.yPlane((y0 + fy) * lumaW + x0 + fx) =
+            clipB(pred(fy * 16 + fx) + rpx(py * 4 + px))
+          px += 1
+        }
+        py += 1
+      }
+      bi += 1
+    }
+    // ---- chroma
+    val qpC = chromaQp(qpY)
+    val cW = lumaW / 2
+    val cx0 = mx * 8; val cy0 = my * 8
+    // DC levels first for BOTH components, then AC blocks per component
+    // (7.3.5.3.3 residual ordering)
+    val dcLv = Array.ofDim[Int](2, 4)
+    if (cbpChroma > 0) {
+      var c = 0
+      while (c < 2) {
+        val buf = new Array[Int](4)
+        H264Cavlc.decodeBlock(r, buf, 4, -1)
+        dcLv(c) = buf
+        c += 1
+      }
+    }
+    var c = 0
+    while (c < 2) {
+      val plane = if (c == 0) st.cbPlane else st.crPlane
+      val ctop = if (my > 0) Array.tabulate(8)(i => plane((cy0 - 1) * cW + cx0 + i) & 0xff) else null
+      val cleft = if (mx > 0) Array.tabulate(8)(i => plane((cy0 + i) * cW + cx0 - 1) & 0xff) else null
+      val ctl = if (mx > 0 && my > 0) plane((cy0 - 1) * cW + cx0 - 1) & 0xff else 0
+      val cpred = predChroma8x8(chromaMode, ctop, cleft, ctl)
+      val dcd2 = if (cbpChroma > 0) dequantChromaDc(dcLv(c), qpC) else new Array[Int](4)
+      var sb = 0
+      while (sb < 4) {
+        val sbx = sb % 2; val sby = sb / 2
+        val gbx = mx * 2 + sbx; val gby = my * 2 + sby
+        var resid: Array[Int] = null
+        if (cbpChroma == 2) {
+          val tc = H264Cavlc.decodeBlock(r, acScan, 15, st.chromaNc(c, gbx, gby))
+          st.setNnzC(c, gbx, gby, tc)
+          resid = dequant4x4(unzigzag(acScan, 1), qpC, skipDc = true)
+        } else {
+          st.setNnzC(c, gbx, gby, 0)
+          resid = new Array[Int](16)
+        }
+        resid(0) = dcd2(sby * 2 + sbx)
+        val rpx = inverse4x4(resid)
+        var py = 0
+        while (py < 4) {
+          var px = 0
+          while (px < 4) {
+            val fx = sbx * 4 + px; val fy = sby * 4 + py
+            plane((cy0 + fy) * cW + cx0 + fx) =
+              clipB(cpred(fy * 8 + fx) + rpx(py * 4 + px))
+            px += 1
+          }
+          py += 1
+        }
+        sb += 1
+      }
+      c += 1
+    }
   }
 
   /** YCbCr (BT.601 full-range, same matrix as the JPEG codec) -> RGB,
@@ -402,14 +569,20 @@ object H264Codec {
     } catch { case _: Exception => false }
 
   /**
-   * Encode one RGB frame as an IDR picture (SPS + PPS + I_PCM IDR
-   * slice). `avcc = true` frames each NAL with a 4-byte length (the
-   * MP4-sample convention [[Mp4Demux]] payloads use); false writes
-   * Annex-B start codes. I_PCM keeps the round trip LOSSLESS up to the
-   * RGB->YCbCr 4:2:0 resample, which is pinned by encoding from the
-   * decoded planes (see spec).
+   * Encode one RGB frame as an IDR picture (SPS + PPS + IDR slice).
+   * `avcc = true` frames each NAL with a 4-byte length (the MP4-sample
+   * convention [[Mp4Demux]] payloads use); false writes Annex-B start
+   * codes.
+   *
+   * `qp = -1` (default) writes every macroblock as I_PCM — LOSSLESS
+   * transport of the 4:2:0 planes (the round-trip spec pins byte
+   * equality). `qp` in 0..51 writes REAL compressed Intra_16x16
+   * macroblocks: DC prediction, 4x4 integer transform + luma-DC
+   * Hadamard + chroma-DC 2x2, quantization at `qp`, CAVLC entropy
+   * coding — with the encoder reconstructing each macroblock exactly
+   * as the decoder will, so neighbor predictions agree.
    */
-  def encode(img: MediaCodecs.Bmp, avcc: Boolean = true): Array[Byte] = {
+  def encode(img: MediaCodecs.Bmp, avcc: Boolean = true, qp: Int = -1): Array[Byte] = {
     val wMbs = (img.width + 15) / 16
     val hMbs = (img.height + 15) / 16
     val cropR = (wMbs * 16 - img.width + 1) / 2
@@ -453,7 +626,8 @@ object H264Codec {
     pw.trailing()
     val ppsNal = Array[Byte](0x68.toByte) ++ escape(pw.bytes)
 
-    // IDR slice, every MB I_PCM
+    // IDR slice
+    require(qp >= -1 && qp <= 51, s"qp $qp")
     val w2 = new BitWriter
     w2.ue(0) // first_mb_in_slice
     w2.ue(7) // slice_type I (all slices)
@@ -461,32 +635,43 @@ object H264Codec {
     w2.u(0, 4) // frame_num (log2_max_frame_num = 4)
     w2.ue(0) // idr_pic_id
     w2.u1(0); w2.u1(0) // dec_ref_pic_marking
-    w2.se(0) // slice_qp_delta
+    w2.se(if (qp < 0) 0 else qp - 26) // slice_qp_delta vs pic_init_qp 26
     w2.ue(1) // disable_deblocking_filter_idc = 1
     var mb = 0
     val nMbs = wMbs * hMbs
-    while (mb < nMbs) {
-      w2.ue(25) // I_PCM
-      w2.alignToByte()
-      val mbX = (mb % wMbs) * 16
-      val mbY = (mb / wMbs) * 16
-      var i = 0
-      while (i < 256) {
-        w2.writeByte(yP((mbY + i / 16) * lumaW + mbX + i % 16) & 0xff)
-        i += 1
+    if (qp < 0) {
+      while (mb < nMbs) { // every MB I_PCM (lossless transport)
+        w2.ue(25)
+        w2.alignToByte()
+        val mbX = (mb % wMbs) * 16
+        val mbY = (mb / wMbs) * 16
+        var i = 0
+        while (i < 256) {
+          w2.writeByte(yP((mbY + i / 16) * lumaW + mbX + i % 16) & 0xff)
+          i += 1
+        }
+        val cW = lumaW / 2
+        i = 0
+        while (i < 64) {
+          w2.writeByte(cbP((mbY / 2 + i / 8) * cW + mbX / 2 + i % 8) & 0xff)
+          i += 1
+        }
+        i = 0
+        while (i < 64) {
+          w2.writeByte(crP((mbY / 2 + i / 8) * cW + mbX / 2 + i % 8) & 0xff)
+          i += 1
+        }
+        mb += 1
       }
-      val cW = lumaW / 2
-      i = 0
-      while (i < 64) {
-        w2.writeByte(cbP((mbY / 2 + i / 8) * cW + mbX / 2 + i % 8) & 0xff)
-        i += 1
+    } else {
+      // compressed Intra_16x16 path: DC pred + transforms + CAVLC; the
+      // encoder mirrors the decoder's reconstruction so intra prediction
+      // chains across macroblocks agree bit-for-bit
+      val st = new FrameState(wMbs, hMbs)
+      while (mb < nMbs) {
+        encodeIntra16x16Mb(w2, st, mb % wMbs, mb / wMbs, yP, cbP, crP, qp)
+        mb += 1
       }
-      i = 0
-      while (i < 64) {
-        w2.writeByte(crP((mbY / 2 + i / 8) * cW + mbX / 2 + i % 8) & 0xff)
-        i += 1
-      }
-      mb += 1
     }
     w2.trailing()
     val idrNal = Array[Byte](0x65.toByte) ++ escape(w2.bytes)
@@ -505,6 +690,162 @@ object H264Codec {
       }
     emit(spsNal); emit(ppsNal); emit(idrNal)
     out.toArray
+  }
+
+  /** Encode + reconstruct one Intra_16x16 macroblock (DC prediction,
+    * qp-quantized transforms, CAVLC) — the mirror of
+    * [[decodeIntra16x16]], sharing its dequant/inverse/pred kernels so
+    * the encoder's neighbor state is exactly the decoder's. */
+  private def encodeIntra16x16Mb(w: BitWriter, st: FrameState, mx: Int, my: Int,
+      srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte], qp: Int): Unit = {
+    import H264Transform._
+    val lumaW = st.lumaW
+    val x0 = mx * 16; val y0 = my * 16
+    val top = if (my > 0) Array.tabulate(16)(i => st.yPlane((y0 - 1) * lumaW + x0 + i) & 0xff) else null
+    val left = if (mx > 0) Array.tabulate(16)(i => st.yPlane((y0 + i) * lumaW + x0 - 1) & 0xff) else null
+    val pred = predLuma16x16(2, top, left, 0) // DC mode
+    // forward transform + quant, luma
+    val acLv = Array.ofDim[Int](16, 15)
+    val dcRaster = new Array[Int](16)
+    var bi = 0
+    while (bi < 16) {
+      val (bxo, byo) = LumaBlockOrder(bi)
+      val x = new Array[Int](16)
+      var py = 0
+      while (py < 4) {
+        var px = 0
+        while (px < 4) {
+          val fx = bxo * 4 + px; val fy = byo * 4 + py
+          x(py * 4 + px) = (srcY((y0 + fy) * lumaW + x0 + fx) & 0xff) - pred(fy * 16 + fx)
+          px += 1
+        }
+        py += 1
+      }
+      val wc = forward4x4(x)
+      dcRaster(byo * 4 + bxo) = wc(0)
+      val q = quant4x4(wc, qp, skipDc = true)
+      var k = 0
+      while (k < 15) { acLv(bi)(k) = q(Zigzag4x4(k + 1)); k += 1 }
+      bi += 1
+    }
+    val dcLvRaster = quantLumaDc(dcRaster, qp)
+    val dcScan = Array.tabulate(16)(k => dcLvRaster(Zigzag4x4(k)))
+    val cbpLuma = if (acLv.exists(_.exists(_ != 0))) 15 else 0
+    // chroma forward + quant
+    val qpC = chromaQp(qp)
+    val cW = lumaW / 2
+    val cx0 = mx * 8; val cy0 = my * 8
+    val cPred = new Array[Array[Int]](2)
+    val cAcLv = Array.ofDim[Int](2, 4, 15)
+    val cDcLv = new Array[Array[Int]](2)
+    var c = 0
+    while (c < 2) {
+      val srcP = if (c == 0) srcCb else srcCr
+      val recP = if (c == 0) st.cbPlane else st.crPlane
+      val ctop = if (my > 0) Array.tabulate(8)(i => recP((cy0 - 1) * cW + cx0 + i) & 0xff) else null
+      val cleft = if (mx > 0) Array.tabulate(8)(i => recP((cy0 + i) * cW + cx0 - 1) & 0xff) else null
+      cPred(c) = predChroma8x8(0, ctop, cleft, 0) // DC mode
+      val dcC = new Array[Int](4)
+      var sb = 0
+      while (sb < 4) {
+        val sbx = sb % 2; val sby = sb / 2
+        val x = new Array[Int](16)
+        var py = 0
+        while (py < 4) {
+          var px = 0
+          while (px < 4) {
+            val fx = sbx * 4 + px; val fy = sby * 4 + py
+            x(py * 4 + px) = (srcP((cy0 + fy) * cW + cx0 + fx) & 0xff) - cPred(c)(fy * 8 + fx)
+            px += 1
+          }
+          py += 1
+        }
+        val wc = forward4x4(x)
+        dcC(sby * 2 + sbx) = wc(0)
+        val q = quant4x4(wc, qpC, skipDc = true)
+        var k = 0
+        while (k < 15) { cAcLv(c)(sb)(k) = q(Zigzag4x4(k + 1)); k += 1 }
+        sb += 1
+      }
+      cDcLv(c) = quantChromaDc(dcC, qpC)
+      c += 1
+    }
+    val cbpChroma =
+      if (cAcLv.exists(_.exists(_.exists(_ != 0)))) 2
+      else if (cDcLv.exists(_.exists(_ != 0))) 1
+      else 0
+    // ---- write the macroblock (Table 7-11 inverse: predMode DC = 2)
+    w.ue(1 + 2 + 4 * cbpChroma + 12 * (if (cbpLuma == 15) 1 else 0))
+    w.ue(0) // intra_chroma_pred_mode = DC
+    w.se(0) // mb_qp_delta
+    H264Cavlc.encodeBlock(w, dcScan, 16, st.lumaNc(mx * 4, my * 4))
+    val dcd = dequantLumaDc(unzigzag(dcScan, 0), qp)
+    bi = 0
+    while (bi < 16) {
+      val (bxo, byo) = LumaBlockOrder(bi)
+      val gbx = mx * 4 + bxo; val gby = my * 4 + byo
+      var resid: Array[Int] = null
+      if (cbpLuma != 0) {
+        val tc = H264Cavlc.encodeBlock(w, acLv(bi), 15, st.lumaNc(gbx, gby))
+        st.setNnzY(gbx, gby, tc)
+        resid = dequant4x4(unzigzag(acLv(bi), 1), qp, skipDc = true)
+      } else {
+        st.setNnzY(gbx, gby, 0)
+        resid = new Array[Int](16)
+      }
+      resid(0) = dcd(byo * 4 + bxo)
+      val rpx = inverse4x4(resid)
+      var py = 0
+      while (py < 4) {
+        var px = 0
+        while (px < 4) {
+          val fx = bxo * 4 + px; val fy = byo * 4 + py
+          st.yPlane((y0 + fy) * lumaW + x0 + fx) =
+            clipB(pred(fy * 16 + fx) + rpx(py * 4 + px))
+          px += 1
+        }
+        py += 1
+      }
+      bi += 1
+    }
+    if (cbpChroma > 0) {
+      c = 0
+      while (c < 2) { H264Cavlc.encodeBlock(w, cDcLv(c), 4, -1); c += 1 }
+    }
+    c = 0
+    while (c < 2) {
+      val plane = if (c == 0) st.cbPlane else st.crPlane
+      val dcd2 = if (cbpChroma > 0) dequantChromaDc(cDcLv(c), qpC) else new Array[Int](4)
+      var sb = 0
+      while (sb < 4) {
+        val sbx = sb % 2; val sby = sb / 2
+        val gbx = mx * 2 + sbx; val gby = my * 2 + sby
+        var resid: Array[Int] = null
+        if (cbpChroma == 2) {
+          val tc = H264Cavlc.encodeBlock(w, cAcLv(c)(sb), 15, st.chromaNc(c, gbx, gby))
+          st.setNnzC(c, gbx, gby, tc)
+          resid = dequant4x4(unzigzag(cAcLv(c)(sb), 1), qpC, skipDc = true)
+        } else {
+          st.setNnzC(c, gbx, gby, 0)
+          resid = new Array[Int](16)
+        }
+        resid(0) = dcd2(sby * 2 + sbx)
+        val rpx = inverse4x4(resid)
+        var py = 0
+        while (py < 4) {
+          var px = 0
+          while (px < 4) {
+            val fx = sbx * 4 + px; val fy = sby * 4 + py
+            plane((cy0 + fy) * cW + cx0 + fx) =
+              clipB(cPred(c)(fy * 8 + fx) + rpx(py * 4 + px))
+            px += 1
+          }
+          py += 1
+        }
+        sb += 1
+      }
+      c += 1
+    }
   }
 
   /** Structural probe without full decode: (width, height) from the SPS. */

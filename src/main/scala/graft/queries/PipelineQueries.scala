@@ -1956,6 +1956,57 @@ object PipelineQueries {
              |  2 AS n_samples, true AS transport_exact
              |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
 
+    // the COMPRESSED H.264 path (r8): Intra_16x16 DC prediction + 4x4
+    // integer transforms + CAVLC at qp=26 over smooth closed-form
+    // gradients. Dims replay closed-form; the booleans pin that the
+    // compressed frame beats I_PCM on size and reconstructs within the
+    // smooth-content error band (a transform/quant/CAVLC bug flips one
+    // and the hash mismatches). Structure pinned in H264CavlcSpec
+    // (prefix-free/Kraft tables, randomized block round trips).
+    "q_h264_cavlc_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val len = text.codePointCount(0, text.length)
+            val w = 16 + 2 * (len % 8).toInt
+            val h = 16 + 2 * ((len + id) % 6).toInt
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val o = (y * w + x) * 3
+                rgb(o) = ((x * 255) / (w - 1)).toByte
+                rgb(o + 1) = ((y * 255) / (h - 1)).toByte
+                rgb(o + 2) = (((x + y) * 255) / (w + h - 2)).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val img = graft.pipeline.MediaCodecs.Bmp(w, h, rgb)
+            val enc = graft.pipeline.H264Codec.encode(img, qp = 26)
+            val pcm = graft.pipeline.H264Codec.encode(img)
+            val back = graft.pipeline.H264Codec.decode(enc)
+            val mad = back.map { b =>
+              img.rgb.iterator.zip(b.rgb.iterator)
+                .map { case (p, q) => math.abs((p & 0xff) - (q & 0xff)) }
+                .sum.toDouble / img.rgb.length
+            }.getOrElse(Double.MaxValue)
+            (id, back.map(_.width).getOrElse(-1), back.map(_.height).getOrElse(-1),
+              enc.length < pcm.length, mad < 8.0)
+          }
+          .toDF("doc_id", "width", "height", "beats_pcm", "lossy_ok")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(16 + 2 * (len(text) % 8) AS INT) AS width,
+             |  CAST(16 + 2 * ((len(text) + doc_id) % 6) AS INT) AS height,
+             |  true AS beats_pcm, true AS lossy_ok
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
     // native baseline-JPEG codec (JpegCodec, r7) end-to-end: deterministic
     // gradient images (closed-form dims in doc_id/len) → encodeJpeg →
     // decodeJpeg. Dims are exact; lossy pixel fidelity is asserted as a

@@ -98,6 +98,50 @@ class H264CodecSpec extends AnyFunSuite {
     assert(H264Codec.isH264(valid))
   }
 
+  test("compressed Intra_16x16: flat content reconstructs EXACTLY") {
+    val flat = MediaCodecs.Bmp(32, 32, Array.fill(32 * 32 * 3)(100.toByte))
+    val enc = H264Codec.encode(flat, qp = 26)
+    val back = H264Codec.decode(enc).get
+    assert(back.rgb.toSeq == flat.rgb.toSeq, "flat image must survive losslessly")
+    assert(enc.length < 100, s"flat frame should be tiny, got ${enc.length}")
+  }
+
+  test("compressed Intra_16x16: quality and rate track QP monotonically") {
+    val img = gradient(64, 48)
+    val pcmLen = H264Codec.encode(img).length
+    var prevLen = Int.MaxValue
+    var prevMad = -1.0
+    for (qp <- Seq(10, 20, 26, 32, 40)) {
+      val enc = H264Codec.encode(img, qp = qp)
+      val back = H264Codec.decode(enc).get
+      val mad = img.rgb.iterator.zip(back.rgb.iterator)
+        .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }
+        .sum.toDouble / img.rgb.length
+      assert(enc.length < pcmLen, s"qp=$qp not smaller than I_PCM")
+      assert(enc.length <= prevLen, s"qp=$qp rate not monotone")
+      assert(mad >= prevMad - 0.5, s"qp=$qp error wildly non-monotone")
+      assert(mad < 10.0, s"qp=$qp mad $mad out of band")
+      prevLen = enc.length; prevMad = mad
+    }
+  }
+
+  test("compressed path: QP extremes, odd dims, multi-MB prediction chains") {
+    for (qp <- Seq(0, 51)) {
+      val img = gradient(48, 32)
+      val back = H264Codec.decode(H264Codec.encode(img, qp = qp))
+      assert(back.isDefined, s"qp=$qp failed")
+    }
+    val odd = H264Codec.decode(H264Codec.encode(gradient(30, 18), qp = 26)).get
+    assert(odd.width == 30 && odd.height == 18)
+    // 4x3 MBs of structured content: intra DC chains across MB borders
+    val big = noisy(64, 48, 5)
+    val back = H264Codec.decode(H264Codec.encode(big, qp = 10)).get
+    assert(back.width == 64 && back.height == 48)
+    // decode is deterministic
+    val enc = H264Codec.encode(big, qp = 10)
+    assert(H264Codec.decode(enc).get.rgb.toSeq == H264Codec.decode(enc).get.rgb.toSeq)
+  }
+
   test("end-to-end: MP4 avc1 samples decode to REAL frame features") {
     val frames = (0 until 3).map(i => noisy(32, 16, i))
     val samples = frames.map(f => H264Codec.encode(f))
