@@ -172,11 +172,13 @@ object Classify {
    * negatives strictly below it plus half its own ties (the Mann–Whitney
    * average-rank formulation). One row out: (auc, n_pos, n_neg).
    *
-   * Scale: the global window runs over the DISTINCT-score histogram, not
-   * the rows; with 6dp-rounded scores that is bounded (and at true 100 TB
-   * scale you bin scores first — same formula, coarser groups). All
-   * intermediate arithmetic is integer counts in doubles, so engines
-   * agree exactly before the final rounding.
+   * Scale: the cumulative-negatives prefix sum runs over the
+   * DISTINCT-score histogram, not the rows — and via the
+   * partition-offset idiom ([[Profiling.orderedPrefix]]), so even a
+   * fully continuous score column (grid = n rows) never serializes
+   * through one window task. All intermediate arithmetic is integer
+   * counts in doubles, so the partition-association rewrite is exact
+   * and engines agree before the final rounding.
    */
   def rankAuc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val spark = scored.sparkSession
@@ -186,18 +188,20 @@ object Classify {
     val g = sc.groupBy($"score").agg(
       sum($"y").cast("double").as("np"),
       (count(lit(1)) - sum($"y")).cast("double").as("nn"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy($"score")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val c = g.withColumn("cumneg", coalesce(sum($"nn").over(w), lit(0.0)))
+    val (pre, cache) = graft.pipeline.Profiling.orderedPrefix(
+      g, Seq($"score".asc), $"nn")
+    val c = pre.withColumn("cumneg", $"__below")
     val tot = sc.agg(sum($"y").cast("double").as("p"),
       (count(lit(1)) - sum($"y")).cast("double").as("n"))
-    c.agg(sum(($"cumneg" + $"nn" / 2.0) * $"np").as("num"))
+    val res = c.agg(sum(($"cumneg" + $"nn" / 2.0) * $"np").as("num"))
       .crossJoin(broadcast(tot))
       .select(
         // single-class input has no rankable pairs: AUC is undefined —
         // surface that as NULL, not a silent NaN
         when($"p" > 0 && $"n" > 0, round($"num" / ($"p" * $"n"), 6)).as("auc"),
         $"p".cast("long").as("n_pos"), $"n".cast("long").as("n_neg"))
+    cache.unpersist() // determinism-safe: recompute reuses the exchange
+    res
   }
 
   /**

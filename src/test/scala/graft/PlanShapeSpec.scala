@@ -375,6 +375,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("rangepartitioning"), s"no distributed sort:\n$plan")
   }
 
+  test("rankAuc: cumulative negatives via partition offsets, no unpartitioned window") {
+    import spark.implicits._
+    val scored = Registry.t(spark, dir, "events")
+      .select(($"value" % 1.0).as("s"), ($"event_id" % 2 === 0).as("y"))
+    val plan = graft.pipeline.Classify.rankAuc(scored, "s", "y")
+      .queryExecution.executedPlan.toString
+    assertPidPartitionedWindowsOnly(plan)
+    assert(plan.contains("rangepartitioning"), s"no distributed sort:\n$plan")
+  }
+
   test("giniLorenz: partition-offset prefix sums, no unpartitioned window") {
     import spark.implicits._
     val base = Registry.t(spark, dir, "orders")
