@@ -68,7 +68,16 @@ object Bench {
     * alone: same digest = same plan (environmental noise), different
     * digest = the plan changed. Run-varying tokens (expression ids, object
     * addresses, lambda names, pid/counter-keyed temp paths) are scrubbed
-    * before hashing. */
+    * before hashing.
+    *
+    * One KNOWN benign source of cross-round digest drift: the optimized
+    * plan prints `InMemoryRelation` wherever the session's CacheManager
+    * matches a subtree some EARLIER bench query cached — so adding or
+    * removing a bench row can flip a later row's digest without any code
+    * change (seen r7→r8 on q_ann_ivfpq / q_training_dataset when the
+    * jpeg/unigram rows joined the warmup). The decisive check is two
+    * fresh-JVM runs of the SAME query: byte-identical scrubbed plans
+    * (SPARK_GRAFT_PLAN_DUMP + diff) = code-identical plan. */
   private[graft] def planDigest(df: org.apache.spark.sql.DataFrame, name: String = ""): String = {
     val scrubbed = df.queryExecution.optimizedPlan.toString
       .replaceAll("#\\d+", "#")
