@@ -142,6 +142,29 @@ class H264CodecSpec extends AnyFunSuite {
     assert(H264Codec.decode(enc).get.rgb.toSeq == H264Codec.decode(enc).get.rgb.toSeq)
   }
 
+  test("fuzz: mutated/truncated compressed streams fail soft, never throw") {
+    val rng = new scala.util.Random(8L)
+    val base = H264Codec.encode(noisy(48, 32, 9), qp = 26)
+    // random single-byte mutations in the slice payload: decode must
+    // return Some (mis-decoded pixels are fine) or None — never throw,
+    // never hang (CAVLC VLC walks and level prefixes are bounded)
+    for (_ <- 0 until 300) {
+      val evil = base.clone()
+      evil(rng.nextInt(evil.length)) = rng.nextInt(256).toByte
+      H264Codec.decode(evil)
+    }
+    // truncations at every offset
+    (1 until base.length by 7).foreach { n =>
+      H264Codec.decode(java.util.Arrays.copyOf(base, n))
+    }
+    // pure noise payloads with a plausible AVCC frame
+    for (trial <- 0 until 50) {
+      val junk = Array.fill(200)(rng.nextInt(256).toByte)
+      junk(0) = 0; junk(1) = 0; junk(2) = 0; junk(3) = (junk.length - 4).toByte
+      H264Codec.decode(junk)
+    }
+  }
+
   test("end-to-end: MP4 avc1 samples decode to REAL frame features") {
     val frames = (0 until 3).map(i => noisy(32, 16, i))
     val samples = frames.map(f => H264Codec.encode(f))
