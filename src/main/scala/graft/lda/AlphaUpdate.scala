@@ -15,6 +15,18 @@ import graft.functions.GammaFuncs.{digamma, trigamma}
  * across Newton iterations, and after a singular-Hessian recovery the
  * update buffer aliases the current α (which ends the outer loop on the
  * next convergence check) — both affect which fixed point is returned.
+ *
+ * A consequence worth stating plainly (discovered while building the
+ * q_lda_planted_alpha engine replay, and true of the reference too —
+ * its alphaVectorUpdate buffer is allocated ONCE before the loop and
+ * `alphaVector = alphaVectorUpdate` swaps references with no fresh
+ * allocation): after the FIRST swap the two buffers alias even on the
+ * ordinary non-singular path, so the convergence test compares an
+ * array with itself and always passes — the vector update performs
+ * EXACTLY TWO clean Newton iterations per call, regardless of the
+ * threshold. The EM driver calls it once per outer iteration, so alpha
+ * still converges across iterations; per call it is a 2-step Newton,
+ * not a run-to-convergence loop.
  */
 object AlphaUpdate {
 

@@ -142,4 +142,46 @@ object PlantedLda {
       .toDF("kind", "topic", "idx", "value")
       .orderBy($"kind", $"topic", $"idx")
   }
+
+  /**
+   * The alpha-update leg of the planted trajectory (reference D1/D2 —
+   * the verbatim Newton ports, cc/mrlda/VariationalInference.java
+   * :409-511 / :573-625): alpha sufficient statistics from the planted
+   * run's final anchored gammas via the REAL
+   * [[MStep.alphaSufficientStatistics]] operator (6dp-anchored), then
+   * the REAL [[AlphaUpdate.updateVectorAlpha]] /
+   * [[AlphaUpdate.updateScalarAlpha]] — unmodified, condition-based
+   * loops, preserved reference quirks and all. Replayable because (a)
+   * the vector update's buffer-aliasing quirk makes it perform EXACTLY
+   * two clean Newton iterations on any non-singular input (see
+   * AlphaUpdate's scaladoc — after the first `alpha = alphaNew` swap
+   * the buffers alias and the convergence test reads zero change), and
+   * (b) the scalar loop converges in 7 measured iterations and
+   * Newton's quadratic contraction makes a fixed-depth unroll past
+   * that agree to ~1e-12, far inside the 8dp output anchors. The
+   * oracle's guards fail loudly if a fixture change ever leaves the
+   * benign path ([[graft.queries.LdaPlantedOracle.alphaSql]]).
+   *
+   * Rows: ('ss', k+1, ss_k 6dp), ('vec', k+1, alpha_k 8dp),
+   * ('scalar', 1, alpha 8dp).
+   */
+  def alphaRows(spark: SparkSession, dir: String, cfg: Cfg = Cfg()): DataFrame = {
+    import spark.implicits._
+    val out = run(spark, dir, cfg).collect()
+    val gam = out.filter(_.getString(0) == "gamma")
+      .groupBy(_.getLong(2))
+      .map { case (d, rows) => (d, rows.sortBy(_.getInt(1)).map(_.getDouble(3))) }
+      .toSeq.sortBy(_._1)
+    val gdf = gam.toDF("docId", "gamma")
+    val ss = MStep.alphaSufficientStatistics(gdf, cfg.k).map(rnd(_, 6))
+    val numDocs = gam.length.toLong
+    val vec = AlphaUpdate.updateVectorAlpha(cfg.k, numDocs,
+      Array.fill(cfg.k)(cfg.alpha), ss)
+    val scalar = AlphaUpdate.updateScalarAlpha(cfg.k, numDocs, cfg.alpha, ss.sum)
+    val rows =
+      ss.zipWithIndex.map { case (s, k) => ("ss", k + 1, s) } ++
+        vec.zipWithIndex.map { case (a, k) => ("vec", k + 1, rnd(a, 8)) } :+
+        (("scalar", 1, rnd(scalar, 8)))
+    rows.toSeq.toDF("kind", "topic", "value").orderBy($"kind", $"topic")
+  }
 }

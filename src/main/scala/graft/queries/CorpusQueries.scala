@@ -209,6 +209,14 @@ object CorpusQueries {
       (s, dir) => graft.lda.PlantedLda.run(s, dir),
       Some(LdaPlantedOracle.sql())),
 
+    /** The alpha Newton leg (D1 vector + D2 scalar, the verbatim
+      * reference ports) run UNMODIFIED on the planted trajectory's
+      * anchored sufficient statistics, replayed in DuckDB as a
+      * fixed-depth Newton unroll with benign-path guards. */
+    "q_lda_planted_alpha" -> QueryDef(
+      (s, dir) => graft.lda.PlantedLda.alphaRows(s, dir),
+      Some(LdaPlantedOracle.alphaSql())),
+
     "lda_doc_topics" -> QueryDef(
       (s, dir) => {
         import s.implicits._

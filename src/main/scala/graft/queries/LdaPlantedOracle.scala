@@ -42,6 +42,20 @@ object LdaPlantedOracle {
     s"(CASE WHEN $a >= $b THEN $a + ln(1 + exp($b - $a)) " +
       s"ELSE $b + ln(1 + exp($a - $b)) END)"
 
+  /** trigamma as an inline SQL expression (same recurrence + Bernoulli
+    * series structure as GammaFuncs.trigamma). */
+  private def tg(x: String): String = {
+    val y = s"($x + greatest(0, ceil(10 - $x)))"
+    val rec = (0 until 10)
+      .map(i => s"(CASE WHEN $x + $i < 10 THEN 1.0/(($x + $i)*($x + $i)) ELSE 0.0 END)")
+      .mkString(" + ")
+    val inv = s"(1.0/$y)"
+    val i2 = s"(1.0/($y*$y))"
+    s"(($rec) + (1.0 + $inv*(0.5 + $inv*(1.0/6.0 + $i2*(-1.0/30.0 + " +
+      s"$i2*(1.0/42.0 + $i2*(-1.0/30.0 + $i2*(5.0/66.0 + " +
+      s"$i2*(-691.0/2730.0)))))))) * $inv)"
+  }
+
   def sql(k: Int = 2, vocab: Int = 20, maxDocId: Long = 30,
       emIters: Int = 3, sweeps: Int = 3, alpha: Double = 0.5,
       gammaDp: Int = 8, phiDp: Int = 10, betaDp: Int = 8): String = {
@@ -132,6 +146,107 @@ object LdaPlantedOracle {
          |  UNION ALL
          |  SELECT 'gamma', CAST(t + 1 AS INT), doc, g FROM pg${emIters}_$sweeps)
          |ORDER BY kind, topic, idx""".stripMargin
+  }
+
+  /**
+   * Oracle for q_lda_planted_alpha ([[graft.lda.PlantedLda.alphaRows]]):
+   * replay the planted EM to its final gammas, derive the alpha
+   * sufficient statistics (6dp-anchored), then unroll BOTH Newton
+   * updates.
+   *
+   * VECTOR: the verbatim port preserves the reference's buffer-
+   * aliasing quirk (`alpha = alphaNew` with no fresh allocation —
+   * see AlphaUpdate's scaladoc): from the second iteration on the two
+   * buffers are the SAME array, the convergence test reads zero
+   * change, and the loop performs EXACTLY TWO clean Newton iterations
+   * (absent singular recovery). The replay unrolls exactly those two;
+   * guards fail loudly if the fixture ever hits the singular branch
+   * or would have stopped after one iteration.
+   *
+   * SCALAR: a real convergence loop (measured 7 iterations); unrolled
+   * past convergence — Newton's quadratic contraction makes the extra
+   * iterations ~1e-12 no-ops, inside the 8dp output anchor — with a
+   * too-short-unroll guard.
+   */
+  def alphaSql(k: Int = 2, vocab: Int = 20, maxDocId: Long = 30,
+      emIters: Int = 3, sweeps: Int = 3, alpha: Double = 0.5,
+      gammaDp: Int = 8, phiDp: Int = 10, betaDp: Int = 8,
+      vecIters: Int = 2, scalarIters: Int = 9): String = {
+    require(k == 2, "the unrolled replay pivots on exactly 2 topics")
+    val base = sql(k, vocab, maxDocId, emIters, sweeps, alpha,
+      gammaDp, phiDp, betaDp)
+    val prefix = base.substring(0, base.lastIndexOf("\nSELECT kind"))
+    val P = Seq.newBuilder[String]
+    P +=
+      s"""pgs AS (SELECT doc, sum(g) AS gs FROM pg${emIters}_$sweeps GROUP BY doc)""".stripMargin
+    P += s"pdgg AS (SELECT doc, t, ${dg("g")} AS v FROM pg${emIters}_$sweeps)"
+    P += s"pdgs AS (SELECT doc, ${dg("gs")} AS v FROM pgs)"
+    P +=
+      """pssv AS MATERIALIZED (
+        |  SELECT t, round(sum(a.v - b.v), 6) AS ss
+        |  FROM pdgg a JOIN pdgs b USING (doc) GROUP BY t)""".stripMargin
+    P +=
+      s"""pal0 AS (SELECT CAST($alpha AS DOUBLE) AS a0, CAST($alpha AS DOUBLE) AS a1,
+         |  (SELECT ss FROM pssv WHERE t = 0) AS s0,
+         |  (SELECT ss FROM pssv WHERE t = 1) AS s1,
+         |  (SELECT CAST(count(*) AS DOUBLE) FROM pgs) AS d)""".stripMargin
+    for (i <- 1 to vecIters) {
+      P +=
+        s"""pal$i AS (
+           |  SELECT
+           |    CASE WHEN a0 <= st0 THEN error('planted alpha: singular Hessian step (fixture left the benign path)')
+           |         ELSE a0 - st0 END AS a0,
+           |    CASE WHEN a1 <= st1 THEN error('planted alpha: singular Hessian step (fixture left the benign path)')
+           |         ELSE a1 - st1 END AS a1,
+           |    s0, s1, d
+           |  FROM (
+           |    SELECT *, (g0 - c)/h0 AS st0, (g1 - c)/h1 AS st1 FROM (
+           |      SELECT *, (g0/h0 + g1/h1) / (1.0/z + (1.0/h0 + 1.0/h1)) AS c FROM (
+           |        SELECT a0, a1, s0, s1, d,
+           |          d*(${dg("(a0+a1)")} - ${dg("a0")}) + s0 AS g0,
+           |          d*(${dg("(a0+a1)")} - ${dg("a1")}) + s1 AS g1,
+           |          -d*${tg("a0")} AS h0, -d*${tg("a1")} AS h1,
+           |          d*${tg("(a0+a1)")} AS z
+           |        FROM pal${i - 1}))))""".stripMargin
+    }
+    P +=
+      s"""palg AS (
+         |  SELECT CASE WHEN abs((f.a0 - p.a0)/p.a0) < 0.000001
+         |              AND abs((f.a1 - p.a1)/p.a1) < 0.000001
+         |    THEN error('planted alpha: vector converged in one iteration — unroll exactly 1')
+         |    ELSE 0 END AS ok
+         |  FROM pal1 f, pal0 p)""".stripMargin
+    P += s"psa0 AS (SELECT CAST($alpha AS DOUBLE) AS a, s0 + s1 AS sst, d FROM pal0)"
+    for (i <- 1 to scalarIters) {
+      P +=
+        s"""psa$i AS (
+           |  SELECT CASE WHEN isnan(an) OR NOT isfinite(an)
+           |    THEN error('planted alpha: scalar iterate left the finite path')
+           |    ELSE an END AS a, sst, d
+           |  FROM (
+           |    SELECT exp(ln(a) - g/(h*a + g)) AS an, sst, d FROM (
+           |      SELECT a, sst, d,
+           |        d*(${k}*${dg(s"(${k}*a)")} - ${k}*${dg("a")}) + sst AS g,
+           |        d*(${k.toDouble * k}*${tg(s"(${k}*a)")} - ${k}*${tg("a")}) AS h
+           |      FROM psa${i - 1})))""".stripMargin
+    }
+    P +=
+      s"""psag AS (
+         |  SELECT CASE WHEN abs((f.a - p.a)/p.a) >= 0.000001
+         |    THEN error('planted alpha: scalar unroll too short for convergence')
+         |    ELSE 0 END AS ok
+         |  FROM psa$scalarIters f, psa${scalarIters - 1} p)""".stripMargin
+    prefix + ",\n" + P.result().mkString(",\n") +
+      s"""
+         |SELECT kind, topic, value FROM (
+         |  SELECT 'ss' AS kind, CAST(t + 1 AS INT) AS topic, ss AS value FROM pssv
+         |  UNION ALL
+         |  SELECT 'vec', 1, round(a0, 8) FROM pal$vecIters WHERE (SELECT ok FROM palg) = 0
+         |  UNION ALL
+         |  SELECT 'vec', 2, round(a1, 8) FROM pal$vecIters
+         |  UNION ALL
+         |  SELECT 'scalar', 1, round(a, 8) FROM psa$scalarIters WHERE (SELECT ok FROM psag) = 0)
+         |ORDER BY kind, topic""".stripMargin
   }
 
   /**
