@@ -86,17 +86,17 @@ object PlantedLda {
       .collect().toSeq.sortBy(_.docId)
   }
 
-  /** Run the anchored EM and return tidy rows:
-    * ('beta', topic 1-based, termId, E[log beta] 8dp) for the final
-    * model and ('gamma', k+1, docId, gamma_k 8dp) for the final
-    * variational doc-topic state. */
-  def run(spark: SparkSession, dir: String, cfg: Cfg = Cfg()): DataFrame = {
+  /** The shared anchored-EM loop: final (beta, (docId, gamma, docLL)
+    * rows from the last E-step). Both the run()/alphaRows()/llRows()
+    * surfaces derive from this. */
+  private def emState(spark: SparkSession, dir: String, cfg: Cfg)
+      : (scala.collection.Map[Int, Array[Double]], Array[(Long, Array[Double], Double)]) = {
     import spark.implicits._
     val alpha = Array.fill(cfg.k)(cfg.alpha)
     val alphaBc = spark.sparkContext.broadcast(alpha)
     var beta: scala.collection.Map[Int, Array[Double]] = initBeta(cfg)
     var docs: Seq[Doc] = corpus(spark, dir, cfg)
-    var finalGammas: Array[(Long, Array[Double])] = Array.empty
+    var finalRows: Array[(Long, Array[Double], Double)] = Array.empty
 
     for (iter <- 1 to cfg.emIters) {
       val betaBc = spark.sparkContext.broadcast(beta)
@@ -124,23 +124,51 @@ object PlantedLda {
       // carry anchored gammas forward (reference semantics: the next
       // iteration's corpus is the gamma side-output)
       val docRows = estep.filter($"isDoc")
-        .select($"docId", $"gamma").as[(Long, Array[Double])].collect()
+        .select($"docId", $"gamma", $"ll")
+        .as[(Long, Array[Double], Double)].collect()
       estep.unpersist()
       betaBc.destroy()
-      val gmap = docRows.toMap
+      val gmap = docRows.map(r => r._1 -> r._2).toMap
       docs = docs.map(d => d.copy(gamma = Some(gmap(d.docId))))
-      if (iter == cfg.emIters) finalGammas = docRows.sortBy(_._1)
+      if (iter == cfg.emIters) finalRows = docRows.sortBy(_._1)
     }
+    (beta, finalRows)
+  }
 
+  /** Run the anchored EM and return tidy rows:
+    * ('beta', topic 1-based, termId, E[log beta] 8dp) for the final
+    * model and ('gamma', k+1, docId, gamma_k 8dp) for the final
+    * variational doc-topic state. */
+  def run(spark: SparkSession, dir: String, cfg: Cfg = Cfg()): DataFrame = {
+    import spark.implicits._
+    val (beta, finalRows) = emState(spark, dir, cfg)
     val betaRows = beta.toSeq.flatMap { case (w, arr) =>
       arr.zipWithIndex.map { case (e, t) => ("beta", t + 1, w.toLong, e) }
     }
-    val gammaRows = finalGammas.toSeq.flatMap { case (d, g) =>
+    val gammaRows = finalRows.toSeq.flatMap { case (d, g, _) =>
       g.zipWithIndex.map { case (v, t) => ("gamma", t + 1, d, v) }
     }
     (betaRows ++ gammaRows)
       .toDF("kind", "topic", "idx", "value")
       .orderBy($"kind", $"topic", $"idx")
+  }
+
+  /**
+   * The per-document variational log-likelihood from the planted run's
+   * final E-step — the ONE E-step output the EM replay skips, and the
+   * kernel that exercises [[graft.functions.GammaFuncs.logGamma]]
+   * (Lanczos) end-to-end: docLL = L_alpha + L_gamma + L_phi per
+   * reference DocumentMapper.java:244-254. All inputs to the final
+   * sweep are anchored, so DuckDB recomputes the same three terms (an
+   * inline Lanczos lnGamma in SQL) and the 6dp anchor absorbs
+   * fold-order/libm ulps. Rows: (doc_id, ll 6dp).
+   */
+  def llRows(spark: SparkSession, dir: String, cfg: Cfg = Cfg()): DataFrame = {
+    import spark.implicits._
+    val (_, finalRows) = emState(spark, dir, cfg)
+    finalRows.toSeq.map { case (d, _, ll) => (d, rnd(ll, 6)) }
+      .toDF("doc_id", "ll")
+      .orderBy($"doc_id")
   }
 
   /**

@@ -217,6 +217,13 @@ object CorpusQueries {
       (s, dir) => graft.lda.PlantedLda.alphaRows(s, dir),
       Some(LdaPlantedOracle.alphaSql())),
 
+    /** Per-doc variational log-likelihood from the planted run's final
+      * E-step — the logGamma (Lanczos) kernel's engine witness
+      * (reference DocumentMapper.java:244-254). */
+    "q_lda_planted_ll" -> QueryDef(
+      (s, dir) => graft.lda.PlantedLda.llRows(s, dir),
+      Some(LdaPlantedOracle.llSql())),
+
     "lda_doc_topics" -> QueryDef(
       (s, dir) => {
         import s.implicits._

@@ -249,6 +249,59 @@ object LdaPlantedOracle {
          |ORDER BY kind, topic""".stripMargin
   }
 
+  /** ln Gamma as an inline SQL expression for x >= 0.5 — the same
+    * Lanczos g=7/n=9 form as GammaFuncs.logGamma (every LDA argument
+    * is alpha, a gamma accumulator, or their sums: all >= 0.5, so the
+    * reflection branch is structurally unreachable). */
+  private def lg(x: String): String = {
+    val c = Seq("0.99999999999980993", "676.5203681218851", "-1259.1392167224028",
+      "771.32342877765313", "-176.61502916214059", "12.507343278686905",
+      "-0.13857109526572012", "9.9843695780195716e-6", "1.5056327351493116e-7")
+    val xm1 = s"($x - 1.0)"
+    val t = s"($xm1 + 7.5)"
+    val a = c.head + (1 until 9).map(i => s" + ${c(i)}/($xm1 + $i)").mkString
+    s"(0.5*ln(2.0*pi()) + ($xm1 + 0.5)*ln($t) - $t + ln($a))"
+  }
+
+  /**
+   * Oracle for q_lda_planted_ll ([[graft.lda.PlantedLda.llRows]]):
+   * recompute each document's variational log-likelihood from the
+   * final-sweep state of the EM replay — L_alpha (constant in the
+   * fixed alpha), L_gamma = sum_k lnG(gamma_k) - lnG(sum gamma), and
+   * L_phi = sum_w,k cnt*phi*(E[log beta] - log phi) — with the inline
+   * Lanczos lnGamma. 6dp anchor on the sum.
+   */
+  def llSql(k: Int = 2, vocab: Int = 20, maxDocId: Long = 30,
+      emIters: Int = 3, sweeps: Int = 3, alpha: Double = 0.5,
+      gammaDp: Int = 8, phiDp: Int = 10, betaDp: Int = 8): String = {
+    require(k == 2, "the unrolled replay pivots on exactly 2 topics")
+    val base = sql(k, vocab, maxDocId, emIters, sweeps, alpha,
+      gammaDp, phiDp, betaDp)
+    val prefix = base.substring(0, base.lastIndexOf("\nSELECT kind"))
+    val P = Seq.newBuilder[String]
+    // L_alpha = lnG(sum alpha) - sum_k lnG(alpha_k); fold shape matches
+    // the Scala accumulation (k identical terms)
+    P += s"plla AS (SELECT ${lg(s"(${k * alpha})")} - ($k*${lg(s"($alpha)")}) AS la)"
+    P += s"pgs2 AS (SELECT doc, sum(g) AS gs FROM pg${emIters}_$sweeps GROUP BY doc)"
+    P +=
+      s"""pllg AS (
+         |  SELECT g.doc, sum(${lg("g.g")}) - max(${lg("s.gs")}) AS lgam
+         |  FROM pg${emIters}_$sweeps g JOIN pgs2 s USING (doc)
+         |  GROUP BY g.doc)""".stripMargin
+    P +=
+      s"""pllp AS (
+         |  SELECT p.doc,
+         |    sum(p.cnt * exp(p.lp - ln(p.cnt)) * (b.lb - (p.lp - ln(p.cnt)))) AS lphi
+         |  FROM pphi${emIters}_$sweeps p
+         |  JOIN pb${emIters - 1} b ON b.term = p.term AND b.t = p.t
+         |  GROUP BY p.doc)""".stripMargin
+    prefix + ",\n" + P.result().mkString(",\n") +
+      s"""
+         |SELECT g.doc AS doc_id, round(a.la + g.lgam + p.lphi, 6) AS ll
+         |FROM pllg g JOIN pllp p ON p.doc = g.doc CROSS JOIN plla a
+         |ORDER BY doc_id""".stripMargin
+  }
+
   /**
    * The polylingual twin ([[graft.polylda.PolyPlantedLda]]): language =
    * word < 'n' split, per-language vocabularies and betas, shared
