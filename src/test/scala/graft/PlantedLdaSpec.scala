@@ -53,6 +53,33 @@ class PlantedLdaSpec extends SparkSpec {
     }
   }
 
+  test("alphaRows: Newton outputs are positive, finite, and deterministic") {
+    val a1 = PlantedLda.alphaRows(spark, dir).collect()
+    val a2 = PlantedLda.alphaRows(spark, dir).collect()
+    assert(a1.map(_.toString).toSeq == a2.map(_.toString).toSeq)
+    val cfg = PlantedLda.Cfg()
+    assert(a1.count(_.getString(0) == "vec") == cfg.k)
+    assert(a1.count(_.getString(0) == "scalar") == 1)
+    assert(a1.count(_.getString(0) == "ss") == cfg.k)
+    a1.filter(r => r.getString(0) == "vec" || r.getString(0) == "scalar").foreach { r =>
+      val v = r.getDouble(2)
+      assert(v > 0 && java.lang.Double.isFinite(v), s"$r")
+    }
+    // the vector update moved off the symmetric 0.5 start
+    assert(a1.filter(_.getString(0) == "vec").forall(_.getDouble(2) > 0.6))
+  }
+
+  test("llRows: one finite negative LL per kept document") {
+    val cfg = PlantedLda.Cfg()
+    val lls = PlantedLda.llRows(spark, dir).collect()
+    val docs = PlantedLda.corpus(spark, dir, cfg)
+    assert(lls.length == docs.length)
+    lls.foreach { r =>
+      val v = r.getDouble(1)
+      assert(java.lang.Double.isFinite(v) && v < 0, s"$r")
+    }
+  }
+
   test("EM moves the model: final beta differs from the planted init") {
     val cfg = PlantedLda.Cfg()
     val init = PlantedLda.initBeta(cfg)
