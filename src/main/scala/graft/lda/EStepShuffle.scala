@@ -26,7 +26,11 @@ private[lda] case class DocWithBeta(
  */
 object EStepShuffle {
 
-  /** @param beta (termId INT, elogbeta ARRAY<DOUBLE> length K) */
+  /** @param beta (termId INT, elogbeta ARRAY<DOUBLE> length K)
+    * @param anchorGammaDp fixture-only per-sweep gamma anchor (see
+    *                      [[EStep.run]]; the planted shuffle-path
+    *                      replay uses it). 0 = off.
+    * @param anchorPhiDp   fixture-only anchor on emitted log-phi. */
   def run(
       docs: Dataset[Doc],
       alphaBc: Broadcast[Array[Double]],
@@ -36,7 +40,9 @@ object EStepShuffle {
       randomStartGamma: Boolean = false,
       learning: Boolean = true,
       seed: Long = 42L,
-      phiFlushEntries: Int = 1 << 20): Dataset[EStepRow] = {
+      phiFlushEntries: Int = 1 << 20,
+      anchorGammaDp: Int = 0,
+      anchorPhiDp: Int = 0): Dataset[EStepRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -136,7 +142,13 @@ object EStepShuffle {
             w += 1
           }
           i = 0
-          while (i < k) { gamma(i) = math.exp(updateLogGamma(i)); i += 1 }
+          while (i < k) {
+            gamma(i) = math.exp(updateLogGamma(i))
+            if (anchorGammaDp > 0)
+              gamma(i) = BigDecimal(gamma(i))
+                .setScale(anchorGammaDp, BigDecimal.RoundingMode.HALF_UP).toDouble
+            i += 1
+          }
           sweep += 1
           continue = sweep < localIterations
         }
@@ -155,8 +167,12 @@ object EStepShuffle {
             i = 0
             while (i < k) {
               val key = ((i + 1).toLong << 32) | (termIds(w).toLong & 0xFFFFFFFFL)
+              val v = if (anchorPhiDp > 0)
+                BigDecimal(lp(i)).setScale(anchorPhiDp,
+                  BigDecimal.RoundingMode.HALF_UP).toDouble
+              else lp(i)
               val prev = phiAcc.get(key)
-              phiAcc.put(key, if (prev eq null) lp(i) else logAdd(prev.doubleValue(), lp(i)))
+              phiAcc.put(key, if (prev eq null) v else logAdd(prev.doubleValue(), v))
               i += 1
             }
             w += 1

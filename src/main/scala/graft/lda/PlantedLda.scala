@@ -44,7 +44,13 @@ object PlantedLda {
       alpha: Double = 0.5,
       gammaDp: Int = 8,
       phiDp: Int = 10,
-      betaDp: Int = 8)
+      betaDp: Int = 8,
+      /** run the E-step through [[EStepShuffle]] (the 100 TB
+        * beta-as-table path) instead of the broadcast kernel. The
+        * anchored trajectory is execution-path-independent, so the
+        * SAME DuckDB oracle verifies both — and broadcast ≡ shuffle
+        * equality is pinned in PlantedLdaSpec. */
+      useShuffle: Boolean = false)
 
   private def rnd(x: Double, dp: Int): Double =
     BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -102,9 +108,16 @@ object PlantedLda {
       val betaBc = spark.sparkContext.broadcast(beta)
       // EStep.run executes localIterations - 1 sweeps (do-while parity
       // with the reference); anchor knobs on, production path untouched
-      val estep = EStep.run(docs.toDS(), alphaBc, betaBc, numTerms = cfg.vocab,
-        localIterations = cfg.sweeps + 1,
-        anchorGammaDp = cfg.gammaDp, anchorPhiDp = cfg.phiDp)
+      val estep = (if (cfg.useShuffle) {
+        val betaDf = beta.toSeq.map { case (w, arr) => (w, arr) }
+          .toDF("termId", "elogbeta")
+        EStepShuffle.run(docs.toDS(), alphaBc, betaDf, numTerms = cfg.vocab,
+          localIterations = cfg.sweeps + 1,
+          anchorGammaDp = cfg.gammaDp, anchorPhiDp = cfg.phiDp)
+      } else
+        EStep.run(docs.toDS(), alphaBc, betaBc, numTerms = cfg.vocab,
+          localIterations = cfg.sweeps + 1,
+          anchorGammaDp = cfg.gammaDp, anchorPhiDp = cfg.phiDp))
         .persist()
       // the real distributed lambda fold, anchored at collect
       val lambda = estep.filter(!$"isDoc")

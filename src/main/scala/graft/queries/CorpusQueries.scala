@@ -209,6 +209,16 @@ object CorpusQueries {
       (s, dir) => graft.lda.PlantedLda.run(s, dir),
       Some(LdaPlantedOracle.sql())),
 
+    /** The SAME planted trajectory through the SHUFFLE-JOIN E-step
+      * (EStepShuffle — the 100 TB beta-as-table path behind
+      * lda_top_terms_shuffle): the anchored handoffs make the
+      * trajectory execution-path-independent, so the identical DuckDB
+      * oracle verifies the scale path too. */
+    "q_lda_planted_em_shuffle" -> QueryDef(
+      (s, dir) => graft.lda.PlantedLda.run(s, dir,
+        graft.lda.PlantedLda.Cfg(useShuffle = true)),
+      Some(LdaPlantedOracle.sql())),
+
     /** The alpha Newton leg (D1 vector + D2 scalar, the verbatim
       * reference ports) run UNMODIFIED on the planted trajectory's
       * anchored sufficient statistics, replayed in DuckDB as a

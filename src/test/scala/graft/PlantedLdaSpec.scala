@@ -53,6 +53,13 @@ class PlantedLdaSpec extends SparkSpec {
     }
   }
 
+  test("broadcast and shuffle E-steps produce the IDENTICAL anchored trajectory") {
+    val shuffled = PlantedLda.run(spark, dir,
+      PlantedLda.Cfg(useShuffle = true)).collect()
+    assert(out.map(_.toString).toSeq == shuffled.map(_.toString).toSeq,
+      "anchored handoffs must make the trajectory execution-path-independent")
+  }
+
   test("alphaRows: Newton outputs are positive, finite, and deterministic") {
     val a1 = PlantedLda.alphaRows(spark, dir).collect()
     val a2 = PlantedLda.alphaRows(spark, dir).collect()
