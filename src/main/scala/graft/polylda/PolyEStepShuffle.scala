@@ -23,7 +23,10 @@ private[polylda] case class PolyDocWithBeta(
  */
 object PolyEStepShuffle {
 
-  /** @param beta (lang INT, termId INT, elogbeta ARRAY<DOUBLE> length K) */
+  /** @param beta (lang INT, termId INT, elogbeta ARRAY<DOUBLE> length K)
+    * @param anchorGammaDp fixture-only per-sweep gamma anchor (see
+    *                      [[graft.lda.EStep.run]]). 0 = off.
+    * @param anchorPhiDp   fixture-only anchor on emitted log-phi. */
   def run(
       docs: Dataset[PolyDoc],
       alphaBc: Broadcast[Array[Double]],
@@ -33,7 +36,9 @@ object PolyEStepShuffle {
       randomStartGamma: Boolean = false,
       learning: Boolean = true,
       seed: Long = 42L,
-      phiFlushEntries: Int = 1 << 20): Dataset[PolyEStepRow] = {
+      phiFlushEntries: Int = 1 << 20,
+      anchorGammaDp: Int = 0,
+      anchorPhiDp: Int = 0): Dataset[PolyEStepRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -128,7 +133,13 @@ object PolyEStepShuffle {
             w += 1
           }
           i = 0
-          while (i < k) { gamma(i) = math.exp(updateLogGamma(i)); i += 1 }
+          while (i < k) {
+            gamma(i) = math.exp(updateLogGamma(i))
+            if (anchorGammaDp > 0)
+              gamma(i) = BigDecimal(gamma(i))
+                .setScale(anchorGammaDp, BigDecimal.RoundingMode.HALF_UP).toDouble
+            i += 1
+          }
           sweep += 1
           continue = sweep < localIterations
         }
@@ -147,8 +158,12 @@ object PolyEStepShuffle {
             i = 0
             while (i < k) {
               val key = (langs(w), i + 1, termIds(w))
+              val v = if (anchorPhiDp > 0)
+                BigDecimal(lp(i)).setScale(anchorPhiDp,
+                  BigDecimal.RoundingMode.HALF_UP).toDouble
+              else lp(i)
               val prev = phiAcc.get(key)
-              phiAcc.put(key, if (prev eq null) lp(i) else logAdd(prev.doubleValue(), lp(i)))
+              phiAcc.put(key, if (prev eq null) v else logAdd(prev.doubleValue(), v))
               i += 1
             }
             w += 1

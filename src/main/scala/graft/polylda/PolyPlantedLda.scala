@@ -28,7 +28,11 @@ object PolyPlantedLda {
       alpha: Double = 0.5,
       gammaDp: Int = 8,
       phiDp: Int = 10,
-      betaDp: Int = 8)
+      betaDp: Int = 8,
+      /** route the E-step through [[PolyEStepShuffle]] (the per-language
+        * beta-as-table scale path); same oracle — see
+        * [[graft.lda.PlantedLda.Cfg.useShuffle]]. */
+      useShuffle: Boolean = false)
 
   private def rnd(x: Double, dp: Int): Double =
     BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -90,9 +94,17 @@ object PolyPlantedLda {
 
     for (iter <- 1 to cfg.emIters) {
       val betaBc = spark.sparkContext.broadcast(beta)
-      val estep = PolyEStep.run(docs.toDS(), alphaBc, betaBc, numTermsPerLang,
-        localIterations = cfg.sweeps + 1,
-        anchorGammaDp = cfg.gammaDp, anchorPhiDp = cfg.phiDp)
+      val estep = (if (cfg.useShuffle) {
+        val betaDf = beta.toSeq.flatMap { case (l, m) =>
+          m.toSeq.map { case (w, arr) => (l, w, arr) }
+        }.toDF("lang", "termId", "elogbeta")
+        PolyEStepShuffle.run(docs.toDS(), alphaBc, betaDf, numTermsPerLang,
+          localIterations = cfg.sweeps + 1,
+          anchorGammaDp = cfg.gammaDp, anchorPhiDp = cfg.phiDp)
+      } else
+        PolyEStep.run(docs.toDS(), alphaBc, betaBc, numTermsPerLang,
+          localIterations = cfg.sweeps + 1,
+          anchorGammaDp = cfg.gammaDp, anchorPhiDp = cfg.phiDp))
         .persist()
       // the real distributed fold, then the polylda reducer's -700
       // underflow floor (PolyTrainer.mstep/fusedIterationRows) and the
