@@ -167,6 +167,34 @@ object PlantedLda {
   }
 
   /**
+   * Held-out inference (reference D5, `Trainer.infer`'s semantics) on
+   * the planted model: the corpus re-enters [[EStep.run]] with
+   * `learning = false` (no phi side-output) and a FRESH gamma init
+   * against the FINAL trained beta — the production inference shape,
+   * anchored the same way so DuckDB replays it as three more sweep
+   * layers over the replayed final model. Rows:
+   * ('gamma', k+1, docId, gamma_k 8dp).
+   */
+  def inferRows(spark: SparkSession, dir: String, cfg: Cfg = Cfg()): DataFrame = {
+    import spark.implicits._
+    val (beta, _) = emState(spark, dir, cfg)
+    val alphaBc = spark.sparkContext.broadcast(Array.fill(cfg.k)(cfg.alpha))
+    val betaBc = spark.sparkContext.broadcast(beta)
+    val fresh = corpus(spark, dir, cfg) // no carried gamma: fresh init
+    val estep = EStep.run(fresh.toDS(), alphaBc, betaBc, numTerms = cfg.vocab,
+      localIterations = cfg.sweeps + 1, learning = false,
+      anchorGammaDp = cfg.gammaDp, anchorPhiDp = cfg.phiDp)
+    val rows = estep.filter($"isDoc")
+      .select($"docId", $"gamma").as[(Long, Array[Double])].collect()
+      .sortBy(_._1)
+      .flatMap { case (d, g) =>
+        g.zipWithIndex.map { case (v, t) => ("gamma", t + 1, d, v) }
+      }
+    rows.toSeq.toDF("kind", "topic", "idx", "value")
+      .orderBy($"kind", $"topic", $"idx")
+  }
+
+  /**
    * The per-document variational log-likelihood from the planted run's
    * final E-step — the ONE E-step output the EM replay skips, and the
    * kernel that exercises [[graft.functions.GammaFuncs.logGamma]]

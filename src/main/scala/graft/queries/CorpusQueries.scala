@@ -227,6 +227,13 @@ object CorpusQueries {
       (s, dir) => graft.lda.PlantedLda.alphaRows(s, dir),
       Some(LdaPlantedOracle.alphaSql())),
 
+    /** Held-out inference (D5) on the planted model: fresh-init
+      * E-step sweeps with learning off against the final beta —
+      * the production inference shape, engine-replayed. */
+    "q_lda_planted_infer" -> QueryDef(
+      (s, dir) => graft.lda.PlantedLda.inferRows(s, dir),
+      Some(LdaPlantedOracle.inferSql())),
+
     /** Per-doc variational log-likelihood from the planted run's final
       * E-step — the logGamma (Lanczos) kernel's engine witness
       * (reference DocumentMapper.java:244-254). */

@@ -303,6 +303,52 @@ object LdaPlantedOracle {
   }
 
   /**
+   * Oracle for q_lda_planted_infer ([[graft.lda.PlantedLda.inferRows]]):
+   * replay the trained model (pb{emIters}), then run `sweeps` more
+   * anchored E-step layers from a FRESH gamma init — held-out
+   * inference, reference D5 semantics (learning off changes only the
+   * phi side-output, which inference never emits).
+   */
+  def inferSql(k: Int = 2, vocab: Int = 20, maxDocId: Long = 30,
+      emIters: Int = 3, sweeps: Int = 3, alpha: Double = 0.5,
+      gammaDp: Int = 8, phiDp: Int = 10, betaDp: Int = 8): String = {
+    require(k == 2, "the unrolled replay pivots on exactly 2 topics")
+    val base = sql(k, vocab, maxDocId, emIters, sweeps, alpha,
+      gammaDp, phiDp, betaDp)
+    val prefix = base.substring(0, base.lastIndexOf("\nSELECT kind"))
+    val P = Seq.newBuilder[String]
+    P +=
+      s"""pig0 AS MATERIALIZED (
+         |  SELECT doc, t, $alpha + n/${k.toDouble} AS g FROM pdoc CROSS JOIN ptop)""".stripMargin
+    for (s <- 1 to sweeps) {
+      P += s"pidg$s AS (SELECT doc, t, ${dg("g")} AS dgv FROM pig${s - 1})"
+      P +=
+        s"""pirw$s AS MATERIALIZED (
+           |  SELECT c.doc, c.term, c.cnt, b.t, (b.lb + d.dgv) AS raw
+           |  FROM pcnt c JOIN pb$emIters b ON b.term = c.term
+           |  JOIN pidg$s d ON d.doc = c.doc AND d.t = b.t)""".stripMargin
+      P +=
+        s"""pinm$s AS (
+           |  SELECT doc, term, ${logAdd("a0", "a1")} AS nrm FROM (
+           |    SELECT doc, term,
+           |      max(CASE WHEN t = 0 THEN raw END) AS a0,
+           |      max(CASE WHEN t = 1 THEN raw END) AS a1
+           |    FROM pirw$s GROUP BY doc, term))""".stripMargin
+      P +=
+        s"""pig$s AS MATERIALIZED (
+           |  SELECT r.doc, r.t, round($alpha + sum(exp(((r.raw - n.nrm) + ln(r.cnt)))), $gammaDp) AS g
+           |  FROM pirw$s r JOIN pinm$s n ON n.doc = r.doc AND n.term = r.term
+           |  GROUP BY r.doc, r.t)""".stripMargin
+    }
+    prefix + ",\n" + P.result().mkString(",\n") +
+      s"""
+         |SELECT 'gamma' AS kind, CAST(t + 1 AS INT) AS topic,
+         |       doc AS idx, g AS value
+         |FROM pig$sweeps
+         |ORDER BY kind, topic, idx""".stripMargin
+  }
+
+  /**
    * The polylingual twin ([[graft.polylda.PolyPlantedLda]]): language =
    * word < 'n' split, per-language vocabularies and betas, shared
    * gamma; M-step is the polylda reducer's — NO eta smoothing, log
