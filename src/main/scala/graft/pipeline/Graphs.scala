@@ -406,4 +406,106 @@ object Graphs {
         round(($"n_ab" / nBaskets) /
           (($"n_a" / nBaskets) * ($"n_b" / nBaskets)), 6).as("lift"))
   }
+
+  /**
+   * Community detection by synchronous label propagation (Raghavan et al.
+   * 2007): every node starts as its own community; each round a node
+   * adopts the most frequent label among its neighbors, ties broken by
+   * the SMALLEST label. The async random-order original is
+   * irreproducible by design; fixed synchronous rounds with a total
+   * tie-break make the trajectory a deterministic relational recurrence
+   * (so a SQL oracle replays it exactly), at the cost of possible
+   * two-coloring oscillation on bipartite subgraphs — callers pick the
+   * iteration budget, exactly like [[pageRank]].
+   *
+   * Each round is one edge⋈label shuffle join + a (node, label) count
+   * aggregate + a per-node argmax — the argmax is `max(struct(count,
+   * −label))`, a plain hash aggregate, NOT a window, so no per-node sort
+   * and nothing single-task. Self-loops dropped, edges symmetrized and
+   * deduped; isolated nodes never enter the edge list and are absent
+   * from the output (they are their own singleton communities by
+   * definition). `localCheckpoint` + unpersist per round is the
+   * [[pageRank]] lineage discipline.
+   *
+   * @return (node, label) — label = the community representative's id
+   */
+  def labelPropagation(edges0: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val base = edges0
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .filter($"s" =!= $"d")
+    val edges = base.union(base.select($"d".as("s"), $"s".as("d")))
+      .distinct().localCheckpoint()
+    var labels = edges.select($"s".as("node")).distinct()
+      .select($"node", $"node".as("label")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val counts = edges.join(labels, edges("d") === labels("node"))
+        .groupBy($"s", $"label").agg(count(lit(1)).as("c"))
+      // argmax by (count desc, label asc) as a single hash aggregate:
+      // max of (c, −label) is the top count with the smallest label
+      val next = counts
+        .groupBy($"s".as("node"))
+        .agg(max(struct($"c", (-$"label").as("nl"))).as("m"))
+        .select($"node", (-$"m.nl").as("label"))
+        .localCheckpoint()
+      labels.unpersist(blocking = false)
+      labels = next
+    }
+    labels
+  }
+
+  /**
+   * Multi-source BFS: hop distance from the nearest seed, frontier
+   * expansion only — each round joins the EDGES against the newly
+   * discovered frontier (not the settled set), anti-joins out nodes
+   * already labeled, and appends the survivors at distance h. That is
+   * the textbook distributed BFS shape: per-round work is proportional
+   * to the frontier's out-edges, the settled set is only ever touched by
+   * the anti-join, and nothing is re-relaxed (hop metric = first
+   * discovery is optimal). One count per round for early exit;
+   * `localCheckpoint` + unpersist per round as in [[pageRank]].
+   *
+   * Directed: follows `srcCol → dstCol` edges as given — pass a
+   * symmetrized edge list for undirected distance. Seeds not present in
+   * the graph still report distance 0 (they are their own component).
+   *
+   * @param seeds single-column DataFrame of seed node ids
+   * @return (node, dist) for every node within `maxHops` of a seed
+   */
+  def shortestPaths(edges0: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "need at least one hop")
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val edges = edges0
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .filter($"s" =!= $"d")
+      .distinct().localCheckpoint()
+    var frontier = seeds
+      .select(col(seeds.columns.head).cast("long").as("node"))
+      .distinct().localCheckpoint()
+    var dist = frontier.select($"node", lit(0).as("dist")).localCheckpoint()
+    var h = 0
+    var exhausted = false
+    while (h < maxHops && !exhausted) {
+      h += 1
+      val discovered = edges.join(frontier, edges("s") === frontier("node"))
+        .select($"d".as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .localCheckpoint()
+      if (discovered.isEmpty) { exhausted = true }
+      else {
+        val next = dist.union(discovered.select($"node", lit(h).as("dist")))
+          .localCheckpoint()
+        dist.unpersist(blocking = false)
+        frontier.unpersist(blocking = false)
+        dist = next
+        frontier = discovered
+      }
+    }
+    dist
+  }
 }

@@ -106,6 +106,59 @@ object PipelineQueries {
     sb.toString
   }
 
+  /** Unrolled synchronous label-propagation trajectory over the customer
+    * co-order-date graph: per round, neighbor-label counts then the
+    * (count desc, label asc) argmax — exact integer math, so the replay
+    * needs no rounding anchors at all. MATERIALIZED per the unrolled-CTE
+    * discipline. */
+  private def labelPropOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH cd AS (SELECT DISTINCT o_custkey AS c, o_orderdate AS dt FROM orders),
+      |e AS MATERIALIZED (SELECT DISTINCT x.c AS s, y.c AS d
+      |     FROM cd x JOIN cd y ON x.dt = y.dt AND x.c <> y.c),
+      |l0 AS (SELECT DISTINCT s AS node, s AS label FROM e)""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++= s""",
+        |c$i AS (SELECT e.s AS node, l.label, count(*)::BIGINT AS c
+        |  FROM e JOIN l${i - 1} l ON e.d = l.node GROUP BY 1, 2),
+        |l$i AS MATERIALIZED (SELECT node, label FROM (
+        |  SELECT node, label,
+        |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+        |  FROM c$i) WHERE rn = 1)""".stripMargin
+    }
+    sb ++= s"\nSELECT node::BIGINT AS node, label::BIGINT AS label FROM l$iters ORDER BY node"
+    sb.toString
+  }
+
+  /** Unrolled multi-source BFS trajectory on the symmetrized
+    * customer↔supplier graph: per hop, the frontier's out-neighbors minus
+    * the settled set join the distance table at dist = h. Pure integer
+    * set algebra — exact replay. */
+  private def bfsOracleSql(hops: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH cs AS (
+      |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS MATERIALIZED (
+      |  SELECT src AS s, dst AS d FROM cs UNION SELECT dst, src FROM cs),
+      |seeds AS (SELECT DISTINCT o_custkey AS node FROM orders WHERE o_custkey < 10),
+      |d0 AS (SELECT node, 0 AS dist FROM seeds),
+      |f0 AS (SELECT node FROM seeds)""".stripMargin
+    for (h <- 1 to hops) {
+      sb ++= s""",
+        |f$h AS MATERIALIZED (
+        |  SELECT nb.node FROM (
+        |    SELECT DISTINCT e.d AS node FROM edges e
+        |    JOIN f${h - 1} f ON e.s = f.node) nb
+        |  LEFT JOIN d${h - 1} dd ON nb.node = dd.node WHERE dd.node IS NULL),
+        |d$h AS MATERIALIZED (
+        |  SELECT node, dist FROM d${h - 1}
+        |  UNION ALL SELECT node, $h AS dist FROM f$h)""".stripMargin
+    }
+    sb ++= s"\nSELECT node::BIGINT AS node, dist::INT AS dist FROM d$hops ORDER BY node"
+    sb.toString
+  }
+
   /** Unrolled HITS trajectory on the directed customer→supplier graph:
     * per iteration an authority half-step then a hub half-step, each
     * L1-normalized and 12dp-rounded. */
@@ -202,6 +255,42 @@ object PipelineQueries {
       },
       Some(pageRankOracleSql(iters = 3, d = 0.85)),
       bench = true), // timed: the edge⋈rank iterate shape at scale
+
+    // community detection by deterministic synchronous label propagation
+    // (4 rounds, ties to the smallest label) over the customer
+    // co-order-date graph — the source-clustering prior of corpus
+    // curation; exact integer trajectory, oracle unrolls it
+    "q_label_propagation" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cd = t(s, dir, "orders")
+          .select($"o_custkey".as("c"), $"o_orderdate".as("dt")).distinct()
+        val edges = cd.as("x").join(cd.as("y"), Seq("dt"))
+          .filter($"x.c" < $"y.c")
+          .select($"x.c".as("src"), $"y.c".as("dst"))
+        graft.pipeline.Graphs.labelPropagation(edges, "src", "dst", iterations = 4)
+          .orderBy($"node")
+      },
+      Some(labelPropOracleSql(iters = 4))),
+
+    // multi-source BFS hop distances from the seed customers (< 10) over
+    // the symmetrized customer↔supplier graph: frontier-only expansion,
+    // 3 hops — the crawl-depth / link-distance measure; exact set algebra
+    "q_bfs_distances" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cs = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+          .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+            $"o_orderkey" === $"l_orderkey")
+          .select($"o_custkey".as("src"), ($"l_suppkey" + 1000000L).as("dst"))
+          .distinct()
+        val edges = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
+        val seeds = t(s, dir, "orders").select($"o_custkey".as("node"))
+          .filter($"node" < 10).distinct()
+        graft.pipeline.Graphs.shortestPaths(edges, "src", "dst", seeds, maxHops = 3)
+          .orderBy($"node")
+      },
+      Some(bfsOracleSql(hops = 3))),
 
     // triangle counting over the customer co-order-date graph (customers
     // linked when they ordered the same day): degree-ordered edge

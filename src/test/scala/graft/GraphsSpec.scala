@@ -100,4 +100,54 @@ class GraphsSpec extends SparkSpec {
     assert(r.getAs[Double]("confidence") == 0.75)   // 3/4 (a -> b)
     assert(r.getAs[Double]("lift") == 1.0)          // 0.75 / (1.0 * 0.75)
   }
+
+  // two triangles {1,2,3} and {10,11,12} joined by the 3–10 bridge
+  private val twoTriangles = Seq(
+    (1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L), (12L, 10L), (3L, 10L))
+
+  test("labelPropagation: hand-computed synchronous trajectory, both triangles settle") {
+    // sync rounds with (count desc, label asc) argmax, hand-traced:
+    // r1: 1→2 2→1 3→1 10→3 11→10 12→10
+    // r2: 1→1 2→1 3→1 10→10 11→3 12→3
+    // r3: 1→1 2→1 3→1 10→3 11→3 12→3   (stable from here)
+    val expect3 = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 3L, 11L -> 3L, 12L -> 3L)
+    val expect2 = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 3L, 12L -> 3L)
+    def run(iters: Int) =
+      Graphs.labelPropagation(twoTriangles.toDF("src", "dst"), "src", "dst", iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(2) == expect2)
+    assert(run(3) == expect3)
+    assert(run(4) == expect3) // fixed point: the two communities persist
+  }
+
+  test("labelPropagation symmetrizes: direction of the input edges is irrelevant") {
+    val flipped = twoTriangles.map { case (a, b) => (b, a) }
+    val a = Graphs.labelPropagation(twoTriangles.toDF("src", "dst"), "src", "dst", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graphs.labelPropagation(flipped.toDF("src", "dst"), "src", "dst", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("shortestPaths: directed hop distances, settled nodes never relabeled") {
+    val dirEdges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got2 = Graphs.shortestPaths(dirEdges, "src", "dst", seeds, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got2 == Map(1L -> 0, 2L -> 1, 3L -> 2))
+    // exhaustion before maxHops: node 5 only has an OUT-edge, stays absent
+    val got10 = Graphs.shortestPaths(dirEdges, "src", "dst", seeds, maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got10 == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("shortestPaths: multi-seed takes the nearest seed; off-graph seeds report 0") {
+    val dirEdges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 1L)).toDF("src", "dst")
+    val got = Graphs.shortestPaths(dirEdges, "src", "dst",
+        Seq(1L, 4L, 99L).toDF("node"), maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 4 is a seed (dist 0, not 3); 99 is not in the graph but is still at
+    // distance 0 from itself; the 3→4 rediscovery must not relabel 4
+    assert(got == Map(1L -> 0, 4L -> 0, 99L -> 0, 2L -> 1, 3L -> 2))
+  }
 }
