@@ -92,4 +92,62 @@ object LanguageModel {
       .select($"doc_id", $"lang", $"perplexity",
         round($"pr", 6).as("pr"), ($"pr" <= quantile).as("kept"))
   }
+
+  /**
+   * Interpolated Kneser–Ney bigram LM — the smoothing family KenLM (and
+   * therefore CCNet's quality signal) actually uses, next to the add-k
+   * baseline above. Fixed absolute discount D:
+   *
+   *   P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1)
+   *            + (D · N1+(w1·)/c(w1)) · N1+(·w2)/|bigram types|
+   *
+   * where N1+(w1·) is the number of distinct continuations of w1 and
+   * N1+(·w2) the number of distinct contexts preceding w2 (the
+   * "novel-continuation" probability that distinguishes KN from plain
+   * backoff). Trained and scored on the corpus itself like
+   * [[bigramLmScore]], so every scored event has c ≥ 1 and the model
+   * needs no unigram fallback. Output schema matches `bigramLmScore`:
+   * (doc_id, n_tokens, cross_entropy bits/token 6dp, perplexity 4dp).
+   *
+   * Scale: the model tables are the bigram-TYPE aggregates (≤V² rows,
+   * vocabulary-bounded); scoring is three term-keyed joins that AQE
+   * broadcasts when small, plus the per-doc aggregate. Corpus-sized work
+   * is only the event explode and the final doc agg — identical posture
+   * to [[bigramLmScore]].
+   */
+  def kneserNeyLmScore(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = TextAnalysis.wsTokens(lower(col(textCol)))
+    val events = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(filter(
+          zip_with(concat(array(lit("<s>")), toks), toks,
+            (a, b) => struct(a.as("w1"), b.as("w2"))),
+          p => p.getField("w2").isNotNull)).as("bg"))
+      .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    val bigrams = events.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    // context totals AND distinct-continuation counts in one pass over
+    // the bigram-type table
+    val contexts = bigrams.groupBy($"w1")
+      .agg(sum($"c12").as("c1"), count(lit(1)).as("n1f"))
+    val continuations = bigrams.groupBy($"w2").agg(count(lit(1)).as("n1p"))
+    val nTypes = bigrams.select(count(lit(1)).as("nbt"))
+    val d = lit(discount)
+    events
+      .join(bigrams, Seq("w1", "w2"))
+      .join(contexts, Seq("w1"))
+      .join(continuations, Seq("w2"))
+      .crossJoin(broadcast(nTypes))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (-avg(log2(
+          greatest($"c12" - d, lit(0.0)) / $"c1" +
+            d * $"n1f" / $"c1" * ($"n1p".cast("double") / $"nbt")))).as("h"))
+      .select($"doc_id", $"n_tokens",
+        round($"h", 6).as("cross_entropy"),
+        round(pow(lit(2.0), $"h"), 4).as("perplexity"))
+  }
 }

@@ -1499,6 +1499,41 @@ object PipelineQueries {
              |  round(pow(2, h), 4) AS perplexity
              |FROM scored ORDER BY doc_id""".stripMargin)),
 
+    // interpolated Kneser–Ney bigram LM (fixed discount 0.75) — the
+    // KenLM smoothing family CCNet's quality signal uses; continuation
+    // counts N1+(w1·) / N1+(·w2) over the bigram-type table, trained and
+    // scored on the corpus like the add-k row above
+    "q_kneser_ney_lm" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        LanguageModel.kneserNeyLmScore(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+             |  FROM documents),
+             |pairs AS (
+             |  SELECT doc_id,
+             |    CASE WHEN i = 1 THEN '<s>' ELSE ts[i - 1] END AS w1,
+             |    ts[i] AS w2
+             |  FROM toks, UNNEST(generate_series(1, len(ts))) AS u(i)),
+             |bg AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM pairs GROUP BY 1, 2),
+             |ctx AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1f
+             |        FROM bg GROUP BY 1),
+             |cont AS (SELECT w2, count(*)::BIGINT AS n1p FROM bg GROUP BY 1),
+             |nbt AS (SELECT count(*)::BIGINT AS nbt FROM bg),
+             |scored AS (
+             |  SELECT p.doc_id, count(*)::BIGINT AS n_tokens,
+             |    -avg(log2(greatest(bg.c12 - 0.75, 0.0) / ctx.c1
+             |      + 0.75 * ctx.n1f / ctx.c1 * (cont.n1p::DOUBLE / nbt.nbt))) AS h
+             |  FROM pairs p
+             |  JOIN bg USING (w1, w2) JOIN ctx USING (w1) JOIN cont USING (w2)
+             |  CROSS JOIN nbt
+             |  GROUP BY p.doc_id)
+             |SELECT doc_id, n_tokens, round(h, 6) AS cross_entropy,
+             |  round(pow(2, h), 4) AS perplexity
+             |FROM scored ORDER BY doc_id""".stripMargin)),
+
     // the CCNet FILTER on top of the score: per-language median cut on
     // perplexity (head/middle/tail quantile gating generalizes the same
     // way) — per-language because perplexity scales differ by language

@@ -264,6 +264,32 @@ class PipelineSpec extends SparkSpec {
     assert(out(2)._3 > out(0)._3)
   }
 
+  test("kneserNeyLmScore: hand-computed interpolated KN bigram") {
+    import graft.pipeline.LanguageModel
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "  ")).toDF("id", "text")
+    val out = LanguageModel.kneserNeyLmScore(df, "id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // events (<s>,a)×3, (a,b)×2, (a,c)×1; bigram types = 3
+    // ctx: <s> c1=3 N1+=1; a c1=3 N1+=2 — cont: each of a,b,c has N1+(·w)=1
+    // (mass check: P(b|a)+P(c|a)+unseen-continuation share = 1 exactly)
+    val pA = (3 - 0.75) / 3 + 0.75 * 1 / 3.0 * (1.0 / 3.0)
+    val pB = (2 - 0.75) / 3 + 0.75 * 2 / 3.0 * (1.0 / 3.0)
+    val pC = (1 - 0.75) / 3 + 0.75 * 2 / 3.0 * (1.0 / 3.0)
+    val ln2 = math.log(2.0)
+    def h(ps: Double*): Double = -ps.map(p => math.log(p) / ln2).sum / ps.size
+    def r(x: Double, dp: Int): Double =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val h12 = h(pA, pB); val h3 = h(pA, pC)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L)) // zero-token doc absent
+    assert(out(0) == ((1L, 2L, r(h12, 6), r(math.pow(2, h12), 4))))
+    assert(out(1)._3 == out(0)._3)
+    assert(out(2) == ((3L, 2L, r(h3, 6), r(math.pow(2, h3), 4))))
+    // KN discounts the singleton continuation harder than add-k does:
+    // the (a,c) doc still costs more bits than the (a,b) doc
+    assert(out(2)._3 > out(0)._3)
+  }
+
   test("nbTokenClassifier: hand-computed log-odds, prior-only empty doc") {
     import graft.pipeline.Classify
     val df = Seq(
