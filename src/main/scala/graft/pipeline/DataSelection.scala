@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distribution-matching data selection — the DSIR recipe (Xie et al. 2023,
+ * "Data Selection for Language Models via Importance Resampling"): score
+ * every document in a raw pool by how much more likely its hashed
+ * bag-of-words features are under a TARGET corpus distribution than under
+ * the raw pool's own, then keep the top-weighted slice. The production use
+ * is pretraining-data curation against a high-quality exemplar set
+ * (Wikipedia/books in the paper); here the target is any caller-supplied
+ * DataFrame of exemplar documents.
+ */
+object DataSelection {
+
+  /**
+   * DSIR importance weights + deterministic top-n selection.
+   *
+   * Features are hashed unigrams ([[Classify.tokenBucket]]: first five
+   * md5 hex chars mod `numBuckets` — the SQL-replayable hashing trick the
+   * NB/LR classifiers share). Both the target and raw bucket
+   * distributions get add-`smoothing` mass over all `numBuckets` buckets,
+   * so every bucket's log-likelihood ratio is finite even when one side
+   * never saw it. Per raw document:
+   *
+   *   log w(d) = Σ_tok ln( p̂_target[b(tok)] / p̂_raw[b(tok)] )
+   *
+   * rounded to 6dp (sums are O(tokens·ratio), well inside the anchor
+   * width). The paper's Gumbel-top-k draw is replaced by the
+   * deterministic (log_weight desc, doc_id asc) top-`keepN` cut — the
+   * reproducible variant, same selection pressure.
+   *
+   * Scale: both model tables are `numBuckets` rows (broadcast); the raw
+   * pool is touched by one token explode + one broadcast join + one
+   * doc-keyed aggregate. The top-n cut uses [[Profiling.orderedPrefix]]
+   * (range-sort + partition-offset rank) — doc-level rows only, never a
+   * single-task window. Zero-token docs carry weight 0 (the empty
+   * product) and lose ties to every weighted doc above 0.
+   *
+   * @return (doc_id, n_tokens, log_weight, selected) — all raw docs
+   */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, keepN: Int, numBuckets: Int = 1024,
+      smoothing: Double = 0.5): DataFrame = {
+    require(keepN >= 1, s"keepN must be >= 1, got $keepN")
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    val spark = raw.sparkSession
+    import spark.implicits._
+
+    def toks(c: Column) = TextAnalysis.wsTokens(lower(c))
+    // smoothed per-bucket ln-prob, dense over 0..B-1
+    def logProbs(df: DataFrame, out: String): DataFrame = {
+      val cts = df
+        .select(explode(toks(col(textCol))).as("tok"))
+        .select(Classify.tokenBucket($"tok", numBuckets).as("b"))
+        .groupBy($"b").agg(count(lit(1)).as("c"))
+      spark.range(numBuckets).select($"id".as("b"))
+        .join(cts, Seq("b"), "left")
+        .crossJoin(broadcast(cts.agg(sum($"c").as("t"))))
+        .select($"b",
+          log((coalesce($"c", lit(0L)) + lit(smoothing)) /
+            ($"t" + lit(smoothing * numBuckets))).as(out))
+    }
+    val llr = logProbs(target, "lt").join(logProbs(raw, "lr"), "b")
+      .select($"b", ($"lt" - $"lr").as("llr"))
+    val weights = raw
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(toks(col(textCol))).as("tok"))
+      .select($"doc_id", Classify.tokenBucket($"tok", numBuckets).as("b"))
+      .join(broadcast(llr), "b")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), round(sum($"llr"), 6).as("log_weight"))
+    val all = raw.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .join(weights, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+        coalesce($"log_weight", lit(0.0)).as("log_weight"))
+    val (ranked, cache) = Profiling.orderedPrefix(
+      all, Seq($"log_weight".desc, $"doc_id".asc), lit(0L))
+    val out = ranked.select($"doc_id", $"n_tokens", $"log_weight",
+      ($"__i" <= keepN).as("selected"))
+    cache.unpersist() // determinism-safe: recompute reuses the exchange
+    out
+  }
+}

@@ -446,6 +446,55 @@ object CurationQueries {
              |     / 4294967296.0 < a.accept_rate) AS kept
              |FROM documents d JOIN a USING (lang) ORDER BY doc_id""".stripMargin)),
 
+    // DSIR distribution-matching selection: importance weights of every
+    // doc under target (lang='en') vs raw hashed-unigram distributions,
+    // deterministic top-125 cut; the oracle replays the md5 bucketing,
+    // the smoothed log-ratio model, and the rank
+    "q_dsir_select" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        graft.pipeline.DataSelection.dsirSelect(
+            docs, docs.filter($"lang" === "en"), "doc_id", "text",
+            keepN = 125, numBuckets = 1024)
+          .orderBy($"doc_id")
+      },
+      Some {
+        val hexv = Seq(65536, 4096, 256, 16, 1).zipWithIndex.map { case (m, i) =>
+          s"(strpos('0123456789abcdef', substr(md5(tok), ${i + 1}, 1)) - 1) * $m"
+        }.mkString("(", "\n       + ", ")")
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+           |  FROM documents),
+           |rtok AS (
+           |  SELECT doc_id, ts[i] AS tok
+           |  FROM toks, UNNEST(generate_series(1, len(ts))) AS u(i)),
+           |rb AS MATERIALIZED (
+           |  SELECT doc_id, $hexv % 1024 AS b FROM rtok),
+           |bk AS (SELECT range AS b FROM range(0, 1024)),
+           |tcnt AS (SELECT b, count(*)::BIGINT AS c FROM rb
+           |         JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+           |rcnt AS (SELECT b, count(*)::BIGINT AS c FROM rb GROUP BY 1),
+           |llr AS MATERIALIZED (
+           |  SELECT bk.b,
+           |    ln((coalesce(tc.c, 0) + 0.5) /
+           |       ((SELECT sum(c)::BIGINT FROM tcnt) + 512.0))
+           |  - ln((coalesce(rc.c, 0) + 0.5) /
+           |       ((SELECT sum(c)::BIGINT FROM rcnt) + 512.0)) AS llr
+           |  FROM bk LEFT JOIN tcnt tc USING (b) LEFT JOIN rcnt rc USING (b)),
+           |w AS (
+           |  SELECT rb.doc_id, count(*)::BIGINT AS n_tokens,
+           |    round(sum(l.llr), 6) AS log_weight
+           |  FROM rb JOIN llr l USING (b) GROUP BY 1),
+           |allw AS (
+           |  SELECT d.doc_id, coalesce(w.n_tokens, 0)::BIGINT AS n_tokens,
+           |    coalesce(w.log_weight, 0.0) AS log_weight
+           |  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN w USING (doc_id))
+           |SELECT doc_id, n_tokens, log_weight,
+           |  row_number() OVER (ORDER BY log_weight DESC, doc_id ASC) <= 125 AS selected
+           |FROM allw ORDER BY doc_id""".stripMargin
+      }),
+
     // per-language training-mix rates; unlisted languages get the default
     "q_sample_stratified" -> QueryDef(
       (s, dir) => {

@@ -264,6 +264,31 @@ class PipelineSpec extends SparkSpec {
     assert(out(2)._3 > out(0)._3)
   }
 
+  test("dsirSelect: target-like docs outrank off-target docs; deterministic top-n") {
+    import graft.pipeline.DataSelection
+    val raw = Seq((1L, "alpha alpha beta"), (2L, "gamma delta"),
+      (3L, "alpha beta"), (4L, "   "), (5L, "zeta zeta")).toDF("id", "text")
+    // the target must outweigh the smoothing mass (0.5 × 64 buckets), or
+    // add-k dilutes its probabilities below the raw pool's across the
+    // board: 40 target tokens vs 32 pseudo-tokens flips the ratios
+    val target = Seq((10L, Seq.fill(20)("alpha beta").mkString(" "))).toDF("id", "text")
+    val out = DataSelection.dsirSelect(raw, target, "id", "text",
+        keepN = 2, numBuckets = 64)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    val byId = out.map(t => t._1 -> t).toMap
+    // empty doc: zero tokens, empty-product weight
+    assert(byId(4L)._2 == 0L && byId(4L)._3 == 0.0)
+    // target vocabulary (alpha/beta) scores above, off-target below zero
+    assert(byId(1L)._3 > 0 && byId(3L)._3 > 0)
+    assert(byId(2L)._3 < 0 && byId(5L)._3 < 0)
+    // more target tokens → higher weight; exactly keepN selected, and the
+    // selection is the weight order
+    assert(byId(1L)._3 > byId(3L)._3)
+    assert(out.count(_._4) == 2 && byId(1L)._4 && byId(3L)._4)
+  }
+
   test("kneserNeyLmScore: hand-computed interpolated KN bigram") {
     import graft.pipeline.LanguageModel
     val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "  ")).toDF("id", "text")
