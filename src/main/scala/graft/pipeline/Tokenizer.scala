@@ -268,6 +268,42 @@ object Tokenizer {
       .toDF("doc_id", "tokens", "n_tokens")
   }
 
+  /**
+   * Tokenizer fertility by group (usually language): the standard
+   * multilingual-tokenizer evaluation — `tokens_per_word` (subword
+   * fertility; 1.0 = every word is one piece) and `bytes_per_token`
+   * (compression; higher = cheaper text) from encoding the corpus with a
+   * trained model. Languages the vocabulary under-serves show up as
+   * fertility outliers, which is exactly the signal a token-budget mix
+   * planner needs next to raw token counts.
+   *
+   * Word/byte totals use the encode's own normalization (lowercased
+   * whitespace words, byte lengths of the words themselves — separators
+   * excluded so the metric is about the vocabulary, not the whitespace).
+   * All-integer sums; the two ratios are rounded at 6dp behind a +1e-9
+   * boundary dodge (exact rationals can land on round() half-boundaries,
+   * the q_impute device).
+   */
+  def fertilityByGroup(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, model: BpeModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val enc = bpeEncode(df, idCol, textCol, model)
+      .select($"doc_id", $"n_tokens".cast("long").as("n_tokens"))
+    val toks = TextAnalysis.wsTokens(lower(col(textCol)))
+    val words = df.select(col(idCol).cast("long").as("doc_id"),
+      col(groupCol).as("__grp"),
+      size(toks).cast("long").as("n_words"),
+      octet_length(array_join(toks, "")).cast("long").as("word_bytes"))
+    words.join(enc, "doc_id")
+      .groupBy($"__grp")
+      .agg(sum($"n_tokens").as("n_tokens"), sum($"n_words").as("n_words"),
+        sum($"word_bytes").as("word_bytes"))
+      .select($"__grp".as(groupCol), $"n_tokens", $"n_words", $"word_bytes",
+        round($"n_tokens" / $"n_words" + lit(1e-9), 6).as("tokens_per_word"),
+        round($"word_bytes" / $"n_tokens" + lit(1e-9), 6).as("bytes_per_token"))
+  }
+
   /** Encode to dense integer ids (what a training pipeline actually
     * feeds the model): the id lookup rides in the same `mapPartitions`
     * closure as the merge table — NOT a plan-literal map, which would

@@ -2285,6 +2285,21 @@ object PipelineQueries {
       Some(TokenizerOracles.bpeEncodeSql(
         numMerges = 200, encRounds = 12, minFreq = 2L, maxWords = 50000))),
 
+    // per-language tokenizer fertility/compression from the same trained
+    // model — the vocabulary-equity report a multilingual token-budget
+    // planner reads; exact integer sums through the encode replay
+    "q_tokenizer_fertility" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val model = Tokenizer.trainBpe(docs, "text",
+          numMerges = 200, maxWords = 50000, minFreq = 2L)
+        Tokenizer.fertilityByGroup(docs, "doc_id", "text", "lang", model)
+          .orderBy($"lang")
+      },
+      Some(TokenizerOracles.bpeFertilitySql(
+        numMerges = 200, encRounds = 12, minFreq = 2L, maxWords = 50000))),
+
     // tokenizer-artifact lifecycle: train → save (merges+vocab parquet)
     // → load → encode to dense ids. ids_sum pins id assignment stability
     // across the round-trip; -1 (OOV) cannot occur here because the

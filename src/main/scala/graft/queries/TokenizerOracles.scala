@@ -182,6 +182,30 @@ private[queries] object TokenizerOracles {
     bpeEncodeChain(numMerges, encRounds, minFreq, maxWords) +
       docProjection("", "")
 
+  /** Oracle for q_tokenizer_fertility: per-language subword fertility
+    * (tokens/word) and compression (word bytes/token) aggregated from the
+    * replayed per-word BPE token counts; integer sums, 6dp ratios behind
+    * the +1e-9 half-boundary dodge. */
+  def bpeFertilitySql(numMerges: Int, encRounds: Int, minFreq: Long,
+      maxWords: Int): String =
+    bpeEncodeChain(numMerges, encRounds, minFreq, maxWords) +
+      s""",
+         |docw AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+         |  FROM documents),
+         |fert AS (
+         |  SELECT d.lang, sum(w.n_toks)::BIGINT AS n_tokens,
+         |    count(*)::BIGINT AS n_words,
+         |    sum(strlen(dw.word))::BIGINT AS word_bytes
+         |  FROM docw dw JOIN wtoks w USING (word)
+         |  JOIN documents d ON d.doc_id = dw.doc_id
+         |  GROUP BY 1)
+         |SELECT lang, n_tokens, n_words, word_bytes,
+         |  round(n_tokens / n_words::DOUBLE + 1e-9, 6) AS tokens_per_word,
+         |  round(word_bytes / n_tokens::DOUBLE + 1e-9, 6) AS bytes_per_token
+         |FROM fert ORDER BY lang""".stripMargin
+
   /** Oracle for q_bpe_persisted: (doc_id, n_tokens, ids_sum) with the
     * model's dense vocab ids (sorted final-symbols ∪ merge results,
     * 0-based) — replays `Tokenizer.vocabIds` + `bpeEncodeIds`. */

@@ -176,6 +176,26 @@ class TokenizerSpec extends SparkSpec {
     }
   }
 
+  test("fertilityByGroup: group sums and ratios agree with the encode exactly") {
+    val docs = Seq((1L, "aa aa bb", "x"), (2L, "aa", "y"), (3L, "  ", "y"))
+      .toDF("id", "text", "grp")
+    val model = Tokenizer.trainBpe(docs, "text", numMerges = 2,
+      maxWords = 100, minFreq = 1L)
+    val enc = Tokenizer.bpeEncode(docs, "id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val out = Tokenizer.fertilityByGroup(docs, "id", "text", "grp", model)
+      .orderBy($"grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    def r6(x: Double): Double =
+      BigDecimal(x + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // x: 3 words (aa,aa,bb), 6 bytes; y: 1 word + the empty doc
+    val tx = enc(1L).toLong; val ty = (enc(2L) + enc(3L)).toLong
+    assert(out(0) == (("x", tx, 3L, 6L, r6(tx / 3.0), r6(6.0 / tx))))
+    assert(out(1) == (("y", ty, 1L, 2L, r6(ty / 1.0), r6(2.0 / ty))))
+    assert(enc(3L) == 0) // whitespace-only doc encodes to zero tokens
+  }
+
   test("wordpiece vocab save/load round-trips and encodes identically") {
     val docs = paperDf
     val vocab = Tokenizer.trainWordpiece(docs, "text", numMerges = 6)
