@@ -29,6 +29,41 @@ object TextAnalysis {
   val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
   def bpeishTokenCount(text: Column): Column = size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
 
+  /**
+   * N-gram novelty: how much text each document adds that the corpus has
+   * not seen before it — gram g is "novel" in the doc with the smallest
+   * id containing it (first-touch attribution, the same keep-first
+   * convention the dedup family uses). The per-doc novelty rate is the
+   * corpus-diversity growth curve: sources whose documents stop
+   * contributing novel grams are recycling text, the between-doc
+   * complement of the WITHIN-doc [[repetitionSignals]].
+   *
+   * Scale: distinct grams per doc (the codegen'd WordNgrams expression),
+   * one gram-keyed min aggregate for first-touch, one gram-keyed join
+   * back, one doc-keyed count — never doc × doc, no window. Docs with
+   * fewer than n tokens report 0 grams and rate 0.
+   */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grams = df.select(col(idCol).cast("long").as("doc_id"),
+      explode(wordNgrams(col(textCol), n)).as("g"))
+    val first = grams.groupBy($"g").agg(min($"doc_id").as("fd"))
+    val per = grams.join(first, "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"doc_id" === $"fd", 1L).otherwise(0L)).as("novel_grams"))
+    df.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .join(per, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"novel_grams", lit(0L)).as("novel_grams"),
+        when(coalesce($"n_grams", lit(0L)) > 0,
+          round($"novel_grams" / $"n_grams" + lit(1e-9), 6))
+          .otherwise(lit(0.0)).as("novelty_rate"))
+  }
+
   /** Quality features: length, token stats, punctuation/stopword ratios. */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
     val text = col(textCol)

@@ -782,6 +782,37 @@ object CurationQueries {
     // doubled spam line on every third doc (exercising the duplicate-line
     // branch) and a unique line otherwise. The oracle replays the planting
     // and both aggregates exactly.
+    // corpus-diversity growth: trigram first-touch attribution — each
+    // doc's share of grams the corpus had not seen before it (keep-first
+    // by doc_id, the dedup convention); the between-doc complement of
+    // the within-doc repetition row below
+    "q_ngram_novelty" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.TextAnalysis.ngramNovelty(
+            t(s, dir, "documents"), "doc_id", "text", n = 3)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+             |  FROM documents),
+             |g AS (
+             |  SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g
+             |  FROM tok, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)),
+             |f AS (SELECT g, min(doc_id) AS fd FROM g GROUP BY 1),
+             |per AS (
+             |  SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+             |    sum(CASE WHEN g.doc_id = f.fd THEN 1 ELSE 0 END)::BIGINT AS novel_grams
+             |  FROM g JOIN f USING (g) GROUP BY 1)
+             |SELECT d.doc_id,
+             |  coalesce(per.n_grams, 0)::BIGINT AS n_grams,
+             |  coalesce(per.novel_grams, 0)::BIGINT AS novel_grams,
+             |  CASE WHEN coalesce(per.n_grams, 0) > 0
+             |       THEN round(per.novel_grams / per.n_grams::DOUBLE + 1e-9, 6)
+             |       ELSE 0.0 END AS novelty_rate
+             |FROM (SELECT DISTINCT doc_id FROM documents) d
+             |LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
+
     "q_repetition_signals" -> QueryDef(
       (s, dir) => {
         import s.implicits._

@@ -264,6 +264,21 @@ class PipelineSpec extends SparkSpec {
     assert(out(2)._3 > out(0)._3)
   }
 
+  test("ngramNovelty: first-touch attribution over distinct trigrams") {
+    import graft.pipeline.TextAnalysis
+    val df = Seq((1L, "a b c d"), (2L, "a b c x"), (3L, "a b"),
+      (4L, "a b c d"), (5L, "a b a b a b")).toDF("id", "text")
+    val out = TextAnalysis.ngramNovelty(df, "id", "text", n = 3)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) == ((1L, 2L, 2L, 1.0)))   // both grams first here
+    assert(out(1) == ((2L, 2L, 1L, 0.5)))   // "a b c" already seen
+    assert(out(2) == ((3L, 0L, 0L, 0.0)))   // too short for a trigram
+    assert(out(3) == ((4L, 2L, 0L, 0.0)))   // exact dup adds nothing
+    // within-doc repeats collapse: distinct grams only, both novel
+    assert(out(4) == ((5L, 2L, 2L, 1.0)))
+  }
+
   test("dsirSelect: target-like docs outrank off-target docs; deterministic top-n") {
     import graft.pipeline.DataSelection
     val raw = Seq((1L, "alpha alpha beta"), (2L, "gamma delta"),
