@@ -494,6 +494,37 @@ object Similarity {
     Seq.fill(nTables)(Seq.fill(bitsPerTable)(Seq.fill(dim)(rng.nextGaussian())))
   }
 
+  /**
+   * Recall@k of an approximate neighbor result against exact ground
+   * truth — THE quality metric of the ANN trade-off (probe fewer lists,
+   * lose how much?). Inputs are any two (query_id, rnk, corpus_id)
+   * frames from the topK family (brute force as truth, IVF/PQ/LSH/
+   * Hamming as the approximation); per query:
+   *
+   *   recall = |approx∩truth within rnk ≤ k| / |truth within rnk ≤ k|
+   *
+   * The denominator is the truth's actual row count (≤ k — boundary
+   * queries near the corpus edge have fewer than k neighbors), so a
+   * perfect approximation always scores 1.0. Query-keyed equi-joins
+   * only: both inputs are k-rows-per-query frames, so this costs nothing
+   * next to the searches themselves.
+   */
+  def annRecallAtK(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = truth.sparkSession
+    import spark.implicits._
+    val tq = truth.filter($"rnk" <= k).select($"query_id", $"corpus_id")
+    val aq = approx.filter($"rnk" <= k).select($"query_id", $"corpus_id")
+    val hits = tq.join(aq, Seq("query_id", "corpus_id"))
+      .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
+    tq.groupBy($"query_id").agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("query_id"), "left")
+      .select($"query_id", $"n_truth",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        round(coalesce($"n_hits", lit(0L)) / $"n_truth" + lit(1e-9), 6)
+          .as("recall"))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, bitsPerTable: Int = 8,
       nTables: Int = 4, seed: Long = 42L): DataFrame = {

@@ -493,7 +493,8 @@ object CurationQueries {
            |SELECT doc_id, n_tokens, log_weight,
            |  row_number() OVER (ORDER BY log_weight DESC, doc_id ASC) <= 125 AS selected
            |FROM allw ORDER BY doc_id""".stripMargin
-      }),
+      },
+      bench = true), // timed: token explode + broadcast model + ranked cut
 
     // per-language training-mix rates; unlisted languages get the default
     "q_sample_stratified" -> QueryDef(

@@ -271,7 +271,8 @@ object PipelineQueries {
         graft.pipeline.Graphs.labelPropagation(edges, "src", "dst", iterations = 4)
           .orderBy($"node")
       },
-      Some(labelPropOracleSql(iters = 4))),
+      Some(labelPropOracleSql(iters = 4)),
+      bench = true), // timed: the per-round edge⋈label + argmax-agg shape
 
     // multi-source BFS hop distances from the seed customers (< 10) over
     // the symmetrized customer↔supplier graph: frontier-only expansion,
@@ -1143,6 +1144,22 @@ object PipelineQueries {
           .orderBy($"query_id", $"rnk")
       },
       Some(annIvfOracleSql)),
+
+    // the ANN quality dial made measurable: recall@10 of the IVF probe
+    // against brute-force ground truth per query — both searches reuse
+    // the exact deterministic pipelines above, so the oracle is their
+    // two replays joined
+    "q_ann_recall" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val q = e.filter($"vec_id" < 5)
+        val truth = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+        val approx = Similarity.ivfTopK(e, q, "vec_id", "embedding",
+          k = 10, nCentroids = 16, nProbe = 8, kmeansIterations = 3)
+        Similarity.annRecallAtK(truth, approx, k = 10).orderBy($"query_id")
+      },
+      Some(annRecallOracleSql)),
 
     // index lifecycle: build once → save (lists partitioned by cid) →
     // reload → probe; results must be identical to the in-memory build,
@@ -2924,6 +2941,65 @@ object PipelineQueries {
        |${steps.mkString(",\n")}
        |SELECT s AS node, count(*) AS degree FROM e$rounds
        |GROUP BY s ORDER BY node""".stripMargin
+  }
+
+  /** Recall@10 oracle: the verified IVF replay (identical CTEs to
+    * `annIvfOracleSql`) intersected with the brute-force top-10 per
+    * query; denominator is the truth's own row count. */
+  private def annRecallOracleSql: String = {
+    def dist(a: String, b: String): String = ivfDist(a, b)
+    val lloyd = ivfLloydCtes(3)
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cid, v
+       |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |$lloyd,
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY ${dist("v", "c")}, c.cid) AS rn
+       |    FROM v CROSS JOIN c3 c) WHERE rn = 1),
+       |q AS (SELECT * FROM v WHERE vec_id < 5),
+       |probe AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT q.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${dist("q", "c")}, c.cid) AS rn
+       |    FROM q CROSS JOIN c3 c) WHERE rn <= 8),
+       |cand AS (
+       |  SELECT probe.query_id, assign.vec_id AS corpus_id
+       |  FROM probe JOIN assign ON probe.cid = assign.cid
+       |  WHERE assign.vec_id <> probe.query_id),
+       |scored AS (
+       |  SELECT query_id, corpus_id,
+       |    round(list_dot_product(cv.v, qv.v)
+       |      / (sqrt(list_dot_product(cv.v, cv.v)) * sqrt(list_dot_product(qv.v, qv.v))), 6) AS cosine
+       |  FROM cand
+       |  JOIN v cv ON cv.vec_id = corpus_id
+       |  JOIN v qv ON qv.vec_id = query_id),
+       |ivfk AS (
+       |  SELECT query_id, corpus_id FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rnk
+       |    FROM scored) WHERE rnk <= 10),
+       |bscored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |    round(list_dot_product(c.v, q.v)
+       |      / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS cosine
+       |  FROM q CROSS JOIN v c WHERE c.vec_id <> q.vec_id),
+       |truth AS (
+       |  SELECT query_id, corpus_id FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rnk
+       |    FROM bscored) WHERE rnk <= 10),
+       |h AS (SELECT t.query_id, count(*)::BIGINT AS n_hits
+       |      FROM truth t JOIN ivfk USING (query_id, corpus_id) GROUP BY 1),
+       |tc AS (SELECT query_id, count(*)::BIGINT AS n_truth FROM truth GROUP BY 1)
+       |SELECT tc.query_id, tc.n_truth, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       |  round(coalesce(h.n_hits, 0) / tc.n_truth::DOUBLE + 1e-9, 6) AS recall
+       |FROM tc LEFT JOIN h USING (query_id) ORDER BY tc.query_id""".stripMargin
   }
 
   private def annIvfOracleSql: String = {

@@ -79,6 +79,20 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall@10 = $recall")
   }
 
+  test("annRecallAtK: hand-computed hits, rnk>k cut, short truth lists") {
+    // q1: truth {1,2,3}, approx {1,4,3} → 2/3; q2: truth {1,2}, approx
+    // misses both → 0; rows past rnk=k on either side must not count
+    val truth = Seq((10L, 1, 1L), (10L, 2, 2L), (10L, 3, 3L), (10L, 4, 9L),
+      (20L, 1, 1L), (20L, 2, 2L)).toDF("query_id", "rnk", "corpus_id")
+    val approx = Seq((10L, 1, 1L), (10L, 2, 4L), (10L, 3, 3L), (10L, 4, 2L),
+      (20L, 1, 9L), (20L, 2, 8L)).toDF("query_id", "rnk", "corpus_id")
+    val out = Similarity.annRecallAtK(truth, approx, k = 3)
+      .orderBy($"query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) == ((10L, 3L, 2L, 0.666667)))
+    assert(out(1) == ((20L, 2L, 0L, 0.0)))
+  }
+
   test("ANN IVF unrounded centroids (roundCentroids=false) keep recall@10 >= 0.8") {
     // production mode: exact FP means, no 4-dp oracle quantization — the
     // approximation quality must not depend on the rounding
