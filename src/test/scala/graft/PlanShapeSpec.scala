@@ -396,6 +396,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("rangepartitioning"), s"no distributed sort:\n$plan")
   }
 
+  test("dsirSelect: model joins broadcast; top-n cut has no unpartitioned window") {
+    val plan = physical("q_dsir_select")
+    // the B-sized llr model must ride a broadcast, never a shuffle join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the ranked cut is the partition-offset idiom (orderedPrefix)
+    val winLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    winLines.foreach { l =>
+      assert(l.contains("__pid"), s"unpartitioned Window crept back in:\n$l")
+    }
+    assert(plan.contains("rangepartitioning"), s"no distributed sort:\n$plan")
+  }
+
+  test("labelPropagation and shortestPaths plans carry no window at all") {
+    // both are pure join+aggregate recurrences; a window anywhere means
+    // the argmax or frontier logic regressed to a per-node sort
+    assert(!physical("q_label_propagation").contains("Window "))
+    assert(!physical("q_bfs_distances").contains("Window "))
+  }
+
   test("isotonicCalibrate bins without any window: distributed range sort") {
     import spark.implicits._
     val base = Registry.t(spark, dir, "events")
