@@ -372,6 +372,37 @@ object Curation {
   /** md5 of the canonical URL — the key URL-level dedup groups by. */
   def urlFingerprint(url: Column): Column = md5(canonicalizeUrl(url))
 
+  /** Lowercased host of an absolute URL; empty for relative or
+    * schemeless references (Java ∩ RE2, shared with the SQL oracle). */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+
+  /**
+   * Host-level link graph from raw markup — the edge list behind every
+   * link-authority signal in web-corpus curation (feed the output
+   * straight to [[Graphs.pageRank]] / [[Graphs.labelPropagation]];
+   * Common Crawl publishes exactly this artifact). `href="..."`
+   * attributes are pulled with one codegen'd `regexp_extract_all`,
+   * hosts lowercased, relative links (no absolute scheme://host) drop
+   * out, and edges aggregate to (src_host, dst_host, n_links).
+   *
+   * Scale: per-doc regex extraction + ONE (src, dst) hash aggregate
+   * whose output is host-pair-sized — map-side combining collapses the
+   * within-partition repeats of hot site pairs, so the shuffle carries
+   * the distinct-edge table, not one row per anchor tag.
+   */
+  def linkGraph(df: DataFrame, idCol: String, urlCol: String,
+      htmlCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(urlHost(col(urlCol)).as("src_host"),
+        explode(regexp_extract_all(col(htmlCol),
+          lit("href=\"([^\"]*)\""), lit(1))).as("href"))
+      .select($"src_host", urlHost($"href").as("dst_host"))
+      .filter($"src_host" =!= "" && $"dst_host" =!= "")
+      .groupBy($"src_host", $"dst_host").agg(count(lit(1)).as("n_links"))
+  }
+
   /** 16-digit card-number candidate (optional dash/space group
     * separators) — Java regex ∩ RE2, shared with the SQL oracle. */
   val CardPattern: String = "[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}"

@@ -225,6 +225,44 @@ object CurationQueries {
              |SELECT u AS canonical_url, count(*) AS n_docs
              |FROM c5 GROUP BY u ORDER BY canonical_url""".stripMargin)),
 
+    // host-level link-graph extraction over planted anchors: hrefs
+    // pulled by regex, hosts case-folded, the relative link dropped —
+    // the edge list q_pagerank-style authority signals consume
+    "q_link_graph" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val planted = t(s, dir, "documents").select($"doc_id",
+          concat(lit("https://Site"), $"doc_id" % 20, lit(".COM/p/"), $"doc_id")
+            .as("url"),
+          concat(
+            lit("<a href=\"https://site"), ($"doc_id" + 1) % 20,
+            lit(".com/x?utm_source=a\">l1</a>"),
+            lit("<a href=\"HTTP://Site"), ($"doc_id" * 3) % 20,
+            lit(".com/y#f\">l2</a>"),
+            lit("<a href=\"/relative\">r</a>")).as("html"))
+        Curation.linkGraph(planted, "doc_id", "url", "html")
+          .orderBy($"src_host", $"dst_host")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    'https://Site' || (doc_id % 20) || '.COM/p/' || doc_id AS url,
+             |    '<a href="https://site' || ((doc_id + 1) % 20) || '.com/x?utm_source=a">l1</a>' ||
+             |    '<a href="HTTP://Site' || ((doc_id * 3) % 20) || '.com/y#f">l2</a>' ||
+             |    '<a href="/relative">r</a>' AS html
+             |  FROM documents),
+             |l AS (
+             |  SELECT
+             |    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS src_host,
+             |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+             |  FROM planted),
+             |e AS (
+             |  SELECT src_host,
+             |    lower(regexp_extract(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS dst_host
+             |  FROM l)
+             |SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+             |FROM e WHERE src_host <> '' AND dst_host <> ''
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Luhn-validated card detection: one planted VALID card + one
     // checksum-failing near-miss per flagged doc, so the oracle proves the
     // checksum (not just the regex) separates them

@@ -395,4 +395,21 @@ class CurationSpec extends SparkSpec {
     val shard0 = a.filter(_._2 == a(0)._2).sortBy(_._3).map(_._1).toSeq
     assert(shard0 != shard0.sorted)
   }
+
+  test("linkGraph: href extraction, host case-fold, relative links dropped") {
+    import graft.pipeline.Curation
+    val df = Seq(
+      (1L, "https://A.com/p/1",
+        "<a href=\"https://B.COM/x\">b</a><a href=\"http://b.com/y\">b2</a>" +
+        "<a href=\"/rel\">r</a><a href=\"mailto:x@y.z\">m</a>"),
+      (2L, "HTTPS://a.com/p/2", "<a href=\"https://b.com/z\">b</a>"),
+      (3L, "no-url-here", "<a href=\"https://c.com/\">c</a>")
+    ).toDF("id", "url", "html")
+    val out = Curation.linkGraph(df, "id", "url", "html")
+      .orderBy($"src_host", $"dst_host").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // doc 3's src url has no scheme://host -> its edge drops; the two
+    // a.com docs fold case and aggregate to one (a.com, b.com) edge of 3
+    assert(out.toSeq == Seq(("a.com", "b.com", 3L)))
+  }
 }
