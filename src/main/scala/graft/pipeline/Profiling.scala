@@ -314,6 +314,52 @@ object Profiling {
    * aggregates + one map-side adjustment: one scan of the unit table.
    * 6dp anchors on θ/means/ratio.
    */
+  /**
+   * Spearman rank correlation — Pearson over fractional average ranks,
+   * the tie-correct definition. Ranks come from the per-variable
+   * distinct-value grid ([[orderedPrefix]], so a fully-continuous input
+   * degrades to a parallel range sort, never a single-task window) and
+   * are kept as DOUBLED longs (2·avgrank = 2·below + cnt + 1, always
+   * integral; Pearson is scale-invariant so the 2 cancels): every sum
+   * is exact integer arithmetic, and the final formula runs in IEEE
+   * double on exactly-cast sums — bit-identical across engines, 6dp.
+   *
+   * Inputs joins are value-keyed against grid-sized rank tables; the
+   * moment aggregate is one pass. Long moments stay exact below
+   * 2^53 (n ≲ 10^5 rows per call — feed it entity-level aggregates, the
+   * [[giniLorenz]] contract; a corpus-scale call would move the moments
+   * to DECIMAL).
+   *
+   * @return one row: (n, rho)
+   */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(xCol).as("__x"), col(yCol).as("__y"))
+      .filter($"__x".isNotNull && $"__y".isNotNull)
+    def ranks2(in: Column, key: String, out: String): DataFrame = {
+      val grid = base.groupBy(in.as(key)).agg(count(lit(1)).as("__cnt"))
+      val (pre, cache) = orderedPrefix(grid, Seq(col(key).asc), $"__cnt")
+      val r = pre.select(col(key),
+        (lit(2L) * $"__below" + $"__cnt" + lit(1L)).as(out))
+      cache.unpersist() // determinism-safe: recompute reuses the exchange
+      r
+    }
+    val joined = base
+      .join(ranks2($"__x", "__x", "__rx"), "__x")
+      .join(ranks2($"__y", "__y", "__ry"), "__y")
+    val m = joined.agg(
+      count(lit(1)).as("n"),
+      sum($"__rx").as("sx"), sum($"__ry").as("sy"),
+      sum($"__rx" * $"__rx").as("sxx"), sum($"__ry" * $"__ry").as("syy"),
+      sum($"__rx" * $"__ry").as("sxy"))
+    m.select($"n",
+      round(
+        (($"n" * $"sxy" - $"sx" * $"sy").cast("double")) /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+            ($"n" * $"syy" - $"sy" * $"sy").cast("double")), 6).as("rho"))
+  }
+
   def cuped(units: DataFrame, cohortCol: String, preCol: String,
       postCol: String): DataFrame = {
     val spark = units.sparkSession

@@ -275,6 +275,38 @@ object StatsQueries {
         }.mkString("", "\nUNION ALL\n", "\nORDER BY col_x, col_y")
       }),
 
+    // Spearman rank correlation (tie-correct fractional ranks) between a
+    // customer's order count and their largest order — ranks as doubled
+    // longs so every sum is exact integer math; the monotone-association
+    // complement of the Pearson row above
+    "q_spearman" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "orders").groupBy($"o_custkey")
+          .agg(count(lit(1)).as("x"), max($"o_totalprice").as("y"))
+        graft.pipeline.Profiling.spearman(c, "x", "y")
+      },
+      Some("""WITH c AS (
+             |  SELECT o_custkey, count(*)::BIGINT AS x, max(o_totalprice) AS y
+             |  FROM orders GROUP BY 1),
+             |gx AS (SELECT x, count(*)::BIGINT AS cnt FROM c GROUP BY 1),
+             |rx AS (SELECT x,
+             |    2 * (sum(cnt) OVER (ORDER BY x) - cnt) + cnt + 1 AS rx2 FROM gx),
+             |gy AS (SELECT y, count(*)::BIGINT AS cnt FROM c GROUP BY 1),
+             |ry AS (SELECT y,
+             |    2 * (sum(cnt) OVER (ORDER BY y) - cnt) + cnt + 1 AS ry2 FROM gy),
+             |j AS (SELECT rx.rx2, ry.ry2 FROM c
+             |      JOIN rx USING (x) JOIN ry USING (y)),
+             |m AS (SELECT count(*)::BIGINT AS n,
+             |        sum(rx2)::BIGINT AS sx, sum(ry2)::BIGINT AS sy,
+             |        sum(rx2 * rx2)::BIGINT AS sxx, sum(ry2 * ry2)::BIGINT AS syy,
+             |        sum(rx2 * ry2)::BIGINT AS sxy FROM j)
+             |SELECT n, round(
+             |    ((n * sxy - sx * sy)::DOUBLE) /
+             |    sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE),
+             |  6) AS rho
+             |FROM m""".stripMargin)),
+
     // per-group winsorization at exact interpolated percentiles (both
     // engines define quantile_cont/percentile identically); summarized
     // per group so the output is grid-sized

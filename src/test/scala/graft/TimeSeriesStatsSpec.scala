@@ -338,4 +338,18 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(out.filter($"clipped_low").count() == 5)
     assert(out.filter($"clipped_high").count() == 5)
   }
+
+  test("spearman: textbook no-ties value, tie-correct average ranks, inverse") {
+    // classic d² example: 1 − 6·4/(5·24) = 0.8
+    val a = Seq((1, 2), (2, 1), (3, 4), (4, 3), (5, 5)).toDF("x", "y")
+    val ra = Profiling.spearman(a, "x", "y").collect().head
+    assert(ra.getLong(0) == 5L && ra.getDouble(1) == 0.8)
+    // ties on x: ranks (1.5, 1.5, 3) vs (1, 2, 3) → 1.5/√3 = 0.866025
+    val b = Seq((1, 10), (1, 20), (2, 30)).toDF("x", "y")
+    val rb = Profiling.spearman(b, "x", "y").collect().head
+    assert(rb.getLong(0) == 3L && math.abs(rb.getDouble(1) - 0.866025) < 1e-9)
+    // perfect inverse order
+    val c = Seq((1, 9), (2, 8), (3, 7)).toDF("x", "y")
+    assert(Profiling.spearman(c, "x", "y").collect().head.getDouble(1) == -1.0)
+  }
 }
