@@ -360,6 +360,49 @@ object Profiling {
             ($"n" * $"syy" - $"sy" * $"sy").cast("double")), 6).as("rho"))
   }
 
+  /**
+   * Quantile normalization across groups — map each row's value onto the
+   * GLOBAL value distribution at its within-group quantile, the standard
+   * batch-effect correction (bioinformatics) applied to corpus curation:
+   * quality/perplexity scores whose scales drift by domain or language
+   * become comparable, so one global threshold means the same thing
+   * everywhere (the global generalization of `perplexityFilter`'s
+   * per-language cut).
+   *
+   * Within-group quantile is `percent_rank` over (value, key) — a
+   * deterministic total order both engines define identically; the
+   * global quantile function is an exact interpolated percentile grid
+   * (`gridSize`+1 points, the winsorize parity device) broadcast to one
+   * linear-interpolation expression per row. The group window partitions
+   * by group (domain-sized partitions); the grid aggregate is the only
+   * global pass. Feed it score tables (entity-sized), not raw events —
+   * the [[giniLorenz]] contract.
+   *
+   * @return (keyCol, groupCol, valCol as double, norm 6dp)
+   */
+  def quantileNormalize(df: DataFrame, keyCol: String, groupCol: String,
+      valCol: String, gridSize: Int = 100): DataFrame = {
+    require(gridSize >= 2, s"gridSize must be >= 2, got $gridSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(keyCol).as("__k"), col(groupCol).as("__g"),
+        col(valCol).cast("double").as("__v"))
+      .filter($"__v".isNotNull)
+    val qs = (0 to gridSize).map(_.toDouble / gridSize)
+    val grid = base.agg(percentile($"__v", typedLit(qs)).as("__grid"))
+    val w = Window.partitionBy($"__g").orderBy($"__v".asc, $"__k".asc)
+    base.withColumn("__pr", percent_rank().over(w))
+      .crossJoin(broadcast(grid))
+      .withColumn("__pos", $"__pr" * gridSize)
+      .withColumn("__lo", floor($"__pos").cast("int"))
+      .withColumn("__hi", ceil($"__pos").cast("int"))
+      .select($"__k".as(keyCol), $"__g".as(groupCol), $"__v".as(valCol),
+        round(element_at($"__grid", $"__lo" + 1) +
+          ($"__pos" - $"__lo") * (element_at($"__grid", $"__hi" + 1) -
+            element_at($"__grid", $"__lo" + 1)), 6).as("norm"))
+  }
+
   def cuped(units: DataFrame, cohortCol: String, preCol: String,
       postCol: String): DataFrame = {
     val spark = units.sparkSession

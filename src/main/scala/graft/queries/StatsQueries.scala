@@ -275,6 +275,39 @@ object StatsQueries {
         }.mkString("", "\nUNION ALL\n", "\nORDER BY col_x, col_y")
       }),
 
+    // quantile normalization: each doc's length mapped onto the GLOBAL
+    // length distribution at its within-source quantile — scores become
+    // cross-domain comparable (batch-effect correction for curation);
+    // percent_rank + interpolated-percentile grid, both engine-identical
+    "q_quantile_normalize" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.Profiling.quantileNormalize(
+            t(s, dir, "documents"), "doc_id", "source", "n_chars")
+          .orderBy($"doc_id")
+      },
+      Some {
+        val qs = (0 to 100).map(_.toDouble / 100)
+        val lst = qs.mkString("[", ", ", "]")
+        s"""WITH s AS (
+           |  SELECT doc_id, source, n_chars::DOUBLE AS v FROM documents),
+           |g AS (
+           |  SELECT unnest(quantile_cont(v, $lst)) AS gv,
+           |    generate_subscripts(quantile_cont(v, $lst), 1) AS i FROM s),
+           |p AS (
+           |  SELECT doc_id, source, v,
+           |    percent_rank() OVER (PARTITION BY source ORDER BY v, doc_id) AS pr
+           |  FROM s),
+           |x AS (
+           |  SELECT doc_id, source, v, pr * 100 AS pos,
+           |    floor(pr * 100)::INT AS lo, ceil(pr * 100)::INT AS hi FROM p)
+           |SELECT x.doc_id, x.source, x.v AS n_chars,
+           |  round(glo.gv + (x.pos - x.lo) * (ghi.gv - glo.gv), 6) AS norm
+           |FROM x JOIN g glo ON glo.i = x.lo + 1
+           |JOIN g ghi ON ghi.i = x.hi + 1
+           |ORDER BY x.doc_id""".stripMargin
+      }),
+
     // Spearman rank correlation (tie-correct fractional ranks) between a
     // customer's order count and their largest order — ranks as doubled
     // longs so every sum is exact integer math; the monotone-association

@@ -339,6 +339,19 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(out.filter($"clipped_high").count() == 5)
   }
 
+  test("quantileNormalize: shifted groups land on identical global quantiles") {
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "b", 10.0), (5L, "b", 20.0), (6L, "b", 30.0)).toDF("id", "g", "v")
+    val out = Profiling.quantileNormalize(df, "id", "g", "v")
+      .orderBy($"id").collect().map(r => (r.getString(1), r.getDouble(3)))
+    // global sorted = [1,2,3,10,20,30]: q0 → 1, q50 → 3+0.5·(10−3) = 6.5,
+    // q100 → 30 — both groups map onto the SAME global quantile values
+    val a = out.filter(_._1 == "a").map(_._2).toSeq
+    val b = out.filter(_._1 == "b").map(_._2).toSeq
+    assert(a == Seq(1.0, 6.5, 30.0), a)
+    assert(b == a)
+  }
+
   test("spearman: textbook no-ties value, tie-correct average ranks, inverse") {
     // classic d² example: 1 − 6·4/(5·24) = 0.8
     val a = Seq((1, 2), (2, 1), (3, 4), (4, 3), (5, 5)).toDF("x", "y")
