@@ -41,14 +41,15 @@ object DataSelection {
    *
    * @return (doc_id, n_tokens, log_weight, selected) — all raw docs
    */
-  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, keepN: Int, numBuckets: Int = 1024,
-      smoothing: Double = 0.5): DataFrame = {
-    require(keepN >= 1, s"keepN must be >= 1, got $keepN")
-    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+  /** The fitted DSIR model itself: per-bucket log-likelihood ratio
+    * ln(p̂_target[b]/p̂_raw[b]) over all `numBuckets` md5 buckets,
+    * add-`smoothing` smoothed — a B-row artifact, trainable once and
+    * applied anywhere (batch select below, or frozen into a streaming
+    * screen). */
+  def llrModel(raw: DataFrame, target: DataFrame, textCol: String,
+      numBuckets: Int = 1024, smoothing: Double = 0.5): DataFrame = {
     val spark = raw.sparkSession
     import spark.implicits._
-
     def toks(c: Column) = TextAnalysis.wsTokens(lower(c))
     // smoothed per-bucket ln-prob, dense over 0..B-1
     def logProbs(df: DataFrame, out: String): DataFrame = {
@@ -63,11 +64,38 @@ object DataSelection {
           log((coalesce($"c", lit(0L)) + lit(smoothing)) /
             ($"t" + lit(smoothing * numBuckets))).as(out))
     }
-    val llr = logProbs(target, "lt").join(logProbs(raw, "lr"), "b")
+    logProbs(target, "lt").join(logProbs(raw, "lr"), "b")
       .select($"b", ($"lt" - $"lr").as("llr"))
+  }
+
+  /** Stateless per-row DSIR scorer from a COLLECTED llr model (the B
+    * (bucket, llr) pairs): the model rides the plan as a map literal
+    * (broadcast-by-value, the lrHashClassifier device), so scoring is a
+    * pure projection — it runs append-mode inside a stream with no
+    * state and no join. Sequential fold over the token list; the 6dp
+    * round absorbs the association difference vs the batch aggregate. */
+  def dsirScoreColumn(llr: Seq[(Long, Double)], numBuckets: Int,
+      text: Column): Column = {
+    require(llr.size == numBuckets, s"model must cover all $numBuckets buckets")
+    val m = map(llr.flatMap { case (b, v) => Seq(lit(b), lit(v)) }: _*)
+    val ts = TextAnalysis.wsTokens(lower(text))
+    round(aggregate(
+      transform(ts, t => element_at(m, Classify.tokenBucket(t, numBuckets))),
+      lit(0.0), (acc, x) => acc + x), 6)
+  }
+
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, keepN: Int, numBuckets: Int = 1024,
+      smoothing: Double = 0.5): DataFrame = {
+    require(keepN >= 1, s"keepN must be >= 1, got $keepN")
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    val spark = raw.sparkSession
+    import spark.implicits._
+
+    val llr = llrModel(raw, target, textCol, numBuckets, smoothing)
     val weights = raw
       .select(col(idCol).cast("long").as("doc_id"),
-        explode(toks(col(textCol))).as("tok"))
+        explode(TextAnalysis.wsTokens(lower(col(textCol)))).as("tok"))
       .select($"doc_id", Classify.tokenBucket($"tok", numBuckets).as("b"))
       .join(broadcast(llr), "b")
       .groupBy($"doc_id")

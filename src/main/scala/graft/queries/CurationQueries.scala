@@ -15,6 +15,43 @@ object CurationQueries {
 
   import Registry.t
 
+  /** Shared DSIR replay through `allw` (doc_id, n_tokens, log_weight):
+    * md5 bucketing, smoothed target/raw log-ratio model (target =
+    * lang 'en'), per-doc weight sums — used by the batch select oracle
+    * and the streaming screen oracle. */
+  private[queries] val dsirWeightCtes: String = {
+    val hexv = Seq(65536, 4096, 256, 16, 1).zipWithIndex.map { case (m, i) =>
+      s"(strpos('0123456789abcdef', substr(md5(tok), ${i + 1}, 1)) - 1) * $m"
+    }.mkString("(", "\n       + ", ")")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+       |  FROM documents),
+       |rtok AS (
+       |  SELECT doc_id, ts[i] AS tok
+       |  FROM toks, UNNEST(generate_series(1, len(ts))) AS u(i)),
+       |rb AS MATERIALIZED (
+       |  SELECT doc_id, $hexv % 1024 AS b FROM rtok),
+       |bk AS (SELECT range AS b FROM range(0, 1024)),
+       |tcnt AS (SELECT b, count(*)::BIGINT AS c FROM rb
+       |         JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+       |rcnt AS (SELECT b, count(*)::BIGINT AS c FROM rb GROUP BY 1),
+       |llr AS MATERIALIZED (
+       |  SELECT bk.b,
+       |    ln((coalesce(tc.c, 0) + 0.5) /
+       |       ((SELECT sum(c)::BIGINT FROM tcnt) + 512.0))
+       |  - ln((coalesce(rc.c, 0) + 0.5) /
+       |       ((SELECT sum(c)::BIGINT FROM rcnt) + 512.0)) AS llr
+       |  FROM bk LEFT JOIN tcnt tc USING (b) LEFT JOIN rcnt rc USING (b)),
+       |w AS (
+       |  SELECT rb.doc_id, count(*)::BIGINT AS n_tokens,
+       |    round(sum(l.llr), 6) AS log_weight
+       |  FROM rb JOIN llr l USING (b) GROUP BY 1),
+       |allw AS (
+       |  SELECT d.doc_id, coalesce(w.n_tokens, 0)::BIGINT AS n_tokens,
+       |    coalesce(w.log_weight, 0.0) AS log_weight
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN w USING (doc_id))""".stripMargin
+  }
+
   /** the ngram-Jaccard pair CTEs shared by the cluster oracle (identical to
     * q_dedup_ngram_jaccard's oracle, kept in one place) */
   private val NgramPairsCtes =
@@ -497,41 +534,10 @@ object CurationQueries {
             keepN = 125, numBuckets = 1024)
           .orderBy($"doc_id")
       },
-      Some {
-        val hexv = Seq(65536, 4096, 256, 16, 1).zipWithIndex.map { case (m, i) =>
-          s"(strpos('0123456789abcdef', substr(md5(tok), ${i + 1}, 1)) - 1) * $m"
-        }.mkString("(", "\n       + ", ")")
-        s"""WITH toks AS (
-           |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
-           |  FROM documents),
-           |rtok AS (
-           |  SELECT doc_id, ts[i] AS tok
-           |  FROM toks, UNNEST(generate_series(1, len(ts))) AS u(i)),
-           |rb AS MATERIALIZED (
-           |  SELECT doc_id, $hexv % 1024 AS b FROM rtok),
-           |bk AS (SELECT range AS b FROM range(0, 1024)),
-           |tcnt AS (SELECT b, count(*)::BIGINT AS c FROM rb
-           |         JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
-           |rcnt AS (SELECT b, count(*)::BIGINT AS c FROM rb GROUP BY 1),
-           |llr AS MATERIALIZED (
-           |  SELECT bk.b,
-           |    ln((coalesce(tc.c, 0) + 0.5) /
-           |       ((SELECT sum(c)::BIGINT FROM tcnt) + 512.0))
-           |  - ln((coalesce(rc.c, 0) + 0.5) /
-           |       ((SELECT sum(c)::BIGINT FROM rcnt) + 512.0)) AS llr
-           |  FROM bk LEFT JOIN tcnt tc USING (b) LEFT JOIN rcnt rc USING (b)),
-           |w AS (
-           |  SELECT rb.doc_id, count(*)::BIGINT AS n_tokens,
-           |    round(sum(l.llr), 6) AS log_weight
-           |  FROM rb JOIN llr l USING (b) GROUP BY 1),
-           |allw AS (
-           |  SELECT d.doc_id, coalesce(w.n_tokens, 0)::BIGINT AS n_tokens,
-           |    coalesce(w.log_weight, 0.0) AS log_weight
-           |  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN w USING (doc_id))
+      Some(s"""$dsirWeightCtes
            |SELECT doc_id, n_tokens, log_weight,
            |  row_number() OVER (ORDER BY log_weight DESC, doc_id ASC) <= 125 AS selected
-           |FROM allw ORDER BY doc_id""".stripMargin
-      },
+           |FROM allw ORDER BY doc_id""".stripMargin),
       bench = true), // timed: token explode + broadcast model + ranked cut
 
     // per-language training-mix rates; unlisted languages get the default

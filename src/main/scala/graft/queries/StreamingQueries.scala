@@ -374,6 +374,15 @@ object StreamingQueries {
     // (TextAnalysis.qualityScore, same Column transform q_text_quality
     // verifies per-doc) runs unchanged inside a streaming query; complete
     // mode on a single-file source equals the batch aggregation
+    // batch-fitted DSIR model frozen into a stateless streaming screen
+    // (map-literal scorer, append mode) — per-doc weights equal the
+    // batch q_dsir_select rows, so the shared weight CTEs oracle it
+    "q_stream_dsir_weights" -> QueryDef(
+      (s, dir) => graft.streaming.DocsStream.dsirWeights(s, dir),
+      Some(s"""${CurationQueries.dsirWeightCtes}
+             |SELECT doc_id, n_tokens, log_weight
+             |FROM allw ORDER BY doc_id""".stripMargin)),
+
     "q_stream_quality_counts" -> QueryDef(
       (s, dir) => graft.streaming.DocsStream.qualityScoreCounts(s, dir),
       Some(s"""WITH f AS (

@@ -50,6 +50,37 @@ object DocsStream {
   }
 
   /**
+   * Train-batch / apply-stream DSIR screening: the per-bucket llr model
+   * is fitted ONCE on the batch corpus (target = lang 'en'), collapsed
+   * to a B-entry map literal, and applied to the document stream as a
+   * pure per-row projection — append mode, no state, no join; the
+   * incoming-data arm of the batch `q_dsir_select`. Per-doc weights
+   * equal the batch rows at 6dp, so the batch weight oracle applies.
+   */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val llr = graft.pipeline.DataSelection
+      .llrModel(docs, docs.filter($"lang" === "en"), "text", numBuckets = 1024)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(streamableDocsDir(dir))
+    val name = s"graft_docs_dsir_${counter.incrementAndGet()}"
+    val q = stream.select($"doc_id",
+        size(TextAnalysis.wsTokens(lower($"text"))).cast("long").as("n_tokens"),
+        graft.pipeline.DataSelection.dsirScoreColumn(llr, 1024, $"text")
+          .as("log_weight"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).orderBy($"doc_id")
+  }
+
+  /**
    * Train-batch / apply-stream tokenization — the production serving
    * shape: the BPE model is learned ONCE from the batch corpus (driver
    * artifact), then the stateless distributed encode runs unchanged

@@ -318,6 +318,22 @@ class PipelineSpec extends SparkSpec {
     assert(out.count(_._4) == 2 && byId(1L)._4 && byId(3L)._4)
   }
 
+  test("dsirScoreColumn: frozen map-literal model reproduces the batch weights") {
+    import graft.pipeline.DataSelection
+    val raw = Seq((1L, "alpha alpha beta"), (2L, "gamma delta"),
+      (3L, "alpha beta"), (4L, "   "), (5L, "zeta zeta")).toDF("id", "text")
+    val target = Seq((10L, Seq.fill(20)("alpha beta").mkString(" "))).toDF("id", "text")
+    val llr = DataSelection.llrModel(raw, target, "text", numBuckets = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val frozen = raw.select($"id",
+        DataSelection.dsirScoreColumn(llr, 64, $"text").as("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = DataSelection.dsirSelect(raw, target, "id", "text",
+        keepN = 2, numBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(frozen == batch)
+  }
+
   test("kneserNeyLmScore: hand-computed interpolated KN bigram") {
     import graft.pipeline.LanguageModel
     val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "  ")).toDF("id", "text")
