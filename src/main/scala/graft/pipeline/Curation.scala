@@ -659,6 +659,45 @@ object Curation {
    * (with margin), which composes exactly because both order by the same
    * md5 draw.
    */
+  /**
+   * k-anonymity (+ optional l-diversity) suppression over quasi-identifier
+   * columns: a row survives only if its full QI combination is shared by
+   * at least `k` rows — and, when a sensitive column is given, those rows
+   * carry at least `l` distinct sensitive values (so a re-identified group
+   * still doesn't disclose the sensitive attribute). The standard release
+   * gate before user-derived tables (session logs, profile joins) feed a
+   * training-data pipeline.
+   *
+   * Suppression, not generalization: rows in failing groups are DROPPED
+   * (the caller picks coarser QI columns if the yield is too low —
+   * generalization hierarchies are domain knowledge this operator should
+   * not guess at). Null QI values form their own group, which is the
+   * conservative reading (all-null rows only survive if ≥ k of them).
+   *
+   * Scale: one groupBy over the QI combination (group stats are
+   * QI-cardinality-sized) and one co-partitioned join back on the same
+   * keys — both shuffles hash on the QI columns, so AQE coalesces or
+   * broadcasts the stats side when small. Never row×row.
+   */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Int,
+      sensitiveCol: Option[String] = None, l: Int = 1): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymize: need at least one quasi-identifier")
+    require(k >= 1 && l >= 1, s"kAnonymize: k and l must be >= 1 (got k=$k, l=$l)")
+    val qi = quasiCols.map(col)
+    val lExpr = sensitiveCol match {
+      case Some(sc) => countDistinct(col(sc))
+      case None => count(lit(1)) // degenerate: group size itself, l=1 passes
+    }
+    val stats = df.groupBy(qi: _*)
+      .agg(count(lit(1)).as("__ka_n"), lExpr.as("__ka_l"))
+      .filter(col("__ka_n") >= k && col("__ka_l") >= l)
+      .select(quasiCols.map(c => col(c).as(s"__ka_$c")): _*)
+    // join, not isin (QI cardinality is data-dependent); null-SAFE equality
+    // so the null group matches itself per the contract above
+    val cond = quasiCols.map(c => col(c) <=> col(s"__ka_$c")).reduce(_ && _)
+    df.join(stats, cond, "left_semi")
+  }
+
   def tokenBudgetMix(df: DataFrame, idCol: String, domainCol: String,
       tokensCol: String, budgets: Map[String, Long], defaultBudget: Long,
       salt: String = "graft"): DataFrame = {

@@ -431,6 +431,109 @@ object Sketches {
        |GROUP BY p.key""".stripMargin
   }
 
+  /**
+   * Classic Misra–Gries over one partition's keys: at most `m` live
+   * counters. A present key increments its counter; an absent key takes a
+   * free slot if one exists; otherwise EVERY live counter pays 1 (zeros
+   * evicted) and the incoming occurrence is discarded. One such decrement
+   * event retires m+1 occurrences, so there are at most n/(m+1) of them
+   * and every counter undercounts its true partition frequency by at most
+   * n/(m+1). Amortized O(1) per element: each decrement cascade is paid
+   * for by the increments that filled the map.
+   *
+   * Returns (counters, partition row count).
+   */
+  private[graft] def mgLocal(it: Iterator[String], m: Int): (Map[String, Long], Long) = {
+    require(m > 0, "mgLocal: need at least one counter")
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    var n = 0L
+    while (it.hasNext) {
+      val k = it.next(); n += 1
+      counts.get(k) match {
+        case Some(c) => counts.update(k, c + 1)
+        case None if counts.size < m => counts.update(k, 1L)
+        case None =>
+          counts.mapValuesInPlace((_, c) => c - 1)
+          counts.filterInPlace((_, c) => c > 0)
+      }
+    }
+    (counts.toMap, n)
+  }
+
+  /** Mergeable-summaries MG merge (Agarwal et al., PODS 2012): sum the two
+    * counter maps pointwise; if more than `m` keys survive, subtract the
+    * (m+1)-th largest total from every counter and keep the positive ones.
+    * The subtraction charges each of the ≥ m+1 largest counters, so the
+    * total undercount across any merge tree stays ≤ n/(m+1). */
+  private[graft] def mgMerge(a: Map[String, Long], b: Map[String, Long],
+      m: Int): Map[String, Long] = {
+    val summed = (a.keySet ++ b.keySet).iterator
+      .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    if (summed.size <= m) summed
+    else {
+      val cut = summed.values.toIndexedSeq.sorted(Ordering[Long].reverse).apply(m)
+      summed.iterator.map { case (k, c) => k -> (c - cut) }
+        .filter(_._2 > 0).toMap
+    }
+  }
+
+  /**
+   * EXACT heavy hitters — every key whose true count exceeds ⌊n/k⌋, with
+   * its exact count — in two passes, never a full-vocabulary groupBy:
+   *
+   *   1. candidate pass: one Misra–Gries summary per partition (bounded:
+   *      `m` counters each), collected and merged on the driver
+   *      (partitions × m entries — model-sized, independent of n). Because
+   *      the merged summary undercounts by at most n/(m+1) ≤ n/k, every
+   *      true heavy hitter is guaranteed a surviving counter.
+   *   2. verify pass: exact counts for the ≤ m candidate keys only — the
+   *      shuffle carries at most m rows per map task (map-side partial
+   *      agg), regardless of input size or vocabulary.
+   *
+   * The output is therefore deterministic (exact counts against an exact
+   * threshold) even though the intermediate candidate SET depends on
+   * partitioning — the candidates are only ever a superset. That is what
+   * makes the operator oracle-able: `heavyHittersOracleSql` replays it as
+   * a plain GROUP BY ... HAVING, which at test scale is feasible for DuckDB
+   * but at 100 TB would shuffle the full vocabulary — the two-pass plan
+   * caps the shuffle at m rows per task instead.
+   *
+   * Returns (keyCol STRING, cnt BIGINT), null keys ignored.
+   */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int, m: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counters = if (m > 0) m else 2 * k
+    require(counters + 1 >= k,
+      s"heavyHitters: $counters counters cannot certify count > n/$k " +
+        "(need m + 1 >= k for the Misra-Gries superset guarantee)")
+    val keys = df.select(col(keyCol).cast("string").as(keyCol))
+      .filter(col(keyCol).isNotNull)
+    val summaries = keys.as[String]
+      .mapPartitions(it => Iterator.single(mgLocal(it, counters)))
+      .collect()
+    val n = summaries.iterator.map(_._2).sum
+    val candidates = summaries.iterator.map(_._1)
+      .foldLeft(Map.empty[String, Long])(mgMerge(_, _, counters))
+      .keys.toSeq
+    if (candidates.isEmpty || n == 0L)
+      keys.limit(0).withColumn("cnt", lit(0L))
+    else
+      keys.filter(col(keyCol).isin(candidates: _*))
+        .groupBy(col(keyCol))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > lit(n / k))
+  }
+
+  /** DuckDB replay of `heavyHitters` over a one-column `(key)` relation:
+    * exact counts over the threshold — the candidate machinery is invisible
+    * in the result by construction. */
+  def heavyHittersOracleSql(keyedRelation: String, k: Int): String =
+    s"""WITH keyed AS ($keyedRelation)
+       |SELECT key, CAST(count(*) AS BIGINT) AS cnt
+       |FROM keyed GROUP BY key
+       |HAVING count(*) > (SELECT count(*) // $k FROM keyed)""".stripMargin
+
   /** The DuckDB replay of `hllEstimate` over a `(scope, key)` relation
     * provided as a WITH-clause body. Kept next to the Scala so the two
     * stay literally in sync (same constants, same branch). */

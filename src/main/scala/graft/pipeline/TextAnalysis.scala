@@ -290,6 +290,51 @@ object TextAnalysis {
    * over two regexp counts — map-only at any scale, trivially
    * SQL-replayable. Zero-word documents get a null score.
    */
+  /**
+   * Zipf-law fit per group: OLS slope/R² of log(term frequency) against
+   * log(frequency rank). Natural corpora sit near slope −1 with high R²;
+   * a flat slope or poor fit flags synthetic, templated, or degenerate
+   * text — a corpus-health screen that catches what per-document quality
+   * rules can't (the pathology is distributional, not per-row).
+   *
+   * Rank ties break on (tf DESC, token ASC) so both engines rank
+   * identically; slope/R² round to 6dp (the same `regr_*` + round device
+   * as [[Profiling.olsByGroup]]). The Window is per-group VOCABULARY-sized
+   * — the same bounded-intermediate class as the dictionary rank paths —
+   * and the scan collapses to (group, token) counts before anything else,
+   * so the 100 TB plan is one tf shuffle + a vocab-sized window + agg.
+   */
+  def zipfFit(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(groupCol), explode(wsTokens(col(textCol))).as("__tok"))
+      .groupBy(col(groupCol), col("__tok"))
+      .agg(count(lit(1)).as("__tf"))
+    val rnk = row_number().over(
+      Window.partitionBy(col(groupCol)).orderBy(col("__tf").desc, col("__tok")))
+    val lx = log(col("__rnk").cast("double"))
+    val ly = log(col("__tf").cast("double"))
+    tf.withColumn("__rnk", rnk)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("vocab"),
+        round(regr_slope(ly, lx), 6).as("zipf_slope"),
+        round(regr_r2(ly, lx), 6).as("zipf_r2"))
+  }
+
+  /** DuckDB replay of [[zipfFit]] over a `(grp, text)` relation. */
+  def zipfFitOracleSql(relation: String): String =
+    s"""WITH rel AS ($relation),
+       |tf AS (SELECT grp, token, count(*) AS tf
+       |       FROM (SELECT grp, unnest(string_split(text, ' ')) AS token FROM rel)
+       |       WHERE token <> '' GROUP BY 1, 2),
+       |r AS (SELECT grp, tf,
+       |        row_number() OVER (PARTITION BY grp ORDER BY tf DESC, token) AS rnk
+       |      FROM tf)
+       |SELECT grp, CAST(count(*) AS BIGINT) AS vocab,
+       |  round(regr_slope(ln(CAST(tf AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6) AS zipf_slope,
+       |  round(regr_r2(ln(CAST(tf AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6) AS zipf_r2
+       |FROM r GROUP BY grp""".stripMargin
+
   def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -805,6 +805,29 @@ object CurationQueries {
              |      FROM clustered)
              |ORDER BY doc_id""".stripMargin)),
 
+    // k-anonymity + l-diversity release gate: a document survives only if
+    // ≥ 8 docs share its (lang, source) quasi-identifier AND those docs
+    // span ≥ 2 distinct length buckets (the stand-in sensitive attribute).
+    // At sf0.01 only ~18 of ~97 QI groups pass, so suppression genuinely
+    // bites; the null-safe group semantics are pinned in CurationSpec.
+    "q_k_anonymity" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .withColumn("len_bucket", expr("n_chars div 100"))
+        Curation.kAnonymize(docs, Seq("lang", "source"), k = 8,
+            sensitiveCol = Some("len_bucket"), l = 2)
+          .select($"doc_id", $"lang", $"source")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH g AS (SELECT lang, source
+             |          FROM documents
+             |          GROUP BY 1, 2
+             |          HAVING count(*) >= 8 AND count(DISTINCT n_chars // 100) >= 2)
+             |SELECT d.doc_id, d.lang, d.source
+             |FROM documents d SEMI JOIN g USING (lang, source)
+             |ORDER BY doc_id""".stripMargin)),
+
     // per-source quota: at most 10 docs per source (the fixture has 25 per
     // source, so the cap genuinely bites), picked by md5 order of the doc
     // id (deterministic uniform choice the oracle replays exactly)

@@ -1866,6 +1866,21 @@ object PipelineQueries {
              |SELECT lang_pred, count(*) AS n FROM pred
              |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin)),
 
+    // Zipf-law fit per source: OLS of log(tf) on log(rank) — the
+    // distributional corpus-health screen; slope ≈ −1 is natural text.
+    // Rank tiebreak (tf DESC, token ASC) and the regr_*+round(6) device
+    // make the fit replay exactly (same precedent as q_ols_by_group).
+    "q_zipf_slope" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        TextAnalysis.zipfFit(t(s, dir, "documents"), "source", "text")
+          .orderBy($"source")
+      },
+      Some(s"""SELECT grp AS source, vocab, zipf_slope, zipf_r2
+             |FROM (${TextAnalysis.zipfFitOracleSql(
+                 "SELECT source AS grp, text FROM documents")})
+             |ORDER BY source""".stripMargin)),
+
     "q_doc_fingerprint" -> QueryDef(
       (s, dir) => {
         import s.implicits._

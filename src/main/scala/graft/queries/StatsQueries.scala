@@ -111,6 +111,31 @@ object StatsQueries {
               |FROM exact JOIN cm USING (key)
               |ORDER BY user_id""".stripMargin)),
 
+    // EXACT heavy hitters (count > n/500) over the corpus token stream via
+    // a Misra–Gries candidate pass (512 bounded counters per partition,
+    // mergeable-summaries merge) + an exact count of the candidates only —
+    // the two-pass plan whose shuffle is capped at m rows per task at any
+    // scale. The superset guarantee makes the output exact, so the oracle
+    // is the plain GROUP BY ... HAVING it replaces. The test corpus splits
+    // 30 frequent tokens from one rare one at this threshold, so the HAVING
+    // filter is exercised in both directions. Eviction/merge compression
+    // paths are exercised in HeavyHitterSpec (vocab >> counters).
+    "q_heavy_hitters" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .select(explode(split($"text", " ")).as("token"))
+          .filter($"token" =!= "")
+        Sketches.heavyHitters(toks, "token", k = 500, m = 512)
+          .orderBy($"token")
+      },
+      Some(s"""SELECT key AS token, cnt
+              |FROM (${Sketches.heavyHittersOracleSql(
+                  """SELECT token AS key
+                    |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+                    |WHERE token <> ''""".stripMargin, 500)})
+              |ORDER BY token""".stripMargin)),
+
     // KMV bottom-k sketch: pairwise Jaccard + intersection-size estimates
     // between the per-event-type (user, day) activity sets — the set-overlap
     // question HLL registers cannot answer — next to the exact overlap.

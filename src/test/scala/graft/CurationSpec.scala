@@ -412,4 +412,32 @@ class CurationSpec extends SparkSpec {
     // a.com docs fold case and aggregate to one (a.com, b.com) edge of 3
     assert(out.toSeq == Seq(("a.com", "b.com", 3L)))
   }
+
+  test("kAnonymize: suppresses small QI groups; the null group is a group") {
+    val df = Seq(
+      (1L, Some("a"), "x"), (2L, Some("a"), "x"), (3L, Some("a"), "x"),
+      (4L, Some("b"), "y"), (5L, Some("b"), "y"), // size 2 -> dropped at k=3
+      (6L, None, "z"), (7L, None, "z"), (8L, None, "z")
+    ).toDF("id", "lang", "src")
+    val kept = Curation.kAnonymize(df, Seq("lang", "src"), k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 6L, 7L, 8L))
+  }
+
+  test("kAnonymize: l-diversity drops constant-sensitive groups") {
+    val df = Seq(
+      // group (a,x): 4 rows but ONE sensitive value -> fails l=2
+      (1L, "a", "x", 10), (2L, "a", "x", 10), (3L, "a", "x", 10), (4L, "a", "x", 10),
+      // group (b,y): 4 rows, two sensitive values -> passes
+      (5L, "b", "y", 10), (6L, "b", "y", 20), (7L, "b", "y", 10), (8L, "b", "y", 20)
+    ).toDF("id", "lang", "src", "salary")
+    val kept = Curation.kAnonymize(df, Seq("lang", "src"), k = 3,
+        sensitiveCol = Some("salary"), l = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(5L, 6L, 7L, 8L))
+    // same data without the sensitive requirement keeps both groups
+    val all = Curation.kAnonymize(df, Seq("lang", "src"), k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L))
+  }
 }

@@ -1040,4 +1040,42 @@ class PipelineSpec extends SparkSpec {
         (r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
     assert(re == out)
   }
+
+  test("zipfFit: OLS of log tf on log rank matches the closed form") {
+    // group g1: tf 8,4,2,1 at ranks 1..4 (tokens chosen so the frequency
+    // order and the tiebreak agree); expected slope/r2 from the local OLS
+    val text = (Seq.fill(8)("aa") ++ Seq.fill(4)("bb") ++
+      Seq.fill(2)("cc") ++ Seq("dd")).mkString(" ")
+    val df = Seq(("g1", text)).toDF("source", "text")
+    val row = graft.pipeline.TextAnalysis.zipfFit(df, "source", "text").collect().head
+    val xs = Seq(1.0, 2.0, 3.0, 4.0).map(math.log)
+    val ys = Seq(8.0, 4.0, 2.0, 1.0).map(math.log)
+    val n = xs.size
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val sxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sxx = xs.map(x => (x - mx) * (x - mx)).sum
+    val syy = ys.map(y => (y - my) * (y - my)).sum
+    val slope = sxy / sxx
+    val r2 = sxy * sxy / (sxx * syy)
+    assert(row.getAs[Long]("vocab") == 4L)
+    assert(row.getAs[Double]("zipf_slope") ==
+      BigDecimal(slope).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(row.getAs[Double]("zipf_r2") ==
+      BigDecimal(r2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("zipfFit: rank ties break on token order, per group independently") {
+    // two tokens with equal tf in g2 -> ranks 1,2 by token asc; a second
+    // group must not see g2's ranks (window is per-group)
+    val df = Seq(
+      ("g2", "zz aa zz aa"), // tf 2,2 -> rank(aa)=1, rank(zz)=2
+      ("g3", "solo")).toDF("source", "text")
+    val out = graft.pipeline.TextAnalysis.zipfFit(df, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("vocab")).toMap
+    assert(out == Map("g2" -> 2L, "g3" -> 1L))
+    // determinism: a repartitioned run produces the identical frame
+    val a = graft.pipeline.TextAnalysis.zipfFit(df.repartition(5), "source", "text").collect().toSeq
+    val b = graft.pipeline.TextAnalysis.zipfFit(df, "source", "text").collect().toSeq
+    assert(a.sortBy(_.getString(0)) == b.sortBy(_.getString(0)))
+  }
 }
