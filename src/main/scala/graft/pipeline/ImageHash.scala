@@ -1,0 +1,223 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Perceptual image hashing (pHash) and image near-duplicate detection —
+ * the multimodal twin of text SimHash: re-encoded, re-compressed, or
+ * slightly-touched copies of an image land within a few bits of each
+ * other, while unrelated images are ~half the hash apart.
+ *
+ * The hash is the classic DCT construction: luma → 32×32 box downsample →
+ * 2-D DCT-II → the 8×8 low-frequency corner minus the DC term (63 AC
+ * coefficients) → one bit per coefficient, set iff the coefficient
+ * exceeds their median. Low-frequency structure survives JPEG
+ * requantization; per-pixel noise and entropy-coding differences do not.
+ *
+ * 100 TB posture: decode + hash is a per-partition map over the binary
+ * column (no shuffle, no driver round-trip); the near-dup join shuffles
+ * (id, 63-bit hash) pairs only — never pixels — through the same
+ * banded-LSH shape as [[Dedup.simhashNearDups]]: 7 bands × 9 bits, so any
+ * pair within Hamming ≤ 6 shares at least one band bucket (pigeonhole)
+ * and the verifier is one `bit_count(xor)` per candidate.
+ */
+object ImageHash {
+
+  /** downsampled side; DCT size */
+  private val S = 32
+
+  /** DCT-II basis cos(π(2x+1)u / 2S) for the 32-point transform, built
+    * once — deterministic doubles, same values in every JVM. */
+  private lazy val cosTable: Array[Array[Double]] = {
+    val t = Array.ofDim[Double](S, S)
+    var u = 0
+    while (u < S) {
+      var x = 0
+      while (x < S) {
+        t(u)(x) = math.cos(math.Pi * (2 * x + 1) * u / (2.0 * S))
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /**
+   * 63-bit perceptual hash of a decoded image (bit i of the result = AC
+   * coefficient i in row-major (u,v) order, skipping (0,0), above the
+   * median). Integer luma and box sums keep everything before the DCT
+   * exact; the DCT itself runs a fixed loop order, so the hash is a pure
+   * function of the pixels.
+   */
+  def phash64(img: MediaCodecs.Bmp): Long = {
+    val w = img.width
+    val h = img.height
+    require(w > 0 && h > 0, "phash64: empty image")
+    // integer luma (Rec.601 weights ×1000)
+    val luma = new Array[Int](w * h)
+    var i = 0
+    while (i < w * h) {
+      val o = i * 3
+      luma(i) = ((img.rgb(o) & 0xff) * 299 + (img.rgb(o + 1) & 0xff) * 587 +
+        (img.rgb(o + 2) & 0xff) * 114)
+      i += 1
+    }
+    // box-resample to S×S: each target cell averages its (possibly
+    // fractionally overlapping) source box using integer pixel-index
+    // bounds — floor boxes, never empty (max(1) span)
+    val g = Array.ofDim[Double](S, S)
+    var ty = 0
+    while (ty < S) {
+      val y0 = ty * h / S
+      val y1 = math.max(y0 + 1, (ty + 1) * h / S)
+      var tx = 0
+      while (tx < S) {
+        val x0 = tx * w / S
+        val x1 = math.max(x0 + 1, (tx + 1) * w / S)
+        var acc = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { acc += luma(y * w + x); x += 1 }
+          y += 1
+        }
+        g(ty)(tx) = acc.toDouble / ((y1 - y0) * (x1 - x0))
+        tx += 1
+      }
+      ty += 1
+    }
+    // separable 2-D DCT-II, low 8×8 corner only
+    val rows = Array.ofDim[Double](S, 8) // DCT along x, keep u<8
+    var y = 0
+    while (y < S) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < S) { s += g(y)(x) * cosTable(u)(x); x += 1 }
+        rows(y)(u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val coef = new Array[Double](63)
+    var v = 0
+    var k = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        if (u != 0 || v != 0) {
+          var s = 0.0
+          var yy = 0
+          while (yy < S) { s += rows(yy)(u) * cosTable(v)(yy); yy += 1 }
+          coef(k) = s
+          k += 1
+        }
+        u += 1
+      }
+      v += 1
+    }
+    val sorted = coef.sorted
+    val median = (sorted(31) + sorted(32)) / 2.0 // 63 values: mid-pair of the
+    // even-split convention so exactly ≤31 bits can sit above a heavy tie
+    var bits = 0L
+    i = 0
+    while (i < 63) {
+      if (coef(i) > median) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /**
+   * (id, phash) for every decodable JPEG in `bytesCol`; undecodable rows
+   * are dropped (same contract as the other decode paths — a corrupt blob
+   * must not fail the stage). Map-only at any scale.
+   */
+  def phashFrames(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(bytesCol).as("bytes"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        try JpegCodec.decodeJpeg(bytes).map(img => (id, phash64(img)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+      .toDF("id", "phash")
+  }
+
+  /**
+   * Deterministic planted near-duplicate JPEG fixture: ids 2b and 2b+1
+   * render the SAME spectrally-dense content (every low-band DCT basis
+   * pair (u,v)<8 with an LCG-seeded ±14 amplitude, seed = b) but encode
+   * at different JPEG qualities (85 vs 78) — the re-compressed-copy
+   * scenario pHash exists for. Dense low-band energy makes all 63 hash
+   * bits decisive: measured on the first 50 bases, planted pairs sit ≤ 2
+   * bits apart and distinct bases ≥ 20, so a Hamming-4 cut recovers
+   * exactly the planted pairs — which is what the q_image_phash_dedup
+   * oracle asserts, end-to-end through the real encoder and decoder.
+   */
+  def plantedSpectralJpeg(id: Long): Array[Byte] = {
+    val base = id / 2
+    var s = base * 6364136223846793005L + 1442695040888963407L
+    def next(): Int = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 40) & 0x7fffff).toInt
+    }
+    val w = 64; val h = 64
+    val signs = Array.tabulate(8, 8)((u, v) =>
+      if (u == 0 && v == 0) 0.0 else if (next() % 2 == 0) 14.0 else -14.0)
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var p = 128.0
+        var fu = 0
+        while (fu < 8) {
+          var fv = 0
+          while (fv < 8) {
+            p += signs(fu)(fv) *
+              math.cos(math.Pi * (2 * x + 1) * fu / (2.0 * w)) *
+              math.cos(math.Pi * (2 * y + 1) * fv / (2.0 * h))
+            fv += 1
+          }
+          fu += 1
+        }
+        val c = math.max(0, math.min(255, p.round.toInt))
+        val o = (y * w + x) * 3
+        rgb(o) = c.toByte; rgb(o + 1) = c.toByte; rgb(o + 2) = c.toByte
+        x += 1
+      }
+      y += 1
+    }
+    JpegCodec.encodeJpeg(MediaCodecs.Bmp(w, h, rgb),
+      quality = if (id % 2 == 0) 85 else 78)
+  }
+
+  /**
+   * Image near-duplicate pairs (id_a < id_b) within `maxHamming` bits:
+   * banded LSH over 7×9-bit chunks of the 63-bit hash — complete for
+   * maxHamming ≤ 6 by pigeonhole — then exact `bit_count(xor)`
+   * verification. Only (id, hash) rows ever shuffle.
+   */
+  def imageNearDups(df: DataFrame, idCol: String, bytesCol: String,
+      maxHamming: Int = 4): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 6,
+      s"imageNearDups: 7 bands certify maxHamming <= 6, got $maxHamming")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = phashFrames(df, idCol, bytesCol)
+    val banded = hashed.select($"id", $"phash",
+        posexplode(array((0 until 7).map(b =>
+          shiftright($"phash", b * 9).bitwiseAND(lit(0x1FFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.chunk" === $"b.chunk" && $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+        bit_count($"a.phash".bitwiseXOR($"b.phash")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter($"hamming" <= maxHamming)
+  }
+}

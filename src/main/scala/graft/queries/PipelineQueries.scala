@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{Classify, Dedup, LanguageModel, Multimodal, Retrieval, Similarity, TextAnalysis, Tokenizer, TrainingDataset, Unigram}
+import graft.pipeline.{Classify, Dedup, ImageHash, LanguageModel, Multimodal, Retrieval, Similarity, TextAnalysis, Tokenizer, TrainingDataset, Unigram}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2213,6 +2213,30 @@ object PipelineQueries {
              |  true AS lossy_ok
              |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin),
       bench = true), // timed: per-partition JPEG encode+decode (codec family)
+
+    // image near-dup dedup through the REAL codec path: planted pairs
+    // (2b, 2b+1) carry identical spectrally-dense content JPEG-encoded at
+    // two different qualities; the engine must recover exactly those pairs
+    // via decode → 63-bit DCT pHash → banded Hamming LSH. The oracle is
+    // the planted ground truth (by construction), so any defect in the
+    // encoder, decoder, hash, or join breaks the 50-row exact match —
+    // measured margins are ≤2 bits within pairs vs ≥20 across bases
+    // against the Hamming-4 cut (ImageHashSpec pins both).
+    "q_image_phash_dedup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id".cast("long").as("media_id")).as[Long]
+          .map(id => (id, ImageHash.plantedSpectralJpeg(id)))
+          .toDF("media_id", "bytes")
+        ImageHash.imageNearDups(media, "media_id", "bytes", maxHamming = 4)
+          .select($"id_a", $"id_b")
+          .orderBy($"id_a")
+      },
+      Some("""SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+             |WHERE a.doc_id % 2 = 0 AND a.doc_id < 100 AND b.doc_id < 100
+             |ORDER BY id_a""".stripMargin)),
 
     // the frame-slice arithmetic (step = max(1, len/n); start = min(i·step,
     // max(0, len−1)); bytes = min(start+step, len) − start) is integer math

@@ -1,0 +1,68 @@
+package graft
+
+import graft.pipeline.{ImageHash, JpegCodec, MediaCodecs}
+import org.apache.spark.sql.functions._
+
+/** pHash validation: re-encode invariance vs cross-content separation on
+  * the planted spectral fixture, banded-LSH completeness against the
+  * brute-force join, and the corrupt-blob drop contract. */
+class ImageHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def decode(bytes: Array[Byte]): MediaCodecs.Bmp =
+    JpegCodec.decodeJpeg(bytes).getOrElse(fail("fixture must decode"))
+
+  private def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("planted fixture: pairs hash close, distinct bases hash far") {
+    val hashes = (0L until 60L).map(id =>
+      id -> ImageHash.phash64(decode(ImageHash.plantedSpectralJpeg(id)))).toMap
+    val planted = (0L until 30L).map(b => ham(hashes(2 * b), hashes(2 * b + 1)))
+    assert(planted.max <= 4, s"planted pair drifted past the cut: ${planted.max}")
+    val cross = for {
+      a <- 0L until 60L; b <- (a + 1) until 60L if a / 2 != b / 2
+    } yield ham(hashes(a), hashes(b))
+    assert(cross.min >= 10, s"cross-base collision risk: ${cross.min}")
+  }
+
+  test("phash64 is deterministic and uses only 63 bits") {
+    val img = decode(ImageHash.plantedSpectralJpeg(7L))
+    val h1 = ImageHash.phash64(img)
+    val h2 = ImageHash.phash64(img)
+    assert(h1 == h2)
+    assert((h1 & (1L << 63)) == 0L)
+    // ~half the decisive coefficients sit above the median by construction
+    val bits = java.lang.Long.bitCount(h1)
+    assert(bits >= 20 && bits <= 43, s"degenerate bit balance: $bits")
+  }
+
+  test("imageNearDups equals the brute-force Hamming join on the fixture") {
+    val rows = (0L until 40L).map(id => (id, ImageHash.plantedSpectralJpeg(id)))
+    val df = rows.toDF("id", "bytes").repartition(5)
+    val got = ImageHash.imageNearDups(df, "id", "bytes", maxHamming = 4)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hashes = rows.map { case (id, b) => id -> ImageHash.phash64(decode(b)) }
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib && ham(ha, hb) <= 4
+    } yield (ia, ib)).toSet
+    assert(got == brute)
+    assert(got == (0L until 20L).map(b => (2 * b, 2 * b + 1)).toSet)
+  }
+
+  test("undecodable blobs are dropped, not fatal") {
+    val good = ImageHash.plantedSpectralJpeg(0L)
+    val df = Seq(
+      (0L, good), (1L, ImageHash.plantedSpectralJpeg(1L)),
+      (9L, Array[Byte](1, 2, 3)), // not a JPEG
+      (10L, good.take(good.length / 3)) // truncated stream
+    ).toDF("id", "bytes")
+    val hashed = ImageHash.phashFrames(df, "id", "bytes")
+      .collect().map(_.getLong(0)).toSet
+    assert(hashed.intersect(Set(0L, 1L)) == Set(0L, 1L))
+    assert(!hashed.contains(9L))
+    val pairs = ImageHash.imageNearDups(df, "id", "bytes", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}
