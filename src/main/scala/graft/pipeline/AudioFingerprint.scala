@@ -1,0 +1,152 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Audio fingerprinting and near-duplicate detection — the audio twin of
+ * [[ImageHash]]: re-gained, re-dithered, or re-encoded copies of a
+ * recording share almost all spectral landmarks, while different
+ * recordings share almost none.
+ *
+ * The fingerprint is the classic landmark construction: the mono signal
+ * is cut into non-overlapping 256-sample frames and each frame
+ * contributes one landmark — its dominant DFT bin, position-coded as
+ * (frame index << 16 | bin). Dominant-bin selection is invariant to gain
+ * and robust to additive noise well below the signal (the peak magnitude
+ * scales with the signal, the comparison is within-frame), which is
+ * exactly the re-mastered-copy equivalence class a dedup pass needs.
+ *
+ * 100 TB posture: decode + fingerprint is a per-partition map over the
+ * binary column; matching explodes to (landmark, id) and joins ON THE
+ * LANDMARK — the [[Curation.ngramContamination]] shape — so the shuffle
+ * carries landmark rows, never waveforms, and never goes doc × doc.
+ */
+object AudioFingerprint {
+
+  /** frame length in mono samples; DFT bins searched = frameSize/2 */
+  val FrameSize = 256
+
+  /**
+   * Position-coded spectral landmarks of a decoded WAV (first channel).
+   * Naive DFT magnitude per frame — frames are 256 samples, so the scan
+   * is O(n·128) integer-in/double-out and deterministic (fixed loop
+   * order). Frames quieter than `minEnergy` (mean |sample|) emit no
+   * landmark: silence has no dominant bin, only dither noise, and a
+   * landmark from noise would make two silent recordings "match".
+   */
+  def landmarks(wav: MediaCodecs.Wav, minEnergy: Double = 64.0): Seq[Long] = {
+    val ch = math.max(1, wav.channels)
+    val n = wav.samples.length / ch
+    val out = Seq.newBuilder[Long]
+    var f = 0
+    while ((f + 1) * FrameSize <= n) {
+      val base = f * FrameSize * ch
+      var mean = 0.0
+      var i = 0
+      while (i < FrameSize) {
+        mean += math.abs(wav.samples(base + i * ch).toDouble)
+        i += 1
+      }
+      if (mean / FrameSize >= minEnergy) {
+        var bestBin = 0
+        var bestMag = -1.0
+        var k = 1
+        while (k < FrameSize / 2) {
+          var re = 0.0
+          var im = 0.0
+          i = 0
+          while (i < FrameSize) {
+            val ang = 2 * math.Pi * k * i / FrameSize
+            val s = wav.samples(base + i * ch).toDouble
+            re += s * math.cos(ang)
+            im -= s * math.sin(ang)
+            i += 1
+          }
+          val mag = re * re + im * im
+          if (mag > bestMag) { bestMag = mag; bestBin = k }
+          k += 1
+        }
+        out += (f.toLong << 16) | bestBin.toLong
+      }
+      f += 1
+    }
+    out.result()
+  }
+
+  /** (id, landmark) rows for every decodable WAV; undecodable or
+    * landmark-free rows drop out (same contract as the other decode
+    * paths). Map-only, then one explode. */
+  def fingerprintRows(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(bytesCol).as("bytes"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        try MediaCodecs.decodeWav(bytes).toSeq
+          .flatMap(w => landmarks(w).map(l => (id, l)))
+        catch { case scala.util.control.NonFatal(_) => Nil }
+      }
+      .toDF("id", "landmark")
+  }
+
+  /**
+   * Audio near-duplicate pairs (id_a < id_b) sharing at least `minShared`
+   * landmarks. The join key is the landmark, so a landmark shared by many
+   * recordings fans out — cap pathological landmark frequency upstream if
+   * a corpus has mass-duplicated silence-adjacent content (the same
+   * hot-gram argument as n-gram dedup; position coding already keeps
+   * landmarks rare).
+   */
+  def audioNearDups(df: DataFrame, idCol: String, bytesCol: String,
+      minShared: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fp = fingerprintRows(df, idCol, bytesCol)
+    fp.as("a").join(fp.as("b"),
+        $"a.landmark" === $"b.landmark" && $"a.id" < $"b.id")
+      .groupBy($"a.id".as("id_a"), $"b.id".as("id_b"))
+      .agg(count(lit(1)).as("shared_landmarks"))
+      .filter($"shared_landmarks" >= minShared)
+  }
+
+  /**
+   * Deterministic planted near-duplicate WAV fixture, the audio analog of
+   * [[ImageHash.plantedSpectralJpeg]]: ids 2b and 2b+1 play the SAME
+   * LCG-seeded 16-tone sequence (tones on exact DFT bins 5..100 of the
+   * 256-frame grid, 2 frames per tone, 8 kHz mono), but the odd id is
+   * re-mastered: gain ×0.7 plus seeded ±300 dither under an 8000-amplitude
+   * signal. Dominant bins survive re-mastering, so planted pairs share
+   * (nearly) all 32 landmarks while distinct bases collide only by
+   * seed coincidence — ImageHashSpec's audio twin pins the margins.
+   */
+  def plantedToneWav(id: Long): Array[Byte] = {
+    val base = id / 2
+    var s = base * 6364136223846793005L + 1442695040888963407L
+    def next(): Int = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 40) & 0x7fffff).toInt
+    }
+    val tones = Array.fill(16)(5 + next() % 96) // DFT bin per tone
+    var d = id * 2862933555777941757L + 3037000493L
+    def dither(): Int = {
+      d = d * 2862933555777941757L + 3037000493L
+      ((d >>> 40) % 601).toInt - 300
+    }
+    val gain = if (id % 2 == 0) 1.0 else 0.7
+    val samples = new Array[Short](16 * 2 * FrameSize)
+    var t = 0
+    while (t < 16) {
+      var i = 0
+      while (i < 2 * FrameSize) {
+        val ang = 2 * math.Pi * tones(t) * i / FrameSize
+        val v = gain * 8000.0 * math.sin(ang) + (if (id % 2 == 0) 0 else dither())
+        samples(t * 2 * FrameSize + i) = math.max(Short.MinValue,
+          math.min(Short.MaxValue, v.round)).toShort
+        i += 1
+      }
+      t += 1
+    }
+    MediaCodecs.encodeWav(MediaCodecs.Wav(8000, 1, samples))
+  }
+}

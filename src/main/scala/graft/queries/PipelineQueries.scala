@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{Classify, Dedup, ImageHash, LanguageModel, Multimodal, Retrieval, Similarity, TextAnalysis, Tokenizer, TrainingDataset, Unigram}
+import graft.pipeline.{AudioFingerprint, Classify, Dedup, ImageHash, LanguageModel, Multimodal, Retrieval, Similarity, TextAnalysis, Tokenizer, TrainingDataset, Unigram}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2230,6 +2230,29 @@ object PipelineQueries {
           .map(id => (id, ImageHash.plantedSpectralJpeg(id)))
           .toDF("media_id", "bytes")
         ImageHash.imageNearDups(media, "media_id", "bytes", maxHamming = 4)
+          .select($"id_a", $"id_b")
+          .orderBy($"id_a")
+      },
+      Some("""SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+             |WHERE a.doc_id % 2 = 0 AND a.doc_id < 100 AND b.doc_id < 100
+             |ORDER BY id_a""".stripMargin)),
+
+    // audio near-dup dedup through the real WAV codec: planted pairs
+    // (2b, 2b+1) play the same seeded 16-tone sequence, the odd id
+    // re-mastered (gain ×0.7 + dither); the engine must recover exactly
+    // those pairs via decode → spectral landmarks → shared-landmark join.
+    // Planted-truth oracle, same device as q_image_phash_dedup; margins
+    // (~32 shared within pairs vs seed-coincidence across bases, cut at 8)
+    // pinned in AudioFingerprintSpec.
+    "q_audio_fingerprint_dedup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id".cast("long").as("media_id")).as[Long]
+          .map(id => (id, AudioFingerprint.plantedToneWav(id)))
+          .toDF("media_id", "bytes")
+        AudioFingerprint.audioNearDups(media, "media_id", "bytes", minShared = 8)
           .select($"id_a", $"id_b")
           .orderBy($"id_a")
       },

@@ -1,0 +1,67 @@
+package graft
+
+import graft.pipeline.{AudioFingerprint, MediaCodecs}
+import org.apache.spark.sql.functions._
+
+/** Audio-landmark validation: re-master invariance vs cross-content
+  * separation on the planted tone fixture, join parity with the
+  * brute-force overlap count, silence suppression, and the corrupt-blob
+  * drop contract. */
+class AudioFingerprintSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lm(id: Long): Set[Long] =
+    AudioFingerprint.landmarks(
+      MediaCodecs.decodeWav(AudioFingerprint.plantedToneWav(id))
+        .getOrElse(fail("fixture must decode"))).toSet
+
+  test("planted fixture: pairs share almost all landmarks, bases almost none") {
+    val sets = (0L until 40L).map(id => id -> lm(id)).toMap
+    val planted = (0L until 20L).map(b => sets(2 * b).intersect(sets(2 * b + 1)).size)
+    assert(planted.min >= 28, s"re-mastering broke landmarks: ${planted.min}/32")
+    val cross = for {
+      a <- 0L until 40L; b <- (a + 1) until 40L if a / 2 != b / 2
+    } yield sets(a).intersect(sets(b)).size
+    assert(cross.max <= 4, s"cross-base landmark collision: ${cross.max}")
+  }
+
+  test("landmarks are gain-invariant and silence-suppressed") {
+    val tone = Array.tabulate[Short](4 * AudioFingerprint.FrameSize)(i =>
+      (6000 * math.sin(2 * math.Pi * 17 * i / AudioFingerprint.FrameSize)).toInt.toShort)
+    val loud = AudioFingerprint.landmarks(MediaCodecs.Wav(8000, 1, tone))
+    val quiet = AudioFingerprint.landmarks(MediaCodecs.Wav(8000, 1,
+      tone.map(s => (s / 8).toShort)))
+    assert(loud == quiet && loud.size == 4)
+    assert(loud.forall(l => (l & 0xffffL) == 17L))
+    // true silence (sub-threshold) emits nothing
+    val silent = AudioFingerprint.landmarks(
+      MediaCodecs.Wav(8000, 1, Array.fill[Short](4 * AudioFingerprint.FrameSize)(10)))
+    assert(silent.isEmpty)
+  }
+
+  test("audioNearDups equals the brute-force overlap join on the fixture") {
+    val rows = (0L until 30L).map(id => (id, AudioFingerprint.plantedToneWav(id)))
+    val df = rows.toDF("id", "bytes").repartition(4)
+    val got = AudioFingerprint.audioNearDups(df, "id", "bytes", minShared = 8)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = rows.map { case (id, _) => id -> lm(id) }
+    val brute = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets
+      if ia < ib && sa.intersect(sb).size >= 8
+    } yield (ia, ib)).toSet
+    assert(got == brute)
+    assert(got == (0L until 15L).map(b => (2 * b, 2 * b + 1)).toSet)
+  }
+
+  test("undecodable blobs are dropped, not fatal") {
+    val df = Seq(
+      (0L, AudioFingerprint.plantedToneWav(0L)),
+      (1L, AudioFingerprint.plantedToneWav(1L)),
+      (9L, Array[Byte](82, 73, 70, 70)), // RIFF magic, then truncation
+      (10L, Array[Byte](1, 2, 3))
+    ).toDF("id", "bytes")
+    val pairs = AudioFingerprint.audioNearDups(df, "id", "bytes", minShared = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}
