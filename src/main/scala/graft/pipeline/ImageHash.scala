@@ -158,9 +158,14 @@ object ImageHash {
    * exactly the planted pairs — which is what the q_image_phash_dedup
    * oracle asserts, end-to-end through the real encoder and decoder.
    */
-  def plantedSpectralJpeg(id: Long): Array[Byte] = {
-    val base = id / 2
-    var s = base * 6364136223846793005L + 1442695040888963407L
+  def plantedSpectralJpeg(id: Long): Array[Byte] =
+    JpegCodec.encodeJpeg(spectralFrame(id / 2),
+      quality = if (id % 2 == 0) 85 else 78)
+
+  /** One 64×64 grayscale frame of LCG-seeded spectrally-dense content —
+    * the shared renderer behind both planted media fixtures. */
+  private[graft] def spectralFrame(seed: Long): MediaCodecs.Bmp = {
+    var s = seed * 6364136223846793005L + 1442695040888963407L
     def next(): Int = {
       s = s * 6364136223846793005L + 1442695040888963407L
       ((s >>> 40) & 0x7fffff).toInt
@@ -192,8 +197,79 @@ object ImageHash {
       }
       y += 1
     }
-    JpegCodec.encodeJpeg(MediaCodecs.Bmp(w, h, rgb),
-      quality = if (id % 2 == 0) 85 else 78)
+    MediaCodecs.Bmp(w, h, rgb)
+  }
+
+  /**
+   * Planted near-duplicate MP4 fixture, the video leg of the triad: ids
+   * 2b and 2b+1 carry the SAME four spectral frames, H.264-encoded
+   * (real Intra_16x16 + CAVLC) at different quantizers (qp 26 vs 32 —
+   * the re-encoded-copy scenario), muxed as spec-valid single-track MP4s.
+   */
+  def plantedSpectralMp4(id: Long): Array[Byte] = {
+    val base = id / 2
+    val qp = if (id % 2 == 0) 26 else 32
+    val frames = (0 until 4).map(f =>
+      H264Codec.encode(spectralFrame(base * 41 + f * 101 + 7), avcc = true, qp = qp))
+    Mp4Demux.encodeMp4(frames, 64, 64)
+  }
+
+  /**
+   * (id, frame, phash) for every decodable H.264 sample of every
+   * demuxable MP4: demux resolves exact sample byte ranges from the
+   * stsz×stsc×stco tables, each sample decodes independently, and a
+   * corrupt sample (or file) drops out instead of failing the stage.
+   * Map-only — pixels never leave the partition.
+   */
+  def videoPhashRows(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(bytesCol).as("bytes"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        try {
+          Mp4Demux.demux(bytes).toSeq.flatMap { info =>
+            val t = info.videoTrack
+            (0 until t.nSamples.toInt).flatMap { i =>
+              try H264Codec.decode(Mp4Demux.sampleBytes(bytes, t, i))
+                .map(img => (id, i, phash64(img)))
+              catch { case scala.util.control.NonFatal(_) => None }
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => Nil }
+      }
+      .toDF("id", "frame", "phash")
+  }
+
+  /**
+   * Video near-duplicate pairs (id_a < id_b): two videos match when at
+   * least `minFrames` ALIGNED frame indices hash within `maxHamming`
+   * bits (the re-encoded/re-muxed copy class — temporal re-edits are a
+   * retrieval problem, not a dedup one). Same banded-LSH shape as
+   * [[imageNearDups]] with the frame index folded into the join key, so
+   * only (id, frame, hash) rows shuffle.
+   */
+  def videoNearDups(df: DataFrame, idCol: String, bytesCol: String,
+      maxHamming: Int = 4, minFrames: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 6,
+      s"videoNearDups: 7 bands certify maxHamming <= 6, got $maxHamming")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = videoPhashRows(df, idCol, bytesCol)
+    val banded = hashed.select($"id", $"frame", $"phash",
+        posexplode(array((0 until 7).map(b =>
+          shiftright($"phash", b * 9).bitwiseAND(lit(0x1FFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.chunk" === $"b.chunk" &&
+          $"a.frame" === $"b.frame" && $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"), $"a.frame".as("frame"),
+        bit_count($"a.phash".bitwiseXOR($"b.phash")).as("hamming"))
+      .dropDuplicates("id_a", "id_b", "frame")
+      .filter($"hamming" <= maxHamming)
+      .groupBy($"id_a", $"id_b")
+      .agg(count(lit(1)).as("matched_frames"))
+      .filter($"matched_frames" >= minFrames)
   }
 
   /**

@@ -2261,6 +2261,31 @@ object PipelineQueries {
              |WHERE a.doc_id % 2 = 0 AND a.doc_id < 100 AND b.doc_id < 100
              |ORDER BY id_a""".stripMargin)),
 
+    // video near-dup dedup through the FULL real media stack: planted
+    // pairs carry the same four spectral frames H.264-encoded at qp 26 vs
+    // 32 and muxed as spec-valid MP4s; the engine must recover exactly the
+    // planted pairs via MP4 demux → per-sample H.264 decode → per-frame
+    // pHash → aligned banded Hamming join (cut 6 = what the 7×9 bands
+    // certify; measured planted frames ≤6, cross-base ≥18, so the cut is
+    // exact). Planted-truth oracle; margins pinned in ImageHashSpec.
+    "q_video_phash_dedup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id".cast("long").as("media_id")).as[Long]
+          .map(id => (id, ImageHash.plantedSpectralMp4(id)))
+          .toDF("media_id", "bytes")
+        ImageHash.videoNearDups(media, "media_id", "bytes",
+            maxHamming = 6, minFrames = 3)
+          .select($"id_a", $"id_b", $"matched_frames")
+          .orderBy($"id_a")
+      },
+      Some("""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       CAST(4 AS BIGINT) AS matched_frames
+             |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+             |WHERE a.doc_id % 2 = 0 AND a.doc_id < 100 AND b.doc_id < 100
+             |ORDER BY id_a""".stripMargin)),
+
     // the frame-slice arithmetic (step = max(1, len/n); start = min(i·step,
     // max(0, len−1)); bytes = min(start+step, len) − start) is integer math
     // DuckDB can mirror exactly

@@ -50,6 +50,45 @@ class ImageHashSpec extends SparkSpec {
     assert(got == (0L until 20L).map(b => (2 * b, 2 * b + 1)).toSet)
   }
 
+  test("video fixture margins and aligned near-dup recovery through MP4+H.264") {
+    import graft.pipeline.{H264Codec, Mp4Demux}
+    val hashes: Map[(Long, Int), Long] = (0L until 24L).flatMap { id =>
+      val bytes = ImageHash.plantedSpectralMp4(id)
+      val t = Mp4Demux.demux(bytes).get.videoTrack
+      (0 until t.nSamples.toInt).map { i =>
+        val img = H264Codec.decode(Mp4Demux.sampleBytes(bytes, t, i))
+          .getOrElse(fail("fixture sample must decode"))
+        (id, i) -> ImageHash.phash64(img)
+      }
+    }.toMap
+    assert(hashes.size == 96) // 24 videos × 4 frames all decoded
+    val planted = for (b <- 0L until 12L; f <- 0 until 4)
+      yield ham(hashes((2 * b, f)), hashes((2 * b + 1, f)))
+    assert(planted.max <= 6, s"qp-requant drifted past the cut: ${planted.max}")
+    val cross = for {
+      a <- 0L until 24L; b <- (a + 1) until 24L if a / 2 != b / 2; f <- 0 until 4
+    } yield ham(hashes((a, f)), hashes((b, f)))
+    assert(cross.min >= 10, s"cross-base frame collision risk: ${cross.min}")
+
+    val df = (0L until 24L).map(id => (id, ImageHash.plantedSpectralMp4(id)))
+      .toDF("id", "bytes").repartition(4)
+    val got = ImageHash.videoNearDups(df, "id", "bytes", maxHamming = 6, minFrames = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == (0L until 12L).map(b => (2 * b, 2 * b + 1, 4L)).toSet)
+  }
+
+  test("undecodable MP4s and corrupt samples drop out of videoNearDups") {
+    val good0 = ImageHash.plantedSpectralMp4(0L)
+    val df = Seq(
+      (0L, good0), (1L, ImageHash.plantedSpectralMp4(1L)),
+      (9L, Array[Byte](0, 0, 0, 8, 102, 116, 121, 112)), // bare ftyp, no moov
+      (10L, good0.take(good0.length / 2)) // truncated mid-mdat
+    ).toDF("id", "bytes")
+    val pairs = ImageHash.videoNearDups(df, "id", "bytes", maxHamming = 6, minFrames = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
   test("undecodable blobs are dropped, not fatal") {
     val good = ImageHash.plantedSpectralJpeg(0L)
     val df = Seq(
