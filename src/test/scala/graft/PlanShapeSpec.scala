@@ -415,6 +415,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(!physical("q_bfs_distances").contains("Window "))
   }
 
+  test("heavyHitters verify pass: candidate prune before a partial-agg shuffle") {
+    val plan = physical("q_heavy_hitters")
+    // the exact pass must filter to the candidate set BEFORE aggregating
+    assert(plan.contains("INSET") || plan.contains(" IN "),
+      s"candidate prune missing:\n$plan")
+    // map-side combine: partial then final count, never raw rows through
+    // the exchange
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
+    assert(!plan.contains("Window "), plan)
+  }
+
+  test("kAnonymize: semi join on the QI stats, no pair matrix") {
+    val plan = physical("q_k_anonymity")
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("zipfFit: the rank window is per-group, over the tf aggregate") {
+    val plan = physical("q_zipf_slope")
+    val winLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(winLines.nonEmpty, plan)
+    winLines.foreach { l =>
+      assert(l.contains("source"), s"unpartitioned rank window:\n$l")
+    }
+    // the window input is the (group, token) count aggregate, so tf
+    // partial-aggregates before any sort
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("media near-dup joins stay banded equi-joins — never a pair matrix") {
+    for (q <- Seq("q_image_phash_dedup", "q_audio_fingerprint_dedup",
+        "q_video_phash_dedup")) {
+      val plan = physical(q)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"$q plans a pair matrix:\n$plan")
+    }
+  }
+
   test("isotonicCalibrate bins without any window: distributed range sort") {
     import spark.implicits._
     val base = Registry.t(spark, dir, "events")
