@@ -34,6 +34,17 @@ object StatsQueries {
       |UNION ALL
       |SELECT 'all_events' AS scope, CAST(event_id AS VARCHAR) AS key FROM events""".stripMargin
 
+  /** The token heavy-hitter oracle (count > n/500 over whitespace tokens),
+    * shared verbatim by the batch row and the streaming screen so the two
+    * cannot drift apart. */
+  private[queries] val tokenHeavyHitterOracle: String =
+    s"""SELECT key AS token, cnt
+       |FROM (${Sketches.heavyHittersOracleSql(
+          """SELECT token AS key
+            |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            |WHERE token <> ''""".stripMargin, 500)})
+       |ORDER BY token""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // HyperLogLog distinct-count sketch (md5-register construction,
@@ -129,12 +140,7 @@ object StatsQueries {
         Sketches.heavyHitters(toks, "token", k = 500, m = 512)
           .orderBy($"token")
       },
-      Some(s"""SELECT key AS token, cnt
-              |FROM (${Sketches.heavyHittersOracleSql(
-                  """SELECT token AS key
-                    |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-                    |WHERE token <> ''""".stripMargin, 500)})
-              |ORDER BY token""".stripMargin)),
+      Some(StatsQueries.tokenHeavyHitterOracle)),
 
     // KMV bottom-k sketch: pairwise Jaccard + intersection-size estimates
     // between the per-event-type (user, day) activity sets — the set-overlap

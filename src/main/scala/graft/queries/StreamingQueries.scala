@@ -383,6 +383,13 @@ object StreamingQueries {
              |SELECT doc_id, n_tokens, log_weight
              |FROM allw ORDER BY doc_id""".stripMargin)),
 
+    // streaming half of q_heavy_hitters: exact token counts as complete-
+    // mode state, the n/k cut applied to the drained state — equals the
+    // batch row, so the SHARED oracle text applies verbatim
+    "q_stream_heavy_hitters" -> QueryDef(
+      (s, dir) => graft.streaming.DocsStream.heavyHitterScreen(s, dir),
+      Some(StatsQueries.tokenHeavyHitterOracle)),
+
     "q_stream_quality_counts" -> QueryDef(
       (s, dir) => graft.streaming.DocsStream.qualityScoreCounts(s, dir),
       Some(s"""WITH f AS (

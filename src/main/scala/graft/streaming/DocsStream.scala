@@ -50,6 +50,38 @@ object DocsStream {
   }
 
   /**
+   * Streaming heavy-hitter screen: exact per-token counts as streaming
+   * state (complete mode — the counts table is vocabulary-sized, the
+   * bounded-dictionary regime; an unbounded-vocab stream would front this
+   * with the Misra–Gries candidate pass exactly as the batch
+   * [[graft.pipeline.Sketches.heavyHitters]] does), then the count > n/k
+   * cut applied to the drained state with n = the same state's total.
+   * Equals the batch heavy-hitter row by construction, so the shared
+   * oracle applies verbatim.
+   */
+  def heavyHitterScreen(spark: SparkSession, dir: String, k: Int = 500): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(streamableDocsDir(dir))
+    val name = s"graft_docs_hh_${counter.incrementAndGet()}"
+    val q = stream
+      .select(explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"token")
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val state = spark.table(name)
+    val n = state.agg(sum($"cnt")).head.getLong(0)
+    state.filter($"cnt" > lit(n / k)).orderBy($"token")
+  }
+
+  /**
    * Train-batch / apply-stream DSIR screening: the per-bucket llr model
    * is fitted ONCE on the batch corpus (target = lang 'en'), collapsed
    * to a B-entry map literal, and applied to the document stream as a
