@@ -111,6 +111,96 @@ object AudioFingerprint {
   }
 
   /**
+   * Audio-quality screen — the audio twin of the text quality rules: per
+   * clip, the curation gates a speech/audio corpus filters on. All
+   * integer or exactly-dyadic arithmetic up to one IEEE sqrt, so the
+   * whole screen replays in SQL against a planted closed-form fixture:
+   *
+   *   - n_samples / sample_rate (duration as integers, no FP),
+   *   - peak = max |sample| (first channel),
+   *   - rms = round(sqrt(Σs² / n), 4) — sum in Long, ONE division by n,
+   *     then sqrt, so an oracle reproducing that operand order gets the
+   *     identical double,
+   *   - clipping_ratio = round(#{|s| ≥ 32767} / n, 4) (full-scale hits —
+   *     the clipped-recording screen),
+   *   - silence_fraction = round(silent frames / complete frames, 4),
+   *     a frame being silent when its mean |s| < `minEnergy` (the same
+   *     256-sample frames and threshold [[landmarks]] uses).
+   *
+   * Undecodable rows drop out. Map-only at any scale.
+   */
+  def audioQuality(df: DataFrame, idCol: String, bytesCol: String,
+      minEnergy: Double = 64.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(bytesCol).as("bytes"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        try MediaCodecs.decodeWav(bytes).flatMap { wav =>
+          val ch = math.max(1, wav.channels)
+          val n = wav.samples.length / ch
+          if (n == 0) None else {
+            var peak = 0L
+            var sumSq = 0L
+            var clipped = 0L
+            var i = 0
+            while (i < n) {
+              val s = math.abs(wav.samples(i * ch).toLong)
+              if (s > peak) peak = s
+              sumSq += s * s
+              if (s >= 32767L) clipped += 1
+              i += 1
+            }
+            val frames = n / FrameSize
+            var silent = 0
+            var f = 0
+            while (f < frames) {
+              var acc = 0.0
+              i = 0
+              while (i < FrameSize) {
+                acc += math.abs(wav.samples((f * FrameSize + i) * ch).toDouble)
+                i += 1
+              }
+              if (acc / FrameSize < minEnergy) silent += 1
+              f += 1
+            }
+            Some((id, n.toLong, wav.sampleRateHz, peak,
+              BigDecimal(math.sqrt(sumSq.toDouble / n))
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+              BigDecimal(clipped.toDouble / n)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+              if (frames == 0) 0.0
+              else BigDecimal(silent.toDouble / frames)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          }
+        }.toSeq
+        catch { case scala.util.control.NonFatal(_) => Nil }
+      }
+      .toDF("id", "n_samples", "sample_rate", "peak", "rms",
+        "clipping_ratio", "silence_fraction")
+  }
+
+  /**
+   * Closed-form quality fixture: a 16-frame square wave at amplitude
+   * A = 1000 + (id % 40)·1000 (Short-clamped, so ids with A ≥ 33000 are
+   * fully clipped) with the last id % 8 frames silent. Every screen
+   * column is then integer arithmetic on (id % 40, id % 8) — the SQL
+   * oracle recomputes them without decoding anything, which is what makes
+   * the engine's decode+scan independently checkable.
+   */
+  def plantedQualityWav(id: Long): Array[Byte] = {
+    val a = math.min(32767L, 1000L + (id % 40) * 1000L).toShort
+    val nsil = (id % 8).toInt
+    val samples = new Array[Short](16 * FrameSize)
+    var i = 0
+    while (i < (16 - nsil) * FrameSize) {
+      samples(i) = if ((i / 16) % 2 == 0) a else (-a).toShort
+      i += 1
+    }
+    MediaCodecs.encodeWav(MediaCodecs.Wav(8000, 1, samples))
+  }
+
+  /**
    * Deterministic planted near-duplicate WAV fixture, the audio analog of
    * [[ImageHash.plantedSpectralJpeg]]: ids 2b and 2b+1 play the SAME
    * LCG-seeded 16-tone sequence (tones on exact DFT bins 5..100 of the

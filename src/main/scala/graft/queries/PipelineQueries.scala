@@ -2261,6 +2261,37 @@ object PipelineQueries {
              |WHERE a.doc_id % 2 = 0 AND a.doc_id < 100 AND b.doc_id < 100
              |ORDER BY id_a""".stripMargin)),
 
+    // audio-quality curation gates (peak/rms/clipping/silence) against a
+    // planted closed-form fixture: square waves at seeded amplitudes with
+    // seeded trailing silence make every screen column integer-or-dyadic
+    // arithmetic on (id%40, id%8) — the oracle recomputes them WITHOUT
+    // decoding, independently checking the engine's decode + scan (the
+    // one sqrt gets the identical IEEE operand on both sides)
+    "q_audio_quality_screen" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").filter($"doc_id" < 200)
+          .select($"doc_id".cast("long").as("media_id")).as[Long]
+          .map(id => (id, AudioFingerprint.plantedQualityWav(id)))
+          .toDF("media_id", "bytes")
+        AudioFingerprint.audioQuality(media, "media_id", "bytes")
+          .withColumnRenamed("id", "media_id")
+          .orderBy($"media_id")
+      },
+      Some("""WITH m AS (SELECT doc_id, 1000 + (doc_id % 40) * 1000 AS a,
+             |                  doc_id % 8 AS nsil
+             |           FROM documents WHERE doc_id < 200)
+             |SELECT doc_id AS media_id,
+             |  CAST(4096 AS BIGINT) AS n_samples,
+             |  CAST(8000 AS INT) AS sample_rate,
+             |  CAST(least(a, 32767) AS BIGINT) AS peak,
+             |  round(sqrt((least(a, 32767) * least(a, 32767)
+             |              * ((16 - nsil) * 256)) / 4096.0), 4) AS rms,
+             |  round(CASE WHEN a >= 32767 THEN ((16 - nsil) * 256) / 4096.0
+             |             ELSE 0.0 END, 4) AS clipping_ratio,
+             |  round(nsil / 16.0, 4) AS silence_fraction
+             |FROM m ORDER BY media_id""".stripMargin)),
+
     // video near-dup dedup through the FULL real media stack: planted
     // pairs carry the same four spectral frames H.264-encoded at qp 26 vs
     // 32 and muxed as spec-valid MP4s; the engine must recover exactly the

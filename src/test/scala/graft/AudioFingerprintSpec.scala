@@ -53,6 +53,45 @@ class AudioFingerprintSpec extends SparkSpec {
     assert(got == (0L until 15L).map(b => (2 * b, 2 * b + 1)).toSet)
   }
 
+  test("audioQuality: closed-form fixture columns match hand arithmetic") {
+    // id=35: a = 1000 + 35*1000 = 36000 -> clamped 32767, fully clipped;
+    // nsil = 3 -> silence 3/16, clipping (16-3)/16
+    val df = Seq((35L, AudioFingerprint.plantedQualityWav(35L)),
+      (2L, AudioFingerprint.plantedQualityWav(2L))).toDF("id", "bytes")
+    val out = AudioFingerprint.audioQuality(df, "id", "bytes")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val c = out(35L)
+    assert(c.getLong(1) == 4096L && c.getInt(2) == 8000)
+    assert(c.getLong(3) == 32767L)
+    assert(c.getDouble(5) == 0.8125) // clipping_ratio (16-3)/16
+    assert(c.getDouble(6) == 0.1875) // silence_fraction 3/16
+    val q = out(2L) // a = 3000, nsil = 2: no clipping
+    assert(q.getLong(3) == 3000L && q.getDouble(5) == 0.0)
+    assert(q.getDouble(6) == 0.125)
+    assert(q.getDouble(4) ==
+      BigDecimal(math.sqrt(3000.0 * 3000.0 * 14 * 256 / 4096.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("audioQuality reads the first channel of stereo and drops empties") {
+    // stereo: L = loud square, R = zeros; screen must report the L channel
+    val n = 2 * AudioFingerprint.FrameSize
+    val inter = new Array[Short](2 * n)
+    (0 until n).foreach { i =>
+      inter(2 * i) = if ((i / 16) % 2 == 0) 5000 else -5000
+      inter(2 * i + 1) = 0
+    }
+    val df = Seq(
+      (1L, MediaCodecs.encodeWav(MediaCodecs.Wav(8000, 2, inter))),
+      (2L, MediaCodecs.encodeWav(MediaCodecs.Wav(8000, 1, Array.empty[Short])))
+    ).toDF("id", "bytes")
+    val rows = AudioFingerprint.audioQuality(df, "id", "bytes")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(1L)) // the empty clip drops out
+    assert(rows(1L).getLong(3) == 5000L)
+    assert(rows(1L).getDouble(6) == 0.0)
+  }
+
   test("undecodable blobs are dropped, not fatal") {
     val df = Seq(
       (0L, AudioFingerprint.plantedToneWav(0L)),
