@@ -162,6 +162,94 @@ object ImageHash {
     JpegCodec.encodeJpeg(spectralFrame(id / 2),
       quality = if (id % 2 == 0) 85 else 78)
 
+  /**
+   * Image-quality screen — brightness / contrast / saturation gates for
+   * image-corpus curation, the image twin of the audio and text quality
+   * rules. Per image: width, height, mean luma (integer Rec.601, exact
+   * for grayscale), luma range, round(stddev, 4) as contrast, and the
+   * fraction of full-scale pixels (luma 0 or 255 — the blown-
+   * highlight/crushed-black screen). Decodes PNG, BMP, or JPEG by magic;
+   * undecodable rows drop out. Map-only at any scale.
+   *
+   * Sums run in Long and the variance divides ONCE by n before the sqrt,
+   * so a fixture with dyadic pixel counts replays the doubles exactly in
+   * SQL (same operand-order discipline as [[AudioFingerprint.audioQuality]]).
+   */
+  def imageQuality(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(bytesCol).as("bytes"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        try decodeAny(bytes).flatMap { img =>
+          val n = img.width.toLong * img.height
+          if (n == 0) None else {
+            var sum = 0L
+            var sumSq = 0L
+            var mn = 255L
+            var mx = 0L
+            var sat = 0L
+            var i = 0
+            while (i < n) {
+              val o = i.toInt * 3
+              val l = ((img.rgb(o) & 0xff) * 299 + (img.rgb(o + 1) & 0xff) * 587 +
+                (img.rgb(o + 2) & 0xff) * 114) / 1000
+              sum += l; sumSq += l.toLong * l
+              if (l < mn) mn = l
+              if (l > mx) mx = l
+              if (l == 0L || l == 255L) sat += 1
+              i += 1
+            }
+            val mean = sum.toDouble / n
+            val variance = sumSq.toDouble / n - mean * mean
+            Some((id, img.width, img.height,
+              BigDecimal(mean).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+              mx - mn,
+              BigDecimal(math.sqrt(math.max(0.0, variance)))
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+              BigDecimal(sat.toDouble / n)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          }
+        }.toSeq
+        catch { case scala.util.control.NonFatal(_) => Nil }
+      }
+      .toDF("id", "width", "height", "mean_luma", "luma_range",
+        "contrast", "saturated_fraction")
+  }
+
+  private def decodeAny(bytes: Array[Byte]): Option[MediaCodecs.Bmp] =
+    MediaCodecs.decodePng(bytes)
+      .orElse(MediaCodecs.decodeBmp(bytes))
+      .orElse(JpegCodec.decodeJpeg(bytes))
+
+  /**
+   * Closed-form quality fixture (losslessly PNG-encoded, so the decoded
+   * pixels ARE the formula): a 64×64 grayscale image, left half value
+   * a = id % 200, right half b = min(255, a + 40 + 8·(id % 16)). Every screen
+   * column is then integer-or-dyadic arithmetic on (a, b) — mean =
+   * (a+b)/2, range = b−a, contrast = (b−a)/2 EXACTLY (two-value variance
+   * is a perfect square, and IEEE sqrt of a perfect square is exact) —
+   * which the SQL oracle recomputes without inflating a single byte.
+   */
+  def plantedQualityPng(id: Long): Array[Byte] = {
+    val a = (id % 200).toInt
+    val b = math.min(255L, a + 40 + (id % 16) * 8).toInt
+    val w = 64; val h = 64
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (if (x < w / 2) a else b).toByte
+        val o = (y * w + x) * 3
+        rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    MediaCodecs.encodePng(MediaCodecs.Bmp(w, h, rgb))
+  }
+
   /** One 64×64 grayscale frame of LCG-seeded spectrally-dense content —
     * the shared renderer behind both planted media fixtures. */
   private[graft] def spectralFrame(seed: Long): MediaCodecs.Bmp = {

@@ -2261,6 +2261,35 @@ object PipelineQueries {
              |WHERE a.doc_id % 2 = 0 AND a.doc_id < 100 AND b.doc_id < 100
              |ORDER BY id_a""".stripMargin)),
 
+    // image-quality curation gates (brightness/contrast/saturation) vs a
+    // closed-form two-value fixture transported LOSSLESSLY through PNG —
+    // the oracle recomputes every column from (id%200, id%16) without
+    // inflating a byte, independently checking the PNG decode + pixel scan
+    // (two-value variance is a perfect square, so even the stddev is exact)
+    "q_image_quality_screen" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").filter($"doc_id" < 200)
+          .select($"doc_id".cast("long").as("media_id")).as[Long]
+          .map(id => (id, ImageHash.plantedQualityPng(id)))
+          .toDF("media_id", "bytes")
+        ImageHash.imageQuality(media, "media_id", "bytes")
+          .withColumnRenamed("id", "media_id")
+          .orderBy($"media_id")
+      },
+      Some("""WITH m AS (SELECT doc_id, doc_id % 200 AS a,
+             |             least(255, doc_id % 200 + 40 + (doc_id % 16) * 8) AS b
+             |           FROM documents WHERE doc_id < 200)
+             |SELECT doc_id AS media_id,
+             |  CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+             |  round((a + b) / 2.0, 4) AS mean_luma,
+             |  CAST(b - a AS BIGINT) AS luma_range,
+             |  round((b - a) / 2.0, 4) AS contrast,
+             |  round((CASE WHEN a = 0 THEN 2048 ELSE 0 END
+             |         + CASE WHEN b = 255 THEN 2048 ELSE 0 END) / 4096.0, 4)
+             |    AS saturated_fraction
+             |FROM m ORDER BY media_id""".stripMargin)),
+
     // audio-quality curation gates (peak/rms/clipping/silence) against a
     // planted closed-form fixture: square waves at seeded amplitudes with
     // seeded trailing silence make every screen column integer-or-dyadic

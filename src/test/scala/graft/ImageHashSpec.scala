@@ -89,6 +89,36 @@ class ImageHashSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("imageQuality: closed-form PNG fixture matches hand arithmetic") {
+    // id=100: a=100, b=min(255, 100+40+32)=172 -> mean 136, range 72,
+    // contrast 36.0; id=0: a=0 (left half full-black) -> saturated 0.5
+    val df = Seq((100L, ImageHash.plantedQualityPng(100L)),
+      (0L, ImageHash.plantedQualityPng(0L))).toDF("id", "bytes")
+    val out = ImageHash.imageQuality(df, "id", "bytes")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r100 = out(100L)
+    assert(r100.getInt(1) == 64 && r100.getInt(2) == 64)
+    assert(r100.getDouble(3) == 136.0 && r100.getLong(4) == 72L)
+    assert(r100.getDouble(5) == 36.0 && r100.getDouble(6) == 0.0)
+    val r0 = out(0L)
+    assert(r0.getDouble(6) == 0.5) // the a=0 half is full-scale black
+  }
+
+  test("imageQuality decodes BMP and JPEG by magic, drops garbage") {
+    val flat = graft.pipeline.MediaCodecs.Bmp(16, 16,
+      Array.fill[Byte](16 * 16 * 3)(80))
+    val df = Seq(
+      (1L, graft.pipeline.MediaCodecs.encodeBmp(flat)),
+      (2L, graft.pipeline.JpegCodec.encodeJpeg(flat, quality = 90)),
+      (3L, Array[Byte](9, 9, 9))).toDF("id", "bytes")
+    val rows = ImageHash.imageQuality(df, "id", "bytes")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(1L, 2L))
+    assert(rows(1L).getDouble(3) == 80.0 && rows(1L).getLong(4) == 0L)
+    // JPEG of a flat field decodes flat (DC-only) — contrast stays 0
+    assert(rows(2L).getDouble(5) == 0.0)
+  }
+
   test("undecodable blobs are dropped, not fatal") {
     val good = ImageHash.plantedSpectralJpeg(0L)
     val df = Seq(
