@@ -698,6 +698,52 @@ object Curation {
     df.join(stats, cond, "left_semi")
   }
 
+  /**
+   * ε-differentially-private noisy release of per-group statistics via
+   * the Laplace mechanism: count (sensitivity 1) and a [0, clampHi]-
+   * clamped sum (sensitivity clampHi), each perturbed by
+   * Laplace(Δ/ε) noise drawn through the inverse CDF
+   * −(Δ/ε)·sgn(u−½)·ln(1−2|u−½|) from an md5-seeded uniform — the same
+   * engine-portable draw the sampling family uses, with +½ LSB so u is
+   * never exactly 0. The RELEASE-side gate that composes with
+   * [[kAnonymize]]'s suppression gate: k-anonymity bounds
+   * re-identification, the Laplace release bounds what any single row
+   * can move a published aggregate.
+   *
+   * Seeded determinism is deliberate and disclosed: it makes the
+   * mechanism REPLAYABLE (the oracle recomputes the identical noise), at
+   * the price that a release is ε-DP against adversaries who don't hold
+   * the salt — production use would draw the salt from a secure RNG per
+   * release, changing nothing else.
+   *
+   * Clamped values are fixed-pointed at 6dp (round → Long) before the
+   * sum, so the aggregate is exact integer arithmetic — order-free, and
+   * replayable without decimal-rounding-convention mismatches.
+   *
+   * One groupBy; noise is a per-group projection. Group-cardinality-sized
+   * everywhere.
+   */
+  def dpNoisyRelease(df: DataFrame, groupCol: String, valCol: String,
+      eps: Double, clampHi: Double, salt: String = "graft_dp"): DataFrame = {
+    require(eps > 0, s"eps must be > 0: $eps")
+    require(clampHi > 0, s"clampHi must be > 0: $clampHi")
+    val clamped = least(greatest(col(valCol).cast("double"), lit(0.0)), lit(clampHi))
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(round(clamped * lit(1e6)).cast("long")).as("__s6"))
+    def lap(delta: Double, tag: String) = {
+      val u = (conv(substring(md5(concat(lit(salt + tag),
+          col(groupCol).cast("string"))), 1, 8), 16, 10).cast("double") + lit(0.5)) /
+        lit(4294967296.0)
+      val c = u - lit(0.5)
+      lit(-delta / eps) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
+    }
+    g.select(col(groupCol),
+      round(col("__n") + lap(1.0, ":n"), 4).as("noisy_count"),
+      round(col("__s6").cast("double") / lit(1e6) + lap(clampHi, ":s"), 4)
+        .as("noisy_sum"))
+  }
+
   def tokenBudgetMix(df: DataFrame, idCol: String, domainCol: String,
       tokensCol: String, budgets: Map[String, Long], defaultBudget: Long,
       salt: String = "graft"): DataFrame = {

@@ -828,6 +828,37 @@ object CurationQueries {
              |FROM documents d SEMI JOIN g USING (lang, source)
              |ORDER BY doc_id""".stripMargin)),
 
+    // ε-DP Laplace release of per-event-type count + clamped value sum:
+    // md5-seeded inverse-CDF noise the oracle recomputes EXACTLY (same
+    // uniform, same ln, 4dp round), fixed-point 6dp clamped sums so the
+    // aggregate is order-free integer arithmetic on both engines
+    "q_dp_noisy_release" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Curation.dpNoisyRelease(Registry.events(s, dir), "event_type", "value",
+            eps = 1.0, clampHi = 5.0)
+          .orderBy($"event_type")
+      },
+      Some("""WITH g AS (
+             |  SELECT event_type, count(*) AS n,
+             |    sum(CAST(round(least(greatest(CAST(value AS DOUBLE), 0.0), 5.0) * 1e6)
+             |        AS BIGINT)) AS s6
+             |  FROM events GROUP BY 1),
+             |u AS (
+             |  SELECT event_type, n, s6,
+             |    (('0x' || substr(md5('graft_dp:n' || event_type), 1, 8))::BIGINT + 0.5)
+             |      / 4294967296.0 AS un,
+             |    (('0x' || substr(md5('graft_dp:s' || event_type), 1, 8))::BIGINT + 0.5)
+             |      / 4294967296.0 AS us
+             |  FROM g)
+             |SELECT event_type,
+             |  round(n + (-1.0 / 1.0) * sign(un - 0.5) * ln(1 - 2 * abs(un - 0.5)), 4)
+             |    AS noisy_count,
+             |  round(CAST(s6 AS DOUBLE) / 1e6
+             |        + (-5.0 / 1.0) * sign(us - 0.5) * ln(1 - 2 * abs(us - 0.5)), 4)
+             |    AS noisy_sum
+             |FROM u ORDER BY event_type""".stripMargin)),
+
     // per-source quota: at most 10 docs per source (the fixture has 25 per
     // source, so the cap genuinely bites), picked by md5 order of the doc
     // id (deterministic uniform choice the oracle replays exactly)

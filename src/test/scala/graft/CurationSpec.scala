@@ -424,6 +424,32 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 3L, 6L, 7L, 8L))
   }
 
+  test("dpNoisyRelease: deterministic, partition-independent, clamp-bounded") {
+    val df = Seq(("a", 2.0), ("a", 9.0), ("a", -3.0), ("b", 1.0), ("b", 4.0))
+      .toDF("g", "v")
+    val rel = Curation.dpNoisyRelease(df, "g", "v", eps = 1.0, clampHi = 5.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // identical under repartitioning (seeded noise + fixed-point sums)
+    val rel2 = Curation.dpNoisyRelease(df.repartition(7), "g", "v", 1.0, 5.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(rel == rel2)
+    // one adversarial row (value 1e9) moves the release by at most clampHi:
+    // the noise is a pure function of the group key, so the deltas are the
+    // clamped-sum deltas — the sensitivity the ε guarantee is priced on
+    val spiked = Seq(("a", 2.0), ("a", 9.0), ("a", 1e9), ("b", 1.0), ("b", 4.0))
+      .toDF("g", "v")
+    val rs = Curation.dpNoisyRelease(spiked, "g", "v", 1.0, 5.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // row count unchanged -> noisy_count identical; sum delta: the -3.0
+    // row clamped to 0, the 1e9 row clamped to 5 -> exactly +5
+    assert(rs("a")._1 == rel("a")._1)
+    assert(math.abs(rs("a")._2 - rel("a")._2 - 5.0) < 1e-9)
+    assert(rs("b") == rel("b"))
+    intercept[IllegalArgumentException] {
+      Curation.dpNoisyRelease(df, "g", "v", eps = 0.0, clampHi = 5.0)
+    }
+  }
+
   test("kAnonymize: l-diversity drops constant-sensitive groups") {
     val df = Seq(
       // group (a,x): 4 rows but ONE sensitive value -> fails l=2
