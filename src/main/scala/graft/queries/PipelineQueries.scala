@@ -14,6 +14,10 @@ object PipelineQueries {
 
   import Registry.t
 
+  /** run counter for the media-capstone tmp staging dir (same re-invocation
+    * safety contract as the streaming sinks) */
+  private val mediaRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Shared oracle CTE chain for the bigram LM: token pairs with a BOS
     * context, bigram/context counts, vocab, and per-doc cross-entropy
     * `h` (bits/token) in `scored` — reused by the score and filter
@@ -2260,6 +2264,56 @@ object PipelineQueries {
              |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
              |WHERE a.doc_id % 2 = 0 AND a.doc_id < 100 AND b.doc_id < 100
              |ORDER BY id_a""".stripMargin)),
+
+    // the multimodal dedup CAPSTONE: one mixed media table (planted
+    // image/audio/video near-dup pairs), each modality's pair generator
+    // over its slice, pairs unioned into ONE keep-smallest policy — the
+    // media twin of q_training_dataset's composition argument. Planted
+    // truth: every id pairs with its neighbor, so exactly the even ids
+    // survive, kind closed-form from (id/2)%3. The media table stages
+    // through parquet once (the q_hll_sketch_merge device) so the three
+    // generators don't re-encode the fixtures per branch.
+    "q_media_dedup_pipeline" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val gen = t(s, dir, "documents").filter($"doc_id" < 120)
+          .select($"doc_id".cast("long").as("media_id")).as[Long]
+          .map { id =>
+            val kind = ((id / 2) % 3) match {
+              case 0 => "image"; case 1 => "audio"; case _ => "video"
+            }
+            val bytes = kind match {
+              case "image" => ImageHash.plantedSpectralJpeg(id)
+              case "audio" => AudioFingerprint.plantedToneWav(id)
+              case _       => ImageHash.plantedSpectralMp4(id)
+            }
+            (id, kind, bytes)
+          }.toDF("media_id", "kind", "bytes")
+        val p = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_media_capstone_${ProcessHandle.current().pid()}_${mediaRuns.incrementAndGet()}")
+          .toString
+        gen.write.mode("overwrite").parquet(p)
+        val media = s.read.parquet(p)
+        val pairs = ImageHash.imageNearDups(
+            media.filter($"kind" === "image"), "media_id", "bytes", maxHamming = 4)
+          .select($"id_a", $"id_b")
+          .unionByName(AudioFingerprint.audioNearDups(
+              media.filter($"kind" === "audio"), "media_id", "bytes", minShared = 8)
+            .select($"id_a", $"id_b"))
+          .unionByName(ImageHash.videoNearDups(
+              media.filter($"kind" === "video"), "media_id", "bytes",
+              maxHamming = 6, minFrames = 3)
+            .select($"id_a", $"id_b"))
+        Dedup.applyKeepSmallest(media, "media_id", pairs)
+          .select($"media_id", $"kind")
+          .orderBy($"media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CASE (doc_id // 2) % 3 WHEN 0 THEN 'image'
+             |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+             |FROM documents WHERE doc_id < 120 AND doc_id % 2 = 0
+             |ORDER BY media_id""".stripMargin)),
 
     // image-quality curation gates (brightness/contrast/saturation) vs a
     // closed-form two-value fixture transported LOSSLESSLY through PNG —
