@@ -2398,7 +2398,11 @@ object PipelineQueries {
              |       CAST(4 AS BIGINT) AS matched_frames
              |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
              |WHERE a.doc_id % 2 = 0 AND a.doc_id < 100 AND b.doc_id < 100
-             |ORDER BY id_a""".stripMargin)),
+             |ORDER BY id_a""".stripMargin),
+      // benched: the heaviest media row — per-partition MP4 demux +
+      // H.264 intra decode + per-frame pHash, the codec family's
+      // perf-visibility twin of q_jpeg_roundtrip
+      bench = true),
 
     // the frame-slice arithmetic (step = max(1, len/n); start = min(i·step,
     // max(0, len−1)); bytes = min(start+step, len) − start) is integer math

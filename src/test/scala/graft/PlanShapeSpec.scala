@@ -453,6 +453,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("media dedup capstone: anti-join keep policy, no pair matrix anywhere") {
+    val plan = physical("q_media_dedup_pipeline")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"capstone plans a pair matrix:\n$plan")
+    assert(plan.contains("LeftAnti"), s"keep policy lost its anti join:\n$plan")
+    // the three modality branches read the staged media table, not the
+    // per-branch fixture generator (one encode pass, three decodes)
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) >= 3, plan)
+  }
+
   test("isotonicCalibrate bins without any window: distributed range sort") {
     import spark.implicits._
     val base = Registry.t(spark, dir, "events")
