@@ -437,8 +437,13 @@ object Graphs {
     val base = edges0
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
       .filter($"s" =!= $"d")
+    // the edge list is loop-invariant and joined on `d` every round:
+    // hash-partition it by the join key ONCE — localCheckpoint captures
+    // the partitioning, so each round's edge⋈label join shuffles only the
+    // node-sized label side, never the edge list (the dominant side by
+    // the graph's average degree)
     val edges = base.union(base.select($"d".as("s"), $"s".as("d")))
-      .distinct().localCheckpoint()
+      .distinct().repartition(col("d")).localCheckpoint()
     var labels = edges.select($"s".as("node")).distinct()
       .select($"node", $"node".as("label")).localCheckpoint()
     for (_ <- 1 to iterations) {
