@@ -34,9 +34,12 @@ object Curation {
       bCol: String = "id_b", maxIterations: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // loop-invariant, joined on d every round: hash-partition once so
+    // each round's label join shuffles only the node-sized label side
     val edges = pairs.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("d"))
       .union(pairs.select(col(bCol).cast("long").as("s"), col(aCol).cast("long").as("d")))
       .distinct()
+      .repartition(col("d"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var labels = edges.select($"s".as("id")).distinct()

@@ -39,9 +39,11 @@ object Graphs {
     val n = nodes.count()
     val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("odeg"))
     // the edge⋈outdeg join is loop-invariant: materialize (src, dst, odeg)
-    // once instead of re-joining it every iteration
+    // once instead of re-joining it every iteration — hash-partitioned by
+    // src, the key every round's rank join uses, so localCheckpoint
+    // captures the layout and only the node-sized rank side shuffles
     val edgesWithDeg = edges.join(outdeg, "src")
-      .select($"src", $"dst", $"odeg").localCheckpoint()
+      .select($"src", $"dst", $"odeg").repartition($"src").localCheckpoint()
     val srcs = outdeg.select($"src").localCheckpoint()
     var ranks = nodes.select($"node", round(lit(1.0 / n), 12).as("rank")).localCheckpoint()
     for (_ <- 1 to iterations) {
@@ -90,8 +92,10 @@ object Graphs {
     val sc = seedSet.count()
     require(sc > 0, "no seed intersects the graph's node set")
     val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("odeg"))
+    // loop-invariant, joined on src every round — pre-partition once
+    // (same device as pageRank)
     val edgesWithDeg = edges.join(outdeg, "src")
-      .select($"src", $"dst", $"odeg").localCheckpoint()
+      .select($"src", $"dst", $"odeg").repartition($"src").localCheckpoint()
     val srcs = outdeg.select($"src").localCheckpoint()
     val tele = nodes
       .join(seedSet.withColumn("__s", lit(1)), Seq("node"), "left")
@@ -249,11 +253,17 @@ object Graphs {
     require(iterations >= 1, "need at least one iteration")
     val spark = edges0.sparkSession
     import spark.implicits._
-    val edges = edges0
+    val edges0n = edges0
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct().localCheckpoint()
-    val nodes = edges.select($"src".as("node"))
-      .union(edges.select($"dst".as("node"))).distinct().localCheckpoint()
+    // the hub update joins on dst, the authority update on src — keep one
+    // checkpointed copy per join key (2× edge storage for zero edge-side
+    // shuffles across all iterations; the rank frames stay node-sized)
+    val edges = edges0n.repartition($"src").localCheckpoint()
+    val edgesByDst = edges0n.repartition($"dst").localCheckpoint()
+    val nodes = edges0n.select($"src".as("node"))
+      .union(edges0n.select($"dst".as("node"))).distinct().localCheckpoint()
+    edges0n.unpersist(blocking = false)
     val n = nodes.count()
     var hubs = nodes.select($"node", round(lit(1.0 / n), 12).as("h")).localCheckpoint()
     var auths = nodes.select($"node", lit(0.0).as("a")).localCheckpoint()
@@ -269,7 +279,7 @@ object Graphs {
         nodes.join(aRaw, Seq("node"), "left")
           .select($"node", coalesce($"a", lit(0.0)).as("a")), "a")
         .localCheckpoint()
-      val hRaw = edges.join(aNext, edges("dst") === aNext("node"))
+      val hRaw = edgesByDst.join(aNext, edgesByDst("dst") === aNext("node"))
         .groupBy($"src".as("node")).agg(sum($"a").as("h"))
       val hNext = normalized(
         nodes.join(hRaw, Seq("node"), "left")
@@ -485,10 +495,12 @@ object Graphs {
     require(maxHops >= 1, "need at least one hop")
     val spark = edges0.sparkSession
     import spark.implicits._
+    // loop-invariant, joined on s against every round's frontier —
+    // pre-partition once so only the frontier side shuffles per hop
     val edges = edges0
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
       .filter($"s" =!= $"d")
-      .distinct().localCheckpoint()
+      .distinct().repartition($"s").localCheckpoint()
     var frontier = seeds
       .select(col(seeds.columns.head).cast("long").as("node"))
       .distinct().localCheckpoint()
