@@ -26,6 +26,26 @@ private[lda] case class DocWithBeta(
  */
 object EStepShuffle {
 
+  /** The corpus exploded to its beta-join shape: (docId, termId, cnt),
+    * hash-partitioned by termId. This frame depends only on `counts`, so
+    * it is EM-LOOP-INVARIANT even as the trainer rotates gamma into the
+    * corpus each iteration — Trainer hoists and persists it once and
+    * passes it back via `run(preExploded = ...)`, after which the
+    * per-iteration beta join shuffles only the model-sized beta side
+    * (the corpus-nnz-sized exchange happens exactly once per training
+    * run instead of once per iteration). */
+  def explodeDocs(docs: Dataset[Doc]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    docs.toDF()
+      .select($"docId", explode_outer($"counts").as(Seq("termId", "cnt")))
+      .select($"docId",
+        coalesce($"termId", lit(-1)).as("termId"),
+        coalesce($"cnt", lit(0)).as("cnt"))
+      .repartition($"termId")
+  }
+
   /** @param beta (termId INT, elogbeta ARRAY<DOUBLE> length K)
     * @param anchorGammaDp fixture-only per-sweep gamma anchor (see
     *                      [[EStep.run]]; the planted shuffle-path
@@ -42,7 +62,8 @@ object EStepShuffle {
       seed: Long = 42L,
       phiFlushEntries: Int = 1 << 20,
       anchorGammaDp: Int = 0,
-      anchorPhiDp: Int = 0): Dataset[EStepRow] = {
+      anchorPhiDp: Int = 0,
+      preExploded: Option[DataFrame] = None): Dataset[EStepRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -54,11 +75,9 @@ object EStepShuffle {
     // doubles) and numTokens join back per DOC below — carrying them on the
     // exploded rows would multiply the gamma payload by nnz across two
     // shuffles (at K=100, nnz=500 that is ~800 KB/doc instead of ~800 B).
-    val exploded = docs.toDF()
-      .select($"docId", explode_outer($"counts").as(Seq("termId", "cnt")))
-      .select($"docId",
-        coalesce($"termId", lit(-1)).as("termId"),
-        coalesce($"cnt", lit(0)).as("cnt"))
+    // The trainer passes the persisted loop-invariant frame; a direct call
+    // (planted replays, held-out inference) derives it per invocation.
+    val exploded = preExploded.getOrElse(explodeDocs(docs))
     // left join: unseen terms fall back to the seeded random init in the kernel
     val bundles = exploded
       .join(beta.select($"termId", $"elogbeta"), Seq("termId"), "left")

@@ -123,6 +123,14 @@ object Trainer {
     }
 
     val numDocs = corpus.count()
+    // the (docId, termId, cnt) explode is loop-invariant (gamma rotation
+    // never touches counts): materialize it once, partitioned by the beta
+    // join key, so each iteration's E-step shuffles only the model-sized
+    // beta table — not the corpus-nnz-sized exploded frame
+    val explodedShuffle: Option[DataFrame] =
+      if (useShuffleEStep)
+        Some(EStepShuffle.explodeDocs(corpus).persist(StorageLevel.MEMORY_AND_DISK))
+      else None
     // informed-prior seed pairs are iteration-invariant: collect once here
     // (broadcast mode smooths driver-side; shuffle mode joins the DataFrame)
     val seededPrior: Option[Set[(Int, Int)]] =
@@ -145,7 +153,8 @@ object Trainer {
         EStepShuffle.run(corpus, alphaBc, betaTable, numTerms,
           localIterations = cfg.localIterations,
           randomStartGamma = cfg.randomStartGamma,
-          learning = true, seed = cfg.seed)
+          learning = true, seed = cfg.seed,
+          preExploded = explodedShuffle)
       else
         EStep.run(corpus, alphaBc, betaBc.get, numTerms,
           localIterations = cfg.localIterations,
@@ -290,6 +299,7 @@ object Trainer {
       lastLL = ll
       iter += 1
     }
+    explodedShuffle.foreach(_.unpersist(blocking = false))
 
     // in shuffle mode the model map is materialized once at the end (callers
     // needing beta bigger than driver memory should read the checkpointed
