@@ -20,8 +20,33 @@ private[polylda] case class PolyDocWithBeta(
  * joined on (lang, termId), regrouped per doc, and the tied-gamma kernel
  * runs per document. Per-language counts and token totals are rebuilt from
  * the exploded terms, so nothing map-typed has to ride the groupBy key.
+ * Only (docId, lang, termId, cnt) rides the term-keyed shuffle: gamma (K
+ * doubles) joins back per DOC, mirroring the vanilla shuffle E-step's
+ * payload discipline.
  */
 object PolyEStepShuffle {
+
+  /** The corpus double-exploded to its beta-join shape: (docId, lang,
+    * termId, cnt), hash-partitioned by the join key. Depends only on
+    * `counts`, so it is EM-loop-invariant — PolyTrainer hoists and
+    * persists it once and passes it back via `run(preExploded = ...)`
+    * (see [[graft.lda.EStepShuffle.explodeDocs]]). */
+  def explodeDocs(docs: Dataset[PolyDoc]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // explode_outer + sentinels keep documents with empty maps in the
+    // pipeline (same divergence guard as the vanilla shuffle E-step)
+    docs.toDF()
+      .select($"docId", explode_outer($"counts").as(Seq("lang", "langCounts")))
+      .select($"docId", $"lang",
+        explode_outer($"langCounts").as(Seq("termId", "cnt")))
+      .select($"docId",
+        coalesce($"lang", lit(-1)).as("lang"),
+        coalesce($"termId", lit(-1)).as("termId"),
+        coalesce($"cnt", lit(0)).as("cnt"))
+      .repartition($"lang", $"termId")
+  }
 
   /** @param beta (lang INT, termId INT, elogbeta ARRAY<DOUBLE> length K)
     * @param anchorGammaDp fixture-only per-sweep gamma anchor (see
@@ -38,25 +63,25 @@ object PolyEStepShuffle {
       seed: Long = 42L,
       phiFlushEntries: Int = 1 << 20,
       anchorGammaDp: Int = 0,
-      anchorPhiDp: Int = 0): Dataset[PolyEStepRow] = {
+      anchorPhiDp: Int = 0,
+      preExploded: Option[DataFrame] = None): Dataset[PolyEStepRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
 
-    // explode_outer + sentinels keep documents with empty maps in the
-    // pipeline (same divergence guard as the vanilla shuffle E-step)
-    val exploded = docs.toDF()
-      .select($"docId", $"gamma", explode_outer($"counts").as(Seq("lang", "langCounts")))
-      .select($"docId", $"gamma", $"lang",
-        explode_outer($"langCounts").as(Seq("termId", "cnt")))
-      .select($"docId", $"gamma",
-        coalesce($"lang", lit(-1)).as("lang"),
-        coalesce($"termId", lit(-1)).as("termId"),
-        coalesce($"cnt", lit(0)).as("cnt"))
-    val grouped = exploded
+    val exploded = preExploded.getOrElse(explodeDocs(docs))
+    // left join: unseen (lang, term) pairs fall back to the seeded random
+    // init in the kernel
+    val bundles = exploded
       .join(beta.select($"lang", $"termId", $"elogbeta"), Seq("lang", "termId"), "left")
-      .groupBy($"docId", $"gamma")
+      .groupBy($"docId")
       .agg(collect_list(struct($"lang", $"termId", $"cnt", $"elogbeta")).as("terms"))
+    // bundles is already hash-partitioned by docId from the agg, so this
+    // join only shuffles the slim (docId, gamma) side
+    val grouped = docs.toDF()
+      .select($"docId", $"gamma")
+      .join(bundles, Seq("docId"))
+      .select($"docId", $"gamma", $"terms")
       .as[PolyDocWithBeta]
 
     grouped.mapPartitions { it =>

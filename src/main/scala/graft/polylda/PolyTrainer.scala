@@ -230,6 +230,13 @@ object PolyTrainer {
     }
 
     val numDocs = corpus.count()
+    // loop-invariant (docId, lang, termId, cnt) explode, partitioned by
+    // the beta-join key — materialized once so each iteration's E-step
+    // shuffles only the model-sized beta table (see graft.lda.Trainer)
+    val explodedShuffle: Option[DataFrame] =
+      if (useShuffleEStep)
+        Some(PolyEStepShuffle.explodeDocs(corpus).persist(StorageLevel.MEMORY_AND_DISK))
+      else None
     var lastLL = history.headOption.getOrElse(0.0)
     var iter = startIter
     var converged = false
@@ -245,7 +252,8 @@ object PolyTrainer {
         PolyEStepShuffle.run(corpus, alphaBc, betaTable, numTermsPerLang,
           localIterations = cfg.localIterations,
           randomStartGamma = cfg.randomStartGamma,
-          learning = true, seed = cfg.seed)
+          learning = true, seed = cfg.seed,
+          preExploded = explodedShuffle)
       else
         PolyEStep.run(corpus, alphaBc, betaBc.get, numTermsPerLang,
           localIterations = cfg.localIterations,
@@ -365,6 +373,7 @@ object PolyTrainer {
       lastLL = ll
       iter += 1
     }
+    explodedShuffle.foreach(_.unpersist(blocking = false))
 
     // shuffle mode materializes the driver-side map only once at the end
     if (useShuffleEStep) {
