@@ -101,6 +101,26 @@ object PolyldaQueries {
       },
       None),
 
+    /** The same polylingual training through the SHUFFLE-JOIN E-step
+      * (PolyEStepShuffle — per-language beta-as-table, the Σ_l K×V_l
+      * scale path), forced via betaBroadcastMaxEntries = 0. Benched so
+      * the poly scale path has a timed row (the poly twin of
+      * lda_top_terms_shuffle); path parity with the broadcast E-step is
+      * pinned by PolyldaSpec and the planted shuffle replay below. */
+    "polylda_top_terms_shuffle" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val p = parsed(s, dir)
+        val numTerms = p.terms.groupBy($"lang").agg(max($"termId").as("v"))
+          .collect().map(r => r.getAs[Int]("lang") -> r.getAs[Int]("v")).toMap
+        val m = PolyTrainer.train(p.docs, numTerms,
+          PolyTrainer.Config(numTopics = 5, maxIterations = 3, localIterations = 20,
+            seed = 42L, betaBroadcastMaxEntries = 0L))
+        PolyTrainer.topTermsPerTopic(s, m, p.terms, k = 5)
+          .orderBy($"lang", $"topic", $"rnk")
+      },
+      None, bench = true),
+
     /** Planted polylingual micro-EM, fully hash-oracled — the polylda
       * core (tied-gamma E-step across languages, eta-free floored
       * M-step) replayed in DuckDB; see PolyPlantedLda / the vanilla
