@@ -42,5 +42,5 @@ object Registry {
     RelationalQueries.defs ++ CorpusQueries.defs ++ PipelineQueries.defs ++
       CurationQueries.defs ++ StreamingQueries.defs ++ PolyldaQueries.defs ++
       TemporalQueries.defs ++ RankingQueries.defs ++ StatsQueries.defs ++
-      FormatQueries.defs
+      FormatQueries.defs ++ FeedbackQueries.defs
 }
