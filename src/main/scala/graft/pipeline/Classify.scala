@@ -417,4 +417,54 @@ object Classify {
       .select($"query_id", (-$"__best.negl").as("predicted"),
         $"__best.nv".cast("int").as("votes"), $"n_neighbors")
   }
+
+  /**
+   * Split conformal calibration: from a calibration split of
+   * nonconformity scores, the threshold with finite-sample (1−α)
+   * coverage is the k-th smallest calibration score with
+   * k = ⌈(n_cal+1)(1−α)⌉ (Vovk's split-conformal quantile), then the
+   * realized coverage is measured on the held-out split. The eval-set
+   * gate for "is this model's uncertainty calibrated" — one row:
+   * (n_cal, k, threshold, n_test, coverage 6dp).
+   *
+   * The order statistic is a distributed range-sort + partition-offset
+   * rank ([[Profiling.orderedPrefix]]) — no single-task window, no
+   * collect of the score column — so the calibration split may be
+   * data-sized. k > n_cal (too-small calibration set for the requested
+   * α) yields a null threshold and full coverage, the conformal
+   * convention for the +∞ quantile.
+   */
+  def conformalThreshold(df: DataFrame, scoreCol: String, calibCol: String,
+      alpha: Double = 0.1): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val s = df.select(col(scoreCol).cast("double").as("__s"),
+        col(calibCol).cast("boolean").as("__c"))
+      .filter($"__s".isNotNull && $"__c".isNotNull)
+    val counts = s.groupBy($"__c").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val nCal = counts.getOrElse(true, 0L)
+    val nTest = counts.getOrElse(false, 0L)
+    require(nCal > 0, "conformalThreshold: empty calibration split")
+    val k = math.ceil((nCal + 1) * (1.0 - alpha)).toLong
+    val threshold: Option[Double] =
+      if (k > nCal) None
+      else {
+        val (ranked, cache) =
+          Profiling.orderedPrefix(s.filter($"__c"), Seq($"__s".asc), lit(0L))
+        val t = ranked.filter($"__i" === k).select($"__s").head().getDouble(0)
+        cache.unpersist()
+        Some(t)
+      }
+    val coverage = threshold match {
+      case _ if nTest == 0 => None
+      case None => Some(1.0)
+      case Some(t) => Some(s.filter(!$"__c")
+        .agg(avg(when($"__s" <= t, 1.0).otherwise(0.0))).head().getDouble(0))
+    }
+    spark.range(1).select(lit(nCal).as("n_cal"), lit(k).as("k"),
+      lit(threshold.orNull).cast("double").as("threshold"),
+      lit(nTest).as("n_test"),
+      round(lit(coverage.orNull).cast("double"), 6).as("coverage"))
+  }
 }

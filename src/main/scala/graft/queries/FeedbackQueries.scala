@@ -62,6 +62,36 @@ object FeedbackQueries {
              |          / (1 - round(fpe.pe, 6)), 6) AS kappa
              |  FROM pbar, fpe)
              |SELECT * FROM cohen UNION ALL SELECT * FROM fleiss
-             |ORDER BY rater_a, rater_b""".stripMargin))
+             |ORDER BY rater_a, rater_b""".stripMargin)),
+
+    "q_conformal_threshold" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val h = graft.pipeline.Dedup.baseHash60 _
+        val d = Registry.t(s, dir, "documents").select(
+          ($"n_chars" + (h(concat(lit("jit:"), $"doc_id".cast("string"))) % 1000)
+            / 1000.0).as("score"),
+          (h(concat(lit("split:"), $"doc_id".cast("string"))) % 2 === 0).as("calib"))
+        graft.pipeline.Classify.conformalThreshold(d, "score", "calib", alpha = 0.1)
+      },
+      Some("""WITH s AS (
+             |  SELECT n_chars + (CAST(('0x' || substr(md5('jit:' ||
+             |      CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000) / 1000.0 AS s,
+             |    (CAST(('0x' || substr(md5('split:' ||
+             |      CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0) AS c
+             |  FROM documents),
+             |n AS (SELECT count(*) FILTER (c) AS ncal,
+             |             count(*) FILTER (NOT c) AS ntest FROM s),
+             |k AS (SELECT CAST(ceil((ncal + 1) * 0.9) AS BIGINT) AS k,
+             |             ncal, ntest FROM n),
+             |th AS (SELECT __s AS t FROM (
+             |         SELECT s AS __s, row_number() OVER (ORDER BY s) AS i
+             |         FROM s WHERE c) WHERE i = (SELECT k FROM k)),
+             |cov AS (SELECT avg(CASE WHEN s <= (SELECT t FROM th)
+             |                   THEN 1.0 ELSE 0.0 END) AS cov
+             |        FROM s WHERE NOT c)
+             |SELECT ncal AS n_cal, k, (SELECT t FROM th) AS threshold,
+             |       ntest AS n_test, round(cov.cov, 6) AS coverage
+             |FROM k, cov""".stripMargin))
   )
 }
