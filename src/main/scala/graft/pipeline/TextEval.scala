@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Reference-based text evaluation metrics — the eval-harness side of a
+ * training-data pipeline (scoring model output or candidate corpora
+ * against references).
+ */
+object TextEval {
+
+  /** n-grams of `a` as space-joined strings (empty array when the
+    * sequence is shorter than n — guards Spark's descending `sequence`). */
+  private def ngr(a: Column, n: Int): Column =
+    when(size(a) >= n,
+      transform(sequence(lit(0), size(a) - n),
+        i => concat_ws(" ", slice(a, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /**
+   * Corpus-level BLEU per group (Papineni et al. 2002): modified n-gram
+   * precision p_n for n = 1..maxN with per-segment clipping
+   * (Σ min(cand_count, ref_count) / Σ cand_count, summed over a group's
+   * segments before dividing — the corpus formulation, not averaged
+   * sentence BLEU), multiplicative brevity penalty
+   * min(1, e^(1−r/c)) from the group's total candidate/reference
+   * lengths, and BLEU = BP · (Π p_n)^(1/maxN). Output one row per
+   * group: (group, p1..p_maxN, bp, bleu), 6dp, BLEU computed from the
+   * 6dp-anchored precisions/BP so an independent engine replays it.
+   *
+   * `candCol`/`refCol` are pre-tokenized array<string> columns; `idCol`
+   * keys the per-segment clipping join. Scale: one explode into
+   * (segment, n, side, gram) counts, one segment+gram-keyed left join,
+   * then group-sized aggregates — no window, no driver data, segments
+   * may be corpus-sized. The gram frame is persisted for its two
+   * consumers (cand and ref sides of the clipping join).
+   */
+  def corpusBleu(df: DataFrame, idCol: String, groupCol: String,
+      candCol: String, refCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"corpusBleu: maxN must be 1..8, got $maxN")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).as("__id"), col(groupCol).as("__g"),
+      col(candCol).as("__c"), col(refCol).as("__r"))
+
+    val tagged = (1 to maxN).flatMap { n =>
+      Seq(transform(ngr($"__c", n),
+            g => struct(lit(n).as("n"), lit("c").as("side"), g.as("gram"))),
+          transform(ngr($"__r", n),
+            g => struct(lit(n).as("n"), lit("r").as("side"), g.as("gram"))))
+    }
+    val grams = base
+      .select($"__id", $"__g", explode(flatten(array(tagged: _*))).as("t"))
+      .select($"__id", $"__g", $"t.n".as("n"), $"t.side".as("side"),
+        $"t.gram".as("gram"))
+      .groupBy($"__id", $"__g", $"n", $"side", $"gram")
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val cand = grams.filter($"side" === "c").drop("side")
+    val ref = grams.filter($"side" === "r")
+      .select($"__id", $"n", $"gram", $"c".as("rc"))
+    val clip = cand.join(ref, Seq("__id", "n", "gram"), "left")
+      .groupBy($"__g", $"n")
+      .agg(sum(least($"c", coalesce($"rc", lit(0L)))).as("clipped"),
+        sum($"c").as("total"))
+
+    val precCols = (1 to maxN).map(n =>
+      round(max(when($"n" === n, $"clipped" / $"total")), 6).as(s"p$n"))
+    val prec = clip.groupBy($"__g").agg(precCols.head, precCols.tail: _*)
+
+    val lens = base.groupBy($"__g")
+      .agg(sum(size($"__c")).as("__clen"), sum(size($"__r")).as("__rlen"))
+    val bp6 = round(when($"__clen" >= $"__rlen", 1.0)
+      .otherwise(exp(lit(1.0) - $"__rlen".cast("double") / $"__clen")), 6)
+    val geo = pow((1 to maxN).map(n => col(s"p$n")).reduce(_ * _),
+      1.0 / maxN)
+
+    val out = prec.join(lens, "__g")
+      .withColumn("bp", bp6)
+      .withColumn("bleu", round($"bp" * geo, 6))
+      .drop("__clen", "__rlen")
+      .withColumnRenamed("__g", groupCol)
+      .orderBy(col(groupCol))
+    val materialized = out.cache()
+    materialized.count() // force before releasing the gram frame
+    grams.unpersist()
+    materialized
+  }
+}

@@ -92,6 +92,74 @@ object FeedbackQueries {
              |        FROM s WHERE NOT c)
              |SELECT ncal AS n_cal, k, (SELECT t FROM th) AS threshold,
              |       ntest AS n_test, round(cov.cov, 6) AS coverage
-             |FROM k, cov""".stripMargin))
+             |FROM k, cov""".stripMargin)),
+
+    // Candidate corpus: reference truncated to its first 80% tokens with an
+    // md5-planted substitution every ~7th position — so every BLEU component
+    // (clipping, all four precisions, the brevity penalty) is exercised and
+    // both engines derive the identical candidate.
+    "q_bleu_eval" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val h = graft.pipeline.Dedup.baseHash60 _
+        val base = Registry.t(s, dir, "documents").select($"doc_id", $"source",
+          filter(split($"text", " "), t => t =!= "").as("ref"))
+        val pairs = base.withColumn("cand",
+          when(size($"ref") > 0,
+            transform(sequence(lit(1), ceil(lit(0.8) * size($"ref")).cast("int")),
+              p => when(h(concat(lit("sub:"), $"doc_id".cast("string"), lit(":"),
+                p.cast("string"))) % 7 === 0, lit("the"))
+                .otherwise(element_at($"ref", p))))
+            .otherwise(array().cast("array<string>")))
+        graft.pipeline.TextEval.corpusBleu(pairs, "doc_id", "source", "cand", "ref")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, source,
+             |    list_filter(string_split(text, ' '), t -> t <> '') AS ref
+             |  FROM documents),
+             |pairs AS (
+             |  SELECT doc_id, source, ref,
+             |    CASE WHEN len(ref) = 0 THEN CAST([] AS VARCHAR[]) ELSE
+             |      list_transform(generate_series(1, CAST(ceil(0.8 * len(ref)) AS INT)),
+             |        p -> CASE WHEN CAST(('0x' || substr(md5('sub:' ||
+             |              CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)),
+             |              1, 15)) AS BIGINT) % 7 = 0
+             |          THEN 'the' ELSE ref[p] END) END AS cand
+             |  FROM base),
+             |grams AS (
+             |  SELECT doc_id, source, n, gram, side, count(*) AS c
+             |  FROM (
+             |    SELECT p.doc_id, p.source, n.n, s.side,
+             |      unnest(list_transform(generate_series(1,
+             |          len(CASE WHEN s.side = 'c' THEN p.cand ELSE p.ref END) - n.n + 1),
+             |        i -> array_to_string((CASE WHEN s.side = 'c' THEN p.cand
+             |          ELSE p.ref END)[i:i+n.n-1], ' '))) AS gram
+             |    FROM pairs p, (SELECT unnest([1,2,3,4]) AS n) n,
+             |         (SELECT unnest(['c','r']) AS side) s)
+             |  GROUP BY 1, 2, 3, 4, 5),
+             |clip AS (
+             |  SELECT c.source, c.n,
+             |    sum(least(c.c, coalesce(r.c, 0))) AS clipped, sum(c.c) AS total
+             |  FROM (SELECT * FROM grams WHERE side = 'c') c
+             |  LEFT JOIN (SELECT * FROM grams WHERE side = 'r') r
+             |    ON c.doc_id = r.doc_id AND c.n = r.n AND c.gram = r.gram
+             |  GROUP BY 1, 2),
+             |lens AS (SELECT source, sum(len(cand)) AS clen,
+             |                sum(len(ref)) AS rlen FROM pairs GROUP BY 1),
+             |prec AS (
+             |  SELECT source,
+             |    round(max(CASE WHEN n = 1 THEN clipped / total END), 6) AS p1,
+             |    round(max(CASE WHEN n = 2 THEN clipped / total END), 6) AS p2,
+             |    round(max(CASE WHEN n = 3 THEN clipped / total END), 6) AS p3,
+             |    round(max(CASE WHEN n = 4 THEN clipped / total END), 6) AS p4
+             |  FROM clip GROUP BY 1)
+             |SELECT p.source, p1, p2, p3, p4,
+             |  round(CASE WHEN clen >= rlen THEN 1.0
+             |        ELSE exp(1.0 - rlen * 1.0 / clen) END, 6) AS bp,
+             |  round(round(CASE WHEN clen >= rlen THEN 1.0
+             |        ELSE exp(1.0 - rlen * 1.0 / clen) END, 6)
+             |        * pow(p1 * p2 * p3 * p4, 0.25), 6) AS bleu
+             |FROM prec p JOIN lens l ON p.source = l.source
+             |ORDER BY p.source""".stripMargin))
   )
 }
