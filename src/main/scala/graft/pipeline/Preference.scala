@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Pairwise-preference operators for human-feedback data: Bradley–Terry
+ * strength fitting over a win matrix and transitivity (cycle) screening
+ * of the majority digraph — the QA a reward-model / RLHF comparison set
+ * gets before training.
+ *
+ * Scale posture: raw comparisons are data-sized and reduce in ONE hash
+ * aggregate to the win matrix, which is item²-bounded; everything after
+ * (the MM fold, the cycle joins) runs on that bounded frame. The driver
+ * fold guards its collect with an explicit item cap so a mis-keyed call
+ * (e.g. fitting per-document instead of per-policy) fails loudly instead
+ * of OOMing the driver.
+ */
+object Preference {
+
+  /** (winner, loser) comparison rows → ordered-pair win counts
+    * (i, j, wij = times i beat j). One hash aggregate. */
+  def pairWins(cmp: DataFrame, winnerCol: String, loserCol: String): DataFrame =
+    cmp.groupBy(col(winnerCol).cast("string").as("i"),
+        col(loserCol).cast("string").as("j"))
+      .agg(count(lit(1)).as("wij"))
+
+  private def r10(x: Double): Double =
+    BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /**
+   * Bradley–Terry strengths via Hunter's (2004) MM iteration
+   *   p_i ← w_i / Σ_{j≠i} n_ij/(p_i+p_j),  renormalized to Σp = 1,
+   * from a [[pairWins]]-shaped frame. Every handoff (the per-pair MM
+   * term, the raw update, the normalized strength) is anchored at 10dp
+   * so an unrolled SQL replay reproduces the trajectory bit-for-bit
+   * (the planted-EM device). Items beyond `maxItems` refuse the
+   * driver-side fold. Returns (item, strength 6dp, rank) with rank
+   * deterministic under ties (strength desc, item asc).
+   */
+  def bradleyTerry(wins: DataFrame, iters: Int = 6,
+      maxItems: Int = 4096): DataFrame = {
+    val spark = wins.sparkSession
+    import spark.implicits._
+    val rows = wins.select($"i".cast("string"), $"j".cast("string"),
+      $"wij".cast("long")).collect()
+    val items = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.sorted
+    require(items.nonEmpty, "bradleyTerry: empty win matrix")
+    require(items.length <= maxItems,
+      s"bradleyTerry: ${items.length} items exceeds maxItems=$maxItems — " +
+        "aggregate comparisons to a bounded item key before fitting")
+
+    val n = collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    val w = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    rows.foreach { r =>
+      val (i, j, c) = (r.getString(0), r.getString(1), r.getLong(2))
+      n((i, j)) += c; n((j, i)) += c; w(i) += c
+    }
+    var p = items.map(i => i -> r10(1.0 / items.length)).toMap
+    for (_ <- 1 to iters) {
+      // mirror the SQL replay exactly: anchored per-pair terms, raw
+      // update anchored, then anchored renormalization
+      val praw = items.map { i =>
+        val denom = items.iterator.filter(j => j != i && n.contains((i, j)))
+          .map(j => r10(n((i, j)).toDouble / (p(i) + p(j)))).sum
+        i -> (if (denom == 0.0) 0.0 else r10(w(i) / denom))
+      }.toMap
+      val s = items.iterator.map(praw).sum
+      p = items.map(i => i -> r10(praw(i) / s)).toMap
+    }
+    val out = items.map(i => (i, p(i))).sortBy { case (i, pi) => (-pi, i) }
+      .zipWithIndex
+      .map { case ((i, pi), k) =>
+        (i, BigDecimal(pi).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, k + 1) }
+    spark.createDataFrame(out.toIndexedSeq)
+      .toDF("item", "strength", "rank")
+      .orderBy($"rank")
+  }
+
+  /**
+   * Transitivity screen: build the majority digraph (edge i→j when i
+   * beats j strictly more often than j beats i; ties drop the pair) and
+   * count directed 3-cycles against all closed triangles. A high cycle
+   * rate means the comparison set has no consistent global ranking —
+   * the canonical health check before fitting any preference model.
+   * One row: (n_items, n_edges, n_triangles, n_cycles, cycle_rate 6dp).
+   *
+   * Joins run distributed on the item-pair-bounded edge frame; each
+   * triangle/cycle is counted once via its minimum vertex.
+   */
+  def preferenceCycles(wins: DataFrame): DataFrame = {
+    val spark = wins.sparkSession
+    import spark.implicits._
+    val wv = wins.select($"i".cast("string"), $"j".cast("string"),
+      $"wij".cast("long"))
+    val e = wv.as("a").join(wv.as("b"),
+        $"a.i" === $"b.j" && $"a.j" === $"b.i", "left")
+      .filter($"a.wij" > coalesce($"b.wij", lit(0L)))
+      .select($"a.i".as("i"), $"a.j".as("j"))
+    val und = e.select(least($"i", $"j").as("a"), greatest($"i", $"j").as("b"))
+      .distinct()
+    val nTriangles = und.as("ab").join(und.as("bc"), $"ab.b" === $"bc.a")
+      .join(und.as("ac"), $"ac.a" === $"ab.a" && $"ac.b" === $"bc.b")
+      .count()
+    val nCycles = e.as("ab").join(e.as("bc"), $"ab.j" === $"bc.i")
+      .join(e.as("ca"), $"bc.j" === $"ca.i" && $"ca.j" === $"ab.i")
+      .filter($"ab.i" < $"ab.j" && $"ab.i" < $"bc.j")
+      .count()
+    val nItems = wv.select($"i").union(wv.select($"j")).distinct().count()
+    val nEdges = e.count()
+    val rate =
+      if (nTriangles == 0) null
+      else java.lang.Double.valueOf(BigDecimal(nCycles.toDouble / nTriangles)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    spark.range(1).select(lit(nItems).as("n_items"), lit(nEdges).as("n_edges"),
+      lit(nTriangles).as("n_triangles"), lit(nCycles).as("n_cycles"),
+      lit(rate).cast("double").as("cycle_rate"))
+  }
+}

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -10,7 +11,118 @@ import org.apache.spark.sql.functions._
  */
 object FeedbackQueries {
 
+  /** Within-order lineitem pairs as brand-vs-brand preference trials:
+    * the pricier line's brand "wins" (price ties to the lexicographically
+    * smaller brand), same-brand pairs dropped. One row per comparison
+    * with winner/loser brand — the shared fixture for the preference
+    * family. */
+  private def brandComparisons(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Registry.t(s, dir, "lineitem")
+      .join(Registry.t(s, dir, "part"), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"p_brand")
+    li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_linenumber" < $"b.l_linenumber")
+      .filter($"a.p_brand" =!= $"b.p_brand")
+      .select(
+        when($"a.l_extendedprice" > $"b.l_extendedprice", $"a.p_brand")
+          .when($"b.l_extendedprice" > $"a.l_extendedprice", $"b.p_brand")
+          .when($"a.p_brand" < $"b.p_brand", $"a.p_brand")
+          .otherwise($"b.p_brand").as("w"),
+        when($"a.l_extendedprice" > $"b.l_extendedprice", $"b.p_brand")
+          .when($"b.l_extendedprice" > $"a.l_extendedprice", $"a.p_brand")
+          .when($"a.p_brand" < $"b.p_brand", $"b.p_brand")
+          .otherwise($"a.p_brand").as("l"))
+  }
+
+  /** The shared comparison fixture as oracle SQL (ends with a `wins` CTE). */
+  private val winsSql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_linenumber, l_extendedprice, p_brand
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |cmp AS (
+      |  SELECT
+      |    CASE WHEN a.l_extendedprice > b.l_extendedprice THEN a.p_brand
+      |         WHEN b.l_extendedprice > a.l_extendedprice THEN b.p_brand
+      |         WHEN a.p_brand < b.p_brand THEN a.p_brand ELSE b.p_brand END AS w,
+      |    CASE WHEN a.l_extendedprice > b.l_extendedprice THEN b.p_brand
+      |         WHEN b.l_extendedprice > a.l_extendedprice THEN a.p_brand
+      |         WHEN a.p_brand < b.p_brand THEN b.p_brand ELSE a.p_brand END AS l
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+      |  WHERE a.p_brand <> b.p_brand),
+      |wins AS MATERIALIZED (SELECT w AS i, l AS j, count(*) AS wij
+      |                      FROM cmp GROUP BY 1, 2)""".stripMargin
+
+  /** Unrolled anchored Bradley–Terry MM replay (mirrors
+    * [[graft.pipeline.Preference.bradleyTerry]] handoff-for-handoff). */
+  private def bradleyTerrySql(iters: Int): String = {
+    val sb = new StringBuilder(winsSql)
+    sb.append(""",
+      |nm AS MATERIALIZED (SELECT i, j, sum(c) AS nij FROM (
+      |  SELECT i, j, wij AS c FROM wins
+      |  UNION ALL SELECT j AS i, i AS j, wij AS c FROM wins) GROUP BY 1, 2),
+      |wv AS MATERIALIZED (SELECT i, sum(wij) AS wi FROM wins GROUP BY 1),
+      |items AS MATERIALIZED (SELECT DISTINCT i FROM nm),
+      |p0 AS MATERIALIZED (
+      |  SELECT i, round(1.0 / (SELECT count(*) FROM items), 10) AS p
+      |  FROM items)""".stripMargin)
+    for (k <- 1 to iters) {
+      sb.append(s""",
+        |r$k AS MATERIALIZED (
+        |  SELECT n.i, round(coalesce((SELECT wi FROM wv WHERE wv.i = n.i), 0)
+        |    / sum(round(n.nij / (pa.p + pb.p), 10)), 10) AS praw
+        |  FROM nm n JOIN p${k - 1} pa ON pa.i = n.i
+        |            JOIN p${k - 1} pb ON pb.i = n.j
+        |  GROUP BY n.i),
+        |p$k AS MATERIALIZED (
+        |  SELECT i, round(praw / (SELECT sum(praw) FROM r$k), 10) AS p
+        |  FROM r$k)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT i AS item, round(p, 6) AS strength,
+      |  CAST(row_number() OVER (ORDER BY p DESC, i) AS INT) AS rank
+      |FROM p$iters ORDER BY rank""".stripMargin)
+    sb.toString
+  }
+
   val defs: Map[String, QueryDef] = Map(
+
+    "q_bradley_terry" -> QueryDef(
+      (s, dir) => {
+        val wins = graft.pipeline.Preference.pairWins(
+          brandComparisons(s, dir), "w", "l")
+        graft.pipeline.Preference.bradleyTerry(wins, iters = 6)
+      },
+      Some(bradleyTerrySql(6))),
+
+    "q_preference_cycles" -> QueryDef(
+      (s, dir) => {
+        val wins = graft.pipeline.Preference.pairWins(
+          brandComparisons(s, dir), "w", "l")
+        graft.pipeline.Preference.preferenceCycles(wins)
+      },
+      Some(winsSql + """,
+        |e AS MATERIALIZED (
+        |  SELECT a.i, a.j FROM wins a
+        |  LEFT JOIN wins b ON a.i = b.j AND a.j = b.i
+        |  WHERE a.wij > coalesce(b.wij, 0)),
+        |und AS MATERIALIZED (
+        |  SELECT least(i, j) AS a, greatest(i, j) AS b FROM e GROUP BY 1, 2),
+        |tri AS (SELECT count(*) AS n_triangles
+        |        FROM und ab JOIN und bc ON ab.b = bc.a
+        |        JOIN und ac ON ac.a = ab.a AND ac.b = bc.b),
+        |cyc AS (SELECT count(*) AS n_cycles
+        |        FROM e ab JOIN e bc ON ab.j = bc.i
+        |        JOIN e ca ON bc.j = ca.i AND ca.j = ab.i
+        |        WHERE ab.i < ab.j AND ab.i < bc.j),
+        |ni AS (SELECT count(DISTINCT i) AS n_items FROM (
+        |         SELECT i FROM wins UNION ALL SELECT j FROM wins)),
+        |ne AS (SELECT count(*) AS n_edges FROM e)
+        |SELECT n_items, n_edges, n_triangles, n_cycles,
+        |  round(n_cycles * 1.0 / n_triangles, 6) AS cycle_rate
+        |FROM ni, ne, tri, cyc""".stripMargin)),
 
     "q_annotator_agreement" -> QueryDef(
       (s, dir) => {
