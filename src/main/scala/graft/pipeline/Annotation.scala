@@ -26,9 +26,16 @@ object Annotation {
    * a SQL oracle replays the same labels bit-for-bit.
    */
   def plantedLabels(df: DataFrame, idCol: String, nRaters: Int = 3,
-      nClasses: Int = 3): DataFrame = {
+      nClasses: Int = 3, shiftedConfusion: Boolean = false): DataFrame = {
     val id = col(idCol).cast("string")
     val trueCls = Dedup.baseHash60(concat(lit("cls:"), id)) % nClasses
+    // (true+r) mod K degenerates to a no-op when r ≡ 0 (mod K);
+    // shiftedConfusion uses 1 + (r mod K−1) so every rater's planted
+    // confusion is a real off-diagonal move — required when the operator
+    // under test (Dawid–Skene) must RECOVER per-rater confusion.
+    val shift =
+      if (shiftedConfusion) lit(1) + col("rater") % (nClasses - 1)
+      else col("rater")
     df.select(col(idCol).as("item_id"),
         explode(array((1 to nRaters).map(r => lit(r)): _*)).as("rater"),
         trueCls.as("__t"))
@@ -36,7 +43,7 @@ object Annotation {
         when(Dedup.baseHash60(concat(lit("rater"), col("rater").cast("string"),
           lit(":"), col("item_id").cast("string"))) % 100 <
           lit(100) - col("rater") * 10, col("__t"))
-          .otherwise((col("__t") + col("rater")) % nClasses))
+          .otherwise((col("__t") + shift) % nClasses))
       .drop("__t")
   }
 
@@ -102,5 +109,108 @@ object Annotation {
       round(lit(fpe), 6).as("pe"), kappa6(lit(pbar), lit(fpe)).as("kappa"))
 
     cohen.unionByName(fleiss).orderBy($"rater_a", $"rater_b")
+  }
+
+  /**
+   * The Dawid–Skene (1979) EM chain over a (item, rater, label) frame:
+   * soft class posteriors μ_ik initialized from vote fractions, then per
+   * round an M-step (class priors π_k and per-rater row-normalized
+   * confusion θ_r[k,l] as μ-weighted count ratios) and an E-step
+   * (μ_ik ∝ π_k·Π_r θ_r[k, y_ri], renormalized). Every handoff is
+   * anchored at 10dp, and BOTH reductions that are not plain
+   * commutative sums — the rater product and the per-item normalizer —
+   * fold in a pinned order (rater asc / class asc), so an independent
+   * engine replays the trajectory bit-for-bit via ordered list folds.
+   *
+   * Scale posture: μ is item-sized and every E/M pass is an item-keyed
+   * join plus hash aggregates; θ/π are model-sized and broadcast. μ is
+   * localCheckpoint'ed per round so lineage stays flat at higher iters.
+   * Returns (theta, pi, mu) as frames on internal column names.
+   */
+  private def dsChain(labels: DataFrame, itemCol: String, raterCol: String,
+      labelCol: String, iters: Int): (DataFrame, DataFrame, DataFrame) = {
+    require(iters >= 1, s"dawidSkene: iters must be >= 1, got $iters")
+    val spark = labels.sparkSession
+    import spark.implicits._
+    val l = labels.select(col(itemCol).as("__it"),
+        col(raterCol).cast("int").as("__r"), col(labelCol).cast("int").as("__l"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val head = l.agg(countDistinct($"__it"), countDistinct($"__r")).head()
+    val nItems = head.getLong(0)
+    val nRaters = head.getLong(1)
+    require(nItems > 0, "dawidSkene: empty label table")
+
+    val kGrid = l.select($"__l".as("__k")).distinct()
+    val grid = l.select($"__r").distinct()
+      .crossJoin(kGrid).crossJoin(kGrid.select($"__k".as("__o")))
+
+    var mu = l.groupBy($"__it", $"__l".as("__k"))
+      .agg(round(count(lit(1)) / nRaters.toDouble, 10).as("__mu"))
+    var theta: DataFrame = null
+    var pi: DataFrame = null
+    for (_ <- 1 to iters) {
+      val j = l.join(mu, "__it")
+      val num = j.groupBy($"__r", $"__k", $"__l".as("__o"))
+        .agg(sum($"__mu").as("__ns"))
+      val den = j.groupBy($"__r", $"__k").agg(sum($"__mu").as("__ds"))
+      theta = grid.join(den, Seq("__r", "__k"))
+        .join(num, Seq("__r", "__k", "__o"), "left")
+        .select($"__r", $"__k", $"__o",
+          round(coalesce($"__ns", lit(0.0)) / $"__ds", 10).as("__th"))
+      pi = mu.groupBy($"__k")
+        .agg(round(sum($"__mu") / nItems, 10).as("__pi"))
+      val e = l.join(broadcast(theta.withColumnRenamed("__o", "__l")),
+          Seq("__r", "__l"))
+        .groupBy($"__it", $"__k")
+        .agg(aggregate(array_sort(collect_list(struct($"__r", $"__th"))),
+          lit(1.0), (acc, x) => acc * x.getField("__th")).as("__prod"))
+      val a = e.join(broadcast(pi), "__k")
+        .select($"__it", $"__k", ($"__pi" * $"__prod").as("__a"))
+      val dn = a.groupBy($"__it")
+        .agg(aggregate(array_sort(collect_list(struct($"__k", $"__a"))),
+          lit(0.0), (acc, x) => acc + x.getField("__a")).as("__d"))
+      mu = a.join(dn, "__it")
+        .select($"__it", $"__k", round($"__a" / $"__d", 10).as("__mu"))
+        .localCheckpoint()
+    }
+    l.unpersist()
+    (theta, pi, mu)
+  }
+
+  /**
+   * Dawid–Skene model output: the fitted per-rater confusion matrices
+   * (rater, true_class, observed, theta 6dp) with the class priors
+   * appended as rater-0 rows (observed = −1, theta = π_k). The
+   * label-quality readout for a crowd/ensemble annotation pipeline —
+   * which raters are reliable, and how each one errs.
+   */
+  def dawidSkene(labels: DataFrame, itemCol: String, raterCol: String,
+      labelCol: String, iters: Int = 2): DataFrame = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+    val (theta, pi, _) = dsChain(labels, itemCol, raterCol, labelCol, iters)
+    theta.select($"__r".as("rater"), $"__k".as("true_class"),
+        $"__o".as("observed"), round($"__th", 6).as("theta"))
+      .unionByName(pi.select(lit(0).as("rater"), $"__k".as("true_class"),
+        lit(-1).as("observed"), round($"__pi", 6).as("theta")))
+      .orderBy($"rater", $"true_class", $"observed")
+  }
+
+  /**
+   * Dawid–Skene aggregated labels: per item the MAP class under the
+   * final posterior (ties to the smallest class id via the max-struct
+   * device — no window) and its 6dp posterior mass. The consensus
+   * labels a training set would actually ingest.
+   */
+  def dawidSkenePosteriors(labels: DataFrame, itemCol: String,
+      raterCol: String, labelCol: String, iters: Int = 2): DataFrame = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+    val (_, _, mu) = dsChain(labels, itemCol, raterCol, labelCol, iters)
+    mu.groupBy($"__it")
+      .agg(max(struct($"__mu".as("m"), (-$"__k").as("negk"))).as("__b"))
+      .select($"__it".as(itemCol), (-$"__b.negk").cast("int").as("map_label"),
+        round($"__b.m", 6).as("posterior"))
+      .orderBy(col(itemCol))
   }
 }

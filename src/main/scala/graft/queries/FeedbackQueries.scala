@@ -87,7 +87,97 @@ object FeedbackQueries {
     sb.toString
   }
 
+  /** 5-rater shifted-confusion planted labels (mirrors
+    * [[graft.pipeline.Annotation.plantedLabels]] with shiftedConfusion)
+    * plus the unrolled anchored Dawid–Skene EM chain; `finalSelect`
+    * projects either the model or the posteriors. Products over raters
+    * and the per-item normalizer fold via `list_reduce` in pinned order,
+    * matching the Spark side's sorted-array `aggregate` bit-for-bit. */
+  private def dawidSkeneSql(iters: Int, finalSelect: String): String = {
+    val sb = new StringBuilder(
+      """WITH labels AS MATERIALIZED (
+        |  SELECT d.doc_id AS item_id, r.rater,
+        |    CASE WHEN (CAST(('0x' || substr(md5('rater' || r.rater || ':' ||
+        |        CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100)
+        |        < (100 - 10 * r.rater)
+        |      THEN CAST(('0x' || substr(md5('cls:' ||
+        |        CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3
+        |      ELSE (CAST(('0x' || substr(md5('cls:' ||
+        |        CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |            + 1 + (r.rater % 2)) % 3
+        |    END AS label
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS rater) r),
+        |ni AS (SELECT count(DISTINCT item_id) AS n FROM labels),
+        |grid AS MATERIALIZED (
+        |  SELECT r.rater, k.k, l.l
+        |  FROM (SELECT DISTINCT rater FROM labels) r,
+        |       (SELECT DISTINCT label AS k FROM labels) k,
+        |       (SELECT DISTINCT label AS l FROM labels) l),
+        |mu0 AS MATERIALIZED (
+        |  SELECT item_id, label AS k, round(count(*) / 5.0, 10) AS mu
+        |  FROM labels GROUP BY 1, 2)""".stripMargin)
+    for (t <- 1 to iters) {
+      sb.append(s""",
+        |j$t AS MATERIALIZED (
+        |  SELECT lb.item_id, lb.rater, lb.label, m.k, m.mu
+        |  FROM labels lb JOIN mu${t - 1} m ON lb.item_id = m.item_id),
+        |num$t AS (SELECT rater, k, label AS l, sum(mu) AS s
+        |          FROM j$t GROUP BY 1, 2, 3),
+        |den$t AS (SELECT rater, k, sum(mu) AS s FROM j$t GROUP BY 1, 2),
+        |th$t AS MATERIALIZED (
+        |  SELECT g.rater, g.k, g.l, round(coalesce(n.s, 0) / d.s, 10) AS th
+        |  FROM grid g JOIN den$t d ON g.rater = d.rater AND g.k = d.k
+        |  LEFT JOIN num$t n ON n.rater = g.rater AND n.k = g.k AND n.l = g.l),
+        |pi$t AS MATERIALIZED (
+        |  SELECT k, round(sum(mu) / (SELECT n FROM ni), 10) AS pi
+        |  FROM mu${t - 1} GROUP BY 1),
+        |e$t AS MATERIALIZED (
+        |  SELECT lb.item_id, t.k,
+        |    list_reduce(list(t.th ORDER BY lb.rater), (a, b) -> a * b) AS prod
+        |  FROM labels lb JOIN th$t t ON t.rater = lb.rater AND t.l = lb.label
+        |  GROUP BY 1, 2),
+        |a$t AS MATERIALIZED (
+        |  SELECT e.item_id, e.k, p.pi * e.prod AS a
+        |  FROM e$t e JOIN pi$t p ON p.k = e.k),
+        |dn$t AS (SELECT item_id,
+        |           list_reduce(list(a ORDER BY k), (x, y) -> x + y) AS d
+        |         FROM a$t GROUP BY 1),
+        |mu$t AS MATERIALIZED (
+        |  SELECT a.item_id, a.k, round(a.a / d.d, 10) AS mu
+        |  FROM a$t a JOIN dn$t d ON a.item_id = d.item_id)""".stripMargin)
+    }
+    sb.append("\n").append(finalSelect.replace("{T}", iters.toString))
+    sb.toString
+  }
+
+  private def plantedDsLabels(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Annotation.plantedLabels(Registry.t(s, dir, "documents"),
+      "doc_id", nRaters = 5, nClasses = 3, shiftedConfusion = true)
+
   val defs: Map[String, QueryDef] = Map(
+
+    "q_dawid_skene" -> QueryDef(
+      (s, dir) => graft.pipeline.Annotation.dawidSkene(
+        plantedDsLabels(s, dir), "item_id", "rater", "label", iters = 2),
+      Some(dawidSkeneSql(2,
+        """SELECT CAST(rater AS INT) AS rater, CAST(k AS INT) AS true_class,
+          |  CAST(l AS INT) AS observed, round(th, 6) AS theta FROM th{T}
+          |UNION ALL
+          |SELECT 0 AS rater, CAST(k AS INT) AS true_class, -1 AS observed,
+          |  round(pi, 6) AS theta FROM pi{T}
+          |ORDER BY rater, true_class, observed""".stripMargin))),
+
+    "q_dawid_skene_labels" -> QueryDef(
+      (s, dir) => graft.pipeline.Annotation.dawidSkenePosteriors(
+        plantedDsLabels(s, dir), "item_id", "rater", "label", iters = 2),
+      Some(dawidSkeneSql(2,
+        """SELECT item_id, CAST(k AS INT) AS map_label,
+          |  round(mu, 6) AS posterior
+          |FROM (SELECT item_id, k, mu, row_number()
+          |        OVER (PARTITION BY item_id ORDER BY mu DESC, k) AS rn
+          |      FROM mu{T})
+          |WHERE rn = 1 ORDER BY item_id""".stripMargin))),
 
     "q_bradley_terry" -> QueryDef(
       (s, dir) => {

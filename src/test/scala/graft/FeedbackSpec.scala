@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Annotation, Classify, Preference, TextEval}
+
+/** Human-feedback family: agreement, label aggregation, preference
+  * fitting, BLEU, conformal calibration — semantics on closed fixtures. */
+class FeedbackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def labelDf(rows: Seq[(Long, Int, Int)]) =
+    rows.toDF("item_id", "rater", "label")
+
+  test("agreement: perfect raters give kappa 1, enforced complete design") {
+    val perfect = labelDf(for (i <- 0L to 9L; r <- 1 to 3) yield (i, r, (i % 3).toInt))
+    val out = Annotation.agreement(perfect, "item_id", "rater", "label").collect()
+    assert(out.length == 4) // 3 pairs + fleiss
+    assert(out.forall(_.getDouble(4) == 1.0))
+
+    val incomplete = labelDf(Seq((1L, 1, 0), (1L, 2, 0), (2L, 1, 0)))
+    val err = intercept[IllegalArgumentException] {
+      Annotation.agreement(incomplete, "item_id", "rater", "label").collect()
+    }
+    assert(err.getMessage.contains("incomplete design"))
+  }
+
+  test("agreement: independent raters give kappa near 0") {
+    // rater r labels item i with a murmur3 coin flip — independent raters
+    val rand = labelDf(for (i <- 0L to 499L; r <- 1 to 2)
+      yield (i, r,
+        math.floorMod(scala.util.hashing.MurmurHash3.stringHash(s"$r:$i"), 2)))
+    val k = Annotation.agreement(rand, "item_id", "rater", "label")
+      .filter($"rater_a" === "1").select($"kappa").head().getDouble(0)
+    assert(math.abs(k) < 0.15, s"independent raters kappa was $k")
+  }
+
+  test("dawidSkene recovers planted rater reliability ordering and truth") {
+    val docs = spark.range(0, 300).select($"id".as("doc_id"))
+    val labels = Annotation.plantedLabels(docs, "doc_id", nRaters = 5,
+      nClasses = 3, shiftedConfusion = true)
+    val model = Annotation.dawidSkene(labels, "item_id", "rater", "label")
+    val diag = model.filter($"rater" > 0 && $"true_class" === $"observed")
+      .groupBy($"rater").agg(avg($"theta").as("acc"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // planted error rates rise 10%..50% with rater id
+    assert(diag(1) > diag(3) && diag(3) > diag(5),
+      s"diagonal thetas not ordered: $diag")
+    assert(diag(1) > 0.8 && diag(5) < 0.7)
+
+    // consensus labels beat any single noisy rater on the planted truth
+    val post = Annotation.dawidSkenePosteriors(labels, "item_id", "rater", "label")
+    val truth = docs.select($"doc_id".as("item_id"),
+      (graft.pipeline.Dedup.baseHash60(concat(lit("cls:"),
+        $"doc_id".cast("string"))) % 3).cast("int").as("t"))
+    val acc = post.join(truth, "item_id")
+      .agg(avg(when($"map_label" === $"t", 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    assert(acc > 0.95, s"Dawid-Skene truth recovery was $acc")
+  }
+
+  test("bradleyTerry: dominant item ranks first, strengths sum to ~1") {
+    // a beats b 9:1, b beats c 9:1, a beats c 9:1
+    val wins = Seq(("a", "b", 9L), ("b", "a", 1L), ("b", "c", 9L),
+      ("c", "b", 1L), ("a", "c", 9L), ("c", "a", 1L)).toDF("i", "j", "wij")
+    val fit = Preference.bradleyTerry(wins, iters = 10).collect()
+    assert(fit.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    assert(math.abs(fit.map(_.getDouble(1)).sum - 1.0) < 1e-4)
+    assert(fit(0).getDouble(1) > fit(1).getDouble(1))
+
+    val big = spark.range(5000).select($"id".cast("string").as("i"),
+      ($"id" + 1).cast("string").as("j"), lit(1L).as("wij"))
+    val err = intercept[IllegalArgumentException] {
+      Preference.bradleyTerry(big)
+    }
+    assert(err.getMessage.contains("maxItems"))
+  }
+
+  test("preferenceCycles: planted rock-paper-scissors is one cycle") {
+    val wins = Seq(("r", "s", 5L), ("s", "p", 5L), ("p", "r", 5L))
+      .toDF("i", "j", "wij")
+    val out = Preference.preferenceCycles(wins).head()
+    assert(out.getLong(0) == 3 && out.getLong(1) == 3) // items, edges
+    assert(out.getLong(2) == 1 && out.getLong(3) == 1) // triangles, cycles
+    assert(out.getDouble(4) == 1.0)
+
+    val transitive = Seq(("a", "b", 5L), ("b", "c", 5L), ("a", "c", 5L))
+      .toDF("i", "j", "wij")
+    val t = Preference.preferenceCycles(transitive).head()
+    assert(t.getLong(2) == 1 && t.getLong(3) == 0 && t.getDouble(4) == 0.0)
+  }
+
+  test("corpusBleu: identical candidate scores 1, truncation pays BP only") {
+    val toks = (1 to 40).map(i => s"w$i")
+    val same = Seq((1L, "g", toks, toks)).toDF("id", "g", "cand", "ref")
+    val r1 = TextEval.corpusBleu(same, "id", "g", "cand", "ref").head()
+    // (g, p1..p4, bp, bleu): everything after the group col is 1.0
+    assert((1 to 6).forall(i => r1.getDouble(i) == 1.0))
+
+    val cut = Seq((1L, "g", toks.take(20), toks)).toDF("id", "g", "cand", "ref")
+    val r2 = TextEval.corpusBleu(cut, "id", "g", "cand", "ref").head()
+    // clipped precisions stay 1 (subset), BLEU = BP = e^(1-2) = e^-1
+    assert(r2.getDouble(1) == 1.0 && r2.getDouble(4) == 1.0)
+    val bp = r2.getDouble(5)
+    assert(math.abs(bp - math.exp(-1.0)) < 1e-6)
+    assert(r2.getDouble(6) == bp)
+  }
+
+  test("corpusBleu clips repeated candidate grams against the reference") {
+    // cand repeats "the" 4x, ref has it twice -> p1 = 2/4
+    val cand = Seq("the", "the", "the", "the")
+    val ref = Seq("the", "cat", "the", "dog")
+    val df = Seq((1L, "g", cand, ref)).toDF("id", "g", "cand", "ref")
+    val r = TextEval.corpusBleu(df, "id", "g", "cand", "ref", maxN = 1).head()
+    assert(r.getDouble(1) == 0.5)
+  }
+
+  test("conformalThreshold: exact order statistic and coverage") {
+    // calib scores 1..100 -> k = ceil(101*0.9) = 91, threshold = 91
+    val d = (1 to 100).map(i => (i.toDouble, true)) ++
+      (1 to 50).map(i => (i * 2.0, false))
+    val out = Classify.conformalThreshold(d.toDF("s", "c"), "s", "c").head()
+    assert(out.getLong(0) == 100 && out.getLong(1) == 91)
+    assert(out.getDouble(2) == 91.0)
+    // test scores 2,4..100 -> <= 91 are 2..90 even = 45 of 50
+    assert(out.getDouble(4) == 0.9)
+
+    // tiny calibration set: k > n -> infinite threshold, full coverage
+    val tiny = Seq((1.0, true), (2.0, true), (5.0, false)).toDF("s", "c")
+    val t = Classify.conformalThreshold(tiny, "s", "c", alpha = 0.1).head()
+    assert(t.isNullAt(2) && t.getDouble(4) == 1.0)
+  }
+}
