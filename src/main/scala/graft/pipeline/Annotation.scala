@@ -127,8 +127,9 @@ object Annotation {
    * localCheckpoint'ed per round so lineage stays flat at higher iters.
    * Returns (theta, pi, mu) as frames on internal column names.
    */
-  private def dsChain(labels: DataFrame, itemCol: String, raterCol: String,
-      labelCol: String, iters: Int): (DataFrame, DataFrame, DataFrame) = {
+  private[graft] def dsChain(labels: DataFrame, itemCol: String,
+      raterCol: String, labelCol: String,
+      iters: Int): (DataFrame, DataFrame, DataFrame) = {
     require(iters >= 1, s"dawidSkene: iters must be >= 1, got $iters")
     val spark = labels.sparkSession
     import spark.implicits._

@@ -30,11 +30,12 @@ object TextEval {
    * 6dp-anchored precisions/BP so an independent engine replays it.
    *
    * `candCol`/`refCol` are pre-tokenized array<string> columns; `idCol`
-   * keys the per-segment clipping join. Scale: one explode into
-   * (segment, n, side, gram) counts, one segment+gram-keyed left join,
-   * then group-sized aggregates — no window, no driver data, segments
-   * may be corpus-sized. The gram frame is persisted for its two
-   * consumers (cand and ref sides of the clipping join).
+   * keys the per-segment clipping join. Scale: each side explodes its
+   * own grams exactly once into (segment, n, gram) counts (a shared
+   * side-tagged frame looks tidier but its side filter pushes below the
+   * aggregate, making each branch generate BOTH sides' grams), one
+   * segment+gram-keyed left join, then group-sized aggregates — no
+   * window, no driver data; segments may be corpus-sized.
    */
   def corpusBleu(df: DataFrame, idCol: String, groupCol: String,
       candCol: String, refCol: String, maxN: Int = 4): DataFrame = {
@@ -44,23 +45,18 @@ object TextEval {
     val base = df.select(col(idCol).as("__id"), col(groupCol).as("__g"),
       col(candCol).as("__c"), col(refCol).as("__r"))
 
-    val tagged = (1 to maxN).flatMap { n =>
-      Seq(transform(ngr($"__c", n),
-            g => struct(lit(n).as("n"), lit("c").as("side"), g.as("gram"))),
-          transform(ngr($"__r", n),
-            g => struct(lit(n).as("n"), lit("r").as("side"), g.as("gram"))))
-    }
-    val grams = base
-      .select($"__id", $"__g", explode(flatten(array(tagged: _*))).as("t"))
-      .select($"__id", $"__g", $"t.n".as("n"), $"t.side".as("side"),
-        $"t.gram".as("gram"))
-      .groupBy($"__id", $"__g", $"n", $"side", $"gram")
+    val cand = base
+      .select($"__id", $"__g", explode(flatten(array((1 to maxN).map(n =>
+        transform(ngr($"__c", n),
+          g => struct(lit(n).as("n"), g.as("gram")))): _*))).as("t"))
+      .groupBy($"__id", $"__g", $"t.n".as("n"), $"t.gram".as("gram"))
       .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val cand = grams.filter($"side" === "c").drop("side")
-    val ref = grams.filter($"side" === "r")
-      .select($"__id", $"n", $"gram", $"c".as("rc"))
+    val ref = base
+      .select($"__id", explode(flatten(array((1 to maxN).map(n =>
+        transform(ngr($"__r", n),
+          g => struct(lit(n).as("n"), g.as("gram")))): _*))).as("t"))
+      .groupBy($"__id", $"t.n".as("n"), $"t.gram".as("gram"))
+      .agg(count(lit(1)).as("rc"))
     val clip = cand.join(ref, Seq("__id", "n", "gram"), "left")
       .groupBy($"__g", $"n")
       .agg(sum(least($"c", coalesce($"rc", lit(0L)))).as("clipped"),
@@ -77,15 +73,11 @@ object TextEval {
     val geo = pow((1 to maxN).map(n => col(s"p$n")).reduce(_ * _),
       1.0 / maxN)
 
-    val out = prec.join(lens, "__g")
+    prec.join(lens, "__g")
       .withColumn("bp", bp6)
       .withColumn("bleu", round($"bp" * geo, 6))
       .drop("__clen", "__rlen")
       .withColumnRenamed("__g", groupCol)
       .orderBy(col(groupCol))
-    val materialized = out.cache()
-    materialized.count() // force before releasing the gram frame
-    grams.unpersist()
-    materialized
   }
 }

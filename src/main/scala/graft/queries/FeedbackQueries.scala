@@ -16,7 +16,7 @@ object FeedbackQueries {
     * smaller brand), same-brand pairs dropped. One row per comparison
     * with winner/loser brand — the shared fixture for the preference
     * family. */
-  private def brandComparisons(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def brandComparisons(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Registry.t(s, dir, "lineitem")
       .join(Registry.t(s, dir, "part"), $"l_partkey" === $"p_partkey")

@@ -474,4 +474,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"global window crept back in:\n$plan")
     assert(plan.contains("rangepartitioning"), s"no distributed sort:\n$plan")
   }
+
+  test("brand comparisons: part dim broadcasts, self-join keyed on the order") {
+    val plan = graft.queries.FeedbackQueries.brandComparisons(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"pair matrix crept in:\n$plan")
+  }
+
+  test("dawidSkene: E-step model joins broadcast, no window anywhere") {
+    val labels = graft.pipeline.Annotation.plantedLabels(
+      Registry.t(spark, dir, "documents"), "doc_id", nRaters = 3,
+      nClasses = 3, shiftedConfusion = true)
+    // inspect mu BEFORE the loop's localCheckpoint truncates lineage:
+    // run 1 iteration and look at theta (M-step joins) plus a fresh
+    // E-step expression built the same way the chain builds it
+    val (theta, pi, mu) = graft.pipeline.Annotation
+      .dsChain(labels, "item_id", "rater", "label", iters = 1)
+    val thetaPlan = theta.queryExecution.executedPlan.toString
+    assert(!thetaPlan.contains("Window"), s"window in the M-step:\n$thetaPlan")
+    // the only nested-loop joins allowed are the rater×class×class grid
+    // (model-sized by construction); the item-keyed passes must stay keyed —
+    // item ids never appear in a nested-loop join's output columns
+    val nlLines = thetaPlan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(!nlLines.exists(_.contains("__it")),
+      s"item-sized nested loop in the M-step:\n$thetaPlan")
+    val post = graft.pipeline.Annotation
+      .dawidSkenePosteriors(labels, "item_id", "rater", "label", iters = 1)
+    val plan = post.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in the MAP argmax:\n$plan")
+    pi.count(); mu.count() // chain frames stay consistent
+  }
+
+  test("corpusBleu: keyed clip join, each side exploded once, no window") {
+    import spark.implicits._
+    val df = Registry.t(spark, dir, "documents").select($"doc_id", $"source",
+      org.apache.spark.sql.functions.split($"text", " ").as("ref"))
+      .withColumn("cand", $"ref")
+    val plan = graft.pipeline.TextEval
+      .corpusBleu(df, "doc_id", "source", "cand", "ref")
+      .queryExecution.executedPlan.toString
+    // exactly two Generate (explode) nodes: one per side — a shared
+    // side-tagged frame regresses to each branch generating both sides
+    val generates = plan.linesIterator.count(_.contains("Generate explode"))
+    assert(generates == 2, s"expected 2 explodes, got $generates:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"), plan)
+  }
 }
