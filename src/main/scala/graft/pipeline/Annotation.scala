@@ -112,6 +112,51 @@ object Annotation {
   }
 
   /**
+   * Krippendorff's alpha (nominal) — chance-corrected agreement that,
+   * unlike Cohen/Fleiss, accepts MISSING labels: units rated by fewer
+   * raters still contribute through the coincidence matrix, and units
+   * with fewer than 2 labels are excluded as unpairable. Observed
+   * disagreement D_o = 1 − Σ_c o_cc/n with the diagonal coincidences
+   * o_cc = Σ_u n_uc(n_uc−1)/(m_u−1); expected D_e = 1 − Σ_c
+   * n_c(n_c−1)/(n(n−1)); alpha = 1 − D_o/D_e from the 6dp-rounded
+   * D_o/D_e. One row: (n_units, n_pairable, d_o, d_e, alpha).
+   *
+   * Two unit-keyed hash aggregates and class-sized reductions — no
+   * pair join at all (the u-summations collapse the rater pairs
+   * algebraically), so the label table may be corpus-sized.
+   */
+  def krippendorffAlpha(labels: DataFrame, itemCol: String, raterCol: String,
+      labelCol: String): DataFrame = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+    val nu = labels.select(col(itemCol).as("__it"), col(labelCol).as("__l"))
+      .groupBy($"__it", $"__l").agg(count(lit(1)).as("nuc"))
+    val mu = nu.groupBy($"__it").agg(sum($"nuc").as("m"))
+    val pair = nu.join(mu, "__it").filter($"m" >= 2)
+    val head = pair
+      .agg(sum($"nuc" * ($"nuc" - 1.0) / ($"m" - 1.0)).as("odiag"),
+        sum($"nuc").as("n")).head()
+    val nUnits = mu.count()
+    val nPairable = mu.filter($"m" >= 2).count()
+    require(nPairable > 0, "krippendorffAlpha: no unit has >= 2 labels")
+    val odiag = head.getDouble(0)
+    val n = head.getLong(1)
+    val sumNc = pair.groupBy($"__l").agg(sum($"nuc").as("n_c"))
+      .agg(sum($"n_c" * ($"n_c" - 1.0))).head().getDouble(0)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dO = r6(1.0 - odiag / n)
+    val dE = r6(1.0 - sumNc / (n.toDouble * (n - 1.0)))
+    // D_e = 0 (all pairable labels in one class) leaves alpha undefined —
+    // Krippendorff's convention; surface null rather than divide by zero
+    val alpha = if (dE == 0.0) null
+      else java.lang.Double.valueOf(r6(1.0 - dO / dE))
+    spark.range(1).select(lit(nUnits).as("n_units"),
+      lit(nPairable).as("n_pairable"), lit(dO).as("d_o"), lit(dE).as("d_e"),
+      lit(alpha).cast("double").as("alpha"))
+  }
+
+  /**
    * The Dawid–Skene (1979) EM chain over a (item, rater, label) frame:
    * soft class posteriors μ_ik initialized from vote fractions, then per
    * round an M-step (class priors π_k and per-rater row-normalized

@@ -80,4 +80,70 @@ object TextEval {
       .withColumnRenamed("__g", groupCol)
       .orderBy(col(groupCol))
   }
+
+  /** character n-grams of string column `s` (1-based substr windows). */
+  private def charGrams(s: Column, n: Int): Column =
+    when(length(s) >= n,
+      transform(sequence(lit(1), length(s) - (n - 1)),
+        i => s.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  /**
+   * chrF (Popović 2015) per group: character n-gram precision/recall
+   * for n = 1..maxN over whitespace-stripped candidate/reference
+   * strings, clipped per segment and summed per group before dividing,
+   * then F_β per order and the arithmetic mean over orders
+   * (chrP, chrR, chrF — 6dp, F computed from the 6dp-anchored P/R).
+   * Orders where either side has no grams at all are skipped, matching
+   * the metric's convention for too-short corpora.
+   *
+   * Unlike BLEU's cand-only totals, both sides' counts land in ONE
+   * unioned (segment, n, gram) aggregate — no clip join at all: each
+   * side explodes once, the union groups once, and everything after is
+   * group×order-sized. `candCol`/`refCol` are raw strings (the metric
+   * defines its own character tokenization).
+   */
+  def chrF(df: DataFrame, idCol: String, groupCol: String,
+      candCol: String, refCol: String, maxN: Int = 6,
+      beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1 && maxN <= 10, s"chrF: maxN must be 1..10, got $maxN")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).as("__id"), col(groupCol).as("__g"),
+      regexp_replace(col(candCol), "\\s", "").as("__c"),
+      regexp_replace(col(refCol), "\\s", "").as("__r"))
+
+    def side(arr: Column, cc: Int, rc: Int): DataFrame = base
+      .select($"__id", $"__g", explode(flatten(array((1 to maxN).map(n =>
+        transform(charGrams(arr, n),
+          g => struct(lit(n).as("n"), g.as("gram")))): _*))).as("t"))
+      .select($"__id", $"__g", $"t.n".as("n"), $"t.gram".as("gram"),
+        lit(cc.toLong).as("cc"), lit(rc.toLong).as("rc"))
+
+    val b2 = beta * beta
+    side($"__c", 1, 0).unionByName(side($"__r", 0, 1))
+      .groupBy($"__id", $"__g", $"n", $"gram")
+      .agg(sum($"cc").as("cc"), sum($"rc").as("rc"))
+      .groupBy($"__g", $"n")
+      .agg(sum(least($"cc", $"rc")).as("m"),
+        sum($"cc").as("tc"), sum($"rc").as("tr"))
+      .filter($"tc" > 0 && $"tr" > 0)
+      .select($"__g", round($"m" / $"tc", 6).as("p"),
+        round($"m" / $"tr", 6).as("r"))
+      .withColumn("f", when($"p" === 0 && $"r" === 0, 0.0)
+        .otherwise(round(lit(1.0 + b2) * $"p" * $"r" /
+          (lit(b2) * $"p" + $"r"), 6)))
+      .groupBy($"__g")
+      // the per-order values are exact 6dp decimals, so average them as
+      // scaled integers — a float sum's association order straddles
+      // round-half boundaries across engines (seen: 0.551491 vs .492)
+      .agg(avg6($"p").as("chrp"), avg6($"r").as("chrr"),
+        avg6($"f").as("chrf"))
+      .withColumnRenamed("__g", groupCol)
+      .orderBy(col(groupCol))
+  }
+
+  /** exact mean of 6dp-anchored values: integer-scaled sum, one division */
+  private def avg6(c: Column): Column =
+    round(sum(round(c * 1e6).cast("long")) / (count(lit(1)) * 1e6), 6)
 }

@@ -266,6 +266,116 @@ object FeedbackQueries {
              |SELECT * FROM cohen UNION ALL SELECT * FROM fleiss
              |ORDER BY rater_a, rater_b""".stripMargin)),
 
+    // 4 raters, each labeling only ~70% of items (md5-gated) — the
+    // incomplete panel Cohen/Fleiss reject and Krippendorff handles.
+    "q_krippendorff_alpha" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val h = graft.pipeline.Dedup.baseHash60 _
+        val labels = graft.pipeline.Annotation.plantedLabels(
+          Registry.t(s, dir, "documents"), "doc_id", nRaters = 4,
+          nClasses = 3, shiftedConfusion = true)
+          .filter(h(concat(lit("obs"), $"rater".cast("string"), lit(":"),
+            $"item_id".cast("string"))) % 100 < 70)
+        graft.pipeline.Annotation.krippendorffAlpha(
+          labels, "item_id", "rater", "label")
+      },
+      Some("""WITH labels AS (
+             |  SELECT d.doc_id AS item_id, r.rater,
+             |    CASE WHEN (CAST(('0x' || substr(md5('rater' || r.rater || ':' ||
+             |        CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100)
+             |        < (100 - 10 * r.rater)
+             |      THEN CAST(('0x' || substr(md5('cls:' ||
+             |        CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3
+             |      ELSE (CAST(('0x' || substr(md5('cls:' ||
+             |        CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             |            + 1 + (r.rater % 2)) % 3 END AS label
+             |  FROM documents d
+             |  CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS rater) r
+             |  WHERE (CAST(('0x' || substr(md5('obs' || r.rater || ':' ||
+             |      CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100) < 70),
+             |nu AS (SELECT item_id, label, count(*) AS nuc
+             |       FROM labels GROUP BY 1, 2),
+             |mu AS (SELECT item_id, sum(nuc) AS m FROM nu GROUP BY 1),
+             |pair AS (SELECT n.item_id, n.label, n.nuc, m.m
+             |         FROM nu n JOIN mu m USING (item_id) WHERE m.m >= 2),
+             |occ AS (SELECT sum(nuc * (nuc - 1.0) / (m - 1.0)) AS odiag,
+             |               sum(nuc) AS n FROM pair),
+             |nc AS (SELECT label, sum(nuc) AS n_c FROM pair GROUP BY 1),
+             |stats AS (
+             |  SELECT (SELECT count(*) FROM mu) AS n_units,
+             |         (SELECT count(*) FROM mu WHERE m >= 2) AS n_pairable,
+             |         round(1.0 - (SELECT odiag FROM occ)
+             |               / (SELECT n FROM occ), 6) AS d_o,
+             |         round(1.0 - (SELECT sum(n_c * (n_c - 1.0)) FROM nc)
+             |               / ((SELECT n FROM occ)
+             |                  * ((SELECT n FROM occ) - 1.0)), 6) AS d_e)
+             |SELECT n_units, n_pairable, d_o, d_e,
+             |  round(1.0 - d_o / d_e, 6) AS alpha FROM stats""".stripMargin)),
+
+    // Candidate = first 80% of the space-stripped characters with an
+    // md5-planted substitution every ~9th position, so precision AND
+    // recall clip on every order.
+    "q_chrf_eval" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val h = graft.pipeline.Dedup.baseHash60 _
+        val base = Registry.t(s, dir, "documents").select($"doc_id", $"source",
+          regexp_replace($"text", "\\s", "").as("r"))
+        val pairs = base.withColumn("cand",
+          when(length($"r") > 0, concat_ws("",
+            transform(sequence(lit(1), ceil(lit(0.8) * length($"r")).cast("int")),
+              i => when(h(concat(lit("chr:"), $"doc_id".cast("string"),
+                lit(":"), i.cast("string"))) % 9 === 0, lit("x"))
+                .otherwise($"r".substr(i, lit(1))))))
+            .otherwise(lit("")))
+        graft.pipeline.TextEval.chrF(pairs, "doc_id", "source", "cand", "r")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, source, replace(text, ' ', '') AS r FROM documents),
+             |pairs AS (
+             |  SELECT doc_id, source, r,
+             |    CASE WHEN len(r) = 0 THEN '' ELSE
+             |      array_to_string(list_transform(
+             |        generate_series(1, CAST(ceil(0.8 * len(r)) AS INT)),
+             |        i -> CASE WHEN CAST(('0x' || substr(md5('chr:' ||
+             |              CAST(doc_id AS VARCHAR) || ':' ||
+             |              CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 9 = 0
+             |          THEN 'x' ELSE substr(r, i, 1) END), '') END AS c
+             |  FROM base),
+             |grams AS (
+             |  SELECT doc_id, source, n, gram,
+             |    sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS cc,
+             |    sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS rc
+             |  FROM (
+             |    SELECT p.doc_id, p.source, n.n, s.side,
+             |      unnest(list_transform(generate_series(1,
+             |          len(CASE WHEN s.side = 'c' THEN p.c ELSE p.r END) - n.n + 1),
+             |        i -> substr(CASE WHEN s.side = 'c' THEN p.c ELSE p.r END,
+             |                    i, n.n))) AS gram
+             |    FROM pairs p, (SELECT unnest([1,2,3,4,5,6]) AS n) n,
+             |         (SELECT unnest(['c','r']) AS side) s)
+             |  GROUP BY 1, 2, 3, 4),
+             |agg AS (
+             |  SELECT source, n, sum(least(cc, rc)) AS mtch,
+             |         sum(cc) AS tc, sum(rc) AS tr
+             |  FROM grams GROUP BY 1, 2
+             |  HAVING sum(cc) > 0 AND sum(rc) > 0),
+             |fn AS (
+             |  SELECT source, n, round(mtch * 1.0 / tc, 6) AS p,
+             |    round(mtch * 1.0 / tr, 6) AS r
+             |  FROM agg),
+             |fb AS (
+             |  SELECT source, n, p, r,
+             |    CASE WHEN p = 0 AND r = 0 THEN 0.0
+             |         ELSE round(5.0 * p * r / (4.0 * p + r), 6) END AS f_n
+             |  FROM fn)
+             |SELECT source,
+             |  round(sum(CAST(round(p * 1e6) AS BIGINT)) / (count(*) * 1e6), 6) AS chrp,
+             |  round(sum(CAST(round(r * 1e6) AS BIGINT)) / (count(*) * 1e6), 6) AS chrr,
+             |  round(sum(CAST(round(f_n * 1e6) AS BIGINT)) / (count(*) * 1e6), 6) AS chrf
+             |FROM fb GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     "q_conformal_threshold" -> QueryDef(
       (s, dir) => {
         import s.implicits._

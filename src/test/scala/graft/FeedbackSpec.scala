@@ -115,6 +115,50 @@ class FeedbackSpec extends SparkSpec {
     assert(r.getDouble(1) == 0.5)
   }
 
+  test("krippendorffAlpha: perfect agreement is 1, handles missing labels") {
+    // items 0..9, raters 1-3, but rater 3 skips odd items; all agree
+    val rows = for (i <- 0L to 9L; r <- 1 to 3
+      if !(r == 3 && i % 2 == 1)) yield (i, r, (i % 3).toInt)
+    val out = Annotation.krippendorffAlpha(labelDf(rows),
+      "item_id", "rater", "label").head()
+    assert(out.getLong(0) == 10 && out.getLong(1) == 10)
+    assert(out.getDouble(4) == 1.0)
+
+    // single-label units are excluded as unpairable, not crashed on
+    val sparse = labelDf(Seq((1L, 1, 0), (1L, 2, 0), (2L, 1, 1)))
+    val s = Annotation.krippendorffAlpha(sparse,
+      "item_id", "rater", "label").head()
+    assert(s.getLong(0) == 2 && s.getLong(1) == 1)
+  }
+
+  test("krippendorffAlpha: systematic disagreement goes negative") {
+    // two raters always disagree across two classes
+    val rows = for (i <- 0L to 19L; r <- 1 to 2)
+      yield (i, r, if (r == 1) 0 else 1)
+    val a = Annotation.krippendorffAlpha(labelDf(rows),
+      "item_id", "rater", "label").head().getDouble(4)
+    assert(a < 0, s"alpha was $a")
+  }
+
+  test("chrF: identical strings score 1, char edits are graded") {
+    val same = Seq((1L, "g", "abcdefghij", "abcdefghij")).toDF("id", "g", "c", "r")
+    val r1 = TextEval.chrF(same, "id", "g", "c", "r").head()
+    assert(r1.getDouble(1) == 1.0 && r1.getDouble(2) == 1.0 &&
+      r1.getDouble(3) == 1.0)
+
+    // whitespace is stripped before gramming: space layout is irrelevant
+    val spaced = Seq((1L, "g", "ab cdefgh ij", "abcde fghij")).toDF("id", "g", "c", "r")
+    val r2 = TextEval.chrF(spaced, "id", "g", "c", "r").head()
+    assert(r2.getDouble(3) == 1.0)
+
+    // beta=2 weights recall: a truncated candidate scores worse than
+    // one with the same precision but full coverage
+    val cut = Seq((1L, "g", "abcde", "abcdefghij")).toDF("id", "g", "c", "r")
+    val r3 = TextEval.chrF(cut, "id", "g", "c", "r").head()
+    assert(r3.getDouble(1) == 1.0) // pure prefix: precision 1
+    assert(r3.getDouble(2) < 0.5 && r3.getDouble(3) < 0.6)
+  }
+
   test("conformalThreshold: exact order statistic and coverage") {
     // calib scores 1..100 -> k = ceil(101*0.9) = 91, threshold = 91
     val d = (1 to 100).map(i => (i.toDouble, true)) ++
