@@ -185,6 +185,14 @@ object FeedbackQueries {
           brandComparisons(s, dir), "w", "l")
         graft.pipeline.Preference.bradleyTerry(wins, iters = 6)
       },
+      Some(bradleyTerrySql(6)),
+      bench = true),
+
+    // streaming twin: comparisons ingest as a stream-static join, the win
+    // matrix accumulates as complete-mode state, and the fit runs on the
+    // drained state — equal to the batch row, so the oracle is shared
+    "q_stream_bradley_terry" -> QueryDef(
+      (s, dir) => graft.streaming.PreferenceStream.bradleyTerryIngest(s, dir),
       Some(bradleyTerrySql(6))),
 
     "q_preference_cycles" -> QueryDef(
