@@ -81,6 +81,79 @@ object Preference {
   }
 
   /**
+   * Period-batched Elo ratings — the tournament ("simultaneous update")
+   * variant: within a rating period every expected score is computed
+   * against the PERIOD-START ratings, so the update order inside a
+   * period cannot matter and the whole period reduces to one aggregate.
+   * That is the form that parallelizes: sequential per-game Elo is an
+   * ordered fold no engine can distribute, while per-period Elo is
+   *   R'_i = R_i + K · Σ_{games g of i in period} (s_g − E_g),
+   * one keyed aggregate per period over the (period, i, j) win counts.
+   *
+   * Scale posture: raw comparisons reduce in ONE distributed hash
+   * aggregate to per-period pair counts (periods × item² bounded); the
+   * period fold runs on the driver over that bounded frame, guarded by
+   * `maxItems` like [[bradleyTerry]]. Every handoff is anchored — the
+   * per-pair expected score at 10dp, per-pair delta terms summed as
+   * exact decimals (order-free), the K-scaled update at 10dp — so an
+   * unrolled per-period SQL replay reproduces the trajectory.
+   *
+   * `periods` fixes the replayable period grid (ascending); data rows
+   * whose period is outside it refuse the fit rather than silently
+   * reordering history. Returns (item, rating 6dp, games, rank).
+   */
+  def eloRatings(cmp: DataFrame, winnerCol: String, loserCol: String,
+      periodCol: String, periods: Seq[String], kFactor: Double = 8.0,
+      initialRating: Double = 1500.0, maxItems: Int = 4096): DataFrame = {
+    val spark = cmp.sparkSession
+    import spark.implicits._
+    val pw = cmp.groupBy(col(periodCol).cast("string").as("p"),
+        col(winnerCol).cast("string").as("i"),
+        col(loserCol).cast("string").as("j"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+    val items = pw.flatMap(r => Seq(r.getString(1), r.getString(2)))
+      .distinct.sorted
+    require(items.nonEmpty, "eloRatings: no comparisons")
+    require(items.length <= maxItems,
+      s"eloRatings: ${items.length} items exceeds maxItems=$maxItems — " +
+        "aggregate comparisons to a bounded item key before fitting")
+    val badPeriods = pw.map(_.getString(0)).distinct.filterNot(periods.contains)
+    require(badPeriods.isEmpty,
+      s"eloRatings: periods ${badPeriods.mkString(",")} not in the declared grid")
+
+    val byPeriod = pw.groupBy(_.getString(0))
+    var r = items.map(_ -> r10(initialRating)).toMap
+    val games = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for (p <- periods) {
+      // exact-decimal per-item delta sums: each per-pair term is an
+      // exactly-rounded 10dp value, so summing as BigDecimal is
+      // order-free — the SQL replay's DECIMAL sum lands on the same digits
+      val delta = collection.mutable.Map.empty[String, BigDecimal]
+        .withDefaultValue(BigDecimal(0))
+      byPeriod.getOrElse(p, Array.empty).foreach { row =>
+        val (i, j, c) = (row.getString(1), row.getString(2), row.getLong(3))
+        val ei = r10(1.0 / (1.0 + math.pow(10.0, (r(j) - r(i)) / 400.0)))
+        val ej = r10(1.0 / (1.0 + math.pow(10.0, (r(i) - r(j)) / 400.0)))
+        delta(i) += BigDecimal(r10(c * (1.0 - ei)))
+        delta(j) += BigDecimal(r10(c * (0.0 - ej)))
+        games(i) += c; games(j) += c
+      }
+      r = items.map { i =>
+        i -> r10(r(i) + r10(kFactor * delta(i).toDouble))
+      }.toMap
+    }
+    val out = items.map { i =>
+      (i, BigDecimal(r(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble, games(i))
+    }.sortBy { case (i, ri, _) => (-ri, i) }.zipWithIndex
+      .map { case ((i, ri, g), k) => (i, ri, g, k + 1) }
+    spark.createDataFrame(out.toIndexedSeq)
+      .toDF("item", "rating", "games", "rank")
+      .orderBy($"rank")
+  }
+
+  /**
    * Transitivity screen: build the majority digraph (edge i→j when i
    * beats j strictly more often than j beats i; ties drop the pair) and
    * count directed 3-cycles against all closed triangles. A high cycle

@@ -135,4 +135,69 @@ object Retrieval {
       .filter($"rnk" <= k)
       .select($"query_id", $"rnk", $"corpus_id", $"jaccard")
   }
+
+  /**
+   * Graded ranking evaluation — the retrieval-quality scoreboard: per
+   * query, nDCG@k (exponential gains (2^rel−1)/log2(pos+1) against the
+   * ideal ordering of the query's own grades), MRR (reciprocal rank of
+   * the first relevant hit in the top k), AP@k (mean of precision@pos at
+   * relevant positions, normalized by min(k, n_rel)), hit and relevant
+   * counts. `ranking` carries (query, id, 1-based rank); `truth` carries
+   * (query, id, grade ≥ 0) with grade 0 ≡ irrelevant; ranked ids absent
+   * from truth score 0.
+   *
+   * Scale: every window partitions by the query over lists that are
+   * top-k-bounded (the ranking side) or per-query truth-sized (the ideal
+   * side) — no global sort; the metrics reduce in one hash aggregate per
+   * side plus two query-keyed joins. Doubles are rounded to 6dp after
+   * the per-query sums (k-bounded, so summation-order noise is far below
+   * the rounding grain).
+   */
+  def rankingEval(ranking: DataFrame, truth: DataFrame, queryCol: String,
+      idCol: String, rankCol: String, relCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = ranking.sparkSession
+    import spark.implicits._
+    val topk = ranking.filter(col(rankCol) <= k)
+      .select(col(queryCol).cast("string").as("__q"),
+        col(idCol).cast("string").as("__id"),
+        col(rankCol).cast("long").as("__pos"))
+    val rel = truth.select(col(queryCol).cast("string").as("__q"),
+      col(idCol).cast("string").as("__id"),
+      col(relCol).cast("double").as("__rel"))
+    val w = Window.partitionBy($"__q").orderBy($"__pos")
+    val scored = topk.join(rel, Seq("__q", "__id"), "left")
+      .withColumn("__rel", coalesce($"__rel", lit(0.0)))
+      .withColumn("__gain",
+        (pow(lit(2.0), $"__rel") - 1) / log2($"__pos" + 1))
+      .withColumn("__relcnt",
+        sum(when($"__rel" > 0, 1L).otherwise(0L)).over(w))
+      .withColumn("__prec",
+        when($"__rel" > 0, $"__relcnt".cast("double") / $"__pos")
+          .otherwise(lit(0.0)))
+    val perQuery = scored.groupBy($"__q").agg(
+      sum($"__gain").as("__dcg"),
+      min(when($"__rel" > 0, $"__pos")).as("__first"),
+      sum($"__prec").as("__sump"),
+      sum(when($"__rel" > 0, 1L).otherwise(0L)).as("hits"))
+    val wi = Window.partitionBy($"__q").orderBy($"__rel".desc, $"__id".asc)
+    val ideal = rel.withColumn("__r", row_number().over(wi))
+      .filter($"__r" <= k)
+      .groupBy($"__q").agg(
+        sum((pow(lit(2.0), $"__rel") - 1) / log2($"__r" + 1)).as("__idcg"))
+    val nrel = rel.filter($"__rel" > 0)
+      .groupBy($"__q").agg(count(lit(1)).as("n_rel"))
+    perQuery
+      .join(ideal, Seq("__q"), "left")
+      .join(nrel, Seq("__q"), "left")
+      .select($"__q".as("query"),
+        round(when(coalesce($"__idcg", lit(0.0)) > 0, $"__dcg" / $"__idcg")
+          .otherwise(lit(0.0)), 6).as("ndcg"),
+        round(when($"__first".isNotNull, lit(1.0) / $"__first")
+          .otherwise(lit(0.0)), 6).as("mrr"),
+        round(when(coalesce($"n_rel", lit(0L)) > 0,
+            $"__sump" / least(coalesce($"n_rel", lit(0L)), lit(k.toLong)))
+          .otherwise(lit(0.0)), 6).as("ap"),
+        $"hits", coalesce($"n_rel", lit(0L)).as("n_rel"))
+  }
 }

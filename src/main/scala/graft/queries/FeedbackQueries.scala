@@ -55,6 +55,95 @@ object FeedbackQueries {
       |wins AS MATERIALIZED (SELECT w AS i, l AS j, count(*) AS wij
       |                      FROM cmp GROUP BY 1, 2)""".stripMargin
 
+  /** [[brandComparisons]] plus a rating period (the order YEAR): both
+    * lines of a pair share the order, so the pair's period is
+    * well-defined. The fixture for the period-batched Elo row. */
+  private[graft] def brandComparisonsDated(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Registry.t(s, dir, "lineitem")
+      .join(Registry.t(s, dir, "part"), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"p_brand")
+    li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_linenumber" < $"b.l_linenumber")
+      .filter($"a.p_brand" =!= $"b.p_brand")
+      .join(Registry.t(s, dir, "orders"), $"a.l_orderkey" === $"o_orderkey")
+      .select(
+        when($"a.l_extendedprice" > $"b.l_extendedprice", $"a.p_brand")
+          .when($"b.l_extendedprice" > $"a.l_extendedprice", $"b.p_brand")
+          .when($"a.p_brand" < $"b.p_brand", $"a.p_brand")
+          .otherwise($"b.p_brand").as("w"),
+        when($"a.l_extendedprice" > $"b.l_extendedprice", $"b.p_brand")
+          .when($"b.l_extendedprice" > $"a.l_extendedprice", $"a.p_brand")
+          .when($"a.p_brand" < $"b.p_brand", $"b.p_brand")
+          .otherwise($"a.p_brand").as("l"),
+        year($"o_orderdate").cast("string").as("period"))
+  }
+
+  /** The synthetic orders table spans 1995–2001 at every SF — the static
+    * period grid the Elo replay unrolls over (an absent year is a no-op
+    * on both engines; a year OUTSIDE the grid refuses the fit loudly). */
+  private val eloPeriods: Seq[String] = (1995 to 2001).map(_.toString)
+
+  /** Unrolled per-period Elo replay (mirrors
+    * [[graft.pipeline.Preference.eloRatings]] handoff-for-handoff:
+    * expected scores at 10dp against period-start ratings, per-pair delta
+    * terms summed as exact DECIMALs so order can't matter, the K-scaled
+    * update re-anchored at 10dp). */
+  private def eloSql(kFactor: Double, init: Double): String = {
+    val sb = new StringBuilder(
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |cmp AS (
+        |  SELECT CAST(year(o.o_orderdate) AS VARCHAR) AS p,
+        |    CASE WHEN a.l_extendedprice > b.l_extendedprice THEN a.p_brand
+        |         WHEN b.l_extendedprice > a.l_extendedprice THEN b.p_brand
+        |         WHEN a.p_brand < b.p_brand THEN a.p_brand ELSE b.p_brand END AS w,
+        |    CASE WHEN a.l_extendedprice > b.l_extendedprice THEN b.p_brand
+        |         WHEN b.l_extendedprice > a.l_extendedprice THEN a.p_brand
+        |         WHEN a.p_brand < b.p_brand THEN b.p_brand ELSE a.p_brand END AS l
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+        |  JOIN orders o ON o.o_orderkey = a.l_orderkey
+        |  WHERE a.p_brand <> b.p_brand),
+        |pw AS MATERIALIZED (SELECT p, w AS i, l AS j, count(*) AS c
+        |                    FROM cmp GROUP BY 1, 2, 3),
+        |items AS MATERIALIZED (SELECT DISTINCT i FROM
+        |  (SELECT i FROM pw UNION ALL SELECT j AS i FROM pw)),
+        |g AS MATERIALIZED (SELECT item, CAST(sum(c) AS BIGINT) AS games FROM
+        |  (SELECT i AS item, c FROM pw UNION ALL SELECT j AS item, c FROM pw)
+        |  GROUP BY 1),""".stripMargin)
+    sb.append(s"""
+      |r0 AS MATERIALIZED (SELECT i AS item, round($init, 10) AS r FROM items)""".stripMargin)
+    eloPeriods.zipWithIndex.foreach { case (p, k0) =>
+      val k = k0 + 1
+      sb.append(s""",
+        |d$k AS MATERIALIZED (
+        |  SELECT item, sum(CAST(term AS DECIMAL(28, 10))) AS d FROM (
+        |    SELECT pw.i AS item, round(pw.c *
+        |        (1 - round(1 / (1 + pow(10, (rj.r - ri.r) / 400.0)), 10)), 10) AS term
+        |    FROM pw JOIN r${k - 1} ri ON ri.item = pw.i
+        |            JOIN r${k - 1} rj ON rj.item = pw.j
+        |    WHERE pw.p = '$p'
+        |    UNION ALL
+        |    SELECT pw.j AS item, round(pw.c *
+        |        (0 - round(1 / (1 + pow(10, (ri.r - rj.r) / 400.0)), 10)), 10) AS term
+        |    FROM pw JOIN r${k - 1} ri ON ri.item = pw.i
+        |            JOIN r${k - 1} rj ON rj.item = pw.j
+        |    WHERE pw.p = '$p') GROUP BY 1),
+        |r$k AS MATERIALIZED (
+        |  SELECT r.item, round(r.r +
+        |      round($kFactor * coalesce(CAST(d.d AS DOUBLE), 0), 10), 10) AS r
+        |  FROM r${k - 1} r LEFT JOIN d$k d ON d.item = r.item)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT r.item, round(r.r, 6) AS rating, g.games,
+      |  CAST(row_number() OVER (ORDER BY round(r.r, 6) DESC, r.item) AS INT) AS rank
+      |FROM r${eloPeriods.size} r JOIN g ON g.item = r.item ORDER BY rank""".stripMargin)
+    sb.toString
+  }
+
   /** Unrolled anchored Bradley–Terry MM replay (mirrors
     * [[graft.pipeline.Preference.bradleyTerry]] handoff-for-handoff). */
   private def bradleyTerrySql(iters: Int): String = {
@@ -187,6 +276,16 @@ object FeedbackQueries {
       },
       Some(bradleyTerrySql(6)),
       bench = true),
+
+    // period-batched Elo over the same brand comparisons keyed by order
+    // year: expected scores against period-start ratings make each period
+    // ONE aggregate (the parallelizable tournament form of Elo), and the
+    // anchored trajectory unrolls period-by-period in the oracle
+    "q_elo_ratings" -> QueryDef(
+      (s, dir) => graft.pipeline.Preference.eloRatings(
+        brandComparisonsDated(s, dir), "w", "l", "period",
+        periods = eloPeriods, kFactor = 8.0, initialRating = 1500.0),
+      Some(eloSql(kFactor = 8.0, init = 1500.0))),
 
     // streaming twin: comparisons ingest as a stream-static join, the win
     // matrix accumulates as complete-mode state, and the fit runs on the

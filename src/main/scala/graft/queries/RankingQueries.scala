@@ -11,6 +11,86 @@ object RankingQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // graded retrieval scoreboard: per-term BM25 rankings (the q_bm25
+    // math, one query per term, 4dp-anchored sort key) evaluated against
+    // tf-graded truth (rel = min(3, tf−1), so tf=1 is a planted
+    // irrelevant hit) — nDCG@10 / MRR / AP@10 per query; the oracle
+    // replays both the ranking and the metric arithmetic
+    "q_ranking_eval" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+        val terms = Seq("spark", "join", "vector")
+        val toks = docs.select($"doc_id",
+          graft.pipeline.TextAnalysis.wsTokens(lower($"text")).as("toks"))
+        val lens = toks.select($"doc_id", size($"toks").as("dl"))
+        val stats = lens.agg(avg($"dl").as("avgdl"), count(lit(1)).as("n"))
+        val tf = toks.select($"doc_id", explode($"toks").as("term"))
+          .filter($"term".isin(terms: _*))
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val dfc = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        val ranking = tf.join(broadcast(dfc), "term").join(lens, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("score", round(
+            log(lit(1.0) + ($"n" - $"df" + 0.5) / ($"df" + 0.5)) *
+              ($"tf" * 2.2) /
+              ($"tf" + (lit(0.25) + $"dl" / $"avgdl" * 0.75) * 1.2), 4))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy($"term").orderBy($"score".desc, $"doc_id")))
+          .filter($"rnk" <= 10)
+          .select($"term", $"doc_id", $"rnk")
+        val truth = tf.select($"term", $"doc_id",
+          least(lit(3L), $"tf" - 1).as("rel"))
+        graft.pipeline.Retrieval.rankingEval(ranking, truth,
+            "term", "doc_id", "rnk", "rel", k = 10)
+          .orderBy($"query")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |lens AS (SELECT doc_id, len(toks) AS dl FROM tok),
+             |stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM lens),
+             |tf AS (SELECT doc_id, term, count(*) AS tf
+             |       FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+             |       WHERE term IN ('spark', 'join', 'vector') GROUP BY 1, 2),
+             |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |ranked AS (
+             |  SELECT term, doc_id, row_number() OVER (PARTITION BY term
+             |      ORDER BY round(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+             |        / (tf + (0.25 + 0.75 * dl / avgdl) * 1.2), 4) DESC, doc_id) AS pos
+             |  FROM tf JOIN dfc USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+             |  QUALIFY pos <= 10),
+             |rel AS (SELECT term, doc_id, CAST(least(3, tf - 1) AS DOUBLE) AS rel FROM tf),
+             |sc AS (
+             |  SELECT r.term, r.pos, coalesce(rel.rel, 0) AS rel,
+             |    (pow(2, coalesce(rel.rel, 0)) - 1) / log2(r.pos + 1) AS gain,
+             |    sum(CASE WHEN coalesce(rel.rel, 0) > 0 THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY r.term ORDER BY r.pos) AS relcnt
+             |  FROM ranked r LEFT JOIN rel ON rel.term = r.term AND rel.doc_id = r.doc_id),
+             |pq AS (
+             |  SELECT term, sum(gain) AS dcg,
+             |    min(CASE WHEN rel > 0 THEN pos END) AS firstpos,
+             |    sum(CASE WHEN rel > 0 THEN CAST(relcnt AS DOUBLE) / pos ELSE 0 END) AS sump,
+             |    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits
+             |  FROM sc GROUP BY term),
+             |ideal AS (
+             |  SELECT term, sum((pow(2, rel) - 1) / log2(r + 1)) AS idcg FROM (
+             |    SELECT term, rel, row_number() OVER (PARTITION BY term
+             |        ORDER BY rel DESC, doc_id) AS r FROM rel)
+             |  WHERE r <= 10 GROUP BY term),
+             |nr AS (SELECT term, count(*) AS n_rel FROM rel WHERE rel > 0 GROUP BY term)
+             |SELECT pq.term AS query,
+             |  round(CASE WHEN coalesce(idcg, 0) > 0 THEN dcg / idcg ELSE 0 END, 6) AS ndcg,
+             |  round(CASE WHEN firstpos IS NOT NULL THEN 1.0 / firstpos ELSE 0 END, 6) AS mrr,
+             |  round(CASE WHEN coalesce(n_rel, 0) > 0
+             |        THEN sump / least(n_rel, 10) ELSE 0 END, 6) AS ap,
+             |  CAST(hits AS BIGINT) AS hits,
+             |  CAST(coalesce(n_rel, 0) AS BIGINT) AS n_rel
+             |FROM pq LEFT JOIN ideal ON ideal.term = pq.term
+             |LEFT JOIN nr ON nr.term = pq.term
+             |ORDER BY query""".stripMargin)),
+
     // 64-token windows, 16-token overlap
     "q_chunk_tokens" -> QueryDef(
       (s, dir) => {

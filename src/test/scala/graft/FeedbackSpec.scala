@@ -76,6 +76,45 @@ class FeedbackSpec extends SparkSpec {
     assert(err.getMessage.contains("maxItems"))
   }
 
+  test("eloRatings: hand-computed two-period trajectory, guards fire") {
+    // p1: a beats b once (E = 0.5 each) → a 1504, b 1496
+    // p2: b beats a once → E_b = 1/(1+10^(8/400)), both move back by 8·E_a
+    val cmp = Seq(("a", "b", "p1"), ("b", "a", "p2"))
+      .toDF("w", "l", "period")
+    val fit = Preference.eloRatings(cmp, "w", "l", "period",
+      periods = Seq("p1", "p2"), kFactor = 8.0).collect()
+    val byItem = fit.map(r => r.getString(0) ->
+      (r.getDouble(1), r.getLong(2), r.getInt(3))).toMap
+    val eA = 1.0 / (1.0 + math.pow(10.0, -8.0 / 400.0)) // a's p2 expectation
+    val expA = BigDecimal(1504.0 + 8.0 * (0.0 - BigDecimal(eA)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(byItem("a")._1 - expA) < 1e-6, s"a was ${byItem("a")._1}")
+    assert(byItem("a")._2 == 2 && byItem("b")._2 == 2)
+    // b ends ahead: it won as the underdog (gain 8·(1−E_b) > 4), while
+    // a's period-1 win at even ratings was worth exactly 4
+    assert(byItem("b")._1 > byItem("a")._1 && byItem("b")._3 == 1)
+    // zero-sum within rounding: pairwise exchanges cancel
+    assert(math.abs(fit.map(_.getDouble(1)).sum - 3000.0) < 1e-4)
+
+    val err = intercept[IllegalArgumentException] {
+      Preference.eloRatings(cmp, "w", "l", "period", periods = Seq("p1"))
+    }
+    assert(err.getMessage.contains("not in the declared grid"))
+  }
+
+  test("eloRatings: period batching is order-free within a period") {
+    // 3 items, all comparisons in ONE period: expected scores all use the
+    // period-start (equal) ratings, so each item's rating depends only on
+    // its win/loss COUNT — a beats b, a beats c, b beats c at E = 0.5
+    val cmp = Seq(("a", "b"), ("a", "c"), ("b", "c"))
+      .toDF("w", "l").withColumn("period", lit("p1"))
+    val fit = Preference.eloRatings(cmp, "w", "l", "period",
+      periods = Seq("p1"), kFactor = 8.0).collect()
+    val m = fit.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("a") == 1508.0 && m("b") == 1500.0 && m("c") == 1492.0, s"$m")
+  }
+
   test("preferenceCycles: planted rock-paper-scissors is one cycle") {
     val wins = Seq(("r", "s", 5L), ("s", "p", 5L), ("p", "r", 5L))
       .toDF("i", "j", "wij")

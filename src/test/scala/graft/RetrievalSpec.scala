@@ -66,4 +66,34 @@ class RetrievalSpec extends SparkSpec {
       .head.getLong(2)
     assert(mmr.find(_._1 == 1).get._2 == top1)
   }
+
+  test("rankingEval: hand-computed nDCG/MRR/AP on a 3-doc ranking") {
+    // query q: ranked docs d1,d2,d3; grades d1=0, d2=2, d3=1 (+ d4=3 unranked)
+    val ranking = Seq(("q", "d1", 1L), ("q", "d2", 2L), ("q", "d3", 3L))
+      .toDF("query", "id", "rnk")
+    val truth = Seq(("q", "d2", 2.0), ("q", "d3", 1.0), ("q", "d4", 3.0),
+      ("q", "d1", 0.0)).toDF("query", "id", "rel")
+    val out = Retrieval.rankingEval(ranking, truth,
+      "query", "id", "rnk", "rel", k = 10).head()
+    val dcg = 3.0 / (math.log(3) / math.log(2)) + 1.0 / 2.0
+    val idcg = 7.0 + 3.0 / (math.log(3) / math.log(2)) + 1.0 / 2.0
+    assert(math.abs(out.getDouble(1) - dcg / idcg) < 1e-6) // ndcg
+    assert(out.getDouble(2) == 0.5) // first relevant at pos 2
+    // AP: precision at rel positions (1/2, 2/3) over min(k, n_rel=3)
+    assert(math.abs(out.getDouble(3) - (0.5 + 2.0 / 3.0) / 3.0) < 1e-6)
+    assert(out.getLong(4) == 2 && out.getLong(5) == 3) // hits, n_rel
+  }
+
+  test("rankingEval: perfect ranking scores 1 everywhere, empty truth 0") {
+    val ranking = Seq(("q", "a", 1L), ("q", "b", 2L), ("z", "a", 1L))
+      .toDF("query", "id", "rnk")
+    val truth = Seq(("q", "a", 2.0), ("q", "b", 1.0)).toDF("query", "id", "rel")
+    val rows = Retrieval.rankingEval(ranking, truth,
+      "query", "id", "rnk", "rel", k = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("q").getDouble(1) == 1.0 && rows("q").getDouble(2) == 1.0 &&
+      rows("q").getDouble(3) == 1.0)
+    assert(rows("z").getDouble(1) == 0.0 && rows("z").getDouble(2) == 0.0 &&
+      rows("z").getLong(5) == 0)
+  }
 }
