@@ -646,4 +646,87 @@ object Dedup {
       .select($"id".as("doc_id"), $"span_start", $"span_end",
         ($"span_end" - $"span_start" + 1).as("span_tokens"), $"n_windows")
   }
+
+  /**
+   * Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+   * the MOSS code-clone algorithm): hash every k-gram of the whitespace
+   * token stream, slide a w-gram window over the hash sequence, keep
+   * each window's MINIMUM hash with ties broken RIGHTMOST (the MOSS
+   * rule), and dedupe repeated selections. The paper's guarantee: any
+   * substring match of at least k+w−1 tokens contributes at least one
+   * shared fingerprint, at ~2/(w+1) sample density — position-local
+   * fingerprinting, where MinHash is whole-document.
+   *
+   * A document with fewer than w grams winnows as one window over all
+   * its grams. Returns (doc_id, pos, gh): 0-based gram offset and the
+   * shared 60-bit md5 base hash ([[baseHash60]], replayable in SQL).
+   *
+   * Scale: each gram joins at most w window starts (a bounded explode,
+   * no doc×doc anything), the per-window argmin is a (doc, window)-keyed
+   * struct-min hash aggregate, and no window function or global sort
+   * appears anywhere.
+   */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grams = df
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(graft.functions.tfunctions.word_ngrams_all(
+          lower(col(textCol)), k)).as(Seq("pos", "g")))
+      .select($"id", $"pos".cast("long").as("pos"), baseHash60($"g").as("gh"))
+    val ng = grams.groupBy($"id").agg(count(lit(1)).as("ng"))
+    grams.join(ng, "id")
+      // window starts covering this gram: every window is w grams except
+      // the degenerate short-doc case (ng < w), which winnows as one
+      // window [0, ng-1]; lower <= upper always, so sequence() is safe
+      .withColumn("s", explode(sequence(
+        greatest(lit(0L), $"pos" - (w - 1)),
+        least($"pos", greatest(lit(0L), $"ng" - w)))))
+      .groupBy($"id", $"s")
+      .agg(min(struct($"gh", (-$"pos").as("np"))).as("m"))
+      .select($"id", $"m.gh".as("gh"), (-$"m.np").as("pos"))
+      .distinct()
+      .select($"id".as("doc_id"), $"pos", $"gh")
+  }
+
+  /**
+   * Near-duplicate pairs by shared winnowing fingerprints — the MOSS
+   * scoring step: join documents on fingerprint hash, count DISTINCT
+   * shared hashes per pair, and score containment-style as
+   * shared / min(|fp_a|, |fp_b|) (a small plagiarized-from document
+   * scores high against its source). Pairs below `minShared` drop.
+   *
+   * Scale: the pair generator is a bucketed equi-join on the fingerprint
+   * hash — never doc×doc — and `maxHashDf` drops boilerplate hashes
+   * shared by more than that many documents (d docs → d² pair rows; a
+   * hash in 100k docs carries no clone signal), the same drop-and-log
+   * posture as [[DefaultMaxGramDf]].
+   */
+  def winnowNearDups(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, minShared: Long = 2L,
+      maxHashDf: Long = DefaultMaxGramDf): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fpd = winnowFingerprints(df, idCol, textCol, k, w)
+      .select($"doc_id", $"gh").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nf = fpd.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
+    val kept = fpd.groupBy($"gh")
+      .agg(count(lit(1)).as("hdf"))
+      .filter($"hdf" <= maxHashDf)
+      .select($"gh")
+    val pairs = fpd.join(kept, Seq("gh"), "left_semi").as("a")
+      .join(fpd.as("b"),
+        $"a.gh" === $"b.gh" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter($"shared" >= minShared)
+    pairs
+      .join(nf.select($"doc_id".as("doc_a"), $"nf".as("nfa")), "doc_a")
+      .join(nf.select($"doc_id".as("doc_b"), $"nf".as("nfb")), "doc_b")
+      .select($"doc_a", $"doc_b", $"shared",
+        round($"shared" / least($"nfa", $"nfb"), 6).as("overlap"))
+  }
 }

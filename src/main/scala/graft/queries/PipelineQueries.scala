@@ -18,6 +18,56 @@ object PipelineQueries {
     * safety contract as the streaming sinks) */
   private val mediaRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Planted fixture for the winnowing rows: every 7th doc gets the same
+    * DOUBLED 18-token passage appended (≥ 2·(k+w−1) tokens at k=5, w=4),
+    * so the SIGMOD-2003 guarantee yields ≥2 shared fingerprints per
+    * planted pair — enough to clear the minShared=2 gate. */
+  private val winnowPassage =
+    " widely shared boilerplate sentence repeated verbatim across many documents" +
+      " widely shared boilerplate sentence repeated verbatim across many documents"
+
+  private def winnowPlanted(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select($"doc_id",
+      when($"doc_id" % 7 === 0, concat($"text", lit(winnowPassage)))
+        .otherwise($"text").as("text"))
+  }
+
+  /** Winnowing replay: 5-gram md5-60-bit hashes, window starts exploded
+    * per doc (w=4; a short doc winnows as one window), per-window
+    * struct-min with ties RIGHTMOST via the (gh, −pos) key — ends in
+    * `fp` = (doc_id, pos, gh). */
+  private val winnowSqlBase =
+    s"""WITH planted AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+      |    THEN text || '${winnowPassage.replace("'", "''")}'
+      |    ELSE text END AS text
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok,
+      |    generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) AS i
+      |  FROM planted),
+      |g5 AS (
+      |  SELECT doc_id, i,
+      |         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+      |             || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS g
+      |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+      |grams AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |         ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+      |  FROM g5 WHERE g IS NOT NULL),
+      |ng AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY 1),
+      |ws AS (SELECT doc_id, unnest(range(0, greatest(1, ng - 3))) AS s FROM ng),
+      |sel AS (
+      |  SELECT g.doc_id, w.s,
+      |         min(struct_pack(gh := g.gh, np := -g.pos)) AS m
+      |  FROM ws w JOIN grams g
+      |    ON g.doc_id = w.doc_id AND g.pos BETWEEN w.s AND w.s + 3
+      |  GROUP BY 1, 2),
+      |fp AS (SELECT DISTINCT doc_id, -((m).np) AS pos, (m).gh AS gh FROM sel)""".stripMargin
+
   /** Shared oracle CTE chain for the bigram LM: token pairs with a BOS
     * context, bigram/context counts, vocab, and per-doc cross-entropy
     * `h` (bits/token) in `scored` — reused by the score and filter
@@ -534,6 +584,45 @@ object PipelineQueries {
              |FROM grp GROUP BY doc_id, g
              |ORDER BY doc_id, span_start""".stripMargin),
       bench = true), // timed: gram-hash shuffle + gaps-and-islands merge
+
+    // winnowing (MOSS) fingerprints: per-window struct-min over k-gram
+    // hashes, ties rightmost — the planted doubled passage (18 tokens ≥
+    // 2·(k+w−1)) guarantees every 7th doc shares fingerprints. Full SQL
+    // replay including the window-start explode and the struct-min
+    "q_winnow_fingerprints" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Dedup.winnowFingerprints(winnowPlanted(s, dir), "doc_id", "text",
+            k = 5, w = 4)
+          .orderBy($"doc_id", $"pos")
+      },
+      Some(winnowSqlBase +
+        "\nSELECT doc_id, pos, gh FROM fp ORDER BY doc_id, pos")),
+
+    // MOSS scoring on top: pairs by shared DISTINCT fingerprint hashes,
+    // containment-style overlap = shared / min(|fp_a|, |fp_b|); the pair
+    // generator is a bucketed hash join with a hash-df cap, never doc×doc
+    "q_winnow_dedup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Dedup.winnowNearDups(winnowPlanted(s, dir), "doc_id", "text",
+            k = 5, w = 4, minShared = 2L)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(winnowSqlBase + """,
+        |fpd AS (SELECT DISTINCT doc_id, gh FROM fp),
+        |nf AS (SELECT doc_id, count(*) AS nf FROM fpd GROUP BY 1),
+        |kept AS (SELECT gh FROM fpd GROUP BY gh HAVING count(*) <= 100000),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM fpd a JOIN kept k ON k.gh = a.gh
+        |  JOIN fpd b ON a.gh = b.gh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT doc_a, doc_b, shared,
+        |  round(shared / least(na.nf, nb.nf), 6) AS overlap
+        |FROM pairs JOIN nf na ON na.doc_id = doc_a
+        |JOIN nf nb ON nb.doc_id = doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // planted near-duplicates make this check non-vacuous: vec_id < 20 get a
     // ×2-scaled copy at id+100000 (scaling preserves every hyperplane sign →

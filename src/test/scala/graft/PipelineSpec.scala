@@ -688,6 +688,45 @@ class PipelineSpec extends SparkSpec {
       windowSize = 3, minDocFreq = 10L).count() == 0)
   }
 
+  test("winnowFingerprints: MOSS guarantee, rightmost ties, short docs") {
+    // k=3, w=2: any shared substring of >= k+w-1 = 4 tokens must share
+    // at least one fingerprint
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two alpha beta gamma delta nine"), // shares 4 tokens with 1
+      (3L, "totally disjoint words here"),
+      (4L, "x y z w"),                             // 2 grams < w windows
+      (5L, "r r r r r r"))                         // all grams identical
+      .toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = fp.groupBy(_._1)
+    val shared = byDoc(1L).map(_._3).toSet intersect byDoc(2L).map(_._3).toSet
+    assert(shared.nonEmpty, "4-token overlap must share a fingerprint")
+    assert((byDoc(3L).map(_._3).toSet intersect byDoc(1L).map(_._3).toSet).isEmpty)
+    // short doc: one window over its 2 grams -> exactly one fingerprint
+    assert(byDoc(4L).length == 1)
+    // identical gram hashes: every window's tie breaks RIGHTMOST, and
+    // dedup collapses to one fingerprint per window position — the last
+    // window (starts at gram 2) selects gram pos 3
+    assert(byDoc(5L).map(_._2).max == 3 && byDoc(5L).map(_._3).distinct.length == 1)
+  }
+
+  test("winnowNearDups: planted clone pair found, disjoint docs absent") {
+    val boiler = "every large corpus carries one widely pasted license header block"
+    val docs = Seq(
+      (1L, s"doc one intro $boiler trailing words"),
+      (2L, s"$boiler completely different remainder of text"),
+      (3L, "unrelated content with no repeated passage at all present"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowNearDups(docs, "doc_id", "text",
+      k = 3, w = 2, minShared = 2L).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getLong(0) == 1L && p.getLong(1) == 2L)
+    assert(p.getLong(2) >= 2L && p.getDouble(3) > 0.0 && p.getDouble(3) <= 1.0)
+  }
+
   test("minhash index: save/load screens identically to a fresh build") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val newBatch = docs.filter($"doc_id" < 10)
