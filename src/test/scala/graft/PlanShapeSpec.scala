@@ -522,4 +522,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(generates == 2, s"expected 2 explodes, got $generates:\n$plan")
     assert(!plan.contains("Window") && !plan.contains("CartesianProduct"), plan)
   }
+
+  test("winnowing: keyed struct-min aggregate, no window, no pair matrix") {
+    val fpPlan = physical("q_winnow_fingerprints")
+    // the per-window argmin is a hash aggregate keyed by (doc, window
+    // start) — a regression to a window function would serialize per-doc
+    assert(!fpPlan.contains("Window"), s"window crept in:\n$fpPlan")
+    assert(!fpPlan.contains("CartesianProduct") &&
+      !fpPlan.contains("BroadcastNestedLoop"), fpPlan)
+    val pairPlan = physical("q_winnow_dedup")
+    assert(!pairPlan.contains("CartesianProduct") &&
+      !pairPlan.contains("BroadcastNestedLoop"), pairPlan)
+    // the hash-df cap applies as a semi join before the pair join
+    assert(pairPlan.contains("LeftSemi"), pairPlan)
+  }
+
+  test("eloRatings: ONE distributed aggregate feeds the driver fold") {
+    import org.apache.spark.sql.functions._
+    // the collect()ed frame is the per-(period, pair) win-count aggregate;
+    // pin its plan: keyed hash aggregate, broadcast part dim, no window
+    val cmp = graft.queries.FeedbackQueries.brandComparisonsDated(spark, dir)
+    val agg = cmp.groupBy(col("period"), col("w"), col("l"))
+      .agg(count(lit(1)).as("c"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("rankingEval: every window partitions by the query key") {
+    val plan = physical("q_ranking_eval")
+    val winLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(winLines.nonEmpty, s"expected query-partitioned windows:\n$plan")
+    // both the running-precision window and the ideal-rank window key on
+    // the query (__q on the eval side, term on the fixture ranking side)
+    winLines.foreach { l =>
+      assert(l.contains("__q") || l.contains("term"),
+        s"unpartitioned window:\n$l\n$plan")
+    }
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
