@@ -149,6 +149,26 @@ case class JaroWinkler(left: Expression, right: Expression)
   override def prettyName: String = "jaro_winkler"
 }
 
+/** LCS length between two token arrays (see TextKernels.lcsLength) as a
+  * codegen'd binary expression — the ROUGE-L kernel. */
+case class LcsLen(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.lcsLength(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextKernels.lcsLength($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LcsLen =
+    copy(left = l, right = r)
+  override def prettyName: String = "lcs_len"
+}
+
 /** Column facade (functions-package style); inputs are cast here, since
   * ExpectsInputTypes is private[sql]. */
 object tfunctions {
@@ -177,4 +197,6 @@ object tfunctions {
   def porter_stem(word: Column): Column = shim.toColumn(PorterStem(str(word)))
   def jaro_winkler(a: Column, b: Column): Column =
     shim.toColumn(JaroWinkler(str(a), str(b)))
+  def lcs_len(a: Column, b: Column): Column =
+    shim.toColumn(LcsLen(strArr(a), strArr(b)))
 }

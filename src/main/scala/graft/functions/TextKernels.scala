@@ -223,4 +223,37 @@ object TextKernels {
     while (prefix < pMax && s(prefix) == t(prefix)) prefix += 1
     jaro + prefix * 0.1 * (1.0 - jaro)
   }
+
+  /**
+   * Longest common subsequence LENGTH between two token arrays — the
+   * row-local O(m·n) two-row DP (one reusable n+1 column array, the
+   * prev-diagonal scalar carried through the inner sweep). Null tokens
+   * match only null tokens. The kernel behind ROUGE-L; segments are
+   * sentence-sized, so the quadratic cell count is per-row bounded.
+   */
+  def lcsLength(a: ArrayData, b: ArrayData): Long = {
+    val m = a.numElements()
+    val n = b.numElements()
+    if (m == 0 || n == 0) return 0L
+    val bs = new Array[UTF8String](n)
+    var j = 0
+    while (j < n) { bs(j) = if (b.isNullAt(j)) null else b.getUTF8String(j); j += 1 }
+    val dp = new Array[Int](n + 1)
+    var i = 0
+    while (i < m) {
+      val ai = if (a.isNullAt(i)) null else a.getUTF8String(i)
+      var prev = 0
+      j = 0
+      while (j < n) {
+        val temp = dp(j + 1)
+        dp(j + 1) =
+          if (java.util.Objects.equals(ai, bs(j))) prev + 1
+          else math.max(dp(j + 1), dp(j))
+        prev = temp
+        j += 1
+      }
+      i += 1
+    }
+    dp(n).toLong
+  }
 }

@@ -143,6 +143,44 @@ object TextEval {
       .orderBy(col(groupCol))
   }
 
+  /**
+   * ROUGE-L per group (Lin 2004): per-segment LCS of the candidate and
+   * reference token sequences, P = LCS/|cand|, R = LCS/|ref|,
+   * F_β = (1+β²)PR / (R + β²P) with ROUGE's recall-weighted β (default
+   * 1.2), then the group means of the 6dp-anchored per-segment values
+   * (integer-scaled sums, so engines can't disagree on association).
+   * Returns (group, rougel_p, rougel_r, rougel_f, n_segments).
+   *
+   * The LCS itself is a codegen'd row-local kernel
+   * ([[graft.functions.TextKernels.lcsLength]], the O(m·n) two-row DP) —
+   * segments are sentence-sized, so the whole metric is one narrow map
+   * over the pairs plus a group-keyed aggregate; no join, no window, no
+   * shuffle beyond the final groupBy.
+   */
+  def rougeL(df: DataFrame, groupCol: String, candCol: String,
+      refCol: String, beta: Double = 1.2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b2 = beta * beta
+    df.select(col(groupCol).as("__g"),
+        graft.functions.tfunctions.lcs_len(col(candCol), col(refCol)).as("__l"),
+        size(col(candCol)).cast("long").as("__m"),
+        size(col(refCol)).cast("long").as("__n"))
+      .withColumn("__p",
+        when($"__m" > 0, round($"__l" / $"__m", 6)).otherwise(lit(0.0)))
+      .withColumn("__r",
+        when($"__n" > 0, round($"__l" / $"__n", 6)).otherwise(lit(0.0)))
+      .withColumn("__f",
+        when($"__p" + $"__r" > 0,
+          round(lit(1.0 + b2) * $"__p" * $"__r" /
+            ($"__r" + lit(b2) * $"__p"), 6)).otherwise(lit(0.0)))
+      .groupBy($"__g")
+      .agg(avg6($"__p").as("rougel_p"), avg6($"__r").as("rougel_r"),
+        avg6($"__f").as("rougel_f"), count(lit(1)).as("n_segments"))
+      .withColumnRenamed("__g", groupCol)
+      .orderBy(col(groupCol))
+  }
+
   /** exact mean of 6dp-anchored values: integer-scaled sum, one division */
   private def avg6(c: Column): Column =
     round(sum(round(c * 1e6).cast("long")) / (count(lit(1)) * 1e6), 6)

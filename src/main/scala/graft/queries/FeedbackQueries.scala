@@ -277,6 +277,64 @@ object FeedbackQueries {
       Some(bradleyTerrySql(6)),
       bench = true),
 
+    // ROUGE-L per source over shifted-window segment pairs (cand = first
+    // 12 tokens, ref = tokens 4-15 — overlapping but unequal, so the LCS
+    // is nontrivial). The codegen'd O(m·n) LCS kernel is replayed in
+    // DuckDB as a recursive-CTE cell-by-cell DP (the 1-D rolling row with
+    // a prev-diagonal scalar, one cell per recursion step, bounded by the
+    // 12-token fixture slice)
+    "q_rouge_l" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val seg = Registry.t(s, dir, "documents").select($"source",
+          graft.pipeline.TextAnalysis.wsTokens(lower($"text")).as("ts"))
+          .select($"source", slice($"ts", 1, 12).as("cand"),
+            slice($"ts", 4, 12).as("ref"))
+        graft.pipeline.TextEval.rougeL(seg, "source", "cand", "ref",
+          beta = 1.2)
+      },
+      Some("""WITH RECURSIVE tok AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |sized AS (
+        |  SELECT doc_id, source, c, r, len(c) AS m, len(r) AS n
+        |  FROM (SELECT doc_id, source, ts[1:12] AS c, ts[4:15] AS r FROM tok)),
+        |dp AS (
+        |  SELECT doc_id, source, c, r, m, n, 0 AS t,
+        |         list_transform(range(0, n + 1), x -> 0) AS d, 0 AS prev
+        |  FROM sized
+        |  UNION ALL
+        |  SELECT doc_id, source, c, r, m, n, t + 1,
+        |    list_transform(range(0, n + 1), x ->
+        |      CASE WHEN x <> (t % n) + 1 THEN d[CAST(x + 1 AS INT)]
+        |           WHEN c[CAST(t // n + 1 AS INT)] = r[CAST((t % n) + 1 AS INT)]
+        |             THEN prev + 1
+        |           ELSE greatest(d[CAST((t % n) + 1 AS INT)],
+        |                         d[CAST((t % n) + 2 AS INT)]) END),
+        |    CASE WHEN (t % n) + 1 = n THEN 0 ELSE d[CAST((t % n) + 2 AS INT)] END
+        |  FROM dp WHERE t < m * n),
+        |lcs AS (
+        |  SELECT doc_id, source, m, n,
+        |         CASE WHEN m * n = 0 THEN 0 ELSE d[n + 1] END AS l
+        |  FROM dp WHERE t = m * n),
+        |seg AS (
+        |  SELECT source, p, r,
+        |    CASE WHEN p + r > 0
+        |         THEN round((1 + 1.44) * p * r / (r + 1.44 * p), 6)
+        |         ELSE 0 END AS f
+        |  FROM (
+        |    SELECT source,
+        |      CASE WHEN m > 0 THEN round(CAST(l AS DOUBLE) / m, 6) ELSE 0 END AS p,
+        |      CASE WHEN n > 0 THEN round(CAST(l AS DOUBLE) / n, 6) ELSE 0 END AS r
+        |    FROM lcs))
+        |SELECT source,
+        |  round(sum(CAST(round(p * 1e6) AS BIGINT)) / (count(*) * 1e6), 6) AS rougel_p,
+        |  round(sum(CAST(round(r * 1e6) AS BIGINT)) / (count(*) * 1e6), 6) AS rougel_r,
+        |  round(sum(CAST(round(f * 1e6) AS BIGINT)) / (count(*) * 1e6), 6) AS rougel_f,
+        |  count(*) AS n_segments
+        |FROM seg GROUP BY source ORDER BY source""".stripMargin)),
+
     // period-batched Elo over the same brand comparisons keyed by order
     // year: expected scores against period-start ratings make each period
     // ONE aggregate (the parallelizable tournament form of Elo), and the

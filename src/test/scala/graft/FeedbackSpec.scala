@@ -154,6 +154,32 @@ class FeedbackSpec extends SparkSpec {
     assert(r.getDouble(1) == 0.5)
   }
 
+  test("rougeL: hand-computed LCS fractions, identical and empty edges") {
+    val segs = Seq(
+      ("g1", Seq("a", "b", "c", "d"), Seq("a", "c", "b", "d")), // LCS 3
+      ("g2", Seq("x", "y"), Seq("x", "y")),                     // identical
+      ("g3", Seq("p", "q"), Seq.empty[String]),                 // empty ref
+      ("g4", Seq("r", "r", "s", "r"), Seq("r", "r", "r")))      // repeats: LCS 3
+      .toDF("g", "cand", "ref")
+    val out = TextEval.rougeL(segs, "g", "cand", "ref", beta = 1.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out("g1") == ((0.75, 0.75, 0.75)))
+    assert(out("g2") == ((1.0, 1.0, 1.0)))
+    assert(out("g3") == ((0.0, 0.0, 0.0)))
+    assert(out("g4") == ((0.75, 1.0, round6(2 * 0.75 / 1.75))))
+  }
+
+  test("lcs_len kernel: subsequence order respected, nulls match nulls") {
+    val df = Seq((Seq("a", "b", "a", "c"), Seq("b", "a", "b", "a")))
+      .toDF("x", "y")
+      .select(graft.functions.tfunctions.lcs_len($"x", $"y").as("l"))
+    assert(df.head().getLong(0) == 3) // "b a a" / "a b a"
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("krippendorffAlpha: perfect agreement is 1, handles missing labels") {
     // items 0..9, raters 1-3, but rater 3 skips odd items; all agree
     val rows = for (i <- 0L to 9L; r <- 1 to 3
