@@ -682,6 +682,67 @@ object Curation {
    * keys — both shuffles hash on the QI columns, so AQE coalesces or
    * broadcasts the stats side when small. Never row×row.
    */
+  /**
+   * t-closeness screen (Li, Li & Venkatasubramanian, ICDE 2007) for an
+   * ORDERED sensitive attribute: per quasi-identifier equivalence class,
+   * the Earth Mover's Distance between the class's sensitive-value
+   * distribution and the global one, with the ordered-values closed form
+   *
+   *   EMD = (1/(m−1)) · Σ_i |Σ_{j≤i} (p_j − q_j)|
+   *
+   * over the m globally-distinct sensitive values. The complement of
+   * [[kAnonymize]]'s gates: k bounds membership inference, l bounds
+   * attribute diversity, t bounds attribute DISCLOSURE — a class can be
+   * large and diverse yet still leak (everyone in it earns "low").
+   * Null sensitive values are excluded; returns one row per class:
+   * (quasi cols, n, emd 6dp, pass = emd ≤ t).
+   *
+   * Exact arithmetic: the cumulative difference is the integer
+   * N·C_i − n·G_i over cumulative counts (decimal-exact products, no
+   * float sums), divided once at the end — engines cannot disagree.
+   * Scale: two keyed aggregates plus a class×value grid (both
+   * group-sized); the only window partitions by the class.
+   */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, t: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness: need at least one quasi-identifier")
+    require(t > 0 && t <= 1, s"tCloseness: t must be in (0, 1], got $t")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.filter(col(sensitiveCol).isNotNull)
+    val qi = quasiCols.map(col)
+    val cls = base.groupBy(qi: _*).agg(count(lit(1)).as("__cn"))
+    val gv = base.groupBy(col(sensitiveCol).as("__v"))
+      .agg(count(lit(1)).as("__gc"))
+    val gstats = gv.agg(count(lit(1)).as("__m"), sum($"__gc").as("__N"))
+    val cell = base.groupBy(qi :+ col(sensitiveCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__cc"))
+    val cellR = cell.select(
+      quasiCols.map(c => col(c).as(s"__q_$c")) :+ $"__v".as("__cv") :+ $"__cc": _*)
+    val joinCond = quasiCols.map(c => col(c) <=> col(s"__q_$c"))
+      .reduce(_ && _) && $"__v" <=> $"__cv"
+    val grid = cls.crossJoin(gv)
+      .join(cellR, joinCond, "left")
+      .select(qi :+ $"__cn" :+ $"__v" :+ $"__gc" :+
+        coalesce($"__cc", lit(0L)).as("__cc"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qi: _*).orderBy($"__v")
+    val dec = "decimal(38,0)"
+    val cum = grid.crossJoin(broadcast(gstats))
+      .withColumn("__C", sum($"__cc").over(w))
+      .withColumn("__G", sum($"__gc").over(w))
+      .withColumn("__term", abs($"__N".cast(dec) * $"__C".cast(dec) -
+        $"__cn".cast(dec) * $"__G".cast(dec)))
+    cum.groupBy(qi :+ $"__cn" :+ $"__m" :+ $"__N": _*)
+      .agg(sum($"__term").as("__sa"))
+      .select(qi :+ $"__cn".as("n") :+
+        round(when($"__m" > 1,
+          $"__sa".cast("double") /
+            ($"__cn".cast("double") * $"__N".cast("double") * ($"__m" - 1)))
+          .otherwise(lit(0.0)), 6).as("emd"): _*)
+      .withColumn("pass", $"emd" <= t)
+  }
+
   def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Int,
       sensitiveCol: Option[String] = None, l: Int = 1): DataFrame = {
     require(quasiCols.nonEmpty, "kAnonymize: need at least one quasi-identifier")

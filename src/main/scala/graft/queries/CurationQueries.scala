@@ -828,6 +828,51 @@ object CurationQueries {
              |FROM documents d SEMI JOIN g USING (lang, source)
              |ORDER BY doc_id""".stripMargin)),
 
+    // t-closeness over the same QI as the k-anonymity gate: ordered-EMD
+    // of each (lang, source) class's length-bucket distribution vs the
+    // global one, exact integer cumulative arithmetic (N·C − n·G), one
+    // division at the end — the attribute-DISCLOSURE gate k and l miss
+    "q_t_closeness" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .withColumn("len_bucket", expr("n_chars div 200"))
+        Curation.tCloseness(docs, Seq("lang", "source"), "len_bucket",
+            t = 0.15)
+          .orderBy($"lang", $"source")
+      },
+      Some("""WITH b AS (
+             |  SELECT lang, source, n_chars // 200 AS v
+             |  FROM documents WHERE n_chars IS NOT NULL),
+             |cls AS (SELECT lang, source, count(*) AS cn FROM b GROUP BY 1, 2),
+             |gv AS (SELECT v, count(*) AS gc FROM b GROUP BY 1),
+             |gs AS (SELECT count(*) AS m, sum(gc) AS nn FROM gv),
+             |cell AS (SELECT lang, source, v, count(*) AS cc FROM b GROUP BY 1, 2, 3),
+             |grid AS (
+             |  SELECT c.lang, c.source, c.cn, g.v, g.gc, coalesce(cell.cc, 0) AS cc
+             |  FROM cls c CROSS JOIN gv g
+             |  LEFT JOIN cell ON cell.lang = c.lang AND cell.source = c.source
+             |                AND cell.v = g.v),
+             |cum AS (
+             |  SELECT lang, source, cn,
+             |    sum(cc) OVER (PARTITION BY lang, source ORDER BY v) AS cml,
+             |    sum(gc) OVER (PARTITION BY lang, source ORDER BY v) AS gml
+             |  FROM grid),
+             |agg AS (
+             |  SELECT lang, source, cn,
+             |    sum(abs(CAST(gs.nn AS HUGEINT) * cml
+             |            - CAST(cn AS HUGEINT) * gml)) AS sa,
+             |    max(gs.m) AS m, max(gs.nn) AS nn
+             |  FROM cum CROSS JOIN gs GROUP BY 1, 2, 3),
+             |fin AS (
+             |  SELECT lang, source, cn AS n,
+             |    round(CASE WHEN m > 1
+             |          THEN CAST(sa AS DOUBLE) / (CAST(cn AS DOUBLE) * nn * (m - 1))
+             |          ELSE 0 END, 6) AS emd
+             |  FROM agg)
+             |SELECT lang, source, n, emd, emd <= 0.15 AS pass
+             |FROM fin ORDER BY lang, source""".stripMargin)),
+
     // ε-DP Laplace release of per-event-type count + clamped value sum:
     // md5-seeded inverse-CDF noise the oracle recomputes EXACTLY (same
     // uniform, same ln, 4dp round), fixed-point 6dp clamped sums so the

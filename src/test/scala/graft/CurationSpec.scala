@@ -450,6 +450,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("tCloseness: hand-computed ordered EMD, balanced class passes") {
+    // global sensitive values {0, 1} are 3/3; classes A = all-0, B =
+    // all-1 (EMD 0.5 each), C = one of each (EMD 0)
+    val df = Seq(("A", 0), ("A", 0), ("B", 1), ("B", 1), ("C", 0), ("C", 1))
+      .toDF("qi", "s")
+    val out = Curation.tCloseness(df, Seq("qi"), "s", t = 0.3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out("A") == ((2L, 0.5, false)))
+    assert(out("B") == ((2L, 0.5, false)))
+    assert(out("C") == ((2L, 0.0, true)))
+    // single global value: EMD degenerates to 0 for every class
+    val one = Seq(("A", 7), ("B", 7)).toDF("qi", "s")
+    assert(Curation.tCloseness(one, Seq("qi"), "s", t = 0.1)
+      .collect().forall(r => r.getDouble(2) == 0.0 && r.getBoolean(3)))
+  }
+
   test("kAnonymize: l-diversity drops constant-sensitive groups") {
     val df = Seq(
       // group (a,x): 4 rows but ONE sensitive value -> fails l=2
