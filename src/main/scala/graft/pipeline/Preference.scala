@@ -104,13 +104,23 @@ object Preference {
    */
   def eloRatings(cmp: DataFrame, winnerCol: String, loserCol: String,
       periodCol: String, periods: Seq[String], kFactor: Double = 8.0,
-      initialRating: Double = 1500.0, maxItems: Int = 4096): DataFrame = {
-    val spark = cmp.sparkSession
+      initialRating: Double = 1500.0, maxItems: Int = 4096): DataFrame =
+    eloFromPairCounts(
+      cmp.groupBy(col(periodCol).cast("string").as("p"),
+          col(winnerCol).cast("string").as("i"),
+          col(loserCol).cast("string").as("j"))
+        .agg(count(lit(1)).as("c")),
+      periods, kFactor, initialRating, maxItems)
+
+  /** [[eloRatings]] from an already-aggregated (p, i, j, c) win-count
+    * frame — the entry the streaming ingest uses on its drained state. */
+  def eloFromPairCounts(pairCounts: DataFrame, periods: Seq[String],
+      kFactor: Double = 8.0, initialRating: Double = 1500.0,
+      maxItems: Int = 4096): DataFrame = {
+    val spark = pairCounts.sparkSession
     import spark.implicits._
-    val pw = cmp.groupBy(col(periodCol).cast("string").as("p"),
-        col(winnerCol).cast("string").as("i"),
-        col(loserCol).cast("string").as("j"))
-      .agg(count(lit(1)).as("c"))
+    val pw = pairCounts.select($"p".cast("string"), $"i".cast("string"),
+        $"j".cast("string"), $"c".cast("long"))
       .collect()
     val items = pw.flatMap(r => Seq(r.getString(1), r.getString(2)))
       .distinct.sorted

@@ -345,6 +345,14 @@ object FeedbackQueries {
         periods = eloPeriods, kFactor = 8.0, initialRating = 1500.0),
       Some(eloSql(kFactor = 8.0, init = 1500.0))),
 
+    // streaming Elo twin: per-(period, pair) counts accumulate as
+    // complete-mode state, the anchored fold runs on the drained counts —
+    // equal to the batch row, so the oracle is shared verbatim
+    "q_stream_elo_ratings" -> QueryDef(
+      (s, dir) => graft.streaming.PreferenceStream.eloIngest(
+        s, dir, periods = eloPeriods),
+      Some(eloSql(kFactor = 8.0, init = 1500.0))),
+
     // streaming twin: comparisons ingest as a stream-static join, the win
     // matrix accumulates as complete-mode state, and the fit runs on the
     // drained state — equal to the batch row, so the oracle is shared
