@@ -95,6 +95,12 @@ object GraftExtensions {
         require(args.length == 2, "jaro_winkler expects exactly 2 arguments")
         graft.functions.JaroWinkler(Cast(args(0), StringType), Cast(args(1), StringType))
       }),
+    ("lcs_len", new ExpressionInfo(classOf[GraftExtensions].getName, "lcs_len"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "lcs_len expects exactly 2 arguments")
+        graft.functions.LcsLen(Cast(args(0), ArrayType(StringType)),
+          Cast(args(1), ArrayType(StringType)))
+      }),
     // aggregate: the analyzer wraps the raw AggregateFunction like any
     // built-in (sum/avg), so GROUP BY ... logsumexp(x) just works
     ("logsumexp", new ExpressionInfo(classOf[GraftExtensions].getName, "logsumexp"),

@@ -56,7 +56,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(GraftExtensions.all.map(_._1) ==
       Seq("digamma", "trigamma", "lgamma", "log_add", "vec_dot",
         "word_ngrams", "shingles", "simhash60", "nfc_normalize",
-        "fold_accents", "porter_stem", "jaro_winkler", "logsumexp"))
+        "fold_accents", "porter_stem", "jaro_winkler", "lcs_len",
+        "logsumexp"))
+  }
+
+  test("lcs_len is callable from SQL over token arrays") {
+    GraftExtensions.register(spark)
+    val out = spark.sql(
+      "SELECT lcs_len(array('a','b','a','c'), array('b','a','b','a')) AS l, " +
+        "lcs_len(array('x'), array()) AS z").head()
+    assert(out.getLong(0) == 3L && out.getLong(1) == 0L)
   }
 
   test("jaro_winkler is callable from SQL with the byte-level kernel") {
