@@ -163,6 +163,120 @@ object Preference {
       .orderBy($"rank")
   }
 
+  private def r12(x: Double): Double =
+    BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Glicko's q constant, ln(10)/400 — written exactly as the SQL replay
+    * computes it so both engines share the double. */
+  private val GlickoQ: Double = math.log(10.0) / 400.0
+
+  /** One player's Glicko-1 period update (Glickman 1999, steps 2a-2b)
+    * from period-start (r, rd) and the aggregated opponent list
+    * (rj, rdj, s, count). Anchors: g and E at 10dp, the d² terms at 12dp
+    * and the delta terms at 10dp summed as exact decimals, the outputs at
+    * 10dp. No games → unchanged (the caller applies the RD drift). */
+  private[graft] def glickoStep(r: Double, rd: Double,
+      games: Seq[(Double, Double, Double, Long)]): (Double, Double) = {
+    if (games.isEmpty) return (r, rd)
+    val q = GlickoQ
+    var d2inv = BigDecimal(0)
+    var delta = BigDecimal(0)
+    games.foreach { case (rj, rdj, s, c) =>
+      val g = r10(1.0 / math.sqrt(
+        1.0 + 3.0 * q * q * rdj * rdj / (math.Pi * math.Pi)))
+      val e = r10(1.0 / (1.0 + math.pow(10.0, -g * (r - rj) / 400.0)))
+      d2inv += BigDecimal(r12(c * q * q * g * g * e * (1.0 - e)))
+      delta += BigDecimal(r10(c * g * (s - e)))
+    }
+    val denom = r12(1.0 / (rd * rd) + d2inv.toDouble)
+    (r10(r + q / denom * delta.toDouble),
+      r10(math.sqrt(1.0 / denom)))
+  }
+
+  /**
+   * Glicko-1 ratings (Glickman 1999) — the rating system DEFINED on
+   * rating periods, so unlike Elo no batching approximation is involved:
+   * each period drifts every player's deviation
+   * (RD ← min(√(RD²+c²), RD₀)), then updates (r, RD) from that period's
+   * games against period-START opponent parameters. Low-RD ratings are
+   * trustworthy; high-RD players moved fast — the uncertainty signal Elo
+   * lacks, which is what a comparison-data pipeline wants before trusting
+   * a preference ranking.
+   *
+   * Same scale posture as [[eloRatings]]: ONE distributed aggregate to
+   * per-period pair counts, a guarded driver fold over the bounded
+   * frame, every handoff anchored so the per-period SQL replay lands on
+   * identical digits. Returns (item, rating 6dp, rd 6dp, games, rank).
+   */
+  def glickoRatings(cmp: DataFrame, winnerCol: String, loserCol: String,
+      periodCol: String, periods: Seq[String], c: Double = 63.2,
+      initialRating: Double = 1500.0, initialRd: Double = 350.0,
+      maxItems: Int = 4096): DataFrame =
+    glickoFromPairCounts(
+      cmp.groupBy(col(periodCol).cast("string").as("p"),
+          col(winnerCol).cast("string").as("i"),
+          col(loserCol).cast("string").as("j"))
+        .agg(count(lit(1)).as("c")),
+      periods, c, initialRating, initialRd, maxItems)
+
+  /** [[glickoRatings]] from an already-aggregated (p, i, j, c) frame. */
+  def glickoFromPairCounts(pairCounts: DataFrame, periods: Seq[String],
+      c: Double = 63.2, initialRating: Double = 1500.0,
+      initialRd: Double = 350.0, maxItems: Int = 4096): DataFrame = {
+    val spark = pairCounts.sparkSession
+    import spark.implicits._
+    val pw = pairCounts.select($"p".cast("string"), $"i".cast("string"),
+        $"j".cast("string"), $"c".cast("long"))
+      .collect()
+    val items = pw.flatMap(r => Seq(r.getString(1), r.getString(2)))
+      .distinct.sorted
+    require(items.nonEmpty, "glickoRatings: no comparisons")
+    require(items.length <= maxItems,
+      s"glickoRatings: ${items.length} items exceeds maxItems=$maxItems — " +
+        "aggregate comparisons to a bounded item key before fitting")
+    val badPeriods = pw.map(_.getString(0)).distinct.filterNot(periods.contains)
+    require(badPeriods.isEmpty,
+      s"glickoRatings: periods ${badPeriods.mkString(",")} not in the declared grid")
+
+    val byPeriod = pw.groupBy(_.getString(0))
+    var state = items.map(_ -> (r10(initialRating), r10(initialRd))).toMap
+    val gamesPlayed = collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for (p <- periods) {
+      // step 1: deviation drift toward (capped at) the initial RD
+      val drifted = state.map { case (i, (r, rd)) =>
+        i -> (r, r10(math.min(math.sqrt(rd * rd + c * c), initialRd)))
+      }
+      // step 2: per-player updates against period-start opponent params
+      val rows = byPeriod.getOrElse(p, Array.empty)
+      val opp = collection.mutable.Map
+        .empty[String, List[(Double, Double, Double, Long)]]
+        .withDefaultValue(Nil)
+      rows.foreach { row =>
+        val (i, j, n) = (row.getString(1), row.getString(2), row.getLong(3))
+        val (ri, rdi) = drifted(i)
+        val (rj, rdj) = drifted(j)
+        opp(i) = (rj, rdj, 1.0, n) :: opp(i)
+        opp(j) = (ri, rdi, 0.0, n) :: opp(j)
+        gamesPlayed(i) += n; gamesPlayed(j) += n
+      }
+      state = drifted.map { case (i, (r, rd)) =>
+        i -> glickoStep(r, rd, opp(i))
+      }
+    }
+    val out = items.map { i =>
+      val (r, rd) = state(i)
+      (i,
+        BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(rd).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        gamesPlayed(i))
+    }.sortBy { case (i, r, _, _) => (-r, i) }.zipWithIndex
+      .map { case ((i, r, rd, g), k) => (i, r, rd, g, k + 1) }
+    spark.createDataFrame(out.toIndexedSeq)
+      .toDF("item", "rating", "rd", "games", "rank")
+      .orderBy($"rank")
+  }
+
   /**
    * Transitivity screen: build the majority digraph (edge i→j when i
    * beats j strictly more often than j beats i; ties drop the pair) and

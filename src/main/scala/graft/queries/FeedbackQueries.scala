@@ -144,6 +144,92 @@ object FeedbackQueries {
     sb.toString
   }
 
+  /** Unrolled per-period Glicko-1 replay (mirrors
+    * [[graft.pipeline.Preference.glickoRatings]] handoff-for-handoff:
+    * RD drift at 10dp, g and E at 10dp against period-start opponent
+    * params, d² terms at 12dp / delta terms at 10dp summed as exact
+    * DECIMALs, the denominator re-anchored at 12dp, outputs at 10dp).
+    * `q` is written as ln(10)/400 in BOTH engines so they share the
+    * double; c² and RD₀ are interpolated as round-tripping literals. */
+  private def glickoSql(c: Double, init: Double, initRd: Double): String = {
+    val q = "(ln(10) / 400)"
+    val q2 = s"($q * $q)"
+    val c2 = c * c
+    val sb = new StringBuilder(
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |cmp AS (
+        |  SELECT CAST(year(o.o_orderdate) AS VARCHAR) AS p,
+        |    CASE WHEN a.l_extendedprice > b.l_extendedprice THEN a.p_brand
+        |         WHEN b.l_extendedprice > a.l_extendedprice THEN b.p_brand
+        |         WHEN a.p_brand < b.p_brand THEN a.p_brand ELSE b.p_brand END AS w,
+        |    CASE WHEN a.l_extendedprice > b.l_extendedprice THEN b.p_brand
+        |         WHEN b.l_extendedprice > a.l_extendedprice THEN a.p_brand
+        |         WHEN a.p_brand < b.p_brand THEN b.p_brand ELSE a.p_brand END AS l
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+        |  JOIN orders o ON o.o_orderkey = a.l_orderkey
+        |  WHERE a.p_brand <> b.p_brand),
+        |pw AS MATERIALIZED (SELECT p, w AS i, l AS j, count(*) AS c
+        |                    FROM cmp GROUP BY 1, 2, 3),
+        |items AS MATERIALIZED (SELECT DISTINCT i FROM
+        |  (SELECT i FROM pw UNION ALL SELECT j AS i FROM pw)),
+        |gm AS MATERIALIZED (SELECT item, CAST(sum(c) AS BIGINT) AS games FROM
+        |  (SELECT i AS item, c FROM pw UNION ALL SELECT j AS item, c FROM pw)
+        |  GROUP BY 1),""".stripMargin)
+    sb.append(s"""
+      |g0 AS MATERIALIZED (
+      |  SELECT i AS item, round(CAST($init AS DOUBLE), 10) AS r,
+      |         round(CAST($initRd AS DOUBLE), 10) AS rd
+      |  FROM items)""".stripMargin)
+    eloPeriods.zipWithIndex.foreach { case (p, k0) =>
+      val k = k0 + 1
+      sb.append(s""",
+        |s$k AS MATERIALIZED (
+        |  SELECT item, r,
+        |         round(least(sqrt(rd * rd + $c2), $initRd), 10) AS rd
+        |  FROM g${k - 1}),
+        |t$k AS MATERIALIZED (
+        |  SELECT item, sum(CAST(di AS DECIMAL(30, 12))) AS d2inv,
+        |         sum(CAST(dl AS DECIMAL(28, 10))) AS delta
+        |  FROM (
+        |    SELECT item, round(c * $q2 * g * g * e * (1 - e), 12) AS di,
+        |           round(c * g * (s - e), 10) AS dl
+        |    FROM (
+        |      SELECT item, c, s, g,
+        |             round(1 / (1 + pow(10, -g * (ri - rj) / 400.0)), 10) AS e
+        |      FROM (
+        |        SELECT pw.i AS item, pw.c, 1.0 AS s, si.r AS ri, sj.r AS rj,
+        |          round(1 / sqrt(1 + 3 * $q2 * sj.rd * sj.rd / (pi() * pi())), 10) AS g
+        |        FROM pw JOIN s$k si ON si.item = pw.i
+        |                JOIN s$k sj ON sj.item = pw.j
+        |        WHERE pw.p = '$p'
+        |        UNION ALL
+        |        SELECT pw.j AS item, pw.c, 0.0 AS s, sj.r AS ri, si.r AS rj,
+        |          round(1 / sqrt(1 + 3 * $q2 * si.rd * si.rd / (pi() * pi())), 10) AS g
+        |        FROM pw JOIN s$k si ON si.item = pw.i
+        |                JOIN s$k sj ON sj.item = pw.j
+        |        WHERE pw.p = '$p'))) GROUP BY 1),
+        |g$k AS MATERIALIZED (
+        |  SELECT s.item,
+        |    CASE WHEN t.item IS NULL THEN s.r
+        |         ELSE round(s.r + $q
+        |           / round(1.0 / (s.rd * s.rd) + CAST(t.d2inv AS DOUBLE), 12)
+        |           * CAST(t.delta AS DOUBLE), 10) END AS r,
+        |    CASE WHEN t.item IS NULL THEN s.rd
+        |         ELSE round(sqrt(1.0
+        |           / round(1.0 / (s.rd * s.rd) + CAST(t.d2inv AS DOUBLE), 12)), 10)
+        |         END AS rd
+        |  FROM s$k s LEFT JOIN t$k t ON t.item = s.item)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT g.item, round(g.r, 6) AS rating, round(g.rd, 6) AS rd, gm.games,
+      |  CAST(row_number() OVER (ORDER BY round(g.r, 6) DESC, g.item) AS INT) AS rank
+      |FROM g${eloPeriods.size} g JOIN gm ON gm.item = g.item ORDER BY rank""".stripMargin)
+    sb.toString
+  }
+
   /** Unrolled anchored Bradley–Terry MM replay (mirrors
     * [[graft.pipeline.Preference.bradleyTerry]] handoff-for-handoff). */
   private def bradleyTerrySql(iters: Int): String = {
@@ -344,6 +430,16 @@ object FeedbackQueries {
         brandComparisonsDated(s, dir), "w", "l", "period",
         periods = eloPeriods, kFactor = 8.0, initialRating = 1500.0),
       Some(eloSql(kFactor = 8.0, init = 1500.0))),
+
+    // Glicko-1 over the same dated comparisons: the rating system DEFINED
+    // on rating periods (no batching approximation) — RD drift, then
+    // (r, RD) updates against period-start opponent params; the anchored
+    // trajectory unrolls period-by-period with exact-decimal term sums
+    "q_glicko_ratings" -> QueryDef(
+      (s, dir) => graft.pipeline.Preference.glickoRatings(
+        brandComparisonsDated(s, dir), "w", "l", "period",
+        periods = eloPeriods, c = 63.2),
+      Some(glickoSql(c = 63.2, init = 1500.0, initRd = 350.0))),
 
     // streaming Elo twin: per-(period, pair) counts accumulate as
     // complete-mode state, the anchored fold runs on the drained counts —

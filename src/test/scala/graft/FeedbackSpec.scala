@@ -103,6 +103,33 @@ class FeedbackSpec extends SparkSpec {
     assert(err.getMessage.contains("not in the declared grid"))
   }
 
+  test("glickoStep reproduces Glickman (1999)'s worked example") {
+    // player r=1500 RD=200 vs (1400, 30, win), (1550, 100, loss),
+    // (1700, 300, loss) -> r' ~= 1464.1, RD' ~= 151.4 (paper, section 3)
+    val (r, rd) = Preference.glickoStep(1500.0, 200.0, Seq(
+      (1400.0, 30.0, 1.0, 1L), (1550.0, 100.0, 0.0, 1L),
+      (1700.0, 300.0, 0.0, 1L)))
+    assert(math.abs(r - 1464.1) < 0.1, s"rating was $r")
+    assert(math.abs(rd - 151.4) < 0.1, s"rd was $rd")
+  }
+
+  test("glickoRatings: winners rise with shrinking RD, idle players drift") {
+    val cmp = Seq(("a", "b", "p1"), ("a", "b", "p1"), ("a", "c", "p1"))
+      .toDF("w", "l", "period")
+    val fit = Preference.glickoRatings(cmp, "w", "l", "period",
+      periods = Seq("p1", "p2"), c = 63.2).collect()
+    val m = fit.map(r => r.getString(0) ->
+      (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getInt(4))).toMap
+    assert(m("a")._1 > 1500.0 && m("b")._1 < 1500.0 && m("c")._1 < 1500.0)
+    assert(m("a")._4 == 1) // undefeated -> rank 1
+    // everyone played in p1, so RD fell below the 350 start; the idle p2
+    // drifts it back up but the c=63.2 drift cannot reach 350 in one period
+    assert(fit.forall(r => r.getDouble(2) < 350.0))
+    // b lost twice (more evidence) -> tighter RD than c's single game
+    assert(m("b")._2 < m("c")._2)
+    assert(m("a")._3 == 3 && m("b")._3 == 2 && m("c")._3 == 1)
+  }
+
   test("eloRatings: period batching is order-free within a period") {
     // 3 items, all comparisons in ONE period: expected scores all use the
     // period-start (equal) ratings, so each item's rating depends only on
