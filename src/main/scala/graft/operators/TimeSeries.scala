@@ -472,4 +472,107 @@ object TimeSeries {
       .select($"key".as(keyCol), $"ts".as(tsCol), $"id".as(idCol),
         $"v".as(valCol), $"level", $"trend", $"forecast")
   }
+
+  /** Per-(key, ts) 6dp-anchored series: duplicate timestamps collapse to
+    * their mean first (Mann–Kendall and Theil–Sen assume distinct times),
+    * and the 6dp anchor makes tie detection and pair signs engine-exact. */
+  private def dailySeries(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.groupBy(col(keyCol).as("__k"), col(tsCol).as("__t"))
+      .agg(round(avg(col(valCol).cast("double")), 6).as("__v"))
+  }
+
+  /**
+   * Mann–Kendall trend test per key (Mann 1945, Kendall 1975): the
+   * nonparametric monotone-trend detector a metric pipeline runs before
+   * trusting "the score is drifting up". S = Σ_{i<j} sign(v_j − v_i)
+   * over time-ordered pairs, tie-corrected variance
+   * Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18, and the
+   * continuity-corrected z. Duplicate timestamps collapse to their mean
+   * first; S and the tie counts are exact integers (signs are taken on
+   * 6dp-anchored values, so engines can't disagree at a tie boundary).
+   * Returns (key, n, s, var_s 4dp, z 4dp, trend at the two-sided 5%
+   * level: increasing / decreasing / no_trend).
+   *
+   * Contract (like behaviorSimilarity): feed per-key SERIES-sized data —
+   * the pair join is per-key quadratic by definition of S; the join
+   * stays keyed, so keys parallelize.
+   */
+  def mannKendall(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val s = dailySeries(df, keyCol, tsCol, valCol)
+    val pairs = s.as("a").join(s.as("b"),
+        $"a.__k" === $"b.__k" && $"a.__t" < $"b.__t")
+      .groupBy($"a.__k".as("__k"))
+      .agg(sum(signum($"b.__v" - $"a.__v").cast("long")).as("__s"))
+    val nn = s.groupBy($"__k").agg(count(lit(1)).as("__n"))
+    val ties = s.groupBy($"__k", $"__v").agg(count(lit(1)).as("__t"))
+      .groupBy($"__k")
+      .agg(sum($"__t" * ($"__t" - 1) * (lit(2) * $"__t" + 5)).as("__tt"))
+    nn.join(pairs, Seq("__k"), "left").join(ties, Seq("__k"))
+      .select($"__k", $"__n", coalesce($"__s", lit(0L)).as("__s"), $"__tt")
+      .withColumn("__var",
+        ($"__n" * ($"__n" - 1) * (lit(2) * $"__n" + 5) - $"__tt")
+          .cast("double") / 18.0)
+      .withColumn("__z", round(
+        when($"__s" > 0, ($"__s" - 1).cast("double") / sqrt($"__var"))
+          .when($"__s" < 0, ($"__s" + 1).cast("double") / sqrt($"__var"))
+          .otherwise(lit(0.0)), 4))
+      .select($"__k".as(keyCol), $"__n".as("n"), $"__s".as("s"),
+        round($"__var", 4).as("var_s"), $"__z".as("z"),
+        when($"__z" > 1.96, "increasing")
+          .when($"__z" < -1.96, "decreasing")
+          .otherwise("no_trend").as("trend"))
+  }
+
+  /**
+   * Theil–Sen robust slope per key (Theil 1950, Sen 1968): the median of
+   * all pairwise slopes (v_j − v_i)/(x_j − x_i) over time-ordered pairs —
+   * a 29%-breakdown alternative to the OLS `regr_slope`, immune to the
+   * outlier days that wreck a least-squares trend. The intercept is the
+   * median of v − slope·x (Sen's convention). Medians use the
+   * deterministic order-statistic convention (mean of the two middle
+   * values when even), slopes anchored at 10dp so the median VALUE is
+   * engine-exact. `xCol` must be numeric (cast dates to day numbers
+   * upstream). Returns (key, n, n_pairs, slope 6dp, intercept 6dp).
+   * Same per-key-quadratic contract as [[mannKendall]].
+   */
+  def theilSen(df: DataFrame, keyCol: String, xCol: String,
+      valCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val s = dailySeries(df, keyCol, xCol, valCol)
+      .select($"__k", $"__t".cast("double").as("__x"), $"__v")
+    val slopes = s.as("a").join(s.as("b"),
+        $"a.__k" === $"b.__k" && $"a.__x" < $"b.__x")
+      .select($"a.__k".as("__k"),
+        round(($"b.__v" - $"a.__v") / ($"b.__x" - $"a.__x"), 10).as("__sl"))
+    val slope = medianBy(slopes, "__k", "__sl").withColumnRenamed("__med", "__slope")
+    val resid = s.join(slope, "__k")
+      .select($"__k", $"__slope",
+        round($"__v" - $"__slope" * $"__x", 10).as("__r"))
+    val icept = medianBy(resid, "__k", "__r").withColumnRenamed("__med", "__icept")
+    val nn = s.groupBy($"__k").agg(count(lit(1)).as("n"))
+    val np = slopes.groupBy($"__k").agg(count(lit(1)).as("n_pairs"))
+    nn.join(np, Seq("__k"), "left").join(slope, "__k").join(icept, "__k")
+      .select($"__k".as(keyCol), $"n",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        round($"__slope", 6).as("slope"), round($"__icept", 6).as("intercept"))
+  }
+
+  /** Deterministic per-key median: mean of the two middle order
+    * statistics (rank by value, ties by nothing — equal values make the
+    * tie-break irrelevant to the median VALUE). Keyed windows only. */
+  private def medianBy(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(valCol))
+    df.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .filter($"__rn" === (($"__m" + 1) / 2).cast("long") ||
+        $"__rn" === ($"__m" / 2).cast("long") + 1)
+      .groupBy(col(keyCol)).agg(avg(col(valCol)).as("__med"))
+  }
 }

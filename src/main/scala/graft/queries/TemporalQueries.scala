@@ -12,6 +12,82 @@ object TemporalQueries {
   val defs: Map[String, QueryDef] = Map(
 
     // calendar reindex + forward fill: each user's daily purchase spend
+    // Mann-Kendall monotone-trend test per event type over the daily mean
+    // series: S and the tie counts are exact integers on 6dp-anchored
+    // values, the tie-corrected variance and continuity-corrected z close
+    // it out — the drift detector run before trusting a metric trend
+    "q_mann_kendall_trend" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.mannKendall(
+          Registry.events(s, dir)
+            .select($"event_type", to_date($"ts").as("day"), $"value"),
+          "event_type", "day", "value")
+          .orderBy($"event_type")
+      },
+      Some("""WITH s AS (
+             |  SELECT event_type AS k, CAST(ts AS DATE) AS t,
+             |         round(avg(value), 6) AS v
+             |  FROM events GROUP BY 1, 2),
+             |p AS (
+             |  SELECT a.k, CAST(sum(CAST(sign(b.v - a.v) AS BIGINT)) AS BIGINT) AS s
+             |  FROM s a JOIN s b ON a.k = b.k AND a.t < b.t GROUP BY 1),
+             |n AS (SELECT k, count(*) AS n FROM s GROUP BY 1),
+             |tt AS (SELECT k, sum(t0 * (t0 - 1) * (2 * t0 + 5)) AS tt FROM (
+             |  SELECT k, v, count(*) AS t0 FROM s GROUP BY 1, 2) GROUP BY 1),
+             |j AS (
+             |  SELECT n.k, n.n, coalesce(p.s, 0) AS s,
+             |    (n.n * (n.n - 1) * (2 * n.n + 5) - tt.tt) / 18.0 AS var
+             |  FROM n LEFT JOIN p ON p.k = n.k JOIN tt ON tt.k = n.k),
+             |z AS (SELECT k, n, s, round(var, 4) AS var_s,
+             |  round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var)
+             |             WHEN s < 0 THEN (s + 1) / sqrt(var)
+             |             ELSE 0 END, 4) AS z FROM j)
+             |SELECT k AS event_type, n, s, var_s, z,
+             |  CASE WHEN z > 1.96 THEN 'increasing'
+             |       WHEN z < -1.96 THEN 'decreasing'
+             |       ELSE 'no_trend' END AS trend
+             |FROM z ORDER BY event_type""".stripMargin)),
+
+    // Theil-Sen robust slope per event type: median of all pairwise
+    // slopes (10dp-anchored) with the deterministic two-middle median,
+    // Sen's median-residual intercept — the outlier-immune trend the OLS
+    // regr_slope row can't give
+    "q_theil_sen" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.theilSen(
+          Registry.events(s, dir)
+            .select($"event_type",
+              datediff(to_date($"ts"), lit("1970-01-01")).as("x"), $"value"),
+          "event_type", "x", "value")
+          .orderBy($"event_type")
+      },
+      Some("""WITH s AS (
+             |  SELECT event_type AS k,
+             |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE) AS x,
+             |    round(avg(value), 6) AS v
+             |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+             |sl AS (SELECT a.k, round((b.v - a.v) / (b.x - a.x), 10) AS sl
+             |       FROM s a JOIN s b ON a.k = b.k AND a.x < b.x),
+             |med1 AS (SELECT k, avg(sl) AS slope FROM (
+             |  SELECT k, sl, row_number() OVER (PARTITION BY k ORDER BY sl) AS rn,
+             |         count(*) OVER (PARTITION BY k) AS m FROM sl)
+             |  WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY k),
+             |res AS (SELECT s.k, round(v - slope * x, 10) AS r
+             |        FROM s JOIN med1 ON med1.k = s.k),
+             |med2 AS (SELECT k, avg(r) AS icept FROM (
+             |  SELECT k, r, row_number() OVER (PARTITION BY k ORDER BY r) AS rn,
+             |         count(*) OVER (PARTITION BY k) AS m FROM res)
+             |  WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY k),
+             |n AS (SELECT k, count(*) AS n FROM s GROUP BY 1),
+             |np AS (SELECT k, count(*) AS n_pairs FROM sl GROUP BY 1)
+             |SELECT n.k AS event_type, n.n, coalesce(np.n_pairs, 0) AS n_pairs,
+             |  round(slope, 6) AS slope, round(icept, 6) AS intercept
+             |FROM n LEFT JOIN np ON np.k = n.k
+             |JOIN med1 ON med1.k = n.k JOIN med2 ON med2.k = n.k
+             |ORDER BY event_type""".stripMargin)),
+
     // regularized onto their full [first, last] day spine — gap days carry
     // the last observed value with observed=false; the oracle replays the
     // spine (generate_series) and the fill (last_value IGNORE NULLS)

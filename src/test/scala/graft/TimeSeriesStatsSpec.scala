@@ -365,4 +365,36 @@ class TimeSeriesStatsSpec extends SparkSpec {
     val c = Seq((1, 9), (2, 8), (3, 7)).toDF("x", "y")
     assert(Profiling.spearman(c, "x", "y").collect().head.getDouble(1) == -1.0)
   }
+
+  test("mannKendall: monotone series detected, constant series is no_trend") {
+    val up = (1 to 10).map(i => ("up", i, i.toDouble))
+    val flat = (1 to 10).map(i => ("flat", i, 5.0))
+    val df = (up ++ flat).toDF("k", "t", "v")
+    val out = TimeSeries.mannKendall(df, "k", "t", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getString(5))).toMap
+    // strictly increasing: S = C(10,2) = 45, Var = 10*9*25/18 = 125,
+    // z = 44/sqrt(125) = 3.9355
+    assert(out("up") == ((10L, 45L, 125.0, 3.9355, "increasing")))
+    // all tied: S = 0, tie correction kills the variance, z = 0
+    assert(out("flat") == ((10L, 0L, 0.0, 0.0, "no_trend")))
+  }
+
+  test("mannKendall collapses duplicate timestamps to their mean first") {
+    val df = Seq(("k", 1, 0.0), ("k", 1, 2.0), ("k", 2, 5.0))
+      .toDF("k", "t", "v") // day 1 mean = 1.0 < 5.0 -> S = +1 over 2 points
+    val r = TimeSeries.mannKendall(df, "k", "t", "v").head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 1L)
+  }
+
+  test("theilSen: slope and intercept immune to a single outlier") {
+    // five points on y = 2x + 1 plus one wild outlier
+    val df = (Seq.tabulate(5)(i => ("k", i + 1, 2.0 * (i + 1) + 1.0)) :+
+      (("k", 6, 500.0))).toDF("k", "x", "v")
+    val r = TimeSeries.theilSen(df, "k", "x", "v").head()
+    assert(r.getLong(1) == 6L && r.getLong(2) == 15L)
+    assert(r.getDouble(3) == 2.0, s"slope was ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 1.0, s"intercept was ${r.getDouble(4)}")
+  }
 }
