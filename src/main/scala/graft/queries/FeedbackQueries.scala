@@ -439,7 +439,8 @@ object FeedbackQueries {
       (s, dir) => graft.pipeline.Preference.glickoRatings(
         brandComparisonsDated(s, dir), "w", "l", "period",
         periods = eloPeriods, c = 63.2),
-      Some(glickoSql(c = 63.2, init = 1500.0, initRd = 350.0))),
+      Some(glickoSql(c = 63.2, init = 1500.0, initRd = 350.0)),
+      bench = true), // timed: the dated pair join + per-period fold
 
     // streaming Elo twin: per-(period, pair) counts accumulate as
     // complete-mode state, the anchored fold runs on the drained counts —

@@ -622,7 +622,8 @@ object PipelineQueries {
         |  round(shared / least(na.nf, nb.nf), 6) AS overlap
         |FROM pairs JOIN nf na ON na.doc_id = doc_a
         |JOIN nf nb ON nb.doc_id = doc_b
-        |ORDER BY doc_a, doc_b""".stripMargin)),
+        |ORDER BY doc_a, doc_b""".stripMargin),
+      bench = true), // timed: window-start explode + struct-min agg + hash join
 
     // planted near-duplicates make this check non-vacuous: vec_id < 20 get a
     // ×2-scaled copy at id+100000 (scaling preserves every hyperplane sign →
