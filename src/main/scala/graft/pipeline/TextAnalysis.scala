@@ -130,6 +130,57 @@ object TextAnalysis {
       .drop(langs.map(l => s"score_$l"): _*)
   }
 
+  /**
+   * Code-switching detection: [[languageId]]'s function-word heuristic
+   * applied per fixed-width token WINDOW, with adjacent same-language
+   * windows merged into spans (gaps-and-islands) — the pass that splits
+   * a mixed-language crawl page into monolingual training segments
+   * instead of mislabeling the whole document. Window hits are exact
+   * integers (argmax ties go to the alphabetically first language, like
+   * the doc-level scorer), so the replay is engine-exact.
+   *
+   * Returns (doc_id, span_idx 1-based, lang, start_tok, end_tok,
+   * n_windows): 0-based inclusive token offsets. Scale: one doc-keyed
+   * aggregate over (doc, window) cells plus a doc-partitioned islands
+   * window — nothing global.
+   */
+  def languageSpans(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 20): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val langs = LangProfiles.keys.filter(l => LangProfiles(l).nonEmpty).toSeq.sorted
+    val toks = df.select(col(idCol).as("__id"),
+      posexplode(wsTokens(lower(col(textCol)))).as(Seq("__i", "__t")))
+    val hitCols = langs.map(l =>
+      sum(when($"__t".isin(LangProfiles(l): _*), 1L).otherwise(0L))
+        .as(s"__h_$l"))
+    val aggs = Seq(min($"__i").as("__s0"), max($"__i").as("__e0")) ++ hitCols
+    val scored = toks
+      .withColumn("__w", ($"__i" / window).cast("long"))
+      .groupBy($"__id", $"__w")
+      .agg(aggs.head, aggs.tail: _*)
+    val best = langs.foldLeft(
+      struct(lit(0L).as("h"), lit("und").as("l"))) { (acc, lang) =>
+      when(col(s"__h_$lang") > acc.getField("h"),
+        struct(col(s"__h_$lang").as("h"), lit(lang).as("l"))).otherwise(acc)
+    }
+    val w = W.partitionBy($"__id").orderBy($"__w")
+    scored.withColumn("__lang", best.getField("l"))
+      .withColumn("__brk",
+        when(lag($"__lang", 1).over(w) === $"__lang", 0L).otherwise(1L))
+      .withColumn("__g", sum($"__brk").over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .groupBy($"__id", $"__g")
+      .agg(min($"__lang").as("lang"),
+        min($"__s0").cast("long").as("start_tok"),
+        max($"__e0").cast("long").as("end_tok"),
+        count(lit(1)).as("n_windows"))
+      .select($"__id".as(idCol), $"__g".cast("int").as("span_idx"),
+        $"lang", $"start_tok", $"end_tok", $"n_windows")
+  }
+
   /** Content fingerprint for exact/near-exact grouping: md5 of the
     * whitespace-normalized lowercased text (portable across engines). */
   def fingerprint(text: Column): Column =

@@ -1928,6 +1928,60 @@ object PipelineQueries {
              |  END AS flesch
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // code-switching spans: every 11th doc gets a 30-token French
+    // function-word block appended, so the windowed scorer must split it
+    // into an English span followed by a French span; integer window hits
+    // and the islands merge replay exactly
+    "q_language_spans" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val planted = t(s, dir, "documents").select($"doc_id",
+          when($"doc_id" % 11 === 0, concat($"text",
+            lit(" le la les et est une pour dans que pas" * 3)))
+            .otherwise($"text").as("text"))
+        TextAnalysis.languageSpans(planted, "doc_id", "text", window = 20)
+          .orderBy($"doc_id", $"span_idx")
+      },
+      Some(s"""WITH planted AS (
+             |  SELECT doc_id, CASE WHEN doc_id % 11 = 0
+             |    THEN text || '${" le la les et est une pour dans que pas" * 3}'
+             |    ELSE text END AS text
+             |  FROM documents),
+             |tok AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t,
+             |    generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) - 1 AS i
+             |  FROM planted),
+             |sc AS (
+             |  SELECT doc_id, i // 20 AS w, min(i) AS s0, max(i) AS e0,
+             |    ${TextAnalysis.LangProfiles.filter(_._2.nonEmpty).keys.toSeq.sorted.map { l =>
+                    val words = TextAnalysis.LangProfiles(l).map(w => s"'$w'").mkString("[", ", ", "]")
+                    s"sum(CASE WHEN list_contains($words, t) THEN 1 ELSE 0 END) AS h_$l"
+                  }.mkString(",\n    ")}
+             |  FROM tok GROUP BY 1, 2),
+             |pred AS (
+             |  SELECT doc_id, w, s0, e0,
+             |    CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
+             |         WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+             |         WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+             |         WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+             |         ELSE 'fr' END AS lang
+             |  FROM sc),
+             |fl AS (
+             |  SELECT *, CASE WHEN lag(lang) OVER (PARTITION BY doc_id ORDER BY w) = lang
+             |                 THEN 0 ELSE 1 END AS brk
+             |  FROM pred),
+             |g AS (
+             |  SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY w
+             |                           ROWS UNBOUNDED PRECEDING) AS grp
+             |  FROM fl)
+             |SELECT doc_id, CAST(grp AS INT) AS span_idx, min(lang) AS lang,
+             |  CAST(min(s0) AS BIGINT) AS start_tok,
+             |  CAST(max(e0) AS BIGINT) AS end_tok,
+             |  count(*) AS n_windows
+             |FROM g GROUP BY doc_id, grp
+             |ORDER BY doc_id, span_idx""".stripMargin)),
+
     // the heuristic is pure ratio arithmetic — reproduced in SQL including
     // the fold's tie-break (first language in sorted order wins ties)
     "q_lang_id" -> QueryDef(

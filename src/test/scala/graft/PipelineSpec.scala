@@ -712,6 +712,22 @@ class PipelineSpec extends SparkSpec {
     assert(byDoc(5L).map(_._2).max == 3 && byDoc(5L).map(_._3).distinct.length == 1)
   }
 
+  test("languageSpans: splits a planted bilingual doc at the window seam") {
+    val en = Seq.fill(4)("the and of to in is that it for was").mkString(" ")
+    val fr = Seq.fill(4)("le la les et est une pour dans que pas").mkString(" ")
+    val df = Seq((1L, s"$en $fr"), (2L, en)).toDF("doc_id", "text")
+    val spans = graft.pipeline.TextAnalysis
+      .languageSpans(df, "doc_id", "text", window = 20)
+      .orderBy($"doc_id", $"span_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // doc 1: 40 en tokens then 40 fr tokens, window 20 -> two spans of
+    // two windows each, the seam exactly at token 40
+    assert(spans.filter(_._1 == 1L).toSeq ==
+      Seq((1L, 1, "en", 0L, 39L, 2L), (1L, 2, "fr", 40L, 79L, 2L)))
+    assert(spans.filter(_._1 == 2L).toSeq == Seq((2L, 1, "en", 0L, 39L, 2L)))
+  }
+
   test("winnowNearDups: planted clone pair found, disjoint docs absent") {
     val boiler = "every large corpus carries one widely pasted license header block"
     val docs = Seq(
