@@ -729,4 +729,70 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"shared",
         round($"shared" / least($"nfa", $"nfb"), 6).as("overlap"))
   }
+
+  /** Persistent winnowing reference index: the DISTINCT (id, gh)
+    * fingerprint set of a reference corpus plus the (k, w) parameters —
+    * the position-local counterpart of [[MinhashRefIndex]], for
+    * screening ingest batches for clones/plagiarized spans. */
+  case class WinnowRefIndex(fp: DataFrame, k: Int, w: Int)
+
+  /** One winnowing pass over the reference corpus → reusable index. */
+  def buildWinnowIndex(refDf: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): WinnowRefIndex = {
+    import refDf.sparkSession.implicits._
+    WinnowRefIndex(
+      winnowFingerprints(refDf, idCol, textCol, k, w)
+        .select($"doc_id".as("id"), $"gh").distinct(), k, w)
+  }
+
+  /** Persist / reload the winnow index (build once, screen many). */
+  def saveWinnowIndex(index: WinnowRefIndex, path: String): Unit = {
+    val spark = index.fp.sparkSession
+    import spark.implicits._
+    index.fp.write.mode("overwrite").parquet(s"$path/fp")
+    Seq((index.k, index.w)).toDF("k", "w")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  def loadWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): WinnowRefIndex = {
+    import spark.implicits._
+    val p = spark.read.parquet(s"$path/params")
+      .select($"k", $"w").as[(Int, Int)].head()
+    WinnowRefIndex(spark.read.parquet(s"$path/fp"), p._1, p._2)
+  }
+
+  /**
+   * Screen a new batch against the winnow index: the new side winnows
+   * with the INDEX's parameters, pairs join on fingerprint hash
+   * (cross-side only, hash-df capped on the reference side), and score
+   * by containment over distinct shared hashes — [[winnowNearDups]]'
+   * scoring with new×reference candidates only, so the union of
+   * per-micro-batch screens equals one whole-batch screen regardless of
+   * how the stream was chopped. Returns (new_id, ref_id, shared,
+   * overlap 6dp).
+   */
+  def screenAgainstWinnowIndex(index: WinnowRefIndex, newDf: DataFrame,
+      idCol: String, textCol: String, minShared: Long = 2L,
+      maxHashDf: Long = DefaultMaxGramDf): DataFrame = {
+    val spark = newDf.sparkSession
+    import spark.implicits._
+    val fpNew = winnowFingerprints(newDf, idCol, textCol, index.k, index.w)
+      .select($"doc_id".as("new_id"), $"gh").distinct()
+    val kept = index.fp.groupBy($"gh")
+      .agg(count(lit(1)).as("hdf"))
+      .filter($"hdf" <= maxHashDf)
+      .select($"gh")
+    val nfNew = fpNew.groupBy($"new_id").agg(count(lit(1)).as("nf_new"))
+    val nfRef = index.fp.groupBy($"id").agg(count(lit(1)).as("nf_ref"))
+    fpNew.join(kept, Seq("gh"), "left_semi")
+      .join(index.fp, "gh")
+      .groupBy($"new_id", $"id".as("ref_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter($"shared" >= minShared)
+      .join(nfNew, "new_id")
+      .join(nfRef.select($"id".as("ref_id"), $"nf_ref"), "ref_id")
+      .select($"new_id", $"ref_id", $"shared",
+        round($"shared" / least($"nf_new", $"nf_ref"), 6).as("overlap"))
+  }
 }

@@ -38,35 +38,92 @@ object PipelineQueries {
     * per doc (w=4; a short doc winnows as one window), per-window
     * struct-min with ties RIGHTMOST via the (gh, −pos) key — ends in
     * `fp` = (doc_id, pos, gh). */
+  /** Winnowing replay CTE chain over source relation `src` (must expose
+    * doc_id, text), all CTE names prefixed with `p` so two chains
+    * (reference + ingest side) coexist in one oracle — ends in `${p}fp`
+    * = (doc_id, pos, gh). */
+  private def winnowFpCtes(src: String, p: String): String =
+    s"""${p}tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok,
+      |    generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) AS i
+      |  FROM $src),
+      |${p}g5 AS (
+      |  SELECT doc_id, i,
+      |         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+      |             || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS g
+      |  FROM ${p}tok WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+      |${p}grams AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |         ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+      |  FROM ${p}g5 WHERE g IS NOT NULL),
+      |${p}ng AS (SELECT doc_id, count(*) AS ng FROM ${p}grams GROUP BY 1),
+      |${p}ws AS (SELECT doc_id, unnest(range(0, greatest(1, ng - 3))) AS s
+      |           FROM ${p}ng),
+      |${p}sel AS (
+      |  SELECT g.doc_id, w.s,
+      |         min(struct_pack(gh := g.gh, np := -g.pos)) AS m
+      |  FROM ${p}ws w JOIN ${p}grams g
+      |    ON g.doc_id = w.doc_id AND g.pos BETWEEN w.s AND w.s + 3
+      |  GROUP BY 1, 2),
+      |${p}fp AS (SELECT DISTINCT doc_id, -((m).np) AS pos, (m).gh AS gh
+      |           FROM ${p}sel)""".stripMargin
+
   private val winnowSqlBase =
     s"""WITH planted AS (
       |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
       |    THEN text || '${winnowPassage.replace("'", "''")}'
       |    ELSE text END AS text
       |  FROM documents),
-      |tok AS (
-      |  SELECT doc_id,
-      |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok,
-      |    generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) AS i
-      |  FROM planted),
-      |g5 AS (
-      |  SELECT doc_id, i,
-      |         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
-      |             || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS g
-      |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
-      |grams AS (
-      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-      |         ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
-      |  FROM g5 WHERE g IS NOT NULL),
-      |ng AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY 1),
-      |ws AS (SELECT doc_id, unnest(range(0, greatest(1, ng - 3))) AS s FROM ng),
-      |sel AS (
-      |  SELECT g.doc_id, w.s,
-      |         min(struct_pack(gh := g.gh, np := -g.pos)) AS m
-      |  FROM ws w JOIN grams g
-      |    ON g.doc_id = w.doc_id AND g.pos BETWEEN w.s AND w.s + 3
-      |  GROUP BY 1, 2),
-      |fp AS (SELECT DISTINCT doc_id, -((m).np) AS pos, (m).gh AS gh FROM sel)""".stripMargin
+      |""".stripMargin + winnowFpCtes("planted", "")
+
+  /** Ingest batch for the winnow screen: 30 lightly-edited clones of
+    * reference docs (suffix appended — near-dup, NOT exact) + 30 novel
+    * synthetic docs that fingerprint but match nothing. */
+  private[graft] def winnowIngestBatch(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    val clones = docs.filter($"doc_id" < 30)
+      .select(($"doc_id" + 700000).as("doc_id"),
+        concat($"text", lit(" a lightly edited clone tail appended")).as("text"))
+    val tri = concat(lit("zqx"), $"doc_id", lit(" wvu"), $"doc_id",
+      lit(" tsr"), $"doc_id")
+    val novel = docs.filter($"doc_id" >= 30 && $"doc_id" < 60)
+      .select(($"doc_id" + 700000).as("doc_id"),
+        concat(tri, lit(" "), tri, lit(" "), tri).as("text"))
+    clones.unionByName(novel)
+  }
+
+  /** Full replay of the winnow index screen: both sides' winnowing plus
+    * the cross-side pair join — shared by the batch lifecycle row and
+    * its streaming twin (their results are equal by construction). */
+  private val winnowScreenOracleSql: String =
+    """WITH newb AS (
+      |  SELECT doc_id + 700000 AS doc_id,
+      |         text || ' a lightly edited clone tail appended' AS text
+      |  FROM documents WHERE doc_id < 30
+      |  UNION ALL
+      |  SELECT doc_id + 700000 AS doc_id,
+      |         tri || ' ' || tri || ' ' || tri AS text
+      |  FROM (SELECT doc_id,
+      |          'zqx' || doc_id || ' wvu' || doc_id || ' tsr' || doc_id AS tri
+      |        FROM documents WHERE doc_id >= 30 AND doc_id < 60)),
+      |""".stripMargin +
+      winnowFpCtes("documents", "r") + ",\n" +
+      winnowFpCtes("newb", "n") + ",\n" +
+      """rf AS (SELECT DISTINCT doc_id, gh FROM rfp),
+      |nf2 AS (SELECT DISTINCT doc_id, gh FROM nfp),
+      |kept AS (SELECT gh FROM rf GROUP BY gh HAVING count(*) <= 100000),
+      |sr AS (SELECT doc_id, count(*) AS nf FROM rf GROUP BY 1),
+      |sn AS (SELECT doc_id, count(*) AS nf FROM nf2 GROUP BY 1),
+      |pairs AS (
+      |  SELECT n.doc_id AS new_id, r.doc_id AS ref_id, count(*) AS shared
+      |  FROM nf2 n JOIN kept k ON k.gh = n.gh JOIN rf r ON r.gh = n.gh
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT new_id, ref_id, shared,
+      |  round(shared / least(sn.nf, sr.nf), 6) AS overlap
+      |FROM pairs JOIN sn ON sn.doc_id = new_id JOIN sr ON sr.doc_id = ref_id
+      |ORDER BY new_id, ref_id""".stripMargin
 
   /** Shared oracle CTE chain for the bigram LM: token pairs with a BOS
     * context, bigram/context counts, vocab, and per-doc cross-entropy
@@ -624,6 +681,33 @@ object PipelineQueries {
         |JOIN nf nb ON nb.doc_id = doc_b
         |ORDER BY doc_a, doc_b""".stripMargin),
       bench = true), // timed: window-start explode + struct-min agg + hash join
+
+    // winnow index lifecycle: build on the reference corpus → save →
+    // reload → screen an ingest batch (30 lightly-edited clones + 30
+    // novel docs); candidates only cross new×reference, so the screen is
+    // micro-batch-invariant and the streaming twin shares this oracle
+    "q_winnow_index_screen" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val idx = Dedup.buildWinnowIndex(docs, "doc_id", "text")
+        val path = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_winnow_idx_${ProcessHandle.current().pid()}").toString
+        Dedup.saveWinnowIndex(idx, path)
+        Dedup.screenAgainstWinnowIndex(Dedup.loadWinnowIndex(s, path),
+            winnowIngestBatch(docs), "doc_id", "text", minShared = 2L)
+          .orderBy($"new_id", $"ref_id")
+      },
+      Some(winnowScreenOracleSql)),
+
+    // streaming twin: the same ingest batch as two parquet files consumed
+    // one per trigger, each micro-batch screened with the EXACT batch
+    // operator against the prebuilt index — union of per-batch results
+    // equals the one-shot screen, so the oracle is shared verbatim
+    "q_stream_winnow_screen" -> QueryDef(
+      (s, dir) => graft.streaming.DedupStream.winnowScreen(s, dir),
+      Some(winnowScreenOracleSql)),
 
     // planted near-duplicates make this check non-vacuous: vec_id < 20 get a
     // ×2-scaled copy at id+100000 (scaling preserves every hyperplane sign →

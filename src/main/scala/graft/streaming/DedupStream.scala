@@ -82,4 +82,49 @@ object DedupStream {
     q.stop()
     spark.read.parquet(out).orderBy($"new_id", $"ref_id")
   }
+
+  /**
+   * Winnow twin of [[incrementalScreen]]: the clone+novel ingest batch
+   * arrives as two files consumed one per trigger, each micro-batch
+   * screened against a prebuilt winnowing fingerprint index
+   * (`Dedup.screenAgainstWinnowIndex`). Candidates only ever cross
+   * new×reference, so the per-batch union equals the one-shot screen and
+   * the batch oracle applies unchanged.
+   */
+  def winnowScreen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val run = counter.incrementAndGet()
+    val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_winnow_stream_${ProcessHandle.current().pid()}_$run")
+    val incoming = base.resolve("incoming").toString
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val newBatch = graft.queries.PipelineQueries.winnowIngestBatch(docs)
+    newBatch.filter($"doc_id" % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(incoming)
+    newBatch.filter($"doc_id" % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(incoming)
+
+    val index = Dedup.buildWinnowIndex(docs, "doc_id", "text")
+    index.fp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val stream = spark.readStream
+      .schema(newBatch.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(incoming)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Dedup.screenAgainstWinnowIndex(index, batch, "doc_id", "text",
+          minShared = 2L)
+          .write.mode("append").parquet(out)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    index.fp.unpersist(blocking = false)
+    spark.read.parquet(out).orderBy($"new_id", $"ref_id")
+  }
 }
