@@ -144,6 +144,56 @@ object TextEval {
   }
 
   /**
+   * ROUGE-N per group (Lin 2004): corpus-level clipped n-gram overlap
+   * for each order n = 1..maxN — matches = Σ_segments Σ_grams
+   * min(cand_count, ref_count), recall over the reference gram total,
+   * precision over the candidate total, F1 from the 6dp-anchored P/R.
+   * The recall-oriented complement of [[corpusBleu]] (which only reports
+   * precision) — the standard summarization report alongside
+   * [[rougeL]]. Returns one row per (group, n).
+   *
+   * Scale: same shape as BLEU — each side explodes its own grams once,
+   * one segment+gram-keyed join for the clip, group×order-sized after.
+   */
+  def rougeN(df: DataFrame, idCol: String, groupCol: String,
+      candCol: String, refCol: String, maxN: Int = 2): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"rougeN: maxN must be 1..8, got $maxN")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).as("__id"), col(groupCol).as("__g"),
+      col(candCol).as("__c"), col(refCol).as("__r"))
+    def side(arr: Column): DataFrame = base
+      .select($"__id", $"__g", explode(flatten(array((1 to maxN).map(n =>
+        transform(ngr(arr, n),
+          g => struct(lit(n).as("n"), g.as("gram")))): _*))).as("t"))
+      .groupBy($"__id", $"__g", $"t.n".as("n"), $"t.gram".as("gram"))
+      .agg(count(lit(1)).as("__cnt"))
+    val cand = side($"__c")
+    val ref = side($"__r").withColumnRenamed("__cnt", "__rc")
+      .drop("__g")
+    val clip = cand.join(ref, Seq("__id", "n", "gram"))
+      .groupBy($"__g", $"n")
+      .agg(sum(least($"__cnt", $"__rc")).as("__m"))
+    val totals = base.select($"__g", explode(array((1 to maxN).map(n =>
+        struct(lit(n).as("n"),
+          greatest(size($"__c") - (n - 1), lit(0)).cast("long").as("tc"),
+          greatest(size($"__r") - (n - 1), lit(0)).cast("long").as("tr"))): _*))
+        .as("t"))
+      .groupBy($"__g", $"t.n".as("n"))
+      .agg(sum($"t.tc").as("__tc"), sum($"t.tr").as("__tr"))
+    totals.join(clip, Seq("__g", "n"), "left")
+      .select($"__g", $"n",
+        round(when($"__tc" > 0, coalesce($"__m", lit(0L)) / $"__tc")
+          .otherwise(lit(0.0)), 6).as("p"),
+        round(when($"__tr" > 0, coalesce($"__m", lit(0L)) / $"__tr")
+          .otherwise(lit(0.0)), 6).as("r"))
+      .withColumn("f", when($"p" + $"r" > 0,
+        round(lit(2.0) * $"p" * $"r" / ($"p" + $"r"), 6)).otherwise(lit(0.0)))
+      .withColumnRenamed("__g", groupCol)
+      .orderBy(col(groupCol), $"n")
+  }
+
+  /**
    * ROUGE-L per group (Lin 2004): per-segment LCS of the candidate and
    * reference token sequences, P = LCS/|cand|, R = LCS/|ref|,
    * F_β = (1+β²)PR / (R + β²P) with ROUGE's recall-weighted β (default

@@ -363,6 +363,61 @@ object FeedbackQueries {
       Some(bradleyTerrySql(6)),
       bench = true),
 
+    // ROUGE-1/2 per source over the same shifted-window segment pairs as
+    // q_rouge_l: corpus-level clipped n-gram matches, recall over the
+    // reference total, precision over the candidate total, anchored F1
+    "q_rouge_n" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val seg = Registry.t(s, dir, "documents").select($"doc_id", $"source",
+          graft.pipeline.TextAnalysis.wsTokens(lower($"text")).as("ts"))
+          .select($"doc_id", $"source", slice($"ts", 1, 12).as("cand"),
+            slice($"ts", 4, 12).as("ref"))
+        graft.pipeline.TextEval.rougeN(seg, "doc_id", "source",
+          "cand", "ref", maxN = 2)
+      },
+      Some("""WITH tok AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |seg AS (SELECT doc_id, source, ts[1:12] AS c, ts[4:15] AS r FROM tok),
+        |cg AS (
+        |  SELECT doc_id, source, n, g, count(*) AS c FROM (
+        |    SELECT doc_id, source, 1 AS n, unnest(c) AS g FROM seg
+        |    UNION ALL
+        |    SELECT seg.doc_id, seg.source, 2 AS n, c[i] || ' ' || c[i + 1] AS g
+        |    FROM seg, UNNEST(generate_series(1, len(c) - 1)) AS u(i))
+        |  GROUP BY 1, 2, 3, 4),
+        |rg AS (
+        |  SELECT doc_id, n, g, count(*) AS c FROM (
+        |    SELECT doc_id, 1 AS n, unnest(r) AS g FROM seg
+        |    UNION ALL
+        |    SELECT seg.doc_id, 2 AS n, r[i] || ' ' || r[i + 1] AS g
+        |    FROM seg, UNNEST(generate_series(1, len(r) - 1)) AS u(i))
+        |  GROUP BY 1, 2, 3),
+        |clip AS (
+        |  SELECT cg.source, cg.n, sum(least(cg.c, rg.c)) AS m
+        |  FROM cg JOIN rg ON cg.doc_id = rg.doc_id AND cg.n = rg.n AND cg.g = rg.g
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT source, nn.n,
+        |    sum(greatest(len(c) - nn.n + 1, 0)) AS tc,
+        |    sum(greatest(len(r) - nn.n + 1, 0)) AS tr
+        |  FROM seg, (SELECT unnest([1, 2]) AS n) nn GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT t.source, t.n,
+        |    round(CASE WHEN t.tc > 0
+        |          THEN CAST(coalesce(clip.m, 0) AS DOUBLE) / t.tc
+        |          ELSE 0 END, 6) AS p,
+        |    round(CASE WHEN t.tr > 0
+        |          THEN CAST(coalesce(clip.m, 0) AS DOUBLE) / t.tr
+        |          ELSE 0 END, 6) AS r
+        |  FROM tot t LEFT JOIN clip ON clip.source = t.source AND clip.n = t.n)
+        |SELECT source, n, p, r,
+        |  CASE WHEN p + r > 0 THEN round(2.0 * p * r / (p + r), 6)
+        |       ELSE 0 END AS f
+        |FROM pr ORDER BY source, n""".stripMargin)),
+
     // ROUGE-L per source over shifted-window segment pairs (cand = first
     // 12 tokens, ref = tokens 4-15 — overlapping but unequal, so the LCS
     // is nontrivial). The codegen'd O(m·n) LCS kernel is replayed in

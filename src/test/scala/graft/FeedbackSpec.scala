@@ -197,6 +197,20 @@ class FeedbackSpec extends SparkSpec {
     assert(out("g4") == ((0.75, 1.0, round6(2 * 0.75 / 1.75))))
   }
 
+  test("rougeN: clipped counts, recall vs precision denominators") {
+    // cand repeats "a" 3x but ref has it twice -> unigram clip = 2 (+b) = 3
+    val segs = Seq(
+      ("g", 1L, Seq("a", "a", "a", "b"), Seq("a", "b", "a")))
+      .toDF("g", "id", "cand", "ref")
+    val out = TextEval.rougeN(segs, "id", "g", "cand", "ref", maxN = 2)
+      .collect().map(r => r.getInt(1) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1) == ((0.75, 1.0, round6(2 * 0.75 / 1.75))))
+    // bigrams: cand {aa, aa, ab}, ref {ab, ba} -> clip = 1; p = 1/3, r = 1/2
+    assert(out(2) == ((round6(1.0 / 3), 0.5, round6(2 * (1.0 / 3) * 0.5 /
+      (1.0 / 3 + 0.5)))))
+  }
+
   test("lcs_len kernel: subsequence order respected, nulls match nulls") {
     val df = Seq((Seq("a", "b", "a", "c"), Seq("b", "a", "b", "a")))
       .toDF("x", "y")
