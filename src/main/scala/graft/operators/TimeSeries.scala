@@ -563,6 +563,73 @@ object TimeSeries {
         round($"__slope", 6).as("slope"), round($"__icept", 6).as("intercept"))
   }
 
+  /**
+   * Mean-shift changepoint detection per key via binary segmentation
+   * (Scott & Knott 1974 shape): at each level, every current segment
+   * evaluates all admissible splits and takes the one maximizing the
+   * SSE-reduction gain
+   *
+   *   gain(i) = S_L²/n_L + S_R²/n_R − S²/n   (per-segment partial sums)
+   *
+   * accepting it when gain > `penalty` (value² units) and both halves
+   * keep `minSegment` points; accepted halves recurse up to `maxDepth`.
+   * Values are 6dp-anchored and summed as EXACT scaled integers, so the
+   * gains — doubles derived from exact integers — and the (gain, −i)
+   * argmax are engine-exact. Duplicate timestamps collapse to their mean
+   * first.
+   *
+   * Returns one row per ACCEPTED split: (key, level, segment path
+   * "L/R…", split_at = last timestamp of the left half, n_left, n_right,
+   * gain 6dp). Scale: every window partitions by (key, segment); the
+   * level loop is `maxDepth` keyed passes — nothing global, nothing
+   * driver-side.
+   */
+  def changepoints(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, maxDepth: Int = 2, minSegment: Int = 5,
+      penalty: Double = 1.0): DataFrame = {
+    require(maxDepth >= 1 && minSegment >= 1, "need maxDepth, minSegment >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cur = dailySeries(df, keyCol, tsCol, valCol)
+      .select($"__k", $"__t", round($"__v" * 1e6).cast("long").as("__v6"),
+        lit("").as("__seg"))
+    var out: DataFrame = null
+    for (level <- 1 to maxDepth) {
+      val w = Window.partitionBy($"__k", $"__seg").orderBy($"__t")
+      val wa = Window.partitionBy($"__k", $"__seg")
+      val anno = cur
+        .withColumn("__i", row_number().over(w).cast("long"))
+        .withColumn("__cum", sum($"__v6").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("__n", count(lit(1)).over(wa))
+        .withColumn("__S", sum($"__v6").over(wa))
+      val gain = ($"__cum".cast("double") * $"__cum".cast("double") / $"__i"
+        + ($"__S" - $"__cum").cast("double") *
+          ($"__S" - $"__cum").cast("double") / ($"__n" - $"__i")
+        - $"__S".cast("double") * $"__S".cast("double") / $"__n") / lit(1e12)
+      val best = anno
+        .filter($"__i" >= minSegment && $"__n" - $"__i" >= minSegment)
+        .withColumn("__gain", gain)
+        .groupBy($"__k", $"__seg")
+        .agg(max(struct($"__gain".as("g"), (-$"__i").as("ni"))).as("m"))
+        .select($"__k", $"__seg", $"m.g".as("__g"), (-$"m.ni").as("__sp"))
+        .filter($"__g" > penalty)
+      val rec = anno.join(best, Seq("__k", "__seg"))
+        .filter($"__i" === $"__sp")
+        .select($"__k", lit(level).as("level"), $"__seg".as("segment"),
+          $"__t".as("split_at"), $"__sp".as("n_left"),
+          ($"__n" - $"__sp").as("n_right"), round($"__g", 6).as("gain"))
+      out = if (out == null) rec else out.unionByName(rec)
+      cur = anno.join(best, Seq("__k", "__seg"), "left")
+        .select($"__k", $"__t", $"__v6",
+          when($"__sp".isNull, $"__seg")
+            .when($"__i" <= $"__sp", concat($"__seg", lit("L")))
+            .otherwise(concat($"__seg", lit("R"))).as("__seg"))
+    }
+    out.withColumnRenamed("__k", keyCol)
+      .orderBy(col(keyCol), $"level", $"segment")
+  }
+
   /** Deterministic per-key median: mean of the two middle order
     * statistics (rank by value, ties by nothing — equal values make the
     * tie-break irrelevant to the median VALUE). Keyed windows only. */

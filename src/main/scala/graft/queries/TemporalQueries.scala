@@ -49,6 +49,28 @@ object TemporalQueries {
              |       ELSE 'no_trend' END AS trend
              |FROM z ORDER BY event_type""".stripMargin)),
 
+    // binary-segmentation changepoints over planted two-level mean shifts
+    // (+10 from Jan 18, +5 more from Jan 25): exact scaled-integer
+    // partial sums make the SSE gains and the (gain, -i) argmax
+    // engine-exact; the oracle unrolls both levels
+    "q_changepoints" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val planted = Registry.events(s, dir)
+          .select($"event_type", to_date($"ts").as("day"),
+            ($"value" +
+              when(to_date($"ts") >= lit("2024-01-18"), 10.0).otherwise(0.0) +
+              when(to_date($"ts") >= lit("2024-01-25"), 5.0).otherwise(0.0))
+              .as("v"))
+        TimeSeries.changepoints(planted, "event_type", "day", "v",
+            maxDepth = 2, minSegment = 5, penalty = 5.0)
+          .select($"event_type", $"level", $"segment",
+            date_format($"split_at", "yyyy-MM-dd").as("split_day"),
+            $"n_left", $"n_right", $"gain")
+          .orderBy($"event_type", $"level", $"segment")
+      },
+      Some(changepointOracleSql)),
+
     // Theil-Sen robust slope per event type: median of all pairwise
     // slopes (10dp-anchored) with the deterministic two-middle median,
     // Sen's median-residual intercept — the outlier-immune trend the OLS
@@ -1098,4 +1120,52 @@ object TemporalQueries {
              |FROM a JOIN c USING (user_id)
              |GROUP BY cohort_period, period_offset
              |ORDER BY cohort_period, period_offset""".stripMargin)))
+
+  /** Unrolled two-level binary-segmentation replay (mirrors
+    * [[graft.operators.TimeSeries.changepoints]]): exact scaled-integer
+    * partial sums, double gains from exact integers, struct-max argmax
+    * with the (gain, −i) key, left-joined re-segmentation per level. */
+  private def changepointOracleSql: String = {
+    def level(l: Int): String =
+      s"""a$l AS (
+         |  SELECT k, t, v6, seg,
+         |    CAST(row_number() OVER (PARTITION BY k, seg ORDER BY t) AS BIGINT) AS i,
+         |    CAST(sum(v6) OVER (PARTITION BY k, seg ORDER BY t
+         |                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |    CAST(count(*) OVER (PARTITION BY k, seg) AS BIGINT) AS n,
+         |    CAST(sum(v6) OVER (PARTITION BY k, seg) AS BIGINT) AS s
+         |  FROM lv${l - 1}),
+         |g$l AS (
+         |  SELECT k, seg, (m).g AS g, -((m).ni) AS sp FROM (
+         |    SELECT k, seg, max(struct_pack(
+         |      g := (CAST(cum AS DOUBLE) * CAST(cum AS DOUBLE) / i
+         |            + CAST(s - cum AS DOUBLE) * CAST(s - cum AS DOUBLE) / (n - i)
+         |            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / 1e12,
+         |      ni := -i)) AS m
+         |    FROM a$l WHERE i >= 5 AND n - i >= 5 GROUP BY 1, 2)
+         |  WHERE (m).g > 5.0),
+         |r$l AS (
+         |  SELECT a.k, $l AS level, a.seg AS segment, a.t AS split_at,
+         |         a.i AS n_left, a.n - a.i AS n_right, round(b.g, 6) AS gain
+         |  FROM a$l a JOIN g$l b ON b.k = a.k AND b.seg = a.seg AND a.i = b.sp),
+         |lv$l AS (
+         |  SELECT a.k, a.t, a.v6,
+         |    CASE WHEN b.k IS NULL THEN a.seg
+         |         WHEN a.i <= b.sp THEN a.seg || 'L' ELSE a.seg || 'R' END AS seg
+         |  FROM a$l a LEFT JOIN g$l b ON b.k = a.k AND b.seg = a.seg)""".stripMargin
+    s"""WITH lv0 AS (
+       |  SELECT event_type AS k, CAST(ts AS DATE) AS t,
+       |    CAST(round(round(avg(value
+       |      + CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-18' THEN 10.0 ELSE 0 END
+       |      + CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-25' THEN 5.0 ELSE 0 END
+       |      ), 6) * 1e6) AS BIGINT) AS v6,
+       |    '' AS seg
+       |  FROM events GROUP BY 1, 2),
+       |${level(1)},
+       |${level(2)}
+       |SELECT k AS event_type, level, segment,
+       |  strftime(split_at, '%Y-%m-%d') AS split_day, n_left, n_right, gain
+       |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+       |ORDER BY event_type, level, segment""".stripMargin
+  }
 }

@@ -388,6 +388,24 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(r.getLong(1) == 2L && r.getLong(2) == 1L)
   }
 
+  test("changepoints: planted step found exactly once, flat key silent") {
+    val stepped = (1 to 10).map(i => ("a", i, 0.0)) ++
+      (11 to 20).map(i => ("a", i, 10.0))
+    val flat = (1 to 20).map(i => ("b", i, 3.0))
+    val df = (stepped ++ flat).toDF("k", "t", "v")
+    val out = TimeSeries.changepoints(df, "k", "t", "v",
+      maxDepth = 2, minSegment = 3, penalty = 1.0).collect()
+    // one split: key a, level 1, root segment, after t=10, halves 10/10;
+    // gain = (100^2/10 + 100^2/10 - 200^2/20)/1 ... in value^2 units:
+    // 0/10 + 10000/10 - 10000/20 = 500. Constant halves gain 0 -> no
+    // level-2 splits; key b never splits.
+    assert(out.length == 1, out.mkString(";"))
+    val r = out.head
+    assert(r.getString(0) == "a" && r.getInt(1) == 1 && r.getString(2) == "")
+    assert(r.getInt(3) == 10 && r.getLong(4) == 10L && r.getLong(5) == 10L)
+    assert(r.getDouble(6) == 500.0, s"gain was ${r.getDouble(6)}")
+  }
+
   test("theilSen: slope and intercept immune to a single outlier") {
     // five points on y = 2x + 1 plus one wild outlier
     val df = (Seq.tabulate(5)(i => ("k", i + 1, 2.0 * (i + 1) + 1.0)) :+
