@@ -439,6 +439,40 @@ object Curation {
       .drop("__cands")
   }
 
+  /** IBAN candidate: country code + 2 check digits + 11–30 alphanumeric
+    * (uppercase, contiguous) — Java regex ∩ RE2, shared with the oracle. */
+  val IbanPattern: String = "[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}"
+
+  /** ISO 13616 mod-97 IBAN check as a pure Column fold: rotate the first
+    * 4 chars to the end, then fold characters left-to-right keeping only
+    * acc mod 97 (digits append one decimal digit, letters two as
+    * 10 + A..Z offset) — no big integer ever materializes, and the same
+    * incremental fold replays in SQL via list_reduce. Valid iff the
+    * final remainder is 1. The checksum separates a real IBAN from any
+    * alphanumeric run the regex matches. */
+  def ibanValid(candidate: Column): Column = {
+    val r = concat(candidate.substr(lit(5), length(candidate) - 4),
+      candidate.substr(lit(1), lit(4)))
+    val total = aggregate(sequence(lit(1), length(r)), lit(0L), (acc, i) => {
+      val a = ascii(r.substr(i, lit(1)))
+      when(a >= 48 && a <= 57, (acc * 10 + (a - 48)) % 97)
+        .otherwise((acc * 100 + (a - 55)) % 97) // 'A'(65) → 10
+    })
+    total === 1L
+  }
+
+  /** Per-document IBAN detection: regex candidates, then the mod-97
+    * validation — (n_iban_candidates, n_ibans) appended. Same
+    * detect-then-route posture as [[detectCardNumbers]]; one codegen'd
+    * projection, no shuffle. */
+  def detectIbans(df: DataFrame, textCol: String): DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit(IbanPattern), lit(0))
+    df.withColumn("__icands", cands)
+      .withColumn("n_iban_candidates", size(col("__icands")))
+      .withColumn("n_ibans", size(filter(col("__icands"), ibanValid _)))
+      .drop("__icands")
+  }
+
   /** 8-hex-digit keep boundary for a sampling rate over the md5 space:
     * a key survives iff its first 8 md5 hex digits compare below this
     * string. Fixed-width lowercase hex makes the lexicographic comparison

@@ -335,6 +335,43 @@ object CurationQueries {
              |           ELSE CAST(substr(replace(replace(cc, '-', ''), ' ', ''), i, 1) AS INT) END)) % 10 = 0)) AS INT) AS n_cards
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // ISO 13616 mod-97 IBAN detection: one planted VALID IBAN (the
+    // published DE example) + one checksum-broken near-miss per flagged
+    // doc — the incremental mod-97 fold replays via list_reduce, so the
+    // oracle proves the CHECKSUM separates them, not the regex
+    "q_pii_iban_detect" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val planted = t(s, dir, "documents")
+          .withColumn("text", when($"doc_id" % 13 === 0,
+            concat($"text",
+              lit(" iban DE89370400440532013000 ref DE89370400440532013001")))
+            .otherwise($"text"))
+        graft.pipeline.Curation.detectIbans(planted, "text")
+          .select($"doc_id", $"n_iban_candidates", $"n_ibans")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 13 = 0
+             |         THEN text || ' iban DE89370400440532013000 ref DE89370400440532013001'
+             |         ELSE text END AS text
+             |  FROM documents),
+             |c AS (SELECT doc_id,
+             |        regexp_extract_all(text, '[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}') AS cands
+             |      FROM planted)
+             |SELECT doc_id, CAST(len(cands) AS INT) AS n_iban_candidates,
+             |  CAST(len(list_filter(cands, ib ->
+             |    list_reduce(
+             |      list_prepend(0, list_transform(
+             |        string_split(substr(ib, 5) || substr(ib, 1, 4), ''),
+             |        ch -> CASE WHEN ch BETWEEN '0' AND '9'
+             |                   THEN 10 * 1000 + (ascii(ch) - 48)
+             |                   ELSE 100 * 1000 + (ascii(ch) - 55) END)),
+             |      (acc, x) -> (acc * (x // 1000) + (x % 1000)) % 97) = 1))
+             |    AS INT) AS n_ibans
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     // PII is planted deterministically on doc_id % 5 = 0 (the synthetic
     // corpus has none), then redacted; the oracle mirrors plant + redact
     // HTML → text extraction over deterministically planted markup (the

@@ -450,6 +450,20 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("ibanValid: published example IBANs pass, checksum flips fail") {
+    // DE/GB/FR examples from the ISO 13616 registry docs; the -01 twin
+    // differs only in the last digit
+    val df = Seq("DE89370400440532013000", "GB82WEST12345698765432",
+      "FR1420041010050500013M02606", "DE89370400440532013001",
+      "GB82WEST12345698765431").toDF("iban")
+    val out = df.select($"iban",
+      graft.pipeline.Curation.ibanValid($"iban").as("ok"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out("DE89370400440532013000") && out("GB82WEST12345698765432") &&
+      out("FR1420041010050500013M02606"))
+    assert(!out("DE89370400440532013001") && !out("GB82WEST12345698765431"))
+  }
+
   test("tCloseness: hand-computed ordered EMD, balanced class passes") {
     // global sensitive values {0, 1} are 3/3; classes A = all-0, B =
     // all-1 (EMD 0.5 each), C = one of each (EMD 0)

@@ -549,6 +549,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("trend and changepoint ops: keyed joins and keyed windows only") {
+    for (q <- Seq("q_mann_kendall_trend", "q_theil_sen", "q_changepoints")) {
+      val plan = physical(q)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoop"), s"$q pair matrix:\n$plan")
+      // every window carries a partition key (__k / k / event_type)
+      plan.linesIterator.filter(_.contains("Window ")).foreach { l =>
+        assert(l.contains("__k") || l.contains("k#") || l.contains("event_type"),
+          s"$q unpartitioned window:\n$l")
+      }
+    }
+  }
+
+  test("winnow screen: cross-side hash join, hash-df semi join, no window") {
+    val plan = physical("q_winnow_index_screen")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
   test("rankingEval: every window partitions by the query key") {
     val plan = physical("q_ranking_eval")
     val winLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
