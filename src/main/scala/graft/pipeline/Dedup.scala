@@ -774,17 +774,31 @@ object Dedup {
    */
   def screenAgainstWinnowIndex(index: WinnowRefIndex, newDf: DataFrame,
       idCol: String, textCol: String, minShared: Long = 2L,
-      maxHashDf: Long = DefaultMaxGramDf): DataFrame = {
+      maxHashDf: Long = DefaultMaxGramDf): DataFrame =
+    screenWithWinnowStats(winnowIndexStats(index, maxHashDf), index, newDf,
+      idCol, textCol, minShared)
+
+  /** The index-side aggregates the screen needs: the hash-df-kept hash
+    * set and per-reference fingerprint counts. Computed ONCE per index —
+    * a streaming caller persists these so per-micro-batch screens never
+    * re-scan the (possibly huge) reference fingerprint table. */
+  def winnowIndexStats(index: WinnowRefIndex,
+      maxHashDf: Long = DefaultMaxGramDf): (DataFrame, DataFrame) = {
+    import index.fp.sparkSession.implicits._
+    (index.fp.groupBy($"gh").agg(count(lit(1)).as("hdf"))
+      .filter($"hdf" <= maxHashDf).select($"gh"),
+      index.fp.groupBy($"id").agg(count(lit(1)).as("nf_ref")))
+  }
+
+  private[graft] def screenWithWinnowStats(stats: (DataFrame, DataFrame),
+      index: WinnowRefIndex, newDf: DataFrame, idCol: String,
+      textCol: String, minShared: Long): DataFrame = {
     val spark = newDf.sparkSession
     import spark.implicits._
+    val (kept, nfRef) = stats
     val fpNew = winnowFingerprints(newDf, idCol, textCol, index.k, index.w)
       .select($"doc_id".as("new_id"), $"gh").distinct()
-    val kept = index.fp.groupBy($"gh")
-      .agg(count(lit(1)).as("hdf"))
-      .filter($"hdf" <= maxHashDf)
-      .select($"gh")
     val nfNew = fpNew.groupBy($"new_id").agg(count(lit(1)).as("nf_new"))
-    val nfRef = index.fp.groupBy($"id").agg(count(lit(1)).as("nf_ref"))
     fpNew.join(kept, Seq("gh"), "left_semi")
       .join(index.fp, "gh")
       .groupBy($"new_id", $"id".as("ref_id"))

@@ -109,6 +109,11 @@ object DedupStream {
 
     val index = Dedup.buildWinnowIndex(docs, "doc_id", "text")
     index.fp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // index-side aggregates once, OUTSIDE the trigger loop — per-batch
+    // screens join against these instead of re-scanning the index
+    val stats = Dedup.winnowIndexStats(index)
+    stats._1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    stats._2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val stream = spark.readStream
       .schema(newBatch.schema)
@@ -117,13 +122,15 @@ object DedupStream {
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Dedup.screenAgainstWinnowIndex(index, batch, "doc_id", "text",
+        Dedup.screenWithWinnowStats(stats, index, batch, "doc_id", "text",
           minShared = 2L)
           .write.mode("append").parquet(out)
       }
       .start()
     q.processAllAvailable()
     q.stop()
+    stats._1.unpersist(blocking = false)
+    stats._2.unpersist(blocking = false)
     index.fp.unpersist(blocking = false)
     spark.read.parquet(out).orderBy($"new_id", $"ref_id")
   }
