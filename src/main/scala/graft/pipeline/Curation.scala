@@ -439,6 +439,63 @@ object Curation {
       .drop("__cands")
   }
 
+  /**
+   * Neyman-allocation stratified sampling (Neyman 1934): the
+   * minimum-variance way to spend a fixed sample budget across strata —
+   * allocate n_h ∝ N_h·S_h (stratum size × stratum standard deviation),
+   * so volatile strata get proportionally more samples than proportional
+   * allocation would give. Within each stratum the n_h winners are the
+   * smallest md5(salt‖key) — the engine-portable deterministic draw the
+   * sampling family uses.
+   *
+   * Anchoring: moments come from exact scaled-integer sums (6dp values,
+   * decimal Σv and Σv², so no float association), sd in doubles from
+   * those exact integers, per-stratum weights re-anchored at 6dp and
+   * summed as exact integers. Allocations are rounded per stratum and
+   * capped at N_h, so Σn_h can differ from `totalN` by rounding — the
+   * standard practical convention.
+   *
+   * Returns the SELECTED rows (key, stratum, sample_rank). Scale: one
+   * stats aggregate, one broadcast of the strata-sized allocation table,
+   * one stratum-partitioned rank window.
+   */
+  def neymanSample(df: DataFrame, strataCol: String, keyCol: String,
+      valCol: String, totalN: Long, salt: String = "graft"): DataFrame = {
+    require(totalN >= 1, "totalN must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val base = df.select(col(strataCol).cast("string").as("__h"),
+        col(keyCol).cast("string").as("__key"),
+        round(round(col(valCol).cast("double"), 6) * 1e6).cast("long")
+          .as("__v6"))
+      .filter($"__v6".isNotNull)
+    val stats = base.groupBy($"__h")
+      .agg(count(lit(1)).as("__n"),
+        sum($"__v6".cast(dec)).as("__s"),
+        sum(($"__v6".cast(dec) * $"__v6".cast(dec))).as("__ss"))
+      .withColumn("__sd", sqrt(greatest(lit(0.0),
+        ($"__ss".cast("double") -
+          $"__s".cast("double") * $"__s".cast("double") / $"__n") / $"__n"))
+        / 1e6)
+      .withColumn("__w6", round($"__sd" * $"__n" * 1e6).cast("long"))
+    val totalW = stats.agg(sum($"__w6").as("__wt6"))
+    val alloc = stats.crossJoin(broadcast(totalW))
+      .withColumn("__alloc", least($"__n",
+        when($"__wt6" > 0,
+          round(lit(totalN.toDouble) * $"__w6" / $"__wt6", 0).cast("long"))
+          .otherwise(lit(0L))))
+      .select($"__h", $"__alloc")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"__h")
+      .orderBy(md5(concat(lit(salt), $"__key")), $"__key")
+    base.join(broadcast(alloc), "__h")
+      .withColumn("__r", row_number().over(w))
+      .filter($"__r" <= $"__alloc")
+      .select($"__key".as(keyCol), $"__h".as(strataCol),
+        $"__r".as("sample_rank"))
+  }
+
   /** IBAN candidate: country code + 2 check digits + 11–30 alphanumeric
     * (uppercase, contiguous) — Java regex ∩ RE2, shared with the oracle. */
   val IbanPattern: String = "[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}"

@@ -941,6 +941,46 @@ object CurationQueries {
              |    AS noisy_sum
              |FROM u ORDER BY event_type""".stripMargin)),
 
+    // Neyman-allocation stratified sample: 500 orders across the
+    // order-priority strata, n_h ∝ N_h·S_h over totalprice (exact
+    // scaled-integer moments), winners by md5 order — volatile strata
+    // get more budget than proportional allocation would give
+    "q_neyman_sample" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Curation.neymanSample(t(s, dir, "orders"), "o_orderpriority",
+            "o_orderkey", "o_totalprice", totalN = 500L)
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderpriority AS h, CAST(o_orderkey AS VARCHAR) AS key,
+             |    CAST(round(round(CAST(o_totalprice AS DOUBLE), 6) * 1e6) AS BIGINT) AS v6
+             |  FROM orders WHERE o_totalprice IS NOT NULL),
+             |st AS (
+             |  SELECT h, count(*) AS n,
+             |    sum(CAST(v6 AS DECIMAL(38, 0))) AS s,
+             |    sum(CAST(v6 AS DECIMAL(38, 0)) * CAST(v6 AS DECIMAL(38, 0))) AS ss
+             |  FROM base GROUP BY 1),
+             |sd AS (
+             |  SELECT h, n,
+             |    CAST(round(sqrt(greatest(0.0,
+             |      (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n))
+             |      / 1e6 * n * 1e6) AS BIGINT) AS w6
+             |  FROM st),
+             |al AS (
+             |  SELECT h, least(n, CASE WHEN (SELECT sum(w6) FROM sd) > 0
+             |    THEN CAST(round(500.0 * w6 / (SELECT sum(w6) FROM sd), 0) AS BIGINT)
+             |    ELSE 0 END) AS alloc
+             |  FROM sd),
+             |rk AS (
+             |  SELECT b.key, b.h,
+             |    CAST(row_number() OVER (PARTITION BY b.h
+             |      ORDER BY md5('graft' || b.key), b.key) AS INT) AS r,
+             |    al.alloc
+             |  FROM base b JOIN al ON al.h = b.h)
+             |SELECT key AS o_orderkey, h AS o_orderpriority, r AS sample_rank
+             |FROM rk WHERE r <= alloc ORDER BY CAST(key AS BIGINT)""".stripMargin)),
+
     // per-source quota: at most 10 docs per source (the fixture has 25 per
     // source, so the cap genuinely bites), picked by md5 order of the doc
     // id (deterministic uniform choice the oracle replays exactly)

@@ -450,6 +450,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("neymanSample: volatile strata get the budget, constant strata none") {
+    // stratum a: constant (sd 0); b: sd 1; c: sd 3 (same sizes) ->
+    // allocation 0 : 100·(1/4) : 100·(3/4)
+    val rows =
+      (1 to 400).map(i => ("a", s"a$i", 5.0)) ++
+      (1 to 400).map(i => ("b", s"b$i", if (i % 2 == 0) 1.0 else -1.0)) ++
+      (1 to 400).map(i => ("c", s"c$i", if (i % 2 == 0) 3.0 else -3.0))
+    val df = rows.toDF("h", "k", "v")
+    val out = Curation.neymanSample(df, "h", "k", "v", totalN = 100L)
+      .groupBy($"h").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!out.contains("a"), s"constant stratum sampled: $out")
+    assert(out("b") == 25L && out("c") == 75L, s"$out")
+    // determinism: same call, same winners
+    val first = Curation.neymanSample(df, "h", "k", "v", totalN = 100L)
+      .collect().map(_.getString(0)).sorted
+    val second = Curation.neymanSample(df, "h", "k", "v", totalN = 100L)
+      .collect().map(_.getString(0)).sorted
+    assert(first.sameElements(second))
+  }
+
   test("ibanValid: published example IBANs pass, checksum flips fail") {
     // DE/GB/FR examples from the ISO 13616 registry docs; the -01 twin
     // differs only in the last digit
