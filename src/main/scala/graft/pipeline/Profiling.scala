@@ -599,6 +599,82 @@ object Profiling {
    * subject-sized). Emits one row per DEATH time: (t, n_at_risk,
    * n_events, n_censored_at_t, survival 6dp).
    */
+  /**
+   * Two-sample log-rank test (Mantel 1966) — "do these two survival
+   * curves differ?", the hypothesis test that belongs next to
+   * [[kaplanMeier]]'s estimate. At each pooled event time: observed
+   * group-1 events d₁ₜ vs the hypergeometric expectation dₜ·n₁ₜ/nₜ and
+   * variance dₜ·(n₁ₜ/nₜ)·(n₂ₜ/nₜ)·(nₜ−dₜ)/(nₜ−1); z = Σ(O−E)/√ΣV and
+   * χ² = z². At-risk counts are exact integers (per-group cumulative
+   * over the pooled time grid); E and V terms are 10dp-anchored and
+   * summed as exact decimals, so both engines land on identical digits.
+   * Groups order lexicographically (group 1 = smaller label). One row:
+   * (group_1, group_2, n_1, n_2, events_1, events_2, o_minus_e 6dp,
+   * var_sum 6dp, z 4dp, chi2 4dp).
+   *
+   * Scale posture: two keyed aggregates plus per-group cumulative sums
+   * over the pooled TIME GRID (grid-sized by construction, the
+   * [[kaplanMeier]] precedent) — subjects are never sorted globally.
+   */
+  def logRank(df: DataFrame, groupCol: String, durationCol: String,
+      eventCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val subj = df.select(col(groupCol).cast("string").as("g"),
+      col(durationCol).cast("long").as("t"),
+      col(eventCol).cast("boolean").as("ev"))
+    val gg = subj.groupBy($"g", $"t")
+      .agg(sum(when($"ev", 1L).otherwise(0L)).as("d"),
+        sum(lit(1L)).as("obs"))
+    val spine = gg.select($"t").distinct()
+    val groups = gg.select($"g").distinct()
+    val totals = subj.groupBy($"g").agg(count(lit(1)).as("n_g"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"t")
+    val before = wg.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val atRisk = spine.crossJoin(groups)
+      .join(gg, Seq("g", "t"), "left")
+      .select($"g", $"t", coalesce($"d", lit(0L)).as("d"),
+        coalesce($"obs", lit(0L)).as("obs"))
+      .withColumn("cumb", coalesce(sum($"obs").over(before), lit(0L)))
+      .join(totals, "g")
+      .withColumn("nat", $"n_g" - $"cumb")
+    val ga = groups.orderBy($"g").collect().map(_.getString(0))
+    require(ga.length == 2, s"logRank needs exactly 2 groups, got ${ga.length}")
+    val (gA, gB) = (ga(0), ga(1))
+    val side1 = atRisk.filter($"g" === gA)
+      .select($"t", $"d".as("d1"), $"nat".as("na1"))
+    val side2 = atRisk.filter($"g" === gB)
+      .select($"t", $"d".as("d2"), $"nat".as("na2"))
+    val terms = side1.join(side2, "t")
+      .withColumn("dt", $"d1" + $"d2")
+      .withColumn("nt", $"na1" + $"na2")
+      .filter($"dt" > 0)
+      .withColumn("e1", round($"dt".cast("double") * $"na1" / $"nt", 10))
+      .withColumn("v", round(when($"nt" > 1,
+        $"dt".cast("double") * ($"na1".cast("double") / $"nt") *
+          ($"na2".cast("double") / $"nt") * ($"nt" - $"dt") / ($"nt" - 1))
+        .otherwise(lit(0.0)), 10))
+    val agg = terms.agg(
+      sum($"d1").as("o1"), sum($"d2").as("o2"),
+      sum(round($"e1" * 1e10).cast("decimal(38,0)")).as("e110"),
+      sum(round($"v" * 1e10).cast("decimal(38,0)")).as("v10")).head()
+    val (o1, o2) = (agg.getLong(0), agg.getLong(1))
+    val e1 = agg.getDecimal(2).doubleValue() / 1e10
+    val vs = agg.getDecimal(3).doubleValue() / 1e10
+    val nTot = totals.orderBy($"g").collect().map(_.getLong(1))
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val om = o1 - e1
+    val z = if (vs > 0) r(om / math.sqrt(vs), 4) else 0.0
+    val chi2 = if (vs > 0) r(om * om / vs, 4) else 0.0
+    spark.createDataFrame(Seq(
+      (gA, gB, nTot(0), nTot(1), o1, o2, r(om, 6), r(vs, 6), z, chi2)))
+      .toDF("group_1", "group_2", "n_1", "n_2", "events_1", "events_2",
+        "o_minus_e", "var_sum", "z", "chi2")
+  }
+
   def kaplanMeier(df: DataFrame, durationCol: String, eventCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

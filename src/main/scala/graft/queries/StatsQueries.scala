@@ -900,6 +900,83 @@ object StatsQueries {
              |    / count(*) + 0.000000001, 4) AS mean_filled
              |FROM filled GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // two-sample log-rank test over the same conversion-lag subjects as
+    // q_kaplan_meier, split by user-id parity: exact at-risk integers on
+    // the pooled time grid, 10dp-anchored hypergeometric E/V terms summed
+    // as exact decimals — the curve-difference test beside the KM curve
+    "q_log_rank" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Registry.events(s, dir)
+        val horizon = ev.agg(max(to_date($"ts")).as("h"))
+        val subj = ev.groupBy($"user_id")
+          .agg(min(to_date($"ts")).as("first_day"),
+            min(when($"event_type" === "purchase", to_date($"ts"))).as("conv_day"))
+          .crossJoin(broadcast(horizon))
+          .select(($"user_id" % 2).cast("string").as("grp"),
+            when($"conv_day".isNotNull, datediff($"conv_day", $"first_day"))
+              .otherwise(datediff($"h", $"first_day")).as("dur"),
+            $"conv_day".isNotNull.as("ev"))
+        graft.pipeline.Profiling.logRank(subj, "grp", "dur", "ev")
+      },
+      Some("""WITH h AS (SELECT CAST(max(date_trunc('day', ts)) AS DATE) AS h FROM events),
+             |subj AS (
+             |  SELECT CAST(user_id % 2 AS VARCHAR) AS g,
+             |         CAST(CASE WHEN conv_day IS NOT NULL
+             |              THEN conv_day - first_day
+             |              ELSE h.h - first_day END AS BIGINT) AS t,
+             |         conv_day IS NOT NULL AS ev
+             |  FROM (
+             |    SELECT user_id,
+             |      CAST(min(date_trunc('day', ts)) AS DATE) AS first_day,
+             |      CAST(min(CASE WHEN event_type = 'purchase'
+             |                    THEN date_trunc('day', ts) END) AS DATE) AS conv_day
+             |    FROM events GROUP BY user_id), h),
+             |gg AS (SELECT g, t, sum(CASE WHEN ev THEN 1 ELSE 0 END) AS d,
+             |              count(*) AS obs
+             |       FROM subj GROUP BY 1, 2),
+             |ar AS (
+             |  SELECT gr.g, s.t, coalesce(gg.d, 0) AS d, coalesce(gg.obs, 0) AS obs
+             |  FROM (SELECT DISTINCT t FROM gg) s
+             |  CROSS JOIN (SELECT DISTINCT g FROM gg) gr
+             |  LEFT JOIN gg ON gg.g = gr.g AND gg.t = s.t),
+             |tot AS (SELECT g, count(*) AS n_g FROM subj GROUP BY 1),
+             |na AS (
+             |  SELECT cu.g, cu.t, cu.d, tot.n_g - cu.cumb AS nat FROM (
+             |    SELECT g, t, d,
+             |      coalesce(sum(obs) OVER (PARTITION BY g ORDER BY t
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+             |    FROM ar) cu JOIN tot ON tot.g = cu.g),
+             |tm AS (
+             |  SELECT a.t, a.d AS d1, a.nat AS na1, b.d AS d2, b.nat AS na2,
+             |         a.d + b.d AS dt, a.nat + b.nat AS nt
+             |  FROM na a JOIN na b ON a.t = b.t AND a.g = '0' AND b.g = '1'
+             |  WHERE a.d + b.d > 0),
+             |te AS (
+             |  SELECT d1, d2,
+             |    round(CAST(dt AS DOUBLE) * na1 / nt, 10) AS e1,
+             |    round(CASE WHEN nt > 1
+             |          THEN CAST(dt AS DOUBLE) * (CAST(na1 AS DOUBLE) / nt)
+             |               * (CAST(na2 AS DOUBLE) / nt) * (nt - dt) / (nt - 1)
+             |          ELSE 0 END, 10) AS v
+             |  FROM tm),
+             |ag AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+             |              CAST(sum(d2) AS BIGINT) AS o2,
+             |              sum(CAST(round(e1 * 1e10) AS DECIMAL(38, 0))) AS e110,
+             |              sum(CAST(round(v * 1e10) AS DECIMAL(38, 0))) AS v10
+             |       FROM te),
+             |fin AS (SELECT o1, o2, CAST(e110 AS DOUBLE) / 1e10 AS e1,
+             |               CAST(v10 AS DOUBLE) / 1e10 AS vs FROM ag)
+             |SELECT '0' AS group_1, '1' AS group_2,
+             |  (SELECT count(*) FROM subj WHERE g = '0') AS n_1,
+             |  (SELECT count(*) FROM subj WHERE g = '1') AS n_2,
+             |  o1 AS events_1, o2 AS events_2,
+             |  round(o1 - e1, 6) AS o_minus_e, round(vs, 6) AS var_sum,
+             |  CASE WHEN vs > 0 THEN round((o1 - e1) / sqrt(vs), 4) ELSE 0 END AS z,
+             |  CASE WHEN vs > 0 THEN round((o1 - e1) * (o1 - e1) / vs, 4)
+             |       ELSE 0 END AS chi2
+             |FROM fin""".stripMargin)),
+
     // Kaplan-Meier conversion-lag curve: per user, days from first
     // event to first purchase, right-censored at the corpus horizon;
     // survival = exp(sum ln) running product over the day grid

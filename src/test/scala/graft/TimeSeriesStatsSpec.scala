@@ -388,6 +388,22 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(r.getLong(1) == 2L && r.getLong(2) == 1L)
   }
 
+  test("logRank: identical curves give z~0, separated curves reject") {
+    // identical: both groups event at t = 1..20
+    val same = (1 to 20).flatMap(t => Seq(("a", t, true), ("b", t, true)))
+    val s0 = Profiling.logRank(same.toDF("g", "t", "e"), "g", "t", "e").head()
+    assert(s0.getDouble(6) == 0.0 && s0.getDouble(8) == 0.0) // O-E, z
+    assert(s0.getLong(4) == 20L && s0.getLong(5) == 20L)
+    // separated: group a events at 1..10, group b at 11..20 -> strong
+    val sep = ((1 to 10).map(t => ("a", t, true)) ++
+      (11 to 20).map(t => ("b", t, true))).toDF("g", "t", "e")
+    val s1 = Profiling.logRank(sep, "g", "t", "e").head()
+    assert(math.abs(s1.getDouble(8)) > 3.0, s"z was ${s1.getDouble(8)}")
+    // censored-only group still counts as at-risk
+    val cens = (same ++ Seq(("a", 25, false))).toDF("g", "t", "e")
+    assert(Profiling.logRank(cens, "g", "t", "e").head().getLong(2) == 21L)
+  }
+
   test("changepoints: planted step found exactly once, flat key silent") {
     val stepped = (1 to 10).map(i => ("a", i, 0.0)) ++
       (11 to 20).map(i => ("a", i, 10.0))
