@@ -586,6 +586,60 @@ object StatsQueries {
     // Mann-Whitney rank-sum between the md5 cohorts: average ranks on
     // ties are exact halves (sums replay bit-for-bit), tie-corrected
     // normal z at 4dp
+    // Cliff's delta effect size over the same md5 cohorts as
+    // q_mann_whitney: cross-group pair counts read off the distinct-value
+    // grid (exact decimal products, partition-offset below-counts on the
+    // Spark side) — the size-of-effect companion to the rank test's p
+    "q_cliffs_delta" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val p = Registry.events(s, dir).filter($"event_type" === "purchase")
+          .withColumn("cohort",
+            when(graft.pipeline.Dedup.baseHash60(
+              concat(lit("did:"), $"user_id".cast("string"))) % 2 === 0,
+              "treat").otherwise("control"))
+        graft.pipeline.Profiling.cliffsDelta(p, "cohort", "value")
+      },
+      Some("""WITH p AS (
+             |  SELECT CAST(value AS DOUBLE) AS v,
+             |    CASE WHEN CAST(('0x' || substr(md5('did:' ||
+             |        CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+             |      THEN 'treat' ELSE 'control' END AS g
+             |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+             |vg AS (
+             |  SELECT v,
+             |    sum(CASE WHEN g = 'control' THEN 1 ELSE 0 END) AS ca,
+             |    sum(CASE WHEN g = 'treat' THEN 1 ELSE 0 END) AS cb
+             |  FROM p GROUP BY 1),
+             |pre AS (
+             |  SELECT v, ca, cb,
+             |    coalesce(sum(cb) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+             |  FROM vg),
+             |ag AS (
+             |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+             |    sum(CAST(ca AS DECIMAL(38, 0)) * CAST(below AS DECIMAL(38, 0))) AS gt,
+             |    sum(CAST(ca AS DECIMAL(38, 0)) * CAST(cb AS DECIMAL(38, 0))) AS ties
+             |  FROM pre),
+             |fin AS (
+             |  SELECT na, nb, CAST(gt AS BIGINT) AS gt, CAST(ties AS BIGINT) AS ties,
+             |    CAST(na AS BIGINT) * nb - CAST(gt AS BIGINT)
+             |      - CAST(ties AS BIGINT) AS lt
+             |  FROM ag),
+             |d AS (
+             |  SELECT na, nb, gt, lt, ties,
+             |    round((CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+             |          / (CAST(na AS DOUBLE) * nb), 6) AS delta
+             |  FROM fin)
+             |SELECT 'control' AS group_1, 'treat' AS group_2,
+             |  na AS n_1, nb AS n_2, gt AS n_gt, lt AS n_lt, ties AS n_ties,
+             |  delta,
+             |  CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+             |       WHEN abs(delta) < 0.33 THEN 'small'
+             |       WHEN abs(delta) < 0.474 THEN 'medium'
+             |       ELSE 'large' END AS magnitude
+             |FROM d""".stripMargin)),
+
     "q_mann_whitney" -> QueryDef(
       (s, dir) => {
         import s.implicits._

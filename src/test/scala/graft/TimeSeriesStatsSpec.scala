@@ -388,6 +388,22 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(r.getLong(1) == 2L && r.getLong(2) == 1L)
   }
 
+  test("cliffsDelta: hand-computed pair counts, dominance and ties") {
+    // a = {1, 2, 3}, b = {2, 2, 0}: gt pairs (a>b): 1>0, 2>0, 3>0, 3>2,
+    // 3>2 = 5; lt: 1<2 twice = 2; ties: 2=2 twice = 2; delta = 3/9
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 2.0), ("b", 0.0)).toDF("g", "v")
+    val r = Profiling.cliffsDelta(df, "g", "v").head()
+    assert(r.getLong(4) == 5L && r.getLong(5) == 2L && r.getLong(6) == 2L)
+    assert(r.getDouble(7) == BigDecimal(3.0 / 9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getString(8) == "medium")
+    // total dominance: delta 1, large
+    val dom = Seq(("a", 9.0), ("a", 8.0), ("b", 1.0)).toDF("g", "v")
+    val d = Profiling.cliffsDelta(dom, "g", "v").head()
+    assert(d.getDouble(7) == 1.0 && d.getString(8) == "large")
+  }
+
   test("logRank: identical curves give z~0, separated curves reject") {
     // identical: both groups event at t = 1..20
     val same = (1 to 20).flatMap(t => Seq(("a", t, true), ("b", t, true)))
