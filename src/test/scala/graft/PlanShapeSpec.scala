@@ -569,6 +569,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), plan)
   }
 
+  test("cliffsDelta: partition-offset below-counts, no unpartitioned window") {
+    import spark.implicits._
+    val base = Registry.t(spark, dir, "events")
+      .select(($"user_id" % 2).cast("string").as("g"),
+        $"value".cast("double").as("v"))
+    val plan = graft.pipeline.Profiling.cliffsDelta(base, "g", "v")
+      .queryExecution.executedPlan.toString
+    assertPidPartitionedWindowsOnly(plan)
+  }
+
+  test("neymanSample and logRank: only keyed windows in the plans") {
+    for (q <- Seq("q_neyman_sample", "q_log_rank")) {
+      val plan = physical(q)
+      // the only nested loop allowed is the 1-row scalar broadcast
+      // (neyman's total-weight crossJoin — the Graphs dangling-mass
+      // precedent); a data×data cartesian is still a failure
+      assert(!plan.contains("CartesianProduct"), s"$q cartesian:\n$plan")
+      plan.linesIterator.filter(_.contains("Window ")).foreach { l =>
+        // neyman ranks within the stratum (__h); log-rank cumulates the
+        // grid per group (g) — both keyed, grid/stratum-sized
+        assert(l.contains("__h") || l.contains("g#"),
+          s"$q unpartitioned window:\n$l")
+      }
+    }
+  }
+
   test("rankingEval: every window partitions by the query key") {
     val plan = physical("q_ranking_eval")
     val winLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
