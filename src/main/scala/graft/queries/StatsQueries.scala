@@ -586,6 +586,45 @@ object StatsQueries {
     // Mann-Whitney rank-sum between the md5 cohorts: average ranks on
     // ties are exact halves (sums replay bit-for-bit), tie-corrected
     // normal z at 4dp
+    // Hodges-Lehmann shift over the same md5 cohorts: median of all
+    // cross-group differences from the grid cross (never row x row),
+    // deterministic two-middle selection on the exact running weight
+    "q_hodges_lehmann" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val p = Registry.events(s, dir).filter($"event_type" === "purchase")
+          .withColumn("cohort",
+            when(graft.pipeline.Dedup.baseHash60(
+              concat(lit("did:"), $"user_id".cast("string"))) % 2 === 0,
+              "treat").otherwise("control"))
+        graft.pipeline.Profiling.hodgesLehmann(p, "cohort", "value")
+      },
+      Some("""WITH p AS (
+             |  SELECT CAST(value AS DOUBLE) AS v,
+             |    CASE WHEN CAST(('0x' || substr(md5('did:' ||
+             |        CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+             |      THEN 'treat' ELSE 'control' END AS g
+             |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+             |ga AS (SELECT v AS va, count(*) AS ca FROM p WHERE g = 'control' GROUP BY 1),
+             |gb AS (SELECT v AS vb, count(*) AS cb FROM p WHERE g = 'treat' GROUP BY 1),
+             |dd AS (
+             |  SELECT d, CAST(sum(w) AS BIGINT) AS w FROM (
+             |    SELECT round(a.va - b.vb, 6) AS d, a.ca * b.cb AS w
+             |    FROM ga a CROSS JOIN gb b) GROUP BY 1),
+             |cu AS (SELECT d, CAST(sum(w) OVER (ORDER BY d
+             |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM dd),
+             |k AS (
+             |  SELECT na, nb, na * nb AS np,
+             |    (na * nb + 1) // 2 AS k1, (na * nb) // 2 + 1 AS k2
+             |  FROM (SELECT (SELECT CAST(sum(ca) AS BIGINT) FROM ga) AS na,
+             |               (SELECT CAST(sum(cb) AS BIGINT) FROM gb) AS nb))
+             |SELECT 'control' AS group_1, 'treat' AS group_2,
+             |  na AS n_1, nb AS n_2, np AS n_pairs,
+             |  round(((SELECT min(d) FROM cu, k WHERE cum >= k1)
+             |       + (SELECT min(d) FROM cu, k WHERE cum >= k2)) / 2.0, 6)
+             |    AS hl_shift
+             |FROM k""".stripMargin)),
+
     // Cliff's delta effect size over the same md5 cohorts as
     // q_mann_whitney: cross-group pair counts read off the distinct-value
     // grid (exact decimal products, partition-offset below-counts on the

@@ -388,6 +388,19 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(r.getLong(1) == 2L && r.getLong(2) == 1L)
   }
 
+  test("hodgesLehmann: median cross-group difference, outlier-immune") {
+    // a = {10, 12, 14}, b = {1, 2, 1000}: 9 diffs sorted =
+    // {-990,-988,-986, 8,9,10,11,12,13} -> median (5th) = 9
+    val df = Seq(("a", 10.0), ("a", 12.0), ("a", 14.0),
+      ("b", 1.0), ("b", 2.0), ("b", 1000.0)).toDF("g", "v")
+    val r = Profiling.hodgesLehmann(df, "g", "v").head()
+    assert(r.getLong(4) == 9L && r.getDouble(5) == 9.0, r.toString)
+    // even pair count: 2x2 diffs {1,2,3,4} -> (2+3)/2
+    val even = Seq(("a", 5.0), ("a", 6.0), ("b", 2.0), ("b", 4.0))
+      .toDF("g", "v")
+    assert(Profiling.hodgesLehmann(even, "g", "v").head().getDouble(5) == 2.5)
+  }
+
   test("cliffsDelta: hand-computed pair counts, dominance and ties") {
     // a = {1, 2, 3}, b = {2, 2, 0}: gt pairs (a>b): 1>0, 2>0, 3>0, 3>2,
     // 3>2 = 5; lt: 1<2 twice = 2; ties: 2=2 twice = 2; delta = 3/9
