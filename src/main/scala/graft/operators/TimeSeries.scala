@@ -483,6 +483,18 @@ object TimeSeries {
       .agg(round(avg(col(valCol).cast("double")), 6).as("__v"))
   }
 
+  /** Drop-and-log cap for the per-key-quadratic trend statistics (the
+    * capBuckets posture): a key whose series exceeds `maxPoints` is
+    * DROPPED from the result rather than silently running an n² pair
+    * join — S over 100k points is ~5·10⁹ sign pairs per key, past any
+    * useful trend signal (downsample the series first instead). */
+  private def capSeries(s: DataFrame, maxPoints: Long): DataFrame = {
+    import s.sparkSession.implicits._
+    s.join(s.groupBy($"__k").agg(count(lit(1)).as("__npk"))
+        .filter($"__npk" <= maxPoints).select($"__k"),
+      Seq("__k"), "left_semi")
+  }
+
   /**
    * Mann–Kendall trend test per key (Mann 1945, Kendall 1975): the
    * nonparametric monotone-trend detector a metric pipeline runs before
@@ -500,10 +512,10 @@ object TimeSeries {
    * stays keyed, so keys parallelize.
    */
   def mannKendall(df: DataFrame, keyCol: String, tsCol: String,
-      valCol: String): DataFrame = {
+      valCol: String, maxPointsPerKey: Long = 100000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val s = dailySeries(df, keyCol, tsCol, valCol)
+    val s = capSeries(dailySeries(df, keyCol, tsCol, valCol), maxPointsPerKey)
     val pairs = s.as("a").join(s.as("b"),
         $"a.__k" === $"b.__k" && $"a.__t" < $"b.__t")
       .groupBy($"a.__k".as("__k"))
@@ -541,10 +553,10 @@ object TimeSeries {
    * Same per-key-quadratic contract as [[mannKendall]].
    */
   def theilSen(df: DataFrame, keyCol: String, xCol: String,
-      valCol: String): DataFrame = {
+      valCol: String, maxPointsPerKey: Long = 100000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val s = dailySeries(df, keyCol, xCol, valCol)
+    val s = capSeries(dailySeries(df, keyCol, xCol, valCol), maxPointsPerKey)
       .select($"__k", $"__t".cast("double").as("__x"), $"__v")
     val slopes = s.as("a").join(s.as("b"),
         $"a.__k" === $"b.__k" && $"a.__x" < $"b.__x")
