@@ -329,6 +329,65 @@ object Profiling {
   }
 
   /**
+   * Two-sample Kolmogorov–Smirnov test: D = max_x |F_a(x) − F_b(x)|
+   * over the pooled distinct-value grid, where the ECDF gap is the
+   * EXACT integer |n_b·C_a(x) − n_a·C_b(x)| (cumulative counts via the
+   * partition-offset prefix idiom — no unpartitioned window, no sort of
+   * raw rows), divided once at the end. The asymptotic p-value uses the
+   * standard alternating series 2Σ(−1)^{k−1}e^{−2k²λ²} at the
+   * effective λ = (√m + 0.12 + 0.11/√m)·D (Numerical-Recipes form,
+   * m = n_a·n_b/(n_a+n_b)), truncated at 100 terms — doubles computed
+   * from exact integers, so both engines land on the same digits. One
+   * row: (group_1, group_2, n_1, n_2, d_stat 6dp, ks_lambda 6dp,
+   * p_value 6dp).
+   */
+  def ksTest(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(groupCol).cast("string").as("g"),
+        col(valCol).cast("double").as("__v"))
+      .filter($"__v".isNotNull)
+    val labels = base.select($"g").distinct().orderBy($"g")
+      .collect().map(_.getString(0))
+    require(labels.length == 2,
+      s"ksTest needs exactly 2 groups, got ${labels.length}")
+    val (gA, gB) = (labels(0), labels(1))
+    val dec = "decimal(38,0)"
+    val vg = base.groupBy($"__v").agg(
+      sum(when($"g" === gA, 1L).otherwise(0L)).as("__ca"),
+      sum(when($"g" === gB, 1L).otherwise(0L)).as("__cb"))
+    val (preA, cacheA) = orderedPrefix(vg, Seq($"__v".asc), $"__ca")
+    val withA = preA.withColumnRenamed("__cum", "__cuma")
+      .select($"__v", $"__cuma", $"__cb")
+    val (preB, cacheB) = orderedPrefix(withA, Seq($"__v".asc), $"__cb")
+    // exact integer gap per grid value; na/nb from one aggregate
+    val sizes = vg.agg(sum($"__ca").as("na"), sum($"__cb").as("nb")).head()
+    val (na, nb) = (sizes.getLong(0), sizes.getLong(1))
+    val gap = preB.select(abs(lit(nb).cast(dec) * $"__cuma".cast(dec) -
+        lit(na).cast(dec) * $"__cum".cast(dec)).as("__gap"))
+      .agg(max($"__gap")).head().getDecimal(0)
+    cacheA.unpersist(); cacheB.unpersist()
+    val d = BigDecimal(gap).toDouble / (na.toDouble * nb)
+    val m = na.toDouble * nb / (na.toDouble + nb)
+    val lam = (math.sqrt(m) + 0.12 + 0.11 / math.sqrt(m)) * d
+    // below λ=0.2 the alternating series needs >100 terms, but the true
+    // Q_KS is 1 − O(1e-7): both engines return exactly 1 there
+    var p = if (lam < 0.2) 1.0 else 0.0
+    var k = 1
+    while (lam >= 0.2 && k <= 100) {
+      p += 2.0 * (if (k % 2 == 1) 1.0 else -1.0) *
+        math.exp(-2.0 * k * k * lam * lam)
+      k += 1
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    spark.createDataFrame(Seq((gA, gB, na, nb, r6(d), r6(lam),
+        r6(math.max(0.0, math.min(1.0, p))))))
+      .toDF("group_1", "group_2", "n_1", "n_2", "d_stat", "ks_lambda",
+        "p_value")
+  }
+
+  /**
    * Hodges–Lehmann shift estimator — the robust "how much bigger is A
    * than B" in the metric's own units: the median of all n_a·n_b
    * cross-group differences, completing the nonparametric trio

@@ -586,6 +586,62 @@ object StatsQueries {
     // Mann-Whitney rank-sum between the md5 cohorts: average ranks on
     // ties are exact halves (sums replay bit-for-bit), tie-corrected
     // normal z at 4dp
+    // two-sample Kolmogorov-Smirnov over the same md5 cohorts: the max
+    // ECDF gap as an exact integer argmax over the value grid
+    // (partition-offset cumulatives on the Spark side), asymptotic
+    // p-value from the 100-term alternating series at the
+    // Numerical-Recipes effective lambda
+    "q_ks_test" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val p = Registry.events(s, dir).filter($"event_type" === "purchase")
+          .withColumn("cohort",
+            when(graft.pipeline.Dedup.baseHash60(
+              concat(lit("did:"), $"user_id".cast("string"))) % 2 === 0,
+              "treat").otherwise("control"))
+        graft.pipeline.Profiling.ksTest(p, "cohort", "value")
+      },
+      Some("""WITH p AS (
+             |  SELECT CAST(value AS DOUBLE) AS v,
+             |    CASE WHEN CAST(('0x' || substr(md5('did:' ||
+             |        CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+             |      THEN 'treat' ELSE 'control' END AS g
+             |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+             |vg AS (
+             |  SELECT v,
+             |    sum(CASE WHEN g = 'control' THEN 1 ELSE 0 END) AS ca,
+             |    sum(CASE WHEN g = 'treat' THEN 1 ELSE 0 END) AS cb
+             |  FROM p GROUP BY 1),
+             |cu AS (
+             |  SELECT v, ca, cb,
+             |    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+             |    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb
+             |  FROM vg),
+             |sz AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+             |              CAST(sum(cb) AS BIGINT) AS nb FROM vg),
+             |gp AS (
+             |  SELECT max(abs(CAST(sz.nb AS DECIMAL(38, 0)) * CAST(cuma AS DECIMAL(38, 0))
+             |               - CAST(sz.na AS DECIMAL(38, 0)) * CAST(cumb AS DECIMAL(38, 0)))) AS gap
+             |  FROM cu, sz),
+             |dl AS (
+             |  SELECT sz.na, sz.nb,
+             |    CAST(gap AS DOUBLE) / (CAST(sz.na AS DOUBLE) * sz.nb) AS dd,
+             |    (sqrt(CAST(sz.na AS DOUBLE) * sz.nb / (CAST(sz.na AS DOUBLE) + sz.nb))
+             |      + 0.12 + 0.11 / sqrt(CAST(sz.na AS DOUBLE) * sz.nb
+             |                           / (CAST(sz.na AS DOUBLE) + sz.nb)))
+             |      * (CAST(gap AS DOUBLE) / (CAST(sz.na AS DOUBLE) * sz.nb)) AS lam
+             |  FROM gp, sz)
+             |SELECT 'control' AS group_1, 'treat' AS group_2,
+             |  na AS n_1, nb AS n_2, round(dd, 6) AS d_stat,
+             |  round(lam, 6) AS ks_lambda,
+             |  CASE WHEN lam < 0.2 THEN 1.0
+             |       ELSE round(greatest(0.0, least(1.0,
+             |         list_sum(list_transform(range(1, 101), k ->
+             |           2 * (CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END)
+             |             * exp(-2 * k * k * lam * lam))))), 6)
+             |  END AS p_value
+             |FROM dl""".stripMargin)),
+
     // Hodges-Lehmann shift over the same md5 cohorts: median of all
     // cross-group differences from the grid cross (never row x row),
     // deterministic two-middle selection on the exact running weight

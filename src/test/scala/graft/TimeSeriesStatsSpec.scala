@@ -388,6 +388,26 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(r.getLong(1) == 2L && r.getLong(2) == 1L)
   }
 
+  test("ksTest: exact max ECDF gap, identical samples accept") {
+    // a = {1..4}, b = {3..6}: gap peaks at x=2 (F_a=1/2, F_b=0) and
+    // x=4 (F_a=1, F_b=1/2) -> D = 0.5
+    val df = (Seq(1, 2, 3, 4).map(v => ("a", v.toDouble)) ++
+      Seq(3, 4, 5, 6).map(v => ("b", v.toDouble))).toDF("g", "v")
+    val r = Profiling.ksTest(df, "g", "v").head()
+    assert(r.getDouble(4) == 0.5, r.toString)
+    assert(r.getDouble(6) > 0.5 && r.getDouble(6) < 1.0) // tiny n: accept
+    // identical samples: D = 0, p = exactly 1 via the small-lambda rule
+    val same = (Seq(1, 2, 3).map(v => ("a", v.toDouble)) ++
+      Seq(1, 2, 3).map(v => ("b", v.toDouble))).toDF("g", "v")
+    val s = Profiling.ksTest(same, "g", "v").head()
+    assert(s.getDouble(4) == 0.0 && s.getDouble(6) == 1.0)
+    // disjoint supports, larger n: D = 1, decisive rejection
+    val far = (Seq.tabulate(50)(i => ("a", i.toDouble)) ++
+      Seq.tabulate(50)(i => ("b", 1000.0 + i))).toDF("g", "v")
+    val f = Profiling.ksTest(far, "g", "v").head()
+    assert(f.getDouble(4) == 1.0 && f.getDouble(6) < 1e-4)
+  }
+
   test("hodgesLehmann: median cross-group difference, outlier-immune") {
     // a = {10, 12, 14}, b = {1, 2, 1000}: 9 diffs sorted =
     // {-990,-988,-986, 8,9,10,11,12,13} -> median (5th) = 9
