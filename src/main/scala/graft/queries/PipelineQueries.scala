@@ -1872,6 +1872,51 @@ object PipelineQueries {
               |FROM bins b JOIN fit ON b.bin = fit.i
               |ORDER BY b.bin""".stripMargin)),
 
+    // Murphy decomposition of the trained classifier's Brier score:
+    // exact integer Brier (6dp-anchored probabilities as decimals),
+    // 10dp-anchored per-bin reliability/resolution terms decimal-summed;
+    // the oracle retrains the LR and replays the decomposition
+    "q_brier_decomposition" -> QueryDef(
+      (s, dir) => Classify.brierDecomposition(lrScored(s, dir),
+        "score", "data_heavy", bins = 10),
+      Some(s"""WITH ${lrOracleCtes(numBuckets = 256, iterations = 24, lr = 1.0)},
+              |sc AS (SELECT l.doc_id, CAST(l.y AS BIGINT) AS y,
+              |         1.0 / (1.0 + exp(-round(sf.s, 6))) AS p
+              |       FROM sf JOIN lab l USING (doc_id)),
+              |b AS (SELECT p, y,
+              |        CAST(round(p * 1e6) AS BIGINT) AS p6,
+              |        least(CAST(floor(p * 10) AS INT), 9) AS bin
+              |      FROM sc),
+              |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              |        CAST(sum(y) AS BIGINT) AS sy,
+              |        sum(CAST(p6 - y * 1000000 AS DECIMAL(38, 0))
+              |            * CAST(p6 - y * 1000000 AS DECIMAL(38, 0))) AS bsum
+              |      FROM b),
+              |bb AS (SELECT bin, count(*) AS nb, sum(p6) AS sp6, sum(y) AS syb
+              |       FROM b GROUP BY 1),
+              |t AS (
+              |  SELECT
+              |    round(nb * (CAST(sp6 AS DOUBLE) / (nb * 1e6)
+              |                - CAST(syb AS DOUBLE) / nb)
+              |             * (CAST(sp6 AS DOUBLE) / (nb * 1e6)
+              |                - CAST(syb AS DOUBLE) / nb) / g.n, 10) AS relt,
+              |    round(nb * (CAST(syb AS DOUBLE) / nb
+              |                - CAST(g.sy AS DOUBLE) / g.n)
+              |             * (CAST(syb AS DOUBLE) / nb
+              |                - CAST(g.sy AS DOUBLE) / g.n) / g.n, 10) AS rest
+              |  FROM bb, g),
+              |ag AS (
+              |  SELECT sum(CAST(round(relt * 1e10) AS DECIMAL(38, 0))) AS rel10,
+              |         sum(CAST(round(rest * 1e10) AS DECIMAL(38, 0))) AS res10
+              |  FROM t)
+              |SELECT g.n,
+              |  round(CAST(g.bsum AS DOUBLE) / (CAST(g.n AS DOUBLE) * 1e12), 6) AS brier,
+              |  round(CAST(ag.rel10 AS DOUBLE) / 1e10, 6) AS reliability,
+              |  round(CAST(ag.res10 AS DOUBLE) / 1e10, 6) AS resolution,
+              |  round((CAST(g.sy AS DOUBLE) / g.n)
+              |        * (1.0 - CAST(g.sy AS DOUBLE) / g.n), 6) AS uncertainty
+              |FROM g, ag""".stripMargin)),
+
     "q_classifier_calibration" -> QueryDef(
       (s, dir) => {
         import s.implicits._

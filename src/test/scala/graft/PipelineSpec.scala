@@ -995,6 +995,26 @@ class PipelineSpec extends SparkSpec {
     assert(cal.toSeq == Seq((5, 2L, 0.5), (9, 1L, 1.0)), cal.toSeq)
   }
 
+  test("brierDecomposition: calibrated vs miscalibrated hand cases") {
+    import graft.pipeline.Classify
+    // p = 0.5 everywhere (score 0), half the labels true: perfectly
+    // calibrated coin — brier = unc = 0.25, rel = res = 0
+    val coin = Seq((0.0, true), (0.0, false), (0.0, true), (0.0, false))
+      .toDF("score", "label")
+    val c = Classify.brierDecomposition(coin, "score", "label").head()
+    assert(c.getDouble(1) == 0.25 && c.getDouble(2) == 0.0 &&
+      c.getDouble(3) == 0.0 && c.getDouble(4) == 0.25, c.toString)
+    // p = 0.5 but ALL true: pure reliability gap (0.5-1)^2 = 0.25,
+    // zero resolution and zero uncertainty
+    val off = Seq((0.0, true), (0.0, true)).toDF("score", "label")
+    val o = Classify.brierDecomposition(off, "score", "label").head()
+    assert(o.getDouble(1) == 0.25 && o.getDouble(2) == 0.25 &&
+      o.getDouble(3) == 0.0 && o.getDouble(4) == 0.0, o.toString)
+    // Murphy identity on binned forecasts: brier = rel - res + unc
+    assert(math.abs(c.getDouble(1) - (c.getDouble(2) - c.getDouble(3) +
+      c.getDouble(4))) < 1e-6)
+  }
+
   test("lrHashClassifier separates a separable corpus perfectly") {
     import graft.pipeline.Classify
     val synth = (0 until 40).map { i =>
