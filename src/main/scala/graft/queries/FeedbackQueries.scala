@@ -497,6 +497,50 @@ object FeedbackQueries {
       Some(glickoSql(c = 63.2, init = 1500.0, initRd = 350.0)),
       bench = true), // timed: the dated pair join + per-period fold
 
+    // cross-system rating agreement: Elo and Glicko ranks over the SAME
+    // comparisons, exact Spearman rho = 1 − 6Σd²/(n(n²−1)) on the integer
+    // rank permutations plus top-5 overlap — the QA row that says whether
+    // two independent raters order the items the same way. The oracle
+    // embeds both unrolled replays as derived tables
+    "q_rating_agreement" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cmp = brandComparisonsDated(s, dir)
+        val e = graft.pipeline.Preference.eloRatings(cmp, "w", "l",
+          "period", periods = eloPeriods, kFactor = 8.0)
+          .select($"item", $"rank".as("rank_elo"))
+        val g = graft.pipeline.Preference.glickoRatings(cmp, "w", "l",
+          "period", periods = eloPeriods, c = 63.2)
+          .select($"item", $"rank".as("rank_glicko"))
+        val j = e.join(g, "item").collect()
+        val n = j.length.toLong
+        val sd2 = j.map(r =>
+          math.pow((r.getInt(1) - r.getInt(2)).toDouble, 2).toLong).sum
+        val rho = BigDecimal(1.0 -
+          6.0 * sd2 / (n.toDouble * (n.toDouble * n - 1.0)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val top5 = j.count(r => r.getInt(1) <= 5 && r.getInt(2) <= 5).toLong
+        s.createDataFrame(Seq((n, sd2, rho, top5)))
+          .toDF("n_items", "sum_d2", "spearman_rho", "top5_overlap")
+      },
+      Some(s"""WITH j AS (
+        |  SELECT e.item, e.rank AS re, g.rank AS rg
+        |  FROM (${eloSql(kFactor = 8.0, init = 1500.0)}) e
+        |  JOIN (${glickoSql(c = 63.2, init = 1500.0, initRd = 350.0)}) g
+        |    ON g.item = e.item),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(re - rg AS BIGINT) * CAST(re - rg AS BIGINT))
+        |         AS BIGINT) AS sd2,
+        |    CAST(sum(CASE WHEN re <= 5 AND rg <= 5 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS top5
+        |  FROM j)
+        |SELECT n AS n_items, sd2 AS sum_d2,
+        |  round(1.0 - 6.0 * sd2 / (CAST(n AS DOUBLE)
+        |        * (CAST(n AS DOUBLE) * n - 1.0)), 6) AS spearman_rho,
+        |  top5 AS top5_overlap
+        |FROM s""".stripMargin)),
+
     // streaming Elo twin: per-(period, pair) counts accumulate as
     // complete-mode state, the anchored fold runs on the drained counts —
     // equal to the batch row, so the oracle is shared verbatim
