@@ -303,6 +303,54 @@ object Classify {
       .toDF("n", "brier", "reliability", "resolution", "uncertainty")
   }
 
+  /**
+   * Nearest-neighbor covariate matching WITH replacement — the
+   * causal-inference prep that turns an observational table into
+   * treated/control pairs: within each exact-match stratum, every
+   * treated unit takes the control whose balancing score is nearest
+   * (|Δ| ≤ caliper; ties to the lower-score side then the smallest
+   * control id — [[graft.operators.TemporalJoins.asofJoinNearest]]'s
+   * deterministic rule, reused verbatim with the score as the "time"
+   * axis). Matching WITH replacement keeps every treated decision
+   * independent, so the whole match is ONE sorted-union window pass per
+   * stratum — no sequential greedy state, no pair matrix. Scores are
+   * 6dp-anchored to an integer axis so distances and the caliper compare
+   * exactly. Unmatched treated units (nothing within the caliper) drop.
+   *
+   * Returns (strata…, treated_id, control_id, treated_score,
+   * control_score, score_diff, y_treated, y_control) — feed the ATT
+   * estimate avg(y_treated − y_control) or a bias check downstream.
+   */
+  def covariateMatch(units: DataFrame, idCol: String, treatCol: String,
+      strataCols: Seq[String], scoreCol: String, outcomeCol: String,
+      caliper: Double): DataFrame = {
+    require(strataCols.nonEmpty,
+      "covariateMatch: need at least one exact-match stratum column " +
+        "(the per-stratum window is what keeps the match distributed)")
+    require(caliper > 0, "caliper must be > 0")
+    val spark = units.sparkSession
+    import spark.implicits._
+    val s6 = round(round(col(scoreCol).cast("double"), 6) * 1e6).cast("long")
+    val treated = units.filter(col(treatCol).cast("boolean")).select(
+      strataCols.map(col) ++ Seq(col(idCol).cast("long").as("treated_id"),
+        s6.as("score6"), col(outcomeCol).cast("double").as("y_treated")): _*)
+    val controls = units.filter(!col(treatCol).cast("boolean")).select(
+      strataCols.map(col) ++ Seq(col(idCol).cast("long").as("control_id"),
+        s6.as("cscore6"), col(outcomeCol).cast("double").as("y_control")): _*)
+    graft.operators.TemporalJoins.asofJoinNearest(treated, controls,
+        strataCols, leftTsCol = "score6", rightTsCol = "cscore6",
+        rightValueCols = Seq("control_id", "cscore6", "y_control"),
+        rightOrder = Some("control_id"),
+        toleranceMs = Some(math.round(caliper * 1e6)))
+      .filter($"asof_dir".isNotNull)
+      .select(strataCols.map(col) ++ Seq($"treated_id",
+        $"right_control_id".as("control_id"),
+        round($"score6" / 1e6, 6).as("treated_score"),
+        round($"right_cscore6" / 1e6, 6).as("control_score"),
+        round(abs($"score6" - $"right_cscore6") / 1e6, 6).as("score_diff"),
+        $"y_treated", $"right_y_control".as("y_control")): _*)
+  }
+
   def nbTokenClassifier(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, alpha: Double = 1.0): DataFrame = {
     val spark = df.sparkSession

@@ -586,6 +586,84 @@ object StatsQueries {
     // Mann-Whitney rank-sum between the md5 cohorts: average ranks on
     // ties are exact halves (sums replay bit-for-bit), tie-corrected
     // normal z at 4dp
+    // covariate matching with replacement: md5-cohort "treatment" over
+    // customers, exact-match on market segment, nearest account balance
+    // within a 100.0 caliper (asof-nearest on the 6dp-anchored score
+    // axis), order spend as the outcome — the ATT-ready match table
+    "q_covariate_match" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val spend = Registry.t(s, dir, "orders")
+          .groupBy($"o_custkey")
+          .agg(round(sum($"o_totalprice"), 2).as("y"))
+        val units = Registry.t(s, dir, "customer")
+          .join(spend, $"c_custkey" === $"o_custkey", "left")
+          .select($"c_custkey".as("id"), $"c_mktsegment".as("seg"),
+            $"c_acctbal".as("score"), coalesce($"y", lit(0.0)).as("y"),
+            (graft.pipeline.Dedup.baseHash60(
+              concat(lit("match:"), $"c_custkey".cast("string"))) % 2 === 0)
+              .as("treat"))
+        graft.pipeline.Classify.covariateMatch(units, "id", "treat",
+            Seq("seg"), "score", "y", caliper = 100.0)
+          .orderBy($"treated_id")
+      },
+      Some("""WITH spend AS (
+             |  SELECT o_custkey AS id, round(sum(o_totalprice), 2) AS y
+             |  FROM orders GROUP BY 1),
+             |u0 AS (
+             |  SELECT c_custkey AS id, c_mktsegment AS seg,
+             |    CAST(round(round(CAST(c_acctbal AS DOUBLE), 6) * 1e6) AS BIGINT) AS s6,
+             |    coalesce(spend.y, 0.0) AS y,
+             |    CAST(('0x' || substr(md5('match:' ||
+             |      CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0 AS treat
+             |  FROM customer LEFT JOIN spend ON spend.id = c_custkey),
+             |t AS (SELECT seg, id AS tid, s6, y AS yt FROM u0 WHERE treat),
+             |c AS (SELECT seg, id AS cid, s6, y AS yc FROM u0 WHERE NOT treat),
+             |u AS (
+             |  SELECT seg, s6 AS ts, 1 AS side, NULL::BIGINT AS ord,
+             |         NULL::BIGINT AS r_cid, NULL::BIGINT AS r_cs6,
+             |         NULL::DOUBLE AS r_yc
+             |  FROM (SELECT DISTINCT seg, s6 FROM t)
+             |  UNION ALL
+             |  SELECT seg, s6, 0, cid, cid, s6, yc FROM c),
+             |w AS (
+             |  SELECT seg, ts, side,
+             |    last_value(r_cid IGNORE NULLS) OVER bwin AS b_cid,
+             |    last_value(r_cs6 IGNORE NULLS) OVER bwin AS b_cs6,
+             |    last_value(r_yc IGNORE NULLS) OVER bwin AS b_yc,
+             |    first_value(r_cid IGNORE NULLS) OVER fwin AS f_cid,
+             |    first_value(r_cs6 IGNORE NULLS) OVER fwin AS f_cs6,
+             |    first_value(r_yc IGNORE NULLS) OVER fwin AS f_yc
+             |  FROM u
+             |  WINDOW bwin AS (PARTITION BY seg ORDER BY ts, side, ord
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |  fwin AS (PARTITION BY seg ORDER BY ts, side, ord
+             |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+             |ch AS (
+             |  SELECT seg, ts,
+             |    b_cs6 IS NOT NULL AND ts - b_cs6 <= 100000000 AS b_ok,
+             |    f_cs6 IS NOT NULL AND f_cs6 - ts <= 100000000 AS f_ok,
+             |    ts - b_cs6 AS bd, f_cs6 - ts AS fd,
+             |    b_cid, b_cs6, b_yc, f_cid, f_cs6, f_yc
+             |  FROM w WHERE side = 1),
+             |sel AS (
+             |  SELECT seg, ts,
+             |    CASE WHEN b_ok AND (NOT f_ok OR bd <= fd) THEN b_cid
+             |         WHEN f_ok THEN f_cid END AS control_id,
+             |    CASE WHEN b_ok AND (NOT f_ok OR bd <= fd) THEN b_cs6
+             |         WHEN f_ok THEN f_cs6 END AS cs6,
+             |    CASE WHEN b_ok AND (NOT f_ok OR bd <= fd) THEN b_yc
+             |         WHEN f_ok THEN f_yc END AS y_control
+             |  FROM ch)
+             |SELECT t.seg, t.tid AS treated_id, sel.control_id,
+             |  round(t.s6 / 1e6, 6) AS treated_score,
+             |  round(sel.cs6 / 1e6, 6) AS control_score,
+             |  round(abs(t.s6 - sel.cs6) / 1e6, 6) AS score_diff,
+             |  t.yt AS y_treated, sel.y_control
+             |FROM t JOIN sel ON sel.seg = t.seg AND sel.ts = t.s6
+             |WHERE sel.control_id IS NOT NULL
+             |ORDER BY treated_id""".stripMargin)),
+
     // two-sample Kolmogorov-Smirnov over the same md5 cohorts: the max
     // ECDF gap as an exact integer argmax over the value grid
     // (partition-offset cumulatives on the Spark side), asymptotic

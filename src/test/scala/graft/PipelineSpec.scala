@@ -995,6 +995,30 @@ class PipelineSpec extends SparkSpec {
     assert(cal.toSeq == Seq((5, 2L, 0.5), (9, 1L, 1.0)), cal.toSeq)
   }
 
+  test("covariateMatch: nearest control within caliper, with replacement") {
+    import graft.pipeline.Classify
+    val units = Seq(
+      // stratum s1: treated at 10 -> control 9 (d=1 beats 12's d=2);
+      // treated at 11 also takes 9 (replacement, 2 <= fd 1? no: 12 d=1
+      // wins forward... backward d=2 vs forward d=1 -> forward 12)
+      (1L, "s1", 10.0, 100.0, true),
+      (2L, "s1", 11.0, 110.0, true),
+      (3L, "s1", 9.0, 50.0, false),
+      (4L, "s1", 12.0, 60.0, false),
+      // stratum s2: nothing within the 5.0 caliper -> treated drops
+      (5L, "s2", 0.0, 10.0, true),
+      (6L, "s2", 50.0, 20.0, false))
+      .toDF("id", "seg", "score", "y", "treat")
+    val m = Classify.covariateMatch(units, "id", "treat", Seq("seg"),
+        "score", "y", caliper = 5.0)
+      .orderBy($"treated_id").collect()
+    assert(m.length == 2, m.mkString(";"))
+    assert(m(0).getLong(1) == 1L && m(0).getLong(2) == 3L) // 10 -> 9
+    assert(m(1).getLong(1) == 2L && m(1).getLong(2) == 4L) // 11 -> 12
+    assert(m(0).getDouble(5) == 1.0 && m(1).getDouble(5) == 1.0)
+    assert(m(0).getDouble(6) == 100.0 && m(0).getDouble(7) == 50.0)
+  }
+
   test("brierDecomposition: calibrated vs miscalibrated hand cases") {
     import graft.pipeline.Classify
     // p = 0.5 everywhere (score 0), half the labels true: perfectly
