@@ -28,6 +28,19 @@ object Preference {
   private def r10(x: Double): Double =
     BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Distinct-item guard evaluated DISTRIBUTED, before any collect — a
+    * mis-keyed call (per-document instead of per-policy) fails with this
+    * message instead of OOMing the driver on the collect itself. */
+  private def guardItemCount(op: String, pairFrame: DataFrame,
+      maxItems: Int): Unit = {
+    import pairFrame.sparkSession.implicits._
+    val n = pairFrame.select($"i").union(pairFrame.select($"j"))
+      .distinct().count()
+    require(n <= maxItems,
+      s"$op: $n items exceeds maxItems=$maxItems — " +
+        "aggregate comparisons to a bounded item key before fitting")
+  }
+
   /**
    * Bradley–Terry strengths via Hunter's (2004) MM iteration
    *   p_i ← w_i / Σ_{j≠i} n_ij/(p_i+p_j),  renormalized to Σp = 1,
@@ -42,14 +55,13 @@ object Preference {
       maxItems: Int = 4096): DataFrame = {
     val spark = wins.sparkSession
     import spark.implicits._
-    val rows = wins.select($"i".cast("string"), $"j".cast("string"),
-      $"wij".cast("long")).collect()
+    val slim = wins.select($"i".cast("string"), $"j".cast("string"),
+      $"wij".cast("long"))
+    guardItemCount("bradleyTerry", slim, maxItems)
+    val rows = slim.collect()
     val items = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
       .distinct.sorted
     require(items.nonEmpty, "bradleyTerry: empty win matrix")
-    require(items.length <= maxItems,
-      s"bradleyTerry: ${items.length} items exceeds maxItems=$maxItems — " +
-        "aggregate comparisons to a bounded item key before fitting")
 
     val n = collection.mutable.Map.empty[(String, String), Long]
       .withDefaultValue(0L)
@@ -119,15 +131,13 @@ object Preference {
       maxItems: Int = 4096): DataFrame = {
     val spark = pairCounts.sparkSession
     import spark.implicits._
-    val pw = pairCounts.select($"p".cast("string"), $"i".cast("string"),
-        $"j".cast("string"), $"c".cast("long"))
-      .collect()
+    val slim = pairCounts.select($"p".cast("string"), $"i".cast("string"),
+      $"j".cast("string"), $"c".cast("long"))
+    guardItemCount("eloRatings", slim, maxItems)
+    val pw = slim.collect()
     val items = pw.flatMap(r => Seq(r.getString(1), r.getString(2)))
       .distinct.sorted
     require(items.nonEmpty, "eloRatings: no comparisons")
-    require(items.length <= maxItems,
-      s"eloRatings: ${items.length} items exceeds maxItems=$maxItems — " +
-        "aggregate comparisons to a bounded item key before fitting")
     val badPeriods = pw.map(_.getString(0)).distinct.filterNot(periods.contains)
     require(badPeriods.isEmpty,
       s"eloRatings: periods ${badPeriods.mkString(",")} not in the declared grid")
@@ -225,15 +235,13 @@ object Preference {
       initialRd: Double = 350.0, maxItems: Int = 4096): DataFrame = {
     val spark = pairCounts.sparkSession
     import spark.implicits._
-    val pw = pairCounts.select($"p".cast("string"), $"i".cast("string"),
-        $"j".cast("string"), $"c".cast("long"))
-      .collect()
+    val slim = pairCounts.select($"p".cast("string"), $"i".cast("string"),
+      $"j".cast("string"), $"c".cast("long"))
+    guardItemCount("glickoRatings", slim, maxItems)
+    val pw = slim.collect()
     val items = pw.flatMap(r => Seq(r.getString(1), r.getString(2)))
       .distinct.sorted
     require(items.nonEmpty, "glickoRatings: no comparisons")
-    require(items.length <= maxItems,
-      s"glickoRatings: ${items.length} items exceeds maxItems=$maxItems — " +
-        "aggregate comparisons to a bounded item key before fitting")
     val badPeriods = pw.map(_.getString(0)).distinct.filterNot(periods.contains)
     require(badPeriods.isEmpty,
       s"glickoRatings: periods ${badPeriods.mkString(",")} not in the declared grid")

@@ -403,7 +403,8 @@ object Profiling {
    * distinct cardinality is bounded (prices, scores, counts), not
    * unbounded continuous uniques.
    */
-  def hodgesLehmann(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+  def hodgesLehmann(df: DataFrame, groupCol: String, valCol: String,
+      maxGridCells: Long = 100000000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(groupCol).cast("string").as("g"),
@@ -418,6 +419,12 @@ object Profiling {
       .agg(count(lit(1)).as("__ca"))
     val gb = base.filter($"g" === gB).groupBy($"__v".as("__vb"))
       .agg(count(lit(1)).as("__cb"))
+    // enforce the documented grid-cardinality contract BEFORE the cross:
+    // two cheap counts instead of a silent |grid_a|x|grid_b| explosion
+    val (nga, ngb) = (ga.count(), gb.count())
+    require(nga * ngb <= maxGridCells,
+      s"hodgesLehmann: $nga x $ngb grid cells exceed maxGridCells=" +
+        s"$maxGridCells — bucket/round the value column first")
     val dd = ga.crossJoin(gb)
       .select(round($"__va" - $"__vb", 6).as("__d"),
         ($"__ca" * $"__cb").as("__w"))
