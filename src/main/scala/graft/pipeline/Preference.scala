@@ -30,7 +30,9 @@ object Preference {
 
   /** Distinct-item guard evaluated DISTRIBUTED, before any collect — a
     * mis-keyed call (per-document instead of per-policy) fails with this
-    * message instead of OOMing the driver on the collect itself. */
+    * message instead of OOMing the driver on the collect itself. Callers
+    * persist the pair frame first so the guard count and the collect
+    * share one computation of the (possibly expensive) comparison join. */
   private def guardItemCount(op: String, pairFrame: DataFrame,
       maxItems: Int): Unit = {
     import pairFrame.sparkSession.implicits._
@@ -57,8 +59,10 @@ object Preference {
     import spark.implicits._
     val slim = wins.select($"i".cast("string"), $"j".cast("string"),
       $"wij".cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     guardItemCount("bradleyTerry", slim, maxItems)
     val rows = slim.collect()
+    slim.unpersist(blocking = false)
     val items = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
       .distinct.sorted
     require(items.nonEmpty, "bradleyTerry: empty win matrix")
@@ -133,8 +137,10 @@ object Preference {
     import spark.implicits._
     val slim = pairCounts.select($"p".cast("string"), $"i".cast("string"),
       $"j".cast("string"), $"c".cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     guardItemCount("eloRatings", slim, maxItems)
     val pw = slim.collect()
+    slim.unpersist(blocking = false)
     val items = pw.flatMap(r => Seq(r.getString(1), r.getString(2)))
       .distinct.sorted
     require(items.nonEmpty, "eloRatings: no comparisons")
@@ -237,8 +243,10 @@ object Preference {
     import spark.implicits._
     val slim = pairCounts.select($"p".cast("string"), $"i".cast("string"),
       $"j".cast("string"), $"c".cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     guardItemCount("glickoRatings", slim, maxItems)
     val pw = slim.collect()
+    slim.unpersist(blocking = false)
     val items = pw.flatMap(r => Seq(r.getString(1), r.getString(2)))
       .distinct.sorted
     require(items.nonEmpty, "glickoRatings: no comparisons")
