@@ -268,6 +268,61 @@ object Curation {
     trim(regexp_replace(decoded, "[ \\t\\n\\f\\r\\x0B]+", " "))
   }
 
+  /** Block boundary for [[mainContentBlocks]]: opening/closing
+    * block-level tags (Java regex ∩ RE2, shared with the oracle). */
+  val BlockTagPattern: String = "(?i)</?(p|div|h[1-6]|li|ul|ol|table|tr|br)[^>]*>"
+
+  /**
+   * jusText-style main-content extraction (Pomikálek 2011, simplified):
+   * split markup into block-level segments, score each block by LINK
+   * DENSITY (characters inside <a> anchors / block characters) and
+   * English stopword density, then classify —
+   *   boilerplate: link_density > 0.3 (nav/footer/menus), or fewer than
+   *   `minChars` characters; good: otherwise, when stopword density ≥
+   *   `minStopDensity` (real prose has function words); short: the rest.
+   * The page-level complement of the CROSS-document boilerplate remover:
+   * this one needs no second document to kill a nav bar. Densities are
+   * 6dp-anchored. One posexplode + codegen'd per-block features — no
+   * join, no window, no shuffle beyond the final ordering.
+   *
+   * Returns (doc_id, block_idx, n_chars, link_density, stop_density,
+   * label, block_text) for non-empty blocks.
+   */
+  def mainContentBlocks(df: DataFrame, idCol: String, htmlCol: String,
+      minChars: Int = 40, minStopDensity: Double = 0.05): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stops = graft.pipeline.TextAnalysis.LangProfiles("en")
+    val blocks = df.select(col(idCol).as("doc_id"),
+        posexplode(split(col(htmlCol), BlockTagPattern))
+          .as(Seq("block_idx", "__raw")))
+    val aTexts = regexp_extract_all($"__raw",
+      lit("(?is)<a[^>]*>(.*?)</a>"), lit(1))
+    val linkChars = aggregate(aTexts, lit(0),
+      (acc, t) => acc + length(regexp_replace(t, "(?s)<[^>]*>", "")))
+    val text = trim(regexp_replace(
+      regexp_replace($"__raw", "(?s)<[^>]*>", " "),
+      "[ \\t\\n\\f\\r\\x0B]+", " "))
+    val toks = graft.pipeline.TextAnalysis.wsTokens(lower(text))
+    blocks
+      .withColumn("block_text", text)
+      .filter(length($"block_text") > 0)
+      .withColumn("n_chars", length($"block_text"))
+      .withColumn("link_density",
+        round(least(lit(1.0),
+          linkChars.cast("double") / greatest($"n_chars", lit(1))), 6))
+      .withColumn("stop_density",
+        round(size(filter(toks, t => t.isin(stops: _*))).cast("double") /
+          greatest(size(toks), lit(1)), 6))
+      .withColumn("label",
+        when($"link_density" > 0.3, "boilerplate")
+          .when($"n_chars" < minChars, "boilerplate")
+          .when($"stop_density" >= minStopDensity, "good")
+          .otherwise("short"))
+      .select($"doc_id", $"block_idx", $"n_chars", $"link_density",
+        $"stop_density", $"label", $"block_text")
+  }
+
   val PiiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>",

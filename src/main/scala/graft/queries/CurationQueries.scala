@@ -409,6 +409,65 @@ object CurationQueries {
              |  '[ \t\n\f\r\x0B]+', ' ', 'g')) AS text_clean
              |FROM h ORDER BY doc_id""".stripMargin)),
 
+    // jusText-style block classification: planted nav + footer anchor
+    // blocks around the real paragraph — link density kills the chrome,
+    // stopword density admits the prose; the oracle replays the block
+    // split, the anchor-text sums, and the densities exactly
+    "q_main_content" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val html = concat(
+          lit("<div><a href=\"/\">home</a> <a href=\"/x\">products and offers</a>" +
+            " <a href=\"/y\">about</a></div><p>"),
+          $"text",
+          lit("</p><div><a href=\"/p\">privacy</a> <a href=\"/t\">terms</a></div>"))
+        Curation.mainContentBlocks(
+            t(s, dir, "documents").select($"doc_id", html.as("html")),
+            "doc_id", "html")
+          .orderBy($"doc_id", $"block_idx")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    '<div><a href="/">home</a> <a href="/x">products and offers</a>'
+             |    || ' <a href="/y">about</a></div><p>' || text ||
+             |    '</p><div><a href="/p">privacy</a> <a href="/t">terms</a></div>' AS html
+             |  FROM documents),
+             |b AS (
+             |  SELECT doc_id,
+             |    generate_subscripts(string_split_regex(html,
+             |      '(?i)</?(p|div|h[1-6]|li|ul|ol|table|tr|br)[^>]*>'), 1) - 1 AS block_idx,
+             |    unnest(string_split_regex(html,
+             |      '(?i)</?(p|div|h[1-6]|li|ul|ol|table|tr|br)[^>]*>')) AS raw
+             |  FROM h),
+             |f AS (
+             |  SELECT doc_id, block_idx, raw,
+             |    trim(regexp_replace(regexp_replace(raw, '(?s)<[^>]*>', ' ', 'g'),
+             |      '[ \t\n\f\r\x0B]+', ' ', 'g')) AS block_text,
+             |    coalesce(list_sum(list_transform(
+             |      regexp_extract_all(raw, '(?is)<a[^>]*>(.*?)</a>', 1),
+             |      t -> length(regexp_replace(t, '(?s)<[^>]*>', '', 'g')))), 0) AS lc
+             |  FROM b),
+             |g AS (
+             |  SELECT doc_id, block_idx, block_text,
+             |    CAST(length(block_text) AS INT) AS n_chars,
+             |    round(least(1.0, CAST(lc AS DOUBLE)
+             |      / greatest(length(block_text), 1)), 6) AS link_density,
+             |    round(CAST(len(list_filter(
+             |        list_filter(string_split(lower(block_text), ' '), x -> x <> ''),
+             |        t -> list_contains(['the','and','of','to','in','is','that','it','for','was'], t)))
+             |      AS DOUBLE)
+             |      / greatest(len(list_filter(string_split(lower(block_text), ' '),
+             |                 x -> x <> '')), 1), 6) AS stop_density
+             |  FROM f WHERE length(block_text) > 0)
+             |SELECT doc_id, CAST(block_idx AS INT) AS block_idx,
+             |  n_chars, link_density, stop_density,
+             |  CASE WHEN link_density > 0.3 THEN 'boilerplate'
+             |       WHEN n_chars < 40 THEN 'boilerplate'
+             |       WHEN stop_density >= 0.05 THEN 'good'
+             |       ELSE 'short' END AS label,
+             |  block_text
+             |FROM g ORDER BY doc_id, block_idx""".stripMargin)),
+
     "q_pii_redaction" -> QueryDef(
       (s, dir) => {
         import s.implicits._

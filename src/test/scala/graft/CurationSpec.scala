@@ -450,6 +450,25 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("mainContentBlocks: nav dies by link density, prose survives") {
+    val html = "<div><a href=\"/\">home</a> <a href=\"/x\">about us</a></div>" +
+      "<p>the quick brown fox jumped over the lazy dog and it was glad " +
+      "that the day is warm for everyone in the field today</p>" +
+      "<div>ok</div>"
+    val out = graft.pipeline.Curation.mainContentBlocks(
+        Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html")
+      .orderBy($"block_idx").collect()
+    assert(out.length == 3, out.mkString(";"))
+    // anchors-only block: link chars dominate -> boilerplate
+    assert(out(0).getString(5) == "boilerplate" &&
+      out(0).getDouble(3) > 0.3)
+    // prose block: zero links, heavy function words -> good
+    assert(out(1).getString(5) == "good" && out(1).getDouble(3) == 0.0 &&
+      out(1).getDouble(4) >= 0.05)
+    // tiny trailing block: under minChars -> boilerplate
+    assert(out(2).getString(5) == "boilerplate" && out(2).getInt(2) < 40)
+  }
+
   test("neymanSample: volatile strata get the budget, constant strata none") {
     // stratum a: constant (sd 0); b: sd 1; c: sd 3 (same sizes) ->
     // allocation 0 : 100·(1/4) : 100·(3/4)
