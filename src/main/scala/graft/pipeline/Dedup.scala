@@ -730,6 +730,36 @@ object Dedup {
         round($"shared" / least($"nfa", $"nfb"), 6).as("overlap"))
   }
 
+  /**
+   * Source-overlap matrix — the corpus-health report "which sources
+   * duplicate each other": per source pair, the Jaccard of their
+   * DISTINCT content-fingerprint sets ([[TextAnalysis.fingerprint]],
+   * whitespace-normalized md5). High overlap means two feeds crawl the
+   * same content and one should be dropped before token budgeting.
+   * Returns (source_a < source_b, n_a, n_b, shared, jaccard 6dp).
+   *
+   * Scale: fingerprint sets reduce per source (one hash aggregate), the
+   * pair counts come from a fingerprint-keyed self-join (bucketed,
+   * source-pair-bounded output) — never doc×doc.
+   */
+  def sourceOverlap(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fp = df.select(col(sourceCol).cast("string").as("src"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .distinct()
+    val sizes = fp.groupBy($"src").agg(count(lit(1)).as("n"))
+    fp.as("a").join(fp.as("b"),
+        $"a.fp" === $"b.fp" && $"a.src" < $"b.src")
+      .groupBy($"a.src".as("source_a"), $"b.src".as("source_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select($"src".as("source_a"), $"n".as("n_a")), "source_a")
+      .join(sizes.select($"src".as("source_b"), $"n".as("n_b")), "source_b")
+      .select($"source_a", $"source_b", $"n_a", $"n_b", $"shared",
+        round($"shared" / ($"n_a" + $"n_b" - $"shared"), 6).as("jaccard"))
+  }
+
   /** Persistent winnowing reference index: the DISTINCT (id, gh)
     * fingerprint set of a reference corpus plus the (k, w) parameters —
     * the position-local counterpart of [[MinhashRefIndex]], for

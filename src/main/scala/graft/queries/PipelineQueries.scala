@@ -682,6 +682,41 @@ object PipelineQueries {
         |ORDER BY doc_a, doc_b""".stripMargin),
       bench = true), // timed: window-start explode + struct-min agg + hash join
 
+    // source-overlap matrix: 30% of docs get one of three syndicated
+    // templates, so every source pair shares those fingerprints — the
+    // which-feeds-duplicate-each-other report before token budgeting
+    "q_source_overlap" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val planted = t(s, dir, "documents").select($"source",
+          when($"doc_id" % 10 < 3,
+            concat(lit("shared syndicated template number "),
+              ($"doc_id" % 3).cast("string")))
+            .otherwise($"text").as("text"))
+        Dedup.sourceOverlap(planted, "source", "text")
+          .orderBy($"source_a", $"source_b")
+      },
+      Some("""WITH planted AS (
+             |  SELECT source,
+             |    CASE WHEN doc_id % 10 < 3
+             |         THEN 'shared syndicated template number ' || (doc_id % 3)
+             |         ELSE text END AS text
+             |  FROM documents),
+             |fp AS (
+             |  SELECT DISTINCT source AS src,
+             |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+             |  FROM planted),
+             |sz AS (SELECT src, count(*) AS n FROM fp GROUP BY 1),
+             |pr AS (
+             |  SELECT a.src AS source_a, b.src AS source_b, count(*) AS shared
+             |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.src < b.src
+             |  GROUP BY 1, 2)
+             |SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, shared,
+             |  round(shared / (sa.n + sb.n - shared), 6) AS jaccard
+             |FROM pr JOIN sz sa ON sa.src = source_a
+             |JOIN sz sb ON sb.src = source_b
+             |ORDER BY source_a, source_b""".stripMargin)),
+
     // winnow index lifecycle: build on the reference corpus → save →
     // reload → screen an ingest batch (30 lightly-edited clones + 30
     // novel docs); candidates only cross new×reference, so the screen is

@@ -712,6 +712,22 @@ class PipelineSpec extends SparkSpec {
     assert(byDoc(5L).map(_._2).max == 3 && byDoc(5L).map(_._3).distinct.length == 1)
   }
 
+  test("sourceOverlap: shared fingerprints produce the exact pair Jaccard") {
+    val docs = Seq(
+      ("s1", "shared template one"), ("s1", "unique alpha"),
+      ("s2", "shared template one"), ("s2", "unique beta"),
+      ("s2", "unique gamma"),
+      ("s3", "totally disjoint"))
+      .toDF("source", "text")
+    val out = Dedup.sourceOverlap(docs, "source", "text").collect()
+    // only (s1, s2) share: 1 shared of (2 + 3 - 1) = 0.25
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "s1" && r.getString(1) == "s2")
+    assert(r.getLong(2) == 2L && r.getLong(3) == 3L && r.getLong(4) == 1L)
+    assert(r.getDouble(5) == 0.25)
+  }
+
   test("languageSpans: splits a planted bilingual doc at the window seam") {
     val en = Seq.fill(4)("the and of to in is that it for was").mkString(" ")
     val fr = Seq.fill(4)("le la les et est une pour dans que pas").mkString(" ")
