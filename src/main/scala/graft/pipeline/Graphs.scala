@@ -525,4 +525,51 @@ object Graphs {
     }
     dist
   }
+
+  /**
+   * Link prediction scores (Liben-Nowell & Kleinberg 2003) for node
+   * pairs at distance 2: common-neighbor count, Adamic–Adar
+   * Σ 1/ln(deg(z)) over shared neighbors z (rarer mutual friends weigh
+   * more), and neighborhood Jaccard — the classic "which edges are
+   * missing" features for graph completion / recommendation. Existing
+   * edges are anti-joined out; each pair appears once (a < b).
+   * Adamic–Adar terms are 10dp-anchored and summed as exact decimals
+   * (a shared neighbor has degree ≥ 2 by construction, so ln is safe).
+   *
+   * Scale: the wedge join is degree-bounded — nodes above `maxDegree`
+   * drop first (the [[triangleCount]] hub posture: a 10⁵-degree hub
+   * contributes 10¹⁰ wedges and no ranking signal); everything else is
+   * keyed joins over the edge list.
+   */
+  def linkPrediction(edges0: DataFrame, srcCol: String, dstCol: String,
+      maxDegree: Long = 10000L): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val base = edges0
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .filter($"s" =!= $"d")
+    val und = base.union(base.select($"d".as("s"), $"s".as("d"))).distinct()
+    val deg = und.groupBy($"s".as("z")).agg(count(lit(1)).as("deg"))
+    val keptNodes = deg.filter($"deg" <= maxDegree).select($"z")
+    val kept = und
+      .join(keptNodes.select($"z".as("s")), Seq("s"), "left_semi")
+      .join(keptNodes.select($"z".as("d")), Seq("d"), "left_semi")
+    val wedges = kept.select($"d".as("a"), $"s".as("z"))
+      .join(kept.select($"s".as("z2"), $"d".as("b")), $"z" === $"z2")
+      .filter($"a" < $"b")
+      .join(deg, "z")
+      .select($"a", $"b", round(lit(1.0) / log($"deg"), 10).as("__aa"))
+    val cand = wedges.groupBy($"a", $"b")
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(round($"__aa" * 1e10).cast("decimal(38,0)")).as("__aa10"))
+      .join(kept.select($"s".as("a"), $"d".as("b")), Seq("a", "b"),
+        "left_anti")
+    cand
+      .join(deg.select($"z".as("a"), $"deg".as("__da")), "a")
+      .join(deg.select($"z".as("b"), $"deg".as("__db")), "b")
+      .select($"a".as("node_a"), $"b".as("node_b"), $"common_neighbors",
+        round($"__aa10".cast("double") / 1e10, 6).as("adamic_adar"),
+        round($"common_neighbors" /
+          ($"__da" + $"__db" - $"common_neighbors"), 6).as("jaccard"))
+  }
 }

@@ -352,6 +352,48 @@ object PipelineQueries {
     // bipartite edges via orders⋈lineitem), 3 power iterations, top 20 —
     // the link-authority prior of web-corpus curation. The oracle unrolls
     // the identical trajectory.
+    // link prediction over the customers-sharing-rare-parts graph
+    // (bulk-quantity lines only keep it sparse, so genuine 2-hop-only
+    // pairs exist): common neighbors, Adamic-Adar (10dp-anchored decimal
+    // sums), neighborhood Jaccard, direct edges anti-joined out
+    "q_link_prediction" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ps = t(s, dir, "lineitem").filter($"l_quantity" > 45)
+          .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+          .select($"l_partkey".as("p"), $"o_custkey".as("sk")).distinct()
+        val edges = ps.as("a").join(ps.as("b"),
+            $"a.p" === $"b.p" && $"a.sk" =!= $"b.sk")
+          .select($"a.sk".as("src"), $"b.sk".as("dst")).distinct()
+        graft.pipeline.Graphs.linkPrediction(edges, "src", "dst")
+          .orderBy($"node_a", $"node_b")
+      },
+      Some("""WITH ps AS (
+             |  SELECT DISTINCT l_partkey AS p, o_custkey AS sk
+             |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             |  WHERE l_quantity > 45),
+             |e AS (
+             |  SELECT DISTINCT a.sk AS s, b.sk AS d
+             |  FROM ps a JOIN ps b ON a.p = b.p AND a.sk <> b.sk),
+             |deg AS (SELECT s AS z, count(*) AS deg FROM e GROUP BY 1),
+             |w AS (
+             |  SELECT l.d AS a, l.s AS z, r.d AS b,
+             |         round(1.0 / ln(deg.deg), 10) AS aa
+             |  FROM e l JOIN e r ON l.s = r.s AND l.d < r.d
+             |  JOIN deg ON deg.z = l.s),
+             |c AS (
+             |  SELECT a, b, CAST(count(*) AS BIGINT) AS common_neighbors,
+             |         sum(CAST(round(aa * 1e10) AS DECIMAL(38, 0))) AS aa10
+             |  FROM w GROUP BY 1, 2),
+             |nc AS (
+             |  SELECT c.* FROM c ANTI JOIN e ON e.s = c.a AND e.d = c.b)
+             |SELECT nc.a AS node_a, nc.b AS node_b, common_neighbors,
+             |  round(CAST(aa10 AS DOUBLE) / 1e10, 6) AS adamic_adar,
+             |  round(common_neighbors
+             |        / (da.deg + db.deg - common_neighbors), 6) AS jaccard
+             |FROM nc JOIN deg da ON da.z = nc.a JOIN deg db ON db.z = nc.b
+             |ORDER BY node_a, node_b""".stripMargin)),
+
     "q_pagerank" -> QueryDef(
       (s, dir) => {
         import s.implicits._

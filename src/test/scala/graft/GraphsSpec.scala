@@ -150,4 +150,23 @@ class GraphsSpec extends SparkSpec {
     // distance 0 from itself; the 3→4 rediscovery must not relabel 4
     assert(got == Map(1L -> 0, 4L -> 0, 99L -> 0, 2L -> 1, 3L -> 2))
   }
+
+  test("linkPrediction: hand-computed wedge scores, direct edges excluded") {
+    import graft.pipeline.Graphs
+    // path 1-2-3 plus 2-4: pairs at distance 2 through hub 2 are
+    // (1,3), (1,4), (3,4); deg(2) = 3, all others 1
+    val edges = Seq((1L, 2L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val out = Graphs.linkPrediction(edges, "src", "dst")
+      .orderBy($"node_a", $"node_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val aa = BigDecimal(1.0 / math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, aa, 1.0), (1L, 4L, 1L, aa, 1.0), (3L, 4L, 1L, aa, 1.0)),
+      out.mkString(";"))
+    // triangle: every 2-hop pair is also a direct edge -> empty result
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graphs.linkPrediction(tri, "src", "dst").count() == 0)
+  }
 }
