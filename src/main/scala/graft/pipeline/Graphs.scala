@@ -572,4 +572,48 @@ object Graphs {
         round($"common_neighbors" /
           ($"__da" + $"__db" - $"common_neighbors"), 6).as("jaccard"))
   }
+
+  /**
+   * Capped co-occurrence edge builder: nodes sharing a key value become
+   * pairwise edges (src < dst), but a key contributes at most
+   * `maxPerKey` nodes to the pairing — the members are chosen by md5
+   * order of the node id, a uniform, deterministic, engine-portable
+   * draw (the `Curation.capPerKey` posture, replayable in SQL as
+   * `row_number() OVER (PARTITION BY key ORDER BY md5(node::varchar),
+   * node)`). This is THE safe way to lift "entities that co-occur in a
+   * container" into a graph: uncapped, a hot key with n members emits
+   * n(n−1)/2 pairs — a single 10⁵-member container is 5·10⁹ edges, a
+   * stage-killer at scale — while the cap bounds every key's fan-out at
+   * maxPerKey(maxPerKey−1)/2 regardless of skew, the
+   * [[linkPrediction]] `maxDegree` / `triangleCount` hub discipline
+   * applied one step earlier (at edge CONSTRUCTION, where the quadratic
+   * actually detonates).
+   *
+   * Cost: one per-key window sort over the distinct (key, node) set —
+   * node-sized, never pair-sized — then a key-keyed self-equi-join
+   * whose per-key fan-out is bounded by the cap. The sampled subgraph
+   * preserves community structure in expectation (the draw is uniform
+   * within each key), which is what the downstream consumers
+   * ([[labelPropagation]], [[linkPrediction]]) need from a
+   * co-occurrence prior.
+   *
+   * @return (src, dst) with src < dst, deduped across keys
+   */
+  def coOccurrenceEdges(df: DataFrame, keyCol: String, nodeCol: String,
+      maxPerKey: Int): DataFrame = {
+    require(maxPerKey >= 2, s"maxPerKey must be >= 2 to pair: $maxPerKey")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kn = df.select(col(keyCol).as("__k"),
+      col(nodeCol).cast("long").as("__n")).distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"__k")
+      .orderBy(md5($"__n".cast("string")), $"__n")
+    val kept = kn.withColumn("__rk", row_number().over(w))
+      .filter($"__rk" <= maxPerKey)
+      .select($"__k", $"__n")
+    kept.as("x").join(kept.as("y"), Seq("__k"))
+      .filter($"x.__n" < $"y.__n")
+      .select($"x.__n".as("src"), $"y.__n".as("dst"))
+      .distinct()
+  }
 }

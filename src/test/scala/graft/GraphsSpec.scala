@@ -169,4 +169,32 @@ class GraphsSpec extends SparkSpec {
     val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
     assert(Graphs.linkPrediction(tri, "src", "dst").count() == 0)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("coOccurrenceEdges: planted hot key is capped to the md5-order sample") {
+    // hot key "h" has 20 members (uncapped: 190 pairs), key "c" has 3
+    val rows = (1L to 20L).map(n => ("h", n)) ++
+      Seq(("c", 100L), ("c", 101L), ("c", 102L))
+    val got = Graphs.coOccurrenceEdges(rows.toDF("k", "n"), "k", "n", maxPerKey = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the cap FIRES: 8 survivors -> C(8,2)=28 pairs, plus the cold key's 3
+    assert(got.size == 28 + 3, s"cap did not fire: ${got.size} edges")
+    // survivors are exactly the 8 smallest by (md5(id), id) — the
+    // deterministic draw the DuckDB oracle replays
+    val want = (1L to 20L).sortBy(n => (md5hex(n.toString), n)).take(8).toSet
+    val hotNodes = got.filter(_._1 < 100L).flatMap(e => Seq(e._1, e._2))
+    assert(hotNodes == want, s"$hotNodes vs $want")
+    got.foreach { case (s, d) => assert(s < d, "edges must be src < dst") }
+  }
+
+  test("coOccurrenceEdges: dedups across keys and ignores duplicate rows") {
+    // pair (1,2) co-occurs under two keys and once via duplicate rows
+    val rows = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L), ("b", 3L))
+    val got = Graphs.coOccurrenceEdges(rows.toDF("k", "n"), "k", "n", maxPerKey = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
 }
