@@ -487,11 +487,24 @@ object TimeSeries {
     * capBuckets posture): a key whose series exceeds `maxPoints` is
     * DROPPED from the result rather than silently running an n² pair
     * join — S over 100k points is ~5·10⁹ sign pairs per key, past any
-    * useful trend signal (downsample the series first instead). */
+    * useful trend signal (downsample the series first instead). The
+    * "log" half is real: dropped keys are counted (one extra key-sized
+    * aggregate, cheap next to the pair join it prevents) and warned
+    * with examples, so a key missing from the output is
+    * distinguishable from absent input. */
   private def capSeries(s: DataFrame, maxPoints: Long): DataFrame = {
     import s.sparkSession.implicits._
-    s.join(s.groupBy($"__k").agg(count(lit(1)).as("__npk"))
-        .filter($"__npk" <= maxPoints).select($"__k"),
+    val counts = s.groupBy($"__k").agg(count(lit(1)).as("__npk"))
+    val dropped = counts.filter($"__npk" > maxPoints)
+      .orderBy($"__npk".desc).limit(5).collect()
+    if (dropped.nonEmpty) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"capSeries: dropping key(s) with more than $maxPoints points " +
+          "from the trend statistic (per-key-quadratic pair join guard); " +
+          "largest: " + dropped.map(r => s"${r.get(0)}=${r.getLong(1)}")
+            .mkString(", ") + " — downsample those series first")
+    }
+    s.join(counts.filter($"__npk" <= maxPoints).select($"__k"),
       Seq("__k"), "left_semi")
   }
 

@@ -93,21 +93,42 @@ object AudioFingerprint {
   /**
    * Audio near-duplicate pairs (id_a < id_b) sharing at least `minShared`
    * landmarks. The join key is the landmark, so a landmark shared by many
-   * recordings fans out — cap pathological landmark frequency upstream if
-   * a corpus has mass-duplicated silence-adjacent content (the same
-   * hot-gram argument as n-gram dedup; position coding already keeps
-   * landmarks rare).
+   * recordings fans out quadratically — `maxLandmarkDf` ENFORCES the
+   * rarity the position coding usually provides: a landmark present in
+   * more than that many recordings (mass-duplicated jingles, silence
+   * floors, tone tests — the audio flood case) is dropped before the
+   * self-join, the same hot-gram / capBuckets drop-and-log posture as
+   * [[Dedup]]. The population is a count window over the join key —
+   * one shuffle, shared with the self-join's exchange. Run
+   * [[hotLandmarks]] alongside to see what was skipped.
    */
   def audioNearDups(df: DataFrame, idCol: String, bytesCol: String,
-      minShared: Int = 8): DataFrame = {
+      minShared: Int = 8,
+      maxLandmarkDf: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"landmark")
     val fp = fingerprintRows(df, idCol, bytesCol)
+      .withColumn("__ln", count(lit(1)).over(w))
+      .filter($"__ln" <= maxLandmarkDf)
+      .drop("__ln")
     fp.as("a").join(fp.as("b"),
         $"a.landmark" === $"b.landmark" && $"a.id" < $"b.id")
       .groupBy($"a.id".as("id_a"), $"b.id".as("id_b"))
       .agg(count(lit(1)).as("shared_landmarks"))
       .filter($"shared_landmarks" >= minShared)
+  }
+
+  /** Landmarks MORE frequent than `maxLandmarkDf`, with document
+    * frequencies — the "log" half of [[audioNearDups]]'s drop-and-log:
+    * each row is usually a mass-duplicated jingle/tone worth routing to
+    * exact dedup instead. */
+  def hotLandmarks(df: DataFrame, idCol: String, bytesCol: String,
+      maxLandmarkDf: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+    import df.sparkSession.implicits._
+    fingerprintRows(df, idCol, bytesCol)
+      .groupBy($"landmark").agg(count(lit(1)).as("n"))
+      .filter($"n" > maxLandmarkDf)
   }
 
   /**

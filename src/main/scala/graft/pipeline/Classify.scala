@@ -281,7 +281,12 @@ object Classify {
     val g = base.agg(count(lit(1)).as("n"), sum($"y").as("sy"),
       sum((($"p6" - $"y" * 1000000L).cast(dec) *
         ($"p6" - $"y" * 1000000L).cast(dec))).as("bsum")).head()
-    val (n, sy) = (g.getLong(0), g.getLong(1))
+    val n = g.getLong(0)
+    // guard BEFORE touching the sums: on empty input they are null, so
+    // getLong/getDecimal would die with an opaque null-value error and
+    // the means would divide by zero — fail with the actual problem
+    require(n > 0, "brierDecomposition: empty input — nothing to decompose")
+    val sy = g.getLong(1)
     val brier = BigDecimal(g.getDecimal(2)).toDouble / (n.toDouble * 1e12)
     val ybar = sy.toDouble / n
     val binAgg = base.groupBy($"bin")
@@ -308,10 +313,12 @@ object Classify {
    * causal-inference prep that turns an observational table into
    * treated/control pairs: within each exact-match stratum, every
    * treated unit takes the control whose balancing score is nearest
-   * (|Δ| ≤ caliper; ties to the lower-score side then the smallest
-   * control id — [[graft.operators.TemporalJoins.asofJoinNearest]]'s
-   * deterministic rule, reused verbatim with the score as the "time"
-   * axis). Matching WITH replacement keeps every treated decision
+   * (|Δ| ≤ caliper; equal-distance ties go to the lower-score side;
+   * among equal-score controls the backward side keeps the GREATEST
+   * control id and the forward side the smallest — this is
+   * [[graft.operators.TemporalJoins.asofJoinNearest]]'s deterministic
+   * rule, reused verbatim with the score as the "time" axis, and the
+   * rule its oracle replays). Matching WITH replacement keeps every treated decision
    * independent, so the whole match is ONE sorted-union window pass per
    * stratum — no sequential greedy state, no pair matrix. Scores are
    * 6dp-anchored to an integer axis so distances and the caliper compare

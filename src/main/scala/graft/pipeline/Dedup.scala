@@ -709,9 +709,16 @@ object Dedup {
       maxHashDf: Long = DefaultMaxGramDf): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // localCheckpoint, not persist: the fingerprint set feeds three
+    // consumers (sizes, the hash-df cap, both sides of the pair join),
+    // but a persist here would never be matched by an unpersist — the
+    // result is lazy, so there is no safe point inside this function to
+    // release it, and repeated calls in a long-lived session would pile
+    // up cache entries. Checkpoint blocks are reference-tracked: the
+    // ContextCleaner frees them once the returned plan is unreachable.
     val fpd = winnowFingerprints(df, idCol, textCol, k, w)
       .select($"doc_id", $"gh").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val nf = fpd.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
     val kept = fpd.groupBy($"gh")
       .agg(count(lit(1)).as("hdf"))
@@ -740,15 +747,26 @@ object Dedup {
    *
    * Scale: fingerprint sets reduce per source (one hash aggregate), the
    * pair counts come from a fingerprint-keyed self-join (bucketed,
-   * source-pair-bounded output) — never doc×doc.
+   * source-pair-bounded output) — never doc×doc. The per-fingerprint
+   * fan-out is source-count-bounded by construction, but
+   * `maxSourcesPerFp` ENFORCES it: a fingerprint present in more than
+   * that many sources (universal boilerplate — a cookie banner, an
+   * empty page) is dropped from the fingerprint universe BEFORE the
+   * set sizes, so shared counts and Jaccard denominators stay
+   * consistent. The count is a window over the self-join's own key
+   * (the capBuckets shape — no extra exchange).
    */
   def sourceOverlap(df: DataFrame, sourceCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, maxSourcesPerFp: Int = 10000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val wf = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
     val fp = df.select(col(sourceCol).cast("string").as("src"),
         TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .distinct()
+      .withColumn("__fn", count(lit(1)).over(wf))
+      .filter($"__fn" <= maxSourcesPerFp)
+      .drop("__fn")
     val sizes = fp.groupBy($"src").agg(count(lit(1)).as("n"))
     fp.as("a").join(fp.as("b"),
         $"a.fp" === $"b.fp" && $"a.src" < $"b.src")

@@ -388,17 +388,28 @@ object Graphs {
    *
    * Scale shape: items self-join WITHIN a basket only (basket-keyed
    * equi-join) and the pair space is pruned by `minPairCount` BEFORE
-   * the per-item joins; baskets are bounded (order line counts), so the
-   * fan-out is per-basket-quadratic, never corpus-quadratic. Item
-   * frequencies ride a broadcast-sized join back onto the surviving
-   * pairs.
+   * the per-item joins; baskets are usually bounded (order line
+   * counts), so the fan-out is per-basket-quadratic, never
+   * corpus-quadratic — and `maxBasketSize` ENFORCES that bound rather
+   * than assuming it: a basket with more than `maxBasketSize` distinct
+   * items (a crawler session, a catalog-wide order — n items → n²/2
+   * pair rows) is dropped WHOLESALE, from the pair space and the
+   * basket/item universe alike, so supports, confidences and lifts all
+   * describe the same filtered universe. The count comes from a window
+   * over the basket key the self-join already shuffles on (the
+   * capBuckets shape — no extra exchange). Item frequencies ride a
+   * broadcast-sized join back onto the surviving pairs.
    */
   def associationRules(df: DataFrame, basketCol: String, itemCol: String,
-      minPairCount: Long = 3L): DataFrame = {
+      minPairCount: Long = 3L, maxBasketSize: Int = 10000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy($"basket")
     val items = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
       .distinct()
+      .withColumn("__bn", count(lit(1)).over(wb))
+      .filter($"__bn" <= maxBasketSize)
+      .drop("__bn")
     val nBaskets = items.select($"basket").distinct().count().toDouble
     val itemCounts = items.groupBy($"item").agg(count(lit(1)).as("n_item"))
     val pairs = items.as("a")
@@ -539,7 +550,11 @@ object Graphs {
    * Scale: the wedge join is degree-bounded — nodes above `maxDegree`
    * drop first (the [[triangleCount]] hub posture: a 10⁵-degree hub
    * contributes 10¹⁰ wedges and no ranking signal); everything else is
-   * keyed joins over the edge list.
+   * keyed joins over the edge list. ALL scores are computed on the
+   * hub-filtered subgraph: degrees, wedges, and the Jaccard
+   * denominators are post-filter, so the numbers are internally
+   * consistent (a node adjacent to a dropped hub loses that edge from
+   * its degree too, not just from its wedge set).
    */
   def linkPrediction(edges0: DataFrame, srcCol: String, dstCol: String,
       maxDegree: Long = 10000L): DataFrame = {
@@ -549,11 +564,17 @@ object Graphs {
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
       .filter($"s" =!= $"d")
     val und = base.union(base.select($"d".as("s"), $"s".as("d"))).distinct()
-    val deg = und.groupBy($"s".as("z")).agg(count(lit(1)).as("deg"))
-    val keptNodes = deg.filter($"deg" <= maxDegree).select($"z")
+    val deg0 = und.groupBy($"s".as("z")).agg(count(lit(1)).as("deg"))
+    val keptNodes = deg0.filter($"deg" <= maxDegree).select($"z")
     val kept = und
       .join(keptNodes.select($"z".as("s")), Seq("s"), "left_semi")
       .join(keptNodes.select($"z".as("d")), Seq("d"), "left_semi")
+    // degrees are RECOMPUTED on the hub-filtered subgraph so the
+    // Adamic–Adar weights and the Jaccard denominators describe the
+    // same graph the wedges were enumerated on — mixing pre-cap
+    // degrees with post-cap wedges would under-count neighborhoods
+    // adjacent to a dropped hub relative to their own denominators
+    val deg = kept.groupBy($"s".as("z")).agg(count(lit(1)).as("deg"))
     val wedges = kept.select($"d".as("a"), $"s".as("z"))
       .join(kept.select($"s".as("z2"), $"d".as("b")), $"z" === $"z2")
       .filter($"a" < $"b")
@@ -604,8 +625,14 @@ object Graphs {
     require(maxPerKey >= 2, s"maxPerKey must be >= 2 to pair: $maxPerKey")
     val spark = df.sparkSession
     import spark.implicits._
+    // try_cast, then drop the resulting nulls: a malformed or null id
+    // must neither abort the job (ANSI cast throws on bad strings) nor
+    // enter the draw — nulls sort FIRST in an ascending Spark window,
+    // so unfiltered they would consume cap quota (displacing real
+    // members) and then vanish in the src<dst filter, a silent loss
     val kn = df.select(col(keyCol).as("__k"),
-      col(nodeCol).cast("long").as("__n")).distinct()
+      col(nodeCol).try_cast(org.apache.spark.sql.types.LongType).as("__n"))
+      .filter($"__n".isNotNull).distinct()
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"__k")
       .orderBy(md5($"__n".cast("string")), $"__n")
     val kept = kn.withColumn("__rk", row_number().over(w))

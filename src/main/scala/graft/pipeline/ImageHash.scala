@@ -329,25 +329,72 @@ object ImageHash {
       .toDF("id", "frame", "phash")
   }
 
+  /** Keep only banded-LSH buckets with ≤ `maxBucketSize` members — the
+    * [[Dedup]] `capBuckets` posture ported to the media joins, because
+    * a media flood is the NORMAL skew case at web scale (blank
+    * thumbnails, logo frames, silence): one bucket of n identical
+    * hashes is an n² self-join. The population is an unordered count
+    * window over the join key itself — one shuffle, already the
+    * self-join's exchange, so the cap is free of extra stages. A
+    * duplicate CLUSTER larger than the cap is dropped wholesale (run
+    * [[hotMediaBuckets]] alongside to see exactly what was skipped —
+    * such clusters are better routed to exact byte/hash dedup). */
+  private def capBanded(banded: DataFrame, keys: Seq[String],
+      maxBucketSize: Int): DataFrame = {
+    import banded.sparkSession.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    banded.withColumn("__bn", count(lit(1)).over(w))
+      .filter($"__bn" <= maxBucketSize)
+      .drop("__bn")
+  }
+
+  /** The "log" half of the media drop-and-log: banded buckets LARGER
+    * than `maxBucketSize`, with populations — run next to a capped
+    * [[videoNearDups]]/[[imageNearDups]] to quantify what was skipped.
+    * Pass the (id[, frame], phash) rows from [[phashFrames]] /
+    * [[videoPhashRows]]. */
+  def hotMediaBuckets(hashed: DataFrame,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+    import hashed.sparkSession.implicits._
+    val keyCols = hashed.columns.filter(_ == "frame").toSeq
+    bandChunks(hashed)
+      .groupBy(($"band" +: $"chunk" +: keyCols.map(col)): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" > maxBucketSize)
+  }
+
+  /** 7×9-bit banded chunks of the 63-bit pHash — the shared LSH
+    * explode of [[imageNearDups]] and [[videoNearDups]] (complete for
+    * Hamming distance ≤ 6 by pigeonhole). */
+  private def bandChunks(hashed: DataFrame): DataFrame = {
+    import hashed.sparkSession.implicits._
+    hashed.select(hashed.columns.map(col) :+
+        posexplode(array((0 until 7).map(b =>
+          shiftright($"phash", b * 9).bitwiseAND(lit(0x1FFL))): _*)): _*)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+  }
+
   /**
    * Video near-duplicate pairs (id_a < id_b): two videos match when at
    * least `minFrames` ALIGNED frame indices hash within `maxHamming`
    * bits (the re-encoded/re-muxed copy class — temporal re-edits are a
    * retrieval problem, not a dedup one). Same banded-LSH shape as
    * [[imageNearDups]] with the frame index folded into the join key, so
-   * only (id, frame, hash) rows shuffle.
+   * only (id, frame, hash) rows shuffle; buckets over `maxBucketSize`
+   * drop before the self-join ([[capBanded]] — a flood of identical
+   * frames is otherwise quadratic in the flood size).
    */
   def videoNearDups(df: DataFrame, idCol: String, bytesCol: String,
-      maxHamming: Int = 4, minFrames: Int = 3): DataFrame = {
+      maxHamming: Int = 4, minFrames: Int = 3,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 6,
       s"videoNearDups: 7 bands certify maxHamming <= 6, got $maxHamming")
     val spark = df.sparkSession
     import spark.implicits._
     val hashed = videoPhashRows(df, idCol, bytesCol)
-    val banded = hashed.select($"id", $"frame", $"phash",
-        posexplode(array((0 until 7).map(b =>
-          shiftright($"phash", b * 9).bitwiseAND(lit(0x1FFL))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val banded = capBanded(bandChunks(hashed),
+      Seq("band", "chunk", "frame"), maxBucketSize)
     banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.chunk" === $"b.chunk" &&
           $"a.frame" === $"b.frame" && $"a.id" < $"b.id")
@@ -364,19 +411,19 @@ object ImageHash {
    * Image near-duplicate pairs (id_a < id_b) within `maxHamming` bits:
    * banded LSH over 7×9-bit chunks of the 63-bit hash — complete for
    * maxHamming ≤ 6 by pigeonhole — then exact `bit_count(xor)`
-   * verification. Only (id, hash) rows ever shuffle.
+   * verification. Only (id, hash) rows ever shuffle; buckets over
+   * `maxBucketSize` drop before the self-join ([[capBanded]]).
    */
   def imageNearDups(df: DataFrame, idCol: String, bytesCol: String,
-      maxHamming: Int = 4): DataFrame = {
+      maxHamming: Int = 4,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 6,
       s"imageNearDups: 7 bands certify maxHamming <= 6, got $maxHamming")
     val spark = df.sparkSession
     import spark.implicits._
     val hashed = phashFrames(df, idCol, bytesCol)
-    val banded = hashed.select($"id", $"phash",
-        posexplode(array((0 until 7).map(b =>
-          shiftright($"phash", b * 9).bitwiseAND(lit(0x1FFL))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val banded = capBanded(bandChunks(hashed),
+      Seq("band", "chunk"), maxBucketSize)
     banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.chunk" === $"b.chunk" && $"a.id" < $"b.id")
       .select($"a.id".as("id_a"), $"b.id".as("id_b"),

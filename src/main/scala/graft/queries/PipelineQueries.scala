@@ -361,16 +361,22 @@ object PipelineQueries {
     // link prediction over the customers-sharing-rare-parts graph
     // (bulk-quantity lines only keep it sparse, so genuine 2-hop-only
     // pairs exist): common neighbors, Adamic-Adar (10dp-anchored decimal
-    // sums), neighborhood Jaccard, direct edges anti-joined out
+    // sums), neighborhood Jaccard, direct edges anti-joined out. The
+    // edge list comes from the CAPPED co-occurrence builder (≤ 8
+    // customers per part, md5-drawn), and the oracle replays BOTH caps:
+    // the per-part quota AND linkPrediction's maxDegree hub filter
+    // (deg0/keptn/ke CTEs — degrees for the scores are recomputed on
+    // the filtered subgraph, matching the operator's post-cap
+    // semantics; no fixture node nears 10k, so the filter is a
+    // faithfully-replayed no-op at this scale)
     "q_link_prediction" -> QueryDef(
       (s, dir) => {
         import s.implicits._
         val ps = t(s, dir, "lineitem").filter($"l_quantity" > 45)
           .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
-          .select($"l_partkey".as("p"), $"o_custkey".as("sk")).distinct()
-        val edges = ps.as("a").join(ps.as("b"),
-            $"a.p" === $"b.p" && $"a.sk" =!= $"b.sk")
-          .select($"a.sk".as("src"), $"b.sk".as("dst")).distinct()
+          .select($"l_partkey".as("p"), $"o_custkey".as("sk"))
+        val edges = graft.pipeline.Graphs.coOccurrenceEdges(
+          ps, keyCol = "p", nodeCol = "sk", maxPerKey = 8)
         graft.pipeline.Graphs.linkPrediction(edges, "src", "dst")
           .orderBy($"node_a", $"node_b")
       },
@@ -378,21 +384,30 @@ object PipelineQueries {
              |  SELECT DISTINCT l_partkey AS p, o_custkey AS sk
              |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
              |  WHERE l_quantity > 45),
+             |capped AS MATERIALIZED (SELECT p, sk FROM (
+             |  SELECT p, sk, row_number() OVER (PARTITION BY p
+             |    ORDER BY md5(CAST(sk AS VARCHAR)), sk) AS rk FROM ps)
+             |  WHERE rk <= 8),
              |e AS (
              |  SELECT DISTINCT a.sk AS s, b.sk AS d
-             |  FROM ps a JOIN ps b ON a.p = b.p AND a.sk <> b.sk),
-             |deg AS (SELECT s AS z, count(*) AS deg FROM e GROUP BY 1),
+             |  FROM capped a JOIN capped b ON a.p = b.p AND a.sk <> b.sk),
+             |deg0 AS (SELECT s AS z, count(*) AS deg FROM e GROUP BY 1),
+             |keptn AS (SELECT z FROM deg0 WHERE deg <= 10000),
+             |ke AS MATERIALIZED (
+             |  SELECT e.s, e.d FROM e
+             |  JOIN keptn a ON e.s = a.z JOIN keptn b ON e.d = b.z),
+             |deg AS (SELECT s AS z, count(*) AS deg FROM ke GROUP BY 1),
              |w AS (
              |  SELECT l.d AS a, l.s AS z, r.d AS b,
              |         round(1.0 / ln(deg.deg), 10) AS aa
-             |  FROM e l JOIN e r ON l.s = r.s AND l.d < r.d
+             |  FROM ke l JOIN ke r ON l.s = r.s AND l.d < r.d
              |  JOIN deg ON deg.z = l.s),
              |c AS (
              |  SELECT a, b, CAST(count(*) AS BIGINT) AS common_neighbors,
              |         sum(CAST(round(aa * 1e10) AS DECIMAL(38, 0))) AS aa10
              |  FROM w GROUP BY 1, 2),
              |nc AS (
-             |  SELECT c.* FROM c ANTI JOIN e ON e.s = c.a AND e.d = c.b)
+             |  SELECT c.* FROM c ANTI JOIN ke ON ke.s = c.a AND ke.d = c.b)
              |SELECT nc.a AS node_a, nc.b AS node_b, common_neighbors,
              |  round(CAST(aa10 AS DOUBLE) / 1e10, 6) AS adamic_adar,
              |  round(common_neighbors
@@ -458,21 +473,28 @@ object PipelineQueries {
     // triangle counting over the customer co-order-date graph (customers
     // linked when they ordered the same day): degree-ordered edge
     // iterator, each triangle found once and credited to its 3 vertices.
-    // Pure equi-join/count arithmetic — the oracle replays it exactly.
+    // The edge list comes from the CAPPED co-occurrence builder (≤ 8
+    // customers per date, md5-drawn — the q_label_propagation quota;
+    // uncapped, a hot date emits n²/2 pairs), and the oracle replays
+    // the identical cap. Pure equi-join/count arithmetic after that —
+    // replayed exactly.
     "q_triangle_count" -> QueryDef(
       (s, dir) => {
         import s.implicits._
         val cd = t(s, dir, "orders")
-          .select($"o_custkey".as("c"), $"o_orderdate".as("d")).distinct()
-        val edges = cd.as("x").join(cd.as("y"), Seq("d"))
-          .filter($"x.c" < $"y.c")
-          .select($"x.c".as("src"), $"y.c".as("dst"))
+          .select($"o_custkey".as("c"), $"o_orderdate".as("d"))
+        val edges = graft.pipeline.Graphs.coOccurrenceEdges(
+          cd, keyCol = "d", nodeCol = "c", maxPerKey = 8)
         graft.pipeline.Graphs.triangleCount(edges, "src", "dst")
           .orderBy($"node")
       },
       Some("""WITH cd AS (SELECT DISTINCT o_custkey AS c, o_orderdate AS d FROM orders),
+             |capped AS MATERIALIZED (SELECT c, d FROM (
+             |  SELECT c, d, row_number() OVER (PARTITION BY d
+             |    ORDER BY md5(CAST(c AS VARCHAR)), c) AS rk FROM cd)
+             |  WHERE rk <= 8),
              |und AS (SELECT DISTINCT x.c AS a, y.c AS b
-             |        FROM cd x JOIN cd y ON x.d = y.d AND x.c < y.c),
+             |        FROM capped x JOIN capped y ON x.d = y.d AND x.c < y.c),
              |deg AS (SELECT n, count(*)::BIGINT AS dg FROM (
              |          SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
              |        GROUP BY n),
@@ -735,7 +757,9 @@ object PipelineQueries {
 
     // source-overlap matrix: 30% of docs get one of three syndicated
     // templates, so every source pair shares those fingerprints — the
-    // which-feeds-duplicate-each-other report before token budgeting
+    // which-feeds-duplicate-each-other report before token budgeting;
+    // the enforced maxSourcesPerFp=10000 hot-fingerprint drop is
+    // replayed in the oracle's fp CTE (no-op at fixture scale)
     "q_source_overlap" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -753,10 +777,14 @@ object PipelineQueries {
              |         THEN 'shared syndicated template number ' || (doc_id % 3)
              |         ELSE text END AS text
              |  FROM documents),
-             |fp AS (
+             |fp0 AS (
              |  SELECT DISTINCT source AS src,
              |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
              |  FROM planted),
+             |fp AS (
+             |  SELECT src, fp FROM (
+             |    SELECT src, fp, count(*) OVER (PARTITION BY fp) AS fn
+             |    FROM fp0) WHERE fn <= 10000),
              |sz AS (SELECT src, count(*) AS n FROM fp GROUP BY 1),
              |pr AS (
              |  SELECT a.src AS source_a, b.src AS source_b, count(*) AS shared
@@ -942,22 +970,24 @@ object PipelineQueries {
              |LEFT JOIN dp ON v.node = dp.node
              |ORDER BY v.node""".stripMargin)),
 
-    // k-core peel (k=40) of the co-order-date customer graph: 17 rounds
-    // to the fixpoint at sf0.01; the oracle unrolls 20 MATERIALIZED
-    // peel rounds (rounds past the fixpoint are no-ops, so any
-    // converged depth ≤ 20 replays exactly)
+    // k-core peel (k=33) of the CAPPED co-order-date customer graph
+    // (coOccurrenceEdges, ≤ 8 customers per date — the same md5-drawn
+    // quota as q_label_propagation, so no date emits more than 28
+    // pairs regardless of skew): 8 rounds to the fixpoint at sf0.01;
+    // the oracle replays the identical cap, then unrolls 20
+    // MATERIALIZED peel rounds (rounds past the fixpoint are no-ops,
+    // so any converged depth ≤ 20 replays exactly)
     "q_kcore" -> QueryDef(
       (s, dir) => {
         import s.implicits._
         val cd = t(s, dir, "orders")
-          .select($"o_custkey".as("c"), $"o_orderdate".as("d")).distinct()
-        val edges = cd.as("x").join(cd.as("y"), Seq("d"))
-          .filter($"x.c" < $"y.c")
-          .select($"x.c".as("src"), $"y.c".as("dst"))
-        graft.pipeline.Graphs.kCore(edges, "src", "dst", k = 40)
+          .select($"o_custkey".as("c"), $"o_orderdate".as("d"))
+        val edges = graft.pipeline.Graphs.coOccurrenceEdges(
+          cd, keyCol = "d", nodeCol = "c", maxPerKey = 8)
+        graft.pipeline.Graphs.kCore(edges, "src", "dst", k = 33)
           .orderBy($"node")
       },
-      Some(kCoreOracleSql(k = 40, rounds = 20))),
+      Some(kCoreOracleSql(k = 33, rounds = 20, maxPerKey = 8))),
 
     // "customers also bought": item-item binary-cosine CF over
     // co-ordered brands, top-5 neighbors per brand
@@ -994,7 +1024,10 @@ object PipelineQueries {
 
     // market-basket association rules over co-ordered part brands:
     // basket-keyed self-join only (never corpus-quadratic), pair space
-    // pruned by min support BEFORE the frequency joins
+    // pruned by min support BEFORE the frequency joins; the enforced
+    // maxBasketSize=10000 hot-basket drop is replayed in the oracle's
+    // `it` CTE (a no-op at fixture scale — order baskets are tiny —
+    // but the contract stays hash-checked)
     "q_assoc_rules" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -1005,9 +1038,13 @@ object PipelineQueries {
             minPairCount = 3L)
           .orderBy($"item_a", $"item_b")
       },
-      Some("""WITH it AS (
+      Some("""WITH it0 AS (
              |  SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
              |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+             |it AS (
+             |  SELECT basket, item FROM (
+             |    SELECT basket, item, count(*) OVER (PARTITION BY basket) AS bn
+             |    FROM it0) WHERE bn <= 10000),
              |nb AS (SELECT CAST(count(DISTINCT basket) AS DOUBLE) AS n FROM it),
              |ic AS (SELECT item, count(*) AS n_item FROM it GROUP BY 1),
              |pr AS (
@@ -3487,7 +3524,7 @@ object PipelineQueries {
   /** Unrolled k-core peel: `rounds` MATERIALIZED (degree, filter)
     * rounds over the doubled co-order edge list — any converged depth
     * ≤ rounds replays the fixpoint exactly (extra rounds are no-ops). */
-  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+  private def kCoreOracleSql(k: Int, rounds: Int, maxPerKey: Int): String = {
     val steps = (1 to rounds).map { i =>
       val prev = s"e${i - 1}"
       s"""dg$i AS MATERIALIZED (
@@ -3498,8 +3535,12 @@ object PipelineQueries {
          |  JOIN dg$i b ON e.d = b.s AND b.c >= $k)""".stripMargin
     }
     s"""WITH cd AS (SELECT DISTINCT o_custkey AS c, o_orderdate AS d FROM orders),
+       |capped AS MATERIALIZED (SELECT c, d FROM (
+       |  SELECT c, d, row_number() OVER (PARTITION BY d
+       |    ORDER BY md5(CAST(c AS VARCHAR)), c) AS rk FROM cd)
+       |  WHERE rk <= $maxPerKey),
        |und AS (SELECT DISTINCT x.c AS a, y.c AS b
-       |        FROM cd x JOIN cd y ON x.d = y.d AND x.c < y.c),
+       |        FROM capped x JOIN capped y ON x.d = y.d AND x.c < y.c),
        |e0 AS MATERIALIZED (
        |  SELECT a AS s, b AS d FROM und UNION SELECT b, a FROM und),
        |${steps.mkString(",\n")}

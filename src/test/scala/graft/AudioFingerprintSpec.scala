@@ -53,6 +53,28 @@ class AudioFingerprintSpec extends SparkSpec {
     assert(got == (0L until 15L).map(b => (2 * b, 2 * b + 1)).toSet)
   }
 
+  test("audio flood: hot landmarks are dropped, genuine pair survives") {
+    // 20 byte-identical copies of one clip give every one of its
+    // landmarks a document frequency of 20 — uncapped, a C(20,2) pair
+    // matrix per landmark (the mass-duplicated-jingle case)
+    val flood = (100L until 120L).map(id => (id, AudioFingerprint.plantedToneWav(50L)))
+    val rows = Seq((0L, AudioFingerprint.plantedToneWav(0L)),
+      (1L, AudioFingerprint.plantedToneWav(1L))) ++ flood
+    val df = rows.toDF("id", "bytes").repartition(4)
+    val capped = AudioFingerprint.audioNearDups(df, "id", "bytes",
+        minShared = 8, maxLandmarkDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((0L, 1L)), s"cap broke the genuine pair: $capped")
+    // the "log" half reports the flood's whole landmark set
+    val hot = AudioFingerprint.hotLandmarks(df, "id", "bytes",
+      maxLandmarkDf = 10).collect()
+    assert(hot.length >= 28 && hot.forall(_.getAs[Long]("n") >= 20L),
+      s"${hot.length} hot landmarks")
+    // uncapped (the 10k default), the flood's full pair matrix returns
+    assert(AudioFingerprint.audioNearDups(df, "id", "bytes", minShared = 8)
+      .count() == 190L + 1L)
+  }
+
   test("audioQuality: closed-form fixture columns match hand arithmetic") {
     // id=35: a = 1000 + 35*1000 = 36000 -> clamped 32767, fully clipped;
     // nsil = 3 -> silence 3/16, clipping (16-3)/16

@@ -197,4 +197,67 @@ class GraphsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("coOccurrenceEdges: malformed ids neither vanish silently nor steal quota") {
+    // 9 numeric members plus two un-castable ids on the same key: the
+    // long cast nulls the latter, and nulls sort FIRST in an ascending
+    // window — unfiltered they would consume 2 of the 8 cap slots and
+    // then silently disappear in the src<dst filter
+    val dirty = ((1L to 9L).map(n => ("k", n.toString)) ++
+      Seq(("k", "xx"), ("k", null.asInstanceOf[String]))).toDF("k", "n")
+    val clean = (1L to 9L).map(n => ("k", n.toString)).toDF("k", "n")
+    val gotDirty = Graphs.coOccurrenceEdges(dirty, "k", "n", maxPerKey = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotClean = Graphs.coOccurrenceEdges(clean, "k", "n", maxPerKey = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotDirty == gotClean, "malformed ids changed the draw")
+    assert(gotDirty.size == 28, s"full quota must go to real members: ${gotDirty.size}")
+  }
+
+  test("linkPrediction: maxDegree drops the hub and scores use post-filter degrees") {
+    import graft.pipeline.Graphs
+    // star around 10 (degree 3) plus a hub 99 touching 1..5 (degree 5):
+    // with maxDegree = 4 the hub and ALL its edges leave the graph, so
+    // 1/2/3 have post-filter degree 1 — and the Jaccard denominators
+    // must say so (pre-cap degrees would give 1/(2+2-1) = 0.333333)
+    val edges = Seq((10L, 1L), (10L, 2L), (10L, 3L),
+      (99L, 1L), (99L, 2L), (99L, 3L), (99L, 4L), (99L, 5L)).toDF("src", "dst")
+    val out = Graphs.linkPrediction(edges, "src", "dst", maxDegree = 4L)
+      .orderBy($"node_a", $"node_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val aa = BigDecimal(1.0 / math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, aa, 1.0), (1L, 3L, 1L, aa, 1.0), (2L, 3L, 1L, aa, 1.0)),
+      out.mkString(";"))
+    // nothing mentions the dropped hub or its leaf-only neighbors
+    val nodes = out.flatMap(t => Seq(t._1, t._2)).toSet
+    assert(!nodes.contains(99L) && !nodes.contains(4L) && !nodes.contains(5L))
+  }
+
+  test("associationRules: an over-cap basket is dropped wholesale") {
+    // b1/b2 buy {a,b}, b3 buys {a,c}, and "big" is a 6-item catalog
+    // basket; with maxBasketSize = 5 the big basket leaves the pair
+    // space AND the basket/item universe, so every statistic is over
+    // the 3 surviving baskets
+    val rows = (Seq(("b1", "a"), ("b1", "b"), ("b2", "a"), ("b2", "b"),
+      ("b3", "a"), ("b3", "c")) ++
+      Seq("a", "b", "c", "d", "e", "f").map(("big", _))).toDF("basket", "item")
+    val capped = Graphs.associationRules(rows, "basket", "item",
+        minPairCount = 2L, maxBasketSize = 5).collect()
+    assert(capped.length == 1)
+    val r = capped.head
+    assert(r.getAs[String]("item_a") == "a" && r.getAs[String]("item_b") == "b")
+    assert(r.getAs[Long]("n_ab") == 2L &&
+      r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("support") == 0.666667 &&
+      r.getAs[Double]("confidence") == 0.666667 &&
+      r.getAs[Double]("lift") == 1.0)
+    // uncapped, the big basket contributes: (a,c) reaches minPairCount
+    val full = Graphs.associationRules(rows, "basket", "item",
+        minPairCount = 2L).collect()
+    assert(full.map(r => (r.getAs[String]("item_a"), r.getAs[String]("item_b")))
+      .toSet == Set(("a", "b"), ("a", "c")))
+  }
 }

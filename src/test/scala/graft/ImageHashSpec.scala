@@ -89,6 +89,43 @@ class ImageHashSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("image flood: hot banded buckets are capped, genuine near-dups survive") {
+    // 20 byte-identical copies of one image flood every banded bucket
+    // they hash into (n identical hashes -> an n² self-join at scale —
+    // the blank-thumbnail/logo case); a genuine near-dup pair from a
+    // different base must keep matching while the flood drops wholesale
+    val flood = (100L until 120L).map(id => (id, ImageHash.plantedSpectralJpeg(50L)))
+    val rows = Seq((0L, ImageHash.plantedSpectralJpeg(0L)),
+      (1L, ImageHash.plantedSpectralJpeg(1L))) ++ flood
+    val df = rows.toDF("id", "bytes").repartition(5)
+    val capped = ImageHash.imageNearDups(df, "id", "bytes",
+        maxHamming = 4, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((0L, 1L)), s"cap broke the genuine pair: $capped")
+    // the "log" half sees exactly the 7 flooded (band, chunk) buckets
+    val hot = ImageHash.hotMediaBuckets(
+      ImageHash.phashFrames(df, "id", "bytes"), maxBucketSize = 10).collect()
+    assert(hot.length == 7 && hot.forall(_.getAs[Long]("n") >= 20L),
+      hot.mkString(";"))
+    // uncapped (the 10k default), the flood's full pair matrix returns
+    assert(ImageHash.imageNearDups(df, "id", "bytes", maxHamming = 4)
+      .count() == 190L + 1L)
+  }
+
+  test("video flood: hot (band, chunk, frame) buckets are capped") {
+    val flood = (100L until 112L).map(id => (id, ImageHash.plantedSpectralMp4(50L)))
+    val rows = Seq((0L, ImageHash.plantedSpectralMp4(0L)),
+      (1L, ImageHash.plantedSpectralMp4(1L))) ++ flood
+    val df = rows.toDF("id", "bytes").repartition(4)
+    val capped = ImageHash.videoNearDups(df, "id", "bytes",
+        maxHamming = 6, minFrames = 3, maxBucketSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((0L, 1L)), s"cap broke the genuine pair: $capped")
+    // uncapped: 12 identical videos -> C(12,2) pairs plus the real one
+    assert(ImageHash.videoNearDups(df, "id", "bytes",
+      maxHamming = 6, minFrames = 3).count() == 66L + 1L)
+  }
+
   test("imageQuality: closed-form PNG fixture matches hand arithmetic") {
     // id=100: a=100, b=min(255, 100+40+32)=172 -> mean 136, range 72,
     // contrast 36.0; id=0: a=0 (left half full-black) -> saturated 0.5

@@ -728,6 +728,36 @@ class PipelineSpec extends SparkSpec {
     assert(r.getDouble(5) == 0.25)
   }
 
+  test("sourceOverlap: a fingerprint in too many sources leaves the universe") {
+    // four feeds all carry boilerplate B; s1/s2 also share real text R.
+    // With maxSourcesPerFp = 3, B (df = 4) drops BEFORE the set sizes,
+    // so shared counts and Jaccard denominators stay consistent
+    val docs = Seq(
+      ("s1", "boilerplate banner"), ("s1", "real shared story"), ("s1", "x1"),
+      ("s2", "boilerplate banner"), ("s2", "real shared story"), ("s2", "x2"),
+      ("s3", "boilerplate banner"), ("s3", "x3"),
+      ("s4", "boilerplate banner"), ("s4", "x4")).toDF("source", "text")
+    val capped = Dedup.sourceOverlap(docs, "source", "text",
+      maxSourcesPerFp = 3).collect()
+    assert(capped.length == 1)
+    val r = capped.head
+    assert(r.getString(0) == "s1" && r.getString(1) == "s2")
+    // post-drop set sizes: s1 = {R, x1}, s2 = {R, x2} -> 1/(2+2-1)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L && r.getLong(4) == 1L)
+    assert(r.getDouble(5) == 0.333333)
+    // uncapped, every pair shares the banner: all 6 combos appear
+    assert(Dedup.sourceOverlap(docs, "source", "text").count() == 6L)
+  }
+
+  test("brierDecomposition: empty input fails loudly, not with an NPE") {
+    import graft.pipeline.Classify
+    val empty = Seq.empty[(Double, Boolean)].toDF("score", "label")
+    val e = intercept[IllegalArgumentException] {
+      Classify.brierDecomposition(empty, "score", "label")
+    }
+    assert(e.getMessage.contains("empty input"))
+  }
+
   test("languageSpans: splits a planted bilingual doc at the window seam") {
     val en = Seq.fill(4)("the and of to in is that it for was").mkString(" ")
     val fr = Seq.fill(4)("le la les et est une pour dans que pas").mkString(" ")

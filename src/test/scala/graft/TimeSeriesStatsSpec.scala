@@ -381,6 +381,19 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(out("flat") == ((10L, 0L, 0.0, 0.0, "no_trend")))
   }
 
+  test("mannKendall: an over-cap key drops from the result, others unaffected") {
+    // the per-key pair join is quadratic in the series length — a key
+    // past maxPointsPerKey is dropped (with a logged warning naming it)
+    // rather than detonating; the surviving key's statistic is unchanged
+    val big = (1 to 20).map(i => ("big", i, (i % 7).toDouble))
+    val small = (1 to 10).map(i => ("small", i, i.toDouble))
+    val df = (big ++ small).toDF("k", "t", "v")
+    val out = TimeSeries.mannKendall(df, "k", "t", "v", maxPointsPerKey = 10L)
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("small"))
+    assert(out.head.getLong(2) == 45L) // same S as the uncapped run
+  }
+
   test("mannKendall collapses duplicate timestamps to their mean first") {
     val df = Seq(("k", 1, 0.0), ("k", 1, 2.0), ("k", 2, 5.0))
       .toDF("k", "t", "v") // day 1 mean = 1.0 < 5.0 -> S = +1 over 2 points
