@@ -31,8 +31,13 @@ import scala.collection.mutable.ArrayBuffer
  *    integer transforms, nC neighbor tracking across I_PCM and coded
  *    macroblocks. The encoder (`qp` >= 0) reconstructs exactly as the
  *    decoder, so intra prediction chains agree.
- *  - Intra_4x4 (mb_type 0) remains the one out-of-scope I-slice shape:
- *    it refuses with a clear reason (None), never mis-decodes.
+ *  - Intra_4x4 macroblocks (mb_type 0), decode AND encode: all nine
+ *    8.3.1.2 directional predictors with the top-right substitution
+ *    and decode-order availability rules, most-probable-mode
+ *    signaling (8.3.1.1), me(v)-coded CBP (Table 9-5 intra), full
+ *    16-coefficient CAVLC residual blocks — the I-slice shape real
+ *    baseline encoders emit. The encoder reconstructs bit-exactly as
+ *    the decoder (pinned by spec), so intra chains agree.
  *
  * Verification posture: no conformant decoder ships in this container,
  * so foreign-bitstream conformance is untestable here; what the specs
@@ -342,12 +347,60 @@ object H264Codec {
         decodeIntra16x16(r, st, mbX / 16, mbY / 16, predMode, chromaMode,
           cbpLuma, cbpChroma, qpY)
       } else if (mbType == 0) {
-        throw new H264Format("Intra_4x4 CAVLC residual not implemented")
+        // Intra_4x4 (7.3.5.1): 16 per-block pred modes, chroma mode,
+        // me(v)-coded CBP, qp delta only when any residual is coded
+        val modes = new Array[Int](16)
+        var bi = 0
+        while (bi < 16) {
+          val (bxo, byo) = H264Transform.LumaBlockOrder(bi)
+          val gbx = mbX / 4 + bxo; val gby = mbY / 4 + byo
+          val predM = st.predI4Mode(gbx, gby)
+          val mode =
+            if (r.u1() == 1) predM
+            else { val rem = r.u(3); if (rem < predM) rem else rem + 1 }
+          modes(bi) = mode
+          st.setI4Mode(gbx, gby, mode)
+          bi += 1
+        }
+        val chromaMode = r.ue()
+        if (chromaMode > 3) throw new H264Format(s"chroma pred mode $chromaMode")
+        val cbpCode = r.ue()
+        if (cbpCode > 47) throw new H264Format(s"cbp code $cbpCode")
+        val cbp = CbpIntraByCodeNum(cbpCode)
+        val cbpLuma = cbp & 15
+        val cbpChroma = cbp >> 4
+        if (cbp != 0) qpY = ((qpY + r.se()) % 52 + 52) % 52
+        decodeIntra4x4Luma(r, st, mbX / 16, mbY / 16, modes, cbpLuma, qpY)
+        decodeChromaResid(r, st, mbX / 16, mbY / 16, chromaMode, cbpChroma,
+          H264Transform.chromaQp(qpY))
       } else throw new H264Format(s"bad I-slice mb_type $mbType")
       mb += 1
     }
     (sps, st.yPlane, st.cbPlane, st.crPlane)
   }
+
+  /** coded_block_pattern me(v) mapping, intra column of Table 9-5
+    * (ChromaArrayType = 1): codeNum -> cbp (luma low 4 bits, chroma
+    * high). */
+  private[pipeline] val CbpIntraByCodeNum: Array[Int] = Array(
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41)
+
+  /** cbp -> codeNum, the encoder's inverse of [[CbpIntraByCodeNum]]. */
+  private[pipeline] val CbpIntraToCodeNum: Array[Int] = {
+    val inv = new Array[Int](48)
+    CbpIntraByCodeNum.zipWithIndex.foreach { case (cbp, cn) => inv(cbp) = cn }
+    inv
+  }
+
+  /** Whether the top-right 4x4 neighbor of luma4x4BlkIdx `bi` precedes
+    * it in decode order (8.3.1.2's availability, the within-MB half —
+    * frame-boundary checks are the caller's). For top-row blocks the
+    * top-right pixels live in an already-decoded MB row, so true. */
+  private val I4TopRightInOrder: Array[Boolean] = Array(
+    true, true, true, false, true, true, true, false,
+    true, true, true, false, true, false, true, false)
 
   /** Per-frame reconstruction state: planes + the per-4x4-block
     * TotalCoeff grids CAVLC's nC context derivation needs (9.2.1). */
@@ -360,6 +413,22 @@ object H264Codec {
     val nnzY = new Array[Int](wMbs * 4 * hMbs * 4)
     /** TotalCoeff per chroma 4x4 block, per component (wMbs*2 x hMbs*2). */
     val nnzC = Array.fill(2)(new Array[Int](wMbs * 2 * hMbs * 2))
+    /** Intra4x4PredMode per luma 4x4 block; -1 = the block's MB is not
+      * Intra_4x4 (I_PCM / Intra_16x16), which predicts as DC (8.3.1.1). */
+    val i4Mode: Array[Int] = Array.fill(wMbs * 4 * hMbs * 4)(-1)
+
+    def setI4Mode(bx: Int, by: Int, m: Int): Unit = i4Mode(by * wMbs * 4 + bx) = m
+    /** Predicted Intra_4x4 mode (8.3.1.1): DC when either neighbor
+      * block is outside the picture, else min over the neighbors with
+      * non-Intra_4x4 neighbors counting as DC (2). */
+    def predI4Mode(bx: Int, by: Int): Int = {
+      if (bx == 0 || by == 0) 2
+      else {
+        val a = i4Mode(by * wMbs * 4 + bx - 1)
+        val b = i4Mode((by - 1) * wMbs * 4 + bx)
+        math.min(if (a < 0) 2 else a, if (b < 0) 2 else b)
+      }
+    }
 
     def nnzYAt(bx: Int, by: Int): Int = nnzY(by * wMbs * 4 + bx)
     def setNnzY(bx: Int, by: Int, v: Int): Unit = nnzY(by * wMbs * 4 + bx) = v
@@ -444,12 +513,20 @@ object H264Codec {
       }
       bi += 1
     }
-    // ---- chroma
-    val qpC = chromaQp(qpY)
-    val cW = lumaW / 2
+    // ---- chroma (shared with the Intra_4x4 path)
+    decodeChromaResid(r, st, mx, my, chromaMode, cbpChroma, chromaQp(qpY))
+  }
+
+  /** Decode one macroblock's chroma residual and reconstruct both 8x8
+    * planes (7.3.5.3.3 ordering: DC levels for BOTH components, then AC
+    * blocks per component) — shared by the Intra_16x16 and Intra_4x4
+    * paths, whose chroma syntax is identical. */
+  private def decodeChromaResid(r: BitReader, st: FrameState, mx: Int, my: Int,
+      chromaMode: Int, cbpChroma: Int, qpC: Int): Unit = {
+    import H264Transform._
+    val cW = st.lumaW / 2
     val cx0 = mx * 8; val cy0 = my * 8
-    // DC levels first for BOTH components, then AC blocks per component
-    // (7.3.5.3.3 residual ordering)
+    val acScan = new Array[Int](15)
     val dcLv = Array.ofDim[Int](2, 4)
     if (cbpChroma > 0) {
       var c = 0
@@ -497,6 +574,72 @@ object H264Codec {
         sb += 1
       }
       c += 1
+    }
+  }
+
+  /** Reconstructed neighbor samples for the luma 4x4 block at pixel
+    * (ax, ay), block index `bi` in decode order: (top8, left4, tl) with
+    * the 8.3.1.2 top-right substitution (p[4..7,−1] := p[3,−1] when the
+    * above-right block is outside the frame or later in decode order).
+    * Null sides mean unavailable. */
+  private def luma4x4Neighbors(st: FrameState, ax: Int, ay: Int, bi: Int)
+      : (Array[Int], Array[Int], Int) = {
+    val lumaW = st.lumaW
+    val top =
+      if (ay > 0) {
+        val trOk = I4TopRightInOrder(bi) && ax + 4 < lumaW
+        Array.tabulate(8) { i =>
+          if (i < 4 || trOk) st.yPlane((ay - 1) * lumaW + ax + i) & 0xff
+          else st.yPlane((ay - 1) * lumaW + ax + 3) & 0xff
+        }
+      } else null
+    val left =
+      if (ax > 0) Array.tabulate(4)(i => st.yPlane((ay + i) * lumaW + ax - 1) & 0xff)
+      else null
+    val tl = if (ax > 0 && ay > 0) st.yPlane((ay - 1) * lumaW + ax - 1) & 0xff else 0
+    (top, left, tl)
+  }
+
+  /** Decode + reconstruct the 16 luma blocks of an Intra_4x4 macroblock
+    * (8.3.1 prediction interleaved with 8.5 residual reconstruction in
+    * decode order — block k's prediction reads neighbors reconstructed
+    * earlier in the same MB). Full 16-coefficient CAVLC blocks, one per
+    * 4x4 with its 8x8 group's CBP bit set; DC rides in the block (no
+    * separate Hadamard plane, unlike Intra_16x16). */
+  private def decodeIntra4x4Luma(r: BitReader, st: FrameState, mx: Int, my: Int,
+      modes: Array[Int], cbpLuma: Int, qpY: Int): Unit = {
+    import H264Transform._
+    val lumaW = st.lumaW
+    val x0 = mx * 16; val y0 = my * 16
+    val scan = new Array[Int](16)
+    var bi = 0
+    while (bi < 16) {
+      val (bxo, byo) = LumaBlockOrder(bi)
+      val gbx = mx * 4 + bxo; val gby = my * 4 + byo
+      val ax = x0 + bxo * 4; val ay = y0 + byo * 4
+      val (top, left, tl) = luma4x4Neighbors(st, ax, ay, bi)
+      val pred = predLuma4x4(modes(bi), top, left, tl)
+      var resid: Array[Int] = null
+      if ((cbpLuma & (1 << (bi >> 2))) != 0) {
+        val tc = H264Cavlc.decodeBlock(r, scan, 16, st.lumaNc(gbx, gby))
+        st.setNnzY(gbx, gby, tc)
+        resid = dequant4x4(unzigzag(scan, 0), qpY, skipDc = false)
+      } else {
+        st.setNnzY(gbx, gby, 0)
+        resid = new Array[Int](16)
+      }
+      val rpx = inverse4x4(resid)
+      var py = 0
+      while (py < 4) {
+        var px = 0
+        while (px < 4) {
+          st.yPlane((ay + py) * lumaW + ax + px) =
+            clipB(pred(py * 4 + px) + rpx(py * 4 + px))
+          px += 1
+        }
+        py += 1
+      }
+      bi += 1
     }
   }
 
@@ -581,8 +724,32 @@ object H264Codec {
    * Hadamard + chroma-DC 2x2, quantization at `qp`, CAVLC entropy
    * coding — with the encoder reconstructing each macroblock exactly
    * as the decoder will, so neighbor predictions agree.
+   *
+   * `intra4x4 = true` (needs `qp >= 0`) writes Intra_4x4 macroblocks
+   * instead: per-4x4-block directional prediction (all nine 8.3.1.2
+   * modes, best-SAD per block), full 16-coefficient CAVLC residual
+   * blocks, me(v)-coded CBP — the mb_type-0 shape most real baseline
+   * I-frames use.
    */
-  def encode(img: MediaCodecs.Bmp, avcc: Boolean = true, qp: Int = -1): Array[Byte] = {
+  def encode(img: MediaCodecs.Bmp, avcc: Boolean = true, qp: Int = -1,
+      intra4x4: Boolean = false): Array[Byte] =
+    encodeImpl(img, avcc, qp, intra4x4, (_, best, _) => best)._1
+
+  /** Intra_4x4 encode with a forced per-block mode choice plus the
+    * encoder's own reconstructed 4:2:0 planes — the spec hook that (a)
+    * exercises every 8.3.1.2 predictor both directions and (b) pins the
+    * decoder bit-exactly against the encode-time reconstruction. */
+  private[graft] def encodeI4ForTest(img: MediaCodecs.Bmp, qp: Int,
+      pick: (Int, Int, Seq[Int]) => Int)
+      : (Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
+    val (bytes, st) = encodeImpl(img, avcc = true, qp = qp, intra4x4 = true, pick)
+    (bytes, st.yPlane, st.cbPlane, st.crPlane)
+  }
+
+  private def encodeImpl(img: MediaCodecs.Bmp, avcc: Boolean, qp: Int,
+      intra4x4: Boolean, pick: (Int, Int, Seq[Int]) => Int)
+      : (Array[Byte], FrameState) = {
+    require(!intra4x4 || qp >= 0, "intra4x4 needs a compressed qp (0..51)")
     val wMbs = (img.width + 15) / 16
     val hMbs = (img.height + 15) / 16
     val cropR = (wMbs * 16 - img.width + 1) / 2
@@ -639,6 +806,7 @@ object H264Codec {
     w2.ue(1) // disable_deblocking_filter_idc = 1
     var mb = 0
     val nMbs = wMbs * hMbs
+    var stOut: FrameState = null
     if (qp < 0) {
       while (mb < nMbs) { // every MB I_PCM (lossless transport)
         w2.ue(25)
@@ -668,8 +836,10 @@ object H264Codec {
       // encoder mirrors the decoder's reconstruction so intra prediction
       // chains across macroblocks agree bit-for-bit
       val st = new FrameState(wMbs, hMbs)
+      stOut = st
       while (mb < nMbs) {
-        encodeIntra16x16Mb(w2, st, mb % wMbs, mb / wMbs, yP, cbP, crP, qp)
+        if (intra4x4) encodeIntra4x4Mb(w2, st, mb % wMbs, mb / wMbs, yP, cbP, crP, qp, pick)
+        else encodeIntra16x16Mb(w2, st, mb % wMbs, mb / wMbs, yP, cbP, crP, qp)
         mb += 1
       }
     }
@@ -689,7 +859,7 @@ object H264Codec {
         out ++= nal
       }
     emit(spsNal); emit(ppsNal); emit(idrNal)
-    out.toArray
+    (out.toArray, stOut)
   }
 
   /** Encode + reconstruct one Intra_16x16 macroblock (DC prediction,
@@ -731,49 +901,9 @@ object H264Codec {
     val dcLvRaster = quantLumaDc(dcRaster, qp)
     val dcScan = Array.tabulate(16)(k => dcLvRaster(Zigzag4x4(k)))
     val cbpLuma = if (acLv.exists(_.exists(_ != 0))) 15 else 0
-    // chroma forward + quant
-    val qpC = chromaQp(qp)
-    val cW = lumaW / 2
-    val cx0 = mx * 8; val cy0 = my * 8
-    val cPred = new Array[Array[Int]](2)
-    val cAcLv = Array.ofDim[Int](2, 4, 15)
-    val cDcLv = new Array[Array[Int]](2)
-    var c = 0
-    while (c < 2) {
-      val srcP = if (c == 0) srcCb else srcCr
-      val recP = if (c == 0) st.cbPlane else st.crPlane
-      val ctop = if (my > 0) Array.tabulate(8)(i => recP((cy0 - 1) * cW + cx0 + i) & 0xff) else null
-      val cleft = if (mx > 0) Array.tabulate(8)(i => recP((cy0 + i) * cW + cx0 - 1) & 0xff) else null
-      cPred(c) = predChroma8x8(0, ctop, cleft, 0) // DC mode
-      val dcC = new Array[Int](4)
-      var sb = 0
-      while (sb < 4) {
-        val sbx = sb % 2; val sby = sb / 2
-        val x = new Array[Int](16)
-        var py = 0
-        while (py < 4) {
-          var px = 0
-          while (px < 4) {
-            val fx = sbx * 4 + px; val fy = sby * 4 + py
-            x(py * 4 + px) = (srcP((cy0 + fy) * cW + cx0 + fx) & 0xff) - cPred(c)(fy * 8 + fx)
-            px += 1
-          }
-          py += 1
-        }
-        val wc = forward4x4(x)
-        dcC(sby * 2 + sbx) = wc(0)
-        val q = quant4x4(wc, qpC, skipDc = true)
-        var k = 0
-        while (k < 15) { cAcLv(c)(sb)(k) = q(Zigzag4x4(k + 1)); k += 1 }
-        sb += 1
-      }
-      cDcLv(c) = quantChromaDc(dcC, qpC)
-      c += 1
-    }
-    val cbpChroma =
-      if (cAcLv.exists(_.exists(_.exists(_ != 0)))) 2
-      else if (cDcLv.exists(_.exists(_ != 0))) 1
-      else 0
+    // chroma forward + quant (shared with the Intra_4x4 encoder)
+    val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, chromaQp(qp))
+    val cbpChroma = chroma.cbpChroma
     // ---- write the macroblock (Table 7-11 inverse: predMode DC = 2)
     w.ue(1 + 2 + 4 * cbpChroma + 12 * (if (cbpLuma == 15) 1 else 0))
     w.ue(0) // intra_chroma_pred_mode = DC
@@ -808,44 +938,207 @@ object H264Codec {
       }
       bi += 1
     }
-    if (cbpChroma > 0) {
-      c = 0
-      while (c < 2) { H264Cavlc.encodeBlock(w, cDcLv(c), 4, -1); c += 1 }
-    }
-    c = 0
-    while (c < 2) {
-      val plane = if (c == 0) st.cbPlane else st.crPlane
-      val dcd2 = if (cbpChroma > 0) dequantChromaDc(cDcLv(c), qpC) else new Array[Int](4)
-      var sb = 0
-      while (sb < 4) {
-        val sbx = sb % 2; val sby = sb / 2
-        val gbx = mx * 2 + sbx; val gby = my * 2 + sby
-        var resid: Array[Int] = null
-        if (cbpChroma == 2) {
-          val tc = H264Cavlc.encodeBlock(w, cAcLv(c)(sb), 15, st.chromaNc(c, gbx, gby))
-          st.setNnzC(c, gbx, gby, tc)
-          resid = dequant4x4(unzigzag(cAcLv(c)(sb), 1), qpC, skipDc = true)
-        } else {
-          st.setNnzC(c, gbx, gby, 0)
-          resid = new Array[Int](16)
-        }
-        resid(0) = dcd2(sby * 2 + sbx)
-        val rpx = inverse4x4(resid)
-        var py = 0
-        while (py < 4) {
-          var px = 0
-          while (px < 4) {
-            val fx = sbx * 4 + px; val fy = sby * 4 + py
-            plane((cy0 + fy) * cW + cx0 + fx) =
-              clipB(cPred(c)(fy * 8 + fx) + rpx(py * 4 + px))
-            px += 1
+    chroma.emit(w)
+  }
+
+  /** Analyzed chroma for one macroblock (DC prediction, qpC-quantized
+    * transforms): `cbpChroma` is known before the header is written —
+    * mb_type / coded_block_pattern need it — and [[emit]] then writes
+    * the residual blocks and reconstructs the planes exactly as
+    * [[decodeChromaResid]] will. Shared by the Intra_16x16 and
+    * Intra_4x4 encoders. */
+  private final class ChromaEnc(st: FrameState, mx: Int, my: Int,
+      srcCb: Array[Byte], srcCr: Array[Byte], qpC: Int) {
+    import H264Transform._
+    private val cW = st.lumaW / 2
+    private val cx0 = mx * 8
+    private val cy0 = my * 8
+    private val cPred = new Array[Array[Int]](2)
+    private val cAcLv = Array.ofDim[Int](2, 4, 15)
+    private val cDcLv = new Array[Array[Int]](2)
+
+    {
+      var c = 0
+      while (c < 2) {
+        val srcP = if (c == 0) srcCb else srcCr
+        val recP = if (c == 0) st.cbPlane else st.crPlane
+        val ctop = if (my > 0) Array.tabulate(8)(i => recP((cy0 - 1) * cW + cx0 + i) & 0xff) else null
+        val cleft = if (mx > 0) Array.tabulate(8)(i => recP((cy0 + i) * cW + cx0 - 1) & 0xff) else null
+        cPred(c) = predChroma8x8(0, ctop, cleft, 0) // DC mode
+        val dcC = new Array[Int](4)
+        var sb = 0
+        while (sb < 4) {
+          val sbx = sb % 2; val sby = sb / 2
+          val x = new Array[Int](16)
+          var py = 0
+          while (py < 4) {
+            var px = 0
+            while (px < 4) {
+              val fx = sbx * 4 + px; val fy = sby * 4 + py
+              x(py * 4 + px) = (srcP((cy0 + fy) * cW + cx0 + fx) & 0xff) - cPred(c)(fy * 8 + fx)
+              px += 1
+            }
+            py += 1
           }
-          py += 1
+          val wc = forward4x4(x)
+          dcC(sby * 2 + sbx) = wc(0)
+          val q = quant4x4(wc, qpC, skipDc = true)
+          var k = 0
+          while (k < 15) { cAcLv(c)(sb)(k) = q(Zigzag4x4(k + 1)); k += 1 }
+          sb += 1
         }
-        sb += 1
+        cDcLv(c) = quantChromaDc(dcC, qpC)
+        c += 1
       }
-      c += 1
     }
+
+    val cbpChroma: Int =
+      if (cAcLv.exists(_.exists(_.exists(_ != 0)))) 2
+      else if (cDcLv.exists(_.exists(_ != 0))) 1
+      else 0
+
+    def emit(w: BitWriter): Unit = {
+      if (cbpChroma > 0) {
+        var c = 0
+        while (c < 2) { H264Cavlc.encodeBlock(w, cDcLv(c), 4, -1); c += 1 }
+      }
+      var c = 0
+      while (c < 2) {
+        val plane = if (c == 0) st.cbPlane else st.crPlane
+        val dcd2 = if (cbpChroma > 0) dequantChromaDc(cDcLv(c), qpC) else new Array[Int](4)
+        var sb = 0
+        while (sb < 4) {
+          val sbx = sb % 2; val sby = sb / 2
+          val gbx = mx * 2 + sbx; val gby = my * 2 + sby
+          var resid: Array[Int] = null
+          if (cbpChroma == 2) {
+            val tc = H264Cavlc.encodeBlock(w, cAcLv(c)(sb), 15, st.chromaNc(c, gbx, gby))
+            st.setNnzC(c, gbx, gby, tc)
+            resid = dequant4x4(unzigzag(cAcLv(c)(sb), 1), qpC, skipDc = true)
+          } else {
+            st.setNnzC(c, gbx, gby, 0)
+            resid = new Array[Int](16)
+          }
+          resid(0) = dcd2(sby * 2 + sbx)
+          val rpx = inverse4x4(resid)
+          var py = 0
+          while (py < 4) {
+            var px = 0
+            while (px < 4) {
+              val fx = sbx * 4 + px; val fy = sby * 4 + py
+              plane((cy0 + fy) * cW + cx0 + fx) =
+                clipB(cPred(c)(fy * 8 + fx) + rpx(py * 4 + px))
+              px += 1
+            }
+            py += 1
+          }
+          sb += 1
+        }
+        c += 1
+      }
+    }
+  }
+
+  /** Intra_4x4 modes whose required neighbors exist (8.3.1.2: V/DDL/VL
+    * need top, H/HU need left, DDR/VR/HD need both, DC always). */
+  private def availableI4Modes(topOk: Boolean, leftOk: Boolean): Seq[Int] =
+    if (topOk && leftOk) 0 to 8
+    else if (topOk) Seq(0, 2, 3, 7)
+    else if (leftOk) Seq(1, 2, 8)
+    else Seq(2)
+
+  /** Encode + reconstruct one Intra_4x4 macroblock — the mirror of the
+    * mb_type-0 decode path, sharing its prediction/transform/CAVLC
+    * kernels so the reconstruction (and therefore every later block's
+    * intra prediction) is bit-identical to the decoder's. Per block the
+    * mode minimizing prediction SAD among the available modes wins
+    * (ties to the lowest mode index — deterministic); `pick` lets specs
+    * override the choice to exercise every predictor. An 8x8 group's
+    * CBP bit is set iff any of its four blocks quantized non-zero;
+    * uncoded blocks carry zero residual by construction, so applying
+    * the quantized residual unconditionally reconstructs exactly what
+    * the decoder will. */
+  private[pipeline] def encodeIntra4x4Mb(w: BitWriter, st: FrameState,
+      mx: Int, my: Int, srcY: Array[Byte], srcCb: Array[Byte],
+      srcCr: Array[Byte], qp: Int,
+      pick: (Int, Int, Seq[Int]) => Int = (_, best, _) => best): Unit = {
+    import H264Transform._
+    val lumaW = st.lumaW
+    val x0 = mx * 16; val y0 = my * 16
+    val prevFlags = new Array[Boolean](16)
+    val rems = new Array[Int](16)
+    val levels = Array.ofDim[Int](16, 16) // zigzag-order quantized levels
+    var bi = 0
+    while (bi < 16) {
+      val (bxo, byo) = LumaBlockOrder(bi)
+      val gbx = mx * 4 + bxo; val gby = my * 4 + byo
+      val ax = x0 + bxo * 4; val ay = y0 + byo * 4
+      val (top, left, tl) = luma4x4Neighbors(st, ax, ay, bi)
+      val avail = availableI4Modes(top != null, left != null)
+      val src = Array.tabulate(16)(k => srcY((ay + k / 4) * lumaW + ax + k % 4) & 0xff)
+      var best = avail.head; var bestSad = Int.MaxValue
+      for (m <- avail) {
+        val pr = predLuma4x4(m, top, left, tl)
+        var sad = 0; var k = 0
+        while (k < 16) { sad += math.abs(src(k) - pr(k)); k += 1 }
+        if (sad < bestSad) { bestSad = sad; best = m }
+      }
+      val mode = pick(bi, best, avail)
+      require(avail.contains(mode), s"i4x4 mode $mode unavailable at block $bi")
+      val predM = st.predI4Mode(gbx, gby)
+      st.setI4Mode(gbx, gby, mode)
+      prevFlags(bi) = mode == predM
+      rems(bi) = if (mode < predM) mode else mode - 1
+      val pred = predLuma4x4(mode, top, left, tl)
+      val diff = Array.tabulate(16)(k => src(k) - pred(k))
+      val q = quant4x4(forward4x4(diff), qp, skipDc = false)
+      var k = 0
+      while (k < 16) { levels(bi)(k) = q(Zigzag4x4(k)); k += 1 }
+      // nnz now (TotalCoeff of an uncoded block is 0 either way), so
+      // later blocks' nC and the emit pass read the decoder's values
+      st.setNnzY(gbx, gby, levels(bi).count(_ != 0))
+      // reconstruct exactly as the decoder (zero levels -> zero resid,
+      // matching the uncoded-group path bit-for-bit)
+      val rpx = inverse4x4(dequant4x4(unzigzag(levels(bi), 0), qp, skipDc = false))
+      var py = 0
+      while (py < 4) {
+        var px = 0
+        while (px < 4) {
+          st.yPlane((ay + py) * lumaW + ax + px) =
+            clipB(pred(py * 4 + px) + rpx(py * 4 + px))
+          px += 1
+        }
+        py += 1
+      }
+      bi += 1
+    }
+    val cbpLuma = (0 until 4).foldLeft(0) { (acc, g) =>
+      if ((0 until 4).exists(i => levels(g * 4 + i).exists(_ != 0))) acc | (1 << g)
+      else acc
+    }
+    val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, chromaQp(qp))
+    val cbp = cbpLuma | (chroma.cbpChroma << 4)
+    // ---- write: mb_type, 16 pred modes, chroma mode, me(v) CBP,
+    // qp delta (only when coded), then residuals (7.3.5.1 / 7.3.5.3)
+    w.ue(0)
+    bi = 0
+    while (bi < 16) {
+      if (prevFlags(bi)) w.u1(1) else { w.u1(0); w.u(rems(bi), 3) }
+      bi += 1
+    }
+    w.ue(0) // intra_chroma_pred_mode = DC
+    w.ue(CbpIntraToCodeNum(cbp))
+    if (cbp != 0) w.se(0) // mb_qp_delta
+    bi = 0
+    while (bi < 16) {
+      if ((cbpLuma & (1 << (bi >> 2))) != 0) {
+        val (bxo, byo) = LumaBlockOrder(bi)
+        H264Cavlc.encodeBlock(w, levels(bi), 16,
+          st.lumaNc(mx * 4 + bxo, my * 4 + byo))
+      }
+      bi += 1
+    }
+    chroma.emit(w)
   }
 
   /** Structural probe without full decode: (width, height) from the SPS. */

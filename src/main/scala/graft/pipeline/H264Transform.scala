@@ -249,6 +249,103 @@ object H264Transform {
   }
 
   /**
+   * Intra_4x4 luma prediction (8.3.1.2.1–8.3.1.2.9) into a 16-entry
+   * raster array. `top` is the EIGHT samples p[0..7,−1] with the
+   * top-right half already substituted by p[3,−1] when unavailable
+   * (8.3.1.2's substitution rule — the caller owns availability);
+   * `left` the four samples p[−1,0..3]; `tl` = p[−1,−1]. Null marks a
+   * side unavailable. Modes: 0 Vertical, 1 Horizontal, 2 DC,
+   * 3 Diagonal-Down-Left, 4 Diagonal-Down-Right, 5 Vertical-Right,
+   * 6 Horizontal-Down, 7 Vertical-Left, 8 Horizontal-Up. A mode whose
+   * required neighbors are unavailable throws (a conformant stream
+   * never signals one; the media pipeline's corrupt-drop path catches).
+   */
+  def predLuma4x4(mode: Int, top: Array[Int], left: Array[Int], tl: Int): Array[Int] = {
+    val p = new Array[Int](16)
+    // index −1 on either side = the corner p[−1,−1], so the diagonal
+    // modes' edge taps (DDR x−y=1, HD zHD=−2 at x=2, VR i∈{0,1}) read
+    // naturally without special cases
+    def t(x: Int): Int = if (x < 0) tl else top(x)
+    def l(y: Int): Int = if (y < 0) tl else left(y)
+    mode match {
+      case 0 =>
+        require(top != null, "V pred needs top")
+        var y = 0
+        while (y < 4) { var x = 0; while (x < 4) { p(y * 4 + x) = t(x); x += 1 }; y += 1 }
+      case 1 =>
+        require(left != null, "H pred needs left")
+        var y = 0
+        while (y < 4) { var x = 0; while (x < 4) { p(y * 4 + x) = l(y); x += 1 }; y += 1 }
+      case 2 =>
+        val dc =
+          if (top != null && left != null) (t(0) + t(1) + t(2) + t(3) + left.sum + 4) >> 3
+          else if (top != null) (t(0) + t(1) + t(2) + t(3) + 2) >> 2
+          else if (left != null) (left.sum + 2) >> 2
+          else 128
+        java.util.Arrays.fill(p, dc)
+      case 3 => // Diagonal-Down-Left (8.3.1.2.4)
+        require(top != null, "DDL pred needs top")
+        for (y <- 0 until 4; x <- 0 until 4)
+          p(y * 4 + x) =
+            if (x == 3 && y == 3) (t(6) + 3 * t(7) + 2) >> 2
+            else (t(x + y) + 2 * t(x + y + 1) + t(x + y + 2) + 2) >> 2
+      case 4 => // Diagonal-Down-Right (8.3.1.2.5)
+        require(top != null && left != null, "DDR pred needs top+left")
+        for (y <- 0 until 4; x <- 0 until 4)
+          p(y * 4 + x) =
+            if (x > y) (t(x - y - 2) + 2 * t(x - y - 1) + t(x - y) + 2) >> 2
+            else if (x < y) (l(y - x - 2) + 2 * l(y - x - 1) + l(y - x) + 2) >> 2
+            else (t(0) + 2 * tl + l(0) + 2) >> 2
+      case 5 => // Vertical-Right (8.3.1.2.6)
+        require(top != null && left != null, "VR pred needs top+left")
+        for (y <- 0 until 4; x <- 0 until 4) {
+          val zVR = 2 * x - y
+          p(y * 4 + x) =
+            if (zVR >= 0 && zVR % 2 == 0) {
+              val i = x - (y >> 1)
+              (t(i - 1) + t(i) + 1) >> 1
+            } else if (zVR >= 0) {
+              val i = x - (y >> 1)
+              (t(i - 2) + 2 * t(i - 1) + t(i) + 2) >> 2
+            } else if (zVR == -1) (l(0) + 2 * tl + t(0) + 2) >> 2
+            else (l(y - 1) + 2 * l(y - 2) + l(y - 3) + 2) >> 2
+        }
+      case 6 => // Horizontal-Down (8.3.1.2.7)
+        require(top != null && left != null, "HD pred needs top+left")
+        for (y <- 0 until 4; x <- 0 until 4) {
+          val zHD = 2 * y - x
+          p(y * 4 + x) =
+            if (zHD >= 0 && zHD % 2 == 0) {
+              val i = y - (x >> 1)
+              (l(i - 1) + l(i) + 1) >> 1
+            } else if (zHD >= 0) {
+              val i = y - (x >> 1)
+              (l(i - 2) + 2 * l(i - 1) + l(i) + 2) >> 2
+            } else if (zHD == -1) (l(0) + 2 * tl + t(0) + 2) >> 2
+            else (t(x - 1) + 2 * t(x - 2) + t(x - 3) + 2) >> 2
+        }
+      case 7 => // Vertical-Left (8.3.1.2.8)
+        require(top != null, "VL pred needs top")
+        for (y <- 0 until 4; x <- 0 until 4)
+          p(y * 4 + x) =
+            if (y % 2 == 0) (t(x + (y >> 1)) + t(x + (y >> 1) + 1) + 1) >> 1
+            else (t(x + (y >> 1)) + 2 * t(x + (y >> 1) + 1) + t(x + (y >> 1) + 2) + 2) >> 2
+      case 8 => // Horizontal-Up (8.3.1.2.9)
+        require(left != null, "HU pred needs left")
+        for (y <- 0 until 4; x <- 0 until 4) {
+          val zHU = x + 2 * y
+          p(y * 4 + x) =
+            if (zHU > 5) l(3)
+            else if (zHU == 5) (l(2) + 3 * l(3) + 2) >> 2
+            else if (zHU % 2 == 0) (l(y + (x >> 1)) + l(y + (x >> 1) + 1) + 1) >> 1
+            else (l(y + (x >> 1)) + 2 * l(y + (x >> 1) + 1) + l(y + (x >> 1) + 2) + 2) >> 2
+        }
+      case m => throw new IllegalArgumentException(s"luma4x4 mode $m")
+    }
+    p
+  }
+
+  /**
    * 8x8 chroma prediction (8.3.4) into a 64-entry raster array.
    * mode: 0 = DC (per-4x4-sub-block rules), 1 = Horizontal,
    * 2 = Vertical, 3 = Plane.

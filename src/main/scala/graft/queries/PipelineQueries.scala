@@ -2563,6 +2563,65 @@ object PipelineQueries {
              |  true AS beats_pcm, true AS lossy_ok
              |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
 
+    // the Intra_4x4 H.264 path (r10): per-4x4-block directional
+    // prediction (all nine 8.3.1.2 modes, best-SAD), full 16-coeff
+    // CAVLC blocks, me(v) CBP, at qp=26 over the same closed-form
+    // gradients. `recon_exact` is the strong pin: the decoder's 4:2:0
+    // planes must equal the encoder's own reconstruction BYTE-FOR-BYTE
+    // (any disagreement in a predictor, mode signaling, CBP, nC
+    // tracking, or dequant flips it and the hash mismatches); beats_pcm
+    // and lossy_ok mirror the Intra_16x16 row.
+    "q_h264_intra4x4_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val len = text.codePointCount(0, text.length)
+            val w = 16 + 2 * (len % 8).toInt
+            val h = 16 + 2 * ((len + id) % 6).toInt
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val o = (y * w + x) * 3
+                rgb(o) = ((x * 255) / (w - 1)).toByte
+                rgb(o + 1) = ((y * 255) / (h - 1)).toByte
+                rgb(o + 2) = (((x + y) * 255) / (w + h - 2)).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val img = graft.pipeline.MediaCodecs.Bmp(w, h, rgb)
+            val (enc, yEnc, cbEnc, crEnc) =
+              graft.pipeline.H264Codec.encodeI4ForTest(img, 26, (_, best, _) => best)
+            val pcm = graft.pipeline.H264Codec.encode(img)
+            val planes = graft.pipeline.H264Codec.decodeYuv(enc)
+            val reconExact = planes.exists { case (_, yP, cbP, crP) =>
+              java.util.Arrays.equals(yP, yEnc) &&
+                java.util.Arrays.equals(cbP, cbEnc) &&
+                java.util.Arrays.equals(crP, crEnc)
+            }
+            val back = graft.pipeline.H264Codec.decode(enc)
+            val mad = back.map { b =>
+              img.rgb.iterator.zip(b.rgb.iterator)
+                .map { case (p, q) => math.abs((p & 0xff) - (q & 0xff)) }
+                .sum.toDouble / img.rgb.length
+            }.getOrElse(Double.MaxValue)
+            (id, back.map(_.width).getOrElse(-1), back.map(_.height).getOrElse(-1),
+              reconExact, enc.length < pcm.length, mad < 8.0)
+          }
+          .toDF("doc_id", "width", "height", "recon_exact", "beats_pcm", "lossy_ok")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(16 + 2 * (len(text) % 8) AS INT) AS width,
+             |  CAST(16 + 2 * ((len(text) + doc_id) % 6) AS INT) AS height,
+             |  true AS recon_exact, true AS beats_pcm, true AS lossy_ok
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
     // native baseline-JPEG codec (JpegCodec, r7) end-to-end: deterministic
     // gradient images (closed-form dims in doc_id/len) → encodeJpeg →
     // decodeJpeg. Dims are exact; lossy pixel fidelity is asserted as a
