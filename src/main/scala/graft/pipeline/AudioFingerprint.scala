@@ -119,6 +119,34 @@ object AudioFingerprint {
       .filter($"shared_landmarks" >= minShared)
   }
 
+  /**
+   * Standardize clips for training — the audio twin of the image
+   * resize step: decode WAV → floor-mean downmix to mono → exact
+   * linear resample to `outRateHz` ([[MediaCodecs.resampleWav]]) →
+   * re-encode. Undecodable blobs drop, map-only (samples never leave
+   * the partition). Every per-sample step is integer floor arithmetic,
+   * so the registry fixture's DuckDB oracle replays the WHOLE signal
+   * path — downmix, rational positions, interpolation — value-exactly.
+   *
+   * @return (id, bytes, sample_rate, n_samples) with bytes a mono WAV
+   *         at `outRateHz`
+   */
+  def standardizeAudio(df: DataFrame, idCol: String, bytesCol: String,
+      outRateHz: Int = 16000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(bytesCol).as("bytes"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        try MediaCodecs.decodeWav(bytes).map { wav =>
+          val mono = MediaCodecs.downmixMono(wav)
+          val res = MediaCodecs.resampleWav(mono, outRateHz)
+          (id, MediaCodecs.encodeWav(res), res.sampleRateHz, res.samples.length)
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+      .toDF("id", "bytes", "sample_rate", "n_samples")
+  }
+
   /** Landmarks MORE frequent than `maxLandmarkDf`, with document
     * frequencies — the "log" half of [[audioNearDups]]'s drop-and-log:
     * each row is usually a mass-duplicated jingle/tone worth routing to

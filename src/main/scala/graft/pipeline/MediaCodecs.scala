@@ -465,6 +465,66 @@ object MediaCodecs {
     out.array()
   }
 
+  /** Downmix to mono: per frame, the FLOOR mean of the channel samples
+    * (Math.floorDiv — one fixed convention, so an independent engine
+    * replays it exactly even on negative odd sums). Mono input returns
+    * unchanged. */
+  def downmixMono(wav: Wav): Wav = {
+    val ch = math.max(1, wav.channels)
+    if (ch == 1) wav
+    else {
+      val n = wav.samples.length / ch
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        var s = 0
+        var c = 0
+        while (c < ch) { s += wav.samples(i * ch + c); c += 1 }
+        out(i) = Math.floorDiv(s, ch).toShort
+        i += 1
+      }
+      Wav(wav.sampleRateHz, 1, out)
+    }
+  }
+
+  /**
+   * Linear sample-rate conversion of a MONO signal in EXACT integer
+   * arithmetic: output index j sits at rational source position
+   * j·inRate/outRate; with i0 = floor and frac = remainder,
+   *
+   *   out(j) = s(i0) + floorDiv((s(i0+1) − s(i0)) · frac, outRate)
+   *
+   * and n_out = floor((n_in − 1)·outRate/inRate) + 1 so the last output
+   * lands ON the last input sample — no extrapolation (when frac > 0,
+   * i0+1 < n_in by construction). Every step is integer floor
+   * arithmetic, so a SQL oracle replays the whole resample
+   * bit-for-bit. Linear interpolation is the standard cheap resampler
+   * for ASR-style pipelines standardizing a crawl's mixed sample rates
+   * to one model rate; a windowed-sinc kernel would beat it on
+   * anti-aliasing but has no exact-replay story.
+   */
+  def resampleWav(wav: Wav, outRateHz: Int): Wav = {
+    require(outRateHz > 0, s"outRateHz $outRateHz")
+    require(wav.channels == 1, "resampleWav expects mono — downmixMono first")
+    val s = wav.samples
+    val inRate = wav.sampleRateHz
+    if (s.isEmpty || inRate == outRateHz) return Wav(outRateHz, 1, s)
+    val nOut = ((s.length - 1).toLong * outRateHz / inRate).toInt + 1
+    val out = new Array[Short](nOut)
+    var j = 0
+    while (j < nOut) {
+      val num = j.toLong * inRate
+      val i0 = (num / outRateHz).toInt
+      val frac = (num % outRateHz).toInt
+      val a = s(i0)
+      out(j) =
+        if (frac == 0 || i0 + 1 >= s.length) a
+        else (a + Math.floorDiv((s(i0 + 1) - a).toLong * frac, outRateHz)).toShort
+      j += 1
+    }
+    Wav(outRateHz, 1, out)
+  }
+
   /** decode RIFF/WAVE PCM16, walking chunks to the fmt and data blocks;
     * None for non-WAV / non-PCM16 payloads */
   def decodeWav(payload: Array[Byte]): Option[Wav] = {

@@ -2805,6 +2805,81 @@ object PipelineQueries {
     // arithmetic on (id%40, id%8) — the oracle recomputes them WITHOUT
     // decoding, independently checking the engine's decode + scan (the
     // one sqrt gets the identical IEEE operand on both sides)
+    // audio standardization (r10) — the ASR-pipeline prep step: planted
+    // stereo sawtooth clips (closed-form samples) → decode → floor-mean
+    // downmix to mono → EXACT linear resample (integer floor
+    // arithmetic) to 16 kHz (2x upsample) AND 6 kHz (non-integer 3/4
+    // downsample) → re-encode → decode → per-clip checksums. The oracle
+    // regenerates the source from the same closed form and replays the
+    // ENTIRE signal path value-exactly — rational positions,
+    // interpolation, floor conventions — via generate_series; sum_abs
+    // and the position-sensitive dot17 hash any per-sample divergence.
+    "q_audio_resample" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").filter($"doc_id" < 60)
+          .select($"doc_id".cast("long").as("media_id")).as[Long]
+          .map { d =>
+            val n = 2048
+            val inter = new Array[Short](2 * n)
+            var i = 0
+            while (i < n) {
+              inter(2 * i) = (((i * 7 + d * 13) % 256) * 23 - 2900).toShort
+              inter(2 * i + 1) = (((i * 5 + d * 11) % 200) * 31 - 3000).toShort
+              i += 1
+            }
+            (d, graft.pipeline.MediaCodecs.encodeWav(
+              graft.pipeline.MediaCodecs.Wav(8000, 2, inter)))
+          }
+          .toDF("media_id", "bytes")
+        val out = Seq(16000, 6000).map(r =>
+            AudioFingerprint.standardizeAudio(media, "media_id", "bytes", r))
+          .reduce(_ unionByName _)
+        out.as[(Long, Array[Byte], Int, Int)]
+          .map { case (id, bytes, rate, nOut) =>
+            val w = graft.pipeline.MediaCodecs.decodeWav(bytes).get
+            var sumAbs = 0L; var dot = 0L
+            var j = 0
+            while (j < w.samples.length) {
+              sumAbs += math.abs(w.samples(j).toLong)
+              dot += w.samples(j).toLong * ((j % 17) - 8)
+              j += 1
+            }
+            (id, rate, nOut, sumAbs, dot)
+          }
+          .toDF("doc_id", "out_rate", "n_out", "sum_abs", "dot17")
+          .orderBy($"doc_id", $"out_rate")
+      },
+      Some("""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+             |           FROM documents WHERE doc_id < 60),
+             |r(out_rate, n_out) AS (VALUES (16000, 4095), (6000, 1536)),
+             |jx AS (
+             |  SELECT d.doc_id, r.out_rate, r.n_out, CAST(t.j AS BIGINT) AS j
+             |  FROM d, r, UNNEST(generate_series(0, CAST(r.n_out - 1 AS BIGINT))) t(j)),
+             |pos AS (
+             |  SELECT *, CAST(floor(j * 8000 / CAST(out_rate AS DOUBLE)) AS BIGINT) AS i0,
+             |         j * 8000 - CAST(floor(j * 8000 / CAST(out_rate AS DOUBLE)) AS BIGINT)
+             |           * out_rate AS fr
+             |  FROM jx),
+             |src AS (
+             |  SELECT *,
+             |    CAST(floor(((((i0 * 7 + doc_id * 13) % 256) * 23 - 2900)
+             |      + (((i0 * 5 + doc_id * 11) % 200) * 31 - 3000)) / 2.0) AS BIGINT) AS m0,
+             |    CAST(floor((((((i0 + 1) * 7 + doc_id * 13) % 256) * 23 - 2900)
+             |      + ((((i0 + 1) * 5 + doc_id * 11) % 200) * 31 - 3000)) / 2.0) AS BIGINT) AS m1
+             |  FROM pos),
+             |sig AS (
+             |  SELECT doc_id, out_rate, n_out, j,
+             |    CASE WHEN fr = 0 THEN m0
+             |         ELSE m0 + CAST(floor((m1 - m0) * fr / CAST(out_rate AS DOUBLE)) AS BIGINT)
+             |    END AS s
+             |  FROM src)
+             |SELECT doc_id, out_rate, CAST(max(n_out) AS INT) AS n_out,
+             |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+             |  CAST(sum(s * ((j % 17) - 8)) AS BIGINT) AS dot17
+             |FROM sig GROUP BY doc_id, out_rate
+             |ORDER BY doc_id, out_rate""".stripMargin)),
+
     "q_audio_quality_screen" -> QueryDef(
       (s, dir) => {
         import s.implicits._

@@ -262,6 +262,50 @@ class MediaCodecSpec extends SparkSpec {
     assert(Multimodal.decode(opaque).toSeq == Multimodal.decodeStub(opaque).toSeq)
   }
 
+  test("downmixMono: floor-mean over channels, exact on negative odd sums") {
+    // stereo frames: (10, 20) -> 15; (-3, -4) -> floorDiv(-7,2) = -4
+    // (NOT truncation's -3 — the one convention the oracle replays);
+    // (7, 0) -> 3
+    val st = Wav(8000, 2, Array[Short](10, 20, -3, -4, 7, 0))
+    val mono = MediaCodecs.downmixMono(st)
+    assert(mono.channels == 1 && mono.sampleRateHz == 8000)
+    assert(mono.samples.toSeq == Seq[Short](15, -4, 3))
+    // 3-channel: (1, 2, 4) -> 2; mono passthrough is identity
+    val tri = MediaCodecs.downmixMono(Wav(8000, 3, Array[Short](1, 2, 4)))
+    assert(tri.samples.toSeq == Seq[Short](2))
+    val m = Wav(8000, 1, Array[Short](5, 6))
+    assert(MediaCodecs.downmixMono(m) eq m)
+  }
+
+  test("resampleWav: exact linear interpolation, endpoints, edge shapes") {
+    val ramp = Wav(8000, 1, Array[Short](0, 100, -60, 40))
+    // 2x upsample: midpoints are exact floor-averages, endpoints exact,
+    // n_out = floor(3*16000/8000) + 1 = 7 (no extrapolation past s(3))
+    val up = MediaCodecs.resampleWav(ramp, 16000)
+    assert(up.sampleRateHz == 16000)
+    assert(up.samples.toSeq == Seq[Short](0, 50, 100, 20, -60, -10, 40))
+    // 3/4 downsample: j=1 at pos 4/3 -> s(1) + floor((s(2)-s(1))/3) =
+    // 100 + floor(-160/3) = 100 - 54 = 46; j=2 at pos 8/3 ->
+    // -60 + floor(100*2/3) = -60 + 66 = 6; n_out = floor(3*3/4)+1 = 3
+    val dn = MediaCodecs.resampleWav(ramp, 6000)
+    assert(dn.samples.toSeq == Seq[Short](0, 46, 6))
+    // identity rate returns the same samples; empty and 1-sample safe
+    assert(MediaCodecs.resampleWav(ramp, 8000).samples.toSeq == ramp.samples.toSeq)
+    assert(MediaCodecs.resampleWav(Wav(8000, 1, Array.empty[Short]), 16000)
+      .samples.isEmpty)
+    assert(MediaCodecs.resampleWav(Wav(8000, 1, Array[Short](7)), 3000)
+      .samples.toSeq == Seq[Short](7))
+    // the first sample always survives; the last lands ON the final
+    // input exactly when the rate ratio divides (integer upsampling)
+    for (r <- Seq(3000, 5513, 11025, 44100)) {
+      assert(MediaCodecs.resampleWav(ramp, r).samples.head == 0, s"rate $r")
+    }
+    for (k <- Seq(2, 3, 4)) {
+      val o = MediaCodecs.resampleWav(ramp, 8000 * k)
+      assert(o.samples.last == 40 && o.samples.length == 3 * k + 1, s"x$k")
+    }
+  }
+
   test("sliceWav: sample-aligned slices reassemble the original") {
     val samples = Array.tabulate(100)(_.toShort)
     val wav = Wav(8000, 1, samples)
