@@ -114,6 +114,60 @@ object MediaCodecs {
     Bmp(newW, newH, rgb)
   }
 
+  /**
+   * Bilinear resample in EXACT fixed-point arithmetic — the
+   * vision-pipeline standard interpolation (nearest-neighbor aliases
+   * hard on downscale), done so an independent engine can replay every
+   * output pixel. Pixel-center convention: output x maps to source
+   * position (2x+1)·W/(2·newW) − 1/2, kept as the rational
+   * sxNum/Dx with Dx = 2·newW (never a float); edge samples clamp
+   * (replicate). The 2x2 neighborhood is blended with integer weights
+   * fx/Dx, fy/Dy and ONE final half-up rounding division:
+   *
+   *   out = floorDiv(2·Σ w·p + DxDy, 2·DxDy)
+   *
+   * All Long arithmetic (255·Dx·Dy needs ~38 bits at 4k targets).
+   */
+  def resizeBmpBilinear(img: Bmp, newW: Int, newH: Int): Bmp = {
+    require(newW > 0 && newH > 0)
+    val w = img.width; val h = img.height
+    val dx = 2L * newW; val dy = 2L * newH
+    val rgb = new Array[Byte](newW * newH * 3)
+    var y = 0
+    while (y < newH) {
+      val syNum = (2L * y + 1) * h - newH // source y = syNum / dy
+      var iy = Math.floorDiv(syNum, dy).toInt
+      var fy = syNum - iy.toLong * dy
+      if (iy < 0) { iy = 0; fy = 0 }
+      if (iy >= h - 1) { iy = h - 1; fy = 0 }
+      val iy1 = math.min(h - 1, iy + 1)
+      var x = 0
+      while (x < newW) {
+        val sxNum = (2L * x + 1) * w - newW
+        var ix = Math.floorDiv(sxNum, dx).toInt
+        var fx = sxNum - ix.toLong * dx
+        if (ix < 0) { ix = 0; fx = 0 }
+        if (ix >= w - 1) { ix = w - 1; fx = 0 }
+        val ix1 = math.min(w - 1, ix + 1)
+        val o = (y * newW + x) * 3
+        var c = 0
+        while (c < 3) {
+          val p00 = img.rgb((iy * w + ix) * 3 + c) & 0xff
+          val p10 = img.rgb((iy * w + ix1) * 3 + c) & 0xff
+          val p01 = img.rgb((iy1 * w + ix) * 3 + c) & 0xff
+          val p11 = img.rgb((iy1 * w + ix1) * 3 + c) & 0xff
+          val num = (dx - fx) * (dy - fy) * p00 + fx * (dy - fy) * p10 +
+            (dx - fx) * fy * p01 + fx * fy * p11
+          rgb(o + c) = (Math.floorDiv(2 * num + dx * dy, 2 * dx * dy)).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Bmp(newW, newH, rgb)
+  }
+
   /** 16-dim image features: dimensions, per-channel means, luminance
     * spread + 8-bin histogram, aspect; f15 = 1 marks a real decode. */
   def bmpFeatures(img: Bmp): Array[Float] = {

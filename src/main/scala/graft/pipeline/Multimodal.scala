@@ -151,30 +151,35 @@ object Multimodal {
     }.toDF("mediaId", "frame", "n_bytes", "features")
   }
 
-  /** Resize: BMP payloads get a REAL nearest-neighbor resample (the
-    * output is a valid BMP at the new dimensions); opaque payloads keep
-    * the proportional byte-budget stub so the pipeline shape is
-    * exercised for every format. Composes with extractFeatures /
-    * sampleFrames downstream. */
-  def resize(media: Dataset[MediaRow], newWidth: Int, newHeight: Int): Dataset[MediaRow] = {
+  /** Resize: decodable payloads get a REAL resample — nearest-neighbor
+    * by default, exact-fixed-point bilinear with `bilinear = true`
+    * ([[MediaCodecs.resizeBmpBilinear]], the vision-training standard —
+    * nearest aliases hard on downscale) — re-encoded in the same
+    * container; opaque payloads keep the proportional byte-budget stub
+    * so the pipeline shape is exercised for every format. Composes
+    * with extractFeatures / sampleFrames downstream. */
+  def resize(media: Dataset[MediaRow], newWidth: Int, newHeight: Int,
+      bilinear: Boolean = false): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
+    val kernel: (MediaCodecs.Bmp, Int, Int) => MediaCodecs.Bmp =
+      if (bilinear) MediaCodecs.resizeBmpBilinear else MediaCodecs.resizeBmp
     media.map { m =>
       // real resample, re-encoded in the SAME container format (Y4M
       // needs even target dims for 4:2:0 — odd targets fall to the stub)
       val real =
         MediaCodecs.decodeBmp(m.payload)
-          .map(img => MediaCodecs.encodeBmp(MediaCodecs.resizeBmp(img, newWidth, newHeight)))
+          .map(img => MediaCodecs.encodeBmp(kernel(img, newWidth, newHeight)))
           .orElse(MediaCodecs.decodePng(m.payload)
-            .map(img => MediaCodecs.encodePng(MediaCodecs.resizeBmp(img, newWidth, newHeight))))
+            .map(img => MediaCodecs.encodePng(kernel(img, newWidth, newHeight))))
           .orElse(if (JpegCodec.isJpeg(m.payload))
             JpegCodec.decodeJpeg(m.payload)
-              .map(img => JpegCodec.encodeJpeg(MediaCodecs.resizeBmp(img, newWidth, newHeight)))
+              .map(img => JpegCodec.encodeJpeg(kernel(img, newWidth, newHeight)))
           else None)
           .orElse(
             if (newWidth % 2 == 0 && newHeight % 2 == 0)
               MediaCodecs.decodeY4m(m.payload).map(v => MediaCodecs.encodeY4m(
                 MediaCodecs.Y4m(newWidth, newHeight,
-                  v.frames.map(MediaCodecs.resizeBmp(_, newWidth, newHeight)))))
+                  v.frames.map(kernel(_, newWidth, newHeight)))))
             else None)
       real match {
         case Some(bytes) =>

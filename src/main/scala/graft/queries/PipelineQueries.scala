@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{AudioFingerprint, Classify, Dedup, ImageHash, LanguageModel, Multimodal, Retrieval, Similarity, TextAnalysis, Tokenizer, TrainingDataset, Unigram}
+import graft.pipeline.{AudioFingerprint, Classify, Dedup, ImageHash, LanguageModel, MediaRow, Multimodal, Retrieval, Similarity, TextAnalysis, Tokenizer, TrainingDataset, Unigram}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2937,6 +2937,109 @@ object PipelineQueries {
     // the frame-slice arithmetic (step = max(1, len/n); start = min(i·step,
     // max(0, len−1)); bytes = min(start+step, len) − start) is integer math
     // DuckDB can mirror exactly
+    // bilinear image resize (r10) — the vision-training prep step:
+    // closed-form gradient BMPs (mixed source dims, so 24x16 is an
+    // upscale on one axis and a downscale on the other for most docs)
+    // -> Multimodal.resize(bilinear = true) -> decode -> per-channel
+    // checksums. MediaCodecs.resizeBmpBilinear is exact fixed-point
+    // (pixel-center rational positions, edge clamp, one half-up
+    // rounding division), so the oracle replays EVERY output pixel of
+    // every image via generate_series — sum and the position-weighted
+    // dot catch any per-pixel divergence.
+    "q_image_resize_bilinear" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").filter($"doc_id" < 40)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val len = text.codePointCount(0, text.length)
+            val w = 16 + (len % 9).toInt
+            val h = 12 + ((len + id) % 7).toInt
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val o = (y * w + x) * 3
+                rgb(o) = ((x * 255) / (w - 1)).toByte
+                rgb(o + 1) = ((y * 255) / (h - 1)).toByte
+                rgb(o + 2) = ((x * 3 + y * 5 + id) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            MediaRow(id, "image",
+              graft.pipeline.MediaCodecs.encodeBmp(
+                graft.pipeline.MediaCodecs.Bmp(w, h, rgb)), w, h, 0)
+          }
+        Multimodal.resize(media, 24, 16, bilinear = true)
+          .map { m =>
+            val img = graft.pipeline.MediaCodecs.decodeBmp(m.payload).get
+            var sr = 0L; var sg = 0L; var sb = 0L; var dot = 0L
+            var i = 0
+            while (i < img.width * img.height) {
+              val r = img.rgb(3 * i) & 0xff
+              val g = img.rgb(3 * i + 1) & 0xff
+              val b = img.rgb(3 * i + 2) & 0xff
+              sr += r; sg += g; sb += b
+              dot += (r + 2L * g + 3L * b) * ((i % 23) - 11)
+              i += 1
+            }
+            (m.mediaId, img.width, img.height, sr, sg, sb, dot)
+          }
+          .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b", "dot23")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |         16 + (len(text) % 9) AS w,
+             |         12 + ((len(text) + doc_id) % 7) AS h
+             |  FROM documents WHERE doc_id < 40),
+             |px AS (
+             |  SELECT doc_id, w, h, CAST(t.i AS BIGINT) AS i,
+             |         CAST(t.i % 24 AS BIGINT) AS x, CAST(t.i // 24 AS BIGINT) AS y
+             |  FROM d, UNNEST(generate_series(0, CAST(24 * 16 - 1 AS BIGINT))) t(i)),
+             |sx AS (
+             |  SELECT *, (2 * x + 1) * w - 24 AS sxn, (2 * y + 1) * h - 16 AS syn
+             |  FROM px),
+             |ix AS (
+             |  SELECT *,
+             |    CASE WHEN sxn < 0 THEN 0
+             |         WHEN CAST(floor(sxn / 48.0) AS BIGINT) >= w - 1 THEN w - 1
+             |         ELSE CAST(floor(sxn / 48.0) AS BIGINT) END AS ix0,
+             |    CASE WHEN sxn < 0 OR CAST(floor(sxn / 48.0) AS BIGINT) >= w - 1 THEN 0
+             |         ELSE sxn - CAST(floor(sxn / 48.0) AS BIGINT) * 48 END AS fx,
+             |    CASE WHEN syn < 0 THEN 0
+             |         WHEN CAST(floor(syn / 32.0) AS BIGINT) >= h - 1 THEN h - 1
+             |         ELSE CAST(floor(syn / 32.0) AS BIGINT) END AS iy0,
+             |    CASE WHEN syn < 0 OR CAST(floor(syn / 32.0) AS BIGINT) >= h - 1 THEN 0
+             |         ELSE syn - CAST(floor(syn / 32.0) AS BIGINT) * 32 END AS fy
+             |  FROM sx),
+             |nb AS (
+             |  SELECT *, least(w - 1, ix0 + 1) AS ix1, least(h - 1, iy0 + 1) AS iy1
+             |  FROM ix),
+             |ch AS (
+             |  SELECT doc_id, i,
+             |    CAST(floor((2 * ((48 - fx) * (32 - fy) * ((ix0 * 255) // (w - 1))
+             |      + fx * (32 - fy) * ((ix1 * 255) // (w - 1))
+             |      + (48 - fx) * fy * ((ix0 * 255) // (w - 1))
+             |      + fx * fy * ((ix1 * 255) // (w - 1))) + 1536) / 3072.0) AS BIGINT) AS r,
+             |    CAST(floor((2 * ((48 - fx) * (32 - fy) * ((iy0 * 255) // (h - 1))
+             |      + fx * (32 - fy) * ((iy0 * 255) // (h - 1))
+             |      + (48 - fx) * fy * ((iy1 * 255) // (h - 1))
+             |      + fx * fy * ((iy1 * 255) // (h - 1))) + 1536) / 3072.0) AS BIGINT) AS g,
+             |    CAST(floor((2 * ((48 - fx) * (32 - fy) * ((ix0 * 3 + iy0 * 5 + doc_id) % 256)
+             |      + fx * (32 - fy) * ((ix1 * 3 + iy0 * 5 + doc_id) % 256)
+             |      + (48 - fx) * fy * ((ix0 * 3 + iy1 * 5 + doc_id) % 256)
+             |      + fx * fy * ((ix1 * 3 + iy1 * 5 + doc_id) % 256)) + 1536) / 3072.0) AS BIGINT) AS b
+             |  FROM nb)
+             |SELECT doc_id, 24 AS width, 16 AS height,
+             |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+             |  CAST(sum(b) AS BIGINT) AS sum_b,
+             |  CAST(sum((r + 2 * g + 3 * b) * ((i % 23) - 11)) AS BIGINT) AS dot23
+             |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     "q_multimodal_frames" -> QueryDef(
       (s, dir) => {
         import s.implicits._

@@ -262,6 +262,37 @@ class MediaCodecSpec extends SparkSpec {
     assert(Multimodal.decode(opaque).toSeq == Multimodal.decodeStub(opaque).toSeq)
   }
 
+  test("resizeBmpBilinear: hand-computed 2x2 -> 4x4, identity, half-up rounding") {
+    def gray(vals: Int*): Array[Byte] =
+      vals.flatMap(v => Seq(v.toByte, v.toByte, v.toByte)).toArray
+    // corners 0/100/40/220; pixel-center positions give fx in {0, 2, 6,
+    // clamp} of 8 — every cell hand-computed with the single half-up
+    // rounding division
+    val src = Bmp(2, 2, gray(0, 100, 40, 220))
+    val up = MediaCodecs.resizeBmpBilinear(src, 4, 4)
+    val got = (0 until 16).map(i => up.rgb(3 * i) & 0xff)
+    assert(got == Seq(
+      0, 25, 75, 100,
+      10, 40, 100, 130,
+      30, 70, 150, 190,
+      40, 85, 175, 220), got.mkString(","))
+    // all three channels resampled identically for gray input
+    assert(up.rgb.grouped(3).forall(c => c(0) == c(1) && c(1) == c(2)))
+    // exact .5 ties round UP: 0..10 ramp at fx=2 is 2.5 -> 3, fx=6 is 7.5 -> 8
+    val ramp = MediaCodecs.resizeBmpBilinear(Bmp(2, 1, gray(0, 10)), 4, 1)
+    assert((0 until 4).map(i => ramp.rgb(3 * i) & 0xff) == Seq(0, 3, 8, 10))
+    // same-size resize is the identity (pixel centers align exactly)
+    val id = MediaCodecs.resizeBmpBilinear(src, 2, 2)
+    assert(id.rgb.toSeq == src.rgb.toSeq)
+    // 2:1 downscale lands on half-positions and blends neighbor pairs
+    // (nearest just picks): [0,100 | 200,40] -> [(0+100)/2, (200+40)/2]
+    val dn = MediaCodecs.resizeBmpBilinear(Bmp(4, 1, gray(0, 100, 200, 40)), 2, 1)
+    val nn = MediaCodecs.resizeBmp(Bmp(4, 1, gray(0, 100, 200, 40)), 2, 1)
+    assert((dn.rgb(0) & 0xff) == 50 && (dn.rgb(3) & 0xff) == 120,
+      s"${dn.rgb(0)} ${dn.rgb(3)}")
+    assert((nn.rgb(0) & 0xff) == 0 && (nn.rgb(3) & 0xff) == 200) // picked
+  }
+
   test("downmixMono: floor-mean over channels, exact on negative odd sums") {
     // stereo frames: (10, 20) -> 15; (-3, -4) -> floorDiv(-7,2) = -4
     // (NOT truncation's -3 — the one convention the oracle replays);
