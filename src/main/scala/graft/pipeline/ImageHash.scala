@@ -334,8 +334,11 @@ object ImageHash {
     * a media flood is the NORMAL skew case at web scale (blank
     * thumbnails, logo frames, silence): one bucket of n identical
     * hashes is an n² self-join. The population is an unordered count
-    * window over the join key itself — one shuffle, already the
-    * self-join's exchange, so the cap is free of extra stages. A
+    * window over the join key itself — on the sort-merge scale path
+    * (the 100 TB case) that hash exchange IS the join's own, so the
+    * cap adds no stage; when the planner broadcasts one side instead
+    * (small inputs), the window costs the one exchange it needs —
+    * measured cheaper than the uncapped join even at bench scale. A
     * duplicate CLUSTER larger than the cap is dropped wholesale (run
     * [[hotMediaBuckets]] alongside to see exactly what was skipped —
     * such clusters are better routed to exact byte/hash dedup). */

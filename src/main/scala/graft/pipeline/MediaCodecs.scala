@@ -168,6 +168,44 @@ object MediaCodecs {
     Bmp(newW, newH, rgb)
   }
 
+  /**
+   * Aspect-preserving letterbox to a fixed model input — the standard
+   * vision-training geometry (resize to the largest size that fits
+   * boxW×boxH, center, pad with `fill`): the limiting side is decided
+   * by the exact rational comparison boxW·h ≤ boxH·w, the minor target
+   * dimension is half-up rounded ([[Math.floorDiv]] on the doubled
+   * numerator), offsets floor-center, and the content is
+   * [[resizeBmpBilinear]] — so every output pixel, content or padding,
+   * is integer-exactly replayable. `fill` defaults to the conventional
+   * neutral gray 114.
+   */
+  def letterbox(img: Bmp, boxW: Int, boxH: Int, fill: Int = 114): Bmp = {
+    require(boxW > 0 && boxH > 0 && fill >= 0 && fill <= 255)
+    val w = img.width; val h = img.height
+    val widthLimited = boxW.toLong * h <= boxH.toLong * w
+    val tw =
+      if (widthLimited) boxW
+      else math.max(1, Math.floorDiv(2L * w * boxH + h, 2L * h).toInt)
+    val th =
+      if (widthLimited) math.max(1, Math.floorDiv(2L * h * boxW + w, 2L * w).toInt)
+      else boxH
+    val inner = resizeBmpBilinear(img, tw, th)
+    val ox = (boxW - tw) / 2; val oy = (boxH - th) / 2
+    val rgb = Array.fill[Byte](boxW * boxH * 3)(fill.toByte)
+    var y = 0
+    while (y < th) {
+      var x = 0
+      while (x < tw) {
+        val o = ((oy + y) * boxW + ox + x) * 3
+        val i = (y * tw + x) * 3
+        rgb(o) = inner.rgb(i); rgb(o + 1) = inner.rgb(i + 1); rgb(o + 2) = inner.rgb(i + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Bmp(boxW, boxH, rgb)
+  }
+
   /** 16-dim image features: dimensions, per-channel means, luminance
     * spread + 8-bin histogram, aspect; f15 = 1 marks a real decode. */
   def bmpFeatures(img: Bmp): Array[Float] = {

@@ -3040,6 +3040,121 @@ object PipelineQueries {
              |  CAST(sum((r + 2 * g + 3 * b) * ((i % 23) - 11)) AS BIGINT) AS dot23
              |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // aspect-preserving letterbox (r10) — the model-input geometry on
+    // top of the bilinear kernel: sources span BOTH limiting sides of
+    // the 24x16 box (w in 8..31, h in 8..19), so the rational
+    // side-selection, half-up minor-dimension rounding, centered
+    // offsets, and fill padding all get replayed per doc; checksums
+    // hash every output pixel, content and padding alike.
+    "q_image_letterbox" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 40)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val len = text.codePointCount(0, text.length)
+            val w = 8 + (len % 24).toInt
+            val h = 8 + ((len + id) % 12).toInt
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val o = (y * w + x) * 3
+                rgb(o) = ((x * 255) / (w - 1)).toByte
+                rgb(o + 1) = ((y * 255) / (h - 1)).toByte
+                rgb(o + 2) = ((x * 3 + y * 5 + id) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val out = graft.pipeline.MediaCodecs.letterbox(
+              graft.pipeline.MediaCodecs.Bmp(w, h, rgb), 24, 16)
+            var sr = 0L; var sg = 0L; var sb = 0L; var dot = 0L
+            var i = 0
+            while (i < 24 * 16) {
+              val r = out.rgb(3 * i) & 0xff
+              val g = out.rgb(3 * i + 1) & 0xff
+              val b = out.rgb(3 * i + 2) & 0xff
+              sr += r; sg += g; sb += b
+              dot += (r + 2L * g + 3L * b) * ((i % 23) - 11)
+              i += 1
+            }
+            (id, sr, sg, sb, dot)
+          }
+          .toDF("doc_id", "sum_r", "sum_g", "sum_b", "dot23")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |         8 + (len(text) % 24) AS w,
+             |         8 + ((len(text) + doc_id) % 12) AS h
+             |  FROM documents WHERE doc_id < 40),
+             |geo AS (
+             |  SELECT *,
+             |    CASE WHEN 24 * h <= 16 * w THEN 24
+             |         ELSE greatest(1, CAST(floor((32 * w + h) / (2.0 * h)) AS BIGINT)) END AS tw,
+             |    CASE WHEN 24 * h <= 16 * w
+             |         THEN greatest(1, CAST(floor((48 * h + w) / (2.0 * w)) AS BIGINT))
+             |         ELSE 16 END AS th
+             |  FROM d),
+             |geo2 AS (SELECT *, (24 - tw) // 2 AS ox, (16 - th) // 2 AS oy FROM geo),
+             |px AS (
+             |  SELECT *, CAST(t.i AS BIGINT) AS i,
+             |         CAST(t.i % 24 AS BIGINT) AS x, CAST(t.i // 24 AS BIGINT) AS y
+             |  FROM geo2, UNNEST(generate_series(0, CAST(24 * 16 - 1 AS BIGINT))) t(i)),
+             |loc AS (
+             |  SELECT *, x - ox AS u, y - oy AS v,
+             |         (x >= ox AND x < ox + tw AND y >= oy AND y < oy + th) AS inside
+             |  FROM px),
+             |sx AS (
+             |  SELECT *, (2 * u + 1) * w - tw AS sxn, (2 * v + 1) * h - th AS syn
+             |  FROM loc),
+             |ix AS (
+             |  SELECT *,
+             |    CASE WHEN sxn < 0 THEN 0
+             |         WHEN CAST(floor(sxn / (2.0 * tw)) AS BIGINT) >= w - 1 THEN w - 1
+             |         ELSE CAST(floor(sxn / (2.0 * tw)) AS BIGINT) END AS ix0,
+             |    CASE WHEN sxn < 0 OR CAST(floor(sxn / (2.0 * tw)) AS BIGINT) >= w - 1 THEN 0
+             |         ELSE sxn - CAST(floor(sxn / (2.0 * tw)) AS BIGINT) * 2 * tw END AS fx,
+             |    CASE WHEN syn < 0 THEN 0
+             |         WHEN CAST(floor(syn / (2.0 * th)) AS BIGINT) >= h - 1 THEN h - 1
+             |         ELSE CAST(floor(syn / (2.0 * th)) AS BIGINT) END AS iy0,
+             |    CASE WHEN syn < 0 OR CAST(floor(syn / (2.0 * th)) AS BIGINT) >= h - 1 THEN 0
+             |         ELSE syn - CAST(floor(syn / (2.0 * th)) AS BIGINT) * 2 * th END AS fy
+             |  FROM sx),
+             |nb AS (
+             |  SELECT *, least(w - 1, ix0 + 1) AS ix1, least(h - 1, iy0 + 1) AS iy1,
+             |         2 * tw AS dx, 2 * th AS dy
+             |  FROM ix),
+             |ch AS (
+             |  SELECT doc_id, i,
+             |    CASE WHEN NOT inside THEN 114 ELSE
+             |      CAST(floor((2 * ((dx - fx) * (dy - fy) * ((ix0 * 255) // (w - 1))
+             |        + fx * (dy - fy) * ((ix1 * 255) // (w - 1))
+             |        + (dx - fx) * fy * ((ix0 * 255) // (w - 1))
+             |        + fx * fy * ((ix1 * 255) // (w - 1))) + dx * dy)
+             |        / (2.0 * dx * dy)) AS BIGINT) END AS r,
+             |    CASE WHEN NOT inside THEN 114 ELSE
+             |      CAST(floor((2 * ((dx - fx) * (dy - fy) * ((iy0 * 255) // (h - 1))
+             |        + fx * (dy - fy) * ((iy0 * 255) // (h - 1))
+             |        + (dx - fx) * fy * ((iy1 * 255) // (h - 1))
+             |        + fx * fy * ((iy1 * 255) // (h - 1))) + dx * dy)
+             |        / (2.0 * dx * dy)) AS BIGINT) END AS g,
+             |    CASE WHEN NOT inside THEN 114 ELSE
+             |      CAST(floor((2 * ((dx - fx) * (dy - fy) * ((ix0 * 3 + iy0 * 5 + doc_id) % 256)
+             |        + fx * (dy - fy) * ((ix1 * 3 + iy0 * 5 + doc_id) % 256)
+             |        + (dx - fx) * fy * ((ix0 * 3 + iy1 * 5 + doc_id) % 256)
+             |        + fx * fy * ((ix1 * 3 + iy1 * 5 + doc_id) % 256)) + dx * dy)
+             |        / (2.0 * dx * dy)) AS BIGINT) END AS b
+             |  FROM nb)
+             |SELECT doc_id,
+             |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+             |  CAST(sum(b) AS BIGINT) AS sum_b,
+             |  CAST(sum((r + 2 * g + 3 * b) * ((i % 23) - 11)) AS BIGINT) AS dot23
+             |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     "q_multimodal_frames" -> QueryDef(
       (s, dir) => {
         import s.implicits._

@@ -293,6 +293,30 @@ class MediaCodecSpec extends SparkSpec {
     assert((nn.rgb(0) & 0xff) == 0 && (nn.rgb(3) & 0xff) == 200) // picked
   }
 
+  test("letterbox: limiting-side selection, centered pad, exact fill") {
+    def gray(vals: Int*): Array[Byte] =
+      vals.flatMap(v => Seq(v.toByte, v.toByte, v.toByte)).toArray
+    // wide 4x2 into a 4x4 box: width-limited (4*2 <= 4*4), th =
+    // round(2*4/4) = 2, oy = 1 -> rows 0 and 3 are pure fill
+    val wide = Bmp(4, 2, gray(10, 20, 30, 40, 50, 60, 70, 80))
+    val lb = MediaCodecs.letterbox(wide, 4, 4, fill = 114)
+    assert(lb.width == 4 && lb.height == 4)
+    val px = (0 until 16).map(i => lb.rgb(3 * i) & 0xff)
+    assert(px.take(4).forall(_ == 114) && px.takeRight(4).forall(_ == 114), px)
+    // content rows are the identity resize of the source (tw=4, th=2)
+    assert(px.slice(4, 12) == Seq(10, 20, 30, 40, 50, 60, 70, 80), px)
+    // tall 2x4 into 4x4: height-limited, tw = 2, ox = 1 -> fill columns
+    val tall = MediaCodecs.letterbox(Bmp(2, 4, gray(1 to 8: _*)), 4, 4)
+    val tp = (0 until 16).map(i => tall.rgb(3 * i) & 0xff)
+    for (y <- 0 until 4) {
+      assert(tp(y * 4) == 114 && tp(y * 4 + 3) == 114, s"row $y")
+      assert(tp(y * 4 + 1) == 2 * y + 1 && tp(y * 4 + 2) == 2 * y + 2, s"row $y")
+    }
+    // square into square: no padding at all, pure bilinear identity
+    val sq = Bmp(2, 2, gray(9, 9, 9, 9))
+    assert(MediaCodecs.letterbox(sq, 2, 2).rgb.toSeq == sq.rgb.toSeq)
+  }
+
   test("downmixMono: floor-mean over channels, exact on negative odd sums") {
     // stereo frames: (10, 20) -> 15; (-3, -4) -> floorDiv(-7,2) = -4
     // (NOT truncation's -3 — the one convention the oracle replays);
