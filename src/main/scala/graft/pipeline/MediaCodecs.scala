@@ -625,7 +625,7 @@ object MediaCodecs {
       val in = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
       var pos = 12
       var sampleRate = 0; var channels = 0; var bits = 0; var fmtCode = 0
-      var samples: Array[Short] = null
+      var dataOff = -1; var dataLen = 0
       while (pos + 8 <= payload.length) {
         val id = new String(payload, pos, 4, "US-ASCII")
         val len = in.getInt(pos + 4)
@@ -637,17 +637,102 @@ object MediaCodecs {
             sampleRate = in.getInt(pos + 12)
             bits = in.getShort(pos + 22)
           case "data" =>
-            samples = new Array[Short](len / 2)
-            var i = 0
-            while (i < samples.length) { samples(i) = in.getShort(pos + 8 + i * 2); i += 1 }
+            dataOff = pos + 8; dataLen = len
           case _ => // skip LIST/fact/…
         }
         pos += 8 + len + (len & 1) // chunks are word-aligned
       }
-      if (fmtCode != 1 || bits != 16 || sampleRate <= 0 || channels <= 0 || samples == null)
-        None
-      else Some(Wav(sampleRate, channels, samples))
+      if (sampleRate <= 0 || channels <= 0 || dataOff < 0) return None
+      // data is expanded AFTER the chunk walk so a data chunk preceding
+      // fmt (legal RIFF) still decodes with the right format code
+      val samples: Array[Short] =
+        if (fmtCode == 1 && bits == 16) {
+          val s = new Array[Short](dataLen / 2)
+          var i = 0
+          while (i < s.length) { s(i) = in.getShort(dataOff + i * 2); i += 1 }
+          s
+        } else if (fmtCode == 7 && bits == 8) { // G.711 mu-law
+          val s = new Array[Short](dataLen)
+          var i = 0
+          while (i < s.length) { s(i) = muLawToPcm(payload(dataOff + i) & 0xff).toShort; i += 1 }
+          s
+        } else if (fmtCode == 6 && bits == 8) { // G.711 A-law
+          val s = new Array[Short](dataLen)
+          var i = 0
+          while (i < s.length) { s(i) = aLawToPcm(payload(dataOff + i) & 0xff).toShort; i += 1 }
+          s
+        } else return None
+      Some(Wav(sampleRate, channels, samples))
     } catch { case _: Exception => None }
+  }
+
+  // ---------------- G.711 companding (ITU-T G.711, public spec) ----------------
+  // Telephony WAVs arrive as 8-bit mu-law (fmt 7) or A-law (fmt 6);
+  // expansion lands them on the same PCM16 surface as everything else.
+  // Decode formulas are pure integer arithmetic, so a SQL oracle
+  // replays them per code; encode is pinned by the all-256-codes
+  // round-trip identity encode(decode(c)) == c.
+
+  /** mu-law code (0..255, as transmitted: complemented) -> PCM16. */
+  def muLawToPcm(code: Int): Int = {
+    val u = ~code & 0xff
+    val exp = (u >> 4) & 7
+    val mant = u & 0x0f
+    val mag = (((mant << 3) + 0x84) << exp) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** PCM16 -> mu-law code (clamps past ±32635, the G.711 ceiling). */
+  def pcmToMuLaw(pcm: Int): Int = {
+    var s = pcm
+    val sign = if (s < 0) { s = -s; 0x80 } else 0
+    if (s > 32635) s = 32635
+    s += 0x84
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (s & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mant = (s >> (exp + 3)) & 0x0f
+    ~(sign | (exp << 4) | mant) & 0xff
+  }
+
+  /** A-law code (0..255, even bits toggled as transmitted) -> PCM16.
+    * Sign bit SET (after the 0x55 toggle) means POSITIVE. */
+  def aLawToPcm(code: Int): Int = {
+    val v = (code ^ 0x55) & 0xff
+    val exp = (v >> 4) & 7
+    val mant = v & 0x0f
+    val mag =
+      if (exp == 0) (mant << 4) + 8
+      else ((mant << 4) + 0x108) << (exp - 1)
+    if ((v & 0x80) != 0) mag else -mag
+  }
+
+  /** Serialize raw G.711 codes as an 8-bit WAV — fmt 7 (mu-law) or
+    * fmt 6 (A-law) — the container telephony recordings actually ship
+    * in; [[decodeWav]] expands it back to PCM16. */
+  def encodeWavG711(sampleRateHz: Int, channels: Int, codes: Array[Byte],
+      aLaw: Boolean): Array[Byte] = {
+    val out = ByteBuffer.allocate(44 + codes.length).order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(36 + codes.length).put("WAVE".getBytes)
+    out.put("fmt ".getBytes).putInt(16)
+      .putShort(if (aLaw) 6 else 7).putShort(channels.toShort)
+      .putInt(sampleRateHz).putInt(sampleRateHz * channels)
+      .putShort(channels.toShort).putShort(8)
+    out.put("data".getBytes).putInt(codes.length).put(codes)
+    out.array()
+  }
+
+  /** PCM16 -> A-law code. */
+  def pcmToALaw(pcm: Int): Int = {
+    var s = pcm >> 3 // 13-bit magnitude domain
+    val mask = if (pcm >= 0) 0xd5 else { s = -s - 1; 0x55 }
+    var exp = 0
+    while (exp < 8 && s > ((0x1f << exp) | ((1 << exp) - 1))) exp += 1
+    if (exp >= 8) 0x7f ^ mask
+    else {
+      val mant = if (exp < 2) (s >> 1) & 0x0f else (s >> exp) & 0x0f
+      ((exp << 4) | mant) ^ mask
+    }
   }
 
   /** 16-dim audio features: rate/channels/duration, RMS, peak,

@@ -2880,6 +2880,61 @@ object PipelineQueries {
              |FROM sig GROUP BY doc_id, out_rate
              |ORDER BY doc_id, out_rate""".stripMargin)),
 
+    // G.711 telephony ingest (r10): planted 8-bit mu-law (even docs) /
+    // A-law (odd docs) WAVs with closed-form code bytes -> decodeWav
+    // expansion to PCM16 -> per-clip checksums. The oracle replays both
+    // ITU-T G.711 expansion formulas per code (pure integer bit
+    // arithmetic), so any table/sign/segment error hash-mismatches.
+    "q_audio_g711" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 60)
+          .select($"doc_id".cast("long")).as[Long]
+          .map { d =>
+            val codes = Array.tabulate[Byte](1024)(i => ((i * 7 + d * 3) % 256).toByte)
+            val bytes = graft.pipeline.MediaCodecs.encodeWavG711(
+              8000, 1, codes, aLaw = d % 2 == 1)
+            val w = graft.pipeline.MediaCodecs.decodeWav(bytes).get
+            var sum = 0L; var sumAbs = 0L; var dot = 0L
+            var j = 0
+            while (j < w.samples.length) {
+              val v = w.samples(j).toLong
+              sum += v; sumAbs += math.abs(v); dot += v * ((j % 17) - 8)
+              j += 1
+            }
+            (d, if (d % 2 == 1) "alaw" else "mulaw", w.samples.length, sum, sumAbs, dot)
+          }
+          .toDF("doc_id", "codec", "n", "sum_s", "sum_abs", "dot17")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+             |           FROM documents WHERE doc_id < 60),
+             |cx AS (
+             |  SELECT doc_id, CAST(t.j AS BIGINT) AS j,
+             |         (t.j * 7 + doc_id * 3) % 256 AS c
+             |  FROM d, UNNEST(generate_series(0, CAST(1023 AS BIGINT))) t(j)),
+             |mu AS (
+             |  SELECT *, 255 - c AS u FROM cx),
+             |sig AS (
+             |  SELECT doc_id, j,
+             |    CASE WHEN doc_id % 2 = 0 THEN
+             |      CASE WHEN u >= 128 THEN -1 ELSE 1 END *
+             |        (((u % 16) * 8 + 132) * (CAST(1 AS BIGINT) << ((u // 16) % 8)) - 132)
+             |    ELSE
+             |      CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END *
+             |        CASE WHEN (xor(c, 85) // 16) % 8 = 0
+             |             THEN (xor(c, 85) % 16) * 16 + 8
+             |             ELSE ((xor(c, 85) % 16) * 16 + 264)
+             |                  * (CAST(1 AS BIGINT) << ((xor(c, 85) // 16) % 8 - 1)) END
+             |    END AS s
+             |  FROM mu)
+             |SELECT doc_id,
+             |  CASE WHEN doc_id % 2 = 1 THEN 'alaw' ELSE 'mulaw' END AS codec,
+             |  CAST(count(*) AS INT) AS n, CAST(sum(s) AS BIGINT) AS sum_s,
+             |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+             |  CAST(sum(s * ((j % 17) - 8)) AS BIGINT) AS dot17
+             |FROM sig GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     "q_audio_quality_screen" -> QueryDef(
       (s, dir) => {
         import s.implicits._

@@ -361,6 +361,39 @@ class MediaCodecSpec extends SparkSpec {
     }
   }
 
+  test("G.711: spec anchor values, all-256 round trips, WAV fmt 6/7 decode") {
+    // mu-law anchors from the G.711 tables: 0x00 -> -32124 (max
+    // negative), 0x80 -> +32124, 0xFF -> +0, 0x7F -> -0 (decodes 0)
+    assert(MediaCodecs.muLawToPcm(0x00) == -32124)
+    assert(MediaCodecs.muLawToPcm(0x80) == 32124)
+    assert(MediaCodecs.muLawToPcm(0xFF) == 0 && MediaCodecs.muLawToPcm(0x7F) == 0)
+    // A-law anchors: 0x55 -> -8 (smallest), 0xD5 -> +8, 0x2A -> -32256,
+    // 0xAA -> +32256 (the A-law ceiling)
+    assert(MediaCodecs.aLawToPcm(0x55) == -8 && MediaCodecs.aLawToPcm(0xD5) == 8)
+    assert(MediaCodecs.aLawToPcm(0x2A) == -32256 && MediaCodecs.aLawToPcm(0xAA) == 32256)
+    // every code survives decode -> encode, EXCEPT mu-law 0x7F: the -0
+    // code decodes to 0, which re-encodes as +0 = 0xFF (G.711's one
+    // non-injective point); A-law has no zero code, so all 256 hold
+    for (c <- 0 until 256) {
+      if (c != 0x7F)
+        assert(MediaCodecs.pcmToMuLaw(MediaCodecs.muLawToPcm(c)) == c, s"mu $c")
+      assert(MediaCodecs.pcmToALaw(MediaCodecs.aLawToPcm(c)) == c, s"a $c")
+    }
+    assert(MediaCodecs.pcmToMuLaw(MediaCodecs.muLawToPcm(0x7F)) == 0xFF)
+    // encode clamps past the ceilings instead of wrapping
+    assert(MediaCodecs.pcmToMuLaw(32767) == MediaCodecs.pcmToMuLaw(32635))
+    assert(MediaCodecs.pcmToALaw(32767) == 0xAA) // the +32256 ceiling code
+    // fmt 7 / fmt 6 WAVs decode through the same decodeWav surface
+    val codes = Array.tabulate[Byte](64)(i => ((i * 11 + 5) % 256).toByte)
+    val mu = MediaCodecs.decodeWav(MediaCodecs.encodeWavG711(8000, 1, codes, aLaw = false)).get
+    assert(mu.sampleRateHz == 8000 && mu.channels == 1)
+    assert(mu.samples.toSeq ==
+      codes.toSeq.map(c => MediaCodecs.muLawToPcm(c & 0xff).toShort))
+    val al = MediaCodecs.decodeWav(MediaCodecs.encodeWavG711(8000, 1, codes, aLaw = true)).get
+    assert(al.samples.toSeq ==
+      codes.toSeq.map(c => MediaCodecs.aLawToPcm(c & 0xff).toShort))
+  }
+
   test("sliceWav: sample-aligned slices reassemble the original") {
     val samples = Array.tabulate(100)(_.toShort)
     val wav = Wav(8000, 1, samples)
