@@ -3210,6 +3210,43 @@ object PipelineQueries {
              |  CAST(sum((r + 2 * g + 3 * b) * ((i % 23) - 11)) AS BIGINT) AS dot23
              |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // WebDataset-style tar shards (r10): pack documents into one ustar
+    // shard per group (deterministic bytes: name-ordered entries,
+    // mtime 0) then explode the shards back into sample rows. The
+    // oracle replays the CONTAINER GEOMETRY itself — each entry's
+    // payload offset is the 512-block cumulative sum over the
+    // name-ordered members — plus sizes and payload md5s, so a header
+    // layout, padding, or ordering bug hash-mismatches.
+    "q_tar_shards" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").filter($"doc_id" < 200)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (d, text) =>
+            (d % 8, f"doc_$d%05d.txt", text.getBytes("UTF-8"))
+          }
+          .toDF("grp", "name", "payload")
+        val shards = graft.sources.TarShards.packTarGroups(
+          docs, "grp", "name", "payload")
+        graft.sources.TarShards.readTarRows(shards, "grp", "tar")
+          .select($"id".as("grp"), $"name", $"size", $"offset",
+            md5($"payload").as("payload_md5"))
+          .orderBy($"grp", $"name")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id % 8 AS grp, printf('doc_%05d.txt', doc_id) AS name,
+             |         CAST(octet_length(encode(text)) AS BIGINT) AS size,
+             |         md5(text) AS payload_md5
+             |  FROM documents WHERE doc_id < 200)
+             |SELECT grp, name, size,
+             |  CAST(512 + coalesce(sum(512 + ((size + 511) // 512) * 512)
+             |    OVER (PARTITION BY grp ORDER BY name
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |    0) AS BIGINT) AS offset,
+             |  payload_md5
+             |FROM d ORDER BY grp, name""".stripMargin)),
+
     "q_multimodal_frames" -> QueryDef(
       (s, dir) => {
         import s.implicits._
