@@ -302,6 +302,52 @@ object ImageHash {
     Mp4Demux.encodeMp4(frames, 64, 64)
   }
 
+  /** Planted MP4 with KNOWN scene structure: scene s holds
+    * `sceneLens(s)` frames of one spectral content, re-encoded per
+    * frame at alternating qp (within-scene pHash distance ≤ 6 by the
+    * fixture margins), with adjacent scenes on different content
+    * (distance ≥ 10) — so [[sceneSegments]]' expected output is
+    * closed-form. */
+  private[graft] def plantedSceneMp4(id: Long, sceneLens: Seq[Int]): Array[Byte] = {
+    val frames = sceneLens.zipWithIndex.flatMap { case (n, s) =>
+      (0 until n).map { f =>
+        H264Codec.encode(spectralFrame((id * 977 + s) * 53 + 11), avcc = true,
+          qp = if (f % 2 == 0) 24 else 28)
+      }
+    }
+    Mp4Demux.encodeMp4(frames, 64, 64)
+  }
+
+  /**
+   * Shot-boundary segmentation — the frame-sampling policy real video
+   * pipelines want instead of uniform-n ([[Multimodal.sampleFrames]]):
+   * a frame OPENS a new scene when its pHash is more than `maxHamming`
+   * bits from the previous frame's. Downstream, one frame per scene is
+   * the right training sample; `n_frames` weights it.
+   *
+   * Scale shape: per-video lag + running boundary count = two passes
+   * over ONE frame-ordered window per video (frames-per-video sized,
+   * keyed by video id — videos parallelize), then a (video, scene)
+   * hash aggregate. The decode is [[videoPhashRows]]' map-only path.
+   *
+   * @return (id, scene 1-based, start_frame, end_frame, n_frames)
+   */
+  def sceneSegments(df: DataFrame, idCol: String, bytesCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"id").orderBy($"frame")
+    videoPhashRows(df, idCol, bytesCol)
+      .withColumn("__prev", lag($"phash", 1).over(w))
+      .withColumn("__b", when($"__prev".isNull ||
+        bit_count($"phash".bitwiseXOR($"__prev")) > maxHamming, 1L).otherwise(0L))
+      .withColumn("scene", sum($"__b").over(w))
+      .groupBy($"id", $"scene")
+      .agg(min($"frame").as("start_frame"), max($"frame").as("end_frame"),
+        count(lit(1)).as("n_frames"))
+  }
+
   /**
    * (id, frame, phash) for every decodable H.264 sample of every
    * demuxable MP4: demux resolves exact sample byte ranges from the

@@ -2967,6 +2967,43 @@ object PipelineQueries {
     // pHash → aligned banded Hamming join (cut 6 = what the 7×9 bands
     // certify; measured planted frames ≤6, cross-base ≥18, so the cut is
     // exact). Planted-truth oracle; margins pinned in ImageHashSpec.
+    // video shot-boundary segmentation (r10): planted MP4s with 2-4
+    // scenes of 2-3 frames each (scene content distinct, within-scene
+    // frames qp-requantized), decoded through the full MP4+H.264 stack;
+    // sceneSegments must recover the EXACT planted segment table, which
+    // the oracle emits closed-form (cumulative scene lengths)
+    "q_video_scene_changes" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").filter($"doc_id" < 30)
+          .select($"doc_id".cast("long")).as[Long]
+          .map { d =>
+            val k = 2 + (d % 3).toInt
+            val lens = (0 until k).map(sc => 2 + ((d + sc) % 2).toInt)
+            (d, ImageHash.plantedSceneMp4(d, lens))
+          }
+          .toDF("media_id", "bytes")
+        ImageHash.sceneSegments(media, "media_id", "bytes", maxHamming = 6)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy($"doc_id", $"scene")
+      },
+      Some("""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |                  2 + doc_id % 3 AS k
+             |           FROM documents WHERE doc_id < 30),
+             |sc AS (
+             |  SELECT doc_id, CAST(t.s AS BIGINT) AS s,
+             |         2 + (doc_id + t.s) % 2 AS len
+             |  FROM d, UNNEST(generate_series(0, CAST(k - 1 AS BIGINT))) t(s)),
+             |seg AS (
+             |  SELECT doc_id, s + 1 AS scene, len,
+             |         coalesce(sum(len) OVER (PARTITION BY doc_id ORDER BY s
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+             |  FROM sc)
+             |SELECT doc_id, scene, CAST(st AS INT) AS start_frame,
+             |  CAST(st + len - 1 AS INT) AS end_frame,
+             |  CAST(len AS BIGINT) AS n_frames
+             |FROM seg ORDER BY doc_id, scene""".stripMargin)),
+
     "q_video_phash_dedup" -> QueryDef(
       (s, dir) => {
         import s.implicits._

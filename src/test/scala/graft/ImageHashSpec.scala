@@ -126,6 +126,21 @@ class ImageHashSpec extends SparkSpec {
       maxHamming = 6, minFrames = 3).count() == 66L + 1L)
   }
 
+  test("sceneSegments recovers planted shot boundaries exactly") {
+    val df = Seq(
+      (1L, ImageHash.plantedSceneMp4(1L, Seq(3, 2, 4))), // scenes at 0,3,5
+      (2L, ImageHash.plantedSceneMp4(2L, Seq(5))), // one scene, no cut
+      (9L, Array[Byte](0, 0, 0, 8)) // undecodable, must drop
+    ).toDF("id", "bytes")
+    val got = ImageHash.sceneSegments(df, "id", "bytes", maxHamming = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toSet
+    assert(got == Set(
+      (1L, 1L, 0, 2, 3L), (1L, 2L, 3, 4, 2L), (1L, 3L, 5, 8, 4L),
+      (2L, 1L, 0, 4, 5L)), got.mkString(";"))
+  }
+
   test("imageQuality: closed-form PNG fixture matches hand arithmetic") {
     // id=100: a=100, b=min(255, 100+40+32)=172 -> mean 136, range 72,
     // contrast 36.0; id=0: a=0 (left half full-black) -> saturated 0.5
