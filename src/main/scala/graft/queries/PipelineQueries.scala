@@ -3284,6 +3284,226 @@ object PipelineQueries {
              |  payload_md5
              |FROM d ORDER BY grp, name""".stripMargin)),
 
+    // multimodal PREP capstone (r10): the whole ingest-to-model-input
+    // story through the REAL container — 90 mixed samples (gradient
+    // BMPs / sawtooth stereo WAVs / multi-scene MP4s) packed into
+    // WebDataset tar shards, exploded back, dispatched by MAGIC BYTES
+    // (not names), then the modality prep each needs: letterbox 24x16
+    // for images, downmix+16kHz standardization for audio,
+    // shot-boundary segmentation for video. Every stage's math is the
+    // verified exact-replay kernel, so ONE oracle replays the whole
+    // composition value-exactly (union of the three closed forms).
+    "q_multimodal_prep_pipeline" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import graft.pipeline.{MediaCodecs => mc}
+        val samples = t(s, dir, "documents").filter($"doc_id" < 90)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (d, text) =>
+            val len = text.codePointCount(0, text.length)
+            val payload: Array[Byte] = (d % 3) match {
+              case 0 => // image: the letterbox fixture's gradient BMP
+                val w = 8 + (len % 24).toInt
+                val h = 8 + ((len + d) % 12).toInt
+                val rgb = new Array[Byte](w * h * 3)
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val o = (y * w + x) * 3
+                    rgb(o) = ((x * 255) / (w - 1)).toByte
+                    rgb(o + 1) = ((y * 255) / (h - 1)).toByte
+                    rgb(o + 2) = ((x * 3 + y * 5 + d) % 256).toByte
+                    x += 1
+                  }
+                  y += 1
+                }
+                mc.encodeBmp(mc.Bmp(w, h, rgb))
+              case 1 => // audio: the resample fixture's stereo sawtooth
+                val n = 2048
+                val inter = new Array[Short](2 * n)
+                var i = 0
+                while (i < n) {
+                  inter(2 * i) = (((i * 7 + d * 13) % 256) * 23 - 2900).toShort
+                  inter(2 * i + 1) = (((i * 5 + d * 11) % 200) * 31 - 3000).toShort
+                  i += 1
+                }
+                mc.encodeWav(mc.Wav(8000, 2, inter))
+              case _ => // video: the scene fixture's planted MP4
+                val k = 2 + (d % 3).toInt
+                ImageHash.plantedSceneMp4(d,
+                  (0 until k).map(sc => 2 + ((d + sc) % 2).toInt))
+            }
+            (d % 6, f"doc_$d%05d", payload)
+          }
+          .toDF("grp", "name", "payload")
+        val shards = graft.sources.TarShards.packTarGroups(
+          samples, "grp", "name", "payload")
+        val rows = graft.sources.TarShards.readTarRows(shards, "grp", "tar")
+          .select(substring($"name", 5, 5).cast("long").as("doc_id"), $"payload")
+          .as[(Long, Array[Byte])]
+        rows.map { case (d, p) =>
+          // dispatch on container magic, not the name
+          if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') {
+            val img = mc.letterbox(mc.decodeBmp(p).get, 24, 16)
+            var dot = 0L
+            var i = 0
+            while (i < 24 * 16) {
+              dot += ((img.rgb(3 * i) & 0xff) + 2L * (img.rgb(3 * i + 1) & 0xff) +
+                3L * (img.rgb(3 * i + 2) & 0xff)) * ((i % 23) - 11)
+              i += 1
+            }
+            (d, "image", 24 * 16L, dot)
+          } else if (mc.isWav(p)) {
+            val std = mc.resampleWav(mc.downmixMono(mc.decodeWav(p).get), 16000)
+            var dot = 0L
+            var j = 0
+            while (j < std.samples.length) {
+              dot += std.samples(j).toLong * ((j % 17) - 8)
+              j += 1
+            }
+            (d, "audio", std.samples.length.toLong, dot)
+          } else {
+            val segs = {
+              val t0 = graft.pipeline.Mp4Demux.demux(p).get.videoTrack
+              val hs = (0 until t0.nSamples.toInt).flatMap(i =>
+                graft.pipeline.H264Codec.decode(
+                  graft.pipeline.Mp4Demux.sampleBytes(p, t0, i))
+                  .map(ImageHash.phash64))
+              // same boundary rule as sceneSegments (ham > 6 opens a scene)
+              val bounds = hs.indices.filter(i => i == 0 ||
+                java.lang.Long.bitCount(hs(i - 1) ^ hs(i)) > 6)
+              val starts = bounds :+ hs.length
+              starts.sliding(2).zipWithIndex.map { case (Seq(a, b), k) =>
+                (k + 1L, a, b - 1, (b - a).toLong)
+              }.toSeq
+            }
+            val checksum = segs.map { case (sc, st, en, nf) =>
+              sc * 1000L + st * 7L + en * 13L + nf
+            }.sum
+            (d, "video", segs.length.toLong, checksum)
+          }
+        }
+        .toDF("doc_id", "kind", "n_out", "checksum")
+        .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(doc_id AS BIGINT) AS doc_id, len(text) AS len
+             |  FROM documents WHERE doc_id < 90),
+             |-- image branch: the q_image_letterbox replay, reduced to dot23
+             |img_d AS (
+             |  SELECT doc_id, 8 + (len % 24) AS w, 8 + ((len + doc_id) % 12) AS h
+             |  FROM d WHERE doc_id % 3 = 0),
+             |img_geo AS (
+             |  SELECT *,
+             |    CASE WHEN 24 * h <= 16 * w THEN 24
+             |         ELSE greatest(1, CAST(floor((32 * w + h) / (2.0 * h)) AS BIGINT)) END AS tw,
+             |    CASE WHEN 24 * h <= 16 * w
+             |         THEN greatest(1, CAST(floor((48 * h + w) / (2.0 * w)) AS BIGINT))
+             |         ELSE 16 END AS th
+             |  FROM img_d),
+             |img_geo2 AS (SELECT *, (24 - tw) // 2 AS ox, (16 - th) // 2 AS oy FROM img_geo),
+             |img_px AS (
+             |  SELECT *, CAST(t.i AS BIGINT) AS i,
+             |         CAST(t.i % 24 AS BIGINT) AS x, CAST(t.i // 24 AS BIGINT) AS y
+             |  FROM img_geo2, UNNEST(generate_series(0, CAST(383 AS BIGINT))) t(i)),
+             |img_loc AS (
+             |  SELECT *, x - ox AS u, y - oy AS v,
+             |         (x >= ox AND x < ox + tw AND y >= oy AND y < oy + th) AS inside
+             |  FROM img_px),
+             |img_sx AS (
+             |  SELECT *, (2 * u + 1) * w - tw AS sxn, (2 * v + 1) * h - th AS syn
+             |  FROM img_loc),
+             |img_ix AS (
+             |  SELECT *,
+             |    CASE WHEN sxn < 0 THEN 0
+             |         WHEN CAST(floor(sxn / (2.0 * tw)) AS BIGINT) >= w - 1 THEN w - 1
+             |         ELSE CAST(floor(sxn / (2.0 * tw)) AS BIGINT) END AS ix0,
+             |    CASE WHEN sxn < 0 OR CAST(floor(sxn / (2.0 * tw)) AS BIGINT) >= w - 1 THEN 0
+             |         ELSE sxn - CAST(floor(sxn / (2.0 * tw)) AS BIGINT) * 2 * tw END AS fx,
+             |    CASE WHEN syn < 0 THEN 0
+             |         WHEN CAST(floor(syn / (2.0 * th)) AS BIGINT) >= h - 1 THEN h - 1
+             |         ELSE CAST(floor(syn / (2.0 * th)) AS BIGINT) END AS iy0,
+             |    CASE WHEN syn < 0 OR CAST(floor(syn / (2.0 * th)) AS BIGINT) >= h - 1 THEN 0
+             |         ELSE syn - CAST(floor(syn / (2.0 * th)) AS BIGINT) * 2 * th END AS fy
+             |  FROM img_sx),
+             |img_nb AS (
+             |  SELECT *, least(w - 1, ix0 + 1) AS ix1, least(h - 1, iy0 + 1) AS iy1,
+             |         2 * tw AS dx, 2 * th AS dy
+             |  FROM img_ix),
+             |img_ch AS (
+             |  SELECT doc_id, i,
+             |    CASE WHEN NOT inside THEN 114 ELSE
+             |      CAST(floor((2 * ((dx - fx) * (dy - fy) * ((ix0 * 255) // (w - 1))
+             |        + fx * (dy - fy) * ((ix1 * 255) // (w - 1))
+             |        + (dx - fx) * fy * ((ix0 * 255) // (w - 1))
+             |        + fx * fy * ((ix1 * 255) // (w - 1))) + dx * dy)
+             |        / (2.0 * dx * dy)) AS BIGINT) END AS r,
+             |    CASE WHEN NOT inside THEN 114 ELSE
+             |      CAST(floor((2 * ((dx - fx) * (dy - fy) * ((iy0 * 255) // (h - 1))
+             |        + fx * (dy - fy) * ((iy0 * 255) // (h - 1))
+             |        + (dx - fx) * fy * ((iy1 * 255) // (h - 1))
+             |        + fx * fy * ((iy1 * 255) // (h - 1))) + dx * dy)
+             |        / (2.0 * dx * dy)) AS BIGINT) END AS g,
+             |    CASE WHEN NOT inside THEN 114 ELSE
+             |      CAST(floor((2 * ((dx - fx) * (dy - fy) * ((ix0 * 3 + iy0 * 5 + doc_id) % 256)
+             |        + fx * (dy - fy) * ((ix1 * 3 + iy0 * 5 + doc_id) % 256)
+             |        + (dx - fx) * fy * ((ix0 * 3 + iy1 * 5 + doc_id) % 256)
+             |        + fx * fy * ((ix1 * 3 + iy1 * 5 + doc_id) % 256)) + dx * dy)
+             |        / (2.0 * dx * dy)) AS BIGINT) END AS b
+             |  FROM img_nb),
+             |img_out AS (
+             |  SELECT doc_id, 'image' AS kind, CAST(384 AS BIGINT) AS n_out,
+             |    CAST(sum((r + 2 * g + 3 * b) * ((i % 23) - 11)) AS BIGINT) AS checksum
+             |  FROM img_ch GROUP BY doc_id),
+             |-- audio branch: the q_audio_resample replay at 16 kHz, dot17 only
+             |aud_jx AS (
+             |  SELECT doc_id, CAST(t.j AS BIGINT) AS j
+             |  FROM d, UNNEST(generate_series(0, CAST(4094 AS BIGINT))) t(j)
+             |  WHERE doc_id % 3 = 1),
+             |aud_pos AS (
+             |  SELECT *, CAST(floor(j * 8000 / 16000.0) AS BIGINT) AS i0,
+             |         j * 8000 - CAST(floor(j * 8000 / 16000.0) AS BIGINT) * 16000 AS fr
+             |  FROM aud_jx),
+             |aud_src AS (
+             |  SELECT *,
+             |    CAST(floor(((((i0 * 7 + doc_id * 13) % 256) * 23 - 2900)
+             |      + (((i0 * 5 + doc_id * 11) % 200) * 31 - 3000)) / 2.0) AS BIGINT) AS m0,
+             |    CAST(floor((((((i0 + 1) * 7 + doc_id * 13) % 256) * 23 - 2900)
+             |      + ((((i0 + 1) * 5 + doc_id * 11) % 200) * 31 - 3000)) / 2.0) AS BIGINT) AS m1
+             |  FROM aud_pos),
+             |aud_sig AS (
+             |  SELECT doc_id, j,
+             |    CASE WHEN fr = 0 THEN m0
+             |         ELSE m0 + CAST(floor((m1 - m0) * fr / 16000.0) AS BIGINT) END AS s
+             |  FROM aud_src),
+             |aud_out AS (
+             |  SELECT doc_id, 'audio' AS kind, CAST(4095 AS BIGINT) AS n_out,
+             |    CAST(sum(s * ((j % 17) - 8)) AS BIGINT) AS checksum
+             |  FROM aud_sig GROUP BY doc_id),
+             |-- video branch: the q_video_scene_changes closed form
+             |vid_d AS (SELECT doc_id, 2 + doc_id % 3 AS k FROM d WHERE doc_id % 3 = 2),
+             |vid_sc AS (
+             |  SELECT doc_id, k, CAST(t.s AS BIGINT) AS s,
+             |         2 + (doc_id + t.s) % 2 AS slen
+             |  FROM vid_d, UNNEST(generate_series(0, CAST(k - 1 AS BIGINT))) t(s)),
+             |vid_seg AS (
+             |  SELECT doc_id, k, s + 1 AS scene, slen,
+             |         coalesce(sum(slen) OVER (PARTITION BY doc_id ORDER BY s
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+             |  FROM vid_sc),
+             |vid_out AS (
+             |  SELECT doc_id, 'video' AS kind, CAST(max(k) AS BIGINT) AS n_out,
+             |    CAST(sum(scene * 1000 + st * 7 + (st + slen - 1) * 13 + slen)
+             |      AS BIGINT) AS checksum
+             |  FROM vid_seg GROUP BY doc_id)
+             |SELECT * FROM img_out UNION ALL
+             |SELECT * FROM aud_out UNION ALL
+             |SELECT * FROM vid_out
+             |ORDER BY doc_id""".stripMargin),
+      bench = true), // timed: tar pack/explode + all three codec preps
+
     "q_multimodal_frames" -> QueryDef(
       (s, dir) => {
         import s.implicits._
