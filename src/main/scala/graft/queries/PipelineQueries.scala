@@ -3271,18 +3271,7 @@ object PipelineQueries {
             md5($"payload").as("payload_md5"))
           .orderBy($"grp", $"name")
       },
-      Some("""WITH d AS (
-             |  SELECT doc_id % 8 AS grp, printf('doc_%05d.txt', doc_id) AS name,
-             |         CAST(octet_length(encode(text)) AS BIGINT) AS size,
-             |         md5(text) AS payload_md5
-             |  FROM documents WHERE doc_id < 200)
-             |SELECT grp, name, size,
-             |  CAST(512 + coalesce(sum(512 + ((size + 511) // 512) * 512)
-             |    OVER (PARTITION BY grp ORDER BY name
-             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-             |    0) AS BIGINT) AS offset,
-             |  payload_md5
-             |FROM d ORDER BY grp, name""".stripMargin)),
+      Some(tarShardsOracleSql)),
 
     // multimodal PREP capstone (r10): the whole ingest-to-model-input
     // story through the REAL container — 90 mixed samples (gradient
@@ -4518,6 +4507,22 @@ object PipelineQueries {
     * Shared with `q_stream_incremental_dedup`: the streaming foreachBatch
     * screen runs the same batch operator per micro-batch, and new×new pairs
     * can't exist, so micro-batching cannot change the result. */
+  /** Shared by q_tar_shards and its streaming twin (the per-shard
+    * explode is stateless, so micro-batching cannot change the rows). */
+  private[queries] def tarShardsOracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id % 8 AS grp, printf('doc_%05d.txt', doc_id) AS name,
+      |         CAST(octet_length(encode(text)) AS BIGINT) AS size,
+      |         md5(text) AS payload_md5
+      |  FROM documents WHERE doc_id < 200)
+      |SELECT grp, name, size,
+      |  CAST(512 + coalesce(sum(512 + ((size + 511) // 512) * 512)
+      |    OVER (PARTITION BY grp ORDER BY name
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    0) AS BIGINT) AS offset,
+      |  payload_md5
+      |FROM d ORDER BY grp, name""".stripMargin
+
   private[queries] def incrementalMinhashOracleSql: String = {
     val P = Dedup.HashP
     val fam = Dedup.hashFamily(32)

@@ -334,6 +334,14 @@ object StreamingQueries {
     // version==batchId (expectedVersion guard), and a deliberate second
     // commit per batch exercises the replay-idempotence path every run —
     // a double-applied batch would double the counts and break the hash
+    // WebDataset tar shards arriving as FILES on a binaryFile stream,
+    // one shard per trigger (8 real micro-batches): the per-shard
+    // explode is stateless and map-only, so the accumulated rows equal
+    // the batch q_tar_shards result and share its oracle verbatim
+    "q_stream_tar_ingest" -> QueryDef(
+      (s, dir) => graft.streaming.TarStream.tarIngestSink(s, dir),
+      Some(PipelineQueries.tarShardsOracleSql)),
+
     "q_stream_snapshot_ingest" -> QueryDef(
       (s, dir) => EventsStream.snapshotIngestSink(s, dir),
       Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
