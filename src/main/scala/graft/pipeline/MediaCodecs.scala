@@ -669,9 +669,12 @@ object MediaCodecs {
   // ---------------- G.711 companding (ITU-T G.711, public spec) ----------------
   // Telephony WAVs arrive as 8-bit mu-law (fmt 7) or A-law (fmt 6);
   // expansion lands them on the same PCM16 surface as everything else.
-  // Decode formulas are pure integer arithmetic, so a SQL oracle
-  // replays them per code; encode is pinned by the all-256-codes
-  // round-trip identity encode(decode(c)) == c.
+  // The segment/mantissa arithmetic follows the classic public-domain
+  // CCITT reference implementation (Sun Microsystems' g711.c, shipped
+  // unencumbered in countless codecs), restated in Scala. Decode
+  // formulas are pure integer arithmetic, so a SQL oracle replays them
+  // per code; encode is pinned by the all-256-codes round-trip
+  // identity encode(decode(c)) == c.
 
   /** mu-law code (0..255, as transmitted: complemented) -> PCM16. */
   def muLawToPcm(code: Int): Int = {
