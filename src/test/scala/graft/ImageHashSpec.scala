@@ -126,6 +126,26 @@ class ImageHashSpec extends SparkSpec {
       maxHamming = 6, minFrames = 3).count() == 66L + 1L)
   }
 
+  test("videoNearDups recovers pairs through Intra_4x4-coded MP4s") {
+    import graft.pipeline.{H264Codec, Mp4Demux}
+    // the r10 codec path end-to-end: same spectral content, qp-requant
+    // pair (24 vs 28) encoded as Intra_4x4 macroblocks — pHash must
+    // stay within the banded cut through the directional predictors
+    def mp4(id: Long): Array[Byte] = {
+      val qp = if (id % 2 == 0) 24 else 28
+      val frames = (0 until 4).map(f => H264Codec.encode(
+        ImageHash.spectralFrame((id / 2) * 61 + f * 17 + 3),
+        avcc = true, qp = qp, intra4x4 = true))
+      Mp4Demux.encodeMp4(frames, 64, 64)
+    }
+    val df = (0L until 12L).map(id => (id, mp4(id))).toDF("id", "bytes")
+      .repartition(3)
+    val got = ImageHash.videoNearDups(df, "id", "bytes",
+        maxHamming = 6, minFrames = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == (0L until 6L).map(b => (2 * b, 2 * b + 1, 4L)).toSet, got)
+  }
+
   test("sceneSegments recovers planted shot boundaries exactly") {
     val df = Seq(
       (1L, ImageHash.plantedSceneMp4(1L, Seq(3, 2, 4))), // scenes at 0,3,5

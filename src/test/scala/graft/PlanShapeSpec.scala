@@ -453,6 +453,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("multimodal prep capstone: map-only modality branches, no pair matrix") {
+    val plan = physical("q_multimodal_prep_pipeline")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"prep capstone plans a pair matrix:\n$plan")
+    // one shard-assignment exchange for the tar pack is the only wide
+    // stage this composition needs; everything after is per-row decode
+    assert(plan.contains("MapGroups") || plan.contains("mapGroups"), plan)
+  }
+
   test("media dedup capstone: anti-join keep policy, no pair matrix anywhere") {
     val plan = physical("q_media_dedup_pipeline")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
