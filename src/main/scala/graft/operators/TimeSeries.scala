@@ -494,7 +494,15 @@ object TimeSeries {
     * distinguishable from absent input. */
   private def capSeries(s: DataFrame, maxPoints: Long): DataFrame = {
     import s.sparkSession.implicits._
+    // checkpoint the key-sized count table so the log probe and the
+    // semi-join share ONE upstream computation (without it the full
+    // series scan + aggregate would run twice — once eagerly here,
+    // once inside the returned plan). The construction-time job is the
+    // deliberate price of logging at call time; counts is
+    // distinct-key-sized, so both the job and the checkpoint blocks
+    // are small, and a lost block just fails a retryable stat query.
     val counts = s.groupBy($"__k").agg(count(lit(1)).as("__npk"))
+      .localCheckpoint()
     val dropped = counts.filter($"__npk" > maxPoints)
       .orderBy($"__npk".desc).limit(5).collect()
     if (dropped.nonEmpty) {

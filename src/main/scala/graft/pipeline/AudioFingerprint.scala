@@ -107,11 +107,8 @@ object AudioFingerprint {
       maxLandmarkDf: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"landmark")
-    val fp = fingerprintRows(df, idCol, bytesCol)
-      .withColumn("__ln", count(lit(1)).over(w))
-      .filter($"__ln" <= maxLandmarkDf)
-      .drop("__ln")
+    val fp = Caps.capByCount(fingerprintRows(df, idCol, bytesCol),
+      Seq("landmark"), maxLandmarkDf)
     fp.as("a").join(fp.as("b"),
         $"a.landmark" === $"b.landmark" && $"a.id" < $"b.id")
       .groupBy($"a.id".as("id_a"), $"b.id".as("id_b"))

@@ -709,16 +709,24 @@ object Dedup {
       maxHashDf: Long = DefaultMaxGramDf): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // localCheckpoint, not persist: the fingerprint set feeds three
-    // consumers (sizes, the hash-df cap, both sides of the pair join),
-    // but a persist here would never be matched by an unpersist — the
-    // result is lazy, so there is no safe point inside this function to
-    // release it, and repeated calls in a long-lived session would pile
-    // up cache entries. Checkpoint blocks are reference-tracked: the
-    // ContextCleaner frees them once the returned plan is unreachable.
+    // LAZY localCheckpoint, not persist: the fingerprint set feeds
+    // three consumers (sizes, the hash-df cap, both sides of the pair
+    // join), but a persist here would never be matched by an unpersist
+    // — the result is lazy, so there is no safe point inside this
+    // function to release it, and repeated calls in a long-lived
+    // session would pile up cache entries. Checkpoint blocks are
+    // reference-tracked (the ContextCleaner frees them once the
+    // returned plan is unreachable) and eager=false keeps construction
+    // side-effect-free. Trade-off, stated honestly: local checkpoint
+    // blocks are executor-local and NOT recomputable — an executor
+    // loss between materialization and the final action fails the job
+    // instead of recomputing (rerun recovers). Acceptable for a
+    // fingerprint table; callers needing lineage-recoverable reuse can
+    // persist the winnowFingerprints output themselves and own the
+    // unpersist.
     val fpd = winnowFingerprints(df, idCol, textCol, k, w)
       .select($"doc_id", $"gh").distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val nf = fpd.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
     val kept = fpd.groupBy($"gh")
       .agg(count(lit(1)).as("hdf"))
@@ -760,13 +768,10 @@ object Dedup {
       textCol: String, maxSourcesPerFp: Int = 10000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val wf = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
-    val fp = df.select(col(sourceCol).cast("string").as("src"),
-        TextAnalysis.fingerprint(col(textCol)).as("fp"))
-      .distinct()
-      .withColumn("__fn", count(lit(1)).over(wf))
-      .filter($"__fn" <= maxSourcesPerFp)
-      .drop("__fn")
+    val fp = Caps.capByCount(
+      df.select(col(sourceCol).cast("string").as("src"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct(),
+      Seq("fp"), maxSourcesPerFp)
     val sizes = fp.groupBy($"src").agg(count(lit(1)).as("n"))
     fp.as("a").join(fp.as("b"),
         $"a.fp" === $"b.fp" && $"a.src" < $"b.src")

@@ -404,12 +404,9 @@ object Graphs {
       minPairCount: Long = 3L, maxBasketSize: Int = 10000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val wb = org.apache.spark.sql.expressions.Window.partitionBy($"basket")
-    val items = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
-      .distinct()
-      .withColumn("__bn", count(lit(1)).over(wb))
-      .filter($"__bn" <= maxBasketSize)
-      .drop("__bn")
+    val items = Caps.capByCount(
+      df.select(col(basketCol).as("basket"), col(itemCol).as("item")).distinct(),
+      Seq("basket"), maxBasketSize)
     val nBaskets = items.select($"basket").distinct().count().toDouble
     val itemCounts = items.groupBy($"item").agg(count(lit(1)).as("n_item"))
     val pairs = items.as("a")

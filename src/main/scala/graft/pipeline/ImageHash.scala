@@ -389,14 +389,8 @@ object ImageHash {
     * [[hotMediaBuckets]] alongside to see exactly what was skipped —
     * such clusters are better routed to exact byte/hash dedup). */
   private def capBanded(banded: DataFrame, keys: Seq[String],
-      maxBucketSize: Int): DataFrame = {
-    import banded.sparkSession.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*)
-    banded.withColumn("__bn", count(lit(1)).over(w))
-      .filter($"__bn" <= maxBucketSize)
-      .drop("__bn")
-  }
+      maxBucketSize: Int): DataFrame =
+    Caps.capByCount(banded, keys, maxBucketSize)
 
   /** The "log" half of the media drop-and-log: banded buckets LARGER
     * than `maxBucketSize`, with populations — run next to a capped

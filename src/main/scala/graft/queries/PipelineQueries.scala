@@ -2856,24 +2856,7 @@ object PipelineQueries {
              |jx AS (
              |  SELECT d.doc_id, r.out_rate, r.n_out, CAST(t.j AS BIGINT) AS j
              |  FROM d, r, UNNEST(generate_series(0, CAST(r.n_out - 1 AS BIGINT))) t(j)),
-             |pos AS (
-             |  SELECT *, CAST(floor(j * 8000 / CAST(out_rate AS DOUBLE)) AS BIGINT) AS i0,
-             |         j * 8000 - CAST(floor(j * 8000 / CAST(out_rate AS DOUBLE)) AS BIGINT)
-             |           * out_rate AS fr
-             |  FROM jx),
-             |src AS (
-             |  SELECT *,
-             |    CAST(floor(((((i0 * 7 + doc_id * 13) % 256) * 23 - 2900)
-             |      + (((i0 * 5 + doc_id * 11) % 200) * 31 - 3000)) / 2.0) AS BIGINT) AS m0,
-             |    CAST(floor((((((i0 + 1) * 7 + doc_id * 13) % 256) * 23 - 2900)
-             |      + ((((i0 + 1) * 5 + doc_id * 11) % 200) * 31 - 3000)) / 2.0) AS BIGINT) AS m1
-             |  FROM pos),
-             |sig AS (
-             |  SELECT doc_id, out_rate, n_out, j,
-             |    CASE WHEN fr = 0 THEN m0
-             |         ELSE m0 + CAST(floor((m1 - m0) * fr / CAST(out_rate AS DOUBLE)) AS BIGINT)
-             |    END AS s
-             |  FROM src)
+             |""".stripMargin + resampleReplayCtes("", "jx") + """
              |SELECT doc_id, out_rate, CAST(max(n_out) AS INT) AS n_out,
              |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
              |  CAST(sum(s * ((j % 17) - 8)) AS BIGINT) AS dot17
@@ -3183,64 +3166,8 @@ object PipelineQueries {
              |         8 + (len(text) % 24) AS w,
              |         8 + ((len(text) + doc_id) % 12) AS h
              |  FROM documents WHERE doc_id < 40),
-             |geo AS (
-             |  SELECT *,
-             |    CASE WHEN 24 * h <= 16 * w THEN 24
-             |         ELSE greatest(1, CAST(floor((32 * w + h) / (2.0 * h)) AS BIGINT)) END AS tw,
-             |    CASE WHEN 24 * h <= 16 * w
-             |         THEN greatest(1, CAST(floor((48 * h + w) / (2.0 * w)) AS BIGINT))
-             |         ELSE 16 END AS th
-             |  FROM d),
-             |geo2 AS (SELECT *, (24 - tw) // 2 AS ox, (16 - th) // 2 AS oy FROM geo),
-             |px AS (
-             |  SELECT *, CAST(t.i AS BIGINT) AS i,
-             |         CAST(t.i % 24 AS BIGINT) AS x, CAST(t.i // 24 AS BIGINT) AS y
-             |  FROM geo2, UNNEST(generate_series(0, CAST(24 * 16 - 1 AS BIGINT))) t(i)),
-             |loc AS (
-             |  SELECT *, x - ox AS u, y - oy AS v,
-             |         (x >= ox AND x < ox + tw AND y >= oy AND y < oy + th) AS inside
-             |  FROM px),
-             |sx AS (
-             |  SELECT *, (2 * u + 1) * w - tw AS sxn, (2 * v + 1) * h - th AS syn
-             |  FROM loc),
-             |ix AS (
-             |  SELECT *,
-             |    CASE WHEN sxn < 0 THEN 0
-             |         WHEN CAST(floor(sxn / (2.0 * tw)) AS BIGINT) >= w - 1 THEN w - 1
-             |         ELSE CAST(floor(sxn / (2.0 * tw)) AS BIGINT) END AS ix0,
-             |    CASE WHEN sxn < 0 OR CAST(floor(sxn / (2.0 * tw)) AS BIGINT) >= w - 1 THEN 0
-             |         ELSE sxn - CAST(floor(sxn / (2.0 * tw)) AS BIGINT) * 2 * tw END AS fx,
-             |    CASE WHEN syn < 0 THEN 0
-             |         WHEN CAST(floor(syn / (2.0 * th)) AS BIGINT) >= h - 1 THEN h - 1
-             |         ELSE CAST(floor(syn / (2.0 * th)) AS BIGINT) END AS iy0,
-             |    CASE WHEN syn < 0 OR CAST(floor(syn / (2.0 * th)) AS BIGINT) >= h - 1 THEN 0
-             |         ELSE syn - CAST(floor(syn / (2.0 * th)) AS BIGINT) * 2 * th END AS fy
-             |  FROM sx),
-             |nb AS (
-             |  SELECT *, least(w - 1, ix0 + 1) AS ix1, least(h - 1, iy0 + 1) AS iy1,
-             |         2 * tw AS dx, 2 * th AS dy
-             |  FROM ix),
-             |ch AS (
-             |  SELECT doc_id, i,
-             |    CASE WHEN NOT inside THEN 114 ELSE
-             |      CAST(floor((2 * ((dx - fx) * (dy - fy) * ((ix0 * 255) // (w - 1))
-             |        + fx * (dy - fy) * ((ix1 * 255) // (w - 1))
-             |        + (dx - fx) * fy * ((ix0 * 255) // (w - 1))
-             |        + fx * fy * ((ix1 * 255) // (w - 1))) + dx * dy)
-             |        / (2.0 * dx * dy)) AS BIGINT) END AS r,
-             |    CASE WHEN NOT inside THEN 114 ELSE
-             |      CAST(floor((2 * ((dx - fx) * (dy - fy) * ((iy0 * 255) // (h - 1))
-             |        + fx * (dy - fy) * ((iy0 * 255) // (h - 1))
-             |        + (dx - fx) * fy * ((iy1 * 255) // (h - 1))
-             |        + fx * fy * ((iy1 * 255) // (h - 1))) + dx * dy)
-             |        / (2.0 * dx * dy)) AS BIGINT) END AS g,
-             |    CASE WHEN NOT inside THEN 114 ELSE
-             |      CAST(floor((2 * ((dx - fx) * (dy - fy) * ((ix0 * 3 + iy0 * 5 + doc_id) % 256)
-             |        + fx * (dy - fy) * ((ix1 * 3 + iy0 * 5 + doc_id) % 256)
-             |        + (dx - fx) * fy * ((ix0 * 3 + iy1 * 5 + doc_id) % 256)
-             |        + fx * fy * ((ix1 * 3 + iy1 * 5 + doc_id) % 256)) + dx * dy)
-             |        / (2.0 * dx * dy)) AS BIGINT) END AS b
-             |  FROM nb)
+             |
+             |""".stripMargin + letterboxReplayCtes("", "d") + """
              |SELECT doc_id,
              |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
              |  CAST(sum(b) AS BIGINT) AS sum_b,
@@ -3380,93 +3307,23 @@ object PipelineQueries {
       Some("""WITH d AS (
              |  SELECT CAST(doc_id AS BIGINT) AS doc_id, len(text) AS len
              |  FROM documents WHERE doc_id < 90),
-             |-- image branch: the q_image_letterbox replay, reduced to dot23
+             |-- image branch: the shared letterbox replay, reduced to dot23
              |img_d AS (
              |  SELECT doc_id, 8 + (len % 24) AS w, 8 + ((len + doc_id) % 12) AS h
              |  FROM d WHERE doc_id % 3 = 0),
-             |img_geo AS (
-             |  SELECT *,
-             |    CASE WHEN 24 * h <= 16 * w THEN 24
-             |         ELSE greatest(1, CAST(floor((32 * w + h) / (2.0 * h)) AS BIGINT)) END AS tw,
-             |    CASE WHEN 24 * h <= 16 * w
-             |         THEN greatest(1, CAST(floor((48 * h + w) / (2.0 * w)) AS BIGINT))
-             |         ELSE 16 END AS th
-             |  FROM img_d),
-             |img_geo2 AS (SELECT *, (24 - tw) // 2 AS ox, (16 - th) // 2 AS oy FROM img_geo),
-             |img_px AS (
-             |  SELECT *, CAST(t.i AS BIGINT) AS i,
-             |         CAST(t.i % 24 AS BIGINT) AS x, CAST(t.i // 24 AS BIGINT) AS y
-             |  FROM img_geo2, UNNEST(generate_series(0, CAST(383 AS BIGINT))) t(i)),
-             |img_loc AS (
-             |  SELECT *, x - ox AS u, y - oy AS v,
-             |         (x >= ox AND x < ox + tw AND y >= oy AND y < oy + th) AS inside
-             |  FROM img_px),
-             |img_sx AS (
-             |  SELECT *, (2 * u + 1) * w - tw AS sxn, (2 * v + 1) * h - th AS syn
-             |  FROM img_loc),
-             |img_ix AS (
-             |  SELECT *,
-             |    CASE WHEN sxn < 0 THEN 0
-             |         WHEN CAST(floor(sxn / (2.0 * tw)) AS BIGINT) >= w - 1 THEN w - 1
-             |         ELSE CAST(floor(sxn / (2.0 * tw)) AS BIGINT) END AS ix0,
-             |    CASE WHEN sxn < 0 OR CAST(floor(sxn / (2.0 * tw)) AS BIGINT) >= w - 1 THEN 0
-             |         ELSE sxn - CAST(floor(sxn / (2.0 * tw)) AS BIGINT) * 2 * tw END AS fx,
-             |    CASE WHEN syn < 0 THEN 0
-             |         WHEN CAST(floor(syn / (2.0 * th)) AS BIGINT) >= h - 1 THEN h - 1
-             |         ELSE CAST(floor(syn / (2.0 * th)) AS BIGINT) END AS iy0,
-             |    CASE WHEN syn < 0 OR CAST(floor(syn / (2.0 * th)) AS BIGINT) >= h - 1 THEN 0
-             |         ELSE syn - CAST(floor(syn / (2.0 * th)) AS BIGINT) * 2 * th END AS fy
-             |  FROM img_sx),
-             |img_nb AS (
-             |  SELECT *, least(w - 1, ix0 + 1) AS ix1, least(h - 1, iy0 + 1) AS iy1,
-             |         2 * tw AS dx, 2 * th AS dy
-             |  FROM img_ix),
-             |img_ch AS (
-             |  SELECT doc_id, i,
-             |    CASE WHEN NOT inside THEN 114 ELSE
-             |      CAST(floor((2 * ((dx - fx) * (dy - fy) * ((ix0 * 255) // (w - 1))
-             |        + fx * (dy - fy) * ((ix1 * 255) // (w - 1))
-             |        + (dx - fx) * fy * ((ix0 * 255) // (w - 1))
-             |        + fx * fy * ((ix1 * 255) // (w - 1))) + dx * dy)
-             |        / (2.0 * dx * dy)) AS BIGINT) END AS r,
-             |    CASE WHEN NOT inside THEN 114 ELSE
-             |      CAST(floor((2 * ((dx - fx) * (dy - fy) * ((iy0 * 255) // (h - 1))
-             |        + fx * (dy - fy) * ((iy0 * 255) // (h - 1))
-             |        + (dx - fx) * fy * ((iy1 * 255) // (h - 1))
-             |        + fx * fy * ((iy1 * 255) // (h - 1))) + dx * dy)
-             |        / (2.0 * dx * dy)) AS BIGINT) END AS g,
-             |    CASE WHEN NOT inside THEN 114 ELSE
-             |      CAST(floor((2 * ((dx - fx) * (dy - fy) * ((ix0 * 3 + iy0 * 5 + doc_id) % 256)
-             |        + fx * (dy - fy) * ((ix1 * 3 + iy0 * 5 + doc_id) % 256)
-             |        + (dx - fx) * fy * ((ix0 * 3 + iy1 * 5 + doc_id) % 256)
-             |        + fx * fy * ((ix1 * 3 + iy1 * 5 + doc_id) % 256)) + dx * dy)
-             |        / (2.0 * dx * dy)) AS BIGINT) END AS b
-             |  FROM img_nb),
+             |""".stripMargin + letterboxReplayCtes("img_", "img_d") + """
+             |,
              |img_out AS (
              |  SELECT doc_id, 'image' AS kind, CAST(384 AS BIGINT) AS n_out,
              |    CAST(sum((r + 2 * g + 3 * b) * ((i % 23) - 11)) AS BIGINT) AS checksum
              |  FROM img_ch GROUP BY doc_id),
-             |-- audio branch: the q_audio_resample replay at 16 kHz, dot17 only
+             |-- audio branch: the shared resample replay at 16 kHz, dot17 only
              |aud_jx AS (
-             |  SELECT doc_id, CAST(t.j AS BIGINT) AS j
+             |  SELECT doc_id, 16000 AS out_rate, CAST(t.j AS BIGINT) AS j
              |  FROM d, UNNEST(generate_series(0, CAST(4094 AS BIGINT))) t(j)
              |  WHERE doc_id % 3 = 1),
-             |aud_pos AS (
-             |  SELECT *, CAST(floor(j * 8000 / 16000.0) AS BIGINT) AS i0,
-             |         j * 8000 - CAST(floor(j * 8000 / 16000.0) AS BIGINT) * 16000 AS fr
-             |  FROM aud_jx),
-             |aud_src AS (
-             |  SELECT *,
-             |    CAST(floor(((((i0 * 7 + doc_id * 13) % 256) * 23 - 2900)
-             |      + (((i0 * 5 + doc_id * 11) % 200) * 31 - 3000)) / 2.0) AS BIGINT) AS m0,
-             |    CAST(floor((((((i0 + 1) * 7 + doc_id * 13) % 256) * 23 - 2900)
-             |      + ((((i0 + 1) * 5 + doc_id * 11) % 200) * 31 - 3000)) / 2.0) AS BIGINT) AS m1
-             |  FROM aud_pos),
-             |aud_sig AS (
-             |  SELECT doc_id, j,
-             |    CASE WHEN fr = 0 THEN m0
-             |         ELSE m0 + CAST(floor((m1 - m0) * fr / 16000.0) AS BIGINT) END AS s
-             |  FROM aud_src),
+             |""".stripMargin + resampleReplayCtes("aud_", "aud_jx") + """
+             |,
              |aud_out AS (
              |  SELECT doc_id, 'audio' AS kind, CAST(4095 AS BIGINT) AS n_out,
              |    CAST(sum(s * ((j % 17) - 8)) AS BIGINT) AS checksum
@@ -4502,11 +4359,96 @@ object PipelineQueries {
        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** DuckDB replay of `Dedup.minhashNearDupsAgainst` over the planted new
-    * batch (side 1 = new, side 0 = reference; candidates cross-side only).
-    * Shared with `q_stream_incremental_dedup`: the streaming foreachBatch
-    * screen runs the same batch operator per micro-batch, and new×new pairs
-    * can't exist, so micro-batching cannot change the result. */
+  /** Letterbox pixel replay — the exact-integer chain (limiting-side
+    * geometry -> per-pixel bilinear r/g/b over the gradient source)
+    * shared by q_image_letterbox and the multimodal prep capstone so
+    * the two oracles cannot drift. `src` must provide (doc_id, w, h);
+    * emits CTEs `{p}geo .. {p}ch`, where {p}ch has (doc_id, i, r, g, b)
+    * for the 24x16 output. */
+  private def letterboxReplayCtes(p: String, src: String): String =
+    s"""${p}geo AS (
+       |  SELECT *,
+       |    CASE WHEN 24 * h <= 16 * w THEN 24
+       |         ELSE greatest(1, CAST(floor((32 * w + h) / (2.0 * h)) AS BIGINT)) END AS tw,
+       |    CASE WHEN 24 * h <= 16 * w
+       |         THEN greatest(1, CAST(floor((48 * h + w) / (2.0 * w)) AS BIGINT))
+       |         ELSE 16 END AS th
+       |  FROM $src),
+       |${p}geo2 AS (SELECT *, (24 - tw) // 2 AS ox, (16 - th) // 2 AS oy FROM ${p}geo),
+       |${p}px AS (
+       |  SELECT *, CAST(t.i AS BIGINT) AS i,
+       |         CAST(t.i % 24 AS BIGINT) AS x, CAST(t.i // 24 AS BIGINT) AS y
+       |  FROM ${p}geo2, UNNEST(generate_series(0, CAST(383 AS BIGINT))) t(i)),
+       |${p}loc AS (
+       |  SELECT *, x - ox AS u, y - oy AS v,
+       |         (x >= ox AND x < ox + tw AND y >= oy AND y < oy + th) AS inside
+       |  FROM ${p}px),
+       |${p}sx AS (
+       |  SELECT *, (2 * u + 1) * w - tw AS sxn, (2 * v + 1) * h - th AS syn
+       |  FROM ${p}loc),
+       |${p}ix AS (
+       |  SELECT *,
+       |    CASE WHEN sxn < 0 THEN 0
+       |         WHEN CAST(floor(sxn / (2.0 * tw)) AS BIGINT) >= w - 1 THEN w - 1
+       |         ELSE CAST(floor(sxn / (2.0 * tw)) AS BIGINT) END AS ix0,
+       |    CASE WHEN sxn < 0 OR CAST(floor(sxn / (2.0 * tw)) AS BIGINT) >= w - 1 THEN 0
+       |         ELSE sxn - CAST(floor(sxn / (2.0 * tw)) AS BIGINT) * 2 * tw END AS fx,
+       |    CASE WHEN syn < 0 THEN 0
+       |         WHEN CAST(floor(syn / (2.0 * th)) AS BIGINT) >= h - 1 THEN h - 1
+       |         ELSE CAST(floor(syn / (2.0 * th)) AS BIGINT) END AS iy0,
+       |    CASE WHEN syn < 0 OR CAST(floor(syn / (2.0 * th)) AS BIGINT) >= h - 1 THEN 0
+       |         ELSE syn - CAST(floor(syn / (2.0 * th)) AS BIGINT) * 2 * th END AS fy
+       |  FROM ${p}sx),
+       |${p}nb AS (
+       |  SELECT *, least(w - 1, ix0 + 1) AS ix1, least(h - 1, iy0 + 1) AS iy1,
+       |         2 * tw AS dx, 2 * th AS dy
+       |  FROM ${p}ix),
+       |${p}ch AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN NOT inside THEN 114 ELSE
+       |      CAST(floor((2 * ((dx - fx) * (dy - fy) * ((ix0 * 255) // (w - 1))
+       |        + fx * (dy - fy) * ((ix1 * 255) // (w - 1))
+       |        + (dx - fx) * fy * ((ix0 * 255) // (w - 1))
+       |        + fx * fy * ((ix1 * 255) // (w - 1))) + dx * dy)
+       |        / (2.0 * dx * dy)) AS BIGINT) END AS r,
+       |    CASE WHEN NOT inside THEN 114 ELSE
+       |      CAST(floor((2 * ((dx - fx) * (dy - fy) * ((iy0 * 255) // (h - 1))
+       |        + fx * (dy - fy) * ((iy0 * 255) // (h - 1))
+       |        + (dx - fx) * fy * ((iy1 * 255) // (h - 1))
+       |        + fx * fy * ((iy1 * 255) // (h - 1))) + dx * dy)
+       |        / (2.0 * dx * dy)) AS BIGINT) END AS g,
+       |    CASE WHEN NOT inside THEN 114 ELSE
+       |      CAST(floor((2 * ((dx - fx) * (dy - fy) * ((ix0 * 3 + iy0 * 5 + doc_id) % 256)
+       |        + fx * (dy - fy) * ((ix1 * 3 + iy0 * 5 + doc_id) % 256)
+       |        + (dx - fx) * fy * ((ix0 * 3 + iy1 * 5 + doc_id) % 256)
+       |        + fx * fy * ((ix1 * 3 + iy1 * 5 + doc_id) % 256)) + dx * dy)
+       |        / (2.0 * dx * dy)) AS BIGINT) END AS b
+       |  FROM ${p}nb)""".stripMargin
+
+  /** Sawtooth-source linear-resample replay — the exact-integer signal
+    * chain shared by q_audio_resample and the multimodal prep capstone.
+    * `src` must provide (doc_id, out_rate, j); emits CTEs
+    * `{p}pos .. {p}sig`, where {p}sig has (doc_id, out_rate, j, s). */
+  private def resampleReplayCtes(p: String, src: String): String =
+    s"""${p}pos AS (
+       |  SELECT *, CAST(floor(j * 8000 / CAST(out_rate AS DOUBLE)) AS BIGINT) AS i0,
+       |         j * 8000 - CAST(floor(j * 8000 / CAST(out_rate AS DOUBLE)) AS BIGINT)
+       |           * out_rate AS fr
+       |  FROM $src),
+       |${p}src AS (
+       |  SELECT *,
+       |    CAST(floor(((((i0 * 7 + doc_id * 13) % 256) * 23 - 2900)
+       |      + (((i0 * 5 + doc_id * 11) % 200) * 31 - 3000)) / 2.0) AS BIGINT) AS m0,
+       |    CAST(floor((((((i0 + 1) * 7 + doc_id * 13) % 256) * 23 - 2900)
+       |      + ((((i0 + 1) * 5 + doc_id * 11) % 200) * 31 - 3000)) / 2.0) AS BIGINT) AS m1
+       |  FROM ${p}pos),
+       |${p}sig AS (
+       |  SELECT *,
+       |    CASE WHEN fr = 0 THEN m0
+       |         ELSE m0 + CAST(floor((m1 - m0) * fr / CAST(out_rate AS DOUBLE)) AS BIGINT)
+       |    END AS s
+       |  FROM ${p}src)""".stripMargin
+
   /** Shared by q_tar_shards and its streaming twin (the per-shard
     * explode is stateless, so micro-batching cannot change the rows). */
   private[queries] def tarShardsOracleSql: String =
@@ -4523,6 +4465,11 @@ object PipelineQueries {
       |  payload_md5
       |FROM d ORDER BY grp, name""".stripMargin
 
+  /** DuckDB replay of `Dedup.minhashNearDupsAgainst` over the planted new
+    * batch (side 1 = new, side 0 = reference; candidates cross-side only).
+    * Shared with `q_stream_incremental_dedup`: the streaming foreachBatch
+    * screen runs the same batch operator per micro-batch, and new×new pairs
+    * can't exist, so micro-batching cannot change the result. */
   private[queries] def incrementalMinhashOracleSql: String = {
     val P = Dedup.HashP
     val fam = Dedup.hashFamily(32)

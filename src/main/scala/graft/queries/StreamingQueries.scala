@@ -330,10 +330,6 @@ object StreamingQueries {
              |      FROM events)
              |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
-    // exactly-once versioned ingest: every micro-batch commits as snapshot
-    // version==batchId (expectedVersion guard), and a deliberate second
-    // commit per batch exercises the replay-idempotence path every run —
-    // a double-applied batch would double the counts and break the hash
     // WebDataset tar shards arriving as FILES on a binaryFile stream,
     // one shard per trigger (8 real micro-batches): the per-shard
     // explode is stateless and map-only, so the accumulated rows equal
@@ -342,6 +338,10 @@ object StreamingQueries {
       (s, dir) => graft.streaming.TarStream.tarIngestSink(s, dir),
       Some(PipelineQueries.tarShardsOracleSql)),
 
+    // exactly-once versioned ingest: every micro-batch commits as snapshot
+    // version==batchId (expectedVersion guard), and a deliberate second
+    // commit per batch exercises the replay-idempotence path every run —
+    // a double-applied batch would double the counts and break the hash
     "q_stream_snapshot_ingest" -> QueryDef(
       (s, dir) => EventsStream.snapshotIngestSink(s, dir),
       Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
