@@ -483,37 +483,38 @@ object TimeSeries {
       .agg(round(avg(col(valCol).cast("double")), 6).as("__v"))
   }
 
-  /** Drop-and-log cap for the per-key-quadratic trend statistics (the
-    * capBuckets posture): a key whose series exceeds `maxPoints` is
-    * DROPPED from the result rather than silently running an n² pair
-    * join — S over 100k points is ~5·10⁹ sign pairs per key, past any
-    * useful trend signal (downsample the series first instead). The
-    * "log" half is real: dropped keys are counted (one extra key-sized
-    * aggregate, cheap next to the pair join it prevents) and warned
-    * with examples, so a key missing from the output is
-    * distinguishable from absent input. */
+  /** Drop-and-report cap for the per-key-quadratic trend statistics
+    * (the capBuckets posture): a key whose series exceeds `maxPoints`
+    * is DROPPED from the result rather than silently running an n²
+    * pair join — S over 100k points is ~5·10⁹ sign pairs per key, past
+    * any useful trend signal (downsample the series first instead).
+    * Purely LAZY: no job runs at plan-construction time (an eager log
+    * probe here was a surprising side effect for an API that otherwise
+    * returns lazy DataFrames). The observability half lives in
+    * [[droppedTrendKeys]] — the hotLandmarks/hotMediaBuckets report
+    * pattern — so a key missing from the output stays distinguishable
+    * from absent input. */
   private def capSeries(s: DataFrame, maxPoints: Long): DataFrame = {
     import s.sparkSession.implicits._
-    // checkpoint the key-sized count table so the log probe and the
-    // semi-join share ONE upstream computation (without it the full
-    // series scan + aggregate would run twice — once eagerly here,
-    // once inside the returned plan). The construction-time job is the
-    // deliberate price of logging at call time; counts is
-    // distinct-key-sized, so both the job and the checkpoint blocks
-    // are small, and a lost block just fails a retryable stat query.
     val counts = s.groupBy($"__k").agg(count(lit(1)).as("__npk"))
-      .localCheckpoint()
-    val dropped = counts.filter($"__npk" > maxPoints)
-      .orderBy($"__npk".desc).limit(5).collect()
-    if (dropped.nonEmpty) {
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"capSeries: dropping key(s) with more than $maxPoints points " +
-          "from the trend statistic (per-key-quadratic pair join guard); " +
-          "largest: " + dropped.map(r => s"${r.get(0)}=${r.getLong(1)}")
-            .mkString(", ") + " — downsample those series first")
-    }
     s.join(counts.filter($"__npk" <= maxPoints).select($"__k"),
       Seq("__k"), "left_semi")
+  }
+
+  /** Report half of the trend-statistic series cap ([[mannKendall]],
+    * [[theilSen]]): the keys whose per-(key, ts) collapsed series
+    * exceed `maxPointsPerKey` — i.e. exactly the keys those operators
+    * DROP rather than run per-key-quadratic pair joins over. Returns
+    * (key, n_points), largest first. Run this when a key is missing
+    * from a trend result; downsample those series and re-run. */
+  def droppedTrendKeys(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, maxPointsPerKey: Long = 100000L): DataFrame = {
+    import df.sparkSession.implicits._
+    dailySeries(df, keyCol, tsCol, valCol)
+      .groupBy($"__k").agg(count(lit(1)).as("n_points"))
+      .filter($"n_points" > maxPointsPerKey)
+      .select($"__k".as(keyCol), $"n_points")
+      .orderBy($"n_points".desc)
   }
 
   /**

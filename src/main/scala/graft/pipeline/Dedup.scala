@@ -95,13 +95,19 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val base = shingleBase(df, idCol, textCol, shingleSize)
-    // persisted: the self-join consumes this frame TWICE — without the
-    // cache the whole signature+cap pipeline would compute once per side.
-    // Like shingleBase's cache it lives until session cleanup/LRU
-    // eviction (the result is lazy, so in-function unpersist is
-    // impossible); eviction only recomputes, never corrupts.
+    // LAZY localCheckpoint (the winnowNearDups posture): the self-join
+    // consumes this frame TWICE — without reuse the whole signature+cap
+    // pipeline would compute once per side — but a persist here would
+    // never be matched by an unpersist (the result is lazy, so there is
+    // no safe release point inside this function), and repeated calls
+    // in a long-lived session would pile up cache entries. Checkpoint
+    // blocks are reference-tracked (ContextCleaner frees them once the
+    // returned plan is unreachable). Trade-off: blocks are
+    // executor-local and not recomputable — an executor loss between
+    // materialization and the final action fails the job (rerun
+    // recovers) instead of recomputing.
     val banded = capBuckets(bandedBuckets(base, numHashes, bands), maxBucketSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
 
     val candIds = banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" && $"a.id" < $"b.id")
@@ -303,13 +309,16 @@ object Dedup {
       .filter($"n" > maxBucketSize)
   }
 
-  /** Cached (id, shingles) projection: feeds the signature aggregation AND
-    * the verification join — without the cache the tokenize+shingle
-    * projection would run three times. */
+  /** Reused (id, shingles) projection: feeds the signature aggregation AND
+    * the verification join — without reuse the tokenize+shingle
+    * projection would run three times. Lazy localCheckpoint, not
+    * persist: blocks are reference-tracked and freed once the caller's
+    * plan is unreachable, where a persist here could never be matched
+    * by an unpersist (see the posture note in [[winnowNearDups]]). */
   private def shingleBase(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     shingleProjection(df, idCol, textCol, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
 
   /** The uncached (id, shingles) projection behind `shingleBase`. */
   private def shingleProjection(df: DataFrame, idCol: String, textCol: String,
@@ -573,12 +582,13 @@ object Dedup {
     val assigned = Similarity.buildIvfIndex(df, idCol, vecCol, nClusters,
       kmeansIterations).assigned
     // count window on the join key: one shuffle, reused by the self-join
-    // (the capBuckets pattern); persisted because the self-join consumes
-    // the capped frame twice
+    // (the capBuckets pattern); lazy localCheckpoint because the
+    // self-join consumes the capped frame twice and an in-function
+    // persist could never be released (winnowNearDups posture)
     val w = Window.partitionBy($"cid")
     val capped = assigned.withColumn("__cn", count(lit(1)).over(w))
       .filter($"__cn" <= maxClusterSize).drop("__cn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     capped.as("a").join(capped.as("b"),
         $"a.cid" === $"b.cid" && $"a.corpus_id" < $"b.corpus_id")
       .select($"a.corpus_id".as("id_a"), $"b.corpus_id".as("id_b"),
@@ -618,16 +628,15 @@ object Dedup {
       windowSize: Int = 8, minDocFreq: Long = 2L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // consumed twice (df aggregate + mark join) — persisted like
-    // shingleBase; lives until session cleanup/LRU eviction (result is
-    // lazy, so in-function unpersist is impossible), eviction only
-    // recomputes
+    // consumed twice (df aggregate + mark join) — lazy localCheckpoint
+    // like shingleBase: reference-tracked blocks instead of a cache
+    // entry no unpersist could ever release (winnowNearDups posture)
     val grams = df
       .select(col(idCol).cast("long").as("id"),
         posexplode(graft.functions.tfunctions.word_ngrams_all(
           lower(col(textCol)), windowSize)).as(Seq("pos", "g")))
       .select($"id", $"pos", baseHash60($"g").as("gh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     val dupGrams = grams.groupBy($"gh")
       .agg(count_distinct($"id").as("gdf"))
       .filter($"gdf" >= minDocFreq)

@@ -3200,6 +3200,47 @@ object PipelineQueries {
       },
       Some(tarShardsOracleSql)),
 
+    // r11: the shard-size bound ACTIVE in the verify gate — 30 entries
+    // per group against maxEntriesPerShard=7 forces a 7/7/7/7/2 split
+    // per group; the oracle replays the chunk geometry itself (part =
+    // name-rank DIV 7, offsets restart their 512-block cumulative sum
+    // at each part boundary), so a bound that silently drops, reorders,
+    // or mis-cuts hash-mismatches.
+    "q_tar_shards_split" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").filter($"doc_id" < 120)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (d, text) =>
+            (d % 4, f"doc_$d%05d.txt", text.getBytes("UTF-8"))
+          }
+          .toDF("grp", "name", "payload")
+        val shards = graft.sources.TarShards.packTarGroups(
+          docs, "grp", "name", "payload", maxEntriesPerShard = 7)
+        graft.sources.TarShards.readTarRows(
+            shards.select(($"grp" * 100 + $"part").as("sid"), $"tar"),
+            "sid", "tar")
+          .select(expr("id DIV 100").as("grp"), expr("id % 100").as("part"),
+            $"name", $"size", $"offset", md5($"payload").as("payload_md5"))
+          .orderBy($"grp", $"name")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id % 4 AS grp, printf('doc_%05d.txt', doc_id) AS name,
+             |         CAST(octet_length(encode(text)) AS BIGINT) AS size,
+             |         md5(text) AS payload_md5
+             |  FROM documents WHERE doc_id < 120),
+             |r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY name) - 1 AS rn
+             |  FROM d)
+             |SELECT grp, CAST(rn // 7 AS BIGINT) AS part, name, size,
+             |  CAST(512 + coalesce(sum(512 + ((size + 511) // 512) * 512)
+             |    OVER (PARTITION BY grp, rn // 7 ORDER BY name
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |    0) AS BIGINT) AS offset,
+             |  payload_md5
+             |FROM r ORDER BY grp, name""".stripMargin)),
+
     // multimodal PREP capstone (r10): the whole ingest-to-model-input
     // story through the REAL container — 90 mixed samples (gradient
     // BMPs / sawtooth stereo WAVs / multi-scene MP4s) packed into

@@ -52,23 +52,44 @@ object TarStream {
       .select($"path", $"content")
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val rows = batch.as[(String, Array[Byte])].flatMap { case (path, tar) =>
-          val g = path.split('/').last.stripPrefix("shard_")
-            .stripSuffix(".tar").toLong
-          try graft.sources.TarShards.listEntries(tar).map { e =>
-            (g, e.name, e.size, e.offset,
-              graft.sources.TarShards.extract(tar, e))
+          // group parse INSIDE the try: an unexpected file in the
+          // watched directory drops instead of failing the batch
+          try {
+            val g = path.split('/').last.stripPrefix("shard_")
+              .stripSuffix(".tar").toLong
+            graft.sources.TarShards.listEntries(tar).map { e =>
+              (g, e.name, e.size, e.offset,
+                graft.sources.TarShards.extract(tar, e))
+            }
           } catch { case scala.util.control.NonFatal(_) => Nil }
         }.toDF("grp", "name", "size", "offset", "payload")
+        // batchId-keyed overwrite makes the sink idempotent: foreachBatch
+        // is at-least-once, so a retried micro-batch rewrites its own
+        // directory instead of appending duplicate rows
         rows.select($"grp", $"name", $"size", $"offset",
             md5($"payload").as("payload_md5"))
-          .write.mode("append").parquet(sink)
+          .write.mode("overwrite").parquet(s"$sink/batch_$batchId")
         ()
       }
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.read.parquet(sink).orderBy($"grp", $"name")
+    // materialize off the temp sink (delivery-sized), then reclaim the
+    // per-run scratch tree — repeated invocations must not pile up tmpdir
+    val result = spark.read.parquet(s"$sink/batch_*")
+      .orderBy($"grp", $"name").localCheckpoint()
+    deleteRecursively(base)
+    result
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(p)) {
+      val it = java.nio.file.Files.walk(p)
+      try it.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach { f => java.nio.file.Files.deleteIfExists(f); () }
+      finally it.close()
+    }
   }
 }

@@ -383,8 +383,9 @@ class TimeSeriesStatsSpec extends SparkSpec {
 
   test("mannKendall: an over-cap key drops from the result, others unaffected") {
     // the per-key pair join is quadratic in the series length — a key
-    // past maxPointsPerKey is dropped (with a logged warning naming it)
-    // rather than detonating; the surviving key's statistic is unchanged
+    // past maxPointsPerKey is dropped rather than detonating; the
+    // surviving key's statistic is unchanged, and droppedTrendKeys is
+    // the report half that names exactly the dropped keys
     val big = (1 to 20).map(i => ("big", i, (i % 7).toDouble))
     val small = (1 to 10).map(i => ("small", i, i.toDouble))
     val df = (big ++ small).toDF("k", "t", "v")
@@ -392,6 +393,10 @@ class TimeSeriesStatsSpec extends SparkSpec {
       .collect()
     assert(out.map(_.getString(0)).toSeq == Seq("small"))
     assert(out.head.getLong(2) == 45L) // same S as the uncapped run
+    val dropped = TimeSeries.droppedTrendKeys(df, "k", "t", "v",
+      maxPointsPerKey = 10L).collect()
+    assert(dropped.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("big", 20L)))
   }
 
   test("mannKendall collapses duplicate timestamps to their mean first") {

@@ -80,10 +80,10 @@ class TarShardsSpec extends SparkSpec {
       (d % 3, f"doc_$d%03d.txt", s"payload $d".getBytes("UTF-8")))
     val a = TarShards.packTarGroups(
       docs.toDF("grp", "name", "payload").repartition(7), "grp", "name", "payload")
-      .collect().map(r => r.getLong(0) -> md5hex(r.getAs[Array[Byte]](1))).toMap
+      .collect().map(r => r.getLong(0) -> md5hex(r.getAs[Array[Byte]]("tar"))).toMap
     val b = TarShards.packTarGroups(
       docs.toDF("grp", "name", "payload").repartition(2), "grp", "name", "payload")
-      .collect().map(r => r.getLong(0) -> md5hex(r.getAs[Array[Byte]](1))).toMap
+      .collect().map(r => r.getLong(0) -> md5hex(r.getAs[Array[Byte]]("tar"))).toMap
     assert(a == b && a.size == 3, "shard bytes must not depend on partitioning")
     val shards = TarShards.packTarGroups(
       docs.toDF("grp", "name", "payload"), "grp", "name", "payload")
@@ -94,6 +94,91 @@ class TarShardsSpec extends SparkSpec {
     assert(back.size == 24)
     docs.foreach { case (_, n, p) =>
       assert(back(n) == new String(p, "UTF-8"), n)
+    }
+  }
+
+  test("packTarGroups: a hot group SPLITS at the entry bound — no sample lost") {
+    // one pathological group key (everything hashes to grp 0) with 100
+    // entries; the unbounded r10 shape would materialize all of it in
+    // one mapGroups buffer — the bound must cut deterministic parts
+    val docs = (0L until 100L).map(d =>
+      (0L, f"doc_$d%03d.txt", s"p$d".getBytes("UTF-8")))
+    val shards = TarShards.packTarGroups(
+      docs.toDF("grp", "name", "payload").repartition(5),
+      "grp", "name", "payload", maxEntriesPerShard = 16)
+      .orderBy($"part").collect()
+    assert(shards.map(_.getInt(1)).toSeq == (0 until 7), "7 parts of <=16")
+    assert(shards.map(_.getInt(3)).toSeq == Seq(16, 16, 16, 16, 16, 16, 4))
+    // part boundaries land in NAME order: part 0 = doc_000..doc_015
+    val part0 = TarShards.listEntries(shards(0).getAs[Array[Byte]]("tar"))
+    assert(part0.map(_.name) == (0 until 16).map(d => f"doc_$d%03d.txt"))
+    // nothing dropped, payloads intact
+    val back = TarShards.readTarRows(
+      TarShards.packTarGroups(docs.toDF("grp", "name", "payload"),
+        "grp", "name", "payload", maxEntriesPerShard = 16)
+        .select(($"grp" * 100 + $"part").as("sid"), $"tar"), "sid", "tar")
+      .select($"name", $"payload").collect()
+      .map(r => r.getString(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8"))
+      .toMap
+    assert(back.size == 100)
+    docs.foreach { case (_, n, p) => assert(back(n) == new String(p, "UTF-8")) }
+    // split is deterministic: same parts under different partitioning
+    val again = TarShards.packTarGroups(
+      docs.toDF("grp", "name", "payload").repartition(2),
+      "grp", "name", "payload", maxEntriesPerShard = 16)
+      .orderBy($"part").collect()
+    assert(shards.map(r => md5hex(r.getAs[Array[Byte]]("tar"))).toSeq ==
+      again.map(r => md5hex(r.getAs[Array[Byte]]("tar"))).toSeq)
+  }
+
+  test("packTarGroups: the BYTE bound cuts shards; an oversize entry ships alone") {
+    val docs = Seq(
+      (1L, "a.bin", new Array[Byte](600)),   // 512 hdr + 1024 data
+      (1L, "b.bin", new Array[Byte](600)),
+      (1L, "c.bin", new Array[Byte](5000)),  // alone: exceeds the bound by itself
+      (1L, "d.bin", new Array[Byte](10)))
+    // bound of 4096: a+b (2*1536 + 1024 term = 4096) fit; c spills to its
+    // own part even though it overflows the bound alone; d follows
+    val shards = TarShards.packTarGroups(
+      docs.toDF("grp", "name", "payload"), "grp", "name", "payload",
+      maxShardBytes = 4096L)
+      .orderBy($"part")
+      .select($"part", $"n_entries", $"tar_bytes", $"tar").collect()
+    assert(shards.map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((0, 2), (1, 1), (2, 1)))
+    assert(shards(0).getInt(2) <= 4096)
+    val names = shards.map(r =>
+      TarShards.listEntries(r.getAs[Array[Byte]]("tar")).map(_.name))
+    assert(names.toSeq == Seq(Seq("a.bin", "b.bin"), Seq("c.bin"), Seq("d.bin")))
+  }
+
+  test("writeTar rejects non-ASCII names instead of silently mangling them") {
+    // US-ASCII encoding would turn both into "sample_?.txt" — a silent
+    // in-shard collision; the writer must fail loudly
+    val e = intercept[IllegalArgumentException](
+      TarShards.writeTar(Seq(("sample_é.txt", "x".getBytes))))
+    assert(e.getMessage.contains("ASCII"))
+    intercept[IllegalArgumentException](
+      TarShards.writeTar(Seq(("sample_ü.txt", "x".getBytes))))
+  }
+
+  test("foreign long paths: ustar prefix, GNU 'L', and pax 'x' all stitch exactly") {
+    // three archives of the SAME two members (short.txt + a 144-byte
+    // path), written by GNU tar 1.34 in each of its three formats —
+    // the 100-byte name field alone would silently truncate the key
+    val longPath = "deep_dir_001/deep_dir_002/deep_dir_003/deep_dir_004/" +
+      "deep_dir_005/deep_dir_006/deep_dir_007/deep_dir_008/" +
+      "sample_with_quite_a_long_key_name_00.txt"
+    assert(longPath.length == 144)
+    for (fx <- Seq("posix_prefix.tar", "gnu_longname.tar", "pax_longname.tar")) {
+      val url = getClass.getClassLoader.getResource(s"golden/$fx")
+      val tar = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(url.toURI))
+      val es = TarShards.listEntries(tar)
+      assert(es.map(_.name).toSet == Set("short.txt", longPath), fx)
+      val byName = es.map(e => e.name -> TarShards.extract(tar, e)).toMap
+      assert(new String(byName("short.txt"), "UTF-8") == "short sibling", fx)
+      assert(new String(byName(longPath), "UTF-8") ==
+        "payload under a very long path", fx)
     }
   }
 }
