@@ -38,6 +38,17 @@ import scala.collection.mutable.ArrayBuffer
  *    16-coefficient CAVLC residual blocks — the I-slice shape real
  *    baseline encoders emit. The encoder reconstructs bit-exactly as
  *    the decoder (pinned by spec), so intra chains agree.
+ *  - P slices (r11), decode AND encode — the IPPP GOP shape typical
+ *    MP4s carry: mb_skip_run / P_Skip (8.4.1.1), all Table 7-13 inter
+ *    MB partitions (16x16/16x8/8x16/P_8x8 with every sub_mb_type) with
+ *    the 8.4.1.3 median MV predictor and its directional shortcuts,
+ *    quarter-pel luma (6-tap half + averaged quarter, 8.4.2.2.1) and
+ *    eighth-pel bilinear chroma interpolation, Table 9-5 INTER CBP,
+ *    and intra macroblocks inside P slices (mb_type − 5). Single
+ *    reference frame (the baseline IPPP case); the encoder emits
+ *    P_Skip / P_L0_16x16 (+ optional forced intra) and reconstructs
+ *    exactly as the decoder, so [[encodeGop]]/[[decodeGop]] pin parity
+ *    plane-exactly across whole GOPs.
  *
  * Verification posture: no conformant decoder ships in this container,
  * so foreign-bitstream conformance is untestable here; what the specs
@@ -166,7 +177,7 @@ object H264Codec {
   }
 
   case class Pps(entropyCabac: Boolean, picInitQp: Int,
-      deblockingControlPresent: Boolean)
+      deblockingControlPresent: Boolean, weightedPred: Boolean = false)
 
   private def parseSps(r: BitReader): Sps = {
     val profile = r.u(8)
@@ -202,12 +213,13 @@ object H264Codec {
     r.u1() // bottom_field_pic_order_in_frame_present
     if (r.ue() != 0) throw new H264Format("slice groups out of scope")
     r.ue(); r.ue() // num_ref_idx defaults
-    r.u1(); r.u(2) // weighted pred
+    val weighted = r.u1() == 1 // weighted_pred_flag (P slices)
+    r.u(2) // weighted_bipred_idc (B slices — out of scope anyway)
     val qp = r.se() + 26
     r.se(); r.se() // qs, chroma_qp_offset
     val deblock = r.u1() == 1
     r.u1(); r.u1() // constrained_intra, redundant_pic_cnt
-    Pps(cabac, qp, deblock)
+    Pps(cabac, qp, deblock, weighted)
   }
 
   // ---------------- decode ----------------
@@ -267,53 +279,131 @@ object H264Codec {
   }
 
   private def decodeImpl(p: Array[Byte])
-      : Option[(Sps, Array[Byte], Array[Byte], Array[Byte])] = {
-    var sps: Sps = null
-    var pps: Pps = null
-    for ((s, e) <- nalUnits(p)) {
-      val hdr = p(s) & 0xff
-      if ((hdr & 0x80) != 0) throw new H264Format("forbidden_zero_bit")
-      val nalType = hdr & 0x1f
-      nalType match {
-        case 7 => sps = parseSps(new BitReader(unescape(p, s + 1, e)))
-        case 8 => pps = parsePps(new BitReader(unescape(p, s + 1, e)))
-        case 5 => // IDR slice
-          if (sps == null || pps == null) throw new H264Format("slice before SPS/PPS")
-          if (pps.entropyCabac) throw new H264Format("CABAC out of scope")
-          return Some(decodeIdrSlice(new BitReader(unescape(p, s + 1, e)), sps, pps))
-        case _ => () // SEI / AUD / others skipped
+      : Option[(Sps, Array[Byte], Array[Byte], Array[Byte])] =
+    new GopDecoder().decodeAuYuv(p)
+
+  /**
+   * Stateful access-unit decoder for a GOP: an IDR frame resets the
+   * reference, a P frame (NAL type 1) motion-compensates against the
+   * previous frame's reconstruction. SPS/PPS carry across payloads, so
+   * P-frame payloads need not repeat them. Single reference frame
+   * (ref_idx_l0 = 0 only) — the baseline IPPP shape.
+   */
+  private[pipeline] final class GopDecoder {
+    private var sps: Sps = null
+    private var pps: Pps = null
+    private var ref: FrameState = null
+
+    def decodeAuYuv(p: Array[Byte])
+        : Option[(Sps, Array[Byte], Array[Byte], Array[Byte])] = {
+      for ((s, e) <- nalUnits(p)) {
+        val hdr = p(s) & 0xff
+        if ((hdr & 0x80) != 0) throw new H264Format("forbidden_zero_bit")
+        val nalType = hdr & 0x1f
+        nalType match {
+          case 7 => sps = parseSps(new BitReader(unescape(p, s + 1, e)))
+          case 8 => pps = parsePps(new BitReader(unescape(p, s + 1, e)))
+          case 5 | 1 => // IDR / non-IDR slice
+            if (sps == null || pps == null) throw new H264Format("slice before SPS/PPS")
+            if (pps.entropyCabac) throw new H264Format("CABAC out of scope")
+            val st = decodeSlice(new BitReader(unescape(p, s + 1, e)), sps, pps,
+              idr = nalType == 5, ref)
+            ref = st
+            return Some((sps, st.yPlane, st.cbPlane, st.crPlane))
+          case _ => () // SEI / AUD / others skipped
+        }
       }
+      None
     }
-    None
+
+    def decodeAu(p: Array[Byte]): Option[MediaCodecs.Bmp] =
+      try decodeAuYuv(p).map { case (s, y, cb, cr) => yuvToRgb(s, y, cb, cr) }
+      catch { case _: Exception => None }
+
+    /** Seed the reference frame directly (spec hook). */
+    private[pipeline] def seed(s: Sps, p: Pps, st: FrameState): Unit = {
+      sps = s; pps = p; ref = st
+    }
   }
 
-  private def decodeIdrSlice(r: BitReader, sps: Sps, pps: Pps)
-      : (Sps, Array[Byte], Array[Byte], Array[Byte]) = {
+  /** Decode an ordered GOP (IDR followed by P frames); a corrupt or
+    * unsupported access unit yields None for ITS slot and poisons the
+    * frames after it until the next IDR (they would have referenced it). */
+  def decodeGop(payloads: Seq[Array[Byte]]): Seq[Option[MediaCodecs.Bmp]] = {
+    val g = new GopDecoder()
+    var poisoned = false
+    payloads.map { p =>
+      val isIdr =
+        try nalUnits(p).exists { case (s, _) => (p(s) & 0x1f) == 5 }
+        catch { case _: Exception => false }
+      if (isIdr) poisoned = false
+      if (poisoned) None
+      else g.decodeAu(p) match {
+        case None => poisoned = true; None
+        case some => some
+      }
+    }
+  }
+
+  /** Decode one slice (I when `idr` or slice_type says so, else P
+    * against `ref`) into a fresh FrameState. Header per 7.3.3, data per
+    * 7.3.4/7.3.5. */
+  private def decodeSlice(r: BitReader, sps: Sps, pps: Pps, idr: Boolean,
+      ref: FrameState): FrameState = {
     // slice_header (7.3.3)
     if (r.ue() != 0) throw new H264Format("first_mb_in_slice != 0")
-    val sliceType = r.ue()
-    if (sliceType % 5 != 2) throw new H264Format("non-I slice")
+    val sliceType = r.ue() % 5
+    val isP = sliceType == 0
+    if (sliceType != 2 && !isP) throw new H264Format(s"slice type $sliceType out of scope")
+    if (isP && idr) throw new H264Format("P slice in an IDR NAL")
+    if (isP && ref == null) throw new H264Format("P slice without a reference frame")
     r.ue() // pps id
     r.u(sps.log2MaxFrameNum) // frame_num
-    r.ue() // idr_pic_id
+    if (idr) r.ue() // idr_pic_id
     if (sps.picOrderCntType == 0) r.u(16) // poc lsb (we always write type 2)
-    // dec_ref_pic_marking for IDR (7.3.3.3)
-    r.u1(); r.u1()
+    if (isP) {
+      if (r.u1() == 1 && r.ue() != 0) // num_ref_idx override (7.3.3)
+        throw new H264Format("multiple reference frames out of scope")
+      if (r.u1() != 0) // ref_pic_list_modification_flag_l0 (7.3.3.1)
+        throw new H264Format("ref pic list modification out of scope")
+      if (pps.weightedPred) throw new H264Format("weighted prediction out of scope")
+    }
+    // dec_ref_pic_marking (7.3.3.3); our writer always marks slices as
+    // reference (nal_ref_idc != 0), and foreign non-reference slices
+    // (ref_idc 0) carry no marking syntax — not distinguishable here
+    // without the NAL header, which callers validated as 0x65/0x61/0x41
+    if (idr) { r.u1(); r.u1() }
+    else if (r.u1() != 0) // adaptive_ref_pic_marking_mode_flag
+      throw new H264Format("adaptive ref marking out of scope")
     val sliceQpDelta = r.se() // slice_qp_delta
     if (pps.deblockingControlPresent) {
       val idc = r.ue()
       if (idc != 1) { r.se(); r.se() }
     }
-    // slice_data: all-I macroblocks, raster order
     val st = new FrameState(sps.widthMbs, sps.heightMbs)
     var qpY = pps.picInitQp + sliceQpDelta
     if (qpY < 0 || qpY > 51) throw new H264Format(s"slice QP $qpY out of range")
+    if (isP) { decodePSliceData(r, st, ref, qpY); return st }
+    // slice_data: all-I macroblocks, raster order
     var mb = 0
     val nMbs = st.wMbs * st.hMbs
     while (mb < nMbs) {
       val mbType = r.ue()
-      val mbX = (mb % st.wMbs) * 16
-      val mbY = (mb / st.wMbs) * 16
+      qpY = decodeIntraMb(r, st, (mb % st.wMbs) * 16, (mb / st.wMbs) * 16,
+        mbType, qpY)
+      mb += 1
+    }
+    st
+  }
+
+  /** Decode one intra macroblock (I_PCM / Intra_16x16 / Intra_4x4) at
+    * pixel (mbX, mbY); mbType in I-slice numbering (P slices pass
+    * mb_type − 5). Returns the updated slice QP. Shared by the I-slice
+    * loop and intra MBs inside P slices. */
+  private def decodeIntraMb(r: BitReader, st: FrameState, mbX: Int, mbY: Int,
+      mbType: Int, qpYIn: Int): Int = {
+    var qpY = qpYIn;
+    {
       if (mbType == 25) { // I_PCM (7.3.5)
         while (!r.byteAligned) {
           if (r.u1() != 0) throw new H264Format("pcm_alignment_zero_bit != 0")
@@ -373,10 +463,238 @@ object H264Codec {
         decodeIntra4x4Luma(r, st, mbX / 16, mbY / 16, modes, cbpLuma, qpY)
         decodeChromaResid(r, st, mbX / 16, mbY / 16, chromaMode, cbpChroma,
           H264Transform.chromaQp(qpY))
-      } else throw new H264Format(s"bad I-slice mb_type $mbType")
-      mb += 1
+      } else throw new H264Format(s"bad intra mb_type $mbType")
     }
-    (sps, st.yPlane, st.cbPlane, st.crPlane)
+    qpY
+  }
+
+  /** P-slice slice_data (7.3.4 CAVLC form): mb_skip_run before every
+    * coded macroblock (a trailing run may end the slice); coded MBs are
+    * Table 7-13 inter types 0-4 or intra (mb_type − 5). Reconstructs
+    * into `st` against reference frame `ref`. */
+  private def decodePSliceData(r: BitReader, st: FrameState,
+      ref: FrameState, qpYIn: Int): Unit = {
+    var qpY = qpYIn
+    var mb = 0
+    val nMbs = st.wMbs * st.hMbs
+    while (mb < nMbs) {
+      var run = r.ue() // mb_skip_run
+      if (mb + run > nMbs) throw new H264Format(s"skip run overruns at mb $mb")
+      while (run > 0) {
+        val mx = mb % st.wMbs; val my = mb / st.wMbs
+        val (vx, vy) = skipMv(st, mx, my)
+        mcPartition(st, ref, mx * 4, my * 4, 4, 4, vx, vy)
+        markInterNnzZero(st, mx, my)
+        mb += 1; run -= 1
+      }
+      if (mb < nMbs) {
+        val mbType = r.ue()
+        val mx = mb % st.wMbs; val my = mb / st.wMbs
+        if (mbType >= 5) { // intra in a P slice (Table 7-13: type − 5)
+          qpY = decodeIntraMb(r, st, mx * 16, my * 16, mbType - 5, qpY)
+          // mark decoded-but-not-inter for 8.4.1.3 neighbor derivation
+          // (motion grids are disjoint from the nnz the intra decode set)
+          st.setMv(mx * 4, my * 4, 4, 4, 0, 0, inter = false)
+        } else {
+          qpY = decodeInterMb(r, st, ref, mx, my, mbType, qpY)
+        }
+        mb += 1
+      }
+    }
+  }
+
+  /** TotalCoeff bookkeeping for a residual-free inter MB (P_Skip or
+    * cbp 0): every luma/chroma 4x4 block records zero coefficients. */
+  private def markInterNnzZero(st: FrameState, mx: Int, my: Int): Unit = {
+    var y = 0
+    while (y < 4) {
+      var x = 0
+      while (x < 4) { st.setNnzY(mx * 4 + x, my * 4 + y, 0); x += 1 }
+      y += 1
+    }
+    var c = 0
+    while (c < 2) {
+      var yy = 0
+      while (yy < 2) {
+        var xx = 0
+        while (xx < 2) { st.setNnzC(c, mx * 2 + xx, my * 2 + yy, 0); xx += 1 }
+        yy += 1
+      }
+      c += 1
+    }
+  }
+
+  /** Decode one inter macroblock (Table 7-13 types 0-4): partition MVs
+    * (mvd against the 8.4.1.3 predictor), motion compensation, then the
+    * inter residual (Table 9-5 inter CBP; 16-coefficient luma blocks —
+    * no DC split — and the shared chroma layout with MC prediction).
+    * Returns the updated slice QP. */
+  private def decodeInterMb(r: BitReader, st: FrameState, ref: FrameState,
+      mx: Int, my: Int, mbType: Int, qpYIn: Int): Int = {
+    var qpY = qpYIn
+    val bx0 = mx * 4; val by0 = my * 4
+    def readMvd(): (Int, Int) = { val x = r.se(); val y = r.se(); (x, y) }
+    mbType match {
+      case 0 => // P_L0_16x16
+        val (dx, dy) = readMvd()
+        val (px, py) = mvPredict(st, bx0, by0, 4, 0)
+        mcPartition(st, ref, bx0, by0, 4, 4, px + dx, py + dy)
+      case 1 => // P_L0_L0_16x8 (top, bottom)
+        val (dx0, dy0) = readMvd(); val (dx1, dy1) = readMvd()
+        val (p0x, p0y) = mvPredict(st, bx0, by0, 4, 1)
+        mcPartition(st, ref, bx0, by0, 4, 2, p0x + dx0, p0y + dy0)
+        val (p1x, p1y) = mvPredict(st, bx0, by0 + 2, 4, 2)
+        mcPartition(st, ref, bx0, by0 + 2, 4, 2, p1x + dx1, p1y + dy1)
+      case 2 => // P_L0_L0_8x16 (left, right)
+        val (dx0, dy0) = readMvd(); val (dx1, dy1) = readMvd()
+        val (p0x, p0y) = mvPredict(st, bx0, by0, 2, 3)
+        mcPartition(st, ref, bx0, by0, 2, 4, p0x + dx0, p0y + dy0)
+        val (p1x, p1y) = mvPredict(st, bx0 + 2, by0, 2, 4)
+        mcPartition(st, ref, bx0 + 2, by0, 2, 4, p1x + dx1, p1y + dy1)
+      case 3 | 4 => // P_8x8 / P_8x8ref0 (single reference: identical)
+        val subTypes = Array.fill(4)(r.ue())
+        subTypes.foreach { t =>
+          if (t > 3) throw new H264Format(s"bad sub_mb_type $t")
+        }
+        // (no ref_idx syntax: one reference frame)
+        var sb = 0
+        while (sb < 4) {
+          val sbx = bx0 + (sb % 2) * 2; val sby = by0 + (sb / 2) * 2
+          subTypes(sb) match {
+            case 0 => // 8x8
+              val (dx, dy) = readMvd()
+              val (p, q) = mvPredict(st, sbx, sby, 2, 0)
+              mcPartition(st, ref, sbx, sby, 2, 2, p + dx, q + dy)
+            case 1 => // 8x4 (top, bottom)
+              var k = 0
+              while (k < 2) {
+                val (dx, dy) = readMvd()
+                val (p, q) = mvPredict(st, sbx, sby + k, 2, 0)
+                mcPartition(st, ref, sbx, sby + k, 2, 1, p + dx, q + dy)
+                k += 1
+              }
+            case 2 => // 4x8 (left, right)
+              var k = 0
+              while (k < 2) {
+                val (dx, dy) = readMvd()
+                val (p, q) = mvPredict(st, sbx + k, sby, 1, 0)
+                mcPartition(st, ref, sbx + k, sby, 1, 2, p + dx, q + dy)
+                k += 1
+              }
+            case _ => // 4x4, z-order within the 8x8
+              var k = 0
+              while (k < 4) {
+                val cx = sbx + (k % 2); val cy = sby + (k / 2)
+                val (dx, dy) = readMvd()
+                val (p, q) = mvPredict(st, cx, cy, 1, 0)
+                mcPartition(st, ref, cx, cy, 1, 1, p + dx, q + dy)
+                k += 1
+              }
+          }
+          sb += 1
+        }
+      case _ => throw new H264Format(s"bad P-slice mb_type $mbType")
+    }
+    // residual: CBP (inter column), optional qp delta, luma 16-coeff
+    // blocks per coded 8x8 group, chroma per the shared layout
+    val cbpCode = r.ue()
+    if (cbpCode > 47) throw new H264Format(s"cbp code $cbpCode")
+    val cbp = CbpInterByCodeNum(cbpCode)
+    val cbpLuma = cbp & 15
+    val cbpChroma = cbp >> 4
+    if (cbp != 0) qpY = ((qpY + r.se()) % 52 + 52) % 52
+    decodeInterLumaResid(r, st, mx, my, cbpLuma, qpY)
+    decodeChromaResidOnPred(r, st, mx, my, cbpChroma,
+      H264Transform.chromaQp(qpY))
+    qpY
+  }
+
+  /** Add the decoded luma residual of an inter MB on top of the
+    * motion-compensated prediction already in the planes (8.5: inter
+    * blocks carry full 16-coefficient 4x4 transforms, no DC split). */
+  private def decodeInterLumaResid(r: BitReader, st: FrameState,
+      mx: Int, my: Int, cbpLuma: Int, qpY: Int): Unit = {
+    import H264Transform._
+    val lumaW = st.lumaW
+    val x0 = mx * 16; val y0 = my * 16
+    val scan = new Array[Int](16)
+    var bi = 0
+    while (bi < 16) {
+      val (bxo, byo) = LumaBlockOrder(bi)
+      val gbx = mx * 4 + bxo; val gby = my * 4 + byo
+      if ((cbpLuma & (1 << (bi >> 2))) != 0) {
+        val tc = H264Cavlc.decodeBlock(r, scan, 16, st.lumaNc(gbx, gby))
+        st.setNnzY(gbx, gby, tc)
+        val rpx = inverse4x4(dequant4x4(unzigzag(scan, 0), qpY, skipDc = false))
+        val ax = x0 + bxo * 4; val ay = y0 + byo * 4
+        var py = 0
+        while (py < 4) {
+          var px = 0
+          while (px < 4) {
+            val o = (ay + py) * lumaW + ax + px
+            st.yPlane(o) = clipB((st.yPlane(o) & 0xff) + rpx(py * 4 + px))
+            px += 1
+          }
+          py += 1
+        }
+      } else st.setNnzY(gbx, gby, 0)
+      bi += 1
+    }
+  }
+
+  /** Chroma residual of an inter MB added onto the MC prediction
+    * already in the planes (same 7.3.5.3.3 layout as the intra path —
+    * DC levels for both components, then AC blocks — but reconstruction
+    * is pred-in-place + residual). */
+  private def decodeChromaResidOnPred(r: BitReader, st: FrameState,
+      mx: Int, my: Int, cbpChroma: Int, qpC: Int): Unit = {
+    import H264Transform._
+    val cW = st.lumaW / 2
+    val cx0 = mx * 8; val cy0 = my * 8
+    val acScan = new Array[Int](15)
+    val dcLv = Array.ofDim[Int](2, 4)
+    if (cbpChroma > 0) {
+      var c = 0
+      while (c < 2) {
+        val buf = new Array[Int](4)
+        H264Cavlc.decodeBlock(r, buf, 4, -1)
+        dcLv(c) = buf
+        c += 1
+      }
+    }
+    var c = 0
+    while (c < 2) {
+      val plane = if (c == 0) st.cbPlane else st.crPlane
+      val dcd2 = if (cbpChroma > 0) dequantChromaDc(dcLv(c), qpC) else new Array[Int](4)
+      var sb = 0
+      while (sb < 4) {
+        val sbx = sb % 2; val sby = sb / 2
+        val gbx = mx * 2 + sbx; val gby = my * 2 + sby
+        var resid: Array[Int] = null
+        if (cbpChroma == 2) {
+          val tc = H264Cavlc.decodeBlock(r, acScan, 15, st.chromaNc(c, gbx, gby))
+          st.setNnzC(c, gbx, gby, tc)
+          resid = dequant4x4(unzigzag(acScan, 1), qpC, skipDc = true)
+        } else {
+          st.setNnzC(c, gbx, gby, 0)
+          resid = new Array[Int](16)
+        }
+        resid(0) = dcd2(sby * 2 + sbx)
+        val rpx = inverse4x4(resid)
+        var py = 0
+        while (py < 4) {
+          var px = 0
+          while (px < 4) {
+            val o = (cy0 + sby * 4 + py) * cW + cx0 + sbx * 4 + px
+            plane(o) = clipB((plane(o) & 0xff) + rpx(py * 4 + px))
+            px += 1
+          }
+          py += 1
+        }
+        sb += 1
+      }
+      c += 1
+    }
   }
 
   /** coded_block_pattern me(v) mapping, intra column of Table 9-5
@@ -392,6 +710,210 @@ object H264Codec {
     val inv = new Array[Int](48)
     CbpIntraByCodeNum.zipWithIndex.foreach { case (cbp, cn) => inv(cbp) = cn }
     inv
+  }
+
+  /** coded_block_pattern me(v) mapping, INTER column of Table 9-5
+    * (ChromaArrayType = 1): codeNum -> cbp. Note cbp 0 (uncoded) takes
+    * codeNum 0 — the most common inter outcome gets the 1-bit code. */
+  private[pipeline] val CbpInterByCodeNum: Array[Int] = Array(
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41)
+
+  /** cbp -> codeNum, the encoder's inverse of [[CbpInterByCodeNum]]. */
+  private[pipeline] val CbpInterToCodeNum: Array[Int] = {
+    val inv = new Array[Int](48)
+    CbpInterByCodeNum.zipWithIndex.foreach { case (cbp, cn) => inv(cbp) = cn }
+    inv
+  }
+
+  // ---------------- P-slice motion compensation (8.4) ----------------
+
+  private def clip3(lo: Int, hi: Int, v: Int): Int =
+    if (v < lo) lo else if (v > hi) hi else v
+
+  /** Luma quarter-sample interpolation (8.4.2.2.1): fill `out` (bw x bh)
+    * from the reference plane at full-pel (x0, y0) displaced by
+    * (mvx, mvy) quarter-pel units. Edge extension by coordinate clipping
+    * (the spec's sample clamping); half-pels via the 6-tap
+    * (1,-5,20,20,-5,1) filter, quarter-pels by averaging per Figure 8-4. */
+  private[pipeline] def mcLuma(ref: Array[Byte], w: Int, h: Int,
+      x0: Int, y0: Int, mvx: Int, mvy: Int, bw: Int, bh: Int): Array[Int] = {
+    val xi = x0 + (mvx >> 2); val yi = y0 + (mvy >> 2)
+    val xf = mvx & 3; val yf = mvy & 3
+    def px(x: Int, y: Int): Int =
+      ref(clip3(0, h - 1, y) * w + clip3(0, w - 1, x)) & 0xff
+    // half-pel intermediates over the (bw+1) x (bh+1) grid around the
+    // block so quarter positions can average their two nearest
+    def halfH(x: Int, y: Int): Int = { // b at (x, y): horizontal 6-tap
+      val v = px(x - 2, y) - 5 * px(x - 1, y) + 20 * px(x, y) +
+        20 * px(x + 1, y) - 5 * px(x + 2, y) + px(x + 3, y)
+      clip3(0, 255, (v + 16) >> 5)
+    }
+    def halfV(x: Int, y: Int): Int = { // h at (x, y): vertical 6-tap
+      val v = px(x, y - 2) - 5 * px(x, y - 1) + 20 * px(x, y) +
+        20 * px(x, y + 1) - 5 * px(x, y + 2) + px(x, y + 3)
+      clip3(0, 255, (v + 16) >> 5)
+    }
+    def halfHRaw(x: Int, y: Int): Int = // un-normalized b1 for j
+      px(x - 2, y) - 5 * px(x - 1, y) + 20 * px(x, y) +
+        20 * px(x + 1, y) - 5 * px(x + 2, y) + px(x + 3, y)
+    def halfC(x: Int, y: Int): Int = { // j at (x, y): 6-tap of raw b1s
+      val v = halfHRaw(x, y - 2) - 5 * halfHRaw(x, y - 1) +
+        20 * halfHRaw(x, y) + 20 * halfHRaw(x, y + 1) -
+        5 * halfHRaw(x, y + 2) + halfHRaw(x, y + 3)
+      clip3(0, 255, (v + 512) >> 10)
+    }
+    val out = new Array[Int](bw * bh)
+    var dy = 0
+    while (dy < bh) {
+      var dx = 0
+      while (dx < bw) {
+        val x = xi + dx; val y = yi + dy
+        val v = (xf, yf) match {
+          case (0, 0) => px(x, y)
+          case (2, 0) => halfH(x, y)
+          case (0, 2) => halfV(x, y)
+          case (2, 2) => halfC(x, y)
+          case (1, 0) => (px(x, y) + halfH(x, y) + 1) >> 1
+          case (3, 0) => (px(x + 1, y) + halfH(x, y) + 1) >> 1
+          case (0, 1) => (px(x, y) + halfV(x, y) + 1) >> 1
+          case (0, 3) => (px(x, y + 1) + halfV(x, y) + 1) >> 1
+          case (2, 1) => (halfH(x, y) + halfC(x, y) + 1) >> 1
+          case (2, 3) => (halfC(x, y) + halfH(x, y + 1) + 1) >> 1
+          case (1, 2) => (halfV(x, y) + halfC(x, y) + 1) >> 1
+          case (3, 2) => (halfC(x, y) + halfV(x + 1, y) + 1) >> 1
+          case (1, 1) => (halfH(x, y) + halfV(x, y) + 1) >> 1
+          case (3, 1) => (halfH(x, y) + halfV(x + 1, y) + 1) >> 1
+          case (1, 3) => (halfH(x, y + 1) + halfV(x, y) + 1) >> 1
+          case (3, 3) => (halfH(x, y + 1) + halfV(x + 1, y) + 1) >> 1
+          case _ => px(x, y) // unreachable
+        }
+        out(dy * bw + dx) = v
+        dx += 1
+      }
+      dy += 1
+    }
+    out
+  }
+
+  /** Chroma eighth-sample bilinear interpolation (8.4.2.2.2): the luma
+    * MV applies directly — chroma resolution is half, so its units are
+    * already 1/8 chroma pel. */
+  private[pipeline] def mcChroma(ref: Array[Byte], w: Int, h: Int,
+      x0: Int, y0: Int, mvx: Int, mvy: Int, bw: Int, bh: Int): Array[Int] = {
+    val xi = x0 + (mvx >> 3); val yi = y0 + (mvy >> 3)
+    val xf = mvx & 7; val yf = mvy & 7
+    def px(x: Int, y: Int): Int =
+      ref(clip3(0, h - 1, y) * w + clip3(0, w - 1, x)) & 0xff
+    val out = new Array[Int](bw * bh)
+    var dy = 0
+    while (dy < bh) {
+      var dx = 0
+      while (dx < bw) {
+        val x = xi + dx; val y = yi + dy
+        out(dy * bw + dx) =
+          ((8 - xf) * (8 - yf) * px(x, y) + xf * (8 - yf) * px(x + 1, y) +
+            (8 - xf) * yf * px(x, y + 1) + xf * yf * px(x + 1, y + 1) + 32) >> 6
+        dx += 1
+      }
+      dy += 1
+    }
+    out
+  }
+
+  /** One motion-vector-prediction neighbor: available = in-frame and
+    * already reconstructed this frame; inter = carries a refIdx-0 MV. */
+  private final case class MvNbr(avail: Boolean, inter: Boolean, vx: Int, vy: Int)
+
+  private def mvNbrAt(st: FrameState, bx: Int, by: Int): MvNbr = {
+    if (bx < 0 || by < 0 || bx >= st.wMbs * 4 || by >= st.hMbs * 4)
+      MvNbr(avail = false, inter = false, 0, 0)
+    else {
+      val i = st.blkIdx(bx, by)
+      if (!st.decodedBlk(i)) MvNbr(avail = false, inter = false, 0, 0)
+      else MvNbr(avail = true, st.interBlk(i), st.mvx(i), st.mvy(i))
+    }
+  }
+
+  private def median3(a: Int, b: Int, c: Int): Int =
+    math.max(math.min(a, b), math.min(math.max(a, b), c))
+
+  /** Median motion-vector predictor (8.4.1.3) for the partition whose
+    * top-left 4x4 block is (bx, by) and whose size is w4 x h4 blocks.
+    * `partKind` selects the 16x8/8x16 directional shortcuts: 0 = none,
+    * 1 = 16x8 top, 2 = 16x8 bottom, 3 = 8x16 left, 4 = 8x16 right.
+    * Single reference frame, so "same refIdx" = neighbor is inter. */
+  private def mvPredict(st: FrameState, bx: Int, by: Int, w4: Int,
+      partKind: Int): (Int, Int) = {
+    val a = mvNbrAt(st, bx - 1, by)        // left
+    val b = mvNbrAt(st, bx, by - 1)        // above
+    val cRaw = mvNbrAt(st, bx + w4, by - 1) // above-right
+    val d = mvNbrAt(st, bx - 1, by - 1)    // above-left (C's substitute)
+    val c = if (cRaw.avail) cRaw else d
+    // directional shortcuts for the two-partition MB shapes (8.4.1.3)
+    partKind match {
+      case 1 if b.inter => return (b.vx, b.vy) // 16x8 top from above
+      case 2 if a.inter => return (a.vx, a.vy) // 16x8 bottom from left
+      case 3 if a.inter => return (a.vx, a.vy) // 8x16 left from left
+      case 4 if c.inter => return (c.vx, c.vy) // 8x16 right from above-right
+      case _ => ()
+    }
+    // when B, C and D are all unavailable, A alone predicts
+    if (!b.avail && !cRaw.avail && !d.avail) return (a.vx, a.vy)
+    // exactly one neighbor with the same refIdx -> its MV
+    val same = Seq(a, b, c).filter(_.inter)
+    if (same.length == 1) (same.head.vx, same.head.vy)
+    else (median3(a.vx, b.vx, c.vx), median3(a.vy, b.vy, c.vy))
+  }
+
+  /** P_Skip motion vector (8.4.1.1): zero when either edge neighbor is
+    * missing or is a zero-MV refIdx-0 block, else the 16x16 median. */
+  private def skipMv(st: FrameState, mx: Int, my: Int): (Int, Int) = {
+    val a = mvNbrAt(st, mx * 4 - 1, my * 4)
+    val b = mvNbrAt(st, mx * 4, my * 4 - 1)
+    if (!a.avail || !b.avail ||
+      (a.inter && a.vx == 0 && a.vy == 0) ||
+      (b.inter && b.vx == 0 && b.vy == 0)) (0, 0)
+    else mvPredict(st, mx * 4, my * 4, 4, 0)
+  }
+
+  /** Motion-compensate one luma partition + both chroma partitions from
+    * the reference planes into the current FrameState (prediction only;
+    * residual is added by the caller). Writes the MV grid. */
+  private def mcPartition(st: FrameState, ref: FrameState, bx: Int, by: Int,
+      w4: Int, h4: Int, vx: Int, vy: Int): Unit = {
+    val lumaW = st.lumaW
+    val pl = mcLuma(ref.yPlane, lumaW, st.hMbs * 16, bx * 4, by * 4, vx, vy,
+      w4 * 4, h4 * 4)
+    var y = 0
+    while (y < h4 * 4) {
+      var x = 0
+      while (x < w4 * 4) {
+        st.yPlane((by * 4 + y) * lumaW + bx * 4 + x) = clipB(pl(y * w4 * 4 + x))
+        x += 1
+      }
+      y += 1
+    }
+    val cW = lumaW / 2
+    var c = 0
+    while (c < 2) {
+      val rp = if (c == 0) ref.cbPlane else ref.crPlane
+      val sp = if (c == 0) st.cbPlane else st.crPlane
+      val pc = mcChroma(rp, cW, st.hMbs * 8, bx * 2, by * 2, vx, vy,
+        w4 * 2, h4 * 2)
+      var yy = 0
+      while (yy < h4 * 2) {
+        var xx = 0
+        while (xx < w4 * 2) {
+          sp((by * 2 + yy) * cW + bx * 2 + xx) = clipB(pc(yy * w4 * 2 + xx))
+          xx += 1
+        }
+        yy += 1
+      }
+      c += 1
+    }
+    st.setMv(bx, by, w4, h4, vx, vy, inter = true)
   }
 
   /** Whether the top-right 4x4 neighbor of luma4x4BlkIdx `bi` precedes
@@ -416,6 +938,30 @@ object H264Codec {
     /** Intra4x4PredMode per luma 4x4 block; -1 = the block's MB is not
       * Intra_4x4 (I_PCM / Intra_16x16), which predicts as DC (8.3.1.1). */
     val i4Mode: Array[Int] = Array.fill(wMbs * 4 * hMbs * 4)(-1)
+    // ---- P-slice motion state (per luma 4x4 block; untouched by
+    // I-slice decode). mv* in quarter-pel units; inter(b) = the block
+    // belongs to an inter-predicted partition (refIdx 0 — single
+    // reference); dec(b) = the block's partition is already
+    // reconstructed this frame (8.4.1.3's decode-order availability).
+    val mvx = new Array[Int](wMbs * 4 * hMbs * 4)
+    val mvy = new Array[Int](wMbs * 4 * hMbs * 4)
+    val interBlk = new Array[Boolean](wMbs * 4 * hMbs * 4)
+    val decodedBlk = new Array[Boolean](wMbs * 4 * hMbs * 4)
+    def blkIdx(bx: Int, by: Int): Int = by * wMbs * 4 + bx
+    /** Mark a partition's 4x4 blocks with its motion vector. */
+    def setMv(bx: Int, by: Int, w4: Int, h4: Int, vx: Int, vy: Int,
+        inter: Boolean): Unit = {
+      var y = by
+      while (y < by + h4) {
+        var x = bx
+        while (x < bx + w4) {
+          val i = blkIdx(x, y)
+          mvx(i) = vx; mvy(i) = vy; interBlk(i) = inter; decodedBlk(i) = true
+          x += 1
+        }
+        y += 1
+      }
+    }
 
     def setI4Mode(bx: Int, by: Int, m: Int): Unit = i4Mode(by * wMbs * 4 + bx) = m
     /** Predicted Intra_4x4 mode (8.3.1.1): DC when either neighbor
@@ -746,22 +1292,10 @@ object H264Codec {
     (bytes, st.yPlane, st.cbPlane, st.crPlane)
   }
 
-  private def encodeImpl(img: MediaCodecs.Bmp, avcc: Boolean, qp: Int,
-      intra4x4: Boolean, pick: (Int, Int, Seq[Int]) => Int)
-      : (Array[Byte], FrameState) = {
-    require(!intra4x4 || qp >= 0, "intra4x4 needs a compressed qp (0..51)")
-    val wMbs = (img.width + 15) / 16
-    val hMbs = (img.height + 15) / 16
-    val cropR = (wMbs * 16 - img.width + 1) / 2
-    val cropB = (hMbs * 16 - img.height + 1) / 2
-    require(wMbs * 16 - 2 * cropR == img.width && hMbs * 16 - 2 * cropB == img.height,
-      "odd frame dims need cropping units of 2 (4:2:0); use even dims")
-
-    // RGB -> YCbCr 4:2:0, edge-replicated to MB grid
-    val lumaW = wMbs * 16
-    val (yP, cbP, crP) = toYuv420(img, wMbs, hMbs)
-
-    // SPS (baseline 66, level 3.0, POC type 2)
+  /** SPS + PPS NAL units (baseline 66, level 3.0, POC type 2, CAVLC,
+    * one reference frame) — shared by the IDR and GOP encoders. */
+  private def spsPpsNals(wMbs: Int, hMbs: Int, cropR: Int, cropB: Int)
+      : (Array[Byte], Array[Byte]) = {
     val sw = new BitWriter
     sw.u(66, 8); sw.u(0xC0, 8); sw.u(30, 8) // constraint_set0/1, level 3.0
     sw.ue(0) // sps id
@@ -779,7 +1313,6 @@ object H264Codec {
     sw.trailing()
     val spsNal = Array[Byte](0x67.toByte) ++ escape(sw.bytes)
 
-    // PPS
     val pw = new BitWriter
     pw.ue(0); pw.ue(0) // pps id, sps id
     pw.u1(0) // CAVLC
@@ -792,6 +1325,38 @@ object H264Codec {
     pw.u1(0); pw.u1(0) // constrained intra, redundant pic cnt
     pw.trailing()
     val ppsNal = Array[Byte](0x68.toByte) ++ escape(pw.bytes)
+    (spsNal, ppsNal)
+  }
+
+  private def frameNals(avcc: Boolean, nals: Array[Byte]*): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]()
+    nals.foreach { nal =>
+      if (avcc) {
+        out += ((nal.length >> 24) & 0xff).toByte
+        out += ((nal.length >> 16) & 0xff).toByte
+        out += ((nal.length >> 8) & 0xff).toByte
+        out += (nal.length & 0xff).toByte
+      } else { out += 0; out += 0; out += 0; out += 1 }
+      out ++= nal
+    }
+    out.toArray
+  }
+
+  private def encodeImpl(img: MediaCodecs.Bmp, avcc: Boolean, qp: Int,
+      intra4x4: Boolean, pick: (Int, Int, Seq[Int]) => Int)
+      : (Array[Byte], FrameState) = {
+    require(!intra4x4 || qp >= 0, "intra4x4 needs a compressed qp (0..51)")
+    val wMbs = (img.width + 15) / 16
+    val hMbs = (img.height + 15) / 16
+    val cropR = (wMbs * 16 - img.width + 1) / 2
+    val cropB = (hMbs * 16 - img.height + 1) / 2
+    require(wMbs * 16 - 2 * cropR == img.width && hMbs * 16 - 2 * cropB == img.height,
+      "odd frame dims need cropping units of 2 (4:2:0); use even dims")
+
+    // RGB -> YCbCr 4:2:0, edge-replicated to MB grid
+    val lumaW = wMbs * 16
+    val (yP, cbP, crP) = toYuv420(img, wMbs, hMbs)
+    val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB)
 
     // IDR slice
     require(qp >= -1 && qp <= 51, s"qp $qp")
@@ -867,7 +1432,8 @@ object H264Codec {
     * [[decodeIntra16x16]], sharing its dequant/inverse/pred kernels so
     * the encoder's neighbor state is exactly the decoder's. */
   private def encodeIntra16x16Mb(w: BitWriter, st: FrameState, mx: Int, my: Int,
-      srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte], qp: Int): Unit = {
+      srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte], qp: Int,
+      mbTypeOffset: Int = 0): Unit = {
     import H264Transform._
     val lumaW = st.lumaW
     val x0 = mx * 16; val y0 = my * 16
@@ -904,8 +1470,9 @@ object H264Codec {
     // chroma forward + quant (shared with the Intra_4x4 encoder)
     val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, chromaQp(qp))
     val cbpChroma = chroma.cbpChroma
-    // ---- write the macroblock (Table 7-11 inverse: predMode DC = 2)
-    w.ue(1 + 2 + 4 * cbpChroma + 12 * (if (cbpLuma == 15) 1 else 0))
+    // ---- write the macroblock (Table 7-11 inverse: predMode DC = 2);
+    // mbTypeOffset 5 relocates the type into P-slice numbering (7-13)
+    w.ue(mbTypeOffset + 1 + 2 + 4 * cbpChroma + 12 * (if (cbpLuma == 15) 1 else 0))
     w.ue(0) // intra_chroma_pred_mode = DC
     w.se(0) // mb_qp_delta
     H264Cavlc.encodeBlock(w, dcScan, 16, st.lumaNc(mx * 4, my * 4))
@@ -948,7 +1515,8 @@ object H264Codec {
     * [[decodeChromaResid]] will. Shared by the Intra_16x16 and
     * Intra_4x4 encoders. */
   private final class ChromaEnc(st: FrameState, mx: Int, my: Int,
-      srcCb: Array[Byte], srcCr: Array[Byte], qpC: Int) {
+      srcCb: Array[Byte], srcCr: Array[Byte], qpC: Int,
+      predOf: Int => Array[Int] = null) {
     import H264Transform._
     private val cW = st.lumaW / 2
     private val cx0 = mx * 8
@@ -962,9 +1530,12 @@ object H264Codec {
       while (c < 2) {
         val srcP = if (c == 0) srcCb else srcCr
         val recP = if (c == 0) st.cbPlane else st.crPlane
-        val ctop = if (my > 0) Array.tabulate(8)(i => recP((cy0 - 1) * cW + cx0 + i) & 0xff) else null
-        val cleft = if (mx > 0) Array.tabulate(8)(i => recP((cy0 + i) * cW + cx0 - 1) & 0xff) else null
-        cPred(c) = predChroma8x8(0, ctop, cleft, 0) // DC mode
+        cPred(c) = if (predOf != null) predOf(c) // inter: MC prediction
+        else {
+          val ctop = if (my > 0) Array.tabulate(8)(i => recP((cy0 - 1) * cW + cx0 + i) & 0xff) else null
+          val cleft = if (mx > 0) Array.tabulate(8)(i => recP((cy0 + i) * cW + cx0 - 1) & 0xff) else null
+          predChroma8x8(0, ctop, cleft, 0) // DC mode
+        }
         val dcC = new Array[Int](4)
         var sb = 0
         while (sb < 4) {
@@ -1139,6 +1710,243 @@ object H264Codec {
       bi += 1
     }
     chroma.emit(w)
+  }
+
+  /**
+   * Encode an ordered frame sequence as one GOP: frame 0 is an IDR
+   * picture (compressed Intra_16x16 at `qp`), every later frame a P
+   * picture motion-compensated against the previous frame's
+   * RECONSTRUCTION (so encoder and decoder reference states agree
+   * bit-for-bit — the Intra_4x4 witness device extended to inter).
+   * Every P payload carries SPS+PPS+slice, so each access unit is
+   * self-describing given its reference. Per macroblock the encoder
+   * picks an integer-pel SAD-best MV within ±`searchRange` (P_Skip when
+   * the MV equals the skip predictor and every residual quantizes to
+   * zero); `forcedMv` (quarter-pel units) overrides the search — the
+   * spec hook that exercises the half/quarter-pel interpolation paths;
+   * `intraEvery` > 0 encodes every Nth macroblock as Intra_16x16 inside
+   * the P slice (Table 7-13 type − 5), exercising mixed slices.
+   */
+  def encodeGop(frames: Seq[MediaCodecs.Bmp], qp: Int, avcc: Boolean = true,
+      searchRange: Int = 4, forcedMv: Option[(Int, Int)] = None,
+      intraEvery: Int = 0): Seq[Array[Byte]] =
+    encodeGopImpl(frames, qp, avcc, searchRange, forcedMv, intraEvery)._1
+
+  /** GOP encode + the encoder's own per-frame reconstructed planes —
+    * the spec hook pinning decode ≡ encode-time reconstruction. */
+  private[graft] def encodeGopForTest(frames: Seq[MediaCodecs.Bmp], qp: Int,
+      searchRange: Int = 4, forcedMv: Option[(Int, Int)] = None,
+      intraEvery: Int = 0)
+      : (Seq[Array[Byte]], Seq[(Array[Byte], Array[Byte], Array[Byte])]) = {
+    val (ps, sts) = encodeGopImpl(frames, qp, avcc = true, searchRange,
+      forcedMv, intraEvery)
+    (ps, sts.map(st => (st.yPlane, st.cbPlane, st.crPlane)))
+  }
+
+  private def encodeGopImpl(frames: Seq[MediaCodecs.Bmp], qp: Int,
+      avcc: Boolean, searchRange: Int, forcedMv: Option[(Int, Int)],
+      intraEvery: Int): (Seq[Array[Byte]], Seq[FrameState]) = {
+    require(frames.nonEmpty, "empty GOP")
+    require(qp >= 0 && qp <= 51, s"qp $qp")
+    val w0 = frames.head.width; val h0 = frames.head.height
+    require(frames.forall(f => f.width == w0 && f.height == h0),
+      "GOP frames must share dimensions")
+    val (idrBytes, st0) =
+      encodeImpl(frames.head, avcc, qp, intra4x4 = false, (_, b, _) => b)
+    val (spsNal, ppsNal) = spsPpsNals(st0.wMbs, st0.hMbs,
+      (st0.wMbs * 16 - w0 + 1) / 2, (st0.hMbs * 16 - h0 + 1) / 2)
+    val payloads = ArrayBuffer(idrBytes)
+    val states = ArrayBuffer(st0)
+    var ref = st0
+    var i = 1
+    while (i < frames.length) {
+      val (yP, cbP, crP) = toYuv420(frames(i), ref.wMbs, ref.hMbs)
+      val (sliceNal, st) = encodePFrame(yP, cbP, crP, ref, qp, i % 16,
+        searchRange, forcedMv, intraEvery)
+      payloads += frameNals(avcc, spsNal, ppsNal, sliceNal)
+      states += st
+      ref = st
+      i += 1
+    }
+    (payloads.toSeq, states.toSeq)
+  }
+
+  /** Encode one P slice NAL from 4:2:0 source planes against `ref`,
+    * returning the slice NAL and the reconstruction (== what the
+    * decoder will produce, sharing its MC/transform/CAVLC kernels). */
+  private def encodePFrame(srcY: Array[Byte], srcCb: Array[Byte],
+      srcCr: Array[Byte], ref: FrameState, qp: Int, frameNum: Int,
+      searchRange: Int, forcedMv: Option[(Int, Int)], intraEvery: Int)
+      : (Array[Byte], FrameState) = {
+    import H264Transform._
+    val wMbs = ref.wMbs; val hMbs = ref.hMbs
+    val lumaW = wMbs * 16; val lumaH = hMbs * 16
+    val st = new FrameState(wMbs, hMbs)
+    val w = new BitWriter
+    // slice_header (7.3.3): P, single reference, POC type 2
+    w.ue(0) // first_mb_in_slice
+    w.ue(5) // slice_type P (all slices in this picture are P)
+    w.ue(0) // pps id
+    w.u(frameNum & 15, 4) // frame_num (log2_max_frame_num = 4)
+    w.u1(0) // num_ref_idx_active_override_flag
+    w.u1(0) // ref_pic_list_modification_flag_l0
+    w.u1(0) // adaptive_ref_pic_marking_mode_flag
+    w.se(qp - 26) // slice_qp_delta
+    w.ue(1) // disable_deblocking_filter_idc = 1
+    var skipRun = 0
+    var mb = 0
+    val nMbs = wMbs * hMbs
+    while (mb < nMbs) {
+      val mx = mb % wMbs; val my = mb / wMbs
+      if (intraEvery > 0 && mb % intraEvery == 0) {
+        w.ue(skipRun); skipRun = 0
+        encodeIntra16x16Mb(w, st, mx, my, srcY, srcCb, srcCr, qp,
+          mbTypeOffset = 5)
+        st.setMv(mx * 4, my * 4, 4, 4, 0, 0, inter = false)
+      } else {
+        val (vx, vy) = forcedMv.getOrElse(
+          searchMv(srcY, ref.yPlane, lumaW, lumaH, mx, my, searchRange))
+        val predY = mcLuma(ref.yPlane, lumaW, lumaH, mx * 16, my * 16,
+          vx, vy, 16, 16)
+        val predC = Array.tabulate(2)(c =>
+          mcChroma(if (c == 0) ref.cbPlane else ref.crPlane, lumaW / 2,
+            hMbs * 8, mx * 8, my * 8, vx, vy, 8, 8))
+        // luma residual quantization (16-coefficient blocks, no DC split)
+        val levels = Array.ofDim[Int](16, 16)
+        var bi = 0
+        while (bi < 16) {
+          val (bxo, byo) = LumaBlockOrder(bi)
+          val diff = new Array[Int](16)
+          var k = 0
+          while (k < 16) {
+            val fx = bxo * 4 + (k % 4); val fy = byo * 4 + (k / 4)
+            diff(k) = (srcY((my * 16 + fy) * lumaW + mx * 16 + fx) & 0xff) -
+              predY(fy * 16 + fx)
+            k += 1
+          }
+          val q = quant4x4(forward4x4(diff), qp, skipDc = false)
+          k = 0
+          while (k < 16) { levels(bi)(k) = q(Zigzag4x4(k)); k += 1 }
+          bi += 1
+        }
+        val cbpLuma = (0 until 4).foldLeft(0) { (acc, g) =>
+          if ((0 until 4).exists(i => levels(g * 4 + i).exists(_ != 0)))
+            acc | (1 << g)
+          else acc
+        }
+        val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, chromaQp(qp),
+          predOf = c => predC(c))
+        val cbp = cbpLuma | (chroma.cbpChroma << 4)
+        if (cbp == 0 && (vx, vy) == skipMv(st, mx, my)) {
+          // P_Skip: reconstruction IS the MC prediction
+          mcPartition(st, ref, mx * 4, my * 4, 4, 4, vx, vy)
+          markInterNnzZero(st, mx, my)
+          skipRun += 1
+        } else {
+          w.ue(skipRun); skipRun = 0
+          w.ue(0) // mb_type P_L0_16x16
+          val (px0, py0) = mvPredict(st, mx * 4, my * 4, 4, 0)
+          w.se(vx - px0); w.se(vy - py0) // mvd_l0
+          w.ue(CbpInterToCodeNum(cbp))
+          if (cbp != 0) w.se(0) // mb_qp_delta
+          // prediction into the planes + MV grid (decoder order), then
+          // residual written and reconstructed exactly as the decoder
+          mcPartition(st, ref, mx * 4, my * 4, 4, 4, vx, vy)
+          bi = 0
+          while (bi < 16) {
+            val (bxo, byo) = LumaBlockOrder(bi)
+            val gbx = mx * 4 + bxo; val gby = my * 4 + byo
+            if ((cbpLuma & (1 << (bi >> 2))) != 0) {
+              val tc = H264Cavlc.encodeBlock(w, levels(bi), 16,
+                st.lumaNc(gbx, gby))
+              st.setNnzY(gbx, gby, tc)
+              val rpx = inverse4x4(
+                dequant4x4(unzigzag(levels(bi), 0), qp, skipDc = false))
+              val ax = mx * 16 + bxo * 4; val ay = my * 16 + byo * 4
+              var py = 0
+              while (py < 4) {
+                var px = 0
+                while (px < 4) {
+                  val o = (ay + py) * lumaW + ax + px
+                  st.yPlane(o) = clipB((st.yPlane(o) & 0xff) + rpx(py * 4 + px))
+                  px += 1
+                }
+                py += 1
+              }
+            } else st.setNnzY(gbx, gby, 0)
+            bi += 1
+          }
+          chroma.emit(w)
+        }
+      }
+      mb += 1
+    }
+    if (skipRun > 0) w.ue(skipRun) // trailing skip run ends the slice
+    w.trailing()
+    (Array[Byte](0x61.toByte) ++ escape(w.bytes), st)
+  }
+
+  /** Spec hook: encode ONE P frame from explicit 4:2:0 source planes
+    * against explicit reference planes (uncropped wMbs*16 x hMbs*16),
+    * then decode it back through the real GOP decoder with the same
+    * reference seeded. Returns (P payload with SPS+PPS, encoder
+    * reconstruction planes, decoder planes or None). Lets specs pin
+    * plane-exact parity for forced fractional MVs, all-skip frames
+    * (src == ref), and mixed intra-in-P slices without the lossy
+    * RGB<->YCbCr hop in between. */
+  private[graft] def pRoundTripForTest(srcY: Array[Byte], srcCb: Array[Byte],
+      srcCr: Array[Byte], refY: Array[Byte], refCb: Array[Byte],
+      refCr: Array[Byte], wMbs: Int, hMbs: Int, qp: Int,
+      searchRange: Int = 4, forcedMv: Option[(Int, Int)] = None,
+      intraEvery: Int = 0)
+      : (Array[Byte], (Array[Byte], Array[Byte], Array[Byte]),
+         Option[(Array[Byte], Array[Byte], Array[Byte])]) = {
+    val ref = new FrameState(wMbs, hMbs)
+    System.arraycopy(refY, 0, ref.yPlane, 0, refY.length)
+    System.arraycopy(refCb, 0, ref.cbPlane, 0, refCb.length)
+    System.arraycopy(refCr, 0, ref.crPlane, 0, refCr.length)
+    val (slice, st) = encodePFrame(srcY, srcCb, srcCr, ref, qp, 1,
+      searchRange, forcedMv, intraEvery)
+    val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, 0, 0)
+    val payload = frameNals(avcc = true, spsNal, ppsNal, slice)
+    val g = new GopDecoder
+    g.seed(Sps(66, 30, 4, 2, wMbs, hMbs, 0, 0), Pps(entropyCabac = false, 26,
+      deblockingControlPresent = true), ref)
+    val dec =
+      try g.decodeAuYuv(payload).map(t => (t._2, t._3, t._4))
+      catch { case _: Exception => None }
+    (payload, (st.yPlane, st.cbPlane, st.crPlane), dec)
+  }
+
+  /** Integer-pel SAD motion search over ±range around (0,0), ties to
+    * the first candidate in (dy, dx) scan order — deterministic.
+    * Returns the MV in quarter-pel units. */
+  private def searchMv(srcY: Array[Byte], refY: Array[Byte], lumaW: Int,
+      lumaH: Int, mx: Int, my: Int, range: Int): (Int, Int) = {
+    var bestX = 0; var bestY = 0; var bestSad = Int.MaxValue
+    var dy = -range
+    while (dy <= range) {
+      var dx = -range
+      while (dx <= range) {
+        var sad = 0
+        var yy = 0
+        while (yy < 16 && sad < bestSad) {
+          var xx = 0
+          while (xx < 16) {
+            val sx = clip3(0, lumaW - 1, mx * 16 + xx + dx)
+            val sy = clip3(0, lumaH - 1, my * 16 + yy + dy)
+            sad += math.abs((srcY((my * 16 + yy) * lumaW + mx * 16 + xx) & 0xff) -
+              (refY(sy * lumaW + sx) & 0xff))
+            xx += 1
+          }
+          yy += 1
+        }
+        if (sad < bestSad) { bestSad = sad; bestX = dx * 4; bestY = dy * 4 }
+        dx += 1
+      }
+      dy += 1
+    }
+    (bestX, bestY)
   }
 
   /** Structural probe without full decode: (width, height) from the SPS. */

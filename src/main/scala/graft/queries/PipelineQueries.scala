@@ -2622,6 +2622,71 @@ object PipelineQueries {
              |  true AS recon_exact, true AS beats_pcm, true AS lossy_ok
              |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
 
+    // the P-slice (inter) H.264 path (r11): IPPP GOPs — an IDR followed
+    // by three motion-compensated P frames of a translating gradient —
+    // muxed into a REAL MP4, demuxed, and GOP-decoded sample by sample.
+    // Frame 0 is intra, so a motion-compensation defect breaks exactly
+    // frames 1-3: n_decoded pins all four; inter_gain pins that EVERY P
+    // payload is smaller than the IDR (pure translation should mostly
+    // skip or code tiny residuals); lossy_ok bounds each decoded
+    // frame's mean abs error vs its source at qp=26. Encoder≡decoder
+    // reconstruction parity (incl. the full quarter-pel grid, P_Skip,
+    // and intra-in-P) is plane-exact-pinned in H264PSliceSpec.
+    "q_h264_pslice_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val len = text.codePointCount(0, text.length)
+            val w = 32 + 2 * (len % 8).toInt
+            val h = 32 + 2 * ((len + id) % 6).toInt
+            def frame(dx: Int, dy: Int): graft.pipeline.MediaCodecs.Bmp = {
+              val rgb = new Array[Byte](w * h * 3)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val sx = math.max(0, math.min(w - 1, x - dx))
+                  val sy = math.max(0, math.min(h - 1, y - dy))
+                  val o = (y * w + x) * 3
+                  rgb(o) = ((sx * 255) / (w - 1)).toByte
+                  rgb(o + 1) = ((sy * 255) / (h - 1)).toByte
+                  rgb(o + 2) = (((sx + sy) * 255) / (w + h - 2)).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              graft.pipeline.MediaCodecs.Bmp(w, h, rgb)
+            }
+            val frames = Seq(frame(0, 0), frame(1, 0), frame(2, 1), frame(3, 1))
+            val gop = graft.pipeline.H264Codec.encodeGop(frames, qp = 26)
+            val mp4 = graft.pipeline.Mp4Demux.encodeMp4(gop, w, h)
+            val tr = graft.pipeline.Mp4Demux.demux(mp4).get.videoTrack
+            val samples = (0 until tr.nSamples.toInt).map(i =>
+              graft.pipeline.Mp4Demux.sampleBytes(mp4, tr, i))
+            val decoded = graft.pipeline.H264Codec.decodeGop(samples)
+            val interGain = gop.tail.forall(_.length < gop.head.length)
+            val lossyOk = decoded.zip(frames).forall { case (d, src) =>
+              d.exists { b =>
+                val mad = src.rgb.iterator.zip(b.rgb.iterator)
+                  .map { case (p, q) => math.abs((p & 0xff) - (q & 0xff)) }
+                  .sum.toDouble / src.rgb.length
+                mad < 8.0
+              }
+            }
+            (id, w, h, decoded.count(_.isDefined), interGain, lossyOk)
+          }
+          .toDF("doc_id", "width", "height", "n_decoded", "inter_gain", "lossy_ok")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(32 + 2 * (len(text) % 8) AS INT) AS width,
+             |  CAST(32 + 2 * ((len(text) + doc_id) % 6) AS INT) AS height,
+             |  CAST(4 AS INT) AS n_decoded, true AS inter_gain, true AS lossy_ok
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
     // native baseline-JPEG codec (JpegCodec, r7) end-to-end: deterministic
     // gradient images (closed-form dims in doc_id/len) → encodeJpeg →
     // decodeJpeg. Dims are exact; lossy pixel fidelity is asserted as a

@@ -1,0 +1,136 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** H.264 P-slice (inter) round trips: motion-compensated decode pinned
+  * bit-exactly against the encoder's own reconstruction (the Intra_4x4
+  * witness device extended to inter) — full quarter-pel interpolation
+  * grid, P_Skip, mixed intra-in-P slices, reference poisoning, and the
+  * Table 9-5 inter CBP column's structure. */
+class H264PSliceSpec extends AnyFunSuite {
+
+  private def gradient(w: Int, h: Int): MediaCodecs.Bmp = {
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      rgb(o) = (x * 255 / math.max(1, w - 1)).toByte
+      rgb(o + 1) = (y * 255 / math.max(1, h - 1)).toByte
+      rgb(o + 2) = ((x + y) * 255 / math.max(1, w + h - 2)).toByte
+    }
+    MediaCodecs.Bmp(w, h, rgb)
+  }
+
+  /** `src` translated by (dx, dy) pixels (edge-clamped reads). */
+  private def shifted(src: MediaCodecs.Bmp, dx: Int, dy: Int): MediaCodecs.Bmp = {
+    val rgb = new Array[Byte](src.width * src.height * 3)
+    for (y <- 0 until src.height; x <- 0 until src.width) {
+      val sx = math.max(0, math.min(src.width - 1, x - dx))
+      val sy = math.max(0, math.min(src.height - 1, y - dy))
+      System.arraycopy(src.rgb, (sy * src.width + sx) * 3, rgb, (y * src.width + x) * 3, 3)
+    }
+    MediaCodecs.Bmp(src.width, src.height, rgb)
+  }
+
+  private def planes(wMbs: Int, hMbs: Int, seed: Int)
+      : (Array[Byte], Array[Byte], Array[Byte]) = {
+    val lw = wMbs * 16; val lh = hMbs * 16
+    (Array.tabulate(lw * lh)(i => ((i * 7 + seed * 13) % 251).toByte),
+      Array.tabulate(lw * lh / 4)(i => ((i * 5 + seed * 11) % 241).toByte),
+      Array.tabulate(lw * lh / 4)(i => ((i * 3 + seed * 17) % 239).toByte))
+  }
+
+  private def eq3(a: (Array[Byte], Array[Byte], Array[Byte]),
+      b: (Array[Byte], Array[Byte], Array[Byte])): Boolean =
+    java.util.Arrays.equals(a._1, b._1) && java.util.Arrays.equals(a._2, b._2) &&
+      java.util.Arrays.equals(a._3, b._3)
+
+  test("IPPP GOP: decoder planes equal the encoder reconstruction, frame by frame") {
+    val f0 = gradient(48, 32)
+    val frames = Seq(f0, shifted(f0, 2, 1), shifted(f0, 4, 2), shifted(f0, 6, 3))
+    val (payloads, recon) = H264Codec.encodeGopForTest(frames, qp = 26)
+    assert(payloads.length == 4 && recon.length == 4)
+    val g = new H264Codec.GopDecoder
+    payloads.zip(recon).zipWithIndex.foreach { case ((p, r), i) =>
+      val dec = g.decodeAuYuv(p)
+      assert(dec.isDefined, s"frame $i failed to decode")
+      val (_, y, cb, cr) = dec.get
+      assert(eq3((y, cb, cr), r), s"frame $i decode != encoder reconstruction")
+    }
+    // inter frames of a pure translation compress far below the IDR
+    assert(payloads(1).length < payloads(0).length / 2,
+      s"P frame ${payloads(1).length} vs IDR ${payloads(0).length}")
+    // and the public RGB surface stays faithful
+    val rgbs = H264Codec.decodeGop(payloads)
+    assert(rgbs.forall(_.isDefined))
+    frames.zip(rgbs).foreach { case (src, Some(back)) =>
+      val mad = src.rgb.iterator.zip(back.rgb.iterator)
+        .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }
+        .sum.toDouble / src.rgb.length
+      assert(mad < 8.0, s"mad $mad")
+    }
+  }
+
+  test("every quarter-pel phase: encode/decode parity on the full interp grid") {
+    val (refY, refCb, refCr) = planes(2, 2, seed = 1)
+    val (srcY, srcCb, srcCr) = planes(2, 2, seed = 2)
+    for (mvx <- 0 to 3; mvy <- 0 to 3) {
+      // base displacements too: (-4|+8) full-pel plus the fraction
+      for (base <- Seq((0, 0), (-4, 8))) {
+        val mv = (base._1 + mvx, base._2 + mvy)
+        val (_, enc, dec) = H264Codec.pRoundTripForTest(
+          srcY, srcCb, srcCr, refY, refCb, refCr, wMbs = 2, hMbs = 2,
+          qp = 24, forcedMv = Some(mv))
+        assert(dec.isDefined, s"mv $mv failed to decode")
+        assert(eq3(dec.get, enc), s"mv $mv: decode != encoder reconstruction")
+      }
+    }
+  }
+
+  test("P_Skip: a source equal to the reference encodes as one skip run") {
+    val (refY, refCb, refCr) = planes(3, 2, seed = 5)
+    val (payload, enc, dec) = H264Codec.pRoundTripForTest(
+      refY.clone(), refCb.clone(), refCr.clone(), refY, refCb, refCr,
+      wMbs = 3, hMbs = 2, qp = 26)
+    // all 6 MBs skip: SPS+PPS+header+ue(6)+trailing — a few dozen bytes
+    assert(payload.length < 40, s"all-skip payload ${payload.length}")
+    assert(dec.isDefined)
+    assert(eq3(dec.get, enc))
+    assert(java.util.Arrays.equals(dec.get._1, refY), "skip must reproduce the reference")
+  }
+
+  test("intra macroblocks inside a P slice: parity holds across the mix") {
+    val (refY, refCb, refCr) = planes(2, 2, seed = 3)
+    val (srcY, srcCb, srcCr) = planes(2, 2, seed = 4)
+    val (_, enc, dec) = H264Codec.pRoundTripForTest(
+      srcY, srcCb, srcCr, refY, refCb, refCr, wMbs = 2, hMbs = 2,
+      qp = 26, intraEvery = 3)
+    assert(dec.isDefined)
+    assert(eq3(dec.get, enc), "mixed inter/intra P slice parity")
+  }
+
+  test("a P frame without its reference decodes to None; corruption poisons the tail") {
+    val f0 = gradient(32, 32)
+    val frames = Seq(f0, shifted(f0, 1, 0), shifted(f0, 2, 0))
+    val payloads = H264Codec.encodeGop(frames, qp = 26)
+    // P payload alone: no reference -> None (and no crash)
+    assert(H264Codec.decodeGop(Seq(payloads(1))) == Seq(None))
+    // corrupt the middle P -> its slot AND the dependent tail are None
+    val bad = payloads(1).clone()
+    bad(bad.length - 20) = (bad(bad.length - 20) ^ 0x5a).toByte
+    val out = H264Codec.decodeGop(Seq(payloads(0), bad, payloads(2)))
+    assert(out.head.isDefined)
+    assert(out(1).isEmpty && out(2).isEmpty, "corrupt reference must poison dependents")
+    // a fresh IDR after the corruption recovers
+    val out2 = H264Codec.decodeGop(Seq(payloads(0), bad, payloads(0)))
+    assert(out2(2).isDefined)
+  }
+
+  test("Table 9-5 inter CBP column: permutation + spec anchors + inverse") {
+    val t = H264Codec.CbpInterByCodeNum
+    assert(t.length == 48 && t.toSet == (0 until 48).toSet, "not a permutation")
+    // anchors from Table 9-5: the uncoded MB gets codeNum 0, chroma-DC
+    // only (cbp 16) gets codeNum 1, single luma groups come next
+    assert(t(0) == 0 && t(1) == 16 && t(2) == 1 && t(3) == 2 && t(4) == 4)
+    (0 until 48).foreach(cn => assert(H264Codec.CbpInterToCodeNum(t(cn)) == cn))
+  }
+}
