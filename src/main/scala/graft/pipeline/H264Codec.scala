@@ -1918,6 +1918,141 @@ object H264Codec {
     (payload, (st.yPlane, st.cbPlane, st.crPlane), dec)
   }
 
+  /** Spec hook: encode one P frame where EVERY macroblock's partition
+    * shape and motion vectors are dictated by `plan(mx, my) = (mbType
+    * 0..4, subTypes for P_8x8, mvs in partition order, quarter-pel)` —
+    * the witness for the decoder's 16x8 / 8x16 / P_8x8 (all four
+    * sub_mb_types) paths, which the production encoder (16x16-only)
+    * never emits. Same seed-decode parity contract as
+    * [[pRoundTripForTest]]. */
+  private[graft] def pPartitionRoundTripForTest(srcY: Array[Byte],
+      srcCb: Array[Byte], srcCr: Array[Byte], refY: Array[Byte],
+      refCb: Array[Byte], refCr: Array[Byte], wMbs: Int, hMbs: Int, qp: Int,
+      plan: (Int, Int) => (Int, Seq[Int], Seq[(Int, Int)]))
+      : (Array[Byte], (Array[Byte], Array[Byte], Array[Byte]),
+         Option[(Array[Byte], Array[Byte], Array[Byte])]) = {
+    import H264Transform._
+    val ref = new FrameState(wMbs, hMbs)
+    System.arraycopy(refY, 0, ref.yPlane, 0, refY.length)
+    System.arraycopy(refCb, 0, ref.cbPlane, 0, refCb.length)
+    System.arraycopy(refCr, 0, ref.crPlane, 0, refCr.length)
+    val st = new FrameState(wMbs, hMbs)
+    val lumaW = wMbs * 16
+    val w = new BitWriter
+    w.ue(0); w.ue(5); w.ue(0) // first_mb, slice_type P, pps id
+    w.u(1, 4) // frame_num
+    w.u1(0); w.u1(0); w.u1(0) // ref override / list mod / adaptive marking
+    w.se(qp - 26)
+    w.ue(1) // disable deblocking
+    var mb = 0
+    while (mb < wMbs * hMbs) {
+      val mx = mb % wMbs; val my = mb / wMbs
+      val bx0 = mx * 4; val by0 = my * 4
+      val (mbType, subTypes, mvs) = plan(mx, my)
+      w.ue(0) // mb_skip_run
+      w.ue(mbType)
+      val it = mvs.iterator
+      // partitions in decode order: predict -> mvd -> MC (prediction
+      // lands in the planes; residual rides on top, as in the decoder)
+      def part(bx: Int, by: Int, w4: Int, h4: Int, kind: Int): Unit = {
+        val (vx, vy) = it.next()
+        val (px, py) = mvPredict(st, bx, by, w4, kind)
+        w.se(vx - px); w.se(vy - py)
+        mcPartition(st, ref, bx, by, w4, h4, vx, vy)
+      }
+      mbType match {
+        case 0 => part(bx0, by0, 4, 4, 0)
+        case 1 => part(bx0, by0, 4, 2, 1); part(bx0, by0 + 2, 4, 2, 2)
+        case 2 => part(bx0, by0, 2, 4, 3); part(bx0 + 2, by0, 2, 4, 4)
+        case 3 | 4 =>
+          require(subTypes.length == 4, "P_8x8 needs 4 sub_mb_types")
+          subTypes.foreach(t => w.ue(t))
+          var sb = 0
+          while (sb < 4) {
+            val sbx = bx0 + (sb % 2) * 2; val sby = by0 + (sb / 2) * 2
+            subTypes(sb) match {
+              case 0 => part(sbx, sby, 2, 2, 0)
+              case 1 => part(sbx, sby, 2, 1, 0); part(sbx, sby + 1, 2, 1, 0)
+              case 2 => part(sbx, sby, 1, 2, 0); part(sbx + 1, sby, 1, 2, 0)
+              case _ => var k = 0
+                while (k < 4) {
+                  part(sbx + (k % 2), sby + (k / 2), 1, 1, 0); k += 1
+                }
+            }
+            sb += 1
+          }
+        case t => throw new H264Format(s"bad plan mb_type $t")
+      }
+      require(!it.hasNext, s"plan at ($mx,$my) supplied too many MVs")
+      // residual vs the assembled prediction now in the planes
+      val levels = Array.ofDim[Int](16, 16)
+      var bi = 0
+      while (bi < 16) {
+        val (bxo, byo) = LumaBlockOrder(bi)
+        val diff = new Array[Int](16)
+        var k = 0
+        while (k < 16) {
+          val o = (my * 16 + byo * 4 + k / 4) * lumaW + mx * 16 + bxo * 4 + k % 4
+          diff(k) = (srcY(o) & 0xff) - (st.yPlane(o) & 0xff)
+          k += 1
+        }
+        val q = quant4x4(forward4x4(diff), qp, skipDc = false)
+        k = 0
+        while (k < 16) { levels(bi)(k) = q(Zigzag4x4(k)); k += 1 }
+        bi += 1
+      }
+      val cbpLuma = (0 until 4).foldLeft(0) { (acc, g) =>
+        if ((0 until 4).exists(i => levels(g * 4 + i).exists(_ != 0)))
+          acc | (1 << g)
+        else acc
+      }
+      val predC = Array.tabulate(2) { c =>
+        val plane = if (c == 0) st.cbPlane else st.crPlane
+        Array.tabulate(64)(k =>
+          plane((my * 8 + k / 8) * (lumaW / 2) + mx * 8 + k % 8) & 0xff)
+      }
+      val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, chromaQp(qp),
+        predOf = c => predC(c))
+      val cbp = cbpLuma | (chroma.cbpChroma << 4)
+      w.ue(CbpInterToCodeNum(cbp))
+      if (cbp != 0) w.se(0) // mb_qp_delta
+      bi = 0
+      while (bi < 16) {
+        val (bxo, byo) = LumaBlockOrder(bi)
+        val gbx = mx * 4 + bxo; val gby = my * 4 + byo
+        if ((cbpLuma & (1 << (bi >> 2))) != 0) {
+          val tc = H264Cavlc.encodeBlock(w, levels(bi), 16, st.lumaNc(gbx, gby))
+          st.setNnzY(gbx, gby, tc)
+          val rpx = inverse4x4(dequant4x4(unzigzag(levels(bi), 0), qp, skipDc = false))
+          var py = 0
+          while (py < 4) {
+            var px = 0
+            while (px < 4) {
+              val o = (my * 16 + byo * 4 + py) * lumaW + mx * 16 + bxo * 4 + px
+              st.yPlane(o) = clipB((st.yPlane(o) & 0xff) + rpx(py * 4 + px))
+              px += 1
+            }
+            py += 1
+          }
+        } else st.setNnzY(gbx, gby, 0)
+        bi += 1
+      }
+      chroma.emit(w)
+      mb += 1
+    }
+    w.trailing()
+    val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, 0, 0)
+    val payload = frameNals(avcc = true, spsNal, ppsNal,
+      Array[Byte](0x61.toByte) ++ escape(w.bytes))
+    val g = new GopDecoder
+    g.seed(Sps(66, 30, 4, 2, wMbs, hMbs, 0, 0), Pps(entropyCabac = false, 26,
+      deblockingControlPresent = true), ref)
+    val dec =
+      try g.decodeAuYuv(payload).map(t => (t._2, t._3, t._4))
+      catch { case _: Exception => None }
+    (payload, (st.yPlane, st.cbPlane, st.crPlane), dec)
+  }
+
   /** Integer-pel SAD motion search over ±range around (0,0), ties to
     * the first candidate in (dy, dx) scan order — deterministic.
     * Returns the MV in quarter-pel units. */

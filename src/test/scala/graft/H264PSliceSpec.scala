@@ -125,6 +125,28 @@ class H264PSliceSpec extends AnyFunSuite {
     assert(out2(2).isDefined)
   }
 
+  test("every inter partition shape: 16x8, 8x16, P_8x8 with all sub_mb_types") {
+    val (refY, refCb, refCr) = planes(2, 2, seed = 7)
+    val (srcY, srcCb, srcCr) = planes(2, 2, seed = 8)
+    // one MB per shape across the 2x2-MB frame; fractional MVs mixed in
+    // so MC and MV prediction interact across partition boundaries
+    val plan: (Int, Int) => (Int, Seq[Int], Seq[(Int, Int)]) = {
+      case (0, 0) => (1, Nil, Seq((4, 0), (-3, 5)))                // 16x8
+      case (1, 0) => (2, Nil, Seq((1, 1), (0, -6)))                // 8x16
+      case (0, 1) => (3, Seq(0, 1, 2, 3), // P_8x8, every sub type:
+        Seq((2, 2),                        //   8x8
+          (5, -1), (-2, 3),                //   8x4 top, bottom
+          (0, 7), (6, 0),                  //   4x8 left, right
+          (1, 0), (0, 1), (-1, 2), (3, 3))) //  4x4 z-order
+      case _ => (4, Seq(0, 0, 0, 0), Seq((0, 0), (-4, 4), (8, 0), (2, -2)))
+    }
+    val (_, enc, dec) = H264Codec.pPartitionRoundTripForTest(
+      srcY, srcCb, srcCr, refY, refCb, refCr, wMbs = 2, hMbs = 2,
+      qp = 26, plan)
+    assert(dec.isDefined, "partitioned P frame failed to decode")
+    assert(eq3(dec.get, enc), "partition shapes: decode != encoder reconstruction")
+  }
+
   test("Table 9-5 inter CBP column: permutation + spec anchors + inverse") {
     val t = H264Codec.CbpInterByCodeNum
     assert(t.length == 48 && t.toSet == (0 until 48).toSet, "not a permutation")
