@@ -318,6 +318,22 @@ object ImageHash {
     Mp4Demux.encodeMp4(frames, 64, 64)
   }
 
+  /** IPPP variant of [[plantedSceneMp4]] (r11): each scene is a real
+    * inter-coded GOP — an IDR of the scene content followed by P
+    * frames of the SAME content (mostly P_Skip after requantization),
+    * the shape real MP4s carry. Only each scene's first frame is
+    * intra, so [[sceneSegments]] over this fixture exercises the
+    * motion-compensated decode path; the expected segment table is the
+    * same closed form (within-scene pHash distance 0, cross-scene by
+    * the spectral-content margins). */
+  private[graft] def plantedSceneMp4Ipp(id: Long, sceneLens: Seq[Int]): Array[Byte] = {
+    val frames = sceneLens.zipWithIndex.flatMap { case (n, s) =>
+      val f = spectralFrame((id * 977 + s) * 53 + 11)
+      H264Codec.encodeGop(Seq.fill(n)(f), qp = 24)
+    }
+    Mp4Demux.encodeMp4(frames, 64, 64)
+  }
+
   /**
    * Shot-boundary segmentation — the frame-sampling policy real video
    * pipelines want instead of uniform-n ([[Multimodal.sampleFrames]]):
@@ -351,9 +367,13 @@ object ImageHash {
   /**
    * (id, frame, phash) for every decodable H.264 sample of every
    * demuxable MP4: demux resolves exact sample byte ranges from the
-   * stsz×stsc×stco tables, each sample decodes independently, and a
-   * corrupt sample (or file) drops out instead of failing the stage.
-   * Map-only — pixels never leave the partition.
+   * stsz×stsc×stco tables, and the sample sequence decodes as a GOP
+   * ([[H264Codec.decodeGop]], r11) — all-intra samples decode exactly
+   * as before, and IPPP streams (the shape real MP4s carry) now
+   * motion-compensate through their reference chain. A corrupt sample
+   * drops out (poisoning only the frames that referenced it, until the
+   * next IDR) instead of failing the stage. Map-only — pixels never
+   * leave the partition.
    */
   def videoPhashRows(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -364,10 +384,12 @@ object ImageHash {
         try {
           Mp4Demux.demux(bytes).toSeq.flatMap { info =>
             val t = info.videoTrack
-            (0 until t.nSamples.toInt).flatMap { i =>
-              try H264Codec.decode(Mp4Demux.sampleBytes(bytes, t, i))
-                .map(img => (id, i, phash64(img)))
-              catch { case scala.util.control.NonFatal(_) => None }
+            val samples = (0 until t.nSamples.toInt).map { i =>
+              try Mp4Demux.sampleBytes(bytes, t, i)
+              catch { case scala.util.control.NonFatal(_) => Array.empty[Byte] }
+            }
+            H264Codec.decodeGop(samples).zipWithIndex.collect {
+              case (Some(img), i) => (id, i, phash64(img))
             }
           }
         } catch { case scala.util.control.NonFatal(_) => Nil }

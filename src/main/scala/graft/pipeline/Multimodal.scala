@@ -129,12 +129,23 @@ object Multimodal {
               // payload; only the codec decode itself is the stub
               val t = info.videoTrack
               val step = math.max(1, t.nSamples / n)
+              // IPPP-aware (r11): a sampled P frame needs its reference
+              // chain, so when standalone decode fails the whole GOP
+              // decodes ONCE (lazily — all-intra MP4s never pay it) and
+              // the sampled index reads from it; foreign codecs still
+              // fall to the stub
+              lazy val allSamples = (0 until t.nSamples.toInt).map(i =>
+                Mp4Demux.sampleBytes(m.payload, t, i))
+              lazy val gop = H264Codec.decodeGop(allSamples)
               (0 until n).iterator.map { i =>
                 val idx = math.min(i * step, t.nSamples - 1)
                 val sample = Mp4Demux.sampleBytes(m.payload, t, idx)
-                // REAL decode when the sample is an H.264 IDR our codec
-                // handles (I_PCM path); stub only for foreign codecs
+                val h264ish = // any slice NAL: IDR (5) or P (1)
+                  try H264Codec.nalUnits(sample).exists { case (s, _) =>
+                    val ty = sample(s) & 0x1f; ty == 1 || ty == 5
+                  } catch { case scala.util.control.NonFatal(_) => false }
                 val feats = H264Codec.decode(sample)
+                  .orElse(if (h264ish) gop(idx.toInt) else None)
                   .map(MediaCodecs.bmpFeatures).getOrElse(decodeStub(sample))
                 (m.mediaId, i, sample.length, feats)
               }

@@ -3052,6 +3052,44 @@ object PipelineQueries {
              |  CAST(len AS BIGINT) AS n_frames
              |FROM seg ORDER BY doc_id, scene""".stripMargin)),
 
+    // the IPPP twin (r11): same planted scene structure, but each scene
+    // is a REAL inter-coded GOP (IDR + P frames, mostly P_Skip) — only
+    // the first frame of each scene is intra, so recovering the exact
+    // segment table proves sceneSegments' decode path motion-compensates
+    // P frames correctly through the MP4 container. Same closed-form
+    // oracle as q_video_scene_changes.
+    "q_video_scene_changes_ipp" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").filter($"doc_id" < 30)
+          .select($"doc_id".cast("long")).as[Long]
+          .map { d =>
+            val k = 2 + (d % 3).toInt
+            val lens = (0 until k).map(sc => 2 + ((d + sc) % 2).toInt)
+            (d, ImageHash.plantedSceneMp4Ipp(d, lens))
+          }
+          .toDF("media_id", "bytes")
+        ImageHash.sceneSegments(media, "media_id", "bytes", maxHamming = 6)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy($"doc_id", $"scene")
+      },
+      Some("""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |                  2 + doc_id % 3 AS k
+             |           FROM documents WHERE doc_id < 30),
+             |sc AS (
+             |  SELECT doc_id, CAST(t.s AS BIGINT) AS s,
+             |         2 + (doc_id + t.s) % 2 AS len
+             |  FROM d, UNNEST(generate_series(0, CAST(k - 1 AS BIGINT))) t(s)),
+             |seg AS (
+             |  SELECT doc_id, s + 1 AS scene, len,
+             |         coalesce(sum(len) OVER (PARTITION BY doc_id ORDER BY s
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+             |  FROM sc)
+             |SELECT doc_id, scene, CAST(st AS INT) AS start_frame,
+             |  CAST(st + len - 1 AS INT) AS end_frame,
+             |  CAST(len AS BIGINT) AS n_frames
+             |FROM seg ORDER BY doc_id, scene""".stripMargin)),
+
     "q_video_phash_dedup" -> QueryDef(
       (s, dir) => {
         import s.implicits._
