@@ -177,7 +177,8 @@ object H264Codec {
   }
 
   case class Pps(entropyCabac: Boolean, picInitQp: Int,
-      deblockingControlPresent: Boolean, weightedPred: Boolean = false)
+      deblockingControlPresent: Boolean, weightedPred: Boolean = false,
+      numRefIdxL0Default: Int = 0)
 
   private def parseSps(r: BitReader): Sps = {
     val profile = r.u(8)
@@ -212,14 +213,15 @@ object H264Codec {
     val cabac = r.u1() == 1
     r.u1() // bottom_field_pic_order_in_frame_present
     if (r.ue() != 0) throw new H264Format("slice groups out of scope")
-    r.ue(); r.ue() // num_ref_idx defaults
+    val numRefL0 = r.ue() // num_ref_idx_l0_default_active_minus1
+    r.ue() // num_ref_idx_l1_default (B slices)
     val weighted = r.u1() == 1 // weighted_pred_flag (P slices)
     r.u(2) // weighted_bipred_idc (B slices — out of scope anyway)
     val qp = r.se() + 26
     r.se(); r.se() // qs, chroma_qp_offset
     val deblock = r.u1() == 1
     r.u1(); r.u1() // constrained_intra, redundant_pic_cnt
-    Pps(cabac, qp, deblock, weighted)
+    Pps(cabac, qp, deblock, weighted, numRefL0)
   }
 
   // ---------------- decode ----------------
@@ -296,7 +298,13 @@ object H264Codec {
 
     def decodeAuYuv(p: Array[Byte])
         : Option[(Sps, Array[Byte], Array[Byte], Array[Byte])] = {
-      for ((s, e) <- nalUnits(p)) {
+      val units = nalUnits(p)
+      // a payload with NO parseable NAL structure is corrupt, not merely
+      // frameless (SEI/AUD-only payloads still parse): distinguishing
+      // the two keeps the GOP poisoning honest — a mangled frame must
+      // not let its dependents predict from stale state
+      if (units.isEmpty) throw new H264Format("no NAL units")
+      for ((s, e) <- units) {
         val hdr = p(s) & 0xff
         if ((hdr & 0x80) != 0) throw new H264Format("forbidden_zero_bit")
         val nalType = hdr & 0x1f
@@ -306,9 +314,10 @@ object H264Codec {
           case 5 | 1 => // IDR / non-IDR slice
             if (sps == null || pps == null) throw new H264Format("slice before SPS/PPS")
             if (pps.entropyCabac) throw new H264Format("CABAC out of scope")
+            val refIdc = (hdr >> 5) & 3
             val st = decodeSlice(new BitReader(unescape(p, s + 1, e)), sps, pps,
-              idr = nalType == 5, ref)
-            ref = st
+              idr = nalType == 5, refIdc, ref)
+            if (nalType == 5 || refIdc != 0) ref = st // non-ref frames are disposable
             return Some((sps, st.yPlane, st.cbPlane, st.crPlane))
           case _ => () // SEI / AUD / others skipped
         }
@@ -318,7 +327,13 @@ object H264Codec {
 
     def decodeAu(p: Array[Byte]): Option[MediaCodecs.Bmp] =
       try decodeAuYuv(p).map { case (s, y, cb, cr) => yuvToRgb(s, y, cb, cr) }
-      catch { case _: Exception => None }
+      catch { case _: Exception =>
+        // a corrupt access unit poisons the chain: dependents must not
+        // predict from stale state — only a later self-contained I/IDR
+        // picture (which needs no reference) recovers
+        ref = null
+        None
+      }
 
     /** Seed the reference frame directly (spec hook). */
     private[pipeline] def seed(s: Sps, p: Pps, st: FrameState): Unit = {
@@ -326,30 +341,29 @@ object H264Codec {
     }
   }
 
-  /** Decode an ordered GOP (IDR followed by P frames); a corrupt or
-    * unsupported access unit yields None for ITS slot and poisons the
-    * frames after it until the next IDR (they would have referenced it). */
-  def decodeGop(payloads: Seq[Array[Byte]]): Seq[Option[MediaCodecs.Bmp]] = {
+  /** Lazy GOP decode, one frame in flight at a time — the form the
+    * whole-video operators fold over so a long video never materializes
+    * every frame at once. A corrupt or unsupported access unit yields
+    * None for ITS slot and (via the GopDecoder's nulled reference)
+    * poisons the frames that would have referenced it, until the next
+    * self-contained I/IDR picture recovers. */
+  def decodeGopIterator(payloads: Iterator[Array[Byte]])
+      : Iterator[Option[MediaCodecs.Bmp]] = {
     val g = new GopDecoder()
-    var poisoned = false
-    payloads.map { p =>
-      val isIdr =
-        try nalUnits(p).exists { case (s, _) => (p(s) & 0x1f) == 5 }
-        catch { case _: Exception => false }
-      if (isIdr) poisoned = false
-      if (poisoned) None
-      else g.decodeAu(p) match {
-        case None => poisoned = true; None
-        case some => some
-      }
-    }
+    payloads.map(g.decodeAu)
   }
+
+  /** Strict GOP decode (see [[decodeGopIterator]] — prefer the iterator
+    * when frames are consumed one at a time). */
+  def decodeGop(payloads: Seq[Array[Byte]]): Seq[Option[MediaCodecs.Bmp]] =
+    decodeGopIterator(payloads.iterator).toSeq
 
   /** Decode one slice (I when `idr` or slice_type says so, else P
     * against `ref`) into a fresh FrameState. Header per 7.3.3, data per
-    * 7.3.4/7.3.5. */
+    * 7.3.4/7.3.5; `refIdc` = the NAL header's nal_ref_idc (non-IDR
+    * slices carry dec_ref_pic_marking syntax only when it is non-zero). */
   private def decodeSlice(r: BitReader, sps: Sps, pps: Pps, idr: Boolean,
-      ref: FrameState): FrameState = {
+      refIdc: Int, ref: FrameState): FrameState = {
     // slice_header (7.3.3)
     if (r.ue() != 0) throw new H264Format("first_mb_in_slice != 0")
     val sliceType = r.ue() % 5
@@ -362,18 +376,20 @@ object H264Codec {
     if (idr) r.ue() // idr_pic_id
     if (sps.picOrderCntType == 0) r.u(16) // poc lsb (we always write type 2)
     if (isP) {
-      if (r.u1() == 1 && r.ue() != 0) // num_ref_idx override (7.3.3)
+      // effective list-0 size: slice override, else the PPS default —
+      // anything beyond one reference frame is out of scope, and must
+      // throw rather than misparse the per-partition ref_idx fields
+      val numRefL0 = if (r.u1() == 1) r.ue() else pps.numRefIdxL0Default
+      if (numRefL0 != 0)
         throw new H264Format("multiple reference frames out of scope")
       if (r.u1() != 0) // ref_pic_list_modification_flag_l0 (7.3.3.1)
         throw new H264Format("ref pic list modification out of scope")
       if (pps.weightedPred) throw new H264Format("weighted prediction out of scope")
     }
-    // dec_ref_pic_marking (7.3.3.3); our writer always marks slices as
-    // reference (nal_ref_idc != 0), and foreign non-reference slices
-    // (ref_idc 0) carry no marking syntax — not distinguishable here
-    // without the NAL header, which callers validated as 0x65/0x61/0x41
+    // dec_ref_pic_marking (7.3.3.3): present for IDR always; for
+    // non-IDR only when the NAL marks the picture as a reference
     if (idr) { r.u1(); r.u1() }
-    else if (r.u1() != 0) // adaptive_ref_pic_marking_mode_flag
+    else if (refIdc != 0 && r.u1() != 0) // adaptive_ref_pic_marking_mode_flag
       throw new H264Format("adaptive ref marking out of scope")
     val sliceQpDelta = r.se() // slice_qp_delta
     if (pps.deblockingControlPresent) {
@@ -1342,16 +1358,24 @@ object H264Codec {
     out.toArray
   }
 
-  private def encodeImpl(img: MediaCodecs.Bmp, avcc: Boolean, qp: Int,
-      intra4x4: Boolean, pick: (Int, Int, Seq[Int]) => Int)
-      : (Array[Byte], FrameState) = {
-    require(!intra4x4 || qp >= 0, "intra4x4 needs a compressed qp (0..51)")
+  /** MB-grid geometry for a frame: (wMbs, hMbs, cropR, cropB) — the ONE
+    * derivation the IDR and GOP encoders share (their parameter sets
+    * must agree within a GOP). */
+  private def mbGeometry(img: MediaCodecs.Bmp): (Int, Int, Int, Int) = {
     val wMbs = (img.width + 15) / 16
     val hMbs = (img.height + 15) / 16
     val cropR = (wMbs * 16 - img.width + 1) / 2
     val cropB = (hMbs * 16 - img.height + 1) / 2
     require(wMbs * 16 - 2 * cropR == img.width && hMbs * 16 - 2 * cropB == img.height,
       "odd frame dims need cropping units of 2 (4:2:0); use even dims")
+    (wMbs, hMbs, cropR, cropB)
+  }
+
+  private def encodeImpl(img: MediaCodecs.Bmp, avcc: Boolean, qp: Int,
+      intra4x4: Boolean, pick: (Int, Int, Seq[Int]) => Int)
+      : (Array[Byte], FrameState) = {
+    require(!intra4x4 || qp >= 0, "intra4x4 needs a compressed qp (0..51)")
+    val (wMbs, hMbs, cropR, cropB) = mbGeometry(img)
 
     // RGB -> YCbCr 4:2:0, edge-replicated to MB grid
     val lumaW = wMbs * 16
@@ -1753,8 +1777,8 @@ object H264Codec {
       "GOP frames must share dimensions")
     val (idrBytes, st0) =
       encodeImpl(frames.head, avcc, qp, intra4x4 = false, (_, b, _) => b)
-    val (spsNal, ppsNal) = spsPpsNals(st0.wMbs, st0.hMbs,
-      (st0.wMbs * 16 - w0 + 1) / 2, (st0.hMbs * 16 - h0 + 1) / 2)
+    val (wMbs, hMbs, cropR, cropB) = mbGeometry(frames.head)
+    val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB)
     val payloads = ArrayBuffer(idrBytes)
     val states = ArrayBuffer(st0)
     var ref = st0

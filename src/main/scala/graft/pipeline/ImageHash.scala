@@ -382,17 +382,21 @@ object ImageHash {
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
         try {
-          Mp4Demux.demux(bytes).toSeq.flatMap { info =>
+          Mp4Demux.demux(bytes).iterator.flatMap { info =>
             val t = info.videoTrack
-            val samples = (0 until t.nSamples.toInt).map { i =>
+            // fully lazy: one compressed sample + one decoded frame in
+            // flight at a time (the GOP decoder keeps only its
+            // reference frame) — a long video never materializes all
+            // its frames on the executor
+            val sampleIt = Iterator.tabulate(t.nSamples.toInt) { i =>
               try Mp4Demux.sampleBytes(bytes, t, i)
               catch { case scala.util.control.NonFatal(_) => Array.empty[Byte] }
             }
-            H264Codec.decodeGop(samples).zipWithIndex.collect {
+            H264Codec.decodeGopIterator(sampleIt).zipWithIndex.collect {
               case (Some(img), i) => (id, i, phash64(img))
             }
           }
-        } catch { case scala.util.control.NonFatal(_) => Nil }
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
       }
       .toDF("id", "frame", "phash")
   }

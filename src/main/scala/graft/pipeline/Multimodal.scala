@@ -130,13 +130,20 @@ object Multimodal {
               val t = info.videoTrack
               val step = math.max(1, t.nSamples / n)
               // IPPP-aware (r11): a sampled P frame needs its reference
-              // chain, so when standalone decode fails the whole GOP
-              // decodes ONCE (lazily — all-intra MP4s never pay it) and
-              // the sampled index reads from it; foreign codecs still
-              // fall to the stub
-              lazy val allSamples = (0 until t.nSamples.toInt).map(i =>
-                Mp4Demux.sampleBytes(m.payload, t, i))
-              lazy val gop = H264Codec.decodeGop(allSamples)
+              // chain, so when standalone decode fails the GOP decodes
+              // ONCE (lazily — all-intra MP4s never pay it), streaming
+              // frame-by-frame and retaining only the n sampled frames;
+              // foreign codecs still fall to the stub
+              lazy val gopSampled: Map[Int, MediaCodecs.Bmp] = {
+                val wanted = (0 until n)
+                  .map(i => math.min(i.toLong * step, t.nSamples - 1).toInt).toSet
+                H264Codec.decodeGopIterator(
+                    Iterator.tabulate(t.nSamples.toInt)(i =>
+                      Mp4Demux.sampleBytes(m.payload, t, i)))
+                  .zipWithIndex
+                  .collect { case (Some(b), i) if wanted(i) => i -> b }
+                  .toMap
+              }
               (0 until n).iterator.map { i =>
                 val idx = math.min(i * step, t.nSamples - 1)
                 val sample = Mp4Demux.sampleBytes(m.payload, t, idx)
@@ -145,7 +152,7 @@ object Multimodal {
                     val ty = sample(s) & 0x1f; ty == 1 || ty == 5
                   } catch { case scala.util.control.NonFatal(_) => false }
                 val feats = H264Codec.decode(sample)
-                  .orElse(if (h264ish) gop(idx.toInt) else None)
+                  .orElse(if (h264ish) gopSampled.get(idx.toInt) else None)
                   .map(MediaCodecs.bmpFeatures).getOrElse(decodeStub(sample))
                 (m.mediaId, i, sample.length, feats)
               }

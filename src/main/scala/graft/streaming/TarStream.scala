@@ -36,12 +36,14 @@ object TarStream {
       .as[(Long, String)]
       .map { case (d, text) => (d % 8, f"doc_$d%05d.txt", text.getBytes("UTF-8")) }
       .toDF("grp", "name", "payload")
-    // 8 shard blobs, written as the files a crawler would deposit
+    // 8 shard blobs, written as the files a crawler would deposit;
+    // filenames carry (grp, part) so a group that split at the shard
+    // bound cannot overwrite its own earlier parts
     graft.sources.TarShards.packTarGroups(docs, "grp", "name", "payload")
-      .select($"grp", $"tar").as[(Long, Array[Byte])]
+      .select($"grp", $"part", $"tar").as[(Long, Int, Array[Byte])]
       .collect() // 8 shards — delivery-sized, not corpus-sized
-      .foreach { case (g, tar) =>
-        java.nio.file.Files.write(incoming.resolve(f"shard_$g%03d.tar"), tar)
+      .foreach { case (g, p, tar) =>
+        java.nio.file.Files.write(incoming.resolve(f"shard_$g%03d_$p%03d.tar"), tar)
       }
 
     val stream = spark.readStream.format("binaryFile")
@@ -58,7 +60,7 @@ object TarStream {
           // watched directory drops instead of failing the batch
           try {
             val g = path.split('/').last.stripPrefix("shard_")
-              .stripSuffix(".tar").toLong
+              .stripSuffix(".tar").split('_')(0).toLong
             graft.sources.TarShards.listEntries(tar).map { e =>
               (g, e.name, e.size, e.offset,
                 graft.sources.TarShards.extract(tar, e))
