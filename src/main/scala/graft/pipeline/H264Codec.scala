@@ -358,6 +358,27 @@ object H264Codec {
   def decodeGop(payloads: Seq[Array[Byte]]): Seq[Option[MediaCodecs.Bmp]] =
     decodeGopIterator(payloads.iterator).toSeq
 
+  /** Decode a raw Annex-B H.264 ELEMENTARY stream (a `.h264` file: NAL
+    * units back to back with start codes, no container): NALs are
+    * grouped into access units — every slice NAL ends the AU that the
+    * preceding parameter-set/SEI NALs opened, since this codec's scope
+    * is single-slice pictures — and the AU sequence decodes as a GOP.
+    * Returns one entry per picture, None for undecodable ones (same
+    * poisoning semantics as [[decodeGopIterator]]). */
+  def decodeAnnexBStream(es: Array[Byte]): Seq[Option[MediaCodecs.Bmp]] = {
+    val units = nalUnits(es)
+    val aus = ArrayBuffer.empty[Array[Byte]]
+    var cur = ArrayBuffer.empty[Byte]
+    for ((s, e) <- units) {
+      cur ++= Array[Byte](0, 0, 0, 1)
+      cur ++= java.util.Arrays.copyOfRange(es, s, e)
+      val t = es(s) & 0x1f
+      if (t == 1 || t == 5) { aus += cur.toArray; cur = ArrayBuffer.empty[Byte] }
+    }
+    // trailing non-slice NALs (SEI with nothing after) decode to nothing
+    decodeGopIterator(aus.iterator).toSeq
+  }
+
   /** Decode one slice (I when `idr` or slice_type says so, else P
     * against `ref`) into a fresh FrameState. Header per 7.3.3, data per
     * 7.3.4/7.3.5; `refIdc` = the NAL header's nal_ref_idc (non-IDR

@@ -2687,6 +2687,60 @@ object PipelineQueries {
              |  CAST(4 AS INT) AS n_decoded, true AS inter_gain, true AS lossy_ok
              |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
 
+    // raw .h264 elementary-stream ingest (r11): the same IPPP GOP as a
+    // containerless Annex-B byte stream (start-code NALs back to back —
+    // the form cameras and ffmpeg's rawvideo path emit). Access-unit
+    // splitting + GOP decode must recover every frame; per-frame pixel
+    // checksums of the DECODED frames are compared against the same
+    // sums from the per-payload GOP decode path inside the query
+    // (stream_matches_gop), so the two ingest routes are pinned equal.
+    "q_h264_annexb_stream" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val len = text.codePointCount(0, text.length)
+            val w = 32 + 2 * (len % 8).toInt
+            val h = 32 + 2 * ((len + id) % 6).toInt
+            def frame(dx: Int, dy: Int): graft.pipeline.MediaCodecs.Bmp = {
+              val rgb = new Array[Byte](w * h * 3)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val sx = math.max(0, math.min(w - 1, x - dx))
+                  val sy = math.max(0, math.min(h - 1, y - dy))
+                  val o = (y * w + x) * 3
+                  rgb(o) = ((sx * 255) / (w - 1)).toByte
+                  rgb(o + 1) = ((sy * 255) / (h - 1)).toByte
+                  rgb(o + 2) = (((sx + sy) * 255) / (w + h - 2)).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              graft.pipeline.MediaCodecs.Bmp(w, h, rgb)
+            }
+            val frames = Seq(frame(0, 0), frame(1, 1), frame(2, 1))
+            val gop = graft.pipeline.H264Codec.encodeGop(frames, qp = 26,
+              avcc = false)
+            val es = gop.flatten.toArray
+            def sums(d: Seq[Option[graft.pipeline.MediaCodecs.Bmp]]): Seq[Long] =
+              d.map(_.map(_.rgb.foldLeft(0L)((a, b) => a + (b & 0xff))).getOrElse(-1L))
+            val viaEs = sums(graft.pipeline.H264Codec.decodeAnnexBStream(es))
+            val viaGop = sums(graft.pipeline.H264Codec.decodeGop(gop))
+            (id, w, h, viaEs.count(_ >= 0), viaEs == viaGop)
+          }
+          .toDF("doc_id", "width", "height", "n_decoded", "stream_matches_gop")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(32 + 2 * (len(text) % 8) AS INT) AS width,
+             |  CAST(32 + 2 * ((len(text) + doc_id) % 6) AS INT) AS height,
+             |  CAST(3 AS INT) AS n_decoded, true AS stream_matches_gop
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
     // native baseline-JPEG codec (JpegCodec, r7) end-to-end: deterministic
     // gradient images (closed-form dims in doc_id/len) → encodeJpeg →
     // decodeJpeg. Dims are exact; lossy pixel fidelity is asserted as a

@@ -147,6 +147,21 @@ class H264PSliceSpec extends AnyFunSuite {
     assert(eq3(dec.get, enc), "partition shapes: decode != encoder reconstruction")
   }
 
+  test("raw Annex-B elementary stream: concatenated GOP decodes identically") {
+    val f0 = gradient(48, 32)
+    val frames = Seq(f0, shifted(f0, 2, 0), shifted(f0, 3, 1))
+    val payloads = H264Codec.encodeGop(frames, qp = 26, avcc = false)
+    val es = payloads.flatten.toArray // one .h264 file: NALs back to back
+    val viaEs = H264Codec.decodeAnnexBStream(es)
+    val viaGop = H264Codec.decodeGop(payloads)
+    assert(viaEs.length == 3 && viaGop.length == 3)
+    viaEs.zip(viaGop).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.isDefined && b.isDefined, s"frame $i")
+      assert(java.util.Arrays.equals(a.get.rgb, b.get.rgb),
+        s"frame $i: elementary-stream decode != per-payload GOP decode")
+    }
+  }
+
   test("Table 9-5 inter CBP column: permutation + spec anchors + inverse") {
     val t = H264Codec.CbpInterByCodeNum
     assert(t.length == 48 && t.toSet == (0 until 48).toSet, "not a permutation")
