@@ -2685,7 +2685,8 @@ object PipelineQueries {
              |  CAST(32 + 2 * (len(text) % 8) AS INT) AS width,
              |  CAST(32 + 2 * ((len(text) + doc_id) % 6) AS INT) AS height,
              |  CAST(4 AS INT) AS n_decoded, true AS inter_gain, true AS lossy_ok
-             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin),
+      bench = true), // timed: per-partition GOP encode+MC decode (codec family)
 
     // raw .h264 elementary-stream ingest (r11): the same IPPP GOP as a
     // containerless Annex-B byte stream (start-code NALs back to back —
