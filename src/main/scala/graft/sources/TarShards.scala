@@ -118,6 +118,9 @@ object TarShards {
       val stored = java.lang.Long.parseLong(field(148, 8), 8)
       require(stored == expect, s"tar header checksum mismatch at $pos")
       val size = java.lang.Long.parseLong(field(124, 12), 8)
+      // a negative size (crafted '-' in the octal field) would advance
+      // pos BACKWARD below — an infinite-loop DoS on untrusted archives
+      require(size >= 0, s"negative tar entry size at $pos")
       val typeflag = tar(pos + 156)
       require(pos + BlockSize + size <= tar.length, s"tar entry overruns at $pos")
       val payloadOff = pos + BlockSize
