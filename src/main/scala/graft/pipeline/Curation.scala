@@ -974,4 +974,47 @@ object Curation {
       .withColumn("budget", budget)
       .withColumn("kept", col("cum_tokens") <= col("budget"))
   }
+
+  /**
+   * Fill-in-the-middle transformation (Bavarian et al. 2022, "Efficient
+   * Training of Language Models to Fill in the Middle") — the code-model
+   * training-data transform: a `rate` fraction of documents is rewritten
+   * in PSM order, `preTok + prefix + sufTok + suffix + midTok + middle`,
+   * so the model learns infilling from the permuted context; the rest
+   * pass through verbatim (the paper's joint objective).
+   *
+   * Determinism, the property a training transform must have: the
+   * apply/skip decision AND both cut points come from the md5-uniform
+   * draw ([[deterministicSample]] mechanics — engine-portable,
+   * partitioning-independent, rerun-stable). Cuts are character
+   * positions a,b drawn uniformly in [0, len] (a ≤ b after the swap);
+   * documents shorter than 2 characters pass through. Map-only,
+   * all codegen'd built-ins — no UDF, no shuffle.
+   *
+   * @return (input columns…, fim_applied BOOLEAN, text_out STRING)
+   */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+      rate: Double = 0.5, salt: String = "graft",
+      preTok: String = "<PRE>", sufTok: String = "<SUF>",
+      midTok: String = "<MID>"): DataFrame = {
+    val id = col(idCol).cast("string")
+    val txt = col(textCol)
+    val n = length(txt).cast("long")
+    def u(tag: String) =
+      conv(substring(md5(concat(lit(salt), lit(tag), id)), 1, 8), 16, 10)
+        .cast("long")
+    val applied =
+      substring(md5(concat(lit(salt), lit(":fim:"), id)), 1, 8) <
+        lit(hexBoundary(rate)) && n >= lit(2L)
+    val c1 = u(":a:") % (n + lit(1L))
+    val c2 = u(":b:") % (n + lit(1L))
+    val a = least(c1, c2)
+    val b = greatest(c1, c2)
+    val rewritten = concat(
+      lit(preTok), txt.substr(lit(1), a.cast("int")),
+      lit(sufTok), txt.substr((b + 1).cast("int"), (n - b).cast("int")),
+      lit(midTok), txt.substr((a + 1).cast("int"), (b - a).cast("int")))
+    df.withColumn("fim_applied", applied)
+      .withColumn("text_out", when(applied, rewritten).otherwise(txt))
+  }
 }

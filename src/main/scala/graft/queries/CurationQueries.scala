@@ -799,6 +799,43 @@ object CurationQueries {
              |      / 4294967296.0 < least(n_chars / 2000.0, 1.0)
              |ORDER BY doc_id""".stripMargin)),
 
+    // fill-in-the-middle transform (r11): half the corpus rewritten in
+    // PSM order (<PRE> prefix <SUF> suffix <MID> middle) with the
+    // apply draw and BOTH character cut points from the engine-portable
+    // md5 uniform — the oracle replays draw, cuts, and the three-way
+    // substring surgery value-exactly, so any off-by-one in a cut or a
+    // swapped segment hash-mismatches
+    "q_fim_transform" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Curation.fimTransform(t(s, dir, "documents")
+            .filter($"doc_id" < 400), "doc_id", "text")
+          .select($"doc_id", $"fim_applied", $"text_out")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+             |         CAST(len(text) AS BIGINT) AS n
+             |  FROM documents WHERE doc_id < 400),
+             |u AS (
+             |  SELECT *,
+             |    substr(md5('graft' || ':fim:' || CAST(doc_id AS VARCHAR)), 1, 8)
+             |      < '80000000' AND n >= 2 AS applied,
+             |    CAST(('0x' || substr(md5('graft' || ':a:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |      % (n + 1) AS c1,
+             |    CAST(('0x' || substr(md5('graft' || ':b:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |      % (n + 1) AS c2
+             |  FROM d),
+             |v AS (SELECT doc_id, text, n, applied,
+             |             least(c1, c2) AS a, greatest(c1, c2) AS b FROM u)
+             |SELECT doc_id, applied AS fim_applied,
+             |  CASE WHEN applied THEN
+             |    '<PRE>' || substr(text, 1, CAST(a AS INT)) ||
+             |    '<SUF>' || substr(text, CAST(b + 1 AS INT), CAST(n - b AS INT)) ||
+             |    '<MID>' || substr(text, CAST(a + 1 AS INT), CAST(b - a AS INT))
+             |  ELSE text END AS text_out
+             |FROM v ORDER BY doc_id""".stripMargin)),
+
     // deterministic 80/10/10 train/val/test split: stable under
     // partitioning and across engines (df.randomSplit is neither)
     "q_dataset_split" -> QueryDef(

@@ -537,4 +537,37 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(all == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L))
   }
+
+  test("fimTransform: PSM reassembly inverts, pass-through intact, partition-stable") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(d => (d, s"alpha$d bravo charlie delta echo$d"))
+      .toDF("doc_id", "text")
+    val out = Curation.fimTransform(docs, "doc_id", "text")
+      .select($"doc_id", $"text", $"fim_applied", $"text_out").collect()
+    val applied = out.filter(_.getBoolean(2))
+    // rate 0.5 over the md5 space: roughly half transform
+    assert(applied.length > 60 && applied.length < 140, applied.length)
+    applied.foreach { r =>
+      val t = r.getString(3)
+      assert(t.startsWith("<PRE>"), t)
+      // PSM order: <PRE> p <SUF> s <MID> m; reassembling p + m + s
+      // must reproduce the original document exactly
+      val body = t.stripPrefix("<PRE>")
+      val Array(p, rest) = body.split("<SUF>", 2)
+      val Array(sfx, m) = rest.split("<MID>", 2)
+      assert(p + m + sfx == r.getString(1), s"doc ${r.getLong(0)}")
+    }
+    out.filterNot(_.getBoolean(2)).foreach { r =>
+      assert(r.getString(3) == r.getString(1), "pass-through must be verbatim")
+    }
+    // deterministic under partitioning (df.sample is not)
+    val again = Curation.fimTransform(docs.repartition(7), "doc_id", "text")
+      .select($"doc_id", $"text_out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach(r => assert(again(r.getLong(0)) == r.getString(3)))
+    // a sub-2-char doc never transforms (no cuttable middle)
+    val tiny = Curation.fimTransform(Seq((1L, "x")).toDF("doc_id", "text"),
+      "doc_id", "text", rate = 1.0).head()
+    assert(!tiny.getAs[Boolean]("fim_applied") && tiny.getAs[String]("text_out") == "x")
+  }
 }
