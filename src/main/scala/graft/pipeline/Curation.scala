@@ -1017,4 +1017,70 @@ object Curation {
     df.withColumn("fim_applied", applied)
       .withColumn("text_out", when(applied, rewritten).otherwise(txt))
   }
+
+  /**
+   * T5-style span corruption (Raffel et al. 2020) — the denoising
+   * objective's data rewrite: the document splits into fixed
+   * `windowChars` windows; each FULL window is masked with probability
+   * `rate` (md5-uniform draw per (doc, window) — engine-portable,
+   * partition-stable); a masked window's centered `maskChars` span is
+   * replaced by the k-th sentinel `<extra_id_k>` in the input while
+   * `<extra_id_k>` + the masked content accumulates into the target,
+   * which closes with the final sentinel — exactly the
+   * input/target pair a denoising trainer consumes.
+   *
+   * Scale shape: ONE `aggregate` higher-order function over
+   * `sequence(0, nWindows-1)` builds input, target, and the running
+   * sentinel index in a single left-to-right pass — no explode, no
+   * re-aggregation shuffle, no window function; the whole transform is
+   * map-only codegen'd expressions.
+   *
+   * @return (input columns…, input_text, target_text, n_masked)
+   */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+      windowChars: Int = 40, maskChars: Int = 8, rate: Double = 0.15,
+      salt: String = "graft"): DataFrame = {
+    require(windowChars > 0 && maskChars > 0 && maskChars <= windowChars,
+      s"need 0 < maskChars <= windowChars: $maskChars / $windowChars")
+    val w = windowChars.toLong
+    val m = maskChars.toLong
+    val off = (w - m) / 2 // centered span, deterministic
+    val id = col(idCol).cast("string")
+    val txt = col(textCol)
+    val n = length(txt).cast("long")
+    val nWin = greatest(lit(1L), ceil(n.cast("double") / lit(w.toDouble)).cast("long"))
+    def sent(k: Column) = concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+    def masked(wi: Column) =
+      substring(md5(concat(lit(salt), lit(":span:"), id, lit(":"),
+        wi.cast("string"))), 1, 8) < lit(hexBoundary(rate)) &&
+        (wi + 1) * lit(w) <= n // only FULL windows mask
+    val folded = aggregate(
+      sequence(lit(0L), nWin - 1),
+      struct(lit("").as("inp"), lit("").as("tgt"), lit(0L).as("k")),
+      (acc, wi) => {
+        val start = wi * lit(w)
+        val whole = txt.substr((start + 1).cast("int"), lit(windowChars))
+        val pre = txt.substr((start + 1).cast("int"), lit(off.toInt))
+        val mid = txt.substr((start + off + 1).cast("int"), lit(maskChars))
+        val post = txt.substr((start + off + m + 1).cast("int"),
+          lit((w - off - m).toInt))
+        when(masked(wi), struct(
+          concat(acc.getField("inp"), pre, sent(acc.getField("k")), post).as("inp"),
+          concat(acc.getField("tgt"), sent(acc.getField("k")), mid).as("tgt"),
+          (acc.getField("k") + 1).as("k")))
+          .otherwise(struct(
+            concat(acc.getField("inp"), whole).as("inp"),
+            acc.getField("tgt").as("tgt"),
+            acc.getField("k").as("k")))
+      },
+      acc => struct(
+        acc.getField("inp").as("inp"),
+        concat(acc.getField("tgt"), sent(acc.getField("k"))).as("tgt"),
+        acc.getField("k").as("k")))
+    df.withColumn("__sc", folded)
+      .withColumn("input_text", col("__sc.inp"))
+      .withColumn("target_text", col("__sc.tgt"))
+      .withColumn("n_masked", col("__sc.k"))
+      .drop("__sc")
+  }
 }

@@ -836,6 +836,58 @@ object CurationQueries {
              |  ELSE text END AS text_out
              |FROM v ORDER BY doc_id""".stripMargin)),
 
+    // T5 span corruption (r11): per-(doc, window) md5 mask draw, k-th
+    // sentinel surgery into the input, sentinel+content into the
+    // target, closing sentinel appended. Spark folds it in ONE
+    // aggregate HOF (no explode, no shuffle); the oracle rebuilds the
+    // identical strings the relational way — windows exploded, running
+    // sentinel index as a window sum, string_agg ordered by window —
+    // so the two formulations cross-check each other value-exactly.
+    "q_span_corrupt" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Curation.spanCorrupt(t(s, dir, "documents")
+            .filter($"doc_id" < 300), "doc_id", "text")
+          .select($"doc_id", $"input_text", $"target_text", $"n_masked")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+             |         CAST(len(text) AS BIGINT) AS n
+             |  FROM documents WHERE doc_id < 300),
+             |win AS (
+             |  SELECT doc_id, text, n, CAST(t.w AS BIGINT) AS w,
+             |    substr(md5('graft' || ':span:' || CAST(doc_id AS VARCHAR)
+             |      || ':' || CAST(t.w AS VARCHAR)), 1, 8) < '26666666'
+             |      AND (t.w + 1) * 40 <= n AS masked
+             |  FROM d, UNNEST(generate_series(0,
+             |    greatest(CAST(1 AS BIGINT), CAST(ceil(n / 40.0) AS BIGINT)) - 1)) t(w)),
+             |kk AS (
+             |  SELECT *, coalesce(sum(CASE WHEN masked THEN 1 ELSE 0 END) OVER (
+             |    PARTITION BY doc_id ORDER BY w
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k
+             |  FROM win),
+             |pieces AS (
+             |  SELECT doc_id, w, masked, k,
+             |    CASE WHEN masked THEN
+             |      substr(text, CAST(w * 40 + 1 AS INT), 16) ||
+             |      '<extra_id_' || CAST(k AS VARCHAR) || '>' ||
+             |      substr(text, CAST(w * 40 + 25 AS INT), 16)
+             |    ELSE substr(text, CAST(w * 40 + 1 AS INT), 40) END AS inp,
+             |    CASE WHEN masked THEN
+             |      '<extra_id_' || CAST(k AS VARCHAR) || '>' ||
+             |      substr(text, CAST(w * 40 + 17 AS INT), 8)
+             |    ELSE '' END AS tgt
+             |  FROM kk)
+             |SELECT doc_id,
+             |  coalesce(string_agg(inp, '' ORDER BY w), '') AS input_text,
+             |  coalesce(string_agg(tgt, '' ORDER BY w), '') ||
+             |    '<extra_id_' ||
+             |    CAST(CAST(coalesce(sum(CASE WHEN masked THEN 1 ELSE 0 END), 0) AS BIGINT) AS VARCHAR)
+             |    || '>' AS target_text,
+             |  CAST(coalesce(sum(CASE WHEN masked THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_masked
+             |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // deterministic 80/10/10 train/val/test split: stable under
     // partitioning and across engines (df.randomSplit is neither)
     "q_dataset_split" -> QueryDef(

@@ -570,4 +570,49 @@ class CurationSpec extends SparkSpec {
       "doc_id", "text", rate = 1.0).head()
     assert(!tiny.getAs[Boolean]("fim_applied") && tiny.getAs[String]("text_out") == "x")
   }
+
+  test("spanCorrupt: sentinel surgery inverts; only full windows mask; stable") {
+    import spark.implicits._
+    // 200 docs of 5 full 40-char windows + an 11-char tail window
+    val docs = (0L until 200L).map { d =>
+      val body = (0 until 5).map(wi => f"w$wi%02dd$d%03d".padTo(40, 'x')).mkString
+      (d, body + "tail_chars.")
+    }.toDF("doc_id", "text")
+    val out = Curation.spanCorrupt(docs, "doc_id", "text", rate = 0.4)
+      .select($"doc_id", $"text", $"input_text", $"target_text", $"n_masked")
+      .collect()
+    val sentinel = "<extra_id_(\\d+)>".r
+    var totalMasked = 0L
+    out.foreach { r =>
+      val (orig, inp, tgt, k) =
+        (r.getString(1), r.getString(2), r.getString(3), r.getLong(4))
+      totalMasked += k
+      // target = k sentinel-led spans + the closing sentinel
+      assert(sentinel.findAllIn(tgt).size == k + 1, tgt)
+      assert(tgt.endsWith(s"<extra_id_$k>"), tgt)
+      // invert: replace <extra_id_i> in the input with target span i
+      val spans = sentinel.split(tgt.stripSuffix(s"<extra_id_$k>")).drop(1)
+      assert(spans.length == k, s"${spans.length} != $k")
+      val rebuilt = spans.zipWithIndex.foldLeft(inp) { case (acc, (sp, i)) =>
+        acc.replace(s"<extra_id_$i>", sp)
+      }
+      assert(rebuilt == orig, s"doc ${r.getLong(0)} does not invert")
+      // the 11-char tail window is never a mask site: input tail intact
+      assert(inp.endsWith("tail_chars."), inp)
+    }
+    // rate 0.4 over 200 docs x 5 full windows = ~400 expected masks
+    assert(totalMasked > 280 && totalMasked < 520, totalMasked)
+    // deterministic under partitioning
+    val again = Curation.spanCorrupt(docs.repartition(7), "doc_id", "text",
+      rate = 0.4).select($"doc_id", $"input_text", $"target_text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    out.foreach(r =>
+      assert(again(r.getLong(0)) == (r.getString(2), r.getString(3))))
+    // empty doc: nothing masks, target is the lone closing sentinel
+    val e = Curation.spanCorrupt(Seq((1L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", rate = 1.0).head()
+    assert(e.getAs[String]("input_text") == "" &&
+      e.getAs[String]("target_text") == "<extra_id_0>" &&
+      e.getAs[Long]("n_masked") == 0L)
+  }
 }
