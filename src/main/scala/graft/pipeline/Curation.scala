@@ -1033,7 +1033,12 @@ object Curation {
    * `sequence(0, nWindows-1)` builds input, target, and the running
    * sentinel index in a single left-to-right pass — no explode, no
    * re-aggregation shuffle, no window function; the whole transform is
-   * map-only codegen'd expressions.
+   * map-only codegen'd expressions. The fold accumulates per-window
+   * PIECES (array append = pointer-sized copies) and joins once at the
+   * end — accumulating strings directly would copy the whole document
+   * once per window (quadratic characters). Still per-document work:
+   * multi-MB documents are better chunked first
+   * ([[graft.pipeline.Chunking]]).
    *
    * @return (input columns…, input_text, target_text, n_masked)
    */
@@ -1054,9 +1059,10 @@ object Curation {
       substring(md5(concat(lit(salt), lit(":span:"), id, lit(":"),
         wi.cast("string"))), 1, 8) < lit(hexBoundary(rate)) &&
         (wi + 1) * lit(w) <= n // only FULL windows mask
+    val noPieces = typedLit(Seq.empty[String])
     val folded = aggregate(
       sequence(lit(0L), nWin - 1),
-      struct(lit("").as("inp"), lit("").as("tgt"), lit(0L).as("k")),
+      struct(noPieces.as("inp"), noPieces.as("tgt"), lit(0L).as("k")),
       (acc, wi) => {
         val start = wi * lit(w)
         val whole = txt.substr((start + 1).cast("int"), lit(windowChars))
@@ -1065,17 +1071,20 @@ object Curation {
         val post = txt.substr((start + off + m + 1).cast("int"),
           lit((w - off - m).toInt))
         when(masked(wi), struct(
-          concat(acc.getField("inp"), pre, sent(acc.getField("k")), post).as("inp"),
-          concat(acc.getField("tgt"), sent(acc.getField("k")), mid).as("tgt"),
+          concat(acc.getField("inp"),
+            array(pre, sent(acc.getField("k")), post)).as("inp"),
+          concat(acc.getField("tgt"),
+            array(sent(acc.getField("k")), mid)).as("tgt"),
           (acc.getField("k") + 1).as("k")))
           .otherwise(struct(
-            concat(acc.getField("inp"), whole).as("inp"),
+            concat(acc.getField("inp"), array(whole)).as("inp"),
             acc.getField("tgt").as("tgt"),
             acc.getField("k").as("k")))
       },
       acc => struct(
-        acc.getField("inp").as("inp"),
-        concat(acc.getField("tgt"), sent(acc.getField("k"))).as("tgt"),
+        array_join(acc.getField("inp"), "").as("inp"),
+        array_join(concat(acc.getField("tgt"),
+          array(sent(acc.getField("k")))), "").as("tgt"),
         acc.getField("k").as("k")))
     df.withColumn("__sc", folded)
       .withColumn("input_text", col("__sc.inp"))

@@ -366,16 +366,23 @@ object H264Codec {
     * Returns one entry per picture, None for undecodable ones (same
     * poisoning semantics as [[decodeGopIterator]]). */
   def decodeAnnexBStream(es: Array[Byte]): Seq[Option[MediaCodecs.Bmp]] = {
-    val units = nalUnits(es)
-    val aus = ArrayBuffer.empty[Array[Byte]]
-    var cur = ArrayBuffer.empty[Byte]
-    for ((s, e) <- units) {
-      cur ++= Array[Byte](0, 0, 0, 1)
-      cur ++= java.util.Arrays.copyOfRange(es, s, e)
-      val t = es(s) & 0x1f
-      if (t == 1 || t == 5) { aus += cur.toArray; cur = ArrayBuffer.empty[Byte] }
-    }
-    // trailing non-slice NALs (SEI with nothing after) decode to nothing
+    // AU splitting must be as crash-safe as the decode itself: a
+    // truncated stream (e.g. ending in a bare start code, which scans
+    // as an empty NAL at the array edge) yields no pictures, it does
+    // not throw out of an API aimed at untrusted input
+    val aus =
+      try {
+        val out = ArrayBuffer.empty[Array[Byte]]
+        var cur = ArrayBuffer.empty[Byte]
+        for ((s, e) <- nalUnits(es) if s < e && s < es.length) {
+          cur ++= Array[Byte](0, 0, 0, 1)
+          cur ++= java.util.Arrays.copyOfRange(es, s, e)
+          val t = es(s) & 0x1f
+          if (t == 1 || t == 5) { out += cur.toArray; cur = ArrayBuffer.empty[Byte] }
+        }
+        // trailing non-slice NALs (SEI with nothing after) decode to nothing
+        out.toSeq
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
     decodeGopIterator(aus.iterator).toSeq
   }
 

@@ -2642,25 +2642,8 @@ object PipelineQueries {
             val len = text.codePointCount(0, text.length)
             val w = 32 + 2 * (len % 8).toInt
             val h = 32 + 2 * ((len + id) % 6).toInt
-            def frame(dx: Int, dy: Int): graft.pipeline.MediaCodecs.Bmp = {
-              val rgb = new Array[Byte](w * h * 3)
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val sx = math.max(0, math.min(w - 1, x - dx))
-                  val sy = math.max(0, math.min(h - 1, y - dy))
-                  val o = (y * w + x) * 3
-                  rgb(o) = ((sx * 255) / (w - 1)).toByte
-                  rgb(o + 1) = ((sy * 255) / (h - 1)).toByte
-                  rgb(o + 2) = (((sx + sy) * 255) / (w + h - 2)).toByte
-                  x += 1
-                }
-                y += 1
-              }
-              graft.pipeline.MediaCodecs.Bmp(w, h, rgb)
-            }
-            val frames = Seq(frame(0, 0), frame(1, 0), frame(2, 1), frame(3, 1))
+            val frames = Seq((0, 0), (1, 0), (2, 1), (3, 1))
+              .map { case (dx, dy) => gopGradientFrame(w, h, dx, dy) }
             val gop = graft.pipeline.H264Codec.encodeGop(frames, qp = 26)
             val mp4 = graft.pipeline.Mp4Demux.encodeMp4(gop, w, h)
             val tr = graft.pipeline.Mp4Demux.demux(mp4).get.videoTrack
@@ -2705,25 +2688,8 @@ object PipelineQueries {
             val len = text.codePointCount(0, text.length)
             val w = 32 + 2 * (len % 8).toInt
             val h = 32 + 2 * ((len + id) % 6).toInt
-            def frame(dx: Int, dy: Int): graft.pipeline.MediaCodecs.Bmp = {
-              val rgb = new Array[Byte](w * h * 3)
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val sx = math.max(0, math.min(w - 1, x - dx))
-                  val sy = math.max(0, math.min(h - 1, y - dy))
-                  val o = (y * w + x) * 3
-                  rgb(o) = ((sx * 255) / (w - 1)).toByte
-                  rgb(o + 1) = ((sy * 255) / (h - 1)).toByte
-                  rgb(o + 2) = (((sx + sy) * 255) / (w + h - 2)).toByte
-                  x += 1
-                }
-                y += 1
-              }
-              graft.pipeline.MediaCodecs.Bmp(w, h, rgb)
-            }
-            val frames = Seq(frame(0, 0), frame(1, 1), frame(2, 1))
+            val frames = Seq((0, 0), (1, 1), (2, 1))
+              .map { case (dx, dy) => gopGradientFrame(w, h, dx, dy) }
             val gop = graft.pipeline.H264Codec.encodeGop(frames, qp = 26,
               avcc = false)
             val es = gop.flatten.toArray
@@ -4650,6 +4616,30 @@ object PipelineQueries {
 
   /** Shared by q_tar_shards and its streaming twin (the per-shard
     * explode is stateless, so micro-batching cannot change the rows). */
+  /** Closed-form shifted-gradient frame shared by the H.264 GOP queries
+    * (`q_h264_pslice_roundtrip` / `q_h264_annexb_stream`) — ONE copy of
+    * the pixel arithmetic their DuckDB oracles' geometry depends on, so
+    * a fixture tweak cannot desynchronize one query from its oracle. */
+  private def gopGradientFrame(w: Int, h: Int, dx: Int, dy: Int)
+      : graft.pipeline.MediaCodecs.Bmp = {
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val sx = math.max(0, math.min(w - 1, x - dx))
+        val sy = math.max(0, math.min(h - 1, y - dy))
+        val o = (y * w + x) * 3
+        rgb(o) = ((sx * 255) / (w - 1)).toByte
+        rgb(o + 1) = ((sy * 255) / (h - 1)).toByte
+        rgb(o + 2) = (((sx + sy) * 255) / (w + h - 2)).toByte
+        x += 1
+      }
+      y += 1
+    }
+    graft.pipeline.MediaCodecs.Bmp(w, h, rgb)
+  }
+
   private[queries] def tarShardsOracleSql: String =
     """WITH d AS (
       |  SELECT doc_id % 8 AS grp, printf('doc_%05d.txt', doc_id) AS name,
