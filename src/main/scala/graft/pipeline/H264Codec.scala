@@ -365,25 +365,54 @@ object H264Codec {
     * is single-slice pictures — and the AU sequence decodes as a GOP.
     * Returns one entry per picture, None for undecodable ones (same
     * poisoning semantics as [[decodeGopIterator]]). */
-  def decodeAnnexBStream(es: Array[Byte]): Seq[Option[MediaCodecs.Bmp]] = {
-    // AU splitting must be as crash-safe as the decode itself: a
-    // truncated stream (e.g. ending in a bare start code, which scans
-    // as an empty NAL at the array edge) yields no pictures, it does
-    // not throw out of an API aimed at untrusted input
-    val aus =
-      try {
-        val out = ArrayBuffer.empty[Array[Byte]]
-        var cur = ArrayBuffer.empty[Byte]
-        for ((s, e) <- nalUnits(es) if s < e && s < es.length) {
-          cur ++= Array[Byte](0, 0, 0, 1)
-          cur ++= java.util.Arrays.copyOfRange(es, s, e)
-          val t = es(s) & 0x1f
-          if (t == 1 || t == 5) { out += cur.toArray; cur = ArrayBuffer.empty[Byte] }
+  def decodeAnnexBStream(es: Array[Byte]): Seq[Option[MediaCodecs.Bmp]] =
+    decodeAnnexBIterator(es).toSeq
+
+  /** Lazy form of [[decodeAnnexBStream]]: ONE access unit's bytes are
+    * materialized at a time — the start-code scan keeps only NAL
+    * positions (O(#NALs) ints), and each AU buffer is copied from the
+    * elementary stream when the consumer pulls its frame, so a long
+    * `.h264` file never holds a second stream-sized copy in memory.
+    * AU splitting is as crash-safe as the decode itself: a truncated
+    * stream (e.g. ending in a bare start code, which scans as an empty
+    * NAL at the array edge) yields no pictures, it does not throw out
+    * of an API aimed at untrusted input. */
+  def decodeAnnexBIterator(es: Array[Byte]): Iterator[Option[MediaCodecs.Bmp]] = {
+    val units =
+      try nalUnits(es).filter { case (s, e) => s < e && s < es.length }
+      catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    // group NAL positions into access units lazily: every slice NAL
+    // (type 1 or 5) ends the AU the preceding parameter-set/SEI NALs
+    // opened — this codec's scope is single-slice pictures. Trailing
+    // non-slice NALs (SEI with nothing after) decode to nothing.
+    val auBytes = new Iterator[Array[Byte]] {
+      private val it = units.iterator
+      private val buf = ArrayBuffer.empty[(Int, Int)]
+      private var pending: Array[Byte] = fetch()
+      private def fetch(): Array[Byte] = {
+        while (it.hasNext) {
+          val u = it.next()
+          buf += u
+          if (((es(u._1) & 0x1f) == 1) || ((es(u._1) & 0x1f) == 5)) {
+            val total = buf.iterator.map { case (s, e) => 4 + (e - s) }.sum
+            val au = new Array[Byte](total)
+            var o = 0
+            buf.foreach { case (s, e) =>
+              au(o + 3) = 1 // 00 00 00 01 start code (leading zeros pre-set)
+              o += 4
+              System.arraycopy(es, s, au, o, e - s)
+              o += e - s
+            }
+            buf.clear()
+            return au
+          }
         }
-        // trailing non-slice NALs (SEI with nothing after) decode to nothing
-        out.toSeq
-      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
-    decodeGopIterator(aus.iterator).toSeq
+        null
+      }
+      def hasNext: Boolean = pending != null
+      def next(): Array[Byte] = { val v = pending; pending = fetch(); v }
+    }
+    decodeGopIterator(auBytes)
   }
 
   /** Decode one slice (I when `idr` or slice_type says so, else P
@@ -420,10 +449,23 @@ object H264Codec {
     else if (refIdc != 0 && r.u1() != 0) // adaptive_ref_pic_marking_mode_flag
       throw new H264Format("adaptive ref marking out of scope")
     val sliceQpDelta = r.se() // slice_qp_delta
+    // In-loop deblocking (8.7) is not implemented. On I slices that is
+    // a bounded OUTPUT-filter omission (intra predicts from unfiltered
+    // samples, so the reconstruction is still self-consistent); on P
+    // slices the filter sits INSIDE the prediction loop — error would
+    // compound across the reference chain — so a P slice that does not
+    // explicitly disable it (idc != 1, or no control field at all, the
+    // implicit-enabled case) is OUT OF SCOPE and throws, matching the
+    // refuse-don't-misdecode posture of CABAC/weighted-pred/B-slices.
+    // Our own encoder always writes deblockingControlPresent + idc 1.
     if (pps.deblockingControlPresent) {
       val idc = r.ue()
-      if (idc != 1) { r.se(); r.se() }
-    }
+      if (idc != 1) {
+        if (isP) throw new H264Format("in-loop deblocking out of scope on P slices")
+        r.se(); r.se()
+      }
+    } else if (isP)
+      throw new H264Format("in-loop deblocking out of scope on P slices")
     val st = new FrameState(sps.widthMbs, sps.heightMbs)
     var qpY = pps.picInitQp + sliceQpDelta
     if (qpY < 0 || qpY > 51) throw new H264Format(s"slice QP $qpY out of range")

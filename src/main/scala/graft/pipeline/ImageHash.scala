@@ -381,7 +381,12 @@ object ImageHash {
     df.select(col(idCol).cast("long").as("id"), col(bytesCol).as("bytes"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        try {
+        // crashSafe, not a bare try: the body is LAZY (it runs when
+        // Spark consumes the iterator, outside any try wrapped around
+        // construction), so the corrupt-drop contract must guard
+        // consumption — an exception mid-iteration truncates this
+        // video's remaining frames instead of failing the task
+        crashSafe {
           Mp4Demux.demux(bytes).iterator.flatMap { info =>
             val t = info.videoTrack
             // fully lazy: one compressed sample + one decoded frame in
@@ -396,9 +401,26 @@ object ImageHash {
               case (Some(img), i) => (id, i, phash64(img))
             }
           }
-        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+        }
       }
       .toDF("id", "frame", "phash")
+  }
+
+  /** Iterator whose construction AND consumption are exception-proof:
+    * a NonFatal anywhere ends iteration (dropping the remainder) — the
+    * corrupt-input posture for lazy per-row iterators handed to Spark,
+    * where a try around construction alone would not cover the
+    * consumption-time body. Prefetches one element, so failures surface
+    * as truncation, never as a task failure. */
+  private def crashSafe[T](mk: => Iterator[T]): Iterator[T] = new Iterator[T] {
+    private val it =
+      try mk catch { case scala.util.control.NonFatal(_) => Iterator.empty[T] }
+    private var nextV: Option[T] = fetch()
+    private def fetch(): Option[T] =
+      try { if (it.hasNext) Some(it.next()) else None }
+      catch { case scala.util.control.NonFatal(_) => None }
+    def hasNext: Boolean = nextV.isDefined
+    def next(): T = { val v = nextV.get; nextV = fetch(); v }
   }
 
   /** Keep only banded-LSH buckets with ≤ `maxBucketSize` members — the

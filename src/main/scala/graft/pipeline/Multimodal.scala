@@ -138,8 +138,14 @@ object Multimodal {
                 val wanted = (0 until n)
                   .map(i => math.min(i.toLong * step, t.nSamples - 1).toInt).toSet
                 H264Codec.decodeGopIterator(
-                    Iterator.tabulate(t.nSamples.toInt)(i =>
-                      Mp4Demux.sampleBytes(m.payload, t, i)))
+                    Iterator.tabulate(t.nSamples.toInt) { i =>
+                      // guarded like videoPhashRows: a bad sample must
+                      // poison only its GOP slot, not escape from the
+                      // payload iterator's next() past decodeAu's catch
+                      // and fail the whole row
+                      try Mp4Demux.sampleBytes(m.payload, t, i)
+                      catch { case scala.util.control.NonFatal(_) => Array.empty[Byte] }
+                    })
                   .zipWithIndex
                   .collect { case (Some(b), i) if wanted(i) => i -> b }
                   .toMap

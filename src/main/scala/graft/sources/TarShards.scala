@@ -43,44 +43,104 @@ object TarShards {
     (pad + "\u0000").getBytes("US-ASCII")
   }
 
-  /** Serialize (name, payload) pairs as one ustar archive. Names must
-    * fit the classic 100-byte field (WebDataset keys do) and be pure
-    * printable ASCII — `getBytes("US-ASCII")` would otherwise silently
-    * replace foreign characters with '?', letting two distinct names
-    * collide inside one shard; reject loudly instead. */
+  /** A name the classic 100-byte ustar field transports verbatim:
+    * 1..100 printable-ASCII chars. Anything else (UTF-8 keys, deep
+    * paths) rides a pax `x` extended header instead — `US-ASCII`
+    * truncation/`?`-substitution would silently collide two distinct
+    * sample keys inside one shard. */
+  private def isPlainName(name: String): Boolean =
+    name.nonEmpty && name.length <= 100 &&
+      name.forall(c => c >= 0x20 && c < 0x7f)
+
+  /** One pax extended-header record, `"%d %s=%s\n"` where the decimal
+    * prefix counts the WHOLE record including itself (POSIX.1-2001
+    * pax(1)); the length is the fixpoint of digits(len) + rest. */
+  private[graft] def paxRecord(key: String, value: String): Array[Byte] = {
+    val kv = s" $key=$value\n".getBytes("UTF-8")
+    var len = kv.length + 1
+    while (String.valueOf(len).length + kv.length != len)
+      len = String.valueOf(len).length + kv.length
+    String.valueOf(len).getBytes("US-ASCII") ++ kv
+  }
+
+  /** Placeholder for the 100-byte name field of a pax-named member:
+    * printable-ASCII projection, truncated — readers that honor the pax
+    * `path` record (ours, GNU, bsdtar) never see it. */
+  private def asciiFallback(name: String): String = {
+    val s = name.map(c => if (c >= 0x20 && c < 0x7f) c else '_').take(100)
+    if (s.isEmpty) "_" else s
+  }
+
+  /** Exact archive bytes one member contributes: header block + padded
+    * payload, plus a pax `x` pseudo-entry (its own header + padded
+    * record) when the name needs one. [[packTarGroups]] budgets its
+    * byte bound with this, so predicted and written shard sizes agree. */
+  def entryCost(name: String, payloadLen: Int): Long = {
+    def padded(n: Long): Long = ((n + BlockSize - 1) / BlockSize) * BlockSize
+    val base = BlockSize + padded(payloadLen.toLong)
+    if (isPlainName(name)) base
+    else base + BlockSize + padded(paxRecord("path", name).length.toLong)
+  }
+
+  /** Serialize (name, payload) pairs as one ustar archive, written into
+    * ONE exactly-sized array (no growth doubling, no final copy — at a
+    * 1 GiB shard bound an ArrayBuffer build peaks at 2-3x the archive
+    * per writer task). Plain 1..100-byte printable-ASCII names go in
+    * the classic header field; longer or non-ASCII names (UTF-8 is
+    * legal in pax) are carried by a pax `x` extended header with a
+    * length-prefixed `path` record — the same form [[listEntries]]
+    * parses and GNU tar emits, so foreign readers reconstruct the key
+    * exactly. Empty names reject loudly. */
   def writeTar(files: Seq[(String, Array[Byte])]): Array[Byte] = {
-    val out = new ArrayBuffer[Byte]()
-    for ((name, payload) <- files) {
-      require(name.forall(c => c >= 0x20 && c < 0x7f),
-        s"tar entry name must be printable ASCII: '$name'")
-      val nb = name.getBytes("US-ASCII")
-      require(nb.length > 0 && nb.length <= 100,
-        s"tar entry name must be 1..100 bytes: '$name'")
-      val hdr = new Array[Byte](BlockSize)
-      System.arraycopy(nb, 0, hdr, 0, nb.length)
-      System.arraycopy(octal(420, 8), 0, hdr, 100, 8) // mode 0644
-      System.arraycopy(octal(0, 8), 0, hdr, 108, 8) // uid
-      System.arraycopy(octal(0, 8), 0, hdr, 116, 8) // gid
-      System.arraycopy(octal(payload.length.toLong, 12), 0, hdr, 124, 12)
-      System.arraycopy(octal(0, 12), 0, hdr, 136, 12) // mtime 0: determinism
-      hdr(156) = '0' // regular file
-      System.arraycopy("ustar\u000000".getBytes("US-ASCII"), 0, hdr, 257, 8)
-      // checksum: header bytes summed with the checksum field as spaces,
-      // stored as 6 octal digits + NUL + space
-      java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+    files.foreach { case (name, _) =>
+      require(name.nonEmpty, "tar entry name must be non-empty")
+    }
+    val total = files.iterator
+      .map { case (n, p) => entryCost(n, p.length) }.sum + 2L * BlockSize
+    require(total <= Int.MaxValue.toLong,
+      s"tar archive exceeds 2 GiB ($total bytes); lower the shard bound")
+    val out = new Array[Byte](total.toInt)
+    var pos = 0
+    // header at `pos`: name field (<=100 ASCII bytes), size, typeflag;
+    // checksum = bytes summed with the checksum field as spaces, stored
+    // as 6 octal digits + NUL + space
+    def putHeader(nameAscii: Array[Byte], size: Int, typeflag: Byte): Unit = {
+      System.arraycopy(nameAscii, 0, out, pos, nameAscii.length)
+      System.arraycopy(octal(420, 8), 0, out, pos + 100, 8) // mode 0644
+      System.arraycopy(octal(0, 8), 0, out, pos + 108, 8) // uid
+      System.arraycopy(octal(0, 8), 0, out, pos + 116, 8) // gid
+      System.arraycopy(octal(size.toLong, 12), 0, out, pos + 124, 12)
+      System.arraycopy(octal(0, 12), 0, out, pos + 136, 12) // mtime 0: determinism
+      out(pos + 156) = typeflag
+      System.arraycopy("ustar\u000000".getBytes("US-ASCII"), 0, out, pos + 257, 8)
+      java.util.Arrays.fill(out, pos + 148, pos + 156, ' '.toByte)
       var sum = 0L
       var i = 0
-      while (i < BlockSize) { sum += hdr(i) & 0xff; i += 1 }
+      while (i < BlockSize) { sum += out(pos + i) & 0xff; i += 1 }
       val cs = java.lang.Long.toOctalString(sum)
       val csPad = "0" * (6 - cs.length) + cs
-      System.arraycopy((csPad + "\u0000 ").getBytes("US-ASCII"), 0, hdr, 148, 8)
-      out ++= hdr
-      out ++= payload
-      val rem = payload.length % BlockSize
-      if (rem != 0) out ++= new Array[Byte](BlockSize - rem)
+      System.arraycopy((csPad + "\u0000 ").getBytes("US-ASCII"), 0, out, pos + 148, 8)
+      pos += BlockSize
     }
-    out ++= new Array[Byte](2 * BlockSize) // end-of-archive marker
-    out.toArray
+    def putPayload(p: Array[Byte]): Unit = {
+      System.arraycopy(p, 0, out, pos, p.length)
+      pos += ((p.length + BlockSize - 1) / BlockSize) * BlockSize // NUL pad pre-zeroed
+    }
+    for ((name, payload) <- files) {
+      if (!isPlainName(name)) {
+        val rec = paxRecord("path", name)
+        putHeader(asciiFallback(s"PaxHeaders.0/$name").getBytes("US-ASCII"),
+          rec.length, 'x')
+        putPayload(rec)
+      }
+      val headerName =
+        if (isPlainName(name)) name.getBytes("US-ASCII")
+        else asciiFallback(name).getBytes("US-ASCII")
+      putHeader(headerName, payload.length, '0')
+      putPayload(payload)
+    }
+    // the trailing 2-block end-of-archive marker is the pre-zeroed tail
+    out
   }
 
   /** Walk an archive's headers: (name, size, payload offset) per
@@ -133,11 +193,35 @@ object TarShards {
         case 'L' => // GNU long name: payload = next member's real name
           pendingName = Some(payloadString())
         case 'x' => // pax extended header: records are "len key=value\n"
-          val path = payloadString().split('\n').iterator
-            .map(_.split("=", 2)).collectFirst {
-              case Array(k, v) if k.split(' ').last == "path" => v
+          // where the decimal prefix counts the WHOLE record including
+          // itself — parse by the prefix (not by '\n' splitting) so a
+          // path value legally containing a newline survives. A pax
+          // `size` override (members > 8 GiB, beyond this Array[Byte]
+          // reader) rejects loudly rather than misparsing every
+          // subsequent header at the stale octal size.
+          var off = 0
+          val lim = size.toInt
+          while (off < lim) {
+            var sp = off
+            while (sp < lim && tar(payloadOff + sp) != ' ') sp += 1
+            require(sp > off && sp < lim, s"pax record missing length prefix at $pos")
+            val recLen = new String(tar, payloadOff + off, sp - off, "US-ASCII").toInt
+            require(recLen > sp - off + 1 && off + recLen <= lim,
+              s"pax record length out of range at $pos")
+            require(tar(payloadOff + off + recLen - 1) == '\n',
+              s"pax record missing terminator at $pos")
+            val body = new String(tar, payloadOff + sp + 1,
+              off + recLen - 1 - (sp + 1), "UTF-8")
+            val eq = body.indexOf('=')
+            require(eq > 0, s"pax record missing '=' at $pos")
+            body.substring(0, eq) match {
+              case "path" => pendingName = Some(body.substring(eq + 1))
+              case "size" => throw new IllegalArgumentException(
+                s"pax size override unsupported (member > 8 GiB?) at $pos")
+              case _ => () // mtime/atime/uid/…: no bearing on samples
             }
-          if (path.isDefined) pendingName = path
+            off += recLen
+          }
         case '0' | '\u0000' => // regular file (NUL typeflag is the pre-POSIX v7 form)
           val name = pendingName.getOrElse {
             val base = field(0, 100)
@@ -193,9 +277,6 @@ object TarShards {
       s"maxShardBytes must fit at least one header + terminator: $maxShardBytes")
     val spark = df.sparkSession
     import spark.implicits._
-    // archive cost of one member: header block + payload rounded up
-    def entryCost(payloadLen: Int): Long =
-      BlockSize + ((payloadLen.toLong + BlockSize - 1) / BlockSize) * BlockSize
     df.select(col(groupCol).cast("long").as("grp"),
         col(nameCol).cast("string").as("name"), col(payloadCol).as("payload"))
       .as[(Long, String, Array[Byte])]
@@ -210,9 +291,9 @@ object TarShards {
             var bytes = 2L * BlockSize // end-of-archive marker
             while (it.hasNext && files.length < maxEntriesPerShard &&
                 (files.isEmpty ||
-                  bytes + entryCost(it.head._3.length) <= maxShardBytes)) {
+                  bytes + entryCost(it.head._2, it.head._3.length) <= maxShardBytes)) {
               val r = it.next()
-              bytes += entryCost(r._3.length)
+              bytes += entryCost(r._2, r._3.length)
               files += ((r._2, r._3))
             }
             val tar = writeTar(files.toSeq)

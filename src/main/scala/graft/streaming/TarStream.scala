@@ -79,9 +79,26 @@ object TarStream {
     q.processAllAvailable()
     q.stop()
     // materialize off the temp sink (delivery-sized), then reclaim the
-    // per-run scratch tree — repeated invocations must not pile up tmpdir
-    val result = spark.read.parquet(s"$sink/batch_*")
-      .orderBy($"grp", $"name").localCheckpoint()
+    // per-run scratch tree — repeated invocations must not pile up
+    // tmpdir. Durability trade-off, stated honestly: after the delete,
+    // the eager localCheckpoint's executor-local blocks are the ONLY
+    // copy of the result — an executor loss afterwards loses it rather
+    // than recomputing (acceptable for this delivery-sized demo; a
+    // production caller would own the sink directory's lifetime and
+    // defer cleanup past its own durable write).
+    val sinkPath = java.nio.file.Paths.get(sink)
+    val haveBatches = java.nio.file.Files.isDirectory(sinkPath) && {
+      val s = java.nio.file.Files.list(sinkPath)
+      try s.anyMatch(p => p.getFileName.toString.startsWith("batch_"))
+      finally s.close()
+    }
+    val result =
+      if (!haveBatches) // zero committed micro-batches: empty, not AnalysisException
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "grp LONG, name STRING, size LONG, offset LONG, payload_md5 STRING"))
+      else spark.read.parquet(s"$sink/batch_*")
+        .orderBy($"grp", $"name").localCheckpoint()
     deleteRecursively(base)
     result
   }

@@ -162,6 +162,36 @@ class H264PSliceSpec extends AnyFunSuite {
     }
   }
 
+  test("Annex-B iterator materializes ONE access unit at a time") {
+    // AU bytes must be copied from the stream only when the consumer
+    // pulls that frame: decode frame 0, then clobber the stream bytes
+    // PAST the first AU in place — frames 1+ must now fail, proving
+    // they had not been materialized up front (the r11 shape copied
+    // every AU into an ArrayBuffer before decoding — ~2x the stream)
+    val f0 = gradient(48, 32)
+    val frames = Seq(f0, shifted(f0, 2, 0), shifted(f0, 3, 1))
+    val payloads = H264Codec.encodeGop(frames, qp = 26, avcc = false)
+    val es = payloads.flatten.toArray
+    val firstAuEnd = payloads.head.length // AU boundaries = payload bounds
+    val it = H264Codec.decodeAnnexBIterator(es)
+    // the iterator holds at most ONE prefetched AU: at construction
+    // that is AU0; pulling frame 0 prefetches AU1 — so after a clobber
+    // the prefetched AU1 still decodes but AU2 (not yet copied) cannot
+    assert(it.next().isDefined, "frame 0")
+    java.util.Arrays.fill(es, firstAuEnd, es.length, 0x5a.toByte)
+    val rest = it.toSeq
+    // AU grouping is itself lazy: the clobbered region no longer scans
+    // as a slice NAL, so frame 2 either vanishes or comes back None —
+    // but it must NOT decode (that would mean eager materialization)
+    assert(rest.nonEmpty && rest.head.isDefined,
+      "frame 1 was the single prefetched AU")
+    assert(rest.length <= 2 && rest.drop(1).forall(_.isEmpty),
+      "frame 2 decoded post-clobber — AUs were materialized eagerly")
+    // and the un-mutated stream still decodes fully via the same path
+    val es2 = payloads.flatten.toArray
+    assert(H264Codec.decodeAnnexBIterator(es2).count(_.isDefined) == 3)
+  }
+
   test("Table 9-5 inter CBP column: permutation + spec anchors + inverse") {
     val t = H264Codec.CbpInterByCodeNum
     assert(t.length == 48 && t.toSet == (0 until 48).toSet, "not a permutation")

@@ -164,14 +164,105 @@ class TarShardsSpec extends SparkSpec {
     assert(names.toSeq == Seq(Seq("a.bin", "b.bin"), Seq("c.bin"), Seq("d.bin")))
   }
 
-  test("writeTar rejects non-ASCII names instead of silently mangling them") {
-    // US-ASCII encoding would turn both into "sample_?.txt" — a silent
-    // in-shard collision; the writer must fail loudly
-    val e = intercept[IllegalArgumentException](
-      TarShards.writeTar(Seq(("sample_é.txt", "x".getBytes))))
-    assert(e.getMessage.contains("ASCII"))
-    intercept[IllegalArgumentException](
-      TarShards.writeTar(Seq(("sample_ü.txt", "x".getBytes))))
+  test("writeTar: long and non-ASCII names round-trip via pax 'x' headers") {
+    // r11 made the READ side honor foreign long names; the write side
+    // now emits the same pax form instead of rejecting. A 144-byte deep
+    // path (the golden-fixture shape) and a UTF-8 key must both survive
+    // writeTar ∥ listEntries byte-exactly — US-ASCII truncation or
+    // '?'-substitution would silently collide distinct sample keys.
+    val longName = (1 to 8).map(i => f"deep_dir_$i%03d").mkString("/") +
+      "/sample_with_quite_a_long_key_name_00.txt"
+    assert(longName.length == 144)
+    val utf8Name = "samples/cliché_naïve_日本語_00.bin"
+    val files = Seq(
+      ("short.txt", "short sibling".getBytes("UTF-8")),
+      (longName, "payload under a very long path".getBytes("UTF-8")),
+      (utf8Name, Array.tabulate[Byte](700)(i => (i % 251).toByte)))
+    val tar = TarShards.writeTar(files)
+    // exact-size preallocation: archive bytes == the entryCost budget
+    // packTarGroups uses (so predicted and written shard sizes agree)
+    assert(tar.length.toLong ==
+      files.map(f => TarShards.entryCost(f._1, f._2.length)).sum + 1024)
+    val es = TarShards.listEntries(tar)
+    assert(es.map(e => (e.name, e.size)) ==
+      files.map(f => (f._1, f._2.length.toLong)))
+    es.zip(files).foreach { case (e, (_, p)) =>
+      assert(java.util.Arrays.equals(TarShards.extract(tar, e), p), e.name)
+    }
+    // empty names still reject loudly
+    intercept[IllegalArgumentException](TarShards.writeTar(Seq(("", "x".getBytes))))
+  }
+
+  test("GNU tar cross-witnesses OUR pax archives (long + UTF-8 names)") {
+    val tarBin = java.nio.file.Paths.get("/usr/bin/tar")
+    assume(java.nio.file.Files.isExecutable(tarBin), "GNU tar not available")
+    val longName = (1 to 8).map(i => f"deep_dir_$i%03d").mkString("/") +
+      "/sample_with_quite_a_long_key_name_00.txt"
+    val utf8Name = "samples/cliché_00.bin"
+    val payloadL = "payload under a very long path".getBytes("UTF-8")
+    val payloadU = Array.tabulate[Byte](513)(i => (i % 251).toByte)
+    val tar = TarShards.writeTar(Seq((longName, payloadL), (utf8Name, payloadU)))
+    val tmp = java.nio.file.Files.createTempFile("graft_pax_witness", ".tar")
+    try {
+      java.nio.file.Files.write(tmp, tar)
+      def run(args: String*): Array[Byte] = {
+        val pb = new ProcessBuilder((Seq("/usr/bin/tar") ++ args): _*)
+        pb.redirectErrorStream(false)
+        val p = pb.start()
+        val out = p.getInputStream.readAllBytes()
+        assert(p.waitFor() == 0, s"tar ${args.mkString(" ")} failed")
+        out
+      }
+      // -tf escapes non-ASCII bytes in the C locale (clich\303\251…),
+      // so pin the ASCII long name exactly and the count; the UTF-8
+      // name is witnessed by exact-byte extraction below
+      val listed = new String(run("-tf", tmp.toString), "UTF-8").split('\n').toSet
+      assert(listed.contains(longName) && listed.size == 2, listed)
+      assert(java.util.Arrays.equals(
+        run("-xOf", tmp.toString, longName), payloadL))
+      // the UTF-8 name can't ride an exec arg reliably (sun.jnu.encoding
+      // may be ASCII in this container) — match it with an ASCII
+      // wildcard; the member is unique so the payload pins it exactly
+      assert(java.util.Arrays.equals(
+        run("--wildcards", "-xOf", tmp.toString, "samples/*_00.bin"), payloadU))
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  test("pax records parse by length prefix: newline-bearing paths survive") {
+    // a path value legally containing '\n' breaks '\n'-split parsing;
+    // the length-prefixed parser must reconstruct it exactly
+    val weird = "dir/name_with_a\nnewline.txt"
+    val tar = TarShards.writeTar(Seq((weird, "nl payload".getBytes("UTF-8"))))
+    val es = TarShards.listEntries(tar)
+    assert(es.map(_.name) == Seq(weird))
+    assert(new String(TarShards.extract(tar, es.head), "UTF-8") == "nl payload")
+    // a pax 'size' override (member > 8 GiB) rejects loudly instead of
+    // misparsing every subsequent header at the stale octal size
+    val rec = TarShards.paxRecord("size", "9999999999")
+    val sizeOverride = TarShards.writeTar(Seq(("a.txt", "x".getBytes)))
+    // graft a size-record pax header in front by building it manually:
+    // reuse writeTar's own pax emission via a name that needs one, then
+    // patch its record to 'size' — simpler: hand-build via paxRecord +
+    // a long-named entry whose record we overwrite in place
+    val paxTar = TarShards.writeTar(Seq(("n" * 120, "x".getBytes)))
+    val pathRec = TarShards.paxRecord("path", "n" * 120)
+    assert(rec.length <= pathRec.length) // fits in the same payload block
+    val patched = paxTar.clone()
+    java.util.Arrays.fill(patched, 512, 512 + pathRec.length, 0.toByte)
+    System.arraycopy(rec, 0, patched, 512, rec.length)
+    // fix the pax header's size field + checksum for the new record len
+    val sizeOct = ("0" * (11 - java.lang.Long.toOctalString(rec.length.toLong).length)) +
+      java.lang.Long.toOctalString(rec.length.toLong)
+    System.arraycopy((sizeOct + " ").getBytes("US-ASCII"), 0, patched, 124, 12)
+    var sum = 0L
+    for (i <- 0 until 512)
+      sum += (if (i >= 148 && i < 156) ' '.toInt else patched(i) & 0xff)
+    val cs = java.lang.Long.toOctalString(sum)
+    System.arraycopy((("0" * (6 - cs.length)) + cs + "  ").getBytes("US-ASCII"),
+      0, patched, 148, 8)
+    val e = intercept[IllegalArgumentException](TarShards.listEntries(patched))
+    assert(e.getMessage.contains("size override"))
+    assert(sizeOverride.nonEmpty) // (plain archive above still valid)
   }
 
   test("foreign long paths: ustar prefix, GNU 'L', and pax 'x' all stitch exactly") {
