@@ -171,7 +171,7 @@ object H264Codec {
 
   case class Sps(profileIdc: Int, levelIdc: Int, log2MaxFrameNum: Int,
       picOrderCntType: Int, widthMbs: Int, heightMbs: Int,
-      cropRight: Int, cropBottom: Int) {
+      cropRight: Int, cropBottom: Int, maxRefFrames: Int = 1) {
     def width: Int = widthMbs * 16 - 2 * cropRight
     def height: Int = heightMbs * 16 - 2 * cropBottom
   }
@@ -192,7 +192,8 @@ object H264Codec {
     val poc = r.ue()
     if (poc == 0) r.ue() // log2_max_pic_order_cnt_lsb_minus4
     else if (poc == 1) throw new H264Format("POC type 1 out of scope")
-    r.ue() // max_num_ref_frames
+    val maxRef = r.ue() // max_num_ref_frames: bounds the decoder's DPB ring
+    if (maxRef > 16) throw new H264Format(s"max_num_ref_frames $maxRef > 16")
     r.u1() // gaps_in_frame_num
     val wMbs = r.ue() + 1
     val hMap = r.ue() + 1
@@ -205,7 +206,8 @@ object H264Codec {
       if (l != 0 || t != 0) throw new H264Format("left/top crop out of scope")
     }
     r.u1() // vui_present (ignored if absent; VUI payload not parsed)
-    Sps(profile, level, log2MaxFrameNum, poc, wMbs, hMap, cropR, cropB)
+    Sps(profile, level, log2MaxFrameNum, poc, wMbs, hMap, cropR, cropB,
+      math.max(1, maxRef))
   }
 
   private def parsePps(r: BitReader): Pps = {
@@ -286,15 +288,20 @@ object H264Codec {
 
   /**
    * Stateful access-unit decoder for a GOP: an IDR frame resets the
-   * reference, a P frame (NAL type 1) motion-compensates against the
-   * previous frame's reconstruction. SPS/PPS carry across payloads, so
-   * P-frame payloads need not repeat them. Single reference frame
-   * (ref_idx_l0 = 0 only) — the baseline IPPP shape.
+   * decoded-picture buffer, a P frame (NAL type 1) motion-compensates
+   * against reference frames from the DPB ring — up to the SPS's
+   * max_num_ref_frames most recent reference pictures, list-0 ordered
+   * most-recent-first (the 8.2.4.2.1 P default; descending PicNum) and
+   * evicted sliding-window style (8.2.5.3: oldest out) — so x264's
+   * default ref=3 baseline output decodes, not just IPPP-with-one-ref.
+   * SPS/PPS carry across payloads, so P-frame payloads need not repeat
+   * them. Explicit list reordering and adaptive marking stay out of
+   * scope (they throw).
    */
   private[pipeline] final class GopDecoder {
     private var sps: Sps = null
     private var pps: Pps = null
-    private var ref: FrameState = null
+    private var dpb: List[FrameState] = Nil // head = most recent reference
 
     def decodeAuYuv(p: Array[Byte])
         : Option[(Sps, Array[Byte], Array[Byte], Array[Byte])] = {
@@ -316,8 +323,12 @@ object H264Codec {
             if (pps.entropyCabac) throw new H264Format("CABAC out of scope")
             val refIdc = (hdr >> 5) & 3
             val st = decodeSlice(new BitReader(unescape(p, s + 1, e)), sps, pps,
-              idr = nalType == 5, refIdc, ref)
-            if (nalType == 5 || refIdc != 0) ref = st // non-ref frames are disposable
+              idr = nalType == 5, refIdc, dpb)
+            // DPB update: IDR resets; a non-IDR reference picture joins
+            // at the head with sliding-window eviction; non-ref frames
+            // are disposable
+            if (nalType == 5) dpb = List(st)
+            else if (refIdc != 0) dpb = (st :: dpb).take(sps.maxRefFrames)
             return Some((sps, st.yPlane, st.cbPlane, st.crPlane))
           case _ => () // SEI / AUD / others skipped
         }
@@ -331,13 +342,13 @@ object H264Codec {
         // a corrupt access unit poisons the chain: dependents must not
         // predict from stale state — only a later self-contained I/IDR
         // picture (which needs no reference) recovers
-        ref = null
+        dpb = Nil
         None
       }
 
-    /** Seed the reference frame directly (spec hook). */
-    private[pipeline] def seed(s: Sps, p: Pps, st: FrameState): Unit = {
-      sps = s; pps = p; ref = st
+    /** Seed the reference DPB directly, most-recent-first (spec hook). */
+    private[pipeline] def seed(s: Sps, p: Pps, refs: List[FrameState]): Unit = {
+      sps = s; pps = p; dpb = refs
     }
   }
 
@@ -416,29 +427,34 @@ object H264Codec {
   }
 
   /** Decode one slice (I when `idr` or slice_type says so, else P
-    * against `ref`) into a fresh FrameState. Header per 7.3.3, data per
-    * 7.3.4/7.3.5; `refIdc` = the NAL header's nal_ref_idc (non-IDR
-    * slices carry dec_ref_pic_marking syntax only when it is non-zero). */
+    * against the DPB's reference list) into a fresh FrameState. Header
+    * per 7.3.3, data per 7.3.4/7.3.5; `refIdc` = the NAL header's
+    * nal_ref_idc (non-IDR slices carry dec_ref_pic_marking syntax only
+    * when it is non-zero). */
   private def decodeSlice(r: BitReader, sps: Sps, pps: Pps, idr: Boolean,
-      refIdc: Int, ref: FrameState): FrameState = {
+      refIdc: Int, dpb: List[FrameState]): FrameState = {
     // slice_header (7.3.3)
     if (r.ue() != 0) throw new H264Format("first_mb_in_slice != 0")
     val sliceType = r.ue() % 5
     val isP = sliceType == 0
     if (sliceType != 2 && !isP) throw new H264Format(s"slice type $sliceType out of scope")
     if (isP && idr) throw new H264Format("P slice in an IDR NAL")
-    if (isP && ref == null) throw new H264Format("P slice without a reference frame")
+    if (isP && dpb.isEmpty) throw new H264Format("P slice without a reference frame")
     r.ue() // pps id
     r.u(sps.log2MaxFrameNum) // frame_num
     if (idr) r.ue() // idr_pic_id
     if (sps.picOrderCntType == 0) r.u(16) // poc lsb (we always write type 2)
+    var refs: IndexedSeq[FrameState] = IndexedSeq.empty
     if (isP) {
-      // effective list-0 size: slice override, else the PPS default —
-      // anything beyond one reference frame is out of scope, and must
-      // throw rather than misparse the per-partition ref_idx fields
+      // effective list-0 size: slice override, else the PPS default;
+      // the default P list is the DPB most-recent-first (8.2.4.2.1), so
+      // a list longer than the decoded reference history is corrupt
       val numRefL0 = if (r.u1() == 1) r.ue() else pps.numRefIdxL0Default
-      if (numRefL0 != 0)
-        throw new H264Format("multiple reference frames out of scope")
+      if (numRefL0 > 15) throw new H264Format(s"num_ref_idx_l0 $numRefL0 > 16")
+      if (numRefL0 + 1 > dpb.length)
+        throw new H264Format(
+          s"ref list size ${numRefL0 + 1} exceeds DPB of ${dpb.length}")
+      refs = dpb.take(numRefL0 + 1).toIndexedSeq
       if (r.u1() != 0) // ref_pic_list_modification_flag_l0 (7.3.3.1)
         throw new H264Format("ref pic list modification out of scope")
       if (pps.weightedPred) throw new H264Format("weighted prediction out of scope")
@@ -469,7 +485,7 @@ object H264Codec {
     val st = new FrameState(sps.widthMbs, sps.heightMbs)
     var qpY = pps.picInitQp + sliceQpDelta
     if (qpY < 0 || qpY > 51) throw new H264Format(s"slice QP $qpY out of range")
-    if (isP) { decodePSliceData(r, st, ref, qpY); return st }
+    if (isP) { decodePSliceData(r, st, refs, qpY); return st }
     // slice_data: all-I macroblocks, raster order
     var mb = 0
     val nMbs = st.wMbs * st.hMbs
@@ -554,12 +570,18 @@ object H264Codec {
     qpY
   }
 
+  /** te(v) (9.1.1): with a max of 1 the field is a single INVERTED bit;
+    * with a larger range it is plain ue(v). Used by ref_idx_l0. */
+  private def te(r: BitReader, range: Int): Int =
+    if (range == 1) 1 - r.u1() else r.ue()
+
   /** P-slice slice_data (7.3.4 CAVLC form): mb_skip_run before every
     * coded macroblock (a trailing run may end the slice); coded MBs are
     * Table 7-13 inter types 0-4 or intra (mb_type − 5). Reconstructs
-    * into `st` against reference frame `ref`. */
+    * into `st` against the list-0 reference frames `refs` (index 0 =
+    * most recent; P_Skip always predicts from refs(0) per 8.4.1.1). */
   private def decodePSliceData(r: BitReader, st: FrameState,
-      ref: FrameState, qpYIn: Int): Unit = {
+      refs: IndexedSeq[FrameState], qpYIn: Int): Unit = {
     var qpY = qpYIn
     var mb = 0
     val nMbs = st.wMbs * st.hMbs
@@ -569,7 +591,7 @@ object H264Codec {
       while (run > 0) {
         val mx = mb % st.wMbs; val my = mb / st.wMbs
         val (vx, vy) = skipMv(st, mx, my)
-        mcPartition(st, ref, mx * 4, my * 4, 4, 4, vx, vy)
+        mcPartition(st, refs(0), mx * 4, my * 4, 4, 4, vx, vy, refIdx = 0)
         markInterNnzZero(st, mx, my)
         mb += 1; run -= 1
       }
@@ -580,9 +602,9 @@ object H264Codec {
           qpY = decodeIntraMb(r, st, mx * 16, my * 16, mbType - 5, qpY)
           // mark decoded-but-not-inter for 8.4.1.3 neighbor derivation
           // (motion grids are disjoint from the nnz the intra decode set)
-          st.setMv(mx * 4, my * 4, 4, 4, 0, 0, inter = false)
+          st.setMv(mx * 4, my * 4, 4, 4, 0, 0, inter = false, refIdx = -1)
         } else {
-          qpY = decodeInterMb(r, st, ref, mx, my, mbType, qpY)
+          qpY = decodeInterMb(r, st, refs, mx, my, mbType, qpY)
         }
         mb += 1
       }
@@ -610,61 +632,79 @@ object H264Codec {
     }
   }
 
-  /** Decode one inter macroblock (Table 7-13 types 0-4): partition MVs
-    * (mvd against the 8.4.1.3 predictor), motion compensation, then the
-    * inter residual (Table 9-5 inter CBP; 16-coefficient luma blocks —
-    * no DC split — and the shared chroma layout with MC prediction).
-    * Returns the updated slice QP. */
-  private def decodeInterMb(r: BitReader, st: FrameState, ref: FrameState,
-      mx: Int, my: Int, mbType: Int, qpYIn: Int): Int = {
+  /** Decode one inter macroblock (Table 7-13 types 0-4): per-partition
+    * ref_idx_l0 (te(v), present when the list has more than one frame —
+    * 7.3.5.1 reads ALL partitions' ref_idx before any mvd), partition
+    * MVs (mvd against the 8.4.1.3 predictor), motion compensation from
+    * the selected reference, then the inter residual (Table 9-5 inter
+    * CBP; 16-coefficient luma blocks — no DC split — and the shared
+    * chroma layout with MC prediction). Returns the updated slice QP. */
+  private def decodeInterMb(r: BitReader, st: FrameState,
+      refs: IndexedSeq[FrameState], mx: Int, my: Int, mbType: Int,
+      qpYIn: Int): Int = {
     var qpY = qpYIn
     val bx0 = mx * 4; val by0 = my * 4
+    val range = refs.length - 1 // te(v) range; 0 = field absent
+    def readRefIdx(): Int = {
+      val v = if (range == 0) 0 else te(r, range)
+      if (v > range) throw new H264Format(s"ref_idx_l0 $v exceeds list of ${refs.length}")
+      v
+    }
     def readMvd(): (Int, Int) = { val x = r.se(); val y = r.se(); (x, y) }
     mbType match {
       case 0 => // P_L0_16x16
+        val ri = readRefIdx()
         val (dx, dy) = readMvd()
-        val (px, py) = mvPredict(st, bx0, by0, 4, 0)
-        mcPartition(st, ref, bx0, by0, 4, 4, px + dx, py + dy)
+        val (px, py) = mvPredict(st, bx0, by0, 4, 0, ri)
+        mcPartition(st, refs(ri), bx0, by0, 4, 4, px + dx, py + dy, ri)
       case 1 => // P_L0_L0_16x8 (top, bottom)
+        val ri0 = readRefIdx(); val ri1 = readRefIdx()
         val (dx0, dy0) = readMvd(); val (dx1, dy1) = readMvd()
-        val (p0x, p0y) = mvPredict(st, bx0, by0, 4, 1)
-        mcPartition(st, ref, bx0, by0, 4, 2, p0x + dx0, p0y + dy0)
-        val (p1x, p1y) = mvPredict(st, bx0, by0 + 2, 4, 2)
-        mcPartition(st, ref, bx0, by0 + 2, 4, 2, p1x + dx1, p1y + dy1)
+        val (p0x, p0y) = mvPredict(st, bx0, by0, 4, 1, ri0)
+        mcPartition(st, refs(ri0), bx0, by0, 4, 2, p0x + dx0, p0y + dy0, ri0)
+        val (p1x, p1y) = mvPredict(st, bx0, by0 + 2, 4, 2, ri1)
+        mcPartition(st, refs(ri1), bx0, by0 + 2, 4, 2, p1x + dx1, p1y + dy1, ri1)
       case 2 => // P_L0_L0_8x16 (left, right)
+        val ri0 = readRefIdx(); val ri1 = readRefIdx()
         val (dx0, dy0) = readMvd(); val (dx1, dy1) = readMvd()
-        val (p0x, p0y) = mvPredict(st, bx0, by0, 2, 3)
-        mcPartition(st, ref, bx0, by0, 2, 4, p0x + dx0, p0y + dy0)
-        val (p1x, p1y) = mvPredict(st, bx0 + 2, by0, 2, 4)
-        mcPartition(st, ref, bx0 + 2, by0, 2, 4, p1x + dx1, p1y + dy1)
-      case 3 | 4 => // P_8x8 / P_8x8ref0 (single reference: identical)
+        val (p0x, p0y) = mvPredict(st, bx0, by0, 2, 3, ri0)
+        mcPartition(st, refs(ri0), bx0, by0, 2, 4, p0x + dx0, p0y + dy0, ri0)
+        val (p1x, p1y) = mvPredict(st, bx0 + 2, by0, 2, 4, ri1)
+        mcPartition(st, refs(ri1), bx0 + 2, by0, 2, 4, p1x + dx1, p1y + dy1, ri1)
+      case 3 | 4 => // P_8x8 / P_8x8ref0 (ref0: every ref_idx is 0, no syntax)
         val subTypes = Array.fill(4)(r.ue())
         subTypes.foreach { t =>
           if (t > 3) throw new H264Format(s"bad sub_mb_type $t")
         }
-        // (no ref_idx syntax: one reference frame)
+        // sub_mb_pred (7.3.5.2): the four 8x8s' ref_idx fields come
+        // BEFORE any mvd
+        val refIdx =
+          if (mbType == 4) Array.fill(4)(0)
+          else Array.fill(4)(readRefIdx())
         var sb = 0
         while (sb < 4) {
           val sbx = bx0 + (sb % 2) * 2; val sby = by0 + (sb / 2) * 2
+          val ri = refIdx(sb)
+          val ref = refs(ri)
           subTypes(sb) match {
             case 0 => // 8x8
               val (dx, dy) = readMvd()
-              val (p, q) = mvPredict(st, sbx, sby, 2, 0)
-              mcPartition(st, ref, sbx, sby, 2, 2, p + dx, q + dy)
+              val (p, q) = mvPredict(st, sbx, sby, 2, 0, ri)
+              mcPartition(st, ref, sbx, sby, 2, 2, p + dx, q + dy, ri)
             case 1 => // 8x4 (top, bottom)
               var k = 0
               while (k < 2) {
                 val (dx, dy) = readMvd()
-                val (p, q) = mvPredict(st, sbx, sby + k, 2, 0)
-                mcPartition(st, ref, sbx, sby + k, 2, 1, p + dx, q + dy)
+                val (p, q) = mvPredict(st, sbx, sby + k, 2, 0, ri)
+                mcPartition(st, ref, sbx, sby + k, 2, 1, p + dx, q + dy, ri)
                 k += 1
               }
             case 2 => // 4x8 (left, right)
               var k = 0
               while (k < 2) {
                 val (dx, dy) = readMvd()
-                val (p, q) = mvPredict(st, sbx + k, sby, 1, 0)
-                mcPartition(st, ref, sbx + k, sby, 1, 2, p + dx, q + dy)
+                val (p, q) = mvPredict(st, sbx + k, sby, 1, 0, ri)
+                mcPartition(st, ref, sbx + k, sby, 1, 2, p + dx, q + dy, ri)
                 k += 1
               }
             case _ => // 4x4, z-order within the 8x8
@@ -672,8 +712,8 @@ object H264Codec {
               while (k < 4) {
                 val cx = sbx + (k % 2); val cy = sby + (k / 2)
                 val (dx, dy) = readMvd()
-                val (p, q) = mvPredict(st, cx, cy, 1, 0)
-                mcPartition(st, ref, cx, cy, 1, 1, p + dx, q + dy)
+                val (p, q) = mvPredict(st, cx, cy, 1, 0, ri)
+                mcPartition(st, ref, cx, cy, 1, 1, p + dx, q + dy, ri)
                 k += 1
               }
           }
@@ -909,16 +949,19 @@ object H264Codec {
   }
 
   /** One motion-vector-prediction neighbor: available = in-frame and
-    * already reconstructed this frame; inter = carries a refIdx-0 MV. */
-  private final case class MvNbr(avail: Boolean, inter: Boolean, vx: Int, vy: Int)
+    * already reconstructed this frame; inter = carries a list-0 MV;
+    * refIdx = its reference index (-1 when intra/unavailable). */
+  private final case class MvNbr(avail: Boolean, inter: Boolean, vx: Int,
+      vy: Int, refIdx: Int)
 
   private def mvNbrAt(st: FrameState, bx: Int, by: Int): MvNbr = {
     if (bx < 0 || by < 0 || bx >= st.wMbs * 4 || by >= st.hMbs * 4)
-      MvNbr(avail = false, inter = false, 0, 0)
+      MvNbr(avail = false, inter = false, 0, 0, -1)
     else {
       val i = st.blkIdx(bx, by)
-      if (!st.decodedBlk(i)) MvNbr(avail = false, inter = false, 0, 0)
-      else MvNbr(avail = true, st.interBlk(i), st.mvx(i), st.mvy(i))
+      if (!st.decodedBlk(i)) MvNbr(avail = false, inter = false, 0, 0, -1)
+      else MvNbr(avail = true, st.interBlk(i), st.mvx(i), st.mvy(i),
+        st.refIdxBlk(i))
     }
   }
 
@@ -926,49 +969,55 @@ object H264Codec {
     math.max(math.min(a, b), math.min(math.max(a, b), c))
 
   /** Median motion-vector predictor (8.4.1.3) for the partition whose
-    * top-left 4x4 block is (bx, by) and whose size is w4 x h4 blocks.
-    * `partKind` selects the 16x8/8x16 directional shortcuts: 0 = none,
-    * 1 = 16x8 top, 2 = 16x8 bottom, 3 = 8x16 left, 4 = 8x16 right.
-    * Single reference frame, so "same refIdx" = neighbor is inter. */
+    * top-left 4x4 block is (bx, by), size w4 x h4 blocks, predicting
+    * from reference index `refIdx`. `partKind` selects the 16x8/8x16
+    * directional shortcuts: 0 = none, 1 = 16x8 top, 2 = 16x8 bottom,
+    * 3 = 8x16 left, 4 = 8x16 right — each takes its neighbor only when
+    * that neighbor predicts from the SAME reference; likewise the
+    * exactly-one-same-refIdx rule. The component-wise median falls back
+    * to the neighbors' MVs regardless of refIdx (with (0,0) for
+    * unavailable/intra neighbors), per 8.4.1.3.1. */
   private def mvPredict(st: FrameState, bx: Int, by: Int, w4: Int,
-      partKind: Int): (Int, Int) = {
+      partKind: Int, refIdx: Int): (Int, Int) = {
     val a = mvNbrAt(st, bx - 1, by)        // left
     val b = mvNbrAt(st, bx, by - 1)        // above
     val cRaw = mvNbrAt(st, bx + w4, by - 1) // above-right
     val d = mvNbrAt(st, bx - 1, by - 1)    // above-left (C's substitute)
     val c = if (cRaw.avail) cRaw else d
+    def sameRef(n: MvNbr): Boolean = n.inter && n.refIdx == refIdx
     // directional shortcuts for the two-partition MB shapes (8.4.1.3)
     partKind match {
-      case 1 if b.inter => return (b.vx, b.vy) // 16x8 top from above
-      case 2 if a.inter => return (a.vx, a.vy) // 16x8 bottom from left
-      case 3 if a.inter => return (a.vx, a.vy) // 8x16 left from left
-      case 4 if c.inter => return (c.vx, c.vy) // 8x16 right from above-right
+      case 1 if sameRef(b) => return (b.vx, b.vy) // 16x8 top from above
+      case 2 if sameRef(a) => return (a.vx, a.vy) // 16x8 bottom from left
+      case 3 if sameRef(a) => return (a.vx, a.vy) // 8x16 left from left
+      case 4 if sameRef(c) => return (c.vx, c.vy) // 8x16 right from above-right
       case _ => ()
     }
     // when B, C and D are all unavailable, A alone predicts
     if (!b.avail && !cRaw.avail && !d.avail) return (a.vx, a.vy)
     // exactly one neighbor with the same refIdx -> its MV
-    val same = Seq(a, b, c).filter(_.inter)
+    val same = Seq(a, b, c).filter(sameRef)
     if (same.length == 1) (same.head.vx, same.head.vy)
     else (median3(a.vx, b.vx, c.vx), median3(a.vy, b.vy, c.vy))
   }
 
   /** P_Skip motion vector (8.4.1.1): zero when either edge neighbor is
-    * missing or is a zero-MV refIdx-0 block, else the 16x16 median. */
+    * missing or is a zero-MV refIdx-0 block, else the 16x16 median at
+    * refIdx 0 (P_Skip always predicts from the most recent reference). */
   private def skipMv(st: FrameState, mx: Int, my: Int): (Int, Int) = {
     val a = mvNbrAt(st, mx * 4 - 1, my * 4)
     val b = mvNbrAt(st, mx * 4, my * 4 - 1)
     if (!a.avail || !b.avail ||
-      (a.inter && a.vx == 0 && a.vy == 0) ||
-      (b.inter && b.vx == 0 && b.vy == 0)) (0, 0)
-    else mvPredict(st, mx * 4, my * 4, 4, 0)
+      (a.inter && a.refIdx == 0 && a.vx == 0 && a.vy == 0) ||
+      (b.inter && b.refIdx == 0 && b.vx == 0 && b.vy == 0)) (0, 0)
+    else mvPredict(st, mx * 4, my * 4, 4, 0, 0)
   }
 
   /** Motion-compensate one luma partition + both chroma partitions from
     * the reference planes into the current FrameState (prediction only;
-    * residual is added by the caller). Writes the MV grid. */
+    * residual is added by the caller). Writes the MV + refIdx grid. */
   private def mcPartition(st: FrameState, ref: FrameState, bx: Int, by: Int,
-      w4: Int, h4: Int, vx: Int, vy: Int): Unit = {
+      w4: Int, h4: Int, vx: Int, vy: Int, refIdx: Int = 0): Unit = {
     val lumaW = st.lumaW
     val pl = mcLuma(ref.yPlane, lumaW, st.hMbs * 16, bx * 4, by * 4, vx, vy,
       w4 * 4, h4 * 4)
@@ -999,7 +1048,7 @@ object H264Codec {
       }
       c += 1
     }
-    st.setMv(bx, by, w4, h4, vx, vy, inter = true)
+    st.setMv(bx, by, w4, h4, vx, vy, inter = true, refIdx = refIdx)
   }
 
   /** Whether the top-right 4x4 neighbor of luma4x4BlkIdx `bi` precedes
@@ -1033,16 +1082,20 @@ object H264Codec {
     val mvy = new Array[Int](wMbs * 4 * hMbs * 4)
     val interBlk = new Array[Boolean](wMbs * 4 * hMbs * 4)
     val decodedBlk = new Array[Boolean](wMbs * 4 * hMbs * 4)
+    /** List-0 reference index per block; -1 for intra blocks (8.4.1.3's
+      * "refIdxLXN = -1 when intra" — never equal to a real refIdx). */
+    val refIdxBlk = new Array[Int](wMbs * 4 * hMbs * 4)
     def blkIdx(bx: Int, by: Int): Int = by * wMbs * 4 + bx
-    /** Mark a partition's 4x4 blocks with its motion vector. */
+    /** Mark a partition's 4x4 blocks with its motion vector + refIdx. */
     def setMv(bx: Int, by: Int, w4: Int, h4: Int, vx: Int, vy: Int,
-        inter: Boolean): Unit = {
+        inter: Boolean, refIdx: Int = 0): Unit = {
       var y = by
       while (y < by + h4) {
         var x = bx
         while (x < bx + w4) {
           val i = blkIdx(x, y)
           mvx(i) = vx; mvy(i) = vy; interBlk(i) = inter; decodedBlk(i) = true
+          refIdxBlk(i) = if (inter) refIdx else -1
           x += 1
         }
         y += 1
@@ -1378,16 +1431,19 @@ object H264Codec {
     (bytes, st.yPlane, st.cbPlane, st.crPlane)
   }
 
-  /** SPS + PPS NAL units (baseline 66, level 3.0, POC type 2, CAVLC,
-    * one reference frame) — shared by the IDR and GOP encoders. */
-  private def spsPpsNals(wMbs: Int, hMbs: Int, cropR: Int, cropB: Int)
-      : (Array[Byte], Array[Byte]) = {
+  /** SPS + PPS NAL units (baseline 66, level 3.0, POC type 2, CAVLC) —
+    * shared by the IDR and GOP encoders. `refFrames` sets the SPS
+    * max_num_ref_frames (DPB depth) and the PPS list-0 default size;
+    * multi-ref GOPs write the x264-like default shape (PPS carries the
+    * list size, early slices override it down while the DPB fills). */
+  private def spsPpsNals(wMbs: Int, hMbs: Int, cropR: Int, cropB: Int,
+      refFrames: Int = 1): (Array[Byte], Array[Byte]) = {
     val sw = new BitWriter
     sw.u(66, 8); sw.u(0xC0, 8); sw.u(30, 8) // constraint_set0/1, level 3.0
     sw.ue(0) // sps id
     sw.ue(0) // log2_max_frame_num_minus4
     sw.ue(2) // pic_order_cnt_type 2
-    sw.ue(1) // max_num_ref_frames
+    sw.ue(refFrames) // max_num_ref_frames
     sw.u1(0) // gaps
     sw.ue(wMbs - 1); sw.ue(hMbs - 1)
     sw.u1(1) // frame_mbs_only
@@ -1404,7 +1460,7 @@ object H264Codec {
     pw.u1(0) // CAVLC
     pw.u1(0) // bottom_field_poc
     pw.ue(0) // one slice group
-    pw.ue(0); pw.ue(0) // ref idx defaults
+    pw.ue(refFrames - 1); pw.ue(0) // num_ref_idx_l0/l1_default_active_minus1
     pw.u1(0); pw.u(0, 2) // weighted pred off
     pw.se(0); pw.se(0); pw.se(0) // qp 26, qs 26, chroma offset 0
     pw.u1(1) // deblocking control present
@@ -1442,15 +1498,15 @@ object H264Codec {
   }
 
   private def encodeImpl(img: MediaCodecs.Bmp, avcc: Boolean, qp: Int,
-      intra4x4: Boolean, pick: (Int, Int, Seq[Int]) => Int)
-      : (Array[Byte], FrameState) = {
+      intra4x4: Boolean, pick: (Int, Int, Seq[Int]) => Int,
+      refFrames: Int = 1): (Array[Byte], FrameState) = {
     require(!intra4x4 || qp >= 0, "intra4x4 needs a compressed qp (0..51)")
     val (wMbs, hMbs, cropR, cropB) = mbGeometry(img)
 
     // RGB -> YCbCr 4:2:0, edge-replicated to MB grid
     val lumaW = wMbs * 16
     val (yP, cbP, crP) = toYuv420(img, wMbs, hMbs)
-    val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB)
+    val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB, refFrames)
 
     // IDR slice
     require(qp >= -1 && qp <= 51, s"qp $qp")
@@ -1813,80 +1869,109 @@ object H264Codec {
    * RECONSTRUCTION (so encoder and decoder reference states agree
    * bit-for-bit — the Intra_4x4 witness device extended to inter).
    * Every P payload carries SPS+PPS+slice, so each access unit is
-   * self-describing given its reference. Per macroblock the encoder
+   * self-describing given its references. Per macroblock the encoder
    * picks an integer-pel SAD-best MV within ±`searchRange` (P_Skip when
-   * the MV equals the skip predictor and every residual quantizes to
-   * zero); `forcedMv` (quarter-pel units) overrides the search — the
-   * spec hook that exercises the half/quarter-pel interpolation paths;
-   * `intraEvery` > 0 encodes every Nth macroblock as Intra_16x16 inside
-   * the P slice (Table 7-13 type − 5), exercising mixed slices.
+   * the reference is refs(0), the MV equals the skip predictor and
+   * every residual quantizes to zero); `forcedMv` (quarter-pel units)
+   * overrides the search — the spec hook that exercises the
+   * half/quarter-pel interpolation paths; `intraEvery` > 0 encodes
+   * every Nth macroblock as Intra_16x16 inside the P slice (Table 7-13
+   * type − 5), exercising mixed slices.
+   *
+   * `refFrames` > 1 keeps a DPB ring of that many reconstructions and
+   * searches EVERY reference per macroblock (best SAD wins, ties to the
+   * lowest ref_idx — the x264 default-shape ref=3 stream our decoder
+   * must handle); `forcedRefIdx(mx, my)` dictates the reference per MB
+   * (clamped to the refs available at that frame) — the spec hook that
+   * pins ref_idx selection and DPB eviction deterministically.
    */
   def encodeGop(frames: Seq[MediaCodecs.Bmp], qp: Int, avcc: Boolean = true,
       searchRange: Int = 4, forcedMv: Option[(Int, Int)] = None,
-      intraEvery: Int = 0): Seq[Array[Byte]] =
-    encodeGopImpl(frames, qp, avcc, searchRange, forcedMv, intraEvery)._1
+      intraEvery: Int = 0, refFrames: Int = 1,
+      forcedRefIdx: Option[(Int, Int) => Int] = None): Seq[Array[Byte]] =
+    encodeGopImpl(frames, qp, avcc, searchRange, forcedMv, intraEvery,
+      refFrames, forcedRefIdx)._1
 
   /** GOP encode + the encoder's own per-frame reconstructed planes —
     * the spec hook pinning decode ≡ encode-time reconstruction. */
   private[graft] def encodeGopForTest(frames: Seq[MediaCodecs.Bmp], qp: Int,
       searchRange: Int = 4, forcedMv: Option[(Int, Int)] = None,
-      intraEvery: Int = 0)
+      intraEvery: Int = 0, refFrames: Int = 1,
+      forcedRefIdx: Option[(Int, Int) => Int] = None)
       : (Seq[Array[Byte]], Seq[(Array[Byte], Array[Byte], Array[Byte])]) = {
     val (ps, sts) = encodeGopImpl(frames, qp, avcc = true, searchRange,
-      forcedMv, intraEvery)
+      forcedMv, intraEvery, refFrames, forcedRefIdx)
     (ps, sts.map(st => (st.yPlane, st.cbPlane, st.crPlane)))
   }
 
   private def encodeGopImpl(frames: Seq[MediaCodecs.Bmp], qp: Int,
       avcc: Boolean, searchRange: Int, forcedMv: Option[(Int, Int)],
-      intraEvery: Int): (Seq[Array[Byte]], Seq[FrameState]) = {
+      intraEvery: Int, refFrames: Int = 1,
+      forcedRefIdx: Option[(Int, Int) => Int] = None)
+      : (Seq[Array[Byte]], Seq[FrameState]) = {
     require(frames.nonEmpty, "empty GOP")
     require(qp >= 0 && qp <= 51, s"qp $qp")
+    require(refFrames >= 1 && refFrames <= 16, s"refFrames $refFrames")
     val w0 = frames.head.width; val h0 = frames.head.height
     require(frames.forall(f => f.width == w0 && f.height == h0),
       "GOP frames must share dimensions")
     val (idrBytes, st0) =
-      encodeImpl(frames.head, avcc, qp, intra4x4 = false, (_, b, _) => b)
+      encodeImpl(frames.head, avcc, qp, intra4x4 = false, (_, b, _) => b,
+        refFrames)
     val (wMbs, hMbs, cropR, cropB) = mbGeometry(frames.head)
-    val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB)
+    val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB, refFrames)
     val payloads = ArrayBuffer(idrBytes)
     val states = ArrayBuffer(st0)
-    var ref = st0
+    // DPB most-recent-first, sliding-window bounded — mirrors the decoder
+    var dpb: List[FrameState] = List(st0)
     var i = 1
     while (i < frames.length) {
-      val (yP, cbP, crP) = toYuv420(frames(i), ref.wMbs, ref.hMbs)
-      val (sliceNal, st) = encodePFrame(yP, cbP, crP, ref, qp, i % 16,
-        searchRange, forcedMv, intraEvery)
+      val (yP, cbP, crP) = toYuv420(frames(i), st0.wMbs, st0.hMbs)
+      val (sliceNal, st) = encodePFrame(yP, cbP, crP, dpb.toIndexedSeq, qp,
+        i % 16, searchRange, forcedMv, intraEvery, refFrames, forcedRefIdx)
       payloads += frameNals(avcc, spsNal, ppsNal, sliceNal)
       states += st
-      ref = st
+      dpb = (st :: dpb).take(refFrames)
       i += 1
     }
     (payloads.toSeq, states.toSeq)
   }
 
-  /** Encode one P slice NAL from 4:2:0 source planes against `ref`,
-    * returning the slice NAL and the reconstruction (== what the
-    * decoder will produce, sharing its MC/transform/CAVLC kernels). */
+  /** Encode one P slice NAL from 4:2:0 source planes against the DPB
+    * `refs` (index 0 = most recent), returning the slice NAL and the
+    * reconstruction (== what the decoder will produce, sharing its
+    * MC/transform/CAVLC kernels). With `refFrames` > 1 the slice writes
+    * per-MB te(v) ref_idx_l0 fields; when the DPB is still filling the
+    * slice overrides the PPS-default list size down to what exists. */
   private def encodePFrame(srcY: Array[Byte], srcCb: Array[Byte],
-      srcCr: Array[Byte], ref: FrameState, qp: Int, frameNum: Int,
-      searchRange: Int, forcedMv: Option[(Int, Int)], intraEvery: Int)
+      srcCr: Array[Byte], refs: IndexedSeq[FrameState], qp: Int,
+      frameNum: Int, searchRange: Int, forcedMv: Option[(Int, Int)],
+      intraEvery: Int, refFrames: Int = 1,
+      forcedRefIdx: Option[(Int, Int) => Int] = None)
       : (Array[Byte], FrameState) = {
     import H264Transform._
-    val wMbs = ref.wMbs; val hMbs = ref.hMbs
+    require(refs.nonEmpty, "P frame needs at least one reference")
+    val nActive = math.min(refFrames, refs.length) // list-0 size this slice
+    val wMbs = refs(0).wMbs; val hMbs = refs(0).hMbs
     val lumaW = wMbs * 16; val lumaH = hMbs * 16
     val st = new FrameState(wMbs, hMbs)
     val w = new BitWriter
-    // slice_header (7.3.3): P, single reference, POC type 2
+    // slice_header (7.3.3): P, POC type 2
     w.ue(0) // first_mb_in_slice
     w.ue(5) // slice_type P (all slices in this picture are P)
     w.ue(0) // pps id
     w.u(frameNum & 15, 4) // frame_num (log2_max_frame_num = 4)
-    w.u1(0) // num_ref_idx_active_override_flag
+    if (nActive != refFrames) { // DPB still filling: override the default
+      w.u1(1) // num_ref_idx_active_override_flag
+      w.ue(nActive - 1) // num_ref_idx_l0_active_minus1
+    } else w.u1(0)
     w.u1(0) // ref_pic_list_modification_flag_l0
-    w.u1(0) // adaptive_ref_pic_marking_mode_flag
+    w.u1(0) // adaptive_ref_pic_marking_mode_flag (sliding window)
     w.se(qp - 26) // slice_qp_delta
     w.ue(1) // disable_deblocking_filter_idc = 1
+    // te(v) write for ref_idx_l0: range 1 = single inverted bit
+    def writeRefIdx(v: Int): Unit =
+      if (nActive == 2) w.u1(1 - v) else w.ue(v)
     var skipRun = 0
     var mb = 0
     val nMbs = wMbs * hMbs
@@ -1896,10 +1981,34 @@ object H264Codec {
         w.ue(skipRun); skipRun = 0
         encodeIntra16x16Mb(w, st, mx, my, srcY, srcCb, srcCr, qp,
           mbTypeOffset = 5)
-        st.setMv(mx * 4, my * 4, 4, 4, 0, 0, inter = false)
+        st.setMv(mx * 4, my * 4, 4, 4, 0, 0, inter = false, refIdx = -1)
       } else {
-        val (vx, vy) = forcedMv.getOrElse(
-          searchMv(srcY, ref.yPlane, lumaW, lumaH, mx, my, searchRange))
+        // reference selection: forced pattern (clamped to what exists),
+        // else best SAD over every active reference, ties to lowest
+        // ref_idx (the cheaper code and the spec's default-list bias)
+        val (refIdx, vx, vy) = forcedRefIdx match {
+          case Some(f) =>
+            val ri = math.min(math.max(0, f(mx, my)), nActive - 1)
+            val (x, y) = forcedMv.getOrElse(
+              searchMv(srcY, refs(ri).yPlane, lumaW, lumaH, mx, my, searchRange))
+            (ri, x, y)
+          case None if nActive == 1 =>
+            val (x, y) = forcedMv.getOrElse(
+              searchMv(srcY, refs(0).yPlane, lumaW, lumaH, mx, my, searchRange))
+            (0, x, y)
+          case None =>
+            var best = (0, 0, 0); var bestSad = Long.MaxValue
+            var ri = 0
+            while (ri < nActive) {
+              val (x, y) = forcedMv.getOrElse(
+                searchMv(srcY, refs(ri).yPlane, lumaW, lumaH, mx, my, searchRange))
+              val sad = sadAt(srcY, refs(ri).yPlane, lumaW, lumaH, mx, my, x, y)
+              if (sad < bestSad) { bestSad = sad; best = (ri, x, y) }
+              ri += 1
+            }
+            best
+        }
+        val ref = refs(refIdx)
         val predY = mcLuma(ref.yPlane, lumaW, lumaH, mx * 16, my * 16,
           vx, vy, 16, 16)
         val predC = Array.tabulate(2)(c =>
@@ -1931,21 +2040,22 @@ object H264Codec {
         val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, chromaQp(qp),
           predOf = c => predC(c))
         val cbp = cbpLuma | (chroma.cbpChroma << 4)
-        if (cbp == 0 && (vx, vy) == skipMv(st, mx, my)) {
-          // P_Skip: reconstruction IS the MC prediction
-          mcPartition(st, ref, mx * 4, my * 4, 4, 4, vx, vy)
+        if (cbp == 0 && refIdx == 0 && (vx, vy) == skipMv(st, mx, my)) {
+          // P_Skip: reconstruction IS the MC prediction (refs(0) only)
+          mcPartition(st, ref, mx * 4, my * 4, 4, 4, vx, vy, refIdx = 0)
           markInterNnzZero(st, mx, my)
           skipRun += 1
         } else {
           w.ue(skipRun); skipRun = 0
           w.ue(0) // mb_type P_L0_16x16
-          val (px0, py0) = mvPredict(st, mx * 4, my * 4, 4, 0)
+          if (nActive > 1) writeRefIdx(refIdx) // ref_idx_l0, te(v)
+          val (px0, py0) = mvPredict(st, mx * 4, my * 4, 4, 0, refIdx)
           w.se(vx - px0); w.se(vy - py0) // mvd_l0
           w.ue(CbpInterToCodeNum(cbp))
           if (cbp != 0) w.se(0) // mb_qp_delta
           // prediction into the planes + MV grid (decoder order), then
           // residual written and reconstructed exactly as the decoder
-          mcPartition(st, ref, mx * 4, my * 4, 4, 4, vx, vy)
+          mcPartition(st, ref, mx * 4, my * 4, 4, 4, vx, vy, refIdx)
           bi = 0
           while (bi < 16) {
             val (bxo, byo) = LumaBlockOrder(bi)
@@ -1999,13 +2109,13 @@ object H264Codec {
     System.arraycopy(refY, 0, ref.yPlane, 0, refY.length)
     System.arraycopy(refCb, 0, ref.cbPlane, 0, refCb.length)
     System.arraycopy(refCr, 0, ref.crPlane, 0, refCr.length)
-    val (slice, st) = encodePFrame(srcY, srcCb, srcCr, ref, qp, 1,
+    val (slice, st) = encodePFrame(srcY, srcCb, srcCr, IndexedSeq(ref), qp, 1,
       searchRange, forcedMv, intraEvery)
     val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, 0, 0)
     val payload = frameNals(avcc = true, spsNal, ppsNal, slice)
     val g = new GopDecoder
     g.seed(Sps(66, 30, 4, 2, wMbs, hMbs, 0, 0), Pps(entropyCabac = false, 26,
-      deblockingControlPresent = true), ref)
+      deblockingControlPresent = true), List(ref))
     val dec =
       try g.decodeAuYuv(payload).map(t => (t._2, t._3, t._4))
       catch { case _: Exception => None }
@@ -2050,7 +2160,7 @@ object H264Codec {
       // lands in the planes; residual rides on top, as in the decoder)
       def part(bx: Int, by: Int, w4: Int, h4: Int, kind: Int): Unit = {
         val (vx, vy) = it.next()
-        val (px, py) = mvPredict(st, bx, by, w4, kind)
+        val (px, py) = mvPredict(st, bx, by, w4, kind, 0)
         w.se(vx - px); w.se(vy - py)
         mcPartition(st, ref, bx, by, w4, h4, vx, vy)
       }
@@ -2140,11 +2250,29 @@ object H264Codec {
       Array[Byte](0x61.toByte) ++ escape(w.bytes))
     val g = new GopDecoder
     g.seed(Sps(66, 30, 4, 2, wMbs, hMbs, 0, 0), Pps(entropyCabac = false, 26,
-      deblockingControlPresent = true), ref)
+      deblockingControlPresent = true), List(ref))
     val dec =
       try g.decodeAuYuv(payload).map(t => (t._2, t._3, t._4))
       catch { case _: Exception => None }
     (payload, (st.yPlane, st.cbPlane, st.crPlane), dec)
+  }
+
+  /** Luma SAD of one macroblock against an arbitrary (possibly
+    * fractional) MV — the multi-reference selection metric: unlike
+    * [[searchMv]]'s integer-pel scan, this prices the actual
+    * interpolated prediction, so a forced fractional MV compares
+    * references fairly. */
+  private def sadAt(srcY: Array[Byte], refY: Array[Byte], lumaW: Int,
+      lumaH: Int, mx: Int, my: Int, vx: Int, vy: Int): Long = {
+    val pred = mcLuma(refY, lumaW, lumaH, mx * 16, my * 16, vx, vy, 16, 16)
+    var sad = 0L
+    var k = 0
+    while (k < 256) {
+      sad += math.abs(
+        (srcY((my * 16 + k / 16) * lumaW + mx * 16 + k % 16) & 0xff) - pred(k))
+      k += 1
+    }
+    sad
   }
 
   /** Integer-pel SAD motion search over ±range around (0,0), ties to

@@ -2671,6 +2671,60 @@ object PipelineQueries {
              |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin),
       bench = true), // timed: per-partition GOP encode+MC decode (codec family)
 
+    // multi-reference P slices (r12): x264's default baseline shape is
+    // ref=3 — per-MB ref_idx_l0 (te(v)) selecting from a 3-deep DPB
+    // sliding-window ring. The 5-frame GOP per doc ALTERNATES between
+    // two scenes displaced beyond the motion-search range, so best-SAD
+    // selection genuinely reaches past the previous frame (ref_idx 1
+    // carries most macroblocks on frames 2-4) — the real-world cut/
+    // flash pattern multi-ref exists for. Round-trips through MP4
+    // demux + GOP decode; lossy_ok bounds decoded-vs-source error at
+    // qp=26, and multiref_gain certifies the ref=3 stream is no larger
+    // than single-ref on the same frames. Encoder≡decoder plane parity,
+    // forced per-MB ref checkerboards, DPB eviction, and under-filled-
+    // list rejection are pinned in H264PSliceSpec.
+    "q_h264_multiref_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val len = text.codePointCount(0, text.length)
+            val w = 32 + 2 * (len % 8).toInt
+            val h = 32 + 2 * ((len + id) % 6).toInt
+            val frames = Seq((0, 0), (12, 6), (0, 0), (12, 6), (0, 0))
+              .map { case (dx, dy) => gopGradientFrame(w, h, dx, dy) }
+            val gop = graft.pipeline.H264Codec.encodeGop(frames, qp = 26,
+              refFrames = 3)
+            val single = graft.pipeline.H264Codec.encodeGop(frames, qp = 26)
+            val mp4 = graft.pipeline.Mp4Demux.encodeMp4(gop, w, h)
+            val tr = graft.pipeline.Mp4Demux.demux(mp4).get.videoTrack
+            val samples = (0 until tr.nSamples.toInt).map(i =>
+              graft.pipeline.Mp4Demux.sampleBytes(mp4, tr, i))
+            val decoded = graft.pipeline.H264Codec.decodeGop(samples)
+            val lossyOk = decoded.zip(frames).forall { case (d, src) =>
+              d.exists { b =>
+                val mad = src.rgb.iterator.zip(b.rgb.iterator)
+                  .map { case (p, q) => math.abs((p & 0xff) - (q & 0xff)) }
+                  .sum.toDouble / src.rgb.length
+                mad < 8.0
+              }
+            }
+            val gain = gop.map(_.length).sum <= single.map(_.length).sum
+            (id, w, h, decoded.count(_.isDefined), gain, lossyOk)
+          }
+          .toDF("doc_id", "width", "height", "n_decoded", "multiref_gain",
+            "lossy_ok")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(32 + 2 * (len(text) % 8) AS INT) AS width,
+             |  CAST(32 + 2 * ((len(text) + doc_id) % 6) AS INT) AS height,
+             |  CAST(5 AS INT) AS n_decoded, true AS multiref_gain,
+             |  true AS lossy_ok
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
     // raw .h264 elementary-stream ingest (r11): the same IPPP GOP as a
     // containerless Annex-B byte stream (start-code NALs back to back —
     // the form cameras and ffmpeg's rawvideo path emit). Access-unit

@@ -330,6 +330,44 @@ object StreamingQueries {
              |      FROM events)
              |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
+    // raw .h264 elementary streams arriving as FILES on a binaryFile
+    // stream (the camera-feed delivery shape, r12): per-file GOP decode
+    // is stateless across files, so the streamed per-frame rows must
+    // equal the batch decodeAnnexBStream rows over the SAME bitstreams
+    // — pinned here by an inner join on (doc_id, frame) comparing dims
+    // and the decoded-pixel checksum; a dropped or duplicated streamed
+    // row changes the row count and the hash catches it. Dims are
+    // closed-form in the doc, so DuckDB replays the full result.
+    "q_stream_annexb_ingest" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val streamed = graft.streaming.AnnexBStream.annexBIngestSink(s, dir)
+        val batch = s.read.parquet(s"$dir/documents.parquet")
+          .filter($"doc_id" < 16)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .flatMap { case (id, text) =>
+            val (_, _, es) = graft.streaming.AnnexBStream.esForDoc(id, text)
+            graft.streaming.AnnexBStream.decodeRows(f"doc_$id%05d.h264", es)
+          }
+          .toDF("doc_id", "frame", "b_width", "b_height", "b_rgb_sum")
+        streamed.join(batch, Seq("doc_id", "frame"))
+          .select($"doc_id", $"frame".cast("int").as("frame"),
+            $"width".cast("int").as("width"),
+            $"height".cast("int").as("height"),
+            ($"width" === $"b_width" && $"height" === $"b_height" &&
+              $"rgb_sum" === $"b_rgb_sum").as("stream_matches_batch"))
+          .orderBy($"doc_id", $"frame")
+      },
+      Some("""SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+             |  CAST(f.frame AS INT) AS frame,
+             |  CAST(32 + 2 * (len(d.text) % 8) AS INT) AS width,
+             |  CAST(32 + 2 * ((len(d.text) + d.doc_id) % 6) AS INT) AS height,
+             |  true AS stream_matches_batch
+             |FROM documents d
+             |CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS frame) f
+             |WHERE d.doc_id < 16 ORDER BY doc_id, frame""".stripMargin)),
+
     // WebDataset tar shards arriving as FILES on a binaryFile stream,
     // one shard per trigger (8 real micro-batches): the per-shard
     // explode is stateless and map-only, so the accumulated rows equal

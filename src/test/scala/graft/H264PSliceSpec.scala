@@ -162,6 +162,86 @@ class H264PSliceSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-reference GOP (ref=3): decode equals encoder reconstruction, every MB ref forced") {
+    // r12: x264's default baseline shape is ref=3 — per-MB ref_idx_l0
+    // (te(v)) selecting from a 3-deep DPB ring. Force a deterministic
+    // checkerboard of reference indices so every frame uses EVERY
+    // available reference (clamped while the DPB fills), and pin the
+    // decoder plane-exactly against the encoder's reconstruction.
+    val f0 = gradient(48, 32)
+    val frames = (0 until 6).map(i => shifted(f0, 2 * i, i))
+    val (payloads, recon) = H264Codec.encodeGopForTest(frames, qp = 26,
+      refFrames = 3, forcedRefIdx = Some((mx, my) => (mx + 2 * my) % 3))
+    val g = new H264Codec.GopDecoder
+    payloads.zip(recon).zipWithIndex.foreach { case ((p, r), i) =>
+      val dec = g.decodeAuYuv(p)
+      assert(dec.isDefined, s"frame $i failed to decode")
+      val (_, y, cb, cr) = dec.get
+      assert(eq3((y, cb, cr), r), s"frame $i decode != encoder reconstruction")
+    }
+    // the public RGB surface stays faithful through the ref churn
+    val rgbs = H264Codec.decodeGop(payloads)
+    assert(rgbs.forall(_.isDefined))
+    frames.zip(rgbs).foreach { case (src, Some(back)) =>
+      val mad = src.rgb.iterator.zip(back.rgb.iterator)
+        .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }
+        .sum.toDouble / src.rgb.length
+      assert(mad < 8.0, s"mad $mad")
+    }
+  }
+
+  test("multi-ref pays: alternating content picks the older reference via best-SAD") {
+    // frames a,b,a,b,a where b is shifted beyond the search range: with
+    // one reference, frame 2 must code large residuals against b; with
+    // two, best-SAD selects ref_idx 1 (an exact match) and the payload
+    // collapses — the real-world reason encoders default to ref>1
+    val a = gradient(64, 48)
+    val b = shifted(a, 12, 0) // beyond searchRange=4
+    val frames = Seq(a, b, a, b, a)
+    val one = H264Codec.encodeGop(frames, qp = 26, refFrames = 1)
+    val two = H264Codec.encodeGop(frames, qp = 26, refFrames = 2)
+    (2 until 5).foreach { i =>
+      assert(two(i).length * 2 < one(i).length,
+        s"frame $i: ref=2 ${two(i).length}B vs ref=1 ${one(i).length}B")
+    }
+    // and the ref=2 stream still decodes faithfully
+    val rgbs = H264Codec.decodeGop(two)
+    assert(rgbs.forall(_.isDefined))
+    frames.zip(rgbs).foreach { case (src, Some(back)) =>
+      val mad = src.rgb.iterator.zip(back.rgb.iterator)
+        .map { case (p, q) => math.abs((p & 0xff) - (q & 0xff)) }
+        .sum.toDouble / src.rgb.length
+      assert(mad < 8.0, s"mad $mad")
+    }
+  }
+
+  test("DPB discipline: an under-filled reference list rejects; eviction keeps parity") {
+    val f0 = gradient(48, 32)
+    val frames = (0 until 5).map(i => shifted(f0, i, 2 * i))
+    val payloads = H264Codec.encodeGop(frames, qp = 26, refFrames = 3)
+    // feeding IDR then frame 2 (skipping frame 1): frame 2's slice
+    // declares a 2-deep list but the decoder's DPB holds only the IDR —
+    // it must REJECT (None), not silently predict from the wrong frame;
+    // frame 3 then has a poisoned chain; a re-fed IDR recovers
+    val g = new H264Codec.GopDecoder
+    assert(g.decodeAu(payloads(0)).isDefined)
+    assert(g.decodeAu(payloads(2)).isEmpty, "under-filled DPB must reject")
+    assert(g.decodeAu(payloads(3)).isEmpty, "chain stays poisoned")
+    assert(g.decodeAu(payloads(0)).isDefined, "IDR recovers")
+    // eviction path: a 2-deep ring over a longer GOP, both refs used
+    // per MB, decode ≡ encoder reconstruction even after frames fall
+    // out of the sliding window
+    val long = (0 until 7).map(i => shifted(f0, 2 * i, 0))
+    val (ps, recon) = H264Codec.encodeGopForTest(long, qp = 26,
+      refFrames = 2, forcedRefIdx = Some((mx, my) => (mx + my) % 2))
+    val g2 = new H264Codec.GopDecoder
+    ps.zip(recon).zipWithIndex.foreach { case ((p, r), i) =>
+      val dec = g2.decodeAuYuv(p)
+      assert(dec.isDefined, s"frame $i failed")
+      assert(eq3((dec.get._2, dec.get._3, dec.get._4), r), s"frame $i parity")
+    }
+  }
+
   test("Annex-B iterator materializes ONE access unit at a time") {
     // AU bytes must be copied from the stream only when the consumer
     // pulls that frame: decode frame 0, then clobber the stream bytes
