@@ -166,6 +166,14 @@ object MrldaSequenceFile {
 
   private def readGamma(in: DataInputStream): Option[Array[Double]] = {
     val n = in.readInt()
+    // allocation guard (hostile-input fuzz finding, r12): the length is
+    // untrusted bytes — a crafted claim of 2^28 doubles would allocate
+    // gigabytes BEFORE the stream EOFs. The record's remaining bytes
+    // bound the only honest length (callers decode whole value-byte
+    // arrays, so available() is exact); reject loudly past it.
+    if (n > 0)
+      require(n.toLong * 8L <= in.available(),
+        s"gamma length $n exceeds the record's remaining bytes")
     if (n <= 0) None else Some(Array.fill(n)(in.readDouble()))
   }
 

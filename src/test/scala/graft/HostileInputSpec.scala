@@ -38,6 +38,57 @@ class HostileInputSpec extends AnyFunSuite {
     }
   }
 
+  test("r12: image/audio/video decoders survive soup, truncation, and bit flips") {
+    // the remaining untrusted-bytes surfaces (JPEG, BMP, PNG, WAV, Y4M
+    // are all Option-returning: they must come back None-or-Some, never
+    // throw, never hang) over the same grid as the r11 tar/H.264 pass
+    def allDecoders(p: Array[Byte]): Unit = {
+      JpegCodec.decodeJpeg(p)
+      MediaCodecs.decodeBmp(p)
+      MediaCodecs.decodePng(p)
+      MediaCodecs.decodeWav(p)
+      MediaCodecs.decodeY4m(p)
+      ()
+    }
+    for (seed <- 1 to 120) allDecoders(soup(seed * 7919, 64 + seed * 29))
+    // valid payloads of each format, then truncations + flips
+    val img = gradient(24, 16)
+    val wav = MediaCodecs.Wav(8000, 1,
+      Array.tabulate[Short](700)(i => ((i * 131) % 20000 - 10000).toShort))
+    val valid = Seq(
+      JpegCodec.encodeJpeg(img, quality = 85),
+      MediaCodecs.encodeBmp(img),
+      MediaCodecs.encodePng(img),
+      MediaCodecs.encodeWav(wav),
+      MediaCodecs.encodeY4m(MediaCodecs.Y4m(24, 16, Seq(img, gradient(24, 16)))))
+    for (payload <- valid) {
+      for (cut <- Seq(1, 3, 17, 64, payload.length / 2, payload.length - 1))
+        allDecoders(payload.take(math.max(0, payload.length - cut)))
+      for (pos <- 0 until payload.length by 53) {
+        val bad = payload.clone(); bad(pos) = (bad(pos) ^ 0x5a).toByte
+        allDecoders(bad)
+      }
+    }
+  }
+
+  test("r12: Mr.LDA SequenceFile record decoders fail loudly, never hang") {
+    // the byte-level record parsers behind readDocs/readPolyDocs (the
+    // split reader hands them raw value bytes from foreign files):
+    // contract is throw-NonFatal-or-parse, like the tar walker — the
+    // Dataset layer's corrupt-drop try is the soft edge
+    import graft.sources.MrldaSequenceFile
+    def tryAll(b: Array[Byte]): Unit = {
+      try MrldaSequenceFile.decodeDoc(b)
+      catch { case e: Exception => assert(scala.util.control.NonFatal(e), e) }
+      try MrldaSequenceFile.decodePolyDoc(b)
+      catch { case e: Exception => assert(scala.util.control.NonFatal(e), e) }
+    }
+    for (seed <- 1 to 150) tryAll(soup(seed * 104729, 1 + seed * 17))
+    tryAll(Array.empty[Byte])
+    tryAll(Array.fill[Byte](4096)(0))
+    tryAll(Array.fill[Byte](4096)(-1))
+  }
+
   test("truncations and single-byte flips of VALID payloads never escape") {
     val frames = Seq(gradient(32, 32), gradient(32, 32))
     val gop = H264Codec.encodeGop(frames, qp = 26)
