@@ -171,14 +171,16 @@ object H264Codec {
 
   case class Sps(profileIdc: Int, levelIdc: Int, log2MaxFrameNum: Int,
       picOrderCntType: Int, widthMbs: Int, heightMbs: Int,
-      cropRight: Int, cropBottom: Int, maxRefFrames: Int = 1) {
+      cropRight: Int, cropBottom: Int, maxRefFrames: Int = 1,
+      log2MaxPocLsb: Int = 16) {
     def width: Int = widthMbs * 16 - 2 * cropRight
     def height: Int = heightMbs * 16 - 2 * cropBottom
   }
 
   case class Pps(entropyCabac: Boolean, picInitQp: Int,
       deblockingControlPresent: Boolean, weightedPred: Boolean = false,
-      numRefIdxL0Default: Int = 0)
+      numRefIdxL0Default: Int = 0, numRefIdxL1Default: Int = 0,
+      weightedBipredIdc: Int = 0, bottomFieldPocPresent: Boolean = false)
 
   private def parseSps(r: BitReader): Sps = {
     val profile = r.u(8)
@@ -190,8 +192,12 @@ object H264Codec {
       profile == 128) throw new H264Format("high-profile SPS out of scope")
     val log2MaxFrameNum = r.ue() + 4
     val poc = r.ue()
-    if (poc == 0) r.ue() // log2_max_pic_order_cnt_lsb_minus4
-    else if (poc == 1) throw new H264Format("POC type 1 out of scope")
+    // POC type 0's lsb width matters: the slice header reads exactly
+    // this many bits (a fixed-16 read would misparse every foreign
+    // type-0 stream whose log2 != 16 — latent until r12's B support)
+    val log2MaxPocLsb = if (poc == 0) r.ue() + 4 else 16
+    if (poc == 1) throw new H264Format("POC type 1 out of scope")
+    if (log2MaxPocLsb > 16) throw new H264Format(s"log2_max_poc_lsb $log2MaxPocLsb > 16")
     val maxRef = r.ue() // max_num_ref_frames: bounds the decoder's DPB ring
     if (maxRef > 16) throw new H264Format(s"max_num_ref_frames $maxRef > 16")
     r.u1() // gaps_in_frame_num
@@ -207,23 +213,23 @@ object H264Codec {
     }
     r.u1() // vui_present (ignored if absent; VUI payload not parsed)
     Sps(profile, level, log2MaxFrameNum, poc, wMbs, hMap, cropR, cropB,
-      math.max(1, maxRef))
+      math.max(1, maxRef), log2MaxPocLsb)
   }
 
   private def parsePps(r: BitReader): Pps = {
     r.ue(); r.ue() // pps id, sps id
     val cabac = r.u1() == 1
-    r.u1() // bottom_field_pic_order_in_frame_present
+    val bottomPoc = r.u1() == 1 // bottom_field_pic_order_in_frame_present
     if (r.ue() != 0) throw new H264Format("slice groups out of scope")
     val numRefL0 = r.ue() // num_ref_idx_l0_default_active_minus1
-    r.ue() // num_ref_idx_l1_default (B slices)
+    val numRefL1 = r.ue() // num_ref_idx_l1_default_active_minus1 (B slices)
     val weighted = r.u1() == 1 // weighted_pred_flag (P slices)
-    r.u(2) // weighted_bipred_idc (B slices — out of scope anyway)
+    val wBipred = r.u(2) // weighted_bipred_idc (B slices: 0 = default averaging)
     val qp = r.se() + 26
     r.se(); r.se() // qs, chroma_qp_offset
     val deblock = r.u1() == 1
     r.u1(); r.u1() // constrained_intra, redundant_pic_cnt
-    Pps(cabac, qp, deblock, weighted, numRefL0)
+    Pps(cabac, qp, deblock, weighted, numRefL0, numRefL1, wBipred, bottomPoc)
   }
 
   // ---------------- decode ----------------
@@ -298,10 +304,15 @@ object H264Codec {
    * them. Explicit list reordering and adaptive marking stay out of
    * scope (they throw).
    */
+  /** POC type 0 decoder state (8.2.1.1): MSB/LSB of the previous
+    * REFERENCE picture in decoding order, for lsb-wraparound repair. */
+  private final class PocState { var prevMsb = 0; var prevLsb = 0 }
+
   private[pipeline] final class GopDecoder {
     private var sps: Sps = null
     private var pps: Pps = null
     private var dpb: List[FrameState] = Nil // head = most recent reference
+    private val poc = new PocState
 
     def decodeAuYuv(p: Array[Byte])
         : Option[(Sps, Array[Byte], Array[Byte], Array[Byte])] = {
@@ -323,7 +334,7 @@ object H264Codec {
             if (pps.entropyCabac) throw new H264Format("CABAC out of scope")
             val refIdc = (hdr >> 5) & 3
             val st = decodeSlice(new BitReader(unescape(p, s + 1, e)), sps, pps,
-              idr = nalType == 5, refIdc, dpb)
+              idr = nalType == 5, refIdc, dpb, poc)
             // DPB update: IDR resets; a non-IDR reference picture joins
             // at the head with sliding-window eviction; non-ref frames
             // are disposable
@@ -343,6 +354,7 @@ object H264Codec {
         // predict from stale state — only a later self-contained I/IDR
         // picture (which needs no reference) recovers
         dpb = Nil
+        poc.prevMsb = 0; poc.prevLsb = 0
         None
       }
 
@@ -426,38 +438,91 @@ object H264Codec {
     decodeGopIterator(auBytes)
   }
 
-  /** Decode one slice (I when `idr` or slice_type says so, else P
-    * against the DPB's reference list) into a fresh FrameState. Header
-    * per 7.3.3, data per 7.3.4/7.3.5; `refIdc` = the NAL header's
-    * nal_ref_idc (non-IDR slices carry dec_ref_pic_marking syntax only
-    * when it is non-zero). */
+  /** Decode one slice (I when `idr` or slice_type says so, P against
+    * the DPB's list-0, or B against POC-ordered list-0/list-1) into a
+    * fresh FrameState. Header per 7.3.3, data per 7.3.4/7.3.5; `refIdc`
+    * = the NAL header's nal_ref_idc (non-IDR slices carry
+    * dec_ref_pic_marking syntax only when it is non-zero). */
   private def decodeSlice(r: BitReader, sps: Sps, pps: Pps, idr: Boolean,
-      refIdc: Int, dpb: List[FrameState]): FrameState = {
+      refIdc: Int, dpb: List[FrameState], pocState: PocState): FrameState = {
     // slice_header (7.3.3)
     if (r.ue() != 0) throw new H264Format("first_mb_in_slice != 0")
     val sliceType = r.ue() % 5
     val isP = sliceType == 0
-    if (sliceType != 2 && !isP) throw new H264Format(s"slice type $sliceType out of scope")
-    if (isP && idr) throw new H264Format("P slice in an IDR NAL")
-    if (isP && dpb.isEmpty) throw new H264Format("P slice without a reference frame")
+    val isB = sliceType == 1
+    if (sliceType != 2 && !isP && !isB)
+      throw new H264Format(s"slice type $sliceType out of scope")
+    if ((isP || isB) && idr) throw new H264Format("inter slice in an IDR NAL")
+    if ((isP || isB) && dpb.isEmpty)
+      throw new H264Format("inter slice without a reference frame")
+    // B frames reference the FUTURE in display order; POC type 2 pins
+    // decode order == display order, which makes that shape illegal
+    if (isB && sps.picOrderCntType != 0)
+      throw new H264Format("B slice under POC type 2")
     r.ue() // pps id
     r.u(sps.log2MaxFrameNum) // frame_num
     if (idr) r.ue() // idr_pic_id
-    if (sps.picOrderCntType == 0) r.u(16) // poc lsb (we always write type 2)
-    var refs: IndexedSeq[FrameState] = IndexedSeq.empty
-    if (isP) {
-      // effective list-0 size: slice override, else the PPS default;
-      // the default P list is the DPB most-recent-first (8.2.4.2.1), so
-      // a list longer than the decoded reference history is corrupt
-      val numRefL0 = if (r.u1() == 1) r.ue() else pps.numRefIdxL0Default
-      if (numRefL0 > 15) throw new H264Format(s"num_ref_idx_l0 $numRefL0 > 16")
-      if (numRefL0 + 1 > dpb.length)
-        throw new H264Format(
-          s"ref list size ${numRefL0 + 1} exceeds DPB of ${dpb.length}")
-      refs = dpb.take(numRefL0 + 1).toIndexedSeq
+    // POC (8.2.1.1, type 0): lsb at the SPS-declared width, MSB
+    // repaired against the previous REFERENCE picture's (zeroed at an
+    // IDR); B reference lists order the DPB by this value
+    var pocVal = 0
+    if (sps.picOrderCntType == 0) {
+      val maxLsb = 1 << sps.log2MaxPocLsb
+      val lsb = r.u(sps.log2MaxPocLsb)
+      if (pps.bottomFieldPocPresent) r.se() // delta_pic_order_cnt_bottom (frames: bottom-field only)
+      val (pm, pl) = if (idr) (0, 0) else (pocState.prevMsb, pocState.prevLsb)
+      val msb =
+        if (lsb < pl && pl - lsb >= maxLsb / 2) pm + maxLsb
+        else if (lsb > pl && lsb - pl > maxLsb / 2) pm - maxLsb
+        else pm
+      pocVal = msb + lsb
+      if (refIdc != 0) { pocState.prevMsb = msb; pocState.prevLsb = lsb }
+    }
+    var refs: IndexedSeq[FrameState] = IndexedSeq.empty // list 0
+    var refs1: IndexedSeq[FrameState] = IndexedSeq.empty // list 1 (B only)
+    if (isB) r.u1() // direct_spatial_mv_pred_flag (direct MBs reject in slice_data)
+    if (isP || isB) {
+      // effective list sizes: slice override, else the PPS defaults
+      val (numRefL0, numRefL1) =
+        if (r.u1() == 1) (r.ue(), if (isB) r.ue() else 0)
+        else (pps.numRefIdxL0Default, if (isB) pps.numRefIdxL1Default else 0)
+      if (numRefL0 > 15 || numRefL1 > 15)
+        throw new H264Format(s"num_ref_idx $numRefL0/$numRefL1 > 16")
+      if (isP) {
+        // the default P list is the DPB most-recent-first (8.2.4.2.1),
+        // so a list longer than the decoded reference history is corrupt
+        if (numRefL0 + 1 > dpb.length)
+          throw new H264Format(
+            s"ref list size ${numRefL0 + 1} exceeds DPB of ${dpb.length}")
+        refs = dpb.take(numRefL0 + 1).toIndexedSeq
+      } else {
+        // B default lists (8.2.4.2.3, frame coding): list0 = past refs
+        // by descending POC then future by ascending; list1 = future
+        // ascending then past descending; when both lists would be
+        // identical and hold >1 entry, list1's first two entries swap
+        val past = dpb.filter(_.poc < pocVal).sortBy(f => -f.poc)
+        val future = dpb.filter(_.poc > pocVal).sortBy(_.poc)
+        val l0 = (past ++ future).toIndexedSeq
+        val l1raw = (future ++ past).toIndexedSeq
+        val l1 =
+          if (l1raw.length > 1 && l1raw == l0)
+            l1raw.updated(0, l1raw(1)).updated(1, l1raw(0))
+          else l1raw
+        if (numRefL0 + 1 > l0.length)
+          throw new H264Format(s"B list0 size ${numRefL0 + 1} exceeds ${l0.length}")
+        if (numRefL1 + 1 > l1.length)
+          throw new H264Format(s"B list1 size ${numRefL1 + 1} exceeds ${l1.length}")
+        refs = l0.take(numRefL0 + 1)
+        refs1 = l1.take(numRefL1 + 1)
+      }
       if (r.u1() != 0) // ref_pic_list_modification_flag_l0 (7.3.3.1)
         throw new H264Format("ref pic list modification out of scope")
-      if (pps.weightedPred) throw new H264Format("weighted prediction out of scope")
+      if (isB && r.u1() != 0) // ..._flag_l1
+        throw new H264Format("ref pic list modification out of scope")
+      if (isP && pps.weightedPred)
+        throw new H264Format("weighted prediction out of scope")
+      if (isB && pps.weightedBipredIdc != 0)
+        throw new H264Format("weighted biprediction out of scope")
     }
     // dec_ref_pic_marking (7.3.3.3): present for IDR always; for
     // non-IDR only when the NAL marks the picture as a reference
@@ -467,25 +532,28 @@ object H264Codec {
     val sliceQpDelta = r.se() // slice_qp_delta
     // In-loop deblocking (8.7) is not implemented. On I slices that is
     // a bounded OUTPUT-filter omission (intra predicts from unfiltered
-    // samples, so the reconstruction is still self-consistent); on P
+    // samples, so the reconstruction is still self-consistent); on P/B
     // slices the filter sits INSIDE the prediction loop — error would
-    // compound across the reference chain — so a P slice that does not
-    // explicitly disable it (idc != 1, or no control field at all, the
-    // implicit-enabled case) is OUT OF SCOPE and throws, matching the
-    // refuse-don't-misdecode posture of CABAC/weighted-pred/B-slices.
+    // compound across the reference chain — so an inter slice that does
+    // not explicitly disable it (idc != 1, or no control field at all,
+    // the implicit-enabled case) is OUT OF SCOPE and throws, matching
+    // the refuse-don't-misdecode posture of CABAC/weighted-pred.
     // Our own encoder always writes deblockingControlPresent + idc 1.
     if (pps.deblockingControlPresent) {
       val idc = r.ue()
       if (idc != 1) {
-        if (isP) throw new H264Format("in-loop deblocking out of scope on P slices")
+        if (isP || isB)
+          throw new H264Format("in-loop deblocking out of scope on inter slices")
         r.se(); r.se()
       }
-    } else if (isP)
-      throw new H264Format("in-loop deblocking out of scope on P slices")
+    } else if (isP || isB)
+      throw new H264Format("in-loop deblocking out of scope on inter slices")
     val st = new FrameState(sps.widthMbs, sps.heightMbs)
+    st.poc = pocVal
     var qpY = pps.picInitQp + sliceQpDelta
     if (qpY < 0 || qpY > 51) throw new H264Format(s"slice QP $qpY out of range")
     if (isP) { decodePSliceData(r, st, refs, qpY); return st }
+    if (isB) { decodeBSliceData(r, st, refs, refs1, qpY); return st }
     // slice_data: all-I macroblocks, raster order
     var mb = 0
     val nMbs = st.wMbs * st.hMbs
@@ -609,6 +677,177 @@ object H264Codec {
         mb += 1
       }
     }
+  }
+
+  /** Per-partition prediction mode of a B macroblock: which lists
+    * contribute (Table 7-14's L0/L1/Bi suffixes). */
+  private final val BModeL0 = 1
+  private final val BModeL1 = 2
+  private final val BModeBi = 3
+
+  /** Table 7-14 partition prediction modes for B mb_types 1-21 (Direct
+    * and B_8x8 are handled by the caller): (partition modes, is16x8).
+    * One entry = a 16x16 partition; two = 16x8 (even type) or 8x16
+    * (odd). */
+  private def bMbPartModes(mbType: Int): (Seq[Int], Boolean) = mbType match {
+    case 1 => (Seq(BModeL0), false)
+    case 2 => (Seq(BModeL1), false)
+    case 3 => (Seq(BModeBi), false)
+    case t if t >= 4 && t <= 21 =>
+      val pair = (t - 4) / 2 match {
+        case 0 => Seq(BModeL0, BModeL0)
+        case 1 => Seq(BModeL1, BModeL1)
+        case 2 => Seq(BModeL0, BModeL1)
+        case 3 => Seq(BModeL1, BModeL0)
+        case 4 => Seq(BModeL0, BModeBi)
+        case 5 => Seq(BModeL1, BModeBi)
+        case 6 => Seq(BModeBi, BModeL0)
+        case 7 => Seq(BModeBi, BModeL1)
+        case _ => Seq(BModeBi, BModeBi)
+      }
+      (pair, t % 2 == 0) // even = 16x8, odd = 8x16
+    case t => throw new H264Format(s"bad B mb_type $t")
+  }
+
+  /** B-slice slice_data (7.3.4 CAVLC form): B_Skip rides mb_skip_run
+    * but IS direct mode — out of scope, so any non-zero run rejects;
+    * coded MBs are Table 7-14 types 1-21 (16x16/16x8/8x16 with L0/L1/Bi
+    * per partition) or intra (mb_type − 23). B_Direct_16x16 (0) and
+    * B_8x8 (22, whose sub_mb_types include direct) reject loudly. */
+  private def decodeBSliceData(r: BitReader, st: FrameState,
+      refs0: IndexedSeq[FrameState], refs1: IndexedSeq[FrameState],
+      qpYIn: Int): Unit = {
+    var qpY = qpYIn
+    var mb = 0
+    val nMbs = st.wMbs * st.hMbs
+    while (mb < nMbs) {
+      if (r.ue() != 0) // mb_skip_run: B_Skip = direct mode
+        throw new H264Format("B_Skip (direct mode) out of scope")
+      val mbType = r.ue()
+      val mx = mb % st.wMbs; val my = mb / st.wMbs
+      if (mbType == 0) throw new H264Format("B_Direct_16x16 out of scope")
+      if (mbType == 22) throw new H264Format("B_8x8 out of scope")
+      if (mbType >= 23) { // intra in a B slice (Table 7-14: type − 23)
+        qpY = decodeIntraMb(r, st, mx * 16, my * 16, mbType - 23, qpY)
+        st.setMv(mx * 4, my * 4, 4, 4, 0, 0, inter = false, refIdx = -1)
+      } else {
+        qpY = decodeInterMbB(r, st, refs0, refs1, mx, my, mbType, qpY)
+      }
+      mb += 1
+    }
+  }
+
+  /** Decode one B inter macroblock (Table 7-14 types 1-21): per the
+    * 7.3.5.1 field order ALL used ref_idx_l0 come first, then all
+    * ref_idx_l1, then all mvd_l0, then all mvd_l1; each partition then
+    * reconstructs in order (so partition 1's MV prediction sees
+    * partition 0's motion) with single-list or averaged bi-prediction.
+    * Residual is the shared inter path. Returns the updated slice QP. */
+  private def decodeInterMbB(r: BitReader, st: FrameState,
+      refs0: IndexedSeq[FrameState], refs1: IndexedSeq[FrameState],
+      mx: Int, my: Int, mbType: Int, qpYIn: Int): Int = {
+    var qpY = qpYIn
+    val bx0 = mx * 4; val by0 = my * 4
+    val (modes, is16x8) = bMbPartModes(mbType)
+    // partition geometry: (bx, by, w4, h4, shortcutKind-for-16x8/8x16)
+    val parts: Seq[(Int, Int, Int, Int, Int)] =
+      if (modes.length == 1) Seq((bx0, by0, 4, 4, 0))
+      else if (is16x8) Seq((bx0, by0, 4, 2, 1), (bx0, by0 + 2, 4, 2, 2))
+      else Seq((bx0, by0, 2, 4, 3), (bx0 + 2, by0, 2, 4, 4))
+    def usesL0(m: Int): Boolean = m == BModeL0 || m == BModeBi
+    def usesL1(m: Int): Boolean = m == BModeL1 || m == BModeBi
+    def readRefIdx(range: Int): Int = {
+      val v = if (range == 0) 0 else te(r, range)
+      if (v > range) throw new H264Format(s"ref_idx $v exceeds list")
+      v
+    }
+    val ri0 = modes.map(m => if (usesL0(m)) readRefIdx(refs0.length - 1) else -1)
+    val ri1 = modes.map(m => if (usesL1(m)) readRefIdx(refs1.length - 1) else -1)
+    val mvd0 = modes.map(m => if (usesL0(m)) (r.se(), r.se()) else (0, 0))
+    val mvd1 = modes.map(m => if (usesL1(m)) (r.se(), r.se()) else (0, 0))
+    parts.zipWithIndex.foreach { case ((bx, by, w4, h4, kind), pi) =>
+      val m = modes(pi)
+      val v0 =
+        if (usesL0(m)) {
+          val (px, py) = mvPredict(st, bx, by, w4, kind, ri0(pi), list = 0)
+          Some((px + mvd0(pi)._1, py + mvd0(pi)._2, ri0(pi)))
+        } else None
+      val v1 =
+        if (usesL1(m)) {
+          val (px, py) = mvPredict(st, bx, by, w4, kind, ri1(pi), list = 1)
+          Some((px + mvd1(pi)._1, py + mvd1(pi)._2, ri1(pi)))
+        } else None
+      mcPartitionB(st, v0.map { case (vx, vy, ri) => (refs0(ri), vx, vy, ri) },
+        v1.map { case (vx, vy, ri) => (refs1(ri), vx, vy, ri) },
+        bx, by, w4, h4)
+    }
+    // residual: identical to the P inter layout (Table 9-5 inter CBP,
+    // 16-coefficient luma blocks on top of the assembled prediction)
+    val cbpCode = r.ue()
+    if (cbpCode > 47) throw new H264Format(s"cbp code $cbpCode")
+    val cbp = CbpInterByCodeNum(cbpCode)
+    if (cbp != 0) qpY = ((qpY + r.se()) % 52 + 52) % 52
+    decodeInterLumaResid(r, st, mx, my, cbp & 15, qpY)
+    decodeChromaResidOnPred(r, st, mx, my, cbp >> 4,
+      H264Transform.chromaQp(qpY))
+    qpY
+  }
+
+  /** Motion-compensate one B partition: single-list prediction writes
+    * the interpolated block; bi-prediction averages the two lists'
+    * interpolations per sample ((a + b + 1) >> 1 — 8.4.2.3.2 default,
+    * no weighting). Writes both planes and the per-list motion grid. */
+  private def mcPartitionB(st: FrameState,
+      p0: Option[(FrameState, Int, Int, Int)],
+      p1: Option[(FrameState, Int, Int, Int)],
+      bx: Int, by: Int, w4: Int, h4: Int): Unit = {
+    require(p0.isDefined || p1.isDefined, "B partition with no list")
+    val lumaW = st.lumaW
+    val bw = w4 * 4; val bh = h4 * 4
+    def lumaOf(p: (FrameState, Int, Int, Int)): Array[Int] =
+      mcLuma(p._1.yPlane, lumaW, st.hMbs * 16, bx * 4, by * 4, p._2, p._3, bw, bh)
+    val pl = (p0.map(lumaOf), p1.map(lumaOf)) match {
+      case (Some(a), Some(b)) =>
+        Array.tabulate(bw * bh)(i => (a(i) + b(i) + 1) >> 1)
+      case (Some(a), None) => a
+      case (None, other) => other.get
+    }
+    var y = 0
+    while (y < bh) {
+      var x = 0
+      while (x < bw) {
+        st.yPlane((by * 4 + y) * lumaW + bx * 4 + x) = clipB(pl(y * bw + x))
+        x += 1
+      }
+      y += 1
+    }
+    val cW = lumaW / 2
+    var c = 0
+    while (c < 2) {
+      def chromaOf(p: (FrameState, Int, Int, Int)): Array[Int] =
+        mcChroma(if (c == 0) p._1.cbPlane else p._1.crPlane, cW, st.hMbs * 8,
+          bx * 2, by * 2, p._2, p._3, w4 * 2, h4 * 2)
+      val pc = (p0.map(chromaOf), p1.map(chromaOf)) match {
+        case (Some(a), Some(b)) =>
+          Array.tabulate(w4 * 2 * h4 * 2)(i => (a(i) + b(i) + 1) >> 1)
+        case (Some(a), None) => a
+        case (None, other) => other.get
+      }
+      val sp = if (c == 0) st.cbPlane else st.crPlane
+      var yy = 0
+      while (yy < h4 * 2) {
+        var xx = 0
+        while (xx < w4 * 2) {
+          sp((by * 2 + yy) * cW + bx * 2 + xx) = clipB(pc(yy * w4 * 2 + xx))
+          xx += 1
+        }
+        yy += 1
+      }
+      c += 1
+    }
+    st.setMvB(bx, by, w4, h4,
+      p0.map { case (_, vx, vy, ri) => (vx, vy, ri) },
+      p1.map { case (_, vx, vy, ri) => (vx, vy, ri) })
   }
 
   /** TotalCoeff bookkeeping for a residual-free inter MB (P_Skip or
@@ -954,14 +1193,22 @@ object H264Codec {
   private final case class MvNbr(avail: Boolean, inter: Boolean, vx: Int,
       vy: Int, refIdx: Int)
 
-  private def mvNbrAt(st: FrameState, bx: Int, by: Int): MvNbr = {
+  private def mvNbrAt(st: FrameState, bx: Int, by: Int, list: Int = 0): MvNbr = {
     if (bx < 0 || by < 0 || bx >= st.wMbs * 4 || by >= st.hMbs * 4)
       MvNbr(avail = false, inter = false, 0, 0, -1)
     else {
       val i = st.blkIdx(bx, by)
       if (!st.decodedBlk(i)) MvNbr(avail = false, inter = false, 0, 0, -1)
-      else MvNbr(avail = true, st.interBlk(i), st.mvx(i), st.mvy(i),
-        st.refIdxBlk(i))
+      else if (list == 0)
+        MvNbr(avail = true, st.interBlk(i), st.mvx(i), st.mvy(i),
+          st.refIdxBlk(i))
+      else // list 1 (B): "inter" = predicts from THIS list (8.4.1.3.1's
+        // predFlagLXN; a single-list neighbor contributes (0,0) to the
+        // other list's median, exactly like an intra one)
+        MvNbr(avail = true, st.refIdx1Blk(i) >= 0,
+          if (st.refIdx1Blk(i) >= 0) st.mvx1(i) else 0,
+          if (st.refIdx1Blk(i) >= 0) st.mvy1(i) else 0,
+          st.refIdx1Blk(i))
     }
   }
 
@@ -978,11 +1225,11 @@ object H264Codec {
     * to the neighbors' MVs regardless of refIdx (with (0,0) for
     * unavailable/intra neighbors), per 8.4.1.3.1. */
   private def mvPredict(st: FrameState, bx: Int, by: Int, w4: Int,
-      partKind: Int, refIdx: Int): (Int, Int) = {
-    val a = mvNbrAt(st, bx - 1, by)        // left
-    val b = mvNbrAt(st, bx, by - 1)        // above
-    val cRaw = mvNbrAt(st, bx + w4, by - 1) // above-right
-    val d = mvNbrAt(st, bx - 1, by - 1)    // above-left (C's substitute)
+      partKind: Int, refIdx: Int, list: Int = 0): (Int, Int) = {
+    val a = mvNbrAt(st, bx - 1, by, list)        // left
+    val b = mvNbrAt(st, bx, by - 1, list)        // above
+    val cRaw = mvNbrAt(st, bx + w4, by - 1, list) // above-right
+    val d = mvNbrAt(st, bx - 1, by - 1, list)    // above-left (C's substitute)
     val c = if (cRaw.avail) cRaw else d
     def sameRef(n: MvNbr): Boolean = n.inter && n.refIdx == refIdx
     // directional shortcuts for the two-partition MB shapes (8.4.1.3)
@@ -1078,15 +1325,22 @@ object H264Codec {
     // belongs to an inter-predicted partition (refIdx 0 — single
     // reference); dec(b) = the block's partition is already
     // reconstructed this frame (8.4.1.3's decode-order availability).
+    /** Display order (PicOrderCnt) — drives B reference-list ordering. */
+    var poc: Int = 0
+    // per-list motion grids: list 0 (P and B) and list 1 (B only);
+    // refIdx -1 = the block does not predict from that list (intra, or
+    // a single-list B partition) — 8.4.1.3's "refIdxLXN = -1" marker
     val mvx = new Array[Int](wMbs * 4 * hMbs * 4)
     val mvy = new Array[Int](wMbs * 4 * hMbs * 4)
-    val interBlk = new Array[Boolean](wMbs * 4 * hMbs * 4)
+    val interBlk = new Array[Boolean](wMbs * 4 * hMbs * 4) // predFlagL0
     val decodedBlk = new Array[Boolean](wMbs * 4 * hMbs * 4)
-    /** List-0 reference index per block; -1 for intra blocks (8.4.1.3's
-      * "refIdxLXN = -1 when intra" — never equal to a real refIdx). */
     val refIdxBlk = new Array[Int](wMbs * 4 * hMbs * 4)
+    val mvx1 = new Array[Int](wMbs * 4 * hMbs * 4)
+    val mvy1 = new Array[Int](wMbs * 4 * hMbs * 4)
+    val refIdx1Blk: Array[Int] = Array.fill(wMbs * 4 * hMbs * 4)(-1)
     def blkIdx(bx: Int, by: Int): Int = by * wMbs * 4 + bx
-    /** Mark a partition's 4x4 blocks with its motion vector + refIdx. */
+    /** Mark a partition's 4x4 blocks with its list-0 motion vector +
+      * refIdx (clearing list 1 — the P-slice and intra form). */
     def setMv(bx: Int, by: Int, w4: Int, h4: Int, vx: Int, vy: Int,
         inter: Boolean, refIdx: Int = 0): Unit = {
       var y = by
@@ -1096,6 +1350,35 @@ object H264Codec {
           val i = blkIdx(x, y)
           mvx(i) = vx; mvy(i) = vy; interBlk(i) = inter; decodedBlk(i) = true
           refIdxBlk(i) = if (inter) refIdx else -1
+          mvx1(i) = 0; mvy1(i) = 0; refIdx1Blk(i) = -1
+          x += 1
+        }
+        y += 1
+      }
+    }
+    /** Mark a B partition's blocks with per-list motion: `v0`/`v1` =
+      * Some((vx, vy, refIdx)) when the partition predicts from that
+      * list. */
+    def setMvB(bx: Int, by: Int, w4: Int, h4: Int,
+        v0: Option[(Int, Int, Int)], v1: Option[(Int, Int, Int)]): Unit = {
+      var y = by
+      while (y < by + h4) {
+        var x = bx
+        while (x < bx + w4) {
+          val i = blkIdx(x, y)
+          decodedBlk(i) = true
+          v0 match {
+            case Some((vx, vy, ri)) =>
+              mvx(i) = vx; mvy(i) = vy; interBlk(i) = true; refIdxBlk(i) = ri
+            case None =>
+              mvx(i) = 0; mvy(i) = 0; interBlk(i) = false; refIdxBlk(i) = -1
+          }
+          v1 match {
+            case Some((vx, vy, ri)) =>
+              mvx1(i) = vx; mvy1(i) = vy; refIdx1Blk(i) = ri
+            case None =>
+              mvx1(i) = 0; mvy1(i) = 0; refIdx1Blk(i) = -1
+          }
           x += 1
         }
         y += 1
@@ -1437,12 +1720,15 @@ object H264Codec {
     * multi-ref GOPs write the x264-like default shape (PPS carries the
     * list size, early slices override it down while the DPB fills). */
   private def spsPpsNals(wMbs: Int, hMbs: Int, cropR: Int, cropB: Int,
-      refFrames: Int = 1): (Array[Byte], Array[Byte]) = {
+      refFrames: Int = 1, pocLsbBits: Int = 0): (Array[Byte], Array[Byte]) = {
     val sw = new BitWriter
     sw.u(66, 8); sw.u(0xC0, 8); sw.u(30, 8) // constraint_set0/1, level 3.0
     sw.ue(0) // sps id
     sw.ue(0) // log2_max_frame_num_minus4
-    sw.ue(2) // pic_order_cnt_type 2
+    // POC type 2 (decode order == display order) unless the GOP carries
+    // B frames, which need explicit type-0 POC for display reordering
+    if (pocLsbBits > 0) { sw.ue(0); sw.ue(pocLsbBits - 4) }
+    else sw.ue(2) // pic_order_cnt_type 2
     sw.ue(refFrames) // max_num_ref_frames
     sw.u1(0) // gaps
     sw.ue(wMbs - 1); sw.ue(hMbs - 1)
@@ -1499,14 +1785,15 @@ object H264Codec {
 
   private def encodeImpl(img: MediaCodecs.Bmp, avcc: Boolean, qp: Int,
       intra4x4: Boolean, pick: (Int, Int, Seq[Int]) => Int,
-      refFrames: Int = 1): (Array[Byte], FrameState) = {
+      refFrames: Int = 1, pocLsbBits: Int = 0): (Array[Byte], FrameState) = {
     require(!intra4x4 || qp >= 0, "intra4x4 needs a compressed qp (0..51)")
     val (wMbs, hMbs, cropR, cropB) = mbGeometry(img)
 
     // RGB -> YCbCr 4:2:0, edge-replicated to MB grid
     val lumaW = wMbs * 16
     val (yP, cbP, crP) = toYuv420(img, wMbs, hMbs)
-    val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB, refFrames)
+    val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB, refFrames,
+      pocLsbBits)
 
     // IDR slice
     require(qp >= -1 && qp <= 51, s"qp $qp")
@@ -1516,6 +1803,7 @@ object H264Codec {
     w2.ue(0) // pps id
     w2.u(0, 4) // frame_num (log2_max_frame_num = 4)
     w2.ue(0) // idr_pic_id
+    if (pocLsbBits > 0) w2.u(0, pocLsbBits) // pic_order_cnt_lsb (IDR: 0)
     w2.u1(0); w2.u1(0) // dec_ref_pic_marking
     w2.se(if (qp < 0) 0 else qp - 26) // slice_qp_delta vs pic_init_qp 26
     w2.ue(1) // disable_deblocking_filter_idc = 1
@@ -1937,6 +2225,227 @@ object H264Codec {
     (payloads.toSeq, states.toSeq)
   }
 
+  /**
+   * Encode a display-order frame sequence as one GOP WITH B FRAMES
+   * (IbbP cadence): every (`bFrames`+1)-th display frame is a reference
+   * (IDR then P, each predicting from the previous reference), and the
+   * frames between are non-reference B pictures bi-predicting from the
+   * surrounding pair (list0 = past, list1 = future — the decoder
+   * rebuilds exactly these lists from POC order). Payloads come back in
+   * DECODE order (reference before the Bs that need it) with each
+   * payload's display index alongside — the reorder a real transport
+   * performs. POC type 0 with explicit pic_order_cnt_lsb carries the
+   * display order; B pictures write nal_ref_idc 0 (disposable — an
+   * error in a B never propagates). Per macroblock the encoder tries
+   * L0-only, L1-only, and averaged bi-prediction (best SAD, ties
+   * favoring the cheaper single-list modes) and reconstructs with the
+   * decoder's own kernels, so parity is plane-exact.
+   *
+   * @return (payloads in decode order, display index of each payload)
+   */
+  def encodeGopB(frames: Seq[MediaCodecs.Bmp], qp: Int, bFrames: Int = 1,
+      avcc: Boolean = true, searchRange: Int = 4)
+      : (Seq[Array[Byte]], Seq[Int]) = {
+    val (p, d, _) = encodeGopBImpl(frames, qp, bFrames, avcc, searchRange)
+    (p, d)
+  }
+
+  /** [[encodeGopB]] + the encoder's own per-payload reconstructed
+    * planes — the parity spec hook (decode order, like the payloads). */
+  private[graft] def encodeGopBForTest(frames: Seq[MediaCodecs.Bmp], qp: Int,
+      bFrames: Int = 1, searchRange: Int = 4)
+      : (Seq[Array[Byte]], Seq[Int], Seq[(Array[Byte], Array[Byte], Array[Byte])]) = {
+    val (p, d, sts) = encodeGopBImpl(frames, qp, bFrames, avcc = true, searchRange)
+    (p, d, sts.map(st => (st.yPlane, st.cbPlane, st.crPlane)))
+  }
+
+  private def encodeGopBImpl(frames: Seq[MediaCodecs.Bmp], qp: Int,
+      bFrames: Int, avcc: Boolean, searchRange: Int)
+      : (Seq[Array[Byte]], Seq[Int], Seq[FrameState]) = {
+    require(frames.nonEmpty, "empty GOP")
+    require(qp >= 0 && qp <= 51, s"qp $qp")
+    require(bFrames >= 1, s"bFrames $bFrames (use encodeGop for IPPP)")
+    val w0 = frames.head.width; val h0 = frames.head.height
+    require(frames.forall(f => f.width == w0 && f.height == h0),
+      "GOP frames must share dimensions")
+    val n = frames.length
+    val step = bFrames + 1
+    val refPos = {
+      val b = scala.collection.mutable.ArrayBuffer(0 until n by step: _*)
+      if (b.last != n - 1) b += n - 1 // the last frame must be a reference
+      b.toSeq
+    }
+    val pocBits = 8 // lsb width; 8.2.1.1 msb repair covers longer GOPs
+    val (wMbs, hMbs, cropR, cropB) = mbGeometry(frames.head)
+    // SPS DPB depth 2 (past + future ref around each B); PPS list
+    // defaults sized for the refs=2 P shape — every slice overrides
+    // down to its actual 1-deep lists
+    val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB,
+      refFrames = 2, pocLsbBits = pocBits)
+    val (idrBytes, st0) = encodeImpl(frames.head, avcc, qp,
+      intra4x4 = false, (_, b, _) => b, refFrames = 2, pocLsbBits = pocBits)
+    st0.poc = 0
+    val payloads = ArrayBuffer(idrBytes)
+    val display = ArrayBuffer(0)
+    val states = ArrayBuffer(st0)
+    var prevRef = st0
+    var prevRefPos = 0
+    var refCount = 0
+    val maxLsb = 1 << pocBits
+    refPos.tail.foreach { pos =>
+      refCount += 1
+      val (yP, cbP, crP) = toYuv420(frames(pos), wMbs, hMbs)
+      val (pNal, stP) = encodePFrame(yP, cbP, crP, IndexedSeq(prevRef), qp,
+        refCount % 16, searchRange, None, 0, refFrames = 2,
+        pocLsbBits = pocBits, pocLsb = (2 * pos) % maxLsb)
+      stP.poc = 2 * pos
+      payloads += frameNals(avcc, spsNal, ppsNal, pNal)
+      display += pos
+      states += stP
+      var bpos = prevRefPos + 1
+      while (bpos < pos) {
+        val (by, bcb, bcr) = toYuv420(frames(bpos), wMbs, hMbs)
+        val (bNal, stB) = encodeBFrame(by, bcb, bcr, prevRef, stP, qp,
+          (refCount + 1) % 16, (2 * bpos) % maxLsb, pocBits, searchRange)
+        stB.poc = 2 * bpos
+        payloads += frameNals(avcc, spsNal, ppsNal, bNal)
+        display += bpos
+        states += stB
+        bpos += 1
+      }
+      prevRef = stP
+      prevRefPos = pos
+    }
+    (payloads.toSeq, display.toSeq, states.toSeq)
+  }
+
+  /** Encode one B slice NAL (16x16 partitions; per-MB L0/L1/Bi by best
+    * SAD) against the past (`ref0` = list0) and future (`ref1` = list1)
+    * references, reconstructing with the decoder's kernels. Non-ref
+    * NAL (nal_ref_idc 0) — carries no dec_ref_pic_marking. */
+  private def encodeBFrame(srcY: Array[Byte], srcCb: Array[Byte],
+      srcCr: Array[Byte], ref0: FrameState, ref1: FrameState, qp: Int,
+      frameNum: Int, pocLsb: Int, pocBits: Int, searchRange: Int)
+      : (Array[Byte], FrameState) = {
+    import H264Transform._
+    val wMbs = ref0.wMbs; val hMbs = ref0.hMbs
+    val lumaW = wMbs * 16; val lumaH = hMbs * 16
+    val st = new FrameState(wMbs, hMbs)
+    val w = new BitWriter
+    // slice_header (7.3.3): B, one reference per list, POC type 0
+    w.ue(0) // first_mb_in_slice
+    w.ue(6) // slice_type B (all slices in this picture are B)
+    w.ue(0) // pps id
+    w.u(frameNum & 15, 4) // frame_num (non-ref: value is informational)
+    w.u(pocLsb, pocBits) // pic_order_cnt_lsb — carries display order
+    w.u1(0) // direct_spatial_mv_pred_flag (no direct MBs emitted)
+    w.u1(1); w.ue(0); w.ue(0) // override: 1-deep list0 AND list1
+    w.u1(0); w.u1(0) // ref_pic_list_modification l0, l1
+    // (no dec_ref_pic_marking: nal_ref_idc 0)
+    w.se(qp - 26) // slice_qp_delta
+    w.ue(1) // disable_deblocking_filter_idc = 1
+    var mb = 0
+    val nMbs = wMbs * hMbs
+    while (mb < nMbs) {
+      val mx = mb % wMbs; val my = mb / wMbs
+      // mode decision: best integer-pel MV per list, then compare
+      // L0-only / L1-only / averaged-bi SADs of the real interpolation
+      val (v0x, v0y) = searchMv(srcY, ref0.yPlane, lumaW, lumaH, mx, my, searchRange)
+      val (v1x, v1y) = searchMv(srcY, ref1.yPlane, lumaW, lumaH, mx, my, searchRange)
+      val pred0 = mcLuma(ref0.yPlane, lumaW, lumaH, mx * 16, my * 16, v0x, v0y, 16, 16)
+      val pred1 = mcLuma(ref1.yPlane, lumaW, lumaH, mx * 16, my * 16, v1x, v1y, 16, 16)
+      var sad0 = 0L; var sad1 = 0L; var sadBi = 0L
+      var k = 0
+      while (k < 256) {
+        val s = srcY((my * 16 + k / 16) * lumaW + mx * 16 + k % 16) & 0xff
+        sad0 += math.abs(s - pred0(k))
+        sad1 += math.abs(s - pred1(k))
+        sadBi += math.abs(s - ((pred0(k) + pred1(k) + 1) >> 1))
+        k += 1
+      }
+      val mode =
+        if (sad0 <= sad1 && sad0 <= sadBi) BModeL0
+        else if (sad1 <= sadBi) BModeL1
+        else BModeBi
+      w.ue(0) // mb_skip_run (B_Skip is direct mode — never emitted)
+      w.ue(mode) // mb_type: B_L0_16x16=1 / B_L1_16x16=2 / B_Bi_16x16=3
+      // (no ref_idx fields: both lists are 1 deep)
+      val useL0 = mode == BModeL0 || mode == BModeBi
+      val useL1 = mode == BModeL1 || mode == BModeBi
+      if (useL0) {
+        val (px, py) = mvPredict(st, mx * 4, my * 4, 4, 0, 0, list = 0)
+        w.se(v0x - px); w.se(v0y - py)
+      }
+      if (useL1) {
+        val (px, py) = mvPredict(st, mx * 4, my * 4, 4, 0, 0, list = 1)
+        w.se(v1x - px); w.se(v1y - py)
+      }
+      mcPartitionB(st,
+        if (useL0) Some((ref0, v0x, v0y, 0)) else None,
+        if (useL1) Some((ref1, v1x, v1y, 0)) else None,
+        mx * 4, my * 4, 4, 4)
+      // residual on top of the assembled prediction, reconstructed
+      // exactly as the decoder will (the P-encoder pattern)
+      val levels = Array.ofDim[Int](16, 16)
+      var bi = 0
+      while (bi < 16) {
+        val (bxo, byo) = LumaBlockOrder(bi)
+        val diff = new Array[Int](16)
+        k = 0
+        while (k < 16) {
+          val o = (my * 16 + byo * 4 + k / 4) * lumaW + mx * 16 + bxo * 4 + k % 4
+          diff(k) = (srcY(o) & 0xff) - (st.yPlane(o) & 0xff)
+          k += 1
+        }
+        val q = quant4x4(forward4x4(diff), qp, skipDc = false)
+        k = 0
+        while (k < 16) { levels(bi)(k) = q(Zigzag4x4(k)); k += 1 }
+        bi += 1
+      }
+      val cbpLuma = (0 until 4).foldLeft(0) { (acc, g) =>
+        if ((0 until 4).exists(i => levels(g * 4 + i).exists(_ != 0)))
+          acc | (1 << g)
+        else acc
+      }
+      val predC = Array.tabulate(2) { c =>
+        val plane = if (c == 0) st.cbPlane else st.crPlane
+        Array.tabulate(64)(j =>
+          plane((my * 8 + j / 8) * (lumaW / 2) + mx * 8 + j % 8) & 0xff)
+      }
+      val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, chromaQp(qp),
+        predOf = c => predC(c))
+      val cbp = cbpLuma | (chroma.cbpChroma << 4)
+      w.ue(CbpInterToCodeNum(cbp))
+      if (cbp != 0) w.se(0) // mb_qp_delta
+      bi = 0
+      while (bi < 16) {
+        val (bxo, byo) = LumaBlockOrder(bi)
+        val gbx = mx * 4 + bxo; val gby = my * 4 + byo
+        if ((cbpLuma & (1 << (bi >> 2))) != 0) {
+          val tc = H264Cavlc.encodeBlock(w, levels(bi), 16, st.lumaNc(gbx, gby))
+          st.setNnzY(gbx, gby, tc)
+          val rpx = inverse4x4(dequant4x4(unzigzag(levels(bi), 0), qp, skipDc = false))
+          var py = 0
+          while (py < 4) {
+            var px = 0
+            while (px < 4) {
+              val o = (my * 16 + byo * 4 + py) * lumaW + mx * 16 + bxo * 4 + px
+              st.yPlane(o) = clipB((st.yPlane(o) & 0xff) + rpx(py * 4 + px))
+              px += 1
+            }
+            py += 1
+          }
+        } else st.setNnzY(gbx, gby, 0)
+        bi += 1
+      }
+      chroma.emit(w)
+      mb += 1
+    }
+    w.trailing()
+    // NAL header: forbidden 0, nal_ref_idc 0 (disposable), type 1
+    (Array[Byte](0x01.toByte) ++ escape(w.bytes), st)
+  }
+
   /** Encode one P slice NAL from 4:2:0 source planes against the DPB
     * `refs` (index 0 = most recent), returning the slice NAL and the
     * reconstruction (== what the decoder will produce, sharing its
@@ -1947,7 +2456,8 @@ object H264Codec {
       srcCr: Array[Byte], refs: IndexedSeq[FrameState], qp: Int,
       frameNum: Int, searchRange: Int, forcedMv: Option[(Int, Int)],
       intraEvery: Int, refFrames: Int = 1,
-      forcedRefIdx: Option[(Int, Int) => Int] = None)
+      forcedRefIdx: Option[(Int, Int) => Int] = None,
+      pocLsbBits: Int = 0, pocLsb: Int = 0)
       : (Array[Byte], FrameState) = {
     import H264Transform._
     require(refs.nonEmpty, "P frame needs at least one reference")
@@ -1961,6 +2471,7 @@ object H264Codec {
     w.ue(5) // slice_type P (all slices in this picture are P)
     w.ue(0) // pps id
     w.u(frameNum & 15, 4) // frame_num (log2_max_frame_num = 4)
+    if (pocLsbBits > 0) w.u(pocLsb, pocLsbBits) // pic_order_cnt_lsb (type 0)
     if (nActive != refFrames) { // DPB still filling: override the default
       w.u1(1) // num_ref_idx_active_override_flag
       w.ue(nActive - 1) // num_ref_idx_l0_active_minus1

@@ -58,9 +58,12 @@ object Multimodal {
   /** STUB: stands in for decode + feature extraction of formats that
     * need codecs this container doesn't ship (JPEG went native in r7
     * via [[JpegCodec]]; H.264 I_PCM IDR frames in r8, full I-slice
-    * CAVLC in r8-r10, and baseline P-slice motion-compensated decode in
-    * r11 — `H264Codec.decodeGop` handles IPPP GOPs; what remains
-    * stubbed is CABAC streams, B slices, and AAC audio). */
+    * CAVLC in r8-r10, baseline P-slice motion-compensated decode in
+    * r11, multi-reference P slices and bi-predictive B slices with
+    * POC-type-0 display reordering in r12 — `H264Codec.decodeGop`
+    * handles IPPP and IbbP GOPs; what remains stubbed is CABAC
+    * streams, B-direct/weighted prediction, in-loop deblocking on
+    * foreign inter slices, and AAC audio). */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
     var h = 1125899906842597L

@@ -2725,6 +2725,55 @@ object PipelineQueries {
              |  true AS lossy_ok
              |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
 
+    // B slices (r12 stretch): bi-predictive pictures with POC-type-0
+    // display reordering — an IbbP GOP (refs at display 0/3/4, B frames
+    // between, transmitted refs-first) decodes through the real DPB +
+    // POC-ordered list0/list1 machinery; the query checks the decode-
+    // order payload stream maps back to display order faithfully
+    // (reorder_ok pins the expected decode cadence, lossy_ok bounds
+    // per-frame error at qp=26, inter_gain certifies every non-IDR
+    // payload is smaller than the IDR). Encoder≡decoder plane parity,
+    // L0/L1/Bi mode selection, and B-poisoning are pinned in
+    // H264BSliceSpec.
+    "q_h264_bslice_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val len = text.codePointCount(0, text.length)
+            val w = 32 + 2 * (len % 8).toInt
+            val h = 32 + 2 * ((len + id) % 6).toInt
+            val frames = Seq((0, 0), (1, 0), (2, 1), (3, 1), (4, 2))
+              .map { case (dx, dy) => gopGradientFrame(w, h, dx, dy) }
+            val (payloads, display) =
+              graft.pipeline.H264Codec.encodeGopB(frames, qp = 26, bFrames = 2)
+            val reorderOk = display == Seq(0, 3, 1, 2, 4)
+            val decoded = graft.pipeline.H264Codec.decodeGop(payloads)
+            val lossyOk = display.zip(decoded).forall { case (d, dec) =>
+              dec.exists { b =>
+                val src = frames(d)
+                val mad = src.rgb.iterator.zip(b.rgb.iterator)
+                  .map { case (p, q) => math.abs((p & 0xff) - (q & 0xff)) }
+                  .sum.toDouble / src.rgb.length
+                mad < 8.0
+              }
+            }
+            val gain = payloads.tail.forall(_.length < payloads.head.length)
+            (id, w, h, decoded.count(_.isDefined), reorderOk, gain, lossyOk)
+          }
+          .toDF("doc_id", "width", "height", "n_decoded", "reorder_ok",
+            "inter_gain", "lossy_ok")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(32 + 2 * (len(text) % 8) AS INT) AS width,
+             |  CAST(32 + 2 * ((len(text) + doc_id) % 6) AS INT) AS height,
+             |  CAST(5 AS INT) AS n_decoded, true AS reorder_ok,
+             |  true AS inter_gain, true AS lossy_ok
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
     // raw .h264 elementary-stream ingest (r11): the same IPPP GOP as a
     // containerless Annex-B byte stream (start-code NALs back to back —
     // the form cameras and ffmpeg's rawvideo path emit). Access-unit
