@@ -308,7 +308,7 @@ object H264Codec {
     * REFERENCE picture in decoding order, for lsb-wraparound repair. */
   private final class PocState { var prevMsb = 0; var prevLsb = 0 }
 
-  private[pipeline] final class GopDecoder {
+  private[graft] final class GopDecoder {
     private var sps: Sps = null
     private var pps: Pps = null
     private var dpb: List[FrameState] = Nil // head = most recent reference
@@ -530,29 +530,37 @@ object H264Codec {
     else if (refIdc != 0 && r.u1() != 0) // adaptive_ref_pic_marking_mode_flag
       throw new H264Format("adaptive ref marking out of scope")
     val sliceQpDelta = r.se() // slice_qp_delta
-    // In-loop deblocking (8.7) is not implemented. On I slices that is
-    // a bounded OUTPUT-filter omission (intra predicts from unfiltered
-    // samples, so the reconstruction is still self-consistent); on P/B
-    // slices the filter sits INSIDE the prediction loop — error would
-    // compound across the reference chain — so an inter slice that does
-    // not explicitly disable it (idc != 1, or no control field at all,
-    // the implicit-enabled case) is OUT OF SCOPE and throws, matching
-    // the refuse-don't-misdecode posture of CABAC/weighted-pred.
-    // Our own encoder always writes deblockingControlPresent + idc 1.
+    // In-loop deblocking (8.7) is IMPLEMENTED for I and P slices (r12):
+    // the whole-frame filter runs after the slice decodes — intra
+    // prediction inside the frame reads unfiltered samples, the
+    // FILTERED picture is what gets output and referenced — so foreign
+    // baseline streams with deblocking on (the x264 default, and the
+    // implicit default when the PPS carries no control field) decode
+    // exactly. idc 2 (skip slice boundaries) equals idc 0 here: one
+    // slice per picture means the only slice boundary is the picture
+    // edge, which is never filtered anyway. B slices keep the
+    // refuse-don't-misdecode posture (our encoder writes idc 1 there).
+    var deblockEnabled = !pps.deblockingControlPresent // implicit: ON
+    var offA = 0; var offB = 0
     if (pps.deblockingControlPresent) {
       val idc = r.ue()
       if (idc != 1) {
-        if (isP || isB)
-          throw new H264Format("in-loop deblocking out of scope on inter slices")
-        r.se(); r.se()
-      }
-    } else if (isP || isB)
-      throw new H264Format("in-loop deblocking out of scope on inter slices")
+        deblockEnabled = true
+        offA = 2 * r.se() // slice_alpha_c0_offset_div2 (doubled)
+        offB = 2 * r.se() // slice_beta_offset_div2 (doubled)
+      } else deblockEnabled = false
+    }
+    if (isB && deblockEnabled)
+      throw new H264Format("in-loop deblocking out of scope on B slices")
     val st = new FrameState(sps.widthMbs, sps.heightMbs)
     st.poc = pocVal
     var qpY = pps.picInitQp + sliceQpDelta
     if (qpY < 0 || qpY > 51) throw new H264Format(s"slice QP $qpY out of range")
-    if (isP) { decodePSliceData(r, st, refs, qpY); return st }
+    if (isP) {
+      decodePSliceData(r, st, refs, qpY)
+      if (deblockEnabled) deblockFrame(st, offA, offB)
+      return st
+    }
     if (isB) { decodeBSliceData(r, st, refs, refs1, qpY); return st }
     // slice_data: all-I macroblocks, raster order
     var mb = 0
@@ -563,6 +571,7 @@ object H264Codec {
         mbType, qpY)
       mb += 1
     }
+    if (deblockEnabled) deblockFrame(st, offA, offB)
     st
   }
 
@@ -635,6 +644,9 @@ object H264Codec {
           H264Transform.chromaQp(qpY))
       } else throw new H264Format(s"bad intra mb_type $mbType")
     }
+    // deblock inputs: intra MBs force bS 3/4 at their edges; I_PCM
+    // counts as QP 0 in the filter (8.7.2 — disables it over PCM)
+    st.markMb(mbX / 16, mbY / 16, intra = true, if (mbType == 25) 0 else qpY)
     qpY
   }
 
@@ -661,6 +673,7 @@ object H264Codec {
         val (vx, vy) = skipMv(st, mx, my)
         mcPartition(st, refs(0), mx * 4, my * 4, 4, 4, vx, vy, refIdx = 0)
         markInterNnzZero(st, mx, my)
+        st.markMb(mx, my, intra = false, qpY)
         mb += 1; run -= 1
       }
       if (mb < nMbs) {
@@ -790,6 +803,7 @@ object H264Codec {
     decodeInterLumaResid(r, st, mx, my, cbp & 15, qpY)
     decodeChromaResidOnPred(r, st, mx, my, cbp >> 4,
       H264Transform.chromaQp(qpY))
+    st.markMb(mx, my, intra = false, qpY)
     qpY
   }
 
@@ -971,6 +985,7 @@ object H264Codec {
     decodeInterLumaResid(r, st, mx, my, cbpLuma, qpY)
     decodeChromaResidOnPred(r, st, mx, my, cbpChroma,
       H264Transform.chromaQp(qpY))
+    st.markMb(mx, my, intra = false, qpY)
     qpY
   }
 
@@ -1298,6 +1313,238 @@ object H264Codec {
     st.setMv(bx, by, w4, h4, vx, vy, inter = true, refIdx = refIdx)
   }
 
+  // ---------------- in-loop deblocking filter (8.7) ----------------
+
+  /** Table 8-16 α threshold, indexed by Clip3(0, 51, qpAvg + offsetA). */
+  private[pipeline] val DeblockAlpha: Array[Int] = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25, 28,
+    32, 36, 40, 45, 50, 56, 63, 71, 80, 90, 101, 113, 127, 144, 162, 182,
+    203, 226, 255, 255)
+
+  /** Table 8-16 β threshold, indexed by Clip3(0, 51, qpAvg + offsetB). */
+  private[pipeline] val DeblockBeta: Array[Int] = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8,
+    9, 9, 10, 10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16,
+    17, 17, 18, 18)
+
+  /** Table 8-17 t_C0, [indexA][bS − 1] (bS 1..3). */
+  private[pipeline] val DeblockTc0: Array[Array[Int]] = Array(
+    Array(0, 0, 0), Array(0, 0, 0), Array(0, 0, 0), Array(0, 0, 0),
+    Array(0, 0, 0), Array(0, 0, 0), Array(0, 0, 0), Array(0, 0, 0),
+    Array(0, 0, 0), Array(0, 0, 0), Array(0, 0, 0), Array(0, 0, 0),
+    Array(0, 0, 0), Array(0, 0, 0), Array(0, 0, 0), Array(0, 0, 0),
+    Array(0, 0, 0), Array(0, 0, 1), Array(0, 0, 1), Array(0, 0, 1),
+    Array(0, 0, 1), Array(0, 1, 1), Array(0, 1, 1), Array(1, 1, 1),
+    Array(1, 1, 1), Array(1, 1, 1), Array(1, 1, 1), Array(1, 1, 2),
+    Array(1, 1, 2), Array(1, 1, 2), Array(1, 1, 2), Array(1, 2, 3),
+    Array(1, 2, 3), Array(2, 2, 3), Array(2, 2, 4), Array(2, 3, 4),
+    Array(2, 3, 4), Array(3, 3, 5), Array(3, 4, 6), Array(3, 4, 6),
+    Array(4, 5, 7), Array(4, 5, 8), Array(5, 6, 9), Array(6, 7, 10),
+    Array(6, 8, 11), Array(7, 9, 12), Array(8, 10, 13), Array(9, 12, 15),
+    Array(10, 13, 17), Array(11, 15, 20), Array(13, 17, 23), Array(14, 19, 25))
+
+  /** Whole-picture in-loop deblocking (8.7): applied to a FrameState
+    * AFTER its slice decodes (intra prediction inside the frame reads
+    * unfiltered samples; the FILTERED picture is what gets output and
+    * referenced), edges in spec order — per MB in raster order, all
+    * vertical edges left-to-right then all horizontal top-to-bottom,
+    * in place, so later edges see earlier edges' filtered samples.
+    * Boundary strength per 8.7.2.1 (intra MB edge 4, intra 3, coded
+    * residual 2, motion discontinuity ≥ 1 quarter-pel×4 or different
+    * refs 1, else 0) from the FrameState's own nnz/motion/intra/QP
+    * grids. The encoder applies the SAME function to its
+    * reconstruction, so encode/decode parity is plane-exact.
+    * `offA`/`offB` are the slice header's FilterOffsetA/B (already
+    * doubled). */
+  private def deblockFrame(st: FrameState, offA: Int, offB: Int): Unit = {
+    import H264Transform.chromaQp
+    val W = st.lumaW
+    val cW = W / 2
+    val wMbs = st.wMbs; val hMbs = st.hMbs
+    def mbIntra(mx: Int, my: Int): Boolean = st.intraMbArr(my * wMbs + mx)
+    def mbQp(mx: Int, my: Int): Int = st.qpMb(my * wMbs + mx)
+    // bS between neighboring luma 4x4 blocks P and Q (8.7.2.1)
+    def bs(bxP: Int, byP: Int, bxQ: Int, byQ: Int, mbEdge: Boolean): Int = {
+      val pIntra = mbIntra(bxP / 4, byP / 4)
+      val qIntra = mbIntra(bxQ / 4, byQ / 4)
+      if ((pIntra || qIntra) && mbEdge) 4
+      else if (pIntra || qIntra) 3
+      else if (st.nnzYAt(bxP, byP) > 0 || st.nnzYAt(bxQ, byQ) > 0) 2
+      else {
+        val i = st.blkIdx(bxP, byP); val j = st.blkIdx(bxQ, byQ)
+        if (st.refIdxBlk(i) != st.refIdxBlk(j) ||
+          st.refIdx1Blk(i) != st.refIdx1Blk(j)) 1
+        else if (math.abs(st.mvx(i) - st.mvx(j)) >= 4 ||
+          math.abs(st.mvy(i) - st.mvy(j)) >= 4) 1
+        else if (st.refIdx1Blk(i) >= 0 &&
+          (math.abs(st.mvx1(i) - st.mvx1(j)) >= 4 ||
+            math.abs(st.mvy1(i) - st.mvy1(j)) >= 4)) 1
+        else 0
+      }
+    }
+    // filter one sample line across an edge: q0 at flat index `q0i`,
+    // `d` = step toward q3 (−d toward p3); every output is computed
+    // from the line's INPUT samples (8.7.2.3/8.7.2.4)
+    def filterLine(plane: Array[Byte], q0i: Int, d: Int, bS: Int,
+        idxA: Int, idxB: Int, chromaEdge: Boolean): Unit = {
+      val alpha = DeblockAlpha(idxA); val beta = DeblockBeta(idxB)
+      val p0 = plane(q0i - d) & 0xff; val q0 = plane(q0i) & 0xff
+      val p1 = plane(q0i - 2 * d) & 0xff; val q1 = plane(q0i + d) & 0xff
+      if (math.abs(p0 - q0) >= alpha || math.abs(p1 - p0) >= beta ||
+        math.abs(q1 - q0) >= beta) return
+      if (bS < 4) {
+        val tc0 = DeblockTc0(idxA)(bS - 1)
+        if (chromaEdge) {
+          val tc = tc0 + 1
+          val delta = clip3(-tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3)
+          plane(q0i - d) = clipB(p0 + delta)
+          plane(q0i) = clipB(q0 - delta)
+        } else {
+          val p2 = plane(q0i - 3 * d) & 0xff; val q2 = plane(q0i + 2 * d) & 0xff
+          val ap = math.abs(p2 - p0); val aq = math.abs(q2 - q0)
+          val tc = tc0 + (if (ap < beta) 1 else 0) + (if (aq < beta) 1 else 0)
+          val delta = clip3(-tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3)
+          if (ap < beta)
+            plane(q0i - 2 * d) = clipB(p1 +
+              clip3(-tc0, tc0, (p2 + ((p0 + q0 + 1) >> 1) - (p1 << 1)) >> 1))
+          if (aq < beta)
+            plane(q0i + d) = clipB(q1 +
+              clip3(-tc0, tc0, (q2 + ((p0 + q0 + 1) >> 1) - (q1 << 1)) >> 1))
+          plane(q0i - d) = clipB(p0 + delta)
+          plane(q0i) = clipB(q0 - delta)
+        }
+      } else { // bS == 4 (8.7.2.4)
+        if (chromaEdge) {
+          plane(q0i - d) = clipB((2 * p1 + p0 + q1 + 2) >> 2)
+          plane(q0i) = clipB((2 * q1 + q0 + p1 + 2) >> 2)
+        } else {
+          val p2 = plane(q0i - 3 * d) & 0xff; val q2 = plane(q0i + 2 * d) & 0xff
+          val p3 = plane(q0i - 4 * d) & 0xff; val q3 = plane(q0i + 3 * d) & 0xff
+          val ap = math.abs(p2 - p0); val aq = math.abs(q2 - q0)
+          val strong = math.abs(p0 - q0) < (alpha >> 2) + 2
+          if (ap < beta && strong) {
+            plane(q0i - d) = clipB((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3)
+            plane(q0i - 2 * d) = clipB((p2 + p1 + p0 + q0 + 2) >> 2)
+            plane(q0i - 3 * d) = clipB((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3)
+          } else plane(q0i - d) = clipB((2 * p1 + p0 + q1 + 2) >> 2)
+          if (aq < beta && strong) {
+            plane(q0i) = clipB((q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3)
+            plane(q0i + d) = clipB((q2 + q1 + q0 + p0 + 2) >> 2)
+            plane(q0i + 2 * d) = clipB((2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3)
+          } else plane(q0i) = clipB((2 * q1 + q0 + p1 + 2) >> 2)
+        }
+      }
+    }
+    def idxAB(qpAvg: Int): (Int, Int) =
+      (clip3(0, 51, qpAvg + offA), clip3(0, 51, qpAvg + offB))
+    var my = 0
+    while (my < hMbs) {
+      var mx = 0
+      while (mx < wMbs) {
+        val qpQ = mbQp(mx, my)
+        // ---- vertical edges, left to right (luma x = 0,4,8,12)
+        var e = 0
+        while (e < 4) {
+          if (e > 0 || mx > 0) {
+            val x = mx * 16 + e * 4
+            val bxQ = mx * 4 + e; val bxP = bxQ - 1
+            var seg = 0
+            while (seg < 4) {
+              val by = my * 4 + seg
+              val s = bs(bxP, by, bxQ, by, mbEdge = e == 0)
+              if (s > 0) {
+                val qpP = mbQp(bxP / 4, my)
+                val (ia, ib) = idxAB((qpP + qpQ + 1) >> 1)
+                var row = 0
+                while (row < 4) {
+                  filterLine(st.yPlane, (my * 16 + seg * 4 + row) * W + x, 1,
+                    s, ia, ib, chromaEdge = false)
+                  row += 1
+                }
+              }
+              seg += 1
+            }
+          }
+          e += 1
+        }
+        // chroma vertical edges (cx = 0, 4 — luma e = 0, 2); bS comes
+        // from the co-located luma block pair, per sample row
+        var ce = 0
+        while (ce < 2) {
+          val lumaE = ce * 2
+          if (lumaE > 0 || mx > 0) {
+            val cx = mx * 8 + ce * 4
+            val bxQ = mx * 4 + lumaE; val bxP = bxQ - 1
+            var cy = my * 8
+            while (cy < my * 8 + 8) {
+              val byBlk = cy / 2
+              val s = bs(bxP, byBlk, bxQ, byBlk, mbEdge = lumaE == 0)
+              if (s > 0) {
+                val qpP = chromaQp(mbQp(bxP / 4, my))
+                val (ia, ib) = idxAB((qpP + chromaQp(qpQ) + 1) >> 1)
+                filterLine(st.cbPlane, cy * cW + cx, 1, s, ia, ib, chromaEdge = true)
+                filterLine(st.crPlane, cy * cW + cx, 1, s, ia, ib, chromaEdge = true)
+              }
+              cy += 1
+            }
+          }
+          ce += 1
+        }
+        // ---- horizontal edges, top to bottom (luma y = 0,4,8,12)
+        e = 0
+        while (e < 4) {
+          if (e > 0 || my > 0) {
+            val y = my * 16 + e * 4
+            val byQ = my * 4 + e; val byP = byQ - 1
+            var seg = 0
+            while (seg < 4) {
+              val bx = mx * 4 + seg
+              val s = bs(bx, byP, bx, byQ, mbEdge = e == 0)
+              if (s > 0) {
+                val qpP = mbQp(mx, byP / 4)
+                val (ia, ib) = idxAB((qpP + qpQ + 1) >> 1)
+                var col = 0
+                while (col < 4) {
+                  filterLine(st.yPlane, y * W + mx * 16 + seg * 4 + col, W,
+                    s, ia, ib, chromaEdge = false)
+                  col += 1
+                }
+              }
+              seg += 1
+            }
+          }
+          e += 1
+        }
+        // chroma horizontal edges (cy = 0, 4 — luma e = 0, 2)
+        ce = 0
+        while (ce < 2) {
+          val lumaE = ce * 2
+          if (lumaE > 0 || my > 0) {
+            val cy = my * 8 + ce * 4
+            val byQ = my * 4 + lumaE; val byP = byQ - 1
+            var cx = mx * 8
+            while (cx < mx * 8 + 8) {
+              val bxBlk = cx / 2
+              val s = bs(bxBlk, byP, bxBlk, byQ, mbEdge = lumaE == 0)
+              if (s > 0) {
+                val qpP = chromaQp(mbQp(mx, byP / 4))
+                val (ia, ib) = idxAB((qpP + chromaQp(qpQ) + 1) >> 1)
+                filterLine(st.cbPlane, cy * cW + cx, cW, s, ia, ib, chromaEdge = true)
+                filterLine(st.crPlane, cy * cW + cx, cW, s, ia, ib, chromaEdge = true)
+              }
+              cx += 1
+            }
+          }
+          ce += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+  }
+
   /** Whether the top-right 4x4 neighbor of luma4x4BlkIdx `bi` precedes
     * it in decode order (8.3.1.2's availability, the within-MB half —
     * frame-boundary checks are the caller's). For top-row blocks the
@@ -1327,6 +1574,16 @@ object H264Codec {
     // reconstructed this frame (8.4.1.3's decode-order availability).
     /** Display order (PicOrderCnt) — drives B reference-list ordering. */
     var poc: Int = 0
+    /** Per-MB intra flag + decode QP — the 8.7.2.1 boundary-strength
+      * and 8.7.2.2 threshold inputs (I_PCM counts as QP 0 in the
+      * filter, which disables it over PCM content — lossless stays
+      * lossless). */
+    val intraMbArr = new Array[Boolean](wMbs * hMbs)
+    val qpMb = new Array[Int](wMbs * hMbs)
+    def markMb(mx: Int, my: Int, intra: Boolean, qp: Int): Unit = {
+      intraMbArr(my * wMbs + mx) = intra
+      qpMb(my * wMbs + mx) = qp
+    }
     // per-list motion grids: list 0 (P and B) and list 1 (B only);
     // refIdx -1 = the block does not predict from that list (intra, or
     // a single-list B partition) — 8.4.1.3's "refIdxLXN = -1" marker
@@ -1785,8 +2042,10 @@ object H264Codec {
 
   private def encodeImpl(img: MediaCodecs.Bmp, avcc: Boolean, qp: Int,
       intra4x4: Boolean, pick: (Int, Int, Seq[Int]) => Int,
-      refFrames: Int = 1, pocLsbBits: Int = 0): (Array[Byte], FrameState) = {
+      refFrames: Int = 1, pocLsbBits: Int = 0, deblock: Boolean = false)
+      : (Array[Byte], FrameState) = {
     require(!intra4x4 || qp >= 0, "intra4x4 needs a compressed qp (0..51)")
+    require(!deblock || qp >= 0, "deblocking needs a compressed qp (0..51)")
     val (wMbs, hMbs, cropR, cropB) = mbGeometry(img)
 
     // RGB -> YCbCr 4:2:0, edge-replicated to MB grid
@@ -1806,7 +2065,8 @@ object H264Codec {
     if (pocLsbBits > 0) w2.u(0, pocLsbBits) // pic_order_cnt_lsb (IDR: 0)
     w2.u1(0); w2.u1(0) // dec_ref_pic_marking
     w2.se(if (qp < 0) 0 else qp - 26) // slice_qp_delta vs pic_init_qp 26
-    w2.ue(1) // disable_deblocking_filter_idc = 1
+    if (deblock) { w2.ue(0); w2.se(0); w2.se(0) } // filter ON, zero offsets
+    else w2.ue(1) // disable_deblocking_filter_idc = 1
     var mb = 0
     val nMbs = wMbs * hMbs
     var stOut: FrameState = null
@@ -1847,6 +2107,7 @@ object H264Codec {
       }
     }
     w2.trailing()
+    if (deblock && stOut != null) deblockFrame(stOut, 0, 0)
     val idrNal = Array[Byte](0x65.toByte) ++ escape(w2.bytes)
 
     val out = new ArrayBuffer[Byte]()
@@ -1944,6 +2205,7 @@ object H264Codec {
       bi += 1
     }
     chroma.emit(w)
+    st.markMb(mx, my, intra = true, qp)
   }
 
   /** Analyzed chroma for one macroblock (DC prediction, qpC-quantized
@@ -2148,6 +2410,7 @@ object H264Codec {
       bi += 1
     }
     chroma.emit(w)
+    st.markMb(mx, my, intra = true, qp)
   }
 
   /**
@@ -2176,26 +2439,29 @@ object H264Codec {
   def encodeGop(frames: Seq[MediaCodecs.Bmp], qp: Int, avcc: Boolean = true,
       searchRange: Int = 4, forcedMv: Option[(Int, Int)] = None,
       intraEvery: Int = 0, refFrames: Int = 1,
-      forcedRefIdx: Option[(Int, Int) => Int] = None): Seq[Array[Byte]] =
+      forcedRefIdx: Option[(Int, Int) => Int] = None,
+      deblock: Boolean = false): Seq[Array[Byte]] =
     encodeGopImpl(frames, qp, avcc, searchRange, forcedMv, intraEvery,
-      refFrames, forcedRefIdx)._1
+      refFrames, forcedRefIdx, deblock)._1
 
   /** GOP encode + the encoder's own per-frame reconstructed planes —
     * the spec hook pinning decode ≡ encode-time reconstruction. */
   private[graft] def encodeGopForTest(frames: Seq[MediaCodecs.Bmp], qp: Int,
       searchRange: Int = 4, forcedMv: Option[(Int, Int)] = None,
       intraEvery: Int = 0, refFrames: Int = 1,
-      forcedRefIdx: Option[(Int, Int) => Int] = None)
+      forcedRefIdx: Option[(Int, Int) => Int] = None,
+      deblock: Boolean = false)
       : (Seq[Array[Byte]], Seq[(Array[Byte], Array[Byte], Array[Byte])]) = {
     val (ps, sts) = encodeGopImpl(frames, qp, avcc = true, searchRange,
-      forcedMv, intraEvery, refFrames, forcedRefIdx)
+      forcedMv, intraEvery, refFrames, forcedRefIdx, deblock)
     (ps, sts.map(st => (st.yPlane, st.cbPlane, st.crPlane)))
   }
 
   private def encodeGopImpl(frames: Seq[MediaCodecs.Bmp], qp: Int,
       avcc: Boolean, searchRange: Int, forcedMv: Option[(Int, Int)],
       intraEvery: Int, refFrames: Int = 1,
-      forcedRefIdx: Option[(Int, Int) => Int] = None)
+      forcedRefIdx: Option[(Int, Int) => Int] = None,
+      deblock: Boolean = false)
       : (Seq[Array[Byte]], Seq[FrameState]) = {
     require(frames.nonEmpty, "empty GOP")
     require(qp >= 0 && qp <= 51, s"qp $qp")
@@ -2205,7 +2471,7 @@ object H264Codec {
       "GOP frames must share dimensions")
     val (idrBytes, st0) =
       encodeImpl(frames.head, avcc, qp, intra4x4 = false, (_, b, _) => b,
-        refFrames)
+        refFrames, deblock = deblock)
     val (wMbs, hMbs, cropR, cropB) = mbGeometry(frames.head)
     val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB, refFrames)
     val payloads = ArrayBuffer(idrBytes)
@@ -2216,7 +2482,8 @@ object H264Codec {
     while (i < frames.length) {
       val (yP, cbP, crP) = toYuv420(frames(i), st0.wMbs, st0.hMbs)
       val (sliceNal, st) = encodePFrame(yP, cbP, crP, dpb.toIndexedSeq, qp,
-        i % 16, searchRange, forcedMv, intraEvery, refFrames, forcedRefIdx)
+        i % 16, searchRange, forcedMv, intraEvery, refFrames, forcedRefIdx,
+        deblock = deblock)
       payloads += frameNals(avcc, spsNal, ppsNal, sliceNal)
       states += st
       dpb = (st :: dpb).take(refFrames)
@@ -2439,6 +2706,7 @@ object H264Codec {
         bi += 1
       }
       chroma.emit(w)
+      st.markMb(mx, my, intra = false, qp)
       mb += 1
     }
     w.trailing()
@@ -2457,7 +2725,7 @@ object H264Codec {
       frameNum: Int, searchRange: Int, forcedMv: Option[(Int, Int)],
       intraEvery: Int, refFrames: Int = 1,
       forcedRefIdx: Option[(Int, Int) => Int] = None,
-      pocLsbBits: Int = 0, pocLsb: Int = 0)
+      pocLsbBits: Int = 0, pocLsb: Int = 0, deblock: Boolean = false)
       : (Array[Byte], FrameState) = {
     import H264Transform._
     require(refs.nonEmpty, "P frame needs at least one reference")
@@ -2479,7 +2747,8 @@ object H264Codec {
     w.u1(0) // ref_pic_list_modification_flag_l0
     w.u1(0) // adaptive_ref_pic_marking_mode_flag (sliding window)
     w.se(qp - 26) // slice_qp_delta
-    w.ue(1) // disable_deblocking_filter_idc = 1
+    if (deblock) { w.ue(0); w.se(0); w.se(0) } // filter ON, zero offsets
+    else w.ue(1) // disable_deblocking_filter_idc = 1
     // te(v) write for ref_idx_l0: range 1 = single inverted bit
     def writeRefIdx(v: Int): Unit =
       if (nActive == 2) w.u1(1 - v) else w.ue(v)
@@ -2555,6 +2824,7 @@ object H264Codec {
           // P_Skip: reconstruction IS the MC prediction (refs(0) only)
           mcPartition(st, ref, mx * 4, my * 4, 4, 4, vx, vy, refIdx = 0)
           markInterNnzZero(st, mx, my)
+          st.markMb(mx, my, intra = false, qp)
           skipRun += 1
         } else {
           w.ue(skipRun); skipRun = 0
@@ -2592,12 +2862,14 @@ object H264Codec {
             bi += 1
           }
           chroma.emit(w)
+          st.markMb(mx, my, intra = false, qp)
         }
       }
       mb += 1
     }
     if (skipRun > 0) w.ue(skipRun) // trailing skip run ends the slice
     w.trailing()
+    if (deblock) deblockFrame(st, 0, 0)
     (Array[Byte](0x61.toByte) ++ escape(w.bytes), st)
   }
 

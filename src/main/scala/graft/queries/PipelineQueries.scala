@@ -2725,6 +2725,72 @@ object PipelineQueries {
              |  true AS lossy_ok
              |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
 
+    // in-loop deblocking (r12): the 8.7 filter now RUNS on I/P slices —
+    // the x264-default stream shape (deblocking on) decodes exactly
+    // instead of rejecting. The GOP here encodes with the filter in the
+    // prediction loop (references are filtered pictures), and parity_ok
+    // pins the decoder's planes byte-equal to the encoder's own
+    // reconstruction per frame — any filter divergence compounds down
+    // the chain and flips the bit; filter_active certifies the filter
+    // changed the IDR versus a filter-off encode of the same frames
+    // (coarse qp on tiled content always crosses the α/β thresholds).
+    "q_h264_deblock_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val len = text.codePointCount(0, text.length)
+            val w = 32 + 2 * (len % 8).toInt
+            val h = 32 + 2 * ((len + id) % 6).toInt
+            // per-8x8-tile DC steps: block edges for the filter to bite
+            val rgb = new Array[Byte](w * h * 3)
+            var st = id * 0x9E3779B97F4A7C15L + len
+            def nxt(): Int = { st ^= st << 13; st ^= st >>> 7; st ^= st << 17
+              ((st & 0x7fffffff) % 200).toInt + 28 }
+            val tiles = Array.fill((w / 8 + 1) * (h / 8 + 1))(nxt())
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val base = tiles((y / 8) * (w / 8 + 1) + x / 8)
+                val o = (y * w + x) * 3
+                rgb(o) = math.min(255, base + (x * 7 + y * 3) % 11).toByte
+                rgb(o + 1) = math.min(255, base / 2 + (x * 3 + y * 5) % 13).toByte
+                rgb(o + 2) = math.max(0, math.min(255, 255 - base + (x + y) % 7)).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val f0 = graft.pipeline.MediaCodecs.Bmp(w, h, rgb)
+            val frames = Seq(f0, gopShift(f0, 2, 1), gopShift(f0, 4, 2))
+            val (on, reconOn) = graft.pipeline.H264Codec
+              .encodeGopForTest(frames, qp = 34, deblock = true)
+            val (_, reconOff) = graft.pipeline.H264Codec
+              .encodeGopForTest(frames, qp = 34)
+            val g = new graft.pipeline.H264Codec.GopDecoder
+            val parityOk = on.zip(reconOn).forall { case (p, r) =>
+              (try g.decodeAuYuv(p) catch { case _: Exception => None }).exists {
+                case (_, yy, cb, cr) =>
+                  java.util.Arrays.equals(yy, r._1) &&
+                    java.util.Arrays.equals(cb, r._2) &&
+                    java.util.Arrays.equals(cr, r._3)
+              }
+            }
+            val filterActive =
+              !java.util.Arrays.equals(reconOn.head._1, reconOff.head._1)
+            (id, w, h, parityOk, filterActive)
+          }
+          .toDF("doc_id", "width", "height", "parity_ok", "filter_active")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(32 + 2 * (len(text) % 8) AS INT) AS width,
+             |  CAST(32 + 2 * ((len(text) + doc_id) % 6) AS INT) AS height,
+             |  true AS parity_ok, true AS filter_active
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
     // B slices (r12 stretch): bi-predictive pictures with POC-type-0
     // display reordering — an IbbP GOP (refs at display 0/3/4, B frames
     // between, transmitted refs-first) decodes through the real DPB +
@@ -4723,6 +4789,26 @@ object PipelineQueries {
     * (`q_h264_pslice_roundtrip` / `q_h264_annexb_stream`) — ONE copy of
     * the pixel arithmetic their DuckDB oracles' geometry depends on, so
     * a fixture tweak cannot desynchronize one query from its oracle. */
+  /** `src` translated by (dx, dy) pixels, edge-clamped — the motion the
+    * GOP queries feed the inter encoder. */
+  private def gopShift(src: graft.pipeline.MediaCodecs.Bmp, dx: Int, dy: Int)
+      : graft.pipeline.MediaCodecs.Bmp = {
+    val w = src.width; val h = src.height
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val sx = math.max(0, math.min(w - 1, x - dx))
+        val sy = math.max(0, math.min(h - 1, y - dy))
+        System.arraycopy(src.rgb, (sy * w + sx) * 3, rgb, (y * w + x) * 3, 3)
+        x += 1
+      }
+      y += 1
+    }
+    graft.pipeline.MediaCodecs.Bmp(w, h, rgb)
+  }
+
   private def gopGradientFrame(w: Int, h: Int, dx: Int, dy: Int)
       : graft.pipeline.MediaCodecs.Bmp = {
     val rgb = new Array[Byte](w * h * 3)
