@@ -180,7 +180,8 @@ object H264Codec {
   case class Pps(entropyCabac: Boolean, picInitQp: Int,
       deblockingControlPresent: Boolean, weightedPred: Boolean = false,
       numRefIdxL0Default: Int = 0, numRefIdxL1Default: Int = 0,
-      weightedBipredIdc: Int = 0, bottomFieldPocPresent: Boolean = false)
+      weightedBipredIdc: Int = 0, bottomFieldPocPresent: Boolean = false,
+      redundantPicCntPresent: Boolean = false)
 
   private def parseSps(r: BitReader): Sps = {
     val profile = r.u(8)
@@ -228,8 +229,10 @@ object H264Codec {
     val qp = r.se() + 26
     r.se(); r.se() // qs, chroma_qp_offset
     val deblock = r.u1() == 1
-    r.u1(); r.u1() // constrained_intra, redundant_pic_cnt
-    Pps(cabac, qp, deblock, weighted, numRefL0, numRefL1, wBipred, bottomPoc)
+    r.u1() // constrained_intra_pred_flag
+    val redundant = r.u1() == 1 // redundant_pic_cnt_present_flag
+    Pps(cabac, qp, deblock, weighted, numRefL0, numRefL1, wBipred, bottomPoc,
+      redundant)
   }
 
   // ---------------- decode ----------------
@@ -478,6 +481,12 @@ object H264Codec {
       pocVal = msb + lsb
       if (refIdc != 0) { pocState.prevMsb = msb; pocState.prevLsb = lsb }
     }
+    // redundant_pic_cnt (7.3.3): present only when the PPS says so; a
+    // non-zero value marks a REDUNDANT coded picture (a retransmission
+    // of the primary) — decoding it as primary would emit the frame
+    // twice, so reject; zero means this IS the primary, proceed
+    if (pps.redundantPicCntPresent && r.ue() != 0)
+      throw new H264Format("redundant coded pictures out of scope")
     var refs: IndexedSeq[FrameState] = IndexedSeq.empty // list 0
     var refs1: IndexedSeq[FrameState] = IndexedSeq.empty // list 1 (B only)
     if (isB) r.u1() // direct_spatial_mv_pred_flag (direct MBs reject in slice_data)
@@ -3056,6 +3065,168 @@ object H264Codec {
       k += 1
     }
     sad
+  }
+
+  /** Spec hook: encode one B frame where EVERY macroblock's Table 7-14
+    * shape (types 1-21) and per-list quarter-pel motion vectors are
+    * dictated by `plan(mx, my) = (mbType, mvsL0, mvsL1)` — the witness
+    * for the decoder's two-partition B paths (16x8/8x16 with every
+    * L0/L1/Bi combination), which the production encoder (16x16-only)
+    * never emits. `ref0*` planes = the PAST reference (list 0, POC 0),
+    * `ref1*` = the FUTURE one (list 1, POC 4; the slice carries POC 2);
+    * both lists 1-deep. Same seed-decode parity contract as
+    * [[pPartitionRoundTripForTest]]. */
+  private[graft] def bPartitionRoundTripForTest(srcY: Array[Byte],
+      srcCb: Array[Byte], srcCr: Array[Byte],
+      ref0Y: Array[Byte], ref0Cb: Array[Byte], ref0Cr: Array[Byte],
+      ref1Y: Array[Byte], ref1Cb: Array[Byte], ref1Cr: Array[Byte],
+      wMbs: Int, hMbs: Int, qp: Int,
+      plan: (Int, Int) => (Int, Seq[(Int, Int)], Seq[(Int, Int)]))
+      : (Array[Byte], (Array[Byte], Array[Byte], Array[Byte]),
+         Option[(Array[Byte], Array[Byte], Array[Byte])]) = {
+    import H264Transform._
+    def mkRef(y: Array[Byte], cb: Array[Byte], cr: Array[Byte], poc: Int)
+        : FrameState = {
+      val f = new FrameState(wMbs, hMbs)
+      System.arraycopy(y, 0, f.yPlane, 0, y.length)
+      System.arraycopy(cb, 0, f.cbPlane, 0, cb.length)
+      System.arraycopy(cr, 0, f.crPlane, 0, cr.length)
+      f.poc = poc
+      f
+    }
+    val ref0 = mkRef(ref0Y, ref0Cb, ref0Cr, poc = 0)
+    val ref1 = mkRef(ref1Y, ref1Cb, ref1Cr, poc = 4)
+    val st = new FrameState(wMbs, hMbs)
+    val lumaW = wMbs * 16
+    val w = new BitWriter
+    w.ue(0); w.ue(6); w.ue(0) // first_mb, slice_type B, pps id
+    w.u(1, 4) // frame_num
+    w.u(2, 8) // pic_order_cnt_lsb (between the refs' 0 and 4)
+    w.u1(0) // direct_spatial_mv_pred_flag
+    w.u1(1); w.ue(0); w.ue(0) // override: 1-deep list0 and list1
+    w.u1(0); w.u1(0) // ref_pic_list_modification l0, l1
+    w.se(qp - 26)
+    w.ue(1) // disable deblocking
+    var mb = 0
+    while (mb < wMbs * hMbs) {
+      val mx = mb % wMbs; val my = mb / wMbs
+      val bx0 = mx * 4; val by0 = my * 4
+      val (mbType, mvs0, mvs1) = plan(mx, my)
+      val (modes, is16x8) = bMbPartModes(mbType)
+      val parts: Seq[(Int, Int, Int, Int, Int)] =
+        if (modes.length == 1) Seq((bx0, by0, 4, 4, 0))
+        else if (is16x8) Seq((bx0, by0, 4, 2, 1), (bx0, by0 + 2, 4, 2, 2))
+        else Seq((bx0, by0, 2, 4, 3), (bx0 + 2, by0, 2, 4, 4))
+      def usesL0(m: Int) = m == BModeL0 || m == BModeBi
+      def usesL1(m: Int) = m == BModeL1 || m == BModeBi
+      w.ue(0) // mb_skip_run
+      w.ue(mbType)
+      // stage 1: predictors + motion grid in the decoder's
+      // RECONSTRUCTION order (partition 1's predictors see partition
+      // 0's grid — the grid, not the pixels, drives 8.4.1.3)
+      val it0 = mvs0.iterator; val it1 = mvs1.iterator
+      val resolved = parts.zipWithIndex.map { case ((bx, by, w4, h4, kind), pi) =>
+        val m = modes(pi)
+        val v0 =
+          if (usesL0(m)) {
+            val (vx, vy) = it0.next()
+            val (px, py) = mvPredict(st, bx, by, w4, kind, 0, list = 0)
+            Some((vx, vy, vx - px, vy - py))
+          } else None
+        val v1 =
+          if (usesL1(m)) {
+            val (vx, vy) = it1.next()
+            val (px, py) = mvPredict(st, bx, by, w4, kind, 0, list = 1)
+            Some((vx, vy, vx - px, vy - py))
+          } else None
+        st.setMvB(bx, by, w4, h4,
+          v0.map(t => (t._1, t._2, 0)), v1.map(t => (t._1, t._2, 0)))
+        (bx, by, w4, h4, v0, v1)
+      }
+      require(!it0.hasNext && !it1.hasNext, s"plan at ($mx,$my) MV count mismatch")
+      // stage 2: mvds in STREAM order (all l0 partitions, then all l1)
+      resolved.foreach { case (_, _, _, _, v0, _) =>
+        v0.foreach { case (_, _, dx, dy) => w.se(dx); w.se(dy) } }
+      resolved.foreach { case (_, _, _, _, _, v1) =>
+        v1.foreach { case (_, _, dx, dy) => w.se(dx); w.se(dy) } }
+      // stage 3: MC in partition order (setMvB re-writes the same grid)
+      resolved.foreach { case (bx, by, w4, h4, v0, v1) =>
+        mcPartitionB(st,
+          v0.map { case (vx, vy, _, _) => (ref0, vx, vy, 0) },
+          v1.map { case (vx, vy, _, _) => (ref1, vx, vy, 0) },
+          bx, by, w4, h4)
+      }
+      // residual vs the assembled prediction (the P-hook pattern)
+      val levels = Array.ofDim[Int](16, 16)
+      var bi = 0
+      while (bi < 16) {
+        val (bxo, byo) = LumaBlockOrder(bi)
+        val diff = new Array[Int](16)
+        var k = 0
+        while (k < 16) {
+          val o = (my * 16 + byo * 4 + k / 4) * lumaW + mx * 16 + bxo * 4 + k % 4
+          diff(k) = (srcY(o) & 0xff) - (st.yPlane(o) & 0xff)
+          k += 1
+        }
+        val q = quant4x4(forward4x4(diff), qp, skipDc = false)
+        k = 0
+        while (k < 16) { levels(bi)(k) = q(Zigzag4x4(k)); k += 1 }
+        bi += 1
+      }
+      val cbpLuma = (0 until 4).foldLeft(0) { (acc, g) =>
+        if ((0 until 4).exists(i => levels(g * 4 + i).exists(_ != 0)))
+          acc | (1 << g)
+        else acc
+      }
+      val predC = Array.tabulate(2) { c =>
+        val plane = if (c == 0) st.cbPlane else st.crPlane
+        Array.tabulate(64)(k =>
+          plane((my * 8 + k / 8) * (lumaW / 2) + mx * 8 + k % 8) & 0xff)
+      }
+      val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, chromaQp(qp),
+        predOf = c => predC(c))
+      val cbp = cbpLuma | (chroma.cbpChroma << 4)
+      w.ue(CbpInterToCodeNum(cbp))
+      if (cbp != 0) w.se(0) // mb_qp_delta
+      bi = 0
+      while (bi < 16) {
+        val (bxo, byo) = LumaBlockOrder(bi)
+        val gbx = mx * 4 + bxo; val gby = my * 4 + byo
+        if ((cbpLuma & (1 << (bi >> 2))) != 0) {
+          val tc = H264Cavlc.encodeBlock(w, levels(bi), 16, st.lumaNc(gbx, gby))
+          st.setNnzY(gbx, gby, tc)
+          val rpx = inverse4x4(dequant4x4(unzigzag(levels(bi), 0), qp, skipDc = false))
+          var py = 0
+          while (py < 4) {
+            var px = 0
+            while (px < 4) {
+              val o = (my * 16 + byo * 4 + py) * lumaW + mx * 16 + bxo * 4 + px
+              st.yPlane(o) = clipB((st.yPlane(o) & 0xff) + rpx(py * 4 + px))
+              px += 1
+            }
+            py += 1
+          }
+        } else st.setNnzY(gbx, gby, 0)
+        bi += 1
+      }
+      chroma.emit(w)
+      mb += 1
+    }
+    w.trailing()
+    // type-0 POC SPS/PPS so the B header parses; the payload's own
+    // parameter sets overwrite the seeded ones on decode
+    val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, 0, 0, refFrames = 2,
+      pocLsbBits = 8)
+    val payload = frameNals(avcc = true, spsNal, ppsNal,
+      Array[Byte](0x01.toByte) ++ escape(w.bytes))
+    val g = new GopDecoder
+    g.seed(Sps(66, 30, 4, 0, wMbs, hMbs, 0, 0, 2, 8),
+      Pps(entropyCabac = false, 26, deblockingControlPresent = true),
+      List(ref1, ref0))
+    val dec =
+      try g.decodeAuYuv(payload).map(t => (t._2, t._3, t._4))
+      catch { case _: Exception => None }
+    (payload, (st.yPlane, st.cbPlane, st.crPlane), dec)
   }
 
   /** Integer-pel SAD motion search over ±range around (0,0), ties to

@@ -94,6 +94,50 @@ class H264BSliceSpec extends AnyFunSuite {
     }
   }
 
+  test("every two-partition B shape: 16x8/8x16 x L0/L1/Bi all decode bit-exactly") {
+    // Table 7-14 types 4-21 never leave the production encoder
+    // (16x16-only) — witness them with planned bitstreams, one shape
+    // per MB across frames; fractional MVs mixed in so bi-prediction
+    // averaging interacts with the interpolators
+    def planes(wMbs: Int, hMbs: Int, seed: Int)
+        : (Array[Byte], Array[Byte], Array[Byte]) = {
+      val lw = wMbs * 16; val lh = hMbs * 16
+      (Array.tabulate(lw * lh)(i => ((i * 7 + seed * 13) % 251).toByte),
+        Array.tabulate(lw * lh / 4)(i => ((i * 5 + seed * 11) % 241).toByte),
+        Array.tabulate(lw * lh / 4)(i => ((i * 3 + seed * 17) % 239).toByte))
+    }
+    val (r0y, r0cb, r0cr) = planes(2, 2, seed = 11)
+    val (r1y, r1cb, r1cr) = planes(2, 2, seed = 12)
+    val (sy, scb, scr) = planes(2, 2, seed = 13)
+    // 18 two-partition types + the three 16x16 ones, 4 MBs per frame
+    val allTypes = (1 to 21).toSeq
+    allTypes.grouped(4).zipWithIndex.foreach { case (group, gi) =>
+      val plan: (Int, Int) => (Int, Seq[(Int, Int)], Seq[(Int, Int)]) =
+        (mx, my) => {
+          val t = group(math.min(group.length - 1, my * 2 + mx))
+          val nParts = if (t <= 3) 1 else 2
+          val modes = t match {
+            case 1 => Seq(1); case 2 => Seq(2); case 3 => Seq(3)
+            case x => Seq(
+              Seq(1,1),Seq(1,1),Seq(2,2),Seq(2,2),Seq(1,2),Seq(1,2),
+              Seq(2,1),Seq(2,1),Seq(1,3),Seq(1,3),Seq(2,3),Seq(2,3),
+              Seq(3,1),Seq(3,1),Seq(3,2),Seq(3,2),Seq(3,3),Seq(3,3))(x - 4)
+          }
+          val mvPool = Seq((2, 1), (-3, 5), (1, -2), (6, 0))
+          val mvs0 = modes.zipWithIndex.collect {
+            case (m, i) if m == 1 || m == 3 => mvPool(i % 4) }
+          val mvs1 = modes.zipWithIndex.collect {
+            case (m, i) if m == 2 || m == 3 => mvPool((i + 2) % 4) }
+          (t, mvs0, mvs1)
+        }
+      val (_, enc, dec) = H264Codec.bPartitionRoundTripForTest(
+        sy, scb, scr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
+        wMbs = 2, hMbs = 2, qp = 26, plan)
+      assert(dec.isDefined, s"type group $group failed to decode")
+      assert(eq3(dec.get, enc), s"type group $group: decode != reconstruction")
+    }
+  }
+
   test("B poisoning: a B without its references is None; refs are unaffected by B loss") {
     val a = gradient(32, 32)
     val frames = Seq(a, shifted(a, 2, 0), shifted(a, 4, 0))
