@@ -334,6 +334,29 @@ object ImageHash {
     Mp4Demux.encodeMp4(frames, 64, 64)
   }
 
+  /** B-coded twin (r12): each scene an IbP GOP, samples in DECODE order
+    * with a real ctts table carrying the decode→display mapping — the
+    * shape ffmpeg/x264 MP4s actually have. Recovering the planted
+    * segments proves videoPhashRows labels frames by PRESENTATION index
+    * (a decode-order labeling would split every 3-frame scene). */
+  private[graft] def plantedSceneMp4B(id: Long, sceneLens: Seq[Int]): Array[Byte] = {
+    val perScene = sceneLens.zipWithIndex.map { case (n, s) =>
+      val f = spectralFrame((id * 977 + s) * 53 + 11)
+      H264Codec.encodeGopB(Seq.fill(n)(f), qp = 24, bFrames = 1)
+    }
+    val samples = perScene.flatMap(_._1)
+    val displayGlobal = {
+      var base = 0
+      perScene.flatMap { case (_, disp) =>
+        val out = disp.map(_ + base); base += disp.length; out
+      }
+    }
+    val n = samples.length
+    val delay = math.max(0, (0 until n).map(k => k - displayGlobal(k)).max)
+    val cts = (0 until n).map(k => displayGlobal(k) + delay - k)
+    Mp4Demux.encodeMp4(samples, 64, 64, ctsOffsets = Some(cts))
+  }
+
   /**
    * Shot-boundary segmentation — the frame-sampling policy real video
    * pipelines want instead of uniform-n ([[Multimodal.sampleFrames]]):
@@ -389,6 +412,12 @@ object ImageHash {
         crashSafe {
           Mp4Demux.demux(bytes).iterator.flatMap { info =>
             val t = info.videoTrack
+            // frame numbers are PRESENTATION indices (ctts-derived;
+            // identity for IPPP tracks): B-coded MP4s carry samples in
+            // decode order, and scene/near-dup analysis downstream
+            // sorts by frame — labeling by what a viewer sees keeps
+            // that analysis honest without buffering a reorder window
+            val pres = t.presentationIndex
             // fully lazy: one compressed sample + one decoded frame in
             // flight at a time (the GOP decoder keeps only its
             // reference frame) — a long video never materializes all
@@ -398,7 +427,7 @@ object ImageHash {
               catch { case scala.util.control.NonFatal(_) => Array.empty[Byte] }
             }
             H264Codec.decodeGopIterator(sampleIt).zipWithIndex.collect {
-              case (Some(img), i) => (id, i, phash64(img))
+              case (Some(img), i) => (id, pres(i), phash64(img))
             }
           }
         }

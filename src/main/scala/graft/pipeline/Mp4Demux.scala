@@ -31,9 +31,29 @@ object Mp4Demux {
     * resolved (offset, size) byte range of every sample in file order. */
   case class Track(trackId: Int, handler: String, codec: String,
       width: Int, height: Int, timescale: Long, duration: Long,
-      sampleRanges: Seq[(Long, Int)]) {
+      sampleRanges: Seq[(Long, Int)], ctsOffsets: Seq[Int] = Nil,
+      sampleDeltas: Seq[Long] = Nil) {
     def nSamples: Int = sampleRanges.length
     def totalSampleBytes: Long = sampleRanges.iterator.map(_._2.toLong).sum
+    /** Presentation (display) index of each DECODE-order sample: rank
+      * by composition time (decode time from stts + the ctts offset).
+      * Identity when the track carries no ctts — no reordering, the
+      * IPPP case. B-coded tracks (decode order != display order) get
+      * the mapping video operators need to label frames by what a
+      * viewer sees. */
+    def presentationIndex: Seq[Int] =
+      if (ctsOffsets.length != nSamples) sampleRanges.indices
+      else {
+        val deltas =
+          if (sampleDeltas.length == nSamples) sampleDeltas
+          else Seq.fill(nSamples)(1L)
+        val dt = deltas.scanLeft(0L)(_ + _)
+        val ct = Array.tabulate(nSamples)(i => dt(i) + ctsOffsets(i))
+        val order = (0 until nSamples).sortBy(i => (ct(i), i))
+        val rank = new Array[Int](nSamples)
+        order.zipWithIndex.foreach { case (i, r) => rank(i) = r }
+        rank.toSeq
+      }
   }
 
   case class Mp4Info(majorBrand: String, timescale: Long, duration: Long,
@@ -92,6 +112,18 @@ object Mp4Demux {
       var chunkOffsets: Array[Long] = Array.empty
       // stsc entries: (firstChunk, samplesPerChunk)
       var stsc: Array[(Int, Int)] = Array.empty
+      var cts: Array[Int] = Array.empty
+      var deltas: Array[Long] = Array.empty
+      // entry counts are UNTRUSTED bytes: bound every table's claimed
+      // length by the bytes its box actually holds BEFORE allocating —
+      // a crafted count would otherwise allocate gigabytes before the
+      // first out-of-bounds read throws (the readGamma DoS class)
+      def boundedN(n: Int, body: Long, boxEnd: Long, header: Int,
+          entry: Int): Int = {
+        require(n >= 0 && body + header + entry.toLong * n <= boxEnd,
+          s"table entry count $n overruns its box")
+        n
+      }
       walk(start, end) { (typ, body, boxEnd) =>
         val b = body.toInt
         typ match {
@@ -123,21 +155,59 @@ object Mp4Demux {
             val uniform = bb.getInt(b + 4)
             val n = bb.getInt(b + 8)
             sizes =
-              if (uniform != 0) Array.fill(n)(uniform)
-              else Array.tabulate(n)(i => bb.getInt(b + 12 + 4 * i))
+              if (uniform != 0) {
+                require(n >= 0 && n <= (1 << 24), s"stsz uniform count $n")
+                Array.fill(n)(uniform)
+              } else
+                Array.tabulate(boundedN(n, body, boxEnd, 12, 4))(i =>
+                  bb.getInt(b + 12 + 4 * i))
             false
           case "stsc" =>
-            val n = bb.getInt(b + 4)
+            val n = boundedN(bb.getInt(b + 4), body, boxEnd, 8, 12)
             stsc = Array.tabulate(n)(i =>
               (bb.getInt(b + 8 + 12 * i), bb.getInt(b + 12 + 12 * i)))
             false
           case "stco" =>
-            val n = bb.getInt(b + 4)
+            val n = boundedN(bb.getInt(b + 4), body, boxEnd, 8, 4)
             chunkOffsets = Array.tabulate(n)(i => bb.getInt(b + 8 + 4 * i).toLong & 0xffffffffL)
             false
           case "co64" =>
-            val n = bb.getInt(b + 4)
+            val n = boundedN(bb.getInt(b + 4), body, boxEnd, 8, 8)
             chunkOffsets = Array.tabulate(n)(i => bb.getLong(b + 8 + 8 * i))
+            false
+          case "stts" =>
+            // decode-time deltas (run-length): expanded per sample for
+            // the composition-time ranking; expansion capped like ctts
+            val n = boundedN(bb.getInt(b + 4), body, boxEnd, 8, 8)
+            val out = mutable.ArrayBuffer.empty[Long]
+            var i = 0
+            while (i < n) {
+              val cnt = bb.getInt(b + 8 + 8 * i)
+              val d = bb.getInt(b + 12 + 8 * i).toLong & 0xffffffffL
+              require(cnt >= 0 && out.length + cnt.toLong <= (1 << 24),
+                s"stts expansion overflows: $cnt")
+              var j = 0
+              while (j < cnt) { out += d; j += 1 }
+              i += 1
+            }
+            deltas = out.toArray
+            false
+          case "ctts" =>
+            // composition-time offsets (run-length; signed in v1,
+            // unsigned-but-small in v0 — both fit an Int read)
+            val n = boundedN(bb.getInt(b + 4), body, boxEnd, 8, 8)
+            val out = mutable.ArrayBuffer.empty[Int]
+            var i = 0
+            while (i < n) {
+              val cnt = bb.getInt(b + 8 + 8 * i)
+              val off = bb.getInt(b + 12 + 8 * i)
+              require(cnt >= 0 && out.length + cnt.toLong <= (1 << 24),
+                s"ctts expansion overflows: $cnt")
+              var j = 0
+              while (j < cnt) { out += off; j += 1 }
+              i += 1
+            }
+            cts = out.toArray
             false
           case "mdia" | "minf" | "stbl" => true // containers: recurse
           case _ => false
@@ -171,7 +241,14 @@ object Mp4Demux {
           ci += 1
         }
       }
-      tracks += Track(trackId, handler, codec, w, h, mScale, mDur, ranges.toSeq)
+      // a ctts table that disagrees with the sample count is corrupt —
+      // mis-zipping decode and presentation order would silently
+      // mislabel every frame downstream
+      if (cts.nonEmpty)
+        require(cts.length == ranges.length,
+          s"ctts has ${cts.length} entries for ${ranges.length} samples")
+      tracks += Track(trackId, handler, codec, w, h, mScale, mDur,
+        ranges.toSeq, cts.toSeq, deltas.toSeq)
     }
 
     walk(0L, p.length.toLong) { (typ, body, boxEnd) =>
@@ -215,8 +292,11 @@ object Mp4Demux {
    */
   def encodeMp4(samples: Seq[Array[Byte]], width: Int, height: Int,
       codec: String = "avc1", handler: String = "vide",
-      timescale: Int = 1000, samplesPerChunk: Int = 3): Array[Byte] = {
+      timescale: Int = 1000, samplesPerChunk: Int = 3,
+      ctsOffsets: Option[Seq[Int]] = None): Array[Byte] = {
     require(samples.nonEmpty && codec.length == 4 && handler.length == 4)
+    require(ctsOffsets.forall(c => c.length == samples.length && c.forall(_ >= 0)),
+      "ctts offsets must cover every sample, non-negative (version 0)")
     val out = new java.io.ByteArrayOutputStream()
     def u32(v: Long): Array[Byte] =
       Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
@@ -277,6 +357,19 @@ object Mp4Demux {
     }
     val stsd = box("stsd", u32(0), u32(1), sampleEntry)
     val stts = box("stts", u32(0), u32(1), u32(samples.length), u32(1))
+    // ctts (composition offsets, version 0): run-length over equal runs
+    // — the decode-to-display mapping B-coded tracks carry
+    val ctts = ctsOffsets.map { offs =>
+      val runs = mutable.ArrayBuffer.empty[(Int, Int)]
+      offs.foreach { o =>
+        if (runs.nonEmpty && runs.last._2 == o)
+          runs(runs.length - 1) = (runs.last._1 + 1, o)
+        else runs += ((1, o))
+      }
+      box("ctts", u32(0), u32(runs.length),
+        runs.iterator.map { case (c, o) => u32(c.toLong) ++ u32(o.toLong) }
+          .reduce(_ ++ _))
+    }
     val stsc = box("stsc", u32(0), u32(1), u32(1), u32(samplesPerChunk), u32(1))
     val stsz = box("stsz", u32(0), u32(0), u32(samples.length),
       samples.iterator.map(s => u32(s.length)).reduce(_ ++ _))
@@ -285,7 +378,10 @@ object Mp4Demux {
     val vmhd = box("vmhd", u32(1), new Array[Byte](8))
     val dref = box("dref", u32(0), u32(1), box("url ", u32(1)))
     val dinf = box("dinf", dref)
-    val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+    val stbl = ctts match {
+      case Some(c) => box("stbl", stsd, stts, c, stsc, stsz, stco)
+      case None => box("stbl", stsd, stts, stsc, stsz, stco)
+    }
     val minf = box("minf", vmhd, dinf, stbl)
     val mdia = box("mdia", mdhd, hdlr, minf)
     val trak = box("trak", tkhd, mdia)

@@ -129,8 +129,18 @@ object Multimodal {
               // per-sample byte ranges from the stsz×stsc×stco tables
               // (bounds-validated at demux, so sampleBytes can't escape
               // the payload), so each emitted frame is the sample's true
-              // payload; only the codec decode itself is the stub
+              // payload; only the codec decode itself is the stub.
+              // Sampling is evenly spaced in PRESENTATION order (r12:
+              // ctts-derived; identity without ctts) — on a B-coded MP4
+              // a decode-order stride would cluster around references
+              // instead of spacing what a viewer sees
               val t = info.videoTrack
+              val decOfDisplay = {
+                val pres = t.presentationIndex
+                val inv = new Array[Int](pres.length)
+                pres.zipWithIndex.foreach { case (d, k) => inv(d) = k }
+                inv
+              }
               val step = math.max(1, t.nSamples / n)
               // IPPP-aware (r11): a sampled P frame needs its reference
               // chain, so when standalone decode fails the GOP decodes
@@ -139,7 +149,8 @@ object Multimodal {
               // foreign codecs still fall to the stub
               lazy val gopSampled: Map[Int, MediaCodecs.Bmp] = {
                 val wanted = (0 until n)
-                  .map(i => math.min(i.toLong * step, t.nSamples - 1).toInt).toSet
+                  .map(i => decOfDisplay(
+                    math.min(i.toLong * step, t.nSamples - 1).toInt)).toSet
                 H264Codec.decodeGopIterator(
                     Iterator.tabulate(t.nSamples.toInt) { i =>
                       // guarded like videoPhashRows: a bad sample must
@@ -154,7 +165,7 @@ object Multimodal {
                   .toMap
               }
               (0 until n).iterator.map { i =>
-                val idx = math.min(i * step, t.nSamples - 1)
+                val idx = decOfDisplay(math.min(i * step, t.nSamples - 1))
                 val sample = Mp4Demux.sampleBytes(m.payload, t, idx)
                 val h264ish = // any slice NAL: IDR (5) or P (1)
                   try H264Codec.nalUnits(sample).exists { case (s, _) =>

@@ -3280,6 +3280,45 @@ object PipelineQueries {
              |  CAST(len AS BIGINT) AS n_frames
              |FROM seg ORDER BY doc_id, scene""".stripMargin)),
 
+    // the B-coded twin (r12): same planted scene structure, but each
+    // scene is an IbP GOP whose MP4 samples sit in DECODE order with a
+    // real ctts table (the ffmpeg/x264 shape). videoPhashRows labels
+    // frames by ctts-derived PRESENTATION index, so the exact segment
+    // table comes back — a decode-order labeling would mis-split every
+    // 3-frame scene, and the hash would catch it. Same closed-form
+    // oracle as the other two scene queries.
+    "q_video_scene_changes_b" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").filter($"doc_id" < 30)
+          .select($"doc_id".cast("long")).as[Long]
+          .map { d =>
+            val k = 2 + (d % 3).toInt
+            val lens = (0 until k).map(sc => 2 + ((d + sc) % 2).toInt)
+            (d, ImageHash.plantedSceneMp4B(d, lens))
+          }
+          .toDF("media_id", "bytes")
+        ImageHash.sceneSegments(media, "media_id", "bytes", maxHamming = 6)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy($"doc_id", $"scene")
+      },
+      Some("""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |                  2 + doc_id % 3 AS k
+             |           FROM documents WHERE doc_id < 30),
+             |sc AS (
+             |  SELECT doc_id, CAST(t.s AS BIGINT) AS s,
+             |         2 + (doc_id + t.s) % 2 AS len
+             |  FROM d, UNNEST(generate_series(0, CAST(k - 1 AS BIGINT))) t(s)),
+             |seg AS (
+             |  SELECT doc_id, s + 1 AS scene, len,
+             |         coalesce(sum(len) OVER (PARTITION BY doc_id ORDER BY s
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+             |  FROM sc)
+             |SELECT doc_id, scene, CAST(st AS INT) AS start_frame,
+             |  CAST(st + len - 1 AS INT) AS end_frame,
+             |  CAST(len AS BIGINT) AS n_frames
+             |FROM seg ORDER BY doc_id, scene""".stripMargin)),
+
     "q_video_phash_dedup" -> QueryDef(
       (s, dir) => {
         import s.implicits._

@@ -126,4 +126,46 @@ class Mp4DemuxSpec extends SparkSpec {
       assert(out(i).getInt(2) == samples(i * 3).length, s"frame $i")
     }
   }
+
+  test("ctts: composition offsets round-trip; presentation ranks invert decode order") {
+    import graft.pipeline.{Mp4Demux, H264Codec, MediaCodecs}
+    // a real IbbP GOP: decode order [0,3,1,2,5,4] for 6 display frames
+    val f0 = {
+      val rgb = Array.tabulate[Byte](48 * 32 * 3)(i => ((i * 31) % 251).toByte)
+      MediaCodecs.Bmp(48, 32, rgb)
+    }
+    val frames = (0 until 6).map(_ => f0)
+    val (payloads, display) = H264Codec.encodeGopB(frames, qp = 26, bFrames = 2)
+    assert(display == Seq(0, 3, 1, 2, 5, 4))
+    val n = payloads.length
+    val delay = (0 until n).map(k => k - display(k)).max
+    val cts = (0 until n).map(k => display(k) + delay - k)
+    val mp4 = Mp4Demux.encodeMp4(payloads, 48, 32, ctsOffsets = Some(cts))
+    val t = Mp4Demux.demux(mp4).get.videoTrack
+    assert(t.ctsOffsets == cts, "ctts round-trip")
+    assert(t.presentationIndex == display,
+      "presentation ranks must recover the display mapping")
+    // no ctts -> identity
+    val plain = Mp4Demux.demux(Mp4Demux.encodeMp4(payloads, 48, 32)).get.videoTrack
+    assert(plain.presentationIndex == (0 until n))
+    // a ctts table disagreeing with the sample count is corrupt: the
+    // demux must reject the file rather than mislabel frames. Patch the
+    // ctts entry count down by one (first run has count >= 2 only if
+    // offsets repeat; patch a run count instead: set entry_count field
+    // to 1 so expansion can't cover every sample)
+    val idx = {
+      var i = -1
+      var o = 0
+      while (o + 8 <= mp4.length && i < 0) {
+        if (new String(mp4, o, 4, "ISO-8859-1") == "ctts") i = o - 4
+        o += 1
+      }
+      i
+    }
+    assert(idx >= 0, "ctts box present")
+    val bad = mp4.clone()
+    // entry_count lives 8 bytes past the box header start (size+type+ver/flags)
+    bad(idx + 12) = 0; bad(idx + 13) = 0; bad(idx + 14) = 0; bad(idx + 15) = 1
+    assert(Mp4Demux.demux(bad).isEmpty, "short ctts must reject the file")
+  }
 }
