@@ -1986,9 +1986,14 @@ object H264Codec {
     * multi-ref GOPs write the x264-like default shape (PPS carries the
     * list size, early slices override it down while the DPB fills). */
   private def spsPpsNals(wMbs: Int, hMbs: Int, cropR: Int, cropB: Int,
-      refFrames: Int = 1, pocLsbBits: Int = 0): (Array[Byte], Array[Byte]) = {
+      refFrames: Int = 1, pocLsbBits: Int = 0, profile: Int = 66)
+      : (Array[Byte], Array[Byte]) = {
     val sw = new BitWriter
-    sw.u(66, 8); sw.u(0xC0, 8); sw.u(30, 8) // constraint_set0/1, level 3.0
+    // baseline (66) with constraint_set0/1 for I/P GOPs; B GOPs must
+    // declare MAIN (77, constraint flags clear) — baseline forbids B
+    sw.u(profile, 8)
+    sw.u(if (profile == 66) 0xC0 else 0x00, 8)
+    sw.u(30, 8) // level 3.0
     sw.ue(0) // sps id
     sw.ue(0) // log2_max_frame_num_minus4
     // POC type 2 (decode order == display order) unless the GOP carries
@@ -2051,7 +2056,8 @@ object H264Codec {
 
   private def encodeImpl(img: MediaCodecs.Bmp, avcc: Boolean, qp: Int,
       intra4x4: Boolean, pick: (Int, Int, Seq[Int]) => Int,
-      refFrames: Int = 1, pocLsbBits: Int = 0, deblock: Boolean = false)
+      refFrames: Int = 1, pocLsbBits: Int = 0, deblock: Boolean = false,
+      profile: Int = 66)
       : (Array[Byte], FrameState) = {
     require(!intra4x4 || qp >= 0, "intra4x4 needs a compressed qp (0..51)")
     require(!deblock || qp >= 0, "deblocking needs a compressed qp (0..51)")
@@ -2061,7 +2067,7 @@ object H264Codec {
     val lumaW = wMbs * 16
     val (yP, cbP, crP) = toYuv420(img, wMbs, hMbs)
     val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB, refFrames,
-      pocLsbBits)
+      pocLsbBits, profile)
 
     // IDR slice
     require(qp >= -1 && qp <= 51, s"qp $qp")
@@ -2557,9 +2563,10 @@ object H264Codec {
     // defaults sized for the refs=2 P shape — every slice overrides
     // down to its actual 1-deep lists
     val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB,
-      refFrames = 2, pocLsbBits = pocBits)
+      refFrames = 2, pocLsbBits = pocBits, profile = 77)
     val (idrBytes, st0) = encodeImpl(frames.head, avcc, qp,
-      intra4x4 = false, (_, b, _) => b, refFrames = 2, pocLsbBits = pocBits)
+      intra4x4 = false, (_, b, _) => b, refFrames = 2, pocLsbBits = pocBits,
+      profile = 77)
     st0.poc = 0
     val payloads = ArrayBuffer(idrBytes)
     val display = ArrayBuffer(0)
@@ -3216,7 +3223,7 @@ object H264Codec {
     // type-0 POC SPS/PPS so the B header parses; the payload's own
     // parameter sets overwrite the seeded ones on decode
     val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, 0, 0, refFrames = 2,
-      pocLsbBits = 8)
+      pocLsbBits = 8, profile = 77)
     val payload = frameNals(avcc = true, spsNal, ppsNal,
       Array[Byte](0x01.toByte) ++ escape(w.bytes))
     val g = new GopDecoder

@@ -133,6 +133,27 @@ class H264DeblockSpec extends AnyFunSuite {
     }
   }
 
+  test("the x264-default shape composes: ref=3 + deblocking + mixed intra, parity holds") {
+    // the combination a real x264-baseline-defaults stream carries —
+    // multi-reference selection, the in-loop filter inside the
+    // prediction loop, and intra refresh MBs inside P slices — all at
+    // once, pinned plane-exact (each feature's spec covers it alone;
+    // this covers their interactions: filtered DPB entries under
+    // ref_idx selection, intra MBs' bS-4 edges inside P frames)
+    val f0 = busy(48, 32, seed = 21)
+    val frames = (0 until 6).map(i => shifted(f0, 2 * i, i))
+    val (payloads, recon) = H264Codec.encodeGopForTest(frames, qp = 30,
+      refFrames = 3, forcedRefIdx = Some((mx, my) => (mx + my) % 3),
+      intraEvery = 5, deblock = true)
+    val g = new H264Codec.GopDecoder
+    payloads.zip(recon).zipWithIndex.foreach { case ((p, r), i) =>
+      val dec = g.decodeAuYuv(p)
+      assert(dec.isDefined, s"frame $i failed to decode")
+      assert(eq3((dec.get._2, dec.get._3, dec.get._4), r),
+        s"frame $i: decode != encoder reconstruction")
+    }
+  }
+
   test("hostile: truncated/flipped deblocked streams never escape") {
     val f0 = busy(32, 32, seed = 9)
     val frames = Seq(f0, shifted(f0, 1, 1))
