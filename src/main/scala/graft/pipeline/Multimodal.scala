@@ -49,6 +49,8 @@ object Multimodal {
       JpegCodec.decodeJpeg(payload).map(MediaCodecs.bmpFeatures).getOrElse(decodeStub(payload))
     else if (MediaCodecs.isWav(payload))
       MediaCodecs.decodeWav(payload).map(MediaCodecs.wavFeatures).getOrElse(decodeStub(payload))
+    else if (FlacCodec.isFlac(payload))
+      FlacCodec.decodeFlac(payload).map(MediaCodecs.wavFeatures).getOrElse(decodeStub(payload))
     else if (MediaCodecs.isY4m(payload))
       MediaCodecs.decodeY4m(payload).map(MediaCodecs.y4mFeatures).getOrElse(decodeStub(payload))
     else if (H264Codec.isH264(payload))

@@ -2725,6 +2725,66 @@ object PipelineQueries {
              |  true AS lossy_ok
              |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
 
+    // FLAC codec (r12): the LOSSLESS audio format real corpora ship in
+    // (LibriSpeech et al.) — table-free Rice coding + polynomial/LPC
+    // prediction, so the whole codec is verifiable from arithmetic, and
+    // losslessness means lossless_ok pins SAMPLE-EXACT equality through
+    // encode→decode (with CRC-8/CRC-16/MD5 verified on the way). The
+    // per-doc settings sweep LPC on/off and Rice partition orders;
+    // smaller_ok certifies real compression on the tonal fixture.
+    // Feature grid + corruption rejection pinned in FlacCodecSpec.
+    "q_flac_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val len = text.codePointCount(0, text.length)
+            val n = 2000 + (len % 7) * 300
+            val ch = 1 + (id % 2).toInt
+            val rate = 8000 + (len % 5) * 1000
+            // integer triangle + small hash noise: deterministic,
+            // FIXED-predictable, compresses well
+            val samples = new Array[Short](n * ch)
+            var h = id * 0x9E3779B97F4A7C15L + len
+            var i = 0
+            while (i < n) {
+              h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+              val period = 50 + (id % 7).toInt * 8
+              val ph = i % period
+              val tri = if (ph < period / 2) ph * 400 - 10000
+              else (period - ph) * 400 - 10000
+              var c = 0
+              while (c < ch) {
+                val v = tri + c * (tri / 9 + 7) + ((h >> 33) % 17).toInt - 8
+                samples(i * ch + c) =
+                  math.max(Short.MinValue, math.min(Short.MaxValue, v)).toShort
+                c += 1
+              }
+              i += 1
+            }
+            val w = graft.pipeline.MediaCodecs.Wav(rate, ch, samples)
+            val flac = graft.pipeline.FlacCodec.encodeFlac(w,
+              useLpc = id % 3 == 0, partitionOrder = (id % 4).toInt)
+            val back = graft.pipeline.FlacCodec.decodeFlac(flac)
+            val lossless = back.exists(b =>
+              b.sampleRateHz == rate && b.channels == ch &&
+                java.util.Arrays.equals(b.samples, samples))
+            val smaller = flac.length < 2 * samples.length
+            (id, n, ch, rate, lossless, smaller)
+          }
+          .toDF("doc_id", "n_samples", "channels", "sample_rate",
+            "lossless_ok", "smaller_ok")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(2000 + (len(text) % 7) * 300 AS INT) AS n_samples,
+             |  CAST(1 + doc_id % 2 AS INT) AS channels,
+             |  CAST(8000 + (len(text) % 5) * 1000 AS INT) AS sample_rate,
+             |  true AS lossless_ok, true AS smaller_ok
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
     // in-loop deblocking (r12): the 8.7 filter now RUNS on I/P slices —
     // the x264-default stream shape (deblocking on) decodes exactly
     // instead of rejecting. The GOP here encodes with the filter in the
