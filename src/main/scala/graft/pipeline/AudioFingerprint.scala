@@ -77,13 +77,21 @@ object AudioFingerprint {
   /** (id, landmark) rows for every decodable WAV; undecodable or
     * landmark-free rows drop out (same contract as the other decode
     * paths). Map-only, then one explode. */
+  /** Container-agnostic audio decode: WAV or FLAC (r12) — dedup and
+    * quality must treat the SAME recording identically whichever
+    * container it shipped in (FLAC is lossless, so its samples are the
+    * WAV's bit-for-bit). */
+  private def decodeAudio(bytes: Array[Byte]): Option[MediaCodecs.Wav] =
+    if (FlacCodec.isFlac(bytes)) FlacCodec.decodeFlac(bytes)
+    else MediaCodecs.decodeWav(bytes)
+
   def fingerprintRows(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long").as("id"), col(bytesCol).as("bytes"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        try MediaCodecs.decodeWav(bytes).toSeq
+        try decodeAudio(bytes).toSeq
           .flatMap(w => landmarks(w).map(l => (id, l)))
         catch { case scala.util.control.NonFatal(_) => Nil }
       }
@@ -135,7 +143,7 @@ object AudioFingerprint {
     df.select(col(idCol).cast("long").as("id"), col(bytesCol).as("bytes"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        try MediaCodecs.decodeWav(bytes).map { wav =>
+        try decodeAudio(bytes).map { wav =>
           val mono = MediaCodecs.downmixMono(wav)
           val res = MediaCodecs.resampleWav(mono, outRateHz)
           (id, MediaCodecs.encodeWav(res), res.sampleRateHz, res.samples.length)
@@ -182,7 +190,7 @@ object AudioFingerprint {
     df.select(col(idCol).cast("long").as("id"), col(bytesCol).as("bytes"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        try MediaCodecs.decodeWav(bytes).flatMap { wav =>
+        try decodeAudio(bytes).flatMap { wav =>
           val ch = math.max(1, wav.channels)
           val n = wav.samples.length / ch
           if (n == 0) None else {

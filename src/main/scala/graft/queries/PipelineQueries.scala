@@ -3035,6 +3035,37 @@ object PipelineQueries {
              |WHERE a.doc_id % 2 = 0 AND a.doc_id < 100 AND b.doc_id < 100
              |ORDER BY id_a""".stripMargin)),
 
+    // cross-FORMAT audio dedup (r12): the same planted near-dup pairs,
+    // but every odd id ships as FLAC (losslessly transcoded from its
+    // remastered WAV) while the even ids stay WAV — the real-pipeline
+    // case where one crawl source re-encodes. The landmark join runs on
+    // DECODED samples, so container choice must not split a pair; the
+    // planted (2b, 2b+1) pairs come back exactly, across formats.
+    "q_audio_crossformat_dedup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id".cast("long").as("media_id")).as[Long]
+          .map { id =>
+            val wavBytes = AudioFingerprint.plantedToneWav(id)
+            val bytes =
+              if (id % 2 == 1)
+                graft.pipeline.FlacCodec.encodeFlac(
+                  graft.pipeline.MediaCodecs.decodeWav(wavBytes).get,
+                  useLpc = id % 4 == 1)
+              else wavBytes
+            (id, bytes)
+          }
+          .toDF("media_id", "bytes")
+        AudioFingerprint.audioNearDups(media, "media_id", "bytes", minShared = 8)
+          .select($"id_a", $"id_b")
+          .orderBy($"id_a")
+      },
+      Some("""SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+             |WHERE a.doc_id % 2 = 0 AND a.doc_id < 100 AND b.doc_id < 100
+             |ORDER BY id_a""".stripMargin)),
+
     // the multimodal dedup CAPSTONE: one mixed media table (planted
     // image/audio/video near-dup pairs), each modality's pair generator
     // over its slice, pairs unioned into ONE keep-smallest policy — the
