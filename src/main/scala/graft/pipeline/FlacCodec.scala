@@ -97,6 +97,16 @@ object FlacCodec {
     def bytes: Array[Byte] = { require(nbits == 0); out.toArray }
   }
 
+  /** Spec hook: round-trip a frame-number value through the UTF-8-style
+    * coder in isolation (streams short enough to exercise the 3+-byte
+    * forms would need hundreds of frames). */
+  private[pipeline] def utf8NumberRoundTrip(v: Long): Long = {
+    val w = new BitWriter
+    writeUtf8Number(w, v)
+    w.alignToByte()
+    readUtf8Number(new BitReader(w.bytes, 0))
+  }
+
   // ---------------- CRCs (spec polynomials, bitwise — no tables) ----------------
 
   /** CRC-8, poly 0x07, init 0 (frame header check). */
@@ -312,7 +322,7 @@ object FlacCodec {
     Some(MediaCodecs.Wav(sampleRate, channels, samples))
   }
 
-  private def readUtf8Number(r: BitReader): Long = {
+  private[pipeline] def readUtf8Number(r: BitReader): Long = {
     val first = r.u(8).toInt
     var ones = 0
     while (ones < 8 && ((first << ones) & 0x80) != 0) ones += 1
@@ -400,8 +410,6 @@ object FlacCodec {
     val nParts = 1 << partOrder
     if (blockSize % nParts != 0) throw new FlacFormat("partition/block mismatch")
     val partLen = blockSize >> partOrder
-    if (partLen <= predOrder && nParts > 0 && partLen - predOrder <= 0 && nParts == 1)
-      throw new FlacFormat("first partition empty")
     var idx = 0
     var part = 0
     while (part < nParts) {
@@ -544,7 +552,7 @@ object FlacCodec {
     w3.bytes
   }
 
-  private def writeUtf8Number(w: BitWriter, v: Long): Unit = {
+  private[pipeline] def writeUtf8Number(w: BitWriter, v: Long): Unit = {
     if (v < 0x80) w.u(v, 8)
     else {
       // count of leading-ones bytes needed
@@ -723,8 +731,13 @@ object FlacCodec {
     while (i < until) { maxU = math.max(maxU, zigzag(resid(i))); i += 1 }
     var b = 0
     while (b < 31 && (1L << b) <= maxU) b += 1
-    // signed raw needs one more bit than the magnitude when nonzero
-    if (maxU == 0) 0 else b + 1
+    // signed raw needs one more bit than the magnitude when nonzero;
+    // the width rides a 5-bit field, so it must stay <= 31 (16/17-bit
+    // inputs peak far below: order-4 residual of a 17-bit sample needs
+    // at most 23 bits)
+    val raw = if (maxU == 0) 0 else b + 1
+    require(raw <= 31, s"escape width $raw exceeds the 5-bit field")
+    raw
   }
 
   /** Coded size of a residual section under the chosen partitioning. */

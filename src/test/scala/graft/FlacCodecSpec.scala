@@ -131,6 +131,17 @@ class FlacCodecSpec extends AnyFunSuite {
       FlacCodec.decodeFlac(good.take(math.max(0, good.length - cut)))
   }
 
+  test("UTF-8 frame numbers round-trip across every byte length") {
+    // streams in this suite never pass 3 frames, so the 2..7-byte forms
+    // need a direct witness: boundary values either side of each width
+    val probes = Seq(0L, 1L, 0x7eL, 0x7fL, 0x80L, 0x7ffL, 0x800L,
+      0xffffL, 0x10000L, 0x1fffffL, 0x200000L, 0x3ffffffL, 0x4000000L,
+      0x7fffffffL, (1L << 35), (1L << 36) - 1)
+    probes.foreach { v =>
+      assert(FlacCodec.utf8NumberRoundTrip(v) == v, s"value $v")
+    }
+  }
+
   test("structural pins: magic, STREAMINFO fields, frame sync") {
     val t = wav(12345, 2, tone(5000, 2, seed = 1))
     val flac = FlacCodec.encodeFlac(t)
