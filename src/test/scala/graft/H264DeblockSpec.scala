@@ -154,6 +154,26 @@ class H264DeblockSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized parity sweep: content x qp grid keeps encode/decode exact") {
+    // the filter has many data-dependent branches (strong vs clipped,
+    // ap/aq taps, chroma vs luma, offsets of the qp average) — a seeded
+    // sweep across content and the qp range catches a divergence in any
+    // rarely-taken branch that the single-fixture tests might miss
+    for (seed <- 1 to 6; qp <- Seq(20, 28, 36, 44, 51)) {
+      val f0 = busy(32, 32, seed = seed * 131)
+      val frames = Seq(f0, shifted(f0, seed % 5 - 2, seed % 3))
+      val (payloads, recon) =
+        H264Codec.encodeGopForTest(frames, qp = qp, deblock = true)
+      val g = new H264Codec.GopDecoder
+      payloads.zip(recon).zipWithIndex.foreach { case ((p, r), i) =>
+        val dec = g.decodeAuYuv(p)
+        assert(dec.isDefined, s"seed $seed qp $qp frame $i")
+        assert(eq3((dec.get._2, dec.get._3, dec.get._4), r),
+          s"seed $seed qp $qp frame $i: parity broke")
+      }
+    }
+  }
+
   test("hostile: truncated/flipped deblocked streams never escape") {
     val f0 = busy(32, 32, seed = 9)
     val frames = Seq(f0, shifted(f0, 1, 1))

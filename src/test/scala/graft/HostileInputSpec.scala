@@ -34,6 +34,7 @@ class HostileInputSpec extends AnyFunSuite {
       assert(H264Codec.decodeGop(Seq(junk)) == Seq(None), s"seed $seed")
       assert(H264Codec.decodeAnnexBStream(junk).forall(_.isEmpty), s"seed $seed")
       Mp4Demux.demux(junk) // Option-returning: must not throw
+      FlacCodec.decodeFlac(junk) // Option-returning: must not throw
       Multimodal.decode(junk) // stub fallback: must not throw
     }
   }
