@@ -155,12 +155,22 @@ object FlacCodec {
   // ---------------- decode ----------------
 
   /** Decoded stream as the repo's audio interchange type (interleaved
-    * 16-bit samples). Streams beyond 16 bits/sample or 2 channels are
-    * out of scope and reject (None), as do CRC/MD5 mismatches. */
+    * 16-bit samples). Streams beyond 16 bits/sample yield None on THIS
+    * facade (the interchange type is 16-bit) — [[decodeFlacRaw]]
+    * decodes them at native depth. >2 channels, CRC and MD5 mismatches
+    * reject on both. */
   def decodeFlac(payload: Array[Byte]): Option[MediaCodecs.Wav] =
+    try decodeImpl(payload).flatMap { case (rate, ch, bps, samples) =>
+      if (bps > 16) None
+      else Some(MediaCodecs.Wav(rate, ch, samples.map(_.toShort)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decode at the stream's NATIVE bit depth (8..24 — studio corpora
+    * ship 24-bit FLAC): (rate, channels, bps, interleaved samples). */
+  def decodeFlacRaw(payload: Array[Byte]): Option[(Int, Int, Int, Array[Int])] =
     try decodeImpl(payload) catch { case scala.util.control.NonFatal(_) => None }
 
-  private def decodeImpl(p: Array[Byte]): Option[MediaCodecs.Wav] = {
+  private def decodeImpl(p: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
     if (!isFlac(p)) return None
     var o = 4
     var sampleRate = 0
@@ -195,9 +205,10 @@ object FlacCodec {
     if (!sawStreamInfo) throw new FlacFormat("no STREAMINFO")
     if (sampleRate <= 0) throw new FlacFormat("bad sample rate")
     if (channels > 2) throw new FlacFormat(s"$channels channels out of scope")
-    if (bps > 16) throw new FlacFormat(s"$bps bits/sample out of scope")
+    if (bps > 24) throw new FlacFormat(s"$bps bits/sample out of scope")
     if (totalSamples > (1L << 31) / channels) throw new FlacFormat("stream too long")
-    val outSamples = new ArrayBuffer[Short](
+    val sampleLo = -(1 << (bps - 1)); val sampleHi = (1 << (bps - 1)) - 1
+    val outSamples = new ArrayBuffer[Int](
       math.min(totalSamples * channels, 1L << 20).toInt)
     var decoded = 0L
     while (decoded < totalSamples) {
@@ -238,7 +249,8 @@ object FlacCodec {
         case 6 => 24
         case _ => throw new FlacFormat(s"reserved sample size code $ssCode")
       }
-      if (frameBps > 16) throw new FlacFormat(s"frame bps $frameBps out of scope")
+      if (frameBps != bps)
+        throw new FlacFormat(s"frame bps $frameBps != stream bps $bps")
       // CRC-8 covers the header bytes read so far
       r.alignToByte()
       val headerEnd = r.bytePos
@@ -303,9 +315,9 @@ object FlacCodec {
         var cc = 0
         while (cc < nCh) {
           val v = chan(cc)(i)
-          if (v < Short.MinValue || v > Short.MaxValue)
-            throw new FlacFormat("sample out of 16-bit range")
-          outSamples += v.toShort
+          if (v < sampleLo || v > sampleHi)
+            throw new FlacFormat(s"sample out of $bps-bit range")
+          outSamples += v
           cc += 1
         }
         i += 1
@@ -313,13 +325,14 @@ object FlacCodec {
       decoded += blockSize
     }
     val samples = outSamples.toArray
-    // STREAMINFO MD5 (of the little-endian unencoded samples): verify
+    // STREAMINFO MD5 (of the little-endian unencoded samples, bps/8
+    // bytes each — the spec's packing for byte-aligned depths): verify
     // when present (all-zero = unset)
-    if (md5 != null && md5.exists(_ != 0)) {
-      if (!java.util.Arrays.equals(md5, sampleMd5(samples)))
+    if (md5 != null && md5.exists(_ != 0) && bps % 8 == 0) {
+      if (!java.util.Arrays.equals(md5, sampleMd5(samples, bps / 8)))
         throw new FlacFormat("STREAMINFO MD5 mismatch")
     }
-    Some(MediaCodecs.Wav(sampleRate, channels, samples))
+    Some((sampleRate, channels, bps, samples))
   }
 
   private[pipeline] def readUtf8Number(r: BitReader): Long = {
@@ -436,13 +449,16 @@ object FlacCodec {
     }
   }
 
-  private def sampleMd5(samples: Array[Short]): Array[Byte] = {
+  private def sampleMd5(samples: Array[Int], bytesPer: Int): Array[Byte] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val buf = new Array[Byte](2 * samples.length)
+    val buf = new Array[Byte](bytesPer * samples.length)
     var i = 0
-    while (i < samples.length) { // little-endian 16-bit, as the spec hashes
-      buf(2 * i) = (samples(i) & 0xff).toByte
-      buf(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    while (i < samples.length) { // little-endian, as the spec hashes
+      var b = 0
+      while (b < bytesPer) {
+        buf(bytesPer * i + b) = ((samples(i) >> (8 * b)) & 0xff).toByte
+        b += 1
+      }
       i += 1
     }
     md.digest(buf)
@@ -462,13 +478,25 @@ object FlacCodec {
    */
   def encodeFlac(wav: MediaCodecs.Wav, useLpc: Boolean = false,
       lpcOrder: Int = 8, partitionOrder: Int = 0,
+      forceEscape: Boolean = false): Array[Byte] =
+    encodeFlacRaw(wav.sampleRateHz, wav.channels, 16,
+      wav.samples.map(_.toInt), useLpc, lpcOrder, partitionOrder, forceEscape)
+
+  /** Encode at a native bit depth (8/12/16/20/24 — the sample-size
+    * codes a frame header can carry): interleaved samples must fit the
+    * depth's signed range. */
+  def encodeFlacRaw(sampleRateHz: Int, channels: Int, bps: Int,
+      samples: Array[Int], useLpc: Boolean = false,
+      lpcOrder: Int = 8, partitionOrder: Int = 0,
       forceEscape: Boolean = false): Array[Byte] = {
-    require(wav.channels >= 1 && wav.channels <= 2, "1-2 channels")
-    require(wav.samples.length % wav.channels == 0, "ragged interleave")
+    require(channels >= 1 && channels <= 2, "1-2 channels")
+    require(samples.length % channels == 0, "ragged interleave")
     require(partitionOrder >= 0 && partitionOrder <= 6, "partition order 0-6")
-    val nCh = wav.channels
-    val total = wav.samples.length / nCh
-    val bps = 16
+    require(Set(8, 12, 16, 20, 24).contains(bps), s"bps $bps not codable")
+    val lo = -(1 << (bps - 1)); val hi = (1 << (bps - 1)) - 1
+    require(samples.forall(v => v >= lo && v <= hi), s"sample outside $bps-bit range")
+    val nCh = channels
+    val total = samples.length / nCh
     val blockSizeMax = 4096
     val out = new java.io.ByteArrayOutputStream()
     out.write("fLaC".getBytes("US-ASCII"))
@@ -476,11 +504,14 @@ object FlacCodec {
     val si = new BitWriter
     si.u(blockSizeMax, 16); si.u(blockSizeMax, 16) // min/max block size
     si.u(0, 24); si.u(0, 24) // min/max frame size unknown
-    si.u(wav.sampleRateHz.toLong, 20)
+    si.u(sampleRateHz.toLong, 20)
     si.u(nCh - 1, 3)
     si.u(bps - 1, 5)
     si.u(total.toLong, 36)
-    val siBytes = si.bytes ++ sampleMd5(wav.samples)
+    // the spec's MD5 packing is byte-aligned; non-multiple-of-8 depths
+    // write the all-zero "unset" marker
+    val md5 = if (bps % 8 == 0) sampleMd5(samples, bps / 8) else new Array[Byte](16)
+    val siBytes = si.bytes ++ md5
     out.write(Array[Byte](0x80.toByte, 0, 0, siBytes.length.toByte))
     out.write(siBytes)
     var start = 0
@@ -490,7 +521,7 @@ object FlacCodec {
       if (n <= 0) { start = total + 1 } // zero-length stream: no frames
       else {
         val chans = Array.tabulate(nCh)(c =>
-          Array.tabulate(n)(i => wav.samples((start + i) * nCh + c).toInt))
+          Array.tabulate(n)(i => samples((start + i) * nCh + c)))
         out.write(encodeFrame(chans, n, frameIdx, bps, useLpc, lpcOrder,
           partitionOrder, forceEscape))
         start += n
@@ -533,7 +564,9 @@ object FlacCodec {
     w.u(7, 4) // block size: explicit 16-bit value follows
     w.u(0, 4) // sample rate: from STREAMINFO
     w.u(asgn.toLong, 4)
-    w.u(4, 3) // sample size: 16-bit
+    w.u(bps match { // sample size code
+      case 8 => 1; case 12 => 2; case 16 => 4; case 20 => 5; case _ => 6
+    }, 3)
     w.u1(0) // reserved
     writeUtf8Number(w, frameIdx)
     w.u(n - 1, 16)

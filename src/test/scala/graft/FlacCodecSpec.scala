@@ -131,6 +131,34 @@ class FlacCodecSpec extends AnyFunSuite {
       FlacCodec.decodeFlac(good.take(math.max(0, good.length - cut)))
   }
 
+  test("native bit depths 8/12/16/20/24 all round-trip sample-exactly") {
+    // studio corpora ship 24-bit FLAC; the raw API decodes every depth
+    // losslessly (the 16-bit Wav facade keeps returning None past 16)
+    for (bps <- Seq(8, 12, 16, 20, 24); ch <- Seq(1, 2)) {
+      val n = 5000
+      val lim = (1 << (bps - 1)) - 1
+      var h = bps.toLong * 31 + ch
+      val samples = Array.tabulate(n * ch) { i =>
+        h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+        val tri = {
+          val ph = (i / ch) % 80
+          (if (ph < 40) ph else 80 - ph) * (lim / 45)
+        }
+        math.max(-lim - 1, math.min(lim, tri - lim / 2 + ((h >> 40) % 9).toInt))
+      }
+      val flac = FlacCodec.encodeFlacRaw(16000, ch, bps, samples,
+        useLpc = bps % 3 == 0, partitionOrder = bps % 4)
+      val back = FlacCodec.decodeFlacRaw(flac)
+      assert(back.isDefined, s"bps $bps ch $ch decode failed")
+      val (rate, bch, bbps, bs) = back.get
+      assert(rate == 16000 && bch == ch && bbps == bps, s"bps $bps ch $ch header")
+      assert(java.util.Arrays.equals(bs, samples), s"bps $bps ch $ch samples")
+      // the 16-bit facade: exact at <=16, None past it
+      if (bps <= 16) assert(FlacCodec.decodeFlac(flac).isDefined)
+      else assert(FlacCodec.decodeFlac(flac).isEmpty, "facade must refuse >16-bit")
+    }
+  }
+
   test("UTF-8 frame numbers round-trip across every byte length") {
     // streams in this suite never pass 3 frames, so the 2..7-byte forms
     // need a direct witness: boundary values either side of each width
