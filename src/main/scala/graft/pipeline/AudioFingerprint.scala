@@ -152,6 +152,38 @@ object AudioFingerprint {
       .toDF("id", "bytes", "sample_rate", "n_samples")
   }
 
+  /**
+   * Lossless archival transcode — the corpus-compression step a 100 TB
+   * audio crawl runs once: WAV (or already-FLAC) clips re-encode as
+   * FLAC, map-only and embarrassingly parallel (samples never leave the
+   * partition, no shuffle at all). Every row carries a `lossless`
+   * verification bit — the transcode is DECODED BACK on the spot and
+   * compared sample-exactly, so a codec defect can never silently
+   * corrupt an archive (the write amplification is one in-memory
+   * decode, far cheaper than discovering corruption at training time).
+   * Undecodable blobs drop.
+   *
+   * @return (id, flac, orig_bytes, flac_bytes, lossless)
+   */
+  def archiveAudio(df: DataFrame, idCol: String, bytesCol: String,
+      useLpc: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(bytesCol).as("bytes"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        try decodeAudio(bytes).map { wav =>
+          val flac = FlacCodec.encodeFlac(wav, useLpc = useLpc)
+          val back = FlacCodec.decodeFlac(flac)
+          val lossless = back.exists(b =>
+            b.sampleRateHz == wav.sampleRateHz && b.channels == wav.channels &&
+              java.util.Arrays.equals(b.samples, wav.samples))
+          (id, flac, bytes.length, flac.length, lossless)
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+      .toDF("id", "flac", "orig_bytes", "flac_bytes", "lossless")
+  }
+
   /** Landmarks MORE frequent than `maxLandmarkDf`, with document
     * frequencies — the "log" half of [[audioNearDups]]'s drop-and-log:
     * each row is usually a mass-duplicated jingle/tone worth routing to

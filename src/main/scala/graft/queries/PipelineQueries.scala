@@ -3035,6 +3035,31 @@ object PipelineQueries {
              |WHERE a.doc_id % 2 = 0 AND a.doc_id < 100 AND b.doc_id < 100
              |ORDER BY id_a""".stripMargin)),
 
+    // lossless audio archival (r12): the corpus-compression pass a
+    // 100 TB crawl runs once — WAV clips transcode to FLAC map-only,
+    // each row carrying an on-the-spot decoded-back sample-exact
+    // verification bit (a codec defect can never silently corrupt the
+    // archive). The tonal fixtures must compress (smaller_ok) and
+    // verify (lossless); orig size is closed-form (44-byte canonical
+    // WAV header + 2 bytes/sample), so DuckDB replays it exactly.
+    "q_flac_archive" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id".cast("long").as("media_id")).as[Long]
+          .map(id => (id, AudioFingerprint.plantedToneWav(id)))
+          .toDF("media_id", "bytes")
+        AudioFingerprint.archiveAudio(media, "media_id", "bytes")
+          .select($"id".as("doc_id"), $"orig_bytes",
+            ($"flac_bytes" < $"orig_bytes").as("smaller_ok"), $"lossless")
+          .orderBy($"doc_id")
+      },
+      // plantedToneWav: 16*2*256 = 8192 mono samples, 44-byte header
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(44 + 2 * 8192 AS INT) AS orig_bytes,
+             |  true AS smaller_ok, true AS lossless
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
     // cross-FORMAT audio dedup (r12): the same planted near-dup pairs,
     // but every odd id ships as FLAC (losslessly transcoded from its
     // remastered WAV) while the even ids stay WAV — the real-pipeline
