@@ -61,11 +61,14 @@ object Multimodal {
     * need codecs this container doesn't ship (JPEG went native in r7
     * via [[JpegCodec]]; H.264 I_PCM IDR frames in r8, full I-slice
     * CAVLC in r8-r10, baseline P-slice motion-compensated decode in
-    * r11, multi-reference P slices and bi-predictive B slices with
-    * POC-type-0 display reordering in r12 — `H264Codec.decodeGop`
-    * handles IPPP and IbbP GOPs; what remains stubbed is CABAC
-    * streams, B-direct/weighted prediction, in-loop deblocking on
-    * foreign inter slices, and AAC audio). */
+    * r11, and in r12 multi-reference P slices, bi-predictive B slices
+    * with POC-type-0 display reordering, AND the 8.7 in-loop
+    * deblocking filter — `H264Codec.decodeGop` handles x264-default
+    * baseline streams and IbbP GOPs; FLAC went native in r12 too
+    * ([[FlacCodec]]). What remains stubbed is CABAC entropy streams,
+    * B-direct/weighted prediction, and AAC audio — each needs large
+    * codebook/context tables that cannot be honestly transcribed or
+    * verified in this container). */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
     var h = 1125899906842597L
