@@ -47,11 +47,14 @@ object FlacCodec {
 
   // ---------------- bit IO (MSB-first, as the spec reads) ----------------
 
-  private final class BitReader(data: Array[Byte], var pos: Int) {
+  // Bit position tracked in Long: `byteOffset * 8` overflows Int for
+  // payloads >= 256 MiB (24-bit studio corpora get there), which would
+  // fail valid files with a spurious "bit overrun".
+  private final class BitReader(data: Array[Byte], var pos: Long) {
     def bitsLeft: Long = data.length.toLong * 8 - pos
     def u1(): Int = {
-      if (pos >= data.length * 8) throw new FlacFormat("bit overrun")
-      val b = (data(pos >> 3) >> (7 - (pos & 7))) & 1
+      if (pos >= data.length.toLong * 8) throw new FlacFormat("bit overrun")
+      val b = (data((pos >> 3).toInt) >> (7 - (pos & 7).toInt)) & 1
       pos += 1
       b
     }
@@ -74,8 +77,8 @@ object FlacCodec {
       }
       q
     }
-    def alignToByte(): Unit = { pos = (pos + 7) & ~7 }
-    def bytePos: Int = { require((pos & 7) == 0); pos >> 3 }
+    def alignToByte(): Unit = { pos = (pos + 7) & ~7L }
+    def bytePos: Int = { require((pos & 7) == 0); (pos >> 3).toInt }
   }
 
   private final class BitWriter {
@@ -190,7 +193,7 @@ object FlacCodec {
       if (o + len > p.length) throw new FlacFormat("metadata overrun")
       if (typ == 0) { // STREAMINFO
         if (len < 34) throw new FlacFormat("short STREAMINFO")
-        val r = new BitReader(p, o * 8)
+        val r = new BitReader(p, o.toLong * 8)
         r.u(16); r.u(16) // min/max block size
         r.u(24); r.u(24) // min/max frame size
         sampleRate = r.u(20).toInt
@@ -206,14 +209,18 @@ object FlacCodec {
     if (sampleRate <= 0) throw new FlacFormat("bad sample rate")
     if (channels > 2) throw new FlacFormat(s"$channels channels out of scope")
     if (bps > 24) throw new FlacFormat(s"$bps bits/sample out of scope")
+    // total_samples == 0 means "unknown" per the spec (common in
+    // streamed flac output) — decode frames until the payload is
+    // exhausted rather than silently yielding zero samples.
+    val totalKnown = totalSamples > 0
     if (totalSamples > (1L << 31) / channels) throw new FlacFormat("stream too long")
     val sampleLo = -(1 << (bps - 1)); val sampleHi = (1 << (bps - 1)) - 1
     val outSamples = new ArrayBuffer[Int](
       math.min(totalSamples * channels, 1L << 20).toInt)
     var decoded = 0L
-    while (decoded < totalSamples) {
+    while (if (totalKnown) decoded < totalSamples else o < p.length) {
       val frameStart = o
-      val r = new BitReader(p, o * 8)
+      val r = new BitReader(p, o.toLong * 8)
       // frame header
       if (r.u(14) != 0x3ffe) throw new FlacFormat("lost frame sync")
       if (r.u1() != 0) throw new FlacFormat("reserved bit set")
@@ -263,8 +270,10 @@ object FlacCodec {
         case _ => throw new FlacFormat(s"reserved channel assignment $chanAsgn")
       }
       if (nCh != channels) throw new FlacFormat("frame/stream channel mismatch")
-      if (blockSize.toLong > totalSamples - decoded)
+      if (totalKnown && blockSize.toLong > totalSamples - decoded)
         throw new FlacFormat("frame overruns total_samples")
+      if (!totalKnown && decoded + blockSize > (1L << 31) / channels)
+        throw new FlacFormat("stream too long")
       // subframes
       val chan = Array.ofDim[Int](nCh, blockSize)
       var c = 0
@@ -490,6 +499,10 @@ object FlacCodec {
       lpcOrder: Int = 8, partitionOrder: Int = 0,
       forceEscape: Boolean = false): Array[Byte] = {
     require(channels >= 1 && channels <= 2, "1-2 channels")
+    // the STREAMINFO rate field is 20 bits; a wider value would be
+    // silently truncated into a wrong-rate archive
+    require(sampleRateHz > 0 && sampleRateHz < (1 << 20),
+      s"sample rate $sampleRateHz outside STREAMINFO's 20-bit field")
     require(samples.length % channels == 0, "ragged interleave")
     require(partitionOrder >= 0 && partitionOrder <= 6, "partition order 0-6")
     require(Set(8, 12, 16, 20, 24).contains(bps), s"bps $bps not codable")

@@ -390,7 +390,12 @@ object H264Codec {
     * preceding parameter-set/SEI NALs opened, since this codec's scope
     * is single-slice pictures — and the AU sequence decodes as a GOP.
     * Returns one entry per picture, None for undecodable ones (same
-    * poisoning semantics as [[decodeGopIterator]]). */
+    * poisoning semantics as [[decodeGopIterator]]).
+    *
+    * NOTE this form MATERIALIZES every frame of the stream at once —
+    * fine for short fixtures, wrong for long streams. Prefer
+    * [[decodeAnnexBIterator]], which keeps one access unit and one
+    * decoded frame in flight. */
   def decodeAnnexBStream(es: Array[Byte]): Seq[Option[MediaCodecs.Bmp]] =
     decodeAnnexBIterator(es).toSeq
 

@@ -171,7 +171,10 @@ object Multimodal {
               }
               (0 until n).iterator.map { i =>
                 val idx = decOfDisplay(math.min(i * step, t.nSamples - 1))
-                val sample = Mp4Demux.sampleBytes(m.payload, t, idx)
+                // same guard as the gopSampled tabulate above: a bad
+                // sample poisons only this frame slot, not the row
+                val sample = try Mp4Demux.sampleBytes(m.payload, t, idx)
+                  catch { case scala.util.control.NonFatal(_) => Array.empty[Byte] }
                 val h264ish = // any slice NAL: IDR (5) or P (1)
                   try H264Codec.nalUnits(sample).exists { case (s, _) =>
                     val ty = sample(s) & 0x1f; ty == 1 || ty == 5

@@ -2723,7 +2723,8 @@ object PipelineQueries {
              |  CAST(32 + 2 * ((len(text) + doc_id) % 6) AS INT) AS height,
              |  CAST(5 AS INT) AS n_decoded, true AS multiref_gain,
              |  true AS lossy_ok
-             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin),
+      bench = true), // timed: multi-ref GOP encode+decode via MP4 (media hot path)
 
     // FLAC codec (r12): the LOSSLESS audio format real corpora ship in
     // (LibriSpeech et al.) — table-free Rice coding + polynomial/LPC
@@ -3058,7 +3059,8 @@ object PipelineQueries {
       Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
              |  CAST(44 + 2 * 8192 AS INT) AS orig_bytes,
              |  true AS smaller_ok, true AS lossless
-             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin),
+      bench = true), // timed: map-only WAV->FLAC archival with per-row verify
 
     // cross-FORMAT audio dedup (r12): the same planted near-dup pairs,
     // but every odd id ships as FLAC (losslessly transcoded from its

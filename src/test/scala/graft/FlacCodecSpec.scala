@@ -170,6 +170,64 @@ class FlacCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("STREAMINFO total_samples == 0 means UNKNOWN: frames decode to EOF") {
+    // streamed flac output commonly carries total=0; a decoder that
+    // used it as the loop bound would silently return zero samples
+    // (and archiveAudio's empty==empty verification would pass
+    // trivially while losing the audio)
+    val t = wav(16000, 2, tone(9000, 2, seed = 6)) // > 2 frames
+    val flac = FlacCodec.encodeFlac(t)
+    // total(36) = low nibble of STREAMINFO byte 13 + bytes 14-17
+    // (file offsets 21-25 behind the 4B magic + 4B block header)
+    val unk = flac.clone()
+    unk(21) = (unk(21) & 0xf0).toByte
+    unk(22) = 0; unk(23) = 0; unk(24) = 0; unk(25) = 0
+    val back = FlacCodec.decodeFlac(unk)
+    assert(back.isDefined, "unknown-total stream must decode")
+    assert(java.util.Arrays.equals(back.get.samples, t.samples),
+      "unknown-total decode must return ALL samples, not zero")
+    // a zero-length stream with total=0 and no frames stays empty
+    val empty = FlacCodec.encodeFlac(wav(16000, 1, Array.empty[Short]))
+    assert(FlacCodec.decodeFlac(empty).exists(_.samples.isEmpty))
+    // trailing garbage after the last frame of an unknown-total stream
+    // must reject (sync loss), not decode partially
+    val garbage = unk ++ Array[Byte](0x12, 0x34, 0x56)
+    assert(FlacCodec.decodeFlac(garbage).isEmpty, "trailing garbage accepted")
+  }
+
+  test("payloads >= 256 MiB decode (bit positions do not overflow Int)") {
+    // byteOffset * 8 overflows Int at 256 MiB; splice 17 x 16 MiB
+    // PADDING metadata blocks so the first frame sits past the line
+    val t = wav(16000, 1, tone(3000, 1, seed = 11))
+    val flac = FlacCodec.encodeFlac(t)
+    val out = new java.io.ByteArrayOutputStream(290 << 20)
+    out.write(flac, 0, 4) // magic
+    out.write(Array[Byte](0x00, 0, 0, 34)) // STREAMINFO, no longer last
+    out.write(flac, 8, 34)
+    val padLen = (1 << 24) - 1 // max 24-bit block length
+    val pad = new Array[Byte](padLen)
+    for (i <- 0 until 17) {
+      val hdr = if (i == 16) 0x81 else 0x01 // PADDING, last on the final one
+      out.write(Array[Byte](hdr.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte))
+      out.write(pad)
+    }
+    out.write(flac, 42, flac.length - 42) // the frames
+    val big = out.toByteArray
+    assert(big.length > (1 << 28), "fixture must cross 256 MiB")
+    val back = FlacCodec.decodeFlac(big)
+    assert(back.isDefined, "large valid payload must decode")
+    assert(java.util.Arrays.equals(back.get.samples, t.samples))
+  }
+
+  test("encoder rejects sample rates outside STREAMINFO's 20-bit field") {
+    val s = new Array[Int](100)
+    intercept[IllegalArgumentException](FlacCodec.encodeFlacRaw(0, 1, 16, s))
+    intercept[IllegalArgumentException](FlacCodec.encodeFlacRaw(-1, 1, 16, s))
+    intercept[IllegalArgumentException](FlacCodec.encodeFlacRaw(1 << 20, 1, 16, s))
+    assert(FlacCodec.decodeFlacRaw(
+      FlacCodec.encodeFlacRaw((1 << 20) - 1, 1, 16, s)).exists(_._1 == (1 << 20) - 1))
+  }
+
   test("structural pins: magic, STREAMINFO fields, frame sync") {
     val t = wav(12345, 2, tone(5000, 2, seed = 1))
     val flac = FlacCodec.encodeFlac(t)
