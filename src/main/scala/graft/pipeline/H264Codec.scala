@@ -95,6 +95,10 @@ object H264Codec {
     def alignToByte(): Unit = { pos = (pos + 7) & ~7 }
     def byteAligned: Boolean = (pos & 7) == 0
     def readByte(): Int = { val v = u(8); v }
+    /** Underlying RBSP + aligned byte position — the hand-off point to
+      * the CABAC arithmetic decoder (which consumes whole bytes). */
+    def rbsp: Array[Byte] = data
+    def bytePosAligned: Int = { require(byteAligned); pos >> 3 }
   }
 
   private final class BitWriter extends H264Cavlc.BitOut {
@@ -334,7 +338,6 @@ object H264Codec {
           case 8 => pps = parsePps(new BitReader(unescape(p, s + 1, e)))
           case 5 | 1 => // IDR / non-IDR slice
             if (sps == null || pps == null) throw new H264Format("slice before SPS/PPS")
-            if (pps.entropyCabac) throw new H264Format("CABAC out of scope")
             val refIdc = (hdr >> 5) & 3
             val st = decodeSlice(new BitReader(unescape(p, s + 1, e)), sps, pps,
               idr = nalType == 5, refIdc, dpb, poc)
@@ -570,6 +573,15 @@ object H264Codec {
     st.poc = pocVal
     var qpY = pps.picInitQp + sliceQpDelta
     if (qpY < 0 || qpY > 51) throw new H264Format(s"slice QP $qpY out of range")
+    if (pps.entropyCabac) {
+      // CABAC (9.3): I slices decode through the arithmetic engine; the
+      // P/B context-init variants (cabac_init_idc tables) stay out of
+      // scope — refuse loudly rather than drift
+      if (isP || isB) throw new H264Format("CABAC P/B slices out of scope")
+      decodeISliceDataCabac(r, st, qpY)
+      if (deblockEnabled) deblockFrame(st, offA, offB)
+      return st
+    }
     if (isP) {
       decodePSliceData(r, st, refs, qpY)
       if (deblockEnabled) deblockFrame(st, offA, offB)
@@ -627,8 +639,8 @@ object H264Codec {
         if (chromaMode > 3) throw new H264Format(s"chroma pred mode $chromaMode")
         val qpDelta = r.se()
         qpY = ((qpY + qpDelta) % 52 + 52) % 52
-        decodeIntra16x16(r, st, mbX / 16, mbY / 16, predMode, chromaMode,
-          cbpLuma, cbpChroma, qpY)
+        decodeIntra16x16(new CavlcSrc(r), st, mbX / 16, mbY / 16, predMode,
+          chromaMode, cbpLuma, cbpChroma, qpY)
       } else if (mbType == 0) {
         // Intra_4x4 (7.3.5.1): 16 per-block pred modes, chroma mode,
         // me(v)-coded CBP, qp delta only when any residual is coded
@@ -653,8 +665,9 @@ object H264Codec {
         val cbpLuma = cbp & 15
         val cbpChroma = cbp >> 4
         if (cbp != 0) qpY = ((qpY + r.se()) % 52 + 52) % 52
-        decodeIntra4x4Luma(r, st, mbX / 16, mbY / 16, modes, cbpLuma, qpY)
-        decodeChromaResid(r, st, mbX / 16, mbY / 16, chromaMode, cbpChroma,
+        val src = new CavlcSrc(r)
+        decodeIntra4x4Luma(src, st, mbX / 16, mbY / 16, modes, cbpLuma, qpY)
+        decodeChromaResid(src, st, mbX / 16, mbY / 16, chromaMode, cbpChroma,
           H264Transform.chromaQp(qpY))
       } else throw new H264Format(s"bad intra mb_type $mbType")
     }
@@ -662,6 +675,363 @@ object H264Codec {
     // counts as QP 0 in the filter (8.7.2 — disables it over PCM)
     st.markMb(mbX / 16, mbY / 16, intra = true, if (mbType == 25) 0 else qpY)
     qpY
+  }
+
+  // ---------------- entropy abstraction (CAVLC | CABAC) ----------------
+
+  // ctxBlockCat (Table 9-42): the residual block categories the shared
+  // reconstruction paths pass to their entropy source/sink
+  private val CatLumaDc = 0 // Intra16x16DCLevel
+  private val CatLumaAc = 1 // Intra16x16ACLevel
+  private val CatLuma4x4 = 2 // LumaLevel4x4
+  private val CatChromaDc = 3 // ChromaDCLevel
+  private val CatChromaAc = 4 // ChromaACLevel
+
+  /** Residual-block source: fills `coeffs` with scan-order levels and
+    * returns the nonzero count (TotalCoeff). (gbx, gby) are the
+    * block's coords in its plane's 4x4 grid (chroma grid for cat 3/4;
+    * the MB's first block for the DC cats); comp 0=Y, 1=Cb, 2=Cr. */
+  private trait MbSrc {
+    def block(st: FrameState, cat: Int, coeffs: Array[Int], maxN: Int,
+        gbx: Int, gby: Int, comp: Int): Int
+  }
+
+  private final class CavlcSrc(r: BitReader) extends MbSrc {
+    def block(st: FrameState, cat: Int, coeffs: Array[Int], maxN: Int,
+        gbx: Int, gby: Int, comp: Int): Int = {
+      val nC = cat match {
+        case CatChromaDc => -1
+        case CatChromaAc => st.chromaNc(comp - 1, gbx, gby)
+        case _ => st.lumaNc(gbx, gby)
+      }
+      H264Cavlc.decodeBlock(r, coeffs, maxN, nC)
+    }
+  }
+
+  private final class CabacSrc(d: H264Cabac.Dec, cx: H264Cabac.Ctx)
+      extends MbSrc {
+    def block(st: FrameState, cat: Int, coeffs: Array[Int], maxN: Int,
+        gbx: Int, gby: Int, comp: Int): Int = {
+      val inc = cbfCtxInc(st, cat, gbx, gby, comp)
+      val cbf = d.decision(cx, H264Cabac.CtxCbfBase + 4 * cat + inc) == 1
+      recordDcCbf(st, cat, gbx, gby, comp, cbf)
+      if (!cbf) { java.util.Arrays.fill(coeffs, 0, maxN, 0); 0 }
+      else H264Cabac.decodeResidualLevels(d, cx, cat, coeffs, maxN)
+    }
+  }
+
+  // ---------------- CABAC context increments (9.3.3.1.1.x) ----------------
+  // Neighbor A = left, B = above; a neighbor outside the picture is
+  // "not available". One slice per picture keeps slice-boundary
+  // availability equal to picture-boundary availability.
+
+  /** coded_block_flag ctxIdxInc (9.3.3.1.1.9). An unavailable
+    * neighbor contributes 1 for intra macroblocks (all CABAC blocks
+    * this decoder parses are intra); an I_PCM neighbor counts as
+    * coded; a neighbor without the block category (e.g. a non-I16 MB
+    * asked for a luma DC block) contributes 0. */
+  private def cbfCtxInc(st: FrameState, cat: Int, gbx: Int, gby: Int,
+      comp: Int): Int = {
+    val wMbs = st.wMbs
+    def condLumaDc(nmx: Int, nmy: Int): Int =
+      if (nmx < 0 || nmy < 0) 1
+      else {
+        val i = nmy * wMbs + nmx
+        if (st.pcmMbArr(i)) 1
+        else if (!st.i16MbArr(i)) 0
+        else if (st.cbfLumaDcMb(i)) 1 else 0
+      }
+    def condLuma4(bx: Int, by: Int): Int =
+      if (bx < 0 || by < 0) 1
+      else if (st.pcmMbArr((by >> 2) * wMbs + (bx >> 2))) 1
+      else if (st.nnzYAt(bx, by) > 0) 1 else 0
+    def condChromaDc(nmx: Int, nmy: Int, c: Int): Int =
+      if (nmx < 0 || nmy < 0) 1
+      else {
+        val i = nmy * wMbs + nmx
+        if (st.pcmMbArr(i)) 1
+        else if (st.cbfChromaDcMb(c)(i)) 1 else 0
+      }
+    def condChroma4(bx: Int, by: Int, c: Int): Int =
+      if (bx < 0 || by < 0) 1
+      else if (st.pcmMbArr((by >> 1) * wMbs + (bx >> 1))) 1
+      else if (st.nnzCAt(c, bx, by) > 0) 1 else 0
+    cat match {
+      case CatLumaDc =>
+        val mx = gbx >> 2; val my = gby >> 2
+        condLumaDc(mx - 1, my) + 2 * condLumaDc(mx, my - 1)
+      case CatLumaAc | CatLuma4x4 =>
+        condLuma4(gbx - 1, gby) + 2 * condLuma4(gbx, gby - 1)
+      case CatChromaDc =>
+        val mx = gbx >> 1; val my = gby >> 1
+        condChromaDc(mx - 1, my, comp - 1) + 2 * condChromaDc(mx, my - 1, comp - 1)
+      case _ =>
+        condChroma4(gbx - 1, gby, comp - 1) + 2 * condChroma4(gbx, gby - 1, comp - 1)
+    }
+  }
+
+  /** DC coded_block_flags persist per MB for later neighbors' context
+    * derivation (the AC/4x4 flags ride the nnz grids: cbf == nnz > 0). */
+  private def recordDcCbf(st: FrameState, cat: Int, gbx: Int, gby: Int,
+      comp: Int, cbf: Boolean): Unit = cat match {
+    case CatLumaDc => st.cbfLumaDcMb((gby >> 2) * st.wMbs + (gbx >> 2)) = cbf
+    case CatChromaDc =>
+      st.cbfChromaDcMb(comp - 1)((gby >> 1) * st.wMbs + (gbx >> 1)) = cbf
+    case _ => ()
+  }
+
+  /** mb_type bin-0 ctxIdxInc (9.3.3.1.1.3): neighbors that are NOT
+    * I_NxN (including I_PCM and, later, inter MBs) each contribute 1. */
+  private def mbTypeI4Inc(st: FrameState, mx: Int, my: Int): Int = {
+    def cond(nmx: Int, nmy: Int): Int =
+      if (nmx < 0 || nmy < 0) 0
+      else {
+        val i = nmy * st.wMbs + nmx
+        if (!st.intraMbArr(i)) 1
+        else if (st.i4MbArr(i)) 0 else 1
+      }
+    cond(mx - 1, my) + cond(mx, my - 1)
+  }
+
+  /** intra_chroma_pred_mode bin-0 ctxIdxInc (9.3.3.1.1.8): intra
+    * non-PCM neighbors with a nonzero chroma mode contribute 1. */
+  private def chromaPredInc(st: FrameState, mx: Int, my: Int): Int = {
+    def cond(nmx: Int, nmy: Int): Int =
+      if (nmx < 0 || nmy < 0) 0
+      else {
+        val i = nmy * st.wMbs + nmx
+        if (!st.intraMbArr(i) || st.pcmMbArr(i)) 0
+        else if (st.chromaModeMb(i) != 0) 1 else 0
+      }
+    cond(mx - 1, my) + cond(mx, my - 1)
+  }
+
+  /** coded_block_pattern luma bin-k ctxIdxInc (9.3.3.1.1.4): neighbor
+    * 8x8 blocks whose cbp bit is ZERO contribute (inverted sense);
+    * unavailable neighbors contribute 0; `partial` carries the current
+    * MB's already-decoded bits for intra-MB neighbors. */
+  private def cbpLumaInc(st: FrameState, mx: Int, my: Int, k: Int,
+      partial: Int): Int = {
+    def bitOf(x8: Int, y8: Int): Int = {
+      if (x8 < 0 || y8 < 0) return -1
+      val nmx = x8 >> 1; val nmy = y8 >> 1
+      val sub = (y8 & 1) * 2 + (x8 & 1)
+      if (nmx == mx && nmy == my) (partial >> sub) & 1
+      else (st.cbpLumaMb(nmy * st.wMbs + nmx) >> sub) & 1
+    }
+    val x8 = mx * 2 + (k & 1); val y8 = my * 2 + (k >> 1)
+    val a = bitOf(x8 - 1, y8)
+    val b = bitOf(x8, y8 - 1)
+    (if (a == 0) 1 else 0) + 2 * (if (b == 0) 1 else 0)
+  }
+
+  /** coded_block_pattern chroma ctxIdxInc for bin 0 (neighbor chroma
+    * cbp nonzero) and bin 1 (neighbor chroma cbp == 2). */
+  private def cbpChromaInc(st: FrameState, mx: Int, my: Int, bin: Int): Int = {
+    def of(nmx: Int, nmy: Int): Int =
+      if (nmx < 0 || nmy < 0) -1 else st.cbpChromaMb(nmy * st.wMbs + nmx)
+    val a = of(mx - 1, my); val b = of(mx, my - 1)
+    if (bin == 0) (if (a > 0) 1 else 0) + 2 * (if (b > 0) 1 else 0)
+    else (if (a == 2) 1 else 0) + 2 * (if (b == 2) 1 else 0)
+  }
+
+  /** mb_qp_delta: decode the U-binarized mapped value (9.3.2.7), ctx
+    * 60 + (prev != 0), then 62, then 63. */
+  private def decodeQpDeltaCabac(d: H264Cabac.Dec, cx: H264Cabac.Ctx,
+      prevDelta: Int): Int = {
+    var v = 0
+    if (d.decision(cx, 60 + (if (prevDelta != 0) 1 else 0)) == 1) {
+      v = 1
+      if (d.decision(cx, 62) == 1) {
+        v = 2
+        while (v < 53 && d.decision(cx, 63) == 1) v += 1
+        if (v >= 53) throw new H264Format("mb_qp_delta overrun")
+      }
+    }
+    if (v % 2 == 0) -(v / 2) else (v + 1) / 2
+  }
+
+  private def encodeQpDeltaCabac(e: H264Cabac.Enc, cx: H264Cabac.Ctx,
+      prevDelta: Int, delta: Int): Unit = {
+    val mapped = if (delta > 0) 2 * delta - 1 else -2 * delta
+    val ctx0 = 60 + (if (prevDelta != 0) 1 else 0)
+    if (mapped == 0) e.decision(cx, ctx0, 0)
+    else {
+      e.decision(cx, ctx0, 1)
+      if (mapped == 1) e.decision(cx, 62, 0)
+      else {
+        e.decision(cx, 62, 1)
+        var i = 2
+        while (i < mapped) { e.decision(cx, 63, 1); i += 1 }
+        e.decision(cx, 63, 0)
+      }
+    }
+  }
+
+  /** Decode one CABAC intra macroblock (mb_type tree 9.3.2.5, then the
+    * shared reconstruction paths through a [[CabacSrc]]). Returns
+    * (newQpY, decodedQpDelta, decoder) — the decoder is REPLACED after
+    * an I_PCM macroblock (the engine re-initializes past the raw
+    * samples, 9.3.1.2). */
+  private def decodeIntraMbCabac(dIn: H264Cabac.Dec, cx: H264Cabac.Ctx,
+      rbsp: Array[Byte], st: FrameState, mbX: Int, mbY: Int, qpYIn: Int,
+      prevQpDelta: Int): (Int, Int, H264Cabac.Dec) = {
+    var d = dIn
+    var qpY = qpYIn
+    var qpDelta = 0
+    val mx = mbX / 16; val my = mbY / 16
+    val mbI = my * st.wMbs + mx
+    val bin0 = d.decision(cx, 3 + mbTypeI4Inc(st, mx, my))
+    if (bin0 == 1 && d.terminate() == 1) {
+      // I_PCM: raw samples begin at the next byte boundary; the engine
+      // re-initializes after them
+      var o = d.alignedBytePos
+      if (o + 256 + 128 > rbsp.length) throw new H264Format("pcm overruns slice")
+      var i = 0
+      while (i < 256) {
+        st.yPlane((mbY + i / 16) * st.lumaW + mbX + i % 16) = rbsp(o + i)
+        i += 1
+      }
+      o += 256
+      val cW = st.lumaW / 2
+      i = 0
+      while (i < 64) {
+        st.cbPlane((mbY / 2 + i / 8) * cW + mbX / 2 + i % 8) = rbsp(o + i)
+        i += 1
+      }
+      o += 64
+      i = 0
+      while (i < 64) {
+        st.crPlane((mbY / 2 + i / 8) * cW + mbX / 2 + i % 8) = rbsp(o + i)
+        i += 1
+      }
+      o += 64
+      st.markPcm(mx, my)
+      st.pcmMbArr(mbI) = true
+      st.cbpLumaMb(mbI) = 15
+      st.cbpChromaMb(mbI) = 2
+      st.markMb(mx, my, intra = true, 0)
+      d = new H264Cabac.Dec(rbsp, o)
+      return (qpY, 0, d)
+    }
+    val src = new CabacSrc(d, cx)
+    if (bin0 == 1) {
+      // Intra_16x16: cbpLuma bin (ctx 6), chroma suffix (7 [, 8]),
+      // 2 predMode bins at binIdx-assigned contexts (Table 9-39)
+      val cbpL = if (d.decision(cx, 6) == 1) 15 else 0
+      var cbpC = 0
+      if (d.decision(cx, 7) == 1)
+        cbpC = if (d.decision(cx, 8) == 1) 2 else 1
+      val ctxP0 = if (cbpC == 0) 8 else 9
+      val ctxP1 = if (cbpC == 0) 9 else 10
+      val predMode = (d.decision(cx, ctxP0) << 1) | d.decision(cx, ctxP1)
+      st.i16MbArr(mbI) = true
+      st.cbpLumaMb(mbI) = cbpL
+      st.cbpChromaMb(mbI) = cbpC
+      // intra_chroma_pred_mode: TU cMax 3, ctx 64+inc then 67
+      var chromaMode = 0
+      if (d.decision(cx, 64 + chromaPredInc(st, mx, my)) == 1) {
+        chromaMode = 1
+        if (d.decision(cx, 67) == 1) {
+          chromaMode = 2
+          if (d.decision(cx, 67) == 1) chromaMode = 3
+        }
+      }
+      st.chromaModeMb(mbI) = chromaMode
+      qpDelta = decodeQpDeltaCabac(d, cx, prevQpDelta)
+      qpY = ((qpY + qpDelta) % 52 + 52) % 52
+      decodeIntra16x16(src, st, mx, my, predMode, chromaMode, cbpL, cbpC, qpY)
+    } else {
+      // Intra_4x4
+      st.i4MbArr(mbI) = true
+      val modes = new Array[Int](16)
+      var bi = 0
+      while (bi < 16) {
+        val (bxo, byo) = H264Transform.LumaBlockOrder(bi)
+        val gbx = mx * 4 + bxo; val gby = my * 4 + byo
+        val predM = st.predI4Mode(gbx, gby)
+        val mode =
+          if (d.decision(cx, 68) == 1) predM
+          else {
+            val rem = d.decision(cx, 69) | (d.decision(cx, 69) << 1) |
+              (d.decision(cx, 69) << 2)
+            if (rem < predM) rem else rem + 1
+          }
+        modes(bi) = mode
+        st.setI4Mode(gbx, gby, mode)
+        bi += 1
+      }
+      var chromaMode = 0
+      if (d.decision(cx, 64 + chromaPredInc(st, mx, my)) == 1) {
+        chromaMode = 1
+        if (d.decision(cx, 67) == 1) {
+          chromaMode = 2
+          if (d.decision(cx, 67) == 1) chromaMode = 3
+        }
+      }
+      st.chromaModeMb(mbI) = chromaMode
+      var cbpLuma = 0
+      var k = 0
+      while (k < 4) {
+        val bin = d.decision(cx, 73 + cbpLumaInc(st, mx, my, k, cbpLuma))
+        cbpLuma |= bin << k
+        k += 1
+      }
+      var cbpChroma = 0
+      if (d.decision(cx, 77 + cbpChromaInc(st, mx, my, 0)) == 1)
+        cbpChroma =
+          if (d.decision(cx, 81 + cbpChromaInc(st, mx, my, 1)) == 1) 2 else 1
+      st.cbpLumaMb(mbI) = cbpLuma
+      st.cbpChromaMb(mbI) = cbpChroma
+      if (cbpLuma != 0 || cbpChroma != 0) {
+        qpDelta = decodeQpDeltaCabac(d, cx, prevQpDelta)
+        qpY = ((qpY + qpDelta) % 52 + 52) % 52
+      }
+      decodeIntra4x4Luma(src, st, mx, my, modes, cbpLuma, qpY)
+      decodeChromaResid(src, st, mx, my, chromaMode, cbpChroma,
+        H264Transform.chromaQp(qpY))
+    }
+    st.markMb(mx, my, intra = true, qpY)
+    (qpY, qpDelta, d)
+  }
+
+  /** CABAC I-slice slice_data (7.3.4): alignment ones, context init at
+    * the slice QP, one intra MB + end_of_slice_flag per iteration.
+    * Foreign-stream safety gate: the slice must terminate EXACTLY — the
+    * end_of_slice_flag fires on precisely the last macroblock and only
+    * zero bytes may follow — so a diverged parse (e.g. from an
+    * unsupported stream shape) rejects loudly instead of rendering
+    * garbage. */
+  private def decodeISliceDataCabac(r: BitReader, st: FrameState,
+      sliceQp: Int): Unit = {
+    while (!r.byteAligned) {
+      if (r.u1() != 1) throw new H264Format("cabac_alignment_one_bit != 1")
+    }
+    val rbsp = r.rbsp
+    val cx = new H264Cabac.Ctx
+    cx.initI(sliceQp)
+    var d = new H264Cabac.Dec(rbsp, r.bytePosAligned)
+    var qpY = sliceQp
+    var prevQpDelta = 0
+    var mb = 0
+    val nMbs = st.wMbs * st.hMbs
+    while (mb < nMbs) {
+      val (q2, delta, d2) = decodeIntraMbCabac(d, cx, rbsp, st,
+        (mb % st.wMbs) * 16, (mb / st.wMbs) * 16, qpY, prevQpDelta)
+      qpY = q2; prevQpDelta = delta; d = d2
+      val eos = d.terminate()
+      if (eos == 1 && mb != nMbs - 1)
+        throw new H264Format("end_of_slice before the last macroblock")
+      if (eos == 0 && mb == nMbs - 1)
+        throw new H264Format("slice data continues past the last macroblock")
+      mb += 1
+    }
+    var p = d.alignedBytePos
+    while (p < rbsp.length) {
+      if (rbsp(p) != 0)
+        throw new H264Format("non-zero bytes after end_of_slice")
+      p += 1
+    }
   }
 
   /** te(v) (9.1.1): with a max of 1 the field is a single INVERTED bit;
@@ -1598,6 +1968,18 @@ object H264Codec {
       intraMbArr(my * wMbs + mx) = intra
       qpMb(my * wMbs + mx) = qp
     }
+    // ---- CABAC bookkeeping (per MB): coding kind, coded block
+    // pattern, chroma pred mode, and the DC coded_block_flags — the
+    // 9.3.3.1.1.x neighbor context inputs. Maintained by the CABAC
+    // paths (and markPcm); the CAVLC paths don't consult them.
+    val i4MbArr = new Array[Boolean](wMbs * hMbs)
+    val i16MbArr = new Array[Boolean](wMbs * hMbs)
+    val pcmMbArr = new Array[Boolean](wMbs * hMbs)
+    val cbpLumaMb = new Array[Int](wMbs * hMbs)
+    val cbpChromaMb = new Array[Int](wMbs * hMbs)
+    val chromaModeMb = new Array[Int](wMbs * hMbs)
+    val cbfLumaDcMb = new Array[Boolean](wMbs * hMbs)
+    val cbfChromaDcMb = Array.fill(2)(new Array[Boolean](wMbs * hMbs))
     // per-list motion grids: list 0 (P and B) and list 1 (B only);
     // refIdx -1 = the block does not predict from that list (intra, or
     // a single-list B partition) — 8.4.1.3's "refIdxLXN = -1" marker
@@ -1709,7 +2091,7 @@ object H264Codec {
 
   /** Decode one Intra_16x16 macroblock's residual and reconstruct it
     * (8.3.3 prediction + 9.2 CAVLC + 8.5 transforms). */
-  private def decodeIntra16x16(r: BitReader, st: FrameState, mx: Int, my: Int,
+  private def decodeIntra16x16(src: MbSrc, st: FrameState, mx: Int, my: Int,
       predMode: Int, chromaMode: Int, cbpLuma: Int, cbpChroma: Int, qpY: Int): Unit = {
     import H264Transform._
     val lumaW = st.lumaW
@@ -1721,7 +2103,7 @@ object H264Codec {
     val pred = predLuma16x16(predMode, top, left, tl)
     // ---- luma residual
     val dcScan = new Array[Int](16)
-    H264Cavlc.decodeBlock(r, dcScan, 16, st.lumaNc(mx * 4, my * 4))
+    src.block(st, CatLumaDc, dcScan, 16, mx * 4, my * 4, 0)
     val dcd = dequantLumaDc(unzigzag(dcScan, 0), qpY)
     val acScan = new Array[Int](15)
     var bi = 0
@@ -1730,7 +2112,7 @@ object H264Codec {
       val gbx = mx * 4 + bxo; val gby = my * 4 + byo
       var resid: Array[Int] = null
       if (cbpLuma != 0) {
-        val tc = H264Cavlc.decodeBlock(r, acScan, 15, st.lumaNc(gbx, gby))
+        val tc = src.block(st, CatLumaAc, acScan, 15, gbx, gby, 0)
         st.setNnzY(gbx, gby, tc)
         resid = dequant4x4(unzigzag(acScan, 1), qpY, skipDc = true)
       } else {
@@ -1753,14 +2135,14 @@ object H264Codec {
       bi += 1
     }
     // ---- chroma (shared with the Intra_4x4 path)
-    decodeChromaResid(r, st, mx, my, chromaMode, cbpChroma, chromaQp(qpY))
+    decodeChromaResid(src, st, mx, my, chromaMode, cbpChroma, chromaQp(qpY))
   }
 
   /** Decode one macroblock's chroma residual and reconstruct both 8x8
     * planes (7.3.5.3.3 ordering: DC levels for BOTH components, then AC
     * blocks per component) — shared by the Intra_16x16 and Intra_4x4
     * paths, whose chroma syntax is identical. */
-  private def decodeChromaResid(r: BitReader, st: FrameState, mx: Int, my: Int,
+  private def decodeChromaResid(src: MbSrc, st: FrameState, mx: Int, my: Int,
       chromaMode: Int, cbpChroma: Int, qpC: Int): Unit = {
     import H264Transform._
     val cW = st.lumaW / 2
@@ -1771,7 +2153,7 @@ object H264Codec {
       var c = 0
       while (c < 2) {
         val buf = new Array[Int](4)
-        H264Cavlc.decodeBlock(r, buf, 4, -1)
+        src.block(st, CatChromaDc, buf, 4, mx * 2, my * 2, c + 1)
         dcLv(c) = buf
         c += 1
       }
@@ -1790,7 +2172,7 @@ object H264Codec {
         val gbx = mx * 2 + sbx; val gby = my * 2 + sby
         var resid: Array[Int] = null
         if (cbpChroma == 2) {
-          val tc = H264Cavlc.decodeBlock(r, acScan, 15, st.chromaNc(c, gbx, gby))
+          val tc = src.block(st, CatChromaAc, acScan, 15, gbx, gby, c + 1)
           st.setNnzC(c, gbx, gby, tc)
           resid = dequant4x4(unzigzag(acScan, 1), qpC, skipDc = true)
         } else {
@@ -1845,7 +2227,7 @@ object H264Codec {
     * earlier in the same MB). Full 16-coefficient CAVLC blocks, one per
     * 4x4 with its 8x8 group's CBP bit set; DC rides in the block (no
     * separate Hadamard plane, unlike Intra_16x16). */
-  private def decodeIntra4x4Luma(r: BitReader, st: FrameState, mx: Int, my: Int,
+  private def decodeIntra4x4Luma(src: MbSrc, st: FrameState, mx: Int, my: Int,
       modes: Array[Int], cbpLuma: Int, qpY: Int): Unit = {
     import H264Transform._
     val lumaW = st.lumaW
@@ -1860,7 +2242,7 @@ object H264Codec {
       val pred = predLuma4x4(modes(bi), top, left, tl)
       var resid: Array[Int] = null
       if ((cbpLuma & (1 << (bi >> 2))) != 0) {
-        val tc = H264Cavlc.decodeBlock(r, scan, 16, st.lumaNc(gbx, gby))
+        val tc = src.block(st, CatLuma4x4, scan, 16, gbx, gby, 0)
         st.setNnzY(gbx, gby, tc)
         resid = dequant4x4(unzigzag(scan, 0), qpY, skipDc = false)
       } else {
@@ -1971,8 +2353,8 @@ object H264Codec {
    * I-frames use.
    */
   def encode(img: MediaCodecs.Bmp, avcc: Boolean = true, qp: Int = -1,
-      intra4x4: Boolean = false): Array[Byte] =
-    encodeImpl(img, avcc, qp, intra4x4, (_, best, _) => best)._1
+      intra4x4: Boolean = false, cabac: Boolean = false): Array[Byte] =
+    encodeImpl(img, avcc, qp, intra4x4, (_, best, _) => best, cabac = cabac)._1
 
   /** Intra_4x4 encode with a forced per-block mode choice plus the
     * encoder's own reconstructed 4:2:0 planes — the spec hook that (a)
@@ -1991,8 +2373,8 @@ object H264Codec {
     * multi-ref GOPs write the x264-like default shape (PPS carries the
     * list size, early slices override it down while the DPB fills). */
   private def spsPpsNals(wMbs: Int, hMbs: Int, cropR: Int, cropB: Int,
-      refFrames: Int = 1, pocLsbBits: Int = 0, profile: Int = 66)
-      : (Array[Byte], Array[Byte]) = {
+      refFrames: Int = 1, pocLsbBits: Int = 0, profile: Int = 66,
+      cabac: Boolean = false): (Array[Byte], Array[Byte]) = {
     val sw = new BitWriter
     // baseline (66) with constraint_set0/1 for I/P GOPs; B GOPs must
     // declare MAIN (77, constraint flags clear) — baseline forbids B
@@ -2019,7 +2401,7 @@ object H264Codec {
 
     val pw = new BitWriter
     pw.ue(0); pw.ue(0) // pps id, sps id
-    pw.u1(0) // CAVLC
+    pw.u1(if (cabac) 1 else 0) // entropy_coding_mode_flag
     pw.u1(0) // bottom_field_poc
     pw.ue(0) // one slice group
     pw.ue(refFrames - 1); pw.ue(0) // num_ref_idx_l0/l1_default_active_minus1
@@ -2062,7 +2444,7 @@ object H264Codec {
   private def encodeImpl(img: MediaCodecs.Bmp, avcc: Boolean, qp: Int,
       intra4x4: Boolean, pick: (Int, Int, Seq[Int]) => Int,
       refFrames: Int = 1, pocLsbBits: Int = 0, deblock: Boolean = false,
-      profile: Int = 66)
+      profile: Int = 66, cabac: Boolean = false)
       : (Array[Byte], FrameState) = {
     require(!intra4x4 || qp >= 0, "intra4x4 needs a compressed qp (0..51)")
     require(!deblock || qp >= 0, "deblocking needs a compressed qp (0..51)")
@@ -2071,8 +2453,10 @@ object H264Codec {
     // RGB -> YCbCr 4:2:0, edge-replicated to MB grid
     val lumaW = wMbs * 16
     val (yP, cbP, crP) = toYuv420(img, wMbs, hMbs)
+    // CABAC requires main profile (baseline forbids entropy_coding_mode 1)
+    val effProfile = if (cabac && profile == 66) 77 else profile
     val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB, refFrames,
-      pocLsbBits, profile)
+      pocLsbBits, effProfile, cabac)
 
     // IDR slice
     require(qp >= -1 && qp <= 51, s"qp $qp")
@@ -2090,43 +2474,82 @@ object H264Codec {
     var mb = 0
     val nMbs = wMbs * hMbs
     var stOut: FrameState = null
-    if (qp < 0) {
+    def writePcmSamples(mbX: Int, mbY: Int): Unit = {
+      var i = 0
+      while (i < 256) {
+        w2.writeByte(yP((mbY + i / 16) * lumaW + mbX + i % 16) & 0xff)
+        i += 1
+      }
+      val cW = lumaW / 2
+      i = 0
+      while (i < 64) {
+        w2.writeByte(cbP((mbY / 2 + i / 8) * cW + mbX / 2 + i % 8) & 0xff)
+        i += 1
+      }
+      i = 0
+      while (i < 64) {
+        w2.writeByte(crP((mbY / 2 + i / 8) * cW + mbX / 2 + i % 8) & 0xff)
+        i += 1
+      }
+    }
+    if (cabac) {
+      // CABAC slice data: alignment ones, context init at the slice QP,
+      // arithmetic-coded MBs each followed by end_of_slice_flag; the
+      // terminate-1 flush carries the stop bit, so the slice ends with
+      // plain zero-alignment (no rbsp_stop_one_bit)
+      while (!w2.byteAligned) w2.u1(1) // cabac_alignment_one_bit
+      val cxE = new H264Cabac.Ctx
+      cxE.initI(if (qp < 0) 26 else qp)
+      var enc = new H264Cabac.Enc(w2)
+      var sink = new CabacSink(enc, cxE)
+      val st = new FrameState(wMbs, hMbs)
+      if (qp >= 0) stOut = st
+      while (mb < nMbs) {
+        val mx = mb % wMbs; val my = mb / wMbs
+        if (qp < 0) { // every MB I_PCM (lossless transport)
+          val mbI = my * wMbs + mx
+          enc.decision(cxE, 3 + mbTypeI4Inc(st, mx, my), 1)
+          enc.terminate(1) // pcm terminate: flush, then aligned samples
+          w2.alignToByte()
+          writePcmSamples(mx * 16, my * 16)
+          st.markPcm(mx, my)
+          st.pcmMbArr(mbI) = true
+          st.cbpLumaMb(mbI) = 15
+          st.cbpChromaMb(mbI) = 2
+          st.markMb(mx, my, intra = true, 0)
+          // the engine re-initializes after PCM samples (9.3.1.2)
+          enc = new H264Cabac.Enc(w2)
+          sink = new CabacSink(enc, cxE)
+        } else {
+          if (intra4x4) encodeIntra4x4Mb(sink, st, mx, my, yP, cbP, crP, qp, pick)
+          else encodeIntra16x16Mb(sink, st, mx, my, yP, cbP, crP, qp)
+        }
+        enc.terminate(if (mb == nMbs - 1) 1 else 0) // end_of_slice_flag
+        mb += 1
+      }
+      w2.alignToByte()
+    } else if (qp < 0) {
       while (mb < nMbs) { // every MB I_PCM (lossless transport)
         w2.ue(25)
         w2.alignToByte()
-        val mbX = (mb % wMbs) * 16
-        val mbY = (mb / wMbs) * 16
-        var i = 0
-        while (i < 256) {
-          w2.writeByte(yP((mbY + i / 16) * lumaW + mbX + i % 16) & 0xff)
-          i += 1
-        }
-        val cW = lumaW / 2
-        i = 0
-        while (i < 64) {
-          w2.writeByte(cbP((mbY / 2 + i / 8) * cW + mbX / 2 + i % 8) & 0xff)
-          i += 1
-        }
-        i = 0
-        while (i < 64) {
-          w2.writeByte(crP((mbY / 2 + i / 8) * cW + mbX / 2 + i % 8) & 0xff)
-          i += 1
-        }
+        writePcmSamples((mb % wMbs) * 16, (mb / wMbs) * 16)
         mb += 1
       }
+      w2.trailing()
     } else {
       // compressed Intra_16x16 path: DC pred + transforms + CAVLC; the
       // encoder mirrors the decoder's reconstruction so intra prediction
       // chains across macroblocks agree bit-for-bit
       val st = new FrameState(wMbs, hMbs)
       stOut = st
+      val sink = new CavlcSink(w2)
       while (mb < nMbs) {
-        if (intra4x4) encodeIntra4x4Mb(w2, st, mb % wMbs, mb / wMbs, yP, cbP, crP, qp, pick)
-        else encodeIntra16x16Mb(w2, st, mb % wMbs, mb / wMbs, yP, cbP, crP, qp)
+        if (intra4x4) encodeIntra4x4Mb(sink, st, mb % wMbs, mb / wMbs, yP, cbP, crP, qp, pick)
+        else encodeIntra16x16Mb(sink, st, mb % wMbs, mb / wMbs, yP, cbP, crP, qp)
         mb += 1
       }
+      w2.trailing()
     }
-    w2.trailing()
     if (deblock && stOut != null) deblockFrame(stOut, 0, 0)
     val idrNal = Array[Byte](0x65.toByte) ++ escape(w2.bytes)
 
@@ -2150,7 +2573,131 @@ object H264Codec {
     * qp-quantized transforms, CAVLC) — the mirror of
     * [[decodeIntra16x16]], sharing its dequant/inverse/pred kernels so
     * the encoder's neighbor state is exactly the decoder's. */
-  private def encodeIntra16x16Mb(w: BitWriter, st: FrameState, mx: Int, my: Int,
+  /** Residual/header sink: the entropy-coder half of the intra MB
+    * encoders (analysis + reconstruction stay shared, so CAVLC and
+    * CABAC frames reconstruct identically and decode parity follows). */
+  private trait MbSink {
+    /** Intra mb_type in I-slice numbering (0 I4x4, 1-24 I16, 25 PCM);
+      * pOffset relocates into P-slice numbering (CAVLC only). */
+    def mbTypeIntra(st: FrameState, mx: Int, my: Int, v: Int, pOffset: Int): Unit
+    def i4Mode(prevFlag: Boolean, rem: Int): Unit
+    def chromaPred(st: FrameState, mx: Int, my: Int, mode: Int): Unit
+    def cbpI4(st: FrameState, mx: Int, my: Int, cbp: Int): Unit
+    def qpDelta(v: Int): Unit
+    def qpDeltaSkipped(): Unit = ()
+    def blockOut(st: FrameState, cat: Int, coeffs: Array[Int], maxN: Int,
+        gbx: Int, gby: Int, comp: Int): Int
+  }
+
+  private final class CavlcSink(w: BitWriter) extends MbSink {
+    def mbTypeIntra(st: FrameState, mx: Int, my: Int, v: Int, pOffset: Int): Unit =
+      w.ue(pOffset + v)
+    def i4Mode(prevFlag: Boolean, rem: Int): Unit =
+      if (prevFlag) w.u1(1) else { w.u1(0); w.u(rem, 3) }
+    def chromaPred(st: FrameState, mx: Int, my: Int, mode: Int): Unit = w.ue(mode)
+    def cbpI4(st: FrameState, mx: Int, my: Int, cbp: Int): Unit =
+      w.ue(CbpIntraToCodeNum(cbp))
+    def qpDelta(v: Int): Unit = w.se(v)
+    def blockOut(st: FrameState, cat: Int, coeffs: Array[Int], maxN: Int,
+        gbx: Int, gby: Int, comp: Int): Int = {
+      val nC = cat match {
+        case CatChromaDc => -1
+        case CatChromaAc => st.chromaNc(comp - 1, gbx, gby)
+        case _ => st.lumaNc(gbx, gby)
+      }
+      H264Cavlc.encodeBlock(w, coeffs, maxN, nC)
+    }
+  }
+
+  /** CABAC sink — the bit-exact mirror of [[decodeIntraMbCabac]]'s
+    * element reads, sharing its context-increment helpers. Tracks the
+    * previous mb_qp_delta for the ctx-60 increment. */
+  private final class CabacSink(e: H264Cabac.Enc, cx: H264Cabac.Ctx)
+      extends MbSink {
+    private var prevQpDelta = 0
+    def mbTypeIntra(st: FrameState, mx: Int, my: Int, v: Int, pOffset: Int): Unit = {
+      require(pOffset == 0, "CABAC intra-in-P out of scope")
+      val mbI = my * st.wMbs + mx
+      val inc = mbTypeI4Inc(st, mx, my)
+      if (v == 0) { e.decision(cx, 3 + inc, 0); st.i4MbArr(mbI) = true }
+      else {
+        require(v >= 1 && v <= 24, "PCM rides the dedicated CABAC path")
+        e.decision(cx, 3 + inc, 1)
+        e.terminate(0) // not I_PCM
+        val vv = v - 1
+        val cbpL = vv / 12
+        val cbpC = (vv / 4) % 3
+        val predMode = vv % 4
+        e.decision(cx, 6, cbpL)
+        if (cbpC == 0) e.decision(cx, 7, 0)
+        else { e.decision(cx, 7, 1); e.decision(cx, 8, if (cbpC == 2) 1 else 0) }
+        val ctxP0 = if (cbpC == 0) 8 else 9
+        val ctxP1 = if (cbpC == 0) 9 else 10
+        e.decision(cx, ctxP0, predMode >> 1)
+        e.decision(cx, ctxP1, predMode & 1)
+        st.i16MbArr(mbI) = true
+        st.cbpLumaMb(mbI) = cbpL * 15
+        st.cbpChromaMb(mbI) = cbpC
+      }
+    }
+    def i4Mode(prevFlag: Boolean, rem: Int): Unit =
+      if (prevFlag) e.decision(cx, 68, 1)
+      else {
+        e.decision(cx, 68, 0)
+        e.decision(cx, 69, rem & 1)
+        e.decision(cx, 69, (rem >> 1) & 1)
+        e.decision(cx, 69, (rem >> 2) & 1)
+      }
+    def chromaPred(st: FrameState, mx: Int, my: Int, mode: Int): Unit = {
+      val inc = chromaPredInc(st, mx, my)
+      if (mode == 0) e.decision(cx, 64 + inc, 0)
+      else {
+        e.decision(cx, 64 + inc, 1)
+        if (mode == 1) e.decision(cx, 67, 0)
+        else { e.decision(cx, 67, 1); e.decision(cx, 67, if (mode == 3) 1 else 0) }
+      }
+      st.chromaModeMb(my * st.wMbs + mx) = mode
+    }
+    def cbpI4(st: FrameState, mx: Int, my: Int, cbp: Int): Unit = {
+      val cbpLuma = cbp & 15
+      val cbpChroma = cbp >> 4
+      var k = 0
+      var partial = 0
+      while (k < 4) {
+        val bit = (cbpLuma >> k) & 1
+        e.decision(cx, 73 + cbpLumaInc(st, mx, my, k, partial), bit)
+        partial |= bit << k
+        k += 1
+      }
+      if (cbpChroma == 0) e.decision(cx, 77 + cbpChromaInc(st, mx, my, 0), 0)
+      else {
+        e.decision(cx, 77 + cbpChromaInc(st, mx, my, 0), 1)
+        e.decision(cx, 81 + cbpChromaInc(st, mx, my, 1),
+          if (cbpChroma == 2) 1 else 0)
+      }
+      val mbI = my * st.wMbs + mx
+      st.cbpLumaMb(mbI) = cbpLuma
+      st.cbpChromaMb(mbI) = cbpChroma
+    }
+    def qpDelta(v: Int): Unit = {
+      encodeQpDeltaCabac(e, cx, prevQpDelta, v)
+      prevQpDelta = v
+    }
+    override def qpDeltaSkipped(): Unit = prevQpDelta = 0
+    def blockOut(st: FrameState, cat: Int, coeffs: Array[Int], maxN: Int,
+        gbx: Int, gby: Int, comp: Int): Int = {
+      var n = 0
+      var i = 0
+      while (i < maxN) { if (coeffs(i) != 0) n += 1; i += 1 }
+      val inc = cbfCtxInc(st, cat, gbx, gby, comp)
+      e.decision(cx, H264Cabac.CtxCbfBase + 4 * cat + inc, if (n > 0) 1 else 0)
+      recordDcCbf(st, cat, gbx, gby, comp, n > 0)
+      if (n > 0) H264Cabac.encodeResidualLevels(e, cx, cat, coeffs, maxN)
+      n
+    }
+  }
+
+  private def encodeIntra16x16Mb(sink: MbSink, st: FrameState, mx: Int, my: Int,
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte], qp: Int,
       mbTypeOffset: Int = 0): Unit = {
     import H264Transform._
@@ -2191,10 +2738,11 @@ object H264Codec {
     val cbpChroma = chroma.cbpChroma
     // ---- write the macroblock (Table 7-11 inverse: predMode DC = 2);
     // mbTypeOffset 5 relocates the type into P-slice numbering (7-13)
-    w.ue(mbTypeOffset + 1 + 2 + 4 * cbpChroma + 12 * (if (cbpLuma == 15) 1 else 0))
-    w.ue(0) // intra_chroma_pred_mode = DC
-    w.se(0) // mb_qp_delta
-    H264Cavlc.encodeBlock(w, dcScan, 16, st.lumaNc(mx * 4, my * 4))
+    sink.mbTypeIntra(st, mx, my,
+      1 + 2 + 4 * cbpChroma + 12 * (if (cbpLuma == 15) 1 else 0), mbTypeOffset)
+    sink.chromaPred(st, mx, my, 0) // intra_chroma_pred_mode = DC
+    sink.qpDelta(0)
+    sink.blockOut(st, CatLumaDc, dcScan, 16, mx * 4, my * 4, 0)
     val dcd = dequantLumaDc(unzigzag(dcScan, 0), qp)
     bi = 0
     while (bi < 16) {
@@ -2202,7 +2750,7 @@ object H264Codec {
       val gbx = mx * 4 + bxo; val gby = my * 4 + byo
       var resid: Array[Int] = null
       if (cbpLuma != 0) {
-        val tc = H264Cavlc.encodeBlock(w, acLv(bi), 15, st.lumaNc(gbx, gby))
+        val tc = sink.blockOut(st, CatLumaAc, acLv(bi), 15, gbx, gby, 0)
         st.setNnzY(gbx, gby, tc)
         resid = dequant4x4(unzigzag(acLv(bi), 1), qp, skipDc = true)
       } else {
@@ -2224,7 +2772,7 @@ object H264Codec {
       }
       bi += 1
     }
-    chroma.emit(w)
+    chroma.emit(sink)
     st.markMb(mx, my, intra = true, qp)
   }
 
@@ -2288,10 +2836,15 @@ object H264Codec {
       else if (cDcLv.exists(_.exists(_ != 0))) 1
       else 0
 
-    def emit(w: BitWriter): Unit = {
+    def emit(w: BitWriter): Unit = emit(new CavlcSink(w))
+
+    def emit(sink: MbSink): Unit = {
       if (cbpChroma > 0) {
         var c = 0
-        while (c < 2) { H264Cavlc.encodeBlock(w, cDcLv(c), 4, -1); c += 1 }
+        while (c < 2) {
+          sink.blockOut(st, CatChromaDc, cDcLv(c), 4, mx * 2, my * 2, c + 1)
+          c += 1
+        }
       }
       var c = 0
       while (c < 2) {
@@ -2303,7 +2856,7 @@ object H264Codec {
           val gbx = mx * 2 + sbx; val gby = my * 2 + sby
           var resid: Array[Int] = null
           if (cbpChroma == 2) {
-            val tc = H264Cavlc.encodeBlock(w, cAcLv(c)(sb), 15, st.chromaNc(c, gbx, gby))
+            val tc = sink.blockOut(st, CatChromaAc, cAcLv(c)(sb), 15, gbx, gby, c + 1)
             st.setNnzC(c, gbx, gby, tc)
             resid = dequant4x4(unzigzag(cAcLv(c)(sb), 1), qpC, skipDc = true)
           } else {
@@ -2349,7 +2902,7 @@ object H264Codec {
     * uncoded blocks carry zero residual by construction, so applying
     * the quantized residual unconditionally reconstructs exactly what
     * the decoder will. */
-  private[pipeline] def encodeIntra4x4Mb(w: BitWriter, st: FrameState,
+  private[pipeline] def encodeIntra4x4Mb(sink: MbSink, st: FrameState,
       mx: Int, my: Int, srcY: Array[Byte], srcCb: Array[Byte],
       srcCr: Array[Byte], qp: Int,
       pick: (Int, Int, Seq[Int]) => Int = (_, best, _) => best): Unit = {
@@ -2409,27 +2962,27 @@ object H264Codec {
     }
     val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, chromaQp(qp))
     val cbp = cbpLuma | (chroma.cbpChroma << 4)
-    // ---- write: mb_type, 16 pred modes, chroma mode, me(v) CBP,
-    // qp delta (only when coded), then residuals (7.3.5.1 / 7.3.5.3)
-    w.ue(0)
+    // ---- write: mb_type, 16 pred modes, chroma mode, CBP, qp delta
+    // (only when coded), then residuals (7.3.5.1 / 7.3.5.3)
+    sink.mbTypeIntra(st, mx, my, 0, 0)
     bi = 0
     while (bi < 16) {
-      if (prevFlags(bi)) w.u1(1) else { w.u1(0); w.u(rems(bi), 3) }
+      sink.i4Mode(prevFlags(bi), rems(bi))
       bi += 1
     }
-    w.ue(0) // intra_chroma_pred_mode = DC
-    w.ue(CbpIntraToCodeNum(cbp))
-    if (cbp != 0) w.se(0) // mb_qp_delta
+    sink.chromaPred(st, mx, my, 0) // intra_chroma_pred_mode = DC
+    sink.cbpI4(st, mx, my, cbp)
+    if (cbp != 0) sink.qpDelta(0) else sink.qpDeltaSkipped()
     bi = 0
     while (bi < 16) {
       if ((cbpLuma & (1 << (bi >> 2))) != 0) {
         val (bxo, byo) = LumaBlockOrder(bi)
-        H264Cavlc.encodeBlock(w, levels(bi), 16,
-          st.lumaNc(mx * 4 + bxo, my * 4 + byo))
+        sink.blockOut(st, CatLuma4x4, levels(bi), 16,
+          mx * 4 + bxo, my * 4 + byo, 0)
       }
       bi += 1
     }
-    chroma.emit(w)
+    chroma.emit(sink)
     st.markMb(mx, my, intra = true, qp)
   }
 
@@ -2780,7 +3333,7 @@ object H264Codec {
       val mx = mb % wMbs; val my = mb / wMbs
       if (intraEvery > 0 && mb % intraEvery == 0) {
         w.ue(skipRun); skipRun = 0
-        encodeIntra16x16Mb(w, st, mx, my, srcY, srcCb, srcCr, qp,
+        encodeIntra16x16Mb(new CavlcSink(w), st, mx, my, srcY, srcCb, srcCr, qp,
           mbTypeOffset = 5)
         st.setMv(mx * 4, my * 4, 4, 4, 0, 0, inter = false, refIdx = -1)
       } else {

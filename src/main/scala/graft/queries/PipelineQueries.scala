@@ -2563,6 +2563,61 @@ object PipelineQueries {
              |  true AS beats_pcm, true AS lossy_ok
              |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
 
+    // CABAC entropy coding (r13, clause 9.3): the same frames coded
+    // through the arithmetic engine — main-profile I slices with the
+    // I-column context init, significance maps, and UEG0 levels.
+    // `recon_same` is the strong pin: the CABAC decode must equal the
+    // CAVLC decode of the same source BYTE-FOR-BYTE (reconstruction is
+    // entropy-independent; any engine/context/binarization defect
+    // desynchronizes the parse and flips it — parity held through the
+    // exact-termination gate). Odd doc_ids ride Intra_4x4, even ride
+    // Intra_16x16, covering both mb_type trees; `smaller_ok` pins the
+    // compression advantage CABAC exists for. Engine + table structure
+    // pinned in H264CabacSpec.
+    "q_h264_cabac_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val len = text.codePointCount(0, text.length)
+            val w = 16 + 2 * (len % 8).toInt
+            val h = 16 + 2 * ((len + id) % 6).toInt
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val o = (y * w + x) * 3
+                rgb(o) = ((x * 255) / (w - 1)).toByte
+                rgb(o + 1) = ((y * 255) / (h - 1)).toByte
+                rgb(o + 2) = (((x + y) * 255) / (w + h - 2)).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val img = graft.pipeline.MediaCodecs.Bmp(w, h, rgb)
+            val i4 = id % 2 == 1
+            val cavlc = graft.pipeline.H264Codec.encode(img, qp = 26, intra4x4 = i4)
+            val cabac = graft.pipeline.H264Codec.encode(img, qp = 26, intra4x4 = i4,
+              cabac = true)
+            val d1 = graft.pipeline.H264Codec.decode(cavlc)
+            val d2 = graft.pipeline.H264Codec.decode(cabac)
+            val same = d1.isDefined && d2.isDefined &&
+              java.util.Arrays.equals(d1.get.rgb, d2.get.rgb)
+            (id, d2.map(_.width).getOrElse(-1), d2.map(_.height).getOrElse(-1),
+              same, cabac.length <= cavlc.length)
+          }
+          .toDF("doc_id", "width", "height", "recon_same", "smaller_ok")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(16 + 2 * (len(text) % 8) AS INT) AS width,
+             |  CAST(16 + 2 * ((len(text) + doc_id) % 6) AS INT) AS height,
+             |  true AS recon_same, true AS smaller_ok
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
     // the Intra_4x4 H.264 path (r10): per-4x4-block directional
     // prediction (all nine 8.3.1.2 modes, best-SAD), full 16-coeff
     // CAVLC blocks, me(v) CBP, at qp=26 over the same closed-form
