@@ -497,7 +497,9 @@ object H264Codec {
       throw new H264Format("redundant coded pictures out of scope")
     var refs: IndexedSeq[FrameState] = IndexedSeq.empty // list 0
     var refs1: IndexedSeq[FrameState] = IndexedSeq.empty // list 1 (B only)
-    if (isB) r.u1() // direct_spatial_mv_pred_flag (direct MBs reject in slice_data)
+    // direct_spatial_mv_pred_flag: spatial direct (8.4.1.2.2) is
+    // implemented; temporal direct rejects at the first direct MB
+    val directSpatial = isB && r.u1() == 1
     if (isP || isB) {
       // effective list sizes: slice override, else the PPS defaults
       val (numRefL0, numRefL1) =
@@ -555,8 +557,9 @@ object H264Codec {
     // implicit default when the PPS carries no control field) decode
     // exactly. idc 2 (skip slice boundaries) equals idc 0 here: one
     // slice per picture means the only slice boundary is the picture
-    // edge, which is never filtered anyway. B slices keep the
-    // refuse-don't-misdecode posture (our encoder writes idc 1 there).
+    // edge, which is never filtered anyway. B slices filter too (r13):
+    // the boundary-strength test compares reference PICTURES per
+    // 8.7.2.1, so list-swapped identical prediction stays unfiltered.
     var deblockEnabled = !pps.deblockingControlPresent // implicit: ON
     var offA = 0; var offB = 0
     if (pps.deblockingControlPresent) {
@@ -567,8 +570,6 @@ object H264Codec {
         offB = 2 * r.se() // slice_beta_offset_div2 (doubled)
       } else deblockEnabled = false
     }
-    if (isB && deblockEnabled)
-      throw new H264Format("in-loop deblocking out of scope on B slices")
     val st = new FrameState(sps.widthMbs, sps.heightMbs)
     st.poc = pocVal
     var qpY = pps.picInitQp + sliceQpDelta
@@ -587,7 +588,11 @@ object H264Codec {
       if (deblockEnabled) deblockFrame(st, offA, offB)
       return st
     }
-    if (isB) { decodeBSliceData(r, st, refs, refs1, qpY); return st }
+    if (isB) {
+      decodeBSliceData(r, st, refs, refs1, qpY, directSpatial)
+      if (deblockEnabled) deblockFrame(st, offA, offB)
+      return st
+    }
     // slice_data: all-I macroblocks, raster order
     var mb = 0
     val nMbs = st.wMbs * st.hMbs
@@ -1106,25 +1111,122 @@ object H264Codec {
     case t => throw new H264Format(s"bad B mb_type $t")
   }
 
+  /** Spatial direct motion derivation (8.4.1.2.2, frame coding,
+    * direct_8x8_inference = 1) for a 16x16 direct macroblock
+    * (B_Skip / B_Direct_16x16): the per-list MinPositive reference over
+    * neighbors A/B/C, the 16x16 median predictor for each used list,
+    * and the colocated-zero override evaluated at the CORNER 4x4 of
+    * each 8x8 quadrant against list1's first picture. Returns the four
+    * quadrants' per-list (vx, vy, refIdx). */
+  private def spatialDirectMotion(st: FrameState,
+      refs1: IndexedSeq[FrameState], mx: Int, my: Int)
+      : Array[(Option[(Int, Int, Int)], Option[(Int, Int, Int)])] = {
+    val bx0 = mx * 4; val by0 = my * 4
+    def minRef(list: Int): Int = {
+      val a = mvNbrAt(st, bx0 - 1, by0, list)
+      val b = mvNbrAt(st, bx0, by0 - 1, list)
+      val cRaw = mvNbrAt(st, bx0 + 4, by0 - 1, list)
+      val c = if (cRaw.avail) cRaw else mvNbrAt(st, bx0 - 1, by0 - 1, list)
+      val rs = Seq(a, b, c).collect { case n if n.inter && n.refIdx >= 0 => n.refIdx }
+      if (rs.isEmpty) -1 else rs.min
+    }
+    var ref0 = minRef(0)
+    var ref1 = minRef(1)
+    // no neighbor predicts from either list: zero motion at refIdx 0
+    val directZero = ref0 < 0 && ref1 < 0
+    if (directZero) { ref0 = 0; ref1 = 0 }
+    val mv0 =
+      if (directZero || ref0 < 0) (0, 0)
+      else mvPredict(st, bx0, by0, 4, 0, ref0, list = 0)
+    val mv1 =
+      if (directZero || ref1 < 0) (0, 0)
+      else mvPredict(st, bx0, by0, 4, 0, ref1, list = 1)
+    val col = refs1.head // colocated picture: first entry of list 1
+    Array.tabulate(4) { q =>
+      val qx = q & 1; val qy = q >> 1
+      // direct_8x8_inference: each quadrant reads the frame-corner 4x4
+      val cx = bx0 + (if (qx == 0) 0 else 3)
+      val cy = by0 + (if (qy == 0) 0 else 3)
+      val ci = col.blkIdx(cx, cy)
+      val (colRef, colVx, colVy) =
+        if (col.refIdxBlk(ci) >= 0) (col.refIdxBlk(ci), col.mvx(ci), col.mvy(ci))
+        else if (col.refIdx1Blk(ci) >= 0) (col.refIdx1Blk(ci), col.mvx1(ci), col.mvy1(ci))
+        else (-1, 0, 0) // intra colocated
+      val colZero = colRef == 0 && math.abs(colVx) <= 1 && math.abs(colVy) <= 1
+      def side(refIdx: Int, mv: (Int, Int)): Option[(Int, Int, Int)] =
+        if (refIdx < 0) None
+        else if (colZero && refIdx == 0) Some((0, 0, refIdx))
+        else Some((mv._1, mv._2, refIdx))
+      (side(ref0, mv0), side(ref1, mv1))
+    }
+  }
+
+  /** Motion-compensate a direct macroblock's four 8x8 quadrants
+    * (list bounds checked here — a derived refIdx beyond the slice's
+    * active list marks a corrupt or out-of-scope stream). */
+  private def applyDirectQuads(st: FrameState,
+      refs0: IndexedSeq[FrameState], refs1: IndexedSeq[FrameState],
+      mx: Int, my: Int,
+      quads: Array[(Option[(Int, Int, Int)], Option[(Int, Int, Int)])]): Unit = {
+    var q = 0
+    while (q < 4) {
+      val (v0, v1) = quads(q)
+      v0.foreach { case (_, _, ri) =>
+        if (ri >= refs0.length) throw new H264Format(s"direct refIdxL0 $ri exceeds list") }
+      v1.foreach { case (_, _, ri) =>
+        if (ri >= refs1.length) throw new H264Format(s"direct refIdxL1 $ri exceeds list") }
+      mcPartitionB(st,
+        v0.map { case (vx, vy, ri) => (refs0(ri), vx, vy, ri) },
+        v1.map { case (vx, vy, ri) => (refs1(ri), vx, vy, ri) },
+        mx * 4 + (q & 1) * 2, my * 4 + (q >> 1) * 2, 2, 2)
+      q += 1
+    }
+  }
+
   /** B-slice slice_data (7.3.4 CAVLC form): B_Skip rides mb_skip_run
-    * but IS direct mode — out of scope, so any non-zero run rejects;
-    * coded MBs are Table 7-14 types 1-21 (16x16/16x8/8x16 with L0/L1/Bi
-    * per partition) or intra (mb_type − 23). B_Direct_16x16 (0) and
-    * B_8x8 (22, whose sub_mb_types include direct) reject loudly. */
+    * (spatial direct motion, no residual); coded MBs are Table 7-14 —
+    * B_Direct_16x16 (0, spatial direct + residual), types 1-21
+    * (16x16/16x8/8x16 with L0/L1/Bi per partition), or intra
+    * (mb_type − 23). Temporal direct (direct_spatial_mv_pred_flag 0)
+    * and B_8x8 (22, sub-partitioned, sub_mb direct) reject loudly. */
   private def decodeBSliceData(r: BitReader, st: FrameState,
       refs0: IndexedSeq[FrameState], refs1: IndexedSeq[FrameState],
-      qpYIn: Int): Unit = {
+      qpYIn: Int, directSpatial: Boolean): Unit = {
     var qpY = qpYIn
     var mb = 0
     val nMbs = st.wMbs * st.hMbs
+    def decodeDirectMotion(mx: Int, my: Int): Unit = {
+      if (!directSpatial)
+        throw new H264Format("temporal direct mode out of scope")
+      applyDirectQuads(st, refs0, refs1, mx, my,
+        spatialDirectMotion(st, refs1, mx, my))
+    }
     while (mb < nMbs) {
-      if (r.ue() != 0) // mb_skip_run: B_Skip = direct mode
-        throw new H264Format("B_Skip (direct mode) out of scope")
+      var skipRun = r.ue() // mb_skip_run: B_Skip = direct, no residual
+      while (skipRun > 0 && mb < nMbs) {
+        val mx = mb % st.wMbs; val my = mb / st.wMbs
+        decodeDirectMotion(mx, my)
+        markInterNnzZero(st, mx, my)
+        st.markMb(mx, my, intra = false, qpY)
+        skipRun -= 1
+        mb += 1
+      }
+      if (skipRun > 0) throw new H264Format("mb_skip_run overruns slice")
+      if (mb >= nMbs) return // trailing skip run ended the slice
       val mbType = r.ue()
       val mx = mb % st.wMbs; val my = mb / st.wMbs
-      if (mbType == 0) throw new H264Format("B_Direct_16x16 out of scope")
       if (mbType == 22) throw new H264Format("B_8x8 out of scope")
-      if (mbType >= 23) { // intra in a B slice (Table 7-14: type − 23)
+      if (mbType == 0) { // B_Direct_16x16: direct motion + residual
+        decodeDirectMotion(mx, my)
+        val cbpCode = r.ue()
+        if (cbpCode > 47) throw new H264Format(s"cbp code $cbpCode")
+        val cbp = CbpInterByCodeNum(cbpCode)
+        if (cbp != 0) qpY = ((qpY + r.se()) % 52 + 52) % 52
+        decodeInterLumaResid(r, st, mx, my, cbp & 15, qpY)
+        decodeChromaResidOnPred(r, st, mx, my, cbp >> 4,
+          H264Transform.chromaQp(qpY))
+        st.markMb(mx, my, intra = false, qpY)
+      } else if (mbType >= 23) { // intra in a B slice (Table 7-14: type − 23)
         qpY = decodeIntraMb(r, st, mx * 16, my * 16, mbType - 23, qpY)
         st.setMv(mx * 4, my * 4, 4, 4, 0, 0, inter = false, refIdx = -1)
       } else {
@@ -1245,7 +1347,9 @@ object H264Codec {
     }
     st.setMvB(bx, by, w4, h4,
       p0.map { case (_, vx, vy, ri) => (vx, vy, ri) },
-      p1.map { case (_, vx, vy, ri) => (vx, vy, ri) })
+      p1.map { case (_, vx, vy, ri) => (vx, vy, ri) },
+      uid0 = p0.map(_._1.uid).getOrElse(-1L),
+      uid1 = p1.map(_._1.uid).getOrElse(-1L))
   }
 
   /** TotalCoeff bookkeeping for a residual-free inter MB (P_Skip or
@@ -1694,7 +1798,8 @@ object H264Codec {
       }
       c += 1
     }
-    st.setMv(bx, by, w4, h4, vx, vy, inter = true, refIdx = refIdx)
+    st.setMv(bx, by, w4, h4, vx, vy, inter = true, refIdx = refIdx,
+      refUid = ref.uid)
   }
 
   // ---------------- in-loop deblocking filter (8.7) ----------------
@@ -1757,15 +1862,46 @@ object H264Codec {
       else if (pIntra || qIntra) 3
       else if (st.nnzYAt(bxP, byP) > 0 || st.nnzYAt(bxQ, byQ) > 0) 2
       else {
+        // motion discontinuity (8.7.2.1): compare by reference PICTURE
+        // (uid), not list index — a picture can sit in both B lists at
+        // different indices, and list-swapped identical prediction is
+        // NOT a discontinuity
         val i = st.blkIdx(bxP, byP); val j = st.blkIdx(bxQ, byQ)
-        if (st.refIdxBlk(i) != st.refIdxBlk(j) ||
-          st.refIdx1Blk(i) != st.refIdx1Blk(j)) 1
-        else if (math.abs(st.mvx(i) - st.mvx(j)) >= 4 ||
-          math.abs(st.mvy(i) - st.mvy(j)) >= 4) 1
-        else if (st.refIdx1Blk(i) >= 0 &&
-          (math.abs(st.mvx1(i) - st.mvx1(j)) >= 4 ||
-            math.abs(st.mvy1(i) - st.mvy1(j)) >= 4)) 1
-        else 0
+        val p0 = st.refUidBlk(i); val p1 = st.refUid1Blk(i)
+        val q0 = st.refUidBlk(j); val q1 = st.refUid1Blk(j)
+        val pN = (if (p0 >= 0) 1 else 0) + (if (p1 >= 0) 1 else 0)
+        val qN = (if (q0 >= 0) 1 else 0) + (if (q1 >= 0) 1 else 0)
+        def far(ax: Int, ay: Int, bx: Int, by: Int): Boolean =
+          math.abs(ax - bx) >= 4 || math.abs(ay - by) >= 4
+        if (pN != qN) 1 // different number of motion vectors
+        else if (pN == 1) {
+          val (pp, pvx, pvy) =
+            if (p0 >= 0) (p0, st.mvx(i), st.mvy(i)) else (p1, st.mvx1(i), st.mvy1(i))
+          val (qq, qvx, qvy) =
+            if (q0 >= 0) (q0, st.mvx(j), st.mvy(j)) else (q1, st.mvx1(j), st.mvy1(j))
+          if (pp != qq || far(pvx, pvy, qvx, qvy)) 1 else 0
+        } else {
+          // two MVs each: pictures must match as a multiset, and the
+          // per-picture vector pairs must stay within a quarter-pel 4
+          if (!((p0 == q0 && p1 == q1) || (p0 == q1 && p1 == q0))) 1
+          else if (p0 == p1) {
+            // both predictions from ONE picture: bS 0 if EITHER pairing
+            // of the two vectors stays close (8.7.2.1's special case)
+            val straight = !far(st.mvx(i), st.mvy(i), st.mvx(j), st.mvy(j)) &&
+              !far(st.mvx1(i), st.mvy1(i), st.mvx1(j), st.mvy1(j))
+            val crossed = !far(st.mvx(i), st.mvy(i), st.mvx1(j), st.mvy1(j)) &&
+              !far(st.mvx1(i), st.mvy1(i), st.mvx(j), st.mvy(j))
+            if (straight || crossed) 0 else 1
+          } else {
+            // align Q's vectors to P's pictures
+            val (qx0, qy0, qx1, qy1) =
+              if (q0 == p0) (st.mvx(j), st.mvy(j), st.mvx1(j), st.mvy1(j))
+              else (st.mvx1(j), st.mvy1(j), st.mvx(j), st.mvy(j))
+            if (far(st.mvx(i), st.mvy(i), qx0, qy0) ||
+              far(st.mvx1(i), st.mvy1(i), qx1, qy1)) 1
+            else 0
+          }
+        }
       }
     }
     // filter one sample line across an edge: q0 at flat index `q0i`,
@@ -1991,11 +2127,17 @@ object H264Codec {
     val mvx1 = new Array[Int](wMbs * 4 * hMbs * 4)
     val mvy1 = new Array[Int](wMbs * 4 * hMbs * 4)
     val refIdx1Blk: Array[Int] = Array.fill(wMbs * 4 * hMbs * 4)(-1)
+    /** Frame identity for the 8.7.2.1 same-reference-PICTURE test (a
+      * picture can sit in both B lists at different indices, so index
+      * equality is not picture equality). */
+    val uid: Long = FrameState.nextUid.getAndIncrement()
+    val refUidBlk: Array[Long] = Array.fill(wMbs * 4 * hMbs * 4)(-1L)
+    val refUid1Blk: Array[Long] = Array.fill(wMbs * 4 * hMbs * 4)(-1L)
     def blkIdx(bx: Int, by: Int): Int = by * wMbs * 4 + bx
     /** Mark a partition's 4x4 blocks with its list-0 motion vector +
       * refIdx (clearing list 1 — the P-slice and intra form). */
     def setMv(bx: Int, by: Int, w4: Int, h4: Int, vx: Int, vy: Int,
-        inter: Boolean, refIdx: Int = 0): Unit = {
+        inter: Boolean, refIdx: Int = 0, refUid: Long = -1L): Unit = {
       var y = by
       while (y < by + h4) {
         var x = bx
@@ -2003,7 +2145,8 @@ object H264Codec {
           val i = blkIdx(x, y)
           mvx(i) = vx; mvy(i) = vy; interBlk(i) = inter; decodedBlk(i) = true
           refIdxBlk(i) = if (inter) refIdx else -1
-          mvx1(i) = 0; mvy1(i) = 0; refIdx1Blk(i) = -1
+          refUidBlk(i) = if (inter) refUid else -1L
+          mvx1(i) = 0; mvy1(i) = 0; refIdx1Blk(i) = -1; refUid1Blk(i) = -1L
           x += 1
         }
         y += 1
@@ -2013,7 +2156,8 @@ object H264Codec {
       * Some((vx, vy, refIdx)) when the partition predicts from that
       * list. */
     def setMvB(bx: Int, by: Int, w4: Int, h4: Int,
-        v0: Option[(Int, Int, Int)], v1: Option[(Int, Int, Int)]): Unit = {
+        v0: Option[(Int, Int, Int)], v1: Option[(Int, Int, Int)],
+        uid0: Long = -1L, uid1: Long = -1L): Unit = {
       var y = by
       while (y < by + h4) {
         var x = bx
@@ -2023,14 +2167,17 @@ object H264Codec {
           v0 match {
             case Some((vx, vy, ri)) =>
               mvx(i) = vx; mvy(i) = vy; interBlk(i) = true; refIdxBlk(i) = ri
+              refUidBlk(i) = uid0
             case None =>
               mvx(i) = 0; mvy(i) = 0; interBlk(i) = false; refIdxBlk(i) = -1
+              refUidBlk(i) = -1L
           }
           v1 match {
             case Some((vx, vy, ri)) =>
               mvx1(i) = vx; mvy1(i) = vy; refIdx1Blk(i) = ri
+              refUid1Blk(i) = uid1
             case None =>
-              mvx1(i) = 0; mvy1(i) = 0; refIdx1Blk(i) = -1
+              mvx1(i) = 0; mvy1(i) = 0; refIdx1Blk(i) = -1; refUid1Blk(i) = -1L
           }
           x += 1
         }
@@ -2072,6 +2219,10 @@ object H264Codec {
       for (c <- 0 until 2; y <- 0 until 2; x <- 0 until 2)
         setNnzC(c, mx * 2 + x, my * 2 + y, 16)
     }
+  }
+
+  private object FrameState {
+    val nextUid = new java.util.concurrent.atomic.AtomicLong(0)
   }
 
   private def clipB(v: Int): Byte =
@@ -3084,23 +3235,25 @@ object H264Codec {
    * @return (payloads in decode order, display index of each payload)
    */
   def encodeGopB(frames: Seq[MediaCodecs.Bmp], qp: Int, bFrames: Int = 1,
-      avcc: Boolean = true, searchRange: Int = 4)
+      avcc: Boolean = true, searchRange: Int = 4, deblock: Boolean = false)
       : (Seq[Array[Byte]], Seq[Int]) = {
-    val (p, d, _) = encodeGopBImpl(frames, qp, bFrames, avcc, searchRange)
+    val (p, d, _) = encodeGopBImpl(frames, qp, bFrames, avcc, searchRange, deblock)
     (p, d)
   }
 
   /** [[encodeGopB]] + the encoder's own per-payload reconstructed
     * planes — the parity spec hook (decode order, like the payloads). */
   private[graft] def encodeGopBForTest(frames: Seq[MediaCodecs.Bmp], qp: Int,
-      bFrames: Int = 1, searchRange: Int = 4)
+      bFrames: Int = 1, searchRange: Int = 4, deblock: Boolean = false)
       : (Seq[Array[Byte]], Seq[Int], Seq[(Array[Byte], Array[Byte], Array[Byte])]) = {
-    val (p, d, sts) = encodeGopBImpl(frames, qp, bFrames, avcc = true, searchRange)
+    val (p, d, sts) = encodeGopBImpl(frames, qp, bFrames, avcc = true, searchRange,
+      deblock)
     (p, d, sts.map(st => (st.yPlane, st.cbPlane, st.crPlane)))
   }
 
   private def encodeGopBImpl(frames: Seq[MediaCodecs.Bmp], qp: Int,
-      bFrames: Int, avcc: Boolean, searchRange: Int)
+      bFrames: Int, avcc: Boolean, searchRange: Int,
+      deblock: Boolean = false)
       : (Seq[Array[Byte]], Seq[Int], Seq[FrameState]) = {
     require(frames.nonEmpty, "empty GOP")
     require(qp >= 0 && qp <= 51, s"qp $qp")
@@ -3124,7 +3277,7 @@ object H264Codec {
       refFrames = 2, pocLsbBits = pocBits, profile = 77)
     val (idrBytes, st0) = encodeImpl(frames.head, avcc, qp,
       intra4x4 = false, (_, b, _) => b, refFrames = 2, pocLsbBits = pocBits,
-      profile = 77)
+      deblock = deblock, profile = 77)
     st0.poc = 0
     val payloads = ArrayBuffer(idrBytes)
     val display = ArrayBuffer(0)
@@ -3138,7 +3291,7 @@ object H264Codec {
       val (yP, cbP, crP) = toYuv420(frames(pos), wMbs, hMbs)
       val (pNal, stP) = encodePFrame(yP, cbP, crP, IndexedSeq(prevRef), qp,
         refCount % 16, searchRange, None, 0, refFrames = 2,
-        pocLsbBits = pocBits, pocLsb = (2 * pos) % maxLsb)
+        pocLsbBits = pocBits, pocLsb = (2 * pos) % maxLsb, deblock = deblock)
       stP.poc = 2 * pos
       payloads += frameNals(avcc, spsNal, ppsNal, pNal)
       display += pos
@@ -3147,7 +3300,8 @@ object H264Codec {
       while (bpos < pos) {
         val (by, bcb, bcr) = toYuv420(frames(bpos), wMbs, hMbs)
         val (bNal, stB) = encodeBFrame(by, bcb, bcr, prevRef, stP, qp,
-          (refCount + 1) % 16, (2 * bpos) % maxLsb, pocBits, searchRange)
+          (refCount + 1) % 16, (2 * bpos) % maxLsb, pocBits, searchRange,
+          deblock = deblock)
         stB.poc = 2 * bpos
         payloads += frameNals(avcc, spsNal, ppsNal, bNal)
         display += bpos
@@ -3166,8 +3320,8 @@ object H264Codec {
     * NAL (nal_ref_idc 0) — carries no dec_ref_pic_marking. */
   private def encodeBFrame(srcY: Array[Byte], srcCb: Array[Byte],
       srcCr: Array[Byte], ref0: FrameState, ref1: FrameState, qp: Int,
-      frameNum: Int, pocLsb: Int, pocBits: Int, searchRange: Int)
-      : (Array[Byte], FrameState) = {
+      frameNum: Int, pocLsb: Int, pocBits: Int, searchRange: Int,
+      deblock: Boolean = false): (Array[Byte], FrameState) = {
     import H264Transform._
     val wMbs = ref0.wMbs; val hMbs = ref0.hMbs
     val lumaW = wMbs * 16; val lumaH = hMbs * 16
@@ -3179,13 +3333,15 @@ object H264Codec {
     w.ue(0) // pps id
     w.u(frameNum & 15, 4) // frame_num (non-ref: value is informational)
     w.u(pocLsb, pocBits) // pic_order_cnt_lsb — carries display order
-    w.u1(0) // direct_spatial_mv_pred_flag (no direct MBs emitted)
+    w.u1(1) // direct_spatial_mv_pred_flag: spatial direct (8.4.1.2.2)
     w.u1(1); w.ue(0); w.ue(0) // override: 1-deep list0 AND list1
     w.u1(0); w.u1(0) // ref_pic_list_modification l0, l1
     // (no dec_ref_pic_marking: nal_ref_idc 0)
     w.se(qp - 26) // slice_qp_delta
-    w.ue(1) // disable_deblocking_filter_idc = 1
+    if (deblock) { w.ue(0); w.se(0); w.se(0) } // filter ON, zero offsets
+    else w.ue(1) // disable_deblocking_filter_idc = 1
     var mb = 0
+    var skipRun = 0 // pending B_Skip run (emitted before the next coded MB)
     val nMbs = wMbs * hMbs
     while (mb < nMbs) {
       val mx = mb % wMbs; val my = mb / wMbs
@@ -3204,27 +3360,50 @@ object H264Codec {
         sadBi += math.abs(s - ((pred0(k) + pred1(k) + 1) >> 1))
         k += 1
       }
+      // spatial direct candidate: the decoder's own 8.4.1.2.2
+      // derivation over the encoder's mirrored grids, so a direct MB's
+      // motion needs no bits at all
+      val quads = spatialDirectMotion(st, IndexedSeq(ref1), mx, my)
+      var sadDirect = 0L
+      var q = 0
+      while (q < 4) {
+        val (dv0, dv1) = quads(q)
+        val px0 = mx * 16 + (q & 1) * 8; val py0 = my * 16 + (q >> 1) * 8
+        val a = dv0.map { case (vx, vy, _) =>
+          mcLuma(ref0.yPlane, lumaW, lumaH, px0, py0, vx, vy, 8, 8) }
+        val b = dv1.map { case (vx, vy, _) =>
+          mcLuma(ref1.yPlane, lumaW, lumaH, px0, py0, vx, vy, 8, 8) }
+        val pq = (a, b) match {
+          case (Some(x), Some(y)) => Array.tabulate(64)(i => (x(i) + y(i) + 1) >> 1)
+          case (Some(x), None) => x
+          case (None, other) => other.get
+        }
+        var kk = 0
+        while (kk < 64) {
+          val sy = py0 + kk / 8; val sx = px0 + kk % 8
+          sadDirect += math.abs((srcY(sy * lumaW + sx) & 0xff) - pq(kk))
+          kk += 1
+        }
+        q += 1
+      }
+      val useDirect = sadDirect <= sad0 && sadDirect <= sad1 && sadDirect <= sadBi
       val mode =
         if (sad0 <= sad1 && sad0 <= sadBi) BModeL0
         else if (sad1 <= sadBi) BModeL1
         else BModeBi
-      w.ue(0) // mb_skip_run (B_Skip is direct mode — never emitted)
-      w.ue(mode) // mb_type: B_L0_16x16=1 / B_L1_16x16=2 / B_Bi_16x16=3
-      // (no ref_idx fields: both lists are 1 deep)
-      val useL0 = mode == BModeL0 || mode == BModeBi
-      val useL1 = mode == BModeL1 || mode == BModeBi
-      if (useL0) {
-        val (px, py) = mvPredict(st, mx * 4, my * 4, 4, 0, 0, list = 0)
-        w.se(v0x - px); w.se(v0y - py)
-      }
-      if (useL1) {
-        val (px, py) = mvPredict(st, mx * 4, my * 4, 4, 0, 0, list = 1)
-        w.se(v1x - px); w.se(v1y - py)
-      }
-      mcPartitionB(st,
-        if (useL0) Some((ref0, v0x, v0y, 0)) else None,
-        if (useL1) Some((ref1, v1x, v1y, 0)) else None,
-        mx * 4, my * 4, 4, 4)
+      val useL0 = !useDirect && (mode == BModeL0 || mode == BModeBi)
+      val useL1 = !useDirect && (mode == BModeL1 || mode == BModeBi)
+      // neighbor-only predictors: safe to read before this MB's grid
+      val (p0x, p0y) = mvPredict(st, mx * 4, my * 4, 4, 0, 0, list = 0)
+      val (p1x, p1y) = mvPredict(st, mx * 4, my * 4, 4, 0, 0, list = 1)
+      // assemble the prediction into the frame (planes + motion grid)
+      if (useDirect)
+        applyDirectQuads(st, IndexedSeq(ref0), IndexedSeq(ref1), mx, my, quads)
+      else
+        mcPartitionB(st,
+          if (useL0) Some((ref0, v0x, v0y, 0)) else None,
+          if (useL1) Some((ref1, v1x, v1y, 0)) else None,
+          mx * 4, my * 4, 4, 4)
       // residual on top of the assembled prediction, reconstructed
       // exactly as the decoder will (the P-encoder pattern)
       val levels = Array.ofDim[Int](16, 16)
@@ -3256,34 +3435,53 @@ object H264Codec {
       val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, chromaQp(qp),
         predOf = c => predC(c))
       val cbp = cbpLuma | (chroma.cbpChroma << 4)
-      w.ue(CbpInterToCodeNum(cbp))
-      if (cbp != 0) w.se(0) // mb_qp_delta
-      bi = 0
-      while (bi < 16) {
-        val (bxo, byo) = LumaBlockOrder(bi)
-        val gbx = mx * 4 + bxo; val gby = my * 4 + byo
-        if ((cbpLuma & (1 << (bi >> 2))) != 0) {
-          val tc = H264Cavlc.encodeBlock(w, levels(bi), 16, st.lumaNc(gbx, gby))
-          st.setNnzY(gbx, gby, tc)
-          val rpx = inverse4x4(dequant4x4(unzigzag(levels(bi), 0), qp, skipDc = false))
-          var py = 0
-          while (py < 4) {
-            var px = 0
-            while (px < 4) {
-              val o = (my * 16 + byo * 4 + py) * lumaW + mx * 16 + bxo * 4 + px
-              st.yPlane(o) = clipB((st.yPlane(o) & 0xff) + rpx(py * 4 + px))
-              px += 1
+      if (useDirect && cbp == 0) {
+        // B_Skip: direct motion, zero residual — one run count, no bits
+        skipRun += 1
+        markInterNnzZero(st, mx, my)
+        st.markMb(mx, my, intra = false, qp)
+        mb += 1
+      } else {
+        w.ue(skipRun) // mb_skip_run before this coded MB
+        skipRun = 0
+        if (useDirect) w.ue(0) // B_Direct_16x16
+        else {
+          w.ue(mode) // mb_type: B_L0_16x16=1 / B_L1_16x16=2 / B_Bi_16x16=3
+          // (no ref_idx fields: both lists are 1 deep)
+          if (useL0) { w.se(v0x - p0x); w.se(v0y - p0y) }
+          if (useL1) { w.se(v1x - p1x); w.se(v1y - p1y) }
+        }
+        w.ue(CbpInterToCodeNum(cbp))
+        if (cbp != 0) w.se(0) // mb_qp_delta
+        bi = 0
+        while (bi < 16) {
+          val (bxo, byo) = LumaBlockOrder(bi)
+          val gbx = mx * 4 + bxo; val gby = my * 4 + byo
+          if ((cbpLuma & (1 << (bi >> 2))) != 0) {
+            val tc = H264Cavlc.encodeBlock(w, levels(bi), 16, st.lumaNc(gbx, gby))
+            st.setNnzY(gbx, gby, tc)
+            val rpx = inverse4x4(dequant4x4(unzigzag(levels(bi), 0), qp, skipDc = false))
+            var py = 0
+            while (py < 4) {
+              var px = 0
+              while (px < 4) {
+                val o = (my * 16 + byo * 4 + py) * lumaW + mx * 16 + bxo * 4 + px
+                st.yPlane(o) = clipB((st.yPlane(o) & 0xff) + rpx(py * 4 + px))
+                px += 1
+              }
+              py += 1
             }
-            py += 1
-          }
-        } else st.setNnzY(gbx, gby, 0)
-        bi += 1
+          } else st.setNnzY(gbx, gby, 0)
+          bi += 1
+        }
+        chroma.emit(w)
+        st.markMb(mx, my, intra = false, qp)
+        mb += 1
       }
-      chroma.emit(w)
-      st.markMb(mx, my, intra = false, qp)
-      mb += 1
     }
+    if (skipRun > 0) w.ue(skipRun) // trailing run ends the slice
     w.trailing()
+    if (deblock) deblockFrame(st, 0, 0) // output filter (non-ref picture)
     // NAL header: forbidden 0, nal_ref_idc 0 (disposable), type 1
     (Array[Byte](0x01.toByte) ++ escape(w.bytes), st)
   }

@@ -2956,6 +2956,96 @@ object PipelineQueries {
              |  true AS inter_gain, true AS lossy_ok
              |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
 
+    // B_Skip / B_Direct_16x16 + deblocking on B slices (r13): the
+    // foreign x264-like IbbP shape — spatial direct motion (8.4.1.2.2)
+    // carries the static background in ZERO bits (mb_skip_run), the
+    // moving square codes, and the in-loop filter runs on every
+    // picture including the Bs. `parity_ok` is the strong pin: every
+    // decoded picture must equal the encoder's reconstruction
+    // BYTE-FOR-BYTE through the deblocked reference chain (a filter or
+    // direct-derivation divergence compounds and fails at the first B);
+    // `skip_engaged` pins that direct mode genuinely engages (each B
+    // payload undercuts half the IDR payload — impossible if every MB
+    // coded motion explicitly). Behavior pinned in H264BDirectSpec.
+    "q_h264_bdirect_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val len = text.codePointCount(0, text.length)
+            val w = 32 + 2 * (len % 8).toInt
+            val h = 32 + 2 * ((len + id) % 6).toInt
+            val frames = (0 until 5).map { tIdx =>
+              val rgb = new Array[Byte](w * h * 3)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val o = (y * w + x) * 3
+                  // smooth wrap-free ramp background: filter-neutral,
+                  // so the static area really does skip under deblocking
+                  val bg = (x * 150) / math.max(1, w - 1) +
+                    (y * 80) / math.max(1, h - 1)
+                  val sx = 4 + tIdx * 2
+                  val v = if (x >= sx && x < sx + 10 && y >= 8 && y < 20) 250 else bg
+                  rgb(o) = v.toByte
+                  rgb(o + 1) = ((v + 30) % 256).toByte
+                  rgb(o + 2) = ((v + 60) % 256).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              graft.pipeline.MediaCodecs.Bmp(w, h, rgb)
+            }
+            val (payloads, display, recon) = graft.pipeline.H264Codec
+              .encodeGopBForTest(frames, qp = 26, bFrames = 2, deblock = true)
+            val reorderOk = display == Seq(0, 3, 1, 2, 4)
+            val g = new graft.pipeline.H264Codec.GopDecoder
+            var parityOk = true
+            var nDecoded = 0
+            payloads.zip(recon).foreach { case (p, (ey, ecb, ecr)) =>
+              g.decodeAuYuv(p) match {
+                case Some((_, yP, cbP, crP)) =>
+                  nDecoded += 1
+                  parityOk &&= java.util.Arrays.equals(yP, ey) &&
+                    java.util.Arrays.equals(cbP, ecb) &&
+                    java.util.Arrays.equals(crP, ecr)
+                case None => parityOk = false
+              }
+            }
+            // compare SLICE NALs only (every payload also carries
+            // SPS+PPS): last NAL of the AVCC payload
+            def sliceLen(p: Array[Byte]): Int = {
+              var off = 0
+              var last = 0
+              while (off + 4 <= p.length) {
+                val n = ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+                  ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+                last = n
+                off += 4 + n
+              }
+              last
+            }
+            val idrSlice = sliceLen(payloads.head)
+            val bSlices = payloads.zip(display).collect {
+              case (p, d) if d == 1 || d == 2 => sliceLen(p)
+            }
+            val skipEngaged = bSlices.forall(_ * 2 < idrSlice)
+            (id, w, h, nDecoded, reorderOk, parityOk, skipEngaged)
+          }
+          .toDF("doc_id", "width", "height", "n_decoded", "reorder_ok",
+            "parity_ok", "skip_engaged")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(32 + 2 * (len(text) % 8) AS INT) AS width,
+             |  CAST(32 + 2 * ((len(text) + doc_id) % 6) AS INT) AS height,
+             |  CAST(5 AS INT) AS n_decoded, true AS reorder_ok,
+             |  true AS parity_ok, true AS skip_engaged
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
     // raw .h264 elementary-stream ingest (r11): the same IPPP GOP as a
     // containerless Annex-B byte stream (start-code NALs back to back —
     // the form cameras and ffmpeg's rawvideo path emit). Access-unit
