@@ -30,6 +30,19 @@ object CorpusQueries {
   private[queries] def parsedCorpus(s: SparkSession, dir: String): ParseCorpus.Result =
     parseCache.computeIfAbsent((s, dir), _ => ParseCorpus.run(docsDf(s, dir)))
 
+  /** Drop the memoized parse + model for (session, dir) and release
+    * their persisted blocks — Bench's band re-measure calls this so a
+    * re-timed LDA row really re-runs the training instead of reading
+    * the memo (which would record a meaningless sub-second number). */
+  private[graft] def invalidateCaches(s: SparkSession, dir: String): Unit = {
+    val parsed = parseCache.remove((s, dir))
+    modelCache.remove((s, dir))
+    if (parsed != null) {
+      try { parsed.docs.unpersist(); parsed.terms.unpersist(); parsed.titles.unpersist() }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   /** deterministic small training run shared by the model queries */
   private def model(s: SparkSession, dir: String): (ParseCorpus.Result, graft.lda.LdaModel) = {
     val parsed = parsedCorpus(s, dir)
