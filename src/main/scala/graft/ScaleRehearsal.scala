@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale rehearsal (one notch above the bench gate): synthesizes an sf1
+ * slice (~10× sf0.1 — ~6M lineitem rows, 50k documents) from the
+ * driver's sf0.1 fixtures and runs the five heaviest pipeline rows at
+ * BOTH scales, printing the sf1/sf0.1 ratio per row. Not a gate — the
+ * evidence that the plans' 10× curves are the near-linear ones the
+ * partitioning strategy predicts (a quadratic pair generator or a
+ * driver-sized collect shows up here as a ratio far above ~10-12×
+ * before it could hurt a real cluster).
+ *
+ * Scale-up construction (10 key-shifted copies, seed-free):
+ *  - `documents`: copy k shifts doc_id by k·10⁷ and renames every
+ *    token bijectively (`w` → `w~k`, k>0). A bijective per-copy token
+ *    rename preserves each copy's shingle-set Jaccard structure
+ *    EXACTLY (so near-dup density per copy matches sf0.1 and the
+ *    minhash workload scales by exactly 10×) while making cross-copy
+ *    similarity zero (a naive 10× duplication would instead explode
+ *    candidate pairs 45× and measure the wrong thing). Vocabulary
+ *    grows 10× — deliberately the hard direction for the shuffle-EM
+ *    K×V beta table.
+ *  - `orders`/`lineitem`: keys shift by k·10⁷ (orderkey, custkey) and
+ *    k·10⁵ (suppkey), producing 10 disjoint co-purchase components —
+ *    pagerank's edge count scales exactly 10× with no hub inflation.
+ */
+object ScaleRehearsal {
+  private val Shift = 10_000_000L
+
+  def main(args: Array[String]): Unit = {
+    val sf01 = "/root/testdata/sf0.1"
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/sf1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-scale-rehearsal")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    generateSf1(spark, sf01, sf1Dir)
+
+    val names = Seq("q_pagerank", "q_dedup_minhash_lsh", "q_training_dataset",
+      "lda_top_terms_shuffle")
+    // warm codegen/classloading on the smallest SF so both timed runs
+    // start from the same JIT state
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      catch { case e: Throwable => System.err.println(s"[rehearsal] warm $n: $e") }
+    }
+
+    def timed(label: String)(body: => Long): (Double, Long) = {
+      System.gc(); Thread.sleep(2000)
+      val t0 = System.nanoTime()
+      val rows = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[rehearsal] $label%-28s ${sec}%8.2f s  ($rows rows)")
+      (sec, rows)
+    }
+
+    val results = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
+    names.foreach { n =>
+      val (a, _) = timed(s"$n @sf0.1") {
+        SparkEntry.queries(n)(spark, sf01).count()
+      }
+      try graft.queries.CorpusQueries.invalidateCaches(spark, sf01)
+      catch { case _: Throwable => () }
+      val (b, _) = timed(s"$n @sf1") {
+        SparkEntry.queries(n)(spark, sf1Dir).count()
+      }
+      try graft.queries.CorpusQueries.invalidateCaches(spark, sf1Dir)
+      catch { case _: Throwable => () }
+      results += ((n, a, b))
+    }
+
+    // video pHash: the registry row pins doc_id < 100 planted videos
+    // (scale-independent of the documents table), so the rehearsal
+    // scales the video COUNT itself 100 → 1000 — the dimension that
+    // grows at 100 TB (per-partition demux+decode+pHash, map-only)
+    def videoRun(nVideos: Int): Long = {
+      val media = spark.range(nVideos)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .as[Long]
+        .map(id => (id, graft.pipeline.ImageHash.plantedSpectralMp4(id)))
+        .toDF("media_id", "bytes")
+      graft.pipeline.ImageHash.videoNearDups(media, "media_id", "bytes",
+        maxHamming = 6, minFrames = 3).count()
+    }
+    videoRun(8) // warm
+    val (va, _) = timed("q_video_phash[100] @sf0.1")(videoRun(100))
+    val (vb, _) = timed("q_video_phash[1000] @sf1")(videoRun(1000))
+    results += (("q_video_phash_dedup", va, vb))
+
+    println("\n| query | sf0.1 s | sf1 s | ratio (ideal ~10x) |")
+    println("|---|---|---|---|")
+    results.foreach { case (n, a, b) =>
+      println(f"| $n | $a%.2f | $b%.2f | ${b / a}%.1fx |")
+    }
+    spark.stop()
+  }
+
+  /** Write the sf1 tables (idempotent: skips tables already present). */
+  private def generateSf1(spark: SparkSession, from: String, to: String): Unit = {
+    def copyIdx: DataFrame = spark.range(10).toDF("k")
+    def done(t: String): Boolean =
+      new java.io.File(s"$to/$t.parquet/_SUCCESS").exists()
+
+    if (!done("documents")) {
+      val d = spark.read.parquet(s"$from/documents.parquet")
+      d.crossJoin(copyIdx)
+        .select(
+          (col("doc_id") + col("k") * Shift).as("doc_id"),
+          when(col("k") === 0, col("text")).otherwise(
+            array_join(transform(split(col("text"), " "),
+              w => concat(w, lit("~"), col("k"))), " ")).as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(32)
+        .write.mode("ignore").parquet(s"$to/documents.parquet")
+    }
+    if (!done("orders")) {
+      spark.read.parquet(s"$from/orders.parquet").crossJoin(copyIdx)
+        .select(
+          (col("o_orderkey") + col("k") * Shift).as("o_orderkey"),
+          (col("o_custkey") + col("k") * Shift).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .repartition(32)
+        .write.mode("ignore").parquet(s"$to/orders.parquet")
+    }
+    if (!done("lineitem")) {
+      spark.read.parquet(s"$from/lineitem.parquet").crossJoin(copyIdx)
+        .select(
+          (col("l_orderkey") + col("k") * Shift).as("l_orderkey"),
+          col("l_partkey"),
+          (col("l_suppkey") + col("k") * 100_000L).as("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"), col("l_returnflag"),
+          col("l_linestatus"), col("l_shipdate"))
+        .repartition(32)
+        .write.mode("ignore").parquet(s"$to/lineitem.parquet")
+    }
+  }
+}

@@ -6,11 +6,13 @@ package graft.pipeline
  * majority of real-world MP4s. This module holds the entropy machinery
  * only: the binary arithmetic decoding engine (9.3.3.2), the encoding
  * engine (9.3.4), the probability-state transition tables (Tables
- * 9-44/9-45), context initialization (9.3.1.1, Tables 9-12..9-23 I
- * column), and the residual-block coefficient codec (significance maps
- * 9.3.3.1.3 + UEG0 level binarization 9.3.2.3). Macroblock-level
- * syntax (mb_type trees, neighbor-derived context increments) lives in
- * [[H264Codec]], which owns the frame state.
+ * 9-44/9-45), context initialization (9.3.1.1, Tables 9-12..9-23 — the
+ * I column and, since r13, the P/B cabac_init_idc-0 column), the UEGk
+ * bypass suffix codec, and the residual-block coefficient codec
+ * (significance maps 9.3.3.1.3 + UEG0 level binarization 9.3.2.3).
+ * Macroblock-level syntax (mb_type trees, mvd/ref_idx/skip coding,
+ * neighbor-derived context increments) lives in [[H264Codec]], which
+ * owns the frame state.
  *
  * Witness posture, stated honestly: the ENGINE and BINARIZATIONS are
  * pure public-spec algorithms, pinned by H264CabacSpec's fixed-vector
@@ -108,6 +110,13 @@ private[pipeline] object H264Cabac {
       }
     }
     def initI(qp: Int): Unit = initFrom(initTableI, qp)
+    /** P/B slice context init. Only cabac_init_idc 0 is transcribed
+      * (the x264/JM default); the slice layer refuses idc 1/2 loudly. */
+    def initPB(cabacInitIdc: Int, qp: Int): Unit = {
+      if (cabacInitIdc != 0)
+        throw new CabacFormat(s"cabac_init_idc $cabacInitIdc out of scope")
+      initFrom(initTablePB0, qp)
+    }
   }
 
   val NumCtx = 460
@@ -198,6 +207,113 @@ private[pipeline] object H264Cabac {
       (-10, 70), (-10, 69), (-8, 66), (-9, 64),
       (-8, 60), (-6, 59), (-5, 75), (-9, 66),
       (-12, 95))
+    t
+  }
+
+  /** Context init (m, n) pairs for P/B slices at cabac_init_idc 0 —
+    * the x264/JM default column of Tables 9-13..9-23. Filled ranges:
+    * 11-13 mb_skip_flag(P), 14-20 mb_type(P prefix + intra suffix),
+    * 21-23 sub_mb_type(P), 24-26 mb_skip_flag(B), 27-35 mb_type(B
+    * prefix + intra suffix), 36-39 sub_mb_type(B), 40-53 mvd x/y,
+    * 54-59 ref_idx, and the residual ranges 60-275 (whose P/B column
+    * differs from the I column). I-only (0-10) and field-only (70-72,
+    * 277+) ranges stay Unset and throw on touch. Witness posture is
+    * identical to [[initTableI]]'s (scaladoc at the top of this file):
+    * encoder and decoder share the table so round trips are bit-exact
+    * regardless, and a foreign stream whose parse diverges rejects at
+    * the exact-termination gate instead of rendering garbage. */
+  val initTablePB0: Array[Int] = {
+    val t = Array.fill(2 * NumCtx)(Unset)
+    def put(from: Int, pairs: (Int, Int)*): Unit = {
+      var i = 0
+      while (i < pairs.length) {
+        t(2 * (from + i)) = pairs(i)._1
+        t(2 * (from + i) + 1) = pairs(i)._2
+        i += 1
+      }
+    }
+    // 11 -> 23: mb_skip_flag P, mb_type P (prefix 14-16 + shared 17
+    // for bin2-after-1 and the intra suffix 17-20), sub_mb_type P
+    put(11, (23, 33), (23, 2), (21, 0),
+      (1, 9), (0, 49), (-37, 118),
+      (5, 57), (-13, 78), (-11, 65), (1, 62),
+      (12, 49), (-4, 73), (17, 50))
+    // 24 -> 39: mb_skip_flag B, mb_type B (prefix 27-32 + intra
+    // suffix 32-35), sub_mb_type B
+    put(24, (18, 64), (9, 43), (29, 0),
+      (26, 67), (16, 90), (9, 104),
+      (-46, 127), (-20, 104), (1, 67),
+      (-13, 78), (-11, 65), (1, 62),
+      (-6, 86), (-17, 95), (-6, 61), (9, 45))
+    // 40 -> 53: mvd (x component 40-46, y component 47-53)
+    put(40, (-3, 69), (-6, 81), (-11, 96),
+      (6, 55), (7, 67), (-5, 86), (2, 88),
+      (0, 58), (-3, 76), (-10, 94),
+      (5, 54), (4, 69), (-3, 81), (0, 88))
+    // 54 -> 59: ref_idx
+    put(54, (-7, 67), (-5, 74), (-4, 74), (-5, 80), (-7, 72), (1, 58))
+    // 60 -> 69: mb_qp_delta, intra_chroma_pred_mode, prev/rem intra4x4
+    // mode (column-independent in the spec: same values as the I table)
+    put(60, (0, 41), (0, 63), (0, 63), (0, 63),
+      (-9, 83), (4, 86), (0, 97), (-7, 72),
+      (13, 41), (3, 62))
+    // 73 -> 104: coded_block_pattern, coded_block_flag
+    put(73, (-27, 126), (-28, 98), (-25, 101), (-23, 67), // cbp luma
+      (-28, 82), (-20, 94), (-16, 83), (-22, 110), // cbp chroma bin 0
+      (-21, 91), (-18, 102), (-13, 93), (-29, 127), // cbp chroma bin 1
+      (-7, 92), (-5, 89), (-7, 96), (-13, 108), // cbf cat 0
+      (-3, 46), (-1, 65), (-1, 57), (-9, 93), // cbf cat 1
+      (-3, 74), (-9, 92), (-8, 87), (-23, 126), // cbf cat 2
+      (5, 54), (6, 60), (6, 59), (6, 69), // cbf cat 3
+      (-1, 48), (0, 68), (-4, 69), (-8, 88)) // cbf cat 4
+    // 105 -> 165: significant_coeff_flag (frame coded)
+    put(105, (-2, 85), (-6, 78), (-1, 75), (-7, 77),
+      (2, 54), (5, 50), (-3, 68), (1, 50),
+      (6, 42), (-4, 81), (1, 63), (-4, 70),
+      (0, 67), (2, 57), (-2, 76), (11, 35),
+      (4, 64), (1, 61), (11, 35), (18, 25),
+      (12, 24), (13, 29), (13, 36), (-10, 93),
+      (-7, 73), (-2, 73), (13, 46), (9, 49),
+      (-7, 100), (9, 53), (2, 53), (5, 53),
+      (-2, 61), (0, 56), (0, 56), (-13, 63),
+      (-5, 60), (-1, 62), (4, 57), (-6, 69),
+      (4, 57), (14, 39), (4, 51), (13, 68),
+      (3, 64), (1, 61), (9, 63), (7, 50),
+      (16, 39), (5, 44), (4, 52), (11, 48),
+      (-5, 60), (-1, 59), (0, 59), (22, 33),
+      (5, 44), (14, 43), (-1, 78), (0, 60),
+      (9, 69))
+    // 166 -> 226: last_significant_coeff_flag (frame coded)
+    put(166, (11, 28), (2, 40), (3, 44), (0, 49),
+      (0, 46), (2, 44), (2, 51), (0, 47),
+      (4, 39), (2, 62), (6, 46), (0, 54),
+      (3, 54), (2, 58), (4, 63), (6, 51),
+      (6, 57), (7, 53), (6, 52), (6, 55),
+      (11, 45), (14, 36), (8, 53), (-1, 82),
+      (7, 55), (-3, 78), (15, 46), (22, 31),
+      (-1, 84), (25, 7), (30, -7), (28, 3),
+      (28, 4), (32, 0), (34, -1), (30, 6),
+      (30, 6), (32, 9), (31, 19), (26, 27),
+      (26, 30), (37, 20), (28, 34), (17, 70),
+      (1, 67), (5, 59), (9, 67), (16, 30),
+      (18, 32), (18, 35), (22, 29), (24, 31),
+      (23, 38), (18, 43), (20, 41), (11, 63),
+      (9, 59), (9, 64), (-1, 94), (-2, 89),
+      (-9, 108))
+    // 227 -> 275: coeff_abs_level_minus1
+    put(227, (-6, 76), (-2, 44), (0, 45), (0, 52),
+      (-3, 64), (-2, 59), (-4, 70), (-4, 75),
+      (-8, 82), (-17, 102), (-9, 77), (3, 24),
+      (0, 42), (0, 48), (0, 55), (-6, 59),
+      (-7, 71), (-12, 83), (-11, 87), (-30, 119),
+      (1, 58), (-3, 29), (-1, 36), (1, 38),
+      (2, 43), (-6, 55), (0, 58), (0, 64),
+      (-3, 74), (-10, 90), (0, 70), (-4, 29),
+      (5, 31), (7, 42), (1, 59), (-2, 58),
+      (-3, 72), (-3, 81), (11, 76), (10, 94),
+      (-10, 82), (-8, 38), (-4, 46), (-6, 58),
+      (-1, 65), (-4, 78), (-7, 87), (-5, 98),
+      (-10, 112))
     t
   }
 
@@ -348,6 +464,33 @@ private[pipeline] object H264Cabac {
   val CtxAbsBase = 227
   val CtxCbfBase = 85
   val CtxTerminate = 276
+
+  /** Decode a UEGk bypass suffix (9.3.2.3): the Exp-Golomb escape tail
+    * that follows a TU prefix which hit its cMax. Returns the suffix
+    * value (added to cMax by the caller). */
+  def decodeUegSuffix(d: Dec, k0: Int): Int = {
+    var v = 0
+    var k = k0
+    while (d.bypass() == 1) {
+      v += 1 << k
+      k += 1
+      if (k > 30) throw new CabacFormat("ueg suffix overrun")
+    }
+    while (k > k0) { k -= 1; v += d.bypass() << k }
+    var i = k0
+    while (i > 0) { i -= 1; v += d.bypass() << i }
+    v
+  }
+
+  /** Encode a UEGk bypass suffix — the bit-exact mirror of
+    * [[decodeUegSuffix]]. */
+  def encodeUegSuffix(e: Enc, k0: Int, value: Int): Unit = {
+    var rem = value
+    var k = k0
+    while (rem >= (1 << k)) { rem -= 1 << k; e.bypass(1); k += 1 }
+    e.bypass(0)
+    while (k > 0) { k -= 1; e.bypass((rem >> k) & 1) }
+  }
 
   /** Decode one residual block's levels (scan order) after a
     * coded_block_flag of 1: significance map, then levels in reverse

@@ -548,6 +548,15 @@ object H264Codec {
     if (idr) { r.u1(); r.u1() }
     else if (refIdc != 0 && r.u1() != 0) // adaptive_ref_pic_marking_mode_flag
       throw new H264Format("adaptive ref marking out of scope")
+    // cabac_init_idc (7.3.3): only the idc-0 context column is
+    // transcribed — the x264/JM default; 1/2 refuse loudly
+    val cabacInitIdc =
+      if (pps.entropyCabac && (isP || isB)) {
+        val v = r.ue()
+        if (v > 2) throw new H264Format(s"cabac_init_idc $v")
+        if (v != 0) throw new H264Format(s"cabac_init_idc $v out of scope")
+        v
+      } else 0
     val sliceQpDelta = r.se() // slice_qp_delta
     // In-loop deblocking (8.7) is IMPLEMENTED for I and P slices (r12):
     // the whole-frame filter runs after the slice decodes — intra
@@ -575,11 +584,12 @@ object H264Codec {
     var qpY = pps.picInitQp + sliceQpDelta
     if (qpY < 0 || qpY > 51) throw new H264Format(s"slice QP $qpY out of range")
     if (pps.entropyCabac) {
-      // CABAC (9.3): I slices decode through the arithmetic engine; the
-      // P/B context-init variants (cabac_init_idc tables) stay out of
-      // scope — refuse loudly rather than drift
-      if (isP || isB) throw new H264Format("CABAC P/B slices out of scope")
-      decodeISliceDataCabac(r, st, qpY)
+      // CABAC (9.3): I, P and B slices all decode through the
+      // arithmetic engine (P/B with the idc-0 context column)
+      if (isP || isB)
+        decodeInterSliceDataCabac(r, st, isB, refs, refs1, qpY,
+          cabacInitIdc, directSpatial)
+      else decodeISliceDataCabac(r, st, qpY)
       if (deblockEnabled) deblockFrame(st, offA, offB)
       return st
     }
@@ -713,11 +723,11 @@ object H264Codec {
     }
   }
 
-  private final class CabacSrc(d: H264Cabac.Dec, cx: H264Cabac.Ctx)
-      extends MbSrc {
+  private final class CabacSrc(d: H264Cabac.Dec, cx: H264Cabac.Ctx,
+      val interMb: Boolean = false) extends MbSrc {
     def block(st: FrameState, cat: Int, coeffs: Array[Int], maxN: Int,
         gbx: Int, gby: Int, comp: Int): Int = {
-      val inc = cbfCtxInc(st, cat, gbx, gby, comp)
+      val inc = cbfCtxInc(st, cat, gbx, gby, comp, curIntra = !interMb)
       val cbf = d.decision(cx, H264Cabac.CtxCbfBase + 4 * cat + inc) == 1
       recordDcCbf(st, cat, gbx, gby, comp, cbf)
       if (!cbf) { java.util.Arrays.fill(coeffs, 0, maxN, 0); 0 }
@@ -731,15 +741,17 @@ object H264Codec {
   // availability equal to picture-boundary availability.
 
   /** coded_block_flag ctxIdxInc (9.3.3.1.1.9). An unavailable
-    * neighbor contributes 1 for intra macroblocks (all CABAC blocks
-    * this decoder parses are intra); an I_PCM neighbor counts as
-    * coded; a neighbor without the block category (e.g. a non-I16 MB
-    * asked for a luma DC block) contributes 0. */
+    * neighbor contributes 1 when the CURRENT macroblock is intra and
+    * 0 when it is inter; an I_PCM neighbor counts as coded; a
+    * neighbor without the block category (e.g. a non-I16 MB asked for
+    * a luma DC block, or a skipped/uncoded block's nnz-0 grid entry)
+    * contributes 0. */
   private def cbfCtxInc(st: FrameState, cat: Int, gbx: Int, gby: Int,
-      comp: Int): Int = {
+      comp: Int, curIntra: Boolean = true): Int = {
     val wMbs = st.wMbs
+    val unavail = if (curIntra) 1 else 0
     def condLumaDc(nmx: Int, nmy: Int): Int =
-      if (nmx < 0 || nmy < 0) 1
+      if (nmx < 0 || nmy < 0) unavail
       else {
         val i = nmy * wMbs + nmx
         if (st.pcmMbArr(i)) 1
@@ -747,18 +759,18 @@ object H264Codec {
         else if (st.cbfLumaDcMb(i)) 1 else 0
       }
     def condLuma4(bx: Int, by: Int): Int =
-      if (bx < 0 || by < 0) 1
+      if (bx < 0 || by < 0) unavail
       else if (st.pcmMbArr((by >> 2) * wMbs + (bx >> 2))) 1
       else if (st.nnzYAt(bx, by) > 0) 1 else 0
     def condChromaDc(nmx: Int, nmy: Int, c: Int): Int =
-      if (nmx < 0 || nmy < 0) 1
+      if (nmx < 0 || nmy < 0) unavail
       else {
         val i = nmy * wMbs + nmx
         if (st.pcmMbArr(i)) 1
         else if (st.cbfChromaDcMb(c)(i)) 1 else 0
       }
     def condChroma4(bx: Int, by: Int, c: Int): Int =
-      if (bx < 0 || by < 0) 1
+      if (bx < 0 || by < 0) unavail
       else if (st.pcmMbArr((by >> 1) * wMbs + (bx >> 1))) 1
       else if (st.nnzCAt(c, bx, by) > 0) 1 else 0
     cat match {
@@ -873,20 +885,31 @@ object H264Codec {
     }
   }
 
-  /** Decode one CABAC intra macroblock (mb_type tree 9.3.2.5, then the
-    * shared reconstruction paths through a [[CabacSrc]]). Returns
-    * (newQpY, decodedQpDelta, decoder) — the decoder is REPLACED after
-    * an I_PCM macroblock (the engine re-initializes past the raw
-    * samples, 9.3.1.2). */
+  /** Intra mb_type tree contexts — [bin0, cbpLuma, chroma bin0,
+    * chroma bin1, predMode hi, predMode lo] per Table 9-41: the
+    * I-slice tree at offset 3 (bin0 context is neighbor-derived, so
+    * the caller passes it), and the intra SUFFIX trees inside P and B
+    * mb_type (offsets 17 / 32, whose chroma and predMode bins share a
+    * context each). */
+  private def intraTreeI(st: FrameState, mx: Int, my: Int): Array[Int] =
+    Array(3 + mbTypeI4Inc(st, mx, my), 6, 7, 8, 9, 10)
+  private val IntraTreeP = Array(17, 18, 19, 19, 20, 20)
+  private val IntraTreeB = Array(32, 33, 34, 34, 35, 35)
+
+  /** Decode one CABAC intra macroblock (mb_type tree 9.3.2.5 at the
+    * given contexts, then the shared reconstruction paths through a
+    * [[CabacSrc]]). Returns (newQpY, decodedQpDelta, decoder) — the
+    * decoder is REPLACED after an I_PCM macroblock (the engine
+    * re-initializes past the raw samples, 9.3.1.2). */
   private def decodeIntraMbCabac(dIn: H264Cabac.Dec, cx: H264Cabac.Ctx,
       rbsp: Array[Byte], st: FrameState, mbX: Int, mbY: Int, qpYIn: Int,
-      prevQpDelta: Int): (Int, Int, H264Cabac.Dec) = {
+      prevQpDelta: Int, tree: Array[Int]): (Int, Int, H264Cabac.Dec) = {
     var d = dIn
     var qpY = qpYIn
     var qpDelta = 0
     val mx = mbX / 16; val my = mbY / 16
     val mbI = my * st.wMbs + mx
-    val bin0 = d.decision(cx, 3 + mbTypeI4Inc(st, mx, my))
+    val bin0 = d.decision(cx, tree(0))
     if (bin0 == 1 && d.terminate() == 1) {
       // I_PCM: raw samples begin at the next byte boundary; the engine
       // re-initializes after them
@@ -921,15 +944,17 @@ object H264Codec {
     }
     val src = new CabacSrc(d, cx)
     if (bin0 == 1) {
-      // Intra_16x16: cbpLuma bin (ctx 6), chroma suffix (7 [, 8]),
-      // 2 predMode bins at binIdx-assigned contexts (Table 9-39)
-      val cbpL = if (d.decision(cx, 6) == 1) 15 else 0
+      // Intra_16x16: cbpLuma bin, chroma TU suffix, 2 predMode bins.
+      // Table 9-41's dual binIdx-4/5 assignments resolve so the two
+      // predMode bins ALWAYS use tree(4)/tree(5) regardless of how
+      // many bins the chroma suffix took (the syntactic assignment
+      // x264/JM implement; an earlier revision here positionally
+      // shifted them when cbpC == 0).
+      val cbpL = if (d.decision(cx, tree(1)) == 1) 15 else 0
       var cbpC = 0
-      if (d.decision(cx, 7) == 1)
-        cbpC = if (d.decision(cx, 8) == 1) 2 else 1
-      val ctxP0 = if (cbpC == 0) 8 else 9
-      val ctxP1 = if (cbpC == 0) 9 else 10
-      val predMode = (d.decision(cx, ctxP0) << 1) | d.decision(cx, ctxP1)
+      if (d.decision(cx, tree(2)) == 1)
+        cbpC = if (d.decision(cx, tree(3)) == 1) 2 else 1
+      val predMode = (d.decision(cx, tree(4)) << 1) | d.decision(cx, tree(5))
       st.i16MbArr(mbI) = true
       st.cbpLumaMb(mbI) = cbpL
       st.cbpChromaMb(mbI) = cbpC
@@ -1021,8 +1046,9 @@ object H264Codec {
     var mb = 0
     val nMbs = st.wMbs * st.hMbs
     while (mb < nMbs) {
+      val mxI = mb % st.wMbs; val myI = mb / st.wMbs
       val (q2, delta, d2) = decodeIntraMbCabac(d, cx, rbsp, st,
-        (mb % st.wMbs) * 16, (mb / st.wMbs) * 16, qpY, prevQpDelta)
+        mxI * 16, myI * 16, qpY, prevQpDelta, intraTreeI(st, mxI, myI))
       qpY = q2; prevQpDelta = delta; d = d2
       val eos = d.terminate()
       if (eos == 1 && mb != nMbs - 1)
@@ -1043,6 +1069,508 @@ object H264Codec {
     * with a larger range it is plain ue(v). Used by ref_idx_l0. */
   private def te(r: BitReader, range: Int): Int =
     if (range == 1) 1 - r.u1() else r.ue()
+
+  // ---------------- CABAC P/B slices (9.3.3.1.1.x + 7.3.4) ----------------
+  // The decode and encode halves of every syntax element sit adjacent
+  // so their bin trees and context increments can be eyeball-diffed;
+  // encoder-reconstruction round-trip parity then witnesses both.
+
+  /** mb_skip_flag ctxIdxInc (9.3.3.1.1.1): available non-skipped
+    * neighbors contribute 1. */
+  private def skipFlagInc(st: FrameState, mx: Int, my: Int): Int = {
+    def cond(nmx: Int, nmy: Int): Int =
+      if (nmx < 0 || nmy < 0) 0
+      else if (st.skipMbArr(nmy * st.wMbs + nmx)) 0 else 1
+    cond(mx - 1, my) + cond(mx, my - 1)
+  }
+
+  /** B mb_type bin-0 ctxIdxInc (9.3.3.1.1.3): neighbors that are
+    * available and not B_Skip / B_Direct_16x16 contribute 1. */
+  private def bMbTypeInc(st: FrameState, mx: Int, my: Int): Int = {
+    def cond(nmx: Int, nmy: Int): Int =
+      if (nmx < 0 || nmy < 0) 0
+      else if (st.bDirectMbArr(nmy * st.wMbs + nmx)) 0 else 1
+    cond(mx - 1, my) + cond(mx, my - 1)
+  }
+
+  /** ref_idx ctxIdxInc (9.3.3.1.1.6): a neighbor 4x4 block contributes
+    * 1 when available, in a non-skip/non-direct MB, and predicting
+    * from this list with refIdx > 0 (intra blocks carry refIdx -1 in
+    * the grids). inc = condA + 2·condB. */
+  private def refIdxInc(st: FrameState, bx: Int, by: Int, list: Int): Int = {
+    def cond(nbx: Int, nby: Int): Int =
+      if (nbx < 0 || nby < 0 || nbx >= st.wMbs * 4 || nby >= st.hMbs * 4) 0
+      else {
+        val mbI = (nby >> 2) * st.wMbs + (nbx >> 2)
+        if (st.skipMbArr(mbI) || st.bDirectMbArr(mbI)) 0
+        else {
+          val ri = if (list == 0) st.refIdxBlk(st.blkIdx(nbx, nby))
+            else st.refIdx1Blk(st.blkIdx(nbx, nby))
+          if (ri > 0) 1 else 0
+        }
+      }
+    cond(bx - 1, by) + 2 * cond(bx, by - 1)
+  }
+
+  /** mvd ctxIdxInc (9.3.3.1.1.7): neighbors' |mvd| sum for the same
+    * list and component — 0 (< 3), 1 (3..32), 2 (> 32). Intra, skip
+    * and direct neighbors contribute 0 (their mvd grids stay zero). */
+  private def mvdInc(st: FrameState, bx: Int, by: Int, list: Int,
+      comp: Int): Int = {
+    def absOf(nbx: Int, nby: Int): Int =
+      if (nbx < 0 || nby < 0 || nbx >= st.wMbs * 4 || nby >= st.hMbs * 4) 0
+      else math.abs(st.mvdBlk(list)(comp)(st.blkIdx(nbx, nby)))
+    val s = absOf(bx - 1, by) + absOf(bx, by - 1)
+    if (s < 3) 0 else if (s > 32) 2 else 1
+  }
+
+  /** mvd component (9.3.2.3 UEG3, signedValFlag 1, uCoff 9): TU prefix
+    * in contexts (bin0 at base+inc, bins 1.. at base+3..base+6), EG3
+    * bypass suffix past the prefix cap, bypass sign. comp 0 = x
+    * (ctx base 40), 1 = y (47). */
+  private def decodeMvdCabac(d: H264Cabac.Dec, cx: H264Cabac.Ctx,
+      st: FrameState, bx: Int, by: Int, list: Int, comp: Int): Int = {
+    val base = if (comp == 0) 40 else 47
+    if (d.decision(cx, base + mvdInc(st, bx, by, list, comp)) == 0) return 0
+    var mag = 1
+    var more = true
+    while (more && mag < 9) {
+      if (d.decision(cx, base + 2 + math.min(mag, 4)) == 1) mag += 1
+      else more = false
+    }
+    if (more) mag += H264Cabac.decodeUegSuffix(d, 3)
+    if (mag > (1 << 15)) throw new H264Format("mvd overflow")
+    if (d.bypass() == 1) -mag else mag
+  }
+
+  private def encodeMvdCabac(e: H264Cabac.Enc, cx: H264Cabac.Ctx,
+      st: FrameState, bx: Int, by: Int, list: Int, comp: Int, v: Int): Unit = {
+    val base = if (comp == 0) 40 else 47
+    val inc = mvdInc(st, bx, by, list, comp)
+    val mag = math.abs(v)
+    if (mag == 0) { e.decision(cx, base + inc, 0); return }
+    e.decision(cx, base + inc, 1)
+    var m = 1
+    while (m < math.min(mag, 9)) {
+      e.decision(cx, base + 2 + math.min(m, 4), 1)
+      m += 1
+    }
+    if (mag < 9) e.decision(cx, base + 2 + math.min(mag, 4), 0)
+    else H264Cabac.encodeUegSuffix(e, 3, mag - 9)
+    e.bypass(if (v < 0) 1 else 0)
+  }
+
+  /** ref_idx_lX (unary; bin0 at 54+inc per 9.3.3.1.1.6, bin1 at 58,
+    * bins 2.. at 59). `range` = list size − 1; 0 means the field is
+    * absent. */
+  private def decodeRefIdxCabac(d: H264Cabac.Dec, cx: H264Cabac.Ctx,
+      st: FrameState, bx: Int, by: Int, list: Int, range: Int): Int = {
+    if (range <= 0) return 0
+    if (d.decision(cx, 54 + refIdxInc(st, bx, by, list)) == 0) return 0
+    var v = 1
+    if (d.decision(cx, 58) == 1) {
+      v = 2
+      while (d.decision(cx, 59) == 1) {
+        v += 1
+        if (v > 32) throw new H264Format("ref_idx overrun")
+      }
+    }
+    if (v > range) throw new H264Format(s"ref_idx $v exceeds list")
+    v
+  }
+
+  private def encodeRefIdxCabac(e: H264Cabac.Enc, cx: H264Cabac.Ctx,
+      st: FrameState, bx: Int, by: Int, list: Int, v: Int): Unit = {
+    val inc = refIdxInc(st, bx, by, list)
+    if (v == 0) e.decision(cx, 54 + inc, 0)
+    else {
+      e.decision(cx, 54 + inc, 1)
+      var i = 1
+      while (i < v) { e.decision(cx, if (i == 1) 58 else 59, 1); i += 1 }
+      e.decision(cx, if (v == 1) 58 else 59, 0)
+    }
+  }
+
+  /** P mb_type prefix (Table 9-37 / 9-41: bins at 14, 15, then 16
+    * when bin1 was 0 or 17 when it was 1): returns Table 7-13
+    * numbering 0-3, or -1 for the intra escape (the caller parses the
+    * suffix via [[decodeIntraMbCabac]] with [[IntraTreeP]]).
+    * P_8x8ref0 (type 4) has no CABAC binarization. */
+  private def decodeMbTypePCabac(d: H264Cabac.Dec, cx: H264Cabac.Ctx): Int = {
+    if (d.decision(cx, 14) == 1) -1
+    else if (d.decision(cx, 15) == 0) {
+      if (d.decision(cx, 16) == 0) 0 else 3 // P_L0_16x16 / P_8x8
+    } else {
+      if (d.decision(cx, 17) == 1) 1 else 2 // 16x8 / 8x16
+    }
+  }
+
+  private def encodeMbTypePCabac(e: H264Cabac.Enc, cx: H264Cabac.Ctx,
+      mbType: Int): Unit = mbType match {
+    case 0 => e.decision(cx, 14, 0); e.decision(cx, 15, 0); e.decision(cx, 16, 0)
+    case 1 => e.decision(cx, 14, 0); e.decision(cx, 15, 1); e.decision(cx, 17, 1)
+    case 2 => e.decision(cx, 14, 0); e.decision(cx, 15, 1); e.decision(cx, 17, 0)
+    case 3 => e.decision(cx, 14, 0); e.decision(cx, 15, 0); e.decision(cx, 16, 1)
+    case -1 => e.decision(cx, 14, 1) // intra escape (suffix follows)
+    case t => throw new H264Format(s"CABAC P mb_type $t")
+  }
+
+  /** P sub_mb_type (Table 9-38: '1' 8x8, '00' 8x4, '011' 4x8,
+    * '010' 4x4; bins at 21, 22, 23). */
+  private def decodeSubMbTypePCabac(d: H264Cabac.Dec, cx: H264Cabac.Ctx): Int =
+    if (d.decision(cx, 21) == 1) 0
+    else if (d.decision(cx, 22) == 0) 1
+    else if (d.decision(cx, 23) == 1) 2
+    else 3
+
+  private def encodeSubMbTypePCabac(e: H264Cabac.Enc, cx: H264Cabac.Ctx,
+      t: Int): Unit = t match {
+    case 0 => e.decision(cx, 21, 1)
+    case 1 => e.decision(cx, 21, 0); e.decision(cx, 22, 0)
+    case 2 => e.decision(cx, 21, 0); e.decision(cx, 22, 1); e.decision(cx, 23, 1)
+    case 3 => e.decision(cx, 21, 0); e.decision(cx, 22, 1); e.decision(cx, 23, 0)
+    case _ => throw new H264Format(s"CABAC P sub_mb_type $t")
+  }
+
+  /** B mb_type (Table 9-37: '0' Direct, '10x' L0/L1 16x16, '110xxx'
+    * 3-10, '1110xxx' 12-19, '111100x' 20-21, '111110' 11, '111111'
+    * B_8x8, '111101' intra escape; bins at 27+inc, 30, 31, then 32).
+    * Returns Table 7-14 numbering, or -1 for intra. */
+  private def decodeMbTypeBCabac(d: H264Cabac.Dec, cx: H264Cabac.Ctx,
+      st: FrameState, mx: Int, my: Int): Int = {
+    if (d.decision(cx, 27 + bMbTypeInc(st, mx, my)) == 0) return 0
+    if (d.decision(cx, 30) == 0) return 1 + d.decision(cx, 31)
+    if (d.decision(cx, 31) == 0)
+      return 3 + ((d.decision(cx, 32) << 2) | (d.decision(cx, 32) << 1) |
+        d.decision(cx, 32))
+    if (d.decision(cx, 32) == 0)
+      return 12 + ((d.decision(cx, 32) << 2) | (d.decision(cx, 32) << 1) |
+        d.decision(cx, 32))
+    if (d.decision(cx, 32) == 1)
+      return if (d.decision(cx, 32) == 0) 11 else 22
+    if (d.decision(cx, 32) == 1) -1 // intra ('111101')
+    else 20 + d.decision(cx, 32)
+  }
+
+  private def encodeMbTypeBCabac(e: H264Cabac.Enc, cx: H264Cabac.Ctx,
+      st: FrameState, mx: Int, my: Int, mbType: Int): Unit = {
+    val c0 = 27 + bMbTypeInc(st, mx, my)
+    def b(bits: Int*): Unit = {
+      e.decision(cx, c0, bits.head)
+      if (bits.length > 1) e.decision(cx, 30, bits(1))
+      if (bits.length > 2) e.decision(cx, 31, bits(2))
+      var i = 3
+      while (i < bits.length) { e.decision(cx, 32, bits(i)); i += 1 }
+    }
+    mbType match {
+      case 0 => b(0)
+      case 1 => b(1, 0, 0)
+      case 2 => b(1, 0, 1)
+      case t if t >= 3 && t <= 10 =>
+        val v = t - 3
+        b(1, 1, 0, (v >> 2) & 1, (v >> 1) & 1, v & 1)
+      case t if t >= 12 && t <= 19 =>
+        val v = t - 12
+        b(1, 1, 1, 0, (v >> 2) & 1, (v >> 1) & 1, v & 1)
+      case 20 | 21 => b(1, 1, 1, 1, 0, 0, mbType - 20)
+      case 11 => b(1, 1, 1, 1, 1, 0)
+      case 22 => b(1, 1, 1, 1, 1, 1)
+      case -1 => b(1, 1, 1, 1, 0, 1) // intra escape (suffix follows)
+      case t => throw new H264Format(s"CABAC B mb_type $t")
+    }
+  }
+
+  /** Spec hook: bin-level round trip of every P/B CABAC syntax codec
+    * through a fresh engine + idc-0 contexts — covers the mb_type
+    * trees (including the intra escapes and the B shapes the
+    * production encoder never emits), sub_mb_type, UEG3 mvd and unary
+    * ref_idx, independent of slice structure. */
+  private[graft] def cabacSyntaxRoundTripForTest(bTypes: Seq[Int],
+      pTypes: Seq[Int], subTypes: Seq[Int], mvds: Seq[Int],
+      refIdxs: Seq[Int]): (Seq[Int], Seq[Int], Seq[Int], Seq[Int], Seq[Int]) = {
+    val st = new FrameState(4, 4)
+    val w = new BitWriter
+    val cxE = new H264Cabac.Ctx; cxE.initPB(0, 26)
+    val e = new H264Cabac.Enc(w)
+    bTypes.foreach(t => encodeMbTypeBCabac(e, cxE, st, 1, 1, t))
+    pTypes.foreach(t => encodeMbTypePCabac(e, cxE, t))
+    subTypes.foreach(t => encodeSubMbTypePCabac(e, cxE, t))
+    mvds.foreach(v => encodeMvdCabac(e, cxE, st, 4, 4, 0, 0, v))
+    refIdxs.foreach(v => encodeRefIdxCabac(e, cxE, st, 4, 4, 0, v))
+    e.terminate(1)
+    w.alignToByte()
+    val bytes = w.bytes
+    val cxD = new H264Cabac.Ctx; cxD.initPB(0, 26)
+    val d = new H264Cabac.Dec(bytes, 0)
+    val ob = bTypes.map(_ => decodeMbTypeBCabac(d, cxD, st, 1, 1))
+    val op = pTypes.map(_ => decodeMbTypePCabac(d, cxD))
+    val os = subTypes.map(_ => decodeSubMbTypePCabac(d, cxD))
+    val om = mvds.map(_ => decodeMvdCabac(d, cxD, st, 4, 4, 0, 0))
+    val or = refIdxs.map(_ => decodeRefIdxCabac(d, cxD, st, 4, 4, 0, 32))
+    (ob, op, os, om, or)
+  }
+
+  /** Inter-MB residual tail in CABAC form (coded_block_pattern at
+    * 73-84 with the shared increments, mb_qp_delta when coded, then
+    * the shared reconstruction paths through an inter [[CabacSrc]]).
+    * Returns (newQpY, qpDelta). */
+  private def decodeInterResidCabac(d: H264Cabac.Dec, cx: H264Cabac.Ctx,
+      st: FrameState, mx: Int, my: Int, qpYIn: Int, prevQpDelta: Int)
+      : (Int, Int) = {
+    var qpY = qpYIn
+    var cbpLuma = 0
+    var k = 0
+    while (k < 4) {
+      val bin = d.decision(cx, 73 + cbpLumaInc(st, mx, my, k, cbpLuma))
+      cbpLuma |= bin << k
+      k += 1
+    }
+    var cbpChroma = 0
+    if (d.decision(cx, 77 + cbpChromaInc(st, mx, my, 0)) == 1)
+      cbpChroma =
+        if (d.decision(cx, 81 + cbpChromaInc(st, mx, my, 1)) == 1) 2 else 1
+    val mbI = my * st.wMbs + mx
+    st.cbpLumaMb(mbI) = cbpLuma
+    st.cbpChromaMb(mbI) = cbpChroma
+    var delta = 0
+    if (cbpLuma != 0 || cbpChroma != 0) {
+      delta = decodeQpDeltaCabac(d, cx, prevQpDelta)
+      qpY = ((qpY + delta) % 52 + 52) % 52
+    }
+    val src = new CabacSrc(d, cx, interMb = true)
+    decodeInterLumaResid(src, st, mx, my, cbpLuma, qpY)
+    decodeChromaResidOnPred(src, st, mx, my, cbpChroma,
+      H264Transform.chromaQp(qpY))
+    (qpY, delta)
+  }
+
+  /** CABAC P inter-MB motion (Table 7-13 types 0-3): every partition's
+    * ref_idx before any mvd (7.3.5.1), with ref_idx/mvd noted into the
+    * grids at read time so later fields' context increments see
+    * earlier partitions; motion compensation then applies in partition
+    * order exactly like the CAVLC path. */
+  private def decodeInterMbMotionPCabac(d: H264Cabac.Dec, cx: H264Cabac.Ctx,
+      st: FrameState, refs: IndexedSeq[FrameState], mx: Int, my: Int,
+      mbType: Int): Unit = {
+    val bx0 = mx * 4; val by0 = my * 4
+    val range = refs.length - 1
+    def readRef(bx: Int, by: Int, w4: Int, h4: Int): Int = {
+      val ri = decodeRefIdxCabac(d, cx, st, bx, by, 0, range)
+      st.noteRefIdx(bx, by, w4, h4, 0, ri)
+      ri
+    }
+    def readMvd(bx: Int, by: Int, w4: Int, h4: Int): (Int, Int) = {
+      val dx = decodeMvdCabac(d, cx, st, bx, by, 0, 0)
+      val dy = decodeMvdCabac(d, cx, st, bx, by, 0, 1)
+      st.noteMvd(bx, by, w4, h4, 0, dx, dy)
+      (dx, dy)
+    }
+    mbType match {
+      case 0 =>
+        val ri = readRef(bx0, by0, 4, 4)
+        val (dx, dy) = readMvd(bx0, by0, 4, 4)
+        val (px, py) = mvPredict(st, bx0, by0, 4, 0, ri)
+        mcPartition(st, refs(ri), bx0, by0, 4, 4, px + dx, py + dy, ri)
+      case 1 =>
+        val ri0 = readRef(bx0, by0, 4, 2)
+        val ri1 = readRef(bx0, by0 + 2, 4, 2)
+        val (dx0, dy0) = readMvd(bx0, by0, 4, 2)
+        val (dx1, dy1) = readMvd(bx0, by0 + 2, 4, 2)
+        val (p0x, p0y) = mvPredict(st, bx0, by0, 4, 1, ri0)
+        mcPartition(st, refs(ri0), bx0, by0, 4, 2, p0x + dx0, p0y + dy0, ri0)
+        val (p1x, p1y) = mvPredict(st, bx0, by0 + 2, 4, 2, ri1)
+        mcPartition(st, refs(ri1), bx0, by0 + 2, 4, 2, p1x + dx1, p1y + dy1, ri1)
+      case 2 =>
+        val ri0 = readRef(bx0, by0, 2, 4)
+        val ri1 = readRef(bx0 + 2, by0, 2, 4)
+        val (dx0, dy0) = readMvd(bx0, by0, 2, 4)
+        val (dx1, dy1) = readMvd(bx0 + 2, by0, 2, 4)
+        val (p0x, p0y) = mvPredict(st, bx0, by0, 2, 3, ri0)
+        mcPartition(st, refs(ri0), bx0, by0, 2, 4, p0x + dx0, p0y + dy0, ri0)
+        val (p1x, p1y) = mvPredict(st, bx0 + 2, by0, 2, 4, ri1)
+        mcPartition(st, refs(ri1), bx0 + 2, by0, 2, 4, p1x + dx1, p1y + dy1, ri1)
+      case 3 => // P_8x8 (7.3.5.2: 4 sub types, 4 ref_idx, then mvds)
+        val subTypes = Array.fill(4)(decodeSubMbTypePCabac(d, cx))
+        val refIdx = Array.tabulate(4) { sb =>
+          readRef(bx0 + (sb % 2) * 2, by0 + (sb / 2) * 2, 2, 2)
+        }
+        var sb = 0
+        while (sb < 4) {
+          val sbx = bx0 + (sb % 2) * 2; val sby = by0 + (sb / 2) * 2
+          val ri = refIdx(sb)
+          val ref = refs(ri)
+          subTypes(sb) match {
+            case 0 =>
+              val (dx, dy) = readMvd(sbx, sby, 2, 2)
+              val (p, q) = mvPredict(st, sbx, sby, 2, 0, ri)
+              mcPartition(st, ref, sbx, sby, 2, 2, p + dx, q + dy, ri)
+            case 1 =>
+              var k = 0
+              while (k < 2) {
+                val (dx, dy) = readMvd(sbx, sby + k, 2, 1)
+                val (p, q) = mvPredict(st, sbx, sby + k, 2, 0, ri)
+                mcPartition(st, ref, sbx, sby + k, 2, 1, p + dx, q + dy, ri)
+                k += 1
+              }
+            case 2 =>
+              var k = 0
+              while (k < 2) {
+                val (dx, dy) = readMvd(sbx + k, sby, 1, 2)
+                val (p, q) = mvPredict(st, sbx + k, sby, 1, 0, ri)
+                mcPartition(st, ref, sbx + k, sby, 1, 2, p + dx, q + dy, ri)
+                k += 1
+              }
+            case _ =>
+              var k = 0
+              while (k < 4) {
+                val cxb = sbx + (k % 2); val cyb = sby + (k / 2)
+                val (dx, dy) = readMvd(cxb, cyb, 1, 1)
+                val (p, q) = mvPredict(st, cxb, cyb, 1, 0, ri)
+                mcPartition(st, ref, cxb, cyb, 1, 1, p + dx, q + dy, ri)
+                k += 1
+              }
+          }
+          sb += 1
+        }
+      case t => throw new H264Format(s"CABAC P mb_type $t")
+    }
+  }
+
+  /** CABAC B inter-MB motion (Table 7-14 types 1-21): all used
+    * ref_idx_l0, then ref_idx_l1, then mvd_l0, then mvd_l1 (7.3.5.1),
+    * noted at read time; per-partition single-list or bi prediction
+    * then applies in order. */
+  private def decodeInterMbMotionBCabac(d: H264Cabac.Dec, cx: H264Cabac.Ctx,
+      st: FrameState, refs0: IndexedSeq[FrameState],
+      refs1: IndexedSeq[FrameState], mx: Int, my: Int, mbType: Int): Unit = {
+    val bx0 = mx * 4; val by0 = my * 4
+    val (modes, is16x8) = bMbPartModes(mbType)
+    val parts: Seq[(Int, Int, Int, Int, Int)] =
+      if (modes.length == 1) Seq((bx0, by0, 4, 4, 0))
+      else if (is16x8) Seq((bx0, by0, 4, 2, 1), (bx0, by0 + 2, 4, 2, 2))
+      else Seq((bx0, by0, 2, 4, 3), (bx0 + 2, by0, 2, 4, 4))
+    def usesL0(m: Int): Boolean = m == BModeL0 || m == BModeBi
+    def usesL1(m: Int): Boolean = m == BModeL1 || m == BModeBi
+    def readRef(list: Int, pi: Int, range: Int): Int = {
+      val (bx, by, w4, h4, _) = parts(pi)
+      val ri = decodeRefIdxCabac(d, cx, st, bx, by, list, range)
+      st.noteRefIdx(bx, by, w4, h4, list, ri)
+      ri
+    }
+    def readMvd(list: Int, pi: Int): (Int, Int) = {
+      val (bx, by, w4, h4, _) = parts(pi)
+      val dx = decodeMvdCabac(d, cx, st, bx, by, list, 0)
+      val dy = decodeMvdCabac(d, cx, st, bx, by, list, 1)
+      st.noteMvd(bx, by, w4, h4, list, dx, dy)
+      (dx, dy)
+    }
+    val ri0 = modes.indices.map(pi =>
+      if (usesL0(modes(pi))) readRef(0, pi, refs0.length - 1) else -1)
+    val ri1 = modes.indices.map(pi =>
+      if (usesL1(modes(pi))) readRef(1, pi, refs1.length - 1) else -1)
+    val mvd0 = modes.indices.map(pi =>
+      if (usesL0(modes(pi))) readMvd(0, pi) else (0, 0))
+    val mvd1 = modes.indices.map(pi =>
+      if (usesL1(modes(pi))) readMvd(1, pi) else (0, 0))
+    parts.zipWithIndex.foreach { case ((bx, by, w4, h4, kind), pi) =>
+      val m = modes(pi)
+      val v0 =
+        if (usesL0(m)) {
+          val (px, py) = mvPredict(st, bx, by, w4, kind, ri0(pi), list = 0)
+          Some((px + mvd0(pi)._1, py + mvd0(pi)._2, ri0(pi)))
+        } else None
+      val v1 =
+        if (usesL1(m)) {
+          val (px, py) = mvPredict(st, bx, by, w4, kind, ri1(pi), list = 1)
+          Some((px + mvd1(pi)._1, py + mvd1(pi)._2, ri1(pi)))
+        } else None
+      mcPartitionB(st, v0.map { case (vx, vy, ri) => (refs0(ri), vx, vy, ri) },
+        v1.map { case (vx, vy, ri) => (refs1(ri), vx, vy, ri) },
+        bx, by, w4, h4)
+    }
+  }
+
+  /** P/B slice_data, CABAC form (7.3.4): context-coded mb_skip_flag
+    * per macroblock, macroblock_layer for coded MBs, end_of_slice_flag
+    * after EVERY macroblock — with the same exact-termination safety
+    * gate as the I path (a diverged parse rejects loudly). */
+  private def decodeInterSliceDataCabac(r: BitReader, st: FrameState,
+      isB: Boolean, refs0: IndexedSeq[FrameState],
+      refs1: IndexedSeq[FrameState], sliceQp: Int, cabacInitIdc: Int,
+      directSpatial: Boolean): Unit = {
+    while (!r.byteAligned) {
+      if (r.u1() != 1) throw new H264Format("cabac_alignment_one_bit != 1")
+    }
+    val rbsp = r.rbsp
+    val cx = new H264Cabac.Ctx
+    cx.initPB(cabacInitIdc, sliceQp)
+    var d = new H264Cabac.Dec(rbsp, r.bytePosAligned)
+    var qpY = sliceQp
+    var prevQpDelta = 0
+    val skipCtxBase = if (isB) 24 else 11
+    def directMotion(mx: Int, my: Int): Unit = {
+      if (!directSpatial)
+        throw new H264Format("temporal direct mode out of scope")
+      applyDirectQuads(st, refs0, refs1, mx, my,
+        spatialDirectMotion(st, refs1, mx, my))
+    }
+    var mb = 0
+    val nMbs = st.wMbs * st.hMbs
+    while (mb < nMbs) {
+      val mx = mb % st.wMbs; val my = mb / st.wMbs
+      val mbI = my * st.wMbs + mx
+      if (d.decision(cx, skipCtxBase + skipFlagInc(st, mx, my)) == 1) {
+        st.skipMbArr(mbI) = true
+        if (isB) {
+          st.bDirectMbArr(mbI) = true
+          directMotion(mx, my)
+        } else {
+          val (vx, vy) = skipMv(st, mx, my)
+          mcPartition(st, refs0(0), mx * 4, my * 4, 4, 4, vx, vy, refIdx = 0)
+        }
+        markInterNnzZero(st, mx, my)
+        st.markMb(mx, my, intra = false, qpY)
+        prevQpDelta = 0
+      } else {
+        val t =
+          if (isB) decodeMbTypeBCabac(d, cx, st, mx, my)
+          else decodeMbTypePCabac(d, cx)
+        if (t == 22 && isB) throw new H264Format("B_8x8 out of scope")
+        if (t < 0) { // intra suffix
+          val (q2, delta, d2) = decodeIntraMbCabac(d, cx, rbsp, st,
+            mx * 16, my * 16, qpY, prevQpDelta,
+            if (isB) IntraTreeB else IntraTreeP)
+          qpY = q2; prevQpDelta = delta; d = d2
+          st.setMv(mx * 4, my * 4, 4, 4, 0, 0, inter = false, refIdx = -1)
+        } else {
+          if (isB && t == 0) { // B_Direct_16x16: direct motion + residual
+            st.bDirectMbArr(mbI) = true
+            directMotion(mx, my)
+          } else if (isB) {
+            decodeInterMbMotionBCabac(d, cx, st, refs0, refs1, mx, my, t)
+          } else {
+            decodeInterMbMotionPCabac(d, cx, st, refs0, mx, my, t)
+          }
+          val (q2, delta) = decodeInterResidCabac(d, cx, st, mx, my, qpY,
+            prevQpDelta)
+          qpY = q2; prevQpDelta = delta
+          st.markMb(mx, my, intra = false, qpY)
+        }
+      }
+      val eos = d.terminate()
+      if (eos == 1 && mb != nMbs - 1)
+        throw new H264Format("end_of_slice before the last macroblock")
+      if (eos == 0 && mb == nMbs - 1)
+        throw new H264Format("slice data continues past the last macroblock")
+      mb += 1
+    }
+    var p = d.alignedBytePos
+    while (p < rbsp.length) {
+      if (rbsp(p) != 0)
+        throw new H264Format("non-zero bytes after end_of_slice")
+      p += 1
+    }
+  }
 
   /** P-slice slice_data (7.3.4 CAVLC form): mb_skip_run before every
     * coded macroblock (a trailing run may end the slice); coded MBs are
@@ -1222,8 +1750,8 @@ object H264Codec {
         if (cbpCode > 47) throw new H264Format(s"cbp code $cbpCode")
         val cbp = CbpInterByCodeNum(cbpCode)
         if (cbp != 0) qpY = ((qpY + r.se()) % 52 + 52) % 52
-        decodeInterLumaResid(r, st, mx, my, cbp & 15, qpY)
-        decodeChromaResidOnPred(r, st, mx, my, cbp >> 4,
+        decodeInterLumaResid(new CavlcSrc(r), st, mx, my, cbp & 15, qpY)
+        decodeChromaResidOnPred(new CavlcSrc(r), st, mx, my, cbp >> 4,
           H264Transform.chromaQp(qpY))
         st.markMb(mx, my, intra = false, qpY)
       } else if (mbType >= 23) { // intra in a B slice (Table 7-14: type − 23)
@@ -1286,8 +1814,8 @@ object H264Codec {
     if (cbpCode > 47) throw new H264Format(s"cbp code $cbpCode")
     val cbp = CbpInterByCodeNum(cbpCode)
     if (cbp != 0) qpY = ((qpY + r.se()) % 52 + 52) % 52
-    decodeInterLumaResid(r, st, mx, my, cbp & 15, qpY)
-    decodeChromaResidOnPred(r, st, mx, my, cbp >> 4,
+    decodeInterLumaResid(new CavlcSrc(r), st, mx, my, cbp & 15, qpY)
+    decodeChromaResidOnPred(new CavlcSrc(r), st, mx, my, cbp >> 4,
       H264Transform.chromaQp(qpY))
     st.markMb(mx, my, intra = false, qpY)
     qpY
@@ -1470,8 +1998,8 @@ object H264Codec {
     val cbpLuma = cbp & 15
     val cbpChroma = cbp >> 4
     if (cbp != 0) qpY = ((qpY + r.se()) % 52 + 52) % 52
-    decodeInterLumaResid(r, st, mx, my, cbpLuma, qpY)
-    decodeChromaResidOnPred(r, st, mx, my, cbpChroma,
+    decodeInterLumaResid(new CavlcSrc(r), st, mx, my, cbpLuma, qpY)
+    decodeChromaResidOnPred(new CavlcSrc(r), st, mx, my, cbpChroma,
       H264Transform.chromaQp(qpY))
     st.markMb(mx, my, intra = false, qpY)
     qpY
@@ -1480,7 +2008,7 @@ object H264Codec {
   /** Add the decoded luma residual of an inter MB on top of the
     * motion-compensated prediction already in the planes (8.5: inter
     * blocks carry full 16-coefficient 4x4 transforms, no DC split). */
-  private def decodeInterLumaResid(r: BitReader, st: FrameState,
+  private def decodeInterLumaResid(src: MbSrc, st: FrameState,
       mx: Int, my: Int, cbpLuma: Int, qpY: Int): Unit = {
     import H264Transform._
     val lumaW = st.lumaW
@@ -1491,7 +2019,7 @@ object H264Codec {
       val (bxo, byo) = LumaBlockOrder(bi)
       val gbx = mx * 4 + bxo; val gby = my * 4 + byo
       if ((cbpLuma & (1 << (bi >> 2))) != 0) {
-        val tc = H264Cavlc.decodeBlock(r, scan, 16, st.lumaNc(gbx, gby))
+        val tc = src.block(st, CatLuma4x4, scan, 16, gbx, gby, 0)
         st.setNnzY(gbx, gby, tc)
         val rpx = inverse4x4(dequant4x4(unzigzag(scan, 0), qpY, skipDc = false))
         val ax = x0 + bxo * 4; val ay = y0 + byo * 4
@@ -1514,7 +2042,7 @@ object H264Codec {
     * already in the planes (same 7.3.5.3.3 layout as the intra path —
     * DC levels for both components, then AC blocks — but reconstruction
     * is pred-in-place + residual). */
-  private def decodeChromaResidOnPred(r: BitReader, st: FrameState,
+  private def decodeChromaResidOnPred(src: MbSrc, st: FrameState,
       mx: Int, my: Int, cbpChroma: Int, qpC: Int): Unit = {
     import H264Transform._
     val cW = st.lumaW / 2
@@ -1524,9 +2052,7 @@ object H264Codec {
     if (cbpChroma > 0) {
       var c = 0
       while (c < 2) {
-        val buf = new Array[Int](4)
-        H264Cavlc.decodeBlock(r, buf, 4, -1)
-        dcLv(c) = buf
+        src.block(st, CatChromaDc, dcLv(c), 4, mx * 2, my * 2, c + 1)
         c += 1
       }
     }
@@ -1540,7 +2066,7 @@ object H264Codec {
         val gbx = mx * 2 + sbx; val gby = my * 2 + sby
         var resid: Array[Int] = null
         if (cbpChroma == 2) {
-          val tc = H264Cavlc.decodeBlock(r, acScan, 15, st.chromaNc(c, gbx, gby))
+          val tc = src.block(st, CatChromaAc, acScan, 15, gbx, gby, c + 1)
           st.setNnzC(c, gbx, gby, tc)
           resid = dequant4x4(unzigzag(acScan, 1), qpC, skipDc = true)
         } else {
@@ -2116,6 +2642,43 @@ object H264Codec {
     val chromaModeMb = new Array[Int](wMbs * hMbs)
     val cbfLumaDcMb = new Array[Boolean](wMbs * hMbs)
     val cbfChromaDcMb = Array.fill(2)(new Array[Boolean](wMbs * hMbs))
+    // P/B CABAC neighbor inputs: per-MB skip (9.3.3.1.1.1) and
+    // B_Skip/B_Direct_16x16 (9.3.3.1.1.3 / .6) flags, and per-block
+    // per-list |mvd| components (9.3.3.1.1.7). Written by the CABAC
+    // P/B paths on BOTH sides (the encoder mirrors the decoder's
+    // grids, so context increments agree bit-for-bit).
+    val skipMbArr = new Array[Boolean](wMbs * hMbs)
+    val bDirectMbArr = new Array[Boolean](wMbs * hMbs)
+    val mvdBlk = Array.fill(2, 2)(new Array[Int](wMbs * 4 * hMbs * 4)) // [list][comp]
+    /** Record a partition's decoded mvd (CABAC neighbor input). */
+    def noteMvd(bx: Int, by: Int, w4: Int, h4: Int, list: Int,
+        dx: Int, dy: Int): Unit = {
+      var y = by
+      while (y < by + h4) {
+        var x = bx
+        while (x < bx + w4) {
+          mvdBlk(list)(0)(blkIdx(x, y)) = dx
+          mvdBlk(list)(1)(blkIdx(x, y)) = dy
+          x += 1
+        }
+        y += 1
+      }
+    }
+    /** Record a partition's decoded ref_idx ahead of its motion
+      * compensation — the CABAC ref_idx context of a later partition
+      * in the SAME macroblock reads it (7.3.5.1 puts all ref_idx
+      * fields before any mvd, so the neighbor's setMv hasn't run
+      * yet). The later setMv/setMvB overwrites with the same value. */
+    def noteRefIdx(bx: Int, by: Int, w4: Int, h4: Int, list: Int,
+        ri: Int): Unit = {
+      val grid = if (list == 0) refIdxBlk else refIdx1Blk
+      var y = by
+      while (y < by + h4) {
+        var x = bx
+        while (x < bx + w4) { grid(blkIdx(x, y)) = ri; x += 1 }
+        y += 1
+      }
+    }
     // per-list motion grids: list 0 (P and B) and list 1 (B only);
     // refIdx -1 = the block does not predict from that list (intra, or
     // a single-list B partition) — 8.4.1.3's "refIdxLXN = -1" marker
@@ -2766,26 +3329,34 @@ object H264Codec {
   private final class CabacSink(e: H264Cabac.Enc, cx: H264Cabac.Ctx)
       extends MbSink {
     private var prevQpDelta = 0
+    /** Residual cbf neighbor rule flips for inter MBs (9.3.3.1.1.9);
+      * the P/B encoders set this around intra-in-P/B emission. */
+    var interMb: Boolean = false
     def mbTypeIntra(st: FrameState, mx: Int, my: Int, v: Int, pOffset: Int): Unit = {
-      require(pOffset == 0, "CABAC intra-in-P out of scope")
       val mbI = my * st.wMbs + mx
-      val inc = mbTypeI4Inc(st, mx, my)
-      if (v == 0) { e.decision(cx, 3 + inc, 0); st.i4MbArr(mbI) = true }
+      // pOffset selects the slice type's tree: 0 = I (prefix-free), 5 =
+      // intra-in-P ('1' prefix at ctx 14), 23 = intra-in-B ('111101'
+      // prefix); the suffix tree shape is shared
+      val tree = pOffset match {
+        case 0 => intraTreeI(st, mx, my)
+        case 5 => encodeMbTypePCabac(e, cx, -1); IntraTreeP
+        case 23 => encodeMbTypeBCabac(e, cx, st, mx, my, -1); IntraTreeB
+        case o => throw new H264Format(s"CABAC intra mb_type offset $o")
+      }
+      if (v == 0) { e.decision(cx, tree(0), 0); st.i4MbArr(mbI) = true }
       else {
         require(v >= 1 && v <= 24, "PCM rides the dedicated CABAC path")
-        e.decision(cx, 3 + inc, 1)
+        e.decision(cx, tree(0), 1)
         e.terminate(0) // not I_PCM
         val vv = v - 1
         val cbpL = vv / 12
         val cbpC = (vv / 4) % 3
         val predMode = vv % 4
-        e.decision(cx, 6, cbpL)
-        if (cbpC == 0) e.decision(cx, 7, 0)
-        else { e.decision(cx, 7, 1); e.decision(cx, 8, if (cbpC == 2) 1 else 0) }
-        val ctxP0 = if (cbpC == 0) 8 else 9
-        val ctxP1 = if (cbpC == 0) 9 else 10
-        e.decision(cx, ctxP0, predMode >> 1)
-        e.decision(cx, ctxP1, predMode & 1)
+        e.decision(cx, tree(1), cbpL)
+        if (cbpC == 0) e.decision(cx, tree(2), 0)
+        else { e.decision(cx, tree(2), 1); e.decision(cx, tree(3), if (cbpC == 2) 1 else 0) }
+        e.decision(cx, tree(4), predMode >> 1)
+        e.decision(cx, tree(5), predMode & 1)
         st.i16MbArr(mbI) = true
         st.cbpLumaMb(mbI) = cbpL * 15
         st.cbpChromaMb(mbI) = cbpC
@@ -2840,7 +3411,7 @@ object H264Codec {
       var n = 0
       var i = 0
       while (i < maxN) { if (coeffs(i) != 0) n += 1; i += 1 }
-      val inc = cbfCtxInc(st, cat, gbx, gby, comp)
+      val inc = cbfCtxInc(st, cat, gbx, gby, comp, curIntra = !interMb)
       e.decision(cx, H264Cabac.CtxCbfBase + 4 * cat + inc, if (n > 0) 1 else 0)
       recordDcCbf(st, cat, gbx, gby, comp, n > 0)
       if (n > 0) H264Cabac.encodeResidualLevels(e, cx, cat, coeffs, maxN)
@@ -3164,9 +3735,9 @@ object H264Codec {
       searchRange: Int = 4, forcedMv: Option[(Int, Int)] = None,
       intraEvery: Int = 0, refFrames: Int = 1,
       forcedRefIdx: Option[(Int, Int) => Int] = None,
-      deblock: Boolean = false): Seq[Array[Byte]] =
+      deblock: Boolean = false, cabac: Boolean = false): Seq[Array[Byte]] =
     encodeGopImpl(frames, qp, avcc, searchRange, forcedMv, intraEvery,
-      refFrames, forcedRefIdx, deblock)._1
+      refFrames, forcedRefIdx, deblock, cabac)._1
 
   /** GOP encode + the encoder's own per-frame reconstructed planes —
     * the spec hook pinning decode ≡ encode-time reconstruction. */
@@ -3174,10 +3745,10 @@ object H264Codec {
       searchRange: Int = 4, forcedMv: Option[(Int, Int)] = None,
       intraEvery: Int = 0, refFrames: Int = 1,
       forcedRefIdx: Option[(Int, Int) => Int] = None,
-      deblock: Boolean = false)
+      deblock: Boolean = false, cabac: Boolean = false)
       : (Seq[Array[Byte]], Seq[(Array[Byte], Array[Byte], Array[Byte])]) = {
     val (ps, sts) = encodeGopImpl(frames, qp, avcc = true, searchRange,
-      forcedMv, intraEvery, refFrames, forcedRefIdx, deblock)
+      forcedMv, intraEvery, refFrames, forcedRefIdx, deblock, cabac)
     (ps, sts.map(st => (st.yPlane, st.cbPlane, st.crPlane)))
   }
 
@@ -3185,7 +3756,7 @@ object H264Codec {
       avcc: Boolean, searchRange: Int, forcedMv: Option[(Int, Int)],
       intraEvery: Int, refFrames: Int = 1,
       forcedRefIdx: Option[(Int, Int) => Int] = None,
-      deblock: Boolean = false)
+      deblock: Boolean = false, cabac: Boolean = false)
       : (Seq[Array[Byte]], Seq[FrameState]) = {
     require(frames.nonEmpty, "empty GOP")
     require(qp >= 0 && qp <= 51, s"qp $qp")
@@ -3195,9 +3766,11 @@ object H264Codec {
       "GOP frames must share dimensions")
     val (idrBytes, st0) =
       encodeImpl(frames.head, avcc, qp, intra4x4 = false, (_, b, _) => b,
-        refFrames, deblock = deblock)
+        refFrames, deblock = deblock,
+        profile = if (cabac) 77 else 66, cabac = cabac)
     val (wMbs, hMbs, cropR, cropB) = mbGeometry(frames.head)
-    val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB, refFrames)
+    val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB, refFrames,
+      profile = if (cabac) 77 else 66, cabac = cabac)
     val payloads = ArrayBuffer(idrBytes)
     val states = ArrayBuffer(st0)
     // DPB most-recent-first, sliding-window bounded — mirrors the decoder
@@ -3207,7 +3780,7 @@ object H264Codec {
       val (yP, cbP, crP) = toYuv420(frames(i), st0.wMbs, st0.hMbs)
       val (sliceNal, st) = encodePFrame(yP, cbP, crP, dpb.toIndexedSeq, qp,
         i % 16, searchRange, forcedMv, intraEvery, refFrames, forcedRefIdx,
-        deblock = deblock)
+        deblock = deblock, cabac = cabac)
       payloads += frameNals(avcc, spsNal, ppsNal, sliceNal)
       states += st
       dpb = (st :: dpb).take(refFrames)
@@ -3235,25 +3808,28 @@ object H264Codec {
    * @return (payloads in decode order, display index of each payload)
    */
   def encodeGopB(frames: Seq[MediaCodecs.Bmp], qp: Int, bFrames: Int = 1,
-      avcc: Boolean = true, searchRange: Int = 4, deblock: Boolean = false)
+      avcc: Boolean = true, searchRange: Int = 4, deblock: Boolean = false,
+      cabac: Boolean = false)
       : (Seq[Array[Byte]], Seq[Int]) = {
-    val (p, d, _) = encodeGopBImpl(frames, qp, bFrames, avcc, searchRange, deblock)
+    val (p, d, _) = encodeGopBImpl(frames, qp, bFrames, avcc, searchRange,
+      deblock, cabac)
     (p, d)
   }
 
   /** [[encodeGopB]] + the encoder's own per-payload reconstructed
     * planes — the parity spec hook (decode order, like the payloads). */
   private[graft] def encodeGopBForTest(frames: Seq[MediaCodecs.Bmp], qp: Int,
-      bFrames: Int = 1, searchRange: Int = 4, deblock: Boolean = false)
+      bFrames: Int = 1, searchRange: Int = 4, deblock: Boolean = false,
+      cabac: Boolean = false)
       : (Seq[Array[Byte]], Seq[Int], Seq[(Array[Byte], Array[Byte], Array[Byte])]) = {
     val (p, d, sts) = encodeGopBImpl(frames, qp, bFrames, avcc = true, searchRange,
-      deblock)
+      deblock, cabac)
     (p, d, sts.map(st => (st.yPlane, st.cbPlane, st.crPlane)))
   }
 
   private def encodeGopBImpl(frames: Seq[MediaCodecs.Bmp], qp: Int,
       bFrames: Int, avcc: Boolean, searchRange: Int,
-      deblock: Boolean = false)
+      deblock: Boolean = false, cabac: Boolean = false)
       : (Seq[Array[Byte]], Seq[Int], Seq[FrameState]) = {
     require(frames.nonEmpty, "empty GOP")
     require(qp >= 0 && qp <= 51, s"qp $qp")
@@ -3274,10 +3850,10 @@ object H264Codec {
     // defaults sized for the refs=2 P shape — every slice overrides
     // down to its actual 1-deep lists
     val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB,
-      refFrames = 2, pocLsbBits = pocBits, profile = 77)
+      refFrames = 2, pocLsbBits = pocBits, profile = 77, cabac = cabac)
     val (idrBytes, st0) = encodeImpl(frames.head, avcc, qp,
       intra4x4 = false, (_, b, _) => b, refFrames = 2, pocLsbBits = pocBits,
-      deblock = deblock, profile = 77)
+      deblock = deblock, profile = 77, cabac = cabac)
     st0.poc = 0
     val payloads = ArrayBuffer(idrBytes)
     val display = ArrayBuffer(0)
@@ -3291,7 +3867,8 @@ object H264Codec {
       val (yP, cbP, crP) = toYuv420(frames(pos), wMbs, hMbs)
       val (pNal, stP) = encodePFrame(yP, cbP, crP, IndexedSeq(prevRef), qp,
         refCount % 16, searchRange, None, 0, refFrames = 2,
-        pocLsbBits = pocBits, pocLsb = (2 * pos) % maxLsb, deblock = deblock)
+        pocLsbBits = pocBits, pocLsb = (2 * pos) % maxLsb, deblock = deblock,
+        cabac = cabac)
       stP.poc = 2 * pos
       payloads += frameNals(avcc, spsNal, ppsNal, pNal)
       display += pos
@@ -3301,7 +3878,7 @@ object H264Codec {
         val (by, bcb, bcr) = toYuv420(frames(bpos), wMbs, hMbs)
         val (bNal, stB) = encodeBFrame(by, bcb, bcr, prevRef, stP, qp,
           (refCount + 1) % 16, (2 * bpos) % maxLsb, pocBits, searchRange,
-          deblock = deblock)
+          deblock = deblock, cabac = cabac)
         stB.poc = 2 * bpos
         payloads += frameNals(avcc, spsNal, ppsNal, bNal)
         display += bpos
@@ -3321,7 +3898,8 @@ object H264Codec {
   private def encodeBFrame(srcY: Array[Byte], srcCb: Array[Byte],
       srcCr: Array[Byte], ref0: FrameState, ref1: FrameState, qp: Int,
       frameNum: Int, pocLsb: Int, pocBits: Int, searchRange: Int,
-      deblock: Boolean = false): (Array[Byte], FrameState) = {
+      deblock: Boolean = false, cabac: Boolean = false)
+      : (Array[Byte], FrameState) = {
     import H264Transform._
     val wMbs = ref0.wMbs; val hMbs = ref0.hMbs
     val lumaW = wMbs * 16; val lumaH = hMbs * 16
@@ -3337,9 +3915,21 @@ object H264Codec {
     w.u1(1); w.ue(0); w.ue(0) // override: 1-deep list0 AND list1
     w.u1(0); w.u1(0) // ref_pic_list_modification l0, l1
     // (no dec_ref_pic_marking: nal_ref_idc 0)
+    if (cabac) w.ue(0) // cabac_init_idc
     w.se(qp - 26) // slice_qp_delta
     if (deblock) { w.ue(0); w.se(0); w.se(0) } // filter ON, zero offsets
     else w.ue(1) // disable_deblocking_filter_idc = 1
+    var enc: H264Cabac.Enc = null
+    var cSink: CabacSink = null
+    var cxE: H264Cabac.Ctx = null
+    if (cabac) {
+      while (!w.byteAligned) w.u1(1) // cabac_alignment_one_bit
+      cxE = new H264Cabac.Ctx
+      cxE.initPB(0, qp)
+      enc = new H264Cabac.Enc(w)
+      cSink = new CabacSink(enc, cxE)
+      cSink.interMb = true
+    }
     var mb = 0
     var skipRun = 0 // pending B_Skip run (emitted before the next coded MB)
     val nMbs = wMbs * hMbs
@@ -3435,30 +4025,61 @@ object H264Codec {
       val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, chromaQp(qp),
         predOf = c => predC(c))
       val cbp = cbpLuma | (chroma.cbpChroma << 4)
+      val mbI = my * wMbs + mx
       if (useDirect && cbp == 0) {
-        // B_Skip: direct motion, zero residual — one run count, no bits
-        skipRun += 1
+        // B_Skip: direct motion, zero residual — one run count (CAVLC)
+        // or a context-coded flag (CABAC)
+        if (cabac) {
+          enc.decision(cxE, 24 + skipFlagInc(st, mx, my), 1)
+          st.skipMbArr(mbI) = true
+          st.bDirectMbArr(mbI) = true
+          cSink.qpDeltaSkipped()
+        } else skipRun += 1
         markInterNnzZero(st, mx, my)
         st.markMb(mx, my, intra = false, qp)
         mb += 1
       } else {
-        w.ue(skipRun) // mb_skip_run before this coded MB
-        skipRun = 0
-        if (useDirect) w.ue(0) // B_Direct_16x16
-        else {
-          w.ue(mode) // mb_type: B_L0_16x16=1 / B_L1_16x16=2 / B_Bi_16x16=3
-          // (no ref_idx fields: both lists are 1 deep)
-          if (useL0) { w.se(v0x - p0x); w.se(v0y - p0y) }
-          if (useL1) { w.se(v1x - p1x); w.se(v1y - p1y) }
+        if (cabac) {
+          enc.decision(cxE, 24 + skipFlagInc(st, mx, my), 0)
+          if (useDirect) {
+            encodeMbTypeBCabac(enc, cxE, st, mx, my, 0) // B_Direct_16x16
+            st.bDirectMbArr(mbI) = true
+          } else {
+            encodeMbTypeBCabac(enc, cxE, st, mx, my, mode)
+            // (no ref_idx fields: both lists are 1 deep)
+            if (useL0) {
+              encodeMvdCabac(enc, cxE, st, mx * 4, my * 4, 0, 0, v0x - p0x)
+              encodeMvdCabac(enc, cxE, st, mx * 4, my * 4, 0, 1, v0y - p0y)
+              st.noteMvd(mx * 4, my * 4, 4, 4, 0, v0x - p0x, v0y - p0y)
+            }
+            if (useL1) {
+              encodeMvdCabac(enc, cxE, st, mx * 4, my * 4, 1, 0, v1x - p1x)
+              encodeMvdCabac(enc, cxE, st, mx * 4, my * 4, 1, 1, v1y - p1y)
+              st.noteMvd(mx * 4, my * 4, 4, 4, 1, v1x - p1x, v1y - p1y)
+            }
+          }
+          cSink.cbpI4(st, mx, my, cbp)
+          if (cbp != 0) cSink.qpDelta(0) else cSink.qpDeltaSkipped()
+        } else {
+          w.ue(skipRun) // mb_skip_run before this coded MB
+          skipRun = 0
+          if (useDirect) w.ue(0) // B_Direct_16x16
+          else {
+            w.ue(mode) // mb_type: B_L0_16x16=1 / B_L1_16x16=2 / B_Bi_16x16=3
+            // (no ref_idx fields: both lists are 1 deep)
+            if (useL0) { w.se(v0x - p0x); w.se(v0y - p0y) }
+            if (useL1) { w.se(v1x - p1x); w.se(v1y - p1y) }
+          }
+          w.ue(CbpInterToCodeNum(cbp))
+          if (cbp != 0) w.se(0) // mb_qp_delta
         }
-        w.ue(CbpInterToCodeNum(cbp))
-        if (cbp != 0) w.se(0) // mb_qp_delta
+        val sink: MbSink = if (cabac) cSink else new CavlcSink(w)
         bi = 0
         while (bi < 16) {
           val (bxo, byo) = LumaBlockOrder(bi)
           val gbx = mx * 4 + bxo; val gby = my * 4 + byo
           if ((cbpLuma & (1 << (bi >> 2))) != 0) {
-            val tc = H264Cavlc.encodeBlock(w, levels(bi), 16, st.lumaNc(gbx, gby))
+            val tc = sink.blockOut(st, CatLuma4x4, levels(bi), 16, gbx, gby, 0)
             st.setNnzY(gbx, gby, tc)
             val rpx = inverse4x4(dequant4x4(unzigzag(levels(bi), 0), qp, skipDc = false))
             var py = 0
@@ -3474,13 +4095,17 @@ object H264Codec {
           } else st.setNnzY(gbx, gby, 0)
           bi += 1
         }
-        chroma.emit(w)
+        chroma.emit(sink)
         st.markMb(mx, my, intra = false, qp)
         mb += 1
       }
+      if (cabac) enc.terminate(if (mb == nMbs) 1 else 0) // end_of_slice
     }
-    if (skipRun > 0) w.ue(skipRun) // trailing run ends the slice
-    w.trailing()
+    if (cabac) w.alignToByte()
+    else {
+      if (skipRun > 0) w.ue(skipRun) // trailing run ends the slice
+      w.trailing()
+    }
     if (deblock) deblockFrame(st, 0, 0) // output filter (non-ref picture)
     // NAL header: forbidden 0, nal_ref_idc 0 (disposable), type 1
     (Array[Byte](0x01.toByte) ++ escape(w.bytes), st)
@@ -3497,7 +4122,8 @@ object H264Codec {
       frameNum: Int, searchRange: Int, forcedMv: Option[(Int, Int)],
       intraEvery: Int, refFrames: Int = 1,
       forcedRefIdx: Option[(Int, Int) => Int] = None,
-      pocLsbBits: Int = 0, pocLsb: Int = 0, deblock: Boolean = false)
+      pocLsbBits: Int = 0, pocLsb: Int = 0, deblock: Boolean = false,
+      cabac: Boolean = false)
       : (Array[Byte], FrameState) = {
     import H264Transform._
     require(refs.nonEmpty, "P frame needs at least one reference")
@@ -3518,9 +4144,23 @@ object H264Codec {
     } else w.u1(0)
     w.u1(0) // ref_pic_list_modification_flag_l0
     w.u1(0) // adaptive_ref_pic_marking_mode_flag (sliding window)
+    if (cabac) w.ue(0) // cabac_init_idc
     w.se(qp - 26) // slice_qp_delta
     if (deblock) { w.ue(0); w.se(0); w.se(0) } // filter ON, zero offsets
     else w.ue(1) // disable_deblocking_filter_idc = 1
+    // CABAC slice data: alignment ones, then every syntax element
+    // rides the arithmetic engine (skip flags per MB, no skip runs)
+    var enc: H264Cabac.Enc = null
+    var cSink: CabacSink = null
+    var cxE: H264Cabac.Ctx = null
+    if (cabac) {
+      while (!w.byteAligned) w.u1(1) // cabac_alignment_one_bit
+      cxE = new H264Cabac.Ctx
+      cxE.initPB(0, qp)
+      enc = new H264Cabac.Enc(w)
+      cSink = new CabacSink(enc, cxE)
+      cSink.interMb = true
+    }
     // te(v) write for ref_idx_l0: range 1 = single inverted bit
     def writeRefIdx(v: Int): Unit =
       if (nActive == 2) w.u1(1 - v) else w.ue(v)
@@ -3530,9 +4170,17 @@ object H264Codec {
     while (mb < nMbs) {
       val mx = mb % wMbs; val my = mb / wMbs
       if (intraEvery > 0 && mb % intraEvery == 0) {
-        w.ue(skipRun); skipRun = 0
-        encodeIntra16x16Mb(new CavlcSink(w), st, mx, my, srcY, srcCb, srcCr, qp,
-          mbTypeOffset = 5)
+        if (cabac) {
+          enc.decision(cxE, 11 + skipFlagInc(st, mx, my), 0)
+          cSink.interMb = false
+          encodeIntra16x16Mb(cSink, st, mx, my, srcY, srcCb, srcCr, qp,
+            mbTypeOffset = 5)
+          cSink.interMb = true
+        } else {
+          w.ue(skipRun); skipRun = 0
+          encodeIntra16x16Mb(new CavlcSink(w), st, mx, my, srcY, srcCb, srcCr,
+            qp, mbTypeOffset = 5)
+        }
         st.setMv(mx * 4, my * 4, 4, 4, 0, 0, inter = false, refIdx = -1)
       } else {
         // reference selection: forced pattern (clamped to what exists),
@@ -3594,28 +4242,46 @@ object H264Codec {
         val cbp = cbpLuma | (chroma.cbpChroma << 4)
         if (cbp == 0 && refIdx == 0 && (vx, vy) == skipMv(st, mx, my)) {
           // P_Skip: reconstruction IS the MC prediction (refs(0) only)
+          if (cabac) {
+            enc.decision(cxE, 11 + skipFlagInc(st, mx, my), 1)
+            st.skipMbArr(my * wMbs + mx) = true
+            cSink.qpDeltaSkipped()
+          } else skipRun += 1
           mcPartition(st, ref, mx * 4, my * 4, 4, 4, vx, vy, refIdx = 0)
           markInterNnzZero(st, mx, my)
           st.markMb(mx, my, intra = false, qp)
-          skipRun += 1
         } else {
-          w.ue(skipRun); skipRun = 0
-          w.ue(0) // mb_type P_L0_16x16
-          if (nActive > 1) writeRefIdx(refIdx) // ref_idx_l0, te(v)
           val (px0, py0) = mvPredict(st, mx * 4, my * 4, 4, 0, refIdx)
-          w.se(vx - px0); w.se(vy - py0) // mvd_l0
-          w.ue(CbpInterToCodeNum(cbp))
-          if (cbp != 0) w.se(0) // mb_qp_delta
+          if (cabac) {
+            enc.decision(cxE, 11 + skipFlagInc(st, mx, my), 0)
+            encodeMbTypePCabac(enc, cxE, 0) // P_L0_16x16
+            if (nActive > 1) {
+              encodeRefIdxCabac(enc, cxE, st, mx * 4, my * 4, 0, refIdx)
+              st.noteRefIdx(mx * 4, my * 4, 4, 4, 0, refIdx)
+            }
+            encodeMvdCabac(enc, cxE, st, mx * 4, my * 4, 0, 0, vx - px0)
+            encodeMvdCabac(enc, cxE, st, mx * 4, my * 4, 0, 1, vy - py0)
+            st.noteMvd(mx * 4, my * 4, 4, 4, 0, vx - px0, vy - py0)
+            cSink.cbpI4(st, mx, my, cbp)
+            if (cbp != 0) cSink.qpDelta(0) else cSink.qpDeltaSkipped()
+          } else {
+            w.ue(skipRun); skipRun = 0
+            w.ue(0) // mb_type P_L0_16x16
+            if (nActive > 1) writeRefIdx(refIdx) // ref_idx_l0, te(v)
+            w.se(vx - px0); w.se(vy - py0) // mvd_l0
+            w.ue(CbpInterToCodeNum(cbp))
+            if (cbp != 0) w.se(0) // mb_qp_delta
+          }
           // prediction into the planes + MV grid (decoder order), then
           // residual written and reconstructed exactly as the decoder
+          val sink: MbSink = if (cabac) cSink else new CavlcSink(w)
           mcPartition(st, ref, mx * 4, my * 4, 4, 4, vx, vy, refIdx)
           bi = 0
           while (bi < 16) {
             val (bxo, byo) = LumaBlockOrder(bi)
             val gbx = mx * 4 + bxo; val gby = my * 4 + byo
             if ((cbpLuma & (1 << (bi >> 2))) != 0) {
-              val tc = H264Cavlc.encodeBlock(w, levels(bi), 16,
-                st.lumaNc(gbx, gby))
+              val tc = sink.blockOut(st, CatLuma4x4, levels(bi), 16, gbx, gby, 0)
               st.setNnzY(gbx, gby, tc)
               val rpx = inverse4x4(
                 dequant4x4(unzigzag(levels(bi), 0), qp, skipDc = false))
@@ -3633,14 +4299,18 @@ object H264Codec {
             } else st.setNnzY(gbx, gby, 0)
             bi += 1
           }
-          chroma.emit(w)
+          chroma.emit(sink)
           st.markMb(mx, my, intra = false, qp)
         }
       }
+      if (cabac) enc.terminate(if (mb == nMbs - 1) 1 else 0) // end_of_slice
       mb += 1
     }
-    if (skipRun > 0) w.ue(skipRun) // trailing skip run ends the slice
-    w.trailing()
+    if (cabac) w.alignToByte()
+    else {
+      if (skipRun > 0) w.ue(skipRun) // trailing skip run ends the slice
+      w.trailing()
+    }
     if (deblock) deblockFrame(st, 0, 0)
     (Array[Byte](0x61.toByte) ++ escape(w.bytes), st)
   }
@@ -3687,7 +4357,8 @@ object H264Codec {
   private[graft] def pPartitionRoundTripForTest(srcY: Array[Byte],
       srcCb: Array[Byte], srcCr: Array[Byte], refY: Array[Byte],
       refCb: Array[Byte], refCr: Array[Byte], wMbs: Int, hMbs: Int, qp: Int,
-      plan: (Int, Int) => (Int, Seq[Int], Seq[(Int, Int)]))
+      plan: (Int, Int) => (Int, Seq[Int], Seq[(Int, Int)]),
+      cabac: Boolean = false)
       : (Array[Byte], (Array[Byte], Array[Byte], Array[Byte]),
          Option[(Array[Byte], Array[Byte], Array[Byte])]) = {
     import H264Transform._
@@ -3701,22 +4372,45 @@ object H264Codec {
     w.ue(0); w.ue(5); w.ue(0) // first_mb, slice_type P, pps id
     w.u(1, 4) // frame_num
     w.u1(0); w.u1(0); w.u1(0) // ref override / list mod / adaptive marking
+    if (cabac) w.ue(0) // cabac_init_idc
     w.se(qp - 26)
     w.ue(1) // disable deblocking
+    var enc: H264Cabac.Enc = null
+    var cSink: CabacSink = null
+    var cxE: H264Cabac.Ctx = null
+    if (cabac) {
+      while (!w.byteAligned) w.u1(1)
+      cxE = new H264Cabac.Ctx; cxE.initPB(0, qp)
+      enc = new H264Cabac.Enc(w)
+      cSink = new CabacSink(enc, cxE)
+      cSink.interMb = true
+    }
+    val sink: MbSink = if (cabac) cSink else new CavlcSink(w)
+    val nMbsAll = wMbs * hMbs
     var mb = 0
-    while (mb < wMbs * hMbs) {
+    while (mb < nMbsAll) {
       val mx = mb % wMbs; val my = mb / wMbs
       val bx0 = mx * 4; val by0 = my * 4
       val (mbType, subTypes, mvs) = plan(mx, my)
-      w.ue(0) // mb_skip_run
-      w.ue(mbType)
+      if (cabac) {
+        enc.decision(cxE, 11 + skipFlagInc(st, mx, my), 0) // mb_skip_flag
+        require(mbType != 4, "P_8x8ref0 has no CABAC binarization")
+        encodeMbTypePCabac(enc, cxE, mbType)
+      } else {
+        w.ue(0) // mb_skip_run
+        w.ue(mbType)
+      }
       val it = mvs.iterator
       // partitions in decode order: predict -> mvd -> MC (prediction
       // lands in the planes; residual rides on top, as in the decoder)
       def part(bx: Int, by: Int, w4: Int, h4: Int, kind: Int): Unit = {
         val (vx, vy) = it.next()
         val (px, py) = mvPredict(st, bx, by, w4, kind, 0)
-        w.se(vx - px); w.se(vy - py)
+        if (cabac) {
+          encodeMvdCabac(enc, cxE, st, bx, by, 0, 0, vx - px)
+          encodeMvdCabac(enc, cxE, st, bx, by, 0, 1, vy - py)
+          st.noteMvd(bx, by, w4, h4, 0, vx - px, vy - py)
+        } else { w.se(vx - px); w.se(vy - py) }
         mcPartition(st, ref, bx, by, w4, h4, vx, vy)
       }
       mbType match {
@@ -3725,7 +4419,8 @@ object H264Codec {
         case 2 => part(bx0, by0, 2, 4, 3); part(bx0 + 2, by0, 2, 4, 4)
         case 3 | 4 =>
           require(subTypes.length == 4, "P_8x8 needs 4 sub_mb_types")
-          subTypes.foreach(t => w.ue(t))
+          if (cabac) subTypes.foreach(t => encodeSubMbTypePCabac(enc, cxE, t))
+          else subTypes.foreach(t => w.ue(t))
           var sb = 0
           while (sb < 4) {
             val sbx = bx0 + (sb % 2) * 2; val sby = by0 + (sb / 2) * 2
@@ -3773,14 +4468,19 @@ object H264Codec {
       val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, chromaQp(qp),
         predOf = c => predC(c))
       val cbp = cbpLuma | (chroma.cbpChroma << 4)
-      w.ue(CbpInterToCodeNum(cbp))
-      if (cbp != 0) w.se(0) // mb_qp_delta
+      if (cabac) {
+        cSink.cbpI4(st, mx, my, cbp)
+        if (cbp != 0) cSink.qpDelta(0) else cSink.qpDeltaSkipped()
+      } else {
+        w.ue(CbpInterToCodeNum(cbp))
+        if (cbp != 0) w.se(0) // mb_qp_delta
+      }
       bi = 0
       while (bi < 16) {
         val (bxo, byo) = LumaBlockOrder(bi)
         val gbx = mx * 4 + bxo; val gby = my * 4 + byo
         if ((cbpLuma & (1 << (bi >> 2))) != 0) {
-          val tc = H264Cavlc.encodeBlock(w, levels(bi), 16, st.lumaNc(gbx, gby))
+          val tc = sink.blockOut(st, CatLuma4x4, levels(bi), 16, gbx, gby, 0)
           st.setNnzY(gbx, gby, tc)
           val rpx = inverse4x4(dequant4x4(unzigzag(levels(bi), 0), qp, skipDc = false))
           var py = 0
@@ -3796,16 +4496,20 @@ object H264Codec {
         } else st.setNnzY(gbx, gby, 0)
         bi += 1
       }
-      chroma.emit(w)
+      chroma.emit(sink)
+      st.markMb(mx, my, intra = false, qp)
+      if (cabac) enc.terminate(if (mb == nMbsAll - 1) 1 else 0)
       mb += 1
     }
-    w.trailing()
-    val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, 0, 0)
+    if (cabac) w.alignToByte() else w.trailing()
+    val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, 0, 0, cabac = cabac,
+      profile = if (cabac) 77 else 66)
     val payload = frameNals(avcc = true, spsNal, ppsNal,
       Array[Byte](0x61.toByte) ++ escape(w.bytes))
     val g = new GopDecoder
-    g.seed(Sps(66, 30, 4, 2, wMbs, hMbs, 0, 0), Pps(entropyCabac = false, 26,
-      deblockingControlPresent = true), List(ref))
+    g.seed(Sps(if (cabac) 77 else 66, 30, 4, 2, wMbs, hMbs, 0, 0),
+      Pps(entropyCabac = cabac, 26, deblockingControlPresent = true),
+      List(ref))
     val dec =
       try g.decodeAuYuv(payload).map(t => (t._2, t._3, t._4))
       catch { case _: Exception => None }

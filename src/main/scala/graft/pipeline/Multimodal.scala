@@ -65,14 +65,15 @@ object Multimodal {
     * with POC-type-0 display reordering, AND the 8.7 in-loop
     * deblocking filter — `H264Codec.decodeGop` handles x264-default
     * baseline streams and IbbP GOPs; FLAC went native in r12 too
-    * ([[FlacCodec]]); r13 added CABAC entropy decoding for I slices
-    * (main-profile keyframes/stills — [[H264Cabac]], self-witnessed by
-    * encoder round trips, exact-termination-gated on foreign input)
-    * plus B_Skip/B_Direct spatial direct and deblocking on B slices.
-    * What remains stubbed is CABAC P/B slices (the cabac_init_idc
-    * context-table variants), weighted prediction, B_8x8, and AAC
-    * audio — AAC's large Huffman codebooks cannot be honestly
-    * transcribed or verified in this container). */
+    * ([[FlacCodec]]); r13 added CABAC entropy decoding for I, P AND B
+    * slices (main-profile streams — [[H264Cabac]], cabac_init_idc-0
+    * context column, self-witnessed by encoder round trips,
+    * exact-termination-gated on foreign input) plus B_Skip/B_Direct
+    * spatial direct and deblocking on B slices. What remains stubbed
+    * is cabac_init_idc 1/2 (rare non-default encoder tuning), weighted
+    * prediction, B_8x8, high-profile 8x8 transforms, and AAC audio —
+    * AAC's large Huffman codebooks cannot be honestly transcribed or
+    * verified in this container). */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
     var h = 1125899906842597L

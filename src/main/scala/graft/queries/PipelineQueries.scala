@@ -3046,6 +3046,85 @@ object PipelineQueries {
              |  true AS parity_ok, true AS skip_engaged
              |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
 
+    // CABAC P/B slices (r13, 9.3 idc-0 contexts): the same x264-like
+    // IbbP + deblocking shape as q_h264_bdirect_roundtrip, but the
+    // whole GOP rides the ARITHMETIC entropy coder — skip flags, B
+    // mb_type trees, UEG3 mvds, context-coded residuals. `parity_ok`
+    // pins decode == encoder reconstruction byte-for-byte through the
+    // deblocked reference chain; `cross_mode_ok` pins the CABAC GOP's
+    // reconstruction equal to the CAVLC GOP's (the two entropy modes
+    // share every prediction/transform kernel, so any divergence is an
+    // entropy-layer bug); `size_bounded` pins the arithmetic payloads
+    // within the small-slice overhead envelope of CAVLC. Behavior
+    // pinned in H264CabacPBSpec.
+    "q_h264_cabac_pb_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val len = text.codePointCount(0, text.length)
+            val w = 32 + 2 * (len % 8).toInt
+            val h = 32 + 2 * ((len + id) % 6).toInt
+            val frames = (0 until 5).map { tIdx =>
+              val rgb = new Array[Byte](w * h * 3)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val o = (y * w + x) * 3
+                  val bg = (x * 150) / math.max(1, w - 1) +
+                    (y * 80) / math.max(1, h - 1)
+                  val sx = 4 + tIdx * 2
+                  val v = if (x >= sx && x < sx + 10 && y >= 8 && y < 20) 250 else bg
+                  rgb(o) = v.toByte
+                  rgb(o + 1) = ((v + 30) % 256).toByte
+                  rgb(o + 2) = ((v + 60) % 256).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              graft.pipeline.MediaCodecs.Bmp(w, h, rgb)
+            }
+            val (pv, display, recon) = graft.pipeline.H264Codec
+              .encodeGopBForTest(frames, qp = 26, bFrames = 2, deblock = true,
+                cabac = true)
+            val (pvCavlc, _, reconCavlc) = graft.pipeline.H264Codec
+              .encodeGopBForTest(frames, qp = 26, bFrames = 2, deblock = true)
+            val reorderOk = display == Seq(0, 3, 1, 2, 4)
+            val g = new graft.pipeline.H264Codec.GopDecoder
+            var parityOk = true
+            var nDecoded = 0
+            pv.zip(recon).foreach { case (p, (ey, ecb, ecr)) =>
+              g.decodeAuYuv(p) match {
+                case Some((_, yP, cbP, crP)) =>
+                  nDecoded += 1
+                  parityOk &&= java.util.Arrays.equals(yP, ey) &&
+                    java.util.Arrays.equals(cbP, ecb) &&
+                    java.util.Arrays.equals(crP, ecr)
+                case None => parityOk = false
+              }
+            }
+            val crossOk = recon.zip(reconCavlc).forall { case ((a, b, c), (x, y2, z)) =>
+              java.util.Arrays.equals(a, x) && java.util.Arrays.equals(b, y2) &&
+                java.util.Arrays.equals(c, z)
+            }
+            val sizeBounded = pv.map(_.length.toLong).sum <
+              pvCavlc.map(_.length.toLong).sum * 1.15
+            (id, w, h, nDecoded, reorderOk, parityOk, crossOk, sizeBounded)
+          }
+          .toDF("doc_id", "width", "height", "n_decoded", "reorder_ok",
+            "parity_ok", "cross_mode_ok", "size_bounded")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(32 + 2 * (len(text) % 8) AS INT) AS width,
+             |  CAST(32 + 2 * ((len(text) + doc_id) % 6) AS INT) AS height,
+             |  CAST(5 AS INT) AS n_decoded, true AS reorder_ok,
+             |  true AS parity_ok, true AS cross_mode_ok, true AS size_bounded
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
     // raw .h264 elementary-stream ingest (r11): the same IPPP GOP as a
     // containerless Annex-B byte stream (start-code NALs back to back —
     // the form cameras and ffmpeg's rawvideo path emit). Access-unit

@@ -222,10 +222,9 @@ class H264CabacSpec extends AnyFunSuite {
     }
   }
 
-  test("foreign-shape guard: CABAC P slices refuse loudly") {
-    // a CABAC GOP would need the cabac_init_idc P/B context tables —
-    // out of scope; the P payloads of a CAVLC GOP re-tagged as CABAC
-    // must poison (refuse), not drift
+  test("CAVLC GOPs keep decoding alongside the CABAC paths") {
+    // (r13 made CABAC P/B first-class — H264CabacPBSpec owns that
+    // coverage; this pin keeps the CAVLC baseline regression-guarded)
     val frames = Seq(frame(48, 32, 1), frame(48, 32, 2))
     val gop = H264Codec.encodeGop(frames, qp = 26)
     val decoded = H264Codec.decodeGop(gop)
