@@ -55,27 +55,38 @@ object ScaleRehearsal {
       catch { case e: Throwable => System.err.println(s"[rehearsal] warm $n: $e") }
     }
 
-    def timed(label: String)(body: => Long): (Double, Long) = {
-      System.gc(); Thread.sleep(2000)
-      val t0 = System.nanoTime()
-      val rows = body
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[rehearsal] $label%-28s ${sec}%8.2f s  ($rows rows)")
-      (sec, rows)
+    // Each (query, scale) is timed TWICE with the session-level memos
+    // dropped between reps, and the MIN is reported: rep 1 pays
+    // whatever JIT/codegen the warm pass didn't reach (a first
+    // iterative job can be 3x its steady state), so min-of-two is the
+    // steady-state number a long-running cluster job would see.
+    def timed(label: String, invalidate: () => Unit)(body: => Long): Double = {
+      var best = Double.MaxValue
+      var rep = 1
+      while (rep <= 2) {
+        invalidate()
+        System.gc(); Thread.sleep(2000)
+        val t0 = System.nanoTime()
+        val rows = body
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[rehearsal] $label%-28s rep$rep ${sec}%8.2f s  ($rows rows)")
+        best = math.min(best, sec)
+        rep += 1
+      }
+      best
     }
+    def inval(dir: String): () => Unit = () =>
+      try graft.queries.CorpusQueries.invalidateCaches(spark, dir)
+      catch { case _: Throwable => () }
 
     val results = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
     names.foreach { n =>
-      val (a, _) = timed(s"$n @sf0.1") {
+      val a = timed(s"$n @sf0.1", inval(sf01)) {
         SparkEntry.queries(n)(spark, sf01).count()
       }
-      try graft.queries.CorpusQueries.invalidateCaches(spark, sf01)
-      catch { case _: Throwable => () }
-      val (b, _) = timed(s"$n @sf1") {
+      val b = timed(s"$n @sf1", inval(sf1Dir)) {
         SparkEntry.queries(n)(spark, sf1Dir).count()
       }
-      try graft.queries.CorpusQueries.invalidateCaches(spark, sf1Dir)
-      catch { case _: Throwable => () }
       results += ((n, a, b))
     }
 
@@ -93,8 +104,8 @@ object ScaleRehearsal {
         maxHamming = 6, minFrames = 3).count()
     }
     videoRun(8) // warm
-    val (va, _) = timed("q_video_phash[100] @sf0.1")(videoRun(100))
-    val (vb, _) = timed("q_video_phash[1000] @sf1")(videoRun(1000))
+    val va = timed("q_video_phash[100] @sf0.1", () => ())(videoRun(100))
+    val vb = timed("q_video_phash[1000] @sf1", () => ())(videoRun(1000))
     results += (("q_video_phash_dedup", va, vb))
 
     println("\n| query | sf0.1 s | sf1 s | ratio (ideal ~10x) |")

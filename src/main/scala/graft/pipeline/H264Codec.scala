@@ -99,6 +99,17 @@ object H264Codec {
       * the CABAC arithmetic decoder (which consumes whole bytes). */
     def rbsp: Array[Byte] = data
     def bytePosAligned: Int = { require(byteAligned); pos >> 3 }
+    /** more_rbsp_data() (7.2): data remains iff the current position
+      * is before the rbsp_stop_one_bit — the LAST set bit in the
+      * payload (trailing alignment past it is all zeros). */
+    def moreRbspData: Boolean = {
+      var b = data.length - 1
+      while (b >= 0 && data(b) == 0) b -= 1
+      if (b < 0) return false
+      var stop = b * 8 + 7
+      while (((data(b) >> (7 - (stop & 7))) & 1) == 0) stop -= 1
+      pos < stop
+    }
   }
 
   private final class BitWriter extends H264Cavlc.BitOut {
@@ -185,16 +196,25 @@ object H264Codec {
       deblockingControlPresent: Boolean, weightedPred: Boolean = false,
       numRefIdxL0Default: Int = 0, numRefIdxL1Default: Int = 0,
       weightedBipredIdc: Int = 0, bottomFieldPocPresent: Boolean = false,
-      redundantPicCntPresent: Boolean = false)
+      redundantPicCntPresent: Boolean = false,
+      transform8x8Mode: Boolean = false, chromaQpOff: Int = 0)
 
   private def parseSps(r: BitReader): Sps = {
     val profile = r.u(8)
     r.u(8) // constraint flags + reserved
     val level = r.u(8)
     r.ue() // sps id
-    if (profile == 100 || profile == 110 || profile == 122 || profile == 244 ||
+    if (profile == 100) {
+      // High profile (r13): 8-bit 4:2:0 with flat scaling lists only —
+      // anything else refuses loudly rather than mis-decoding
+      if (r.ue() != 1) throw new H264Format("chroma_format != 4:2:0 out of scope")
+      if (r.ue() != 0) throw new H264Format("bit_depth_luma != 8 out of scope")
+      if (r.ue() != 0) throw new H264Format("bit_depth_chroma != 8 out of scope")
+      if (r.u1() != 0) throw new H264Format("transform bypass out of scope")
+      if (r.u1() != 0) throw new H264Format("SPS scaling matrices out of scope")
+    } else if (profile == 110 || profile == 122 || profile == 244 ||
       profile == 44 || profile == 83 || profile == 86 || profile == 118 ||
-      profile == 128) throw new H264Format("high-profile SPS out of scope")
+      profile == 128) throw new H264Format(s"profile $profile out of scope")
     val log2MaxFrameNum = r.ue() + 4
     val poc = r.ue()
     // POC type 0's lsb width matters: the slice header reads exactly
@@ -231,12 +251,30 @@ object H264Codec {
     val weighted = r.u1() == 1 // weighted_pred_flag (P slices)
     val wBipred = r.u(2) // weighted_bipred_idc (B slices: 0 = default averaging)
     val qp = r.se() + 26
-    r.se(); r.se() // qs, chroma_qp_offset
+    r.se() // pic_init_qs (SP/SI only)
+    // chroma_qp_index_offset: QPc = lookup(Clip3(0, 51, QPy + offset)) —
+    // silently ignoring a nonzero offset would mis-decode every chroma
+    // block of streams tuned with it (e.g. x264 --chroma-qp-offset)
+    val cqpOff = r.se()
+    if (cqpOff < -12 || cqpOff > 12)
+      throw new H264Format(s"chroma_qp_index_offset $cqpOff out of range")
     val deblock = r.u1() == 1
     r.u1() // constrained_intra_pred_flag
     val redundant = r.u1() == 1 // redundant_pic_cnt_present_flag
+    // High-profile PPS extension (7.3.2.2 tail, present iff more RBSP
+    // data before the stop bit): 8x8 transform mode, scaling matrices
+    // (flat only), second chroma offset (must equal the first — Cb/Cr
+    // split offsets stay out of scope)
+    var t8x8 = false
+    if (r.moreRbspData) {
+      t8x8 = r.u1() == 1
+      if (r.u1() != 0) throw new H264Format("PPS scaling matrices out of scope")
+      val cqpOff2 = r.se()
+      if (cqpOff2 != cqpOff)
+        throw new H264Format("per-component chroma QP offsets out of scope")
+    }
     Pps(cabac, qp, deblock, weighted, numRefL0, numRefL1, wBipred, bottomPoc,
-      redundant)
+      redundant, t8x8, cqpOff)
   }
 
   // ---------------- decode ----------------
@@ -581,6 +619,12 @@ object H264Codec {
     }
     val st = new FrameState(sps.widthMbs, sps.heightMbs)
     st.poc = pocVal
+    st.cqpOff = pps.chromaQpOff
+    st.t8x8Allowed = pps.transform8x8Mode
+    // 8x8 residuals under CABAC need their own significance/level
+    // context families (ctxBlockCat 5) — not transcribed; refuse
+    if (pps.transform8x8Mode && pps.entropyCabac)
+      throw new H264Format("CABAC 8x8 transform out of scope")
     var qpY = pps.picInitQp + sliceQpDelta
     if (qpY < 0 || qpY > 51) throw new H264Format(s"slice QP $qpY out of range")
     if (pps.entropyCabac) {
@@ -656,9 +700,16 @@ object H264Codec {
         qpY = ((qpY + qpDelta) % 52 + 52) % 52
         decodeIntra16x16(new CavlcSrc(r), st, mbX / 16, mbY / 16, predMode,
           chromaMode, cbpLuma, cbpChroma, qpY)
+      } else if (mbType == 0 && st.t8x8Allowed && r.u1() == 1) {
+        // transform_size_8x8_flag = 1 (7.3.5, high profile): Intra_8x8
+        // prediction + the 8x8 integer transform; CAVLC residuals ride
+        // four interleaved 4x4 blocks per 8x8 (7.3.5.3.2)
+        qpY = decodeIntra8x8Mb(r, st, mbX / 16, mbY / 16, qpY)
       } else if (mbType == 0) {
         // Intra_4x4 (7.3.5.1): 16 per-block pred modes, chroma mode,
         // me(v)-coded CBP, qp delta only when any residual is coded
+        // (transform_size_8x8_flag = 0 was consumed above when the PPS
+        // enables the 8x8 mode)
         val modes = new Array[Int](16)
         var bi = 0
         while (bi < 16) {
@@ -683,7 +734,7 @@ object H264Codec {
         val src = new CavlcSrc(r)
         decodeIntra4x4Luma(src, st, mbX / 16, mbY / 16, modes, cbpLuma, qpY)
         decodeChromaResid(src, st, mbX / 16, mbY / 16, chromaMode, cbpChroma,
-          H264Transform.chromaQp(qpY))
+          st.cQp(qpY))
       } else throw new H264Format(s"bad intra mb_type $mbType")
     }
     // deblock inputs: intra MBs force bS 3/4 at their edges; I_PCM
@@ -1019,7 +1070,7 @@ object H264Codec {
       }
       decodeIntra4x4Luma(src, st, mx, my, modes, cbpLuma, qpY)
       decodeChromaResid(src, st, mx, my, chromaMode, cbpChroma,
-        H264Transform.chromaQp(qpY))
+        st.cQp(qpY))
     }
     st.markMb(mx, my, intra = true, qpY)
     (qpY, qpDelta, d)
@@ -1340,7 +1391,7 @@ object H264Codec {
     val src = new CabacSrc(d, cx, interMb = true)
     decodeInterLumaResid(src, st, mx, my, cbpLuma, qpY)
     decodeChromaResidOnPred(src, st, mx, my, cbpChroma,
-      H264Transform.chromaQp(qpY))
+      st.cQp(qpY))
     (qpY, delta)
   }
 
@@ -1752,7 +1803,7 @@ object H264Codec {
         if (cbp != 0) qpY = ((qpY + r.se()) % 52 + 52) % 52
         decodeInterLumaResid(new CavlcSrc(r), st, mx, my, cbp & 15, qpY)
         decodeChromaResidOnPred(new CavlcSrc(r), st, mx, my, cbp >> 4,
-          H264Transform.chromaQp(qpY))
+          st.cQp(qpY))
         st.markMb(mx, my, intra = false, qpY)
       } else if (mbType >= 23) { // intra in a B slice (Table 7-14: type − 23)
         qpY = decodeIntraMb(r, st, mx * 16, my * 16, mbType - 23, qpY)
@@ -1816,7 +1867,7 @@ object H264Codec {
     if (cbp != 0) qpY = ((qpY + r.se()) % 52 + 52) % 52
     decodeInterLumaResid(new CavlcSrc(r), st, mx, my, cbp & 15, qpY)
     decodeChromaResidOnPred(new CavlcSrc(r), st, mx, my, cbp >> 4,
-      H264Transform.chromaQp(qpY))
+      st.cQp(qpY))
     st.markMb(mx, my, intra = false, qpY)
     qpY
   }
@@ -2000,7 +2051,7 @@ object H264Codec {
     if (cbp != 0) qpY = ((qpY + r.se()) % 52 + 52) % 52
     decodeInterLumaResid(new CavlcSrc(r), st, mx, my, cbpLuma, qpY)
     decodeChromaResidOnPred(new CavlcSrc(r), st, mx, my, cbpChroma,
-      H264Transform.chromaQp(qpY))
+      st.cQp(qpY))
     st.markMb(mx, my, intra = false, qpY)
     qpY
   }
@@ -2380,13 +2431,22 @@ object H264Codec {
     val wMbs = st.wMbs; val hMbs = st.hMbs
     def mbIntra(mx: Int, my: Int): Boolean = st.intraMbArr(my * wMbs + mx)
     def mbQp(mx: Int, my: Int): Int = st.qpMb(my * wMbs + mx)
+    // "block contains coded coefficients" for bS 2: a transform-8x8
+    // MB's unit is the 8x8 block (its interleaved 4x4 TotalCoeff cells
+    // can be individually zero while the 8x8 coded)
+    def codedAt(bx: Int, by: Int): Boolean =
+      if (st.t8x8MbArr((by >> 2) * wMbs + (bx >> 2))) {
+        val b8x = bx & ~1; val b8y = by & ~1
+        st.nnzYAt(b8x, b8y) > 0 || st.nnzYAt(b8x + 1, b8y) > 0 ||
+          st.nnzYAt(b8x, b8y + 1) > 0 || st.nnzYAt(b8x + 1, b8y + 1) > 0
+      } else st.nnzYAt(bx, by) > 0
     // bS between neighboring luma 4x4 blocks P and Q (8.7.2.1)
     def bs(bxP: Int, byP: Int, bxQ: Int, byQ: Int, mbEdge: Boolean): Int = {
       val pIntra = mbIntra(bxP / 4, byP / 4)
       val qIntra = mbIntra(bxQ / 4, byQ / 4)
       if ((pIntra || qIntra) && mbEdge) 4
       else if (pIntra || qIntra) 3
-      else if (st.nnzYAt(bxP, byP) > 0 || st.nnzYAt(bxQ, byQ) > 0) 2
+      else if (codedAt(bxP, byP) || codedAt(bxQ, byQ)) 2
       else {
         // motion discontinuity (8.7.2.1): compare by reference PICTURE
         // (uid), not list index — a picture can sit in both B lists at
@@ -2490,10 +2550,13 @@ object H264Codec {
       var mx = 0
       while (mx < wMbs) {
         val qpQ = mbQp(mx, my)
+        // transform-8x8 MBs filter only 8x8-aligned internal luma
+        // edges (8.7: transform_size_8x8_flag drops e = 1, 3)
+        val t8 = st.t8x8MbArr(my * wMbs + mx)
         // ---- vertical edges, left to right (luma x = 0,4,8,12)
         var e = 0
         while (e < 4) {
-          if (e > 0 || mx > 0) {
+          if ((e > 0 || mx > 0) && !(t8 && (e & 1) == 1)) {
             val x = mx * 16 + e * 4
             val bxQ = mx * 4 + e; val bxP = bxQ - 1
             var seg = 0
@@ -2528,8 +2591,8 @@ object H264Codec {
               val byBlk = cy / 2
               val s = bs(bxP, byBlk, bxQ, byBlk, mbEdge = lumaE == 0)
               if (s > 0) {
-                val qpP = chromaQp(mbQp(bxP / 4, my))
-                val (ia, ib) = idxAB((qpP + chromaQp(qpQ) + 1) >> 1)
+                val qpP = st.cQp(mbQp(bxP / 4, my))
+                val (ia, ib) = idxAB((qpP + st.cQp(qpQ) + 1) >> 1)
                 filterLine(st.cbPlane, cy * cW + cx, 1, s, ia, ib, chromaEdge = true)
                 filterLine(st.crPlane, cy * cW + cx, 1, s, ia, ib, chromaEdge = true)
               }
@@ -2541,7 +2604,7 @@ object H264Codec {
         // ---- horizontal edges, top to bottom (luma y = 0,4,8,12)
         e = 0
         while (e < 4) {
-          if (e > 0 || my > 0) {
+          if ((e > 0 || my > 0) && !(t8 && (e & 1) == 1)) {
             val y = my * 16 + e * 4
             val byQ = my * 4 + e; val byP = byQ - 1
             var seg = 0
@@ -2575,8 +2638,8 @@ object H264Codec {
               val bxBlk = cx / 2
               val s = bs(bxBlk, byP, bxBlk, byQ, mbEdge = lumaE == 0)
               if (s > 0) {
-                val qpP = chromaQp(mbQp(mx, byP / 4))
-                val (ia, ib) = idxAB((qpP + chromaQp(qpQ) + 1) >> 1)
+                val qpP = st.cQp(mbQp(mx, byP / 4))
+                val (ia, ib) = idxAB((qpP + st.cQp(qpQ) + 1) >> 1)
                 filterLine(st.cbPlane, cy * cW + cx, cW, s, ia, ib, chromaEdge = true)
                 filterLine(st.crPlane, cy * cW + cx, cW, s, ia, ib, chromaEdge = true)
               }
@@ -2649,6 +2712,17 @@ object H264Codec {
     // grids, so context increments agree bit-for-bit).
     val skipMbArr = new Array[Boolean](wMbs * hMbs)
     val bDirectMbArr = new Array[Boolean](wMbs * hMbs)
+    /** PPS chroma_qp_index_offset in effect for this picture. */
+    var cqpOff: Int = 0
+    /** QPc for a luma QP under this picture's chroma offset (8.5.8). */
+    def cQp(qpY: Int): Int =
+      H264Transform.chromaQp(math.max(0, math.min(51, qpY + cqpOff)))
+    /** Per-MB transform_size_8x8_flag — the 8.7 filter skips internal
+      * luma edges off the 8x8 grid for these MBs, and treats the 8x8
+      * block as the coded-coefficients unit in the bS test. */
+    val t8x8MbArr = new Array[Boolean](wMbs * hMbs)
+    /** PPS transform_8x8_mode_flag in effect (high profile). */
+    var t8x8Allowed: Boolean = false
     val mvdBlk = Array.fill(2, 2)(new Array[Int](wMbs * 4 * hMbs * 4)) // [list][comp]
     /** Record a partition's decoded mvd (CABAC neighbor input). */
     def noteMvd(bx: Int, by: Int, w4: Int, h4: Int, list: Int,
@@ -2849,7 +2923,7 @@ object H264Codec {
       bi += 1
     }
     // ---- chroma (shared with the Intra_4x4 path)
-    decodeChromaResid(src, st, mx, my, chromaMode, cbpChroma, chromaQp(qpY))
+    decodeChromaResid(src, st, mx, my, chromaMode, cbpChroma, st.cQp(qpY))
   }
 
   /** Decode one macroblock's chroma residual and reconstruct both 8x8
@@ -2978,6 +3052,147 @@ object H264Codec {
     }
   }
 
+  // ---------------- Intra_8x8 (high profile, 8.3.2 + 8.5.12-13) ----------------
+
+  /** Does the 8x8 block at (ax8, ay8) decode before (cx8, cy8)?
+    * Raster MB order, then z-order within the MB — the top-right
+    * reference availability test of 8.3.2.1. */
+  private def blk8Before(ax8: Int, ay8: Int, cx8: Int, cy8: Int,
+      wMbs: Int): Boolean = {
+    val aMb = (ay8 >> 1) * wMbs + (ax8 >> 1)
+    val cMb = (cy8 >> 1) * wMbs + (cx8 >> 1)
+    if (aMb != cMb) aMb < cMb
+    else ((ay8 & 1) * 2 + (ax8 & 1)) < ((cy8 & 1) * 2 + (cx8 & 1))
+  }
+
+  /** Intra_8x8 prediction for the 8x8 luma block at global 8x8-grid
+    * (gx8, gy8): assembles the 8.3.2.1 reference row/column (top-right
+    * replication when the above-right block is undecoded or outside),
+    * validates the mode's availability needs, applies the 8.3.2.2.1
+    * low-pass filter, and predicts. */
+  private def intra8x8Pred(st: FrameState, gx8: Int, gy8: Int,
+      mode: Int): Array[Int] = {
+    val lumaW = st.lumaW
+    val x0 = gx8 * 8; val y0 = gy8 * 8
+    val topAvail = gy8 > 0
+    val leftAvail = gx8 > 0
+    val trAvail = topAvail && gx8 + 1 < st.wMbs * 2 &&
+      blk8Before(gx8 + 1, gy8 - 1, gx8, gy8, st.wMbs)
+    val tlAvail = topAvail && leftAvail
+    val needTop = mode == 0 || mode == 3 || mode == 7
+    val needLeft = mode == 1 || mode == 8
+    val needBoth = mode == 4 || mode == 5 || mode == 6
+    if ((needTop || needBoth) && !topAvail)
+      throw new H264Format("intra8x8 pred needs top")
+    if ((needLeft || needBoth) && !leftAvail)
+      throw new H264Format("intra8x8 pred needs left")
+    val top = if (!topAvail) null else {
+      val o = new Array[Int](16)
+      var x = 0
+      while (x < 8) { o(x) = st.yPlane((y0 - 1) * lumaW + x0 + x) & 0xff; x += 1 }
+      while (x < 16) {
+        o(x) =
+          if (trAvail) st.yPlane((y0 - 1) * lumaW + x0 + x) & 0xff
+          else o(7)
+        x += 1
+      }
+      o
+    }
+    val left = if (!leftAvail) null
+      else Array.tabulate(8)(y => st.yPlane((y0 + y) * lumaW + x0 - 1) & 0xff)
+    val tl = if (tlAvail) st.yPlane((y0 - 1) * lumaW + x0 - 1) & 0xff else 0
+    val (ft, fl, ftl) = H264Transform8x8.filterRefs8x8(top, left, tl, tlAvail)
+    H264Transform8x8.predLuma8x8(mode, ft, fl, ftl)
+  }
+
+  /** Decode one Intra_8x8 macroblock (CAVLC; mb_type 0 with
+    * transform_size_8x8_flag = 1): four per-8x8 prediction modes coded
+    * exactly like the 4x4 scheme, chroma mode, me(v) CBP where each
+    * luma bit covers one 8x8 TRANSFORM block, then per coded 8x8 four
+    * interleaved 4x4 CAVLC blocks (7.3.5.3.2: level8x8[4i + i4x4] =
+    * level4x4[i4x4][i]) feeding the 8x8 dequant + inverse transform.
+    * Returns the updated slice QP. */
+  private def decodeIntra8x8Mb(r: BitReader, st: FrameState, mx: Int, my: Int,
+      qpYIn: Int): Int = {
+    var qpY = qpYIn
+    val modes = new Array[Int](4)
+    var i8 = 0
+    while (i8 < 4) {
+      val gbx = mx * 4 + (i8 % 2) * 2; val gby = my * 4 + (i8 / 2) * 2
+      val predM = st.predI4Mode(gbx, gby) // 8.3.2.1 MxM-mode neighbors
+      val mode =
+        if (r.u1() == 1) predM
+        else { val rem = r.u(3); if (rem < predM) rem else rem + 1 }
+      modes(i8) = mode
+      // every 4x4 cell carries the 8x8 mode so later 4x4 AND 8x8
+      // neighbors derive their predicted mode per 8.3.1.1 / 8.3.2.1
+      st.setI4Mode(gbx, gby, mode); st.setI4Mode(gbx + 1, gby, mode)
+      st.setI4Mode(gbx, gby + 1, mode); st.setI4Mode(gbx + 1, gby + 1, mode)
+      i8 += 1
+    }
+    val chromaMode = r.ue()
+    if (chromaMode > 3) throw new H264Format(s"chroma pred mode $chromaMode")
+    val cbpCode = r.ue()
+    if (cbpCode > 47) throw new H264Format(s"cbp code $cbpCode")
+    val cbp = CbpIntraByCodeNum(cbpCode)
+    if (cbp != 0) qpY = ((qpY + r.se()) % 52 + 52) % 52
+    val src = new CavlcSrc(r)
+    decodeIntra8x8Luma(src, st, mx, my, modes, cbp & 15, qpY)
+    decodeChromaResid(src, st, mx, my, chromaMode, cbp >> 4, st.cQp(qpY))
+    st.t8x8MbArr(my * st.wMbs + mx) = true
+    qpY
+  }
+
+  private def decodeIntra8x8Luma(src: MbSrc, st: FrameState, mx: Int, my: Int,
+      modes: Array[Int], cbpLuma: Int, qpY: Int): Unit = {
+    import H264Transform.LumaBlockOrder
+    val lumaW = st.lumaW
+    var i8 = 0
+    while (i8 < 4) {
+      val gx8 = mx * 2 + (i8 % 2); val gy8 = my * 2 + (i8 / 2)
+      val pred = intra8x8Pred(st, gx8, gy8, modes(i8))
+      val resid: Array[Int] =
+        if ((cbpLuma & (1 << i8)) != 0) {
+          val lv64 = new Array[Int](64)
+          val buf = new Array[Int](16)
+          var i4 = 0
+          while (i4 < 4) {
+            val (bxo, byo) = LumaBlockOrder(i8 * 4 + i4)
+            val gbx = mx * 4 + bxo; val gby = my * 4 + byo
+            val tc = src.block(st, CatLuma4x4, buf, 16, gbx, gby, 0)
+            st.setNnzY(gbx, gby, tc)
+            var i = 0
+            while (i < 16) { lv64(4 * i + i4) = buf(i); i += 1 }
+            i4 += 1
+          }
+          val raster = new Array[Int](64)
+          var k = 0
+          while (k < 64) { raster(H264Transform8x8.Zigzag8x8(k)) = lv64(k); k += 1 }
+          H264Transform8x8.inverse8x8(H264Transform8x8.dequant8x8(raster, qpY))
+        } else {
+          var i4 = 0
+          while (i4 < 4) {
+            val (bxo, byo) = LumaBlockOrder(i8 * 4 + i4)
+            st.setNnzY(mx * 4 + bxo, my * 4 + byo, 0)
+            i4 += 1
+          }
+          null
+        }
+      val x0 = gx8 * 8; val y0 = gy8 * 8
+      var py = 0
+      while (py < 8) {
+        var px = 0
+        while (px < 8) {
+          val v = pred(py * 8 + px) + (if (resid == null) 0 else resid(py * 8 + px))
+          st.yPlane((y0 + py) * lumaW + x0 + px) = clipB(v)
+          px += 1
+        }
+        py += 1
+      }
+      i8 += 1
+    }
+  }
+
   /** YCbCr (BT.601 full-range, same matrix as the JPEG codec) -> RGB,
     * box-upsampled chroma, cropped to the SPS frame size. */
   private def yuvToRgb(sps: Sps, yPlane: Array[Byte], cbPlane: Array[Byte],
@@ -3067,8 +3282,22 @@ object H264Codec {
    * I-frames use.
    */
   def encode(img: MediaCodecs.Bmp, avcc: Boolean = true, qp: Int = -1,
-      intra4x4: Boolean = false, cabac: Boolean = false): Array[Byte] =
-    encodeImpl(img, avcc, qp, intra4x4, (_, best, _) => best, cabac = cabac)._1
+      intra4x4: Boolean = false, cabac: Boolean = false,
+      intra8x8: Boolean = false, chromaQpOff: Int = 0): Array[Byte] =
+    encodeImpl(img, avcc, qp, intra4x4, (_, best, _) => best, cabac = cabac,
+      intra8x8 = intra8x8, chromaQpOff = chromaQpOff)._1
+
+  /** Intra_8x8 encode (high profile, CAVLC) with a forced per-block
+    * mode choice plus the encoder's reconstructed planes — the spec
+    * hook exercising every 8.3.2.2 predictor both directions. */
+  private[graft] def encodeI8ForTest(img: MediaCodecs.Bmp, qp: Int,
+      pick: (Int, Int, Seq[Int]) => Int, deblock: Boolean = false,
+      chromaQpOff: Int = 0)
+      : (Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
+    val (bytes, st) = encodeImpl(img, avcc = true, qp = qp, intra4x4 = false,
+      pick, intra8x8 = true, deblock = deblock, chromaQpOff = chromaQpOff)
+    (bytes, st.yPlane, st.cbPlane, st.crPlane)
+  }
 
   /** Intra_4x4 encode with a forced per-block mode choice plus the
     * encoder's own reconstructed 4:2:0 planes — the spec hook that (a)
@@ -3088,14 +3317,23 @@ object H264Codec {
     * list size, early slices override it down while the DPB fills). */
   private def spsPpsNals(wMbs: Int, hMbs: Int, cropR: Int, cropB: Int,
       refFrames: Int = 1, pocLsbBits: Int = 0, profile: Int = 66,
-      cabac: Boolean = false): (Array[Byte], Array[Byte]) = {
+      cabac: Boolean = false, t8x8: Boolean = false, chromaQpOff: Int = 0)
+      : (Array[Byte], Array[Byte]) = {
+    require(!t8x8 || profile == 100, "8x8 transform needs high profile")
     val sw = new BitWriter
     // baseline (66) with constraint_set0/1 for I/P GOPs; B GOPs must
-    // declare MAIN (77, constraint flags clear) — baseline forbids B
+    // declare MAIN (77, constraint flags clear) — baseline forbids B;
+    // 8x8-transform streams declare HIGH (100, with its SPS extension)
     sw.u(profile, 8)
     sw.u(if (profile == 66) 0xC0 else 0x00, 8)
     sw.u(30, 8) // level 3.0
     sw.ue(0) // sps id
+    if (profile == 100) {
+      sw.ue(1) // chroma_format_idc 4:2:0
+      sw.ue(0); sw.ue(0) // bit_depth_luma/chroma = 8
+      sw.u1(0) // qpprime_y_zero_transform_bypass
+      sw.u1(0) // seq_scaling_matrix_present (flat lists)
+    }
     sw.ue(0) // log2_max_frame_num_minus4
     // POC type 2 (decode order == display order) unless the GOP carries
     // B frames, which need explicit type-0 POC for display reordering
@@ -3120,9 +3358,15 @@ object H264Codec {
     pw.ue(0) // one slice group
     pw.ue(refFrames - 1); pw.ue(0) // num_ref_idx_l0/l1_default_active_minus1
     pw.u1(0); pw.u(0, 2) // weighted pred off
-    pw.se(0); pw.se(0); pw.se(0) // qp 26, qs 26, chroma offset 0
+    pw.se(0); pw.se(0) // pic_init_qp 26, qs 26
+    pw.se(chromaQpOff) // chroma_qp_index_offset
     pw.u1(1) // deblocking control present
     pw.u1(0); pw.u1(0) // constrained intra, redundant pic cnt
+    if (t8x8) {
+      pw.u1(1) // transform_8x8_mode_flag
+      pw.u1(0) // pic_scaling_matrix_present
+      pw.se(chromaQpOff) // second_chroma_qp_index_offset (== first)
+    }
     pw.trailing()
     val ppsNal = Array[Byte](0x68.toByte) ++ escape(pw.bytes)
     (spsNal, ppsNal)
@@ -3158,19 +3402,29 @@ object H264Codec {
   private def encodeImpl(img: MediaCodecs.Bmp, avcc: Boolean, qp: Int,
       intra4x4: Boolean, pick: (Int, Int, Seq[Int]) => Int,
       refFrames: Int = 1, pocLsbBits: Int = 0, deblock: Boolean = false,
-      profile: Int = 66, cabac: Boolean = false)
+      profile: Int = 66, cabac: Boolean = false, intra8x8: Boolean = false,
+      chromaQpOff: Int = 0)
       : (Array[Byte], FrameState) = {
     require(!intra4x4 || qp >= 0, "intra4x4 needs a compressed qp (0..51)")
     require(!deblock || qp >= 0, "deblocking needs a compressed qp (0..51)")
+    require(!intra8x8 || qp >= 0, "intra8x8 needs a compressed qp (0..51)")
+    require(!(intra8x8 && cabac), "CABAC 8x8 transform out of scope")
+    require(!(intra8x8 && intra4x4), "pick one luma transform size")
+    require(chromaQpOff >= -12 && chromaQpOff <= 12, s"chromaQpOff $chromaQpOff")
     val (wMbs, hMbs, cropR, cropB) = mbGeometry(img)
 
     // RGB -> YCbCr 4:2:0, edge-replicated to MB grid
     val lumaW = wMbs * 16
     val (yP, cbP, crP) = toYuv420(img, wMbs, hMbs)
-    // CABAC requires main profile (baseline forbids entropy_coding_mode 1)
-    val effProfile = if (cabac && profile == 66) 77 else profile
+    // CABAC requires main profile (baseline forbids entropy_coding_mode
+    // 1); the 8x8 transform requires high profile
+    val effProfile =
+      if (intra8x8) 100
+      else if (cabac && profile == 66) 77
+      else profile
     val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB, refFrames,
-      pocLsbBits, effProfile, cabac)
+      pocLsbBits, effProfile, cabac, t8x8 = intra8x8,
+      chromaQpOff = chromaQpOff)
 
     // IDR slice
     require(qp >= -1 && qp <= 51, s"qp $qp")
@@ -3217,6 +3471,7 @@ object H264Codec {
       var enc = new H264Cabac.Enc(w2)
       var sink = new CabacSink(enc, cxE)
       val st = new FrameState(wMbs, hMbs)
+      st.cqpOff = chromaQpOff
       if (qp >= 0) stOut = st
       while (mb < nMbs) {
         val mx = mb % wMbs; val my = mb / wMbs
@@ -3255,10 +3510,12 @@ object H264Codec {
       // encoder mirrors the decoder's reconstruction so intra prediction
       // chains across macroblocks agree bit-for-bit
       val st = new FrameState(wMbs, hMbs)
+      st.cqpOff = chromaQpOff
       stOut = st
       val sink = new CavlcSink(w2)
       while (mb < nMbs) {
-        if (intra4x4) encodeIntra4x4Mb(sink, st, mb % wMbs, mb / wMbs, yP, cbP, crP, qp, pick)
+        if (intra8x8) encodeIntra8x8Mb(w2, st, mb % wMbs, mb / wMbs, yP, cbP, crP, qp, pick)
+        else if (intra4x4) encodeIntra4x4Mb(sink, st, mb % wMbs, mb / wMbs, yP, cbP, crP, qp, pick)
         else encodeIntra16x16Mb(sink, st, mb % wMbs, mb / wMbs, yP, cbP, crP, qp)
         mb += 1
       }
@@ -3456,7 +3713,7 @@ object H264Codec {
     val dcScan = Array.tabulate(16)(k => dcLvRaster(Zigzag4x4(k)))
     val cbpLuma = if (acLv.exists(_.exists(_ != 0))) 15 else 0
     // chroma forward + quant (shared with the Intra_4x4 encoder)
-    val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, chromaQp(qp))
+    val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, st.cQp(qp))
     val cbpChroma = chroma.cbpChroma
     // ---- write the macroblock (Table 7-11 inverse: predMode DC = 2);
     // mbTypeOffset 5 relocates the type into P-slice numbering (7-13)
@@ -3682,7 +3939,7 @@ object H264Codec {
       if ((0 until 4).exists(i => levels(g * 4 + i).exists(_ != 0))) acc | (1 << g)
       else acc
     }
-    val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, chromaQp(qp))
+    val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, st.cQp(qp))
     val cbp = cbpLuma | (chroma.cbpChroma << 4)
     // ---- write: mb_type, 16 pred modes, chroma mode, CBP, qp delta
     // (only when coded), then residuals (7.3.5.1 / 7.3.5.3)
@@ -3706,6 +3963,126 @@ object H264Codec {
     }
     chroma.emit(sink)
     st.markMb(mx, my, intra = true, qp)
+  }
+
+  /** Encode + reconstruct one Intra_8x8 macroblock (high profile,
+    * CAVLC) — the mirror of [[decodeIntra8x8Mb]], sharing its
+    * prediction/dequant/inverse kernels so the reconstruction chain is
+    * bit-identical to the decoder's. Per 8x8 block the available mode
+    * minimizing prediction SAD wins (ties to the lowest index);
+    * `pick(blockIdx, best, available)` overrides the choice. */
+  private[pipeline] def encodeIntra8x8Mb(w: BitWriter, st: FrameState,
+      mx: Int, my: Int, srcY: Array[Byte], srcCb: Array[Byte],
+      srcCr: Array[Byte], qp: Int,
+      pick: (Int, Int, Seq[Int]) => Int = (_, best, _) => best): Unit = {
+    import H264Transform.LumaBlockOrder
+    val lumaW = st.lumaW
+    val prevFlags = new Array[Boolean](4)
+    val rems = new Array[Int](4)
+    val lv64s = Array.ofDim[Int](4, 64) // 8x8-scan quantized levels
+    var cbpLuma = 0
+    // pass 1 (decode order): mode select, quantize, reconstruct — the
+    // next block's prediction reads THIS block's reconstruction
+    var i8 = 0
+    while (i8 < 4) {
+      val gx8 = mx * 2 + (i8 % 2); val gy8 = my * 2 + (i8 / 2)
+      val gbx = mx * 4 + (i8 % 2) * 2; val gby = my * 4 + (i8 / 2) * 2
+      val avail = availableI4Modes(gy8 > 0, gx8 > 0) // same needs as 4x4
+      val x0 = gx8 * 8; val y0 = gy8 * 8
+      var bestMode = avail.head
+      var bestSad = Long.MaxValue
+      avail.foreach { m =>
+        val p = intra8x8Pred(st, gx8, gy8, m)
+        var sad = 0L
+        var k = 0
+        while (k < 64) {
+          sad += math.abs((srcY((y0 + k / 8) * lumaW + x0 + k % 8) & 0xff) - p(k))
+          k += 1
+        }
+        if (sad < bestSad) { bestSad = sad; bestMode = m }
+      }
+      val mode = pick(i8, bestMode, avail)
+      val predM = st.predI4Mode(gbx, gby)
+      prevFlags(i8) = mode == predM
+      rems(i8) = if (mode < predM) mode else mode - 1
+      st.setI4Mode(gbx, gby, mode); st.setI4Mode(gbx + 1, gby, mode)
+      st.setI4Mode(gbx, gby + 1, mode); st.setI4Mode(gbx + 1, gby + 1, mode)
+      val pred = intra8x8Pred(st, gx8, gy8, mode)
+      val diff = new Array[Int](64)
+      var k = 0
+      while (k < 64) {
+        diff(k) = (srcY((y0 + k / 8) * lumaW + x0 + k % 8) & 0xff) - pred(k)
+        k += 1
+      }
+      val q = H264Transform8x8.quant8x8(H264Transform8x8.forward8x8(diff), qp)
+      k = 0
+      while (k < 64) { lv64s(i8)(k) = q(H264Transform8x8.Zigzag8x8(k)); k += 1 }
+      val coded = lv64s(i8).exists(_ != 0)
+      if (coded) cbpLuma |= 1 << i8
+      // per-cell TotalCoeff for later blocks' nC (interleaved split)
+      var i4 = 0
+      while (i4 < 4) {
+        val (bxo, byo) = LumaBlockOrder(i8 * 4 + i4)
+        var tc = 0
+        var i = 0
+        while (i < 16) { if (lv64s(i8)(4 * i + i4) != 0) tc += 1; i += 1 }
+        st.setNnzY(mx * 4 + bxo, my * 4 + byo, if (coded) tc else 0)
+        i4 += 1
+      }
+      // reconstruct exactly as the decoder will
+      val resid: Array[Int] =
+        if (coded) {
+          val raster = new Array[Int](64)
+          k = 0
+          while (k < 64) { raster(H264Transform8x8.Zigzag8x8(k)) = lv64s(i8)(k); k += 1 }
+          H264Transform8x8.inverse8x8(H264Transform8x8.dequant8x8(raster, qp))
+        } else null
+      var py = 0
+      while (py < 8) {
+        var px = 0
+        while (px < 8) {
+          val v = pred(py * 8 + px) + (if (resid == null) 0 else resid(py * 8 + px))
+          st.yPlane((y0 + py) * lumaW + x0 + px) = clipB(v)
+          px += 1
+        }
+        py += 1
+      }
+      i8 += 1
+    }
+    val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr,
+      st.cQp(qp))
+    val cbp = cbpLuma | (chroma.cbpChroma << 4)
+    // pass 2: emission (7.3.5 order — mb_type, transform flag, modes,
+    // chroma mode, CBP, qp delta when coded, interleaved residuals;
+    // nC reads only decode-order-earlier cells, so emitting after the
+    // full grid is set matches the decoder's incremental view)
+    w.ue(0) // mb_type I_NxN
+    w.u1(1) // transform_size_8x8_flag
+    i8 = 0
+    while (i8 < 4) {
+      if (prevFlags(i8)) w.u1(1) else { w.u1(0); w.u(rems(i8), 3) }
+      i8 += 1
+    }
+    w.ue(0) // intra_chroma_pred_mode = DC
+    w.ue(CbpIntraToCodeNum(cbp))
+    if (cbp != 0) w.se(0) // mb_qp_delta
+    i8 = 0
+    while (i8 < 4) {
+      if ((cbpLuma & (1 << i8)) != 0) {
+        var i4 = 0
+        while (i4 < 4) {
+          val (bxo, byo) = LumaBlockOrder(i8 * 4 + i4)
+          val buf = Array.tabulate(16)(i => lv64s(i8)(4 * i + i4))
+          H264Cavlc.encodeBlock(w, buf, 16,
+            st.lumaNc(mx * 4 + bxo, my * 4 + byo))
+          i4 += 1
+        }
+      }
+      i8 += 1
+    }
+    chroma.emit(w)
+    st.markMb(mx, my, intra = true, qp)
+    st.t8x8MbArr(my * st.wMbs + mx) = true
   }
 
   /**
@@ -4022,7 +4399,7 @@ object H264Codec {
         Array.tabulate(64)(j =>
           plane((my * 8 + j / 8) * (lumaW / 2) + mx * 8 + j % 8) & 0xff)
       }
-      val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, chromaQp(qp),
+      val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, st.cQp(qp),
         predOf = c => predC(c))
       val cbp = cbpLuma | (chroma.cbpChroma << 4)
       val mbI = my * wMbs + mx
@@ -4237,7 +4614,7 @@ object H264Codec {
             acc | (1 << g)
           else acc
         }
-        val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, chromaQp(qp),
+        val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, st.cQp(qp),
           predOf = c => predC(c))
         val cbp = cbpLuma | (chroma.cbpChroma << 4)
         if (cbp == 0 && refIdx == 0 && (vx, vy) == skipMv(st, mx, my)) {
@@ -4465,7 +4842,7 @@ object H264Codec {
         Array.tabulate(64)(k =>
           plane((my * 8 + k / 8) * (lumaW / 2) + mx * 8 + k % 8) & 0xff)
       }
-      val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, chromaQp(qp),
+      val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, st.cQp(qp),
         predOf = c => predC(c))
       val cbp = cbpLuma | (chroma.cbpChroma << 4)
       if (cabac) {
@@ -4650,7 +5027,7 @@ object H264Codec {
         Array.tabulate(64)(k =>
           plane((my * 8 + k / 8) * (lumaW / 2) + mx * 8 + k % 8) & 0xff)
       }
-      val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, chromaQp(qp),
+      val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, st.cQp(qp),
         predOf = c => predC(c))
       val cbp = cbpLuma | (chroma.cbpChroma << 4)
       w.ue(CbpInterToCodeNum(cbp))

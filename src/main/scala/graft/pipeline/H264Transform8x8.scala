@@ -27,11 +27,15 @@ object H264Transform8x8 {
     53, 60, 61, 54, 47, 55, 62, 63)
 
   /** 8x8 dequant scale (levelScale8x8 with the flat-16 scaling list),
-    * indexed [qp % 6][positionClass]. */
+    * indexed [qp % 6][positionClass]. Verified structurally against
+    * [[MF8]] and the transform basis norms: for every (m, class),
+    * MF·V·n² = 2^24 within 0.01% — the identity that makes
+    * quant -> dequant -> inverse the identity map (n² = the 2D basis
+    * norm of the class: 64, 289²/1024, 25, 40, 289/4, 1445/32). */
   private val V8 = Array(
-    Array(20, 18, 32, 19, 25, 24), Array(22, 19, 35, 21, 28, 26),
-    Array(26, 23, 42, 24, 33, 31), Array(28, 25, 45, 26, 35, 33),
-    Array(32, 28, 51, 30, 40, 38), Array(36, 32, 58, 34, 43, 41))
+    Array(20, 18, 32, 25, 19, 24), Array(22, 19, 35, 28, 21, 26),
+    Array(26, 23, 42, 33, 24, 31), Array(28, 25, 45, 35, 26, 33),
+    Array(32, 28, 51, 40, 30, 38), Array(36, 32, 58, 43, 34, 41))
 
   /** position class of raster index 0..63 by (x % 4, y % 4):
     * (0,0)->0, (odd,odd)->1, (2,2)->2, (0,2)/(2,0)->3,
@@ -47,36 +51,44 @@ object H264Transform8x8 {
     else 5
   }
 
-  /** Dequantize a raster 8x8 level block (8.5.13.2, flat lists). */
+  /** Dequantize a raster 8x8 level block (8.5.13.2): levelScale8x8 =
+    * weightScale · normAdjust8x8 — the FLAT weight scale is 16, so the
+    * normative multiplier is 16·V8 (omitting the 16 is invisible to
+    * self round trips but decodes foreign levels 16x too small). */
   def dequant8x8(c: Array[Int], qp: Int): Array[Int] = {
     val v = V8(qp % 6)
     if (qp >= 36) {
       val sh = qp / 6 - 6
-      Array.tabulate(64)(r => (c(r) * v(posClass8(r))) << sh)
+      Array.tabulate(64)(r => ((c(r) * v(posClass8(r))) << 4) << sh)
     } else {
       val sh = 6 - qp / 6
       val f = 1 << (sh - 1)
-      Array.tabulate(64)(r => (c(r) * v(posClass8(r)) + f) >> sh)
+      Array.tabulate(64)(r => (((c(r) * v(posClass8(r))) << 4) + f) >> sh)
     }
   }
 
   /** Encoder forward-quant multipliers, [qp % 6][positionClass] at
-    * qbits = 16 + qp/6 — the 8x8 twin of the 4x4 MF table (class 0
-    * matches it: 13107 at m=0, 8192 at m=4, absorbing the identical
-    * (0,0)-position basis norm). Joint MF/V/transform consistency is
-    * pinned numerically in H264Intra8x8Spec (quant->dequant->inverse
-    * of random residuals reconstructs within one quant step). */
+    * qbits = 22 + qp/6 (the forward below carries a 64x scale and the
+    * normative dequant a 16x weight scale). The
+    * whole (MF8, V8, transform) triple is verified STRUCTURALLY: the
+    * inverse's 2D basis is orthogonal with per-class norms n², and
+    * MF·V·n² = 2^24 holds for all 36 (m, class) entries within 0.01%
+    * (pinned in H264Intra8x8Spec) — so quant -> dequant -> inverse is
+    * the identity up to the quantizer step. The numeric pin caught two
+    * real transcription faults round trips CANNOT see (encoder and
+    * decoder share the chain): a wrong odd-part forward butterfly and
+    * a class-3/4 swap in both scale tables. */
   private val MF8 = Array(
-    Array(13107, 11428, 20972, 12222, 16777, 15481),
-    Array(11916, 10826, 19174, 11058, 14980, 14290),
-    Array(10082, 8943, 15978, 9675, 12710, 11985),
-    Array(9362, 8228, 14913, 8931, 11984, 11259),
-    Array(8192, 7346, 13159, 7740, 10486, 9777),
-    Array(7282, 6428, 11570, 6830, 9118, 8640))
+    Array(13107, 11428, 20972, 16777, 12222, 15481),
+    Array(11916, 10826, 19174, 14980, 11058, 14290),
+    Array(10082, 8943, 15978, 12710, 9675, 11985),
+    Array(9362, 8228, 14913, 11984, 8931, 11259),
+    Array(8192, 7346, 13159, 10486, 7740, 9777),
+    Array(7282, 6428, 11570, 9118, 6830, 8640))
 
   /** Quantize forward 8x8 coefficients (intra 1/3 dead-zone). */
   def quant8x8(w: Array[Int], qp: Int): Array[Int] = {
-    val qbits = 16 + qp / 6
+    val qbits = 22 + qp / 6
     val f = (1L << qbits) / 3
     val m = MF8(qp % 6)
     Array.tabulate(64) { r =>
@@ -86,33 +98,31 @@ object H264Transform8x8 {
     }
   }
 
-  /** Encoder forward 8x8 butterfly (non-normative; the scaled adjoint
-    * of [[inverse8x8]] — pinned numerically in the spec). Input raster
-    * residual, output raster coefficients. */
+  /** Encoder forward 8x8 transform: the EXACT adjoint of
+    * [[inverse8x8]]'s (orthogonal) basis, scaled 8x per 1D pass so
+    * every coefficient stays integer (the odd basis carries 1/8-step
+    * entries: 12/10/6/3 in eighths). Non-normative — any forward
+    * works — but the exact adjoint makes the MF·V·n² = 2^24 identity
+    * hold, which the spec pins numerically. Input raster residual,
+    * output raster coefficients at 64x scale (absorbed by qbits 18). */
   def forward8x8(x: Array[Int]): Array[Int] = {
     val t = new Array[Int](64)
     def pass(src: Int => Int, dst: (Int, Int) => Unit): Unit = {
       var i = 0
       while (i < 8) {
         val s = Array.tabulate(8)(k => src(i * 8 + k))
-        val a0 = s(0) + s(7); val a1 = s(1) + s(6)
-        val a2 = s(2) + s(5); val a3 = s(3) + s(4)
-        val b0 = a0 + a3; val b1 = a1 + a2
-        val b2 = a0 - a3; val b3 = a1 - a2
-        val a4 = s(0) - s(7); val a5 = s(1) - s(6)
-        val a6 = s(2) - s(5); val a7 = s(3) - s(4)
-        val b4 = a5 + a6 + ((a4 >> 1) + a4)
-        val b5 = a4 - a7 - ((a6 >> 1) + a6)
-        val b6 = a4 + a7 - ((a5 >> 1) + a5)
-        val b7 = a6 - a5 + ((a7 >> 1) + a7)
-        dst(i * 8 + 0, b0 + b1)
-        dst(i * 8 + 2, b2 + (b3 >> 1))
-        dst(i * 8 + 4, b0 - b1)
-        dst(i * 8 + 6, (b2 >> 1) - b3)
-        dst(i * 8 + 1, b4 + (b7 >> 2))
-        dst(i * 8 + 3, b5 + (b6 >> 2))
-        dst(i * 8 + 5, b6 - (b5 >> 2))
-        dst(i * 8 + 7, (b4 >> 2) - b7)
+        val s07 = s(0) + s(7); val s16 = s(1) + s(6)
+        val s25 = s(2) + s(5); val s34 = s(3) + s(4)
+        val d07 = s(0) - s(7); val d16 = s(1) - s(6)
+        val d25 = s(2) - s(5); val d34 = s(3) - s(4)
+        dst(i * 8 + 0, 8 * (s07 + s16 + s25 + s34))
+        dst(i * 8 + 4, 8 * (s07 - s16 - s25 + s34))
+        dst(i * 8 + 2, 8 * (s07 - s34) + 4 * (s16 - s25))
+        dst(i * 8 + 6, 4 * (s07 - s34) - 8 * (s16 - s25))
+        dst(i * 8 + 1, 12 * d07 + 10 * d16 + 6 * d25 + 3 * d34)
+        dst(i * 8 + 3, 10 * d07 - 3 * d16 - 12 * d25 - 6 * d34)
+        dst(i * 8 + 5, 6 * d07 - 12 * d16 + 3 * d25 + 10 * d34)
+        dst(i * 8 + 7, 3 * d07 - 6 * d16 + 10 * d25 - 12 * d34)
         i += 1
       }
     }
@@ -144,13 +154,18 @@ object H264Transform8x8 {
         val b7 = a7 - (a1 >> 2)
         val b3 = a3 + (a5 >> 2)
         val b5 = (a3 >> 2) - a5
+        // output pairing pinned by basis smoothness (H264Intra8x8Spec):
+        // position 1 takes b2 + b5 — the swapped pairing would permute
+        // the two middle samples of every odd basis row, which is
+        // invisible to round trips (still orthogonal, same norms) but
+        // garbles foreign streams' odd-frequency content
         dst(i * 8 + 0, b0 + b7)
-        dst(i * 8 + 1, b2 - b5)
+        dst(i * 8 + 1, b2 + b5)
         dst(i * 8 + 2, b4 + b3)
         dst(i * 8 + 3, b6 + b1)
         dst(i * 8 + 4, b6 - b1)
         dst(i * 8 + 5, b4 - b3)
-        dst(i * 8 + 6, b2 + b5)
+        dst(i * 8 + 6, b2 - b5)
         dst(i * 8 + 7, b0 - b7)
         i += 1
       }

@@ -2618,6 +2618,68 @@ object PipelineQueries {
              |  true AS recon_same, true AS smaller_ok
              |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
 
+    // high-profile Intra_8x8 (r13, 8.3.2 + the 8.5.12/13 8x8 integer
+    // transform): the same closed-form gradients coded with
+    // transform_size_8x8_flag — per-8x8 directional prediction with
+    // the 8.3.2.2.1 reference filter, the 7.3.5.3.2 interleaved-CAVLC
+    // residual, deblocking with the 8x8-grid edge rule, and a nonzero
+    // chroma_qp_index_offset so the offset path (whose silent-ignore
+    // was a real foreign-stream mis-decode risk) is exercised per doc.
+    // `parity_ok` pins decode == encoder reconstruction byte-for-byte.
+    // Kernel structure pinned in H264Intra8x8Spec (exact-adjoint
+    // diagonality, MF·V·n² = 2^24, odd-basis smoothness).
+    "q_h264_intra8x8_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val len = text.codePointCount(0, text.length)
+            val w = 32 + 2 * (len % 8).toInt
+            val h = 32 + 2 * ((len + id) % 6).toInt
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val o = (y * w + x) * 3
+                rgb(o) = ((x * 255) / (w - 1)).toByte
+                rgb(o + 1) = ((y * 255) / (h - 1)).toByte
+                rgb(o + 2) = (((x + y) * 255) / (w + h - 2)).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val img = graft.pipeline.MediaCodecs.Bmp(w, h, rgb)
+            val off = (id % 9).toInt - 4 // chroma_qp_index_offset -4..4
+            val (payload, ey, ecb, ecr) = graft.pipeline.H264Codec
+              .encodeI8ForTest(img, qp = 26, (_, best, _) => best,
+                deblock = id % 2 == 0, chromaQpOff = off)
+            val dec = graft.pipeline.H264Codec.decodeYuv(payload)
+            val parity = dec.exists { case (_, dy, dcb, dcr) =>
+              java.util.Arrays.equals(dy, ey) &&
+                java.util.Arrays.equals(dcb, ecb) &&
+                java.util.Arrays.equals(dcr, ecr)
+            }
+            // the smooth gradient must also survive the lossy trip
+            val lossyOk = graft.pipeline.H264Codec.decode(payload).exists { d =>
+              val mad = d.rgb.zip(rgb)
+                .map { case (p, q) => math.abs((p & 0xff) - (q & 0xff)) }
+                .sum.toDouble / rgb.length
+              mad < 8.0
+            }
+            (id, w, h, parity, lossyOk)
+          }
+          .toDF("doc_id", "width", "height", "parity_ok", "lossy_ok")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(32 + 2 * (len(text) % 8) AS INT) AS width,
+             |  CAST(32 + 2 * ((len(text) + doc_id) % 6) AS INT) AS height,
+             |  true AS parity_ok, true AS lossy_ok
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
     // the Intra_4x4 H.264 path (r10): per-4x4-block directional
     // prediction (all nine 8.3.1.2 modes, best-SAD), full 16-coeff
     // CAVLC blocks, me(v) CBP, at qp=26 over the same closed-form
