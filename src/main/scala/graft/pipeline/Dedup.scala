@@ -95,19 +95,25 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val base = shingleBase(df, idCol, textCol, shingleSize)
-    // LAZY localCheckpoint (the winnowNearDups posture): the self-join
-    // consumes this frame TWICE — without reuse the whole signature+cap
-    // pipeline would compute once per side — but a persist here would
-    // never be matched by an unpersist (the result is lazy, so there is
-    // no safe release point inside this function), and repeated calls
-    // in a long-lived session would pile up cache entries. Checkpoint
-    // blocks are reference-tracked (ContextCleaner frees them once the
-    // returned plan is unreachable). Trade-off: blocks are
-    // executor-local and not recomputable — an executor loss between
-    // materialization and the final action fails the job (rerun
-    // recovers) instead of recomputing.
+    // EAGER localCheckpoint (the winnowNearDups posture, hardened r13):
+    // the self-join consumes this frame TWICE — without reuse the whole
+    // signature+cap pipeline would compute once per side — but a
+    // persist here would never be matched by an unpersist (the result
+    // is lazy, so there is no safe release point inside this function),
+    // and repeated calls in a long-lived session would pile up cache
+    // entries. Checkpoint blocks are reference-tracked (ContextCleaner
+    // frees them once the returned plan is unreachable). EAGER, not
+    // lazy: a lazily-checkpointed frame double-consumed by a join can
+    // have its first materialization raced by a broadcast-exchange
+    // thread and the DAG scheduler, which deadlocks inside Spark's
+    // checkpoint locking (RDD monitor vs RDDCheckpointData — observed
+    // live in the r13 gate); materializing here, single-threaded,
+    // before any concurrent consumer exists closes that window.
+    // Trade-off: blocks are executor-local and not recomputable — an
+    // executor loss between materialization and the final action fails
+    // the job (rerun recovers) instead of recomputing.
     val banded = capBuckets(bandedBuckets(base, numHashes, bands), maxBucketSize)
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
 
     val candIds = banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" && $"a.id" < $"b.id")
@@ -311,14 +317,14 @@ object Dedup {
 
   /** Reused (id, shingles) projection: feeds the signature aggregation AND
     * the verification join — without reuse the tokenize+shingle
-    * projection would run three times. Lazy localCheckpoint, not
+    * projection would run three times. Eager localCheckpoint, not
     * persist: blocks are reference-tracked and freed once the caller's
     * plan is unreachable, where a persist here could never be matched
     * by an unpersist (see the posture note in [[winnowNearDups]]). */
   private def shingleBase(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     shingleProjection(df, idCol, textCol, shingleSize)
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true) // eager: see minhashNearDups posture note (deadlock window)
 
   /** The uncached (id, shingles) projection behind `shingleBase`. */
   private def shingleProjection(df: DataFrame, idCol: String, textCol: String,
@@ -582,13 +588,13 @@ object Dedup {
     val assigned = Similarity.buildIvfIndex(df, idCol, vecCol, nClusters,
       kmeansIterations).assigned
     // count window on the join key: one shuffle, reused by the self-join
-    // (the capBuckets pattern); lazy localCheckpoint because the
+    // (the capBuckets pattern); eager localCheckpoint because the
     // self-join consumes the capped frame twice and an in-function
-    // persist could never be released (winnowNearDups posture)
+    // persist could never be released (minhashNearDups posture)
     val w = Window.partitionBy($"cid")
     val capped = assigned.withColumn("__cn", count(lit(1)).over(w))
       .filter($"__cn" <= maxClusterSize).drop("__cn")
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true) // eager: see minhashNearDups posture note (deadlock window)
     capped.as("a").join(capped.as("b"),
         $"a.cid" === $"b.cid" && $"a.corpus_id" < $"b.corpus_id")
       .select($"a.corpus_id".as("id_a"), $"b.corpus_id".as("id_b"),
@@ -628,15 +634,15 @@ object Dedup {
       windowSize: Int = 8, minDocFreq: Long = 2L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // consumed twice (df aggregate + mark join) — lazy localCheckpoint
+    // consumed twice (df aggregate + mark join) — eager localCheckpoint
     // like shingleBase: reference-tracked blocks instead of a cache
-    // entry no unpersist could ever release (winnowNearDups posture)
+    // entry no unpersist could ever release (minhashNearDups posture)
     val grams = df
       .select(col(idCol).cast("long").as("id"),
         posexplode(graft.functions.tfunctions.word_ngrams_all(
           lower(col(textCol)), windowSize)).as(Seq("pos", "g")))
       .select($"id", $"pos", baseHash60($"g").as("gh"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true) // eager: see minhashNearDups posture note (deadlock window)
     val dupGrams = grams.groupBy($"gh")
       .agg(count_distinct($"id").as("gdf"))
       .filter($"gdf" >= minDocFreq)
@@ -718,7 +724,7 @@ object Dedup {
       maxHashDf: Long = DefaultMaxGramDf): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // LAZY localCheckpoint, not persist: the fingerprint set feeds
+    // EAGER localCheckpoint, not persist: the fingerprint set feeds
     // three consumers (sizes, the hash-df cap, both sides of the pair
     // join), but a persist here would never be matched by an unpersist
     // — the result is lazy, so there is no safe point inside this
@@ -735,7 +741,7 @@ object Dedup {
     // unpersist.
     val fpd = winnowFingerprints(df, idCol, textCol, k, w)
       .select($"doc_id", $"gh").distinct()
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true) // eager: see minhashNearDups posture note (deadlock window)
     val nf = fpd.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
     val kept = fpd.groupBy($"gh")
       .agg(count(lit(1)).as("hdf"))

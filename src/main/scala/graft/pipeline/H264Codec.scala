@@ -576,10 +576,39 @@ object H264Codec {
         throw new H264Format("ref pic list modification out of scope")
       if (isB && r.u1() != 0) // ..._flag_l1
         throw new H264Format("ref pic list modification out of scope")
-      if (isP && pps.weightedPred)
-        throw new H264Format("weighted prediction out of scope")
-      if (isB && pps.weightedBipredIdc != 0)
-        throw new H264Format("weighted biprediction out of scope")
+    }
+    // pred_weight_table (7.3.3.2): explicit per-reference luma/chroma
+    // weights — x264's weightp emits these on P slices by default
+    var wpTab: Array[Array[Array[Int]]] = null
+    var wpLogWDy = 0
+    var wpLogWDc = 0
+    if ((isP && pps.weightedPred) || (isB && pps.weightedBipredIdc == 1)) {
+      wpLogWDy = r.ue()
+      wpLogWDc = r.ue()
+      if (wpLogWDy > 7 || wpLogWDc > 7)
+        throw new H264Format(s"log2 weight denom $wpLogWDy/$wpLogWDc > 7")
+      def entry(): Array[Int] = {
+        val e = Array(1 << wpLogWDy, 0, 1 << wpLogWDc, 0, 1 << wpLogWDc, 0)
+        if (r.u1() == 1) { // luma_weight_lX_flag
+          e(0) = r.se(); e(1) = r.se()
+          if (e(0) < -128 || e(0) > 127 || e(1) < -128 || e(1) > 127)
+            throw new H264Format("luma weight/offset out of range")
+        }
+        if (r.u1() == 1) { // chroma_weight_lX_flag
+          var c = 0
+          while (c < 2) {
+            e(2 + 2 * c) = r.se(); e(3 + 2 * c) = r.se()
+            if (e(2 + 2 * c) < -128 || e(2 + 2 * c) > 127 ||
+              e(3 + 2 * c) < -128 || e(3 + 2 * c) > 127)
+              throw new H264Format("chroma weight/offset out of range")
+            c += 1
+          }
+        }
+        e
+      }
+      wpTab = Array(
+        Array.fill(refs.length)(entry()),
+        if (isB) Array.fill(refs1.length)(entry()) else Array.empty)
     }
     // dec_ref_pic_marking (7.3.3.3): present for IDR always; for
     // non-IDR only when the NAL marks the picture as a reference
@@ -621,6 +650,10 @@ object H264Codec {
     st.poc = pocVal
     st.cqpOff = pps.chromaQpOff
     st.t8x8Allowed = pps.transform8x8Mode
+    st.wpTab = wpTab
+    st.wpLogWDy = wpLogWDy
+    st.wpLogWDc = wpLogWDc
+    st.wpImplicit = isB && pps.weightedBipredIdc == 2
     // 8x8 residuals under CABAC need their own significance/level
     // context families (ctxBlockCat 5) — not transcribed; refuse
     if (pps.transform8x8Mode && pps.entropyCabac)
@@ -1153,7 +1186,7 @@ object H264Codec {
       if (nbx < 0 || nby < 0 || nbx >= st.wMbs * 4 || nby >= st.hMbs * 4) 0
       else {
         val mbI = (nby >> 2) * st.wMbs + (nbx >> 2)
-        if (st.skipMbArr(mbI) || st.bDirectMbArr(mbI)) 0
+        if (st.skipMbArr(mbI) || st.directBlk(st.blkIdx(nbx, nby))) 0
         else {
           val ri = if (list == 0) st.refIdxBlk(st.blkIdx(nbx, nby))
             else st.refIdx1Blk(st.blkIdx(nbx, nby))
@@ -1559,12 +1592,10 @@ object H264Codec {
     var qpY = sliceQp
     var prevQpDelta = 0
     val skipCtxBase = if (isB) 24 else 11
-    def directMotion(mx: Int, my: Int): Unit = {
-      if (!directSpatial)
-        throw new H264Format("temporal direct mode out of scope")
+    def directMotion(mx: Int, my: Int): Unit =
       applyDirectQuads(st, refs0, refs1, mx, my,
-        spatialDirectMotion(st, refs1, mx, my))
-    }
+        if (directSpatial) spatialDirectMotion(st, refs1, mx, my)
+        else temporalDirectQuads(st, refs0, refs1, mx, my))
     var mb = 0
     val nMbs = st.wMbs * st.hMbs
     while (mb < nMbs) {
@@ -1586,7 +1617,6 @@ object H264Codec {
         val t =
           if (isB) decodeMbTypeBCabac(d, cx, st, mx, my)
           else decodeMbTypePCabac(d, cx)
-        if (t == 22 && isB) throw new H264Format("B_8x8 out of scope")
         if (t < 0) { // intra suffix
           val (q2, delta, d2) = decodeIntraMbCabac(d, cx, rbsp, st,
             mx * 16, my * 16, qpY, prevQpDelta,
@@ -1597,6 +1627,9 @@ object H264Codec {
           if (isB && t == 0) { // B_Direct_16x16: direct motion + residual
             st.bDirectMbArr(mbI) = true
             directMotion(mx, my)
+          } else if (isB && t == 22) { // B_8x8 sub-partitions
+            decodeInterMbB8x8Cabac(d, cx, st, refs0, refs1, mx, my,
+              directSpatial)
           } else if (isB) {
             decodeInterMbMotionBCabac(d, cx, st, refs0, refs1, mx, my, t)
           } else {
@@ -1690,6 +1723,177 @@ object H264Codec {
     case t => throw new H264Format(s"bad B mb_type $t")
   }
 
+  /** B sub_mb_type shape (Table 7-17): (prediction mode — [[BModeL0]]
+    * family, or -1 for B_Direct_8x8; part width and height in 4x4
+    * units; part count). */
+  private def bSubShape(t: Int): (Int, Int, Int, Int) = t match {
+    case 0 => (-1, 2, 2, 1) // B_Direct_8x8
+    case 1 => (BModeL0, 2, 2, 1)
+    case 2 => (BModeL1, 2, 2, 1)
+    case 3 => (BModeBi, 2, 2, 1)
+    case 4 => (BModeL0, 2, 1, 2)
+    case 5 => (BModeL0, 1, 2, 2)
+    case 6 => (BModeL1, 2, 1, 2)
+    case 7 => (BModeL1, 1, 2, 2)
+    case 8 => (BModeBi, 2, 1, 2)
+    case 9 => (BModeBi, 1, 2, 2)
+    case 10 => (BModeL0, 1, 1, 4)
+    case 11 => (BModeL1, 1, 1, 4)
+    case 12 => (BModeBi, 1, 1, 4)
+    case _ => throw new H264Format(s"bad B sub_mb_type $t")
+  }
+
+  /** Part origins (block offsets within the 8x8) for a sub shape. */
+  private def subPartOrigins(w4: Int, h4: Int, n: Int): Seq[(Int, Int)] =
+    if (n == 1) Seq((0, 0))
+    else if (w4 == 2) Seq((0, 0), (0, 1)) // 8x4 top, bottom
+    else if (h4 == 2) Seq((0, 0), (1, 0)) // 4x8 left, right
+    else Seq((0, 0), (1, 0), (0, 1), (1, 1)) // 4x4 z-order
+
+  /** B sub_mb_type CABAC tree (Table 9-38 B column; bins at 36, 37,
+    * then 38 when bin1 = 1 / 39 when bin1 = 0, remaining bins 39). */
+  private def decodeSubMbTypeBCabac(d: H264Cabac.Dec, cx: H264Cabac.Ctx): Int =
+    if (d.decision(cx, 36) == 0) 0
+    else if (d.decision(cx, 37) == 0) 1 + d.decision(cx, 39)
+    else if (d.decision(cx, 38) == 0)
+      3 + ((d.decision(cx, 39) << 1) | d.decision(cx, 39))
+    else if (d.decision(cx, 39) == 0)
+      7 + ((d.decision(cx, 39) << 1) | d.decision(cx, 39))
+    else 11 + d.decision(cx, 39)
+
+  private def encodeSubMbTypeBCabac(e: H264Cabac.Enc, cx: H264Cabac.Ctx,
+      t: Int): Unit = t match {
+    case 0 => e.decision(cx, 36, 0)
+    case 1 | 2 =>
+      e.decision(cx, 36, 1); e.decision(cx, 37, 0)
+      e.decision(cx, 39, t - 1)
+    case t2 if t2 >= 3 && t2 <= 6 =>
+      e.decision(cx, 36, 1); e.decision(cx, 37, 1); e.decision(cx, 38, 0)
+      e.decision(cx, 39, ((t2 - 3) >> 1) & 1); e.decision(cx, 39, (t2 - 3) & 1)
+    case t2 if t2 >= 7 && t2 <= 10 =>
+      e.decision(cx, 36, 1); e.decision(cx, 37, 1); e.decision(cx, 38, 1)
+      e.decision(cx, 39, 0)
+      e.decision(cx, 39, ((t2 - 7) >> 1) & 1); e.decision(cx, 39, (t2 - 7) & 1)
+    case 11 | 12 =>
+      e.decision(cx, 36, 1); e.decision(cx, 37, 1); e.decision(cx, 38, 1)
+      e.decision(cx, 39, 1); e.decision(cx, 39, t - 11)
+    case _ => throw new H264Format(s"CABAC B sub_mb_type $t")
+  }
+
+  /** B_8x8 motion (7.3.5.2 for B, CAVLC form): four sub_mb_types, all
+    * used ref_idx_l0, all ref_idx_l1, all mvd_l0 (sub-major), all
+    * mvd_l1; direct subs take their quadrant of the slice's direct
+    * derivation (spatial or temporal). Motion then applies in sub /
+    * part order so later predictors see earlier partitions. */
+  private def decodeInterMbB8x8(r: BitReader, st: FrameState,
+      refs0: IndexedSeq[FrameState], refs1: IndexedSeq[FrameState],
+      mx: Int, my: Int, directSpatial: Boolean): Unit = {
+    val subTypes = Array.fill(4)(r.ue())
+    val shapes = subTypes.map(bSubShape)
+    def usesL0(m: Int) = m == BModeL0 || m == BModeBi
+    def usesL1(m: Int) = m == BModeL1 || m == BModeBi
+    def readRef(range: Int): Int = {
+      val v = if (range == 0) 0 else te(r, range)
+      if (v > range) throw new H264Format(s"ref_idx $v exceeds list")
+      v
+    }
+    val ri0 = shapes.map { case (m, _, _, _) =>
+      if (m > 0 && usesL0(m)) readRef(refs0.length - 1) else -1 }
+    val ri1 = shapes.map { case (m, _, _, _) =>
+      if (m > 0 && usesL1(m)) readRef(refs1.length - 1) else -1 }
+    val mvd0 = shapes.map { case (m, _, _, n) =>
+      if (m > 0 && usesL0(m)) Array.fill(n)((r.se(), r.se())) else Array.empty[(Int, Int)] }
+    val mvd1 = shapes.map { case (m, _, _, n) =>
+      if (m > 0 && usesL1(m)) Array.fill(n)((r.se(), r.se())) else Array.empty[(Int, Int)] }
+    applyB8x8Motion(st, refs0, refs1, mx, my, directSpatial, shapes,
+      ri0, ri1, mvd0, mvd1)
+  }
+
+  /** Shared B_8x8 geometry application (CAVLC and CABAC feed it their
+    * parsed fields). */
+  private def applyB8x8Motion(st: FrameState,
+      refs0: IndexedSeq[FrameState], refs1: IndexedSeq[FrameState],
+      mx: Int, my: Int, directSpatial: Boolean,
+      shapes: Array[(Int, Int, Int, Int)], ri0: Array[Int], ri1: Array[Int],
+      mvd0: Array[Array[(Int, Int)]], mvd1: Array[Array[(Int, Int)]]): Unit = {
+    def usesL0(m: Int) = m == BModeL0 || m == BModeBi
+    def usesL1(m: Int) = m == BModeL1 || m == BModeBi
+    lazy val directQs =
+      if (directSpatial) spatialDirectMotion(st, refs1, mx, my)
+      else temporalDirectQuads(st, refs0, refs1, mx, my)
+    var sb = 0
+    while (sb < 4) {
+      val (m, w4, h4, n) = shapes(sb)
+      val sbx = mx * 4 + (sb % 2) * 2; val sby = my * 4 + (sb / 2) * 2
+      if (m < 0) applyDirectQuad(st, refs0, refs1, mx, my, sb, directQs(sb))
+      else {
+        subPartOrigins(w4, h4, n).zipWithIndex.foreach { case ((ox, oy), pi) =>
+          val bx = sbx + ox; val by = sby + oy
+          val v0 =
+            if (usesL0(m)) {
+              val (px, py) = mvPredict(st, bx, by, w4, 0, ri0(sb), list = 0)
+              Some((px + mvd0(sb)(pi)._1, py + mvd0(sb)(pi)._2, ri0(sb)))
+            } else None
+          val v1 =
+            if (usesL1(m)) {
+              val (px, py) = mvPredict(st, bx, by, w4, 0, ri1(sb), list = 1)
+              Some((px + mvd1(sb)(pi)._1, py + mvd1(sb)(pi)._2, ri1(sb)))
+            } else None
+          mcPartitionB(st,
+            v0.map { case (vx, vy, ri) => (refs0(ri), vx, vy, ri) },
+            v1.map { case (vx, vy, ri) => (refs1(ri), vx, vy, ri) },
+            bx, by, w4, h4)
+        }
+      }
+      sb += 1
+    }
+  }
+
+  /** B_8x8 motion, CABAC form: the same field order through the
+    * arithmetic codecs, with ref_idx/mvd noted into the grids at read
+    * time (9.3.3.1.1.6/.7 neighbor state). */
+  private def decodeInterMbB8x8Cabac(d: H264Cabac.Dec, cx: H264Cabac.Ctx,
+      st: FrameState, refs0: IndexedSeq[FrameState],
+      refs1: IndexedSeq[FrameState], mx: Int, my: Int,
+      directSpatial: Boolean): Unit = {
+    val subTypes = Array.fill(4)(decodeSubMbTypeBCabac(d, cx))
+    val shapes = subTypes.map(bSubShape)
+    def usesL0(m: Int) = m == BModeL0 || m == BModeBi
+    def usesL1(m: Int) = m == BModeL1 || m == BModeBi
+    def readRef(sb: Int, list: Int, range: Int): Int = {
+      val sbx = mx * 4 + (sb % 2) * 2; val sby = my * 4 + (sb / 2) * 2
+      val ri = decodeRefIdxCabac(d, cx, st, sbx, sby, list, range)
+      st.noteRefIdx(sbx, sby, 2, 2, list, ri)
+      ri
+    }
+    val ri0 = Array.tabulate(4) { sb =>
+      val (m, _, _, _) = shapes(sb)
+      if (m > 0 && usesL0(m)) readRef(sb, 0, refs0.length - 1) else -1
+    }
+    val ri1 = Array.tabulate(4) { sb =>
+      val (m, _, _, _) = shapes(sb)
+      if (m > 0 && usesL1(m)) readRef(sb, 1, refs1.length - 1) else -1
+    }
+    def readMvds(list: Int): Array[Array[(Int, Int)]] = Array.tabulate(4) { sb =>
+      val (m, w4, h4, n) = shapes(sb)
+      val used = if (list == 0) usesL0(m) else usesL1(m)
+      if (m > 0 && used) {
+        val sbx = mx * 4 + (sb % 2) * 2; val sby = my * 4 + (sb / 2) * 2
+        subPartOrigins(w4, h4, n).map { case (ox, oy) =>
+          val bx = sbx + ox; val by = sby + oy
+          val dx = decodeMvdCabac(d, cx, st, bx, by, list, 0)
+          val dy = decodeMvdCabac(d, cx, st, bx, by, list, 1)
+          st.noteMvd(bx, by, w4, h4, list, dx, dy)
+          (dx, dy)
+        }.toArray
+      } else Array.empty[(Int, Int)]
+    }
+    val mvd0 = readMvds(0)
+    val mvd1 = readMvds(1)
+    applyB8x8Motion(st, refs0, refs1, mx, my, directSpatial, shapes,
+      ri0, ri1, mvd0, mvd1)
+  }
+
   /** Spatial direct motion derivation (8.4.1.2.2, frame coding,
     * direct_8x8_inference = 1) for a 16x16 direct macroblock
     * (B_Skip / B_Direct_16x16): the per-list MinPositive reference over
@@ -1740,24 +1944,84 @@ object H264Codec {
     }
   }
 
-  /** Motion-compensate a direct macroblock's four 8x8 quadrants
-    * (list bounds checked here — a derived refIdx beyond the slice's
-    * active list marks a corrupt or out-of-scope stream). */
+  /** Temporal direct motion derivation (8.4.1.2.3, frame coding,
+    * direct_8x8_inference = 1): each 8x8 quadrant takes the colocated
+    * CORNER 4x4 block's motion from list1's first picture, maps its
+    * reference PICTURE (by uid) to the current list 0, and scales the
+    * vector by POC distances — mvL0 = (DistScaleFactor·mvCol + 128)
+    * >> 8, mvL1 = mvL0 − mvCol. An intra colocated block yields zero
+    * motion at refIdx 0; a colocated reference absent from list 0
+    * marks a corrupt or out-of-scope stream and rejects loudly. */
+  private def temporalDirectQuads(st: FrameState,
+      refs0: IndexedSeq[FrameState], refs1: IndexedSeq[FrameState],
+      mx: Int, my: Int)
+      : Array[(Option[(Int, Int, Int)], Option[(Int, Int, Int)])] = {
+    val col = refs1.head
+    Array.tabulate(4) { q =>
+      val cx = mx * 4 + (if ((q & 1) == 0) 0 else 3)
+      val cy = my * 4 + (if ((q >> 1) == 0) 0 else 3)
+      val ci = col.blkIdx(cx, cy)
+      val (colUid, colVx, colVy) =
+        if (col.refIdxBlk(ci) >= 0) (col.refUidBlk(ci), col.mvx(ci), col.mvy(ci))
+        else if (col.refIdx1Blk(ci) >= 0)
+          (col.refUid1Blk(ci), col.mvx1(ci), col.mvy1(ci))
+        else (-1L, 0, 0) // intra colocated
+      val (ri0, v0x, v0y, v1x, v1y) =
+        if (colUid < 0) (0, 0, 0, 0, 0)
+        else {
+          val r0 = refs0.indexWhere(_.uid == colUid)
+          if (r0 < 0)
+            throw new H264Format("temporal direct: colocated ref not in list 0")
+          val pic0 = refs0(r0)
+          val td = clip3(-128, 127, col.poc - pic0.poc)
+          if (td == 0) (r0, colVx, colVy, 0, 0)
+          else {
+            val tb = clip3(-128, 127, st.poc - pic0.poc)
+            val tx = (16384 + math.abs(td / 2)) / td
+            val dsf = clip3(-1024, 1023, (tb * tx + 32) >> 6)
+            val x0 = (dsf * colVx + 128) >> 8
+            val y0 = (dsf * colVy + 128) >> 8
+            (r0, x0, y0, x0 - colVx, y0 - colVy)
+          }
+        }
+      (Some((v0x, v0y, ri0)), Some((v1x, v1y, 0)))
+    }
+  }
+
+  /** Motion-compensate ONE direct 8x8 quadrant (whole-MB direct/skip
+    * and B_Direct_8x8 subs share this; list bounds checked here — a
+    * derived refIdx beyond the slice's active list marks a corrupt or
+    * out-of-scope stream). Marks the quadrant's blocks direct for the
+    * 9.3.3.1.1.6 ref_idx neighbor rule. */
+  private def applyDirectQuad(st: FrameState,
+      refs0: IndexedSeq[FrameState], refs1: IndexedSeq[FrameState],
+      mx: Int, my: Int, q: Int,
+      quad: (Option[(Int, Int, Int)], Option[(Int, Int, Int)])): Unit = {
+    val (v0, v1) = quad
+    v0.foreach { case (_, _, ri) =>
+      if (ri >= refs0.length) throw new H264Format(s"direct refIdxL0 $ri exceeds list") }
+    v1.foreach { case (_, _, ri) =>
+      if (ri >= refs1.length) throw new H264Format(s"direct refIdxL1 $ri exceeds list") }
+    val bx = mx * 4 + (q & 1) * 2; val by = my * 4 + (q >> 1) * 2
+    mcPartitionB(st,
+      v0.map { case (vx, vy, ri) => (refs0(ri), vx, vy, ri) },
+      v1.map { case (vx, vy, ri) => (refs1(ri), vx, vy, ri) },
+      bx, by, 2, 2)
+    var yy = by
+    while (yy < by + 2) {
+      var xx = bx
+      while (xx < bx + 2) { st.directBlk(st.blkIdx(xx, yy)) = true; xx += 1 }
+      yy += 1
+    }
+  }
+
   private def applyDirectQuads(st: FrameState,
       refs0: IndexedSeq[FrameState], refs1: IndexedSeq[FrameState],
       mx: Int, my: Int,
       quads: Array[(Option[(Int, Int, Int)], Option[(Int, Int, Int)])]): Unit = {
     var q = 0
     while (q < 4) {
-      val (v0, v1) = quads(q)
-      v0.foreach { case (_, _, ri) =>
-        if (ri >= refs0.length) throw new H264Format(s"direct refIdxL0 $ri exceeds list") }
-      v1.foreach { case (_, _, ri) =>
-        if (ri >= refs1.length) throw new H264Format(s"direct refIdxL1 $ri exceeds list") }
-      mcPartitionB(st,
-        v0.map { case (vx, vy, ri) => (refs0(ri), vx, vy, ri) },
-        v1.map { case (vx, vy, ri) => (refs1(ri), vx, vy, ri) },
-        mx * 4 + (q & 1) * 2, my * 4 + (q >> 1) * 2, 2, 2)
+      applyDirectQuad(st, refs0, refs1, mx, my, q, quads(q))
       q += 1
     }
   }
@@ -1774,12 +2038,10 @@ object H264Codec {
     var qpY = qpYIn
     var mb = 0
     val nMbs = st.wMbs * st.hMbs
-    def decodeDirectMotion(mx: Int, my: Int): Unit = {
-      if (!directSpatial)
-        throw new H264Format("temporal direct mode out of scope")
+    def decodeDirectMotion(mx: Int, my: Int): Unit =
       applyDirectQuads(st, refs0, refs1, mx, my,
-        spatialDirectMotion(st, refs1, mx, my))
-    }
+        if (directSpatial) spatialDirectMotion(st, refs1, mx, my)
+        else temporalDirectQuads(st, refs0, refs1, mx, my))
     while (mb < nMbs) {
       var skipRun = r.ue() // mb_skip_run: B_Skip = direct, no residual
       while (skipRun > 0 && mb < nMbs) {
@@ -1794,9 +2056,11 @@ object H264Codec {
       if (mb >= nMbs) return // trailing skip run ended the slice
       val mbType = r.ue()
       val mx = mb % st.wMbs; val my = mb / st.wMbs
-      if (mbType == 22) throw new H264Format("B_8x8 out of scope")
-      if (mbType == 0) { // B_Direct_16x16: direct motion + residual
-        decodeDirectMotion(mx, my)
+      if (mbType == 0 || mbType == 22) {
+        // B_Direct_16x16 (direct motion) or B_8x8 (sub-partitioned,
+        // possibly with direct subs), then the shared inter residual
+        if (mbType == 0) decodeDirectMotion(mx, my)
+        else decodeInterMbB8x8(r, st, refs0, refs1, mx, my, directSpatial)
         val cbpCode = r.ue()
         if (cbpCode > 47) throw new H264Format(s"cbp code $cbpCode")
         val cbp = CbpInterByCodeNum(cbpCode)
@@ -1873,9 +2137,11 @@ object H264Codec {
   }
 
   /** Motion-compensate one B partition: single-list prediction writes
-    * the interpolated block; bi-prediction averages the two lists'
-    * interpolations per sample ((a + b + 1) >> 1 — 8.4.2.3.2 default,
-    * no weighting). Writes both planes and the per-list motion grid. */
+    * the interpolated block; bi-prediction combines the two lists'
+    * interpolations per 8.4.2.3.2 — the default rounding average, the
+    * slice's explicit weights, or implicit POC-distance weights
+    * (weighted_bipred_idc 2, bipredicted partitions only). Writes both
+    * planes and the per-list motion grid. */
   private def mcPartitionB(st: FrameState,
       p0: Option[(FrameState, Int, Int, Int)],
       p1: Option[(FrameState, Int, Int, Int)],
@@ -1883,14 +2149,39 @@ object H264Codec {
     require(p0.isDefined || p1.isDefined, "B partition with no list")
     val lumaW = st.lumaW
     val bw = w4 * 4; val bh = h4 * 4
+    // implicit weights are per reference-pair, shared by both planes
+    val impW: (Int, Int) =
+      if (st.wpImplicit && p0.isDefined && p1.isDefined)
+        implicitBiWeights(st.poc, p0.get._1.poc, p1.get._1.poc)
+      else (32, 32)
+    def combine(a: Option[Array[Int]], b: Option[Array[Int]], n: Int,
+        wpOff: Int, logWD: Int): Array[Int] = (a, b) match {
+      case (Some(x), Some(y)) =>
+        if (st.wpTab != null) { // explicit bi
+          val e0 = st.wpTab(0)(p0.get._4); val e1 = st.wpTab(1)(p1.get._4)
+          val w0 = e0(wpOff); val o0 = e0(wpOff + 1)
+          val w1 = e1(wpOff); val o1 = e1(wpOff + 1)
+          val oo = (o0 + o1 + 1) >> 1
+          Array.tabulate(n)(i =>
+            ((x(i) * w0 + y(i) * w1 + (1 << logWD)) >> (logWD + 1)) + oo)
+        } else if (st.wpImplicit)
+          Array.tabulate(n)(i => (x(i) * impW._1 + y(i) * impW._2 + 32) >> 6)
+        else Array.tabulate(n)(i => (x(i) + y(i) + 1) >> 1)
+      case (Some(x), None) =>
+        if (st.wpTab != null) { // explicit single-list (list 0)
+          val e = st.wpTab(0)(p0.get._4)
+          x.map(v => st.wpSample(v, e(wpOff), e(wpOff + 1), logWD))
+        } else x
+      case (None, other) =>
+        val x = other.get
+        if (st.wpTab != null) { // explicit single-list (list 1)
+          val e = st.wpTab(1)(p1.get._4)
+          x.map(v => st.wpSample(v, e(wpOff), e(wpOff + 1), logWD))
+        } else x
+    }
     def lumaOf(p: (FrameState, Int, Int, Int)): Array[Int] =
       mcLuma(p._1.yPlane, lumaW, st.hMbs * 16, bx * 4, by * 4, p._2, p._3, bw, bh)
-    val pl = (p0.map(lumaOf), p1.map(lumaOf)) match {
-      case (Some(a), Some(b)) =>
-        Array.tabulate(bw * bh)(i => (a(i) + b(i) + 1) >> 1)
-      case (Some(a), None) => a
-      case (None, other) => other.get
-    }
+    val pl = combine(p0.map(lumaOf), p1.map(lumaOf), bw * bh, 0, st.wpLogWDy)
     var y = 0
     while (y < bh) {
       var x = 0
@@ -1906,12 +2197,8 @@ object H264Codec {
       def chromaOf(p: (FrameState, Int, Int, Int)): Array[Int] =
         mcChroma(if (c == 0) p._1.cbPlane else p._1.crPlane, cW, st.hMbs * 8,
           bx * 2, by * 2, p._2, p._3, w4 * 2, h4 * 2)
-      val pc = (p0.map(chromaOf), p1.map(chromaOf)) match {
-        case (Some(a), Some(b)) =>
-          Array.tabulate(w4 * 2 * h4 * 2)(i => (a(i) + b(i) + 1) >> 1)
-        case (Some(a), None) => a
-        case (None, other) => other.get
-      }
+      val pc = combine(p0.map(chromaOf), p1.map(chromaOf), w4 * 2 * h4 * 2,
+        2 + 2 * c, st.wpLogWDc)
       val sp = if (c == 0) st.cbPlane else st.crPlane
       var yy = 0
       while (yy < h4 * 2) {
@@ -2342,17 +2629,22 @@ object H264Codec {
 
   /** Motion-compensate one luma partition + both chroma partitions from
     * the reference planes into the current FrameState (prediction only;
-    * residual is added by the caller). Writes the MV + refIdx grid. */
+    * residual is added by the caller). Applies the slice's explicit
+    * weighted prediction when a table is active (8.4.2.3.2). Writes
+    * the MV + refIdx grid. */
   private def mcPartition(st: FrameState, ref: FrameState, bx: Int, by: Int,
       w4: Int, h4: Int, vx: Int, vy: Int, refIdx: Int = 0): Unit = {
     val lumaW = st.lumaW
+    val wp = if (st.wpTab != null) st.wpTab(0)(refIdx) else null
     val pl = mcLuma(ref.yPlane, lumaW, st.hMbs * 16, bx * 4, by * 4, vx, vy,
       w4 * 4, h4 * 4)
     var y = 0
     while (y < h4 * 4) {
       var x = 0
       while (x < w4 * 4) {
-        st.yPlane((by * 4 + y) * lumaW + bx * 4 + x) = clipB(pl(y * w4 * 4 + x))
+        val p = pl(y * w4 * 4 + x)
+        st.yPlane((by * 4 + y) * lumaW + bx * 4 + x) =
+          clipB(if (wp == null) p else st.wpSample(p, wp(0), wp(1), st.wpLogWDy))
         x += 1
       }
       y += 1
@@ -2368,7 +2660,10 @@ object H264Codec {
       while (yy < h4 * 2) {
         var xx = 0
         while (xx < w4 * 2) {
-          sp((by * 2 + yy) * cW + bx * 2 + xx) = clipB(pc(yy * w4 * 2 + xx))
+          val p = pc(yy * w4 * 2 + xx)
+          sp((by * 2 + yy) * cW + bx * 2 + xx) =
+            clipB(if (wp == null) p
+            else st.wpSample(p, wp(2 + 2 * c), wp(3 + 2 * c), st.wpLogWDc))
           xx += 1
         }
         yy += 1
@@ -2377,6 +2672,19 @@ object H264Codec {
     }
     st.setMv(bx, by, w4, h4, vx, vy, inter = true, refIdx = refIdx,
       refUid = ref.uid)
+  }
+
+  /** Implicit-bipred weights (8.4.2.3.1, weighted_bipred_idc 2):
+    * POC-distance-derived (w0, w1) at logWD 5, with the spec's
+    * fallbacks to the default (32, 32). */
+  private def implicitBiWeights(pocCur: Int, poc0: Int, poc1: Int): (Int, Int) = {
+    if (poc0 == poc1) return (32, 32)
+    val tb = clip3(-128, 127, pocCur - poc0)
+    val td = clip3(-128, 127, poc1 - poc0)
+    val tx = (16384 + math.abs(td / 2)) / td
+    val dsf = clip3(-1024, 1023, (tb * tx + 32) >> 6)
+    val w1 = dsf >> 2
+    if (w1 < -64 || w1 > 128) (32, 32) else (64 - w1, w1)
   }
 
   // ---------------- in-loop deblocking filter (8.7) ----------------
@@ -2712,6 +3020,10 @@ object H264Codec {
     // grids, so context increments agree bit-for-bit).
     val skipMbArr = new Array[Boolean](wMbs * hMbs)
     val bDirectMbArr = new Array[Boolean](wMbs * hMbs)
+    /** Per-4x4-block direct flag (whole-MB direct/skip AND
+      * B_Direct_8x8 subs) — the 9.3.3.1.1.6 ref_idx neighbor rule
+      * excludes direct partitions at block granularity. */
+    val directBlk = new Array[Boolean](wMbs * 4 * hMbs * 4)
     /** PPS chroma_qp_index_offset in effect for this picture. */
     var cqpOff: Int = 0
     /** QPc for a luma QP under this picture's chroma offset (8.5.8). */
@@ -2723,6 +3035,19 @@ object H264Codec {
     val t8x8MbArr = new Array[Boolean](wMbs * hMbs)
     /** PPS transform_8x8_mode_flag in effect (high profile). */
     var t8x8Allowed: Boolean = false
+    // ---- weighted prediction (8.4.2.3), per slice ----
+    /** Explicit WP table: [list][refIdx][wY, oY, wCb, oCb, wCr, oCr];
+      * null = no explicit weighting in effect. */
+    var wpTab: Array[Array[Array[Int]]] = null
+    var wpLogWDy = 0
+    var wpLogWDc = 0
+    /** Implicit B biprediction (weighted_bipred_idc 2): POC-distance
+      * weights on bipredicted partitions, default on single-list. */
+    var wpImplicit = false
+    /** Weighted single-list sample (8.4.2.3.2). */
+    def wpSample(p: Int, w: Int, o: Int, logWD: Int): Int =
+      if (logWD >= 1) ((p * w + (1 << (logWD - 1))) >> logWD) + o
+      else p * w + o
     val mvdBlk = Array.fill(2, 2)(new Array[Int](wMbs * 4 * hMbs * 4)) // [list][comp]
     /** Record a partition's decoded mvd (CABAC neighbor input). */
     def noteMvd(bx: Int, by: Int, w4: Int, h4: Int, list: Int,
@@ -3317,7 +3642,8 @@ object H264Codec {
     * list size, early slices override it down while the DPB fills). */
   private def spsPpsNals(wMbs: Int, hMbs: Int, cropR: Int, cropB: Int,
       refFrames: Int = 1, pocLsbBits: Int = 0, profile: Int = 66,
-      cabac: Boolean = false, t8x8: Boolean = false, chromaQpOff: Int = 0)
+      cabac: Boolean = false, t8x8: Boolean = false, chromaQpOff: Int = 0,
+      weightedPred: Boolean = false, weightedBipredIdc: Int = 0)
       : (Array[Byte], Array[Byte]) = {
     require(!t8x8 || profile == 100, "8x8 transform needs high profile")
     val sw = new BitWriter
@@ -3357,7 +3683,8 @@ object H264Codec {
     pw.u1(0) // bottom_field_poc
     pw.ue(0) // one slice group
     pw.ue(refFrames - 1); pw.ue(0) // num_ref_idx_l0/l1_default_active_minus1
-    pw.u1(0); pw.u(0, 2) // weighted pred off
+    pw.u1(if (weightedPred) 1 else 0) // weighted_pred_flag (P)
+    pw.u(weightedBipredIdc, 2) // weighted_bipred_idc (B)
     pw.se(0); pw.se(0) // pic_init_qp 26, qs 26
     pw.se(chromaQpOff) // chroma_qp_index_offset
     pw.u1(1) // deblocking control present
@@ -4112,9 +4439,10 @@ object H264Codec {
       searchRange: Int = 4, forcedMv: Option[(Int, Int)] = None,
       intraEvery: Int = 0, refFrames: Int = 1,
       forcedRefIdx: Option[(Int, Int) => Int] = None,
-      deblock: Boolean = false, cabac: Boolean = false): Seq[Array[Byte]] =
+      deblock: Boolean = false, cabac: Boolean = false,
+      wpLuma: Option[(Int, Int, Int)] = None): Seq[Array[Byte]] =
     encodeGopImpl(frames, qp, avcc, searchRange, forcedMv, intraEvery,
-      refFrames, forcedRefIdx, deblock, cabac)._1
+      refFrames, forcedRefIdx, deblock, cabac, wpLuma)._1
 
   /** GOP encode + the encoder's own per-frame reconstructed planes —
     * the spec hook pinning decode ≡ encode-time reconstruction. */
@@ -4122,10 +4450,11 @@ object H264Codec {
       searchRange: Int = 4, forcedMv: Option[(Int, Int)] = None,
       intraEvery: Int = 0, refFrames: Int = 1,
       forcedRefIdx: Option[(Int, Int) => Int] = None,
-      deblock: Boolean = false, cabac: Boolean = false)
+      deblock: Boolean = false, cabac: Boolean = false,
+      wpLuma: Option[(Int, Int, Int)] = None)
       : (Seq[Array[Byte]], Seq[(Array[Byte], Array[Byte], Array[Byte])]) = {
     val (ps, sts) = encodeGopImpl(frames, qp, avcc = true, searchRange,
-      forcedMv, intraEvery, refFrames, forcedRefIdx, deblock, cabac)
+      forcedMv, intraEvery, refFrames, forcedRefIdx, deblock, cabac, wpLuma)
     (ps, sts.map(st => (st.yPlane, st.cbPlane, st.crPlane)))
   }
 
@@ -4133,7 +4462,8 @@ object H264Codec {
       avcc: Boolean, searchRange: Int, forcedMv: Option[(Int, Int)],
       intraEvery: Int, refFrames: Int = 1,
       forcedRefIdx: Option[(Int, Int) => Int] = None,
-      deblock: Boolean = false, cabac: Boolean = false)
+      deblock: Boolean = false, cabac: Boolean = false,
+      wpLuma: Option[(Int, Int, Int)] = None)
       : (Seq[Array[Byte]], Seq[FrameState]) = {
     require(frames.nonEmpty, "empty GOP")
     require(qp >= 0 && qp <= 51, s"qp $qp")
@@ -4147,7 +4477,8 @@ object H264Codec {
         profile = if (cabac) 77 else 66, cabac = cabac)
     val (wMbs, hMbs, cropR, cropB) = mbGeometry(frames.head)
     val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB, refFrames,
-      profile = if (cabac) 77 else 66, cabac = cabac)
+      profile = if (cabac) 77 else 66, cabac = cabac,
+      weightedPred = wpLuma.isDefined)
     val payloads = ArrayBuffer(idrBytes)
     val states = ArrayBuffer(st0)
     // DPB most-recent-first, sliding-window bounded — mirrors the decoder
@@ -4157,7 +4488,7 @@ object H264Codec {
       val (yP, cbP, crP) = toYuv420(frames(i), st0.wMbs, st0.hMbs)
       val (sliceNal, st) = encodePFrame(yP, cbP, crP, dpb.toIndexedSeq, qp,
         i % 16, searchRange, forcedMv, intraEvery, refFrames, forcedRefIdx,
-        deblock = deblock, cabac = cabac)
+        deblock = deblock, cabac = cabac, wpLuma = wpLuma)
       payloads += frameNals(avcc, spsNal, ppsNal, sliceNal)
       states += st
       dpb = (st :: dpb).take(refFrames)
@@ -4186,10 +4517,11 @@ object H264Codec {
    */
   def encodeGopB(frames: Seq[MediaCodecs.Bmp], qp: Int, bFrames: Int = 1,
       avcc: Boolean = true, searchRange: Int = 4, deblock: Boolean = false,
-      cabac: Boolean = false)
+      cabac: Boolean = false, weightedBipred: Int = 0,
+      directTemporal: Boolean = false)
       : (Seq[Array[Byte]], Seq[Int]) = {
     val (p, d, _) = encodeGopBImpl(frames, qp, bFrames, avcc, searchRange,
-      deblock, cabac)
+      deblock, cabac, weightedBipred, directTemporal)
     (p, d)
   }
 
@@ -4197,16 +4529,18 @@ object H264Codec {
     * planes — the parity spec hook (decode order, like the payloads). */
   private[graft] def encodeGopBForTest(frames: Seq[MediaCodecs.Bmp], qp: Int,
       bFrames: Int = 1, searchRange: Int = 4, deblock: Boolean = false,
-      cabac: Boolean = false)
+      cabac: Boolean = false, weightedBipred: Int = 0,
+      directTemporal: Boolean = false)
       : (Seq[Array[Byte]], Seq[Int], Seq[(Array[Byte], Array[Byte], Array[Byte])]) = {
     val (p, d, sts) = encodeGopBImpl(frames, qp, bFrames, avcc = true, searchRange,
-      deblock, cabac)
+      deblock, cabac, weightedBipred, directTemporal)
     (p, d, sts.map(st => (st.yPlane, st.cbPlane, st.crPlane)))
   }
 
   private def encodeGopBImpl(frames: Seq[MediaCodecs.Bmp], qp: Int,
       bFrames: Int, avcc: Boolean, searchRange: Int,
-      deblock: Boolean = false, cabac: Boolean = false)
+      deblock: Boolean = false, cabac: Boolean = false,
+      weightedBipred: Int = 0, directTemporal: Boolean = false)
       : (Seq[Array[Byte]], Seq[Int], Seq[FrameState]) = {
     require(frames.nonEmpty, "empty GOP")
     require(qp >= 0 && qp <= 51, s"qp $qp")
@@ -4227,7 +4561,8 @@ object H264Codec {
     // defaults sized for the refs=2 P shape — every slice overrides
     // down to its actual 1-deep lists
     val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB,
-      refFrames = 2, pocLsbBits = pocBits, profile = 77, cabac = cabac)
+      refFrames = 2, pocLsbBits = pocBits, profile = 77, cabac = cabac,
+      weightedBipredIdc = weightedBipred)
     val (idrBytes, st0) = encodeImpl(frames.head, avcc, qp,
       intra4x4 = false, (_, b, _) => b, refFrames = 2, pocLsbBits = pocBits,
       deblock = deblock, profile = 77, cabac = cabac)
@@ -4255,7 +4590,8 @@ object H264Codec {
         val (by, bcb, bcr) = toYuv420(frames(bpos), wMbs, hMbs)
         val (bNal, stB) = encodeBFrame(by, bcb, bcr, prevRef, stP, qp,
           (refCount + 1) % 16, (2 * bpos) % maxLsb, pocBits, searchRange,
-          deblock = deblock, cabac = cabac)
+          deblock = deblock, cabac = cabac, wpMode = weightedBipred,
+          directTemporal = directTemporal)
         stB.poc = 2 * bpos
         payloads += frameNals(avcc, spsNal, ppsNal, bNal)
         display += bpos
@@ -4272,15 +4608,23 @@ object H264Codec {
     * SAD) against the past (`ref0` = list0) and future (`ref1` = list1)
     * references, reconstructing with the decoder's kernels. Non-ref
     * NAL (nal_ref_idc 0) — carries no dec_ref_pic_marking. */
+  /** Fixed explicit-B weight shape the encoder emits under wpMode 1
+    * (the witness for explicit bipred decode): luma denom 5 with
+    * asymmetric weights/offsets per list, chroma denom 5 likewise. */
+  private val BExpWp0 = Array(40, 2, 28, 3, 26, -2)
+  private val BExpWp1 = Array(24, -2, 30, -1, 34, 2)
+
   private def encodeBFrame(srcY: Array[Byte], srcCb: Array[Byte],
       srcCr: Array[Byte], ref0: FrameState, ref1: FrameState, qp: Int,
       frameNum: Int, pocLsb: Int, pocBits: Int, searchRange: Int,
-      deblock: Boolean = false, cabac: Boolean = false)
+      deblock: Boolean = false, cabac: Boolean = false, wpMode: Int = 0,
+      directTemporal: Boolean = false)
       : (Array[Byte], FrameState) = {
     import H264Transform._
     val wMbs = ref0.wMbs; val hMbs = ref0.hMbs
     val lumaW = wMbs * 16; val lumaH = hMbs * 16
     val st = new FrameState(wMbs, hMbs)
+    st.poc = pocLsb // implicit-bipred weights read POC distances
     val w = new BitWriter
     // slice_header (7.3.3): B, one reference per list, POC type 0
     w.ue(0) // first_mb_in_slice
@@ -4288,9 +4632,22 @@ object H264Codec {
     w.ue(0) // pps id
     w.u(frameNum & 15, 4) // frame_num (non-ref: value is informational)
     w.u(pocLsb, pocBits) // pic_order_cnt_lsb — carries display order
-    w.u1(1) // direct_spatial_mv_pred_flag: spatial direct (8.4.1.2.2)
+    // direct_spatial_mv_pred_flag: spatial (8.4.1.2.2) or temporal
+    // (8.4.1.2.3) — both derivations are shared with the decoder
+    w.u1(if (directTemporal) 0 else 1)
     w.u1(1); w.ue(0); w.ue(0) // override: 1-deep list0 AND list1
     w.u1(0); w.u1(0) // ref_pic_list_modification l0, l1
+    if (wpMode == 1) { // explicit bipred: pred_weight_table for BOTH lists
+      w.ue(5); w.ue(5) // luma/chroma log2 weight denoms
+      Seq(BExpWp0, BExpWp1).foreach { e =>
+        w.u1(1); w.se(e(0)); w.se(e(1)) // luma weight/offset
+        w.u1(1) // chroma_weight_flag
+        w.se(e(2)); w.se(e(3)); w.se(e(4)); w.se(e(5))
+      }
+      st.wpLogWDy = 5; st.wpLogWDc = 5
+      st.wpTab = Array(Array(BExpWp0), Array(BExpWp1))
+    }
+    if (wpMode == 2) st.wpImplicit = true
     // (no dec_ref_pic_marking: nal_ref_idc 0)
     if (cabac) w.ue(0) // cabac_init_idc
     w.se(qp - 26) // slice_qp_delta
@@ -4327,10 +4684,13 @@ object H264Codec {
         sadBi += math.abs(s - ((pred0(k) + pred1(k) + 1) >> 1))
         k += 1
       }
-      // spatial direct candidate: the decoder's own 8.4.1.2.2
-      // derivation over the encoder's mirrored grids, so a direct MB's
-      // motion needs no bits at all
-      val quads = spatialDirectMotion(st, IndexedSeq(ref1), mx, my)
+      // direct candidate: the decoder's own derivation (spatial
+      // 8.4.1.2.2 or temporal 8.4.1.2.3) over the encoder's mirrored
+      // grids, so a direct MB's motion needs no bits at all
+      val quads =
+        if (directTemporal)
+          temporalDirectQuads(st, IndexedSeq(ref0), IndexedSeq(ref1), mx, my)
+        else spatialDirectMotion(st, IndexedSeq(ref1), mx, my)
       var sadDirect = 0L
       var q = 0
       while (q < 4) {
@@ -4500,7 +4860,7 @@ object H264Codec {
       intraEvery: Int, refFrames: Int = 1,
       forcedRefIdx: Option[(Int, Int) => Int] = None,
       pocLsbBits: Int = 0, pocLsb: Int = 0, deblock: Boolean = false,
-      cabac: Boolean = false)
+      cabac: Boolean = false, wpLuma: Option[(Int, Int, Int)] = None)
       : (Array[Byte], FrameState) = {
     import H264Transform._
     require(refs.nonEmpty, "P frame needs at least one reference")
@@ -4520,6 +4880,23 @@ object H264Codec {
       w.ue(nActive - 1) // num_ref_idx_l0_active_minus1
     } else w.u1(0)
     w.u1(0) // ref_pic_list_modification_flag_l0
+    // pred_weight_table (explicit luma weights, neutral chroma) — the
+    // x264 weightp shape; the reconstruction below applies the same
+    // weights through mcPartition, so parity is by construction
+    wpLuma.foreach { case (logWD, ww, oo) =>
+      w.ue(logWD) // luma_log2_weight_denom
+      w.ue(0) // chroma_log2_weight_denom
+      var i = 0
+      while (i < nActive) {
+        w.u1(1); w.se(ww); w.se(oo) // luma_weight/offset_l0
+        w.u1(0) // chroma_weight_l0_flag
+        i += 1
+      }
+      st.wpLogWDy = logWD
+      st.wpLogWDc = 0
+      st.wpTab = Array(
+        Array.fill(nActive)(Array(ww, oo, 1, 0, 1, 0)), Array.empty)
+    }
     w.u1(0) // adaptive_ref_pic_marking_mode_flag (sliding window)
     if (cabac) w.ue(0) // cabac_init_idc
     w.se(qp - 26) // slice_qp_delta
@@ -4586,8 +4963,15 @@ object H264Codec {
             best
         }
         val ref = refs(refIdx)
-        val predY = mcLuma(ref.yPlane, lumaW, lumaH, mx * 16, my * 16,
+        val predYRaw = mcLuma(ref.yPlane, lumaW, lumaH, mx * 16, my * 16,
           vx, vy, 16, 16)
+        // residual must be computed against the WEIGHTED prediction —
+        // exactly what mcPartition writes into the planes
+        val predY = wpLuma match {
+          case Some((logWD, ww, oo)) =>
+            predYRaw.map(v => clip3(0, 255, st.wpSample(v, ww, oo, logWD)))
+          case None => predYRaw
+        }
         val predC = Array.tabulate(2)(c =>
           mcChroma(if (c == 0) ref.cbPlane else ref.crPlane, lumaW / 2,
             hMbs * 8, mx * 8, my * 8, vx, vy, 8, 8))
@@ -5066,6 +5450,204 @@ object H264Codec {
     val g = new GopDecoder
     g.seed(Sps(66, 30, 4, 0, wMbs, hMbs, 0, 0, 2, 8),
       Pps(entropyCabac = false, 26, deblockingControlPresent = true),
+      List(ref1, ref0))
+    val dec =
+      try g.decodeAuYuv(payload).map(t => (t._2, t._3, t._4))
+      catch { case _: Exception => None }
+    (payload, (st.yPlane, st.cbPlane, st.crPlane), dec)
+  }
+
+  /** Spec hook: encode one B frame where EVERY macroblock is B_8x8
+    * with `plan(mx, my) = (subTypes, mvsL0, mvsL1)` dictating the four
+    * Table 7-17 sub shapes (0 = B_Direct_8x8 draws no MVs) and the
+    * per-part quarter-pel vectors — the witness for the sub-partition
+    * decode paths in BOTH entropy modes, which the production encoder
+    * never emits. `directSpatial` selects the direct derivation for
+    * type-0 subs. Same seed-decode parity contract as the other
+    * partition hooks. */
+  private[graft] def b8x8RoundTripForTest(srcY: Array[Byte],
+      srcCb: Array[Byte], srcCr: Array[Byte],
+      ref0Y: Array[Byte], ref0Cb: Array[Byte], ref0Cr: Array[Byte],
+      ref1Y: Array[Byte], ref1Cb: Array[Byte], ref1Cr: Array[Byte],
+      wMbs: Int, hMbs: Int, qp: Int,
+      plan: (Int, Int) => (Seq[Int], Seq[(Int, Int)], Seq[(Int, Int)]),
+      cabac: Boolean = false, directSpatial: Boolean = false)
+      : (Array[Byte], (Array[Byte], Array[Byte], Array[Byte]),
+         Option[(Array[Byte], Array[Byte], Array[Byte])]) = {
+    import H264Transform._
+    def mkRef(y: Array[Byte], cb: Array[Byte], cr: Array[Byte], poc: Int)
+        : FrameState = {
+      val f = new FrameState(wMbs, hMbs)
+      System.arraycopy(y, 0, f.yPlane, 0, y.length)
+      System.arraycopy(cb, 0, f.cbPlane, 0, cb.length)
+      System.arraycopy(cr, 0, f.crPlane, 0, cr.length)
+      f.poc = poc
+      f
+    }
+    val ref0 = mkRef(ref0Y, ref0Cb, ref0Cr, poc = 0)
+    val ref1 = mkRef(ref1Y, ref1Cb, ref1Cr, poc = 4)
+    // seed the colocated grid so temporal direct has real motion to
+    // scale: mark ref1 fully decoded as zero-MV refIdx-0 inter
+    ref0.setMv(0, 0, wMbs * 4, hMbs * 4, 0, 0, inter = false, refIdx = -1)
+    ref1.setMv(0, 0, wMbs * 4, hMbs * 4, 0, 0, inter = true, refIdx = 0,
+      refUid = ref0.uid)
+    val st = new FrameState(wMbs, hMbs)
+    st.poc = 2
+    val lumaW = wMbs * 16
+    val w = new BitWriter
+    w.ue(0); w.ue(6); w.ue(0) // first_mb, slice_type B, pps id
+    w.u(1, 4) // frame_num
+    w.u(2, 8) // pic_order_cnt_lsb (between the refs' 0 and 4)
+    w.u1(if (directSpatial) 1 else 0) // direct_spatial_mv_pred_flag
+    w.u1(1); w.ue(0); w.ue(0) // override: 1-deep list0 and list1
+    w.u1(0); w.u1(0) // ref_pic_list_modification l0, l1
+    if (cabac) w.ue(0) // cabac_init_idc
+    w.se(qp - 26)
+    w.ue(1) // disable deblocking
+    var enc: H264Cabac.Enc = null
+    var cSink: CabacSink = null
+    var cxE: H264Cabac.Ctx = null
+    if (cabac) {
+      while (!w.byteAligned) w.u1(1)
+      cxE = new H264Cabac.Ctx; cxE.initPB(0, qp)
+      enc = new H264Cabac.Enc(w)
+      cSink = new CabacSink(enc, cxE)
+      cSink.interMb = true
+    }
+    val sink: MbSink = if (cabac) cSink else new CavlcSink(w)
+    val refs0 = IndexedSeq(ref0); val refs1 = IndexedSeq(ref1)
+    val nMbs = wMbs * hMbs
+    var mb = 0
+    while (mb < nMbs) {
+      val mx = mb % wMbs; val my = mb / wMbs
+      val (subTypes, mvs0, mvs1) = plan(mx, my)
+      require(subTypes.length == 4, "B_8x8 needs 4 sub_mb_types")
+      val shapes = subTypes.map(bSubShape).toArray
+      if (cabac) {
+        enc.decision(cxE, 24 + skipFlagInc(st, mx, my), 0) // mb_skip_flag
+        encodeMbTypeBCabac(enc, cxE, st, mx, my, 22)
+        subTypes.foreach(t => encodeSubMbTypeBCabac(enc, cxE, t))
+      } else {
+        w.ue(0) // mb_skip_run
+        w.ue(22)
+        subTypes.foreach(t => w.ue(t))
+      }
+      // resolve + MC per sub/part in decode order; mvds stashed for
+      // stream-order emission (their contexts read only the mvd-note
+      // grids, which emission replays in the decoder's order)
+      def usesL0(m: Int) = m == BModeL0 || m == BModeBi
+      def usesL1(m: Int) = m == BModeL1 || m == BModeBi
+      lazy val directQs =
+        if (directSpatial) spatialDirectMotion(st, refs1, mx, my)
+        else temporalDirectQuads(st, refs0, refs1, mx, my)
+      val it0 = mvs0.iterator; val it1 = mvs1.iterator
+      val outMvd0 = scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Int, Int, Int)]()
+      val outMvd1 = scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Int, Int, Int)]()
+      var sb = 0
+      while (sb < 4) {
+        val (m, w4, h4, n) = shapes(sb)
+        val sbx = mx * 4 + (sb % 2) * 2; val sby = my * 4 + (sb / 2) * 2
+        if (m < 0) applyDirectQuad(st, refs0, refs1, mx, my, sb, directQs(sb))
+        else subPartOrigins(w4, h4, n).foreach { case (ox, oy) =>
+          val bx = sbx + ox; val by = sby + oy
+          val v0 =
+            if (usesL0(m)) {
+              val (vx, vy) = it0.next()
+              val (px, py) = mvPredict(st, bx, by, w4, 0, 0, list = 0)
+              outMvd0 += ((bx, by, w4, h4, vx - px, vy - py))
+              Some((ref0, vx, vy, 0))
+            } else None
+          val v1 =
+            if (usesL1(m)) {
+              val (vx, vy) = it1.next()
+              val (px, py) = mvPredict(st, bx, by, w4, 0, 0, list = 1)
+              outMvd1 += ((bx, by, w4, h4, vx - px, vy - py))
+              Some((ref1, vx, vy, 0))
+            } else None
+          mcPartitionB(st, v0, v1, bx, by, w4, h4)
+        }
+        sb += 1
+      }
+      require(!it0.hasNext && !it1.hasNext, s"plan at ($mx,$my) MV count mismatch")
+      (outMvd0 ++ outMvd1).zipWithIndex.foreach { case ((bx, by, w4, h4, dx, dy), i) =>
+        val list = if (i < outMvd0.length) 0 else 1
+        if (cabac) {
+          encodeMvdCabac(enc, cxE, st, bx, by, list, 0, dx)
+          encodeMvdCabac(enc, cxE, st, bx, by, list, 1, dy)
+          st.noteMvd(bx, by, w4, h4, list, dx, dy)
+        } else { w.se(dx); w.se(dy) }
+      }
+      // residual vs the assembled prediction (the partition-hook pattern)
+      val levels = Array.ofDim[Int](16, 16)
+      var bi = 0
+      while (bi < 16) {
+        val (bxo, byo) = LumaBlockOrder(bi)
+        val diff = new Array[Int](16)
+        var k = 0
+        while (k < 16) {
+          val o = (my * 16 + byo * 4 + k / 4) * lumaW + mx * 16 + bxo * 4 + k % 4
+          diff(k) = (srcY(o) & 0xff) - (st.yPlane(o) & 0xff)
+          k += 1
+        }
+        val q = quant4x4(forward4x4(diff), qp, skipDc = false)
+        k = 0
+        while (k < 16) { levels(bi)(k) = q(Zigzag4x4(k)); k += 1 }
+        bi += 1
+      }
+      val cbpLuma = (0 until 4).foldLeft(0) { (acc, g) =>
+        if ((0 until 4).exists(i => levels(g * 4 + i).exists(_ != 0)))
+          acc | (1 << g)
+        else acc
+      }
+      val predC = Array.tabulate(2) { c =>
+        val plane = if (c == 0) st.cbPlane else st.crPlane
+        Array.tabulate(64)(k =>
+          plane((my * 8 + k / 8) * (lumaW / 2) + mx * 8 + k % 8) & 0xff)
+      }
+      val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, st.cQp(qp),
+        predOf = c => predC(c))
+      val cbp = cbpLuma | (chroma.cbpChroma << 4)
+      if (cabac) {
+        cSink.cbpI4(st, mx, my, cbp)
+        if (cbp != 0) cSink.qpDelta(0) else cSink.qpDeltaSkipped()
+      } else {
+        w.ue(CbpInterToCodeNum(cbp))
+        if (cbp != 0) w.se(0)
+      }
+      bi = 0
+      while (bi < 16) {
+        val (bxo, byo) = LumaBlockOrder(bi)
+        val gbx = mx * 4 + bxo; val gby = my * 4 + byo
+        if ((cbpLuma & (1 << (bi >> 2))) != 0) {
+          val tc = sink.blockOut(st, CatLuma4x4, levels(bi), 16, gbx, gby, 0)
+          st.setNnzY(gbx, gby, tc)
+          val rpx = inverse4x4(dequant4x4(unzigzag(levels(bi), 0), qp, skipDc = false))
+          var py = 0
+          while (py < 4) {
+            var px = 0
+            while (px < 4) {
+              val o = (my * 16 + byo * 4 + py) * lumaW + mx * 16 + bxo * 4 + px
+              st.yPlane(o) = clipB((st.yPlane(o) & 0xff) + rpx(py * 4 + px))
+              px += 1
+            }
+            py += 1
+          }
+        } else st.setNnzY(gbx, gby, 0)
+        bi += 1
+      }
+      chroma.emit(sink)
+      st.markMb(mx, my, intra = false, qp)
+      if (cabac) enc.terminate(if (mb == nMbs - 1) 1 else 0)
+      mb += 1
+    }
+    if (cabac) w.alignToByte() else w.trailing()
+    val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, 0, 0, refFrames = 2,
+      pocLsbBits = 8, profile = 77, cabac = cabac)
+    val payload = frameNals(avcc = true, spsNal, ppsNal,
+      Array[Byte](0x01.toByte) ++ escape(w.bytes))
+    val g = new GopDecoder
+    g.seed(Sps(66, 30, 4, 0, wMbs, hMbs, 0, 0, 2, 8),
+      Pps(entropyCabac = cabac, 26, deblockingControlPresent = true),
       List(ref1, ref0))
     val dec =
       try g.decodeAuYuv(payload).map(t => (t._2, t._3, t._4))

@@ -2618,6 +2618,175 @@ object PipelineQueries {
              |  true AS recon_same, true AS smaller_ok
              |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
 
+    // B-slice completion (r13): temporal direct mode (8.4.1.2.3 —
+    // JM's default, POC-scaled colocated motion) as a full IbbP GOP
+    // per doc, and B_8x8 sub-partitions (Table 7-17: every sub shape
+    // incl. direct subs) through the hand-built-syntax hook in both
+    // entropy modes. `temporal_ok`/`b8x8_ok` pin decode == encoder
+    // reconstruction byte-for-byte. Behavior pinned in
+    // H264TemporalDirectSpec / H264B8x8Spec.
+    "q_h264_bcomplete_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val len = text.codePointCount(0, text.length)
+            val w = 32 + 2 * (len % 8).toInt
+            val h = 32 + 2 * ((len + id) % 6).toInt
+            val frames = (0 until 5).map { tIdx =>
+              val rgb = new Array[Byte](w * h * 3)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val o = (y * w + x) * 3
+                  val bg = (x * 150) / math.max(1, w - 1) +
+                    (y * 80) / math.max(1, h - 1)
+                  val sx = 4 + tIdx * 2
+                  val v = if (x >= sx && x < sx + 10 && y >= 8 && y < 20) 250 else bg
+                  rgb(o) = v.toByte
+                  rgb(o + 1) = ((v + 30) % 256).toByte
+                  rgb(o + 2) = ((v + 60) % 256).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              graft.pipeline.MediaCodecs.Bmp(w, h, rgb)
+            }
+            val (pv, _, recon) = graft.pipeline.H264Codec.encodeGopBForTest(
+              frames, qp = 26, bFrames = 2, deblock = true,
+              directTemporal = true)
+            val g = new graft.pipeline.H264Codec.GopDecoder
+            val temporalOk = pv.zip(recon).forall { case (p, (ey, ecb, ecr)) =>
+              g.decodeAuYuv(p).exists { case (_, y2, cb, cr) =>
+                java.util.Arrays.equals(y2, ey) &&
+                  java.util.Arrays.equals(cb, ecb) &&
+                  java.util.Arrays.equals(cr, ecr)
+              }
+            }
+            // B_8x8: doc-derived planes, every sub-shape family across
+            // the four MBs, CAVLC on even docs / CABAC on odd
+            def plane(n: Int, seed: Int): Array[Byte] =
+              Array.tabulate(n)(i => ((i * 7 + seed * 13 + id) % 251).toByte)
+            val lw = 32; val lh = 32
+            val mbPlans = Map((0, 0) -> Seq(0, 1, 2, 3), (1, 0) -> Seq(4, 5, 6, 7),
+              (0, 1) -> Seq(8, 9, 10, 11), (1, 1) -> Seq(12, 0, 3, 8))
+            def nMvs(t2: Int, list: Int): Int = t2 match {
+              case 0 => 0
+              case 1 | 2 | 3 =>
+                if ((t2 == 1 && list == 0) || (t2 == 2 && list == 1) || t2 == 3) 1 else 0
+              case x if x >= 4 && x <= 9 =>
+                val m = if (x == 4 || x == 5) 1 else if (x == 6 || x == 7) 2 else 3
+                if ((m == 1 && list == 0) || (m == 2 && list == 1) || m == 3) 2 else 0
+              case x =>
+                val m = x - 9 // 10 -> 1, 11 -> 2, 12 -> 3
+                if ((m == 1 && list == 0) || (m == 2 && list == 1) || m == 3) 4 else 0
+            }
+            val plan = (mx: Int, my: Int) => {
+              val subs = mbPlans((mx, my))
+              val l0 = subs.flatMap(t2 => (0 until nMvs(t2, 0)).map(k =>
+                ((k + mx) % 9 - 4, (k + my) % 7 - 3)))
+              val l1 = subs.flatMap(t2 => (0 until nMvs(t2, 1)).map(k =>
+                ((k + my) % 7 - 3, (k + mx) % 9 - 4)))
+              (subs, l0, l1)
+            }
+            val (_, enc8, dec8) = graft.pipeline.H264Codec.b8x8RoundTripForTest(
+              plane(lw * lh, 9), plane(lw * lh / 4, 4), plane(lw * lh / 4, 7),
+              plane(lw * lh, 3), plane(lw * lh / 4, 1), plane(lw * lh / 4, 2),
+              plane(lw * lh, 5), plane(lw * lh / 4, 6), plane(lw * lh / 4, 8),
+              wMbs = 2, hMbs = 2, qp = 26, plan, cabac = id % 2 == 1,
+              directSpatial = id % 4 < 2)
+            val b8Ok = dec8.exists { case (y2, cb, cr) =>
+              java.util.Arrays.equals(y2, enc8._1) &&
+                java.util.Arrays.equals(cb, enc8._2) &&
+                java.util.Arrays.equals(cr, enc8._3)
+            }
+            (id, w, h, temporalOk, b8Ok)
+          }
+          .toDF("doc_id", "width", "height", "temporal_ok", "b8x8_ok")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(32 + 2 * (len(text) % 8) AS INT) AS width,
+             |  CAST(32 + 2 * ((len(text) + doc_id) % 6) AS INT) AS height,
+             |  true AS temporal_ok, true AS b8x8_ok
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
+    // weighted prediction (r13, 8.4.2.3): per doc a multiplicative
+    // fade GOP runs through all three modes — explicit P weights (the
+    // x264 `weightp` shape), explicit B bipred (idc 1, asymmetric
+    // two-list weights + offsets), and implicit POC-distance B bipred
+    // (idc 2). `parity_ok` pins decode == encoder reconstruction for
+    // each mode; `wp_gain` pins that explicit P weighting genuinely
+    // engages (fade payloads shrink vs the unweighted encode — a
+    // weights-ignored implementation cannot pass). Behavior pinned in
+    // H264WeightedPredSpec.
+    "q_h264_weighted_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val len = text.codePointCount(0, text.length)
+            val w = 32 + 2 * (len % 8).toInt
+            val h = 32 + 2 * ((len + id) % 6).toInt
+            val frames = (0 until 5).map { tIdx =>
+              val rgb = new Array[Byte](w * h * 3)
+              var i = 0
+              while (i < w * h) {
+                val x = i % w; val y = i / w
+                val base = 40 + ((x / 3) * 13 + (y / 3) * 7) % 180
+                val v = (base * (100 - 12 * tIdx)) / 100
+                rgb(i * 3) = v.toByte
+                rgb(i * 3 + 1) = ((v * 9) / 10).toByte
+                rgb(i * 3 + 2) = (((v * 11) / 10) min 255).toByte
+                i += 1
+              }
+              graft.pipeline.MediaCodecs.Bmp(w, h, rgb)
+            }
+            val g = new graft.pipeline.H264Codec.GopDecoder
+            def parity(pv: Seq[Array[Byte]],
+                recon: Seq[(Array[Byte], Array[Byte], Array[Byte])]): Boolean =
+              pv.zip(recon).forall { case (p, (ey, ecb, ecr)) =>
+                g.decodeAuYuv(p).exists { case (_, y2, cb, cr) =>
+                  java.util.Arrays.equals(y2, ey) &&
+                    java.util.Arrays.equals(cb, ecb) &&
+                    java.util.Arrays.equals(cr, ecr)
+                }
+              }
+            val (pvP, reconP) = graft.pipeline.H264Codec.encodeGopForTest(
+              frames, qp = 26, wpLuma = Some((6, 56, 0)))
+            val pOk = parity(pvP, reconP)
+            val (pvB1, _, reconB1) = graft.pipeline.H264Codec.encodeGopBForTest(
+              frames, qp = 26, bFrames = 2, weightedBipred = 1)
+            val b1Ok = parity(pvB1, reconB1)
+            val (pvB2, _, reconB2) = graft.pipeline.H264Codec.encodeGopBForTest(
+              frames, qp = 26, bFrames = 2, weightedBipred = 2)
+            val b2Ok = parity(pvB2, reconB2)
+            // engagement pin that tiny-frame table overhead can't mask:
+            // the fade-matched weight (56/64 ~ the 12%-per-frame fade)
+            // must beat a deliberately wrong weight (32/64) CARRYING
+            // THE SAME table overhead — a weights-ignored encoder
+            // produces identical payloads and fails
+            val wrong = graft.pipeline.H264Codec.encodeGop(frames, qp = 26,
+              wpLuma = Some((6, 32, 0))).map(_.length.toLong).sum
+            val gain = pvP.map(_.length.toLong).sum < wrong
+            (id, w, h, pOk, b1Ok, b2Ok, gain)
+          }
+          .toDF("doc_id", "width", "height", "p_explicit_ok", "b_explicit_ok",
+            "b_implicit_ok", "wp_gain")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(32 + 2 * (len(text) % 8) AS INT) AS width,
+             |  CAST(32 + 2 * ((len(text) + doc_id) % 6) AS INT) AS height,
+             |  true AS p_explicit_ok, true AS b_explicit_ok,
+             |  true AS b_implicit_ok, true AS wp_gain
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
     // high-profile Intra_8x8 (r13, 8.3.2 + the 8.5.12/13 8x8 integer
     // transform): the same closed-form gradients coded with
     // transform_size_8x8_flag — per-8x8 directional prediction with

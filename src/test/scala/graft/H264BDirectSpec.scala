@@ -115,7 +115,15 @@ class H264BDirectSpec extends AnyFunSuite {
     assert(bSizes.forall(_ < 260), s"B payloads $bSizes — direct/skip not engaging")
   }
 
-  test("temporal direct refuses: flipped direct_spatial_mv_pred_flag rejects") {
+  test("flipped direct_spatial_mv_pred_flag decodes via temporal direct (r13)") {
+    // r12 refused temporal direct; r13 implements it (8.4.1.2.3,
+    // positively witnessed in H264TemporalDirectSpec). On static
+    // content a spatial-coded all-skip B reinterpreted as temporal
+    // must decode to ESSENTIALLY the same picture: the encoder's
+    // SAD-tie-broken colocated MVs can be nonzero in flat regions, so
+    // temporal scaling may move predictions onto half-pel positions
+    // whose interpolation rounds +-1 against spatial's zero motion —
+    // agreement is pinned at that rounding level, not byte equality.
     val still = movingSquare(64, 48, 2)
     val (payloads, display, _) = H264Codec.encodeGopBForTest(Seq.fill(3)(still), qp = 26)
     val bIdx = display.indexWhere(_ == 1)
@@ -138,10 +146,17 @@ class H264BDirectSpec extends AnyFunSuite {
     bad(sliceOff + 3) = (bad(sliceOff + 3) ^ 0x10).toByte
     val g = new H264Codec.GopDecoder
     assert(g.decodeAu(payloads.head).isDefined)
-    // decode intermediate payloads up to the B frame
     (1 until bIdx).foreach(i => g.decodeAu(payloads(i)))
-    assert(g.decodeAu(bad).isEmpty,
-      "temporal-direct B slice must refuse, not misdecode")
+    val viaTemporal = g.decodeAu(bad)
+    assert(viaTemporal.isDefined, "temporal-direct reinterpretation must decode")
+    val g2 = new H264Codec.GopDecoder
+    assert(g2.decodeAu(payloads.head).isDefined)
+    (1 until bIdx).foreach(i => g2.decodeAu(payloads(i)))
+    val viaSpatial = g2.decodeAu(bPay)
+    val maxDiff = viaTemporal.get.rgb.zip(viaSpatial.get.rgb)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(maxDiff <= 2,
+      s"static content: temporal vs spatial direct diverged by $maxDiff")
   }
 
   test("deblocking fires on B slices: blocky B content changes under the filter") {
