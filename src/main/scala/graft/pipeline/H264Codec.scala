@@ -187,7 +187,7 @@ object H264Codec {
   case class Sps(profileIdc: Int, levelIdc: Int, log2MaxFrameNum: Int,
       picOrderCntType: Int, widthMbs: Int, heightMbs: Int,
       cropRight: Int, cropBottom: Int, maxRefFrames: Int = 1,
-      log2MaxPocLsb: Int = 16) {
+      log2MaxPocLsb: Int = 16, direct8x8Inference: Boolean = true) {
     def width: Int = widthMbs * 16 - 2 * cropRight
     def height: Int = heightMbs * 16 - 2 * cropBottom
   }
@@ -230,7 +230,7 @@ object H264Codec {
     val hMap = r.ue() + 1
     val frameMbsOnly = r.u1()
     if (frameMbsOnly == 0) throw new H264Format("interlace out of scope")
-    r.u1() // direct_8x8_inference
+    val d8x8 = r.u1() == 1 // direct_8x8_inference_flag
     var cropR = 0; var cropB = 0
     if (r.u1() == 1) { // frame_cropping
       val l = r.ue(); cropR = r.ue(); val t = r.ue(); cropB = r.ue()
@@ -238,7 +238,7 @@ object H264Codec {
     }
     r.u1() // vui_present (ignored if absent; VUI payload not parsed)
     Sps(profile, level, log2MaxFrameNum, poc, wMbs, hMap, cropR, cropB,
-      math.max(1, maxRef), log2MaxPocLsb)
+      math.max(1, maxRef), log2MaxPocLsb, d8x8)
   }
 
   private def parsePps(r: BitReader): Pps = {
@@ -508,6 +508,11 @@ object H264Codec {
     // decode order == display order, which makes that shape illegal
     if (isB && sps.picOrderCntType != 0)
       throw new H264Format("B slice under POC type 2")
+    // the direct derivations here implement the inference-ON form
+    // (quadrant corner blocks, 8.4.1.2.2/.3); silently applying them
+    // to an inference-OFF stream would mis-derive 4x4-level direct
+    if (isB && !sps.direct8x8Inference)
+      throw new H264Format("direct_8x8_inference_flag 0 out of scope")
     r.ue() // pps id
     r.u(sps.log2MaxFrameNum) // frame_num
     if (idr) r.ue() // idr_pic_id
@@ -1787,7 +1792,7 @@ object H264Codec {
     * part order so later predictors see earlier partitions. */
   private def decodeInterMbB8x8(r: BitReader, st: FrameState,
       refs0: IndexedSeq[FrameState], refs1: IndexedSeq[FrameState],
-      mx: Int, my: Int, directSpatial: Boolean): Unit = {
+      mx: Int, my: Int, directSpatial: Boolean): Boolean = {
     val subTypes = Array.fill(4)(r.ue())
     val shapes = subTypes.map(bSubShape)
     def usesL0(m: Int) = m == BModeL0 || m == BModeBi
@@ -1807,6 +1812,7 @@ object H264Codec {
       if (m > 0 && usesL1(m)) Array.fill(n)((r.se(), r.se())) else Array.empty[(Int, Int)] }
     applyB8x8Motion(st, refs0, refs1, mx, my, directSpatial, shapes,
       ri0, ri1, mvd0, mvd1)
+    subTypes.forall(_ <= 3) // every sub >= 8x8 (transform-8x8 gate)
   }
 
   /** Shared B_8x8 geometry application (CAVLC and CABAC feed it their
@@ -2058,14 +2064,20 @@ object H264Codec {
       val mx = mb % st.wMbs; val my = mb / st.wMbs
       if (mbType == 0 || mbType == 22) {
         // B_Direct_16x16 (direct motion) or B_8x8 (sub-partitioned,
-        // possibly with direct subs), then the shared inter residual
-        if (mbType == 0) decodeDirectMotion(mx, my)
-        else decodeInterMbB8x8(r, st, refs0, refs1, mx, my, directSpatial)
+        // possibly with direct subs), then the shared inter residual;
+        // the transform-8x8 gate needs every sub partition >= 8x8
+        // (direct_8x8_inference is 1 — enforced at the slice header)
+        val allGe8x8 =
+          if (mbType == 0) { decodeDirectMotion(mx, my); true }
+          else decodeInterMbB8x8(r, st, refs0, refs1, mx, my, directSpatial)
         val cbpCode = r.ue()
         if (cbpCode > 47) throw new H264Format(s"cbp code $cbpCode")
         val cbp = CbpInterByCodeNum(cbpCode)
+        val t8 = (cbp & 15) != 0 && st.t8x8Allowed && allGe8x8 && r.u1() == 1
         if (cbp != 0) qpY = ((qpY + r.se()) % 52 + 52) % 52
-        decodeInterLumaResid(new CavlcSrc(r), st, mx, my, cbp & 15, qpY)
+        if (t8)
+          decodeInterLumaResid8x8(new CavlcSrc(r), st, mx, my, cbp & 15, qpY)
+        else decodeInterLumaResid(new CavlcSrc(r), st, mx, my, cbp & 15, qpY)
         decodeChromaResidOnPred(new CavlcSrc(r), st, mx, my, cbp >> 4,
           st.cQp(qpY))
         st.markMb(mx, my, intra = false, qpY)
@@ -2124,12 +2136,14 @@ object H264Codec {
         bx, by, w4, h4)
     }
     // residual: identical to the P inter layout (Table 9-5 inter CBP,
-    // 16-coefficient luma blocks on top of the assembled prediction)
+    // optional transform_size_8x8_flag — every 1-21 shape is >= 8x8)
     val cbpCode = r.ue()
     if (cbpCode > 47) throw new H264Format(s"cbp code $cbpCode")
     val cbp = CbpInterByCodeNum(cbpCode)
+    val t8 = (cbp & 15) != 0 && st.t8x8Allowed && r.u1() == 1
     if (cbp != 0) qpY = ((qpY + r.se()) % 52 + 52) % 52
-    decodeInterLumaResid(new CavlcSrc(r), st, mx, my, cbp & 15, qpY)
+    if (t8) decodeInterLumaResid8x8(new CavlcSrc(r), st, mx, my, cbp & 15, qpY)
+    else decodeInterLumaResid(new CavlcSrc(r), st, mx, my, cbp & 15, qpY)
     decodeChromaResidOnPred(new CavlcSrc(r), st, mx, my, cbp >> 4,
       st.cQp(qpY))
     st.markMb(mx, my, intra = false, qpY)
@@ -2258,6 +2272,7 @@ object H264Codec {
       v
     }
     def readMvd(): (Int, Int) = { val x = r.se(); val y = r.se(); (x, y) }
+    var allGe8x8 = true // every partition >= 8x8 (transform-8x8 gate)
     mbType match {
       case 0 => // P_L0_16x16
         val ri = readRefIdx()
@@ -2283,6 +2298,7 @@ object H264Codec {
         subTypes.foreach { t =>
           if (t > 3) throw new H264Format(s"bad sub_mb_type $t")
         }
+        allGe8x8 = subTypes.forall(_ == 0) // 7.3.5's noSubMbPartSizeLessThan8x8
         // sub_mb_pred (7.3.5.2): the four 8x8s' ref_idx fields come
         // BEFORE any mvd
         val refIdx =
@@ -2328,15 +2344,18 @@ object H264Codec {
         }
       case _ => throw new H264Format(s"bad P-slice mb_type $mbType")
     }
-    // residual: CBP (inter column), optional qp delta, luma 16-coeff
-    // blocks per coded 8x8 group, chroma per the shared layout
+    // residual: CBP (inter column), transform_size_8x8_flag (7.3.5,
+    // high profile with coded luma and no sub-8x8 partitions), optional
+    // qp delta, luma blocks, chroma per the shared layout
     val cbpCode = r.ue()
     if (cbpCode > 47) throw new H264Format(s"cbp code $cbpCode")
     val cbp = CbpInterByCodeNum(cbpCode)
     val cbpLuma = cbp & 15
     val cbpChroma = cbp >> 4
+    val t8 = cbpLuma != 0 && st.t8x8Allowed && allGe8x8 && r.u1() == 1
     if (cbp != 0) qpY = ((qpY + r.se()) % 52 + 52) % 52
-    decodeInterLumaResid(new CavlcSrc(r), st, mx, my, cbpLuma, qpY)
+    if (t8) decodeInterLumaResid8x8(new CavlcSrc(r), st, mx, my, cbpLuma, qpY)
+    else decodeInterLumaResid(new CavlcSrc(r), st, mx, my, cbpLuma, qpY)
     decodeChromaResidOnPred(new CavlcSrc(r), st, mx, my, cbpChroma,
       st.cQp(qpY))
     st.markMb(mx, my, intra = false, qpY)
@@ -3468,41 +3487,78 @@ object H264Codec {
     qpY
   }
 
+  /** Read one coded 8x8 transform block's residual (7.3.5.3.2 CAVLC
+    * interleave: four 4x4 blocks with level8x8[4i + i4x4] =
+    * level4x4[i4x4][i], per-cell TotalCoeff recorded), then unzigzag /
+    * dequant / inverse. Shared by the intra and inter 8x8 paths. */
+  private def read8x8Resid(src: MbSrc, st: FrameState, mx: Int, my: Int,
+      i8: Int, qpY: Int): Array[Int] = {
+    import H264Transform.LumaBlockOrder
+    val lv64 = new Array[Int](64)
+    val buf = new Array[Int](16)
+    var i4 = 0
+    while (i4 < 4) {
+      val (bxo, byo) = LumaBlockOrder(i8 * 4 + i4)
+      val gbx = mx * 4 + bxo; val gby = my * 4 + byo
+      val tc = src.block(st, CatLuma4x4, buf, 16, gbx, gby, 0)
+      st.setNnzY(gbx, gby, tc)
+      var i = 0
+      while (i < 16) { lv64(4 * i + i4) = buf(i); i += 1 }
+      i4 += 1
+    }
+    val raster = new Array[Int](64)
+    var k = 0
+    while (k < 64) { raster(H264Transform8x8.Zigzag8x8(k)) = lv64(k); k += 1 }
+    H264Transform8x8.inverse8x8(H264Transform8x8.dequant8x8(raster, qpY))
+  }
+
+  private def zero8x8Nnz(st: FrameState, mx: Int, my: Int, i8: Int): Unit = {
+    import H264Transform.LumaBlockOrder
+    var i4 = 0
+    while (i4 < 4) {
+      val (bxo, byo) = LumaBlockOrder(i8 * 4 + i4)
+      st.setNnzY(mx * 4 + bxo, my * 4 + byo, 0)
+      i4 += 1
+    }
+  }
+
+  /** Inter luma residual under transform_size_8x8_flag = 1: each coded
+    * 8x8 adds its inverse-transformed residual onto the MC prediction
+    * already in the plane. */
+  private def decodeInterLumaResid8x8(src: MbSrc, st: FrameState,
+      mx: Int, my: Int, cbpLuma: Int, qpY: Int): Unit = {
+    val lumaW = st.lumaW
+    var i8 = 0
+    while (i8 < 4) {
+      if ((cbpLuma & (1 << i8)) != 0) {
+        val resid = read8x8Resid(src, st, mx, my, i8, qpY)
+        val x0 = (mx * 2 + (i8 % 2)) * 8; val y0 = (my * 2 + (i8 / 2)) * 8
+        var py = 0
+        while (py < 8) {
+          var px = 0
+          while (px < 8) {
+            val o = (y0 + py) * lumaW + x0 + px
+            st.yPlane(o) = clipB((st.yPlane(o) & 0xff) + resid(py * 8 + px))
+            px += 1
+          }
+          py += 1
+        }
+      } else zero8x8Nnz(st, mx, my, i8)
+      i8 += 1
+    }
+    st.t8x8MbArr(my * st.wMbs + mx) = true
+  }
+
   private def decodeIntra8x8Luma(src: MbSrc, st: FrameState, mx: Int, my: Int,
       modes: Array[Int], cbpLuma: Int, qpY: Int): Unit = {
-    import H264Transform.LumaBlockOrder
     val lumaW = st.lumaW
     var i8 = 0
     while (i8 < 4) {
       val gx8 = mx * 2 + (i8 % 2); val gy8 = my * 2 + (i8 / 2)
       val pred = intra8x8Pred(st, gx8, gy8, modes(i8))
       val resid: Array[Int] =
-        if ((cbpLuma & (1 << i8)) != 0) {
-          val lv64 = new Array[Int](64)
-          val buf = new Array[Int](16)
-          var i4 = 0
-          while (i4 < 4) {
-            val (bxo, byo) = LumaBlockOrder(i8 * 4 + i4)
-            val gbx = mx * 4 + bxo; val gby = my * 4 + byo
-            val tc = src.block(st, CatLuma4x4, buf, 16, gbx, gby, 0)
-            st.setNnzY(gbx, gby, tc)
-            var i = 0
-            while (i < 16) { lv64(4 * i + i4) = buf(i); i += 1 }
-            i4 += 1
-          }
-          val raster = new Array[Int](64)
-          var k = 0
-          while (k < 64) { raster(H264Transform8x8.Zigzag8x8(k)) = lv64(k); k += 1 }
-          H264Transform8x8.inverse8x8(H264Transform8x8.dequant8x8(raster, qpY))
-        } else {
-          var i4 = 0
-          while (i4 < 4) {
-            val (bxo, byo) = LumaBlockOrder(i8 * 4 + i4)
-            st.setNnzY(mx * 4 + bxo, my * 4 + byo, 0)
-            i4 += 1
-          }
-          null
-        }
+        if ((cbpLuma & (1 << i8)) != 0) read8x8Resid(src, st, mx, my, i8, qpY)
+        else { zero8x8Nnz(st, mx, my, i8); null }
       val x0 = gx8 * 8; val y0 = gy8 * 8
       var py = 0
       while (py < 8) {
@@ -5271,6 +5327,118 @@ object H264Codec {
     g.seed(Sps(if (cabac) 77 else 66, 30, 4, 2, wMbs, hMbs, 0, 0),
       Pps(entropyCabac = cabac, 26, deblockingControlPresent = true),
       List(ref))
+    val dec =
+      try g.decodeAuYuv(payload).map(t => (t._2, t._3, t._4))
+      catch { case _: Exception => None }
+    (payload, (st.yPlane, st.cbPlane, st.crPlane), dec)
+  }
+
+  /** Spec hook: encode one P frame (16x16 partitions, forced MVs)
+    * whose residual rides the 8x8 TRANSFORM (transform_size_8x8_flag,
+    * high profile) — the witness for the inter-8x8 decode path the
+    * production encoder never emits: flag parse after the inter CBP,
+    * interleaved-CAVLC 8x8 residual added onto the MC prediction, and
+    * the 8x8-grid deblock bookkeeping. Same seed-decode parity
+    * contract as the other partition hooks. */
+  private[graft] def pInter8x8RoundTripForTest(srcY: Array[Byte],
+      srcCb: Array[Byte], srcCr: Array[Byte], refY: Array[Byte],
+      refCb: Array[Byte], refCr: Array[Byte], wMbs: Int, hMbs: Int, qp: Int,
+      mvOf: (Int, Int) => (Int, Int))
+      : (Array[Byte], (Array[Byte], Array[Byte], Array[Byte]),
+         Option[(Array[Byte], Array[Byte], Array[Byte])]) = {
+    import H264Transform._
+    val ref = new FrameState(wMbs, hMbs)
+    System.arraycopy(refY, 0, ref.yPlane, 0, refY.length)
+    System.arraycopy(refCb, 0, ref.cbPlane, 0, refCb.length)
+    System.arraycopy(refCr, 0, ref.crPlane, 0, refCr.length)
+    val st = new FrameState(wMbs, hMbs)
+    val lumaW = wMbs * 16
+    val w = new BitWriter
+    w.ue(0); w.ue(5); w.ue(0) // first_mb, slice_type P, pps id
+    w.u(1, 4) // frame_num
+    w.u1(0); w.u1(0); w.u1(0) // ref override / list mod / adaptive marking
+    w.se(qp - 26)
+    w.ue(1) // disable deblocking
+    var mb = 0
+    while (mb < wMbs * hMbs) {
+      val mx = mb % wMbs; val my = mb / wMbs
+      w.ue(0) // mb_skip_run
+      w.ue(0) // mb_type P_L0_16x16
+      val (vx, vy) = mvOf(mx, my)
+      val (px, py) = mvPredict(st, mx * 4, my * 4, 4, 0, 0)
+      w.se(vx - px); w.se(vy - py)
+      mcPartition(st, ref, mx * 4, my * 4, 4, 4, vx, vy)
+      // 8x8-transform residual vs the MC prediction now in the plane
+      val lv64s = Array.ofDim[Int](4, 64)
+      var cbpLuma = 0
+      var i8 = 0
+      while (i8 < 4) {
+        val x0 = (mx * 2 + (i8 % 2)) * 8; val y0 = (my * 2 + (i8 / 2)) * 8
+        val diff = new Array[Int](64)
+        var k = 0
+        while (k < 64) {
+          val o = (y0 + k / 8) * lumaW + x0 + k % 8
+          diff(k) = (srcY(o) & 0xff) - (st.yPlane(o) & 0xff)
+          k += 1
+        }
+        val q = H264Transform8x8.quant8x8(H264Transform8x8.forward8x8(diff), qp)
+        k = 0
+        while (k < 64) { lv64s(i8)(k) = q(H264Transform8x8.Zigzag8x8(k)); k += 1 }
+        if (lv64s(i8).exists(_ != 0)) cbpLuma |= 1 << i8
+        i8 += 1
+      }
+      val predC = Array.tabulate(2) { c =>
+        val plane = if (c == 0) st.cbPlane else st.crPlane
+        Array.tabulate(64)(k =>
+          plane((my * 8 + k / 8) * (lumaW / 2) + mx * 8 + k % 8) & 0xff)
+      }
+      val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, st.cQp(qp),
+        predOf = c => predC(c))
+      val cbp = cbpLuma | (chroma.cbpChroma << 4)
+      w.ue(CbpInterToCodeNum(cbp))
+      if (cbpLuma != 0) w.u1(1) // transform_size_8x8_flag
+      if (cbp != 0) w.se(0) // mb_qp_delta
+      i8 = 0
+      while (i8 < 4) {
+        if ((cbpLuma & (1 << i8)) != 0) {
+          var i4 = 0
+          while (i4 < 4) {
+            val (bxo, byo) = LumaBlockOrder(i8 * 4 + i4)
+            val buf = Array.tabulate(16)(i => lv64s(i8)(4 * i + i4))
+            val tc = H264Cavlc.encodeBlock(w, buf, 16,
+              st.lumaNc(mx * 4 + bxo, my * 4 + byo))
+            st.setNnzY(mx * 4 + bxo, my * 4 + byo, tc)
+            i4 += 1
+          }
+          val raster = new Array[Int](64)
+          var k = 0
+          while (k < 64) { raster(H264Transform8x8.Zigzag8x8(k)) = lv64s(i8)(k); k += 1 }
+          val resid = H264Transform8x8.inverse8x8(
+            H264Transform8x8.dequant8x8(raster, qp))
+          val x0 = (mx * 2 + (i8 % 2)) * 8; val y0 = (my * 2 + (i8 / 2)) * 8
+          var k2 = 0
+          while (k2 < 64) {
+            val o = (y0 + k2 / 8) * lumaW + x0 + k2 % 8
+            st.yPlane(o) = clipB((st.yPlane(o) & 0xff) + resid(k2))
+            k2 += 1
+          }
+        } else zero8x8Nnz(st, mx, my, i8)
+        i8 += 1
+      }
+      if (cbpLuma != 0) st.t8x8MbArr(my * st.wMbs + mx) = true
+      chroma.emit(w)
+      st.markMb(mx, my, intra = false, qp)
+      mb += 1
+    }
+    w.trailing()
+    val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, 0, 0, profile = 100,
+      t8x8 = true)
+    val payload = frameNals(avcc = true, spsNal, ppsNal,
+      Array[Byte](0x61.toByte) ++ escape(w.bytes))
+    val g = new GopDecoder
+    g.seed(Sps(100, 30, 4, 2, wMbs, hMbs, 0, 0),
+      Pps(entropyCabac = false, 26, deblockingControlPresent = true,
+        transform8x8Mode = true), List(ref))
     val dec =
       try g.decodeAuYuv(payload).map(t => (t._2, t._3, t._4))
       catch { case _: Exception => None }

@@ -2838,15 +2838,31 @@ object PipelineQueries {
                 .sum.toDouble / rgb.length
               mad < 8.0
             }
-            (id, w, h, parity, lossyOk)
+            // inter 8x8 (the 7.3.5 flag after the inter CBP): P frame
+            // over doc-seeded planes, 8x8-transform residuals
+            def pl(n: Int, seed: Int): Array[Byte] =
+              Array.tabulate(n)(i => ((i * 7 + seed * 13 + id) % 251).toByte)
+            val (_, enc8, dec8) = graft.pipeline.H264Codec
+              .pInter8x8RoundTripForTest(
+                pl(32 * 32, 9), pl(32 * 32 / 4, 4), pl(32 * 32 / 4, 7),
+                pl(32 * 32, 3), pl(32 * 32 / 4, 1), pl(32 * 32 / 4, 2),
+                wMbs = 2, hMbs = 2, qp = 26,
+                (mx, my) => (((mx + id) % 6 - 2).toInt, ((my + id) % 5 - 2).toInt))
+            val interOk = dec8.exists { case (y2, cb, cr) =>
+              java.util.Arrays.equals(y2, enc8._1) &&
+                java.util.Arrays.equals(cb, enc8._2) &&
+                java.util.Arrays.equals(cr, enc8._3)
+            }
+            (id, w, h, parity, lossyOk, interOk)
           }
-          .toDF("doc_id", "width", "height", "parity_ok", "lossy_ok")
+          .toDF("doc_id", "width", "height", "parity_ok", "lossy_ok",
+            "inter8x8_ok")
           .orderBy($"doc_id")
       },
       Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
              |  CAST(32 + 2 * (len(text) % 8) AS INT) AS width,
              |  CAST(32 + 2 * ((len(text) + doc_id) % 6) AS INT) AS height,
-             |  true AS parity_ok, true AS lossy_ok
+             |  true AS parity_ok, true AS lossy_ok, true AS inter8x8_ok
              |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
 
     // the Intra_4x4 H.264 path (r10): per-4x4-block directional

@@ -199,6 +199,32 @@ class H264Intra8x8Spec extends AnyFunSuite {
     assert(a.length < b.length, "coarser chroma should not grow the payload")
   }
 
+  test("inter 8x8 transform: P residual round-trips through the flag path") {
+    // 7.3.5 reads transform_size_8x8_flag for INTER macroblocks too
+    // (after the CBP, when luma is coded and no partition is sub-8x8);
+    // silently skipping it would misparse every high-profile P slice
+    // carrying 8x8 residuals. Forced fractional MVs exercise the MC +
+    // 8x8-residual add; parity pins decode == encoder reconstruction.
+    def planes(wMbs: Int, hMbs: Int, seed: Int)
+        : (Array[Byte], Array[Byte], Array[Byte]) = {
+      val lw = wMbs * 16; val lh = hMbs * 16
+      (Array.tabulate(lw * lh)(i => ((i * 7 + seed * 13) % 251).toByte),
+        Array.tabulate(lw * lh / 4)(i => ((i * 5 + seed * 11) % 241).toByte),
+        Array.tabulate(lw * lh / 4)(i => ((i * 3 + seed * 17) % 239).toByte))
+    }
+    val (refY, refCb, refCr) = planes(3, 2, seed = 2)
+    val (srcY, srcCb, srcCr) = planes(3, 2, seed = 6)
+    val mvOf = (mx: Int, my: Int) => ((mx * 3 - my) % 6 - 2, (my * 5 + mx) % 5 - 2)
+    val (_, enc, dec) = H264Codec.pInter8x8RoundTripForTest(
+      srcY, srcCb, srcCr, refY, refCb, refCr, wMbs = 3, hMbs = 2,
+      qp = 26, mvOf)
+    assert(dec.isDefined, "inter-8x8 P frame failed to decode")
+    assert(java.util.Arrays.equals(dec.get._1, enc._1) &&
+      java.util.Arrays.equals(dec.get._2, enc._2) &&
+      java.util.Arrays.equals(dec.get._3, enc._3),
+      "inter 8x8: decode != encoder reconstruction")
+  }
+
   test("high-profile guard rails: what we refuse, we refuse loudly") {
     val img = frame(32, 32, 5)
     // CABAC + 8x8 has no transcribed context family
