@@ -514,7 +514,7 @@ object H264Codec {
     if (isB && !sps.direct8x8Inference)
       throw new H264Format("direct_8x8_inference_flag 0 out of scope")
     r.ue() // pps id
-    r.u(sps.log2MaxFrameNum) // frame_num
+    val frameNum = r.u(sps.log2MaxFrameNum)
     if (idr) r.ue() // idr_pic_id
     // POC (8.2.1.1, type 0): lsb at the SPS-declared width, MSB
     // repaired against the previous REFERENCE picture's (zeroed at an
@@ -577,10 +577,16 @@ object H264Codec {
         refs = l0.take(numRefL0 + 1)
         refs1 = l1.take(numRefL1 + 1)
       }
-      if (r.u1() != 0) // ref_pic_list_modification_flag_l0 (7.3.3.1)
-        throw new H264Format("ref pic list modification out of scope")
-      if (isB && r.u1() != 0) // ..._flag_l1
-        throw new H264Format("ref pic list modification out of scope")
+      // ref_pic_list_modification (7.3.3.1 + 8.2.4.3): short-term
+      // picNum reordering — x264's weightp=2 emits this on P slices
+      // (duplicate references carrying different weights); long-term
+      // commands (idc 2) refuse. The candidate pool is the whole DPB.
+      if (r.u1() == 1)
+        refs = applyListModification(r, refs, dpb.toIndexedSeq,
+          frameNum, 1 << sps.log2MaxFrameNum)
+      if (isB && r.u1() == 1)
+        refs1 = applyListModification(r, refs1, dpb.toIndexedSeq,
+          frameNum, 1 << sps.log2MaxFrameNum)
     }
     // pred_weight_table (7.3.3.2): explicit per-reference luma/chroma
     // weights — x264's weightp emits these on P slices by default
@@ -653,6 +659,7 @@ object H264Codec {
     }
     val st = new FrameState(sps.widthMbs, sps.heightMbs)
     st.poc = pocVal
+    st.frameNum = frameNum
     st.cqpOff = pps.chromaQpOff
     st.t8x8Allowed = pps.transform8x8Mode
     st.wpTab = wpTab
@@ -1158,6 +1165,50 @@ object H264Codec {
     * with a larger range it is plain ue(v). Used by ref_idx_l0. */
   private def te(r: BitReader, range: Int): Int =
     if (range == 1) 1 - r.u1() else r.ue()
+
+  /** ref_pic_list_modification (8.2.4.3.1, short-term frame coding):
+    * parse the command list and re-order `defaultList` — each command
+    * derives a PicNum from the running predictor (idc 0 subtracts,
+    * idc 1 adds, wrapping at MaxFrameNum), inserts the matching DPB
+    * picture at the next index, and squeezes a later duplicate out.
+    * Long-term commands (idc 2) refuse; a PicNum with no DPB match
+    * marks a corrupt or out-of-scope stream. */
+  private def applyListModification(r: BitReader,
+      defaultList: IndexedSeq[FrameState], pool: IndexedSeq[FrameState],
+      currFrameNum: Int, maxFrameNum: Int): IndexedSeq[FrameState] = {
+    val nActive = defaultList.length
+    def picNumF(f: FrameState): Int =
+      if (f.frameNum > currFrameNum) f.frameNum - maxFrameNum else f.frameNum
+    var list = defaultList.toBuffer
+    var pred = currFrameNum
+    var refIdx = 0
+    var commands = 0
+    var idc = r.ue()
+    while (idc != 3) {
+      if (idc == 2) throw new H264Format("long-term list modification out of scope")
+      if (idc > 3) throw new H264Format(s"modification_of_pic_nums_idc $idc")
+      commands += 1
+      if (commands > 32) throw new H264Format("list modification overrun")
+      val diff = r.ue() + 1
+      val noWrap =
+        if (idc == 0) { val v = pred - diff; if (v < 0) v + maxFrameNum else v }
+        else { val v = pred + diff; if (v >= maxFrameNum) v - maxFrameNum else v }
+      pred = noWrap
+      val picNum = if (noWrap > currFrameNum) noWrap - maxFrameNum else noWrap
+      val target = pool.find(f => picNumF(f) == picNum).getOrElse(
+        throw new H264Format(s"list modification: no reference with PicNum $picNum"))
+      // 8.2.4.3.1: shift, insert at refIdx, drop a later duplicate,
+      // keep the active length
+      list.insert(refIdx, target)
+      refIdx += 1
+      val (head, tail) = list.splitAt(refIdx)
+      list = (head ++ tail.filterNot(f => picNumF(f) == picNum)).take(nActive).toBuffer
+      if (list.length < nActive)
+        throw new H264Format("list modification shrank the active list")
+      idc = r.ue()
+    }
+    list.toIndexedSeq
+  }
 
   // ---------------- CABAC P/B slices (9.3.3.1.1.x + 7.3.4) ----------------
   // The decode and encode halves of every syntax element sit adjacent
@@ -3010,6 +3061,9 @@ object H264Codec {
     // reconstructed this frame (8.4.1.3's decode-order availability).
     /** Display order (PicOrderCnt) — drives B reference-list ordering. */
     var poc: Int = 0
+    /** frame_num of this picture (8.2.4.1 PicNum for short-term
+      * reference selection in ref_pic_list_modification). */
+    var frameNum: Int = 0
     /** Per-MB intra flag + decode QP — the 8.7.2.1 boundary-strength
       * and 8.7.2.2 threshold inputs (I_PCM counts as QP 0 in the
       * filter, which disables it over PCM content — lossless stays
@@ -5439,6 +5493,141 @@ object H264Codec {
     g.seed(Sps(100, 30, 4, 2, wMbs, hMbs, 0, 0),
       Pps(entropyCabac = false, 26, deblockingControlPresent = true,
         transform8x8Mode = true), List(ref))
+    val dec =
+      try g.decodeAuYuv(payload).map(t => (t._2, t._3, t._4))
+      catch { case _: Exception => None }
+    (payload, (st.yPlane, st.cbPlane, st.crPlane), dec)
+  }
+
+  /** Spec hook: the x264 weightp=2 P-slice shape END TO END —
+    * ref_pic_list_modification DUPLICATES the newest reference into
+    * both list-0 slots (the second command reaches the same PicNum by
+    * wrapping MaxFrameNum, exactly how x264 does it), and an explicit
+    * pred_weight_table gives each duplicate DIFFERENT luma weights;
+    * each macroblock then selects its weight variant via ref_idx.
+    * Decode parity pins the modification arithmetic, the duplicate
+    * handling, and the per-reference weighting together. */
+  private[graft] def pWeightpRoundTripForTest(srcY: Array[Byte],
+      srcCb: Array[Byte], srcCr: Array[Byte], refY: Array[Byte],
+      refCb: Array[Byte], refCr: Array[Byte], oldY: Array[Byte],
+      oldCb: Array[Byte], oldCr: Array[Byte], wMbs: Int, hMbs: Int, qp: Int,
+      mvOf: (Int, Int) => (Int, Int))
+      : (Array[Byte], (Array[Byte], Array[Byte], Array[Byte]),
+         Option[(Array[Byte], Array[Byte], Array[Byte])]) = {
+    import H264Transform._
+    def mkRef(y: Array[Byte], cb: Array[Byte], cr: Array[Byte],
+        fn: Int): FrameState = {
+      val f = new FrameState(wMbs, hMbs)
+      System.arraycopy(y, 0, f.yPlane, 0, y.length)
+      System.arraycopy(cb, 0, f.cbPlane, 0, cb.length)
+      System.arraycopy(cr, 0, f.crPlane, 0, cr.length)
+      f.frameNum = fn
+      f
+    }
+    val refNew = mkRef(refY, refCb, refCr, fn = 1) // default list head
+    val refOld = mkRef(oldY, oldCb, oldCr, fn = 0)
+    val st = new FrameState(wMbs, hMbs)
+    val lumaW = wMbs * 16
+    val w = new BitWriter
+    w.ue(0); w.ue(5); w.ue(0) // first_mb, slice_type P, pps id
+    w.u(2, 4) // frame_num = 2
+    w.u1(1); w.ue(1) // num_ref_idx override: l0 active = 2
+    // ref_pic_list_modification: [refNew, refOld] -> [refNew, refNew]
+    w.u1(1)
+    w.ue(0); w.ue(0) // idc 0, abs_diff 1: PicNum 1 (refNew) to index 0
+    w.ue(0); w.ue(15) // idc 0, abs_diff 16: wraps BACK to PicNum 1 — dup
+    w.ue(3) // end
+    // pred_weight_table: different luma weights per duplicate
+    val wp0 = (40, 2); val wp1 = (24, -2)
+    w.ue(5); w.ue(0) // luma denom 5, chroma denom 0
+    Seq(wp0, wp1).foreach { case (ww, oo) =>
+      w.u1(1); w.se(ww); w.se(oo) // luma weight/offset
+      w.u1(0) // no chroma weights
+    }
+    w.u1(0) // adaptive_ref_pic_marking
+    w.se(qp - 26)
+    w.ue(1) // disable deblocking
+    st.wpLogWDy = 5; st.wpLogWDc = 0
+    st.wpTab = Array(Array(
+      Array(wp0._1, wp0._2, 1, 0, 1, 0),
+      Array(wp1._1, wp1._2, 1, 0, 1, 0)), Array.empty)
+    var mb = 0
+    while (mb < wMbs * hMbs) {
+      val mx = mb % wMbs; val my = mb / wMbs
+      val refIdx = (mx + my) % 2 // alternate the weight variant
+      w.ue(0) // mb_skip_run
+      w.ue(0) // mb_type P_L0_16x16
+      w.u1(1 - refIdx) // ref_idx_l0, te(v) range 1
+      val (vx, vy) = mvOf(mx, my)
+      val (px, py) = mvPredict(st, mx * 4, my * 4, 4, 0, refIdx)
+      w.se(vx - px); w.se(vy - py)
+      // both list entries are refNew — the weight differs by index
+      mcPartition(st, refNew, mx * 4, my * 4, 4, 4, vx, vy, refIdx)
+      val levels = Array.ofDim[Int](16, 16)
+      var bi = 0
+      while (bi < 16) {
+        val (bxo, byo) = LumaBlockOrder(bi)
+        val diff = new Array[Int](16)
+        var k = 0
+        while (k < 16) {
+          val o = (my * 16 + byo * 4 + k / 4) * lumaW + mx * 16 + bxo * 4 + k % 4
+          diff(k) = (srcY(o) & 0xff) - (st.yPlane(o) & 0xff)
+          k += 1
+        }
+        val q = quant4x4(forward4x4(diff), qp, skipDc = false)
+        k = 0
+        while (k < 16) { levels(bi)(k) = q(Zigzag4x4(k)); k += 1 }
+        bi += 1
+      }
+      val cbpLuma = (0 until 4).foldLeft(0) { (acc, g) =>
+        if ((0 until 4).exists(i => levels(g * 4 + i).exists(_ != 0)))
+          acc | (1 << g)
+        else acc
+      }
+      val predC = Array.tabulate(2) { c =>
+        val plane = if (c == 0) st.cbPlane else st.crPlane
+        Array.tabulate(64)(k =>
+          plane((my * 8 + k / 8) * (lumaW / 2) + mx * 8 + k % 8) & 0xff)
+      }
+      val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, st.cQp(qp),
+        predOf = c => predC(c))
+      val cbp = cbpLuma | (chroma.cbpChroma << 4)
+      w.ue(CbpInterToCodeNum(cbp))
+      if (cbp != 0) w.se(0)
+      bi = 0
+      while (bi < 16) {
+        val (bxo, byo) = LumaBlockOrder(bi)
+        val gbx = mx * 4 + bxo; val gby = my * 4 + byo
+        if ((cbpLuma & (1 << (bi >> 2))) != 0) {
+          val tc = H264Cavlc.encodeBlock(w, levels(bi), 16, st.lumaNc(gbx, gby))
+          st.setNnzY(gbx, gby, tc)
+          val rpx = inverse4x4(dequant4x4(unzigzag(levels(bi), 0), qp, skipDc = false))
+          var py2 = 0
+          while (py2 < 4) {
+            var px2 = 0
+            while (px2 < 4) {
+              val o = (my * 16 + byo * 4 + py2) * lumaW + mx * 16 + bxo * 4 + px2
+              st.yPlane(o) = clipB((st.yPlane(o) & 0xff) + rpx(py2 * 4 + px2))
+              px2 += 1
+            }
+            py2 += 1
+          }
+        } else st.setNnzY(gbx, gby, 0)
+        bi += 1
+      }
+      chroma.emit(w)
+      st.markMb(mx, my, intra = false, qp)
+      mb += 1
+    }
+    w.trailing()
+    val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, 0, 0, refFrames = 2,
+      weightedPred = true)
+    val payload = frameNals(avcc = true, spsNal, ppsNal,
+      Array[Byte](0x61.toByte) ++ escape(w.bytes))
+    val g = new GopDecoder
+    g.seed(Sps(66, 30, 4, 2, wMbs, hMbs, 0, 0, 2),
+      Pps(entropyCabac = false, 26, deblockingControlPresent = true,
+        weightedPred = true, numRefIdxL0Default = 1), List(refNew, refOld))
     val dec =
       try g.decodeAuYuv(payload).map(t => (t._2, t._3, t._4))
       catch { case _: Exception => None }

@@ -2774,17 +2774,33 @@ object PipelineQueries {
             val wrong = graft.pipeline.H264Codec.encodeGop(frames, qp = 26,
               wpLuma = Some((6, 32, 0))).map(_.length.toLong).sum
             val gain = pvP.map(_.length.toLong).sum < wrong
-            (id, w, h, pOk, b1Ok, b2Ok, gain)
+            // the full x264 weightp=2 shape: list modification
+            // duplicating the reference + per-duplicate weights
+            def pl(n: Int, seed: Int): Array[Byte] =
+              Array.tabulate(n)(i => ((i * 7 + seed * 13 + id) % 251).toByte)
+            val (_, encW, decW) = graft.pipeline.H264Codec
+              .pWeightpRoundTripForTest(
+                pl(32 * 32, 8), pl(32 * 32 / 4, 4), pl(32 * 32 / 4, 7),
+                pl(32 * 32, 2), pl(32 * 32 / 4, 1), pl(32 * 32 / 4, 3),
+                pl(32 * 32, 5), pl(32 * 32 / 4, 6), pl(32 * 32 / 4, 9),
+                wMbs = 2, hMbs = 2, qp = 26,
+                (mx, my) => (((mx + id) % 5 - 2).toInt, ((my + id) % 4 - 2).toInt))
+            val weightpOk = decW.exists { case (y2, cb, cr) =>
+              java.util.Arrays.equals(y2, encW._1) &&
+                java.util.Arrays.equals(cb, encW._2) &&
+                java.util.Arrays.equals(cr, encW._3)
+            }
+            (id, w, h, pOk, b1Ok, b2Ok, gain, weightpOk)
           }
           .toDF("doc_id", "width", "height", "p_explicit_ok", "b_explicit_ok",
-            "b_implicit_ok", "wp_gain")
+            "b_implicit_ok", "wp_gain", "weightp_ok")
           .orderBy($"doc_id")
       },
       Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
              |  CAST(32 + 2 * (len(text) % 8) AS INT) AS width,
              |  CAST(32 + 2 * ((len(text) + doc_id) % 6) AS INT) AS height,
              |  true AS p_explicit_ok, true AS b_explicit_ok,
-             |  true AS b_implicit_ok, true AS wp_gain
+             |  true AS b_implicit_ok, true AS wp_gain, true AS weightp_ok
              |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
 
     // high-profile Intra_8x8 (r13, 8.3.2 + the 8.5.12/13 8x8 integer

@@ -111,6 +111,34 @@ class H264WeightedPredSpec extends AnyFunSuite {
     }
   }
 
+  test("x264 weightp=2 shape: list modification duplicates a reference " +
+      "with per-duplicate weights") {
+    // ref_pic_list_modification turns [newest, older] into
+    // [newest, newest] (the second command wraps MaxFrameNum back to
+    // the same PicNum — x264's duplication trick), and the weight
+    // table gives each duplicate different luma weights; MBs alternate
+    // ref_idx to select the variant. Parity pins the modification
+    // arithmetic + duplicate handling + per-reference weighting.
+    def planes(wMbs: Int, hMbs: Int, seed: Int)
+        : (Array[Byte], Array[Byte], Array[Byte]) = {
+      val lw = wMbs * 16; val lh = hMbs * 16
+      (Array.tabulate(lw * lh)(i => ((i * 7 + seed * 13) % 251).toByte),
+        Array.tabulate(lw * lh / 4)(i => ((i * 5 + seed * 11) % 241).toByte),
+        Array.tabulate(lw * lh / 4)(i => ((i * 3 + seed * 17) % 239).toByte))
+    }
+    val (rY, rCb, rCr) = planes(3, 2, seed = 2)
+    val (oY, oCb, oCr) = planes(3, 2, seed = 5)
+    val (sY, sCb, sCr) = planes(3, 2, seed = 8)
+    val (_, enc, dec) = H264Codec.pWeightpRoundTripForTest(
+      sY, sCb, sCr, rY, rCb, rCr, oY, oCb, oCr, wMbs = 3, hMbs = 2,
+      qp = 26, (mx, my) => ((mx - my) % 5 - 1, (mx + my) % 4 - 2))
+    assert(dec.isDefined, "weightp-shaped P frame failed to decode")
+    assert(java.util.Arrays.equals(dec.get._1, enc._1) &&
+      java.util.Arrays.equals(dec.get._2, enc._2) &&
+      java.util.Arrays.equals(dec.get._3, enc._3),
+      "weightp shape: decode != encoder reconstruction")
+  }
+
   test("hostile inputs: tampered weighted streams reject, never throw") {
     val frames = (0 until 5).map(t => fadeFrame(48, 32, t))
     val pv = H264Codec.encodeGop(frames, qp = 26, wpLuma = Some((6, 56, 0)))
