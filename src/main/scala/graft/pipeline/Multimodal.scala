@@ -68,12 +68,17 @@ object Multimodal {
     * ([[FlacCodec]]); r13 added CABAC entropy decoding for I, P AND B
     * slices (main-profile streams — [[H264Cabac]], cabac_init_idc-0
     * context column, self-witnessed by encoder round trips,
-    * exact-termination-gated on foreign input) plus B_Skip/B_Direct
-    * spatial direct and deblocking on B slices. What remains stubbed
-    * is cabac_init_idc 1/2 (rare non-default encoder tuning), weighted
-    * prediction, B_8x8, high-profile 8x8 transforms, and AAC audio —
-    * AAC's large Huffman codebooks cannot be honestly transcribed or
-    * verified in this container). */
+    * exact-termination-gated on foreign input), B_Skip/B_Direct
+    * spatial AND temporal direct, B_8x8 sub-partitions, deblocking on
+    * B slices, weighted prediction (explicit P/B + implicit bipred,
+    * including the x264 weightp=2 reference-duplication shape via
+    * ref_pic_list_modification), and high-profile CAVLC — Intra_8x8 +
+    * the 8x8 transform, intra and inter, with chroma QP offsets.
+    * What remains stubbed: CABAC 8x8 residuals (ctxBlockCat-5 context
+    * families — see the SURVEY r13 scope note on why a half-confident
+    * transcription would be worse than the loud refusal),
+    * cabac_init_idc 1/2, long-term references, interlace, and AAC
+    * audio (codebooks unverifiable in-container). */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
     var h = 1125899906842597L
