@@ -139,6 +139,52 @@ class H264WeightedPredSpec extends AnyFunSuite {
       "weightp shape: decode != encoder reconstruction")
   }
 
+  test("fuzz the new header parsers: every bit of the slice-header region") {
+    // pred_weight_table + ref_pic_list_modification + the PPS extension
+    // are fresh untrusted-bytes parsers (the r12 fuzz found two real
+    // allocation-DoS bugs in this class); flip EVERY bit of the first
+    // 60 payload bytes of a weightp-shaped payload and assert
+    // Option-clean decode — no throw, no hang, no allocation blowup
+    def planes(wMbs: Int, hMbs: Int, seed: Int)
+        : (Array[Byte], Array[Byte], Array[Byte]) = {
+      val lw = wMbs * 16; val lh = hMbs * 16
+      (Array.tabulate(lw * lh)(i => ((i * 7 + seed * 13) % 251).toByte),
+        Array.tabulate(lw * lh / 4)(i => ((i * 5 + seed * 11) % 241).toByte),
+        Array.tabulate(lw * lh / 4)(i => ((i * 3 + seed * 17) % 239).toByte))
+    }
+    val (rY, rCb, rCr) = planes(2, 2, seed = 2)
+    val (oY, oCb, oCr) = planes(2, 2, seed = 5)
+    val (sY, sCb, sCr) = planes(2, 2, seed = 8)
+    val (payload, _, dec) = H264Codec.pWeightpRoundTripForTest(
+      sY, sCb, sCr, rY, rCb, rCr, oY, oCb, oCr, wMbs = 2, hMbs = 2,
+      qp = 26, (_, _) => (0, 0))
+    assert(dec.isDefined)
+    val limit = math.min(60, payload.length)
+    var i = 0
+    while (i < limit) {
+      var b = 0
+      while (b < 8) {
+        val bad = payload.clone()
+        bad(i) = (bad(i) ^ (1 << b)).toByte
+        H264Codec.decodeGop(Seq(bad)) // must stay Option-clean
+        b += 1
+      }
+      i += 1
+    }
+    // and a high-profile inter-8x8 payload's header region too
+    val (p8, _, d8) = H264Codec.pInter8x8RoundTripForTest(
+      sY, sCb, sCr, rY, rCb, rCr, wMbs = 2, hMbs = 2, qp = 26,
+      (_, _) => (1, -1))
+    assert(d8.isDefined)
+    i = 0
+    while (i < math.min(50, p8.length)) {
+      val bad = p8.clone()
+      bad(i) = (bad(i) ^ 0xff).toByte
+      H264Codec.decodeGop(Seq(bad))
+      i += 1
+    }
+  }
+
   test("hostile inputs: tampered weighted streams reject, never throw") {
     val frames = (0 until 5).map(t => fadeFrame(48, 32, t))
     val pv = H264Codec.encodeGop(frames, qp = 26, wpLuma = Some((6, 56, 0)))
