@@ -1374,50 +1374,84 @@ object H264Codec {
 
   /** B mb_type (Table 9-37: '0' Direct, '10x' L0/L1 16x16, '110xxx'
     * 3-10, '1110xxx' 12-19, '111100x' 20-21, '111110' 11, '111111'
-    * B_8x8, '111101' intra escape; bins at 27+inc, 30, 31, then 32).
+    * B_8x8, '111101' intra escape). Context assignment per Table 9-39
+    * at ctxIdxOffset 27: binIdx 0 neighbor-derived (inc 0-2), binIdx 1
+    * at inc 3, binIdx 2 b1-DEPENDENT (inc 5 when b1 == 0, inc 4 when
+    * b1 == 1 — the '10x' direction bin reads ctx 32, not 31), binIdx
+    * >= 3 at inc 5. Both halves ride [[readMbTypeB]] / the bin lists
+    * below so the spec's ctx trace is pinned by a fixed-vector test
+    * (H264CabacSpec) independent of the arithmetic engine.
     * Returns Table 7-14 numbering, or -1 for intra. */
-  private def decodeMbTypeBCabac(d: H264Cabac.Dec, cx: H264Cabac.Ctx,
-      st: FrameState, mx: Int, my: Int): Int = {
-    if (d.decision(cx, 27 + bMbTypeInc(st, mx, my)) == 0) return 0
-    if (d.decision(cx, 30) == 0) return 1 + d.decision(cx, 31)
-    if (d.decision(cx, 31) == 0)
-      return 3 + ((d.decision(cx, 32) << 2) | (d.decision(cx, 32) << 1) |
-        d.decision(cx, 32))
-    if (d.decision(cx, 32) == 0)
-      return 12 + ((d.decision(cx, 32) << 2) | (d.decision(cx, 32) << 1) |
-        d.decision(cx, 32))
-    if (d.decision(cx, 32) == 1)
-      return if (d.decision(cx, 32) == 0) 11 else 22
-    if (d.decision(cx, 32) == 1) -1 // intra ('111101')
-    else 20 + d.decision(cx, 32)
+  private def readMbTypeB(read: Int => Int, c0: Int): Int = {
+    if (read(c0) == 0) return 0
+    if (read(30) == 0) return 1 + read(32) // binIdx 2 with b1 == 0: inc 5
+    if (read(31) == 0) // binIdx 2 with b1 == 1: inc 4
+      return 3 + ((read(32) << 2) | (read(32) << 1) | read(32))
+    if (read(32) == 0)
+      return 12 + ((read(32) << 2) | (read(32) << 1) | read(32))
+    if (read(32) == 1)
+      return if (read(32) == 0) 11 else 22
+    if (read(32) == 1) -1 // intra ('111101')
+    else 20 + read(32)
   }
+
+  private def decodeMbTypeBCabac(d: H264Cabac.Dec, cx: H264Cabac.Ctx,
+      st: FrameState, mx: Int, my: Int): Int =
+    readMbTypeB(d.decision(cx, _), 27 + bMbTypeInc(st, mx, my))
+
+  /** The Table 9-37 B bin string per mb_type (MSB-first). */
+  private def bMbTypeBins(mbType: Int): Seq[Int] = mbType match {
+    case 0 => Seq(0)
+    case 1 => Seq(1, 0, 0)
+    case 2 => Seq(1, 0, 1)
+    case t if t >= 3 && t <= 10 =>
+      val v = t - 3
+      Seq(1, 1, 0, (v >> 2) & 1, (v >> 1) & 1, v & 1)
+    case t if t >= 12 && t <= 19 =>
+      val v = t - 12
+      Seq(1, 1, 1, 0, (v >> 2) & 1, (v >> 1) & 1, v & 1)
+    case 20 | 21 => Seq(1, 1, 1, 1, 0, 0, mbType - 20)
+    case 11 => Seq(1, 1, 1, 1, 1, 0)
+    case 22 => Seq(1, 1, 1, 1, 1, 1)
+    case -1 => Seq(1, 1, 1, 1, 0, 1) // intra escape (suffix follows)
+    case t => throw new H264Format(s"CABAC B mb_type $t")
+  }
+
+  /** The Table 9-39 ctxIdx per binIdx for a B mb_type bin string —
+    * binIdx 2 is b1-dependent (inc 5 when b1 == 0, 4 when b1 == 1). */
+  private def bMbTypeCtxs(c0: Int, bits: Seq[Int]): Seq[Int] =
+    bits.indices.map {
+      case 0 => c0
+      case 1 => 30
+      case 2 => if (bits(1) == 0) 32 else 31
+      case _ => 32
+    }
 
   private def encodeMbTypeBCabac(e: H264Cabac.Enc, cx: H264Cabac.Ctx,
       st: FrameState, mx: Int, my: Int, mbType: Int): Unit = {
-    val c0 = 27 + bMbTypeInc(st, mx, my)
-    def b(bits: Int*): Unit = {
-      e.decision(cx, c0, bits.head)
-      if (bits.length > 1) e.decision(cx, 30, bits(1))
-      if (bits.length > 2) e.decision(cx, 31, bits(2))
-      var i = 3
-      while (i < bits.length) { e.decision(cx, 32, bits(i)); i += 1 }
-    }
-    mbType match {
-      case 0 => b(0)
-      case 1 => b(1, 0, 0)
-      case 2 => b(1, 0, 1)
-      case t if t >= 3 && t <= 10 =>
-        val v = t - 3
-        b(1, 1, 0, (v >> 2) & 1, (v >> 1) & 1, v & 1)
-      case t if t >= 12 && t <= 19 =>
-        val v = t - 12
-        b(1, 1, 1, 0, (v >> 2) & 1, (v >> 1) & 1, v & 1)
-      case 20 | 21 => b(1, 1, 1, 1, 0, 0, mbType - 20)
-      case 11 => b(1, 1, 1, 1, 1, 0)
-      case 22 => b(1, 1, 1, 1, 1, 1)
-      case -1 => b(1, 1, 1, 1, 0, 1) // intra escape (suffix follows)
-      case t => throw new H264Format(s"CABAC B mb_type $t")
-    }
+    val bits = bMbTypeBins(mbType)
+    val ctxs = bMbTypeCtxs(27 + bMbTypeInc(st, mx, my), bits)
+    var i = 0
+    while (i < bits.length) { e.decision(cx, ctxs(i), bits(i)); i += 1 }
+  }
+
+  /** Fixed-vector spec hook: feed a scripted bin sequence to the B
+    * mb_type DECODER and record the ctxIdx it requests per bin; return
+    * (decoded type, decoder ctx trace, encoder ctx trace, encoder bin
+    * string). A hand-derived Table 9-37/9-39 expectation then pins the
+    * context assignment WITHOUT the arithmetic engine — the test the
+    * self round trips are structurally blind to (both halves sharing a
+    * wrong ctx still round-trips). */
+  private[graft] def bMbTypeCtxTraceForTest(mbType: Int, c0: Int)
+      : (Int, Seq[Int], Seq[Int], Seq[Int]) = {
+    val bits = bMbTypeBins(mbType)
+    val decTrace = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var pos = 0
+    val decoded = readMbTypeB(ctx => {
+      decTrace += ctx
+      val b = bits(pos); pos += 1; b
+    }, c0)
+    (decoded, decTrace.toSeq, bMbTypeCtxs(c0, bits), bits)
   }
 
   /** Spec hook: bin-level round trip of every P/B CABAC syntax codec

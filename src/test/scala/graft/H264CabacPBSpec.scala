@@ -231,6 +231,43 @@ class H264CabacPBSpec extends AnyFunSuite {
     assert(or == refIdxs, s"ref_idx unary: $or != $refIdxs")
   }
 
+  test("B mb_type ctx trace: fixed-vector Table 9-39 context assignment") {
+    // Hand-derived from Tables 9-37 (bin strings) and 9-39 (ctxIdx per
+    // binIdx at offset 27): binIdx 0 -> c0 (neighbor-derived), binIdx 1
+    // -> 30, binIdx 2 -> 32 when b1 == 0 and 31 when b1 == 1 (the
+    // b1-dependent rule reference decoders read as 27 + ((b1 != 1) ? 5
+    // : 4)), binIdx >= 3 -> 32. Pinned WITHOUT the arithmetic engine,
+    // so a shared encoder/decoder ctx mistake cannot hide in a round
+    // trip. The '10x' direction bin of B_L0/B_L1_16x16 — the most
+    // common coded B macroblock types in foreign streams — must read
+    // ctx 32, not 31.
+    val expected = Map(
+      0 -> Seq(27), // B_Direct_16x16: '0'
+      1 -> Seq(27, 30, 32), // B_L0_16x16: '100' — bin2 at ctx 32 (b1 == 0)
+      2 -> Seq(27, 30, 32), // B_L1_16x16: '101'
+      3 -> Seq(27, 30, 31, 32, 32, 32), // '110xxx' — bin2 at 31 (b1 == 1)
+      10 -> Seq(27, 30, 31, 32, 32, 32),
+      12 -> Seq(27, 30, 31, 32, 32, 32, 32), // '1110xxx'
+      19 -> Seq(27, 30, 31, 32, 32, 32, 32),
+      20 -> Seq(27, 30, 31, 32, 32, 32, 32), // '111100x'
+      21 -> Seq(27, 30, 31, 32, 32, 32, 32),
+      11 -> Seq(27, 30, 31, 32, 32, 32), // '111110'
+      22 -> Seq(27, 30, 31, 32, 32, 32), // B_8x8 '111111'
+      -1 -> Seq(27, 30, 31, 32, 32, 32)) // intra escape '111101'
+    expected.foreach { case (mbType, ctxs) =>
+      val (decoded, decTrace, encTrace, _) =
+        H264Codec.bMbTypeCtxTraceForTest(mbType, c0 = 27)
+      assert(decoded == mbType, s"type $mbType decoded as $decoded")
+      assert(decTrace == ctxs, s"decoder ctx trace for $mbType: $decTrace")
+      assert(encTrace == ctxs, s"encoder ctx trace for $mbType: $encTrace")
+    }
+    // neighbor-derived bin-0 increments shift only the first ctx
+    (0 to 2).foreach { inc =>
+      val (_, decTrace, _, _) = H264Codec.bMbTypeCtxTraceForTest(1, 27 + inc)
+      assert(decTrace == Seq(27 + inc, 30, 32))
+    }
+  }
+
   test("PB context table structure: filled inter ranges, unset I ranges") {
     val t = H264Cabac.initTablePB0
     def filled(i: Int): Boolean = t(2 * i) != Int.MinValue
