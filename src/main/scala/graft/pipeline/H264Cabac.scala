@@ -6,10 +6,13 @@ package graft.pipeline
  * majority of real-world MP4s. This module holds the entropy machinery
  * only: the binary arithmetic decoding engine (9.3.3.2), the encoding
  * engine (9.3.4), the probability-state transition tables (Tables
- * 9-44/9-45), context initialization (9.3.1.1, Tables 9-12..9-23 — the
- * I column and, since r13, the P/B cabac_init_idc-0 column), the UEGk
- * bypass suffix codec, and the residual-block coefficient codec
- * (significance maps 9.3.3.1.3 + UEG0 level binarization 9.3.2.3).
+ * 9-44/9-45), context initialization (9.3.1.1, Tables 9-12..9-33 — the
+ * I column, since r13 the P/B cabac_init_idc-0 column, and since r14
+ * the ctxIdx 399-435 rows for transform_size_8x8_flag + the
+ * ctxBlockCat-5 8x8-residual families), the UEGk bypass suffix codec,
+ * and the residual-block coefficient codec (significance maps
+ * 9.3.3.1.3 with the Table 9-43 8x8 position maps + UEG0 level
+ * binarization 9.3.2.3).
  * Macroblock-level syntax (mb_type trees, mvd/ref_idx/skip coding,
  * neighbor-derived context increments) lives in [[H264Codec]], which
  * owns the frame state.
@@ -111,7 +114,10 @@ private[pipeline] object H264Cabac {
     }
     def initI(qp: Int): Unit = initFrom(initTableI, qp)
     /** P/B slice context init. Only cabac_init_idc 0 is transcribed
-      * (the x264/JM default); the slice layer refuses idc 1/2 loudly. */
+      * (the x264/JM default); the slice layer refuses idc 1/2 loudly —
+      * permanently adjudicated in CATALOG.md (r14): the alternative
+      * columns are ~780 constants with zero in-container witness and
+      * no capability gain for default-shaped streams. */
     def initPB(cabacInitIdc: Int, qp: Int): Unit = {
       if (cabacInitIdc != 0)
         throw new CabacFormat(s"cabac_init_idc $cabacInitIdc out of scope")
@@ -128,8 +134,10 @@ private[pipeline] object H264Cabac {
     * intra_chroma_pred_mode, 68-69 intra pred mode, 70-72
     * mb_field [unused, frame coding only], 73-84 coded_block_pattern,
     * 85-104 coded_block_flag, 105-165 significant_coeff_flag, 166-226
-    * last_significant_coeff_flag, 227-275 coeff_abs_level_minus1);
-    * P/B-only and 8x8/field-only ranges stay Unset and throw on touch.
+    * last_significant_coeff_flag, 227-275 coeff_abs_level_minus1,
+    * and since r14 399-435: transform_size_8x8_flag + the
+    * ctxBlockCat-5 8x8-residual families);
+    * P/B-only and field-only ranges stay Unset and throw on touch.
     * ctxIdx 276 (end_of_slice_flag / pcm terminate) is stateless —
     * DecodeTerminate never reads a context variable. */
   val initTableI: Array[Int] = {
@@ -207,6 +215,22 @@ private[pipeline] object H264Cabac {
       (-10, 70), (-10, 69), (-8, 66), (-9, 64),
       (-8, 60), (-6, 59), (-5, 75), (-9, 66),
       (-12, 95))
+    // 399 -> 435 (r14): transform_size_8x8_flag, then the ctxBlockCat-5
+    // (8x8 transform, frame coded) significance / last / level
+    // families. Same witness posture as every init range above — see
+    // the file scaladoc and the r14 CATALOG note on the confidence
+    // tiers of this transcription.
+    put(399, (31, 21), (31, 31), (25, 50))
+    put(402, (12, 48), (11, 49), (26, 45), (22, 22),
+      (23, 22), (27, 21), (33, 20), (26, 28),
+      (30, 24), (27, 34), (18, 42), (25, 39),
+      (18, 50), (12, 70), (21, 54))
+    put(417, (26, 71), (14, 60), (9, 45), (-1, 65),
+      (-8, 62), (-17, 83), (-13, 64), (-26, 83),
+      (-15, 72))
+    put(426, (-10, 45), (-1, 58), (-4, 69), (-9, 108),
+      (-22, 127), (-5, 65), (-7, 69), (-8, 77),
+      (-10, 66), (-9, 75))
     t
   }
 
@@ -215,9 +239,10 @@ private[pipeline] object H264Cabac {
     * 11-13 mb_skip_flag(P), 14-20 mb_type(P prefix + intra suffix),
     * 21-23 sub_mb_type(P), 24-26 mb_skip_flag(B), 27-35 mb_type(B
     * prefix + intra suffix), 36-39 sub_mb_type(B), 40-53 mvd x/y,
-    * 54-59 ref_idx, and the residual ranges 60-275 (whose P/B column
-    * differs from the I column). I-only (0-10) and field-only (70-72,
-    * 277+) ranges stay Unset and throw on touch. Witness posture is
+    * 54-59 ref_idx, the residual ranges 60-275 (whose P/B column
+    * differs from the I column), and since r14 399-435
+    * (transform_size_8x8_flag + ctxBlockCat-5). I-only (0-10) and
+    * field-only ranges stay Unset and throw on touch. Witness posture is
     * identical to [[initTableI]]'s (scaladoc at the top of this file):
     * encoder and decoder share the table so round trips are bit-exact
     * regardless, and a foreign stream whose parse diverges rejects at
@@ -314,6 +339,20 @@ private[pipeline] object H264Cabac {
       (-10, 82), (-8, 38), (-4, 46), (-6, 58),
       (-1, 65), (-4, 78), (-7, 87), (-5, 98),
       (-10, 112))
+    // 399 -> 435 (r14): transform_size_8x8_flag + ctxBlockCat-5
+    // families, cabac_init_idc-0 column (idc 1/2 stay refused —
+    // CATALOG adjudication).
+    put(399, (12, 40), (11, 51), (14, 59))
+    put(402, (-4, 79), (-7, 71), (-5, 69), (-9, 70),
+      (-8, 66), (-10, 68), (-19, 73), (-12, 69),
+      (-16, 70), (-15, 67), (-20, 62), (-19, 70),
+      (-16, 66), (-22, 65), (-20, 63))
+    put(417, (9, -2), (26, -9), (33, -9), (39, -7),
+      (41, -2), (45, 3), (49, 9), (45, 27),
+      (36, 59))
+    put(426, (-6, 66), (-7, 35), (-7, 42), (-8, 45),
+      (-5, 48), (-12, 56), (-6, 60), (-5, 62),
+      (-8, 66), (-8, 76))
     t
   }
 
@@ -454,7 +493,9 @@ private[pipeline] object H264Cabac {
 
   // ctxBlockCatOffset (Table 9-40), indexed by ctxBlockCat 0..4:
   // 0 = Intra16x16DCLevel, 1 = Intra16x16ACLevel, 2 = LumaLevel4x4,
-  // 3 = ChromaDCLevel, 4 = ChromaACLevel.
+  // 3 = ChromaDCLevel, 4 = ChromaACLevel. ctxBlockCat 5 (LumaLevel8x8)
+  // has its own offsets below and position-MAPPED significance
+  // contexts per Table 9-43.
   private val SigOffset = Array(0, 15, 29, 44, 47)
   private val LastOffset = Array(0, 15, 29, 44, 47)
   private val AbsOffset = Array(0, 10, 20, 30, 39)
@@ -464,6 +505,36 @@ private[pipeline] object H264Cabac {
   val CtxAbsBase = 227
   val CtxCbfBase = 85
   val CtxTerminate = 276
+
+  /** ctxBlockCat 5 = LumaLevel8x8 (8x8 transform residual blocks).
+    * coded_block_flag is NOT coded for this category (7.4.5.3.3: the
+    * CBP luma bit carries the 8x8 block's coded-ness); significance
+    * contexts ride the Table 9-43 position maps below. */
+  val Cat8x8 = 5
+  val CtxT8x8Base = 399 // transform_size_8x8_flag (9.3.3.1.1.10)
+  val CtxSig8x8Base = 402
+  val CtxLast8x8Base = 417
+  val CtxAbs8x8Base = 426
+
+  /** Table 9-43, significant_coeff_flag column, 8x8 blocks FRAME
+    * coded: scan position (levelListIdx 0..62) -> ctxIdxInc 0..14.
+    * Structural pins (H264CabacSpec): 63 entries, every inc 0-14
+    * present, the low-frequency ramp 0,1,2,3,4,5 opens the map, and
+    * position 0 (the DC coefficient) maps alone to inc 0. */
+  val SigMap8x8: Array[Int] = Array(
+    0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
+    4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
+    7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
+    12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12)
+
+  /** Table 9-43, last_significant_coeff_flag column, 8x8 frame coded:
+    * the geometric position-bucket cascade {1, 31, 16, 8, 4, 2, 1} —
+    * monotone non-decreasing 0..6 over scan order (pinned). */
+  val LastMap8x8: Array[Int] = Array(
+    0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+    3, 3, 3, 3, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 6)
 
   /** Decode a UEGk bypass suffix (9.3.2.3): the Exp-Golomb escape tail
     * that follows a TU prefix which hit its cMax. Returns the suffix
@@ -492,28 +563,40 @@ private[pipeline] object H264Cabac {
     while (k > 0) { k -= 1; e.bypass((rem >> k) & 1) }
   }
 
+  /** significant_coeff_flag ctxIdx for scan position i: linear in the
+    * position for cats 0-4, Table 9-43-mapped for cat 5. */
+  @inline private def sigCtx(cat: Int, i: Int): Int =
+    if (cat == Cat8x8) CtxSig8x8Base + SigMap8x8(i)
+    else CtxSigBase + SigOffset(cat) + i
+
+  @inline private def lastCtx(cat: Int, i: Int): Int =
+    if (cat == Cat8x8) CtxLast8x8Base + LastMap8x8(i)
+    else CtxLastBase + LastOffset(cat) + i
+
+  @inline private def absBaseOf(cat: Int): Int =
+    if (cat == Cat8x8) CtxAbs8x8Base else CtxAbsBase + AbsOffset(cat)
+
   /** Decode one residual block's levels (scan order) after a
-    * coded_block_flag of 1: significance map, then levels in reverse
-    * scan order (coeff_abs_level_minus1 UEG0 + bypass sign). Returns
-    * the number of nonzero levels. */
+    * coded_block_flag of 1 (inferred 1 from the CBP for cat 5):
+    * significance map, then levels in reverse scan order
+    * (coeff_abs_level_minus1 UEG0 + bypass sign). Returns the number
+    * of nonzero levels. */
   def decodeResidualLevels(d: Dec, cx: Ctx, cat: Int, coeffs: Array[Int],
       maxNumCoeff: Int): Int = {
     java.util.Arrays.fill(coeffs, 0, maxNumCoeff, 0)
-    val sigBase = CtxSigBase + SigOffset(cat)
-    val lastBase = CtxLastBase + LastOffset(cat)
     val sig = new Array[Boolean](maxNumCoeff)
     var lastIdx = maxNumCoeff - 1
     var i = 0
     var sawLast = false
     while (i < maxNumCoeff - 1 && !sawLast) {
-      if (d.decision(cx, sigBase + i) == 1) {
+      if (d.decision(cx, sigCtx(cat, i)) == 1) {
         sig(i) = true
-        if (d.decision(cx, lastBase + i) == 1) { lastIdx = i; sawLast = true }
+        if (d.decision(cx, lastCtx(cat, i)) == 1) { lastIdx = i; sawLast = true }
       }
       i += 1
     }
     if (!sawLast) sig(maxNumCoeff - 1) = true
-    val absBase = CtxAbsBase + AbsOffset(cat)
+    val absBase = absBaseOf(cat)
     var eq1 = 0 // numDecodAbsLevelEq1
     var gt1 = 0 // numDecodAbsLevelGt1
     var n = 0
@@ -559,18 +642,16 @@ private[pipeline] object H264Cabac {
     var lastIdx = maxNumCoeff - 1
     while (lastIdx > 0 && coeffs(lastIdx) == 0) lastIdx -= 1
     require(coeffs(lastIdx) != 0, "encodeResidualLevels on an all-zero block")
-    val sigBase = CtxSigBase + SigOffset(cat)
-    val lastBase = CtxLastBase + LastOffset(cat)
     var i = 0
     while (i < maxNumCoeff - 1 && i <= lastIdx) {
       val s = coeffs(i) != 0
       // the final position's significance is implied when no earlier
       // last flag fired; flags are only sent for positions < max-1
-      e.decision(cx, sigBase + i, if (s) 1 else 0)
-      if (s) e.decision(cx, lastBase + i, if (i == lastIdx) 1 else 0)
+      e.decision(cx, sigCtx(cat, i), if (s) 1 else 0)
+      if (s) e.decision(cx, lastCtx(cat, i), if (i == lastIdx) 1 else 0)
       i += 1
     }
-    val absBase = CtxAbsBase + AbsOffset(cat)
+    val absBase = absBaseOf(cat)
     var eq1 = 0
     var gt1 = 0
     var k = lastIdx

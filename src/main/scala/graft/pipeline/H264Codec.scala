@@ -666,10 +666,6 @@ object H264Codec {
     st.wpLogWDy = wpLogWDy
     st.wpLogWDc = wpLogWDc
     st.wpImplicit = isB && pps.weightedBipredIdc == 2
-    // 8x8 residuals under CABAC need their own significance/level
-    // context families (ctxBlockCat 5) — not transcribed; refuse
-    if (pps.transform8x8Mode && pps.entropyCabac)
-      throw new H264Format("CABAC 8x8 transform out of scope")
     var qpY = pps.picInitQp + sliceQpDelta
     if (qpY < 0 || qpY > 51) throw new H264Format(s"slice QP $qpY out of range")
     if (pps.entropyCabac) {
@@ -797,14 +793,40 @@ object H264Codec {
   private val CatLuma4x4 = 2 // LumaLevel4x4
   private val CatChromaDc = 3 // ChromaDCLevel
   private val CatChromaAc = 4 // ChromaACLevel
+  private val CatLuma8x8 = H264Cabac.Cat8x8 // LumaLevel8x8 (5)
+
+  /** Per-cell interleave TotalCoeffs of a 64-level 8x8 scan
+    * (7.3.5.3.2: level4x4[i4][i] = level8x8[4i + i4]) — the nnz
+    * bookkeeping BOTH entropy modes record for a coded 8x8 block, so
+    * cross-entropy-mode state (nC, deblock bS via the codedAt 8x8
+    * aggregate, cbf neighbor contexts via the same aggregate) stays
+    * identical by construction. */
+  private def record8x8Nnz(st: FrameState, mx: Int, my: Int, i8: Int,
+      lv64: Array[Int]): Unit = {
+    import H264Transform.LumaBlockOrder
+    var i4 = 0
+    while (i4 < 4) {
+      val (bxo, byo) = LumaBlockOrder(i8 * 4 + i4)
+      var tc = 0
+      var i = 0
+      while (i < 16) { if (lv64(4 * i + i4) != 0) tc += 1; i += 1 }
+      st.setNnzY(mx * 4 + bxo, my * 4 + byo, tc)
+      i4 += 1
+    }
+  }
 
   /** Residual-block source: fills `coeffs` with scan-order levels and
     * returns the nonzero count (TotalCoeff). (gbx, gby) are the
     * block's coords in its plane's 4x4 grid (chroma grid for cat 3/4;
-    * the MB's first block for the DC cats); comp 0=Y, 1=Cb, 2=Cr. */
+    * the MB's first block for the DC cats); comp 0=Y, 1=Cb, 2=Cr.
+    * [[luma8x8]] reads one CODED 8x8 transform block's 64 scan-order
+    * levels (CBP bit already said coded): CAVLC via the 7.3.5.3.2
+    * interleave, CABAC via the ctxBlockCat-5 codec (coded_block_flag
+    * inferred 1, 7.4.5.3.3); both record the per-cell nnz grid. */
   private trait MbSrc {
     def block(st: FrameState, cat: Int, coeffs: Array[Int], maxN: Int,
         gbx: Int, gby: Int, comp: Int): Int
+    def luma8x8(st: FrameState, mx: Int, my: Int, i8: Int): Array[Int]
   }
 
   private final class CavlcSrc(r: BitReader) extends MbSrc {
@@ -817,6 +839,22 @@ object H264Codec {
       }
       H264Cavlc.decodeBlock(r, coeffs, maxN, nC)
     }
+    def luma8x8(st: FrameState, mx: Int, my: Int, i8: Int): Array[Int] = {
+      import H264Transform.LumaBlockOrder
+      val lv64 = new Array[Int](64)
+      val buf = new Array[Int](16)
+      var i4 = 0
+      while (i4 < 4) {
+        val (bxo, byo) = LumaBlockOrder(i8 * 4 + i4)
+        val gbx = mx * 4 + bxo; val gby = my * 4 + byo
+        val tc = H264Cavlc.decodeBlock(r, buf, 16, st.lumaNc(gbx, gby))
+        st.setNnzY(gbx, gby, tc)
+        var i = 0
+        while (i < 16) { lv64(4 * i + i4) = buf(i); i += 1 }
+        i4 += 1
+      }
+      lv64
+    }
   }
 
   private final class CabacSrc(d: H264Cabac.Dec, cx: H264Cabac.Ctx,
@@ -828,6 +866,12 @@ object H264Codec {
       recordDcCbf(st, cat, gbx, gby, comp, cbf)
       if (!cbf) { java.util.Arrays.fill(coeffs, 0, maxN, 0); 0 }
       else H264Cabac.decodeResidualLevels(d, cx, cat, coeffs, maxN)
+    }
+    def luma8x8(st: FrameState, mx: Int, my: Int, i8: Int): Array[Int] = {
+      val lv64 = new Array[Int](64)
+      H264Cabac.decodeResidualLevels(d, cx, CatLuma8x8, lv64, 64)
+      record8x8Nnz(st, mx, my, i8, lv64)
+      lv64
     }
   }
 
@@ -857,7 +901,15 @@ object H264Codec {
     def condLuma4(bx: Int, by: Int): Int =
       if (bx < 0 || by < 0) unavail
       else if (st.pcmMbArr((by >> 2) * wMbs + (bx >> 2))) 1
-      else if (st.nnzYAt(bx, by) > 0) 1 else 0
+      else if (st.t8x8MbArr((by >> 2) * wMbs + (bx >> 2))) {
+        // 9.3.3.1.1.9: a neighbor coded with the 8x8 transform
+        // contributes the coded_block_flag of the CONTAINING 8x8
+        // block (any nonzero cell -> coded)
+        val b8x = bx & ~1; val b8y = by & ~1
+        if (st.nnzYAt(b8x, b8y) > 0 || st.nnzYAt(b8x + 1, b8y) > 0 ||
+          st.nnzYAt(b8x, b8y + 1) > 0 || st.nnzYAt(b8x + 1, b8y + 1) > 0) 1
+        else 0
+      } else if (st.nnzYAt(bx, by) > 0) 1 else 0
     def condChromaDc(nmx: Int, nmy: Int, c: Int): Int =
       if (nmx < 0 || nmy < 0) unavail
       else {
@@ -891,6 +943,15 @@ object H264Codec {
     case CatChromaDc =>
       st.cbfChromaDcMb(comp - 1)((gby >> 1) * st.wMbs + (gbx >> 1)) = cbf
     case _ => ()
+  }
+
+  /** transform_size_8x8_flag ctxIdxInc (9.3.3.1.1.10): available
+    * neighbors with the flag set each contribute 1. */
+  private def t8x8Inc(st: FrameState, mx: Int, my: Int): Int = {
+    def cond(nmx: Int, nmy: Int): Int =
+      if (nmx < 0 || nmy < 0) 0
+      else if (st.t8x8MbArr(nmy * st.wMbs + nmx)) 1 else 0
+    cond(mx - 1, my) + cond(mx, my - 1)
   }
 
   /** mb_type bin-0 ctxIdxInc (9.3.3.1.1.3): neighbors that are NOT
@@ -1068,13 +1129,22 @@ object H264Codec {
       qpY = ((qpY + qpDelta) % 52 + 52) % 52
       decodeIntra16x16(src, st, mx, my, predMode, chromaMode, cbpL, cbpC, qpY)
     } else {
-      // Intra_4x4
+      // I_NxN: transform_size_8x8_flag (7.3.5, when the PPS enables the
+      // 8x8 mode; ctx 399 + neighbor inc per 9.3.3.1.1.10) selects
+      // Intra_8x8 or Intra_4x4; pred modes ride ctx 68/69 either way
       st.i4MbArr(mbI) = true
-      val modes = new Array[Int](16)
+      val t8 = st.t8x8Allowed &&
+        d.decision(cx, H264Cabac.CtxT8x8Base + t8x8Inc(st, mx, my)) == 1
+      val nModes = if (t8) 4 else 16
+      val modes = new Array[Int](nModes)
       var bi = 0
-      while (bi < 16) {
-        val (bxo, byo) = H264Transform.LumaBlockOrder(bi)
-        val gbx = mx * 4 + bxo; val gby = my * 4 + byo
+      while (bi < nModes) {
+        val (gbx, gby) =
+          if (t8) (mx * 4 + (bi % 2) * 2, my * 4 + (bi / 2) * 2)
+          else {
+            val (bxo, byo) = H264Transform.LumaBlockOrder(bi)
+            (mx * 4 + bxo, my * 4 + byo)
+          }
         val predM = st.predI4Mode(gbx, gby)
         val mode =
           if (d.decision(cx, 68) == 1) predM
@@ -1085,6 +1155,11 @@ object H264Codec {
           }
         modes(bi) = mode
         st.setI4Mode(gbx, gby, mode)
+        if (t8) { // every 4x4 cell carries the 8x8 mode (8.3.1.1/8.3.2.1)
+          st.setI4Mode(gbx + 1, gby, mode)
+          st.setI4Mode(gbx, gby + 1, mode)
+          st.setI4Mode(gbx + 1, gby + 1, mode)
+        }
         bi += 1
       }
       var chromaMode = 0
@@ -1113,7 +1188,10 @@ object H264Codec {
         qpDelta = decodeQpDeltaCabac(d, cx, prevQpDelta)
         qpY = ((qpY + qpDelta) % 52 + 52) % 52
       }
-      decodeIntra4x4Luma(src, st, mx, my, modes, cbpLuma, qpY)
+      if (t8) {
+        decodeIntra8x8Luma(src, st, mx, my, modes, cbpLuma, qpY)
+        st.t8x8MbArr(mbI) = true
+      } else decodeIntra4x4Luma(src, st, mx, my, modes, cbpLuma, qpY)
       decodeChromaResid(src, st, mx, my, chromaMode, cbpChroma,
         st.cQp(qpY))
     }
@@ -1485,12 +1563,13 @@ object H264Codec {
   }
 
   /** Inter-MB residual tail in CABAC form (coded_block_pattern at
-    * 73-84 with the shared increments, mb_qp_delta when coded, then
-    * the shared reconstruction paths through an inter [[CabacSrc]]).
-    * Returns (newQpY, qpDelta). */
+    * 73-84 with the shared increments, transform_size_8x8_flag when
+    * coded luma + the PPS 8x8 mode + no sub-8x8 partition (7.3.5),
+    * mb_qp_delta when coded, then the shared reconstruction paths
+    * through an inter [[CabacSrc]]). Returns (newQpY, qpDelta). */
   private def decodeInterResidCabac(d: H264Cabac.Dec, cx: H264Cabac.Ctx,
-      st: FrameState, mx: Int, my: Int, qpYIn: Int, prevQpDelta: Int)
-      : (Int, Int) = {
+      st: FrameState, mx: Int, my: Int, qpYIn: Int, prevQpDelta: Int,
+      allGe8x8: Boolean): (Int, Int) = {
     var qpY = qpYIn
     var cbpLuma = 0
     var k = 0
@@ -1506,13 +1585,16 @@ object H264Codec {
     val mbI = my * st.wMbs + mx
     st.cbpLumaMb(mbI) = cbpLuma
     st.cbpChromaMb(mbI) = cbpChroma
+    val t8 = cbpLuma != 0 && st.t8x8Allowed && allGe8x8 &&
+      d.decision(cx, H264Cabac.CtxT8x8Base + t8x8Inc(st, mx, my)) == 1
     var delta = 0
     if (cbpLuma != 0 || cbpChroma != 0) {
       delta = decodeQpDeltaCabac(d, cx, prevQpDelta)
       qpY = ((qpY + delta) % 52 + 52) % 52
     }
     val src = new CabacSrc(d, cx, interMb = true)
-    decodeInterLumaResid(src, st, mx, my, cbpLuma, qpY)
+    if (t8) decodeInterLumaResid8x8(src, st, mx, my, cbpLuma, qpY)
+    else decodeInterLumaResid(src, st, mx, my, cbpLuma, qpY)
     decodeChromaResidOnPred(src, st, mx, my, cbpChroma,
       st.cQp(qpY))
     (qpY, delta)
@@ -1522,10 +1604,12 @@ object H264Codec {
     * ref_idx before any mvd (7.3.5.1), with ref_idx/mvd noted into the
     * grids at read time so later fields' context increments see
     * earlier partitions; motion compensation then applies in partition
-    * order exactly like the CAVLC path. */
+    * order exactly like the CAVLC path. Returns
+    * noSubMbPartSizeLessThan8x8Flag (7.3.5): false only for a P_8x8
+    * with a sub-8x8 sub_mb_type. */
   private def decodeInterMbMotionPCabac(d: H264Cabac.Dec, cx: H264Cabac.Ctx,
       st: FrameState, refs: IndexedSeq[FrameState], mx: Int, my: Int,
-      mbType: Int): Unit = {
+      mbType: Int): Boolean = {
     val bx0 = mx * 4; val by0 = my * 4
     val range = refs.length - 1
     def readRef(bx: Int, by: Int, w4: Int, h4: Int): Int = {
@@ -1545,6 +1629,7 @@ object H264Codec {
         val (dx, dy) = readMvd(bx0, by0, 4, 4)
         val (px, py) = mvPredict(st, bx0, by0, 4, 0, ri)
         mcPartition(st, refs(ri), bx0, by0, 4, 4, px + dx, py + dy, ri)
+        true
       case 1 =>
         val ri0 = readRef(bx0, by0, 4, 2)
         val ri1 = readRef(bx0, by0 + 2, 4, 2)
@@ -1554,6 +1639,7 @@ object H264Codec {
         mcPartition(st, refs(ri0), bx0, by0, 4, 2, p0x + dx0, p0y + dy0, ri0)
         val (p1x, p1y) = mvPredict(st, bx0, by0 + 2, 4, 2, ri1)
         mcPartition(st, refs(ri1), bx0, by0 + 2, 4, 2, p1x + dx1, p1y + dy1, ri1)
+        true
       case 2 =>
         val ri0 = readRef(bx0, by0, 2, 4)
         val ri1 = readRef(bx0 + 2, by0, 2, 4)
@@ -1563,6 +1649,7 @@ object H264Codec {
         mcPartition(st, refs(ri0), bx0, by0, 2, 4, p0x + dx0, p0y + dy0, ri0)
         val (p1x, p1y) = mvPredict(st, bx0 + 2, by0, 2, 4, ri1)
         mcPartition(st, refs(ri1), bx0 + 2, by0, 2, 4, p1x + dx1, p1y + dy1, ri1)
+        true
       case 3 => // P_8x8 (7.3.5.2: 4 sub types, 4 ref_idx, then mvds)
         val subTypes = Array.fill(4)(decodeSubMbTypePCabac(d, cx))
         val refIdx = Array.tabulate(4) { sb =>
@@ -1606,6 +1693,7 @@ object H264Codec {
           }
           sb += 1
         }
+        subTypes.forall(_ == 0) // all P_L0_8x8 -> no sub-8x8 partition
       case t => throw new H264Format(s"CABAC P mb_type $t")
     }
   }
@@ -1714,19 +1802,26 @@ object H264Codec {
           qpY = q2; prevQpDelta = delta; d = d2
           st.setMv(mx * 4, my * 4, 4, 4, 0, 0, inter = false, refIdx = -1)
         } else {
-          if (isB && t == 0) { // B_Direct_16x16: direct motion + residual
-            st.bDirectMbArr(mbI) = true
-            directMotion(mx, my)
-          } else if (isB && t == 22) { // B_8x8 sub-partitions
-            decodeInterMbB8x8Cabac(d, cx, st, refs0, refs1, mx, my,
-              directSpatial)
-          } else if (isB) {
-            decodeInterMbMotionBCabac(d, cx, st, refs0, refs1, mx, my, t)
-          } else {
-            decodeInterMbMotionPCabac(d, cx, st, refs0, mx, my, t)
-          }
+          // noSubMbPartSizeLessThan8x8Flag (7.3.5): gates the
+          // transform_size_8x8_flag in the residual tail. For
+          // B_Direct_16x16 the gate is direct_8x8_inference_flag,
+          // which the SPS layer already enforces = 1.
+          val allGe8x8 =
+            if (isB && t == 0) { // B_Direct_16x16: direct motion + residual
+              st.bDirectMbArr(mbI) = true
+              directMotion(mx, my)
+              true
+            } else if (isB && t == 22) { // B_8x8 sub-partitions
+              decodeInterMbB8x8Cabac(d, cx, st, refs0, refs1, mx, my,
+                directSpatial)
+            } else if (isB) {
+              decodeInterMbMotionBCabac(d, cx, st, refs0, refs1, mx, my, t)
+              true
+            } else {
+              decodeInterMbMotionPCabac(d, cx, st, refs0, mx, my, t)
+            }
           val (q2, delta) = decodeInterResidCabac(d, cx, st, mx, my, qpY,
-            prevQpDelta)
+            prevQpDelta, allGe8x8)
           qpY = q2; prevQpDelta = delta
           st.markMb(mx, my, intra = false, qpY)
         }
@@ -1942,11 +2037,13 @@ object H264Codec {
 
   /** B_8x8 motion, CABAC form: the same field order through the
     * arithmetic codecs, with ref_idx/mvd noted into the grids at read
-    * time (9.3.3.1.1.6/.7 neighbor state). */
+    * time (9.3.3.1.1.6/.7 neighbor state). Returns
+    * noSubMbPartSizeLessThan8x8Flag (7.3.5): every sub is a direct sub
+    * (inference ON, SPS-enforced) or a single-partition 8x8 type. */
   private def decodeInterMbB8x8Cabac(d: H264Cabac.Dec, cx: H264Cabac.Ctx,
       st: FrameState, refs0: IndexedSeq[FrameState],
       refs1: IndexedSeq[FrameState], mx: Int, my: Int,
-      directSpatial: Boolean): Unit = {
+      directSpatial: Boolean): Boolean = {
     val subTypes = Array.fill(4)(decodeSubMbTypeBCabac(d, cx))
     val shapes = subTypes.map(bSubShape)
     def usesL0(m: Int) = m == BModeL0 || m == BModeBi
@@ -1983,6 +2080,7 @@ object H264Codec {
     val mvd1 = readMvds(1)
     applyB8x8Motion(st, refs0, refs1, mx, my, directSpatial, shapes,
       ri0, ri1, mvd0, mvd1)
+    subTypes.forall(_ <= 3) // direct or single-partition 8x8 subs
   }
 
   /** Spatial direct motion derivation (8.4.1.2.2, frame coding,
@@ -3575,25 +3673,13 @@ object H264Codec {
     qpY
   }
 
-  /** Read one coded 8x8 transform block's residual (7.3.5.3.2 CAVLC
-    * interleave: four 4x4 blocks with level8x8[4i + i4x4] =
-    * level4x4[i4x4][i], per-cell TotalCoeff recorded), then unzigzag /
-    * dequant / inverse. Shared by the intra and inter 8x8 paths. */
+  /** Read one coded 8x8 transform block's residual through the entropy
+    * source (CAVLC 7.3.5.3.2 interleave or CABAC ctxBlockCat-5), then
+    * unzigzag / dequant / inverse. Shared by the intra and inter 8x8
+    * paths in both entropy modes. */
   private def read8x8Resid(src: MbSrc, st: FrameState, mx: Int, my: Int,
       i8: Int, qpY: Int): Array[Int] = {
-    import H264Transform.LumaBlockOrder
-    val lv64 = new Array[Int](64)
-    val buf = new Array[Int](16)
-    var i4 = 0
-    while (i4 < 4) {
-      val (bxo, byo) = LumaBlockOrder(i8 * 4 + i4)
-      val gbx = mx * 4 + bxo; val gby = my * 4 + byo
-      val tc = src.block(st, CatLuma4x4, buf, 16, gbx, gby, 0)
-      st.setNnzY(gbx, gby, tc)
-      var i = 0
-      while (i < 16) { lv64(4 * i + i4) = buf(i); i += 1 }
-      i4 += 1
-    }
+    val lv64 = src.luma8x8(st, mx, my, i8)
     val raster = new Array[Int](64)
     var k = 0
     while (k < 64) { raster(H264Transform8x8.Zigzag8x8(k)) = lv64(k); k += 1 }
@@ -3756,15 +3842,17 @@ object H264Codec {
     encodeImpl(img, avcc, qp, intra4x4, (_, best, _) => best, cabac = cabac,
       intra8x8 = intra8x8, chromaQpOff = chromaQpOff)._1
 
-  /** Intra_8x8 encode (high profile, CAVLC) with a forced per-block
-    * mode choice plus the encoder's reconstructed planes — the spec
-    * hook exercising every 8.3.2.2 predictor both directions. */
+  /** Intra_8x8 encode (high profile, CAVLC or CABAC) with a forced
+    * per-block mode choice plus the encoder's reconstructed planes —
+    * the spec hook exercising every 8.3.2.2 predictor both
+    * directions. */
   private[graft] def encodeI8ForTest(img: MediaCodecs.Bmp, qp: Int,
       pick: (Int, Int, Seq[Int]) => Int, deblock: Boolean = false,
-      chromaQpOff: Int = 0)
+      chromaQpOff: Int = 0, cabac: Boolean = false)
       : (Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
     val (bytes, st) = encodeImpl(img, avcc = true, qp = qp, intra4x4 = false,
-      pick, intra8x8 = true, deblock = deblock, chromaQpOff = chromaQpOff)
+      pick, intra8x8 = true, deblock = deblock, chromaQpOff = chromaQpOff,
+      cabac = cabac)
     (bytes, st.yPlane, st.cbPlane, st.crPlane)
   }
 
@@ -3879,7 +3967,6 @@ object H264Codec {
     require(!intra4x4 || qp >= 0, "intra4x4 needs a compressed qp (0..51)")
     require(!deblock || qp >= 0, "deblocking needs a compressed qp (0..51)")
     require(!intra8x8 || qp >= 0, "intra8x8 needs a compressed qp (0..51)")
-    require(!(intra8x8 && cabac), "CABAC 8x8 transform out of scope")
     require(!(intra8x8 && intra4x4), "pick one luma transform size")
     require(chromaQpOff >= -12 && chromaQpOff <= 12, s"chromaQpOff $chromaQpOff")
     val (wMbs, hMbs, cropR, cropB) = mbGeometry(img)
@@ -3961,7 +4048,8 @@ object H264Codec {
           enc = new H264Cabac.Enc(w2)
           sink = new CabacSink(enc, cxE)
         } else {
-          if (intra4x4) encodeIntra4x4Mb(sink, st, mx, my, yP, cbP, crP, qp, pick)
+          if (intra8x8) encodeIntra8x8Mb(sink, st, mx, my, yP, cbP, crP, qp, pick)
+          else if (intra4x4) encodeIntra4x4Mb(sink, st, mx, my, yP, cbP, crP, qp, pick)
           else encodeIntra16x16Mb(sink, st, mx, my, yP, cbP, crP, qp)
         }
         enc.terminate(if (mb == nMbs - 1) 1 else 0) // end_of_slice_flag
@@ -3985,7 +4073,7 @@ object H264Codec {
       stOut = st
       val sink = new CavlcSink(w2)
       while (mb < nMbs) {
-        if (intra8x8) encodeIntra8x8Mb(w2, st, mb % wMbs, mb / wMbs, yP, cbP, crP, qp, pick)
+        if (intra8x8) encodeIntra8x8Mb(sink, st, mb % wMbs, mb / wMbs, yP, cbP, crP, qp, pick)
         else if (intra4x4) encodeIntra4x4Mb(sink, st, mb % wMbs, mb / wMbs, yP, cbP, crP, qp, pick)
         else encodeIntra16x16Mb(sink, st, mb % wMbs, mb / wMbs, yP, cbP, crP, qp)
         mb += 1
@@ -4029,6 +4117,13 @@ object H264Codec {
     def qpDeltaSkipped(): Unit = ()
     def blockOut(st: FrameState, cat: Int, coeffs: Array[Int], maxN: Int,
         gbx: Int, gby: Int, comp: Int): Int
+    /** transform_size_8x8_flag (7.3.5): u(1) under CAVLC, ctx 399 +
+      * the 9.3.3.1.1.10 neighbor increment under CABAC. */
+    def t8x8Flag(st: FrameState, mx: Int, my: Int, flag: Boolean): Unit
+    /** One coded 8x8 transform block's 64 scan-order levels — the
+      * emission mirror of [[MbSrc.luma8x8]]; records per-cell nnz. */
+    def luma8x8Out(st: FrameState, mx: Int, my: Int, i8: Int,
+        lv64: Array[Int]): Unit
   }
 
   private final class CavlcSink(w: BitWriter) extends MbSink {
@@ -4048,6 +4143,23 @@ object H264Codec {
         case _ => st.lumaNc(gbx, gby)
       }
       H264Cavlc.encodeBlock(w, coeffs, maxN, nC)
+    }
+    def t8x8Flag(st: FrameState, mx: Int, my: Int, flag: Boolean): Unit =
+      w.u1(if (flag) 1 else 0)
+    def luma8x8Out(st: FrameState, mx: Int, my: Int, i8: Int,
+        lv64: Array[Int]): Unit = {
+      import H264Transform.LumaBlockOrder
+      val buf = new Array[Int](16)
+      var i4 = 0
+      while (i4 < 4) {
+        val (bxo, byo) = LumaBlockOrder(i8 * 4 + i4)
+        val gbx = mx * 4 + bxo; val gby = my * 4 + byo
+        var i = 0
+        while (i < 16) { buf(i) = lv64(4 * i + i4); i += 1 }
+        val tc = H264Cavlc.encodeBlock(w, buf, 16, st.lumaNc(gbx, gby))
+        st.setNnzY(gbx, gby, tc)
+        i4 += 1
+      }
     }
   }
 
@@ -4144,6 +4256,15 @@ object H264Codec {
       recordDcCbf(st, cat, gbx, gby, comp, n > 0)
       if (n > 0) H264Cabac.encodeResidualLevels(e, cx, cat, coeffs, maxN)
       n
+    }
+    def t8x8Flag(st: FrameState, mx: Int, my: Int, flag: Boolean): Unit =
+      e.decision(cx, H264Cabac.CtxT8x8Base + t8x8Inc(st, mx, my),
+        if (flag) 1 else 0)
+    def luma8x8Out(st: FrameState, mx: Int, my: Int, i8: Int,
+        lv64: Array[Int]): Unit = {
+      // ctxBlockCat 5: no coded_block_flag (the CBP bit carries it)
+      H264Cabac.encodeResidualLevels(e, cx, CatLuma8x8, lv64, 64)
+      record8x8Nnz(st, mx, my, i8, lv64)
     }
   }
 
@@ -4437,12 +4558,13 @@ object H264Codec {
   }
 
   /** Encode + reconstruct one Intra_8x8 macroblock (high profile,
-    * CAVLC) — the mirror of [[decodeIntra8x8Mb]], sharing its
+    * CAVLC or CABAC through the entropy sink) — the mirror of
+    * [[decodeIntra8x8Mb]] / the CABAC Intra_8x8 branch, sharing their
     * prediction/dequant/inverse kernels so the reconstruction chain is
     * bit-identical to the decoder's. Per 8x8 block the available mode
     * minimizing prediction SAD wins (ties to the lowest index);
     * `pick(blockIdx, best, available)` overrides the choice. */
-  private[pipeline] def encodeIntra8x8Mb(w: BitWriter, st: FrameState,
+  private[pipeline] def encodeIntra8x8Mb(sink: MbSink, st: FrameState,
       mx: Int, my: Int, srcY: Array[Byte], srcCb: Array[Byte],
       srcCr: Array[Byte], qp: Int,
       pick: (Int, Int, Seq[Int]) => Int = (_, best, _) => best): Unit = {
@@ -4524,34 +4646,27 @@ object H264Codec {
       st.cQp(qp))
     val cbp = cbpLuma | (chroma.cbpChroma << 4)
     // pass 2: emission (7.3.5 order — mb_type, transform flag, modes,
-    // chroma mode, CBP, qp delta when coded, interleaved residuals;
-    // nC reads only decode-order-earlier cells, so emitting after the
-    // full grid is set matches the decoder's incremental view)
-    w.ue(0) // mb_type I_NxN
-    w.u1(1) // transform_size_8x8_flag
+    // chroma mode, CBP, qp delta when coded, residual blocks; nC /
+    // cbf contexts read only decode-order-earlier state, so emitting
+    // after the full grid is set matches the decoder's incremental
+    // view)
+    sink.mbTypeIntra(st, mx, my, 0, 0) // I_NxN
+    sink.t8x8Flag(st, mx, my, flag = true)
     i8 = 0
     while (i8 < 4) {
-      if (prevFlags(i8)) w.u1(1) else { w.u1(0); w.u(rems(i8), 3) }
+      sink.i4Mode(prevFlags(i8), rems(i8))
       i8 += 1
     }
-    w.ue(0) // intra_chroma_pred_mode = DC
-    w.ue(CbpIntraToCodeNum(cbp))
-    if (cbp != 0) w.se(0) // mb_qp_delta
+    sink.chromaPred(st, mx, my, 0) // intra_chroma_pred_mode = DC
+    sink.cbpI4(st, mx, my, cbp)
+    if (cbp != 0) sink.qpDelta(0) else sink.qpDeltaSkipped()
     i8 = 0
     while (i8 < 4) {
-      if ((cbpLuma & (1 << i8)) != 0) {
-        var i4 = 0
-        while (i4 < 4) {
-          val (bxo, byo) = LumaBlockOrder(i8 * 4 + i4)
-          val buf = Array.tabulate(16)(i => lv64s(i8)(4 * i + i4))
-          H264Cavlc.encodeBlock(w, buf, 16,
-            st.lumaNc(mx * 4 + bxo, my * 4 + byo))
-          i4 += 1
-        }
-      }
+      if ((cbpLuma & (1 << i8)) != 0)
+        sink.luma8x8Out(st, mx, my, i8, lv64s(i8))
       i8 += 1
     }
-    chroma.emit(w)
+    chroma.emit(sink)
     st.markMb(mx, my, intra = true, qp)
     st.t8x8MbArr(my * st.wMbs + mx) = true
   }
@@ -5431,30 +5546,52 @@ object H264Codec {
   private[graft] def pInter8x8RoundTripForTest(srcY: Array[Byte],
       srcCb: Array[Byte], srcCr: Array[Byte], refY: Array[Byte],
       refCb: Array[Byte], refCr: Array[Byte], wMbs: Int, hMbs: Int, qp: Int,
-      mvOf: (Int, Int) => (Int, Int))
+      mvOf: (Int, Int) => (Int, Int), cabac: Boolean = false)
       : (Array[Byte], (Array[Byte], Array[Byte], Array[Byte]),
          Option[(Array[Byte], Array[Byte], Array[Byte])]) = {
-    import H264Transform._
     val ref = new FrameState(wMbs, hMbs)
     System.arraycopy(refY, 0, ref.yPlane, 0, refY.length)
     System.arraycopy(refCb, 0, ref.cbPlane, 0, refCb.length)
     System.arraycopy(refCr, 0, ref.crPlane, 0, refCr.length)
     val st = new FrameState(wMbs, hMbs)
+    st.t8x8Allowed = true
     val lumaW = wMbs * 16
     val w = new BitWriter
     w.ue(0); w.ue(5); w.ue(0) // first_mb, slice_type P, pps id
     w.u(1, 4) // frame_num
     w.u1(0); w.u1(0); w.u1(0) // ref override / list mod / adaptive marking
+    if (cabac) w.ue(0) // cabac_init_idc
     w.se(qp - 26)
     w.ue(1) // disable deblocking
+    var enc: H264Cabac.Enc = null
+    var cSink: CabacSink = null
+    var cxE: H264Cabac.Ctx = null
+    if (cabac) {
+      while (!w.byteAligned) w.u1(1)
+      cxE = new H264Cabac.Ctx; cxE.initPB(0, qp)
+      enc = new H264Cabac.Enc(w)
+      cSink = new CabacSink(enc, cxE)
+      cSink.interMb = true
+    }
+    val sink: MbSink = if (cabac) cSink else new CavlcSink(w)
     var mb = 0
-    while (mb < wMbs * hMbs) {
+    val nMbs = wMbs * hMbs
+    while (mb < nMbs) {
       val mx = mb % wMbs; val my = mb / wMbs
-      w.ue(0) // mb_skip_run
-      w.ue(0) // mb_type P_L0_16x16
+      if (cabac) {
+        enc.decision(cxE, 11 + skipFlagInc(st, mx, my), 0) // mb_skip_flag
+        encodeMbTypePCabac(enc, cxE, 0) // P_L0_16x16 (1-ref: no ref_idx)
+      } else {
+        w.ue(0) // mb_skip_run
+        w.ue(0) // mb_type P_L0_16x16
+      }
       val (vx, vy) = mvOf(mx, my)
       val (px, py) = mvPredict(st, mx * 4, my * 4, 4, 0, 0)
-      w.se(vx - px); w.se(vy - py)
+      if (cabac) {
+        encodeMvdCabac(enc, cxE, st, mx * 4, my * 4, 0, 0, vx - px)
+        encodeMvdCabac(enc, cxE, st, mx * 4, my * 4, 0, 1, vy - py)
+        st.noteMvd(mx * 4, my * 4, 4, 4, 0, vx - px, vy - py)
+      } else { w.se(vx - px); w.se(vy - py) }
       mcPartition(st, ref, mx * 4, my * 4, 4, 4, vx, vy)
       // 8x8-transform residual vs the MC prediction now in the plane
       val lv64s = Array.ofDim[Int](4, 64)
@@ -5483,21 +5620,19 @@ object H264Codec {
       val chroma = new ChromaEnc(st, mx, my, srcCb, srcCr, st.cQp(qp),
         predOf = c => predC(c))
       val cbp = cbpLuma | (chroma.cbpChroma << 4)
-      w.ue(CbpInterToCodeNum(cbp))
-      if (cbpLuma != 0) w.u1(1) // transform_size_8x8_flag
-      if (cbp != 0) w.se(0) // mb_qp_delta
+      if (cabac) {
+        cSink.cbpI4(st, mx, my, cbp)
+        if (cbpLuma != 0) cSink.t8x8Flag(st, mx, my, flag = true)
+        if (cbp != 0) cSink.qpDelta(0) else cSink.qpDeltaSkipped()
+      } else {
+        w.ue(CbpInterToCodeNum(cbp))
+        if (cbpLuma != 0) w.u1(1) // transform_size_8x8_flag
+        if (cbp != 0) w.se(0) // mb_qp_delta
+      }
       i8 = 0
       while (i8 < 4) {
         if ((cbpLuma & (1 << i8)) != 0) {
-          var i4 = 0
-          while (i4 < 4) {
-            val (bxo, byo) = LumaBlockOrder(i8 * 4 + i4)
-            val buf = Array.tabulate(16)(i => lv64s(i8)(4 * i + i4))
-            val tc = H264Cavlc.encodeBlock(w, buf, 16,
-              st.lumaNc(mx * 4 + bxo, my * 4 + byo))
-            st.setNnzY(mx * 4 + bxo, my * 4 + byo, tc)
-            i4 += 1
-          }
+          sink.luma8x8Out(st, mx, my, i8, lv64s(i8))
           val raster = new Array[Int](64)
           var k = 0
           while (k < 64) { raster(H264Transform8x8.Zigzag8x8(k)) = lv64s(i8)(k); k += 1 }
@@ -5514,18 +5649,19 @@ object H264Codec {
         i8 += 1
       }
       if (cbpLuma != 0) st.t8x8MbArr(my * st.wMbs + mx) = true
-      chroma.emit(w)
+      chroma.emit(sink)
       st.markMb(mx, my, intra = false, qp)
+      if (cabac) enc.terminate(if (mb == nMbs - 1) 1 else 0)
       mb += 1
     }
-    w.trailing()
+    if (cabac) w.alignToByte() else w.trailing()
     val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, 0, 0, profile = 100,
-      t8x8 = true)
+      cabac = cabac, t8x8 = true)
     val payload = frameNals(avcc = true, spsNal, ppsNal,
       Array[Byte](0x61.toByte) ++ escape(w.bytes))
     val g = new GopDecoder
     g.seed(Sps(100, 30, 4, 2, wMbs, hMbs, 0, 0),
-      Pps(entropyCabac = false, 26, deblockingControlPresent = true,
+      Pps(entropyCabac = cabac, 26, deblockingControlPresent = true,
         transform8x8Mode = true), List(ref))
     val dec =
       try g.decodeAuYuv(payload).map(t => (t._2, t._3, t._4))

@@ -2881,6 +2881,91 @@ object PipelineQueries {
              |  true AS parity_ok, true AS lossy_ok, true AS inter8x8_ok
              |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
 
+    // high-profile CABAC (r14, ctxBlockCat 5): the 8x8 transform under
+    // the arithmetic coder — transform_size_8x8_flag at ctx 399-401,
+    // Table 9-43-mapped significance, the 402-435 context families —
+    // closing the last slice-layer refusal for x264-default-shaped
+    // high-profile streams. `hp_intra_ok`/`hp_inter_ok` pin decode ==
+    // encoder reconstruction byte-for-byte through the CABAC 8x8 paths
+    // (intra with deblock + chroma offsets on half the docs; inter via
+    // the forced-MV hook); `cross_ok` pins CABAC reconstruction ==
+    // CAVLC reconstruction (shared kernels, verified per doc).
+    // Witness stack + structural pins in H264Cabac8x8Spec.
+    "q_h264_cabac_hp_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val len = text.codePointCount(0, text.length)
+            val w = 32 + 2 * (len % 8).toInt
+            val h = 32 + 2 * ((len + id) % 6).toInt
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val o = (y * w + x) * 3
+                rgb(o) = ((x * 255) / (w - 1)).toByte
+                rgb(o + 1) = ((y * 255) / (h - 1)).toByte
+                rgb(o + 2) = (((x + y) * 255) / (w + h - 2)).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val img = graft.pipeline.MediaCodecs.Bmp(w, h, rgb)
+            val off = (id % 9).toInt - 4 // chroma_qp_index_offset -4..4
+            val (pV, eyV, ecbV, ecrV) = graft.pipeline.H264Codec
+              .encodeI8ForTest(img, qp = 26, (_, best, _) => best,
+                deblock = id % 2 == 0, chromaQpOff = off)
+            val (pC, eyC, ecbC, ecrC) = graft.pipeline.H264Codec
+              .encodeI8ForTest(img, qp = 26, (_, best, _) => best,
+                deblock = id % 2 == 0, chromaQpOff = off, cabac = true)
+            val crossOk = java.util.Arrays.equals(eyV, eyC) &&
+              java.util.Arrays.equals(ecbV, ecbC) &&
+              java.util.Arrays.equals(ecrV, ecrC) &&
+              !java.util.Arrays.equals(pV, pC) // distinct encodings
+
+            val intraOk = graft.pipeline.H264Codec.decodeYuv(pC).exists {
+              case (_, dy, dcb, dcr) =>
+                java.util.Arrays.equals(dy, eyC) &&
+                  java.util.Arrays.equals(dcb, ecbC) &&
+                  java.util.Arrays.equals(dcr, ecrC)
+            }
+            // inter 8x8 under CABAC (flag after the inter CBP at ctx
+            // 399 + neighbor inc), vs the CAVLC hook on the same MVs
+            def pl(n: Int, seed: Int): Array[Byte] =
+              Array.tabulate(n)(i => ((i * 7 + seed * 13 + id) % 251).toByte)
+            val mvOf = (mx: Int, my: Int) =>
+              (((mx + id) % 6 - 2).toInt, ((my + id) % 5 - 2).toInt)
+            val (_, enc8C, dec8C) = graft.pipeline.H264Codec
+              .pInter8x8RoundTripForTest(
+                pl(32 * 32, 9), pl(32 * 32 / 4, 4), pl(32 * 32 / 4, 7),
+                pl(32 * 32, 3), pl(32 * 32 / 4, 1), pl(32 * 32 / 4, 2),
+                wMbs = 2, hMbs = 2, qp = 26, mvOf, cabac = true)
+            val (_, enc8V, _) = graft.pipeline.H264Codec
+              .pInter8x8RoundTripForTest(
+                pl(32 * 32, 9), pl(32 * 32 / 4, 4), pl(32 * 32 / 4, 7),
+                pl(32 * 32, 3), pl(32 * 32 / 4, 1), pl(32 * 32 / 4, 2),
+                wMbs = 2, hMbs = 2, qp = 26, mvOf, cabac = false)
+            val interOk = dec8C.exists { case (y2, cb, cr) =>
+              java.util.Arrays.equals(y2, enc8C._1) &&
+                java.util.Arrays.equals(cb, enc8C._2) &&
+                java.util.Arrays.equals(cr, enc8C._3)
+            } && java.util.Arrays.equals(enc8C._1, enc8V._1)
+            (id, w, h, intraOk, interOk, crossOk)
+          }
+          .toDF("doc_id", "width", "height", "hp_intra_ok", "hp_inter_ok",
+            "cross_ok")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(32 + 2 * (len(text) % 8) AS INT) AS width,
+             |  CAST(32 + 2 * ((len(text) + doc_id) % 6) AS INT) AS height,
+             |  true AS hp_intra_ok, true AS hp_inter_ok, true AS cross_ok
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
     // the Intra_4x4 H.264 path (r10): per-4x4-block directional
     // prediction (all nine 8.3.1.2 modes, best-SAD), full 16-coeff
     // CAVLC blocks, me(v) CBP, at qp=26 over the same closed-form

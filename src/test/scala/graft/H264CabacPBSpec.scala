@@ -273,8 +273,10 @@ class H264CabacPBSpec extends AnyFunSuite {
     def filled(i: Int): Boolean = t(2 * i) != Int.MinValue
     (11 to 69).foreach(i => assert(filled(i), s"ctx $i unset"))
     (73 to 275).foreach(i => assert(filled(i), s"ctx $i unset"))
+    (399 to 435).foreach(i => assert(filled(i), s"8x8 ctx $i unset"))
     (0 to 10).foreach(i => assert(!filled(i), s"I-only ctx $i filled"))
     (70 to 72).foreach(i => assert(!filled(i), s"field ctx $i filled"))
-    (277 until 460).foreach(i => assert(!filled(i), s"field ctx $i filled"))
+    (277 to 398).foreach(i => assert(!filled(i), s"field ctx $i filled"))
+    (436 until 460).foreach(i => assert(!filled(i), s"field ctx $i filled"))
   }
 }

@@ -74,11 +74,14 @@ class H264CabacSpec extends AnyFunSuite {
         filled += 1
       }
       assert(filled >= 227, s"expected the full I-slice context surface, got $filled")
-      // the ranges an I slice touches are all filled
-      for (r <- Seq(0 to 10, 60 to 104, 105 to 165, 166 to 226, 227 to 275); i <- r)
+      // the ranges an I slice touches are all filled (incl. r14's
+      // 399-435: transform_size_8x8_flag + ctxBlockCat-5 families)
+      for (r <- Seq(0 to 10, 60 to 104, 105 to 165, 166 to 226, 227 to 275,
+          399 to 435); i <- r)
         assert(cx.state(i) >= 0, s"ctx $i unset")
-      // P/B-only ranges stay unset (touching one must throw, not drift)
-      for (i <- Seq(11, 24, 40, 54, 277, 399, 459))
+      // P/B-only and field-only ranges stay unset (touching one must
+      // throw, not drift)
+      for (i <- Seq(11, 24, 40, 54, 277, 398, 436, 459))
         assert(cx.state(i) == -1, s"ctx $i unexpectedly filled")
     }
   }

@@ -267,4 +267,64 @@ class H264CodecSpec extends AnyFunSuite {
       assert(!real.sameElements(stub))
     }
   }
+
+  test("interlace refuses loudly at the SPS layer (CATALOG adjudication)") {
+    // hand-assembled baseline SPS, byte-for-byte what parseSps reads:
+    // the control (frame_mbs_only_flag = 1) must DECODE when spliced
+    // over a real stream's SPS, proving the only delta in the refusal
+    // case is the one interlace bit — a PAFF/MBAFF stream can never
+    // reach macroblock parsing, so progressive-only holds by
+    // construction (permanent scope, CATALOG.md r14 adjudication)
+    val img = gradient(32, 32)
+    val payload = H264Codec.encode(img, qp = 26) // AVCC framing
+    def nals(p: Array[Byte]): Seq[Array[Byte]] = {
+      var o = 0
+      val out = Seq.newBuilder[Array[Byte]]
+      while (o < p.length) {
+        val len = ((p(o) & 0xff) << 24) | ((p(o + 1) & 0xff) << 16) |
+          ((p(o + 2) & 0xff) << 8) | (p(o + 3) & 0xff)
+        out += p.slice(o + 4, o + 4 + len)
+        o += 4 + len
+      }
+      out.result()
+    }
+    def sps(frameMbsOnly: Int): Array[Byte] = {
+      val bits = new scala.collection.mutable.ArrayBuffer[Int]
+      def u(v: Int, n: Int): Unit =
+        (n - 1 to 0 by -1).foreach(i => bits += ((v >> i) & 1))
+      def ue(v: Int): Unit = {
+        val cw = v + 1
+        val nb = 32 - Integer.numberOfLeadingZeros(cw)
+        u(0, nb - 1); u(cw, nb)
+      }
+      u(66, 8); u(0, 8); u(30, 8) // profile / constraints / level
+      ue(0) // sps id
+      ue(0) // log2_max_frame_num_minus4 (log2 = 4)
+      ue(2) // pic_order_cnt_type
+      ue(1) // max_num_ref_frames
+      u(0, 1) // gaps_in_frame_num
+      ue(1); ue(1) // 2x2 MBs = 32x32
+      u(frameMbsOnly, 1)
+      u(1, 1) // direct_8x8_inference
+      u(0, 1) // frame_cropping
+      u(0, 1) // vui
+      u(1, 1) // rbsp stop bit
+      while (bits.length % 8 != 0) bits += 0
+      (Array(0x67.toByte) ++ bits.grouped(8)
+        .map(g => g.foldLeft(0)((a, b) => (a << 1) | b).toByte)).toArray
+    }
+    def splice(spsNal: Array[Byte]): Array[Byte] = {
+      val parts = nals(payload)
+      (Seq(spsNal) ++ parts.tail).flatMap { n =>
+        Seq(((n.length >> 24) & 0xff).toByte, ((n.length >> 16) & 0xff).toByte,
+          ((n.length >> 8) & 0xff).toByte, (n.length & 0xff).toByte) ++ n
+      }.toArray
+    }
+    val control = H264Codec.decode(splice(sps(frameMbsOnly = 1)))
+    assert(control.isDefined, "control SPS must decode — splice harness broken")
+    assert(java.util.Arrays.equals(control.get.rgb,
+      H264Codec.decode(payload).get.rgb))
+    assert(H264Codec.decode(splice(sps(frameMbsOnly = 0))).isEmpty,
+      "interlaced SPS must refuse")
+  }
 }

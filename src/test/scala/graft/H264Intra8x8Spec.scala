@@ -225,12 +225,11 @@ class H264Intra8x8Spec extends AnyFunSuite {
       "inter 8x8: decode != encoder reconstruction")
   }
 
-  test("high-profile guard rails: what we refuse, we refuse loudly") {
+  test("high-profile paths coexist: CABAC 8x8 (r14) and baseline decode") {
     val img = frame(32, 32, 5)
-    // CABAC + 8x8 has no transcribed context family
-    intercept[IllegalArgumentException] {
-      H264Codec.encode(img, qp = 26, intra8x8 = true, cabac = true)
-    }
+    // CABAC + 8x8 decodes since r14 (ctxBlockCat-5 — H264Cabac8x8Spec)
+    assert(H264Codec.decode(
+      H264Codec.encode(img, qp = 26, intra8x8 = true, cabac = true)).isDefined)
     // a baseline stream still decodes (PPS extension absent)
     assert(H264Codec.decode(H264Codec.encode(img, qp = 26)).isDefined)
   }
