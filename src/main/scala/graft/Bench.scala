@@ -95,25 +95,34 @@ object Bench {
     spark.stop()
   }
 
-  /** CATALOG.md "Bench variance bands" (r12 table, sf0.1 local[32]):
-    * min–max over r9–r11 widened ±15%, ±0.3 s floor on sub-second rows.
-    * Rows without a seeded band (new bench rows need two rounds of
-    * data) are recorded as measured. */
-  private val varianceBands: Map[String, (Double, Double)] = Map(
+  /** Bench variance bands (sf0.1, local[32]) — THE AUTHORITATIVE
+    * table; CATALOG.md's "Bench variance bands" section is generated
+    * from this map and BandTableSyncSpec fails the suite if the two
+    * diverge (the r13 two-sources-of-truth hazard, closed r14).
+    * Method: min–max over recent idle-box rounds widened ±15%, ±0.3 s
+    * floor on sub-second rows. r14 re-seeded five rows downward from
+    * the r12+r13 idle pairs (the post-eager-checkpoint speed-up,
+    * CATALOG r13 builder note) and seeded the three media rows; new
+    * bench rows (e.g. q_h264_cabac_pb_roundtrip) stay unbanded for
+    * their first two rounds and are recorded as measured. */
+  private[graft] val varianceBands: Map[String, (Double, Double)] = Map(
     "corpus_wordcount" -> (0.1, 0.7),
-    "lda_top_terms" -> (4.9, 7.5),
-    "lda_top_terms_shuffle" -> (7.8, 11.5),
+    "lda_top_terms" -> (3.9, 6.5), // r14 re-seed: r13 idle 4.60 / 5.67
+    "lda_top_terms_shuffle" -> (6.0, 10.8), // r14 re-seed (bimodal row)
     "polylda_top_terms_shuffle" -> (8.2, 12.4),
     "q1_pricing_summary" -> (0.2, 0.8),
     "q3_shipping_priority" -> (0.5, 1.3),
     "q5_local_supplier_volume" -> (0.6, 1.2),
     "q_ann_bruteforce" -> (0.2, 0.9),
-    "q_ann_ivfpq" -> (2.1, 3.2),
-    "q_bradley_terry" -> (1.9, 3.0),
-    "q_dedup_minhash_lsh" -> (1.6, 2.6),
+    "q_ann_ivfpq" -> (1.4, 2.9), // r14 re-seed: r13 idle 1.65
+    "q_bradley_terry" -> (1.4, 2.5), // r14 re-seed: 1.69 / 1.97
+    "q_dedup_minhash_lsh" -> (1.2, 2.2), // r14 re-seed: 1.42 / 1.86
     "q_dsir_select" -> (3.4, 7.0),
     "q_events_hourly" -> (0.2, 0.9),
+    "q_flac_archive" -> (0.4, 1.2), // r14 seed: r12 0.73 / r13 0.86
     "q_glicko_ratings" -> (2.1, 3.6),
+    "q_h264_multiref_roundtrip" -> (0.9, 1.5), // r14 seed: 1.04/1.11/1.28
+    "q_h264_pslice_roundtrip" -> (0.3, 1.0), // r14 seed: 0.50/0.64/0.76
     "q_jpeg_roundtrip" -> (0.1, 0.5),
     "q_label_propagation" -> (2.8, 4.3),
     "q_multimodal_prep_pipeline" -> (2.3, 3.3),

@@ -33,6 +33,11 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val sf01 = "/root/testdata/sf0.1"
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/sf1")
+    // second notch (r14): `notch2` reruns only the two HIGHEST-ratio
+    // sf1 rows one scale further (sf3 = 30 copies for pagerank; 3000
+    // videos for the pHash path) — one more point on each curve
+    // decides bending-toward-linear vs superlinear
+    if (args.contains("notch2")) { notch2(sf01, sf1Dir); return }
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-scale-rehearsal")
@@ -116,11 +121,83 @@ object ScaleRehearsal {
     spark.stop()
   }
 
+  /** Second notch: q_pagerank at sf0.1/sf1/sf3 and the video-pHash
+    * path at 100/1000/3000 videos. Prints per-hop ratios — a linear
+    * plan shows hop-2 ratio ≈ 3 (sf1→sf3 is 3× data); superlinear
+    * bending (a skew or shuffle-growth problem the sf1 point can't
+    * see) shows as a hop-2 ratio well above its data ratio. */
+  private def notch2(sf01: String, sf1Dir: String): Unit = {
+    val sf3Dir = sys.env.getOrElse("SPARK_GRAFT_SF3_DIR", "target/sf3")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-scale-rehearsal-notch2")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    generate(spark, sf01, sf1Dir, 10, Set("orders", "lineitem"))
+    generate(spark, sf01, sf3Dir, 30, Set("orders", "lineitem"))
+    def timed(label: String)(body: => Long): Double = {
+      var best = Double.MaxValue
+      var rep = 1
+      while (rep <= 2) {
+        try graft.queries.CorpusQueries.invalidateCaches(spark, sf01)
+        catch { case _: Throwable => () }
+        System.gc(); Thread.sleep(2000)
+        val t0 = System.nanoTime()
+        val rows = body
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[notch2] $label%-24s rep$rep ${sec}%8.2f s  ($rows rows)")
+        best = math.min(best, sec)
+        rep += 1
+      }
+      best
+    }
+    try SparkEntry.queries("q_pagerank")(spark, "/root/testdata/sf0.001").count()
+    catch { case e: Throwable => System.err.println(s"[notch2] warm: $e") }
+    val p01 = timed("q_pagerank @sf0.1") {
+      SparkEntry.queries("q_pagerank")(spark, sf01).count() }
+    val p1 = timed("q_pagerank @sf1") {
+      SparkEntry.queries("q_pagerank")(spark, sf1Dir).count() }
+    val p3 = timed("q_pagerank @sf3") {
+      SparkEntry.queries("q_pagerank")(spark, sf3Dir).count() }
+    def videoRun(nVideos: Int): Long = {
+      val media = spark.range(nVideos)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .as[Long]
+        .map(id => (id, graft.pipeline.ImageHash.plantedSpectralMp4(id)))
+        .toDF("media_id", "bytes")
+      graft.pipeline.ImageHash.videoNearDups(media, "media_id", "bytes",
+        maxHamming = 6, minFrames = 3).count()
+    }
+    videoRun(8) // warm
+    val v100 = timed("q_video_phash[100]")(videoRun(100))
+    val v1000 = timed("q_video_phash[1000]")(videoRun(1000))
+    val v3000 = timed("q_video_phash[3000]")(videoRun(3000))
+    println("\n| query | hop | data x | time x |")
+    println("|---|---|---|---|")
+    println(f"| q_pagerank | sf0.1 -> sf1 | 10x | ${p1 / p01}%.1fx ($p01%.2f -> $p1%.2f s) |")
+    println(f"| q_pagerank | sf1 -> sf3 | 3x | ${p3 / p1}%.1fx ($p1%.2f -> $p3%.2f s) |")
+    println(f"| q_video_phash | 100 -> 1000 | 10x | ${v1000 / v100}%.1fx ($v100%.2f -> $v1000%.2f s) |")
+    println(f"| q_video_phash | 1000 -> 3000 | 3x | ${v3000 / v1000}%.1fx ($v1000%.2f -> $v3000%.2f s) |")
+    spark.stop()
+  }
+
   /** Write the sf1 tables (idempotent: skips tables already present). */
-  private def generateSf1(spark: SparkSession, from: String, to: String): Unit = {
-    def copyIdx: DataFrame = spark.range(10).toDF("k")
+  private def generateSf1(spark: SparkSession, from: String, to: String): Unit =
+    generate(spark, from, to, 10, Set("documents", "orders", "lineitem"))
+
+  /** Write scaled tables as `nCopies` key-shifted copies (idempotent:
+    * skips tables already present). */
+  private def generate(spark: SparkSession, from: String, to: String,
+      nCopies: Int, tables: Set[String]): Unit = {
+    def copyIdx: DataFrame = spark.range(nCopies).toDF("k")
     def done(t: String): Boolean =
-      new java.io.File(s"$to/$t.parquet/_SUCCESS").exists()
+      !tables.contains(t) ||
+        new java.io.File(s"$to/$t.parquet/_SUCCESS").exists()
 
     if (!done("documents")) {
       val d = spark.read.parquet(s"$from/documents.parquet")

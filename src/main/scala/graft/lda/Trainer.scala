@@ -1,5 +1,6 @@
 package graft.lda
 
+import graft.util.Ckpt._
 import graft.model.Doc
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -197,7 +198,7 @@ object Trainer {
           .unionByName(MStep.llAndAlphaStatsRows(docSide)
             .select(lit(2).as("tag"), nullInt.as("termId"), nullArr.as("elogbeta"),
               $"llsum".as("ll"), $"k", $"ss"))
-          .localCheckpoint()
+          .ckptSer()
         fused = Some(fusedDf)
         betaTable = fusedDf.filter($"tag" === 0).select($"termId", $"elogbeta")
         val statsRows = fusedDf.filter($"tag" === 2).select($"k", $"ss", $"ll").collect()
@@ -280,7 +281,7 @@ object Trainer {
             docSide
               .select($"docId", $"counts", $"numTokens", $"gamma")
               .as[Doc]
-              .localCheckpoint()
+              .ckptSer()
           }
         corpus.unpersist()
         corpus = nextCorpus

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -74,7 +75,7 @@ object Geo {
     import spark.implicits._
     val pts = df.select(col(idCol).cast("long").as("id"),
         col(latCol).cast("double").as("lat"), col(lonCol).cast("double").as("lon"))
-      .localCheckpoint()
+      .ckptSer()
     val maxAbsLat = pts.agg(max(abs($"lat"))).head().getDouble(0)
     require(maxAbsLat < 89.0, "polar caps need a different index (cells degenerate)")
     val latSpan = math.ceil(radiusKm / (111.32 * cellDeg)).toInt

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.util.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -217,7 +218,7 @@ object Annotation {
           lit(0.0), (acc, x) => acc + x.getField("__a")).as("__d"))
       mu = a.join(dn, "__it")
         .select($"__it", $"__k", round($"__a" / $"__d", 10).as("__mu"))
-        .localCheckpoint()
+        .ckptSer()
     }
     l.unpersist()
     (theta, pi, mu)

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.util.Ckpt._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -102,7 +103,7 @@ object Classify {
     val feats = ev
       .select($"doc_id", $"y", tokenBucket($"tok", numBuckets).as("b"))
       .groupBy($"doc_id", $"y", $"b").agg(count(lit(1)).cast("double").as("x"))
-      .localCheckpoint(false) // reused every GD step: compute the explode once
+      .ckptSer() // reused every GD step: compute the explode once (eager + SER, r14)
     // shotgun damping: the widest doc bounds how far parallel coordinate
     // steps may collectively overshoot (model-sized driver scalar)
     val m = feats.groupBy($"doc_id").count()
@@ -133,7 +134,7 @@ object Classify {
       val p = scoreCol(w, bias)
         .withColumn("p", lit(1.0) / (lit(1.0) + exp(-$"s")))
         .select($"doc_id", ($"p" - $"y").as("err"), ($"p" * (lit(1.0) - $"p")).as("ph"))
-        .localCheckpoint(false)
+        .ckptSer()
       // per-bucket Newton step: one join + hash agg → numBuckets rows
       def clamped(c: org.apache.spark.sql.Column) =
         round(least(greatest(c, lit(-2.0)), lit(2.0)), 6)
@@ -160,7 +161,7 @@ object Classify {
     }
     val out = scoreCol(w, bias)
       .select($"doc_id", round($"s", 6).as("score"), ($"s" > 0).as("predicted"))
-      .localCheckpoint() // materialize before releasing feats below
+      .ckptSer() // materialize before releasing feats below
     feats.unpersist(blocking = false)
     out
   }
@@ -451,7 +452,7 @@ object Classify {
     val bins = binned.groupBy($"bin")
       .agg(count(lit(1)).as("w"), sum($"__y").as("ysum"),
         round(avg($"__s"), 6).as("mean_score"))
-      .localCheckpoint()
+      .ckptSer()
     sortCache.unpersist()
     // cumulative sums over the bin grid -> A(j,k) for every j<=k
     val cum = bins.select($"bin", $"w", $"ysum")

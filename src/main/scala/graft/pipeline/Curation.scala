@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.util.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -44,7 +45,7 @@ object Curation {
 
     var labels = edges.select($"s".as("id")).distinct()
       .select($"id", $"id".as("cluster"))
-      .localCheckpoint()
+      .ckptSer()
     // labels only ever decrease, so Σ(cluster) strictly decreases while
     // anything changes — one scalar action per round decides convergence
     // coalesce: sum over an EMPTY labels frame is NULL (no pairs at all —
@@ -60,7 +61,7 @@ object Curation {
         .select($"s".as("id"), $"cluster")
         .union(prev)
         .groupBy($"id").agg(min($"cluster").as("cluster"))
-        .localCheckpoint()
+        .ckptSer()
       val next = sumClusters()
       converged = next == checksum
       checksum = next

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.util.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -113,7 +114,7 @@ object Dedup {
     // executor loss between materialization and the final action fails
     // the job (rerun recovers) instead of recomputing.
     val banded = capBuckets(bandedBuckets(base, numHashes, bands), maxBucketSize)
-      .localCheckpoint(eager = true)
+      .ckptSer()
 
     val candIds = banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" && $"a.id" < $"b.id")
@@ -324,7 +325,7 @@ object Dedup {
   private def shingleBase(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     shingleProjection(df, idCol, textCol, shingleSize)
-      .localCheckpoint(eager = true) // eager: see minhashNearDups posture note (deadlock window)
+      .ckptSer() // eager: see minhashNearDups posture note (deadlock window)
 
   /** The uncached (id, shingles) projection behind `shingleBase`. */
   private def shingleProjection(df: DataFrame, idCol: String, textCol: String,
@@ -594,7 +595,7 @@ object Dedup {
     val w = Window.partitionBy($"cid")
     val capped = assigned.withColumn("__cn", count(lit(1)).over(w))
       .filter($"__cn" <= maxClusterSize).drop("__cn")
-      .localCheckpoint(eager = true) // eager: see minhashNearDups posture note (deadlock window)
+      .ckptSer() // eager: see minhashNearDups posture note (deadlock window)
     capped.as("a").join(capped.as("b"),
         $"a.cid" === $"b.cid" && $"a.corpus_id" < $"b.corpus_id")
       .select($"a.corpus_id".as("id_a"), $"b.corpus_id".as("id_b"),
@@ -642,7 +643,7 @@ object Dedup {
         posexplode(graft.functions.tfunctions.word_ngrams_all(
           lower(col(textCol)), windowSize)).as(Seq("pos", "g")))
       .select($"id", $"pos", baseHash60($"g").as("gh"))
-      .localCheckpoint(eager = true) // eager: see minhashNearDups posture note (deadlock window)
+      .ckptSer() // eager: see minhashNearDups posture note (deadlock window)
     val dupGrams = grams.groupBy($"gh")
       .agg(count_distinct($"id").as("gdf"))
       .filter($"gdf" >= minDocFreq)
@@ -741,7 +742,7 @@ object Dedup {
     // unpersist.
     val fpd = winnowFingerprints(df, idCol, textCol, k, w)
       .select($"doc_id", $"gh").distinct()
-      .localCheckpoint(eager = true) // eager: see minhashNearDups posture note (deadlock window)
+      .ckptSer() // eager: see minhashNearDups posture note (deadlock window)
     val nf = fpd.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
     val kept = fpd.groupBy($"gh")
       .agg(count(lit(1)).as("hdf"))

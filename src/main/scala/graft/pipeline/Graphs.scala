@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.util.Ckpt._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -33,9 +34,9 @@ object Graphs {
     import spark.implicits._
     val edges = edges0
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .distinct().localCheckpoint()
+      .distinct().ckptSer()
     val nodes = edges.select($"src".as("node"))
-      .union(edges.select($"dst".as("node"))).distinct().localCheckpoint()
+      .union(edges.select($"dst".as("node"))).distinct().ckptSer()
     val n = nodes.count()
     val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("odeg"))
     // the edge⋈outdeg join is loop-invariant: materialize (src, dst, odeg)
@@ -43,9 +44,9 @@ object Graphs {
     // src, the key every round's rank join uses, so localCheckpoint
     // captures the layout and only the node-sized rank side shuffles
     val edgesWithDeg = edges.join(outdeg, "src")
-      .select($"src", $"dst", $"odeg").repartition($"src").localCheckpoint()
-    val srcs = outdeg.select($"src").localCheckpoint()
-    var ranks = nodes.select($"node", round(lit(1.0 / n), 12).as("rank")).localCheckpoint()
+      .select($"src", $"dst", $"odeg").repartition($"src").ckptSer()
+    val srcs = outdeg.select($"src").ckptSer()
+    var ranks = nodes.select($"node", round(lit(1.0 / n), 12).as("rank")).ckptSer()
     for (_ <- 1 to iterations) {
       val dangling = ranks.join(srcs, ranks("node") === srcs("src"), "left_anti")
         .agg(coalesce(sum($"rank"), lit(0.0)).as("dm"))
@@ -58,7 +59,7 @@ object Graphs {
         .select($"node",
           round(lit((1 - damping) / n) +
             lit(damping) * (coalesce($"contrib", lit(0.0)) + $"dm" / n), 12).as("rank"))
-        .localCheckpoint()
+        .ckptSer()
       // the superseded iteration's checkpoint blocks are dead — release
       // them, or executor storage grows linearly with iterations
       ranks.unpersist(blocking = false)
@@ -84,26 +85,26 @@ object Graphs {
     import spark.implicits._
     val edges = edges0
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .distinct().localCheckpoint()
+      .distinct().ckptSer()
     val nodes = edges.select($"src".as("node"))
-      .union(edges.select($"dst".as("node"))).distinct().localCheckpoint()
+      .union(edges.select($"dst".as("node"))).distinct().ckptSer()
     val seedSet = seeds.select(col(seeds.columns.head).cast("long").as("node"))
-      .distinct().join(nodes, "node").localCheckpoint()
+      .distinct().join(nodes, "node").ckptSer()
     val sc = seedSet.count()
     require(sc > 0, "no seed intersects the graph's node set")
     val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("odeg"))
     // loop-invariant, joined on src every round — pre-partition once
     // (same device as pageRank)
     val edgesWithDeg = edges.join(outdeg, "src")
-      .select($"src", $"dst", $"odeg").repartition($"src").localCheckpoint()
-    val srcs = outdeg.select($"src").localCheckpoint()
+      .select($"src", $"dst", $"odeg").repartition($"src").ckptSer()
+    val srcs = outdeg.select($"src").ckptSer()
     val tele = nodes
       .join(seedSet.withColumn("__s", lit(1)), Seq("node"), "left")
       .select($"node",
         when($"__s".isNotNull, round(lit(1.0 / sc), 12)).otherwise(lit(0.0))
           .as("tele"))
-      .localCheckpoint()
-    var ranks = tele.select($"node", $"tele".as("rank")).localCheckpoint()
+      .ckptSer()
+    var ranks = tele.select($"node", $"tele".as("rank")).ckptSer()
     for (_ <- 1 to iterations) {
       val dangling = ranks.join(srcs, ranks("node") === srcs("src"), "left_anti")
         .agg(coalesce(sum($"rank"), lit(0.0)).as("dm"))
@@ -117,7 +118,7 @@ object Graphs {
           round(lit(1 - damping) * $"tele" +
             lit(damping) * (coalesce($"contrib", lit(0.0)) + $"dm" * $"tele"),
             12).as("rank"))
-        .localCheckpoint()
+        .ckptSer()
       ranks.unpersist(blocking = false)
       ranks = next
     }
@@ -191,12 +192,12 @@ object Graphs {
     import spark.implicits._
     val e = edges.select(col(childCol).cast("long").as("c"),
         col(parentCol).cast("long").as("p"))
-      .filter($"c" =!= $"p").distinct().localCheckpoint()
+      .filter($"c" =!= $"p").distinct().ckptSer()
     // closure starts as the direct edges (paths of length 1); PURE
     // doubling — compose the closure with itself — so after k rounds it
     // holds every path of length ≤ 2^k
     var closure = e.select($"c".as("node"), $"p".as("anc"))
-      .localCheckpoint()
+      .ckptSer()
     val maxRounds = 32 - Integer.numberOfLeadingZeros(math.max(1, maxDepth - 1))
     var rounds = 0
     var grown = true
@@ -205,10 +206,10 @@ object Graphs {
           closure.select($"node".as("anc"), $"anc".as("anc2")), "anc")
         .select($"node", $"anc2".as("anc"))
         .except(closure)
-        .localCheckpoint()
+        .ckptSer()
       grown = next.count() > 0
       if (grown) {
-        val merged = closure.union(next).distinct().localCheckpoint()
+        val merged = closure.union(next).distinct().ckptSer()
         closure.unpersist(blocking = false)
         closure = merged
       }
@@ -233,7 +234,7 @@ object Graphs {
       .select($"node", round($"v", 2).as("own_value"),
         round($"v" + coalesce($"desc_sum", lit(0.0)), 2).as("subtree_value"),
         coalesce($"depth", lit(0L)).as("depth"))
-      .localCheckpoint()
+      .ckptSer()
     closure.unpersist(blocking = false)
     e.unpersist(blocking = false)
     out
@@ -255,18 +256,18 @@ object Graphs {
     import spark.implicits._
     val edges0n = edges0
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .distinct().localCheckpoint()
+      .distinct().ckptSer()
     // the hub update joins on dst, the authority update on src — keep one
     // checkpointed copy per join key (2× edge storage for zero edge-side
     // shuffles across all iterations; the rank frames stay node-sized)
-    val edges = edges0n.repartition($"src").localCheckpoint()
-    val edgesByDst = edges0n.repartition($"dst").localCheckpoint()
+    val edges = edges0n.repartition($"src").ckptSer()
+    val edgesByDst = edges0n.repartition($"dst").ckptSer()
     val nodes = edges0n.select($"src".as("node"))
-      .union(edges0n.select($"dst".as("node"))).distinct().localCheckpoint()
+      .union(edges0n.select($"dst".as("node"))).distinct().ckptSer()
     edges0n.unpersist(blocking = false)
     val n = nodes.count()
-    var hubs = nodes.select($"node", round(lit(1.0 / n), 12).as("h")).localCheckpoint()
-    var auths = nodes.select($"node", lit(0.0).as("a")).localCheckpoint()
+    var hubs = nodes.select($"node", round(lit(1.0 / n), 12).as("h")).ckptSer()
+    var auths = nodes.select($"node", lit(0.0).as("a")).ckptSer()
     def normalized(df: DataFrame, c: String): DataFrame = {
       val tot = df.agg(sum(col(c)).as("__t"))
       df.crossJoin(broadcast(tot))
@@ -278,13 +279,13 @@ object Graphs {
       val aNext = normalized(
         nodes.join(aRaw, Seq("node"), "left")
           .select($"node", coalesce($"a", lit(0.0)).as("a")), "a")
-        .localCheckpoint()
+        .ckptSer()
       val hRaw = edgesByDst.join(aNext, edgesByDst("dst") === aNext("node"))
         .groupBy($"src".as("node")).agg(sum($"a").as("h"))
       val hNext = normalized(
         nodes.join(hRaw, Seq("node"), "left")
           .select($"node", coalesce($"h", lit(0.0)).as("h")), "h")
-        .localCheckpoint()
+        .ckptSer()
       auths.unpersist(blocking = false)
       hubs.unpersist(blocking = false)
       auths = aNext
@@ -315,7 +316,7 @@ object Graphs {
       .filter($"s" =!= $"d")
     var e = base.union(base.select($"d".as("s"), $"s".as("d")))
       .distinct()
-      .localCheckpoint()
+      .ckptSer()
     var n = e.count()
     var converged = false
     var iter = 0
@@ -327,7 +328,7 @@ object Graphs {
         .join(deg.withColumnRenamed("__keep", "s"), Seq("s"), "left_semi")
         .join(deg.withColumnRenamed("__keep", "d"), Seq("d"), "left_semi")
         .select($"s", $"d")
-        .localCheckpoint()
+        .ckptSer()
       val m = next.count()
       converged = m == n
       n = m
@@ -461,9 +462,9 @@ object Graphs {
     // node-sized label side, never the edge list (the dominant side by
     // the graph's average degree)
     val edges = base.union(base.select($"d".as("s"), $"s".as("d")))
-      .distinct().repartition(col("d")).localCheckpoint()
+      .distinct().repartition(col("d")).ckptSer()
     var labels = edges.select($"s".as("node")).distinct()
-      .select($"node", $"node".as("label")).localCheckpoint()
+      .select($"node", $"node".as("label")).ckptSer()
     for (_ <- 1 to iterations) {
       val counts = edges.join(labels, edges("d") === labels("node"))
         .groupBy($"s", $"label").agg(count(lit(1)).as("c"))
@@ -473,7 +474,7 @@ object Graphs {
         .groupBy($"s".as("node"))
         .agg(max(struct($"c", (-$"label").as("nl"))).as("m"))
         .select($"node", (-$"m.nl").as("label"))
-        .localCheckpoint()
+        .ckptSer()
       labels.unpersist(blocking = false)
       labels = next
     }
@@ -508,11 +509,11 @@ object Graphs {
     val edges = edges0
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
       .filter($"s" =!= $"d")
-      .distinct().repartition($"s").localCheckpoint()
+      .distinct().repartition($"s").ckptSer()
     var frontier = seeds
       .select(col(seeds.columns.head).cast("long").as("node"))
-      .distinct().localCheckpoint()
-    var dist = frontier.select($"node", lit(0).as("dist")).localCheckpoint()
+      .distinct().ckptSer()
+    var dist = frontier.select($"node", lit(0).as("dist")).ckptSer()
     var h = 0
     var exhausted = false
     while (h < maxHops && !exhausted) {
@@ -520,11 +521,11 @@ object Graphs {
       val discovered = edges.join(frontier, edges("s") === frontier("node"))
         .select($"d".as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
-        .localCheckpoint()
+        .ckptSer()
       if (discovered.isEmpty) { exhausted = true }
       else {
         val next = dist.union(discovered.select($"node", lit(h).as("dist")))
-          .localCheckpoint()
+          .ckptSer()
         dist.unpersist(blocking = false)
         frontier.unpersist(blocking = false)
         dist = next

@@ -356,8 +356,70 @@ object H264Codec {
   private[graft] final class GopDecoder {
     private var sps: Sps = null
     private var pps: Pps = null
-    private var dpb: List[FrameState] = Nil // head = most recent reference
+    private var dpb: List[FrameState] = Nil // short-term, most recent first
+    private var ltDpb: List[FrameState] = Nil // long-term, ascending idx
+    private var maxLtIdxPlus1 = 0 // MaxLongTermFrameIdx + 1 (8.2.5.4)
     private val poc = new PocState
+
+    /** Apply this reference picture's dec_ref_pic_marking to the DPB
+      * (8.2.5): the MMCO list in stream order when adaptive, else the
+      * 8.2.5.3 sliding window (oldest short-term out). A conformant
+      * stream never overfills; an overfull DPB or a dangling PicNum
+      * rejects loudly — mis-addressed marking means later references
+      * would silently resolve to the wrong pictures. */
+    private def markReference(st: FrameState): Unit = {
+      val cap = math.max(1, sps.maxRefFrames)
+      if (st.mmcoOps.isEmpty) {
+        if (dpb.length + ltDpb.length >= cap) {
+          if (dpb.isEmpty)
+            throw new H264Format("sliding window with no short-term to evict")
+          dpb = dpb.dropRight(1)
+        }
+        dpb = st :: dpb
+        return
+      }
+      val maxFrameNum = 1 << sps.log2MaxFrameNum
+      def picNum(f: FrameState): Int =
+        if (f.frameNum > st.frameNum) f.frameNum - maxFrameNum else f.frameNum
+      var currentLt = false
+      st.mmcoOps.foreach { case (op, a1, a2) =>
+        op match {
+          case 1 => // unmark a short-term picture
+            val px = st.frameNum - (a1 + 1)
+            if (!dpb.exists(f => picNum(f) == px))
+              throw new H264Format(s"MMCO 1: no short-term PicNum $px")
+            dpb = dpb.filterNot(f => picNum(f) == px)
+          case 2 => // unmark a long-term picture
+            if (!ltDpb.exists(_.longTermIdx == a1))
+              throw new H264Format(s"MMCO 2: no long-term $a1")
+            ltDpb = ltDpb.filterNot(_.longTermIdx == a1)
+          case 3 => // short-term -> long-term at idx a2
+            val px = st.frameNum - (a1 + 1)
+            val t = dpb.find(f => picNum(f) == px).getOrElse(
+              throw new H264Format(s"MMCO 3: no short-term PicNum $px"))
+            if (a2 >= maxLtIdxPlus1)
+              throw new H264Format(s"MMCO 3: idx $a2 >= max $maxLtIdxPlus1")
+            dpb = dpb.filterNot(_ eq t)
+            t.longTermIdx = a2
+            ltDpb = (t :: ltDpb.filterNot(_.longTermIdx == a2))
+              .sortBy(_.longTermIdx)
+          case 4 => // set MaxLongTermFrameIdx, truncate above it
+            maxLtIdxPlus1 = a1
+            ltDpb = ltDpb.filter(_.longTermIdx < a1)
+          case 6 => // mark the CURRENT picture long-term at idx a1
+            if (a1 >= maxLtIdxPlus1)
+              throw new H264Format(s"MMCO 6: idx $a1 >= max $maxLtIdxPlus1")
+            st.longTermIdx = a1
+            ltDpb = ltDpb.filterNot(_.longTermIdx == a1)
+            currentLt = true
+          case o => throw new H264Format(s"MMCO $o") // 5 rejected at parse
+        }
+      }
+      if (currentLt) ltDpb = (st :: ltDpb).sortBy(_.longTermIdx)
+      else dpb = st :: dpb
+      if (dpb.length + ltDpb.length > cap)
+        throw new H264Format("DPB overfull after adaptive marking")
+    }
 
     def decodeAuYuv(p: Array[Byte])
         : Option[(Sps, Array[Byte], Array[Byte], Array[Byte])] = {
@@ -378,12 +440,17 @@ object H264Codec {
             if (sps == null || pps == null) throw new H264Format("slice before SPS/PPS")
             val refIdc = (hdr >> 5) & 3
             val st = decodeSlice(new BitReader(unescape(p, s + 1, e)), sps, pps,
-              idr = nalType == 5, refIdc, dpb, poc)
-            // DPB update: IDR resets; a non-IDR reference picture joins
-            // at the head with sliding-window eviction; non-ref frames
-            // are disposable
-            if (nalType == 5) dpb = List(st)
-            else if (refIdc != 0) dpb = (st :: dpb).take(sps.maxRefFrames)
+              idr = nalType == 5, refIdc, dpb, poc, ltDpb)
+            // DPB update: an IDR resets both marking sets (8.2.5.1;
+            // long_term_reference_flag self-marks it long-term at idx
+            // 0); a non-IDR reference picture applies its marking;
+            // non-reference frames are disposable
+            if (nalType == 5) {
+              if (st.idrLongTerm) {
+                st.longTermIdx = 0
+                dpb = Nil; ltDpb = List(st); maxLtIdxPlus1 = 1
+              } else { dpb = List(st); ltDpb = Nil; maxLtIdxPlus1 = 0 }
+            } else if (refIdc != 0) markReference(st)
             return Some((sps, st.yPlane, st.cbPlane, st.crPlane))
           case _ => () // SEI / AUD / others skipped
         }
@@ -398,6 +465,8 @@ object H264Codec {
         // predict from stale state — only a later self-contained I/IDR
         // picture (which needs no reference) recovers
         dpb = Nil
+        ltDpb = Nil
+        maxLtIdxPlus1 = 0
         poc.prevMsb = 0; poc.prevLsb = 0
         None
       }
@@ -493,8 +562,11 @@ object H264Codec {
     * = the NAL header's nal_ref_idc (non-IDR slices carry
     * dec_ref_pic_marking syntax only when it is non-zero). */
   private def decodeSlice(r: BitReader, sps: Sps, pps: Pps, idr: Boolean,
-      refIdc: Int, dpb: List[FrameState], pocState: PocState): FrameState = {
-    // slice_header (7.3.3)
+      refIdc: Int, dpb: List[FrameState], pocState: PocState,
+      ltRefs: List[FrameState] = Nil): FrameState = {
+    // slice_header (7.3.3). `dpb` = short-term references, most recent
+    // first; `ltRefs` = long-term references sorted by ascending
+    // LongTermFrameIdx (8.2.5.4 marking state, r14).
     if (r.ue() != 0) throw new H264Format("first_mb_in_slice != 0")
     val sliceType = r.ue() % 5
     val isP = sliceType == 0
@@ -502,7 +574,7 @@ object H264Codec {
     if (sliceType != 2 && !isP && !isB)
       throw new H264Format(s"slice type $sliceType out of scope")
     if ((isP || isB) && idr) throw new H264Format("inter slice in an IDR NAL")
-    if ((isP || isB) && dpb.isEmpty)
+    if ((isP || isB) && dpb.isEmpty && ltRefs.isEmpty)
       throw new H264Format("inter slice without a reference frame")
     // B frames reference the FUTURE in display order; POC type 2 pins
     // decode order == display order, which makes that shape illegal
@@ -551,25 +623,17 @@ object H264Codec {
       if (numRefL0 > 15 || numRefL1 > 15)
         throw new H264Format(s"num_ref_idx $numRefL0/$numRefL1 > 16")
       if (isP) {
-        // the default P list is the DPB most-recent-first (8.2.4.2.1),
-        // so a list longer than the decoded reference history is corrupt
-        if (numRefL0 + 1 > dpb.length)
+        // the default P list is short-term most-recent-first
+        // (8.2.4.2.1: descending PicNum) then long-term by ascending
+        // LongTermPicNum; a list longer than the decoded reference
+        // history is corrupt
+        val l0 = (dpb ++ ltRefs).toIndexedSeq
+        if (numRefL0 + 1 > l0.length)
           throw new H264Format(
-            s"ref list size ${numRefL0 + 1} exceeds DPB of ${dpb.length}")
-        refs = dpb.take(numRefL0 + 1).toIndexedSeq
+            s"ref list size ${numRefL0 + 1} exceeds DPB of ${l0.length}")
+        refs = l0.take(numRefL0 + 1)
       } else {
-        // B default lists (8.2.4.2.3, frame coding): list0 = past refs
-        // by descending POC then future by ascending; list1 = future
-        // ascending then past descending; when both lists would be
-        // identical and hold >1 entry, list1's first two entries swap
-        val past = dpb.filter(_.poc < pocVal).sortBy(f => -f.poc)
-        val future = dpb.filter(_.poc > pocVal).sortBy(_.poc)
-        val l0 = (past ++ future).toIndexedSeq
-        val l1raw = (future ++ past).toIndexedSeq
-        val l1 =
-          if (l1raw.length > 1 && l1raw == l0)
-            l1raw.updated(0, l1raw(1)).updated(1, l1raw(0))
-          else l1raw
+        val (l0, l1) = bDefaultLists(dpb, ltRefs, pocVal)
         if (numRefL0 + 1 > l0.length)
           throw new H264Format(s"B list0 size ${numRefL0 + 1} exceeds ${l0.length}")
         if (numRefL1 + 1 > l1.length)
@@ -579,14 +643,15 @@ object H264Codec {
       }
       // ref_pic_list_modification (7.3.3.1 + 8.2.4.3): short-term
       // picNum reordering — x264's weightp=2 emits this on P slices
-      // (duplicate references carrying different weights); long-term
-      // commands (idc 2) refuse. The candidate pool is the whole DPB.
+      // (duplicate references carrying different weights) — and
+      // long-term reordering by LongTermPicNum (idc 2, r14). The
+      // candidate pool is the whole DPB (both marking states).
       if (r.u1() == 1)
         refs = applyListModification(r, refs, dpb.toIndexedSeq,
-          frameNum, 1 << sps.log2MaxFrameNum)
+          ltRefs.toIndexedSeq, frameNum, 1 << sps.log2MaxFrameNum)
       if (isB && r.u1() == 1)
         refs1 = applyListModification(r, refs1, dpb.toIndexedSeq,
-          frameNum, 1 << sps.log2MaxFrameNum)
+          ltRefs.toIndexedSeq, frameNum, 1 << sps.log2MaxFrameNum)
     }
     // pred_weight_table (7.3.3.2): explicit per-reference luma/chroma
     // weights — x264's weightp emits these on P slices by default
@@ -622,10 +687,33 @@ object H264Codec {
         if (isB) Array.fill(refs1.length)(entry()) else Array.empty)
     }
     // dec_ref_pic_marking (7.3.3.3): present for IDR always; for
-    // non-IDR only when the NAL marks the picture as a reference
-    if (idr) { r.u1(); r.u1() }
-    else if (refIdc != 0 && r.u1() != 0) // adaptive_ref_pic_marking_mode_flag
-      throw new H264Format("adaptive ref marking out of scope")
+    // non-IDR only when the NAL marks the picture as a reference.
+    // IDRs may self-mark long-term; non-IDR adaptive marking parses
+    // the MMCO list (ops 1-4, 6; op 5's frame_num/POC reset stays a
+    // loud refusal — conferencing streams only). The ops apply in the
+    // GopDecoder's DPB update AFTER this picture decodes (8.2.5.4).
+    var idrLongTerm = false
+    var mmco: List[(Int, Int, Int)] = Nil
+    if (idr) {
+      r.u1() // no_output_of_prior_pics_flag (single-stream out: no-op)
+      idrLongTerm = r.u1() == 1
+    } else if (refIdc != 0 && r.u1() != 0) {
+      var op = r.ue()
+      var n = 0
+      while (op != 0) {
+        if (op == 5) throw new H264Format("MMCO 5 (state reset) out of scope")
+        if (op > 6) throw new H264Format(s"MMCO $op")
+        n += 1
+        if (n > 35) throw new H264Format("MMCO list overrun")
+        val a1 = if (op == 1 || op == 2 || op == 3 || op == 4 || op == 6)
+          r.ue() else 0
+        val a2 = if (op == 3) r.ue() else 0
+        mmco = mmco :+ ((op, a1, a2))
+        op = r.ue()
+      }
+      if (mmco.isEmpty)
+        throw new H264Format("adaptive marking with an empty MMCO list")
+    }
     // cabac_init_idc (7.3.3): only the idc-0 context column is
     // transcribed — the x264/JM default; 1/2 refuse loudly
     val cabacInitIdc =
@@ -660,6 +748,8 @@ object H264Codec {
     val st = new FrameState(sps.widthMbs, sps.heightMbs)
     st.poc = pocVal
     st.frameNum = frameNum
+    st.idrLongTerm = idrLongTerm
+    st.mmcoOps = mmco
     st.cqpOff = pps.chromaQpOff
     st.t8x8Allowed = pps.transform8x8Mode
     st.wpTab = wpTab
@@ -1244,16 +1334,56 @@ object H264Codec {
   private def te(r: BitReader, range: Int): Int =
     if (range == 1) 1 - r.u1() else r.ue()
 
-  /** ref_pic_list_modification (8.2.4.3.1, short-term frame coding):
-    * parse the command list and re-order `defaultList` — each command
-    * derives a PicNum from the running predictor (idc 0 subtracts,
-    * idc 1 adds, wrapping at MaxFrameNum), inserts the matching DPB
-    * picture at the next index, and squeezes a later duplicate out.
-    * Long-term commands (idc 2) refuse; a PicNum with no DPB match
-    * marks a corrupt or out-of-scope stream. */
+  /** B default reference lists (8.2.4.2.3, frame coding): list0 =
+    * past short-term refs by descending POC then future by ascending;
+    * list1 = future ascending then past descending; BOTH lists then
+    * append every long-term reference by ascending LongTermFrameIdx;
+    * when the lists come out identical with >1 entry, list1's first
+    * two entries swap. */
+  private def bDefaultLists(shortRefs: List[FrameState],
+      ltRefs: List[FrameState], pocVal: Int)
+      : (IndexedSeq[FrameState], IndexedSeq[FrameState]) = {
+    val past = shortRefs.filter(_.poc < pocVal).sortBy(f => -f.poc)
+    val future = shortRefs.filter(_.poc > pocVal).sortBy(_.poc)
+    val l0 = (past ++ future ++ ltRefs).toIndexedSeq
+    val l1raw = (future ++ past ++ ltRefs).toIndexedSeq
+    val l1 =
+      if (l1raw.length > 1 && l1raw == l0)
+        l1raw.updated(0, l1raw(1)).updated(1, l1raw(0))
+      else l1raw
+    (l0, l1)
+  }
+
+  /** Spec hook: B default-list construction over a synthetic DPB —
+    * (shortPocs, longIdxs, curPoc) -> the two lists as (kind, key)
+    * pairs where kind S carries the POC and L the LongTermFrameIdx. */
+  private[graft] def bDefaultListsForTest(shortPocs: Seq[Int],
+      longIdxs: Seq[Int], curPoc: Int)
+      : (Seq[(String, Int)], Seq[(String, Int)]) = {
+    val shortRefs = shortPocs.map { p =>
+      val f = new FrameState(1, 1); f.poc = p; f
+    }.toList
+    val ltRefs = longIdxs.sorted.map { i =>
+      val f = new FrameState(1, 1); f.longTermIdx = i; f
+    }.toList
+    val (l0, l1) = bDefaultLists(shortRefs, ltRefs, curPoc)
+    def tag(l: IndexedSeq[FrameState]) = l.map(f =>
+      if (f.longTermIdx >= 0) ("L", f.longTermIdx) else ("S", f.poc)).toSeq
+    (tag(l0), tag(l1))
+  }
+
+  /** ref_pic_list_modification (8.2.4.3.1, frame coding): parse the
+    * command list and re-order `defaultList` — idc 0/1 derive a
+    * short-term PicNum from the running predictor (subtract/add,
+    * wrapping at MaxFrameNum); idc 2 selects a long-term picture by
+    * LongTermPicNum (r14). Each command inserts the matching DPB
+    * picture at the next index and squeezes a later duplicate of the
+    * SAME marking kind out. A PicNum with no DPB match marks a corrupt
+    * or out-of-scope stream. */
   private def applyListModification(r: BitReader,
       defaultList: IndexedSeq[FrameState], pool: IndexedSeq[FrameState],
-      currFrameNum: Int, maxFrameNum: Int): IndexedSeq[FrameState] = {
+      ltPool: IndexedSeq[FrameState], currFrameNum: Int,
+      maxFrameNum: Int): IndexedSeq[FrameState] = {
     val nActive = defaultList.length
     def picNumF(f: FrameState): Int =
       if (f.frameNum > currFrameNum) f.frameNum - maxFrameNum else f.frameNum
@@ -1263,24 +1393,33 @@ object H264Codec {
     var commands = 0
     var idc = r.ue()
     while (idc != 3) {
-      if (idc == 2) throw new H264Format("long-term list modification out of scope")
       if (idc > 3) throw new H264Format(s"modification_of_pic_nums_idc $idc")
       commands += 1
       if (commands > 32) throw new H264Format("list modification overrun")
-      val diff = r.ue() + 1
-      val noWrap =
-        if (idc == 0) { val v = pred - diff; if (v < 0) v + maxFrameNum else v }
-        else { val v = pred + diff; if (v >= maxFrameNum) v - maxFrameNum else v }
-      pred = noWrap
-      val picNum = if (noWrap > currFrameNum) noWrap - maxFrameNum else noWrap
-      val target = pool.find(f => picNumF(f) == picNum).getOrElse(
-        throw new H264Format(s"list modification: no reference with PicNum $picNum"))
+      // (target picture, duplicate-squeeze predicate for its kind)
+      val (target, isDup): (FrameState, FrameState => Boolean) =
+        if (idc == 2) {
+          val ltPicNum = r.ue() // LongTermPicNum == LongTermFrameIdx (frames)
+          val t = ltPool.find(_.longTermIdx == ltPicNum).getOrElse(throw
+            new H264Format(s"list modification: no long-term ref $ltPicNum"))
+          (t, f => f.longTermIdx == ltPicNum)
+        } else {
+          val diff = r.ue() + 1
+          val noWrap =
+            if (idc == 0) { val v = pred - diff; if (v < 0) v + maxFrameNum else v }
+            else { val v = pred + diff; if (v >= maxFrameNum) v - maxFrameNum else v }
+          pred = noWrap
+          val picNum = if (noWrap > currFrameNum) noWrap - maxFrameNum else noWrap
+          val t = pool.find(f => picNumF(f) == picNum).getOrElse(throw
+            new H264Format(s"list modification: no reference with PicNum $picNum"))
+          (t, f => f.longTermIdx < 0 && picNumF(f) == picNum)
+        }
       // 8.2.4.3.1: shift, insert at refIdx, drop a later duplicate,
       // keep the active length
       list.insert(refIdx, target)
       refIdx += 1
       val (head, tail) = list.splitAt(refIdx)
-      list = (head ++ tail.filterNot(f => picNumF(f) == picNum)).take(nActive).toBuffer
+      list = (head ++ tail.filterNot(isDup)).take(nActive).toBuffer
       if (list.length < nActive)
         throw new H264Format("list modification shrank the active list")
       idc = r.ue()
@@ -2124,7 +2263,10 @@ object H264Codec {
         if (col.refIdxBlk(ci) >= 0) (col.refIdxBlk(ci), col.mvx(ci), col.mvy(ci))
         else if (col.refIdx1Blk(ci) >= 0) (col.refIdx1Blk(ci), col.mvx1(ci), col.mvy1(ci))
         else (-1, 0, 0) // intra colocated
-      val colZero = colRef == 0 && math.abs(colVx) <= 1 && math.abs(colVy) <= 1
+      // 8.4.1.2.2: the colocated-zero override requires the colocated
+      // picture (list1's first entry) to be SHORT-term
+      val colZero = col.longTermIdx < 0 && colRef == 0 &&
+        math.abs(colVx) <= 1 && math.abs(colVy) <= 1
       def side(refIdx: Int, mv: (Int, Int)): Option[(Int, Int, Int)] =
         if (refIdx < 0) None
         else if (colZero && refIdx == 0) Some((0, 0, refIdx))
@@ -2163,7 +2305,10 @@ object H264Codec {
             throw new H264Format("temporal direct: colocated ref not in list 0")
           val pic0 = refs0(r0)
           val td = clip3(-128, 127, col.poc - pic0.poc)
-          if (td == 0) (r0, colVx, colVy, 0, 0)
+          // 8.4.1.2.3: a LONG-TERM list-0 reference (or td == 0) takes
+          // the unscaled colocated motion (POC distance to a long-term
+          // picture is not meaningful for scaling)
+          if (td == 0 || pic0.longTermIdx >= 0) (r0, colVx, colVy, 0, 0)
           else {
             val tb = clip3(-128, 127, st.poc - pic0.poc)
             val tx = (16384 + math.abs(td / 2)) / td
@@ -3196,6 +3341,16 @@ object H264Codec {
     /** frame_num of this picture (8.2.4.1 PicNum for short-term
       * reference selection in ref_pic_list_modification). */
     var frameNum: Int = 0
+    /** LongTermFrameIdx when this picture is marked long-term (8.2.5.4
+      * MMCO 3/6 or the IDR long_term_reference_flag); -1 = short-term
+      * or non-reference. For frame coding LongTermPicNum == this. */
+    var longTermIdx: Int = -1
+    /** dec_ref_pic_marking outcome parsed from THIS picture's slice
+      * header, consumed by the GopDecoder's DPB update after decode:
+      * the IDR long_term_reference_flag, and the adaptive MMCO list as
+      * (op, arg1, arg2) in stream order (7.4.3.3). */
+    var idrLongTerm: Boolean = false
+    var mmcoOps: List[(Int, Int, Int)] = Nil
     /** Per-MB intra flag + decode QP — the 8.7.2.1 boundary-strength
       * and 8.7.2.2 threshold inputs (I_PCM counts as QP 0 in the
       * filter, which disables it over PCM content — lossless stays
@@ -3962,7 +4117,7 @@ object H264Codec {
       intra4x4: Boolean, pick: (Int, Int, Seq[Int]) => Int,
       refFrames: Int = 1, pocLsbBits: Int = 0, deblock: Boolean = false,
       profile: Int = 66, cabac: Boolean = false, intra8x8: Boolean = false,
-      chromaQpOff: Int = 0)
+      chromaQpOff: Int = 0, idrLongTerm: Boolean = false)
       : (Array[Byte], FrameState) = {
     require(!intra4x4 || qp >= 0, "intra4x4 needs a compressed qp (0..51)")
     require(!deblock || qp >= 0, "deblocking needs a compressed qp (0..51)")
@@ -3993,7 +4148,10 @@ object H264Codec {
     w2.u(0, 4) // frame_num (log2_max_frame_num = 4)
     w2.ue(0) // idr_pic_id
     if (pocLsbBits > 0) w2.u(0, pocLsbBits) // pic_order_cnt_lsb (IDR: 0)
-    w2.u1(0); w2.u1(0) // dec_ref_pic_marking
+    // dec_ref_pic_marking: no_output_of_prior_pics_flag, then
+    // long_term_reference_flag (the IDR self-marks long-term at
+    // LongTermFrameIdx 0 when set — 8.2.5.1)
+    w2.u1(0); w2.u1(if (idrLongTerm) 1 else 0)
     w2.se(if (qp < 0) 0 else qp - 26) // slice_qp_delta vs pic_init_qp 26
     if (deblock) { w2.ue(0); w2.se(0); w2.se(0) } // filter ON, zero offsets
     else w2.ue(1) // disable_deblocking_filter_idc = 1
@@ -5119,7 +5277,9 @@ object H264Codec {
       intraEvery: Int, refFrames: Int = 1,
       forcedRefIdx: Option[(Int, Int) => Int] = None,
       pocLsbBits: Int = 0, pocLsb: Int = 0, deblock: Boolean = false,
-      cabac: Boolean = false, wpLuma: Option[(Int, Int, Int)] = None)
+      cabac: Boolean = false, wpLuma: Option[(Int, Int, Int)] = None,
+      mmco: List[(Int, Int, Int)] = Nil,
+      listModL0: List[(Int, Int)] = Nil)
       : (Array[Byte], FrameState) = {
     import H264Transform._
     require(refs.nonEmpty, "P frame needs at least one reference")
@@ -5138,7 +5298,13 @@ object H264Codec {
       w.u1(1) // num_ref_idx_active_override_flag
       w.ue(nActive - 1) // num_ref_idx_l0_active_minus1
     } else w.u1(0)
-    w.u1(0) // ref_pic_list_modification_flag_l0
+    // ref_pic_list_modification (7.3.3.1): emitted commands must
+    // produce exactly the `refs` list the caller reconstructs with
+    if (listModL0.nonEmpty) {
+      w.u1(1)
+      listModL0.foreach { case (idc, v) => w.ue(idc); w.ue(v) }
+      w.ue(3)
+    } else w.u1(0) // ref_pic_list_modification_flag_l0
     // pred_weight_table (explicit luma weights, neutral chroma) — the
     // x264 weightp shape; the reconstruction below applies the same
     // weights through mcPartition, so parity is by construction
@@ -5156,7 +5322,17 @@ object H264Codec {
       st.wpTab = Array(
         Array.fill(nActive)(Array(ww, oo, 1, 0, 1, 0)), Array.empty)
     }
-    w.u1(0) // adaptive_ref_pic_marking_mode_flag (sliding window)
+    // dec_ref_pic_marking (7.3.3.3): sliding window, or the caller's
+    // MMCO list (7.4.3.3 — the decoder applies it after this picture)
+    if (mmco.nonEmpty) {
+      w.u1(1) // adaptive_ref_pic_marking_mode_flag
+      mmco.foreach { case (op, a1, a2) =>
+        w.ue(op)
+        if (op == 1 || op == 2 || op == 3 || op == 4 || op == 6) w.ue(a1)
+        if (op == 3) w.ue(a2)
+      }
+      w.ue(0)
+    } else w.u1(0) // sliding window
     if (cabac) w.ue(0) // cabac_init_idc
     w.se(qp - 26) // slice_qp_delta
     if (deblock) { w.ue(0); w.se(0); w.se(0) } // filter ON, zero offsets
@@ -6180,6 +6356,79 @@ object H264Codec {
       try g.decodeAuYuv(payload).map(t => (t._2, t._3, t._4))
       catch { case _: Exception => None }
     (payload, (st.yPlane, st.cbPlane, st.crPlane), dec)
+  }
+
+  /** Spec hook: long-term reference pictures + MMCO (7.4.3.3 /
+    * 8.2.5.4) END TO END, two legs:
+    *
+    * - IDR leg (mmcoLeg = false), max_num_ref_frames = 2: the IDR
+    *   self-marks long-term (long_term_reference_flag); every later P
+    *   slice alternates ref_idx between the newest short-term picture
+    *   and the long-term IDR at the list TAIL — by the third P the
+    *   sliding window has evicted every same-age short-term, so plane
+    *   parity proves the long-term picture survived eviction and the
+    *   8.2.4.2.1 short-then-long list order.
+    * - MMCO leg (mmcoLeg = true), max_num_ref_frames = 3: op 4
+    *   (MaxLongTermFrameIdx), op 6 (mark CURRENT long-term), op 3
+    *   (short -> long at an idx), op 2 (unmark long), op 1 (unmark
+    *   short), and an idc-2 long-term list modification on the final
+    *   slice — each changes which PICTURE a later ref_idx resolves
+    *   to, so any mis-step breaks byte parity.
+    *
+    * Returns (payloads, encoder recons, decoded planes) per frame. */
+  private[graft] def longTermGopForTest(frames: Seq[MediaCodecs.Bmp],
+      qp: Int, mmcoLeg: Boolean)
+      : (Seq[Array[Byte]],
+         Seq[(Array[Byte], Array[Byte], Array[Byte])],
+         Seq[Option[(Array[Byte], Array[Byte], Array[Byte])]]) = {
+    require(frames.length == 5, "the long-term legs are 5-frame scripts")
+    val maxRef = if (mmcoLeg) 3 else 2
+    val (idrBytes, f0) = encodeImpl(frames.head, avcc = true, qp = qp,
+      intra4x4 = false, (_, b, _) => b, refFrames = maxRef,
+      idrLongTerm = !mmcoLeg)
+    val (wMbs, hMbs, cropR, cropB) = mbGeometry(frames.head)
+    val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB, maxRef)
+    f0.frameNum = 0
+    val payloads = ArrayBuffer(idrBytes)
+    val recons = ArrayBuffer(
+      (f0.yPlane.clone(), f0.cbPlane.clone(), f0.crPlane.clone()))
+    def p(i: Int, refs: IndexedSeq[FrameState], cycle: Int,
+        mmco: List[(Int, Int, Int)] = Nil,
+        listMod: List[(Int, Int)] = Nil): FrameState = {
+      val (yP, cbP, crP) = toYuv420(frames(i), wMbs, hMbs)
+      val (nal, st) = encodePFrame(yP, cbP, crP, refs, qp, frameNum = i,
+        searchRange = 2, forcedMv = None, intraEvery = 0,
+        refFrames = maxRef,
+        forcedRefIdx = Some((mx, my) => (mx + my) % cycle),
+        mmco = mmco, listModL0 = listMod)
+      st.frameNum = i
+      payloads += frameNals(avcc = true, spsNal, ppsNal, nal)
+      recons += ((st.yPlane.clone(), st.cbPlane.clone(), st.crPlane.clone()))
+      st
+    }
+    if (!mmcoLeg) {
+      // decoder DPB: lt=[f0]; short slides with capacity maxRef - 1
+      val f1 = p(1, IndexedSeq(f0), 1)
+      val f2 = p(2, IndexedSeq(f1, f0), 2)
+      val f3 = p(3, IndexedSeq(f2, f0), 2) // f1 evicted; f0 retained
+      p(4, IndexedSeq(f3, f0), 2)
+    } else {
+      // ops annotated with the decoder-side DPB they must produce
+      val f1 = p(1, IndexedSeq(f0), 1,
+        mmco = List((4, 2, 0), (6, 0, 0))) // lt=[f1@0], short=[f0]
+      val f2 = p(2, IndexedSeq(f0, f1), 2,
+        mmco = List((3, 1, 1))) // f0 -> lt@1: lt=[f1@0, f0@1], short=[f2]
+      val f3 = p(3, IndexedSeq(f2, f1, f0), 3,
+        mmco = List((2, 0, 0), (1, 0, 0))) // lt=[f0@1], short=[f3]
+      p(4, IndexedSeq(f0, f3), 2,
+        listMod = List((2, 1))) // idc-2 moves the long-term f0 to index 0
+    }
+    val g = new GopDecoder
+    val decoded = payloads.map { pl =>
+      try g.decodeAuYuv(pl).map(t => (t._2, t._3, t._4))
+      catch { case _: Exception => None }
+    }
+    (payloads.toSeq, recons.toSeq, decoded.toSeq)
   }
 
   /** Integer-pel SAD motion search over ±range around (0,0), ties to

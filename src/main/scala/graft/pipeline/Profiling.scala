@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.util.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -617,7 +618,7 @@ object Profiling {
     val stats = df.groupBy(col(keyCol).as("g"))
       .agg(count(v).as("n"), round(avg(v), 6).as("m"),
         round(var_samp(v), 6).as("s2"))
-      .localCheckpoint()
+      .ckptSer()
     val a = stats.select($"g".as("group_a"), $"n".as("na"), $"m".as("ma"),
       $"s2".as("sa"))
     val b = stats.select($"g".as("group_b"), $"n".as("nb"), $"m".as("mb"),

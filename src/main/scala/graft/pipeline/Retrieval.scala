@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.util.Ckpt._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -82,13 +83,13 @@ object Retrieval {
       col(vecCol).cast("array<double>").as("v"))
     val pv = pool.join(vecs, "corpus_id")
       .select($"query_id", $"corpus_id", $"cosine", $"v")
-      .localCheckpoint(false)
+      .ckptSer()
     val pairSim = pv.as("x").join(pv.as("y"),
         $"x.query_id" === $"y.query_id" && $"x.corpus_id" =!= $"y.corpus_id")
       .select($"x.query_id".as("query_id"), $"x.corpus_id".as("ca"),
         $"y.corpus_id".as("cb"),
         round(graft.pipeline.Similarity.cosine($"x.v", $"y.v"), 6).as("sim"))
-      .localCheckpoint(false)
+      .ckptSer()
     val cand = pv.select($"query_id", $"corpus_id", $"cosine")
 
     // pick 1: plain relevance argmax (tie by corpus_id, as everywhere)
@@ -109,7 +110,7 @@ object Retrieval {
       val ws = Window.partitionBy($"query_id").orderBy($"score".desc, $"corpus_id".asc)
       val next = scored.withColumn("r", row_number().over(ws)).filter($"r" === 1)
         .select($"query_id", $"corpus_id", $"cosine", lit(step).as("pick"))
-      selected = selected.unionByName(next).localCheckpoint(false)
+      selected = selected.unionByName(next).ckptSer()
     }
     selected.select($"query_id", $"pick", $"corpus_id", $"cosine")
   }

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.util.Ckpt._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -34,7 +35,7 @@ object WordVectors {
     import spark.implicits._
     val toks = docs.select(col(idCol).as("doc"),
         posexplode(TextAnalysis.wsTokens(lower(col(textCol)))).as(Seq("pos", "term")))
-      .localCheckpoint()
+      .ckptSer()
     val shifted = (1 to window).map { off =>
       toks.select($"doc", ($"pos" + off).as("pos"), $"term".as("right_term"))
     }.reduce(_ unionByName _)
@@ -72,7 +73,7 @@ object WordVectors {
     val spark = docs.sparkSession
     import spark.implicits._
     val ppmiDf = ppmi(cooccurrence(docs, idCol, textCol, window))
-      .localCheckpoint()
+      .ckptSer()
     // guard BEFORE collecting the dense matrix: one cheap distinct-count
     // aggregate decides whether the vocab is model-sized — an oversized
     // vocab must fail with this error, not an OOM mid-collect.

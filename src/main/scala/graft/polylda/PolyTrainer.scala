@@ -1,5 +1,6 @@
 package graft.polylda
 
+import graft.util.Ckpt._
 import graft.functions.LogSumExp.logsumexp
 import graft.functions.gfunctions.digamma
 import graft.lda.{AlphaUpdate, MStep}
@@ -289,7 +290,7 @@ object PolyTrainer {
           .unionByName(MStep.llAndAlphaStatsRows(docSide)
             .select(lit(2).as("tag"), nullInt.as("lang"), nullInt.as("termId"),
               nullArr.as("elogbeta"), $"llsum".as("ll"), $"k", $"ss"))
-          .localCheckpoint()
+          .ckptSer()
         fused = Some(fusedDf)
         betaTable = fusedDf.filter($"tag" === 0).select($"lang", $"termId", $"elogbeta")
         val statsRows = fusedDf.filter($"tag" === 2).select($"k", $"ss", $"ll").collect()
@@ -358,7 +359,7 @@ object PolyTrainer {
             docSide
               .select($"docId", $"counts", $"numTokens", $"totalTokens", $"gamma")
               .as[PolyDoc]
-              .localCheckpoint()
+              .ckptSer()
           }
         corpus.unpersist()
         corpus = nextCorpus

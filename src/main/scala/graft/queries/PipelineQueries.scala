@@ -2966,6 +2966,60 @@ object PipelineQueries {
              |  true AS hp_intra_ok, true AS hp_inter_ok, true AS cross_ok
              |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
 
+    // long-term reference pictures + MMCO (r14, 7.4.3.3 / 8.2.5.4):
+    // `longterm_ok` pins the IDR long_term_reference_flag leg — the
+    // long-term picture survives sliding-window eviction and resolves
+    // at the P list tail, plane parity per frame; `mmco_ok` pins the
+    // adaptive-marking leg (ops 4/6/3/2/1 + an idc-2 long-term list
+    // modification). Marking state machine + hostile rows in
+    // H264LongTermSpec.
+    "q_h264_longterm_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val len = text.codePointCount(0, text.length)
+            val w = 32 + 2 * (len % 8).toInt
+            val h = 32 + 2 * ((len + id) % 6).toInt
+            val fr = (0 until 5).map { tIdx =>
+              val rgb = new Array[Byte](w * h * 3)
+              var i = 0
+              while (i < w * h) {
+                val x = i % w; val y = i / w
+                val bg = (x * 3 + y * 5 + (x / 4) * 7 + id).toInt % 200
+                val sx = 2 + tIdx * 5
+                val v = if (x >= sx && x < sx + 8 && y >= 6 && y < 14) 255 else bg
+                rgb(i * 3) = v.toByte
+                rgb(i * 3 + 1) = ((v + 40) % 256).toByte
+                rgb(i * 3 + 2) = ((v + 90) % 256).toByte
+                i += 1
+              }
+              graft.pipeline.MediaCodecs.Bmp(w, h, rgb)
+            }
+            def leg(mmco: Boolean): Boolean = {
+              val (_, recons, decoded) = graft.pipeline.H264Codec
+                .longTermGopForTest(fr, qp = 24 + (id % 5).toInt, mmcoLeg = mmco)
+              recons.zip(decoded).forall { case (e, d) =>
+                d.exists { case (dy, dcb, dcr) =>
+                  java.util.Arrays.equals(dy, e._1) &&
+                    java.util.Arrays.equals(dcb, e._2) &&
+                    java.util.Arrays.equals(dcr, e._3)
+                }
+              }
+            }
+            (id, w, h, leg(false), leg(true))
+          }
+          .toDF("doc_id", "width", "height", "longterm_ok", "mmco_ok")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(32 + 2 * (len(text) % 8) AS INT) AS width,
+             |  CAST(32 + 2 * ((len(text) + doc_id) % 6) AS INT) AS height,
+             |  true AS longterm_ok, true AS mmco_ok
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
     // the Intra_4x4 H.264 path (r10): per-4x4-block directional
     // prediction (all nine 8.3.1.2 modes, best-SAD), full 16-coeff
     // CAVLC blocks, me(v) CBP, at qp=26 over the same closed-form
@@ -3471,7 +3525,8 @@ object PipelineQueries {
              |  CAST(32 + 2 * ((len(text) + doc_id) % 6) AS INT) AS height,
              |  CAST(5 AS INT) AS n_decoded, true AS reorder_ok,
              |  true AS parity_ok, true AS cross_mode_ok, true AS size_bounded
-             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin),
+      bench = true), // timed: the CABAC P/B arithmetic-decode hot path (r14)
 
     // raw .h264 elementary-stream ingest (r11): the same IPPP GOP as a
     // containerless Annex-B byte stream (start-code NALs back to back —

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.util.Ckpt._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -130,7 +131,7 @@ object AnnexBStream {
           org.apache.spark.sql.types.StructType.fromDDL(
             "doc_id LONG, frame INT, width INT, height INT, rgb_sum LONG"))
       else spark.read.parquet(s"$sink/batch_*")
-        .orderBy($"doc_id", $"frame").localCheckpoint()
+        .orderBy($"doc_id", $"frame").ckptSer()
     deleteRecursively(base)
     result
   }

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.util.Ckpt._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -98,7 +99,7 @@ object TarStream {
           org.apache.spark.sql.types.StructType.fromDDL(
             "grp LONG, name STRING, size LONG, offset LONG, payload_md5 STRING"))
       else spark.read.parquet(s"$sink/batch_*")
-        .orderBy($"grp", $"name").localCheckpoint()
+        .orderBy($"grp", $"name").ckptSer()
     deleteRecursively(base)
     result
   }
