@@ -187,7 +187,10 @@ object H264Codec {
   case class Sps(profileIdc: Int, levelIdc: Int, log2MaxFrameNum: Int,
       picOrderCntType: Int, widthMbs: Int, heightMbs: Int,
       cropRight: Int, cropBottom: Int, maxRefFrames: Int = 1,
-      log2MaxPocLsb: Int = 16, direct8x8Inference: Boolean = true) {
+      log2MaxPocLsb: Int = 16, direct8x8Inference: Boolean = true,
+      // POC type 1 (8.2.1.2): the expected-POC cycle description
+      pocDeltaAlwaysZero: Boolean = false, pocOffsetNonRef: Int = 0,
+      pocCycle: Seq[Int] = Nil) {
     def width: Int = widthMbs * 16 - 2 * cropRight
     def height: Int = heightMbs * 16 - 2 * cropBottom
   }
@@ -217,11 +220,25 @@ object H264Codec {
       profile == 128) throw new H264Format(s"profile $profile out of scope")
     val log2MaxFrameNum = r.ue() + 4
     val poc = r.ue()
+    if (poc > 2) throw new H264Format(s"pic_order_cnt_type $poc")
     // POC type 0's lsb width matters: the slice header reads exactly
     // this many bits (a fixed-16 read would misparse every foreign
     // type-0 stream whose log2 != 16 — latent until r12's B support)
     val log2MaxPocLsb = if (poc == 0) r.ue() + 4 else 16
-    if (poc == 1) throw new H264Format("POC type 1 out of scope")
+    // POC type 1 (r14, 8.2.1.2): the SPS carries the expected-POC
+    // cycle; slice headers then send only a small delta (or nothing,
+    // when delta_pic_order_always_zero_flag)
+    var pocAlwaysZero = false
+    var pocNonRef = 0
+    var pocCycle: Seq[Int] = Nil
+    if (poc == 1) {
+      pocAlwaysZero = r.u1() == 1
+      pocNonRef = r.se()
+      r.se() // offset_for_top_to_bottom_field (frames: unused)
+      val n = r.ue()
+      if (n > 255) throw new H264Format(s"poc cycle length $n > 255")
+      pocCycle = Seq.fill(n)(r.se())
+    }
     if (log2MaxPocLsb > 16) throw new H264Format(s"log2_max_poc_lsb $log2MaxPocLsb > 16")
     val maxRef = r.ue() // max_num_ref_frames: bounds the decoder's DPB ring
     if (maxRef > 16) throw new H264Format(s"max_num_ref_frames $maxRef > 16")
@@ -238,7 +255,8 @@ object H264Codec {
     }
     r.u1() // vui_present (ignored if absent; VUI payload not parsed)
     Sps(profile, level, log2MaxFrameNum, poc, wMbs, hMap, cropR, cropB,
-      math.max(1, maxRef), log2MaxPocLsb, d8x8)
+      math.max(1, maxRef), log2MaxPocLsb, d8x8,
+      pocAlwaysZero, pocNonRef, pocCycle)
   }
 
   private def parsePps(r: BitReader): Pps = {
@@ -349,9 +367,47 @@ object H264Codec {
    * them. Explicit list reordering and adaptive marking stay out of
    * scope (they throw).
    */
-  /** POC type 0 decoder state (8.2.1.1): MSB/LSB of the previous
-    * REFERENCE picture in decoding order, for lsb-wraparound repair. */
-  private final class PocState { var prevMsb = 0; var prevLsb = 0 }
+  /** POC decoder state: type 0 (8.2.1.1) tracks the previous REFERENCE
+    * picture's MSB/LSB for lsb-wraparound repair; type 1 (8.2.1.2)
+    * tracks the previous picture's (any, not just reference)
+    * FrameNumOffset + frame_num for the wrap accumulator. */
+  private final class PocState {
+    var prevMsb = 0; var prevLsb = 0
+    var prevFrameNumOffset = 0; var prevFrameNum = 0
+    def reset(): Unit = {
+      prevMsb = 0; prevLsb = 0; prevFrameNumOffset = 0; prevFrameNum = 0
+    }
+  }
+
+  /** POC type 1 derivation (8.2.1.2, frame coding): accumulate
+    * FrameNumOffset across frame_num wraps, map absFrameNum onto the
+    * SPS cycle for the expected POC, subtract one cycle position for
+    * non-reference pictures and add their offset, then apply the
+    * slice's delta. Updates `st` (every picture advances the type-1
+    * state, reference or not). Shared verbatim by the decoder and the
+    * type-1 GOP encoder (which solves delta = desired − expected). */
+  private def derivePocType1(sps: Sps, idr: Boolean, refIdc: Int, frameNum: Int,
+      delta0: Int, st: PocState): Int = {
+    val maxFn = 1 << sps.log2MaxFrameNum
+    val fno =
+      if (idr) 0
+      else if (st.prevFrameNum > frameNum) st.prevFrameNumOffset + maxFn
+      else st.prevFrameNumOffset
+    val nCyc = sps.pocCycle.length
+    var absFrameNum = if (nCyc > 0) fno + frameNum else 0
+    if (refIdc == 0 && absFrameNum > 0) absFrameNum -= 1
+    var expected = 0
+    if (absFrameNum > 0) {
+      val cycleCnt = (absFrameNum - 1) / nCyc
+      val inCycle = (absFrameNum - 1) % nCyc
+      expected = cycleCnt * sps.pocCycle.sum +
+        sps.pocCycle.take(inCycle + 1).sum
+    }
+    if (refIdc == 0) expected += sps.pocOffsetNonRef
+    st.prevFrameNumOffset = fno
+    st.prevFrameNum = frameNum
+    expected + delta0
+  }
 
   private[graft] final class GopDecoder {
     private var sps: Sps = null
@@ -406,13 +462,23 @@ object H264Codec {
           case 4 => // set MaxLongTermFrameIdx, truncate above it
             maxLtIdxPlus1 = a1
             ltDpb = ltDpb.filter(_.longTermIdx < a1)
+          case 5 => // full reset (8.2.5.4.5): every reference unmarked,
+            // no long-term indices, and the CURRENT picture rebases to
+            // frame_num 0 / PicOrderCnt 0 — the next picture's PicNum
+            // and POC-MSB derivations read the rebased values, exactly
+            // as if this picture had been an IDR (conferencing streams
+            // emit this instead of one)
+            dpb = Nil; ltDpb = Nil; maxLtIdxPlus1 = 0
+            st.frameNum = 0
+            st.poc = 0
+            poc.reset()
           case 6 => // mark the CURRENT picture long-term at idx a1
             if (a1 >= maxLtIdxPlus1)
               throw new H264Format(s"MMCO 6: idx $a1 >= max $maxLtIdxPlus1")
             st.longTermIdx = a1
             ltDpb = ltDpb.filterNot(_.longTermIdx == a1)
             currentLt = true
-          case o => throw new H264Format(s"MMCO $o") // 5 rejected at parse
+          case o => throw new H264Format(s"MMCO $o")
         }
       }
       if (currentLt) ltDpb = (st :: ltDpb).sortBy(_.longTermIdx)
@@ -467,7 +533,7 @@ object H264Codec {
         dpb = Nil
         ltDpb = Nil
         maxLtIdxPlus1 = 0
-        poc.prevMsb = 0; poc.prevLsb = 0
+        poc.reset()
         None
       }
 
@@ -578,7 +644,8 @@ object H264Codec {
       throw new H264Format("inter slice without a reference frame")
     // B frames reference the FUTURE in display order; POC type 2 pins
     // decode order == display order, which makes that shape illegal
-    if (isB && sps.picOrderCntType != 0)
+    // (types 0 and 1 both carry real display order)
+    if (isB && sps.picOrderCntType == 2)
       throw new H264Format("B slice under POC type 2")
     // the direct derivations here implement the inference-ON form
     // (quadrant corner blocks, 8.4.1.2.2/.3); silently applying them
@@ -603,6 +670,11 @@ object H264Codec {
         else pm
       pocVal = msb + lsb
       if (refIdc != 0) { pocState.prevMsb = msb; pocState.prevLsb = lsb }
+    } else if (sps.picOrderCntType == 1) {
+      val delta0 = if (!sps.pocDeltaAlwaysZero) r.se() else 0
+      if (pps.bottomFieldPocPresent && !sps.pocDeltaAlwaysZero)
+        r.se() // delta_pic_order_cnt[1] (frames: bottom-field only)
+      pocVal = derivePocType1(sps, idr, refIdc, frameNum, delta0, pocState)
     }
     // redundant_pic_cnt (7.3.3): present only when the PPS says so; a
     // non-zero value marks a REDUNDANT coded picture (a retransmission
@@ -689,9 +761,10 @@ object H264Codec {
     // dec_ref_pic_marking (7.3.3.3): present for IDR always; for
     // non-IDR only when the NAL marks the picture as a reference.
     // IDRs may self-mark long-term; non-IDR adaptive marking parses
-    // the MMCO list (ops 1-4, 6; op 5's frame_num/POC reset stays a
-    // loud refusal — conferencing streams only). The ops apply in the
-    // GopDecoder's DPB update AFTER this picture decodes (8.2.5.4).
+    // the MMCO list (ops 1-6; op 5 is the full state reset —
+    // conferencing streams emit it instead of an IDR). The ops apply
+    // in the GopDecoder's DPB update AFTER this picture decodes
+    // (8.2.5.4).
     var idrLongTerm = false
     var mmco: List[(Int, Int, Int)] = Nil
     if (idr) {
@@ -701,7 +774,6 @@ object H264Codec {
       var op = r.ue()
       var n = 0
       while (op != 0) {
-        if (op == 5) throw new H264Format("MMCO 5 (state reset) out of scope")
         if (op > 6) throw new H264Format(s"MMCO $op")
         n += 1
         if (n > 35) throw new H264Format("MMCO list overrun")
@@ -4030,7 +4102,8 @@ object H264Codec {
   private def spsPpsNals(wMbs: Int, hMbs: Int, cropR: Int, cropB: Int,
       refFrames: Int = 1, pocLsbBits: Int = 0, profile: Int = 66,
       cabac: Boolean = false, t8x8: Boolean = false, chromaQpOff: Int = 0,
-      weightedPred: Boolean = false, weightedBipredIdc: Int = 0)
+      weightedPred: Boolean = false, weightedBipredIdc: Int = 0,
+      pocType1: Option[(Int, Seq[Int])] = None)
       : (Array[Byte], Array[Byte]) = {
     require(!t8x8 || profile == 100, "8x8 transform needs high profile")
     val sw = new BitWriter
@@ -4049,9 +4122,20 @@ object H264Codec {
     }
     sw.ue(0) // log2_max_frame_num_minus4
     // POC type 2 (decode order == display order) unless the GOP carries
-    // B frames, which need explicit type-0 POC for display reordering
-    if (pocLsbBits > 0) { sw.ue(0); sw.ue(pocLsbBits - 4) }
-    else sw.ue(2) // pic_order_cnt_type 2
+    // B frames, which need explicit POC for display reordering: type 0
+    // (lsb per slice) or type 1 (SPS cycle + per-slice delta)
+    pocType1 match {
+      case Some((offNonRef, cycle)) =>
+        sw.ue(1) // pic_order_cnt_type 1
+        sw.u1(0) // delta_pic_order_always_zero_flag (deltas per slice)
+        sw.se(offNonRef)
+        sw.se(0) // offset_for_top_to_bottom_field
+        sw.ue(cycle.length)
+        cycle.foreach(sw.se)
+      case None =>
+        if (pocLsbBits > 0) { sw.ue(0); sw.ue(pocLsbBits - 4) }
+        else sw.ue(2) // pic_order_cnt_type 2
+    }
     sw.ue(refFrames) // max_num_ref_frames
     sw.u1(0) // gaps
     sw.ue(wMbs - 1); sw.ue(hMbs - 1)
@@ -4117,7 +4201,9 @@ object H264Codec {
       intra4x4: Boolean, pick: (Int, Int, Seq[Int]) => Int,
       refFrames: Int = 1, pocLsbBits: Int = 0, deblock: Boolean = false,
       profile: Int = 66, cabac: Boolean = false, intra8x8: Boolean = false,
-      chromaQpOff: Int = 0, idrLongTerm: Boolean = false)
+      chromaQpOff: Int = 0, idrLongTerm: Boolean = false,
+      pocType1Delta: Option[Int] = None,
+      pocType1Sps: Option[(Int, Seq[Int])] = None)
       : (Array[Byte], FrameState) = {
     require(!intra4x4 || qp >= 0, "intra4x4 needs a compressed qp (0..51)")
     require(!deblock || qp >= 0, "deblocking needs a compressed qp (0..51)")
@@ -4137,7 +4223,7 @@ object H264Codec {
       else profile
     val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB, refFrames,
       pocLsbBits, effProfile, cabac, t8x8 = intra8x8,
-      chromaQpOff = chromaQpOff)
+      chromaQpOff = chromaQpOff, pocType1 = pocType1Sps)
 
     // IDR slice
     require(qp >= -1 && qp <= 51, s"qp $qp")
@@ -4148,6 +4234,7 @@ object H264Codec {
     w2.u(0, 4) // frame_num (log2_max_frame_num = 4)
     w2.ue(0) // idr_pic_id
     if (pocLsbBits > 0) w2.u(0, pocLsbBits) // pic_order_cnt_lsb (IDR: 0)
+    pocType1Delta.foreach(w2.se) // delta_pic_order_cnt[0] (POC type 1)
     // dec_ref_pic_marking: no_output_of_prior_pics_flag, then
     // long_term_reference_flag (the IDR self-marks long-term at
     // LongTermFrameIdx 0 when set — 8.2.5.1)
@@ -4935,10 +5022,10 @@ object H264Codec {
   def encodeGopB(frames: Seq[MediaCodecs.Bmp], qp: Int, bFrames: Int = 1,
       avcc: Boolean = true, searchRange: Int = 4, deblock: Boolean = false,
       cabac: Boolean = false, weightedBipred: Int = 0,
-      directTemporal: Boolean = false)
+      directTemporal: Boolean = false, pocType1: Boolean = false)
       : (Seq[Array[Byte]], Seq[Int]) = {
     val (p, d, _) = encodeGopBImpl(frames, qp, bFrames, avcc, searchRange,
-      deblock, cabac, weightedBipred, directTemporal)
+      deblock, cabac, weightedBipred, directTemporal, pocType1)
     (p, d)
   }
 
@@ -4947,17 +5034,18 @@ object H264Codec {
   private[graft] def encodeGopBForTest(frames: Seq[MediaCodecs.Bmp], qp: Int,
       bFrames: Int = 1, searchRange: Int = 4, deblock: Boolean = false,
       cabac: Boolean = false, weightedBipred: Int = 0,
-      directTemporal: Boolean = false)
+      directTemporal: Boolean = false, pocType1: Boolean = false)
       : (Seq[Array[Byte]], Seq[Int], Seq[(Array[Byte], Array[Byte], Array[Byte])]) = {
     val (p, d, sts) = encodeGopBImpl(frames, qp, bFrames, avcc = true, searchRange,
-      deblock, cabac, weightedBipred, directTemporal)
+      deblock, cabac, weightedBipred, directTemporal, pocType1)
     (p, d, sts.map(st => (st.yPlane, st.cbPlane, st.crPlane)))
   }
 
   private def encodeGopBImpl(frames: Seq[MediaCodecs.Bmp], qp: Int,
       bFrames: Int, avcc: Boolean, searchRange: Int,
       deblock: Boolean = false, cabac: Boolean = false,
-      weightedBipred: Int = 0, directTemporal: Boolean = false)
+      weightedBipred: Int = 0, directTemporal: Boolean = false,
+      pocType1: Boolean = false)
       : (Seq[Array[Byte]], Seq[Int], Seq[FrameState]) = {
     require(frames.nonEmpty, "empty GOP")
     require(qp >= 0 && qp <= 51, s"qp $qp")
@@ -4974,15 +5062,33 @@ object H264Codec {
     }
     val pocBits = 8 // lsb width; 8.2.1.1 msb repair covers longer GOPs
     val (wMbs, hMbs, cropR, cropB) = mbGeometry(frames.head)
+    // POC type 1 (8.2.1.2): the SPS cycle describes the cadence — one
+    // reference per `step` display positions at POC stride 2·step, so
+    // reference deltas are exactly 0; non-refs land offset_for_non_ref
+    // past the previous reference's expected value, so B deltas stay
+    // small. The encoder runs the DECODER's own pocType1 accumulator
+    // (wrap handling included) and solves delta = desired − expected.
+    val t1Cycle = Seq(2 * step)
+    val t1OffNonRef = 2 - 2 * step
+    val t1Sps = Sps(77, 30, 4, 1, wMbs, hMbs, cropR, cropB, 2, 16, true,
+      pocDeltaAlwaysZero = false, t1OffNonRef, t1Cycle)
+    val t1State = new PocState
+    def t1Delta(desired: Int, idr: Boolean, refIdc: Int, fn: Int): Option[Int] =
+      if (!pocType1) None
+      else Some(desired - derivePocType1(t1Sps, idr, refIdc, fn, 0, t1State))
     // SPS DPB depth 2 (past + future ref around each B); PPS list
     // defaults sized for the refs=2 P shape — every slice overrides
     // down to its actual 1-deep lists
     val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB,
-      refFrames = 2, pocLsbBits = pocBits, profile = 77, cabac = cabac,
-      weightedBipredIdc = weightedBipred)
+      refFrames = 2, pocLsbBits = if (pocType1) 0 else pocBits,
+      profile = 77, cabac = cabac, weightedBipredIdc = weightedBipred,
+      pocType1 = if (pocType1) Some((t1OffNonRef, t1Cycle)) else None)
     val (idrBytes, st0) = encodeImpl(frames.head, avcc, qp,
-      intra4x4 = false, (_, b, _) => b, refFrames = 2, pocLsbBits = pocBits,
-      deblock = deblock, profile = 77, cabac = cabac)
+      intra4x4 = false, (_, b, _) => b, refFrames = 2,
+      pocLsbBits = if (pocType1) 0 else pocBits,
+      deblock = deblock, profile = 77, cabac = cabac,
+      pocType1Delta = t1Delta(0, idr = true, refIdc = 3, fn = 0),
+      pocType1Sps = if (pocType1) Some((t1OffNonRef, t1Cycle)) else None)
     st0.poc = 0
     val payloads = ArrayBuffer(idrBytes)
     val display = ArrayBuffer(0)
@@ -4996,8 +5102,11 @@ object H264Codec {
       val (yP, cbP, crP) = toYuv420(frames(pos), wMbs, hMbs)
       val (pNal, stP) = encodePFrame(yP, cbP, crP, IndexedSeq(prevRef), qp,
         refCount % 16, searchRange, None, 0, refFrames = 2,
-        pocLsbBits = pocBits, pocLsb = (2 * pos) % maxLsb, deblock = deblock,
-        cabac = cabac)
+        pocLsbBits = if (pocType1) 0 else pocBits,
+        pocLsb = (2 * pos) % maxLsb, deblock = deblock,
+        cabac = cabac,
+        pocType1Delta = t1Delta(2 * pos, idr = false, refIdc = 3,
+          fn = refCount % 16))
       stP.poc = 2 * pos
       payloads += frameNals(avcc, spsNal, ppsNal, pNal)
       display += pos
@@ -5006,9 +5115,12 @@ object H264Codec {
       while (bpos < pos) {
         val (by, bcb, bcr) = toYuv420(frames(bpos), wMbs, hMbs)
         val (bNal, stB) = encodeBFrame(by, bcb, bcr, prevRef, stP, qp,
-          (refCount + 1) % 16, (2 * bpos) % maxLsb, pocBits, searchRange,
+          (refCount + 1) % 16, (2 * bpos) % maxLsb,
+          if (pocType1) 0 else pocBits, searchRange,
           deblock = deblock, cabac = cabac, wpMode = weightedBipred,
-          directTemporal = directTemporal)
+          directTemporal = directTemporal,
+          pocType1Delta = t1Delta(2 * bpos, idr = false, refIdc = 0,
+            fn = (refCount + 1) % 16))
         stB.poc = 2 * bpos
         payloads += frameNals(avcc, spsNal, ppsNal, bNal)
         display += bpos
@@ -5035,7 +5147,8 @@ object H264Codec {
       srcCr: Array[Byte], ref0: FrameState, ref1: FrameState, qp: Int,
       frameNum: Int, pocLsb: Int, pocBits: Int, searchRange: Int,
       deblock: Boolean = false, cabac: Boolean = false, wpMode: Int = 0,
-      directTemporal: Boolean = false)
+      directTemporal: Boolean = false,
+      pocType1Delta: Option[Int] = None)
       : (Array[Byte], FrameState) = {
     import H264Transform._
     val wMbs = ref0.wMbs; val hMbs = ref0.hMbs
@@ -5048,7 +5161,10 @@ object H264Codec {
     w.ue(6) // slice_type B (all slices in this picture are B)
     w.ue(0) // pps id
     w.u(frameNum & 15, 4) // frame_num (non-ref: value is informational)
-    w.u(pocLsb, pocBits) // pic_order_cnt_lsb — carries display order
+    pocType1Delta match {
+      case Some(d) => w.se(d) // delta_pic_order_cnt[0] (POC type 1)
+      case None => w.u(pocLsb, pocBits) // pic_order_cnt_lsb (type 0)
+    }
     // direct_spatial_mv_pred_flag: spatial (8.4.1.2.2) or temporal
     // (8.4.1.2.3) — both derivations are shared with the decoder
     w.u1(if (directTemporal) 0 else 1)
@@ -5279,7 +5395,8 @@ object H264Codec {
       pocLsbBits: Int = 0, pocLsb: Int = 0, deblock: Boolean = false,
       cabac: Boolean = false, wpLuma: Option[(Int, Int, Int)] = None,
       mmco: List[(Int, Int, Int)] = Nil,
-      listModL0: List[(Int, Int)] = Nil)
+      listModL0: List[(Int, Int)] = Nil,
+      pocType1Delta: Option[Int] = None)
       : (Array[Byte], FrameState) = {
     import H264Transform._
     require(refs.nonEmpty, "P frame needs at least one reference")
@@ -5294,6 +5411,7 @@ object H264Codec {
     w.ue(0) // pps id
     w.u(frameNum & 15, 4) // frame_num (log2_max_frame_num = 4)
     if (pocLsbBits > 0) w.u(pocLsb, pocLsbBits) // pic_order_cnt_lsb (type 0)
+    pocType1Delta.foreach(w.se) // delta_pic_order_cnt[0] (POC type 1)
     if (nActive != refFrames) { // DPB still filling: override the default
       w.u1(1) // num_ref_idx_active_override_flag
       w.ue(nActive - 1) // num_ref_idx_l0_active_minus1
@@ -6368,60 +6486,75 @@ object H264Codec {
     *   sliding window has evicted every same-age short-term, so plane
     *   parity proves the long-term picture survived eviction and the
     *   8.2.4.2.1 short-then-long list order.
-    * - MMCO leg (mmcoLeg = true), max_num_ref_frames = 3: op 4
+    * - MMCO leg (leg = 1), max_num_ref_frames = 3: op 4
     *   (MaxLongTermFrameIdx), op 6 (mark CURRENT long-term), op 3
     *   (short -> long at an idx), op 2 (unmark long), op 1 (unmark
     *   short), and an idc-2 long-term list modification on the final
     *   slice — each changes which PICTURE a later ref_idx resolves
     *   to, so any mis-step breaks byte parity.
+    * - MMCO-5 leg (leg = 2), max_num_ref_frames = 2: the full reset
+    *   (8.2.5.4.5) mid-GOP — the op-5 picture rebases to frame_num 0,
+    *   later slices restart frame_num from 1, and the final slice
+    *   addresses the rebased picture by PicNum 0 through an idc-0
+    *   list modification: without the rebase the command has no match
+    *   and the decode rejects, so success + parity pin the reset.
     *
     * Returns (payloads, encoder recons, decoded planes) per frame. */
   private[graft] def longTermGopForTest(frames: Seq[MediaCodecs.Bmp],
-      qp: Int, mmcoLeg: Boolean)
+      qp: Int, leg: Int)
       : (Seq[Array[Byte]],
          Seq[(Array[Byte], Array[Byte], Array[Byte])],
          Seq[Option[(Array[Byte], Array[Byte], Array[Byte])]]) = {
     require(frames.length == 5, "the long-term legs are 5-frame scripts")
-    val maxRef = if (mmcoLeg) 3 else 2
+    val maxRef = if (leg == 1) 3 else 2
     val (idrBytes, f0) = encodeImpl(frames.head, avcc = true, qp = qp,
       intra4x4 = false, (_, b, _) => b, refFrames = maxRef,
-      idrLongTerm = !mmcoLeg)
+      idrLongTerm = leg == 0)
     val (wMbs, hMbs, cropR, cropB) = mbGeometry(frames.head)
     val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB, maxRef)
     f0.frameNum = 0
     val payloads = ArrayBuffer(idrBytes)
     val recons = ArrayBuffer(
       (f0.yPlane.clone(), f0.cbPlane.clone(), f0.crPlane.clone()))
-    def p(i: Int, refs: IndexedSeq[FrameState], cycle: Int,
+    def p(i: Int, fn: Int, refs: IndexedSeq[FrameState], cycle: Int,
         mmco: List[(Int, Int, Int)] = Nil,
         listMod: List[(Int, Int)] = Nil): FrameState = {
       val (yP, cbP, crP) = toYuv420(frames(i), wMbs, hMbs)
-      val (nal, st) = encodePFrame(yP, cbP, crP, refs, qp, frameNum = i,
+      val (nal, st) = encodePFrame(yP, cbP, crP, refs, qp, frameNum = fn,
         searchRange = 2, forcedMv = None, intraEvery = 0,
         refFrames = maxRef,
         forcedRefIdx = Some((mx, my) => (mx + my) % cycle),
         mmco = mmco, listModL0 = listMod)
-      st.frameNum = i
+      st.frameNum = fn
       payloads += frameNals(avcc = true, spsNal, ppsNal, nal)
       recons += ((st.yPlane.clone(), st.cbPlane.clone(), st.crPlane.clone()))
       st
     }
-    if (!mmcoLeg) {
+    if (leg == 0) {
       // decoder DPB: lt=[f0]; short slides with capacity maxRef - 1
-      val f1 = p(1, IndexedSeq(f0), 1)
-      val f2 = p(2, IndexedSeq(f1, f0), 2)
-      val f3 = p(3, IndexedSeq(f2, f0), 2) // f1 evicted; f0 retained
-      p(4, IndexedSeq(f3, f0), 2)
-    } else {
+      val f1 = p(1, 1, IndexedSeq(f0), 1)
+      val f2 = p(2, 2, IndexedSeq(f1, f0), 2)
+      val f3 = p(3, 3, IndexedSeq(f2, f0), 2) // f1 evicted; f0 retained
+      p(4, 4, IndexedSeq(f3, f0), 2)
+    } else if (leg == 1) {
       // ops annotated with the decoder-side DPB they must produce
-      val f1 = p(1, IndexedSeq(f0), 1,
+      val f1 = p(1, 1, IndexedSeq(f0), 1,
         mmco = List((4, 2, 0), (6, 0, 0))) // lt=[f1@0], short=[f0]
-      val f2 = p(2, IndexedSeq(f0, f1), 2,
+      val f2 = p(2, 2, IndexedSeq(f0, f1), 2,
         mmco = List((3, 1, 1))) // f0 -> lt@1: lt=[f1@0, f0@1], short=[f2]
-      val f3 = p(3, IndexedSeq(f2, f1, f0), 3,
+      val f3 = p(3, 3, IndexedSeq(f2, f1, f0), 3,
         mmco = List((2, 0, 0), (1, 0, 0))) // lt=[f0@1], short=[f3]
-      p(4, IndexedSeq(f0, f3), 2,
+      p(4, 4, IndexedSeq(f0, f3), 2,
         listMod = List((2, 1))) // idc-2 moves the long-term f0 to index 0
+    } else {
+      val f1 = p(1, 1, IndexedSeq(f0), 1)
+      // op 5 mid-GOP: everything unmarked, f2 rebases to frame_num 0
+      val f2 = p(2, 2, IndexedSeq(f1, f0), 2, mmco = List((5, 0, 0)))
+      f2.frameNum = 0 // the decoder-side rebase, mirrored
+      val f3 = p(3, 1, IndexedSeq(f2), 1) // frame_num restarts at 1
+      // idc-0 modification addresses f2 by its REBASED PicNum 0
+      // (pred 2 - (diff_minus1 1 + 1)): no rebase -> no match -> reject
+      p(4, 2, IndexedSeq(f2, f3), 2, listMod = List((0, 1)))
     }
     val g = new GopDecoder
     val decoded = payloads.map { pl =>

@@ -2966,13 +2966,79 @@ object PipelineQueries {
              |  true AS hp_intra_ok, true AS hp_inter_ok, true AS cross_ok
              |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
 
+    // POC type 1 (r14, 8.2.1.2): the cyclic expected-POC derivation —
+    // SPS cycle + per-slice delta + FrameNumOffset wrap accumulation —
+    // over a full IbbP GOP per doc. `poc1_ok` pins decode == encoder
+    // reconstruction per payload (B lists are built FROM the derived
+    // POCs, so a wrong expected value breaks parity); `cross_ok` pins
+    // the type-1 GOP's pixels equal to the type-0 GOP's on the same
+    // frames. Wrap leg + hostile rows in H264PocType1Spec.
+    "q_h264_poc1_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val len = text.codePointCount(0, text.length)
+            val w = 32 + 2 * (len % 8).toInt
+            val h = 32 + 2 * ((len + id) % 6).toInt
+            val fr = (0 until 6).map { tIdx =>
+              val rgb = new Array[Byte](w * h * 3)
+              var i = 0
+              while (i < w * h) {
+                val x = i % w; val y = i / w
+                val bg = (x * 3 + y * 5 + id).toInt % 200
+                val sx = (2 + tIdx * 4) % math.max(1, w - 10)
+                val v = if (x >= sx && x < sx + 8 && y >= 6 && y < 14) 255 else bg
+                rgb(i * 3) = v.toByte
+                rgb(i * 3 + 1) = ((v + 40) % 256).toByte
+                rgb(i * 3 + 2) = ((v + 90) % 256).toByte
+                i += 1
+              }
+              graft.pipeline.MediaCodecs.Bmp(w, h, rgb)
+            }
+            val bf = 1 + (id % 2).toInt
+            val (p1, _, recons) = graft.pipeline.H264Codec
+              .encodeGopBForTest(fr, qp = 26, bFrames = bf, pocType1 = true)
+            val g1 = new graft.pipeline.H264Codec.GopDecoder
+            val poc1Ok = p1.zip(recons).forall { case (p, e) =>
+              g1.decodeAuYuv(p).exists { case (_, dy, dcb, dcr) =>
+                java.util.Arrays.equals(dy, e._1) &&
+                  java.util.Arrays.equals(dcb, e._2) &&
+                  java.util.Arrays.equals(dcr, e._3)
+              }
+            }
+            val (p0, _, _) = graft.pipeline.H264Codec
+              .encodeGopBForTest(fr, qp = 26, bFrames = bf)
+            val g1b = new graft.pipeline.H264Codec.GopDecoder
+            val g0 = new graft.pipeline.H264Codec.GopDecoder
+            val crossOk = p1.zip(p0).forall { case (a, b) =>
+              !java.util.Arrays.equals(a, b) && {
+                val d1 = g1b.decodeAuYuv(a); val d0 = g0.decodeAuYuv(b)
+                d1.isDefined && d0.isDefined &&
+                  java.util.Arrays.equals(d1.get._2, d0.get._2)
+              }
+            }
+            (id, w, h, poc1Ok, crossOk)
+          }
+          .toDF("doc_id", "width", "height", "poc1_ok", "cross_ok")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(32 + 2 * (len(text) % 8) AS INT) AS width,
+             |  CAST(32 + 2 * ((len(text) + doc_id) % 6) AS INT) AS height,
+             |  true AS poc1_ok, true AS cross_ok
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
     // long-term reference pictures + MMCO (r14, 7.4.3.3 / 8.2.5.4):
     // `longterm_ok` pins the IDR long_term_reference_flag leg — the
     // long-term picture survives sliding-window eviction and resolves
     // at the P list tail, plane parity per frame; `mmco_ok` pins the
     // adaptive-marking leg (ops 4/6/3/2/1 + an idc-2 long-term list
-    // modification). Marking state machine + hostile rows in
-    // H264LongTermSpec.
+    // modification); `mmco5_ok` pins the op-5 full reset (the rebased
+    // frame_num addressed by post-reset PicNum). Marking state machine
+    // + hostile rows in H264LongTermSpec.
     "q_h264_longterm_roundtrip" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -2998,9 +3064,9 @@ object PipelineQueries {
               }
               graft.pipeline.MediaCodecs.Bmp(w, h, rgb)
             }
-            def leg(mmco: Boolean): Boolean = {
+            def leg(l: Int): Boolean = {
               val (_, recons, decoded) = graft.pipeline.H264Codec
-                .longTermGopForTest(fr, qp = 24 + (id % 5).toInt, mmcoLeg = mmco)
+                .longTermGopForTest(fr, qp = 24 + (id % 5).toInt, leg = l)
               recons.zip(decoded).forall { case (e, d) =>
                 d.exists { case (dy, dcb, dcr) =>
                   java.util.Arrays.equals(dy, e._1) &&
@@ -3009,15 +3075,16 @@ object PipelineQueries {
                 }
               }
             }
-            (id, w, h, leg(false), leg(true))
+            (id, w, h, leg(0), leg(1), leg(2))
           }
-          .toDF("doc_id", "width", "height", "longterm_ok", "mmco_ok")
+          .toDF("doc_id", "width", "height", "longterm_ok", "mmco_ok",
+            "mmco5_ok")
           .orderBy($"doc_id")
       },
       Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
              |  CAST(32 + 2 * (len(text) % 8) AS INT) AS width,
              |  CAST(32 + 2 * ((len(text) + doc_id) % 6) AS INT) AS height,
-             |  true AS longterm_ok, true AS mmco_ok
+             |  true AS longterm_ok, true AS mmco_ok, true AS mmco5_ok
              |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
 
     // the Intra_4x4 H.264 path (r10): per-4x4-block directional

@@ -6,11 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * IDR long_term_reference_flag, adaptive marking ops 1/2/3/4/6, the
   * sliding window in the presence of long-term pictures, long-term
   * placement in the P and B default reference lists (8.2.4.2.1/.3),
-  * and idc-2 long-term list modification. Witnessed by
-  * encoder-reconstruction plane parity over scripted GOPs where every
-  * marking step changes which PICTURE a later ref_idx resolves to —
-  * any mis-step breaks byte equality. MMCO 5 (the frame_num/POC
-  * reset) stays a loud refusal. */
+  * idc-2 long-term list modification, and the op-5 full reset with
+  * its frame_num/POC rebase. Witnessed by encoder-reconstruction
+  * plane parity over scripted GOPs where every marking step changes
+  * which PICTURE a later ref_idx resolves to — any mis-step breaks
+  * byte equality. */
 class H264LongTermSpec extends AnyFunSuite {
 
   /** Moving-square frames: textured background + a bright square whose
@@ -47,13 +47,22 @@ class H264LongTermSpec extends AnyFunSuite {
   test("IDR long_term_reference_flag: the long-term picture survives " +
       "sliding-window eviction and sits at the list tail") {
     val (_, recons, decoded) =
-      H264Codec.longTermGopForTest(frames(48, 32, 5), qp = 24, mmcoLeg = false)
+      H264Codec.longTermGopForTest(frames(48, 32, 5), qp = 24, leg = 0)
     parity(recons, decoded)
   }
 
   test("MMCO ops 1/2/3/4/6 + idc-2 list modification round-trip") {
     val (_, recons, decoded) =
-      H264Codec.longTermGopForTest(frames(48, 32, 5), qp = 24, mmcoLeg = true)
+      H264Codec.longTermGopForTest(frames(48, 32, 5), qp = 24, leg = 1)
+    parity(recons, decoded)
+  }
+
+  test("MMCO 5: the mid-GOP reset rebases frame_num/POC state") {
+    // the final slice addresses the op-5 picture by its REBASED PicNum
+    // through an idc-0 list modification — a decoder that skipped the
+    // rebase finds no match and rejects, so parity + success pin it
+    val (_, recons, decoded) =
+      H264Codec.longTermGopForTest(frames(48, 32, 5), qp = 24, leg = 2)
     parity(recons, decoded)
   }
 
@@ -76,7 +85,7 @@ class H264LongTermSpec extends AnyFunSuite {
 
   test("hostile marking: out-of-order MMCO streams reject, never throw") {
     val (payloads, _, decoded) =
-      H264Codec.longTermGopForTest(frames(48, 32, 5), qp = 24, mmcoLeg = true)
+      H264Codec.longTermGopForTest(frames(48, 32, 5), qp = 24, leg = 1)
     assert(decoded.forall(_.isDefined))
     // skipping AU1 (which established MaxLongTermFrameIdx and lt@0)
     // leaves AU2's MMCO 3 addressing state that does not exist: the
