@@ -60,36 +60,12 @@ object ScaleRehearsal {
       catch { case e: Throwable => System.err.println(s"[rehearsal] warm $n: $e") }
     }
 
-    // Each (query, scale) is timed TWICE with the session-level memos
-    // dropped between reps, and the MIN is reported: rep 1 pays
-    // whatever JIT/codegen the warm pass didn't reach (a first
-    // iterative job can be 3x its steady state), so min-of-two is the
-    // steady-state number a long-running cluster job would see.
-    def timed(label: String, invalidate: () => Unit)(body: => Long): Double = {
-      var best = Double.MaxValue
-      var rep = 1
-      while (rep <= 2) {
-        invalidate()
-        System.gc(); Thread.sleep(2000)
-        val t0 = System.nanoTime()
-        val rows = body
-        val sec = (System.nanoTime() - t0) / 1e9
-        println(f"[rehearsal] $label%-28s rep$rep ${sec}%8.2f s  ($rows rows)")
-        best = math.min(best, sec)
-        rep += 1
-      }
-      best
-    }
-    def inval(dir: String): () => Unit = () =>
-      try graft.queries.CorpusQueries.invalidateCaches(spark, dir)
-      catch { case _: Throwable => () }
-
     val results = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
     names.foreach { n =>
-      val a = timed(s"$n @sf0.1", inval(sf01)) {
+      val a = timedMin2(spark, s"$n @sf0.1", Some(sf01)) {
         SparkEntry.queries(n)(spark, sf01).count()
       }
-      val b = timed(s"$n @sf1", inval(sf1Dir)) {
+      val b = timedMin2(spark, s"$n @sf1", Some(sf1Dir)) {
         SparkEntry.queries(n)(spark, sf1Dir).count()
       }
       results += ((n, a, b))
@@ -99,18 +75,9 @@ object ScaleRehearsal {
     // (scale-independent of the documents table), so the rehearsal
     // scales the video COUNT itself 100 → 1000 — the dimension that
     // grows at 100 TB (per-partition demux+decode+pHash, map-only)
-    def videoRun(nVideos: Int): Long = {
-      val media = spark.range(nVideos)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .as[Long]
-        .map(id => (id, graft.pipeline.ImageHash.plantedSpectralMp4(id)))
-        .toDF("media_id", "bytes")
-      graft.pipeline.ImageHash.videoNearDups(media, "media_id", "bytes",
-        maxHamming = 6, minFrames = 3).count()
-    }
-    videoRun(8) // warm
-    val va = timed("q_video_phash[100] @sf0.1", () => ())(videoRun(100))
-    val vb = timed("q_video_phash[1000] @sf1", () => ())(videoRun(1000))
+    videoRun(spark, 8) // warm
+    val va = timedMin2(spark, "q_video_phash[100] @sf0.1", None)(videoRun(spark, 100))
+    val vb = timedMin2(spark, "q_video_phash[1000] @sf1", None)(videoRun(spark, 1000))
     results += (("q_video_phash_dedup", va, vb))
 
     println("\n| query | sf0.1 s | sf1 s | ratio (ideal ~10x) |")
@@ -140,43 +107,18 @@ object ScaleRehearsal {
     import spark.implicits._
     generate(spark, sf01, sf1Dir, 10, Set("orders", "lineitem"))
     generate(spark, sf01, sf3Dir, 30, Set("orders", "lineitem"))
-    def timed(label: String)(body: => Long): Double = {
-      var best = Double.MaxValue
-      var rep = 1
-      while (rep <= 2) {
-        try graft.queries.CorpusQueries.invalidateCaches(spark, sf01)
-        catch { case _: Throwable => () }
-        System.gc(); Thread.sleep(2000)
-        val t0 = System.nanoTime()
-        val rows = body
-        val sec = (System.nanoTime() - t0) / 1e9
-        println(f"[notch2] $label%-24s rep$rep ${sec}%8.2f s  ($rows rows)")
-        best = math.min(best, sec)
-        rep += 1
-      }
-      best
-    }
     try SparkEntry.queries("q_pagerank")(spark, "/root/testdata/sf0.001").count()
     catch { case e: Throwable => System.err.println(s"[notch2] warm: $e") }
-    val p01 = timed("q_pagerank @sf0.1") {
+    val p01 = timedMin2(spark, "q_pagerank @sf0.1", Some(sf01)) {
       SparkEntry.queries("q_pagerank")(spark, sf01).count() }
-    val p1 = timed("q_pagerank @sf1") {
+    val p1 = timedMin2(spark, "q_pagerank @sf1", Some(sf1Dir)) {
       SparkEntry.queries("q_pagerank")(spark, sf1Dir).count() }
-    val p3 = timed("q_pagerank @sf3") {
+    val p3 = timedMin2(spark, "q_pagerank @sf3", Some(sf3Dir)) {
       SparkEntry.queries("q_pagerank")(spark, sf3Dir).count() }
-    def videoRun(nVideos: Int): Long = {
-      val media = spark.range(nVideos)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .as[Long]
-        .map(id => (id, graft.pipeline.ImageHash.plantedSpectralMp4(id)))
-        .toDF("media_id", "bytes")
-      graft.pipeline.ImageHash.videoNearDups(media, "media_id", "bytes",
-        maxHamming = 6, minFrames = 3).count()
-    }
-    videoRun(8) // warm
-    val v100 = timed("q_video_phash[100]")(videoRun(100))
-    val v1000 = timed("q_video_phash[1000]")(videoRun(1000))
-    val v3000 = timed("q_video_phash[3000]")(videoRun(3000))
+    videoRun(spark, 8) // warm
+    val v100 = timedMin2(spark, "q_video_phash[100]", None)(videoRun(spark, 100))
+    val v1000 = timedMin2(spark, "q_video_phash[1000]", None)(videoRun(spark, 1000))
+    val v3000 = timedMin2(spark, "q_video_phash[3000]", None)(videoRun(spark, 3000))
     println("\n| query | hop | data x | time x |")
     println("|---|---|---|---|")
     println(f"| q_pagerank | sf0.1 -> sf1 | 10x | ${p1 / p01}%.1fx ($p01%.2f -> $p1%.2f s) |")
@@ -184,6 +126,46 @@ object ScaleRehearsal {
     println(f"| q_video_phash | 100 -> 1000 | 10x | ${v1000 / v100}%.1fx ($v100%.2f -> $v1000%.2f s) |")
     println(f"| q_video_phash | 1000 -> 3000 | 3x | ${v3000 / v1000}%.1fx ($v1000%.2f -> $v3000%.2f s) |")
     spark.stop()
+  }
+
+  /** Time a body TWICE with the session memos dropped between reps
+    * (when a table dir is given) and report the MIN: rep 1 pays
+    * whatever JIT/codegen the warm pass didn't reach (a first
+    * iterative job can be 3x its steady state), so min-of-two is the
+    * steady-state number a long-running cluster job would see. ONE
+    * copy of the measurement protocol — both rehearsal notches use
+    * it. */
+  private def timedMin2(spark: SparkSession, label: String,
+      invalidateDir: Option[String])(body: => Long): Double = {
+    var best = Double.MaxValue
+    var rep = 1
+    while (rep <= 2) {
+      invalidateDir.foreach { dir =>
+        try graft.queries.CorpusQueries.invalidateCaches(spark, dir)
+        catch { case _: Throwable => () }
+      }
+      System.gc(); Thread.sleep(2000)
+      val t0 = System.nanoTime()
+      val rows = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[rehearsal] $label%-28s rep$rep ${sec}%8.2f s  ($rows rows)")
+      best = math.min(best, sec)
+      rep += 1
+    }
+    best
+  }
+
+  /** The video-pHash dedup body at a given video count (the dimension
+    * that grows at 100 TB: per-partition demux+decode+pHash). */
+  private def videoRun(spark: SparkSession, nVideos: Int): Long = {
+    import spark.implicits._
+    val media = spark.range(nVideos)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .map(id => (id, graft.pipeline.ImageHash.plantedSpectralMp4(id)))
+      .toDF("media_id", "bytes")
+    graft.pipeline.ImageHash.videoNearDups(media, "media_id", "bytes",
+      maxHamming = 6, minFrames = 3).count()
   }
 
   /** Write the sf1 tables (idempotent: skips tables already present). */

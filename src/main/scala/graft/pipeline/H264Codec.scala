@@ -190,7 +190,7 @@ object H264Codec {
       log2MaxPocLsb: Int = 16, direct8x8Inference: Boolean = true,
       // POC type 1 (8.2.1.2): the expected-POC cycle description
       pocDeltaAlwaysZero: Boolean = false, pocOffsetNonRef: Int = 0,
-      pocCycle: Seq[Int] = Nil) {
+      pocCycle: Seq[Int] = Nil, pocOffsetTopToBottom: Int = 0) {
     def width: Int = widthMbs * 16 - 2 * cropRight
     def height: Int = heightMbs * 16 - 2 * cropBottom
   }
@@ -231,10 +231,11 @@ object H264Codec {
     var pocAlwaysZero = false
     var pocNonRef = 0
     var pocCycle: Seq[Int] = Nil
+    var pocOffTB = 0
     if (poc == 1) {
       pocAlwaysZero = r.u1() == 1
       pocNonRef = r.se()
-      r.se() // offset_for_top_to_bottom_field (frames: unused)
+      pocOffTB = r.se() // offset_for_top_to_bottom_field
       val n = r.ue()
       if (n > 255) throw new H264Format(s"poc cycle length $n > 255")
       pocCycle = Seq.fill(n)(r.se())
@@ -256,7 +257,7 @@ object H264Codec {
     r.u1() // vui_present (ignored if absent; VUI payload not parsed)
     Sps(profile, level, log2MaxFrameNum, poc, wMbs, hMap, cropR, cropB,
       math.max(1, maxRef), log2MaxPocLsb, d8x8,
-      pocAlwaysZero, pocNonRef, pocCycle)
+      pocAlwaysZero, pocNonRef, pocCycle, pocOffTB)
   }
 
   private def parsePps(r: BitReader): Pps = {
@@ -371,7 +372,7 @@ object H264Codec {
     * picture's MSB/LSB for lsb-wraparound repair; type 1 (8.2.1.2)
     * tracks the previous picture's (any, not just reference)
     * FrameNumOffset + frame_num for the wrap accumulator. */
-  private final class PocState {
+  private[graft] final class PocState {
     var prevMsb = 0; var prevLsb = 0
     var prevFrameNumOffset = 0; var prevFrameNum = 0
     def reset(): Unit = {
@@ -379,7 +380,35 @@ object H264Codec {
     }
   }
 
-  /** POC type 1 derivation (8.2.1.2, frame coding): accumulate
+  /** Frame PicOrderCnt, type 0 (8.2.1.1 + 8.2.1): lsb-wraparound MSB
+    * repair against the previous REFERENCE picture, then the frame's
+    * POC is Min(TopFieldOrderCnt, BottomFieldOrderCnt) where Bottom =
+    * Top + delta_pic_order_cnt_bottom — a NEGATIVE delta makes the
+    * bottom field carry the frame's POC (before r14 the delta was
+    * parsed and DISCARDED: a silent mis-order on foreign streams
+    * tuned with it). Fixed vectors in H264PocType1Spec. */
+  private[graft] def framePocType0(sps: Sps, idr: Boolean, refIdc: Int,
+      lsb: Int, deltaBottom: Int, pocState: PocState): Int = {
+    val maxLsb = 1 << sps.log2MaxPocLsb
+    val (pm, pl) = if (idr) (0, 0) else (pocState.prevMsb, pocState.prevLsb)
+    val msb =
+      if (lsb < pl && pl - lsb >= maxLsb / 2) pm + maxLsb
+      else if (lsb > pl && lsb - pl > maxLsb / 2) pm - maxLsb
+      else pm
+    if (refIdc != 0) { pocState.prevMsb = msb; pocState.prevLsb = lsb }
+    math.min(msb + lsb, msb + lsb + deltaBottom)
+  }
+
+  /** Frame PicOrderCnt, type 1 (8.2.1.2): Min(Top, Bottom) over the
+    * cyclic derivation below, with Bottom = Top +
+    * offset_for_top_to_bottom_field + delta_pic_order_cnt[1]. */
+  private[graft] def framePocType1(sps: Sps, idr: Boolean, refIdc: Int,
+      frameNum: Int, delta0: Int, delta1: Int, pocState: PocState): Int = {
+    val top = derivePocType1(sps, idr, refIdc, frameNum, delta0, pocState)
+    math.min(top, top + sps.pocOffsetTopToBottom + delta1)
+  }
+
+  /** POC type 1 TopFieldOrderCnt derivation (8.2.1.2, frame coding): accumulate
     * FrameNumOffset across frame_num wraps, map absFrameNum onto the
     * SPS cycle for the expected POC, subtract one cycle position for
     * non-reference pictures and add their offset, then apply the
@@ -660,21 +689,16 @@ object H264Codec {
     // IDR); B reference lists order the DPB by this value
     var pocVal = 0
     if (sps.picOrderCntType == 0) {
-      val maxLsb = 1 << sps.log2MaxPocLsb
       val lsb = r.u(sps.log2MaxPocLsb)
-      if (pps.bottomFieldPocPresent) r.se() // delta_pic_order_cnt_bottom (frames: bottom-field only)
-      val (pm, pl) = if (idr) (0, 0) else (pocState.prevMsb, pocState.prevLsb)
-      val msb =
-        if (lsb < pl && pl - lsb >= maxLsb / 2) pm + maxLsb
-        else if (lsb > pl && lsb - pl > maxLsb / 2) pm - maxLsb
-        else pm
-      pocVal = msb + lsb
-      if (refIdc != 0) { pocState.prevMsb = msb; pocState.prevLsb = lsb }
+      val deltaBottom = if (pps.bottomFieldPocPresent) r.se() else 0
+      pocVal = framePocType0(sps, idr, refIdc, lsb, deltaBottom, pocState)
     } else if (sps.picOrderCntType == 1) {
       val delta0 = if (!sps.pocDeltaAlwaysZero) r.se() else 0
-      if (pps.bottomFieldPocPresent && !sps.pocDeltaAlwaysZero)
-        r.se() // delta_pic_order_cnt[1] (frames: bottom-field only)
-      pocVal = derivePocType1(sps, idr, refIdc, frameNum, delta0, pocState)
+      val delta1 =
+        if (pps.bottomFieldPocPresent && !sps.pocDeltaAlwaysZero) r.se()
+        else 0
+      pocVal = framePocType1(sps, idr, refIdc, frameNum, delta0, delta1,
+        pocState)
     }
     // redundant_pic_cnt (7.3.3): present only when the PPS says so; a
     // non-zero value marks a REDUNDANT coded picture (a retransmission
@@ -1688,28 +1712,38 @@ object H264Codec {
       st: FrameState, mx: Int, my: Int): Int =
     readMbTypeB(d.decision(cx, _), 27 + bMbTypeInc(st, mx, my))
 
-  /** The Table 9-37 B bin string per mb_type (MSB-first). */
-  private def bMbTypeBins(mbType: Int): Seq[Int] = mbType match {
-    case 0 => Seq(0)
-    case 1 => Seq(1, 0, 0)
-    case 2 => Seq(1, 0, 1)
-    case t if t >= 3 && t <= 10 =>
-      val v = t - 3
-      Seq(1, 1, 0, (v >> 2) & 1, (v >> 1) & 1, v & 1)
-    case t if t >= 12 && t <= 19 =>
-      val v = t - 12
-      Seq(1, 1, 1, 0, (v >> 2) & 1, (v >> 1) & 1, v & 1)
-    case 20 | 21 => Seq(1, 1, 1, 1, 0, 0, mbType - 20)
-    case 11 => Seq(1, 1, 1, 1, 1, 0)
-    case 22 => Seq(1, 1, 1, 1, 1, 1)
-    case -1 => Seq(1, 1, 1, 1, 0, 1) // intra escape (suffix follows)
-    case t => throw new H264Format(s"CABAC B mb_type $t")
+  /** The Table 9-37 B bin string per mb_type (MSB-first), precomputed
+    * once — index 23 holds the intra escape (mbType -1). The encoder
+    * emits straight from these arrays so the benched CABAC hot path
+    * allocates nothing per macroblock. */
+  private val BMbTypeBinsTab: Array[Array[Int]] = Array.tabulate(24) { i =>
+    val t = if (i == 23) -1 else i
+    t match {
+      case 0 => Array(0)
+      case 1 => Array(1, 0, 0)
+      case 2 => Array(1, 0, 1)
+      case x if x >= 3 && x <= 10 =>
+        val v = x - 3
+        Array(1, 1, 0, (v >> 2) & 1, (v >> 1) & 1, v & 1)
+      case x if x >= 12 && x <= 19 =>
+        val v = x - 12
+        Array(1, 1, 1, 0, (v >> 2) & 1, (v >> 1) & 1, v & 1)
+      case 20 | 21 => Array(1, 1, 1, 1, 0, 0, t - 20)
+      case 11 => Array(1, 1, 1, 1, 1, 0)
+      case 22 => Array(1, 1, 1, 1, 1, 1)
+      case _ => Array(1, 1, 1, 1, 0, 1) // intra escape (suffix follows)
+    }
   }
 
-  /** The Table 9-39 ctxIdx per binIdx for a B mb_type bin string —
+  private def bMbTypeBins(mbType: Int): Array[Int] = {
+    if (mbType < -1 || mbType > 22) throw new H264Format(s"CABAC B mb_type $mbType")
+    BMbTypeBinsTab(if (mbType == -1) 23 else mbType)
+  }
+
+  /** The Table 9-39 ctxIdx for binIdx `i` of a B mb_type bin string —
     * binIdx 2 is b1-dependent (inc 5 when b1 == 0, 4 when b1 == 1). */
-  private def bMbTypeCtxs(c0: Int, bits: Seq[Int]): Seq[Int] =
-    bits.indices.map {
+  @inline private def bMbTypeCtx(c0: Int, bits: Array[Int], i: Int): Int =
+    i match {
       case 0 => c0
       case 1 => 30
       case 2 => if (bits(1) == 0) 32 else 31
@@ -1719,9 +1753,12 @@ object H264Codec {
   private def encodeMbTypeBCabac(e: H264Cabac.Enc, cx: H264Cabac.Ctx,
       st: FrameState, mx: Int, my: Int, mbType: Int): Unit = {
     val bits = bMbTypeBins(mbType)
-    val ctxs = bMbTypeCtxs(27 + bMbTypeInc(st, mx, my), bits)
+    val c0 = 27 + bMbTypeInc(st, mx, my)
     var i = 0
-    while (i < bits.length) { e.decision(cx, ctxs(i), bits(i)); i += 1 }
+    while (i < bits.length) {
+      e.decision(cx, bMbTypeCtx(c0, bits, i), bits(i))
+      i += 1
+    }
   }
 
   /** Fixed-vector spec hook: feed a scripted bin sequence to the B
@@ -1740,7 +1777,8 @@ object H264Codec {
       decTrace += ctx
       val b = bits(pos); pos += 1; b
     }, c0)
-    (decoded, decTrace.toSeq, bMbTypeCtxs(c0, bits), bits)
+    val encTrace = bits.indices.map(i => bMbTypeCtx(c0, bits, i))
+    (decoded, decTrace.toSeq, encTrace, bits.toSeq)
   }
 
   /** Spec hook: bin-level round trip of every P/B CABAC syntax codec

@@ -79,6 +79,38 @@ class H264PocType1Spec extends AnyFunSuite {
     }
   }
 
+  test("fixed vectors: frame POC = Min(Top, Bottom) for types 0 and 1") {
+    // hand-derived from 8.2.1.1/8.2.1.2 + the 8.2.1 frame rule: a
+    // negative delta_pic_order_cnt_bottom / offset_for_top_to_bottom /
+    // delta[1] makes the BOTTOM field carry the frame's POC — the
+    // values a decoder that discards those fields gets wrong
+    def sps1(offTB: Int) = H264Codec.Sps(66, 30, 4, 1, 2, 2, 0, 0, 2, 16,
+      true, pocDeltaAlwaysZero = false, pocOffsetNonRef = -4,
+      pocCycle = Seq(6), pocOffsetTopToBottom = offTB)
+    val st1 = new H264Codec.PocState
+    val s = sps1(0)
+    assert(H264Codec.framePocType1(s, idr = true, 3, 0, 0, 0, st1) == 0)
+    assert(H264Codec.framePocType1(s, idr = false, 3, 1, 0, 0, st1) == 6)
+    // non-ref: absFrameNum decrements, offset_for_non_ref applies
+    assert(H264Codec.framePocType1(s, idr = false, 0, 2, 0, 0, st1) == 2)
+    // wrap: frame_num 15 -> 0 adds MaxFrameNum to FrameNumOffset
+    assert(H264Codec.framePocType1(s, idr = false, 3, 15, 0, 0, st1) == 90)
+    assert(H264Codec.framePocType1(s, idr = false, 3, 0, 0, 0, st1) == 96)
+    // negative offset_for_top_to_bottom_field + delta[1]
+    val st1b = new H264Codec.PocState
+    val sb = sps1(-3)
+    assert(H264Codec.framePocType1(sb, idr = true, 3, 0, 0, 0, st1b) == -3)
+    assert(H264Codec.framePocType1(sb, idr = false, 3, 1, 0, -2, st1b) == 1)
+    // type 0: msb repair + negative delta_pic_order_cnt_bottom
+    val s0 = H264Codec.Sps(66, 30, 4, 0, 2, 2, 0, 0, 2, log2MaxPocLsb = 4)
+    val st0 = new H264Codec.PocState
+    assert(H264Codec.framePocType0(s0, idr = true, 3, 0, 0, st0) == 0)
+    assert(H264Codec.framePocType0(s0, idr = false, 3, 8, 0, st0) == 8)
+    assert(H264Codec.framePocType0(s0, idr = false, 3, 12, 0, st0) == 12)
+    assert(H264Codec.framePocType0(s0, idr = false, 3, 1, 0, st0) == 17)
+    assert(H264Codec.framePocType0(s0, idr = false, 3, 4, -6, st0) == 14)
+  }
+
   test("hostile inputs: tampered type-1 streams reject or decode, never throw") {
     val fr = frames(48, 32, 6)
     val (payloads, _, _) = H264Codec.encodeGopBForTest(fr, qp = 26,
