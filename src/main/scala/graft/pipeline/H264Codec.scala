@@ -444,6 +444,7 @@ object H264Codec {
     private var dpb: List[FrameState] = Nil // short-term, most recent first
     private var ltDpb: List[FrameState] = Nil // long-term, ascending idx
     private var maxLtIdxPlus1 = 0 // MaxLongTermFrameIdx + 1 (8.2.5.4)
+    private var prevRefFrameNum = -1 // 7.4.3 continuity; -1 = unknown
     private val poc = new PocState
 
     /** Apply this reference picture's dec_ref_pic_marking to the DPB
@@ -535,7 +536,7 @@ object H264Codec {
             if (sps == null || pps == null) throw new H264Format("slice before SPS/PPS")
             val refIdc = (hdr >> 5) & 3
             val st = decodeSlice(new BitReader(unescape(p, s + 1, e)), sps, pps,
-              idr = nalType == 5, refIdc, dpb, poc, ltDpb)
+              idr = nalType == 5, refIdc, dpb, poc, ltDpb, prevRefFrameNum)
             // DPB update: an IDR resets both marking sets (8.2.5.1;
             // long_term_reference_flag self-marks it long-term at idx
             // 0); a non-IDR reference picture applies its marking;
@@ -545,7 +546,12 @@ object H264Codec {
                 st.longTermIdx = 0
                 dpb = Nil; ltDpb = List(st); maxLtIdxPlus1 = 1
               } else { dpb = List(st); ltDpb = Nil; maxLtIdxPlus1 = 0 }
-            } else if (refIdc != 0) markReference(st)
+              prevRefFrameNum = st.frameNum
+            } else if (refIdc != 0) {
+              markReference(st)
+              // post-marking: an MMCO-5 reset rebased st.frameNum to 0
+              prevRefFrameNum = st.frameNum
+            }
             return Some((sps, st.yPlane, st.cbPlane, st.crPlane))
           case _ => () // SEI / AUD / others skipped
         }
@@ -562,6 +568,7 @@ object H264Codec {
         dpb = Nil
         ltDpb = Nil
         maxLtIdxPlus1 = 0
+        prevRefFrameNum = -1
         poc.reset()
         None
       }
@@ -658,7 +665,8 @@ object H264Codec {
     * dec_ref_pic_marking syntax only when it is non-zero). */
   private def decodeSlice(r: BitReader, sps: Sps, pps: Pps, idr: Boolean,
       refIdc: Int, dpb: List[FrameState], pocState: PocState,
-      ltRefs: List[FrameState] = Nil): FrameState = {
+      ltRefs: List[FrameState] = Nil, prevRefFrameNum: Int = -1)
+      : FrameState = {
     // slice_header (7.3.3). `dpb` = short-term references, most recent
     // first; `ltRefs` = long-term references sorted by ascending
     // LongTermFrameIdx (8.2.5.4 marking state, r14).
@@ -683,6 +691,25 @@ object H264Codec {
       throw new H264Format("direct_8x8_inference_flag 0 out of scope")
     r.ue() // pps id
     val frameNum = r.u(sps.log2MaxFrameNum)
+    // frame_num continuity (7.4.3): a reference picture must carry
+    // PrevRefFrameNum + 1 (mod MaxFrameNum); non-reference pictures
+    // that value or PrevRefFrameNum itself. A GAP means access units
+    // are MISSING (dropped packets, a truncated stream): decoding on
+    // would silently predict from the wrong references — the exact
+    // silent mis-decode the correct-or-refuse posture forbids — and
+    // the 8.2.5.2 non-existing-frame machinery that conformant gappy
+    // streams rely on is out of scope. Reject loudly; the next IDR
+    // recovers (the GopDecoder's poisoning discipline). -1 = unknown
+    // previous state (fresh or seeded decoder): check skipped.
+    if (!idr && prevRefFrameNum >= 0) {
+      val expect = (prevRefFrameNum + 1) % (1 << sps.log2MaxFrameNum)
+      val ok =
+        if (refIdc != 0) frameNum == expect
+        else frameNum == expect || frameNum == prevRefFrameNum
+      if (!ok)
+        throw new H264Format(
+          s"frame_num gap ($prevRefFrameNum -> $frameNum) out of scope")
+    }
     if (idr) r.ue() // idr_pic_id
     // POC (8.2.1.1, type 0): lsb at the SPS-declared width, MSB
     // repaired against the previous REFERENCE picture's (zeroed at an

@@ -105,4 +105,23 @@ class H264LongTermSpec extends AnyFunSuite {
       g2.decodeAu(bad) // must not throw
     }
   }
+
+  test("frame_num gap: a missing access unit rejects, never silently " +
+      "predicts from the wrong reference (7.4.3)") {
+    // an IPPP GOP with AU 2 DROPPED from the feed: before r14 the
+    // decoder would decode AU 3 against frame 1 silently; now the
+    // continuity check rejects it and the next IDR recovers
+    val fr = frames(48, 32, 5)
+    val payloads = H264Codec.encodeGop(fr, qp = 26)
+    val g = new H264Codec.GopDecoder
+    assert(g.decodeAu(payloads(0)).isDefined)
+    assert(g.decodeAu(payloads(1)).isDefined)
+    assert(g.decodeAu(payloads(3)).isEmpty, "gapped AU must reject")
+    // poisoning holds for the dependent, recovery via the IDR
+    assert(g.decodeAu(payloads(4)).isEmpty)
+    assert(g.decodeAu(payloads(0)).isDefined)
+    // the full, ungapped feed still decodes end to end
+    val g2 = new H264Codec.GopDecoder
+    assert(payloads.forall(p => g2.decodeAu(p).isDefined))
+  }
 }
