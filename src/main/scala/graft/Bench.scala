@@ -121,6 +121,7 @@ object Bench {
     "q_events_hourly" -> (0.2, 0.9),
     "q_flac_archive" -> (0.4, 1.2), // r14 seed: r12 0.73 / r13 0.86
     "q_glicko_ratings" -> (2.1, 3.6),
+    "q_h264_cabac_pb_roundtrip" -> (0.5, 1.3), // r15 seed: r14 artifact 0.75 / judge idle 1.04 (±0.3 sub-second floor)
     "q_h264_multiref_roundtrip" -> (0.9, 1.5), // r14 seed: 1.04/1.11/1.28
     "q_h264_pslice_roundtrip" -> (0.3, 1.0), // r14 seed: 0.50/0.64/0.76
     "q_jpeg_roundtrip" -> (0.1, 0.5),
