@@ -55,7 +55,49 @@ object Multimodal {
       MediaCodecs.decodeY4m(payload).map(MediaCodecs.y4mFeatures).getOrElse(decodeStub(payload))
     else if (H264Codec.isH264(payload))
       H264Codec.decode(payload).map(MediaCodecs.bmpFeatures).getOrElse(decodeStub(payload))
+    else if (WebmDemux.isWebm(payload))
+      WebmDemux.demux(payload).map(webmFeatures(payload, _)).getOrElse(decodeStub(payload))
     else decodeStub(payload)
+
+  /** Stream-level features for WebM/Matroska payloads (r15): real
+    * structure from the EBML demux — dims, frame count, keyframe
+    * ratio, mean frame size — plus a hash over the DEMUXED frame
+    * payloads in stream order. Deliberately container-layout-invariant
+    * (re-muxing the same stream with a different cluster split,
+    * sized/streaming form, or block grouping yields the identical
+    * vector; across LACING changes only the keyframe-ratio component
+    * may move, since Matroska keyframe flags are per block — pinned in
+    * WebmDemuxSpec), which the whole-file `decodeStub`
+    * can't offer. VP8/VP9/AV1 PIXEL decode stays refused (CATALOG
+    * adjudication — probability-table mass fails the honest-witness
+    * bar, the AAC reasoning), so these are the honest maximum. */
+  def webmFeatures(payload: Array[Byte], info: WebmDemux.WebmInfo): Array[Float] = {
+    val t = info.videoTrack
+    val out = new Array[Float](FeatureDim)
+    out(0) = t.width.toFloat / 4096f
+    out(1) = t.height.toFloat / 4096f
+    out(2) = math.min(t.nFrames, 100000).toFloat / 100000f
+    out(3) = if (t.nFrames == 0) 0f else t.keyframeCount.toFloat / t.nFrames
+    out(4) = if (t.nFrames == 0) 0f
+      else math.min(t.totalFrameBytes.toDouble / t.nFrames, 1e7).toFloat / 1e7f
+    out(5) = math.min(info.tracks.length, 64).toFloat / 64f
+    var h = 1125899906842597L
+    var fi = 0
+    while (fi < t.nFrames) {
+      val f = t.frames(fi)
+      var i = f.offset.toInt
+      val end = i + f.size
+      while (i < end) { h = 31 * h + payload(i); i += 1 }
+      fi += 1
+    }
+    var k = 6
+    while (k < FeatureDim) {
+      val x = h ^ (h >>> 29) ^ (k.toLong * 0x9E3779B97F4A7C15L)
+      out(k) = (x % 1000003L).toFloat / 1000003f
+      k += 1
+    }
+    out
+  }
 
   /** STUB: stands in for decode + feature extraction of formats that
     * need codecs this container doesn't ship (JPEG went native in r7
@@ -73,12 +115,15 @@ object Multimodal {
     * B slices, weighted prediction (explicit P/B + implicit bipred,
     * including the x264 weightp=2 reference-duplication shape via
     * ref_pic_list_modification), and high-profile CAVLC — Intra_8x8 +
-    * the 8x8 transform, intra and inter, with chroma QP offsets.
-    * What remains stubbed: CABAC 8x8 residuals (ctxBlockCat-5 context
-    * families — see the SURVEY r13 scope note on why a half-confident
-    * transcription would be worse than the loud refusal),
-    * cabac_init_idc 1/2, long-term references, interlace, and AAC
-    * audio (codebooks unverifiable in-container). */
+    * the 8x8 transform, intra and inter, with chroma QP offsets; r14
+    * added CABAC 8x8 residuals (ctxBlockCat 5, contexts 399-435),
+    * long-term references + the full MMCO set, and POC type 1; r15
+    * added the WebM/Matroska CONTAINER layer ([[WebmDemux]] — real
+    * stream-level features + frame sampling via [[webmFeatures]]).
+    * What remains stubbed, each under a written CATALOG adjudication:
+    * VP8/VP9/AV1 pixel decode (probability-table mass fails the
+    * honest-witness bar), cabac_init_idc 1/2, interlace, and AAC/MP3/
+    * Opus audio (codebooks unverifiable in-container). */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
     var h = 1125899906842597L
@@ -194,7 +239,28 @@ object Multimodal {
                   .map(MediaCodecs.bmpFeatures).getOrElse(decodeStub(sample))
                 (m.mediaId, i, sample.length, feats)
               }
-            case _ =>
+            case _ => WebmDemux.demux(m.payload) match {
+              case Some(winfo) if winfo.videoTrack.nFrames > 0 =>
+                // REAL WebM frame sampling (r15): exact per-frame byte
+                // ranges from the EBML cluster walk, lacing resolved;
+                // evenly spaced in PRESENTATION order (block-timestamp
+                // sort — stable on ties so laced frames keep stream
+                // order). VP8/VP9/AV1 pixel decode is adjudicated out
+                // (CATALOG), so features are the stub over the TRUE
+                // frame payload — sampling itself is real.
+                val t = winfo.videoTrack
+                val order = t.frames.indices
+                  .sortBy(i => (t.frames(i).timestampTicks, i))
+                val step = math.max(1, t.nFrames / n)
+                (0 until n).iterator.map { i =>
+                  val idx = order(math.min(i.toLong * step, t.nFrames - 1).toInt)
+                  // same guard as the MP4 branch: a bad frame poisons
+                  // only its slot, not the row
+                  val fb = try WebmDemux.frameBytes(m.payload, t, idx)
+                    catch { case scala.util.control.NonFatal(_) => Array.empty[Byte] }
+                  (m.mediaId, i, fb.length, decodeStub(fb))
+                }
+              case _ =>
               val step = math.max(1, m.payload.length / n)
               (0 until n).iterator.map { i =>
                 val start = math.min(i.toLong * step, math.max(0, m.payload.length - 1)).toInt
@@ -202,6 +268,7 @@ object Multimodal {
                 val slice = java.util.Arrays.copyOfRange(m.payload, start, end)
                 (m.mediaId, i, slice.length, decodeStub(slice))
               }
+            }
           }
         }
       }
@@ -342,6 +409,8 @@ object Multimodal {
         .orElse(H264Codec.describe(m.payload))
         .orElse(Mp4Demux.demux(m.payload)
           .map(info => (info.videoTrack.width, info.videoTrack.nSamples)))
+        .orElse(WebmDemux.demux(m.payload)
+          .map(info => (info.videoTrack.width, info.videoTrack.nFrames)))
         .getOrElse((-1, -1))
       // PNG/JPEG stream lengths are encoder-dependent, not format contract
       val nBytes = if (MediaCodecs.isPng(m.payload) || JpegCodec.isJpeg(m.payload)) -1

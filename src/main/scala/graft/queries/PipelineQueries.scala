@@ -2455,6 +2455,98 @@ object PipelineQueries {
              |  CAST(n AS BIGINT) AS duration
              |FROM d JOIN b USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // native WebM/Matroska EBML demux (WebmDemux, r15) end-to-end: per
+    // doc a spec-valid file is muxed with closed-form frame
+    // counts/sizes/dims/layout — lacing mode cycles Xiph/fixed/EBML,
+    // cluster split, sized vs unknown-size (streaming) form, and
+    // SimpleBlock vs BlockGroup all vary by doc — then demuxed back.
+    // Every structural field (doc type, codec ID, track count, frame
+    // count, the lacing-resolved total frame bytes, dims, keyframe
+    // count = cluster count) is integer-exact and SQL-replayable;
+    // `frames_ok` pins per-frame byte ranges + block timestamps +
+    // keyframe flags against the planted layout (margins in
+    // WebmDemuxSpec). VP8/VP9/AV1 PIXEL decode is refused under the
+    // CATALOG adjudication — the container walk is the witnessable
+    // layer, and it is fully witnessed here.
+    "q_webm_demux" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 150)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val len = text.codePointCount(0, text.length)
+            val n = 3 + (len % 6)
+            val frames = (0 until n).map(i =>
+              Array.tabulate(8 + ((len + 5 * i) % 9))(k =>
+                ((id * 17 + i * 7 + k) % 251).toByte))
+            val w = 16 * (1 + (len % 5))
+            val h = 16 * (1 + ((len + id) % 4).toInt)
+            val codec = (id % 3) match {
+              case 0 => "V_VP8"; case 1 => "V_VP9"; case _ => "V_AV1"
+            }
+            val laceSize = 1 + (len % 3)
+            val bpc = 2 + (id % 2).toInt
+            val audio = if (id % 6 == 0)
+              Some(("A_OPUS", 48000.0, 2, (0 until 2).map(i =>
+                Array.tabulate(11 + i)(k => ((id + 19 * i + k) % 251).toByte)).toSeq))
+            else None
+            val bytes = graft.pipeline.WebmDemux.encodeWebm(
+              frames, w, h, codecId = codec, laceSize = laceSize,
+              blocksPerCluster = bpc, ticksPerFrame = 40,
+              unknownSizeClusters = id % 4 == 0,
+              useBlockGroups = id % 5 == 0, audio = audio)
+            val info = graft.pipeline.WebmDemux.demux(bytes).get
+            val vt = info.videoTrack
+            // per-frame witness: exact bytes, block-derived timestamp
+            // (blockIdx * laceSize * 40), keyframe = first block of its
+            // cluster — all against the planted layout
+            val framesOk = vt.nFrames == n && frames.indices.forall { j =>
+              val blockIdx = j / laceSize
+              java.util.Arrays.equals(
+                graft.pipeline.WebmDemux.frameBytes(bytes, vt, j), frames(j)) &&
+                vt.frames(j).timestampTicks == blockIdx.toLong * laceSize * 40 &&
+                vt.frames(j).keyframe == (blockIdx % bpc == 0)
+            } && audio.forall { case (_, _, _, af) =>
+              val at = info.tracks.find(_.trackType == 2).get
+              at.nFrames == af.length && af.indices.forall(j =>
+                java.util.Arrays.equals(
+                  graft.pipeline.WebmDemux.frameBytes(bytes, at, j), af(j)))
+            }
+            // keyframeCount counts FRAMES carrying the flag — laced
+            // frames share their block's flag, so a keyframe block of
+            // laceSize frames contributes laceSize
+            val kfExpected = frames.indices.count(j => (j / laceSize) % bpc == 0)
+            (id, info.docType, vt.codecId, info.tracks.length, vt.nFrames,
+              vt.totalFrameBytes, vt.width, vt.height,
+              vt.keyframeCount, framesOk && vt.keyframeCount == kfExpected)
+          }
+          .toDF("doc_id", "doc_type", "codec", "n_tracks", "n_frames",
+            "total_frame_bytes", "width", "height", "keyframes", "frames_ok")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(doc_id AS BIGINT) AS doc_id, len(text) AS l,
+             |         3 + len(text) % 6 AS n,
+             |         1 + len(text) % 3 AS ls,
+             |         2 + doc_id % 2 AS bpc
+             |  FROM documents WHERE doc_id < 150),
+             |b AS (
+             |  SELECT doc_id, sum(8 + (l + 5 * i) % 9)::BIGINT AS tb,
+             |         sum(CASE WHEN ((i // ls) % bpc) = 0 THEN 1 ELSE 0 END) AS kf
+             |  FROM d, UNNEST(generate_series(0, n - 1)) t(i) GROUP BY doc_id)
+             |SELECT d.doc_id, 'webm' AS doc_type,
+             |  CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'V_VP8'
+             |       WHEN 1 THEN 'V_VP9' ELSE 'V_AV1' END AS codec,
+             |  CAST(CASE WHEN d.doc_id % 6 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks,
+             |  CAST(n AS INT) AS n_frames, b.tb AS total_frame_bytes,
+             |  CAST(16 * (1 + l % 5) AS INT) AS width,
+             |  CAST(16 * (1 + (l + d.doc_id) % 4) AS INT) AS height,
+             |  CAST(b.kf AS INT) AS keyframes,
+             |  true AS frames_ok
+             |FROM d JOIN b USING (doc_id) ORDER BY doc_id""".stripMargin),
+      bench = true),
+
     // native H.264 intra codec (H264Codec, r8) end-to-end THROUGH the MP4
     // container: deterministic gradient frames (closed-form dims) →
     // encode as I_PCM IDR AVCC samples → mux (Mp4Demux.encodeMp4) →
