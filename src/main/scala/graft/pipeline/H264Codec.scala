@@ -190,7 +190,10 @@ object H264Codec {
       log2MaxPocLsb: Int = 16, direct8x8Inference: Boolean = true,
       // POC type 1 (8.2.1.2): the expected-POC cycle description
       pocDeltaAlwaysZero: Boolean = false, pocOffsetNonRef: Int = 0,
-      pocCycle: Seq[Int] = Nil, pocOffsetTopToBottom: Int = 0) {
+      pocCycle: Seq[Int] = Nil, pocOffsetTopToBottom: Int = 0,
+      // 7.4.2.1.1: frame_num gaps are CONFORMANT when this is set —
+      // the 8.2.5.2 non-existing-frame process fills them (r15)
+      gapsAllowed: Boolean = false) {
     def width: Int = widthMbs * 16 - 2 * cropRight
     def height: Int = heightMbs * 16 - 2 * cropBottom
   }
@@ -243,7 +246,7 @@ object H264Codec {
     if (log2MaxPocLsb > 16) throw new H264Format(s"log2_max_poc_lsb $log2MaxPocLsb > 16")
     val maxRef = r.ue() // max_num_ref_frames: bounds the decoder's DPB ring
     if (maxRef > 16) throw new H264Format(s"max_num_ref_frames $maxRef > 16")
-    r.u1() // gaps_in_frame_num
+    val gapsAllowed = r.u1() == 1 // gaps_in_frame_num_value_allowed_flag
     val wMbs = r.ue() + 1
     val hMap = r.ue() + 1
     val frameMbsOnly = r.u1()
@@ -257,7 +260,7 @@ object H264Codec {
     r.u1() // vui_present (ignored if absent; VUI payload not parsed)
     Sps(profile, level, log2MaxFrameNum, poc, wMbs, hMap, cropR, cropB,
       math.max(1, maxRef), log2MaxPocLsb, d8x8,
-      pocAlwaysZero, pocNonRef, pocCycle, pocOffTB)
+      pocAlwaysZero, pocNonRef, pocCycle, pocOffTB, gapsAllowed)
   }
 
   private def parsePps(r: BitReader): Pps = {
@@ -447,6 +450,48 @@ object H264Codec {
     private var prevRefFrameNum = -1 // 7.4.3 continuity; -1 = unknown
     private val poc = new PocState
 
+    /** 8.2.5.2: fill a CONFORMANT frame_num gap (gaps_allowed = 1) by
+      * inserting "non-existing" frames for every UnusedShortTermFrameNum
+      * in (PrevRefFrameNum, curFrameNum) mod MaxFrameNum. Each inserted
+      * frame is marked short-term used-for-reference through the same
+      * 8.2.5.3 sliding window a real frame rides (it can evict, and be
+      * evicted by, real frames), so PicNum-ordered default lists place
+      * later REAL references at the spec-exact ref_idx. POC: type 1
+      * derives per 8.2.1.2 with the per-slice deltas inferred 0 (this
+      * also keeps the FrameNumOffset wrap accumulator honest); type 2
+      * carries no POC here (P-only decode order); type 0's
+      * pic_order_cnt_lsb lives in the slice header a non-existing frame
+      * does not have — B-list ordering would be underivable, so type-0
+      * gaps refuse (correct-or-refuse, documented in CATALOG). */
+    private def fillFrameNumGap(curFrameNum: Int): List[FrameState] = {
+      if (sps.picOrderCntType == 0)
+        throw new H264Format(
+          "frame_num gap under POC type 0 out of scope (no derivable poc lsb)")
+      val maxFn = 1 << sps.log2MaxFrameNum
+      val cap = math.max(1, sps.maxRefFrames)
+      var un = (prevRefFrameNum + 1) % maxFn
+      var guard = 0
+      while (un != curFrameNum) {
+        guard += 1
+        if (guard > maxFn) throw new H264Format("gap fill overrun")
+        val f = new FrameState(sps.widthMbs, sps.heightMbs)
+        f.nonExisting = true
+        f.frameNum = un
+        if (sps.picOrderCntType == 1)
+          f.poc = framePocType1(sps, idr = false, refIdc = 1, un,
+            delta0 = 0, delta1 = 0, poc)
+        if (dpb.length + ltDpb.length >= cap) {
+          if (dpb.isEmpty)
+            throw new H264Format("sliding window with no short-term to evict")
+          dpb = dpb.dropRight(1)
+        }
+        dpb = f :: dpb
+        prevRefFrameNum = un
+        un = (un + 1) % maxFn
+      }
+      dpb
+    }
+
     /** Apply this reference picture's dec_ref_pic_marking to the DPB
       * (8.2.5): the MMCO list in stream order when adaptive, else the
       * 8.2.5.3 sliding window (oldest short-term out). A conformant
@@ -483,6 +528,8 @@ object H264Codec {
             val px = st.frameNum - (a1 + 1)
             val t = dpb.find(f => picNum(f) == px).getOrElse(
               throw new H264Format(s"MMCO 3: no short-term PicNum $px"))
+            if (t.nonExisting) // 8.2.5.2: may not be marked long-term
+              throw new H264Format("MMCO 3 on a non-existing frame")
             if (a2 >= maxLtIdxPlus1)
               throw new H264Format(s"MMCO 3: idx $a2 >= max $maxLtIdxPlus1")
             dpb = dpb.filterNot(_ eq t)
@@ -536,7 +583,8 @@ object H264Codec {
             if (sps == null || pps == null) throw new H264Format("slice before SPS/PPS")
             val refIdc = (hdr >> 5) & 3
             val st = decodeSlice(new BitReader(unescape(p, s + 1, e)), sps, pps,
-              idr = nalType == 5, refIdc, dpb, poc, ltDpb, prevRefFrameNum)
+              idr = nalType == 5, refIdc, dpb, poc, ltDpb, prevRefFrameNum,
+              fillFrameNumGap)
             // DPB update: an IDR resets both marking sets (8.2.5.1;
             // long_term_reference_flag self-marks it long-term at idx
             // 0); a non-IDR reference picture applies its marking;
@@ -664,9 +712,15 @@ object H264Codec {
     * = the NAL header's nal_ref_idc (non-IDR slices carry
     * dec_ref_pic_marking syntax only when it is non-zero). */
   private def decodeSlice(r: BitReader, sps: Sps, pps: Pps, idr: Boolean,
-      refIdc: Int, dpb: List[FrameState], pocState: PocState,
-      ltRefs: List[FrameState] = Nil, prevRefFrameNum: Int = -1)
+      refIdc: Int, dpb0: List[FrameState], pocState: PocState,
+      ltRefs: List[FrameState] = Nil, prevRefFrameNum: Int = -1,
+      gapFill: Int => List[FrameState] = _ =>
+        throw new H264Format("frame_num gap fill outside a GOP decode"))
       : FrameState = {
+    // `dpb` may grow before the current picture decodes: a conformant
+    // frame_num gap (gaps_allowed=1) inserts 8.2.5.2 non-existing
+    // frames via `gapFill`, and the reference lists below must see them
+    var dpb = dpb0
     // slice_header (7.3.3). `dpb` = short-term references, most recent
     // first; `ltRefs` = long-term references sorted by ascending
     // LongTermFrameIdx (8.2.5.4 marking state, r14).
@@ -693,22 +747,28 @@ object H264Codec {
     val frameNum = r.u(sps.log2MaxFrameNum)
     // frame_num continuity (7.4.3): a reference picture must carry
     // PrevRefFrameNum + 1 (mod MaxFrameNum); non-reference pictures
-    // that value or PrevRefFrameNum itself. A GAP means access units
-    // are MISSING (dropped packets, a truncated stream): decoding on
-    // would silently predict from the wrong references — the exact
-    // silent mis-decode the correct-or-refuse posture forbids — and
-    // the 8.2.5.2 non-existing-frame machinery that conformant gappy
-    // streams rely on is out of scope. Reject loudly; the next IDR
-    // recovers (the GopDecoder's poisoning discipline). -1 = unknown
-    // previous state (fresh or seeded decoder): check skipped.
+    // that value or PrevRefFrameNum itself. When the SPS sets
+    // gaps_in_frame_num_value_allowed_flag (r15), a gap is CONFORMANT
+    // (temporal-scalability or RTP-origin streams) and the 8.2.5.2
+    // non-existing-frame process fills it — `gapFill` inserts frames
+    // for every UnusedShortTermFrameNum so PicNum accounting, sliding-
+    // window eviction, and default-list positions stay spec-exact.
+    // With the flag CLEAR a gap means access units are MISSING
+    // (dropped packets, a truncated stream): decoding on would
+    // silently predict from the wrong references — reject loudly; the
+    // next IDR recovers (the GopDecoder's poisoning discipline). -1 =
+    // unknown previous state (fresh or seeded decoder): check skipped.
     if (!idr && prevRefFrameNum >= 0) {
       val expect = (prevRefFrameNum + 1) % (1 << sps.log2MaxFrameNum)
       val ok =
         if (refIdc != 0) frameNum == expect
         else frameNum == expect || frameNum == prevRefFrameNum
-      if (!ok)
-        throw new H264Format(
+      if (!ok) {
+        if (sps.gapsAllowed && frameNum != prevRefFrameNum)
+          dpb = gapFill(frameNum)
+        else throw new H264Format(
           s"frame_num gap ($prevRefFrameNum -> $frameNum) out of scope")
+      }
     }
     if (idr) r.ue() // idr_pic_id
     // POC (8.2.1.1, type 0): lsb at the SPS-declared width, MSB
@@ -2390,6 +2450,10 @@ object H264Codec {
       if (directZero || ref1 < 0) (0, 0)
       else mvPredict(st, bx0, by0, 4, 0, ref1, list = 1)
     val col = refs1.head // colocated picture: first entry of list 1
+    // a non-existing colocated picture has no motion grid to read —
+    // its zeros would silently mis-derive direct motion (8.2.5.2)
+    if (col.nonExisting)
+      throw new H264Format("direct mode over a non-existing colocated frame (8.2.5.2)")
     Array.tabulate(4) { q =>
       val qx = q & 1; val qy = q >> 1
       // direct_8x8_inference: each quadrant reads the frame-corner 4x4
@@ -2425,6 +2489,8 @@ object H264Codec {
       mx: Int, my: Int)
       : Array[(Option[(Int, Int, Int)], Option[(Int, Int, Int)])] = {
     val col = refs1.head
+    if (col.nonExisting)
+      throw new H264Format("direct mode over a non-existing colocated frame (8.2.5.2)")
     Array.tabulate(4) { q =>
       val cx = mx * 4 + (if ((q & 1) == 0) 0 else 3)
       val cy = my * 4 + (if ((q >> 1) == 0) 0 else 3)
@@ -2626,6 +2692,9 @@ object H264Codec {
       p1: Option[(FrameState, Int, Int, Int)],
       bx: Int, by: Int, w4: Int, h4: Int): Unit = {
     require(p0.isDefined || p1.isDefined, "B partition with no list")
+    // 8.2.5.2: non-existing frames carry no samples — see mcPartition
+    if (p0.exists(_._1.nonExisting) || p1.exists(_._1.nonExisting))
+      throw new H264Format("inter prediction from a non-existing frame (8.2.5.2)")
     val lumaW = st.lumaW
     val bw = w4 * 4; val bh = h4 * 4
     // implicit weights are per reference-pair, shared by both planes
@@ -3118,6 +3187,10 @@ object H264Codec {
     * the MV + refIdx grid. */
   private def mcPartition(st: FrameState, ref: FrameState, bx: Int, by: Int,
       w4: Int, h4: Int, vx: Int, vy: Int, refIdx: Int = 0): Unit = {
+    // a conformant stream never predicts from an 8.2.5.2-inserted
+    // frame (it has no samples); doing so is a defect, not a gap
+    if (ref.nonExisting)
+      throw new H264Format("inter prediction from a non-existing frame (8.2.5.2)")
     val lumaW = st.lumaW
     val wp = if (st.wpTab != null) st.wpTab(0)(refIdx) else null
     val pl = mcLuma(ref.yPlane, lumaW, st.hMbs * 16, bx * 4, by * 4, vx, vy,
@@ -3482,6 +3555,11 @@ object H264Codec {
       * MMCO 3/6 or the IDR long_term_reference_flag); -1 = short-term
       * or non-reference. For frame coding LongTermPicNum == this. */
     var longTermIdx: Int = -1
+    /** 8.2.5.2 "non-existing" frame inserted to fill a conformant
+      * frame_num gap: it occupies a DPB slot (PicNum/FrameNumWrap and
+      * sliding-window accounting see it) but carries no samples — any
+      * inter prediction FROM it is a stream defect and throws. */
+    var nonExisting: Boolean = false
     /** dec_ref_pic_marking outcome parsed from THIS picture's slice
       * header, consumed by the GopDecoder's DPB update after decode:
       * the IDR long_term_reference_flag, and the adaptive MMCO list as
@@ -4168,7 +4246,8 @@ object H264Codec {
       refFrames: Int = 1, pocLsbBits: Int = 0, profile: Int = 66,
       cabac: Boolean = false, t8x8: Boolean = false, chromaQpOff: Int = 0,
       weightedPred: Boolean = false, weightedBipredIdc: Int = 0,
-      pocType1: Option[(Int, Seq[Int])] = None)
+      pocType1: Option[(Int, Seq[Int])] = None,
+      gapsAllowed: Boolean = false)
       : (Array[Byte], Array[Byte]) = {
     require(!t8x8 || profile == 100, "8x8 transform needs high profile")
     val sw = new BitWriter
@@ -4202,7 +4281,7 @@ object H264Codec {
         else sw.ue(2) // pic_order_cnt_type 2
     }
     sw.ue(refFrames) // max_num_ref_frames
-    sw.u1(0) // gaps
+    sw.u1(if (gapsAllowed) 1 else 0) // gaps_in_frame_num_value_allowed
     sw.ue(wMbs - 1); sw.ue(hMbs - 1)
     sw.u1(1) // frame_mbs_only
     sw.u1(1) // direct_8x8_inference
@@ -4268,7 +4347,8 @@ object H264Codec {
       profile: Int = 66, cabac: Boolean = false, intra8x8: Boolean = false,
       chromaQpOff: Int = 0, idrLongTerm: Boolean = false,
       pocType1Delta: Option[Int] = None,
-      pocType1Sps: Option[(Int, Seq[Int])] = None)
+      pocType1Sps: Option[(Int, Seq[Int])] = None,
+      gapsAllowed: Boolean = false)
       : (Array[Byte], FrameState) = {
     require(!intra4x4 || qp >= 0, "intra4x4 needs a compressed qp (0..51)")
     require(!deblock || qp >= 0, "deblocking needs a compressed qp (0..51)")
@@ -4288,7 +4368,8 @@ object H264Codec {
       else profile
     val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB, refFrames,
       pocLsbBits, effProfile, cabac, t8x8 = intra8x8,
-      chromaQpOff = chromaQpOff, pocType1 = pocType1Sps)
+      chromaQpOff = chromaQpOff, pocType1 = pocType1Sps,
+      gapsAllowed = gapsAllowed)
 
     // IDR slice
     require(qp >= -1 && qp <= 51, s"qp $qp")
@@ -6620,6 +6701,89 @@ object H264Codec {
       // idc-0 modification addresses f2 by its REBASED PicNum 0
       // (pred 2 - (diff_minus1 1 + 1)): no rebase -> no match -> reject
       p(4, 2, IndexedSeq(f2, f3), 2, listMod = List((0, 1)))
+    }
+    val g = new GopDecoder
+    val decoded = payloads.map { pl =>
+      try g.decodeAuYuv(pl).map(t => (t._2, t._3, t._4))
+      catch { case _: Exception => None }
+    }
+    (payloads.toSeq, recons.toSeq, decoded.toSeq)
+  }
+
+  /** 8.2.5.2 frame_num-gap witness (r15): encoder-side scripts that
+    * emit LEGAL gaps under gaps_in_frame_num_value_allowed_flag = 1,
+    * with every existing P frame referencing a REAL frame through a
+    * ref_idx that is only correct if the decoder inserted the
+    * non-existing frames at their spec-exact default-list positions
+    * (PicNum-descending) and ran sliding-window eviction over them.
+    * Legs: 0 = two gaps of different widths (1 and 2) with NE frames
+    * both evicting and being evicted; 1 = a 12-wide gap then a gap
+    * CROSSING the MaxFrameNum wrap (…14, 15, 0…); 2 = a stream DEFECT
+    * that references a non-existing frame (decoder must refuse, not
+    * predict from zeros); 3 = leg-0's exact script with the SPS flag
+    * CLEAR (every post-gap frame must refuse — the r14 7.4.3 gate);
+    * 4 = MMCO 3 addressing a non-existing frame (8.2.5.2 forbids
+    * long-term marking of them — must refuse). */
+  private[graft] def frameGapGopForTest(frames: Seq[MediaCodecs.Bmp],
+      qp: Int, leg: Int)
+      : (Seq[Array[Byte]],
+         Seq[(Array[Byte], Array[Byte], Array[Byte])],
+         Seq[Option[(Array[Byte], Array[Byte], Array[Byte])]]) = {
+    require(frames.length == 4, "the frame-gap legs are 4-frame scripts")
+    val maxRef = if (leg == 1) 16 else 3
+    val gaps = leg != 3
+    val (idrBytes, f0) = encodeImpl(frames.head, avcc = true, qp = qp,
+      intra4x4 = false, (_, b, _) => b, refFrames = maxRef,
+      gapsAllowed = gaps)
+    val (wMbs, hMbs, cropR, cropB) = mbGeometry(frames.head)
+    val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB, maxRef,
+      gapsAllowed = gaps)
+    f0.frameNum = 0
+    val payloads = ArrayBuffer(idrBytes)
+    val recons = ArrayBuffer(
+      (f0.yPlane.clone(), f0.cbPlane.clone(), f0.crPlane.clone()))
+    // encoder-side stand-in for a decoder-inserted non-existing frame:
+    // occupies its ref_idx slot; the forced pattern never reads it
+    def ne(): FrameState = {
+      val f = new FrameState(wMbs, hMbs); f.nonExisting = true; f
+    }
+    def p(i: Int, fn: Int, refs: IndexedSeq[FrameState], ri: Int,
+        mmco: List[(Int, Int, Int)] = Nil): FrameState = {
+      val (yP, cbP, crP) = toYuv420(frames(i), wMbs, hMbs)
+      val (nal, st) = encodePFrame(yP, cbP, crP, refs, qp, frameNum = fn,
+        searchRange = 2, forcedMv = None, intraEvery = 0,
+        refFrames = maxRef, forcedRefIdx = Some((_, _) => ri), mmco = mmco)
+      st.frameNum = fn
+      payloads += frameNals(avcc = true, spsNal, ppsNal, nal)
+      recons += ((st.yPlane.clone(), st.cbPlane.clone(), st.crPlane.clone()))
+      st
+    }
+    if (leg == 0 || leg == 3) {
+      // decoder DPB after each fill, newest first (cap 3):
+      // fn 2: [NE1, f0]              -> real f0 at ref_idx 1
+      // fn 5: [NE4, NE3, f1]         -> f0 AND NE1 slid out; f1 at 2
+      // fn 6: [f2, NE4, NE3]         -> f2 at 0
+      val f1 = p(1, 2, IndexedSeq(ne(), f0), 1)
+      val f2 = p(2, 5, IndexedSeq(ne(), ne(), f1), 2)
+      p(3, 6, IndexedSeq(f2, ne(), ne()), 0)
+    } else if (leg == 1) {
+      // cap 16 keeps f0 across a 12-wide gap (ref_idx 12), then the
+      // next gap crosses the frame_num wrap: …NE14, NE15, NE0, fn 1
+      val f1 = p(1, 13, IndexedSeq.fill(12)(ne()) :+ f0, 12)
+      val f2 = p(2, 1, IndexedSeq(ne(), ne(), ne(), f1), 3)
+      p(3, 2, IndexedSeq(f2), 0)
+    } else if (leg == 2) {
+      // DEFECT: ref_idx 0 resolves to NE1 on the decoder side (the
+      // encoder predicts from a real frame so the stream is
+      // well-formed); the decoder must refuse, never emit zeros
+      p(1, 2, IndexedSeq(f0, f0), 0)
+      p(2, 3, IndexedSeq(f0, f0, f0), 0) // poisoned until an IDR
+      p(3, 4, IndexedSeq(f0, f0, f0), 0)
+    } else {
+      // leg 4: MMCO 3 (short->long) addressed at PicNum 1 = NE1
+      p(1, 2, IndexedSeq(ne(), f0), 1, mmco = List((4, 1, 0), (3, 0, 0)))
+      p(2, 3, IndexedSeq(f0, f0), 1) // post-throw state: must not decode
+      p(3, 4, IndexedSeq(f0, f0), 1)
     }
     val g = new GopDecoder
     val decoded = payloads.map { pl =>

@@ -3131,6 +3131,71 @@ object PipelineQueries {
     // modification); `mmco5_ok` pins the op-5 full reset (the rebased
     // frame_num addressed by post-reset PicNum). Marking state machine
     // + hostile rows in H264LongTermSpec.
+    // 8.2.5.2 non-existing frames (r15): CONFORMANT frame_num gaps
+    // under gaps_in_frame_num_value_allowed_flag=1 — every existing P
+    // frame's ref_idx resolves THROUGH the decoder-inserted entries,
+    // so a wrong insertion count/order/eviction breaks plane parity.
+    // `gap_ok` = leg 0 (widths 1 and 2, NE frames evicting and being
+    // evicted); `wrap_ok` = leg 1 (12-wide gap + a gap crossing the
+    // MaxFrameNum wrap); `refuse_ok` = legs 2-4 all refuse (predicting
+    // FROM a non-existing frame, the flag-0 r14 gate, MMCO 3 on an
+    // inserted frame). Witness stack in H264FrameGapSpec.
+    "q_h264_framegap_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val len = text.codePointCount(0, text.length)
+            val w = 32 + 2 * (len % 8).toInt
+            val h = 32 + 2 * ((len + id) % 6).toInt
+            val fr = (0 until 4).map { tIdx =>
+              val rgb = new Array[Byte](w * h * 3)
+              var i = 0
+              while (i < w * h) {
+                val x = i % w; val y = i / w
+                val bg = (x * 3 + y * 5 + (x / 4) * 7 + id).toInt % 200
+                val sx = 2 + tIdx * 5
+                val v = if (x >= sx && x < sx + 8 && y >= 6 && y < 14) 255 else bg
+                rgb(i * 3) = v.toByte
+                rgb(i * 3 + 1) = ((v + 40) % 256).toByte
+                rgb(i * 3 + 2) = ((v + 90) % 256).toByte
+                i += 1
+              }
+              graft.pipeline.MediaCodecs.Bmp(w, h, rgb)
+            }
+            def run(l: Int) = graft.pipeline.H264Codec
+              .frameGapGopForTest(fr, qp = 24 + (id % 5).toInt, leg = l)
+            def parity(l: Int): Boolean = {
+              val (_, recons, decoded) = run(l)
+              recons.zip(decoded).forall { case (e, d) =>
+                d.exists { case (dy, dcb, dcr) =>
+                  java.util.Arrays.equals(dy, e._1) &&
+                    java.util.Arrays.equals(dcb, e._2) &&
+                    java.util.Arrays.equals(dcr, e._3)
+                }
+              }
+            }
+            def refuses(l: Int): Boolean = {
+              val (_, _, decoded) = run(l)
+              decoded.head.isDefined && decoded.tail.forall(_.isEmpty)
+            }
+            (id, w, h, parity(0), parity(1),
+              refuses(2) && refuses(3) && {
+                val (_, _, d4) = run(4); d4.head.isDefined && d4(1).isEmpty
+              })
+          }
+          .toDF("doc_id", "width", "height", "gap_ok", "wrap_ok",
+            "refuse_ok")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(32 + 2 * (len(text) % 8) AS INT) AS width,
+             |  CAST(32 + 2 * ((len(text) + doc_id) % 6) AS INT) AS height,
+             |  true AS gap_ok, true AS wrap_ok, true AS refuse_ok
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
     "q_h264_longterm_roundtrip" -> QueryDef(
       (s, dir) => {
         import s.implicits._
