@@ -134,7 +134,7 @@ object Bench {
     "q_top_parts_per_brand" -> (0.6, 1.3),
     "q_training_dataset" -> (6.3, 10.7),
     "q_unigram_vocab" -> (0.2, 0.9),
-    "q_video_phash_dedup" -> (3.2, 4.6), // r14 widen: bench-context 4.2-4.5 on the identical digest (isolated 3.7-3.9)
+    "q_video_phash_dedup" -> (3.2, 4.6), // r14 widen; r15 probe: NOT cache occupancy — first-run transient from preceding rows' cleanup (see CATALOG band note)
     "q_winnow_dedup" -> (2.3, 4.5))
 
   /** Short fingerprint of a query's optimized logical plan, printed next

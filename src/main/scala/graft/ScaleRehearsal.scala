@@ -38,6 +38,11 @@ object ScaleRehearsal {
     // videos for the pHash path) — one more point on each curve
     // decides bending-toward-linear vs superlinear
     if (args.contains("notch2")) { notch2(sf01, sf1Dir); return }
+    // third notch (r15): the two biggest ABSOLUTE bench rows —
+    // q_training_dataset and lda_top_terms_shuffle — get their sf3
+    // point (both were rehearsed only to sf1 through r14; the capstone
+    // at 2.2x@10x had the most headroom to hide a superlinear stage)
+    if (args.contains("notch3")) { notch3(sf01, sf1Dir); return }
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-scale-rehearsal")
@@ -125,6 +130,45 @@ object ScaleRehearsal {
     println(f"| q_pagerank | sf1 -> sf3 | 3x | ${p3 / p1}%.1fx ($p1%.2f -> $p3%.2f s) |")
     println(f"| q_video_phash | 100 -> 1000 | 10x | ${v1000 / v100}%.1fx ($v100%.2f -> $v1000%.2f s) |")
     println(f"| q_video_phash | 1000 -> 3000 | 3x | ${v3000 / v1000}%.1fx ($v1000%.2f -> $v3000%.2f s) |")
+    spark.stop()
+  }
+
+  private def notch3(sf01: String, sf1Dir: String): Unit = {
+    val sf3Dir = sys.env.getOrElse("SPARK_GRAFT_SF3_DIR", "target/sf3")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-scale-rehearsal-notch3")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // both rows read only `documents`; the 30-copy bijective token
+    // rename keeps per-copy dedup/EM structure exact while growing the
+    // vocabulary 30x — the hard direction for the shuffle-EM beta table
+    generate(spark, sf01, sf1Dir, 10, Set("documents"))
+    generate(spark, sf01, sf3Dir, 30, Set("documents"))
+    val names = Seq("q_training_dataset", "lda_top_terms_shuffle")
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      catch { case e: Throwable => System.err.println(s"[notch3] warm $n: $e") }
+    }
+    val rows = names.map { n =>
+      val a = timedMin2(spark, s"$n @sf0.1", Some(sf01)) {
+        SparkEntry.queries(n)(spark, sf01).count() }
+      val b = timedMin2(spark, s"$n @sf1", Some(sf1Dir)) {
+        SparkEntry.queries(n)(spark, sf1Dir).count() }
+      val c = timedMin2(spark, s"$n @sf3", Some(sf3Dir)) {
+        SparkEntry.queries(n)(spark, sf3Dir).count() }
+      (n, a, b, c)
+    }
+    println("\n| query | hop | data x | time x |")
+    println("|---|---|---|---|")
+    rows.foreach { case (n, a, b, c) =>
+      println(f"| $n | sf0.1 -> sf1 | 10x | ${b / a}%.1fx ($a%.2f -> $b%.2f s) |")
+      println(f"| $n | sf1 -> sf3 | 3x | ${c / b}%.1fx ($b%.2f -> $c%.2f s) |")
+    }
     spark.stop()
   }
 

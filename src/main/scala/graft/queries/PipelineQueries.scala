@@ -2547,6 +2547,82 @@ object PipelineQueries {
              |FROM d JOIN b USING (doc_id) ORDER BY doc_id""".stripMargin),
       bench = true),
 
+    // VP8/VP9/AV1 frame-HEADER layer through the WebM container (r15,
+    // CodecHeaders): spec-valid keyframe/interframe headers (RFC 6386
+    // frame tag + start code; VP9 §6.2 uncompressed header; AV1 OBU
+    // walk + sequence header) are synthesized per doc on a closed-form
+    // keyframe schedule, muxed, demuxed, and re-read from the
+    // BITSTREAM — `facts_ok` pins per-frame keyframe flags (bitstream
+    // == container == planted) and keyframe dims. Pixel decode of all
+    // three stays refused (CATALOG adjudication); this is the honest
+    // bit-structure layer above it. Field-level pins in
+    // CodecHeadersSpec.
+    "q_webm_codec_headers" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 150)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val len = text.codePointCount(0, text.length)
+            val n = 4 + (len % 5)
+            val ke = 2 + (id % 3).toInt
+            val w = 128 + 16 * (len % 6)
+            val h = 72 + 8 * (id % 5).toInt
+            val codec = (id % 3) match {
+              case 0 => "V_VP8"; case 1 => "V_VP9"; case _ => "V_AV1"
+            }
+            import graft.pipeline.CodecHeaders
+            val frames = (0 until n).map { i =>
+              val tl = Array.tabulate(10 + ((len + i) % 7))(k =>
+                ((id * 13 + i * 7 + k) % 251).toByte)
+              val key = i % ke == 0
+              codec match {
+                case "V_VP8" =>
+                  if (key) CodecHeaders.writeVp8KeyHeader(w, h, 0, tl.length, tl)
+                  else CodecHeaders.writeVp8InterHeader(0, tl.length, tl)
+                case "V_VP9" =>
+                  if (key) CodecHeaders.writeVp9KeyHeader(w, h, tl)
+                  else CodecHeaders.writeVp9InterHeader(tl)
+                case _ =>
+                  if (key) CodecHeaders.writeAv1KeyUnit(w, h, tl)
+                  else CodecHeaders.writeAv1InterUnit(tl)
+              }
+            }
+            val webm = graft.pipeline.WebmDemux.encodeWebm(frames, w, h,
+              codecId = codec, laceSize = 1,
+              blocksPerCluster = 2 + (len % 2), keyframeEvery = ke)
+            val vt = graft.pipeline.WebmDemux.demux(webm).get.videoTrack
+            val facts = (0 until vt.nFrames).map(i =>
+              graft.pipeline.CodecHeaders.frameFacts(codec,
+                graft.pipeline.WebmDemux.frameBytes(webm, vt, i)))
+            val nKeyBits = facts.count(_.exists(_._1))
+            val factsOk = vt.nFrames == n && facts.zipWithIndex.forall {
+              case (Some((key, fw, fh)), i) =>
+                key == (i % ke == 0) && key == vt.frames(i).keyframe &&
+                  (!key || (fw == w && fh == h))
+              case (None, _) => false
+            }
+            (id, codec, n, nKeyBits, w, h, factsOk)
+          }
+          .toDF("doc_id", "codec", "n_frames", "n_key", "width", "height",
+            "facts_ok")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(doc_id AS BIGINT) AS doc_id, len(text) AS l,
+             |         4 + len(text) % 5 AS n, 2 + doc_id % 3 AS ke
+             |  FROM documents WHERE doc_id < 150)
+             |SELECT doc_id,
+             |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'V_VP8'
+             |       WHEN 1 THEN 'V_VP9' ELSE 'V_AV1' END AS codec,
+             |  CAST(n AS INT) AS n_frames,
+             |  CAST((n + ke - 1) // ke AS INT) AS n_key,
+             |  CAST(128 + 16 * (l % 6) AS INT) AS width,
+             |  CAST(72 + 8 * (doc_id % 5) AS INT) AS height,
+             |  true AS facts_ok
+             |FROM d ORDER BY doc_id""".stripMargin)),
+
     // native H.264 intra codec (H264Codec, r8) end-to-end THROUGH the MP4
     // container: deterministic gradient frames (closed-form dims) →
     // encode as I_PCM IDR AVCC samples → mux (Mp4Demux.encodeMp4) →
