@@ -77,7 +77,21 @@ object Multimodal {
     out(0) = t.width.toFloat / 4096f
     out(1) = t.height.toFloat / 4096f
     out(2) = math.min(t.nFrames, 100000).toFloat / 100000f
-    out(3) = if (t.nFrames == 0) 0f else t.keyframeCount.toFloat / t.nFrames
+    // keyframe ratio: BITSTREAM truth when every frame's header parses
+    // under the track's codec (CodecHeaders, r15) — fully layout-
+    // invariant (laced frames share one container flag; the bitstream
+    // does not) — container flags otherwise
+    val bitstreamKeys =
+      if (t.nFrames == 0) None
+      else {
+        val facts = (0 until t.nFrames).map(i =>
+          CodecHeaders.frameFacts(t.codecId, WebmDemux.frameBytes(payload, t, i)))
+        if (facts.forall(_.isDefined)) Some(facts.count(_.exists(_._1)))
+        else None
+      }
+    out(3) =
+      if (t.nFrames == 0) 0f
+      else bitstreamKeys.getOrElse(t.keyframeCount).toFloat / t.nFrames
     out(4) = if (t.nFrames == 0) 0f
       else math.min(t.totalFrameBytes.toDouble / t.nFrames, 1e7).toFloat / 1e7f
     out(5) = math.min(info.tracks.length, 64).toFloat / 64f

@@ -188,5 +188,35 @@ class WebmDemuxSpec extends SparkSpec {
       blocksPerCluster = 2, keyframeEvery = 4)
     val lf = Multimodal.decode(laced).toSeq
     assert(lf.patch(3, Nil, 1) == feats.head.patch(3, Nil, 1))
+    // …and with REAL codec frames the keyframe ratio comes from the
+    // BITSTREAM (CodecHeaders), restoring full invariance even across
+    // lacing: laceSize 3 + keyframeEvery 3 flags EVERY container block
+    // a keyframe, but the bitstream says 1/3 in both layouts
+    import graft.pipeline.CodecHeaders
+    val vp9 = (0 until 9).map { i =>
+      if (i % 3 == 0) CodecHeaders.writeVp9KeyHeader(160, 90, Array.tabulate(21)(k => ((i * 7 + k) % 251).toByte))
+      else CodecHeaders.writeVp9InterHeader(Array.tabulate(17)(k => ((i * 11 + k) % 251).toByte))
+    }
+    val v1 = WebmDemux.encodeWebm(vp9, 160, 90, codecId = "V_VP9",
+      laceSize = 1, blocksPerCluster = 3, keyframeEvery = 3)
+    val v3 = WebmDemux.encodeWebm(vp9, 160, 90, codecId = "V_VP9",
+      laceSize = 3, blocksPerCluster = 2, keyframeEvery = 3)
+    val fv1 = Multimodal.decode(v1).toSeq
+    assert(fv1 == Multimodal.decode(v3).toSeq)
+    assert(math.abs(fv1(3) - 1f / 3f) < 1e-6)
+  }
+
+  test("Multimodal.sampleFrames slices real lacing-resolved WebM frames") {
+    val frames = mkFrames(9, seed = 11)
+    val bytes = WebmDemux.encodeWebm(frames, 64, 48, laceSize = 2,
+      blocksPerCluster = 2)
+    import spark.implicits._
+    val media = Seq(graft.pipeline.MediaRow(1L, "video_webm", bytes, 64, 48, 0)).toDS()
+    val out = graft.pipeline.Multimodal.sampleFrames(media, 3)
+      .orderBy(org.apache.spark.sql.functions.col("frame")).collect()
+    assert(out.length == 3)
+    // step 3 in timestamp order (== stream order here): frames 0, 3, 6
+    for (i <- 0 until 3)
+      assert(out(i).getInt(2) == frames(i * 3).length, s"frame $i")
   }
 }
