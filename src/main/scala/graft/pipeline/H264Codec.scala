@@ -184,6 +184,130 @@ object H264Codec {
 
   // ---------------- parameter sets ----------------
 
+  // -------- scaling matrices (7.3.2.1.1.1, 8.5.9 — r15 CQM) --------
+
+  /** Resolved scaling matrices in RASTER order: `w4(i)` 16-entry for
+    * i = 0..5 (IntraY, IntraCb, IntraCr, InterY, InterCb, InterCr),
+    * `w8(i)` 64-entry for i = 0..1 (IntraY, InterY — the two 8x8
+    * lists 4:2:0 carries). [[ScalingLists.Flat]] is the all-16 shape
+    * every Baseline/Main and flag-0 High stream uses. */
+  final class ScalingLists(val w4: Array[Array[Int]], val w8: Array[Array[Int]])
+
+  object ScalingLists {
+    val Flat = new ScalingLists(
+      Array.fill(6)(H264Transform.Flat16),
+      Array.fill(2)(H264Transform8x8.Flat64))
+  }
+
+  /** Table 7-3 defaults, raster order (the zigzag-scan form the spec
+    * lists un-zigzags to these; symmetric, monotone along diagonals —
+    * pinned structurally in H264CqmSpec). Shared encoder/decoder, so a
+    * transcription fault is invisible to self round trips (the CABAC
+    * init-table posture); unlike those tables the structure here IS
+    * checkable: w(i,j) = w(j,i) and zigzag-monotone, both pinned. */
+  private[graft] val Default4x4Intra: Array[Int] = Array(
+    6, 13, 20, 28,
+    13, 20, 28, 32,
+    20, 28, 32, 37,
+    28, 32, 37, 42)
+  private[graft] val Default4x4Inter: Array[Int] = Array(
+    10, 14, 20, 24,
+    14, 20, 24, 27,
+    20, 24, 27, 30,
+    24, 27, 30, 34)
+  /** Table 7-4 defaults, raster order. */
+  private[graft] val Default8x8Intra: Array[Int] = Array(
+    6, 10, 13, 16, 18, 23, 25, 27,
+    10, 11, 16, 18, 23, 25, 27, 29,
+    13, 16, 18, 23, 25, 27, 29, 31,
+    16, 18, 23, 25, 27, 29, 31, 33,
+    18, 23, 25, 27, 29, 31, 33, 36,
+    23, 25, 27, 29, 31, 33, 36, 38,
+    25, 27, 29, 31, 33, 36, 38, 40,
+    27, 29, 31, 33, 36, 38, 40, 42)
+  private[graft] val Default8x8Inter: Array[Int] = Array(
+    9, 13, 15, 17, 19, 21, 22, 24,
+    13, 13, 17, 19, 21, 22, 24, 25,
+    15, 17, 19, 21, 22, 24, 25, 27,
+    17, 19, 21, 22, 24, 25, 27, 28,
+    19, 21, 22, 24, 25, 27, 28, 30,
+    21, 22, 24, 25, 27, 28, 30, 32,
+    22, 24, 25, 27, 28, 30, 32, 33,
+    24, 25, 27, 28, 30, 32, 33, 35)
+
+  /** Default list for index i under Table 7-2's "default scaling
+    * list" column (rule A's fall-back for i ∈ {0, 3, 6, 7} and the
+    * useDefaultScalingMatrixFlag target for every i). */
+  private def defaultList(i: Int): Array[Int] = i match {
+    case 0 | 1 | 2 => Default4x4Intra
+    case 3 | 4 | 5 => Default4x4Inter
+    case 6 => Default8x8Intra
+    case _ => Default8x8Inter
+  }
+
+  /** Parse one scaling_list() (7.3.2.1.1.1): returns None when
+    * useDefaultScalingMatrixFlag fired (j == 0 with nextScale 0), else
+    * the list converted from zigzag scan order to raster. */
+  private def parseScalingList(r: BitReader, size: Int): Option[Array[Int]] = {
+    val scan = new Array[Int](size)
+    var lastScale = 8; var nextScale = 8
+    var j = 0
+    while (j < size) {
+      if (nextScale != 0) {
+        val delta = r.se()
+        if (delta < -128 || delta > 127)
+          throw new H264Format(s"delta_scale $delta out of range")
+        nextScale = (lastScale + delta + 256) % 256
+        if (j == 0 && nextScale == 0) return None
+      }
+      scan(j) = if (nextScale == 0) lastScale else nextScale
+      lastScale = scan(j)
+      j += 1
+    }
+    val zig = if (size == 16) H264Transform.Zigzag4x4 else H264Transform8x8.Zigzag8x8
+    val raster = new Array[Int](size)
+    j = 0
+    while (j < size) { raster(zig(j)) = scan(j); j += 1 }
+    Some(raster)
+  }
+
+  /** Parse the 8-list loop shared by the SPS and PPS scaling syntax
+    * (4:2:0: lists 0-5 are 4x4, 6-7 are 8x8; the PPS parses 8x8 lists
+    * only when transform_8x8_mode is on). Per-index result: None =
+    * present-flag 0 (fall-back applies), Some = the parsed raster
+    * (with useDefaultScalingMatrixFlag already resolved to the
+    * Table 7-3/7-4 default). */
+  private def parseScalingLists(r: BitReader, n8x8: Int): Array[Option[Array[Int]]] =
+    Array.tabulate(6 + n8x8) { i =>
+      if (r.u1() == 0) None
+      else Some(parseScalingList(r, if (i < 6) 16 else 64).getOrElse(defaultList(i)))
+    }
+
+  /** Resolve 8 per-index raw entries into [[ScalingLists]] per
+    * Table 7-2. `fromSps` = None applies fall-back rule A (defaults at
+    * 0/3/6/7, previous list elsewhere); Some(sps) applies rule B (the
+    * SPS's resolved list at 0/3/6/7). `raw` may carry only 6 entries
+    * (PPS with transform_8x8_mode off) — the 8x8 lists then fall back
+    * as if absent. */
+  private def resolveScalingLists(raw: Array[Option[Array[Int]]],
+      fromSps: Option[ScalingLists]): ScalingLists = {
+    val out = new Array[Array[Int]](8)
+    var i = 0
+    while (i < 8) {
+      out(i) = raw.lift(i).flatten match {
+        case Some(l) => l
+        case None => (i, fromSps) match {
+          case (0 | 3 | 6 | 7, Some(sp)) =>
+            if (i < 6) sp.w4(i) else sp.w8(i - 6)
+          case (0 | 3 | 6 | 7, None) => defaultList(i)
+          case _ => out(i - 1) // previous list, same parse
+        }
+      }
+      i += 1
+    }
+    new ScalingLists(out.take(6), out.drop(6))
+  }
+
   case class Sps(profileIdc: Int, levelIdc: Int, log2MaxFrameNum: Int,
       picOrderCntType: Int, widthMbs: Int, heightMbs: Int,
       cropRight: Int, cropBottom: Int, maxRefFrames: Int = 1,
@@ -193,7 +317,10 @@ object H264Codec {
       pocCycle: Seq[Int] = Nil, pocOffsetTopToBottom: Int = 0,
       // 7.4.2.1.1: frame_num gaps are CONFORMANT when this is set —
       // the 8.2.5.2 non-existing-frame process fills them (r15)
-      gapsAllowed: Boolean = false) {
+      gapsAllowed: Boolean = false,
+      // seq_scaling_matrix_present (r15 CQM): rule-A-resolved lists;
+      // None = flag 0 (flat unless the PPS overrides)
+      scaling: Option[ScalingLists] = None) {
     def width: Int = widthMbs * 16 - 2 * cropRight
     def height: Int = heightMbs * 16 - 2 * cropBottom
   }
@@ -203,21 +330,87 @@ object H264Codec {
       numRefIdxL0Default: Int = 0, numRefIdxL1Default: Int = 0,
       weightedBipredIdc: Int = 0, bottomFieldPocPresent: Boolean = false,
       redundantPicCntPresent: Boolean = false,
-      transform8x8Mode: Boolean = false, chromaQpOff: Int = 0)
+      transform8x8Mode: Boolean = false, chromaQpOff: Int = 0,
+      // pic_scaling_matrix_present (r15 CQM): per-index raw entries
+      // (None = fall-back, resolved against the SPS at slice bind)
+      scalingRaw: Option[Array[Option[Array[Int]]]] = None)
+
+  /** The scaling matrices in effect for a picture under `sps`/`pps`
+    * (8.5.9 + Table 7-2): the PPS's lists when present (rule B against
+    * the SPS's, rule A when the SPS carries none), else the SPS's,
+    * else flat. */
+  private[graft] def effectiveScaling(sps: Sps, pps: Pps): ScalingLists =
+    pps.scalingRaw match {
+      case Some(raw) => resolveScalingLists(raw, sps.scaling)
+      case None => sps.scaling.getOrElse(ScalingLists.Flat)
+    }
+
+  /** Encoder-side custom-quant-matrix config: the per-index raster
+    * lists to signal in the SPS and/or PPS (None at an index = present
+    * flag 0, Table 7-2 fall-back — mirroring the wire exactly so the
+    * fall-back chains are witnessable end-to-end). [[resolved]] runs
+    * the DECODER's resolver, so the encoder reconstructs through the
+    * same lists the decoder will derive. */
+  private[graft] final case class CqmCfg(
+      sps: Option[IndexedSeq[Option[Array[Int]]]] = None,
+      pps: Option[IndexedSeq[Option[Array[Int]]]] = None) {
+    def resolved: ScalingLists = {
+      val s = sps.map(l => resolveScalingLists(l.toArray, None))
+      pps match {
+        case Some(p) => resolveScalingLists(p.toArray, s)
+        case None => s.getOrElse(ScalingLists.Flat)
+      }
+    }
+  }
+
+  /** Write one scaling_list() (7.3.2.1.1.1): raster -> zigzag-scan
+    * delta_scale stream (always the full list; the nextScale-0 run-on
+    * and useDefault shortcuts are decode-side forms the parser covers
+    * separately). */
+  private def writeScalingList(w: BitWriter, raster: Array[Int], size: Int): Unit = {
+    val zig = if (size == 16) H264Transform.Zigzag4x4 else H264Transform8x8.Zigzag8x8
+    var last = 8
+    var j = 0
+    while (j < size) {
+      val v = raster(zig(j))
+      require(v >= 1 && v <= 255, s"scaling weight $v out of range")
+      var d = v - last
+      if (d < -128) d += 256 else if (d > 127) d -= 256
+      w.se(d)
+      last = v
+      j += 1
+    }
+  }
+
+  /** Write the 8-list (or 6-list PPS) present-flag loop. */
+  private def writeScalingLists(w: BitWriter,
+      lists: IndexedSeq[Option[Array[Int]]], n: Int): Unit = {
+    var i = 0
+    while (i < n) {
+      lists.lift(i).flatten match {
+        case Some(raster) => w.u1(1); writeScalingList(w, raster, if (i < 6) 16 else 64)
+        case None => w.u1(0)
+      }
+      i += 1
+    }
+  }
 
   private def parseSps(r: BitReader): Sps = {
     val profile = r.u(8)
     r.u(8) // constraint flags + reserved
     val level = r.u(8)
     r.ue() // sps id
+    var spsScaling: Option[ScalingLists] = None
     if (profile == 100) {
-      // High profile (r13): 8-bit 4:2:0 with flat scaling lists only —
-      // anything else refuses loudly rather than mis-decoding
+      // High profile (r13): 8-bit 4:2:0; custom scaling matrices parse
+      // per 7.3.2.1.1.1 with Table 7-2 rule A (r15); wider chroma /
+      // bit depth refuse loudly rather than mis-decoding
       if (r.ue() != 1) throw new H264Format("chroma_format != 4:2:0 out of scope")
       if (r.ue() != 0) throw new H264Format("bit_depth_luma != 8 out of scope")
       if (r.ue() != 0) throw new H264Format("bit_depth_chroma != 8 out of scope")
       if (r.u1() != 0) throw new H264Format("transform bypass out of scope")
-      if (r.u1() != 0) throw new H264Format("SPS scaling matrices out of scope")
+      if (r.u1() == 1) // seq_scaling_matrix_present
+        spsScaling = Some(resolveScalingLists(parseScalingLists(r, n8x8 = 2), None))
     } else if (profile == 110 || profile == 122 || profile == 244 ||
       profile == 44 || profile == 83 || profile == 86 || profile == 118 ||
       profile == 128) throw new H264Format(s"profile $profile out of scope")
@@ -260,7 +453,8 @@ object H264Codec {
     r.u1() // vui_present (ignored if absent; VUI payload not parsed)
     Sps(profile, level, log2MaxFrameNum, poc, wMbs, hMap, cropR, cropB,
       math.max(1, maxRef), log2MaxPocLsb, d8x8,
-      pocAlwaysZero, pocNonRef, pocCycle, pocOffTB, gapsAllowed)
+      pocAlwaysZero, pocNonRef, pocCycle, pocOffTB, gapsAllowed,
+      scaling = spsScaling)
   }
 
   private def parsePps(r: BitReader): Pps = {
@@ -285,18 +479,22 @@ object H264Codec {
     val redundant = r.u1() == 1 // redundant_pic_cnt_present_flag
     // High-profile PPS extension (7.3.2.2 tail, present iff more RBSP
     // data before the stop bit): 8x8 transform mode, scaling matrices
-    // (flat only), second chroma offset (must equal the first — Cb/Cr
-    // split offsets stay out of scope)
+    // (parsed per 7.3.2.1.1.1, resolved against the SPS at slice bind
+    // — Table 7-2 rule B needs the SPS's lists, r15), second chroma
+    // offset (must equal the first — Cb/Cr split offsets stay out of
+    // scope)
     var t8x8 = false
+    var scalingRaw: Option[Array[Option[Array[Int]]]] = None
     if (r.moreRbspData) {
       t8x8 = r.u1() == 1
-      if (r.u1() != 0) throw new H264Format("PPS scaling matrices out of scope")
+      if (r.u1() == 1) // pic_scaling_matrix_present
+        scalingRaw = Some(parseScalingLists(r, n8x8 = if (t8x8) 2 else 0))
       val cqpOff2 = r.se()
       if (cqpOff2 != cqpOff)
         throw new H264Format("per-component chroma QP offsets out of scope")
     }
     Pps(cabac, qp, deblock, weighted, numRefL0, numRefL1, wBipred, bottomPoc,
-      redundant, t8x8, cqpOff)
+      redundant, t8x8, cqpOff, scalingRaw)
   }
 
   // ---------------- decode ----------------
@@ -935,6 +1133,7 @@ object H264Codec {
     st.mmcoOps = mmco
     st.cqpOff = pps.chromaQpOff
     st.t8x8Allowed = pps.transform8x8Mode
+    st.scaling = effectiveScaling(sps, pps)
     st.wpTab = wpTab
     st.wpLogWDy = wpLogWDy
     st.wpLogWDc = wpLogWDc
@@ -2912,7 +3111,7 @@ object H264Codec {
       if ((cbpLuma & (1 << (bi >> 2))) != 0) {
         val tc = src.block(st, CatLuma4x4, scan, 16, gbx, gby, 0)
         st.setNnzY(gbx, gby, tc)
-        val rpx = inverse4x4(dequant4x4(unzigzag(scan, 0), qpY, skipDc = false))
+        val rpx = inverse4x4(dequant4x4(unzigzag(scan, 0), qpY, skipDc = false, st.scaling.w4(3)))
         val ax = x0 + bxo * 4; val ay = y0 + byo * 4
         var py = 0
         while (py < 4) {
@@ -2950,7 +3149,7 @@ object H264Codec {
     var c = 0
     while (c < 2) {
       val plane = if (c == 0) st.cbPlane else st.crPlane
-      val dcd2 = if (cbpChroma > 0) dequantChromaDc(dcLv(c), qpC) else new Array[Int](4)
+      val dcd2 = if (cbpChroma > 0) dequantChromaDc(dcLv(c), qpC, st.scaling.w4(4 + c)(0)) else new Array[Int](4)
       var sb = 0
       while (sb < 4) {
         val sbx = sb % 2; val sby = sb / 2
@@ -2959,7 +3158,7 @@ object H264Codec {
         if (cbpChroma == 2) {
           val tc = src.block(st, CatChromaAc, acScan, 15, gbx, gby, c + 1)
           st.setNnzC(c, gbx, gby, tc)
-          resid = dequant4x4(unzigzag(acScan, 1), qpC, skipDc = true)
+          resid = dequant4x4(unzigzag(acScan, 1), qpC, skipDc = true, st.scaling.w4(4 + c))
         } else {
           st.setNnzC(c, gbx, gby, 0)
           resid = new Array[Int](16)
@@ -3601,6 +3800,11 @@ object H264Codec {
     val directBlk = new Array[Boolean](wMbs * 4 * hMbs * 4)
     /** PPS chroma_qp_index_offset in effect for this picture. */
     var cqpOff: Int = 0
+    /** Scaling matrices in effect (8.5.9): flat unless the SPS/PPS
+      * carry custom quant matrices (r15 CQM). Every dequant site reads
+      * the list this picks, so a missed encoder-side bind shows up as
+      * a loud parity failure, never a silent mis-decode. */
+    var scaling: ScalingLists = ScalingLists.Flat
     /** QPc for a luma QP under this picture's chroma offset (8.5.8). */
     def cQp(qpY: Int): Int =
       H264Transform.chromaQp(math.max(0, math.min(51, qpY + cqpOff)))
@@ -3792,7 +3996,7 @@ object H264Codec {
     // ---- luma residual
     val dcScan = new Array[Int](16)
     src.block(st, CatLumaDc, dcScan, 16, mx * 4, my * 4, 0)
-    val dcd = dequantLumaDc(unzigzag(dcScan, 0), qpY)
+    val dcd = dequantLumaDc(unzigzag(dcScan, 0), qpY, st.scaling.w4(0)(0))
     val acScan = new Array[Int](15)
     var bi = 0
     while (bi < 16) {
@@ -3802,7 +4006,7 @@ object H264Codec {
       if (cbpLuma != 0) {
         val tc = src.block(st, CatLumaAc, acScan, 15, gbx, gby, 0)
         st.setNnzY(gbx, gby, tc)
-        resid = dequant4x4(unzigzag(acScan, 1), qpY, skipDc = true)
+        resid = dequant4x4(unzigzag(acScan, 1), qpY, skipDc = true, st.scaling.w4(0))
       } else {
         st.setNnzY(gbx, gby, 0)
         resid = new Array[Int](16)
@@ -3853,7 +4057,7 @@ object H264Codec {
       val cleft = if (mx > 0) Array.tabulate(8)(i => plane((cy0 + i) * cW + cx0 - 1) & 0xff) else null
       val ctl = if (mx > 0 && my > 0) plane((cy0 - 1) * cW + cx0 - 1) & 0xff else 0
       val cpred = predChroma8x8(chromaMode, ctop, cleft, ctl)
-      val dcd2 = if (cbpChroma > 0) dequantChromaDc(dcLv(c), qpC) else new Array[Int](4)
+      val dcd2 = if (cbpChroma > 0) dequantChromaDc(dcLv(c), qpC, st.scaling.w4(1 + c)(0)) else new Array[Int](4)
       var sb = 0
       while (sb < 4) {
         val sbx = sb % 2; val sby = sb / 2
@@ -3862,7 +4066,7 @@ object H264Codec {
         if (cbpChroma == 2) {
           val tc = src.block(st, CatChromaAc, acScan, 15, gbx, gby, c + 1)
           st.setNnzC(c, gbx, gby, tc)
-          resid = dequant4x4(unzigzag(acScan, 1), qpC, skipDc = true)
+          resid = dequant4x4(unzigzag(acScan, 1), qpC, skipDc = true, st.scaling.w4(1 + c))
         } else {
           st.setNnzC(c, gbx, gby, 0)
           resid = new Array[Int](16)
@@ -3932,7 +4136,7 @@ object H264Codec {
       if ((cbpLuma & (1 << (bi >> 2))) != 0) {
         val tc = src.block(st, CatLuma4x4, scan, 16, gbx, gby, 0)
         st.setNnzY(gbx, gby, tc)
-        resid = dequant4x4(unzigzag(scan, 0), qpY, skipDc = false)
+        resid = dequant4x4(unzigzag(scan, 0), qpY, skipDc = false, st.scaling.w4(0))
       } else {
         st.setNnzY(gbx, gby, 0)
         resid = new Array[Int](16)
@@ -4048,12 +4252,13 @@ object H264Codec {
     * unzigzag / dequant / inverse. Shared by the intra and inter 8x8
     * paths in both entropy modes. */
   private def read8x8Resid(src: MbSrc, st: FrameState, mx: Int, my: Int,
-      i8: Int, qpY: Int): Array[Int] = {
+      i8: Int, qpY: Int, intra: Boolean): Array[Int] = {
     val lv64 = src.luma8x8(st, mx, my, i8)
     val raster = new Array[Int](64)
     var k = 0
     while (k < 64) { raster(H264Transform8x8.Zigzag8x8(k)) = lv64(k); k += 1 }
-    H264Transform8x8.inverse8x8(H264Transform8x8.dequant8x8(raster, qpY))
+    H264Transform8x8.inverse8x8(H264Transform8x8.dequant8x8(raster, qpY,
+      st.scaling.w8(if (intra) 0 else 1)))
   }
 
   private def zero8x8Nnz(st: FrameState, mx: Int, my: Int, i8: Int): Unit = {
@@ -4075,7 +4280,7 @@ object H264Codec {
     var i8 = 0
     while (i8 < 4) {
       if ((cbpLuma & (1 << i8)) != 0) {
-        val resid = read8x8Resid(src, st, mx, my, i8, qpY)
+        val resid = read8x8Resid(src, st, mx, my, i8, qpY, intra = false)
         val x0 = (mx * 2 + (i8 % 2)) * 8; val y0 = (my * 2 + (i8 / 2)) * 8
         var py = 0
         while (py < 8) {
@@ -4101,7 +4306,7 @@ object H264Codec {
       val gx8 = mx * 2 + (i8 % 2); val gy8 = my * 2 + (i8 / 2)
       val pred = intra8x8Pred(st, gx8, gy8, modes(i8))
       val resid: Array[Int] =
-        if ((cbpLuma & (1 << i8)) != 0) read8x8Resid(src, st, mx, my, i8, qpY)
+        if ((cbpLuma & (1 << i8)) != 0) read8x8Resid(src, st, mx, my, i8, qpY, intra = true)
         else { zero8x8Nnz(st, mx, my, i8); null }
       val x0 = gx8 * 8; val y0 = gy8 * 8
       var py = 0
@@ -4218,11 +4423,12 @@ object H264Codec {
     * directions. */
   private[graft] def encodeI8ForTest(img: MediaCodecs.Bmp, qp: Int,
       pick: (Int, Int, Seq[Int]) => Int, deblock: Boolean = false,
-      chromaQpOff: Int = 0, cabac: Boolean = false)
+      chromaQpOff: Int = 0, cabac: Boolean = false,
+      cqm: Option[CqmCfg] = None)
       : (Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
     val (bytes, st) = encodeImpl(img, avcc = true, qp = qp, intra4x4 = false,
       pick, intra8x8 = true, deblock = deblock, chromaQpOff = chromaQpOff,
-      cabac = cabac)
+      cabac = cabac, cqm = cqm)
     (bytes, st.yPlane, st.cbPlane, st.crPlane)
   }
 
@@ -4231,9 +4437,10 @@ object H264Codec {
     * exercises every 8.3.1.2 predictor both directions and (b) pins the
     * decoder bit-exactly against the encode-time reconstruction. */
   private[graft] def encodeI4ForTest(img: MediaCodecs.Bmp, qp: Int,
-      pick: (Int, Int, Seq[Int]) => Int)
+      pick: (Int, Int, Seq[Int]) => Int, cqm: Option[CqmCfg] = None)
       : (Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
-    val (bytes, st) = encodeImpl(img, avcc = true, qp = qp, intra4x4 = true, pick)
+    val (bytes, st) = encodeImpl(img, avcc = true, qp = qp, intra4x4 = true, pick,
+      cqm = cqm)
     (bytes, st.yPlane, st.cbPlane, st.crPlane)
   }
 
@@ -4247,9 +4454,11 @@ object H264Codec {
       cabac: Boolean = false, t8x8: Boolean = false, chromaQpOff: Int = 0,
       weightedPred: Boolean = false, weightedBipredIdc: Int = 0,
       pocType1: Option[(Int, Seq[Int])] = None,
-      gapsAllowed: Boolean = false)
+      gapsAllowed: Boolean = false, cqm: Option[CqmCfg] = None)
       : (Array[Byte], Array[Byte]) = {
     require(!t8x8 || profile == 100, "8x8 transform needs high profile")
+    require(cqm.forall(_.sps.isEmpty) || profile == 100,
+      "SPS scaling matrices need high profile")
     val sw = new BitWriter
     // baseline (66) with constraint_set0/1 for I/P GOPs; B GOPs must
     // declare MAIN (77, constraint flags clear) — baseline forbids B;
@@ -4262,7 +4471,11 @@ object H264Codec {
       sw.ue(1) // chroma_format_idc 4:2:0
       sw.ue(0); sw.ue(0) // bit_depth_luma/chroma = 8
       sw.u1(0) // qpprime_y_zero_transform_bypass
-      sw.u1(0) // seq_scaling_matrix_present (flat lists)
+      cqm.flatMap(_.sps) match {
+        case Some(lists) => // seq_scaling_matrix_present + 8-list loop
+          sw.u1(1); writeScalingLists(sw, lists, 8)
+        case None => sw.u1(0) // flat lists
+      }
     }
     sw.ue(0) // log2_max_frame_num_minus4
     // POC type 2 (decode order == display order) unless the GOP carries
@@ -4304,9 +4517,13 @@ object H264Codec {
     pw.se(chromaQpOff) // chroma_qp_index_offset
     pw.u1(1) // deblocking control present
     pw.u1(0); pw.u1(0) // constrained intra, redundant pic cnt
-    if (t8x8) {
-      pw.u1(1) // transform_8x8_mode_flag
-      pw.u1(0) // pic_scaling_matrix_present
+    if (t8x8 || cqm.exists(_.pps.isDefined)) {
+      pw.u1(if (t8x8) 1 else 0) // transform_8x8_mode_flag
+      cqm.flatMap(_.pps) match {
+        case Some(lists) => // pic_scaling_matrix_present + list loop
+          pw.u1(1); writeScalingLists(pw, lists, if (t8x8) 8 else 6)
+        case None => pw.u1(0)
+      }
       pw.se(chromaQpOff) // second_chroma_qp_index_offset (== first)
     }
     pw.trailing()
@@ -4348,7 +4565,7 @@ object H264Codec {
       chromaQpOff: Int = 0, idrLongTerm: Boolean = false,
       pocType1Delta: Option[Int] = None,
       pocType1Sps: Option[(Int, Seq[Int])] = None,
-      gapsAllowed: Boolean = false)
+      gapsAllowed: Boolean = false, cqm: Option[CqmCfg] = None)
       : (Array[Byte], FrameState) = {
     require(!intra4x4 || qp >= 0, "intra4x4 needs a compressed qp (0..51)")
     require(!deblock || qp >= 0, "deblocking needs a compressed qp (0..51)")
@@ -4363,13 +4580,16 @@ object H264Codec {
     // CABAC requires main profile (baseline forbids entropy_coding_mode
     // 1); the 8x8 transform requires high profile
     val effProfile =
-      if (intra8x8) 100
+      if (intra8x8 || cqm.isDefined) 100
       else if (cabac && profile == 66) 77
       else profile
     val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB, refFrames,
       pocLsbBits, effProfile, cabac, t8x8 = intra8x8,
       chromaQpOff = chromaQpOff, pocType1 = pocType1Sps,
-      gapsAllowed = gapsAllowed)
+      gapsAllowed = gapsAllowed, cqm = cqm)
+    // the decoder re-derives these from the written SPS/PPS; the
+    // encoder reconstructs through the identical resolver (8.5.9)
+    val encScaling = cqm.map(_.resolved).getOrElse(ScalingLists.Flat)
 
     // IDR slice
     require(qp >= -1 && qp <= 51, s"qp $qp")
@@ -4420,6 +4640,7 @@ object H264Codec {
       var enc = new H264Cabac.Enc(w2)
       var sink = new CabacSink(enc, cxE)
       val st = new FrameState(wMbs, hMbs)
+      st.scaling = encScaling
       st.cqpOff = chromaQpOff
       if (qp >= 0) stOut = st
       while (mb < nMbs) {
@@ -4460,6 +4681,7 @@ object H264Codec {
       // encoder mirrors the decoder's reconstruction so intra prediction
       // chains across macroblocks agree bit-for-bit
       val st = new FrameState(wMbs, hMbs)
+      st.scaling = encScaling
       st.cqpOff = chromaQpOff
       stOut = st
       val sink = new CavlcSink(w2)
@@ -4687,12 +4909,12 @@ object H264Codec {
       }
       val wc = forward4x4(x)
       dcRaster(byo * 4 + bxo) = wc(0)
-      val q = quant4x4(wc, qp, skipDc = true)
+      val q = quant4x4(wc, qp, skipDc = true, st.scaling.w4(0))
       var k = 0
       while (k < 15) { acLv(bi)(k) = q(Zigzag4x4(k + 1)); k += 1 }
       bi += 1
     }
-    val dcLvRaster = quantLumaDc(dcRaster, qp)
+    val dcLvRaster = quantLumaDc(dcRaster, qp, st.scaling.w4(0)(0))
     val dcScan = Array.tabulate(16)(k => dcLvRaster(Zigzag4x4(k)))
     val cbpLuma = if (acLv.exists(_.exists(_ != 0))) 15 else 0
     // chroma forward + quant (shared with the Intra_4x4 encoder)
@@ -4705,7 +4927,7 @@ object H264Codec {
     sink.chromaPred(st, mx, my, 0) // intra_chroma_pred_mode = DC
     sink.qpDelta(0)
     sink.blockOut(st, CatLumaDc, dcScan, 16, mx * 4, my * 4, 0)
-    val dcd = dequantLumaDc(unzigzag(dcScan, 0), qp)
+    val dcd = dequantLumaDc(unzigzag(dcScan, 0), qp, st.scaling.w4(0)(0))
     bi = 0
     while (bi < 16) {
       val (bxo, byo) = LumaBlockOrder(bi)
@@ -4714,7 +4936,7 @@ object H264Codec {
       if (cbpLuma != 0) {
         val tc = sink.blockOut(st, CatLumaAc, acLv(bi), 15, gbx, gby, 0)
         st.setNnzY(gbx, gby, tc)
-        resid = dequant4x4(unzigzag(acLv(bi), 1), qp, skipDc = true)
+        resid = dequant4x4(unzigzag(acLv(bi), 1), qp, skipDc = true, st.scaling.w4(0))
       } else {
         st.setNnzY(gbx, gby, 0)
         resid = new Array[Int](16)
@@ -4748,6 +4970,9 @@ object H264Codec {
       srcCb: Array[Byte], srcCr: Array[Byte], qpC: Int,
       predOf: Int => Array[Int] = null) {
     import H264Transform._
+    // scaling-list base (8.5.9): predOf == null is the intra (DC-pred)
+    // path -> lists 1/2; an MC prediction marks the MB inter -> 4/5
+    private val slBase = if (predOf == null) 1 else 4
     private val cW = st.lumaW / 2
     private val cx0 = mx * 8
     private val cy0 = my * 8
@@ -4783,12 +5008,12 @@ object H264Codec {
           }
           val wc = forward4x4(x)
           dcC(sby * 2 + sbx) = wc(0)
-          val q = quant4x4(wc, qpC, skipDc = true)
+          val q = quant4x4(wc, qpC, skipDc = true, st.scaling.w4(slBase + c))
           var k = 0
           while (k < 15) { cAcLv(c)(sb)(k) = q(Zigzag4x4(k + 1)); k += 1 }
           sb += 1
         }
-        cDcLv(c) = quantChromaDc(dcC, qpC)
+        cDcLv(c) = quantChromaDc(dcC, qpC, st.scaling.w4(slBase + c)(0))
         c += 1
       }
     }
@@ -4811,7 +5036,7 @@ object H264Codec {
       var c = 0
       while (c < 2) {
         val plane = if (c == 0) st.cbPlane else st.crPlane
-        val dcd2 = if (cbpChroma > 0) dequantChromaDc(cDcLv(c), qpC) else new Array[Int](4)
+        val dcd2 = if (cbpChroma > 0) dequantChromaDc(cDcLv(c), qpC, st.scaling.w4(slBase + c)(0)) else new Array[Int](4)
         var sb = 0
         while (sb < 4) {
           val sbx = sb % 2; val sby = sb / 2
@@ -4820,7 +5045,7 @@ object H264Codec {
           if (cbpChroma == 2) {
             val tc = sink.blockOut(st, CatChromaAc, cAcLv(c)(sb), 15, gbx, gby, c + 1)
             st.setNnzC(c, gbx, gby, tc)
-            resid = dequant4x4(unzigzag(cAcLv(c)(sb), 1), qpC, skipDc = true)
+            resid = dequant4x4(unzigzag(cAcLv(c)(sb), 1), qpC, skipDc = true, st.scaling.w4(slBase + c))
           } else {
             st.setNnzC(c, gbx, gby, 0)
             resid = new Array[Int](16)
@@ -4897,7 +5122,7 @@ object H264Codec {
       rems(bi) = if (mode < predM) mode else mode - 1
       val pred = predLuma4x4(mode, top, left, tl)
       val diff = Array.tabulate(16)(k => src(k) - pred(k))
-      val q = quant4x4(forward4x4(diff), qp, skipDc = false)
+      val q = quant4x4(forward4x4(diff), qp, skipDc = false, st.scaling.w4(0))
       var k = 0
       while (k < 16) { levels(bi)(k) = q(Zigzag4x4(k)); k += 1 }
       // nnz now (TotalCoeff of an uncoded block is 0 either way), so
@@ -4905,7 +5130,7 @@ object H264Codec {
       st.setNnzY(gbx, gby, levels(bi).count(_ != 0))
       // reconstruct exactly as the decoder (zero levels -> zero resid,
       // matching the uncoded-group path bit-for-bit)
-      val rpx = inverse4x4(dequant4x4(unzigzag(levels(bi), 0), qp, skipDc = false))
+      val rpx = inverse4x4(dequant4x4(unzigzag(levels(bi), 0), qp, skipDc = false, st.scaling.w4(0)))
       var py = 0
       while (py < 4) {
         var px = 0
@@ -4998,7 +5223,7 @@ object H264Codec {
         diff(k) = (srcY((y0 + k / 8) * lumaW + x0 + k % 8) & 0xff) - pred(k)
         k += 1
       }
-      val q = H264Transform8x8.quant8x8(H264Transform8x8.forward8x8(diff), qp)
+      val q = H264Transform8x8.quant8x8(H264Transform8x8.forward8x8(diff), qp, st.scaling.w8(0))
       k = 0
       while (k < 64) { lv64s(i8)(k) = q(H264Transform8x8.Zigzag8x8(k)); k += 1 }
       val coded = lv64s(i8).exists(_ != 0)
@@ -5019,7 +5244,7 @@ object H264Codec {
           val raster = new Array[Int](64)
           k = 0
           while (k < 64) { raster(H264Transform8x8.Zigzag8x8(k)) = lv64s(i8)(k); k += 1 }
-          H264Transform8x8.inverse8x8(H264Transform8x8.dequant8x8(raster, qp))
+          H264Transform8x8.inverse8x8(H264Transform8x8.dequant8x8(raster, qp, st.scaling.w8(0)))
         } else null
       var py = 0
       while (py < 8) {
@@ -5101,10 +5326,12 @@ object H264Codec {
       intraEvery: Int = 0, refFrames: Int = 1,
       forcedRefIdx: Option[(Int, Int) => Int] = None,
       deblock: Boolean = false, cabac: Boolean = false,
-      wpLuma: Option[(Int, Int, Int)] = None)
+      wpLuma: Option[(Int, Int, Int)] = None,
+      cqm: Option[CqmCfg] = None)
       : (Seq[Array[Byte]], Seq[(Array[Byte], Array[Byte], Array[Byte])]) = {
     val (ps, sts) = encodeGopImpl(frames, qp, avcc = true, searchRange,
-      forcedMv, intraEvery, refFrames, forcedRefIdx, deblock, cabac, wpLuma)
+      forcedMv, intraEvery, refFrames, forcedRefIdx, deblock, cabac, wpLuma,
+      cqm)
     (ps, sts.map(st => (st.yPlane, st.cbPlane, st.crPlane)))
   }
 
@@ -5113,7 +5340,8 @@ object H264Codec {
       intraEvery: Int, refFrames: Int = 1,
       forcedRefIdx: Option[(Int, Int) => Int] = None,
       deblock: Boolean = false, cabac: Boolean = false,
-      wpLuma: Option[(Int, Int, Int)] = None)
+      wpLuma: Option[(Int, Int, Int)] = None,
+      cqm: Option[CqmCfg] = None)
       : (Seq[Array[Byte]], Seq[FrameState]) = {
     require(frames.nonEmpty, "empty GOP")
     require(qp >= 0 && qp <= 51, s"qp $qp")
@@ -5121,14 +5349,17 @@ object H264Codec {
     val w0 = frames.head.width; val h0 = frames.head.height
     require(frames.forall(f => f.width == w0 && f.height == h0),
       "GOP frames must share dimensions")
+    val gopProfile = if (cqm.isDefined) 100
+      else if (cabac) 77 else 66
     val (idrBytes, st0) =
       encodeImpl(frames.head, avcc, qp, intra4x4 = false, (_, b, _) => b,
         refFrames, deblock = deblock,
-        profile = if (cabac) 77 else 66, cabac = cabac)
+        profile = gopProfile, cabac = cabac, cqm = cqm)
     val (wMbs, hMbs, cropR, cropB) = mbGeometry(frames.head)
     val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB, refFrames,
-      profile = if (cabac) 77 else 66, cabac = cabac,
-      weightedPred = wpLuma.isDefined)
+      profile = gopProfile, cabac = cabac,
+      weightedPred = wpLuma.isDefined, cqm = cqm)
+    val gopScaling = cqm.map(_.resolved).getOrElse(ScalingLists.Flat)
     val payloads = ArrayBuffer(idrBytes)
     val states = ArrayBuffer(st0)
     // DPB most-recent-first, sliding-window bounded — mirrors the decoder
@@ -5138,7 +5369,8 @@ object H264Codec {
       val (yP, cbP, crP) = toYuv420(frames(i), st0.wMbs, st0.hMbs)
       val (sliceNal, st) = encodePFrame(yP, cbP, crP, dpb.toIndexedSeq, qp,
         i % 16, searchRange, forcedMv, intraEvery, refFrames, forcedRefIdx,
-        deblock = deblock, cabac = cabac, wpLuma = wpLuma)
+        deblock = deblock, cabac = cabac, wpLuma = wpLuma,
+        scaling = gopScaling)
       payloads += frameNals(avcc, spsNal, ppsNal, sliceNal)
       states += st
       dpb = (st :: dpb).take(refFrames)
@@ -5180,10 +5412,11 @@ object H264Codec {
   private[graft] def encodeGopBForTest(frames: Seq[MediaCodecs.Bmp], qp: Int,
       bFrames: Int = 1, searchRange: Int = 4, deblock: Boolean = false,
       cabac: Boolean = false, weightedBipred: Int = 0,
-      directTemporal: Boolean = false, pocType1: Boolean = false)
+      directTemporal: Boolean = false, pocType1: Boolean = false,
+      cqm: Option[CqmCfg] = None)
       : (Seq[Array[Byte]], Seq[Int], Seq[(Array[Byte], Array[Byte], Array[Byte])]) = {
     val (p, d, sts) = encodeGopBImpl(frames, qp, bFrames, avcc = true, searchRange,
-      deblock, cabac, weightedBipred, directTemporal, pocType1)
+      deblock, cabac, weightedBipred, directTemporal, pocType1, cqm)
     (p, d, sts.map(st => (st.yPlane, st.cbPlane, st.crPlane)))
   }
 
@@ -5191,7 +5424,7 @@ object H264Codec {
       bFrames: Int, avcc: Boolean, searchRange: Int,
       deblock: Boolean = false, cabac: Boolean = false,
       weightedBipred: Int = 0, directTemporal: Boolean = false,
-      pocType1: Boolean = false)
+      pocType1: Boolean = false, cqm: Option[CqmCfg] = None)
       : (Seq[Array[Byte]], Seq[Int], Seq[FrameState]) = {
     require(frames.nonEmpty, "empty GOP")
     require(qp >= 0 && qp <= 51, s"qp $qp")
@@ -5225,16 +5458,20 @@ object H264Codec {
     // SPS DPB depth 2 (past + future ref around each B); PPS list
     // defaults sized for the refs=2 P shape — every slice overrides
     // down to its actual 1-deep lists
+    val gopProfile = if (cqm.isDefined) 100 else 77
     val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, cropR, cropB,
       refFrames = 2, pocLsbBits = if (pocType1) 0 else pocBits,
-      profile = 77, cabac = cabac, weightedBipredIdc = weightedBipred,
-      pocType1 = if (pocType1) Some((t1OffNonRef, t1Cycle)) else None)
+      profile = gopProfile, cabac = cabac, weightedBipredIdc = weightedBipred,
+      pocType1 = if (pocType1) Some((t1OffNonRef, t1Cycle)) else None,
+      cqm = cqm)
+    val gopScaling = cqm.map(_.resolved).getOrElse(ScalingLists.Flat)
     val (idrBytes, st0) = encodeImpl(frames.head, avcc, qp,
       intra4x4 = false, (_, b, _) => b, refFrames = 2,
       pocLsbBits = if (pocType1) 0 else pocBits,
-      deblock = deblock, profile = 77, cabac = cabac,
+      deblock = deblock, profile = gopProfile, cabac = cabac,
       pocType1Delta = t1Delta(0, idr = true, refIdc = 3, fn = 0),
-      pocType1Sps = if (pocType1) Some((t1OffNonRef, t1Cycle)) else None)
+      pocType1Sps = if (pocType1) Some((t1OffNonRef, t1Cycle)) else None,
+      cqm = cqm)
     st0.poc = 0
     val payloads = ArrayBuffer(idrBytes)
     val display = ArrayBuffer(0)
@@ -5252,7 +5489,7 @@ object H264Codec {
         pocLsb = (2 * pos) % maxLsb, deblock = deblock,
         cabac = cabac,
         pocType1Delta = t1Delta(2 * pos, idr = false, refIdc = 3,
-          fn = refCount % 16))
+          fn = refCount % 16), scaling = gopScaling)
       stP.poc = 2 * pos
       payloads += frameNals(avcc, spsNal, ppsNal, pNal)
       display += pos
@@ -5266,7 +5503,7 @@ object H264Codec {
           deblock = deblock, cabac = cabac, wpMode = weightedBipred,
           directTemporal = directTemporal,
           pocType1Delta = t1Delta(2 * bpos, idr = false, refIdc = 0,
-            fn = (refCount + 1) % 16))
+            fn = (refCount + 1) % 16), scaling = gopScaling)
         stB.poc = 2 * bpos
         payloads += frameNals(avcc, spsNal, ppsNal, bNal)
         display += bpos
@@ -5294,12 +5531,14 @@ object H264Codec {
       frameNum: Int, pocLsb: Int, pocBits: Int, searchRange: Int,
       deblock: Boolean = false, cabac: Boolean = false, wpMode: Int = 0,
       directTemporal: Boolean = false,
-      pocType1Delta: Option[Int] = None)
+      pocType1Delta: Option[Int] = None,
+      scaling: ScalingLists = ScalingLists.Flat)
       : (Array[Byte], FrameState) = {
     import H264Transform._
     val wMbs = ref0.wMbs; val hMbs = ref0.hMbs
     val lumaW = wMbs * 16; val lumaH = hMbs * 16
     val st = new FrameState(wMbs, hMbs)
+    st.scaling = scaling
     st.poc = pocLsb // implicit-bipred weights read POC distances
     val w = new BitWriter
     // slice_header (7.3.3): B, one reference per list, POC type 0
@@ -5423,7 +5662,7 @@ object H264Codec {
           diff(k) = (srcY(o) & 0xff) - (st.yPlane(o) & 0xff)
           k += 1
         }
-        val q = quant4x4(forward4x4(diff), qp, skipDc = false)
+        val q = quant4x4(forward4x4(diff), qp, skipDc = false, st.scaling.w4(3))
         k = 0
         while (k < 16) { levels(bi)(k) = q(Zigzag4x4(k)); k += 1 }
         bi += 1
@@ -5497,7 +5736,7 @@ object H264Codec {
           if ((cbpLuma & (1 << (bi >> 2))) != 0) {
             val tc = sink.blockOut(st, CatLuma4x4, levels(bi), 16, gbx, gby, 0)
             st.setNnzY(gbx, gby, tc)
-            val rpx = inverse4x4(dequant4x4(unzigzag(levels(bi), 0), qp, skipDc = false))
+            val rpx = inverse4x4(dequant4x4(unzigzag(levels(bi), 0), qp, skipDc = false, st.scaling.w4(3)))
             var py = 0
             while (py < 4) {
               var px = 0
@@ -5542,7 +5781,8 @@ object H264Codec {
       cabac: Boolean = false, wpLuma: Option[(Int, Int, Int)] = None,
       mmco: List[(Int, Int, Int)] = Nil,
       listModL0: List[(Int, Int)] = Nil,
-      pocType1Delta: Option[Int] = None)
+      pocType1Delta: Option[Int] = None,
+      scaling: ScalingLists = ScalingLists.Flat)
       : (Array[Byte], FrameState) = {
     import H264Transform._
     require(refs.nonEmpty, "P frame needs at least one reference")
@@ -5550,6 +5790,7 @@ object H264Codec {
     val wMbs = refs(0).wMbs; val hMbs = refs(0).hMbs
     val lumaW = wMbs * 16; val lumaH = hMbs * 16
     val st = new FrameState(wMbs, hMbs)
+    st.scaling = scaling
     val w = new BitWriter
     // slice_header (7.3.3): P, POC type 2
     w.ue(0) // first_mb_in_slice
@@ -5687,7 +5928,7 @@ object H264Codec {
               predY(fy * 16 + fx)
             k += 1
           }
-          val q = quant4x4(forward4x4(diff), qp, skipDc = false)
+          val q = quant4x4(forward4x4(diff), qp, skipDc = false, st.scaling.w4(3))
           k = 0
           while (k < 16) { levels(bi)(k) = q(Zigzag4x4(k)); k += 1 }
           bi += 1
@@ -5744,7 +5985,7 @@ object H264Codec {
               val tc = sink.blockOut(st, CatLuma4x4, levels(bi), 16, gbx, gby, 0)
               st.setNnzY(gbx, gby, tc)
               val rpx = inverse4x4(
-                dequant4x4(unzigzag(levels(bi), 0), qp, skipDc = false))
+                dequant4x4(unzigzag(levels(bi), 0), qp, skipDc = false, st.scaling.w4(3)))
               val ax = mx * 16 + bxo * 4; val ay = my * 16 + byo * 4
               var py = 0
               while (py < 4) {
@@ -5910,7 +6151,7 @@ object H264Codec {
           diff(k) = (srcY(o) & 0xff) - (st.yPlane(o) & 0xff)
           k += 1
         }
-        val q = quant4x4(forward4x4(diff), qp, skipDc = false)
+        val q = quant4x4(forward4x4(diff), qp, skipDc = false, st.scaling.w4(3))
         k = 0
         while (k < 16) { levels(bi)(k) = q(Zigzag4x4(k)); k += 1 }
         bi += 1
@@ -5942,7 +6183,7 @@ object H264Codec {
         if ((cbpLuma & (1 << (bi >> 2))) != 0) {
           val tc = sink.blockOut(st, CatLuma4x4, levels(bi), 16, gbx, gby, 0)
           st.setNnzY(gbx, gby, tc)
-          val rpx = inverse4x4(dequant4x4(unzigzag(levels(bi), 0), qp, skipDc = false))
+          val rpx = inverse4x4(dequant4x4(unzigzag(levels(bi), 0), qp, skipDc = false, st.scaling.w4(3)))
           var py = 0
           while (py < 4) {
             var px = 0
@@ -5986,7 +6227,8 @@ object H264Codec {
   private[graft] def pInter8x8RoundTripForTest(srcY: Array[Byte],
       srcCb: Array[Byte], srcCr: Array[Byte], refY: Array[Byte],
       refCb: Array[Byte], refCr: Array[Byte], wMbs: Int, hMbs: Int, qp: Int,
-      mvOf: (Int, Int) => (Int, Int), cabac: Boolean = false)
+      mvOf: (Int, Int) => (Int, Int), cabac: Boolean = false,
+      cqm: Option[CqmCfg] = None)
       : (Array[Byte], (Array[Byte], Array[Byte], Array[Byte]),
          Option[(Array[Byte], Array[Byte], Array[Byte])]) = {
     val ref = new FrameState(wMbs, hMbs)
@@ -5994,6 +6236,7 @@ object H264Codec {
     System.arraycopy(refCb, 0, ref.cbPlane, 0, refCb.length)
     System.arraycopy(refCr, 0, ref.crPlane, 0, refCr.length)
     val st = new FrameState(wMbs, hMbs)
+    st.scaling = cqm.map(_.resolved).getOrElse(ScalingLists.Flat)
     st.t8x8Allowed = true
     val lumaW = wMbs * 16
     val w = new BitWriter
@@ -6046,7 +6289,7 @@ object H264Codec {
           diff(k) = (srcY(o) & 0xff) - (st.yPlane(o) & 0xff)
           k += 1
         }
-        val q = H264Transform8x8.quant8x8(H264Transform8x8.forward8x8(diff), qp)
+        val q = H264Transform8x8.quant8x8(H264Transform8x8.forward8x8(diff), qp, st.scaling.w8(1))
         k = 0
         while (k < 64) { lv64s(i8)(k) = q(H264Transform8x8.Zigzag8x8(k)); k += 1 }
         if (lv64s(i8).exists(_ != 0)) cbpLuma |= 1 << i8
@@ -6077,7 +6320,7 @@ object H264Codec {
           var k = 0
           while (k < 64) { raster(H264Transform8x8.Zigzag8x8(k)) = lv64s(i8)(k); k += 1 }
           val resid = H264Transform8x8.inverse8x8(
-            H264Transform8x8.dequant8x8(raster, qp))
+            H264Transform8x8.dequant8x8(raster, qp, st.scaling.w8(1)))
           val x0 = (mx * 2 + (i8 % 2)) * 8; val y0 = (my * 2 + (i8 / 2)) * 8
           var k2 = 0
           while (k2 < 64) {
@@ -6096,7 +6339,7 @@ object H264Codec {
     }
     if (cabac) w.alignToByte() else w.trailing()
     val (spsNal, ppsNal) = spsPpsNals(wMbs, hMbs, 0, 0, profile = 100,
-      cabac = cabac, t8x8 = true)
+      cabac = cabac, t8x8 = true, cqm = cqm)
     val payload = frameNals(avcc = true, spsNal, ppsNal,
       Array[Byte](0x61.toByte) ++ escape(w.bytes))
     val g = new GopDecoder
@@ -6184,7 +6427,7 @@ object H264Codec {
           diff(k) = (srcY(o) & 0xff) - (st.yPlane(o) & 0xff)
           k += 1
         }
-        val q = quant4x4(forward4x4(diff), qp, skipDc = false)
+        val q = quant4x4(forward4x4(diff), qp, skipDc = false, st.scaling.w4(3))
         k = 0
         while (k < 16) { levels(bi)(k) = q(Zigzag4x4(k)); k += 1 }
         bi += 1
@@ -6211,7 +6454,7 @@ object H264Codec {
         if ((cbpLuma & (1 << (bi >> 2))) != 0) {
           val tc = H264Cavlc.encodeBlock(w, levels(bi), 16, st.lumaNc(gbx, gby))
           st.setNnzY(gbx, gby, tc)
-          val rpx = inverse4x4(dequant4x4(unzigzag(levels(bi), 0), qp, skipDc = false))
+          val rpx = inverse4x4(dequant4x4(unzigzag(levels(bi), 0), qp, skipDc = false, st.scaling.w4(3)))
           var py2 = 0
           while (py2 < 4) {
             var px2 = 0
@@ -6363,7 +6606,7 @@ object H264Codec {
           diff(k) = (srcY(o) & 0xff) - (st.yPlane(o) & 0xff)
           k += 1
         }
-        val q = quant4x4(forward4x4(diff), qp, skipDc = false)
+        val q = quant4x4(forward4x4(diff), qp, skipDc = false, st.scaling.w4(3))
         k = 0
         while (k < 16) { levels(bi)(k) = q(Zigzag4x4(k)); k += 1 }
         bi += 1
@@ -6390,7 +6633,7 @@ object H264Codec {
         if ((cbpLuma & (1 << (bi >> 2))) != 0) {
           val tc = H264Cavlc.encodeBlock(w, levels(bi), 16, st.lumaNc(gbx, gby))
           st.setNnzY(gbx, gby, tc)
-          val rpx = inverse4x4(dequant4x4(unzigzag(levels(bi), 0), qp, skipDc = false))
+          val rpx = inverse4x4(dequant4x4(unzigzag(levels(bi), 0), qp, skipDc = false, st.scaling.w4(3)))
           var py = 0
           while (py < 4) {
             var px = 0
@@ -6556,7 +6799,7 @@ object H264Codec {
           diff(k) = (srcY(o) & 0xff) - (st.yPlane(o) & 0xff)
           k += 1
         }
-        val q = quant4x4(forward4x4(diff), qp, skipDc = false)
+        val q = quant4x4(forward4x4(diff), qp, skipDc = false, st.scaling.w4(3))
         k = 0
         while (k < 16) { levels(bi)(k) = q(Zigzag4x4(k)); k += 1 }
         bi += 1
@@ -6588,7 +6831,7 @@ object H264Codec {
         if ((cbpLuma & (1 << (bi >> 2))) != 0) {
           val tc = sink.blockOut(st, CatLuma4x4, levels(bi), 16, gbx, gby, 0)
           st.setNnzY(gbx, gby, tc)
-          val rpx = inverse4x4(dequant4x4(unzigzag(levels(bi), 0), qp, skipDc = false))
+          val rpx = inverse4x4(dequant4x4(unzigzag(levels(bi), 0), qp, skipDc = false, st.scaling.w4(3)))
           var py = 0
           while (py < 4) {
             var px = 0
@@ -6791,6 +7034,109 @@ object H264Codec {
       catch { case _: Exception => None }
     }
     (payloads.toSeq, recons.toSeq, decoded.toSeq)
+  }
+
+  /** Spec hook: custom quant matrices (CQM, 7.3.2.1.1.1 + 8.5.9) end
+    * to end. Per leg, encodes a 4-frame script with scaling lists in
+    * the SPS and/or PPS and decodes it back; the caller pins
+    * decode ≡ encoder reconstruction. Legs:
+    *  0 = CAVLC P GOP, all 8 SPS lists custom;
+    *  1 = CABAC B GOP, all 8 SPS lists custom;
+    *  2 = PPS OVERRIDE: SPS carries one set, the PPS a different one —
+    *      parity holds only if the decoder applies the PPS's (8.5.9
+    *      priority), which the encoder-side resolver mirrors;
+    *  3 = Table 7-2 fall-back rule A: only lists 0 and 3 present
+    *      (1, 2 inherit 0; 4, 5 inherit 3; 6, 7 take the defaults);
+    *  4 = PPS-only lists (seq flag 0): rule A applies inside the PPS.
+    * The deliberately zigzag-asymmetric matrices make a raster/scan
+    * placement fault a parity failure, not a wash. */
+  private[graft] def cqmGopForTest(frames: Seq[MediaCodecs.Bmp], qp: Int,
+      leg: Int)
+      : (Seq[Array[Byte]],
+         Seq[(Array[Byte], Array[Byte], Array[Byte])],
+         Seq[Option[(Array[Byte], Array[Byte], Array[Byte])]]) = {
+    def mk4(seed: Int): Array[Int] = Array.tabulate(16)(r => 8 + (r * 5 + seed * 3) % 24)
+    def mk8(seed: Int): Array[Int] = Array.tabulate(64)(r => 8 + (r * 3 + seed * 7) % 24)
+    def full(seed: Int): IndexedSeq[Option[Array[Int]]] =
+      IndexedSeq.tabulate(8)(i => Some(if (i < 6) mk4(seed + i) else mk8(seed + i)))
+    val cfg = leg match {
+      case 0 | 1 => CqmCfg(sps = Some(full(1)))
+      // the P/B GOP PPS has transform_8x8_mode off, so its scaling
+      // loop carries 6 lists (7.3.2.2) — the 8x8 PPS lists are
+      // witnessed through the pInter8x8 hook instead
+      case 2 => CqmCfg(sps = Some(full(1)), pps = Some(full(9).take(6)))
+      case 3 => CqmCfg(sps = Some(IndexedSeq(Some(mk4(1)), None, None,
+        Some(mk4(4)), None, None, None, None)))
+      case _ => CqmCfg(pps = Some(full(5).take(6)))
+    }
+    if (leg == 5) {
+      // CONTROL: the SAME slice bytes under a FLAT SPS/PPS must decode
+      // to DIFFERENT planes — proving the matrices reach dequant, not
+      // merely ride the wire ignored on both sides (which parity alone
+      // cannot distinguish)
+      val (ps, sts) = encodeGopImpl(frames.take(1), qp, avcc = true,
+        searchRange = 2, forcedMv = None, intraEvery = 0,
+        cqm = Some(CqmCfg(sps = Some(full(1)))))
+      val (wMbs, hMbs, cropR, cropB) = mbGeometry(frames.head)
+      val (flatSps, flatPps) = spsPpsNals(wMbs, hMbs, cropR, cropB, 1,
+        profile = 100)
+      val units = nalUnits(ps.head)
+      val (ss, se) = units.last // the slice NAL (after SPS and PPS)
+      val swapped = frameNals(avcc = true, flatSps, flatPps,
+        ps.head.slice(ss, se))
+      val cqmDec = new GopDecoder().decodeAuYuv(ps.head).map(t => (t._2, t._3, t._4))
+      val flatDec = new GopDecoder().decodeAuYuv(swapped).map(t => (t._2, t._3, t._4))
+      return (ps,
+        sts.map(st => (st.yPlane.clone(), st.cbPlane.clone(), st.crPlane.clone())),
+        Seq(cqmDec, flatDec))
+    }
+    val (payloads, recons) =
+      if (leg == 1) {
+        val (ps, _, sts) = encodeGopBImpl(frames, qp, bFrames = 1,
+          avcc = true, searchRange = 2, cabac = true, cqm = Some(cfg))
+        (ps, sts.map(st => (st.yPlane.clone(), st.cbPlane.clone(), st.crPlane.clone())))
+      } else {
+        val (ps, sts) = encodeGopImpl(frames, qp, avcc = true,
+          searchRange = 2, forcedMv = None, intraEvery = 0,
+          cqm = Some(cfg))
+        (ps, sts.map(st => (st.yPlane.clone(), st.cbPlane.clone(), st.crPlane.clone())))
+      }
+    val g = new GopDecoder
+    val decoded = payloads.map { pl =>
+      try g.decodeAuYuv(pl).map(t => (t._2, t._3, t._4))
+      catch { case _: Exception => None }
+    }
+    (payloads, recons, decoded)
+  }
+
+  /** Spec shim: write a scaling-list loop to bits (optionally forcing
+    * the useDefaultScalingMatrixFlag wire shortcut — first delta −8
+    * drives nextScale to 0 at j 0) and re-parse it, exposing the
+    * private wire codec to the unit pins. */
+  private[graft] def scalingWireForTest(lists: IndexedSeq[Option[Array[Int]]],
+      n: Int, useDefaultAt: Set[Int] = Set.empty): Array[Option[Array[Int]]] = {
+    val w = new BitWriter
+    var i = 0
+    while (i < n) {
+      if (useDefaultAt(i)) { w.u1(1); w.se(-8) }
+      else lists.lift(i).flatten match {
+        case Some(r) => w.u1(1); writeScalingList(w, r, if (i < 6) 16 else 64)
+        case None => w.u1(0)
+      }
+      i += 1
+    }
+    w.trailing()
+    parseScalingLists(new BitReader(w.bytes), n8x8 = math.max(0, n - 6))
+  }
+
+  /** Spec shim: run the Table 7-2 resolver (rule A when `sps` is None,
+    * rule B against the rule-A-resolved SPS lists otherwise). */
+  private[graft] def resolveForTest(raw: IndexedSeq[Option[Array[Int]]],
+      sps: Option[IndexedSeq[Option[Array[Int]]]] = None)
+      : (Array[Array[Int]], Array[Array[Int]]) = {
+    val s = sps.map(l => resolveScalingLists(l.toArray, None))
+    val r = resolveScalingLists(raw.toArray, s)
+    (r.w4, r.w8)
   }
 
   /** Integer-pel SAD motion search over ±range around (0,0), ties to

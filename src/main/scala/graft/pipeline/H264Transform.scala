@@ -97,8 +97,18 @@ object H264Transform {
 
   // ---------------- quant / dequant ----------------
 
+  /** Flat 4x4 weight scale (Baseline/Main and flag-0 High): all 16. */
+  val Flat16: Array[Int] = Array.fill(16)(16)
+
   /** quantize forward-transform coefficients (intra rounding f = 2^qbits/3). */
-  def quant4x4(w: Array[Int], qp: Int, skipDc: Boolean): Array[Int] = {
+  def quant4x4(w: Array[Int], qp: Int, skipDc: Boolean): Array[Int] =
+    quant4x4(w, qp, skipDc, Flat16)
+
+  /** Weighted forward quant (non-normative): the effective quantizer
+    * step scales by weightScale/16 per position, so the forward side
+    * divides MF by the same ratio — recon stays centered on the source
+    * under a custom matrix. Flat weight reduces to the legacy form. */
+  def quant4x4(w: Array[Int], qp: Int, skipDc: Boolean, wgt: Array[Int]): Array[Int] = {
     val qbits = 15 + qp / 6
     val f = (1 << qbits) / 3
     val m = MF(qp % 6)
@@ -106,18 +116,37 @@ object H264Transform {
       if (skipDc && r == 0) 0
       else {
         val c = w(r)
-        val lvl = (math.abs(c) * m(posClass(r)) + f) >> qbits
+        val lvl = ((math.abs(c).toLong * m(posClass(r)) * 16 / wgt(r) + f) >> qbits).toInt
         if (c < 0) -lvl else lvl
       }
     }
   }
 
-  /** dequantize AC/full 4x4 coefficients: d = c * V * 2^(qp/6). */
-  def dequant4x4(c: Array[Int], qp: Int, skipDc: Boolean): Array[Int] = {
+  /** dequantize AC/full 4x4 coefficients (flat lists): d = c·V·2^(qp/6). */
+  def dequant4x4(c: Array[Int], qp: Int, skipDc: Boolean): Array[Int] =
+    dequant4x4(c, qp, skipDc, Flat16)
+
+  /** General 8.5.12.1 dequant: LevelScale4x4 = weightScale(i,j) ·
+    * normAdjust4x4(m, class) (= [[V]]); qP < 24 takes the rounding
+    * branch. With the flat weight 16 this is bit-exact to the legacy
+    * `c·V·2^(qp/6)` form for every qp (16·V >> (4−qp/6) divides
+    * evenly and the 2^(3−qp/6) addend shifts out), pinned in
+    * H264CqmSpec. */
+  def dequant4x4(c: Array[Int], qp: Int, skipDc: Boolean, wgt: Array[Int]): Array[Int] = {
     val v = V(qp % 6)
-    Array.tabulate(16) { r =>
-      if (skipDc && r == 0) c(0) // DC injected separately by the caller
-      else c(r) * v(posClass(r)) << (qp / 6)
+    if (qp >= 24) {
+      val sh = qp / 6 - 4
+      Array.tabulate(16) { r =>
+        if (skipDc && r == 0) c(0) // DC injected separately by the caller
+        else (c(r) * wgt(r) * v(posClass(r))) << sh
+      }
+    } else {
+      val sh = 4 - qp / 6
+      val f = 1 << (sh - 1)
+      Array.tabulate(16) { r =>
+        if (skipDc && r == 0) c(0)
+        else (c(r) * wgt(r) * v(posClass(r)) + f) >> sh
+      }
     }
   }
 
@@ -148,28 +177,35 @@ object H264Transform {
     * the unnormalized 4x4 Hadamard pair carries gain 16 (vs the core
     * transform's 4 already absorbed in MF·V), so the forward side
     * divides by the extra 4 (JM folds one half into its dct4x4dc). */
-  def quantLumaDc(dc: Array[Int], qp: Int): Array[Int] = {
+  def quantLumaDc(dc: Array[Int], qp: Int, w00: Int = 16): Array[Int] = {
     val w = hadamard4x4(dc)
     val qbits = 15 + qp / 6
     val f = (1 << qbits) / 3
     val m = MF(qp % 6)(0)
     w.map(c => {
-      val lvl = (math.abs(c) * m + 4 * f) >> (qbits + 2)
+      val lvl = ((math.abs(c).toLong * m * 16 / w00 + 4 * f) >> (qbits + 2)).toInt
       if (c < 0) -lvl else lvl
     })
   }
 
-  /** inverse DC path (8.5.10): Hadamard then scale. */
-  def dequantLumaDc(c: Array[Int], qp: Int): Array[Int] = {
+  /** inverse DC path (8.5.10): Hadamard then scale. `w00` is the intra
+    * luma weightScale at (0,0) — the general form ((f·w00·V)·2^(qp/6)
+    * + 2^(5−qp/6)·[qp<36]) per 8.5.10; flat 16 reduces bit-exactly to
+    * the legacy `(x·V) << (qp/6 − 2)` branches (H264CqmSpec pin). */
+  def dequantLumaDc(c: Array[Int], qp: Int, w00: Int = 16): Array[Int] = {
     val f = hadamard4x4(c)
     val v = V(qp % 6)(0)
-    if (qp >= 12) f.map(x => (x * v) << (qp / 6 - 2))
-    else f.map(x => (x * v + (1 << (1 - qp / 6))) >> (2 - qp / 6))
+    if (qp >= 36) f.map(x => (x * w00 * v) << (qp / 6 - 6))
+    else {
+      val sh = 6 - qp / 6
+      val r = 1 << (sh - 1)
+      f.map(x => (x * w00 * v + r) >> sh)
+    }
   }
 
   // ---------------- chroma DC (2x2) ----------------
 
-  def quantChromaDc(dc: Array[Int], qp: Int): Array[Int] = {
+  def quantChromaDc(dc: Array[Int], qp: Int, w00: Int = 16): Array[Int] = {
     // 2x2 Hadamard
     val w = Array(
       dc(0) + dc(1) + dc(2) + dc(3), dc(0) - dc(1) + dc(2) - dc(3),
@@ -178,20 +214,21 @@ object H264Transform {
     val f = (1 << qbits) / 3
     val m = MF(qp % 6)(0)
     w.map(c => {
-      val lvl = (math.abs(c) * m + 2 * f) >> (qbits + 1)
+      val lvl = ((math.abs(c).toLong * m * 16 / w00 + 2 * f) >> (qbits + 1)).toInt
       if (c < 0) -lvl else lvl
     })
   }
 
-  /** inverse chroma DC (8.5.11): Hadamard, then V·2^(qp/6−1) — the
-    * spec's ((f·LevelScale)<<(qp/6))>>5 with the flat-list 16 folded
-    * into V (16/32 = >>1). */
-  def dequantChromaDc(c: Array[Int], qp: Int): Array[Int] = {
+  /** inverse chroma DC (8.5.11): Hadamard, then the spec's
+    * ((f·LevelScale)<<(qp/6))>>5 with LevelScale = w00·V — `w00` is
+    * the active chroma weightScale at (0,0); the flat-list 16 folds to
+    * the legacy V·2^(qp/6−1) (16/32 = >>1), pinned in H264CqmSpec. */
+  def dequantChromaDc(c: Array[Int], qp: Int, w00: Int = 16): Array[Int] = {
     val f = Array(
       c(0) + c(1) + c(2) + c(3), c(0) - c(1) + c(2) - c(3),
       c(0) + c(1) - c(2) - c(3), c(0) - c(1) - c(2) + c(3))
     val v = V(qp % 6)(0)
-    f.map(x => ((x * v) << (qp / 6)) >> 1)
+    f.map(x => ((x * w00 * v) << (qp / 6)) >> 5)
   }
 
   // ---------------- intra prediction ----------------

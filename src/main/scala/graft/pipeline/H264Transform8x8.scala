@@ -51,19 +51,27 @@ object H264Transform8x8 {
     else 5
   }
 
-  /** Dequantize a raster 8x8 level block (8.5.13.2): levelScale8x8 =
-    * weightScale · normAdjust8x8 — the FLAT weight scale is 16, so the
-    * normative multiplier is 16·V8 (omitting the 16 is invisible to
-    * self round trips but decodes foreign levels 16x too small). */
-  def dequant8x8(c: Array[Int], qp: Int): Array[Int] = {
+  /** Flat 8x8 weight scale (flag-0 High profile): all 16. */
+  val Flat64: Array[Int] = Array.fill(64)(16)
+
+  /** Dequantize a raster 8x8 level block (8.5.13.2, flat lists). */
+  def dequant8x8(c: Array[Int], qp: Int): Array[Int] =
+    dequant8x8(c, qp, Flat64)
+
+  /** General 8.5.13.2 dequant: levelScale8x8 = weightScale(i,j) ·
+    * normAdjust8x8 ([[V8]]); `wgt` is the active 8x8 scaling list in
+    * raster order (the flat 16 reproduces the legacy `<< 4` form
+    * bit-exactly — H264CqmSpec pin). Omitting the weight is invisible
+    * to self round trips but decodes foreign levels 16x too small. */
+  def dequant8x8(c: Array[Int], qp: Int, wgt: Array[Int]): Array[Int] = {
     val v = V8(qp % 6)
     if (qp >= 36) {
       val sh = qp / 6 - 6
-      Array.tabulate(64)(r => ((c(r) * v(posClass8(r))) << 4) << sh)
+      Array.tabulate(64)(r => (c(r) * v(posClass8(r)) * wgt(r)) << sh)
     } else {
       val sh = 6 - qp / 6
       val f = 1 << (sh - 1)
-      Array.tabulate(64)(r => (((c(r) * v(posClass8(r))) << 4) + f) >> sh)
+      Array.tabulate(64)(r => (c(r) * v(posClass8(r)) * wgt(r) + f) >> sh)
     }
   }
 
@@ -87,13 +95,18 @@ object H264Transform8x8 {
     Array(7282, 6428, 11570, 9118, 6830, 8640))
 
   /** Quantize forward 8x8 coefficients (intra 1/3 dead-zone). */
-  def quant8x8(w: Array[Int], qp: Int): Array[Int] = {
+  def quant8x8(w: Array[Int], qp: Int): Array[Int] =
+    quant8x8(w, qp, Flat64)
+
+  /** Weighted forward quant (non-normative): MF scaled by 16/weight so
+    * the quantizer step tracks the dequant's weightScale/16. */
+  def quant8x8(w: Array[Int], qp: Int, wgt: Array[Int]): Array[Int] = {
     val qbits = 22 + qp / 6
     val f = (1L << qbits) / 3
     val m = MF8(qp % 6)
     Array.tabulate(64) { r =>
       val c = w(r)
-      val lvl = ((math.abs(c).toLong * m(posClass8(r)) + f) >> qbits).toInt
+      val lvl = ((math.abs(c).toLong * m(posClass8(r)) * 16 / wgt(r) + f) >> qbits).toInt
       if (c < 0) -lvl else lvl
     }
   }

@@ -3272,6 +3272,68 @@ object PipelineQueries {
              |  true AS gap_ok, true AS wrap_ok, true AS refuse_ok
              |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
 
+    // Custom quant matrices (r15, 7.3.2.1.1.1 + Table 7-2 + 8.5.9):
+    // per doc, a 4-frame GOP round-trips plane-exactly under scaling
+    // lists carried in the SPS (CAVLC P / CABAC B), overridden by the
+    // PPS, resolved through the fall-back chains, and carried
+    // PPS-only; the control leg swaps a flat SPS under the SAME slice
+    // bytes and must decode DIFFERENTLY (the matrices reach dequant).
+    "q_h264_cqm_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 100)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val len = text.codePointCount(0, text.length)
+            val w = 32 + 2 * (len % 8).toInt
+            val h = 32 + 2 * ((len + id) % 6).toInt
+            val fr = (0 until 4).map { tIdx =>
+              val rgb = new Array[Byte](w * h * 3)
+              var i = 0
+              while (i < w * h) {
+                val x = i % w; val y = i / w
+                val bg = (x * 3 + y * 5 + (x / 4) * 7 + id).toInt % 200
+                val sx = 2 + tIdx * 5
+                val v = if (x >= sx && x < sx + 8 && y >= 6 && y < 14) 255 else bg
+                rgb(i * 3) = v.toByte
+                rgb(i * 3 + 1) = ((v + 40) % 256).toByte
+                rgb(i * 3 + 2) = ((v + 90) % 256).toByte
+                i += 1
+              }
+              graft.pipeline.MediaCodecs.Bmp(w, h, rgb)
+            }
+            def parity(l: Int): Boolean = {
+              val (_, recons, decoded) = graft.pipeline.H264Codec
+                .cqmGopForTest(fr, qp = 22 + (id % 6).toInt, leg = l)
+              recons.zip(decoded).forall { case (e, d) =>
+                d.exists { case (dy, dcb, dcr) =>
+                  java.util.Arrays.equals(dy, e._1) &&
+                    java.util.Arrays.equals(dcb, e._2) &&
+                    java.util.Arrays.equals(dcr, e._3)
+                }
+              }
+            }
+            val control = {
+              val (_, recons, decoded) = graft.pipeline.H264Codec
+                .cqmGopForTest(fr.take(1), qp = 24, leg = 5)
+              decoded(0).exists(d => java.util.Arrays.equals(d._1, recons.head._1)) &&
+                decoded(1).isDefined &&
+                !java.util.Arrays.equals(decoded(1).get._1, decoded(0).get._1)
+            }
+            (id, w, h, parity(0) && parity(1),
+              parity(2) && parity(3) && parity(4), control)
+          }
+          .toDF("doc_id", "width", "height", "sps_ok", "pps_ok",
+            "control_ok")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(32 + 2 * (len(text) % 8) AS INT) AS width,
+             |  CAST(32 + 2 * ((len(text) + doc_id) % 6) AS INT) AS height,
+             |  true AS sps_ok, true AS pps_ok, true AS control_ok
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
     "q_h264_longterm_roundtrip" -> QueryDef(
       (s, dir) => {
         import s.implicits._
