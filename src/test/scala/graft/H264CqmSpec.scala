@@ -344,6 +344,31 @@ class H264CqmSpec extends AnyFunSuite {
       && java.util.Arrays.equals(dcr, ecr))
   }
 
+  test("x264 --cqm jvt shape: the DEFAULT matrices ride a full stream") {
+    // x264's jvt preset signals exactly the Table 7-3/7-4 matrices —
+    // the most likely real-world CQM content. Writing them as explicit
+    // lists resolves identically to the useDefault wire shortcut
+    // (pinned separately above), and parity proves the defaults reach
+    // dequant end to end, not just the parser
+    val cfg = H264Codec.CqmCfg(sps = Some(IndexedSeq(
+      Some(H264Codec.Default4x4Intra), None, None,
+      Some(H264Codec.Default4x4Inter), None, None,
+      Some(H264Codec.Default8x8Intra), Some(H264Codec.Default8x8Inter))))
+    val (ps, recons) = {
+      val r = H264Codec.encodeGopForTest(frames(48, 32, 4), qp = 24,
+        cqm = Some(cfg))
+      (r._1, r._2)
+    }
+    val g = new H264Codec.GopDecoder
+    ps.zip(recons).zipWithIndex.foreach { case ((p, e), i) =>
+      val d = g.decodeAuYuv(p)
+      assert(d.isDefined, s"frame $i")
+      assert(java.util.Arrays.equals(d.get._2, e._1), s"frame $i luma")
+      assert(java.util.Arrays.equals(d.get._3, e._2), s"frame $i cb")
+      assert(java.util.Arrays.equals(d.get._4, e._3), s"frame $i cr")
+    }
+  }
+
   test("hostile inputs: tampered scaling-list regions reject or decode, never throw") {
     val (payloads, _, _) = H264Codec.cqmGopForTest(frames(48, 32, 4), qp = 24, leg = 0)
     val p0 = payloads.head
