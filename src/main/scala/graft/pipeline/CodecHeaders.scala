@@ -261,13 +261,18 @@ object CodecHeaders {
           } else {
             if (r.bits(1) == 1) // timing_info_present
               throw new IllegalArgumentException("timing_info out of this layer")
-            r.bits(1) // initial_display_delay_present
+            // initial_display_delay_present gates PER-OPERATING-POINT
+            // delay fields below (5.5.1) — skipping them would shift
+            // every later read and silently misparse the dims
+            val dispDelay = r.bits(1) == 1
             val nOps = r.bits(5) + 1
             var i = 0
             while (i < nOps) {
               r.bits(12) // operating_point_idc
               val lvl = r.bits(5)
               if (lvl > 7) r.bits(1) // seq_tier
+              if (dispDelay && r.bits(1) == 1) // present_for_this_op
+                r.bits(4) // initial_display_delay_minus_1
               i += 1
             }
           }
@@ -298,14 +303,15 @@ object CodecHeaders {
     * (main profile, one operating point, dims) + a frame OBU whose
     * header carries frame_type; the frame body past the parsed prefix
     * is opaque tail. */
-  def writeAv1KeyUnit(width: Int, height: Int, tail: Array[Byte]): Array[Byte] =
-    writeAv1Unit(width, height, keyframe = true, tail)
+  def writeAv1KeyUnit(width: Int, height: Int, tail: Array[Byte],
+      dispDelay: Boolean = false): Array[Byte] =
+    writeAv1Unit(width, height, keyframe = true, tail, dispDelay)
 
   def writeAv1InterUnit(tail: Array[Byte]): Array[Byte] =
     writeAv1Unit(0, 0, keyframe = false, tail)
 
   private def writeAv1Unit(width: Int, height: Int, keyframe: Boolean,
-      tail: Array[Byte]): Array[Byte] = {
+      tail: Array[Byte], dispDelay: Boolean = false): Array[Byte] = {
     def obu(typ: Int, body: Array[Byte]): Array[Byte] =
       Array((((typ & 0xf) << 3) | 2).toByte) ++ writeLeb128(body.length.toLong) ++ body
     val td = obu(ObuTemporalDelimiter, Array.empty)
@@ -318,10 +324,14 @@ object CodecHeaders {
         w.bits(0, 1) // still_picture
         w.bits(0, 1) // reduced_still_picture_header
         w.bits(0, 1) // timing_info_present
-        w.bits(0, 1) // initial_display_delay_present
+        w.bits(if (dispDelay) 1 else 0, 1) // initial_display_delay_present
         w.bits(0, 5) // operating_points_cnt_minus_1
         w.bits(0, 12) // operating_point_idc[0]
         w.bits(0, 5) // seq_level_idx[0] (<=7: no tier bit)
+        if (dispDelay) {
+          w.bits(1, 1) // initial_display_delay_present_for_this_op[0]
+          w.bits(3, 4) // initial_display_delay_minus_1[0]
+        }
         w.bits(15, 4) // frame_width_bits_minus_1
         w.bits(15, 4) // frame_height_bits_minus_1
         w.bits(width - 1, 16)

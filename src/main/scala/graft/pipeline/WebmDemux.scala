@@ -136,20 +136,13 @@ object WebmDemux {
     (v, len)
   }
 
-  /** Size VINT: 1–8 bytes, marker bits STRIPPED. Returns
-    * (value, bytesConsumed); value == -1 encodes "unknown size" (all
-    * value bits set). */
+  /** Element DATA size: a plain VINT (1–8 bytes, marker stripped) with
+    * the all-ones pattern mapped to -1 = unknown size. That mapping
+    * applies ONLY to element data sizes — IDs, block track numbers,
+    * and lace sizes use [[readSizeRaw]]. */
   private def readSize(p: Array[Byte], at: Long): (Long, Int) = {
-    if (at >= p.length) throw new Fmt("EOF at element size")
-    val b0 = p(at.toInt) & 0xff
-    if (b0 == 0) throw new Fmt("invalid size lead byte 0")
-    val len = Integer.numberOfLeadingZeros(b0) - 24 + 1
-    if (at + len > p.length) throw new Fmt("EOF inside element size")
-    var v = (b0 & (0xff >>> len)).toLong
-    var i = 1
-    while (i < len) { v = (v << 8) | (p((at + i).toInt) & 0xff); i += 1 }
-    val allOnes = (1L << (7 * len)) - 1
-    (if (v == allOnes) -1L else v, len)
+    val (v, len) = readSizeRaw(p, at)
+    (if (v == (1L << (7 * len)) - 1) -1L else v, len)
   }
 
   private def readUInt(p: Array[Byte], at: Long, n: Long): Long = {
@@ -245,7 +238,10 @@ object WebmDemux {
       * no-ReferenceBlock rule for Block. */
     def parseBlock(body: Long, end: Long, clusterTs: Long,
         keyframeOverride: Option[Boolean]): Unit = {
-      val (trackNum, tnLen) = readSize(p, body) // track number is a plain VINT
+      // track number is a PLAIN VINT: no all-ones-means-unknown mapping
+      // (that semantic belongs to element DATA sizes only) — a 1-byte
+      // 0xFF legally codes track 127
+      val (trackNum, tnLen) = readSizeRaw(p, body)
       if (trackNum <= 0) throw new Fmt("block track number")
       var o = body + tnLen
       if (o + 3 > end) throw new Fmt("EOF in block header")
@@ -280,8 +276,7 @@ object WebmDemux {
                 sizes(i) = s; i += 1
               }
             case 3 if nFrames > 1 => // EBML: unsigned first, signed deltas
-              val (s0, l0) = readSize(p, o)
-              if (s0 < 0) throw new Fmt("unknown-size lace")
+              val (s0, l0) = readSizeRaw(p, o) // plain VINT (all-ones is a value)
               sizes(0) = s0; o += l0
               var i = 1
               while (i < nFrames - 1) {
@@ -320,9 +315,14 @@ object WebmDemux {
     }
 
     /** Cluster children; returns stop offset (for unknown-size). */
-    def parseCluster(body: Long, end: Long): Long = {
+    def parseCluster(body: Long, end: Long, outer: Long = -1L): Long = {
       var clusterTs = 0L
-      val limit = if (end == -1L) p.length.toLong else end
+      // unknown-size cluster: scan to a top-level terminator, but never
+      // past the ENCLOSING sized segment's end (outer)
+      val limit =
+        if (end != -1L) end
+        else if (outer != -1L) outer
+        else p.length.toLong
       var o = body
       var done = false
       while (!done && o < limit) {
@@ -360,9 +360,18 @@ object WebmDemux {
 
     var o = hdrEnd
     var sawSegment = false
-    while (o < p.length) {
-      val (id, idLen) = readId(p, o)
-      val (sz, szLen) = readSize(p, o + idLen)
+    var trailing = false
+    while (o < p.length && !trailing) {
+      // after one COMPLETE segment, unparseable trailing bytes
+      // (padding, appended junk) must not invalidate its content — the
+      // posture real demuxers take; a damaged FIRST segment still
+      // refuses through the usual throws
+      val hdr =
+        try Some((readId(p, o), readSize(p, o + readId(p, o)._2)))
+        catch { case e: Fmt => if (sawSegment) None else throw e }
+      if (hdr.isEmpty) trailing = true
+      else {
+      val ((id, idLen), (sz, szLen)) = hdr.get
       val body = o + idLen + szLen
       val segEnd = bodyEnd(body, sz, p.length.toLong, "segment",
         allowUnknown = id == IdSegment)
@@ -377,7 +386,7 @@ object WebmDemux {
           val cb = so + cidLen + cszLen
           if (csz == -1L) {
             if (cid != IdCluster) throw new Fmt("unknown size on non-cluster")
-            so = parseCluster(cb, -1L)
+            so = parseCluster(cb, -1L, outer = limit)
           } else {
             val ce = cb + csz
             if (ce > limit || ce < so) throw new Fmt("segment child escapes")
@@ -402,6 +411,7 @@ object WebmDemux {
         }
         o = limit
       } else o = segEnd
+      }
     }
     if (!sawSegment || metas.isEmpty) return None
     val tracks = metas.toSeq.map { m =>
@@ -446,6 +456,18 @@ object WebmDemux {
   private val UnknownSize8: Array[Byte] =
     (0x01.toByte) +: Array.fill(7)(0xff.toByte)
 
+  /** Minimal PLAIN VINT (track numbers, lace sizes): the all-ones
+    * pattern is an ordinary value at these positions, so a 1-byte 0xFF
+    * legitimately codes 127 — the shape real muxers emit and the
+    * demuxer must accept. */
+  private def vintRaw(v: Long): Array[Byte] = {
+    require(v >= 0, "vint value")
+    var len = 1
+    while (len < 8 && v > ((1L << (7 * len)) - 1)) len += 1
+    val marked = v | (1L << (7 * len))
+    Array.tabulate(len)(i => ((marked >> (8 * (len - 1 - i))) & 0xff).toByte)
+  }
+
   private def element(id: Long, body: Array[Byte]): Array[Byte] =
     vintId(id) ++ vintSize(body.length.toLong) ++ body
 
@@ -476,7 +498,7 @@ object WebmDemux {
       else if (lacing == 2 && frames.map(_.length).distinct.length != 1) 3
       else lacing
     val out = mutable.ArrayBuffer.empty[Byte]
-    out ++= vintSize(trackNum)
+    out ++= vintRaw(trackNum)
     out += ((relTs >> 8) & 0xff).toByte
     out += (relTs & 0xff).toByte
     out += (((if (keyframe) 0x80 else 0) | (lace << 1)).toByte)
@@ -490,7 +512,7 @@ object WebmDemux {
             out += s.toByte
           }
         case 3 => // EBML: unsigned first, signed deltas after
-          out ++= vintSize(frames.head.length.toLong)
+          out ++= vintRaw(frames.head.length.toLong)
           frames.sliding(2).toSeq.dropRight(1).foreach { pair =>
             val delta = pair(1).length.toLong - pair(0).length.toLong
             // signed vint at a width that can hold the delta
@@ -550,8 +572,10 @@ object WebmDemux {
       codecId: String = "V_VP9", laceSize: Int = 1, blocksPerCluster: Int = 4,
       ticksPerFrame: Long = 40, unknownSizeClusters: Boolean = false,
       audio: Option[(String, Double, Int, Seq[Array[Byte]])] = None,
-      useBlockGroups: Boolean = false, keyframeEvery: Int = 0): Array[Byte] = {
+      useBlockGroups: Boolean = false, keyframeEvery: Int = 0,
+      trackNumber: Long = 1, sizedSegment: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty && laceSize >= 1 && blocksPerCluster >= 1)
+    require(trackNumber >= 1 && (audio.isEmpty || trackNumber != 2))
     val header = element(IdEbml,
       uintEl(0x4286L, 1) ++ uintEl(0x42f7L, 1) ++ // EBMLVersion/ReadVersion
         uintEl(0x42f2L, 4) ++ uintEl(0x42f3L, 8) ++ // MaxIDLength/MaxSizeLength
@@ -564,7 +588,7 @@ object WebmDemux {
         strEl(0x4d80L, "graft") ++ strEl(0x5741L, "graft")) // Muxing/WritingApp
 
     val videoEntry = element(IdTrackEntry,
-      uintEl(IdTrackNumber, 1) ++ uintEl(IdTrackUid, 1) ++
+      uintEl(IdTrackNumber, trackNumber) ++ uintEl(IdTrackUid, 1) ++
         uintEl(IdTrackType, 1) ++ strEl(IdCodecId, codecId) ++
         element(IdVideo, uintEl(IdPixelWidth, width.toLong) ++
           uintEl(IdPixelHeight, height.toLong)))
@@ -603,9 +627,9 @@ object WebmDemux {
             else bi == 0
           body ++=
             (if (useBlockGroups)
-              blockGroup(1, rel, keyframe = kf, laceMode, bf,
+              blockGroup(trackNumber, rel, keyframe = kf, laceMode, bf,
                 refDeltaTicks = -(laceSize.toLong * ticksPerFrame))
-            else simpleBlock(1, rel, keyframe = kf, laceMode, bf))
+            else simpleBlock(trackNumber, rel, keyframe = kf, laceMode, bf))
         }
         if (audioIdx < audioFrames.length) {
           body ++= simpleBlock(2, 0, keyframe = true, 0, Seq(audioFrames(audioIdx)))
@@ -630,7 +654,8 @@ object WebmDemux {
 
     val segBody = info ++ tracksEl ++ clusters.flatten ++ tail
     val segment =
-      if (unknownSizeClusters) vintId(IdSegment) ++ UnknownSize8 ++ segBody
+      if (unknownSizeClusters && !sizedSegment)
+        vintId(IdSegment) ++ UnknownSize8 ++ segBody
       else vintId(IdSegment) ++ vintSize(segBody.length.toLong) ++ segBody
     header ++ segment
   }

@@ -74,6 +74,12 @@ class CodecHeadersSpec extends AnyFunSuite {
       Array.tabulate(300)(i => (i % 251).toByte))
     val fb = CodecHeaders.parseAv1(big).get
     assert(fb.width == 640 && fb.obus.last.size > 300)
+    // initial_display_delay_present = 1 gates PER-OP delay fields the
+    // parser must consume — skipping them shifted every later bit and
+    // silently misparsed the dims (r15 review fix)
+    val dd = CodecHeaders.parseAv1(
+      CodecHeaders.writeAv1KeyUnit(1920, 1080, tail, dispDelay = true)).get
+    assert(dd.width == 1920 && dd.height == 1080 && dd.keyframe)
   }
 
   test("frameFacts dispatches on the WebM CodecID") {

@@ -121,13 +121,45 @@ class WebmDemuxSpec extends SparkSpec {
     assertFramesExact(bytes, info.videoTrack, v)
   }
 
+  test("plain-VINT positions accept the all-ones pattern (track 127 = 0xFF)") {
+    // the all-ones-means-unknown mapping belongs to element DATA sizes
+    // ONLY: a block track number of 127 is legally the single byte
+    // 0xFF, and an EBML first lace size of 127 likewise — real muxers
+    // emit these minimal forms (r15 review fix: readSize's unknown
+    // mapping wrongly rejected them, dropping the whole file to the
+    // feature stub)
+    val frames = Seq(
+      Array.tabulate(9)(i => i.toByte), Array.tabulate(12)(i => (i + 1).toByte),
+      // block 1 gets EBML lacing (mode cycle): first lace size 127
+      Array.tabulate(127)(i => (i * 3).toByte), Array.tabulate(11)(i => (i + 5).toByte),
+      Array.tabulate(10)(i => (i + 7).toByte), Array.tabulate(10)(i => (i + 9).toByte))
+    val bytes = WebmDemux.encodeWebm(frames, 64, 48, laceSize = 2,
+      blocksPerCluster = 3, trackNumber = 127)
+    val info = WebmDemux.demux(bytes).get
+    val t = info.videoTrack
+    assert(t.trackNumber == 127)
+    assertFramesExact(bytes, t, frames)
+  }
+
+  test("unknown-size cluster inside a SIZED segment stops at the segment end") {
+    // live-remuxed shape: the segment is sized (seekable file) but a
+    // cluster kept its streaming unknown size; trailing non-Matroska
+    // bytes after the segment must not derail the cluster walk (r15
+    // review fix: the terminator scan previously ran to payload end)
+    val frames = mkFrames(6, seed = 8)
+    val good = WebmDemux.encodeWebm(frames, 64, 48, blocksPerCluster = 3,
+      unknownSizeClusters = true, sizedSegment = true)
+    val trailing = good ++ Array.tabulate(37)(i => ((i * 89 + 7) % 256).toByte)
+    val info = WebmDemux.demux(trailing).get
+    assertFramesExact(trailing, info.videoTrack, frames)
+  }
+
   test("hostile inputs: refuse, never allocate from claimed sizes") {
     val good = WebmDemux.encodeWebm(mkFrames(5, seed = 4), 64, 48)
     // truncations at every prefix length must demux to None, not throw
     for (cut <- Seq(3, 5, 20, 40, good.length / 2, good.length - 1)) {
       val p = java.util.Arrays.copyOf(good, cut)
-      assert(WebmDemux.demux(p).isEmpty || cut >= good.length - 1 &&
-        WebmDemux.demux(p).isEmpty, s"cut $cut")
+      assert(WebmDemux.demux(p).isEmpty, s"cut $cut")
     }
     // zero lead byte = invalid VINT
     val zeroed = good.clone(); zeroed(4) = 0
