@@ -356,4 +356,168 @@ object CodecHeaders {
       case "V_AV1" => parseAv1(frame).map(f => (f.keyframe, f.width, f.height))
       case _ => None
     }
+
+  // ------- audio headers: Opus (RFC 7845/6716) / Vorbis (Xiph I) -------
+  // The HEADER layer only, same posture as the video parsers above:
+  // audio DECODE stays refused (CATALOG — Opus/Vorbis codebook mass
+  // fails the honest-witness bar), but the id headers and the Opus TOC
+  // byte are plain structure with magic-anchored layouts.
+
+  /** OpusHead (RFC 7845 §5.1, the WebM/Ogg CodecPrivate payload). */
+  case class OpusHead(version: Int, channels: Int, preSkip: Int,
+      inputSampleRate: Long, outputGainQ8: Int, mappingFamily: Int)
+
+  def parseOpusHead(p: Array[Byte]): Option[OpusHead] =
+    try {
+      if (p.length < 19) return None
+      if (new String(p, 0, 8, "ISO-8859-1") != "OpusHead") return None
+      val version = p(8) & 0xff
+      if ((version >> 4) != 0) return None // compat rule: major 0
+      val ch = p(9) & 0xff
+      if (ch == 0) return None
+      def u16le(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+      def u32le(o: Int) = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+      val family = p(18) & 0xff
+      if (family != 0 && p.length < 21 + ch) return None // mapping table
+      Some(OpusHead(version, ch, u16le(10), u32le(12), u16le(16).toShort, family))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  def writeOpusHead(channels: Int, preSkip: Int, inputRate: Long,
+      gainQ8: Int = 0): Array[Byte] = {
+    require(channels >= 1 && channels <= 2, "family-0 channels")
+    val out = mutable.ArrayBuffer.empty[Byte]
+    out ++= "OpusHead".getBytes("ISO-8859-1")
+    out += 1 // version
+    out += channels.toByte
+    out += (preSkip & 0xff).toByte; out += ((preSkip >> 8) & 0xff).toByte
+    var i = 0
+    while (i < 4) { out += ((inputRate >> (8 * i)) & 0xff).toByte; i += 1 }
+    out += (gainQ8 & 0xff).toByte; out += ((gainQ8 >> 8) & 0xff).toByte
+    out += 0 // mapping family 0 (mono/stereo)
+    out.toArray
+  }
+
+  /** Opus TOC byte (RFC 6716 §3.1): per-packet frame layout. Durations
+    * in MICROSECONDS per the config table (SILK 10/20/40/60 ms bands,
+    * hybrid 10/20, CELT 2.5/5/10/20). */
+  case class OpusToc(config: Int, stereo: Boolean, framesInPacket: Int,
+      frameDurationUs: Int) {
+    def packetDurationUs: Long = framesInPacket.toLong * frameDurationUs
+  }
+
+  def parseOpusToc(p: Array[Byte]): Option[OpusToc] =
+    try {
+      if (p.isEmpty) return None
+      val b = p(0) & 0xff
+      val config = b >> 3
+      val stereo = ((b >> 2) & 1) == 1
+      val code = b & 3
+      val n = code match {
+        case 0 => 1
+        case 1 | 2 => 2
+        case _ =>
+          if (p.length < 2) return None
+          val m = p(1) & 0x3f
+          if (m == 0) return None // RFC 6716: code-3 M must be >= 1
+          m
+      }
+      val durUs =
+        if (config < 12) Array(10000, 20000, 40000, 60000)(config % 4) // SILK
+        else if (config < 16) Array(10000, 20000)(config % 2) // hybrid
+        else Array(2500, 5000, 10000, 20000)(config % 4) // CELT
+      if (n.toLong * durUs > 120000L) return None // max packet 120 ms
+      Some(OpusToc(config, stereo, n, durUs))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** One Opus packet: TOC + opaque compressed tail. `frames` > 1 uses
+    * code 3 (count byte, CBR flag 0 pattern covered by padding-free
+    * VBR=0). */
+  def writeOpusPacket(config: Int, stereo: Boolean, frames: Int,
+      tail: Array[Byte]): Array[Byte] = {
+    require(config >= 0 && config <= 31 && frames >= 1 && frames <= 48)
+    val code = if (frames == 1) 0 else 3
+    val toc = ((config << 3) | (if (stereo) 4 else 0) | code).toByte
+    if (code == 0) toc +: tail
+    else Array(toc, frames.toByte) ++ tail // code 3, cbr, no padding
+  }
+
+  /** Vorbis identification header (Xiph Vorbis I §4.2.2). */
+  case class VorbisId(channels: Int, sampleRate: Long, blocksize0: Int,
+      blocksize1: Int)
+
+  def parseVorbisId(p: Array[Byte]): Option[VorbisId] =
+    try {
+      if (p.length < 30) return None
+      if ((p(0) & 0xff) != 1) return None // packet_type id
+      if (new String(p, 1, 6, "ISO-8859-1") != "vorbis") return None
+      def u32le(o: Int) = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+      if (u32le(7) != 0L) return None // vorbis_version
+      val ch = p(11) & 0xff
+      val rate = u32le(12)
+      if (ch == 0 || rate == 0) return None
+      val bs = p(28) & 0xff
+      val bs0 = 1 << (bs & 0xf)
+      val bs1 = 1 << (bs >> 4)
+      if (bs0 > bs1) return None // spec: blocksize_0 <= blocksize_1
+      if ((p(29) & 1) != 1) return None // framing flag
+      Some(VorbisId(ch, rate, bs0, bs1))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  def writeVorbisId(channels: Int, rate: Long, log2Bs0: Int = 8,
+      log2Bs1: Int = 11): Array[Byte] = {
+    val out = mutable.ArrayBuffer.empty[Byte]
+    out += 1; out ++= "vorbis".getBytes("ISO-8859-1")
+    out ++= Array.fill(4)(0.toByte) // version 0
+    out += channels.toByte
+    var i = 0
+    while (i < 4) { out += ((rate >> (8 * i)) & 0xff).toByte; i += 1 }
+    out ++= Array.fill(12)(0.toByte) // bitrate max/nominal/min
+    out += ((log2Bs1 << 4) | log2Bs0).toByte
+    out += 1 // framing flag
+    out.toArray
+  }
+
+  /** WebM/Matroska Vorbis CodecPrivate: Xiph-laced 3 header packets
+    * (count byte 2, then 255-run lengths of the first two). Returns the
+    * IDENTIFICATION packet. */
+  def vorbisIdFromPrivate(priv: Array[Byte]): Option[Array[Byte]] =
+    try {
+      if (priv.length < 3 || (priv(0) & 0xff) != 2) return None
+      var o = 1
+      val lens = new Array[Int](2)
+      var k = 0
+      while (k < 2) {
+        var s = 0; var b = 255
+        while (b == 255) {
+          if (o >= priv.length) return None
+          b = priv(o) & 0xff; s += b; o += 1
+        }
+        lens(k) = s; k += 1
+      }
+      if (o + lens(0) > priv.length) return None
+      Some(java.util.Arrays.copyOfRange(priv, o, o + lens(0)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  def writeVorbisPrivate(idPacket: Array[Byte], comment: Array[Byte],
+      setup: Array[Byte]): Array[Byte] = {
+    def xiphLen(n: Int): Array[Byte] =
+      Array.fill(n / 255)(255.toByte) ++ Array((n % 255).toByte)
+    Array(2.toByte) ++ xiphLen(idPacket.length) ++ xiphLen(comment.length) ++
+      idPacket ++ comment ++ setup
+  }
+
+  /** Bitstream-true audio facts for a WebM track: (channels, rate)
+    * from the CodecPrivate id header — the cross-check against the
+    * container's Audio element the video dims cross-check parallels. */
+  def audioFacts(codecId: String, codecPrivate: Array[Byte]): Option[(Int, Long)] =
+    codecId match {
+      case "A_OPUS" =>
+        parseOpusHead(codecPrivate).map(h => (h.channels, h.inputSampleRate))
+      case "A_VORBIS" =>
+        vorbisIdFromPrivate(codecPrivate).flatMap(parseVorbisId)
+          .map(v => (v.channels, v.sampleRate))
+      case _ => None
+    }
 }

@@ -47,7 +47,8 @@ object WebmDemux {
     * from the Audio element (0 when absent). */
   case class Track(trackNumber: Long, trackType: Int, codecId: String,
       width: Int, height: Int, samplingHz: Double, channels: Int,
-      frames: IndexedSeq[Frame]) {
+      frames: IndexedSeq[Frame],
+      codecPrivate: Array[Byte] = Array.emptyByteArray) {
     def nFrames: Int = frames.length
     def totalFrameBytes: Long = frames.iterator.map(_.size.toLong).sum
     def keyframeCount: Int = frames.count(_.keyframe)
@@ -85,6 +86,7 @@ object WebmDemux {
   private final val IdPixelWidth = 0xb0L
   private final val IdPixelHeight = 0xbaL
   private final val IdAudio = 0xe1L
+  private final val IdCodecPrivate = 0x63a2L
   private final val IdSamplingFrequency = 0xb5L
   private final val IdChannels = 0x9fL
   private final val IdCluster = 0x1f43b675L
@@ -166,7 +168,7 @@ object WebmDemux {
     var duration = 0.0
     // per-track accumulation: metadata rows then block-resolved frames
     case class TrackMeta(num: Long, typ: Int, codec: String, w: Int, h: Int,
-        hz: Double, ch: Int)
+        hz: Double, ch: Int, priv: Array[Byte])
     val metas = mutable.ArrayBuffer.empty[TrackMeta]
     val framesByTrack = mutable.LinkedHashMap.empty[Long, mutable.ArrayBuffer[Frame]]
 
@@ -203,12 +205,15 @@ object WebmDemux {
     def parseTrackEntry(body: Long, end: Long): Unit = {
       var num = 0L; var typ = 0; var codec = ""
       var w = 0; var h = 0; var hz = 0.0; var ch = 0
+      var priv = Array.emptyByteArray
       walk(body, end) { (id, b, sz) =>
         if (sz == -1L) throw new Fmt("unknown size in TrackEntry")
         id match {
           case IdTrackNumber => num = readUInt(p, b, sz)
           case IdTrackType => typ = readUInt(p, b, sz).toInt
           case IdCodecId => codec = new String(p, b.toInt, sz.toInt, "ISO-8859-1")
+          case IdCodecPrivate =>
+            priv = java.util.Arrays.copyOfRange(p, b.toInt, (b + sz).toInt)
           case IdVideo =>
             walk(b, b + sz) { (id2, b2, sz2) =>
               id2 match {
@@ -229,7 +234,7 @@ object WebmDemux {
         }
       }
       if (num <= 0) throw new Fmt("TrackEntry without TrackNumber")
-      metas += TrackMeta(num, typ, codec, w, h, hz, ch)
+      metas += TrackMeta(num, typ, codec, w, h, hz, ch, priv)
       framesByTrack.getOrElseUpdate(num, mutable.ArrayBuffer.empty)
     }
 
@@ -416,7 +421,8 @@ object WebmDemux {
     if (!sawSegment || metas.isEmpty) return None
     val tracks = metas.toSeq.map { m =>
       Track(m.num, m.typ, m.codec, m.w, m.h, m.hz, m.ch,
-        framesByTrack.getOrElse(m.num, mutable.ArrayBuffer.empty).toIndexedSeq)
+        framesByTrack.getOrElse(m.num, mutable.ArrayBuffer.empty).toIndexedSeq,
+        m.priv)
     }
     Some(WebmInfo(docType, tsScale, duration, tracks))
   }
@@ -573,7 +579,8 @@ object WebmDemux {
       ticksPerFrame: Long = 40, unknownSizeClusters: Boolean = false,
       audio: Option[(String, Double, Int, Seq[Array[Byte]])] = None,
       useBlockGroups: Boolean = false, keyframeEvery: Int = 0,
-      trackNumber: Long = 1, sizedSegment: Boolean = false): Array[Byte] = {
+      trackNumber: Long = 1, sizedSegment: Boolean = false,
+      audioCodecPrivate: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
     require(frames.nonEmpty && laceSize >= 1 && blocksPerCluster >= 1)
     require(trackNumber >= 1 && (audio.isEmpty || trackNumber != 2))
     val header = element(IdEbml,
@@ -596,6 +603,8 @@ object WebmDemux {
       element(IdTrackEntry,
         uintEl(IdTrackNumber, 2) ++ uintEl(IdTrackUid, 2) ++
           uintEl(IdTrackType, 2) ++ strEl(IdCodecId, ac) ++
+          (if (audioCodecPrivate.isEmpty) Array.emptyByteArray
+           else element(IdCodecPrivate, audioCodecPrivate)) ++
           element(IdAudio, floatEl(IdSamplingFrequency, hz) ++
             uintEl(IdChannels, ch.toLong)))
     }.getOrElse(Array.empty[Byte])

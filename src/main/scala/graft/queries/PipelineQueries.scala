@@ -2623,6 +2623,74 @@ object PipelineQueries {
              |  true AS facts_ok
              |FROM d ORDER BY doc_id""".stripMargin)),
 
+    // WebM AUDIO headers (r15): the Opus/Vorbis id-header + Opus TOC
+    // layer over the CodecPrivate plumbing — bitstream-true channels /
+    // rate (audioFacts) plus TOC-summed packet duration for Opus, all
+    // closed-form planted and replayed in SQL; agree_ok pins the
+    // container's Audio element matching the bitstream per doc. Audio
+    // DECODE stays refused (CATALOG — codebook mass), same split as
+    // the video pixel layer.
+    "q_webm_audio_headers" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents").filter($"doc_id" < 150)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            import graft.pipeline.{CodecHeaders, WebmDemux}
+            val len = text.codePointCount(0, text.length)
+            val opus = id % 2 == 0
+            val ch = 1 + (len % 2)
+            val rate = if (opus) 48000L else 32000L + (id % 3) * 8000L
+            val nPk = 3 + (len % 4)
+            val cfg = (id % 4).toInt // SILK NB: 10/20/40/60 ms
+            val durMs = Array(10, 20, 40, 60)(cfg)
+            val packets = (0 until nPk).map(i =>
+              CodecHeaders.writeOpusPacket(cfg, stereo = ch == 2, 1,
+                Array.tabulate(8 + (i % 5))(k => ((id * 11 + i + k) % 251).toByte)))
+            val priv =
+              if (opus) CodecHeaders.writeOpusHead(ch, 312, rate)
+              else CodecHeaders.writeVorbisPrivate(
+                CodecHeaders.writeVorbisId(ch, rate),
+                Array.tabulate(20 + (len % 9))(k => (k % 97).toByte),
+                Array.tabulate(30)(k => (k * 5 % 97).toByte))
+            val vframes = (0 until 3).map(i =>
+              Array.tabulate(9 + i)(k => ((id + i + k) % 251).toByte))
+            val webm = WebmDemux.encodeWebm(vframes, 64, 48,
+              audio = Some((if (opus) "A_OPUS" else "A_VORBIS",
+                rate.toDouble, ch, packets)),
+              audioCodecPrivate = priv)
+            val at = WebmDemux.demux(webm).get.tracks.find(_.trackType == 2).get
+            val facts = CodecHeaders.audioFacts(at.codecId, at.codecPrivate)
+            val totalMs =
+              if (!opus) 0L
+              else (0 until at.nFrames).map(i =>
+                CodecHeaders.parseOpusToc(WebmDemux.frameBytes(webm, at, i))
+                  .get.packetDurationUs).sum / 1000
+            val agree = facts.contains((ch, rate)) &&
+              at.samplingHz == rate.toDouble && at.channels == ch &&
+              at.nFrames == nPk
+            (id, at.codecId, facts.map(_._1).getOrElse(-1),
+              facts.map(_._2).getOrElse(-1L), totalMs, agree)
+          }
+          .toDF("doc_id", "codec", "channels", "rate", "total_ms", "agree_ok")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(doc_id AS BIGINT) AS doc_id, len(text) AS l
+             |  FROM documents WHERE doc_id < 150)
+             |SELECT doc_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'A_OPUS' ELSE 'A_VORBIS' END AS codec,
+             |  CAST(1 + l % 2 AS INT) AS channels,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 48000
+             |            ELSE 32000 + (doc_id % 3) * 8000 END AS BIGINT) AS rate,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN (3 + l % 4) *
+             |    (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 10 WHEN 1 THEN 20
+             |          WHEN 2 THEN 40 ELSE 60 END)
+             |    ELSE 0 END AS BIGINT) AS total_ms,
+             |  true AS agree_ok
+             |FROM d ORDER BY doc_id""".stripMargin)),
+
     // native H.264 intra codec (H264Codec, r8) end-to-end THROUGH the MP4
     // container: deterministic gradient frames (closed-form dims) →
     // encode as I_PCM IDR AVCC samples → mux (Mp4Demux.encodeMp4) →

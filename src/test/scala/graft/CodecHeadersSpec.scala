@@ -82,6 +82,69 @@ class CodecHeadersSpec extends AnyFunSuite {
     assert(dd.width == 1920 && dd.height == 1080 && dd.keyframe)
   }
 
+  test("Opus: OpusHead + TOC round-trip; durations per the config table") {
+    val h = CodecHeaders.parseOpusHead(
+      CodecHeaders.writeOpusHead(2, preSkip = 312, inputRate = 48000L)).get
+    assert(h.version == 1 && h.channels == 2 && h.preSkip == 312)
+    assert(h.inputSampleRate == 48000L && h.mappingFamily == 0)
+    // wrong magic / zero channels refuse
+    assert(CodecHeaders.parseOpusHead("OpusTags".getBytes ++
+      Array.fill(11)(1.toByte)).isEmpty)
+    val zc = CodecHeaders.writeOpusHead(1, 0, 48000L); zc(9) = 0
+    assert(CodecHeaders.parseOpusHead(zc).isEmpty)
+    // TOC: config 1 = SILK NB 20 ms single frame
+    val t1 = CodecHeaders.parseOpusToc(
+      CodecHeaders.writeOpusPacket(1, stereo = false, 1, Array(9, 9))).get
+    assert(!t1.stereo && t1.framesInPacket == 1 && t1.frameDurationUs == 20000)
+    // config 17 = CELT NB 5 ms, code-3 packet with 6 frames = 30 ms
+    val t2 = CodecHeaders.parseOpusToc(
+      CodecHeaders.writeOpusPacket(17, stereo = true, 6, Array.empty)).get
+    assert(t2.stereo && t2.framesInPacket == 6 && t2.packetDurationUs == 30000)
+    // hybrid band: config 15 = FB 20 ms
+    assert(CodecHeaders.parseOpusToc(Array((15 << 3).toByte)).get
+      .frameDurationUs == 20000)
+    // RFC cap: 8 x 20 ms = 160 ms > 120 ms refuses
+    assert(CodecHeaders.parseOpusToc(
+      CodecHeaders.writeOpusPacket(1, stereo = false, 8, Array.empty)).isEmpty)
+  }
+
+  test("Vorbis: id header through the Xiph-laced CodecPrivate") {
+    val id = CodecHeaders.writeVorbisId(2, 44100L)
+    val priv = CodecHeaders.writeVorbisPrivate(id,
+      Array.tabulate(300)(i => (i % 251).toByte), // comment > 255: 255-run
+      Array.tabulate(40)(i => (i * 3).toByte))
+    val v = CodecHeaders.vorbisIdFromPrivate(priv).flatMap(CodecHeaders.parseVorbisId).get
+    assert(v.channels == 2 && v.sampleRate == 44100L)
+    assert(v.blocksize0 == 256 && v.blocksize1 == 2048)
+    // framing bit / version refuse
+    val noFrame = id.clone(); noFrame(29) = 0
+    assert(CodecHeaders.parseVorbisId(noFrame).isEmpty)
+    val badVer = id.clone(); badVer(7) = 1
+    assert(CodecHeaders.parseVorbisId(badVer).isEmpty)
+  }
+
+  test("audioFacts: bitstream channels/rate from WebM CodecPrivate") {
+    import graft.pipeline.WebmDemux
+    val opusPackets = (0 until 5).map(i =>
+      CodecHeaders.writeOpusPacket(1, stereo = true, 1,
+        Array.tabulate(12)(k => ((i * 7 + k) % 251).toByte)))
+    val vframes = (0 until 4).map(i => Array.tabulate(10)(k => ((i + k) % 97).toByte))
+    val bytes = WebmDemux.encodeWebm(vframes, 64, 48,
+      audio = Some(("A_OPUS", 48000.0, 2, opusPackets)),
+      audioCodecPrivate = CodecHeaders.writeOpusHead(2, 312, 48000L))
+    val info = WebmDemux.demux(bytes).get
+    val at = info.tracks.find(_.trackType == 2).get
+    assert(CodecHeaders.audioFacts(at.codecId, at.codecPrivate)
+      .contains((2, 48000L)))
+    // per-packet TOC durations over the demuxed audio frames
+    val durs = (0 until at.nFrames).map(i =>
+      CodecHeaders.parseOpusToc(WebmDemux.frameBytes(bytes, at, i)).get
+        .packetDurationUs)
+    assert(durs.forall(_ == 20000L) && at.nFrames == 5)
+    // a track without CodecPrivate yields no facts, never throws
+    assert(CodecHeaders.audioFacts("A_OPUS", Array.emptyByteArray).isEmpty)
+  }
+
   test("frameFacts dispatches on the WebM CodecID") {
     assert(CodecHeaders.frameFacts("V_VP8",
       CodecHeaders.writeVp8KeyHeader(320, 240, 0, 1, tail)).contains((true, 320, 240)))
