@@ -368,6 +368,50 @@ object StreamingQueries {
              |CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS frame) f
              |WHERE d.doc_id < 16 ORDER BY doc_id, frame""".stripMargin)),
 
+    // WebM files arriving on a binaryFile stream (r15): per-file EBML
+    // demux + bitstream keyframe headers, stateless across files, so
+    // the streamed rows equal the batch demux of the same bytes row by
+    // row (stream_matches_batch) and the planted schedule replays
+    // closed-form; half the files arrive in the unknown-size
+    // live-streaming shape
+    "q_stream_webm_ingest" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val streamed = graft.streaming.WebmStream.webmIngestSink(s, dir)
+        val batch = s.read.parquet(s"$dir/documents.parquet")
+          .filter($"doc_id" < 24)
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)]
+          .flatMap { case (id, text) =>
+            graft.streaming.WebmStream.demuxRow(f"doc_$id%05d.webm",
+              graft.streaming.WebmStream.webmForDoc(id, text))
+          }
+          .toDF("doc_id", "b_codec", "b_n", "b_key", "b_w", "b_h")
+        streamed.join(batch, Seq("doc_id"))
+          .select($"doc_id", $"codec",
+            $"n_frames".cast("int").as("n_frames"),
+            $"n_key".cast("int").as("n_key"),
+            $"width".cast("int").as("width"),
+            $"height".cast("int").as("height"),
+            ($"codec" === $"b_codec" && $"n_frames" === $"b_n" &&
+              $"n_key" === $"b_key" && $"width" === $"b_w" &&
+              $"height" === $"b_h").as("stream_matches_batch"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(doc_id AS BIGINT) AS doc_id, len(text) AS l,
+             |         4 + len(text) % 5 AS n, 2 + doc_id % 3 AS ke
+             |  FROM documents WHERE doc_id < 24)
+             |SELECT doc_id,
+             |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'V_VP8'
+             |       WHEN 1 THEN 'V_VP9' ELSE 'V_AV1' END AS codec,
+             |  CAST(n AS INT) AS n_frames,
+             |  CAST((n + ke - 1) // ke AS INT) AS n_key,
+             |  CAST(128 + 16 * (l % 6) AS INT) AS width,
+             |  CAST(72 + 8 * (doc_id % 5) AS INT) AS height,
+             |  true AS stream_matches_batch
+             |FROM d ORDER BY doc_id""".stripMargin)),
+
     // WebDataset tar shards arriving as FILES on a binaryFile stream,
     // one shard per trigger (8 real micro-batches): the per-shard
     // explode is stateless and map-only, so the accumulated rows equal

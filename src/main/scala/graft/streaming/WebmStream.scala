@@ -1,0 +1,146 @@
+package graft.streaming
+
+import graft.util.Ckpt._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming twin of the WebM/Matroska ingest ([[graft.pipeline
+ * .WebmDemux]], r15): `.webm` files land in a watched directory (the
+ * crawl-delivery shape), a binaryFile stream picks each one up, and the
+ * per-file demux + frame-header read is map-only and stateless ACROSS
+ * files, so the accumulated per-track rows are independent of
+ * micro-batching and equal the batch route row for row — the
+ * q_stream_webm_ingest query pins exactly that. Corrupt files drop
+ * (demux None) instead of failing the batch; the sink is idempotent
+ * (batchId-keyed overwrite, the at-least-once foreachBatch contract).
+ */
+object WebmStream {
+
+  private val counter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Deterministic per-doc WebM: spec-valid VP8/VP9/AV1 frame headers
+    * on a closed-form keyframe schedule inside a real container —
+    * the q_webm_codec_headers planted shape, shared by the file writer
+    * and the batch comparison path so both demux THE SAME bytes. */
+  private[graft] def webmForDoc(id: Long, text: String): Array[Byte] = {
+    import graft.pipeline.CodecHeaders
+    val len = text.codePointCount(0, text.length)
+    val n = 4 + (len % 5)
+    val ke = 2 + (id % 3).toInt
+    val w = 128 + 16 * (len % 6)
+    val h = 72 + 8 * (id % 5).toInt
+    val codec = (id % 3) match {
+      case 0 => "V_VP8"; case 1 => "V_VP9"; case _ => "V_AV1"
+    }
+    val frames = (0 until n).map { i =>
+      val tl = Array.tabulate(10 + ((len + i) % 7))(k =>
+        ((id * 13 + i * 7 + k) % 251).toByte)
+      val key = i % ke == 0
+      codec match {
+        case "V_VP8" =>
+          if (key) CodecHeaders.writeVp8KeyHeader(w, h, 0, tl.length, tl)
+          else CodecHeaders.writeVp8InterHeader(0, tl.length, tl)
+        case "V_VP9" =>
+          if (key) CodecHeaders.writeVp9KeyHeader(w, h, tl)
+          else CodecHeaders.writeVp9InterHeader(tl)
+        case _ =>
+          if (key) CodecHeaders.writeAv1KeyUnit(w, h, tl)
+          else CodecHeaders.writeAv1InterUnit(tl)
+      }
+    }
+    graft.pipeline.WebmDemux.encodeWebm(frames, w, h, codecId = codec,
+      laceSize = 1, blocksPerCluster = 2 + (len % 2), keyframeEvery = ke,
+      // half the files arrive in the live-streaming shape
+      unknownSizeClusters = id % 2 == 1, sizedSegment = id % 4 == 3)
+  }
+
+  /** Demux one named `.webm` payload into a per-video-track row
+    * (doc_id, codec, n_frames, n_key, width, height) with the keyframe
+    * count taken from the BITSTREAM headers; anything undemuxable
+    * yields nothing. Shared by the streaming batches and the batch
+    * comparison path. */
+  private[graft] def demuxRow(path: String, bytes: Array[Byte])
+      : Seq[(Long, String, Int, Int, Int, Int)] =
+    try {
+      val id = path.split('/').last.stripPrefix("doc_")
+        .stripSuffix(".webm").toLong
+      graft.pipeline.WebmDemux.demux(bytes).toSeq.map { info =>
+        val t = info.videoTrack
+        val nKey = (0 until t.nFrames).count(i =>
+          graft.pipeline.CodecHeaders.frameFacts(t.codecId,
+            graft.pipeline.WebmDemux.frameBytes(bytes, t, i)).exists(_._1))
+        (id, t.codecId, t.nFrames, nKey, t.width, t.height)
+      }
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+
+  /** Build per-doc `.webm` files, deliver them to a watched directory,
+    * stream-ingest with per-batch demux into a parquet sink, and return
+    * the accumulated per-track rows. Same scratch-tree and durability
+    * posture as [[AnnexBStream.annexBIngestSink]]. */
+  def webmIngestSink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val run = counter.incrementAndGet()
+    val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_webm_ingest_${ProcessHandle.current().pid()}_$run")
+    val incoming = base.resolve("incoming")
+    val ckpt = base.resolve("ckpt").toString
+    val sink = base.resolve("rows").toString
+    java.nio.file.Files.createDirectories(incoming)
+
+    spark.read.parquet(s"$dir/documents.parquet")
+      .filter($"doc_id" < 24)
+      .select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)]
+      .collect() // 24 docs — delivery-sized, not corpus-sized
+      .foreach { case (id, text) =>
+        java.nio.file.Files.write(incoming.resolve(f"doc_$id%05d.webm"),
+          webmForDoc(id, text))
+      }
+
+    val stream = spark.readStream.format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"))
+      .option("maxFilesPerTrigger", 6) // 24 files -> 4 real micro-batches
+      .load(incoming.toString)
+      .select($"path", $"content")
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val rows = batch.as[(String, Array[Byte])]
+          .flatMap { case (path, bytes) => demuxRow(path, bytes) }
+          .toDF("doc_id", "codec", "n_frames", "n_key", "width", "height")
+        // batchId-keyed overwrite: a retried micro-batch rewrites its
+        // own directory instead of appending duplicate rows
+        rows.write.mode("overwrite").parquet(s"$sink/batch_$batchId")
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val sinkPath = java.nio.file.Paths.get(sink)
+    val haveBatches = java.nio.file.Files.isDirectory(sinkPath) && {
+      val s = java.nio.file.Files.list(sinkPath)
+      try s.anyMatch(p => p.getFileName.toString.startsWith("batch_"))
+      finally s.close()
+    }
+    val result =
+      if (!haveBatches)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id LONG, codec STRING, n_frames INT, n_key INT, width INT, height INT"))
+      else spark.read.parquet(s"$sink/batch_*")
+        .orderBy($"doc_id").ckptSer()
+    deleteRecursively(base)
+    result
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(p)) {
+      val it = java.nio.file.Files.walk(p)
+      try it.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach { f => java.nio.file.Files.deleteIfExists(f); () }
+      finally it.close()
+    }
+  }
+}
