@@ -369,17 +369,26 @@ object WebmDemux {
     while (o < p.length && !trailing) {
       // after one COMPLETE segment, unparseable trailing bytes
       // (padding, appended junk) must not invalidate its content — the
-      // posture real demuxers take; a damaged FIRST segment still
-      // refuses through the usual throws
+      // posture real demuxers take. The try covers the whole element
+      // HEADER (id, size, bounds): junk can parse as a plausible
+      // id+size VINT pair (any lead byte >= 0x80 does) and only fail
+      // the bodyEnd bounds check, so catching the VINT reads alone
+      // would still drop the valid file. A damaged FIRST segment, and
+      // anything inside a segment's children, still refuses through
+      // the usual throws — nothing has been accumulated when these
+      // header checks run.
       val hdr =
-        try Some((readId(p, o), readSize(p, o + readId(p, o)._2)))
-        catch { case e: Fmt => if (sawSegment) None else throw e }
+        try {
+          val (id, idLen) = readId(p, o)
+          val (sz, szLen) = readSize(p, o + idLen)
+          val end = bodyEnd(o + idLen + szLen, sz, p.length.toLong,
+            "segment", allowUnknown = id == IdSegment)
+          Some((id, idLen, sz, szLen, end))
+        } catch { case e: Fmt => if (sawSegment) None else throw e }
       if (hdr.isEmpty) trailing = true
       else {
-      val ((id, idLen), (sz, szLen)) = hdr.get
+      val (id, idLen, sz, szLen, segEnd) = hdr.get
       val body = o + idLen + szLen
-      val segEnd = bodyEnd(body, sz, p.length.toLong, "segment",
-        allowUnknown = id == IdSegment)
       if (id == IdSegment) {
         sawSegment = true
         // segment children (Info / Tracks / Cluster / skipped others)

@@ -1,8 +1,6 @@
 package graft.streaming
 
-import graft.util.Ckpt._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /**
  * Streaming twin of the raw Annex-B elementary-stream ingest
@@ -19,8 +17,6 @@ import org.apache.spark.sql.functions._
  * foreachBatch contract).
  */
 object AnnexBStream {
-
-  private val counter = new java.util.concurrent.atomic.AtomicLong()
 
   /** Deterministic per-doc elementary stream: a 3-frame IPPP GOP over
     * the doc's closed-form frame geometry, as raw Annex-B bytes.
@@ -76,72 +72,26 @@ object AnnexBStream {
   /** Build per-doc `.h264` files, deliver them to a watched directory,
     * stream-ingest with per-batch GOP decode into a parquet sink, and
     * return the accumulated per-frame rows (doc_id, frame, width,
-    * height, rgb_sum). Same scratch-tree and durability posture as
-    * [[TarStream.tarIngestSink]]: the localCheckpoint is the only copy
-    * after cleanup — acceptable for this delivery-sized demo. */
+    * height, rgb_sum) — the [[FileIngest]] scaffold owns the scratch
+    * tree, idempotent sink, and durability posture. */
   def annexBIngestSink(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val run = counter.incrementAndGet()
-    val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_annexb_ingest_${ProcessHandle.current().pid()}_$run")
-    val incoming = base.resolve("incoming")
-    val ckpt = base.resolve("ckpt").toString
-    val sink = base.resolve("rows").toString
-    java.nio.file.Files.createDirectories(incoming)
-
-    spark.read.parquet(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
       .filter($"doc_id" < 16)
       .select($"doc_id".cast("long"), $"text")
       .as[(Long, String)]
       .collect() // 16 docs — delivery-sized, not corpus-sized
-      .foreach { case (id, text) =>
+    FileIngest.run(spark, "annexb_ingest",
+      deliver = incoming => docs.foreach { case (id, text) =>
         val (_, _, es) = esForDoc(id, text)
         java.nio.file.Files.write(incoming.resolve(f"doc_$id%05d.h264"), es)
-      }
-
-    val stream = spark.readStream.format("binaryFile")
-      .schema(org.apache.spark.sql.types.StructType.fromDDL(
-        "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"))
-      .option("maxFilesPerTrigger", 4) // 16 files -> 4 real micro-batches
-      .load(incoming.toString)
-      .select($"path", $"content")
-    val q = stream.writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val rows = batch.as[(String, Array[Byte])]
-          .flatMap { case (path, es) => decodeRows(path, es) }
-          .toDF("doc_id", "frame", "width", "height", "rgb_sum")
-        // batchId-keyed overwrite: a retried micro-batch rewrites its
-        // own directory instead of appending duplicate rows
-        rows.write.mode("overwrite").parquet(s"$sink/batch_$batchId")
         ()
-      }
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    val sinkPath = java.nio.file.Paths.get(sink)
-    val haveBatches = java.nio.file.Files.isDirectory(sinkPath) && {
-      val s = java.nio.file.Files.list(sinkPath)
-      try s.anyMatch(p => p.getFileName.toString.startsWith("batch_"))
-      finally s.close()
-    }
-    val result =
-      if (!haveBatches)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "doc_id LONG, frame INT, width INT, height INT, rgb_sum LONG"))
-      else spark.read.parquet(s"$sink/batch_*")
-        .orderBy($"doc_id", $"frame").ckptSer()
-    deleteRecursively(base)
-    result
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.exists(p)) {
-      val it = java.nio.file.Files.walk(p)
-      try it.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach { f => java.nio.file.Files.deleteIfExists(f); () }
-      finally it.close()
-    }
+      },
+      maxFilesPerTrigger = 4, // 16 files -> 4 real micro-batches
+      rowsOf = batch => batch.as[(String, Array[Byte])]
+        .flatMap { case (path, es) => decodeRows(path, es) }
+        .toDF("doc_id", "frame", "width", "height", "rgb_sum"),
+      emptyDdl = "doc_id LONG, frame INT, width INT, height INT, rgb_sum LONG",
+      order = Seq($"doc_id", $"frame"))
   }
 }

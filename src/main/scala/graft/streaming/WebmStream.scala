@@ -1,8 +1,6 @@
 package graft.streaming
 
-import graft.util.Ckpt._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /**
  * Streaming twin of the WebM/Matroska ingest ([[graft.pipeline
@@ -16,8 +14,6 @@ import org.apache.spark.sql.functions._
  * (batchId-keyed overwrite, the at-least-once foreachBatch contract).
  */
 object WebmStream {
-
-  private val counter = new java.util.concurrent.atomic.AtomicLong()
 
   /** Deterministic per-doc WebM: spec-valid VP8/VP9/AV1 frame headers
     * on a closed-form keyframe schedule inside a real container —
@@ -76,71 +72,26 @@ object WebmStream {
 
   /** Build per-doc `.webm` files, deliver them to a watched directory,
     * stream-ingest with per-batch demux into a parquet sink, and return
-    * the accumulated per-track rows. Same scratch-tree and durability
-    * posture as [[AnnexBStream.annexBIngestSink]]. */
+    * the accumulated per-track rows (the [[FileIngest]] scaffold). */
   def webmIngestSink(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val run = counter.incrementAndGet()
-    val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_webm_ingest_${ProcessHandle.current().pid()}_$run")
-    val incoming = base.resolve("incoming")
-    val ckpt = base.resolve("ckpt").toString
-    val sink = base.resolve("rows").toString
-    java.nio.file.Files.createDirectories(incoming)
-
-    spark.read.parquet(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
       .filter($"doc_id" < 24)
       .select($"doc_id".cast("long"), $"text")
       .as[(Long, String)]
       .collect() // 24 docs — delivery-sized, not corpus-sized
-      .foreach { case (id, text) =>
+    FileIngest.run(spark, "webm_ingest",
+      deliver = incoming => docs.foreach { case (id, text) =>
         java.nio.file.Files.write(incoming.resolve(f"doc_$id%05d.webm"),
           webmForDoc(id, text))
-      }
-
-    val stream = spark.readStream.format("binaryFile")
-      .schema(org.apache.spark.sql.types.StructType.fromDDL(
-        "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"))
-      .option("maxFilesPerTrigger", 6) // 24 files -> 4 real micro-batches
-      .load(incoming.toString)
-      .select($"path", $"content")
-    val q = stream.writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val rows = batch.as[(String, Array[Byte])]
-          .flatMap { case (path, bytes) => demuxRow(path, bytes) }
-          .toDF("doc_id", "codec", "n_frames", "n_key", "width", "height")
-        // batchId-keyed overwrite: a retried micro-batch rewrites its
-        // own directory instead of appending duplicate rows
-        rows.write.mode("overwrite").parquet(s"$sink/batch_$batchId")
         ()
-      }
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    val sinkPath = java.nio.file.Paths.get(sink)
-    val haveBatches = java.nio.file.Files.isDirectory(sinkPath) && {
-      val s = java.nio.file.Files.list(sinkPath)
-      try s.anyMatch(p => p.getFileName.toString.startsWith("batch_"))
-      finally s.close()
-    }
-    val result =
-      if (!haveBatches)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "doc_id LONG, codec STRING, n_frames INT, n_key INT, width INT, height INT"))
-      else spark.read.parquet(s"$sink/batch_*")
-        .orderBy($"doc_id").ckptSer()
-    deleteRecursively(base)
-    result
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.exists(p)) {
-      val it = java.nio.file.Files.walk(p)
-      try it.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach { f => java.nio.file.Files.deleteIfExists(f); () }
-      finally it.close()
-    }
+      },
+      maxFilesPerTrigger = 6, // 24 files -> 4 real micro-batches
+      rowsOf = batch => batch.as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) => demuxRow(path, bytes) }
+        .toDF("doc_id", "codec", "n_frames", "n_key", "width", "height"),
+      emptyDdl = "doc_id LONG, codec STRING, n_frames INT, n_key INT, " +
+        "width INT, height INT",
+      order = Seq($"doc_id"))
   }
 }

@@ -152,6 +152,17 @@ class WebmDemuxSpec extends SparkSpec {
     val trailing = good ++ Array.tabulate(37)(i => ((i * 89 + 7) % 256).toByte)
     val info = WebmDemux.demux(trailing).get
     assertFramesExact(trailing, info.videoTrack, frames)
+    // junk that PARSES as a plausible element header must be tolerated
+    // too: 0xA3 0x90 reads as id SimpleBlock + size 16 and only fails
+    // the BOUNDS check; 0x81 0xFF reads as a 1-byte id + unknown size
+    // on a non-segment — both previously dropped the whole valid file
+    for (junk <- Seq(Array(0xA3, 0x90).map(_.toByte),
+        Array(0x81, 0xFF).map(_.toByte),
+        Array(0x95, 0x40, 0x7f, 0x01).map(_.toByte))) {
+      val p2 = good ++ junk
+      val i2 = WebmDemux.demux(p2).get
+      assertFramesExact(p2, i2.videoTrack, frames)
+    }
   }
 
   test("hostile inputs: refuse, never allocate from claimed sizes") {
