@@ -43,6 +43,13 @@ object ScaleRehearsal {
     // point (both were rehearsed only to sf1 through r14; the capstone
     // at 2.2x@10x had the most headroom to hide a superlinear stage)
     if (args.contains("notch3")) { notch3(sf01, sf1Dir); return }
+    // WebM notch (r15): the round's new ingest surface gets its own
+    // curve — full EBML demux + per-frame bitstream keyframe reads
+    // over realistic-sized files (~48 frames x ~7 KB), 100 -> 1000 ->
+    // 3000 files; map-only, so the expected shape is the video-pHash
+    // one (sublinear bending toward linear as fixed overhead
+    // amortizes)
+    if (args.contains("notchWebm")) { notchWebm(); return }
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-scale-rehearsal")
@@ -201,6 +208,61 @@ object ScaleRehearsal {
 
   /** The video-pHash dedup body at a given video count (the dimension
     * that grows at 100 TB: per-partition demux+decode+pHash). */
+  private def notchWebm(): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-scale-rehearsal-webm")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    webmRun(spark, 20) // warm codegen + classloading
+    val a = timedMin2(spark, "webm_ingest[100]", None)(webmRun(spark, 100))
+    val b = timedMin2(spark, "webm_ingest[1000]", None)(webmRun(spark, 1000))
+    val c = timedMin2(spark, "webm_ingest[3000]", None)(webmRun(spark, 3000))
+    println("\n| query | hop | data x | time x |")
+    println("|---|---|---|---|")
+    println(f"| webm_ingest | 100 -> 1000 | 10x | ${b / a}%.1fx ($a%.2f -> $b%.2f s) |")
+    println(f"| webm_ingest | 1000 -> 3000 | 3x | ${c / b}%.1fx ($b%.2f -> $c%.2f s) |")
+    spark.stop()
+  }
+
+  /** The WebM ingest hot path at rehearsal size: mux realistic files
+    * (~48 VP9-headered frames, ~7 KB each, mixed lacing, half
+    * unknown-size clusters) and run the FULL demux + per-frame
+    * bitstream keyframe read; returns the total keyframe count. */
+  private def webmRun(spark: SparkSession, nFiles: Int): Long = {
+    import spark.implicits._
+    spark.range(nFiles)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .map { id =>
+        import graft.pipeline.{CodecHeaders, WebmDemux}
+        val n = 48 + (id % 17).toInt
+        val w = 320 + 16 * (id % 6).toInt; val h = 180 + 8 * (id % 5).toInt
+        val frames = (0 until n).map { i =>
+          val tail = new Array[Byte](6000 + ((id * 31 + i * 97) % 2000).toInt)
+          var k = 0; var r = id * 0x9E3779B97F4A7C15L + i
+          while (k < tail.length) {
+            r ^= r << 13; r ^= r >>> 7; r ^= r << 17
+            tail(k) = (r >> 40).toByte; k += 1
+          }
+          if (i % 8 == 0) CodecHeaders.writeVp9KeyHeader(w, h, tail)
+          else CodecHeaders.writeVp9InterHeader(tail)
+        }
+        val bytes = WebmDemux.encodeWebm(frames, w, h,
+          laceSize = 1 + (id % 3).toInt, blocksPerCluster = 4,
+          keyframeEvery = 8, unknownSizeClusters = id % 2 == 1)
+        val info = WebmDemux.demux(bytes).get
+        val t = info.videoTrack
+        (0 until t.nFrames).count(i => CodecHeaders.frameFacts(t.codecId,
+          WebmDemux.frameBytes(bytes, t, i)).exists(_._1)).toLong
+      }
+      .toDF("nkey").agg(sum(col("nkey"))).as[Long].head()
+  }
+
   private def videoRun(spark: SparkSession, nVideos: Int): Long = {
     import spark.implicits._
     val media = spark.range(nVideos)
