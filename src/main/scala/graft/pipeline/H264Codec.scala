@@ -475,7 +475,13 @@ object H264Codec {
     if (cqpOff < -12 || cqpOff > 12)
       throw new H264Format(s"chroma_qp_index_offset $cqpOff out of range")
     val deblock = r.u1() == 1
-    r.u1() // constrained_intra_pred_flag
+    // constrained_intra_pred (8.3.1-8.3.3): flag 1 makes intra MBs in
+    // P/B slices treat INTER neighbors as unavailable — silently
+    // ignoring it mis-decodes every such MB against the encoder's
+    // reconstruction loop, so it refuses loudly until implemented
+    // (pure per-MB availability arithmetic; CATALOG adjudication)
+    if (r.u1() == 1)
+      throw new H264Format("constrained_intra_pred out of scope")
     val redundant = r.u1() == 1 // redundant_pic_cnt_present_flag
     // High-profile PPS extension (7.3.2.2 tail, present iff more RBSP
     // data before the stop bit): 8x8 transform mode, scaling matrices
@@ -4454,7 +4460,8 @@ object H264Codec {
       cabac: Boolean = false, t8x8: Boolean = false, chromaQpOff: Int = 0,
       weightedPred: Boolean = false, weightedBipredIdc: Int = 0,
       pocType1: Option[(Int, Seq[Int])] = None,
-      gapsAllowed: Boolean = false, cqm: Option[CqmCfg] = None)
+      gapsAllowed: Boolean = false, cqm: Option[CqmCfg] = None,
+      constrainedIntra: Boolean = false)
       : (Array[Byte], Array[Byte]) = {
     require(!t8x8 || profile == 100, "8x8 transform needs high profile")
     require(cqm.forall(_.sps.isEmpty) || profile == 100,
@@ -4516,7 +4523,8 @@ object H264Codec {
     pw.se(0); pw.se(0) // pic_init_qp 26, qs 26
     pw.se(chromaQpOff) // chroma_qp_index_offset
     pw.u1(1) // deblocking control present
-    pw.u1(0); pw.u1(0) // constrained intra, redundant pic cnt
+    pw.u1(if (constrainedIntra) 1 else 0) // constrained_intra_pred
+    pw.u1(0) // redundant pic cnt
     if (t8x8 || cqm.exists(_.pps.isDefined)) {
       pw.u1(if (t8x8) 1 else 0) // transform_8x8_mode_flag
       cqm.flatMap(_.pps) match {
@@ -7107,6 +7115,22 @@ object H264Codec {
       catch { case _: Exception => None }
     }
     (payloads, recons, decoded)
+  }
+
+  /** Spec hook: the SAME slice bytes under a PPS with
+    * constrained_intra_pred_flag = 1 — the refusal must be provably
+    * the PPS bit, not a stream difference. Returns (flag-0 payload,
+    * flag-1 payload). */
+  private[graft] def cipStreamsForTest(img: MediaCodecs.Bmp, qp: Int)
+      : (Array[Byte], Array[Byte]) = {
+    val (wMbs, hMbs, cropR, cropB) = mbGeometry(img)
+    val (bytes, _) =
+      encodeImpl(img, avcc = true, qp, intra4x4 = false, (_, b, _) => b)
+    val (sps, pps) = spsPpsNals(wMbs, hMbs, cropR, cropB,
+      constrainedIntra = true)
+    val units = nalUnits(bytes)
+    val (ss, se) = units.last
+    (bytes, frameNals(avcc = true, sps, pps, bytes.slice(ss, se)))
   }
 
   /** Spec shim: write a scaling-list loop to bits (optionally forcing

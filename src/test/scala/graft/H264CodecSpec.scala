@@ -327,4 +327,20 @@ class H264CodecSpec extends AnyFunSuite {
     assert(H264Codec.decode(splice(sps(frameMbsOnly = 0))).isEmpty,
       "interlaced SPS must refuse")
   }
+
+  test("constrained_intra_pred refuses loudly: same slice, flag-1 PPS") {
+    // ignoring the flag would silently mis-decode intra MBs in P/B
+    // slices (inter neighbors must become unavailable, 8.3.1-8.3.3);
+    // until implemented it refuses at the PPS — witnessed with the
+    // SAME slice bytes under both flag values so the refusal is
+    // provably the bit, not a stream difference
+    val img = {
+      val w = 48; val h = 32
+      val rgb = Array.tabulate(w * h * 3)(i => ((i * 7) % 251).toByte)
+      MediaCodecs.Bmp(w, h, rgb)
+    }
+    val (flag0, flag1) = H264Codec.cipStreamsForTest(img, qp = 24)
+    assert(H264Codec.decode(flag0).isDefined, "control must decode")
+    assert(H264Codec.decode(flag1).isEmpty, "CIP=1 must refuse")
+  }
 }
