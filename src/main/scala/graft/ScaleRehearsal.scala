@@ -206,8 +206,6 @@ object ScaleRehearsal {
     best
   }
 
-  /** The video-pHash dedup body at a given video count (the dimension
-    * that grows at 100 TB: per-partition demux+decode+pHash). */
   private def notchWebm(): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -263,6 +261,8 @@ object ScaleRehearsal {
       .toDF("nkey").agg(sum(col("nkey"))).as[Long].head()
   }
 
+  /** The video-pHash dedup body at a given video count (the dimension
+    * that grows at 100 TB: per-partition demux+decode+pHash). */
   private def videoRun(spark: SparkSession, nVideos: Int): Long = {
     import spark.implicits._
     val media = spark.range(nVideos)

@@ -508,6 +508,44 @@ object CodecHeaders {
       idPacket ++ comment ++ setup
   }
 
+  /** The canonical per-doc planted WebM fixture (the
+    * q_webm_codec_headers / q_stream_webm_ingest schedule): spec-valid
+    * VP8/VP9/AV1 frame headers on a closed-form keyframe cadence
+    * inside a real container, with the container layout (cluster
+    * split, sized/streaming segment form) varied per doc — every
+    * consumer derives the SAME bytes, so the SQL oracles and the
+    * stream-vs-batch joins can never desynchronize. */
+  private[graft] def plantedWebmForDoc(id: Long, text: String): Array[Byte] = {
+    val len = text.codePointCount(0, text.length)
+    val n = 4 + (len % 5)
+    val ke = 2 + (id % 3).toInt
+    val w = 128 + 16 * (len % 6)
+    val h = 72 + 8 * (id % 5).toInt
+    val codec = (id % 3) match {
+      case 0 => "V_VP8"; case 1 => "V_VP9"; case _ => "V_AV1"
+    }
+    val frames = (0 until n).map { i =>
+      val tl = Array.tabulate(10 + ((len + i) % 7))(k =>
+        ((id * 13 + i * 7 + k) % 251).toByte)
+      val key = i % ke == 0
+      codec match {
+        case "V_VP8" =>
+          if (key) writeVp8KeyHeader(w, h, 0, tl.length, tl)
+          else writeVp8InterHeader(0, tl.length, tl)
+        case "V_VP9" =>
+          if (key) writeVp9KeyHeader(w, h, tl)
+          else writeVp9InterHeader(tl)
+        case _ =>
+          if (key) writeAv1KeyUnit(w, h, tl)
+          else writeAv1InterUnit(tl)
+      }
+    }
+    WebmDemux.encodeWebm(frames, w, h, codecId = codec,
+      laceSize = 1, blocksPerCluster = 2 + (len % 2), keyframeEvery = ke,
+      // half the docs take the live-streaming container shape
+      unknownSizeClusters = id % 2 == 1, sizedSegment = id % 4 == 3)
+  }
+
   /** Bitstream-true audio facts for a WebM track: (channels, rate)
     * from the CodecPrivate id header — the cross-check against the
     * container's Audio element the video dims cross-check parallels. */

@@ -333,7 +333,9 @@ object H264Codec {
       transform8x8Mode: Boolean = false, chromaQpOff: Int = 0,
       // pic_scaling_matrix_present (r15 CQM): per-index raw entries
       // (None = fall-back, resolved against the SPS at slice bind)
-      scalingRaw: Option[Array[Option[Array[Int]]]] = None)
+      scalingRaw: Option[Array[Option[Array[Int]]]] = None,
+      // constrained_intra_pred (vacuous all-intra; P/B refuse)
+      constrainedIntra: Boolean = false)
 
   /** The scaling matrices in effect for a picture under `sps`/`pps`
     * (8.5.9 + Table 7-2): the PPS's lists when present (rule B against
@@ -476,12 +478,11 @@ object H264Codec {
       throw new H264Format(s"chroma_qp_index_offset $cqpOff out of range")
     val deblock = r.u1() == 1
     // constrained_intra_pred (8.3.1-8.3.3): flag 1 makes intra MBs in
-    // P/B slices treat INTER neighbors as unavailable — silently
-    // ignoring it mis-decodes every such MB against the encoder's
-    // reconstruction loop, so it refuses loudly until implemented
-    // (pure per-MB availability arithmetic; CATALOG adjudication)
-    if (r.u1() == 1)
-      throw new H264Format("constrained_intra_pred out of scope")
+    // P/B slices treat INTER neighbors as unavailable — VACUOUS in
+    // all-intra streams (which commonly set it), so those keep
+    // decoding; P/B slices refuse at decodeSlice until the
+    // availability arithmetic is implemented (CATALOG adjudication)
+    val cip = r.u1() == 1
     val redundant = r.u1() == 1 // redundant_pic_cnt_present_flag
     // High-profile PPS extension (7.3.2.2 tail, present iff more RBSP
     // data before the stop bit): 8x8 transform mode, scaling matrices
@@ -500,7 +501,7 @@ object H264Codec {
         throw new H264Format("per-component chroma QP offsets out of scope")
     }
     Pps(cabac, qp, deblock, weighted, numRefL0, numRefL1, wBipred, bottomPoc,
-      redundant, t8x8, cqpOff, scalingRaw)
+      redundant, t8x8, cqpOff, scalingRaw, cip)
   }
 
   // ---------------- decode ----------------
@@ -934,6 +935,10 @@ object H264Codec {
     val isB = sliceType == 1
     if (sliceType != 2 && !isP && !isB)
       throw new H264Format(s"slice type $sliceType out of scope")
+    // constrained_intra_pred only changes decoding where an intra MB
+    // can have an INTER neighbor — refuse exactly there
+    if ((isP || isB) && pps.constrainedIntra)
+      throw new H264Format("constrained_intra_pred P/B out of scope")
     if ((isP || isB) && idr) throw new H264Format("inter slice in an IDR NAL")
     if ((isP || isB) && dpb.isEmpty && ltRefs.isEmpty)
       throw new H264Format("inter slice without a reference frame")
@@ -7117,20 +7122,51 @@ object H264Codec {
     (payloads, recons, decoded)
   }
 
+  /** The planted moving-square frame sequence both h264 roundtrip
+    * queries (framegap, cqm) feed their GOP scripts: a closed-form
+    * gradient background with a bright square stepping right per
+    * frame — deterministic, shared so the paired SQL oracles (which
+    * replay only dims) can never drift apart on content. */
+  private[graft] def movingSquareFrames(id: Long, w: Int, h: Int,
+      n: Int): IndexedSeq[MediaCodecs.Bmp] =
+    (0 until n).map { tIdx =>
+      val rgb = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        val x = i % w; val y = i / w
+        val bg = (x * 3 + y * 5 + (x / 4) * 7 + id).toInt % 200
+        val sx = 2 + tIdx * 5
+        val v = if (x >= sx && x < sx + 8 && y >= 6 && y < 14) 255 else bg
+        rgb(i * 3) = v.toByte
+        rgb(i * 3 + 1) = ((v + 40) % 256).toByte
+        rgb(i * 3 + 2) = ((v + 90) % 256).toByte
+        i += 1
+      }
+      MediaCodecs.Bmp(w, h, rgb)
+    }
+
   /** Spec hook: the SAME slice bytes under a PPS with
-    * constrained_intra_pred_flag = 1 — the refusal must be provably
-    * the PPS bit, not a stream difference. Returns (flag-0 payload,
-    * flag-1 payload). */
-  private[graft] def cipStreamsForTest(img: MediaCodecs.Bmp, qp: Int)
-      : (Array[Byte], Array[Byte]) = {
-    val (wMbs, hMbs, cropR, cropB) = mbGeometry(img)
+    * constrained_intra_pred_flag = 1 — outcomes must be provably the
+    * PPS bit, not a stream difference. Returns (flag-0 I payload,
+    * flag-1 I payload, flag-1 P payload): the flag is VACUOUS on the
+    * all-intra stream (must still decode, byte-equal) and refuses on
+    * the P slice (where an intra MB could have inter neighbors). */
+  private[graft] def cipStreamsForTest(img2: Seq[MediaCodecs.Bmp], qp: Int)
+      : (Array[Byte], Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
+    val (wMbs, hMbs, cropR, cropB) = mbGeometry(img2.head)
     val (bytes, _) =
-      encodeImpl(img, avcc = true, qp, intra4x4 = false, (_, b, _) => b)
+      encodeImpl(img2.head, avcc = true, qp, intra4x4 = false, (_, b, _) => b)
     val (sps, pps) = spsPpsNals(wMbs, hMbs, cropR, cropB,
       constrainedIntra = true)
     val units = nalUnits(bytes)
     val (ss, se) = units.last
-    (bytes, frameNals(avcc = true, sps, pps, bytes.slice(ss, se)))
+    val iPayload = frameNals(avcc = true, sps, pps, bytes.slice(ss, se))
+    val gop = encodeGopImpl(img2, qp, avcc = true, searchRange = 2,
+      forcedMv = None, intraEvery = 0)._1
+    val pUnits = nalUnits(gop(1)) // sps, pps, P slice
+    val (ps, pe) = pUnits.last
+    val pPayload = frameNals(avcc = true, sps, pps, gop(1).slice(ps, pe))
+    (bytes, iPayload, gop(0), gop(1), pPayload)
   }
 
   /** Spec shim: write a scaling-list loop to bits (optionally forcing

@@ -147,6 +147,14 @@ object WebmDemux {
     (if (v == (1L << (7 * len)) - 1) -1L else v, len)
   }
 
+  /** Video dims: a crafted multi-byte value above any real frame size
+    * (or past 32 bits, where .toInt truncates to zero/negative) is a
+    * structural lie — refuse rather than emit nonsense features. */
+  private def boundedDim(v: Long): Int = {
+    if (v < 0 || v > 65536) throw new Fmt(s"pixel dim $v out of range")
+    v.toInt
+  }
+
   private def readUInt(p: Array[Byte], at: Long, n: Long): Long = {
     if (n < 0 || n > 8) throw new Fmt(s"uint width $n")
     var v = 0L; var i = 0L
@@ -217,8 +225,8 @@ object WebmDemux {
           case IdVideo =>
             walk(b, b + sz) { (id2, b2, sz2) =>
               id2 match {
-                case IdPixelWidth => w = readUInt(p, b2, sz2).toInt
-                case IdPixelHeight => h = readUInt(p, b2, sz2).toInt
+                case IdPixelWidth => w = boundedDim(readUInt(p, b2, sz2))
+                case IdPixelHeight => h = boundedDim(readUInt(p, b2, sz2))
                 case _ => ()
               }
             }
@@ -226,7 +234,10 @@ object WebmDemux {
             walk(b, b + sz) { (id2, b2, sz2) =>
               id2 match {
                 case IdSamplingFrequency => hz = readFloat(p, b2, sz2)
-                case IdChannels => ch = readUInt(p, b2, sz2).toInt
+                case IdChannels =>
+                  val v = readUInt(p, b2, sz2)
+                  if (v < 0 || v > 255) throw new Fmt(s"channels $v")
+                  ch = v.toInt
                 case _ => ()
               }
             }
@@ -364,19 +375,19 @@ object WebmDemux {
     }
 
     var o = hdrEnd
-    var sawSegment = false
+    var completeSegments = 0
     var trailing = false
     while (o < p.length && !trailing) {
-      // after one COMPLETE segment, unparseable trailing bytes
+      // after one COMPLETE segment, trailing bytes that fail to parse
       // (padding, appended junk) must not invalidate its content — the
-      // posture real demuxers take. The try covers the whole element
-      // HEADER (id, size, bounds): junk can parse as a plausible
-      // id+size VINT pair (any lead byte >= 0x80 does) and only fail
-      // the bodyEnd bounds check, so catching the VINT reads alone
-      // would still drop the valid file. A damaged FIRST segment, and
-      // anything inside a segment's children, still refuses through
-      // the usual throws — nothing has been accumulated when these
-      // header checks run.
+      // posture real demuxers take. The header try covers id, size,
+      // and bounds: junk can parse as a plausible id+size VINT pair
+      // (any lead byte >= 0x80 does) and only fail the bodyEnd check.
+      // Junk that even claims to BE a segment (the 4-byte magic) and
+      // then fails mid-walk is caught below with a full accumulator
+      // ROLLBACK, so a partial bogus/damaged later segment can never
+      // mix its rows into the completed ones. A damaged FIRST segment
+      // still refuses through the usual throws.
       val hdr =
         try {
           val (id, idLen) = readId(p, o)
@@ -384,13 +395,17 @@ object WebmDemux {
           val end = bodyEnd(o + idLen + szLen, sz, p.length.toLong,
             "segment", allowUnknown = id == IdSegment)
           Some((id, idLen, sz, szLen, end))
-        } catch { case e: Fmt => if (sawSegment) None else throw e }
+        } catch { case e: Fmt => if (completeSegments > 0) None else throw e }
       if (hdr.isEmpty) trailing = true
       else {
       val (id, idLen, sz, szLen, segEnd) = hdr.get
       val body = o + idLen + szLen
       if (id == IdSegment) {
-        sawSegment = true
+        // rollback marks: everything a partial segment walk may touch
+        val metaMark = metas.length
+        val frameMarks = framesByTrack.map { case (k, v) => (k, v.length) }
+        val tsMark = tsScale; val durMark = duration
+        try {
         // segment children (Info / Tracks / Cluster / skipped others)
         val limit = if (segEnd == -1L) p.length.toLong else segEnd
         var so = body
@@ -424,10 +439,27 @@ object WebmDemux {
           }
         }
         o = limit
+        completeSegments += 1
+        } catch { case e: Fmt =>
+          if (completeSegments == 0) throw e
+          // a later segment (or junk wearing the segment magic) died
+          // mid-walk: restore the pre-walk state and stop
+          metas.remove(metaMark, metas.length - metaMark)
+          framesByTrack.keys.toSeq.foreach { k =>
+            frameMarks.get(k) match {
+              case Some(n) =>
+                val b = framesByTrack(k)
+                if (b.length > n) b.remove(n, b.length - n)
+              case None => framesByTrack.remove(k)
+            }
+          }
+          tsScale = tsMark; duration = durMark
+          trailing = true
+        }
       } else o = segEnd
       }
     }
-    if (!sawSegment || metas.isEmpty) return None
+    if (completeSegments == 0 || metas.isEmpty) return None
     val tracks = metas.toSeq.map { m =>
       Track(m.num, m.typ, m.codec, m.w, m.h, m.hz, m.ch,
         framesByTrack.getOrElse(m.num, mutable.ArrayBuffer.empty).toIndexedSeq,
@@ -573,7 +605,7 @@ object WebmDemux {
    *
    * @param frames      video frames in decode order
    * @param laceSize    frames per SimpleBlock (1 = no lacing); laced
-   *                    blocks cycle Xiph → EBML → fixed by block index
+   *                    blocks cycle Xiph → fixed → EBML by block index
    * @param blocksPerCluster cluster split (first block of each cluster
    *                    is flagged keyframe)
    * @param ticksPerFrame block timestamps: firstFrameIdx * ticks

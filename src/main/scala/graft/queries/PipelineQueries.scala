@@ -2572,26 +2572,12 @@ object PipelineQueries {
             val codec = (id % 3) match {
               case 0 => "V_VP8"; case 1 => "V_VP9"; case _ => "V_AV1"
             }
-            import graft.pipeline.CodecHeaders
-            val frames = (0 until n).map { i =>
-              val tl = Array.tabulate(10 + ((len + i) % 7))(k =>
-                ((id * 13 + i * 7 + k) % 251).toByte)
-              val key = i % ke == 0
-              codec match {
-                case "V_VP8" =>
-                  if (key) CodecHeaders.writeVp8KeyHeader(w, h, 0, tl.length, tl)
-                  else CodecHeaders.writeVp8InterHeader(0, tl.length, tl)
-                case "V_VP9" =>
-                  if (key) CodecHeaders.writeVp9KeyHeader(w, h, tl)
-                  else CodecHeaders.writeVp9InterHeader(tl)
-                case _ =>
-                  if (key) CodecHeaders.writeAv1KeyUnit(w, h, tl)
-                  else CodecHeaders.writeAv1InterUnit(tl)
-              }
-            }
-            val webm = graft.pipeline.WebmDemux.encodeWebm(frames, w, h,
-              codecId = codec, laceSize = 1,
-              blocksPerCluster = 2 + (len % 2), keyframeEvery = ke)
+            // the CANONICAL planted fixture (CodecHeaders) — one
+            // builder shared with the streaming twin, so the two
+            // queries' oracles can never desynchronize; layout varies
+            // per doc (cluster split, streaming segment form) and the
+            // facts below are layout-invariant
+            val webm = graft.pipeline.CodecHeaders.plantedWebmForDoc(id, text)
             val vt = graft.pipeline.WebmDemux.demux(webm).get.videoTrack
             val facts = (0 until vt.nFrames).map(i =>
               graft.pipeline.CodecHeaders.frameFacts(codec,
@@ -3294,21 +3280,7 @@ object PipelineQueries {
             val len = text.codePointCount(0, text.length)
             val w = 32 + 2 * (len % 8).toInt
             val h = 32 + 2 * ((len + id) % 6).toInt
-            val fr = (0 until 4).map { tIdx =>
-              val rgb = new Array[Byte](w * h * 3)
-              var i = 0
-              while (i < w * h) {
-                val x = i % w; val y = i / w
-                val bg = (x * 3 + y * 5 + (x / 4) * 7 + id).toInt % 200
-                val sx = 2 + tIdx * 5
-                val v = if (x >= sx && x < sx + 8 && y >= 6 && y < 14) 255 else bg
-                rgb(i * 3) = v.toByte
-                rgb(i * 3 + 1) = ((v + 40) % 256).toByte
-                rgb(i * 3 + 2) = ((v + 90) % 256).toByte
-                i += 1
-              }
-              graft.pipeline.MediaCodecs.Bmp(w, h, rgb)
-            }
+            val fr = graft.pipeline.H264Codec.movingSquareFrames(id, w, h, 4)
             def run(l: Int) = graft.pipeline.H264Codec
               .frameGapGopForTest(fr, qp = 24 + (id % 5).toInt, leg = l)
             def parity(l: Int): Boolean = {
@@ -3356,21 +3328,7 @@ object PipelineQueries {
             val len = text.codePointCount(0, text.length)
             val w = 32 + 2 * (len % 8).toInt
             val h = 32 + 2 * ((len + id) % 6).toInt
-            val fr = (0 until 4).map { tIdx =>
-              val rgb = new Array[Byte](w * h * 3)
-              var i = 0
-              while (i < w * h) {
-                val x = i % w; val y = i / w
-                val bg = (x * 3 + y * 5 + (x / 4) * 7 + id).toInt % 200
-                val sx = 2 + tIdx * 5
-                val v = if (x >= sx && x < sx + 8 && y >= 6 && y < 14) 255 else bg
-                rgb(i * 3) = v.toByte
-                rgb(i * 3 + 1) = ((v + 40) % 256).toByte
-                rgb(i * 3 + 2) = ((v + 90) % 256).toByte
-                i += 1
-              }
-              graft.pipeline.MediaCodecs.Bmp(w, h, rgb)
-            }
+            val fr = graft.pipeline.H264Codec.movingSquareFrames(id, w, h, 4)
             def parity(l: Int): Boolean = {
               val (_, recons, decoded) = graft.pipeline.H264Codec
                 .cqmGopForTest(fr, qp = 22 + (id % 6).toInt, leg = l)
@@ -3412,21 +3370,7 @@ object PipelineQueries {
             val len = text.codePointCount(0, text.length)
             val w = 32 + 2 * (len % 8).toInt
             val h = 32 + 2 * ((len + id) % 6).toInt
-            val fr = (0 until 5).map { tIdx =>
-              val rgb = new Array[Byte](w * h * 3)
-              var i = 0
-              while (i < w * h) {
-                val x = i % w; val y = i / w
-                val bg = (x * 3 + y * 5 + (x / 4) * 7 + id).toInt % 200
-                val sx = 2 + tIdx * 5
-                val v = if (x >= sx && x < sx + 8 && y >= 6 && y < 14) 255 else bg
-                rgb(i * 3) = v.toByte
-                rgb(i * 3 + 1) = ((v + 40) % 256).toByte
-                rgb(i * 3 + 2) = ((v + 90) % 256).toByte
-                i += 1
-              }
-              graft.pipeline.MediaCodecs.Bmp(w, h, rgb)
-            }
+            val fr = graft.pipeline.H264Codec.movingSquareFrames(id, w, h, 5)
             def leg(l: Int): Boolean = {
               val (_, recons, decoded) = graft.pipeline.H264Codec
                 .longTermGopForTest(fr, qp = 24 + (id % 5).toInt, leg = l)

@@ -15,41 +15,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object WebmStream {
 
-  /** Deterministic per-doc WebM: spec-valid VP8/VP9/AV1 frame headers
-    * on a closed-form keyframe schedule inside a real container —
-    * the q_webm_codec_headers planted shape, shared by the file writer
-    * and the batch comparison path so both demux THE SAME bytes. */
-  private[graft] def webmForDoc(id: Long, text: String): Array[Byte] = {
-    import graft.pipeline.CodecHeaders
-    val len = text.codePointCount(0, text.length)
-    val n = 4 + (len % 5)
-    val ke = 2 + (id % 3).toInt
-    val w = 128 + 16 * (len % 6)
-    val h = 72 + 8 * (id % 5).toInt
-    val codec = (id % 3) match {
-      case 0 => "V_VP8"; case 1 => "V_VP9"; case _ => "V_AV1"
-    }
-    val frames = (0 until n).map { i =>
-      val tl = Array.tabulate(10 + ((len + i) % 7))(k =>
-        ((id * 13 + i * 7 + k) % 251).toByte)
-      val key = i % ke == 0
-      codec match {
-        case "V_VP8" =>
-          if (key) CodecHeaders.writeVp8KeyHeader(w, h, 0, tl.length, tl)
-          else CodecHeaders.writeVp8InterHeader(0, tl.length, tl)
-        case "V_VP9" =>
-          if (key) CodecHeaders.writeVp9KeyHeader(w, h, tl)
-          else CodecHeaders.writeVp9InterHeader(tl)
-        case _ =>
-          if (key) CodecHeaders.writeAv1KeyUnit(w, h, tl)
-          else CodecHeaders.writeAv1InterUnit(tl)
-      }
-    }
-    graft.pipeline.WebmDemux.encodeWebm(frames, w, h, codecId = codec,
-      laceSize = 1, blocksPerCluster = 2 + (len % 2), keyframeEvery = ke,
-      // half the files arrive in the live-streaming shape
-      unknownSizeClusters = id % 2 == 1, sizedSegment = id % 4 == 3)
-  }
+  /** Deterministic per-doc WebM — the canonical planted fixture
+    * ([[graft.pipeline.CodecHeaders.plantedWebmForDoc]]), shared by
+    * the file writer, the batch comparison path, and
+    * q_webm_codec_headers so all consumers demux THE SAME bytes. */
+  private[graft] def webmForDoc(id: Long, text: String): Array[Byte] =
+    graft.pipeline.CodecHeaders.plantedWebmForDoc(id, text)
 
   /** Demux one named `.webm` payload into a per-video-track row
     * (doc_id, codec, n_frames, n_key, width, height) with the keyframe

@@ -328,19 +328,31 @@ class H264CodecSpec extends AnyFunSuite {
       "interlaced SPS must refuse")
   }
 
-  test("constrained_intra_pred refuses loudly: same slice, flag-1 PPS") {
+  test("constrained_intra_pred: vacuous on all-intra, refuses on P slices") {
     // ignoring the flag would silently mis-decode intra MBs in P/B
     // slices (inter neighbors must become unavailable, 8.3.1-8.3.3);
-    // until implemented it refuses at the PPS — witnessed with the
-    // SAME slice bytes under both flag values so the refusal is
-    // provably the bit, not a stream difference
-    val img = {
+    // it is VACUOUS in all-intra streams, which commonly set it — so
+    // the same slice bytes must DECODE byte-equal under a flag-1 PPS
+    // on the I stream and REFUSE on the P stream
+    val imgs = (0 until 2).map { t =>
       val w = 48; val h = 32
-      val rgb = Array.tabulate(w * h * 3)(i => ((i * 7) % 251).toByte)
+      val rgb = Array.tabulate(w * h * 3)(i => ((i * 7 + t * 11) % 251).toByte)
       MediaCodecs.Bmp(w, h, rgb)
     }
-    val (flag0, flag1) = H264Codec.cipStreamsForTest(img, qp = 24)
-    assert(H264Codec.decode(flag0).isDefined, "control must decode")
-    assert(H264Codec.decode(flag1).isEmpty, "CIP=1 must refuse")
+    val (flag0, iFlag1, gopIdr, gopP, pFlag1) =
+      H264Codec.cipStreamsForTest(imgs, qp = 24)
+    val a = H264Codec.decode(flag0); val b = H264Codec.decode(iFlag1)
+    assert(a.isDefined && b.isDefined, "all-intra must decode either way")
+    assert(java.util.Arrays.equals(a.get.rgb, b.get.rgb),
+      "the flag is vacuous on all-intra content")
+    // the SAME P slice decodes under its original PPS (control) and
+    // refuses under the CIP PPS — after the IDR in both arms, so the
+    // refusal is provably the bit, not missing-reference state
+    val g = new H264Codec.GopDecoder
+    assert(g.decodeAu(gopIdr).isDefined)
+    assert(g.decodeAu(pFlag1).isEmpty, "CIP=1 P slice must refuse")
+    val g2 = new H264Codec.GopDecoder
+    assert(g2.decodeAu(gopIdr).isDefined)
+    assert(g2.decodeAu(gopP).isDefined, "control P slice must decode")
   }
 }

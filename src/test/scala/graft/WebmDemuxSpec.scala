@@ -158,11 +158,34 @@ class WebmDemuxSpec extends SparkSpec {
     // on a non-segment — both previously dropped the whole valid file
     for (junk <- Seq(Array(0xA3, 0x90).map(_.toByte),
         Array(0x81, 0xFF).map(_.toByte),
-        Array(0x95, 0x40, 0x7f, 0x01).map(_.toByte))) {
+        Array(0x95, 0x40, 0x7f, 0x01).map(_.toByte),
+        // junk wearing the SEGMENT magic: enters the child walk, dies
+        // there, and must roll back rather than refuse or mix rows
+        Array(0x18, 0x53, 0x80, 0x67, 0x81, 0x00).map(_.toByte),
+        // a truncated SECOND segment (real bytes, cut mid-cluster):
+        // the completed first segment's rows survive, none of the
+        // partial segment's leak in
+        good.slice(good.indexOfSlice(Seq(0x18, 0x53, 0x80, 0x67).map(_.toByte)),
+          good.length - 7))) {
       val p2 = good ++ junk
       val i2 = WebmDemux.demux(p2).get
       assertFramesExact(p2, i2.videoTrack, frames)
+      assert(i2.tracks.length == 1, "no partial-segment tracks may leak")
     }
+  }
+
+  test("hostile dims and channels refuse instead of truncating") {
+    val good = WebmDemux.encodeWebm(mkFrames(3, seed = 2), 64, 48)
+    // splice an oversized PixelWidth: find the 1-byte width element
+    // b0 81 40 (id, size 1, value 64) and widen it to 5 bytes 2^32
+    val idx = good.indexOfSlice(Seq(0xb0, 0x81, 0x40).map(_.toByte))
+    assert(idx > 0, "fixture must carry the 1-byte width form")
+    val patched = good.take(idx) ++
+      Array(0xb0, 0x85, 0x01, 0x00, 0x00, 0x00, 0x00).map(_.toByte) ++
+      good.drop(idx + 3)
+    // the enclosing element sizes no longer add up, or the dim check
+    // fires first — either way: None, never a truncated/negative dim
+    assert(WebmDemux.demux(patched).isEmpty)
   }
 
   test("hostile inputs: refuse, never allocate from claimed sizes") {
