@@ -46,9 +46,12 @@ object EStep {
    * logφ_k = E[log β_kw] + ψ(γ_k), normalizes by log-sum-exp, accumulates the
    * likelihood contribution c·φ_k·(E[log β_kw] − logφ_k), scales by log c and
    * folds into the gamma accumulator. `dgamma` must already be ψ(γ);
-   * `lp` is the term's scratch/output phi row. Returns the likelihood term.
+   * `lp` is the term's scratch/output phi row; `logC` must be
+   * math.log(cnt) — hoisted by callers so the (sweeps × terms) hot loop
+   * doesn't recompute a per-term constant (r15). Returns the likelihood
+   * term.
    */
-  private[graft] def updatePhiTerm(k: Int, cnt: Int, lb: Array[Double],
+  private[graft] def updatePhiTerm(k: Int, cnt: Int, logC: Double, lb: Array[Double],
       dgamma: Array[Double], lp: Array[Double], updateLogGamma: Array[Double]): Double = {
     var norm = lb(0) + dgamma(0)
     lp(0) = norm
@@ -58,7 +61,6 @@ object EStep {
       norm = logAdd(norm, lp(i))
       i += 1
     }
-    val logC = math.log(cnt.toDouble)
     var likelihood = 0.0
     i = 0
     while (i < k) {
@@ -141,6 +143,9 @@ object EStep {
       // (reference DocumentMapper.java:121-126)
       val alphaSum = alpha.sum
       val likelihoodAlpha = logGamma(alphaSum) - alpha.map(logGamma).sum
+      // ln α is constant across the whole partition — hoisted out of the
+      // per-sweep gamma reset (r15; same math.log, bit-identical)
+      val logAlpha = alpha.map(math.log)
 
       // partition-level combiner: (topic, term) -> log-space phi sum.
       // Flushed to output rows when it exceeds `phiFlushEntries` (the
@@ -168,6 +173,18 @@ object EStep {
         val termCnt = new Array[Int](nnz)
         var j = 0
         doc.counts.foreach { case (t, c) => termIds(j) = t; termCnt(j) = c; j += 1 }
+        // resolve each term's E[log β] row and ln(count) ONCE per document
+        // (r15): both are sweep-invariant, and the old inner-loop map
+        // lookup paid a boxed hash probe per (term × sweep) — identical
+        // arrays and doubles, so the trajectory is bit-identical
+        val lb = new Array[Array[Double]](nnz)
+        val logCnt = new Array[Double](nnz)
+        j = 0
+        while (j < nnz) {
+          lb(j) = elogbeta(termIds(j))
+          logCnt(j) = math.log(termCnt(j).toDouble)
+          j += 1
+        }
 
         val gamma: Array[Double] =
           doc.gamma match {
@@ -187,12 +204,12 @@ object EStep {
           var i = 0
           while (i < k) {
             gamma(i) = digamma(gamma(i))
-            updateLogGamma(i) = math.log(alpha(i))
+            updateLogGamma(i) = logAlpha(i)
             i += 1
           }
           var w = 0
           while (w < nnz) {
-            likelihoodPhi += updatePhiTerm(k, termCnt(w), elogbeta(termIds(w)),
+            likelihoodPhi += updatePhiTerm(k, termCnt(w), logCnt(w), lb(w),
               gamma, logPhi(w), updateLogGamma)
             w += 1
           }

@@ -96,6 +96,8 @@ object EStepShuffle {
       val k = alpha.length
       val alphaSum = alpha.sum
       val likelihoodAlpha = logGamma(alphaSum) - alpha.map(logGamma).sum
+      // partition-invariant ln α, hoisted out of the per-sweep reset (r15)
+      val logAlpha = alpha.map(math.log)
       val betaFallback = new java.util.HashMap[Int, Array[Double]]()
 
       // boxed values — see EStep: a primitive-typed map would unbox a
@@ -120,10 +122,12 @@ object EStepShuffle {
         val termIds = new Array[Int](nnz)
         val termCnt = new Array[Int](nnz)
         val elogbeta = new Array[Array[Double]](nnz)
+        val logCnt = new Array[Double](nnz) // ln(count), sweep-invariant (r15)
         var j = 0
         realTerms.foreach { tb =>
           termIds(j) = tb.termId
           termCnt(j) = tb.cnt
+          logCnt(j) = math.log(tb.cnt.toDouble)
           elogbeta(j) = tb.elogbeta.getOrElse {
             var v = betaFallback.get(tb.termId)
             if (v == null) {
@@ -151,12 +155,12 @@ object EStepShuffle {
           var i = 0
           while (i < k) {
             gamma(i) = digamma(gamma(i))
-            updateLogGamma(i) = math.log(alpha(i))
+            updateLogGamma(i) = logAlpha(i)
             i += 1
           }
           var w = 0
           while (w < nnz) {
-            likelihoodPhi += updatePhiTerm(k, termCnt(w), elogbeta(w),
+            likelihoodPhi += updatePhiTerm(k, termCnt(w), logCnt(w), elogbeta(w),
               gamma, logPhi(w), updateLogGamma)
             w += 1
           }

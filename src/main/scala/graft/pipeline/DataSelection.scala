@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.util.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -50,21 +51,38 @@ object DataSelection {
       numBuckets: Int = 1024, smoothing: Double = 0.5): DataFrame = {
     val spark = raw.sparkSession
     import spark.implicits._
-    def toks(c: Column) = TextAnalysis.wsTokens(lower(c))
+    val rawBuckets = raw
+      .select(explode(TextAnalysis.wsTokens(lower(col(textCol)))).as("tok"))
+      .select(Classify.tokenBucket($"tok", numBuckets).as("b"))
+    llrModelFromRawBuckets(rawBuckets, target, textCol, numBuckets, smoothing)
+  }
+
+  /** [[llrModel]] with the raw pool's per-token buckets ALREADY computed —
+    * the entry [[dsirSelect]] uses so the raw pool is tokenized and
+    * md5-bucketed exactly once (r15 optimization: the select previously
+    * ran the corpus-scale explode + md5 twice, once for the raw-side
+    * model and once for the per-doc weights; guide §1.2 step 1 — don't
+    * compute things twice). Bucket counts, smoothing, and the log-ratio
+    * arithmetic are unchanged. */
+  private[graft] def llrModelFromRawBuckets(rawBuckets: DataFrame,
+      target: DataFrame, textCol: String,
+      numBuckets: Int, smoothing: Double): DataFrame = {
+    val spark = rawBuckets.sparkSession
+    import spark.implicits._
     // smoothed per-bucket ln-prob, dense over 0..B-1
-    def logProbs(df: DataFrame, out: String): DataFrame = {
-      val cts = df
-        .select(explode(toks(col(textCol))).as("tok"))
-        .select(Classify.tokenBucket($"tok", numBuckets).as("b"))
-        .groupBy($"b").agg(count(lit(1)).as("c"))
+    def logProbs(cts: DataFrame, out: String): DataFrame =
       spark.range(numBuckets).select($"id".as("b"))
         .join(cts, Seq("b"), "left")
         .crossJoin(broadcast(cts.agg(sum($"c").as("t"))))
         .select($"b",
           log((coalesce($"c", lit(0L)) + lit(smoothing)) /
             ($"t" + lit(smoothing * numBuckets))).as(out))
-    }
-    logProbs(target, "lt").join(logProbs(raw, "lr"), "b")
+    val targetCts = target
+      .select(explode(TextAnalysis.wsTokens(lower(col(textCol)))).as("tok"))
+      .select(Classify.tokenBucket($"tok", numBuckets).as("b"))
+      .groupBy($"b").agg(count(lit(1)).as("c"))
+    val rawCts = rawBuckets.select($"b").groupBy($"b").agg(count(lit(1)).as("c"))
+    logProbs(targetCts, "lt").join(logProbs(rawCts, "lr"), "b")
       .select($"b", ($"lt" - $"lr").as("llr"))
   }
 
@@ -92,11 +110,18 @@ object DataSelection {
     val spark = raw.sparkSession
     import spark.implicits._
 
-    val llr = llrModel(raw, target, textCol, numBuckets, smoothing)
-    val weights = raw
+    // tokenize + md5-bucket the raw pool ONCE (eager checkpoint), then
+    // derive BOTH the raw-side model counts and the per-doc weights from
+    // it — previously two independent subtrees each re-ran the
+    // corpus-scale explode + md5 (r15; guide §1.2 step 1)
+    val rawBuckets = raw
       .select(col(idCol).cast("long").as("doc_id"),
         explode(TextAnalysis.wsTokens(lower(col(textCol)))).as("tok"))
       .select($"doc_id", Classify.tokenBucket($"tok", numBuckets).as("b"))
+      .ckptSer()
+    val llr = llrModelFromRawBuckets(rawBuckets, target, textCol,
+      numBuckets, smoothing)
+    val weights = rawBuckets
       .join(broadcast(llr), "b")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"), round(sum($"llr"), 6).as("log_weight"))

@@ -466,7 +466,16 @@ object Graphs {
     var labels = edges.select($"s".as("node")).distinct()
       .select($"node", $"node".as("label")).ckptSer()
     for (_ <- 1 to iterations) {
+      // ONE exchange per round (r15): the join output is partitioned by
+      // the join key `d`, so the old groupBy(s, label) → groupBy(s)
+      // chain paid TWO exchanges — hash(s, label) then hash(s).
+      // Repartitioning by `s` once lets BOTH aggregates run
+      // exchange-free (HashPartitioning(s) satisfies the clustering of
+      // (s, label) and of (s) — guide §2.4: operations keyed the same
+      // way share one exchange).
       val counts = edges.join(labels, edges("d") === labels("node"))
+        .select($"s", $"label")
+        .repartition($"s")
         .groupBy($"s", $"label").agg(count(lit(1)).as("c"))
       // argmax by (count desc, label asc) as a single hash aggregate:
       // max of (c, −label) is the top count with the smallest label

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.util.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -178,8 +179,13 @@ object Similarity {
       roundCentroids: Boolean = true): IvfIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // eager checkpoint (r15): the projected corpus feeds the init collect,
+    // every Lloyd iteration, AND the final assignment — each previously
+    // re-ran the upstream scan/projection (guide §1.2 step 1). ckptSer
+    // posture as in Dedup (reference-tracked blocks).
     val c = corpus.select(col(idCol).cast("long").as("corpus_id"),
       col(vecCol).cast("array<double>").as("cv"))
+      .ckptSer()
 
     // deterministic init: the nCentroids vectors with smallest md5-hashed
     // id (md5 so a SQL oracle can replay the choice; id tie-break)
@@ -440,8 +446,12 @@ object Similarity {
     val centsLit = typedLit(idx.centroids.map(_.toSeq).toSeq)
     // residuals vs the assigned coarse centroid; PQ codebooks train on the
     // residual distribution (pooled across lists, as FAISS does)
+    // eager checkpoint (r15): the residual frame feeds the PQ init
+    // collect, both PQ Lloyd iterations, and the code encode — each
+    // previously recomputed the coarse assignment + residual subtraction
     val resid = idx.assigned.withColumn("rv",
       zip_with($"cv", element_at(centsLit, $"cid" + 1), (a, b) => a - b))
+      .ckptSer()
     val cb = trainPq(resid, "corpus_id", "rv", dim, numSubspaces,
       codebookSize, pqIterations)
     def codeOf(s: Int): Column = element_at(

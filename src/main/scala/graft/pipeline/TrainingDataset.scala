@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.util.Ckpt._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -47,14 +48,26 @@ object TrainingDataset {
       .select(col(idCol), col(textCol))
     val keepIds = Dedup.exactDedup(kept, idCol, textCol).select($"keep_id".as(idCol))
     val deduped = kept.join(keepIds, idCol)
-    val split = Curation.assignSplits(deduped, idCol, fractions)
+    // eager checkpoint (r15): `split` feeds FOUR independent subtrees
+    // (the BPE trainer's word-frequency scan, the encode scan, the
+    // split-label join-back, and — through `encoded` — the packer);
+    // without it each consumer re-ran the whole gate → exact-dedup →
+    // split chain from the scan (guide §1.2 step 1 — don't compute
+    // things twice). ckptSer posture as in Dedup (reference-tracked
+    // blocks, eager to dodge the lazy-checkpoint deadlock window).
+    val split = Curation.assignSplits(deduped, idCol, fractions).ckptSer()
 
     val model = Tokenizer.trainBpe(
       split.filter($"split" === "train"), textCol, numMerges)
 
+    // eager checkpoint (r15): the packer below filters `encoded` once
+    // per split — three recomputations of the distributed BPE encode
+    // (the pipeline's most expensive per-row stage) before this was
+    // materialized once
     val encoded = Tokenizer.bpeEncode(split, idCol, textCol, model)
       .join(split.select(col(idCol).cast("long").as("doc_id"), $"split"), "doc_id")
       .select($"doc_id", $"split", $"n_tokens")
+      .ckptSer()
 
     // the packer consumes the BPE token counts the encode stage already
     // produced. Packing runs once per split (three filtered passes), so

@@ -88,6 +88,8 @@ object PolyEStep {
 
       val alphaSum = alpha.sum
       val likelihoodAlpha = logGamma(alphaSum) - alpha.map(logGamma).sum
+      // partition-invariant ln α, hoisted out of the per-sweep reset (r15)
+      val logAlpha = alpha.map(math.log)
 
       // partition-level combiner keyed (lang, topic, term); flushed under
       // size pressure like the vanilla E-step (the shuffle's partial agg
@@ -111,6 +113,15 @@ object PolyEStep {
         val langTermCnt = langs.indices.map { li =>
           val l = langs(li); langTermIds(li).map(doc.counts(l))
         }.toArray
+        // sweep-invariant per-term E[log β] rows and ln(count), resolved
+        // once per document (r15; identical values — see EStep)
+        val langLb = langs.indices.map { li =>
+          val l = langs(li)
+          langTermIds(li).map(elogbeta(l, _))
+        }.toArray
+        val langLogCnt = langs.indices.map { li =>
+          langTermCnt(li).map(c => math.log(c.toDouble))
+        }.toArray
 
         val gamma: Array[Double] =
           doc.gamma match {
@@ -128,18 +139,19 @@ object PolyEStep {
           var i = 0
           while (i < k) {
             gamma(i) = digamma(gamma(i))
-            updateLogGamma(i) = math.log(alpha(i))
+            updateLogGamma(i) = logAlpha(i)
             i += 1
           }
           var li = 0
           while (li < langs.length) {
-            val lang = langs(li)
             val ids = langTermIds(li)
             val cnts = langTermCnt(li)
+            val lbs = langLb(li)
+            val lcs = langLogCnt(li)
             val lps = logPhi(li)
             var w = 0
             while (w < ids.length) {
-              likelihoodPhi += updatePhiTerm(k, cnts(w), elogbeta(lang, ids(w)),
+              likelihoodPhi += updatePhiTerm(k, cnts(w), lcs(w), lbs(w),
                 gamma, lps(w), updateLogGamma)
               w += 1
             }

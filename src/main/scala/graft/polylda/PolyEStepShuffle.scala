@@ -89,6 +89,8 @@ object PolyEStepShuffle {
       val k = alpha.length
       val alphaSum = alpha.sum
       val likelihoodAlpha = logGamma(alphaSum) - alpha.map(logGamma).sum
+      // partition-invariant ln α, hoisted out of the per-sweep reset (r15)
+      val logAlpha = alpha.map(math.log)
       val betaFallback = new java.util.HashMap[Long, Array[Double]]()
       def fallback(lang: Int, termId: Int): Array[Double] = {
         val key = (lang.toLong << 32) | (termId.toLong & 0xFFFFFFFFL)
@@ -121,12 +123,14 @@ object PolyEStepShuffle {
         val termIds = new Array[Int](nnz)
         val termCnt = new Array[Int](nnz)
         val elogbeta = new Array[Array[Double]](nnz)
+        val logCnt = new Array[Double](nnz) // ln(count), sweep-invariant (r15)
         var totalTokens = 0L
         var j = 0
         realTerms.foreach { tb =>
           langs(j) = tb.lang
           termIds(j) = tb.termId
           termCnt(j) = tb.cnt
+          logCnt(j) = math.log(tb.cnt.toDouble)
           elogbeta(j) = tb.elogbeta.getOrElse(fallback(tb.lang, tb.termId))
           totalTokens += tb.cnt
           j += 1
@@ -148,12 +152,12 @@ object PolyEStepShuffle {
           var i = 0
           while (i < k) {
             gamma(i) = digamma(gamma(i))
-            updateLogGamma(i) = math.log(alpha(i))
+            updateLogGamma(i) = logAlpha(i)
             i += 1
           }
           var w = 0
           while (w < nnz) {
-            likelihoodPhi += updatePhiTerm(k, termCnt(w), elogbeta(w),
+            likelihoodPhi += updatePhiTerm(k, termCnt(w), logCnt(w), elogbeta(w),
               gamma, logPhi(w), updateLogGamma)
             w += 1
           }

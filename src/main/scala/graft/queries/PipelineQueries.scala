@@ -29,9 +29,13 @@ object PipelineQueries {
   private def winnowPlanted(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select($"doc_id",
-      when($"doc_id" % 7 === 0, concat($"text", lit(winnowPassage)))
-        .otherwise($"text").as("text"))
+    // spread the one-file fixture scan before the gram explode so the
+    // fingerprint work parallelizes (r15; the q_dedup_minhash_lsh
+    // posture — at real scale the input is already many splits)
+    t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id",
+        when($"doc_id" % 7 === 0, concat($"text", lit(winnowPassage)))
+          .otherwise($"text").as("text"))
   }
 
   /** Winnowing replay: 5-gram md5-60-bit hashes, window starts exploded
@@ -665,7 +669,11 @@ object PipelineQueries {
     "q_substring_dup_spans" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val planted = t(s, dir, "documents").select($"doc_id",
+        // spread the one-file fixture scan before the window explode
+        // (r15; the q_dedup_minhash_lsh posture)
+        val planted = t(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select($"doc_id",
           when($"doc_id" % 7 === 0,
             concat($"text",
               lit(" widely shared boilerplate sentence repeated verbatim across many documents")))
@@ -2689,6 +2697,9 @@ object PipelineQueries {
         import s.implicits._
         t(s, dir, "documents").filter($"doc_id" < 100)
           .select($"doc_id".cast("long"), $"text")
+          // spread the slim (id, text) rows before the per-row codec
+          // work (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .map { case (id, text) =>
             val len = text.codePointCount(0, text.length)
@@ -2746,6 +2757,9 @@ object PipelineQueries {
         import s.implicits._
         t(s, dir, "documents").filter($"doc_id" < 100)
           .select($"doc_id".cast("long"), $"text")
+          // spread the slim (id, text) rows before the per-row codec
+          // work (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .map { case (id, text) =>
             val len = text.codePointCount(0, text.length)
@@ -2801,6 +2815,9 @@ object PipelineQueries {
         import s.implicits._
         t(s, dir, "documents").filter($"doc_id" < 100)
           .select($"doc_id".cast("long"), $"text")
+          // spread the slim (id, text) rows before the per-row codec
+          // work (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .map { case (id, text) =>
             val len = text.codePointCount(0, text.length)
@@ -2852,6 +2869,9 @@ object PipelineQueries {
         import s.implicits._
         t(s, dir, "documents").filter($"doc_id" < 100)
           .select($"doc_id".cast("long"), $"text")
+          // spread the slim (id, text) rows before the per-row codec
+          // work (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .map { case (id, text) =>
             val len = text.codePointCount(0, text.length)
@@ -2950,6 +2970,9 @@ object PipelineQueries {
         import s.implicits._
         t(s, dir, "documents").filter($"doc_id" < 100)
           .select($"doc_id".cast("long"), $"text")
+          // spread the slim (id, text) rows before the per-row codec
+          // work (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .map { case (id, text) =>
             val len = text.codePointCount(0, text.length)
@@ -3040,6 +3063,9 @@ object PipelineQueries {
         import s.implicits._
         t(s, dir, "documents").filter($"doc_id" < 100)
           .select($"doc_id".cast("long"), $"text")
+          // spread the slim (id, text) rows before the per-row codec
+          // work (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .map { case (id, text) =>
             val len = text.codePointCount(0, text.length)
@@ -3118,6 +3144,9 @@ object PipelineQueries {
         import s.implicits._
         t(s, dir, "documents").filter($"doc_id" < 100)
           .select($"doc_id".cast("long"), $"text")
+          // spread the slim (id, text) rows before the per-row codec
+          // work (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .map { case (id, text) =>
             val len = text.codePointCount(0, text.length)
@@ -3200,6 +3229,9 @@ object PipelineQueries {
         import s.implicits._
         t(s, dir, "documents").filter($"doc_id" < 100)
           .select($"doc_id".cast("long"), $"text")
+          // spread the slim (id, text) rows before the per-row codec
+          // work (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .map { case (id, text) =>
             val len = text.codePointCount(0, text.length)
@@ -3275,6 +3307,9 @@ object PipelineQueries {
         import s.implicits._
         t(s, dir, "documents").filter($"doc_id" < 100)
           .select($"doc_id".cast("long"), $"text")
+          // spread the slim (id, text) rows before the per-row codec
+          // work (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .map { case (id, text) =>
             val len = text.codePointCount(0, text.length)
@@ -3323,6 +3358,9 @@ object PipelineQueries {
         import s.implicits._
         t(s, dir, "documents").filter($"doc_id" < 100)
           .select($"doc_id".cast("long"), $"text")
+          // spread the slim (id, text) rows before the per-row codec
+          // work (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .map { case (id, text) =>
             val len = text.codePointCount(0, text.length)
@@ -3365,6 +3403,9 @@ object PipelineQueries {
         import s.implicits._
         t(s, dir, "documents").filter($"doc_id" < 100)
           .select($"doc_id".cast("long"), $"text")
+          // spread the slim (id, text) rows before the per-row codec
+          // work (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .map { case (id, text) =>
             val len = text.codePointCount(0, text.length)
@@ -3407,6 +3448,9 @@ object PipelineQueries {
         import s.implicits._
         t(s, dir, "documents").filter($"doc_id" < 100)
           .select($"doc_id".cast("long"), $"text")
+          // spread the slim (id, text) rows before the per-row codec
+          // work (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .map { case (id, text) =>
             val len = text.codePointCount(0, text.length)
@@ -3468,6 +3512,9 @@ object PipelineQueries {
         import s.implicits._
         t(s, dir, "documents").filter($"doc_id" < 100)
           .select($"doc_id".cast("long"), $"text")
+          // spread the slim (id, text) rows before the per-row codec
+          // work (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .map { case (id, text) =>
             val len = text.codePointCount(0, text.length)
@@ -3519,6 +3566,9 @@ object PipelineQueries {
         import s.implicits._
         t(s, dir, "documents").filter($"doc_id" < 100)
           .select($"doc_id".cast("long"), $"text")
+          // spread the slim (id, text) rows before the per-row codec
+          // work (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .map { case (id, text) =>
             val len = text.codePointCount(0, text.length)
@@ -3570,6 +3620,9 @@ object PipelineQueries {
         import s.implicits._
         t(s, dir, "documents").filter($"doc_id" < 100)
           .select($"doc_id".cast("long"), $"text")
+          // spread the slim (id, text) rows before the per-row codec
+          // work (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .map { case (id, text) =>
             val len = text.codePointCount(0, text.length)
@@ -3631,6 +3684,9 @@ object PipelineQueries {
         import s.implicits._
         t(s, dir, "documents").filter($"doc_id" < 100)
           .select($"doc_id".cast("long"), $"text")
+          // spread the slim (id, text) rows before the per-row codec
+          // work (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .map { case (id, text) =>
             val len = text.codePointCount(0, text.length)
@@ -3698,6 +3754,9 @@ object PipelineQueries {
         import s.implicits._
         t(s, dir, "documents").filter($"doc_id" < 100)
           .select($"doc_id".cast("long"), $"text")
+          // spread the slim (id, text) rows before the per-row codec
+          // work (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .map { case (id, text) =>
             val len = text.codePointCount(0, text.length)
@@ -3748,6 +3807,9 @@ object PipelineQueries {
         import s.implicits._
         t(s, dir, "documents").filter($"doc_id" < 100)
           .select($"doc_id".cast("long"), $"text")
+          // spread the slim (id, text) rows before the per-row codec
+          // work (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .map { case (id, text) =>
             val len = text.codePointCount(0, text.length)
@@ -3838,6 +3900,9 @@ object PipelineQueries {
         import s.implicits._
         t(s, dir, "documents").filter($"doc_id" < 100)
           .select($"doc_id".cast("long"), $"text")
+          // spread the slim (id, text) rows before the per-row codec
+          // work (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .map { case (id, text) =>
             val len = text.codePointCount(0, text.length)
@@ -3914,6 +3979,9 @@ object PipelineQueries {
         import s.implicits._
         t(s, dir, "documents").filter($"doc_id" < 100)
           .select($"doc_id".cast("long"), $"text")
+          // spread the slim (id, text) rows before the per-row codec
+          // work (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .map { case (id, text) =>
             val len = text.codePointCount(0, text.length)
@@ -3950,6 +4018,9 @@ object PipelineQueries {
         import s.implicits._
         t(s, dir, "documents").filter($"doc_id" < 100)
           .select($"doc_id".cast("long"), $"text")
+          // spread the slim (id, text) rows before the per-row codec
+          // work (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .map { case (id, text) =>
             val len = text.codePointCount(0, text.length)
@@ -4003,6 +4074,9 @@ object PipelineQueries {
         import s.implicits._
         val media = t(s, dir, "documents").filter($"doc_id" < 100)
           .select($"doc_id".cast("long").as("media_id")).as[Long]
+          // spread the 8-byte id rows before payload synthesis/decode
+          // (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .map(id => (id, ImageHash.plantedSpectralJpeg(id)))
           .toDF("media_id", "bytes")
         ImageHash.imageNearDups(media, "media_id", "bytes", maxHamming = 4)
@@ -4026,6 +4100,9 @@ object PipelineQueries {
         import s.implicits._
         val media = t(s, dir, "documents").filter($"doc_id" < 100)
           .select($"doc_id".cast("long").as("media_id")).as[Long]
+          // spread the 8-byte id rows before payload synthesis/decode
+          // (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .map(id => (id, AudioFingerprint.plantedToneWav(id)))
           .toDF("media_id", "bytes")
         AudioFingerprint.audioNearDups(media, "media_id", "bytes", minShared = 8)
@@ -4049,6 +4126,9 @@ object PipelineQueries {
         import s.implicits._
         val media = t(s, dir, "documents").filter($"doc_id" < 100)
           .select($"doc_id".cast("long").as("media_id")).as[Long]
+          // spread the 8-byte id rows before payload synthesis/decode
+          // (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .map(id => (id, AudioFingerprint.plantedToneWav(id)))
           .toDF("media_id", "bytes")
         AudioFingerprint.archiveAudio(media, "media_id", "bytes")
@@ -4074,6 +4154,9 @@ object PipelineQueries {
         import s.implicits._
         val media = t(s, dir, "documents").filter($"doc_id" < 100)
           .select($"doc_id".cast("long").as("media_id")).as[Long]
+          // spread the 8-byte id rows before payload synthesis/decode
+          // (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .map { id =>
             val wavBytes = AudioFingerprint.plantedToneWav(id)
             val bytes =
@@ -4107,6 +4190,9 @@ object PipelineQueries {
         import s.implicits._
         val gen = t(s, dir, "documents").filter($"doc_id" < 120)
           .select($"doc_id".cast("long").as("media_id")).as[Long]
+          // spread the 8-byte id rows before payload synthesis/decode
+          // (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .map { id =>
             val kind = ((id / 2) % 3) match {
               case 0 => "image"; case 1 => "audio"; case _ => "video"
@@ -4154,6 +4240,9 @@ object PipelineQueries {
         import s.implicits._
         val media = t(s, dir, "documents").filter($"doc_id" < 200)
           .select($"doc_id".cast("long").as("media_id")).as[Long]
+          // spread the 8-byte id rows before payload synthesis/decode
+          // (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .map(id => (id, ImageHash.plantedQualityPng(id)))
           .toDF("media_id", "bytes")
         ImageHash.imageQuality(media, "media_id", "bytes")
@@ -4193,6 +4282,9 @@ object PipelineQueries {
         import s.implicits._
         val media = t(s, dir, "documents").filter($"doc_id" < 60)
           .select($"doc_id".cast("long").as("media_id")).as[Long]
+          // spread the 8-byte id rows before payload synthesis/decode
+          // (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .map { d =>
             val n = 2048
             val inter = new Array[Short](2 * n)
@@ -4297,6 +4389,9 @@ object PipelineQueries {
         import s.implicits._
         val media = t(s, dir, "documents").filter($"doc_id" < 200)
           .select($"doc_id".cast("long").as("media_id")).as[Long]
+          // spread the 8-byte id rows before payload synthesis/decode
+          // (r15; the q_dedup_minhash_lsh one-file posture)
+          .repartition(s.sparkContext.defaultParallelism)
           .map(id => (id, AudioFingerprint.plantedQualityWav(id)))
           .toDF("media_id", "bytes")
         AudioFingerprint.audioQuality(media, "media_id", "bytes")
@@ -4441,8 +4536,13 @@ object PipelineQueries {
     "q_video_phash_dedup" -> QueryDef(
       (s, dir) => {
         import s.implicits._
+        // repartition the 8-byte id rows BEFORE synthesizing/decoding the
+        // MP4 payloads, so the per-partition codec work uses every core
+        // (r15; previously the one-file scan ran the whole decode on a
+        // single task — only ids cross the exchange, never video bytes)
         val media = t(s, dir, "documents").filter($"doc_id" < 100)
           .select($"doc_id".cast("long").as("media_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
           .map(id => (id, ImageHash.plantedSpectralMp4(id)))
           .toDF("media_id", "bytes")
         ImageHash.videoNearDups(media, "media_id", "bytes",
@@ -4705,8 +4805,13 @@ object PipelineQueries {
       (s, dir) => {
         import s.implicits._
         import graft.pipeline.{MediaCodecs => mc}
+        // repartition the slim (id, text) rows before payload synthesis
+        // so the encode work parallelizes (r15; the tar pack below
+        // shuffles payloads by grp either way, so this adds no payload
+        // movement — the minhash one-file-fixture posture)
         val samples = t(s, dir, "documents").filter($"doc_id" < 90)
           .select($"doc_id".cast("long"), $"text")
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .map { case (d, text) =>
             val len = text.codePointCount(0, text.length)
@@ -4989,7 +5094,11 @@ object PipelineQueries {
     "q_training_dataset" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        TrainingDataset.build(t(s, dir, "documents"), "doc_id", "text",
+        // spread the one-file fixture scan so the gate/dedup/encode
+        // stages parallelize (r15; the q_dedup_minhash_lsh posture)
+        TrainingDataset.build(
+            t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
+            "doc_id", "text",
             tokenBudget = 512L, numMerges = 100)
           .packs.orderBy($"split", $"grp", $"pack")
       },

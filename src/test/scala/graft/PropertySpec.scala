@@ -67,7 +67,8 @@ class PropertySpec extends AnyFunSuite {
       val dg = Array.fill(k)(digamma(rng.nextDouble() * 5 + 0.1))
       val lp = new Array[Double](k)
       val ulg = Array.fill(k)(math.log(0.5))
-      val ll = graft.lda.EStep.updatePhiTerm(k, cnt, lb, dg, lp, ulg)
+      val ll = graft.lda.EStep.updatePhiTerm(k, cnt, math.log(cnt.toDouble),
+        lb, dg, lp, ulg)
       // after the update, lp holds log(c · φ_k) with Σ_k φ_k = 1
       val phiSum = lp.map(v => math.exp(v) / cnt).sum
       assert(math.abs(phiSum - 1.0) < 1e-9, s"phi not normalized: $phiSum")
