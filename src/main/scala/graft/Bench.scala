@@ -91,7 +91,16 @@ object Bench {
     val rr = reruns.map { case (k, (a, b)) => "\"" + k + "\":[" + a + "," + b + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$ps,"band_reruns":$rr,"sf":"$sfDir"}""")
+    // Two output lines (r16). The driver keeps only a bounded tail of stdout
+    // and parses the LAST JSON line; through r15 the single line carried the
+    // plan-digest map + band-rerun pairs and outgrew that tail, so its head
+    // (metric/total/most of the times map) was truncated away and the driver
+    // never parsed a bench artifact (PERF per_query empty since round 1).
+    // The evidence payload now goes on its OWN earlier line and the final
+    // line is the compact driver contract — same timings, same methodology,
+    // nothing removed (both maps remain in stdout verbatim).
+    println(s"""{"metric":"evidence","plans":$ps,"band_reruns":$rr}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -10,18 +10,24 @@ import org.apache.spark.sql.Dataset
  * version of the reference's MultipleOutputs side-outputs,
  * cc/mrlda/DocumentMapper.java:341-346):
  *  - doc rows (`isDoc`): updated gamma + per-document log-likelihood;
- *  - phi rows: partition-combined log-space phi sufficient statistics
- *    keyed (topic 1..K, termId) — the reference's in-mapper combiner
- *    (DocumentMapper.java:263-339) generalized to whole-partition combining.
+ *  - phi rows: partition-combined log-space phi sufficient statistics —
+ *    ONE row per termId carrying the K-length per-topic array
+ *    (`logphi(i)` ↔ topic i+1), the reference's in-mapper combiner
+ *    (DocumentMapper.java:263-339) generalized to whole-partition
+ *    combining. Through r15 the combiner emitted one row per
+ *    (topic, termId); the K-array row (r16) cuts the encoder row count
+ *    K× per partition — at K=100 that is the difference between 10^10
+ *    and 10^8 rows per iteration at corpus scale. Consumers posexplode
+ *    back to (topic, termId, logphi) via [[MStep.explodePhi]] before the
+ *    cross-partition fold, so the per-key value multiset is unchanged.
  */
 case class EStepRow(
     isDoc: Boolean,
     docId: Long,
     gamma: Array[Double],
     ll: Double,
-    topic: Int,
     termId: Int,
-    logphi: Double,
+    logphi: Array[Double],
     /** doc rows carry the full document (counts + token total) so the next
       * iteration's corpus is a projection of the E-step output — no
       * corpus-sized rotation join per iteration. Mirrors the reference's
@@ -147,21 +153,21 @@ object EStep {
       // per-sweep gamma reset (r15; same math.log, bit-identical)
       val logAlpha = alpha.map(math.log)
 
-      // partition-level combiner: (topic, term) -> log-space phi sum.
-      // Flushed to output rows when it exceeds `phiFlushEntries` (the
-      // reference flushes its in-mapper combiner under memory pressure,
-      // DocumentMapper.java:263-313 + Settings.java:76); Catalyst's partial
-      // aggregation on the shuffle re-combines duplicates, so flushing only
-      // trades shuffle volume for bounded executor heap.
-      // boxed values: j.u.HashMap.get returns null for a missing key, and a
-      // primitive-Double-typed map would silently unbox that null to 0.0 —
-      // turning the first fold into logAdd(0, x) ≠ x
-      val phiAcc = new java.util.HashMap[Long, java.lang.Double]()
+      // partition-level combiner: termId -> K-length log-space phi sums
+      // (slot i ↔ topic i+1). One probe per (doc, term) instead of K boxed
+      // probes per (doc, term, topic) (r16); the per-slot fold sequence is
+      // the r15 per-(topic, term) sequence verbatim — first touch writes
+      // the value, later docs logAdd in document order — so the combined
+      // values are bit-identical. Flushed to output rows under the same
+      // memory budget (`phiFlushEntries` counts (topic, term) ENTRIES, so
+      // the trigger is size × K; the reference flushes its in-mapper
+      // combiner under memory pressure, DocumentMapper.java:263-313 +
+      // Settings.java:76); the downstream fold re-combines flush chunks.
+      val phiAcc = new java.util.HashMap[Int, Array[Double]]()
       def drainPhi(): Vector[EStepRow] = {
         val b = Vector.newBuilder[EStepRow]
-        phiAcc.forEach { (key, v) =>
-          b += EStepRow(isDoc = false, -1L, null, 0.0,
-            (key >>> 32).toInt, (key & 0xFFFFFFFFL).toInt, v.doubleValue())
+        phiAcc.forEach { (termId, arr) =>
+          b += EStepRow(isDoc = false, -1L, null, 0.0, termId, arr)
         }
         phiAcc.clear()
         b.result()
@@ -239,24 +245,36 @@ object EStep {
           var w = 0
           while (w < nnz) {
             val lp = logPhi(w)
-            i = 0
-            while (i < k) {
-              val key = ((i + 1).toLong << 32) | (termIds(w).toLong & 0xFFFFFFFFL)
-              val v = if (anchorPhiDp > 0)
-                BigDecimal(lp(i)).setScale(anchorPhiDp,
-                  BigDecimal.RoundingMode.HALF_UP).toDouble
-              else lp(i)
-              val prev = phiAcc.get(key)
-              phiAcc.put(key, if (prev eq null) v else logAdd(prev.doubleValue(), v))
-              i += 1
+            val acc = phiAcc.get(termIds(w))
+            if (acc == null) {
+              val arr = new Array[Double](k)
+              i = 0
+              while (i < k) {
+                arr(i) = if (anchorPhiDp > 0)
+                  BigDecimal(lp(i)).setScale(anchorPhiDp,
+                    BigDecimal.RoundingMode.HALF_UP).toDouble
+                else lp(i)
+                i += 1
+              }
+              phiAcc.put(termIds(w), arr)
+            } else {
+              i = 0
+              while (i < k) {
+                val v = if (anchorPhiDp > 0)
+                  BigDecimal(lp(i)).setScale(anchorPhiDp,
+                    BigDecimal.RoundingMode.HALF_UP).toDouble
+                else lp(i)
+                acc(i) = logAdd(acc(i), v)
+                i += 1
+              }
             }
             w += 1
           }
         }
 
-        val row = EStepRow(isDoc = true, doc.docId, gamma, docLL, -1, -1, 0.0,
+        val row = EStepRow(isDoc = true, doc.docId, gamma, docLL, -1, null,
           doc.counts, doc.numTokens)
-        if (phiAcc.size > phiFlushEntries) row +: drainPhi() else Vector(row)
+        if (phiAcc.size.toLong * k > phiFlushEntries) row +: drainPhi() else Vector(row)
       }
 
       // remaining phi rows emitted once the partition's documents are exhausted

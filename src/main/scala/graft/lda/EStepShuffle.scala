@@ -100,14 +100,13 @@ object EStepShuffle {
       val logAlpha = alpha.map(math.log)
       val betaFallback = new java.util.HashMap[Int, Array[Double]]()
 
-      // boxed values — see EStep: a primitive-typed map would unbox a
-      // missing key's null to 0.0 and corrupt the first logAdd fold
-      val phiAcc = new java.util.HashMap[Long, java.lang.Double]()
+      // termId -> K-length log-space phi sums (slot i ↔ topic i+1) — one
+      // probe per (doc, term), bit-identical per-slot fold; see EStep (r16)
+      val phiAcc = new java.util.HashMap[Int, Array[Double]]()
       def drainPhi(): Vector[EStepRow] = {
         val b = Vector.newBuilder[EStepRow]
-        phiAcc.forEach { (key, v) =>
-          b += EStepRow(isDoc = false, -1L, null, 0.0,
-            (key >>> 32).toInt, (key & 0xFFFFFFFFL).toInt, v.doubleValue())
+        phiAcc.forEach { (termId, arr) =>
+          b += EStepRow(isDoc = false, -1L, null, 0.0, termId, arr)
         }
         phiAcc.clear()
         b.result()
@@ -187,24 +186,36 @@ object EStepShuffle {
           var w = 0
           while (w < nnz) {
             val lp = logPhi(w)
-            i = 0
-            while (i < k) {
-              val key = ((i + 1).toLong << 32) | (termIds(w).toLong & 0xFFFFFFFFL)
-              val v = if (anchorPhiDp > 0)
-                BigDecimal(lp(i)).setScale(anchorPhiDp,
-                  BigDecimal.RoundingMode.HALF_UP).toDouble
-              else lp(i)
-              val prev = phiAcc.get(key)
-              phiAcc.put(key, if (prev eq null) v else logAdd(prev.doubleValue(), v))
-              i += 1
+            val acc = phiAcc.get(termIds(w))
+            if (acc == null) {
+              val arr = new Array[Double](k)
+              i = 0
+              while (i < k) {
+                arr(i) = if (anchorPhiDp > 0)
+                  BigDecimal(lp(i)).setScale(anchorPhiDp,
+                    BigDecimal.RoundingMode.HALF_UP).toDouble
+                else lp(i)
+                i += 1
+              }
+              phiAcc.put(termIds(w), arr)
+            } else {
+              i = 0
+              while (i < k) {
+                val v = if (anchorPhiDp > 0)
+                  BigDecimal(lp(i)).setScale(anchorPhiDp,
+                    BigDecimal.RoundingMode.HALF_UP).toDouble
+                else lp(i)
+                acc(i) = logAdd(acc(i), v)
+                i += 1
+              }
             }
             w += 1
           }
         }
 
-        val row = EStepRow(isDoc = true, doc.docId, gamma, docLL, -1, -1, 0.0,
+        val row = EStepRow(isDoc = true, doc.docId, gamma, docLL, -1, null,
           realTerms.map(tb => tb.termId -> tb.cnt).toMap, doc.numTokens)
-        if (phiAcc.size > phiFlushEntries) row +: drainPhi() else Vector(row)
+        if (phiAcc.size.toLong * k > phiFlushEntries) row +: drainPhi() else Vector(row)
       }
 
       val phiRows = new Iterator[EStepRow] {

@@ -23,8 +23,22 @@ object MStep {
   val InformedLogEta: Double = math.log(1000.0).toFloat.toDouble
   val UninformedLogEta: Double = math.log(0.001).toFloat.toDouble
 
+  /** K-array phi rows (the r16 E-step combiner output: one row per termId
+    * with `logphi(i)` ↔ topic i+1) → scalar (topic, termId, logphi) rows.
+    * The posexplode runs codegen'd on K× fewer input rows than the old
+    * per-(topic, term) encoder emission; the per-key value multiset into
+    * the downstream fold is unchanged. */
+  def explodePhi(estep: DataFrame): DataFrame = {
+    val spark = estep.sparkSession
+    import spark.implicits._
+    estep.filter(!$"isDoc")
+      .select($"termId", posexplode($"logphi").as(Seq("pos", "lp")))
+      .select(($"pos" + 1).cast("int").as("topic"), $"termId", $"lp".as("logphi"))
+  }
+
   /**
    * @param phi   (topic, termId, logphi) partition-combined E-step rows
+   *              (use [[explodePhi]] to unpack the E-step's K-array rows)
    * @param prior optional informed prior (topic, termId) seed pairs
    * @return      (topic, termId, elogbeta)
    */
@@ -69,7 +83,7 @@ object MStep {
   def fusedIterationRows(estep: DataFrame): DataFrame = {
     val spark = estep.sparkSession
     import spark.implicits._
-    val lambda = estep.filter(!$"isDoc")
+    val lambda = explodePhi(estep)
       .groupBy($"topic", $"termId")
       .agg(logsumexp($"logphi").as("v1"))
       .select(lit(0).as("tag"), $"topic", $"termId", $"v1", lit(0.0).as("v2"))

@@ -120,7 +120,7 @@ object PlantedLda {
           anchorGammaDp = cfg.gammaDp, anchorPhiDp = cfg.phiDp))
         .persist()
       // the real distributed lambda fold, anchored at collect
-      val lambda = estep.filter(!$"isDoc")
+      val lambda = MStep.explodePhi(estep.toDF())
         .groupBy($"topic", $"termId").agg(logsumexp($"logphi").as("lp"))
         .collect()
         .map(r => (r.getAs[Int]("topic"), r.getAs[Int]("termId"),

@@ -190,8 +190,7 @@ object Trainer {
         val nullInt = lit(null).cast("int")
         val nullDouble = lit(null).cast("double")
         val nullArr = lit(null).cast(ArrayType(DoubleType))
-        val packed = packBeta(MStep.run(
-          estep.filter(!$"isDoc").select($"topic", $"termId", $"logphi"), cfg.prior))
+        val packed = packBeta(MStep.run(MStep.explodePhi(estep.toDF()), cfg.prior))
         val fusedDf = packed
           .select(lit(0).as("tag"), $"termId", $"elogbeta",
             nullDouble.as("ll"), nullInt.as("k"), nullDouble.as("ss"))

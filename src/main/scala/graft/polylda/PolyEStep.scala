@@ -8,9 +8,12 @@ import org.apache.spark.sql.Dataset
 
 /**
  * One polylingual E-step output row; doc rows carry the tied gamma, phi rows
- * are keyed (lang 0.., topic 1..K, termId) — the reference's TripleOfInts
- * (polylda/DocumentMapper.java:290-296, which emits 1-based language; we keep
- * the 0-based internal index and only surface 1-based ids at display time).
+ * are keyed (lang 0.., termId) and carry the K-length per-topic log-phi
+ * array (`logphi(i)` ↔ topic i+1) — the reference's TripleOfInts stream
+ * (polylda/DocumentMapper.java:290-296) packed K-per-row like the vanilla
+ * [[graft.lda.EStepRow]] (r16): K× fewer encoder rows per partition, the
+ * per-slot fold unchanged. Consumers posexplode back to
+ * (lang, topic, termId, logphi) via [[PolyTrainer.explodePhi]].
  */
 case class PolyEStepRow(
     isDoc: Boolean,
@@ -18,9 +21,8 @@ case class PolyEStepRow(
     gamma: Array[Double],
     ll: Double,
     lang: Int,
-    topic: Int,
     termId: Int,
-    logphi: Double,
+    logphi: Array[Double],
     /** doc rows carry the full document (like the reference's gamma side
       * output) so next iteration's corpus needs no rotation join. */
     counts: Map[Int, Map[Int, Int]] = null,
@@ -91,16 +93,17 @@ object PolyEStep {
       // partition-invariant ln α, hoisted out of the per-sweep reset (r15)
       val logAlpha = alpha.map(math.log)
 
-      // partition-level combiner keyed (lang, topic, term); flushed under
-      // size pressure like the vanilla E-step (the shuffle's partial agg
-      // re-combines duplicates)
-      // boxed values — see EStep: a primitive-typed map would unbox a
-      // missing key's null to 0.0 and corrupt the first logAdd fold
-      val phiAcc = new java.util.HashMap[(Int, Int, Int), java.lang.Double]()
+      // partition-level combiner keyed (lang, termId) — packed into one
+      // Long — holding the K-length per-topic array; one probe per
+      // (doc, lang, term), per-slot fold bit-identical to the old
+      // per-(lang, topic, term) sequence (r16; see graft.lda.EStep).
+      // Flushed under the same memory budget (entries × K).
+      val phiAcc = new java.util.HashMap[Long, Array[Double]]()
       def drainPhi(): Vector[PolyEStepRow] = {
         val b = Vector.newBuilder[PolyEStepRow]
-        phiAcc.forEach { (key, v) =>
-          b += PolyEStepRow(isDoc = false, -1L, null, 0.0, key._1, key._2, key._3, v.doubleValue())
+        phiAcc.forEach { (key, arr) =>
+          b += PolyEStepRow(isDoc = false, -1L, null, 0.0,
+            (key >>> 32).toInt, (key & 0xFFFFFFFFL).toInt, arr)
         }
         phiAcc.clear()
         b.result()
@@ -185,16 +188,29 @@ object PolyEStep {
             var w = 0
             while (w < ids.length) {
               val lp = lps(w)
-              i = 0
-              while (i < k) {
-                val key = (lang, i + 1, ids(w))
-                val v = if (anchorPhiDp > 0)
-                  BigDecimal(lp(i)).setScale(anchorPhiDp,
-                    BigDecimal.RoundingMode.HALF_UP).toDouble
-                else lp(i)
-                val prev = phiAcc.get(key)
-                phiAcc.put(key, if (prev eq null) v else logAdd(prev.doubleValue(), v))
-                i += 1
+              val key = (lang.toLong << 32) | (ids(w).toLong & 0xFFFFFFFFL)
+              val acc = phiAcc.get(key)
+              if (acc == null) {
+                val arr = new Array[Double](k)
+                i = 0
+                while (i < k) {
+                  arr(i) = if (anchorPhiDp > 0)
+                    BigDecimal(lp(i)).setScale(anchorPhiDp,
+                      BigDecimal.RoundingMode.HALF_UP).toDouble
+                  else lp(i)
+                  i += 1
+                }
+                phiAcc.put(key, arr)
+              } else {
+                i = 0
+                while (i < k) {
+                  val v = if (anchorPhiDp > 0)
+                    BigDecimal(lp(i)).setScale(anchorPhiDp,
+                      BigDecimal.RoundingMode.HALF_UP).toDouble
+                  else lp(i)
+                  acc(i) = logAdd(acc(i), v)
+                  i += 1
+                }
               }
               w += 1
             }
@@ -202,9 +218,9 @@ object PolyEStep {
           }
         }
 
-        val row = PolyEStepRow(isDoc = true, doc.docId, gamma, docLL, -1, -1, -1, 0.0,
+        val row = PolyEStepRow(isDoc = true, doc.docId, gamma, docLL, -1, -1, null,
           doc.counts, doc.numTokens, doc.totalTokens)
-        if (phiAcc.size > phiFlushEntries) row +: drainPhi() else Vector(row)
+        if (phiAcc.size.toLong * k > phiFlushEntries) row +: drainPhi() else Vector(row)
       }
 
       val phiRows = new Iterator[PolyEStepRow] {

@@ -103,11 +103,14 @@ object PolyEStepShuffle {
         v
       }
 
-      val phiAcc = new java.util.HashMap[(Int, Int, Int), java.lang.Double]()
+      // (lang, termId) packed Long -> K-length per-topic log-phi sums —
+      // one probe per (doc, lang, term), per-slot fold bit-identical (r16)
+      val phiAcc = new java.util.HashMap[Long, Array[Double]]()
       def drainPhi(): Vector[PolyEStepRow] = {
         val b = Vector.newBuilder[PolyEStepRow]
-        phiAcc.forEach { (key, v) =>
-          b += PolyEStepRow(isDoc = false, -1L, null, 0.0, key._1, key._2, key._3, v.doubleValue())
+        phiAcc.forEach { (key, arr) =>
+          b += PolyEStepRow(isDoc = false, -1L, null, 0.0,
+            (key >>> 32).toInt, (key & 0xFFFFFFFFL).toInt, arr)
         }
         phiAcc.clear()
         b.result()
@@ -184,16 +187,29 @@ object PolyEStepShuffle {
           var w = 0
           while (w < nnz) {
             val lp = logPhi(w)
-            i = 0
-            while (i < k) {
-              val key = (langs(w), i + 1, termIds(w))
-              val v = if (anchorPhiDp > 0)
-                BigDecimal(lp(i)).setScale(anchorPhiDp,
-                  BigDecimal.RoundingMode.HALF_UP).toDouble
-              else lp(i)
-              val prev = phiAcc.get(key)
-              phiAcc.put(key, if (prev eq null) v else logAdd(prev.doubleValue(), v))
-              i += 1
+            val key = (langs(w).toLong << 32) | (termIds(w).toLong & 0xFFFFFFFFL)
+            val acc = phiAcc.get(key)
+            if (acc == null) {
+              val arr = new Array[Double](k)
+              i = 0
+              while (i < k) {
+                arr(i) = if (anchorPhiDp > 0)
+                  BigDecimal(lp(i)).setScale(anchorPhiDp,
+                    BigDecimal.RoundingMode.HALF_UP).toDouble
+                else lp(i)
+                i += 1
+              }
+              phiAcc.put(key, arr)
+            } else {
+              i = 0
+              while (i < k) {
+                val v = if (anchorPhiDp > 0)
+                  BigDecimal(lp(i)).setScale(anchorPhiDp,
+                    BigDecimal.RoundingMode.HALF_UP).toDouble
+                else lp(i)
+                acc(i) = logAdd(acc(i), v)
+                i += 1
+              }
             }
             w += 1
           }
@@ -207,9 +223,9 @@ object PolyEStepShuffle {
           l -> ts.map(_.cnt.toLong).sum
         }
 
-        val row = PolyEStepRow(isDoc = true, doc.docId, gamma, docLL, -1, -1, -1, 0.0,
+        val row = PolyEStepRow(isDoc = true, doc.docId, gamma, docLL, -1, -1, null,
           counts, numTokens, totalTokens)
-        if (phiAcc.size > phiFlushEntries) row +: drainPhi() else Vector(row)
+        if (phiAcc.size.toLong * k > phiFlushEntries) row +: drainPhi() else Vector(row)
       }
 
       val phiRows = new Iterator[PolyEStepRow] {

@@ -109,7 +109,7 @@ object PolyPlantedLda {
       // the real distributed fold, then the polylda reducer's -700
       // underflow floor (PolyTrainer.mstep/fusedIterationRows) and the
       // anchor, both on the model-sized collect
-      val lambda = estep.filter(!$"isDoc")
+      val lambda = PolyTrainer.explodePhi(estep.toDF())
         .groupBy($"lang", $"topic", $"termId")
         .agg(logsumexp($"logphi").as("lp"))
         .collect()

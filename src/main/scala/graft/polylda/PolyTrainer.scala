@@ -104,10 +104,23 @@ object PolyTrainer {
     toNestedMap(betaMaps)
   }
 
+  /** K-array phi rows (the r16 E-step combiner output: one row per
+    * (lang, termId) with `logphi(i)` ↔ topic i+1) → scalar
+    * (lang, topic, termId, logphi) rows — see [[graft.lda.MStep.explodePhi]]. */
+  def explodePhi(estep: DataFrame): DataFrame = {
+    val spark = estep.sparkSession
+    import spark.implicits._
+    estep.filter(!$"isDoc")
+      .select($"lang", $"termId", posexplode($"logphi").as(Seq("pos", "lp")))
+      .select($"lang", ($"pos" + 1).cast("int").as("topic"), $"termId",
+        $"lp".as("logphi"))
+  }
+
   /** Per-(lang, topic, term) M-step: logsumexp fold + per-(lang, topic)
     * normalizer in log space; E[log β] = ψ(λ) − ψ(Σ_w λ). Two-level groupBy
     * replaces the reference's lang×topic partitioner + sorted streaming
-    * reducer (polylda/TermPartitioner.java:10-12, TermReducer.java:84-119). */
+    * reducer (polylda/TermPartitioner.java:10-12, TermReducer.java:84-119).
+    * Input: scalar (lang, topic, termId, logphi) rows (use [[explodePhi]]). */
   def mstep(phi: DataFrame): DataFrame = {
     val spark = phi.sparkSession
     import spark.implicits._
@@ -139,7 +152,7 @@ object PolyTrainer {
   def fusedIterationRows(estep: DataFrame): DataFrame = {
     val spark = estep.sparkSession
     import spark.implicits._
-    val lambda = estep.filter(!$"isDoc")
+    val lambda = explodePhi(estep)
       .groupBy($"lang", $"topic", $"termId")
       .agg(greatest(logsumexp($"logphi"), lit(-700.0)).as("v1"))
       .select(lit(0).as("tag"), $"lang", $"topic", $"termId", $"v1", lit(0.0).as("v2"))
@@ -282,8 +295,7 @@ object PolyTrainer {
         val nullInt = lit(null).cast("int")
         val nullDouble = lit(null).cast("double")
         val nullArr = lit(null).cast("array<double>")
-        val packed = packBeta(mstep(
-          estep.filter(!$"isDoc").select($"lang", $"topic", $"termId", $"logphi")))
+        val packed = packBeta(mstep(explodePhi(estep.toDF())))
         val fusedDf = packed
           .select(lit(0).as("tag"), $"lang", $"termId", $"elogbeta",
             nullDouble.as("ll"), nullInt.as("k"), nullDouble.as("ss"))

@@ -21,14 +21,22 @@ object PlanProfile {
     val outDir = args(1)
     val only: Option[Set[String]] = args.lift(2).map(_.split(',').toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    var builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-planprofile")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B experiment hook: SPARK_GRAFT_EXTRA_CONF="k1=v1,k2=v2" lets a
+    // config candidate be profiled without editing the Bench contract
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { s =>
+      s.split(',').filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder = builder.config(k.trim, v.trim)
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
 
@@ -56,9 +64,11 @@ object PlanProfile {
     })
 
     val names = graft.SparkEntry.benchQueries.filter(n => only.forall(_.contains(n)))
-    // one warm pass at the smallest SF (same rationale as Bench)
+    // one warm pass at the smallest SF (same rationale as Bench);
+    // overridable so a non-default data layout can warm from its own dir
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     names.foreach { n =>
-      try graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      try graft.SparkEntry.queries(n)(spark, warmDir).count()
       catch { case e: Throwable => System.err.println(s"[profile] warm $n failed: $e") }
     }
 
@@ -75,6 +85,10 @@ object PlanProfile {
           java.nio.file.Paths.get(outDir, s"$name.txt"),
           df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode))
+        // listener-bus events are asynchronous: give the final stages'
+        // onStageCompleted a moment to land before aggregating, so late
+        // events are neither dropped nor attributed to the next label
+        Thread.sleep(400)
         val mine = stages.toArray(Array.empty[(String, Long, Long, Long, Long, Long, Long)])
           .filter(_._1 == name)
         val runMs = mine.map(_._2).sum

@@ -30,8 +30,7 @@ class FusedMStepSpec extends SparkSpec {
     val (estep, k) = estepOut
     try {
       // distributed path
-      val betaDistributed = MStep.run(
-          estep.filter(!$"isDoc").select($"topic", $"termId", $"logphi"), None)
+      val betaDistributed = MStep.run(MStep.explodePhi(estep.toDF()), None)
         .collect()
         .map(r => (r.getAs[Int]("topic"), r.getAs[Int]("termId")) -> r.getAs[Double]("elogbeta"))
         .toMap
