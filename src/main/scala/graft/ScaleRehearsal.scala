@@ -50,6 +50,8 @@ object ScaleRehearsal {
     // one (sublinear bending toward linear as fixed overhead
     // amortizes)
     if (args.contains("notchWebm")) { notchWebm(); return }
+    // label-propagation exchange-shape rehearsal on a skewed graph (r16)
+    if (args.contains("notchLp")) { notchLp(); return }
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-scale-rehearsal")
@@ -204,6 +206,119 @@ object ScaleRehearsal {
       rep += 1
     }
     best
+  }
+
+  /** Label-propagation exchange-shape rehearsal (r16, VERDICT item 4):
+    * the r15 change keyed one raw-row exchange on `s` instead of two
+    * partially-aggregated exchanges — a win locally, but on a skewed /
+    * converged graph the un-combined exchange can ship far more bytes
+    * and concentrate a hot node's whole degree in one task. This notch
+    * builds a deterministic HOT-COMMUNITY graph (10k communities of 100
+    * via intra-community rings+chords, so labels converge and (s,label)
+    * duplication is heavy; plus one hub wired to 20% of all nodes — the
+    * skewed in-degree) at ~2.4M and ~7.2M directed edges (sf1/sf3-ish)
+    * and times three result-identical round shapes:
+    *   A: groupBy(s,label) → groupBy(s)            (2 exchanges, partial agg)
+    *   B: repartition(s) → both aggs exchange-free (1 exchange, RAW rows — r15 shape)
+    *   C: partition-local (s,label) combine → repartition(s) → sum
+    *      (1 exchange, combined rows — the pre-aggregate candidate)
+    * Output equality is asserted by checksum before any timing counts. */
+  private def notchLp(): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-scale-rehearsal-lp")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.util.Ckpt._
+    import org.apache.spark.sql.DataFrame
+
+    // deterministic hot-community graph: n nodes in communities of 100
+    // (ring + hash-chord edges inside each community), one hub node `n`
+    // receiving an edge from every 5th node
+    def edges(n: Long): DataFrame = {
+      val comm = 100L
+      val base = spark.range(n)
+        .select($"id".as("s"),
+          // ring successor within the community
+          (($"id" - ($"id" % comm)) + ($"id" + 1) % comm).as("d"))
+      val chord = spark.range(n)
+        .select($"id".as("s"),
+          (($"id" - ($"id" % comm)) + pmod(xxhash64($"id"), lit(comm))).as("d"))
+      val hub = spark.range(n).filter($"id" % 5 === 0)
+        .select($"id".as("s"), lit(n).as("d"))
+      base.union(chord).union(hub)
+    }
+
+    def prologue(e: DataFrame): DataFrame = {
+      val base = e.filter($"s" =!= $"d")
+      base.union(base.select($"d".as("s"), $"s".as("d")))
+        .distinct().repartition(col("d")).ckptSer()
+    }
+
+    // one full 4-round propagation with a pluggable count shape;
+    // returns a label checksum (asserts the three shapes agree)
+    def run(e: DataFrame, shape: DataFrame => DataFrame): Long = {
+      var labels = e.select($"s".as("node")).distinct()
+        .select($"node", $"node".as("label")).ckptSer()
+      for (_ <- 1 to 4) {
+        val joined = e.join(labels, e("d") === labels("node"))
+          .select($"s", $"label")
+        val counts = shape(joined)
+        val next = counts
+          .groupBy($"s".as("node"))
+          .agg(max(struct($"c", (-$"label").as("nl"))).as("m"))
+          .select($"node", (-$"m.nl").as("label"))
+          .ckptSer()
+        labels.unpersist(blocking = false)
+        labels = next
+      }
+      // XOR fold: order-independent and overflow-free (ANSI sum of
+      // full-range hashes overflows)
+      val ck = labels.select(expr("bit_xor(xxhash64(node, label))"))
+        .as[Long].head()
+      labels.unpersist(blocking = false)
+      ck
+    }
+
+    val shapeA: DataFrame => DataFrame =
+      j => j.groupBy($"s", $"label").agg(count(lit(1)).as("c"))
+    val shapeB: DataFrame => DataFrame =
+      j => j.repartition($"s").groupBy($"s", $"label").agg(count(lit(1)).as("c"))
+    val shapeC: DataFrame => DataFrame = { j =>
+      val pre = j.select($"s", $"label").as[(Long, Long)]
+        .mapPartitions { it =>
+          val m = new java.util.HashMap[(Long, Long), Long]()
+          it.foreach { sl =>
+            val prev = m.get(sl)
+            m.put(sl, if (prev == null) 1L else prev + 1L)
+          }
+          val b = Vector.newBuilder[(Long, Long, Long)]
+          m.forEach((k, v) => b += ((k._1, k._2, v)))
+          b.result().iterator
+        }
+        .toDF("s", "label", "pc")
+      pre.repartition($"s").groupBy($"s", $"label").agg(sum($"pc").as("c"))
+    }
+
+    for (n <- Seq(800_000L, 2_400_000L)) {
+      val e = prologue(edges(n))
+      val eCount = e.count()
+      // equality gate before timing
+      val cks = Seq(shapeA, shapeB, shapeC).map(s => run(e, s))
+      require(cks.distinct.size == 1, s"shapes disagree: $cks")
+      println(s"[lp] n=$n symmetrized-edges=$eCount checksum=${cks.head}")
+      val tA = timedMin2(spark, s"lp[A 2-exch partial-agg] n=$n", None)(run(e, shapeA))
+      val tB = timedMin2(spark, s"lp[B 1-exch raw (r15)  ] n=$n", None)(run(e, shapeB))
+      val tC = timedMin2(spark, s"lp[C 1-exch pre-agg    ] n=$n", None)(run(e, shapeC))
+      println(f"[lp] n=$n  A=$tA%.2f s  B=$tB%.2f s  C=$tC%.2f s")
+      e.unpersist(blocking = false)
+    }
+    spark.stop()
   }
 
   private def notchWebm(): Unit = {

@@ -4018,9 +4018,12 @@ object PipelineQueries {
         import s.implicits._
         t(s, dir, "documents").filter($"doc_id" < 100)
           .select($"doc_id".cast("long"), $"text")
-          // spread the slim (id, text) rows before the per-row codec
-          // work (r15; the q_dedup_minhash_lsh one-file posture)
-          .repartition(s.sparkContext.defaultParallelism)
+          // NO spread here (r16 revert of the r15 posture-uniformity
+          // repartition): this decode is 8-16px tiles over ≤100 rows at
+          // ANY scale (the doc_id < 100 filter caps it), and the r15
+          // bench measured the exchange costing more than the work
+          // (0.24 → 0.40 s). The other codec roundtrips keep their
+          // spread — their per-row decode is 10-50× heavier.
           .as[(Long, String)]
           .map { case (id, text) =>
             val len = text.codePointCount(0, text.length)
