@@ -27,6 +27,10 @@ object GraftSession {
       .appName(appName)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // cached plans keep AQE partition sizing (r16): iterative trainers
+      // re-read persisted corpora every iteration; without this their
+      // cache freezes `shuffle.partitions` near-empty partitions in
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.shuffle.partitions", math.max(parallelism * 2, 8).toString)
       .config("spark.sql.files.maxPartitionBytes", (256L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")

@@ -52,11 +52,14 @@ object ScaleRehearsal {
     if (args.contains("notchWebm")) { notchWebm(); return }
     // label-propagation exchange-shape rehearsal on a skewed graph (r16)
     if (args.contains("notchLp")) { notchLp(); return }
+    // brand-comparison pair-generation shape at sf1 (r16, VERDICT item 6)
+    if (args.contains("notchBrand")) { notchBrand(); return }
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-scale-rehearsal")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -114,6 +117,7 @@ object ScaleRehearsal {
       .appName("graft-scale-rehearsal-notch2")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -149,6 +153,7 @@ object ScaleRehearsal {
       .appName("graft-scale-rehearsal-notch3")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -229,6 +234,7 @@ object ScaleRehearsal {
       .appName("graft-scale-rehearsal-lp")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -321,12 +327,112 @@ object ScaleRehearsal {
     spark.stop()
   }
 
+  /** brandComparisons pair-generation rehearsal (r16, VERDICT item 6):
+    * the self-join shape shuffles the (orderkey-keyed) line table twice
+    * and the joined pairs once more into the wins aggregate; r15's
+    * shuffle-halving rewrites both lost locally (higher-order lambdas
+    * are CodegenFallback; chained posexplode copies the carried array
+    * per row). This notch re-tests at sf1 (~6M lineitem rows) and any
+    * `SPARK_GRAFT_CPUS` (low-core per the verdict), adding the variant
+    * r15 never tried: a TYPED flatMapGroups pair expansion — object-mode
+    * at that one operator, but no lambda fallback and no O(n²) array
+    * copies. Both shapes end in the same wins aggregate; equality is
+    * checksum-gated before timing. */
+  private def notchBrand(): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sf01 = "/root/testdata/sf0.1"
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/sf1")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-rehearsal-brand")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    generate(spark, sf01, sf1Dir, 10, Set("lineitem"))
+
+    def li(dir: String, partDir: String): DataFrame =
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .join(spark.read.parquet(s"$partDir/part.parquet"),
+          $"l_partkey" === $"p_partkey")
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"p_brand")
+
+    // V0 — the shipped shape: orderkey self-join, pairs filtered/labelled
+    def winsSelfJoin(t: DataFrame): DataFrame = {
+      t.as("a").join(t.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+            $"a.l_linenumber" < $"b.l_linenumber")
+        .filter($"a.p_brand" =!= $"b.p_brand")
+        .select(
+          when($"a.l_extendedprice" > $"b.l_extendedprice", $"a.p_brand")
+            .when($"b.l_extendedprice" > $"a.l_extendedprice", $"b.p_brand")
+            .when($"a.p_brand" < $"b.p_brand", $"a.p_brand")
+            .otherwise($"b.p_brand").as("w"),
+          when($"a.l_extendedprice" > $"b.l_extendedprice", $"b.p_brand")
+            .when($"b.l_extendedprice" > $"a.l_extendedprice", $"a.p_brand")
+            .when($"a.p_brand" < $"b.p_brand", $"b.p_brand")
+            .otherwise($"a.p_brand").as("l"))
+        .groupBy($"w", $"l").agg(count(lit(1)).as("n"))
+    }
+
+    // V1 — one orderkey shuffle, typed in-group pair expansion
+    def winsFlatMap(t: DataFrame): DataFrame = {
+      t.select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"p_brand")
+        .as[(Long, Int, Double, String)]
+        .groupByKey(_._1)
+        .flatMapGroups { (_, it) =>
+          val lines = it.toArray.sortBy(_._2)
+          val out = Vector.newBuilder[(String, String)]
+          var i = 0
+          while (i < lines.length) {
+            var j = i + 1
+            while (j < lines.length) {
+              val a = lines(i); val b = lines(j)
+              // strict < on linenumber, matching the self-join condition:
+              // the synthetic lineitem has duplicate (orderkey, linenumber)
+              // rows, and those pairs are NOT compared by the shipped shape
+              if (a._2 < b._2 && a._4 != b._4) {
+                out += (if (a._3 > b._3) (a._4, b._4)
+                  else if (b._3 > a._3) (b._4, a._4)
+                  else if (a._4 < b._4) (a._4, b._4)
+                  else (b._4, a._4))
+              }
+              j += 1
+            }
+            i += 1
+          }
+          out.result()
+        }
+        .toDF("w", "l")
+        .groupBy($"w", $"l").agg(count(lit(1)).as("n"))
+    }
+
+    def ck(df: DataFrame): Long =
+      df.select(expr("bit_xor(xxhash64(w, l, n))")).as[Long].head()
+
+    for ((dirLabel, dir, partDir) <- Seq(("sf0.1", sf01, sf01), ("sf1", sf1Dir, sf01))) {
+      val t = li(dir, partDir)
+      val c0 = ck(winsSelfJoin(t))
+      val c1 = ck(winsFlatMap(t))
+      require(c0 == c1, s"shapes disagree at $dirLabel: $c0 vs $c1")
+      val t0 = timedMin2(spark, s"brand[self-join] @$dirLabel cpus=$cpus", None)(ck(winsSelfJoin(t)))
+      val t1 = timedMin2(spark, s"brand[flatMap  ] @$dirLabel cpus=$cpus", None)(ck(winsFlatMap(t)))
+      println(f"[brand] $dirLabel cpus=$cpus  self-join=$t0%.2f s  flatMap=$t1%.2f s")
+    }
+    spark.stop()
+  }
+
   private def notchWebm(): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-scale-rehearsal-webm")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
